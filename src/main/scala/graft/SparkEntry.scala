@@ -1,13 +1,175 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.JsonCodec
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator in SURVEY.md §2 that is batch-expressible has a
+  * `queries` entry here, with a semantically equivalent DuckDB SQL
+  * oracle in `oracleSql` (same column names — the driver sorts columns
+  * by name before hashing). Non-SQL-expressible operators (streaming
+  * dual-update join, MinHash LSH internals) are verified by ScalaTest
+  * specs and, where noted, by rows-only checks.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's one-to-many FK join, batch form (SURVEY.md §2.1). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CarZone.fkJoin(Tables.events(spark, "/root/testdata/sf0.001"))
+
+  private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference surface (SURVEY.md §2, ops #1-#19) ----
+    "q_source_scan" -> ((s, dir) =>
+      ev(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("value"))),
+    "q_filter_project" -> ((s, dir) =>
+      Relational.scanFilterProject(Tables.lineitem(s, dir))),
+    "q_json_extract" -> ((s, dir) =>
+      JsonCodec.decodeProps(ev(s, dir)).select(col("event_id"), col("props_k"))),
+    "q_json_serialize" -> ((s, dir) =>
+      ev(s, dir).select(col("event_id"),
+        JsonCodec.serialize(col("event_id"), col("user_id")).as("payload"))),
+    "q_latest_per_car" -> ((s, dir) => CarZone.latestCars(ev(s, dir))),
+    "q_latest_per_zone" -> ((s, dir) => CarZone.latestZones(ev(s, dir))),
+    "q_fk_join" -> ((s, dir) => CarZone.fkJoin(ev(s, dir))),
+    "q_move_transitions" -> ((s, dir) => CarZone.moveTransitions(ev(s, dir))),
+    "q_arrive_leave" -> ((s, dir) => CarZone.arriveLeave(ev(s, dir))),
+    "q_union_envelope" -> ((s, dir) => CarZone.unionEnvelope(ev(s, dir))),
+    // ---- relational coverage (TPC-H-ish) ----
+    "q1_pricing_summary" -> ((s, dir) =>
+      Relational.pricingSummary(Tables.lineitem(s, dir))),
+    "q3_top_urgent_orders" -> ((s, dir) =>
+      Relational.topUrgentOrders(Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q5_revenue_by_nation" -> ((s, dir) =>
+      Relational.revenueByNation(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    "q_top_orders_per_customer" -> ((s, dir) =>
+      Relational.topOrdersPerCustomer(Tables.orders(s, dir))),
+    "q_customers_without_orders" -> ((s, dir) =>
+      Relational.customersWithoutOrders(Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q_suppliers_big_lines" -> ((s, dir) =>
+      Relational.suppliersWithBigLines(Tables.supplier(s, dir), Tables.lineitem(s, dir))),
+  )
+
+  private val carsCte =
+    """cars AS (
+      |  SELECT user_id AS car_id,
+      |         CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS zone_id,
+      |         value AS fuel_level,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE event_type IN ('click','view'))""".stripMargin
+
+  private val zonesCte =
+    """zones AS (
+      |  SELECT CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS zone_id,
+      |         value AS pollution_level, ts, event_id
+      |  FROM events WHERE event_type = 'error'),
+      |latest_zones AS (
+      |  SELECT zone_id, pollution_level,
+      |         ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM zones)""".stripMargin
+
+  private val movesCte =
+    """moves AS (
+      |  SELECT event_id, car_id,
+      |         LAG(zone_id) OVER (PARTITION BY car_id ORDER BY ts, event_id) AS from_zone,
+      |         zone_id AS to_zone, fuel_level
+      |  FROM (SELECT user_id AS car_id,
+      |               CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS zone_id,
+      |               value AS fuel_level, ts, event_id
+      |        FROM events WHERE event_type IN ('click','view')))""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_source_scan" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
+    "q_filter_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_quantity > 45",
+    "q_json_extract" ->
+      ("SELECT event_id, CAST(NULLIF(regexp_extract(props, '\"k\":\\s*(\\d+)', 1), '') AS BIGINT) AS props_k " +
+        "FROM events"),
+    "q_json_serialize" ->
+      ("SELECT event_id, CAST(to_json(struct_pack(event_id := event_id, user_id := user_id)) AS VARCHAR) AS payload " +
+        "FROM events"),
+    "q_latest_per_car" ->
+      s"""WITH $carsCte
+         |SELECT car_id, zone_id, fuel_level FROM cars WHERE rn = 1""".stripMargin,
+    "q_latest_per_zone" ->
+      s"""WITH $zonesCte
+         |SELECT zone_id, pollution_level FROM latest_zones WHERE rn = 1""".stripMargin,
+    "q_fk_join" ->
+      s"""WITH $carsCte,
+         |$zonesCte
+         |SELECT c.car_id, c.zone_id, c.fuel_level, z.pollution_level
+         |FROM cars c JOIN latest_zones z USING (zone_id)
+         |WHERE c.rn = 1 AND z.rn = 1""".stripMargin,
+    "q_move_transitions" ->
+      s"""WITH $movesCte
+         |SELECT event_id, car_id, from_zone, to_zone, fuel_level FROM moves""".stripMargin,
+    "q_arrive_leave" ->
+      s"""WITH $movesCte
+         |SELECT event_id, car_id, to_zone AS zone_id, TRUE AS is_arriving, fuel_level FROM moves
+         |UNION ALL
+         |SELECT event_id, car_id, from_zone AS zone_id, FALSE AS is_arriving, fuel_level FROM moves
+         |WHERE from_zone IS NOT NULL AND from_zone <> to_zone""".stripMargin,
+    "q_union_envelope" ->
+      """SELECT event_id, 'car' AS kind, user_id AS entity_id,
+        |       CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS zone_id,
+        |       value AS value
+        |FROM events WHERE event_type IN ('click','view')
+        |UNION ALL
+        |SELECT event_id, 'zone' AS kind,
+        |       CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS entity_id,
+        |       CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS zone_id,
+        |       value AS value
+        |FROM events WHERE event_type = 'error'""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_urgent_orders" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_revenue_by_nation" ->
+      """SELECT n_name,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "q_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+    "q_customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_suppliers_big_lines" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 49)""".stripMargin,
+  )
 }

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The reference's domain — cars moving between zones, zones reporting
+  * pollution — recast onto the driver's `events` table (TESTDATA.md).
+  *
+  * Mapping (SURVEY.md §7.2):
+  *   - car stream  = events with event_type IN ('click','view'):
+  *       car_id = user_id, zone_id = props.k, fuel_level = value
+  *     (reference CarArrivalEvent, DomainModel.scala:8)
+  *   - zone stream = events with event_type = 'error':
+  *       zone_id = props.k, pollution_level = value
+  *     (reference ZoneEvent, DomainModel.scala:9)
+  *
+  * The batch analogue of the reference's dual-update FK join
+  * (DemoApp.scala:50-60, semantics in SURVEY.md §2.1): latest event per
+  * car ⋈ latest event per zone on zone_id. The streaming layer
+  * (graft.streaming.FkJoinStream) reproduces the incremental re-emission
+  * behavior; its final state equals this batch result.
+  */
+object CarZone {
+
+  /** props is a JSON text column like {"k": 87}; extract k.
+    * regexp (not from_json) so the DuckDB oracle can express the exact
+    * same computation; from_json-based parsing is exercised separately in
+    * JsonCodec. Pushdown-friendly: operates post-scan on one column.
+    */
+  def propsK(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    nullif(regexp_extract(c, """"k":\s*(\d+)""", 1), lit("")).cast("long")
+
+  /** Car-side keyed changelog: (car_id, zone_id, fuel_level) + ordering. */
+  def carEvents(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type").isin("click", "view"))
+      .select(
+        col("user_id").as("car_id"),
+        propsK(col("props")).as("zone_id"),
+        col("value").as("fuel_level"),
+        col("ts"), col("event_id"))
+
+  /** Zone-side keyed changelog: (zone_id, pollution_level) + ordering. */
+  def zoneEvents(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "error")
+      .select(
+        propsK(col("props")).as("zone_id"),
+        col("value").as("pollution_level"),
+        col("ts"), col("event_id"))
+
+  /** KTable(car): latest position per car (reference DemoApp.scala:86). */
+  def latestCars(events: DataFrame): DataFrame =
+    Latest.latestPerKey(carEvents(events),
+      keys = Seq("car_id"), ordering = Seq("ts", "event_id"),
+      payload = Seq("zone_id", "fuel_level"))
+
+  /** KTable(zone): latest pollution per zone (DemoApp.scala:251-254). */
+  def latestZones(events: DataFrame): DataFrame =
+    Latest.latestPerKey(zoneEvents(events),
+      keys = Seq("zone_id"), ordering = Seq("ts", "event_id"),
+      payload = Seq("pollution_level"))
+
+  /** The flagship: one-to-many FK join, batch form (SURVEY.md §2.1).
+    *
+    * Scale notes: both sides are pre-aggregated to key cardinality
+    * (partial aggregation before the shuffle — see Latest.latestPerKey),
+    * and the zone side is bounded by the number of distinct zones, so it
+    * is explicitly broadcast: the join itself then needs NO shuffle of
+    * the car side beyond its own aggregation exchange.
+    */
+  def fkJoin(events: DataFrame): DataFrame = {
+    val cars = latestCars(events)
+    val zones = latestZones(events)
+    cars.join(broadcast(zones), Seq("zone_id"), "inner")
+      .select(col("car_id"), col("zone_id"), col("fuel_level"), col("pollution_level"))
+  }
+
+  /** The per-car move fold (reference aggregate #6, DemoApp.scala:116-119,
+    * 146): each car event paired with the car's previous zone.
+    * Batch form: lag() over (partition by car order by arrival).
+    * from_zone is null on a car's first event (reference sentinel
+    * noPrevMov, DemoApp.scala:146).
+    */
+  def moveTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("car_id")).orderBy(col("ts"), col("event_id"))
+    carEvents(events)
+      .withColumn("from_zone", lag(col("zone_id"), 1).over(w))
+      .select(col("event_id"), col("car_id"), col("from_zone"),
+        col("zone_id").as("to_zone"), col("fuel_level"))
+  }
+
+  /** The 1→N arrive/leave expansion (reference flatMapValues #8,
+    * DemoApp.scala:125-130): every move yields an arriving record at
+    * to_zone plus, iff from_zone is set and differs, a leaving record
+    * (retraction) at from_zone. Expressed as array+explode so it stays
+    * inside whole-stage codegen — no UDF, no lambda.
+    */
+  def arriveLeave(events: DataFrame): DataFrame = {
+    val moves = moveTransitions(events)
+    moves
+      .select(col("event_id"), col("car_id"), col("fuel_level"),
+        explode(concat(
+          array(struct(col("to_zone").as("zone_id"), lit(true).as("is_arriving"))),
+          when(col("from_zone").isNotNull && col("from_zone") =!= col("to_zone"),
+            array(struct(col("from_zone").as("zone_id"), lit(false).as("is_arriving"))))
+            .otherwise(array().cast("array<struct<zone_id:bigint,is_arriving:boolean>>"))
+        )).as("mv"))
+      .select(col("event_id"), col("car_id"), col("mv.zone_id").as("zone_id"),
+        col("mv.is_arriving").as("is_arriving"), col("fuel_level"))
+  }
+
+  /** Stream union (reference merge #18, DemoApp.scala:105-106): both
+    * changelogs normalized to one envelope schema. At scale: union is
+    * shuffle-free (pure partition concatenation).
+    */
+  def unionEnvelope(events: DataFrame): DataFrame = {
+    val cars = carEvents(events).select(
+      col("event_id"), lit("car").as("kind"), col("car_id").as("entity_id"),
+      col("zone_id"), col("fuel_level").as("value"))
+    val zones = zoneEvents(events).select(
+      col("event_id"), lit("zone").as("kind"), col("zone_id").as("entity_id"),
+      col("zone_id"), col("pollution_level").as("value"))
+    cars.unionByName(zones)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Latest-value-per-key: the batch form of a Kafka Streams KTable
+  * (reference: the implicit table built by `groupByKey.aggregate`,
+  * /root/reference/src/main/scala/poc/svend/DemoApp.scala:86).
+  *
+  * Implemented with `max_by(struct(payload), struct(orderCols))` rather
+  * than a `row_number` window: an aggregation gets map-side partial
+  * aggregation (each input partition reduces to ≤ |keys| rows before the
+  * shuffle), while a window must shuffle EVERY row and sort each
+  * partition. At 100 TB with bounded key cardinality that is the
+  * difference between shuffling ~|keys| rows and shuffling the full
+  * table. Determinism: callers must include a unique tiebreaker (e.g.
+  * event_id) as the last ordering column.
+  */
+object Latest {
+
+  /** Keep, per `keys`, the row with the greatest `ordering` tuple.
+    * Output columns: keys ++ payload (in that order).
+    */
+  def latestPerKey(
+      df: DataFrame,
+      keys: Seq[String],
+      ordering: Seq[String],
+      payload: Seq[String]): DataFrame = {
+    val ordStruct = struct(ordering.map(col): _*)
+    val payStruct = struct(payload.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(payStruct, ordStruct).as("__latest"))
+      .select(keys.map(col) ++ payload.map(p => col(s"__latest.$p")): _*)
+  }
+
+  /** Window-based variant (row_number = 1) — kept for cases where the
+    * full row (incl. ordering columns) must survive, or where a later
+    * operator already requires the sort. Prefer [[latestPerKey]].
+    */
+  def latestPerKeyWindow(
+      df: DataFrame,
+      keys: Seq[Column],
+      ordering: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys: _*).orderBy(ordering.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** General relational coverage over the TPC-H-ish tables: scan/filter/
+  * project, hash aggregation, multi-way joins with broadcast dims,
+  * window ranking, top-k, semi/anti joins, set ops.
+  *
+  * The reference has none of these (SURVEY.md §2 "operators the
+  * reference does NOT have") — they are the standard query surface any
+  * user of a table engine expects, and each is written so Catalyst's
+  * free rewrites apply: filters/projections sit directly over the scan
+  * (pushdown + pruning), small dimensions are broadcast, aggregations
+  * are partial-aggregation-friendly.
+  */
+object Relational {
+
+  /** Scan + filter + project: predicate and both columns reach the
+    * parquet reader (PushedFilters / ReadSchema). */
+  def scanFilterProject(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+
+  /** TPC-H Q1-style pricing summary: grouped aggregation with map-side
+    * partial aggregation; sums rounded so the oracle's (differently
+    * associated) float sums compare equal. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style: 3-way join + agg + deterministic top-10.
+    * customer is the small side of its join (broadcast); the
+    * orders⋈lineitem join shuffles on the orderkey both sides already
+    * need for the aggregation — one exchange serves both. */
+  def topUrgentOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q5-style: snowflake join through two broadcast dims + agg. */
+  def revenueByNation(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+
+  /** Window ranking: top-3 orders by price per customer; rank ties broken
+    * by unique orderkey so output is deterministic. */
+  def topOrdersPerCustomer(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+  }
+
+  /** Anti join: customers with no URGENT order (NOT EXISTS).
+    * Broadcast-able at small SF; at scale Spark plans a shuffled hash
+    * anti-join on the key, and the priority filter is pushed to the
+    * orders scan before the shuffle. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+
+  /** Semi join: suppliers that supplied a large-quantity line (EXISTS). */
+  def suppliersWithBigLines(supplier: DataFrame, lineitem: DataFrame): DataFrame =
+    supplier
+      .join(lineitem.filter(col("l_quantity") >= 49), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+}

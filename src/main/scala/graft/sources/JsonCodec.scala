@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSON ser/de — the reference's wire format (UTF-8 JSON via play-json,
+  * /root/reference/src/main/scala/poc/svend/JsonSerdes.scala:15-61).
+  *
+  * Spark-first: `from_json` / `to_json` are Catalyst expressions (no
+  * UDF, codegen-capable, streaming-safe). FAILFAST parsing mirrors the
+  * reference's throw-on-corrupt behavior (JsonSerdes.scala:35-36 notes
+  * the missing dead-letter queue); PERMISSIVE + corrupt-record column is
+  * the scale-friendly alternative exposed as `parseLenient`.
+  */
+object JsonCodec {
+
+  val propsSchema: StructType = StructType(Seq(StructField("k", LongType)))
+
+  /** bytes/string → struct, throwing on malformed input (reference
+    * JsonSerdes.scala:20-43). */
+  def parseStrict(c: Column, schema: StructType): Column =
+    from_json(c, schema, Map("mode" -> "FAILFAST"))
+
+  /** Lenient parse: malformed rows yield null structs instead of failing
+    * the job — at 100 TB a single corrupt record must not kill the
+    * pipeline. */
+  def parseLenient(c: Column, schema: StructType): Column =
+    from_json(c, schema, Map("mode" -> "PERMISSIVE"))
+
+  /** struct → compact JSON text (reference JsonSerdes.scala:46-55). */
+  def serialize(cols: Column*): Column = to_json(struct(cols: _*))
+
+  /** Decode the events.props JSON payload into typed columns. */
+  def decodeProps(events: DataFrame): DataFrame =
+    events.withColumn("props_k", parseLenient(col("props"), propsSchema).getField("k"))
+}

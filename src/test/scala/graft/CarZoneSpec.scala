@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.{CarZone, Latest}
+
+/** Batch semantics of the reference's one-to-many FK join (SURVEY.md
+  * §2.1), on hand-built event sequences mirroring the scenarios in
+  * /root/reference/src/main/scala/poc/svend/DemoApp.scala:43-65.
+  *
+  * Fixture events: (event_id, ts, user_id, event_type, value, props) —
+  * same shape as the driver's events table; ts is a Long (nanos) to
+  * match Tables' nanosAsLong read path.
+  */
+class CarZoneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events(rows: (Long, Long, Long, String, Double, String)*) =
+    rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  // car event: click/view keyed by user; zone event: error with zone in props.k
+  private def car(id: Long, ts: Long, carId: Long, zone: Long, fuel: Double) =
+    (id, ts, carId, "click", fuel, s"""{"k": $zone}""")
+  private def zone(id: Long, ts: Long, zoneId: Long, pollution: Double) =
+    (id, ts, 0L, "error", pollution, s"""{"k": $zoneId}""")
+
+  test("fk join matches car to latest zone pollution") {
+    val df = events(
+      car(0, 10, 1, 100, 5.0),
+      zone(1, 20, 100, 42.0),
+      zone(2, 30, 100, 43.0)) // zone updates: latest wins
+    val out = CarZone.fkJoin(df).collect()
+    assert(out.toSeq == Seq(Row(1L, 100L, 5.0, 43.0)))
+  }
+
+  test("car moving between zones is joined only at its latest zone (retraction)") {
+    val df = events(
+      zone(0, 10, 100, 42.0),
+      zone(1, 11, 200, 99.0),
+      car(2, 20, 1, 100, 5.0), // car 1 arrives in 100
+      car(3, 30, 1, 200, 4.0)) // car 1 moves to 200 — must NOT join at 100
+    val out = CarZone.fkJoin(df).collect()
+    assert(out.toSeq == Seq(Row(1L, 200L, 4.0, 99.0)))
+  }
+
+  test("car in unknown zone emits nothing (inner semantics)") {
+    val df = events(car(0, 10, 1, 100, 5.0))
+    assert(CarZone.fkJoin(df).count() == 0)
+  }
+
+  test("zone update fans out to all cars currently in the zone") {
+    val df = events(
+      car(0, 10, 1, 100, 5.0),
+      car(1, 11, 2, 100, 6.0),
+      car(2, 12, 3, 200, 7.0),
+      zone(3, 20, 100, 42.0))
+    val out = CarZone.fkJoin(df).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq == Seq((1L, 100L), (2L, 100L))) // car 3's zone unknown
+  }
+
+  test("move transitions: first event has null from_zone, later events carry previous zone") {
+    val df = events(car(0, 10, 1, 100, 5.0), car(1, 20, 1, 200, 4.0), car(2, 30, 1, 200, 3.0))
+    val out = CarZone.moveTransitions(df).orderBy("event_id").collect()
+    assert(out.map(r => (r.getLong(0), Option(r.get(2)), r.getLong(3))).toSeq ==
+      Seq((0L, None, 100L), (1L, Some(100L), 200L), (2L, Some(200L), 200L)))
+  }
+
+  test("arrive/leave expansion: move → arrive+leave, same-zone re-arrival → arrive only") {
+    val df = events(car(0, 10, 1, 100, 5.0), car(1, 20, 1, 200, 4.0), car(2, 30, 1, 200, 3.0))
+    val out = CarZone.arriveLeave(df).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).sortBy(t => (t._1, !t._3))
+    assert(out.toSeq == Seq(
+      (0L, 100L, true),          // first arrival: no leave (DemoApp.scala:125-130)
+      (1L, 200L, true), (1L, 100L, false), // move: arrive at 200, leave 100
+      (2L, 200L, true)))         // same-zone re-arrival: no leave
+  }
+
+  test("latestPerKey picks max ordering row with tiebreak") {
+    val df = Seq((1L, 10L, 1L, "a"), (1L, 10L, 2L, "b"), (2L, 5L, 0L, "c"))
+      .toDF("k", "ts", "seq", "v")
+    val out = Latest.latestPerKey(df, Seq("k"), Seq("ts", "seq"), Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(out.toSeq == Seq((1L, "b"), (2L, "c")))
+  }
+}

@@ -1,0 +1,24 @@
+package graft
+
+/** Contract checks on the driver surface: every query runs at sf0.001,
+  * entry() is non-empty, and oracleSql keys refer to real queries. */
+class QueriesSmokeSpec extends SparkSpec {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql keys without queries: $orphans")
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sf0001)
+      assert(df.columns.nonEmpty)
+      // materialize — catches analysis AND runtime errors
+      df.count()
+    }
+  }
+}

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate: run each
+SparkEntry oracle SQL in DuckDB against the sf parquet tables and
+compare with the Verify.scala parquet dumps (columns sorted by name,
+rows sorted, exact value compare; floats compared exactly first, then
+with tolerance to distinguish real mismatches from float noise)."""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    pdir = f"{outdir}/{name}"
+    if not os.path.isdir(pdir):
+        print(f"FAIL {name}: no spark output dir"); fails += 1; continue
+    try:
+        got = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{pdir}/*.parquet")])
+    except Exception as e:
+        print(f"FAIL {name}: cannot read spark output: {e}"); fails += 1; continue
+    try:
+        exp = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle errored: {e}"); fails += 1; continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    if list(got.columns) != list(exp.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}"); fails += 1; continue
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); fails += 1; continue
+    g = got.sort_values(list(got.columns)).reset_index(drop=True)
+    e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+    exact = True
+    for c in g.columns:
+        gv, ev = g[c], e[c].astype(g[c].dtype) if g[c].dtype != e[c].dtype else e[c]
+        if gv.dtype.kind == 'f':
+            eq = (gv.fillna(1.5e308) == ev.fillna(1.5e308))
+            if not eq.all():
+                close = np.allclose(gv.fillna(0), ev.fillna(0), rtol=1e-9, atol=1e-12)
+                print(f"FAIL {name}: col {c} differs ({(~eq).sum()} rows; close={close})")
+                exact = False
+        else:
+            eq = (gv.fillna('\x00').astype(str) == ev.fillna('\x00').astype(str))
+            if not eq.all():
+                bad = (~eq).idxmax()
+                print(f"FAIL {name}: col {c} differs ({(~eq).sum()} rows) e.g. {gv[bad]!r} != {ev[bad]!r}")
+                exact = False
+    if exact:
+        print(f"OK   {name}: {len(g)} rows")
+    else:
+        fails += 1
+print(f"\n{len(oracle)-fails}/{len(oracle)} oracle-checked queries match")
+sys.exit(1 if fails else 0)
