@@ -56,6 +56,20 @@ object SparkEntry {
       Relational.customersWithoutOrders(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_suppliers_big_lines" -> ((s, dir) =>
       Relational.suppliersWithBigLines(Tables.supplier(s, dir), Tables.lineitem(s, dir))),
+    // ---- training-data pipeline: text analysis ----
+    "t_text_stats" -> ((s, dir) =>
+      graft.functions.TextAnalysis.stats(Tables.documents(s, dir))),
+    "t_lang_id" -> ((s, dir) =>
+      graft.functions.TextAnalysis.langId(Tables.documents(s, dir))),
+    "t_quality_score" -> ((s, dir) =>
+      graft.functions.TextAnalysis.qualityScore(Tables.documents(s, dir))),
+    "t_fingerprint" -> ((s, dir) =>
+      graft.functions.TextAnalysis.fingerprint(Tables.documents(s, dir))),
+    // ---- training-data pipeline: dedup ----
+    "d_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
+    "d_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir))),
+    "d_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(Tables.documents(s, dir))),
+    "d_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
   )
 
   private val carsCte =
@@ -171,5 +185,68 @@ object SparkEntry {
     "q_suppliers_big_lines" ->
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 49)""".stripMargin,
+    "t_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |       len(string_split(text, ' ')) AS n_words,
+        |       len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+        |       len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens
+        |FROM documents""".stripMargin,
+    "t_lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split(text,' '), x -> x = 'the')) AS score_en,
+        |         len(list_filter(string_split(text,' '), x -> x = 'le' OR x = 'la')) AS score_fr,
+        |         len(list_filter(string_split(text,' '), x -> x = 'el' OR x = 'los')) AS score_es,
+        |         len(list_filter(string_split(text,' '), x -> x = 'der' OR x = 'und')) AS score_de,
+        |         len(list_filter(string_split(text,' '), x -> x = '的')) AS score_zh
+        |  FROM documents)
+        |SELECT doc_id, score_en, score_fr, score_es, score_de, score_zh,
+        |       CASE WHEN score_en = t AND t > 0 THEN 'en'
+        |            WHEN score_fr = t AND t > 0 THEN 'fr'
+        |            WHEN score_es = t AND t > 0 THEN 'es'
+        |            WHEN score_de = t AND t > 0 THEN 'de'
+        |            WHEN score_zh = t AND t > 0 THEN 'zh'
+        |            ELSE 'und' END AS lang_pred
+        |FROM (SELECT *, greatest(score_en, score_fr, score_es, score_de, score_zh) AS t FROM scored)""".stripMargin,
+    "t_quality_score" ->
+      """SELECT doc_id,
+        |       ROUND(diversity, 4) AS diversity,
+        |       ROUND(stop_rate, 4) AS stop_rate,
+        |       ROUND(length_score, 4) AS length_score,
+        |       ROUND(diversity * 0.5 + (1.0 - stop_rate) * 0.2 + length_score * 0.3, 4) AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |         len(list_distinct(string_split(text,' '))) / CAST(len(string_split(text,' ')) AS DOUBLE) AS diversity,
+        |         len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and'))) / CAST(len(string_split(text,' ')) AS DOUBLE) AS stop_rate,
+        |         least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) AS length_score
+        |  FROM documents)""".stripMargin,
+    "t_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp, length(text) AS n_chars FROM documents",
+    "d_exact_dedup" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "d_jaccard_pairs" -> jaccardOracle,
+    // MinHash+LSH: candidates are verified with the exact jaccard, and the
+    // band parameters give recall ≈ 1 at the 0.8 threshold on this data
+    // (nearest below-threshold pair sits < 0.3) — so the exact-jaccard SQL
+    // is its oracle too. Validated empirically at sf0.01 and sf0.1.
+    "d_minhash_pairs" -> jaccardOracle,
+    // d_simhash_pairs: intentionally no oracle — output depends on the
+    // engine hash family (xxhash64); verified by DedupSpec instead.
   )
+
+  private lazy val jaccardOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM toks),
+      |sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      |       FROM tok a
+      |       JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |       JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+      |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |          GROUP BY x.doc_id, y.doc_id)
+      |SELECT a AS doc_a, b AS doc_b, i / CAST(ca.n + cb.n - i AS DOUBLE) AS jac
+      |FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+      |WHERE i / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8""".stripMargin
 }

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table: token counting, language ID (n-gram/stopword
+  * heuristic), quality scoring, document fingerprinting.
+  *
+  * Everything here is built from codegen'd Catalyst expressions —
+  * `split`/`filter`/`transform`/`aggregate` higher-order functions, no
+  * Scala UDFs — so the whole stage stays inside WholeStageCodegen and
+  * scales linearly with input (no shuffle at all: per-row computation).
+  * Each computation is chosen to be expressible identically in the
+  * DuckDB oracle (same IEEE double ops in the same order).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens — documents are single-space separated. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish token count: maximal [a-z0-9]+ runs (lowercase corpus). */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z0-9]+"), lit(0)))
+
+  /** Occurrences of an exact word among whitespace tokens. */
+  def wordCount(text: Column, word: String): Column =
+    size(filter(tokens(text), t => t === lit(word)))
+
+  /** Per-document shape statistics. */
+  def stats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_words"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_words"),
+      regexTokenCount(col("text")).cast("long").as("n_tokens"))
+  }
+
+  /** Language-ID heuristic: stopword-marker counts per language,
+    * argmax with a fixed tie order (de < en < es < fr < zh reversed by
+    * the CASE order below — first match wins). A real model would be a
+    * char-n-gram classifier; the *pipeline shape* (per-row scoring, no
+    * shuffle) is identical.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val t = col("text")
+    val scored = documents.select(
+      col("doc_id"),
+      wordCount(t, "the").cast("long").as("score_en"),
+      (wordCount(t, "le") + wordCount(t, "la")).cast("long").as("score_fr"),
+      (wordCount(t, "el") + wordCount(t, "los")).cast("long").as("score_es"),
+      (wordCount(t, "der") + wordCount(t, "und")).cast("long").as("score_de"),
+      wordCount(t, "的").cast("long").as("score_zh"))
+    val top = greatest(col("score_en"), col("score_fr"), col("score_es"),
+      col("score_de"), col("score_zh"))
+    scored.withColumn("lang_pred",
+      when(col("score_en") === top && top > 0, "en")
+        .when(col("score_fr") === top && top > 0, "fr")
+        .when(col("score_es") === top && top > 0, "es")
+        .when(col("score_de") === top && top > 0, "de")
+        .when(col("score_zh") === top && top > 0, "zh")
+        .otherwise("und"))
+  }
+
+  /** Quality score in [0,1]-ish: lexical diversity, stopword rate,
+    * length band. Single-op divisions on integer counts → bit-identical
+    * across engines; final ROUND(…,4) belt-and-braces. */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nWords = size(toks).cast("double")
+    val diversity = size(array_distinct(toks)) / nWords
+    val stopRate = size(filter(tokens(col("text")),
+      t => t.isin("the", "a", "of", "and"))) / nWords
+    val lengthScore = least(size(toks).cast("double") / lit(100.0), lit(1.0))
+    documents.select(
+      col("doc_id"),
+      round(diversity, 4).as("diversity"),
+      round(stopRate, 4).as("stop_rate"),
+      round(lengthScore, 4).as("length_score"),
+      round(diversity * lit(0.5) + (lit(1.0) - stopRate) * lit(0.2) + lengthScore * lit(0.3), 4)
+        .as("quality"))
+  }
+
+  /** Content fingerprint: md5 over the exact text bytes — the basis for
+    * exact dedup at scale (fixed-width key shuffles far cheaper than
+    * full text). */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), md5(col("text")).as("fp"),
+      length(col("text")).cast("long").as("n_chars"))
+}

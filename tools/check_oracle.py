@@ -37,6 +37,12 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}"); fails += 1; continue
     if len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); fails += 1; continue
+    for c in got.columns:  # normalize datetimes; flag other kind mismatches
+        if got[c].dtype.kind == 'M' or exp[c].dtype.kind == 'M':
+            got[c] = pd.to_datetime(got[c]).astype('datetime64[ns]')
+            exp[c] = pd.to_datetime(exp[c]).astype('datetime64[ns]')
+        elif got[c].dtype != exp[c].dtype:
+            print(f"WARN {name}: col {c} dtype {got[c].dtype} vs {exp[c].dtype}")
     g = got.sort_values(list(got.columns)).reset_index(drop=True)
     e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
     exact = True
