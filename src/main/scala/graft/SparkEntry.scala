@@ -227,9 +227,8 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "d_jaccard_pairs" -> jaccardOracle,
     // MinHash+LSH: candidates are verified with the exact jaccard, and the
-    // band parameters give recall ≈ 1 at the 0.8 threshold on this data
-    // (nearest below-threshold pair sits < 0.3) — so the exact-jaccard SQL
-    // is its oracle too. Validated empirically at sf0.01 and sf0.1.
+    // 32x2 band parameters give P(miss | jac >= 0.8) ~ 6e-15 — so the
+    // exact-jaccard SQL is its oracle on any data, not just this corpus.
     "d_minhash_pairs" -> jaccardOracle,
     // d_simhash_pairs: intentionally no oracle — output depends on the
     // engine hash family (xxhash64); verified by DedupSpec instead.

@@ -15,15 +15,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    // default; read it as Long nanos-since-epoch. Orderings on ts then
-    // match DuckDB's nanosecond precision exactly (no µs truncation).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
-  }
 
-  def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
+    * default; read it as Long nanos-since-epoch so orderings on ts match
+    * DuckDB's nanosecond precision exactly (no µs truncation). The conf
+    * is session-global and set lazily here because the driver invokes
+    * queries with its own SparkSession, which we don't construct; it is
+    * only touched when already unset, and only for this table. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")

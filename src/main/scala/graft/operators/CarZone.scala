@@ -19,9 +19,10 @@ import graft.Tables
   *
   * The batch analogue of the reference's dual-update FK join
   * (DemoApp.scala:50-60, semantics in SURVEY.md §2.1): latest event per
-  * car ⋈ latest event per zone on zone_id. The streaming layer
-  * (graft.streaming.FkJoinStream) reproduces the incremental re-emission
-  * behavior; its final state equals this batch result.
+  * car ⋈ latest event per zone on zone_id. This object covers the batch
+  * surface; the reference's incremental re-emission behavior is a
+  * streaming concern (graft.streaming package), whose final state must
+  * equal this batch result.
   */
 object CarZone {
 

@@ -22,16 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles, distinct per document: (doc_id, shingle).
-    * Higher-order `transform` over a `sequence` keeps shingling inside
-    * codegen; no UDF. */
+  /** Word n-gram shingle array for one text column: empty for documents
+    * shorter than n words (matches the oracle, which emits no shingles
+    * for short docs — an unguarded `sequence(0, size-n)` would descend
+    * and `slice` would throw). Stays inside codegen; no UDF. */
+  private[graft] def shingleArray(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Word n-gram shingles, distinct per document: (doc_id, shingle). */
   def shingles(documents: DataFrame, n: Int = 3): DataFrame =
-    documents
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"),
-        explode(array_distinct(
-          transform(sequence(lit(0), size(col("w")) - n),
-            i => concat_ws(" ", slice(col("w"), i + 1, n))))).as("shingle"))
+    documents.select(col("doc_id"),
+      explode(shingleArray(col("text"), n)).as("shingle"))
 
   /** Exact dedup: one row per distinct content, keeper = min doc_id.
     * Group key is the md5 fingerprint (16 bytes through the shuffle). */
@@ -59,7 +65,16 @@ object Dedup {
   }
 
   val MinhashFuncs = 64
-  val MinhashBands = 16 // 16 bands × 4 rows: P(candidate | jac .9) ≈ 1 - 5e-8
+  /** 32 bands × 2 rows: P(miss | jac 0.8) = (1-0.8²)^32 ≈ 6e-15, so LSH
+    * recall at the 0.8 threshold is exact for all practical purposes —
+    * the DuckDB exact-jaccard oracle is then a safe oracle for the LSH
+    * path on ANY data, not just data with no near-threshold pairs.
+    * Tradeoff: r=2 admits more moderate-jaccard candidates than r=4;
+    * they are discarded by the exact verify step, which only touches
+    * candidate pairs. At 100 TB tune (bands, rows) to the corpus
+    * similarity distribution — raise rows to thin candidates when the
+    * corpus has heavy moderate-similarity mass. */
+  val MinhashBands = 32
 
   /** MinHash signature per document: 64 min-hashes over shingles, as a
     * single partial-aggregatable groupBy. Hash family = murmur3 of
@@ -90,9 +105,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     // exact verification on candidates only
-    val sets = documents.select(col("doc_id"),
-      array_distinct(transform(sequence(lit(0), size(split(col("text"), " ")) - n),
-        i => concat_ws(" ", slice(split(col("text"), " "), i + 1, n)))).as("sh"))
+    val sets = documents.select(col("doc_id"), shingleArray(col("text"), n).as("sh"))
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -118,17 +131,36 @@ object Dedup {
     agg.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with hamming ≤ maxDist (< 16): exact banded
-    * join on four 16-bit chunks (pigeonhole), then bit_count verify. */
+  /** SimHash near-dup pairs with hamming ≤ maxDist: exact banded join on
+    * four 16-bit chunks, then bit_count verify. Pigeonhole over 4 bands
+    * only guarantees a shared chunk for maxDist ≤ 3 (4 differing bits
+    * can cover all four chunks), hence the `require`.
+    *
+    * Scale note: the band key is only 16 bits (65,536 buckets), so a
+    * naive within-bucket self-join grows quadratically with corpus
+    * size. Mitigation: the join key also includes a popcount band of
+    * width 4 — pairs at hamming ≤ 3 have popcounts differing by ≤ 3,
+    * so probing the left band and its two neighbors on the right side
+    * preserves exact recall while sub-partitioning each 16-bit bucket
+    * (constant-factor relief, ~the number of occupied popcount bands).
+    * At true 100 TB scale prefer [[minhashPairs]], whose 32-bit band
+    * signatures have corpus-proportional bucket cardinality. */
   def simhashPairs(documents: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sh = simhash(documents).cache()
-    val chunks = sh.select(col("doc_id"), col("simhash"),
+    require(maxDist <= 3, s"4-band pigeonhole is only exact for maxDist <= 3, got $maxDist")
+    // popcount band of width 4 > maxDist: a qualifying pair's bands differ by at most 1
+    val sh = simhash(documents)
+      .withColumn("pcb", floor(bit_count(col("simhash")) / 4))
+    val chunks = sh.select(col("doc_id"), col("simhash"), col("pcb"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
           shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("bits"))): _*)).as("ck"))
-      .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.bits").as("bits"))
-    chunks.as("x").join(chunks.as("y"),
+      .select(col("doc_id"), col("simhash"), col("pcb"),
+        col("ck.chunk").as("chunk"), col("ck.bits").as("bits"))
+    val probes = chunks.withColumn("probe",
+      explode(array(col("pcb") - 1, col("pcb"), col("pcb") + 1)))
+    chunks.as("x").join(probes.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.bits") === col("y.bits") &&
+          col("x.pcb") === col("y.probe") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))

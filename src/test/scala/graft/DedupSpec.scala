@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup operator semantics on small fixtures: shingle guard behavior,
+  * exact dedup, simhash determinism + hamming thresholding, banded-join
+  * recall vs a brute-force all-pairs check, and the documented
+  * equivalence minhashPairs == jaccardPairs. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  private val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+
+  test("shingles of a document shorter than n words is empty, not an error") {
+    val df = docs((1L, "too short"), (2L, "one two three four"))
+    val out = Dedup.shingles(df, n = 3).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.forall(_._1 == 2L))
+    assert(out.map(_._2).sorted.toSeq == Seq("one two three", "two three four"))
+  }
+
+  test("exact dedup groups identical text, keeper is min doc_id") {
+    val df = docs((5L, "aaa"), (2L, "aaa"), (3L, "bbb"))
+    val out = Dedup.exactDedup(df).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sorted
+    assert(out.toSeq == Seq((2L, 2L), (3L, 1L)))
+  }
+
+  test("simhash is deterministic and equal for identical text") {
+    val df = docs((1L, base), (2L, base), (3L, "completely different words entirely here"))
+    val out = Dedup.simhash(df).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+    // determinism across invocations
+    val again = Dedup.simhash(df).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == again)
+  }
+
+  test("simhashPairs finds identical and near-identical docs, not unrelated ones") {
+    val df = docs(
+      (1L, base),
+      (2L, base), // identical → hamming 0
+      (3L, "orthogonal vocabulary describing spacecraft telemetry and antenna calibration routines"))
+    val out = Dedup.simhashPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0L)))
+  }
+
+  test("simhashPairs banded join has full recall vs brute-force hamming <= 3") {
+    // fixture with repeated/perturbed docs so some pairs land near the threshold
+    val texts = Seq(
+      base,
+      base, // dup of 0
+      base.replace("quick", "swift"), // 1-word perturbation
+      base.replace("river", "stream").replace("dog", "cat"),
+      "a wholly different document about distributed query planning and shuffle exchanges",
+      "a wholly different document about distributed query planning and shuffle exchange", // near-dup of 4
+      "neural networks require large curated corpora with aggressive deduplication applied")
+    val df = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    val sh = Dedup.simhash(df).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- sh; (ib, hb) <- sh if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    val banded = Dedup.simhashPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty) // the fixture must actually exercise the path
+  }
+
+  test("simhashPairs rejects maxDist > 3 (4-band pigeonhole bound)") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs((1L, base)), maxDist = 4)
+    }
+  }
+
+  test("minhashPairs equals jaccardPairs on fixtures (LSH recall 1 at threshold)") {
+    val texts = Seq(
+      base,
+      base, // exact dup → jac 1.0
+      base + " extra trailing words appended here", // high-jaccard near-dup
+      "unrelated text with no shared shingles at all in this fixture document set",
+      "unrelated text with no shared shingles at all in this fixture document list")
+    val df = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    def pairs(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+    assert(pairs(Dedup.minhashPairs(df)) == pairs(Dedup.jaccardPairs(df)))
+    assert(pairs(Dedup.jaccardPairs(df)).nonEmpty)
+  }
+}
