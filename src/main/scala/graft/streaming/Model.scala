@@ -1,0 +1,35 @@
+package graft.streaming
+
+/** Streaming data model — the reference's five schemas
+  * (/root/reference/src/main/scala/poc/svend/DomainModel.scala:8-12,
+  * DemoApp.scala:142,151) with one addition: every event carries `seq`,
+  * a monotonically increasing per-source sequence number. The reference
+  * gets arrival-order determinism for free from Kafka per-partition
+  * offsets (DemoApp.scala:62-63 "events are processed in the order of
+  * arrival"); `seq` is that offset made explicit, so processors can
+  * restore arrival order within a micro-batch after a shuffle. */
+
+/** Reference CarArrivalEvent (DomainModel.scala:8). */
+case class CarArrival(seq: Long, carId: Long, zoneId: Long, fuelLevel: Double)
+
+/** Reference ZoneEvent (DomainModel.scala:9). */
+case class ZoneReading(seq: Long, zoneId: Long, pollutionLevel: Double)
+
+/** Reference CarMoveEvent (DemoApp.scala:151): the repartition-topic
+  * payload keyed by zone; isArriving=false is a retraction. */
+case class CarMoveEvent(seq: Long, carId: Long, zoneId: Long,
+                        isArriving: Boolean, fuelLevel: Double)
+
+/** Union envelope for the join input — both sides keyed by zoneId
+  * (the reference's merge of the two co-partitioned streams,
+  * DemoApp.scala:78-79). kind is "car" or "zone". */
+case class FkInput(seq: Long, kind: String, zoneId: Long, carId: Long,
+                   value: Double, isArriving: Boolean)
+
+/** Reference JoinedCarPollutionEvent (DomainModel.scala:12), plus the
+  * seq of the triggering event — the analogue of the timestamp the
+  * reference's producers stamp on every output record
+  * (FakeData.scala:63,79): it lets a consumer order re-emissions
+  * per car without relying on sink row order. */
+case class JoinedCarPollution(seq: Long, carId: Long, zoneId: Long,
+                              fuelLevel: Double, pollutionLevel: Double)

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.CarZone
+
+/** Replays the driver's batch `events` table through the streaming
+  * topology (FkJoinStream) and returns results as plain DataFrames, so
+  * the streaming operators get full DuckDB-oracle CORRECTNESS rows:
+  * the last emission per car at its final zone provably equals the
+  * batch latest-per-key FK join (the eventual-consistency invariant,
+  * SURVEY.md §2.1), and the stage-1 emission log equals the batch
+  * arrive/leave expansion.
+  *
+  * The driver-side collect + MemoryStream here is the verification
+  * TRANSPORT only (the analogue of the reference feeding Kafka topics
+  * from a console producer): production streams come from readStream
+  * sources (Generator.carStream / kafka where available) and never
+  * collect. Size is bounded by the verification scale factor. */
+object StreamRunner {
+
+  private val runId = new AtomicInteger(0)
+
+  private def ensureRocksDb(spark: SparkSession): Unit = {
+    val k = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    if (!spark.conf.getOption(k).contains(rocks)) spark.conf.set(k, rocks)
+  }
+
+  /** Arrival-order inputs from the events table: global seq = rank by
+    * (ts, event_id) — the Kafka-offset analogue (DemoApp.scala:62-63).
+    * Single-partition window is fine at verification scale; production
+    * sources carry their own offsets. */
+  private def arrivalOrdered(events: DataFrame): (Seq[CarArrival], Seq[ZoneReading], DataFrame) = {
+    val cars = CarZone.carEvents(events)
+      .select(lit("car").as("kind"), col("car_id").as("a"),
+        col("zone_id").as("b"), col("fuel_level").as("v"), col("ts"), col("event_id"))
+    val zones = CarZone.zoneEvents(events)
+      .select(lit("zone").as("kind"), col("zone_id").as("a"),
+        lit(0L).as("b"), col("pollution_level").as("v"), col("ts"), col("event_id"))
+    val seqd = cars.unionByName(zones)
+      .withColumn("seq", row_number().over(Window.orderBy(col("ts"), col("event_id"))).cast("long"))
+    val rows = seqd.collect()
+    val carIn = rows.filter(_.getString(0) == "car").map(r =>
+      CarArrival(r.getAs[Long]("seq"), r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("v"))).toSeq
+    val zoneIn = rows.filter(_.getString(0) == "zone").map(r =>
+      ZoneReading(r.getAs[Long]("seq"), r.getAs[Long]("a"), r.getAs[Double]("v"))).toSeq
+    val seqToEvent = seqd.select(col("seq"), col("event_id"))
+    (carIn, zoneIn, seqToEvent)
+  }
+
+  private def runQuery[T](spark: SparkSession, ds: org.apache.spark.sql.Dataset[T],
+                          feed: () => Unit): DataFrame = {
+    val sink = s"stream_replay_${runId.incrementAndGet()}"
+    val q = ds.writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory(sink).toString)
+      .start()
+    try { feed(); q.processAllAvailable() } finally q.stop()
+    // materialize before the view is dropped by a later run
+    spark.table(sink).localCheckpoint(eager = true)
+  }
+
+  /** Full dual-update FK join replay → (car_id, zone_id, fuel_level,
+    * pollution_level). Oracle: identical SQL to the batch q_fk_join. */
+  def replayFkJoin(spark: SparkSession, events: DataFrame): DataFrame = {
+    ensureRocksDb(spark)
+    import spark.implicits._
+    val (carIn, zoneIn, _) = arrivalOrdered(events)
+    val carStream = MemoryStream[CarArrival](spark)
+    val zoneStream = MemoryStream[ZoneReading](spark)
+    val log = runQuery(spark, FkJoinStream.pipeline(carStream.toDS(), zoneStream.toDS()),
+      () => { if (carIn.nonEmpty) carStream.addData(carIn); if (zoneIn.nonEmpty) zoneStream.addData(zoneIn) })
+    // last emission per car, kept only at the car's final zone: equals
+    // the batch join (a car's final zone, once its pollution is known,
+    // always gets a final re-emission; stale emissions sit at old zones)
+    val lastPerCar = log
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("carId")).orderBy(col("seq").desc)))
+      .filter(col("rn") === 1)
+    lastPerCar.join(CarZone.latestCars(events),
+        lastPerCar("carId") === col("car_id") && lastPerCar("zoneId") === col("zone_id"))
+      .select(col("car_id"), col("zone_id"),
+        col("fuelLevel").as("fuel_level"), col("pollutionLevel").as("pollution_level"))
+  }
+
+  /** Stage-1 (move fold) replay → the arrive/leave event log with its
+    * originating event_id. Oracle: identical SQL to q_arrive_leave. */
+  def replayMoveFold(spark: SparkSession, events: DataFrame): DataFrame = {
+    ensureRocksDb(spark)
+    import spark.implicits._
+    val (carIn, _, seqToEvent) = arrivalOrdered(events)
+    val carStream = MemoryStream[CarArrival](spark)
+    val log = runQuery(spark, FkJoinStream.moveFold(carStream.toDS()),
+      () => if (carIn.nonEmpty) carStream.addData(carIn))
+    log.join(seqToEvent.withColumnRenamed("seq", "src_seq"), col("seq") === col("src_seq"))
+      .select(col("event_id"), col("carId").as("car_id"), col("zoneId").as("zone_id"),
+        col("isArriving").as("is_arriving"), col("fuelLevel").as("fuel_level"))
+  }
+}

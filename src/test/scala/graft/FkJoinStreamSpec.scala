@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.streaming._
+
+/** The reference's streaming semantics (DemoApp.scala:43-65), replayed
+  * through FkJoinStream on MemoryStream inputs with RocksDB state:
+  * zone-before-car, car-before-zone (eventual emit), move-away
+  * retraction, zone fan-out, plus a randomized eventual-consistency
+  * check: the last emission per car equals the batch latest-per-key
+  * join for every car the batch join includes. */
+class FkJoinStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var nameCounter = 0
+
+  /** Runs the full pipeline over two MemoryStreams; `step` feeds events
+    * and must call sync() to force a micro-batch boundary. */
+  private def withPipeline(
+      test: (MemoryStream[CarArrival], MemoryStream[ZoneReading], () => Unit, () => Seq[JoinedCarPollution]) => Unit): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val checkpoint = Files.createTempDirectory("fkjoin-ckpt").toString
+    nameCounter += 1
+    val sinkName = s"fkjoin_sink_$nameCounter"
+    val cars = MemoryStream[CarArrival](spark)
+    val zones = MemoryStream[ZoneReading](spark)
+    val query: StreamingQuery = FkJoinStream.pipeline(cars.toDS(), zones.toDS())
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      val sync = () => query.processAllAvailable()
+      val results = () => spark.table(sinkName).as[JoinedCarPollution]
+        .collect().toSeq.sortBy(_.seq)
+      test(cars, zones, sync, results)
+    } finally {
+      query.stop()
+      spark.sql(s"DROP VIEW IF EXISTS $sinkName")
+    }
+  }
+
+  test("zone-before-car: car arriving in a known zone emits immediately") {
+    withPipeline { (cars, zones, sync, results) =>
+      zones.addData(ZoneReading(1, 100, 42.0)); sync()
+      assert(results().isEmpty) // no cars in zone yet
+      cars.addData(CarArrival(2, 7, 100, 5.0)); sync()
+      assert(results() == Seq(JoinedCarPollution(2, 7, 100, 5.0, 42.0)))
+    }
+  }
+
+  test("car-before-zone: unmatched car emits nothing, then the zone's first reading joins it") {
+    withPipeline { (cars, zones, sync, results) =>
+      cars.addData(CarArrival(1, 7, 100, 5.0)); sync()
+      assert(results().isEmpty) // inner semantics at car-event time (DemoApp.scala:215-222)
+      zones.addData(ZoneReading(2, 100, 42.0)); sync()
+      assert(results() == Seq(JoinedCarPollution(2, 7, 100, 5.0, 42.0))) // emitted later (DemoApp.scala:281-290)
+    }
+  }
+
+  test("retraction: after a car moves away, its old zone's updates do not re-emit it") {
+    withPipeline { (cars, zones, sync, results) =>
+      zones.addData(ZoneReading(1, 100, 42.0)); sync()
+      cars.addData(CarArrival(2, 7, 100, 5.0)); sync()
+      cars.addData(CarArrival(3, 7, 200, 4.0)); sync() // move away; zone 200 unknown
+      zones.addData(ZoneReading(4, 100, 43.0)); sync() // must NOT resurrect car 7
+      assert(results() == Seq(JoinedCarPollution(2, 7, 100, 5.0, 42.0)))
+      zones.addData(ZoneReading(5, 200, 9.0)); sync() // car 7 joined at its new zone
+      assert(results().last == JoinedCarPollution(5, 7, 200, 4.0, 9.0))
+    }
+  }
+
+  test("zone update fans out one joined record per car currently in the zone") {
+    withPipeline { (cars, zones, sync, results) =>
+      cars.addData(CarArrival(1, 7, 100, 5.0), CarArrival(2, 8, 100, 6.0),
+        CarArrival(3, 9, 200, 7.0)); sync()
+      zones.addData(ZoneReading(4, 100, 42.0)); sync()
+      val out = results()
+      assert(out.map(j => (j.carId, j.zoneId, j.pollutionLevel)).toSet ==
+        Set((7L, 100L, 42.0), (8L, 100L, 42.0))) // car 9's zone unknown
+    }
+  }
+
+  test("same-zone re-arrival keeps the car in the zone (reference POC would drop it)") {
+    withPipeline { (cars, zones, sync, results) =>
+      zones.addData(ZoneReading(1, 100, 42.0)); sync()
+      cars.addData(CarArrival(2, 7, 100, 5.0)); sync()
+      cars.addData(CarArrival(3, 7, 100, 4.5)); sync() // re-arrival, same zone
+      zones.addData(ZoneReading(4, 100, 43.0)); sync()
+      assert(results().last == JoinedCarPollution(4, 7, 100, 4.5, 43.0))
+    }
+  }
+
+  test("within-batch interleavings are processed in seq order per key") {
+    withPipeline { (cars, zones, sync, results) =>
+      // one micro-batch: zone known, car arrives, zone updates, car re-fuels
+      zones.addData(ZoneReading(1, 100, 40.0), ZoneReading(4, 100, 41.0))
+      cars.addData(CarArrival(2, 7, 100, 5.0), CarArrival(6, 7, 100, 4.0))
+      sync()
+      val out = results()
+      // seq order per zone 100: z40 (no cars) → car7 arrives (emit 40) →
+      // z41 (fan-out: emit 41) → car7 re-arrival (emit 41)
+      assert(out == Seq(
+        JoinedCarPollution(2, 7, 100, 5.0, 40.0),
+        JoinedCarPollution(4, 7, 100, 5.0, 41.0),
+        JoinedCarPollution(6, 7, 100, 4.0, 41.0)))
+    }
+  }
+
+  test("randomized: last emission per car equals the batch latest-per-key join") {
+    val rnd = new scala.util.Random(42)
+    val events = (1 to 60).map { seq =>
+      if (rnd.nextBoolean())
+        Left(CarArrival(seq, carId = 1 + rnd.nextInt(5), zoneId = 100 + rnd.nextInt(4),
+          fuelLevel = rnd.nextInt(50).toDouble))
+      else
+        Right(ZoneReading(seq, zoneId = 100 + rnd.nextInt(4),
+          pollutionLevel = rnd.nextInt(200).toDouble))
+    }
+    // batch analogue (SURVEY.md §2.1): latest zone per car ⋈ latest pollution per zone
+    val latestCar = events.collect { case Left(c) => c }.groupBy(_.carId).map { case (_, cs) => cs.maxBy(_.seq) }
+    val latestZone = events.collect { case Right(z) => z }.groupBy(_.zoneId).map { case (_, zs) => zs.maxBy(_.seq) }
+    val pollutionByZone = latestZone.map(z => z.zoneId -> z.pollutionLevel).toMap
+    val expected = latestCar.flatMap(c => pollutionByZone.get(c.zoneId).map(p =>
+      (c.carId, c.zoneId, c.fuelLevel, p))).toSet
+
+    withPipeline { (cars, zones, sync, results) =>
+      // feed in random-size chunks so micro-batch boundaries vary too
+      events.grouped(1 + rnd.nextInt(7)).foreach { chunk =>
+        chunk.foreach {
+          case Left(c)  => cars.addData(c)
+          case Right(z) => zones.addData(z)
+        }
+        sync()
+      }
+      val lastPerCar = results().groupBy(_.carId).map { case (_, js) => js.maxBy(_.seq) }
+        .map(j => (j.carId, j.zoneId, j.fuelLevel, j.pollutionLevel)).toSet
+      // every car the batch join includes must have converged to exactly
+      // the batch row; cars in unknown zones may have stale last emissions
+      val carsInBatch = expected.map(_._1)
+      assert(lastPerCar.filter(t => carsInBatch(t._1)) == expected)
+    }
+  }
+}

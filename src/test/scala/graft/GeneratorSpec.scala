@@ -1,0 +1,73 @@
+package graft
+
+import graft.streaming._
+
+/** Generator facade: reference FakeData distributions, deterministic
+  * draws, and streaming construction. */
+class GeneratorSpec extends SparkSpec {
+
+  test("batch generator draws stay in the reference's ranges (FakeData.scala:27-34)") {
+    val cars = Generator.carBatch(spark, 500).collect()
+    assert(cars.forall(c => c.carId >= 1 && c.carId <= 20))
+    assert(cars.forall(c => c.zoneId >= 1000 && c.zoneId <= 1012))
+    assert(cars.forall(c => c.fuelLevel >= 0 && c.fuelLevel < 50))
+    val zones = Generator.zoneBatch(spark, 500).collect()
+    assert(zones.forall(z => z.zoneId >= 1000 && z.zoneId <= 1012))
+    assert(zones.forall(z => z.pollutionLevel >= 0 && z.pollutionLevel < 200))
+    // seq is the range id — unique and ordered
+    assert(cars.map(_.seq).sorted.toSeq == (0L until 500L))
+  }
+
+  test("generator is deterministic (replay/retry safety)") {
+    val a = Generator.carBatch(spark, 100).collect().sortBy(_.seq).toSeq
+    val b = Generator.carBatch(spark, 100).collect().sortBy(_.seq).toSeq
+    assert(a == b)
+  }
+
+  test("rate-source variants are streaming datasets with the same schema") {
+    val cs = Generator.carStream(spark)
+    val zs = Generator.zoneStream(spark)
+    assert(cs.isStreaming && zs.isStreaming)
+    def shape(s: org.apache.spark.sql.types.StructType) = s.map(f => (f.name, f.dataType))
+    assert(shape(cs.schema) == shape(Generator.carBatch(spark, 1).schema))
+    assert(shape(zs.schema) == shape(Generator.zoneBatch(spark, 1).schema))
+  }
+
+  test("pipeline consumes generator batch data replayed through the streaming join") {
+    // generator events through the full streaming topology: final state
+    // must match the in-memory batch analogue (SURVEY.md §2.1)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.nio.file.Files
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val carEvents = Generator.carBatch(spark, 80).collect().toSeq
+    val zoneEvents = Generator.zoneBatch(spark, 80).collect()
+      .map(z => z.copy(seq = z.seq + 1000)).toSeq // disjoint seq space, zones after cars
+
+    val cars = MemoryStream[CarArrival](spark)
+    val zones = MemoryStream[ZoneReading](spark)
+    val q = FkJoinStream.pipeline(cars.toDS(), zones.toDS())
+      .writeStream.format("memory").queryName("gen_sink").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("gen-ckpt").toString)
+      .start()
+    try {
+      cars.addData(carEvents); q.processAllAvailable()
+      zones.addData(zoneEvents); q.processAllAvailable()
+      val lastPerCar = spark.table("gen_sink").as[JoinedCarPollution].collect()
+        .groupBy(_.carId).map { case (_, js) => js.maxBy(_.seq) }
+        .map(j => (j.carId, j.zoneId, j.fuelLevel, j.pollutionLevel)).toSet
+      val latestCar = carEvents.groupBy(_.carId).map { case (_, cs) => cs.maxBy(_.seq) }
+      val latestZone = zoneEvents.groupBy(_.zoneId).map { case (_, zs) => zs.maxBy(_.seq) }
+        .map(z => z.zoneId -> z.pollutionLevel).toMap
+      val expected = latestCar.flatMap(c => latestZone.get(c.zoneId)
+        .map(p => (c.carId, c.zoneId, c.fuelLevel, p))).toSet
+      val carsInBatch = expected.map(_._1)
+      assert(lastPerCar.filter(t => carsInBatch(t._1)) == expected)
+      assert(expected.nonEmpty)
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS gen_sink")
+    }
+  }
+}
