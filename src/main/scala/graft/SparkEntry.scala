@@ -71,6 +71,11 @@ object SparkEntry {
       graft.functions.TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "t_fingerprint" -> ((s, dir) =>
       graft.functions.TextAnalysis.fingerprint(Tables.documents(s, dir))),
+    // ---- training-data pipeline: similarity search over embeddings ----
+    "a_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
+    "a_cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir))),
+    "a_ann_topk" -> ((s, dir) => Similarity.annTopK(Tables.embeddings(s, dir))),
+    "a_ann_pairs" -> ((s, dir) => Similarity.annPairs(Tables.embeddings(s, dir))),
     // ---- training-data pipeline: dedup ----
     "d_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "d_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir))),
@@ -243,6 +248,31 @@ object SparkEntry {
         |  FROM documents)""".stripMargin,
     "t_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp, length(text) AS n_chars FROM documents",
+    // similarity search: double-precision cosine, both engines sum the 64
+    // products left-to-right (Spark `aggregate` fold ≡ DuckDB
+    // list_dot_product loop), rounded to 6 dp → exact hash compare holds.
+    // a_ann_topk / a_ann_pairs: intentionally no oracle — LSH recall < 1
+    // by design; AnnSpec asserts recall bounds vs the exact operators.
+    "a_cosine_topk" ->
+      """WITH n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        |           FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |                 FROM embeddings)),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, n.vec_id,
+        |             ROUND(list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm), 6) AS cos
+        |      FROM n JOIN q ON n.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, cos, rk FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rk
+        |  FROM s) WHERE rk <= 5""".stripMargin,
+    "a_cosine_pairs" ->
+      """WITH n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        |           FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |                 FROM embeddings))
+        |SELECT vec_a, vec_b, cos FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |WHERE cos >= 0.45""".stripMargin,
     "d_exact_dedup" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,

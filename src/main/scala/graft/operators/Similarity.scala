@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>) — the
+  * training-data-pipeline north star. Two tiers, mirroring the dedup
+  * design:
+  *
+  *  - EXACT: brute-force cosine — top-k against a broadcast query set,
+  *    and all-pairs ≥ threshold. These are the oracle baselines;
+  *    all-pairs is quadratic by construction and stays out of the
+  *    100 TB path.
+  *  - APPROXIMATE (the scale path): signed-random-projection LSH —
+  *    banded signature bits → bucket equi-join → exact cosine re-rank
+  *    on candidates only. Candidates scale with collision density, not
+  *    corpus²; the bucket join shuffles (band, sig) keys whose
+  *    cardinality grows with the corpus.
+  *
+  * All arithmetic runs in double precision through the native codegen
+  * kernel [[graft.functions.VectorKernels.dotProduct]] (a custom
+  * Catalyst Expression — the higher-order-function formulation is
+  * interpreted and measured ~10× slower), summing left-to-right exactly
+  * like the DuckDB oracle's list_dot_product, so results are bit-stable
+  * across engines; emitted cosines are rounded to 6 dp to make the
+  * driver's exact hash compare robust.
+  */
+object Similarity {
+
+  /** Left-to-right double dot product of two array columns. */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorKernels.dotProduct(a, b)
+
+  /** embeddings → (vec_id, v: array<double>, nrm). Norms are computed
+    * once here so joins don't recompute them per pair. */
+  private def normalized(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  /** Exact cosine top-k: the first `numQueries` vectors are the query
+    * set, broadcast against the corpus (the corpus side never
+    * shuffles full vectors). Top-k is two-phase: per-input-partition
+    * top-k first (shuffles ≤ k rows per partition per query), then the
+    * global rank — the shuffle carries k·partitions rows, not the
+    * corpus, which is what survives a 100× scale-up. */
+  def cosineTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = normalized(embeddings)
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+    val local = scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"), col("pid"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= k).drop("pid", "rn")
+    local
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+  }
+
+  /** Exact all-pairs cosine ≥ threshold (vec_a < vec_b). Quadratic —
+    * the oracle baseline only; [[annPairs]] is the scale path. */
+  def cosinePairs(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val e = normalized(embeddings)
+    val x = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val y = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    x.join(y, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  // --- signed-random-projection LSH (the approximate scale path) ---
+
+  val AnnBits = 32
+  val AnnBands = 8 // 8 bands × 4 bits: P(candidate | cos 0.45) ≈ 0.79
+  val Dim = 64
+
+  /** Deterministic random hyperplanes (fixed seed — replay-stable, no
+    * runtime randomness in the plan). */
+  private lazy val planes: IndexedSeq[IndexedSeq[Double]] = {
+    val rnd = new scala.util.Random(0x5ca1ab1eL)
+    IndexedSeq.fill(AnnBits)(IndexedSeq.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** (band, sig) bucket rows per vector: sig packs rowsPerBand sign
+    * bits of hyperplane dot products. Pure per-row expressions — no
+    * shuffle until the bucket join itself. A custom codegen Expression
+    * could fuse the 32 projections at true scale; at this dimension the
+    * native higher-order functions are sufficient. */
+  private def buckets(e: DataFrame, idCol: String): DataFrame = {
+    val rowsPerBand = AnnBits / AnnBands
+    val bandCols = (0 until AnnBands).map { b =>
+      val sig = (0 until rowsPerBand).map { r =>
+        val plane = typedlit(planes(b * rowsPerBand + r))
+        when(dot(col("v"), plane) > 0, lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    e.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  /** Approximate top-k: LSH bucket join for candidates, exact cosine
+    * re-rank on candidates only. Same output shape as [[cosineTopK]];
+    * recall < 1 by construction (asserted ≥ bound by AnnSpec), so this
+    * entry has no SQL oracle. */
+  def annTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = normalized(embeddings)
+    val q = e.filter(col("vec_id") < numQueries)
+    val corpusBk = buckets(e, "vec_id")
+    val queryBk = buckets(q.withColumnRenamed("vec_id", "query_id"), "query_id")
+    val candidates = corpusBk.join(broadcast(queryBk), Seq("band", "sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val qSide = q.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    candidates
+      .join(e, "vec_id")
+      .join(broadcast(qSide), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+  }
+
+  /** Approximate near-dup pairs: LSH bucket self-join → exact verify —
+    * the scale path for [[cosinePairs]] (same shape as minhashPairs vs
+    * jaccardPairs). Candidates ∝ bucket collision density. */
+  def annPairs(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val e = normalized(embeddings)
+    val bk = buckets(e, "vec_id")
+    val candidates = bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b")).distinct()
+    candidates
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

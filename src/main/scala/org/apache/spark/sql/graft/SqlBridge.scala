@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made the converters
+  * (`ExpressionUtils`) private[sql], so libraries that define custom
+  * Catalyst expressions place one accessor inside the
+  * org.apache.spark.sql namespace — this file is deliberately the only
+  * one in the repo that does. */
+object SqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

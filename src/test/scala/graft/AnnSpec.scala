@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Similarity
+
+/** Similarity-search semantics: exact cosine correctness on hand-built
+  * vectors, and LSH (ANN) quality bounds vs the exact operators on the
+  * real sf0.001 embeddings. */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  test("cosineTopK ranks by true cosine with deterministic tiebreak") {
+    // query 0 = e1; candidates: parallel (cos 1), orthogonal (cos 0), opposite (cos -1)
+    val df = vecs(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(2f, 0f, 0f, 0f)),   // cos 1.0
+      (2L, Seq(0f, 3f, 0f, 0f)),   // cos 0.0
+      (3L, Seq(-1f, 0f, 0f, 0f)),  // cos -1.0
+      (4L, Seq(1f, 1f, 0f, 0f)))   // cos ~0.7071
+    val out = Similarity.cosineTopK(df, numQueries = 1, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sortBy(_._4)
+    assert(out.map(t => (t._2, t._4)).toSeq == Seq((1L, 1), (4L, 2), (2L, 3)))
+    assert(out(0)._3 == 1.0 && out(1)._3 == 0.707107 && out(2)._3 == 0.0)
+  }
+
+  test("cosinePairs finds exactly the pairs above threshold") {
+    val df = vecs(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.01f)), // cos ~0.99995
+      (2L, Seq(0f, 1f)))
+    val out = Similarity.cosinePairs(df, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 1L)))
+  }
+
+  test("annTopK recall vs exact top-k on real embeddings (sf0.001)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val exact = Similarity.cosineTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    // SRP with 8 bands x 4 bits: P(candidate | cos 0.45) ~ 0.79; the
+    // top-k neighbors of random 64-dim data sit lower, so bound loosely
+    assert(recall >= 0.4, s"ANN recall@5 too low: $recall")
+    // every ANN result must carry its true (exact) cosine: spot-check
+    // by asserting ANN cosines are a subset of all-pairs cosines
+    assert(ann.subsetOf(
+      Similarity.cosineTopK(emb, numQueries = 10, k = 500).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet))
+  }
+
+  test("annPairs ⊆ cosinePairs with identical cosines (precision never lies)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val exact = Similarity.cosinePairs(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = Similarity.annPairs(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ann.keySet.subsetOf(exact.keySet)) // candidates are exact-verified
+    ann.foreach { case (k, c) => assert(exact(k) == c) }
+    val recall = if (exact.isEmpty) 1.0 else ann.size.toDouble / exact.size
+    assert(recall >= 0.4, s"ANN pair recall too low: $recall (${ann.size}/${exact.size})")
+    assert(exact.nonEmpty) // fixture must exercise the path
+  }
+
+  test("ann runs are deterministic (hyperplanes are seed-fixed)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val a = Similarity.annTopK(emb).collect().map(_.toSeq).toSeq
+    val b = Similarity.annTopK(emb).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+}
