@@ -81,6 +81,10 @@ object SparkEntry {
     "d_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir))),
     "d_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(Tables.documents(s, dir))),
     "d_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
+    // ---- training-data pipeline: multimodal binary columns ----
+    "m_binary_stats" -> ((s, dir) => Multimodal.binaryStats(Tables.documents(s, dir))),
+    "m_decode_meta" -> ((s, dir) => Multimodal.decodeMeta(Tables.documents(s, dir)).toDF()),
+    "m_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
   )
 
   private val carsCte =
@@ -276,6 +280,35 @@ object SparkEntry {
     "d_exact_dedup" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // multimodal: the oracle rebuilds the same deterministic blobs
+    // (magic header by doc_id % 4 + utf-8 text) and verifies the real
+    // Spark-side pipeline — magic-byte sniffing, mapPartitions decode,
+    // binary frame slicing — via construction invariants; hashes run
+    // over hex(payload) because DuckDB's md5/substring can't take BLOBs
+    "m_binary_stats" ->
+      s"""WITH $binCte
+        |SELECT doc_id, octet_length(payload) AS n_bytes,
+        |       md5(hex(payload)) AS payload_md5, fmt
+        |FROM bin""".stripMargin,
+    "m_decode_meta" ->
+      s"""WITH $binCte
+        |SELECT doc_id, fmt,
+        |       CAST(16 + body % 512 AS INT) AS width,
+        |       CAST(16 + (body // 512) % 512 AS INT) AS height,
+        |       CAST(CASE fmt WHEN 'png' THEN 4 WHEN 'bin' THEN 1 ELSE 3 END AS INT) AS channels,
+        |       CAST((16 + body % 512) * (16 + (body // 512) % 512) *
+        |            (CASE fmt WHEN 'png' THEN 4 WHEN 'bin' THEN 1 ELSE 3 END) AS BIGINT) AS n_pixels
+        |FROM (SELECT doc_id, fmt, octet_length(payload) - hdr AS body FROM bin)""".stripMargin,
+    "m_frame_sample" ->
+      s"""WITH $binCte,
+        |frames AS (
+        |  SELECT doc_id, hex(payload) AS hx, hdr,
+        |         (octet_length(payload) - hdr) // 256 AS n_frames
+        |  FROM bin WHERE (octet_length(payload) - hdr) // 256 > 0)
+        |SELECT doc_id, CAST(u.idx AS BIGINT) AS frame_idx,
+        |       md5(substring(hx, hdr * 2 + u.idx * 512 + 1, 512)) AS frame_md5,
+        |       n_frames
+        |FROM frames, LATERAL (SELECT unnest(generate_series(0, CAST(n_frames - 1 AS INT), 4)) AS idx) u""".stripMargin,
     "d_jaccard_pairs" -> jaccardOracle,
     // MinHash+LSH: candidates are verified with the exact jaccard, and the
     // 32x2 band parameters give P(miss | jac >= 0.8) ~ 6e-15 — so the
@@ -284,6 +317,21 @@ object SparkEntry {
     // d_simhash_pairs: intentionally no oracle — output depends on the
     // engine hash family (xxhash64); verified by DedupSpec instead.
   )
+
+  /** The synthesized binary corpus (Multimodal.binaryDocs) in DuckDB:
+    * same magic-by-doc_id headers, same UTF-8 body. */
+  private lazy val binCte: String =
+    """bin AS (
+      |  SELECT doc_id,
+      |         CASE doc_id % 4
+      |           WHEN 0 THEN '\x89PNG'::BLOB || encode(text)
+      |           WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+      |           WHEN 2 THEN 'GIF8'::BLOB || encode(text)
+      |           ELSE encode(text) END AS payload,
+      |         CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |                         WHEN 2 THEN 'gif' ELSE 'bin' END AS fmt,
+      |         CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 4 END AS hdr
+      |  FROM documents)""".stripMargin
 
   private lazy val jaccardOracle: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

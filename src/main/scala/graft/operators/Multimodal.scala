@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata. The real decode libraries are
+  * not in this environment, so the decode step is a DETERMINISTIC FAKE
+  * behind a clearly-marked seam ([[Multimodal.decodeMeta]]); the
+  * Spark-side plumbing — binary schema, magic-byte sniffing, batched
+  * per-partition decode, frame slicing, partitioning behavior — is real
+  * and oracle-tested.
+  *
+  * Scale design: payload bytes never shuffle. Metadata extraction and
+  * frame sampling are per-row expressions (whole-stage codegen);
+  * [[decodeMeta]] is mapPartitions (one JVM call per batch of rows, the
+  * Scala analogue of mapInPandas batches) emitting small metadata rows,
+  * so the expensive bytes stay columnar in the scan and drop out of the
+  * plan right after decode. */
+object Multimodal {
+
+  /** Magic headers used by the synthesized corpus (real PNG/JPEG/GIF
+    * signatures; "bin" = headerless opaque payload). */
+  val Magic: Map[String, Array[Byte]] = Map(
+    "png" -> Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte),
+    "jpeg" -> Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte),
+    "gif" -> Array(0x47, 0x49, 0x46, 0x38).map(_.toByte))
+
+  /** Synthesizes the binary corpus from the documents table: payload =
+    * 4-byte magic (by doc_id % 4; one in four stays headerless) + the
+    * UTF-8 text bytes. Deterministic, so DuckDB can build the exact
+    * same blobs for the oracle. */
+  def binaryDocs(documents: DataFrame): DataFrame = {
+    val body = encode(col("text"), "UTF-8")
+    val payload = when(pmod(col("doc_id"), lit(4)) === 0, concat(lit(Magic("png")), body))
+      .when(pmod(col("doc_id"), lit(4)) === 1, concat(lit(Magic("jpeg")), body))
+      .when(pmod(col("doc_id"), lit(4)) === 2, concat(lit(Magic("gif")), body))
+      .otherwise(body)
+    documents.select(col("doc_id"), payload.as("payload"))
+  }
+
+  /** Per-payload metadata: size, md5, sniffed format — pure codegen
+    * expressions over the binary column, no decode. */
+  def binaryStats(documents: DataFrame): DataFrame =
+    binaryDocs(documents).select(
+      col("doc_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      // hashed via the hex representation: DuckDB's md5 cannot take a
+      // BLOB, and hex(payload) is identical (uppercase) in both engines
+      md5(hex(col("payload"))).as("payload_md5"),
+      sniffFormat.as("fmt"))
+
+  private def sniffFormat: org.apache.spark.sql.Column = {
+    val head = substring(col("payload"), 1, 4)
+    Magic.foldLeft(when(lit(false), lit(""))) { case (acc, (name, magic)) =>
+      acc.when(head === lit(magic), lit(name))
+    }.otherwise(lit("bin"))
+  }
+
+  case class DecodedMeta(doc_id: Long, fmt: String, width: Int, height: Int,
+                         channels: Int, n_pixels: Long)
+
+  /** Batched decode over partitions — the mapInPandas-shaped seam.
+    * Each partition's rows stream through one JVM iterator (no
+    * per-row task overhead, no driver collect); REPLACE the body of
+    * `fakeDecode` with a real codec (javax.imageio / ffmpeg binding)
+    * to productionize — everything around it (schema, batching,
+    * partition behavior) is what production would use. The fake derives
+    * dimensions deterministically from payload length so the DuckDB
+    * oracle can verify the full pipeline. */
+  def decodeMeta(documents: DataFrame): Dataset[DecodedMeta] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    binaryDocs(documents).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => fakeDecode(id, bytes) })
+  }
+
+  /** DETERMINISTIC FAKE decode — the seam where a real image/audio
+    * codec plugs in. Dimensions are a fixed function of body length. */
+  private def fakeDecode(id: Long, bytes: Array[Byte]): DecodedMeta = {
+    val fmt = Magic.find { case (_, m) => bytes.length >= 4 && bytes.take(4).sameElements(m) }
+      .map(_._1).getOrElse("bin")
+    val body = if (fmt == "bin") bytes.length else bytes.length - 4
+    val width = 16 + body % 512
+    val height = 16 + (body / 512) % 512
+    val channels = fmt match { case "png" => 4; case "bin" => 1; case _ => 3 }
+    DecodedMeta(id, fmt, width, height, channels, width.toLong * height * channels)
+  }
+
+  /** Frame sampling: treat the headerless body as fixed-size frames
+    * (frameBytes each) and keep every `stride`-th frame — the
+    * video-frame-sample shape as pure slicing expressions (binary
+    * substring inside a transform(sequence), codegen, no UDF). Emits
+    * (doc_id, frame_idx, frame_md5, n_frames). */
+  def frameSample(documents: DataFrame, frameBytes: Int = 256, stride: Int = 4): DataFrame = {
+    val headerLen = when(sniffFormat === "bin", 0).otherwise(4)
+    val bin = binaryDocs(documents)
+      .withColumn("body_len", length(col("payload")) - headerLen)
+      .withColumn("hdr", headerLen)
+      .withColumn("n_frames", floor(col("body_len") / frameBytes).cast("long"))
+      .filter(col("n_frames") > 0)
+    bin.select(col("doc_id"), col("n_frames"),
+        explode(transform(
+          sequence(lit(0), (col("n_frames") - 1).cast("int"), lit(stride)),
+          i => struct(i.cast("long").as("frame_idx"),
+            // slice the real binary frame, hash its hex form (see
+            // binaryStats for why the hash runs over hex)
+            md5(hex(col("payload").substr(col("hdr") + i * frameBytes + 1, lit(frameBytes)))).as("frame_md5"))
+        )).as("fr"))
+      .select(col("doc_id"), col("fr.frame_idx").as("frame_idx"),
+        col("fr.frame_md5").as("frame_md5"), col("n_frames"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Multimodal
+
+/** Multimodal binary-column plumbing on hand-built fixtures: magic
+  * sniffing, the mapPartitions decode seam, and frame slicing math. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc_id chooses the header: 0=png, 1=jpeg, 2=gif, 3=headerless
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  test("binaryDocs prepends the right magic and binaryStats sniffs it back") {
+    val df = docs((0L, "aaa"), (1L, "bbb"), (2L, "ccc"), (3L, "ddd"))
+    val out = Multimodal.binaryStats(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 7L, "png"), (1L, 7L, "jpeg"), (2L, 7L, "gif"), (3L, 3L, "bin")))
+  }
+
+  test("decodeMeta runs the batched decode seam with deterministic fake dims") {
+    val text = "x" * 1000 // body 1000 → width 16+1000%512=504, height 16+(1000/512)%512=17
+    val out = Multimodal.decodeMeta(docs((0L, text), (3L, text))).collect()
+      .map(m => (m.doc_id, m.fmt, m.width, m.height, m.channels)).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, "png", 504, 17, 4), // png: 4 channels
+      (3L, "bin", 504, 17, 1))) // headerless: 1 channel
+    // n_pixels consistency
+    Multimodal.decodeMeta(docs((0L, text))).collect().foreach { m =>
+      assert(m.n_pixels == m.width.toLong * m.height * m.channels)
+    }
+  }
+
+  test("frameSample slices every stride-th complete frame") {
+    val text = "y" * 1100 // png body 1100 → 4 complete 256-byte frames, idx 0..3, stride 4 → frame 0 only
+    val out = Multimodal.frameSample(docs((0L, text))).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq == Seq((0L, 0L, 4L)))
+    // short doc: no complete frame → no rows
+    assert(Multimodal.frameSample(docs((1L, "short"))).count() == 0)
+    // stride 1 returns every frame; idx spacing check with stride 2
+    val all = Multimodal.frameSample(docs((0L, text)), stride = 1).collect().map(_.getLong(1)).sorted
+    assert(all.toSeq == Seq(0L, 1L, 2L, 3L))
+    val every2 = Multimodal.frameSample(docs((0L, text)), stride = 2).collect().map(_.getLong(1)).sorted
+    assert(every2.toSeq == Seq(0L, 2L))
+  }
+
+  test("identical frame content yields identical frame hashes across docs") {
+    val text = "z" * 600 // one complete frame per doc
+    val hashes = Multimodal.frameSample(docs((3L, text), (7L, text))).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(hashes.length == 2)
+    // both headerless (3 % 4 == 3, 7 % 4 == 3) with identical bodies
+    assert(hashes.map(_._2).distinct.length == 1)
+  }
+}
