@@ -42,6 +42,15 @@ object SparkEntry {
     "q_move_transitions" -> ((s, dir) => CarZone.moveTransitions(ev(s, dir))),
     "q_arrive_leave" -> ((s, dir) => CarZone.arriveLeave(ev(s, dir))),
     "q_union_envelope" -> ((s, dir) => CarZone.unionEnvelope(ev(s, dir))),
+    // timestamps framed in ms like the reference's producer
+    // (System.currentTimeMillis, FakeData.scala:63) — also sidesteps
+    // DuckDB's truncation of parquet nanos to µs
+    "q_keyed_produce" -> ((s, dir) =>
+      graft.streaming.Transport.keyedProduce(
+        CarZone.carEvents(ev(s, dir)).select(
+          col("car_id"), col("zone_id"), col("event_id"),
+          expr("ts div 1000000").as("ts_ms")), // integral div: no double rounding
+        keyCol = "car_id", tsCol = "ts_ms")),
     // ---- streaming port (transformWithState, RocksDB state), replayed
     //      over the events table so the driver can oracle-check it ----
     "s_stream_fk_join" -> ((s, dir) =>
@@ -143,6 +152,19 @@ object SparkEntry {
     "q_move_transitions" ->
       s"""WITH $movesCte
          |SELECT event_id, car_id, from_zone, to_zone, fuel_level FROM moves""".stripMargin,
+    // keyed produce: the Kafka wire framing (key, value json, timestamp);
+    // value keeps integer columns only — double-to-string formatting is
+    // engine-specific, long rendering is not. ts is long nanos on the
+    // Spark side (nanosAsLong), epoch_ns on the DuckDB side.
+    "q_keyed_produce" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key,
+        |       to_json(struct_pack(
+        |         car_id := user_id,
+        |         zone_id := CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT),
+        |         event_id := event_id,
+        |         ts_ms := epoch_ms(ts))) AS value,
+        |       epoch_ms(ts) AS timestamp
+        |FROM events WHERE event_type IN ('click','view')""".stripMargin,
     // streaming replay oracles: eventual-consistency invariant — final
     // streaming state == the batch latest-per-key join; stage-1 emission
     // log == the batch arrive/leave expansion

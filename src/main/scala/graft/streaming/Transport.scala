@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** Source/sink transport facade — the reference's Kafka edges mapped to
+  * the sinks available here (no Kafka connector in this environment;
+  * SURVEY.md §0). Keeping construction behind one object means a real
+  * Kafka deployment is a config change in one place, exactly like the
+  * reference centralizes serdes + topic names in DemoApp/JsonSerdes.
+  *
+  *  - print sink (DemoApp.scala:107)            → console / memory sink
+  *  - keyed produce w/ timestamp (FakeData.scala:52-82)
+  *                                              → explicit key/value/timestamp
+  *                                                columns, JSON-serialized
+  *  - commit interval 250 ms (DemoApp.scala:25) → Trigger.ProcessingTime
+  *  - state reset (streams.cleanUp, DemoApp.scala:32-33)
+  *                                              → delete checkpoint dir
+  */
+object Transport {
+
+  val CommitInterval = "250 milliseconds" // DemoApp.scala:25
+
+  /** The reference's print sink: every record to stdout, 250 ms
+    * commit cadence. */
+  def consoleSink[T](ds: Dataset[T], checkpoint: String): DataStreamWriter[T] =
+    ds.writeStream.format("console")
+      .trigger(Trigger.ProcessingTime(CommitInterval))
+      .option("checkpointLocation", checkpoint)
+
+  /** Test sink: results queryable as a table (used by all streaming
+    * specs). */
+  def memorySink[T](ds: Dataset[T], name: String, checkpoint: String): StreamingQuery =
+    ds.writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Durable sink for driver-style verification dumps. */
+  def parquetSink[T](ds: Dataset[T], path: String, checkpoint: String): DataStreamWriter[T] =
+    ds.writeStream.format("parquet").option("path", path)
+      .option("checkpointLocation", checkpoint)
+
+  /** The reference's keyed produce (FakeData.scala:52-82): frames any
+    * record as (key, value, timestamp) with a JSON value — the Kafka
+    * wire shape (ProducerRecord(topic, null, ts, key, value)), ready
+    * for a kafka sink's expected columns. Works on batch or streaming
+    * frames. */
+  def keyedProduce(df: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    df.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"),
+      col(tsCol).as("timestamp"))
+
+  /** The reference's state reset (streams.cleanUp(): wipe local state
+    * before start). Recursive checkpoint delete; a fresh start then
+    * rebuilds state from the source, exactly like the reference replays
+    * the topic. */
+  def stateReset(checkpoint: String): Unit = {
+    val root = Paths.get(checkpoint)
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.delete(p))
+    }
+  }
+}

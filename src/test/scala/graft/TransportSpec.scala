@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming._
+
+/** Transport facade: memory sink wiring, keyed-produce framing, and
+  * state reset semantics (checkpoint wipe → state rebuilt from source). */
+class TransportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keyedProduce frames records as (key, value json, timestamp)") {
+    val df = Seq((7L, 100L, 5.0, 1234L)).toDF("carId", "zoneId", "fuelLevel", "ts")
+    val out = Transport.keyedProduce(df, "carId", "ts").collect()
+    assert(out.head.getString(0) == "7")
+    assert(out.head.getString(1) == """{"carId":7,"zoneId":100,"fuelLevel":5.0,"ts":1234}""")
+    assert(out.head.getLong(2) == 1234L)
+    assert(Transport.keyedProduce(df, "carId", "ts").columns.toSeq ==
+      Seq("key", "value", "timestamp"))
+  }
+
+  test("memory sink + state reset: wiped checkpoint rebuilds state from the source") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val checkpoint = Files.createTempDirectory("transport-ckpt").toString
+
+    // run 1: one car moves 100 -> 200 (2 events, 3 emissions incl. retraction)
+    val cars1 = MemoryStream[CarArrival](spark)
+    val q1 = Transport.memorySink(
+      FkJoinStream.moveFold(cars1.toDS()), "transport_sink_1", checkpoint)
+    cars1.addData(CarArrival(1, 7, 100, 5.0), CarArrival(2, 7, 200, 4.0))
+    q1.processAllAvailable(); q1.stop()
+    val run1 = spark.table("transport_sink_1").as[CarMoveEvent].collect().sortBy(_.seq)
+    assert(run1.map(m => (m.zoneId, m.isArriving)).toSeq ==
+      Seq((100L, true), (200L, true), (100L, false)))
+
+    // state reset (reference streams.cleanUp), then a NEW stream with the
+    // same first event: with state wiped this is a first arrival again
+    // (no leave emitted) — proving the reset actually dropped prevZone
+    Transport.stateReset(checkpoint)
+    assert(!Files.exists(Paths.get(checkpoint)))
+    val cars2 = MemoryStream[CarArrival](spark)
+    val q2 = Transport.memorySink(
+      FkJoinStream.moveFold(cars2.toDS()), "transport_sink_2", checkpoint)
+    cars2.addData(CarArrival(10, 7, 300, 3.0))
+    q2.processAllAvailable(); q2.stop()
+    val run2 = spark.table("transport_sink_2").as[CarMoveEvent].collect()
+    assert(run2.map(m => (m.zoneId, m.isArriving)).toSeq == Seq((300L, true)))
+
+    spark.sql("DROP VIEW IF EXISTS transport_sink_1")
+    spark.sql("DROP VIEW IF EXISTS transport_sink_2")
+  }
+}
