@@ -38,6 +38,9 @@ object Bench {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         }
+        // isolate queries: drop any cached data a query left behind so a
+        // later query's time doesn't include evicting it
+        spark.catalog.clearCache()
       }
     }
     def esc(s: String): String =

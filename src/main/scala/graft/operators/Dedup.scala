@@ -92,7 +92,10 @@ object Dedup {
     * (see [[MinhashFuncs]] for the band-parameter math; DedupSpec
     * asserts equality on fixtures). */
   def minhashPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sig = minhashSignatures(documents, n)
+    // cached: the signature table is ~200 bytes/doc (not corpus-sized)
+    // and both legs of the bucket self-join read it — without the cache
+    // the whole scan→shingle→48-min aggregation runs twice
+    val sig = minhashSignatures(documents, n).cache()
     val rowsPerBand = MinhashFuncs / MinhashBands
     val bandCols = (0 until MinhashBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
@@ -148,9 +151,10 @@ object Dedup {
     * signatures have corpus-proportional bucket cardinality. */
   def simhashPairs(documents: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, s"4-band pigeonhole is only exact for maxDist <= 3, got $maxDist")
-    // popcount band of width 4 > maxDist: a qualifying pair's bands differ by at most 1
+    // popcount band of width 4 > maxDist: a qualifying pair's bands differ by at most 1.
+    // cached: 16 bytes/doc, read by both legs of the banded self-join
     val sh = simhash(documents)
-      .withColumn("pcb", floor(bit_count(col("simhash")) / 4))
+      .withColumn("pcb", floor(bit_count(col("simhash")) / 4)).cache()
     val chunks = sh.select(col("doc_id"), col("simhash"), col("pcb"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),

@@ -62,8 +62,15 @@ object StreamRunner {
       .option("checkpointLocation", Files.createTempDirectory(sink).toString)
       .start()
     try { feed(); q.processAllAvailable() } finally q.stop()
-    // materialize before the view is dropped by a later run
-    spark.table(sink).localCheckpoint(eager = true)
+    // re-materialize as a local relation: the emission log is
+    // driver-sized by construction (verification scale), and this keeps
+    // no block-manager residue alive to evict other queries' caches
+    // (localCheckpoint blocks linger until the context cleaner runs)
+    val rows = spark.table(sink).collect().toSeq
+    val schema = spark.table(sink).schema
+    spark.catalog.dropTempView(sink)
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 
   /** Full dual-update FK join replay → (car_id, zone_id, fuel_level,

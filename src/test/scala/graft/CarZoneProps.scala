@@ -1,0 +1,90 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.apache.spark.sql.Row
+
+import graft.operators.{CarZone, Dedup}
+
+/** Property-based checks (SURVEY.md §5.4): for arbitrary event
+  * sequences, the batch operators agree with a direct in-memory model
+  * of the reference's semantics. Sample count is kept modest because
+  * every sample runs real Spark jobs. */
+object CarZoneProps extends Properties("CarZone") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  // (carId, zoneId, fuel) per car event; zone events derived separately
+  private case class Ev(seq: Long, isCar: Boolean, id: Long, zone: Long, value: Double)
+
+  private val genEvents: Gen[List[Ev]] =
+    Gen.choose(0, 40).flatMap { n =>
+      Gen.listOfN(n, for {
+        isCar <- Gen.oneOf(true, false)
+        id <- Gen.choose(1L, 5L)
+        zone <- Gen.choose(100L, 104L)
+        v <- Gen.choose(0, 499).map(_ / 10.0)
+      } yield Ev(0, isCar, id, zone, v)).map(_.zipWithIndex.map { case (e, i) => e.copy(seq = i.toLong) })
+    }
+
+  private def toDf(events: List[Ev]) =
+    events.map { e =>
+      if (e.isCar) (e.seq, e.seq, e.id, "click", e.value, s"""{"k": ${e.zone}}""")
+      else (e.seq, e.seq, 0L, "error", e.value, s"""{"k": ${e.zone}}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  private def modelLatestCars(events: List[Ev]): Map[Long, (Long, Double)] =
+    events.filter(_.isCar).groupBy(_.id)
+      .map { case (id, es) => id -> { val l = es.maxBy(_.seq); (l.zone, l.value) } }
+
+  private def modelLatestZones(events: List[Ev]): Map[Long, Double] =
+    events.filterNot(_.isCar).groupBy(_.zone)
+      .map { case (z, es) => z -> es.maxBy(_.seq).value }
+
+  property("fkJoin == latest-per-key inner join model") = Prop.forAll(genEvents) { events =>
+    val expected = for {
+      (car, (zone, fuel)) <- modelLatestCars(events)
+      pollution <- modelLatestZones(events).get(zone)
+    } yield Row(car, zone, fuel, pollution)
+    val got = CarZone.fkJoin(toDf(events)).collect().toSet
+    got == expected.toSet
+  }
+
+  property("moveTransitions == per-car fold model") = Prop.forAll(genEvents) { events =>
+    val expected = events.filter(_.isCar).groupBy(_.id).flatMap { case (id, es) =>
+      val sorted = es.sortBy(_.seq)
+      sorted.zip(None +: sorted.map(e => Some(e.zone)).init).map { case (e, prev) =>
+        (e.seq, id, prev, e.zone)
+      }
+    }.toSet
+    val got = CarZone.moveTransitions(toDf(events)).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3))).toSet
+    got == expected
+  }
+
+  property("arriveLeave: one arrive per event, one leave per real move") =
+    Prop.forAll(genEvents) { events =>
+      val carEvents = events.filter(_.isCar)
+      val moves = carEvents.groupBy(_.id).values.map(_.sortBy(_.seq)).flatMap { es =>
+        es.zip(None +: es.map(e => Some(e.zone)).init)
+      }
+      val expectedLeaves = moves.count { case (e, prev) => prev.exists(_ != e.zone) }
+      val out = CarZone.arriveLeave(toDf(events)).collect()
+      val (arrives, leaves) = out.partition(_.getBoolean(3))
+      arrives.length == carEvents.length && leaves.length == expectedLeaves
+    }
+
+  property("exactDedup partitions the corpus: sum(n_copies) == N, keepers are min ids") =
+    Prop.forAll(Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd"))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = Dedup.exactDedup(df).collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+      val expectedKeepers = texts.zipWithIndex.groupBy(_._1)
+        .map { case (_, g) => g.map(_._2.toLong).min }.toSet
+      out.map(_._2).sum == texts.length && out.map(_._1).toSet == expectedKeepers
+    }
+}
