@@ -80,6 +80,8 @@ object SparkEntry {
       graft.functions.TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "t_fingerprint" -> ((s, dir) =>
       graft.functions.TextAnalysis.fingerprint(Tables.documents(s, dir))),
+    "t_winnow_fingerprint" -> ((s, dir) =>
+      graft.functions.TextAnalysis.winnowFingerprint(Tables.documents(s, dir))),
     // ---- training-data pipeline: similarity search over embeddings ----
     "a_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
     "a_cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir))),
@@ -274,6 +276,17 @@ object SparkEntry {
         |  FROM documents)""".stripMargin,
     "t_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp, length(text) AS n_chars FROM documents",
+    // winnowing: positional 3-gram md5 hashes, min per 4-hash window,
+    // distinct survivors; md5 hex is lowercase and compared
+    // lexicographically in both engines
+    "t_winnow_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |             [md5(concat_ws(' ', w[i+1], w[i+2], w[i+3])) for i in generate_series(0, len(w) - 3)] AS h
+        |      FROM t WHERE len(w) >= 3)
+        |SELECT DISTINCT doc_id, fp FROM (
+        |  SELECT doc_id, unnest([list_min(h[i+1:i+4]) for i in generate_series(0, len(h) - 4)]) AS fp
+        |  FROM g WHERE len(h) >= 4)""".stripMargin,
     // similarity search: double-precision cosine, both engines sum the 64
     // products left-to-right (Spark `aggregate` fold ≡ DuckDB
     // list_dot_product loop), rounded to 6 dp → exact hash compare holds.

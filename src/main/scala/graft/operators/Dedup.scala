@@ -26,11 +26,11 @@ object Dedup {
     * shorter than n words (matches the oracle, which emits no shingles
     * for short docs — an unguarded `sequence(0, size-n)` would descend
     * and `slice` would throw). Stays inside codegen; no UDF. */
-  private[graft] def shingleArray(text: Column, n: Int): Column = {
+  private[graft] def shingleArray(text: Column, n: Int, distinct: Boolean = true): Column = {
     val w = split(text, " ")
-    when(size(w) >= n,
-      array_distinct(transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+    val grams = transform(sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", slice(w, i + 1, lit(n))))
+    when(size(w) >= n, if (distinct) array_distinct(grams) else grams)
       .otherwise(array().cast("array<string>"))
   }
 

@@ -49,12 +49,18 @@ object FkJoinStream {
     * `toStream` + `flatMapValues`, DemoApp.scala:86-90, 116-130):
     * ValueState[prev zone] per car; each arrival emits an arriving
     * event at the new zone plus, iff the car moved, a leaving
-    * retraction at the old zone. */
-  class MoveFoldProcessor extends StatefulProcessor[Long, CarArrival, CarMoveEvent] {
+    * retraction at the old zone.
+    *
+    * `ttl`: the reference's stores are unbounded (no TTL,
+    * DemoApp.scala:182-185) and TTLConfig.NONE matches that; at 100 TB
+    * key cardinality, pass a TTL so cold keys age out of RocksDB
+    * instead of growing state forever (SURVEY.md §7.5). */
+  class MoveFoldProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, CarArrival, CarMoveEvent] {
     @transient private var prevZone: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      prevZone = getHandle.getValueState[Long]("prevZone", Encoders.scalaLong, TTLConfig.NONE)
+      prevZone = getHandle.getValueState[Long]("prevZone", Encoders.scalaLong, ttl)
 
     override def handleInputRows(carId: Long, rows: Iterator[CarArrival],
                                  timers: TimerValues): Iterator[CarMoveEvent] = {
@@ -80,14 +86,15 @@ object FkJoinStream {
     *  - zone reading → update; emit one joined row per car in the zone
     *    (1→N fan-out, DemoApp.scala:275-294)
     */
-  class FkJoinProcessor extends StatefulProcessor[Long, FkInput, JoinedCarPollution] {
+  class FkJoinProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, FkInput, JoinedCarPollution] {
     @transient private var pollution: ValueState[Double] = _
     @transient private var cars: MapState[Long, Double] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      pollution = getHandle.getValueState[Double]("pollution", Encoders.scalaDouble, TTLConfig.NONE)
+      pollution = getHandle.getValueState[Double]("pollution", Encoders.scalaDouble, ttl)
       cars = getHandle.getMapState[Long, Double]("cars",
-        Encoders.scalaLong, Encoders.scalaDouble, TTLConfig.NONE)
+        Encoders.scalaLong, Encoders.scalaDouble, ttl)
     }
 
     override def handleInputRows(zoneId: Long, rows: Iterator[FkInput],
@@ -112,11 +119,16 @@ object FkJoinStream {
     }
   }
 
+  /** TTL'd state needs processing-time tracking; the no-TTL default
+    * keeps the reference's TimeMode.None arrival-order semantics. */
+  private def timeModeFor(ttl: TTLConfig): TimeMode =
+    if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+
   /** Stage 1 as a Dataset transform (streaming or batch-tested). */
-  def moveFold(cars: Dataset[CarArrival]): Dataset[CarMoveEvent] = {
+  def moveFold(cars: Dataset[CarArrival], ttl: TTLConfig = TTLConfig.NONE): Dataset[CarMoveEvent] = {
     import cars.sparkSession.implicits._
     cars.groupByKey(_.carId)
-      .transformWithState(new MoveFoldProcessor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new MoveFoldProcessor(ttl), timeModeFor(ttl), OutputMode.Append())
   }
 
   /** Union both sides into the zone-keyed envelope (reference selectKey
@@ -128,13 +140,16 @@ object FkJoinStream {
   }
 
   /** Stage 2 as a Dataset transform. */
-  def fkJoin(inputs: Dataset[FkInput]): Dataset[JoinedCarPollution] = {
+  def fkJoin(inputs: Dataset[FkInput], ttl: TTLConfig = TTLConfig.NONE): Dataset[JoinedCarPollution] = {
     import inputs.sparkSession.implicits._
     inputs.groupByKey(_.zoneId)
-      .transformWithState(new FkJoinProcessor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new FkJoinProcessor(ttl), timeModeFor(ttl), OutputMode.Append())
   }
 
-  /** The whole reference topology, end to end. */
-  def pipeline(cars: Dataset[CarArrival], zones: Dataset[ZoneReading]): Dataset[JoinedCarPollution] =
-    fkJoin(envelope(moveFold(cars), zones))
+  /** The whole reference topology, end to end. `ttl` bounds state at
+    * scale; the default (none) matches the reference's unbounded
+    * stores. */
+  def pipeline(cars: Dataset[CarArrival], zones: Dataset[ZoneReading],
+               ttl: TTLConfig = TTLConfig.NONE): Dataset[JoinedCarPollution] =
+    fkJoin(envelope(moveFold(cars, ttl), zones), ttl)
 }

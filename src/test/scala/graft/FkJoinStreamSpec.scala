@@ -112,6 +112,48 @@ class FkJoinStreamSpec extends SparkSpec {
     }
   }
 
+  test("TTL'd state ages out — the bounded-state mode for huge key spaces") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val checkpoint = java.nio.file.Files.createTempDirectory("fkjoin-ttl").toString
+    val ttl = org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(2000))
+    // ProcessingTime time-mode queries run continuous housekeeping
+    // batches, so neither processAllAvailable nor AvailableNow ever
+    // drains — poll the query's progress for row counts instead
+    val in = MemoryStream[FkInput](spark)
+    val q = FkJoinStream.fkJoin(in.toDS(), ttl)
+      .writeStream.format("memory").queryName("ttl_sink").outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .start()
+    def waitForInputs(n: Long): Unit = {
+      val deadline = System.nanoTime() + 60e9.toLong
+      while (q.recentProgress.map(_.numInputRows).sum < n && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(q.recentProgress.map(_.numInputRows).sum >= n, s"timed out waiting for $n inputs")
+    }
+    try {
+      in.addData(FkInput(1, "car", 100, 7, 5.0, true))
+      waitForInputs(1)
+      Thread.sleep(4000) // car state expires (ttl 2 s)
+      in.addData(FkInput(2, "zone", 100, -1, 42.0, true))
+      waitForInputs(2)
+      // fan-out finds no live car: the zone update emits nothing
+      assert(spark.table("ttl_sink").isEmpty)
+      // control: un-expired state still emits (so the empty result above
+      // was expiry, not the TTL mode breaking emission)
+      in.addData(FkInput(3, "car", 100, 8, 6.0, true))
+      waitForInputs(3) // arrival emits: zone 100's pollution (seq 2) is still live
+      in.addData(FkInput(4, "zone", 100, -1, 43.0, true))
+      waitForInputs(4) // fan-out emits for the live car
+      val out = spark.table("ttl_sink").as[JoinedCarPollution].collect().sortBy(_.seq)
+      assert(out.map(j => (j.seq, j.carId, j.pollutionLevel)).toSeq ==
+        Seq((3L, 8L, 42.0), (4L, 8L, 43.0)))
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS ttl_sink")
+    }
+  }
+
   test("randomized: last emission per car equals the batch latest-per-key join") {
     val rnd = new scala.util.Random(42)
     val events = (1 to 60).map { seq =>
