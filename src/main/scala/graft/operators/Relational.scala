@@ -93,4 +93,21 @@ object Relational {
     supplier
       .join(lineitem.filter(col("l_quantity") >= 49), col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_suppkey"), col("s_name"))
+
+  /** Distinct aggregation: unique users per event type. Spark expands
+    * this into a two-stage aggregate ((type, user) partial-distinct,
+    * then count) — the skew-safe plan one would otherwise hand-salt. */
+  def distinctUsersPerType(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  /** Date/time grouping: orders per month with average price — scalar
+    * date functions feeding a grouped aggregation. */
+  def ordersByMonth(orders: DataFrame): DataFrame =
+    orders.groupBy(
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(avg(col("o_totalprice")), 2).as("avg_price"))
 }
