@@ -1,0 +1,41 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/** Runnable demo — the reference's DemoApp experience (DemoApp.scala:19-40
+  * + FakeData): generated car/zone events flow through the incremental
+  * dual-update FK join and joined records print continuously. Stop with
+  * Ctrl-C; state resets on each start (streams.cleanUp analogue).
+  *
+  *   sbt "runMain graft.streaming.Demo [eventsPerSecond]"
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val rate = args.headOption.map(_.toInt).getOrElse(1) // reference: 1/s per stream
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("one-to-many-join-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val checkpoint = Files.createTempDirectory("demo-ckpt").toString
+    Transport.stateReset(checkpoint) // fresh state per run (DemoApp.scala:32-33)
+
+    val joined = FkJoinStream.pipeline(
+      Generator.carStream(spark, rate),
+      Generator.zoneStream(spark, rate))
+
+    val query = Transport.consoleSink(joined, checkpoint)
+      .trigger(Trigger.ProcessingTime(Transport.CommitInterval))
+      .outputMode("append")
+      .start()
+    query.awaitTermination()
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.functions.col
+import graft.sources.JsonCodec
+
+/** JSON codec semantics: strict mode fails the job on corrupt input
+  * (the reference's throw-on-bad-input, JsonSerdes.scala:35-36);
+  * lenient mode yields nulls and keeps going. */
+class JsonCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mixed = Seq(
+    (1L, """{"k": 42}"""),
+    (2L, """not json at all"""),
+    (3L, """{"k": 7}""")).toDF("id", "js")
+
+  test("parseLenient: malformed rows become null, valid rows survive") {
+    val out = mixed.select(col("id"),
+        JsonCodec.parseLenient(col("js"), JsonCodec.propsSchema).getField("k").as("k"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, Some(42L)), (2L, None), (3L, Some(7L))))
+  }
+
+  test("parseStrict: malformed input fails the job (reference throw-on-corrupt)") {
+    val ex = intercept[SparkException] {
+      mixed.select(JsonCodec.parseStrict(col("js"), JsonCodec.propsSchema)).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("malformed"))
+  }
+
+  test("serialize round-trips through parseStrict") {
+    val df = Seq((42L, 7L)).toDF("k", "x")
+    val json = df.select(JsonCodec.serialize(col("k")).as("js"))
+    val back = json.select(
+        JsonCodec.parseStrict(col("js"), JsonCodec.propsSchema).getField("k").as("k"))
+      .collect().map(_.getLong(0))
+    assert(back.toSeq == Seq(42L))
+  }
+}
