@@ -130,14 +130,19 @@ object Similarity {
     * jaccardPairs). Candidates ∝ bucket collision density. */
   def annPairs(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
     val e = normalized(embeddings)
-    val bk = buckets(e, "vec_id")
+    // cached: 8 small rows per vector, read by both legs of the
+    // self-join — uncached, the 32 hyperplane projections run twice
+    val bk = buckets(e, "vec_id").cache()
     val candidates = bk.as("x").join(bk.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b")).distinct()
+    // re-rank: fetch vectors via broadcast so candidate pairs (ids only)
+    // never shuffle 64-dim arrays; when the corpus outgrows broadcast,
+    // drop the hint and Catalyst shuffles candidates by id instead
     candidates
-      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .join(broadcast(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))), "vec_a")
+      .join(broadcast(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
