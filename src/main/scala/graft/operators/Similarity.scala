@@ -105,12 +105,21 @@ object Similarity {
   /** Approximate top-k: LSH bucket join for candidates, exact cosine
     * re-rank on candidates only. Same output shape as [[cosineTopK]];
     * recall < 1 by construction (asserted ≥ bound by AnnSpec), so this
-    * entry has no SQL oracle. */
+    * entry has no SQL oracle.
+    *
+    * Multi-probe: the query side also probes every 1-bit-flipped band
+    * signature — at cos 0.45 this lifts per-band candidate probability
+    * from ~0.18 to ~0.56 (recall over 8 bands ~0.999 vs ~0.79). Only
+    * the broadcast-tiny query side fans out (×(1+bits) rows); the
+    * corpus side, where volume lives, is untouched. */
   def annTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = normalized(embeddings)
     val q = e.filter(col("vec_id") < numQueries)
     val corpusBk = buckets(e, "vec_id")
+    val rowsPerBand = AnnBits / AnnBands
     val queryBk = buckets(q.withColumnRenamed("vec_id", "query_id"), "query_id")
+      .withColumn("sig", explode(array(
+        col("sig") +: (0 until rowsPerBand).map(b => col("sig").bitwiseXOR(1 << b)): _*)))
     val candidates = corpusBk.join(broadcast(queryBk), Seq("band", "sig"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id")).distinct()

@@ -41,9 +41,10 @@ class AnnSpec extends SparkSpec {
     val ann = Similarity.annTopK(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect ann).size.toDouble / exact.size
-    // SRP with 8 bands x 4 bits: P(candidate | cos 0.45) ~ 0.79; the
-    // top-k neighbors of random 64-dim data sit lower, so bound loosely
-    assert(recall >= 0.4, s"ANN recall@5 too low: $recall")
+    // multi-probe SRP (8 bands x 4 bits + 1-bit flips): P(candidate)
+    // ~0.999 at cos 0.45, still high for the weaker top-k neighbors of
+    // random 64-dim data
+    assert(recall >= 0.8, s"ANN recall@5 too low: $recall")
     // every ANN result must carry its true (exact) cosine: spot-check
     // by asserting ANN cosines are a subset of all-pairs cosines
     assert(ann.subsetOf(
