@@ -38,10 +38,17 @@ object StreamRunner {
     * Single-partition window is fine at verification scale; production
     * sources carry their own offsets. */
   private def arrivalOrdered(events: DataFrame): (Seq[CarArrival], Seq[ZoneReading], DataFrame) = {
+    // a null zone_id (unparseable props) maps to a sentinel no reading
+    // can match: the car still retracts from its previous zone and its
+    // final state joins nothing — exactly the batch inner-join outcome
+    // for a null-zone latest event (null never equi-joins). A raw null
+    // would silently unbox to 0 in the typed CarArrival.
     val cars = CarZone.carEvents(events)
       .select(lit("car").as("kind"), col("car_id").as("a"),
-        col("zone_id").as("b"), col("fuel_level").as("v"), col("ts"), col("event_id"))
+        coalesce(col("zone_id"), lit(-1L)).as("b"), col("fuel_level").as("v"),
+        col("ts"), col("event_id"))
     val zones = CarZone.zoneEvents(events)
+      .filter(col("zone_id").isNotNull) // a reading without a zone is meaningless
       .select(lit("zone").as("kind"), col("zone_id").as("a"),
         lit(0L).as("b"), col("pollution_level").as("v"), col("ts"), col("event_id"))
     val seqd = cars.unionByName(zones)
