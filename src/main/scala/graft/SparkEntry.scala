@@ -272,12 +272,15 @@ object SparkEntry {
         |            WHEN score_zh = t AND t > 0 THEN 'zh'
         |            ELSE 'und' END AS lang_pred
         |FROM (SELECT *, greatest(score_en, score_fr, score_es, score_de, score_zh) AS t FROM scored)""".stripMargin,
+    // the + 1e-12 matches TextAnalysis.qualityScore: disambiguates
+    // values exactly on a rounding boundary, where Spark (shortest
+    // decimal repr) and DuckDB (exact binary) otherwise disagree
     "t_quality_score" ->
       """SELECT doc_id,
-        |       ROUND(diversity, 4) AS diversity,
-        |       ROUND(stop_rate, 4) AS stop_rate,
-        |       ROUND(length_score, 4) AS length_score,
-        |       ROUND(diversity * 0.5 + (1.0 - stop_rate) * 0.2 + length_score * 0.3, 4) AS quality
+        |       ROUND(diversity + 1e-12, 4) AS diversity,
+        |       ROUND(stop_rate + 1e-12, 4) AS stop_rate,
+        |       ROUND(length_score + 1e-12, 4) AS length_score,
+        |       ROUND(diversity * 0.5 + (1.0 - stop_rate) * 0.2 + length_score * 0.3 + 1e-12, 4) AS quality
         |FROM (
         |  SELECT doc_id,
         |         len(list_distinct(string_split(text,' '))) / CAST(len(string_split(text,' ')) AS DOUBLE) AS diversity,

@@ -66,7 +66,15 @@ object TextAnalysis {
 
   /** Quality score in [0,1]-ish: lexical diversity, stopword rate,
     * length band. Single-op divisions on integer counts → bit-identical
-    * across engines; final ROUND(…,4) belt-and-braces. */
+    * doubles across engines. The 1e-12 nudge before ROUND handles
+    * values landing EXACTLY on a rounding boundary (e.g. the weighted
+    * sum 0.60225): Spark rounds the shortest decimal representation
+    * (HALF_UP → .6023) while DuckDB rounds the exact binary value
+    * (→ .6022). The nudge is far above double noise (~1e-16) and far
+    * below the closest possible non-boundary distance for these
+    * rationals (~5e-11), so it only disambiguates exact boundaries —
+    * identically in both engines. The oracle SQL applies the same
+    * nudge. */
   def qualityScore(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nWords = size(toks).cast("double")
@@ -74,12 +82,13 @@ object TextAnalysis {
     val stopRate = size(filter(tokens(col("text")),
       t => t.isin("the", "a", "of", "and"))) / nWords
     val lengthScore = least(size(toks).cast("double") / lit(100.0), lit(1.0))
+    def r4(c: org.apache.spark.sql.Column) = round(c + lit(1e-12), 4)
     documents.select(
       col("doc_id"),
-      round(diversity, 4).as("diversity"),
-      round(stopRate, 4).as("stop_rate"),
-      round(lengthScore, 4).as("length_score"),
-      round(diversity * lit(0.5) + (lit(1.0) - stopRate) * lit(0.2) + lengthScore * lit(0.3), 4)
+      r4(diversity).as("diversity"),
+      r4(stopRate).as("stop_rate"),
+      r4(lengthScore).as("length_score"),
+      r4(diversity * lit(0.5) + (lit(1.0) - stopRate) * lit(0.2) + lengthScore * lit(0.3))
         .as("quality"))
   }
 
