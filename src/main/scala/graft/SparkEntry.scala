@@ -201,18 +201,21 @@ object SparkEntry {
         |       CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS zone_id,
         |       value AS value
         |FROM events WHERE event_type = 'error'""".stripMargin,
+    // money sums in DECIMAL(18,4): exact in any summation order (the
+    // Spark side does the same — see Relational.moneySum); averages of
+    // integer-valued columns get the boundary nudge
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+        |       ROUND(AVG(l_quantity) + 1e-12, 4) AS avg_qty,
         |       COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_top_urgent_orders" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -221,7 +224,7 @@ object SparkEntry {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_revenue_by_nation" ->
       """SELECT n_name,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -247,7 +250,7 @@ object SparkEntry {
     "q_orders_by_month" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |       CAST(month(o_orderdate) AS BIGINT) AS o_month,
-        |       COUNT(*) AS n_orders, ROUND(AVG(o_totalprice), 2) AS avg_price
+        |       COUNT(*) AS n_orders, ROUND(AVG(o_totalprice) + 1e-12, 2) AS avg_price
         |FROM orders GROUP BY 1, 2""".stripMargin,
     "t_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,

@@ -25,18 +25,30 @@ object Relational {
       .filter(col("l_quantity") > 45)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
 
+  /** Money sums run in DECIMAL: the source doubles are 2-decimal
+    * values, so casting to decimal(18,4) recovers them exactly and the
+    * sum is exact integer arithmetic — identical in any engine and in
+    * any summation order, immune to the float-sum-near-rounding-
+    * boundary ambiguity that differently-associated double sums have.
+    * Cast back to double after the final ROUND so output schemas stay
+    * float (decimal scale rendering differs between engines). */
+  private def moneySum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(sum(c.cast("decimal(18,4)")), 2).cast("double")
+
   /** TPC-H Q1-style pricing summary: grouped aggregation with map-side
-    * partial aggregation; sums rounded so the oracle's (differently
-    * associated) float sums compare equal. */
+    * partial aggregation; money sums decimal-exact (see [[moneySum]]),
+    * the average nudged off exact rounding boundaries (integer-valued
+    * quantities make the double sum exact, so only the boundary
+    * disambiguation is needed). */
   def pricingSummary(lineitem: DataFrame): DataFrame =
     lineitem
       .filter(col("l_shipdate") <= lit("1998-09-01"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        round(avg(col("l_quantity")) + lit(1e-12), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
   /** TPC-H Q3-style: 3-way join + agg + deterministic top-10.
@@ -49,7 +61,7 @@ object Relational {
       .join(broadcast(customer.filter(col("c_mktsegment") === "BUILDING")),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
 
@@ -64,7 +76,7 @@ object Relational {
       .join(broadcast(region.filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
 
   /** Window ranking: top-3 orders by price per customer; rank ties broken
     * by unique orderkey so output is deterministic. */
@@ -109,5 +121,5 @@ object Relational {
         year(col("o_orderdate")).cast("long").as("o_year"),
         month(col("o_orderdate")).cast("long").as("o_month"))
       .agg(count(lit(1)).as("n_orders"),
-        round(avg(col("o_totalprice")), 2).as("avg_price"))
+        round(avg(col("o_totalprice")) + lit(1e-12), 2).as("avg_price"))
 }
