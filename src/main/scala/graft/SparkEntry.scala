@@ -178,12 +178,22 @@ object SparkEntry {
          |SELECT c.car_id, c.zone_id, c.fuel_level, z.pollution_level
          |FROM cars c JOIN latest_zones z USING (zone_id)
          |WHERE c.rn = 1 AND z.rn = 1""".stripMargin,
+    // the inner filter mirrors StreamRunner.replayMoveFold: only
+    // parseable-zone events enter the fold on either side
     "s_stream_move_fold" ->
-      s"""WITH $movesCte
-         |SELECT event_id, car_id, to_zone AS zone_id, TRUE AS is_arriving, fuel_level FROM moves
-         |UNION ALL
-         |SELECT event_id, car_id, from_zone AS zone_id, FALSE AS is_arriving, fuel_level FROM moves
-         |WHERE from_zone IS NOT NULL AND from_zone <> to_zone""".stripMargin,
+      """WITH moves AS (
+        |  SELECT event_id, car_id,
+        |         LAG(zone_id) OVER (PARTITION BY car_id ORDER BY ts, event_id) AS from_zone,
+        |         zone_id AS to_zone, fuel_level
+        |  FROM (SELECT user_id AS car_id,
+        |               CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS zone_id,
+        |               value AS fuel_level, ts, event_id
+        |        FROM events WHERE event_type IN ('click','view'))
+        |  WHERE zone_id IS NOT NULL)
+        |SELECT event_id, car_id, to_zone AS zone_id, TRUE AS is_arriving, fuel_level FROM moves
+        |UNION ALL
+        |SELECT event_id, car_id, from_zone AS zone_id, FALSE AS is_arriving, fuel_level FROM moves
+        |WHERE from_zone IS NOT NULL AND from_zone <> to_zone""".stripMargin,
     "q_arrive_leave" ->
       s"""WITH $movesCte
          |SELECT event_id, car_id, to_zone AS zone_id, TRUE AS is_arriving, fuel_level FROM moves
@@ -250,7 +260,8 @@ object SparkEntry {
     "q_orders_by_month" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |       CAST(month(o_orderdate) AS BIGINT) AS o_month,
-        |       COUNT(*) AS n_orders, ROUND(AVG(o_totalprice) + 1e-12, 2) AS avg_price
+        |       COUNT(*) AS n_orders,
+        |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) + 1e-12, 2) AS avg_price
         |FROM orders GROUP BY 1, 2""".stripMargin,
     "t_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
@@ -362,27 +373,37 @@ object SparkEntry {
         |FROM frames, LATERAL (SELECT unnest(generate_series(0, CAST(n_frames - 1 AS INT), 4)) AS idx) u""".stripMargin,
     "d_jaccard_pairs" -> jaccardOracle,
     // MinHash+LSH: candidates are verified with the exact jaccard, and the
-    // 32x2 band parameters give P(miss | jac >= 0.8) ~ 6e-15 — so the
-    // exact-jaccard SQL is its oracle on any data, not just this corpus.
+    // 16-band x 3-row parameters give P(miss | jac >= 0.8) ~ 1e-5 per
+    // near-threshold pair — safe as this oracle for corpora with up to
+    // ~thousands of threshold pairs (this corpus has dozens); see the
+    // band math at Dedup.MinhashFuncs.
     "d_minhash_pairs" -> jaccardOracle,
     // d_simhash_pairs: intentionally no oracle — output depends on the
     // engine hash family (xxhash64); verified by DedupSpec instead.
   )
 
   /** The synthesized binary corpus (Multimodal.binaryDocs) in DuckDB:
-    * same magic-by-doc_id headers, same UTF-8 body. */
+    * same magic-by-doc_id headers, same UTF-8 body. fmt/hdr mirror the
+    * Spark side's magic-byte SNIFFING, not the construction: a
+    * headerless doc whose text happens to start with "GIF8" is sniffed
+    * as gif by any sniffer, so the oracle says gif too. (PNG/JPEG
+    * magics start with bytes no valid UTF-8 text can begin with — only
+    * the ASCII GIF magic is reachable from a text body.) */
   private lazy val binCte: String =
     """bin AS (
-      |  SELECT doc_id,
-      |         CASE doc_id % 4
-      |           WHEN 0 THEN '\x89PNG'::BLOB || encode(text)
-      |           WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
-      |           WHEN 2 THEN 'GIF8'::BLOB || encode(text)
-      |           ELSE encode(text) END AS payload,
-      |         CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-      |                         WHEN 2 THEN 'gif' ELSE 'bin' END AS fmt,
-      |         CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 4 END AS hdr
-      |  FROM documents)""".stripMargin
+      |  SELECT doc_id, payload,
+      |         CASE WHEN doc_id % 4 = 0 THEN 'png'
+      |              WHEN doc_id % 4 = 1 THEN 'jpeg'
+      |              WHEN doc_id % 4 = 2 OR text LIKE 'GIF8%' THEN 'gif'
+      |              ELSE 'bin' END AS fmt,
+      |         CASE WHEN doc_id % 4 = 3 AND text NOT LIKE 'GIF8%' THEN 0 ELSE 4 END AS hdr
+      |  FROM (SELECT doc_id, text,
+      |               CASE doc_id % 4
+      |                 WHEN 0 THEN '\x89PNG'::BLOB || encode(text)
+      |                 WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+      |                 WHEN 2 THEN 'GIF8'::BLOB || encode(text)
+      |                 ELSE encode(text) END AS payload
+      |        FROM documents))""".stripMargin
 
   private lazy val jaccardOracle: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   *  - SimHash pairs join on 16-bit bands (pigeonhole: hamming ≤ 3 over
   *    four bands ⇒ at least one band equal) — an exact banded join, no
   *    quadratic candidate explosion.
+  *
+  * Cache lifecycle: the banded operators cache their per-doc signature
+  * tables (both legs of a self-join read them; recomputing doubles the
+  * dominant scan+agg cost). The cache is registered on the session —
+  * long-lived sessions running many queries should
+  * `spark.catalog.clearCache()` between them, as Bench does.
   */
 object Dedup {
 

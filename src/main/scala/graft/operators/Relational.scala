@@ -115,11 +115,16 @@ object Relational {
         count(lit(1)).as("n_events"))
 
   /** Date/time grouping: orders per month with average price — scalar
-    * date functions feeding a grouped aggregation. */
+    * date functions feeding a grouped aggregation. The average divides
+    * a decimal-exact sum (cast back to double — exact, the sum is far
+    * below 2^53 quarter-cents) by the count, so both engines divide
+    * identical doubles and the boundary nudge suffices; a plain double
+    * AVG would re-introduce summation-order divergence. */
   def ordersByMonth(orders: DataFrame): DataFrame =
     orders.groupBy(
         year(col("o_orderdate")).cast("long").as("o_year"),
         month(col("o_orderdate")).cast("long").as("o_month"))
       .agg(count(lit(1)).as("n_orders"),
-        round(avg(col("o_totalprice")) + lit(1e-12), 2).as("avg_price"))
+        round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double") / count(lit(1))
+          + lit(1e-12), 2).as("avg_price"))
 }

@@ -24,10 +24,13 @@ object Generator {
   private def u(seq: org.apache.spark.sql.Column, salt: Int): org.apache.spark.sql.Column =
     (pmod(xxhash64(seq, lit(salt)), lit(1000000L)).cast("double") / 1000000.0)
 
+  // seq spaces: cars take even numbers, zones odd — the two streams
+  // never collide, so per-key seq ordering downstream stays total
+  // (the reference's two topics likewise never share offsets)
   private def carCols(df: org.apache.spark.sql.DataFrame): Dataset[CarArrival] = {
     import df.sparkSession.implicits._
     df.select(
-      col("value").as("seq"),
+      (col("value") * 2).as("seq"),
       (pmod(xxhash64(col("value"), lit(1)), lit(NumCars.toLong)) + 1).as("carId"),
       (pmod(xxhash64(col("value"), lit(2)), lit(NumZones.toLong)) + 1000).as("zoneId"),
       (u(col("value"), 3) * MaxFuel).as("fuelLevel")
@@ -37,7 +40,7 @@ object Generator {
   private def zoneCols(df: org.apache.spark.sql.DataFrame): Dataset[ZoneReading] = {
     import df.sparkSession.implicits._
     df.select(
-      col("value").as("seq"),
+      (col("value") * 2 + 1).as("seq"),
       (pmod(xxhash64(col("value"), lit(4)), lit(NumZones.toLong)) + 1000).as("zoneId"),
       (u(col("value"), 5) * MaxPollution).as("pollutionLevel")
     ).as[ZoneReading]

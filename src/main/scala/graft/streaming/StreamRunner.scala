@@ -104,14 +104,21 @@ object StreamRunner {
   }
 
   /** Stage-1 (move fold) replay → the arrive/leave event log with its
-    * originating event_id. Oracle: identical SQL to q_arrive_leave. */
+    * originating event_id. Oracle: the arrive/leave SQL restricted to
+    * parseable-zone events. Unparseable-zone car events (the -1
+    * sentinel) are excluded HERE rather than mapped: the lag-based
+    * oracle treats a null zone as "no transition" (null <> x is null),
+    * while a sentinel would fold as a real move and emit extra
+    * retractions — the two only agree if such events are outside the
+    * fold on both sides. */
   def replayMoveFold(spark: SparkSession, events: DataFrame): DataFrame = {
     ensureRocksDb(spark)
     import spark.implicits._
     val (carIn, _, seqToEvent) = arrivalOrdered(events)
+    val folded = carIn.filter(_.zoneId >= 0)
     val carStream = MemoryStream[CarArrival](spark)
     val log = runQuery(spark, FkJoinStream.moveFold(carStream.toDS()),
-      () => if (carIn.nonEmpty) carStream.addData(carIn))
+      () => if (folded.nonEmpty) carStream.addData(folded))
     log.join(seqToEvent.withColumnRenamed("seq", "src_seq"), col("seq") === col("src_seq"))
       .select(col("event_id"), col("carId").as("car_id"), col("zoneId").as("zone_id"),
         col("isArriving").as("is_arriving"), col("fuelLevel").as("fuel_level"))

@@ -52,7 +52,10 @@ object Transport {
   def keyedProduce(df: DataFrame, keyCol: String, tsCol: String): DataFrame =
     df.select(
       col(keyCol).cast("string").as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"),
+      // render null fields explicitly (Spark's default drops them;
+      // DuckDB's to_json and most JSON consumers keep them)
+      to_json(struct(df.columns.map(col): _*),
+        Map("ignoreNullFields" -> "false")).as("value"),
       col(tsCol).as("timestamp"))
 
   /** The reference's state reset (streams.cleanUp(): wipe local state
@@ -62,8 +65,9 @@ object Transport {
   def stateReset(checkpoint: String): Unit = {
     val root = Paths.get(checkpoint)
     if (Files.exists(root)) {
-      Files.walk(root).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.delete(p))
+      val walk = Files.walk(root) // close the stream: it holds directory fds
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
+      finally walk.close()
     }
   }
 }

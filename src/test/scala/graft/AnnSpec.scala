@@ -65,6 +65,19 @@ class AnnSpec extends SparkSpec {
     assert(exact.nonEmpty) // fixture must exercise the path
   }
 
+  test("dot kernel: ragged or null-element arrays yield null, matching the HOF form") {
+    import org.apache.spark.sql.functions.{col, transform => xform}
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)), // ragged
+      (3L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)) // null element
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"),
+        graft.functions.VectorKernels.dotProduct(col("a"), col("b")).as("d"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, Some(11.0)), (2L, None), (3L, None)))
+  }
+
   test("ann runs are deterministic (hyperplanes are seed-fixed)") {
     val emb = Tables.embeddings(spark, sf0001)
     val a = Similarity.annTopK(emb).collect().map(_.toSeq).toSeq

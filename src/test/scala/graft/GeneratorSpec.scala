@@ -14,8 +14,9 @@ class GeneratorSpec extends SparkSpec {
     val zones = Generator.zoneBatch(spark, 500).collect()
     assert(zones.forall(z => z.zoneId >= 1000 && z.zoneId <= 1012))
     assert(zones.forall(z => z.pollutionLevel >= 0 && z.pollutionLevel < 200))
-    // seq is the range id — unique and ordered
-    assert(cars.map(_.seq).sorted.toSeq == (0L until 500L))
+    // car seqs are even, zone seqs odd — the streams never collide
+    assert(cars.map(_.seq).sorted.toSeq == (0L until 1000L by 2))
+    assert(zones.map(_.seq).sorted.toSeq == (1L until 1000L by 2))
   }
 
   test("generator is deterministic (replay/retry safety)") {

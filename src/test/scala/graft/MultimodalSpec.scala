@@ -18,6 +18,14 @@ class MultimodalSpec extends SparkSpec {
       (0L, 7L, "png"), (1L, 7L, "jpeg"), (2L, 7L, "gif"), (3L, 3L, "bin")))
   }
 
+  test("headerless text starting with the ASCII GIF magic is sniffed as gif (sniffing can be fooled — by design)") {
+    val df = docs((3L, "GIF8 is how every gif begins"))
+    val stats = Multimodal.binaryStats(df).collect().head
+    assert(stats.getString(3) == "gif")
+    val meta = Multimodal.decodeMeta(df).collect().head
+    assert(meta.fmt == "gif" && meta.channels == 3)
+  }
+
   test("decodeMeta runs the batched decode seam with deterministic fake dims") {
     val text = "x" * 1000 // body 1000 → width 16+1000%512=504, height 16+(1000/512)%512=17
     val out = Multimodal.decodeMeta(docs((0L, text), (3L, text))).collect()
