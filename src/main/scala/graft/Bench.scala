@@ -9,7 +9,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // 8 measured fastest end-to-end on this host: 32 threads oversubscribe
+    // (and spin up 32 RocksDB instances per streaming micro-batch) for
+    // 2x worse totals; 4 underuses the box
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(8, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
