@@ -1,14 +1,22 @@
 package graft.streaming
 
-import java.nio.file.Files
+import java.nio.file.attribute.FileTime
+import java.nio.file.{Files, Path}
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.CarZone
+
+/** One staged replay record: the car/zone union envelope plus the chunk
+  * id (`pid`, the range-partition ordinal) and the global arrival rank
+  * (`seq`). Top-level in this file so Spark can derive a product
+  * encoder for the stamping `mapPartitions`. */
+private[streaming] case class StagedEvent(kind: String, a: Long, b: Long, v: Double,
+                                          eventId: Long, pid: Int, seq: Long)
 
 /** Replays the driver's batch `events` table through the streaming
   * topology (FkJoinStream) and returns results as plain DataFrames, so
@@ -18,14 +26,41 @@ import graft.operators.CarZone
   * SURVEY.md §2.1), and the stage-1 emission log equals the batch
   * arrive/leave expansion.
   *
-  * The driver-side collect + MemoryStream here is the verification
-  * TRANSPORT only (the analogue of the reference feeding Kafka topics
-  * from a console producer): production streams come from readStream
-  * sources (Generator.carStream / kafka where available) and never
-  * collect. Size is bounded by the verification scale factor. */
+  * The replay transport is fully distributed — nothing is ever
+  * collected to the driver:
+  *
+  *  1. STAMP: events are range-partitioned into [[ReplayChunks]] chunks
+  *     by (ts, event_id) and each partition stamps `seq = chunk·2^40 +
+  *     local rank` with a per-partition counter. (chunk, rank) order
+  *     IS global (ts, event_id) order — the Kafka-offset analogue
+  *     (DemoApp.scala:62-63) computed without a global window or any
+  *     driver materialization.
+  *  2. STAGE: the stamped chunks are written as one parquet file per
+  *     chunk, with strictly increasing file mtimes in chunk order.
+  *  3. REPLAY: a file-source readStream with maxFilesPerTrigger=1 +
+  *     Trigger.AvailableNow feeds the chunks oldest-first, one
+  *     micro-batch per chunk, through the real transformWithState
+  *     topology on RocksDB state; results land in a parquet sink.
+  *
+  * Cross-chunk order is the file pickup order; within-chunk order is
+  * restored per key by the processors' `seq` sort (FkJoinStream's
+  * arrival-order contract), so no step depends on physical row order
+  * after a shuffle. At 100 TB this is exactly a partitioned backfill:
+  * every stage is a distributed job, the driver only touches file
+  * metadata. */
 object StreamRunner {
 
   private val runId = new AtomicInteger(0)
+
+  /** Chunks = micro-batches in the replay: enough to prove incremental
+    * cross-batch state handling, few enough that per-batch RocksDB
+    * commit overhead stays off the measurement's critical path. */
+  val ReplayChunks = 4
+
+  /** seq = pid * ChunkSpan + rank keeps chunk-major ordering with room
+    * for 2^40 events per chunk; density is not required, only
+    * monotonicity in (ts, event_id). */
+  private val ChunkSpan = 1L << 40
 
   private def ensureRocksDb(spark: SparkSession): Unit = {
     val k = "spark.sql.streaming.stateStore.providerClass"
@@ -33,63 +68,94 @@ object StreamRunner {
     if (!spark.conf.getOption(k).contains(rocks)) spark.conf.set(k, rocks)
   }
 
-  /** Arrival-order inputs from the events table: global seq = rank by
-    * (ts, event_id) — the Kafka-offset analogue (DemoApp.scala:62-63).
-    * Single-partition window is fine at verification scale; production
-    * sources carry their own offsets. */
-  private def arrivalOrdered(events: DataFrame): (Seq[CarArrival], Seq[ZoneReading], DataFrame) = {
-    // a null zone_id (unparseable props) maps to a sentinel no reading
-    // can match: the car still retracts from its previous zone and its
-    // final state joins nothing — exactly the batch inner-join outcome
-    // for a null-zone latest event (null never equi-joins). A raw null
-    // would silently unbox to 0 in the typed CarArrival.
+  /** The car/zone union envelope (un-stamped).
+    * A null zone_id (unparseable props) maps to a sentinel no reading
+    * can match: the car still retracts from its previous zone and its
+    * final state joins nothing — exactly the batch inner-join outcome
+    * for a null-zone latest event (null never equi-joins). A raw null
+    * would silently unbox to 0 in the typed CarArrival. */
+  private def envelope(events: DataFrame): DataFrame = {
     val cars = CarZone.carEvents(events)
       .select(lit("car").as("kind"), col("car_id").as("a"),
         coalesce(col("zone_id"), lit(-1L)).as("b"), col("fuel_level").as("v"),
-        col("ts"), col("event_id"))
+        col("ts"), col("event_id").as("eventId"))
     val zones = CarZone.zoneEvents(events)
       .filter(col("zone_id").isNotNull) // a reading without a zone is meaningless
       .select(lit("zone").as("kind"), col("zone_id").as("a"),
-        lit(0L).as("b"), col("pollution_level").as("v"), col("ts"), col("event_id"))
-    val seqd = cars.unionByName(zones)
-      .withColumn("seq", row_number().over(Window.orderBy(col("ts"), col("event_id"))).cast("long"))
-    val rows = seqd.collect()
-    val carIn = rows.filter(_.getString(0) == "car").map(r =>
-      CarArrival(r.getAs[Long]("seq"), r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("v"))).toSeq
-    val zoneIn = rows.filter(_.getString(0) == "zone").map(r =>
-      ZoneReading(r.getAs[Long]("seq"), r.getAs[Long]("a"), r.getAs[Double]("v"))).toSeq
-    val seqToEvent = seqd.select(col("seq"), col("event_id"))
-    (carIn, zoneIn, seqToEvent)
+        lit(0L).as("b"), col("pollution_level").as("v"), col("ts"), col("event_id").as("eventId"))
+    cars.unionByName(zones)
   }
 
-  private def runQuery[T](spark: SparkSession, ds: org.apache.spark.sql.Dataset[T],
-                          feed: () => Unit): DataFrame = {
-    val sink = s"stream_replay_${runId.incrementAndGet()}"
-    val q = ds.writeStream.format("memory").queryName(sink).outputMode("append")
-      .option("checkpointLocation", Files.createTempDirectory(sink).toString)
+  /** Distributed arrival-order stamping + chunked parquet staging (steps
+    * 1-2 above). Returns nothing; the staged chunks live at `dir`. */
+  private def stage(spark: SparkSession, events: DataFrame, dir: Path): Unit = {
+    import spark.implicits._
+    envelope(events)
+      .repartitionByRange(ReplayChunks, col("ts"), col("eventId"))
+      .sortWithinPartitions(col("ts"), col("eventId"))
+      .withColumn("pid", spark_partition_id())
+      .select(col("kind"), col("a"), col("b"), col("v"), col("eventId"),
+        col("pid"), lit(0L).as("seq"))
+      .as[StagedEvent]
+      .mapPartitions { it => // rank within the sorted range partition
+        var rank = 0L
+        it.map { e => rank += 1; e.copy(seq = e.pid.toLong * ChunkSpan + rank) }
+      }
+      .write.mode("overwrite").parquet(dir.toString)
+    // Chunk pickup order for the file source = mtime order (oldest
+    // first): part file names carry the range-partition ordinal, so
+    // name order is chunk order — make mtimes strictly increasing in
+    // that order (driver-side file METADATA only, never data).
+    val listing = Files.list(dir)
+    val parts =
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(listing.iterator()).asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally listing.close()
+    val base = System.currentTimeMillis() - 86400000L // yesterday: always in the past
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.setLastModifiedTime(p, FileTime.fromMillis(base + i * 10000L))
+    }
+    // _SUCCESS is not parquet; keep the staged dir stream-clean
+    Files.deleteIfExists(dir.resolve("_SUCCESS"))
+  }
+
+  /** Steps 2-3: stage `events`, replay through `topology`, sink to
+    * parquet. Returns (emission log, staged input) — both plain
+    * parquet-backed DataFrames. */
+  private def replay[T](spark: SparkSession, events: DataFrame,
+                        topology: DataFrame => Dataset[T]): (DataFrame, DataFrame) = {
+    val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
+    val srcDir = work.resolve("src")
+    stage(spark, events, srcDir)
+    val src = spark.readStream
+      .schema(Encoders.product[StagedEvent].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    val q = topology(src).writeStream.format("parquet")
+      .option("path", work.resolve("out").toString)
+      .option("checkpointLocation", work.resolve("cp").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
       .start()
-    try { feed(); q.processAllAvailable() } finally q.stop()
-    // re-materialize as a local relation: the emission log is
-    // driver-sized by construction (verification scale), and this keeps
-    // no block-manager residue alive to evict other queries' caches
-    // (localCheckpoint blocks linger until the context cleaner runs)
-    val rows = spark.table(sink).collect().toSeq
-    val schema = spark.table(sink).schema
-    spark.catalog.dropTempView(sink)
-    spark.createDataFrame(
-      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    q.awaitTermination()
+    (spark.read.parquet(work.resolve("out").toString),
+      spark.read.parquet(srcDir.toString))
   }
 
   /** Full dual-update FK join replay → (car_id, zone_id, fuel_level,
     * pollution_level). Oracle: identical SQL to the batch q_fk_join. */
   def replayFkJoin(spark: SparkSession, events: DataFrame): DataFrame = {
     ensureRocksDb(spark)
-    import spark.implicits._
-    val (carIn, zoneIn, _) = arrivalOrdered(events)
-    val carStream = MemoryStream[CarArrival](spark)
-    val zoneStream = MemoryStream[ZoneReading](spark)
-    val log = runQuery(spark, FkJoinStream.pipeline(carStream.toDS(), zoneStream.toDS()),
-      () => { if (carIn.nonEmpty) carStream.addData(carIn); if (zoneIn.nonEmpty) zoneStream.addData(zoneIn) })
+    val (log, _) = replay(spark, events, (src: DataFrame) => {
+      import spark.implicits._
+      val cars = src.filter(col("kind") === "car")
+        .select(col("seq"), col("a").as("carId"), col("b").as("zoneId"),
+          col("v").as("fuelLevel")).as[CarArrival]
+      val zones = src.filter(col("kind") === "zone")
+        .select(col("seq"), col("a").as("zoneId"), col("v").as("pollutionLevel")).as[ZoneReading]
+      FkJoinStream.pipeline(cars, zones)
+    })
     // last emission per car, kept only at the car's final zone: equals
     // the batch join (a car's final zone, once its pollution is known,
     // always gets a final re-emission; stale emissions sit at old zones)
@@ -113,13 +179,15 @@ object StreamRunner {
     * fold on both sides. */
   def replayMoveFold(spark: SparkSession, events: DataFrame): DataFrame = {
     ensureRocksDb(spark)
-    import spark.implicits._
-    val (carIn, _, seqToEvent) = arrivalOrdered(events)
-    val folded = carIn.filter(_.zoneId >= 0)
-    val carStream = MemoryStream[CarArrival](spark)
-    val log = runQuery(spark, FkJoinStream.moveFold(carStream.toDS()),
-      () => if (folded.nonEmpty) carStream.addData(folded))
-    log.join(seqToEvent.withColumnRenamed("seq", "src_seq"), col("seq") === col("src_seq"))
+    val (log, staged) = replay(spark, events, (src: DataFrame) => {
+      import spark.implicits._
+      src.filter(col("kind") === "car" && col("b") >= 0)
+        .select(col("seq"), col("a").as("carId"), col("b").as("zoneId"),
+          col("v").as("fuelLevel")).as[CarArrival]
+        .transform(FkJoinStream.moveFold(_))
+    })
+    log.join(staged.select(col("seq").as("src_seq"), col("eventId").as("event_id")),
+        col("seq") === col("src_seq"))
       .select(col("event_id"), col("carId").as("car_id"), col("zoneId").as("zone_id"),
         col("isArriving").as("is_arriving"), col("fuelLevel").as("fuel_level"))
   }
