@@ -317,26 +317,25 @@ object SparkEntry {
     // similarity search: double-precision cosine, both engines sum the 64
     // products left-to-right (Spark `aggregate` fold ≡ DuckDB
     // list_dot_product loop), rounded to 6 dp → exact hash compare holds.
-    // a_ann_topk / a_ann_pairs: intentionally no oracle — LSH recall < 1
-    // by design; AnnSpec asserts recall bounds vs the exact operators.
+    // The ANN oracles replicate the fixed-seed LSH itself (planesCte), so
+    // both engines compute the SAME candidate set and recall never enters
+    // the compare; AnnSpec separately asserts recall bounds vs exact.
+    "a_ann_topk" -> annTopKOracle,
+    "a_ann_pairs" -> annPairsOracle,
     "a_cosine_topk" ->
-      """WITH n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
-        |           FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |                 FROM embeddings)),
+      s"""WITH $normCte,
         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
         |s AS (SELECT q.query_id, n.vec_id,
-        |             ROUND(list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm), 6) AS cos
+        |             ROUND(list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm) + 1e-12, 6) AS cos
         |      FROM n JOIN q ON n.vec_id <> q.query_id)
         |SELECT query_id, vec_id, cos, rk FROM (
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rk
         |  FROM s) WHERE rk <= 5""".stripMargin,
     "a_cosine_pairs" ->
-      """WITH n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
-        |           FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |                 FROM embeddings))
+      s"""WITH $normCte
         |SELECT vec_a, vec_b, cos FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |         ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+        |         ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) + 1e-12, 6) AS cos
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |WHERE cos >= 0.45""".stripMargin,
     "d_exact_dedup" ->
@@ -378,9 +377,80 @@ object SparkEntry {
     // ~thousands of threshold pairs (this corpus has dozens); see the
     // band math at Dedup.MinhashFuncs.
     "d_minhash_pairs" -> jaccardOracle,
-    // d_simhash_pairs: intentionally no oracle — output depends on the
-    // engine hash family (xxhash64); verified by DedupSpec instead.
+    // SimHash: brute-force hamming over ALL pairs — a valid oracle for
+    // the banded Spark plan because the 4-band pigeonhole makes banding
+    // EXACT at maxDist ≤ 3 (full recall, proven in DedupSpec). The token
+    // hash is the top-64-bits-of-md5 (Dedup.tokenHash64), which DuckDB
+    // reproduces bit-for-bit; hamming needs no 64-bit value assembly —
+    // it is the count of bit positions whose vote signs differ.
+    "d_simhash_pairs" -> simhashOracle,
   )
+
+  /** The SRP-LSH hyperplanes as a DuckDB VALUES literal — the exact
+    * doubles of Similarity.planes (shortest round-trip decimal repr
+    * parses back to the identical IEEE-754 value; CAST pins DOUBLE[]
+    * so DuckDB doesn't type bare literals as DECIMAL). With identical
+    * planes and a bit-identical dot product (left-to-right sum on both
+    * engines), bucket signatures — and therefore the candidate sets of
+    * the "approximate" operators — are deterministic and equal across
+    * engines, so LSH recall never enters the compare. */
+  private lazy val planesCte: String = {
+    val rows = Similarity.planes.zipWithIndex.map { case (pl, i) =>
+      s"($i, CAST([${pl.map(_.toString).mkString(", ")}] AS DOUBLE[]))"
+    }.mkString(", ")
+    s"planes(p, plane) AS (VALUES $rows)"
+  }
+
+  /** Shared bucket CTEs for the ANN oracles: per-vector (band, sig)
+    * exactly like Similarity.buckets — sig packs the 4 sign bits of the
+    * band's hyperplane dot products. */
+  private lazy val bucketsCte: String =
+    s"""$planesCte,
+       |dots AS (SELECT n.vec_id, pl.p, list_dot_product(n.v, pl.plane) AS d FROM n, planes pl),
+       |bk AS (SELECT vec_id, p // 4 AS band,
+       |              CAST(SUM(CASE WHEN d > 0 THEN (1 << (p % 4)) ELSE 0 END) AS BIGINT) AS sig
+       |       FROM dots GROUP BY vec_id, band)""".stripMargin
+
+  private lazy val annTopKOracle: String =
+    s"""WITH $normCte,
+       |$bucketsCte,
+       |qbk AS (SELECT query_id, band, unnest([sig, xor(sig, 1), xor(sig, 2), xor(sig, 4), xor(sig, 8)]) AS sig
+       |        FROM (SELECT vec_id AS query_id, band, sig FROM bk WHERE vec_id < 10)),
+       |cand AS (SELECT DISTINCT q.query_id, c.vec_id
+       |         FROM bk c JOIN qbk q ON c.band = q.band AND c.sig = q.sig AND c.vec_id <> q.query_id),
+       |s AS (SELECT cand.query_id, cand.vec_id,
+       |             ROUND(list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm) + 1e-12, 6) AS cos
+       |      FROM cand
+       |      JOIN n ON n.vec_id = cand.vec_id
+       |      JOIN (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n) q ON q.qid = cand.query_id)
+       |SELECT query_id, vec_id, cos, rk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rk
+       |  FROM s) WHERE rk <= 5""".stripMargin
+
+  private lazy val annPairsOracle: String =
+    s"""WITH $normCte,
+       |$bucketsCte,
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |         FROM bk x JOIN bk y ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id)
+       |SELECT vec_a, vec_b, cos FROM (
+       |  SELECT cand.vec_a, cand.vec_b,
+       |         ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) + 1e-12, 6) AS cos
+       |  FROM cand JOIN n a ON a.vec_id = cand.vec_a JOIN n b ON b.vec_id = cand.vec_b)
+       |WHERE cos >= 0.45""".stripMargin
+
+  private lazy val simhashOracle: String = {
+    val bitSums = (0 until 64).map(j =>
+      s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+    val hamming = (0 until 64).map(j =>
+      s"CASE WHEN (x.b$j > 0) <> (y.b$j > 0) THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |h AS (SELECT doc_id, CAST('0x' || substring(md5(word), 1, 16) AS UBIGINT) AS h FROM words),
+       |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST($hamming AS BIGINT) AS hamming
+       |  FROM bits x JOIN bits y ON x.doc_id < y.doc_id)
+       |WHERE hamming <= 3""".stripMargin
+  }
 
   /** The synthesized binary corpus (Multimodal.binaryDocs) in DuckDB:
     * same magic-by-doc_id headers, same UTF-8 body. fmt/hdr mirror the
@@ -404,6 +474,17 @@ object SparkEntry {
       |                 WHEN 2 THEN 'GIF8'::BLOB || encode(text)
       |                 ELSE encode(text) END AS payload
       |        FROM documents))""".stripMargin
+
+  /** Normalized embeddings CTE shared by every a_* oracle: cast to
+    * double, norm once, and drop zero-norm vectors exactly like
+    * Similarity.normalized (cosine against a zero vector is NaN and the
+    * engines disagree on NaN ordering). */
+  private lazy val normCte: String =
+    """n AS (SELECT vec_id, v, nrm
+      |      FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+      |            FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |                  FROM embeddings))
+      |      WHERE nrm > 0)""".stripMargin
 
   private lazy val jaccardOracle: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -125,12 +125,23 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** 64-bit token hash both engines can compute bit-identically: the
+    * top 64 bits of md5, parsed as a SIGNED long (Spark `conv` with
+    * negative toBase ≡ DuckDB `CAST('0x'||hex AS UBIGINT)` reinterpreted
+    * two's-complement). Bit extraction `(h >> j) & 1` is then identical
+    * across engines for all 64 positions — arithmetic vs logical shift
+    * doesn't matter under the `& 1` mask. At a scale where no
+    * cross-engine oracle is needed, swap in `xxhash64` (≈3× cheaper per
+    * token); the simhash SEMANTICS are hash-family-agnostic. */
+  private[graft] def tokenHash64(word: Column): Column =
+    conv(substring(md5(word), 1, 16), 16, -10).cast("long")
+
   /** 64-bit SimHash per document: sign of the weighted sum of token
     * hash bits. One explode + one partial-aggregatable groupBy. */
   def simhash(documents: DataFrame): DataFrame = {
     val words = documents.select(col("doc_id"),
       explode(split(col("text"), " ")).as("word"))
-      .withColumn("h", xxhash64(col("word")))
+      .withColumn("h", tokenHash64(col("word")))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }

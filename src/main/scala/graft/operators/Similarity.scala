@@ -33,11 +33,24 @@ object Similarity {
     graft.functions.VectorKernels.dotProduct(a, b)
 
   /** embeddings → (vec_id, v: array<double>, nrm). Norms are computed
-    * once here so joins don't recompute them per pair. */
+    * once here so joins don't recompute them per pair. Zero-norm
+    * vectors are dropped: cosine against them is NaN/±Inf, which
+    * Spark's NaN-greatest ordering would silently rank FIRST in top-k
+    * (and engines disagree on NaN ordering) — the oracle SQL applies
+    * the same `nrm > 0` predicate. */
   private def normalized(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+
+  /** Cosine rounded for the cross-engine hash compare: the +1e-12 nudge
+    * disambiguates values landing exactly on a 6-dp rounding boundary,
+    * where Spark (shortest-decimal HALF_UP) and DuckDB (exact binary)
+    * otherwise round apart — same parity strategy as qualityScore and
+    * the money averages. Mirrored in every a_* oracle. */
+  private def cosRounded(num: Column, den: Column): Column =
+    round(num / den + 1e-12, 6)
 
   /** Exact cosine top-k: the first `numQueries` vectors are the query
     * set, broadcast against the corpus (the corpus side never shuffles
@@ -53,7 +66,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+        cosRounded(dot(col("v"), col("qv")), col("nrm") * col("qnrm")).as("cos"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rk") <= k)
@@ -67,7 +80,7 @@ object Similarity {
     val y = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     x.join(y, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+        cosRounded(dot(col("va"), col("vb")), col("na") * col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -78,8 +91,11 @@ object Similarity {
   val Dim = 64
 
   /** Deterministic random hyperplanes (fixed seed — replay-stable, no
-    * runtime randomness in the plan). */
-  private lazy val planes: IndexedSeq[IndexedSeq[Double]] = {
+    * runtime randomness in the plan). Exposed package-private so the
+    * DuckDB oracle can embed the IDENTICAL matrix as a SQL literal:
+    * with shared planes both engines compute the same buckets, making
+    * the approximate operators exactly oracle-checkable. */
+  private[graft] lazy val planes: IndexedSeq[IndexedSeq[Double]] = {
     val rnd = new scala.util.Random(0x5ca1ab1eL)
     IndexedSeq.fill(AnnBits)(IndexedSeq.fill(Dim)(rnd.nextGaussian()))
   }
@@ -98,7 +114,15 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(b).as("band"), sig.as("sig"))
     }
-    e.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+    // Fail fast on a dimension mismatch: dot(v, plane) would be null,
+    // every sign bit would fall to 0, and ALL vectors would silently
+    // collapse into one bucket per band — a quadratic self-join in
+    // disguise. Better a loud error than a silent de-LSH.
+    val dimChecked = when(size(col("v")) === Dim, array(bandCols: _*))
+      .otherwise(raise_error(concat(
+        lit(s"SRP-LSH hyperplanes are $Dim-dimensional but embedding has size "),
+        size(col("v")).cast("string"))))
+    e.select(col(idCol), explode(dimChecked).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
   }
 
@@ -128,7 +152,7 @@ object Similarity {
       .join(e, "vec_id")
       .join(broadcast(qSide), "query_id")
       .select(col("query_id"), col("vec_id"),
-        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+        cosRounded(dot(col("v"), col("qv")), col("nrm") * col("qnrm")).as("cos"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rk") <= k)
@@ -153,7 +177,7 @@ object Similarity {
       .join(broadcast(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))), "vec_a")
       .join(broadcast(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))), "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+        cosRounded(dot(col("va"), col("vb")), col("na") * col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -119,7 +119,18 @@ class FkJoinStreamSpec extends SparkSpec {
     val ttl = org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(2000))
     // ProcessingTime time-mode queries run continuous housekeeping
     // batches, so neither processAllAvailable nor AvailableNow ever
-    // drains — poll the query's progress for row counts instead
+    // drains — track CUMULATIVE input rows via a listener and poll that.
+    // (recentProgress is a ~100-entry ring buffer: zero-row housekeeping
+    // entries can evict the row-bearing ones, so summing it is flaky.)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == "ttl_sink") seen.addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
     val in = MemoryStream[FkInput](spark)
     val q = FkJoinStream.fkJoin(in.toDS(), ttl)
       .writeStream.format("memory").queryName("ttl_sink").outputMode("append")
@@ -127,9 +138,9 @@ class FkJoinStreamSpec extends SparkSpec {
       .start()
     def waitForInputs(n: Long): Unit = {
       val deadline = System.nanoTime() + 60e9.toLong
-      while (q.recentProgress.map(_.numInputRows).sum < n && System.nanoTime() < deadline)
+      while (seen.get() < n && System.nanoTime() < deadline)
         Thread.sleep(100)
-      assert(q.recentProgress.map(_.numInputRows).sum >= n, s"timed out waiting for $n inputs")
+      assert(seen.get() >= n, s"timed out waiting for $n inputs")
     }
     try {
       in.addData(FkInput(1, "car", 100, 7, 5.0, true))
@@ -150,7 +161,29 @@ class FkJoinStreamSpec extends SparkSpec {
         Seq((3L, 8L, 42.0), (4L, 8L, 43.0)))
     } finally {
       q.stop()
+      spark.streams.removeListener(listener)
       spark.sql("DROP VIEW IF EXISTS ttl_sink")
+    }
+  }
+
+  test("hot key: a zone holding 10k cars fans out one correct row per car") {
+    // The straggler trade-off, pinned: one zone's reading emits
+    // O(cars-in-zone) rows from a single task — the same asymptotics as
+    // the reference's per-zone range scan (DemoApp.scala:281-283). The
+    // per-key micro-batch buffer holds ONE trigger's events for the
+    // key, not the fan-out: the 10k arrivals below are the worst case
+    // (10k buffered inputs), the fan-out itself streams through the
+    // output iterator.
+    withPipeline { (cars, zones, sync, results) =>
+      val n = 10000
+      cars.addData((1 to n).map(i => CarArrival(i.toLong, i.toLong, 100L, i.toDouble))); sync()
+      assert(results().isEmpty) // pollution unknown: arrivals emit nothing
+      zones.addData(ZoneReading(n + 1L, 100L, 42.0)); sync()
+      val out = results()
+      assert(out.size == n)
+      assert(out.map(_.carId).toSet == (1 to n).map(_.toLong).toSet)
+      assert(out.forall(j => j.zoneId == 100L && j.pollutionLevel == 42.0 &&
+        j.fuelLevel == j.carId.toDouble && j.seq == n + 1L))
     }
   }
 
