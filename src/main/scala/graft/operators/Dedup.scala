@@ -54,8 +54,15 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jac ≥ threshold).
     * The jaccard double is a single division of two ints — identical
-    * across engines. */
-  def jaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    * across engines.
+    *
+    * VERIFICATION-SCALE ONLY: the shingle self-join is quadratic in
+    * per-shingle document frequency; [[minhashPairs]] is the production
+    * path (identical output at these band parameters). The [[ScaleGuard]]
+    * enforces that — raise `maxRows` explicitly to override. */
+  def jaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                   maxRows: Long = ScaleGuard.DefaultMaxRows): DataFrame = {
+    ScaleGuard("jaccardPairs", documents, maxRows, scalePath = "minhashPairs")
     val sh = shingles(documents, n).cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"),

@@ -1,0 +1,25 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Guard rail for the documented-quadratic oracle baselines
+  * (jaccardPairs, cosinePairs): they exist to verify the bucketed
+  * scale-path operators (minhashPairs, annPairs) and to serve as the
+  * DuckDB oracle's semantics, NOT to run against a real corpus — at
+  * 100× their self-joins are the first thing to die. The guard makes
+  * that contract executable: callers must raise `maxRows` explicitly
+  * (and consciously) to point them at anything bigger. */
+private[operators] object ScaleGuard {
+
+  /** Default ceiling: generous for any verification scale factor,
+    * far below anything production-shaped. */
+  val DefaultMaxRows = 100000L
+
+  def apply(op: String, input: DataFrame, maxRows: Long, scalePath: String): Unit = {
+    val n = input.count() // eager by design: fail before the quadratic plan is built
+    require(n <= maxRows,
+      s"$op is a verification-scale oracle baseline with a quadratic self-join: " +
+        s"input has $n rows > guard $maxRows. Use $scalePath at scale, " +
+        s"or raise maxRows explicitly if this is intentional.")
+  }
+}

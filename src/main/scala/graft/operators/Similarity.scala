@@ -73,8 +73,12 @@ object Similarity {
   }
 
   /** Exact all-pairs cosine ≥ threshold (vec_a < vec_b). Quadratic —
-    * the oracle baseline only; [[annPairs]] is the scale path. */
-  def cosinePairs(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
+    * the oracle baseline only; [[annPairs]] is the scale path. The
+    * [[ScaleGuard]] enforces verification-scale inputs — raise
+    * `maxRows` explicitly to override. */
+  def cosinePairs(embeddings: DataFrame, threshold: Double = 0.45,
+                  maxRows: Long = ScaleGuard.DefaultMaxRows): DataFrame = {
+    ScaleGuard("cosinePairs", embeddings, maxRows, scalePath = "annPairs")
     val e = normalized(embeddings)
     val x = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val y = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))

@@ -34,6 +34,21 @@ class AnnSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 1L)))
   }
 
+  test("cosinePairs scale guard rejects inputs beyond its row ceiling") {
+    val df = vecs((0L, Seq(1f, 0f)), (1L, Seq(1f, 0.01f)), (2L, Seq(0f, 1f)))
+    val e = intercept[IllegalArgumentException](Similarity.cosinePairs(df, maxRows = 2))
+    assert(e.getMessage.contains("annPairs")) // points at the scale path
+    assert(Similarity.cosinePairs(df, threshold = 0.9, maxRows = 3).count() == 1)
+  }
+
+  test("ann operators fail fast on an embedding dimension mismatch") {
+    // without the guard, null dots zero every sign bit and all vectors
+    // silently collapse into one bucket per band (quadratic self-join)
+    val df = vecs((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+    val e = intercept[Exception](Similarity.annPairs(df).collect())
+    assert(e.getMessage.contains("64"), s"unexpected: ${e.getMessage}")
+  }
+
   test("annTopK recall vs exact top-k on real embeddings (sf0.001)") {
     val emb = Tables.embeddings(spark, sf0001)
     val exact = Similarity.cosineTopK(emb).collect()

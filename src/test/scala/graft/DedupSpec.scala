@@ -21,6 +21,14 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_._2).sorted.toSeq == Seq("one two three", "two three four"))
   }
 
+  test("jaccardPairs scale guard rejects inputs beyond its row ceiling") {
+    val df = docs((1L, base), (2L, base), (3L, "other words entirely"))
+    val e = intercept[IllegalArgumentException](Dedup.jaccardPairs(df, maxRows = 2))
+    assert(e.getMessage.contains("minhashPairs")) // points at the scale path
+    // overriding the guard explicitly works
+    assert(Dedup.jaccardPairs(df, maxRows = 3).count() == 1)
+  }
+
   test("exact dedup groups identical text, keeper is min doc_id") {
     val df = docs((5L, "aaa"), (2L, "aaa"), (3L, "bbb"))
     val out = Dedup.exactDedup(df).collect()
