@@ -28,6 +28,38 @@ object JsonCodec {
   def parseLenient(c: Column, schema: StructType): Column =
     from_json(c, schema, Map("mode" -> "PERMISSIVE"))
 
+  /** Strict parse with the reference's PER-FIELD error reporting
+    * (JsonSerdes.scala:27-43): play-json distinguishes "not valid
+    * json?" from "incorrect JSON schema?" and names the failing paths
+    * in the JsError; FAILFAST from_json only throws a generic parse
+    * error. This variant parses PERMISSIVE with a corrupt-record
+    * column, then raises an error message naming the invalid or
+    * missing field(s) — and, like play-json's non-optional Reads (and
+    * unlike FAILFAST), treats an ABSENT required field as a schema
+    * error rather than a silent null. Pure Catalyst expressions; the
+    * error path costs nothing until a bad record appears. */
+  def parseStrictVerbose(c: Column, schema: StructType): Column = {
+    val corrupt = "_corrupt_record"
+    val full = StructType(schema.fields :+ StructField(corrupt, StringType))
+    val parsed = from_json(c, full,
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt))
+    // "valid json" = parses as a generic JSON object, schema-free (the
+    // wire format is object-shaped, like every reference record); this
+    // cleanly separates play-json's Json.parse failure from its Reads
+    // failure even when a type mismatch nulls every schema field
+    val isJsonObject = from_json(c, MapType(StringType, StringType)).isNotNull
+    val badFields = array_join(array_compact(array(schema.fields.map(f =>
+      when(parsed.getField(f.name).isNull, lit(f.name))): _*)), ", ")
+    val err =
+      when(!isJsonObject,
+        concat(lit("Could not parse '"), c, lit("': not valid json?")))
+        .when(badFields =!= "",
+          concat(lit("Could not parse '"), c,
+            lit("': incorrect JSON schema? invalid or missing field(s): "), badFields))
+    val clean = struct(schema.fields.map(f => parsed.getField(f.name).as(f.name)): _*)
+    when(err.isNotNull, raise_error(err)).otherwise(clean)
+  }
+
   /** struct → compact JSON text (reference JsonSerdes.scala:46-55). */
   def serialize(cols: Column*): Column = to_json(struct(cols: _*))
 

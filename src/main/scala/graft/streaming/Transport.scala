@@ -58,6 +58,40 @@ object Transport {
         Map("ignoreNullFields" -> "false")).as("value"),
       col(tsCol).as("timestamp"))
 
+  /** Wire schema of a parquet "topic": the Kafka record shape
+    * (FakeData.scala:63 ProducerRecord(topic, null, ts, key, value)). */
+  val TopicSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.LongType)))
+
+  /** A parquet-backed "topic": an append-only directory of framed
+    * (key, value json, timestamp) records — the Kafka edge shaped as
+    * files for this connector-less environment. Producers write the
+    * [[keyedProduce]] framing per micro-batch via foreachBatch; a real
+    * Kafka deployment swaps the body for `batch.write.format("kafka")`
+    * — the framing columns are exactly what that sink expects, which
+    * is the point of centralizing the edge here. */
+  def topicSink[T](ds: Dataset[T], keyCol: String, tsCol: String,
+                   path: String, checkpoint: String): StreamingQuery =
+    ds.toDF().writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        keyedProduce(batch, keyCol, tsCol).write.mode("append").parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Consume a parquet topic as a batch frame. */
+  def readTopic(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.schema(TopicSchema).parquet(path)
+
+  /** Consume a parquet topic as a stream — the downstream half of a
+    * topic round-trip (the analogue of a consumer group following the
+    * topic). */
+  def readTopicStream(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.readStream.schema(TopicSchema).parquet(path)
+
   /** The reference's state reset (streams.cleanUp(): wipe local state
     * before start). Recursive checkpoint delete; a fresh start then
     * rebuilds state from the source, exactly like the reference replays

@@ -29,6 +29,34 @@ class JsonCodecSpec extends SparkSpec {
     assert(ex.getMessage.toLowerCase.contains("malformed"))
   }
 
+  test("parseStrictVerbose: names the invalid field (reference JsError path)") {
+    val bad = Seq((1L, """{"k": "not-a-number"}""")).toDF("id", "js")
+    val ex = intercept[Exception] {
+      bad.select(JsonCodec.parseStrictVerbose(col("js"), JsonCodec.propsSchema)).collect()
+    }
+    assert(ex.getMessage.contains("incorrect JSON schema?"), ex.getMessage)
+    assert(ex.getMessage.contains("k"), ex.getMessage)
+  }
+
+  test("parseStrictVerbose: distinguishes invalid json from schema errors, missing field errors") {
+    val notJson = Seq((1L, "not json at all")).toDF("id", "js")
+    val ex1 = intercept[Exception] {
+      notJson.select(JsonCodec.parseStrictVerbose(col("js"), JsonCodec.propsSchema)).collect()
+    }
+    assert(ex1.getMessage.contains("not valid json?"), ex1.getMessage)
+    // absent required field: play-json non-optional Reads fails; so do we
+    val missing = Seq((1L, """{"other": 1}""")).toDF("id", "js")
+    val ex2 = intercept[Exception] {
+      missing.select(JsonCodec.parseStrictVerbose(col("js"), JsonCodec.propsSchema)).collect()
+    }
+    assert(ex2.getMessage.contains("missing field(s): k"), ex2.getMessage)
+    // the happy path parses clean
+    val ok = Seq((1L, """{"k": 42}""")).toDF("id", "js")
+      .select(JsonCodec.parseStrictVerbose(col("js"), JsonCodec.propsSchema).getField("k").as("k"))
+      .collect().map(_.getLong(0))
+    assert(ok.toSeq == Seq(42L))
+  }
+
   test("serialize round-trips through parseStrict") {
     val df = Seq((42L, 7L)).toDF("k", "x")
     val json = df.select(JsonCodec.serialize(col("k")).as("js"))

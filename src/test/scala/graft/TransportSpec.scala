@@ -19,6 +19,32 @@ class TransportSpec extends SparkSpec {
       Seq("key", "value", "timestamp"))
   }
 
+  test("parquet topic round-trips keyedProduce framing end to end") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val work = Files.createTempDirectory("topic-rt")
+    val topic = work.resolve("topic").toString
+    // produce: a stream of move events, framed per micro-batch
+    val moves = MemoryStream[CarMoveEvent](spark)
+    val q = Transport.topicSink(moves.toDS(), keyCol = "carId", tsCol = "seq",
+      topic, work.resolve("ckpt").toString)
+    moves.addData(CarMoveEvent(1, 7, 100, true, 5.0), CarMoveEvent(2, 7, 200, true, 4.0))
+    q.processAllAvailable()
+    moves.addData(CarMoveEvent(3, 8, 100, true, 6.0)) // second batch appends
+    q.processAllAvailable(); q.stop()
+    // consume: read the topic back and decode the JSON value
+    val payload = StructType(Seq(StructField("seq", LongType),
+      StructField("carId", LongType), StructField("zoneId", LongType)))
+    val back = Transport.readTopic(spark, topic)
+      .select(col("key"), col("timestamp"),
+        graft.sources.JsonCodec.parseStrictVerbose(col("value"), payload).as("v"))
+      .select(col("key"), col("timestamp"), col("v.seq"), col("v.carId"), col("v.zoneId"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._2)
+    assert(back.toSeq == Seq(
+      ("7", 1L, 1L, 7L, 100L), ("7", 2L, 2L, 7L, 200L), ("8", 3L, 3L, 8L, 100L)))
+  }
+
   test("memory sink + state reset: wiped checkpoint rebuilds state from the source") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
