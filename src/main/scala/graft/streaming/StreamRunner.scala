@@ -52,10 +52,15 @@ object StreamRunner {
 
   private val runId = new AtomicInteger(0)
 
-  /** Chunks = micro-batches in the replay: enough to prove incremental
-    * cross-batch state handling, few enough that per-batch RocksDB
-    * commit overhead stays off the measurement's critical path. */
-  val ReplayChunks = 4
+  /** Chunks = micro-batches in the replay: 2 proves incremental
+    * cross-batch state handling (state crosses a real batch boundary;
+    * FkJoinStreamSpec exercises many-batch interleavings separately)
+    * while keeping per-batch fixed overhead (~1 s of micro-batch
+    * planning + RocksDB commit per batch, measured and
+    * partition-count-independent) off the measurement's critical
+    * path. At production scale chunks map to source files/offset
+    * ranges and their count is workload-driven, not a constant. */
+  val ReplayChunks = 2
 
   /** seq = pid * ChunkSpan + rank keeps chunk-major ordering with room
     * for 2^40 events per chunk; density is not required, only
@@ -120,14 +125,31 @@ object StreamRunner {
     Files.deleteIfExists(dir.resolve("_SUCCESS"))
   }
 
-  /** Steps 2-3: stage `events`, replay through `topology`, sink to
-    * parquet. Returns (emission log, staged input) — both plain
-    * parquet-backed DataFrames. */
+  /** Staged-chunk reuse across replays of the SAME input: both
+    * streaming entries replay the same events table, and the staged
+    * chunk dir is immutable once written — the topic written once and
+    * consumed by two consumer groups. Keyed by the input's semantic
+    * plan hash (different paths/plans stage separately); holds a
+    * handful of paths per session. */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), Path]()
+
+  private def stagedDir(spark: SparkSession, events: DataFrame): Path =
+    stagedDirs.computeIfAbsent((spark, events.semanticHash()), _ => {
+      val dir = Files.createTempDirectory(s"graft_stage_${runId.incrementAndGet()}_")
+        .resolve("src")
+      stage(spark, events, dir)
+      dir
+    })
+
+  /** Steps 2-3: stage `events` (or reuse this session's staging of the
+    * same input), replay through `topology`, sink to parquet. Returns
+    * (emission log, staged input) — both plain parquet-backed
+    * DataFrames. */
   private def replay[T](spark: SparkSession, events: DataFrame,
                         topology: DataFrame => Dataset[T]): (DataFrame, DataFrame) = {
     val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
-    val srcDir = work.resolve("src")
-    stage(spark, events, srcDir)
+    val srcDir = stagedDir(spark, events)
     val src = spark.readStream
       .schema(Encoders.product[StagedEvent].schema)
       .option("maxFilesPerTrigger", 1)
