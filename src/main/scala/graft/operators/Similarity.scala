@@ -104,31 +104,24 @@ object Similarity {
     IndexedSeq.fill(AnnBits)(IndexedSeq.fill(Dim)(rnd.nextGaussian()))
   }
 
+  /** Flat row-major plane matrix, memoized so every buckets() call
+    * shares ONE instance — plan equality (and therefore Dataset cache
+    * reuse across calls) depends on it. */
+  private lazy val planesFlat: IndexedSeq[Double] = planes.flatten
+
   /** (band, sig) bucket rows per vector: sig packs rowsPerBand sign
-    * bits of hyperplane dot products. Pure per-row expressions — no
-    * shuffle until the bucket join itself. A custom codegen Expression
-    * could fuse the 32 projections at true scale; at this dimension the
-    * native higher-order functions are sufficient. */
-  private def buckets(e: DataFrame, idCol: String): DataFrame = {
-    val rowsPerBand = AnnBits / AnnBands
-    val bandCols = (0 until AnnBands).map { b =>
-      val sig = (0 until rowsPerBand).map { r =>
-        val plane = typedlit(planes(b * rowsPerBand + r))
-        when(dot(col("v"), plane) > 0, lit(1 << r)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), sig.as("sig"))
-    }
-    // Fail fast on a dimension mismatch: dot(v, plane) would be null,
-    // every sign bit would fall to 0, and ALL vectors would silently
-    // collapse into one bucket per band — a quadratic self-join in
-    // disguise. Better a loud error than a silent de-LSH.
-    val dimChecked = when(size(col("v")) === Dim, array(bandCols: _*))
-      .otherwise(raise_error(concat(
-        lit(s"SRP-LSH hyperplanes are $Dim-dimensional but embedding has size "),
-        size(col("v")).cast("string"))))
-    e.select(col(idCol), explode(dimChecked).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
-  }
+    * bits of hyperplane dot products, computed by the fused native
+    * kernel [[graft.functions.VectorKernels.srpSignatures]] — one
+    * expression, one pass, instead of 32 literal-matrix columns whose
+    * plan-side cost dominated the operator. Pure per-row work — no
+    * shuffle until the bucket join itself. The kernel throws on a
+    * dimension mismatch: silently null dots would zero every sign bit
+    * and collapse ALL vectors into one bucket per band — a quadratic
+    * self-join in disguise. */
+  private def buckets(e: DataFrame, idCol: String): DataFrame =
+    e.select(col(idCol),
+        posexplode(graft.functions.VectorKernels.srpSignatures(
+          col("v"), planesFlat, AnnBits, AnnBands, Dim)).as(Seq("band", "sig")))
 
   /** Approximate top-k: LSH bucket join for candidates, exact cosine
     * re-rank on candidates only. Same output shape as [[cosineTopK]];

@@ -80,6 +80,39 @@ class AnnSpec extends SparkSpec {
     assert(exact.nonEmpty) // fixture must exercise the path
   }
 
+  test("srpSignatures kernel matches a Scala reference computation, codegen or interpreted") {
+    import org.apache.spark.sql.functions.{col, transform => xform}
+    val emb = Tables.embeddings(spark, sf0001).limit(7)
+    val planes = Similarity.planes
+    val rowsPerBand = Similarity.AnnBits / Similarity.AnnBands
+    def reference(v: Seq[Double]): Seq[Int] =
+      (0 until Similarity.AnnBands).map { b =>
+        (0 until rowsPerBand).map { r =>
+          val pl = planes(b * rowsPerBand + r)
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i) * pl(i); i += 1 } // left-to-right
+          if (s > 0) 1 << r else 0
+        }.sum
+      }
+    val q = emb.select(col("vec_id"),
+      xform(col("embedding"), _.cast("double")).as("v"))
+    val withSigs = q.select(col("vec_id"), col("v"),
+      graft.functions.VectorKernels.srpSignatures(col("v"),
+        planes.flatten, Similarity.AnnBits, Similarity.AnnBands, Similarity.Dim).as("sigs"))
+    def collectSigs(): Map[Long, Seq[Int]] = withSigs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](2).toSeq).toMap
+    val fromKernel = collectSigs()
+    val expected = q.collect().map(r => r.getLong(0) -> reference(r.getSeq[Double](1).toSeq)).toMap
+    assert(fromKernel == expected)
+    // the interpreted (non-codegen) path must agree with codegen
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      assert(collectSigs() == expected)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("dot kernel: ragged or null-element arrays yield null, matching the HOF form") {
     import org.apache.spark.sql.functions.{col, transform => xform}
     val df = Seq(
