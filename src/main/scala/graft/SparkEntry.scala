@@ -89,6 +89,7 @@ object SparkEntry {
     "a_cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir))),
     "a_ann_topk" -> ((s, dir) => Similarity.annTopK(Tables.embeddings(s, dir))),
     "a_ann_pairs" -> ((s, dir) => Similarity.annPairs(Tables.embeddings(s, dir))),
+    "a_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
     // ---- training-data pipeline: dedup ----
     "d_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "d_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir))),
@@ -322,6 +323,10 @@ object SparkEntry {
     // the compare; AnnSpec separately asserts recall bounds vs exact.
     "a_ann_topk" -> annTopKOracle,
     "a_ann_pairs" -> annPairsOracle,
+    // IVF: the oracle replicates the deterministic strided coarse
+    // quantizer (vec_id % 31) — identical cells, probes and candidates
+    // in both engines, so IVF recall never enters the compare
+    "a_ivf_topk" -> ivfTopKOracle,
     "a_cosine_topk" ->
       s"""WITH $normCte,
         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
@@ -422,6 +427,32 @@ object SparkEntry {
        |             ROUND(list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm) + 1e-12, 6) AS cos
        |      FROM cand
        |      JOIN n ON n.vec_id = cand.vec_id
+       |      JOIN (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n) q ON q.qid = cand.query_id)
+       |SELECT query_id, vec_id, cos, rk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rk
+       |  FROM s) WHERE rk <= 5""".stripMargin
+
+  /** IVF in DuckDB: same strided centroids, same argmax-cosine cell
+    * assignment (ROW_NUMBER over cos DESC, cid ≡ the kernel's strict->
+    * first-wins over the cid-sorted array), same nProbe probe set. */
+  private lazy val ivfTopKOracle: String =
+    s"""WITH $normCte,
+       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % ${Similarity.IvfStride} = 0),
+       |asg AS (SELECT vec_id, cell FROM (
+       |  SELECT n.vec_id, c.cid AS cell,
+       |         ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |           ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.cid) AS rn
+       |  FROM n, cents c) WHERE rn = 1),
+       |probes AS (SELECT query_id, cell FROM (
+       |  SELECT q.vec_id AS query_id, c.cid AS cell,
+       |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |           ORDER BY list_dot_product(q.v, c.cv) / (q.nrm * c.cnrm) DESC, c.cid) AS pr
+       |  FROM n q, cents c WHERE q.vec_id < 10) WHERE pr <= ${Similarity.IvfProbes}),
+       |cand AS (SELECT p.query_id, a.vec_id
+       |         FROM asg a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id),
+       |s AS (SELECT cand.query_id, cand.vec_id,
+       |             ROUND(list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm) + 1e-12, 6) AS cos
+       |      FROM cand JOIN n ON n.vec_id = cand.vec_id
        |      JOIN (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n) q ON q.qid = cand.query_id)
        |SELECT query_id, vec_id, cos, rk FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rk

@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.SqlBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructType}
 
 /** Native Catalyst kernels for the similarity operators.
   *
@@ -182,6 +182,119 @@ case class SrpSignatures(child: Expression, planes: Seq[Double],
     copy(child = newChild)
 }
 
+/** IVF coarse-quantizer assignment: the centroid id whose cosine with
+  * the vector is highest, computed in one per-row pass.
+  *
+  * `cents` is an array<struct<cid: long, v: array<double>, nrm: double>>
+  * column — the centroid "model" rides to executors as DATA through a
+  * one-row broadcast join (Similarity.ivfTopK), never as a plan literal
+  * and never via a driver collect. Per element the kernel computes
+  * cos_j = dot(v, c_j.v) / (nrm * c_j.nrm) with the same left-to-right
+  * summation as [[DotProduct]] and DuckDB's list_dot_product, so the
+  * chosen cell is bit-identical to the oracle's ROW_NUMBER-over-cosine
+  * formulation. Strict `>` with first-wins means ties resolve to the
+  * earliest array element — the centroid array is sorted by cid, so ties
+  * go to the smallest cid, matching `ORDER BY cos DESC, cid`.
+  *
+  * A centroid of the wrong dimension throws (a silent null would drop
+  * the centroid and skew assignment); a null vector element skips only
+  * the affected centroid (null cosine never wins); no computable cosine
+  * at all (empty model) yields NULL. */
+case class IvfCell(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType,
+            ArrayType(StructType(Array(cid, v, nrm)), _))
+          if cid.dataType == LongType &&
+            v.dataType.isInstanceOf[ArrayType] &&
+            v.dataType.asInstanceOf[ArrayType].elementType == DoubleType &&
+            nrm.dataType == DoubleType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"ivf_cell expects (array<double>, double, array<struct<cid:long,v:array<double>,nrm:double>>), got $other")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ivf_cell"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(vecAny: Any, nrmAny: Any, centsAny: Any): Any = {
+    val v = vecAny.asInstanceOf[ArrayData]
+    val nrm = nrmAny.asInstanceOf[Double]
+    val cents = centsAny.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var best = 0L
+    var bestCos = 0.0
+    var found = false
+    var j = 0
+    val m = cents.numElements()
+    while (j < m) {
+      val c = cents.getStruct(j, 3)
+      val cv = c.getArray(1)
+      if (cv.numElements() != n)
+        throw new IllegalArgumentException(
+          s"IVF centroid is ${cv.numElements()}-dimensional but vector has size $n")
+      var s = 0.0
+      var anyNull = false
+      var i = 0
+      while (i < n && !anyNull) {
+        if (v.isNullAt(i) || cv.isNullAt(i)) anyNull = true
+        else { s += v.getDouble(i) * cv.getDouble(i); i += 1 }
+      }
+      if (!anyNull) {
+        val cos = s / (nrm * c.getDouble(2))
+        if (!found || cos > bestCos) { found = true; bestCos = cos; best = c.getLong(0) }
+      }
+      j += 1
+    }
+    if (found) best else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, nrm, cents) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val cv = ctx.freshName("cv")
+      val cos = ctx.freshName("cos")
+      val best = ctx.freshName("best")
+      val bestCos = ctx.freshName("bestCos")
+      val found = ctx.freshName("found")
+      val anyNull = ctx.freshName("anyNull")
+      s"""
+         |int $n = $v.numElements();
+         |int $m = $cents.numElements();
+         |long $best = 0L; double $bestCos = 0.0; boolean $found = false;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $c = $cents.getStruct($j, 3);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $c.getArray(1);
+         |  if ($cv.numElements() != $n) {
+         |    throw new IllegalArgumentException(
+         |      "IVF centroid is " + $cv.numElements() + "-dimensional but vector has size " + $n);
+         |  }
+         |  double $s = 0.0; boolean $anyNull = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($v.isNullAt($i) || $cv.isNullAt($i)) { $anyNull = true; break; }
+         |    $s += $v.getDouble($i) * $cv.getDouble($i);
+         |  }
+         |  if (!$anyNull) {
+         |    double $cos = $s / ($nrm * $c.getDouble(2));
+         |    if (!$found || $cos > $bestCos) { $found = true; $bestCos = $cos; $best = $c.getLong(0); }
+         |  }
+         |}
+         |if ($found) { ${ev.value} = $best; } else { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VectorKernels {
   /** Column-level dot product over two array<double> columns. */
   def dotProduct(a: Column, b: Column): Column =
@@ -190,4 +303,9 @@ object VectorKernels {
   /** All SRP band signatures of a vector column in one fused pass. */
   def srpSignatures(v: Column, planes: Seq[Double], bits: Int, bands: Int, dim: Int): Column =
     SqlBridge.column(SrpSignatures(SqlBridge.expression(v), planes, bits, bands, dim))
+
+  /** Nearest-centroid (by cosine) cell id for IVF coarse quantization. */
+  def ivfCell(v: Column, nrm: Column, cents: Column): Column =
+    SqlBridge.column(IvfCell(
+      SqlBridge.expression(v), SqlBridge.expression(nrm), SqlBridge.expression(cents)))
 }

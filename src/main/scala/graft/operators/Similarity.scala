@@ -155,6 +155,72 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  // --- IVF (inverted-file) ANN: the coarse-quantizer scale path ---
+
+  /** Every `IvfStride`-th vec_id is a centroid — a deterministic,
+    * replay-stable coarse quantizer the DuckDB oracle can replicate
+    * exactly (`vec_id % 31 = 0`). Cell count grows with the corpus
+    * (N/31), keeping per-cell population roughly constant. A real
+    * deployment would train centroids with k-means offline and pass
+    * them via `centroids`; the probe/search topology is identical. */
+  val IvfStride = 31
+  val IvfProbes = 3
+
+  /** IVF approximate top-k: assign each corpus vector to its
+    * nearest-cosine centroid cell (one per-row pass through the native
+    * [[graft.functions.IvfCell]] codegen kernel — the centroid model
+    * rides to executors as a one-row broadcast, never a driver
+    * collect), probe each query's `nProbe` nearest cells, and
+    * exact-re-rank only the vectors living in probed cells.
+    *
+    * Scale shape vs [[annTopK]]: LSH searches O(collision density)
+    * candidates with zero model; IVF searches nProbe/numCells of the
+    * corpus and needs a centroid model (≈ N/stride · dim · 8 B,
+    * broadcast — ~2 MB per million vectors, far under broadcast
+    * limits). The corpus never shuffles: assignment is per-row
+    * map-side work and the probe join broadcasts the tiny query side.
+    * Recall < 1 by construction; the oracle replicates the identical
+    * quantizer so both engines compute the same candidates (recall
+    * never enters the compare), and AnnSpec asserts recall vs exact. */
+  def ivfTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+              centStride: Int = IvfStride, nProbe: Int = IvfProbes,
+              centroids: Option[DataFrame] = None): DataFrame = {
+    val e = normalized(embeddings)
+    // (cid, v, nrm) centroid table — strided sample unless a trained
+    // model is supplied
+    val cents = centroids.getOrElse(
+      e.filter(col("vec_id") % centStride === 0)
+        .select(col("vec_id").as("cid"), col("v"), col("nrm")))
+    // one-row model: struct array sorted by cid so the kernel's
+    // first-wins tie-break lands on the smallest cid, matching the
+    // oracle's ORDER BY cos DESC, cid
+    val model = cents
+      .agg(sort_array(collect_list(struct(col("cid"), col("v"), col("nrm")))).as("cents"))
+    val assigned = e.crossJoin(broadcast(model))
+      .withColumn("cell",
+        graft.functions.VectorKernels.ivfCell(col("v"), col("nrm"), col("cents")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // each query probes its nProbe nearest cells (raw cosine ordering —
+    // both engines compute bit-identical doubles, ties break on cid)
+    val probes = q.crossJoin(broadcast(
+        cents.select(col("cid"), col("v").as("cv"), col("nrm").as("cnrm"))))
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))).as("ccos"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cid").as("cell"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosRounded(dot(col("v"), col("qv")), col("nrm") * col("qnrm")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+  }
+
   /** Approximate near-dup pairs: LSH bucket self-join → exact verify —
     * the scale path for [[cosinePairs]] (same shape as minhashPairs vs
     * jaccardPairs). Candidates ∝ bucket collision density. */

@@ -126,6 +126,84 @@ class AnnSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, Some(11.0)), (2L, None), (3L, None)))
   }
 
+  test("ivfTopK assigns to the nearest centroid and searches only probed cells") {
+    import org.apache.spark.sql.functions.{col, sqrt, transform => xform}
+    // two obvious clusters on orthogonal axes; queries 0 and 1 sit in
+    // opposite clusters, so with nProbe=1 each must see ONLY its own
+    // cluster's vectors
+    val df = vecs(
+      (0L, Seq(1f, 0f, 0f, 0f)),    // query, cluster X
+      (1L, Seq(0f, 1f, 0f, 0f)),    // query, cluster Y
+      (10L, Seq(2f, 0.1f, 0f, 0f)), // cluster X
+      (11L, Seq(3f, -0.1f, 0f, 0f)),// cluster X
+      (20L, Seq(0.1f, 2f, 0f, 0f)), // cluster Y
+      (21L, Seq(-0.1f, 3f, 0f, 0f)))// cluster Y
+    val cents = df.filter(col("vec_id").isin(10L, 20L))
+      .select(col("vec_id").as("cid"),
+        xform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorKernels.dotProduct(col("v"), col("v"))))
+    val out = Similarity.ivfTopK(df, numQueries = 2, k = 5, nProbe = 1,
+        centroids = Some(cents)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // query 0 probes cell 10 → finds {10, 11}; query 1 probes cell 20 → {20, 21}
+    assert(out == Set((0L, 10L), (0L, 11L), (1L, 20L), (1L, 21L)))
+  }
+
+  test("ivfTopK ⊆ exact top-500 with identical cosines; recall and determinism hold") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val exactAll = Similarity.cosineTopK(emb, numQueries = 10, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exactTop5 = Similarity.cosineTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every IVF hit carries its true exact cosine
+    assert(ivf.keySet.subsetOf(exactAll.keySet))
+    ivf.foreach { case (key, c) => assert(exactAll(key) == c) }
+    // 10 queries × k=5, probing 3 of ~16 cells on random 64-dim data:
+    // assert a floor, not the typical value
+    val recall = (exactTop5 intersect ivf.keySet).size.toDouble / exactTop5.size
+    assert(recall >= 0.2, s"IVF recall@5 too low: $recall")
+    assert(ivf.size == 50) // probed cells hold ≥ k candidates per query here
+    val again = Similarity.ivfTopK(emb).collect().map(_.toSeq).toSeq
+    assert(Similarity.ivfTopK(emb).collect().map(_.toSeq).toSeq == again)
+  }
+
+  test("ivfCell kernel: codegen and interpreted paths agree; dim mismatch throws") {
+    import org.apache.spark.sql.functions.{col, sqrt, transform => xform}
+    val emb = Tables.embeddings(spark, sf0001).limit(20)
+    val e = emb.select(col("vec_id"), xform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorKernels.dotProduct(col("v"), col("v"))))
+    val cents = e.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("cid"), col("v"), col("nrm"))
+    val model = cents.agg(org.apache.spark.sql.functions.sort_array(
+      org.apache.spark.sql.functions.collect_list(
+        org.apache.spark.sql.functions.struct(col("cid"), col("v"), col("nrm")))).as("cents"))
+    def assign(): Map[Long, Long] = e.crossJoin(org.apache.spark.sql.functions.broadcast(model))
+      .select(col("vec_id"),
+        graft.functions.VectorKernels.ivfCell(col("v"), col("nrm"), col("cents")).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromCodegen = assign()
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      assert(assign() == fromCodegen)
+    } finally spark.conf.set(key, prev)
+    assert(fromCodegen.size == 20 && fromCodegen.values.forall(_ % 7 == 0))
+    // wrong-dimension centroid: fail fast, never silently skew assignment
+    val badCents = Seq((0L, Seq(1.0, 2.0), 2.23606797749979)).toDF("cid", "v", "nrm")
+    val badModel = badCents.agg(org.apache.spark.sql.functions.sort_array(
+      org.apache.spark.sql.functions.collect_list(
+        org.apache.spark.sql.functions.struct(col("cid"), col("v"), col("nrm")))).as("cents"))
+    val ex = intercept[Exception] {
+      e.crossJoin(org.apache.spark.sql.functions.broadcast(badModel))
+        .select(graft.functions.VectorKernels.ivfCell(col("v"), col("nrm"), col("cents")))
+        .collect()
+    }
+    assert(ex.getMessage.contains("dimensional"), s"unexpected: ${ex.getMessage}")
+  }
+
   test("ann runs are deterministic (hyperplanes are seed-fixed)") {
     val emb = Tables.embeddings(spark, sf0001)
     val a = Similarity.annTopK(emb).collect().map(_.toSeq).toSeq
