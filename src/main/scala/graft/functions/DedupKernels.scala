@@ -1,0 +1,223 @@
+package graft.functions
+
+import org.apache.commons.codec.digest.DigestUtils
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.SqlBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native per-row signature kernels for the dedup operators.
+  *
+  * Both minhash and simhash signatures are per-document reductions over
+  * that document's own tokens — no cross-row state. The composed-
+  * expression formulation (`explode` tokens → `groupBy(doc)` →
+  * aggregate) therefore shuffles a corpus-sized token table only to
+  * regroup rows that started out together. These kernels compute the
+  * same reduction in one pass over the in-row token array: signature
+  * computation becomes pure map-side scan work — the ONLY shuffle left
+  * in the dedup operators is the (tiny, signature-sized) LSH bucket
+  * join. That is the difference between shuffling ~the corpus and
+  * shuffling ~200 bytes/doc at 100 TB.
+  *
+  * Hash-for-hash parity with the expression form is preserved exactly
+  * (DedupSpec pins both):
+  *  - minhash mirrors `hash(lit(i), shingle)`: murmur3 seed 42 chained
+  *    through the int literal then the UTF8 bytes — `seeds(i) =
+  *    hashInt(i, 42)`, per-shingle `hashUnsafeBytes(bytes, seeds(i))`,
+  *    with a null shingle contributing `seeds(i)` (a null child leaves
+  *    the running hash untouched, so `hash(i, NULL) = hashInt(i, 42)`).
+  *  - simhash mirrors `conv(substring(md5(word), 1, 16), 16, -10)`:
+  *    the top 8 md5 bytes big-endian as a signed long, and a null word
+  *    contributing -1 to every bit sum (NULL hash fails the `bit = 1`
+  *    test, taking the `otherwise(-1)` branch for all 64 bits).
+  */
+object DedupKernels {
+
+  /** Top 64 bits of md5(bytes of `s`), big-endian, as a signed long —
+    * bit-identical to `conv(substring(md5(s), 1, 16), 16, -10)
+    * .cast("long")` and DuckDB's equivalent, minus the hex-string
+    * round-trip. Called from generated code (static forwarder). */
+  def md5Top64(s: UTF8String): Long = {
+    val d = DigestUtils.md5(s.getBytes)
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
+  /** All `funcs` minhash values of a shingle array in one pass. */
+  def minhashSignatures(shingles: Column, funcs: Int): Column =
+    SqlBridge.column(MinhashSignatures(SqlBridge.expression(shingles), funcs))
+
+  /** 64-bit SimHash of a word array in one pass. */
+  def simhash64(words: Column): Column =
+    SqlBridge.column(Simhash64(SqlBridge.expression(words)))
+}
+
+/** Fused minhash-signature kernel: `funcs` min-over-murmur3 values of
+  * one document's shingle array, in a single pass.
+  *
+  * Equivalent composed form (what this replaces, and what DedupSpec
+  * compares against):
+  * {{{
+  *   shingles.groupBy(doc_id).agg((0 until funcs).map(i =>
+  *     min(hash(lit(i), col("shingle")))): _*)
+  * }}}
+  * An empty array yields all Int.MaxValue (callers filter empty shingle
+  * arrays first — the explode form emitted no row at all for those). */
+case class MinhashSignatures(child: Expression, funcs: Int)
+    extends UnaryExpression {
+  require(funcs > 0, s"funcs must be positive, got $funcs")
+
+  // hash(lit(i), shingle) = hashUnsafeBytes(shingle, hashInt(i, 42))
+  @transient private lazy val seeds: Array[Int] =
+    Array.tabulate(funcs)(i => Murmur3_x86_32.hashInt(i, 42))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signatures expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "minhash_signatures"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val mins = Array.fill(funcs)(Int.MaxValue)
+    var j = 0
+    while (j < m) {
+      if (arr.isNullAt(j)) {
+        var i = 0
+        while (i < funcs) { if (seeds(i) < mins(i)) mins(i) = seeds(i); i += 1 }
+      } else {
+        val s = arr.getUTF8String(j)
+        val base = s.getBaseObject
+        val off = s.getBaseOffset
+        val len = s.numBytes
+        var i = 0
+        while (i < funcs) {
+          val h = Murmur3_x86_32.hashUnsafeBytes(base, off, len, seeds(i))
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "int[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val m = ctx.freshName("m")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      s"""
+         |int $m = $arr.numElements();
+         |int[] $mins = new int[$funcs];
+         |java.util.Arrays.fill($mins, Integer.MAX_VALUE);
+         |for (int $j = 0; $j < $m; $j++) {
+         |  if ($arr.isNullAt($j)) {
+         |    for (int $i = 0; $i < $funcs; $i++) {
+         |      if ($seedsRef[$i] < $mins[$i]) $mins[$i] = $seedsRef[$i];
+         |    }
+         |  } else {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($j);
+         |    for (int $i = 0; $i < $funcs; $i++) {
+         |      int $h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+         |        $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), $seedsRef[$i]);
+         |      if ($h < $mins[$i]) $mins[$i] = $h;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused 64-bit SimHash kernel: sign of the per-bit ±1 sums of the md5
+  * token hashes of one document's word array, in a single pass.
+  *
+  * Equivalent composed form (what this replaces, and what DedupSpec
+  * compares against): explode words → `tokenHash64` → groupBy(doc) →
+  * 64 × `sum(when(bit = 1, 1).otherwise(-1))` → pack `> 0` bits.
+  * The sums are commutative integer arithmetic, so the packed value is
+  * identical regardless of evaluation order or grouping. */
+case class Simhash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val sums = new Array[Int](64)
+    var j = 0
+    while (j < m) {
+      if (arr.isNullAt(j)) {
+        var b = 0
+        while (b < 64) { sums(b) -= 1; b += 1 }
+      } else {
+        val h = DedupKernels.md5Top64(arr.getUTF8String(j))
+        var b = 0
+        while (b < 64) {
+          sums(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (sums(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val m = ctx.freshName("m")
+      val sums = ctx.freshName("sums")
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int $m = $arr.numElements();
+         |int[] $sums = new int[64];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  if ($arr.isNullAt($j)) {
+         |    for (int $b = 0; $b < 64; $b++) $sums[$b] -= 1;
+         |  } else {
+         |    long $h = graft.functions.DedupKernels.md5Top64($arr.getUTF8String($j));
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      $sums[$b] += ((($h >> $b) & 1L) == 1L) ? 1 : -1;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) if ($sums[$b] > 0) $out |= 1L << $b;
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

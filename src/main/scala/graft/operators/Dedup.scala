@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   *    quadratic in per-shingle document frequency. It is the oracle
   *    baseline; MinHash+LSH is what runs at 100 TB (candidates scale
   *    with true-duplicate density, not corpus²).
-  *  - MinHash signatures are one `groupBy(doc).agg(k × min(hash))` —
-  *    partial aggregation collapses each partition before the shuffle.
+  *  - MinHash and SimHash signatures are fused per-row kernels
+  *    ([[graft.functions.DedupKernels]]): pure map-side scan work with
+  *    NO shuffle — the only shuffle in either LSH path is the
+  *    signature-sized (~200 B/doc) bucket join, never the corpus.
   *  - SimHash pairs join on 16-bit bands (pigeonhole: hamming ≤ 3 over
   *    four bands ⇒ at least one band equal) — an exact banded join, no
   *    quadratic candidate explosion.
@@ -91,12 +93,22 @@ object Dedup {
   val MinhashBands = 16
 
   /** MinHash signature per document: MinhashFuncs min-hashes over
-    * shingles, as a single partial-aggregatable groupBy. Hash family =
-    * murmur3 of (func_index, shingle). */
+    * shingles in ONE per-row pass through the fused
+    * [[graft.functions.MinhashSignatures]] kernel. Hash family =
+    * murmur3 of (func_index, shingle) — bit-identical to the composed
+    * `explode → groupBy(doc).agg(48 × min(hash(lit(i), shingle)))`
+    * form (DedupSpec pins the equality), but with NO shuffle: the
+    * explode form shuffles the corpus-sized shingle table only to
+    * regroup rows that started out co-located. Docs with fewer than n
+    * words emit no signature row, matching the explode form. */
   def minhashSignatures(documents: DataFrame, n: Int = 3): DataFrame = {
-    val sh = shingles(documents, n)
-    val mins = (0 until MinhashFuncs).map(i => min(hash(lit(i), col("shingle"))).as(s"h$i"))
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val sig = documents
+      .select(col("doc_id"), shingleArray(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        graft.functions.DedupKernels.minhashSignatures(col("sh"), MinhashFuncs).as("sig"))
+    val cols = (0 until MinhashFuncs).map(i => col("sig")(i).as(s"h$i"))
+    sig.select(col("doc_id") +: cols: _*)
   }
 
   /** MinHash + LSH near-dup pairs, verified: band signatures → bucket
@@ -144,20 +156,17 @@ object Dedup {
     conv(substring(md5(word), 1, 16), 16, -10).cast("long")
 
   /** 64-bit SimHash per document: sign of the weighted sum of token
-    * hash bits. One explode + one partial-aggregatable groupBy. */
-  def simhash(documents: DataFrame): DataFrame = {
-    val words = documents.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("word"))
-      .withColumn("h", tokenHash64(col("word")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    val agg = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).map { j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("doc_id"), sim.as("simhash"))
-  }
+    * hash bits, in ONE per-row pass through the fused
+    * [[graft.functions.Simhash64]] kernel — bit-identical to the
+    * composed explode → 64-column groupBy form (the bit sums are
+    * commutative integer arithmetic; DedupSpec pins the equality) but
+    * with no word-table shuffle. Null-text docs emit no row, matching
+    * the explode form. */
+  def simhash(documents: DataFrame): DataFrame =
+    documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.DedupKernels.simhash64(split(col("text"), " ")).as("simhash"))
 
   /** SimHash near-dup pairs with hamming ≤ maxDist: exact banded join on
     * four 16-bit chunks, then bit_count verify. Pigeonhole over 4 bands

@@ -84,6 +84,58 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("fused minhash kernel matches the composed explode+groupBy formulation") {
+    val df = Tables.documents(spark, sf0001).limit(100)
+    // composed form the kernel replaced: explode shingles, 48 × min(hash)
+    val sh = Dedup.shingles(df, n = 3)
+    val mins = (0 until Dedup.MinhashFuncs).map(i =>
+      min(hash(lit(i), col("shingle"))).as(s"h$i"))
+    val composed = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val fused = Dedup.minhashSignatures(df, n = 3)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(fused == composed)
+    assert(fused.nonEmpty)
+  }
+
+  test("fused simhash kernel matches the composed explode+groupBy formulation") {
+    val df = Tables.documents(spark, sf0001).limit(100)
+    val words = df.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("word"))
+      .withColumn("h", Dedup.tokenHash64(col("word")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val sim = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val composed = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sim.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = Dedup.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == composed)
+    assert(fused.nonEmpty)
+  }
+
+  test("dedup kernels: codegen and interpreted paths agree; null/empty semantics") {
+    val df = docs((1L, base), (2L, base + " more"), (3L, "xy")) // doc 3: < 3 words
+    def run(): (Map[Long, Seq[Any]], Map[Long, Long]) = {
+      val m = Dedup.minhashSignatures(df).collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val s = Dedup.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (m, s)
+    }
+    val fromCodegen = run()
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      assert(run() == fromCodegen)
+    } finally spark.conf.set(key, prev)
+    // short doc emits no minhash signature row (matches the explode form)
+    assert(fromCodegen._1.keySet == Set(1L, 2L))
+    assert(fromCodegen._2.keySet == Set(1L, 2L, 3L))
+  }
+
   test("minhashPairs equals jaccardPairs on fixtures (LSH recall 1 at threshold)") {
     val texts = Seq(
       base,
