@@ -57,6 +57,8 @@ object SparkEntry {
       graft.streaming.StreamRunner.replayFkJoin(s, ev(s, dir))),
     "s_stream_move_fold" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayMoveFold(s, ev(s, dir))),
+    "s_stream_window_agg" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayWindowAgg(s, ev(s, dir))),
     // ---- relational coverage (TPC-H-ish) ----
     "q1_pricing_summary" -> ((s, dir) =>
       Relational.pricingSummary(Tables.lineitem(s, dir))),
@@ -195,6 +197,21 @@ object SparkEntry {
         |UNION ALL
         |SELECT event_id, car_id, from_zone AS zone_id, FALSE AS is_arriving, fuel_level FROM moves
         |WHERE from_zone IS NOT NULL AND from_zone <> to_zone""".stripMargin,
+    // append-mode windowed agg with watermark: the sentinel chunks close
+    // every real window, so the emitted log equals the batch per-window
+    // aggregate. window_start = hour-truncated event time in micros on
+    // both sides (Spark window() is epoch-aligned; ts div 1000 ≡ tns //
+    // 1000 for the positive nanos in events)
+    "s_stream_window_agg" ->
+      """WITH z AS (
+        |  SELECT CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS zone_id,
+        |         value AS pollution_level, epoch_ns(ts) AS tns
+        |  FROM events WHERE event_type = 'error')
+        |SELECT (tns // 1000) // 3600000000 * 3600000000 AS window_start,
+        |       zone_id, COUNT(*) AS n_readings,
+        |       ROUND(CAST(SUM(CAST(pollution_level AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) + 1e-12, 4) AS avg_pollution
+        |FROM z WHERE zone_id IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     "q_arrive_leave" ->
       s"""WITH $movesCte
          |SELECT event_id, car_id, to_zone AS zone_id, TRUE AS is_arriving, fuel_level FROM moves

@@ -128,13 +128,25 @@ object Dedup {
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    // cached: candidate pairs ∝ true-duplicate density (tiny), and the
+    // verify stage reads them three times (doc-id restriction + two legs)
     val candidates = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verification on candidates only
-    val sets = documents.select(col("doc_id"), shingleArray(col("text"), n).as("sh"))
+      .cache()
+    // exact verification on candidates only: semi-join restricts the
+    // (expensive) shingle recomputation to docs that appear in some
+    // candidate pair — one corpus scan with a pushed-down id filter
+    // instead of two full shingle passes. candDocs ∝ duplicate density;
+    // on a corpus where that outgrows broadcast limits, drop the hint
+    // (a shuffled semi-join still beats two full shingle passes)
+    val candDocs = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val sets = documents
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingleArray(col("text"), n).as("sh"))
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

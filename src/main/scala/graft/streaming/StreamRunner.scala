@@ -11,12 +11,13 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.CarZone
 
-/** One staged replay record: the car/zone union envelope plus the chunk
-  * id (`pid`, the range-partition ordinal) and the global arrival rank
+/** One staged replay record: the car/zone union envelope plus the event
+  * time (`ts`, nanos — carried for event-time windowing), the chunk id
+  * (`pid`, the range-partition ordinal) and the global arrival rank
   * (`seq`). Top-level in this file so Spark can derive a product
   * encoder for the stamping `mapPartitions`. */
 private[streaming] case class StagedEvent(kind: String, a: Long, b: Long, v: Double,
-                                          eventId: Long, pid: Int, seq: Long)
+                                          ts: Long, eventId: Long, pid: Int, seq: Long)
 
 /** Replays the driver's batch `events` table through the streaming
   * topology (FkJoinStream) and returns results as plain DataFrames, so
@@ -91,30 +92,60 @@ object StreamRunner {
     cars.unionByName(zones)
   }
 
+  /** Event time of the watermark-closing sentinel record: far enough in
+    * the future that every real window is strictly below it, while
+    * staying well inside timestamp range (~year 2116 in micros). */
+  private[streaming] val SentinelTs = Long.MaxValue / 2
+
   /** Distributed arrival-order stamping + chunked parquet staging (steps
-    * 1-2 above). Returns nothing; the staged chunks live at `dir`. */
-  private def stage(spark: SparkSession, events: DataFrame, dir: Path): Unit = {
+    * 1-2 above). Returns nothing; the staged chunks live at `dir`.
+    *
+    * With `withSentinel`, two extra single-record chunks with a
+    * far-future event time (`kind = "wm"`, picked up LAST) are
+    * appended — the punctuation analogue for event-time topologies: the
+    * first advances the watermark past every real window; the second
+    * triggers one more micro-batch so append-mode operators emit
+    * everything the advanced watermark closed (a watermark update takes
+    * effect in the batch after the one that observed it). Two chunks
+    * make emission independent of whether the engine schedules a
+    * trailing no-data flush batch. */
+  private def stage(spark: SparkSession, events: DataFrame, dir: Path,
+                    withSentinel: Boolean): Unit = {
     import spark.implicits._
     envelope(events)
       .repartitionByRange(ReplayChunks, col("ts"), col("eventId"))
       .sortWithinPartitions(col("ts"), col("eventId"))
       .withColumn("pid", spark_partition_id())
-      .select(col("kind"), col("a"), col("b"), col("v"), col("eventId"),
-        col("pid"), lit(0L).as("seq"))
+      .select(col("kind"), col("a"), col("b"), col("v"), col("ts"),
+        col("eventId"), col("pid"), lit(0L).as("seq"))
       .as[StagedEvent]
       .mapPartitions { it => // rank within the sorted range partition
         var rank = 0L
         it.map { e => rank += 1; e.copy(seq = e.pid.toLong * ChunkSpan + rank) }
       }
       .write.mode("overwrite").parquet(dir.toString)
+    if (withSentinel) (0 until 2).foreach { i =>
+      val tmp = Files.createTempDirectory(s"graft_sentinel_$i")
+      Seq(StagedEvent("wm", 0L, 0L, 0.0, SentinelTs + i, -1L - i,
+          ReplayChunks + i, (ReplayChunks + i).toLong * ChunkSpan))
+        .toDS().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val tl = Files.list(tmp)
+      val part =
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(tl.iterator()).asScala
+          .find(_.getFileName.toString.startsWith("part-")).get
+        finally tl.close()
+      // zz- prefix: sorts after every range-partition part file
+      Files.move(part, dir.resolve(s"zz-sentinel-$i.parquet"))
+    }
     // Chunk pickup order for the file source = mtime order (oldest
-    // first): part file names carry the range-partition ordinal, so
-    // name order is chunk order — make mtimes strictly increasing in
-    // that order (driver-side file METADATA only, never data).
+    // first): part file names carry the range-partition ordinal (the
+    // sentinel chunks sort last), so name order is chunk order — make
+    // mtimes strictly increasing in that order (driver-side file
+    // METADATA only, never data).
     val listing = Files.list(dir)
     val parts =
       try scala.jdk.CollectionConverters.IteratorHasAsScala(listing.iterator()).asScala
-        .filter(_.getFileName.toString.startsWith("part-"))
+        .filter(p => !p.getFileName.toString.startsWith("_"))
         .toSeq.sortBy(_.getFileName.toString)
       finally listing.close()
     val base = System.currentTimeMillis() - 86400000L // yesterday: always in the past
@@ -132,13 +163,14 @@ object StreamRunner {
     * plan hash (different paths/plans stage separately); holds a
     * handful of paths per session. */
   private val stagedDirs =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), Path]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int, Boolean), Path]()
 
-  private def stagedDir(spark: SparkSession, events: DataFrame): Path =
-    stagedDirs.computeIfAbsent((spark, events.semanticHash()), _ => {
+  private def stagedDir(spark: SparkSession, events: DataFrame,
+                        withSentinel: Boolean): Path =
+    stagedDirs.computeIfAbsent((spark, events.semanticHash(), withSentinel), _ => {
       val dir = Files.createTempDirectory(s"graft_stage_${runId.incrementAndGet()}_")
         .resolve("src")
-      stage(spark, events, dir)
+      stage(spark, events, dir, withSentinel)
       dir
     })
 
@@ -147,9 +179,10 @@ object StreamRunner {
     * (emission log, staged input) — both plain parquet-backed
     * DataFrames. */
   private def replay[T](spark: SparkSession, events: DataFrame,
-                        topology: DataFrame => Dataset[T]): (DataFrame, DataFrame) = {
+                        topology: DataFrame => Dataset[T],
+                        withSentinel: Boolean = false): (DataFrame, DataFrame) = {
     val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
-    val srcDir = stagedDir(spark, events)
+    val srcDir = stagedDir(spark, events, withSentinel)
     val src = spark.readStream
       .schema(Encoders.product[StagedEvent].schema)
       .option("maxFilesPerTrigger", 1)
@@ -189,6 +222,55 @@ object StreamRunner {
         lastPerCar("carId") === col("car_id") && lastPerCar("zoneId") === col("zone_id"))
       .select(col("car_id"), col("zone_id"),
         col("fuelLevel").as("fuel_level"), col("pollutionLevel").as("pollution_level"))
+  }
+
+  /** Event-time tumbling-window aggregation with a watermark, replayed
+    * through the chunked transport: per (window, zone), the count and
+    * average of pollution readings — `readStream → withWatermark →
+    * groupBy(window(...)) → agg` in APPEND mode, the canonical
+    * Structured Streaming windowed-agg topology.
+    *
+    * Event time is the staged `ts` (nanos → micros). The watermark
+    * delay is 0: chunks are range-partitioned by (ts, event_id), so a
+    * later chunk never carries an event time below an earlier chunk's
+    * maximum and nothing is ever late (ties at the chunk boundary are
+    * not late either — "late" is strictly-below-watermark). Append mode
+    * only emits a window once the watermark passes its end, which would
+    * withhold the final windows forever on a finite replay; the staged
+    * sentinel chunks (see [[stage]]) close them deterministically, so
+    * the emitted log equals the batch per-window aggregate exactly —
+    * which is the DuckDB oracle.
+    *
+    * Averages follow the repo-wide parity rule: DECIMAL-exact sum (any
+    * summation order) divided by the count, rounded with the boundary
+    * nudge on both engines. */
+  def replayWindowAgg(spark: SparkSession, events: DataFrame,
+                      windowSecs: Int = 3600): DataFrame = {
+    ensureRocksDb(spark)
+    // Excluding the sentinel from the aggregation is subtle: Catalyst
+    // pushes any predicate NOT referencing the watermark column below
+    // the EventTimeWatermark node (and splits conjunctions), so a
+    // `kind =!= "wm"` filter would drop the sentinel BEFORE it reaches
+    // the watermark accumulator and the final windows would never
+    // close. The sentinel is therefore excluded by a predicate on the
+    // event-time column itself — exactly the class of predicate the
+    // optimizer must keep above the watermark node. Real event times
+    // are far below the cutoff (2100-01-01 UTC); SentinelTs is above.
+    val sentinelCutoffUs = 4102444800000000L
+    val (log, _) = replay(spark, events, (src: DataFrame) => {
+      src
+        .filter(col("kind").isin("zone", "wm")) // pushable: wm row survives for the watermark
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ets", "0 seconds")
+        .filter(col("ets") < timestamp_micros(lit(sentinelCutoffUs)))
+        .groupBy(window(col("ets"), s"$windowSecs seconds"), col("a").as("zone_id"))
+        .agg(count(lit(1)).as("n_readings"),
+          round(sum(col("v").cast("decimal(18,4)")).cast("double") / count(lit(1))
+            + lit(1e-12), 4).as("avg_pollution"))
+        .select(unix_micros(col("window.start")).as("window_start"),
+          col("zone_id"), col("n_readings"), col("avg_pollution"))
+    }, withSentinel = true)
+    log
   }
 
   /** Stage-1 (move fold) replay → the arrive/leave event log with its

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CarZone
+import graft.streaming.StreamRunner
+
+/** Event-time windowed aggregation replayed through the chunked
+  * transport: append-mode emission with a 0-delay watermark must equal
+  * the batch per-window aggregate exactly — every window closed (the
+  * sentinel chunks advance the watermark past the final window; a
+  * pushed-down sentinel filter would silently lose it, see
+  * StreamRunner.replayWindowAgg), nothing dropped as late (chunks are
+  * range-partitioned by time), and the sentinel itself never leaks
+  * into the output. */
+class StreamWindowSpec extends SparkSpec {
+
+  test("streaming windowed agg equals the batch per-window aggregate") {
+    val events = Tables.events(spark, sf0001)
+    val streamed = StreamRunner.replayWindowAgg(spark, events)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val batch = CarZone.zoneEvents(events)
+      .filter(col("zone_id").isNotNull)
+      .groupBy((expr("ts div 1000") divide lit(3600000000L)).cast("long")
+          .multiply(3600000000L).as("window_start"), col("zone_id"))
+      .agg(count(lit(1)).as("n_readings"),
+        round(sum(col("pollution_level").cast("decimal(18,4)")).cast("double") / count(lit(1))
+          + lit(1e-12), 4).as("avg_pollution"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // the final window made it out (the sentinel closed it) ...
+    assert(streamed.keySet.map(_._1).max == batch.keySet.map(_._1).max)
+    // ... and the sentinel itself never leaks into the output
+    assert(streamed.keySet.forall { case (ws, zid) => ws < 4102444800000000L && zid >= 0 })
+  }
+}
