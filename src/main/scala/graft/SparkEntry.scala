@@ -59,6 +59,10 @@ object SparkEntry {
       graft.streaming.StreamRunner.replayMoveFold(s, ev(s, dir))),
     "s_stream_window_agg" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayWindowAgg(s, ev(s, dir))),
+    "s_stream_static_join" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayStaticJoin(s, ev(s, dir))),
+    "s_stream_interval_join" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayIntervalJoin(s, ev(s, dir))),
     // ---- relational coverage (TPC-H-ish) ----
     "q1_pricing_summary" -> ((s, dir) =>
       Relational.pricingSummary(Tables.lineitem(s, dir))),
@@ -197,6 +201,34 @@ object SparkEntry {
         |UNION ALL
         |SELECT event_id, car_id, from_zone AS zone_id, FALSE AS is_arriving, fuel_level FROM moves
         |WHERE from_zone IS NOT NULL AND from_zone <> to_zone""".stripMargin,
+    // stream-static enrichment: every car event ⋈ the static
+    // latest-pollution dimension (stateless, order-independent)
+    "s_stream_static_join" ->
+      s"""WITH $zonesCte
+         |SELECT c.event_id, c.car_id, c.zone_id, c.fuel_level, z.pollution_level
+         |FROM (SELECT event_id, user_id AS car_id,
+         |             CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS BIGINT) AS zone_id,
+         |             value AS fuel_level
+         |      FROM events WHERE event_type IN ('click','view')) c
+         |JOIN latest_zones z USING (zone_id) WHERE z.rn = 1""".stripMargin,
+    // stream-stream interval join: inner emission is not watermark-gated
+    // and chunks are time-ordered, so the streamed pairs are exactly the
+    // batch range join (times compared in micros on both sides)
+    "s_stream_interval_join" ->
+      """WITH c AS (
+        |  SELECT event_id AS car_event_id, user_id AS car_id,
+        |         CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS zone_id,
+        |         value AS fuel_level, epoch_ns(ts) // 1000 AS cus
+        |  FROM events WHERE event_type IN ('click','view')),
+        |z AS (
+        |  SELECT event_id AS zone_event_id,
+        |         CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS zone_id,
+        |         value AS pollution_level, epoch_ns(ts) // 1000 AS zus
+        |  FROM events WHERE event_type = 'error')
+        |SELECT c.car_event_id, z.zone_event_id, c.car_id, c.zone_id,
+        |       c.fuel_level, z.pollution_level
+        |FROM c JOIN z USING (zone_id)
+        |WHERE z.zus >= c.cus AND z.zus <= c.cus + 3600000000""".stripMargin,
     // append-mode windowed agg with watermark: the sentinel chunks close
     // every real window, so the emitted log equals the batch per-window
     // aggregate. window_start = hour-truncated event time in micros on

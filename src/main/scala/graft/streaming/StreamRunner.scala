@@ -273,6 +273,61 @@ object StreamRunner {
     log
   }
 
+  /** Stream-static join replay: every streaming car event looked up
+    * against a STATIC dimension (the batch latest-pollution-per-zone
+    * table) — `readStream.join(staticDf)`, the canonical enrichment
+    * topology. Stateless and order-independent: the output row set is
+    * all car events whose zone has a pollution reading, so it is
+    * oracle-checkable regardless of chunking. The static side is
+    * broadcast — a dimension lookup never shuffles the stream. */
+  def replayStaticJoin(spark: SparkSession, events: DataFrame): DataFrame = {
+    val zonesStatic = CarZone.latestZones(events)
+    val (log, _) = replay(spark, events, (src: DataFrame) =>
+      src.filter(col("kind") === "car")
+        .join(broadcast(zonesStatic), col("b") === zonesStatic("zone_id"))
+        .select(col("eventId").as("event_id"), col("a").as("car_id"),
+          col("zone_id"), col("v").as("fuel_level"), col("pollution_level")))
+    log
+  }
+
+  /** Stream-stream interval join replay: car arrivals ⋈ the zone's
+    * pollution readings taken within the hour AFTER the arrival —
+    * two watermarked branches of the staged stream, equi-join on zone
+    * plus an event-time range, Structured Streaming's canonical
+    * stream-stream join (a capability the reference's engine lacks
+    * outright: "time semantics have not been taken into account",
+    * DemoApp.scala:62-63).
+    *
+    * Determinism: an INNER interval join emits a pair as soon as both
+    * sides are present — emission is not watermark-gated (no sentinel
+    * needed). The watermarks bound STATE: each side is buffered only
+    * while the other side's range condition can still match it, and
+    * because chunks are range-partitioned by time nothing ever arrives
+    * below the watermark, so no on-time pair is ever missed — the
+    * output is exactly the batch range-join, which is the oracle. */
+  def replayIntervalJoin(spark: SparkSession, events: DataFrame,
+                         rangeSecs: Int = 3600): DataFrame = {
+    val (log, _) = replay(spark, events, (src: DataFrame) => {
+      val cars = src.filter(col("kind") === "car")
+        .select(col("a").as("car_id"), col("b").as("car_zone"),
+          col("v").as("fuel_level"), col("eventId").as("car_event_id"),
+          timestamp_micros(expr("ts div 1000")).as("cts"))
+        .withWatermark("cts", "0 seconds")
+      val zones = src.filter(col("kind") === "zone")
+        .select(col("a").as("zone_id"), col("v").as("pollution_level"),
+          col("eventId").as("zone_event_id"),
+          timestamp_micros(expr("ts div 1000")).as("zts"))
+        .withWatermark("zts", "0 seconds")
+      cars.join(zones,
+        col("car_zone") === col("zone_id") &&
+          col("zts") >= col("cts") &&
+          col("zts") <= col("cts") + expr(s"INTERVAL $rangeSecs SECONDS"))
+        .select(col("car_event_id"), col("zone_event_id"), col("car_id"),
+          col("zone_id"), col("fuel_level"), col("pollution_level"))
+    })
+    log
+  }
+
   /** Stage-1 (move fold) replay → the arrive/leave event log with its
     * originating event_id. Oracle: the arrive/leave SQL restricted to
     * parseable-zone events. Unparseable-zone car events (the -1

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CarZone
+import graft.streaming.StreamRunner
+
+/** Stream-static and stream-stream join replays through the chunked
+  * transport: output must equal the corresponding batch join exactly —
+  * including interval-join pairs whose two sides arrive in DIFFERENT
+  * micro-batches (the buffered-state path). */
+class StreamJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream-static join equals the batch join of all car events to the dimension") {
+    val events = Tables.events(spark, sf0001)
+    val streamed = StreamRunner.replayStaticJoin(spark, events)
+      .collect().map(_.toSeq).toSet
+    val batch = CarZone.carEvents(events)
+      .join(CarZone.latestZones(events), "zone_id")
+      .select(col("event_id"), col("car_id"), col("zone_id"),
+        col("fuel_level"), col("pollution_level"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("interval join equals the batch range join on real data") {
+    val events = Tables.events(spark, sf0001)
+    val streamed = StreamRunner.replayIntervalJoin(spark, events)
+      .collect().map(_.toSeq).toSet
+    val c = CarZone.carEvents(events).select(
+      col("event_id").as("car_event_id"), col("car_id"), col("zone_id"),
+      col("fuel_level"), expr("ts div 1000").as("cus"))
+    val z = CarZone.zoneEvents(events).select(
+      col("event_id").as("zone_event_id"), col("zone_id"),
+      col("pollution_level"), expr("ts div 1000").as("zus"))
+    val batch = c.join(z, "zone_id")
+      .filter(col("zus") >= col("cus") && col("zus") <= col("cus") + 3600000000L)
+      .select(col("car_event_id"), col("zone_event_id"), col("car_id"),
+        col("zone_id"), col("fuel_level"), col("pollution_level"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
+  test("interval join matches pairs across micro-batch boundaries (buffered state)") {
+    // six events; with 2 range chunks the split lands mid-sequence, so
+    // car 1 (earliest) must still be buffered when zone 5's +50 min
+    // reading arrives in the second chunk
+    val t0 = 1704067200000000000L // 2024-01-01T00:00Z in nanos
+    val min = 60L * 1000000000L
+    def car(id: Long, carId: Long, zone: Long, ts: Long) =
+      (id, carId, "click", s"""{"k": $zone}""", 10.0 + id, ts)
+    def zone(id: Long, z: Long, v: Double, ts: Long) =
+      (id, 0L, "error", s"""{"k": $z}""", v, ts)
+    val events = Seq(
+      car(1L, 100L, 5L, t0),
+      zone(2L, 5L, 1.5, t0 + 10 * min),
+      car(3L, 200L, 6L, t0 + 40 * min),
+      zone(4L, 6L, 2.5, t0 + 45 * min),
+      zone(5L, 5L, 3.5, t0 + 50 * min),
+      zone(6L, 5L, 4.5, t0 + 70 * min)) // > 1 h after car 1: excluded
+      .toDF("event_id", "user_id", "event_type", "props", "value", "ts")
+    val out = StreamRunner.replayIntervalJoin(spark, events)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (1L, 5L), (3L, 4L)))
+  }
+}
