@@ -61,6 +61,8 @@ object SparkEntry {
       graft.streaming.StreamRunner.replayWindowAgg(s, ev(s, dir))),
     "s_stream_static_join" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayStaticJoin(s, ev(s, dir))),
+    "s_stream_dedup" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayStreamDedup(s, ev(s, dir))),
     "s_stream_interval_join" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayIntervalJoin(s, ev(s, dir))),
     // ---- relational coverage (TPC-H-ish) ----
@@ -211,6 +213,20 @@ object SparkEntry {
          |             value AS fuel_level
          |      FROM events WHERE event_type IN ('click','view')) c
          |JOIN latest_zones z USING (zone_id) WHERE z.rn = 1""".stripMargin,
+    // streaming dedup of an intentionally-doubled stream: output = the
+    // distinct staged envelope (cars with the -1 unparseable-zone
+    // sentinel, zones restricted to parseable ids — StreamRunner.envelope)
+    "s_stream_dedup" ->
+      """SELECT event_id, 'car' AS kind, user_id AS entity_id,
+        |       COALESCE(CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT), -1) AS b,
+        |       value AS value
+        |FROM events WHERE event_type IN ('click','view')
+        |UNION ALL
+        |SELECT event_id, 'zone' AS kind,
+        |       CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS entity_id,
+        |       0 AS b, value AS value
+        |FROM events WHERE event_type = 'error'
+        |  AND NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') IS NOT NULL""".stripMargin,
     // stream-stream interval join: inner emission is not watermark-gated
     // and chunks are time-ordered, so the streamed pairs are exactly the
     // batch range join (times compared in micros on both sides)

@@ -141,7 +141,12 @@ object Dedup {
     // candidate pair — one corpus scan with a pushed-down id filter
     // instead of two full shingle passes. candDocs ∝ duplicate density;
     // on a corpus where that outgrows broadcast limits, drop the hint
-    // (a shuffled semi-join still beats two full shingle passes)
+    // (a shuffled semi-join still beats two full shingle passes).
+    // Measured trade-off: at test scale (5k docs) the restriction's
+    // fixed costs (candidate materialization + broadcasts) COST ~0.9 s
+    // vs recomputing shingles for everything — the crossover is
+    // corpus-size-driven, and at the target scale the full-corpus
+    // shingle pass is the dominant term by orders of magnitude
     val candDocs = candidates
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
     val sets = documents

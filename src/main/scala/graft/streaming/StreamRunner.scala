@@ -273,6 +273,30 @@ object StreamRunner {
     log
   }
 
+  /** Streaming exact deduplication replay: the staged stream is unioned
+    * with itself (every record arrives twice in the same micro-batch —
+    * the at-least-once-delivery duplicate pattern) and
+    * `dropDuplicatesWithinWatermark` collapses it back to one row per
+    * event id. The within-watermark variant is the 100 TB-correct
+    * form: dedup state is dropped once the watermark passes, so state
+    * size tracks the duplicate-arrival horizon, not the stream's
+    * lifetime (plain `dropDuplicates` state grows forever). Duplicates
+    * are exact copies, so whichever copy wins, the emitted row is
+    * identical — the output equals the distinct envelope, which is the
+    * oracle. */
+  def replayStreamDedup(spark: SparkSession, events: DataFrame): DataFrame = {
+    ensureRocksDb(spark)
+    val (log, _) = replay(spark, events, (src: DataFrame) => {
+      val withTime = src.withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      withTime.unionByName(withTime)
+        .withWatermark("ets", "0 seconds")
+        .dropDuplicatesWithinWatermark("eventId")
+        .select(col("eventId").as("event_id"), col("kind"),
+          col("a").as("entity_id"), col("b"), col("v").as("value"))
+    })
+    log
+  }
+
   /** Stream-static join replay: every streaming car event looked up
     * against a STATIC dimension (the batch latest-pollution-per-zone
     * table) — `readStream.join(staticDf)`, the canonical enrichment

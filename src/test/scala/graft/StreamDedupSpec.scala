@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CarZone
+import graft.streaming.StreamRunner
+
+/** Streaming exact dedup through the chunked transport: a stream
+  * carrying every record twice (at-least-once delivery) must collapse
+  * to exactly one row per event id, equal to the distinct envelope. */
+class StreamDedupSpec extends SparkSpec {
+
+  test("doubled stream dedups back to exactly the distinct envelope") {
+    val events = Tables.events(spark, sf0001)
+    val out = StreamRunner.replayStreamDedup(spark, events)
+      .collect().map(_.toSeq).toSet
+    val cars = CarZone.carEvents(events).select(col("event_id"), lit("car").as("kind"),
+      col("car_id").as("entity_id"), coalesce(col("zone_id"), lit(-1L)).as("b"),
+      col("fuel_level").as("value"))
+    val zones = CarZone.zoneEvents(events).filter(col("zone_id").isNotNull)
+      .select(col("event_id"), lit("zone").as("kind"), col("zone_id").as("entity_id"),
+        lit(0L).as("b"), col("pollution_level").as("value"))
+    val expected = cars.unionByName(zones).collect().map(_.toSeq).toSet
+    assert(out == expected)
+    assert(out.nonEmpty)
+  }
+}
