@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.SqlBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -53,6 +54,52 @@ object DedupKernels {
   /** All `funcs` minhash values of a shingle array in one pass. */
   def minhashSignatures(shingles: Column, funcs: Int): Column =
     SqlBridge.column(MinhashSignatures(SqlBridge.expression(shingles), funcs))
+
+  /** All `funcs` minhash values straight from the text in one pass —
+    * no shingle strings are ever materialized. */
+  def minhashText(text: Column, n: Int, funcs: Int): Column =
+    SqlBridge.column(MinhashText(SqlBridge.expression(text), n, funcs))
+
+  /** Shared minhash inner loop: fold one shingle's bytes into the
+    * running minima. Called from generated code (static forwarder). */
+  def minhashUpdate(base: AnyRef, off: Long, len: Int,
+                    seeds: Array[Int], mins: Array[Int]): Unit = {
+    var i = 0
+    while (i < seeds.length) {
+      val h = Murmur3_x86_32.hashUnsafeBytes(base, off, len, seeds(i))
+      if (h < mins(i)) mins(i) = h
+      i += 1
+    }
+  }
+
+  /** One-pass text → minhash minima: scans the UTF-8 bytes once,
+    * tracking the last `n` word-start positions in a ring buffer, and
+    * folds each word n-gram's BYTE RANGE into `mins` — equivalent to
+    * hashing `concat_ws(" ", split(text, " ")[i..i+n-1])` because
+    * split-then-join with the same single-char delimiter reconstructs
+    * the original bytes for ANY input (empty words included), and a
+    * space byte (0x20) never occurs inside a multi-byte UTF-8
+    * sequence. Duplicate grams need no dedup: re-folding a gram cannot
+    * change a minimum. Shared by eval and codegen. */
+  def minhashTextInto(base: AnyRef, off: Long, len: Int, n: Int,
+                      seeds: Array[Int], mins: Array[Int]): Unit = {
+    val ring = new Array[Int](n)
+    var wordIdx = 0
+    var wordStart = 0
+    var p = 0
+    while (p <= len) {
+      if (p == len || Platform.getByte(base, off + p) == ' ') {
+        ring(wordIdx % n) = wordStart // word wordIdx spans [wordStart, p)
+        if (wordIdx >= n - 1) {
+          val gs = ring((wordIdx - (n - 1)) % n)
+          minhashUpdate(base, off + gs, p - gs, seeds, mins)
+        }
+        wordStart = p + 1
+        wordIdx += 1
+      }
+      p += 1
+    }
+  }
 
   /** 64-bit SimHash of a word array in one pass. */
   def simhash64(words: Column): Column =
@@ -139,6 +186,55 @@ case class MinhashSignatures(child: Expression, funcs: Int)
          |    }
          |  }
          |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fully-fused text → minhash-signature kernel: word splitting,
+  * n-gram formation and all `funcs` min-hashes in ONE pass over the
+  * text's UTF-8 bytes — no shingle strings, no intermediate arrays
+  * (see [[DedupKernels.minhashTextInto]] for the byte-range argument).
+  * Bit-identical to `MinhashSignatures(shingleArray(text, n))` and to
+  * the composed explode+groupBy form; DedupSpec pins both. A text with
+  * fewer than `n` words yields all Int.MaxValue (callers filter those
+  * rows with the cheap `size(split(text, " ")) >= n` predicate). */
+case class MinhashText(child: Expression, n: Int, funcs: Int)
+    extends UnaryExpression {
+  require(n > 0, s"shingle width must be positive, got $n")
+  require(funcs > 0, s"funcs must be positive, got $funcs")
+
+  @transient private lazy val seeds: Array[Int] =
+    Array.tabulate(funcs)(i => Murmur3_x86_32.hashInt(i, 42))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_text expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "minhash_text"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val mins = Array.fill(funcs)(Int.MaxValue)
+    DedupKernels.minhashTextInto(s.getBaseObject, s.getBaseOffset, s.numBytes, n, seeds, mins)
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "int[]")
+    nullSafeCodeGen(ctx, ev, s => {
+      val mins = ctx.freshName("mins")
+      s"""
+         |int[] $mins = new int[$funcs];
+         |java.util.Arrays.fill($mins, Integer.MAX_VALUE);
+         |graft.functions.DedupKernels.minhashTextInto(
+         |  $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), $n, $seedsRef, $mins);
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
        """.stripMargin
     })

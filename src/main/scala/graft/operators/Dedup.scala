@@ -93,20 +93,24 @@ object Dedup {
   val MinhashBands = 16
 
   /** MinHash signature per document: MinhashFuncs min-hashes over
-    * shingles in ONE per-row pass through the fused
-    * [[graft.functions.MinhashSignatures]] kernel. Hash family =
-    * murmur3 of (func_index, shingle) — bit-identical to the composed
-    * `explode → groupBy(doc).agg(48 × min(hash(lit(i), shingle)))`
-    * form (DedupSpec pins the equality), but with NO shuffle: the
-    * explode form shuffles the corpus-sized shingle table only to
-    * regroup rows that started out co-located. Docs with fewer than n
-    * words emit no signature row, matching the explode form. */
+    * shingles in ONE per-row byte pass through the fully-fused
+    * [[graft.functions.MinhashText]] kernel (words, n-grams and hashes
+    * straight off the text bytes — no shingle strings materialized).
+    * Hash family = murmur3 of (func_index, shingle) — bit-identical to
+    * the composed `explode → groupBy(doc).agg(48 × min(hash(lit(i),
+    * shingle)))` form (DedupSpec pins the equality), but with NO
+    * shuffle: the explode form shuffles the corpus-sized shingle table
+    * only to regroup rows that started out co-located. Docs with fewer
+    * than n words emit no signature row, matching the explode form. */
   def minhashSignatures(documents: DataFrame, n: Int = 3): DataFrame = {
+    // short-doc filter on the CHEAP equivalent predicate (≥ n words ⇔
+    // non-empty shingle array): a `size(shingleArray) > 0` filter gets
+    // pushed below the projection and re-evaluates the whole shingle
+    // HOF expression a second time per row (observed in the plan)
     val sig = documents
-      .select(col("doc_id"), shingleArray(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .filter(size(split(col("text"), " ")) >= n)
       .select(col("doc_id"),
-        graft.functions.DedupKernels.minhashSignatures(col("sh"), MinhashFuncs).as("sig"))
+        graft.functions.DedupKernels.minhashText(col("text"), n, MinhashFuncs).as("sig"))
     val cols = (0 until MinhashFuncs).map(i => col("sig")(i).as(s"h$i"))
     sig.select(col("doc_id") +: cols: _*)
   }

@@ -117,6 +117,34 @@ class DedupSpec extends SparkSpec {
     assert(fused.nonEmpty)
   }
 
+  test("minhashText byte-range kernel equals shingle-array kernel on hostile inputs") {
+    // empty words from doubled/leading/trailing delimiters, multi-byte
+    // UTF-8, single-word and exactly-n-word docs: the byte-range gram
+    // must equal concat_ws(" ", split(...)) for ALL of them
+    val texts = Seq(
+      "plain three word document here",
+      "double  space  inside",
+      " leading space",
+      "trailing space ",
+      "exactly three words",
+      "naïve café résumé über emoji 🎉 mixed ascii",
+      "a b", // fewer than n words
+      "  ", // only empty words
+      "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def collect(c: org.apache.spark.sql.Column) =
+      df.select(col("doc_id"), c.as("sig")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val fromText = collect(
+      graft.functions.DedupKernels.minhashText(col("text"), 3, Dedup.MinhashFuncs))
+    val fromArray = collect(
+      graft.functions.DedupKernels.minhashSignatures(
+        Dedup.shingleArray(col("text"), 3), Dedup.MinhashFuncs))
+    assert(fromText == fromArray)
+    // short docs are all-MaxValue in both kernels (callers filter them)
+    assert(fromText(6L).forall(_ == Int.MaxValue))
+  }
+
   test("dedup kernels: codegen and interpreted paths agree; null/empty semantics") {
     val df = docs((1L, base), (2L, base + " more"), (3L, "xy")) // doc 3: < 3 words
     def run(): (Map[Long, Seq[Any]], Map[Long, Long]) = {
