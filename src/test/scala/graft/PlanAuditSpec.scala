@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Physical-plan audit: regression-locks the scale-critical plan shapes
+  * the operators were designed around (SURVEY.md §7.1). Each property
+  * here is one that quietly breaking would not change sf0.01 results
+  * but WOULD change the 100 TB cost class — filters reaching the
+  * parquet scan, column pruning, map-side partial aggregation,
+  * broadcast joins staying broadcast, top-k staying map-side-limited,
+  * and the signature kernels staying shuffle-free.
+  *
+  * Assertions run on the pre-execution physical plan string (with AQE
+  * this is the initial plan — join strategy, exchanges, pushdown and
+  * aggregation modes are all decided there).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  private lazy val dir = sf0001
+
+  test("scanFilterProject: predicate and projection reach the parquet scan") {
+    val p = plan(Relational.scanFilterProject(Tables.lineitem(spark, dir)))
+    assert(p.contains("GreaterThan(l_quantity"), s"filter not pushed to scan:\n$p")
+    // pruning: untouched wide columns must not be read
+    assert(!p.contains("l_extendedprice") && !p.contains("l_comment"),
+      s"column pruning lost — scan reads unused columns:\n$p")
+  }
+
+  test("pricingSummary: map-side partial aggregation and pushed date filter") {
+    val p = plan(Relational.pricingSummary(Tables.lineitem(spark, dir)))
+    assert(p.contains("partial_sum"), s"no map-side partial aggregation:\n$p")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), s"shipdate filter not pushed:\n$p")
+  }
+
+  test("revenueByNation: all three dims broadcast, no cartesian, bounded shuffles") {
+    val p = plan(Relational.revenueByNation(
+      Tables.customer(spark, dir), Tables.orders(spark, dir), Tables.lineitem(spark, dir),
+      Tables.nation(spark, dir), Tables.region(spark, dir)))
+    // >= 3: the three hinted dims must stay broadcast; at tiny SF the
+    // optimizer may auto-broadcast the orders side as well (fine — at
+    // scale that side exceeds the threshold and becomes a shuffle join)
+    assert(count(p, "BroadcastHashJoin") >= 3, s"expected 3 broadcast dim joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product crept in:\n$p")
+    // one fact-fact join (orderkey) + one agg exchange; anything more is a regression
+    assert(count(p, "Exchange hashpartitioning") <= 3, s"extra shuffles:\n$p")
+  }
+
+  test("topUrgentOrders: top-10 is TakeOrdered, not a global sort") {
+    val p = plan(Relational.topUrgentOrders(
+      Tables.customer(spark, dir), Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
+    assert(p.contains("TakeOrderedAndProject"), s"limit+order lost TakeOrdered:\n$p")
+  }
+
+  test("topOrdersPerCustomer: rank filter compiles to map-side WindowGroupLimit") {
+    val p = plan(Relational.topOrdersPerCustomer(Tables.orders(spark, dir)))
+    assert(count(p, "WindowGroupLimit") >= 2,
+      s"expected partial+final WindowGroupLimit (map-side top-k):\n$p")
+  }
+
+  test("fkJoin: both sides partial-aggregated, zone side broadcast") {
+    val p = plan(CarZone.fkJoin(Tables.events(spark, dir)))
+    assert(p.contains("partial_max_by"),
+      s"latest-per-key lost its map-side partial aggregation:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bounded zone side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("exactDedup: shuffle key is the 16-byte fingerprint, agg is partial") {
+    val p = plan(Dedup.exactDedup(Tables.documents(spark, dir)))
+    assert(p.contains("partial_min"), s"no map-side partial aggregation:\n$p")
+    // the group key is the computed md5 expression (Spark materializes it
+    // as _groupingexpression in a pre-shuffle Project), so the exchange
+    // carries 16-byte fingerprints — the document text never shuffles
+    assert(p.contains("Exchange hashpartitioning(_groupingexpression"),
+      s"shuffle not keyed on the computed md5 fingerprint:\n$p")
+    val exIdx = p.indexOf("Exchange hashpartitioning")
+    val md5Idx = p.indexOf("md5(cast(text")
+    assert(exIdx >= 0 && md5Idx > exIdx,
+      s"md5 must be computed below the exchange (map side):\n$p")
+  }
+
+  test("minhash signatures: pure per-row kernel, zero shuffles") {
+    val p = plan(Dedup.minhashSignatures(Tables.documents(spark, dir)))
+    assert(!p.contains("Exchange"), s"signature stage must not shuffle:\n$p")
+  }
+
+  test("simhash signatures: pure per-row kernel, zero shuffles") {
+    val p = plan(Dedup.simhash(Tables.documents(spark, dir)))
+    assert(!p.contains("Exchange"), s"signature stage must not shuffle:\n$p")
+  }
+
+  test("cosineTopK: broadcast query side, map-side WindowGroupLimit, no shuffle of corpus vectors") {
+    val p = plan(Similarity.cosineTopK(Tables.embeddings(spark, dir)))
+    assert(count(p, "WindowGroupLimit") >= 2,
+      s"top-k lost its partial WindowGroupLimit (shuffle would carry the corpus):\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query side not broadcast:\n$p")
+    // the only hashpartitioning exchange is the (query_id, cos) triples for ranking
+    assert(count(p, "Exchange hashpartitioning") == 1, s"extra shuffles:\n$p")
+  }
+
+  test("annTopK: bucket join and re-rank broadcast the query side only; no cartesian") {
+    val p = plan(Similarity.annTopK(Tables.embeddings(spark, dir)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ANN path must stay equi-join only:\n$p")
+    assert(count(p, "BroadcastExchange") >= 2, s"query side not broadcast:\n$p")
+  }
+
+  test("events loader: partition filter prunes, no full-table scan state") {
+    // q3-style date filter must reach the orders scan
+    val p = plan(Tables.orders(spark, dir).filter(col("o_orderdate") < "1995-03-15")
+      .select(col("o_orderkey"), col("o_orderdate")))
+    assert(p.contains("LessThan(o_orderdate"), s"date filter not pushed:\n$p")
+  }
+}
