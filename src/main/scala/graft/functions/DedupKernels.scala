@@ -104,6 +104,62 @@ object DedupKernels {
   /** 64-bit SimHash of a word array in one pass. */
   def simhash64(words: Column): Column =
     SqlBridge.column(Simhash64(SqlBridge.expression(words)))
+
+  /** Distinct winnowing fingerprints of the text in one pass. */
+  def winnowText(text: Column, n: Int, w: Int): Column =
+    SqlBridge.column(WinnowText(SqlBridge.expression(text), n, w))
+
+  /** One-pass text → winnowing fingerprints: word n-gram BYTE RANGES
+    * (same split/join identity as [[minhashTextInto]]) are md5-hashed
+    * into a `w`-slot ring; each full window contributes its minimum
+    * digest (unsigned 16-byte compare ≡ lexicographic compare of the
+    * lowercase hex strings the composed form produces) to an insertion-
+    * ordered set, which is exactly `array_distinct` of the window
+    * minima in window order. Returns the distinct survivors as
+    * lowercase hex. Shared by eval and codegen. */
+  def winnowTextInto(base: AnyRef, off: Long, len: Int, n: Int, w: Int): GenericArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val starts = new Array[Int](n) // last n word-start positions
+    val ring = new Array[Array[Byte]](w) // last w gram digests
+    val seen = new java.util.LinkedHashSet[java.nio.ByteBuffer]()
+    var wordIdx = 0
+    var wordStart = 0
+    var gramCount = 0
+    var p = 0
+    while (p <= len) {
+      if (p == len || Platform.getByte(base, off + p) == ' ') {
+        starts(wordIdx % n) = wordStart // word wordIdx spans [wordStart, p)
+        if (wordIdx >= n - 1) {
+          val gs = starts((wordIdx - (n - 1)) % n)
+          val buf = new Array[Byte](p - gs)
+          Platform.copyMemory(base, off + gs, buf, Platform.BYTE_ARRAY_OFFSET, buf.length)
+          ring(gramCount % w) = md.digest(buf) // digest() resets md
+          if (gramCount >= w - 1) {
+            var minIdx = 0
+            var i = 1
+            while (i < w) {
+              if (java.util.Arrays.compareUnsigned(ring(i), ring(minIdx)) < 0) minIdx = i
+              i += 1
+            }
+            seen.add(java.nio.ByteBuffer.wrap(ring(minIdx)))
+          }
+          gramCount += 1
+        }
+        wordStart = p + 1
+        wordIdx += 1
+      }
+      p += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) {
+      out(i) = UTF8String.fromString(
+        org.apache.commons.codec.binary.Hex.encodeHexString(it.next().array()))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Fused minhash-signature kernel: `funcs` min-over-murmur3 values of
@@ -239,6 +295,50 @@ case class MinhashText(child: Expression, n: Int, funcs: Int)
        """.stripMargin
     })
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fully-fused winnowing-fingerprint kernel (Schleimer/Wilkerson/Aiken):
+  * word splitting, n-gram formation, md5 gram hashing, the w-wide
+  * sliding-window minimum and the distinct pass, all in ONE scan of the
+  * text's UTF-8 bytes — no gram strings, no hash array, no
+  * per-window array slices.
+  *
+  * Equivalent composed form (what this replaces; the TextAnalysis spec
+  * pins the equality):
+  * {{{
+  *   array_distinct(transform(sequence(0, size(h) - w),
+  *     i => array_min(slice(h, i + 1, w))))
+  *   // h = transform(positional n-grams, md5)
+  * }}}
+  * Fewer than w windows (i.e. < n + w - 1 words) yields an empty array,
+  * matching the composed form's `when(size(h) >= w, ...)` guard. */
+case class WinnowText(child: Expression, n: Int, w: Int) extends UnaryExpression {
+  require(n > 0, s"gram width must be positive, got $n")
+  require(w > 0, s"window width must be positive, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_text expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_text"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    DedupKernels.winnowTextInto(s.getBaseObject, s.getBaseOffset, s.numBytes, n, w)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |${ev.value} = graft.functions.DedupKernels.winnowTextInto(
+         |  $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), $n, $w);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -104,22 +104,15 @@ object TextAnalysis {
     * the minimum of each window, emit the distinct survivors. Robust to
     * local edits (an edit only disturbs nearby windows), output size
     * ~2/(w+1) of the gram count — the sketch that partial-overlap
-    * detection shuffles instead of documents. All inside codegen'd
-    * array expressions; md5 stands in for the rolling gram hash (the
-    * rolling evaluation is an engine-local optimization — the selected
-    * fingerprints are identical). */
-  def winnowFingerprint(documents: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
-    val grams = graft.operators.Dedup.shingleArray(col("text"), n, distinct = false)
-    // materialize the hash array as its own column BEFORE windowing:
-    // Catalyst does no common-subexpression elimination inside
-    // higher-order-function lambdas, so an inlined hash array would be
-    // recomputed per window — O(grams²) md5 calls (measured 100×
-    // slower at sf0.1)
-    val hashed = documents.select(col("doc_id"), transform(grams, g => md5(g)).as("h"))
-    val mins = when(size(col("h")) >= w,
-      array_distinct(transform(sequence(lit(0), size(col("h")) - w),
-        i => array_min(slice(col("h"), i + 1, lit(w))))))
-      .otherwise(array().cast("array<string>"))
-    hashed.select(col("doc_id"), explode(mins).as("fp"))
-  }
+    * detection shuffles instead of documents. md5 stands in for the
+    * rolling gram hash (the rolling evaluation is an engine-local
+    * optimization — the selected fingerprints are identical).
+    *
+    * Runs through the fully-fused per-row kernel
+    * [[graft.functions.WinnowText]] (one byte pass, no gram strings or
+    * hash arrays); bit-identical to the composed HOF formulation, which
+    * the TextAnalysisSpec pins. */
+  def winnowFingerprint(documents: DataFrame, n: Int = 3, w: Int = 4): DataFrame =
+    documents.select(col("doc_id"),
+      explode(graft.functions.DedupKernels.winnowText(col("text"), n, w)).as("fp"))
 }

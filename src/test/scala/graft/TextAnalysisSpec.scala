@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.functions.TextAnalysis
+import graft.operators.Dedup
+
+class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
+  import spark.implicits._
+
+  /** The composed HOF formulation the fused WinnowText kernel replaced —
+    * the reference semantics the kernel must reproduce bit-for-bit. */
+  private def winnowComposed(documents: DataFrame, n: Int, w: Int): DataFrame = {
+    val grams = Dedup.shingleArray(col("text"), n, distinct = false)
+    // hash array materialized before windowing (no CSE inside HOF lambdas)
+    val hashed = documents.select(col("doc_id"), transform(grams, g => md5(g)).as("h"))
+    val mins = when(size(col("h")) >= w,
+      array_distinct(transform(sequence(lit(0), size(col("h")) - w),
+        i => array_min(slice(col("h"), i + 1, lit(w))))))
+      .otherwise(array().cast("array<string>"))
+    hashed.select(col("doc_id"), explode(mins).as("fp"))
+  }
+
+  private def rows(df: DataFrame): Seq[(Long, String)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+
+  test("fused winnow kernel equals the composed HOF formulation on the corpus") {
+    val docs = Tables.documents(spark, sf0001).limit(200)
+    val fused = rows(TextAnalysis.winnowFingerprint(docs))
+    val composed = rows(winnowComposed(docs, 3, 4))
+    assert(fused == composed)
+    assert(fused.nonEmpty)
+  }
+
+  test("fused winnow kernel equals composed form on hostile inputs") {
+    // empty words from doubled/leading/trailing delimiters, multi-byte
+    // UTF-8, duplicate grams (distinct pass), boundary word counts
+    // (< n; exactly n; n..n+w-2 grams = no full window; exactly n+w-1)
+    val texts = Seq(
+      "one two three four five six seven eight nine ten",
+      "rep rep rep rep rep rep rep rep rep", // all grams equal → 1 fingerprint
+      "double  space  inside  here  kept  throughout",
+      " leading space then more words here too",
+      "trailing space padded words in this doc ",
+      "naïve café résumé über emoji 🎉 mixed ascii text",
+      "a b", // < n words
+      "exactly three words", // n words → 1 gram < w windows
+      "just four little words", // 2 grams < w
+      "now five words in doc", // 3 grams < w
+      "here are six words making gram", // 4 grams = exactly one window
+      "  ", // only empty words
+      "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val fused = rows(TextAnalysis.winnowFingerprint(df))
+    val composed = rows(winnowComposed(df, 3, 4))
+    assert(fused == composed)
+    assert(fused.exists(_._1 == 0L))
+    assert(fused.count(_._1 == 1L) == 1) // distinct pass collapses equal minima
+    // docs without a full hash window emit nothing
+    Seq(6L, 7L, 8L, 9L, 11L, 12L).foreach { id =>
+      assert(!fused.exists(_._1 == id), s"doc $id should emit no fingerprints")
+    }
+  }
+
+  test("winnow kernel: codegen and interpreted paths agree") {
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    val fromCodegen = rows(TextAnalysis.winnowFingerprint(docs))
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val interpreted = rows(TextAnalysis.winnowFingerprint(docs))
+      assert(fromCodegen == interpreted)
+    } finally spark.conf.set(key, prev)
+  }
+}
