@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.SqlBridge
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+
+import graft.functions._
+
+/** graft's native Catalyst kernels as SQL functions.
+  *
+  * Registration paths, both wired to the same definitions:
+  *  - `spark.sql.extensions=graft.GraftExtensions` at session build —
+  *    the standard Spark extension mechanism ([[GraftExtensions]]);
+  *  - [[GraftFunctions.register]] on a live session — for sessions the
+  *    library user doesn't construct (notebooks, host harnesses).
+  *
+  * Every function is a thin SQL name over the exact expression the
+  * Column API uses, so SQL users get the same codegen kernels — and the
+  * same semantics pins (DedupSpec/TextAnalysisSpec/AnnSpec) — as
+  * DataFrame users. Static tuning parameters (shingle width, function
+  * counts, LSH geometry) must be foldable (literal) arguments: they
+  * parameterize the generated code itself.
+  */
+object GraftFunctions {
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments, got ${args.length}")
+
+  /** Constant int parameter: foldable so the value exists at plan time
+    * (it shapes the generated kernel, not per-row data). */
+  private def intArg(fn: String, args: Seq[Expression], i: Int): Int = args(i) match {
+    case e if e.foldable && e.dataType == IntegerType =>
+      e.eval().asInstanceOf[Int]
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${i + 1} must be an integer literal, got ${other.sql}")
+  }
+
+  /** Constant array<double> parameter (e.g. an LSH plane matrix). */
+  private def doubleArrayArg(fn: String, args: Seq[Expression], i: Int): Seq[Double] =
+    args(i) match {
+      case e if e.foldable && e.dataType.isInstanceOf[ArrayType] &&
+          e.dataType.asInstanceOf[ArrayType].elementType == DoubleType =>
+        e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray().toSeq
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an array<double> literal, got ${other.sql}")
+    }
+
+  private def fn(name: String, usage: String)(
+      builder: Seq[Expression] => Expression): FunctionDescription =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.GraftFunctions", null, name, usage, ""),
+      builder)
+
+  /** All graft SQL functions. */
+  val all: Seq[FunctionDescription] = Seq(
+    fn("graft_dot_product",
+      "graft_dot_product(a, b) - left-to-right dot product of two array<double>") { args =>
+      arity("graft_dot_product", args, 2)
+      DotProduct(args(0), args(1))
+    },
+    fn("graft_srp_signatures",
+      "graft_srp_signatures(v, planes, bits, bands, dim) - banded sign-bit LSH signatures") { args =>
+      arity("graft_srp_signatures", args, 5)
+      SrpSignatures(args(0), doubleArrayArg("graft_srp_signatures", args, 1),
+        intArg("graft_srp_signatures", args, 2), intArg("graft_srp_signatures", args, 3),
+        intArg("graft_srp_signatures", args, 4))
+    },
+    fn("graft_ivf_cell",
+      "graft_ivf_cell(v, nrm, cents) - nearest-cosine-centroid cell id") { args =>
+      arity("graft_ivf_cell", args, 3)
+      IvfCell(args(0), args(1), args(2))
+    },
+    fn("graft_minhash_signatures",
+      "graft_minhash_signatures(shingles, funcs) - minhash minima of a shingle array") { args =>
+      arity("graft_minhash_signatures", args, 2)
+      MinhashSignatures(args(0), intArg("graft_minhash_signatures", args, 1))
+    },
+    fn("graft_minhash_text",
+      "graft_minhash_text(text, n, funcs) - one-pass word-n-gram minhash of text") { args =>
+      arity("graft_minhash_text", args, 3)
+      MinhashText(args(0), intArg("graft_minhash_text", args, 1),
+        intArg("graft_minhash_text", args, 2))
+    },
+    fn("graft_simhash64",
+      "graft_simhash64(words) - 64-bit simhash of a word array") { args =>
+      arity("graft_simhash64", args, 1)
+      Simhash64(args(0))
+    },
+    fn("graft_winnow_text",
+      "graft_winnow_text(text, n, w) - distinct winnowing fingerprints of text") { args =>
+      arity("graft_winnow_text", args, 3)
+      WinnowText(args(0), intArg("graft_winnow_text", args, 1),
+        intArg("graft_winnow_text", args, 2))
+    },
+  )
+
+  /** Register every graft function on a live session (idempotent —
+    * re-registration replaces the same definitions). */
+  def register(spark: SparkSession): Unit = {
+    val registry = SqlBridge.functionRegistry(spark)
+    all.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
+  }
+}
+
+/** `spark.sql.extensions=graft.GraftExtensions` — injects the graft SQL
+  * functions at session build, the mechanism a deployment uses so every
+  * session on the cluster sees the functions without code changes. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(extensions.injectFunction)
+}

@@ -1,15 +1,23 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Column ⇄ Expression bridge. Spark 4 made the converters
-  * (`ExpressionUtils`) private[sql], so libraries that define custom
-  * Catalyst expressions place one accessor inside the
-  * org.apache.spark.sql namespace — this file is deliberately the only
-  * one in the repo that does. */
+  * (`ExpressionUtils`) and the session internals private[sql], so
+  * libraries that define custom Catalyst expressions place one accessor
+  * inside the org.apache.spark.sql namespace — this file is
+  * deliberately the only one in the repo that does. */
 object SqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The live session's function registry — the target for registering
+    * graft's native SQL functions on a session built WITHOUT
+    * `spark.sql.extensions` (e.g. one owned by a host harness). */
+  def functionRegistry(spark: SparkSession): FunctionRegistry =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
 }
