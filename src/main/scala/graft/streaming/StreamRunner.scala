@@ -68,6 +68,21 @@ object StreamRunner {
     * monotonicity in (ts, event_id). */
   private val ChunkSpan = 1L << 40
 
+  /** Shuffle/state partition count for the replay queries (override via
+    * this conf key on the session). A streaming query freezes its state
+    * partition count from `spark.sql.shuffle.partitions` at its first
+    * batch, and EVERY state partition pays a RocksDB instance + commit
+    * per micro-batch regardless of data volume — inheriting a
+    * CPU-count-sized session default (32 on the bench host) makes the
+    * replay ~64 fixed RocksDB commits per batch for kilobyte chunks,
+    * which measured as two-thirds of the whole bench. The replay sizes
+    * its own state partitioning to its data instead (the session value
+    * is restored right after the query finishes, so batch queries and
+    * production streams — which size this through their own session
+    * conf — are untouched). */
+  val ReplayPartitionsKey = "spark.graft.replay.partitions"
+  val DefaultReplayPartitions = 4
+
   private def ensureRocksDb(spark: SparkSession): Unit = {
     val k = "spark.sql.streaming.stateStore.providerClass"
     val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -187,13 +202,23 @@ object StreamRunner {
       .schema(Encoders.product[StagedEvent].schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir.toString)
-    val q = topology(src).writeStream.format("parquet")
-      .option("path", work.resolve("out").toString)
-      .option("checkpointLocation", work.resolve("cp").toString)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state partitioning sized to the replay, not the host (see
+    // [[ReplayPartitionsKey]]); restored before the batch post-processing
+    // of the emission log, which stays at the session's own setting
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val sessionParts = spark.conf.get(shuffleKey)
+    val replayParts = spark.conf.getOption(ReplayPartitionsKey)
+      .getOrElse(DefaultReplayPartitions.toString)
+    spark.conf.set(shuffleKey, replayParts)
+    try {
+      val q = topology(src).writeStream.format("parquet")
+        .option("path", work.resolve("out").toString)
+        .option("checkpointLocation", work.resolve("cp").toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(shuffleKey, sessionParts)
     (spark.read.parquet(work.resolve("out").toString),
       spark.read.parquet(srcDir.toString))
   }
