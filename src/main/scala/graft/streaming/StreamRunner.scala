@@ -76,10 +76,10 @@ object StreamRunner {
     * CPU-count-sized session default (32 on the bench host) makes the
     * replay ~64 fixed RocksDB commits per batch for kilobyte chunks,
     * which measured as two-thirds of the whole bench. The replay sizes
-    * its own state partitioning to its data instead (the session value
-    * is restored right after the query finishes, so batch queries and
+    * its own state partitioning to its data instead, on an isolated
+    * session clone (see [[replaySession]]), so batch queries and
     * production streams — which size this through their own session
-    * conf — are untouched). */
+    * conf — are untouched. */
   val ReplayPartitionsKey = "spark.graft.replay.partitions"
   val DefaultReplayPartitions = 4
 
@@ -189,36 +189,56 @@ object StreamRunner {
       dir
     })
 
+  /** Validated replay partition count from [[ReplayPartitionsKey]]: a
+    * malformed or non-positive override fails HERE, naming the key,
+    * instead of surfacing later as an opaque shuffle-partition error
+    * inside the streaming query. */
+  private def replayPartitions(spark: SparkSession): Int = {
+    val raw = spark.conf.getOption(ReplayPartitionsKey)
+      .getOrElse(DefaultReplayPartitions.toString)
+    val n = scala.util.Try(raw.trim.toInt).getOrElse(-1)
+    require(n > 0, s"$ReplayPartitionsKey must be a positive integer, got '$raw'")
+    n
+  }
+
+  /** Isolated session for one replay: shares the SparkContext (same
+    * executors, same cache) but owns its SQL conf, so sizing the
+    * replay's shuffle/state partitioning never mutates the caller's
+    * session — concurrent replays on one session can't clobber each
+    * other's (or the session's) `spark.sql.shuffle.partitions`, which
+    * a save/set/restore on the shared conf could. Runtime confs are
+    * copied over first so the replay keeps the caller's state-store
+    * provider and any other tuning. */
+  private def replaySession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (s.conf.isModifiable(k)) s.conf.set(k, v)
+    }
+    s.conf.set("spark.sql.shuffle.partitions", replayPartitions(spark).toString)
+    s
+  }
+
   /** Steps 2-3: stage `events` (or reuse this session's staging of the
-    * same input), replay through `topology`, sink to parquet. Returns
-    * (emission log, staged input) — both plain parquet-backed
-    * DataFrames. */
+    * same input), replay through `topology` on an isolated session
+    * clone, sink to parquet. Returns (emission log, staged input) —
+    * both plain parquet-backed DataFrames on the CALLER's session, so
+    * batch post-processing runs at the session's own settings. */
   private def replay[T](spark: SparkSession, events: DataFrame,
                         topology: DataFrame => Dataset[T],
                         withSentinel: Boolean = false): (DataFrame, DataFrame) = {
     val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
     val srcDir = stagedDir(spark, events, withSentinel)
-    val src = spark.readStream
+    val src = replaySession(spark).readStream
       .schema(Encoders.product[StagedEvent].schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir.toString)
-    // state partitioning sized to the replay, not the host (see
-    // [[ReplayPartitionsKey]]); restored before the batch post-processing
-    // of the emission log, which stays at the session's own setting
-    val shuffleKey = "spark.sql.shuffle.partitions"
-    val sessionParts = spark.conf.get(shuffleKey)
-    val replayParts = spark.conf.getOption(ReplayPartitionsKey)
-      .getOrElse(DefaultReplayPartitions.toString)
-    spark.conf.set(shuffleKey, replayParts)
-    try {
-      val q = topology(src).writeStream.format("parquet")
-        .option("path", work.resolve("out").toString)
-        .option("checkpointLocation", work.resolve("cp").toString)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set(shuffleKey, sessionParts)
+    val q = topology(src).writeStream.format("parquet")
+      .option("path", work.resolve("out").toString)
+      .option("checkpointLocation", work.resolve("cp").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     (spark.read.parquet(work.resolve("out").toString),
       spark.read.parquet(srcDir.toString))
   }
