@@ -497,12 +497,15 @@ object SparkEntry {
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rk
        |  FROM s) WHERE rk <= 5""".stripMargin
 
-  /** IVF in DuckDB: same strided centroids, same argmax-cosine cell
-    * assignment (ROW_NUMBER over cos DESC, cid ≡ the kernel's strict->
-    * first-wins over the cid-sorted array), same nProbe probe set. */
+  /** IVF in DuckDB: same capped strided centroids, same argmax-cosine
+    * cell assignment (ROW_NUMBER over cos DESC, cid ≡ the kernel's
+    * strict-first-wins over the cid-sorted array), same nProbe probe
+    * set. */
   private lazy val ivfTopKOracle: String =
     s"""WITH $normCte,
-       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % ${Similarity.IvfStride} = 0),
+       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |          WHERE vec_id % ${Similarity.IvfStride} = 0
+       |            AND vec_id < ${Similarity.IvfStride.toLong * Similarity.IvfMaxCells}),
        |asg AS (SELECT vec_id, cell FROM (
        |  SELECT n.vec_id, c.cid AS cell,
        |         ROW_NUMBER() OVER (PARTITION BY n.vec_id

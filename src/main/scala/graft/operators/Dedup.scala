@@ -144,8 +144,10 @@ object Dedup {
     // (expensive) shingle recomputation to docs that appear in some
     // candidate pair — one corpus scan with a pushed-down id filter
     // instead of two full shingle passes. candDocs ∝ duplicate density;
-    // on a corpus where that outgrows broadcast limits, drop the hint
-    // (a shuffled semi-join still beats two full shingle passes).
+    // no broadcast HINT (a hint is unconditional): the planner/AQE
+    // broadcasts while candDocs fits and falls back to a shuffled
+    // semi-join when a pathological corpus outgrows it — still far
+    // cheaper than two full shingle passes.
     // Measured trade-off: at test scale (5k docs) the restriction's
     // fixed costs (candidate materialization + broadcasts) COST ~0.9 s
     // vs recomputing shingles for everything — the crossover is
@@ -154,7 +156,7 @@ object Dedup {
     val candDocs = candidates
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
     val sets = documents
-      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingleArray(col("text"), n).as("sh"))
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")

@@ -16,10 +16,14 @@ private[operators] object ScaleGuard {
   val DefaultMaxRows = 100000L
 
   def apply(op: String, input: DataFrame, maxRows: Long, scalePath: String): Unit = {
-    val n = input.count() // eager by design: fail before the quadratic plan is built
+    // eager by design (fail before the quadratic plan is built), but
+    // bounded: a LIMIT maxRows+1 probe stops scanning as soon as the
+    // ceiling is provably breached instead of counting the whole input
+    val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    val n = input.select(input.columns.head).limit(probe).count()
     require(n <= maxRows,
       s"$op is a verification-scale oracle baseline with a quadratic self-join: " +
-        s"input has $n rows > guard $maxRows. Use $scalePath at scale, " +
+        s"input has more than guard $maxRows rows. Use $scalePath at scale, " +
         s"or raise maxRows explicitly if this is intentional.")
   }
 }

@@ -159,12 +159,31 @@ object Similarity {
 
   /** Every `IvfStride`-th vec_id is a centroid — a deterministic,
     * replay-stable coarse quantizer the DuckDB oracle can replicate
-    * exactly (`vec_id % 31 = 0`). Cell count grows with the corpus
-    * (N/31), keeping per-cell population roughly constant. A real
-    * deployment would train centroids with k-means offline and pass
-    * them via `centroids`; the probe/search topology is identical. */
+    * exactly (`vec_id % 31 = 0`). A real deployment would train
+    * centroids with k-means offline and pass them via `centroids`;
+    * the probe/search topology is identical. */
   val IvfStride = 31
   val IvfProbes = 3
+
+  /** Hard ceiling on the strided quantizer's cell count. Unbounded,
+    * cells = N/stride keeps growing with the corpus: the one-row
+    * collect_list model would reach gigabytes (and Spark's 2 GB array
+    * limit) near a billion vectors. The cap bounds the model at
+    * maxCells × dim × 8 B (default 4096 cells ≈ 2 MB at dim 64)
+    * regardless of corpus size — per-cell population then grows with N,
+    * which is the correct IVF trade-off (probe cost scales, the model
+    * doesn't). A corpus that needs more cells should pass a trained
+    * `centroids` model instead of raising the cap. */
+  val IvfMaxCells = 4096
+
+  /** The deterministic strided quantizer, capped: centroid ids are
+    * {0, stride, 2·stride, …} below stride × maxCells — at most
+    * maxCells cells no matter how large the corpus grows. Package-
+    * private so AnnSpec can assert the cap directly. */
+  private[graft] def ivfCentroids(e: DataFrame, centStride: Int, maxCells: Int): DataFrame =
+    e.filter(col("vec_id") % centStride === 0 &&
+        col("vec_id") < centStride.toLong * maxCells)
+      .select(col("vec_id").as("cid"), col("v"), col("nrm"))
 
   /** IVF approximate top-k: assign each corpus vector to its
     * nearest-cosine centroid cell (one per-row pass through the native
@@ -175,22 +194,22 @@ object Similarity {
     *
     * Scale shape vs [[annTopK]]: LSH searches O(collision density)
     * candidates with zero model; IVF searches nProbe/numCells of the
-    * corpus and needs a centroid model (≈ N/stride · dim · 8 B,
-    * broadcast — ~2 MB per million vectors, far under broadcast
-    * limits). The corpus never shuffles: assignment is per-row
+    * corpus and needs a centroid model — bounded at maxCells × dim ×
+    * 8 B by the [[IvfMaxCells]] cap (≈ 2 MB default), far under
+    * broadcast limits at any corpus size. The corpus never shuffles:
+    * assignment is per-row
     * map-side work and the probe join broadcasts the tiny query side.
     * Recall < 1 by construction; the oracle replicates the identical
     * quantizer so both engines compute the same candidates (recall
     * never enters the compare), and AnnSpec asserts recall vs exact. */
   def ivfTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
               centStride: Int = IvfStride, nProbe: Int = IvfProbes,
-              centroids: Option[DataFrame] = None): DataFrame = {
+              centroids: Option[DataFrame] = None,
+              maxCells: Int = IvfMaxCells): DataFrame = {
     val e = normalized(embeddings)
-    // (cid, v, nrm) centroid table — strided sample unless a trained
-    // model is supplied
-    val cents = centroids.getOrElse(
-      e.filter(col("vec_id") % centStride === 0)
-        .select(col("vec_id").as("cid"), col("v"), col("nrm")))
+    // (cid, v, nrm) centroid table — capped strided sample (see
+    // [[IvfMaxCells]]) unless a trained model is supplied
+    val cents = centroids.getOrElse(ivfCentroids(e, centStride, maxCells))
     // one-row model: struct array sorted by cid so the kernel's
     // first-wins tie-break lands on the smallest cid, matching the
     // oracle's ORDER BY cos DESC, cid
@@ -233,12 +252,16 @@ object Similarity {
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b")).distinct()
-    // re-rank: fetch vectors via broadcast so candidate pairs (ids only)
-    // never shuffle 64-dim arrays; when the corpus outgrows broadcast,
-    // drop the hint and Catalyst shuffles candidates by id instead
+    // re-rank: no broadcast HINT on the corpus legs — a hint is
+    // unconditional, and at 100 TB force-broadcasting the full corpus
+    // OOMs the driver. Unhinted, the planner (and AQE, from the
+    // runtime size) picks broadcast exactly when the corpus fits under
+    // autoBroadcastJoinThreshold and a candidate-id shuffle when it
+    // doesn't — both correct, neither a landmine. PlanAuditSpec locks
+    // the re-rank to equi-joins either way.
     candidates
-      .join(broadcast(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))), "vec_a")
-      .join(broadcast(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))), "vec_b")
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         cosRounded(dot(col("va"), col("vb")), col("na") * col("nb")).as("cos"))
       .filter(col("cos") >= threshold)

@@ -149,6 +149,21 @@ class AnnSpec extends SparkSpec {
     assert(out == Set((0L, 10L), (0L, 11L), (1L, 20L), (1L, 21L)))
   }
 
+  test("ivf quantizer cell count is capped regardless of corpus size") {
+    import org.apache.spark.sql.functions.{col, sqrt, transform => xform}
+    // 40 ids with stride 3 would yield 14 cells unbounded; the cap holds it at 4
+    val df = vecs((0L until 40L).map(i => (i, Seq(i.toFloat + 1, 1f, 0f, 0f))): _*)
+    val e = df.select(col("vec_id"), xform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorKernels.dotProduct(col("v"), col("v"))))
+    val cents = Similarity.ivfCentroids(e, centStride = 3, maxCells = 4)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(cents == Seq(0L, 3L, 6L, 9L)) // exactly maxCells cells, smallest ids
+    // the search still runs end-to-end under the cap and returns k hits
+    val out = Similarity.ivfTopK(df, numQueries = 1, k = 3, centStride = 3,
+      nProbe = 2, maxCells = 4)
+    assert(out.count() == 3)
+  }
+
   test("ivfTopK ⊆ exact top-500 with identical cosines; recall and determinism hold") {
     val emb = Tables.embeddings(spark, sf0001)
     val exactAll = Similarity.cosineTopK(emb, numQueries = 10, k = 500).collect()

@@ -113,6 +113,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "BroadcastExchange") >= 2, s"query side not broadcast:\n$p")
   }
 
+  test("annPairs: re-rank stays equi-join with no unconditional corpus broadcast hint") {
+    val df = Similarity.annPairs(Tables.embeddings(spark, dir))
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ANN pairs path must stay equi-join only:\n$p")
+    // no ResolvedHint on the corpus legs: the analyzed plan must leave
+    // the broadcast decision to the planner/AQE (a hint is unconditional
+    // and force-broadcasting a 100 TB corpus OOMs the driver)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"re-rank carries a broadcast hint — a 100 TB landmine:\n$analyzed")
+    spark.catalog.clearCache()
+  }
+
+  test("minhashPairs: verify semi-join carries no unconditional broadcast hint") {
+    val df = Dedup.minhashPairs(Tables.documents(spark, dir))
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"verify stage carries a broadcast hint:\n$analyzed")
+    spark.catalog.clearCache()
+  }
+
   test("events loader: partition filter prunes, no full-table scan state") {
     // q3-style date filter must reach the orders scan
     val p = plan(Tables.orders(spark, dir).filter(col("o_orderdate") < "1995-03-15")
