@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{broadcast, col, collect_list, size, sort_array, split, sqrt, struct, transform => xform}
+
+import graft.functions.{DedupKernels, VectorKernels}
+import graft.operators.Similarity
+
+/** The SQL function surface ([[GraftFunctions]]/[[GraftExtensions]]):
+  * every registered function must produce EXACTLY the Column-API
+  * kernel's result through `spark.sql`, via both registration paths,
+  * and the static-argument validation (foldable literals only — they
+  * parameterize the generated code) must fail with named errors, not
+  * silent misbehavior. */
+class GraftFunctionsSpec extends SparkSpec {
+
+  private lazy val registered: SparkSession = { GraftFunctions.register(spark); spark }
+
+  /** doc_id-keyed equality of a SQL query against a Column-API frame:
+    * both collected and compared row-by-row (array results compare as
+    * Seq). */
+  private def assertSameByKey(sqlText: String, colApi: org.apache.spark.sql.DataFrame): Unit = {
+    val s = registered
+    def keyed(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Any]] =
+      df.collect().map { r =>
+        r.getLong(0) -> (1 until r.length).map { i =>
+          r.get(i) match {
+            case a: scala.collection.Seq[_] => a.toList
+            case other => other
+          }
+        }
+      }.toMap
+    val fromSql = keyed(s.sql(sqlText))
+    val fromCols = keyed(colApi)
+    assert(fromSql == fromCols, s"SQL and Column API disagree for: $sqlText")
+  }
+
+  private lazy val docsView: Unit = {
+    Tables.documents(registered, sf0001).limit(50)
+      .select(col("doc_id"), col("text")).createOrReplaceTempView("gf_docs")
+  }
+
+  private lazy val vecsView: Unit = {
+    Tables.embeddings(registered, sf0001).limit(50)
+      .select(col("vec_id"), xform(col("embedding"), _.cast("double")).as("v"))
+      .createOrReplaceTempView("gf_vecs")
+  }
+
+  test("graft_dot_product ≡ VectorKernels.dotProduct") {
+    vecsView
+    assertSameByKey(
+      "SELECT vec_id, graft_dot_product(v, v) AS d FROM gf_vecs",
+      registered.table("gf_vecs")
+        .select(col("vec_id"), VectorKernels.dotProduct(col("v"), col("v")).as("d")))
+  }
+
+  test("graft_srp_signatures ≡ VectorKernels.srpSignatures (production geometry)") {
+    vecsView
+    val planesSql = Similarity.planes.flatten.map(d => s"${d}D").mkString("array(", ", ", ")")
+    assertSameByKey(
+      s"SELECT vec_id, graft_srp_signatures(v, $planesSql, 32, 8, 64) AS sigs FROM gf_vecs",
+      registered.table("gf_vecs").select(col("vec_id"),
+        VectorKernels.srpSignatures(col("v"), Similarity.planes.flatten, 32, 8, 64).as("sigs")))
+  }
+
+  test("graft_ivf_cell ≡ VectorKernels.ivfCell") {
+    vecsView
+    val e = registered.table("gf_vecs")
+      .withColumn("nrm", sqrt(VectorKernels.dotProduct(col("v"), col("v"))))
+    val model = e.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("cid"), col("v"), col("nrm"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("v"), col("nrm")))).as("cents"))
+    val joined = e.crossJoin(broadcast(model))
+    joined.createOrReplaceTempView("gf_ivf")
+    assertSameByKey(
+      "SELECT vec_id, graft_ivf_cell(v, nrm, cents) AS cell FROM gf_ivf",
+      joined.select(col("vec_id"),
+        VectorKernels.ivfCell(col("v"), col("nrm"), col("cents")).as("cell")))
+  }
+
+  test("graft_minhash_signatures ≡ DedupKernels.minhashSignatures") {
+    docsView
+    assertSameByKey(
+      "SELECT doc_id, graft_minhash_signatures(split(text, ' '), 8) AS sig FROM gf_docs",
+      registered.table("gf_docs").select(col("doc_id"),
+        DedupKernels.minhashSignatures(split(col("text"), " "), 8).as("sig")))
+  }
+
+  test("graft_minhash_text ≡ DedupKernels.minhashText") {
+    docsView
+    assertSameByKey(
+      "SELECT doc_id, graft_minhash_text(text, 3, 16) AS sig FROM gf_docs WHERE size(split(text, ' ')) >= 3",
+      registered.table("gf_docs").filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), DedupKernels.minhashText(col("text"), 3, 16).as("sig")))
+  }
+
+  test("graft_simhash64 ≡ DedupKernels.simhash64") {
+    docsView
+    assertSameByKey(
+      "SELECT doc_id, graft_simhash64(split(text, ' ')) AS sh FROM gf_docs",
+      registered.table("gf_docs").select(col("doc_id"),
+        DedupKernels.simhash64(split(col("text"), " ")).as("sh")))
+  }
+
+  test("graft_winnow_text ≡ DedupKernels.winnowText") {
+    docsView
+    assertSameByKey(
+      "SELECT doc_id, graft_winnow_text(text, 3, 4) AS fps FROM gf_docs",
+      registered.table("gf_docs").select(col("doc_id"),
+        DedupKernels.winnowText(col("text"), 3, 4).as("fps")))
+  }
+
+  /** All messages down an exception's cause chain — builder errors may
+    * surface wrapped in an AnalysisException. */
+  private def messages(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("static args must be literals; arity is checked — errors name the problem") {
+    docsView
+    val s = registered
+    // non-literal int where a code-shaping parameter is required
+    val e1 = intercept[Throwable](
+      s.sql("SELECT graft_minhash_text(text, CAST(length(text) % 5 AS INT), 8) FROM gf_docs").collect())
+    assert(messages(e1).contains("integer literal"), messages(e1))
+    // non-literal array<double> plane matrix
+    val e2 = intercept[Throwable](
+      s.sql("SELECT graft_srp_signatures(array(1.0D, 1.0D), array(CAST(doc_id AS DOUBLE), 1.0D), 2, 1, 2) FROM gf_docs").collect())
+    assert(messages(e2).contains("array<double> literal"), messages(e2))
+    // wrong arity
+    val e3 = intercept[Throwable](
+      s.sql("SELECT graft_simhash64(split(text, ' '), 1) FROM gf_docs").collect())
+    assert(messages(e3).contains("expects 1"), messages(e3))
+  }
+
+  test("GraftExtensions loads by class name and registers at session build") {
+    // spark.sql.extensions is STATIC conf, read from the SparkContext
+    // conf at context creation — unreachable from a test sharing one
+    // context. Replicate Spark's loader contract instead: instantiate
+    // the class BY NAME via its zero-arg constructor (exactly what
+    // Utils.loadExtensions does with the conf value) and apply it
+    // through the builder's extension path on a NEW session instance
+    // (getOrCreate would return the existing session untouched, so
+    // active/default are cleared first).
+    val byName = Class.forName("graft.GraftExtensions").getDeclaredConstructor()
+      .newInstance().asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder().master("local[4]").withExtensions(byName).getOrCreate()
+      assert(s ne spark) // a genuinely new session went through the extension path
+      val d = s.sql("SELECT graft_dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .collect().head.getDouble(0)
+      assert(d == 11.0)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
