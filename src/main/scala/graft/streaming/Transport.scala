@@ -25,6 +25,32 @@ object Transport {
 
   val CommitInterval = "250 milliseconds" // DemoApp.scala:25
 
+  /** Transport mode: `parquet` (default — file-backed topics for this
+    * connector-less environment) or `kafka` (the real edge:
+    * `format("kafka")` sink/source, with the topic's `path` argument
+    * doubling as the topic name). Spark resolves data sources by
+    * STRING at start/load time, so the kafka branch compiles with no
+    * kafka dependency — a deployment with spark-sql-kafka on the
+    * classpath flips this conf and nothing rebuilds. Here, selecting
+    * it fails at query start with Spark's data-source-not-found error
+    * (TransportSpec pins that the wiring reaches the lookup). */
+  val TransportKey = "spark.graft.transport"
+
+  /** Broker list for `kafka` mode (`kafka.bootstrap.servers`). */
+  val BootstrapKey = "spark.graft.kafka.bootstrap"
+
+  private def kafkaMode(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption(TransportKey).getOrElse("parquet") match {
+      case "kafka" => true
+      case "parquet" => false
+      case other => throw new IllegalArgumentException(
+        s"$TransportKey must be 'parquet' or 'kafka', got '$other'")
+    }
+
+  private def bootstrap(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.getOption(BootstrapKey).getOrElse(throw new IllegalArgumentException(
+      s"$TransportKey=kafka requires $BootstrapKey (broker list)"))
+
   /** The reference's print sink: every record to stdout, 250 ms
     * commit cadence. */
   def consoleSink[T](ds: Dataset[T], checkpoint: String): DataStreamWriter[T] =
@@ -66,31 +92,68 @@ object Transport {
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.LongType)))
 
-  /** A parquet-backed "topic": an append-only directory of framed
-    * (key, value json, timestamp) records — the Kafka edge shaped as
-    * files for this connector-less environment. Producers write the
-    * [[keyedProduce]] framing per micro-batch via foreachBatch; a real
-    * Kafka deployment swaps the body for `batch.write.format("kafka")`
-    * — the framing columns are exactly what that sink expects, which
-    * is the point of centralizing the edge here. */
+  /** A "topic" sink in the configured transport ([[TransportKey]]).
+    *
+    * Parquet mode: an append-only directory of framed (key, value
+    * json, timestamp) records — the Kafka edge shaped as files.
+    * Producers write the [[keyedProduce]] framing per micro-batch via
+    * foreachBatch.
+    *
+    * Kafka mode: the same framing straight into `format("kafka")` —
+    * `path` is the topic name, brokers come from [[BootstrapKey]].
+    * The framing columns are exactly the kafka sink's contract
+    * (key/value; the broker stamps its own timestamp), which is the
+    * point of centralizing the edge here: the reference's
+    * ProducerRecord(topic, null, ts, key, value) (FakeData.scala:63)
+    * maps to either transport without touching any topology. */
   def topicSink[T](ds: Dataset[T], keyCol: String, tsCol: String,
-                   path: String, checkpoint: String): StreamingQuery =
-    ds.toDF().writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        keyedProduce(batch, keyCol, tsCol).write.mode("append").parquet(path)
-      }
-      .option("checkpointLocation", checkpoint)
-      .start()
+                   path: String, checkpoint: String): StreamingQuery = {
+    val framed = keyedProduce(ds.toDF(), keyCol, tsCol)
+    if (kafkaMode(ds.sparkSession))
+      framed.select(col("key"), col("value"))
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap(ds.sparkSession))
+        .option("topic", path)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    else
+      ds.toDF().writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          keyedProduce(batch, keyCol, tsCol).write.mode("append").parquet(path)
+        }
+        .option("checkpointLocation", checkpoint)
+        .start()
+  }
 
-  /** Consume a parquet topic as a batch frame. */
+  /** Kafka source records mapped onto [[TopicSchema]] (key/value
+    * utf-8, timestamp epoch ms) — the same wire shape the parquet
+    * topic stores, so consumers are transport-agnostic. */
+  private def fromKafka(df: DataFrame): DataFrame =
+    df.select(col("key").cast("string").as("key"),
+      col("value").cast("string").as("value"),
+      unix_millis(col("timestamp")).as("timestamp"))
+
+  /** Consume a topic as a batch frame. */
   def readTopic(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.schema(TopicSchema).parquet(path)
+    if (kafkaMode(spark))
+      fromKafka(spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap(spark))
+        .option("subscribe", path)
+        .option("startingOffsets", "earliest")
+        .load())
+    else spark.read.schema(TopicSchema).parquet(path)
 
-  /** Consume a parquet topic as a stream — the downstream half of a
-    * topic round-trip (the analogue of a consumer group following the
+  /** Consume a topic as a stream — the downstream half of a topic
+    * round-trip (the analogue of a consumer group following the
     * topic). */
   def readTopicStream(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.readStream.schema(TopicSchema).parquet(path)
+    if (kafkaMode(spark))
+      fromKafka(spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap(spark))
+        .option("subscribe", path)
+        .option("startingOffsets", "earliest")
+        .load())
+    else spark.readStream.schema(TopicSchema).parquet(path)
 
   /** The reference's state reset (streams.cleanUp(): wipe local state
     * before start). Recursive checkpoint delete; a fresh start then

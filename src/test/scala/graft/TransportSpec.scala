@@ -45,6 +45,34 @@ class TransportSpec extends SparkSpec {
       ("7", 1L, 1L, 7L, 100L), ("7", 2L, 2L, 7L, 200L), ("8", 3L, 3L, 8L, 100L)))
   }
 
+  test("kafka transport mode wires sink and source to format(\"kafka\")") {
+    // the connector is absent in this environment by design (SURVEY §0):
+    // the branch must COMPILE and reach Spark's string-based data-source
+    // lookup, which is exactly where it fails here — proving a deployment
+    // with spark-sql-kafka on the classpath needs only this conf flip
+    val work = Files.createTempDirectory("kafka-mode")
+    spark.conf.set(Transport.TransportKey, "kafka")
+    try {
+      // missing broker conf fails fast, naming the key
+      val eb = intercept[IllegalArgumentException](Transport.readTopic(spark, "t"))
+      assert(eb.getMessage.contains(Transport.BootstrapKey))
+      spark.conf.set(Transport.BootstrapKey, "localhost:9092")
+      val es = intercept[Exception](Transport.readTopicStream(spark, "cars"))
+      assert(es.getMessage.toLowerCase.contains("kafka"), es.getMessage)
+      val moves = MemoryStream[CarMoveEvent](spark)
+      val ek = intercept[Exception](Transport.topicSink(moves.toDS(), "carId", "seq",
+        "cars", work.resolve("ckpt").toString))
+      assert(ek.getMessage.toLowerCase.contains("kafka"), ek.getMessage)
+      // unknown mode is rejected with the conf key named
+      spark.conf.set(Transport.TransportKey, "pulsar")
+      val em = intercept[IllegalArgumentException](Transport.readTopic(spark, "t"))
+      assert(em.getMessage.contains(Transport.TransportKey))
+    } finally {
+      spark.conf.unset(Transport.TransportKey)
+      spark.conf.unset(Transport.BootstrapKey)
+    }
+  }
+
   test("memory sink + state reset: wiped checkpoint rebuilds state from the source") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
