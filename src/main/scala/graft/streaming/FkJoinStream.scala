@@ -34,6 +34,27 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * The buffer is micro-batch-scoped: memory is bounded by one key's
   * events per trigger, not by the stream.
   *
+  * Parallelism ceiling, inherent to the semantics: stage 2's state and
+  * shuffle key is zone_id, so max parallelism = #distinct zones (~13
+  * in the reference's domain, FakeData.scala:33) — identical to the
+  * reference's co-partitioned design, where a topic can't usefully
+  * have more partitions than zones either. A zone holding most of the
+  * cars serializes its fan-out on one task (the skew/hot-key specs in
+  * FkJoinStreamSpec pin that this stays correct and bounded: the
+  * per-key buffer holds one trigger's INPUTS, and the fan-out streams
+  * through the output iterator, never materializing O(cars-in-zone)).
+  * Mitigation menu when the zone key-space is the bottleneck at scale:
+  *  - key-space analysis first — the ceiling only binds when #zones <
+  *    #cores; most real FK domains (users, sessions, documents) are
+  *    high-cardinality and never hit it;
+  *  - split the fan-out into a two-level aggregation: stage 2 keyed by
+  *    (zone, salt(car)) holding car shards, with zone readings
+  *    broadcast to every salt shard — N-way parallel fan-out at the
+  *    cost of replicating zone updates N×;
+  *  - for the lookup direction only (car arrivals), the zone side is a
+  *    slowly-changing dimension: a stream-static broadcast join
+  *    (StreamRunner.replayStaticJoin) has NO zone-key shuffle at all.
+  *
   * Known deviation from the reference, on purpose: on a same-zone
   * re-arrival the reference emits arrive THEN leave for the same
   * (zone, car) (carMoveHandler keeps fromZone even when equal,

@@ -187,6 +187,27 @@ class FkJoinStreamSpec extends SparkSpec {
     }
   }
 
+  test("skew: one zone holding 90% of cars stays correct alongside the cold zones") {
+    // the zone-key parallelism ceiling (FkJoinStream scaladoc): a hot
+    // zone serializes ITS fan-out on one task but must neither stall
+    // the cold zones' batches nor lose rows
+    withPipeline { (cars, zones, sync, results) =>
+      val hot = 900; val coldZones = 10
+      cars.addData((1 to hot).map(i => CarArrival(i.toLong, i.toLong, 100L, 1.0)))
+      cars.addData((1 to coldZones).map(z =>
+        CarArrival((hot + z).toLong, (hot + z).toLong, 200L + z, 2.0)))
+      sync()
+      zones.addData((0 to coldZones).map(z =>
+        ZoneReading((1000 + z).toLong, if (z == 0) 100L else 200L + z, z.toDouble)))
+      sync()
+      val out = results()
+      assert(out.size == hot + coldZones)
+      val byZone = out.groupBy(_.zoneId).view.mapValues(_.size).toMap
+      assert(byZone(100L) == hot)
+      (1 to coldZones).foreach(z => assert(byZone(200L + z) == 1))
+    }
+  }
+
   test("randomized: last emission per car equals the batch latest-per-key join") {
     val rnd = new scala.util.Random(42)
     val events = (1 to 60).map { seq =>
