@@ -103,6 +103,16 @@ object SparkEntry {
     "d_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir))),
     "d_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(Tables.documents(s, dir))),
     "d_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
+    "d_dup_clusters" -> ((s, dir) => Dedup.dupClusters(Tables.documents(s, dir))),
+    "d_hash_split" -> ((s, dir) =>
+      Corpus.hashSplit(Tables.documents(s, dir))
+        .select(col("doc_id"), col("bucket"), col("split"))),
+    "t_contamination" -> ((s, dir) => {
+      val withSplit = Corpus.hashSplit(Tables.documents(s, dir))
+      Corpus.contamination(
+        withSplit.filter(col("split") === "test"),
+        withSplit.filter(col("split") === "train"))
+    }),
     // ---- training-data pipeline: multimodal binary columns ----
     "m_binary_stats" -> ((s, dir) => Multimodal.binaryStats(Tables.documents(s, dir))),
     "m_decode_meta" -> ((s, dir) => Multimodal.decodeMeta(Tables.documents(s, dir)).toDF()),
@@ -454,7 +464,72 @@ object SparkEntry {
     // reproduces bit-for-bit; hamming needs no 64-bit value assembly —
     // it is the count of bit positions whose vote signs differ.
     "d_simhash_pairs" -> simhashOracle,
+    // near-dup clustering: connected components over the SAME pair set
+    // the d_minhash_pairs oracle verifies, via a recursive
+    // reachability CTE — cluster id = component minimum, exactly the
+    // fixpoint the Spark min-label propagation converges to
+    "d_dup_clusters" -> dupClustersOracle,
+    // deterministic split: identical md5-top-32-bit arithmetic on both
+    // engines ('0x'||hex → integer reinterpretation, the tokenHash64
+    // precedent), so the assignment is engine-independent by construction
+    "d_hash_split" ->
+      """SELECT doc_id,
+        |       CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 AS BIGINT) AS bucket,
+        |       CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < 90 THEN 'train'
+        |            WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < 95 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    // contamination: same split, same distinct word-5-grams per doc
+    // (the Spark side joins on md5(gram), which counts identically)
+    "t_contamination" -> contaminationOracle,
   )
+
+  private lazy val contaminationOracle: String =
+    """WITH b AS (SELECT doc_id, text,
+      |                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 AS bucket
+      |           FROM documents),
+      |ev AS (SELECT doc_id, text FROM b WHERE bucket >= 95),
+      |tr AS (SELECT doc_id, text FROM b WHERE bucket < 90),
+      |evg AS (SELECT DISTINCT doc_id, g FROM (
+      |  SELECT doc_id, unnest([concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4], w[i+5])
+      |                         for i in generate_series(0, len(w) - 5)]) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ev) WHERE len(w) >= 5)),
+      |trg AS (SELECT DISTINCT g FROM (
+      |  SELECT unnest([concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4], w[i+5])
+      |                 for i in generate_series(0, len(w) - 5)]) AS g
+      |  FROM (SELECT string_split(text, ' ') AS w FROM tr) WHERE len(w) >= 5)),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM evg GROUP BY doc_id),
+      |hit AS (SELECT e.doc_id, COUNT(*) AS n_hit FROM evg e JOIN trg USING (g) GROUP BY e.doc_id)
+      |SELECT e.doc_id,
+      |       COALESCE(tot.n_grams, 0) AS n_grams,
+      |       COALESCE(hit.n_hit, 0) AS n_hit,
+      |       COALESCE(hit.n_hit, 0) > 0 AS contaminated
+      |FROM ev e
+      |LEFT JOIN tot ON tot.doc_id = e.doc_id
+      |LEFT JOIN hit ON hit.doc_id = e.doc_id""".stripMargin
+
+  private lazy val dupClustersOracle: String =
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM toks),
+      |sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      |       FROM tok a
+      |       JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |       JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+      |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |          GROUP BY x.doc_id, y.doc_id),
+      |edges AS (SELECT a, b FROM inter
+      |          JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+      |          WHERE i / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8),
+      |verts AS (SELECT a AS v FROM edges UNION SELECT b AS v FROM edges),
+      |sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+      |reach(v, l) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT s.b, r.l FROM reach r JOIN sym s ON s.a = r.v)
+      |SELECT v AS doc_id, MIN(l) AS cluster_id, MIN(l) = v AS keep
+      |FROM reach GROUP BY v""".stripMargin
 
   /** The SRP-LSH hyperplanes as a DuckDB VALUES literal — the exact
     * doubles of Similarity.planes (shortest round-trip decimal repr

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-management operators for a training-data pipeline: the
+  * deterministic split and the train/eval contamination check that sit
+  * around dedup in a real data build.
+  *
+  * Both are pure distributed dataflow: per-row hashing for the split
+  * (no shuffle at all), and for contamination a gram-keyed semi-join
+  * whose shuffle carries 16-byte md5 keys — never document text. */
+object Corpus {
+
+  /** Deterministic train/val/test split: bucket ∈ [0, 100) from the
+    * top 32 bits of md5(doc_id), so the assignment is stable across
+    * runs, engines and partitionings (the property a training pipeline
+    * needs: re-running the build never moves a document across the
+    * eval boundary). Keyed on doc_id, not content, so near-identical
+    * documents don't correlate into the same split.
+    *
+    * Pure per-row codegen work — no shuffle, no UDF; the same
+    * arithmetic is expressible in any engine (the DuckDB oracle
+    * replicates it exactly). */
+  def hashSplit(documents: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"split percentages must satisfy 0 < trainPct, 0 <= valPct, trainPct+valPct < 100")
+    documents
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** Train/eval contamination check: for each eval document, how many
+    * of its distinct word n-grams appear in ANY training document — a
+    * standard pre-training hygiene step (eval benchmarks leaking into
+    * the training set inflate scores). Returns one row per eval doc:
+    * (doc_id, n_grams, n_hit, contaminated); documents shorter than n
+    * words have zero grams and are never contaminated.
+    *
+    * Scale shape: the train side collapses to a DISTINCT gram
+    * dictionary (corpus-proportional, not quadratic), both sides join
+    * on md5(gram) so the shuffle carries 16-byte keys, and the
+    * semi-join means train grams are never replicated per eval doc. */
+  def contamination(evalDocs: DataFrame, trainDocs: DataFrame, n: Int = 5): DataFrame = {
+    val trainGrams = Dedup.shingles(trainDocs, n)
+      .select(md5(col("shingle")).as("g")).distinct()
+    val evalGrams = Dedup.shingles(evalDocs, n)
+      .select(col("doc_id"), md5(col("shingle")).as("g"))
+    val totals = evalGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = evalGrams.join(trainGrams, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    evalDocs.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contaminated", col("n_hit") > 0)
+  }
+}

@@ -167,6 +167,75 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** Near-dup clustering — the decision step of a dedup pipeline
+    * ("keep one document per duplicate cluster"): connected components
+    * over the [[minhashPairs]] graph, cluster id = the component's
+    * minimum doc_id, keep = (doc_id == cluster_id). Output covers
+    * every document that appears in some near-dup pair; untouched
+    * documents are implicitly their own keepers.
+    *
+    * Components are computed by min-label propagation with pointer
+    * jumping: each round every vertex takes the min label over itself
+    * and its neighbors, then relabels through its label's own label
+    * (path halving), so convergence is O(log diameter) rounds — two
+    * pair-graph-sized joins per round, never corpus-sized, with
+    * localCheckpoint breaking lineage growth. The driver loop only
+    * checks a per-round convergence count; labels live distributed.
+    * Non-convergence inside `maxIters` throws rather than returning
+    * a silently-wrong clustering. */
+  def dupClusters(documents: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                  maxIters: Int = 40): DataFrame = {
+    val edges = minhashPairs(documents, n, threshold)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    var labels = edges.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct().withColumn("label", col("doc_id")).localCheckpoint()
+    // labels are monotonically non-increasing, so an unchanged sum IS a
+    // fixpoint proof — convergence costs one single-row aggregate per
+    // round, not a join
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // min-label flows both directions along an edge: one
+      // neighbor-min aggregation per direction, merged into the
+      // current labels with least(). (Deliberately union-free: a
+      // checkpointed join output can carry constraints on
+      // projected-away attributes, which trips Union's constraint
+      // rewrite.) The per-round frames materialize via localCheckpoint
+      // — pair-graph-sized, lineage flat across rounds.
+      val nbrA = edges.join(labels, edges("doc_a") === labels("doc_id"))
+        .groupBy(edges("doc_b").as("ida")).agg(min(col("label")).as("ma"))
+      val nbrB = edges.join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("idb")).agg(min(col("label")).as("mb"))
+      val propagated = labels
+        .join(nbrA, col("doc_id") === col("ida"), "left")
+        .join(nbrB, col("doc_id") === col("idb"), "left")
+        .select(col("doc_id"), least(col("label"),
+          coalesce(col("ma"), col("label")),
+          coalesce(col("mb"), col("label"))).as("label"))
+        .localCheckpoint()
+      // pointer jump: follow the label to ITS label (labels always point
+      // at existing vertices, so the self-join is total)
+      val jumped = propagated.as("x")
+        .join(propagated.select(col("doc_id").as("l"), col("label").as("ll")),
+          col("x.label") === col("l"))
+        .select(col("x.doc_id"), col("ll").as("label"))
+        .localCheckpoint()
+      val s = labelSum(jumped)
+      converged = s == prevSum
+      prevSum = s
+      labels = jumped
+      iter += 1
+    }
+    require(converged,
+      s"dupClusters did not converge in $maxIters rounds — pathological " +
+        "component diameter; raise maxIters")
+    labels.select(col("doc_id"), col("label").as("cluster_id"),
+      (col("doc_id") === col("label")).as("keep"))
+  }
+
   /** 64-bit token hash both engines can compute bit-identically: the
     * top 64 bits of md5, parsed as a SIGNED long (Spark `conv` with
     * negative toBase ≡ DuckDB `CAST('0x'||hex AS UBIGINT)` reinterpreted

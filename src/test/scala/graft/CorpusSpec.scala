@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+
+/** Corpus-management semantics: deterministic hash splits and the
+  * train/eval n-gram contamination check. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  test("hashSplit is deterministic, keeps all columns, and covers all three splits") {
+    val df = docs((0L until 1000L).map(i => (i, s"doc $i")): _*)
+    val out = Corpus.hashSplit(df).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    // re-running yields the identical assignment
+    assert(Corpus.hashSplit(df).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq == out.toSeq)
+    // split label follows the bucket exactly
+    out.foreach { case (_, b, s) =>
+      assert(b >= 0 && b < 100)
+      assert(s == (if (b < 90) "train" else if (b < 95) "val" else "test"))
+    }
+    // md5 over 1000 ids lands in all three ranges with ~expected mass
+    val byStrat = out.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(byStrat("train") > 800 && byStrat("val") > 10 && byStrat("test") > 10)
+    // original columns survive (the op composes without a self-join)
+    assert(Corpus.hashSplit(df).columns.toSeq == Seq("doc_id", "text", "bucket", "split"))
+  }
+
+  test("hashSplit rejects nonsensical percentages") {
+    val df = docs((1L, "x"))
+    intercept[IllegalArgumentException](Corpus.hashSplit(df, trainPct = 0))
+    intercept[IllegalArgumentException](Corpus.hashSplit(df, trainPct = 95, valPct = 5))
+  }
+
+  test("contamination counts shared distinct n-grams; short docs are clean") {
+    val train = docs(
+      (100L, "a b c d e f g"),   // grams: "a b c d e", "b c d e f", "c d e f g"
+      (101L, "p q r s t"))
+    val eval = docs(
+      (1L, "a b c d e x y"),     // shares exactly "a b c d e" with train
+      (2L, "m n o p q r"),       // 2 grams, no overlap
+      (3L, "too short"))         // < 5 words: zero grams, never contaminated
+    val out = Corpus.contamination(eval, train, n = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, true),
+      (2L, 2L, 0L, false),
+      (3L, 0L, 0L, false)))
+  }
+
+  test("contamination matches a repeated gram only once per eval doc (distinct grams)") {
+    val train = docs((100L, "a b c d e"))
+    // "a b c d e" occurs twice in the eval doc; distinct-per-doc grams
+    // count it once
+    val eval = docs((1L, "a b c d e a b c d e"))
+    val out = Corpus.contamination(eval, train, n = 5).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // 6 gram positions, 5 distinct (the repeated "a b c d e" collapses)
+    assert(out.toSeq == Seq((5L, 1L, true)))
+  }
+}

@@ -29,6 +29,26 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardPairs(df, maxRows = 3).count() == 1)
   }
 
+  test("dupClusters: transitive chain collapses to one cluster, keeper is min doc_id") {
+    // a CHAIN: jac(1,2) = 18/20 = 0.9 and jac(2,3) = 17/21 ≈ 0.81 pass
+    // the 0.8 threshold, jac(1,3) = 16/22 ≈ 0.73 does NOT — docs 1 and 3
+    // are in one cluster only through transitivity
+    val w = (1 to 21).map(i => s"t$i")
+    val doc1 = w.mkString(" ")
+    val doc2 = (w.dropRight(1) :+ "zz").mkString(" ")
+    val doc3 = (Seq("ya", "yb") ++ w.drop(2).dropRight(1) :+ "zz").mkString(" ")
+    val df = docs((1L, doc1), (2L, doc2), (3L, doc3),
+      (10L, base), (11L, base),              // second cluster: identical docs
+      (20L, "entirely unrelated content words all alone"))  // singleton: not emitted
+    // pin the edge set first, so the cluster assertion can't pass by accident
+    val edges = Dedup.minhashPairs(df).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((1L, 2L), (2L, 3L), (10L, 11L)))
+    val out = Dedup.dupClusters(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+  }
+
   test("exact dedup groups identical text, keeper is min doc_id") {
     val df = docs((5L, "aaa"), (2L, "aaa"), (3L, "bbb"))
     val out = Dedup.exactDedup(df).collect()
