@@ -65,6 +65,8 @@ object SparkEntry {
       graft.streaming.StreamRunner.replayStreamDedup(s, ev(s, dir))),
     "s_stream_interval_join" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayIntervalJoin(s, ev(s, dir))),
+    "s_stream_session_agg" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replaySessionAgg(s, ev(s, dir))),
     // ---- relational coverage (TPC-H-ish) ----
     "q1_pricing_summary" -> ((s, dir) =>
       Relational.pricingSummary(Tables.lineitem(s, dir))),
@@ -92,6 +94,8 @@ object SparkEntry {
       graft.functions.TextAnalysis.fingerprint(Tables.documents(s, dir))),
     "t_winnow_fingerprint" -> ((s, dir) =>
       graft.functions.TextAnalysis.winnowFingerprint(Tables.documents(s, dir))),
+    "t_top_terms" -> ((s, dir) =>
+      graft.functions.TextAnalysis.topTerms(Tables.documents(s, dir))),
     // ---- training-data pipeline: similarity search over embeddings ----
     "a_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
     "a_cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir))),
@@ -270,6 +274,27 @@ object SparkEntry {
         |       ROUND(CAST(SUM(CAST(pollution_level AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) + 1e-12, 4) AS avg_pollution
         |FROM z WHERE zone_id IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    // session windows via gaps-and-islands: a new session starts when
+    // the gap STRICTLY exceeds the gap (events exactly gap-apart merge —
+    // pinned against Spark's session_window semantics); session_end =
+    // last event + gap. The sentinel chunks close the final sessions,
+    // so the emitted log equals this batch sessionization.
+    "s_stream_session_agg" ->
+      """WITH z AS (
+        |  SELECT CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS zone_id,
+        |         value AS pollution_level, epoch_ns(ts) // 1000 AS tus, event_id
+        |  FROM events WHERE event_type = 'error'),
+        |m AS (SELECT zone_id, pollution_level, tus, event_id,
+        |             CASE WHEN LAG(tus) OVER w IS NULL
+        |                  OR tus - LAG(tus) OVER w > 150000000000 THEN 1 ELSE 0 END AS brk
+        |      FROM z WHERE zone_id IS NOT NULL
+        |      WINDOW w AS (PARTITION BY zone_id ORDER BY tus, event_id)),
+        |s AS (SELECT *, SUM(brk) OVER (PARTITION BY zone_id ORDER BY tus, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT MIN(tus) AS session_start, MAX(tus) + 150000000000 AS session_end, zone_id,
+        |       COUNT(*) AS n_readings,
+        |       ROUND(CAST(SUM(CAST(pollution_level AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) + 1e-12, 4) AS avg_pollution
+        |FROM s GROUP BY zone_id, sid""".stripMargin,
     "q_arrive_leave" ->
       s"""WITH $movesCte
          |SELECT event_id, car_id, to_zone AS zone_id, TRUE AS is_arriving, fuel_level FROM moves
@@ -379,6 +404,15 @@ object SparkEntry {
         |  FROM documents)""".stripMargin,
     "t_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp, length(text) AS n_chars FROM documents",
+    // document frequency: each term counted once per containing doc;
+    // rank ties break on the term itself, so top-100 is deterministic
+    "t_top_terms" ->
+      """WITH terms AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        |               FROM documents),
+        |d AS (SELECT term, COUNT(*) AS df FROM terms GROUP BY term)
+        |SELECT term, df, rank FROM (
+        |  SELECT term, df, CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term) AS INT) AS rank
+        |  FROM d) WHERE rank <= 100""".stripMargin,
     // winnowing: positional 3-gram md5 hashes, min per 4-hash window,
     // distinct survivors; md5 hex is lowercase and compared
     // lexicographically in both engines

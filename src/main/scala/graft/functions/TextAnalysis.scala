@@ -27,6 +27,25 @@ object TextAnalysis {
   def wordCount(text: Column, word: String): Column =
     size(filter(tokens(text), t => t === lit(word)))
 
+  /** Corpus vocabulary heavy hitters: the k terms with the highest
+    * DOCUMENT frequency (distinct per doc, so a word repeated in one
+    * document counts once) with a dense 1..k rank — the
+    * vocabulary/stopword-discovery step of a corpus build.
+    *
+    * Scale shape: the term explode is map-side, the df aggregation is
+    * partial (term + partial count through the shuffle), and the top-k
+    * compiles to TakeOrderedAndProject — every partition keeps only
+    * its k best, never a vocabulary-sized global sort (locked by
+    * PlanAuditSpec). The rank window runs over exactly k rows. */
+  def topTerms(documents: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    documents
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("df").desc, col("term"))))
+  }
+
   /** Per-document shape statistics. */
   def stats(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))

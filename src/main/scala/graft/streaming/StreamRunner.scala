@@ -318,6 +318,46 @@ object StreamRunner {
     log
   }
 
+  /** Event-time SESSION-window aggregation with a watermark, replayed
+    * through the chunked transport: per (zone, activity session), the
+    * count and average of pollution readings, where a session extends
+    * until a `gapSecs` silence — `groupBy(session_window(...))` in
+    * APPEND mode, the dynamic-window sibling of [[replayWindowAgg]]'s
+    * fixed tumbling windows (state = open sessions, merged as events
+    * arrive, emitted once the watermark passes session end).
+    *
+    * Session semantics (mirrored exactly by the DuckDB oracle's
+    * gaps-and-islands sessionization): an event at t extends a session
+    * whose end (last event + gap) is AFTER t; a gap ≥ gapSecs starts a
+    * new session; session_end = last event time + gap. The staged
+    * sentinel chunks close the final sessions deterministically, so
+    * the emitted log equals the batch sessionization. Averages follow
+    * the repo-wide parity rule (DECIMAL-exact sum / count + boundary
+    * nudge). */
+  def replaySessionAgg(spark: SparkSession, events: DataFrame,
+                       gapSecs: Int = 150000): DataFrame = {
+    ensureRocksDb(spark)
+    // sentinel exclusion: predicate on the event-time column itself,
+    // which the optimizer must keep ABOVE the watermark node — see
+    // replayWindowAgg for why a kind-based filter would break closure
+    val sentinelCutoffUs = 4102444800000000L
+    val (log, _) = replay(spark, events, (src: DataFrame) => {
+      src
+        .filter(col("kind").isin("zone", "wm"))
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ets", "0 seconds")
+        .filter(col("ets") < timestamp_micros(lit(sentinelCutoffUs)))
+        .groupBy(session_window(col("ets"), s"$gapSecs seconds"), col("a").as("zone_id"))
+        .agg(count(lit(1)).as("n_readings"),
+          round(sum(col("v").cast("decimal(18,4)")).cast("double") / count(lit(1))
+            + lit(1e-12), 4).as("avg_pollution"))
+        .select(unix_micros(col("session_window.start")).as("session_start"),
+          unix_micros(col("session_window.end")).as("session_end"),
+          col("zone_id"), col("n_readings"), col("avg_pollution"))
+    }, withSentinel = true)
+    log
+  }
+
   /** Streaming exact deduplication replay: the staged stream is unioned
     * with itself (every record arrives twice in the same micro-batch —
     * the at-least-once-delivery duplicate pattern) and

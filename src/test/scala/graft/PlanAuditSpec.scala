@@ -135,6 +135,13 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("topTerms: partial agg and TakeOrdered top-k, never a vocabulary-wide sort") {
+    val p = plan(graft.functions.TextAnalysis.topTerms(Tables.documents(spark, dir)))
+    assert(p.contains("partial_count"), s"df aggregation lost its map-side partial:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k lost TakeOrdered (global sort of the vocabulary):\n$p")
+  }
+
   test("events loader: partition filter prunes, no full-table scan state") {
     // q3-style date filter must reach the orders scan
     val p = plan(Tables.orders(spark, dir).filter(col("o_orderdate") < "1995-03-15")

@@ -26,6 +26,18 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
   private def rows(df: DataFrame): Seq[(Long, String)] =
     df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
 
+  test("topTerms ranks by document frequency with per-doc distinct and term tiebreak") {
+    val df = Seq(
+      (1L, "a b c"),
+      (2L, "a b"),
+      (3L, "a a x")).toDF("doc_id", "text") // df: a=3, b=2, c=1, x=1
+    val out = TextAnalysis.topTerms(df, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sortBy(_._3)
+    // "a a" counts once for doc 3 (document frequency); c beats x on the
+    // term tiebreak at df 1
+    assert(out.toSeq == Seq(("a", 3L, 1), ("b", 2L, 2), ("c", 1L, 3)))
+  }
+
   test("fused winnow kernel equals the composed HOF formulation on the corpus") {
     val docs = Tables.documents(spark, sf0001).limit(200)
     val fused = rows(TextAnalysis.winnowFingerprint(docs))
