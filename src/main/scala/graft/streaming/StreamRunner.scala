@@ -115,19 +115,25 @@ object StreamRunner {
   /** Distributed arrival-order stamping + chunked parquet staging (steps
     * 1-2 above). Returns nothing; the staged chunks live at `dir`.
     *
-    * With `withSentinel`, two extra single-record chunks with a
-    * far-future event time (`kind = "wm"`, picked up LAST) are
-    * appended — the punctuation analogue for event-time topologies: the
-    * first advances the watermark past every real window; the second
+    * Two extra single-record chunks with a far-future event time
+    * (`kind = "wm"`, picked up LAST) are always appended — the
+    * punctuation analogue for event-time topologies: the first
+    * advances the watermark past every real window; the second
     * triggers one more micro-batch so append-mode operators emit
-    * everything the advanced watermark closed (a watermark update takes
-    * effect in the batch after the one that observed it). Two chunks
-    * make emission independent of whether the engine schedules a
-    * trailing no-data flush batch. */
-  private def stage(spark: SparkSession, events: DataFrame, dir: Path,
-                    withSentinel: Boolean): Unit = {
+    * everything the advanced watermark closed (a watermark update
+    * takes effect in the batch after the one that observed it). Two
+    * chunks make emission independent of whether the engine schedules
+    * a trailing no-data flush batch. Topologies that don't need the
+    * punctuation drop it with a `kind` filter — cheaper than staging
+    * a second sentinel-free copy of the topic (ONE staging serves
+    * every replay of the same input). */
+  private def stage(spark: SparkSession, events: DataFrame, dir: Path): Unit = {
     import spark.implicits._
     envelope(events)
+      // materialize before the range partitioner: repartitionByRange
+      // samples its input and then shuffles it, which would run the
+      // envelope's regexp extraction over the events twice
+      .localCheckpoint()
       .repartitionByRange(ReplayChunks, col("ts"), col("eventId"))
       .sortWithinPartitions(col("ts"), col("eventId"))
       .withColumn("pid", spark_partition_id())
@@ -139,7 +145,7 @@ object StreamRunner {
         it.map { e => rank += 1; e.copy(seq = e.pid.toLong * ChunkSpan + rank) }
       }
       .write.mode("overwrite").parquet(dir.toString)
-    if (withSentinel) (0 until 2).foreach { i =>
+    (0 until 2).foreach { i =>
       val tmp = Files.createTempDirectory(s"graft_sentinel_$i")
       Seq(StagedEvent("wm", 0L, 0L, 0.0, SentinelTs + i, -1L - i,
           ReplayChunks + i, (ReplayChunks + i).toLong * ChunkSpan))
@@ -171,21 +177,20 @@ object StreamRunner {
     Files.deleteIfExists(dir.resolve("_SUCCESS"))
   }
 
-  /** Staged-chunk reuse across replays of the SAME input: both
-    * streaming entries replay the same events table, and the staged
+  /** Staged-chunk reuse across replays of the SAME input: every
+    * streaming entry replays the same events table, and the staged
     * chunk dir is immutable once written — the topic written once and
-    * consumed by two consumer groups. Keyed by the input's semantic
+    * consumed by many consumer groups. Keyed by the input's semantic
     * plan hash (different paths/plans stage separately); holds a
     * handful of paths per session. */
   private val stagedDirs =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int, Boolean), Path]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), Path]()
 
-  private def stagedDir(spark: SparkSession, events: DataFrame,
-                        withSentinel: Boolean): Path =
-    stagedDirs.computeIfAbsent((spark, events.semanticHash(), withSentinel), _ => {
+  private def stagedDir(spark: SparkSession, events: DataFrame): Path =
+    stagedDirs.computeIfAbsent((spark, events.semanticHash()), _ => {
       val dir = Files.createTempDirectory(s"graft_stage_${runId.incrementAndGet()}_")
         .resolve("src")
-      stage(spark, events, dir, withSentinel)
+      stage(spark, events, dir)
       dir
     })
 
@@ -222,15 +227,23 @@ object StreamRunner {
     * same input), replay through `topology` on an isolated session
     * clone, sink to parquet. Returns (emission log, staged input) —
     * both plain parquet-backed DataFrames on the CALLER's session, so
-    * batch post-processing runs at the session's own settings. */
+    * batch post-processing runs at the session's own settings.
+    *
+    * `withSentinel` selects whether the sentinel punctuation chunks
+    * are fed to the topology. The staging always contains them (one
+    * staging serves every replay); a topology that doesn't need
+    * watermark closure skips them at the SOURCE via pathGlobFilter —
+    * each sentinel file is otherwise a whole extra micro-batch of
+    * fixed stateful-op overhead. */
   private def replay[T](spark: SparkSession, events: DataFrame,
                         topology: DataFrame => Dataset[T],
                         withSentinel: Boolean = false): (DataFrame, DataFrame) = {
     val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
-    val srcDir = stagedDir(spark, events, withSentinel)
+    val srcDir = stagedDir(spark, events)
     val src = replaySession(spark).readStream
       .schema(Encoders.product[StagedEvent].schema)
       .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", if (withSentinel) "*.parquet" else "part-*")
       .parquet(srcDir.toString)
     val q = topology(src).writeStream.format("parquet")
       .option("path", work.resolve("out").toString)
@@ -372,7 +385,11 @@ object StreamRunner {
   def replayStreamDedup(spark: SparkSession, events: DataFrame): DataFrame = {
     ensureRocksDb(spark)
     val (log, _) = replay(spark, events, (src: DataFrame) => {
-      val withTime = src.withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      // the sentinel chunks are punctuation, not data: dedup emits
+      // immediately (the watermark only bounds state retention), so the
+      // wm rows are simply excluded — pushable, no closure subtlety
+      val withTime = src.filter(col("kind").isin("car", "zone"))
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
       withTime.unionByName(withTime)
         .withWatermark("ets", "0 seconds")
         .dropDuplicatesWithinWatermark("eventId")
