@@ -117,6 +117,12 @@ object SparkEntry {
         withSplit.filter(col("split") === "test"),
         withSplit.filter(col("split") === "train"))
     }),
+    // data mixing: keep 50% of the dominant language, all of the rest
+    "d_stratified_sample" -> ((s, dir) => {
+      val lang = graft.functions.TextAnalysis.langId(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang_pred"))
+      Corpus.stratifiedSample(lang, "lang_pred", Map("en" -> 0.5))
+    }),
     // ---- training-data pipeline: multimodal binary columns ----
     "m_binary_stats" -> ((s, dir) => Multimodal.binaryStats(Tables.documents(s, dir))),
     "m_decode_meta" -> ((s, dir) => Multimodal.decodeMeta(Tables.documents(s, dir)).toDF()),
@@ -516,6 +522,29 @@ object SparkEntry {
     // contamination: same split, same distinct word-5-grams per doc
     // (the Spark side joins on md5(gram), which counts identically)
     "t_contamination" -> contaminationOracle,
+    // stratified sampling: same language scores as t_lang_id, same
+    // md5-chars-9-16 sample bucket (disjoint from the split's 1-8)
+    "d_stratified_sample" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split(text,' '), x -> x = 'the')) AS score_en,
+        |         len(list_filter(string_split(text,' '), x -> x = 'le' OR x = 'la')) AS score_fr,
+        |         len(list_filter(string_split(text,' '), x -> x = 'el' OR x = 'los')) AS score_es,
+        |         len(list_filter(string_split(text,' '), x -> x = 'der' OR x = 'und')) AS score_de,
+        |         len(list_filter(string_split(text,' '), x -> x = '的')) AS score_zh
+        |  FROM documents),
+        |lp AS (
+        |  SELECT doc_id,
+        |         CASE WHEN score_en = t AND t > 0 THEN 'en'
+        |              WHEN score_fr = t AND t > 0 THEN 'fr'
+        |              WHEN score_es = t AND t > 0 THEN 'es'
+        |              WHEN score_de = t AND t > 0 THEN 'de'
+        |              WHEN score_zh = t AND t > 0 THEN 'zh'
+        |              ELSE 'und' END AS lang_pred
+        |  FROM (SELECT *, greatest(score_en, score_fr, score_es, score_de, score_zh) AS t FROM scored))
+        |SELECT doc_id, lang_pred FROM lp
+        |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8) AS UBIGINT) % 10000
+        |      < CASE lang_pred WHEN 'en' THEN 5000 ELSE 10000 END""".stripMargin,
   )
 
   private lazy val contaminationOracle: String =

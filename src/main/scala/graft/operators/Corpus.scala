@@ -34,6 +34,33 @@ object Corpus {
           .otherwise("test"))
   }
 
+  /** Deterministic stratified sampling: keep each row iff its doc_id's
+    * sample bucket (0-9999) falls under the group's keep rate — the
+    * data-mixing step of a corpus build (e.g. downsample the dominant
+    * language while keeping the rest whole). Per-row, shuffle-free,
+    * and stable across runs/engines like [[hashSplit]].
+    *
+    * The bucket comes from md5 hex chars 9-16 — DISJOINT from
+    * hashSplit's chars 1-8 — so sampling decisions are independent of
+    * split assignment (sampling 50% of train does not correlate with
+    * which docs sit near the eval boundary). Rates are quantized to
+    * 1/10000 so the comparison is integer-exact on any engine. */
+  def stratifiedSample(df: DataFrame, groupCol: String, rates: Map[String, Double],
+                       defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "sampling rates must be within [0, 1]")
+    val threshold = rates.foldLeft(lit((defaultRate * 10000).round.toInt)) {
+      case (acc, (k, v)) => when(col(groupCol) === lit(k), lit((v * 10000).round.toInt))
+        .otherwise(acc)
+    }
+    df.filter(sampleBucket(col("doc_id")) < threshold)
+  }
+
+  /** 0-9999 sample bucket from md5 chars 9-16 of the id (see
+    * [[stratifiedSample]] for why not chars 1-8). */
+  private def sampleBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(id.cast("string")), 9, 8), 16, 10).cast("long") % 10000
+
   /** Train/eval contamination check: for each eval document, how many
     * of its distinct word n-grams appear in ANY training document — a
     * standard pre-training hygiene step (eval benchmarks leaking into

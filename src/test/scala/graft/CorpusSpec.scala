@@ -35,6 +35,29 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](Corpus.hashSplit(df, trainPct = 95, valPct = 5))
   }
 
+  test("stratifiedSample: rate 0 removes the group, rate 1 keeps it, deterministic in between") {
+    val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "grp")
+    val dropEn = Corpus.stratifiedSample(df, "grp", Map("en" -> 0.0)).collect()
+    assert(dropEn.forall(_.getString(1) == "fr") && dropEn.length == 200)
+    val keepAll = Corpus.stratifiedSample(df, "grp", Map("en" -> 1.0))
+    assert(keepAll.count() == 400)
+    val half = Corpus.stratifiedSample(df, "grp", Map("en" -> 0.5))
+    val kept = half.collect().map(r => (r.getLong(0), r.getString(1)))
+    // all fr kept; en thinned to roughly half, and the SAME half every run
+    assert(kept.count(_._2 == "fr") == 200)
+    val en = kept.count(_._2 == "en")
+    assert(en > 60 && en < 140, s"en kept: $en")
+    assert(Corpus.stratifiedSample(df, "grp", Map("en" -> 0.5)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == kept.toSeq)
+    // a nested rate keeps a subset of a larger rate (bucket predicate is monotone)
+    val quarter = Corpus.stratifiedSample(df, "grp", Map("en" -> 0.25)).collect()
+      .map(_.getLong(0)).toSet
+    assert(quarter.subsetOf(kept.map(_._1).toSet))
+    intercept[IllegalArgumentException](
+      Corpus.stratifiedSample(df, "grp", Map("en" -> 1.5)))
+  }
+
   test("contamination counts shared distinct n-grams; short docs are clean") {
     val train = docs(
       (100L, "a b c d e f g"),   // grams: "a b c d e", "b c d e f", "c d e f g"
