@@ -83,6 +83,8 @@ object SparkEntry {
       Relational.suppliersWithBigLines(Tables.supplier(s, dir), Tables.lineitem(s, dir))),
     "q_distinct_users" -> ((s, dir) => Relational.distinctUsersPerType(ev(s, dir))),
     "q_orders_by_month" -> ((s, dir) => Relational.ordersByMonth(Tables.orders(s, dir))),
+    "q_revenue_rollup" -> ((s, dir) => Relational.revenueRollup(Tables.orders(s, dir))),
+    "q_price_quantiles" -> ((s, dir) => Relational.priceQuantiles(Tables.orders(s, dir))),
     // ---- training-data pipeline: text analysis ----
     "t_text_stats" -> ((s, dir) =>
       graft.functions.TextAnalysis.stats(Tables.documents(s, dir))),
@@ -370,6 +372,22 @@ object SparkEntry {
         |       COUNT(*) AS n_orders,
         |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) + 1e-12, 2) AS avg_price
         |FROM orders GROUP BY 1, 2""".stripMargin,
+    // ROLLUP: identical ANSI semantics (NULL keys mark rolled-up
+    // levels); money sums decimal-exact as everywhere
+    "q_revenue_rollup" ->
+      """SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       COUNT(*) AS n_orders,
+        |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_year)""".stripMargin,
+    // exact percentiles: both engines linear-interpolate over the
+    // decimal-recovered doubles; 1e-9 nudge (values are ~1e5, so 1e-12
+    // is below double ulp there)
+    "q_price_quantiles" ->
+      """SELECT o_orderpriority,
+        |       ROUND(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 0.5) + 1e-9, 2) AS p50,
+        |       ROUND(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 0.9) + 1e-9, 2) AS p90,
+        |       ROUND(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 0.99) + 1e-9, 2) AS p99
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "t_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |       len(string_split(text, ' ')) AS n_words,

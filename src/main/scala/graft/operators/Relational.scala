@@ -127,4 +127,34 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double") / count(lit(1))
           + lit(1e-12), 2).as("avg_price"))
+
+  /** Grouping sets (ROLLUP): order totals by (priority, year), per
+    * priority, and grand total in ONE pass — Spark expands the rollup
+    * into a single aggregation over replicated grouping keys, partial
+    * aggregation intact (one scan, one shuffle for all three levels,
+    * vs three separate aggregations). NULL group keys mark the
+    * rolled-up levels exactly as in ANSI SQL. */
+  def revenueRollup(orders: DataFrame): DataFrame =
+    orders
+      .rollup(col("o_orderpriority"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_price"))
+
+  /** Exact percentiles of order value per priority — distribution
+    * profiling. Spark's `percentile` and the oracle's `quantile_cont`
+    * both take the linear-interpolated exact percentile over the
+    * decimal-recovered values, so the interpolation arithmetic runs on
+    * identical doubles; the result is rounded with the boundary nudge
+    * like every cross-engine double. Exact percentile sorts each
+    * group; at 100 TB swap in approx_percentile (t-digest sketch,
+    * mergeable partials) — the operator shape is identical. */
+  def priceQuantiles(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(percentile(col("o_totalprice").cast("decimal(18,4)").cast("double"), lit(0.5))
+          + lit(1e-9), 2).as("p50"),
+        round(percentile(col("o_totalprice").cast("decimal(18,4)").cast("double"), lit(0.9))
+          + lit(1e-9), 2).as("p90"),
+        round(percentile(col("o_totalprice").cast("decimal(18,4)").cast("double"), lit(0.99))
+          + lit(1e-9), 2).as("p99"))
 }
