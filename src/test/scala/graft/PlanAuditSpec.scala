@@ -142,6 +142,33 @@ class PlanAuditSpec extends SparkSpec {
       s"top-k lost TakeOrdered (global sort of the vocabulary):\n$p")
   }
 
+  test("contamination: gram semi-join, partial aggs, no cartesian") {
+    val docs = Tables.documents(spark, dir)
+    val withSplit = Corpus.hashSplit(docs)
+    val p = plan(Corpus.contamination(
+      withSplit.filter(col("split") === "test"),
+      withSplit.filter(col("split") === "train")))
+    assert(p.contains("LeftSemi"), s"train grams must restrict via semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), s"gram counts lost map-side partials:\n$p")
+  }
+
+  test("stratified sampling and hash split are shuffle-free per-row work") {
+    val docs = Tables.documents(spark, dir)
+    assert(!plan(Corpus.hashSplit(docs)).contains("Exchange"))
+    val sampled = Corpus.stratifiedSample(
+      Corpus.hashSplit(docs), "split", Map("train" -> 0.5))
+    assert(!plan(sampled).contains("Exchange"))
+  }
+
+  test("revenueRollup: one aggregation pass serves all rollup levels") {
+    val p = plan(Relational.revenueRollup(Tables.orders(spark, dir)))
+    assert(p.contains("Expand"), s"rollup should expand grouping sets in-plan:\n$p")
+    assert(p.contains("partial_count"), s"rollup lost map-side partial aggregation:\n$p")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"rollup must aggregate all levels through ONE shuffle:\n$p")
+  }
+
   test("events loader: partition filter prunes, no full-table scan state") {
     // q3-style date filter must reach the orders scan
     val p = plan(Tables.orders(spark, dir).filter(col("o_orderdate") < "1995-03-15")
