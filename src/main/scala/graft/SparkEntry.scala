@@ -104,6 +104,15 @@ object SparkEntry {
     "a_ann_topk" -> ((s, dir) => Similarity.annTopK(Tables.embeddings(s, dir))),
     "a_ann_pairs" -> ((s, dir) => Similarity.annPairs(Tables.embeddings(s, dir))),
     "a_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
+    // trained-quantizer IVF: k-means on a 20% deterministic sample,
+    // full-corpus assignment. No SQL oracle (iterative float means are
+    // not bit-replicable cross-engine) -> driver rows-only check;
+    // AnnSpec asserts the training-quality and exact-cosine properties.
+    "a_ivf_trained" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.trainCentroids(emb, k = 16, iters = 3, sampleBuckets = 2000)
+      Similarity.ivfTopK(emb, centroids = Some(cents))
+    }),
     // ---- training-data pipeline: dedup ----
     "d_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "d_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir))),

@@ -240,6 +240,72 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Distributed Lloyd's k-means over the embedding space — the
+    * trained coarse quantizer for [[ivfTopK]]'s `centroids` parameter
+    * (the strided default is the oracle-checkable stand-in; a real
+    * deployment trains). Returns (cid, v, nrm), ready to pass in.
+    *
+    * Scale shape, per iteration: assignment is the same per-row
+    * [[graft.functions.IvfCell]] kernel as search (model broadcast,
+    * corpus never shuffles); the update shuffles (cell, pos, value)
+    * triples — dim × N small rows — into per-dimension means, then
+    * rebuilds the k-row centroid table. Train on a deterministic
+    * hash SAMPLE of the corpus (`sampleBuckets` of 10000) and assign
+    * the full corpus afterwards — the standard big-corpus k-means
+    * pattern: quantizer quality needs distribution coverage, not
+    * every row. Initialization is the k smallest vec_ids of the
+    * sample (deterministic; k-means++ would add distance-weighted
+    * draws at the cost of k passes). Empty cells drop out — callers
+    * get AT MOST k centroids, never a NaN centroid. */
+  def trainCentroids(embeddings: DataFrame, k: Int = 64, iters: Int = 5,
+                     sampleBuckets: Int = 10000): DataFrame = {
+    require(k > 0 && iters >= 0 && sampleBuckets >= 1 && sampleBuckets <= 10000,
+      "need k > 0, iters >= 0, sampleBuckets in [1, 10000]")
+    val e = normalized(embeddings)
+    val sample = (if (sampleBuckets >= 10000) e
+      else e.filter(
+        conv(substring(md5(col("vec_id").cast("string")), 17, 8), 16, 10).cast("long")
+          % 10000 < sampleBuckets))
+      .localCheckpoint()
+    var cents = sample.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("v"), col("nrm"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val model = cents
+        .agg(sort_array(collect_list(struct(col("cid"), col("v"), col("nrm")))).as("cents"))
+      val assigned = sample.crossJoin(broadcast(model))
+        .select(graft.functions.VectorKernels.ivfCell(col("v"), col("nrm"), col("cents"))
+          .as("cell"), col("v"))
+      cents = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cid"),
+          transform(col("pm"), p => p.getField("m")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .filter(col("nrm") > 0)
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Mean squared cosine distance of each sample vector to its
+    * centroid — the k-means objective, exposed so training quality is
+    * observable (AnnSpec asserts it does not degrade per iteration). */
+  private[graft] def quantizerCost(embeddings: DataFrame, cents: DataFrame): Double = {
+    val e = normalized(embeddings)
+    val model = cents
+      .agg(sort_array(collect_list(struct(col("cid"), col("v"), col("nrm")))).as("cents"))
+    val withCell = e.crossJoin(broadcast(model))
+      .select(col("v"), col("nrm"), col("cents"),
+        graft.functions.VectorKernels.ivfCell(col("v"), col("nrm"), col("cents")).as("cell"))
+      .select(col("v"), col("nrm"),
+        filter(col("cents"), c => c.getField("cid") === col("cell"))(0).as("c"))
+      .select((lit(1) - dot(col("v"), col("c.v")) / (col("nrm") * col("c.nrm"))).as("d"))
+    withCell.agg(avg(col("d") * col("d"))).collect()(0).getDouble(0)
+  }
+
   /** Approximate near-dup pairs: LSH bucket self-join → exact verify —
     * the scale path for [[cosinePairs]] (same shape as minhashPairs vs
     * jaccardPairs). Candidates ∝ bucket collision density. */

@@ -219,6 +219,30 @@ class AnnSpec extends SparkSpec {
     assert(ex.getMessage.contains("dimensional"), s"unexpected: ${ex.getMessage}")
   }
 
+  test("trainCentroids: k-means improves the quantizer and feeds ivfTopK correctly") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val init = Similarity.trainCentroids(emb, k = 12, iters = 0)
+    val trained = Similarity.trainCentroids(emb, k = 12, iters = 4)
+    assert(init.count() == 12)
+    val nTrained = trained.count()
+    assert(nTrained > 0 && nTrained <= 12) // empty cells may drop, never NaN centroids
+    assert(trained.collect().forall(r => r.getSeq[Double](1).length == 64))
+    // training must not make the quantizer worse than the (arbitrary)
+    // first-k initialization on the k-means objective
+    val costInit = Similarity.quantizerCost(emb, init)
+    val costTrained = Similarity.quantizerCost(emb, trained)
+    assert(costTrained <= costInit + 1e-9, s"cost went $costInit -> $costTrained")
+    // the trained model slots into the searcher: full result set, and
+    // every hit carries its true exact cosine
+    val exactAll = Similarity.cosineTopK(emb, numQueries = 10, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(emb, centroids = Some(trained)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivf.size == 50)
+    assert(ivf.keySet.subsetOf(exactAll.keySet))
+    ivf.foreach { case (key, c) => assert(exactAll(key) == c) }
+  }
+
   test("ann runs are deterministic (hyperplanes are seed-fixed)") {
     val emb = Tables.embeddings(spark, sf0001)
     val a = Similarity.annTopK(emb).collect().map(_.toSeq).toSeq
