@@ -187,6 +187,17 @@ object Dedup {
                   maxIters: Int = 40): DataFrame = {
     val edges = minhashPairs(documents, n, threshold)
       .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    connectedComponents(edges, maxIters)
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("keep"))
+  }
+
+  /** Connected components of an undirected (doc_a, doc_b) edge list:
+    * (doc_id, label) with label = the component's minimum vertex id.
+    * Package-private so the iterative loop is property-testable against
+    * a brute-force union-find on arbitrary graphs (chains, stars,
+    * cycles), independent of the minhash edge generator. */
+  private[graft] def connectedComponents(edges: DataFrame, maxIters: Int): DataFrame = {
     var labels = edges.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct().withColumn("label", col("doc_id")).localCheckpoint()
     // labels are monotonically non-increasing, so an unchanged sum IS a
@@ -230,10 +241,9 @@ object Dedup {
       iter += 1
     }
     require(converged,
-      s"dupClusters did not converge in $maxIters rounds — pathological " +
-        "component diameter; raise maxIters")
-    labels.select(col("doc_id"), col("label").as("cluster_id"),
-      (col("doc_id") === col("label")).as("keep"))
+      s"connectedComponents did not converge in $maxIters rounds — " +
+        "pathological component diameter; raise maxIters")
+    labels
   }
 
   /** 64-bit token hash both engines can compute bit-identically: the

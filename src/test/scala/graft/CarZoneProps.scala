@@ -78,6 +78,27 @@ object CarZoneProps extends Properties("CarZone") {
       arrives.length == carEvents.length && leaves.length == expectedLeaves
     }
 
+  property("connectedComponents equals brute-force union-find on arbitrary graphs") =
+    Prop.forAll(Gen.listOf(Gen.zip(Gen.choose(0L, 24L), Gen.choose(0L, 24L)))) { raw =>
+      val edges = raw.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct
+      // brute-force union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      val got = Dedup.connectedComponents(
+          edges.toDF("doc_a", "doc_b"), maxIters = 40).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    }
+
   property("exactDedup partitions the corpus: sum(n_copies) == N, keepers are min ids") =
     Prop.forAll(Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd"))) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")

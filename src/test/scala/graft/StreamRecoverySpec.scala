@@ -17,6 +17,19 @@ import graft.streaming._
 class StreamRecoverySpec extends SparkSpec {
   import spark.implicits._
 
+  test("replay partition override is validated up front, naming the conf key") {
+    spark.conf.set(StreamRunner.ReplayPartitionsKey, "banana")
+    try {
+      val e = intercept[IllegalArgumentException](
+        StreamRunner.replayStaticJoin(spark, Tables.events(spark, sf0001)))
+      assert(e.getMessage.contains(StreamRunner.ReplayPartitionsKey))
+      spark.conf.set(StreamRunner.ReplayPartitionsKey, "0")
+      val e2 = intercept[IllegalArgumentException](
+        StreamRunner.replayStaticJoin(spark, Tables.events(spark, sf0001)))
+      assert(e2.getMessage.contains("positive"))
+    } finally spark.conf.unset(StreamRunner.ReplayPartitionsKey)
+  }
+
   test("move fold resumes from checkpoint: state kept, nothing lost or duplicated") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
