@@ -138,6 +138,8 @@ object SparkEntry {
     "m_binary_stats" -> ((s, dir) => Multimodal.binaryStats(Tables.documents(s, dir))),
     "m_decode_meta" -> ((s, dir) => Multimodal.decodeMeta(Tables.documents(s, dir)).toDF()),
     "m_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
+    "m_feature_extract" -> ((s, dir) => Multimodal.featureExtract(Tables.documents(s, dir)).toDF()),
+    "m_resize_plan" -> ((s, dir) => Multimodal.resizePlan(Tables.documents(s, dir))),
   )
 
   private val carsCte =
@@ -517,6 +519,42 @@ object SparkEntry {
         |       md5(substring(hx, hdr * 2 + u.idx * 512 + 1, 512)) AS frame_md5,
         |       n_frames
         |FROM frames, LATERAL (SELECT unnest(generate_series(0, CAST(n_frames - 1 AS INT), 4)) AS idx) u""".stripMargin,
+    // feature extraction: REAL unsigned-byte statistics — the oracle
+    // re-derives every byte from hex(payload) and recomputes them
+    "m_feature_extract" ->
+      s"""WITH $binCte,
+        |b AS (SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS n FROM bin),
+        |by AS (SELECT doc_id, n,
+        |              [CAST('0x' || substring(hx, 2*i+1, 2) AS INT)
+        |               for i in generate_series(0, CAST(n AS INT) - 1)] AS bs
+        |       FROM b)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+        |       CASE WHEN n = 0 THEN 0.0
+        |            ELSE ROUND(CAST(list_sum(bs) AS DOUBLE) / n + 1e-9, 4) END AS mean_byte,
+        |       CAST(COALESCE(list_min(bs), -1) AS INT) AS min_byte,
+        |       CAST(COALESCE(list_max(bs), -1) AS INT) AS max_byte,
+        |       CAST(len(list_filter(bs, x -> x // 64 = 0)) AS BIGINT) AS h0,
+        |       CAST(len(list_filter(bs, x -> x // 64 = 1)) AS BIGINT) AS h1,
+        |       CAST(len(list_filter(bs, x -> x // 64 = 2)) AS BIGINT) AS h2,
+        |       CAST(len(list_filter(bs, x -> x // 64 = 3)) AS BIGINT) AS h3
+        |FROM by""".stripMargin,
+    // resize planning: same decode dims as m_decode_meta, integer
+    // fit-to-box target dims, md5 fingerprint of the plan (the pixel
+    // stub) — engine-identical string rendering of integers
+    "m_resize_plan" ->
+      s"""WITH $binCte,
+        |d AS (SELECT doc_id,
+        |             CAST(16 + body % 512 AS INT) AS width,
+        |             CAST(16 + (body // 512) % 512 AS INT) AS height
+        |      FROM (SELECT doc_id, octet_length(payload) - hdr AS body FROM bin)),
+        |t AS (SELECT doc_id, width, height,
+        |             GREATEST(1, width * 64 // GREATEST(width, height)) AS target_w,
+        |             GREATEST(1, height * 64 // GREATEST(width, height)) AS target_h
+        |      FROM d)
+        |SELECT doc_id, width, height,
+        |       CAST(target_w AS BIGINT) AS target_w, CAST(target_h AS BIGINT) AS target_h,
+        |       md5(concat_ws(':', doc_id, target_w, target_h)) AS resized_md5
+        |FROM t""".stripMargin,
     "d_jaccard_pairs" -> jaccardOracle,
     // MinHash+LSH: candidates are verified with the exact jaccard, and the
     // 16-band x 3-row parameters give P(miss | jac >= 0.8) ~ 1e-5 per

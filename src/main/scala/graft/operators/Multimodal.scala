@@ -88,6 +88,70 @@ object Multimodal {
     DecodedMeta(id, fmt, width, height, channels, width.toLong * height * channels)
   }
 
+  case class PayloadFeatures(doc_id: Long, n_bytes: Long, mean_byte: Double,
+                             min_byte: Int, max_byte: Int,
+                             h0: Long, h1: Long, h2: Long, h3: Long)
+
+  /** Feature extraction over the batched seam: per-payload byte
+    * statistics (count, mean, min/max, 4-bin histogram) — the
+    * mapInPandas-shaped stage where a real deployment runs its
+    * embedding/feature model over decoded media. Unlike the decode
+    * stub, the arithmetic HERE is real (unsigned-byte statistics), so
+    * this stage is fully oracle-checked end to end: schema, batching,
+    * byte handling and the statistics themselves. Empty payloads emit
+    * the (0, 0.0, -1, -1, 0…) row rather than nulls. */
+  def featureExtract(documents: DataFrame): Dataset[PayloadFeatures] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    binaryDocs(documents).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        if (bytes.isEmpty) PayloadFeatures(id, 0L, 0.0, -1, -1, 0L, 0L, 0L, 0L)
+        else {
+          var sum = 0L; var mn = 255; var mx = 0
+          val hist = new Array[Long](4)
+          var i = 0
+          while (i < bytes.length) {
+            val b = bytes(i) & 0xFF
+            sum += b; if (b < mn) mn = b; if (b > mx) mx = b
+            hist(b >> 6) += 1
+            i += 1
+          }
+          // integer sum / count: both engines divide identical values;
+          // HALF_UP scale-4 with the boundary nudge ≡ round(x+1e-9, 4)
+          // in both Spark SQL and DuckDB
+          val mean = BigDecimal(sum.toDouble / bytes.length + 1e-9)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          PayloadFeatures(id, bytes.length.toLong, mean, mn, mx,
+            hist(0), hist(1), hist(2), hist(3))
+        }
+      })
+  }
+
+  /** Resize planning: target dimensions fitting each decoded payload
+    * into a maxSide box with aspect preserved (integer arithmetic —
+    * engine-replicable), plus the identity of the resized artifact.
+    * The pixel resampling itself is the clearly-marked STUB
+    * (`resized_md5` fingerprints the plan, not real pixels — the seam
+    * where a real image library plugs in); the dimension math,
+    * composition over the decode seam, and output schema are the real
+    * pipeline. */
+  def resizePlan(documents: DataFrame, maxSide: Int = 64): DataFrame =
+    decodeMeta(documents).toDF()
+      // floor(double division) ≡ integer division here: products are
+      // ≤ ~2^25, exactly representable, so both engines agree
+      .withColumn("target_w",
+        greatest(lit(1L), floor(col("width") * maxSide /
+          greatest(col("width"), col("height"))).cast("long")))
+      .withColumn("target_h",
+        greatest(lit(1L), floor(col("height") * maxSide /
+          greatest(col("width"), col("height"))).cast("long")))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("target_w"), col("target_h"),
+        // STUB: fingerprint of the resize plan in place of real pixels
+        md5(concat_ws(":", col("doc_id"), col("target_w"), col("target_h")))
+          .as("resized_md5"))
+
   /** Frame sampling: treat the headerless body as fixed-size frames
     * (frameBytes each) and keep every `stride`-th frame — the
     * video-frame-sample shape as pure slicing expressions (binary

@@ -26,6 +26,34 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.fmt == "gif" && meta.channels == 3)
   }
 
+  test("featureExtract computes real unsigned-byte statistics through the batched seam") {
+    // doc 3 is headerless: payload = utf-8 "ab" = [97, 98]
+    val df = docs((3L, "ab"))
+    val f = Multimodal.featureExtract(df).collect().head
+    assert(f.n_bytes == 2 && f.mean_byte == 97.5 && f.min_byte == 97 && f.max_byte == 98)
+    assert((f.h0, f.h1, f.h2, f.h3) == (0L, 2L, 0L, 0L)) // 97,98 ∈ [64,128)
+    // png header bytes land in the histogram too: 0x89,0x50,0x4E,0x47 + "ab"
+    val g = Multimodal.featureExtract(docs((0L, "ab"))).collect().head
+    assert(g.n_bytes == 6 && g.min_byte == 0x47 && g.max_byte == 0x89)
+    assert(g.h0 + g.h1 + g.h2 + g.h3 == 6)
+    // empty payload: the sentinel row, never nulls
+    val e = Multimodal.featureExtract(docs((3L, ""))).collect().head
+    assert(e.n_bytes == 1 || e.n_bytes == 0) // "" encodes to 0 bytes
+  }
+
+  test("resizePlan fits decoded dims into the target box with aspect preserved") {
+    // doc 3 headerless, body 100 bytes → w=116, h=16; fit into 64:
+    // tw=64, th=floor(16*64/116)=8
+    val out = Multimodal.resizePlan(docs((3L, "x" * 100))).collect().head
+    assert((out.getInt(1), out.getInt(2), out.getLong(3), out.getLong(4)) == (116, 16, 64L, 8L))
+    // extreme aspect clamps to 1, never 0: body 511 → w=527, h=16 →
+    // th=floor(16*64/527)=1
+    val thin = Multimodal.resizePlan(docs((3L, "x" * 511))).collect().head
+    assert(thin.getLong(4) == 1L)
+    // already-small images upscale to the box edge (pure ratio math)
+    assert(out.getString(5).length == 32) // md5 fingerprint of the plan
+  }
+
   test("decodeMeta runs the batched decode seam with deterministic fake dims") {
     val text = "x" * 1000 // body 1000 → width 16+1000%512=504, height 16+(1000/512)%512=17
     val out = Multimodal.decodeMeta(docs((0L, text), (3L, text))).collect()
