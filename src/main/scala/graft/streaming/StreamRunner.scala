@@ -89,22 +89,29 @@ object StreamRunner {
     if (!spark.conf.getOption(k).contains(rocks)) spark.conf.set(k, rocks)
   }
 
-  /** The car/zone union envelope (un-stamped).
-    * A null zone_id (unparseable props) maps to a sentinel no reading
-    * can match: the car still retracts from its previous zone and its
-    * final state joins nothing — exactly the batch inner-join outcome
-    * for a null-zone latest event (null never equi-joins). A raw null
-    * would silently unbox to 0 in the typed CarArrival. */
+  /** The car/zone union envelope (un-stamped), computed in ONE scan of
+    * the events table — a branch-per-side union would read (and
+    * regexp-parse) the full table twice, which at 100 TB is a second
+    * complete pass for no information gain. Semantics per side are
+    * identical to CarZone.carEvents/zoneEvents:
+    *  - car rows: a null zone_id (unparseable props) maps to a
+    *    sentinel no reading can match — the car still retracts from
+    *    its previous zone and its final state joins nothing, exactly
+    *    the batch inner-join outcome (null never equi-joins); a raw
+    *    null would silently unbox to 0 in the typed CarArrival.
+    *  - zone rows: a reading without a parseable zone is meaningless
+    *    and dropped. */
   private def envelope(events: DataFrame): DataFrame = {
-    val cars = CarZone.carEvents(events)
-      .select(lit("car").as("kind"), col("car_id").as("a"),
-        coalesce(col("zone_id"), lit(-1L)).as("b"), col("fuel_level").as("v"),
-        col("ts"), col("event_id").as("eventId"))
-    val zones = CarZone.zoneEvents(events)
-      .filter(col("zone_id").isNotNull) // a reading without a zone is meaningless
-      .select(lit("zone").as("kind"), col("zone_id").as("a"),
-        lit(0L).as("b"), col("pollution_level").as("v"), col("ts"), col("event_id").as("eventId"))
-    cars.unionByName(zones)
+    val zid = CarZone.propsK(col("props"))
+    val isZone = col("event_type") === "error"
+    events
+      .filter(col("event_type").isin("click", "view", "error"))
+      .select(
+        when(isZone, lit("zone")).otherwise(lit("car")).as("kind"),
+        when(isZone, zid).otherwise(col("user_id")).as("a"),
+        when(isZone, lit(0L)).otherwise(coalesce(zid, lit(-1L))).as("b"),
+        col("value").as("v"), col("ts"), col("event_id").as("eventId"))
+      .filter(col("a").isNotNull)
   }
 
   /** Event time of the watermark-closing sentinel record: far enough in
@@ -145,16 +152,20 @@ object StreamRunner {
         it.map { e => rank += 1; e.copy(seq = e.pid.toLong * ChunkSpan + rank) }
       }
       .write.mode("overwrite").parquet(dir.toString)
-    (0 until 2).foreach { i =>
-      val tmp = Files.createTempDirectory(s"graft_sentinel_$i")
-      Seq(StagedEvent("wm", 0L, 0L, 0.0, SentinelTs + i, -1L - i,
-          ReplayChunks + i, (ReplayChunks + i).toLong * ChunkSpan))
-        .toDS().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val tl = Files.list(tmp)
-      val part =
-        try scala.jdk.CollectionConverters.IteratorHasAsScala(tl.iterator()).asScala
-          .find(_.getFileName.toString.startsWith("part-")).get
-        finally tl.close()
+    // both sentinel chunks in ONE job: range-partitioned by pid so each
+    // lands in its own part file, renamed in pid order
+    val tmp = Files.createTempDirectory("graft_sentinel")
+    (0 until 2).map(i => StagedEvent("wm", 0L, 0L, 0.0, SentinelTs + i, -1L - i,
+        ReplayChunks + i, (ReplayChunks + i).toLong * ChunkSpan))
+      .toDS().repartitionByRange(2, col("pid"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val tl = Files.list(tmp)
+    val sentinelParts =
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(tl.iterator()).asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+        .sortBy(_.getFileName.toString)
+      finally tl.close()
+    sentinelParts.zipWithIndex.foreach { case (part, i) =>
       // zz- prefix: sorts after every range-partition part file
       Files.move(part, dir.resolve(s"zz-sentinel-$i.parquet"))
     }
