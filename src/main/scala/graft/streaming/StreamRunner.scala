@@ -165,6 +165,11 @@ object StreamRunner {
         .filter(_.getFileName.toString.startsWith("part-")).toSeq
         .sortBy(_.getFileName.toString)
       finally tl.close()
+    // each sentinel must be its own FILE: the closure protocol needs two
+    // separate micro-batches (watermark advance, then flush) — one file
+    // carrying both rows would silently break append-mode emission
+    require(sentinelParts.size == 2,
+      s"expected 2 sentinel part files, got ${sentinelParts.size}")
     sentinelParts.zipWithIndex.foreach { case (part, i) =>
       // zz- prefix: sorts after every range-partition part file
       Files.move(part, dir.resolve(s"zz-sentinel-$i.parquet"))
