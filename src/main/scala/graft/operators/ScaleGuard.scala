@@ -16,11 +16,16 @@ private[operators] object ScaleGuard {
   val DefaultMaxRows = 100000L
 
   def apply(op: String, input: DataFrame, maxRows: Long, scalePath: String): Unit = {
+    require(maxRows > 0, s"$op: maxRows must be positive, got $maxRows")
     // eager by design (fail before the quadratic plan is built), but
     // bounded: a LIMIT maxRows+1 probe stops scanning as soon as the
-    // ceiling is provably breached instead of counting the whole input
-    val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
-    val n = input.select(input.columns.head).limit(probe).count()
+    // ceiling is provably breached instead of counting the whole input.
+    // LIMIT takes an Int; for a ceiling at/above Int.MaxValue the probe
+    // can't witness a breach, so fall back to an honest full count
+    // rather than silently disabling the guard.
+    val n =
+      if (maxRows >= Int.MaxValue.toLong) input.count()
+      else input.select(input.columns.head).limit(maxRows.toInt + 1).count()
     require(n <= maxRows,
       s"$op is a verification-scale oracle baseline with a quadratic self-join: " +
         s"input has more than guard $maxRows rows. Use $scalePath at scale, " +

@@ -240,7 +240,8 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
-  /** Distributed Lloyd's k-means over the embedding space — the
+  /** Distributed spherical k-means (Lloyd's iterations under cosine
+    * similarity: max-cos assignment, unit-vector-mean update) — the
     * trained coarse quantizer for [[ivfTopK]]'s `centroids` parameter
     * (the strided default is the oracle-checkable stand-in; a real
     * deployment trains). Returns (cid, v, nrm), ready to pass in.
@@ -275,7 +276,14 @@ object Similarity {
         .agg(sort_array(collect_list(struct(col("cid"), col("v"), col("nrm")))).as("cents"))
       val assigned = sample.crossJoin(broadcast(model))
         .select(graft.functions.VectorKernels.ivfCell(col("v"), col("nrm"), col("cents"))
-          .as("cell"), col("v"))
+          .as("cell"),
+          // spherical k-means update: average UNIT vectors, not raw
+          // ones — the normalized mean of unit vectors is the exact
+          // maximizer of sum cos(x, c) for a fixed assignment, which
+          // (with max-cos assignment) makes the spherical objective
+          // provably non-increasing per iteration; raw-vector means
+          // lose that guarantee when magnitudes vary
+          transform(col("v"), x => x / col("nrm")).as("v"))
       cents = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
@@ -290,9 +298,11 @@ object Similarity {
     cents
   }
 
-  /** Mean squared cosine distance of each sample vector to its
-    * centroid — the k-means objective, exposed so training quality is
-    * observable (AnnSpec asserts it does not degrade per iteration). */
+  /** Mean cosine distance (1 − cos) of each vector to its centroid —
+    * the SPHERICAL k-means objective (the one [[trainCentroids]]'s
+    * max-cos assignment + unit-mean update provably never increases),
+    * exposed so training quality is observable (AnnSpec asserts it
+    * does not degrade across iterations). */
   private[graft] def quantizerCost(embeddings: DataFrame, cents: DataFrame): Double = {
     val e = normalized(embeddings)
     val model = cents
@@ -303,7 +313,7 @@ object Similarity {
       .select(col("v"), col("nrm"),
         filter(col("cents"), c => c.getField("cid") === col("cell"))(0).as("c"))
       .select((lit(1) - dot(col("v"), col("c.v")) / (col("nrm") * col("c.nrm"))).as("d"))
-    withCell.agg(avg(col("d") * col("d"))).collect()(0).getDouble(0)
+    withCell.agg(avg(col("d"))).collect()(0).getDouble(0)
   }
 
   /** Approximate near-dup pairs: LSH bucket self-join → exact verify —

@@ -101,17 +101,21 @@ object Transport {
     *
     * Kafka mode: the same framing straight into `format("kafka")` —
     * `path` is the topic name, brokers come from [[BootstrapKey]].
-    * The framing columns are exactly the kafka sink's contract
-    * (key/value; the broker stamps its own timestamp), which is the
-    * point of centralizing the edge here: the reference's
-    * ProducerRecord(topic, null, ts, key, value) (FakeData.scala:63)
-    * maps to either transport without touching any topology. */
+    * The kafka sink has no producer-timestamp column, so the produced
+    * timestamp travels in a `graft.ts` record header and
+    * [[fromKafka]] restores it — consumers see the SAME `timestamp`
+    * values on both transports (the reference likewise sets an
+    * explicit producer ts: ProducerRecord(topic, null, ts, key,
+    * value), FakeData.scala:63). */
   def topicSink[T](ds: Dataset[T], keyCol: String, tsCol: String,
                    path: String, checkpoint: String): StreamingQuery = {
-    val framed = keyedProduce(ds.toDF(), keyCol, tsCol)
     if (kafkaMode(ds.sparkSession))
-      framed.select(col("key"), col("value"))
+      keyedProduce(ds.toDF(), keyCol, tsCol)
+        .select(col("key"), col("value"),
+          array(struct(lit(TsHeader).as("key"),
+            encode(col("timestamp").cast("string"), "UTF-8").as("value"))).as("headers"))
         .writeStream.format("kafka")
+        .option("includeHeaders", "true")
         .option("kafka.bootstrap.servers", bootstrap(ds.sparkSession))
         .option("topic", path)
         .option("checkpointLocation", checkpoint)
@@ -125,13 +129,24 @@ object Transport {
         .start()
   }
 
+  /** Header key carrying the produced timestamp through kafka mode
+    * (the kafka sink cannot set the broker record timestamp). */
+  val TsHeader = "graft.ts"
+
   /** Kafka source records mapped onto [[TopicSchema]] (key/value
     * utf-8, timestamp epoch ms) — the same wire shape the parquet
-    * topic stores, so consumers are transport-agnostic. */
+    * topic stores, so consumers are transport-agnostic. The produced
+    * timestamp is restored from the [[TsHeader]] header when present
+    * (records written by [[topicSink]]); foreign records fall back to
+    * the broker's append time. */
   private def fromKafka(df: DataFrame): DataFrame =
     df.select(col("key").cast("string").as("key"),
       col("value").cast("string").as("value"),
-      unix_millis(col("timestamp")).as("timestamp"))
+      coalesce(
+        decode(element_at(
+          filter(col("headers"), h => h("key") === lit(TsHeader)), 1)("value"),
+          "UTF-8").cast("long"),
+        unix_millis(col("timestamp"))).as("timestamp"))
 
   /** Consume a topic as a batch frame. */
   def readTopic(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
@@ -140,6 +155,7 @@ object Transport {
         .option("kafka.bootstrap.servers", bootstrap(spark))
         .option("subscribe", path)
         .option("startingOffsets", "earliest")
+        .option("includeHeaders", "true")
         .load())
     else spark.read.schema(TopicSchema).parquet(path)
 
@@ -152,6 +168,7 @@ object Transport {
         .option("kafka.bootstrap.servers", bootstrap(spark))
         .option("subscribe", path)
         .option("startingOffsets", "earliest")
+        .option("includeHeaders", "true")
         .load())
     else spark.readStream.schema(TopicSchema).parquet(path)
 

@@ -36,9 +36,11 @@ class MultimodalSpec extends SparkSpec {
     val g = Multimodal.featureExtract(docs((0L, "ab"))).collect().head
     assert(g.n_bytes == 6 && g.min_byte == 0x47 && g.max_byte == 0x89)
     assert(g.h0 + g.h1 + g.h2 + g.h3 == 6)
-    // empty payload: the sentinel row, never nulls
+    // empty payload ("" encodes to 0 bytes): the full sentinel row —
+    // never nulls, never a phantom byte
     val e = Multimodal.featureExtract(docs((3L, ""))).collect().head
-    assert(e.n_bytes == 1 || e.n_bytes == 0) // "" encodes to 0 bytes
+    assert(e.n_bytes == 0 && e.mean_byte == 0.0 && e.min_byte == -1 && e.max_byte == -1)
+    assert((e.h0, e.h1, e.h2, e.h3) == (0L, 0L, 0L, 0L))
   }
 
   test("resizePlan fits decoded dims into the target box with aspect preserved") {
