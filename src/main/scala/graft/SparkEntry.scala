@@ -40,6 +40,7 @@ object SparkEntry {
     "q_latest_per_zone" -> ((s, dir) => CarZone.latestZones(ev(s, dir))),
     "q_fk_join" -> ((s, dir) => CarZone.fkJoin(ev(s, dir))),
     "q_move_transitions" -> ((s, dir) => CarZone.moveTransitions(ev(s, dir))),
+    "q_asof_join" -> ((s, dir) => CarZone.asofJoin(ev(s, dir))),
     "q_arrive_leave" -> ((s, dir) => CarZone.arriveLeave(ev(s, dir))),
     "q_union_envelope" -> ((s, dir) => CarZone.unionEnvelope(ev(s, dir))),
     // timestamps framed in ms like the reference's producer
@@ -67,6 +68,8 @@ object SparkEntry {
       graft.streaming.StreamRunner.replayIntervalJoin(s, ev(s, dir))),
     "s_stream_session_agg" -> ((s, dir) =>
       graft.streaming.StreamRunner.replaySessionAgg(s, ev(s, dir))),
+    "s_stream_outer_join" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayOuterIntervalJoin(s, ev(s, dir))),
     // ---- relational coverage (TPC-H-ish) ----
     "q1_pricing_summary" -> ((s, dir) =>
       Relational.pricingSummary(Tables.lineitem(s, dir))),
@@ -98,6 +101,8 @@ object SparkEntry {
       graft.functions.TextAnalysis.winnowFingerprint(Tables.documents(s, dir))),
     "t_top_terms" -> ((s, dir) =>
       graft.functions.TextAnalysis.topTerms(Tables.documents(s, dir))),
+    "t_repetition" -> ((s, dir) =>
+      graft.functions.TextAnalysis.repetition(Tables.documents(s, dir))),
     // ---- training-data pipeline: similarity search over embeddings ----
     "a_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
     "a_cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir))),
@@ -198,6 +203,29 @@ object SparkEntry {
     "q_move_transitions" ->
       s"""WITH $movesCte
          |SELECT event_id, car_id, from_zone, to_zone, fuel_level FROM moves""".stripMargin,
+    // as-of join: same union + filled-forward window formulation as the
+    // Spark side (readings sort before events at equal ts via pref, so
+    // a reading exactly at the event time is visible); values are raw
+    // table doubles — no arithmetic, no rounding needed
+    "q_asof_join" ->
+      """WITH cz AS (
+        |  SELECT event_id, user_id AS car_id,
+        |         CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS zone_id,
+        |         value AS fuel_level, ts, 1 AS pref, CAST(NULL AS DOUBLE) AS reading
+        |  FROM events WHERE event_type IN ('click','view')
+        |  UNION ALL
+        |  SELECT event_id, CAST(NULL AS BIGINT) AS car_id, zone_id,
+        |         CAST(NULL AS DOUBLE) AS fuel_level, ts, 0 AS pref, reading
+        |  FROM (SELECT event_id,
+        |               CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS zone_id,
+        |               value AS reading, ts
+        |        FROM events WHERE event_type = 'error')
+        |  WHERE zone_id IS NOT NULL)
+        |SELECT event_id, car_id, zone_id, fuel_level, pollution_asof FROM (
+        |  SELECT *, last_value(reading IGNORE NULLS) OVER (
+        |           PARTITION BY zone_id ORDER BY ts, pref, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pollution_asof
+        |  FROM cz) WHERE pref = 1""".stripMargin,
     // keyed produce: the Kafka wire framing (key, value json, timestamp);
     // value keeps integer columns only — double-to-string formatting is
     // engine-specific, long rendering is not. ts is long nanos on the
@@ -278,6 +306,26 @@ object SparkEntry {
         |       c.fuel_level, z.pollution_level
         |FROM c JOIN z USING (zone_id)
         |WHERE z.zus >= c.cus AND z.zus <= c.cus + 3600000000""".stripMargin,
+    // left-outer interval join: unmatched car arrivals emit with nulls
+    // once the sentinel-advanced watermark proves no reading can arrive;
+    // the batch left range-join is therefore the exact oracle. zone_id
+    // is the nullable parse on both sides (the streaming -1 sentinel
+    // maps back to null on output).
+    "s_stream_outer_join" ->
+      """WITH c AS (
+        |  SELECT event_id AS car_event_id, user_id AS car_id,
+        |         CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS zone_id,
+        |         value AS fuel_level, epoch_ns(ts) // 1000 AS cus
+        |  FROM events WHERE event_type IN ('click','view')),
+        |z AS (
+        |  SELECT event_id AS zone_event_id,
+        |         CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS zone_id,
+        |         value AS pollution_level, epoch_ns(ts) // 1000 AS zus
+        |  FROM events WHERE event_type = 'error')
+        |SELECT c.car_event_id, z.zone_event_id, c.car_id, c.zone_id,
+        |       c.fuel_level, z.pollution_level
+        |FROM c LEFT JOIN z ON c.zone_id = z.zone_id
+        |  AND z.zus >= c.cus AND z.zus <= c.cus + 3600000000""".stripMargin,
     // append-mode windowed agg with watermark: the sentinel chunks close
     // every real window, so the emitted log equals the batch per-window
     // aggregate. window_start = hour-truncated event time in micros on
@@ -448,6 +496,27 @@ object SparkEntry {
         |SELECT term, df, rank FROM (
         |  SELECT term, df, CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term) AS INT) AS rank
         |  FROM d) WHERE rank <= 100""".stripMargin,
+    // repetition signals: the oracle counts the bigram mode via unnest +
+    // GROUP BY (the Spark side finds the same count as the longest run
+    // in the sorted bigram array); identical integer divisions + nudge
+    "t_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd,
+        |             [w[i+1] || ' ' || w[i+2] for i in generate_series(0, len(w) - 2)] AS bgs,
+        |             [w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |              for i in generate_series(0, len(w) - 3)] AS tgs
+        |      FROM w),
+        |top AS (SELECT doc_id, MAX(c) AS topc FROM (
+        |          SELECT doc_id, bg, COUNT(*) AS c
+        |          FROM (SELECT doc_id, unnest(bgs) AS bg FROM g) GROUP BY doc_id, bg)
+        |        GROUP BY doc_id)
+        |SELECT g.doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |       ROUND(nd / CAST(n AS DOUBLE) + 1e-12, 4) AS distinct_ratio,
+        |       CASE WHEN n >= 2 THEN ROUND(COALESCE(topc, 0) / CAST(n - 1 AS DOUBLE) + 1e-12, 4)
+        |            ELSE 0.0 END AS top_bigram_frac,
+        |       CASE WHEN n >= 3 THEN ROUND(1.0 - len(list_distinct(tgs)) / CAST(len(tgs) AS DOUBLE) + 1e-12, 4)
+        |            ELSE 0.0 END AS dup_trigram_frac
+        |FROM g LEFT JOIN top ON top.doc_id = g.doc_id""".stripMargin,
     // winnowing: positional 3-gram md5 hashes, min per 4-hash window,
     // distinct survivors; md5 hex is lowercase and compared
     // lexicographically in both engines

@@ -111,6 +111,53 @@ object TextAnalysis {
         .as("quality"))
   }
 
+  /** Repetition signals (the Gopher/MassiveText-style repetitiousness
+    * filters, Rae et al. 2021 §A1.1 — public method): per document,
+    *  - distinct_ratio: distinct tokens / tokens (type-token ratio),
+    *  - top_bigram_frac: occurrences of the most frequent bigram /
+    *    total bigrams (boilerplate & chant detector),
+    *  - dup_trigram_frac: fraction of trigram occurrences that are
+    *    repeats of an earlier trigram (1 − distinct/total).
+    * Degenerate docs (< 2 resp. < 3 tokens) score 0.0 — nothing
+    * repeats in an empty gram stream.
+    *
+    * All three are per-row array expressions — no shuffle, no UDF.
+    * The bigram mode count needs no per-doc groupBy: sort the bigram
+    * array, then the longest run of equal neighbors IS the mode count
+    * — one `aggregate` fold over the sorted array. Ratios are exact
+    * integer/integer divisions rounded with the repo-wide boundary
+    * nudge, so the DuckDB oracle (which counts via unnest + GROUP BY —
+    * same integers, same division) hash-matches. */
+  def repetition(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    def grams(k: Int): Column = // positional word k-grams, [] when n < k
+      when(n >= k, transform(sequence(lit(0), n - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+    // longest equal-neighbor run in the SORTED bigram array = count of
+    // the most frequent bigram; single left-to-right fold, codegen-safe
+    val topBigramCount = aggregate(
+      array_sort(grams(2)),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val tri = grams(3)
+    def r4(c: Column) = round(c + lit(1e-12), 4)
+    documents.select(
+      col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      r4(size(array_distinct(toks)) / n.cast("double")).as("distinct_ratio"),
+      when(n >= 2, r4(topBigramCount / (n - 1).cast("double")))
+        .otherwise(lit(0.0)).as("top_bigram_frac"),
+      when(n >= 3, r4(lit(1.0) - size(array_distinct(tri)) / size(tri).cast("double")))
+        .otherwise(lit(0.0)).as("dup_trigram_frac"))
+  }
+
   /** Content fingerprint: md5 over the exact text bytes — the basis for
     * exact dedup at scale (fixed-width key shuffles far cheaper than
     * full text). */

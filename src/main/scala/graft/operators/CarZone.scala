@@ -114,6 +114,54 @@ object CarZone {
         col("mv.is_arriving").as("is_arriving"), col("fuel_level"))
   }
 
+  /** Event-time AS-OF join: for every car event, the zone's pollution
+    * reading as of that event's time (latest reading with reading_ts
+    * <= event_ts), null if the zone had no reading yet — the
+    * reference's "pollution known at event time" semantics (SURVEY.md
+    * §2.1, DemoApp.scala:215-222) applied pointwise in time rather
+    * than at final state.
+    *
+    * Spark has no native as-of join; the classic translation is a
+    * range join (cross per zone, filter ts' <= ts, max per event) —
+    * quadratic per zone. This is instead ONE window pass over the
+    * union: readings and events interleave on (zone_id, ts), and
+    * last_value(pollution, ignoreNulls) over rows unbounded
+    * preceding..current fills the latest reading at-or-before each
+    * row. Scale: a single shuffle on zone_id (the window partition
+    * key), no join state, no duplication; skew ceiling = zone
+    * cardinality, the same bound as the streaming join family
+    * (FkJoinStream scaladoc).
+    *
+    * Tie semantics: a reading timestamped exactly at the event IS
+    * visible (at-or-before) — zone rows sort before car rows at equal
+    * ts via `pref`; equal-ts readings within a side order by event_id
+    * (arrival order), so the result is deterministic. */
+  def asofJoin(events: DataFrame): DataFrame = {
+    // both sides in ONE scan of the events table (a union of
+    // carEvents/zoneEvents would read and regexp-parse it twice —
+    // same reasoning as StreamRunner.envelope); readings without a
+    // parseable zone read onto nothing and are dropped
+    val zid = propsK(col("props"))
+    val isZone = col("event_type") === "error"
+    val w = Window.partitionBy(col("zone_id"))
+      .orderBy(col("ts"), col("pref"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col("event_type").isin("click", "view") || (isZone && zid.isNotNull))
+      .select(
+        col("event_id"),
+        when(isZone, lit(null).cast("long")).otherwise(col("user_id")).as("car_id"),
+        zid.as("zone_id"),
+        when(isZone, lit(null).cast("double")).otherwise(col("value")).as("fuel_level"),
+        col("ts"),
+        when(isZone, lit(0)).otherwise(lit(1)).as("pref"),
+        when(isZone, col("value")).otherwise(lit(null).cast("double")).as("reading"))
+      .withColumn("pollution_asof", last(col("reading"), ignoreNulls = true).over(w))
+      .filter(col("pref") === 1)
+      .select(col("event_id"), col("car_id"), col("zone_id"),
+        col("fuel_level"), col("pollution_asof"))
+  }
+
   /** Stream union (reference merge #18, DemoApp.scala:105-106): both
     * changelogs normalized to one envelope schema. At scale: union is
     * shuffle-free (pure partition concatenation).

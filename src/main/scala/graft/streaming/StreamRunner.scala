@@ -98,7 +98,13 @@ object StreamRunner {
     *    sentinel no reading can match — the car still retracts from
     *    its previous zone and its final state joins nothing, exactly
     *    the batch inner-join outcome (null never equi-joins); a raw
-    *    null would silently unbox to 0 in the typed CarArrival.
+    *    null would silently unbox to 0 in the typed CarArrival. A
+    *    null CAR key (user_id) is a loud error instead: the batch
+    *    side groups such rows under a NULL key, which the staged
+    *    envelope's primitive key cannot represent — silently dropping
+    *    them would diverge from the batch oracles, so refuse the
+    *    input (the testdata has none; a real feed must filter or
+    *    re-key upstream).
     *  - zone rows: a reading without a parseable zone is meaningless
     *    and dropped. */
   private def envelope(events: DataFrame): DataFrame = {
@@ -111,6 +117,10 @@ object StreamRunner {
         when(isZone, zid).otherwise(col("user_id")).as("a"),
         when(isZone, lit(0L)).otherwise(coalesce(zid, lit(-1L))).as("b"),
         col("value").as("v"), col("ts"), col("event_id").as("eventId"))
+      .filter(col("kind") === lit("zone") || col("a").isNotNull ||
+        raise_error(concat(lit("replay envelope: car event with null user_id " +
+          "(event_id="), col("eventId").cast("string"),
+          lit(") — the staged key is primitive; filter or re-key upstream"))).isNotNull)
       .filter(col("a").isNotNull)
   }
 
@@ -118,6 +128,17 @@ object StreamRunner {
     * the future that every real window is strictly below it, while
     * staying well inside timestamp range (~year 2116 in micros). */
   private[streaming] val SentinelTs = Long.MaxValue / 2
+
+  /** Cutoff (2100-01-01 UTC, micros) separating real event times from
+    * [[SentinelTs]]: replay topologies exclude the sentinel row from
+    * their aggregates with `ets < SentinelCutoffUs` — a predicate ON
+    * the event-time column, which is exactly the class of predicate
+    * Catalyst must keep ABOVE the watermark node (a `kind`-based
+    * filter would be pushed below it, the sentinel would never reach
+    * the watermark accumulator, and append-mode windows would never
+    * close). Must stay above every real event time and below
+    * SentinelTs/1000 (micros). */
+  private[streaming] val SentinelCutoffUs = 4102444800000000L
 
   /** Distributed arrival-order stamping + chunked parquet staging (steps
     * 1-2 above). Returns nothing; the staged chunks live at `dir`.
@@ -321,22 +342,15 @@ object StreamRunner {
   def replayWindowAgg(spark: SparkSession, events: DataFrame,
                       windowSecs: Int = 3600): DataFrame = {
     ensureRocksDb(spark)
-    // Excluding the sentinel from the aggregation is subtle: Catalyst
-    // pushes any predicate NOT referencing the watermark column below
-    // the EventTimeWatermark node (and splits conjunctions), so a
-    // `kind =!= "wm"` filter would drop the sentinel BEFORE it reaches
-    // the watermark accumulator and the final windows would never
-    // close. The sentinel is therefore excluded by a predicate on the
-    // event-time column itself — exactly the class of predicate the
-    // optimizer must keep above the watermark node. Real event times
-    // are far below the cutoff (2100-01-01 UTC); SentinelTs is above.
-    val sentinelCutoffUs = 4102444800000000L
+    // sentinel exclusion via a predicate on the event-time column —
+    // see SentinelCutoffUs for why a kind-based filter would break
+    // append-mode window closure
     val (log, _) = replay(spark, events, (src: DataFrame) => {
       src
         .filter(col("kind").isin("zone", "wm")) // pushable: wm row survives for the watermark
         .withColumn("ets", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ets", "0 seconds")
-        .filter(col("ets") < timestamp_micros(lit(sentinelCutoffUs)))
+        .filter(col("ets") < timestamp_micros(lit(SentinelCutoffUs)))
         .groupBy(window(col("ets"), s"$windowSecs seconds"), col("a").as("zone_id"))
         .agg(count(lit(1)).as("n_readings"),
           round(sum(col("v").cast("decimal(18,4)")).cast("double") / count(lit(1))
@@ -366,16 +380,13 @@ object StreamRunner {
   def replaySessionAgg(spark: SparkSession, events: DataFrame,
                        gapSecs: Int = 150000): DataFrame = {
     ensureRocksDb(spark)
-    // sentinel exclusion: predicate on the event-time column itself,
-    // which the optimizer must keep ABOVE the watermark node — see
-    // replayWindowAgg for why a kind-based filter would break closure
-    val sentinelCutoffUs = 4102444800000000L
+    // sentinel exclusion: see SentinelCutoffUs
     val (log, _) = replay(spark, events, (src: DataFrame) => {
       src
         .filter(col("kind").isin("zone", "wm"))
         .withColumn("ets", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ets", "0 seconds")
-        .filter(col("ets") < timestamp_micros(lit(sentinelCutoffUs)))
+        .filter(col("ets") < timestamp_micros(lit(SentinelCutoffUs)))
         .groupBy(session_window(col("ets"), s"$gapSecs seconds"), col("a").as("zone_id"))
         .agg(count(lit(1)).as("n_readings"),
           round(sum(col("v").cast("decimal(18,4)")).cast("double") / count(lit(1))
@@ -467,6 +478,51 @@ object StreamRunner {
         .select(col("car_event_id"), col("zone_event_id"), col("car_id"),
           col("zone_id"), col("fuel_level"), col("pollution_level"))
     })
+    log
+  }
+
+  /** LEFT-OUTER stream-stream interval join replay: like
+    * [[replayIntervalJoin]], but car arrivals with NO pollution
+    * reading in the hour after them still emit, with nulls — the
+    * unmatched side of an outer join is WATERMARK-GATED output (a
+    * null row is correct only once no match can ever arrive), which
+    * is exactly what the staged sentinel chunks provide: the first
+    * advances the watermark past every real join window, the second
+    * triggers the flush batch that emits the evicted unmatched rows.
+    * Sentinel rows flow THROUGH both watermark nodes (kind filter
+    * keeps "wm") and are then dropped by an event-time predicate
+    * ABOVE the watermark — see [[SentinelCutoffUs]]; without that
+    * they would equi-join each other (both carry key 0).
+    *
+    * The unparseable-zone car sentinel (b = -1) maps back to a null
+    * zone_id on output, so unmatched rows carry the same nullable
+    * zone the batch oracle derives. */
+  def replayOuterIntervalJoin(spark: SparkSession, events: DataFrame,
+                              rangeSecs: Int = 3600): DataFrame = {
+    ensureRocksDb(spark)
+    val (log, _) = replay(spark, events, (src: DataFrame) => {
+      val cutoff = timestamp_micros(lit(SentinelCutoffUs))
+      val cars = src.filter(col("kind").isin("car", "wm"))
+        .select(col("a").as("car_id"), col("b").as("car_zone"),
+          col("v").as("fuel_level"), col("eventId").as("car_event_id"),
+          timestamp_micros(expr("ts div 1000")).as("cts"))
+        .withWatermark("cts", "0 seconds")
+        .filter(col("cts") < cutoff)
+      val zones = src.filter(col("kind").isin("zone", "wm"))
+        .select(col("a").as("zone_id"), col("v").as("pollution_level"),
+          col("eventId").as("zone_event_id"),
+          timestamp_micros(expr("ts div 1000")).as("zts"))
+        .withWatermark("zts", "0 seconds")
+        .filter(col("zts") < cutoff)
+      cars.join(zones,
+        col("car_zone") === col("zone_id") &&
+          col("zts") >= col("cts") &&
+          col("zts") <= col("cts") + expr(s"INTERVAL $rangeSecs SECONDS"),
+        "leftOuter")
+        .select(col("car_event_id"), col("zone_event_id"), col("car_id"),
+          nullif(col("car_zone"), lit(-1L)).as("zone_id"),
+          col("fuel_level"), col("pollution_level"))
+    }, withSentinel = true)
     log
   }
 

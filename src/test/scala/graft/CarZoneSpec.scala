@@ -74,6 +74,20 @@ class CarZoneSpec extends SparkSpec {
       (2L, 200L, true)))         // same-zone re-arrival: no leave
   }
 
+  test("asofJoin: each car event sees the latest reading at-or-before its time") {
+    val df = events(
+      zone(0, 10, 100, 42.0),
+      car(1, 5, 1, 100, 5.0),   // before any reading → null
+      car(2, 10, 2, 100, 6.0),  // exactly at the reading → sees 42.0
+      zone(3, 20, 100, 43.0),
+      car(4, 25, 3, 100, 7.0),  // after the update → sees 43.0
+      car(5, 30, 4, 200, 8.0))  // zone with no readings at all → null
+    val out = CarZone.asofJoin(df).collect()
+      .map(r => (r.getLong(0), Option(r.get(4)))).toMap
+    assert(out == Map(
+      1L -> None, 2L -> Some(42.0), 4L -> Some(43.0), 5L -> None))
+  }
+
   test("latestPerKey picks max ordering row with tiebreak") {
     val df = Seq((1L, 10L, 1L, "a"), (1L, 10L, 2L, "b"), (2L, 5L, 0L, "c"))
       .toDF("k", "ts", "seq", "v")

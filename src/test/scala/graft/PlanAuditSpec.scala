@@ -169,6 +169,23 @@ class PlanAuditSpec extends SparkSpec {
       s"rollup must aggregate all levels through ONE shuffle:\n$p")
   }
 
+  test("asofJoin: one zone-keyed shuffle, a window, and NO join operator") {
+    val p = plan(CarZone.asofJoin(Tables.events(spark, dir)))
+    // the whole point of the window formulation: the as-of lookup is a
+    // fill-forward over the union, not a per-zone range join
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"as-of join must stay join-free (window fill-forward):\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"expected a window operator:\n$p")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"as-of must shuffle exactly once, on the window partition key:\n$p")
+  }
+
+  test("repetition: pure per-row signals, zero shuffles") {
+    val p = plan(graft.functions.TextAnalysis.repetition(Tables.documents(spark, dir)))
+    assert(!p.contains("Exchange"), s"repetition signals must not shuffle:\n$p")
+  }
+
   test("events loader: partition filter prunes, no full-table scan state") {
     // q3-style date filter must reach the orders scan
     val p = plan(Tables.orders(spark, dir).filter(col("o_orderdate") < "1995-03-15")

@@ -65,4 +65,28 @@ class StreamJoinSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((1L, 2L), (1L, 5L), (3L, 4L)))
   }
+
+  test("left-outer interval join emits watermark-gated null rows for unmatched cars") {
+    val t0 = 1704067200000000000L
+    val min = 60L * 1000000000L
+    def car(id: Long, carId: Long, zone: Long, ts: Long) =
+      (id, carId, "click", s"""{"k": $zone}""", 10.0 + id, ts)
+    def zone(id: Long, z: Long, v: Double, ts: Long) =
+      (id, 0L, "error", s"""{"k": $z}""", v, ts)
+    val events = Seq(
+      car(1L, 100L, 5L, t0),            // matched by zone 2
+      zone(2L, 5L, 1.5, t0 + 10 * min),
+      car(3L, 200L, 6L, t0 + 40 * min), // zone 6 never reports → null row
+      car(4L, 300L, 5L, t0 + 80 * min), // zone 5's only reading is BEFORE it → null row
+      (5L, 400L, "click", "not json", 99.0, t0 + 90 * min)) // unparseable zone → null zone_id + null match
+      .toDF("event_id", "user_id", "event_type", "props", "value", "ts")
+    val out = StreamRunner.replayOuterIntervalJoin(spark, events)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(3)), Option(r.get(5)))).toSet
+    assert(out == Set(
+      (1L, Some(2L), Some(5L), Some(1.5)),
+      (3L, None, Some(6L), None),
+      (4L, None, Some(5L), None),
+      (5L, None, None, None)))
+  }
 }

@@ -38,6 +38,22 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     assert(out.toSeq == Seq(("a", 3L, 1), ("b", 2L, 2), ("c", 1L, 3)))
   }
 
+  test("repetition: mode-by-sorted-run equals hand counts, degenerate docs score 0") {
+    val df = Seq(
+      (1L, "go go go stop"),   // bigrams: "go go"×2, "go stop" → top 2/3
+      (2L, "a b a b a"),       // bigrams: "a b"×2, "b a"×2 → top 2/4;
+                               // trigrams: "a b a"×2, "b a b" → dup 1 - 2/3
+      (3L, "unique words only here"), // nothing repeats
+      (4L, "solo")).toDF("doc_id", "text") // < 2 tokens: both fracs 0.0
+    val out = TextAnalysis.repetition(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out(1L) == ((4L, 0.5, 0.6667, 0.0)))    // 2 distinct/4; 2/3; 2 distinct tri of 2
+    assert(out(2L) == ((5L, 0.4, 0.5, 0.3333)))    // 2/5; 2/4; 1 - 2/3
+    assert(out(3L) == ((4L, 1.0, 0.3333, 0.0)))    // every bigram unique: top = 1/3
+    assert(out(4L) == ((1L, 1.0, 0.0, 0.0)))
+  }
+
   test("fused winnow kernel equals the composed HOF formulation on the corpus") {
     val docs = Tables.documents(spark, sf0001).limit(200)
     val fused = rows(TextAnalysis.winnowFingerprint(docs))
