@@ -99,6 +99,20 @@ object CarZoneProps extends Properties("CarZone") {
       got == expected
     }
 
+  property("asofJoin == naive latest-reading-at-or-before model") =
+    Prop.forAll(genEvents) { events =>
+      // direct model: for each car event, the max-(ts=seq) zone reading
+      // with reading.seq <= event.seq in the same zone
+      val readings = events.filterNot(_.isCar)
+      val expected = events.filter(_.isCar).map { e =>
+        val asof = readings.filter(r => r.zone == e.zone && r.seq <= e.seq)
+        (e.seq, Option(asof).filter(_.nonEmpty).map(_.maxBy(_.seq).value))
+      }.toSet
+      val got = CarZone.asofJoin(toDf(events)).collect()
+        .map(r => (r.getLong(0), Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+      got == expected
+    }
+
   property("exactDedup partitions the corpus: sum(n_copies) == N, keepers are min ids") =
     Prop.forAll(Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd"))) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
