@@ -257,6 +257,12 @@ object StreamRunner {
       if (s.conf.isModifiable(k)) s.conf.set(k, v)
     }
     s.conf.set("spark.sql.shuffle.partitions", replayPartitions(spark).toString)
+    // changelog checkpointing: commit a per-batch delta instead of a
+    // full RocksDB snapshot upload — the snapshot cost is THE per-batch
+    // fixed overhead of the replay's kilobyte micro-batches (and at
+    // scale, of any high-frequency trigger); snapshots still happen,
+    // just asynchronously every N batches instead of inside every commit
+    s.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     s
   }
 
