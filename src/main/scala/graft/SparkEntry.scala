@@ -103,6 +103,8 @@ object SparkEntry {
       graft.functions.TextAnalysis.topTerms(Tables.documents(s, dir))),
     "t_repetition" -> ((s, dir) =>
       graft.functions.TextAnalysis.repetition(Tables.documents(s, dir))),
+    "t_tfidf" -> ((s, dir) =>
+      graft.functions.TextAnalysis.tfidf(Tables.documents(s, dir))),
     // ---- training-data pipeline: similarity search over embeddings ----
     "a_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
     "a_cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir))),
@@ -517,6 +519,22 @@ object SparkEntry {
         |       CASE WHEN n >= 3 THEN ROUND(1.0 - len(list_distinct(tgs)) / CAST(len(tgs) AS DOUBLE) + 1e-12, 4)
         |            ELSE 0.0 END AS dup_trigram_frac
         |FROM g LEFT JOIN top ON top.doc_id = g.doc_id""".stripMargin,
+    // tf-idf: identical integer counts, identical double division; both
+    // engines rank by the ROUNDED score with the term tiebreak, so a
+    // last-ulp ln() difference cannot flip ranks (1e-9 nudge: ln values
+    // are O(1), same convention as the percentile oracle)
+    "t_tfidf" ->
+      """WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY doc_id, term),
+        |d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, d.df,
+        |             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) + 1e-9, 4) AS tfidf
+        |      FROM tf JOIN d USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, tfidf, rk FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rk
+        |  FROM s) WHERE rk <= 5""".stripMargin,
     // winnowing: positional 3-gram md5 hashes, min per 4-hash window,
     // distinct survivors; md5 hex is lowercase and compared
     // lexicographically in both engines

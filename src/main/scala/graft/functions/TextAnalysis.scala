@@ -46,6 +46,34 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(Window.orderBy(col("df").desc, col("term"))))
   }
 
+  /** TF-IDF: the k most characteristic terms per document — term
+    * frequency × ln(N / document frequency), the classic relevance /
+    * keyword-extraction scoring.
+    *
+    * Scale shape: ONE pass over the text builds (doc, term, tf) with
+    * map-side partial counting through the (doc, term) shuffle; df
+    * re-aggregates that frame (the text is never re-read, and the
+    * repeated exchange subtree is reused); the corpus size joins as a
+    * one-row broadcast; the per-doc top-k compiles to map-side
+    * WindowGroupLimit. Ranking uses the ROUNDED score (term as
+    * tiebreak) so the order is engine-stable — a last-ulp ln()
+    * difference cannot flip ranks across engines. */
+  def tfidf(documents: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")) + lit(1e-9), 4))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rk"))
+  }
+
   /** Per-document shape statistics. */
   def stats(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))

@@ -39,10 +39,17 @@ object JsonCodec {
     * error rather than a silent null. Pure Catalyst expressions; the
     * error path costs nothing until a bad record appears. */
   def parseStrictVerbose(c: Column, schema: StructType): Column = {
-    val corrupt = "_corrupt_record"
-    val full = StructType(schema.fields :+ StructField(corrupt, StringType))
-    val parsed = from_json(c, full,
-      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt))
+    val err = decodeError(c, schema)
+    val clean = decoded(c, schema)
+    when(err.isNotNull, raise_error(err)).otherwise(clean)
+  }
+
+  /** The play-json-style diagnostic for a record that fails `schema`,
+    * null when the record decodes cleanly (shared by
+    * [[parseStrictVerbose]], which throws it, and [[routeDlq]], which
+    * files it). */
+  private def decodeError(c: Column, schema: StructType): Column = {
+    val parsed = decoded(c, schema)
     // "valid json" = parses as a generic JSON object, schema-free (the
     // wire format is object-shaped, like every reference record); this
     // cleanly separates play-json's Json.parse failure from its Reads
@@ -50,14 +57,40 @@ object JsonCodec {
     val isJsonObject = from_json(c, MapType(StringType, StringType)).isNotNull
     val badFields = array_join(array_compact(array(schema.fields.map(f =>
       when(parsed.getField(f.name).isNull, lit(f.name))): _*)), ", ")
-    val err =
-      when(!isJsonObject,
-        concat(lit("Could not parse '"), c, lit("': not valid json?")))
-        .when(badFields =!= "",
-          concat(lit("Could not parse '"), c,
-            lit("': incorrect JSON schema? invalid or missing field(s): "), badFields))
-    val clean = struct(schema.fields.map(f => parsed.getField(f.name).as(f.name)): _*)
-    when(err.isNotNull, raise_error(err)).otherwise(clean)
+    when(!isJsonObject,
+      concat(lit("Could not parse '"), c, lit("': not valid json?")))
+      .when(badFields =!= "",
+        concat(lit("Could not parse '"), c,
+          lit("': incorrect JSON schema? invalid or missing field(s): "), badFields))
+  }
+
+  private def decoded(c: Column, schema: StructType): Column = {
+    val corrupt = "_corrupt_record"
+    val full = StructType(schema.fields :+ StructField(corrupt, StringType))
+    val parsed = from_json(c, full,
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt))
+    struct(schema.fields.map(f => parsed.getField(f.name).as(f.name)): _*)
+  }
+
+  /** Dead-letter routing — the queue the reference explicitly leaves
+    * as a TODO (JsonSerdes.scala:35-36: "a dead letter queue would be
+    * better"): records that decode cleanly against `schema` come back
+    * decoded in `good` (original columns + one struct column
+    * `decodedCol`); records that don't land in `dlq` untouched, plus
+    * a `dlq_reason` naming the failure per-field, ready to sink to a
+    * quarantine topic/table for replay after a fix.
+    *
+    * Both frames are pure column expressions over `df` — at scale the
+    * split is two filtered projections of ONE scan (no shuffle, no
+    * UDF), and the per-record diagnostic costs nothing until a bad
+    * record appears. Works identically on batch and streaming frames
+    * (no state involved). */
+  def routeDlq(df: DataFrame, c: Column, schema: StructType,
+               decodedCol: String = "decoded"): (DataFrame, DataFrame) = {
+    val err = decodeError(c, schema)
+    val good = df.filter(err.isNull).withColumn(decodedCol, decoded(c, schema))
+    val dlq = df.filter(err.isNotNull).withColumn("dlq_reason", err)
+    (good, dlq)
   }
 
   /** struct → compact JSON text (reference JsonSerdes.scala:46-55). */

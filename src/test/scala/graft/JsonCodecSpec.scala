@@ -65,4 +65,25 @@ class JsonCodecSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(back.toSeq == Seq(42L))
   }
+
+  test("routeDlq: clean records decode, every failure class lands in the dlq with its reason") {
+    val df = Seq(
+      (1L, """{"k": 42}"""),            // clean
+      (2L, "not json at all"),          // parse failure
+      (3L, """{"k": "not-a-number"}"""),// type failure
+      (4L, """{"other": 1}"""),         // missing required field
+      (5L, """{"k": 7}""")).toDF("id", "js")
+    val (good, dlq) = JsonCodec.routeDlq(df, col("js"), JsonCodec.propsSchema)
+    val ok = good.select(col("id"), col("decoded").getField("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(ok.toSeq == Seq((1L, 42L), (5L, 7L)))
+    val bad = dlq.select(col("id"), col("dlq_reason"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toMap
+    assert(bad.keySet == Set(2L, 3L, 4L))
+    assert(bad(2L).contains("not valid json?"))
+    assert(bad(3L).contains("invalid or missing field(s): k"))
+    assert(bad(4L).contains("invalid or missing field(s): k"))
+    // the dlq record is the ORIGINAL, replayable wire record
+    assert(dlq.columns.toSeq == Seq("id", "js", "dlq_reason"))
+  }
 }

@@ -186,6 +186,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"repetition signals must not shuffle:\n$p")
   }
 
+  test("tfidf: partial counts, map-side top-k, corpus size as a one-row broadcast") {
+    val p = plan(graft.functions.TextAnalysis.tfidf(Tables.documents(spark, dir)))
+    assert(p.contains("partial_count"), s"tf lost map-side partial counting:\n$p")
+    assert(count(p, "WindowGroupLimit") >= 2,
+      s"per-doc top-k must stay a map-side WindowGroupLimit:\n$p")
+    // the only nested-loop join allowed is the single-row corpus-size
+    // broadcast; the term join must stay an equi-join
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, s"unexpected nested loop joins:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("events loader: partition filter prunes, no full-table scan state") {
     // q3-style date filter must reach the orders scan
     val p = plan(Tables.orders(spark, dir).filter(col("o_orderdate") < "1995-03-15")

@@ -54,6 +54,19 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     assert(out(4L) == ((1L, 1.0, 0.0, 0.0)))
   }
 
+  test("tfidf: rare terms outrank ubiquitous ones; ubiquitous terms score zero") {
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "a d")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(df, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._6).toList).toMap
+    // ln(3/1) = 1.0986…, ln(3/3) = 0: the doc-specific term wins even
+    // against tf=2 of the everywhere-term
+    assert(out(1L) == List((1L, "b", 1L, 1L, 1.0986, 1), (1L, "a", 2L, 3L, 0.0, 2)))
+    assert(out(2L) == List((2L, "c", 1L, 1L, 1.0986, 1), (2L, "a", 1L, 3L, 0.0, 2)))
+    assert(out(3L) == List((3L, "d", 1L, 1L, 1.0986, 1), (3L, "a", 1L, 3L, 0.0, 2)))
+  }
+
   test("fused winnow kernel equals the composed HOF formulation on the corpus") {
     val docs = Tables.documents(spark, sf0001).limit(200)
     val fused = rows(TextAnalysis.winnowFingerprint(docs))
