@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Storage-side co-location: write a table pre-hashed into a fixed
+  * number of buckets on its join/aggregation key. Two tables bucketed
+  * on the same key with the same bucket count join with NO Exchange on
+  * either side — the scan itself reports the hash distribution, so
+  * `EnsureRequirements` inserts nothing. At 100 TB this is the
+  * difference between shuffling the fact table across the network on
+  * every join and a per-bucket local merge; the same property serves
+  * repeated aggregations on the bucket key.
+  *
+  * The reference achieves co-location the streaming way — an explicit
+  * `through()` repartition topic keyed by zone (DemoApp.scala:78-79,
+  * 90); bucketing is the at-rest analogue of that same design.
+  * `sortBy` pre-sorts within buckets so sort-merge joins start from
+  * nearly-sorted runs.
+  *
+  * BucketJoinSpec locks the zero-Exchange plan and result parity with
+  * the shuffle join. */
+object Bucketing {
+
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+}

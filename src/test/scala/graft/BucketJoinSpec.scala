@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bucketing
+
+/** Bucketed (co-located) joins: the at-rest analogue of the
+  * reference's `through()` co-partitioning topic. The join of two
+  * tables bucketed on the join key must plan with ZERO exchanges —
+  * broadcast is disabled for the assertion so the tiny fixture can't
+  * sidestep the property the test exists to lock. */
+class BucketJoinSpec extends SparkSpec {
+
+  test("co-bucketed fact-fact join plans zero exchanges and matches the shuffle join") {
+    val li = Tables.lineitem(spark, sf0001).select(col("l_orderkey"), col("l_quantity"))
+    val od = Tables.orders(spark, sf0001).select(col("o_orderkey"), col("o_totalprice"))
+    Bucketing.writeBucketed(li, "graft_li_bucketed", "l_orderkey", 4)
+    Bucketing.writeBucketed(od, "graft_od_bucketed", "o_orderkey", 4)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("graft_li_bucketed")
+        .join(spark.table("graft_od_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(!p.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n$p")
+      // same rows as the plain (shuffled) join of the source frames
+      val got = j.collect().map(_.toSeq).toSet
+      val expected = li.join(od, col("l_orderkey") === col("o_orderkey"))
+        .collect().map(_.toSeq).toSet
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS graft_li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS graft_od_bucketed")
+    }
+  }
+
+  test("aggregation on the bucket key needs no exchange either") {
+    val od = Tables.orders(spark, sf0001).select(col("o_orderkey"), col("o_totalprice"))
+    Bucketing.writeBucketed(od, "graft_od_bucketed_agg", "o_orderkey", 4)
+    try {
+      val a = spark.table("graft_od_bucketed_agg")
+        .groupBy(col("o_orderkey")).agg(sum(col("o_totalprice")).as("s"))
+      val p = a.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucket-key aggregation must be shuffle-free:\n$p")
+      assert(a.count() == od.select(col("o_orderkey")).distinct().count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_od_bucketed_agg")
+    }
+  }
+}
