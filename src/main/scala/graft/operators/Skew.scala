@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hot-key mitigation for shuffled equi-joins — the batch entry in the
+  * mitigation menu documented on the streaming join family (whose
+  * parallelism ceiling is the zone-key cardinality,
+  * FkJoinStream scaladoc).
+  *
+  * A shuffled join sends every row of a key to ONE reducer; a key
+  * holding 90% of the fact table makes one straggler own 90% of the
+  * work. Salting splits each fact key across `salt` sub-keys and
+  * replicates the (bounded) dimension side `salt` ways, so the hot key
+  * fans out over `salt` reducers at the cost of a `salt`× copy of the
+  * dimension — the classic trade when the dim side is small and AQE's
+  * runtime skew split (which only works for sort-merge joins with
+  * spillable stats) isn't available or isn't enough. */
+object Skew {
+
+  /** Equi-join `fact ⋈ dim` on `key`, with the fact side salted
+    * `salt` ways. The salt is a deterministic hash of the whole fact
+    * row (stable under task retries); correctness never depends on its
+    * distribution — ANY salt value in [0, salt) meets the matching
+    * replicated dim row. Output columns = fact ++ dim-minus-key,
+    * exactly like `fact.join(dim, key)`. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(salt > 0, s"salt must be positive, got $salt")
+    // fact-preserving types only: a right/full outer would emit one
+    // copy of an unmatched dim row PER REPLICA — `salt` phantom rows
+    require(Set("inner", "left", "leftouter", "left_outer")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only, got '$joinType'")
+    val factCols = fact.columns
+    val salted = fact.withColumn("__salt",
+      pmod(hash(factCols.map(col): _*), lit(salt)))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    salted.join(replicated, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+      // restore the caller's column order (join-key columns move first
+      // in a USING join)
+      .select((factCols ++ dim.columns.filterNot(_ == key)).map(col): _*)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+
+/** Salted joins: result parity with the plain join, and the shuffle
+  * key actually carries the salt (the property that splits a hot key
+  * across reducers at scale). */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = {
+    // 90% of fact rows hold one hot key — the shape that makes an
+    // unsalted shuffle join a single-straggler plan
+    val fact = ((1 to 900).map(i => (100L, i.toDouble)) ++
+      (1 to 100).map(i => (i.toLong % 7, i.toDouble)))
+      .toDF("k", "v")
+    val dim = Seq((100L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"),
+      (3L, "d"), (4L, "e"), (5L, "f"), (6L, "g")).toDF("k", "name")
+    (fact, dim)
+  }
+
+  test("saltedJoin == plain join on a 90%-hot-key fact, inner and left") {
+    val (fact, dim) = fixture
+    for (jt <- Seq("inner", "left")) {
+      val got = Skew.saltedJoin(fact, dim, "k", salt = 8, joinType = jt)
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      val expected = fact.join(dim, Seq("k"), jt)
+        .select(col("k"), col("v"), col("name"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(got == expected, s"join type $jt diverged")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("the shuffle key includes the salt, so a hot key spreads across reducers") {
+    val (fact, dim) = fixture
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = Skew.saltedJoin(fact, dim, "k", salt = 8)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("__salt"), s"salt column lost before the exchange:\n$p")
+      val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+      assert(ex.nonEmpty && ex.forall(_.contains("__salt")),
+        s"every join exchange must partition on (key, salt):\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("the hot key really lands in multiple salt groups (fan-out, not a rename)") {
+    val (fact, _) = fixture
+    val groups = fact.withColumn("__salt",
+        pmod(hash(fact.columns.map(col): _*), lit(8)))
+      .filter(col("k") === 100L).select(col("__salt")).distinct().count()
+    assert(groups > 1, "hash-of-row salt collapsed the hot key into one group")
+  }
+}
