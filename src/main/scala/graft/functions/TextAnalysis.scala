@@ -63,9 +63,12 @@ object TextAnalysis {
     val tf = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n_docs"))
-    tf.join(dfreq, "term").crossJoin(broadcast(n))
+    // df as a count window over the (doc,term)-distinct frame: one
+    // straight pipeline of three key-locality stages ((doc,term) agg →
+    // term → doc), no self-join and no second scan of the tf subtree
+    tf.crossJoin(broadcast(n))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")) + lit(1e-9), 4))
       .withColumn("rk", row_number().over(
