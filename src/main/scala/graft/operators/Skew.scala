@@ -18,12 +18,22 @@ import org.apache.spark.sql.functions._
   * spillable stats) isn't available or isn't enough. */
 object Skew {
 
+  /** Row + position hash in [0, salt): position (partition id +
+    * within-partition row number via monotonically_increasing_id)
+    * keeps IDENTICAL rows on different salts. */
+  private[graft] def saltExpr(cols: Seq[org.apache.spark.sql.Column], salt: Int) =
+    pmod(hash(monotonically_increasing_id() +: cols: _*), lit(salt))
+
   /** Equi-join `fact ⋈ dim` on `key`, with the fact side salted
-    * `salt` ways. The salt is a deterministic hash of the whole fact
-    * row (stable under task retries); correctness never depends on its
-    * distribution — ANY salt value in [0, salt) meets the matching
-    * replicated dim row. Output columns = fact ++ dim-minus-key,
-    * exactly like `fact.join(dim, key)`. */
+    * `salt` ways. The salt hashes the row PLUS its position
+    * (partition id + within-partition row number) — a hash of the row
+    * alone would give every duplicate row the same salt, and a hot
+    * key made of identical rows (a routine fact-table shape) would
+    * not fan out at all. Correctness never depends on the salt value:
+    * ANY value in [0, salt) meets the matching replicated dim row, so
+    * a task retry that re-salts differently still joins identically.
+    * Output columns = fact ++ dim-minus-key, exactly like
+    * `fact.join(dim, key)`. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int,
                  joinType: String = "inner"): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
@@ -33,8 +43,7 @@ object Skew {
       .contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left joins only, got '$joinType'")
     val factCols = fact.columns
-    val salted = fact.withColumn("__salt",
-      pmod(hash(factCols.map(col): _*), lit(salt)))
+    val salted = fact.withColumn("__salt", saltExpr(factCols.map(col), salt))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType)

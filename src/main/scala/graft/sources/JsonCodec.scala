@@ -57,8 +57,12 @@ object JsonCodec {
     val isJsonObject = from_json(c, MapType(StringType, StringType)).isNotNull
     val badFields = array_join(array_compact(array(schema.fields.map(f =>
       when(parsed.getField(f.name).isNull, lit(f.name))): _*)), ", ")
-    when(!isJsonObject,
-      concat(lit("Could not parse '"), c, lit("': not valid json?")))
+    // explicit tombstone guard first: a NULL record is not an error
+    // (and must not reach the concat branches, whose null-propagated
+    // message would only accidentally mean "no error")
+    when(c.isNull, lit(null).cast("string"))
+      .when(!isJsonObject,
+        concat(lit("Could not parse '"), c, lit("': not valid json?")))
       .when(badFields =!= "",
         concat(lit("Could not parse '"), c,
           lit("': incorrect JSON schema? invalid or missing field(s): "), badFields))
@@ -69,7 +73,12 @@ object JsonCodec {
     val full = StructType(schema.fields :+ StructField(corrupt, StringType))
     val parsed = from_json(c, full,
       Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt))
-    struct(schema.fields.map(f => parsed.getField(f.name).as(f.name)): _*)
+    // a NULL wire record is the reference's tombstone (null bytes
+    // deserialize to null, JsonSerdes.scala:22): decode to a NULL
+    // STRUCT — distinguishable from a parsed record whose fields are
+    // null — never to an error
+    when(c.isNull, lit(null).cast(StructType(schema.fields)))
+      .otherwise(struct(schema.fields.map(f => parsed.getField(f.name).as(f.name)): _*))
   }
 
   /** Dead-letter routing — the queue the reference explicitly leaves
@@ -80,11 +89,16 @@ object JsonCodec {
     * a `dlq_reason` naming the failure per-field, ready to sink to a
     * quarantine topic/table for replay after a fix.
     *
-    * Both frames are pure column expressions over `df` — at scale the
-    * split is two filtered projections of ONE scan (no shuffle, no
-    * UDF), and the per-record diagnostic costs nothing until a bad
-    * record appears. Works identically on batch and streaming frames
-    * (no state involved). */
+    * A NULL wire record is the reference's tombstone (null bytes
+    * deserialize to null, JsonSerdes.scala:22): it routes to `good`
+    * with a NULL decoded struct, never to the dlq.
+    *
+    * Both frames are pure column expressions over `df` — no shuffle,
+    * no UDF, and the per-record diagnostic costs nothing until a bad
+    * record appears. Consuming BOTH frames runs two passes over the
+    * source (each is its own action); when `df` is expensive,
+    * cache/checkpoint it first, or in streaming sink both from one
+    * foreachBatch. */
   def routeDlq(df: DataFrame, c: Column, schema: StructType,
                decodedCol: String = "decoded"): (DataFrame, DataFrame) = {
     val err = decodeError(c, schema)

@@ -139,13 +139,16 @@ object Transport {
     * timestamp is restored from the [[TsHeader]] header when present
     * (records written by [[topicSink]]); foreign records fall back to
     * the broker's append time. */
-  private def fromKafka(df: DataFrame): DataFrame =
+  private[graft] def fromKafka(df: DataFrame): DataFrame =
     df.select(col("key").cast("string").as("key"),
       col("value").cast("string").as("value"),
+      // try_element_at/try_cast, not element_at/cast: under Spark 4's
+      // default ANSI mode the strict forms THROW on a foreign record
+      // (no graft.ts header, or a non-numeric one) and the fallback
+      // would be unreachable — degrade to broker time instead
       coalesce(
-        decode(element_at(
-          filter(col("headers"), h => h("key") === lit(TsHeader)), 1)("value"),
-          "UTF-8").cast("long"),
+        expr(s"try_cast(decode(try_element_at(" +
+          s"filter(headers, h -> h.key = '$TsHeader'), 1).value, 'UTF-8') AS LONG)"),
         unix_millis(col("timestamp"))).as("timestamp"))
 
   /** Consume a topic as a batch frame. */

@@ -86,4 +86,17 @@ class JsonCodecSpec extends SparkSpec {
     // the dlq record is the ORIGINAL, replayable wire record
     assert(dlq.columns.toSeq == Seq("id", "js", "dlq_reason"))
   }
+
+  test("routeDlq: a NULL wire record is a tombstone — good side, NULL struct, not a dead letter") {
+    val df = Seq((1L, Some("""{"k": 42}""")), (2L, None))
+      .toDF("id", "js")
+    val (good, dlq) = JsonCodec.routeDlq(df, col("js"), JsonCodec.propsSchema)
+    assert(dlq.count() == 0)
+    val rows = good.select(col("id"), col("decoded"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+    assert(rows(0)._1 == 1L && rows(0)._2.nonEmpty)
+    // null record decodes to a NULL STRUCT (reference: null bytes ->
+    // null value, JsonSerdes.scala:22) — not a struct of null fields
+    assert(rows(1) == ((2L, None)))
+  }
 }

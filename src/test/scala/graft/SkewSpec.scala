@@ -48,11 +48,19 @@ class SkewSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
-  test("the hot key really lands in multiple salt groups (fan-out, not a rename)") {
-    val (fact, _) = fixture
-    val groups = fact.withColumn("__salt",
-        pmod(hash(fact.columns.map(col): _*), lit(8)))
-      .filter(col("k") === 100L).select(col("__salt")).distinct().count()
-    assert(groups > 1, "hash-of-row salt collapsed the hot key into one group")
+  test("a hot key of IDENTICAL rows still fans out across salt groups") {
+    // all-duplicate rows are the routine fact shape that defeats a
+    // hash-of-row-only salt (constant hash → one reducer regardless)
+    val fact = Seq.fill(900)((100L, 1.0)).toDF("k", "v")
+    val groups = fact.withColumn("__salt", Skew.saltExpr(fact.columns.map(col), 8))
+      .select(col("__salt")).distinct().count()
+    assert(groups > 1, "salt collapsed identical hot-key rows into one group")
+  }
+
+  test("saltedJoin == plain join when every fact row is identical") {
+    val fact = Seq.fill(100)((100L, 1.0)).toDF("k", "v")
+    val dim = Seq((100L, "hot"), (1L, "cold")).toDF("k", "name")
+    val got = Skew.saltedJoin(fact, dim, "k", salt = 8).collect().map(_.toSeq)
+    assert(got.length == 100 && got.forall(_ == Seq(100L, 1.0, "hot")))
   }
 }

@@ -73,6 +73,33 @@ class TransportSpec extends SparkSpec {
     }
   }
 
+  test("fromKafka restores the produced ts from the graft.ts header, degrades on foreign records") {
+    import org.apache.spark.sql.functions._
+    // kafka source wire shape: key/value binary, broker timestamp,
+    // headers array<struct<key:string,value:binary>>
+    val kafkaShaped = Seq(
+      // produced by topicSink: graft.ts header carries ts 1234
+      (1L, Array(("graft.ts", "1234".getBytes("UTF-8")))),
+      // foreign record, no headers
+      (2L, Array.empty[(String, Array[Byte])]),
+      // foreign record with a non-numeric graft.ts
+      (3L, Array(("graft.ts", "oops".getBytes("UTF-8")))))
+      .toDF("id", "hdrs")
+      .select(
+        col("id").cast("string").cast("binary").as("key"),
+        lit("{}").cast("binary").as("value"),
+        to_timestamp(lit("2024-01-01 00:00:09")).as("timestamp"),
+        transform(col("hdrs"),
+          h => struct(h("_1").as("key"), h("_2").as("value"))).as("headers"))
+    val out = Transport.fromKafka(kafkaShaped)
+      .select(col("key"), col("timestamp"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val brokerMs = java.sql.Timestamp.valueOf("2024-01-01 00:00:09").getTime
+    assert(out("1") == 1234L)         // header wins
+    assert(out("2") == brokerMs)      // no header: broker append time
+    assert(out("3") == brokerMs)      // unparseable header: degrade, don't throw
+  }
+
   test("memory sink + state reset: wiped checkpoint rebuilds state from the source") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
