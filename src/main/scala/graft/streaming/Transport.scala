@@ -94,10 +94,10 @@ object Transport {
 
   /** A "topic" sink in the configured transport ([[TransportKey]]).
     *
-    * Parquet mode: an append-only directory of framed (key, value
-    * json, timestamp) records — the Kafka edge shaped as files.
-    * Producers write the [[keyedProduce]] framing per micro-batch via
-    * foreachBatch.
+    * Parquet mode: a directory of framed (key, value json, timestamp)
+    * records — the Kafka edge shaped as files, one `batch-<id>`
+    * subdirectory per micro-batch so retried epochs are idempotent
+    * (see [[writeTopicBatch]]).
     *
     * Kafka mode: the same framing straight into `format("kafka")` —
     * `path` is the topic name, brokers come from [[BootstrapKey]].
@@ -122,12 +122,21 @@ object Transport {
         .start()
     else
       ds.toDF().writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          keyedProduce(batch, keyCol, tsCol).write.mode("append").parquet(path)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          writeTopicBatch(keyedProduce(batch, keyCol, tsCol), path, batchId)
         }
         .option("checkpointLocation", checkpoint)
         .start()
   }
+
+  /** One micro-batch into the parquet topic, EXACTLY-ONCE: each batch
+    * owns a `batch-<id>` directory written with overwrite, so a retry
+    * of the same epoch (foreachBatch is at-least-once) replaces its
+    * own output instead of appending a duplicate — the
+    * directory-per-epoch idempotence pattern. Kafka mode needs no
+    * analogue: the kafka sink dedups by (epoch, partition) itself. */
+  private[graft] def writeTopicBatch(framed: DataFrame, path: String, batchId: Long): Unit =
+    framed.write.mode("overwrite").parquet(s"$path/batch-$batchId")
 
   /** Header key carrying the produced timestamp through kafka mode
     * (the kafka sink cannot set the broker record timestamp). */
@@ -160,7 +169,7 @@ object Transport {
         .option("startingOffsets", "earliest")
         .option("includeHeaders", "true")
         .load())
-    else spark.read.schema(TopicSchema).parquet(path)
+    else spark.read.schema(TopicSchema).parquet(s"$path/batch-*")
 
   /** Consume a topic as a stream — the downstream half of a topic
     * round-trip (the analogue of a consumer group following the
@@ -173,7 +182,7 @@ object Transport {
         .option("startingOffsets", "earliest")
         .option("includeHeaders", "true")
         .load())
-    else spark.readStream.schema(TopicSchema).parquet(path)
+    else spark.readStream.schema(TopicSchema).parquet(s"$path/batch-*")
 
   /** The reference's state reset (streams.cleanUp(): wipe local state
     * before start). Recursive checkpoint delete; a fresh start then

@@ -45,6 +45,22 @@ class TransportSpec extends SparkSpec {
       ("7", 1L, 1L, 7L, 100L), ("7", 2L, 2L, 7L, 200L), ("8", 3L, 3L, 8L, 100L)))
   }
 
+  test("a retried micro-batch overwrites its own epoch — no duplicates (exactly-once)") {
+    import org.apache.spark.sql.functions.col
+    val work = Files.createTempDirectory("topic-retry")
+    val topic = work.resolve("topic").toString
+    val batch = Seq((7L, 1L), (8L, 2L)).toDF("carId", "seq")
+    val framed = Transport.keyedProduce(batch, "carId", "seq")
+    // the same epoch delivered twice (foreachBatch is at-least-once on
+    // failure/restart) must leave exactly one copy
+    Transport.writeTopicBatch(framed, topic, batchId = 0L)
+    Transport.writeTopicBatch(framed, topic, batchId = 0L)
+    Transport.writeTopicBatch(framed, topic, batchId = 1L)
+    val back = Transport.readTopic(spark, topic)
+      .select(col("key")).collect().map(_.getString(0)).sorted
+    assert(back.toSeq == Seq("7", "7", "8", "8")) // 2 records × 2 epochs, not 3×
+  }
+
   test("kafka transport mode wires sink and source to format(\"kafka\")") {
     // the connector is absent in this environment by design (SURVEY §0):
     // the branch must COMPILE and reach Spark's string-based data-source
