@@ -135,6 +135,9 @@ object SparkEntry {
         withSplit.filter(col("split") === "test"),
         withSplit.filter(col("split") === "train"))
     }),
+    // the composed pretraining keep-list: lang + quality + repetition
+    // gates, canonical copy under exact dedup
+    "t_keep_set" -> ((s, dir) => Corpus.keepSet(Tables.documents(s, dir))),
     // data mixing: keep 50% of the dominant language, all of the rest
     "d_stratified_sample" -> ((s, dir) => {
       val lang = graft.functions.TextAnalysis.langId(Tables.documents(s, dir))
@@ -674,6 +677,46 @@ object SparkEntry {
     // contamination: same split, same distinct word-5-grams per doc
     // (the Spark side joins on md5(gram), which counts identically)
     "t_contamination" -> contaminationOracle,
+    // keep-list: same lang CASE, quality weights+nudge, trigram math
+    // and md5 keeper as the individual oracles, composed; the keeper
+    // window runs after the signal filters exactly like the Spark side
+    "t_keep_set" ->
+      """WITH sig AS (
+        |  SELECT doc_id, md5(text) AS fp,
+        |         CASE WHEN s_en = t AND t > 0 THEN 'en'
+        |              WHEN s_fr = t AND t > 0 THEN 'fr'
+        |              WHEN s_es = t AND t > 0 THEN 'es'
+        |              WHEN s_de = t AND t > 0 THEN 'de'
+        |              WHEN s_zh = t AND t > 0 THEN 'zh'
+        |              ELSE 'und' END AS lang_pred,
+        |         ROUND(dv * 0.5 + (1.0 - sr) * 0.2 + ls * 0.3 + 1e-12, 4) AS quality,
+        |         CASE WHEN n >= 3 THEN ROUND(1.0 - td / CAST(tt AS DOUBLE) + 1e-12, 4)
+        |              ELSE 0.0 END AS dup_trigram_frac
+        |  FROM (
+        |    SELECT doc_id, text, len(w) AS n,
+        |           len(list_filter(w, x -> x = 'the')) AS s_en,
+        |           len(list_filter(w, x -> x = 'le' OR x = 'la')) AS s_fr,
+        |           len(list_filter(w, x -> x = 'el' OR x = 'los')) AS s_es,
+        |           len(list_filter(w, x -> x = 'der' OR x = 'und')) AS s_de,
+        |           len(list_filter(w, x -> x = '的')) AS s_zh,
+        |           greatest(len(list_filter(w, x -> x = 'the')),
+        |                    len(list_filter(w, x -> x = 'le' OR x = 'la')),
+        |                    len(list_filter(w, x -> x = 'el' OR x = 'los')),
+        |                    len(list_filter(w, x -> x = 'der' OR x = 'und')),
+        |                    len(list_filter(w, x -> x = '的'))) AS t,
+        |           len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS dv,
+        |           len(list_filter(w, x -> x IN ('the','a','of','and'))) / CAST(len(w) AS DOUBLE) AS sr,
+        |           least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) AS ls,
+        |           len(list_distinct([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |                              for i in generate_series(0, len(w) - 3)])) AS td,
+        |           len([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |                for i in generate_series(0, len(w) - 3)]) AS tt
+        |    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))),
+        |f AS (SELECT * FROM sig
+        |      WHERE lang_pred = 'en' AND quality >= 0.6 AND dup_trigram_frac <= 0.05)
+        |SELECT doc_id, lang_pred, quality, dup_trigram_frac FROM (
+        |  SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id FROM f)
+        |WHERE doc_id = keep_id""".stripMargin,
     // stratified sampling: same language scores as t_lang_id, same
     // md5-chars-9-16 sample bucket (disjoint from the split's 1-8)
     "d_stratified_sample" ->

@@ -27,6 +27,57 @@ object TextAnalysis {
   def wordCount(text: Column, word: String): Column =
     size(filter(tokens(text), t => t === lit(word)))
 
+  /** Repo-wide boundary nudge before 4-dp rounding (see qualityScore's
+    * scaladoc for why both engines need it). */
+  private[graft] def r4(c: Column): Column = round(c + lit(1e-12), 4)
+
+  /** Language marker scores in a fixed order (the langId tie order). */
+  private def langScores(t: Column): Seq[(String, Column)] = Seq(
+    "en" -> wordCount(t, "the"),
+    "fr" -> (wordCount(t, "le") + wordCount(t, "la")),
+    "es" -> (wordCount(t, "el") + wordCount(t, "los")),
+    "de" -> (wordCount(t, "der") + wordCount(t, "und")),
+    "zh" -> wordCount(t, "的"))
+
+  /** [[langId]]'s prediction as a single column — for composing into
+    * other pipelines (Corpus.keepSet) without a join. */
+  private[graft] def langPredCol(t: Column): Column = {
+    val scores = langScores(t)
+    val top = greatest(scores.map(_._2): _*)
+    scores.foldLeft(when(lit(false), "und")) { case (acc, (l, s)) =>
+      acc.when(s === top && top > 0, l)
+    }.otherwise("und")
+  }
+
+  /** [[qualityScore]]'s composite quality as a single column. */
+  private[graft] def qualityCol(t: Column): Column = {
+    val toks = tokens(t)
+    val nWords = size(toks).cast("double")
+    val diversity = size(array_distinct(toks)) / nWords
+    val stopRate = size(filter(tokens(t),
+      x => x.isin("the", "a", "of", "and"))) / nWords
+    val lengthScore = least(size(toks).cast("double") / lit(100.0), lit(1.0))
+    r4(diversity * lit(0.5) + (lit(1.0) - stopRate) * lit(0.2) + lengthScore * lit(0.3))
+  }
+
+  /** Positional word k-grams of `t`; `[]` when the doc has < k tokens
+    * (Spark's sequence() would otherwise produce a DESCENDING range). */
+  private[graft] def gramArray(t: Column, k: Int): Column = {
+    val toks = tokens(t)
+    val n = size(toks)
+    when(n >= k, transform(sequence(lit(0), n - k),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** [[repetition]]'s duplicate-trigram fraction as a single column. */
+  private[graft] def dupTrigramCol(t: Column): Column = {
+    val tri = gramArray(t, 3)
+    when(size(tokens(t)) >= 3,
+      r4(lit(1.0) - size(array_distinct(tri)) / size(tri).cast("double")))
+      .otherwise(lit(0.0))
+  }
+
   /** Corpus vocabulary heavy hitters: the k terms with the highest
     * DOCUMENT frequency (distinct per doc, so a word repeated in one
     * document counts once) with a dense 1..k rank — the
@@ -95,14 +146,10 @@ object TextAnalysis {
     * shuffle) is identical.
     */
   def langId(documents: DataFrame): DataFrame = {
-    val t = col("text")
     val scored = documents.select(
-      col("doc_id"),
-      wordCount(t, "the").cast("long").as("score_en"),
-      (wordCount(t, "le") + wordCount(t, "la")).cast("long").as("score_fr"),
-      (wordCount(t, "el") + wordCount(t, "los")).cast("long").as("score_es"),
-      (wordCount(t, "der") + wordCount(t, "und")).cast("long").as("score_de"),
-      wordCount(t, "的").cast("long").as("score_zh"))
+      col("doc_id") +: langScores(col("text")).map { case (l, s) =>
+        s.cast("long").as(s"score_$l")
+      }: _*)
     val top = greatest(col("score_en"), col("score_fr"), col("score_es"),
       col("score_de"), col("score_zh"))
     scored.withColumn("lang_pred",
@@ -132,14 +179,12 @@ object TextAnalysis {
     val stopRate = size(filter(tokens(col("text")),
       t => t.isin("the", "a", "of", "and"))) / nWords
     val lengthScore = least(size(toks).cast("double") / lit(100.0), lit(1.0))
-    def r4(c: org.apache.spark.sql.Column) = round(c + lit(1e-12), 4)
     documents.select(
       col("doc_id"),
       r4(diversity).as("diversity"),
       r4(stopRate).as("stop_rate"),
       r4(lengthScore).as("length_score"),
-      r4(diversity * lit(0.5) + (lit(1.0) - stopRate) * lit(0.2) + lengthScore * lit(0.3))
-        .as("quality"))
+      qualityCol(col("text")).as("quality"))
   }
 
   /** Repetition signals (the Gopher/MassiveText-style repetitiousness
@@ -162,14 +207,10 @@ object TextAnalysis {
   def repetition(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val n = size(toks)
-    def grams(k: Int): Column = // positional word k-grams, [] when n < k
-      when(n >= k, transform(sequence(lit(0), n - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
-        .otherwise(array().cast("array<string>"))
     // longest equal-neighbor run in the SORTED bigram array = count of
     // the most frequent bigram; single left-to-right fold, codegen-safe
     val topBigramCount = aggregate(
-      array_sort(grams(2)),
+      array_sort(gramArray(col("text"), 2)),
       struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, x) => {
         val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
@@ -177,16 +218,13 @@ object TextAnalysis {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    val tri = grams(3)
-    def r4(c: Column) = round(c + lit(1e-12), 4)
     documents.select(
       col("doc_id"),
       n.cast("long").as("n_tokens"),
       r4(size(array_distinct(toks)) / n.cast("double")).as("distinct_ratio"),
       when(n >= 2, r4(topBigramCount / (n - 1).cast("double")))
         .otherwise(lit(0.0)).as("top_bigram_frac"),
-      when(n >= 3, r4(lit(1.0) - size(array_distinct(tri)) / size(tri).cast("double")))
-        .otherwise(lit(0.0)).as("dup_trigram_frac"))
+      dupTrigramCol(col("text")).as("dup_trigram_frac"))
   }
 
   /** Content fingerprint: md5 over the exact text bytes — the basis for

@@ -61,6 +61,36 @@ object Corpus {
   private def sampleBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(id.cast("string")), 9, 8), 16, 10).cast("long") % 10000
 
+  /** The end-to-end pretraining keep-list: documents that pass the
+    * language gate, the quality floor, the repetition cap, AND are the
+    * canonical copy under exact dedup — the composition every real
+    * corpus build runs, expressed as ONE pipeline instead of four
+    * joined operator outputs.
+    *
+    * Scale shape: all three text signals are per-row columns computed
+    * in a single scan (TextAnalysis column helpers — no join, no
+    * re-read per signal; CorpusSpec pins equivalence with the composed
+    * operators). The signal filters run BEFORE the dedup shuffle (all
+    * copies of a text carry identical signals, so pass/fail is uniform
+    * per fingerprint and filtering first changes nothing but the
+    * shuffle volume), and the shuffle itself carries the 16-byte
+    * fingerprint + three scalars — never the text. */
+  def keepSet(documents: DataFrame, minQuality: Double = 0.6,
+              maxDupTrigram: Double = 0.05, lang: String = "en"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col("text")
+    documents
+      .select(col("doc_id"), md5(t).as("fp"),
+        graft.functions.TextAnalysis.langPredCol(t).as("lang_pred"),
+        graft.functions.TextAnalysis.qualityCol(t).as("quality"),
+        graft.functions.TextAnalysis.dupTrigramCol(t).as("dup_trigram_frac"))
+      .filter(col("lang_pred") === lang && col("quality") >= minQuality &&
+        col("dup_trigram_frac") <= maxDupTrigram)
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("lang_pred"), col("quality"), col("dup_trigram_frac"))
+  }
+
   /** Train/eval contamination check: for each eval document, how many
     * of its distinct word n-grams appear in ANY training document — a
     * standard pre-training hygiene step (eval benchmarks leaking into

@@ -84,4 +84,30 @@ class CorpusSpec extends SparkSpec {
     // 6 gram positions, 5 distinct (the repeated "a b c d e" collapses)
     assert(out.toSeq == Seq((5L, 1L, true)))
   }
+
+  test("keepSet equals the composition of the public operators on the corpus") {
+    import graft.functions.TextAnalysis
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf0001)
+    val got = Corpus.keepSet(docs).collect().map(_.toSeq).toSet
+    val composed = TextAnalysis.langId(docs).select(col("doc_id"), col("lang_pred"))
+      .join(TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality")), "doc_id")
+      .join(TextAnalysis.repetition(docs).select(col("doc_id"), col("dup_trigram_frac")), "doc_id")
+      .join(Dedup.exactDedup(docs).select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .filter(col("lang_pred") === "en" && col("quality") >= 0.6 &&
+        col("dup_trigram_frac") <= 0.05)
+      .collect().map(_.toSeq).toSet
+    assert(got == composed)
+    assert(got.nonEmpty)
+  }
+
+  test("keepSet keeps only the min-id copy of a passing duplicate text") {
+    // a text that passes every gate ("the" markers, diverse words, 100+
+    // tokens), present twice — only the min doc_id survives
+    val passing = (Seq("the") ++ (1 to 120).map(i => s"w$i")).mkString(" ")
+    val docs = Seq((5L, passing), (9L, passing), (7L, "el el el"))
+      .toDF("doc_id", "text")
+    val out = Corpus.keepSet(docs).collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(5L))
+  }
 }
