@@ -197,6 +197,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("keepSet: one documents scan, one fingerprint shuffle, no joins") {
+    val p = plan(Corpus.keepSet(Tables.documents(spark, dir)))
+    assert(!p.contains("Join"), s"keep-list must stay join-free (per-row signals):\n$p")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"keep-list must shuffle exactly once, on the dedup fingerprint:\n$p")
+    assert(count(p, "FileScan") == 1,
+      s"all three signals must come from ONE scan of documents:\n$p")
+  }
+
   test("events loader: partition filter prunes, no full-table scan state") {
     // q3-style date filter must reach the orders scan
     val p = plan(Tables.orders(spark, dir).filter(col("o_orderdate") < "1995-03-15")
