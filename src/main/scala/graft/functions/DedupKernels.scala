@@ -109,6 +109,42 @@ object DedupKernels {
   def winnowText(text: Column, n: Int, w: Int): Column =
     SqlBridge.column(WinnowText(SqlBridge.expression(text), n, w))
 
+  /** Count of DISTINCT word n-grams of the text in one pass. */
+  def gramDistinctCount(text: Column, n: Int): Column =
+    SqlBridge.column(GramDistinctCount(SqlBridge.expression(text), n))
+
+  /** One-pass distinct word-n-gram counter. A gram's text is a BYTE
+    * RANGE of the original (concat_ws(" ") of consecutive tokens ≡
+    * the substring between the first token's start and the last's end
+    * — the split/join identity all kernels here rely on), so distinct
+    * grams are counted EXACTLY by a set of byte slices: no hash
+    * truncation, no collision risk vs an engine counting distinct
+    * strings. Replaces `size(array_distinct(transform(sequence(...),
+    * concat_ws(...))))`, which materializes every gram string through
+    * interpreted lambdas. Shared by eval and codegen. */
+  def gramDistinctCountImpl(base: AnyRef, off: Long, len: Int, n: Int): Int = {
+    val starts = new Array[Int](n) // last n word-start positions
+    val seen = new java.util.HashSet[java.nio.ByteBuffer]()
+    var wordIdx = 0
+    var wordStart = 0
+    var p = 0
+    while (p <= len) {
+      if (p == len || Platform.getByte(base, off + p) == ' ') {
+        starts(wordIdx % n) = wordStart // word wordIdx spans [wordStart, p)
+        if (wordIdx >= n - 1) {
+          val gs = starts((wordIdx - (n - 1)) % n)
+          val buf = new Array[Byte](p - gs)
+          Platform.copyMemory(base, off + gs, buf, Platform.BYTE_ARRAY_OFFSET, buf.length)
+          seen.add(java.nio.ByteBuffer.wrap(buf))
+        }
+        wordStart = p + 1
+        wordIdx += 1
+      }
+      p += 1
+    }
+    seen.size
+  }
+
   /** One-pass text → winnowing fingerprints: word n-gram BYTE RANGES
     * (same split/join identity as [[minhashTextInto]]) are md5-hashed
     * into a `w`-slot ring; each full window contributes its minimum
@@ -337,6 +373,38 @@ case class WinnowText(child: Expression, n: Int, w: Int) extends UnaryExpression
       s"""
          |${ev.value} = graft.functions.DedupKernels.winnowTextInto(
          |  $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), $n, $w);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused distinct word-n-gram counter (see
+  * [[DedupKernels.gramDistinctCountImpl]]). Equivalent composed form
+  * (what this replaces, and what TextAnalysisSpec compares against):
+  * {{{ size(array_distinct(TextAnalysis.gramArray(text, n))) }}} */
+case class GramDistinctCount(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"gram width must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_distinct_count expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "gram_distinct_count"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    DedupKernels.gramDistinctCountImpl(s.getBaseObject, s.getBaseOffset, s.numBytes, n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |${ev.value} = graft.functions.DedupKernels.gramDistinctCountImpl(
+         |  $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), $n);
        """.stripMargin
     })
 

@@ -32,22 +32,12 @@ object TextAnalysis {
   private[graft] def r4(c: Column): Column = round(c + lit(1e-12), 4)
 
   /** Language marker scores in a fixed order (the langId tie order). */
-  private def langScores(t: Column): Seq[(String, Column)] = Seq(
+  private[graft] def langScores(t: Column): Seq[(String, Column)] = Seq(
     "en" -> wordCount(t, "the"),
     "fr" -> (wordCount(t, "le") + wordCount(t, "la")),
     "es" -> (wordCount(t, "el") + wordCount(t, "los")),
     "de" -> (wordCount(t, "der") + wordCount(t, "und")),
     "zh" -> wordCount(t, "的"))
-
-  /** [[langId]]'s prediction as a single column — for composing into
-    * other pipelines (Corpus.keepSet) without a join. */
-  private[graft] def langPredCol(t: Column): Column = {
-    val scores = langScores(t)
-    val top = greatest(scores.map(_._2): _*)
-    scores.foldLeft(when(lit(false), "und")) { case (acc, (l, s)) =>
-      acc.when(s === top && top > 0, l)
-    }.otherwise("und")
-  }
 
   /** [[qualityScore]]'s composite quality as a single column. */
   private[graft] def qualityCol(t: Column): Column = {
@@ -70,11 +60,16 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** [[repetition]]'s duplicate-trigram fraction as a single column. */
+  /** [[repetition]]'s duplicate-trigram fraction as a single column.
+    * The denominator is `n - 2` arithmetically (total trigram
+    * positions) rather than `size(gramArray(...))`: building the gram
+    * array twice just to count it defeats common-subexpression
+    * elimination (each HOF gets fresh lambda ids), doubling the most
+    * expensive per-row computation. */
   private[graft] def dupTrigramCol(t: Column): Column = {
-    val tri = gramArray(t, 3)
-    when(size(tokens(t)) >= 3,
-      r4(lit(1.0) - size(array_distinct(tri)) / size(tri).cast("double")))
+    val n = size(tokens(t))
+    when(n >= 3,
+      r4(lit(1.0) - DedupKernels.gramDistinctCount(t, 3) / (n - 2).cast("double")))
       .otherwise(lit(0.0))
   }
 

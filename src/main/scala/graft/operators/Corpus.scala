@@ -78,16 +78,50 @@ object Corpus {
   def keepSet(documents: DataFrame, minQuality: Double = 0.6,
               maxDupTrigram: Double = 0.05, lang: String = "en"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextAnalysis.{tokens, langScores, r4}
     val t = col("text")
-    documents
-      .select(col("doc_id"), md5(t).as("fp"),
-        graft.functions.TextAnalysis.langPredCol(t).as("lang_pred"),
-        graft.functions.TextAnalysis.qualityCol(t).as("quality"),
-        graft.functions.TextAnalysis.dupTrigramCol(t).as("dup_trigram_frac"))
-      .filter(col("lang_pred") === lang && col("quality") >= minQuality &&
-        col("dup_trigram_frac") <= maxDupTrigram)
+    val toks = tokens(t)
+    // STAGE the raw counts into named columns: the signal formulas
+    // below reference each count several times, and an all-inline
+    // projection re-evaluates the split/filter/transform subtrees per
+    // reference (CollapseProject keeps this barrier because collapsing
+    // would duplicate expensive expressions). The assembled signals
+    // are pinned equal to the standalone operators by CorpusSpec.
+    val counts = documents.select(
+      col("doc_id"), md5(t).as("fp"),
+      size(toks).as("n"), size(array_distinct(toks)).as("nd"),
+      size(filter(tokens(t), x => x.isin("the", "a", "of", "and"))).as("nstop"),
+      // distinct trigrams via the fused one-pass kernel; total trigram
+      // positions = n-2 arithmetically (no second gram array)
+      graft.functions.DedupKernels.gramDistinctCount(t, 3).as("td"),
+      array(langScores(t).map { case (l, s) => struct(s.as("s"), lit(l).as("l")) }: _*)
+        .as("langs"))
+    val top = array_max(transform(col("langs"), e => e.getField("s")))
+    val nD = col("n").cast("double")
+    val sig = counts.select(
+      col("doc_id"), col("fp"),
+      when(top > 0,
+        filter(col("langs"), e => e.getField("s") === top)(0).getField("l"))
+        .otherwise("und").as("lang_pred"),
+      r4((col("nd") / nD) * lit(0.5) +
+        (lit(1.0) - col("nstop") / nD) * lit(0.2) +
+        least(nD / lit(100.0), lit(1.0)) * lit(0.3)).as("quality"),
+      when(col("n") >= 3,
+        r4(lit(1.0) - col("td") / (col("n") - 2).cast("double")))
+        .otherwise(lit(0.0)).as("dup_trigram_frac"))
+    // The dedup window sits BELOW the gate filters on purpose: a
+    // Filter directly above the sig projection gets predicate-pushed
+    // THROUGH it, substituting each signal's full expression tree per
+    // conjunct (measured 7x the projection cost); predicates on
+    // non-partition columns cannot cross a Window, so this shape
+    // evaluates every signal exactly once. Keeper semantics are
+    // unchanged — copies share text, hence signals, so min-id over all
+    // copies equals min-id over surviving copies. The shuffle carries
+    // the 16-byte fingerprint + three scalars, never the text.
+    sig
       .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-      .filter(col("doc_id") === col("keep_id"))
+      .filter(col("lang_pred") === lang && col("quality") >= minQuality &&
+        col("dup_trigram_frac") <= maxDupTrigram && col("doc_id") === col("keep_id"))
       .select(col("doc_id"), col("lang_pred"), col("quality"), col("dup_trigram_frac"))
   }
 

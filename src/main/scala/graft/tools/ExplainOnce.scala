@@ -1,0 +1,19 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch main: print the executed plan of one SparkEntry query.
+  * Usage: runMain graft.tools.ExplainOnce <queryName> <sfDir> */
+object ExplainOnce {
+  def main(args: Array[String]): Unit = {
+    val Array(name, dir) = args
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.explain("formatted")
+    spark.stop()
+  }
+}

@@ -54,6 +54,25 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     assert(out(4L) == ((1L, 1.0, 0.0, 0.0)))
   }
 
+  test("gram_distinct_count kernel equals the composed array_distinct form") {
+    import graft.functions.DedupKernels
+    val corpus = Tables.documents(spark, sf0001).limit(200).select(col("doc_id"), col("text"))
+    val hostile = Seq(
+      (9001L, ""), (9002L, "a"), (9003L, "a b"),          // below gram width
+      (9004L, "a b c a b c a b c"),                        // heavy repeats
+      (9005L, "a  b   c a  b c"),                          // multi-space (empty tokens)
+      (9006L, "日 本 語 日 本 語 日"),                      // multi-byte
+      (9007L, "x " * 500 + "x")).toDF("doc_id", "text")    // long run of one bigram
+    for (df <- Seq(corpus, hostile); n <- Seq(2, 3, 5)) {
+      val out = df.select(col("doc_id"),
+          DedupKernels.gramDistinctCount(col("text"), n).as("k"),
+          size(array_distinct(graft.functions.TextAnalysis.gramArray(col("text"), n))).as("c"))
+        .collect()
+      out.foreach(r => assert(r.getInt(1) == r.getInt(2),
+        s"doc ${r.getLong(0)} n=$n: kernel ${r.getInt(1)} != composed ${r.getInt(2)}"))
+    }
+  }
+
   test("tfidf: rare terms outrank ubiquitous ones; ubiquitous terms score zero") {
     val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "a d")).toDF("doc_id", "text")
     val out = TextAnalysis.tfidf(df, k = 2).collect()
