@@ -111,13 +111,15 @@ object Corpus {
         .otherwise(lit(0.0)).as("dup_trigram_frac"))
     // The dedup window sits BELOW the gate filters on purpose: a
     // Filter directly above the sig projection gets predicate-pushed
-    // THROUGH it, substituting each signal's full expression tree per
-    // conjunct (measured 7x the projection cost); predicates on
-    // non-partition columns cannot cross a Window, so this shape
-    // evaluates every signal exactly once. Keeper semantics are
-    // unchanged — copies share text, hence signals, so min-id over all
-    // copies equals min-id over surviving copies. The shuffle carries
-    // the 16-byte fingerprint + three scalars, never the text.
+    // THROUGH it, substituting the signal expressions into the
+    // condition so they evaluate once for the filter and again for
+    // the projected output (A/B measured: 2x slower at sf0.1);
+    // predicates on non-partition columns cannot cross a Window, so
+    // this shape evaluates every signal exactly once. Keeper
+    // semantics are unchanged — copies share text, hence signals, so
+    // min-id over all copies equals min-id over surviving copies. The
+    // shuffle carries the 16-byte fingerprint + three scalars, never
+    // the text.
     sig
       .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .filter(col("lang_pred") === lang && col("quality") >= minQuality &&
