@@ -678,8 +678,12 @@ object SparkEntry {
     // (the Spark side joins on md5(gram), which counts identically)
     "t_contamination" -> contaminationOracle,
     // keep-list: same lang CASE, quality weights+nudge, trigram math
-    // and md5 keeper as the individual oracles, composed; the keeper
-    // window runs after the signal filters exactly like the Spark side
+    // and md5 keeper as the individual oracles, composed. The oracle
+    // filters before its keeper window while the Spark side windows
+    // first (a pushdown-duplication workaround) — equivalent because
+    // copies share text, hence identical signals: pass/fail is uniform
+    // per fingerprint, so min-id over all copies = min-id over
+    // surviving copies
     "t_keep_set" ->
       """WITH sig AS (
         |  SELECT doc_id, md5(text) AS fp,

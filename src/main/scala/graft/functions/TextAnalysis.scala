@@ -39,15 +39,28 @@ object TextAnalysis {
     "de" -> (wordCount(t, "der") + wordCount(t, "und")),
     "zh" -> wordCount(t, "的"))
 
+  /** The quality formula over pre-staged counts — THE single source
+    * of the weights/nudge, shared by [[qualityCol]] (inline counts)
+    * and Corpus.keepSet (staged count columns). */
+  private[graft] def qualityFromCounts(n: Column, nd: Column, nstop: Column): Column = {
+    val nD = n.cast("double")
+    r4((nd / nD) * lit(0.5) + (lit(1.0) - nstop / nD) * lit(0.2) +
+      least(nD / lit(100.0), lit(1.0)) * lit(0.3))
+  }
+
+  /** The duplicate-trigram formula over pre-staged counts (total
+    * trigram positions = n − 2 arithmetically — building the gram
+    * array a second time just to count it would double the dominant
+    * per-row cost, fresh lambda ids defeat CSE). Shared like
+    * [[qualityFromCounts]]. */
+  private[graft] def dupTrigramFromCounts(n: Column, td: Column): Column =
+    when(n >= 3, r4(lit(1.0) - td / (n - 2).cast("double"))).otherwise(lit(0.0))
+
   /** [[qualityScore]]'s composite quality as a single column. */
   private[graft] def qualityCol(t: Column): Column = {
     val toks = tokens(t)
-    val nWords = size(toks).cast("double")
-    val diversity = size(array_distinct(toks)) / nWords
-    val stopRate = size(filter(tokens(t),
-      x => x.isin("the", "a", "of", "and"))) / nWords
-    val lengthScore = least(size(toks).cast("double") / lit(100.0), lit(1.0))
-    r4(diversity * lit(0.5) + (lit(1.0) - stopRate) * lit(0.2) + lengthScore * lit(0.3))
+    qualityFromCounts(size(toks), size(array_distinct(toks)),
+      size(filter(tokens(t), x => x.isin("the", "a", "of", "and"))))
   }
 
   /** Positional word k-grams of `t`; `[]` when the doc has < k tokens
@@ -60,18 +73,9 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** [[repetition]]'s duplicate-trigram fraction as a single column.
-    * The denominator is `n - 2` arithmetically (total trigram
-    * positions) rather than `size(gramArray(...))`: building the gram
-    * array twice just to count it defeats common-subexpression
-    * elimination (each HOF gets fresh lambda ids), doubling the most
-    * expensive per-row computation. */
-  private[graft] def dupTrigramCol(t: Column): Column = {
-    val n = size(tokens(t))
-    when(n >= 3,
-      r4(lit(1.0) - DedupKernels.gramDistinctCount(t, 3) / (n - 2).cast("double")))
-      .otherwise(lit(0.0))
-  }
+  /** [[repetition]]'s duplicate-trigram fraction as a single column. */
+  private[graft] def dupTrigramCol(t: Column): Column =
+    dupTrigramFromCounts(size(tokens(t)), DedupKernels.gramDistinctCount(t, 3))
 
   /** Corpus vocabulary heavy hitters: the k terms with the highest
     * DOCUMENT frequency (distinct per doc, so a word repeated in one

@@ -68,17 +68,16 @@ object Corpus {
     * joined operator outputs.
     *
     * Scale shape: all three text signals are per-row columns computed
-    * in a single scan (TextAnalysis column helpers — no join, no
+    * in a single scan (TextAnalysis count formulas — no join, no
     * re-read per signal; CorpusSpec pins equivalence with the composed
-    * operators). The signal filters run BEFORE the dedup shuffle (all
-    * copies of a text carry identical signals, so pass/fail is uniform
-    * per fingerprint and filtering first changes nothing but the
-    * shuffle volume), and the shuffle itself carries the 16-byte
-    * fingerprint + three scalars — never the text. */
+    * operators). The gate filters run ABOVE the dedup window — see the
+    * inline comment for why — so the fingerprint shuffle carries every
+    * document's 16-byte fingerprint + three scalars (never the text);
+    * the signals themselves evaluate exactly once per document. */
   def keepSet(documents: DataFrame, minQuality: Double = 0.6,
               maxDupTrigram: Double = 0.05, lang: String = "en"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.TextAnalysis.{tokens, langScores, r4}
+    import graft.functions.TextAnalysis.{tokens, langScores, qualityFromCounts, dupTrigramFromCounts}
     val t = col("text")
     val toks = tokens(t)
     // STAGE the raw counts into named columns: the signal formulas
@@ -97,18 +96,13 @@ object Corpus {
       array(langScores(t).map { case (l, s) => struct(s.as("s"), lit(l).as("l")) }: _*)
         .as("langs"))
     val top = array_max(transform(col("langs"), e => e.getField("s")))
-    val nD = col("n").cast("double")
     val sig = counts.select(
       col("doc_id"), col("fp"),
       when(top > 0,
         filter(col("langs"), e => e.getField("s") === top)(0).getField("l"))
         .otherwise("und").as("lang_pred"),
-      r4((col("nd") / nD) * lit(0.5) +
-        (lit(1.0) - col("nstop") / nD) * lit(0.2) +
-        least(nD / lit(100.0), lit(1.0)) * lit(0.3)).as("quality"),
-      when(col("n") >= 3,
-        r4(lit(1.0) - col("td") / (col("n") - 2).cast("double")))
-        .otherwise(lit(0.0)).as("dup_trigram_frac"))
+      qualityFromCounts(col("n"), col("nd"), col("nstop")).as("quality"),
+      dupTrigramFromCounts(col("n"), col("td")).as("dup_trigram_frac"))
     // The dedup window sits BELOW the gate filters on purpose: a
     // Filter directly above the sig projection gets predicate-pushed
     // THROUGH it, substituting the signal expressions into the

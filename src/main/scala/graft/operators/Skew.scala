@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Hot-key mitigation for shuffled equi-joins — the batch entry in the
@@ -18,24 +18,31 @@ import org.apache.spark.sql.functions._
   * spillable stats) isn't available or isn't enough. */
 object Skew {
 
-  /** Row + position hash in [0, salt): position (partition id +
-    * within-partition row number via monotonically_increasing_id)
-    * keeps IDENTICAL rows on different salts. */
-  private[graft] def saltExpr(cols: Seq[org.apache.spark.sql.Column], salt: Int) =
-    pmod(hash(monotonically_increasing_id() +: cols: _*), lit(salt))
+  /** Deterministic salt in [0, salt) from the given columns. */
+  private[graft] def saltExpr(cols: Seq[Column], salt: Int): Column =
+    pmod(hash(cols: _*), lit(salt))
 
   /** Equi-join `fact ⋈ dim` on `key`, with the fact side salted
-    * `salt` ways. The salt hashes the row PLUS its position
-    * (partition id + within-partition row number) — a hash of the row
-    * alone would give every duplicate row the same salt, and a hot
-    * key made of identical rows (a routine fact-table shape) would
-    * not fan out at all. Correctness never depends on the salt value:
-    * ANY value in [0, salt) meets the matching replicated dim row, so
-    * a task retry that re-salts differently still joins identically.
-    * Output columns = fact ++ dim-minus-key, exactly like
+    * `salt` ways.
+    *
+    * The salt MUST be deterministic per row: a salt that changes when
+    * a task is retried (rand(), monotonically_increasing_id, anything
+    * position-dependent) re-routes rows between reduce partitions on
+    * partial stage retries, duplicating or losing join output — Spark
+    * only guarantees correctness under retries for deterministic
+    * shuffle keys. The default salt therefore hashes the whole fact
+    * row. That is retry-safe but gives IDENTICAL fact rows identical
+    * salts, so a hot key made of exact duplicate rows would not fan
+    * out; when the fact has a unique (or high-cardinality) column,
+    * pass it as `saltOn` — e.g. an event id — and duplicates of the
+    * hot key spread deterministically.
+    *
+    * Correctness never depends on the salt's distribution: ANY value
+    * in [0, salt) meets the matching replicated dim row. Output
+    * columns = fact ++ dim-minus-key, exactly like
     * `fact.join(dim, key)`. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int,
-                 joinType: String = "inner"): DataFrame = {
+                 joinType: String = "inner", saltOn: Seq[Column] = Nil): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
     // fact-preserving types only: a right/full outer would emit one
     // copy of an unmatched dim row PER REPLICA — `salt` phantom rows
@@ -43,7 +50,8 @@ object Skew {
       .contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left joins only, got '$joinType'")
     val factCols = fact.columns
-    val salted = fact.withColumn("__salt", saltExpr(factCols.map(col), salt))
+    val saltCols = if (saltOn.nonEmpty) saltOn else factCols.map(col).toSeq
+    val salted = fact.withColumn("__salt", saltExpr(saltCols, salt))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType)

@@ -129,12 +129,20 @@ object Transport {
         .start()
   }
 
-  /** One micro-batch into the parquet topic, EXACTLY-ONCE: each batch
-    * owns a `batch-<id>` directory written with overwrite, so a retry
-    * of the same epoch (foreachBatch is at-least-once) replaces its
-    * own output instead of appending a duplicate — the
-    * directory-per-epoch idempotence pattern. Kafka mode needs no
-    * analogue: the kafka sink dedups by (epoch, partition) itself. */
+  /** One micro-batch into the parquet topic: each batch owns a
+    * `batch-<id>` directory written with overwrite, so a retry of the
+    * same epoch (foreachBatch is at-least-once) replaces its own
+    * output instead of appending a duplicate — the
+    * directory-per-epoch idempotence pattern.
+    *
+    * Scope of the guarantee: exactly-once for BATCH consumption
+    * ([[readTopic]]) and for any stream started after the producer's
+    * epoch is durable. A [[readTopicStream]] consumer running
+    * CONCURRENTLY with a producer retry can still observe the epoch
+    * twice: the overwrite emits part files with fresh names, and the
+    * file source tracks seen files by path — the same window every
+    * file-based exchange has. Kafka mode inherits the kafka sink's
+    * own epoch dedup instead. */
   private[graft] def writeTopicBatch(framed: DataFrame, path: String, batchId: Long): Unit =
     framed.write.mode("overwrite").parquet(s"$path/batch-$batchId")
 
@@ -154,10 +162,13 @@ object Transport {
       // try_element_at/try_cast, not element_at/cast: under Spark 4's
       // default ANSI mode the strict forms THROW on a foreign record
       // (no graft.ts header, or a non-numeric one) and the fallback
-      // would be unreachable — degrade to broker time instead
+      // would be unreachable. binary→string is a CAST (lenient byte
+      // reinterpretation), NOT decode(..., 'UTF-8'), which also throws
+      // on malformed UTF-8 bytes — a foreign binary header must
+      // degrade to broker time, never kill the consumer.
       coalesce(
-        expr(s"try_cast(decode(try_element_at(" +
-          s"filter(headers, h -> h.key = '$TsHeader'), 1).value, 'UTF-8') AS LONG)"),
+        expr(s"try_cast(cast(try_element_at(" +
+          s"filter(headers, h -> h.key = '$TsHeader'), 1).value AS STRING) AS LONG)"),
         unix_millis(col("timestamp"))).as("timestamp"))
 
   /** Consume a topic as a batch frame. */

@@ -48,13 +48,22 @@ class SkewSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
-  test("a hot key of IDENTICAL rows still fans out across salt groups") {
-    // all-duplicate rows are the routine fact shape that defeats a
-    // hash-of-row-only salt (constant hash → one reducer regardless)
-    val fact = Seq.fill(900)((100L, 1.0)).toDF("k", "v")
-    val groups = fact.withColumn("__salt", Skew.saltExpr(fact.columns.map(col), 8))
+  test("saltOn a unique id fans out duplicate hot-key rows, deterministically") {
+    // duplicate (k, v) payloads with distinct ids — the shape where the
+    // default whole-row salt cannot spread the hot key but saltOn can
+    val fact = (1 to 900).map(i => (i.toLong, 100L, 1.0)).toDF("id", "k", "v")
+    val groups = fact.withColumn("__salt", Skew.saltExpr(Seq(col("id")), 8))
       .select(col("__salt")).distinct().count()
-    assert(groups > 1, "salt collapsed identical hot-key rows into one group")
+    assert(groups > 1, "id salt collapsed the hot key into one group")
+    // deterministic: same salts on recomputation (retry safety)
+    val a = fact.withColumn("s", Skew.saltExpr(Seq(col("id")), 8))
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    val b = fact.withColumn("s", Skew.saltExpr(Seq(col("id")), 8))
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    assert(a == b)
+    val dim = Seq((100L, "hot")).toDF("k", "name")
+    val got = Skew.saltedJoin(fact, dim, "k", 8, saltOn = Seq(col("id")))
+    assert(got.count() == 900)
   }
 
   test("saltedJoin == plain join when every fact row is identical") {

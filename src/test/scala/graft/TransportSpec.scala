@@ -99,7 +99,10 @@ class TransportSpec extends SparkSpec {
       // foreign record, no headers
       (2L, Array.empty[(String, Array[Byte])]),
       // foreign record with a non-numeric graft.ts
-      (3L, Array(("graft.ts", "oops".getBytes("UTF-8")))))
+      (3L, Array(("graft.ts", "oops".getBytes("UTF-8")))),
+      // foreign record with a graft.ts that is not even valid UTF-8
+      // (a raw big-endian long) — must degrade, not throw
+      (4L, Array(("graft.ts", Array[Byte](0, 0, -1, -2, 4, -46)))))
       .toDF("id", "hdrs")
       .select(
         col("id").cast("string").cast("binary").as("key"),
@@ -114,6 +117,7 @@ class TransportSpec extends SparkSpec {
     assert(out("1") == 1234L)         // header wins
     assert(out("2") == brokerMs)      // no header: broker append time
     assert(out("3") == brokerMs)      // unparseable header: degrade, don't throw
+    assert(out("4") == brokerMs)      // invalid-UTF8 header bytes: degrade too
   }
 
   test("memory sink + state reset: wiped checkpoint rebuilds state from the source") {
