@@ -126,6 +126,14 @@ object SparkEntry {
     "d_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(Tables.documents(s, dir))),
     "d_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "d_dup_clusters" -> ((s, dir) => Dedup.dupClusters(Tables.documents(s, dir))),
+    // cross-snapshot dedup: odd doc_ids are the "new crawl", evens the
+    // known corpus
+    "d_dedup_against" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dedupAgainst(docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0))
+        .select(col("doc_id"), col("fp"), col("n_chars"))
+    }),
     "d_hash_split" -> ((s, dir) =>
       Corpus.hashSplit(Tables.documents(s, dir))
         .select(col("doc_id"), col("bucket"), col("split"))),
@@ -645,6 +653,12 @@ object SparkEntry {
         |       CAST(target_w AS BIGINT) AS target_w, CAST(target_h AS BIGINT) AS target_h,
         |       md5(concat_ws(':', doc_id, target_w, target_h)) AS resized_md5
         |FROM t""".stripMargin,
+    // cross-snapshot dedup: new docs (odd ids) surviving an anti-join
+    // against the known corpus's (even ids) fingerprint dictionary
+    "d_dedup_against" ->
+      """SELECT doc_id, md5(text) AS fp, n_chars FROM documents
+        |WHERE doc_id % 2 = 1
+        |  AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)""".stripMargin,
     "d_jaccard_pairs" -> jaccardOracle,
     // MinHash+LSH: candidates are verified with the exact jaccard, and the
     // 16-band x 3-row parameters give P(miss | jac >= 0.8) ~ 1e-5 per

@@ -54,6 +54,20 @@ object Dedup {
       .groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Cross-snapshot exact dedup: drop new documents whose exact
+    * content already exists in a KNOWN corpus — the incremental form
+    * of [[exactDedup]] every recurring crawl runs (dedup snapshot N
+    * against snapshots 1..N-1 without re-deduping the union).
+    *
+    * Scale shape: the known side collapses to its DISTINCT 16-byte
+    * fingerprint dictionary (corpus-proportional), the anti-join
+    * shuffles fingerprints — never text — and new-side duplicates of
+    * a known text all drop regardless of their count. Survivors keep
+    * their full rows, ready for the next pipeline stage. */
+  def dedupAgainst(newDocs: DataFrame, known: DataFrame): DataFrame =
+    newDocs.withColumn("fp", md5(col("text")))
+      .join(known.select(md5(col("text")).as("fp")).distinct(), Seq("fp"), "left_anti")
+
   /** Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jac ≥ threshold).
     * The jaccard double is a single division of two ints — identical
     * across engines.

@@ -56,6 +56,18 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 2L), (3L, 1L)))
   }
 
+  test("dedupAgainst drops every copy of a known text, keeps the rest with rows intact") {
+    val known = docs((10L, base), (11L, "known words"))
+    val fresh = docs(
+      (20L, base),               // exact copy of a known text → dropped
+      (21L, base),               // second copy → also dropped
+      (22L, "brand new content"),
+      (23L, "known words more")) // superset ≠ exact copy → kept
+    val out = Dedup.dedupAgainst(fresh, known).collect()
+      .map(r => (r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((22L, "brand new content"), (23L, "known words more")))
+  }
+
   test("simhash is deterministic and equal for identical text") {
     val df = docs((1L, base), (2L, base), (3L, "completely different words entirely here"))
     val out = Dedup.simhash(df).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
