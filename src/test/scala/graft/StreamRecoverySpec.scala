@@ -30,6 +30,73 @@ class StreamRecoverySpec extends SparkSpec {
     } finally spark.conf.unset(StreamRunner.ReplayPartitionsKey)
   }
 
+  test("outer interval join recovers: buffered state joins across restarts, nulls flush once") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = Files.createTempDirectory("oj-src")
+    val out = Files.createTempDirectory("oj-out").resolve("out")
+    val ckpt = Files.createTempDirectory("oj-ckpt").toString
+    val cutoffUs = 4102444800000000L // mirrors StreamRunner.SentinelCutoffUs
+    val sentinelTs = Long.MaxValue / 2
+
+    def topo(src: DataFrame): DataFrame = {
+      val cutoff = timestamp_micros(lit(cutoffUs))
+      val cars = src.filter(col("kind").isin("car", "wm"))
+        .select(col("a").as("car_id"), col("b").as("car_zone"),
+          col("eventId").as("car_event_id"),
+          timestamp_micros(expr("ts div 1000")).as("cts"))
+        .withWatermark("cts", "0 seconds").filter(col("cts") < cutoff)
+      val zones = src.filter(col("kind").isin("zone", "wm"))
+        .select(col("a").as("zone_id"), col("v").as("pollution_level"),
+          col("eventId").as("zone_event_id"),
+          timestamp_micros(expr("ts div 1000")).as("zts"))
+        .withWatermark("zts", "0 seconds").filter(col("zts") < cutoff)
+      cars.join(zones,
+        col("car_zone") === col("zone_id") && col("zts") >= col("cts") &&
+          col("zts") <= col("cts") + expr("INTERVAL 3600 SECONDS"), "leftOuter")
+        .select(col("car_event_id"), col("zone_event_id"), col("car_id"),
+          col("pollution_level"))
+    }
+
+    def append(rows: (String, Long, Long, Double, Long, Long)*): Unit =
+      rows.toSeq.toDF("kind", "a", "b", "v", "ts", "eventId")
+        .write.mode(SaveMode.Append).parquet(src.toString)
+    def runOnce(): Unit = {
+      val q = topo(spark.readStream
+          .schema("kind string, a long, b long, v double, ts long, eventId long")
+          .parquet(src.toString))
+        .writeStream.format("parquet")
+        .option("path", out.toString).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    val t0 = 1704067200000000000L
+    val min = 60L * 1000000000L
+    // run 1: two cars, one unmatchable zone reading — nothing emits
+    append(("car", 100L, 5L, 10.0, t0, 1L), ("car", 200L, 7L, 11.0, t0 + min, 2L),
+      ("zone", 6L, 0L, 9.9, t0 + 10 * min, 3L))
+    runOnce()
+    // crash; a matching reading for car 100 arrives — requires the
+    // RESTARTED query to still hold car 100 in join state
+    append(("zone", 5L, 0L, 1.5, t0 + 30 * min, 4L))
+    runOnce()
+    // two watermark-advancing runs flush the unmatched car exactly once
+    append(("wm", 0L, 0L, 0.0, sentinelTs, -1L))
+    runOnce()
+    append(("wm", 0L, 0L, 0.0, sentinelTs + 1, -2L))
+    runOnce()
+
+    val rows = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2), Option(r.get(3))))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq(
+      (1L, Some(4L), 100L, Some(1.5)), // matched ACROSS the restart via recovered state
+      (2L, None, 200L, None)))         // unmatched: one null row, no duplicates
+  }
+
   test("move fold resumes from checkpoint: state kept, nothing lost or duplicated") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
