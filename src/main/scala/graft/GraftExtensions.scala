@@ -99,6 +99,11 @@ object GraftFunctions {
       WinnowText(args(0), intArg("graft_winnow_text", args, 1),
         intArg("graft_winnow_text", args, 2))
     },
+    fn("graft_gram_distinct_count",
+      "graft_gram_distinct_count(text, n) - count of distinct word n-grams of text") { args =>
+      arity("graft_gram_distinct_count", args, 2)
+      GramDistinctCount(args(0), intArg("graft_gram_distinct_count", args, 1))
+    },
   )
 
   /** Register every graft function on a live session (idempotent —

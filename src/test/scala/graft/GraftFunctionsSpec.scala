@@ -110,6 +110,14 @@ class GraftFunctionsSpec extends SparkSpec {
         DedupKernels.winnowText(col("text"), 3, 4).as("fps")))
   }
 
+  test("graft_gram_distinct_count ≡ DedupKernels.gramDistinctCount") {
+    docsView
+    assertSameByKey(
+      "SELECT doc_id, graft_gram_distinct_count(text, 3) AS k FROM gf_docs",
+      registered.table("gf_docs").select(col("doc_id"),
+        DedupKernels.gramDistinctCount(col("text"), 3).as("k")))
+  }
+
   /** All messages down an exception's cause chain — builder errors may
     * surface wrapped in an AnalysisException. */
   private def messages(t: Throwable): String =
