@@ -84,6 +84,8 @@ object SparkEntry {
       Relational.customersWithoutOrders(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_suppliers_big_lines" -> ((s, dir) =>
       Relational.suppliersWithBigLines(Tables.supplier(s, dir), Tables.lineitem(s, dir))),
+    "q4_late_orders" -> ((s, dir) =>
+      Relational.lateOrders(Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "q_distinct_users" -> ((s, dir) => Relational.distinctUsersPerType(ev(s, dir))),
     "q_orders_by_month" -> ((s, dir) => Relational.ordersByMonth(Tables.orders(s, dir))),
     "q_revenue_rollup" -> ((s, dir) => Relational.revenueRollup(Tables.orders(s, dir))),
@@ -435,6 +437,16 @@ object SparkEntry {
     "q_suppliers_big_lines" ->
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 49)""".stripMargin,
+    // TPC-H Q4 shape: correlated EXISTS (the inner predicate references
+    // the outer row's o_orderdate, not just the join key)
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
     "q_distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,

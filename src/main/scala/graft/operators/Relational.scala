@@ -106,6 +106,25 @@ object Relational {
       .join(lineitem.filter(col("l_quantity") >= 49), col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_suppkey"), col("s_name"))
 
+  /** TPC-H Q4 shape on the available schema: orders of one quarter
+    * with at least one line shipped more than `lateDays` after the
+    * order date, counted by priority — a CORRELATED exists (the semi
+    * join's condition references the outer row's o_orderdate, not just
+    * the key), the one relational shape the plain key-semi-joins above
+    * don't exercise. Scale: the date filter prunes the orders scan,
+    * the semi join shuffles on orderkey and never replicates lineitem
+    * rows into the output, and the final count is partial-aggregated. */
+  def lateOrders(orders: DataFrame, lineitem: DataFrame,
+                 lateDays: Int = 90): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+      .join(lineitem,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+
   /** Distinct aggregation: unique users per event type. Spark expands
     * this into a two-stage aggregate ((type, user) partial-distinct,
     * then count) — the skew-safe plan one would otherwise hand-salt. */

@@ -197,6 +197,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dedupAgainst: anti-join on the fingerprint; known side distinct before the join") {
+    val docs = Tables.documents(spark, dir)
+    val p = plan(Dedup.dedupAgainst(
+      docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0)))
+    assert(p.contains("LeftAnti"), s"expected an anti-join:\n$p")
+    // distinct compiles to keyed HashAggregates with no functions: the
+    // map-side (pre-shuffle) + final pair must both key on fp
+    assert(count(p, "HashAggregate(keys=[fp") >= 2,
+      s"known-side fingerprint dictionary must deduplicate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("lateOrders: pruned orders scan, semi join, partial count") {
+    val p = plan(Relational.lateOrders(Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"date filter not pushed:\n$p")
+    assert(p.contains("Semi"), s"EXISTS must stay a semi join:\n$p")
+    assert(p.contains("partial_count"), s"priority count lost map-side partial agg:\n$p")
+  }
+
   test("keepSet: one documents scan, one fingerprint shuffle, no joins") {
     val p = plan(Corpus.keepSet(Tables.documents(spark, dir)))
     assert(!p.contains("Join"), s"keep-list must stay join-free (per-row signals):\n$p")
