@@ -666,11 +666,14 @@ object SparkEntry {
         |       md5(concat_ws(':', doc_id, target_w, target_h)) AS resized_md5
         |FROM t""".stripMargin,
     // cross-snapshot dedup: new docs (odd ids) surviving an anti-join
-    // against the known corpus's (even ids) fingerprint dictionary
+    // against the known corpus's (even ids) fingerprint dictionary.
+    // NOT EXISTS, not NOT IN: anti-join semantics (a NULL key never
+    // matches and never poisons the set) on both engines
     "d_dedup_against" ->
-      """SELECT doc_id, md5(text) AS fp, n_chars FROM documents
+      """SELECT doc_id, md5(text) AS fp, n_chars FROM documents d
         |WHERE doc_id % 2 = 1
-        |  AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)""".stripMargin,
+        |  AND NOT EXISTS (SELECT 1 FROM documents k
+        |                  WHERE k.doc_id % 2 = 0 AND md5(k.text) = md5(d.text))""".stripMargin,
     "d_jaccard_pairs" -> jaccardOracle,
     // MinHash+LSH: candidates are verified with the exact jaccard, and the
     // 16-band x 3-row parameters give P(miss | jac >= 0.8) ~ 1e-5 per

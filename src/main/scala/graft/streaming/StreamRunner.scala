@@ -127,7 +127,7 @@ object StreamRunner {
   /** Event time of the watermark-closing sentinel record: far enough in
     * the future that every real window is strictly below it, while
     * staying well inside timestamp range (~year 2116 in micros). */
-  private[streaming] val SentinelTs = Long.MaxValue / 2
+  private[graft] val SentinelTs = Long.MaxValue / 2
 
   /** Cutoff (2100-01-01 UTC, micros) separating real event times from
     * [[SentinelTs]]: replay topologies exclude the sentinel row from
@@ -138,7 +138,7 @@ object StreamRunner {
     * the watermark accumulator, and append-mode windows would never
     * close). Must stay above every real event time and below
     * SentinelTs/1000 (micros). */
-  private[streaming] val SentinelCutoffUs = 4102444800000000L
+  private[graft] val SentinelCutoffUs = 4102444800000000L
 
   /** Distributed arrival-order stamping + chunked parquet staging (steps
     * 1-2 above). Returns nothing; the staged chunks live at `dir`.
@@ -506,30 +506,37 @@ object StreamRunner {
   def replayOuterIntervalJoin(spark: SparkSession, events: DataFrame,
                               rangeSecs: Int = 3600): DataFrame = {
     ensureRocksDb(spark)
-    val (log, _) = replay(spark, events, (src: DataFrame) => {
-      val cutoff = timestamp_micros(lit(SentinelCutoffUs))
-      val cars = src.filter(col("kind").isin("car", "wm"))
-        .select(col("a").as("car_id"), col("b").as("car_zone"),
-          col("v").as("fuel_level"), col("eventId").as("car_event_id"),
-          timestamp_micros(expr("ts div 1000")).as("cts"))
-        .withWatermark("cts", "0 seconds")
-        .filter(col("cts") < cutoff)
-      val zones = src.filter(col("kind").isin("zone", "wm"))
-        .select(col("a").as("zone_id"), col("v").as("pollution_level"),
-          col("eventId").as("zone_event_id"),
-          timestamp_micros(expr("ts div 1000")).as("zts"))
-        .withWatermark("zts", "0 seconds")
-        .filter(col("zts") < cutoff)
-      cars.join(zones,
-        col("car_zone") === col("zone_id") &&
-          col("zts") >= col("cts") &&
-          col("zts") <= col("cts") + expr(s"INTERVAL $rangeSecs SECONDS"),
-        "leftOuter")
-        .select(col("car_event_id"), col("zone_event_id"), col("car_id"),
-          nullif(col("car_zone"), lit(-1L)).as("zone_id"),
-          col("fuel_level"), col("pollution_level"))
-    }, withSentinel = true)
+    val (log, _) = replay(spark, events,
+      (src: DataFrame) => outerIntervalJoinTopology(src, rangeSecs),
+      withSentinel = true)
     log
+  }
+
+  /** The outer-interval-join topology on a staged-envelope stream —
+    * extracted so StreamRecoverySpec drives the PRODUCTION topology
+    * through its stop/restart cycles rather than a lookalike. */
+  private[graft] def outerIntervalJoinTopology(src: DataFrame, rangeSecs: Int): DataFrame = {
+    val cutoff = timestamp_micros(lit(SentinelCutoffUs))
+    val cars = src.filter(col("kind").isin("car", "wm"))
+      .select(col("a").as("car_id"), col("b").as("car_zone"),
+        col("v").as("fuel_level"), col("eventId").as("car_event_id"),
+        timestamp_micros(expr("ts div 1000")).as("cts"))
+      .withWatermark("cts", "0 seconds")
+      .filter(col("cts") < cutoff)
+    val zones = src.filter(col("kind").isin("zone", "wm"))
+      .select(col("a").as("zone_id"), col("v").as("pollution_level"),
+        col("eventId").as("zone_event_id"),
+        timestamp_micros(expr("ts div 1000")).as("zts"))
+      .withWatermark("zts", "0 seconds")
+      .filter(col("zts") < cutoff)
+    cars.join(zones,
+      col("car_zone") === col("zone_id") &&
+        col("zts") >= col("cts") &&
+        col("zts") <= col("cts") + expr(s"INTERVAL $rangeSecs SECONDS"),
+      "leftOuter")
+      .select(col("car_event_id"), col("zone_event_id"), col("car_id"),
+        nullif(col("car_zone"), lit(-1L)).as("zone_id"),
+        col("fuel_level"), col("pollution_level"))
   }
 
   /** Stage-1 (move fold) replay → the arrive/leave event log with its

@@ -38,35 +38,18 @@ class StreamRecoverySpec extends SparkSpec {
     val src = Files.createTempDirectory("oj-src")
     val out = Files.createTempDirectory("oj-out").resolve("out")
     val ckpt = Files.createTempDirectory("oj-ckpt").toString
-    val cutoffUs = 4102444800000000L // mirrors StreamRunner.SentinelCutoffUs
-    val sentinelTs = Long.MaxValue / 2
-
-    def topo(src: DataFrame): DataFrame = {
-      val cutoff = timestamp_micros(lit(cutoffUs))
-      val cars = src.filter(col("kind").isin("car", "wm"))
-        .select(col("a").as("car_id"), col("b").as("car_zone"),
-          col("eventId").as("car_event_id"),
-          timestamp_micros(expr("ts div 1000")).as("cts"))
-        .withWatermark("cts", "0 seconds").filter(col("cts") < cutoff)
-      val zones = src.filter(col("kind").isin("zone", "wm"))
-        .select(col("a").as("zone_id"), col("v").as("pollution_level"),
-          col("eventId").as("zone_event_id"),
-          timestamp_micros(expr("ts div 1000")).as("zts"))
-        .withWatermark("zts", "0 seconds").filter(col("zts") < cutoff)
-      cars.join(zones,
-        col("car_zone") === col("zone_id") && col("zts") >= col("cts") &&
-          col("zts") <= col("cts") + expr("INTERVAL 3600 SECONDS"), "leftOuter")
-        .select(col("car_event_id"), col("zone_event_id"), col("car_id"),
-          col("pollution_level"))
-    }
+    val sentinelTs = StreamRunner.SentinelTs
 
     def append(rows: (String, Long, Long, Double, Long, Long)*): Unit =
       rows.toSeq.toDF("kind", "a", "b", "v", "ts", "eventId")
         .write.mode(SaveMode.Append).parquet(src.toString)
     def runOnce(): Unit = {
-      val q = topo(spark.readStream
-          .schema("kind string, a long, b long, v double, ts long, eventId long")
-          .parquet(src.toString))
+      // the PRODUCTION topology (same code replayOuterIntervalJoin
+      // runs), driven through stop/restart cycles on one checkpoint
+      val q = StreamRunner.outerIntervalJoinTopology(
+          spark.readStream
+            .schema("kind string, a long, b long, v double, ts long, eventId long")
+            .parquet(src.toString), rangeSecs = 3600)
         .writeStream.format("parquet")
         .option("path", out.toString).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -83,14 +66,18 @@ class StreamRecoverySpec extends SparkSpec {
     // RESTARTED query to still hold car 100 in join state
     append(("zone", 5L, 0L, 1.5, t0 + 30 * min, 4L))
     runOnce()
-    // two watermark-advancing runs flush the unmatched car exactly once
+    // sentinel run advances the watermark past every join window; one
+    // more batch RUNNING UNDER that watermark (its own event time is
+    // irrelevant — +1ns even truncates away in the µs conversion,
+    // exactly like the production sentinel pair) evicts and emits the
+    // unmatched car exactly once
     append(("wm", 0L, 0L, 0.0, sentinelTs, -1L))
     runOnce()
     append(("wm", 0L, 0L, 0.0, sentinelTs + 1, -2L))
     runOnce()
 
     val rows = spark.read.parquet(out.toString)
-      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2), Option(r.get(3))))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2), Option(r.get(5))))
       .sortBy(_._1).toSeq
     assert(rows == Seq(
       (1L, Some(4L), 100L, Some(1.5)), // matched ACROSS the restart via recovered state
