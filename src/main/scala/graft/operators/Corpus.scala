@@ -44,16 +44,24 @@ object Corpus {
     * hashSplit's chars 1-8 — so sampling decisions are independent of
     * split assignment (sampling 50% of train does not correlate with
     * which docs sit near the eval boundary). Rates are quantized to
-    * 1/10000 so the comparison is integer-exact on any engine. */
+    * 1/10000 so the comparison is integer-exact on any engine.
+    *
+    * `idCol` names the stable per-row identity the sample bucket hashes
+    * (default `doc_id`); its presence is checked eagerly so a frame
+    * without it fails HERE naming the contract, not later as an opaque
+    * AnalysisException inside the filter. */
   def stratifiedSample(df: DataFrame, groupCol: String, rates: Map[String, Double],
-                       defaultRate: Double = 1.0): DataFrame = {
+                       defaultRate: Double = 1.0, idCol: String = "doc_id"): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
       "sampling rates must be within [0, 1]")
+    require(df.columns.contains(idCol),
+      s"stratifiedSample hashes the '$idCol' column for its sample bucket; " +
+        s"the input has [${df.columns.mkString(", ")}] — pass idCol to name the id column")
     val threshold = rates.foldLeft(lit((defaultRate * 10000).round.toInt)) {
       case (acc, (k, v)) => when(col(groupCol) === lit(k), lit((v * 10000).round.toInt))
         .otherwise(acc)
     }
-    df.filter(sampleBucket(col("doc_id")) < threshold)
+    df.filter(sampleBucket(col(idCol)) < threshold)
   }
 
   /** 0-9999 sample bucket from md5 chars 9-16 of the id (see

@@ -49,15 +49,26 @@ object Skew {
     require(Set("inner", "left", "leftouter", "left_outer")
       .contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left joins only, got '$joinType'")
-    val factCols = fact.columns
-    val saltCols = if (saltOn.nonEmpty) saltOn else factCols.map(col).toSeq
-    val salted = fact.withColumn("__salt", saltExpr(saltCols, salt))
-    val replicated = dim.withColumn("__salt",
-      explode(sequence(lit(0), lit(salt - 1))))
-    salted.join(replicated, Seq(key, "__salt"), joinType)
-      .drop("__salt")
-      // restore the caller's column order (join-key columns move first
-      // in a USING join)
-      .select((factCols ++ dim.columns.filterNot(_ == key)).map(col): _*)
+    // collision-free working columns: fixed names would be silently
+    // clobbered by withColumn if either input already carries them (and
+    // a by-name reorder select would be ambiguous); generated names +
+    // Column-reference drops keep arbitrary input schemas safe
+    def fresh(base: String) = Iterator.iterate(base)("_" + _)
+      .find(n => !fact.columns.contains(n) && !dim.columns.contains(n)).get
+    val saltName = fresh("__salt")
+    val dimKeyName = fresh("__dim_key")
+    val saltCols = if (saltOn.nonEmpty) saltOn else fact.columns.map(col).toSeq
+    val salted = fact.withColumn(saltName, saltExpr(saltCols, salt))
+    val replicated = dim.withColumnRenamed(key, dimKeyName)
+      .withColumn(saltName, explode(sequence(lit(0), lit(salt - 1))))
+    // explicit equi-condition (not a USING join): the output keeps fact's
+    // columns in their original order followed by dim-minus-key, so no
+    // by-name restore select is needed — by-name would break whenever
+    // fact and dim share a column name
+    salted.join(replicated,
+        salted(key) === replicated(dimKeyName) &&
+          salted(saltName) === replicated(saltName), joinType)
+      .drop(replicated(dimKeyName))
+      .drop(salted(saltName)).drop(replicated(saltName))
   }
 }

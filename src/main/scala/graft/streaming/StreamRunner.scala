@@ -107,20 +107,28 @@ object StreamRunner {
     *    re-key upstream).
     *  - zone rows: a reading without a parseable zone is meaningless
     *    and dropped. */
-  private def envelope(events: DataFrame): DataFrame = {
+  private[graft] def envelope(events: DataFrame): DataFrame = {
     val zid = CarZone.propsK(col("props"))
     val isZone = col("event_type") === "error"
     events
       .filter(col("event_type").isin("click", "view", "error"))
       .select(
         when(isZone, lit("zone")).otherwise(lit("car")).as("kind"),
-        when(isZone, zid).otherwise(col("user_id")).as("a"),
+        // the loud null-car-key error lives INSIDE the projection of `a`
+        // itself: a separate raise_error disjunction filter only stayed
+        // ahead of the null-dropping filter by Or short-circuit +
+        // CombineFilters ordering luck — a future optimizer reordering of
+        // merged conjuncts would silently drop null-key rows instead of
+        // raising. A when-branch cannot be separated from its column.
+        when(isZone, zid).otherwise(
+          when(col("user_id").isNull,
+            raise_error(concat(lit("replay envelope: car event with null user_id " +
+              "(event_id="), col("event_id").cast("string"),
+              lit(") — the staged key is primitive; filter or re-key upstream")))
+              .cast("long"))
+            .otherwise(col("user_id"))).as("a"),
         when(isZone, lit(0L)).otherwise(coalesce(zid, lit(-1L))).as("b"),
         col("value").as("v"), col("ts"), col("event_id").as("eventId"))
-      .filter(col("kind") === lit("zone") || col("a").isNotNull ||
-        raise_error(concat(lit("replay envelope: car event with null user_id " +
-          "(event_id="), col("eventId").cast("string"),
-          lit(") — the staged key is primitive; filter or re-key upstream"))).isNotNull)
       .filter(col("a").isNotNull)
   }
 

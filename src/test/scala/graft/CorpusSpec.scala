@@ -58,6 +58,22 @@ class CorpusSpec extends SparkSpec {
       Corpus.stratifiedSample(df, "grp", Map("en" -> 1.5)))
   }
 
+  test("stratifiedSample names its id-column contract and accepts a custom idCol") {
+    // a frame without doc_id fails eagerly with the contract in the
+    // message, not as a late AnalysisException inside the filter
+    val noId = (0L until 10L).map(i => (i, "en")).toDF("item_id", "grp")
+    val e = intercept[IllegalArgumentException](
+      Corpus.stratifiedSample(noId, "grp", Map("en" -> 0.5)))
+    assert(e.getMessage.contains("doc_id") && e.getMessage.contains("idCol"))
+    // the same rows under idCol = item_id sample exactly like doc_id
+    val withDocId = noId.withColumnRenamed("item_id", "doc_id")
+    val viaDefault = Corpus.stratifiedSample(withDocId, "grp", Map("en" -> 0.5))
+      .collect().map(_.getLong(0)).toSet
+    val viaCustom = Corpus.stratifiedSample(noId, "grp", Map("en" -> 0.5), idCol = "item_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaCustom == viaDefault)
+  }
+
   test("contamination counts shared distinct n-grams; short docs are clean") {
     val train = docs(
       (100L, "a b c d e f g"),   // grams: "a b c d e", "b c d e f", "c d e f g"

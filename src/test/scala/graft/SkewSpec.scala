@@ -66,6 +66,21 @@ class SkewSpec extends SparkSpec {
     assert(got.count() == 900)
   }
 
+  test("saltedJoin survives inputs that already carry a __salt column") {
+    // a fixed working-column name would be clobbered by withColumn and
+    // the column-order-restoring select would break — the generated
+    // name must dodge BOTH sides' columns and the user column survive
+    val fact = Seq((100L, 1.0, 7), (1L, 2.0, 8)).toDF("k", "v", "__salt")
+    val dim = Seq((100L, "hot", 9), (1L, "cold", 10)).toDF("k", "name", "__salt")
+    val got = Skew.saltedJoin(fact, dim, "k", salt = 4)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val expected = fact.join(dim.withColumnRenamed("__salt", "__salt_dim"), Seq("k"))
+      .select(col("k"), col("v"), fact("__salt"), col("name"), col("__salt_dim"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("saltedJoin == plain join when every fact row is identical") {
     val fact = Seq.fill(100)((100L, 1.0)).toDF("k", "v")
     val dim = Seq((100L, "hot"), (1L, "cold")).toDF("k", "name")

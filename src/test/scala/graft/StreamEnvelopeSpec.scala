@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamRunner
+
+/** The staged replay envelope's input contract: a car event with a null
+  * key is a LOUD error (the staged primitive key cannot represent the
+  * batch side's NULL group — silent dropping would diverge from the
+  * oracles), while a zone reading without a parseable zone is
+  * meaningless and silently dropped. The error lives INSIDE the `a`
+  * projection (a when-branch), so no optimizer reordering of filters
+  * can bypass it. */
+class StreamEnvelopeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsDf(rows: (Long, java.lang.Long, String, Double, String, Long)*) =
+    rows.toSeq.toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+
+  test("a car event with null user_id raises, naming the event id") {
+    val df = eventsDf(
+      (1L, 7L, "click", 1.0, """{"k": 3}""", 1000L),
+      (2L, null, "view", 2.0, """{"k": 4}""", 2000L))
+    val e = intercept[Exception](StreamRunner.envelope(df).collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m => m.contains("null user_id") && m.contains("event_id=2")),
+      s"expected the loud null-key error, got: $e")
+  }
+
+  test("the loud check survives extra filters above the envelope (projection-embedded)") {
+    val df = eventsDf((2L, null, "view", 2.0, """{"k": 4}""", 2000L))
+    // a downstream null-dropping filter must NOT swallow the error row
+    val e = intercept[Exception](
+      StreamRunner.envelope(df).filter(col("a").isNotNull).count())
+    assert(e != null)
+  }
+
+  test("zone rows with unparseable props drop silently; car rows map them to the -1 sentinel") {
+    val df = eventsDf(
+      (1L, 7L, "click", 1.0, "not json", 1000L), // car, unparseable zone -> b = -1
+      (2L, 8L, "error", 2.0, "not json", 2000L), // zone, unparseable id -> dropped
+      (3L, 9L, "error", 3.0, """{"k": 5}""", 3000L),
+      (4L, 0L, "purchase", 4.0, """{"k": 6}""", 4000L)) // outside the envelope types
+    val out = StreamRunner.envelope(df)
+      .select("kind", "a", "b", "eventId").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._4)
+    assert(out.toSeq == Seq(("car", 7L, -1L, 1L), ("zone", 5L, 0L, 3L)))
+  }
+}
