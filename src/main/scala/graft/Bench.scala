@@ -21,6 +21,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // replay-tuning passthrough for local iteration (the driver never
+    // sets it; StreamRunner's conf default applies)
+    sys.env.get("SPARK_GRAFT_REPLAY_PARTITIONS").foreach(v =>
+      spark.conf.set(graft.streaming.StreamRunner.ReplayPartitionsKey, v))
 
     // warm-up: scan every table once (JIT, codegen cache, parquet footers)
     Tables.all.foreach { t =>

@@ -200,7 +200,7 @@ object Dedup {
   def dupClusters(documents: DataFrame, n: Int = 3, threshold: Double = 0.8,
                   maxIters: Int = 40): DataFrame = {
     val edges = minhashPairs(documents, n, threshold)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      .select(col("doc_a"), col("doc_b")) // materialized inside connectedComponents
     connectedComponents(edges, maxIters)
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("keep"))
@@ -210,8 +210,33 @@ object Dedup {
     * (doc_id, label) with label = the component's minimum vertex id.
     * Package-private so the iterative loop is property-testable against
     * a brute-force union-find on arbitrary graphs (chains, stars,
-    * cycles), independent of the minhash edge generator. */
-  private[graft] def connectedComponents(edges: DataFrame, maxIters: Int): DataFrame = {
+    * cycles), independent of the minhash edge generator.
+    *
+    * The loop's shuffles are sized to the PAIR GRAPH, not the session
+    * default: the edge list is duplicate-density-proportional (orders
+    * of magnitude below the corpus), and every round runs four
+    * graph-sized exchanges — inheriting a corpus/CPU-sized shuffle
+    * width pays that many fixed task launches per exchange per round
+    * (measured ~2x of the whole clustering at 32 partitions). The
+    * width derives from the materialized edge count on an isolated
+    * session clone (shared SparkContext, own SQL conf — the
+    * StreamRunner.replaySession pattern), growing back toward the
+    * session default at one partition per million edges, so a truly
+    * large pair graph still fans out. */
+  private[graft] def connectedComponents(edges0: DataFrame, maxIters: Int): DataFrame = {
+    val caller = edges0.sparkSession
+    val edgesCk = edges0.localCheckpoint()
+    val graphParts = math.max(1L, math.min(
+      caller.conf.get("spark.sql.shuffle.partitions").toInt.toLong,
+      edgesCk.count() / 1000000L + 1L)).toInt
+    val session = caller.newSession()
+    caller.conf.getAll.foreach { case (k, v) =>
+      if (session.conf.isModifiable(k)) session.conf.set(k, v)
+    }
+    session.conf.set("spark.sql.shuffle.partitions", graphParts.toString)
+    val edges = session.createDataFrame(edgesCk.rdd, edgesCk.schema)
+      .repartition(graphParts)
+      .localCheckpoint()
     var labels = edges.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct().withColumn("label", col("doc_id")).localCheckpoint()
     // labels are monotonically non-increasing, so an unchanged sum IS a

@@ -83,11 +83,10 @@ object StreamRunner {
   val ReplayPartitionsKey = "spark.graft.replay.partitions"
   val DefaultReplayPartitions = 4
 
-  private def ensureRocksDb(spark: SparkSession): Unit = {
-    val k = "spark.sql.streaming.stateStore.providerClass"
-    val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    if (!spark.conf.getOption(k).contains(rocks)) spark.conf.set(k, rocks)
-  }
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val DefaultProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
 
   /** The car/zone union envelope (un-stamped), computed in ONE scan of
     * the events table — a branch-per-side union would read (and
@@ -259,18 +258,34 @@ object StreamRunner {
     * a save/set/restore on the shared conf could. Runtime confs are
     * copied over first so the replay keeps the caller's state-store
     * provider and any other tuning. */
-  private def replaySession(spark: SparkSession): SparkSession = {
+  private def replaySession(spark: SparkSession, rocksDb: Boolean): SparkSession = {
     val s = spark.newSession()
     spark.conf.getAll.foreach { case (k, v) =>
       if (s.conf.isModifiable(k)) s.conf.set(k, v)
     }
     s.conf.set("spark.sql.shuffle.partitions", replayPartitions(spark).toString)
-    // changelog checkpointing: commit a per-batch delta instead of a
-    // full RocksDB snapshot upload — the snapshot cost is THE per-batch
-    // fixed overhead of the replay's kilobyte micro-batches (and at
-    // scale, of any high-frequency trigger); snapshots still happen,
-    // just asynchronously every N batches instead of inside every commit
-    s.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    // State-store provider is a PER-TOPOLOGY choice, set explicitly on
+    // the clone (never inherited, never leaked to the caller):
+    //  - RocksDB for the topologies that model the reference's
+    //    persistent KV stores (fk join, move fold — SURVEY.md ops
+    //    #20-21): the durable-store contract is the point there, and
+    //    changelog checkpointing commits a per-batch delta instead of a
+    //    full snapshot upload so the replay's kilobyte micro-batches
+    //    don't pay snapshot cost per commit.
+    //  - The in-memory HDFS-backed provider for the event-time
+    //    topologies (windows, joins, dedup), whose replay state is
+    //    kilobytes with a watermark-bounded horizon: a native store
+    //    instance per (partition x store x batch) is pure fixed
+    //    overhead there (measured ~4 s on the 4-batch outer join). A
+    //    production deployment with large state flips the provider on
+    //    its own session; the semantics are provider-independent
+    //    (StreamRecoverySpec drives these topologies on RocksDB).
+    if (rocksDb) {
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksProvider)
+      s.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    } else {
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", DefaultProvider)
+    }
     s
   }
 
@@ -288,10 +303,11 @@ object StreamRunner {
     * fixed stateful-op overhead. */
   private def replay[T](spark: SparkSession, events: DataFrame,
                         topology: DataFrame => Dataset[T],
-                        withSentinel: Boolean = false): (DataFrame, DataFrame) = {
+                        withSentinel: Boolean = false,
+                        rocksDb: Boolean = false): (DataFrame, DataFrame) = {
     val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
     val srcDir = stagedDir(spark, events)
-    val src = replaySession(spark).readStream
+    val src = replaySession(spark, rocksDb).readStream
       .schema(Encoders.product[StagedEvent].schema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", if (withSentinel) "*.parquet" else "part-*")
@@ -310,8 +326,7 @@ object StreamRunner {
   /** Full dual-update FK join replay → (car_id, zone_id, fuel_level,
     * pollution_level). Oracle: identical SQL to the batch q_fk_join. */
   def replayFkJoin(spark: SparkSession, events: DataFrame): DataFrame = {
-    ensureRocksDb(spark)
-    val (log, _) = replay(spark, events, (src: DataFrame) => {
+    val (log, _) = replay(spark, events, rocksDb = true, topology = (src: DataFrame) => {
       import spark.implicits._
       val cars = src.filter(col("kind") === "car")
         .select(col("seq"), col("a").as("carId"), col("b").as("zoneId"),
@@ -355,7 +370,6 @@ object StreamRunner {
     * nudge on both engines. */
   def replayWindowAgg(spark: SparkSession, events: DataFrame,
                       windowSecs: Int = 3600): DataFrame = {
-    ensureRocksDb(spark)
     // sentinel exclusion via a predicate on the event-time column —
     // see SentinelCutoffUs for why a kind-based filter would break
     // append-mode window closure
@@ -393,7 +407,6 @@ object StreamRunner {
     * nudge). */
   def replaySessionAgg(spark: SparkSession, events: DataFrame,
                        gapSecs: Int = 150000): DataFrame = {
-    ensureRocksDb(spark)
     // sentinel exclusion: see SentinelCutoffUs
     val (log, _) = replay(spark, events, (src: DataFrame) => {
       src
@@ -424,7 +437,6 @@ object StreamRunner {
     * identical — the output equals the distinct envelope, which is the
     * oracle. */
   def replayStreamDedup(spark: SparkSession, events: DataFrame): DataFrame = {
-    ensureRocksDb(spark)
     val (log, _) = replay(spark, events, (src: DataFrame) => {
       // the sentinel chunks are punctuation, not data: dedup emits
       // immediately (the watermark only bounds state retention), so the
@@ -513,7 +525,6 @@ object StreamRunner {
     * zone the batch oracle derives. */
   def replayOuterIntervalJoin(spark: SparkSession, events: DataFrame,
                               rangeSecs: Int = 3600): DataFrame = {
-    ensureRocksDb(spark)
     val (log, _) = replay(spark, events,
       (src: DataFrame) => outerIntervalJoinTopology(src, rangeSecs),
       withSentinel = true)
@@ -556,8 +567,7 @@ object StreamRunner {
     * retractions — the two only agree if such events are outside the
     * fold on both sides. */
   def replayMoveFold(spark: SparkSession, events: DataFrame): DataFrame = {
-    ensureRocksDb(spark)
-    val (log, staged) = replay(spark, events, (src: DataFrame) => {
+    val (log, staged) = replay(spark, events, rocksDb = true, topology = (src: DataFrame) => {
       import spark.implicits._
       src.filter(col("kind") === "car" && col("b") >= 0)
         .select(col("seq"), col("a").as("carId"), col("b").as("zoneId"),
