@@ -136,9 +136,26 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 0))
         .select(col("doc_id"), col("fp"), col("n_chars"))
     }),
+    // same split, same output as d_dedup_against — the Bloom sketch is
+    // a prefilter, never a semantics change
+    "d_bloom_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.bloomDedupAgainst(docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0))
+        .select(col("doc_id"), col("fp"), col("n_chars"))
+    }),
+    // cross-snapshot near-dup: new (odd) docs vs the known (even) corpus
+    "d_minhash_against" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.minhashAgainst(docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+    }),
     "d_hash_split" -> ((s, dir) =>
       Corpus.hashSplit(Tables.documents(s, dir))
         .select(col("doc_id"), col("bucket"), col("split"))),
+    "c_token_chunks" -> ((s, dir) => Corpus.tokenChunks(Tables.documents(s, dir))),
+    "t_pii_scrub" -> ((s, dir) =>
+      graft.functions.TextAnalysis.piiScrub(Tables.documents(s, dir))),
     "t_contamination" -> ((s, dir) => {
       val withSplit = Corpus.hashSplit(Tables.documents(s, dir))
       Corpus.contamination(
@@ -674,6 +691,57 @@ object SparkEntry {
         |WHERE doc_id % 2 = 1
         |  AND NOT EXISTS (SELECT 1 FROM documents k
         |                  WHERE k.doc_id % 2 = 0 AND md5(k.text) = md5(d.text))""".stripMargin,
+    // Bloom-prefiltered cross-snapshot dedup: IDENTICAL oracle to
+    // d_dedup_against — the sketch only prefilters; false positives
+    // die in the exact verify, false negatives cannot exist
+    "d_bloom_dedup" ->
+      """SELECT doc_id, md5(text) AS fp, n_chars FROM documents d
+        |WHERE doc_id % 2 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM documents k
+        |                  WHERE k.doc_id % 2 = 0 AND md5(k.text) = md5(d.text))""".stripMargin,
+    // cross-snapshot near-dup: exact jaccard between the odd (new) and
+    // even (known) snapshots — a safe oracle for the banded LSH path by
+    // the same band math as d_minhash_pairs (P(miss | jac 0.8) ~ 1e-5)
+    "d_minhash_against" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM toks),
+        |sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        |       FROM tok a
+        |       JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |       JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS new_id, y.doc_id AS known_id, COUNT(*) AS i
+        |          FROM sh x JOIN sh y ON x.shingle = y.shingle
+        |          WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+        |          GROUP BY x.doc_id, y.doc_id)
+        |SELECT new_id, known_id, i / CAST(ca.n + cb.n - i AS DOUBLE) AS jac
+        |FROM inter JOIN cnt ca ON ca.doc_id = new_id JOIN cnt cb ON cb.doc_id = known_id
+        |WHERE i / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8""".stripMargin,
+    // fixed-window token chunking: same 1-based inclusive slice bounds
+    // on both engines; the ragged last chunk's n_tokens is n - idx*size
+    "c_token_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, len(w) AS n, w,
+        |             unnest(generate_series(0, (len(w) - 1) // 64)) AS chunk_idx
+        |      FROM t)
+        |SELECT doc_id, chunk_idx,
+        |       least(64, n - chunk_idx * 64) AS n_tokens,
+        |       array_to_string(w[chunk_idx * 64 + 1 : chunk_idx * 64 + 64], ' ') AS chunk_text
+        |FROM c""".stripMargin,
+    // PII scrubbing: patterns stay in the Java-regex ∩ RE2 subset
+    // (classes, bounded repetition, \b), counts on the original text,
+    // replacement in the same email -> phone -> ip order; DuckDB needs
+    // the explicit 'g' flag to match Spark's replace-all
+    "t_pii_scrub" ->
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |       len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+        |       len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |       regexp_replace(regexp_replace(regexp_replace(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
     "d_jaccard_pairs" -> jaccardOracle,
     // MinHash+LSH: candidates are verified with the exact jaccard, and the
     // 16-band x 3-row parameters give P(miss | jac >= 0.8) ~ 1e-5 per

@@ -249,4 +249,34 @@ object TextAnalysis {
   def winnowFingerprint(documents: DataFrame, n: Int = 3, w: Int = 4): DataFrame =
     documents.select(col("doc_id"),
       explode(graft.functions.DedupKernels.winnowText(col("text"), n, w)).as("fp"))
+
+  /** PII patterns, deliberately inside the regex subset Java regex and
+    * RE2 (the DuckDB oracle) evaluate identically: character classes,
+    * bounded repetition, \b word boundaries — no backreferences or
+    * lookaround. The email TLD requires [A-Za-z]{2,}, so a dotted quad
+    * never half-matches as an email before the IP pattern sees it. */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrubbing — the redaction pass a training corpus runs before
+    * anything else sees the text: emails, NANP-style phone numbers and
+    * IPv4 literals are counted (on the ORIGINAL text, each pattern
+    * independently) and replaced with typed placeholder tags, in a
+    * fixed email → phone → ip order so the output is deterministic
+    * under overlaps. Pure per-row codegen regex work: no shuffle, no
+    * UDF; at 100 TB this is a map-only scan like the other t_* signals.
+    * Precision/recall of the patterns themselves is a policy choice —
+    * swap in stricter ones per corpus; the dataflow shape is what the
+    * operator pins. */
+  def piiScrub(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        Ipv4Re, "<IP>").as("scrubbed"))
 }

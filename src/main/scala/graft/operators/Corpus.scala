@@ -129,6 +129,33 @@ object Corpus {
       .select(col("doc_id"), col("lang_pred"), col("quality"), col("dup_trigram_frac"))
   }
 
+  /** Fixed-window token chunking — the context-window packing step
+    * between a cleaned corpus and the trainer: every document splits
+    * into consecutive `chunkSize`-token windows (last one ragged), one
+    * output row per chunk with its ordinal and token count. Pure
+    * per-row codegen (split → strided slice → posexplode): no shuffle,
+    * no UDF, and chunks of one document stay on its partition — at
+    * 100 TB this is a map-only width change, with downstream shuffling
+    * (e.g. pack-by-length binning) left to the consumer.
+    *
+    * Deliberately stride = chunkSize (no overlap): overlapping windows
+    * duplicate training tokens; callers wanting overlap compose two
+    * shifted chunkings. */
+  def tokenChunks(documents: DataFrame, chunkSize: Int = 64): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    val staged = documents.select(col("doc_id"),
+      split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+    staged.select(col("doc_id"), col("n"),
+        posexplode(transform(
+          // floor division: Column./ is double division
+          sequence(lit(0L), floor((col("n") - 1) / chunkSize).cast("long")),
+          i => concat_ws(" ", slice(col("w"), (i * chunkSize + 1).cast("int"), lit(chunkSize))))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        least(lit(chunkSize), col("n") - col("pos") * chunkSize).cast("long").as("n_tokens"),
+        col("col").as("chunk_text"))
+  }
+
   /** Train/eval contamination check: for each eval document, how many
     * of its distinct word n-grams appear in ANY training document — a
     * standard pre-training hygiene step (eval benchmarks leaking into

@@ -68,6 +68,90 @@ object Dedup {
     newDocs.withColumn("fp", md5(col("text")))
       .join(known.select(md5(col("text")).as("fp")).distinct(), Seq("fp"), "left_anti")
 
+  /** [[dedupAgainst]] with a Bloom-filter prefilter — the shape that
+    * wins when the NEW side dwarfs the duplicate density: a distributed
+    * `bloom_filter_agg` over the known fingerprints builds one ~MB
+    * sketch (materialized driver-side exactly like a broadcast-join
+    * build, then shipped as a foldable literal into codegen), the new
+    * side drops definite non-members map-side with NO shuffle, and only
+    * the sketch-positive sliver — true duplicates + the fpp share —
+    * pays the exact anti-join that removes false positives. Output is
+    * bit-identical to [[dedupAgainst]]: a Bloom filter has no false
+    * negatives, and every false positive fails the exact verify.
+    *
+    * Scale ceiling, explicit: the sketch costs ~1.2 GB per 1e9 known
+    * keys at fpp 0.01 — far past driver comfort. Above ~1e8 known
+    * fingerprints, partition the known corpus and intersect per-shard
+    * sketches, or fall back to [[dedupAgainst]], whose anti-join
+    * shuffles 16-byte keys and has no ceiling. `expectedItems` sizes
+    * the sketch; undersizing degrades fpp (more exact-verify work),
+    * never correctness. */
+  def bloomDedupAgainst(newDocs: DataFrame, known: DataFrame,
+                        expectedItems: Long = 10000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.SqlBridge
+    import org.apache.spark.sql.types.BinaryType
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val knownFp = known.select(md5(col("text")).as("fp")).distinct()
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val agg = new BloomFilterAggregate(
+      SqlBridge.expression(xxhash64(col("fp"))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    val sketch = knownFp.select(SqlBridge.column(agg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val withFp = newDocs.withColumn("fp", md5(col("text")))
+    val survivors =
+      if (sketch == null) withFp // empty known corpus: nothing to drop
+      else {
+        // null-safe: might_contain(bloom, null) is null, and a null-text
+        // row is trivially not in the known set — keep it
+        val hit = coalesce(SqlBridge.column(BloomFilterMightContain(
+          Literal(sketch, BinaryType), SqlBridge.expression(xxhash64(col("fp"))))), lit(false))
+        withFp.filter(!hit)
+          .unionByName(withFp.filter(hit).join(knownFp, Seq("fp"), "left_anti"))
+      }
+    // column order identical to dedupAgainst (whose USING anti-join
+    // moves the fp key first)
+    survivors.select(("fp" +: newDocs.columns.toSeq).map(col): _*)
+  }
+
+  /** Cross-snapshot NEAR-dup: new documents whose n-gram Jaccard with
+    * some KNOWN document reaches the threshold — the incremental form
+    * of [[minhashPairs]] (dedup crawl N against crawls 1..N-1 without
+    * re-pairing the union), and the near-dup sibling of
+    * [[dedupAgainst]]'s exact matching. Same fused signature kernel,
+    * same band math (recall ≈ 1 at the threshold, [[MinhashFuncs]]),
+    * same candidate-restricted exact verify; the bucket join is
+    * new-side × known-side instead of a self-join, so candidates scale
+    * with cross-corpus duplicate density, never |new| × |known|.
+    * Returns (new_id, known_id, jac). */
+  def minhashAgainst(newDocs: DataFrame, known: DataFrame,
+                     n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sigNew = minhashSignatures(newDocs, n).cache()
+    val sigKnown = minhashSignatures(known, n).cache()
+    val candidates = bandBuckets(sigNew).as("x").join(bandBuckets(sigKnown).as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("known_id"))
+      .distinct()
+      .cache()
+    val setsNew = newDocs
+      .join(candidates.select(col("new_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("new_id"), shingleArray(col("text"), n).as("sh_a"))
+    val setsKnown = known
+      .join(candidates.select(col("known_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("known_id"), shingleArray(col("text"), n).as("sh_b"))
+    candidates
+      .join(setsNew, "new_id")
+      .join(setsKnown, "known_id")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", col("n_inter") / (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("new_id"), col("known_id"), col("jac"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jac ≥ threshold).
     * The jaccard double is a single division of two ints — identical
     * across engines.
@@ -129,6 +213,19 @@ object Dedup {
     sig.select(col("doc_id") +: cols: _*)
   }
 
+  /** (band, 32-bit band signature) per doc from a [[minhashSignatures]]
+    * frame — the LSH bucket key shared by [[minhashPairs]] (self-join)
+    * and [[minhashAgainst]] (cross-corpus join). */
+  private def bandBuckets(sig: DataFrame): DataFrame = {
+    val rowsPerBand = MinhashFuncs / MinhashBands
+    val bandCols = (0 until MinhashBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), hash(cols: _*).as("sig"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
   /** MinHash + LSH near-dup pairs, verified: band signatures → bucket
     * join → exact-Jaccard check on candidates only. Output is identical
     * to [[jaccardPairs]] whenever LSH recall is 1 at the threshold
@@ -139,13 +236,7 @@ object Dedup {
     // and both legs of the bucket self-join read it — without the cache
     // the whole scan→shingle→48-min aggregation runs twice
     val sig = minhashSignatures(documents, n).cache()
-    val rowsPerBand = MinhashFuncs / MinhashBands
-    val bandCols = (0 until MinhashBands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), hash(cols: _*).as("sig"))
-    }
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val buckets = bandBuckets(sig)
     // cached: candidate pairs ∝ true-duplicate density (tiny), and the
     // verify stage reads them three times (doc-id restriction + two legs)
     val candidates = buckets.as("x").join(buckets.as("y"),

@@ -5,25 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Throwaway local profiling harness (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val events = graft.Tables.events(spark, dir)
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"TIMER $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-    time("warmup-scan")(events.count())
-    // first replay pays staging; second reuses it
-    time("interval-join-1st")(graft.streaming.StreamRunner.replayIntervalJoin(spark, events).count())
-    time("interval-join-2nd")(graft.streaming.StreamRunner.replayIntervalJoin(spark, events).count())
-    time("outer-join")(graft.streaming.StreamRunner.replayOuterIntervalJoin(spark, events).count())
-    time("dedup")(graft.streaming.StreamRunner.replayStreamDedup(spark, events).count())
+    try {
+      spark.sql("SELECT might_contain((SELECT bloom_filter_agg(xxhash64(x), 100, 1000) FROM (SELECT explode(array('a','b','c')) AS x)), xxhash64('a')) AS hit").show()
+    } catch { case e: Throwable => println("BLOOM-SQL-FAIL: " + e.getMessage.take(300)) }
     spark.stop()
   }
 }

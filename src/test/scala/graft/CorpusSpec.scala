@@ -74,6 +74,23 @@ class CorpusSpec extends SparkSpec {
     assert(viaCustom == viaDefault)
   }
 
+  test("tokenChunks: windows partition the token stream exactly, ragged tail included") {
+    val words = (1 to 150).map(i => s"w$i")
+    val df = docs((1L, words.mkString(" ")), (2L, "tiny doc"), (3L, ""))
+    val out = Corpus.tokenChunks(df, chunkSize = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(c => (c._2, c._3)).toSeq == Seq((0L, 64L), (1L, 64L), (2L, 22L)))
+    // chunks reassemble to the original document, in order, losslessly
+    assert(d1.map(_._4).mkString(" ") == words.mkString(" "))
+    // every chunk's token count matches its own text
+    d1.foreach(c => assert(c._4.split(" ").length.toLong == c._3))
+    // short and empty docs produce exactly one chunk (split("") = [""])
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 2L, "tiny doc")))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 1L, "")))
+    intercept[IllegalArgumentException](Corpus.tokenChunks(df, chunkSize = 0))
+  }
+
   test("contamination counts shared distinct n-grams; short docs are clean") {
     val train = docs(
       (100L, "a b c d e f g"),   // grams: "a b c d e", "b c d e f", "c d e f g"

@@ -68,6 +68,53 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((22L, "brand new content"), (23L, "known words more")))
   }
 
+  test("bloomDedupAgainst == dedupAgainst: prefilter, never a semantics change") {
+    val known = docs((10L, base), (11L, "known words"))
+    val fresh = docs(
+      (20L, base), (21L, base),        // two copies of a known text
+      (22L, "brand new content"),
+      (23L, "known words more"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(rows(Dedup.bloomDedupAgainst(fresh, known)) ==
+      rows(Dedup.dedupAgainst(fresh, known)))
+    // a deliberately undersized sketch degrades fpp, not correctness:
+    // false positives all reach (and die in) the exact verify
+    assert(rows(Dedup.bloomDedupAgainst(fresh, known, expectedItems = 1L, fpp = 0.5)) ==
+      rows(Dedup.dedupAgainst(fresh, known)))
+    // empty known corpus: the null sketch means nothing can be dropped
+    val none = known.filter(col("doc_id") < 0)
+    assert(rows(Dedup.bloomDedupAgainst(fresh, none)) == rows(Dedup.dedupAgainst(fresh, none)))
+    assert(Dedup.bloomDedupAgainst(fresh, none).count() == 4)
+  }
+
+  test("minhashAgainst: cross-corpus near-dups only, equal to brute-force jaccard") {
+    val w = (1 to 21).map(i => s"t$i")
+    val nearKnown = (w.dropRight(1) :+ "zz").mkString(" ") // jac vs base21 = 18/20? high
+    val known = docs((10L, w.mkString(" ")), (11L, "known words entirely alone here"))
+    val fresh = docs(
+      (21L, w.mkString(" ")),                       // exact copy of known 10
+      (23L, nearKnown),                             // near-dup of known 10
+      (25L, "wholly unrelated brand new content words"))
+    val got = Dedup.minhashAgainst(fresh, known).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    // brute-force model: exact jaccard over the cross product
+    def sh(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val expected = (for {
+      (nid, nt) <- Seq((21L, w.mkString(" ")), (23L, nearKnown),
+        (25L, "wholly unrelated brand new content words"))
+      (kid, kt) <- Seq((10L, w.mkString(" ")), (11L, "known words entirely alone here"))
+      inter = (sh(nt) & sh(kt)).size
+      jac = inter.toDouble / (sh(nt).size + sh(kt).size - inter)
+      if jac >= 0.8
+    } yield (nid, kid, jac)).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expected)
+    assert(got.map(t => (t._1, t._2)).toSet == Set((21L, 10L), (23L, 10L)))
+    // within-corpus pairs (two near-dup NEW docs) must NOT appear:
+    // 21 and 23 are near-dups of each other but both on the new side
+    assert(!got.exists(t => t._1 == 21L && t._2 == 23L))
+  }
+
   test("simhash is deterministic and equal for identical text") {
     val df = docs((1L, base), (2L, base), (3L, "completely different words entirely here"))
     val out = Dedup.simhash(df).collect().map(r => (r.getLong(0), r.getLong(1))).toMap

@@ -73,6 +73,22 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("piiScrub counts and redacts emails, phones and IPv4 in order; clean text untouched") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@example.co.uk or call 555-123-4567 now"),
+      (2L, "server at 10.0.255.3 and backup 192.168.1.1 both up"),
+      (3L, "no pii here at all"),
+      (4L, "a@b.io a@b.io twice")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, 1L, 1L, 0L, "mail me at <EMAIL> or call <PHONE> now")))
+    assert(out(1) == ((2L, 0L, 0L, 2L, "server at <IP> and backup <IP> both up")))
+    assert(out(2) == ((3L, 0L, 0L, 0L, "no pii here at all")))
+    // replace-all, not first-match
+    assert(out(3) == ((4L, 2L, 0L, 0L, "<EMAIL> <EMAIL> twice")))
+  }
+
   test("tfidf: rare terms outrank ubiquitous ones; ubiquitous terms score zero") {
     val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "a d")).toDF("doc_id", "text")
     val out = TextAnalysis.tfidf(df, k = 2).collect()
