@@ -85,21 +85,33 @@ object Dedup {
     * sketches, or fall back to [[dedupAgainst]], whose anti-join
     * shuffles 16-byte keys and has no ceiling. `expectedItems` sizes
     * the sketch; undersizing degrades fpp (more exact-verify work),
-    * never correctness. */
+    * never correctness.
+    *
+    * `expectedItems = 0` (the default) auto-sizes from the known
+    * side's ROW count — one cheap single-column count pass, an upper
+    * bound on the distinct-fingerprint count so the realized fpp only
+    * improves. Sizing is not a nicety: the sketch rides into codegen
+    * as a literal that is serialized into every task closure, so a
+    * fixed worst-case size (10M items ≈ 12 MB) taxes EVERY task of
+    * every stage above the filter ~12 MB of deserialization — measured
+    * 15× slower than the anti-join it was built to beat on a 2.5k-doc
+    * known corpus. Pass an explicit count to skip the sizing pass. */
   def bloomDedupAgainst(newDocs: DataFrame, known: DataFrame,
-                        expectedItems: Long = 10000000L, fpp: Double = 0.01): DataFrame = {
+                        expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.SqlBridge
     import org.apache.spark.sql.types.BinaryType
-    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    require(expectedItems >= 0, s"expectedItems must be non-negative, got $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
     val knownFp = known.select(md5(col("text")).as("fp")).distinct()
+    val items = math.max(64L,
+      if (expectedItems > 0) expectedItems else known.select(lit(1)).count())
     val numBits = math.max(64L,
-      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+      math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     val agg = new BloomFilterAggregate(
       SqlBridge.expression(xxhash64(col("fp"))),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+      Literal(items), Literal(numBits)).toAggregateExpression()
     val sketch = knownFp.select(SqlBridge.column(agg).as("bf"))
       .head().getAs[Array[Byte]](0)
     val withFp = newDocs.withColumn("fp", md5(col("text")))
@@ -328,7 +340,17 @@ object Dedup {
     val edges = session.createDataFrame(edgesCk.rdd, edgesCk.schema)
       .repartition(graphParts)
       .localCheckpoint()
-    var labels = edges.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    // symmetrize ONCE so each round needs a single neighbor-min
+    // aggregation instead of one per direction — half the per-round
+    // joins for a one-time 2× edge materialization. (The union is over
+    // the plain re-created LogicalRDD edge frame, which carries no
+    // join-derived constraints — the constraint-rewrite hazard that
+    // forced the earlier per-direction form applied to checkpointed
+    // JOIN outputs, not to this.)
+    val symEdges = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = symEdges.select(col("src").as("doc_id"))
       .distinct().withColumn("label", col("doc_id")).localCheckpoint()
     // labels are monotonically non-increasing, so an unchanged sum IS a
     // fixpoint proof — convergence costs one single-row aggregate per
@@ -339,24 +361,17 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      // min-label flows both directions along an edge: one
-      // neighbor-min aggregation per direction, merged into the
-      // current labels with least(). (Deliberately union-free: a
-      // checkpointed join output can carry constraints on
-      // projected-away attributes, which trips Union's constraint
-      // rewrite.) The per-round frames materialize via localCheckpoint
-      // — pair-graph-sized, lineage flat across rounds.
-      val nbrA = edges.join(labels, edges("doc_a") === labels("doc_id"))
-        .groupBy(edges("doc_b").as("ida")).agg(min(col("label")).as("ma"))
-      val nbrB = edges.join(labels, edges("doc_b") === labels("doc_id"))
-        .groupBy(edges("doc_a").as("idb")).agg(min(col("label")).as("mb"))
+      // min label over self and all neighbors, then pointer jump. Only
+      // the round's FINAL frame is eagerly checkpointed (flat lineage,
+      // one materialization job per round); the intermediate is merely
+      // cached so the jump's self-join doesn't compute it twice.
+      val nbrMin = symEdges.join(labels, col("src") === col("doc_id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("m"))
       val propagated = labels
-        .join(nbrA, col("doc_id") === col("ida"), "left")
-        .join(nbrB, col("doc_id") === col("idb"), "left")
+        .join(nbrMin, col("doc_id") === col("dst"), "left")
         .select(col("doc_id"), least(col("label"),
-          coalesce(col("ma"), col("label")),
-          coalesce(col("mb"), col("label"))).as("label"))
-        .localCheckpoint()
+          coalesce(col("m"), col("label"))).as("label"))
+        .cache()
       // pointer jump: follow the label to ITS label (labels always point
       // at existing vertices, so the self-join is total)
       val jumped = propagated.as("x")
@@ -364,6 +379,7 @@ object Dedup {
           col("x.label") === col("l"))
         .select(col("x.doc_id"), col("ll").as("label"))
         .localCheckpoint()
+      propagated.unpersist()
       val s = labelSum(jumped)
       converged = s == prevSum
       prevSum = s
