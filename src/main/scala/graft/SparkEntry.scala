@@ -113,6 +113,9 @@ object SparkEntry {
     "a_ann_topk" -> ((s, dir) => Similarity.annTopK(Tables.embeddings(s, dir))),
     "a_ann_pairs" -> ((s, dir) => Similarity.annPairs(Tables.embeddings(s, dir))),
     "a_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
+    // semantic dedup: drop every vector with a verified cosine near-dup
+    // at a lower vec_id (LSH candidates, exact verify)
+    "d_embed_neardup" -> ((s, dir) => Similarity.embedNearDup(Tables.embeddings(s, dir))),
     // trained-quantizer IVF: k-means on a 20% deterministic sample,
     // full-corpus assignment. No SQL oracle (iterative float means are
     // not bit-replicable cross-engine) -> driver rows-only check;
@@ -154,6 +157,9 @@ object SparkEntry {
       Corpus.hashSplit(Tables.documents(s, dir))
         .select(col("doc_id"), col("bucket"), col("split"))),
     "c_token_chunks" -> ((s, dir) => Corpus.tokenChunks(Tables.documents(s, dir))),
+    "c_pack_stream" -> ((s, dir) => Corpus.packStream(Tables.documents(s, dir))),
+    "t_unigram_logprob" -> ((s, dir) =>
+      graft.functions.TextAnalysis.unigramLogProb(Tables.documents(s, dir))),
     "t_pii_scrub" -> ((s, dir) =>
       graft.functions.TextAnalysis.piiScrub(Tables.documents(s, dir))),
     "t_contamination" -> ((s, dir) => {
@@ -594,6 +600,10 @@ object SparkEntry {
     // the compare; AnnSpec separately asserts recall bounds vs exact.
     "a_ann_topk" -> annTopKOracle,
     "a_ann_pairs" -> annPairsOracle,
+    // semantic dedup: same replicated-LSH candidate set as a_ann_pairs,
+    // keep = no verified near-dup at a lower vec_id; zero-norm and
+    // bucket-isolated vectors always keep
+    "d_embed_neardup" -> embedNearDupOracle,
     // IVF: the oracle replicates the deterministic strided coarse
     // quantizer (vec_id % 31) — identical cells, probes and candidates
     // in both engines, so IVF recall never enters the compare
@@ -728,6 +738,33 @@ object SparkEntry {
         |       least(64, n - chunk_idx * 64) AS n_tokens,
         |       array_to_string(w[chunk_idx * 64 + 1 : chunk_idx * 64 + 64], ' ') AS chunk_text
         |FROM c""".stripMargin,
+    // corpus-stream packing: the oracle's single global running sum
+    // equals the Spark side's two-level (bucket-partitioned) prefix
+    // scan — identical integer arithmetic, different decomposition
+    "c_pack_stream" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM d)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(cum - n_tokens AS BIGINT) AS tok_offset,
+        |       CAST((cum - n_tokens) // 512 AS BIGINT) AS first_bin,
+        |       CAST((cum - 1) // 512 AS BIGINT) AS last_bin
+        |FROM c""".stripMargin,
+    // unigram-LM scoring: per-WORD log-probs rounded to 9 dp and cast
+    // to DECIMAL(18,9) on both engines, so the per-doc sums are exact
+    // decimal arithmetic in any order (a raw double ln() sum would be
+    // associativity-dependent); final mean uses the 4-dp nudge rule
+    "t_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+        |tot AS (SELECT COUNT(*) AS n_total FROM tok),
+        |lp AS (SELECT tok, CAST(ROUND(ln(CAST(cnt AS DOUBLE) / n_total) + 1e-12, 9)
+        |                        AS DECIMAL(18,9)) AS logp
+        |       FROM v CROSS JOIN tot)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       ROUND(CAST(SUM(lp.logp) AS DOUBLE) / COUNT(*) + 1e-12, 4) AS avg_logp
+        |FROM tok t JOIN lp USING (tok) GROUP BY t.doc_id""".stripMargin,
     // PII scrubbing: patterns stay in the Java-regex ∩ RE2 subset
     // (classes, bounded repetition, \b), counts on the original text,
     // replacement in the same email -> phone -> ip order; DuckDB needs
@@ -970,6 +1007,24 @@ object SparkEntry {
        |         ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) + 1e-12, 6) AS cos
        |  FROM cand JOIN n a ON a.vec_id = cand.vec_a JOIN n b ON b.vec_id = cand.vec_b)
        |WHERE cos >= 0.45""".stripMargin
+
+  /** Embedding near-dup kept-set in DuckDB: the annPairs candidate+verify
+    * pipeline (identical replicated LSH), then keep = no verified
+    * lower-id partner. Runs over the raw embeddings table so zero-norm
+    * vectors (excluded from n, hence from every pair) keep too. */
+  private lazy val embedNearDupOracle: String =
+    s"""WITH $normCte,
+       |$bucketsCte,
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |         FROM bk x JOIN bk y ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id),
+       |drp AS (SELECT DISTINCT vec_b FROM (
+       |  SELECT cand.vec_b,
+       |         ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) + 1e-12, 6) AS cos
+       |  FROM cand JOIN n a ON a.vec_id = cand.vec_a JOIN n b ON b.vec_id = cand.vec_b)
+       |  WHERE cos >= 0.45)
+       |SELECT e.vec_id,
+       |       NOT EXISTS (SELECT 1 FROM drp WHERE drp.vec_b = e.vec_id) AS keep
+       |FROM embeddings e""".stripMargin
 
   private lazy val simhashOracle: String = {
     val bitSums = (0 until 64).map(j =>

@@ -127,6 +127,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rk"))
   }
 
+  /** Corpus-unigram language-model score: each document's mean token
+    * log-probability under the corpus's own unigram distribution —
+    * the classic model-based quality signal (far-below-average score =
+    * gibberish / boilerplate / wrong-language; a real pipeline swaps in
+    * a pretrained LM, the dataflow is identical). Returns
+    * (doc_id, n_tokens, avg_logp).
+    *
+    * Scale shape: one token explode feeds BOTH aggregations — the
+    * vocabulary count (term-keyed shuffle whose output is
+    * vocabulary-sized, partial map-side counts) and the per-doc mean
+    * (doc-keyed shuffle with partial aggregation; tokens of a doc start
+    * co-located, so the map-side combine collapses them before the
+    * exchange). The corpus total joins as a one-row broadcast; the
+    * vocabulary joins unhinted — the planner/AQE broadcasts while it
+    * fits (a unigram vocab virtually always does) and falls back to a
+    * shuffled join on a pathological vocabulary.
+    *
+    * Cross-engine parity: ln() differs in the last ulp between engines,
+    * so each DISTINCT WORD's log-prob is rounded to 9 dp once and cast
+    * to DECIMAL(18,9); per-doc sums are then EXACT decimal arithmetic
+    * in any summation order, and the final mean divides the exact sum
+    * by the count with the repo-wide 4-dp boundary nudge. */
+  def unigramLogProb(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val logp = vocab.crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(log(col("cnt") / col("n_total")) + lit(1e-12), 9)
+          .cast("decimal(18,9)").as("logp"))
+    toks.join(logp, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("logp")).as("slp"))
+      .select(col("doc_id"), col("n_tokens"),
+        r4(col("slp").cast("double") / col("n_tokens")).as("avg_logp"))
+  }
+
   /** Per-document shape statistics. */
   def stats(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))

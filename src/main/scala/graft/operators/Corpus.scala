@@ -156,6 +156,50 @@ object Corpus {
         col("col").as("chunk_text"))
   }
 
+  /** Corpus-stream packing — where each document's tokens land when the
+    * whole corpus is concatenated in doc_id order and sliced into fixed
+    * `contextLen`-token training windows (GPT-style packing: no padding,
+    * documents straddle window boundaries). Per document:
+    * (doc_id, n_tokens, tok_offset, first_bin, last_bin) — the global
+    * token offset of its first token and the first/last context windows
+    * it touches. [[tokenChunks]] splits WITHIN a document; this places
+    * documents within the corpus-wide token stream.
+    *
+    * The global running sum is a distributed TWO-LEVEL prefix scan, not
+    * a single-partition window: doc_ids bucket by `doc_id div
+    * bucketWidth`, the within-bucket cumulative sum is a window
+    * PARTITIONED by bucket (parallel across buckets), and bucket totals
+    * — a frame `bucketWidth`× smaller than the corpus — get their own
+    * running sum and join back. The only single-partition window runs
+    * over bucket TOTALS (~N/bucketWidth rows); at a scale where even
+    * that overflows, recurse the same construction once more. All
+    * arithmetic is integer — exact on any engine. */
+  def packStream(documents: DataFrame, contextLen: Int = 512,
+                 bucketWidth: Long = 1024L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(contextLen > 0, s"contextLen must be positive, got $contextLen")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val d = documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      expr(s"doc_id div $bucketWidth").as("bucket"))
+    val withinCum = d.withColumn("cum_in_bucket",
+      sum(col("n_tokens")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bucketPrefix = d.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("tot"))
+      .withColumn("bucket_prefix",
+        coalesce(sum(col("tot")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("bucket_prefix"))
+    withinCum.join(broadcast(bucketPrefix), "bucket")
+      .withColumn("tok_offset",
+        col("bucket_prefix") + col("cum_in_bucket") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+        expr(s"tok_offset div $contextLen").as("first_bin"),
+        expr(s"(tok_offset + n_tokens - 1) div $contextLen").as("last_bin"))
+  }
+
   /** Train/eval contamination check: for each eval document, how many
     * of its distinct word n-grams appear in ANY training document — a
     * standard pre-training hygiene step (eval benchmarks leaking into

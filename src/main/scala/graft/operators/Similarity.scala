@@ -316,6 +316,32 @@ object Similarity {
     withCell.agg(avg(col("d"))).collect()(0).getDouble(0)
   }
 
+  /** Embedding-cosine near-dup KEPT-SET — the semantic-dedup decision
+    * step: every vector flagged keep/drop, where a vector drops iff it
+    * has a verified cosine near-dup with a LOWER vec_id ([[annPairs]]
+    * candidates: SRP-LSH buckets → exact cosine ≥ threshold). The
+    * lowest id of each near-dup relation survives as the
+    * representative — the embedding-space sibling of
+    * [[graft.operators.Dedup.exactDedup]]'s min-id keeper. Pairwise
+    * domination, not transitive closure: in a chain a~b~c (a≁c), both
+    * b and c drop — the semantics of dropping every document that has
+    * ANY kept-or-not lower near-dup (run
+    * [[graft.operators.Dedup.dupClusters]]-style connected components
+    * over [[annPairs]] output when cluster-level keepers are needed).
+    *
+    * Zero-norm vectors (no cosine defined) and bucket-isolated vectors
+    * never drop. Scale shape: everything is [[annPairs]] (bucket join ∝
+    * collision density) plus one id-keyed flag join against the
+    * duplicate-density-sized drop list — the corpus embedding payload
+    * never re-joins or shuffles. */
+  def embedNearDup(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val dropped = annPairs(embeddings, threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    embeddings.select(col("vec_id"))
+      .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(!col("hit"), lit(true)).as("keep"))
+  }
+
   /** Approximate near-dup pairs: LSH bucket self-join → exact verify —
     * the scale path for [[cosinePairs]] (same shape as minhashPairs vs
     * jaccardPairs). Candidates ∝ bucket collision density. */

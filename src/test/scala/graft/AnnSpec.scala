@@ -243,6 +243,19 @@ class AnnSpec extends SparkSpec {
     ivf.foreach { case (key, c) => assert(exactAll(key) == c) }
   }
 
+  test("embedNearDup keeps exactly the non-dominated vectors; zero-norm always keeps") {
+    val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    val zero = Seq((999999L, Seq.fill(64)(0f))).toDF("vec_id", "embedding")
+    val df = emb.unionByName(zero)
+    val out = Similarity.embedNearDup(df).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val dominated = Similarity.annPairs(df).collect().map(_.getLong(1)).toSet
+    assert(out.size == df.count()) // every vector flagged exactly once
+    assert(dominated.nonEmpty && dominated.forall(id => !out(id)))
+    assert(out.count(!_._2) == dominated.size)
+    assert(out(999999L)) // zero-norm: cosine undefined, never a duplicate
+  }
+
   test("ann runs are deterministic (hyperplanes are seed-fixed)") {
     val emb = Tables.embeddings(spark, sf0001)
     val a = Similarity.annTopK(emb).collect().map(_.toSeq).toSeq

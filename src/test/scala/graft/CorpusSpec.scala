@@ -134,6 +134,34 @@ class CorpusSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("packStream places every document at its exact concatenation offset, " +
+      "independent of bucket width and input order") {
+    // unordered input, varying token counts; expectation computed directly
+    val ids = (0L until 60L)
+    val fixture = scala.util.Random.shuffle(
+      ids.map(i => (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" "))).toList)
+    val df = docs(fixture: _*)
+    val nTok = ids.map(i => i -> (i % 7 + 1)).toMap
+    val expOffset = ids.scanLeft(0L)((acc, i) => acc + nTok(i)).zip(ids)
+      .map { case (off, i) => i -> off }.toMap
+    val out = Corpus.packStream(df, contextLen = 10, bucketWidth = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == ids.toSeq) // every doc placed exactly once
+    out.foreach { case (id, n, off, first, last) =>
+      assert(n == nTok(id))
+      assert(off == expOffset(id))
+      assert(first == off / 10 && last == (off + n - 1) / 10)
+    }
+    // the two-level scan is an implementation detail: any bucket width
+    // yields the identical placement
+    val wide = Corpus.packStream(df, contextLen = 10, bucketWidth = 1024).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(wide.toSeq == out.toSeq)
+    intercept[IllegalArgumentException](Corpus.packStream(df, contextLen = 0))
+  }
+
   test("keepSet keeps only the min-id copy of a passing duplicate text") {
     // a text that passes every gate ("the" markers, diverse words, 100+
     // tokens), present twice — only the min doc_id survives

@@ -140,6 +140,27 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("unigramLogProb scores by the corpus's own unigram distribution") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // vocab: a->2, b->2, c->1 of 5 tokens
+    def lp(p: Double): BigDecimal =
+      BigDecimal(math.log(p) + 1e-12).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r4(x: Double): Double =
+      BigDecimal(x + 1e-12).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = Map(
+      1L -> (3L, r4(((lp(0.4) * 2 + lp(0.4)) / 3).toDouble)),
+      2L -> (2L, r4(((lp(0.4) + lp(0.2)) / 2).toDouble)))
+    val out = TextAnalysis.unigramLogProb(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == exp)
+    // a doc made of the corpus-common token outscores a rare-token doc
+    val corpus = Seq("x x x x x x x x", "x x x y", "x z").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val scored = TextAnalysis.unigramLogProb(corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(0L) > scored(1L) && scored(1L) > scored(2L))
+  }
+
   test("winnow kernel: codegen and interpreted paths agree") {
     val docs = Tables.documents(spark, sf0001).limit(50)
     val fromCodegen = rows(TextAnalysis.winnowFingerprint(docs))
