@@ -231,4 +231,45 @@ class PlanAuditSpec extends SparkSpec {
       .select(col("o_orderkey"), col("o_orderdate")))
     assert(p.contains("LessThan(o_orderdate"), s"date filter not pushed:\n$p")
   }
+
+  test("packStream: corpus windows are bucket-partitioned; only bucket " +
+      "TOTALS get a global window; prefixes join back broadcast") {
+    val p = plan(Corpus.packStream(Tables.documents(spark, dir)))
+    // exactly one single-partition exchange — the bucket-totals prefix
+    // scan (a second would mean the corpus-sized cumsum regressed to a
+    // global window)
+    assert(count(p, "Exchange SinglePartition") == 1,
+      s"expected exactly one SinglePartition exchange (bucket totals only):\n$p")
+    // the per-document running sum is partitioned by bucket
+    assert(p.contains("windowspecdefinition(bucket"),
+      s"within-bucket cumsum lost its bucket partitioning:\n$p")
+    // bucket prefixes are a broadcast-joined dimension, never a shuffle
+    // of the corpus
+    assert(p.contains("BroadcastHashJoin"), s"bucket-prefix join not broadcast:\n$p")
+    // bucket totals are partial-aggregated map-side
+    assert(p.contains("partial_sum"), s"bucket totals lost partial aggregation:\n$p")
+  }
+
+  test("unigramLogProb: partial counts through both shuffles, one-row total broadcast") {
+    val p = plan(graft.functions.TextAnalysis.unigramLogProb(Tables.documents(spark, dir)))
+    // vocab count and per-doc sum both combine map-side
+    assert(p.contains("partial_count"), s"lost map-side partial counting:\n$p")
+    assert(p.contains("partial_sum"), s"per-doc decimal sum lost partial agg:\n$p")
+    // the corpus total rides as a broadcast (one row), and the vocab
+    // join must not be a cartesian
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"corpus total not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("embedNearDup: drop-list flag join never re-shuffles the embedding payload") {
+    val p = plan(Similarity.embedNearDup(Tables.embeddings(spark, dir)))
+    // the final keep-flag join is id-keyed: no exchange may carry the
+    // embedding/v payload column (signatures+ids only)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    exchanges.foreach(e =>
+      assert(!e.contains("embedding") && !(e.contains("v#") && e.contains("array<double>")),
+        s"an exchange carries the embedding payload:\n$e\n$p"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
