@@ -70,6 +70,8 @@ object SparkEntry {
       graft.streaming.StreamRunner.replaySessionAgg(s, ev(s, dir))),
     "s_stream_outer_join" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayOuterIntervalJoin(s, ev(s, dir))),
+    "s_stream_update_agg" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayUpdateAgg(s, ev(s, dir))),
     // ---- relational coverage (TPC-H-ish) ----
     "q1_pricing_summary" -> ((s, dir) =>
       Relational.pricingSummary(Tables.lineitem(s, dir))),
@@ -326,6 +328,16 @@ object SparkEntry {
         |       0 AS b, value AS value
         |FROM events WHERE event_type = 'error'
         |  AND NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') IS NOT NULL""".stripMargin,
+    // update-mode running aggregation: the changelog's last emission
+    // per zone IS the batch aggregate (same decimal-sum parity rule)
+    "s_stream_update_agg" ->
+      """SELECT CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS zone_id,
+        |       COUNT(*) AS n_readings,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) + 1e-12, 4)
+        |         AS avg_pollution
+        |FROM events WHERE event_type = 'error'
+        |  AND NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     // stream-stream interval join: inner emission is not watermark-gated
     // and chunks are time-ordered, so the streamed pairs are exactly the
     // batch range join (times compared in micros on both sides)

@@ -558,6 +558,67 @@ object StreamRunner {
         col("fuel_level"), col("pollution_level"))
   }
 
+  /** UPDATE-output-mode replay: like [[replay]], but the topology's
+    * changed rows are emitted per micro-batch through `foreachBatch`
+    * into per-batch parquet directories (the file sink proper is
+    * append-only — update mode requires a batch-addressed sink).
+    * Each batch OVERWRITES its own directory wholesale, the
+    * [[Transport]] exactly-once pattern: a retried micro-batch
+    * replaces its previous partial output instead of doubling it.
+    * Returns the full changelog with a `batch_id` column. */
+  private def replayUpdate(spark: SparkSession, events: DataFrame,
+                           topology: DataFrame => DataFrame): DataFrame = {
+    val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
+    val srcDir = stagedDir(spark, events)
+    val src = replaySession(spark, rocksDb = false).readStream
+      .schema(Encoders.product[StagedEvent].schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "part-*")
+      .parquet(srcDir.toString)
+    val outDir = work.resolve("out")
+    val q = topology(src).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(outDir.resolve(s"b$batchId").toString)
+        ()
+      }
+      .option("checkpointLocation", work.resolve("cp").toString)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outDir/b*")
+  }
+
+  /** Update-mode running aggregation replay — the third canonical
+    * output mode (append: [[replayWindowAgg]]; changelog emission via
+    * transformWithState: [[replayFkJoin]]): per-zone reading count and
+    * mean pollution, re-emitted each micro-batch the zone changes, the
+    * Structured Streaming `groupBy().agg()` update topology. The
+    * changelog's LAST emission per zone is the exact batch aggregate —
+    * the DuckDB oracle.
+    *
+    * No watermark, deliberately: windowless update-mode state is one
+    * row per distinct KEY (bounded by the key domain, ~100 zones —
+    * the reference's own unbounded-store model, SURVEY §2.1); an
+    * unbounded key domain needs the windowed form instead. Averages
+    * follow the repo parity rule (exact decimal sum / count, 4-dp
+    * boundary nudge). */
+  def replayUpdateAgg(spark: SparkSession, events: DataFrame): DataFrame = {
+    val log = replayUpdate(spark, events, (src: DataFrame) =>
+      src.filter(col("kind") === "zone")
+        .groupBy(col("a").as("zone_id"))
+        .agg(count(lit(1)).as("n_readings"),
+          sum(col("v").cast("decimal(18,4)")).as("sum_poll")))
+    log
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("zone_id")).orderBy(col("batch_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("zone_id"), col("n_readings"),
+        round(col("sum_poll").cast("double") / col("n_readings") + lit(1e-12), 4)
+          .as("avg_pollution"))
+  }
+
   /** Stage-1 (move fold) replay → the arrive/leave event log with its
     * originating event_id. Oracle: the arrive/leave SQL restricted to
     * parseable-zone events. Unparseable-zone car events (the -1

@@ -34,4 +34,19 @@ class StreamWindowSpec extends SparkSpec {
     // ... and the sentinel itself never leaks into the output
     assert(streamed.keySet.forall { case (ws, zid) => ws < 4102444800000000L && zid >= 0 })
   }
+
+  test("update-mode running agg: last emission per zone equals the batch aggregate") {
+    val events = Tables.events(spark, sf0001)
+    val streamed = StreamRunner.replayUpdateAgg(spark, events)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val batch = CarZone.zoneEvents(events)
+      .filter(col("zone_id").isNotNull)
+      .groupBy(col("zone_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("pollution_level").cast("decimal(18,4)")).cast("double") / count(lit(1))
+          + lit(1e-12), 4).as("avg"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
