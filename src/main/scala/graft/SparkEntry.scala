@@ -160,6 +160,8 @@ object SparkEntry {
         .select(col("doc_id"), col("bucket"), col("split"))),
     "c_token_chunks" -> ((s, dir) => Corpus.tokenChunks(Tables.documents(s, dir))),
     "c_pack_stream" -> ((s, dir) => Corpus.packStream(Tables.documents(s, dir))),
+    "c_source_profile" -> ((s, dir) => Corpus.sourceProfile(Tables.documents(s, dir))),
+    "c_source_mix" -> ((s, dir) => Corpus.sourceMix(Tables.documents(s, dir))),
     "t_unigram_logprob" -> ((s, dir) =>
       graft.functions.TextAnalysis.unigramLogProb(Tables.documents(s, dir))),
     "t_pii_scrub" -> ((s, dir) =>
@@ -763,6 +765,35 @@ object SparkEntry {
         |       CAST((cum - n_tokens) // 512 AS BIGINT) AS first_bin,
         |       CAST((cum - 1) // 512 AS BIGINT) AS last_bin
         |FROM c""".stripMargin,
+    // per-source profile: same quality formula as t_quality_score,
+    // per-doc rounded then DECIMAL-summed so the mean is order-exact
+    "c_source_profile" ->
+      """WITH q AS (
+        |  SELECT source, lang, n_chars,
+        |         CAST(ROUND(
+        |           len(list_distinct(string_split(text,' '))) / CAST(len(string_split(text,' ')) AS DOUBLE) * 0.5
+        |           + (1.0 - len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and')))
+        |                    / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.2
+        |           + least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.3
+        |           + 1e-12, 4) AS DECIMAL(18,4)) AS q
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+        |       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) + 1e-12, 4) AS avg_chars,
+        |       COUNT(DISTINCT lang) AS n_langs,
+        |       ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*) + 1e-12, 4) AS avg_quality
+        |FROM q GROUP BY source""".stripMargin,
+    // temperature mixture: per-source keep thresholds from the exact
+    // same floor(10000 * pow(share, alpha) + 1e-9) quantization, rows
+    // kept by the shared md5 chars-9-16 sample bucket
+    "c_source_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+        |m AS (SELECT MIN(cnt) AS min_cnt FROM c),
+        |t AS (SELECT source,
+        |             CAST(FLOOR(10000.0 * POW(CAST(min_cnt AS DOUBLE) / cnt, 0.5) + 1e-9) AS INT) AS thr
+        |      FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.source FROM documents d JOIN t USING (source)
+        |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8) AS UBIGINT) % 10000 < thr""".stripMargin,
     // unigram-LM scoring: per-WORD log-probs rounded to 9 dp and cast
     // to DECIMAL(18,9) on both engines, so the per-doc sums are exact
     // decimal arithmetic in any order (a raw double ln() sum would be

@@ -156,6 +156,64 @@ object Corpus {
         col("col").as("chunk_text"))
   }
 
+  /** Per-source corpus profile — the report a data build runs before
+    * choosing mixture weights: document count, total/mean size, label
+    * diversity and mean content quality per source. One scan, one
+    * source-keyed shuffle of pre-aggregated scalars (never text); the
+    * quality signal is the same single-pass formula as
+    * `TextAnalysis.qualityScore` (per-doc 4-dp-rounded, then cast to
+    * DECIMAL so the per-source mean is order-exact cross-engine). The
+    * distinct-lang count plans as Spark's standard two-phase distinct
+    * aggregate — still partial map-side, keyed by (source, lang). */
+  def sourceProfile(documents: DataFrame): DataFrame = {
+    import graft.functions.TextAnalysis.qualityCol
+    documents
+      .select(col("source"), col("lang"), col("n_chars"),
+        qualityCol(col("text")).cast("decimal(18,4)").as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)) + lit(1e-12), 4)
+          .as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(sum(col("q")).cast("double") / count(lit(1)) + lit(1e-12), 4)
+          .as("avg_quality"))
+  }
+
+  /** Temperature-based source rebalancing — downsample dominant sources
+    * so the mixture flattens toward uniform: keep rate per source =
+    * (min_count / count)^(1 − alpha), the downsampling-only form of
+    * the published LM data recipes' temperature rule (sampling mass ∝
+    * count^alpha). alpha = 1 is the natural mixture (every rate 1);
+    * alpha → 0 equalizes expected per-source volumes at the smallest
+    * source's size. The smallest source always keeps 100% — nothing
+    * is ever upsampled.
+    *
+    * Fully distributed: per-source counts (scalar shuffle), the min as
+    * a one-row broadcast, per-source keep thresholds as a
+    * source-count-sized broadcast joined back, then the same
+    * deterministic md5 sample bucket as [[stratifiedSample]] — a
+    * re-run, any partitioning, any engine keeps the identical rows.
+    * Thresholds quantize to 1/10000 with a 1e-9 nudge before floor, so
+    * a last-ulp pow() difference cannot move a source across an
+    * integer threshold boundary. */
+  def sourceMix(documents: DataFrame, alpha: Double = 0.5,
+                idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(documents.columns.contains(idCol),
+      s"sourceMix hashes the '$idCol' column for its sample bucket; " +
+        s"the input has [${documents.columns.mkString(", ")}]")
+    val counts = documents.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+    val minc = counts.agg(min(col("cnt")).as("min_cnt"))
+    val thresholds = counts.crossJoin(broadcast(minc))
+      .select(col("source"),
+        floor(lit(10000.0) * pow(col("min_cnt").cast("double") / col("cnt"), lit(1.0 - alpha))
+          + lit(1e-9)).cast("int").as("thr"))
+    documents.join(broadcast(thresholds), "source")
+      .filter(sampleBucket(col(idCol)) < col("thr"))
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Corpus-stream packing — where each document's tokens land when the
     * whole corpus is concatenated in doc_id order and sliced into fixed
     * `contextLen`-token training windows (GPT-style packing: no padding,

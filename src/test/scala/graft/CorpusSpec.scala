@@ -162,6 +162,42 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](Corpus.packStream(df, contextLen = 0))
   }
 
+  test("sourceMix: smallest source keeps everything, larger sources thin by sqrt ratio") {
+    // src_big: 400 docs, src_small: 100 docs → keep rates
+    // sqrt(100/400) = 0.5 and 1.0
+    val df = ((0L until 400L).map(i => (i, "x", "src_big")) ++
+        (400L until 500L).map(i => (i, "x", "src_small")))
+      .toDF("doc_id", "text", "source")
+    val kept = Corpus.sourceMix(df).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.count(_._2 == "src_small") == 100) // rate 1.0: all kept
+    val big = kept.count(_._2 == "src_big")
+    assert(big > 150 && big < 250, s"src_big kept $big of 400 at rate 0.5")
+    // deterministic: the same rows every run
+    assert(Corpus.sourceMix(df).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq == kept.sorted.toSeq)
+    // alpha = 1 keeps the natural mixture untouched
+    assert(Corpus.sourceMix(df, alpha = 1.0).count() == 500)
+    intercept[IllegalArgumentException](Corpus.sourceMix(df, alpha = 0.0))
+    intercept[IllegalArgumentException](
+      Corpus.sourceMix(df.drop("doc_id")))
+  }
+
+  test("sourceProfile aggregates the same quality signal as qualityScore") {
+    import graft.functions.TextAnalysis
+    val docs = Tables.documents(spark, sf0001)
+    val prof = Corpus.sourceProfile(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    // composed check against the standalone operators
+    val composed = docs.select(col("source"), col("lang"), col("n_chars"), col("doc_id"))
+      .join(TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("nc"),
+        countDistinct(col("lang")).as("nl"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(prof == composed)
+    assert(prof.nonEmpty)
+  }
+
   test("keepSet keeps only the min-id copy of a passing duplicate text") {
     // a text that passes every gate ("the" markers, diverse words, 100+
     // tokens), present twice — only the min doc_id survives
