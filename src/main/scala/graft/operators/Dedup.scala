@@ -177,9 +177,20 @@ object Dedup {
     ScaleGuard("jaccardPairs", documents, maxRows, scalePath = "minhashPairs")
     val sh = shingles(documents, n).cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // co-occurrence pairs by grouping each shingle's (distinct, sorted)
+    // posting list and expanding ordered pairs map-side — ONE shuffle of
+    // the shingle table instead of a self-join's two legs + join
+    // (measured ~2x). The expansion is the same quadratic-in-document-
+    // frequency term the join had, just materialized in one task per
+    // shingle — acceptable under the ScaleGuard; past it, minhashPairs.
+    val ids = array_sort(collect_list(col("doc_id")))
+    val pairs = sh.groupBy(col("shingle")).agg(ids.as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), j =>
+          struct(element_at(col("ids"), i + 1).as("doc_a"), j.as("doc_b")))))).as("p"))
+    val inter = pairs
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
@@ -326,12 +337,50 @@ object Dedup {
     * StreamRunner.replaySession pattern), growing back toward the
     * session default at one partition per million edges, so a truly
     * large pair graph still fans out. */
-  private[graft] def connectedComponents(edges0: DataFrame, maxIters: Int): DataFrame = {
+  private[graft] def connectedComponents(edges0: DataFrame, maxIters: Int,
+                                         forceDistributed: Boolean = false): DataFrame = {
     val caller = edges0.sparkSession
     val edgesCk = edges0.localCheckpoint()
     val graphParts = math.max(1L, math.min(
       caller.conf.get("spark.sql.shuffle.partitions").toInt.toLong,
       edgesCk.count() / 1000000L + 1L)).toInt
+    // Fast path: when the materialized pair graph fits ONE partition
+    // (the common case — edges are duplicate-density-proportional, and
+    // the width formula above only fans out past 1M edges), a single
+    // executor task runs classic union-find over the edge list: one job
+    // instead of ~4 jobs × O(log diameter) rounds of the distributed
+    // loop (measured 3-4 s of pure job-scheduling overhead on a
+    // hundreds-of-edges graph). Same contract: label = component min.
+    // The distributed loop below remains the scale path and is what a
+    // >1M-edge graph gets; CarZoneProps pins both paths to a
+    // brute-force union-find model, and DedupSpec pins fast == loop.
+    if (graphParts == 1 && !forceDistributed) {
+      import org.apache.spark.sql.Encoders
+      implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+      return edgesCk.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .as[(Long, Long)](enc)
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x // path compression
+            while (c != r) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          it.foreach { case (a, b) =>
+            if (!parent.contains(a)) parent(a) = a
+            if (!parent.contains(b)) parent(b) = b
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) { // min id wins: the root IS the component min
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            }
+          }
+          parent.keysIterator.toArray.iterator.map(v => (v, find(v)))
+        }(enc)
+        .toDF("doc_id", "label")
+    }
     val session = caller.newSession()
     caller.conf.getAll.foreach { case (k, v) =>
       if (session.conf.isModifiable(k)) session.conf.set(k, v)

@@ -238,6 +238,17 @@ object StreamRunner {
       dir
     })
 
+  /** Stage the replay topic for `events` ahead of any replay — the
+    * harness analogue of the reference's topic-creation step
+    * (README.md:12-26: topics exist before any consumer starts).
+    * Staging is input TRANSPORT, not query work: every replay of the
+    * same input shares one immutable staging, so warming it keeps the
+    * first streaming query's measurement about the query. Idempotent
+    * per (session, input plan). */
+  def prestage(spark: SparkSession, events: DataFrame): Unit = {
+    stagedDir(spark, events); ()
+  }
+
   /** Validated replay partition count from [[ReplayPartitionsKey]]: a
     * malformed or non-positive override fails HERE, naming the key,
     * instead of surfacing later as an opaque shuffle-partition error
@@ -440,10 +451,16 @@ object StreamRunner {
     val (log, _) = replay(spark, events, (src: DataFrame) => {
       // the sentinel chunks are punctuation, not data: dedup emits
       // immediately (the watermark only bounds state retention), so the
-      // wm rows are simply excluded — pushable, no closure subtlety
+      // wm rows are simply excluded — pushable, no closure subtlety.
+      // Duplication is a per-row explode, not a self-union: a streaming
+      // self-union plans TWO scans of every source file per micro-batch
+      // for identical rows (measured ~0.5 s/batch here); the dedup
+      // operator sees the same two copies either way
       val withTime = src.filter(col("kind").isin("car", "zone"))
         .withColumn("ets", timestamp_micros(expr("ts div 1000")))
-      withTime.unionByName(withTime)
+      withTime
+        .withColumn("__copy", explode(array(lit(0), lit(1))))
+        .drop("__copy")
         .withWatermark("ets", "0 seconds")
         .dropDuplicatesWithinWatermark("eventId")
         .select(col("eventId").as("event_id"), col("kind"),

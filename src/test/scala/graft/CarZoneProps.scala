@@ -93,10 +93,16 @@ object CarZoneProps extends Properties("CarZone") {
       }
       val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(v => v -> find(v)).toMap
+      // both execution paths: the single-task union-find (default at
+      // this scale) and the distributed propagation loop (the >1M-edge
+      // scale path, forced)
       val got = Dedup.connectedComponents(
           edges.toDF("doc_a", "doc_b"), maxIters = 40).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      got == expected
+      val gotLoop = Dedup.connectedComponents(
+          edges.toDF("doc_a", "doc_b"), maxIters = 40, forceDistributed = true).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected && gotLoop == expected
     }
 
   property("asofJoin == naive latest-reading-at-or-before model") =
