@@ -158,6 +158,9 @@ object SparkEntry {
     "d_hash_split" -> ((s, dir) =>
       Corpus.hashSplit(Tables.documents(s, dir))
         .select(col("doc_id"), col("bucket"), col("split"))),
+    // block-level exact dedup: corpus-wide first occurrence of each
+    // 20-word block survives; documents reassembled from kept blocks
+    "d_block_dedup" -> ((s, dir) => Dedup.blockDedup(Tables.documents(s, dir))),
     "c_token_chunks" -> ((s, dir) => Corpus.tokenChunks(Tables.documents(s, dir))),
     "c_pack_stream" -> ((s, dir) => Corpus.packStream(Tables.documents(s, dir))),
     "c_source_profile" -> ((s, dir) => Corpus.sourceProfile(Tables.documents(s, dir))),
@@ -172,6 +175,18 @@ object SparkEntry {
         withSplit.filter(col("split") === "test"),
         withSplit.filter(col("split") === "train"))
     }),
+    // decontamination-by-removal: the training split with every document
+    // sharing a 5-gram with the test split dropped
+    "t_decontaminate" -> ((s, dir) => {
+      val withSplit = Corpus.hashSplit(Tables.documents(s, dir))
+      Corpus.decontaminate(
+        withSplit.filter(col("split") === "train"),
+        withSplit.filter(col("split") === "test"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+    // quality-ranked selection under a global token budget (two-level
+    // distributed prefix scan over the quality ordering)
+    "c_token_budget" -> ((s, dir) => Corpus.tokenBudget(Tables.documents(s, dir))),
     // the composed pretraining keep-list: lang + quality + repetition
     // gates, canonical copy under exact dedup
     "t_keep_set" -> ((s, dir) => Corpus.keepSet(Tables.documents(s, dir))),
@@ -181,6 +196,8 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_pred"))
       Corpus.stratifiedSample(lang, "lang_pred", Map("en" -> 0.5))
     }),
+    // symmetric per-vector int8 quantization of the embedding column
+    "a_int8_quantize" -> ((s, dir) => Similarity.int8Quantize(Tables.embeddings(s, dir))),
     // ---- training-data pipeline: multimodal binary columns ----
     "m_binary_stats" -> ((s, dir) => Multimodal.binaryStats(Tables.documents(s, dir))),
     "m_decode_meta" -> ((s, dir) => Multimodal.decodeMeta(Tables.documents(s, dir)).toDF()),
@@ -641,6 +658,39 @@ object SparkEntry {
     "d_exact_dedup" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // block dedup: same 1-based inclusive slice bounds as c_token_chunks
+    // (20-word blocks), corpus-wide first occurrence by (doc_id, idx),
+    // ordered string_agg reassembly ≡ Spark's sorted-struct array_join
+    "d_block_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, w,
+        |             unnest(generate_series(0, (len(w) - 1) // 20)) AS block_idx
+        |      FROM t),
+        |bt AS (SELECT doc_id, block_idx,
+        |              array_to_string(w[block_idx * 20 + 1 : block_idx * 20 + 20], ' ') AS btext
+        |       FROM b),
+        |k AS (SELECT doc_id, block_idx, btext,
+        |             ROW_NUMBER() OVER (PARTITION BY md5(btext) ORDER BY doc_id, block_idx) AS rn
+        |      FROM bt),
+        |r AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |             string_agg(btext, ' ' ORDER BY block_idx) AS text_clean
+        |      FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |       CAST((len(t.w) - 1) // 20 + 1 AS BIGINT) AS n_blocks,
+        |       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |       COALESCE(r.text_clean, '') AS text_clean
+        |FROM t LEFT JOIN r ON r.doc_id = t.doc_id""".stripMargin,
+    // int8 quantization: identical IEEE-double arithmetic (cast, /, *,
+    // floor(x+0.5) — floor, not round: round's tie rule differs across
+    // engines), codes compared as a joined string, max_err is an
+    // order-independent max
+    "a_int8_quantize" ->
+      """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max([abs(x) for x in v]) AS scale FROM v)
+        |SELECT vec_id, ROUND(scale + 1e-12, 6) AS scale,
+        |       array_to_string([CAST(CAST(CASE WHEN scale > 0 THEN floor(x / scale * 127.0 + 0.5) ELSE 0 END AS BIGINT) AS VARCHAR) for x in v], ',') AS codes,
+        |       ROUND(list_max([abs((CASE WHEN scale > 0 THEN floor(x / scale * 127.0 + 0.5) ELSE 0 END) * scale / 127.0 - x) for x in v]) + 1e-12, 6) AS max_err
+        |FROM s""".stripMargin,
     // multimodal: the oracle rebuilds the same deterministic blobs
     // (magic header by doc_id % 4 + utf-8 text) and verifies the real
     // Spark-side pipeline — magic-byte sniffing, mapPartitions decode,
@@ -854,6 +904,45 @@ object SparkEntry {
     // contamination: same split, same distinct word-5-grams per doc
     // (the Spark side joins on md5(gram), which counts identically)
     "t_contamination" -> contaminationOracle,
+    // decontamination: training docs (bucket < 90) with NO distinct
+    // 5-gram in the test split (bucket >= 95) — same gram construction
+    // as the contamination oracle, enforcement direction
+    "t_decontaminate" ->
+      """WITH b AS (SELECT doc_id, text, source, n_chars,
+        |                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 AS bucket
+        |           FROM documents),
+        |ev AS (SELECT doc_id, text FROM b WHERE bucket >= 95),
+        |tr AS (SELECT doc_id, text, source, n_chars FROM b WHERE bucket < 90),
+        |evg AS (SELECT DISTINCT g FROM (
+        |  SELECT unnest([concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4], w[i+5])
+        |                 for i in generate_series(0, len(w) - 5)]) AS g
+        |  FROM (SELECT string_split(text, ' ') AS w FROM ev) WHERE len(w) >= 5)),
+        |trg AS (SELECT doc_id, unnest([concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4], w[i+5])
+        |                               for i in generate_series(0, len(w) - 5)]) AS g
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM tr) WHERE len(w) >= 5),
+        |hit AS (SELECT DISTINCT t.doc_id FROM trg t JOIN evg USING (g))
+        |SELECT doc_id, source, n_chars FROM tr
+        |WHERE NOT EXISTS (SELECT 1 FROM hit WHERE hit.doc_id = tr.doc_id)""".stripMargin,
+    // token budget: the oracle's single global running sum over the
+    // (quality DESC, doc_id) ordering equals the Spark side's two-level
+    // quality-bucketed prefix scan — identical 4-dp-exact quality,
+    // identical integer cumulative sums
+    "c_token_budget" ->
+      """WITH q AS (
+        |  SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+        |         ROUND(
+        |           len(list_distinct(string_split(text,' '))) / CAST(len(string_split(text,' ')) AS DOUBLE) * 0.5
+        |           + (1.0 - len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and')))
+        |                    / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.2
+        |           + least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.3
+        |           + 1e-12, 4) AS quality
+        |  FROM documents),
+        |c AS (SELECT doc_id, quality, n_tokens,
+        |             SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM q)
+        |SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum <= 10000""".stripMargin,
     // keep-list: same lang CASE, quality weights+nudge, trigram math
     // and md5 keeper as the individual oracles, composed. The oracle
     // filters before its keeper window while the Spark side windows

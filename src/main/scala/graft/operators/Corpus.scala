@@ -258,6 +258,72 @@ object Corpus {
         expr(s"(tok_offset + n_tokens - 1) div $contextLen").as("last_bin"))
   }
 
+  /** Decontamination-by-removal — the enforcement step behind
+    * [[contamination]]'s report: drop every TRAINING document that
+    * shares at least one distinct word n-gram with ANY eval document,
+    * returning the clean training corpus (the direction real pipelines
+    * run: eval sets are fixed, training data is expendable).
+    *
+    * Scale shape mirrors [[contamination]] with the sides swapped: the
+    * eval side (small by construction) collapses to a DISTINCT md5-gram
+    * dictionary, the train side's grams semi-join against it (16-byte
+    * keys through the shuffle, never text), and the surviving doc_ids
+    * anti-join back — train text crosses one exchange, gram-matching
+    * never replicates it. */
+  def decontaminate(trainDocs: DataFrame, evalDocs: DataFrame, n: Int = 5): DataFrame = {
+    val evalGrams = Dedup.shingles(evalDocs, n)
+      .select(md5(col("shingle")).as("g")).distinct()
+    val hitIds = Dedup.shingles(trainDocs, n)
+      .select(col("doc_id"), md5(col("shingle")).as("g"))
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+    trainDocs.join(hitIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** Quality-ranked selection under a global token budget — the final
+    * cut of a corpus build ("train on the best N-token subset"): rank
+    * documents by (quality DESC, doc_id), keep the prefix whose
+    * cumulative token count stays within `budgetTokens`. Quality is the
+    * shared 4-dp-rounded [[graft.functions.TextAnalysis.qualityCol]]
+    * signal, so the ranking (and therefore the kept set) is
+    * engine-exact. Returns the kept documents:
+    * (doc_id, quality, n_tokens, cum_tokens).
+    *
+    * The global running sum is the [[packStream]] two-level prefix
+    * scan transposed onto the quality ordering: documents bucket by
+    * their quantized quality (10k buckets — bounded, data-independent),
+    * the within-bucket cumulative sum is a window PARTITIONED by bucket
+    * (parallel across buckets, ordered by doc_id — ids within one
+    * 1/10000-quality band are rank order), and bucket totals get their
+    * own quality-descending running sum (one window over ≤10k rows)
+    * broadcast back. No corpus-wide single-partition window at any
+    * point; all comparisons are integer/4-dp-exact. */
+  def tokenBudget(documents: DataFrame, budgetTokens: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    import graft.functions.TextAnalysis.qualityCol
+    val d = documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      qualityCol(col("text")).as("quality"))
+      // quantized quality IS the bucket: 4-dp rounding makes it an exact
+      // integer in [0, 10000] on both engines
+      .withColumn("qb", round(col("quality") * 10000).cast("long"))
+    val withinCum = d.withColumn("cum_in_bucket",
+      sum(col("n_tokens")).over(
+        Window.partitionBy(col("qb")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bucketPrefix = d.groupBy(col("qb")).agg(sum(col("n_tokens")).as("tot"))
+      .withColumn("bucket_prefix",
+        coalesce(sum(col("tot")).over(
+          Window.orderBy(col("qb").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("qb"), col("bucket_prefix"))
+    withinCum.join(broadcast(bucketPrefix), "qb")
+      .withColumn("cum_tokens", col("bucket_prefix") + col("cum_in_bucket"))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Train/eval contamination check: for each eval document, how many
     * of its distinct word n-grams appear in ANY training document — a
     * standard pre-training hygiene step (eval benchmarks leaking into

@@ -295,6 +295,50 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** BLOCK-level exact dedup — the sub-document granularity every web
+    * corpus build runs (boilerplate paragraphs repeat across millions of
+    * pages; removing them per-document leaves the unique prose intact):
+    * each document splits into consecutive `blockWords`-word blocks
+    * ([[Corpus.tokenChunks]] — with real paragraph breaks the splitter
+    * would be `split(text, "\n\n")`, a one-line swap), a block is kept
+    * iff it is the corpus-wide FIRST occurrence of its content
+    * (ordered by (doc_id, block_idx)), and each document is reassembled
+    * from its surviving blocks in order. Returns one row per document:
+    * (doc_id, n_blocks, n_kept, text_clean) — text_clean is '' when
+    * every block was someone else's copy.
+    *
+    * Scale shape: the keep decision rides a NARROW frame — the fp
+    * shuffle carries md5(block) + two ids, never block text; block text
+    * crosses exactly two exchanges (the keep semi-join and the
+    * per-document reassembly), each corpus-sized but never quadratic.
+    * Reassembly's collect_list is per-document (bounded by document
+    * length), not per-key-group of unbounded fan-in. */
+  def blockDedup(documents: DataFrame, blockWords: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = Corpus.tokenChunks(documents, blockWords)
+      .select(col("doc_id"), col("chunk_idx").as("block_idx"), col("chunk_text").as("btext"))
+    val keep = blocks
+      .select(col("doc_id"), col("block_idx"), md5(col("btext")).as("fp"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("block_idx"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("block_idx"))
+    val rebuilt = blocks.join(keep, Seq("doc_id", "block_idx"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("block_idx"), col("btext")))),
+          x => x.getField("btext")), " ").as("text_clean"))
+    documents
+      .select(col("doc_id"),
+        (floor((size(split(col("text"), " ")) - 1) / blockWords).cast("long") + 1L)
+          .as("n_blocks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Near-dup clustering — the decision step of a dedup pipeline
     * ("keep one document per duplicate cluster"): connected components
     * over the [[minhashPairs]] graph, cluster id = the component's

@@ -262,4 +262,27 @@ class AnnSpec extends SparkSpec {
     val b = Similarity.annTopK(emb).collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("int8Quantize: codes bounded, reconstruction within scale/254, zero vector safe") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+      .unionByName(Seq((424242L, Array.fill(4)(0.0f), 0))
+        .toDF("vec_id", "embedding", "label"))
+    val out = Similarity.int8Quantize(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getDouble(3)))
+    assert(out.length == emb.count())
+    out.foreach { case (id, scale, codes, maxErr) =>
+      val cs = codes.split(",").map(_.toLong)
+      assert(cs.forall(c => c >= -127 && c <= 127), s"vec $id codes out of range")
+      // symmetric quantization bound: half a step, plus rounding slack
+      assert(maxErr <= scale / 254.0 + 1e-6, s"vec $id err $maxErr > bound")
+      if (id == 424242L) {
+        assert(scale == 0.0 && cs.forall(_ == 0L) && maxErr == 0.0)
+      } else assert(scale > 0)
+    }
+    // the max-|component| element always quantizes to ±127 exactly
+    val emb1 = emb.filter($"vec_id" === 1L)
+    val row = Similarity.int8Quantize(emb1).collect()(0)
+    assert(row.getString(2).split(",").map(_.toLong.abs).max == 127L)
+  }
 }

@@ -198,6 +198,46 @@ class CorpusSpec extends SparkSpec {
     assert(prof.nonEmpty)
   }
 
+  test("decontaminate drops exactly the train docs sharing a 5-gram with eval") {
+    val shared = "alpha beta gamma delta epsilon" // one 5-gram
+    val train = Seq(
+      (1L, s"clean one two three four five six"),
+      (2L, s"prefix $shared suffix words here"), // contaminated
+      (3L, "short doc"), // < 5 words: no grams, never contaminated
+      (4L, s"other $shared more trailing words")) // contaminated
+      .toDF("doc_id", "text")
+    val eval_ = Seq((100L, s"eval context $shared eval tail")).toDF("doc_id", "text")
+    val kept = Corpus.decontaminate(train, eval_).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+    // all train columns survive (anti-join, not a projection)
+    assert(Corpus.decontaminate(train, eval_).columns.toSeq == Seq("doc_id", "text"))
+    // empty eval set: nothing drops
+    assert(Corpus.decontaminate(train, eval_.filter(col("doc_id") < 0)).count() == 4)
+  }
+
+  test("tokenBudget equals the greedy single-window model, boundary-exact") {
+    import graft.functions.TextAnalysis
+    val docs = Tables.documents(spark, sf0001)
+    val budget = 3000L
+    val out = Corpus.tokenBudget(docs, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    // brute-force model: sort by (4-dp quality desc, doc_id), prefix-sum
+    val ranked = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, q, _) => (-q, id) }
+    var cum = 0L
+    val expected = scala.collection.mutable.Map[Long, Long]()
+    ranked.foreach { case (id, _, n) =>
+      cum += n
+      if (cum <= budget) expected(id) = cum
+    }
+    assert(out == expected.toMap)
+    assert(out.nonEmpty && out.values.max <= budget)
+    intercept[IllegalArgumentException](Corpus.tokenBudget(docs, 0L))
+  }
+
   test("keepSet keeps only the min-id copy of a passing duplicate text") {
     // a text that passes every gate ("the" markers, diverse words, 100+
     // tokens), present twice — only the min doc_id survives

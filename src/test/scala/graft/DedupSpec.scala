@@ -243,6 +243,27 @@ class DedupSpec extends SparkSpec {
     assert(fromCodegen._2.keySet == Set(1L, 2L, 3L))
   }
 
+  test("blockDedup keeps the corpus-wide first occurrence of each block") {
+    // 20-word blocks: X and Z are whole blocks; Y is a ragged tail
+    val x = (1 to 20).map(i => s"x$i").mkString(" ")
+    val z = (1 to 20).map(i => s"z$i").mkString(" ")
+    val y = "tail words"
+    val df = docs(
+      (1L, s"$x $y"),       // doc 1: [X, Y]
+      (2L, s"$x $z"),       // doc 2: [X(dup of doc1), Z]
+      (3L, s"$x $x"),       // doc 3: both blocks are copies of doc 1's X
+      (4L, z))              // doc 4: [Z] — dup of doc 2's Z
+    val out = Dedup.blockDedup(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, s"$x $y")))  // first occurrence of X and Y
+    assert(out(2L) == ((2L, 1L, z)))         // X dropped, Z kept (first)
+    assert(out(3L) == ((2L, 0L, "")))        // wholly duplicate: empty
+    assert(out(4L) == ((1L, 0L, "")))        // Z already owned by doc 2
+    // reassembly preserves block order for multi-survivor docs
+    val multi = Dedup.blockDedup(docs((1L, s"$x $z $y"))).collect()(0)
+    assert(multi.getString(3) == s"$x $z $y")
+  }
+
   test("minhashPairs equals jaccardPairs on fixtures (LSH recall 1 at threshold)") {
     val texts = Seq(
       base,
