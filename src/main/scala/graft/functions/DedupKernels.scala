@@ -145,6 +145,44 @@ object DedupKernels {
     seen.size
   }
 
+  /** DISTINCT xxhash64 keys of the text's word n-grams in one pass —
+    * the join-key form of [[gramDistinctCountImpl]]'s byte-range grams,
+    * for gram-matching operators (contamination, decontamination) whose
+    * keys are internal: no gram strings are ever materialized, and the
+    * downstream shuffle carries 8-byte longs. */
+  def gramHashes(text: Column, n: Int): Column =
+    SqlBridge.column(GramHashes(SqlBridge.expression(text), n))
+
+  /** Values are bit-identical to `xxhash64(gram_string)` (Spark's
+    * default seed 42 over the same bytes — the gram IS a byte range of
+    * the text under the split/join identity), which DedupSpec pins.
+    * Shared by eval and codegen. */
+  def gramHashesImpl(base: AnyRef, off: Long, len: Int, n: Int): GenericArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val starts = new Array[Int](n) // last n word-start positions
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var wordIdx = 0
+    var wordStart = 0
+    var p = 0
+    while (p <= len) {
+      if (p == len || Platform.getByte(base, off + p) == ' ') {
+        starts(wordIdx % n) = wordStart // word wordIdx spans [wordStart, p)
+        if (wordIdx >= n - 1) {
+          val gs = starts((wordIdx - (n - 1)) % n)
+          seen.add(XXH64.hashUnsafeBytes(base, off + gs, p - gs, 42L))
+        }
+        wordStart = p + 1
+        wordIdx += 1
+      }
+      p += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** One-pass text → winnowing fingerprints: word n-gram BYTE RANGES
     * (same split/join identity as [[minhashTextInto]]) are md5-hashed
     * into a `w`-slot ring; each full window contributes its minimum
@@ -373,6 +411,38 @@ case class WinnowText(child: Expression, n: Int, w: Int) extends UnaryExpression
       s"""
          |${ev.value} = graft.functions.DedupKernels.winnowTextInto(
          |  $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), $n, $w);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused distinct-gram xxhash64 keys (see
+  * [[DedupKernels.gramHashesImpl]]). Equivalent composed form (what
+  * this replaces, and what DedupSpec compares against):
+  * {{{ array_distinct(transform(gramArray(text, n), g => xxhash64(g))) }}} */
+case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"gram width must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_hashes expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    DedupKernels.gramHashesImpl(s.getBaseObject, s.getBaseOffset, s.numBytes, n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |${ev.value} = graft.functions.DedupKernels.gramHashesImpl(
+         |  $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), $n);
        """.stripMargin
     })
 

@@ -265,20 +265,28 @@ object Corpus {
     * run: eval sets are fixed, training data is expendable).
     *
     * Scale shape mirrors [[contamination]] with the sides swapped: the
-    * eval side (small by construction) collapses to a DISTINCT md5-gram
-    * dictionary, the train side's grams semi-join against it (16-byte
-    * keys through the shuffle, never text), and the surviving doc_ids
-    * anti-join back — train text crosses one exchange, gram-matching
-    * never replicates it. */
+    * eval side (small by construction) collapses to a DISTINCT
+    * xxhash64-gram dictionary, the train side's grams semi-join against
+    * it (8-byte keys through the shuffle, never text), and the
+    * surviving doc_ids anti-join back — train text crosses one
+    * exchange, gram-matching never replicates it. */
   def decontaminate(trainDocs: DataFrame, evalDocs: DataFrame, n: Int = 5): DataFrame = {
-    val evalGrams = Dedup.shingles(evalDocs, n)
-      .select(md5(col("shingle")).as("g")).distinct()
-    val hitIds = Dedup.shingles(trainDocs, n)
-      .select(col("doc_id"), md5(col("shingle")).as("g"))
+    val evalGrams = gramKeys(evalDocs, n).select(col("g")).distinct()
+    val hitIds = gramKeys(trainDocs, n)
       .join(evalGrams, Seq("g"), "left_semi")
       .select(col("doc_id")).distinct()
     trainDocs.join(hitIds, Seq("doc_id"), "left_anti")
   }
+
+  /** (doc_id, g) distinct-gram xxhash64 keys through the fused one-pass
+    * [[graft.functions.DedupKernels.gramHashes]] kernel — no gram
+    * strings materialized, 8-byte keys into the shuffle (measured ~2x
+    * over explode-string-then-hash at sf0.1). Keys are internal to the
+    * gram-matching operators; collision odds are the 64-bit birthday
+    * bound (~1e-8 at a billion distinct grams). */
+  private def gramKeys(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.DedupKernels.gramHashes(col("text"), n)).as("g"))
 
   /** Quality-ranked selection under a global token budget — the final
     * cut of a corpus build ("train on the best N-token subset"): rank
@@ -333,13 +341,12 @@ object Corpus {
     *
     * Scale shape: the train side collapses to a DISTINCT gram
     * dictionary (corpus-proportional, not quadratic), both sides join
-    * on md5(gram) so the shuffle carries 16-byte keys, and the
-    * semi-join means train grams are never replicated per eval doc. */
+    * on the fused [[gramKeys]] xxhash64 keys (8 bytes through the
+    * shuffle, no gram strings materialized), and the semi-join means
+    * train grams are never replicated per eval doc. */
   def contamination(evalDocs: DataFrame, trainDocs: DataFrame, n: Int = 5): DataFrame = {
-    val trainGrams = Dedup.shingles(trainDocs, n)
-      .select(md5(col("shingle")).as("g")).distinct()
-    val evalGrams = Dedup.shingles(evalDocs, n)
-      .select(col("doc_id"), md5(col("shingle")).as("g"))
+    val trainGrams = gramKeys(trainDocs, n).select(col("g")).distinct()
+    val evalGrams = gramKeys(evalDocs, n)
     val totals = evalGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val hits = evalGrams.join(trainGrams, Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))

@@ -243,6 +243,39 @@ class DedupSpec extends SparkSpec {
     assert(fromCodegen._2.keySet == Set(1L, 2L, 3L))
   }
 
+  test("gramHashes kernel == distinct xxhash64 of the gram strings, hostile inputs") {
+    val texts = Seq(
+      "plain three word document here with several grams inside",
+      "double  space  inside gram text here",
+      " leading space five word gram",
+      "trailing five word gram text ",
+      "exactly five word gram text",
+      "naïve café résumé über emoji 🎉 mixed ascii utf8",
+      "a b c d", // fewer than n words
+      "repeat repeat repeat repeat repeat repeat repeat", // duplicate grams
+      "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def run(): Map[Long, Set[Long]] = df.select(col("doc_id"),
+        graft.functions.DedupKernels.gramHashes(col("text"), 5).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val fromKernel = run()
+    // composed form: distinct xxhash64 over the shingle strings (the
+    // kernel's byte ranges must hash identically — same bytes, seed 42)
+    val fromStrings = Dedup.shingles(df, 5)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+      .collect().groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    assert(fromKernel.filter(_._2.nonEmpty) == fromStrings)
+    assert(fromKernel(6L).isEmpty && fromKernel(8L).isEmpty) // short/empty: no grams
+    assert(fromKernel(7L).size == 1) // duplicates collapse
+    // codegen and interpreted paths agree
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      assert(run() == fromKernel)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("blockDedup keeps the corpus-wide first occurrence of each block") {
     // 20-word blocks: X and Z are whole blocks; Y is a ragged tail
     val x = (1 to 20).map(i => s"x$i").mkString(" ")
