@@ -104,6 +104,11 @@ object GraftFunctions {
       arity("graft_gram_distinct_count", args, 2)
       GramDistinctCount(args(0), intArg("graft_gram_distinct_count", args, 1))
     },
+    fn("graft_gram_hashes",
+      "graft_gram_hashes(text, n) - distinct xxhash64 keys of the word n-grams of text") { args =>
+      arity("graft_gram_hashes", args, 2)
+      GramHashes(args(0), intArg("graft_gram_hashes", args, 1))
+    },
   )
 
   /** Register every graft function on a live session (idempotent —

@@ -118,6 +118,14 @@ class GraftFunctionsSpec extends SparkSpec {
         DedupKernels.gramDistinctCount(col("text"), 3).as("k")))
   }
 
+  test("graft_gram_hashes ≡ DedupKernels.gramHashes") {
+    docsView
+    assertSameByKey(
+      "SELECT doc_id, graft_gram_hashes(text, 5) AS g FROM gf_docs",
+      registered.table("gf_docs").select(col("doc_id"),
+        DedupKernels.gramHashes(col("text"), 5).as("g")))
+  }
+
   /** All messages down an exception's cause chain — builder errors may
     * surface wrapped in an AnalysisException. */
   private def messages(t: Throwable): String =

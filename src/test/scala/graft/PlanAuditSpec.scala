@@ -262,6 +262,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("blockDedup: the keep decision shuffles hashes and ids, never block text") {
+    val p = plan(Dedup.blockDedup(Tables.documents(spark, dir)))
+    // the fp-keyed window exchange must be narrow: fingerprint + two ids
+    val fpExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(fp")).toSeq
+    assert(fpExchanges.nonEmpty, s"expected an fp-partitioned exchange:\n$p")
+    fpExchanges.foreach(e => assert(!e.contains("btext"),
+      s"the keep-decision exchange must not carry block text:\n$e"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tokenBudget: corpus windows bucket-partitioned, only bucket totals global") {
+    val p = plan(Corpus.tokenBudget(Tables.documents(spark, dir)))
+    assert(count(p, "Exchange SinglePartition") == 1,
+      s"expected exactly one SinglePartition exchange (quality-bucket totals):\n$p")
+    assert(p.contains("windowspecdefinition(qb"),
+      s"within-bucket cumsum lost its bucket partitioning:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bucket-prefix join not broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"bucket totals lost partial aggregation:\n$p")
+  }
+
+  test("decontaminate: gram exchanges carry 8-byte keys, never document text") {
+    val split = Corpus.hashSplit(Tables.documents(spark, dir))
+    val p = plan(Corpus.decontaminate(
+      split.filter(col("split") === "train"), split.filter(col("split") === "test")))
+    // gram-keyed exchanges (semi-join sides, distinct) must not carry
+    // text — at this sf the planner may broadcast instead of shuffle,
+    // so also check broadcast exchanges of gram frames stay narrow
+    p.linesIterator
+      .filter(l => l.contains("Exchange") && l.contains("g#"))
+      .foreach(e => assert(!e.contains("text#"),
+        s"a gram exchange carries document text:\n$e"))
+    assert(!p.contains("CartesianProduct"), p)
+    // the kernel shows up as a single per-row projection (no explode of
+    // gram STRINGS anywhere — only the long-array kernel output)
+    assert(p.contains("gram_hashes"), s"fused gram kernel missing from the plan:\n$p")
+  }
+
+  test("int8Quantize: pure per-row kernel, zero shuffles, one scan") {
+    val p = plan(Similarity.int8Quantize(Tables.embeddings(spark, dir)))
+    assert(!p.contains("Exchange"), s"quantization must be map-only:\n$p")
+    assert(count(p, "FileScan") == 1, s"one embeddings scan expected:\n$p")
+  }
+
   test("embedNearDup: drop-list flag join never re-shuffles the embedding payload") {
     val p = plan(Similarity.embedNearDup(Tables.embeddings(spark, dir)))
     // the final keep-flag join is id-keyed: no exchange may carry the
