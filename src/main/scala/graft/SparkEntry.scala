@@ -92,6 +92,9 @@ object SparkEntry {
     "q_orders_by_month" -> ((s, dir) => Relational.ordersByMonth(Tables.orders(s, dir))),
     "q_revenue_rollup" -> ((s, dir) => Relational.revenueRollup(Tables.orders(s, dir))),
     "q_price_quantiles" -> ((s, dir) => Relational.priceQuantiles(Tables.orders(s, dir))),
+    // window frames: trailing 7-day RANGE sum + running total over the
+    // daily revenue series
+    "q_moving_avg" -> ((s, dir) => Relational.revenueMovingAvg(Tables.orders(s, dir))),
     // ---- training-data pipeline: text analysis ----
     "t_text_stats" -> ((s, dir) =>
       graft.functions.TextAnalysis.stats(Tables.documents(s, dir))),
@@ -526,6 +529,20 @@ object SparkEntry {
         |       ROUND(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 0.9) + 1e-9, 2) AS p90,
         |       ROUND(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 0.99) + 1e-9, 2) AS p99
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // window frames over the daily series: DECIMAL-exact sums, RANGE
+    // frame on the integer day ordinal — identical on both engines
+    "q_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS o_day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev,
+        |         COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT *, CAST(o_day - DATE '1970-01-01' AS BIGINT) AS d FROM daily)
+        |SELECT strftime(o_day, '%Y-%m-%d') AS o_day, n_orders,
+        |       CAST(ROUND(rev, 2) AS DOUBLE) AS day_rev,
+        |       CAST(ROUND(SUM(rev) OVER (ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rev_trailing,
+        |       CAST(ROUND(SUM(rev) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS cum_rev
+        |FROM d""".stripMargin,
     "t_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |       len(string_split(text, ' ')) AS n_words,

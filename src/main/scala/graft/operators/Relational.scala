@@ -158,6 +158,38 @@ object Relational {
       .rollup(col("o_orderpriority"), year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_price"))
 
+  /** Trailing moving aggregates over the daily revenue series — the
+    * window-FRAME surface (RANGE k PRECEDING, ROWS UNBOUNDED
+    * PRECEDING): per order day, that day's revenue, the trailing
+    * `days`-day revenue (RANGE frame on the day ordinal, so calendar
+    * gaps shrink the window rather than reaching further back), and
+    * the running total. All sums are DECIMAL-exact ([[moneySum]]
+    * rationale) so every engine agrees bit-for-bit after the final
+    * 2-dp round.
+    *
+    * Scale shape: the raw orders aggregate to DAY grain first (partial
+    * agg + one date-keyed shuffle); the unpartitioned windows then run
+    * over the daily series, which is calendar-bounded (~2.4k rows per
+    * TPC-H decade) — the packStream bucket-totals argument. At a finer
+    * grain (hourly at 100 TB), swap in that two-level prefix scan. */
+  def revenueMovingAvg(orders: DataFrame, days: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(days > 0, s"days must be positive, got $days")
+    val daily = orders
+      .groupBy(col("o_orderdate").cast("date").as("o_day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("d", datediff(col("o_day"), lit("1970-01-01").cast("date")).cast("long"))
+    val trail = Window.orderBy(col("d")).rangeBetween(-(days - 1), 0)
+    val cum = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(
+      date_format(col("o_day"), "yyyy-MM-dd").as("o_day"),
+      col("n_orders"),
+      round(col("rev"), 2).cast("double").as("day_rev"),
+      round(sum(col("rev")).over(trail), 2).cast("double").as(s"rev_trailing"),
+      round(sum(col("rev")).over(cum), 2).cast("double").as("cum_rev"))
+  }
+
   /** Exact percentiles of order value per priority — distribution
     * profiling. Spark's `percentile` and the oracle's `quantile_cont`
     * both take the linear-interpolated exact percentile over the

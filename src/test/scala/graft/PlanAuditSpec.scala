@@ -300,6 +300,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("gram_hashes"), s"fused gram kernel missing from the plan:\n$p")
   }
 
+  test("revenueMovingAvg: RANGE frame shrinks at calendar gaps; windows run over day grain") {
+    import spark.implicits._
+    // three order days with a gap: 1970-01-01 (d=0), 01-02 (d=1), 01-10 (d=9):
+    // the 7-day trailing window at d=9 must NOT reach back across the gap
+    val orders = Seq(
+      ("1970-01-01 00:00:00", 10.0), ("1970-01-02 00:00:00", 20.0),
+      ("1970-01-02 00:00:00", 5.0), ("1970-01-10 00:00:00", 40.0))
+      .toDF("s", "o_totalprice")
+      .select(col("s").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+    val out = Relational.revenueMovingAvg(orders).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out("1970-01-01") == ((1L, 10.0, 10.0, 10.0)))
+    assert(out("1970-01-02") == ((2L, 25.0, 35.0, 35.0))) // trailing spans both days
+    assert(out("1970-01-10") == ((1L, 40.0, 40.0, 75.0))) // gap: trailing is the day alone
+    // the windows run over the DAILY aggregate: the partial agg on the
+    // day key sits below both window operators
+    val p = plan(Relational.revenueMovingAvg(Tables.orders(spark, dir)))
+    assert(p.contains("partial_sum"), s"day-grain pre-aggregation lost partial agg:\n$p")
+  }
+
   test("int8Quantize: pure per-row kernel, zero shuffles, one scan") {
     val p = plan(Similarity.int8Quantize(Tables.embeddings(spark, dir)))
     assert(!p.contains("Exchange"), s"quantization must be map-only:\n$p")
