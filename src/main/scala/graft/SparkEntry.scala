@@ -95,6 +95,10 @@ object SparkEntry {
     // window frames: trailing 7-day RANGE sum + running total over the
     // daily revenue series
     "q_moving_avg" -> ((s, dir) => Relational.revenueMovingAvg(Tables.orders(s, dir))),
+    // PIVOT: one order-count column per priority, per year
+    "q_pivot" -> ((s, dir) => Relational.ordersPivot(Tables.orders(s, dir))),
+    // ANSI set ops: INTERSECT / EXCEPT over per-year customer sets
+    "q_set_ops" -> ((s, dir) => Relational.customerYearSetOps(Tables.orders(s, dir))),
     // ---- training-data pipeline: text analysis ----
     "t_text_stats" -> ((s, dir) =>
       graft.functions.TextAnalysis.stats(Tables.documents(s, dir))),
@@ -543,6 +547,27 @@ object SparkEntry {
         |       CAST(ROUND(SUM(rev) OVER (ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rev_trailing,
         |       CAST(ROUND(SUM(rev) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS cum_rev
         |FROM d""".stripMargin,
+    // pivot: conditional aggregation — COUNT FILTER is 0 where Spark's
+    // pivot cell is NULL, normalized by the Spark-side coalesce
+    "q_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_not_specified,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+        |FROM orders GROUP BY 1""".stripMargin,
+    // set ops: INTERSECT/EXCEPT are distinct-semantics in both engines
+    "q_set_ops" ->
+      """SELECT o_custkey, 'both' AS set_op FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |UNION ALL
+        |SELECT o_custkey, 'first_only' AS set_op FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)""".stripMargin,
     "t_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |       len(string_split(text, ' ')) AS n_words,

@@ -190,6 +190,36 @@ object Relational {
       round(sum(col("rev")).over(cum), 2).cast("double").as("cum_rev"))
   }
 
+  /** PIVOT: per order year, one order-count column per priority —
+    * Spark expands an explicit-values pivot into a single conditional
+    * aggregation (one scan, one shuffle, partial agg intact — same
+    * plan class as the rollup). Values are pinned so the output schema
+    * is static; empty cells surface as 0 (a pivot cell with no rows is
+    * NULL, which the coalesce normalizes — engines agree COUNT FILTER
+    * is 0, pivot-null is Spark-side only). */
+  def ordersPivot(orders: DataFrame): DataFrame = {
+    val pris = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val names = Seq("n_urgent", "n_high", "n_medium", "n_not_specified", "n_low")
+    val p = orders
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .pivot("o_orderpriority", pris)
+      .agg(count(lit(1)))
+    p.select(col("o_year") +: pris.zip(names).map { case (v, n) =>
+      coalesce(col(s"`$v`"), lit(0L)).as(n) }: _*)
+  }
+
+  /** Set operations (ANSI INTERSECT / EXCEPT, both distinct-semantics
+    * in Spark and ANSI SQL): customers who ordered in BOTH years, and
+    * those who ordered in the first year ONLY, tagged in one frame.
+    * Both ops plan as distinct-aggregated joins (left-semi/left-anti
+    * over distinct inputs) — no cartesian, partial aggs intact. */
+  def customerYearSetOps(orders: DataFrame, y1: Int = 1995, y2: Int = 1996): DataFrame = {
+    def custs(y: Int) = orders.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey"))
+    custs(y1).intersect(custs(y2)).withColumn("set_op", lit("both"))
+      .unionByName(custs(y1).except(custs(y2)).withColumn("set_op", lit("first_only")))
+  }
+
   /** Exact percentiles of order value per priority — distribution
     * profiling. Spark's `percentile` and the oracle's `quantile_cont`
     * both take the linear-interpolated exact percentile over the
