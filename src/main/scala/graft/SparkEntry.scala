@@ -39,6 +39,8 @@ object SparkEntry {
     "q_latest_per_car" -> ((s, dir) => CarZone.latestCars(ev(s, dir))),
     "q_latest_per_zone" -> ((s, dir) => CarZone.latestZones(ev(s, dir))),
     "q_fk_join" -> ((s, dir) => CarZone.fkJoin(ev(s, dir))),
+    // FULL OUTER variant: unmatched cars and empty zones surface with nulls
+    "q_fk_join_outer" -> ((s, dir) => CarZone.fkJoinOuter(ev(s, dir))),
     "q_move_transitions" -> ((s, dir) => CarZone.moveTransitions(ev(s, dir))),
     "q_asof_join" -> ((s, dir) => CarZone.asofJoin(ev(s, dir))),
     "q_arrive_leave" -> ((s, dir) => CarZone.arriveLeave(ev(s, dir))),
@@ -266,6 +268,16 @@ object SparkEntry {
          |SELECT c.car_id, c.zone_id, c.fuel_level, z.pollution_level
          |FROM cars c JOIN latest_zones z USING (zone_id)
          |WHERE c.rn = 1 AND z.rn = 1""".stripMargin,
+    // full outer: both sides reduced to rn=1 BEFORE the join (an rn
+    // predicate after an outer join would drop the null-extended rows);
+    // USING(zone_id) coalesces the key on both engines (ANSI)
+    "q_fk_join_outer" ->
+      s"""WITH $carsCte,
+         |$zonesCte,
+         |lc AS (SELECT car_id, zone_id, fuel_level FROM cars WHERE rn = 1),
+         |lz AS (SELECT zone_id, pollution_level FROM latest_zones WHERE rn = 1)
+         |SELECT lc.car_id, zone_id, lc.fuel_level, lz.pollution_level
+         |FROM lc FULL OUTER JOIN lz USING (zone_id)""".stripMargin,
     "q_move_transitions" ->
       s"""WITH $movesCte
          |SELECT event_id, car_id, from_zone, to_zone, fuel_level FROM moves""".stripMargin,

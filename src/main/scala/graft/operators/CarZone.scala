@@ -80,6 +80,18 @@ object CarZone {
       .select(col("car_id"), col("zone_id"), col("fuel_level"), col("pollution_level"))
   }
 
+  /** FULL OUTER variant of [[fkJoin]]: cars whose zone has no reading
+    * yet AND zones with no cars both surface, with nulls on the missing
+    * side — the reconciliation view an operator dashboard wants (the
+    * reference's streaming design emits such cars only once the zone
+    * reading arrives; the batch outer join names them NOW). A full
+    * outer join cannot broadcast either side (unmatched build-side rows
+    * must emit), so both pre-aggregated key-cardinality sides shuffle —
+    * bounded by #cars + #zones, never the event volume. */
+  def fkJoinOuter(events: DataFrame): DataFrame =
+    latestCars(events).join(latestZones(events), Seq("zone_id"), "full_outer")
+      .select(col("car_id"), col("zone_id"), col("fuel_level"), col("pollution_level"))
+
   /** The per-car move fold (reference aggregate #6, DemoApp.scala:116-119,
     * 146): each car event paired with the car's previous zone.
     * Batch form: lag() over (partition by car order by arrival).
