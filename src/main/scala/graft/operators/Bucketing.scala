@@ -27,4 +27,17 @@ object Bucketing {
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
   }
+
+  /** Hive-style partitioned layout on a (low-cardinality) derived key —
+    * the at-rest form of partition PRUNING: a predicate on the
+    * partition column never opens non-matching files (the scan shows
+    * it under PartitionFilters, not PushedFilters — pruning happens at
+    * planning, before any I/O). The right key is a coarse, bounded
+    * dimension (date, region); partitioning on a high-cardinality key
+    * degenerates into millions of tiny files. BucketJoinSpec locks
+    * both the pruned file count and the PartitionFilters plan shape. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
 }

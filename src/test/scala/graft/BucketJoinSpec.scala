@@ -38,6 +38,27 @@ class BucketJoinSpec extends SparkSpec {
     }
   }
 
+  test("partitioned layout: a partition-column predicate prunes files at planning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val od = Tables.orders(spark, sf0001)
+      .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+    Bucketing.writePartitioned(od, dir, "o_year")
+    val years = od.select(col("o_year")).distinct().count()
+    assert(years > 1, "fixture needs multiple partitions")
+    val rd = spark.read.parquet(dir).filter(col("o_year") === 1995)
+    val p = rd.queryExecution.executedPlan.toString
+    // pruning is a PLANNING-time decision on the partition column —
+    // distinct from row-group PushedFilters
+    assert(p.contains("PartitionFilters: [") && p.contains("(o_year"),
+      s"partition predicate not under PartitionFilters:\n$p")
+    // only the matching partition's files are read
+    assert(rd.select(input_file_name()).distinct().collect()
+      .forall(_.getString(0).contains("o_year=1995")))
+    // and the values are right
+    assert(rd.count() ==
+      od.filter(col("o_year") === 1995).count() && rd.count() > 0)
+  }
+
   test("aggregation on the bucket key needs no exchange either") {
     val od = Tables.orders(spark, sf0001).select(col("o_orderkey"), col("o_totalprice"))
     Bucketing.writeBucketed(od, "graft_od_bucketed_agg", "o_orderkey", 4)
