@@ -52,26 +52,34 @@ object Relational {
         count(lit(1)).as("count_order"))
 
   /** TPC-H Q3-style: 3-way join + agg + deterministic top-10.
-    * customer is the small side of its join (broadcast); the
-    * orders⋈lineitem join shuffles on the orderkey both sides already
-    * need for the aggregation — one exchange serves both. */
+    * customer carries NO broadcast hint: it is SF-proportional
+    * (150k rows × SF — a hint is unconditional, and at 100 TB it would
+    * OOM the driver); the planner/AQE broadcasts it while it fits under
+    * autoBroadcastJoinThreshold and shuffles past that — both correct.
+    * The orders⋈lineitem join shuffles on the orderkey both sides
+    * already need for the aggregation — one exchange serves both. */
   def topUrgentOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer.filter(col("c_mktsegment") === "BUILDING")),
+      .join(customer.filter(col("c_mktsegment") === "BUILDING"),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
 
-  /** TPC-H Q5-style: snowflake join through two broadcast dims + agg. */
+  /** TPC-H Q5-style snowflake join + agg. nation (25 rows) and region
+    * (5 rows) are FIXED-cardinality dimensions at every scale factor —
+    * unconditional broadcast hints are safe there and only there.
+    * customer is SF-proportional, so it gets no hint (see
+    * [[topUrgentOrders]]): the planner broadcasts it while small and
+    * shuffles at scale. */
   def revenueByNation(
       customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
       nation: DataFrame, region: DataFrame): DataFrame =
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region.filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
