@@ -99,6 +99,9 @@ object SparkEntry {
     "q_moving_avg" -> ((s, dir) => Relational.revenueMovingAvg(Tables.orders(s, dir))),
     // PIVOT: one order-count column per priority, per year
     "q_pivot" -> ((s, dir) => Relational.ordersPivot(Tables.orders(s, dir))),
+    // correlated scalar-agg subquery (Catalyst decorrelation)
+    "q_small_qty_outliers" -> ((s, dir) =>
+      Relational.smallQuantityOutliers(Tables.lineitem(s, dir))),
     // ANSI set ops: INTERSECT / EXCEPT over per-year customer sets
     "q_set_ops" -> ((s, dir) => Relational.customerYearSetOps(Tables.orders(s, dir))),
     // ---- training-data pipeline: text analysis ----
@@ -569,6 +572,18 @@ object SparkEntry {
         |       COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_not_specified,
         |       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
         |FROM orders GROUP BY 1""".stripMargin,
+    // correlated scalar-agg subquery: quantities are integer-valued
+    // doubles, so the inner avg's sum is order-exact on both engines
+    // and the boundary compare is deterministic
+    "q_small_qty_outliers" ->
+      """SELECT l_partkey,
+        |       COUNT(*) AS n_lines,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_partkey""".stripMargin,
     // set ops: INTERSECT/EXCEPT are distinct-semantics in both engines
     "q_set_ops" ->
       """SELECT o_custkey, 'both' AS set_op FROM (

@@ -198,6 +198,29 @@ object Relational {
       round(sum(col("rev")).over(cum), 2).cast("double").as("cum_rev"))
   }
 
+  /** TPC-H Q17-shaped correlated SCALAR-aggregate subquery, written as
+    * SQL on purpose: the per-row `(SELECT avg(..) WHERE same part)`
+    * is exactly the shape Catalyst's subquery DECORRELATION must
+    * rewrite into one per-part aggregate joined back — the rewrite the
+    * reference has no optimizer to perform (SURVEY §4). A naive
+    * engine re-runs the inner aggregate per outer row (quadratic);
+    * PlanAuditSpec locks the decorrelated form: one aggregate, one
+    * equi-join, no per-row subquery execution. Returns per-part counts
+    * and DECIMAL-exact revenue of below-half-average-quantity lines. */
+  def smallQuantityOutliers(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    lineitem.createOrReplaceTempView("graft_q17_lineitem")
+    spark.sql("""
+      SELECT l_partkey,
+             COUNT(*) AS n_lines,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      FROM graft_q17_lineitem l1
+      WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+                          FROM graft_q17_lineitem l2
+                          WHERE l2.l_partkey = l1.l_partkey)
+      GROUP BY l_partkey""")
+  }
+
   /** PIVOT: per order year, one order-count column per priority —
     * Spark expands an explicit-values pivot into a single conditional
     * aggregation (one scan, one shuffle, partial agg intact — same

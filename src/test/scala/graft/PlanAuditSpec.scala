@@ -300,6 +300,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("gram_hashes"), s"fused gram kernel missing from the plan:\n$p")
   }
 
+  test("smallQuantityOutliers: correlated scalar subquery is DECORRELATED") {
+    val p = plan(Relational.smallQuantityOutliers(Tables.lineitem(spark, dir)))
+    // the per-part average must run as ONE aggregate joined back, never
+    // a per-row subquery (no re-execution node, no cartesian)
+    assert(!p.contains("Subquery") && !p.contains("CartesianProduct"),
+      s"correlated subquery was not decorrelated:\n$p")
+    assert(p.contains("partial_avg") || p.contains("avg("),
+      s"expected the decorrelated per-part aggregate:\n$p")
+    assert(count(p, "FileScan") == 2,
+      s"expected exactly two scans (outer + decorrelated agg input):\n$p")
+  }
+
   test("revenueMovingAvg: RANGE frame shrinks at calendar gaps; windows run over day grain") {
     import spark.implicits._
     // three order days with a gap: 1970-01-01 (d=0), 01-02 (d=1), 01-10 (d=9):
