@@ -177,6 +177,8 @@ object SparkEntry {
     "c_pack_stream" -> ((s, dir) => Corpus.packStream(Tables.documents(s, dir))),
     "c_source_profile" -> ((s, dir) => Corpus.sourceProfile(Tables.documents(s, dir))),
     "c_source_mix" -> ((s, dir) => Corpus.sourceMix(Tables.documents(s, dir))),
+    // deterministic corpus shuffle: global training order by id hash
+    "c_shuffle_order" -> ((s, dir) => Corpus.shuffleOrder(Tables.documents(s, dir))),
     "t_unigram_logprob" -> ((s, dir) =>
       graft.functions.TextAnalysis.unigramLogProb(Tables.documents(s, dir))),
     "t_pii_scrub" -> ((s, dir) =>
@@ -913,6 +915,14 @@ object SparkEntry {
         |      FROM c CROSS JOIN m)
         |SELECT d.doc_id, d.source FROM documents d JOIN t USING (source)
         |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8) AS UBIGINT) % 10000 < thr""".stripMargin,
+    // deterministic shuffle: the oracle's single global ROW_NUMBER over
+    // the md5-hash order equals the Spark side's two-level (hash-prefix-
+    // bucketed) rank — hex strings compare bytewise identically in both
+    "c_shuffle_order" ->
+      """SELECT doc_id,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |            AS BIGINT) AS shuffle_rank
+        |FROM documents""".stripMargin,
     // unigram-LM scoring: per-WORD log-probs rounded to 9 dp and cast
     // to DECIMAL(18,9) on both engines, so the per-doc sums are exact
     // decimal arithmetic in any order (a raw double ln() sum would be

@@ -332,6 +332,37 @@ object Corpus {
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Deterministic corpus shuffle — the global training ORDER a data
+    * build ships to the trainer: rank every document by the md5 hash of
+    * its id (uniform, engine-portable, stable across runs — re-shuffling
+    * never reorders an epoch) with doc_id as the total-order tiebreak.
+    * Returns (doc_id, shuffle_rank), rank ∈ [0, N).
+    *
+    * The global rank is the [[packStream]] two-level prefix scan on the
+    * hash ordering: documents bucket by their top-16-bit hash prefix
+    * (65,536 buckets, data-independent), within-bucket ranks come from
+    * a window PARTITIONED by bucket (hash order within a bucket is
+    * global hash order — the prefix is the high bits), bucket offsets
+    * from one window over bucket COUNTS. No corpus-wide
+    * single-partition window at any scale. */
+  def shuffleOrder(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents.select(col("doc_id"),
+      md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("hb", conv(substring(col("h"), 1, 4), 16, 10).cast("long"))
+    val within = d.withColumn("rank_in_bucket",
+      row_number().over(Window.partitionBy(col("hb")).orderBy(col("h"), col("doc_id"))))
+    val offsets = d.groupBy(col("hb")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("hb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("hb"), col("offset"))
+    within.join(broadcast(offsets), "hb")
+      .select(col("doc_id"),
+        (col("offset") + col("rank_in_bucket") - 1L).as("shuffle_rank"))
+  }
+
   /** Train/eval contamination check: for each eval document, how many
     * of its distinct word n-grams appear in ANY training document — a
     * standard pre-training hygiene step (eval benchmarks leaking into

@@ -238,6 +238,26 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](Corpus.tokenBudget(docs, 0L))
   }
 
+  test("shuffleOrder: stable permutation equal to the global hash-order model") {
+    val docsDf = Tables.documents(spark, sf0001)
+    val out = Corpus.shuffleOrder(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = docsDf.count()
+    // a permutation: every rank 0..N-1 exactly once
+    assert(out.length == n)
+    assert(out.map(_._2).sorted.toSeq == (0L until n))
+    // equals the single-global-sort model (the bucketed decomposition
+    // must not perturb the order)
+    val model = docsDf.select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, h) => (h, id) }
+      .zipWithIndex.map { case ((id, _), i) => (id, i.toLong) }.toMap
+    assert(out.toMap == model)
+    // stable across runs
+    assert(Corpus.shuffleOrder(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap == out.toMap)
+  }
+
   test("keepSet keeps only the min-id copy of a passing duplicate text") {
     // a text that passes every gate ("the" markers, diverse words, 100+
     // tokens), present twice — only the min doc_id survives
