@@ -181,6 +181,9 @@ object SparkEntry {
     "c_shuffle_order" -> ((s, dir) => Corpus.shuffleOrder(Tables.documents(s, dir))),
     "t_unigram_logprob" -> ((s, dir) =>
       graft.functions.TextAnalysis.unigramLogProb(Tables.documents(s, dir))),
+    // interpolated bigram LM (perplexity-filter shape)
+    "t_bigram_logprob" -> ((s, dir) =>
+      graft.functions.TextAnalysis.bigramLogProb(Tables.documents(s, dir))),
     "t_pii_scrub" -> ((s, dir) =>
       graft.functions.TextAnalysis.piiScrub(Tables.documents(s, dir))),
     "t_contamination" -> ((s, dir) => {
@@ -915,6 +918,33 @@ object SparkEntry {
         |      FROM c CROSS JOIN m)
         |SELECT d.doc_id, d.source FROM documents d JOIN t USING (source)
         |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8) AS UBIGINT) % 10000 < thr""".stripMargin,
+    // interpolated bigram LM: same DECIMAL(18,9) per-distinct-key
+    // rounding as the unigram oracle; interpolation weights are
+    // explicit double literals on both sides (1 - 0.7 is NOT 0.3 in
+    // IEEE doubles)
+    "t_bigram_logprob" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, unnest([w[i+1] || ' ' || w[i+2]
+        |                              for i in generate_series(0, len(w) - 2)]) AS bg
+        |       FROM w WHERE len(w) >= 2),
+        |bgc AS (SELECT bg, COUNT(*) AS bg_cnt FROM bg GROUP BY bg),
+        |ctx AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(bg_cnt) AS ctx_cnt
+        |        FROM bgc GROUP BY 1),
+        |tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |uni AS (SELECT tok, COUNT(*) AS u_cnt FROM tok GROUP BY tok),
+        |tot AS (SELECT COUNT(*) AS n_total FROM tok),
+        |lp AS (SELECT bgc.bg,
+        |              CAST(ROUND(ln(CAST(0.7 AS DOUBLE) * (bg_cnt / CAST(ctx_cnt AS DOUBLE))
+        |                          + CAST(0.3 AS DOUBLE) * (u_cnt / CAST(n_total AS DOUBLE)))
+        |                         + 1e-12, 9) AS DECIMAL(18,9)) AS logp
+        |       FROM bgc
+        |       JOIN ctx ON ctx.w1 = string_split(bgc.bg, ' ')[1]
+        |       JOIN uni ON uni.tok = string_split(bgc.bg, ' ')[2]
+        |       CROSS JOIN tot)
+        |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       ROUND(CAST(SUM(lp.logp) AS DOUBLE) / COUNT(*) + 1e-12, 4) AS avg_logp
+        |FROM bg b JOIN lp ON lp.bg = b.bg
+        |GROUP BY b.doc_id""".stripMargin,
     // deterministic shuffle: the oracle's single global ROW_NUMBER over
     // the md5-hash order equals the Spark side's two-level (hash-prefix-
     // bucketed) rank — hex strings compare bytewise identically in both

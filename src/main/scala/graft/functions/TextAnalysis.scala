@@ -164,6 +164,50 @@ object TextAnalysis {
         r4(col("slp").cast("double") / col("n_tokens")).as("avg_logp"))
   }
 
+  /** Mean bigram log-probability per document under an INTERPOLATED
+    * bigram LM trained on the corpus itself — the perplexity-filter
+    * shape of the published corpus-cleaning recipes (one model level
+    * up from [[unigramLogProb]]): P(w2|w1) = wB·count(w1 w2)/count(w1·)
+    * + wU·count(w2)/total. Documents shorter than two words have no
+    * bigrams and emit no row.
+    *
+    * `wB`/`wU` are BOTH explicit (never derived as 1−λ: the IEEE
+    * double of `1 - 0.7` is 0.30000000000000004, which would diverge
+    * from an oracle literal 0.3). Cross-engine parity mirrors
+    * [[unigramLogProb]]: per-distinct-bigram log-probs round to 9 dp
+    * into DECIMAL(18,9) so per-doc sums are order-exact; the counts
+    * and divisions are exact-integer-to-double, identical everywhere.
+    *
+    * Scale shape: two model tables (distinct bigrams, contexts), both
+    * corpus-vocabulary-proportional, partial-aggregated; the per-doc
+    * sum joins positions to the model by bigram key — the only
+    * corpus-sized shuffles carry (doc_id, bigram) pairs, never text. */
+  def bigramLogProb(documents: DataFrame,
+                    wB: Double = 0.7, wU: Double = 0.3): DataFrame = {
+    require(wB > 0 && wU > 0, s"interpolation weights must be positive ($wB, $wU)")
+    val bg = documents.select(col("doc_id"),
+      explode(gramArray(col("text"), 2)).as("bg"))
+    val bgCount = bg.groupBy(col("bg")).agg(count(lit(1)).as("bg_cnt"))
+    val ctxCount = bgCount
+      .groupBy(split(col("bg"), " ")(0).as("w1")).agg(sum(col("bg_cnt")).as("ctx_cnt"))
+    val toks = documents.select(explode(tokens(col("text"))).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("u_cnt"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val logp = bgCount
+      .join(ctxCount, split(col("bg"), " ")(0) === col("w1"))
+      .join(uni, split(col("bg"), " ")(1) === col("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("bg"),
+        round(log(lit(wB) * (col("bg_cnt") / col("ctx_cnt"))
+            + lit(wU) * (col("u_cnt") / col("n_total"))) + lit(1e-12), 9)
+          .cast("decimal(18,9)").as("logp"))
+    bg.join(logp, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r4(col("slp").cast("double") / col("n_bigrams")).as("avg_logp"))
+  }
+
   /** Per-document shape statistics. */
   def stats(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))

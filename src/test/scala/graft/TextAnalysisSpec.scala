@@ -161,6 +161,32 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     assert(scored(0L) > scored(1L) && scored(1L) > scored(2L))
   }
 
+  test("bigramLogProb: hand-computed interpolated model, common bigrams outscore rare") {
+    // corpus bigrams: "a b" x2, "b a" x1, "b c" x1; contexts: a->2, b->2
+    // tokens: a->2, b->3, c->1 of 6
+    val df = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    def lp(pb: Double, pu: Double): BigDecimal =
+      BigDecimal(math.log(0.7 * pb + 0.3 * pu) + 1e-12)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r4(x: Double): Double =
+      BigDecimal(x + 1e-12).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ab = lp(2.0 / 2.0, 3.0 / 6.0) // "a b": ctx a=2, uni b=3/6
+    val ba = lp(1.0 / 2.0, 2.0 / 6.0) // "b a": ctx b=2, uni a=2/6
+    val bc = lp(1.0 / 2.0, 1.0 / 6.0) // "b c": ctx b=2, uni c=1/6
+    val exp = Map(
+      1L -> (3L, r4(((ab * 2 + ba) / 3).toDouble)),
+      2L -> (1L, r4(bc.toDouble)))
+    val out = TextAnalysis.bigramLogProb(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == exp)
+    // single-word docs emit no row; common-bigram docs outscore rare
+    val corpus = Seq("x y x y x y x y", "x y z w", "z").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val scored = TextAnalysis.bigramLogProb(corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored.keySet == Set(0L, 1L) && scored(0L) > scored(1L))
+  }
+
   test("winnow kernel: codegen and interpreted paths agree") {
     val docs = Tables.documents(spark, sf0001).limit(50)
     val fromCodegen = rows(TextAnalysis.winnowFingerprint(docs))
