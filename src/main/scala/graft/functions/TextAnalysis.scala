@@ -185,23 +185,32 @@ object TextAnalysis {
   def bigramLogProb(documents: DataFrame,
                     wB: Double = 0.7, wU: Double = 0.3): DataFrame = {
     require(wB > 0 && wU > 0, s"interpolation weights must be positive ($wB, $wU)")
+    // every model join is keyed by xxhash64 of the gram/word (8-byte
+    // longs through the shuffles instead of the strings — internal
+    // keys, the gramKeys collision argument); the bigram STRING leaves
+    // the map side only once, inside the vocabulary-sized bgCount,
+    // where its words are split out exactly once per DISTINCT bigram
     val bg = documents.select(col("doc_id"),
       explode(gramArray(col("text"), 2)).as("bg"))
-    val bgCount = bg.groupBy(col("bg")).agg(count(lit(1)).as("bg_cnt"))
-    val ctxCount = bgCount
-      .groupBy(split(col("bg"), " ")(0).as("w1")).agg(sum(col("bg_cnt")).as("ctx_cnt"))
+      .select(col("doc_id"), xxhash64(col("bg")).as("g"), col("bg"))
+    val bgCount = bg.groupBy(col("g"))
+      .agg(count(lit(1)).as("bg_cnt"), first(col("bg")).as("bg"))
+      .select(col("g"), col("bg_cnt"),
+        xxhash64(split(col("bg"), " ")(0)).as("h1"),
+        xxhash64(split(col("bg"), " ")(1)).as("h2"))
+    val ctxCount = bgCount.groupBy(col("h1")).agg(sum(col("bg_cnt")).as("ctx_cnt"))
     val toks = documents.select(explode(tokens(col("text"))).as("tok"))
-    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("u_cnt"))
+    val uni = toks.groupBy(xxhash64(col("tok")).as("ht")).agg(count(lit(1)).as("u_cnt"))
     val total = toks.agg(count(lit(1)).as("n_total"))
     val logp = bgCount
-      .join(ctxCount, split(col("bg"), " ")(0) === col("w1"))
-      .join(uni, split(col("bg"), " ")(1) === col("tok"))
+      .join(ctxCount, "h1")
+      .join(uni, col("h2") === col("ht"))
       .crossJoin(broadcast(total))
-      .select(col("bg"),
+      .select(col("g"),
         round(log(lit(wB) * (col("bg_cnt") / col("ctx_cnt"))
             + lit(wU) * (col("u_cnt") / col("n_total"))) + lit(1e-12), 9)
           .cast("decimal(18,9)").as("logp"))
-    bg.join(logp, "bg")
+    bg.select(col("doc_id"), col("g")).join(logp, "g")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("slp"))
       .select(col("doc_id"), col("n_bigrams"),
