@@ -35,9 +35,12 @@ object Bench {
     // consumer starts (reference README.md:12-26) — staging is transport,
     // and all replays share one immutable staging per input anyway, so
     // warming it only moves the one-time cost off the first streaming
-    // query's measurement
-    try graft.streaming.StreamRunner.prestage(spark, Tables.events(spark, sfDir))
-    catch { case _: Throwable => () }
+    // query's measurement. Skipped when SPARK_GRAFT_ONLY selects a
+    // batch-only subset (an iteration run shouldn't pay staging at all).
+    val only0 = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    if (only0.forall(_.exists(_.startsWith("s_stream"))))
+      try graft.streaming.StreamRunner.prestage(spark, Tables.events(spark, sfDir))
+      catch { case _: Throwable => () }
 
     // SPARK_GRAFT_ONLY=q1,q2 benches a subset (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

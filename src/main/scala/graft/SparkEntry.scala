@@ -1010,8 +1010,10 @@ object SparkEntry {
         |            WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < 95 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM documents""".stripMargin,
-    // contamination: same split, same distinct word-5-grams per doc
-    // (the Spark side joins on md5(gram), which counts identically)
+    // contamination: same split, same distinct word-5-grams per doc.
+    // The Spark side joins on the fused gramHashes xxhash64 keys —
+    // per-doc-distinct hashes count identically to the oracle's
+    // distinct gram strings (64-bit birthday bound, ~1e-8 at 1e9 grams)
     "t_contamination" -> contaminationOracle,
     // decontamination: training docs (bucket < 90) with NO distinct
     // 5-gram in the test split (bucket >= 95) — same gram construction

@@ -234,25 +234,15 @@ object Corpus {
     * arithmetic is integer — exact on any engine. */
   def packStream(documents: DataFrame, contextLen: Int = 512,
                  bucketWidth: Long = 1024L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(contextLen > 0, s"contextLen must be positive, got $contextLen")
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     val d = documents.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
       expr(s"doc_id div $bucketWidth").as("bucket"))
-    val withinCum = d.withColumn("cum_in_bucket",
-      sum(col("n_tokens")).over(
-        Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val bucketPrefix = d.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("tot"))
-      .withColumn("bucket_prefix",
-        coalesce(sum(col("tot")).over(
-          Window.orderBy(col("bucket"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bucket"), col("bucket_prefix"))
-    withinCum.join(broadcast(bucketPrefix), "bucket")
-      .withColumn("tok_offset",
-        col("bucket_prefix") + col("cum_in_bucket") - col("n_tokens"))
+    twoLevelPrefixSum(d, Seq("bucket"),
+        bucketOrder = Seq(col("bucket")), withinOrder = Seq(col("doc_id")),
+        value = col("n_tokens"), out = "cum")
+      .withColumn("tok_offset", col("cum") - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
         expr(s"tok_offset div $contextLen").as("first_bin"),
         expr(s"(tok_offset + n_tokens - 1) div $contextLen").as("last_bin"))
@@ -297,39 +287,68 @@ object Corpus {
     * engine-exact. Returns the kept documents:
     * (doc_id, quality, n_tokens, cum_tokens).
     *
-    * The global running sum is the [[packStream]] two-level prefix
-    * scan transposed onto the quality ordering: documents bucket by
-    * their quantized quality (10k buckets — bounded, data-independent),
-    * the within-bucket cumulative sum is a window PARTITIONED by bucket
-    * (parallel across buckets, ordered by doc_id — ids within one
-    * 1/10000-quality band are rank order), and bucket totals get their
-    * own quality-descending running sum (one window over ≤10k rows)
-    * broadcast back. No corpus-wide single-partition window at any
-    * point; all comparisons are integer/4-dp-exact. */
-  def tokenBudget(documents: DataFrame, budgetTokens: Long = 10000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    * The global running sum is [[twoLevelPrefixSum]] on the quality
+    * ordering, with (quantized quality × constant-width doc_id range)
+    * composite buckets — see the inline comment for why quality alone
+    * (data-dependent, clustering) is not a safe partition key. No
+    * corpus-wide single-partition window at any point; all comparisons
+    * are integer/4-dp-exact. */
+  def tokenBudget(documents: DataFrame, budgetTokens: Long = 10000L,
+                  subBucketWidth: Long = 1024L): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(subBucketWidth > 0, s"subBucketWidth must be positive, got $subBucketWidth")
     import graft.functions.TextAnalysis.qualityCol
     val d = documents.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
       qualityCol(col("text")).as("quality"))
-      // quantized quality IS the bucket: 4-dp rounding makes it an exact
-      // integer in [0, 10000] on both engines
+      // quantized quality is the PRIMARY bucket (4-dp rounding makes it
+      // an exact integer in [0, 10000] on both engines) — but quality
+      // is DATA-DEPENDENT and a real corpus clusters on few values (the
+      // length term saturates at 1.0), so each quality value is further
+      // sub-bucketed by constant-width doc_id ranges: the within-bucket
+      // window stays bounded even if the whole corpus shares one
+      // quality. Sub-buckets in doc_id order preserve the (quality
+      // DESC, doc_id) global order exactly.
       .withColumn("qb", round(col("quality") * 10000).cast("long"))
-    val withinCum = d.withColumn("cum_in_bucket",
-      sum(col("n_tokens")).over(
-        Window.partitionBy(col("qb")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val bucketPrefix = d.groupBy(col("qb")).agg(sum(col("n_tokens")).as("tot"))
-      .withColumn("bucket_prefix",
-        coalesce(sum(col("tot")).over(
-          Window.orderBy(col("qb").desc)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("qb"), col("bucket_prefix"))
-    withinCum.join(broadcast(bucketPrefix), "qb")
-      .withColumn("cum_tokens", col("bucket_prefix") + col("cum_in_bucket"))
+      .withColumn("sb", expr(s"doc_id div $subBucketWidth"))
+    twoLevelPrefixSum(d, Seq("qb", "sb"),
+        bucketOrder = Seq(col("qb").desc, col("sb")),
+        withinOrder = Seq(col("doc_id")),
+        value = col("n_tokens"), out = "cum_tokens")
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** The distributed TWO-LEVEL prefix scan shared by [[packStream]],
+    * [[tokenBudget]] and [[shuffleOrder]]: an inclusive running sum of
+    * `value` over the global order (bucketOrder, withinOrder), without
+    * a corpus-wide single-partition window. The within-bucket running
+    * sum is a window PARTITIONED by `partCols` (parallel across
+    * buckets); bucket TOTALS — one row per bucket — get their own
+    * running sum in `bucketOrder` (the only single-partition window,
+    * over the bucket-count-sized frame) and broadcast-join back.
+    * Callers must pick buckets whose count is bounded (constant-width
+    * id ranges, fixed hash prefixes, quantized values × id ranges) so
+    * the totals frame never scales with the corpus; at a scale where
+    * even that overflows, recurse the construction once more. */
+  private[graft] def twoLevelPrefixSum(
+      df: DataFrame, partCols: Seq[String], bucketOrder: Seq[org.apache.spark.sql.Column],
+      withinOrder: Seq[org.apache.spark.sql.Column],
+      value: org.apache.spark.sql.Column, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val within = df.withColumn("__cum_in_bucket",
+      sum(value).over(
+        Window.partitionBy(partCols.map(col): _*).orderBy(withinOrder: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = df.groupBy(partCols.map(col): _*).agg(sum(value).as("__tot"))
+      .withColumn("__prefix",
+        coalesce(sum(col("__tot")).over(
+          Window.orderBy(bucketOrder: _*)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(partCols.map(col) :+ col("__prefix"): _*)
+    within.join(broadcast(totals), partCols)
+      .withColumn(out, col("__prefix") + col("__cum_in_bucket"))
+      .drop("__cum_in_bucket", "__prefix")
   }
 
   /** Deterministic corpus shuffle — the global training ORDER a data
@@ -346,21 +365,14 @@ object Corpus {
     * from one window over bucket COUNTS. No corpus-wide
     * single-partition window at any scale. */
   def shuffleOrder(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = documents.select(col("doc_id"),
       md5(col("doc_id").cast("string")).as("h"))
       .withColumn("hb", conv(substring(col("h"), 1, 4), 16, 10).cast("long"))
-    val within = d.withColumn("rank_in_bucket",
-      row_number().over(Window.partitionBy(col("hb")).orderBy(col("h"), col("doc_id"))))
-    val offsets = d.groupBy(col("hb")).agg(count(lit(1)).as("cnt"))
-      .withColumn("offset",
-        coalesce(sum(col("cnt")).over(
-          Window.orderBy(col("hb"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("hb"), col("offset"))
-    within.join(broadcast(offsets), "hb")
-      .select(col("doc_id"),
-        (col("offset") + col("rank_in_bucket") - 1L).as("shuffle_rank"))
+    // rank = inclusive running COUNT over the (hash, id) order − 1
+    twoLevelPrefixSum(d, Seq("hb"),
+        bucketOrder = Seq(col("hb")), withinOrder = Seq(col("h"), col("doc_id")),
+        value = lit(1L), out = "cum")
+      .select(col("doc_id"), (col("cum") - 1L).as("shuffle_rank"))
   }
 
   /** Train/eval contamination check: for each eval document, how many

@@ -388,20 +388,22 @@ object Dedup {
                                          forceDistributed: Boolean = false): DataFrame = {
     val caller = edges0.sparkSession
     val edgesCk = edges0.localCheckpoint()
+    val edgeCount = edgesCk.count()
     val graphParts = math.max(1L, math.min(
       caller.conf.get("spark.sql.shuffle.partitions").toInt.toLong,
-      edgesCk.count() / 1000000L + 1L)).toInt
-    // Fast path: when the materialized pair graph fits ONE partition
-    // (the common case — edges are duplicate-density-proportional, and
-    // the width formula above only fans out past 1M edges), a single
+      edgeCount / 1000000L + 1L)).toInt
+    // Fast path: when the materialized pair graph is SMALL (the common
+    // case — edges are duplicate-density-proportional), a single
     // executor task runs classic union-find over the edge list: one job
     // instead of ~4 jobs × O(log diameter) rounds of the distributed
     // loop (measured 3-4 s of pure job-scheduling overhead on a
-    // hundreds-of-edges graph). Same contract: label = component min.
-    // The distributed loop below remains the scale path and is what a
-    // >1M-edge graph gets; CarZoneProps pins both paths to a
-    // brute-force union-find model, and DedupSpec pins fast == loop.
-    if (graphParts == 1 && !forceDistributed) {
+    // hundreds-of-edges graph). Gated on the EDGE COUNT, not on
+    // graphParts: a session running with shuffle.partitions=1 must not
+    // route an arbitrarily large graph into one in-heap map. Same
+    // contract: label = component min. The distributed loop below
+    // remains the >1M-edge scale path; CarZoneProps pins both paths to
+    // a brute-force union-find model.
+    if (edgeCount < 1000000L && !forceDistributed) {
       import org.apache.spark.sql.Encoders
       implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
       return edgesCk.select(col("doc_a").cast("long"), col("doc_b").cast("long"))

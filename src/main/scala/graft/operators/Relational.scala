@@ -209,17 +209,25 @@ object Relational {
     * and DECIMAL-exact revenue of below-half-average-quantity lines. */
   def smallQuantityOutliers(lineitem: DataFrame): DataFrame = {
     val spark = lineitem.sparkSession
-    lineitem.createOrReplaceTempView("graft_q17_lineitem")
-    spark.sql("""
+    // per-call unique view name, dropped once analysis has resolved it:
+    // a fixed name would clobber a caller's view of the same name and
+    // race under concurrent calls on one session (B's replace landing
+    // between A's create and A's sql would silently swap A's input)
+    val view = s"graft_q17_lineitem_${viewId.incrementAndGet()}"
+    lineitem.createOrReplaceTempView(view)
+    try spark.sql(s"""
       SELECT l_partkey,
              COUNT(*) AS n_lines,
              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
-      FROM graft_q17_lineitem l1
+      FROM $view l1
       WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
-                          FROM graft_q17_lineitem l2
+                          FROM $view l2
                           WHERE l2.l_partkey = l1.l_partkey)
       GROUP BY l_partkey""")
+    finally spark.catalog.dropTempView(view) // sql() has analyzed; the plan no longer needs it
   }
+
+  private val viewId = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** PIVOT: per order year, one order-count column per priority —
     * Spark expands an explicit-values pivot into a single conditional

@@ -436,9 +436,9 @@ object StreamRunner {
     log
   }
 
-  /** Streaming exact deduplication replay: the staged stream is unioned
-    * with itself (every record arrives twice in the same micro-batch —
-    * the at-least-once-delivery duplicate pattern) and
+  /** Streaming exact deduplication replay: every staged record is
+    * emitted twice via a per-row explode (the at-least-once-delivery
+    * duplicate pattern, without a self-union's second source scan) and
     * `dropDuplicatesWithinWatermark` collapses it back to one row per
     * event id. The within-watermark variant is the 100 TB-correct
     * form: dedup state is dropped once the watermark passes, so state

@@ -40,14 +40,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LessThanOrEqual(l_shipdate"), s"shipdate filter not pushed:\n$p")
   }
 
-  test("revenueByNation: all three dims broadcast, no cartesian, bounded shuffles") {
+  test("revenueByNation: fixed dims broadcast, no cartesian, bounded shuffles") {
     val p = plan(Relational.revenueByNation(
       Tables.customer(spark, dir), Tables.orders(spark, dir), Tables.lineitem(spark, dir),
       Tables.nation(spark, dir), Tables.region(spark, dir)))
-    // >= 3: the three hinted dims must stay broadcast; at tiny SF the
-    // optimizer may auto-broadcast the orders side as well (fine — at
-    // scale that side exceeds the threshold and becomes a shuffle join)
-    assert(count(p, "BroadcastHashJoin") >= 3, s"expected 3 broadcast dim joins:\n$p")
+    // >= 2: the two HINTED fixed-cardinality dims (nation, region) must
+    // stay broadcast at every scale. customer is deliberately unhinted
+    // (SF-proportional — the hint was the 100 TB driver-OOM landmine);
+    // at tiny SF the planner auto-broadcasts it and possibly orders too,
+    // at scale both become shuffle joins — either is correct
+    assert(count(p, "BroadcastHashJoin") >= 2, s"expected broadcast dim joins:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian product crept in:\n$p")
     // one fact-fact join (orderkey) + one agg exchange; anything more is a regression
     assert(count(p, "Exchange hashpartitioning") <= 3, s"extra shuffles:\n$p")
