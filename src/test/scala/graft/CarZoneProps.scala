@@ -105,6 +105,35 @@ object CarZoneProps extends Properties("CarZone") {
       got == expected && gotLoop == expected
     }
 
+  property("blockDedup is lossless when every block is globally unique") =
+    Prop.forAll(Gen.choose(1, 8), Gen.listOfN(6, Gen.choose(1, 45))) { (nDocs0, lens) =>
+      // disjoint per-doc vocab => no cross- or within-doc duplicate blocks
+      val nDocs = math.min(nDocs0, lens.length)
+      val docs = (0 until nDocs).map { d =>
+        (d.toLong, (1 to lens(d)).map(w => s"d${d}w$w").mkString(" "))
+      }
+      val out = Dedup.blockDedup(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      docs.forall { case (id, text) =>
+        val (nBlocks, nKept, clean) = out(id)
+        nBlocks == nKept && clean == text
+      }
+    }
+
+  property("tokenBudget kept sets are nested as the budget grows") =
+    Prop.forAll(Gen.listOfN(10, Gen.choose(1, 120))) { lens =>
+      import graft.operators.Corpus
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(w => s"w${(i * 7 + w) % 13}").mkString(" "))
+      }.toDF("doc_id", "text")
+      def kept(b: Long): Set[Long] =
+        Corpus.tokenBudget(docs, b).collect().map(_.getLong(0)).toSet
+      val total = lens.sum.toLong
+      val small = kept(math.max(1L, total / 3))
+      val large = kept(total)
+      small.subsetOf(large) && large.size == lens.length
+    }
+
   property("asofJoin == naive latest-reading-at-or-before model") =
     Prop.forAll(genEvents) { events =>
       // direct model: for each car event, the max-(ts=seq) zone reading
