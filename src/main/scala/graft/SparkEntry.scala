@@ -93,6 +93,8 @@ object SparkEntry {
     "q_distinct_users" -> ((s, dir) => Relational.distinctUsersPerType(ev(s, dir))),
     "q_orders_by_month" -> ((s, dir) => Relational.ordersByMonth(Tables.orders(s, dir))),
     "q_revenue_rollup" -> ((s, dir) => Relational.revenueRollup(Tables.orders(s, dir))),
+    // CUBE: all four grouping sets of (status, year) in one pass
+    "q_revenue_cube" -> ((s, dir) => Relational.revenueCube(Tables.orders(s, dir))),
     "q_price_quantiles" -> ((s, dir) => Relational.priceQuantiles(Tables.orders(s, dir))),
     // window frames: trailing 7-day RANGE sum + running total over the
     // daily revenue series
@@ -544,6 +546,14 @@ object SparkEntry {
         |       COUNT(*) AS n_orders,
         |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_year)""".stripMargin,
+    // CUBE: ANSI grouping-id bitmask (leftmost key = MSB) matches
+    // Spark's grouping_id() bit order
+    "q_revenue_cube" ->
+      """SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       COUNT(*) AS n_orders,
+        |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price,
+        |       CAST(GROUPING(o_orderstatus, CAST(year(o_orderdate) AS BIGINT)) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE (o_orderstatus, CAST(year(o_orderdate) AS BIGINT))""".stripMargin,
     // exact percentiles: both engines linear-interpolate over the
     // decimal-recovered doubles; 1e-9 nudge (values are ~1e5, so 1e-12
     // is below double ulp there)

@@ -259,6 +259,21 @@ object Relational {
       .unionByName(custs(y1).except(custs(y2)).withColumn("set_op", lit("first_only")))
   }
 
+  /** CUBE grouping sets — the all-subsets sibling of [[revenueRollup]]:
+    * order totals by (status, year), per status, per year, and grand
+    * total in ONE aggregation pass (Spark expands the cube into a
+    * single aggregation over replicated grouping keys with partial
+    * aggregation intact — 4 grouping sets, one scan, one shuffle).
+    * NULL keys mark rolled-up levels exactly as in ANSI SQL, and the
+    * ANSI grouping-id bitmask (leftmost key = most significant bit on
+    * both engines) rides along so a rolled-up NULL is distinguishable
+    * from a NULL data value. */
+  def revenueCube(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_price"),
+        grouping_id().cast("long").as("gid"))
+
   /** Exact percentiles of order value per priority — distribution
     * profiling. Spark's `percentile` and the oracle's `quantile_cont`
     * both take the linear-interpolated exact percentile over the
