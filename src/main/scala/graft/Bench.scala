@@ -42,8 +42,9 @@ object Bench {
       try graft.streaming.StreamRunner.prestage(spark, Tables.events(spark, sfDir))
       catch { case _: Throwable => () }
 
-    // SPARK_GRAFT_ONLY=q1,q2 benches a subset (local iteration aid)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_ONLY=q1,q2 benches a subset (local iteration aid);
+    // same parse as the prestage gate above — keep them one value
+    val only = only0
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -311,10 +311,21 @@ object Corpus {
       // DESC, doc_id) global order exactly.
       .withColumn("qb", round(col("quality") * 10000).cast("long"))
       .withColumn("sb", expr(s"doc_id div $subBucketWidth"))
+    // the (qb × sb) bucket COUNT is itself data-scaling (a quality-
+    // diverse corpus can populate ~N/width × #qualities pairs), so the
+    // totals prefix RECURSES the construction: level 2 partitions the
+    // totals by qb alone (within-qb windows over sb ranges, ≤ N/width
+    // narrow rows per quality), and only the ≤10001-row qb totals see
+    // a single-partition window
     twoLevelPrefixSum(d, Seq("qb", "sb"),
         bucketOrder = Seq(col("qb").desc, col("sb")),
         withinOrder = Seq(col("doc_id")),
-        value = col("n_tokens"), out = "cum_tokens")
+        value = col("n_tokens"), out = "cum_tokens",
+        totalsPrefix = Some(t =>
+          twoLevelPrefixSum(t, Seq("qb"),
+              bucketOrder = Seq(col("qb").desc), withinOrder = Seq(col("sb")),
+              value = col("__tot"), out = "__cumtot")
+            .withColumn("__prefix", col("__cumtot") - col("__tot"))))
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
   }
@@ -324,29 +335,39 @@ object Corpus {
     * `value` over the global order (bucketOrder, withinOrder), without
     * a corpus-wide single-partition window. The within-bucket running
     * sum is a window PARTITIONED by `partCols` (parallel across
-    * buckets); bucket TOTALS — one row per bucket — get their own
-    * running sum in `bucketOrder` (the only single-partition window,
-    * over the bucket-count-sized frame) and broadcast-join back.
-    * Callers must pick buckets whose count is bounded (constant-width
-    * id ranges, fixed hash prefixes, quantized values × id ranges) so
-    * the totals frame never scales with the corpus; at a scale where
-    * even that overflows, recurse the construction once more. */
+    * buckets); bucket TOTALS — one row per bucket — get an exclusive
+    * running sum in `bucketOrder` and join back on the bucket key.
+    *
+    * The totals prefix defaults to a single global window, which is
+    * safe exactly when the BUCKET COUNT is bounded (constant-width id
+    * ranges, fixed hash prefixes). When buckets can scale with the
+    * data, pass `totalsPrefix` to recurse this same construction over
+    * the totals frame (see [[tokenBudget]]); it must add a `__prefix`
+    * column = the exclusive running sum of `__tot` in bucket order.
+    * The join back carries no broadcast hint on purpose — totals are
+    * usually dimension-sized and the planner broadcasts them on its
+    * own, but a hint would force-collect a pathological totals frame
+    * to the driver. */
   private[graft] def twoLevelPrefixSum(
       df: DataFrame, partCols: Seq[String], bucketOrder: Seq[org.apache.spark.sql.Column],
       withinOrder: Seq[org.apache.spark.sql.Column],
-      value: org.apache.spark.sql.Column, out: String): DataFrame = {
+      value: org.apache.spark.sql.Column, out: String,
+      totalsPrefix: Option[DataFrame => DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val within = df.withColumn("__cum_in_bucket",
       sum(value).over(
         Window.partitionBy(partCols.map(col): _*).orderBy(withinOrder: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val totals = df.groupBy(partCols.map(col): _*).agg(sum(value).as("__tot"))
-      .withColumn("__prefix",
-        coalesce(sum(col("__tot")).over(
-          Window.orderBy(bucketOrder: _*)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(partCols.map(col) :+ col("__prefix"): _*)
-    within.join(broadcast(totals), partCols)
+    val totalsBase = df.groupBy(partCols.map(col): _*).agg(sum(value).as("__tot"))
+    val totals = totalsPrefix match {
+      case None =>
+        totalsBase.withColumn("__prefix",
+          coalesce(sum(col("__tot")).over(
+            Window.orderBy(bucketOrder: _*)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      case Some(f) => f(totalsBase)
+    }
+    within.join(totals.select(partCols.map(col) :+ col("__prefix"): _*), partCols)
       .withColumn(out, col("__prefix") + col("__cum_in_bucket"))
       .drop("__cum_in_bucket", "__prefix")
   }

@@ -236,6 +236,13 @@ class CorpusSpec extends SparkSpec {
     assert(out == expected.toMap)
     assert(out.nonEmpty && out.values.max <= budget)
     intercept[IllegalArgumentException](Corpus.tokenBudget(docs, 0L))
+    // force the sub-bucket path: width 4 splits every quality value
+    // across many doc_id ranges (the default 1024 leaves sf0.001's
+    // 500 ids in one sub-bucket, which would never catch a
+    // cross-sub-bucket ordering bug in the recursive prefix)
+    val subOut = Corpus.tokenBudget(docs, budget, subBucketWidth = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(subOut == expected.toMap)
   }
 
   test("shuffleOrder: stable permutation equal to the global hash-order model") {
