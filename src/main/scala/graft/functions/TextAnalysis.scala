@@ -101,10 +101,18 @@ object TextAnalysis {
     * keyword-extraction scoring.
     *
     * Scale shape: ONE pass over the text builds (doc, term, tf) with
-    * map-side partial counting through the (doc, term) shuffle; df
-    * re-aggregates that frame (the text is never re-read, and the
-    * repeated exchange subtree is reused); the corpus size joins as a
-    * one-row broadcast; the per-doc top-k compiles to map-side
+    * map-side partial counting through the (doc, term) shuffle; df is a
+    * PARTIAL-aggregating groupBy over that frame joined back by term —
+    * never a count window: a window partition cannot partially
+    * aggregate, so a stopword's ("the") window partition is
+    * corpus-sized and lands on one task, while groupBy collapses the
+    * hot term to one row per map partition before the exchange. The
+    * (doc,term)-agg exchange under both branches is identical, so
+    * ReuseExchange computes it once; the df join is unhinted — the
+    * vocabulary broadcasts while it fits, and falls back to a shuffled
+    * join (both sides term-keyed, skew-free post-aggregation) on a
+    * pathological vocabulary. The corpus size joins as a one-row
+    * broadcast; the per-doc top-k compiles to map-side
     * WindowGroupLimit. Ranking uses the ROUNDED score (term as
     * tiebreak) so the order is engine-stable — a last-ulp ln()
     * difference cannot flip ranks across engines. */
@@ -114,11 +122,9 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val n = documents.agg(count(lit(1)).as("n_docs"))
-    // df as a count window over the (doc,term)-distinct frame: one
-    // straight pipeline of three key-locality stages ((doc,term) agg →
-    // term → doc), no self-join and no second scan of the tf subtree
-    tf.crossJoin(broadcast(n))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")) + lit(1e-9), 4))
       .withColumn("rk", row_number().over(
@@ -189,10 +195,16 @@ object TextAnalysis {
     // longs through the shuffles instead of the strings — internal
     // keys, the gramKeys collision argument); the bigram STRING leaves
     // the map side only once, inside the vocabulary-sized bgCount,
-    // where its words are split out exactly once per DISTINCT bigram
+    // where its words are split out exactly once per DISTINCT bigram.
+    // Cached: bg feeds BOTH the model aggregation and the per-doc
+    // scoring join — uncached, the dominant corpus scan + gram explode
+    // + hashing runs twice (the minhashPairs signature-cache argument;
+    // the cached rows are (doc_id, 8-byte hash) + the transient gram
+    // string, gram-stream-sized but never re-shuffled as text)
     val bg = documents.select(col("doc_id"),
       explode(gramArray(col("text"), 2)).as("bg"))
       .select(col("doc_id"), xxhash64(col("bg")).as("g"), col("bg"))
+      .cache()
     val bgCount = bg.groupBy(col("g"))
       .agg(count(lit(1)).as("bg_cnt"), first(col("bg")).as("bg"))
       .select(col("g"), col("bg_cnt"),

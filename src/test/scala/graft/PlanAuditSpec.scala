@@ -193,6 +193,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"tf lost map-side partial counting:\n$p")
     assert(count(p, "WindowGroupLimit") >= 2,
       s"per-doc top-k must stay a map-side WindowGroupLimit:\n$p")
+    // document frequency must be a PARTIAL-aggregating groupBy on the
+    // term key, never a count window partitioned by term: a window
+    // partition cannot partially aggregate, so a stopword's partition
+    // is corpus-sized on one task
+    assert(p.contains("HashAggregate(keys=[term"),
+      s"df must aggregate on the term key (groupBy, not a window):\n$p")
+    assert(!p.contains("windowspecdefinition(term#"),
+      s"no window may partition by the term key:\n$p")
     // the only nested-loop join allowed is the single-row corpus-size
     // broadcast; the term join must stay an equi-join
     assert(count(p, "BroadcastNestedLoopJoin") <= 1, s"unexpected nested loop joins:\n$p")
