@@ -133,9 +133,11 @@ object SparkEntry {
     // at a lower vec_id (LSH candidates, exact verify)
     "d_embed_neardup" -> ((s, dir) => Similarity.embedNearDup(Tables.embeddings(s, dir))),
     // trained-quantizer IVF: k-means on a 20% deterministic sample,
-    // full-corpus assignment. No SQL oracle (iterative float means are
-    // not bit-replicable cross-engine) -> driver rows-only check;
-    // AnnSpec asserts the training-quality and exact-cosine properties.
+    // full-corpus assignment. Oracle-checkable since trainCentroids
+    // computes each iteration's means in exact decimal arithmetic and
+    // 6-dp-quantizes the centroids (see its scaladoc): the DuckDB
+    // oracle unrolls the identical recurrence; AnnSpec asserts the
+    // training-quality and exact-cosine properties on top.
     "a_ivf_trained" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cents = Similarity.trainCentroids(emb, k = 16, iters = 3, sampleBuckets = 2000)
@@ -723,6 +725,11 @@ object SparkEntry {
     // quantizer (vec_id % 31) — identical cells, probes and candidates
     // in both engines, so IVF recall never enters the compare
     "a_ivf_topk" -> ivfTopKOracle,
+    // trained IVF: the oracle unrolls trainCentroids' exact-decimal
+    // Lloyd recurrence (9-dp unit components -> exact sums -> 6-dp
+    // centroids), so both engines train bit-identical quantizers and
+    // k-means recall never enters the compare
+    "a_ivf_trained" -> ivfTrainedOracle,
     "a_cosine_topk" ->
       s"""WITH $normCte,
         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
@@ -1249,6 +1256,61 @@ object SparkEntry {
        |SELECT query_id, vec_id, cos, rk FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rk
        |  FROM s) WHERE rk <= 5""".stripMargin
+
+  /** Trained-quantizer IVF in DuckDB: unrolls the EXACT recurrence
+    * Similarity.trainCentroids runs (k=16, iters=3, sampleBuckets=2000
+    * — the a_ivf_trained parameters). Per iteration: argmax-cosine
+    * assignment of the md5-bucket sample against the previous
+    * centroids (ROW_NUMBER over cos DESC, cid ≡ the IvfCell kernel's
+    * first-wins over the cid-sorted model), then the spherical update
+    * — unit components rounded to 9 dp into DECIMAL(18,9), summed
+    * EXACTLY (order-independent), divided by the cell count in doubles
+    * and rounded to 6 dp. Both engines therefore compute bit-identical
+    * centroids at every step; the final search is the ivfTopKOracle
+    * topology under the trained model. */
+  private lazy val ivfTrainedOracle: String = {
+    val k = 16; val iters = 3; val sampleBuckets = 2000
+    val iterCtes = (1 to iters).map { i =>
+      s"""a$i AS (SELECT vec_id, cell FROM (
+         |  SELECT s.vec_id, c.cid AS cell,
+         |         ROW_NUMBER() OVER (PARTITION BY s.vec_id
+         |           ORDER BY list_dot_product(s.v, c.v) / (s.nrm * c.nrm) DESC, c.cid) AS rn
+         |  FROM smp s, c${i - 1} c) WHERE rn = 1),
+         |m$i AS (SELECT cell, pos, ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*) + 1e-12, 6) AS m
+         |        FROM a$i JOIN uu USING (vec_id) GROUP BY cell, pos),
+         |c$i AS (SELECT cid, v, nrm FROM (
+         |          SELECT cid, v, sqrt(list_dot_product(v, v)) AS nrm FROM (
+         |            SELECT cell AS cid, list(m ORDER BY pos) AS v FROM m$i GROUP BY cell))
+         |        WHERE nrm > 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $normCte,
+       |smp AS (SELECT vec_id, v, nrm FROM n
+       |        WHERE CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 17, 8) AS UBIGINT) % 10000 < $sampleBuckets),
+       |uu AS (SELECT vec_id, generate_subscripts(u, 1) AS pos, unnest(u) AS x FROM (
+       |         SELECT vec_id, list_transform(v, x -> CAST(ROUND(x / nrm + 1e-12, 9) AS DECIMAL(18,9))) AS u
+       |         FROM smp)),
+       |c0 AS (SELECT vec_id AS cid, v, nrm FROM smp ORDER BY vec_id LIMIT $k),
+       |$iterCtes,
+       |asg AS (SELECT vec_id, cell FROM (
+       |  SELECT n.vec_id, c.cid AS cell,
+       |         ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |           ORDER BY list_dot_product(n.v, c.v) / (n.nrm * c.nrm) DESC, c.cid) AS rn
+       |  FROM n, c$iters c) WHERE rn = 1),
+       |probes AS (SELECT query_id, cell FROM (
+       |  SELECT q.vec_id AS query_id, c.cid AS cell,
+       |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |           ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC, c.cid) AS pr
+       |  FROM n q, c$iters c WHERE q.vec_id < 10) WHERE pr <= ${Similarity.IvfProbes}),
+       |cand AS (SELECT p.query_id, a.vec_id
+       |         FROM asg a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id),
+       |s AS (SELECT cand.query_id, cand.vec_id,
+       |             ROUND(list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm) + 1e-12, 6) AS cos
+       |      FROM cand JOIN n ON n.vec_id = cand.vec_id
+       |      JOIN (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n) q ON q.qid = cand.query_id)
+       |SELECT query_id, vec_id, cos, rk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rk
+       |  FROM s) WHERE rk <= 5""".stripMargin
+  }
 
   private lazy val annPairsOracle: String =
     s"""WITH $normCte,

@@ -257,7 +257,21 @@ object Similarity {
     * every row. Initialization is the k smallest vec_ids of the
     * sample (deterministic; k-means++ would add distance-weighted
     * draws at the cost of k passes). Empty cells drop out — callers
-    * get AT MOST k centroids, never a NaN centroid. */
+    * get AT MOST k centroids, never a NaN centroid.
+    *
+    * Cross-engine parity (what makes the TRAINED path itself
+    * oracle-checkable, not just rows-only): each iteration's mean is
+    * computed exactly — unit components round to 9 dp into
+    * DECIMAL(18,9) (the unigramLogProb convention), so per-cell sums
+    * are order-independent EXACT decimal arithmetic; the mean divides
+    * the exact sum by the count in doubles and rounds to 6 dp with the
+    * boundary nudge. Every iteration therefore produces bit-identical
+    * centroids on any engine that unrolls the same recurrence (the
+    * a_ivf_trained DuckDB oracle does), and assignment — identical
+    * doubles through the same left-to-right dot product — is
+    * bit-identical too. The 6-dp centroid quantization costs ~1e-6 of
+    * objective per iteration, far under the ~1e-2 per-iteration gains
+    * (AnnSpec's cost assertion holds unchanged). */
   def trainCentroids(embeddings: DataFrame, k: Int = 64, iters: Int = 5,
                      sampleBuckets: Int = 10000): DataFrame = {
     require(k > 0 && iters >= 0 && sampleBuckets >= 1 && sampleBuckets <= 10000,
@@ -281,12 +295,19 @@ object Similarity {
           // ones — the normalized mean of unit vectors is the exact
           // maximizer of sum cos(x, c) for a fixed assignment, which
           // (with max-cos assignment) makes the spherical objective
-          // provably non-increasing per iteration; raw-vector means
-          // lose that guarantee when magnitudes vary
-          transform(col("v"), x => x / col("nrm")).as("v"))
+          // non-increasing per iteration (up to the 6-dp centroid
+          // quantization below); raw-vector means lose that guarantee
+          // when magnitudes vary. Components round into DECIMAL(18,9)
+          // so the mean's sum is exact in any order (parity — see
+          // the scaladoc).
+          transform(col("v"), x => round(x / col("nrm") + lit(1e-12), 9)
+            .cast("decimal(18,9)")).as("u"))
       cents = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .select(col("cell"), posexplode(col("u")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+        .select(col("cell"), col("pos"),
+          round(col("sx").cast("double") / col("cnt") + lit(1e-12), 6).as("m"))
         .groupBy(col("cell"))
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell").as("cid"),

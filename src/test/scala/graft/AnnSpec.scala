@@ -241,6 +241,13 @@ class AnnSpec extends SparkSpec {
     assert(ivf.size == 50)
     assert(ivf.keySet.subsetOf(exactAll.keySet))
     ivf.foreach { case (key, c) => assert(exactAll(key) == c) }
+    // the PRODUCTION path (trained quantizer, not the strided
+    // stand-in) must find real neighbors: recall@5 vs exact, floor
+    // not typical (10 queries × 3 of ≤12 probed cells, random data)
+    val exactTop5 = Similarity.cosineTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactTop5 intersect ivf.keySet).size.toDouble / exactTop5.size
+    assert(recall >= 0.2, s"trained-IVF recall@5 too low: $recall")
   }
 
   test("embedNearDup keeps exactly the non-dominated vectors; zero-norm always keeps") {
