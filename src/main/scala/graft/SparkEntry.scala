@@ -177,6 +177,9 @@ object SparkEntry {
     // block-level exact dedup: corpus-wide first occurrence of each
     // 20-word block survives; documents reassembled from kept blocks
     "d_block_dedup" -> ((s, dir) => Dedup.blockDedup(Tables.documents(s, dir))),
+    // substring-level duplicate spans: maximal duplicated token ranges
+    // at ANY word offset (what blockDedup's aligned windows miss)
+    "d_span_dedup" -> ((s, dir) => Dedup.spanDedup(Tables.documents(s, dir))),
     "c_token_chunks" -> ((s, dir) => Corpus.tokenChunks(Tables.documents(s, dir))),
     "c_pack_stream" -> ((s, dir) => Corpus.packStream(Tables.documents(s, dir))),
     "c_source_profile" -> ((s, dir) => Corpus.sourceProfile(Tables.documents(s, dir))),
@@ -771,6 +774,12 @@ object SparkEntry {
         |       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
         |       COALESCE(r.text_clean, '') AS text_clean
         |FROM t LEFT JOIN r ON r.doc_id = t.doc_id""".stripMargin,
+    // span dedup: positional 10-gram strings (the Spark side joins on
+    // the fused gramHashSeq xxhash64 keys — 64-bit birthday bound),
+    // struct-MIN first occurrence, identical gaps-and-islands merge
+    // (lag NULL on a span's first row falls to the ELSE 1 branch in
+    // both engines)
+    "d_span_dedup" -> spanDedupOracle,
     // int8 quantization: identical IEEE-double arithmetic (cast, /, *,
     // floor(x+0.5) — floor, not round: round's tie rule differs across
     // engines), codes compared as a joined string, max_err is an
@@ -1256,6 +1265,34 @@ object SparkEntry {
        |SELECT query_id, vec_id, cos, rk FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rk
        |  FROM s) WHERE rk <= 5""".stripMargin
+
+  /** Span dedup in DuckDB: positional word 10-grams as STRINGS (the
+    * Spark side's xxhash64 keys are internal), corpus-wide first
+    * occurrence per gram content as a struct-MIN over (doc_id, pos),
+    * then the same overlap-or-touch island merge per document. */
+  private lazy val spanDedupOracle: String = {
+    val k = 10
+    val gramExpr = (1 to k).map(j => s"w[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos, unnest(gs) AS gr
+       |      FROM (SELECT doc_id,
+       |                   [$gramExpr for i in generate_series(0, len(w) - $k)] AS gs
+       |            FROM t)),
+       |f AS (SELECT gr, MIN({'d': doc_id, 'p': pos}) AS first FROM g GROUP BY gr),
+       |dup AS (SELECT g.doc_id, g.pos FROM g JOIN f ON g.gr = f.gr
+       |        WHERE NOT (g.doc_id = f.first.d AND g.pos = f.first.p)),
+       |isl AS (SELECT doc_id, pos,
+       |               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k
+       |                    THEN 0 ELSE 1 END AS brk
+       |        FROM dup),
+       |grps AS (SELECT doc_id, pos,
+       |                SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |         FROM isl)
+       |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       |       CAST(MAX(pos) + $k - 1 AS BIGINT) AS span_end,
+       |       CAST(MAX(pos) + $k - 1 - MIN(pos) + 1 AS BIGINT) AS span_tokens
+       |FROM grps GROUP BY doc_id, grp""".stripMargin
+  }
 
   /** Trained-quantizer IVF in DuckDB: unrolls the EXACT recurrence
     * Similarity.trainCentroids runs (k=16, iters=3, sampleBuckets=2000

@@ -183,6 +183,43 @@ object DedupKernels {
     new GenericArrayData(out)
   }
 
+  /** POSITIONAL xxhash64 keys of the text's word n-grams in one pass —
+    * [[gramHashesImpl]] without the distinct-set: element i is the hash
+    * of the gram starting at word i, duplicates and order preserved,
+    * for position-aware gram operators (span dedup) where `posexplode`
+    * recovers (word offset, key) pairs. No gram strings materialize. */
+  def gramHashSeq(text: Column, n: Int): Column =
+    SqlBridge.column(GramHashSeq(SqlBridge.expression(text), n))
+
+  /** Values are bit-identical to `transform(gramArray(text, n),
+    * xxhash64)` (Spark seed 42 over the gram's byte range under the
+    * split/join identity), which DedupSpec pins. Shared by eval and
+    * codegen. */
+  def gramHashSeqImpl(base: AnyRef, off: Long, len: Int, n: Int): GenericArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val starts = new Array[Int](n) // last n word-start positions
+    var out = new Array[Long](16)
+    var cnt = 0
+    var wordIdx = 0
+    var wordStart = 0
+    var p = 0
+    while (p <= len) {
+      if (p == len || Platform.getByte(base, off + p) == ' ') {
+        starts(wordIdx % n) = wordStart // word wordIdx spans [wordStart, p)
+        if (wordIdx >= n - 1) {
+          val gs = starts((wordIdx - (n - 1)) % n)
+          if (cnt == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+          out(cnt) = XXH64.hashUnsafeBytes(base, off + gs, p - gs, 42L)
+          cnt += 1
+        }
+        wordStart = p + 1
+        wordIdx += 1
+      }
+      p += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
+  }
+
   /** One-pass text → winnowing fingerprints: word n-gram BYTE RANGES
     * (same split/join identity as [[minhashTextInto]]) are md5-hashed
     * into a `w`-slot ring; each full window contributes its minimum
@@ -442,6 +479,38 @@ case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, s => {
       s"""
          |${ev.value} = graft.functions.DedupKernels.gramHashesImpl(
+         |  $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), $n);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused positional-gram xxhash64 keys (see
+  * [[DedupKernels.gramHashSeqImpl]]). Equivalent composed form (what
+  * this replaces, and what DedupSpec compares against):
+  * {{{ transform(gramArray(text, n), g => xxhash64(g)) }}} */
+case class GramHashSeq(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"gram width must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_hash_seq expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hash_seq"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    DedupKernels.gramHashSeqImpl(s.getBaseObject, s.getBaseOffset, s.numBytes, n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |${ev.value} = graft.functions.DedupKernels.gramHashSeqImpl(
          |  $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), $n);
        """.stripMargin
     })

@@ -342,6 +342,61 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Exact duplicate-substring SPANS — the genuine article behind
+    * [[blockDedup]]'s fixed-window approximation (boilerplate rarely
+    * aligns to 20-word block boundaries; the substring-level method is
+    * public — Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", which removes duplicated token RANGES):
+    * every word position opens a `spanWords`-gram; a gram occurrence is
+    * DUPLICATE iff it is not the corpus-wide first occurrence of its
+    * content (ordered by (doc_id, position)); per document, duplicate
+    * gram positions whose covered token ranges overlap or touch merge
+    * into maximal spans. Returns one row per maximal duplicated span:
+    * (doc_id, span_start, span_end, span_tokens) — token indexes are
+    * 0-based and inclusive, every span covers ≥ `spanWords` tokens, and
+    * a document's first-of-its-content text emits nothing (the first
+    * copy is the keeper, exactly like [[exactDedup]]).
+    *
+    * Scale shape: positional gram keys come from the fused one-pass
+    * [[graft.functions.DedupKernels.gramHashSeq]] kernel (8-byte longs,
+    * no gram strings); the first-occurrence table is a PARTIAL-
+    * aggregating `groupBy(gram).agg(min(struct))` — never a window
+    * over the gram key (the tfidf lesson: a stopword-gram's window
+    * partition is corpus-sized with no map-side combine) — and the
+    * join back is an 8-byte-keyed equi-join against that gram
+    * dictionary. The span merge windows are per-DOCUMENT (bounded by
+    * document length, like blockDedup's reassembly). Collisions: keys
+    * are 64-bit xxhash64 of gram bytes (the contamination argument —
+    * ~1e-8 collision odds at 1e9 distinct grams); the oracle uses the
+    * gram strings themselves.
+    *
+    * Reference file:line for the capability claim: BASELINE.json
+    * north_star (dedup for LLM training corpora at 100 TB). */
+  def spanDedup(documents: DataFrame, spanWords: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = documents.select(col("doc_id"),
+      posexplode(graft.functions.DedupKernels.gramHashSeq(col("text"), spanWords))
+        .as(Seq("pos", "g")))
+    val firsts = grams.groupBy(col("g"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val dup = grams.join(firsts, "g")
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .select(col("doc_id"), col("pos"))
+    // gaps-and-islands per document: a new span starts when this
+    // duplicate gram's covered range [pos, pos+spanWords-1] no longer
+    // overlaps-or-touches the previous one's (gap > spanWords)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= spanWords, 0).otherwise(1))
+      .withColumn("grp", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + spanWords - 1).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+  }
+
   /** Near-dup clustering — the decision step of a dedup pipeline
     * ("keep one document per duplicate cluster"): connected components
     * over the [[minhashPairs]] graph, cluster id = the component's

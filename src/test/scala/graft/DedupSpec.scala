@@ -276,6 +276,65 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("gramHashSeq kernel == positional xxhash64 of the gram strings, hostile inputs") {
+    val texts = Seq(
+      "plain three word document here with several grams inside",
+      "double  space  inside gram text here",
+      " leading space five word gram",
+      "trailing five word gram text ",
+      "naïve café résumé über emoji 🎉 mixed ascii utf8",
+      "a b c d", // fewer than n words
+      "repeat repeat repeat repeat repeat repeat repeat", // duplicate grams KEPT in order
+      "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def run(): Map[Long, Seq[Long]] = df.select(col("doc_id"),
+        graft.functions.DedupKernels.gramHashSeq(col("text"), 5).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fromKernel = run()
+    // composed form: positional xxhash64 over the gram strings, order
+    // and duplicates preserved
+    val fromStrings = df.select(col("doc_id"),
+        transform(graft.functions.TextAnalysis.gramArray(col("text"), 5),
+          g => xxhash64(g)).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fromKernel == fromStrings)
+    assert(fromKernel(5L).isEmpty && fromKernel(7L).isEmpty) // short/empty: no grams
+    assert(fromKernel(6L).length == 3 && fromKernel(6L).toSet.size == 1) // repeats kept
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      assert(run() == fromKernel)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("spanDedup marks unaligned duplicated ranges that blockDedup misses") {
+    // a 15-word boilerplate paragraph pasted at word offset 7 of doc 1
+    // and offset 13 of doc 2 — no 20-word block boundary ever aligns
+    val boiler = (1 to 15).map(i => s"b$i").mkString(" ")
+    val u1 = (1 to 7).map(i => s"u$i").mkString(" ")
+    val u2 = (1 to 13).map(i => s"v$i").mkString(" ")
+    val df = docs((1L, s"$u1 $boiler"), (2L, s"$u2 $boiler"))
+    // block dedup at its default alignment sees two distinct blocks
+    val blocks = Dedup.blockDedup(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(blocks(1L) == 2L && blocks(2L) == 2L) // nothing removed
+    // span dedup finds the exact duplicated range: doc 1 is the first
+    // occurrence (emits nothing); doc 2's copy spans tokens 13..27
+    val spans = Dedup.spanDedup(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq((2L, 13L, 27L, 15L)))
+    // overlapping 10-gram occurrences merge into ONE maximal span even
+    // with interior grams duplicated many times (self-repetition)
+    val rep = (1 to 12).map(_ => "r").mkString(" ")
+    val selfDup = Dedup.spanDedup(docs((1L, s"$rep end"), (2L, rep))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // doc 1: "r"×12 — grams at 0,1,2 are (r×10) repeated; positions 1,2
+    // duplicate position 0 → one span [1, 11]; doc 2's three grams all
+    // duplicate doc 1's first → span [0, 11]
+    assert(selfDup == Set((1L, 1L, 11L, 11L), (2L, 0L, 11L, 12L)))
+  }
+
   test("blockDedup keeps the corpus-wide first occurrence of each block") {
     // 20-word blocks: X and Z are whole blocks; Y is a ragged tail
     val x = (1 to 20).map(i => s"x$i").mkString(" ")

@@ -207,6 +207,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("spanDedup: first-occurrence dictionary partial-aggregates on the gram key") {
+    val p = plan(Dedup.spanDedup(Tables.documents(spark, dir)))
+    // struct-MIN buffers compile to SortAggregate (HashAggregate can't
+    // hold a struct buffer) — either way the aggregation keys on the
+    // gram and partially combines map-side before the exchange
+    assert("(Sort|Hash)Aggregate\\(keys?=\\[g#".r.findFirstIn(p).isDefined,
+      s"first-occurrence table must be a groupBy on the gram key:\n$p")
+    assert(p.contains("partial_min(struct(doc_id"),
+      s"gram first-occurrence lost map-side partial aggregation:\n$p")
+    // the only windows are the per-document island merge — never a
+    // window partitioned by the (stopword-skewed) gram key
+    assert(!p.contains("windowspecdefinition(g#"),
+      s"no window may partition by the gram key:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dedupAgainst: anti-join on the fingerprint; known side distinct before the join") {
     val docs = Tables.documents(spark, dir)
     val p = plan(Dedup.dedupAgainst(
