@@ -214,6 +214,10 @@ object SparkEntry {
     // the composed pretraining keep-list: lang + quality + repetition
     // gates, canonical copy under exact dedup
     "t_keep_set" -> ((s, dir) => Corpus.keepSet(Tables.documents(s, dir))),
+    // the same keep-list with the minhash-cluster keeper composed on
+    // top (keep = cluster minimum) — the fuzzy-dedup form real corpus
+    // builds ship
+    "t_keep_set_neardup" -> ((s, dir) => Corpus.keepSetNearDup(Tables.documents(s, dir))),
     // data mixing: keep 50% of the dominant language, all of the rest
     "d_stratified_sample" -> ((s, dir) => {
       val lang = graft.functions.TextAnalysis.langId(Tables.documents(s, dir))
@@ -1087,43 +1091,11 @@ object SparkEntry {
     // copies share text, hence identical signals: pass/fail is uniform
     // per fingerprint, so min-id over all copies = min-id over
     // surviving copies
-    "t_keep_set" ->
-      """WITH sig AS (
-        |  SELECT doc_id, md5(text) AS fp,
-        |         CASE WHEN s_en = t AND t > 0 THEN 'en'
-        |              WHEN s_fr = t AND t > 0 THEN 'fr'
-        |              WHEN s_es = t AND t > 0 THEN 'es'
-        |              WHEN s_de = t AND t > 0 THEN 'de'
-        |              WHEN s_zh = t AND t > 0 THEN 'zh'
-        |              ELSE 'und' END AS lang_pred,
-        |         ROUND(dv * 0.5 + (1.0 - sr) * 0.2 + ls * 0.3 + 1e-12, 4) AS quality,
-        |         CASE WHEN n >= 3 THEN ROUND(1.0 - td / CAST(tt AS DOUBLE) + 1e-12, 4)
-        |              ELSE 0.0 END AS dup_trigram_frac
-        |  FROM (
-        |    SELECT doc_id, text, len(w) AS n,
-        |           len(list_filter(w, x -> x = 'the')) AS s_en,
-        |           len(list_filter(w, x -> x = 'le' OR x = 'la')) AS s_fr,
-        |           len(list_filter(w, x -> x = 'el' OR x = 'los')) AS s_es,
-        |           len(list_filter(w, x -> x = 'der' OR x = 'und')) AS s_de,
-        |           len(list_filter(w, x -> x = '的')) AS s_zh,
-        |           greatest(len(list_filter(w, x -> x = 'the')),
-        |                    len(list_filter(w, x -> x = 'le' OR x = 'la')),
-        |                    len(list_filter(w, x -> x = 'el' OR x = 'los')),
-        |                    len(list_filter(w, x -> x = 'der' OR x = 'und')),
-        |                    len(list_filter(w, x -> x = '的'))) AS t,
-        |           len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS dv,
-        |           len(list_filter(w, x -> x IN ('the','a','of','and'))) / CAST(len(w) AS DOUBLE) AS sr,
-        |           least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) AS ls,
-        |           len(list_distinct([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-        |                              for i in generate_series(0, len(w) - 3)])) AS td,
-        |           len([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-        |                for i in generate_series(0, len(w) - 3)]) AS tt
-        |    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))),
-        |f AS (SELECT * FROM sig
-        |      WHERE lang_pred = 'en' AND quality >= 0.6 AND dup_trigram_frac <= 0.05)
-        |SELECT doc_id, lang_pred, quality, dup_trigram_frac FROM (
-        |  SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id FROM f)
-        |WHERE doc_id = keep_id""".stripMargin,
+    "t_keep_set" -> keepSetOracle,
+    // the fuzzy-dedup keep-list: the exact keepers minus non-minimum
+    // members of the recursive-CTE minhash components (the
+    // d_dup_clusters oracle pattern)
+    "t_keep_set_neardup" -> keepSetNearDupOracle,
     // stratified sampling: same language scores as t_lang_id, same
     // md5-chars-9-16 sample bucket (disjoint from the split's 1-8)
     "d_stratified_sample" ->
@@ -1173,8 +1145,14 @@ object SparkEntry {
       |LEFT JOIN tot ON tot.doc_id = e.doc_id
       |LEFT JOIN hit ON hit.doc_id = e.doc_id""".stripMargin
 
-  private lazy val dupClustersOracle: String =
-    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** Brute-force near-dup components as reusable CTEs (shared by the
+    * d_dup_clusters and t_keep_set_neardup oracles): exact Jaccard ≥
+    * 0.8 edges, then a recursive reachability fixpoint — labels(v) =
+    * every vertex reaching v, MIN over them = the component minimum
+    * the Spark min-label propagation converges to. Must be spliced
+    * under a WITH RECURSIVE. */
+  private lazy val componentsCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |tok AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM toks),
       |sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
       |       FROM tok a
@@ -1192,9 +1170,63 @@ object SparkEntry {
       |reach(v, l) AS (
       |  SELECT v, v FROM verts
       |  UNION
-      |  SELECT s.b, r.l FROM reach r JOIN sym s ON s.a = r.v)
-      |SELECT v AS doc_id, MIN(l) AS cluster_id, MIN(l) = v AS keep
-      |FROM reach GROUP BY v""".stripMargin
+      |  SELECT s.b, r.l FROM reach r JOIN sym s ON s.a = r.v)""".stripMargin
+
+  private lazy val dupClustersOracle: String =
+    s"""WITH RECURSIVE $componentsCtes
+       |SELECT v AS doc_id, MIN(l) AS cluster_id, MIN(l) = v AS keep
+       |FROM reach GROUP BY v""".stripMargin
+
+  /** keepSet's gate+exact-keeper SQL (sig/f CTEs + final select),
+    * shared by t_keep_set and t_keep_set_neardup. */
+  private lazy val keepSetCtes: String =
+    """sig AS (
+      |  SELECT doc_id, md5(text) AS fp,
+      |         CASE WHEN s_en = t AND t > 0 THEN 'en'
+      |              WHEN s_fr = t AND t > 0 THEN 'fr'
+      |              WHEN s_es = t AND t > 0 THEN 'es'
+      |              WHEN s_de = t AND t > 0 THEN 'de'
+      |              WHEN s_zh = t AND t > 0 THEN 'zh'
+      |              ELSE 'und' END AS lang_pred,
+      |         ROUND(dv * 0.5 + (1.0 - sr) * 0.2 + ls * 0.3 + 1e-12, 4) AS quality,
+      |         CASE WHEN n >= 3 THEN ROUND(1.0 - td / CAST(tt AS DOUBLE) + 1e-12, 4)
+      |              ELSE 0.0 END AS dup_trigram_frac
+      |  FROM (
+      |    SELECT doc_id, text, len(w) AS n,
+      |           len(list_filter(w, x -> x = 'the')) AS s_en,
+      |           len(list_filter(w, x -> x = 'le' OR x = 'la')) AS s_fr,
+      |           len(list_filter(w, x -> x = 'el' OR x = 'los')) AS s_es,
+      |           len(list_filter(w, x -> x = 'der' OR x = 'und')) AS s_de,
+      |           len(list_filter(w, x -> x = '的')) AS s_zh,
+      |           greatest(len(list_filter(w, x -> x = 'the')),
+      |                    len(list_filter(w, x -> x = 'le' OR x = 'la')),
+      |                    len(list_filter(w, x -> x = 'el' OR x = 'los')),
+      |                    len(list_filter(w, x -> x = 'der' OR x = 'und')),
+      |                    len(list_filter(w, x -> x = '的'))) AS t,
+      |           len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS dv,
+      |           len(list_filter(w, x -> x IN ('the','a','of','and'))) / CAST(len(w) AS DOUBLE) AS sr,
+      |           least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) AS ls,
+      |           len(list_distinct([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+      |                              for i in generate_series(0, len(w) - 3)])) AS td,
+      |           len([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+      |                for i in generate_series(0, len(w) - 3)]) AS tt
+      |    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))),
+      |f AS (SELECT * FROM sig
+      |      WHERE lang_pred = 'en' AND quality >= 0.6 AND dup_trigram_frac <= 0.05)""".stripMargin
+
+  private lazy val keepSetSelect: String =
+    """SELECT doc_id, lang_pred, quality, dup_trigram_frac FROM (
+      |  SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id FROM f)
+      |WHERE doc_id = keep_id""".stripMargin
+
+  private lazy val keepSetOracle: String = s"WITH $keepSetCtes\n$keepSetSelect"
+
+  private lazy val keepSetNearDupOracle: String =
+    s"""WITH RECURSIVE $keepSetCtes,
+       |$componentsCtes,
+       |drp AS (SELECT v AS doc_id FROM reach GROUP BY v HAVING MIN(l) <> v)
+       |$keepSetSelect
+       |  AND doc_id NOT IN (SELECT doc_id FROM drp)""".stripMargin
 
   /** The SRP-LSH hyperplanes as a DuckDB VALUES literal — the exact
     * doubles of Similarity.planes (shortest round-trip decimal repr

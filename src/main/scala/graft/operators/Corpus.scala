@@ -129,6 +129,30 @@ object Corpus {
       .select(col("doc_id"), col("lang_pred"), col("quality"), col("dup_trigram_frac"))
   }
 
+  /** [[keepSet]] with a NEAR-dup cluster keeper composed on top — what
+    * real corpus builds ship (the published recipes run fuzzy dedup,
+    * not just exact): a document additionally drops unless it is the
+    * minimum-id member of its [[graft.operators.Dedup.dupClusters]]
+    * near-dup cluster (docs in no cluster are their own keepers). The
+    * cluster keeper is canonical-by-id, NOT best-by-quality: if the
+    * cluster minimum fails a gate the cluster contributes nothing —
+    * deterministic, and near-identical copies share their signals
+    * anyway.
+    *
+    * Scale shape: [[keepSet]] is unchanged (one scan, one fingerprint
+    * shuffle); the near-dup drop list is duplicate-density-sized
+    * (minhash bucket join + label propagation, never corpus²) and
+    * anti-joins against the keep-list on the 8-byte doc_id — unhinted,
+    * so it broadcasts while it fits. */
+  def keepSetNearDup(documents: DataFrame, minQuality: Double = 0.6,
+                     maxDupTrigram: Double = 0.05, lang: String = "en",
+                     shingleWords: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val dropped = Dedup.dupClusters(documents, shingleWords, threshold)
+      .filter(!col("keep")).select(col("doc_id"))
+    keepSet(documents, minQuality, maxDupTrigram, lang)
+      .join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   /** Fixed-window token chunking — the context-window packing step
     * between a cleaned corpus and the trainer: every document splits
     * into consecutive `chunkSize`-token windows (last one ragged), one

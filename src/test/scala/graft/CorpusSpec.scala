@@ -274,4 +274,27 @@ class CorpusSpec extends SparkSpec {
     val out = Corpus.keepSet(docs).collect().map(_.getLong(0)).toSeq
     assert(out == Seq(5L))
   }
+
+  test("keepSetNearDup additionally drops non-minimum near-dup cluster members") {
+    import graft.operators.Dedup
+    // base passes every gate; nearDup differs by one appended word —
+    // Jaccard ≥ 0.8 but NOT byte-identical, so exact dedup keeps both
+    // and only the cluster keeper logic can drop the higher id
+    val base = (Seq("the") ++ (1 to 120).map(i => s"w$i")).mkString(" ")
+    val nearDup = s"$base extra"
+    val df = Seq((3L, base), (8L, nearDup), (7L, "el el el"))
+      .toDF("doc_id", "text")
+    assert(Corpus.keepSet(df).collect().map(_.getLong(0)).toSet == Set(3L, 8L))
+    assert(Corpus.keepSetNearDup(df).collect().map(_.getLong(0)).toSet == Set(3L))
+    // equivalence with the composed form on the real corpus: keepSet
+    // minus dupClusters' non-keepers
+    val docs = Tables.documents(spark, sf0001)
+    val got = Corpus.keepSetNearDup(docs).collect().map(_.toSeq).toSet
+    val composed = Corpus.keepSet(docs)
+      .join(Dedup.dupClusters(docs).filter(!col("keep")).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .collect().map(_.toSeq).toSet
+    assert(got == composed)
+    assert(got.nonEmpty)
+  }
 }
