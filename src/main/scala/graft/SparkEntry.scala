@@ -229,6 +229,12 @@ object SparkEntry {
     // ---- training-data pipeline: multimodal binary columns ----
     "m_binary_stats" -> ((s, dir) => Multimodal.binaryStats(Tables.documents(s, dir))),
     "m_decode_meta" -> ((s, dir) => Multimodal.decodeMeta(Tables.documents(s, dir)).toDF()),
+    // REAL decode: deterministic in-expression BMP corpus, actual
+    // little-endian header parsing in the batched decode seam (the
+    // oracle recomputes expected dims from doc_id independently of the
+    // construction — a broken parser falls to the fake and mismatches)
+    "m_decode_bmp" -> ((s, dir) =>
+      Multimodal.decodePayloads(Multimodal.bmpDocs(Tables.documents(s, dir))).toDF()),
     "m_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     "m_feature_extract" -> ((s, dir) => Multimodal.featureExtract(Tables.documents(s, dir)).toDF()),
     "m_resize_plan" -> ((s, dir) => Multimodal.resizePlan(Tables.documents(s, dir))),
@@ -814,6 +820,17 @@ object SparkEntry {
         |       CAST((16 + body % 512) * (16 + (body // 512) % 512) *
         |            (CASE fmt WHEN 'png' THEN 4 WHEN 'bin' THEN 1 ELSE 3 END) AS BIGINT) AS n_pixels
         |FROM (SELECT doc_id, fmt, octet_length(payload) - hdr AS body FROM bin)""".stripMargin,
+    // real-BMP decode: expected metadata recomputed from doc_id alone
+    // (the Spark side CONSTRUCTS the blob from doc_id and then PARSES
+    // its actual header bytes — if parsing broke, the fake-decode
+    // fallback would emit body-length dims and mismatch here)
+    "m_decode_bmp" ->
+      """SELECT doc_id, 'bmp' AS fmt,
+        |       CAST(1 + doc_id % 13 AS INT) AS width,
+        |       CAST(1 + doc_id % 7 AS INT) AS height,
+        |       CAST(3 AS INT) AS channels,
+        |       CAST((1 + doc_id % 13) * (1 + doc_id % 7) * 3 AS BIGINT) AS n_pixels
+        |FROM documents""".stripMargin,
     "m_frame_sample" ->
       s"""WITH $binCte,
         |frames AS (

@@ -4,9 +4,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators: image/audio/video payloads as opaque
-  * `binary` columns with typed metadata. The real decode libraries are
-  * not in this environment, so the decode step is a DETERMINISTIC FAKE
-  * behind a clearly-marked seam ([[Multimodal.decodeMeta]]); the
+  * `binary` columns with typed metadata. BMP decoding is REAL
+  * ([[Multimodal.parseBmp]] reads the little-endian BITMAPINFOHEADER
+  * from the actual bytes — uncompressed BMP needs no codec, just
+  * offset arithmetic); the COMPRESSED formats' decode (png/jpeg/gif —
+  * the codecs are not in this environment) stays a DETERMINISTIC FAKE
+  * behind the clearly-marked [[Multimodal.fakeDecode]] seam. The
   * Spark-side plumbing — binary schema, magic-byte sniffing, batched
   * per-partition decode, frame slicing, partitioning behavior — is real
   * and oracle-tested.
@@ -62,22 +65,84 @@ object Multimodal {
 
   /** Batched decode over partitions — the mapInPandas-shaped seam.
     * Each partition's rows stream through one JVM iterator (no
-    * per-row task overhead, no driver collect); REPLACE the body of
-    * `fakeDecode` with a real codec (javax.imageio / ffmpeg binding)
-    * to productionize — everything around it (schema, batching,
-    * partition behavior) is what production would use. The fake derives
-    * dimensions deterministically from payload length so the DuckDB
-    * oracle can verify the full pipeline. */
-  def decodeMeta(documents: DataFrame): Dataset[DecodedMeta] = {
-    val spark = documents.sparkSession
+    * per-row task overhead, no driver collect). BMP payloads decode
+    * for REAL ([[parseBmp]]); compressed formats fall to the
+    * [[fakeDecode]] stub (REPLACE its body with javax.imageio / an
+    * ffmpeg binding to productionize — everything around it is what
+    * production would use; the fake derives dimensions
+    * deterministically from payload length so the DuckDB oracle can
+    * verify the full pipeline). */
+  def decodeMeta(documents: DataFrame): Dataset[DecodedMeta] =
+    decodePayloads(binaryDocs(documents))
+
+  /** [[decodeMeta]] over an arbitrary (doc_id, payload) frame — the
+    * same batched seam for corpora that already carry binary columns
+    * (e.g. [[bmpDocs]]). */
+  def decodePayloads(bin: DataFrame): Dataset[DecodedMeta] = {
+    val spark = bin.sparkSession
     import spark.implicits._
-    binaryDocs(documents).select(col("doc_id"), col("payload"))
+    bin.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => fakeDecode(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseBmp(id, bytes).getOrElse(fakeDecode(id, bytes)) })
   }
 
-  /** DETERMINISTIC FAKE decode — the seam where a real image/audio
-    * codec plugs in. Dimensions are a fixed function of body length. */
+  /** REAL BMP metadata decode: validates the 'BM' signature, the
+    * header-declared file size against the actual byte count and the
+    * 40-byte BITMAPINFOHEADER marker, then reads width / height /
+    * bit-depth straight out of the little-endian header bytes. The
+    * strict validation (size field must equal payload length) keeps a
+    * text body that merely starts with "BM" from misparsing. Returns
+    * None for anything that is not a well-formed uncompressed BMP —
+    * the caller falls back to the compressed-format stub. */
+  private[graft] def parseBmp(id: Long, b: Array[Byte]): Option[DecodedMeta] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def le32(i: Int): Long =
+      u8(i) | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) None
+    else if (le32(2) != b.length.toLong || le32(14) != 40L) None
+    else {
+      val w = le32(18).toInt
+      val h = math.abs(le32(22).toInt) // negative height = top-down rows
+      val bpp = le16(28)
+      if (w <= 0 || h == 0 || bpp == 0 || bpp % 8 != 0) None
+      else Some(DecodedMeta(id, "bmp", w, h, bpp / 8, w.toLong * h * (bpp / 8)))
+    }
+  }
+
+  /** Deterministic REAL-BMP corpus: each document becomes a well-formed
+    * uncompressed 24-bit BMP — 14-byte file header + BITMAPINFOHEADER,
+    * dimensions derived from doc_id, rows padded to the 4-byte stride
+    * the format requires, pixel bytes a doc_id-derived fill. Built
+    * entirely from codegen'd string/binary expressions (hex/lpad/unhex
+    * little-endian framing), so the DuckDB oracle constructs the
+    * IDENTICAL blobs and [[decodePayloads]] must parse the actual
+    * headers to match it. */
+  def bmpDocs(documents: DataFrame): DataFrame = {
+    def le32(x: String) =
+      s"unhex(concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex((($x) div 256) % 256), 2, '0'), " +
+        s"lpad(hex((($x) div 65536) % 256), 2, '0'), '00'))"
+    def le16(x: String) =
+      s"unhex(concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex((($x) div 256) % 256), 2, '0')))"
+    documents
+      .selectExpr("doc_id", "1 + doc_id % 13 AS w", "1 + doc_id % 7 AS h")
+      .selectExpr("doc_id", "w", "h", "h * (((w * 3 + 3) div 4) * 4) AS pix_len")
+      .selectExpr("doc_id",
+        s"""concat(unhex('424D'),
+           |  ${le32("54 + pix_len")}, ${le32("0")}, ${le32("54")},
+           |  ${le32("40")}, ${le32("w")}, ${le32("h")},
+           |  ${le16("1")}, ${le16("24")},
+           |  ${le32("0")}, ${le32("pix_len")},
+           |  ${le32("2835")}, ${le32("2835")}, ${le32("0")}, ${le32("0")},
+           |  unhex(repeat(lpad(hex(doc_id % 256), 2, '0'), CAST(pix_len AS INT)))
+           |) AS payload""".stripMargin)
+  }
+
+  /** DETERMINISTIC FAKE decode — the seam where a real COMPRESSED-
+    * format codec plugs in (BMP never reaches here: [[parseBmp]]
+    * handles it for real). Dimensions are a fixed function of body
+    * length. */
   private def fakeDecode(id: Long, bytes: Array[Byte]): DecodedMeta = {
     val fmt = Magic.find { case (_, m) => bytes.length >= 4 && bytes.take(4).sameElements(m) }
       .map(_._1).getOrElse("bin")

@@ -69,6 +69,58 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("parseBmp reads real little-endian headers; malformed inputs fall to the stub") {
+    // hand-built 24-bit 3x2 BMP: stride = 12, pixel data = 24 bytes
+    def bmp(w: Int, h: Int, bpp: Int = 24): Array[Byte] = {
+      val stride = (w * (bpp / 8) + 3) / 4 * 4
+      val pix = stride * math.abs(h)
+      val size = 54 + pix
+      val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(bpp.toShort)
+      b.putInt(0).putInt(pix).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      b.put(Array.fill(pix)(0x5A.toByte))
+      b.array()
+    }
+    val good = Multimodal.parseBmp(1L, bmp(3, 2)).get
+    assert((good.fmt, good.width, good.height, good.channels, good.n_pixels) ==
+      (("bmp", 3, 2, 3, 18L)))
+    // negative height = top-down row order; dimensions report positive
+    val topDown = Multimodal.parseBmp(2L, bmp(5, -4)).get
+    assert(topDown.width == 5 && topDown.height == 4)
+    // 8-bit grayscale: one channel
+    assert(Multimodal.parseBmp(3L, bmp(7, 3, bpp = 8)).get.channels == 1)
+    // corrupt size field, truncated header, and a text body that merely
+    // starts with "BM" must all be rejected (fall to the stub)
+    val corrupt = bmp(3, 2); corrupt(2) = (corrupt(2) + 1).toByte
+    assert(Multimodal.parseBmp(4L, corrupt).isEmpty)
+    assert(Multimodal.parseBmp(5L, Array[Byte]('B', 'M', 1, 2, 3)).isEmpty)
+    assert(Multimodal.parseBmp(6L,
+      "BM this text is long enough to exceed fifty-four bytes easily".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("bmpDocs builds well-formed BMPs that decodePayloads parses for real") {
+    val df = docs((0L, "ignored"), (5L, "x"), (12L, "y"), (25L, "z"))
+    val out = Multimodal.decodePayloads(Multimodal.bmpDocs(df)).collect()
+      .map(m => m.doc_id -> m).toMap
+    out.foreach { case (id, m) =>
+      assert(m.fmt == "bmp", s"doc $id fell to the fake decoder")
+      assert(m.width == 1 + (id % 13).toInt && m.height == 1 + (id % 7).toInt)
+      assert(m.channels == 3 && m.n_pixels == m.width.toLong * m.height * 3)
+    }
+    // the constructed blob is byte-valid beyond our own parser: file
+    // size field equals real length, pixel array starts at 54
+    val raw = Multimodal.bmpDocs(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    raw.foreach { case (id, b) =>
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      assert(bb.getChar(0) != 0 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
+      assert(bb.getInt(2) == b.length && bb.getInt(10) == 54 && bb.getInt(14) == 40)
+      val stride = ((1 + (id % 13).toInt) * 3 + 3) / 4 * 4
+      assert(b.length == 54 + stride * (1 + (id % 7).toInt))
+    }
+  }
+
   test("frameSample slices every stride-th complete frame") {
     val text = "y" * 1100 // png body 1100 → 4 complete 256-byte frames, idx 0..3, stride 4 → frame 0 only
     val out = Multimodal.frameSample(docs((0L, text))).collect()
