@@ -96,6 +96,42 @@ class FkJoinStreamSpec extends SparkSpec {
     }
   }
 
+  test("deviation boundary: the same-zone leave the reference emits is suppressed at the fold") {
+    // the reference's literal sequence (DemoApp.scala:116-130): its
+    // carMoveHandler keeps fromZone even when old == new, so a
+    // same-zone re-arrival emits arrive THEN leave for the same
+    // (zone, car) — net-deleting the car from the zone store. This
+    // test pins OUR documented deviation (FkJoinStream scaladoc):
+    // the same-zone leave never leaves stage 1; a real move still
+    // emits its retraction.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val checkpoint = Files.createTempDirectory("movefold-ckpt").toString
+    nameCounter += 1
+    val sinkName = s"movefold_sink_$nameCounter"
+    val cars = MemoryStream[CarArrival](spark)
+    val query = FkJoinStream.moveFold(cars.toDS())
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").option("checkpointLocation", checkpoint).start()
+    try {
+      cars.addData(CarArrival(1, 7, 100, 5.0)); query.processAllAvailable()
+      cars.addData(CarArrival(2, 7, 100, 4.5)); query.processAllAvailable() // re-arrival, same zone
+      cars.addData(CarArrival(3, 7, 200, 4.0)); query.processAllAvailable() // real move
+      val out = spark.table(sinkName).as[CarMoveEvent].collect().toSeq
+        .sortBy(e => (e.seq, !e.isArriving))
+      assert(out == Seq(
+        CarMoveEvent(1, 7, 100, isArriving = true, 5.0),
+        // seq 2: arrive only — the reference would ALSO emit
+        // (seq 2, zone 100, leave), dropping car 7 from zone 100
+        CarMoveEvent(2, 7, 100, isArriving = true, 4.5),
+        CarMoveEvent(3, 7, 200, isArriving = true, 4.0),
+        CarMoveEvent(3, 7, 100, isArriving = false, 4.0)))
+    } finally {
+      query.stop()
+      spark.sql(s"DROP VIEW IF EXISTS $sinkName")
+    }
+  }
+
   test("within-batch interleavings are processed in seq order per key") {
     withPipeline { (cars, zones, sync, results) =>
       // one micro-batch: zone known, car arrives, zone updates, car re-fuels
