@@ -180,15 +180,19 @@ object Dedup {
     // co-occurrence pairs by grouping each shingle's (distinct, sorted)
     // posting list and expanding ordered pairs map-side — ONE shuffle of
     // the shingle table instead of a self-join's two legs + join
-    // (measured ~2x). The expansion is the same quadratic-in-document-
-    // frequency term the join had, just materialized in one task per
-    // shingle — acceptable under the ScaleGuard; past it, minhashPairs.
+    // (measured ~2x). The expansion happens in TWO explodes — anchor
+    // index first, then that anchor's tail — so no single row ever
+    // materializes the C(df,2) pair array (a hot stopword-like shingle
+    // would otherwise concentrate its whole quadratic expansion into
+    // one collect_list-sized heap allocation); the quadratic WORK per
+    // hot shingle still runs on one task — acceptable under the
+    // ScaleGuard; past it, minhashPairs.
     val ids = array_sort(collect_list(col("doc_id")))
     val pairs = sh.groupBy(col("shingle")).agg(ids.as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), j =>
-          struct(element_at(col("ids"), i + 1).as("doc_a"), j.as("doc_b")))))).as("p"))
+      .select(col("ids"), explode(sequence(lit(0), size(col("ids")) - 2)).as("i"))
+      .select(explode(transform(slice(col("ids"), col("i") + 2, size(col("ids"))), j =>
+        struct(element_at(col("ids"), col("i") + 1).as("doc_a"), j.as("doc_b")))).as("p"))
     val inter = pairs
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -439,6 +443,15 @@ object Dedup {
     * StreamRunner.replaySession pattern), growing back toward the
     * session default at one partition per million edges, so a truly
     * large pair graph still fans out. */
+  /** Edge-count bound for [[connectedComponents]]'s single-task
+    * union-find fast path, AND the per-partition edge budget the
+    * distributed loop grows by. One constant on purpose: it is the
+    * "edges a single task can comfortably hold/process" figure — a
+    * LongMap of ≤ 2·limit entries ≈ tens of MB of task heap — and both
+    * uses express exactly that budget (the two drifting apart silently
+    * was the hazard). */
+  private[graft] val SingleTaskEdgeLimit = 1000000L
+
   private[graft] def connectedComponents(edges0: DataFrame, maxIters: Int,
                                          forceDistributed: Boolean = false): DataFrame = {
     val caller = edges0.sparkSession
@@ -446,7 +459,7 @@ object Dedup {
     val edgeCount = edgesCk.count()
     val graphParts = math.max(1L, math.min(
       caller.conf.get("spark.sql.shuffle.partitions").toInt.toLong,
-      edgeCount / 1000000L + 1L)).toInt
+      edgeCount / SingleTaskEdgeLimit + 1L)).toInt
     // Fast path: when the materialized pair graph is SMALL (the common
     // case — edges are duplicate-density-proportional), a single
     // executor task runs classic union-find over the edge list: one job
@@ -456,9 +469,9 @@ object Dedup {
     // graphParts: a session running with shuffle.partitions=1 must not
     // route an arbitrarily large graph into one in-heap map. Same
     // contract: label = component min. The distributed loop below
-    // remains the >1M-edge scale path; CarZoneProps pins both paths to
-    // a brute-force union-find model.
-    if (edgeCount < 1000000L && !forceDistributed) {
+    // remains the >SingleTaskEdgeLimit scale path; CarZoneProps pins
+    // both paths to a brute-force union-find model.
+    if (edgeCount < SingleTaskEdgeLimit && !forceDistributed) {
       import org.apache.spark.sql.Encoders
       implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
       return edgesCk.select(col("doc_a").cast("long"), col("doc_b").cast("long"))

@@ -215,7 +215,12 @@ object Relational {
     // between A's create and A's sql would silently swap A's input)
     val view = s"graft_q17_lineitem_${viewId.incrementAndGet()}"
     lineitem.createOrReplaceTempView(view)
-    try spark.sql(s"""
+    // the returned frame is pinned to the ANALYZED plan (ofAnalyzed)
+    // before the view drops: sql() alone happens to analyze eagerly on
+    // current Spark, but anything that re-resolves the plan against
+    // the catalog later (view-backed reuse, lazy-analysis changes)
+    // would find the name gone
+    try org.apache.spark.sql.graft.SqlBridge.ofAnalyzed(spark, spark.sql(s"""
       SELECT l_partkey,
              COUNT(*) AS n_lines,
              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
@@ -223,8 +228,8 @@ object Relational {
       WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
                           FROM $view l2
                           WHERE l2.l_partkey = l1.l_partkey)
-      GROUP BY l_partkey""")
-    finally spark.catalog.dropTempView(view) // sql() has analyzed; the plan no longer needs it
+      GROUP BY l_partkey"""))
+    finally spark.catalog.dropTempView(view)
   }
 
   private val viewId = new java.util.concurrent.atomic.AtomicLong(0L)

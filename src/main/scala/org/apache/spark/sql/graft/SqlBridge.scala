@@ -20,4 +20,14 @@ object SqlBridge {
   def functionRegistry(spark: SparkSession): FunctionRegistry =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
+
+  /** A Dataset over an already-ANALYZED plan — pins the resolution a
+    * spark.sql() call produced so the frame stays valid after its
+    * temp view is dropped (re-analysis against the catalog would no
+    * longer find the name). */
+  def ofAnalyzed(spark: SparkSession,
+                 df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.analyzed)
 }
