@@ -71,10 +71,22 @@ object Bench {
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
+    // per-section subtotals so round-over-round comparisons separate
+    // the streaming-replay floor from batch movement
+    def section(name: String): String =
+      if (name.startsWith("s_stream")) "stream"
+      else if (name.startsWith("d_")) "dedup"
+      else if (name.startsWith("a_")) "ann"
+      else if (name.startsWith("t_")) "text"
+      else if (name.startsWith("c_")) "corpus"
+      else if (name.startsWith("m_")) "multimodal"
+      else "relational"
+    val subs = timings.toSeq.groupBy { case (k, _) => section(k) }.toSeq.sortBy(_._1)
+      .map { case (s, kvs) => s""""$s":${kvs.map(_._2).sum}""" }.mkString("{", ",", "}")
     // provenance: the thread count the harness ACTUALLY ran with (the
     // driver's own record reflects the host, not this tuning), so
     // cross-round numbers stay comparable
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir","threads":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"subtotals":$subs,"errors":$es,"sf":"$sfDir","threads":$cpus}""")
     spark.stop()
   }
 }

@@ -184,36 +184,44 @@ object TextAnalysis {
     * into DECIMAL(18,9) so per-doc sums are order-exact; the counts
     * and divisions are exact-integer-to-double, identical everywhere.
     *
-    * Scale shape: two model tables (distinct bigrams, contexts), both
-    * corpus-vocabulary-proportional, partial-aggregated; the per-doc
-    * sum joins positions to the model by bigram key — the only
-    * corpus-sized shuffles carry (doc_id, bigram) pairs, never text. */
+    * Scale shape: the TEXT is scanned exactly once — the fused
+    * [[graft.functions.DedupKernels.gramHashSeq]] kernels emit each
+    * document's positional word hashes (width 1) and bigram hashes
+    * (width 2) in one pass, and that compact longs-only frame
+    * (~16 B/token, no gram strings anywhere) is cached for every
+    * consumer: the unigram counts, the bigram/context model tables
+    * (both corpus-vocabulary-proportional, partial-aggregated) and the
+    * per-doc scoring join. A bigram's context/word hashes are just
+    * g1[i] and g1[i+1] — the split-the-gram-string pass the previous
+    * formulation paid (and the second full text scan it triggered) is
+    * gone. All joins stay keyed by 8-byte longs (internal keys, the
+    * gramKeys collision argument). */
   def bigramLogProb(documents: DataFrame,
                     wB: Double = 0.7, wU: Double = 0.3): DataFrame = {
     require(wB > 0 && wU > 0, s"interpolation weights must be positive ($wB, $wU)")
-    // every model join is keyed by xxhash64 of the gram/word (8-byte
-    // longs through the shuffles instead of the strings — internal
-    // keys, the gramKeys collision argument); the bigram STRING leaves
-    // the map side only once, inside the vocabulary-sized bgCount,
-    // where its words are split out exactly once per DISTINCT bigram.
-    // Cached: bg feeds BOTH the model aggregation and the per-doc
-    // scoring join — uncached, the dominant corpus scan + gram explode
-    // + hashing runs twice (the minhashPairs signature-cache argument;
-    // the cached rows are (doc_id, 8-byte hash) + the transient gram
-    // string, gram-stream-sized but never re-shuffled as text)
-    val bg = documents.select(col("doc_id"),
-      explode(gramArray(col("text"), 2)).as("bg"))
-      .select(col("doc_id"), xxhash64(col("bg")).as("g"), col("bg"))
+    import graft.functions.DedupKernels.gramHashSeq
+    val hashed = documents.select(col("doc_id"),
+        gramHashSeq(col("text"), 1).as("g1"),
+        gramHashSeq(col("text"), 2).as("g2"))
       .cache()
+    val uni = hashed.select(explode(col("g1")).as("ht"))
+      .groupBy(col("ht")).agg(count(lit(1)).as("u_cnt"))
+    // corpus token total via the unigram table (exact integer sum) —
+    // cheaper than a second corpus-wide explode
+    val total = uni.agg(sum(col("u_cnt")).as("n_total"))
+    val bg = hashed
+      .filter(size(col("g2")) > 0)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("g2")) - 1), i =>
+          struct(element_at(col("g2"), i + 1).as("g"),
+            element_at(col("g1"), i + 1).as("h1"),
+            element_at(col("g1"), i + 2).as("h2")))).as("p"))
+      .select(col("doc_id"), col("p.g").as("g"),
+        col("p.h1").as("h1"), col("p.h2").as("h2"))
     val bgCount = bg.groupBy(col("g"))
-      .agg(count(lit(1)).as("bg_cnt"), first(col("bg")).as("bg"))
-      .select(col("g"), col("bg_cnt"),
-        xxhash64(split(col("bg"), " ")(0)).as("h1"),
-        xxhash64(split(col("bg"), " ")(1)).as("h2"))
+      .agg(count(lit(1)).as("bg_cnt"),
+        first(col("h1")).as("h1"), first(col("h2")).as("h2"))
     val ctxCount = bgCount.groupBy(col("h1")).agg(sum(col("bg_cnt")).as("ctx_cnt"))
-    val toks = documents.select(explode(tokens(col("text"))).as("tok"))
-    val uni = toks.groupBy(xxhash64(col("tok")).as("ht")).agg(count(lit(1)).as("u_cnt"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
     val logp = bgCount
       .join(ctxCount, "h1")
       .join(uni, col("h2") === col("ht"))

@@ -79,9 +79,20 @@ object StreamRunner {
     * its own state partitioning to its data instead, on an isolated
     * session clone (see [[replaySession]]), so batch queries and
     * production streams — which size this through their own session
-    * conf — are untouched. */
+    * conf — are untouched.
+    *
+    * The default is CORE-AWARE, max(4, cores/4): the replay's real
+    * data work (the sf0.1 envelope through stateful ops) wants
+    * parallelism, the per-batch store commits want few partitions, and
+    * the balance point moves with the host — A/B'd on full stream
+    * subsets: at 32 threads, 8 partitions beat 4 by ~15% twice
+    * (36.2/31.9 vs 44.1/37.4 s) and 16 lost the gain again (43.4 s);
+    * at 8 threads 4 was measured optimal (1/2/8 tested). */
   val ReplayPartitionsKey = "spark.graft.replay.partitions"
   val DefaultReplayPartitions = 4
+
+  private def defaultReplayPartitions(spark: SparkSession): Int =
+    math.max(DefaultReplayPartitions, spark.sparkContext.defaultParallelism / 4)
 
   private val RocksProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -255,7 +266,7 @@ object StreamRunner {
     * inside the streaming query. */
   private def replayPartitions(spark: SparkSession): Int = {
     val raw = spark.conf.getOption(ReplayPartitionsKey)
-      .getOrElse(DefaultReplayPartitions.toString)
+      .getOrElse(defaultReplayPartitions(spark).toString)
     val n = scala.util.Try(raw.trim.toInt).getOrElse(-1)
     require(n > 0, s"$ReplayPartitionsKey must be a positive integer, got '$raw'")
     n
