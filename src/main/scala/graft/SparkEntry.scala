@@ -235,6 +235,11 @@ object SparkEntry {
     // construction — a broken parser falls to the fake and mismatches)
     "m_decode_bmp" -> ((s, dir) =>
       Multimodal.decodePayloads(Multimodal.bmpDocs(Tables.documents(s, dir))).toDF()),
+    // REAL resampling: nearest-neighbor resize over the actual BMP
+    // pixel bytes (position-varying fill — a wrong offset/stride can
+    // never hash right)
+    "m_resize_bmp" -> ((s, dir) =>
+      Multimodal.resizeBmp(Multimodal.bmpDocs(Tables.documents(s, dir))).toDF()),
     "m_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     "m_feature_extract" -> ((s, dir) => Multimodal.featureExtract(Tables.documents(s, dir)).toDF()),
     "m_resize_plan" -> ((s, dir) => Multimodal.resizePlan(Tables.documents(s, dir))),
@@ -831,6 +836,34 @@ object SparkEntry {
         |       CAST(3 AS INT) AS channels,
         |       CAST((1 + doc_id % 13) * (1 + doc_id % 7) * 3 AS BIGINT) AS n_pixels
         |FROM documents""".stripMargin,
+    // real-BMP resampling: the oracle computes each resized byte
+    // ARITHMETICALLY — pixel byte at array position p carries
+    // (doc_id + p) % 256 by construction, so the expected stream is
+    // (doc_id + sy*stride + sx*ch + c) % 256 over the target grid in
+    // row-major order, hex'd and md5'd exactly like the Spark side
+    // reads it from the real payload bytes. Spark samples actual
+    // bytes at header-derived offsets; any offset/stride/orientation
+    // bug mismatches the hash.
+    "m_resize_bmp" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(1 + doc_id % 13 AS INT) AS w,
+        |         CAST(1 + doc_id % 7 AS INT) AS h
+        |  FROM documents),
+        |geo AS (
+        |  SELECT doc_id, w, h, ((w * 3 + 3) // 4) * 4 AS stride,
+        |         greatest(1, (w * 64) // greatest(w, h)) AS tw,
+        |         greatest(1, (h * 64) // greatest(w, h)) AS th
+        |  FROM dims)
+        |SELECT doc_id, w AS width, h AS height,
+        |       CAST(tw AS INT) AS target_w, CAST(th AS INT) AS target_h,
+        |       md5(array_to_string(
+        |         [lpad(hex((doc_id
+        |                    + ((k // (3 * tw)) * h // th) * stride
+        |                    + (((k // 3) % tw) * w // tw) * 3
+        |                    + (k % 3)) % 256), 2, '0')
+        |          for k in generate_series(0, tw * th * 3 - 1)], '')) AS resized_md5
+        |FROM geo""".stripMargin,
     "m_frame_sample" ->
       s"""WITH $binCte,
         |frames AS (

@@ -114,11 +114,13 @@ object Multimodal {
   /** Deterministic REAL-BMP corpus: each document becomes a well-formed
     * uncompressed 24-bit BMP — 14-byte file header + BITMAPINFOHEADER,
     * dimensions derived from doc_id, rows padded to the 4-byte stride
-    * the format requires, pixel bytes a doc_id-derived fill. Built
-    * entirely from codegen'd string/binary expressions (hex/lpad/unhex
-    * little-endian framing), so the DuckDB oracle constructs the
-    * IDENTICAL blobs and [[decodePayloads]] must parse the actual
-    * headers to match it. */
+    * the format requires, pixel byte k carrying (doc_id + k) % 256 —
+    * POSITION-VARYING, so resampling operators ([[resizeBmp]]) read
+    * different bytes at different coordinates and a wrong offset can
+    * never hash right. Built entirely from codegen'd string/binary
+    * expressions (hex/lpad/unhex little-endian framing), so the DuckDB
+    * oracle constructs the IDENTICAL blobs and [[decodePayloads]] must
+    * parse the actual headers to match it. */
   def bmpDocs(documents: DataFrame): DataFrame = {
     def le32(x: String) =
       s"unhex(concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex((($x) div 256) % 256), 2, '0'), " +
@@ -135,8 +137,61 @@ object Multimodal {
            |  ${le16("1")}, ${le16("24")},
            |  ${le32("0")}, ${le32("pix_len")},
            |  ${le32("2835")}, ${le32("2835")}, ${le32("0")}, ${le32("0")},
-           |  unhex(repeat(lpad(hex(doc_id % 256), 2, '0'), CAST(pix_len AS INT)))
+           |  unhex(array_join(transform(sequence(0, CAST(pix_len AS INT) - 1),
+           |    k -> lpad(hex((doc_id + k) % 256), 2, '0')), ''))
            |) AS payload""".stripMargin)
+  }
+
+  case class ResizedBmp(doc_id: Long, width: Int, height: Int,
+                        target_w: Int, target_h: Int, resized_md5: String)
+
+  /** REAL pixel resampling for BMP payloads — the operation
+    * [[resizePlan]] only plans: nearest-neighbor resize into a
+    * `maxSide` box with aspect preserved, reading the ACTUAL pixel
+    * bytes at their header-derived offsets (54 + row·stride +
+    * col·channels in pixel-array order; rows padded to the 4-byte
+    * stride). Source pixel for target (tx, ty) is (tx·w/tw, ty·h/th)
+    * in integer arithmetic — identical on any engine. Emits the
+    * resized raw byte stream's fingerprint (md5 over the uppercase
+    * hex form, the binaryStats convention) rather than a re-encoded
+    * BMP: the pixel movement is the operation under test; container
+    * re-framing is [[bmpDocs]]'s job in reverse and adds nothing.
+    *
+    * Same batched mapPartitions seam as [[decodePayloads]] — at
+    * 100 TB this is map-only width-bounded work (output ≤
+    * maxSide²·channels bytes/row), no shuffle, payloads never leave
+    * their partition. Throws on a non-BMP payload: resampling bytes
+    * under an unparsed compressed format would be silent garbage. */
+  def resizeBmp(bin: DataFrame, maxSide: Int = 64): Dataset[ResizedBmp] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val meta = parseBmp(id, bytes).getOrElse(throw new IllegalArgumentException(
+          s"doc $id: resizeBmp needs a well-formed uncompressed BMP payload"))
+        val w = meta.width; val h = meta.height; val ch = meta.channels
+        val stride = (w * ch + 3) / 4 * 4
+        val m = math.max(w, h)
+        val tw = math.max(1, w * maxSide / m)
+        val th = math.max(1, h * maxSide / m)
+        val out = new Array[Byte](tw * th * ch)
+        var o = 0
+        var ty = 0
+        while (ty < th) {
+          val rowBase = 54 + (ty * h / th) * stride
+          var tx = 0
+          while (tx < tw) {
+            val base = rowBase + (tx * w / tw) * ch
+            var c = 0
+            while (c < ch) { out(o) = bytes(base + c); o += 1; c += 1 }
+            tx += 1
+          }
+          ty += 1
+        }
+        val hexUpper = org.apache.commons.codec.binary.Hex.encodeHexString(out).toUpperCase
+        ResizedBmp(id, w, h, tw, th,
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(hexUpper))
+      })
   }
 
   /** DETERMINISTIC FAKE decode — the seam where a real COMPRESSED-

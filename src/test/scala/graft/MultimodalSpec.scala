@@ -121,6 +121,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeBmp samples real pixel bytes at header-derived offsets") {
+    // doc 14: w = 1 + 14%13 = 2, h = 1 + 14%7 = 1 -> stride 8,
+    // tw = 2*64/2 = 64, th = greatest(1, 1*64/2) = 32
+    val df = docs((14L, "x"))
+    val out = Multimodal.resizeBmp(Multimodal.bmpDocs(df)).collect().head
+    assert((out.width, out.height, out.target_w, out.target_h) == ((2, 1, 64, 32)))
+    // expected stream computed independently of the operator: source
+    // pixel (sx, 0) with sx = tx*2/64; pixel byte p carries (14+p)%256
+    val expected = (for {
+      ty <- 0 until 32; tx <- 0 until 64; c <- 0 until 3
+    } yield ((14 + (tx * 2 / 64) * 3 + c) % 256).toByte).toArray
+    val hexUpper = org.apache.commons.codec.binary.Hex.encodeHexString(expected).toUpperCase
+    assert(out.resized_md5 ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(hexUpper))
+    // a payload that is not a well-formed BMP refuses loudly
+    val bad = spark.range(1).selectExpr("id AS doc_id", "encode('not a bmp at all', 'UTF-8') AS payload")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.resizeBmp(bad).collect()
+    }
+  }
+
   test("frameSample slices every stride-th complete frame") {
     val text = "y" * 1100 // png body 1100 → 4 complete 256-byte frames, idx 0..3, stride 4 → frame 0 only
     val out = Multimodal.frameSample(docs((0L, text))).collect()
