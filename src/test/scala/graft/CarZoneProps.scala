@@ -120,6 +120,35 @@ object CarZoneProps extends Properties("CarZone") {
       }
     }
 
+  property("spanDedup == brute-force first-occurrence span model") =
+    Prop.forAll(
+      Gen.choose(1, 6).flatMap { nd =>
+        Gen.listOfN(nd, Gen.choose(0, 20).flatMap(n =>
+          Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))))
+          .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      }) { corpus =>
+      val k = 3 // tiny grams + 4-word vocab => duplicates are common
+      val got = Dedup.spanDedup(corpus.toDF("doc_id", "text"), k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val grams = corpus.flatMap { case (id, text) =>
+        val w = text.split(" ", -1) // keep empties: Spark's split does
+        (0 to w.length - k).map(p => (w.slice(p, p + k).mkString(" "), id, p))
+      }
+      val first = grams.groupBy(_._1).map { case (g, occ) =>
+        g -> occ.map(o => (o._2, o._3)).min }
+      val dupByDoc = grams.filter { case (g, id, p) => first(g) != ((id, p)) }
+        .groupBy(_._2).view.mapValues(_.map(_._3).sorted).toMap
+      val expected = dupByDoc.flatMap { case (id, ps) =>
+        val islands = ps.foldLeft(List.empty[List[Int]]) {
+          case (Nil, p) => List(List(p))
+          case (h :: t, p) => if (p - h.head <= k) (p :: h) :: t else List(p) :: h :: t
+        }
+        islands.map(g => (id, g.min.toLong, (g.max + k - 1).toLong,
+          (g.max + k - 1 - g.min + 1).toLong))
+      }.toSet
+      got == expected
+    }
+
   property("tokenBudget kept sets are nested as the budget grows") =
     Prop.forAll(Gen.listOfN(10, Gen.choose(1, 120))) { lens =>
       import graft.operators.Corpus
