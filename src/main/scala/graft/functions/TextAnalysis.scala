@@ -118,9 +118,19 @@ object TextAnalysis {
     * difference cannot flip ranks across engines. */
   def tfidf(documents: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // cached: tf feeds BOTH the df aggregation and the scoring join,
+    // and ReuseExchange cannot unify the two branches (column pruning
+    // rewrites the df branch's aggregate into a function-less distinct,
+    // so the exchange subtrees never canonicalize equal — verified in
+    // the executed plan); uncached, the corpus scan + explode + partial
+    // count runs twice. The cached frame is the DISTINCT (doc, term)
+    // pair table with a count — far smaller than the corpus (no text,
+    // token multiplicities collapsed), the same cache class as
+    // minhashPairs' signature table.
     val tf = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .cache()
     val n = documents.agg(count(lit(1)).as("n_docs"))
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(docFreq, "term")

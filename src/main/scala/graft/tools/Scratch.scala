@@ -6,11 +6,16 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    try {
-      spark.sql("SELECT might_contain((SELECT bloom_filter_agg(xxhash64(x), 100, 1000) FROM (SELECT explode(array('a','b','c')) AS x)), xxhash64('a')) AS hit").show()
-    } catch { case e: Throwable => println("BLOOM-SQL-FAIL: " + e.getMessage.take(300)) }
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val df = graft.functions.TextAnalysis.tfidf(docs)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    println("RUNTIME InMemoryTableScan: " + "InMemoryTableScan".r.findAllIn(p).length +
+      " FileScan: " + "FileScan".r.findAllIn(p).length)
     spark.stop()
   }
 }
