@@ -378,9 +378,15 @@ object Dedup {
     * north_star (dedup for LLM training corpora at 100 TB). */
   def spanDedup(documents: DataFrame, spanWords: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // cached: the positional gram frame feeds BOTH the first-occurrence
+    // dictionary and the duplicate-position join (DAG branches don't
+    // share work without it — the tfidf ReuseExchange lesson); the
+    // cached rows are fixed-width (doc_id, pos, 8-byte hash) — the
+    // gram STREAM at ~20 B/gram, no strings
     val grams = documents.select(col("doc_id"),
       posexplode(graft.functions.DedupKernels.gramHashSeq(col("text"), spanWords))
         .as(Seq("pos", "g")))
+      .cache()
     val firsts = grams.groupBy(col("g"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
     val dup = grams.join(firsts, "g")

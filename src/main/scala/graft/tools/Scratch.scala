@@ -11,11 +11,11 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
-    val df = graft.functions.TextAnalysis.tfidf(docs)
+    val df = graft.operators.Dedup.spanDedup(docs)
     df.count()
     val p = df.queryExecution.executedPlan.toString
-    println("RUNTIME InMemoryTableScan: " + "InMemoryTableScan".r.findAllIn(p).length +
-      " FileScan: " + "FileScan".r.findAllIn(p).length)
+    println("RUNTIME gram_hash_seq generates: " + "gram_hash_seq".r.findAllIn(p).length +
+      " InMemoryTableScan: " + "InMemoryTableScan".r.findAllIn(p).length)
     spark.stop()
   }
 }
