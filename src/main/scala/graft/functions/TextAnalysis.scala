@@ -150,15 +150,22 @@ object TextAnalysis {
     * a pretrained LM, the dataflow is identical). Returns
     * (doc_id, n_tokens, avg_logp).
     *
-    * Scale shape: one token explode feeds BOTH aggregations — the
-    * vocabulary count (term-keyed shuffle whose output is
-    * vocabulary-sized, partial map-side counts) and the per-doc mean
-    * (doc-keyed shuffle with partial aggregation; tokens of a doc start
-    * co-located, so the map-side combine collapses them before the
-    * exchange). The corpus total joins as a one-row broadcast; the
+    * Scale shape: the TEXT is scanned exactly once — the fused
+    * [[graft.functions.DedupKernels.gramHashSeq]] kernel (width 1)
+    * emits each document's positional word hashes, and that cached
+    * longs-only frame (~8 B/token, no token strings) feeds the
+    * vocabulary count (hash-keyed shuffle whose output is
+    * vocabulary-sized, partial map-side counts), the corpus total
+    * (derived from the vocabulary by exact integer sum — no extra
+    * pass) and the per-doc mean (doc-keyed shuffle with partial
+    * aggregation). Without the cache the three consumers each re-ran
+    * the scan+explode (measured in the executed plan — the tfidf
+    * DAG-sharing lesson). The total joins as a one-row broadcast; the
     * vocabulary joins unhinted — the planner/AQE broadcasts while it
     * fits (a unigram vocab virtually always does) and falls back to a
-    * shuffled join on a pathological vocabulary.
+    * shuffled join on a pathological vocabulary. Words join by
+    * xxhash64 of their bytes — internal 8-byte keys, the gramKeys
+    * collision argument.
     *
     * Cross-engine parity: ln() differs in the last ulp between engines,
     * so each DISTINCT WORD's log-prob is rounded to 9 dp once and cast
@@ -166,14 +173,17 @@ object TextAnalysis {
     * in any summation order, and the final mean divides the exact sum
     * by the count with the repo-wide 4-dp boundary nudge. */
   def unigramLogProb(documents: DataFrame): DataFrame = {
-    val toks = documents.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    val hashed = documents.select(col("doc_id"),
+        graft.functions.DedupKernels.gramHashSeq(col("text"), 1).as("g1"))
+      .cache()
+    val toks = hashed.select(col("doc_id"), explode(col("g1")).as("ht"))
+    val vocab = toks.groupBy(col("ht")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n_total"))
     val logp = vocab.crossJoin(broadcast(total))
-      .select(col("tok"),
+      .select(col("ht"),
         round(log(col("cnt") / col("n_total")) + lit(1e-12), 9)
           .cast("decimal(18,9)").as("logp"))
-    toks.join(logp, "tok")
+    toks.join(logp, "ht")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("logp")).as("slp"))
       .select(col("doc_id"), col("n_tokens"),

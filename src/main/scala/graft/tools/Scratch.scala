@@ -10,12 +10,19 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
-    val df = graft.operators.Dedup.spanDedup(docs)
-    df.count()
-    val p = df.queryExecution.executedPlan.toString
-    println("RUNTIME gram_hash_seq generates: " + "gram_hash_seq".r.findAllIn(p).length +
-      " InMemoryTableScan: " + "InMemoryTableScan".r.findAllIn(p).length)
+    val dir = "/root/testdata/sf0.001"
+    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)
+         if !name.startsWith("s_stream")) {
+      try {
+        val df = fn(spark, dir)
+        val p = df.queryExecution.executedPlan.toString
+        // count DATA-BEARING file scans (ReadSchema with at least one column)
+        val scans = "ReadSchema: struct<[^>]".r.findAllIn(p).length
+        val mem = "InMemoryTableScan".r.findAllIn(p).length
+        if (scans > 1) println(f"$name%-24s dataScans=$scans memScans=$mem")
+      } catch { case e: Throwable => println(s"$name ERR ${e.getMessage.take(80)}") }
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
