@@ -371,18 +371,27 @@ object Corpus {
     * The join back carries no broadcast hint on purpose — totals are
     * usually dimension-sized and the planner broadcasts them on its
     * own, but a hint would force-collect a pathological totals frame
-    * to the driver. */
+    * to the driver.
+    *
+    * The input is CACHED here: the within-bucket window and the bucket
+    * totals are two plan branches over the same frame, and Spark
+    * re-computes the subtree per branch (the tfidf DAG-sharing
+    * lesson) — for tokenBudget that subtree is the full quality
+    * formula over the corpus. Callers pass narrow fixed-width
+    * projections (ids, counts, hashes), so the cache is scalar-sized
+    * per row, never text. */
   private[graft] def twoLevelPrefixSum(
       df: DataFrame, partCols: Seq[String], bucketOrder: Seq[org.apache.spark.sql.Column],
       withinOrder: Seq[org.apache.spark.sql.Column],
       value: org.apache.spark.sql.Column, out: String,
       totalsPrefix: Option[DataFrame => DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val within = df.withColumn("__cum_in_bucket",
+    val in = df.cache()
+    val within = in.withColumn("__cum_in_bucket",
       sum(value).over(
         Window.partitionBy(partCols.map(col): _*).orderBy(withinOrder: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val totalsBase = df.groupBy(partCols.map(col): _*).agg(sum(value).as("__tot"))
+    val totalsBase = in.groupBy(partCols.map(col): _*).agg(sum(value).as("__tot"))
     val totals = totalsPrefix match {
       case None =>
         totalsBase.withColumn("__prefix",
