@@ -118,19 +118,20 @@ object TextAnalysis {
     * difference cannot flip ranks across engines. */
   def tfidf(documents: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // cached: tf feeds BOTH the df aggregation and the scoring join,
-    // and ReuseExchange cannot unify the two branches (column pruning
-    // rewrites the df branch's aggregate into a function-less distinct,
-    // so the exchange subtrees never canonicalize equal — verified in
-    // the executed plan); uncached, the corpus scan + explode + partial
-    // count runs twice. The cached frame is the DISTINCT (doc, term)
-    // pair table with a count — far smaller than the corpus (no text,
-    // token multiplicities collapsed), the same cache class as
-    // minhashPairs' signature table.
+    // tf feeds BOTH the df aggregation and the scoring join, and each
+    // branch re-runs the scan+explode+partial-count (ReuseExchange
+    // cannot unify them: column pruning rewrites the df branch's
+    // aggregate into a function-less distinct, so the exchange
+    // subtrees never canonicalize equal). DELIBERATELY not cached:
+    // the would-be cache is token-stream-sized (it does not compress
+    // below the input the way a per-doc signature table does), and
+    // the A/B at sf0.1/32 threads read cache 2.14/2.50 s vs recompute
+    // 1.65/1.89 s — a second map-local pruned columnar scan is
+    // cheaper than materializing a corpus-sized intermediate, and at
+    // 100 TB it also avoids the executor-memory/spill pressure.
     val tf = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .cache()
     val n = documents.agg(count(lit(1)).as("n_docs"))
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(docFreq, "term")
@@ -150,22 +151,24 @@ object TextAnalysis {
     * a pretrained LM, the dataflow is identical). Returns
     * (doc_id, n_tokens, avg_logp).
     *
-    * Scale shape: the TEXT is scanned exactly once — the fused
+    * Scale shape: the fused
     * [[graft.functions.DedupKernels.gramHashSeq]] kernel (width 1)
-    * emits each document's positional word hashes, and that cached
-    * longs-only frame (~8 B/token, no token strings) feeds the
-    * vocabulary count (hash-keyed shuffle whose output is
-    * vocabulary-sized, partial map-side counts), the corpus total
-    * (derived from the vocabulary by exact integer sum — no extra
-    * pass) and the per-doc mean (doc-keyed shuffle with partial
-    * aggregation). Without the cache the three consumers each re-ran
-    * the scan+explode (measured in the executed plan — the tfidf
-    * DAG-sharing lesson). The total joins as a one-row broadcast; the
-    * vocabulary joins unhinted — the planner/AQE broadcasts while it
-    * fits (a unigram vocab virtually always does) and falls back to a
-    * shuffled join on a pathological vocabulary. Words join by
-    * xxhash64 of their bytes — internal 8-byte keys, the gramKeys
-    * collision argument.
+    * emits each document's positional word hashes — no token strings
+    * ever materialize — and the corpus total derives from the
+    * vocabulary by exact integer sum instead of its own corpus pass,
+    * so the text is scanned twice (vocabulary branch, per-doc branch),
+    * down from three. The two branches are deliberately NOT unified
+    * by a cache: the hash frame is token-stream-sized (~8 B/token —
+    * it does not compress below the input like a per-doc signature
+    * table), and the sf0.1 A/B read recompute faster than cache
+    * (1.27/1.32 s vs 1.38/1.84 s) — a second map-local columnar scan
+    * beats materializing a corpus-sized intermediate, without the
+    * 100 TB executor-memory pressure. The total joins as a one-row
+    * broadcast; the vocabulary joins unhinted — the planner/AQE
+    * broadcasts while it fits (a unigram vocab virtually always does)
+    * and falls back to a shuffled join on a pathological vocabulary.
+    * Words join by xxhash64 of their bytes — internal 8-byte keys,
+    * the gramKeys collision argument.
     *
     * Cross-engine parity: ln() differs in the last ulp between engines,
     * so each DISTINCT WORD's log-prob is rounded to 9 dp once and cast
@@ -175,7 +178,6 @@ object TextAnalysis {
   def unigramLogProb(documents: DataFrame): DataFrame = {
     val hashed = documents.select(col("doc_id"),
         graft.functions.DedupKernels.gramHashSeq(col("text"), 1).as("g1"))
-      .cache()
     val toks = hashed.select(col("doc_id"), explode(col("g1")).as("ht"))
     val vocab = toks.groupBy(col("ht")).agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("n_total"))
@@ -204,18 +206,20 @@ object TextAnalysis {
     * into DECIMAL(18,9) so per-doc sums are order-exact; the counts
     * and divisions are exact-integer-to-double, identical everywhere.
     *
-    * Scale shape: the TEXT is scanned exactly once — the fused
+    * Scale shape: the fused
     * [[graft.functions.DedupKernels.gramHashSeq]] kernels emit each
     * document's positional word hashes (width 1) and bigram hashes
-    * (width 2) in one pass, and that compact longs-only frame
-    * (~16 B/token, no gram strings anywhere) is cached for every
-    * consumer: the unigram counts, the bigram/context model tables
-    * (both corpus-vocabulary-proportional, partial-aggregated) and the
-    * per-doc scoring join. A bigram's context/word hashes are just
-    * g1[i] and g1[i+1] — the split-the-gram-string pass the previous
-    * formulation paid (and the second full text scan it triggered) is
-    * gone. All joins stay keyed by 8-byte longs (internal keys, the
-    * gramKeys collision argument). */
+    * (width 2) together — no gram strings anywhere: a bigram's
+    * context/word hashes are just g1[i] and g1[i+1], so the
+    * split-the-gram-string pass the previous formulation paid is
+    * gone (measured 4.9 → ~2 s at sf0.1), and the unigram model
+    * derives from the same frame. The model branches and the per-doc
+    * scoring branch re-run the kernel scan rather than sharing a
+    * cache — the hash frame is token-stream-sized, and the sf0.1 A/B
+    * read recompute faster (2.91/3.12 s vs 3.26/3.71 s cached); see
+    * [[unigramLogProb]] for the cache-vs-recompute rule. All joins
+    * stay keyed by 8-byte longs (internal keys, the gramKeys
+    * collision argument). */
   def bigramLogProb(documents: DataFrame,
                     wB: Double = 0.7, wU: Double = 0.3): DataFrame = {
     require(wB > 0 && wU > 0, s"interpolation weights must be positive ($wB, $wU)")
@@ -223,7 +227,6 @@ object TextAnalysis {
     val hashed = documents.select(col("doc_id"),
         gramHashSeq(col("text"), 1).as("g1"),
         gramHashSeq(col("text"), 2).as("g2"))
-      .cache()
     val uni = hashed.select(explode(col("g1")).as("ht"))
       .groupBy(col("ht")).agg(count(lit(1)).as("u_cnt"))
     // corpus token total via the unigram table (exact integer sum) —

@@ -373,20 +373,23 @@ object Corpus {
     * own, but a hint would force-collect a pathological totals frame
     * to the driver.
     *
-    * The input is CACHED here: the within-bucket window and the bucket
-    * totals are two plan branches over the same frame, and Spark
-    * re-computes the subtree per branch (the tfidf DAG-sharing
-    * lesson) — for tokenBudget that subtree is the full quality
-    * formula over the corpus. Callers pass narrow fixed-width
-    * projections (ids, counts, hashes), so the cache is scalar-sized
-    * per row, never text. */
+    * The within-bucket window and the bucket totals are two plan
+    * branches over the same frame, so the input subtree (for
+    * tokenBudget, the full quality formula) runs twice — DELIBERATELY
+    * not unified by a cache: the frame is corpus-row-sized, and the
+    * sf0.1 A/B read recompute ~25% faster than cache (tokenBudget
+    * 3.50/3.56 s vs 4.54/4.86 s) — re-running a map-local pruned
+    * columnar scan beats materializing a corpus-sized intermediate,
+    * and at 100 TB it also avoids executor-memory/spill pressure
+    * (contrast minhashPairs' PER-DOC signature cache, which does
+    * compress far below its input and is worth holding). */
   private[graft] def twoLevelPrefixSum(
       df: DataFrame, partCols: Seq[String], bucketOrder: Seq[org.apache.spark.sql.Column],
       withinOrder: Seq[org.apache.spark.sql.Column],
       value: org.apache.spark.sql.Column, out: String,
       totalsPrefix: Option[DataFrame => DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val in = df.cache()
+    val in = df
     val within = in.withColumn("__cum_in_bucket",
       sum(value).over(
         Window.partitionBy(partCols.map(col): _*).orderBy(withinOrder: _*)

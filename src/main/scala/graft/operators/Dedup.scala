@@ -378,15 +378,16 @@ object Dedup {
     * north_star (dedup for LLM training corpora at 100 TB). */
   def spanDedup(documents: DataFrame, spanWords: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // cached: the positional gram frame feeds BOTH the first-occurrence
-    // dictionary and the duplicate-position join (DAG branches don't
-    // share work without it — the tfidf ReuseExchange lesson); the
-    // cached rows are fixed-width (doc_id, pos, 8-byte hash) — the
-    // gram STREAM at ~20 B/gram, no strings
+    // the positional gram frame feeds BOTH the first-occurrence
+    // dictionary and the duplicate-position join; the branches re-run
+    // the one-pass kernel scan rather than sharing a cache — the gram
+    // stream is ~20 B/gram (token-stream-sized, it does not compress
+    // below the input), and the sf0.1 A/B read recompute ≈ cache
+    // (2.48/2.64 s vs 2.34/2.40 s) with none of the 100 TB
+    // executor-memory pressure a corpus-sized cache carries
     val grams = documents.select(col("doc_id"),
       posexplode(graft.functions.DedupKernels.gramHashSeq(col("text"), spanWords))
         .as(Seq("pos", "g")))
-      .cache()
     val firsts = grams.groupBy(col("g"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
     val dup = grams.join(firsts, "g")
