@@ -240,6 +240,10 @@ object SparkEntry {
     // never hash right)
     "m_resize_bmp" -> ((s, dir) =>
       Multimodal.resizeBmp(Multimodal.bmpDocs(Tables.documents(s, dir))).toDF()),
+    // REAL audio decode + DSP: RIFF/WAV header parsing and sample-level
+    // statistics from the actual little-endian PCM bytes
+    "m_audio_features" -> ((s, dir) =>
+      Multimodal.audioFeatures(Multimodal.wavDocs(Tables.documents(s, dir))).toDF()),
     "m_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     "m_feature_extract" -> ((s, dir) => Multimodal.featureExtract(Tables.documents(s, dir)).toDF()),
     "m_resize_plan" -> ((s, dir) => Multimodal.resizePlan(Tables.documents(s, dir))),
@@ -864,6 +868,28 @@ object SparkEntry {
         |                    + (k % 3)) % 256), 2, '0')
         |          for k in generate_series(0, tw * th * 3 - 1)], '')) AS resized_md5
         |FROM geo""".stripMargin,
+    // real-WAV audio features: the oracle recomputes every sample
+    // arithmetically (sample k of doc d = signed 16-bit reading of
+    // (d*31 + k*7919) mod 2^16 — the wavDocs construction), aggregates
+    // peak/crossings exactly and matches the RMS double arithmetic
+    // (exact integer sum of squares / n, sqrt, 4-dp nudge). The Spark
+    // side reads the actual PCM bytes — endianness/offset bugs
+    // mismatch.
+    "m_audio_features" ->
+      """WITH s AS (SELECT doc_id, 16 + doc_id % 97 AS n FROM documents),
+        |v AS (SELECT doc_id, n,
+        |             [CASE WHEN (doc_id * 31 + k * 7919) % 65536 >= 32768
+        |                   THEN (doc_id * 31 + k * 7919) % 65536 - 65536
+        |                   ELSE (doc_id * 31 + k * 7919) % 65536 END
+        |              for k in generate_series(0, n - 1)] AS vs
+        |      FROM s)
+        |SELECT doc_id,
+        |       CAST(8000 AS INT) AS sample_rate,
+        |       CAST(n AS BIGINT) AS n_samples,
+        |       CAST(list_max([abs(x) for x in vs]) AS BIGINT) AS peak,
+        |       CAST(len([i for i in generate_series(2, n) if (vs[i-1] < 0) <> (vs[i] < 0)]) AS BIGINT) AS zero_crossings,
+        |       ROUND(sqrt(CAST(list_sum([x * x for x in vs]) AS DOUBLE) / n) + 1e-9, 4) AS rms
+        |FROM v""".stripMargin,
     "m_frame_sample" ->
       s"""WITH $binCte,
         |frames AS (

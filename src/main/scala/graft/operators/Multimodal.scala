@@ -194,6 +194,107 @@ object Multimodal {
       })
   }
 
+  case class WavMeta(doc_id: Long, channels: Int, sample_rate: Int,
+                     bits: Int, n_samples: Long)
+
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
+                           peak: Long, zero_crossings: Long, rms: Double)
+
+  /** REAL WAV (RIFF PCM) header decode — audio's [[parseBmp]]:
+    * validates the RIFF/WAVE/fmt/data framing and both declared sizes
+    * against the actual byte count, then reads channel count, sample
+    * rate and bit depth straight from the little-endian header.
+    * Returns None for anything that is not canonical 44-byte-header
+    * uncompressed PCM — compressed audio would go through a codec
+    * seam like the image stub. */
+  private[graft] def parseWav(id: Long, b: Array[Byte]): Option[WavMeta] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def le32(i: Int): Long =
+      u8(i) | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def tag(i: Int, s: String): Boolean = s.indices.forall(j => b(i + j) == s(j).toByte)
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE") ||
+      !tag(12, "fmt ") || !tag(36, "data")) None
+    else if (le32(4) != b.length - 8L || le32(16) != 16L || le16(20) != 1 ||
+      le32(40) != b.length - 44L) None
+    else {
+      val channels = le16(22); val rate = le32(24).toInt; val bits = le16(34)
+      if (channels <= 0 || rate <= 0 || bits % 8 != 0 || bits == 0) None
+      else Some(WavMeta(id, channels, rate, bits,
+        (b.length - 44L) / (channels * bits / 8)))
+    }
+  }
+
+  /** Deterministic REAL-WAV corpus — audio's [[bmpDocs]]: each
+    * document becomes a canonical 44-byte-header mono 16-bit 8 kHz
+    * PCM WAV whose sample count and sample VALUES derive from doc_id
+    * (sample k is the signed 16-bit reading of (doc_id·31 + k·7919)
+    * mod 2^16 — position-varying, so a wrong offset or endianness in
+    * the reader can never hash right). Built from codegen'd hex/unhex
+    * expressions; the DuckDB oracle recomputes the same samples
+    * arithmetically. */
+  def wavDocs(documents: DataFrame): DataFrame = {
+    def le32(x: String) =
+      s"unhex(concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex((($x) div 256) % 256), 2, '0'), " +
+        s"lpad(hex((($x) div 65536) % 256), 2, '0'), '00'))"
+    def le16(x: String) =
+      s"unhex(concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex((($x) div 256) % 256), 2, '0')))"
+    documents
+      .selectExpr("doc_id", "16 + doc_id % 97 AS n")
+      .selectExpr("doc_id",
+        s"""concat(unhex('52494646'),
+           |  ${le32("36 + n * 2")},
+           |  unhex('57415645666D7420'),
+           |  ${le32("16")}, ${le16("1")}, ${le16("1")},
+           |  ${le32("8000")}, ${le32("16000")}, ${le16("2")}, ${le16("16")},
+           |  unhex('64617461'),
+           |  ${le32("n * 2")},
+           |  unhex(array_join(transform(sequence(0, CAST(n AS INT) - 1),
+           |    k -> concat(lpad(hex(((doc_id * 31 + k * 7919) % 65536) % 256), 2, '0'),
+           |                lpad(hex(((doc_id * 31 + k * 7919) % 65536) div 256), 2, '0'))), ''))
+           |) AS payload""".stripMargin)
+  }
+
+  /** REAL sample-level audio statistics — the feature-extraction stage
+    * over decoded PCM, computed from the ACTUAL sample bytes at their
+    * header-derived offsets (16-bit little-endian signed, 44-byte
+    * canonical header): peak |amplitude|, zero-crossing count (sign
+    * flip between consecutive samples, zero counted non-negative) and
+    * RMS (exact integer sum of squares, divided and rooted in doubles,
+    * 4-dp rounded with the repo nudge — engine-identical). Same
+    * batched mapPartitions seam as [[featureExtract]]; map-only at any
+    * scale. Throws on a non-WAV payload — statistics over undecoded
+    * bytes would be silent garbage. */
+  def audioFeatures(bin: DataFrame): Dataset[AudioFeatures] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val meta = parseWav(id, bytes).getOrElse(throw new IllegalArgumentException(
+          s"doc $id: audioFeatures needs a canonical uncompressed PCM WAV payload"))
+        require(meta.bits == 16 && meta.channels == 1,
+          s"doc $id: only mono 16-bit PCM is modeled (got ${meta.channels}ch/${meta.bits}bit)")
+        val n = meta.n_samples.toInt
+        var peak = 0L; var crossings = 0L; var sumSq = 0L
+        var prevNeg = false
+        var i = 0
+        while (i < n) {
+          val v = ((bytes(44 + 2 * i) & 0xFF) | (bytes(45 + 2 * i) << 8)).toShort.toInt
+          val a = math.abs(v.toLong)
+          if (a > peak) peak = a
+          sumSq += v.toLong * v
+          val neg = v < 0
+          if (i > 0 && neg != prevNeg) crossings += 1
+          prevNeg = neg
+          i += 1
+        }
+        val rms = if (n == 0) 0.0
+        else BigDecimal(math.sqrt(sumSq.toDouble / n) + 1e-9)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        AudioFeatures(id, meta.sample_rate, meta.n_samples, peak, crossings, rms)
+      })
+  }
+
   /** DETERMINISTIC FAKE decode — the seam where a real COMPRESSED-
     * format codec plugs in (BMP never reaches here: [[parseBmp]]
     * handles it for real). Dimensions are a fixed function of body

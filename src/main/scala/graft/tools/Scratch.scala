@@ -1,28 +1,10 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Throwaway local profiling harness (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
-    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)
-         if !name.startsWith("s_stream")) {
-      try {
-        val df = fn(spark, dir)
-        val p = df.queryExecution.executedPlan.toString
-        // count DATA-BEARING file scans (ReadSchema with at least one column)
-        val scans = "ReadSchema: struct<[^>]".r.findAllIn(p).length
-        val mem = "InMemoryTableScan".r.findAllIn(p).length
-        if (scans > 1) println(f"$name%-24s dataScans=$scans memScans=$mem")
-      } catch { case e: Throwable => println(s"$name ERR ${e.getMessage.take(80)}") }
-      spark.catalog.clearCache()
-    }
-    spark.stop()
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    println("queries=" + q.size + " oracles=" + o.size + " missing-oracle=" + (q -- o))
   }
 }

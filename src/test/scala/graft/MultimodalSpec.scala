@@ -142,6 +142,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("parseWav validates RIFF framing; audioFeatures computes real sample statistics") {
+    // hand-built canonical WAV around known samples
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      b.putInt(8000).putInt(16000).putShort(2).putShort(16)
+      b.put("data".getBytes).putInt(dataLen)
+      samples.foreach(s => b.putShort(s.toShort))
+      b.array()
+    }
+    val meta = Multimodal.parseWav(1L, wav(Seq(3, -4, 5))).get
+    assert((meta.channels, meta.sample_rate, meta.bits, meta.n_samples) == ((1, 8000, 16, 3L)))
+    // corrupt declared size and truncated header must be rejected
+    val bad = wav(Seq(1, 2)); bad(4) = (bad(4) + 1).toByte
+    assert(Multimodal.parseWav(2L, bad).isEmpty)
+    assert(Multimodal.parseWav(3L, "RIFFshort".getBytes).isEmpty)
+    // features on a known sequence: 100, -200, 0, -32768
+    //  peak 32768; crossings: +->- , -> 0 (non-neg) , 0 -> - = 3
+    //  sumsq = 10000 + 40000 + 0 + 1073741824
+    val df = spark.createDataFrame(Seq((7L, wav(Seq(100, -200, 0, -32768)))))
+      .toDF("doc_id", "payload")
+    val f = Multimodal.audioFeatures(df).collect().head
+    assert((f.sample_rate, f.n_samples, f.peak, f.zero_crossings) == ((8000, 4L, 32768L, 3L)))
+    val expRms = BigDecimal(math.sqrt((10000L + 40000L + 0L + 1073741824L).toDouble / 4) + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(f.rms == expRms)
+  }
+
   test("frameSample slices every stride-th complete frame") {
     val text = "y" * 1100 // png body 1100 → 4 complete 256-byte frames, idx 0..3, stride 4 → frame 0 only
     val out = Multimodal.frameSample(docs((0L, text))).collect()
