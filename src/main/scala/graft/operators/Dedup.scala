@@ -175,7 +175,12 @@ object Dedup {
   def jaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.8,
                    maxRows: Long = ScaleGuard.DefaultMaxRows): DataFrame = {
     ScaleGuard("jaccardPairs", documents, maxRows, scalePath = "minhashPairs")
-    val sh = shingles(documents, n).cache()
+    // not cached: the shingle table is token-stream-sized strings, and
+    // the counts/pairs branches re-running the explode measured faster
+    // than materializing it (8.7/9.1 s vs 9.3/10.5 s at sf0.1 — the
+    // repo-wide cache-vs-recompute rule; contrast minhashPairs'
+    // per-doc signature cache)
+    val sh = shingles(documents, n)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // co-occurrence pairs by grouping each shingle's (distinct, sorted)
     // posting list and expanding ordered pairs map-side — ONE shuffle of
