@@ -106,6 +106,18 @@ object SparkEntry {
       Relational.smallQuantityOutliers(Tables.lineitem(s, dir))),
     // ANSI set ops: INTERSECT / EXCEPT over per-year customer sets
     "q_set_ops" -> ((s, dir) => Relational.customerYearSetOps(Tables.orders(s, dir))),
+    // Z-order layout key: Morton interleave of (customer, order date)
+    // — sort/range-partition by it and files carry narrow min/max on
+    // BOTH dimensions (bits=20: the date key needs year*512 ≈ 2^20)
+    "q_zorder" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.select(col("o_orderkey"),
+        operators.Bucketing.zorderKey(
+          col("o_custkey") % 65536,
+          year(col("o_orderdate")) * 512 + month(col("o_orderdate")) * 32 +
+            dayofmonth(col("o_orderdate")),
+          bits = 20).as("zkey"))
+    }),
     // ---- training-data pipeline: text analysis ----
     "t_text_stats" -> ((s, dir) =>
       graft.functions.TextAnalysis.stats(Tables.documents(s, dir))),
@@ -634,6 +646,10 @@ object SparkEntry {
         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         |  EXCEPT
         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)""".stripMargin,
+    // z-order key: identical mask-spread bit chain on both engines
+    // (integer & | << on BIGINT), date dimension via year/month/day
+    // extraction only (the repo date-parity rule)
+    "q_zorder" -> zorderOracle,
     "t_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |       len(string_split(text, ' ')) AS n_words,
@@ -1373,6 +1389,25 @@ object SparkEntry {
        |SELECT query_id, vec_id, cos, rk FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rk
        |  FROM s) WHERE rk <= 5""".stripMargin
+
+  /** The Morton spread chain (bits=20) in DuckDB — the exact
+    * Bucketing.zorderKey arithmetic, one CTE per mask step. */
+  private lazy val zorderOracle: String = {
+    val steps = Seq(
+      (16, "281470681808895"), (8, "71777214294589695"),
+      (4, "1085102592571150095"), (2, "3689348814741910323"),
+      (1, "6148914691236517205"))
+    val ctes = steps.zipWithIndex.map { case ((sh, mask), i) =>
+      s"s${i + 1} AS (SELECT o_orderkey, ((va | (va << $sh)) & $mask) AS va, " +
+        s"((vb | (vb << $sh)) & $mask) AS vb FROM s$i)"
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT o_orderkey, o_custkey % 65536 AS a,
+       |                  year(o_orderdate) * 512 + month(o_orderdate) * 32 + day(o_orderdate) AS b
+       |           FROM orders),
+       |s0 AS (SELECT o_orderkey, (a & 1048575) AS va, (b & 1048575) AS vb FROM d),
+       |$ctes
+       |SELECT o_orderkey, (va | (vb << 1)) AS zkey FROM s5""".stripMargin
+  }
 
   /** Span dedup in DuckDB: positional word 10-grams as STRINGS (the
     * Spark side's xxhash64 keys are internal), corpus-wide first

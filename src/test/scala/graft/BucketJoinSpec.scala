@@ -38,6 +38,55 @@ class BucketJoinSpec extends SparkSpec {
     }
   }
 
+  test("zorderKey: quadrant contiguity and bit-exactness against a reference Morton") {
+    import spark.implicits._
+    // reference implementation, bit by bit
+    def morton(a: Long, b: Long, bits: Int): Long = {
+      var z = 0L
+      for (i <- 0 until bits) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val pts = for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b)
+    val got = pts.toDF("a", "b")
+      .select(col("a"), col("b"), Bucketing.zorderKey(col("a"), col("b"), 16).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (a, b) => assert(got((a, b)) == morton(a, b, 16), s"($a,$b)") }
+    // the z-curve quadrant property: every aligned 8x8 tile occupies
+    // one CONTIGUOUS range of 64 consecutive z values — the reason a
+    // z-sorted file covers a compact region of BOTH dimensions
+    for (qa <- 0 until 4; qb <- 0 until 4) {
+      val zs = (for (a <- 0 until 8; b <- 0 until 8)
+        yield got((qa * 8L + a, qb * 8L + b))).sorted
+      assert(zs == (zs.head to zs.head + 63L), s"quadrant ($qa,$qb) not contiguous")
+    }
+  }
+
+  test("z-ordered layout: files carry narrow min/max on BOTH dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    import spark.implicits._
+    // a 64x64 grid; naive (a-sorted) layout would give every file the
+    // FULL b range, so a predicate on b could never skip files
+    val grid = (for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b))
+      .toDF("a", "b")
+    Bucketing.writeZordered(grid, dir, "a", "b", bits = 16, files = 16)
+    // per-file min/max of both dims from the data itself (what the
+    // parquet footers record): every file must span far less than the
+    // full extent of EACH dimension
+    val perFile = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("a"), col("b"))
+      .groupBy(col("f"))
+      .agg(min("a").as("a0"), max("a").as("a1"), min("b").as("b0"), max("b").as("b1"))
+      .collect()
+    assert(perFile.length > 4)
+    perFile.foreach { r =>
+      assert(r.getLong(2) - r.getLong(1) <= 32, s"file spans a too widely: $r")
+      assert(r.getLong(4) - r.getLong(3) <= 32, s"file spans b too widely: $r")
+    }
+  }
+
   test("partitioned layout: a partition-column predicate prunes files at planning") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val od = Tables.orders(spark, sf0001)
