@@ -155,6 +155,13 @@ object SparkEntry {
       val cents = Similarity.trainCentroids(emb, k = 16, iters = 3, sampleBuckets = 2000)
       Similarity.ivfTopK(emb, centroids = Some(cents))
     }),
+    // product quantization: per-subspace exact-decimal k-means → M
+    // codes per vector; codes = the compressed corpus, adc = search in
+    // the compressed domain (query exact, corpus ≈ centroids)
+    "a_pq_codes" -> ((s, dir) =>
+      graft.operators.ProductQuantization.codes(Tables.embeddings(s, dir))),
+    "a_pq_topk" -> ((s, dir) =>
+      graft.operators.ProductQuantization.adcTopK(Tables.embeddings(s, dir))),
     // ---- training-data pipeline: dedup ----
     "d_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "d_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir))),
@@ -768,6 +775,27 @@ object SparkEntry {
     // centroids), so both engines train bit-identical quantizers and
     // k-means recall never enters the compare
     "a_ivf_trained" -> ivfTrainedOracle,
+    // product quantization: the oracle unrolls the same per-subspace
+    // exact-decimal Lloyd recurrence (see pqCte); ADC sums are exact
+    // DECIMAL(18,9) so the M-term ranking is order-independent
+    "a_pq_codes" ->
+      s"""WITH $pqCte
+        |SELECT vec_id, CAST(sub AS INT) AS sub, code,
+        |       ROUND(d2 + 1e-12, 6) AS qerr FROM codes""".stripMargin,
+    "a_pq_topk" ->
+      s"""WITH $pqCte,
+        |qt AS (SELECT q.vec_id AS query_id, q.sub, c.cid,
+        |              CAST(ROUND(${pqD2("q.x", "c.c")} + 1e-12, 9) AS DECIMAL(18,9)) AS dq
+        |       FROM sub q JOIN c${graft.operators.ProductQuantization.Iters} c ON q.sub = c.sub
+        |       WHERE q.vec_id < 10),
+        |ad AS (SELECT qt.query_id, codes.vec_id, SUM(qt.dq) AS ads
+        |       FROM codes JOIN qt ON codes.sub = qt.sub AND codes.code = qt.cid
+        |         AND codes.vec_id <> qt.query_id
+        |       GROUP BY qt.query_id, codes.vec_id)
+        |SELECT query_id, vec_id, ROUND(CAST(ads AS DOUBLE) + 1e-12, 6) AS adist, rk
+        |FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY ads, vec_id) AS INT) AS rk FROM ad)
+        |WHERE rk <= 5""".stripMargin,
     "a_cosine_topk" ->
       s"""WITH $normCte,
         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
@@ -1490,6 +1518,50 @@ object SparkEntry {
        |SELECT query_id, vec_id, cos, rk FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rk
        |  FROM s) WHERE rk <= 5""".stripMargin
+  }
+
+  /** Squared L2 as the identical left-to-right double expression the
+    * Spark side computes (ProductQuantization.d2). */
+  private def pqD2(x: String, c: String): String =
+    s"list_dot_product($x,$x) - 2*list_dot_product($x,$c) + list_dot_product($c,$c)"
+
+  /** The PQ recurrence in DuckDB — ProductQuantization.train/codes
+    * exactly: subvector explode (1-based inclusive slices), md5-bucket
+    * sample, K-smallest-id init, then per Lloyd iteration an
+    * (argmin-assign, exact-decimal mean, 6-dp centroid) CTE block; all
+    * M subspaces ride one block keyed by `sub`. Ends with `codes` =
+    * the full-corpus assignment under the trained codebook. */
+  private lazy val pqCte: String = {
+    import graft.operators.ProductQuantization.{M, K, Iters, SampleBuckets}
+    val d = 64 / M
+    val iterCtes = (1 to Iters).map { i =>
+      s"""a$i AS (SELECT sub, cell, x FROM (
+         |  SELECT s.sub, c.cid AS cell, s.x,
+         |         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+         |           ORDER BY ${pqD2("s.x", "c.c")} ASC, c.cid) AS rn
+         |  FROM smp s JOIN c${i - 1} c ON s.sub = c.sub) WHERE rn = 1),
+         |m$i AS (SELECT sub, cell, pos,
+         |               ROUND(CAST(SUM(xq) AS DOUBLE) / COUNT(*) + 1e-12, 6) AS mc
+         |        FROM (SELECT sub, cell, generate_subscripts(xq, 1) AS pos, unnest(xq) AS xq
+         |              FROM (SELECT sub, cell,
+         |                           list_transform(x, t -> CAST(ROUND(t + 1e-12, 9) AS DECIMAL(18,9))) AS xq
+         |                    FROM a$i))
+         |        GROUP BY sub, cell, pos),
+         |c$i AS (SELECT sub, cell AS cid, list(mc ORDER BY pos) AS c FROM m$i GROUP BY sub, cell)""".stripMargin
+    }.mkString(",\n")
+    s"""sub AS (SELECT vec_id, t.sub, v[t.sub*$d+1 : t.sub*$d+$d] AS x
+       |        FROM (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+       |              FROM embeddings), range(0, $M) t(sub)),
+       |smp AS (SELECT * FROM sub
+       |        WHERE CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 17, 8) AS UBIGINT) % 10000 < $SampleBuckets),
+       |ids AS (SELECT DISTINCT vec_id FROM smp ORDER BY vec_id LIMIT $K),
+       |c0 AS (SELECT sub, vec_id AS cid, x AS c FROM smp JOIN ids USING (vec_id)),
+       |$iterCtes,
+       |codes AS (SELECT vec_id, sub, cell AS code, d2 FROM (
+       |  SELECT s.vec_id, s.sub, c.cid AS cell, ${pqD2("s.x", "c.c")} AS d2,
+       |         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+       |           ORDER BY ${pqD2("s.x", "c.c")} ASC, c.cid) AS rn
+       |  FROM sub s JOIN c$Iters c ON s.sub = c.sub) WHERE rn = 1)""".stripMargin
   }
 
   private lazy val annPairsOracle: String =

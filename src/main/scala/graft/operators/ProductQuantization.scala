@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity.dot
+
+/** Product quantization (PQ) — the memory-compression step of a
+  * billion-vector similarity index (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+  * D-dim embedding into M contiguous subvectors, k-means each subspace
+  * independently (M codebooks of K centroids), and store each vector
+  * as M small codes (M bytes at K=256; here K=16 for an
+  * oracle-tractable unroll). Search runs in the compressed domain via
+  * asymmetric distance computation (ADC): the query stays exact, each
+  * corpus vector is approximated by its per-subspace centroids, and
+  * the distance is a table lookup per subspace — the corpus's float
+  * payload is never touched after encoding.
+  *
+  * Scale shape (the whole point at 100 TB):
+  *  - TRAIN touches only a deterministic md5-bucket sample (the
+  *    [[Similarity.trainCentroids]] pattern — quantizer quality needs
+  *    distribution coverage, not every row); per iteration the
+  *    shuffle carries (sub, cell, pos, Σx) partials, bounded by
+  *    M·K·(D/M) = D·K cells, with map-side partial aggregation.
+  *  - ENCODE is one broadcast-model map pass over the corpus —
+  *    argmin is an `array_min` fold inside whole-stage codegen, no
+  *    shuffle, no UDF; the corpus emerges as (vec_id, sub, code)
+  *    triples ~12 bytes each, the only thing that ever re-shuffles.
+  *  - ADC SEARCH broadcasts a (query × M × K) distance table — tiny,
+  *    independent of corpus size — against the codes frame; the
+  *    per-(query, vec) sum is a partial-aggregated groupBy of M-row
+  *    groups, and ranking is a WindowGroupLimit-capped top-k.
+  *
+  * Cross-engine parity (what makes the trained path hash-checkable,
+  * not rows-only): identical to [[Similarity.trainCentroids]] —
+  * per-iteration means are exact-decimal (components rounded to 9 dp
+  * into DECIMAL(18,9), order-independent sums), centroids quantized to
+  * 6 dp, and the argmin distance `x·x − 2·x·c + c·c` is the same
+  * left-to-right double expression in both engines. ADC sums round
+  * each subspace term to DECIMAL(18,9) first so the M-term sum is
+  * exact in any order. The DuckDB oracle unrolls the same recurrence.
+  *
+  * The reference has no vector search at all — this generalizes its
+  * keyed-lookup join (`DemoApp.scala:215`) to approximate geometric
+  * lookup, the way a training-data pipeline needs it.
+  */
+object ProductQuantization {
+
+  /** Subspaces. D must divide evenly: 64 / 4 = 16 dims per code. */
+  val M = 4
+  /** Centroids per subspace (a real deployment uses 256; 16 keeps the
+    * oracle's unrolled recurrence tractable). */
+  val K = 16
+  /** Lloyd iterations — each is provably non-increasing in summed
+    * squared error (up to the 6-dp centroid quantization), and the
+    * oracle pays one CTE block per iteration. */
+  val Iters = 2
+  /** md5-bucket sample kept for training, out of 10000. */
+  val SampleBuckets = 2000
+
+  /** Squared L2 distance as the identical left-to-right double
+    * expression both engines compute: x·x − 2·(x·c) + c·c. */
+  private def d2(x: Column, c: Column): Column =
+    dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c)
+
+  /** embeddings → (vec_id, sub, x): one row per subvector. Pure
+    * map-side explode; the slice arithmetic mirrors DuckDB's 1-based
+    * inclusive `v[sub·d+1 : sub·d+d]`. */
+  private def subvectors(embeddings: DataFrame, dim: Int): DataFrame = {
+    require(dim % M == 0, s"dim $dim must be divisible by M=$M")
+    val d = dim / M
+    embeddings
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("sub"), col("v"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("v"), col("sub") * lit(d) + lit(1), lit(d)).as("x"))
+  }
+
+  /** Argmin-assign every (vec_id, sub) row to its nearest centroid of
+    * the matching subspace. The codebook collapses to ONE broadcast
+    * row (M·K structs, sorted by (sub, cid) so the `array_min`
+    * lexicographic fold breaks distance ties toward the LOWEST cid —
+    * the oracle's `ORDER BY d2, cid`); the corpus side is shuffle-free
+    * codegen. Returns (vec_id, sub, code, d2, x). */
+  private def assign(subv: DataFrame, codebook: DataFrame): DataFrame = {
+    val model = codebook
+      .agg(sort_array(collect_list(struct(col("sub"), col("cid"), col("c")))).as("cb"))
+    subv.crossJoin(broadcast(model))
+      .select(col("vec_id"), col("sub"), col("x"),
+        array_min(transform(
+          filter(col("cb"), s => s.getField("sub") === col("sub")),
+          s => struct(d2(col("x"), s.getField("c")).as("d"),
+            s.getField("cid").as("cid")))).as("best"))
+      .select(col("vec_id"), col("sub"),
+        col("best").getField("cid").as("code"),
+        col("best").getField("d").as("d2"), col("x"))
+  }
+
+  /** Train the M codebooks on a deterministic sample: init = the K
+    * smallest sample vec_ids' subvectors (cid = vec_id), then Lloyd
+    * iterations with exact-decimal means (see object scaladoc). Empty
+    * cells drop out — at most K centroids per subspace survive.
+    * Returns (sub, cid, c). */
+  def train(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val sample = subvectors(embeddings, dim)
+      .filter(conv(substring(md5(col("vec_id").cast("string")), 17, 8), 16, 10)
+        .cast("long") % 10000 < SampleBuckets)
+      .localCheckpoint()
+    val initIds = sample.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(K)
+    var cb = sample.join(broadcast(initIds), "vec_id")
+      .select(col("sub"), col("vec_id").as("cid"), col("x").as("c"))
+      .localCheckpoint()
+    for (_ <- 0 until Iters) {
+      cb = assign(sample, cb)
+        .select(col("sub"), col("code").as("cell"),
+          posexplode(transform(col("x"),
+            xi => round(xi + lit(1e-12), 9).cast("decimal(18,9)")))
+            .as(Seq("pos", "xq")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(sum(col("xq")).as("sx"), count(lit(1)).as("cnt"))
+        .select(col("sub"), col("cell"), col("pos"),
+          round(col("sx").cast("double") / col("cnt") + lit(1e-12), 6).as("mc"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("mc")))).as("pm"))
+        .select(col("sub"), col("cell").as("cid"),
+          transform(col("pm"), p => p.getField("mc")).as("c"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** Encode the FULL corpus against a trained codebook: (vec_id, sub,
+    * code, qerr) — qerr is that subspace's squared quantization error,
+    * 6-dp rounded for the hash compare. One broadcast map pass. */
+  def codes(embeddings: DataFrame, dim: Int = 64,
+            codebook: Option[DataFrame] = None): DataFrame = {
+    val cb = codebook.getOrElse(train(embeddings, dim))
+    assign(subvectors(embeddings, dim), cb)
+      .select(col("vec_id"), col("sub"), col("code"),
+        round(col("d2") + lit(1e-12), 6).as("qerr"))
+  }
+
+  /** ADC top-k: the first `numQueries` vectors are the query set (kept
+    * EXACT — asymmetric); each corpus vector is its M centroids.
+    * Distance table = (query, sub, cid, d2) for ALL centroids, rounded
+    * into DECIMAL(18,9) so the per-(query, vec) M-term sum is exact in
+    * any aggregation order; ranking is by that exact decimal (then
+    * vec_id), emitted as a 6-dp double. Self-matches are excluded. */
+  def adcTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+              dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = train(embeddings, dim)
+    val sub = subvectors(embeddings, dim)
+    val enc = assign(sub, cb).select(col("vec_id"), col("sub"), col("code"))
+    val dtab = sub.filter(col("vec_id") < numQueries)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(cb.withColumnRenamed("sub", "csub"), col("sub") === col("csub"))
+      .select(col("query_id"), col("sub").as("qsub"), col("cid"),
+        round(d2(col("x"), col("c")) + lit(1e-12), 9).cast("decimal(18,9)").as("d"))
+    enc.join(broadcast(dtab),
+        col("sub") === col("qsub") && col("code") === col("cid") &&
+          col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("ad"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ad").asc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"),
+        round(col("ad").cast("double") + lit(1e-12), 6).as("adist"), col("rk"))
+  }
+}

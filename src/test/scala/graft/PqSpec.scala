@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.ProductQuantization
+import org.apache.spark.sql.functions._
+
+/** Product-quantization semantics: codebook shape, code completeness,
+  * training-objective descent, and ADC ranking quality vs exact L2 on
+  * the real sf0.001 embeddings. */
+class PqSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf0001)
+
+  test("trained codebook has at most K centroids per subspace, D/M dims each") {
+    val cb = ProductQuantization.train(emb).collect()
+    val perSub = cb.groupBy(_.getInt(0)).view.mapValues(_.length).toMap
+    assert(perSub.keySet == (0 until ProductQuantization.M).toSet)
+    assert(perSub.values.forall(n => n >= 2 && n <= ProductQuantization.K))
+    assert(cb.forall(_.getSeq[Double](2).length == 64 / ProductQuantization.M))
+  }
+
+  test("codes cover every (vector, subspace) exactly once, qerr >= 0") {
+    val n = emb.count()
+    val c = ProductQuantization.codes(emb)
+    assert(c.count() == n * ProductQuantization.M)
+    assert(c.select(countDistinct(struct(col("vec_id"), col("sub")))).head.getLong(0)
+      == n * ProductQuantization.M)
+    assert(c.filter(col("qerr") < 0).count() == 0)
+  }
+
+  test("Lloyd iterations do not increase summed quantization error") {
+    // Iters=2 codebook must beat (or tie, up to 6-dp quantization) the
+    // init-only codebook it started from — the k-means descent property
+    // the exact-decimal recurrence is supposed to preserve.
+    def totalErr(cb: org.apache.spark.sql.DataFrame): Double =
+      ProductQuantization.codes(emb, codebook = Some(cb))
+        .agg(sum(col("qerr"))).head.getDouble(0)
+    val trained = totalErr(ProductQuantization.train(emb))
+    val subv = emb
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(ProductQuantization.M - 1))).as("sub"),
+        col("v"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("v"), col("sub") * lit(16) + lit(1), lit(16)).as("x"))
+    val initOnly = subv
+      .filter(conv(substring(md5(col("vec_id").cast("string")), 17, 8), 16, 10)
+        .cast("long") % 10000 < ProductQuantization.SampleBuckets)
+      .join(broadcast(
+        subv.select(col("vec_id")).distinct().orderBy(col("vec_id"))
+          .limit(ProductQuantization.K)),
+        "vec_id")
+      .select(col("sub"), col("vec_id").as("cid"), col("x").as("c"))
+    val init = totalErr(initOnly)
+    assert(trained <= init + 1e-6, s"trained $trained vs init $init")
+  }
+
+  test("ADC top-k quality: compressed-domain neighbors track exact L2 (sf0.001)") {
+    import org.apache.spark.sql.expressions.Window
+    val adc = ProductQuantization.adcTopK(emb, numQueries = 10, k = 5)
+    assert(adc.groupBy(col("query_id")).count().collect().forall(_.getLong(1) == 5))
+    // These embeddings are nearly unstructured under L2 (even exact
+    // top-5 neighbors share the query's label only ~2/50 times), so
+    // the honest quality bar is containment in exact-L2@50 well above
+    // the 50/499 ≈ 10% chance rate — measured 19/50 (38%) at HEAD.
+    val v = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = v.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Similarity_d2(col("v"), col("qv")).as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))))
+      .filter(col("rk") <= 50)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = adc.select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
+    assert(hits >= 12, s"only $hits/50 ADC@5 results inside exact-L2@50")
+  }
+
+  private def Similarity_d2(x: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) = {
+    val dot = graft.functions.VectorKernels.dotProduct _
+    dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c)
+  }
+}
