@@ -212,6 +212,13 @@ object SparkEntry {
       graft.functions.TextAnalysis.bigramLogProb(Tables.documents(s, dir))),
     "t_pii_scrub" -> ((s, dir) =>
       graft.functions.TextAnalysis.piiScrub(Tables.documents(s, dir))),
+    "t_normalize" -> ((s, dir) =>
+      graft.functions.TextAnalysis.normalize(Tables.documents(s, dir))),
+    // adaptive per-source quality cut: histogram-quantile threshold
+    "c_quality_filter" -> ((s, dir) =>
+      Corpus.qualityQuantileFilter(Tables.documents(s, dir))),
+    // repeated-signal suppression over the event log (24 h window)
+    "d_time_dedup" -> ((s, dir) => Dedup.timeDedup(ev(s, dir))),
     "t_contamination" -> ((s, dir) => {
       val withSplit = Corpus.hashSplit(Tables.documents(s, dir))
       Corpus.contamination(
@@ -1131,6 +1138,40 @@ object SparkEntry {
         |         '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
         |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
+    "t_normalize" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |                           ' +', ' ', 'g')) AS norm_text,
+        |       CASE WHEN length(trim(regexp_replace(regexp_replace(lower(text),
+        |                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) = 0 THEN 0
+        |            ELSE len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) END AS n_tokens
+        |FROM documents""".stripMargin,
+    // per-source histogram quantile: threshold = smallest 4-dp quality
+    // with cumulative count >= ceil(p * total), p = 0.5
+    "c_quality_filter" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |         ROUND(len(list_distinct(string_split(text,' '))) / CAST(len(string_split(text,' ')) AS DOUBLE) * 0.5
+        |               + (1.0 - len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and')))
+        |                        / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.2
+        |               + least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.3
+        |               + 1e-12, 4) AS q
+        |  FROM documents),
+        |h AS (SELECT source, q, COUNT(*) AS c FROM s GROUP BY source, q),
+        |t AS (SELECT source, q,
+        |             SUM(c) OVER (PARTITION BY source ORDER BY q) AS cum,
+        |             SUM(c) OVER (PARTITION BY source) AS tot FROM h),
+        |thr AS (SELECT source, MIN(q) AS q_thr FROM t
+        |        WHERE cum >= ceil(tot * 0.5) GROUP BY source)
+        |SELECT s.doc_id, s.source, s.q, thr.q_thr, s.q >= thr.q_thr AS keep
+        |FROM s JOIN thr USING (source)""".stripMargin,
+    "d_time_dedup" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |l AS (SELECT *, LAG(tus) OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY tus, event_id) AS prev FROM e)
+        |SELECT event_id, user_id, event_type, tus AS ts_us,
+        |       (prev IS NULL OR tus - prev > 86400000000) AS keep FROM l""".stripMargin,
     "d_jaccard_pairs" -> jaccardOracle,
     // MinHash+LSH: candidates are verified with the exact jaccard, and the
     // 16-band x 3-row parameters give P(miss | jac >= 0.8) ~ 1e-5 per

@@ -412,4 +412,24 @@ object TextAnalysis {
           regexp_replace(col("text"), EmailRe, "<EMAIL>"),
           PhoneRe, "<PHONE>"),
         Ipv4Re, "<IP>").as("scrubbed"))
+
+  /** Canonical text normalization — the preprocessing step every
+    * dedup/fingerprint stage upstream assumes: lowercase, strip
+    * everything outside [a-z0-9 ], collapse whitespace runs, trim.
+    * Emits the normalized text plus its token count (0 for a document
+    * that normalizes to empty — `split("")` yields one empty token,
+    * which would otherwise off-by-one every downstream budget).
+    *
+    * Pure per-row codegen regex work: no shuffle, no UDF — a map-only
+    * scan at any scale. The DuckDB oracle needs the 'g' flag on its
+    * regexp_replace (DuckDB replaces first-match by default; Spark
+    * replaces all). */
+  def normalize(documents: DataFrame): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    documents.select(col("doc_id"), cleaned.as("norm_text"))
+      .withColumn("n_tokens",
+        when(length(col("norm_text")) === 0, lit(0L))
+          .otherwise(size(split(col("norm_text"), " ")).cast("long")))
+  }
 }

@@ -458,4 +458,42 @@ object Corpus {
         coalesce(col("n_hit"), lit(0L)).as("n_hit"))
       .withColumn("contaminated", col("n_hit") > 0)
   }
+
+  /** Per-source quality-quantile filter: keep each document iff its
+    * quality is at or above its SOURCE's p-quantile — the adaptive
+    * variant of [[keepSet]]'s fixed threshold (a web-crawl source and
+    * a books source have incomparable absolute quality scales; a
+    * per-source percentile cut keeps the top share of each).
+    *
+    * The quantile is computed on a BOUNDED HISTOGRAM, not a sort:
+    * quality is 4-dp rounded into [0, 1], so the per-source
+    * distribution collapses to ≤ 10001 (source, q, count) rows under a
+    * partial-aggregated groupBy. The window cumsum that extracts the
+    * quantile runs over that histogram — thousands of rows total —
+    * never over the corpus; at 100 TB a percent_rank over per-source
+    * partitions would instead sort corpus-sized partitions (with a
+    * web-crawl source holding most of the data in ONE partition).
+    * The threshold table (one row per source) broadcasts back onto
+    * the scored frame.
+    *
+    * Threshold = smallest q with cumulative count ≥ ⌈p·total⌉ — the
+    * exact lower quantile of the rounded scores, bit-stable
+    * cross-engine because the 4-dp rounding is (same nudge as
+    * [[graft.functions.TextAnalysis.qualityScore]]). */
+  def qualityQuantileFilter(documents: DataFrame, p: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(p > 0 && p <= 1, s"quantile p must be in (0, 1], got $p")
+    val scored = documents.select(col("doc_id"), col("source"),
+      graft.functions.TextAnalysis.qualityCol(col("text")).as("q"))
+    val hist = scored.groupBy(col("source"), col("q")).agg(count(lit(1)).as("c"))
+    val bySource = Window.partitionBy(col("source"))
+    val thr = hist
+      .withColumn("cum", sum(col("c")).over(bySource.orderBy(col("q"))))
+      .withColumn("tot", sum(col("c")).over(bySource))
+      .filter(col("cum") >= ceil(col("tot") * lit(p)))
+      .groupBy(col("source")).agg(min(col("q")).as("q_thr"))
+    scored.join(broadcast(thr), "source")
+      .select(col("doc_id"), col("source"), col("q"), col("q_thr"),
+        (col("q") >= col("q_thr")).as("keep"))
+  }
 }

@@ -633,4 +633,36 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Time-window event dedup — repeated-signal suppression over an
+    * event log: an event is a duplicate iff the PREVIOUS event with
+    * the same (user_id, event_type) is within `gapNs` of it. The
+    * telemetry-side sibling of [[exactDedup]]: identity is
+    * (key, recency), not content, so a user re-firing the same signal
+    * inside the window collapses to the first occurrence while the
+    * signal still re-registers after the window passes.
+    *
+    * One lag window per (user_id, event_type): partitions are
+    * key-fine-grained (a user's per-type history, thousands of rows at
+    * most), so the sort-within-partition is bounded no matter the
+    * corpus size — this is the canonical sessionize shape, shuffled
+    * once on the composite key. Ties on ts break on event_id, making
+    * keep/drop deterministic under at-same-instant events.
+    *
+    * Timestamps are truncated to MICROSECONDS before anything orders
+    * or subtracts on them (events.ts is nanos here, but µs is the
+    * cross-engine precision floor — the repo-wide `epoch_ns // 1000`
+    * convention), so keep/drop decisions are engine-independent. */
+  def timeDedup(events: DataFrame, gapUs: Long = 86400000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // integral div: `/` on longs routes through double and a 1.7e18 ns
+    // epoch exceeds the 53-bit mantissa — off-by-µs truncation
+    val tus = expr("ts div 1000")
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events.select(col("event_id"), col("user_id"), col("event_type"), tus.as("ts_us"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"),
+        (col("prev").isNull || col("ts_us") - col("prev") > lit(gapUs)).as("keep"))
+  }
 }

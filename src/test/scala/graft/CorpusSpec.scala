@@ -297,4 +297,21 @@ class CorpusSpec extends SparkSpec {
     assert(got == composed)
     assert(got.nonEmpty)
   }
+
+  test("qualityQuantileFilter keeps at least the top half per source, never mixes thresholds") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = Corpus.qualityQuantileFilter(docs).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val thrs = rows.map(_._3).distinct
+      assert(thrs.length == 1, s"$src has ${thrs.length} thresholds")
+      val kept = rows.count(_._4)
+      // lower-median cut: at least half survive (ties can push above)
+      assert(kept * 2 >= rows.length, s"$src kept $kept of ${rows.length}")
+      assert(rows.forall { case (_, q, thr, keep) => keep == (q >= thr) })
+      // the threshold is attained by at least one document's score
+      assert(rows.exists(_._2 == thrs.head), s"$src threshold not a data value")
+    }
+  }
 }

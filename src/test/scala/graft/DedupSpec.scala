@@ -369,4 +369,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs(Dedup.minhashPairs(df)) == pairs(Dedup.jaccardPairs(df)))
     assert(pairs(Dedup.jaccardPairs(df)).nonEmpty)
   }
+
+  test("timeDedup drops an event iff the previous same-key event is within the gap") {
+    val us = 1000L * 1000 // work in seconds expressed as µs-scale nanos
+    val events = Seq(
+      // user 1, click: t=0 keep, t=+5s drop (gap 10s), t=+20s keep again
+      (10L, 1L, "click", 0L * us * 1000),
+      (11L, 1L, "click", 5L * us * 1000),
+      (12L, 1L, "click", 20L * us * 1000),
+      // same user, different type at t=+5s: independent stream, keeps
+      (13L, 1L, "view", 5L * us * 1000),
+      // user 2 at t=+5s: independent stream, keeps
+      (14L, 2L, "click", 5L * us * 1000))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Dedup.timeDedup(events, gapUs = 10L * us).collect()
+      .map(r => (r.getLong(0), r.getBoolean(4))).toMap
+    assert(out == Map(10L -> true, 11L -> false, 12L -> true, 13L -> true, 14L -> true))
+  }
 }

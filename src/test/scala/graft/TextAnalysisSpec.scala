@@ -198,4 +198,16 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
       assert(fromCodegen == interpreted)
     } finally spark.conf.set(key, prev)
   }
+
+  test("normalize lowercases, strips punctuation, collapses runs; empty result counts 0 tokens") {
+    val df = Seq(
+      (1L, "  Hello,   WORLD!! 42 "),
+      (2L, "!!! ... ---"),
+      (3L, "already clean text")).toDF("doc_id", "text")
+    val out = TextAnalysis.normalize(df).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(out(0) == ((1L, "hello world 42", 3L)))
+    assert(out(1) == ((2L, "", 0L)))
+    assert(out(2) == ((3L, "already clean text", 3L)))
+  }
 }
