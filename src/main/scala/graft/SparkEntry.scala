@@ -219,6 +219,22 @@ object SparkEntry {
       Corpus.qualityQuantileFilter(Tables.documents(s, dir))),
     // repeated-signal suppression over the event log (24 h window)
     "d_time_dedup" -> ((s, dir) => Dedup.timeDedup(ev(s, dir))),
+    // Efraimidis–Spirakis weighted sample, 50 docs per source
+    "c_weighted_sample" -> ((s, dir) =>
+      Corpus.weightedSample(Tables.documents(s, dir))),
+    // hot-key-salted fact⋈dim join; the oracle is the PLAIN join —
+    // salting must be invisible in the result
+    "q_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("suppkey"), col("l_quantity"), col("l_orderkey"))
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+      graft.operators.Skew.saltedJoin(li, sup, "suppkey", salt = 8,
+          saltOn = Seq(col("l_orderkey")))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_quantity").cast("decimal(18,4)")), 2).cast("double").as("sum_qty"))
+    }),
     "t_contamination" -> ((s, dir) => {
       val withSplit = Corpus.hashSplit(Tables.documents(s, dir))
       Corpus.contamination(
@@ -1172,6 +1188,22 @@ object SparkEntry {
         |                               ORDER BY tus, event_id) AS prev FROM e)
         |SELECT event_id, user_id, event_type, tus AS ts_us,
         |       (prev IS NULL OR tus - prev > 86400000000) AS keep FROM l""".stripMargin,
+    "c_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, n_chars,
+        |         -ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 25, 8) AS UBIGINT) + 1.0)
+        |             / 4294967296.0)
+        |         / greatest(CAST(n_chars AS DOUBLE), 1.0) AS k_raw
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, ROUND(k_raw + 1e-12, 9) AS es_key, rk
+        |FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY k_raw, doc_id) AS INT) AS rk FROM s)
+        |WHERE rk <= 50""".stripMargin,
+    "q_salted_join" ->
+      """SELECT s_name, COUNT(*) AS n_lines,
+        |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin,
     "d_jaccard_pairs" -> jaccardOracle,
     // MinHash+LSH: candidates are verified with the exact jaccard, and the
     // 16-band x 3-row parameters give P(miss | jac >= 0.8) ~ 1e-5 per

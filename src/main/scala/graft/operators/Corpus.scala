@@ -496,4 +496,34 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("q"), col("q_thr"),
         (col("q") >= col("q_thr")).as("keep"))
   }
+
+  /** Deterministic weighted sample per source — Efraimidis–Spirakis
+    * A-ES (one-pass weighted reservoir sampling, Inf. Proc. Letters
+    * 2006): each document draws priority key −ln(u)/w with u a hash-
+    * derived uniform and w its weight (n_chars); the k SMALLEST keys
+    * per source are an exact weighted-without-replacement sample. The
+    * "random" u comes from md5(doc_id)'s LOW 32 bits (the top bits
+    * drive [[hashSplit]] — decorrelated streams), so the sample is
+    * reproducible across runs, engines and partitionings.
+    *
+    * Scale shape: key computation is map-only codegen; the per-source
+    * top-k compiles to WindowGroupLimit (rank pushed below the
+    * exchange), so the shuffle carries ≤ k rows per source per map
+    * partition — never the corpus. Ranking orders by the RAW double
+    * key (the cross-engine-identical ln arithmetic the unigram LM
+    * already relies on); the emitted key is 9-dp rounded for the hash
+    * compare only. */
+  def weightedSample(documents: DataFrame, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 25, 8), 16, 10)
+      .cast("double") + 1.0) / 4294967296.0 // low 32 bits → (0, 1]
+    val key = -log(u) / greatest(col("n_chars").cast("double"), lit(1.0))
+    documents.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("k_raw", key)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("k_raw"), col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(col("k_raw") + lit(1e-12), 9).as("es_key"), col("rk"))
+  }
 }

@@ -314,4 +314,17 @@ class CorpusSpec extends SparkSpec {
       assert(rows.exists(_._2 == thrs.head), s"$src threshold not a data value")
     }
   }
+
+  test("weightedSample: deterministic, k per source, weight-dominant doc always drawn first") {
+    import spark.implicits._
+    val docs = ((1L to 40L).map(i => (i, "src", 10L)) :+ ((99L, "src", 1000000000L)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Corpus.weightedSample(docs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(4)))
+    assert(out.length == 5)
+    // key = -ln(u)/w: at w=1e9 the key is ~1e-9 x the others' → rank 1
+    assert(out.find(_._2 == 1).map(_._1).contains(99L))
+    val again = Corpus.weightedSample(docs, k = 5).collect().map(r => (r.getLong(0), r.getInt(4)))
+    assert(out.toSeq == again.toSeq)
+  }
 }

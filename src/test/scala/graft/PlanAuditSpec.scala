@@ -338,6 +338,30 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly two scans (outer + decorrelated agg input):\n$p")
   }
 
+  test("pq encode: broadcast codebook, shuffle-free corpus pass") {
+    val emb = Tables.embeddings(spark, dir)
+    val cb = ProductQuantization.train(emb)
+    val p = plan(ProductQuantization.codes(emb, codebook = Some(cb)))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"codebook must ride a broadcast:\n$p")
+    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+      s"encoding must never shuffle the corpus:\n$p")
+  }
+
+  test("qualityQuantileFilter: histogram partial-aggregates, threshold broadcasts back") {
+    val p = plan(Corpus.qualityQuantileFilter(Tables.documents(spark, dir)))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"histogram must partial-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source thresholds must broadcast onto the scored frame:\n$p")
+  }
+
+  test("weightedSample: per-source top-k stays a map-side WindowGroupLimit") {
+    val p = plan(Corpus.weightedSample(Tables.documents(spark, dir)))
+    assert(count(p, "WindowGroupLimit") >= 2,
+      s"rank filter must cap rows before the exchange:\n$p")
+  }
+
   test("revenueMovingAvg: RANGE frame shrinks at calendar gaps; windows run over day grain") {
     import spark.implicits._
     // three order days with a gap: 1970-01-01 (d=0), 01-02 (d=1), 01-10 (d=9):
