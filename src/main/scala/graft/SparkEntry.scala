@@ -222,6 +222,10 @@ object SparkEntry {
     // Efraimidis–Spirakis weighted sample, 50 docs per source
     "c_weighted_sample" -> ((s, dir) =>
       Corpus.weightedSample(Tables.documents(s, dir))),
+    // weighted PageRank by power iteration over the customer–supplier
+    // purchase graph (exact-decimal contributions, 9-dp pr per round)
+    "q_pagerank" -> ((s, dir) =>
+      graft.operators.Graph.pageRank(Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // hot-key-salted fact⋈dim join; the oracle is the PLAIN join —
     // salting must be invisible in the result
     "q_salted_join" -> ((s, dir) => {
@@ -1199,6 +1203,7 @@ object SparkEntry {
         |FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
         |        ORDER BY k_raw, doc_id) AS INT) AS rk FROM s)
         |WHERE rk <= 50""".stripMargin,
+    "q_pagerank" -> pagerankOracle,
     "q_salted_join" ->
       """SELECT s_name, COUNT(*) AS n_lines,
         |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
@@ -1591,6 +1596,36 @@ object SparkEntry {
        |SELECT query_id, vec_id, cos, rk FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rk
        |  FROM s) WHERE rk <= 5""".stripMargin
+  }
+
+  /** PageRank in DuckDB — unrolls Graph.pageRank's recurrence: same
+    * edge build, same exact-integer weight shares, per-edge
+    * contributions rounded into DECIMAL(18,9) (order-independent
+    * sums), pr re-quantized to 9 dp per round. The teleport base is
+    * COMPUTED as (1.0 − 0.85)/n in doubles on both engines — the
+    * literal 0.15 is a different binary value. */
+  private lazy val pagerankOracle: String = {
+    import graft.operators.Graph.{Damping, Iters}
+    val iterCtes = (1 to Iters).map { i =>
+      s"""p$i AS (SELECT sh.dst AS node,
+         |              ROUND((CAST(1.0 AS DOUBLE) - CAST($Damping AS DOUBLE)) / nn.n
+         |                    + CAST(SUM(CAST(ROUND(p.pr * sh.share * CAST($Damping AS DOUBLE) + 1e-12, 9)
+         |                                    AS DECIMAL(18,9))) AS DOUBLE)
+         |                    + 1e-12, 9) AS pr
+         |       FROM sh JOIN p${i - 1} p ON sh.src = p.node, nn
+         |       GROUP BY sh.dst, nn.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst, COUNT(*) AS w
+       |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+       |ed AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
+       |sh AS (SELECT src, dst,
+       |              CAST(w AS DOUBLE) / CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE) AS share
+       |       FROM ed),
+       |nn AS (SELECT COUNT(DISTINCT src) AS n FROM ed),
+       |p0 AS (SELECT DISTINCT src AS node, ROUND(CAST(1.0 AS DOUBLE) / nn.n + 1e-12, 9) AS pr
+       |       FROM ed, nn),
+       |$iterCtes
+       |SELECT node, pr FROM p$Iters""".stripMargin
   }
 
   /** Squared L2 as the identical left-to-right double expression the

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph processing over relational inputs — the second
+  * graph primitive next to [[Dedup.connectedComponents]]'s pointer
+  * jumping: weighted PageRank (Brin & Page 1998) by power iteration,
+  * here over the bipartite customer–supplier purchase graph distilled
+  * from orders ⋈ lineitem (who buys from whom, weighted by line
+  * count). Centrality over this graph is the "which suppliers anchor
+  * the purchase network" question — the relational cousin of ranking
+  * domains in a crawl graph before sampling training data from them.
+  *
+  * Scale shape: the edge frame (with its precomputed out-weight
+  * shares) is built ONCE and localCheckpoint'd; each power iteration
+  * is one edge-sized shuffle — join the (node, pr) vector (2 small
+  * columns) onto edges by src, partial-aggregate contributions by dst.
+  * That per-iteration edge shuffle IS distributed PageRank's cost
+  * floor (Pregel, GraphX and friends pay the same); nothing
+  * corpus-sized is ever collected or broadcast, and the vector frame
+  * stays 16 bytes/node. Node count enters via one scalar count().
+  *
+  * Cross-engine parity (hash-checkable like trainCentroids): pr is
+  * re-quantized to a 9-dp double every iteration; per-edge
+  * contributions `pr · share · d` round into DECIMAL(18,9) so the
+  * per-node sum is exact in any order; `share` is a double division
+  * of exact integer weights; and the teleport base computes
+  * `(1.0 − d) / n` the same way on both engines (never the literal
+  * 0.15 — binary 1.0 − 0.85 is 0.15000000000000002). The DuckDB
+  * oracle unrolls the same recurrence.
+  */
+object Graph {
+
+  /** Damping factor. */
+  val Damping = 0.85
+  /** Power iterations — the oracle pays one CTE block each. */
+  val Iters = 3
+
+  /** (node, pr) after [[Iters]] rounds over the undirected
+    * customer–supplier graph. Node ids are disjointified as
+    * custkey·2 / suppkey·2+1. Every node has ≥ 1 edge by
+    * construction (edges define the node set), so there is no
+    * dangling-mass correction term. */
+  def pageRank(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val e0 = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("w"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"), col("w"))
+    val edges = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    // out-weight shares are static across iterations: exact integer
+    // weight sums, one double division per edge, checkpointed so the
+    // loop re-reads a materialized frame instead of re-running the
+    // orders ⋈ lineitem build every iteration
+    val shares = edges
+      .join(edges.groupBy(col("src")).agg(sum(col("w")).as("wtot")), "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("wtot").cast("double")).as("share"))
+      .localCheckpoint()
+    val n = shares.select(col("src")).distinct().count()
+    val base = (1.0 - Damping) / n
+    var pr = shares.select(col("src").as("node")).distinct()
+      .withColumn("pr", round(lit(1.0 / n) + lit(1e-12), 9))
+    for (_ <- 0 until Iters) {
+      pr = shares.join(pr, col("src") === col("node"))
+        .select(col("dst"),
+          round(col("pr") * col("share") * lit(Damping) + lit(1e-12), 9)
+            .cast("decimal(18,9)").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("s"))
+        .select(col("dst").as("node"),
+          round(lit(base) + col("s").cast("double") + lit(1e-12), 9).as("pr"))
+    }
+    pr
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** PageRank semantics on a hand-built purchase graph plus conservation
+  * and determinism properties on the real sf0.001 tables. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("star graph: the hub customer outranks every leaf supplier") {
+    // one customer (node 2) buying once from each of 4 suppliers
+    val orders = (1L to 4L).map(k => (k, 1L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = (1L to 4L).map(k => (k, k)).toDF("l_orderkey", "l_suppkey")
+    val pr = Graph.pageRank(orders, lineitem).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(pr.size == 5)
+    val hub = pr(2L) // custkey 1 → node 2
+    val leaves = (pr - 2L).values
+    assert(leaves.forall(_ < hub), s"hub $hub not dominant in $pr")
+    // all leaves are symmetric → identical rank
+    assert(leaves.toSet.size == 1)
+  }
+
+  test("rank mass is conserved up to per-node rounding (sf0.001)") {
+    val pr = Graph.pageRank(Tables.orders(spark, sf0001), Tables.lineitem(spark, sf0001))
+    val rows = pr.collect().map(r => r.getDouble(1))
+    val total = rows.sum
+    // teleport + redistributed mass sums to 1; 9-dp rounding drifts at
+    // most n * 5e-10
+    assert(math.abs(total - 1.0) < rows.length * 5e-10 + 1e-6, s"mass $total")
+    assert(rows.forall(_ > 0))
+  }
+
+  test("pageRank is deterministic across runs") {
+    def run() = Graph.pageRank(Tables.orders(spark, sf0001), Tables.lineitem(spark, sf0001))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(run() == run())
+  }
+}
