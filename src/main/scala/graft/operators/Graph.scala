@@ -56,17 +56,27 @@ object Graph {
     // weight sums, one double division per edge, checkpointed so the
     // loop re-reads a materialized frame instead of re-running the
     // orders ⋈ lineitem build every iteration
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
     val shares = edges
-      .join(edges.groupBy(col("src")).agg(sum(col("w")).as("wtot")), "src")
+      .join(outW, "src")
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("wtot").cast("double")).as("share"))
       .localCheckpoint()
-    val n = shares.select(col("src")).distinct().count()
+    // outW is already one row per node — the node set costs nothing
+    // extra beyond the share build
+    val nodes = shares.select(col("src").as("node")).distinct().localCheckpoint()
+    val n = nodes.count()
     val base = (1.0 - Damping) / n
-    var pr = shares.select(col("src").as("node")).distinct()
-      .withColumn("pr", round(lit(1.0 / n) + lit(1e-12), 9))
+    var pr = nodes.withColumn("pr", round(lit(1.0 / n) + lit(1e-12), 9))
     for (_ <- 0 until Iters) {
-      pr = shares.join(pr, col("src") === col("node"))
+      // the rank vector is 16 bytes/node and node-bounded — broadcast
+      // it (the Pregel vertex-state analog) so each iteration is a
+      // map-side join + ONE partial-aggregated shuffle of per-dst
+      // contributions, never a re-shuffle of the edge frame. For a
+      // graph whose vertex set outgrows a broadcast (~100M+ nodes),
+      // drop the hint and the planner shuffles both sides — the
+      // semantics and the per-iteration cost class stay the same.
+      pr = shares.join(broadcast(pr), col("src") === col("node"))
         .select(col("dst"),
           round(col("pr") * col("share") * lit(Damping) + lit(1e-12), 9)
             .cast("decimal(18,9)").as("contrib"))

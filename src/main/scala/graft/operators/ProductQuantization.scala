@@ -110,7 +110,6 @@ object ProductQuantization {
       .orderBy(col("vec_id")).limit(K)
     var cb = sample.join(broadcast(initIds), "vec_id")
       .select(col("sub"), col("vec_id").as("cid"), col("x").as("c"))
-      .localCheckpoint()
     for (_ <- 0 until Iters) {
       cb = assign(sample, cb)
         .select(col("sub"), col("code").as("cell"),
@@ -125,9 +124,14 @@ object ProductQuantization {
         .agg(sort_array(collect_list(struct(col("pos"), col("mc")))).as("pm"))
         .select(col("sub"), col("cell").as("cid"),
           transform(col("pm"), p => p.getField("mc")).as("c"))
-        .localCheckpoint()
     }
-    cb
+    // ONE materialization barrier for the whole training chain: the
+    // loop stays lazy (each iteration is consumed exactly once by the
+    // next, so nesting duplicates no work), and checkpointing only the
+    // final codebook keeps multi-consumer callers (adcTopK reads it
+    // for the encode pass AND the distance table) from re-running
+    // training per consumer.
+    cb.localCheckpoint()
   }
 
   /** Encode the FULL corpus against a trained codebook: (vec_id, sub,
