@@ -222,6 +222,13 @@ object SparkEntry {
     // Efraimidis–Spirakis weighted sample, 50 docs per source
     "c_weighted_sample" -> ((s, dir) =>
       Corpus.weightedSample(Tables.documents(s, dir))),
+    // TPC-H Q7: bilateral nation trade by ship year
+    "q7_volume_shipping" -> ((s, dir) =>
+      Relational.volumeShipping(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))),
+    // per-source power-of-two length profile (integer-exact buckets)
+    "c_length_histogram" -> ((s, dir) =>
+      Corpus.lengthHistogram(Tables.documents(s, dir))),
     // weighted PageRank by power iteration over the customer–supplier
     // purchase graph (exact-decimal contributions, 9-dp pr per round)
     "q_pagerank" -> ((s, dir) =>
@@ -1203,6 +1210,24 @@ object SparkEntry {
         |FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
         |        ORDER BY k_raw, doc_id) AS INT) AS rk FROM s)
         |WHERE rk <= 50""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       year(l_shipdate) AS l_year,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "c_length_histogram" ->
+      """SELECT source, CAST(length(bin(greatest(n_chars, 1))) AS BIGINT) AS bucket,
+        |       COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "q_pagerank" -> pagerankOracle,
     "q_salted_join" ->
       """SELECT s_name, COUNT(*) AS n_lines,

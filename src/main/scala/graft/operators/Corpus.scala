@@ -526,4 +526,18 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("n_chars"),
         round(col("k_raw") + lit(1e-12), 9).as("es_key"), col("rk"))
   }
+
+  /** Per-source document-length profile over power-of-two buckets:
+    * bucket = ⌊log₂ n_chars⌋ + 1, computed as the BINARY DIGIT COUNT
+    * (`length(bin(n))`) — exact integer arithmetic on every engine,
+    * where a float log₂ sits one ulp from the wrong bucket at exact
+    * powers of two. One partial-aggregated groupBy over ≤ 64 buckets
+    * per source; the profiling pass that sizes [[tokenChunks]] /
+    * [[packStream]] parameters before a 100 TB build. */
+  def lengthHistogram(documents: DataFrame): DataFrame =
+    documents.groupBy(col("source"),
+        length(bin(greatest(col("n_chars"), lit(1)))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
 }

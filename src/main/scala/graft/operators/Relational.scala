@@ -297,4 +297,31 @@ object Relational {
           + lit(1e-9), 2).as("p90"),
         round(percentile(col("o_totalprice").cast("decimal(18,4)").cast("double"), lit(0.99))
           + lit(1e-9), 2).as("p99"))
+
+  /** TPC-H Q7-style volume shipping: bilateral trade between two
+    * nations by ship year, over the full 5-table join path
+    * lineitem ⋈ supplier ⋈ nation ⋈ orders ⋈ customer ⋈ nation.
+    * The nation dims are pre-filtered to the pair and broadcast, so
+    * the two big probe sides shrink at the earliest join (supplier
+    * side prunes before orders ever joins in); only fact-fact joins
+    * shuffle. Revenue is decimal-exact like every money sum. */
+  def volumeShipping(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                     supplier: DataFrame, nation: DataFrame,
+                     nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val pair = Seq(nationA, nationB)
+    val n1 = nation.filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = nation.filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    lineitem
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
 }
