@@ -162,6 +162,9 @@ object SparkEntry {
       graft.operators.ProductQuantization.codes(Tables.embeddings(s, dir))),
     "a_pq_topk" -> ((s, dir) =>
       graft.operators.ProductQuantization.adcTopK(Tables.embeddings(s, dir))),
+    // IVFADC: coarse IVF pruning + PQ over cell residuals, ADC search
+    "a_ivfadc_topk" -> ((s, dir) =>
+      graft.operators.ProductQuantization.ivfAdcTopK(Tables.embeddings(s, dir))),
     // ---- training-data pipeline: dedup ----
     "d_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "d_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir))),
@@ -830,6 +833,7 @@ object SparkEntry {
         |FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
         |        ORDER BY ads, vec_id) AS INT) AS rk FROM ad)
         |WHERE rk <= 5""".stripMargin,
+    "a_ivfadc_topk" -> ivfadcOracle,
     "a_cosine_topk" ->
       s"""WITH $normCte,
         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
@@ -1664,7 +1668,12 @@ object SparkEntry {
     * (argmin-assign, exact-decimal mean, 6-dp centroid) CTE block; all
     * M subspaces ride one block keyed by `sub`. Ends with `codes` =
     * the full-corpus assignment under the trained codebook. */
-  private lazy val pqCte: String = {
+  private lazy val pqCte: String =
+    pqCtes("(SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v FROM embeddings)")
+
+  /** The recurrence over any (vec_id, v) source — shared by the raw
+    * a_pq_* oracles and the residual-PQ block of a_ivfadc_topk. */
+  private def pqCtes(vSource: String): String = {
     import graft.operators.ProductQuantization.{M, K, Iters, SampleBuckets}
     val d = 64 / M
     val iterCtes = (1 to Iters).map { i =>
@@ -1683,8 +1692,7 @@ object SparkEntry {
          |c$i AS (SELECT sub, cell AS cid, list(mc ORDER BY pos) AS c FROM m$i GROUP BY sub, cell)""".stripMargin
     }.mkString(",\n")
     s"""sub AS (SELECT vec_id, t.sub, v[t.sub*$d+1 : t.sub*$d+$d] AS x
-       |        FROM (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
-       |              FROM embeddings), range(0, $M) t(sub)),
+       |        FROM $vSource src, range(0, $M) t(sub)),
        |smp AS (SELECT * FROM sub
        |        WHERE CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 17, 8) AS UBIGINT) % 10000 < $SampleBuckets),
        |ids AS (SELECT DISTINCT vec_id FROM smp ORDER BY vec_id LIMIT $K),
@@ -1695,6 +1703,51 @@ object SparkEntry {
        |         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
        |           ORDER BY ${pqD2("s.x", "c.c")} ASC, c.cid) AS rn
        |  FROM sub s JOIN c$Iters c ON s.sub = c.sub) WHERE rn = 1)""".stripMargin
+  }
+
+  /** IVFADC in DuckDB: the ivfTopK coarse machinery (cents/casg/
+    * probes), residuals by element-wise list comprehension, the PQ
+    * recurrence re-run over `res`, per-cell query-residual distance
+    * tables, and the exact-DECIMAL ADC sum restricted to probed
+    * cells. */
+  private lazy val ivfadcOracle: String = {
+    import graft.operators.ProductQuantization.{M, Iters}
+    val d = 64 / M
+    s"""WITH $normCte,
+       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |          WHERE vec_id % ${Similarity.IvfStride} = 0
+       |            AND vec_id < ${Similarity.IvfStride.toLong * Similarity.IvfMaxCells}),
+       |casg AS (SELECT vec_id, cell FROM (
+       |  SELECT n.vec_id, c.cid AS cell,
+       |         ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |           ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.cid) AS rn
+       |  FROM n, cents c) WHERE rn = 1),
+       |res AS (SELECT a.vec_id, [n.v[i] - c.cv[i] for i in generate_series(1, len(n.v))] AS v
+       |        FROM casg a JOIN n ON n.vec_id = a.vec_id JOIN cents c ON c.cid = a.cell),
+       |${pqCtes("res")},
+       |probes AS (SELECT query_id, cell FROM (
+       |  SELECT q.vec_id AS query_id, c.cid AS cell,
+       |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |           ORDER BY list_dot_product(q.v, c.cv) / (q.nrm * c.cnrm) DESC, c.cid) AS pr
+       |  FROM n q, cents c WHERE q.vec_id < 10) WHERE pr <= ${Similarity.IvfProbes}),
+       |qres AS (SELECT p.query_id, p.cell,
+       |                [q.v[i] - c.cv[i] for i in generate_series(1, len(q.v))] AS v
+       |         FROM probes p JOIN n q ON q.vec_id = p.query_id JOIN cents c ON c.cid = p.cell),
+       |qsub AS (SELECT query_id, cell, t.sub, v[t.sub*$d+1 : t.sub*$d+$d] AS x
+       |         FROM qres, range(0, $M) t(sub)),
+       |dtab AS (SELECT query_id, qsub.cell, qsub.sub, c.cid,
+       |                CAST(ROUND(${pqD2("qsub.x", "c.c")} + 1e-12, 9) AS DECIMAL(18,9)) AS dd
+       |         FROM qsub JOIN c$Iters c ON qsub.sub = c.sub),
+       |ad AS (SELECT dtab.query_id, codes.vec_id, SUM(dtab.dd) AS ads
+       |       FROM codes
+       |         JOIN casg ON codes.vec_id = casg.vec_id
+       |         JOIN dtab ON dtab.cell = casg.cell AND dtab.sub = codes.sub
+       |           AND dtab.cid = codes.code AND codes.vec_id <> dtab.query_id
+       |       GROUP BY 1, 2)
+       |SELECT query_id, vec_id, ROUND(CAST(ads AS DOUBLE) + 1e-12, 6) AS adist, rk
+       |FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ads, vec_id) AS INT) AS rk FROM ad)
+       |WHERE rk <= 5""".stripMargin
   }
 
   private lazy val annPairsOracle: String =

@@ -63,18 +63,23 @@ object ProductQuantization {
   private def d2(x: Column, c: Column): Column =
     dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c)
 
-  /** embeddings → (vec_id, sub, x): one row per subvector. Pure
+  /** (keys…, v) → (keys…, sub, x): one row per subvector. Pure
     * map-side explode; the slice arithmetic mirrors DuckDB's 1-based
     * inclusive `v[sub·d+1 : sub·d+d]`. */
-  private def subvectors(embeddings: DataFrame, dim: Int): DataFrame = {
+  private def subvectorsOf(vframe: DataFrame, dim: Int,
+                           keys: Seq[String] = Seq("vec_id")): DataFrame = {
     require(dim % M == 0, s"dim $dim must be divisible by M=$M")
     val d = dim / M
-    embeddings
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-      .select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("sub"), col("v"))
-      .select(col("vec_id"), col("sub"),
-        slice(col("v"), col("sub") * lit(d) + lit(1), lit(d)).as("x"))
+    vframe
+      .select(keys.map(col) :+ explode(sequence(lit(0), lit(M - 1))).as("sub") :+ col("v"): _*)
+      .select(keys.map(col) :+ col("sub") :+
+        slice(col("v"), col("sub") * lit(d) + lit(1), lit(d)).as("x"): _*)
   }
+
+  /** embeddings → (vec_id, sub, x). */
+  private def subvectors(embeddings: DataFrame, dim: Int): DataFrame =
+    subvectorsOf(embeddings
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")), dim)
 
   /** Argmin-assign every (vec_id, sub) row to its nearest centroid of
     * the matching subspace. The codebook collapses to ONE broadcast
@@ -101,8 +106,13 @@ object ProductQuantization {
     * iterations with exact-decimal means (see object scaladoc). Empty
     * cells drop out — at most K centroids per subspace survive.
     * Returns (sub, cid, c). */
-  def train(embeddings: DataFrame, dim: Int = 64): DataFrame = {
-    val sample = subvectors(embeddings, dim)
+  def train(embeddings: DataFrame, dim: Int = 64): DataFrame =
+    trainOn(subvectors(embeddings, dim))
+
+  /** The Lloyd loop over any (vec_id, sub, x) frame — shared by raw
+    * PQ ([[train]]) and residual PQ ([[ivfAdcTopK]]). */
+  private def trainOn(subv: DataFrame): DataFrame = {
+    val sample = subv
       .filter(conv(substring(md5(col("vec_id").cast("string")), 17, 8), 16, 10)
         .cast("long") % 10000 < SampleBuckets)
       .localCheckpoint()
@@ -151,6 +161,78 @@ object ProductQuantization {
     * into DECIMAL(18,9) so the per-(query, vec) M-term sum is exact in
     * any aggregation order; ranking is by that exact decimal (then
     * vec_id), emitted as a 6-dp double. Self-matches are excluded. */
+  /** IVFADC — the billion-vector index architecture (Jégou et al.
+    * 2011 §V; the FAISS `IVFx,PQy` default): a coarse IVF quantizer
+    * prunes the search to each query's probed cells, and PQ encodes
+    * each vector's RESIDUAL against its cell centroid (residuals
+    * cluster far tighter than raw vectors, so the same 4-bit codes
+    * quantize much finer). Search is ADC per probed cell: the query's
+    * residual against THAT cell feeds a per-cell distance table, and
+    * only vectors in probed cells are scored — compressed-domain
+    * distances over an IVF-pruned candidate set.
+    *
+    * Composition of two already-oracle-checked recurrences: the coarse
+    * quantizer is [[Similarity.ivfTopK]]'s strided-centroid cosine
+    * assignment (the IvfCell kernel), and the residual codebook is
+    * [[train]]'s exact-decimal Lloyd loop run on residual subvectors.
+    * Scale shape: coarse assign + residual is one broadcast map pass;
+    * the checkpointed (vec_id, cell, rv) frame feeds PQ training and
+    * encoding; search broadcasts a (query × probe × M × K) distance
+    * table against the codes frame — all corpus-side work stays
+    * map-local until the per-(query, vec) sum's partial aggregation. */
+  def ivfAdcTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                 dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = embeddings
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+    val cents = Similarity.ivfCentroids(n, Similarity.IvfStride, Similarity.IvfMaxCells)
+    val model = cents
+      .agg(sort_array(collect_list(struct(col("cid"), col("v"), col("nrm")))).as("cents"))
+    // coarse cell + residual against the own-cell centroid, one pass
+    val assigned = n.crossJoin(broadcast(model))
+      .withColumn("cell",
+        graft.functions.VectorKernels.ivfCell(col("v"), col("nrm"), col("cents")))
+      .withColumn("cv",
+        element_at(filter(col("cents"), s => s.getField("cid") === col("cell")), 1)
+          .getField("v"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+      .localCheckpoint() // read 3×: PQ sample, encoding, cell lookup
+    val cb = trainOn(subvectorsOf(assigned.select(col("vec_id"), col("v")), dim))
+    val enc = assign(subvectorsOf(assigned.select(col("vec_id"), col("v")), dim), cb)
+      .select(col("vec_id"), col("sub"), col("code"))
+      .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+    // probes: each query's nProbe nearest cells by raw cosine (the
+    // ivfTopK ordering), with the query residual against EACH cell
+    val q = n.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val probes = q.crossJoin(broadcast(
+        cents.select(col("cid"), col("v").as("cv"), col("nrm").as("cnrm"))))
+      .select(col("query_id"), col("qv"), col("cid"), col("cv"),
+        (dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))).as("ccos"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("pr") <= Similarity.IvfProbes)
+      .select(col("query_id"), col("cid").as("qcell"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("v"))
+    val dtab = subvectorsOf(probes, dim, keys = Seq("query_id", "qcell"))
+      .join(cb.withColumnRenamed("sub", "cbsub"), col("sub") === col("cbsub"))
+      .select(col("query_id"), col("qcell"), col("sub").as("dsub"), col("cid"),
+        round(d2(col("x"), col("c")) + lit(1e-12), 9).cast("decimal(18,9)").as("d"))
+    enc.join(broadcast(dtab),
+        col("cell") === col("qcell") && col("sub") === col("dsub") &&
+          col("code") === col("cid") && col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("ad"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ad").asc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"),
+        round(col("ad").cast("double") + lit(1e-12), 6).as("adist"), col("rk"))
+  }
+
   def adcTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
               dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
