@@ -225,6 +225,10 @@ object SparkEntry {
     // Efraimidis–Spirakis weighted sample, 50 docs per source
     "c_weighted_sample" -> ((s, dir) =>
       Corpus.weightedSample(Tables.documents(s, dir))),
+    // explicit GROUPING SETS: two independent breakdowns, no cross
+    // product — the shape rollup/cube cannot express
+    "q_grouping_sets" -> ((s, dir) =>
+      Relational.orderGroupingSets(Tables.orders(s, dir))),
     // TPC-H Q7: bilateral nation trade by ship year
     "q7_volume_shipping" -> ((s, dir) =>
       Relational.volumeShipping(Tables.lineitem(s, dir), Tables.orders(s, dir),
@@ -1214,6 +1218,13 @@ object SparkEntry {
         |FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
         |        ORDER BY k_raw, doc_id) AS INT) AS rk FROM s)
         |WHERE rk <= 50""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       COUNT(*) AS n_orders,
+        |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price,
+        |       CAST(GROUPING(o_orderpriority, CAST(year(o_orderdate) AS BIGINT)) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (CAST(year(o_orderdate) AS BIGINT)))""".stripMargin,
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       year(l_shipdate) AS l_year,

@@ -166,6 +166,33 @@ object Relational {
       .rollup(col("o_orderpriority"), year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_price"))
 
+  /** Explicit ANSI GROUPING SETS — the form neither ROLLUP nor CUBE
+    * can express: two INDEPENDENT single-dimension breakdowns
+    * ((priority), (year)) with no cross product and no grand total,
+    * compiled by Spark into one Expand + single aggregation pass (same
+    * physical shape as [[revenueRollup]]). The grouping-id bitmask
+    * rides along; bit order is the ANSI one both engines share
+    * (already pinned by the CUBE oracle). */
+  def orderGroupingSets(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    // SQL form, not Dataset.groupingSets: the API matches grouping-set
+    // entries to grouping columns by expression identity, and an
+    // aliased derived column (o_year) fails that match silently —
+    // whole sets lose the column and grouping_id() flips both bits.
+    // Same per-call view + analyzed-plan pinning as the Q17 path.
+    val view = s"graft_gs_orders_${viewId.incrementAndGet()}"
+    orders.createOrReplaceTempView(view)
+    try org.apache.spark.sql.graft.SqlBridge.ofAnalyzed(spark, spark.sql(s"""
+      SELECT o_orderpriority,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             COUNT(*) AS n_orders,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price,
+             CAST(grouping_id() AS BIGINT) AS gid
+      FROM $view
+      GROUP BY GROUPING SETS ((o_orderpriority), (CAST(year(o_orderdate) AS BIGINT)))"""))
+    finally spark.catalog.dropTempView(view)
+  }
+
   /** Trailing moving aggregates over the daily revenue series — the
     * window-FRAME surface (RANGE k PRECEDING, ROWS UNBOUNDED
     * PRECEDING): per order day, that day's revenue, the trailing
