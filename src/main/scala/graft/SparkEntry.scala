@@ -236,6 +236,9 @@ object SparkEntry {
     // per-source power-of-two length profile (integer-exact buckets)
     "c_length_histogram" -> ((s, dir) =>
       Corpus.lengthHistogram(Tables.documents(s, dir))),
+    // curriculum order: quality bands first, shuffled within band
+    "c_curriculum" -> ((s, dir) =>
+      Corpus.curriculumOrder(Tables.documents(s, dir))),
     // weighted PageRank by power iteration over the customer–supplier
     // purchase graph (exact-decimal contributions, 9-dp pr per round)
     "q_pagerank" -> ((s, dir) =>
@@ -1243,6 +1246,20 @@ object SparkEntry {
       """SELECT source, CAST(length(bin(greatest(n_chars, 1))) AS BIGINT) AS bucket,
         |       COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "c_curriculum" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         ROUND(len(list_distinct(string_split(text,' '))) / CAST(len(string_split(text,' ')) AS DOUBLE) * 0.5
+        |               + (1.0 - len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and')))
+        |                        / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.2
+        |               + least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.3
+        |               + 1e-12, 4) AS q
+        |  FROM documents),
+        |b AS (SELECT doc_id, q, least(CAST(floor(q * 10) AS BIGINT), 9) AS band,
+        |             md5(CAST(doc_id AS VARCHAR)) AS h FROM s)
+        |SELECT doc_id, band, q,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY band DESC, h, doc_id) AS BIGINT) - 1 AS curriculum_rank
+        |FROM b""".stripMargin,
     "q_pagerank" -> pagerankOracle,
     "q_salted_join" ->
       """SELECT s_name, COUNT(*) AS n_lines,

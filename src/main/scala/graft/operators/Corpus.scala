@@ -527,6 +527,32 @@ object Corpus {
         round(col("k_raw") + lit(1e-12), 9).as("es_key"), col("rk"))
   }
 
+  /** Curriculum ordering — the quality-banded global training order
+    * (easy/clean data first, the curriculum-learning data layout):
+    * documents rank by (quality band DESC, md5 shuffle, doc_id), so
+    * each band is internally shuffled like [[shuffleOrder]] but bands
+    * stream highest-quality-first. Band = ⌊10·q⌋ over the 4-dp
+    * quality score — both engines floor the identical double product.
+    *
+    * The global rank is the [[packStream]]/[[shuffleOrder]] two-level
+    * prefix scan with (band, hash-prefix) buckets: within-bucket
+    * window ranks + one window over bucket COUNTS in (band DESC,
+    * prefix) order — no corpus-wide single-partition window at any
+    * scale. */
+  def curriculumOrder(documents: DataFrame): DataFrame = {
+    val d = documents.select(col("doc_id"),
+        graft.functions.TextAnalysis.qualityCol(col("text")).as("q"))
+      .withColumn("band", least(floor(col("q") * 10).cast("long"), lit(9L)))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("hb", conv(substring(col("h"), 1, 4), 16, 10).cast("long"))
+    twoLevelPrefixSum(d, Seq("band", "hb"),
+        bucketOrder = Seq(col("band").desc, col("hb")),
+        withinOrder = Seq(col("h"), col("doc_id")),
+        value = lit(1L), out = "cum")
+      .select(col("doc_id"), col("band"), col("q"),
+        (col("cum") - 1L).as("curriculum_rank"))
+  }
+
   /** Per-source document-length profile over power-of-two buckets:
     * bucket = ⌊log₂ n_chars⌋ + 1, computed as the BINARY DIGIT COUNT
     * (`length(bin(n))`) — exact integer arithmetic on every engine,

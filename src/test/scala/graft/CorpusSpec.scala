@@ -315,6 +315,17 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("curriculumOrder: rank is a permutation, bands stream high-to-low") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = Corpus.curriculumOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.map(_._3).sorted.toSeq == (0L until out.length).toSeq)
+    val bandsInOrder = out.sortBy(_._3).map(_._2)
+    assert(bandsInOrder.sliding(2).forall(p => p.length < 2 || p.head >= p.last),
+      "a lower-quality band ranked before a higher one")
+    assert(bandsInOrder.distinct.length > 1, "fixture should span several bands")
+  }
+
   test("weightedSample: deterministic, k per source, weight-dominant doc always drawn first") {
     import spark.implicits._
     val docs = ((1L to 40L).map(i => (i, "src", 10L)) :+ ((99L, "src", 1000000000L)))
