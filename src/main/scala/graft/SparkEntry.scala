@@ -303,6 +303,9 @@ object SparkEntry {
     // never hash right)
     "m_resize_bmp" -> ((s, dir) =>
       Multimodal.resizeBmp(Multimodal.bmpDocs(Tables.documents(s, dir))).toDF()),
+    // REAL PNG header decode: big-endian IHDR fields from actual bytes
+    "m_decode_png" -> ((s, dir) =>
+      Multimodal.decodePng(Multimodal.pngDocs(Tables.documents(s, dir))).toDF()),
     // REAL audio decode + DSP: RIFF/WAV header parsing and sample-level
     // statistics from the actual little-endian PCM bytes
     "m_audio_features" -> ((s, dir) =>
@@ -928,6 +931,17 @@ object SparkEntry {
         |       CAST(1 + doc_id % 7 AS INT) AS height,
         |       CAST(3 AS INT) AS channels,
         |       CAST((1 + doc_id % 13) * (1 + doc_id % 7) * 3 AS BIGINT) AS n_pixels
+        |FROM documents""".stripMargin,
+    // real-PNG header decode: expected IHDR fields recomputed from
+    // doc_id alone; the Spark side parses the actual big-endian bytes
+    "m_decode_png" ->
+      """SELECT doc_id,
+        |       CAST(1 + doc_id % 300 AS INT) AS width,
+        |       CAST(1 + doc_id % 200 AS INT) AS height,
+        |       CAST(8 AS INT) AS bit_depth,
+        |       CAST([0, 2, 4, 6][CAST(doc_id % 4 AS INT) + 1] AS INT) AS color_type,
+        |       CAST([1, 3, 2, 4][CAST(doc_id % 4 AS INT) + 1] AS INT) AS channels,
+        |       CAST((1 + doc_id % 300) * (1 + doc_id % 200) AS BIGINT) AS n_pixels
         |FROM documents""".stripMargin,
     // real-BMP resampling: the oracle computes each resized byte
     // ARITHMETICALLY — pixel byte at array position p carries

@@ -194,4 +194,26 @@ class MultimodalSpec extends SparkSpec {
     // both headerless (3 % 4 == 3, 7 % 4 == 3) with identical bodies
     assert(hashes.map(_._2).distinct.length == 1)
   }
+
+  test("parsePng reads real big-endian IHDR fields; malformed headers are None") {
+    def png(w: Int, h: Int, depth: Int = 8, ct: Int = 2,
+            sig: Array[Int] = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A),
+            ihdrTag: String = "IHDR"): Array[Byte] = {
+      def be32(x: Int) = Array((x >> 24) & 0xFF, (x >> 16) & 0xFF, (x >> 8) & 0xFF, x & 0xFF)
+      (sig ++ be32(13) ++ ihdrTag.getBytes("US-ASCII").map(_ & 0xFF) ++
+        be32(w) ++ be32(h) ++ Array(depth, ct, 0, 0, 0) ++ be32(0xDEADBEEF))
+        .map(_.toByte)
+    }
+    val good = Multimodal.parsePng(1L, png(300, 200)).get
+    assert(good.width == 300 && good.height == 200 && good.bit_depth == 8)
+    assert(good.channels == 3 && good.n_pixels == 60000L)
+    assert(Multimodal.parsePng(2L, png(5, 4, ct = 6)).get.channels == 4)
+    assert(Multimodal.parsePng(3L, png(5, 4, ct = 0)).get.channels == 1)
+    assert(Multimodal.parsePng(4L, png(5, 4, sig = Array(0x88, 'P', 'N', 'G', 13, 10, 26, 10))).isEmpty)
+    assert(Multimodal.parsePng(5L, png(5, 4, ihdrTag = "IDAT")).isEmpty)
+    assert(Multimodal.parsePng(6L, png(0, 4)).isEmpty)     // zero width
+    assert(Multimodal.parsePng(7L, png(5, 4, depth = 7)).isEmpty)
+    assert(Multimodal.parsePng(8L, png(5, 4, ct = 5)).isEmpty)
+    assert(Multimodal.parsePng(9L, png(5, 4).take(20)).isEmpty) // truncated
+  }
 }
