@@ -135,6 +135,9 @@ object SparkEntry {
       graft.functions.TextAnalysis.repetition(Tables.documents(s, dir))),
     "t_tfidf" -> ((s, dir) =>
       graft.functions.TextAnalysis.tfidf(Tables.documents(s, dir))),
+    // lexical near-neighbor retrieval over top-k TF-IDF sparse vectors
+    "t_sparse_sim" -> ((s, dir) =>
+      graft.functions.TextAnalysis.sparseSimilarity(Tables.documents(s, dir))),
     // ---- training-data pipeline: similarity search over embeddings ----
     "a_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
     "a_cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir))),
@@ -790,6 +793,32 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df, tfidf, rk FROM (
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rk
         |  FROM s) WHERE rk <= 5""".stripMargin,
+    // sparse similarity: the t_tfidf pipeline re-derived, then exact
+    // DECIMAL(9,4) products/sums (4-dp weights make them exact in any
+    // order) and a double division only at the final cosine
+    "t_sparse_sim" ->
+      """WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY doc_id, term),
+        |d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) + 1e-9, 4) AS tfidf
+        |      FROM tf JOIN d USING (term) CROSS JOIN n),
+        |v AS (SELECT doc_id, term, CAST(tfidf AS DECIMAL(9,4)) AS w FROM (
+        |        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |          ORDER BY tfidf DESC, term) AS rk FROM s) WHERE rk <= 5),
+        |nm AS (SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm FROM v GROUP BY doc_id),
+        |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+        |         FROM v a JOIN v b ON a.term = b.term AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |c AS (SELECT doc_a, doc_b,
+        |             ROUND(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) + 1e-12, 6) AS cos
+        |      FROM dots JOIN nm na ON na.doc_id = doc_a JOIN nm nb ON nb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, cos, rk FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_a
+        |    ORDER BY cos DESC, doc_b) AS INT) AS rk FROM c)
+        |WHERE rk <= 3""".stripMargin,
     // winnowing: positional 3-gram md5 hashes, min per 4-hash window,
     // distinct survivors; md5 hex is lowercase and compared
     // lexicographically in both engines

@@ -144,6 +144,44 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rk"))
   }
 
+  /** Sparse TF-IDF document similarity — text-side near-dup/related-doc
+    * retrieval WITHOUT embeddings: each document becomes its [[tfidf]]
+    * top-`k` term vector (the standard top-k sparsification), pairs
+    * share a term via a posting-list equi-join, and cosine ranks the
+    * top `topk` neighbors per document. Complements the embedding
+    * family: [[graft.operators.Similarity.annTopK]] finds semantic
+    * neighbors, this finds lexical ones, and both are
+    * candidate-restricted (here by shared top-k terms).
+    *
+    * Scale shape: the posting-list join's cost is Σ_t |P_t|² over
+    * postings P_t = docs carrying term t in their TOP-K — idf pushes
+    * corpus-wide stopwords out of every top-k, so hot-term posting
+    * lists self-prune (the reason top-k sparsification is the standard
+    * trick); total postings are ≤ k·N ~ 40 bytes/doc through the
+    * shuffle. Dots and norms run in EXACT decimal: weights are 4-dp
+    * (DECIMAL(9,4)), so products and their sums are exact in any
+    * aggregation order — no float-association risk — and only the
+    * final cosine division runs in (engine-identical) doubles. */
+  def sparseSimilarity(documents: DataFrame, k: Int = 5, topk: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vec = tfidf(documents, k)
+      .select(col("doc_id"), col("term"), col("tfidf").cast("decimal(9,4)").as("w"))
+    val norms = vec.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+    val a = vec.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
+    val b = vec.select(col("doc_id").as("doc_b"), col("term"), col("w").as("wb"))
+    a.join(b, Seq("term")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot").cast("double") / (col("na") * col("nb")) + lit(1e-12), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_a")).orderBy(col("cos").desc, col("doc_b"))))
+      .filter(col("rk") <= topk)
+  }
+
   /** Corpus-unigram language-model score: each document's mean token
     * log-probability under the corpus's own unigram distribution —
     * the classic model-based quality signal (far-below-average score =

@@ -199,6 +199,21 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     } finally spark.conf.set(key, prev)
   }
 
+  test("sparseSimilarity: lexical twins rank each other first, disjoint docs never pair") {
+    val df = Seq(
+      (1L, "zephyr quokka marmot bison wombat"),
+      (2L, "zephyr quokka marmot bison yak"),      // 4 shared rare terms
+      (3L, "completely different words entirely here"),
+      (4L, "another unrelated set of strings")).toDF("doc_id", "text")
+    val out = TextAnalysis.sparseSimilarity(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val top1 = out.filter(t => t._1 == 1L && t._4 == 1)
+    assert(top1.length == 1 && top1.head._2 == 2L, s"twin not ranked first: ${out.toSeq}")
+    assert(top1.head._3 > 0.5)
+    // docs 3 and 4 share no terms with anything → no pair rows at all
+    assert(!out.exists(t => t._1 >= 3L || t._2 >= 3L))
+  }
+
   test("normalize lowercases, strips punctuation, collapses runs; empty result counts 0 tokens") {
     val df = Seq(
       (1L, "  Hello,   WORLD!! 42 "),
