@@ -138,6 +138,10 @@ object SparkEntry {
     // lexical near-neighbor retrieval over top-k TF-IDF sparse vectors
     "t_sparse_sim" -> ((s, dir) =>
       graft.functions.TextAnalysis.sparseSimilarity(Tables.documents(s, dir))),
+    // Okapi BM25 keyword retrieval, fixed 3-term query
+    "t_bm25" -> ((s, dir) =>
+      graft.functions.TextAnalysis.bm25(Tables.documents(s, dir),
+        Seq("hash", "join", "spark"))),
     // ---- training-data pipeline: similarity search over embeddings ----
     "a_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
     "a_cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir))),
@@ -793,6 +797,29 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df, tfidf, rk FROM (
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rk
         |  FROM s) WHERE rk <= 5""".stripMargin,
+    // BM25: every constant COMPUTED (k1+1, 1-b), per-term contributions
+    // exact-decimal, rank on the exact decimal score
+    "t_bm25" ->
+      """WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term IN ('hash', 'join', 'spark')
+        |  GROUP BY doc_id, term),
+        |d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |c AS (SELECT tf.doc_id,
+        |             CAST(ROUND(
+        |               ln((CAST(st.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |               * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+        |               / (tf.tf + CAST(1.2 AS DOUBLE)
+        |                  * (1.0 - CAST(0.75 AS DOUBLE)
+        |                     + CAST(0.75 AS DOUBLE) * dl.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))
+        |               + 1e-12, 9) AS DECIMAL(18,9)) AS contrib
+        |      FROM tf JOIN d USING (term) JOIN dl USING (doc_id), st),
+        |s AS (SELECT doc_id, SUM(contrib) AS s FROM c GROUP BY doc_id)
+        |SELECT doc_id, ROUND(CAST(s AS DOUBLE) + 1e-12, 6) AS score, rk
+        |FROM (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS INT) AS rk FROM s)
+        |WHERE rk <= 10""".stripMargin,
     // sparse similarity: the t_tfidf pipeline re-derived, then exact
     // DECIMAL(9,4) products/sums (4-dp weights make them exact in any
     // order) and a double division only at the final cosine

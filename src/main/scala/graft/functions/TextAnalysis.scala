@@ -182,6 +182,55 @@ object TextAnalysis {
       .filter(col("rk") <= topk)
   }
 
+  /** BM25 retrieval scoring (Robertson–Spärck Jones Okapi form) of a
+    * term query against the corpus — THE ranking function behind
+    * keyword retrieval, and the lexical scorer a RAG/data-curation
+    * stack runs beside embedding search:
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
+    * idf(t) = ln((N−df+0.5)/(df+0.5) + 1).
+    *
+    * Scale shape: the term filter lands in the token explode's scan
+    * (only query-term postings survive the partial-aggregated tf
+    * groupBy — the shuffle carries the query's posting lists, never
+    * the vocabulary), corpus stats (N, Σ|d|) ride one broadcast scalar
+    * row, and the top-k compiles to rank-limited work per partition.
+    * Cross-engine parity: per-term contributions round into
+    * DECIMAL(18,9) (order-independent sums), ranking runs on the
+    * EXACT decimal score; every constant in the formula is COMPUTED
+    * the same way in both engines (k1+1, 1−b — literal pre-folding
+    * would change the binary value). */
+  def bm25(documents: DataFrame, query: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75, topk: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(query.nonEmpty, "bm25 needs at least one query term")
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(query: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = documents.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .join(dl, "doc_id")
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)))
+      .withColumn("contrib",
+        round(col("idf") * (col("tf") * (lit(k1) + lit(1.0)))
+          / (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+          + lit(1e-12), 9).cast("decimal(18,9)"))
+      .groupBy(col("doc_id")).agg(sum(col("contrib")).as("s"))
+      // TakeOrderedAndProject first (per-partition top-k, no global
+      // sort), THEN the rank window over the k surviving rows
+      .orderBy(col("s").desc, col("doc_id")).limit(topk)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("s").desc, col("doc_id"))))
+      .select(col("doc_id"),
+        round(col("s").cast("double") + lit(1e-12), 6).as("score"), col("rk"))
+  }
+
   /** Corpus-unigram language-model score: each document's mean token
     * log-probability under the corpus's own unigram distribution —
     * the classic model-based quality signal (far-below-average score =

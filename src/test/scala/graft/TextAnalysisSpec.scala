@@ -215,6 +215,20 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     assert(!out.exists(t => t._1 >= 3L || t._2 >= 3L))
   }
 
+  test("bm25: term-dense short docs outrank sparse long ones; termless docs never score") {
+    val filler = Array.fill(50)("pad").mkString(" ")
+    val df = Seq(
+      (1L, "alpha alpha beta"),            // both terms, tf 2+1, short
+      (2L, s"alpha $filler"),              // one term, long
+      (3L, s"beta $filler extra words"),   // one term, long
+      (4L, "nothing relevant here")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(df, Seq("alpha", "beta")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L), s"termless doc scored: ${out.toSeq}")
+    assert(out.find(_._3 == 1).map(_._1).contains(1L))
+    assert(out.forall(_._2 > 0))
+  }
+
   test("normalize lowercases, strips punctuation, collapses runs; empty result counts 0 tokens") {
     val df = Seq(
       (1L, "  Hello,   WORLD!! 42 "),
