@@ -246,6 +246,9 @@ object SparkEntry {
     // curriculum order: quality bands first, shuffled within band
     "c_curriculum" -> ((s, dir) =>
       Corpus.curriculumOrder(Tables.documents(s, dir))),
+    // the composed end-to-end build: keep-list -> budget -> order
+    "c_data_build" -> ((s, dir) =>
+      Corpus.dataBuild(Tables.documents(s, dir))),
     // weighted PageRank by power iteration over the customer–supplier
     // purchase graph (exact-decimal contributions, 9-dp pr per round)
     "q_pagerank" -> ((s, dir) =>
@@ -1421,6 +1424,7 @@ object SparkEntry {
     // members of the recursive-CTE minhash components (the
     // d_dup_clusters oracle pattern)
     "t_keep_set_neardup" -> keepSetNearDupOracle,
+    "c_data_build" -> dataBuildOracle,
     // stratified sampling: same language scores as t_lang_id, same
     // md5-chars-9-16 sample bucket (disjoint from the split's 1-8)
     "d_stratified_sample" ->
@@ -1552,6 +1556,30 @@ object SparkEntry {
        |drp AS (SELECT v AS doc_id FROM reach GROUP BY v HAVING MIN(l) <> v)
        |$keepSetSelect
        |  AND doc_id NOT IN (SELECT doc_id FROM drp)""".stripMargin
+
+  /** The composed end-to-end build: keepSetNearDup's CTEs verbatim,
+    * the c_token_budget arithmetic restricted to the kept set (quality
+    * comes straight from the keep-list CTEs — same formula), and the
+    * c_shuffle_order rank over the budget survivors. */
+  private lazy val dataBuildOracle: String =
+    s"""WITH RECURSIVE $keepSetCtes,
+       |$componentsCtes,
+       |drp AS (SELECT v AS doc_id FROM reach GROUP BY v HAVING MIN(l) <> v),
+       |kept AS (SELECT doc_id, quality FROM (
+       |$keepSetSelect
+       |  AND doc_id NOT IN (SELECT doc_id FROM drp)) ks),
+       |bq AS (SELECT k.doc_id, k.quality, len(string_split(d.text, ' ')) AS n_tokens
+       |       FROM kept k JOIN documents d ON d.doc_id = k.doc_id),
+       |bc AS (SELECT doc_id, quality, n_tokens,
+       |              SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+       |                                  ROWS UNBOUNDED PRECEDING) AS cum
+       |       FROM bq),
+       |bsel AS (SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens
+       |         FROM bc WHERE cum <= 8000)
+       |SELECT doc_id, quality, n_tokens,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+       |            AS BIGINT) AS shuffle_rank
+       |FROM bsel""".stripMargin
 
   /** The SRP-LSH hyperplanes as a DuckDB VALUES literal — the exact
     * doubles of Similarity.planes (shortest round-trip decimal repr

@@ -527,6 +527,29 @@ object Corpus {
         round(col("k_raw") + lit(1e-12), 9).as("es_key"), col("rk"))
   }
 
+  /** The END-TO-END data build — the whole pipeline a pretraining
+    * corpus actually ships through, as ONE composed dataflow:
+    *   1. [[keepSetNearDup]] — language gate, quality floor,
+    *      repetition cap, exact-dedup canonical copy, minhash-cluster
+    *      keeper;
+    *   2. [[tokenBudget]] — best-quality prefix of the survivors
+    *      under a global token budget (two-level prefix scan);
+    *   3. [[shuffleOrder]] — the deterministic training order of the
+    *      selected set.
+    * Returns (doc_id, quality, n_tokens, shuffle_rank): exactly the
+    * manifest a trainer consumes. Every stage is the already-verified
+    * operator — this query pins that they COMPOSE (id-keyed semi-joins
+    * between stages; no stage rereads text another stage already
+    * reduced). */
+  def dataBuild(documents: DataFrame, budgetTokens: Long = 8000L): DataFrame = {
+    val kept = keepSetNearDup(documents).select(col("doc_id"))
+    val survivors = documents.join(kept, Seq("doc_id"), "left_semi")
+    val budgeted = tokenBudget(survivors, budgetTokens)
+    budgeted
+      .join(shuffleOrder(budgeted), "doc_id")
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("shuffle_rank"))
+  }
+
   /** Curriculum ordering — the quality-banded global training order
     * (easy/clean data first, the curriculum-learning data layout):
     * documents rank by (quality band DESC, md5 shuffle, doc_id), so

@@ -315,6 +315,22 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("dataBuild equals the manual keep -> budget -> order composition") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = Corpus.dataBuild(docs).collect().map(_.toSeq).toSet
+    val survivors = docs.join(Corpus.keepSetNearDup(docs).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val budgeted = Corpus.tokenBudget(survivors, 8000L)
+    val composed = budgeted.join(Corpus.shuffleOrder(budgeted), "doc_id")
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("shuffle_rank"))
+      .collect().map(_.toSeq).toSet
+    assert(got == composed)
+    assert(got.nonEmpty)
+    // the manifest's order is a permutation of the selected set
+    val ranks = got.toSeq.map(_(3).asInstanceOf[Long]).sorted
+    assert(ranks == (0L until got.size).toSeq)
+  }
+
   test("curriculumOrder: rank is a permutation, bands stream high-to-low") {
     val docs = Tables.documents(spark, sf0001)
     val out = Corpus.curriculumOrder(docs).collect()
