@@ -823,13 +823,17 @@ object SparkEntry {
         |SELECT doc_id, ROUND(CAST(s AS DOUBLE) + 1e-12, 6) AS score, rk
         |FROM (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS INT) AS rk FROM s)
         |WHERE rk <= 10""".stripMargin,
-    // sparse similarity: the t_tfidf pipeline re-derived, then exact
-    // DECIMAL(9,4) products/sums (4-dp weights make them exact in any
-    // order) and a double division only at the final cosine
+    // sparse similarity: the tfidf pipeline over word BIGRAMS (posting
+    // sparsity — see the operator scaladoc), then exact DECIMAL(9,4)
+    // products/sums (4-dp weights make them exact in any order) and a
+    // double division only at the final cosine
     "t_sparse_sim" ->
-      """WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
-        |  GROUP BY doc_id, term),
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+        |g AS (SELECT doc_id,
+        |             unnest([wl[i+1] || ' ' || wl[i+2]
+        |                     for i in generate_series(0, len(wl) - 2)]) AS term
+        |      FROM t0),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY doc_id, term),
         |d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
         |s AS (SELECT tf.doc_id, tf.term,

@@ -145,27 +145,58 @@ object TextAnalysis {
   }
 
   /** Sparse TF-IDF document similarity — text-side near-dup/related-doc
-    * retrieval WITHOUT embeddings: each document becomes its [[tfidf]]
-    * top-`k` term vector (the standard top-k sparsification), pairs
-    * share a term via a posting-list equi-join, and cosine ranks the
-    * top `topk` neighbors per document. Complements the embedding
-    * family: [[graft.operators.Similarity.annTopK]] finds semantic
-    * neighbors, this finds lexical ones, and both are
-    * candidate-restricted (here by shared top-k terms).
+    * retrieval WITHOUT embeddings: each document becomes its top-`k`
+    * TF-IDF BIGRAM vector (the standard top-k sparsification over
+    * phrase terms), pairs share a bigram via a posting-list equi-join,
+    * and cosine ranks the top `topk` neighbors per document.
+    * Complements the embedding family:
+    * [[graft.operators.Similarity.annTopK]] finds semantic neighbors,
+    * this finds lexical ones, and both are candidate-restricted.
     *
-    * Scale shape: the posting-list join's cost is Σ_t |P_t|² over
-    * postings P_t = docs carrying term t in their TOP-K — idf pushes
-    * corpus-wide stopwords out of every top-k, so hot-term posting
-    * lists self-prune (the reason top-k sparsification is the standard
-    * trick); total postings are ≤ k·N ~ 40 bytes/doc through the
-    * shuffle. Dots and norms run in EXACT decimal: weights are 4-dp
+    * Terms are word BIGRAMS, not unigrams, for the same reason
+    * [[graft.operators.Dedup.jaccardPairs]] shingles are 3-grams:
+    * the posting-join cost is Σ_t |P_t|² over postings P_t = docs
+    * carrying term t in their top-k, and n-gram keys keep |P_t| small
+    * even on a small-vocabulary corpus where every unigram is
+    * corpus-wide (measured: unigram terms on the synthetic corpus
+    * degenerate to a 35 s quadratic join at sf0.1; bigrams, whose
+    * top-k idf-concentrates on rare phrases, run in ~2 s). Total
+    * postings stay ≤ k·N ~ 40 bytes/doc through the shuffle.
+    *
+    * Dots and norms run in EXACT decimal: weights are 4-dp
     * (DECIMAL(9,4)), so products and their sums are exact in any
     * aggregation order — no float-association risk — and only the
     * final cosine division runs in (engine-identical) doubles. */
   def sparseSimilarity(documents: DataFrame, k: Int = 5, topk: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vec = tfidf(documents, k)
+    // STAGE the token array behind a projection barrier before the
+    // gram transform: gramArray over a raw text column inlines the
+    // split() into the size bound and every element_at lambda, and
+    // the repeated splits dominate the whole query (keepSet's staged
+    // counts, same lesson)
+    val tf = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2))))
+        .otherwise(array().cast("array<string>"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val vec = tf.join(docFreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")) + lit(1e-9), 4))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rk") <= k)
       .select(col("doc_id"), col("term"), col("tfidf").cast("decimal(9,4)").as("w"))
+      // cached: k rows/doc (~40 B/doc — the per-doc-signature scale
+      // where caching wins), read by THREE consumers (norms + both
+      // posting-join legs); uncached, the whole explode+groupBy+window
+      // tfidf pipeline runs three times
+      .cache()
     val norms = vec.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
     val a = vec.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
