@@ -362,6 +362,14 @@ class PlanAuditSpec extends SparkSpec {
       s"rank filter must cap rows before the exchange:\n$p")
   }
 
+  test("sparseSimilarity: rank filters stay map-side WindowGroupLimits, joins stay equi") {
+    val p = plan(graft.functions.TextAnalysis.sparseSimilarity(Tables.documents(spark, dir)))
+    assert(count(p, "WindowGroupLimit") >= 2,
+      s"top-k rank must cap rows before its exchange:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"posting/norm joins must stay equi-joins:\n$p")
+  }
+
   test("revenueMovingAvg: RANGE frame shrinks at calendar gaps; windows run over day grain") {
     import spark.implicits._
     // three order days with a gap: 1970-01-01 (d=0), 01-02 (d=1), 01-10 (d=9):
