@@ -366,7 +366,11 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(graft.functions.TextAnalysis.sparseSimilarity(Tables.documents(spark, dir)))
     assert(count(p, "WindowGroupLimit") >= 2,
       s"top-k rank must cap rows before its exchange:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+    // the ONE BroadcastNestedLoopJoin is the 1-row corpus-count scalar
+    // (tfidf's crossJoin(broadcast(n)) shape) — legitimate; anything
+    // beyond it, or any cartesian, means a posting/norm join degraded
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1,
       s"posting/norm joins must stay equi-joins:\n$p")
   }
 
