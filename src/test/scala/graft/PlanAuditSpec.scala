@@ -366,11 +366,13 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(graft.functions.TextAnalysis.sparseSimilarity(Tables.documents(spark, dir)))
     assert(count(p, "WindowGroupLimit") >= 2,
       s"top-k rank must cap rows before its exchange:\n$p")
-    // the ONE BroadcastNestedLoopJoin is the 1-row corpus-count scalar
-    // (tfidf's crossJoin(broadcast(n)) shape) — legitimate; anything
-    // beyond it, or any cartesian, means a posting/norm join degraded
+    // BroadcastNestedLoopJoin appears — but ONLY as the 1-row
+    // corpus-count scalar (tfidf's crossJoin(broadcast(n)) shape),
+    // reprinted once per cached-vec consumer; the joins that carry
+    // data (posting self-join on term + two norm joins) must all be
+    // hash equi-joins, and nothing may go cartesian
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
-    assert(count(p, "BroadcastNestedLoopJoin") <= 1,
+    assert(count(p, "HashJoin") + count(p, "SortMergeJoin") >= 3,
       s"posting/norm joins must stay equi-joins:\n$p")
   }
 
