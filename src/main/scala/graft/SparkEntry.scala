@@ -229,6 +229,8 @@ object SparkEntry {
       Corpus.qualityQuantileFilter(Tables.documents(s, dir))),
     // repeated-signal suppression over the event log (24 h window)
     "d_time_dedup" -> ((s, dir) => Dedup.timeDedup(ev(s, dir))),
+    // content-defined chunking: insertion-stable chunk manifests
+    "d_cdc_chunks" -> ((s, dir) => Dedup.cdcChunks(Tables.documents(s, dir))),
     // Efraimidis–Spirakis weighted sample, 50 docs per source
     "c_weighted_sample" -> ((s, dir) =>
       Corpus.weightedSample(Tables.documents(s, dir))),
@@ -1281,6 +1283,20 @@ object SparkEntry {
         |        WHERE cum >= ceil(tot * 0.5) GROUP BY source)
         |SELECT s.doc_id, s.source, s.q, thr.q_thr, s.q >= thr.q_thr AS keep
         |FROM s JOIN thr USING (source)""".stripMargin,
+    "d_cdc_chunks" ->
+      """WITH w AS (SELECT doc_id, generate_subscripts(wl, 1) - 1 AS pos, unnest(wl) AS word
+        |           FROM (SELECT doc_id, string_split(text, ' ') AS wl FROM documents)),
+        |b AS (SELECT doc_id, pos, word,
+        |             CASE WHEN CAST('0x' || substring(md5(word), 1, 8) AS UBIGINT) % 16 = 0
+        |                  THEN 1 ELSE 0 END AS brk
+        |      FROM w),
+        |c AS (SELECT doc_id, pos, word,
+        |             CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                                 ROWS UNBOUNDED PRECEDING) - brk AS BIGINT) AS chunk_idx
+        |      FROM b)
+        |SELECT doc_id, chunk_idx, CAST(MIN(pos) AS BIGINT) AS first_pos, COUNT(*) AS n_words,
+        |       md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_md5
+        |FROM c GROUP BY doc_id, chunk_idx""".stripMargin,
     "d_time_dedup" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
         |l AS (SELECT *, LAG(tus) OVER (PARTITION BY user_id, event_type

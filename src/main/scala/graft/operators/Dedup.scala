@@ -634,6 +634,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Content-defined chunking (CDC) — the variable-length chunking
+    * behind dedup storage and incremental-sync systems (LBFS/rsync
+    * lineage; FastCDC is the modern form): chunk boundaries land where
+    * a rolling content condition fires, so an insertion early in a
+    * document shifts ONLY its own chunk — unlike [[blockDedup]]'s
+    * fixed windows, where one inserted word re-frames every later
+    * block. Word-level here: a boundary falls AFTER word i when
+    * md5(word)'s top-32 bits ≡ 0 (mod `divisor`) — expected chunk
+    * length = divisor words, content-determined, engine-portable.
+    *
+    * Emits (doc_id, chunk_idx, first_pos, n_words, chunk_md5): the
+    * per-document chunk manifest whose fingerprints feed cross-corpus
+    * chunk-level dedup exactly like [[blockDedup]]'s block keys.
+    *
+    * Scale shape: boundary flags are per-row hash arithmetic; chunk
+    * ids are a running sum over the per-document window (the
+    * sessionize shape — partitions are single documents, bounded);
+    * chunk reassembly is a partial-aggregated groupBy on (doc, chunk).
+    * Nothing crosses a shuffle beyond (doc_id, pos, word) triples. */
+  def cdcChunks(documents: DataFrame, divisor: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(divisor > 0, s"divisor must be positive, got $divisor")
+    val words = documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .withColumn("brk",
+        when(conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long")
+          % divisor === 0, 1L).otherwise(0L))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // chunk id = boundaries BEFORE this word (the boundary word closes
+    // its own chunk): running brk sum minus the current flag
+    words
+      .withColumn("chunk_idx", sum(col("brk")).over(w) - col("brk"))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(min(col("pos")).cast("long").as("first_pos"),
+        count(lit(1)).as("n_words"),
+        md5(concat_ws(" ", sort_array(collect_list(struct(col("pos"), col("word"))))
+          .getField("word"))).as("chunk_md5"))
+  }
+
   /** Time-window event dedup — repeated-signal suppression over an
     * event log: an event is a duplicate iff the PREVIOUS event with
     * the same (user_id, event_type) is within `gapNs` of it. The

@@ -370,6 +370,37 @@ class DedupSpec extends SparkSpec {
     assert(pairs(Dedup.jaccardPairs(df)).nonEmpty)
   }
 
+  test("cdcChunks: an early insertion leaves every later chunk fingerprint unchanged") {
+    val base = (1 to 200).map(i => s"w$i").mkString(" ")
+    val df = docs((1L, base), (2L, "inserted words here " + base))
+    val out = Dedup.cdcChunks(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
+    val c1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val c2 = out.filter(_._1 == 2L).sortBy(_._2).map(_._3)
+    assert(c1.length > 3, s"fixture should chunk several times, got ${c1.length}")
+    // content-defined boundaries re-sync after the edit: only the
+    // chunk containing the insertion differs (blockDedup's fixed
+    // windows would shift every later block)
+    val shared = c1.toSet intersect c2.toSet
+    assert(shared.size >= c1.length - 1, s"only ${shared.size}/${c1.length} chunks survived the edit")
+    assert(c1.toSet != c2.toSet) // the edited chunk itself did change
+  }
+
+  test("cdcChunks: chunks partition each document exactly") {
+    val df = docs((1L, base), (2L, "one two"))
+    val out = Dedup.cdcChunks(df).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    df.collect().foreach { row =>
+      val id = row.getLong(0); val n = row.getString(1).split(" ").length
+      val chunks = out.filter(_._1 == id).sortBy(_._2)
+      assert(chunks.map(_._3).sum == n, s"doc $id chunk words don't sum to $n")
+      // each chunk starts where the previous ended
+      chunks.foldLeft(0L) { case (expect, (_, first, words)) =>
+        assert(first == expect); first + words
+      }
+    }
+  }
+
   test("timeDedup drops an event iff the previous same-key event is within the gap") {
     val us = 1000L * 1000 // work in seconds expressed as µs-scale nanos
     val events = Seq(
