@@ -44,7 +44,11 @@ object Bucketing {
     * callers quantize/bucket real dimensions into that range. */
   def zorderKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
                 bits: Int = 16): org.apache.spark.sql.Column = {
-    require(bits >= 1 && bits <= 32, s"bits must be in [1, 32], got $bits")
+    // 31, not 32: spread(b) << 1 places b's top bit at long bit
+    // 2*bits-1, and at bits=32 that is the SIGN bit — signed
+    // sorting/range-partitioning would no longer follow the z-curve
+    // for the upper half of the domain
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     import org.apache.spark.sql.functions.{lit, shiftleft}
     def spread(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
       var v = x.cast("long").bitwiseAND(lit((1L << bits) - 1))

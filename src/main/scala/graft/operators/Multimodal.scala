@@ -106,7 +106,14 @@ object Multimodal {
       val w = le32(18).toInt
       val h = math.abs(le32(22).toInt) // negative height = top-down rows
       val bpp = le16(28)
+      // stride rows are 4-byte padded; requiring the payload to hold
+      // them (and biCompression == BI_RGB at offset 30) rejects RLE
+      // BMPs and headers whose size field matches but whose declared
+      // dims are inflated — either would otherwise send resizeBmp
+      // into garbage bytes or an executor ArrayIndexOutOfBounds
+      lazy val stride = (w.toLong * (bpp / 8) + 3) / 4 * 4
       if (w <= 0 || h == 0 || bpp == 0 || bpp % 8 != 0) None
+      else if (le32(30) != 0L || b.length < 54L + stride * h) None
       else Some(DecodedMeta(id, "bmp", w, h, bpp / 8, w.toLong * h * (bpp / 8)))
     }
   }
@@ -422,7 +429,11 @@ object Multimodal {
       val channels = ct match {
         case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4; case _ => -1
       }
-      if (w <= 0 || h <= 0 || channels < 0 || !Set(1, 2, 4, 8, 16).contains(depth)) None
+      // the PNG spec caps dims at 2^31-1; a larger unsigned be32 would
+      // also narrow to a NEGATIVE Int below while n_pixels stayed
+      // positive — reject instead of storing inconsistent metadata
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue ||
+        channels < 0 || !Set(1, 2, 4, 8, 16).contains(depth)) None
       else Some(PngMeta(id, w.toInt, h.toInt, depth, ct, channels, w * h))
     }
   }

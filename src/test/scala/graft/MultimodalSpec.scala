@@ -97,6 +97,16 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseBmp(5L, Array[Byte]('B', 'M', 1, 2, 3)).isEmpty)
     assert(Multimodal.parseBmp(6L,
       "BM this text is long enough to exceed fifty-four bytes easily".getBytes("UTF-8")).isEmpty)
+    // biCompression != BI_RGB (e.g. BI_RLE8) must be rejected — the
+    // payload bytes are not raw pixels
+    val rle = bmp(3, 2); rle(30) = 1
+    assert(Multimodal.parseBmp(7L, rle).isEmpty)
+    // inflated dims with a self-consistent size field: the payload
+    // cannot hold stride*height pixel bytes → reject, never index OOB
+    val inflated = bmp(3, 2)
+    val bb = java.nio.ByteBuffer.wrap(inflated).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 1000); bb.putInt(22, 1000)
+    assert(Multimodal.parseBmp(8L, inflated).isEmpty)
   }
 
   test("bmpDocs builds well-formed BMPs that decodePayloads parses for real") {
@@ -215,5 +225,9 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parsePng(7L, png(5, 4, depth = 7)).isEmpty)
     assert(Multimodal.parsePng(8L, png(5, 4, ct = 5)).isEmpty)
     assert(Multimodal.parsePng(9L, png(5, 4).take(20)).isEmpty) // truncated
+    // width 2^31 (> spec max 2^31-1) would narrow to a negative Int —
+    // must reject, not store inconsistent metadata
+    assert(Multimodal.parsePng(10L, png(0x80000000, 4)).isEmpty)
+    assert(Multimodal.parsePng(11L, png(5, 0x80000000)).isEmpty)
   }
 }
