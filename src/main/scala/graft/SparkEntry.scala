@@ -325,6 +325,15 @@ object SparkEntry {
     "m_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     "m_feature_extract" -> ((s, dir) => Multimodal.featureExtract(Tables.documents(s, dir)).toDF()),
     "m_resize_plan" -> ((s, dir) => Multimodal.resizePlan(Tables.documents(s, dir))),
+    // ---- subword tokenization: corpus-trained BPE merges + encode ----
+    "t_bpe_train" -> ((s, dir) =>
+      graft.functions.Bpe.train(Tables.documents(s, dir), 8)
+        .select(col("rank").as("merge_rank"), col("lhs"), col("rhs"), col("pair_count"))),
+    "t_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.Bpe.encode(docs.filter(col("doc_id") % 7 === 0),
+        graft.functions.Bpe.train(docs, 8), 8)
+    }),
   )
 
   private val carsCte =
@@ -1468,7 +1477,86 @@ object SparkEntry {
         |SELECT doc_id, lang_pred FROM lp
         |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8) AS UBIGINT) % 10000
         |      < CASE lang_pred WHEN 'en' THEN 5000 ELSE 10000 END""".stripMargin,
+    // BPE: the unrolled Sennrich recurrence — integer pair counts with
+    // the fixed (count desc, lhs, rhs) tiebreak and replace()-based
+    // merges; both engines' replace scans left-to-right and continues
+    // AFTER each substitution, so sequences transform bit-identically
+    // (the skip-ahead variant pinned by BpeSpec)
+    "t_bpe_train" -> bpeTrainOracle,
+    // encode: the oracle replays the merges over the WHOLE document
+    // sequence at once — inter-word gaps are >=2 spaces, which a
+    // single-space " l r " pattern can never straddle, so whole-doc
+    // replace equals the Spark side's per-word replay; empty split
+    // cells (the gaps) are filtered before positions are assigned
+    "t_bpe_encode" -> bpeEncodeOracle,
   )
+
+  /** The BPE training recurrence (graft.functions.Bpe.train) as DuckDB
+    * CTEs: v0 = (word, count, " l o w ") vocabulary, then per round r
+    * pair statistics over the current sequences → argmax under the
+    * fixed tiebreak (sentinel row when the vocabulary has no pair
+    * left) → one replace() pass. Integer counts + string surgery only,
+    * so the recurrence needs no rounding rules. */
+  private def bpeChain(n: Int): String = {
+    val v0 =
+      """v0 AS (
+        |  SELECT w, COUNT(*) AS c,
+        |         ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w)""".stripMargin
+    val rounds = (1 to n).map { r =>
+      s"""p$r AS (
+         |  SELECT p.l AS l, p.r AS r, CAST(SUM(c) AS BIGINT) AS cnt
+         |  FROM (SELECT c, unnest([{'l': s[i+1], 'r': s[i+2]}
+         |                          for i in generate_series(0, len(s) - 2)]) AS p
+         |        FROM (SELECT c, string_split(trim(seq), ' ') AS s FROM v${r - 1}))
+         |  GROUP BY 1, 2),
+         |b$r AS (
+         |  SELECT l, r, cnt FROM (
+         |    SELECT l, r, cnt FROM p$r
+         |    UNION ALL SELECT ' ' AS l, ' ' AS r, CAST(-1 AS BIGINT) AS cnt)
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$r AS (
+         |  SELECT w, c, replace(seq, ' ' || b.l || ' ' || b.r || ' ',
+         |                            ' ' || b.l || b.r || ' ') AS seq
+         |  FROM v${r - 1}, b$r b)""".stripMargin
+    }
+    (v0 +: rounds).mkString(",\n")
+  }
+
+  private lazy val bpeTrainOracle: String = {
+    val n = 8
+    val m = (1 to n).map(r =>
+        s"SELECT $r AS rnk, l AS lhs, r AS rhs, cnt AS pair_count FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeChain(n)}
+       |SELECT CAST(rnk AS INT) AS merge_rank, lhs, rhs, pair_count
+       |FROM ($m)
+       |WHERE pair_count > 0""".stripMargin
+  }
+
+  private lazy val bpeEncodeOracle: String = {
+    val n = 8
+    val encs = (1 to n).map(r =>
+      s"""enc$r AS (
+         |  SELECT doc_id, replace(seq, ' ' || b.l || ' ' || b.r || ' ',
+         |                              ' ' || b.l || b.r || ' ') AS seq
+         |  FROM enc${r - 1}, b$r b)""".stripMargin).mkString(",\n")
+    s"""WITH ${bpeChain(n)},
+       |enc0 AS (
+       |  SELECT doc_id, ' ' || array_to_string(string_split(text, ''), ' ') || ' ' AS seq
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |$encs,
+       |flat AS (
+       |  SELECT doc_id, u.i AS i, u.p AS piece FROM (
+       |    SELECT doc_id, unnest([{'i': i, 'p': ps[i]}
+       |                           for i in generate_series(1, len(ps))]) AS u
+       |    FROM (SELECT doc_id, string_split(trim(seq), ' ') AS ps FROM enc$n)))
+       |SELECT doc_id,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT) AS pos,
+       |       piece
+       |FROM flat WHERE piece <> ''""".stripMargin
+  }
 
   private lazy val contaminationOracle: String =
     """WITH b AS (SELECT doc_id, text,

@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding subword tokenization — the tokenizer every real
+  * LLM data build runs before token counting / budgeting / packing
+  * (whitespace `TextAnalysis.tokens` bounds what those operators mean;
+  * this closes the gap with a LEARNED subword vocabulary).
+  *
+  * Two halves, both deterministic and oracle-replayable:
+  *
+  *  - [[train]]: the classic BPE recurrence (Sennrich et al. 2016,
+  *    public algorithm) over the corpus WORD VOCABULARY — per round,
+  *    count adjacent symbol pairs weighted by word frequency, take the
+  *    argmax under a FIXED tiebreak (count desc, then left/right
+  *    lexicographic), merge it, repeat. Training on the (word, count)
+  *    vocabulary instead of the token stream is the standard trick
+  *    that makes the iterations corpus-size-INDEPENDENT.
+  *  - [[encode]]: replay the learned merges in rank order over each
+  *    word — the classic BPE encoder (identical recurrence to
+  *    training, so train/encode consistency is by construction), then
+  *    emit (doc_id, pos, piece) rows.
+  *
+  * SYMBOL-SEQUENCE REPRESENTATION: a word's working state is a single
+  * SPACE-DELIMITED string with leading/trailing spaces (" l o w ");
+  * applying merge (l, r) is `replace(seq, " l r ", " lr ")`. Both
+  * Spark's `replace` and DuckDB's scan left-to-right and continue
+  * AFTER each substitution, so the two engines transform sequences
+  * bit-identically. For a run of ≥5 IDENTICAL symbols this skip-ahead
+  * differs from textbook leftmost-greedy within one round (" a a a a a "
+  * → [aa, a, aa], textbook [aa, aa, a]) — a documented, deterministic
+  * variant pinned by BpeSpec; real vocabularies hit it only on long
+  * same-char runs. Words never contain spaces (whitespace
+  * tokenization), so the delimiter is unambiguous, and the
+  * empty-merge sentinel (left = right = " ") yields the 5-space
+  * pattern "     " which can never match a single-space-delimited
+  * sequence — rounds past vocabulary exhaustion become no-ops instead
+  * of corrupting state.
+  *
+  * 100 TB shape: ONE corpus scan builds the (word, count) vocabulary
+  * (map-side partial counting through the word shuffle; vocabulary
+  * size is language-bounded, millions of rows at web scale, not
+  * corpus-bounded). Each of the `nMerges` rounds then shuffles only
+  * VOCABULARY-sized pair statistics, the argmax compiles to
+  * TakeOrdered, and `localCheckpoint` truncates the per-round lineage
+  * (the [[graft.operators.Similarity.trainCentroids]] pattern — tiny
+  * eager jobs, nothing collects to the driver). Encoding broadcasts
+  * the pivoted merge table (one row, 2·nMerges string columns) and
+  * runs as pure per-row codegen expressions — no shuffle at all.
+  *
+  * Everything is integer-count arithmetic and string surgery — no
+  * floats anywhere, so cross-engine parity needs no rounding rules.
+  */
+object Bpe {
+
+  /** No-op merge emitted once the vocabulary has no pair left: the
+    * single space can never be a symbol (words are whitespace tokens),
+    * so its replace pattern never matches. */
+  private val Sentinel = " "
+
+  /** A word as its initial symbol sequence: " l o w ". */
+  private[graft] def wordSeq(w: Column): Column =
+    concat(lit(" "), array_join(split(w, ""), " "), lit(" "))
+
+  /** Non-empty whitespace tokens (defensive: corpus text is
+    * single-space separated, but a stray double space must not inject
+    * empty words — Spark and DuckDB disagree on splitting ""). */
+  private[graft] def words(text: Column): Column =
+    filter(TextAnalysis.tokens(text), w => w =!= "")
+
+  /** Learn `nMerges` BPE merges from the corpus. Returns
+    * (rank, lhs, rhs, pair_count) in merge order; rounds after the
+    * vocabulary is fully merged produce no row (sentinel rounds are
+    * filtered by their pair_count = −1). */
+  def train(documents: DataFrame, nMerges: Int = 8): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64, s"nMerges must be in [1, 64], got $nMerges")
+    val spark = documents.sparkSession
+    // the one corpus-sized stage: explode words, partial-agg counts
+    var vocab = documents
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(col("w"), col("c"), wordSeq(col("w")).as("seq"))
+      .localCheckpoint()
+    var merges: DataFrame = null
+    for (rank <- 1 to nMerges) {
+      // adjacent-pair statistics over the CURRENT sequences, weighted
+      // by word count (all adjacent positions count, the classic
+      // statistic); vocabulary-sized, partial-aggregated
+      val pairs = vocab
+        .select(col("c"), split(trim(col("seq")), " ").as("s"))
+        .select(col("c"), explode(when(size(col("s")) >= 2,
+          transform(sequence(lit(0), size(col("s")) - 2),
+            i => struct(element_at(col("s"), i + 1).as("l"),
+              element_at(col("s"), i + 2).as("r"))))
+          .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("cnt"))
+      val sentinel = spark.range(1)
+        .select(lit(Sentinel).as("l"), lit(Sentinel).as("r"), lit(-1L).as("cnt"))
+      // argmax under the fixed tiebreak; the union keeps the frame
+      // total (sentinel wins only when no pair exists), TakeOrdered
+      // keeps it distributed
+      val best = pairs.unionByName(sentinel)
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .localCheckpoint()
+      val ranked = best.select(lit(rank).as("rank"), col("l").as("lhs"),
+        col("r").as("rhs"), col("cnt").as("pair_count"))
+      merges = if (merges == null) ranked else merges.unionByName(ranked)
+      vocab = vocab.crossJoin(broadcast(best))
+        .select(col("w"), col("c"),
+          call_function("replace", col("seq"),
+            concat(lit(" "), col("l"), lit(" "), col("r"), lit(" ")),
+            concat(lit(" "), col("l"), col("r"), lit(" "))).as("seq"))
+        .localCheckpoint()
+    }
+    merges.filter(col("pair_count") > 0)
+  }
+
+  /** The merge table pivoted to ONE broadcastable row
+    * (l_1, r_1, …, l_n, r_n) — absent ranks come out null and are
+    * skipped by [[applyMerges]]. */
+  private def mergeRow(merges: DataFrame, nMerges: Int): DataFrame = {
+    val cols = (1 to nMerges).flatMap(r => Seq(
+      max(when(col("rank") === r, col("lhs"))).as(s"l_$r"),
+      max(when(col("rank") === r, col("rhs"))).as(s"r_$r")))
+    merges.agg(cols.head, cols.tail: _*)
+  }
+
+  /** Replay merges 1..n in rank order on a symbol sequence. */
+  private def applyMerges(seq: Column, nMerges: Int): Column =
+    (1 to nMerges).foldLeft(seq) { (s, r) =>
+      val l = col(s"l_$r"); val rr = col(s"r_$r")
+      when(l.isNull, s).otherwise(
+        call_function("replace", s,
+          concat(lit(" "), l, lit(" "), rr, lit(" ")),
+          concat(lit(" "), l, rr, lit(" "))))
+    }
+
+  /** Encode each document with a learned merge table: replay the
+    * merges over every word, flatten the word pieces in document
+    * order → (doc_id, pos, piece). Handles words unseen in training
+    * (that is the point of subword tokenization). Pure codegen after
+    * the one-row merge-table broadcast — no shuffle. */
+  def encode(documents: DataFrame, merges: DataFrame, nMerges: Int = 8): DataFrame =
+    documents
+      .crossJoin(broadcast(mergeRow(merges, nMerges)))
+      .select(col("doc_id"),
+        flatten(transform(words(col("text")),
+          w => split(trim(applyMerges(wordSeq(w), nMerges)), " ")))
+          .as("ps"))
+      .select(col("doc_id"), posexplode(col("ps")).as(Seq("pos", "piece")))
+}

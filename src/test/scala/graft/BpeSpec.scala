@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the classic Sennrich-style fixture (no end-of-word marker):
+  // low×5  lower×2  newest×6  widest×3
+  private def corpus = Seq(
+    (1L, "low low low low low"),
+    (2L, "lower lower"),
+    (3L, "newest newest newest newest newest newest"),
+    (4L, "widest widest widest")).toDF("doc_id", "text")
+
+  test("train learns the hand-derived merge sequence with the fixed tiebreak") {
+    val m = Bpe.train(corpus, 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    // worked by hand: pair counts re-derived after every merge;
+    // ties break (count desc, lhs asc, rhs asc)
+    assert(m.toSeq == Seq(
+      (1, "e", "s", 9L),       // es:9 beats st:9 on lhs
+      (2, "es", "t", 9L),
+      (3, "l", "o", 7L),       // lo:7 beats ow:7 on lhs
+      (4, "lo", "w", 7L),
+      (5, "e", "w", 6L),       // 6-way tier: e < n < w on lhs
+      (6, "ew", "est", 6L),    // "ew" < "n" lexicographically
+      (7, "n", "ewest", 6L),
+      (8, "d", "est", 3L)))    // d < i < w on lhs
+  }
+
+  test("encode replays merges on UNSEEN words; pieces concatenate back to the word") {
+    val merges = Bpe.train(corpus, 8)
+    // "lowest" never appears in the corpus; classic BPE yields low+est
+    val unseen = Seq((9L, "lowest lowest newest zzz")).toDF("doc_id", "text")
+    val out = Bpe.encode(unseen, merges, 8).orderBy("pos").collect()
+      .map(r => r.getString(2))
+    assert(out.toSeq == Seq("low", "est", "low", "est", "newest", "z", "z", "z"),
+      s"got ${out.toSeq}")
+  }
+
+  test("round-trip: concatenated pieces per doc equal the text without spaces") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val merges = Bpe.train(docs, 8)
+    val joined = Bpe.encode(docs, merges, 8)
+      .groupBy("doc_id")
+      .agg(concat_ws("", sort_array(collect_list(struct(col("pos"), col("piece"))))
+        .getField("piece")).as("glued"))
+      .join(docs.select(col("doc_id"),
+        regexp_replace(col("text"), " ", "").as("expect")), "doc_id")
+    assert(joined.filter(col("glued") =!= col("expect")).count() == 0)
+  }
+
+  test("identical-symbol runs follow the documented skip-ahead replace semantics") {
+    // " a a a a a " with merge (a,a): both engines' replace() continues
+    // AFTER each substitution → [aa, a, aa] (textbook leftmost-greedy
+    // would give [aa, aa, a]); deterministic and cross-engine equal
+    val docs = Seq((1L, "aaaaa aaaaa")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, 1)
+    val got = m.collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", "a", 8L))) // 4 adjacent positions × 2 words
+    val enc = Bpe.encode(docs, m, 1).orderBy("pos").collect().map(_.getString(2))
+    assert(enc.toSeq == Seq("aa", "a", "aa", "aa", "a", "aa"))
+  }
+
+  test("rounds past vocabulary exhaustion are silent no-ops") {
+    // one word, one pair: rank 1 merges (a,b); every later round hits
+    // the sentinel and must emit nothing and corrupt nothing
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, 4)
+    assert(m.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1, "a", "b")))
+    val enc = Bpe.encode(docs, m, 4).collect().map(_.getString(2))
+    assert(enc.toSeq == Seq("ab", "ab"))
+  }
+}
