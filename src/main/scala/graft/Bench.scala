@@ -1,11 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: times each SparkEntry query at SPARK_GRAFT_SF_DIR and
-  * prints one JSON line. Failures are reported in an explicit "errors"
-  * field (never disguised as a wall-time); a table-scan warm-up pass
-  * absorbs JVM/classloader/parquet-footer first-query noise so per-query
-  * numbers measure the query, not startup. */
+/** Benchmark main: times each SparkEntry query at SPARK_GRAFT_SF_DIR.
+  * Emits the complete per-query JSON to bench_full.json + an stdout
+  * line, then a compact final line (total, subtotals, slowest queries,
+  * warm map) sized to survive a 2000-char stdout tail window — see the
+  * comment at the print site. Failures are reported in an explicit
+  * "errors" field (never disguised as a wall-time); a table-scan
+  * warm-up pass absorbs JVM/classloader/parquet-footer first-query
+  * noise so per-query numbers measure the query, not startup; the
+  * codegen-dominated entries get a second timed "warm" pass that
+  * separates compile cost from data cost. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,7 +50,15 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1,q2 benches a subset (local iteration aid);
     // same parse as the prestage gate above — keep them one value
     val only = only0
+    // second timed pass for the codegen-dominated entries: their cold
+    // numbers are mostly first-run janino/whole-stage compilation, not
+    // data work (probed: PQ train 8 s cold / 2 s warm). The warm map
+    // separates compile cost from data cost — measurement honesty for
+    // cross-round comparisons, never mixed into the cold total.
+    val warmSet = Set("a_pq_codes", "a_pq_topk", "a_ivfadc_topk", "a_ivfadc_trained",
+      "a_ivf_trained", "q_pagerank", "t_sparse_sim")
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.forall(_.contains(name))) {
@@ -53,6 +66,11 @@ object Bench {
         try {
           fn(spark, sfDir).count()
           timings(name) = (System.nanoTime() - t0) / 1e9
+          if (warmSet(name)) {
+            val t1 = System.nanoTime()
+            fn(spark, sfDir).count()
+            warm(name) = (System.nanoTime() - t1) / 1e9
+          }
         } catch {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -68,7 +86,10 @@ object Bench {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
-    val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    def jmap(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => f""""${esc(k)}":$v%1.3f""" }.mkString("{", ",", "}")
+    val qs = jmap(timings)
+    val ws = jmap(warm)
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
     // per-section subtotals so round-over-round comparisons separate
@@ -82,11 +103,29 @@ object Bench {
       else if (name.startsWith("m_")) "multimodal"
       else "relational"
     val subs = timings.toSeq.groupBy { case (k, _) => section(k) }.toSeq.sortBy(_._1)
-      .map { case (s, kvs) => s""""$s":${kvs.map(_._2).sum}""" }.mkString("{", ",", "}")
+      .map { case (s, kvs) => f""""$s":${kvs.map(_._2).sum}%1.3f""" }.mkString("{", ",", "}")
+    // Two outputs. The harness that reads this keeps only the LAST
+    // ~2000 chars of stdout and parses the JSON it finds there — a
+    // 100+-entry per-query map overflows that window and truncates
+    // mid-object (unparseable). So the FINAL line is a compact object
+    // guaranteed to fit (total + subtotals + the slowest queries +
+    // the warm map), and the complete per-query detail goes to a file
+    // in the repo plus an earlier stdout line (no "metric" key there,
+    // so a tail-side scan for the metric object can't latch onto it).
+    val fullLine =
+      s"""{"full":true,"value":$total,"unit":"sec","queries":$qs,"warm":$ws,"subtotals":$subs,"errors":$es,"sf":"$sfDir","threads":$cpus}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(fullLine) finally w.close()
+    } catch { case _: Throwable => () } // file drop is best-effort; stdout carries it too
+    println(fullLine)
+    val slowest = jmap(scala.collection.immutable.ListMap(
+      timings.toSeq.sortBy(-_._2).take(12): _*))
     // provenance: the thread count the harness ACTUALLY ran with (the
     // driver's own record reflects the host, not this tuning), so
     // cross-round numbers stay comparable
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"subtotals":$subs,"errors":$es,"sf":"$sfDir","threads":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"queries":$slowest,"warm":$ws,"subtotals":$subs,"errors":$es,"full":"$outPath","sf":"$sfDir","threads":$cpus}""")
     spark.stop()
   }
 }
