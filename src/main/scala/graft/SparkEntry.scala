@@ -318,6 +318,13 @@ object SparkEntry {
     // REAL PNG header decode: big-endian IHDR fields from actual bytes
     "m_decode_png" -> ((s, dir) =>
       Multimodal.decodePng(Multimodal.pngDocs(Tables.documents(s, dir))).toDF()),
+    // REAL compressed-pixel decode: complete spec-valid PNGs (deflated
+    // IDAT, all five scanline filters, real per-chunk CRCs) decoded
+    // back via JDK inflate + filter reconstruction; the oracle
+    // recomputes the raw pixel stream arithmetically, so a defilter,
+    // stride, chunk-walk or CRC bug can never hash right
+    "m_decode_png_pixels" -> ((s, dir) =>
+      Multimodal.decodePngPixels(Multimodal.pngPixelDocs(Tables.documents(s, dir))).toDF()),
     // REAL audio decode + DSP: RIFF/WAV header parsing and sample-level
     // statistics from the actual little-endian PCM bytes
     "m_audio_features" -> ((s, dir) =>
@@ -1017,6 +1024,24 @@ object SparkEntry {
         |       CAST([1, 3, 2, 4][CAST(doc_id % 4 AS INT) + 1] AS INT) AS channels,
         |       CAST((1 + doc_id % 300) * (1 + doc_id % 200) AS BIGINT) AS n_pixels
         |FROM documents""".stripMargin,
+    // real PNG pixel decode: the oracle recomputes the expected RAW
+    // scanline bytes arithmetically from the pngPixelDocs construction
+    // (byte j of row r = (doc_id + 31r + 7j) % 256) — fully independent
+    // of the container; the Spark side must walk chunks, check CRCs,
+    // inflate and reverse all five filters to reproduce the same hash
+    "m_decode_png_pixels" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CAST(1 + doc_id % 24 AS INT) AS w,
+        |         CAST(1 + doc_id % 16 AS INT) AS h,
+        |         CAST([1, 3, 2, 4][CAST(doc_id % 4 AS INT) + 1] AS INT) AS ch
+        |  FROM documents)
+        |SELECT doc_id, w AS width, h AS height, ch AS channels,
+        |       CAST(w * h AS BIGINT) AS n_pixels,
+        |       md5(array_to_string(
+        |         [lpad(hex((doc_id + 31 * (k // (w * ch)) + 7 * (k % (w * ch))) % 256), 2, '0')
+        |          for k in generate_series(0, w * h * ch - 1)], '')) AS pix_md5
+        |FROM g""".stripMargin,
     // real-BMP resampling: the oracle computes each resized byte
     // ARITHMETICALLY — pixel byte at array position p carries
     // (doc_id + p) % 256 by construction, so the expected stream is

@@ -230,4 +230,51 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parsePng(10L, png(0x80000000, 4)).isEmpty)
     assert(Multimodal.parsePng(11L, png(5, 0x80000000)).isEmpty)
   }
+
+  test("inflatePng reconstructs the exact raw scanlines; JDK ImageIO agrees byte-for-byte") {
+    // ids cover all four color types and all five filter types (h >= 5)
+    val payloads = Multimodal.pngPixelDocs(Seq(
+        (16L, "x"), (17L, "x"), (18L, "x"), (19L, "x")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
+    for ((id, bytes) <- payloads) {
+      val (meta, raw) = Multimodal.inflatePng(id, bytes).get
+      val ch = meta.channels
+      val rowBytes = meta.width * ch
+      // the construction arithmetic, recomputed independently
+      for (r <- 0 until meta.height; j <- 0 until rowBytes)
+        assert((raw(r * rowBytes + j) & 0xFF) == ((id + 31L * r + 7L * j) % 256).toInt,
+          s"doc $id raw($r,$j)")
+      // independent decoder: the JDK's own PNG reader must see the
+      // same samples (PNG band order G / RGB / GA / RGBA)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth == meta.width && img.getHeight == meta.height)
+      val raster = img.getRaster
+      assert(raster.getNumBands == ch, s"doc $id bands")
+      for (y <- 0 until meta.height; x <- 0 until meta.width; c <- 0 until ch)
+        assert(raster.getSample(x, y, c) == (raw(y * rowBytes + x * ch + c) & 0xFF),
+          s"doc $id sample($x,$y,$c)")
+    }
+  }
+
+  test("inflatePng rejects corruption: bad CRC, truncated IDAT, missing IEND, bogus filter") {
+    val bytes = Multimodal.pngPixelDocs(Seq((21L, "x")).toDF("doc_id", "text"))
+      .collect().head.getAs[Array[Byte]]("payload")
+    assert(Multimodal.inflatePng(21L, bytes).isDefined)
+    // flip one IDAT payload byte -> chunk CRC mismatch -> None
+    val crcBad = bytes.clone(); crcBad(42) = (crcBad(42) ^ 0x01).toByte
+    assert(Multimodal.inflatePng(21L, crcBad).isEmpty)
+    // drop the trailing IEND (and with it stream completeness) -> None
+    assert(Multimodal.inflatePng(21L, bytes.dropRight(12)).isEmpty)
+    // declared dims larger than the deflated stream carries -> None
+    // (h bumped by one row, IHDR CRC recomputed so only the inflate
+    // completeness check can catch it)
+    val hBump = bytes.clone()
+    hBump(23) = (hBump(23) + 1).toByte
+    val crc = new java.util.zip.CRC32()
+    crc.update(hBump, 12, 17)
+    val v = crc.getValue
+    hBump(29) = (v >>> 24).toByte; hBump(30) = (v >>> 16).toByte
+    hBump(31) = (v >>> 8).toByte; hBump(32) = v.toByte
+    assert(Multimodal.inflatePng(21L, hBump).isEmpty)
+  }
 }
