@@ -1121,23 +1121,61 @@ object SparkEntry {
         |       CAST(len(list_filter(bs, x -> x // 64 = 2)) AS BIGINT) AS h2,
         |       CAST(len(list_filter(bs, x -> x // 64 = 3)) AS BIGINT) AS h3
         |FROM by""".stripMargin,
-    // resize planning: same decode dims as m_decode_meta, integer
-    // fit-to-box target dims, md5 fingerprint of the plan (the pixel
-    // stub) — engine-identical string rendering of integers
+    // mixed-format resize: BMP and PNG legs recompute the REAL
+    // resampled byte stream arithmetically from each format's pixel
+    // construction (the m_resize_bmp / m_decode_png_pixels math mapped
+    // through the same integer nearest-neighbor grid); the fake leg
+    // keeps the plan fingerprint with fakeDecode's dims. A wrong
+    // stride, row order or channel offset in the Spark resampler can
+    // never hash right on the real legs.
     "m_resize_plan" ->
       s"""WITH $binCte,
-        |d AS (SELECT doc_id,
-        |             CAST(16 + body % 512 AS INT) AS width,
-        |             CAST(16 + (body // 512) % 512 AS INT) AS height
-        |      FROM (SELECT doc_id, octet_length(payload) - hdr AS body FROM bin)),
-        |t AS (SELECT doc_id, width, height,
-        |             GREATEST(1, width * 64 // GREATEST(width, height)) AS target_w,
-        |             GREATEST(1, height * 64 // GREATEST(width, height)) AS target_h
-        |      FROM d)
-        |SELECT doc_id, width, height,
-        |       CAST(target_w AS BIGINT) AS target_w, CAST(target_h AS BIGINT) AS target_h,
-        |       md5(concat_ws(':', doc_id, target_w, target_h)) AS resized_md5
-        |FROM t""".stripMargin,
+        |b0 AS (SELECT doc_id, 1 + doc_id % 13 AS w, 1 + doc_id % 7 AS h
+        |       FROM documents WHERE doc_id % 3 = 0),
+        |bg AS (SELECT doc_id, w, h, ((w * 3 + 3) // 4) * 4 AS stride,
+        |              greatest(1, w * 64 // greatest(w, h)) AS tw,
+        |              greatest(1, h * 64 // greatest(w, h)) AS th
+        |       FROM b0),
+        |bres AS (SELECT doc_id, 'bmp' AS fmt, w, h, tw, th,
+        |                md5(array_to_string(
+        |                  [lpad(hex((doc_id
+        |                             + ((k // (3 * tw)) * h // th) * stride
+        |                             + (((k // 3) % tw) * w // tw) * 3
+        |                             + (k % 3)) % 256), 2, '0')
+        |                   for k in generate_series(0, tw * th * 3 - 1)], '')) AS resized_md5,
+        |                true AS real_pixels
+        |         FROM bg),
+        |p0 AS (SELECT doc_id, 1 + doc_id % 24 AS w, 1 + doc_id % 16 AS h,
+        |              [1, 3, 2, 4][CAST(doc_id % 4 AS INT) + 1] AS ch
+        |       FROM documents WHERE doc_id % 3 = 1),
+        |pg AS (SELECT doc_id, w, h, ch,
+        |              greatest(1, w * 64 // greatest(w, h)) AS tw,
+        |              greatest(1, h * 64 // greatest(w, h)) AS th
+        |       FROM p0),
+        |pres AS (SELECT doc_id, 'png' AS fmt, w, h, tw, th,
+        |                md5(array_to_string(
+        |                  [lpad(hex((doc_id
+        |                             + 31 * ((k // (ch * tw)) * h // th)
+        |                             + 7 * ((((k // ch) % tw) * w // tw) * ch + (k % ch))) % 256), 2, '0')
+        |                   for k in generate_series(0, tw * th * ch - 1)], '')) AS resized_md5,
+        |                true AS real_pixels
+        |         FROM pg),
+        |f0 AS (SELECT doc_id, fmt,
+        |              16 + (octet_length(payload) - hdr) % 512 AS w,
+        |              16 + ((octet_length(payload) - hdr) // 512) % 512 AS h
+        |       FROM bin WHERE doc_id % 3 = 2),
+        |ft AS (SELECT doc_id, fmt, w, h,
+        |              greatest(1, w * 64 // greatest(w, h)) AS tw,
+        |              greatest(1, h * 64 // greatest(w, h)) AS th
+        |       FROM f0),
+        |fres AS (SELECT doc_id, fmt, w, h, tw, th,
+        |                md5(concat_ws(':', doc_id, tw, th)) AS resized_md5,
+        |                false AS real_pixels
+        |         FROM ft)
+        |SELECT doc_id, fmt, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(tw AS INT) AS target_w, CAST(th AS INT) AS target_h,
+        |       resized_md5, real_pixels
+        |FROM (SELECT * FROM bres UNION ALL SELECT * FROM pres UNION ALL SELECT * FROM fres)""".stripMargin,
     // cross-snapshot dedup: new docs (odd ids) surviving an anti-join
     // against the known corpus's (even ids) fingerprint dictionary.
     // NOT EXISTS, not NOT IN: anti-join semantics (a NULL key never

@@ -158,6 +158,41 @@ object Multimodal {
   case class ResizedBmp(doc_id: Long, width: Int, height: Int,
                         target_w: Int, target_h: Int, resized_md5: String)
 
+  /** md5 over the uppercase hex form of a byte stream — the repo's
+    * binary-fingerprint convention (hex() is uppercase in both engines,
+    * and DuckDB's md5 takes strings, not blobs). */
+  private def md5HexUpper(bytes: Array[Byte]): String =
+    org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      org.apache.commons.codec.binary.Hex.encodeHexString(bytes).toUpperCase)
+
+  /** Nearest-neighbor resample of a row-major byte grid into a
+    * maxSide box with aspect preserved: source pixel for target
+    * (tx, ty) is (tx·w/tw, ty·h/th) in integer arithmetic — identical
+    * on any engine. `offset`/`stride` describe where rows live in
+    * `bytes` (BMP: 54 + 4-byte-padded stride; raw PNG scanlines:
+    * 0 + w·ch). Returns (target_w, target_h, resized bytes). */
+  private def resampleBytes(bytes: Array[Byte], offset: Int, stride: Int,
+                            w: Int, h: Int, ch: Int, maxSide: Int): (Int, Int, Array[Byte]) = {
+    val m = math.max(w, h)
+    val tw = math.max(1, w * maxSide / m)
+    val th = math.max(1, h * maxSide / m)
+    val out = new Array[Byte](tw * th * ch)
+    var o = 0
+    var ty = 0
+    while (ty < th) {
+      val rowBase = offset + (ty * h / th) * stride
+      var tx = 0
+      while (tx < tw) {
+        val base = rowBase + (tx * w / tw) * ch
+        var c = 0
+        while (c < ch) { out(o) = bytes(base + c); o += 1; c += 1 }
+        tx += 1
+      }
+      ty += 1
+    }
+    (tw, th, out)
+  }
+
   /** REAL pixel resampling for BMP payloads — the operation
     * [[resizePlan]] only plans: nearest-neighbor resize into a
     * `maxSide` box with aspect preserved, reading the ACTUAL pixel
@@ -184,26 +219,8 @@ object Multimodal {
           s"doc $id: resizeBmp needs a well-formed uncompressed BMP payload"))
         val w = meta.width; val h = meta.height; val ch = meta.channels
         val stride = (w * ch + 3) / 4 * 4
-        val m = math.max(w, h)
-        val tw = math.max(1, w * maxSide / m)
-        val th = math.max(1, h * maxSide / m)
-        val out = new Array[Byte](tw * th * ch)
-        var o = 0
-        var ty = 0
-        while (ty < th) {
-          val rowBase = 54 + (ty * h / th) * stride
-          var tx = 0
-          while (tx < tw) {
-            val base = rowBase + (tx * w / tw) * ch
-            var c = 0
-            while (c < ch) { out(o) = bytes(base + c); o += 1; c += 1 }
-            tx += 1
-          }
-          ty += 1
-        }
-        val hexUpper = org.apache.commons.codec.binary.Hex.encodeHexString(out).toUpperCase
-        ResizedBmp(id, w, h, tw, th,
-          org.apache.commons.codec.digest.DigestUtils.md5Hex(hexUpper))
+        val (tw, th, out) = resampleBytes(bytes, 54, stride, w, h, ch, maxSide)
+        ResizedBmp(id, w, h, tw, th, md5HexUpper(out))
       })
   }
 
@@ -366,29 +383,55 @@ object Multimodal {
       })
   }
 
-  /** Resize planning: target dimensions fitting each decoded payload
-    * into a maxSide box with aspect preserved (integer arithmetic —
-    * engine-replicable), plus the identity of the resized artifact.
-    * The pixel resampling itself is the clearly-marked STUB
-    * (`resized_md5` fingerprints the plan, not real pixels — the seam
-    * where a real image library plugs in); the dimension math,
-    * composition over the decode seam, and output schema are the real
-    * pipeline. */
-  def resizePlan(documents: DataFrame, maxSide: Int = 64): DataFrame =
-    decodeMeta(documents).toDF()
-      // floor(double division) ≡ integer division here: products are
-      // ≤ ~2^25, exactly representable, so both engines agree
-      .withColumn("target_w",
-        greatest(lit(1L), floor(col("width") * maxSide /
-          greatest(col("width"), col("height"))).cast("long")))
-      .withColumn("target_h",
-        greatest(lit(1L), floor(col("height") * maxSide /
-          greatest(col("width"), col("height"))).cast("long")))
-      .select(col("doc_id"), col("width"), col("height"),
-        col("target_w"), col("target_h"),
-        // STUB: fingerprint of the resize plan in place of real pixels
-        md5(concat_ws(":", col("doc_id"), col("target_w"), col("target_h")))
-          .as("resized_md5"))
+  case class ResizedAny(doc_id: Long, fmt: String, width: Int, height: Int,
+                        target_w: Int, target_h: Int, resized_md5: String,
+                        real_pixels: Boolean)
+
+  /** Resize over a MIXED-format corpus — the real-pipeline shape where
+    * payloads arrive in whatever container the crawl found. Decodable
+    * payloads resample for REAL: BMP pixels at their header-derived
+    * padded-stride offsets ([[parseBmp]]), PNG pixels from the
+    * inflated + defiltered scanlines ([[inflatePng]]) — both through
+    * the shared nearest-neighbor [[resampleBytes]], fingerprinting the
+    * actual resized byte stream. Only JPEG/GIF-class payloads (no
+    * codec in this environment) keep the clearly-marked plan-only
+    * STUB: fake dims from [[fakeDecode]] and a fingerprint of the
+    * PLAN (doc:tw:th), flagged `real_pixels = false` so downstream
+    * can't mistake a plan for pixels.
+    *
+    * The demo corpus routes doc_id % 3 across BMP / PNG / fake so one
+    * query exercises every branch. Map-only at any scale — same
+    * batched seam, payloads never shuffle. */
+  def resizePlan(documents: DataFrame, maxSide: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val mixed = bmpDocs(documents.filter(col("doc_id") % 3 === 0))
+      .unionByName(pngPixelDocs(documents.filter(col("doc_id") % 3 === 1)))
+      .unionByName(binaryDocs(documents.filter(col("doc_id") % 3 === 2)))
+    mixed.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseBmp(id, bytes) match {
+          case Some(meta) =>
+            val stride = (meta.width * meta.channels + 3) / 4 * 4
+            val (tw, th, out) = resampleBytes(bytes, 54, stride,
+              meta.width, meta.height, meta.channels, maxSide)
+            ResizedAny(id, "bmp", meta.width, meta.height, tw, th, md5HexUpper(out), true)
+          case None => inflatePng(id, bytes) match {
+            case Some((meta, raw)) =>
+              val (tw, th, out) = resampleBytes(raw, 0, meta.width * meta.channels,
+                meta.width, meta.height, meta.channels, maxSide)
+              ResizedAny(id, "png", meta.width, meta.height, tw, th, md5HexUpper(out), true)
+            case None =>
+              val f = fakeDecode(id, bytes)
+              val m = math.max(f.width, f.height)
+              val tw = math.max(1, f.width * maxSide / m)
+              val th = math.max(1, f.height * maxSide / m)
+              ResizedAny(id, f.fmt, f.width, f.height, tw, th,
+                org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$id:$tw:$th"), false)
+          }
+        }
+      }).toDF()
+  }
 
   /** Frame sampling: treat the headerless body as fixed-size frames
     * (frameBytes each) and keep every `stride`-th frame — the

@@ -43,17 +43,27 @@ class MultimodalSpec extends SparkSpec {
     assert((e.h0, e.h1, e.h2, e.h3) == (0L, 0L, 0L, 0L))
   }
 
-  test("resizePlan fits decoded dims into the target box with aspect preserved") {
-    // doc 3 headerless, body 100 bytes → w=116, h=16; fit into 64:
-    // tw=64, th=floor(16*64/116)=8
-    val out = Multimodal.resizePlan(docs((3L, "x" * 100))).collect().head
-    assert((out.getInt(1), out.getInt(2), out.getLong(3), out.getLong(4)) == (116, 16, 64L, 8L))
-    // extreme aspect clamps to 1, never 0: body 511 → w=527, h=16 →
-    // th=floor(16*64/527)=1
-    val thin = Multimodal.resizePlan(docs((3L, "x" * 511))).collect().head
-    assert(thin.getLong(4) == 1L)
-    // already-small images upscale to the box edge (pure ratio math)
-    assert(out.getString(5).length == 32) // md5 fingerprint of the plan
+  test("resizePlan resamples real BMP/PNG pixels; the plan stub survives only for fake formats") {
+    // doc 3 → BMP leg (3%3=0): 4×4 (1+3%13, 1+3%7) upscaled to 64×64
+    // doc 4 → PNG leg (4%3=1): 5×5 greyscale (4%4=0 → ct 0) → 64×64
+    // doc 5 → fake leg (5%3=2; 5%4=1 jpeg): body 100 → 116×16 → 64×8
+    val df = docs((3L, "x" * 100), (4L, "x" * 100), (5L, "x" * 100))
+    val out = Multimodal.resizePlan(df).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getString(6), r.getBoolean(7)))
+      .sortBy(_._1).toSeq
+    // BMP branch must hash EXACTLY what resizeBmp hashes (same pixels)
+    val bmpHash = Multimodal.resizeBmp(Multimodal.bmpDocs(docs((3L, "")))).collect().head.resized_md5
+    assert(out(0) == ((3L, "bmp", 4, 4, 64, 64, bmpHash, true)))
+    // PNG branch: recompute the resampled greyscale bytes arithmetically
+    val pngBytes = Array.tabulate(64 * 64)(i =>
+      ((4L + 31L * ((i / 64) * 5 / 64) + 7L * ((i % 64) * 5 / 64)) % 256).toByte)
+    val pngHash = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      org.apache.commons.codec.binary.Hex.encodeHexString(pngBytes).toUpperCase)
+    assert(out(1) == ((4L, "png", 5, 5, 64, 64, pngHash, true)))
+    // fake branch: plan fingerprint, flagged as NOT real pixels
+    val planHash = org.apache.commons.codec.digest.DigestUtils.md5Hex("5:64:8")
+    assert(out(2) == ((5L, "jpeg", 116, 16, 64, 8, planHash, false)))
   }
 
   test("decodeMeta runs the batched decode seam with deterministic fake dims") {
