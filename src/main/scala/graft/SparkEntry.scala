@@ -172,6 +172,14 @@ object SparkEntry {
     // IVFADC: coarse IVF pruning + PQ over cell residuals, ADC search
     "a_ivfadc_topk" -> ((s, dir) =>
       graft.operators.ProductQuantization.ivfAdcTopK(Tables.embeddings(s, dir))),
+    // the production FAISS shape end-to-end: k-means-TRAINED coarse
+    // quantizer (the a_ivf_trained recurrence) composed into IVFADC —
+    // residuals against trained cells, residual PQ, ADC search
+    "a_ivfadc_trained" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.trainCentroids(emb, k = 16, iters = 3, sampleBuckets = 2000)
+      graft.operators.ProductQuantization.ivfAdcTopK(emb, centroids = Some(cents))
+    }),
     // ---- training-data pipeline: dedup ----
     "d_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "d_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir))),
@@ -925,6 +933,7 @@ object SparkEntry {
         |        ORDER BY ads, vec_id) AS INT) AS rk FROM ad)
         |WHERE rk <= 5""".stripMargin,
     "a_ivfadc_topk" -> ivfadcOracle,
+    "a_ivfadc_trained" -> ivfadcTrainedOracle,
     "a_cosine_topk" ->
       s"""WITH $normCte,
         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
@@ -1880,29 +1889,38 @@ object SparkEntry {
     * and rounded to 6 dp. Both engines therefore compute bit-identical
     * centroids at every step; the final search is the ivfTopKOracle
     * topology under the trained model. */
-  private lazy val ivfTrainedOracle: String = {
-    val k = 16; val iters = 3; val sampleBuckets = 2000
+  /** The spherical-k-means coarse recurrence (trainCentroids exactly)
+    * as DuckDB CTEs, every name prefixed with `p` so the chain can
+    * compose with the PQ recurrence (which owns smp/a/m/c names)
+    * inside one WITH. Expects normCte's `n` upstream; ends at
+    * ${p}c$iters = (cid, v, nrm). */
+  private def kmeansCtes(k: Int, iters: Int, sampleBuckets: Int, p: String): String = {
     val iterCtes = (1 to iters).map { i =>
-      s"""a$i AS (SELECT vec_id, cell FROM (
+      s"""${p}a$i AS (SELECT vec_id, cell FROM (
          |  SELECT s.vec_id, c.cid AS cell,
          |         ROW_NUMBER() OVER (PARTITION BY s.vec_id
          |           ORDER BY list_dot_product(s.v, c.v) / (s.nrm * c.nrm) DESC, c.cid) AS rn
-         |  FROM smp s, c${i - 1} c) WHERE rn = 1),
-         |m$i AS (SELECT cell, pos, ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*) + 1e-12, 6) AS m
-         |        FROM a$i JOIN uu USING (vec_id) GROUP BY cell, pos),
-         |c$i AS (SELECT cid, v, nrm FROM (
+         |  FROM ${p}smp s, ${p}c${i - 1} c) WHERE rn = 1),
+         |${p}m$i AS (SELECT cell, pos, ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*) + 1e-12, 6) AS m
+         |        FROM ${p}a$i JOIN ${p}uu USING (vec_id) GROUP BY cell, pos),
+         |${p}c$i AS (SELECT cid, v, nrm FROM (
          |          SELECT cid, v, sqrt(list_dot_product(v, v)) AS nrm FROM (
-         |            SELECT cell AS cid, list(m ORDER BY pos) AS v FROM m$i GROUP BY cell))
+         |            SELECT cell AS cid, list(m ORDER BY pos) AS v FROM ${p}m$i GROUP BY cell))
          |        WHERE nrm > 0)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $normCte,
-       |smp AS (SELECT vec_id, v, nrm FROM n
+    s"""${p}smp AS (SELECT vec_id, v, nrm FROM n
        |        WHERE CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 17, 8) AS UBIGINT) % 10000 < $sampleBuckets),
-       |uu AS (SELECT vec_id, generate_subscripts(u, 1) AS pos, unnest(u) AS x FROM (
+       |${p}uu AS (SELECT vec_id, generate_subscripts(u, 1) AS pos, unnest(u) AS x FROM (
        |         SELECT vec_id, list_transform(v, x -> CAST(ROUND(x / nrm + 1e-12, 9) AS DECIMAL(18,9))) AS u
-       |         FROM smp)),
-       |c0 AS (SELECT vec_id AS cid, v, nrm FROM smp ORDER BY vec_id LIMIT $k),
-       |$iterCtes,
+       |         FROM ${p}smp)),
+       |${p}c0 AS (SELECT vec_id AS cid, v, nrm FROM ${p}smp ORDER BY vec_id LIMIT $k),
+       |$iterCtes""".stripMargin
+  }
+
+  private lazy val ivfTrainedOracle: String = {
+    val iters = 3
+    s"""WITH $normCte,
+       |${kmeansCtes(16, iters, 2000, "")},
        |asg AS (SELECT vec_id, cell FROM (
        |  SELECT n.vec_id, c.cid AS cell,
        |         ROW_NUMBER() OVER (PARTITION BY n.vec_id
@@ -2006,15 +2024,30 @@ object SparkEntry {
     * probes), residuals by element-wise list comprehension, the PQ
     * recurrence re-run over `res`, per-cell query-residual distance
     * tables, and the exact-DECIMAL ADC sum restricted to probed
-    * cells. */
-  private lazy val ivfadcOracle: String = {
-    import graft.operators.ProductQuantization.{M, Iters}
-    val d = 64 / M
+    * cells. Everything downstream of the `cents(cid, cv, cnrm)` CTE is
+    * [[ivfadcSearchSql]], shared with the trained-quantizer variant —
+    * the two oracles differ ONLY in where the coarse model comes
+    * from, exactly like the Spark side's `centroids` parameter. */
+  private lazy val ivfadcOracle: String =
     s"""WITH $normCte,
        |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
        |          WHERE vec_id % ${Similarity.IvfStride} = 0
        |            AND vec_id < ${Similarity.IvfStride.toLong * Similarity.IvfMaxCells}),
-       |casg AS (SELECT vec_id, cell FROM (
+       |$ivfadcSearchSql""".stripMargin
+
+  /** The a_ivfadc_trained composition: the k-means coarse recurrence
+    * (k-prefixed CTEs so they coexist with the PQ recurrence's names)
+    * feeding the identical IVFADC search body. */
+  private lazy val ivfadcTrainedOracle: String =
+    s"""WITH $normCte,
+       |${kmeansCtes(16, 3, 2000, "k")},
+       |cents AS (SELECT cid, v AS cv, nrm AS cnrm FROM kc3),
+       |$ivfadcSearchSql""".stripMargin
+
+  private lazy val ivfadcSearchSql: String = {
+    import graft.operators.ProductQuantization.{M, Iters}
+    val d = 64 / M
+    s"""casg AS (SELECT vec_id, cell FROM (
        |  SELECT n.vec_id, c.cid AS cell,
        |         ROW_NUMBER() OVER (PARTITION BY n.vec_id
        |           ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.cid) AS rn

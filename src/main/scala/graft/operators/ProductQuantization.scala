@@ -175,19 +175,24 @@ object ProductQuantization {
     * quantizer is [[Similarity.ivfTopK]]'s strided-centroid cosine
     * assignment (the IvfCell kernel), and the residual codebook is
     * [[train]]'s exact-decimal Lloyd loop run on residual subvectors.
-    * Scale shape: coarse assign + residual is one broadcast map pass;
-    * the checkpointed (vec_id, cell, rv) frame feeds PQ training and
-    * encoding; search broadcasts a (query × probe × M × K) distance
-    * table against the codes frame — all corpus-side work stays
-    * map-local until the per-(query, vec) sum's partial aggregation. */
+    * Pass `centroids` (e.g. [[Similarity.trainCentroids]]'s output) to
+    * run the production FAISS shape end-to-end — trained coarse
+    * k-means + residual PQ; the strided quantizer is the default
+    * stand-in. Scale shape: coarse assign + residual is one broadcast
+    * map pass; the checkpointed (vec_id, cell, rv) frame feeds PQ
+    * training and encoding; search broadcasts a (query × probe × M ×
+    * K) distance table against the codes frame — all corpus-side work
+    * stays map-local until the per-(query, vec) sum's partial
+    * aggregation. */
   def ivfAdcTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
-                 dim: Int = 64): DataFrame = {
+                 dim: Int = 64, centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = embeddings
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .filter(col("nrm") > 0)
-    val cents = Similarity.ivfCentroids(n, Similarity.IvfStride, Similarity.IvfMaxCells)
+    val cents = centroids.getOrElse(
+      Similarity.ivfCentroids(n, Similarity.IvfStride, Similarity.IvfMaxCells))
     val model = cents
       .agg(sort_array(collect_list(struct(col("cid"), col("v"), col("nrm")))).as("cents"))
     // coarse cell + residual against the own-cell centroid, one pass

@@ -100,6 +100,33 @@ class PqSpec extends SparkSpec {
     assert(hits >= 15, s"only $hits/50 IVFADC@5 results inside exact-L2@50")
   }
 
+  test("trained coarse quantizer composes into IVFADC at no recall cost vs the strided stand-in") {
+    import org.apache.spark.sql.expressions.Window
+    val v = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = v.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), Similarity_d2(col("v"), col("qv")).as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))))
+      .filter(col("rk") <= 50)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(out: org.apache.spark.sql.DataFrame): Int =
+      out.select(col("query_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
+    val cents = graft.operators.Similarity.trainCentroids(
+      emb, k = 16, iters = 3, sampleBuckets = 2000)
+    val trained = ProductQuantization.ivfAdcTopK(emb, centroids = Some(cents))
+    val strided = ProductQuantization.ivfAdcTopK(emb)
+    // k-means cells fit the distribution better than arbitrary strided
+    // picks, so residuals quantize at least as tight — containment in
+    // exact-L2@50 must not regress (both sets are complete 10×5)
+    assert(trained.count() == 50)
+    val (ht, hs) = (hits(trained), hits(strided))
+    assert(ht >= hs, s"trained containment $ht/50 below strided $hs/50")
+  }
+
   private def Similarity_d2(x: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) = {
     val dot = graft.functions.VectorKernels.dotProduct _
     dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c)
