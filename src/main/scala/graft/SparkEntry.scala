@@ -221,6 +221,9 @@ object SparkEntry {
     "c_pack_stream" -> ((s, dir) => Corpus.packStream(Tables.documents(s, dir))),
     "c_source_profile" -> ((s, dir) => Corpus.sourceProfile(Tables.documents(s, dir))),
     "c_source_mix" -> ((s, dir) => Corpus.sourceMix(Tables.documents(s, dir))),
+    // upsampling mixture: scarce sources get fractional extra epochs
+    // (largest source anchors at 1) — realized mass ∝ count^alpha
+    "c_source_mix_up" -> ((s, dir) => Corpus.sourceMixUp(Tables.documents(s, dir))),
     // deterministic corpus shuffle: global training order by id hash
     "c_shuffle_order" -> ((s, dir) => Corpus.shuffleOrder(Tables.documents(s, dir))),
     "t_unigram_logprob" -> ((s, dir) =>
@@ -1273,6 +1276,21 @@ object SparkEntry {
         |      FROM c CROSS JOIN m)
         |SELECT d.doc_id, d.source FROM documents d JOIN t USING (source)
         |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8) AS UBIGINT) % 10000 < thr""".stripMargin,
+    // upsampling mixture: epochs quantize to 1/10000 BEFORE the
+    // base/fraction split (same pow-boundary armor as c_source_mix);
+    // the extra-epoch draw is the same md5 bucket — pure integer
+    // arithmetic after the one quantized pow
+    "c_source_mix_up" ->
+      """WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+        |m AS (SELECT MAX(cnt) AS max_cnt FROM c),
+        |t AS (SELECT source,
+        |             CAST(FLOOR(10000.0 * POW(CAST(max_cnt AS DOUBLE) / cnt, 0.5) + 1e-9) AS BIGINT) AS e4
+        |      FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.source,
+        |       CAST(e4 // 10000
+        |            + CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8) AS UBIGINT) % 10000
+        |                        < e4 % 10000 THEN 1 ELSE 0 END AS BIGINT) AS n_epochs
+        |FROM documents d JOIN t USING (source)""".stripMargin,
     // interpolated bigram LM: same DECIMAL(18,9) per-distinct-key
     // rounding as the unigram oracle; interpolation weights are
     // explicit double literals on both sides (1 - 0.7 is NOT 0.3 in

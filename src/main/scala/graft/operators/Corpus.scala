@@ -238,6 +238,51 @@ object Corpus {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Temperature-based UPSAMPLING mixture — the complement of
+    * [[sourceMix]]: real LM data recipes up-weight scarce high-quality
+    * sources by FRACTIONAL EPOCHS rather than discarding dominant
+    * ones. Per source, epochs e = (max_count / count)^(1 − alpha): the
+    * largest source anchors at exactly one epoch, scarcer sources
+    * repeat — realized sampling mass ∝ count^alpha, the published
+    * temperature rule. Emits (doc_id, source, n_epochs ≥ 1): every doc
+    * gets the full floor(e) epochs, and the fractional remainder is
+    * realized by giving ONE extra epoch to a deterministic md5-bucket
+    * fraction of the source's docs (the [[stratifiedSample]] bucket) —
+    * so the realized token share hits the target without any RNG, and
+    * a re-run, any partitioning, any engine repeats the same docs.
+    *
+    * e quantizes to 1/10000 epochs (with the 1e-9 nudge before floor)
+    * BEFORE splitting into base + fractional threshold, so a last-ulp
+    * pow() difference cannot move a source across an integer epoch
+    * boundary and everything downstream is integer arithmetic.
+    *
+    * Scale shape = [[sourceMix]]: per-source counts (scalar shuffle),
+    * one-row max broadcast, a source-count-sized epoch table joined
+    * back, then pure per-row codegen — no data shuffle. Downstream
+    * materialization (actually repeating rows n_epochs times into a
+    * training stream) is one `explode(sequence(1, n_epochs))` away and
+    * deliberately left to the consumer: the mixture DECISION is the
+    * operator; duplicating text bytes early would multiply every later
+    * shuffle. */
+  def sourceMixUp(documents: DataFrame, alpha: Double = 0.5,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(documents.columns.contains(idCol),
+      s"sourceMixUp hashes the '$idCol' column for its sample bucket; " +
+        s"the input has [${documents.columns.mkString(", ")}]")
+    val counts = documents.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+    val maxc = counts.agg(max(col("cnt")).as("max_cnt"))
+    val epochs = counts.crossJoin(broadcast(maxc))
+      .select(col("source"),
+        floor(lit(10000.0) * pow(col("max_cnt").cast("double") / col("cnt"), lit(1.0 - alpha))
+          + lit(1e-9)).cast("long").as("e4"))
+    documents.join(broadcast(epochs), "source")
+      .select(col("doc_id"), col("source"),
+        (floor(col("e4") / lit(10000.0)).cast("long") +
+          when(sampleBucket(col(idCol)) < pmod(col("e4"), lit(10000L)), lit(1L))
+            .otherwise(lit(0L))).as("n_epochs"))
+  }
+
   /** Corpus-stream packing — where each document's tokens land when the
     * whole corpus is concatenated in doc_id order and sliced into fixed
     * `contextLen`-token training windows (GPT-style packing: no padding,

@@ -182,6 +182,40 @@ class CorpusSpec extends SparkSpec {
       Corpus.sourceMix(df.drop("doc_id")))
   }
 
+  test("sourceMixUp: largest source anchors at one epoch, scarce sources hit the temperature share") {
+    // src_big 400 / src_small 100 at alpha 0.5: e_small = sqrt(400/100)
+    // = 2.0 exactly (no fractional draw), e_big = 1.0
+    val df = ((0L until 400L).map(i => (i, "x", "src_big")) ++
+        (400L until 500L).map(i => (i, "x", "src_small")))
+      .toDF("doc_id", "text", "source")
+    val up = Corpus.sourceMixUp(df).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(up.length == 500 && up.forall(_._3 >= 1L)) // upsampling never drops a doc
+    assert(up.filter(_._2 == "src_big").forall(_._3 == 1L))
+    assert(up.filter(_._2 == "src_small").forall(_._3 == 2L))
+    // a non-integer epoch ratio: 400/81 → e = sqrt(400/81) = 2.2222 →
+    // every small doc gets 2, a ~22% md5-bucket fraction gets 3; the
+    // REALIZED mass share must hit the temperature target
+    // 81^a/(81^a+400^a) = 9/29 (docs are equal-length, so doc mass =
+    // token mass)
+    val df2 = ((0L until 400L).map(i => (i, "x", "src_big")) ++
+        (400L until 481L).map(i => (i, "x", "src_small")))
+      .toDF("doc_id", "text", "source")
+    val up2 = Corpus.sourceMixUp(df2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val small = up2.filter(_._2 == "src_small").map(_._3)
+    assert(small.forall(e => e == 2L || e == 3L))
+    val realized = small.sum.toDouble / up2.map(_._3).sum
+    val target = 9.0 / 29.0
+    assert(math.abs(realized - target) < 0.02,
+      s"realized small-source share $realized vs temperature target $target")
+    // deterministic across runs
+    assert(Corpus.sourceMixUp(df2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq ==
+      up2.map(t => (t._1, t._3)).sorted.toSeq)
+    intercept[IllegalArgumentException](Corpus.sourceMixUp(df, alpha = 1.5))
+  }
+
   test("sourceProfile aggregates the same quality signal as qualityScore") {
     import graft.functions.TextAnalysis
     val docs = Tables.documents(spark, sf0001)
