@@ -171,9 +171,23 @@ object Dedup {
     * VERIFICATION-SCALE ONLY: the shingle self-join is quadratic in
     * per-shingle document frequency; [[minhashPairs]] is the production
     * path (identical output at these band parameters). The [[ScaleGuard]]
-    * enforces that — raise `maxRows` explicitly to override. */
+    * enforces that — raise `maxRows` explicitly to override.
+    *
+    * `maxDf` optionally DROPS posting lists longer than the bound
+    * before pair expansion — the stopword-shingle cut that makes the
+    * baseline usable a notch past the guard (LSH banding suppresses
+    * exactly those lists probabilistically: a shingle shared by
+    * everyone separates nothing). The quadratic work per surviving
+    * shingle is then bounded by maxDf². APPROXIMATE under the cap:
+    * intersections lose the dropped shingles while the per-doc set
+    * sizes keep them, so capped jaccard under-estimates — pairs held
+    * together only by hot shingles disappear (usually the point:
+    * boilerplate-only overlap is not near-duplication). Default keeps
+    * every list — exact semantics, oracle-checked. */
   def jaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                   maxRows: Long = ScaleGuard.DefaultMaxRows): DataFrame = {
+                   maxRows: Long = ScaleGuard.DefaultMaxRows,
+                   maxDf: Int = Int.MaxValue): DataFrame = {
+    require(maxDf >= 2, s"maxDf < 2 would drop every pair-capable posting list, got $maxDf")
     ScaleGuard("jaccardPairs", documents, maxRows, scalePath = "minhashPairs")
     // not cached: the shingle table is token-stream-sized strings, and
     // the counts/pairs branches re-running the explode measured faster
@@ -193,8 +207,10 @@ object Dedup {
     // hot shingle still runs on one task — acceptable under the
     // ScaleGuard; past it, minhashPairs.
     val ids = array_sort(collect_list(col("doc_id")))
-    val pairs = sh.groupBy(col("shingle")).agg(ids.as("ids"))
+    val posted = sh.groupBy(col("shingle")).agg(ids.as("ids"))
       .filter(size(col("ids")) > 1)
+    val pairs = (if (maxDf == Int.MaxValue) posted
+      else posted.filter(size(col("ids")) <= maxDf))
       .select(col("ids"), explode(sequence(lit(0), size(col("ids")) - 2)).as("i"))
       .select(explode(transform(slice(col("ids"), col("i") + 2, size(col("ids"))), j =>
         struct(element_at(col("ids"), col("i") + 1).as("doc_a"), j.as("doc_b")))).as("p"))

@@ -29,6 +29,23 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardPairs(df, maxRows = 3).count() == 1)
   }
 
+  test("jaccardPairs maxDf: no-op without hot shingles; hot lists drop from intersections") {
+    // shingle dfs: "p q r" = 3 (hot), every other shingle <= 2
+    val df = docs((1L, "p q r s t u"), (2L, "p q r s t u"), (3L, "p q r x y z"))
+    def pairs(j: org.apache.spark.sql.DataFrame) = j.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val un = pairs(Dedup.jaccardPairs(df, threshold = 0.1))
+    // (1,2) identical → 1.0; (1,3)/(2,3) share only "p q r" → 1/7
+    assert(un == Set((1L, 2L, 1.0), (1L, 3L, 1.0 / 7), (2L, 3L, 1.0 / 7)))
+    // cap at the max df present → provably invisible
+    assert(pairs(Dedup.jaccardPairs(df, threshold = 0.1, maxDf = 3)) == un)
+    // cap 2 drops the df-3 list: (1,2) loses one shared shingle
+    // (3/(4+4-3) = 0.6), boilerplate-only pairs vanish entirely
+    assert(pairs(Dedup.jaccardPairs(df, threshold = 0.1, maxDf = 2)) ==
+      Set((1L, 2L, 0.6)))
+    intercept[IllegalArgumentException](Dedup.jaccardPairs(df, maxDf = 1))
+  }
+
   test("dupClusters: transitive chain collapses to one cluster, keeper is min doc_id") {
     // a CHAIN: jac(1,2) = 18/20 = 0.9 and jac(2,3) = 17/21 ≈ 0.81 pass
     // the 0.8 threshold, jac(1,3) = 16/22 ≈ 0.73 does NOT — docs 1 and 3
