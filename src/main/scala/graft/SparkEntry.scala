@@ -151,6 +151,13 @@ object SparkEntry {
     // semantic dedup: drop every vector with a verified cosine near-dup
     // at a lower vec_id (LSH candidates, exact verify)
     "d_embed_neardup" -> ((s, dir) => Similarity.embedNearDup(Tables.embeddings(s, dir))),
+    // SemDeDup: trained-quantizer clusters (the a_ivf_trained model),
+    // near-dups pruned within each cluster only
+    "d_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.trainCentroids(emb, k = 16, iters = 3, sampleBuckets = 2000)
+      Similarity.semanticDedup(emb, threshold = 0.4, centroids = Some(cents))
+    }),
     // trained-quantizer IVF: k-means on a 20% deterministic sample,
     // full-corpus assignment. Oracle-checkable since trainCentroids
     // computes each iteration's means in exact decimal arithmetic and
@@ -905,6 +912,9 @@ object SparkEntry {
     // keep = no verified near-dup at a lower vec_id; zero-norm and
     // bucket-isolated vectors always keep
     "d_embed_neardup" -> embedNearDupOracle,
+    // SemDeDup: trained-quantizer cells (the a_ivf_trained recurrence,
+    // bit-identical in both engines) + within-cell near-dup keep set
+    "d_semantic_dedup" -> semanticDedupOracle,
     // IVF: the oracle replicates the deterministic strided coarse
     // quantizer (vec_id % 31) — identical cells, probes and candidates
     // in both engines, so IVF recall never enters the compare
@@ -2126,6 +2136,30 @@ object SparkEntry {
        |SELECT e.vec_id,
        |       NOT EXISTS (SELECT 1 FROM drp WHERE drp.vec_b = e.vec_id) AS keep
        |FROM embeddings e""".stripMargin
+
+  /** SemDeDup in DuckDB: the trained-quantizer recurrence (kmeansCtes —
+    * bit-identical centroids, see ivfTrainedOracle), argmax-cosine
+    * assignment of EVERY vector, then near-dup pairs restricted to
+    * same-cell members and the min-id keep set. Cosines round to 6 dp
+    * (+1e-12 nudge) before the threshold compare on both engines, so
+    * the drop decision is bit-identical. */
+  private lazy val semanticDedupOracle: String = {
+    val iters = 3
+    s"""WITH $normCte,
+       |${kmeansCtes(16, iters, 2000, "")},
+       |asg AS (SELECT vec_id, cell FROM (
+       |  SELECT n.vec_id, c.cid AS cell,
+       |         ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |           ORDER BY list_dot_product(n.v, c.v) / (n.nrm * c.nrm) DESC, c.cid) AS rn
+       |  FROM n, c$iters c) WHERE rn = 1),
+       |drp AS (SELECT DISTINCT b.vec_id AS vec_b
+       |        FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |        JOIN n a ON a.vec_id = x.vec_id JOIN n b ON b.vec_id = y.vec_id
+       |        WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) + 1e-12, 6) >= 0.4)
+       |SELECT e.vec_id,
+       |       NOT EXISTS (SELECT 1 FROM drp WHERE drp.vec_b = e.vec_id) AS keep
+       |FROM embeddings e""".stripMargin
+  }
 
   private lazy val simhashOracle: String = {
     val bitSums = (0 until 64).map(j =>

@@ -390,6 +390,53 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — public algorithm): cluster the embeddings with
+    * the spherical-k-means coarse quantizer ([[trainCentroids]]),
+    * compare vectors ONLY within their cluster, and drop every vector
+    * that has a within-cluster cosine near-dup of LOWER vec_id. Same
+    * keep/drop output contract as [[embedNearDup]] (min-id keeper,
+    * pairwise domination); the difference is the candidate generator —
+    * [[embedNearDup]] buckets by SRP-LSH signature, this clusters by a
+    * LEARNED quantizer, so candidates follow the corpus density
+    * instead of random hyperplanes (the reason SemDeDup prunes
+    * semantic paraphrases LSH misses: a cluster IS a semantic
+    * neighborhood). Cross-cluster near-dups are missed by design —
+    * that is the documented SemDeDup approximation.
+    *
+    * Zero-norm vectors (no cosine defined) never drop.
+    *
+    * Scale shape: training shuffles only sample-sized frames
+    * ([[trainCentroids]]); assignment is one map-side pass against the
+    * broadcast model (node-bounded: k centroids × dim × 8 B); the
+    * within-cell compare shuffles the embedding payload ONCE on the
+    * cell key and is quadratic per cell — the SemDeDup design point:
+    * k grows with the corpus so cells stay ~constant-sized (N/k
+    * members), keeping per-cell work bounded; the drop list that
+    * re-joins the corpus is duplicate-density-sized ids only. */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.4,
+                    k: Int = 64, iters: Int = 5, sampleBuckets: Int = 10000,
+                    centroids: Option[DataFrame] = None): DataFrame = {
+    val e = normalized(embeddings)
+    val cents = centroids.getOrElse(trainCentroids(embeddings, k, iters, sampleBuckets))
+    val model = cents
+      .agg(sort_array(collect_list(struct(col("cid"), col("v"), col("nrm")))).as("cents"))
+    val assigned = e.crossJoin(broadcast(model))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        graft.functions.VectorKernels.ivfCell(col("v"), col("nrm"), col("cents")).as("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(cosRounded(dot(col("va"), col("vb")), col("na") * col("nb")) >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    embeddings.select(col("vec_id"))
+      .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(!col("hit"), lit(true)).as("keep"))
+  }
+
   /** Symmetric per-vector int8 quantization — the storage/bandwidth step
     * of an embedding pipeline (4× smaller vectors, int8 SIMD dot
     * products downstream): scale = max |component|, code_i =

@@ -263,6 +263,41 @@ class AnnSpec extends SparkSpec {
     assert(out(999999L)) // zero-norm: cosine undefined, never a duplicate
   }
 
+  test("semanticDedup: within-cell near-dups drop to the lower id; cross-cell pairs both keep") {
+    import org.apache.spark.sql.functions.col
+    // explicit 2-cell quantizer so assignment is fully controlled
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0), 1.0),
+                    (1L, Seq(0.0, 1.0, 0.0, 0.0), 1.0)).toDF("cid", "v", "nrm")
+    val df = vecs(
+      (0L, Seq(1f, 0.05f, 0f, 0f)),      // cell 0
+      (1L, Seq(1f, 0.06f, 0f, 0f)),      // cell 0, cos(0,1) ~ 1   -> drops
+      (2L, Seq(0.05f, 1f, 0f, 0f)),      // cell 1
+      (3L, Seq(0.06f, 1f, 0f, 0f)),      // cell 1, cos(2,3) ~ 1   -> drops
+      (4L, Seq(0.709f, 0.705f, 0f, 0f)), // cell 0 (x component wins)
+      (5L, Seq(0.705f, 0.709f, 0f, 0f)), // cell 1: near-dup of 4 (cos ~ 0.99997)
+                                         // but CROSS-cell -> both keep (the
+                                         // documented SemDeDup approximation)
+      (6L, Seq(0f, 0f, 0f, 0f)))         // zero-norm: cosine undefined, keeps
+    val out = Similarity.semanticDedup(df, threshold = 0.9, centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(out == Map(0L -> true, 1L -> false, 2L -> true, 3L -> false,
+      4L -> true, 5L -> true, 6L -> true))
+  }
+
+  test("semanticDedup on real embeddings: every drop has a true lower-id near-dup") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = Similarity.trainCentroids(emb, k = 8, iters = 2)
+    val out = Similarity.semanticDedup(emb, threshold = 0.3, centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(out.length == emb.count()) // every vector flagged exactly once
+    val dropped = out.filter(!_._2).map(_._1).toSet
+    // soundness: within-cell pairs are a subset of ALL threshold pairs,
+    // so each dropped id must be the higher side of some exact pair
+    val globalHigh = Similarity.cosinePairs(emb, threshold = 0.3).collect()
+      .map(_.getLong(1)).toSet
+    assert(dropped.subsetOf(globalHigh))
+  }
+
   test("ann runs are deterministic (hyperplanes are seed-fixed)") {
     val emb = Tables.embeddings(spark, sf0001)
     val a = Similarity.annTopK(emb).collect().map(_.toSeq).toSeq
