@@ -91,6 +91,12 @@ object SparkEntry {
     "q4_late_orders" -> ((s, dir) =>
       Relational.lateOrders(Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "q_distinct_users" -> ((s, dir) => Relational.distinctUsersPerType(ev(s, dir))),
+    // fixed-size sketches: deterministic HLL + count-min (both md5-
+    // keyed so the oracle replays them bit-identically)
+    "q_hll_distinct" -> ((s, dir) =>
+      operators.Sketch.hllDistinct(ev(s, dir), "user_id", Seq("event_type"))),
+    "q_heavy_hitters" -> ((s, dir) =>
+      operators.Sketch.cmsHeavyHitters(ev(s, dir), "user_id")),
     "q_orders_by_month" -> ((s, dir) => Relational.ordersByMonth(Tables.orders(s, dir))),
     "q_revenue_rollup" -> ((s, dir) => Relational.revenueRollup(Tables.orders(s, dir))),
     // CUBE: all four grouping sets of (status, year) in one pass
@@ -669,6 +675,51 @@ object SparkEntry {
     "q_distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,
+    // HLL: identical deterministic register recurrence — 60-bit md5
+    // hash, 6-bit register index, exact integer indicator sum scaled
+    // by 2^55, the one division in (engine-identical) doubles
+    "q_hll_distinct" ->
+      """WITH h AS (SELECT event_type,
+        |                  CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS UBIGINT) AS h
+        |           FROM events),
+        |r AS (SELECT event_type, h % 64 AS j,
+        |             CASE WHEN h // 64 > 0 THEN 55 - length(bin(h // 64)) ELSE 55 END AS rho
+        |      FROM h),
+        |m AS (SELECT event_type, j, MAX(rho) AS mj FROM r GROUP BY 1, 2),
+        |z AS (SELECT event_type,
+        |             CAST(SUM(CAST(1 AS BIGINT) << (55 - mj)) AS BIGINT)
+        |               + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 55) AS z,
+        |             64 - COUNT(*) AS v, COUNT(*) AS nhit
+        |      FROM m GROUP BY 1),
+        |e AS (SELECT event_type, v, nhit,
+        |             (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)))
+        |             * CAST(64.0 AS DOUBLE) * CAST(64.0 AS DOUBLE)
+        |             * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE) / CAST(z AS DOUBLE) AS e
+        |      FROM z)
+        |SELECT event_type,
+        |       ROUND(CASE WHEN v > 0 AND e <= CAST(2.5 AS DOUBLE) * CAST(64.0 AS DOUBLE)
+        |                  THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / CAST(v AS DOUBLE))
+        |                  ELSE e END + 1e-9, 4) AS est_distinct,
+        |       CAST(nhit AS INT) AS registers_hit
+        |FROM e""".stripMargin,
+    // count-min: integer grid + min-probe, top-20 by estimate with
+    // key tiebreak — integers end to end, no rounding rules needed
+    "q_heavy_hitters" ->
+      """WITH cells AS (SELECT unnest([0, 1, 2]) AS r),
+        |sk AS (SELECT c.r,
+        |              CAST('0x' || substring(md5('cms' || CAST(c.r AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 15) AS UBIGINT) % 1024 AS bkt,
+        |              COUNT(*) AS cnt
+        |       FROM events e CROSS JOIN cells c GROUP BY 1, 2),
+        |ks AS (SELECT DISTINCT user_id FROM events),
+        |pc AS (SELECT k.user_id, c.r,
+        |              CAST('0x' || substring(md5('cms' || CAST(c.r AS VARCHAR) || ':' || CAST(k.user_id AS VARCHAR)), 1, 15) AS UBIGINT) % 1024 AS bkt
+        |       FROM ks k CROSS JOIN cells c),
+        |pr AS (SELECT user_id, MIN(cnt) AS est_count
+        |       FROM pc JOIN sk USING (r, bkt) GROUP BY user_id)
+        |SELECT user_id, est_count FROM (
+        |  SELECT user_id, est_count,
+        |         ROW_NUMBER() OVER (ORDER BY est_count DESC, user_id) AS rn FROM pr)
+        |WHERE rn <= 20""".stripMargin,
     "q_orders_by_month" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |       CAST(month(o_orderdate) AS BIGINT) AS o_month,

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-size probabilistic sketches — the 100 TB answer to "how many
+  * distinct?" and "which keys are hot?" when exact answers would
+  * shuffle the full key set. Both sketches here are DETERMINISTIC
+  * (md5-keyed hashes, no RNG), so the DuckDB oracle replays them
+  * bit-identically and the driver's hash compare stays exact — the
+  * estimates are approximate with respect to the TRUE counts, never
+  * with respect to the other engine.
+  *
+  * Scale shape (the reason sketches exist): state is FIXED-SIZE and
+  * MERGEABLE. HyperLogLog keeps m=64 registers per group — the
+  * register max is a partial aggregate (map-side combine), so a
+  * 1000-executor scan reduces to m rows per group regardless of input
+  * size, exactly how `approx_count_distinct` scales (this is the same
+  * Flajolet et al. 2007 estimator, restricted to a deterministic
+  * hash so it is oracle-replayable). Count-min keeps a d×w integer
+  * grid: the grid build is one partial-aggregated groupBy on (row,
+  * bucket) — d·w = 3072 cells total, broadcastable anywhere — and the
+  * probe side joins keys against the broadcast grid, never shuffling
+  * the corpus. Neither operator's state grows with the data.
+  */
+object Sketch {
+
+  /** HLL registers: m = 2^6. Chosen so the whole sketch is 64 small
+    * integers per group (standard error 1.04/√m ≈ 13%) and the
+    * indicator sum stays exact in 64-bit integers (see [[hllDistinct]]). */
+  val HllRegisters = 64
+
+  val CmsDepth = 3
+  val CmsWidth = 1024
+
+  /** 60-bit hash: 15 md5 hex chars — positive in a signed long on both
+    * engines (the repo's md5-bucket convention, widened from 8 chars
+    * to 15 for per-bit register statistics). */
+  private def h60(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** HyperLogLog distinct-count estimate per group.
+    *
+    * Register index j = low 6 hash bits; the remaining 54-bit word w
+    * contributes rho = 55 − bitlen(w) (position of the first 1-bit,
+    * 55 when w = 0); each register keeps max rho. The harmonic
+    * indicator Σ 2^(−M_j) is computed EXACTLY: scaled by 2^55 it is
+    * the integer Σ 2^(55−M_j) ≤ 64·2^55 < 2^63, summed in longs —
+    * no float association anywhere until the single final division.
+    * Empty registers contribute 2^55 (= 2^0 unscaled). The raw
+    * estimate alpha·m²/Σ switches to linear counting m·ln(m/V) below
+    * 2.5m when V registers are empty (the standard small-range
+    * correction); ln on identical doubles agrees cross-engine.
+    *
+    * Returns (groupCols…, est_distinct 4-dp, registers_hit). */
+  def hllDistinct(df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val m = HllRegisters
+    val g = groupCols.map(col)
+    val hashed = df
+      .select(g :+ h60(col(keyCol)).as("h"): _*)
+      .select(g ++ Seq((col("h") % m).as("j"),
+        shiftrightunsigned(col("h"), 6).as("w")): _*)
+      .select(g ++ Seq(col("j"),
+        when(col("w") > 0, lit(55) - length(bin(col("w")))).otherwise(lit(55))
+          .as("rho")): _*)
+    val regs = hashed.groupBy(g :+ col("j"): _*).agg(max(col("rho")).as("mj"))
+    val stats = regs.groupBy(g: _*)
+      .agg(sum(call_function("shiftleft", lit(1L), lit(55) - col("mj"))).as("zhit"),
+        count(lit(1)).as("nhit"))
+      .select(g ++ Seq(
+        (col("zhit") + (lit(m.toLong) - col("nhit")) * lit(1L << 55)).as("z"),
+        (lit(m.toLong) - col("nhit")).as("v"),
+        col("nhit")): _*)
+    // constant parts spelled out in double literals; the oracle repeats
+    // the identical expression (DuckDB literals CAST to DOUBLE — bare
+    // decimals are DECIMAL there and would change the arithmetic)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0))
+    val e = alpha * lit(64.0) * lit(64.0) * lit((1L << 55).toDouble) /
+      col("z").cast("double")
+    stats.select(g ++ Seq(
+      round(when(col("v") > 0 && e <= lit(2.5) * lit(64.0),
+        lit(64.0) * log(lit(64.0) / col("v").cast("double"))).otherwise(e)
+        + lit(1e-9), 4).as("est_distinct"),
+      col("nhit").cast("int").as("registers_hit")): _*)
+  }
+
+  /** Count-min heavy hitters: estimate every key's frequency from a
+    * d×w = 3×1024 integer grid (row r counts bucket md5("cms r:"+key)
+    * mod w; a key's estimate is the MIN over its d cells — classic
+    * Cormode–Muthukrishnan, overestimate-only), then return the top-k
+    * keys by estimate (ties broken by key — deterministic).
+    *
+    * Integer counts end to end — no parity rounding needed. The grid
+    * build explodes each input row into its d cells and partial-
+    * aggregates (d·w cells reach the shuffle per partition, not d
+    * rows per input row); the probe joins DISTINCT keys against the
+    * BROADCAST grid and top-k compiles to TakeOrdered. */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val cells: Column => Column = key => explode(array(
+      (0 until CmsDepth).map(r => struct(lit(r).as("r"),
+        (h60(key, s"cms$r:") % CmsWidth).as("bkt"))): _*))
+    val sketch = df.select(cells(col(keyCol)).as("c"))
+      .groupBy(col("c.r").as("r"), col("c.bkt").as("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+    df.select(col(keyCol).as("key")).distinct()
+      .select(col("key"), cells(col("key")).as("c"))
+      .select(col("key"), col("c.r").as("r"), col("c.bkt").as("bkt"))
+      .join(broadcast(sketch), Seq("r", "bkt"))
+      .groupBy(col("key")).agg(min(col("cnt")).as("est_count"))
+      .orderBy(col("est_count").desc, col("key"))
+      .limit(k)
+      .select(col("key").as(keyCol), col("est_count"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Sketch
+
+/** Sketch semantics: HLL estimate quality and invariance properties,
+  * count-min's overestimate-only guarantee and hot-key ranking. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hllDistinct estimates true cardinality within sketch error (sf0.001)") {
+    val ev = Tables.events(spark, sf0001)
+    val out = Sketch.hllDistinct(ev, "user_id", Seq("event_type")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    assert(out.nonEmpty)
+    val exact = ev.select("event_type", "user_id").distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (t, est, hit) =>
+      assert(hit >= 1 && hit <= Sketch.HllRegisters)
+      val rel = math.abs(est - exact(t)) / exact(t)
+      // m=64 -> standard error 13%; 3 sigma margin on tiny true counts
+      assert(rel < 0.4, s"$t: est $est vs exact ${exact(t)} (rel $rel)")
+    }
+  }
+
+  test("hllDistinct is a DISTINCT estimator: duplicating every row changes nothing") {
+    val ev = Tables.events(spark, sf0001)
+    val once = Sketch.hllDistinct(ev, "user_id", Seq("event_type")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    val doubled = Sketch.hllDistinct(ev.unionAll(ev), "user_id", Seq("event_type"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(once == doubled) // registers are max-of-rho: duplicates are no-ops
+  }
+
+  test("hllDistinct small-range correction: a 3-key group estimates ~3 via linear counting") {
+    val tiny = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 1L))
+      .toDF("grp", "k")
+    val Array(row) = Sketch.hllDistinct(tiny, "k", Seq("grp")).collect()
+    val est = row.getDouble(1)
+    // 3 keys hit <= 3 of 64 registers: linear counting m*ln(m/V) is
+    // near-exact at this occupancy
+    assert(row.getInt(2) <= 3)
+    assert(est > 1.0 && est < 6.0, s"linear-counting estimate off: $est")
+  }
+
+  test("cmsHeavyHitters: overestimate-only, and a true hot key ranks first") {
+    val ev = Tables.events(spark, sf0001)
+    // inject a key hotter than any real one (max real count ~86)
+    val hot = Seq.fill(500)((999999L, "view")).toDF("user_id", "event_type")
+    val df = ev.select("user_id", "event_type").unionByName(hot)
+    val out = Sketch.cmsHeavyHitters(df, "user_id", k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 10)
+    assert(out.head._1 == 999999L && out.head._2 >= 500L)
+    val exact = df.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the count-min invariant: estimates never undershoot
+    out.foreach { case (k, est) => assert(est >= exact(k), s"key $k: $est < ${exact(k)}") }
+    // deterministic: repeated runs agree exactly
+    val again = Sketch.cmsHeavyHitters(df, "user_id", k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == again.toSeq)
+  }
+}
