@@ -419,4 +419,46 @@ class PlanAuditSpec extends SparkSpec {
         s"an exchange carries the embedding payload:\n$e\n$p"))
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("hllDistinct: register maxima partial-aggregate map-side, no window, bounded shuffles") {
+    val p = plan(Sketch.hllDistinct(Tables.events(spark, dir), "user_id", Seq("event_type")))
+    // the whole sketch is two partial-aggregated groupBys: register max
+    // combines map-side (fixed m rows per group survive the shuffle),
+    // then the indicator sum combines map-side again
+    assert(p.contains("partial_max"), s"register max not map-side partial:\n$p")
+    assert(p.contains("partial_sum"), s"indicator sum not map-side partial:\n$p")
+    assert(!p.contains("Window"), s"a window crept into the sketch:\n$p")
+    assert(count(p, "Exchange hashpartitioning") <= 2, s"extra shuffles:\n$p")
+  }
+
+  test("cmsHeavyHitters: fixed grid broadcasts, top-k is TakeOrdered") {
+    val p = plan(Sketch.cmsHeavyHitters(Tables.events(spark, dir), "user_id"))
+    // the d x w grid is fixed-size: the probe join must broadcast it,
+    // never shuffle the key side against it by hash
+    assert(p.contains("BroadcastHashJoin"), s"sketch grid not broadcast:\n$p")
+    assert(p.contains("TakeOrdered"), s"top-k fell back to a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("semanticDedup: broadcast model assignment, equi-only cell join, no cartesian blowup") {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Similarity.trainCentroids(emb, k = 8, iters = 1)
+    val p = plan(Similarity.semanticDedup(emb, centroids = Some(cents)))
+    // the one-row centroid model rides a broadcast nested-loop (the
+    // crossJoin(broadcast(model)) idiom); nothing else may be
+    // non-equi — the within-cell compare and keep-flag joins are
+    // hash/sort equi joins on cell and vec_id
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
+    // each self-join leg re-runs the broadcast-model assignment (map
+    // work, deliberately not cached — corpus-sized caches lose at
+    // scale), so the model broadcast appears once or twice, never more
+    val bnl = count(p, "BroadcastNestedLoopJoin")
+    assert(bnl >= 1 && bnl <= 2, s"expected only the model broadcast(s), got $bnl:\n$p")
+    // the corpus payload shuffles only for the cell-keyed compare:
+    // both self-join legs come from the same assigned frame, so at
+    // most two payload-carrying exchanges (or one + a reuse)
+    val payloadEx = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("array<double>")).size
+    assert(payloadEx <= 2, s"embedding payload shuffles too often ($payloadEx):\n$p")
+  }
 }
