@@ -74,6 +74,8 @@ object SparkEntry {
       graft.streaming.StreamRunner.replayOuterIntervalJoin(s, ev(s, dir))),
     "s_stream_update_agg" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayUpdateAgg(s, ev(s, dir))),
+    "s_stream_hll" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayHll(s, ev(s, dir))),
     // ---- relational coverage (TPC-H-ish) ----
     "q1_pricing_summary" -> ((s, dir) =>
       Relational.pricingSummary(Tables.lineitem(s, dir))),
@@ -528,6 +530,42 @@ object SparkEntry {
         |FROM events WHERE event_type = 'error'
         |  AND NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') IS NOT NULL
         |GROUP BY 1""".stripMargin,
+    // streaming HLL: the update-mode register state's final changelog
+    // equals the batch sketch (register max is order/duplication-
+    // insensitive), so the oracle is the batch HLL chain over the
+    // staged envelope's (kind, entity) pairs
+    "s_stream_hll" ->
+      """WITH env AS (
+        |  SELECT 'car' AS kind, user_id AS a
+        |  FROM events WHERE event_type IN ('click','view')
+        |  UNION ALL
+        |  SELECT 'zone' AS kind,
+        |         CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS a
+        |  FROM events WHERE event_type = 'error'
+        |    AND NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') IS NOT NULL),
+        |h AS (SELECT kind,
+        |             CAST('0x' || substring(md5(CAST(a AS VARCHAR)), 1, 15) AS UBIGINT) AS h
+        |      FROM env),
+        |r AS (SELECT kind, h % 64 AS j,
+        |             CASE WHEN h // 64 > 0 THEN 55 - length(bin(h // 64)) ELSE 55 END AS rho
+        |      FROM h),
+        |m AS (SELECT kind, j, MAX(rho) AS mj FROM r GROUP BY 1, 2),
+        |z AS (SELECT kind,
+        |             CAST(SUM(CAST(1 AS BIGINT) << (55 - mj)) AS BIGINT)
+        |               + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 55) AS z,
+        |             64 - COUNT(*) AS v, COUNT(*) AS nhit
+        |      FROM m GROUP BY 1),
+        |e AS (SELECT kind, v, nhit,
+        |             (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)))
+        |             * CAST(64.0 AS DOUBLE) * CAST(64.0 AS DOUBLE)
+        |             * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE) / CAST(z AS DOUBLE) AS e
+        |      FROM z)
+        |SELECT kind,
+        |       ROUND(CASE WHEN v > 0 AND e <= CAST(2.5 AS DOUBLE) * CAST(64.0 AS DOUBLE)
+        |                  THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / CAST(v AS DOUBLE))
+        |                  ELSE e END + 1e-9, 4) AS est_distinct,
+        |       CAST(nhit AS INT) AS registers_hit
+        |FROM e""".stripMargin,
     // stream-stream interval join: inner emission is not watermark-gated
     // and chunks are time-ordered, so the streamed pairs are exactly the
     // batch range join (times compared in micros on both sides)

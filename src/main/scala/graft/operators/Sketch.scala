@@ -56,16 +56,34 @@ object Sketch {
     * Returns (groupCols…, est_distinct 4-dp, registers_hit). */
   def hllDistinct(df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val regs = registerRows(df, keyCol, groupCols)
+      .groupBy(g :+ col("j"): _*).agg(max(col("rho")).as("mj"))
+    estimate(regs, groupCols)
+  }
+
+  /** Per-row register coordinates (groupCols…, j, rho) — the map-side
+    * half of [[hllDistinct]], exposed so a STREAMING aggregation can
+    * own the `max(rho)` state (the registers are the sketch's bounded
+    * state: m rows per group no matter how long the stream runs). */
+  private[graft] def registerRows(df: DataFrame, keyCol: String,
+                                  groupCols: Seq[String]): DataFrame = {
     val m = HllRegisters
     val g = groupCols.map(col)
-    val hashed = df
-      .select(g :+ h60(col(keyCol)).as("h"): _*)
+    df.select(g :+ h60(col(keyCol)).as("h"): _*)
       .select(g ++ Seq((col("h") % m).as("j"),
         shiftrightunsigned(col("h"), 6).as("w")): _*)
       .select(g ++ Seq(col("j"),
         when(col("w") > 0, lit(55) - length(bin(col("w")))).otherwise(lit(55))
           .as("rho")): _*)
-    val regs = hashed.groupBy(g :+ col("j"): _*).agg(max(col("rho")).as("mj"))
+  }
+
+  /** Estimate from materialized registers — one row per HIT register
+    * (groupCols…, mj). The batch path aggregates into this shape; the
+    * streaming path reads it back from the update-mode changelog. */
+  private[graft] def estimate(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val m = HllRegisters
+    val g = groupCols.map(col)
     val stats = regs.groupBy(g: _*)
       .agg(sum(call_function("shiftleft", lit(1L), lit(55) - col("mj"))).as("zhit"),
         count(lit(1)).as("nhit"))

@@ -647,6 +647,28 @@ object StreamRunner {
           .as("avg_pollution"))
   }
 
+  /** Streaming HyperLogLog distinct-count — the sketch as STREAMING
+    * STATE: an update-mode aggregation owns the per-(kind, register)
+    * max-rho, so state is bounded at m = 64 rows per kind no matter
+    * how long the stream runs, and each micro-batch's changelog emits
+    * only the registers it touched. Because the register max is
+    * order- and duplication-insensitive (the mergeability that makes
+    * HLL the 100 TB distinct-count shape —
+    * [[graft.operators.Sketch.hllDistinct]]), the LAST changelog
+    * emission per register is exactly the batch sketch, and the
+    * estimate computed from it hash-matches the batch HLL oracle. */
+  def replayHll(spark: SparkSession, events: DataFrame): DataFrame = {
+    val log = replayUpdate(spark, events, (src: DataFrame) =>
+      graft.operators.Sketch.registerRows(src, "a", Seq("kind"))
+        .groupBy(col("kind"), col("j")).agg(max(col("rho")).as("mj")))
+    val finalRegs = log
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("kind"), col("j")).orderBy(col("batch_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("kind"), col("mj"))
+    graft.operators.Sketch.estimate(finalRegs, Seq("kind"))
+  }
+
   /** Stage-1 (move fold) replay → the arrive/leave event log with its
     * originating event_id. Oracle: the arrive/leave SQL restricted to
     * parseable-zone events. Unparseable-zone car events (the -1

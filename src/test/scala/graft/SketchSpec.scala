@@ -43,6 +43,19 @@ class SketchSpec extends SparkSpec {
     assert(est > 1.0 && est < 6.0, s"linear-counting estimate off: $est")
   }
 
+  test("streaming HLL: final register changelog equals the batch sketch") {
+    val events = Tables.events(spark, sf0001)
+    val streamed = graft.streaming.StreamRunner.replayHll(spark, events)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    val batch = Sketch.hllDistinct(
+        graft.streaming.StreamRunner.envelope(events), "a", Seq("kind"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    // register max is order/duplication-insensitive, so chunked replay
+    // must land on the identical sketch — estimate AND occupancy
+    assert(streamed == batch)
+    assert(streamed.keySet == Set("car", "zone"))
+  }
+
   test("cmsHeavyHitters: overestimate-only, and a true hot key ranks first") {
     val ev = Tables.events(spark, sf0001)
     // inject a key hotter than any real one (max real count ~86)
