@@ -281,6 +281,10 @@ object SparkEntry {
     // purchase graph (exact-decimal contributions, 9-dp pr per round)
     "q_pagerank" -> ((s, dir) =>
       graft.operators.Graph.pageRank(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // per-node triangle counts over the part co-purchase graph,
+    // degree-oriented so wedge work is O(m^1.5) regardless of skew
+    "q_triangles" -> ((s, dir) =>
+      graft.operators.Graph.triangles(Tables.lineitem(s, dir))),
     // hot-key-salted fact⋈dim join; the oracle is the PLAIN join —
     // salting must be invisible in the result
     "q_salted_join" -> ((s, dir) => {
@@ -341,6 +345,14 @@ object SparkEntry {
     // never hash right)
     "m_resize_bmp" -> ((s, dir) =>
       Multimodal.resizeBmp(Multimodal.bmpDocs(Tables.documents(s, dir))).toDF()),
+    // aHash perceptual fingerprint of each planted-near-dup BMP:
+    // decode real bytes → fixed 8x8 sample → above-mean bits + bands
+    "m_image_hash" -> ((s, dir) =>
+      Multimodal.imageHash(Multimodal.phashDocs(Tables.documents(s, dir))).toDF()),
+    // image near-dup pairs: 4x16-bit band LSH join (pigeonhole recall
+    // guarantee at Hamming<=3) + exact XOR/popcount verify
+    "m_phash_neardup" -> ((s, dir) =>
+      Multimodal.imageNearDup(Multimodal.phashDocs(Tables.documents(s, dir)))),
     // REAL PNG header decode: big-endian IHDR fields from actual bytes
     "m_decode_png" -> ((s, dir) =>
       Multimodal.decodePng(Multimodal.pngDocs(Tables.documents(s, dir))).toDF()),
@@ -1181,6 +1193,69 @@ object SparkEntry {
         |                    + (k % 3)) % 256), 2, '0')
         |          for k in generate_series(0, tw * th * 3 - 1)], '')) AS resized_md5
         |FROM geo""".stripMargin,
+    // aHash: the oracle recomputes the planted-near-dup corpus's pixel
+    // bytes arithmetically (value of byte k = (base + k + sparse
+    // perturbation) % 256 — the phashDocs construction), samples the
+    // fixed 8x8 grid with the same integer coordinate math, and packs
+    // above-mean bits into the 4 bands; the Spark side must decode the
+    // actual BMP bytes to land on the same 64 bits
+    "m_image_hash" ->
+      """WITH g AS (SELECT doc_id, doc_id - doc_id % 4 AS base, doc_id % 4 AS r
+        |           FROM documents),
+        |s AS (SELECT doc_id, base, r, 8 + base % 13 AS w, 8 + base % 7 AS h,
+        |             (((8 + base % 13) * 3 + 3) // 4) * 4 AS stride FROM g),
+        |px AS (SELECT doc_id, j,
+        |              (base + k + CASE WHEN k % 23 = r THEN r * 32 ELSE 0 END) % 256 AS v
+        |       FROM (SELECT *, ((j // 8) * h // 8) * stride + ((j % 8) * w // 8) * 3 + c AS k
+        |             FROM s, generate_series(0, 63) AS t(j), generate_series(0, 2) AS u(c))),
+        |lums AS (SELECT doc_id, j, SUM(v) AS lum FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(lum) AS tot FROM lums GROUP BY 1),
+        |bits AS (SELECT l.doc_id, j, CASE WHEN 64 * lum > tot THEN 1 ELSE 0 END AS bit
+        |         FROM lums l JOIN tot USING (doc_id)),
+        |bands AS (SELECT doc_id, j // 16 AS band, SUM(bit << (j % 16)) AS bval
+        |          FROM bits GROUP BY 1, 2),
+        |h AS (SELECT doc_id,
+        |             MAX(CASE WHEN band = 0 THEN bval END) AS b0,
+        |             MAX(CASE WHEN band = 1 THEN bval END) AS b1,
+        |             MAX(CASE WHEN band = 2 THEN bval END) AS b2,
+        |             MAX(CASE WHEN band = 3 THEN bval END) AS b3
+        |      FROM bands GROUP BY 1)
+        |SELECT doc_id,
+        |       lower(concat(lpad(hex(b3), 4, '0'), lpad(hex(b2), 4, '0'),
+        |                    lpad(hex(b1), 4, '0'), lpad(hex(b0), 4, '0'))) AS hash_hex,
+        |       CAST(b0 AS INT) AS b0, CAST(b1 AS INT) AS b1,
+        |       CAST(b2 AS INT) AS b2, CAST(b3 AS INT) AS b3
+        |FROM h""".stripMargin,
+    // near-dup pairs: the oracle brute-forces all C(n,2) Hamming
+    // distances over the same recomputed hashes (exact at sf0.01) —
+    // the banded LSH join must find exactly the threshold set
+    "m_phash_neardup" ->
+      """WITH g AS (SELECT doc_id, doc_id - doc_id % 4 AS base, doc_id % 4 AS r
+        |           FROM documents),
+        |s AS (SELECT doc_id, base, r, 8 + base % 13 AS w, 8 + base % 7 AS h,
+        |             (((8 + base % 13) * 3 + 3) // 4) * 4 AS stride FROM g),
+        |px AS (SELECT doc_id, j,
+        |              (base + k + CASE WHEN k % 23 = r THEN r * 32 ELSE 0 END) % 256 AS v
+        |       FROM (SELECT *, ((j // 8) * h // 8) * stride + ((j % 8) * w // 8) * 3 + c AS k
+        |             FROM s, generate_series(0, 63) AS t(j), generate_series(0, 2) AS u(c))),
+        |lums AS (SELECT doc_id, j, SUM(v) AS lum FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(lum) AS tot FROM lums GROUP BY 1),
+        |bits AS (SELECT l.doc_id, j, CASE WHEN 64 * lum > tot THEN 1 ELSE 0 END AS bit
+        |         FROM lums l JOIN tot USING (doc_id)),
+        |bands AS (SELECT doc_id, j // 16 AS band, SUM(bit << (j % 16)) AS bval
+        |          FROM bits GROUP BY 1, 2),
+        |h AS (SELECT doc_id,
+        |             MAX(CASE WHEN band = 0 THEN bval END) AS b0,
+        |             MAX(CASE WHEN band = 1 THEN bval END) AS b1,
+        |             MAX(CASE WHEN band = 2 THEN bval END) AS b2,
+        |             MAX(CASE WHEN band = 3 THEN bval END) AS b3
+        |      FROM bands GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        |          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3""".stripMargin,
     // real-WAV audio features: the oracle recomputes every sample
     // arithmetically (sample k of doc d = signed 16-bit reading of
     // (d*31 + k*7919) mod 2^16 — the wavDocs construction), aggregates
@@ -1552,6 +1627,21 @@ object SparkEntry {
         |       CAST(ROW_NUMBER() OVER (ORDER BY band DESC, h, doc_id) AS BIGINT) - 1 AS curriculum_rank
         |FROM b""".stripMargin,
     "q_pagerank" -> pagerankOracle,
+    // the oracle enumerates each triangle once by id-ordering
+    // (a<b<c); the Spark side enumerates once by degree-ordering —
+    // same triangle set, so per-node counts agree exactly
+    "q_triangles" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT a AS node FROM tri
+        |      UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri)
+        |GROUP BY 1""".stripMargin,
     "q_salted_join" ->
       """SELECT s_name, COUNT(*) AS n_lines,
         |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty

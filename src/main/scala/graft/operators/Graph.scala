@@ -87,4 +87,60 @@ object Graph {
     }
     pr
   }
+
+  /** Per-node triangle counts over the part co-purchase graph (parts
+    * bought together in one order — the item-item affinity graph a
+    * recommendation or data-curation pipeline mines for cohesion).
+    * Returns (node, n_triangles) for every part in ≥ 1 triangle.
+    *
+    * Scale shape — the three classic guards, in order:
+    *  1. Edge build: the per-order self-join fans out C(k,2) pairs for
+    *     a k-item order, and basket size is bounded (TPC-H ≤ 7), so
+    *     the expansion is a constant factor on the scan, then one
+    *     distinct shuffle on the 16-byte pair key.
+    *  2. DEGREE ORIENTATION (Schank–Wagner): each undirected edge is
+    *     directed from its lower-(degree, id) endpoint to the higher,
+    *     a total order, so every triangle is enumerated exactly once
+    *     from its lowest-order corner and — the load-bearing part —
+    *     max out-degree is O(√(2m)) no matter how hot a node is:
+    *     wedge work is O(m^1.5) instead of Σ deg² (a star node with
+    *     degree 10⁶ contributes ZERO wedges instead of 10¹²).
+    *  3. Closure is a SEMI join of wedges against the oriented edge
+    *     frame — equi-keys only, no row explosion past the wedge set.
+    *
+    * The oriented edge frame (3 longs/row) is localCheckpoint'd once
+    * and reused by both wedge legs and the closure probe. The DuckDB
+    * oracle enumerates by id-ordering instead (a < b < c) — a
+    * different once-each rule over the SAME triangle set, so the
+    * per-node counts agree exactly (integer arithmetic, no rounding). */
+  def triangles(lineitem: DataFrame): DataFrame = {
+    val po = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = po.as("x").join(po.as("y"), Seq("o"))
+      .filter(col("x.p") < col("y.p"))
+      .select(col("x.p").as("u"), col("y.p").as("v"))
+      .distinct()
+    val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // one long encodes the (degree, id) total order: degree in the high
+    // bits, id below (partkeys stay under 2^33)
+    val ord = shiftleft(col("d"), 33) + col("n")
+    val oriented = edges
+      .join(deg.select(col("n").as("u"), ord.as("ou")), "u")
+      .join(deg.select(col("n").as("v"), ord.as("ov")), "v")
+      .select(
+        when(col("ou") < col("ov"), col("u")).otherwise(col("v")).as("src"),
+        when(col("ou") < col("ov"), col("v")).otherwise(col("u")).as("dst"),
+        greatest(col("ou"), col("ov")).as("odst"))
+      .localCheckpoint()
+    val wedges = oriented.select(col("src"), col("dst").as("v"), col("odst").as("a_ord"))
+      .join(oriented.select(col("src"), col("dst").as("w"), col("odst").as("b_ord")), "src")
+      .filter(col("a_ord") < col("b_ord"))
+      .select(col("src").as("a"), col("v"), col("w"))
+    val tri = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"), "leftsemi")
+    tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("v")))
+      .unionAll(tri.select(col("w")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

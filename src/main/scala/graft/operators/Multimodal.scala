@@ -715,4 +715,120 @@ object Multimodal {
           org.apache.commons.codec.digest.DigestUtils.md5Hex(hexUpper))
       })
   }
+
+  /** Deterministic BMP corpus WITH PLANTED NEAR-DUPLICATES — the image
+    * fixture for perceptual-hash dedup, the way the documents table's
+    * generated text carries near-dup pairs for MinHash. Docs come in
+    * groups of 4 sharing a base image (base = doc_id − doc_id % 4,
+    * dims 8 + base % 13 × 8 + base % 7 so no degenerate 1-pixel
+    * hashes); member r of a group re-renders the base with a SPARSE
+    * perturbation (+r·32 on bytes where k % 23 == r — re-encode noise),
+    * so in-group aHash distances spread over 0-7 and the Hamming
+    * threshold actually discriminates. Same codegen'd hex/unhex framing
+    * as [[bmpDocs]]; the DuckDB oracle rebuilds identical blobs. */
+  def phashDocs(documents: DataFrame): DataFrame = {
+    def le32(x: String) =
+      s"unhex(concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex((($x) div 256) % 256), 2, '0'), " +
+        s"lpad(hex((($x) div 65536) % 256), 2, '0'), '00'))"
+    def le16(x: String) =
+      s"unhex(concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex((($x) div 256) % 256), 2, '0')))"
+    documents
+      .selectExpr("doc_id", "doc_id - doc_id % 4 AS base", "doc_id % 4 AS r")
+      .selectExpr("doc_id", "base", "r", "8 + base % 13 AS w", "8 + base % 7 AS h")
+      .selectExpr("doc_id", "base", "r", "w", "h",
+        "h * (((w * 3 + 3) div 4) * 4) AS pix_len")
+      .selectExpr("doc_id",
+        s"""concat(unhex('424D'),
+           |  ${le32("54 + pix_len")}, ${le32("0")}, ${le32("54")},
+           |  ${le32("40")}, ${le32("w")}, ${le32("h")},
+           |  ${le16("1")}, ${le16("24")},
+           |  ${le32("0")}, ${le32("pix_len")},
+           |  ${le32("2835")}, ${le32("2835")}, ${le32("0")}, ${le32("0")},
+           |  unhex(array_join(transform(sequence(0, CAST(pix_len AS INT) - 1),
+           |    k -> lpad(hex((base + k + IF(k % 23 = r, r * 32, 0)) % 256), 2, '0')), ''))
+           |) AS payload""".stripMargin)
+  }
+
+  case class ImageHash(doc_id: Long, hash_hex: String,
+                       b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Average-hash (aHash) perceptual fingerprint of a decodable BMP:
+    * nearest-neighbor sample onto a FIXED 8×8 grid (aspect discarded —
+    * the point is translation/scale-stable bits, not geometry), 64
+    * per-cell luminance sums, bit j set iff cell j is above the grid
+    * mean (compared as 64·lum > total — integer-exact, no division).
+    * Returns the 64-bit hash as 16 hex digits plus its four 16-bit
+    * BANDS (b0 = bits 0-15 … b3 = bits 48-63), the LSH join keys of
+    * [[imageNearDup]]. Decode + hash is the same map-only batched seam
+    * as [[resizeBmp]]: payloads never shuffle, 30-byte hash rows do. */
+  def imageHash(bin: DataFrame): Dataset[ImageHash] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val meta = parseBmp(id, bytes).getOrElse(throw new IllegalArgumentException(
+          s"doc $id: imageHash needs a well-formed uncompressed BMP payload"))
+        val w = meta.width; val h = meta.height; val ch = meta.channels
+        val stride = (w * ch + 3) / 4 * 4
+        val lums = new Array[Long](64)
+        var tot = 0L
+        var j = 0
+        while (j < 64) {
+          val base = 54 + (j / 8 * h / 8) * stride + (j % 8 * w / 8) * ch
+          var s = 0L
+          var c = 0
+          while (c < ch) { s += bytes(base + c) & 0xFF; c += 1 }
+          lums(j) = s; tot += s; j += 1
+        }
+        var hash = 0L
+        j = 0
+        while (j < 64) { if (64L * lums(j) > tot) hash |= 1L << j; j += 1 }
+        ImageHash(id, f"$hash%016x",
+          (hash & 0xFFFF).toInt, (hash >>> 16 & 0xFFFF).toInt,
+          (hash >>> 32 & 0xFFFF).toInt, (hash >>> 48 & 0xFFFF).toInt)
+      })
+  }
+
+  /** Image near-duplicate pairs by perceptual hash — the multimodal
+    * sibling of MinHash text dedup: (doc_a, doc_b, hamming) for every
+    * pair of images whose aHash bits differ in ≤ `maxHamming`
+    * positions.
+    *
+    * Scale shape is banded LSH with a PIGEONHOLE recall guarantee:
+    * the 64-bit hash splits into 4 bands of 16, and two hashes within
+    * Hamming 3 must agree EXACTLY on ≥ 1 band (4 bands can't each
+    * absorb a differing bit from a budget of 3) — so an equi-join on
+    * (band index, band value) finds every qualifying pair with zero
+    * probability of a miss, unlike probabilistic MinHash banding.
+    * Candidates then pay one integer XOR/popcount verify; with
+    * maxHamming > 3 the guarantee needs proportionally more bands.
+    * Hash rows are ~30 bytes/image and the payload never re-joins,
+    * so the shuffle is hash-dictionary-sized; hot band buckets (many
+    * near-identical images) expand quadratically like any LSH bucket
+    * — the same caveat as [[Dedup.minhashPairs]], and the same
+    * answer: candidates ∝ true duplicate density. */
+  def imageNearDup(bin: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding guarantees recall only to Hamming 3")
+    val hashes = imageHash(bin).toDF()
+      .select(col("doc_id"),
+        (col("b0").cast("long") + shiftleft(col("b1").cast("long"), 16)
+          + shiftleft(col("b2").cast("long"), 32)
+          + shiftleft(col("b3").cast("long"), 48)).as("h64"),
+        array((0 to 3).map(b => struct(lit(b).as("band"), col(s"b$b").as("bval"))): _*)
+          .as("bands"))
+      .select(col("doc_id"), col("h64"), explode(col("bands")).as("bv"))
+      .select(col("doc_id"), col("h64"),
+        col("bv.band").as("band"), col("bv.bval").as("bval"))
+      .localCheckpoint()
+    val a = hashes.select(col("band"), col("bval"),
+      col("doc_id").as("doc_a"), col("h64").as("ha"))
+    val b = hashes.select(col("band"), col("bval"),
+      col("doc_id").as("doc_b"), col("h64").as("hb"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

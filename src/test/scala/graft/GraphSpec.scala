@@ -37,4 +37,35 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
     assert(run() == run())
   }
+
+  test("triangles: K4 gives every node 3; path graph gives none") {
+    // one 4-item order = complete graph K4: C(3,2)=3 triangles per node
+    val k4 = Seq.tabulate(4)(i => (1L, 10L + i)).toDF("l_orderkey", "l_partkey")
+    val out = Graph.triangles(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L))
+    // 2-item orders chained in a path: wedges exist, no closure
+    val path = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 3L), (3L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    assert(Graph.triangles(path).count() == 0)
+  }
+
+  test("triangles: a hot hub without closure contributes nothing (orientation guard)") {
+    // star: hub part 0 shares an order with each of 30 leaves — 30
+    // wedges through the hub if enumerated naively, zero triangles
+    val star = (1L to 30L).flatMap(k => Seq((k, 0L), (k, k))).toDF("l_orderkey", "l_partkey")
+    assert(Graph.triangles(star).count() == 0)
+    // add one leaf-leaf edge: exactly one triangle, each corner counted once
+    val closed = star.unionAll(Seq((100L, 1L), (100L, 2L)).toDF("l_orderkey", "l_partkey"))
+    val out = Graph.triangles(closed).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("triangles: duplicate lineitem rows do not change counts (edge distinct)") {
+    val k3 = Seq.tabulate(3)(i => (1L, 10L + i)).toDF("l_orderkey", "l_partkey")
+    val once = Graph.triangles(k3).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val doubled = Graph.triangles(k3.unionAll(k3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(once == doubled && once.values.toSet == Set(1L))
+  }
 }

@@ -287,4 +287,36 @@ class MultimodalSpec extends SparkSpec {
     hBump(31) = (v >>> 8).toByte; hBump(32) = v.toByte
     assert(Multimodal.inflatePng(21L, hBump).isEmpty)
   }
+
+  test("imageHash: bands reassemble the hash; group members are near, strangers far") {
+    val docs = (0L until 64L).map(d => (d, s"doc $d")).toDF("doc_id", "text")
+    val out = Multimodal.imageHash(Multimodal.phashDocs(docs)).collect()
+    assert(out.length == 64)
+    out.foreach { h =>
+      val packed = h.b0.toLong | (h.b1.toLong << 16) | (h.b2.toLong << 32) | (h.b3.toLong << 48)
+      assert(f"$packed%016x" == h.hash_hex, s"doc ${h.doc_id}")
+    }
+    val byId = out.map(h => h.doc_id ->
+      (h.b0.toLong | (h.b1.toLong << 16) | (h.b2.toLong << 32) | (h.b3.toLong << 48))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // members of one base group: sparse perturbation, small distance
+    for (g <- Seq(0L, 4L, 32L); r <- 1L to 3L)
+      assert(ham(byId(g), byId(g + r)) <= 8, s"group $g member $r too far")
+  }
+
+  test("imageNearDup: equals brute force, symmetric-free, verified hamming") {
+    val docs = (0L until 100L).map(d => (d, s"doc $d")).toDF("doc_id", "text")
+    val bin = Multimodal.phashDocs(docs)
+    val hashes = Multimodal.imageHash(bin).collect().map(h => h.doc_id ->
+      (h.b0.toLong | (h.b1.toLong << 16) | (h.b2.toLong << 32) | (h.b3.toLong << 48))).toMap
+    val brute = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    val banded = Multimodal.imageNearDup(bin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the pigeonhole guarantee: banding loses nothing vs brute force
+    assert(banded == brute)
+    assert(brute.nonEmpty) // planted near-dups actually surface
+  }
 }

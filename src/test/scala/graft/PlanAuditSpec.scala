@@ -461,4 +461,27 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning") && l.contains("array<double>")).size
     assert(payloadEx <= 2, s"embedding payload shuffles too often ($payloadEx):\n$p")
   }
+
+  test("triangles: closure is a semi join, wedge legs are equi joins, no cartesian") {
+    val p = plan(graft.operators.Graph.triangles(Tables.lineitem(spark, dir)))
+    // triangle membership must never materialize more than the wedge
+    // set: the closure probe is a semi join on the (v, w) pair
+    assert(p.contains("LeftSemi"), s"closure not a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the triangle plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"theta join crept in:\n$p")
+    // per-node counts partial-aggregate before the final shuffle
+    assert(p.contains("partial_count"), s"triangle counts not map-side partial:\n$p")
+  }
+
+  test("imageNearDup: band LSH is an equi join; payload bytes never shuffle") {
+    val p = plan(graft.operators.Multimodal.imageNearDup(
+      graft.operators.Multimodal.phashDocs(Tables.documents(spark, dir))))
+    assert(!p.contains("CartesianProduct"), s"all-pairs crept in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"theta join crept in:\n$p")
+    // the candidate join keys on (band, bval) — hash or sort-merge both
+    // fine, but the shuffled rows must be the 30-byte hash rows, never
+    // the BMP payload
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach(e =>
+      assert(!e.contains("payload"), s"an exchange carries image payloads:\n$e"))
+  }
 }
