@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table access for the driver-generated test data (TESTDATA.md).
   *
@@ -18,16 +20,44 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default; read it as Long nanos-since-epoch so orderings on ts match
-    * DuckDB's nanosecond precision exactly (no µs truncation). The conf
-    * is session-global and set lazily here because the driver invokes
-    * queries with its own SparkSession, which we don't construct; it is
-    * only touched when already unset, and only for this table. */
+  /** events.ts normalized to Long NANOS-since-epoch — the repo-wide
+    * convention every consumer relies on (`ts div 1000` = micros,
+    * `ts div 1000000` = millis), matching DuckDB's `epoch_ns(ts)` on
+    * the oracle side exactly regardless of the file's flavor.
+    *
+    * The generated file has shipped in two flavors across rounds:
+    * TIMESTAMP(NANOS), which Spark 4 refuses unless `nanosAsLong`
+    * maps it to Long (already nanos — used verbatim), and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false). For the micros flavor,
+    * `inferTimestampNTZ=false` reads the stored int64 verbatim as
+    * epoch micros (TimestampType, no wall-clock reinterpretation —
+    * the same verbatim reading DuckDB applies), and `unix_micros`
+    * extracts it exactly; ×1000 restores the nanos convention.
+    * Both confs are session-global and set lazily here because the
+    * driver invokes queries with its own SparkSession, which we don't
+    * construct; each is only touched when unset, and only affects
+    * this table (no other input carries nanos or NTZ timestamps). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
+    if (spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled").isEmpty)
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df // nanos flavor, already the convention
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case TimestampNTZType =>
+        // only reachable if the session pinned inferTimestampNTZ=true:
+        // NTZ→LTZ cast reinterprets the wall clock in the session zone,
+        // which is the verbatim epoch iff that zone is UTC (Verify and
+        // Bench pin UTC; a non-UTC driver session would need the conf
+        // left unset for the TimestampType path above to apply)
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: expected nanos-Long or a timestamp type, got $other")
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
