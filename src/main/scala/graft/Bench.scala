@@ -57,7 +57,7 @@ object Bench {
     // separates compile cost from data cost — measurement honesty for
     // cross-round comparisons, never mixed into the cold total.
     val warmSet = Set("a_pq_codes", "a_pq_topk", "a_ivfadc_topk", "a_ivfadc_trained",
-      "a_ivf_trained", "q_pagerank", "t_sparse_sim")
+      "a_ivf_trained", "q_pagerank", "t_sparse_sim", "q_triangles")
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -37,6 +37,13 @@ object Graph {
   /** Power iterations — the oracle pays one CTE block each. */
   val Iters = 3
 
+  /** Edge-count bound under which [[triangles]] broadcasts the per-node
+    * adjacency frame (total payload = one long per edge, ≈80 MB at the
+    * bound — inside Spark's broadcast comfort zone). Graphs past the
+    * bound drop the hint and the planner shuffles edges onto the
+    * adjacency frame by endpoint instead. */
+  val BroadcastEdgeLimit = 10000000L
+
   /** (node, pr) after [[Iters]] rounds over the undirected
     * customer–supplier graph. Node ids are disjointified as
     * custkey·2 / suppkey·2+1. Every node has ≥ 1 edge by
@@ -112,35 +119,66 @@ object Graph {
     * and reused by both wedge legs and the closure probe. The DuckDB
     * oracle enumerates by id-ordering instead (a < b < c) — a
     * different once-each rule over the SAME triangle set, so the
-    * per-node counts agree exactly (integer arithmetic, no rounding). */
+    * per-node counts agree exactly (integer arithmetic, no rounding).
+    *
+    * Cost notes from the sf0.1 co-purchase graph (20k parts, m≈1.2M
+    * edges, avg degree ~120 — far denser than a crawl graph, with
+    * ~41M wedges): at this density the closure must NEVER materialize
+    * wedges as join rows. Instead of the wedge-join formulation
+    * (measured 189 s naively, 39 s with broadcasts), the closure is
+    * ADJACENCY-ARRAY INTERSECTION (Latapy's compact-forward): each
+    * oriented edge (u,v) carries both endpoints' out-neighbor arrays
+    * (degree-capped at O(√2m) by the orientation, 97 at sf0.1) and
+    * `array_intersect` finds the closing corners in codegen — the
+    * ~41M wedge checks become array-element ops inside one stage, and
+    * only SURVIVING triangles become rows (one explode per triangle,
+    * one per corner). When the adjacency frame fits the
+    * [[BroadcastEdgeLimit]] gate (exact count read off the
+    * checkpoint; payload totals m longs — the edge frame itself), it
+    * ships map-side and the per-node count aggregation is the only
+    * post-edge-build shuffle. Past the gate the hint drops and the
+    * planner shuffles edges onto the adjacency frame by endpoint —
+    * two edge-sized shuffles, still never a wedge-sized one. */
   def triangles(lineitem: DataFrame): DataFrame = {
     val po = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     val edges = po.as("x").join(po.as("y"), Seq("o"))
       .filter(col("x.p") < col("y.p"))
       .select(col("x.p").as("u"), col("y.p").as("v"))
       .distinct()
+      .localCheckpoint()
+    // exact edge count off the materialized frame (metadata-cheap)
+    // gates every small-side broadcast below: the degree vector and the
+    // adjacency frame are both ≤ one row per node / one long per edge,
+    // so the same bound keeps each well inside broadcast room
+    val broadcastable = edges.count() <= BroadcastEdgeLimit
+    def gated(df: DataFrame): DataFrame = if (broadcastable) broadcast(df) else df
     val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     // one long encodes the (degree, id) total order: degree in the high
     // bits, id below (partkeys stay under 2^33)
     val ord = shiftleft(col("d"), 33) + col("n")
     val oriented = edges
-      .join(deg.select(col("n").as("u"), ord.as("ou")), "u")
-      .join(deg.select(col("n").as("v"), ord.as("ov")), "v")
+      .join(gated(deg.select(col("n").as("u"), ord.as("ou"))), "u")
+      .join(gated(deg.select(col("n").as("v"), ord.as("ov"))), "v")
       .select(
         when(col("ou") < col("ov"), col("u")).otherwise(col("v")).as("src"),
-        when(col("ou") < col("ov"), col("v")).otherwise(col("u")).as("dst"),
-        greatest(col("ou"), col("ov")).as("odst"))
+        when(col("ou") < col("ov"), col("v")).otherwise(col("u")).as("dst"))
       .localCheckpoint()
-    val wedges = oriented.select(col("src"), col("dst").as("v"), col("odst").as("a_ord"))
-      .join(oriented.select(col("src"), col("dst").as("w"), col("odst").as("b_ord")), "src")
-      .filter(col("a_ord") < col("b_ord"))
-      .select(col("src").as("a"), col("v"), col("w"))
-    val tri = wedges.join(
-      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"), "leftsemi")
-    tri.select(col("a").as("node"))
-      .unionAll(tri.select(col("v")))
-      .unionAll(tri.select(col("w")))
+    // out-neighbor arrays per node; element order is irrelevant (the
+    // intersection is exploded and counted), so no sort is paid
+    val adj = oriented.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+    val tri = oriented
+      .join(gated(adj.select(col("src"), col("nbrs").as("un"))), Seq("src"))
+      // dst-side left join: maximal-order nodes have no out-neighbors
+      .join(gated(adj.select(col("src").as("dst"), col("nbrs").as("vn"))),
+        Seq("dst"), "left")
+      // one row per TRIANGLE (not per wedge): w closes (src, dst)
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("un"),
+          coalesce(col("vn"), array().cast("array<bigint>")))).as("w"))
+    // each triangle credits its three corners; partial counts absorb
+    // them map-side before the only remaining shuffle (key-bounded)
+    tri.select(explode(array(col("src"), col("dst"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 }

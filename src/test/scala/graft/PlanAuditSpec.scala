@@ -462,13 +462,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(payloadEx <= 2, s"embedding payload shuffles too often ($payloadEx):\n$p")
   }
 
-  test("triangles: closure is a semi join, wedge legs are equi joins, no cartesian") {
+  test("triangles: adjacency intersection — no wedge join rows, no cartesian") {
     val p = plan(graft.operators.Graph.triangles(Tables.lineitem(spark, dir)))
-    // triangle membership must never materialize more than the wedge
-    // set: the closure probe is a semi join on the (v, w) pair
-    assert(p.contains("LeftSemi"), s"closure not a semi join:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in the triangle plan:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"theta join crept in:\n$p")
+    // the closure runs as array_intersect inside the stage, never as a
+    // wedge-materializing join: the only Generates are the per-triangle
+    // and per-corner explodes
+    assert(p.linesIterator.count(_.contains("Generate")) <= 2,
+      s"extra row generation in the triangle plan:\n$p")
+    assert(p.contains("array_intersect"), s"closure not an array intersection:\n$p")
+    // the small-graph path ships the adjacency frame map-side
+    assert(p.contains("BroadcastHashJoin"), s"adjacency not broadcast at test scale:\n$p")
     // per-node counts partial-aggregate before the final shuffle
     assert(p.contains("partial_count"), s"triangle counts not map-side partial:\n$p")
   }
