@@ -68,6 +68,12 @@ object Bench {
           fn(spark, sfDir).count()
           timings(name) = (System.nanoTime() - t0) / 1e9
           if (warmSet(name)) {
+            // isolate the warm pass exactly like a fresh query: the cold
+            // pass's checkpoint/broadcast blocks otherwise crowd memory
+            // and the "warm" number measures reclamation, not the query
+            // (observed 27 s warm vs 6.5 s cold on q_triangles)
+            spark.catalog.clearCache()
+            System.gc()
             val t1 = System.nanoTime()
             fn(spark, sfDir).count()
             warm(name) = (System.nanoTime() - t1) / 1e9
