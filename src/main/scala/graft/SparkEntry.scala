@@ -255,6 +255,9 @@ object SparkEntry {
       Corpus.qualityQuantileFilter(Tables.documents(s, dir))),
     // repeated-signal suppression over the event log (24 h window)
     "d_time_dedup" -> ((s, dir) => Dedup.timeDedup(ev(s, dir))),
+    // gaps-and-islands user sessionization (4 h inactivity gap) — the
+    // batch ground truth of the streaming session_window replay
+    "q_sessionize" -> ((s, dir) => Sessions.sessionize(ev(s, dir))),
     // content-defined chunking: insertion-stable chunk manifests
     "d_cdc_chunks" -> ((s, dir) => Dedup.cdcChunks(Tables.documents(s, dir))),
     // Efraimidis–Spirakis weighted sample, 50 docs per source
@@ -1576,6 +1579,21 @@ object SparkEntry {
         |                               ORDER BY tus, event_id) AS prev FROM e)
         |SELECT event_id, user_id, event_type, tus AS ts_us,
         |       (prev IS NULL OR tus - prev > 86400000000) AS keep FROM l""".stripMargin,
+    // strict-gap sessionization: same boundary rule the streaming
+    // session_window replay is pinned to; exact-decimal session means
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus, value FROM events),
+        |b AS (SELECT *, CASE WHEN LAG(tus) OVER w IS NULL
+        |                       OR tus - LAG(tus) OVER w > 14400000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS sid FROM b)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+        |       MIN(tus) AS session_start, MAX(tus) AS session_end,
+        |       COUNT(*) AS n_events,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) + 1e-12, 4)
+        |         AS avg_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "c_weighted_sample" ->
       """WITH s AS (
         |  SELECT doc_id, source, n_chars,

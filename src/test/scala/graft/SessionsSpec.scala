@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sessions
+
+/** Gaps-and-islands sessionization: boundary semantics (strict gap),
+  * conservation, and the one-Exchange plan shape. */
+class SessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, Long, Double)*) =
+    rows.toSeq.toDF("event_id", "user_id", "tus", "value")
+      .select(col("event_id"), col("user_id"),
+        (col("tus") * 1000L).as("ts"), col("value")) // operator expects nanos
+
+  test("strict gap boundary: silence == gap continues, gap + 1us breaks") {
+    val gapUs = Sessions.DefaultGapSec * 1000000L
+    val out = Sessions.sessionize(ev(
+      (1L, 7L, 0L, 1.0),
+      (2L, 7L, gapUs, 2.0),          // exactly the gap: SAME session
+      (3L, 7L, 2 * gapUs + 1, 3.0))) // one microsecond past: NEW session
+      .orderBy("session_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(out(0).getLong(4) == 2L) // first session holds events 1 and 2
+    assert(out(1).getLong(4) == 1L)
+  }
+
+  test("sessions conserve events, spans nest, means are exact") {
+    val events = Tables.events(spark, sf0001)
+    val out = Sessions.sessionize(events)
+    val total = events.count()
+    assert(out.agg(sum("n_events")).first().getLong(0) == total)
+    // session ids number from 1 contiguously per user
+    val perUser = out.groupBy("user_id")
+      .agg(min("session_id").as("lo"), max("session_id").as("hi"),
+        count(lit(1)).as("n"))
+    assert(perUser.filter(col("lo") =!= 1L || col("hi") =!= col("n")).count() == 0)
+    // spans are well-formed and disjoint in time order per user
+    val bad = out.withColumn("prev_end", lag("session_end", 1).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("session_id")))
+      .filter(col("session_end") < col("session_start") ||
+        (col("prev_end").isNotNull && col("session_start") <= col("prev_end")))
+    assert(bad.count() == 0)
+  }
+
+  test("plan: one user_id exchange serves both windows and the aggregate") {
+    val p = Sessions.sessionize(Tables.events(spark, sf0001))
+      .queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"windows and aggregate should share one shuffle:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"corpus-wide single-partition stage crept in:\n$p")
+  }
+}
