@@ -280,6 +280,10 @@ object SparkEntry {
     // the composed end-to-end build: keep-list -> budget -> order
     "c_data_build" -> ((s, dir) =>
       Corpus.dataBuild(Tables.documents(s, dir))),
+    // the token budget measured in learned BPE subword tokens — the
+    // count a model actually trains on
+    "c_bpe_budget" -> ((s, dir) =>
+      Corpus.bpeTokenBudget(Tables.documents(s, dir))),
     // weighted PageRank by power iteration over the customer–supplier
     // purchase graph (exact-decimal contributions, 9-dp pr per round)
     "q_pagerank" -> ((s, dir) =>
@@ -1786,6 +1790,7 @@ object SparkEntry {
     // replace equals the Spark side's per-word replay; empty split
     // cells (the gaps) are filtered before positions are assigned
     "t_bpe_encode" -> bpeEncodeOracle,
+    "c_bpe_budget" -> bpeBudgetOracle,
   )
 
   /** The BPE training recurrence (graft.functions.Bpe.train) as DuckDB
@@ -1853,6 +1858,45 @@ object SparkEntry {
        |       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT) AS pos,
        |       piece
        |FROM flat WHERE piece <> ''""".stripMargin
+  }
+
+  /** BPE-token budget: the encode chain over EVERY document (space
+    * characters become isolated symbols that never merge — lhs/rhs come
+    * from word vocabulary — so whole-text replay equals per-word replay
+    * and empty fragments drop out of the piece count), then the
+    * c_token_budget greedy prefix on (quality DESC, doc_id) with piece
+    * counts as the budget currency. */
+  private lazy val bpeBudgetOracle: String = {
+    val n = 8
+    val encs = (1 to n).map(r =>
+      s"""enc$r AS (
+         |  SELECT doc_id, replace(seq, ' ' || b.l || ' ' || b.r || ' ',
+         |                              ' ' || b.l || b.r || ' ') AS seq
+         |  FROM enc${r - 1}, b$r b)""".stripMargin).mkString(",\n")
+    s"""WITH ${bpeChain(n)},
+       |enc0 AS (
+       |  SELECT doc_id, ' ' || array_to_string(string_split(text, ''), ' ') || ' ' AS seq
+       |  FROM documents),
+       |$encs,
+       |nt AS (
+       |  SELECT doc_id,
+       |         len(list_filter(string_split(trim(seq), ' '), x -> x <> '')) AS n_tokens
+       |  FROM enc$n),
+       |q AS (
+       |  SELECT d.doc_id, nt.n_tokens,
+       |         ROUND(
+       |           len(list_distinct(string_split(text,' '))) / CAST(len(string_split(text,' ')) AS DOUBLE) * 0.5
+       |           + (1.0 - len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and')))
+       |                    / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.2
+       |           + least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.3
+       |           + 1e-12, 4) AS quality
+       |  FROM documents d JOIN nt USING (doc_id)),
+       |c AS (SELECT doc_id, quality, n_tokens,
+       |             SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM q)
+       |SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(cum AS BIGINT) AS cum_tokens
+       |FROM c WHERE cum <= 50000""".stripMargin
   }
 
   private lazy val contaminationOracle: String =

@@ -150,4 +150,20 @@ object Bpe {
           w => split(trim(applyMerges(wordSeq(w), nMerges)), " ")))
           .as("ps"))
       .select(col("doc_id"), posexplode(col("ps")).as(Seq("pos", "piece")))
+
+  /** The input documents plus one `n_bpe_tokens` column — the piece
+    * count [[encode]] would emit per document, computed by the same
+    * broadcast-merge-table codegen pass but WITHOUT exploding pieces
+    * into rows. This is the count an LLM data build budgets and packs
+    * on (whitespace word counts under-count by the subword fertility
+    * factor); piece-count-equals-encode-rows is pinned by BpeSpec. */
+  def withPieceCount(documents: DataFrame, merges: DataFrame, nMerges: Int = 8,
+                     outCol: String = "n_bpe_tokens"): DataFrame = {
+    val mergeCols = (1 to nMerges).flatMap(r => Seq(s"l_$r", s"r_$r"))
+    documents.crossJoin(broadcast(mergeRow(merges, nMerges)))
+      .withColumn(outCol,
+        size(flatten(transform(words(col("text")),
+          w => split(trim(applyMerges(wordSeq(w), nMerges)), " ")))).cast("long"))
+      .drop(mergeCols: _*)
+  }
 }

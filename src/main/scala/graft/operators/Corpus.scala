@@ -363,12 +363,14 @@ object Corpus {
     * corpus-wide single-partition window at any point; all comparisons
     * are integer/4-dp-exact. */
   def tokenBudget(documents: DataFrame, budgetTokens: Long = 10000L,
-                  subBucketWidth: Long = 1024L): DataFrame = {
+                  subBucketWidth: Long = 1024L,
+                  nTokens: org.apache.spark.sql.Column =
+                    size(split(col("text"), " ")).cast("long")): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     require(subBucketWidth > 0, s"subBucketWidth must be positive, got $subBucketWidth")
     import graft.functions.TextAnalysis.qualityCol
     val d = documents.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      nTokens.as("n_tokens"),
       qualityCol(col("text")).as("quality"))
       // quantized quality is the PRIMARY bucket (4-dp rounding makes it
       // an exact integer in [0, 10000] on both engines) — but quality
@@ -397,6 +399,29 @@ object Corpus {
             .withColumn("__prefix", col("__cumtot") - col("__tot"))))
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** [[tokenBudget]] measured in LEARNED SUBWORD tokens — the form a
+    * real LLM data build uses: whitespace word counts under-count each
+    * document by its subword fertility (a model trains on pieces, not
+    * words), so budgeting on them misallocates the corpus cut. Trains
+    * the BPE merge table on the corpus itself
+    * ([[graft.functions.Bpe.train]] — vocabulary-sized rounds), counts
+    * each document's pieces in the broadcast-merge-table codegen pass
+    * (no explode, [[graft.functions.Bpe.withPieceCount]]), and reuses
+    * the same two-level-prefix budget machinery. The default budget is
+    * 5× the word-count default: with a small merge table, piece counts
+    * sit near character counts (fertility ≈ word length until the
+    * vocabulary grows).
+    *
+    * 100 TB: adds exactly one corpus scan (the vocabulary count inside
+    * train) plus the per-row encode expressions to tokenBudget's cost;
+    * merge rounds shuffle vocabulary-sized pair stats only. */
+  def bpeTokenBudget(documents: DataFrame, budgetTokens: Long = 50000L,
+                     nMerges: Int = 8, subBucketWidth: Long = 1024L): DataFrame = {
+    val merges = graft.functions.Bpe.train(documents, nMerges)
+    tokenBudget(graft.functions.Bpe.withPieceCount(documents, merges, nMerges),
+      budgetTokens, subBucketWidth, nTokens = col("n_bpe_tokens"))
   }
 
   /** The distributed TWO-LEVEL prefix scan shared by [[packStream]],

@@ -66,6 +66,34 @@ class BpeSpec extends SparkSpec {
     assert(enc.toSeq == Seq("aa", "a", "aa", "aa", "a", "aa"))
   }
 
+  test("withPieceCount equals the encode row count, document by document") {
+    val docs = Tables.documents(spark, sf0001).limit(40)
+    val m = Bpe.train(docs, 8)
+    val counted = Bpe.withPieceCount(docs, m, 8)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    val encoded = Bpe.encode(docs, m, 8)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_rows"))
+    val joined = counted.join(encoded, Seq("doc_id"), "left")
+    assert(joined.filter(
+      coalesce(col("n_rows"), lit(0L)) =!= col("n_bpe_tokens")).count() == 0)
+    // and the merge-table columns never leak into the output
+    assert(counted.columns.toSet == Set("doc_id", "n_bpe_tokens"))
+  }
+
+  test("bpeTokenBudget: kept prefix is exact and quality-ordered in BPE tokens") {
+    val docs = Tables.documents(spark, sf0001).limit(60)
+    val out = graft.operators.Corpus.bpeTokenBudget(docs, budgetTokens = 5000L)
+      .orderBy(col("quality").desc, col("doc_id")).collect()
+    assert(out.nonEmpty)
+    // cumulative sums are the running total of n_tokens in kept order
+    var cum = 0L
+    out.foreach { r =>
+      cum += r.getLong(2)
+      assert(r.getLong(3) == cum)
+    }
+    assert(cum <= 5000L)
+  }
+
   test("rounds past vocabulary exhaustion are silent no-ops") {
     // one word, one pair: rank 1 merges (a,b); every later round hits
     // the sentinel and must emit nothing and corrupt nothing
