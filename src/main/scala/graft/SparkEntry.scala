@@ -258,6 +258,11 @@ object SparkEntry {
     // gaps-and-islands user sessionization (4 h inactivity gap) — the
     // batch ground truth of the streaming session_window replay
     "q_sessionize" -> ((s, dir) => Sessions.sessionize(ev(s, dir))),
+    // ordered conversion funnel: view -> click -> purchase, strictly
+    // increasing arrival times per user
+    "q_funnel" -> ((s, dir) => Sessions.funnel(ev(s, dir))),
+    // first-active-day cohorts × return-day offsets
+    "q_retention" -> ((s, dir) => Sessions.retention(ev(s, dir))),
     // content-defined chunking: insertion-stable chunk manifests
     "d_cdc_chunks" -> ((s, dir) => Dedup.cdcChunks(Tables.documents(s, dir))),
     // Efraimidis–Spirakis weighted sample, 50 docs per source
@@ -1598,6 +1603,27 @@ object SparkEntry {
         |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) + 1e-12, 4)
         |         AS avg_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // staged first-arrival funnel: stage i+1 = first event of its type
+    // strictly after the user's stage-i arrival
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |s1 AS (SELECT user_id, MIN(tus) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(tus) AS t FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND tus > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(tus) AS t FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tus > s2.t GROUP BY 1)
+        |SELECT 1 AS stage_idx, 'view' AS stage, (SELECT COUNT(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)""".stripMargin,
+    // cohort retention on integer epoch-days
+    "q_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |                  (epoch_ns(ts) // 1000) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset, COUNT(*) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |WHERE day - cohort_day <= 29
+        |GROUP BY 1, 2""".stripMargin,
     "c_weighted_sample" ->
       """WITH s AS (
         |  SELECT doc_id, source, n_chars,

@@ -58,4 +58,64 @@ object Sessions {
         round(sum(col("value").cast("decimal(18,4)")).cast("double") / count(lit(1))
           + lit(1e-12), 4).as("avg_value"))
   }
+
+  /** Ordered conversion funnel: how many users progress through
+    * `stages` IN ORDER — a user reaches stage i+1 only with an event of
+    * that type STRICTLY AFTER their stage-i arrival time (first such
+    * event counts; equal timestamps do not advance, pinned by spec).
+    * Returns one row per stage: (stage_idx, stage, n_users).
+    *
+    * Scale shape: stage i+1 is one filtered scan of events (the type
+    * predicate pushes into the scan) equi-joined on user_id to the
+    * stage-i arrival frame (one row per surviving user, shrinking per
+    * stage), then a partial-aggregating min per user. Per-stage counts
+    * are scalar aggregates unioned into the output — one job, nothing
+    * collected to the driver. */
+  def funnel(events: DataFrame,
+             stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val e = events.select(col("user_id"), col("event_type"),
+      expr("ts div 1000").as("tus"))
+    // each stage frame (≤ one 16-byte row per surviving user) has two
+    // consumers — the next stage's join and its own count — so it is
+    // checkpointed: without it stage i's whole chain re-executes once
+    // per later stage (quadratic scan growth in the stage count)
+    var reached = e.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t"))
+      .localCheckpoint()
+    var out = reached.agg(count(lit(1)).as("n_users"))
+      .select(lit(1).as("stage_idx"), lit(stages.head).as("stage"), col("n_users"))
+    stages.zipWithIndex.drop(1).foreach { case (s, i) =>
+      reached = e.filter(col("event_type") === s)
+        .join(reached, "user_id")
+        .filter(col("tus") > col("t"))
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t"))
+        .localCheckpoint()
+      out = out.unionByName(reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage_idx"), lit(s).as("stage"), col("n_users")))
+    }
+    out
+  }
+
+  /** Classic cohort retention: users grouped by their FIRST active day
+    * (the cohort), counted on each later day they return. Returns
+    * (cohort_day, day_offset, n_users) for offsets 0..`maxOffsetDays`;
+    * days are integer micros-since-epoch days, exact on both engines.
+    *
+    * Scale shape: one distinct (user, day) pass, a per-user min for the
+    * cohort, one user_id equi-join back, and a partial-aggregating
+    * count on the (cohort, offset) grid — bounded by cohorts × offsets,
+    * not by events. The cohort frame is SF-proportional, deliberately
+    * un-hinted (the planner broadcasts it only when stats allow). */
+  def retention(events: DataFrame, maxOffsetDays: Int = 29): DataFrame = {
+    val e = events
+      .select(col("user_id"), expr("ts div 1000 div 86400000000").as("day"))
+      .distinct()
+    val cohort = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.join(cohort, "user_id")
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .filter(col("day_offset") <= maxOffsetDays)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -14,6 +14,11 @@ class SessionsSpec extends SparkSpec {
       .select(col("event_id"), col("user_id"),
         (col("tus") * 1000L).as("ts"), col("value")) // operator expects nanos
 
+  private def ev(rows: (Long, Long, Long, Double, String)*)(implicit d: DummyImplicit) =
+    rows.toSeq.toDF("event_id", "user_id", "tus", "value", "event_type")
+      .select(col("event_id"), col("user_id"),
+        (col("tus") * 1000L).as("ts"), col("value"), col("event_type"))
+
   test("strict gap boundary: silence == gap continues, gap + 1us breaks") {
     val gapUs = Sessions.DefaultGapSec * 1000000L
     val out = Sessions.sessionize(ev(
@@ -42,6 +47,43 @@ class SessionsSpec extends SparkSpec {
       .filter(col("session_end") < col("session_start") ||
         (col("prev_end").isNotNull && col("session_start") <= col("prev_end")))
     assert(bad.count() == 0)
+  }
+
+  test("funnel: order is strict — earlier or simultaneous events do not advance") {
+    // user 1 converts fully; user 2 clicked BEFORE viewing (no advance);
+    // user 3's click is simultaneous with the view (strictly-after fails);
+    // user 4 views only
+    val out = Sessions.funnel(ev(
+      (1L, 1L, 100L, 0.0, "view"), (2L, 1L, 200L, 0.0, "click"),
+      (3L, 1L, 300L, 0.0, "purchase"),
+      (4L, 2L, 100L, 0.0, "click"), (5L, 2L, 200L, 0.0, "view"),
+      (6L, 3L, 100L, 0.0, "view"), (7L, 3L, 100L, 0.0, "click"),
+      (8L, 4L, 100L, 0.0, "view")))
+      .orderBy("stage_idx").collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("view", 4L), ("click", 1L), ("purchase", 1L)))
+  }
+
+  test("funnel: a late view re-qualifies nothing — first arrival is the anchor") {
+    // the user's FIRST view anchors stage 1; the click before it cannot
+    // advance even though a second view precedes nothing
+    val out = Sessions.funnel(ev(
+      (1L, 9L, 100L, 0.0, "view"), (2L, 9L, 50L, 0.0, "click"),
+      (3L, 9L, 200L, 0.0, "view")))
+      .orderBy("stage_idx").collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("view", 1L), ("click", 0L), ("purchase", 0L)))
+  }
+
+  test("retention: cohorts anchor at first day, offsets count distinct return days") {
+    val day = 86400000000L // one day of micros
+    val out = Sessions.retention(ev(
+      (1L, 1L, 0L, 0.0, "view"),           // user 1 cohort day 0
+      (2L, 1L, day + 1L, 0.0, "click"),    // returns day 1
+      (3L, 1L, day + 2L, 0.0, "view"),     // same day — counted once
+      (4L, 2L, day, 0.0, "view"),          // user 2 cohort day 1
+      (5L, 2L, 3 * day, 0.0, "view")))     // returns at offset 2
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 0L, 1L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
   }
 
   test("plan: one user_id exchange serves both windows and the aggregate") {
