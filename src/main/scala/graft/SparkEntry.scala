@@ -375,6 +375,12 @@ object SparkEntry {
     // stride, chunk-walk or CRC bug can never hash right
     "m_decode_png_pixels" -> ((s, dir) =>
       Multimodal.decodePngPixels(Multimodal.pngPixelDocs(Tables.documents(s, dir))).toDF()),
+    // REAL GIF decode: conformant LZW index streams (SQL-constructed
+    // clear-interleaved codes) decoded through the general variable-
+    // width LZW path; the oracle recomputes dims and the pixel stream
+    // fingerprint arithmetically from doc_id
+    "m_decode_gif" -> ((s, dir) =>
+      Multimodal.decodeGif(Multimodal.gifDocs(Tables.documents(s, dir))).toDF()),
     // REAL audio decode + DSP: RIFF/WAV header parsing and sample-level
     // statistics from the actual little-endian PCM bytes
     "m_audio_features" -> ((s, dir) =>
@@ -1176,6 +1182,22 @@ object SparkEntry {
         |       md5(array_to_string(
         |         [lpad(hex((doc_id + 31 * (k // (w * ch)) + 7 * (k % (w * ch))) % 256), 2, '0')
         |          for k in generate_series(0, w * h * ch - 1)], '')) AS pix_md5
+        |FROM g""".stripMargin,
+    // real GIF decode: dims and the palette-index stream fingerprint
+    // recomputed arithmetically from the gifDocs construction (pixel k
+    // carries (doc_id + k) % 256) — the Spark side must walk the
+    // container and run the general LZW decode to reproduce the hash
+    "m_decode_gif" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CAST(4 + 4 * (doc_id % 2) AS INT) AS w,
+        |         CAST(1 + doc_id % 6 AS INT) AS h
+        |  FROM documents)
+        |SELECT doc_id, w AS width, h AS height,
+        |       CAST(w * h AS BIGINT) AS n_pixels,
+        |       md5(array_to_string(
+        |         [lpad(hex((doc_id + k) % 256), 2, '0')
+        |          for k in generate_series(0, w * h - 1)], '')) AS pixels_md5
         |FROM g""".stripMargin,
     // real-BMP resampling: the oracle computes each resized byte
     // ARITHMETICALLY — pixel byte at array position p carries

@@ -319,4 +319,114 @@ class MultimodalSpec extends SparkSpec {
     assert(banded == brute)
     assert(brute.nonEmpty) // planted near-dups actually surface
   }
+
+  /** Reference GIF-variant LZW ENCODER (test-only): standard greedy
+    * longest-match with dictionary growth and the width bump — produces
+    * genuinely compressed streams to drive the decoder's general path. */
+  private def lzwEncode(minCodeSize: Int, pixels: Array[Byte]): Array[Byte] = {
+    val clear = 1 << minCodeSize; val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0L; var curBits = 0
+    var codeSize = minCodeSize + 1
+    def emit(code: Int): Unit = {
+      cur |= code.toLong << curBits; curBits += codeSize
+      while (curBits >= 8) { out.write((cur & 0xFF).toInt); cur >>= 8; curBits -= 8 }
+    }
+    var dict = scala.collection.mutable.Map[Seq[Byte], Int]()
+    var dictSize = 0
+    def reset(): Unit = {
+      dict = scala.collection.mutable.Map((0 until clear).map(i => Seq(i.toByte) -> i): _*)
+      dictSize = eoi + 1; codeSize = minCodeSize + 1
+    }
+    reset()
+    emit(clear)
+    var w = Seq.empty[Byte]
+    for (p <- pixels) {
+      val wp = w :+ p
+      if (dict.contains(wp)) w = wp
+      else {
+        emit(dict(w))
+        if (dictSize < 4096) {
+          dict(wp) = dictSize; dictSize += 1
+          // encoder bumps width when the next code to ASSIGN overflows,
+          // mirroring the decoder's post-add bump
+          if (dictSize == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+        }
+        w = Seq(p)
+      }
+    }
+    if (w.nonEmpty) emit(dict(w))
+    emit(eoi)
+    if (curBits > 0) out.write((cur & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  test("lzwDecode: inverts a genuinely compressed stream (dict growth, repeats)") {
+    val rnd = new scala.util.Random(7)
+    // repetitive data → real compression, many dictionary entries
+    val px = Array.tabulate(3000)(i =>
+      (if (i % 97 < 60) i % 7 else rnd.nextInt(256)).toByte)
+    val enc = lzwEncode(8, px)
+    assert(enc.length < px.length, "stream should actually compress")
+    val dec = Multimodal.lzwDecode(8, enc, px.length)
+    assert(dec.exists(_.sameElements(px)))
+    // truncated stream (EOI never reached) must be rejected, not crash
+    assert(Multimodal.lzwDecode(8, enc.take(enc.length / 2), px.length).isEmpty)
+  }
+
+  test("lzwDecode: handles the KwKwK self-referential code") {
+    // "aaa" with min code size 2: emits clear, a, then code==dictSize
+    val px = Array[Byte](1, 1, 1)
+    val enc = lzwEncode(2, px)
+    val dec = Multimodal.lzwDecode(2, enc, 3)
+    assert(dec.exists(_.sameElements(px)))
+  }
+
+  test("gifDocs decode back to the doc_id-derived pixel stream byte for byte") {
+    val docs = (0L until 24L).map(d => (d, s"doc $d")).toDF("doc_id", "text")
+    val metas = Multimodal.decodeGif(Multimodal.gifDocs(docs)).collect()
+    assert(metas.length == 24)
+    metas.foreach { m =>
+      val w = (4 + 4 * (m.doc_id % 2)).toInt; val h = (1 + m.doc_id % 6).toInt
+      assert((m.width, m.height, m.n_pixels) == (w, h, w.toLong * h))
+      val expected = Array.tabulate(w * h)(k => ((m.doc_id + k) % 256).toByte)
+      val hexUpper = org.apache.commons.codec.binary.Hex
+        .encodeHexString(expected).toUpperCase
+      assert(m.pixels_md5 ==
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(hexUpper))
+    }
+  }
+
+  test("parseGif: a compressed single-image GIF built by the encoder decodes too") {
+    // hand-assemble a GIF whose image data is genuinely LZW-compressed —
+    // proving decodeGif's path is the general one, not just the
+    // clear-interleaved fixture shape
+    val w = 16; val h = 8
+    val px = Array.tabulate(w * h)(k => (k % 5).toByte) // repetitive → compresses
+    val data = lzwEncode(8, px)
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(x: Int): Unit = { out.write(x & 0xFF); out.write((x >> 8) & 0xFF) }
+    out.write("GIF89a".getBytes("US-ASCII")); le16(w); le16(h)
+    out.write(0xF7); out.write(0); out.write(0)
+    for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i) }
+    out.write(0x2C); le16(0); le16(0); le16(w); le16(h); out.write(0)
+    out.write(8)
+    var off = 0
+    while (off < data.length) { // sub-block framing, ≤255 bytes each
+      val n = math.min(255, data.length - off)
+      out.write(n); out.write(data, off, n); off += n
+    }
+    out.write(0); out.write(0x3B)
+    val meta = Multimodal.parseGif(42L, out.toByteArray)
+    assert(meta.isDefined)
+    assert((meta.get.width, meta.get.height) == (w, h))
+    val hexUpper = org.apache.commons.codec.binary.Hex.encodeHexString(px).toUpperCase
+    assert(meta.get.pixels_md5 ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(hexUpper))
+    // the interlace bit is declared unmodeled — rejected, not garbled
+    val bytes = out.toByteArray
+    val imgDescFlags = 6 + 7 + 768 + 9 // sig + LSD + GCT + descriptor offset
+    bytes(imgDescFlags) = (bytes(imgDescFlags) | 0x40).toByte
+    assert(Multimodal.parseGif(42L, bytes).isEmpty)
+  }
 }
