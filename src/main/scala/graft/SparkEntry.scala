@@ -343,6 +343,10 @@ object SparkEntry {
     }),
     // symmetric per-vector int8 quantization of the embedding column
     "a_int8_quantize" -> ((s, dir) => Similarity.int8Quantize(Tables.embeddings(s, dir))),
+    // nearest-centroid (Rocchio) classification: per-label spherical
+    // centroids, max-cos re-assignment, confusion matrix out
+    "a_centroid_classify" -> ((s, dir) =>
+      Similarity.centroidClassify(Tables.embeddings(s, dir))),
     // ---- training-data pipeline: multimodal binary columns ----
     "m_binary_stats" -> ((s, dir) => Multimodal.binaryStats(Tables.documents(s, dir))),
     "m_decode_meta" -> ((s, dir) => Multimodal.decodeMeta(Tables.documents(s, dir)).toDF()),
@@ -1124,6 +1128,33 @@ object SparkEntry {
         |       array_to_string([CAST(CAST(CASE WHEN scale > 0 THEN floor(x / scale * 127.0 + 0.5) ELSE 0 END AS BIGINT) AS VARCHAR) for x in v], ',') AS codes,
         |       ROUND(list_max([abs((CASE WHEN scale > 0 THEN floor(x / scale * 127.0 + 0.5) ELSE 0 END) * scale / 127.0 - x) for x in v]) + 1e-12, 6) AS max_err
         |FROM s""".stripMargin,
+    // nearest-centroid classification: one spherical-mean update with
+    // labels as the fixed assignment (the kmeansCtes m/c conventions),
+    // max-cos re-assignment with ties to the smallest label, confusion
+    // counts — same exact-decimal/6-dp recurrence as a_ivf_trained
+    "a_centroid_classify" ->
+      s"""WITH nl AS (SELECT vec_id, CAST(label AS BIGINT) AS label, v, nrm
+        |            FROM (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+        |                  FROM (SELECT vec_id, label,
+        |                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |                        FROM embeddings))
+        |            WHERE nrm > 0),
+        |uu AS (SELECT label, generate_subscripts(u, 1) AS pos, unnest(u) AS x FROM (
+        |         SELECT label, list_transform(v, x -> CAST(ROUND(x / nrm + 1e-12, 9) AS DECIMAL(18,9))) AS u
+        |         FROM nl)),
+        |m AS (SELECT label, pos, ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*) + 1e-12, 6) AS m
+        |      FROM uu GROUP BY label, pos),
+        |c AS (SELECT cid, v, nrm FROM (
+        |        SELECT cid, v, sqrt(list_dot_product(v, v)) AS nrm FROM (
+        |          SELECT label AS cid, list(m ORDER BY pos) AS v FROM m GROUP BY label))
+        |      WHERE nrm > 0),
+        |asg AS (SELECT label, pred FROM (
+        |  SELECT nl.label, c.cid AS pred,
+        |         ROW_NUMBER() OVER (PARTITION BY nl.vec_id
+        |           ORDER BY list_dot_product(nl.v, c.v) / (nl.nrm * c.nrm) DESC, c.cid) AS rn
+        |  FROM nl, c) WHERE rn = 1)
+        |SELECT label, pred AS pred_label, COUNT(*) AS n
+        |FROM asg GROUP BY label, pred""".stripMargin,
     // multimodal: the oracle rebuilds the same deterministic blobs
     // (magic header by doc_id % 4 + utf-8 text) and verifies the real
     // Spark-side pipeline — magic-byte sniffing, mapPartitions decode,

@@ -319,6 +319,59 @@ object Similarity {
     cents
   }
 
+  /** Nearest-centroid (Rocchio) classification over the LABELED
+    * embedding corpus — the supervised sibling of [[trainCentroids]]:
+    * one spherical centroid per label (exact-decimal unit-component
+    * means, the trainCentroids update applied once with labels as the
+    * fixed assignment), every vector then re-assigned to its
+    * max-cosine centroid through the same [[graft.functions.IvfCell]]
+    * broadcast kernel, aggregated into the CONFUSION MATRIX
+    * (label, pred_label, n) — the standard embedding-quality probe a
+    * data pipeline runs after training or importing an encoder.
+    *
+    * Scale shape: the centroid build shuffles (label, pos) decimal
+    * component triples (dim × N small rows, partial-aggregated — the
+    * trainCentroids update's cost class); the model is label-bounded
+    * (labels × dim × 8 B — broadcast-safe for any labeling a
+    * classifier would be run on), assignment is per-row map-side work
+    * through the broadcast model, and the confusion aggregate is
+    * key-bounded at labels². The corpus never shuffles its vectors.
+    *
+    * Parity: identical to the trainCentroids recurrence — 9-dp unit
+    * components into DECIMAL(18,9) (order-independent exact sums),
+    * 6-dp centroid means, assignment on bit-identical left-to-right
+    * doubles with ties to the smallest label. */
+  def centroidClassify(embeddings: DataFrame): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+    val cents = e
+      .select(col("label"),
+        transform(col("v"), x => round(x / col("nrm") + lit(1e-12), 9)
+          .cast("decimal(18,9)")).as("u"))
+      .select(col("label"), posexplode(col("u")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      .select(col("label"), col("pos"),
+        round(col("sx").cast("double") / col("cnt") + lit(1e-12), 6).as("m"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").as("cid"),
+        transform(col("pm"), p => p.getField("m")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+    val model = cents
+      .agg(sort_array(collect_list(struct(col("cid"), col("v"), col("nrm")))).as("cents"))
+    e.crossJoin(broadcast(model))
+      .select(col("label"),
+        graft.functions.VectorKernels.ivfCell(col("v"), col("nrm"), col("cents"))
+          .as("pred_label"))
+      .groupBy(col("label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Mean cosine distance (1 − cos) of each vector to its centroid —
     * the SPHERICAL k-means objective (the one [[trainCentroids]]'s
     * max-cos assignment + unit-mean update provably never increases),

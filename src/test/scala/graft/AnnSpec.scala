@@ -305,6 +305,31 @@ class AnnSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("centroidClassify: separable clusters classify perfectly, counts conserve") {
+    import spark.implicits._
+    // three orthogonal-ish clusters: label k vectors live on axis k
+    // with small off-axis noise — nearest centroid must recover labels
+    val rnd = new scala.util.Random(3)
+    val fixture = (0L until 90L).map { i =>
+      val k = (i % 3).toInt
+      val v = Array.tabulate(6)(j =>
+        (if (j == k) 1.0f else 0.05f * rnd.nextFloat()))
+      (i, v, k)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidClassify(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._3).sum == 90L) // every vector lands in one cell
+    assert(out.forall { case (l, p, _) => l == p }, s"misclassified: ${out.toSeq}")
+    // real corpus: confusion counts conserve the (nonzero-norm) corpus
+    val emb = Tables.embeddings(spark, sf0001)
+    val conf = Similarity.centroidClassify(emb).collect()
+    assert(conf.map(_.getLong(2)).sum == emb.count())
+    // diagonal dominance: centroids built FROM the labels should agree
+    // with them more often than chance
+    val diag = conf.filter(r => r.getLong(0) == r.getLong(1)).map(_.getLong(2)).sum
+    assert(diag * 3 > emb.count(), s"diagonal $diag too weak")
+  }
+
   test("int8Quantize: codes bounded, reconstruction within scale/254, zero vector safe") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf0001)
