@@ -478,6 +478,65 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"triangle counts not map-side partial:\n$p")
   }
 
+  test("funnel: counts read checkpointed stage frames, no cartesian, partial aggs") {
+    // stage frames are materialized by design (localCheckpoint — their
+    // own joins/pushdown run eagerly and don't appear here); the final
+    // plan must be exactly a Union of scalar counts over those frames
+    val p = plan(Sessions.funnel(Tables.events(spark, dir)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the funnel plan:\n$p")
+    assert(p.contains("Union"), s"stage counts not unioned in one job:\n$p")
+    assert(p.contains("partial_count"), s"stage counts not map-side partial:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan ExistingRDD")) == 3,
+      s"expected 3 checkpointed stage frames:\n$p")
+    // the stage JOIN itself (runs inside the checkpoint jobs) stays
+    // equi + pushed: audit the un-checkpointed stage-2 construction
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("tus") > col("t"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t"))
+    val p2 = plan(s2)
+    assert(p2.contains("EqualTo(event_type"), s"stage filter not pushed:\n$p2")
+    assert(p2.contains("partial_min"), s"stage arrivals not map-side partial:\n$p2")
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      s"non-equi stage join:\n$p2")
+  }
+
+  test("retention: key-bounded aggregation, no corpus-wide window or cartesian") {
+    val p = plan(Sessions.retention(Tables.events(spark, dir)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the retention plan:\n$p")
+    assert(!p.contains("Exchange SinglePartition") || p.contains("partial_count"),
+      s"retention lost its partial aggregation:\n$p")
+    assert(p.contains("partial_count"), s"counts not map-side partial:\n$p")
+  }
+
+  test("centroidClassify: corpus vectors never shuffle; model is a broadcast") {
+    val p = plan(Similarity.centroidClassify(Tables.embeddings(spark, dir)))
+    // the only vector-array exchanges allowed are the label-bounded
+    // centroid build (pos-exploded decimals) — the corpus embedding
+    // array itself must stay map-side, assigned via the broadcast model
+    assert(p.contains("BroadcastExchange"), s"centroid model not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    val vecEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("array<double>"))
+    assert(vecEx == 0, s"corpus vector arrays cross an exchange ($vecEx):\n$p")
+    assert(p.contains("partial_count"), s"confusion counts not map-side partial:\n$p")
+  }
+
+  test("bpeTokenBudget: encode is map-side — no explode-shuffle of pieces") {
+    val p = plan(Corpus.bpeTokenBudget(Tables.documents(spark, dir).limit(50),
+      budgetTokens = 2000L))
+    // the piece COUNT must ride the scan as an expression: no Generate
+    // (explode) feeding an Exchange with a pieces array
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("ps#")),
+      s"piece arrays cross an exchange:\n$p")
+    assert(p.contains("BroadcastExchange"), s"merge table not broadcast:\n$p")
+  }
+
   test("imageNearDup: band LSH is an equi join; payload bytes never shuffle") {
     val p = plan(graft.operators.Multimodal.imageNearDup(
       graft.operators.Multimodal.phashDocs(Tables.documents(spark, dir))))
