@@ -76,6 +76,10 @@ object SparkEntry {
       graft.streaming.StreamRunner.replayUpdateAgg(s, ev(s, dir))),
     "s_stream_hll" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayHll(s, ev(s, dir))),
+    // streaming count-min: the grid as bounded update-mode state,
+    // final changelog probed for the car-key heavy hitters
+    "s_stream_cms" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayCms(s, ev(s, dir))),
     // ---- relational coverage (TPC-H-ish) ----
     "q1_pricing_summary" -> ((s, dir) =>
       Relational.pricingSummary(Tables.lineitem(s, dir))),
@@ -568,6 +572,26 @@ object SparkEntry {
     // equals the batch sketch (register max is order/duplication-
     // insensitive), so the oracle is the batch HLL chain over the
     // staged envelope's (kind, entity) pairs
+    // streaming CMS: same grid math as q_heavy_hitters, restricted to
+    // the car envelope (the streamed side); counts are additive so the
+    // final changelog equals this batch recurrence exactly
+    "s_stream_cms" ->
+      """WITH env AS (SELECT user_id FROM events WHERE event_type IN ('click','view')),
+        |cells AS (SELECT unnest([0, 1, 2]) AS r),
+        |sk AS (SELECT c.r,
+        |              CAST('0x' || substring(md5('cms' || CAST(c.r AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 15) AS UBIGINT) % 1024 AS bkt,
+        |              COUNT(*) AS cnt
+        |       FROM env e CROSS JOIN cells c GROUP BY 1, 2),
+        |ks AS (SELECT DISTINCT user_id FROM env),
+        |pc AS (SELECT k.user_id, c.r,
+        |              CAST('0x' || substring(md5('cms' || CAST(c.r AS VARCHAR) || ':' || CAST(k.user_id AS VARCHAR)), 1, 15) AS UBIGINT) % 1024 AS bkt
+        |       FROM ks k CROSS JOIN cells c),
+        |pr AS (SELECT user_id, MIN(cnt) AS est_count
+        |       FROM pc JOIN sk USING (r, bkt) GROUP BY user_id)
+        |SELECT user_id, est_count FROM (
+        |  SELECT user_id, est_count,
+        |         ROW_NUMBER() OVER (ORDER BY est_count DESC, user_id) AS rn FROM pr)
+        |WHERE rn <= 20""".stripMargin,
     "s_stream_hll" ->
       """WITH env AS (
         |  SELECT 'car' AS kind, user_id AS a

@@ -117,19 +117,34 @@ object Sketch {
     * BROADCAST grid and top-k compiles to TakeOrdered. */
   def cmsHeavyHitters(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
     require(k >= 1, "need k >= 1")
-    val cells: Column => Column = key => explode(array(
-      (0 until CmsDepth).map(r => struct(lit(r).as("r"),
-        (h60(key, s"cms$r:") % CmsWidth).as("bkt"))): _*))
-    val sketch = df.select(cells(col(keyCol)).as("c"))
-      .groupBy(col("c.r").as("r"), col("c.bkt").as("bkt"))
-      .agg(count(lit(1)).as("cnt"))
-    df.select(col(keyCol).as("key")).distinct()
-      .select(col("key"), cells(col("key")).as("c"))
+    val sketch = cmsCellRows(df, keyCol)
+      .groupBy(col("r"), col("bkt")).agg(count(lit(1)).as("cnt"))
+    cmsTopK(df.select(col(keyCol)).distinct(), keyCol, sketch, k)
+  }
+
+  /** The d cell coordinates of each input row — the map-side half of
+    * the grid build, shared by the batch operator and the streaming
+    * form ([[graft.streaming.StreamRunner.replayCms]], where the
+    * per-(r, bkt) count is the UPDATE-MODE streaming state). */
+  private[graft] def cmsCellRows(df: DataFrame, keyCol: String): DataFrame =
+    df.select(cmsCells(col(keyCol)).as("c"))
+      .select(col("c.r").as("r"), col("c.bkt").as("bkt"))
+
+  /** Probe distinct `keys` against a materialized (r, bkt, cnt) grid:
+    * per-key min over its d cells, deterministic top-k via
+    * TakeOrdered. The grid is sketch-bounded (d·w rows) — broadcast. */
+  private[graft] def cmsTopK(keys: DataFrame, keyCol: String,
+                             grid: DataFrame, k: Int): DataFrame =
+    keys.select(col(keyCol).as("key"))
+      .select(col("key"), cmsCells(col("key")).as("c"))
       .select(col("key"), col("c.r").as("r"), col("c.bkt").as("bkt"))
-      .join(broadcast(sketch), Seq("r", "bkt"))
+      .join(broadcast(grid), Seq("r", "bkt"))
       .groupBy(col("key")).agg(min(col("cnt")).as("est_count"))
       .orderBy(col("est_count").desc, col("key"))
       .limit(k)
       .select(col("key").as(keyCol), col("est_count"))
-  }
+
+  private def cmsCells: Column => Column = key => explode(array(
+    (0 until CmsDepth).map(r => struct(lit(r).as("r"),
+      (h60(key, s"cms$r:") % CmsWidth).as("bkt"))): _*))
 }

@@ -669,6 +669,30 @@ object StreamRunner {
     graft.operators.Sketch.estimate(finalRegs, Seq("kind"))
   }
 
+  /** Streaming count-min heavy hitters — the second sketch as
+    * STREAMING STATE next to [[replayHll]]: an update-mode aggregation
+    * owns the per-(row, bucket) counters, so state is bounded at
+    * d·w = 3072 rows regardless of stream length or key cardinality,
+    * and each micro-batch's changelog emits only the cells it bumped.
+    * Counts are additive and order-insensitive (the CMS mergeability),
+    * so the LAST changelog emission per cell is exactly the batch
+    * grid; probing it with the input's distinct car keys (an offline
+    * analysis step over the final sketch, the standard CMS usage) then
+    * hash-matches the batch heavy-hitter oracle. */
+  def replayCms(spark: SparkSession, events: DataFrame, k: Int = 20): DataFrame = {
+    val log = replayUpdate(spark, events, (src: DataFrame) =>
+      graft.operators.Sketch.cmsCellRows(src.filter(col("kind") === "car"), "a")
+        .groupBy(col("r"), col("bkt")).agg(count(lit(1)).as("cnt")))
+    val grid = log
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("r"), col("bkt")).orderBy(col("batch_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("r"), col("bkt"), col("cnt"))
+    val keys = envelope(events).filter(col("kind") === "car")
+      .select(col("a").as("user_id")).distinct()
+    graft.operators.Sketch.cmsTopK(keys, "user_id", grid, k)
+  }
+
   /** Stage-1 (move fold) replay → the arrive/leave event log with its
     * originating event_id. Oracle: the arrive/leave SQL restricted to
     * parseable-zone events. Unparseable-zone car events (the -1

@@ -56,6 +56,22 @@ class SketchSpec extends SparkSpec {
     assert(streamed.keySet == Set("car", "zone"))
   }
 
+  test("streaming CMS: final grid changelog equals the batch heavy hitters") {
+    val events = Tables.events(spark, sf0001)
+    val streamed = graft.streaming.StreamRunner.replayCms(spark, events)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = Sketch.cmsHeavyHitters(
+        graft.streaming.StreamRunner.envelope(events)
+          .filter(org.apache.spark.sql.functions.col("kind") === "car")
+          .select(org.apache.spark.sql.functions.col("a").as("user_id")),
+        "user_id", 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // counts are additive and order-insensitive: the chunked replay's
+    // final changelog must equal the batch grid, key for key
+    assert(streamed == batch)
+    assert(streamed.nonEmpty) // sf0.001 has fewer than k distinct keys
+  }
+
   test("cmsHeavyHitters: overestimate-only, and a true hot key ranks first") {
     val ev = Tables.events(spark, sf0001)
     // inject a key hotter than any real one (max real count ~86)
