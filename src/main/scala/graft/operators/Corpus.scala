@@ -420,7 +420,15 @@ object Corpus {
   def bpeTokenBudget(documents: DataFrame, budgetTokens: Long = 50000L,
                      nMerges: Int = 8, subBucketWidth: Long = 1024L): DataFrame = {
     val merges = graft.functions.Bpe.train(documents, nMerges)
-    tokenBudget(graft.functions.Bpe.withPieceCount(documents, merges, nMerges),
+    // checkpoint the counted frame: twoLevelPrefixSum's two plan
+    // branches deliberately recompute their input subtree (cheaper
+    // than cache for plain projections — see its scaladoc), but HERE
+    // the subtree is the 8-round replace-chain encode per document;
+    // materializing once instead of encoding twice measured ~16 →
+    // ~11 s at sf0.1/8T (subset runs, repeated)
+    tokenBudget(graft.functions.Bpe.withPieceCount(documents, merges, nMerges)
+        .select(col("doc_id"), col("text"), col("n_bpe_tokens"))
+        .localCheckpoint(),
       budgetTokens, subBucketWidth, nTokens = col("n_bpe_tokens"))
   }
 
