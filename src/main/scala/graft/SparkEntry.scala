@@ -293,6 +293,10 @@ object SparkEntry {
     // count a model actually trains on
     "c_bpe_budget" -> ((s, dir) =>
       Corpus.bpeTokenBudget(Tables.documents(s, dir))),
+    // sentence-aware chunking: chunks fill to 64 tokens but never
+    // split a sentence (the RAG passage rule)
+    "c_sentence_chunks" -> ((s, dir) =>
+      Corpus.sentenceChunks(Tables.documents(s, dir))),
     // weighted PageRank by power iteration over the customer–supplier
     // purchase graph (exact-decimal contributions, 9-dp pr per round)
     "q_pagerank" -> ((s, dir) =>
@@ -1497,6 +1501,25 @@ object SparkEntry {
         |       least(64, n - chunk_idx * 64) AS n_tokens,
         |       array_to_string(w[chunk_idx * 64 + 1 : chunk_idx * 64 + 64], ' ') AS chunk_text
         |FROM c""".stripMargin,
+    // sentence-aware chunks: grid over token offsets, a sentence lands
+    // where it starts; chunk fingerprints over the ". "-rejoined run
+    "c_sentence_chunks" ->
+      """WITH s AS (
+        |  SELECT doc_id, u.si AS si, u.s AS s FROM (
+        |    SELECT doc_id, unnest([{'si': i - 1, 's': ss[i]}
+        |                           for i in generate_series(1, len(ss))]) AS u
+        |    FROM (SELECT doc_id, string_split(text, '. ') AS ss FROM documents))),
+        |t AS (SELECT doc_id, si, s, len(string_split(s, ' ')) AS n_tok FROM s),
+        |c AS (SELECT *,
+        |        (SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY si
+        |                          ROWS UNBOUNDED PRECEDING) - n_tok) // 64 AS chunk_idx
+        |      FROM t)
+        |SELECT doc_id, chunk_idx,
+        |       CAST(MIN(si) AS BIGINT) AS first_sentence,
+        |       COUNT(*) AS n_sentences,
+        |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |       md5(string_agg(s, '. ' ORDER BY si)) AS chunk_md5
+        |FROM c GROUP BY doc_id, chunk_idx""".stripMargin,
     // corpus-stream packing: the oracle's single global running sum
     // equals the Spark side's two-level (bucket-partitioned) prefix
     // scan — identical integer arithmetic, different decomposition

@@ -180,6 +180,46 @@ object Corpus {
         col("col").as("chunk_text"))
   }
 
+  /** Sentence-aware chunking — the RAG-pipeline form of [[tokenChunks]]:
+    * fixed-window chunking never splits a SENTENCE across chunks (a
+    * retrieval passage cut mid-sentence embeds and retrieves worse),
+    * so the chunk grid is laid over token OFFSETS and each sentence
+    * lands in the chunk where it STARTS — chunks fill to `chunkTokens`
+    * and may overflow by the one sentence that straddles their
+    * boundary, and no sentence is ever divided. Sentence boundaries
+    * are the literal ". " separator — deliberately the simplest rule
+    * both engines split identically (regex sentence splitters disagree
+    * across regex dialects; RE2 has no lookbehind).
+    *
+    * Returns (doc_id, chunk_idx, first_sentence, n_sentences,
+    * n_tokens, chunk_md5) — the fingerprint over the ". "-rejoined
+    * sentence run, so chunks reassemble losslessly in order
+    * (spec-pinned).
+    *
+    * Scale shape: one explode to sentence rows, two windows and the
+    * chunk aggregation all on per-doc partitions (fine-grained keys,
+    * never corpus-wide), text crossing the shuffle once as sentence
+    * fragments. */
+  def sentenceChunks(documents: DataFrame, chunkTokens: Int = 64): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("si"))
+    documents
+      .select(col("doc_id"), posexplode(split(col("text"), "\\. ")).as(Seq("si", "s")))
+      .withColumn("n_tok", size(split(col("s"), " ")).cast("long"))
+      .withColumn("cum_before",
+        sum(col("n_tok")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - col("n_tok"))
+      .withColumn("chunk_idx", expr(s"cum_before div $chunkTokens"))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(
+        min(col("si")).cast("long").as("first_sentence"),
+        count(lit(1)).as("n_sentences"),
+        sum(col("n_tok")).as("n_tokens"),
+        md5(concat_ws(". ",
+          sort_array(collect_list(struct(col("si"), col("s")))).getField("s")))
+          .as("chunk_md5"))
+  }
+
   /** Per-source corpus profile — the report a data build runs before
     * choosing mixture weights: document count, total/mean size, label
     * diversity and mean content quality per source. One scan, one

@@ -388,4 +388,35 @@ class CorpusSpec extends SparkSpec {
     val again = Corpus.weightedSample(docs, k = 5).collect().map(r => (r.getLong(0), r.getInt(4)))
     assert(out.toSeq == again.toSeq)
   }
+
+  test("sentenceChunks: fill rule, overflow-by-one-sentence, never splits") {
+    // ten sentences of 10 tokens each: offsets 0..90; cap 64 → the
+    // sentence STARTING at 60 still lands in chunk 0 (overflow to 70
+    // tokens), the one starting at 70 opens chunk 1
+    val tenTok = (1 to 10).map(i => s"w$i").mkString(" ")
+    val text = Seq.fill(10)(tenTok).mkString(". ")
+    val out = Corpus.sentenceChunks(Seq((1L, text)).toDF("doc_id", "text"))
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((0L, 0L, 7L, 70L), (1L, 7L, 3L, 30L)))
+    // a single 100-token sentence is NEVER split: one whole chunk
+    val longSent = (1 to 100).map(i => s"x$i").mkString(" ")
+    val one = Corpus.sentenceChunks(Seq((2L, longSent)).toDF("doc_id", "text")).collect()
+    assert(one.length == 1 && one(0).getLong(4) == 100L)
+  }
+
+  test("sentenceChunks: token and sentence counts conserve on real docs") {
+    val docs = Tables.documents(spark, sf0001).limit(80)
+    val out = Corpus.sentenceChunks(docs)
+    val perDoc = out.groupBy("doc_id")
+      .agg(sum("n_tokens").as("toks"), sum("n_sentences").as("sents"))
+    val expected = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("etoks"),
+      size(split(col("text"), "\\. ")).cast("long").as("esents"))
+    // splitting on ". " consumes one space per boundary, so word totals
+    // are invariant: sum of per-sentence token counts = whole-text count
+    val bad = perDoc.join(expected, "doc_id")
+      .filter(col("toks") =!= col("etoks") || col("sents") =!= col("esents"))
+    assert(bad.count() == 0)
+  }
 }
