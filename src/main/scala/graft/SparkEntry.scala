@@ -397,6 +397,11 @@ object SparkEntry {
     // statistics from the actual little-endian PCM bytes
     "m_audio_features" -> ((s, dir) =>
       Multimodal.audioFeatures(Multimodal.wavDocs(Tables.documents(s, dir))).toDF()),
+    // REAL audio resampling: every 2nd PCM frame survives, rate halves,
+    // resampled stream fingerprinted — the oracle recomputes every
+    // surviving sample arithmetically
+    "m_audio_resample" -> ((s, dir) =>
+      Multimodal.resampleWav(Multimodal.wavDocs(Tables.documents(s, dir))).toDF()),
     "m_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     "m_feature_extract" -> ((s, dir) => Multimodal.featureExtract(Tables.documents(s, dir)).toDF()),
     "m_resize_plan" -> ((s, dir) => Multimodal.resizePlan(Tables.documents(s, dir))),
@@ -1371,6 +1376,22 @@ object SparkEntry {
         |       CAST(len([i for i in generate_series(2, n) if (vs[i-1] < 0) <> (vs[i] < 0)]) AS BIGINT) AS zero_crossings,
         |       ROUND(sqrt(CAST(list_sum([x * x for x in vs]) AS DOUBLE) / n) + 1e-9, 4) AS rms
         |FROM v""".stripMargin,
+    // audio decimation: surviving sample j is input sample 2j — its
+    // little-endian byte pair recomputed arithmetically; a stride,
+    // offset or endianness bug in the resampler can never hash right
+    "m_audio_resample" ->
+      """WITH s AS (SELECT doc_id, 16 + doc_id % 97 AS n FROM documents),
+        |d AS (SELECT doc_id, n, (n + 1) // 2 AS n_out FROM s)
+        |SELECT doc_id,
+        |       CAST(8000 AS INT) AS in_rate,
+        |       CAST(4000 AS INT) AS out_rate,
+        |       CAST(n AS BIGINT) AS n_in,
+        |       CAST(n_out AS BIGINT) AS n_out,
+        |       md5(array_to_string(
+        |         [lpad(hex((doc_id * 31 + (2 * j) * 7919) % 65536 % 256), 2, '0') ||
+        |          lpad(hex((doc_id * 31 + (2 * j) * 7919) % 65536 // 256), 2, '0')
+        |          for j in generate_series(0, n_out - 1)], '')) AS samples_md5
+        |FROM d""".stripMargin,
     "m_frame_sample" ->
       s"""WITH $binCte,
         |frames AS (

@@ -320,6 +320,41 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.nonEmpty) // planted near-dups actually surface
   }
 
+  test("resampleWav: decimated bytes equal the arithmetic expectation; factor 1 = identity") {
+    val docs = (0L until 30L).map(d => (d, s"doc $d")).toDF("doc_id", "text")
+    val bin = Multimodal.wavDocs(docs)
+    val out = Multimodal.resampleWav(bin, factor = 2).collect()
+    assert(out.length == 30)
+    out.foreach { r =>
+      val n = 16 + r.doc_id % 97
+      assert((r.in_rate, r.out_rate, r.n_in, r.n_out) == (8000, 4000, n, (n + 1) / 2))
+      val bytes = (0L until r.n_out).flatMap { j =>
+        val v = (r.doc_id * 31 + (2 * j) * 7919) % 65536
+        Seq((v % 256).toByte, (v / 256).toByte)
+      }.toArray
+      val hexUpper = org.apache.commons.codec.binary.Hex.encodeHexString(bytes).toUpperCase
+      assert(r.samples_md5 == org.apache.commons.codec.digest.DigestUtils.md5Hex(hexUpper))
+    }
+    // factor 1 keeps every frame: fingerprint equals the full stream's
+    val full = Multimodal.resampleWav(bin, factor = 1).collect()
+      .map(r => r.doc_id -> r.samples_md5).toMap
+    val features = Multimodal.resampleWav(bin, factor = 2).collect()
+    assert(features.forall(r => full.contains(r.doc_id)))
+    full.foreach { case (id, md5full) =>
+      val n = 16 + id % 97
+      val bytes = (0L until n).flatMap { k =>
+        val v = (id * 31 + k * 7919) % 65536
+        Seq((v % 256).toByte, (v / 256).toByte)
+      }.toArray
+      val hexUpper = org.apache.commons.codec.binary.Hex.encodeHexString(bytes).toUpperCase
+      assert(md5full == org.apache.commons.codec.digest.DigestUtils.md5Hex(hexUpper))
+    }
+    // a rate not divisible by the factor refuses loudly
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.resampleWav(bin, factor = 3).collect()
+    }
+  }
+
   /** Reference GIF-variant LZW ENCODER (test-only): standard greedy
     * longest-match with dictionary growth and the width bump — produces
     * genuinely compressed streams to drive the decoder's general path. */
