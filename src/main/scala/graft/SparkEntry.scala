@@ -402,6 +402,12 @@ object SparkEntry {
     // surviving sample arithmetically
     "m_audio_resample" -> ((s, dir) =>
       Multimodal.resampleWav(Multimodal.wavDocs(Tables.documents(s, dir))).toDF()),
+    // REAL JPEG header decode over genuinely-encoded JPEGs (JDK
+    // ImageIO writer): marker walk to SOF, dims/components/precision
+    // from the actual big-endian bytes; only DCT pixel decode remains
+    // the documented stub
+    "m_decode_jpeg" -> ((s, dir) =>
+      Multimodal.decodeJpegMeta(Multimodal.jpegDocs(Tables.documents(s, dir))).toDF()),
     "m_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     "m_feature_extract" -> ((s, dir) => Multimodal.featureExtract(Tables.documents(s, dir)).toDF()),
     "m_resize_plan" -> ((s, dir) => Multimodal.resizePlan(Tables.documents(s, dir))),
@@ -1376,6 +1382,16 @@ object SparkEntry {
         |       CAST(len([i for i in generate_series(2, n) if (vs[i-1] < 0) <> (vs[i] < 0)]) AS BIGINT) AS zero_crossings,
         |       ROUND(sqrt(CAST(list_sum([x * x for x in vs]) AS DOUBLE) / n) + 1e-9, 4) AS rms
         |FROM v""".stripMargin,
+    // real JPEG header decode: the oracle recomputes the frame header
+    // fields arithmetically from the jpegDocs construction; the Spark
+    // side must walk the real marker stream to match
+    "m_decode_jpeg" ->
+      """SELECT doc_id,
+        |       CAST(1 + doc_id % 31 AS INT) AS width,
+        |       CAST(1 + doc_id % 17 AS INT) AS height,
+        |       CAST(3 AS INT) AS channels,
+        |       CAST(8 AS INT) AS precision
+        |FROM documents""".stripMargin,
     // audio decimation: surviving sample j is input sample 2j — its
     // little-endian byte pair recomputed arithmetically; a stride,
     // offset or endianness bug in the resampler can never hash right

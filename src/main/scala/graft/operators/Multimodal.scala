@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * and GIF: [[Multimodal.parseGif]] walks the container and decodes the
   * LZW index stream with a from-scratch general decoder
   * ([[Multimodal.lzwDecode]] — variable code width, clear/EOI, KwKwK).
-  * Only JPEG-class decode (DCT codecs not in this environment) stays a
+  * JPEG headers are real too ([[Multimodal.parseJpeg]] walks the
+  * marker stream to SOF over genuinely-ImageIO-encoded fixtures); only
+  * JPEG-class PIXEL decode (the DCT entropy-coded scan) stays a
   * DETERMINISTIC FAKE behind the clearly-marked
   * [[Multimodal.fakeDecode]] seam. The Spark-side plumbing — binary
   * schema, magic-byte sniffing, batched per-partition decode, frame
@@ -833,6 +835,98 @@ object Multimodal {
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  case class JpegMeta(doc_id: Long, width: Int, height: Int, channels: Int,
+                      precision: Int)
+
+  /** Deterministic REAL-JPEG corpus: each document becomes a genuine
+    * baseline JPEG — dims from doc_id, deterministic RGB fill —
+    * encoded by the JDK's own ImageIO writer (a real DCT +
+    * entropy-coding pipeline, JDK-standard like the PNG path's
+    * Deflater). Construction runs in the batched seam; the ORACLE
+    * never needs the container — it recomputes the expected HEADER
+    * metadata arithmetically from doc_id, which [[parseJpeg]] must
+    * recover from the actual marker stream. */
+  def jpegDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (1 + id % 31).toInt; val h = (1 + id % 17).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (((id + 31L * y + 7L * x) % 256) * 0x010101).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", out)
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** REAL JPEG header decode: walks the marker stream — SOI, then
+    * length-prefixed segments (skipping fill bytes, as the spec
+    * allows) — to the frame header (SOF0/1/2, baseline/extended/
+    * progressive) and reads precision, dimensions and component count
+    * from the actual big-endian bytes. The JPEG CONTAINER is
+    * byte-specified even though the pixel stream is DCT-coded, so
+    * header metadata needs no codec — the same split as
+    * [[parsePng]]/[[inflatePng]], with the pixel half remaining the
+    * one documented stub ([[fakeDecode]]). Returns None for anything
+    * that is not a well-formed JPEG start. */
+  private[graft] def parseJpeg(id: Long, b: Array[Byte]): Option[JpegMeta] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (b.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None // SOI
+    var p = 2
+    while (p + 4 <= b.length) {
+      // fill bytes: any number of 0xFF may pad before a marker
+      if (u8(p) != 0xFF) return None
+      while (p < b.length && u8(p) == 0xFF) p += 1
+      if (p >= b.length) return None
+      val marker = u8(p); p += 1
+      marker match {
+        case 0xD8 => // repeated SOI: malformed
+          return None
+        case 0xC0 | 0xC1 | 0xC2 => // SOF0/1/2: the frame header
+          if (p + 7 > b.length) return None
+          val len = be16(p)
+          if (len < 8 || p + len > b.length) return None
+          val precision = u8(p + 2)
+          val h = be16(p + 3); val w = be16(p + 5)
+          val ncomp = u8(p + 7)
+          if (w <= 0 || h <= 0 || ncomp <= 0) return None
+          return Some(JpegMeta(id, w, h, ncomp, precision))
+        case 0xD9 | 0xDA => // EOI / SOS before any SOF: no frame header
+          return None
+        case _ => // every other segment is length-prefixed: skip it
+          if (p + 2 > b.length) return None
+          val len = be16(p)
+          if (len < 2 || p + len > b.length) return None
+          p += len
+      }
+    }
+    None
+  }
+
+  /** [[parseJpeg]] over a (doc_id, payload) frame through the batched
+    * seam. Throws on a malformed stream — every [[jpegDocs]] payload
+    * carries a real frame header by construction. */
+  def decodeJpegMeta(bin: DataFrame): Dataset[JpegMeta] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseJpeg(id, bytes).getOrElse(throw new IllegalArgumentException(
+          s"doc $id: no JPEG frame header")) })
   }
 
   case class ResampledWav(doc_id: Long, in_rate: Int, out_rate: Int,

@@ -355,6 +355,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("parseJpeg: recovers the frame header ImageIO wrote; rejects non-JPEG") {
+    val docs = (0L until 40L).map(d => (d, s"doc $d")).toDF("doc_id", "text")
+    val metas = Multimodal.decodeJpegMeta(Multimodal.jpegDocs(docs)).collect()
+    assert(metas.length == 40)
+    metas.foreach { m =>
+      assert((m.width, m.height, m.channels, m.precision) ==
+        ((1 + m.doc_id % 31).toInt, (1 + m.doc_id % 17).toInt, 3, 8))
+    }
+    // cross-check one payload against ImageIO's own reader
+    val one = Multimodal.jpegDocs(docs.limit(1)).collect()(0)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(one.getAs[Array[Byte]]("payload")))
+    val parsed = Multimodal.parseJpeg(0L, one.getAs[Array[Byte]]("payload")).get
+    assert((parsed.width, parsed.height) == (img.getWidth, img.getHeight))
+    // the synthesized magic+text payloads are NOT valid JPEGs: ASCII
+    // text contains no 0xFF markers, so the walk must reject them
+    val fakes = Multimodal.binaryDocs(Tables.documents(spark, sf0001).limit(40))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    fakes.foreach { case (id, payload) =>
+      assert(Multimodal.parseJpeg(id, payload).isEmpty, s"fake payload $id parsed")
+    }
+    // truncated real JPEG (header cut mid-segment) rejects cleanly
+    val cut = one.getAs[Array[Byte]]("payload").take(6)
+    assert(Multimodal.parseJpeg(0L, cut).isEmpty)
+  }
+
   /** Reference GIF-variant LZW ENCODER (test-only): standard greedy
     * longest-match with dictionary growth and the width bump — produces
     * genuinely compressed streams to drive the decoder's general path. */
