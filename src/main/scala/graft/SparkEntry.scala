@@ -355,6 +355,10 @@ object SparkEntry {
     // centroids, max-cos re-assignment, confusion matrix out
     "a_centroid_classify" -> ((s, dir) =>
       Similarity.centroidClassify(Tables.embeddings(s, dir))),
+    // Johnson–Lindenstrauss random projection to 16 dims (the fixed
+    // plane matrix, 1/sqrt(d) scaling) — map-only, no shuffle
+    "a_rp_project" -> ((s, dir) =>
+      Similarity.randomProject(Tables.embeddings(s, dir))),
     // ---- training-data pipeline: multimodal binary columns ----
     "m_binary_stats" -> ((s, dir) => Multimodal.binaryStats(Tables.documents(s, dir))),
     "m_decode_meta" -> ((s, dir) => Multimodal.decodeMeta(Tables.documents(s, dir)).toDF()),
@@ -1167,6 +1171,15 @@ object SparkEntry {
         |       array_to_string([CAST(CAST(CASE WHEN scale > 0 THEN floor(x / scale * 127.0 + 0.5) ELSE 0 END AS BIGINT) AS VARCHAR) for x in v], ',') AS codes,
         |       ROUND(list_max([abs((CASE WHEN scale > 0 THEN floor(x / scale * 127.0 + 0.5) ELSE 0 END) * scale / 127.0 - x) for x in v]) + 1e-12, 6) AS max_err
         |FROM s""".stripMargin,
+    // JL random projection: the identical plane literal, left-to-right
+    // dots, 1/sqrt(16) scaling — components hash-exact at 6 dp
+    "a_rp_project" ->
+      s"""WITH n0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |            FROM embeddings),
+        |$planesCte
+        |SELECT n0.vec_id, CAST(pl.p AS INT) AS dim,
+        |       ROUND(list_dot_product(n0.v, pl.plane) / sqrt(CAST(16 AS DOUBLE)) + 1e-12, 6) AS c
+        |FROM n0, planes pl WHERE pl.p < 16""".stripMargin,
     // nearest-centroid classification: one spherical-mean update with
     // labels as the fixed assignment (the kmeansCtes m/c conventions),
     // max-cos re-assignment with ties to the smallest label, confusion

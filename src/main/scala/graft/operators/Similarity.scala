@@ -319,6 +319,32 @@ object Similarity {
     cents
   }
 
+  /** Johnson–Lindenstrauss random projection — the dimensionality
+    * reducer a 100 TB embedding pipeline runs BEFORE the distance
+    * work (JL: n points project into O(log n / ε²) dimensions with
+    * pairwise distances preserved within 1±ε): each vector maps to
+    * `outDim` dot products against the fixed Gaussian plane matrix
+    * (the SRP-LSH planes — same seed, so the DuckDB oracle embeds the
+    * identical literal), scaled by 1/√outDim so squared distances are
+    * unbiased estimates of the originals. Pure per-row codegen work,
+    * no shuffle; components round to 6 dp for the cross-engine hash.
+    * Zero vectors project to zero — no rows are dropped. Output is one
+    * row per (vec_id, dim) component — the long form every downstream
+    * join/aggregate consumes directly, and scalar-only columns keep
+    * the oracle hash compare exact (the repo's array-free output
+    * convention, like the stringified PQ codes). */
+  def randomProject(embeddings: DataFrame, outDim: Int = 16): DataFrame = {
+    require(outDim >= 1 && outDim <= AnnBits,
+      s"outDim must be in [1, $AnnBits] (the fixed plane count), got $outDim")
+    val scale = math.sqrt(outDim.toDouble)
+    embeddings
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"), posexplode(
+        array((0 until outDim).map(i =>
+          round(dot(col("v"), typedLit(planes(i))) / lit(scale) + lit(1e-12), 6)): _*))
+        .as(Seq("dim", "c")))
+  }
+
   /** Nearest-centroid (Rocchio) classification over the LABELED
     * embedding corpus — the supervised sibling of [[trainCentroids]]:
     * one spherical centroid per label (exact-decimal unit-component

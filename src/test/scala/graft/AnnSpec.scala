@@ -305,6 +305,36 @@ class AnnSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("randomProject: dimension, determinism, linearity, JL distance preservation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, transform}
+    val emb = Tables.embeddings(spark, sf0001)
+    def gather(df: org.apache.spark.sql.DataFrame, shift: Long = 0L) =
+      df.collect().map(r => (r.getLong(0) - shift, r.getInt(1)) -> r.getDouble(2)).toMap
+    val flat = gather(Similarity.randomProject(emb))
+    val out = flat.groupBy(_._1._1).map { case (id, m) =>
+      id -> m.toSeq.sortBy(_._1._2).map(_._2) }
+    assert(out.values.forall(_.length == 16))
+    // deterministic: fixed planes, same result twice
+    assert(flat == gather(Similarity.randomProject(emb)))
+    // linearity: proj(2v) == 2 proj(v) within the 6-dp rounding
+    val doubled = emb.select(col("vec_id") + 100000L as "vec_id",
+      transform(col("embedding"), x => x * 2.0f).as("embedding"))
+    val pd = gather(Similarity.randomProject(doubled), shift = 100000L)
+    flat.foreach { case (k, a) => assert(math.abs(2 * a - pd(k)) < 2e-6) }
+    // JL: projected L2² ≈ original L2² on average (unbiased estimator;
+    // loose per-corpus bound, deterministic under the fixed planes)
+    val orig = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val ratios = out.toSeq.map { case (id, p) =>
+      val pn = p.map(x => x * x).sum
+      val on = orig(id).map(x => x * x).sum
+      if (on > 0) pn / on else 1.0
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"JL norm ratio off: $mean")
+  }
+
   test("centroidClassify: separable clusters classify perfectly, counts conserve") {
     import spark.implicits._
     // three orthogonal-ish clusters: label k vectors live on axis k
