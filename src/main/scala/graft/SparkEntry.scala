@@ -359,6 +359,9 @@ object SparkEntry {
     // plane matrix, 1/sqrt(d) scaling) — map-only, no shuffle
     "a_rp_project" -> ((s, dir) =>
       Similarity.randomProject(Tables.embeddings(s, dir))),
+    // k-NN majority-vote classification over the ANN pipeline
+    "a_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(Tables.embeddings(s, dir))),
     // ---- training-data pipeline: multimodal binary columns ----
     "m_binary_stats" -> ((s, dir) => Multimodal.binaryStats(Tables.documents(s, dir))),
     "m_decode_meta" -> ((s, dir) => Multimodal.decodeMeta(Tables.documents(s, dir)).toDF()),
@@ -1073,6 +1076,7 @@ object SparkEntry {
     // both engines compute the SAME candidate set and recall never enters
     // the compare; AnnSpec separately asserts recall bounds vs exact.
     "a_ann_topk" -> annTopKOracle,
+    "a_knn_classify" -> knnClassifyOracle,
     "a_ann_pairs" -> annPairsOracle,
     // semantic dedup: same replicated-LSH candidate set as a_ann_pairs,
     // keep = no verified near-dup at a lower vec_id; zero-norm and
@@ -2246,6 +2250,34 @@ object SparkEntry {
        |SELECT query_id, vec_id, cos, rk FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rk
        |  FROM s) WHERE rk <= 5""".stripMargin
+
+  /** k-NN vote in DuckDB: the annTopK recurrence with a 50-query set,
+    * neighbor labels joined on, majority vote with ties to the
+    * smallest label — candidate sets are engine-exact through the
+    * shared plane literal, so the vote is too. */
+  private lazy val knnClassifyOracle: String =
+    s"""WITH $normCte,
+       |$bucketsCte,
+       |qbk AS (SELECT query_id, band, unnest([sig, xor(sig, 1), xor(sig, 2), xor(sig, 4), xor(sig, 8)]) AS sig
+       |        FROM (SELECT vec_id AS query_id, band, sig FROM bk WHERE vec_id < 50)),
+       |cand AS (SELECT DISTINCT q.query_id, c.vec_id
+       |         FROM bk c JOIN qbk q ON c.band = q.band AND c.sig = q.sig AND c.vec_id <> q.query_id),
+       |s AS (SELECT cand.query_id, cand.vec_id,
+       |             ROUND(list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm) + 1e-12, 6) AS cos
+       |      FROM cand
+       |      JOIN n ON n.vec_id = cand.vec_id
+       |      JOIN (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n) q ON q.qid = cand.query_id),
+       |topk AS (SELECT query_id, vec_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM s) WHERE rk <= 5),
+       |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl FROM embeddings),
+       |votes AS (SELECT t.query_id, lb.lbl AS nbr_label, COUNT(*) AS n_votes
+       |          FROM topk t JOIN lb ON lb.vec_id = t.vec_id GROUP BY 1, 2),
+       |win AS (SELECT query_id, nbr_label, n_votes,
+       |               ROW_NUMBER() OVER (PARTITION BY query_id
+       |                 ORDER BY n_votes DESC, nbr_label) AS rn FROM votes)
+       |SELECT w.query_id, ql.lbl AS true_label, w.nbr_label AS pred_label, w.n_votes
+       |FROM win w JOIN lb ql ON ql.vec_id = w.query_id WHERE rn = 1""".stripMargin
 
   /** IVF in DuckDB: same capped strided centroids, same argmax-cosine
     * cell assignment (ROW_NUMBER over cos DESC, cid ≡ the kernel's

@@ -319,6 +319,34 @@ object Similarity {
     cents
   }
 
+  /** k-NN label-vote classification — the lazy-learning sibling of
+    * [[centroidClassify]]: each query vector's label is predicted by
+    * MAJORITY VOTE over its k approximate nearest neighbors
+    * ([[annTopK]]'s LSH-candidates + exact-rerank pipeline, self
+    * excluded), ties to the smallest label. Returns
+    * (query_id, true_label, pred_label, n_votes) — the eval frame an
+    * embedding-quality probe reports accuracy from.
+    *
+    * Scale shape is annTopK's (bucket equi-join, candidates ∝
+    * collision density, map-side rank limits) plus two label joins of
+    * k-row-per-query frames — nothing new shuffles. The oracle
+    * replicates the identical LSH so the candidate set — and
+    * therefore the vote — is engine-exact. */
+  def knnClassify(embeddings: DataFrame, numQueries: Int = 50, k: Int = 5): DataFrame = {
+    val labels = embeddings.select(col("vec_id"), col("label").cast("long").as("lbl"))
+    annTopK(embeddings, numQueries, k)
+      .join(labels.select(col("vec_id"), col("lbl").as("nbr_label")), "vec_id")
+      .groupBy(col("query_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("n_votes").desc, col("nbr_label"))))
+      .filter(col("rk") === 1)
+      .join(labels.select(col("vec_id").as("query_id"), col("lbl").as("true_label")),
+        "query_id")
+      .select(col("query_id"), col("true_label"),
+        col("nbr_label").as("pred_label"), col("n_votes"))
+  }
+
   /** Johnson–Lindenstrauss random projection — the dimensionality
     * reducer a 100 TB embedding pipeline runs BEFORE the distance
     * work (JL: n points project into O(log n / ε²) dimensions with

@@ -305,6 +305,31 @@ class AnnSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("knnClassify: separable clusters vote correctly; ties break to smallest label") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val fixture = (0L until 90L).map { i =>
+      val cls = (i % 3).toInt
+      val v = Array.tabulate(64)(j =>
+        (if (j == cls) 1.0f else 0.02f * rnd.nextFloat()))
+      (i, v, cls)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(fixture, numQueries = 90, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // with 30 same-cluster neighbors per query, the vote must recover
+    // the true label for every query that surfaced candidates
+    out.foreach { case (q, t, p, votes) =>
+      assert(t == p, s"query $q misvoted: true $t pred $p")
+      assert(votes >= 1 && votes <= 5)
+    }
+    // real corpus: one row per answered query, votes bounded by k
+    val real = Similarity.knnClassify(Tables.embeddings(spark, sf0001)).collect()
+    assert(real.nonEmpty)
+    assert(real.map(_.getLong(0)).distinct.length == real.length)
+    assert(real.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 5))
+  }
+
   test("randomProject: dimension, determinism, linearity, JL distance preservation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, transform}
