@@ -362,6 +362,9 @@ object SparkEntry {
     // k-NN majority-vote classification over the ANN pipeline
     "a_knn_classify" -> ((s, dir) =>
       Similarity.knnClassify(Tables.embeddings(s, dir))),
+    // top principal component by matrix-free power iteration
+    "a_pca_power" -> ((s, dir) =>
+      Similarity.powerComponent(Tables.embeddings(s, dir))),
     // ---- training-data pipeline: multimodal binary columns ----
     "m_binary_stats" -> ((s, dir) => Multimodal.binaryStats(Tables.documents(s, dir))),
     "m_decode_meta" -> ((s, dir) => Multimodal.decodeMeta(Tables.documents(s, dir)).toDF()),
@@ -1077,6 +1080,7 @@ object SparkEntry {
     // the compare; AnnSpec separately asserts recall bounds vs exact.
     "a_ann_topk" -> annTopKOracle,
     "a_knn_classify" -> knnClassifyOracle,
+    "a_pca_power" -> pcaPowerOracle,
     "a_ann_pairs" -> annPairsOracle,
     // semantic dedup: same replicated-LSH candidate set as a_ann_pairs,
     // keep = no verified near-dup at a lower vec_id; zero-norm and
@@ -2250,6 +2254,32 @@ object SparkEntry {
        |SELECT query_id, vec_id, cos, rk FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rk
        |  FROM s) WHERE rk <= 5""".stripMargin
+
+  /** Power iteration in DuckDB — unrolls Similarity.powerComponent's
+    * recurrence exactly: all-ones/8 init (1/√64 = 0.125, exact), per
+    * round a 9-dp projection, 9-dp DECIMAL(18,9) scaled components
+    * (order-independent exact sums), 6-dp normalized vector. Oracle
+    * subscripts are 1-based; the final select re-bases to 0. */
+  private lazy val pcaPowerOracle: String = {
+    val iters = 3
+    val iterCtes = (1 to iters).map { i =>
+      s"""p$i AS (SELECT ROUND(list_dot_product(e.v, v.pc) + 1e-12, 9) AS p, e.v
+         |        FROM e, v${i - 1} v),
+         |c$i AS (SELECT pos, SUM(CAST(ROUND(x * p + 1e-12, 9) AS DECIMAL(18,9))) AS s
+         |        FROM (SELECT p, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM p$i)
+         |        GROUP BY pos),
+         |v$i AS (SELECT list_transform(raw, x -> ROUND(x / nrm + 1e-12, 6)) AS pc FROM (
+         |          SELECT raw, sqrt(list_dot_product(raw, raw)) AS nrm FROM (
+         |            SELECT list(CAST(s AS DOUBLE) ORDER BY pos) AS raw FROM c$i)))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |v0 AS (SELECT [CAST(0.125 AS DOUBLE) for i in generate_series(1, 64)] AS pc),
+       |$iterCtes
+       |SELECT CAST(generate_subscripts(pc, 1) - 1 AS INT) AS pos,
+       |       unnest(pc) AS component
+       |FROM v$iters""".stripMargin
+  }
 
   /** k-NN vote in DuckDB: the annTopK recurrence with a 50-query set,
     * neighbor labels joined on, majority vote with ties to the

@@ -319,6 +319,57 @@ object Similarity {
     cents
   }
 
+  /** Top PRINCIPAL COMPONENT by power iteration — the spectral
+    * primitive (PCA's first axis) an embedding pipeline uses for
+    * whitening, drift probes and all-but-the-top common-direction
+    * removal. Three fixed matrix-free iterations of
+    * v ← Σ_x x·(x·v) (the covariance–vector product computed
+    * directly from rows — the 64×64 covariance never materializes),
+    * normalized each round.
+    *
+    * Scale shape mirrors [[trainCentroids]]'s update: each iteration
+    * is one corpus pass — per-row dot against the BROADCAST current
+    * vector (a one-row frame), per-row scaled components exploded to
+    * (pos, contribution) and partial-aggregated into a dim-bounded
+    * 64-row frame. Nothing corpus-sized shuffles or collects.
+    *
+    * Cross-engine parity is the k-means/PageRank recipe: the per-row
+    * projection rounds to 9 dp, each scaled component rounds into
+    * DECIMAL(18,9) (order-independent exact sums), and the
+    * normalized vector re-quantizes to 6 dp per round — so the DuckDB
+    * oracle unrolls the identical recurrence bit-for-bit. The sign is
+    * fixed by the iteration itself (deterministic all-ones init);
+    * output is the long (pos, component) form. */
+  def powerComponent(embeddings: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1, 8], got $iters")
+    val e = embeddings
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .localCheckpoint()
+    // deterministic init: the unit all-ones direction, 6-dp like every
+    // subsequent round's output
+    var vec: DataFrame = e.sparkSession.range(1)
+      .select(typedLit(IndexedSeq.fill(Dim)(
+        BigDecimal(1.0 / math.sqrt(Dim)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)).as("pc"))
+    for (_ <- 0 until iters) {
+      val contrib = e.crossJoin(broadcast(vec))
+        .select(round(dot(col("v"), col("pc")) + lit(1e-12), 9).as("p"), col("v"))
+        .select(posexplode(col("v")).as(Seq("pos", "x")), col("p"))
+        .select(col("pos"),
+          round(col("x") * col("p") + lit(1e-12), 9).cast("decimal(18,9)").as("c"))
+        .groupBy(col("pos")).agg(sum(col("c")).as("s"))
+      vec = contrib
+        .groupBy()
+        .agg(sort_array(collect_list(struct(col("pos"), col("s")))).as("ps"))
+        .select(transform(col("ps"), p => p.getField("s").cast("double")).as("raw"))
+        .select(col("raw"), sqrt(dot(col("raw"), col("raw"))).as("nrm"))
+        .select(transform(col("raw"), x =>
+          round(x / col("nrm") + lit(1e-12), 6)).as("pc"))
+        .localCheckpoint()
+    }
+    vec.select(posexplode(col("pc")).as(Seq("pos", "component")))
+  }
+
   /** k-NN label-vote classification — the lazy-learning sibling of
     * [[centroidClassify]]: each query vector's label is predicted by
     * MAJORITY VOTE over its k approximate nearest neighbors

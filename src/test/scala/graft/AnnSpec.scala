@@ -305,6 +305,31 @@ class AnnSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("powerComponent: unit norm, deterministic, recovers the dominant axis") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // anisotropic cloud: variance along axis 7 dominates by 20×
+    val fixture = (0L until 200L).map { i =>
+      val v = Array.tabulate(64)(j =>
+        (if (j == 7) 20.0 * rnd.nextGaussian() else rnd.nextGaussian()).toFloat)
+      (i, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val pc = Similarity.powerComponent(fixture).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    assert(pc.length == 64)
+    assert(math.abs(math.sqrt(pc.map(x => x * x).sum) - 1.0) < 1e-4)
+    assert(math.abs(pc(7)) > 0.95, s"dominant axis not found: ${pc(7)}")
+    // deterministic end to end
+    val again = Similarity.powerComponent(fixture).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    assert(pc.toSeq == again.toSeq)
+    // real corpus: 64 components, unit norm
+    val real = Similarity.powerComponent(Tables.embeddings(spark, sf0001)).collect()
+    assert(real.length == 64)
+    val nrm = math.sqrt(real.map(r => r.getDouble(1)).map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-4)
+  }
+
   test("knnClassify: separable clusters vote correctly; ties break to smallest label") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
