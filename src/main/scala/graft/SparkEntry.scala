@@ -365,6 +365,9 @@ object SparkEntry {
     // top principal component by matrix-free power iteration
     "a_pca_power" -> ((s, dir) =>
       Similarity.powerComponent(Tables.embeddings(s, dir))),
+    // all-but-the-top: subtract the common direction from every vector
+    "a_remove_top_pc" -> ((s, dir) =>
+      Similarity.removeTopComponent(Tables.embeddings(s, dir))),
     // ---- training-data pipeline: multimodal binary columns ----
     "m_binary_stats" -> ((s, dir) => Multimodal.binaryStats(Tables.documents(s, dir))),
     "m_decode_meta" -> ((s, dir) => Multimodal.decodeMeta(Tables.documents(s, dir)).toDF()),
@@ -1081,6 +1084,7 @@ object SparkEntry {
     "a_ann_topk" -> annTopKOracle,
     "a_knn_classify" -> knnClassifyOracle,
     "a_pca_power" -> pcaPowerOracle,
+    "a_remove_top_pc" -> removeTopPcOracle,
     "a_ann_pairs" -> annPairsOracle,
     // semantic dedup: same replicated-LSH candidate set as a_ann_pairs,
     // keep = no verified near-dup at a lower vec_id; zero-norm and
@@ -2260,9 +2264,12 @@ object SparkEntry {
     * round a 9-dp projection, 9-dp DECIMAL(18,9) scaled components
     * (order-independent exact sums), 6-dp normalized vector. Oracle
     * subscripts are 1-based; the final select re-bases to 0. */
-  private lazy val pcaPowerOracle: String = {
-    val iters = 3
-    val iterCtes = (1 to iters).map { i =>
+  private val PcaIters = 3
+
+  /** The power-iteration CTE chain (e, v0, p/c/v per round) shared by
+    * the a_pca_power and a_remove_top_pc oracles. */
+  private lazy val pcaPowerCtes: String = {
+    val iterCtes = (1 to PcaIters).map { i =>
       s"""p$i AS (SELECT ROUND(list_dot_product(e.v, v.pc) + 1e-12, 9) AS p, e.v
          |        FROM e, v${i - 1} v),
          |c$i AS (SELECT pos, SUM(CAST(ROUND(x * p + 1e-12, 9) AS DECIMAL(18,9))) AS s
@@ -2272,14 +2279,29 @@ object SparkEntry {
          |          SELECT raw, sqrt(list_dot_product(raw, raw)) AS nrm FROM (
          |            SELECT list(CAST(s AS DOUBLE) ORDER BY pos) AS raw FROM c$i)))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |           FROM embeddings),
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
        |v0 AS (SELECT [CAST(0.125 AS DOUBLE) for i in generate_series(1, 64)] AS pc),
-       |$iterCtes
+       |$iterCtes""".stripMargin
+  }
+
+  private lazy val pcaPowerOracle: String =
+    s"""WITH $pcaPowerCtes
        |SELECT CAST(generate_subscripts(pc, 1) - 1 AS INT) AS pos,
        |       unnest(pc) AS component
-       |FROM v$iters""".stripMargin
-  }
+       |FROM v$PcaIters""".stripMargin
+
+  /** All-but-the-top in DuckDB: the trained direction from the shared
+    * chain, one 9-dp projection per vector, 6-dp component-wise
+    * subtraction — identical doubles to the Spark zip_with. */
+  private lazy val removeTopPcOracle: String =
+    s"""WITH $pcaPowerCtes,
+       |pr AS (SELECT e.vec_id, e.v, v.pc,
+       |              ROUND(list_dot_product(e.v, v.pc) + 1e-12, 9) AS p
+       |       FROM e, v$PcaIters v)
+       |SELECT vec_id, CAST(pos - 1 AS INT) AS pos,
+       |       ROUND(v[pos] - p * pc[pos] + 1e-12, 6) AS c
+       |FROM (SELECT vec_id, v, pc, p, unnest(generate_series(1, len(v))) AS pos FROM pr)""".stripMargin
 
   /** k-NN vote in DuckDB: the annTopK recurrence with a 50-query set,
     * neighbor labels joined on, majority vote with ties to the

@@ -370,6 +370,32 @@ object Similarity {
     vec.select(posexplode(col("pc")).as(Seq("pos", "component")))
   }
 
+  /** Common-direction removal (the all-but-the-top post-processing of
+    * Mu & Viswanath 2018, applied to the top axis): subtract each
+    * vector's projection onto the [[powerComponent]] principal
+    * direction — the dominant common component of an embedding corpus
+    * carries mostly frequency/corpus bias, and removing it measurably
+    * sharpens cosine similarity. v' = v − (v·pc)·pc, components
+    * rounded to 6 dp in the long scalar form.
+    *
+    * Scale: the trained direction is ONE broadcast row; removal is a
+    * per-row map (one dot + one fused multiply-subtract per
+    * component). The corpus never shuffles. */
+  def removeTopComponent(embeddings: DataFrame, iters: Int = 3): DataFrame = {
+    val pcRow = powerComponent(embeddings, iters)
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("pos"), col("component")))).as("ps"))
+      .select(transform(col("ps"), p => p.getField("component")).as("pc"))
+    embeddings
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .crossJoin(broadcast(pcRow))
+      .select(col("vec_id"), col("v"), col("pc"),
+        round(dot(col("v"), col("pc")) + lit(1e-12), 9).as("p"))
+      .select(col("vec_id"), posexplode(
+        zip_with(col("v"), col("pc"), (x, c) =>
+          round(x - col("p") * c + lit(1e-12), 6))).as(Seq("pos", "c")))
+  }
+
   /** k-NN label-vote classification — the lazy-learning sibling of
     * [[centroidClassify]]: each query vector's label is predicted by
     * MAJORITY VOTE over its k approximate nearest neighbors

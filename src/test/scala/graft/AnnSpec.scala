@@ -330,6 +330,24 @@ class AnnSpec extends SparkSpec {
     assert(math.abs(nrm - 1.0) < 1e-4)
   }
 
+  test("removeTopComponent: residuals are orthogonal to the trained direction") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf0001)
+    val pc = Similarity.powerComponent(emb).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    val res = Similarity.removeTopComponent(emb).collect()
+      .groupBy(_.getLong(0)).map { case (id, rows) =>
+        id -> rows.map(r => r.getInt(1) -> r.getDouble(2)).sortBy(_._1).map(_._2) }
+    assert(res.values.forall(_.length == 64))
+    // v' · pc ≈ 0 for every vector (up to the 6-dp component rounding)
+    res.foreach { case (id, v) =>
+      val d = v.zip(pc).map { case (a, b) => a * b }.sum
+      assert(math.abs(d) < 1e-3, s"vec $id residual projection $d")
+    }
+    // count: one row per (vector, dim)
+    assert(res.size == emb.count())
+  }
+
   test("knnClassify: separable clusters vote correctly; ties break to smallest label") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
