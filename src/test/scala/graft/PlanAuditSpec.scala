@@ -537,6 +537,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), s"merge table not broadcast:\n$p")
   }
 
+  test("randomProject: map-only — no exchange at all") {
+    val p = plan(Similarity.randomProject(Tables.embeddings(spark, dir)))
+    assert(!p.contains("Exchange"), s"projection should be one map stage:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("powerComponent/removeTopComponent: corpus vectors never cross an exchange") {
+    val pc = plan(Similarity.powerComponent(Tables.embeddings(spark, dir)))
+    // the iteration state is checkpointed; the visible plan is the
+    // final explode of the one-row vector — nothing corpus-sized
+    assert(!pc.contains("CartesianProduct"), s"cartesian in the power plan:\n$pc")
+    val rm = plan(Similarity.removeTopComponent(Tables.embeddings(spark, dir)))
+    assert(rm.contains("BroadcastExchange"), s"direction not broadcast:\n$rm")
+    val vecEx = rm.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("array<double>"))
+    assert(vecEx == 0, s"embedding arrays cross an exchange ($vecEx):\n$rm")
+  }
+
   test("imageNearDup: band LSH is an equi join; payload bytes never shuffle") {
     val p = plan(graft.operators.Multimodal.imageNearDup(
       graft.operators.Multimodal.phashDocs(Tables.documents(spark, dir))))
