@@ -114,19 +114,19 @@ object Bench {
     // Two outputs. The harness that reads this keeps only the LAST
     // ~2000 chars of stdout and parses the JSON it finds there — a
     // 100+-entry per-query map overflows that window and truncates
-    // mid-object (unparseable). So the FINAL line is a compact object
-    // guaranteed to fit (total + subtotals + the slowest queries +
-    // the warm map), and the complete per-query detail goes to a file
-    // in the repo plus an earlier stdout line (no "metric" key there,
-    // so a tail-side scan for the metric object can't latch onto it).
+    // mid-object (unparseable; r8's tail showed exactly that fragment
+    // crowding the window). So the complete per-query detail goes ONLY
+    // to a file in the repo, and stdout carries a single compact final
+    // line (total + subtotals + slowest queries + warm map) guaranteed
+    // to fit the window whole. build.sbt routes forked-run stdout past
+    // the sbt logger so no "[info] " prefix rides the line.
     val fullLine =
       s"""{"full":true,"value":$total,"unit":"sec","queries":$qs,"warm":$ws,"subtotals":$subs,"errors":$es,"sf":"$sfDir","threads":$cpus}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
       try w.println(fullLine) finally w.close()
-    } catch { case _: Throwable => () } // file drop is best-effort; stdout carries it too
-    println(fullLine)
+    } catch { case _: Throwable => () } // best-effort; the compact line still lands
     val slowest = jmap(scala.collection.immutable.ListMap(
       timings.toSeq.sortBy(-_._2).take(12): _*))
     // provenance: the thread count the harness ACTUALLY ran with (the

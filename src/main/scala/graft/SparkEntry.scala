@@ -1573,8 +1573,9 @@ object SparkEntry {
         |    FROM (SELECT doc_id, string_split(text, '. ') AS ss FROM documents))),
         |t AS (SELECT doc_id, si, s, len(string_split(s, ' ')) AS n_tok FROM s),
         |c AS (SELECT *,
-        |        (SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY si
-        |                          ROWS UNBOUNDED PRECEDING) - n_tok) // 64 AS chunk_idx
+        |        CAST((SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY si
+        |                          ROWS UNBOUNDED PRECEDING) - n_tok) // 64
+        |             AS BIGINT) AS chunk_idx
         |      FROM t)
         |SELECT doc_id, chunk_idx,
         |       CAST(MIN(si) AS BIGINT) AS first_sentence,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.functions.{col, expr, hour, minute, unix_micros}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table access for the driver-generated test data (TESTDATA.md).
@@ -40,20 +40,29 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if (spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled").isEmpty)
-      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // Set unconditionally: RuntimeConfig.getOption returns the
+    // registered DEFAULT ("true") for an unset conf, so an "only when
+    // unset" guard can never fire, and the micros flavor would infer
+    // as NTZ — whose cast to TimestampType reinterprets the wall clock
+    // in the session zone (correct only under UTC). Forcing false keeps
+    // the verbatim TimestampType path below zone-independent.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = table(spark, sfDir, "events")
     df.schema("ts").dataType match {
       case LongType => df // nanos flavor, already the convention
       case TimestampType =>
         df.withColumn("ts", unix_micros(col("ts")) * 1000L)
       case TimestampNTZType =>
-        // only reachable if the session pinned inferTimestampNTZ=true:
-        // NTZ→LTZ cast reinterprets the wall clock in the session zone,
-        // which is the verbatim epoch iff that zone is UTC (Verify and
-        // Bench pin UTC; a non-UTC driver session would need the conf
-        // left unset for the TimestampType path above to apply)
-        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+        // only reachable if the session re-pinned inferTimestampNTZ=true
+        // between the set above and a later re-read. Zone-independent:
+        // rebuild the stored micros from the NTZ wall-clock fields
+        // directly (a cast to TimestampType would reinterpret the wall
+        // clock in the session zone; from_utc_timestamp round-trips
+        // inexactly across DST transitions).
+        df.withColumn("ts",
+          (expr("unix_date(cast(ts AS date))") * 86400000000L +
+            (hour(col("ts")) * 3600L + minute(col("ts")) * 60L) * 1000000L +
+            expr("CAST(extract(SECOND FROM ts) * 1000000 AS BIGINT)")) * 1000L)
       case other =>
         throw new IllegalStateException(
           s"events.ts: expected nanos-Long or a timestamp type, got $other")

@@ -138,9 +138,30 @@ object Graph {
     * ships map-side and the per-node count aggregation is the only
     * post-edge-build shuffle. Past the gate the hint drops and the
     * planner shuffles edges onto the adjacency frame by endpoint —
-    * two edge-sized shuffles, still never a wedge-sized one. */
-  def triangles(lineitem: DataFrame): DataFrame = {
-    val po = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    * two edge-sized shuffles, still never a wedge-sized one.
+    *
+    * `maxBasket` bounds the one step the orientation cannot protect:
+    * the basket→pair expansion itself, quadratic in basket size.
+    * Orders with more than `maxBasket` distinct parts are dropped
+    * from the graph (documented semantic change, like
+    * `jaccardPairs.maxDf`); the default (1024, ≤ ~0.5M pairs per hot
+    * order) is far above any TPC-H basket, so default results are
+    * unchanged. */
+  def triangles(lineitem: DataFrame, maxBasket: Int = 1024): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    import org.apache.spark.sql.expressions.Window
+    val po0 = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    // Hot-basket guard: the self-join below expands each order into
+    // basket² pairs BEFORE the orientation's √(2m) degree cap can help
+    // — a single pathological 10⁵-item basket would build 10¹⁰ rows.
+    // Orders above the cap are DROPPED (their co-purchase edges are
+    // excluded, the jaccardPairs.maxDf treatment): at TPC-H shape
+    // baskets are ≤ 7, so the default cap changes nothing there. The
+    // basket-size count shares the self-join's own hash partitioning
+    // on o, so the guard adds no extra shuffle.
+    val po = po0
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("o"))))
+      .filter(col("bsz") <= maxBasket).drop("bsz")
     val edges = po.as("x").join(po.as("y"), Seq("o"))
       .filter(col("x.p") < col("y.p"))
       .select(col("x.p").as("u"), col("y.p").as("v"))

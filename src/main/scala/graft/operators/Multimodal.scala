@@ -906,6 +906,10 @@ object Multimodal {
           return Some(JpegMeta(id, w, h, ncomp, precision))
         case 0xD9 | 0xDA => // EOI / SOS before any SOF: no frame header
           return None
+        case 0x01 => // TEM: standalone marker, carries no length field
+          ()
+        case m if m >= 0xD0 && m <= 0xD7 => // RST0-7: standalone, no length
+          ()
         case _ => // every other segment is length-prefixed: skip it
           if (p + 2 > b.length) return None
           val len = be16(p)

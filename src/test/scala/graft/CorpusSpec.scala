@@ -405,6 +405,30 @@ class CorpusSpec extends SparkSpec {
     assert(one.length == 1 && one(0).getLong(4) == 100L)
   }
 
+  test("sentenceChunks: '. '-split edge cases pinned against the DuckDB oracle") {
+    // Ground truth computed with DuckDB 1.x running the exact oracle SQL
+    // from SparkEntry (string_split + windowed sum + md5 over the
+    // ". "-rejoined run) on these six texts. Pins the parity of the
+    // separator edges — trailing ". ", consecutive separators ". . ",
+    // double space after the dot, "..", empty text — against any future
+    // testdata flavor. Empty text yields one empty sentence whose md5 is
+    // the md5 of "" (d41d8cd9...).
+    val fixtures = docs(
+      1L -> "alpha beta. ", 2L -> ". . ", 3L -> "x.  ",
+      4L -> "a.. b", 5L -> "", 6L -> "one two. three. ")
+    val out = Corpus.sentenceChunks(fixtures)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 2L, 3L, "b806f08d81498fbc906fb324bec02ccc"),
+      (2L, 0L, 0L, 3L, 3L, "dba02014321592e3b3c4dc53e89e9869"),
+      (3L, 0L, 0L, 2L, 3L, "a82ec72ab90356acf2c3065799839d06"),
+      (4L, 0L, 0L, 2L, 2L, "aa0b58ff1c27256986a3e3ac0747fd64"),
+      (5L, 0L, 0L, 1L, 1L, "d41d8cd98f00b204e9800998ecf8427e"),
+      (6L, 0L, 0L, 3L, 4L, "51af1ab32504b496dc0bbaeef08b8f4b")))
+  }
+
   test("sentenceChunks: token and sentence counts conserve on real docs") {
     val docs = Tables.documents(spark, sf0001).limit(80)
     val out = Corpus.sentenceChunks(docs)

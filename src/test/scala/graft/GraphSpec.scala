@@ -61,6 +61,24 @@ class GraphSpec extends SparkSpec {
     assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("triangles: maxBasket drops hot baskets' edges, leaves small orders intact") {
+    // one 50-item mega-basket plus a separate K3: with maxBasket=10 the
+    // mega-basket contributes NO edges (its quadratic pair expansion is
+    // never built), while the small order's triangle survives untouched
+    val mega = Seq.tabulate(50)(i => (1L, 100L + i))
+    val k3 = Seq.tabulate(3)(i => (2L, 10L + i))
+    val df = (mega ++ k3).toDF("l_orderkey", "l_partkey")
+    val capped = Graph.triangles(df, maxBasket = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(capped == Map(10L -> 1L, 11L -> 1L, 12L -> 1L))
+    // a cap above every basket size reproduces the default exactly
+    val full = Graph.triangles(df).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val loose = Graph.triangles(df, maxBasket = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(full == loose)
+    assert(full.view.filterKeys(_ >= 100L).values.forall(_ == 49L * 48 / 2))
+  }
+
   test("triangles: duplicate lineitem rows do not change counts (edge distinct)") {
     val k3 = Seq.tabulate(3)(i => (1L, 10L + i)).toDF("l_orderkey", "l_partkey")
     val once = Graph.triangles(k3).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
