@@ -22,6 +22,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // static conf, default 100: a 130+-query run evicts early
+      // generated classes from the codegen cache before late queries
+      // reuse their shared kernels (minhash/cluster fragments), so the
+      // tail of the run silently re-compiles and re-loads classes —
+      // r8 measured c_data_build 3x slower at position 116/132 than in
+      // a quiet subset run with its kernels warm. 2000 entries keeps
+      // every fragment of the full suite resident (~MBs of classes).
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

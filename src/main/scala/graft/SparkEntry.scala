@@ -103,6 +103,12 @@ object SparkEntry {
       operators.Sketch.hllDistinct(ev(s, dir), "user_id", Seq("event_type"))),
     "q_heavy_hitters" -> ((s, dir) =>
       operators.Sketch.cmsHeavyHitters(ev(s, dir), "user_id")),
+    // quantile sketch: per-priority price percentiles from a fixed-size
+    // deterministic hash-rank sample — q_price_quantiles' exact
+    // (sort-based) percentiles are its semantic anchor
+    "q_quantile_sketch" -> ((s, dir) =>
+      operators.Sketch.quantileSketch(Tables.orders(s, dir), "o_totalprice",
+        "o_orderkey", Seq("o_orderpriority"))),
     "q_orders_by_month" -> ((s, dir) => Relational.ordersByMonth(Tables.orders(s, dir))),
     "q_revenue_rollup" -> ((s, dir) => Relational.revenueRollup(Tables.orders(s, dir))),
     // CUBE: all four grouping sets of (status, year) in one pass
@@ -844,6 +850,28 @@ object SparkEntry {
         |  SELECT user_id, est_count,
         |         ROW_NUMBER() OVER (ORDER BY est_count DESC, user_id) AS rn FROM pr)
         |WHERE rn <= 20""".stripMargin,
+    // quantile sketch: identical deterministic hash-rank sample
+    // (bottom-1000 by md5 per group) and identical nearest-lower-rank
+    // pick; q is CAST to DOUBLE so floor(q·(m−1)) runs the same IEEE
+    // arithmetic on both engines (bare DuckDB literals are DECIMAL,
+    // whose exact products floor differently — 0.99·100 is 99 exact
+    // but 98.99999… in doubles)
+    "q_quantile_sketch" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority AS g, CAST(o_totalprice AS DECIMAL(18,4)) AS v,
+        |         md5(CAST(o_orderkey AS VARCHAR)) AS h,
+        |         CAST(o_orderkey AS VARCHAR) AS rk
+        |  FROM orders),
+        |t AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY h, rk) AS hrk FROM s),
+        |r AS (SELECT g, v, h,
+        |             COUNT(*) OVER (PARTITION BY g) AS m,
+        |             row_number() OVER (PARTITION BY g ORDER BY v, h) AS vrk
+        |      FROM t WHERE hrk <= 1000),
+        |qs AS (SELECT CAST(u AS DOUBLE) AS q
+        |       FROM (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS u))
+        |SELECT g AS o_orderpriority, q, CAST(v AS DOUBLE) AS est, CAST(m AS BIGINT) AS n_sample
+        |FROM r CROSS JOIN qs
+        |WHERE vrk = CAST(floor(q * (m - 1)) AS BIGINT) + 1""".stripMargin,
     "q_orders_by_month" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |       CAST(month(o_orderdate) AS BIGINT) AS o_month,

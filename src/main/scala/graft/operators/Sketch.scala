@@ -147,4 +147,70 @@ object Sketch {
   private def cmsCells: Column => Column = key => explode(array(
     (0 until CmsDepth).map(r => struct(lit(r).as("r"),
       (h60(key, s"cms$r:") % CmsWidth).as("bkt"))): _*))
+
+  /** Quantile sketch by deterministic hash-rank sampling — the
+    * Sketch family's rank member: percentiles without a sort of the
+    * data, from FIXED-SIZE MERGEABLE per-group state like the HLL
+    * registers and the CMS grid.
+    *
+    * State is the k rows whose md5(row key) ranks smallest within the
+    * group — a uniform without-replacement sample selected by hash,
+    * not RNG, so it is (a) deterministic and oracle-replayable, (b)
+    * order-independent, and (c) mergeable: the bottom-k of a union is
+    * the bottom-k of the per-part bottom-k's, the same closure
+    * property KMV distinct sketches ride on (Bar-Yossef et al. 2002).
+    * The estimate for quantile q is the nearest-lower-rank sample
+    * value at row ⌊q·(m−1)⌋+1 of the value-sorted sample (m = sample
+    * size). Rank error obeys the DKW inequality for an m-sample:
+    * sup_q |F̂(q) − F(q)| ≤ ε with prob ≥ 1−δ at ε = √(ln(2/δ)/2m) —
+    * k=1000 gives ε ≈ 0.085 at δ = 10⁻⁶ (typical error ~1/√m ≈ 3%;
+    * k stays at or under Spark's windowGroupLimitThreshold so the rank
+    * filter compiles map-side);
+    * hash selection approximates the iid draw the bound assumes
+    * (spec-checked against exact ranks in SketchSpec). KLL (Karnin,
+    * Lang, Liberty 2016) reaches the same guarantee with smaller
+    * state, but its compactions are stream-order-dependent — not
+    * replayable by an order-free SQL oracle — so the hash sample is
+    * the deterministic member this gate can verify.
+    *
+    * Scale shape: the hash-rank filter compiles to a rank-limited
+    * window (WindowGroupLimit pushes a per-partition top-k BEFORE the
+    * group shuffle, the partial-aggregate shape), so the exchange
+    * carries ≤ k rows per input partition per group, never the data;
+    * the sample count and the value ranking reuse the same group
+    * partitioning; quantile targets fan out from a broadcast-size
+    * literal array. Values stay DECIMAL(18,4) end to end — no float
+    * association anywhere.
+    *
+    * Returns one row per (group, q): (groupCols…, q, est, n_sample). */
+  def quantileSketch(df: DataFrame, valueCol: String, rowKeyCol: String,
+                     groupCols: Seq[String], k: Int = 1000,
+                     quantiles: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(k >= 2, s"need k >= 2, got $k")
+    require(quantiles.nonEmpty, "need at least one quantile")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = groupCols.map(col)
+    val keyed = df.select(g ++ Seq(
+      col(valueCol).cast("decimal(18,4)").as("v"),
+      md5(col(rowKeyCol).cast("string")).as("h"),
+      col(rowKeyCol).cast("string").as("rk")): _*)
+    val byGroup = Window.partitionBy(g: _*)
+    val samp = keyed
+      .withColumn("hrk", row_number().over(byGroup.orderBy(col("h"), col("rk"))))
+      .filter(col("hrk") <= k)
+    val ranked = samp
+      .withColumn("m", count(lit(1)).over(byGroup))
+      .withColumn("vrk", row_number().over(byGroup.orderBy(col("v"), col("h"))))
+    ranked
+      .crossJoin(broadcast(quantiles.toDF("q")))
+      .filter(col("vrk") === (floor(col("q") * (col("m") - 1)).cast("long") + 1))
+      .select(g ++ Seq(col("q"),
+        // DOUBLE on the wire: 4-dp decimals convert exactly, and the
+        // gate's value compare treats DECIMAL vs DOUBLE as a mismatch
+        col("v").cast("double").as("est"),
+        col("m").cast("long").as("n_sample")): _*)
+  }
 }

@@ -362,6 +362,20 @@ class PlanAuditSpec extends SparkSpec {
       s"rank filter must cap rows before the exchange:\n$p")
   }
 
+  test("quantileSketch: hash-rank sample caps rows map-side, targets broadcast") {
+    val p = plan(Sketch.quantileSketch(Tables.orders(spark, dir), "o_totalprice",
+      "o_orderkey", Seq("o_orderpriority")))
+    // the bottom-k-by-hash filter must cap rows BEFORE the group
+    // exchange (partial + final WindowGroupLimit) — that is the whole
+    // fixed-size-state argument: the shuffle carries <= k rows per
+    // input partition per group, never the data
+    assert(count(p, "WindowGroupLimit") >= 2,
+      s"hash-rank sample must cap rows before the exchange:\n$p")
+    // the quantile-target fan-out is a broadcast of a literal-sized
+    // frame, never a cartesian over data
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
   test("sparseSimilarity: rank filters stay map-side WindowGroupLimits, joins stay equi") {
     val p = plan(graft.functions.TextAnalysis.sparseSimilarity(Tables.documents(spark, dir)))
     assert(count(p, "WindowGroupLimit") >= 2,

@@ -90,4 +90,63 @@ class SketchSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == again.toSeq)
   }
+
+  test("quantileSketch: estimates land within the DKW rank-error bound (sf0.001)") {
+    val orders = Tables.orders(spark, sf0001)
+    val k = 512
+    val out = Sketch.quantileSketch(orders, "o_totalprice", "o_orderkey",
+      Seq("o_orderpriority"), k = k).collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // exact per-group sorted values to measure each estimate's TRUE rank
+    val exact = orders.select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    out.foreach { case (grp, q, est, m) =>
+      assert(m <= k)
+      val vs = exact(grp); val n = vs.length
+      // rank of the estimate in the TRUE distribution (fraction <= est)
+      val rank = vs.count(_ <= est).toDouble / n
+      // DKW for an m-sample at delta=1e-6: eps = sqrt(ln(2/delta)/(2m));
+      // m = min(k, n) per group — plus 1/n slack for nearest-rank pick
+      val eps = math.sqrt(math.log(2.0 / 1e-6) / (2.0 * m)) + 1.0 / n
+      assert(math.abs(rank - q) <= eps,
+        s"$grp q=$q: est $est has true rank $rank (eps $eps, m=$m)")
+    }
+  }
+
+  test("quantileSketch: state is mergeable — bottom-k of parts re-ranked equals whole") {
+    // the closure property the 100 TB argument rides on: per-part
+    // bottom-k samples, unioned and re-ranked, give the same sketch as
+    // one pass over the whole input
+    import org.apache.spark.sql.functions.{col, md5}
+    val orders = Tables.orders(spark, sf0001)
+    val whole = Sketch.quantileSketch(orders, "o_totalprice", "o_orderkey",
+      Seq("o_orderpriority"), k = 64).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSet
+    // split by a hash bit, keep each part's bottom-64 rows per group
+    // (the part-level sketch state), union, re-run
+    val part = (b: Int) => {
+      import org.apache.spark.sql.expressions.Window
+      orders.filter(col("o_orderkey") % 2 === b)
+        .withColumn("hh", md5(col("o_orderkey").cast("string")))
+        .withColumn("prk", org.apache.spark.sql.functions.row_number().over(
+          Window.partitionBy(col("o_orderpriority")).orderBy(col("hh"))))
+        .filter(col("prk") <= 64).drop("hh", "prk")
+    }
+    val merged = Sketch.quantileSketch(part(0).unionAll(part(1)), "o_totalprice",
+      "o_orderkey", Seq("o_orderpriority"), k = 64).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(whole == merged)
+  }
+
+  test("quantileSketch is deterministic and order-independent") {
+    val orders = Tables.orders(spark, sf0001)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketch.quantileSketch(df, "o_totalprice", "o_orderkey",
+        Seq("o_orderpriority"), k = 128).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(run(orders) == run(orders.orderBy(org.apache.spark.sql.functions.rand(7))))
+  }
 }
