@@ -423,10 +423,16 @@ object SparkEntry {
       Multimodal.resampleWav(Multimodal.wavDocs(Tables.documents(s, dir))).toDF()),
     // REAL JPEG header decode over genuinely-encoded JPEGs (JDK
     // ImageIO writer): marker walk to SOF, dims/components/precision
-    // from the actual big-endian bytes; only DCT pixel decode remains
-    // the documented stub
+    // from the actual big-endian bytes
     "m_decode_jpeg" -> ((s, dir) =>
       Multimodal.decodeJpegMeta(Multimodal.jpegDocs(Tables.documents(s, dir))).toDF()),
+    // REAL JPEG PIXEL decode: from-scratch baseline Huffman + IDCT
+    // scan over genuinely ImageIO-encoded grayscale JPEGs whose
+    // constant 8x8 blocks round-trip losslessly at quality 1.0 (all-
+    // ones quant table), so the oracle recomputes the decoded stream
+    // arithmetically while Spark runs the real entropy decode
+    "m_decode_jpeg_pixels" -> ((s, dir) =>
+      Multimodal.decodeJpegPixels(Multimodal.jpegPixelDocs(Tables.documents(s, dir))).toDF()),
     "m_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     "m_feature_extract" -> ((s, dir) => Multimodal.featureExtract(Tables.documents(s, dir)).toDF()),
     "m_resize_plan" -> ((s, dir) => Multimodal.resizePlan(Tables.documents(s, dir))),
@@ -1445,6 +1451,24 @@ object SparkEntry {
         |       CAST(3 AS INT) AS channels,
         |       CAST(8 AS INT) AS precision
         |FROM documents""".stripMargin,
+    // real JPEG pixel decode: the fixtures' constant 8x8 blocks
+    // survive a real quality-1.0 encode losslessly (DC-only, all-ones
+    // quant table), so pixel k's decoded byte is recomputed
+    // arithmetically — (doc_id + 5*(x//8) + 7*(y//8)) % 256 — while
+    // the Spark side must run the actual Huffman + IDCT scan to land
+    // on the same stream
+    "m_decode_jpeg_pixels" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CAST(8 * (1 + doc_id % 4) AS INT) AS w,
+        |         CAST(8 * (1 + doc_id % 3) AS INT) AS h
+        |  FROM documents)
+        |SELECT doc_id, w AS width, h AS height,
+        |       CAST(w * h AS BIGINT) AS n_pixels,
+        |       md5(array_to_string(
+        |         [lpad(hex((doc_id + 5 * ((k % w) // 8) + 7 * ((k // w) // 8)) % 256), 2, '0')
+        |          for k in generate_series(0, w * h - 1)], '')) AS pix_md5
+        |FROM g""".stripMargin,
     // audio decimation: surviving sample j is input sample 2j — its
     // little-endian byte pair recomputed arithmetically; a stride,
     // offset or endianness bug in the resampler can never hash right

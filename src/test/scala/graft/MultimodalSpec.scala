@@ -422,6 +422,78 @@ class MultimodalSpec extends SparkSpec {
     out.toByteArray
   }
 
+  test("decodeJpegGray: bit-equal to ImageIO on the DC-only fixtures") {
+    val docs = (0L until 24L).map(d => (d, s"doc $d")).toDF("doc_id", "text")
+    val payloads = Multimodal.jpegPixelDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(payloads.length == 24)
+    payloads.foreach { case (id, bytes) =>
+      val (w, h, pix) = Multimodal.decodeJpegGray(bytes).get
+      assert((w, h) == ((8 * (1 + id % 4)).toInt, (8 * (1 + id % 3)).toInt))
+      // planted values survive the real encode losslessly (quality 1.0
+      // all-ones quant table, constant blocks = DC-only)...
+      for (y <- 0 until h; x <- 0 until w)
+        assert((pix(y * w + x) & 0xFF) == ((id + 5 * (x / 8) + 7 * (y / 8)) % 256).toInt,
+          s"doc $id planted mismatch at ($x,$y)")
+      // ...and the JDK's own decoder agrees byte for byte
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until h; x <- 0 until w)
+        assert((pix(y * w + x) & 0xFF) == img.getRaster.getSample(x, y, 0),
+          s"doc $id ImageIO mismatch at ($x,$y)")
+    }
+  }
+
+  test("decodeJpegGray: general AC path tracks ImageIO within IDCT tolerance") {
+    // a non-constant image (gradient inside each block) at default
+    // quality: AC coefficients are nonzero, quantization is lossy, and
+    // the scan exercises run/size AC codes + EOB + multi-table Huffman.
+    // Our reference double-precision IDCT vs the JDK's integer IDCT may
+    // legitimately differ by a hair per sample (T.81 accuracy band) —
+    // assert close tracking, not equality.
+    val w = 40; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 7 + y * 13 + (x * y) % 31) % 256)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.9f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); wr.dispose()
+    val bytes = bos.toByteArray
+    val (dw, dh, pix) = Multimodal.decodeJpegGray(bytes).get
+    assert((dw, dh) == (w, h))
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = math.abs((pix(y * w + x) & 0xFF) - back.getRaster.getSample(x, y, 0))
+      if (d > maxDiff) maxDiff = d
+    }
+    assert(maxDiff <= 2, s"decoded pixels drifted from ImageIO by $maxDiff")
+  }
+
+  test("decodeJpegGray: rejects color JPEGs, truncated scans, and non-JPEG bytes") {
+    val docs = (0L until 4L).map(d => (d, s"doc $d")).toDF("doc_id", "text")
+    // the RGB header-fixture corpus is 3-component: out of the gray
+    // scan's scope, must be None (not a misparse)
+    val rgb = Multimodal.jpegDocs(docs.limit(1)).collect()(0).getAs[Array[Byte]]("payload")
+    assert(Multimodal.decodeJpegGray(rgb).isEmpty)
+    // a truncated payload must REJECT — None when the cut lands in the
+    // header walk, an exception when the entropy stream runs out
+    // mid-MCU — never a silent wrong decode
+    val gray = Multimodal.jpegPixelDocs(docs.limit(1)).collect()(0).getAs[Array[Byte]]("payload")
+    for (keep <- Seq(gray.length / 4, gray.length / 2, gray.length * 3 / 4)) {
+      val res = try Multimodal.decodeJpegGray(gray.take(keep))
+      catch { case _: Exception => None }
+      assert(res.isEmpty, s"truncation at $keep bytes decoded anyway")
+    }
+    assert(Multimodal.decodeJpegGray("not a jpeg at all".getBytes).isEmpty)
+  }
+
   test("lzwDecode: inverts a genuinely compressed stream (dict growth, repeats)") {
     val rnd = new scala.util.Random(7)
     // repetitive data → real compression, many dictionary entries
