@@ -80,6 +80,11 @@ object SparkEntry {
     // final changelog probed for the car-key heavy hitters
     "s_stream_cms" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayCms(s, ev(s, dir))),
+    // streaming quantile sketch: bottom-k-by-md5 sample as
+    // transformWithState state (bounded k rows/kind), final snapshot
+    // equals the batch sample by mergeability
+    "s_stream_quantile" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayQuantile(s, ev(s, dir))),
     // ---- relational coverage (TPC-H-ish) ----
     "q1_pricing_summary" -> ((s, dir) =>
       Relational.pricingSummary(Tables.lineitem(s, dir))),
@@ -632,6 +637,32 @@ object SparkEntry {
         |  SELECT user_id, est_count,
         |         ROW_NUMBER() OVER (ORDER BY est_count DESC, user_id) AS rn FROM pr)
         |WHERE rn <= 20""".stripMargin,
+    // streaming quantile: the bottom-k-by-md5 sample is order-
+    // independent and mergeable, so the final streamed snapshot equals
+    // this batch recurrence over the staged envelope (same shape as
+    // q_quantile_sketch, k=64, event_id as the row key)
+    "s_stream_quantile" ->
+      """WITH env AS (
+        |  SELECT 'car' AS kind, event_id, value AS v
+        |  FROM events WHERE event_type IN ('click','view')
+        |  UNION ALL
+        |  SELECT 'zone' AS kind, event_id, value AS v
+        |  FROM events WHERE event_type = 'error'
+        |    AND NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') IS NOT NULL),
+        |s AS (SELECT kind AS g, CAST(v AS DECIMAL(18,4)) AS v,
+        |             md5(CAST(event_id AS VARCHAR)) AS h,
+        |             CAST(event_id AS VARCHAR) AS rk
+        |      FROM env),
+        |t AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY h, rk) AS hrk FROM s),
+        |r AS (SELECT g, v, h,
+        |             COUNT(*) OVER (PARTITION BY g) AS m,
+        |             row_number() OVER (PARTITION BY g ORDER BY v, h) AS vrk
+        |      FROM t WHERE hrk <= 64),
+        |qs AS (SELECT CAST(u AS DOUBLE) AS q
+        |       FROM (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS u))
+        |SELECT g AS kind, q, CAST(v AS DOUBLE) AS est, CAST(m AS BIGINT) AS n_sample
+        |FROM r CROSS JOIN qs
+        |WHERE vrk = CAST(floor(q * (m - 1)) AS BIGINT) + 1""".stripMargin,
     "s_stream_hll" ->
       """WITH env AS (
         |  SELECT 'car' AS kind, user_id AS a

@@ -19,6 +19,56 @@ import graft.operators.CarZone
 private[streaming] case class StagedEvent(kind: String, a: Long, b: Long, v: Double,
                                           ts: Long, eventId: Long, pid: Int, seq: Long)
 
+/** Streaming quantile-sketch plumbing (top-level for product
+  * encoders): one sample row in, a snapshot row out, and the bounded
+  * per-kind state — the bottom-k rows by md5(event id), as parallel
+  * arrays (k · ~50 B, fixed regardless of stream length). */
+private[streaming] case class QuantileIn(kind: String, eventId: Long, v: Double, seq: Long)
+private[streaming] case class QuantileSnap(kind: String, upTo: Long, event_id: Long, v: Double)
+private[streaming] case class QuantileSampleState(hs: Array[String], ids: Array[Long],
+                                                  vs: Array[Double], maxSeq: Long)
+
+/** The quantile sketch's streaming state owner: merges each batch's
+  * rows into the kind's bottom-k-by-hash sample (the [[graft.operators.Sketch.quantileSketch]]
+  * selection rule — md5 of the decimal event-id string, ties by the
+  * string key), stores the merged sample, and emits the FULL snapshot
+  * stamped with the highest seq folded so far. Bottom-k is
+  * order-independent and mergeable, so the final snapshot equals the
+  * batch sample no matter how the stream was chunked. */
+private[streaming] class QuantileSampleProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, QuantileIn, QuantileSnap] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var state: ValueState[QuantileSampleState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[QuantileSampleState]("qsample",
+      Encoders.product[QuantileSampleState], TTLConfig.NONE)
+
+  override def handleInputRows(kind: String, rows: Iterator[QuantileIn],
+                               timers: TimerValues): Iterator[QuantileSnap] = {
+    val prev = if (state.exists) state.get()
+      else QuantileSampleState(Array.empty, Array.empty, Array.empty, -1L)
+    var maxSeq = prev.maxSeq
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+    var i = 0
+    while (i < prev.ids.length) {
+      buf += ((prev.hs(i), prev.ids(i), prev.vs(i))); i += 1
+    }
+    val seen = scala.collection.mutable.HashSet(prev.ids.toSeq: _*)
+    rows.foreach { r =>
+      if (r.seq > maxSeq) maxSeq = r.seq
+      if (seen.add(r.eventId)) // idempotent under batch replay
+        buf += ((org.apache.commons.codec.digest.DigestUtils.md5Hex(
+          r.eventId.toString), r.eventId, r.v))
+    }
+    // the batch operator's exact order: md5 hex, then the STRING key
+    val kept = buf.sortBy(t => (t._1, t._2.toString)).take(k)
+    state.update(QuantileSampleState(kept.map(_._1).toArray,
+      kept.map(_._2).toArray, kept.map(_._3).toArray, maxSeq))
+    kept.map(t => QuantileSnap(kind, maxSeq, t._2, t._3)).iterator
+  }
+}
+
 /** Replays the driver's batch `events` table through the streaming
   * topology (FkJoinStream) and returns results as plain DataFrames, so
   * the streaming operators get full DuckDB-oracle CORRECTNESS rows:
@@ -691,6 +741,34 @@ object StreamRunner {
     val keys = envelope(events).filter(col("kind") === "car")
       .select(col("a").as("user_id")).distinct()
     graft.operators.Sketch.cmsTopK(keys, "user_id", grid, k)
+  }
+
+  /** Streaming quantile sketch — the THIRD sketch as streaming state
+    * next to [[replayHll]] and [[replayCms]], completing the trio: a
+    * transformWithState processor ([[QuantileSampleProcessor]]) owns
+    * each kind's bottom-k-by-md5 sample on RocksDB (state bounded at
+    * k rows per group regardless of stream length), emitting the full
+    * snapshot per micro-batch stamped with the highest seq folded.
+    * Bottom-k is order-independent and MERGEABLE, so the final
+    * snapshot provably equals the batch sample over the same events;
+    * feeding it back through the batch operator (bottom-k of a
+    * bottom-k is the identity on the sample) reuses the identical
+    * nearest-rank pick, and the result hash-matches the batch-replayed
+    * DuckDB oracle. */
+  def replayQuantile(spark: SparkSession, events: DataFrame, k: Int = 64): DataFrame = {
+    val (log, _) = replay(spark, events, rocksDb = true, topology = (src: DataFrame) => {
+      import spark.implicits._
+      src.select(col("kind"), col("eventId"), col("v"), col("seq")).as[QuantileIn]
+        .groupByKey(_.kind)
+        .transformWithState(new QuantileSampleProcessor(k),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+    })
+    val latest = log
+      .withColumn("mx", max(col("upTo")).over(Window.partitionBy(col("kind"))))
+      .filter(col("upTo") === col("mx"))
+      .select(col("kind"), col("event_id"), col("v"))
+    graft.operators.Sketch.quantileSketch(latest, "v", "event_id", Seq("kind"), k)
   }
 
   /** Stage-1 (move fold) replay → the arrive/leave event log with its

@@ -91,6 +91,23 @@ class SketchSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("streaming quantile: final snapshot equals the batch sketch") {
+    val events = Tables.events(spark, sf0001)
+    val streamed = graft.streaming.StreamRunner.replayQuantile(spark, events)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSet
+    val env = graft.streaming.StreamRunner.envelope(events)
+      .select(org.apache.spark.sql.functions.col("kind"),
+        org.apache.spark.sql.functions.col("eventId"),
+        org.apache.spark.sql.functions.col("v"))
+    val batch = Sketch.quantileSketch(env, "v", "eventId", Seq("kind"), k = 64)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSet
+    // bottom-k is order-independent and mergeable: however the replay
+    // chunked the stream, the final sample — and so every estimate —
+    // must equal the batch sketch exactly
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == Set("car", "zone"))
+  }
+
   test("quantileSketch: estimates land within the DKW rank-error bound (sf0.001)") {
     val orders = Tables.orders(spark, sf0001)
     val k = 512
