@@ -156,6 +156,12 @@ object SparkEntry {
       graft.functions.TextAnalysis.topTerms(Tables.documents(s, dir))),
     "t_repetition" -> ((s, dir) =>
       graft.functions.TextAnalysis.repetition(Tables.documents(s, dir))),
+    // PMI collocations: corpus-wide multiword-expression mining
+    "t_pmi_bigrams" -> ((s, dir) =>
+      graft.functions.TextAnalysis.pmiCollocations(Tables.documents(s, dir))),
+    // Good-Turing frequency-of-frequencies vocabulary profile
+    "t_vocab_spectrum" -> ((s, dir) =>
+      graft.functions.TextAnalysis.vocabSpectrum(Tables.documents(s, dir))),
     "t_tfidf" -> ((s, dir) =>
       graft.functions.TextAnalysis.tfidf(Tables.documents(s, dir))),
     // lexical near-neighbor retrieval over top-k TF-IDF sparse vectors
@@ -266,10 +272,17 @@ object SparkEntry {
     "t_normalize" -> ((s, dir) =>
       graft.functions.TextAnalysis.normalize(Tables.documents(s, dir))),
     // adaptive per-source quality cut: histogram-quantile threshold
+    // CCNet-shaped LM perplexity gate: drop the lowest-probability
+    // 30% of documents under the corpus's own bigram LM
+    "c_perplexity_filter" -> ((s, dir) =>
+      Corpus.perplexityFilter(Tables.documents(s, dir))),
     "c_quality_filter" -> ((s, dir) =>
       Corpus.qualityQuantileFilter(Tables.documents(s, dir))),
     // repeated-signal suppression over the event log (24 h window)
     "d_time_dedup" -> ((s, dir) => Dedup.timeDedup(ev(s, dir))),
+    // character-level near-dup: pigeonhole-chunk candidates + exact
+    // Levenshtein verify over 40-char heads (the title/lede field)
+    "d_edit_neardup" -> ((s, dir) => Dedup.editNearDup(Tables.documents(s, dir))),
     // gaps-and-islands user sessionization (4 h inactivity gap) — the
     // batch ground truth of the streaming session_window replay
     "q_sessionize" -> ((s, dir) => Sessions.sessionize(ev(s, dir))),
@@ -424,6 +437,9 @@ object SparkEntry {
     // REAL audio resampling: every 2nd PCM frame survives, rate halves,
     // resampled stream fingerprinted — the oracle recomputes every
     // surviving sample arithmetically
+    // energy VAD: active-frame runs merged to segments over real PCM
+    "m_audio_vad" -> ((s, dir) =>
+      Multimodal.audioVad(Multimodal.wavDocs(Tables.documents(s, dir))).toDF()),
     "m_audio_resample" -> ((s, dir) =>
       Multimodal.resampleWav(Multimodal.wavDocs(Tables.documents(s, dir))).toDF()),
     // REAL JPEG header decode over genuinely-encoded JPEGs (JDK
@@ -1503,6 +1519,34 @@ object SparkEntry {
     // audio decimation: surviving sample j is input sample 2j — its
     // little-endian byte pair recomputed arithmetically; a stride,
     // offset or endianness bug in the resampler can never hash right
+    // VAD: samples replayed arithmetically, 16-sample frames active on
+    // the exact integer mean-amplitude inequality, runs merged via the
+    // gaps-and-islands ROW_NUMBER trick
+    "m_audio_vad" ->
+      """WITH s AS (SELECT doc_id, 16 + doc_id % 97 AS n FROM documents),
+        |v AS (SELECT doc_id, n,
+        |             [CASE WHEN (doc_id * 31 + k * 7919) % 65536 >= 32768
+        |                   THEN (doc_id * 31 + k * 7919) % 65536 - 65536
+        |                   ELSE (doc_id * 31 + k * 7919) % 65536 END
+        |              for k in generate_series(0, CAST(n AS INT) - 1)] AS vs
+        |      FROM s),
+        |f AS (SELECT doc_id, u.f AS frame_idx,
+        |             list_sum([abs(x) for x in vs[u.f * 16 + 1 : least((u.f + 1) * 16, n)]]) AS sum_abs,
+        |             list_max([abs(x) for x in vs[u.f * 16 + 1 : least((u.f + 1) * 16, n)]]) AS peak,
+        |             least((u.f + 1) * 16, n) - u.f * 16 AS cnt
+        |      FROM v, LATERAL (SELECT unnest(generate_series(0, CAST((n + 15) // 16 AS INT) - 1)) AS f) u),
+        |a AS (SELECT doc_id, frame_idx, peak, sum_abs >= cnt * 16384 AS active FROM f),
+        |g AS (SELECT *, frame_idx - ROW_NUMBER() OVER (PARTITION BY doc_id, active
+        |                                               ORDER BY frame_idx) AS grp
+        |      FROM a),
+        |seg AS (SELECT doc_id, MIN(frame_idx) AS start_frame, MAX(frame_idx) AS end_frame,
+        |               COUNT(*) AS n_frames, MAX(peak) AS peak
+        |        FROM g WHERE active GROUP BY doc_id, grp)
+        |SELECT doc_id,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_frame) AS INT) AS seg_idx,
+        |       CAST(start_frame AS INT) AS start_frame, CAST(end_frame AS INT) AS end_frame,
+        |       CAST(n_frames AS INT) AS n_frames, CAST(peak AS BIGINT) AS peak
+        |FROM seg""".stripMargin,
     "m_audio_resample" ->
       """WITH s AS (SELECT doc_id, 16 + doc_id % 97 AS n FROM documents),
         |d AS (SELECT doc_id, n, (n + 1) // 2 AS n_out FROM s)
@@ -1727,6 +1771,33 @@ object SparkEntry {
     // rounding as the unigram oracle; interpolation weights are
     // explicit double literals on both sides (1 - 0.7 is NOT 0.3 in
     // IEEE doubles)
+    // PMI over bigram/token position probabilities; same ln-once-
+    // round-4dp parity contract as the LM oracles
+    "t_pmi_bigrams" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT w[u.i + 1] AS w1, w[u.i + 2] AS w2
+        |       FROM w, LATERAL (SELECT unnest(generate_series(0, len(w) - 2)) AS i) u
+        |       WHERE len(w) >= 2),
+        |b AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+        |tok AS (SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+        |u AS (SELECT tk, COUNT(*) AS cw FROM tok GROUP BY tk),
+        |n1 AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_tokens FROM u),
+        |n2 AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_bigrams FROM b),
+        |sc AS (SELECT b.w1, b.w2, b.c12, u1.cw AS c1, u2.cw AS c2,
+        |              ROUND(ln((b.c12 / CAST(n_bigrams AS DOUBLE))
+        |                       / ((u1.cw / CAST(n_tokens AS DOUBLE))
+        |                          * (u2.cw / CAST(n_tokens AS DOUBLE)))) + 1e-12, 4) AS pmi
+        |       FROM b JOIN u u1 ON u1.tk = b.w1 JOIN u u2 ON u2.tk = b.w2
+        |       CROSS JOIN n1 CROSS JOIN n2
+        |       WHERE b.c12 >= 5)
+        |SELECT w1, w2, c12, c1, c2, pmi,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rank
+        |FROM sc ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+    "t_vocab_spectrum" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tc AS (SELECT term, COUNT(*) AS f FROM tok GROUP BY term)
+        |SELECT f, COUNT(*) AS n_terms, CAST(SUM(f) AS BIGINT) AS n_tokens
+        |FROM tc GROUP BY f""".stripMargin,
     "t_bigram_logprob" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |bg AS (SELECT doc_id, unnest([w[i+1] || ' ' || w[i+2]
@@ -1797,6 +1868,37 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // per-source histogram quantile: threshold = smallest 4-dp quality
     // with cumulative count >= ceil(p * total), p = 0.5
+    // the t_bigram_logprob model CTEs + the bounded-histogram lower
+    // quantile at p=0.3 (same threshold rule as c_quality_filter)
+    "c_perplexity_filter" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, unnest([w[i+1] || ' ' || w[i+2]
+        |                              for i in generate_series(0, len(w) - 2)]) AS bg
+        |       FROM w WHERE len(w) >= 2),
+        |bgc AS (SELECT bg, COUNT(*) AS bg_cnt FROM bg GROUP BY bg),
+        |ctx AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(bg_cnt) AS ctx_cnt
+        |        FROM bgc GROUP BY 1),
+        |tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |uni AS (SELECT tok, COUNT(*) AS u_cnt FROM tok GROUP BY tok),
+        |tot AS (SELECT COUNT(*) AS n_total FROM tok),
+        |lp AS (SELECT bgc.bg,
+        |              CAST(ROUND(ln(CAST(0.7 AS DOUBLE) * (bg_cnt / CAST(ctx_cnt AS DOUBLE))
+        |                          + CAST(0.3 AS DOUBLE) * (u_cnt / CAST(n_total AS DOUBLE)))
+        |                         + 1e-12, 9) AS DECIMAL(18,9)) AS logp
+        |       FROM bgc
+        |       JOIN ctx ON ctx.w1 = string_split(bgc.bg, ' ')[1]
+        |       JOIN uni ON uni.tok = string_split(bgc.bg, ' ')[2]
+        |       CROSS JOIN tot),
+        |sc AS (SELECT b.doc_id,
+        |              ROUND(CAST(SUM(lp.logp) AS DOUBLE) / COUNT(*) + 1e-12, 4) AS avg_logp
+        |       FROM bg b JOIN lp ON lp.bg = b.bg
+        |       GROUP BY b.doc_id),
+        |h AS (SELECT avg_logp, COUNT(*) AS c FROM sc GROUP BY avg_logp),
+        |t AS (SELECT avg_logp, SUM(c) OVER (ORDER BY avg_logp) AS cum,
+        |             SUM(c) OVER () AS tot FROM h),
+        |thr AS (SELECT MIN(avg_logp) AS lp_thr FROM t WHERE cum >= ceil(tot * 0.3))
+        |SELECT sc.doc_id, sc.avg_logp, thr.lp_thr, sc.avg_logp >= thr.lp_thr AS keep
+        |FROM sc CROSS JOIN thr""".stripMargin,
     "c_quality_filter" ->
       """WITH s AS (
         |  SELECT doc_id, source,
@@ -1828,6 +1930,16 @@ object SparkEntry {
         |SELECT doc_id, chunk_idx, CAST(MIN(pos) AS BIGINT) AS first_pos, COUNT(*) AS n_words,
         |       md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_md5
         |FROM c GROUP BY doc_id, chunk_idx""".stripMargin,
+    // all-pairs DP with the lossless length prune — the quadratic
+    // spec the pigeonhole candidate join provably equals
+    "d_edit_neardup" ->
+      """WITH h AS (SELECT doc_id, substr(text, 1, 40) AS head FROM documents
+        |           WHERE length(substr(text, 1, 40)) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE abs(length(a.head) - length(b.head)) <= 2
+        |  AND levenshtein(a.head, b.head) <= 2""".stripMargin,
     "d_time_dedup" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
         |l AS (SELECT *, LAG(tus) OVER (PARTITION BY user_id, event_type

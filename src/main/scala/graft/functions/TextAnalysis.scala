@@ -96,6 +96,83 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(Window.orderBy(col("df").desc, col("term"))))
   }
 
+  /** Corpus collocations by pointwise mutual information — the classic
+    * phrase/multiword-expression miner (Church & Hanks 1990) every
+    * tokenizer-vocabulary and stop-phrase pass runs:
+    * PMI(w1,w2) = ln( P(w1 w2) / (P(w1)·P(w2)) ) with P(w1 w2) over
+    * bigram positions and P(w) over token positions, restricted to
+    * bigrams seen ≥ `minCount` times (PMI is noise below a support
+    * floor), top `k` by (PMI, bigram) with a dense 1..k rank.
+    *
+    * Scale shape: ONE text scan feeds both levels — the bigram counts
+    * partial-aggregate through a (w1,w2) shuffle and the unigram
+    * counts derive from the bigram table's endpoints plus the last
+    * token per doc (never a second corpus explode); both totals ride
+    * one-row broadcasts and the top-k compiles to
+    * TakeOrderedAndProject (per-partition k, no vocabulary-wide
+    * sort). Unigram joins are vocabulary-sized and unhinted — the
+    * planner broadcasts while they fit.
+    *
+    * Cross-engine parity: the count ratios are exact-integer-to-double
+    * divisions and ln() rounds once to 4 dp with the repo nudge;
+    * ranking orders by the ROUNDED score (bigram text tiebreak). */
+  def pmiCollocations(documents: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minCount >= 1 && k >= 1, s"bad pmi params ($minCount, $k)")
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val pairs = toks
+      .filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("toks")) - 2), i =>
+        struct(element_at(col("toks"), i + 1).as("w1"),
+          element_at(col("toks"), i + 2).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // unigram counts WITHOUT a second corpus scan: every token is the
+    // w1 of exactly one bigram position except each doc's last token,
+    // which the (cheap, doc-count-sized) lastTok frame adds back
+    val lastTok = toks.filter(size(col("toks")) >= 1)
+      .select(element_at(col("toks"), size(col("toks"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_last"))
+    val uni = big.groupBy(col("w1")).agg(sum(col("c12")).as("c_first"))
+      .withColumnRenamed("w1", "w")
+      .join(lastTok, Seq("w"), "full_outer")
+      .select(col("w"),
+        (coalesce(col("c_first"), lit(0L)) + coalesce(col("c_last"), lit(0L))).as("cw"))
+    val n1 = uni.agg(sum(col("cw")).as("n_tokens"))
+    val n2 = big.agg(sum(col("c12")).as("n_bigrams"))
+    big.filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        r4(log((col("c12") / col("n_bigrams").cast("double"))
+          / ((col("c1") / col("n_tokens").cast("double"))
+            * (col("c2") / col("n_tokens").cast("double"))))).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("w1"), col("w2"))))
+  }
+
+  /** Vocabulary frequency-of-frequencies — the Good–Turing spectrum
+    * (how many distinct terms occur exactly f times): the standard
+    * corpus-profiling table behind smoothing estimates, Zipf fits and
+    * tokenizer-vocabulary sizing. Output is (f, n_terms, n_tokens),
+    * one row per distinct occurrence count — tiny regardless of corpus
+    * size.
+    *
+    * Scale shape: two partial-aggregating groupBys (term counts, then
+    * count-of-counts) — each shuffle carries one narrow aggregated
+    * row per key, the second one collapsing a vocabulary-sized frame
+    * to at most a few hundred rows. Nothing else. */
+  def vocabSpectrum(documents: DataFrame): DataFrame = {
+    val termCounts = documents
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+    termCounts.groupBy(col("f"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("f")).as("n_tokens"))
+      .select(col("f"), col("n_terms"), col("n_tokens"))
+  }
+
   /** TF-IDF: the k most characteristic terms per document — term
     * frequency × ln(N / document frequency), the classic relevance /
     * keyword-extraction scoring.

@@ -615,6 +615,45 @@ object Corpus {
         (col("q") >= col("q_thr")).as("keep"))
   }
 
+  /** Perplexity filter — the CCNet-shaped model-based quality gate:
+    * score every document by its mean bigram log-probability under the
+    * corpus's own interpolated bigram LM
+    * ([[graft.functions.TextAnalysis.bigramLogProb]] — the published
+    * recipes use a KenLM 5-gram; the 2-gram is the same shape) and
+    * keep the top (1−p) fraction: documents at or above the corpus
+    * p-quantile of avg_logp. Low-probability text is the
+    * boilerplate/gibberish tail every pretraining build drops.
+    *
+    * The quantile rides the [[qualityQuantileFilter]] BOUNDED-HISTOGRAM
+    * shape, not a sort: avg_logp is 4-dp rounded, so the corpus
+    * distribution collapses to one (value, count) row per distinct
+    * rounded score under a partial-aggregated groupBy, the cumsum
+    * window runs over that tiny histogram, and the one-row threshold
+    * broadcasts back onto the scored frame. Documents with fewer than
+    * two tokens have no bigrams, hence no LM score, and are not
+    * emitted (same as the LM itself).
+    *
+    * Threshold = smallest rounded score with cumulative count ≥
+    * ⌈p·total⌉ — exact lower quantile, bit-stable cross-engine because
+    * the scores are already engine-identical decimals. */
+  def perplexityFilter(documents: DataFrame, p: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(p > 0 && p < 1, s"quantile p must be in (0, 1), got $p")
+    val scored = graft.functions.TextAnalysis.bigramLogProb(documents)
+      .select(col("doc_id"), col("avg_logp"))
+    val hist = scored.groupBy(col("avg_logp")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("avg_logp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("tot"))))
+      .filter(col("cum") >= ceil(col("tot") * lit(p)))
+      .agg(min(col("avg_logp")).as("lp_thr"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("avg_logp"), col("lp_thr"),
+        (col("avg_logp") >= col("lp_thr")).as("keep"))
+  }
+
   /** Deterministic weighted sample per source — Efraimidis–Spirakis
     * A-ES (one-pass weighted reservoir sampling, Inf. Proc. Letters
     * 2006): each document draws priority key −ln(u)/w with u a hash-

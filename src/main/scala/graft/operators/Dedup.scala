@@ -708,6 +708,91 @@ object Dedup {
     * or subtracts on them (events.ts is nanos here, but µs is the
     * cross-engine precision floor — the repo-wide `epoch_ns // 1000`
     * convention), so keep/drop decisions are engine-independent. */
+  /** Edit-distance near-dup pairs over document HEADS (the first
+    * `headChars` characters — the title/lede field of a crawl record):
+    * all pairs within `maxDist` Levenshtein edits, found by a
+    * PIGEONHOLE candidate join (the PartEnum/Ed-Join family of the
+    * published similarity-join literature) and verified with the exact
+    * DP distance. Complements the set-similarity family:
+    * [[minhashPairs]] catches token-level rewrites, this catches
+    * character-level ones (typos, OCR noise, near-identical titles)
+    * that token shingles miss entirely.
+    *
+    * Candidate generation is LOSSLESS by the pigeonhole lemma: if
+    * ed(A,B) ≤ k, then splitting A's head into k+1 contiguous chunks,
+    * at least one chunk occurs in B EXACTLY, at a start position
+    * shifted by at most k (k edits can displace a boundary by at most
+    * one position each). So the A side emits its k+1 chunks keyed by
+    * (head length, chunk index, chunk text), and the B side emits, for
+    * every A-length within ±k of its own (ed ≤ k bounds the length
+    * difference) and every shift in [−k, k], the substring where that
+    * chunk would land — (k+1)·(2k+1)² keys/doc, a fixed ~45-key
+    * constant at k=2. The candidate join is a pure EQUI-join on that
+    * 3-tuple; every true pair is guaranteed present, spurious
+    * candidates die in the exact verify.
+    *
+    * Scale shape: key generation is map-side codegen (substr over an
+    * exploded literal array); the only shuffles are the constant-
+    * width key join and the verify's two head lookups, each carrying
+    * ≤ `headChars` bytes/row. Candidates scale with shared-substring
+    * density, never corpus² — the all-pairs O(n²·L²) DP matrix the
+    * oracle runs is exactly what this avoids. Documents with heads
+    * shorter than k+1 characters are excluded (their pigeonhole
+    * chunks would be empty strings matching everywhere); at k=2
+    * that excludes only sub-3-char fragments, mirrored by the oracle.
+    *
+    * Determinism: Levenshtein is the standard unit-cost DP, identical
+    * in Spark and DuckDB; output is (doc_a < doc_b, dist) with no
+    * floats anywhere. */
+  def editNearDup(documents: DataFrame, headChars: Int = 40, maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 4, s"maxDist must be in [1,4], got $maxDist")
+    require(headChars > maxDist + 1, s"headChars=$headChars too small for maxDist=$maxDist")
+    val k = maxDist
+    val heads = documents
+      .select(col("doc_id"), substring(col("text"), 1, headChars).as("head"))
+      .withColumn("len", length(col("head")))
+      .filter(col("len") >= k + 1)
+    // chunk scheme for a head of length L: chunk j spans
+    // [floor(j·L/(k+1)), floor((j+1)·L/(k+1))) — even partition, fully
+    // determined by (L, j) so both join sides derive identical bounds
+    def startOf(lenC: Column, jC: Column): Column =
+      floor(lenC.cast("long") * jC / lit(k + 1)).cast("int")
+    val aKeys = heads
+      .select(col("doc_id"), col("len"), col("head"),
+        explode(array((0 to k).map(j => lit(j)): _*)).as("j"))
+      .select(col("doc_id").as("doc_a"), col("len").as("alen"), col("j"),
+        col("head").substr(startOf(col("len"), col("j")) + 1,
+          startOf(col("len"), col("j") + 1) - startOf(col("len"), col("j"))).as("chunk"))
+    val variants = for { dl <- -k to k; j <- 0 to k; s <- -k to k }
+      yield struct(lit(dl).as("dl"), lit(j).as("j"), lit(s).as("s"))
+    val bKeys = heads
+      .select(col("doc_id"), col("len"), col("head"), explode(array(variants: _*)).as("v"))
+      .select(col("doc_id").as("doc_b"), (col("len") + col("v.dl")).as("alen"), col("v.j").as("j"),
+        (startOf(col("len") + col("v.dl"), col("v.j")) + 1 + col("v.s")).as("pos"),
+        (startOf(col("len") + col("v.dl"), col("v.j") + 1)
+          - startOf(col("len") + col("v.dl"), col("v.j"))).as("clen"),
+        col("head"))
+      // out-of-range starts can't host the guaranteed occurrence (a
+      // real occurrence is in-bounds by definition); dropping them
+      // avoids substr's from-the-end semantics on negative positions
+      .filter(col("pos") >= 1 && col("clen") >= 1)
+      .select(col("doc_b"), col("alen"), col("j"),
+        col("head").substr(col("pos"), col("clen")).as("chunk"))
+      .distinct()
+    val candidates = aKeys.filter(length(col("chunk")) >= 1)
+      .join(bKeys, Seq("alen", "j", "chunk"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+    candidates
+      .join(heads.select(col("doc_id").as("doc_a"), col("head").as("head_a")), "doc_a")
+      .join(heads.select(col("doc_id").as("doc_b"), col("head").as("head_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("head_a"), col("head_b")).cast("long").as("dist"))
+      .filter(col("dist") <= k)
+  }
+
   def timeDedup(events: DataFrame, gapUs: Long = 86400000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // integral div: `/` on longs routes through double and a 1.7e18 ns

@@ -267,6 +267,75 @@ object Multimodal {
     }
   }
 
+  case class VadSegment(doc_id: Long, seg_idx: Int, start_frame: Int,
+                        end_frame: Int, n_frames: Int, peak: Long)
+
+  /** Energy-based voice-activity segmentation over decoded PCM — the
+    * VAD pass an audio-corpus build runs before transcription (silence
+    * and noise-floor stretches carry no training signal; segment
+    * boundaries drive chunking): samples group into fixed
+    * `frameSamples`-sample frames, a frame is ACTIVE iff its mean
+    * |amplitude| ≥ `threshold` (compared as the exact integer
+    * inequality Σ|v| ≥ count·threshold — no float division anywhere),
+    * and maximal runs of active frames merge into segments. One row
+    * per segment: (doc_id, seg_idx 1-based by start, start_frame,
+    * end_frame inclusive, n_frames, peak |amplitude| within the
+    * segment). The trailing partial frame participates with its own
+    * sample count (mean semantics make it comparable).
+    *
+    * Scale shape: the same batched mapPartitions decode seam as
+    * [[audioFeatures]] — strictly per-row work (a document's samples
+    * never cross a partition), one output row per segment, no shuffle
+    * at all. The run-merge is a per-document linear scan, bounded by
+    * the clip length like every decoder here. */
+  def audioVad(bin: DataFrame, frameSamples: Int = 16,
+               threshold: Long = 16384L): Dataset[VadSegment] = {
+    require(frameSamples >= 1, s"frameSamples must be >= 1, got $frameSamples")
+    require(threshold >= 0, s"threshold must be >= 0, got $threshold")
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val meta = parseWav(id, bytes).getOrElse(throw new IllegalArgumentException(
+          s"doc $id: audioVad needs a canonical uncompressed PCM WAV payload"))
+        require(meta.bits == 16 && meta.channels == 1,
+          s"doc $id: only mono 16-bit PCM is modeled (got ${meta.channels}ch/${meta.bits}bit)")
+        val n = meta.n_samples.toInt
+        val nFrames = (n + frameSamples - 1) / frameSamples
+        val out = scala.collection.mutable.ArrayBuffer.empty[VadSegment]
+        var segStart = -1; var segPeak = 0L; var segIdx = 0
+        var f = 0
+        while (f < nFrames) {
+          val lo = f * frameSamples
+          val hi = math.min(lo + frameSamples, n)
+          var sumAbs = 0L; var peak = 0L
+          var i = lo
+          while (i < hi) {
+            val v = ((bytes(44 + 2 * i) & 0xFF) | (bytes(45 + 2 * i) << 8)).toShort.toInt
+            val a = math.abs(v.toLong)
+            sumAbs += a
+            if (a > peak) peak = a
+            i += 1
+          }
+          val active = sumAbs >= (hi - lo).toLong * threshold
+          if (active) {
+            if (segStart < 0) { segStart = f; segPeak = 0L }
+            if (peak > segPeak) segPeak = peak
+          } else if (segStart >= 0) {
+            segIdx += 1
+            out += VadSegment(id, segIdx, segStart, f - 1, f - segStart, segPeak)
+            segStart = -1
+          }
+          f += 1
+        }
+        if (segStart >= 0) {
+          segIdx += 1
+          out += VadSegment(id, segIdx, segStart, nFrames - 1, nFrames - segStart, segPeak)
+        }
+        out
+      }
+  }
+
   /** Deterministic REAL-WAV corpus — audio's [[bmpDocs]]: each
     * document becomes a canonical 44-byte-header mono 16-bit 8 kHz
     * PCM WAV whose sample count and sample VALUES derive from doc_id

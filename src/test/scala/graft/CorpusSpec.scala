@@ -443,4 +443,20 @@ class CorpusSpec extends SparkSpec {
       .filter(col("toks") =!= col("etoks") || col("sents") =!= col("esents"))
     assert(bad.count() == 0)
   }
+
+  test("perplexityFilter: threshold is the exact lower p-quantile of LM scores; keep is >= it") {
+    val docs = Tables.documents(spark, sf0001).limit(60)
+    val out = Corpus.perplexityFilter(docs, p = 0.3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    val thr = out.head._3
+    assert(out.forall(_._3 == thr)) // one corpus-wide threshold
+    // threshold recomputed from the scores themselves
+    val scores = out.map(_._2).sorted
+    val need = math.ceil(scores.length * 0.3).toInt
+    assert(thr == scores(need - 1), s"thr=$thr want=${scores(need - 1)}")
+    // keep is exactly the >= comparison, and something is dropped
+    assert(out.forall { case (_, lp, t, keep) => keep == (lp >= t) })
+    assert(out.exists(!_._4) && out.count(_._4) >= scores.length - need)
+  }
 }

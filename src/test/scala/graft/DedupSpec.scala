@@ -434,4 +434,38 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getBoolean(4))).toMap
     assert(out == Map(10L -> true, 11L -> false, 12L -> true, 13L -> true, 14L -> true))
   }
+
+  test("editNearDup equals the all-pairs Levenshtein oracle (pigeonhole candidates are lossless)") {
+    // substitutions, an insert (length shift), a delete, a far pair,
+    // and heads shorter than headChars — every candidate-scheme edge
+    val fixture = docs(
+      (1L, "the quick brown fox jumps over the lazy dog tail beyond the head window"),
+      (2L, "the quick brown fox jumps over the lazy cat tail beyond DIFFERENT tail"), // 2 subs in head? dog->cat = 3 edits; check below
+      (3L, "the quick brown fox jumps over the lazy dXg tail"),  // 1 sub
+      (4L, "the quick brown fox jumps over Xthe lazy dog tail"), // 1 insert (shifts chunks)
+      (5L, "the quick brown fox jumps over he lazy dog tail"),   // 1 delete
+      (6L, "a completely different sentence that shares nothing at all"),
+      (7L, "short head"), (8L, "short heXd"),                    // short docs, 1 sub
+      (9L, "ab"), (10L, "ax"))                                   // below the k+1 floor: excluded
+    val got = Dedup.editNearDup(fixture, headChars = 40, maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force oracle in-process
+    val heads = fixture.collect().map(r => (r.getLong(0), r.getString(1).take(40)))
+      .filter(_._2.length >= 3)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, ha) <- heads; (ib, hb) <- heads if ia < ib
+      dist = lev(ha, hb) if dist <= 2
+    } yield (ia, ib, dist.toLong)).toSet
+    assert(got == want)
+    assert(want.exists { case (a, b, _) => a == 1L && b == 4L }) // the length-shift pair is in
+    assert(want.exists { case (a, b, _) => a == 7L && b == 8L }) // short heads still pair
+    assert(!got.exists { case (a, b, _) => a == 9L || b == 10L }) // sub-3-char heads excluded
+  }
 }

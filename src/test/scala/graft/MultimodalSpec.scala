@@ -193,6 +193,40 @@ class MultimodalSpec extends SparkSpec {
     assert(f.rms == expRms)
   }
 
+  test("audioVad merges active-frame runs into segments; tail partial frame uses mean semantics") {
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      b.putInt(8000).putInt(16000).putShort(2).putShort(16)
+      b.put("data".getBytes).putInt(dataLen)
+      samples.foreach(s => b.putShort(s.toShort))
+      b.array()
+    }
+    // frames of 4 @ threshold 100: loud(4), quiet(4), loud(4), loud(4),
+    // then a 2-sample loud tail frame — the three trailing active
+    // frames are contiguous and merge: segments [0,0], [2,4]
+    val loud = Seq(200, -200, 150, -150); val quiet = Seq(10, -10, 5, -5)
+    val samples = loud ++ quiet ++ loud ++ loud ++ Seq(900, -900)
+    val df = spark.createDataFrame(Seq((3L, wav(samples)))).toDF("doc_id", "payload")
+    val segs = Multimodal.audioVad(df, frameSamples = 4, threshold = 100L).collect()
+      .sortBy(_.seg_idx)
+      .map(s => (s.seg_idx, s.start_frame, s.end_frame, s.n_frames, s.peak))
+    assert(segs.toSeq == Seq((1, 0, 0, 1, 200L), (2, 2, 4, 3, 900L)))
+    // boundary exactness: a frame at exactly the threshold mean is active
+    val edge = Seq(100, 100, 100, 100) ++ Seq(99, 100, 100, 100)
+    val e = Multimodal.audioVad(
+      spark.createDataFrame(Seq((4L, wav(edge)))).toDF("doc_id", "payload"),
+      frameSamples = 4, threshold = 100L).collect()
+    assert(e.map(s => (s.start_frame, s.end_frame)).toSeq == Seq((0, 0)))
+    // all-quiet clip yields no rows
+    assert(Multimodal.audioVad(
+      spark.createDataFrame(Seq((5L, wav(quiet)))).toDF("doc_id", "payload"),
+      frameSamples = 4, threshold = 100L).count() == 0)
+  }
+
   test("frameSample slices every stride-th complete frame") {
     val text = "y" * 1100 // png body 1100 → 4 complete 256-byte frames, idx 0..3, stride 4 → frame 0 only
     val out = Multimodal.frameSample(docs((0L, text))).collect()

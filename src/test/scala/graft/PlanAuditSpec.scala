@@ -580,4 +580,37 @@ class PlanAuditSpec extends SparkSpec {
     p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach(e =>
       assert(!e.contains("payload"), s"an exchange carries image payloads:\n$e"))
   }
+
+  test("editNearDup: pigeonhole candidates join equi — no DP over corpus-cross-corpus") {
+    val p = plan(Dedup.editNearDup(Tables.documents(spark, dir)))
+    assert(!p.contains("CartesianProduct"), s"all-pairs crept in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"theta join crept in:\n$p")
+    // the verify's levenshtein runs AFTER the candidate equi-join, so
+    // exchanges carry ≤ head-width strings keyed by the chunk tuple;
+    // full text must be pruned at the scan
+    assert(!p.contains("text#") || !p.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("text#")), s"full text crosses a shuffle:\n$p")
+  }
+
+  test("pmiCollocations: one corpus explode, partial aggs, top-k is TakeOrdered") {
+    val p = plan(graft.functions.TextAnalysis.pmiCollocations(Tables.documents(spark, dir)))
+    assert(p.contains("TakeOrderedAndProject"), s"vocabulary-wide sort instead of top-k:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"), s"no map-side partial agg:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("vocabSpectrum: two partial-aggregating groupBys and nothing else") {
+    val p = plan(graft.functions.TextAnalysis.vocabSpectrum(Tables.documents(spark, dir)))
+    assert(count(p, "Exchange hashpartitioning") == 2, s"expected exactly 2 agg exchanges:\n$p")
+    assert(!p.contains("Window"), s"an unbounded window crept in:\n$p")
+  }
+
+  test("perplexityFilter: histogram quantile — no corpus-wide sort; threshold broadcasts") {
+    val p = plan(Corpus.perplexityFilter(Tables.documents(spark, dir)))
+    assert(count(p, "BroadcastExchange") >= 1, s"threshold not broadcast:\n$p")
+    // the only Sort allowed is inside the tiny histogram window; the
+    // scored corpus frame itself must not be globally sorted (no
+    // rangepartitioning exchange anywhere)
+    assert(!p.contains("Exchange rangepartitioning"), s"corpus-wide sort:\n$p")
+  }
 }

@@ -249,6 +249,39 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     assert(out.forall(_._2 > 0))
   }
 
+  test("pmiCollocations: derived unigram counts equal direct counts; PMI ranks the glued pair first") {
+    // "aa bb" always co-occur (PMI high); "cc" is frequent alone (PMI low);
+    // a one-token doc exercises the last-token unigram derivation
+    val df = Seq(
+      (1L, "aa bb cc dd aa bb cc ee aa bb"),
+      (2L, "cc ff aa bb cc gg aa bb cc"),
+      (3L, "cc")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(df, minCount = 2, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getInt(6)))
+    // unigram counts must equal direct token counts (incl. the lone last token)
+    val uniWant = Map("aa" -> 5L, "bb" -> 5L, "cc" -> 6L)
+    out.foreach { case (w1, w2, _, c1, c2, _, _) =>
+      uniWant.get(w1).foreach(c => assert(c1 == c, s"c1($w1)"))
+      uniWant.get(w2).foreach(c => assert(c2 == c, s"c2($w2)"))
+    }
+    val best = out.find(_._7 == 1).get
+    assert((best._1, best._2) == (("aa", "bb")), s"top pair was $best")
+    assert(best._3 == 5L) // aa->bb occurs 5 times
+    // PMI value check: ln((5/17)/((5/20)*(5/20))) rounded to 4dp
+    val want = BigDecimal(math.log((5.0 / 17.0) / ((5.0 / 20.0) * (5.0 / 20.0))) + 1e-12)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(best._6 == want)
+  }
+
+  test("vocabSpectrum is the exact frequency-of-frequencies table") {
+    val df = Seq((1L, "x x x y y z"), (2L, "y z w")).toDF("doc_id", "text")
+    // counts: x=3, y=3, z=2, w=1 -> f=1:1 term, f=2:1, f=3:2
+    val out = TextAnalysis.vocabSpectrum(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 2L, 6L)))
+  }
+
   test("normalize lowercases, strips punctuation, collapses runs; empty result counts 0 tokens") {
     val df = Seq(
       (1L, "  Hello,   WORLD!! 42 "),
