@@ -146,6 +146,10 @@ object SparkEntry {
       graft.functions.TextAnalysis.stats(Tables.documents(s, dir))),
     "t_lang_id" -> ((s, dir) =>
       graft.functions.TextAnalysis.langId(Tables.documents(s, dir))),
+    // Bernoulli NB quality classifier on tercile weak labels — the
+    // model-based quality gate of the published corpus builds
+    "t_nb_quality" -> ((s, dir) =>
+      graft.functions.TextAnalysis.nbQualityClassify(Tables.documents(s, dir))),
     "t_quality_score" -> ((s, dir) =>
       graft.functions.TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "t_fingerprint" -> ((s, dir) =>
@@ -377,6 +381,9 @@ object SparkEntry {
     "a_int8_quantize" -> ((s, dir) => Similarity.int8Quantize(Tables.embeddings(s, dir))),
     // nearest-centroid (Rocchio) classification: per-label spherical
     // centroids, max-cos re-assignment, confusion matrix out
+    // label-noise detection: cos to own-label centroid, bottom decile
+    "a_label_outliers" -> ((s, dir) =>
+      Similarity.labelOutliers(Tables.embeddings(s, dir))),
     "a_centroid_classify" -> ((s, dir) =>
       Similarity.centroidClassify(Tables.embeddings(s, dir))),
     // Johnson–Lindenstrauss random projection to 16 dims (the fixed
@@ -1046,6 +1053,46 @@ object SparkEntry {
         |  FROM documents)""".stripMargin,
     "t_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp, length(text) AS n_chars FROM documents",
+    // Bernoulli NB on quality terciles: the c_quality_filter score CTE,
+    // histogram tercile thresholds, per-class doc frequencies, 9-dp
+    // decimal log-odds summed exactly per doc
+    "t_nb_quality" ->
+      """WITH s AS (SELECT doc_id,
+        |         ROUND(len(list_distinct(string_split(text,' '))) / CAST(len(string_split(text,' ')) AS DOUBLE) * 0.5
+        |               + (1.0 - len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and')))
+        |                        / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.2
+        |               + least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.3
+        |               + 1e-12, 4) AS q
+        |  FROM documents),
+        |h AS (SELECT q, COUNT(*) AS c FROM s GROUP BY q),
+        |cu AS (SELECT q, SUM(c) OVER (ORDER BY q) AS cum, SUM(c) OVER () AS tot FROM h),
+        |thr AS (SELECT MIN(CASE WHEN cum >= ceil(tot / 3) THEN q END) AS q_lo,
+        |               MIN(CASE WHEN cum >= ceil(tot * 2 / 3) THEN q END) AS q_hi FROM cu),
+        |lab AS (SELECT s.doc_id, s.q,
+        |               CASE WHEN s.q <= thr.q_lo THEN 'neg'
+        |                    WHEN s.q >= thr.q_hi THEN 'pos' ELSE 'mid' END AS cls
+        |        FROM s CROSS JOIN thr),
+        |cnt AS (SELECT SUM(CASE WHEN cls = 'pos' THEN 1 ELSE 0 END) AS n_pos,
+        |               SUM(CASE WHEN cls = 'neg' THEN 1 ELSE 0 END) AS n_neg FROM lab),
+        |dt AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |       FROM documents),
+        |dfc AS (SELECT dt.tok,
+        |               SUM(CASE WHEN lab.cls = 'pos' THEN 1 ELSE 0 END) AS dfp,
+        |               SUM(CASE WHEN lab.cls = 'neg' THEN 1 ELSE 0 END) AS dfn
+        |        FROM dt JOIN lab ON lab.doc_id = dt.doc_id GROUP BY dt.tok),
+        |w AS (SELECT tok,
+        |             CAST(ROUND(ln((dfp + 1) / CAST(n_pos + 2 AS DOUBLE))
+        |                        - ln((dfn + 1) / CAST(n_neg + 2 AS DOUBLE)) + 1e-12, 9)
+        |                  AS DECIMAL(18,9)) AS w
+        |      FROM dfc CROSS JOIN cnt),
+        |pr AS (SELECT CAST(ROUND(ln(n_pos / CAST(n_neg AS DOUBLE)) + 1e-12, 9)
+        |                   AS DECIMAL(18,9)) AS prior FROM cnt),
+        |sc AS (SELECT dt.doc_id, SUM(w.w) AS sw FROM dt JOIN w ON w.tok = dt.tok
+        |       GROUP BY dt.doc_id)
+        |SELECT sc.doc_id, lab.q, lab.cls,
+        |       ROUND(CAST(pr.prior + sc.sw AS DOUBLE) + 1e-12, 4) AS score,
+        |       (pr.prior + sc.sw) >= 0 AS pred
+        |FROM sc JOIN lab ON lab.doc_id = sc.doc_id CROSS JOIN pr""".stripMargin,
     // document frequency: each term counted once per containing doc;
     // rank ties break on the term itself, so top-100 is deterministic
     "t_top_terms" ->
@@ -1277,6 +1324,34 @@ object SparkEntry {
     // labels as the fixed assignment (the kmeansCtes m/c conventions),
     // max-cos re-assignment with ties to the smallest label, confusion
     // counts — same exact-decimal/6-dp recurrence as a_ivf_trained
+    // own-label centroid cosine + bounded-histogram bottom decile;
+    // the centroid CTEs are a_centroid_classify's verbatim
+    "a_label_outliers" ->
+      s"""WITH nl AS (SELECT vec_id, CAST(label AS BIGINT) AS label, v, nrm
+        |            FROM (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+        |                  FROM (SELECT vec_id, label,
+        |                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |                        FROM embeddings))
+        |            WHERE nrm > 0),
+        |uu AS (SELECT label, generate_subscripts(u, 1) AS pos, unnest(u) AS x FROM (
+        |         SELECT label, list_transform(v, x -> CAST(ROUND(x / nrm + 1e-12, 9) AS DECIMAL(18,9))) AS u
+        |         FROM nl)),
+        |m AS (SELECT label, pos, ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*) + 1e-12, 6) AS m
+        |      FROM uu GROUP BY label, pos),
+        |c AS (SELECT cid, v, nrm FROM (
+        |        SELECT cid, v, sqrt(list_dot_product(v, v)) AS nrm FROM (
+        |          SELECT label AS cid, list(m ORDER BY pos) AS v FROM m GROUP BY label))
+        |      WHERE nrm > 0),
+        |sc AS (SELECT nl.vec_id, nl.label,
+        |              ROUND(list_dot_product(nl.v, c.v) / (nl.nrm * c.nrm) + 1e-12, 6) AS cos_own
+        |       FROM nl JOIN c ON c.cid = nl.label),
+        |h AS (SELECT cos_own, COUNT(*) AS cc FROM sc GROUP BY cos_own),
+        |cu AS (SELECT cos_own, SUM(cc) OVER (ORDER BY cos_own) AS cum,
+        |              SUM(cc) OVER () AS tot FROM h),
+        |thr AS (SELECT MIN(cos_own) AS cos_thr FROM cu WHERE cum >= ceil(tot * 0.1))
+        |SELECT sc.vec_id, sc.label, sc.cos_own, thr.cos_thr,
+        |       sc.cos_own < thr.cos_thr AS outlier
+        |FROM sc CROSS JOIN thr""".stripMargin,
     "a_centroid_classify" ->
       s"""WITH nl AS (SELECT vec_id, CAST(label AS BIGINT) AS label, v, nrm
         |            FROM (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm

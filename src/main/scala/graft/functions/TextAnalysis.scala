@@ -96,6 +96,81 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(Window.orderBy(col("df").desc, col("term"))))
   }
 
+  /** Model-based quality classification — the GPT-3/CCNet-shaped
+    * quality CLASSIFIER (the published builds train a linear
+    * classifier on a trusted-vs-crawl split and keep documents the
+    * model likes; here the weak labels come from the corpus's own
+    * quality-score terciles, making the whole pipeline
+    * self-contained): a Bernoulli Naive Bayes over distinct-token
+    * presence, trained on the top third (positive) vs bottom third
+    * (negative) by [[qualityScore]], scoring EVERY document with the
+    * smoothed log-odds
+    *   score(d) = ln(nPos/nNeg) + Σ_{w∈d} [ln((df⁺_w+1)/(nPos+2)) −
+    *              ln((df⁻_w+1)/(nNeg+2))],
+    * pred = score ≥ 0. Output: (doc_id, q, cls, score, pred) with cls
+    * the weak label ('pos'/'neg'/'mid').
+    *
+    * Scale shape: tercile thresholds ride the bounded-histogram
+    * quantile rule (4-dp scores → ≤ 10001 histogram rows, cumsum over
+    * the histogram, one-row threshold broadcast — never a corpus
+    * sort); class document-frequencies are a partial-aggregating
+    * (token) groupBy over the distinct-token explode; the weight
+    * table is vocabulary-sized and joins unhinted (broadcasts while
+    * it fits); per-doc scoring is one explode + sum, the
+    * [[unigramLogProb]] shape. Nothing corpus-sized is cached or
+    * collected.
+    *
+    * Cross-engine parity: per-token log-odds round once to 9 dp into
+    * DECIMAL(18,9) (order-exact per-doc sums), the prior likewise;
+    * the final score divides nothing — it is the exact decimal sum,
+    * 4-dp rounded for the hash compare; pred compares the EXACT
+    * decimal against zero. */
+  def nbQualityClassify(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = documents.select(col("doc_id"), qualityCol(col("text")).as("q"))
+    val hist = scored.groupBy(col("q")).agg(count(lit(1)).as("c"))
+    val cumW = Window.orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("tot"))))
+    val thr = cum.agg(
+      min(when(col("cum") >= ceil(col("tot") / lit(3)), col("q"))).as("q_lo"),
+      min(when(col("cum") >= ceil(col("tot") * lit(2) / lit(3)), col("q"))).as("q_hi"))
+    // neg is ≤ the lower threshold (strict < can select ZERO negatives
+    // when ties pile on the tercile boundary — an empty class breaks
+    // the prior); neg wins the q_lo = q_hi degenerate overlap by CASE
+    // order, identically in both engines
+    val labeled = scored.crossJoin(broadcast(thr))
+      .withColumn("cls", when(col("q") <= col("q_lo"), lit("neg"))
+        .when(col("q") >= col("q_hi"), lit("pos")).otherwise(lit("mid")))
+    val counts = labeled.agg(
+      sum(when(col("cls") === "pos", 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("cls") === "neg", 1L).otherwise(0L)).as("n_neg"))
+    val docTok = documents.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("tok"))
+    val dfc = docTok
+      .join(labeled.select(col("doc_id"), col("cls")), "doc_id")
+      .groupBy(col("tok")).agg(
+        sum(when(col("cls") === "pos", 1L).otherwise(0L)).as("dfp"),
+        sum(when(col("cls") === "neg", 1L).otherwise(0L)).as("dfn"))
+    val weights = dfc.crossJoin(broadcast(counts))
+      .select(col("tok"),
+        round(log((col("dfp") + 1).cast("double") / (col("n_pos") + 2))
+          - log((col("dfn") + 1).cast("double") / (col("n_neg") + 2)) + lit(1e-12), 9)
+          .cast("decimal(18,9)").as("w"))
+    val prior = counts.select(
+      round(log(col("n_pos").cast("double") / col("n_neg")) + lit(1e-12), 9)
+        .cast("decimal(18,9)").as("prior"))
+    docTok.join(weights, "tok")
+      .groupBy(col("doc_id")).agg(sum(col("w")).as("sw"))
+      .crossJoin(broadcast(prior))
+      .join(labeled.select(col("doc_id"), col("q"), col("cls")), "doc_id")
+      .select(col("doc_id"), col("q"), col("cls"),
+        r4((col("prior") + col("sw")).cast("double")).as("score"),
+        ((col("prior") + col("sw")) >= 0).as("pred"))
+  }
+
   /** Corpus collocations by pointwise mutual information — the classic
     * phrase/multiword-expression miner (Church & Hanks 1990) every
     * tokenizer-vocabulary and stop-phrase pass runs:

@@ -503,6 +503,62 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Label-noise detection over the labeled embeddings — the
+    * confident-learning-shaped curation step (a vector far from its
+    * OWN label's centroid is probably mislabeled, and label noise is
+    * the classic silent killer of a classifier-filtered corpus): each
+    * vector scores cos(v, centroid(label(v))) against the one-shot
+    * spherical label centroids [[centroidClassify]] trains, and the
+    * bottom `p` fraction flags as suspect at the exact lower
+    * p-quantile of the 6-dp scores. Output: (vec_id, label, cos_own,
+    * cos_thr, outlier).
+    *
+    * Scale shape: the centroid build is [[centroidClassify]]'s —
+    * dim-bounded exact-decimal partial sums, label-count-sized model,
+    * corpus vectors never cross an exchange; scoring is one pass
+    * against the broadcast model; the quantile rides the bounded-
+    * histogram rule ([[graft.operators.Corpus.perplexityFilter]]) —
+    * the 6-dp scores collapse to ≤ min(n, 2·10⁶) histogram rows,
+    * never a corpus sort. Same drop rule as the quality gates:
+    * outlier = score < threshold (strictly below the quantile). */
+  def labelOutliers(embeddings: DataFrame, p: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(p > 0 && p < 1, s"quantile p must be in (0, 1), got $p")
+    val e = embeddings
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+    val cents = e
+      .select(col("label"),
+        transform(col("v"), x => round(x / col("nrm") + lit(1e-12), 9)
+          .cast("decimal(18,9)")).as("u"))
+      .select(col("label"), posexplode(col("u")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      .select(col("label"), col("pos"),
+        round(col("sx").cast("double") / col("cnt") + lit(1e-12), 6).as("m"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").as("clabel"),
+        transform(col("pm"), q => q.getField("m")).as("cv"))
+      .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+      .filter(col("cnrm") > 0)
+    val scored = e.join(broadcast(cents), col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"),
+        cosRounded(dot(col("v"), col("cv")), col("nrm") * col("cnrm")).as("cos_own"))
+    val hist = scored.groupBy(col("cos_own")).agg(count(lit(1)).as("c"))
+    val thr = hist
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("cos_own"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("tot"))))
+      .filter(col("cum") >= ceil(col("tot") * lit(p)))
+      .agg(min(col("cos_own")).as("cos_thr"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("vec_id"), col("label"), col("cos_own"), col("cos_thr"),
+        (col("cos_own") < col("cos_thr")).as("outlier"))
+  }
+
   /** Mean cosine distance (1 − cos) of each vector to its centroid —
     * the SPHERICAL k-means objective (the one [[trainCentroids]]'s
     * max-cos assignment + unit-mean update provably never increases),

@@ -450,4 +450,30 @@ class AnnSpec extends SparkSpec {
     val row = Similarity.int8Quantize(emb1).collect()(0)
     assert(row.getString(2).split(",").map(_.toLong.abs).max == 127L)
   }
+
+  test("labelOutliers flags the planted mislabeled vector; threshold is the exact decile") {
+    // label 1 points cluster along e1, label 2 along e2 — vector 10
+    // carries label 1 but sits on e2: its own-label cosine is the low
+    // outlier by construction
+    val rows = Seq(
+      (0L, Seq(1f, 0.01f, 0f, 0f), 1), (1L, Seq(1f, -0.01f, 0f, 0f), 1),
+      (2L, Seq(0.99f, 0.02f, 0f, 0f), 1), (3L, Seq(1f, 0f, 0.01f, 0f), 1),
+      (4L, Seq(0f, 1f, 0.01f, 0f), 2), (5L, Seq(0.01f, 1f, 0f, 0f), 2),
+      (6L, Seq(0f, 0.99f, 0.02f, 0f), 2), (7L, Seq(0f, 1f, -0.01f, 0f), 2),
+      (10L, Seq(0.01f, 1f, 0f, 0f), 1)) // mislabeled
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelOutliers(df, p = 0.2).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    val byId = out.map(t => t._1 -> t).toMap
+    // one corpus-wide threshold; the planted vector scores lowest
+    assert(out.map(_._3).distinct.length == 1)
+    assert(byId(10L)._2 == out.map(_._2).min)
+    assert(byId(10L)._4, s"mislabeled vector not flagged: ${out.toSeq}")
+    // flag rule is strictly-below-threshold and consistent
+    assert(out.forall { case (_, c, t, o) => o == (c < t) })
+    // threshold equals the lower 0.2-quantile of the scores
+    val scores = out.map(_._2).sorted
+    val need = math.ceil(scores.length * 0.2).toInt
+    assert(out.head._3 == scores(need - 1))
+  }
 }

@@ -605,6 +605,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"an unbounded window crept in:\n$p")
   }
 
+  test("nbQualityClassify: histogram terciles, partial-agg class dfs, no corpus sort") {
+    val p = plan(graft.functions.TextAnalysis.nbQualityClassify(Tables.documents(spark, dir)))
+    assert(!p.contains("Exchange rangepartitioning"), s"corpus-wide sort crept in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(p.contains("partial"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("labelOutliers: centroid model broadcasts; corpus vectors never cross an exchange") {
+    val p = plan(Similarity.labelOutliers(Tables.embeddings(spark, dir)))
+    assert(count(p, "BroadcastExchange") >= 2, s"model/threshold not broadcast:\n$p")
+    val vecEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("array<double>"))
+    assert(vecEx == 0, s"embedding arrays cross an exchange ($vecEx):\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"corpus-wide sort crept in:\n$p")
+  }
+
   test("perplexityFilter: histogram quantile — no corpus-wide sort; threshold broadcasts") {
     val p = plan(Corpus.perplexityFilter(Tables.documents(spark, dir)))
     assert(count(p, "BroadcastExchange") >= 1, s"threshold not broadcast:\n$p")

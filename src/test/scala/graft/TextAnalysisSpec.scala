@@ -274,6 +274,32 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     assert(best._6 == want)
   }
 
+  test("nbQualityClassify separates the planted vocabularies and scores every document") {
+    // high-quality docs use one vocabulary, low-quality (tiny, repetitive)
+    // docs another; the NB log-odds must recover the split on ALL docs,
+    // including the middle tercile it never trained on
+    val good = (1L to 6L).map(i => (i,
+      s"alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon v$i w$i x$i y$i"))
+    val bad = (11L to 16L).map(i => (i, "spam spam spam"))
+    val mid = (21L to 24L).map(i => (i,
+      s"alpha beta gamma delta epsilon zeta m$i"))
+    val df = (good ++ bad ++ mid).toDF("doc_id", "text")
+    val out = TextAnalysis.nbQualityClassify(df).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.length == 16) // every doc scored
+    val byId = out.map(t => t._1 -> t).toMap
+    // weak labels land on the planted terciles
+    assert(good.forall(g => byId(g._1)._2 == "pos"), s"good not pos: ${out.toSeq}")
+    assert(bad.forall(b => byId(b._1)._2 == "neg"), s"bad not neg: ${out.toSeq}")
+    // predictions: good vocabulary scores positive, spam negative,
+    // and the HELD-OUT mid docs (good-vocab words) classify positive
+    assert(good.forall(g => byId(g._1)._4))
+    assert(bad.forall(b => !byId(b._1)._4))
+    assert(mid.forall(m => byId(m._1)._4), s"mid docs not recovered: ${out.toSeq}")
+    // pred is exactly the sign of the score
+    assert(out.forall { case (_, _, s, p) => p == (s >= 0) || math.abs(s) < 1e-3 })
+  }
+
   test("vocabSpectrum is the exact frequency-of-frequencies table") {
     val df = Seq((1L, "x x x y y z"), (2L, "y z w")).toDF("doc_id", "text")
     // counts: x=3, y=3, z=2, w=1 -> f=1:1 term, f=2:1, f=3:2
