@@ -97,6 +97,9 @@ object SparkEntry {
       Relational.topOrdersPerCustomer(Tables.orders(s, dir))),
     "q_customers_without_orders" -> ((s, dir) =>
       Relational.customersWithoutOrders(Tables.customer(s, dir), Tables.orders(s, dir))),
+    // TPC-H Q22 shape: scalar-avg subquery + NOT EXISTS, per segment
+    "q22_idle_customers" -> ((s, dir) =>
+      Relational.idleHighBalanceCustomers(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_suppliers_big_lines" -> ((s, dir) =>
       Relational.suppliersWithBigLines(Tables.supplier(s, dir), Tables.lineitem(s, dir))),
     "q4_late_orders" -> ((s, dir) =>
@@ -314,6 +317,9 @@ object SparkEntry {
     // curriculum order: quality bands first, shuffled within band
     "c_curriculum" -> ((s, dir) =>
       Corpus.curriculumOrder(Tables.documents(s, dir))),
+    // sliding-window RAG chunks: 64-token windows every 48 tokens
+    "c_overlap_chunks" -> ((s, dir) =>
+      Corpus.overlapChunks(Tables.documents(s, dir))),
     // the composed end-to-end build: keep-list -> budget -> order
     "c_data_build" -> ((s, dir) =>
       Corpus.dataBuild(Tables.documents(s, dir))),
@@ -845,6 +851,19 @@ object SparkEntry {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) WHERE rk <= 3""".stripMargin,
+    // Q22 shape: the scalar average compares against the 4-dp-rounded
+    // value so the keep decision is engine-stable
+    "q22_idle_customers" ->
+      """WITH a AS (SELECT ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |                        / COUNT(*) + 1e-12, 4) AS avg_bal
+        |           FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, COUNT(*) AS numcust,
+        |       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal
+        |FROM customer CROSS JOIN a
+        |WHERE c_acctbal > a.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= DATE '2000-01-01')
+        |GROUP BY c_mktsegment""".stripMargin,
     "q_customers_without_orders" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
@@ -1764,6 +1783,17 @@ object SparkEntry {
         |SELECT doc_id, chunk_idx,
         |       least(64, n - chunk_idx * 64) AS n_tokens,
         |       array_to_string(w[chunk_idx * 64 + 1 : chunk_idx * 64 + 64], ' ') AS chunk_text
+        |FROM c""".stripMargin,
+    // sliding 64-token windows every 48; md5 over the rejoined window
+    "c_overlap_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, len(w) AS n, w,
+        |             unnest(generate_series(0, (len(w) - 1) // 48)) AS chunk_idx
+        |      FROM t)
+        |SELECT doc_id, chunk_idx,
+        |       chunk_idx * 48 AS start_tok,
+        |       least(64, n - chunk_idx * 48) AS n_tokens,
+        |       md5(array_to_string(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')) AS chunk_md5
         |FROM c""".stripMargin,
     // sentence-aware chunks: grid over token offsets, a sentence lands
     // where it starts; chunk fingerprints over the ". "-rejoined run

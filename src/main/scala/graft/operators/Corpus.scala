@@ -180,6 +180,36 @@ object Corpus {
         col("col").as("chunk_text"))
   }
 
+  /** OVERLAPPING token chunks — the sliding-window RAG form of
+    * [[tokenChunks]] (retrieval passages overlap so no answer span is
+    * ever cut by a hard boundary; `chunkSize`−`stride` tokens repeat
+    * between neighbors): windows start every `stride` tokens and span
+    * `chunkSize`, the last window may be short, and a document shorter
+    * than one stride still emits its single window. Returns (doc_id,
+    * chunk_idx, start_tok, n_tokens, chunk_md5) — md5 over the
+    * space-rejoined window, so the driver compare never ships chunk
+    * text.
+    *
+    * Scale shape: pure map-side codegen — one per-row explode of a
+    * bounded index sequence + slice/concat/md5; NO shuffle anywhere
+    * (the whole operator is a projection). Output rows ≈ n/stride per
+    * doc. */
+  def overlapChunks(documents: DataFrame, chunkSize: Int = 64,
+                    stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got ($chunkSize, $stride)")
+    val staged = documents.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+    staged.select(col("doc_id"), col("n"),
+        posexplode(transform(
+          sequence(lit(0L), floor((col("n") - 1) / stride).cast("long")),
+          i => concat_ws(" ", slice(col("w"), (i * stride + 1).cast("int"), lit(chunkSize))))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        (col("pos") * stride).cast("long").as("start_tok"),
+        least(lit(chunkSize), col("n") - col("pos") * stride).cast("long").as("n_tokens"),
+        md5(col("col")).as("chunk_md5"))
+  }
+
   /** Sentence-aware chunking — the RAG-pipeline form of [[tokenChunks]]:
     * fixed-window chunking never splits a SENTENCE across chunks (a
     * retrieval passage cut mid-sentence embeds and retrieves worse),

@@ -108,6 +108,39 @@ object Relational {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
 
+  /** TPC-H Q22 shape on the available schema — the "global sales
+    * opportunity" query: customers whose balance exceeds the average
+    * POSITIVE balance yet placed no RECENT order (none since
+    * `idleSince` — the generated order stream covers every customer,
+    * so plain non-existence selects nobody; recency-idleness is also
+    * the realistic churn question), aggregated per market segment.
+    * Exercises the scalar-aggregate-subquery + NOT EXISTS combination
+    * (the Q22 optimizer pattern: the scalar average joins as a one-row
+    * broadcast, the existence check as an anti join on the key — never
+    * a per-row subquery execution).
+    *
+    * Scale shape: the average is a full-agg one-row frame (broadcast);
+    * the recency predicate pushes to the orders scan BEFORE the anti
+    * join's shuffle (plan-locked), which shuffles on custkey
+    * (broadcastable at small SF, shuffled-hash at scale — unhinted);
+    * the final aggregation is segment-bounded. Money handling per
+    * [[moneySum]]; the average rounds to 4 dp before the comparison
+    * so the keep decision is engine-stable. */
+  def idleHighBalanceCustomers(customer: DataFrame, orders: DataFrame,
+                               idleSince: String = "2000-01-01"): DataFrame = {
+    val avgBal = customer.filter(col("c_acctbal") > 0)
+      .agg(round(sum(col("c_acctbal").cast("decimal(18,4)")).cast("double")
+        / count(lit(1)) + lit(1e-12), 4).as("avg_bal"))
+    customer
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders.filter(col("o_orderdate") >= idleSince)
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"), moneySum(col("c_acctbal")).as("totacctbal"))
+  }
+
   /** Semi join: suppliers that supplied a large-quantity line (EXISTS). */
   def suppliersWithBigLines(supplier: DataFrame, lineitem: DataFrame): DataFrame =
     supplier

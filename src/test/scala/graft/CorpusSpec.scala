@@ -444,6 +444,28 @@ class CorpusSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("overlapChunks: stride windows overlap by chunkSize-stride and cover every token") {
+    val words = (1 to 150).map(i => s"w$i").mkString(" ")
+    val out = Corpus.overlapChunks(docs((1L, words)), chunkSize = 64, stride = 48)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // starts at 0,48,96,144; lengths 64,64,54,6
+    assert(out.toSeq == Seq((0L, 0L, 64L), (1L, 48L, 64L), (2L, 96L, 54L), (3L, 144L, 6L)))
+    // neighbor windows share exactly chunkSize-stride = 16 token positions
+    assert(out(0)._2 + 64 - out(1)._2 == 16)
+    // coverage: last window reaches the last token
+    assert(out.last._2 + out.last._3 == 150L)
+    // a doc shorter than one stride still emits its single window
+    val tiny = Corpus.overlapChunks(docs((2L, "a b c")), chunkSize = 64, stride = 48).collect()
+    assert(tiny.length == 1 && tiny.head.getLong(3) == 3L)
+    // md5 matches the rejoined window text
+    val one = Corpus.overlapChunks(docs((3L, "x y z")), chunkSize = 2, stride = 1)
+      .orderBy("chunk_idx").collect().map(_.getString(4))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def m(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(one.toSeq == Seq(m("x y"), m("y z"), m("z")))
+  }
+
   test("perplexityFilter: threshold is the exact lower p-quantile of LM scores; keep is >= it") {
     val docs = Tables.documents(spark, sf0001).limit(60)
     val out = Corpus.perplexityFilter(docs, p = 0.3).collect()

@@ -605,6 +605,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"an unbounded window crept in:\n$p")
   }
 
+  test("idleHighBalanceCustomers: recency filter pushed to scan, scalar broadcast, anti join") {
+    val p = plan(Relational.idleHighBalanceCustomers(
+      Tables.customer(spark, dir), Tables.orders(spark, dir)))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"recency filter not pushed:\n$p")
+    assert(p.contains("BroadcastExchange"), s"scalar average not broadcast:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not plan as an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") || count(p, "BroadcastExchange") >= 1,
+      s"unbroadcast cartesian:\n$p")
+  }
+
+  test("overlapChunks: pure projection — zero exchanges") {
+    val p = plan(Corpus.overlapChunks(Tables.documents(spark, dir)))
+    assert(!p.contains("Exchange"), s"a shuffle crept into the map-only chunker:\n$p")
+  }
+
   test("nbQualityClassify: histogram terciles, partial-agg class dfs, no corpus sort") {
     val p = plan(graft.functions.TextAnalysis.nbQualityClassify(Tables.documents(spark, dir)))
     assert(!p.contains("Exchange rangepartitioning"), s"corpus-wide sort crept in:\n$p")
