@@ -226,6 +226,9 @@ object SparkEntry {
     // ---- training-data pipeline: dedup ----
     "d_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "d_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir))),
+    // asymmetric containment (quote-inside-document detection):
+    // prefix-filtered candidates + exact verify
+    "d_containment_pairs" -> ((s, dir) => Dedup.containmentPairs(Tables.documents(s, dir))),
     "d_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(Tables.documents(s, dir))),
     "d_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "d_dup_clusters" -> ((s, dir) => Dedup.dupClusters(Tables.documents(s, dir))),
@@ -2159,6 +2162,21 @@ object SparkEntry {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name""".stripMargin,
     "d_jaccard_pairs" -> jaccardOracle,
+    // directional containment, all-pairs spec the prefix filter equals
+    "d_containment_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM toks),
+        |sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        |       FROM tok a
+        |       JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |       JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+        |          GROUP BY x.doc_id, y.doc_id)
+        |SELECT a AS doc_a, b AS doc_b, i / CAST(ca.n AS DOUBLE) AS containment
+        |FROM inter JOIN cnt ca ON ca.doc_id = a
+        |WHERE i / CAST(ca.n AS DOUBLE) >= 0.9""".stripMargin,
     // MinHash+LSH: candidates are verified with the exact jaccard, and the
     // 16-band x 3-row parameters give P(miss | jac >= 0.8) ~ 1e-5 per
     // near-threshold pair — safe as this oracle for corpora with up to

@@ -708,6 +708,62 @@ object Dedup {
     * or subtracts on them (events.ts is nanos here, but µs is the
     * cross-engine precision floor — the repo-wide `epoch_ns // 1000`
     * convention), so keep/drop decisions are engine-independent. */
+  /** CONTAINMENT pairs — the ASYMMETRIC set-similarity join the
+    * symmetric family misses: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ t
+    * finds a small document QUOTED INSIDE a big one (their Jaccard is
+    * tiny — |A∪B| is dominated by B — so [[jaccardPairs]] and the LSH
+    * band math never surface the pair). The canonical use is
+    * quote/excerpt detection and containment-style contamination.
+    *
+    * Candidates come from the PREFIX FILTER of the published
+    * set-similarity-join literature (the PPJoin/All-Pairs family),
+    * which is LOSSLESS: order each document's shingles rarest-first
+    * (global df, shingle tiebreak); if B misses ALL of A's first
+    * |A| − ⌈t·|A|⌉ + 1 shingles, then |A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A| —
+    * so every qualifying pair shares a PREFIX shingle, and the
+    * candidate join is a pure equi-join of A-prefixes against B's
+    * postings. Because prefixes select each document's RAREST
+    * shingles, the join keys have small document frequency by
+    * construction — candidate volume tracks rare-shingle sharing,
+    * not corpus². Exact verification (array_intersect on candidate
+    * pairs only) then computes the true containment; the division is
+    * exact-int-to-double, identical cross-engine.
+    *
+    * Scale shape: df is one partial-aggregated groupBy; the
+    * rarest-first rank is a window over PER-DOCUMENT partitions
+    * (doc-length-bounded, never corpus-wide); the verify joins
+    * shingle arrays for candidate docs only (the [[minhashPairs]]
+    * restriction pattern). Output is DIRECTIONAL: (doc_a, doc_b,
+    * containment of A in B), both directions when both qualify. */
+  def containmentPairs(documents: DataFrame, n: Int = 3,
+                       threshold: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    val sh = documents.select(col("doc_id"), shingleArray(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val posting = sh.select(col("doc_id"), size(col("sh")).as("na"),
+      explode(col("sh")).as("shingle"))
+    val dfreq = posting.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = posting.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("na") - ceil(col("na") * lit(threshold)) + 1)
+      .select(col("doc_id").as("doc_a"), col("shingle"))
+    val candidates = prefix
+      .join(posting.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        size(col("sh")).as("na")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))) / col("na").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** Edit-distance near-dup pairs over document HEADS (the first
     * `headChars` characters — the title/lede field of a crawl record):
     * all pairs within `maxDist` Levenshtein edits, found by a

@@ -435,6 +435,36 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(10L -> true, 11L -> false, 12L -> true, 13L -> true, 14L -> true))
   }
 
+  test("containmentPairs finds the quote Jaccard misses; prefix filter is lossless vs brute force") {
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val big = s"intro words here $quote and then a very long tail " +
+      "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
+    val fixture = docs(
+      (1L, quote),                       // fully contained in 2
+      (2L, big),
+      (3L, "alpha beta gamma NOPE epsilon zeta"), // partial overlap with 1
+      (4L, "unrelated words entirely different content"))
+    val out = Dedup.containmentPairs(fixture, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // quote-in-document found directionally: 1 ⊂ 2 but NOT 2 ⊂ 1
+    assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0), s"quote missed: ${out.toSeq}")
+    assert(!out.exists(p => p._1 == 2L && p._2 == 1L))
+    // the symmetric operator does NOT surface this pair at its threshold
+    val jac = Dedup.jaccardPairs(fixture, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)))
+    // brute-force equality on the fixture
+    val shingles = fixture.collect().map { r =>
+      val ws = r.getString(1).split(" ")
+      (r.getLong(0), ws.sliding(3).map(_.mkString(" ")).toSet)
+    }.filter(_._2.nonEmpty)
+    val want = (for {
+      (ia, sa) <- shingles; (ib, sb) <- shingles if ia != ib
+      c = sa.intersect(sb).size.toDouble / sa.size if c >= 0.9
+    } yield (ia, ib, c)).toSet
+    assert(out.toSet == want)
+  }
+
   test("editNearDup equals the all-pairs Levenshtein oracle (pigeonhole candidates are lossless)") {
     // substitutions, an insert (length shift), a delete, a far pair,
     // and heads shorter than headChars — every candidate-scheme edge

@@ -581,6 +581,16 @@ class PlanAuditSpec extends SparkSpec {
       assert(!e.contains("payload"), s"an exchange carries image payloads:\n$e"))
   }
 
+  test("containmentPairs: prefix-filter candidates join equi; rank window is per-doc") {
+    val p = plan(Dedup.containmentPairs(Tables.documents(spark, dir)))
+    assert(!p.contains("CartesianProduct"), s"all-pairs crept in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"theta join crept in:\n$p")
+    // the rarest-first rank must partition by doc_id (doc-bounded
+    // windows), never run corpus-wide
+    p.linesIterator.filter(_.contains("row_number()")).foreach(l =>
+      assert(l.contains("windowspecdefinition(doc_id"), s"unpartitioned rank window:\n$l"))
+  }
+
   test("editNearDup: pigeonhole candidates join equi — no DP over corpus-cross-corpus") {
     val p = plan(Dedup.editNearDup(Tables.documents(spark, dir)))
     assert(!p.contains("CartesianProduct"), s"all-pairs crept in:\n$p")
