@@ -342,6 +342,9 @@ object SparkEntry {
     // degree-oriented so wedge work is O(m^1.5) regardless of skew
     "q_triangles" -> ((s, dir) =>
       graft.operators.Graph.triangles(Tables.lineitem(s, dir))),
+    // local clustering coefficient over the same co-purchase graph
+    "q_clustering_coef" -> ((s, dir) =>
+      graft.operators.Graph.clusteringCoefficient(Tables.lineitem(s, dir))),
     // hot-key-salted fact⋈dim join; the oracle is the PLAIN join —
     // salting must be invisible in the result
     "q_salted_join" -> ((s, dir) => {
@@ -2156,6 +2159,27 @@ object SparkEntry {
         |      UNION ALL SELECT b FROM tri
         |      UNION ALL SELECT c FROM tri)
         |GROUP BY 1""".stripMargin,
+    // clustering coefficient: the q_triangles enumeration + degrees,
+    // left-joined so triangle-free nodes emit coef 0
+    "q_clustering_coef" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT n, COUNT(*) AS d FROM (
+        |          SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tc AS (SELECT node, COUNT(*) AS t
+        |       FROM (SELECT a AS node FROM tri
+        |             UNION ALL SELECT b FROM tri
+        |             UNION ALL SELECT c FROM tri) GROUP BY 1)
+        |SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
+        |       CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_triangles,
+        |       CASE WHEN deg.d >= 2
+        |            THEN ROUND(2.0 * COALESCE(tc.t, 0) / (deg.d * (deg.d - 1)) + 1e-12, 6)
+        |            ELSE 0.0 END AS coef
+        |FROM deg LEFT JOIN tc ON tc.node = deg.n""".stripMargin,
     "q_salted_join" ->
       """SELECT s_name, COUNT(*) AS n_lines,
         |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty

@@ -147,7 +147,38 @@ object Graph {
     * `jaccardPairs.maxDf`); the default (1024, ≤ ~0.5M pairs per hot
     * order) is far above any TPC-H basket, so default results are
     * unchanged. */
-  def triangles(lineitem: DataFrame, maxBasket: Int = 1024): DataFrame = {
+  def triangles(lineitem: DataFrame, maxBasket: Int = 1024): DataFrame =
+    triangleCounts(coPurchaseEdges(lineitem, maxBasket))
+
+  /** Local clustering coefficient per node — the graph-quality profile
+    * next to [[triangles]] (how clique-like each part's co-purchase
+    * neighborhood is): coef(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), 0
+    * for degree < 2 nodes. Returns every node of the edge graph with
+    * (degree, n_triangles, coef), including triangle-free nodes.
+    *
+    * Scale shape: shares [[triangles]]' one checkpointed edge build
+    * (basket cap and all); the degree table is a partial-aggregated
+    * groupBy over the edge endpoints; the join of the two
+    * node-bounded frames is key-partitioned. The ratio is exact
+    * integer arithmetic into one double division, 6-dp rounded with
+    * the repo nudge — engine-identical. */
+  def clusteringCoefficient(lineitem: DataFrame, maxBasket: Int = 1024): DataFrame = {
+    val edges = coPurchaseEdges(lineitem, maxBasket)
+    val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    deg.join(triangleCounts(edges), col("n") === col("node"), "left")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("d") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+            / (col("d") * (col("d") - 1)) + lit(1e-12), 6))
+          .otherwise(lit(0.0)).as("coef"))
+  }
+
+  /** The distinct co-purchase edge set (u < v), basket-capped and
+    * checkpointed — shared by [[triangles]] and
+    * [[clusteringCoefficient]] so both run the identical graph. */
+  private[graft] def coPurchaseEdges(lineitem: DataFrame, maxBasket: Int): DataFrame = {
     require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
     import org.apache.spark.sql.expressions.Window
     val po0 = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
@@ -162,11 +193,16 @@ object Graph {
     val po = po0
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("o"))))
       .filter(col("bsz") <= maxBasket).drop("bsz")
-    val edges = po.as("x").join(po.as("y"), Seq("o"))
+    po.as("x").join(po.as("y"), Seq("o"))
       .filter(col("x.p") < col("y.p"))
       .select(col("x.p").as("u"), col("y.p").as("v"))
       .distinct()
       .localCheckpoint()
+  }
+
+  /** The compact-forward closure + per-corner count over a prepared
+    * edge frame (see [[triangles]]' scaladoc for the plan math). */
+  private def triangleCounts(edges: DataFrame): DataFrame = {
     // exact edge count off the materialized frame (metadata-cheap)
     // gates every small-side broadcast below: the degree vector and the
     // adjacency frame are both ≤ one row per node / one long per edge,

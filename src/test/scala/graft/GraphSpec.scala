@@ -79,6 +79,26 @@ class GraphSpec extends SparkSpec {
     assert(full.view.filterKeys(_ >= 100L).values.forall(_ == 49L * 48 / 2))
   }
 
+  test("clusteringCoefficient: K4 is all-1.0; path nodes are 0; triangle-free nodes included") {
+    val k4 = Seq.tabulate(4)(i => (1L, 10L + i)).toDF("l_orderkey", "l_partkey")
+    val out = Graph.clusteringCoefficient(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 4)
+    assert(out.forall { case (_, d, t, c) => d == 3 && t == 3 && c == 1.0 })
+    // path a-b-c: middle node has degree 2, no triangle -> coef 0;
+    // endpoints degree 1 -> coef 0 by the degree guard
+    val path = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L)).toDF("l_orderkey", "l_partkey")
+    val p = Graph.clusteringCoefficient(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).sortBy(_._1)
+    assert(p.toSeq == Seq((1L, 1L, 0.0), (2L, 2L, 0.0), (3L, 1L, 0.0)))
+    // one closed + one open wedge around node 2: coef = 2*1/(3*2) = 1/3
+    val mixed = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 2L), (2L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val m = Graph.clusteringCoefficient(mixed).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(m(2L) == 0.333333, s"got $m")
+  }
+
   test("triangles: duplicate lineitem rows do not change counts (edge distinct)") {
     val k3 = Seq.tabulate(3)(i => (1L, 10L + i)).toDF("l_orderkey", "l_partkey")
     val once = Graph.triangles(k3).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
