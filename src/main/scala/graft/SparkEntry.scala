@@ -456,6 +456,9 @@ object SparkEntry {
     // REAL audio resampling: every 2nd PCM frame survives, rate halves,
     // resampled stream fingerprinted — the oracle recomputes every
     // surviving sample arithmetically
+    // luminance histogram + entropy over real decoded BMP pixels
+    "m_image_stats" -> ((s, dir) =>
+      Multimodal.imageStats(Multimodal.phashDocs(Tables.documents(s, dir))).toDF()),
     // energy VAD: active-frame runs merged to segments over real PCM
     "m_audio_vad" -> ((s, dir) =>
       Multimodal.audioVad(Multimodal.wavDocs(Tables.documents(s, dir))).toDF()),
@@ -1619,6 +1622,40 @@ object SparkEntry {
     // audio decimation: surviving sample j is input sample 2j — its
     // little-endian byte pair recomputed arithmetically; a stride,
     // offset or endianness bug in the resampler can never hash right
+    // image stats: the phashDocs pixel construction replayed through
+    // byte offsets (stride-padded rows skipped), 16-bin luminance
+    // histogram, 9-dp-decimal entropy terms summed exactly
+    "m_image_stats" ->
+      """WITH d AS (SELECT doc_id, doc_id - doc_id % 4 AS base, doc_id % 4 AS r FROM documents),
+        |g AS (SELECT doc_id, base, r, 8 + base % 13 AS w, 8 + base % 7 AS h FROM d),
+        |s AS (SELECT doc_id, base, r, w, h, ((w * 3 + 3) // 4) * 4 AS stride FROM g),
+        |lum AS (SELECT doc_id, w, h,
+        |          [ (base + ((p // w) * stride + (p % w) * 3)
+        |             + CASE WHEN ((p // w) * stride + (p % w) * 3) % 23 = r THEN r * 32 ELSE 0 END) % 256
+        |          + (base + ((p // w) * stride + (p % w) * 3 + 1)
+        |             + CASE WHEN ((p // w) * stride + (p % w) * 3 + 1) % 23 = r THEN r * 32 ELSE 0 END) % 256
+        |          + (base + ((p // w) * stride + (p % w) * 3 + 2)
+        |             + CASE WHEN ((p // w) * stride + (p % w) * 3 + 2) % 23 = r THEN r * 32 ELSE 0 END) % 256
+        |            for p in generate_series(0, CAST(w * h AS INT) - 1) ] AS lu
+        |        FROM s),
+        |bi AS (SELECT doc_id, w * h AS n, list_sum(lu) AS lt,
+        |              list_transform(lu, l -> l // 48) AS bins FROM lum),
+        |px AS (SELECT doc_id, unnest(bins) AS bin FROM bi),
+        |hist AS (SELECT doc_id, bin, COUNT(*) AS c FROM px GROUP BY doc_id, bin),
+        |ent AS (SELECT h.doc_id,
+        |               SUM(CAST(ROUND(-(h.c / CAST(b.n AS DOUBLE)) * ln(h.c / CAST(b.n AS DOUBLE))
+        |                              + 1e-12, 9) AS DECIMAL(18,9))) AS es
+        |        FROM hist h JOIN bi b ON b.doc_id = h.doc_id GROUP BY h.doc_id),
+        |top AS (SELECT doc_id, bin AS top_bin, c AS top_cnt FROM (
+        |          SELECT doc_id, bin, c,
+        |                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, bin) AS rn
+        |          FROM hist) WHERE rn = 1)
+        |SELECT bi.doc_id, CAST(bi.n AS BIGINT) AS n_pixels,
+        |       ROUND(CAST(bi.lt AS DOUBLE) / (3.0 * bi.n) + 1e-9, 4) AS mean_lum,
+        |       ROUND(CAST(ent.es AS DOUBLE) + 1e-9, 4) AS entropy,
+        |       CAST(top.top_bin AS INT) AS top_bin,
+        |       CAST(top.top_cnt AS BIGINT) AS top_cnt
+        |FROM bi JOIN ent ON ent.doc_id = bi.doc_id JOIN top ON top.doc_id = bi.doc_id""".stripMargin,
     // VAD: samples replayed arithmetically, 16-sample frames active on
     // the exact integer mean-amplitude inequality, runs merged via the
     // gaps-and-islands ROW_NUMBER trick

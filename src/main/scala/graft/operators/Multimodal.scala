@@ -830,6 +830,72 @@ object Multimodal {
            |) AS payload""".stripMargin)
   }
 
+  case class ImageStats(doc_id: Long, n_pixels: Long, mean_lum: Double,
+                        entropy: Double, top_bin: Int, top_cnt: Long)
+
+  /** Luminance histogram + Shannon entropy over REAL decoded BMP
+    * pixels — the image-quality profiling stage (flat/empty renders
+    * have near-zero entropy; a corpus build drops or down-weights
+    * them the way text builds drop low-perplexity boilerplate): each
+    * pixel's luminance is the exact integer B+G+R (0..765, stride
+    * padding skipped), binned into 16 equal buckets (÷48), and
+    * entropy = −Σ p·ln p over the bins. Also reports the dominant bin
+    * (tie → smallest index) — the "mostly one shade" detector.
+    *
+    * Scale shape: the same map-only batched decode seam as
+    * [[imageHash]] — payloads never shuffle, one 6-column row leaves
+    * per image.
+    *
+    * Cross-engine parity: bin counts are exact integers; each entropy
+    * TERM rounds to 9 dp into a decimal before the (order-free exact)
+    * sum, the final entropy and the mean get the multimodal family's
+    * +1e-9 nudge before 4-dp HALF_UP — the [[audioFeatures]] rms
+    * recipe, mirrored by the oracle. */
+  def imageStats(bin: DataFrame): Dataset[ImageStats] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val meta = parseBmp(id, bytes).getOrElse(throw new IllegalArgumentException(
+          s"doc $id: imageStats needs a decodable uncompressed BMP"))
+        require(meta.channels == 3, s"doc $id: only 24-bit BMP modeled")
+        val w = meta.width; val h = meta.height
+        val stride = ((w * 3 + 3) / 4) * 4
+        val counts = new Array[Long](16)
+        var lumTotal = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val o = 54 + y * stride + x * 3
+            val lum = (bytes(o) & 0xFF) + (bytes(o + 1) & 0xFF) + (bytes(o + 2) & 0xFF)
+            counts(lum / 48) += 1
+            lumTotal += lum
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var entSum = BigDecimal(0)
+        var topBin = 0; var topCnt = -1L
+        var b = 0
+        while (b < 16) {
+          val c = counts(b)
+          if (c > 0) {
+            val p = c.toDouble / n
+            entSum += BigDecimal(-p * math.log(p) + 1e-12)
+              .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          }
+          if (c > topCnt) { topCnt = c; topBin = b }
+          b += 1
+        }
+        def r4n(x: Double): Double =
+          BigDecimal(x + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        ImageStats(id, n, r4n(lumTotal.toDouble / (3.0 * n)),
+          r4n(entSum.toDouble), topBin, topCnt)
+      })
+  }
+
   case class ImageHash(doc_id: Long, hash_hex: String,
                        b0: Int, b1: Int, b2: Int, b3: Int)
 

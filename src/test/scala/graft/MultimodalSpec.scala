@@ -193,6 +193,46 @@ class MultimodalSpec extends SparkSpec {
     assert(f.rms == expRms)
   }
 
+  test("imageStats: exact histogram, entropy and dominant bin on hand-built pixels") {
+    // 2x2 24-bit BMP (stride 8, 2 pad bytes/row): three black pixels
+    // (lum 0 -> bin 0) and one white (lum 765 -> bin 15)
+    def bmp(pixels: Seq[(Int, Int, Int)], w: Int, h: Int): Array[Byte] = {
+      val stride = (w * 3 + 3) / 4 * 4
+      val pix = stride * h
+      val b = java.nio.ByteBuffer.allocate(54 + pix).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54 + pix).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      b.putInt(0).putInt(pix).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (y <- 0 until h) {
+        for (x <- 0 until w) {
+          val (bb, gg, rr) = pixels(y * w + x)
+          b.put(bb.toByte).put(gg.toByte).put(rr.toByte)
+        }
+        (w * 3 until stride).foreach(_ => b.put(0.toByte)) // pad
+      }
+      b.array()
+    }
+    val img = bmp(Seq((0, 0, 0), (0, 0, 0), (0, 0, 0), (255, 255, 255)), 2, 2)
+    val df = spark.createDataFrame(Seq((1L, img))).toDF("doc_id", "payload")
+    val s = Multimodal.imageStats(df).collect().head
+    assert((s.n_pixels, s.top_bin, s.top_cnt) == ((4L, 0, 3L)))
+    // mean lum = (0+0+0+765)/(3*4) = 63.75
+    assert(s.mean_lum == 63.75)
+    // entropy = -(3/4)ln(3/4) - (1/4)ln(1/4), per-term 9dp then 4dp
+    val t1 = BigDecimal(-(0.75 * math.log(0.75)) + 1e-12)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val t2 = BigDecimal(-(0.25 * math.log(0.25)) + 1e-12)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val want = BigDecimal((t1 + t2).toDouble + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s.entropy == want, s"entropy ${s.entropy} != $want")
+    // flat image: zero entropy, every pixel in one bin
+    val flat = bmp(Seq.fill(4)((100, 100, 100)), 2, 2)
+    val f = Multimodal.imageStats(
+      spark.createDataFrame(Seq((2L, flat))).toDF("doc_id", "payload")).collect().head
+    assert(f.entropy == 0.0 && f.top_cnt == 4L && f.top_bin == 6) // 300/48 = 6
+  }
+
   test("audioVad merges active-frame runs into segments; tail partial frame uses mean semantics") {
     def wav(samples: Seq[Int]): Array[Byte] = {
       val dataLen = samples.length * 2
