@@ -111,6 +111,14 @@ object SparkEntry {
       operators.Sketch.hllDistinct(ev(s, dir), "user_id", Seq("event_type"))),
     "q_heavy_hitters" -> ((s, dir) =>
       operators.Sketch.cmsHeavyHitters(ev(s, dir), "user_id")),
+    // KMV union/intersection estimates over two sources' shingle sets
+    // (cross-source content overlap without materializing either set)
+    "q_kmv_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = Dedup.shingles(docs, 3)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      operators.Sketch.kmvOverlap(sh, "shingle", "source", "src0", "src1")
+    }),
     // quantile sketch: per-priority price percentiles from a fixed-size
     // deterministic hash-rank sample — q_price_quantiles' exact
     // (sort-based) percentiles are its semantic anchor
@@ -180,6 +188,8 @@ object SparkEntry {
         Seq("hash", "join", "spark"))),
     // ---- training-data pipeline: similarity search over embeddings ----
     "a_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
+    // max-inner-product retrieval: magnitude-aware ranking
+    "a_mips_topk" -> ((s, dir) => Similarity.mipsTopK(Tables.embeddings(s, dir))),
     "a_cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir))),
     "a_ann_topk" -> ((s, dir) => Similarity.annTopK(Tables.embeddings(s, dir))),
     "a_ann_pairs" -> ((s, dir) => Similarity.annPairs(Tables.embeddings(s, dir))),
@@ -922,6 +932,59 @@ object SparkEntry {
         |FROM e""".stripMargin,
     // count-min: integer grid + min-probe, top-20 by estimate with
     // key tiebreak — integers end to end, no rounding rules needed
+    // KMV set-op estimates: bottom-256 md5 sketches of two sources'
+    // shingle sets, classic (k-1)/U_k estimator, Bernoulli overlap
+    "q_kmv_overlap" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |           FROM documents WHERE source IN ('src0', 'src1')),
+        |tok AS (SELECT doc_id, source, unnest(w) AS tok,
+        |               generate_subscripts(w, 1) AS pos FROM d),
+        |sh AS (SELECT DISTINCT a.source AS side,
+        |              a.tok || ' ' || b.tok || ' ' || c.tok AS key
+        |       FROM tok a
+        |       JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |       JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |h AS (SELECT side, key,
+        |             CAST('0x' || substring(md5(key), 1, 15) AS BIGINT) AS h FROM sh),
+        |sk AS (SELECT * FROM (SELECT side, key, h,
+        |                ROW_NUMBER() OVER (PARTITION BY side ORDER BY h, key) AS rn
+        |         FROM h) WHERE rn <= 256),
+        |st0 AS (SELECT side, COUNT(*) AS m FROM h GROUP BY side),
+        |st1 AS (SELECT side, MAX(h) AS hk FROM sk GROUP BY side),
+        |st AS (SELECT st0.side, m,
+        |              CASE WHEN m <= 256 THEN CAST(m AS DOUBLE)
+        |                   ELSE ROUND(255.0 * CAST(1152921504606846976 AS DOUBLE) / hk
+        |                              + 1e-12, 4) END AS est
+        |       FROM st0 JOIN st1 USING (side)),
+        |uh AS (SELECT key, CAST('0x' || substring(md5(key), 1, 15) AS BIGINT) AS h
+        |       FROM (SELECT DISTINCT key FROM sh)),
+        |us AS (SELECT * FROM (SELECT key, h,
+        |                ROW_NUMBER() OVER (ORDER BY h, key) AS rn FROM uh)
+        |       WHERE rn <= 256),
+        |fl AS (SELECT us.h,
+        |              CASE WHEN ea.key IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+        |              CASE WHEN eb.key IS NOT NULL THEN 1 ELSE 0 END AS in_b
+        |       FROM us
+        |       LEFT JOIN (SELECT DISTINCT key FROM sh WHERE side = 'src0') ea
+        |         ON ea.key = us.key
+        |       LEFT JOIN (SELECT DISTINCT key FROM sh WHERE side = 'src1') eb
+        |         ON eb.key = us.key),
+        |ust AS (SELECT (SELECT COUNT(*) FROM uh) AS mu, MAX(h) AS hku,
+        |               COUNT(*) AS ks,
+        |               SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS nb
+        |        FROM fl),
+        |fin AS (SELECT *, CASE WHEN mu <= 256 THEN CAST(mu AS DOUBLE)
+        |                       ELSE ROUND(255.0 * CAST(1152921504606846976 AS DOUBLE) / hku
+        |                                  + 1e-12, 4) END AS est_union
+        |        FROM ust)
+        |SELECT 'src0' AS side_a, 'src1' AS side_b,
+        |       (SELECT est FROM st WHERE side = 'src0') AS est_a,
+        |       (SELECT est FROM st WHERE side = 'src1') AS est_b,
+        |       est_union,
+        |       ROUND(nb / CAST(ks AS DOUBLE) * est_union + 1e-12, 4) AS est_inter,
+        |       ROUND(nb / CAST(ks AS DOUBLE) + 1e-12, 6) AS jac_est,
+        |       CAST(ks AS BIGINT) AS k_used
+        |FROM fin""".stripMargin,
     "q_heavy_hitters" ->
       """WITH cells AS (SELECT unnest([0, 1, 2]) AS r),
         |sk AS (SELECT c.r,
@@ -1289,6 +1352,18 @@ object SparkEntry {
         |      FROM n JOIN q ON n.vec_id <> q.query_id)
         |SELECT query_id, vec_id, cos, rk FROM (
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rk
+        |  FROM s) WHERE rk <= 5""".stripMargin,
+    // MIPS: raw index-order dot, no normalization, zero vectors kept
+    "a_mips_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |             ROUND(list_dot_product(e.v, q.qv) + 1e-12, 6) AS ip
+        |      FROM e JOIN q ON e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, ip, rk FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |                                    ORDER BY ip DESC, vec_id) AS INT) AS rk
         |  FROM s) WHERE rk <= 5""".stripMargin,
     "a_cosine_pairs" ->
       s"""WITH $normCte

@@ -72,6 +72,33 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Maximum-inner-product top-k — the RECOMMENDATION-retrieval
+    * scoring ([[cosineTopK]]'s unnormalized sibling): rank by the raw
+    * dot product, where vector MAGNITUDE carries signal (item
+    * popularity, confidence) that cosine deliberately discards — the
+    * two orders genuinely differ whenever norms vary, which is why
+    * MIPS is its own retrieval problem in the published literature
+    * (asymmetric transforms reduce it to cosine ANN at scale; this is
+    * the exact baseline those transforms are verified against).
+    *
+    * Scale shape is [[cosineTopK]]'s: query rows broadcast, corpus
+    * vectors never shuffle (only (query, vec, score) triples), the
+    * rank filter compiles to WindowGroupLimit. Zero vectors
+    * participate (no norm to divide by). The dot is the fused kernel,
+    * index-order summation both engines share; 6-dp rounded. */
+  def mipsTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("v"), col("qv")) + lit(1e-12), 6).as("ip"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ip").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+  }
+
   /** Exact all-pairs cosine ≥ threshold (vec_a < vec_b). Quadratic —
     * the oracle baseline only; [[annPairs]] is the scale path. The
     * [[ScaleGuard]] enforces verification-scale inputs — raise

@@ -183,6 +183,86 @@ object Sketch {
     * association anywhere.
     *
     * Returns one row per (group, q): (groupCols…, q, est, n_sample). */
+  /** KMV (k-minimum-values) SET-OPERATION estimates — the sketch
+    * family's union/intersection member (Bar-Yossef et al. 2002,
+    * Beyer et al. 2007): how much do two key sets overlap, without
+    * materializing either — the audience-overlap / cross-source-
+    * coverage question every corpus and event profile asks at 100 TB.
+    * Sides are the distinct `keyCol` sets of two `sideCol` values;
+    * output is one row of estimates: per-side distinct counts, union,
+    * intersection and Jaccard.
+    *
+    * The sketch is the k smallest 60-bit md5 hashes of each side's
+    * DISTINCT keys — the [[quantileSketch]] bottom-k closure, so it
+    * is deterministic, order-independent and MERGEABLE (the union's
+    * sketch is the bottom-k of the merged sketches — computed here
+    * from the distinct union directly, which by the closure property
+    * is identical). Estimators: a side with ≤ k distinct keys is
+    * EXACT (its sketch is the whole set); otherwise the classic KMV
+    * estimate (k−1)/U_k with U_k = h_k/2^60 the k-th smallest
+    * normalized hash. Intersection rides the union sample as a
+    * Bernoulli estimate: ρ = fraction of the union sketch present in
+    * BOTH sides, est_inter = ρ·est_union, jac_est = ρ — standard
+    * error O(1/√k).
+    *
+    * Scale shape: distinct (side, key) is one partial-aggregated
+    * groupBy; the bottom-k filters compile to rank-limited windows
+    * over per-side partitions (≤ k rows per input partition cross
+    * the exchange); everything after is k-sized or one-row.
+    * Parity: hashes are exact longs; the only doubles are the two
+    * final divisions, 4-dp rounded with the repo nudge. */
+  def kmvOverlap(df: DataFrame, keyCol: String, sideCol: String,
+                 sideA: String, sideB: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    require(sideA != sideB, "sides must differ")
+    import org.apache.spark.sql.expressions.Window
+    val keys = df.filter(col(sideCol).isin(sideA, sideB))
+      .select(col(sideCol).as("side"), col(keyCol).cast("string").as("key"))
+      .distinct()
+    val hashed = keys.withColumn("h", h60(col("key")))
+    val bySide = Window.partitionBy(col("side"))
+    val sideSketch = hashed
+      .withColumn("rn", row_number().over(bySide.orderBy(col("h"), col("key"))))
+      .filter(col("rn") <= k)
+    // per-side stats: exact distinct count + the k-th smallest hash
+    val sideStats = hashed.groupBy(col("side")).agg(count(lit(1)).as("m"))
+      .join(sideSketch.groupBy(col("side")).agg(max(col("h")).as("hk")), "side")
+      .withColumn("est", when(col("m") <= k, col("m").cast("double"))
+        .otherwise(round(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) / col("hk")
+          + lit(1e-12), 4)))
+    // union sketch: bottom-k of the distinct union (= merged sketches
+    // by the bottom-k closure); membership flags via left semi-ish joins
+    val uKeys = keys.select(col("key")).distinct()
+      .withColumn("h", h60(col("key")))
+    val uSketch = uKeys
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("h"), col("key"))))
+      .filter(col("rn") <= k)
+    val flagged = uSketch
+      .join(keys.filter(col("side") === sideA).select(col("key"), lit(1).as("in_a")),
+        Seq("key"), "left")
+      .join(keys.filter(col("side") === sideB).select(col("key"), lit(1).as("in_b")),
+        Seq("key"), "left")
+    val uStats = uKeys.agg(count(lit(1)).as("mu"))
+      .crossJoin(broadcast(flagged.agg(
+        max(col("h")).as("hku"), count(lit(1)).as("ks"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L)).as("both"))))
+      .withColumn("est_union", when(col("mu") <= k, col("mu").cast("double"))
+        .otherwise(round(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) / col("hku")
+          + lit(1e-12), 4)))
+    val a = sideStats.filter(col("side") === sideA)
+      .select(col("m").as("n_a_sampled"), col("est").as("est_a"))
+    val b = sideStats.filter(col("side") === sideB)
+      .select(col("m").as("n_b_sampled"), col("est").as("est_b"))
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(uStats))
+      .select(lit(sideA).as("side_a"), lit(sideB).as("side_b"),
+        col("est_a"), col("est_b"), col("est_union"),
+        round(col("both") / col("ks").cast("double") * col("est_union") + lit(1e-12), 4)
+          .as("est_inter"),
+        round(col("both") / col("ks").cast("double") + lit(1e-12), 6).as("jac_est"),
+        col("ks").cast("long").as("k_used"))
+  }
+
   def quantileSketch(df: DataFrame, valueCol: String, rowKeyCol: String,
                      groupCols: Seq[String], k: Int = 1000,
                      quantiles: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {

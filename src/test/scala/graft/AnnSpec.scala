@@ -451,6 +451,21 @@ class AnnSpec extends SparkSpec {
     assert(row.getString(2).split(",").map(_.toLong.abs).max == 127L)
   }
 
+  test("mipsTopK ranks by raw inner product — magnitude beats direction, unlike cosine") {
+    val df = vecs(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.9f, 0f, 0f, 0f)),   // ip 0.9, cos 1.0
+      (2L, Seq(10f, 1f, 0f, 0f)),    // ip 10, cos ~0.995
+      (3L, Seq(0f, 5f, 0f, 0f)))     // ip 0
+    val mips = Similarity.mipsTopK(df, numQueries = 1, k = 3).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).sortBy(_._3)
+    assert(mips.map(_._1).toSeq == Seq(2L, 1L, 3L), s"got ${mips.toSeq}")
+    assert(mips(0)._2 == 10.0 && mips(1)._2 == 0.9)
+    // cosine puts the unit-direction vector first instead
+    val cos = Similarity.cosineTopK(df, numQueries = 1, k = 1).collect()
+    assert(cos.head.getLong(1) == 1L)
+  }
+
   test("labelOutliers flags the planted mislabeled vector; threshold is the exact decile") {
     // label 1 points cluster along e1, label 2 along e2 — vector 10
     // carries label 1 but sits on e2: its own-label cosine is the low

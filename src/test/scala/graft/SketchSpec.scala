@@ -158,6 +158,29 @@ class SketchSpec extends SparkSpec {
     assert(whole == merged)
   }
 
+  test("kmvOverlap: exact when sets fit the sketch; estimates within KMV error beyond it") {
+    // small sets, k = 256 >> sizes: every figure is EXACT
+    val small = (
+      (1 to 40).map(i => ("A", s"k$i")) ++
+      (21 to 60).map(i => ("B", s"k$i"))).toDF("side", "key")
+    val ex = Sketch.kmvOverlap(small, "key", "side", "A", "B", k = 256).collect().head
+    assert(ex.getDouble(2) == 40.0 && ex.getDouble(3) == 40.0) // est_a, est_b
+    assert(ex.getDouble(4) == 60.0)                            // union 1..60
+    assert(ex.getDouble(5) == 20.0)                            // inter 21..40
+    assert(ex.getDouble(6) == 0.333333)                        // jac = 20/60, 6dp
+    // big sets, k = 128 << sizes: estimate path, ±25% on cardinalities
+    val big = (
+      (1 to 3000).map(i => ("A", s"x$i")) ++
+      (2001 to 5000).map(i => ("B", s"x$i"))).toDF("side", "key")
+    val es = Sketch.kmvOverlap(big, "key", "side", "A", "B", k = 128).collect().head
+    def rel(est: Double, truth: Double) = math.abs(est - truth) / truth
+    assert(rel(es.getDouble(2), 3000) < 0.25, s"est_a ${es.getDouble(2)}")
+    assert(rel(es.getDouble(3), 3000) < 0.25, s"est_b ${es.getDouble(3)}")
+    assert(rel(es.getDouble(4), 5000) < 0.25, s"est_union ${es.getDouble(4)}")
+    assert(rel(es.getDouble(5), 1000) < 0.5, s"est_inter ${es.getDouble(5)}")
+    assert(es.getLong(7) == 128L)
+  }
+
   test("quantileSketch is deterministic and order-independent") {
     val orders = Tables.orders(spark, sf0001)
     def run(df: org.apache.spark.sql.DataFrame) =
