@@ -157,6 +157,10 @@ object SparkEntry {
       graft.functions.TextAnalysis.stats(Tables.documents(s, dir))),
     "t_lang_id" -> ((s, dir) =>
       graft.functions.TextAnalysis.langId(Tables.documents(s, dir))),
+    // held-out perplexity: LM trained on the train split, scored on
+    // val with OOV flooring — contamination-free eval
+    "t_eval_perplexity" -> ((s, dir) =>
+      graft.functions.TextAnalysis.evalPerplexity(Tables.documents(s, dir))),
     // Bernoulli NB quality classifier on tercile weak labels — the
     // model-based quality gate of the published corpus builds
     "t_nb_quality" -> ((s, dir) =>
@@ -1144,6 +1148,46 @@ object SparkEntry {
         |  FROM documents)""".stripMargin,
     "t_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp, length(text) AS n_chars FROM documents",
+    // held-out perplexity: train-split LM, val-split scoring, OOV
+    // floor inside ln, per-distinct-bigram 9-dp decimals
+    "t_eval_perplexity" ->
+      """WITH sp AS (SELECT doc_id, text,
+        |         CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < 90 THEN 'train'
+        |              WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < 95 THEN 'val'
+        |              ELSE 'test' END AS split
+        |       FROM documents),
+        |tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM sp WHERE split = 'train'),
+        |tbg AS (SELECT w[u.i + 1] || ' ' || w[u.i + 2] AS bg, w[u.i + 1] AS w1
+        |        FROM tw, LATERAL (SELECT unnest(generate_series(0, len(w) - 2)) AS i) u
+        |        WHERE len(w) >= 2),
+        |bgc AS (SELECT bg, COUNT(*) AS bg_cnt FROM tbg GROUP BY bg),
+        |ctx AS (SELECT w1, COUNT(*) AS ctx_cnt FROM tbg GROUP BY w1),
+        |tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM sp WHERE split = 'train'),
+        |uni AS (SELECT tok, COUNT(*) AS u_cnt FROM tok GROUP BY tok),
+        |tot AS (SELECT COUNT(*) AS n_total FROM tok),
+        |ew AS (SELECT doc_id, string_split(text, ' ') AS w FROM sp WHERE split = 'val'),
+        |ebg AS (SELECT doc_id, w[u.i + 1] || ' ' || w[u.i + 2] AS bg,
+        |               w[u.i + 1] AS w1, w[u.i + 2] AS w2
+        |        FROM ew, LATERAL (SELECT unnest(generate_series(0, len(w) - 2)) AS i) u
+        |        WHERE len(w) >= 2),
+        |db AS (SELECT DISTINCT bg, w1, w2 FROM ebg),
+        |lp AS (SELECT db.bg,
+        |              CAST(ROUND(ln(greatest(
+        |                COALESCE(CAST(0.7 AS DOUBLE) * (bgc.bg_cnt / CAST(ctx.ctx_cnt AS DOUBLE)), 0.0)
+        |                + COALESCE(CAST(0.3 AS DOUBLE) * (uni.u_cnt / CAST(tot.n_total AS DOUBLE)), 0.0),
+        |                1e-9)) + 1e-12, 9) AS DECIMAL(18,9)) AS logp,
+        |              bgc.bg IS NULL AS oov
+        |       FROM db
+        |       LEFT JOIN bgc ON bgc.bg = db.bg
+        |       LEFT JOIN ctx ON ctx.w1 = db.w1
+        |       LEFT JOIN uni ON uni.tok = db.w2
+        |       CROSS JOIN tot)
+        |SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       ROUND(CAST(SUM(lp.logp) AS DOUBLE) / COUNT(*) + 1e-12, 4) AS avg_logp,
+        |       ROUND(SUM(CASE WHEN lp.oov THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
+        |             + 1e-12, 4) AS oov_rate
+        |FROM ebg e JOIN lp ON lp.bg = e.bg
+        |GROUP BY e.doc_id""".stripMargin,
     // Bernoulli NB on quality terciles: the c_quality_filter score CTE,
     // histogram tercile thresholds, per-class doc frequencies, 9-dp
     // decimal log-odds summed exactly per doc

@@ -554,6 +554,81 @@ object TextAnalysis {
         r4(col("slp").cast("double") / col("n_bigrams")).as("avg_logp"))
   }
 
+  /** HELD-OUT perplexity — [[bigramLogProb]] with the train/eval
+    * separation the real recipe requires (a model scored on its own
+    * training text under-reports perplexity; contamination-free eval
+    * is the whole point of the split): the interpolated bigram LM
+    * trains on the md5 `hashSplit` TRAIN partition only and scores
+    * every VAL document, with out-of-vocabulary handling the
+    * self-scored operator never needs — an eval bigram whose pieces
+    * the model never saw gets probability
+    * max(wB·P(w2|w1) + wU·P(w2), `floor`) with missing counts
+    * coalesced to 0 (the floor keeps ln finite; its value is part of
+    * the metric definition, as in the published LM-eval recipes).
+    * Output per VAL doc: (doc_id, n_bigrams, avg_logp, oov_rate) —
+    * oov_rate the fraction of bigram POSITIONS unseen in training.
+    *
+    * Scale shape matches [[bigramLogProb]] (fused hash kernels, one
+    * scan per branch, partial-aggregated counts, hash-keyed
+    * vocabulary joins, broadcast total) with the split predicate
+    * pushed to each scan; eval-side distinct bigrams LEFT-join the
+    * model so OOV rows survive. Parity: per-distinct-bigram log-probs
+    * round to 9 dp decimals (order-exact sums), the floor comparison
+    * runs on the exact double P both engines compute identically. */
+  def evalPerplexity(documents: DataFrame, wB: Double = 0.7, wU: Double = 0.3,
+                     floor: Double = 1e-9): DataFrame = {
+    require(wB > 0 && wU > 0 && floor > 0, s"bad params ($wB, $wU, $floor)")
+    import graft.functions.DedupKernels.gramHashSeq
+    val split = graft.operators.Corpus.hashSplit(documents)
+    val train = split.filter(col("split") === "train")
+    val eval0 = split.filter(col("split") === "val")
+    // model counts from TRAIN only (the bigramLogProb shape)
+    val tHashed = train.select(col("doc_id"),
+      gramHashSeq(col("text"), 1).as("g1"), gramHashSeq(col("text"), 2).as("g2"))
+    val uni = tHashed.select(explode(col("g1")).as("ht"))
+      .groupBy(col("ht")).agg(count(lit(1)).as("u_cnt"))
+    val total = uni.agg(sum(col("u_cnt")).as("n_total"))
+    val tBg = tHashed.filter(size(col("g2")) > 0)
+      .select(explode(transform(sequence(lit(0), size(col("g2")) - 1), i =>
+        struct(element_at(col("g2"), i + 1).as("g"),
+          element_at(col("g1"), i + 1).as("h1")))).as("p"))
+      .select(col("p.g").as("g"), col("p.h1").as("h1"))
+    val bgCount = tBg.groupBy(col("g"))
+      .agg(count(lit(1)).as("bg_cnt"), first(col("h1")).as("h1"))
+    val ctxCount = tBg.groupBy(col("h1")).agg(count(lit(1)).as("ctx_cnt"))
+    // eval bigram positions with context/word hashes
+    val eBg = eval0
+      .select(col("doc_id"),
+        gramHashSeq(col("text"), 1).as("g1"), gramHashSeq(col("text"), 2).as("g2"))
+      .filter(size(col("g2")) > 0)
+      .select(col("doc_id"), explode(transform(sequence(lit(0), size(col("g2")) - 1), i =>
+        struct(element_at(col("g2"), i + 1).as("g"),
+          element_at(col("g1"), i + 1).as("h1"),
+          element_at(col("g1"), i + 2).as("h2")))).as("p"))
+      .select(col("doc_id"), col("p.g").as("g"),
+        col("p.h1").as("h1"), col("p.h2").as("h2"))
+    // per-distinct eval bigram: floored interpolated probability;
+    // LEFT joins keep OOV bigrams (missing counts -> 0 contribution)
+    val logp = eBg.select(col("g"), col("h1"), col("h2")).distinct()
+      .join(bgCount.select(col("g"), col("bg_cnt")), Seq("g"), "left")
+      .join(ctxCount, Seq("h1"), "left")
+      .join(uni, col("h2") === col("ht"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("g"),
+        round(log(greatest(
+          coalesce(lit(wB) * (col("bg_cnt") / col("ctx_cnt")), lit(0.0))
+            + coalesce(lit(wU) * (col("u_cnt") / col("n_total")), lit(0.0)),
+          lit(floor))) + lit(1e-12), 9).cast("decimal(18,9)").as("logp"),
+        col("bg_cnt").isNull.as("oov"))
+    eBg.select(col("doc_id"), col("g")).join(logp, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("slp"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r4(col("slp").cast("double") / col("n_bigrams")).as("avg_logp"),
+        r4(col("n_oov") / col("n_bigrams").cast("double")).as("oov_rate"))
+  }
+
   /** Per-document shape statistics. */
   def stats(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))

@@ -30,22 +30,42 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingle array for one text column: empty for documents
-    * shorter than n words (matches the oracle, which emits no shingles
-    * for short docs — an unguarded `sequence(0, size-n)` would descend
-    * and `slice` would throw). Stays inside codegen; no UDF. */
-  private[graft] def shingleArray(text: Column, n: Int, distinct: Boolean = true): Column = {
-    val w = split(text, " ")
+  /** Word n-gram shingle array over an ALREADY-SPLIT token array
+    * column: empty for documents shorter than n words (matches the
+    * oracle, which emits no shingles for short docs — an unguarded
+    * `sequence(0, size-n)` would descend and `slice` would throw).
+    * Stays inside codegen; no UDF.
+    *
+    * Callers should pass a STAGED token attribute (a prior select of
+    * `split(text, " ")`), not an inline split: the transform lambda's
+    * expression tree would otherwise carry the split subtree and
+    * re-evaluate it PER ELEMENT — quadratic per document (measured
+    * 4.1 → 0.7 s for the full-corpus shingle pass at sf0.1; the
+    * sparseSimilarity staging lesson). [[shingleDocs]] is that
+    * staging, packaged. */
+  private[graft] def shingleArrayOf(w: Column, n: Int, distinct: Boolean = true): Column = {
     val grams = transform(sequence(lit(0), size(w) - n),
       i => concat_ws(" ", slice(w, i + 1, lit(n))))
     when(size(w) >= n, if (distinct) array_distinct(grams) else grams)
       .otherwise(array().cast("array<string>"))
   }
 
+  /** [[shingleArrayOf]] over a raw text column — only for contexts
+    * that cannot stage (single-expression call sites); prefer
+    * [[shingleDocs]] on frames. */
+  private[graft] def shingleArray(text: Column, n: Int, distinct: Boolean = true): Column =
+    shingleArrayOf(split(text, " "), n, distinct)
+
+  /** Per-doc distinct shingle ARRAYS with the token staging applied:
+    * (doc_id, sh) for docs of at least n words. */
+  private[graft] def shingleDocs(documents: DataFrame, n: Int): DataFrame =
+    documents.select(col("doc_id"), split(col("text"), " ").as("w0"))
+      .select(col("doc_id"), shingleArrayOf(col("w0"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
   /** Word n-gram shingles, distinct per document: (doc_id, shingle). */
   def shingles(documents: DataFrame, n: Int = 3): DataFrame =
-    documents.select(col("doc_id"),
-      explode(shingleArray(col("text"), n)).as("shingle"))
+    shingleDocs(documents, n).select(col("doc_id"), explode(col("sh")).as("shingle"))
 
   /** Exact dedup: one row per distinct content, keeper = min doc_id.
     * Group key is the md5 fingerprint (16 bytes through the shuffle). */
@@ -739,8 +759,7 @@ object Dedup {
                        threshold: Double = 0.9): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
-    val sh = documents.select(col("doc_id"), shingleArray(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sh = shingleDocs(documents, n)
     val posting = sh.select(col("doc_id"), size(col("sh")).as("na"),
       explode(col("sh")).as("shingle"))
     val dfreq = posting.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -754,10 +773,16 @@ object Dedup {
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+    // exact verify restricted to candidate docs (the minhashPairs
+    // pattern: join the RAW docs first so the shingle recomputation
+    // runs only on docs that appear in some candidate pair)
+    val candDocs = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val sets = shingleDocs(documents.join(candDocs, Seq("doc_id"), "left_semi"), n)
     candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
         size(col("sh")).as("na")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("containment",
         size(array_intersect(col("sh_a"), col("sh_b"))) / col("na").cast("double"))
       .filter(col("containment") >= threshold)
