@@ -646,6 +646,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), s"corpus-wide sort crept in:\n$p")
   }
 
+  test("evalPerplexity: hash-keyed model joins, no corpus sort, left joins keep OOV rows") {
+    val p = plan(graft.functions.TextAnalysis.evalPerplexity(Tables.documents(spark, dir)))
+    assert(!p.contains("Exchange rangepartitioning"), s"corpus-wide sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(p.contains("LeftOuter") || p.contains("BroadcastHashJoin LeftOuter")
+      || p.contains("left_outer") || p.contains("LeftOuter".toLowerCase),
+      s"OOV-preserving left joins missing:\n$p")
+  }
+
   test("perplexityFilter: histogram quantile — no corpus-wide sort; threshold broadcasts") {
     val p = plan(Corpus.perplexityFilter(Tables.documents(spark, dir)))
     assert(count(p, "BroadcastExchange") >= 1, s"threshold not broadcast:\n$p")

@@ -274,6 +274,29 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     assert(best._6 == want)
   }
 
+  test("evalPerplexity: only val docs scored; OOV bigrams floored, not dropped; self-scored beats held-out") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = TextAnalysis.evalPerplexity(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // exactly the val split's multi-token docs are scored
+    val valIds = graft.operators.Corpus.hashSplit(docs)
+      .filter(col("split") === "val")
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet == valIds)
+    // oov_rate is a genuine fraction and some doc sees unseen bigrams
+    assert(out.forall(t => t._4 >= 0.0 && t._4 <= 1.0))
+    assert(out.exists(_._4 > 0.0), "no OOV at all is implausible on a held-out split")
+    // held-out scores must be no better on average than self-scored
+    // (train-on-self overfits upward)
+    val self = TextAnalysis.bigramLogProb(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val heldOutMean = out.map(_._3).sum / out.length
+    val selfMean = out.flatMap(t => self.get(t._1)).sum / out.length
+    assert(heldOutMean <= selfMean + 1e-9, s"held-out $heldOutMean > self $selfMean")
+  }
+
   test("nbQualityClassify separates the planted vocabularies and scores every document") {
     // high-quality docs use one vocabulary, low-quality (tiny, repetitive)
     // docs another; the NB log-odds must recover the split on ALL docs,
