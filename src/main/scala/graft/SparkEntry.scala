@@ -85,6 +85,10 @@ object SparkEntry {
     // equals the batch sample by mergeability
     "s_stream_quantile" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayQuantile(s, ev(s, dir))),
+    // streaming KMV: per-side bottom-k distinct samples as state; the
+    // final snapshots through kmvEstimates equal the batch overlap
+    "s_stream_kmv" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayKmv(s, ev(s, dir))),
     // ---- relational coverage (TPC-H-ish) ----
     "q1_pricing_summary" -> ((s, dir) =>
       Relational.pricingSummary(Tables.lineitem(s, dir))),
@@ -196,6 +200,8 @@ object SparkEntry {
     "a_mips_topk" -> ((s, dir) => Similarity.mipsTopK(Tables.embeddings(s, dir))),
     "a_cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir))),
     "a_ann_topk" -> ((s, dir) => Similarity.annTopK(Tables.embeddings(s, dir))),
+    // measured recall@k of the LSH path vs the exact top-k
+    "a_ann_recall" -> ((s, dir) => Similarity.annRecall(Tables.embeddings(s, dir))),
     "a_ann_pairs" -> ((s, dir) => Similarity.annPairs(Tables.embeddings(s, dir))),
     "a_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
     // semantic dedup: drop every vector with a verified cosine near-dup
@@ -693,6 +699,59 @@ object SparkEntry {
     // independent and mergeable, so the final streamed snapshot equals
     // this batch recurrence over the staged envelope (same shape as
     // q_quantile_sketch, k=64, event_id as the row key)
+    // streaming KMV: the batch kmvOverlap recurrence over the staged
+    // envelope's (kind, deci-value-bucket) distinct sets, k=256
+    "s_stream_kmv" ->
+      """WITH env AS (
+        |  SELECT 'car' AS side,
+        |         CAST(CAST(ROUND(value * 10 + 1e-9, 0) AS BIGINT) AS VARCHAR) AS key
+        |  FROM events WHERE event_type IN ('click','view')
+        |  UNION ALL
+        |  SELECT 'zone' AS side,
+        |         CAST(CAST(ROUND(value * 10 + 1e-9, 0) AS BIGINT) AS VARCHAR) AS key
+        |  FROM events WHERE event_type = 'error'),
+        |keys AS (SELECT DISTINCT side, key FROM env),
+        |h AS (SELECT side, key,
+        |             CAST('0x' || substring(md5(key), 1, 15) AS BIGINT) AS h FROM keys),
+        |sk AS (SELECT * FROM (SELECT side, key, h,
+        |                ROW_NUMBER() OVER (PARTITION BY side ORDER BY h, key) AS rn
+        |         FROM h) WHERE rn <= 256),
+        |st0 AS (SELECT side, COUNT(*) AS m FROM h GROUP BY side),
+        |st1 AS (SELECT side, MAX(h) AS hk FROM sk GROUP BY side),
+        |st AS (SELECT st0.side, m,
+        |              CASE WHEN m < 256 THEN CAST(m AS DOUBLE)
+        |                   ELSE ROUND(255.0 * CAST(1152921504606846976 AS DOUBLE) / hk
+        |                              + 1e-12, 4) END AS est
+        |       FROM st0 JOIN st1 USING (side)),
+        |uh AS (SELECT key, CAST('0x' || substring(md5(key), 1, 15) AS BIGINT) AS h
+        |       FROM (SELECT DISTINCT key FROM keys)),
+        |us AS (SELECT * FROM (SELECT key, h,
+        |                ROW_NUMBER() OVER (ORDER BY h, key) AS rn FROM uh)
+        |       WHERE rn <= 256),
+        |fl AS (SELECT us.h,
+        |              CASE WHEN ea.key IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+        |              CASE WHEN eb.key IS NOT NULL THEN 1 ELSE 0 END AS in_b
+        |       FROM us
+        |       LEFT JOIN (SELECT DISTINCT key FROM keys WHERE side = 'car') ea
+        |         ON ea.key = us.key
+        |       LEFT JOIN (SELECT DISTINCT key FROM keys WHERE side = 'zone') eb
+        |         ON eb.key = us.key),
+        |ust AS (SELECT (SELECT COUNT(*) FROM uh) AS mu, MAX(h) AS hku,
+        |               COUNT(*) AS ks,
+        |               SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS nb
+        |        FROM fl),
+        |fin AS (SELECT *, CASE WHEN mu < 256 THEN CAST(mu AS DOUBLE)
+        |                       ELSE ROUND(255.0 * CAST(1152921504606846976 AS DOUBLE) / hku
+        |                                  + 1e-12, 4) END AS est_union
+        |        FROM ust)
+        |SELECT 'car' AS side_a, 'zone' AS side_b,
+        |       (SELECT est FROM st WHERE side = 'car') AS est_a,
+        |       (SELECT est FROM st WHERE side = 'zone') AS est_b,
+        |       est_union,
+        |       ROUND(nb / CAST(ks AS DOUBLE) * est_union + 1e-12, 4) AS est_inter,
+        |       ROUND(nb / CAST(ks AS DOUBLE) + 1e-12, 6) AS jac_est,
+        |       CAST(ks AS BIGINT) AS k_used
+        |FROM fin""".stripMargin,
     "s_stream_quantile" ->
       """WITH env AS (
         |  SELECT 'car' AS kind, event_id, value AS v
@@ -956,7 +1015,7 @@ object SparkEntry {
         |st0 AS (SELECT side, COUNT(*) AS m FROM h GROUP BY side),
         |st1 AS (SELECT side, MAX(h) AS hk FROM sk GROUP BY side),
         |st AS (SELECT st0.side, m,
-        |              CASE WHEN m <= 256 THEN CAST(m AS DOUBLE)
+        |              CASE WHEN m < 256 THEN CAST(m AS DOUBLE)
         |                   ELSE ROUND(255.0 * CAST(1152921504606846976 AS DOUBLE) / hk
         |                              + 1e-12, 4) END AS est
         |       FROM st0 JOIN st1 USING (side)),
@@ -977,7 +1036,7 @@ object SparkEntry {
         |               COUNT(*) AS ks,
         |               SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS nb
         |        FROM fl),
-        |fin AS (SELECT *, CASE WHEN mu <= 256 THEN CAST(mu AS DOUBLE)
+        |fin AS (SELECT *, CASE WHEN mu < 256 THEN CAST(mu AS DOUBLE)
         |                       ELSE ROUND(255.0 * CAST(1152921504606846976 AS DOUBLE) / hku
         |                                  + 1e-12, 4) END AS est_union
         |        FROM ust)
@@ -1345,6 +1404,7 @@ object SparkEntry {
     // both engines compute the SAME candidate set and recall never enters
     // the compare; AnnSpec separately asserts recall bounds vs exact.
     "a_ann_topk" -> annTopKOracle,
+    "a_ann_recall" -> annRecallOracle,
     "a_knn_classify" -> knnClassifyOracle,
     "a_pca_power" -> pcaPowerOracle,
     "a_remove_top_pc" -> removeTopPcOracle,
@@ -2741,6 +2801,36 @@ object SparkEntry {
        |bk AS (SELECT vec_id, p // 4 AS band,
        |              CAST(SUM(CASE WHEN d > 0 THEN (1 << (p % 4)) ELSE 0 END) AS BIGINT) AS sig
        |       FROM dots GROUP BY vec_id, band)""".stripMargin
+
+  /** Recall@k: the ann and exact top-k chains composed in one WITH. */
+  private lazy val annRecallOracle: String =
+    s"""WITH $normCte,
+       |$bucketsCte,
+       |qbk AS (SELECT query_id, band, unnest([sig, xor(sig, 1), xor(sig, 2), xor(sig, 4), xor(sig, 8)]) AS sig
+       |        FROM (SELECT vec_id AS query_id, band, sig FROM bk WHERE vec_id < 10)),
+       |cand AS (SELECT DISTINCT q.query_id, c.vec_id
+       |         FROM bk c JOIN qbk q ON c.band = q.band AND c.sig = q.sig AND c.vec_id <> q.query_id),
+       |sa AS (SELECT cand.query_id, cand.vec_id,
+       |              ROUND(list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm) + 1e-12, 6) AS cos
+       |       FROM cand
+       |       JOIN n ON n.vec_id = cand.vec_id
+       |       JOIN (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n) q ON q.qid = cand.query_id),
+       |ann AS (SELECT query_id, vec_id FROM (
+       |          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+       |          FROM sa) WHERE rk <= 5),
+       |se AS (SELECT q.query_id, n.vec_id,
+       |              ROUND(list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm) + 1e-12, 6) AS cos
+       |       FROM n JOIN (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+       |                    WHERE vec_id < 10) q ON n.vec_id <> q.query_id),
+       |ex AS (SELECT query_id, vec_id FROM (
+       |         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+       |         FROM se) WHERE rk <= 5)
+       |SELECT ex.query_id,
+       |       CAST(SUM(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       ROUND(SUM(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |             / CAST(COUNT(*) AS DOUBLE) + 1e-12, 4) AS recall
+       |FROM ex LEFT JOIN ann ON ann.query_id = ex.query_id AND ann.vec_id = ex.vec_id
+       |GROUP BY ex.query_id""".stripMargin
 
   private lazy val annTopKOracle: String =
     s"""WITH $normCte,

@@ -182,6 +182,29 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Recall@k of the SRP-LSH ANN against the exact cosine top-k — the
+    * EVALUATION operator every vector-search deployment runs before
+    * trusting an index (an ANN path without a measured recall number
+    * is a silent-quality landmine; AnnSpec asserts a floor, this
+    * exposes the per-query values as data): for each query, the
+    * fraction of the exact top-k the ANN candidates recovered.
+    *
+    * Scale shape: both sides are the already-verified operators (each
+    * query-broadcast, WindowGroupLimit-limited); the comparison join
+    * carries k rows per query — numQueries·k rows total, trivially
+    * bounded. Recall is an exact small-integer division, 4-dp. */
+  def annRecall(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val exact = cosineTopK(embeddings, numQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val ann = annTopK(embeddings, numQueries, k)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(ann, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits") / col("k_exact").cast("double") + lit(1e-12), 4).as("recall"))
+  }
+
   // --- IVF (inverted-file) ANN: the coarse-quantizer scale path ---
 
   /** Every `IvfStride`-th vec_id is a centroid — a deterministic,

@@ -213,21 +213,43 @@ object Sketch {
     * final divisions, 4-dp rounded with the repo nudge. */
   def kmvOverlap(df: DataFrame, keyCol: String, sideCol: String,
                  sideA: String, sideB: String, k: Int = 256): DataFrame = {
-    require(k >= 2, s"need k >= 2, got $k")
     require(sideA != sideB, "sides must differ")
-    import org.apache.spark.sql.expressions.Window
     val keys = df.filter(col(sideCol).isin(sideA, sideB))
       .select(col(sideCol).as("side"), col(keyCol).cast("string").as("key"))
       .distinct()
+    kmvEstimates(keys, sideA, sideB, k)
+  }
+
+  /** The estimate arithmetic over a DISTINCT (side, key) frame. By the
+    * bottom-k closure this yields IDENTICAL output whether `keys` is
+    * the full key sets or just their bottom-k sketches: a side sample
+    * smaller than k is the complete set (exact path, strict <); a full
+    * sample's k-th hash is the true U_k; the union's bottom-k over
+    * merged samples equals the true union bottom-k; and a union-sketch
+    * key present in a side's full set is always inside that side's
+    * bottom-k (its hash is ≤ the union k-th ≤ the side k-th) — so the
+    * membership flags survive sampling too. The streaming replay rides
+    * exactly this: its RocksDB state holds the per-side bottom-k, and
+    * feeding the final snapshots through this function equals the
+    * batch answer over the whole stream. */
+  private[graft] def kmvEstimates(keys: DataFrame, sideA: String, sideB: String,
+                                  k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
     val hashed = keys.withColumn("h", h60(col("key")))
     val bySide = Window.partitionBy(col("side"))
     val sideSketch = hashed
       .withColumn("rn", row_number().over(bySide.orderBy(col("h"), col("key"))))
       .filter(col("rn") <= k)
     // per-side stats: exact distinct count + the k-th smallest hash
+    // strict <: a sketch holding exactly k keys cannot distinguish
+    // "exactly k distinct" from "more than k" (the streaming state
+    // sees only the sample), so m == k takes the estimator on both
+    // the batch and streaming paths — sample-invariance over boundary
+    // exactness
     val sideStats = hashed.groupBy(col("side")).agg(count(lit(1)).as("m"))
       .join(sideSketch.groupBy(col("side")).agg(max(col("h")).as("hk")), "side")
-      .withColumn("est", when(col("m") <= k, col("m").cast("double"))
+      .withColumn("est", when(col("m") < k, col("m").cast("double"))
         .otherwise(round(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) / col("hk")
           + lit(1e-12), 4)))
     // union sketch: bottom-k of the distinct union (= merged sketches
@@ -247,7 +269,7 @@ object Sketch {
       .crossJoin(broadcast(flagged.agg(
         max(col("h")).as("hku"), count(lit(1)).as("ks"),
         sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L)).as("both"))))
-      .withColumn("est_union", when(col("mu") <= k, col("mu").cast("double"))
+      .withColumn("est_union", when(col("mu") < k, col("mu").cast("double"))
         .otherwise(round(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) / col("hku")
           + lit(1e-12), 4)))
     val a = sideStats.filter(col("side") === sideA)

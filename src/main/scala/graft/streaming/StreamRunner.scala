@@ -19,6 +19,51 @@ import graft.operators.CarZone
 private[streaming] case class StagedEvent(kind: String, a: Long, b: Long, v: Double,
                                           ts: Long, eventId: Long, pid: Int, seq: Long)
 
+/** Streaming KMV-sketch plumbing: one key row in, a snapshot row out,
+  * per-side state = the bottom-k distinct keys by (h60 hex prefix,
+  * key) — the [[graft.operators.Sketch.kmvEstimates]] selection rule,
+  * so the final snapshot feeds that function directly. */
+private[streaming] case class KmvIn(kind: String, key: String, seq: Long)
+private[streaming] case class KmvSnap(kind: String, upTo: Long, key: String)
+private[streaming] case class KmvSampleState(hs: Array[String], keys: Array[String],
+                                             maxSeq: Long)
+
+/** The KMV sketch's streaming state owner: merges each batch's keys
+  * into the side's bottom-k-by-hash distinct sample. The hash order is
+  * the batch operator's exactly — the FIRST 15 md5 hex chars (= h60
+  * numerically, hex strings of equal length compare like the number),
+  * ties by the key string. Bottom-k over distinct keys is
+  * order-independent and mergeable, so the final snapshot equals the
+  * batch sketch however the stream was chunked. */
+private[streaming] class KmvSampleProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, KmvIn, KmvSnap] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var state: ValueState[KmvSampleState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[KmvSampleState]("kmvsample",
+      Encoders.product[KmvSampleState], TTLConfig.NONE)
+
+  override def handleInputRows(kind: String, rows: Iterator[KmvIn],
+                               timers: TimerValues): Iterator[KmvSnap] = {
+    val prev = if (state.exists) state.get() else KmvSampleState(Array.empty, Array.empty, -1L)
+    var maxSeq = prev.maxSeq
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    while (i < prev.hs.length) { buf += ((prev.hs(i), prev.keys(i))); i += 1 }
+    val seen = scala.collection.mutable.HashSet(prev.keys.toSeq: _*)
+    rows.foreach { r =>
+      if (r.seq > maxSeq) maxSeq = r.seq
+      if (seen.add(r.key))
+        buf += ((org.apache.commons.codec.digest.DigestUtils.md5Hex(r.key)
+          .substring(0, 15), r.key))
+    }
+    val kept = buf.sortBy(identity).take(k)
+    state.update(KmvSampleState(kept.map(_._1).toArray, kept.map(_._2).toArray, maxSeq))
+    kept.map(t => KmvSnap(kind, maxSeq, t._2)).iterator
+  }
+}
+
 /** Streaming quantile-sketch plumbing (top-level for product
   * encoders): one sample row in, a snapshot row out, and the bounded
   * per-kind state — the bottom-k rows by md5(event id), as parallel
@@ -769,6 +814,32 @@ object StreamRunner {
       .filter(col("upTo") === col("mx"))
       .select(col("kind"), col("event_id"), col("v"))
     graft.operators.Sketch.quantileSketch(latest, "v", "event_id", Seq("kind"), k)
+  }
+
+  /** Streaming KMV set-overlap — the FOURTH sketch as streaming state:
+    * per-side bottom-k distinct-key samples on RocksDB (k · ~40 B per
+    * side, fixed regardless of stream length), sides = the car and
+    * zone kinds, keys = deci-scaled value buckets (do the two event
+    * families share a value-distribution support — the drift probe).
+    * The final snapshots feed [[graft.operators.Sketch.kmvEstimates]]
+    * directly; the bottom-k closure makes that equal the batch
+    * [[graft.operators.Sketch.kmvOverlap]] over the whole stream. */
+  def replayKmv(spark: SparkSession, events: DataFrame, k: Int = 256): DataFrame = {
+    val (log, _) = replay(spark, events, rocksDb = true, topology = (src: DataFrame) => {
+      import spark.implicits._
+      src.select(col("kind"),
+          round(col("v") * 10 + lit(1e-9)).cast("long").cast("string").as("key"),
+          col("seq")).as[KmvIn]
+        .groupByKey(_.kind)
+        .transformWithState(new KmvSampleProcessor(k),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+    })
+    val latest = log
+      .withColumn("mx", max(col("upTo")).over(Window.partitionBy(col("kind"))))
+      .filter(col("upTo") === col("mx"))
+      .select(col("kind").as("side"), col("key"))
+    graft.operators.Sketch.kmvEstimates(latest, "car", "zone", k)
   }
 
   /** Stage-1 (move fold) replay → the arrive/leave event log with its

@@ -108,6 +108,22 @@ class SketchSpec extends SparkSpec {
     assert(streamed.map(_._1) == Set("car", "zone"))
   }
 
+  test("streaming KMV: final snapshots through kmvEstimates equal the batch overlap") {
+    import org.apache.spark.sql.functions.{col, round, lit}
+    val events = Tables.events(spark, sf0001)
+    val streamed = graft.streaming.StreamRunner.replayKmv(spark, events)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7))).toSet
+    val env = graft.streaming.StreamRunner.envelope(events)
+      .select(col("kind"),
+        round(col("v") * 10 + lit(1e-9)).cast("long").cast("string").as("key"))
+    val batch = Sketch.kmvOverlap(env, "key", "kind", "car", "zone", k = 256)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7))).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    assert(streamed.size == 1)
+  }
+
   test("quantileSketch: estimates land within the DKW rank-error bound (sf0.001)") {
     val orders = Tables.orders(spark, sf0001)
     val k = 512
