@@ -354,6 +354,10 @@ object SparkEntry {
     // split a sentence (the RAG passage rule)
     "c_sentence_chunks" -> ((s, dir) =>
       Corpus.sentenceChunks(Tables.documents(s, dir))),
+    // C4-rule boilerplate removal: every occurrence of a sentence
+    // appearing >= 3 times corpus-wide drops (nav bars / footers)
+    "c_drop_boilerplate" -> ((s, dir) =>
+      Corpus.dropBoilerplate(Tables.documents(s, dir))),
     // weighted PageRank by power iteration over the customer–supplier
     // purchase graph (exact-decimal contributions, 9-dp pr per round)
     "q_pagerank" -> ((s, dir) =>
@@ -2037,6 +2041,23 @@ object SparkEntry {
         |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |       md5(string_agg(s, '. ' ORDER BY si)) AS chunk_md5
         |FROM c GROUP BY doc_id, chunk_idx""".stripMargin,
+    // boilerplate removal: the oracle counts raw sentence strings where
+    // Spark counts 8-byte fingerprints — same drop set absent collision
+    "c_drop_boilerplate" ->
+      """WITH s AS (
+        |  SELECT doc_id, u.si AS si, u.s AS s FROM (
+        |    SELECT doc_id, unnest([{'si': i - 1, 's': ss[i]}
+        |                           for i in generate_series(1, len(ss))]) AS u
+        |    FROM (SELECT doc_id, string_split(text, '. ') AS ss FROM documents))),
+        |c AS (SELECT s AS cs, COUNT(*) AS cnt FROM s GROUP BY s),
+        |f AS (SELECT doc_id, si, s, cnt >= 3 AS dropped
+        |      FROM s JOIN c ON s.s = c.cs)
+        |SELECT doc_id,
+        |       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |       CAST(SUM(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        |       COALESCE(string_agg(CASE WHEN NOT dropped THEN s END,
+        |                           '. ' ORDER BY si), '') AS text_clean
+        |FROM f GROUP BY doc_id""".stripMargin,
     // corpus-stream packing: the oracle's single global running sum
     // equals the Spark side's two-level (bucket-partitioned) prefix
     // scan — identical integer arithmetic, different decomposition

@@ -776,4 +776,52 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"),
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
+
+  /** Corpus-wide BOILERPLATE LINE removal — the C4 rule (Raffel et al.
+    * 2020 §2.2: discard any line occurring ≥ 3 times in the corpus),
+    * the web-curation pass that strips navigation bars, cookie
+    * banners and license footers which per-DOCUMENT dedup never sees
+    * (every document keeps its copy because the documents themselves
+    * differ). "Lines" here are the ". "-separated sentences — the same
+    * deliberately-simple boundary rule as [[sentenceChunks]], split
+    * identically by both engines.
+    *
+    * Every occurrence of a hot sentence drops (unlike
+    * [[graft.operators.Dedup.blockDedup]], where the FIRST occurrence
+    * survives — boilerplate is noise in every copy, not content worth
+    * keeping once). Documents whose sentences all drop stay in the
+    * output with empty text, so the frame remains id-complete for the
+    * joins downstream build stages run.
+    *
+    * Scale shape: the sentence count is a PARTIAL-aggregating groupBy
+    * on the 8-byte xxhash64 fingerprint (a navigation bar present in
+    * 10⁸ documents collapses to one row per map partition before the
+    * exchange — the hot-key case this operator exists for, which a
+    * count window would put on one task), the hot-sentence dictionary
+    * (count ≥ minDf only — vastly smaller than the corpus) joins the
+    * NARROW (doc_id, si, fp) frame, and the drop decision rejoins the
+    * text on uniform (doc_id, si) keys, so document text never
+    * shuffles keyed by its own fingerprint (a hot sentence would put
+    * every copy's text on one task). Text crosses exactly two
+    * exchanges: the decision join and the reassembly groupBy. */
+  def dropBoilerplate(documents: DataFrame, minDf: Long = 3): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would drop every sentence, got $minDf")
+    val sent = documents
+      .select(col("doc_id"), posexplode(split(col("text"), "\\. ")).as(Seq("si", "s")))
+    val narrow = sent.select(col("doc_id"), col("si"), xxhash64(col("s")).as("fp"))
+    val hot = narrow.groupBy(col("fp")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minDf)
+      .select(col("fp"), lit(true).as("is_hot"))
+    val flagged = narrow.join(hot, Seq("fp"), "left")
+      .select(col("doc_id"), col("si"), coalesce(col("is_hot"), lit(false)).as("drop"))
+    sent.join(flagged, Seq("doc_id", "si"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("drop"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("drop"), 0L).otherwise(1L)).as("n_kept"),
+        concat_ws(". ",
+          filter(sort_array(collect_list(
+              struct(col("si"), when(col("drop"), lit(null)).otherwise(col("s")).as("s")))),
+            x => x.getField("s").isNotNull).getField("s")).as("text_clean"))
+  }
 }

@@ -481,4 +481,35 @@ class CorpusSpec extends SparkSpec {
     assert(out.forall { case (_, lp, t, keep) => keep == (lp >= t) })
     assert(out.exists(!_._4) && out.count(_._4) >= scores.length - need)
   }
+
+  test("dropBoilerplate: every occurrence of a hot sentence drops, docs stay id-complete") {
+    // "cookie notice" appears 3x corpus-wide (>= minDf) -> all three
+    // copies drop, including the doc made ONLY of it; unique and
+    // twice-seen sentences survive
+    val d = docs(
+      1L -> "cookie notice. real content one",
+      2L -> "cookie notice. real content two. twice seen",
+      3L -> "cookie notice",
+      4L -> "twice seen. only here")
+    val out = Corpus.dropBoilerplate(d, minDf = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, "real content one"),
+      (2L, 1L, 2L, "real content two. twice seen"),
+      (3L, 1L, 0L, ""),
+      (4L, 0L, 2L, "twice seen. only here")))
+  }
+
+  test("dropBoilerplate: reassembly preserves in-document order around dropped runs") {
+    val d = docs(
+      10L -> "a. hot. b. hot. c",
+      11L -> "hot. x",
+      12L -> "y. hot")
+    val out = Corpus.dropBoilerplate(d, minDf = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // "hot" occurs 4 times -> drops everywhere; order of survivors kept
+    assert(out.toSeq == Seq((10L, 2L, "a. b. c"), (11L, 1L, "x"), (12L, 1L, "y")))
+  }
 }
