@@ -250,6 +250,10 @@ object SparkEntry {
     // prefix-filtered candidates + exact verify
     "d_containment_pairs" -> ((s, dir) => Dedup.containmentPairs(Tables.documents(s, dir))),
     "d_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(Tables.documents(s, dir))),
+    // LSH recall-vs-similarity curve: exact pairs at jac>=0.5 banded
+    // by 0.1, scored by whether the production minhash path found them
+    "d_minhash_recall" -> ((s, dir) =>
+      Dedup.minhashRecallCurve(Tables.documents(s, dir))),
     "d_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "d_dup_clusters" -> ((s, dir) => Dedup.dupClusters(Tables.documents(s, dir))),
     // cross-snapshot dedup: odd doc_ids are the "new crawl", evens the
@@ -2444,6 +2448,17 @@ object SparkEntry {
     // ~thousands of threshold pairs (this corpus has dozens); see the
     // band math at Dedup.MinhashFuncs.
     "d_minhash_pairs" -> jaccardOracle,
+    // recall curve: ground truth = exact pairs at 0.5; "found" = the
+    // jac>=0.8 subset, since the banded path surfaces exactly those
+    // (same recall-1-at-threshold assumption as d_minhash_pairs)
+    "d_minhash_recall" ->
+      s"""WITH p AS (${jaccardOracleAt("0.5")})
+        |SELECT CAST(floor(jac * 10) AS BIGINT) AS jac_band,
+        |       COUNT(*) AS n_pairs,
+        |       CAST(SUM(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+        |       ROUND(SUM(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END)
+        |             / CAST(COUNT(*) AS DOUBLE) + 1e-12, 4) AS recall
+        |FROM p GROUP BY jac_band""".stripMargin,
     // SimHash: brute-force hamming over ALL pairs — a valid oracle for
     // the banded Spark plan because the 4-band pigeonhole makes banding
     // EXACT at maxDist ≤ 3 (full recall, proven in DedupSpec). The token
@@ -3320,8 +3335,10 @@ object SparkEntry {
       |                  FROM embeddings))
       |      WHERE nrm > 0)""".stripMargin
 
-  private lazy val jaccardOracle: String =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  // threshold-parameterized so the LSH recall-curve oracle can reuse
+  // the identical shingle/intersection CTEs at its eval threshold
+  private def jaccardOracleAt(threshold: String): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |tok AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM toks),
       |sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
       |       FROM tok a
@@ -3333,5 +3350,7 @@ object SparkEntry {
       |          GROUP BY x.doc_id, y.doc_id)
       |SELECT a AS doc_a, b AS doc_b, i / CAST(ca.n + cb.n - i AS DOUBLE) AS jac
       |FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
-      |WHERE i / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8""".stripMargin
+      |WHERE i / CAST(ca.n + cb.n - i AS DOUBLE) >= $threshold""".stripMargin
+
+  private lazy val jaccardOracle: String = jaccardOracleAt("0.8")
 }

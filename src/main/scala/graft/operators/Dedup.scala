@@ -874,6 +874,40 @@ object Dedup {
       .filter(col("dist") <= k)
   }
 
+  /** LSH index-quality evaluation — the dedup sibling of
+    * [[graft.operators.Similarity.annRecall]]: for every pair whose
+    * EXACT Jaccard clears `evalThreshold`, did the production MinHash
+    * path (banded at `indexThreshold`) surface it? Grouped into 0.1-
+    * wide similarity bands, the output is the recall-vs-similarity
+    * falloff curve every LSH deployment tunes against: bands at or
+    * above the index threshold should read ~1.0 (the 16×3 band math
+    * puts P(miss | jac 0.8) ≈ 1e-5), bands below it ~0.0 — the curve
+    * SHOWS the banding cliff instead of assuming it.
+    *
+    * Scale shape: the ground-truth leg is the ScaleGuard'd exact
+    * [[jaccardPairs]] baseline (this is an EVAL operator — it runs on
+    * an eval slice, never the full corpus; the guard enforces that),
+    * the index leg is the production [[minhashPairs]]; the comparison
+    * join is pair-set-sized and the band aggregation collapses it to
+    * ≤ 10 rows. */
+  def minhashRecallCurve(documents: DataFrame, n: Int = 3,
+                         evalThreshold: Double = 0.5,
+                         indexThreshold: Double = 0.8,
+                         maxRows: Long = ScaleGuard.DefaultMaxRows): DataFrame = {
+    require(evalThreshold <= indexThreshold,
+      s"eval threshold above the index threshold leaves nothing to measure " +
+        s"($evalThreshold > $indexThreshold)")
+    val exact = jaccardPairs(documents, n, evalThreshold, maxRows)
+    val lsh = minhashPairs(documents, n, indexThreshold)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+      .groupBy(floor(col("jac") * 10).cast("long").as("jac_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .select(col("jac_band"), col("n_pairs"), col("n_found"),
+        round(col("n_found") / col("n_pairs").cast("double") + lit(1e-12), 4).as("recall"))
+  }
+
   def timeDedup(events: DataFrame, gapUs: Long = 86400000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // integral div: `/` on longs routes through double and a 1.7e18 ns

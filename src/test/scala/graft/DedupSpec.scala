@@ -498,4 +498,30 @@ class DedupSpec extends SparkSpec {
     assert(want.exists { case (a, b, _) => a == 7L && b == 8L }) // short heads still pair
     assert(!got.exists { case (a, b, _) => a == 9L || b == 10L }) // sub-3-char heads excluded
   }
+
+  test("minhashRecallCurve equals the curve recomputed from its two legs") {
+    val base = (1 to 46).map(i => s"w$i")
+    def doc(muts: Int): String = // mutate the LAST `muts` tokens
+      (base.dropRight(muts) ++ (1 to muts).map(i => s"z$i")).mkString(" ")
+    val d = docs(
+      1L -> doc(0), 2L -> doc(0),  // jac 1.0 -> band 10
+      3L -> doc(0), 4L -> doc(1),  // jac 41/47 ~ 0.872 -> band 8, above the cut
+      5L -> doc(0), 6L -> doc(8))  // jac 36/52 ~ 0.692 -> band 6, below the cut
+    val exact = Dedup.jaccardPairs(d, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val lsh = Dedup.minhashPairs(d, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = exact.groupBy { case (_, _, j) => math.floor(j * 10).toLong }
+      .map { case (b, ps) =>
+        val found = ps.count { case (a2, b2, _) => lsh((a2, b2)) }.toLong
+        (b, ps.length.toLong, found,
+          BigDecimal(found.toDouble / ps.length + 1e-12)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+    val got = Dedup.minhashRecallCurve(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+    assert(got.exists { case (b, _, found, _) => b == 10L && found > 0 }) // top band found
+    assert(got.exists { case (b, _, found, _) => b < 8L && found == 0 }) // sub-cut band missed
+  }
 }
