@@ -202,6 +202,10 @@ object SparkEntry {
     "a_ann_topk" -> ((s, dir) => Similarity.annTopK(Tables.embeddings(s, dir))),
     // measured recall@k of the LSH path vs the exact top-k
     "a_ann_recall" -> ((s, dir) => Similarity.annRecall(Tables.embeddings(s, dir))),
+    // greedy k-center diversity sample: 8 maximally-spread exemplars,
+    // one broadcast-center corpus pass per round
+    "a_kcenter_sample" -> ((s, dir) =>
+      Similarity.kcenterSample(Tables.embeddings(s, dir))),
     "a_ann_pairs" -> ((s, dir) => Similarity.annPairs(Tables.embeddings(s, dir))),
     "a_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
     // semantic dedup: drop every vector with a verified cosine near-dup
@@ -1412,6 +1416,9 @@ object SparkEntry {
     // both engines compute the SAME candidate set and recall never enters
     // the compare; AnnSpec separately asserts recall bounds vs exact.
     "a_ann_topk" -> annTopKOracle,
+    // k-center: the 8-round greedy recurrence unrolled, every distance
+    // through the |x|²+|c|²−2x·c identity and the 6-dp rounded compare
+    "a_kcenter_sample" -> kcenterOracle,
     "a_ann_recall" -> annRecallOracle,
     "a_knn_classify" -> knnClassifyOracle,
     "a_pca_power" -> pcaPowerOracle,
@@ -3334,6 +3341,36 @@ object SparkEntry {
       |            FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |                  FROM embeddings))
       |      WHERE nrm > 0)""".stripMargin
+
+  /** Unrolled greedy k-center recurrence (k=8): c0 seeds at the
+    * smallest vec_id, s_r folds the rounded distance to center r−1
+    * into the running min, c_r is the (md DESC, vec_id) argmax —
+    * generated by the same loop shape the Spark operator runs. */
+  private lazy val kcenterOracle: String = {
+    val k = 8
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e2 AS (
+        |  SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM (
+        |    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |    FROM embeddings)),
+        |c0 AS (SELECT vec_id, v, n2 FROM e2 ORDER BY vec_id LIMIT 1),
+        |s1 AS (SELECT e2.vec_id, e2.v, e2.n2,
+        |         ROUND(e2.n2 + c0.n2 - 2 * list_dot_product(e2.v, c0.v) + 1e-12, 6) AS md
+        |       FROM e2, c0),
+        |c1 AS (SELECT vec_id, v, n2, md FROM s1 ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin)
+    for (r <- 2 until k) {
+      sb.append(s""",
+        |s$r AS (SELECT s.vec_id, s.v, s.n2,
+        |         LEAST(s.md, ROUND(s.n2 + c.n2 - 2 * list_dot_product(s.v, c.v) + 1e-12, 6)) AS md
+        |       FROM s${r - 1} s, c${r - 1} c),
+        |c$r AS (SELECT vec_id, v, n2, md FROM s$r ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin)
+    }
+    sb.append("\nSELECT CAST(0 AS INT) AS round, vec_id, 0.0 AS radius FROM c0")
+    for (r <- 1 until k)
+      sb.append(s"\nUNION ALL SELECT CAST($r AS INT), vec_id, md FROM c$r")
+    sb.toString
+  }
 
   // threshold-parameterized so the LSH recall-curve oracle can reuse
   // the identical shingle/intersection CTEs at its eval threshold

@@ -761,4 +761,54 @@ object Similarity {
       round(array_max(transform(col("v"),
         x => abs(code(x) * s / 127.0 - x))) + 1e-12, 6).as("max_err"))
   }
+
+  /** Greedy k-center (farthest-point) DIVERSITY sampling — the coreset
+    * selection every embedding-curation pipeline runs when it wants k
+    * maximally-spread exemplars (eval-set seeding, k-means++-style
+    * init, active-learning batch pick): seed with the smallest vec_id,
+    * then k−1 times pick the vector FARTHEST from the chosen set
+    * (classic 2-approximation to the k-center objective, Gonzalez
+    * 1985). Returns (round, vec_id, radius) — radius is the max-min
+    * squared distance at selection time, the coverage guarantee the
+    * sample carries.
+    *
+    * Scale shape: each round is ONE corpus pass — the newest center
+    * rides a one-row broadcast crossJoin, the running min-distance
+    * updates per row (only the distance to the NEWEST center is
+    * computed — never a k-way distance table), and the argmax compiles
+    * to TakeOrdered (per-partition top-1, no sort). The corpus frame is
+    * localCheckpoint'd per round so round r's plan doesn't re-derive
+    * rounds 1..r−1 (the pageRank lineage rule); k ≤ 64 bounds the pass
+    * count. Nothing is collected — centers stay in one-row frames.
+    *
+    * Cross-engine parity: distances via the |x|²+|c|²−2x·c identity,
+    * every term a sequential-order [[dot]] both engines evaluate
+    * identically; the selection orders by the 6-dp ROUNDED distance
+    * (repo nudge) so a last-ulp difference cannot flip the argmax. */
+  def kcenterSample(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val e = embeddings
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val seed = e.orderBy(col("vec_id")).limit(1).localCheckpoint()
+    var state = e
+    var center = seed
+    var out = seed.select(lit(0).as("round"), col("vec_id"), lit(0.0).as("radius"))
+    var r = 1
+    while (r < k) {
+      val c = broadcast(center.select(col("v").as("cv"), col("n2").as("cn2")))
+      val d2 = round(col("n2") + col("cn2") - lit(2.0) * dot(col("v"), col("cv")) + lit(1e-12), 6)
+      state = state.crossJoin(c)
+        .withColumn("d2", d2)
+        .withColumn("md",
+          if (r == 1) col("d2") else least(col("md"), col("d2")))
+        .drop("cv", "cn2", "d2")
+        .localCheckpoint()
+      center = state.orderBy(col("md").desc, col("vec_id")).limit(1).localCheckpoint()
+      out = out.unionByName(
+        center.select(lit(r).as("round"), col("vec_id"), col("md").as("radius")))
+      r += 1
+    }
+    out
+  }
 }

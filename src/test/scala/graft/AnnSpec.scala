@@ -491,4 +491,28 @@ class AnnSpec extends SparkSpec {
     val need = math.ceil(scores.length * 0.2).toInt
     assert(out.head._3 == scores(need - 1))
   }
+
+  test("kcenterSample: one exemplar per well-separated cluster, radii non-increasing") {
+    // four tight clusters at the corners of a 2-D square (padded to 4
+    // dims), 3 points each; greedy k-center with k=4 must pick exactly
+    // one point per cluster, and the coverage radius must never grow
+    val corners = Seq((0f, 0f), (10f, 0f), (0f, 10f), (10f, 10f))
+    val d = (for {
+      (c, ci) <- corners.zipWithIndex
+      j <- 0 until 3
+    } yield ((ci * 3 + j).toLong, Seq(c._1 + j * 0.1f, c._2 - j * 0.1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.kcenterSample(d, k = 4)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 4 && out.head == ((0, 0L, 0.0))) // seed = min vec_id
+    val clustersPicked = out.map(_._2 / 3).toSet
+    assert(clustersPicked == Set(0L, 1L, 2L, 3L), s"picked $clustersPicked")
+    val radii = out.drop(1).map(_._3)
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => b <= a })
+    // determinism: a second run picks the identical exemplars
+    val again = graft.operators.Similarity.kcenterSample(d, k = 4)
+      .orderBy("round").collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq == out.toSeq)
+  }
 }
