@@ -206,6 +206,10 @@ object SparkEntry {
     // one broadcast-center corpus pass per round
     "a_kcenter_sample" -> ((s, dir) =>
       Similarity.kcenterSample(Tables.embeddings(s, dir))),
+    // contrastive hard negatives: top-5 most-similar DIFFERENT-label
+    // vectors per query (the DPR mining step)
+    "a_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir))),
     "a_ann_pairs" -> ((s, dir) => Similarity.annPairs(Tables.embeddings(s, dir))),
     "a_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
     // semantic dedup: drop every vector with a verified cosine near-dup
@@ -1419,6 +1423,24 @@ object SparkEntry {
     // k-center: the 8-round greedy recurrence unrolled, every distance
     // through the |x|²+|c|²−2x·c identity and the 6-dp rounded compare
     "a_kcenter_sample" -> kcenterOracle,
+    // hard negatives: the cosine_topk CTE with labels carried and the
+    // different-label predicate inside the join
+    "a_hard_negatives" ->
+      """WITH n AS (SELECT vec_id, label, v, nrm
+        |      FROM (SELECT vec_id, CAST(label AS BIGINT) AS label, v,
+        |                   sqrt(list_dot_product(v, v)) AS nrm
+        |            FROM (SELECT vec_id, label,
+        |                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |                  FROM embeddings))
+        |      WHERE nrm > 0),
+        |q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv, nrm AS qnrm
+        |      FROM n WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, q.query_label, n.vec_id, n.label AS neg_label,
+        |             ROUND(list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm) + 1e-12, 6) AS cos
+        |      FROM n JOIN q ON n.vec_id <> q.query_id AND n.label <> q.query_label)
+        |SELECT query_id, query_label, vec_id, neg_label, cos, rk FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rk
+        |  FROM s) WHERE rk <= 5""".stripMargin,
     "a_ann_recall" -> annRecallOracle,
     "a_knn_classify" -> knnClassifyOracle,
     "a_pca_power" -> pcaPowerOracle,

@@ -762,6 +762,40 @@ object Similarity {
         x => abs(code(x) * s / 127.0 - x))) + 1e-12, 6).as("max_err"))
   }
 
+  /** HARD-NEGATIVE mining — the contrastive-training curation step
+    * (DPR / SimCSE-style): for each query vector, the `k` most-COSINE-
+    * similar vectors carrying a DIFFERENT label — the negatives that
+    * actually move an embedding model, where random negatives are
+    * trivially separable. Returns (query_id, query_label, vec_id,
+    * neg_label, cos, rk).
+    *
+    * Scale shape: identical to [[cosineTopK]] — the query slice rides
+    * a broadcast, the label-mismatch predicate folds into the join
+    * condition (evaluated before any cosine work), and the per-query
+    * rank compiles to WindowGroupLimit so each partition forwards at
+    * most k rows per query. The corpus side never shuffles. At the
+    * full-corpus-as-queries scale the same mining runs over
+    * [[annTopK]]'s LSH candidates instead — this is the per-query-set
+    * exact form. */
+  def hardNegatives(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    e.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"), col("vec_id"),
+        col("label").as("neg_label"),
+        cosRounded(dot(col("v"), col("qv")), col("nrm") * col("qnrm")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+  }
+
   /** Greedy k-center (farthest-point) DIVERSITY sampling — the coreset
     * selection every embedding-curation pipeline runs when it wants k
     * maximally-spread exemplars (eval-set seeding, k-means++-style

@@ -492,6 +492,32 @@ class AnnSpec extends SparkSpec {
     assert(out.head._3 == scores(need - 1))
   }
 
+  test("hardNegatives: only different-label vectors rank, order matches brute force") {
+    // label 0 = x-axis direction, label 1 = y-axis, label 2 = diagonal;
+    // query 0 (label 0) must surface label-1/2 vectors only, nearest first
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f, 0f), 1), (3L, Seq(0.1f, 0.9f, 0f, 0f), 1),
+      (4L, Seq(0.7f, 0.7f, 0f, 0f), 2), (5L, Seq(0.6f, 0.8f, 0f, 0f), 2))
+    val d = rows.toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.hardNegatives(d, numQueries = 1, k = 5)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // brute force: cos against query 0 over labels != 0, desc
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val (va, vb) = (a.map(_.toDouble), b.map(_.toDouble))
+      val dp = va.zip(vb).map { case (x, y) => x * y }.sum
+      val d2 = BigDecimal(dp / (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum)) + 1e-12)
+      d2.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val q = rows.head
+    val want = rows.filter(r => r._1 != 0L && r._3 != q._3)
+      .map(r => (0L, 0L, r._1, r._3.toLong, cos(q._2, r._2)))
+      .sortBy { case (_, _, id, _, c) => (-c, id) }
+    assert(out.toSeq == want)
+    assert(out.forall(_._4 != 0L)) // no same-label "negative" ever surfaces
+  }
+
   test("kcenterSample: one exemplar per well-separated cluster, radii non-increasing") {
     // four tight clusters at the corners of a 2-D square (padded to 4
     // dims), 3 points each; greedy k-center with k=4 must pick exactly
