@@ -185,6 +185,10 @@ object SparkEntry {
     // Good-Turing frequency-of-frequencies vocabulary profile
     "t_vocab_spectrum" -> ((s, dir) =>
       graft.functions.TextAnalysis.vocabSpectrum(Tables.documents(s, dir))),
+    // Zipf exponent by the CSN continuous MLE over the spectrum —
+    // never a vocabulary-wide rank sort
+    "t_zipf_alpha" -> ((s, dir) =>
+      graft.functions.TextAnalysis.zipfAlpha(Tables.documents(s, dir))),
     "t_tfidf" -> ((s, dir) =>
       graft.functions.TextAnalysis.tfidf(Tables.documents(s, dir))),
     // lexical near-neighbor retrieval over top-k TF-IDF sparse vectors
@@ -2179,6 +2183,19 @@ object SparkEntry {
         |tc AS (SELECT term, COUNT(*) AS f FROM tok GROUP BY term)
         |SELECT f, COUNT(*) AS n_terms, CAST(SUM(f) AS BIGINT) AS n_tokens
         |FROM tc GROUP BY f""".stripMargin,
+    // Zipf MLE: the spectrum CTE + one weighted-decimal-log aggregate;
+    // weights are exact integers, logs 9-dp-rounded before the sum
+    "t_zipf_alpha" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tc AS (SELECT term, COUNT(*) AS f FROM tok GROUP BY term),
+        |sp AS (SELECT f, COUNT(*) AS n_terms, SUM(f) AS n_tokens
+        |       FROM tc WHERE f >= 5 GROUP BY f)
+        |SELECT CAST(SUM(n_terms) AS BIGINT) AS n_terms,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |       ROUND(1.0 + SUM(n_terms) / CAST(SUM(CAST(n_terms AS DECIMAL(18,0))
+        |             * CAST(ROUND(ln(f / 4.5) + 1e-12, 9) AS DECIMAL(18,9))) AS DOUBLE)
+        |             + 1e-12, 6) AS alpha
+        |FROM sp""".stripMargin,
     "t_bigram_logprob" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |bg AS (SELECT doc_id, unnest([w[i+1] || ' ' || w[i+2]

@@ -248,6 +248,36 @@ object TextAnalysis {
       .select(col("f"), col("n_terms"), col("n_tokens"))
   }
 
+  /** Zipf power-law exponent of the corpus vocabulary by the Clauset–
+    * Shalizi–Newman continuous MLE: α = 1 + n / Σᵢ ln(fᵢ/(fmin−½))
+    * over terms with frequency ≥ fmin — the vocabulary-shape
+    * diagnostic (natural text sits near α ≈ 2; far-off values flag
+    * boilerplate floods or template spam before a tokenizer is
+    * trained on them).
+    *
+    * Deliberately NOT the regression-on-ranks textbook form: a rank
+    * assignment is a vocabulary-wide global sort (single-partition
+    * window at 10⁸ terms), while the MLE needs only per-frequency
+    * tallies — so it computes from [[vocabSpectrum]]'s
+    * count-of-counts table (≤ a few hundred rows at any corpus size)
+    * with the log terms 9-dp-decimal-rounded and weighted by exact
+    * integer multiplicities, making the sum order-independent
+    * cross-engine. One extra tiny aggregation beyond the spectrum's
+    * two partial-aggregating shuffles. */
+  def zipfAlpha(documents: DataFrame, fMin: Long = 5): DataFrame = {
+    require(fMin >= 1, s"fMin must be positive, got $fMin")
+    val spec = vocabSpectrum(documents).filter(col("f") >= fMin)
+    spec.agg(
+        sum(col("n_terms")).as("n_terms"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_terms").cast("decimal(18,0)") *
+          round(log(col("f").cast("double") / (lit(fMin) - lit(0.5))) + lit(1e-12), 9)
+            .cast("decimal(18,9)")).as("s"))
+      .select(col("n_terms"), col("n_tokens"),
+        round(lit(1.0) + col("n_terms").cast("double") / col("s").cast("double")
+          + lit(1e-12), 6).as("alpha"))
+  }
+
   /** TF-IDF: the k most characteristic terms per document — term
     * frequency × ln(N / document frequency), the classic relevance /
     * keyword-extraction scoring.

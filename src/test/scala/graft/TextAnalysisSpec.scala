@@ -342,4 +342,32 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     assert(out(1) == ((2L, "", 0L)))
     assert(out(2) == ((3L, "already clean text", 3L)))
   }
+
+  test("zipfAlpha: matches the hand-computed CSN MLE on a fixed spectrum") {
+    import spark.implicits._
+    // term counts: "a" x10, "b" x5, "c" x5; "d"/"e" fall below fmin=5
+    val text = (Seq.fill(10)("a") ++ Seq.fill(5)("b") ++ Seq.fill(5)("c") ++
+      Seq("d", "d", "e")).mkString(" ")
+    val out = TextAnalysis.zipfAlpha(Seq((1L, text)).toDF("doc_id", "text"))
+      .collect().head
+    assert(out.getLong(0) == 3L && out.getLong(1) == 20L)
+    def r9(x: Double) = BigDecimal(x + 1e-12).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val s = r9(math.log(10 / 4.5)) + r9(math.log(5 / 4.5)) * 2
+    val want = BigDecimal(1.0 + 3.0 / s.toDouble + 1e-12)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getDouble(2) == want, s"alpha=${out.getDouble(2)} want=$want")
+  }
+
+  test("zipfAlpha: heavier tail concentration raises the fitted exponent") {
+    import spark.implicits._
+    // flat spectrum (every term equally common) vs one dominated by a
+    // single hot term: the dominated corpus must fit a larger alpha
+    val flat = (1 to 6).flatMap(i => Seq.fill(6)(s"t$i")).mkString(" ")
+    val skew = (Seq.fill(31)("hot") ++ Seq.fill(5)("cold")).mkString(" ")
+    val aFlat = TextAnalysis.zipfAlpha(Seq((1L, flat)).toDF("doc_id", "text"))
+      .collect().head.getDouble(2)
+    val aSkew = TextAnalysis.zipfAlpha(Seq((1L, skew)).toDF("doc_id", "text"))
+      .collect().head.getDouble(2)
+    assert(aFlat > aSkew, s"flat=$aFlat skew=$aSkew") // hot term far from fmin -> bigger log sum -> smaller alpha
+  }
 }
