@@ -332,6 +332,9 @@ object SparkEntry {
     // gaps-and-islands user sessionization (4 h inactivity gap) — the
     // batch ground truth of the streaming session_window replay
     "q_sessionize" -> ((s, dir) => Sessions.sessionize(ev(s, dir))),
+    // batch interval self-join via the 3-adjacent-time-bucket equi-join
+    // (the theta-join a nested loop would otherwise plan)
+    "q_interval_pairs" -> ((s, dir) => Sessions.intervalPairs(ev(s, dir))),
     // ordered conversion funnel: view -> click -> purchase, strictly
     // increasing arrival times per user
     "q_funnel" -> ((s, dir) => Sessions.funnel(ev(s, dir))),
@@ -2346,6 +2349,15 @@ object SparkEntry {
         |       (prev IS NULL OR tus - prev > 86400000000) AS keep FROM l""".stripMargin,
     // strict-gap sessionization: same boundary rule the streaming
     // session_window replay is pinned to; exact-decimal session means
+    // interval pairs: the oracle is the naive theta self-join the
+    // bucketed Spark plan provably equals
+    "q_interval_pairs" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus FROM events)
+        |SELECT a.event_id AS event_id_a, b.event_id AS event_id_b, a.user_id,
+        |       b.tus - a.tus AS gap_us
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(b.tus - a.tus) <= 3600000000""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus, value FROM events),
         |b AS (SELECT *, CASE WHEN LAG(tus) OVER w IS NULL

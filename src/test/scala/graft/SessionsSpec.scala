@@ -94,4 +94,51 @@ class SessionsSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"),
       s"corpus-wide single-partition stage crept in:\n$p")
   }
+
+  test("intervalPairs: equals brute force incl. bucket-boundary and exact-delta edges") {
+    val d = 1000L // deltaUs for the fixture
+    val rows = Seq( // (event_id, user_id, tus)
+      (1L, 7L, 0L), (2L, 7L, 999L),    // same bucket, within delta
+      (3L, 7L, 1001L),                 // adjacent bucket: pairs with 2 (gap 2) and 1 (gap 1001 > d? no, 1001 > 1000 -> excluded)
+      (4L, 7L, 2000L),                 // exactly delta from 3? gap 999 -> in; from 2: 1001 -> out
+      (5L, 7L, 3000L),                 // exactly delta from 4 -> INCLUDED (<=)
+      (6L, 7L, 3001L * 10),            // far away: no pairs
+      (7L, 8L, 0L), (8L, 9L, 1L))      // different users never pair
+    val df = rows.toDF("event_id", "user_id", "tus")
+      .select(col("event_id"), col("user_id"), (col("tus") * 1000L).as("ts"))
+    val got = Sessions.intervalPairs(df, deltaUs = d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = (for {
+      (ia, ua, ta) <- rows; (ib, ub, tb) <- rows
+      if ua == ub && ia < ib && math.abs(tb - ta) <= d
+    } yield (ia, ib, ua, tb - ta)).toSet
+    assert(got == want, s"got ${got.toSeq.sorted} want ${want.toSeq.sorted}")
+    assert(want.contains((4L, 5L, 7L, 1000L))) // exact-delta pair present
+    assert(!want.exists { case (a, b, _, _) => a == 1L && b == 3L }) // 1001us excluded
+    assert(want.contains((2L, 3L, 7L, 2L))) // cross-bucket pair found
+  }
+
+  test("intervalPairs plans as an equi-join, never a nested loop") {
+    val p = Sessions.intervalPairs(Tables.events(spark, sf0001))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"theta-join fallback crept in:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"no equi join found:\n$p")
+  }
+
+  test("intervalPairs on real events equals the theta join") {
+    val events = Tables.events(spark, sf0001)
+    val d = 3600000000L
+    val e = events.select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"))
+    val a = e.select(col("event_id").as("ia"), col("user_id").as("ua"), col("tus").as("ta"))
+    val b = e.select(col("event_id").as("ib"), col("user_id").as("ub"), col("tus").as("tb"))
+    val brute = a.join(b, col("ua") === col("ub") && col("ia") < col("ib") &&
+        abs(col("tb") - col("ta")) <= d)
+      .select(col("ia"), col("ib"), col("ua"), (col("tb") - col("ta")).as("gap"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = Sessions.intervalPairs(events, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == brute && got.nonEmpty)
+  }
 }
