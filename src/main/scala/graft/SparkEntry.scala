@@ -142,6 +142,11 @@ object SparkEntry {
     // correlated scalar-agg subquery (Catalyst decorrelation)
     "q_small_qty_outliers" -> ((s, dir) =>
       Relational.smallQuantityOutliers(Tables.lineitem(s, dir))),
+    // Q2-shaped correlated scalar-MIN: min-cost supplier per part,
+    // decorrelated by Catalyst into one min-per-part join
+    "q2_min_cost_supplier" -> ((s, dir) =>
+      Relational.minCostSupplier(Tables.lineitem(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir))),
     // ANSI set ops: INTERSECT / EXCEPT over per-year customer sets
     "q_set_ops" -> ((s, dir) => Relational.customerYearSetOps(Tables.orders(s, dir))),
     // Z-order layout key: Morton interleave of (customer, order date)
@@ -1175,6 +1180,17 @@ object SparkEntry {
         |                    FROM lineitem l2
         |                    WHERE l2.l_partkey = l1.l_partkey)
         |GROUP BY l_partkey""".stripMargin,
+    // Q2 shape: same correlated scalar MIN, bit-exact DOUBLE equality
+    // (MIN selects a stored value, no arithmetic enters the compare)
+    "q2_min_cost_supplier" ->
+      """SELECT DISTINCT l.l_partkey, s.s_suppkey, s.s_name, n.n_name,
+        |       l.l_extendedprice AS min_price
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+        |                           FROM lineitem l2
+        |                           WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
     // set ops: INTERSECT/EXCEPT are distinct-semantics in both engines
     "q_set_ops" ->
       """SELECT o_custkey, 'both' AS set_op FROM (

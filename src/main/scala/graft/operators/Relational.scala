@@ -294,6 +294,44 @@ object Relational {
 
   private val viewId = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** TPC-H Q2-shaped MIN-cost supplier: for every part, the
+    * supplier(s) whose line price equals the part's minimum — the
+    * classic correlated SCALAR-MIN subquery (Q2's inner
+    * `ps_supplycost = (SELECT min(ps_supplycost) ...)` transposed onto
+    * this schema's lineitem). SQL-form deliberately: Catalyst's
+    * subquery DECORRELATION rewrites the per-row correlated aggregate
+    * into ONE partial-aggregating min-per-part frame joined back —
+    * the optimizer capability this operator exists to exercise (same
+    * rationale as [[smallQuantityOutliers]]; a hand-written join would
+    * bypass the rewrite). No float arithmetic: the predicate compares
+    * stored DOUBLE values bit-for-bit (MIN selects, never computes),
+    * so cross-engine equality is exact.
+    *
+    * Scale shape after the rewrite: lineitem shuffles once on
+    * l_partkey for the min aggregate and once joining it back;
+    * supplier and nation are dimension joins the planner broadcasts
+    * while they fit. DISTINCT collapses same-price duplicate lines of
+    * one (part, supplier). */
+  def minCostSupplier(lineitem: DataFrame, supplier: DataFrame,
+                      nation: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    val id = viewId.incrementAndGet()
+    val (lv, sv, nv) = (s"graft_q2_l_$id", s"graft_q2_s_$id", s"graft_q2_n_$id")
+    lineitem.createOrReplaceTempView(lv)
+    supplier.createOrReplaceTempView(sv)
+    nation.createOrReplaceTempView(nv)
+    try org.apache.spark.sql.graft.SqlBridge.ofAnalyzed(spark, spark.sql(s"""
+      SELECT DISTINCT l.l_partkey, s.s_suppkey, s.s_name, n.n_name,
+             l.l_extendedprice AS min_price
+      FROM $lv l
+      JOIN $sv s ON l.l_suppkey = s.s_suppkey
+      JOIN $nv n ON s.s_nationkey = n.n_nationkey
+      WHERE l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                                 FROM $lv l2
+                                 WHERE l2.l_partkey = l.l_partkey)"""))
+    finally Seq(lv, sv, nv).foreach(spark.catalog.dropTempView)
+  }
+
   /** PIVOT: per order year, one order-count column per priority —
     * Spark expands an explicit-values pivot into a single conditional
     * aggregation (one scan, one shuffle, partial agg intact — same

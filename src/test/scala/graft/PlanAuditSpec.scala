@@ -338,6 +338,17 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly two scans (outer + decorrelated agg input):\n$p")
   }
 
+  test("minCostSupplier: correlated scalar MIN is DECORRELATED, dims broadcast") {
+    val p = plan(Relational.minCostSupplier(Tables.lineitem(spark, dir),
+      Tables.supplier(spark, dir), Tables.nation(spark, dir)))
+    assert(!p.contains("Subquery") && !p.contains("CartesianProduct"),
+      s"correlated subquery was not decorrelated:\n$p")
+    assert(p.contains("partial_min") || p.contains("min("),
+      s"expected the decorrelated per-part MIN aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"supplier/nation dims should broadcast:\n$p")
+  }
+
   test("pq encode: broadcast codebook, shuffle-free corpus pass") {
     val emb = Tables.embeddings(spark, dir)
     val cb = ProductQuantization.train(emb)
