@@ -501,6 +501,14 @@ object SparkEntry {
     // statistics from the actual little-endian PCM bytes
     "m_audio_features" -> ((s, dir) =>
       Multimodal.audioFeatures(Multimodal.wavDocs(Tables.documents(s, dir))).toDF()),
+    // REAL RIFF/AVI container walk: avih header fields + movi frame
+    // index from the actual little-endian bytes
+    "m_avi_meta" -> ((s, dir) =>
+      Multimodal.aviMeta(Multimodal.aviDocs(Tables.documents(s, dir))).toDF()),
+    // every 2nd REAL video frame sliced from the movi index and
+    // fingerprinted; the oracle rebuilds each sampled frame's bytes
+    "m_avi_frames" -> ((s, dir) =>
+      Multimodal.aviFrames(Multimodal.aviDocs(Tables.documents(s, dir)))),
     // REAL audio resampling: every 2nd PCM frame survives, rate halves,
     // resampled stream fingerprinted — the oracle recomputes every
     // surviving sample arithmetically
@@ -1923,6 +1931,28 @@ object SparkEntry {
         |       CAST(start_frame AS INT) AS start_frame, CAST(end_frame AS INT) AS end_frame,
         |       CAST(n_frames AS INT) AS n_frames, CAST(peak AS BIGINT) AS peak
         |FROM seg""".stripMargin,
+    // AVI: the fixture is closed-form in doc_id, so the oracle
+    // recomputes header fields and every sampled frame byte
+    "m_avi_meta" ->
+      """WITH p AS (SELECT doc_id, CAST(8 + (doc_id % 4) * 2 AS INT) AS w,
+        |                  CAST(6 + (doc_id // 4) % 5 AS INT) AS h,
+        |                  CAST(2 + doc_id % 3 AS INT) AS nf FROM documents)
+        |SELECT doc_id, w AS width, h AS height,
+        |       CAST(nf AS BIGINT) AS n_frames_declared,
+        |       CAST(nf AS BIGINT) AS n_frames_found,
+        |       CAST(40000 AS BIGINT) AS us_per_frame,
+        |       CAST(nf * (w * h * 3) AS BIGINT) AS frame_bytes_total
+        |FROM p""".stripMargin,
+    "m_avi_frames" ->
+      """WITH p AS (SELECT doc_id, CAST(8 + (doc_id % 4) * 2 AS INT) AS w,
+        |                  CAST(6 + (doc_id // 4) % 5 AS INT) AS h,
+        |                  CAST(2 + doc_id % 3 AS INT) AS nf FROM documents),
+        |f AS (SELECT doc_id, w * h * 3 AS fb, unnest(generate_series(0, nf - 1, 2)) AS fi
+        |      FROM p)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx, CAST(fb AS BIGINT) AS n_bytes,
+        |       md5(array_to_string([lpad(hex((doc_id * 31 + fi * 131 + k * 7) % 256), 2, '0')
+        |                            for k in generate_series(0, fb - 1)], '')) AS frame_md5
+        |FROM f""".stripMargin,
     "m_audio_resample" ->
       """WITH s AS (SELECT doc_id, 16 + doc_id % 97 AS n FROM documents),
         |d AS (SELECT doc_id, n, (n + 1) // 2 AS n_out FROM s)

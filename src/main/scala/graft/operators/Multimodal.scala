@@ -1628,4 +1628,162 @@ object Multimodal {
         parseGif(id, bytes).getOrElse(throw new IllegalArgumentException(
           s"doc $id: not a decodable non-interlaced GIF")) })
   }
+
+  // ---------------------------------------------------------------
+  // VIDEO: real RIFF/AVI container walking + frame sampling — the
+  // video member of the multimodal family. AVI is byte-specified
+  // (RIFF chunks: fourcc + LE32 size + payload, lists nest), so the
+  // container layer — headers, stream declarations, the movi frame
+  // index — parses for real exactly like WAV's RIFF sibling; frame
+  // PAYLOADS here are uncompressed 24-bit DIB ('00db'), the one
+  // codec-less leg of the format.
+  // ---------------------------------------------------------------
+
+  case class AviMeta(doc_id: Long, width: Int, height: Int,
+                     n_frames_declared: Long, n_frames_found: Long,
+                     us_per_frame: Long, frame_bytes_total: Long)
+
+  /** Synthesizes complete, structurally valid AVI files in pure SQL
+    * expressions (the [[wavDocs]] technique): RIFF('AVI ') containing
+    * LIST hdrl (avih main header + LIST strl with a 'vids'/'DIB '
+    * strh and a BITMAPINFOHEADER strf) and LIST movi with
+    * `nf` uncompressed '00db' frames. Dims, frame count and every
+    * pixel byte are closed-form in doc_id, so oracles recompute the
+    * full stream arithmetically: w = 8 + (id%4)·2 (even → frame size
+    * w·h·3 is even, no RIFF pad byte), h = 6 + (id div 4)%5,
+    * nf = 2 + id%3, frame f byte k = (id·31 + f·131 + k·7) % 256. */
+  def aviDocs(documents: DataFrame): DataFrame = {
+    def le32h(x: String) =
+      s"concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex((($x) div 256) % 256), 2, '0'), " +
+        s"lpad(hex((($x) div 65536) % 256), 2, '0'), lpad(hex((($x) div 16777216) % 256), 2, '0'))"
+    def le16h(x: String) =
+      s"concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex((($x) div 256) % 256), 2, '0'))"
+    val z32 = le32h("0")
+    documents
+      .selectExpr("doc_id",
+        "CAST(8 + (doc_id % 4) * 2 AS INT) AS w",
+        "CAST(6 + (doc_id div 4) % 5 AS INT) AS h",
+        "CAST(2 + doc_id % 3 AS INT) AS nf")
+      .selectExpr("doc_id", "w", "h", "nf", "w * h * 3 AS fb")
+      .selectExpr("doc_id",
+        s"""unhex(concat(
+           |  '52494646', ${le32h("216 + nf * (8 + fb)")}, '41564920',
+           |  '4C495354', ${le32h("192")}, '6864726C',
+           |  '61766968', ${le32h("56")},
+           |    ${le32h("40000")}, $z32, $z32, $z32,
+           |    ${le32h("nf")}, $z32, ${le32h("1")}, $z32,
+           |    ${le32h("w")}, ${le32h("h")}, $z32, $z32, $z32, $z32,
+           |  '4C495354', ${le32h("116")}, '7374726C',
+           |  '73747268', ${le32h("56")},
+           |    '76696473', '44494220', $z32, ${le16h("0")}, ${le16h("0")},
+           |    $z32, ${le32h("1")}, ${le32h("25")}, $z32, ${le32h("nf")},
+           |    $z32, $z32, $z32,
+           |    ${le16h("0")}, ${le16h("0")}, ${le16h("w")}, ${le16h("h")},
+           |  '73747266', ${le32h("40")},
+           |    ${le32h("40")}, ${le32h("w")}, ${le32h("h")}, ${le16h("1")}, ${le16h("24")},
+           |    $z32, ${le32h("fb")}, $z32, $z32, $z32, $z32,
+           |  '4C495354', ${le32h("4 + nf * (8 + fb)")}, '6D6F7669',
+           |  array_join(transform(sequence(0, nf - 1), f -> concat(
+           |    '30306462', ${le32h("fb")},
+           |    array_join(transform(sequence(0, fb - 1),
+           |      k -> lpad(hex((doc_id * 31 + f * 131 + k * 7) % 256), 2, '0')), ''))), '')
+           |)) AS payload""".stripMargin)
+  }
+
+  /** REAL RIFF/AVI container walk: validates the RIFF framing
+    * (declared size = actual − 8, 'AVI ' form), then walks top-level
+    * and nested LIST chunks with the RIFF even-byte padding rule,
+    * reading µs-per-frame / declared frame count / dims from the avih
+    * main header's actual little-endian bytes and collecting every
+    * '00db'/'00dc' frame chunk's (offset, size) from the movi list.
+    * Returns None for anything that is not a well-formed single-RIFF
+    * AVI with an avih and at least one frame. */
+  private[graft] def parseAvi(id: Long, b: Array[Byte])
+      : Option[(AviMeta, Seq[(Int, Int)])] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def le32(i: Int): Long =
+      u8(i) | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String): Boolean = s.indices.forall(j => b(i + j) == s(j).toByte)
+    if (b.length < 24 || !tag(0, "RIFF") || le32(4) != b.length - 8L ||
+      !tag(8, "AVI ")) return None
+    var width = -1; var height = -1
+    var declared = -1L; var usPerFrame = -1L
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var p = 12
+    while (p + 8 <= b.length) {
+      val sz = le32(p + 4)
+      if (sz < 0 || sz > Int.MaxValue || p + 8 + sz > b.length) return None
+      val size = sz.toInt
+      if (tag(p, "LIST") && size >= 4) {
+        val end = p + 8 + size
+        if (tag(p + 8, "hdrl")) {
+          var q = p + 12
+          while (q + 8 <= end) {
+            val csz = le32(q + 4)
+            if (csz < 0 || q + 8 + csz > end) return None
+            if (tag(q, "avih") && csz >= 56) {
+              usPerFrame = le32(q + 8)
+              declared = le32(q + 8 + 16)
+              width = le32(q + 8 + 32).toInt
+              height = le32(q + 8 + 36).toInt
+            }
+            q += 8 + csz.toInt + (csz.toInt & 1)
+          }
+        } else if (tag(p + 8, "movi")) {
+          var q = p + 12
+          while (q + 8 <= end) {
+            val csz = le32(q + 4)
+            if (csz < 0 || q + 8 + csz > end) return None
+            if (tag(q, "00db") || tag(q, "00dc")) frames += ((q + 8, csz.toInt))
+            q += 8 + csz.toInt + (csz.toInt & 1)
+          }
+        }
+      }
+      p += 8 + size + (size & 1)
+    }
+    if (width <= 0 || height <= 0 || declared < 0 || frames.isEmpty) None
+    else Some((AviMeta(id, width, height, declared, frames.length.toLong,
+      usPerFrame, frames.map(_._2.toLong).sum), frames.toSeq))
+  }
+
+  /** [[parseAvi]] through the batched map-only seam: container-level
+    * metadata per video, payloads never shuffling. Throws on an
+    * unparseable payload — every [[aviDocs]] blob parses by
+    * construction. */
+  def aviMeta(bin: DataFrame): Dataset[AviMeta] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseAvi(id, bytes).getOrElse(throw new IllegalArgumentException(
+          s"doc $id: not a well-formed AVI"))._1 })
+  }
+
+  /** Every `stride`-th REAL video frame, fingerprinted — the
+    * frame-sampling pass a video-corpus build runs before feature
+    * extraction (dense frames are redundant; a caption/embedding
+    * model reads a sparse sample). Frames come from the movi index
+    * [[parseAvi]] walks, the sampled frame's actual bytes are sliced
+    * inside the task, and the fingerprint (md5 over the hex form,
+    * the repo's binary-hash convention) is computed by codegen AFTER
+    * the seam — only (id, idx, ~16-byte slice-hash) rows ever
+    * shuffle, never payloads. */
+  def aviFrames(bin: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride must be positive, got $stride")
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val (_, frames) = parseAvi(id, bytes).getOrElse(
+          throw new IllegalArgumentException(s"doc $id: not a well-formed AVI"))
+        frames.iterator.zipWithIndex
+          .filter { case (_, fi) => fi % stride == 0 }
+          .map { case ((off, len), fi) =>
+            (id, fi.toLong, len.toLong,
+              java.util.Arrays.copyOfRange(bytes, off, off + len)) }
+      })
+      .toDF("doc_id", "frame_idx", "n_bytes", "frame")
+      .select(col("doc_id"), col("frame_idx"), col("n_bytes"),
+        md5(hex(col("frame"))).as("frame_md5"))
+  }
 }

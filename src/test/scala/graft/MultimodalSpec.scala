@@ -636,4 +636,66 @@ class MultimodalSpec extends SparkSpec {
     bytes(imgDescFlags) = (bytes(imgDescFlags) | 0x40).toByte
     assert(Multimodal.parseGif(42L, bytes).isEmpty)
   }
+
+  test("aviDocs builds well-formed AVIs whose container walk matches the closed form") {
+    val docs = Tables.documents(spark, sf0001).limit(40)
+    val out = Multimodal.aviMeta(Multimodal.aviDocs(docs)).collect()
+    assert(out.length == 40)
+    out.foreach { m =>
+      val id = m.doc_id
+      assert(m.width == 8 + (id % 4).toInt * 2 && m.height == 6 + ((id / 4) % 5).toInt)
+      val nf = 2 + (id % 3)
+      assert(m.n_frames_declared == nf && m.n_frames_found == nf)
+      assert(m.us_per_frame == 40000L)
+      assert(m.frame_bytes_total == nf * m.width * m.height * 3)
+    }
+  }
+
+  test("parseAvi walks a hand-built RIFF incl. odd-size padding; corruption is None") {
+    // hand-assemble: RIFF(AVI ) { LIST hdrl { avih }, JUNK(odd size), LIST movi { 00db, 00dc } }
+    def le32(x: Int) = Array[Byte]((x & 255).toByte, ((x >> 8) & 255).toByte,
+      ((x >> 16) & 255).toByte, ((x >> 24) & 255).toByte)
+    def cc(s: String) = s.getBytes("ASCII")
+    val avih = {
+      val body = new java.io.ByteArrayOutputStream()
+      body.write(le32(1000)); (0 until 3).foreach(_ => body.write(le32(0)))
+      body.write(le32(2)); body.write(le32(0)); body.write(le32(1)); body.write(le32(0))
+      body.write(le32(4)); body.write(le32(2)); (0 until 4).foreach(_ => body.write(le32(0)))
+      cc("avih") ++ le32(56) ++ body.toByteArray
+    }
+    val hdrl = cc("LIST") ++ le32(4 + avih.length) ++ cc("hdrl") ++ avih
+    val junk = cc("JUNK") ++ le32(3) ++ Array[Byte](1, 2, 3, 0) // 3 data + 1 pad byte
+    val f0 = cc("00db") ++ le32(24) ++ Array.tabulate(24)(i => i.toByte)
+    val f1 = cc("00dc") ++ le32(24) ++ Array.tabulate(24)(i => (i + 1).toByte)
+    val movi = cc("LIST") ++ le32(4 + f0.length + f1.length) ++ cc("movi") ++ f0 ++ f1
+    val content = cc("AVI ") ++ hdrl ++ junk ++ movi
+    val file = cc("RIFF") ++ le32(content.length) ++ content
+    val Some((meta, frames)) = Multimodal.parseAvi(1L, file)
+    assert(meta.width == 4 && meta.height == 2 && meta.n_frames_declared == 2L)
+    assert(meta.n_frames_found == 2L && meta.us_per_frame == 1000L)
+    assert(frames.map(_._2) == Seq(24, 24))
+    // the frame offsets index the REAL bytes
+    val (off0, len0) = frames.head
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(file, off0, off0 + len0),
+      Array.tabulate(24)(i => i.toByte)))
+    // corrupt the declared RIFF size -> None; truncate -> None
+    val bad = file.clone(); bad(4) = (bad(4) + 1).toByte
+    assert(Multimodal.parseAvi(1L, bad).isEmpty)
+    assert(Multimodal.parseAvi(1L, file.dropRight(5)).isEmpty)
+  }
+
+  test("aviFrames fingerprints every 2nd real frame; hash matches hand computation") {
+    val one = Tables.documents(spark, sf0001).filter("doc_id = 5")
+    val out = Multimodal.aviFrames(Multimodal.aviDocs(one)).orderBy("frame_idx")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 5: w=10, h=7, nf=4 -> sampled frames 0 and 2, fb=210
+    assert(out.map(x => (x._1, x._2)).toSeq == Seq((0L, 210L), (2L, 210L)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xFF}%02x").mkString
+    val wantF2 = md5hex((0 until 210)
+      .map(k => f"${(5 * 31 + 2 * 131 + k * 7) % 256}%02X").mkString)
+    assert(out(1)._3 == wantF2)
+  }
 }
