@@ -544,6 +544,10 @@ object SparkEntry {
       graft.functions.Bpe.encode(docs.filter(col("doc_id") % 7 === 0),
         graft.functions.Bpe.train(docs, 8), 8)
     }),
+    // tokenizer fertility per language: subword pieces per word under
+    // the corpus-trained merge table
+    "t_bpe_fertility" -> ((s, dir) =>
+      graft.functions.Bpe.fertilityByLang(Tables.documents(s, dir))),
   )
 
   private val carsCte =
@@ -2678,6 +2682,7 @@ object SparkEntry {
     // cells (the gaps) are filtered before positions are assigned
     "t_bpe_encode" -> bpeEncodeOracle,
     "c_bpe_budget" -> bpeBudgetOracle,
+    "t_bpe_fertility" -> bpeFertilityOracle,
   )
 
   /** The BPE training recurrence (graft.functions.Bpe.train) as DuckDB
@@ -2753,6 +2758,34 @@ object SparkEntry {
     * and empty fragments drop out of the piece count), then the
     * c_token_budget greedy prefix on (quality DESC, doc_id) with piece
     * counts as the budget currency. */
+  /** The budget oracle's whole-document encode replay, aggregated to
+    * pieces-per-word by language (space symbols never merge, so the
+    * whole-text replay equals the Spark side's per-word pass). */
+  private lazy val bpeFertilityOracle: String = {
+    val n = 8
+    val encs = (1 to n).map(r =>
+      s"""enc$r AS (
+         |  SELECT doc_id, replace(seq, ' ' || b.l || ' ' || b.r || ' ',
+         |                              ' ' || b.l || b.r || ' ') AS seq
+         |  FROM enc${r - 1}, b$r b)""".stripMargin).mkString(",\n")
+    s"""WITH ${bpeChain(n)},
+       |enc0 AS (
+       |  SELECT doc_id, ' ' || array_to_string(string_split(text, ''), ' ') || ' ' AS seq
+       |  FROM documents),
+       |$encs,
+       |nt AS (
+       |  SELECT doc_id,
+       |         len(list_filter(string_split(trim(seq), ' '), x -> x <> '')) AS n_tokens
+       |  FROM enc$n),
+       |j AS (SELECT d.lang, len(string_split(d.text, ' ')) AS n_words, nt.n_tokens
+       |      FROM documents d JOIN nt USING (doc_id))
+       |SELECT lang, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS n_bpe_tokens,
+       |       ROUND(SUM(n_tokens) / CAST(SUM(n_words) AS DOUBLE) + 1e-12, 4) AS fertility
+       |FROM j GROUP BY lang""".stripMargin
+  }
+
   private lazy val bpeBudgetOracle: String = {
     val n = 8
     val encs = (1 to n).map(r =>

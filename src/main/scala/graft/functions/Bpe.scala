@@ -166,4 +166,32 @@ object Bpe {
           w => split(trim(applyMerges(wordSeq(w), nMerges)), " ")))).cast("long"))
       .drop(mergeCols: _*)
   }
+
+  /** Tokenizer FERTILITY by language — subword pieces per whitespace
+    * word, the standard multilingual-tokenizer health metric (a
+    * vocabulary trained lopsidedly shatters under-represented
+    * languages into characters; fertility ≫ 1 for one lang flags it
+    * before a model trains on 3× the sequence length): trains the
+    * merge table on the whole corpus, counts per-document pieces in
+    * the broadcast codegen pass ([[withPieceCount]] — no explode),
+    * and aggregates pieces/words per language.
+    *
+    * Scale shape: training is vocabulary-sized (corpus-size-
+    * independent rounds), the piece count is map-only, and the final
+    * aggregation shuffles one scalar row per language. The ratio
+    * divides two exact integer sums — order-independent — and rounds
+    * once (repo nudge). */
+  def fertilityByLang(documents: DataFrame, nMerges: Int = 8): DataFrame = {
+    val merges = train(documents, nMerges)
+    withPieceCount(documents, merges, nMerges)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        col("n_bpe_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        round(sum(col("n_bpe_tokens")) / sum(col("n_words")).cast("double")
+          + lit(1e-12), 4).as("fertility"))
+  }
 }

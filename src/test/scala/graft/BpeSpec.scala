@@ -104,4 +104,26 @@ class BpeSpec extends SparkSpec {
     val enc = Bpe.encode(docs, m, 4).collect().map(_.getString(2))
     assert(enc.toSeq == Seq("ab", "ab"))
   }
+
+  test("fertilityByLang equals the per-language aggregation of the encode rows") {
+    val docs = Tables.documents(spark, sf0001).limit(60)
+    val out = Bpe.fertilityByLang(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    val m = Bpe.train(docs, 8)
+    val pieces = Bpe.encode(docs, m, 8)
+      .groupBy("doc_id").agg(count(lit(1)).as("p"))
+    val want = docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+      .join(pieces, "doc_id")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).map { case (lang, rows) =>
+        val (wSum, pSum) = (rows.map(_._2).sum, rows.map(_._3).sum)
+        (lang, rows.length.toLong, wSum, pSum,
+          BigDecimal(pSum.toDouble / wSum + 1e-12)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq.sortBy(_._1)
+    assert(out.toSeq == want)
+    assert(out.forall(_._5 >= 1.0)) // a word is never fewer than one piece
+  }
 }
