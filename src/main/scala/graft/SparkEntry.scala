@@ -271,6 +271,10 @@ object SparkEntry {
     // by 0.1, scored by whether the production minhash path found them
     "d_minhash_recall" -> ((s, dir) =>
       Dedup.minhashRecallCurve(Tables.documents(s, dir))),
+    // cross-source duplication matrix: near-dup pairs rolled up by
+    // unordered source pair (the provenance diagnostic)
+    "d_dup_matrix" -> ((s, dir) =>
+      Dedup.dupSourceMatrix(Tables.documents(s, dir))),
     "d_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "d_dup_clusters" -> ((s, dir) => Dedup.dupClusters(Tables.documents(s, dir))),
     // cross-snapshot dedup: odd doc_ids are the "new crawl", evens the
@@ -2567,6 +2571,15 @@ object SparkEntry {
         |       ROUND(SUM(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END)
         |             / CAST(COUNT(*) AS DOUBLE) + 1e-12, 4) AS recall
         |FROM p GROUP BY jac_band""".stripMargin,
+    // dup matrix: exact pairs (recall-1 band math) + source lookups
+    "d_dup_matrix" ->
+      s"""WITH p AS (${jaccardOracleAt("0.8")})
+        |SELECT least(da.source, db.source) AS src_lo,
+        |       greatest(da.source, db.source) AS src_hi,
+        |       COUNT(*) AS n_pairs
+        |FROM p JOIN documents da ON da.doc_id = p.doc_a
+        |       JOIN documents db ON db.doc_id = p.doc_b
+        |GROUP BY src_lo, src_hi""".stripMargin,
     // SimHash: brute-force hamming over ALL pairs — a valid oracle for
     // the banded Spark plan because the 4-band pigeonhole makes banding
     // EXACT at maxDist ≤ 3 (full recall, proven in DedupSpec). The token

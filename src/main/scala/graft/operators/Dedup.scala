@@ -908,6 +908,30 @@ object Dedup {
         round(col("n_found") / col("n_pairs").cast("double") + lit(1e-12), 4).as("recall"))
   }
 
+  /** Cross-SOURCE duplication matrix — the provenance diagnostic a
+    * multi-crawl data build reads before setting mixture weights:
+    * near-dup pairs (the production [[minhashPairs]] path) rolled up
+    * by the unordered source pair, so "src2 is 80% mirror of src0"
+    * is one row instead of a forensic join. Diagonal rows
+    * (src_lo = src_hi) count within-source duplication.
+    *
+    * Scale shape: the pair frame is duplicate-density-sized; the two
+    * source lookups join the narrow (doc_a, doc_b) keys against the
+    * (doc_id, source) projection — document text never enters — and
+    * the matrix aggregation collapses everything to ≤ |sources|²
+    * rows. */
+  def dupSourceMatrix(documents: DataFrame, n: Int = 3,
+                      threshold: Double = 0.8): DataFrame = {
+    val src = documents.select(col("doc_id"), col("source"))
+    minhashPairs(documents, n, threshold)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("src_lo"),
+        greatest(col("src_a"), col("src_b")).as("src_hi"))
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   def timeDedup(events: DataFrame, gapUs: Long = 86400000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // integral div: `/` on longs routes through double and a 1.7e18 ns

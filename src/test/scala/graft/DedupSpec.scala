@@ -499,6 +499,19 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists { case (a, b, _) => a == 9L || b == 10L }) // sub-3-char heads excluded
   }
 
+  test("dupSourceMatrix: unordered orientation, diagonal counts within-source dups") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, base, "srcB"), (2L, base, "srcA"),  // cross-source dup, id order vs src order DIFFER
+      (3L, base, "srcA"),                      // srcA-internal dup with 2 (and cross with 1)
+      (4L, "something else entirely unrelated " * 3, "srcC"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.dupSourceMatrix(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // pairs: (1,2) B-A -> (A,B); (1,3) B-A -> (A,B); (2,3) A-A diagonal
+    assert(out == Set(("srcA", "srcB", 2L), ("srcA", "srcA", 1L)))
+  }
+
   test("minhashRecallCurve equals the curve recomputed from its two legs") {
     val base = (1 to 46).map(i => s"w$i")
     def doc(muts: Int): String = // mutate the LAST `muts` tokens
