@@ -219,6 +219,10 @@ object SparkEntry {
     // vectors per query (the DPR mining step)
     "a_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(Tables.embeddings(s, dir))),
+    // per-dimension z-scoring: one stats pass, broadcast moments,
+    // map-only transform fingerprinted at 4 dp
+    "a_standardize" -> ((s, dir) =>
+      Similarity.standardize(Tables.embeddings(s, dir))),
     "a_ann_pairs" -> ((s, dir) => Similarity.annPairs(Tables.embeddings(s, dir))),
     "a_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
     // semantic dedup: drop every vector with a verified cosine near-dup
@@ -1462,6 +1466,33 @@ object SparkEntry {
     // k-center: the 8-round greedy recurrence unrolled, every distance
     // through the |x|²+|c|²−2x·c identity and the 6-dp rounded compare
     "a_kcenter_sample" -> kcenterOracle,
+    // standardization: per-dim exact-decimal moments, 4-dp z scores
+    // fingerprinted over the DECIMAL string form (scale-stable text)
+    "a_standardize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |x AS (SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e),
+        |r AS (SELECT vec_id, pos, x,
+        |             CAST(ROUND(x + 1e-12, 9) AS DECIMAL(18,9)) AS x9,
+        |             CAST(ROUND(x * x + 1e-12, 9) AS DECIMAL(18,9)) AS x29
+        |      FROM x),
+        |st AS (SELECT pos, COUNT(*) AS n, SUM(x9) AS sx, SUM(x29) AS sx2
+        |       FROM r GROUP BY pos),
+        |ms AS (SELECT pos,
+        |         ROUND(CAST(sx AS DOUBLE) / n + 1e-12, 6) AS mean,
+        |         ROUND(sqrt(greatest(CAST(sx2 AS DOUBLE) / n
+        |               - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 0))
+        |               + 1e-12, 6) AS std
+        |       FROM st),
+        |z AS (SELECT r.vec_id, r.pos,
+        |             CAST(CASE WHEN ms.std > 0
+        |                       THEN ROUND((r.x - ms.mean) / ms.std + 1e-12, 4)
+        |                       ELSE 0 END AS DECIMAL(9,4)) AS z
+        |      FROM r JOIN ms USING (pos))
+        |SELECT vec_id,
+        |       md5(string_agg(CAST(z AS VARCHAR), ',' ORDER BY pos)) AS z_md5,
+        |       CAST(MAX(abs(z)) AS DOUBLE) AS max_abs_z
+        |FROM z GROUP BY vec_id""".stripMargin,
     // hard negatives: the cosine_topk CTE with labels carried and the
     // different-label predicate inside the join
     "a_hard_negatives" ->

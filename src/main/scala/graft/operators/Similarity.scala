@@ -762,6 +762,54 @@ object Similarity {
         x => abs(code(x) * s / 127.0 - x))) + 1e-12, 6).as("max_err"))
   }
 
+  /** Per-DIMENSION standardization (z-scoring) of the embedding
+    * corpus — the feature-scaling pass run before any
+    * distance-uniform treatment (k-means, PQ, outlier rules assume
+    * comparable dimension scales; one wide dimension otherwise
+    * dominates every metric). Returns (vec_id, z_md5, max_abs_z):
+    * the standardized vector's fingerprint (4-dp components, the
+    * compact cross-engine-exact form) and its largest |z| — the
+    * per-vector outlier signal.
+    *
+    * Scale shape: dimension statistics are ONE pass — per-dim sums
+    * of 9-dp-decimal-rounded values and squares through a
+    * 64-key partial-aggregating groupBy (the shuffle carries ≤ 64
+    * rows per map partition) — and the trained (mean, std) table is
+    * a single broadcast row applied in a map-only second pass; the
+    * corpus never shuffles. Parity: exact-decimal sums, 6-dp
+    * moments, 4-dp z (the powerComponent recipe); zero-variance
+    * dimensions standardize to 0 by definition. */
+  def standardize(embeddings: DataFrame): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val stats = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("pos"),
+        round(col("x") + lit(1e-12), 9).cast("decimal(18,9)").as("x9"),
+        round(col("x") * col("x") + lit(1e-12), 9).cast("decimal(18,9)").as("x29"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("x9")).as("sx"), sum(col("x29")).as("sx2"))
+      .select(col("pos"),
+        round(col("sx").cast("double") / col("n") + lit(1e-12), 6).as("mean"),
+        round(sqrt(greatest(
+          col("sx2").cast("double") / col("n")
+            - pow(col("sx").cast("double") / col("n"), 2), lit(0.0))) + lit(1e-12), 6)
+          .as("std"))
+    val model = broadcast(stats
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("pos"), col("mean"), col("std")))).as("ms"))
+      .select(transform(col("ms"), m => m.getField("mean")).as("means"),
+        transform(col("ms"), m => m.getField("std")).as("stds")))
+    val z: Column = zip_with(col("v"),
+      zip_with(col("means"), col("stds"), (m, s) => struct(m.as("m"), s.as("s"))),
+      (x, ms) => when(ms.getField("s") > 0,
+        round((x - ms.getField("m")) / ms.getField("s") + lit(1e-12), 4))
+        .otherwise(lit(0.0)).cast("decimal(9,4)"))
+    e.crossJoin(model)
+      .select(col("vec_id"),
+        md5(concat_ws(",", transform(z, _.cast("string")))).as("z_md5"),
+        array_max(transform(z, abs(_))).cast("double").as("max_abs_z"))
+  }
+
   /** HARD-NEGATIVE mining — the contrastive-training curation step
     * (DPR / SimCSE-style): for each query vector, the `k` most-COSINE-
     * similar vectors carrying a DIFFERENT label — the negatives that

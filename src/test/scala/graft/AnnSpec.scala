@@ -492,6 +492,20 @@ class AnnSpec extends SparkSpec {
     assert(out.head._3 == scores(need - 1))
   }
 
+  test("standardize: hand-checked z-scores, zero-variance dim yields 0") {
+    // dim 0: values 1,3 -> mean 2, std 1 -> z = -1, +1
+    // dim 1: constant 5 -> std 0 -> z = 0 for every vector
+    val d = vecs(1L -> Seq(1f, 5f), 2L -> Seq(3f, 5f))
+    val out = graft.operators.Similarity.standardize(d)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xFF}%02x").mkString
+    assert(out(0) == ((1L, md5hex("-1.0000,0.0000"), 1.0)))
+    assert(out(1) == ((2L, md5hex("1.0000,0.0000"), 1.0)))
+  }
+
   test("hardNegatives: only different-label vectors rank, order matches brute force") {
     // label 0 = x-axis direction, label 1 = y-axis, label 2 = diagonal;
     // query 0 (label 0) must surface label-1/2 vectors only, nearest first
