@@ -401,6 +401,10 @@ object SparkEntry {
     // local clustering coefficient over the same co-purchase graph
     "q_clustering_coef" -> ((s, dir) =>
       graft.operators.Graph.clusteringCoefficient(Tables.lineitem(s, dir))),
+    // synchronous deterministic label propagation: 4 rounds of
+    // most-frequent-neighbor-label, ties to the smallest label
+    "q_communities" -> ((s, dir) =>
+      graft.operators.Graph.communities(Tables.lineitem(s, dir))),
     // hot-key-salted fact⋈dim join; the oracle is the PLAIN join —
     // salting must be invisible in the result
     "q_salted_join" -> ((s, dir) => {
@@ -2564,6 +2568,7 @@ object SparkEntry {
         |            THEN ROUND(2.0 * COALESCE(tc.t, 0) / (deg.d * (deg.d - 1)) + 1e-12, 6)
         |            ELSE 0.0 END AS coef
         |FROM deg LEFT JOIN tc ON tc.node = deg.n""".stripMargin,
+    "q_communities" -> communitiesOracle,
     "q_salted_join" ->
       """SELECT s_name, COUNT(*) AS n_lines,
         |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
@@ -3515,6 +3520,36 @@ object SparkEntry {
       |            FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |                  FROM embeddings))
       |      WHERE nrm > 0)""".stripMargin
+
+  /** Unrolled 4-round synchronous label propagation: each round a
+    * (node, label) vote count + a (cnt DESC, label) argmax — the same
+    * recurrence the Spark loop runs with a struct-MIN. */
+  private lazy val communitiesOracle: String = {
+    val rounds = 4
+    val sb = new StringBuilder
+    sb.append(
+      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |l0 AS (SELECT DISTINCT node, node AS label FROM sym)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |v$r AS (SELECT s.node, l.label, COUNT(*) AS cnt
+        |       FROM sym s JOIN l${r - 1} l ON l.node = s.nbr
+        |       GROUP BY s.node, l.label),
+        |l$r AS (SELECT node, label FROM (
+        |         SELECT node, label,
+        |                ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        |         FROM v$r) WHERE rn = 1)""".stripMargin)
+    }
+    sb.append(s"""
+      |, sz AS (SELECT label, COUNT(*) AS community_size FROM l$rounds GROUP BY label)
+      |SELECT f.node, f.label AS community,
+      |       CAST(sz.community_size AS BIGINT) AS community_size
+      |FROM l$rounds f JOIN sz ON sz.label = f.label""".stripMargin)
+    sb.toString
+  }
 
   /** Unrolled greedy k-center recurrence (k=8): c0 seeds at the
     * smallest vec_id, s_r folds the rounded distance to center r−1

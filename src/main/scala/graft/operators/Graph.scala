@@ -238,4 +238,47 @@ object Graph {
     tri.select(explode(array(col("src"), col("dst"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** COMMUNITY detection by deterministic synchronous label
+    * propagation (Raghavan et al. 2007, made hash-checkable): labels
+    * start as node ids; each round every node adopts the MOST FREQUENT
+    * label among its neighbors, ties to the smallest label, all
+    * updates reading the PREVIOUS round (synchronous — the
+    * asynchronous variant's result depends on visit order, which no
+    * cross-engine oracle could replay). Returns (node, community)
+    * after `rounds` rounds plus each community's size.
+    *
+    * Scale shape: one round = the symmetric edge frame joining the
+    * node-keyed label frame (narrow longs), a partial-aggregating
+    * (node, label) count, and a struct-MIN argmax — never a
+    * per-node sort; labels localCheckpoint per round (the pageRank
+    * lineage rule). Isolated nodes keep their own label by the left
+    * join. Shares [[coPurchaseEdges]]' basket-capped, checkpointed
+    * edge build with [[triangles]]. */
+  def communities(lineitem: DataFrame, rounds: Int = 4,
+                  maxBasket: Int = 1024): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1, 16], got $rounds")
+    val edges = coPurchaseEdges(lineitem, maxBasket)
+    val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .unionByName(edges.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint()
+    val nodes = sym.select(col("node")).distinct().localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 0 until rounds) {
+      val votes = sym
+        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
+      val winners = votes
+        .groupBy(col("node"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+          .getField("l").as("new_label"))
+      labels = nodes.join(winners, Seq("node"), "left")
+        .select(col("node"), coalesce(col("new_label"), col("node")).as("label"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+    labels.select(col("node"), col("label").as("community"))
+      .join(sizes.select(col("label").as("community"), col("community_size")), "community")
+      .select(col("node"), col("community"), col("community_size"))
+  }
 }

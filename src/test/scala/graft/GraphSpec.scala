@@ -106,4 +106,23 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(once == doubled && once.values.toSet == Set(1L))
   }
+
+  test("communities: two cliques joined by one bridge edge stay two communities") {
+    // order 1 = clique {1,2,3}, order 2 = clique {10,11,12},
+    // order 3 = the bridge edge 3-10; LPA majorities keep the cliques apart
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 10L), (2L, 11L), (2L, 12L),
+      (3L, 3L), (3L, 10L)).toDF("l_orderkey", "l_partkey")
+    val out = Graph.communities(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCommunity = out.groupBy(_._2).map { case (c, ns) => (c, ns.map(_._1).toSet) }
+    assert(byCommunity.values.toSet == Set(Set(1L, 2L, 3L), Set(10L, 11L, 12L)),
+      s"got $byCommunity")
+    assert(out.forall(_._3 == 3L)) // both community sizes are 3
+    // determinism: a second run assigns identical labels
+    val again = Graph.communities(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
 }
