@@ -109,6 +109,11 @@ object GraftFunctions {
       arity("graft_gram_hashes", args, 2)
       GramHashes(args(0), intArg("graft_gram_hashes", args, 1))
     },
+    fn("graft_nfc_normalize",
+      "graft_nfc_normalize(text) - Unicode NFC canonicalization (UAX #15)") { args =>
+      arity("graft_nfc_normalize", args, 1)
+      NfcNormalize(args(0))
+    },
   )
 
   /** Register every graft function on a live session (idempotent —

@@ -194,6 +194,19 @@ object SparkEntry {
     // never a vocabulary-wide rank sort
     "t_zipf_alpha" -> ((s, dir) =>
       graft.functions.TextAnalysis.zipfAlpha(Tables.documents(s, dir))),
+    // Unicode NFC canonicalization through the native codegen kernel;
+    // the fixture decomposes accents per doc so the normalizer has
+    // real work whose collapse both engines must agree on
+    "t_nfc_normalize" -> ((s, dir) => {
+      import graft.functions.TextKernels.nfcNormalize
+      val decomp = concat(
+        repeat(lit("e\u0301"), (lit(1) + col("doc_id") % 3).cast("int")),
+        substring(col("text"), 1, 20))
+      Tables.documents(s, dir).select(col("doc_id"),
+        length(decomp).cast("long").as("n_before"),
+        length(nfcNormalize(decomp)).cast("long").as("n_after"),
+        md5(nfcNormalize(decomp)).as("nfc_md5"))
+    }),
     "t_tfidf" -> ((s, dir) =>
       graft.functions.TextAnalysis.tfidf(Tables.documents(s, dir))),
     // lexical near-neighbor retrieval over top-k TF-IDF sparse vectors
@@ -2275,6 +2288,17 @@ object SparkEntry {
         |tc AS (SELECT term, COUNT(*) AS f FROM tok GROUP BY term)
         |SELECT f, COUNT(*) AS n_terms, CAST(SUM(f) AS BIGINT) AS n_tokens
         |FROM tc GROUP BY f""".stripMargin,
+    // NFC: DuckDB's nfc_normalize implements the same UAX #15 the JDK
+    // kernel wraps; chr(769) is the combining acute the fixture repeats
+    "t_nfc_normalize" ->
+      """WITH d AS (SELECT doc_id,
+        |                  repeat('e' || chr(769), CAST(1 + doc_id % 3 AS INT))
+        |                    || substring(text, 1, 20) AS s
+        |           FROM documents)
+        |SELECT doc_id, CAST(length(s) AS BIGINT) AS n_before,
+        |       CAST(length(nfc_normalize(s)) AS BIGINT) AS n_after,
+        |       md5(nfc_normalize(s)) AS nfc_md5
+        |FROM d""".stripMargin,
     // Zipf MLE: the spectrum CTE + one weighted-decimal-log aggregate;
     // weights are exact integers, logs 9-dp-rounded before the sum
     "t_zipf_alpha" ->

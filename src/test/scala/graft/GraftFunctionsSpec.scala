@@ -174,4 +174,43 @@ class GraftFunctionsSpec extends SparkSpec {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("graft_nfc_normalize ≡ TextKernels.nfcNormalize") {
+    docsView
+    assertSameByKey(
+      "SELECT doc_id, graft_nfc_normalize(concat(text, 'e\u0301')) AS n FROM gf_docs",
+      registered.table("gf_docs").select(col("doc_id"),
+        graft.functions.TextKernels.nfcNormalize(
+          org.apache.spark.sql.functions.concat(col("text"),
+            org.apache.spark.sql.functions.lit("e\u0301"))).as("n")))
+  }
+
+  test("nfcNormalize: decomposed collapses to precomposed, idempotent, null-safe") {
+    import spark.implicits._
+    import graft.functions.TextKernels.nfcNormalize
+    import org.apache.spark.sql.functions.length
+    val df = Seq(
+      (1L, "cafe\u0301"),          // decomposed é -> café (4 -> ... 5 -> 4 chars)
+      (2L, "caf\u00e9"),           // already NFC: unchanged
+      (3L, "A\u030A"),             // A + ring -> Å
+      (4L, ""),                    // empty survives
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val out = df.select(col("id"), nfcNormalize(col("s")).as("n"),
+        length(nfcNormalize(col("s"))).as("len"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) == "caf\u00e9" && out(2L) == "caf\u00e9")
+    assert(out(3L) == "\u00C5")
+    assert(out(4L) == "" && out(5L) == null)
+    // idempotence: normalizing twice is the identity on the first pass
+    val twice = df.filter("s IS NOT NULL")
+      .select(nfcNormalize(nfcNormalize(col("s"))) === nfcNormalize(col("s")))
+      .collect().map(_.getBoolean(0))
+    assert(twice.forall(identity))
+    // interpreted path (nullSafeEval) agrees with the codegen result
+    val expr = graft.functions.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        "cafe\u0301", org.apache.spark.sql.types.StringType))
+    assert(expr.eval(null).toString == "caf\u00e9")
+  }
 }
