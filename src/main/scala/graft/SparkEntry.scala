@@ -147,6 +147,10 @@ object SparkEntry {
     "q2_min_cost_supplier" -> ((s, dir) =>
       Relational.minCostSupplier(Tables.lineitem(s, dir),
         Tables.supplier(s, dir), Tables.nation(s, dir))),
+    // Q11-shaped HAVING against a global scalar: parts above a
+    // fraction of total value, the scalar planned once and broadcast
+    "q11_important_parts" -> ((s, dir) =>
+      Relational.importantParts(Tables.lineitem(s, dir))),
     // ANSI set ops: INTERSECT / EXCEPT over per-year customer sets
     "q_set_ops" -> ((s, dir) => Relational.customerYearSetOps(Tables.orders(s, dir))),
     // Z-order layout key: Morton interleave of (customer, order date)
@@ -1228,6 +1232,17 @@ object SparkEntry {
         |WHERE l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
         |                           FROM lineitem l2
         |                           WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    // Q11 shape: exact-decimal sums decide membership via the
+    // division-free cross-multiplication; value rounds only in the
+    // projection
+    "q11_important_parts" ->
+      """SELECT l_partkey,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS value
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |         * (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) >
+        |       (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 1.5 FROM lineitem)""".stripMargin,
     // set ops: INTERSECT/EXCEPT are distinct-semantics in both engines
     "q_set_ops" ->
       """SELECT o_custkey, 'both' AS set_op FROM (

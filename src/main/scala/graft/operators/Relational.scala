@@ -294,6 +294,41 @@ object Relational {
 
   private val viewId = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** TPC-H Q11-shaped "important stock": parts whose aggregate line
+    * value exceeds a FRACTION of the corpus-wide total — the
+    * group-HAVING-against-a-global-scalar pattern (Q11's
+    * `HAVING sum(...) > (SELECT sum(...) * fraction ...)`). SQL-form:
+    * Catalyst plans the uncorrelated scalar subquery as ONE reusable
+    * subquery result broadcast into the filter — the aggregate runs
+    * once, not per group. All sums are exact DECIMAL; the threshold
+    * compare is decimal-exact on both engines (values, not float
+    * representations, decide membership), and only the REPORTED value
+    * rounds to 2 dp.
+    *
+    * Scale shape: two partial-aggregating passes over lineitem (the
+    * per-part sum and the global sum), one narrow part-keyed
+    * exchange, a one-row broadcast — no join of lineitem against
+    * itself. */
+  def importantParts(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    val view = s"graft_q11_lineitem_${viewId.incrementAndGet()}"
+    lineitem.createOrReplaceTempView(view)
+    // scale-free threshold (1.5x the MEAN per-part value, so the row
+    // count tracks the distribution at any sf) stated as an exact
+    // cross-multiplication — val*n_parts > 1.5*total — because decimal
+    // DIVISION rounds under different scale rules across engines while
+    // decimal multiplication is exact in both
+    try org.apache.spark.sql.graft.SqlBridge.ofAnalyzed(spark, spark.sql(s"""
+      SELECT l_partkey,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS value
+      FROM $view
+      GROUP BY l_partkey
+      HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+               * (SELECT COUNT(DISTINCT l_partkey) FROM $view) >
+             (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 1.5 FROM $view)"""))
+    finally spark.catalog.dropTempView(view)
+  }
+
   /** TPC-H Q2-shaped MIN-cost supplier: for every part, the
     * supplier(s) whose line price equals the part's minimum — the
     * classic correlated SCALAR-MIN subquery (Q2's inner
