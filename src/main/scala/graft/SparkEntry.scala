@@ -530,6 +530,10 @@ object SparkEntry {
     // statistics from the actual little-endian PCM bytes
     "m_audio_features" -> ((s, dir) =>
       Multimodal.audioFeatures(Multimodal.wavDocs(Tables.documents(s, dir))).toDF()),
+    // short-lag autocorrelation over real PCM: exact integer products,
+    // normalized once (the pitch/periodicity feature)
+    "m_audio_autocorr" -> ((s, dir) =>
+      Multimodal.audioAutocorr(Multimodal.wavDocs(Tables.documents(s, dir)))),
     // REAL RIFF/AVI container walk: avih header fields + movi frame
     // index from the actual little-endian bytes
     "m_avi_meta" -> ((s, dir) =>
@@ -2002,6 +2006,26 @@ object SparkEntry {
         |       CAST(start_frame AS INT) AS start_frame, CAST(end_frame AS INT) AS end_frame,
         |       CAST(n_frames AS INT) AS n_frames, CAST(peak AS BIGINT) AS peak
         |FROM seg""".stripMargin,
+    // autocorr: samples recomputed from the wavDocs closed form as
+    // signed 16-bit, every product summed in exact integers
+    "m_audio_autocorr" ->
+      """WITH d AS (SELECT doc_id, CAST(16 + doc_id % 97 AS INT) AS n FROM documents),
+        |s AS (SELECT doc_id, n, j,
+        |             CASE WHEN m >= 32768 THEN m - 65536 ELSE m END AS v
+        |      FROM (SELECT doc_id, n, j, (doc_id * 31 + j * 7919) % 65536 AS m
+        |            FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS j
+        |                  FROM d))),
+        |r0 AS (SELECT doc_id, SUM(v * v) AS r0 FROM s GROUP BY doc_id),
+        |lags AS (SELECT unnest([1, 2, 4, 8]) AS lag),
+        |rl AS (SELECT a.doc_id, l.lag, COALESCE(SUM(a.v * b.v), 0) AS raw
+        |       FROM lags l
+        |       CROSS JOIN s a
+        |       LEFT JOIN s b ON b.doc_id = a.doc_id AND b.j = a.j + l.lag
+        |       GROUP BY a.doc_id, l.lag)
+        |SELECT rl.doc_id, CAST(rl.lag AS INT) AS lag, CAST(rl.raw AS BIGINT) AS raw,
+        |       CASE WHEN r0.r0 = 0 THEN 0.0
+        |            ELSE ROUND(rl.raw / CAST(r0.r0 AS DOUBLE) + 1e-12, 6) END AS norm
+        |FROM rl JOIN r0 ON r0.doc_id = rl.doc_id""".stripMargin,
     // AVI: the fixture is closed-form in doc_id, so the oracle
     // recomputes header fields and every sampled frame byte
     "m_avi_meta" ->

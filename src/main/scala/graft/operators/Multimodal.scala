@@ -406,6 +406,48 @@ object Multimodal {
       })
   }
 
+  case class AudioAutocorr(doc_id: Long, lag: Int, raw: Long, norm: Double)
+
+  /** Short-lag AUTOCORRELATION over REAL decoded PCM — the
+    * periodicity/pitch feature a speech-corpus build extracts next to
+    * [[audioFeatures]]' energy statistics (voiced speech shows strong
+    * short-lag correlation; hiss shows none). r_L = Σ s[n]·s[n+L] for
+    * each `lag`, reported raw (EXACT integer sum of 16-bit products —
+    * deliberately never a float reduction, so the value is
+    * order-independent and engine-identical by construction, the same
+    * reason audioFeatures sums squares in integers) and normalized by
+    * r₀ as a 6-dp double ratio (one division, repo nudge).
+    *
+    * Same map-only batched decode seam: payloads never shuffle, only
+    * (id, lag, two numbers) rows do. */
+  def audioAutocorr(bin: DataFrame, lags: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"lags must be positive, got $lags")
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val meta = parseWav(id, bytes).getOrElse(throw new IllegalArgumentException(
+          s"doc $id: audioAutocorr needs a canonical uncompressed PCM WAV payload"))
+        require(meta.bits == 16 && meta.channels == 1,
+          s"doc $id: only mono 16-bit PCM is modeled")
+        val n = meta.n_samples.toInt
+        def s(i: Int): Long =
+          ((bytes(44 + 2 * i) & 0xFF) | (bytes(45 + 2 * i) << 8)).toShort.toLong
+        var r0 = 0L
+        var i = 0
+        while (i < n) { r0 += s(i) * s(i); i += 1 }
+        lags.iterator.map { lag =>
+          var r = 0L
+          var j = 0
+          while (j + lag < n) { r += s(j) * s(j + lag); j += 1 }
+          val norm = if (r0 == 0) 0.0
+          else BigDecimal(r.toDouble / r0 + 1e-12)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          AudioAutocorr(id, lag, r, norm)
+        }
+      }).toDF()
+  }
+
   /** DETERMINISTIC FAKE decode — the seam where a real JPEG/GIF-class
     * codec plugs in. BMP never reaches here ([[parseBmp]] handles it
     * for real), and neither does a well-formed PNG: headers decode via

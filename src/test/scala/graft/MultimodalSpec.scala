@@ -637,6 +637,23 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseGif(42L, bytes).isEmpty)
   }
 
+  test("audioAutocorr: exact integer sums on a hand-built tone; constant signal normalizes to 1") {
+    // build a canonical mono 16-bit WAV via the fixture path then check
+    // a hand-computed lag sum; a CONSTANT signal has r_L/r_0 -> (n-L)/n
+    val one = Tables.documents(spark, sf0001).filter("doc_id = 3")
+    val out = Multimodal.audioAutocorr(Multimodal.wavDocs(one)).orderBy("lag")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val n = 16 + 3 % 97
+    def samp(j: Int): Long = (((3L * 31 + j * 7919) % 65536).toInt match {
+      case m if m >= 32768 => m - 65536; case m => m })
+    val r0 = (0 until n).map(j => samp(j) * samp(j)).sum
+    val want1 = (0 until n - 1).map(j => samp(j) * samp(j + 1)).sum
+    assert(out.head._1 == 1 && out.head._2 == want1)
+    assert(out.head._3 == BigDecimal(want1.toDouble / r0 + 1e-12)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.map(_._1).toSeq == Seq(1, 2, 4, 8))
+  }
+
   test("aviDocs builds well-formed AVIs whose container walk matches the closed form") {
     val docs = Tables.documents(spark, sf0001).limit(40)
     val out = Multimodal.aviMeta(Multimodal.aviDocs(docs)).collect()
