@@ -407,6 +407,10 @@ object SparkEntry {
     // appearing >= 3 times corpus-wide drops (nav bars / footers)
     "c_drop_boilerplate" -> ((s, dir) =>
       Corpus.dropBoilerplate(Tables.documents(s, dir))),
+    // T5 span-corruption masks: deterministic hash-ranked span starts,
+    // overlaps merged, mask fingerprinted
+    "c_span_mask" -> ((s, dir) =>
+      Corpus.spanCorruptionMask(Tables.documents(s, dir))),
     // weighted PageRank by power iteration over the customer–supplier
     // purchase graph (exact-decimal contributions, 9-dp pr per round)
     "q_pagerank" -> ((s, dir) =>
@@ -2222,6 +2226,24 @@ object SparkEntry {
         |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |       md5(string_agg(s, '. ' ORDER BY si)) AS chunk_md5
         |FROM c GROUP BY doc_id, chunk_idx""".stripMargin,
+    // span masks: the oracle replays the identical hash-rank draw and
+    // span clipping; the mask fingerprint orders indices numerically
+    "c_span_mask" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id, len(w) AS n, unnest(generate_series(0, len(w) - 1)) AS i
+        |      FROM t),
+        |h AS (SELECT doc_id, n, i, md5(doc_id || ':' || i) AS h FROM p),
+        |r AS (SELECT doc_id, n, i,
+        |             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h, i) AS rk,
+        |             GREATEST(1, CAST(floor(n * 0.15 / 3 + 0.5) AS BIGINT)) AS k
+        |      FROM h),
+        |m AS (SELECT DISTINCT doc_id, n, k,
+        |             unnest(generate_series(i, least(i + 2, n - 1))) AS mi
+        |      FROM r WHERE rk <= k)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(k AS BIGINT) AS n_spans,
+        |       COUNT(*) AS n_masked,
+        |       md5(string_agg(mi, ',' ORDER BY mi)) AS mask_md5
+        |FROM m GROUP BY doc_id, n, k""".stripMargin,
     // boilerplate removal: the oracle counts raw sentence strings where
     // Spark counts 8-byte fingerprints — same drop set absent collision
     "c_drop_boilerplate" ->

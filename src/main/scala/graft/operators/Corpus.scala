@@ -777,6 +777,54 @@ object Corpus {
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
 
+  /** T5-style SPAN-CORRUPTION mask generation (Raffel et al. 2020
+    * §3.1.4: mask ~15% of tokens in mean-length-3 spans) — the
+    * denoising-objective preprocessing a seq2seq pretraining build
+    * materializes per document. Spans must be DETERMINISTIC (the same
+    * document masks identically on every run and engine, or resumed
+    * training sees different targets): span starts are the k
+    * smallest md5(doc_id:position) draws, k = ⌊n·rate/len + ½⌋ (≥ 1),
+    * each start masking `spanLen` tokens clipped to the document;
+    * overlapping spans merge. Returns (doc_id, n_tokens, n_spans,
+    * n_masked, mask_md5) with the fingerprint over the ascending
+    * masked-index list — the compact cross-engine-exact form of the
+    * mask itself.
+    *
+    * Scale shape: one explode to positions, a per-doc rank window and
+    * a per-doc distinct + aggregation — all on doc_id partitions
+    * (fine-grained keys, never corpus-wide), hash ranks crossing the
+    * shuffle instead of text. */
+  def spanCorruptionMask(documents: DataFrame, maskRate: Double = 0.15,
+                         spanLen: Int = 3): DataFrame = {
+    require(maskRate > 0 && maskRate < 1 && spanLen >= 1,
+      s"need 0 < maskRate < 1 and spanLen >= 1, got ($maskRate, $spanLen)")
+    import org.apache.spark.sql.expressions.Window
+    val pos = documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).as("n"),
+        posexplode(col("w")).as(Seq("i", "tok")))
+      .select(col("doc_id"), col("n"), col("i"),
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("i").cast("string")))
+          .as("h"))
+    val ranked = pos
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("h"), col("i"))))
+      .withColumn("k", greatest(lit(1L),
+        floor(col("n") * maskRate / spanLen + lit(0.5))))
+    ranked.filter(col("rk") <= col("k"))
+      .select(col("doc_id"), col("n"), col("k"),
+        explode(sequence(col("i").cast("long"),
+          least(col("i") + spanLen - 1, col("n") - 1).cast("long"))).as("mi"))
+      .distinct()
+      .groupBy(col("doc_id"), col("n"), col("k"))
+      .agg(count(lit(1)).as("n_masked"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(col("mi"))), _.cast("string"))))
+          .as("mask_md5"))
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        col("k").as("n_spans"), col("n_masked"), col("mask_md5"))
+  }
+
   /** Corpus-wide BOILERPLATE LINE removal — the C4 rule (Raffel et al.
     * 2020 §2.2: discard any line occurring ≥ 3 times in the corpus),
     * the web-curation pass that strips navigation bars, cookie

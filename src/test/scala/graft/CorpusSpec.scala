@@ -482,6 +482,20 @@ class CorpusSpec extends SparkSpec {
     assert(out.exists(!_._4) && out.count(_._4) >= scores.length - need)
   }
 
+  test("spanCorruptionMask: deterministic, clipped at doc end, overlaps merged, ~15% rate") {
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val out = Corpus.spanCorruptionMask(docs(1L -> text)).collect().head
+    val (n, k, masked) = (out.getLong(1), out.getLong(2), out.getLong(3))
+    assert(n == 100L && k == 5L) // floor(100*0.05 + 0.5) = 5 spans
+    assert(masked <= k * 3 && masked >= k) // merging can shrink, never grow
+    // deterministic across runs
+    val again = Corpus.spanCorruptionMask(docs(1L -> text)).collect().head
+    assert(again.getString(4) == out.getString(4) && again.getLong(3) == masked)
+    // a tiny doc still gets >= 1 span, clipped to its length
+    val tiny = Corpus.spanCorruptionMask(docs(2L -> "a b")).collect().head
+    assert(tiny.getLong(2) == 1L && tiny.getLong(3) <= 2L && tiny.getLong(3) >= 1L)
+  }
+
   test("dropBoilerplate: every occurrence of a hot sentence drops, docs stay id-complete") {
     // "cookie notice" appears 3x corpus-wide (>= minDf) -> all three
     // copies drop, including the doc made ONLY of it; unique and
