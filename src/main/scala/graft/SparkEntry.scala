@@ -289,9 +289,13 @@ object SparkEntry {
     "d_containment_pairs" -> ((s, dir) => Dedup.containmentPairs(Tables.documents(s, dir))),
     "d_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(Tables.documents(s, dir))),
     // LSH recall-vs-similarity curve: exact pairs at jac>=0.5 banded
-    // by 0.1, scored by whether the production minhash path found them
+    // by 0.1, scored by whether the production minhash path found
+    // them. Runs on a deterministic 25% eval slice — the ground-truth
+    // leg is the quadratic exact baseline, and an index evaluation
+    // needs a sample, not the corpus (measured 17.5 -> ~2 s at sf0.1)
     "d_minhash_recall" -> ((s, dir) =>
-      Dedup.minhashRecallCurve(Tables.documents(s, dir))),
+      Dedup.minhashRecallCurve(
+        Tables.documents(s, dir).filter(col("doc_id") % 4 === 0))),
     // cross-source duplication matrix: near-dup pairs rolled up by
     // unordered source pair (the provenance diagnostic)
     "d_dup_matrix" -> ((s, dir) =>
@@ -2685,7 +2689,8 @@ object SparkEntry {
     // jac>=0.8 subset, since the banded path surfaces exactly those
     // (same recall-1-at-threshold assumption as d_minhash_pairs)
     "d_minhash_recall" ->
-      s"""WITH p AS (${jaccardOracleAt("0.5")})
+      s"""WITH p AS (${jaccardOracleAt("0.5",
+          "(SELECT * FROM documents WHERE doc_id % 4 = 0)")})
         |SELECT CAST(floor(jac * 10) AS BIGINT) AS jac_band,
         |       COUNT(*) AS n_pairs,
         |       CAST(SUM(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
@@ -3666,10 +3671,12 @@ object SparkEntry {
     sb.toString
   }
 
-  // threshold-parameterized so the LSH recall-curve oracle can reuse
-  // the identical shingle/intersection CTEs at its eval threshold
-  private def jaccardOracleAt(threshold: String): String =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  // threshold-parameterized (and source-parameterized, for the recall
+  // curve's eval slice) so the LSH recall-curve oracle can reuse the
+  // identical shingle/intersection CTEs at its eval threshold
+  private def jaccardOracleAt(threshold: String,
+                              source: String = "documents"): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM $source),
       |tok AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM toks),
       |sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
       |       FROM tok a
