@@ -137,6 +137,9 @@ object SparkEntry {
     // window frames: trailing 7-day RANGE sum + running total over the
     // daily revenue series
     "q_moving_avg" -> ((s, dir) => Relational.revenueMovingAvg(Tables.orders(s, dir))),
+    // the ANSI distribution-rank family: ntile / percent_rank /
+    // cume_dist over the day-grain revenue series
+    "q_revenue_ranks" -> ((s, dir) => Relational.revenueRanks(Tables.orders(s, dir))),
     // PIVOT: one order-count column per priority, per year
     "q_pivot" -> ((s, dir) => Relational.ordersPivot(Tables.orders(s, dir))),
     // correlated scalar-agg subquery (Catalyst decorrelation)
@@ -1211,6 +1214,19 @@ object SparkEntry {
         |       CAST(ROUND(SUM(rev) OVER (ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rev_trailing,
         |       CAST(ROUND(SUM(rev) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS cum_rev
         |FROM d""".stripMargin,
+    // rank family: both engines define ntile/percent_rank/cume_dist by
+    // the ANSI formulas; ordering by (exact decimal, day) pins ranks
+    "q_revenue_ranks" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS o_day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT strftime(o_day, '%Y-%m-%d') AS o_day,
+        |       CAST(ROUND(rev, 2) AS DOUBLE) AS day_rev,
+        |       CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |       ROUND(PERCENT_RANK() OVER w + 1e-12, 6) AS pct_rank,
+        |       ROUND(CUME_DIST() OVER w + 1e-12, 6) AS cume
+        |FROM daily WINDOW w AS (ORDER BY rev, o_day)""".stripMargin,
     // pivot: conditional aggregation — COUNT FILTER is 0 where Spark's
     // pivot cell is NULL, normalized by the Spark-side coalesce
     "q_pivot" ->

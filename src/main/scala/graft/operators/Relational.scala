@@ -258,6 +258,33 @@ object Relational {
       round(sum(col("rev")).over(cum), 2).cast("double").as("cum_rev"))
   }
 
+  /** Distribution-rank WINDOW functions over the day-grain revenue
+    * series — ntile quartiles, percent_rank and cume_dist, the
+    * remaining ANSI rank family next to [[revenueMovingAvg]]'s
+    * frames. percent_rank = (rank−1)/(n−1) and cume_dist = rank_max/n
+    * are exact small-integer ratios; one division each, 6-dp rounded
+    * (repo nudge), ORDERED BY THE EXACT DECIMAL revenue with the day
+    * as tiebreak so ranks can never flip cross-engine.
+    *
+    * Scale note: the windows are unpartitioned by design — the input
+    * is the day-grain aggregate (one row per calendar day, bounded by
+    * the calendar exactly like the moving-average series), not a
+    * corpus-sized frame. */
+  def revenueRanks(orders: DataFrame, buckets: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val daily = orders
+      .groupBy(col("o_orderdate").cast("date").as("o_day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+    val byRev = Window.orderBy(col("rev"), col("o_day"))
+    daily.select(
+      date_format(col("o_day"), "yyyy-MM-dd").as("o_day"),
+      round(col("rev"), 2).cast("double").as("day_rev"),
+      ntile(buckets).over(byRev).as("quartile"),
+      round(percent_rank().over(byRev) + lit(1e-12), 6).as("pct_rank"),
+      round(cume_dist().over(byRev) + lit(1e-12), 6).as("cume"))
+  }
+
   /** TPC-H Q17-shaped correlated SCALAR-aggregate subquery, written as
     * SQL on purpose: the per-row `(SELECT avg(..) WHERE same part)`
     * is exactly the shape Catalyst's subquery DECORRELATION must
