@@ -201,6 +201,10 @@ object SparkEntry {
     // never a vocabulary-wide rank sort
     "t_zipf_alpha" -> ((s, dir) =>
       graft.functions.TextAnalysis.zipfAlpha(Tables.documents(s, dir))),
+    // Flesch-style readability: exact-integer vowel-group syllables,
+    // one rounded affine combine per doc
+    "t_readability" -> ((s, dir) =>
+      graft.functions.TextAnalysis.readability(Tables.documents(s, dir))),
     // Unicode NFC canonicalization through the native codegen kernel;
     // the fixture decomposes accents per doc so the normalizer has
     // real work whose collapse both engines must agree on
@@ -2369,6 +2373,20 @@ object SparkEntry {
         |tc AS (SELECT term, COUNT(*) AS f FROM tok GROUP BY term)
         |SELECT f, COUNT(*) AS n_terms, CAST(SUM(f) AS BIGINT) AS n_tokens
         |FROM tc GROUP BY f""".stripMargin,
+    // readability: regexp_matches-based vowel-group count = Spark's
+    // regexp_extract_all length; the ". " sentence rule shared repo-wide
+    "t_readability" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |       CAST(len(string_split(text, '. ')) AS BIGINT) AS n_sents,
+        |       CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syll,
+        |       ROUND(206.835
+        |             - 1.015 * (len(string_split(text, ' '))
+        |                        / CAST(len(string_split(text, '. ')) AS DOUBLE))
+        |             - 84.6 * (len(regexp_extract_all(text, '[aeiouy]+'))
+        |                       / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE))
+        |             + 1e-12, 4) AS flesch
+        |FROM documents""".stripMargin,
     // NFC: DuckDB's nfc_normalize implements the same UAX #15 the JDK
     // kernel wraps; chr(769) is the combining acute the fixture repeats
     "t_nfc_normalize" ->

@@ -248,6 +248,33 @@ object TextAnalysis {
       .select(col("f"), col("n_terms"), col("n_tokens"))
   }
 
+  /** Flesch-style READABILITY score — the document-complexity quality
+    * signal (too-simple = template spam, too-complex = OCR garbage;
+    * CCNet-class pipelines band corpora by it): 206.835 − 1.015·
+    * (words/sentences) − 84.6·(syllables/words), with syllables
+    * approximated as VOWEL GROUPS (maximal [aeiouy]+ runs — the
+    * standard heuristic, and an exact-integer regexp count both
+    * engines agree on, where true syllabification is
+    * dictionary-dependent). Sentences are the ". " rule shared with
+    * [[graft.operators.Corpus.sentenceChunks]].
+    *
+    * Pure per-row codegen (two regexp counts, two splits) — no
+    * shuffle; the two divisions and the affine combine run once per
+    * doc in doubles and round once at 4 dp (repo nudge). */
+  def readability(documents: DataFrame): DataFrame = {
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val nSents = size(split(col("text"), "\\. ")).cast("long")
+    val nVowelGroups = size(regexp_extract_all(col("text"), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    documents.select(col("doc_id"),
+        nWords.as("n_words"), nSents.as("n_sents"), nVowelGroups.as("n_syll"))
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sents"))
+          - lit(84.6) * (col("n_syll").cast("double") / greatest(col("n_words"), lit(1L)))
+          + lit(1e-12), 4))
+  }
+
   /** Zipf power-law exponent of the corpus vocabulary by the Clauset–
     * Shalizi–Newman continuous MLE: α = 1 + n / Σᵢ ln(fᵢ/(fmin−½))
     * over terms with frequency ≥ fmin — the vocabulary-shape

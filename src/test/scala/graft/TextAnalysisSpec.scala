@@ -343,6 +343,22 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     assert(out(2) == ((3L, "already clean text", 3L)))
   }
 
+  test("readability: hand-computed Flesch on fixed counts; harder text scores lower") {
+    import spark.implicits._
+    // "go on. it is up" -> 5 words (incl 'on.'), 2 sentences, vowel
+    // groups: o,o,i,i,u -> 5
+    val df = Seq((1L, "go on. it is up"),
+      (2L, "extraordinary unbelievable incomprehensibility")).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out(0)._2 == 5L && out(0)._3 == 2L && out(0)._4 == 5L)
+    val want = BigDecimal(206.835 - 1.015 * (5.0 / 2) - 84.6 * (5.0 / 5) + 1e-12)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0)._5 == want)
+    // three long polysyllabic words in one sentence score far lower
+    assert(out(1)._5 < out(0)._5)
+  }
+
   test("zipfAlpha: matches the hand-computed CSN MLE on a fixed spectrum") {
     import spark.implicits._
     // term counts: "a" x10, "b" x5, "c" x5; "d"/"e" fall below fmin=5
