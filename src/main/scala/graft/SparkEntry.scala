@@ -563,6 +563,10 @@ object SparkEntry {
     // luminance histogram + entropy over real decoded BMP pixels
     "m_image_stats" -> ((s, dir) =>
       Multimodal.imageStats(Multimodal.phashDocs(Tables.documents(s, dir))).toDF()),
+    // ViT patchify: 4x4 integer grid, exact per-patch luminance sums
+    // over the real decoded pixels
+    "m_image_patches" -> ((s, dir) =>
+      Multimodal.imagePatches(Multimodal.phashDocs(Tables.documents(s, dir)))),
     // energy VAD: active-frame runs merged to segments over real PCM
     "m_audio_vad" -> ((s, dir) =>
       Multimodal.audioVad(Multimodal.wavDocs(Tables.documents(s, dir))).toDF()),
@@ -1975,6 +1979,29 @@ object SparkEntry {
     // image stats: the phashDocs pixel construction replayed through
     // byte offsets (stride-padded rows skipped), 16-bin luminance
     // histogram, 9-dp-decimal entropy terms summed exactly
+    // patches: same pixel reconstruction as m_image_stats, grouped by
+    // the integer grid cell (floor divisions only — no float identity)
+    "m_image_patches" ->
+      """WITH d AS (SELECT doc_id, doc_id - doc_id % 4 AS base, doc_id % 4 AS r FROM documents),
+        |g AS (SELECT doc_id, base, r, 8 + base % 13 AS w, 8 + base % 7 AS h FROM d),
+        |s AS (SELECT doc_id, base, r, w, h, ((w * 3 + 3) // 4) * 4 AS stride FROM g),
+        |lum AS (SELECT doc_id, w, h,
+        |          [ (base + ((p // w) * stride + (p % w) * 3)
+        |             + CASE WHEN ((p // w) * stride + (p % w) * 3) % 23 = r THEN r * 32 ELSE 0 END) % 256
+        |          + (base + ((p // w) * stride + (p % w) * 3 + 1)
+        |             + CASE WHEN ((p // w) * stride + (p % w) * 3 + 1) % 23 = r THEN r * 32 ELSE 0 END) % 256
+        |          + (base + ((p // w) * stride + (p % w) * 3 + 2)
+        |             + CASE WHEN ((p // w) * stride + (p % w) * 3 + 2) % 23 = r THEN r * 32 ELSE 0 END) % 256
+        |            for p in generate_series(0, CAST(w * h AS INT) - 1) ] AS lu
+        |        FROM s),
+        |pp AS (SELECT doc_id, w, h, generate_subscripts(lu, 1) - 1 AS p, unnest(lu) AS l
+        |       FROM lum)
+        |SELECT doc_id,
+        |       CAST(((p // w) * 4 // h) * 4 + ((p % w) * 4 // w) AS INT) AS patch_idx,
+        |       COUNT(*) AS n_px,
+        |       CAST(SUM(l) AS BIGINT) AS lum_sum,
+        |       ROUND(SUM(l) / (3.0 * COUNT(*)) + 1e-12, 4) AS mean_lum
+        |FROM pp GROUP BY doc_id, patch_idx""".stripMargin,
     "m_image_stats" ->
       """WITH d AS (SELECT doc_id, doc_id - doc_id % 4 AS base, doc_id % 4 AS r FROM documents),
         |g AS (SELECT doc_id, base, r, 8 + base % 13 AS w, 8 + base % 7 AS h FROM d),

@@ -406,6 +406,58 @@ object Multimodal {
       })
   }
 
+  case class ImagePatch(doc_id: Long, patch_idx: Int, n_px: Long,
+                        lum_sum: Long, mean_lum: Double)
+
+  /** ViT-style PATCH grid over REAL decoded BMP pixels — the
+    * patchify stage a vision-training pipeline runs before embedding
+    * (an image becomes a g×g sequence of patch summaries): integer
+    * grid boundaries (patch of storage-row r, col c is
+    * (⌊r·g/h⌋·g + ⌊c·g/w⌋) — no float anywhere in patch identity),
+    * per-patch pixel count, EXACT integer B+G+R luminance sum and
+    * its 4-dp mean. Patch 0 is the storage-order corner (BMP rows
+    * store bottom-up; identity is consistent, orientation
+    * irrelevant to the summaries).
+    *
+    * Same map-only batched decode seam as [[imageStats]]: payloads
+    * never shuffle, g² summary rows per image do. */
+  def imagePatches(bin: DataFrame, grid: Int = 4): DataFrame = {
+    require(grid >= 1 && grid <= 16, s"grid must be in [1, 16], got $grid")
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val meta = parseBmp(id, bytes).getOrElse(throw new IllegalArgumentException(
+          s"doc $id: imagePatches needs a well-formed uncompressed BMP payload"))
+        val w = meta.width; val h = meta.height; val ch = meta.channels
+        require(w >= grid && h >= grid,
+          s"doc $id: image ${w}x$h smaller than the $grid-patch grid")
+        val stride = (w * ch + 3) / 4 * 4
+        val sums = new Array[Long](grid * grid)
+        val counts = new Array[Long](grid * grid)
+        var r = 0
+        while (r < h) {
+          val py = r * grid / h
+          var c = 0
+          while (c < w) {
+            val base = 54 + r * stride + c * ch
+            var lum = 0L
+            var k = 0
+            while (k < ch) { lum += bytes(base + k) & 0xFF; k += 1 }
+            val p = py * grid + c * grid / w
+            sums(p) += lum; counts(p) += 1
+            c += 1
+          }
+          r += 1
+        }
+        (0 until grid * grid).iterator.map { p =>
+          ImagePatch(id, p, counts(p), sums(p),
+            BigDecimal(sums(p).toDouble / (3.0 * counts(p)) + 1e-12)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }).toDF()
+  }
+
   case class AudioAutocorr(doc_id: Long, lag: Int, raw: Long, norm: Double)
 
   /** Short-lag AUTOCORRELATION over REAL decoded PCM — the

@@ -637,6 +637,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseGif(42L, bytes).isEmpty)
   }
 
+  test("imagePatches: 16 patches, pixel conservation, sums equal a brute-force re-read") {
+    val docs = Tables.documents(spark, sf0001).limit(12)
+    val bin = Multimodal.phashDocs(docs)
+    val out = Multimodal.imagePatches(bin).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.values.forall(_.length == 16))
+    // brute force: re-read every payload's pixels directly
+    val payloads = bin.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toMap
+    byDoc.foreach { case (id, patches) =>
+      val b = payloads(id)
+      def le32(i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+        ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+      val w = le32(18); val h = le32(22)
+      val stride = (w * 3 + 3) / 4 * 4
+      assert(patches.map(_._3).sum == w.toLong * h) // every pixel in exactly one patch
+      val want = Array.fill(16)(0L)
+      for (r <- 0 until h; c <- 0 until w) {
+        val base = 54 + r * stride + c * 3
+        val lum = (b(base) & 0xFF) + (b(base + 1) & 0xFF) + (b(base + 2) & 0xFF)
+        want((r * 4 / h) * 4 + c * 4 / w) += lum
+      }
+      patches.foreach { case (_, p, _, s) => assert(s == want(p), s"doc $id patch $p") }
+    }
+  }
+
   test("audioAutocorr: exact integer sums on a hand-built tone; constant signal normalizes to 1") {
     // build a canonical mono 16-bit WAV via the fixture path then check
     // a hand-computed lag sum; a CONSTANT signal has r_L/r_0 -> (n-L)/n
