@@ -376,6 +376,9 @@ object SparkEntry {
     // batch interval self-join via the 3-adjacent-time-bucket equi-join
     // (the theta-join a nested loop would otherwise plan)
     "q_interval_pairs" -> ((s, dir) => Sessions.intervalPairs(ev(s, dir))),
+    // robust MAD outlier profile per event type (median-based, so the
+    // outliers cannot drag their own threshold)
+    "q_mad_outliers" -> ((s, dir) => Sessions.madOutliers(ev(s, dir))),
     // ordered conversion funnel: view -> click -> purchase, strictly
     // increasing arrival times per user
     "q_funnel" -> ((s, dir) => Sessions.funnel(ev(s, dir))),
@@ -2588,6 +2591,22 @@ object SparkEntry {
         |       (prev IS NULL OR tus - prev > 86400000000) AS keep FROM l""".stripMargin,
     // strict-gap sessionization: same boundary rule the streaming
     // session_window replay is pinned to; exact-decimal session means
+    // MAD: exact interpolated medians (quantile_cont = Spark's
+    // percentile), raw-double comparisons, reported columns rounded
+    "q_mad_outliers" ->
+      """WITH e AS (SELECT event_type,
+        |                  CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS v FROM events),
+        |m AS (SELECT event_type, quantile_cont(v, 0.5) AS med, COUNT(*) AS n
+        |      FROM e GROUP BY event_type),
+        |d AS (SELECT e.event_type, v, med, n, abs(v - med) AS dv
+        |      FROM e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(dv, 0.5) AS mad
+        |       FROM d GROUP BY event_type)
+        |SELECT d.event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+        |       ROUND(MAX(med) + 1e-9, 4) AS median,
+        |       ROUND(MAX(mad) + 1e-9, 4) AS mad,
+        |       CAST(SUM(CASE WHEN dv > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (event_type) GROUP BY d.event_type""".stripMargin,
     // interval pairs: the oracle is the naive theta self-join the
     // bucketed Spark plan provably equals
     "q_interval_pairs" ->

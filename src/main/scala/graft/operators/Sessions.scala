@@ -119,6 +119,38 @@ object Sessions {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Robust OUTLIER profile per event type — median absolute
+    * deviation, the metric-anomaly rule every telemetry-quality pass
+    * applies where mean/stddev would be dragged by the very outliers
+    * it hunts: per type, median(v), MAD = median(|v − median|), and
+    * the count of values beyond `k`·MAD. Medians are the exact
+    * interpolated percentile over DECIMAL-canonicalized doubles (the
+    * [[graft.operators.Relational.priceQuantiles]] parity recipe —
+    * identical interpolation in both engines); every comparison runs
+    * on the RAW doubles and only the reported columns round.
+    *
+    * Scale shape: two grouped exact percentiles (each sorts within
+    * its type partition — at 100 TB swap in the quantile sketch, the
+    * documented trade of the percentile family) and one broadcast
+    * join of the type-keyed stats; output is one row per type. */
+  def madOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val e = events.select(col("event_type"),
+      col("value").cast("decimal(18,4)").cast("double").as("v"))
+    val med = e.groupBy(col("event_type"))
+      .agg(percentile(col("v"), lit(0.5)).as("med"), count(lit(1)).as("n"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("dv", abs(col("v") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("dv"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        round(max(col("med")) + lit(1e-9), 4).as("median"),
+        round(max(col("mad")) + lit(1e-9), 4).as("mad"),
+        sum(when(col("dv") > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** Batch INTERVAL self-join: all pairs of one user's events within
     * `deltaUs` of each other — the co-occurrence primitive behind
     * burst detection, action-correlation mining and the batch ground

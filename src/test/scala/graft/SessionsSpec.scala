@@ -95,6 +95,25 @@ class SessionsSpec extends SparkSpec {
       s"corpus-wide single-partition stage crept in:\n$p")
   }
 
+  test("madOutliers: hand-computed median/MAD; the planted spike is the only outlier") {
+    // values 1..9 plus a 1000 spike: median 5.5, deviations
+    // {4.5,3.5,...,0.5,994.5} -> MAD = median of sorted devs
+    val vals = (1 to 9).map(_.toDouble) :+ 1000.0
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, 1L, i.toLong, v, "x") }
+      .toDF("event_id", "user_id", "tus", "value", "event_type")
+      .select(col("event_id"), col("user_id"), (col("tus") * 1000L).as("ts"),
+        col("value"), col("event_type"))
+    val out = Sessions.madOutliers(df).collect().head
+    val med = 5.5
+    val devs = vals.map(v => math.abs(v - med)).sorted
+    val mad = (devs(4) + devs(5)) / 2.0
+    assert(out.getLong(1) == 10L && out.getDouble(2) == med)
+    assert(out.getDouble(3) == BigDecimal(mad + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.getLong(4) == vals.count(v => math.abs(v - med) > 3 * mad))
+    assert(out.getLong(4) == 1L) // exactly the 1000 spike
+  }
+
   test("intervalPairs: equals brute force incl. bucket-boundary and exact-delta edges") {
     val d = 1000L // deltaUs for the fixture
     val rows = Seq( // (event_id, user_id, tus)
