@@ -154,6 +154,10 @@ object SparkEntry {
     // fraction of total value, the scalar planned once and broadcast
     "q11_important_parts" -> ((s, dir) =>
       Relational.importantParts(Tables.lineitem(s, dir))),
+    // Q20-shaped IN over a grouped-HAVING subquery: semi join against
+    // the aggregated (supp, part) frame
+    "q20_excess_suppliers" -> ((s, dir) =>
+      Relational.excessSuppliers(Tables.supplier(s, dir), Tables.lineitem(s, dir))),
     // ANSI set ops: INTERSECT / EXCEPT over per-year customer sets
     "q_set_ops" -> ((s, dir) => Relational.customerYearSetOps(Tables.orders(s, dir))),
     // Z-order layout key: Morton interleave of (customer, order date)
@@ -1282,6 +1286,16 @@ object SparkEntry {
         |HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
         |         * (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) >
         |       (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 1.5 FROM lineitem)""".stripMargin,
+    // Q20 shape: IN-over-aggregate plans as a semi join; decimal-exact
+    // quantity sums decide the HAVING
+    "q20_excess_suppliers" ->
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_shipdate >= DATE '1995-01-01'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 95)""".stripMargin,
     // set ops: INTERSECT/EXCEPT are distinct-semantics in both engines
     "q_set_ops" ->
       """SELECT o_custkey, 'both' AS set_op FROM (

@@ -258,6 +258,36 @@ object Relational {
       round(sum(col("rev")).over(cum), 2).cast("double").as("cum_rev"))
   }
 
+  /** TPC-H Q20-shaped EXCESS-STOCK suppliers: suppliers appearing in
+    * the result of a GROUPED-HAVING subquery (some (supplier, part)
+    * shipped more than `minQty` units after `since`) — the
+    * IN-over-aggregate pattern Catalyst plans as a LEFT SEMI join
+    * against the aggregated frame (no duplicate expansion however
+    * many qualifying groups one supplier has). Quantity sums are
+    * exact DECIMAL; the date predicate pushes to the lineitem scan
+    * below the aggregate.
+    *
+    * Scale shape: lineitem aggregates once on (suppkey, partkey)
+    * with the filter pushed down, the qualifying-supplier frame is
+    * dimension-sized, and the semi join broadcasts it. */
+  def excessSuppliers(supplier: DataFrame, lineitem: DataFrame,
+                      since: String = "1995-01-01", minQty: Int = 95): DataFrame = {
+    val spark = supplier.sparkSession
+    val id = viewId.incrementAndGet()
+    val (sv, lv) = (s"graft_q20_s_$id", s"graft_q20_l_$id")
+    supplier.createOrReplaceTempView(sv)
+    lineitem.createOrReplaceTempView(lv)
+    try org.apache.spark.sql.graft.SqlBridge.ofAnalyzed(spark, spark.sql(s"""
+      SELECT s_suppkey, s_name, s_acctbal
+      FROM $sv
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM $lv
+        WHERE l_shipdate >= DATE '$since'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > $minQty)"""))
+    finally Seq(sv, lv).foreach(spark.catalog.dropTempView)
+  }
+
   /** Distribution-rank WINDOW functions over the day-grain revenue
     * series — ntile quartiles, percent_rank and cume_dist, the
     * remaining ANSI rank family next to [[revenueMovingAvg]]'s

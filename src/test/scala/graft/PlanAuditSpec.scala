@@ -349,6 +349,16 @@ class PlanAuditSpec extends SparkSpec {
       s"supplier/nation dims should broadcast:\n$p")
   }
 
+  test("excessSuppliers: IN-over-aggregate plans as one semi join, filter pushed") {
+    val p = plan(Relational.excessSuppliers(Tables.supplier(spark, dir),
+      Tables.lineitem(spark, dir)))
+    assert(p.contains("LeftSemi"), s"expected a semi join for the IN subquery:\n$p")
+    assert(!p.contains("CartesianProduct"), s"nested-loop fallback:\n$p")
+    // the date predicate reaches the lineitem scan (below the aggregate)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate")
+      || p.contains("GreaterThanOrEqual(l_shipdate"), s"date filter not pushed:\n$p")
+  }
+
   test("pq encode: broadcast codebook, shuffle-free corpus pass") {
     val emb = Tables.embeddings(spark, dir)
     val cb = ProductQuantization.train(emb)
