@@ -429,6 +429,9 @@ object SparkEntry {
     // overlaps merged, mask fingerprinted
     "c_span_mask" -> ((s, dir) =>
       Corpus.spanCorruptionMask(Tables.documents(s, dir))),
+    // one-row dataset card: the datasheet summary a release publishes
+    "c_dataset_card" -> ((s, dir) =>
+      Corpus.datasetCard(Tables.documents(s, dir))),
     // weighted PageRank by power iteration over the customer–supplier
     // purchase graph (exact-decimal contributions, 9-dp pr per round)
     "q_pagerank" -> ((s, dir) =>
@@ -2344,6 +2347,28 @@ object SparkEntry {
         |FROM c""".stripMargin,
     // per-source profile: same quality formula as t_quality_score,
     // per-doc rounded then DECIMAL-summed so the mean is order-exact
+    // dataset card: three distinct counts + exact-decimal quality mean
+    "c_dataset_card" ->
+      """WITH q AS (
+        |  SELECT source, lang, n_chars,
+        |         len(string_split(text, ' ')) AS n_toks,
+        |         md5(text) AS fp,
+        |         CAST(ROUND(
+        |           len(list_distinct(string_split(text,' '))) / CAST(len(string_split(text,' ')) AS DOUBLE) * 0.5
+        |           + (1.0 - len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and')))
+        |                    / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.2
+        |           + least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.3
+        |           + 1e-12, 4) AS DECIMAL(18,4)) AS q
+        |  FROM documents)
+        |SELECT COUNT(*) AS n_docs,
+        |       COUNT(DISTINCT source) AS n_sources,
+        |       COUNT(DISTINCT lang) AS n_langs,
+        |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+        |       ROUND(CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE)
+        |             / COUNT(*) + 1e-12, 6) AS exact_dup_rate,
+        |       ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*) + 1e-12, 4) AS mean_quality
+        |FROM q""".stripMargin,
     "c_source_profile" ->
       """WITH q AS (
         |  SELECT source, lang, n_chars,

@@ -777,6 +777,36 @@ object Corpus {
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
 
+  /** One-row DATASET CARD — the datasheet summary (Gebru et al. 2021)
+    * a corpus release publishes and every downstream consumer reads
+    * first: document/source/language counts, whitespace-token and
+    * character totals, the EXACT-duplicate rate (1 − distinct
+    * fingerprints / docs) and the mean quality score. Everything a
+    * single pass + partial aggregation can produce — the operator a
+    * 100 TB build runs LAST, so it composes only
+    * shuffle-light aggregates: three two-phase distinct counts
+    * (source, lang, text-md5) share one Expand pass, the quality mean
+    * rides the 4-dp-decimal order-exact recipe, and the output is ONE
+    * row regardless of corpus size. */
+  def datasetCard(documents: DataFrame): DataFrame = {
+    import graft.functions.TextAnalysis.qualityCol
+    documents
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        md5(col("text")).as("fp"),
+        qualityCol(col("text")).cast("decimal(18,4)").as("q"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars_total"),
+        round((count(lit(1)) - countDistinct(col("fp"))).cast("double")
+          / count(lit(1)) + lit(1e-12), 6).as("exact_dup_rate"),
+        round(sum(col("q")).cast("double") / count(lit(1)) + lit(1e-12), 4)
+          .as("mean_quality"))
+  }
+
   /** T5-style SPAN-CORRUPTION mask generation (Raffel et al. 2020
     * §3.1.4: mask ~15% of tokens in mean-length-3 spans) — the
     * denoising-objective preprocessing a seq2seq pretraining build
