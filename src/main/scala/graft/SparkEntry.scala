@@ -74,6 +74,10 @@ object SparkEntry {
       graft.streaming.StreamRunner.replayOuterIntervalJoin(s, ev(s, dir))),
     "s_stream_update_agg" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayUpdateAgg(s, ev(s, dir))),
+    // streaming running moments: additive (n, Σv, Σv²) per kind as
+    // one-row-per-key update-mode state
+    "s_stream_moments" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayMoments(s, ev(s, dir))),
     "s_stream_hll" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayHll(s, ev(s, dir))),
     // streaming count-min: the grid as bounded update-mode state,
@@ -773,6 +777,26 @@ object SparkEntry {
         |FROM events WHERE event_type = 'error'
         |  AND NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') IS NOT NULL
         |GROUP BY 1""".stripMargin,
+    // streaming moments: additive decimal accumulators make the final
+    // changelog equal this batch formula exactly
+    "s_stream_moments" ->
+      """WITH env AS (
+        |  SELECT 'car' AS kind, value AS v
+        |  FROM events WHERE event_type IN ('click','view') AND user_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'zone' AS kind, value AS v
+        |  FROM events WHERE event_type = 'error'
+        |    AND NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') IS NOT NULL),
+        |acc AS (SELECT kind, COUNT(*) AS n,
+        |               SUM(CAST(ROUND(v + 1e-12, 9) AS DECIMAL(28,9))) AS sx,
+        |               SUM(CAST(ROUND(v * v + 1e-12, 9) AS DECIMAL(28,9))) AS sx2
+        |        FROM env GROUP BY kind)
+        |SELECT kind, n,
+        |       ROUND(CAST(sx AS DOUBLE) / n + 1e-12, 6) AS mean,
+        |       ROUND(sqrt(greatest(CAST(sx2 AS DOUBLE) / n
+        |             - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 0))
+        |             + 1e-12, 6) AS std
+        |FROM acc""".stripMargin,
     // streaming HLL: the update-mode register state's final changelog
     // equals the batch sketch (register max is order/duplication-
     // insensitive), so the oracle is the batch HLL chain over the

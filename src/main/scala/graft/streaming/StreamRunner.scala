@@ -742,6 +742,35 @@ object StreamRunner {
           .as("avg_pollution"))
   }
 
+  /** Streaming RUNNING MOMENTS — Welford-class mean/variance as
+    * streaming state in its ADDITIVE form: an update-mode aggregation
+    * owns per-kind (count, Σv, Σv²) with the summands 9-dp-decimal
+    * rounded (the standardize recipe), so state is ONE row per kind,
+    * every accumulator is order- and chunking-insensitive (exact
+    * decimal addition — the mergeability argument), and the LAST
+    * changelog emission per kind is exactly the batch moments. The
+    * final mean/std derive from the snapshot the way
+    * [[graft.operators.Similarity.standardize]] derives dimension
+    * moments; the DuckDB oracle replays the identical batch formula
+    * over the staged envelope. */
+  def replayMoments(spark: SparkSession, events: DataFrame): DataFrame = {
+    val log = replayUpdate(spark, events, (src: DataFrame) =>
+      src.groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("v") + lit(1e-12), 9).cast("decimal(28,9)")).as("sx"),
+          sum(round(col("v") * col("v") + lit(1e-12), 9).cast("decimal(28,9)")).as("sx2")))
+    log
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("kind")).orderBy(col("batch_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("kind"), col("n"),
+        round(col("sx").cast("double") / col("n") + lit(1e-12), 6).as("mean"),
+        round(sqrt(greatest(
+          col("sx2").cast("double") / col("n")
+            - pow(col("sx").cast("double") / col("n"), 2), lit(0.0))) + lit(1e-12), 6)
+          .as("std"))
+  }
+
   /** Streaming HyperLogLog distinct-count — the sketch as STREAMING
     * STATE: an update-mode aggregation owns the per-(kind, register)
     * max-rho, so state is bounded at m = 64 rows per kind no matter
