@@ -209,6 +209,9 @@ object SparkEntry {
     // never a vocabulary-wide rank sort
     "t_zipf_alpha" -> ((s, dir) =>
       graft.functions.TextAnalysis.zipfAlpha(Tables.documents(s, dir))),
+    // lang-id confusion matrix: the heuristic scored against labels
+    "t_langid_confusion" -> ((s, dir) =>
+      graft.functions.TextAnalysis.langIdConfusion(Tables.documents(s, dir))),
     // Flesch-style readability: exact-integer vowel-group syllables,
     // one rounded affine combine per doc
     "t_readability" -> ((s, dir) =>
@@ -451,6 +454,9 @@ object SparkEntry {
     // most-frequent-neighbor-label, ties to the smallest label
     "q_communities" -> ((s, dir) =>
       graft.operators.Graph.communities(Tables.lineitem(s, dir))),
+    // degree count-of-counts over the same co-purchase graph
+    "q_degree_dist" -> ((s, dir) =>
+      graft.operators.Graph.degreeDistribution(Tables.lineitem(s, dir))),
     // hot-key-salted fact⋈dim join; the oracle is the PLAIN join —
     // salting must be invisible in the result
     "q_salted_join" -> ((s, dir) => {
@@ -1361,6 +1367,31 @@ object SparkEntry {
         |            WHEN score_zh = t AND t > 0 THEN 'zh'
         |            ELSE 'und' END AS lang_pred
         |FROM (SELECT *, greatest(score_en, score_fr, score_es, score_de, score_zh) AS t FROM scored)""".stripMargin,
+    // confusion matrix: the lang-id CTE joined to labels, row rates
+    // from exact integer counts
+    "t_langid_confusion" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |         len(list_filter(string_split(text,' '), x -> x = 'the')) AS score_en,
+        |         len(list_filter(string_split(text,' '), x -> x = 'le' OR x = 'la')) AS score_fr,
+        |         len(list_filter(string_split(text,' '), x -> x = 'el' OR x = 'los')) AS score_es,
+        |         len(list_filter(string_split(text,' '), x -> x = 'der' OR x = 'und')) AS score_de,
+        |         len(list_filter(string_split(text,' '), x -> x = '的')) AS score_zh
+        |  FROM documents),
+        |p AS (SELECT doc_id, lang,
+        |        CASE WHEN score_en = t AND t > 0 THEN 'en'
+        |             WHEN score_fr = t AND t > 0 THEN 'fr'
+        |             WHEN score_es = t AND t > 0 THEN 'es'
+        |             WHEN score_de = t AND t > 0 THEN 'de'
+        |             WHEN score_zh = t AND t > 0 THEN 'zh'
+        |             ELSE 'und' END AS lang_pred
+        |      FROM (SELECT *, greatest(score_en, score_fr, score_es, score_de, score_zh) AS t
+        |            FROM scored)),
+        |cells AS (SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY lang, lang_pred),
+        |tot AS (SELECT lang, SUM(n) AS n_true FROM cells GROUP BY lang)
+        |SELECT cells.lang, lang_pred, n,
+        |       ROUND(n / CAST(n_true AS DOUBLE) + 1e-12, 6) AS rate
+        |FROM cells JOIN tot ON tot.lang = cells.lang""".stripMargin,
     // the + 1e-12 matches TextAnalysis.qualityScore: disambiguates
     // values exactly on a rounding boundary, where Spark (shortest
     // decimal repr) and DuckDB (exact binary) otherwise disagree
@@ -2801,6 +2832,13 @@ object SparkEntry {
         |            ELSE 0.0 END AS coef
         |FROM deg LEFT JOIN tc ON tc.node = deg.n""".stripMargin,
     "q_communities" -> communitiesOracle,
+    "q_degree_dist" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT n, COUNT(*) AS degree FROM (
+        |          SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n)
+        |SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree""".stripMargin,
     "q_salted_join" ->
       """SELECT s_name, COUNT(*) AS n_lines,
         |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty

@@ -719,6 +719,27 @@ object TextAnalysis {
         .otherwise("und"))
   }
 
+  /** LANGUAGE-ID CONFUSION matrix — the classifier-evaluation view of
+    * [[langId]] against the labeled `lang` column: one row per
+    * (true language, predicted language) with counts and the
+    * row-normalized rate, the table that decides whether the n-gram
+    * heuristic is good enough to gate a corpus or needs replacing.
+    * One map-only scoring pass + a ≤ |langs|²-key partial-aggregating
+    * groupBy; the rate divides two exact integers per row (6-dp
+    * rounded, repo nudge) with the true-language totals joined back
+    * from their own tiny aggregate. */
+  def langIdConfusion(documents: DataFrame): DataFrame = {
+    val pred = langId(documents)
+      .select(col("doc_id"), col("lang_pred"))
+      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+    val cells = pred.groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_true"))
+    cells.join(totals, "lang")
+      .select(col("lang"), col("lang_pred"), col("n"),
+        round(col("n") / col("n_true").cast("double") + lit(1e-12), 6).as("rate"))
+  }
+
   /** Quality score in [0,1]-ish: lexical diversity, stopword rate,
     * length band. Single-op divisions on integer counts → bit-identical
     * doubles across engines. The 1e-12 nudge before ROUND handles

@@ -239,6 +239,23 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** DEGREE DISTRIBUTION of the co-purchase graph — the
+    * count-of-counts profile (how many nodes have degree d) read
+    * before any graph algorithm is sized: skew here predicts hot
+    * keys in every downstream join, exactly as [[graft.functions
+    * .TextAnalysis.vocabSpectrum]] predicts hot terms. Two
+    * partial-aggregating groupBys (node degrees over the symmetric
+    * edge list, then count per degree); output rows ≈ distinct
+    * degrees — tiny at any scale. Shares the basket-capped
+    * checkpointed edge build. */
+  def degreeDistribution(lineitem: DataFrame, maxBasket: Int = 1024): DataFrame = {
+    val edges = coPurchaseEdges(lineitem, maxBasket)
+    edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** COMMUNITY detection by deterministic synchronous label
     * propagation (Raghavan et al. 2007, made hash-checkable): labels
     * start as node ids; each round every node adopts the MOST FREQUENT
