@@ -212,6 +212,9 @@ object SparkEntry {
     // lang-id confusion matrix: the heuristic scored against labels
     "t_langid_confusion" -> ((s, dir) =>
       graft.functions.TextAnalysis.langIdConfusion(Tables.documents(s, dir))),
+    // the published Gopher quality rules, one boolean column per rule
+    "t_gopher_filter" -> ((s, dir) =>
+      graft.functions.TextAnalysis.gopherFilter(Tables.documents(s, dir))),
     // Flesch-style readability: exact-integer vowel-group syllables,
     // one rounded affine combine per doc
     "t_readability" -> ((s, dir) =>
@@ -258,6 +261,10 @@ object SparkEntry {
     // map-only transform fingerprinted at 4 dp
     "a_standardize" -> ((s, dir) =>
       Similarity.standardize(Tables.embeddings(s, dir))),
+    // 1-bit sign codes via the SRP kernel with identity planes;
+    // retrieval by XOR+popcount Hamming
+    "a_binary_topk" -> ((s, dir) =>
+      Similarity.binaryTopK(Tables.embeddings(s, dir))),
     "a_ann_pairs" -> ((s, dir) => Similarity.annPairs(Tables.embeddings(s, dir))),
     "a_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
     // semantic dedup: drop every vector with a verified cosine near-dup
@@ -1367,6 +1374,32 @@ object SparkEntry {
         |            WHEN score_zh = t AND t > 0 THEN 'zh'
         |            ELSE 'und' END AS lang_pred
         |FROM (SELECT *, greatest(score_en, score_fr, score_es, score_de, score_zh) AS t FROM scored)""".stripMargin,
+    // Gopher rules: exact integer counts, single divisions, thresholds
+    // on the 6-dp rounded values on both sides
+    "t_gopher_filter" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' ')) AS nw,
+        |         length(text) - (len(string_split(text, ' ')) - 1) AS cs,
+        |         len(list_filter(string_split(text, ' '),
+        |                         x -> x IN ('the','a','of','and'))) AS sh,
+        |         len(list_filter(string_split(text, ' '),
+        |                         x -> regexp_full_match(x, '[a-z]+'))) AS aw
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+        |             ROUND(cs / CAST(greatest(nw, 1) AS DOUBLE) + 1e-12, 6) AS mean_word_len,
+        |             CAST(sh AS BIGINT) AS stop_hits,
+        |             ROUND(aw / CAST(greatest(nw, 1) AS DOUBLE) + 1e-12, 6) AS alpha_frac
+        |      FROM s)
+        |SELECT doc_id, n_words, mean_word_len, stop_hits, alpha_frac,
+        |       n_words >= 5 AND n_words <= 10000 AS ok_count,
+        |       mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_word_len,
+        |       stop_hits >= 2 AS ok_stop,
+        |       alpha_frac >= 0.8 AS ok_alpha,
+        |       (n_words >= 5 AND n_words <= 10000)
+        |         AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |         AND stop_hits >= 2 AND alpha_frac >= 0.8 AS keep
+        |FROM m""".stripMargin,
     // confusion matrix: the lang-id CTE joined to labels, row rates
     // from exact integer counts
     "t_langid_confusion" ->
@@ -1609,6 +1642,26 @@ object SparkEntry {
     // k-center: the 8-round greedy recurrence unrolled, every distance
     // through the |x|²+|c|²−2x·c identity and the 6-dp rounded compare
     "a_kcenter_sample" -> kcenterOracle,
+    // binary codes: sign bits rebuilt per 32-bit band as unsigned
+    // BIGINTs — xor/bit_count then see the identical bit patterns
+    "a_binary_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |c AS (SELECT vec_id,
+        |        CAST(list_sum([CASE WHEN v[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j)
+        |                            ELSE 0 END for j in generate_series(0, 31)]) AS BIGINT) AS b0,
+        |        CAST(list_sum([CASE WHEN v[j + 33] > 0 THEN (CAST(1 AS BIGINT) << j)
+        |                            ELSE 0 END for j in generate_series(0, 31)]) AS BIGINT) AS b1
+        |      FROM e),
+        |q AS (SELECT vec_id AS query_id, b0 AS q0, b1 AS q1 FROM c WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, c.vec_id,
+        |             CAST(bit_count(xor(c.b0, q.q0)) + bit_count(xor(c.b1, q.q1)) AS INT)
+        |               AS hamming
+        |      FROM c JOIN q ON c.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, hamming, rk FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |              ORDER BY hamming, vec_id) AS INT) AS rk
+        |  FROM s) WHERE rk <= 5""".stripMargin,
     // standardization: per-dim exact-decimal moments, 4-dp z scores
     // fingerprinted over the DECIMAL string form (scale-stable text)
     "a_standardize" ->

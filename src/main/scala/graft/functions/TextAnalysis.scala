@@ -719,6 +719,36 @@ object TextAnalysis {
         .otherwise("und"))
   }
 
+  /** GOPHER-rule quality flags (Rae et al. 2021 Appendix A1.1) — the
+    * published rule set web-scale builds apply before any model-based
+    * gate, each rule its own boolean column so downstream analysis
+    * can attribute drops: word count in [wmin, wmax], mean word
+    * length in [3, 10], stopword hits ≥ 2, and alphabetic-word
+    * fraction ≥ 0.8; `keep` is their conjunction. Every signal is an
+    * exact integer count or a single integer division (6-dp rounded
+    * where reported) — pure per-row codegen, no shuffle, engine-
+    * identical by construction. */
+  def gopherFilter(documents: DataFrame, wmin: Int = 5, wmax: Int = 10000): DataFrame = {
+    val toks = tokens(col("text"))
+    val nWords = size(toks).cast("long")
+    val charSum = (length(col("text")) - (size(toks) - 1)).cast("long") // spaces excluded
+    val stopHits = size(filter(toks, t => t.isin("the", "a", "of", "and"))).cast("long")
+    val alphaWords = size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("long")
+    documents.select(col("doc_id"), nWords.as("n_words"),
+        round(charSum.cast("double") / greatest(nWords, lit(1L)) + lit(1e-12), 6)
+          .as("mean_word_len"),
+        stopHits.as("stop_hits"),
+        round(alphaWords.cast("double") / greatest(nWords, lit(1L)) + lit(1e-12), 6)
+          .as("alpha_frac"))
+      .withColumn("ok_count", col("n_words") >= wmin && col("n_words") <= wmax)
+      .withColumn("ok_word_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("ok_stop", col("stop_hits") >= 2)
+      .withColumn("ok_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("keep",
+        col("ok_count") && col("ok_word_len") && col("ok_stop") && col("ok_alpha"))
+  }
+
   /** LANGUAGE-ID CONFUSION matrix — the classifier-evaluation view of
     * [[langId]] against the labeled `lang` column: one row per
     * (true language, predicted language) with counts and the

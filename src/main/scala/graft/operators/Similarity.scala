@@ -762,6 +762,51 @@ object Similarity {
         x => abs(code(x) * s / 127.0 - x))) + 1e-12, 6).as("max_err"))
   }
 
+  /** BINARY (1-bit sign) quantization + Hamming retrieval — the
+    * extreme-compression member of the quantization family next to
+    * [[int8Quantize]] and the PQ chain: 64 dims collapse to 64 BITS
+    * (a 256× cut vs float32), and retrieval ranks by Hamming distance
+    * — two XORs and two popcounts per candidate, the cheapest
+    * distance that exists. Sign bits are computed by the existing
+    * [[graft.functions.VectorKernels.srpSignatures]] codegen kernel
+    * fed the IDENTITY plane matrix (axis-aligned hyperplanes ARE the
+    * sign test — bit p of band p/32 = v[p] > 0), so the quantizer
+    * adds zero new kernel code. Returns the top-k smallest-Hamming
+    * candidates per query, ties to the smallest vec_id.
+    *
+    * Scale shape: codes are 8 bytes/vector; the query slice rides a
+    * broadcast and the rank compiles to WindowGroupLimit — the
+    * [[cosineTopK]] shape with a 2-int payload instead of the raw
+    * vector. */
+  def binaryTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val identity: Seq[Double] =
+      for (p <- 0 until Dim; i <- 0 until Dim)
+        yield if (i == p) 1.0 else 0.0
+    val e = embeddings
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"),
+        graft.functions.VectorKernels.srpSignatures(col("v"), identity, Dim, 2, Dim)
+          .as("sig"))
+      .select(col("vec_id"),
+        element_at(col("sig"), 1).as("b0"), element_at(col("sig"), 2).as("b1"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("b0").as("q0"), col("b1").as("q1"))
+    // XOR in the LONG domain masked to the low 32 bits: bit_count
+    // sign-extends an int operand to 64 bits, so a band pair where
+    // exactly one value has bit 31 set would count 32 phantom high
+    // bits (observed: hamming 22 -> 54)
+    def bandDist(a: Column, b: Column): Column =
+      bit_count(a.cast("long").bitwiseXOR(b.cast("long"))
+        .bitwiseAND(lit(0xFFFFFFFFL)))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (bandDist(col("b0"), col("q0"))
+          + bandDist(col("b1"), col("q1"))).cast("int").as("hamming"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("hamming"), col("vec_id"))))
+      .filter(col("rk") <= k)
+  }
+
   /** Per-DIMENSION standardization (z-scoring) of the embedding
     * corpus — the feature-scaling pass run before any
     * distance-uniform treatment (k-means, PQ, outlier rules assume

@@ -492,6 +492,19 @@ class AnnSpec extends SparkSpec {
     assert(out.head._3 == scores(need - 1))
   }
 
+  test("binaryTopK: hamming equals hand count, incl. the bit-31 sign-extension edge") {
+    // query 0 has dim 31 POSITIVE (band-0 bit 31 set -> negative int);
+    // candidate 1 has it NEGATIVE (bit clear) -> exactly one operand
+    // sign-extends, the case that once counted 32 phantom bits
+    val base = Array.fill(64)(1f)
+    val v1 = base.clone(); v1(31) = -1f; v1(0) = -1f          // differs in bits 31, 0
+    val v2 = base.clone(); v2(63) = -1f                        // differs in band-1 bit 31
+    val d = vecs(0L -> base.toSeq, 1L -> v1.toSeq, 2L -> v2.toSeq)
+    val out = graft.operators.Similarity.binaryTopK(d, numQueries = 1, k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    assert(out == Map(2L -> 1, 1L -> 2), s"got $out")
+  }
+
   test("standardize: hand-checked z-scores, zero-variance dim yields 0") {
     // dim 0: values 1,3 -> mean 2, std 1 -> z = -1, +1
     // dim 1: constant 5 -> std 0 -> z = 0 for every vector
