@@ -360,6 +360,9 @@ object SparkEntry {
     "d_span_dedup" -> ((s, dir) => Dedup.spanDedup(Tables.documents(s, dir))),
     "c_token_chunks" -> ((s, dir) => Corpus.tokenChunks(Tables.documents(s, dir))),
     "c_pack_stream" -> ((s, dir) => Corpus.packStream(Tables.documents(s, dir))),
+    // the bin-side manifest: each context window's document segments
+    // with in-bin offsets (what the dataloader actually consumes)
+    "c_pack_manifest" -> ((s, dir) => Corpus.packManifest(Tables.documents(s, dir))),
     "c_source_profile" -> ((s, dir) => Corpus.sourceProfile(Tables.documents(s, dir))),
     "c_source_mix" -> ((s, dir) => Corpus.sourceMix(Tables.documents(s, dir))),
     // upsampling mixture: scarce sources get fractional extra epochs
@@ -2440,6 +2443,26 @@ object SparkEntry {
         |       COALESCE(string_agg(CASE WHEN NOT dropped THEN s END,
         |                           '. ' ORDER BY si), '') AS text_clean
         |FROM f GROUP BY doc_id""".stripMargin,
+    // manifest: the pack CTE exploded per covered bin, segments by
+    // integer interval clipping
+    "c_pack_manifest" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM d),
+        |p AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |             CAST(cum - n_tokens AS BIGINT) AS tok_offset,
+        |             CAST((cum - n_tokens) // 512 AS BIGINT) AS first_bin,
+        |             CAST((cum - 1) // 512 AS BIGINT) AS last_bin
+        |      FROM c),
+        |x AS (SELECT doc_id, n_tokens, tok_offset,
+        |             unnest(generate_series(first_bin, last_bin)) AS bin_id
+        |      FROM p)
+        |SELECT bin_id, doc_id,
+        |       greatest(tok_offset - bin_id * 512, 0) AS bin_offset,
+        |       least((bin_id + 1) * 512, tok_offset + n_tokens)
+        |         - greatest(bin_id * 512, tok_offset) AS n_toks
+        |FROM x""".stripMargin,
     // corpus-stream packing: the oracle's single global running sum
     // equals the Spark side's two-level (bucket-partitioned) prefix
     // scan — identical integer arithmetic, different decomposition

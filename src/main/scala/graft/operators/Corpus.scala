@@ -387,6 +387,29 @@ object Corpus {
         expr(s"(tok_offset + n_tokens - 1) div $contextLen").as("last_bin"))
   }
 
+  /** BIN-side packing MANIFEST — the trainer-facing INVERSE of
+    * [[packStream]]: where packStream maps each document to the bin
+    * range it lands in, the manifest lists each BIN's document
+    * segments — (bin_id, doc_id, bin_offset, n_toks) — exactly what a
+    * dataloader needs to assemble a context window and build its
+    * cross-document attention mask (segment boundaries = mask resets).
+    * Segment arithmetic is pure integer clipping of the global token
+    * interval against the bin interval, derived from packStream's
+    * verified offsets.
+    *
+    * Scale shape: packStream's two-level prefix scan + one explode of
+    * ≤ (n_tokens/binSize + 1) rows per document — output rows ≈
+    * total_tokens/binSize + n_docs, map-only beyond the scan. */
+  def packManifest(documents: DataFrame, binSize: Int = 512): DataFrame = {
+    packStream(documents, binSize)
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+        explode(sequence(col("first_bin"), col("last_bin"))).as("bin_id"))
+      .select(col("bin_id"), col("doc_id"),
+        greatest(col("tok_offset") - col("bin_id") * binSize, lit(0L)).as("bin_offset"),
+        (least((col("bin_id") + 1) * binSize, col("tok_offset") + col("n_tokens"))
+          - greatest(col("bin_id") * binSize, col("tok_offset"))).as("n_toks"))
+  }
+
   /** Decontamination-by-removal — the enforcement step behind
     * [[contamination]]'s report: drop every TRAINING document that
     * shares at least one distinct word n-gram with ANY eval document,

@@ -482,6 +482,23 @@ class CorpusSpec extends SparkSpec {
     assert(out.exists(!_._4) && out.count(_._4) >= scores.length - need)
   }
 
+  test("packManifest: bins fill to exactly binSize, segments tile each document") {
+    val d = docs(1L -> (1 to 300).map(i => s"a$i").mkString(" "),
+      2L -> (1 to 500).map(i => s"b$i").mkString(" "),
+      3L -> (1 to 100).map(i => s"c$i").mkString(" "))
+    val out = Corpus.packManifest(d, binSize = 256).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every bin but the last carries exactly binSize tokens
+    val byBin = out.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val lastBin = byBin.keys.max
+    byBin.foreach { case (b, t) => assert(t == (if (b == lastBin) 900 - 256 * lastBin else 256L)) }
+    // per document, segment tokens sum to the doc length and offsets chain
+    val byDoc = out.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(byDoc == Map(1L -> 300L, 2L -> 500L, 3L -> 100L))
+    // a segment that CONTINUES a document into the next bin starts at offset 0
+    assert(out.filter(s => s._1 > 0 && s._3 == 0).nonEmpty)
+  }
+
   test("spanCorruptionMask: deterministic, clipped at doc end, overlaps merged, ~15% rate") {
     val text = (1 to 100).map(i => s"w$i").mkString(" ")
     val out = Corpus.spanCorruptionMask(docs(1L -> text)).collect().head
