@@ -265,6 +265,9 @@ object SparkEntry {
     // retrieval by XOR+popcount Hamming
     "a_binary_topk" -> ((s, dir) =>
       Similarity.binaryTopK(Tables.embeddings(s, dir))),
+    // unit-bin L2 norm histogram (the embedding-health profile)
+    "a_norm_profile" -> ((s, dir) =>
+      Similarity.normProfile(Tables.embeddings(s, dir))),
     "a_ann_pairs" -> ((s, dir) => Similarity.annPairs(Tables.embeddings(s, dir))),
     "a_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
     // semantic dedup: drop every vector with a verified cosine near-dup
@@ -325,6 +328,9 @@ object SparkEntry {
     // unordered source pair (the provenance diagnostic)
     "d_dup_matrix" -> ((s, dir) =>
       Dedup.dupSourceMatrix(Tables.documents(s, dir))),
+    // shingle document-frequency spectrum (the LSH/maxDf tuning table)
+    "d_shingle_spectrum" -> ((s, dir) =>
+      Dedup.shingleDfSpectrum(Tables.documents(s, dir))),
     "d_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "d_dup_clusters" -> ((s, dir) => Dedup.dupClusters(Tables.documents(s, dir))),
     // cross-snapshot dedup: odd doc_ids are the "new crawl", evens the
@@ -1645,6 +1651,14 @@ object SparkEntry {
     // k-center: the 8-round greedy recurrence unrolled, every distance
     // through the |x|²+|c|²−2x·c identity and the 6-dp rounded compare
     "a_kcenter_sample" -> kcenterOracle,
+    // norm histogram: floor of the sequential-dot norm as the bucket
+    "a_norm_profile" ->
+      """WITH n AS (SELECT sqrt(list_dot_product(v, v)) AS nrm FROM (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings))
+        |SELECT CAST(floor(nrm) AS BIGINT) AS bucket, COUNT(*) AS n_vecs,
+        |       ROUND(MIN(nrm) + 1e-12, 6) AS min_norm,
+        |       ROUND(MAX(nrm) + 1e-12, 6) AS max_norm
+        |FROM n GROUP BY bucket""".stripMargin,
     // binary codes: sign bits rebuilt per 32-bit band as unsigned
     // BIGINTs — xor/bit_count then see the identical bit patterns
     "a_binary_topk" ->
@@ -2954,6 +2968,16 @@ object SparkEntry {
         |       ROUND(SUM(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END)
         |             / CAST(COUNT(*) AS DOUBLE) + 1e-12, 4) AS recall
         |FROM p GROUP BY jac_band""".stripMargin,
+    // spectrum: the distinct-per-doc shingle CTE -> df -> count-of-counts
+    "d_shingle_spectrum" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM toks),
+        |sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        |       FROM tok a
+        |       JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |       JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+        |SELECT df, COUNT(*) AS n_shingles FROM df GROUP BY df""".stripMargin,
     // dup matrix: exact pairs (recall-1 band math) + source lookups
     "d_dup_matrix" ->
       s"""WITH p AS (${jaccardOracleAt("0.8")})

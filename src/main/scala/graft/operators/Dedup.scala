@@ -908,6 +908,20 @@ object Dedup {
         round(col("n_found") / col("n_pairs").cast("double") + lit(1e-12), 4).as("recall"))
   }
 
+  /** Shingle DOCUMENT-FREQUENCY spectrum — the count-of-counts table
+    * over shingle posting-list lengths (how many distinct shingles
+    * appear in exactly d documents), the tuning input for every
+    * parameter this family exposes: [[jaccardPairs]]' maxDf cap sits
+    * where the spectrum's tail starts, LSH bucket skew is the
+    * high-df mass, and a boilerplate flood shows up as a spike long
+    * before any pair explodes. Two partial-aggregating groupBys on
+    * 8-byte gram keys (shingle→df, then df→count) — text never
+    * shuffles, output rows ≈ distinct df values. */
+  def shingleDfSpectrum(documents: DataFrame, n: Int = 3): DataFrame =
+    shingles(documents, n)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .groupBy(col("df")).agg(count(lit(1)).as("n_shingles"))
+
   /** Cross-SOURCE duplication matrix — the provenance diagnostic a
     * multi-crawl data build reads before setting mixture weights:
     * near-dup pairs (the production [[minhashPairs]] path) rolled up

@@ -762,6 +762,23 @@ object Similarity {
         x => abs(code(x) * s / 127.0 - x))) + 1e-12, 6).as("max_err"))
   }
 
+  /** Embedding NORM profile — the unit-bin histogram of L2 norms the
+    * embedding-quality pass reads before any cosine work: a healthy
+    * encoder emits a tight norm band; zero-norm rows (which every
+    * cosine operator here drops, see [[normalized]]) and far-tail
+    * norms flag broken upstream batches. One map pass + a
+    * ≤ max-norm-key partial-aggregating groupBy; min/max ride along
+    * 6-dp rounded. Bucket identity is ⌊‖v‖⌋ — a single floor on the
+    * engine-identical sequential-dot norm. */
+  def normProfile(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+      .select(sqrt(dot(col("v"), col("v"))).as("nrm"))
+      .groupBy(floor(col("nrm")).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(min(col("nrm")) + lit(1e-12), 6).as("min_norm"),
+        round(max(col("nrm")) + lit(1e-12), 6).as("max_norm"))
+
   /** BINARY (1-bit sign) quantization + Hamming retrieval — the
     * extreme-compression member of the quantization family next to
     * [[int8Quantize]] and the PQ chain: 64 dims collapse to 64 BITS
