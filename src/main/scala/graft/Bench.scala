@@ -27,9 +27,11 @@ object Bench {
       // reuse their shared kernels (minhash/cluster fragments), so the
       // tail of the run silently re-compiles and re-loads classes —
       // r8 measured c_data_build 3x slower at position 116/132 than in
-      // a quiet subset run with its kernels warm. 2000 entries keeps
-      // every fragment of the full suite resident (~MBs of classes).
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // a quiet subset run with its kernels warm. Sized ~40 entries
+      // per suite query with headroom (the r9 183-query suite showed
+      // the same ~2.8x late-position spikes at 2000 that 132 queries
+      // showed at the default; solo A/B confirmed the code unchanged).
+      .config("spark.sql.codegen.cache.maxEntries", "8000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
