@@ -338,6 +338,40 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly two scans (outer + decorrelated agg input):\n$p")
   }
 
+  test("dropBoilerplate: hot-sentence count partial-aggregates on the hash") {
+    val p = plan(Corpus.dropBoilerplate(Tables.documents(spark, dir)))
+    // the df count must combine map-side (a 1e8-doc nav bar collapses
+    // before the exchange) — a count window here would be the scale bug
+    assert(p.contains("partial_count"), s"hot-sentence count not partial:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected nested loop:\n$p")
+  }
+
+  test("kcenterSample: rounds are lineage-cut — the final plan re-derives nothing") {
+    val p = plan(Similarity.kcenterSample(Tables.embeddings(spark, dir), k = 3))
+    // every selected center reads a checkpointed round, so the output
+    // plan is a union of ExistingRDD scans: no FileScan (the corpus is
+    // not re-read per round in the final plan) and no join at all —
+    // round r's plan cannot re-derive rounds 1..r-1 (the pageRank rule)
+    assert(p.contains("ExistingRDD"), s"rounds not checkpointed:\n$p")
+    assert(!p.contains("FileScan"), s"final plan re-derives the corpus:\n$p")
+    assert(!p.contains("Join"), s"final plan re-runs round joins:\n$p")
+  }
+
+  test("standardize: moments ride one broadcast row, corpus side never sort-merges") {
+    val p = plan(Similarity.standardize(Tables.embeddings(spark, dir)))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"dimension stats not partially aggregated:\n$p")
+    assert(p.contains("Broadcast"), s"moments not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the model join:\n$p")
+  }
+
+  test("binaryTopK: per-query rank is group-limited map-side") {
+    val p = plan(Similarity.binaryTopK(Tables.embeddings(spark, dir)))
+    assert(p.contains("WindowGroupLimit"), s"top-k rank not group-limited:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"query slice not broadcast:\n$p")
+  }
+
   test("minCostSupplier: correlated scalar MIN is DECORRELATED, dims broadcast") {
     val p = plan(Relational.minCostSupplier(Tables.lineitem(spark, dir),
       Tables.supplier(spark, dir), Tables.nation(spark, dir)))
