@@ -455,6 +455,9 @@ object SparkEntry {
     // one-row dataset card: the datasheet summary a release publishes
     "c_dataset_card" -> ((s, dir) =>
       Corpus.datasetCard(Tables.documents(s, dir))),
+    // the stage-by-stage retention funnel of the composed data build
+    "c_build_funnel" -> ((s, dir) =>
+      Corpus.buildFunnel(Tables.documents(s, dir))),
     // weighted PageRank by power iteration over the customer–supplier
     // purchase graph (exact-decimal contributions, 9-dp pr per round)
     "q_pagerank" -> ((s, dir) =>
@@ -3066,6 +3069,7 @@ object SparkEntry {
     // d_dup_clusters oracle pattern)
     "t_keep_set_neardup" -> keepSetNearDupOracle,
     "c_data_build" -> dataBuildOracle,
+    "c_build_funnel" -> buildFunnelOracle,
     // stratified sampling: same language scores as t_lang_id, same
     // md5-chars-9-16 sample bucket (disjoint from the split's 1-8)
     "d_stratified_sample" ->
@@ -3369,6 +3373,37 @@ object SparkEntry {
        |       CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
        |            AS BIGINT) AS shuffle_rank
        |FROM bsel""".stripMargin
+
+  /** The retention funnel: every stage's id set from the verified
+    * keepSet / near-dup / budget CTEs, collapsed to counts. */
+  private lazy val buildFunnelOracle: String =
+    s"""WITH RECURSIVE $keepSetCtes,
+       |$componentsCtes,
+       |drp AS (SELECT v AS doc_id FROM reach GROUP BY v HAVING MIN(l) <> v),
+       |ks AS (SELECT doc_id FROM (
+       |$keepSetSelect) a),
+       |nd0 AS (SELECT doc_id, quality FROM (
+       |$keepSetSelect
+       |  AND doc_id NOT IN (SELECT doc_id FROM drp)) b),
+       |bq AS (SELECT k.doc_id, k.quality, len(string_split(d.text, ' ')) AS n_tokens
+       |       FROM nd0 k JOIN documents d ON d.doc_id = k.doc_id),
+       |bc AS (SELECT doc_id, SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+       |                                          ROWS UNBOUNDED PRECEDING) AS cum
+       |       FROM bq),
+       |bsel AS (SELECT doc_id FROM bc WHERE cum <= 8000),
+       |ftok AS (SELECT doc_id, len(string_split(text, ' ')) AS t FROM documents),
+       |fbase AS (SELECT COUNT(*) AS bd, SUM(t) AS bt FROM ftok),
+       |st AS (
+       |  SELECT 0 AS stage_idx, 'raw' AS stage, COUNT(*) AS n_docs, SUM(t) AS n_tokens
+       |  FROM ftok
+       |  UNION ALL SELECT 1, 'keep_gate', COUNT(*), SUM(t) FROM ftok JOIN ks USING (doc_id)
+       |  UNION ALL SELECT 2, 'near_dup', COUNT(*), SUM(t) FROM ftok JOIN nd0 USING (doc_id)
+       |  UNION ALL SELECT 3, 'budget', COUNT(*), SUM(t) FROM ftok JOIN bsel USING (doc_id))
+       |SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+       |       CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       ROUND(n_docs / CAST(bd AS DOUBLE) + 1e-12, 6) AS doc_retention,
+       |       ROUND(n_tokens / CAST(bt AS DOUBLE) + 1e-12, 6) AS token_retention
+       |FROM st, fbase""".stripMargin
 
   /** The SRP-LSH hyperplanes as a DuckDB VALUES literal — the exact
     * doubles of Similarity.planes (shortest round-trip decimal repr

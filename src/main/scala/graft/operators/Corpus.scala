@@ -760,6 +760,47 @@ object Corpus {
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("shuffle_rank"))
   }
 
+  /** Data-build RETENTION FUNNEL — the stage-by-stage accounting
+    * table every corpus release publishes next to its
+    * [[datasetCard]]: how many documents and tokens survive raw →
+    * quality/exact-dedup gate ([[keepSet]]) → near-dup drop
+    * ([[keepSetNearDup]]) → token budget ([[tokenBudget]]), one row
+    * per stage with the retained fraction. The stages are the
+    * verified [[dataBuild]] components, each collapsed to a COUNT —
+    * so the report costs one scalar aggregate per stage and the rows
+    * union to a 4-row frame regardless of corpus size. Fractions are
+    * single divisions of exact counts, 6-dp rounded. */
+  def buildFunnel(documents: DataFrame, budgetTokens: Long = 8000L): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    def stage(name: String, idx: Int, df: DataFrame): DataFrame =
+      df.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("t"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    val raw = documents
+    val gated = documents.join(
+      keepSet(documents).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val neardup = documents.join(
+      keepSetNearDup(documents).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val budgeted = documents.join(
+      tokenBudget(documents.join(keepSetNearDup(documents).select(col("doc_id")),
+          Seq("doc_id"), "left_semi"), budgetTokens).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val rows = stage("raw", 0, raw)
+      .unionByName(stage("keep_gate", 1, gated))
+      .unionByName(stage("near_dup", 2, neardup))
+      .unionByName(stage("budget", 3, budgeted))
+    val base = raw.agg(count(lit(1)).as("base_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("base_tokens"))
+    rows.crossJoin(broadcast(base))
+      .select(col("stage_idx"), col("stage"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs") / col("base_docs").cast("double") + lit(1e-12), 6)
+          .as("doc_retention"),
+        round(col("n_tokens") / col("base_tokens").cast("double") + lit(1e-12), 6)
+          .as("token_retention"))
+  }
+
   /** Curriculum ordering — the quality-banded global training order
     * (easy/clean data first, the curriculum-learning data layout):
     * documents rank by (quality band DESC, md5 shuffle, doc_id), so

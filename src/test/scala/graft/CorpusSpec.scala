@@ -482,6 +482,19 @@ class CorpusSpec extends SparkSpec {
     assert(out.exists(!_._4) && out.count(_._4) >= scores.length - need)
   }
 
+  test("buildFunnel: retention is monotone and stages match their operators' counts") {
+    val docs = Tables.documents(spark, sf0001).limit(120)
+    val out = Corpus.buildFunnel(docs).orderBy("stage_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.map(_._2).toSeq == Seq("raw", "keep_gate", "near_dup", "budget"))
+    val docsCounts = out.map(_._3)
+    assert(docsCounts.zip(docsCounts.drop(1)).forall { case (a, b) => b <= a })
+    assert(out.head._3 == 120L && out.head._5 == 1.0)
+    // stage counts equal the standalone operators'
+    assert(out(1)._3 == Corpus.keepSet(docs).count())
+    assert(out(2)._3 == Corpus.keepSetNearDup(docs).count())
+  }
+
   test("packManifest: bins fill to exactly binSize, segments tile each document") {
     val d = docs(1L -> (1 to 300).map(i => s"a$i").mkString(" "),
       2L -> (1 to 500).map(i => s"b$i").mkString(" "),
