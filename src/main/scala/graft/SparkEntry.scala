@@ -458,6 +458,12 @@ object SparkEntry {
     // the stage-by-stage retention funnel of the composed data build
     "c_build_funnel" -> ((s, dir) =>
       Corpus.buildFunnel(Tables.documents(s, dir))),
+    // incremental manifest diff: old snapshot = doc_id % 5 != 0, new =
+    // all; adds AND retractions (a new smaller-id duplicate evicts)
+    "c_keep_delta" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Corpus.keepSetDelta(d.filter(col("doc_id") % 5 =!= 0), d)
+    }),
     // weighted PageRank by power iteration over the customer–supplier
     // purchase graph (exact-decimal contributions, 9-dp pr per round)
     "q_pagerank" -> ((s, dir) =>
@@ -3070,6 +3076,21 @@ object SparkEntry {
     "t_keep_set_neardup" -> keepSetNearDupOracle,
     "c_data_build" -> dataBuildOracle,
     "c_build_funnel" -> buildFunnelOracle,
+    // delta: both snapshots' keep sets from one f CTE — per-doc gates
+    // are snapshot-independent, only the fp-min dedup window differs
+    "c_keep_delta" ->
+      s"""WITH $keepSetCtes,
+        |ko AS (SELECT doc_id FROM (
+        |         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS k
+        |         FROM f WHERE doc_id % 5 <> 0) x WHERE doc_id = k),
+        |kn AS (SELECT doc_id FROM (
+        |         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS k
+        |         FROM f) y WHERE doc_id = k)
+        |SELECT doc_id, 'add' AS change FROM kn
+        |WHERE doc_id NOT IN (SELECT doc_id FROM ko)
+        |UNION ALL
+        |SELECT doc_id, 'drop' FROM ko
+        |WHERE doc_id NOT IN (SELECT doc_id FROM kn)""".stripMargin,
     // stratified sampling: same language scores as t_lang_id, same
     // md5-chars-9-16 sample bucket (disjoint from the split's 1-8)
     "d_stratified_sample" ->

@@ -760,6 +760,28 @@ object Corpus {
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("shuffle_rank"))
   }
 
+  /** Incremental KEEP-SET DELTA — the manifest diff an UPDATING
+    * corpus publishes when a new crawl lands: which documents enter
+    * the keep list ('add') and which previously-kept documents LEAVE
+    * it ('drop' — a new duplicate with a smaller id takes over a
+    * fingerprint group, so incremental dedup genuinely retracts;
+    * republishing the whole manifest hides that). Both sides are the
+    * verified [[keepSet]]; the diff is two id-keyed anti-joins of
+    * id-only frames — document text never enters the comparison.
+    *
+    * Scale shape: two keepSet passes (each the one-scan composed
+    * gate) + two narrow anti-joins; at 100 TB the old side's keep
+    * list is a stored manifest, not a recomputation — the operator
+    * takes it as a frame either way. */
+  def keepSetDelta(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = keepSet(oldDocs).select(col("doc_id"))
+    val n = keepSet(newDocs).select(col("doc_id"))
+    n.join(o, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("add").as("change"))
+      .unionByName(o.join(n, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("drop").as("change")))
+  }
+
   /** Data-build RETENTION FUNNEL — the stage-by-stage accounting
     * table every corpus release publishes next to its
     * [[datasetCard]]: how many documents and tokens survive raw →

@@ -482,6 +482,19 @@ class CorpusSpec extends SparkSpec {
     assert(out.exists(!_._4) && out.count(_._4) >= scores.length - need)
   }
 
+  test("keepSetDelta: a smaller-id duplicate in the new snapshot RETRACTS the old keeper") {
+    // text passes the keepSet gate (en, quality >= 0.6): 100+ distinct
+    // words with enough 'the' stopwords
+    val good = ((1 to 110).map(i => s"word$i") ++ Seq.fill(4)("the")).mkString(" ")
+    val old = Seq((10L, good)).toDF("doc_id", "text")
+    val nw = Seq((10L, good), (3L, good), (20L, good + " extra")).toDF("doc_id", "text")
+    val out = Corpus.keepSetDelta(old, nw).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // doc 3 duplicates doc 10 with a smaller id: 3 adds, 10 DROPS;
+    // doc 20 is new unique content: adds
+    assert(out == Set((3L, "add"), (20L, "add"), (10L, "drop")), s"got $out")
+  }
+
   test("buildFunnel: retention is monotone and stages match their operators' counts") {
     val docs = Tables.documents(spark, sf0001).limit(120)
     val out = Corpus.buildFunnel(docs).orderBy("stage_idx").collect()
