@@ -458,6 +458,9 @@ object SparkEntry {
     // the stage-by-stage retention funnel of the composed data build
     "c_build_funnel" -> ((s, dir) =>
       Corpus.buildFunnel(Tables.documents(s, dir))),
+    // per-source language-mix entropy (the diversity balance signal)
+    "c_lang_entropy" -> ((s, dir) =>
+      Corpus.langEntropy(Tables.documents(s, dir))),
     // incremental manifest diff: old snapshot = doc_id % 5 != 0, new =
     // all; adds AND retractions (a new smaller-id duplicate evicts)
     "c_keep_delta" -> ((s, dir) => {
@@ -3076,6 +3079,19 @@ object SparkEntry {
     "t_keep_set_neardup" -> keepSetNearDupOracle,
     "c_data_build" -> dataBuildOracle,
     "c_build_funnel" -> buildFunnelOracle,
+    // entropy: 9-dp decimal terms summed exactly (imageStats recipe)
+    "c_lang_entropy" ->
+      """WITH cells AS (SELECT source, lang, COUNT(*) AS n
+        |               FROM documents GROUP BY source, lang),
+        |tot AS (SELECT source, SUM(n) AS nt FROM cells GROUP BY source),
+        |t AS (SELECT cells.source, n, nt,
+        |             CAST(ROUND(-(n / CAST(nt AS DOUBLE)) * ln(n / CAST(nt AS DOUBLE))
+        |                        + 1e-12, 9) AS DECIMAL(18,9)) AS term
+        |      FROM cells JOIN tot ON tot.source = cells.source)
+        |SELECT source, CAST(MAX(nt) AS BIGINT) AS n_docs,
+        |       COUNT(*) AS n_langs,
+        |       ROUND(CAST(SUM(term) AS DOUBLE) + 1e-12, 6) AS lang_entropy
+        |FROM t GROUP BY source""".stripMargin,
     // delta: both snapshots' keep sets from one f CTE — per-doc gates
     // are snapshot-independent, only the fp-min dedup window differs
     "c_keep_delta" ->

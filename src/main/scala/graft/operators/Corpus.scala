@@ -760,6 +760,30 @@ object Corpus {
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("shuffle_rank"))
   }
 
+  /** Per-source LANGUAGE-MIX entropy — the diversity index behind
+    * [[sourceProfile]]'s flat distinct-lang count: H = −Σ p·ln p over
+    * each source's language distribution (0 = monolingual, ln k =
+    * uniform over k), the signal a multilingual build reads when
+    * balancing sources against language targets. Counts partial-
+    * aggregate on (source, lang); the ≤ |langs| entropy terms per
+    * source are 9-dp-decimal rounded then summed exactly (the
+    * imageStats entropy recipe), so the sum is order-independent
+    * cross-engine. Output one row per source. */
+  def langEntropy(documents: DataFrame): DataFrame = {
+    val cells = documents.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("source")).agg(sum(col("n")).as("nt"))
+    cells.join(totals, "source")
+      .select(col("source"), col("lang"), col("n"), col("nt"),
+        round(-(col("n") / col("nt").cast("double"))
+          * log(col("n") / col("nt").cast("double")) + lit(1e-12), 9)
+          .cast("decimal(18,9)").as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("nt")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        round(sum(col("term")).cast("double") + lit(1e-12), 6).as("lang_entropy"))
+  }
+
   /** Incremental KEEP-SET DELTA — the manifest diff an UPDATING
     * corpus publishes when a new crawl lands: which documents enter
     * the keep list ('add') and which previously-kept documents LEAVE
