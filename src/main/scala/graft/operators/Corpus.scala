@@ -827,11 +827,15 @@ object Corpus {
     val raw = documents
     val gated = documents.join(
       keepSet(documents).select(col("doc_id")), Seq("doc_id"), "left_semi")
-    val neardup = documents.join(
-      keepSetNearDup(documents).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // cached: the near-dup keep list is id-only (8 bytes/doc) and feeds
+    // BOTH the near-dup stage and the budget stage's input — uncached,
+    // the whole minhash-cluster chain (the funnel's dominant cost) runs
+    // twice. Lifetime = this dataflow; tiny relative to executor memory.
+    val ndIds = keepSetNearDup(documents).select(col("doc_id")).cache()
+    val neardup = documents.join(ndIds, Seq("doc_id"), "left_semi")
     val budgeted = documents.join(
-      tokenBudget(documents.join(keepSetNearDup(documents).select(col("doc_id")),
-          Seq("doc_id"), "left_semi"), budgetTokens).select(col("doc_id")),
+      tokenBudget(documents.join(ndIds, Seq("doc_id"), "left_semi"), budgetTokens)
+        .select(col("doc_id")),
       Seq("doc_id"), "left_semi")
     val rows = stage("raw", 0, raw)
       .unionByName(stage("keep_gate", 1, gated))
