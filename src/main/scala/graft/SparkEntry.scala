@@ -215,6 +215,9 @@ object SparkEntry {
     // the published Gopher quality rules, one boolean column per rule
     "t_gopher_filter" -> ((s, dir) =>
       graft.functions.TextAnalysis.gopherFilter(Tables.documents(s, dir))),
+    // keyword-in-context concordance for 'the' with ±3 words
+    "t_kwic" -> ((s, dir) =>
+      graft.functions.TextAnalysis.keywordInContext(Tables.documents(s, dir), "the")),
     // Flesch-style readability: exact-integer vowel-group syllables,
     // one rounded affine combine per doc
     "t_readability" -> ((s, dir) =>
@@ -1395,6 +1398,17 @@ object SparkEntry {
         |            WHEN score_zh = t AND t > 0 THEN 'zh'
         |            ELSE 'und' END AS lang_pred
         |FROM (SELECT *, greatest(score_en, score_fr, score_es, score_de, score_zh) AS t FROM scored)""".stripMargin,
+    // KWIC: 1-based list slices clamp identically on both engines;
+    // COALESCE because array_to_string([]) is NULL where concat_ws
+    // of an empty slice is '' (a doc-edge hit has an empty context)
+    "t_kwic" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id, w, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS tok
+        |      FROM t)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |       COALESCE(array_to_string(w[greatest(pos - 2, 1) : pos], ' '), '') AS left_ctx,
+        |       COALESCE(array_to_string(w[pos + 2 : pos + 4], ' '), '') AS right_ctx
+        |FROM p WHERE tok = 'the'""".stripMargin,
     // Gopher rules: exact integer counts, single divisions, thresholds
     // on the 6-dp rounded values on both sides
     "t_gopher_filter" ->

@@ -719,6 +719,30 @@ object TextAnalysis {
         .otherwise("und"))
   }
 
+  /** KEYWORD-IN-CONTEXT concordance — the corpus-inspection operator
+    * behind every "show me how this term is actually used" audit
+    * (sense-checking a blocklist term, reviewing PII hits, vetting
+    * tokenizer merges): every occurrence of `term` with its ±`window`
+    * words of context. One explode + an equality filter that prunes
+    * to the term's posting positions before any context slicing;
+    * output rows ∝ term frequency, never corpus size. The context
+    * re-joins from the STAGED token array by integer slice — no
+    * second text scan, no regex. */
+  def keywordInContext(documents: DataFrame, term: String,
+                       window: Int = 3): DataFrame = {
+    require(term.nonEmpty && window >= 0, s"bad kwic params ($term, $window)")
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .filter(col("tok") === term)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        concat_ws(" ", slice(col("toks"),
+          greatest(col("pos") - window + 1, lit(1)),
+          when(col("pos") - window >= 0, lit(window)).otherwise(col("pos"))))
+          .as("left_ctx"),
+        concat_ws(" ", slice(col("toks"), col("pos") + 2, lit(window))).as("right_ctx"))
+  }
+
   /** GOPHER-rule quality flags (Rae et al. 2021 Appendix A1.1) — the
     * published rule set web-scale builds apply before any model-based
     * gate, each rule its own boolean column so downstream analysis

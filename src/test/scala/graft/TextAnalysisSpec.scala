@@ -343,6 +343,19 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     assert(out(2) == ((3L, "already clean text", 3L)))
   }
 
+  test("keywordInContext: windows clip at doc edges, every occurrence surfaces") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox the end"),
+      (2L, "no hits here"), (3L, "the")).toDF("doc_id", "text")
+    val out = TextAnalysis.keywordInContext(df, "the", window = 2)
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, "", "quick brown"),          // left clipped empty at doc start
+      (1L, 4L, "brown fox", "end"),         // right clipped at doc end
+      (3L, 0L, "", "")))                    // single-token doc: both empty
+  }
+
   test("readability: hand-computed Flesch on fixed counts; harder text scores lower") {
     import spark.implicits._
     // "go on. it is up" -> 5 words (incl 'on.'), 2 sentences, vowel
