@@ -294,6 +294,13 @@ object SparkEntry {
       val cents = Similarity.trainCentroids(emb, k = 16, iters = 3, sampleBuckets = 2000)
       Similarity.ivfTopK(emb, centroids = Some(cents))
     }),
+    // per-cell population/share of the trained quantizer — the
+    // index-balance health table behind nProbe tuning
+    "a_ivf_profile" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.trainCentroids(emb, k = 16, iters = 3, sampleBuckets = 2000)
+      Similarity.ivfCellProfile(emb, cents)
+    }),
     // product quantization: per-subspace exact-decimal k-means → M
     // codes per vector; codes = the compressed corpus, adc = search in
     // the compressed domain (query exact, corpus ≈ centroids)
@@ -1771,6 +1778,7 @@ object SparkEntry {
     // centroids), so both engines train bit-identical quantizers and
     // k-means recall never enters the compare
     "a_ivf_trained" -> ivfTrainedOracle,
+    "a_ivf_profile" -> ivfProfileOracle,
     // product quantization: the oracle unrolls the same per-subspace
     // exact-decimal Lloyd recurrence (see pqCte); ADC sums are exact
     // DECIMAL(18,9) so the M-term ranking is order-independent
@@ -3712,6 +3720,24 @@ object SparkEntry {
        |         FROM ${p}smp)),
        |${p}c0 AS (SELECT vec_id AS cid, v, nrm FROM ${p}smp ORDER BY vec_id LIMIT $k),
        |$iterCtes""".stripMargin
+  }
+
+  /** The trained-quantizer assignment CTEs collapsed to per-cell
+    * counts and shares. */
+  private lazy val ivfProfileOracle: String = {
+    val iters = 3
+    s"""WITH $normCte,
+       |${kmeansCtes(16, iters, 2000, "")},
+       |asg AS (SELECT vec_id, cell FROM (
+       |  SELECT n.vec_id, c.cid AS cell,
+       |         ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |           ORDER BY list_dot_product(n.v, c.v) / (n.nrm * c.nrm) DESC, c.cid) AS rn
+       |  FROM n, c$iters c) WHERE rn = 1),
+       |cells AS (SELECT cell, COUNT(*) AS n_vecs FROM asg GROUP BY cell),
+       |tot AS (SELECT SUM(n_vecs) AS n_total FROM cells)
+       |SELECT cell, n_vecs,
+       |       ROUND(n_vecs / CAST(n_total AS DOUBLE) + 1e-12, 6) AS share
+       |FROM cells, tot""".stripMargin
   }
 
   private lazy val ivfTrainedOracle: String = {

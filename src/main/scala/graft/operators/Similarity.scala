@@ -290,6 +290,31 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** IVF CELL-BALANCE profile — the index-health table an ANN
+    * deployment reads before fixing nProbe: per trained cell, its
+    * population and share of the corpus. Probe cost is proportional
+    * to the PROBED cells' populations, so a skewed profile (one cell
+    * holding half the corpus) means the index degrades toward brute
+    * force regardless of nProbe — this surfaces that before queries
+    * do. Assignment is the same broadcast [[graft.functions
+    * .VectorKernels.ivfCell]] kernel pass as search (corpus never
+    * shuffles); the profile is one cell-keyed partial-aggregating
+    * groupBy to ≤ k rows; shares are single divisions of exact
+    * counts, 6-dp rounded. */
+  def ivfCellProfile(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val e = normalized(embeddings)
+    val model = centroids
+      .agg(sort_array(collect_list(struct(col("cid"), col("v"), col("nrm")))).as("cents"))
+    val assigned = e.crossJoin(broadcast(model))
+      .withColumn("cell",
+        graft.functions.VectorKernels.ivfCell(col("v"), col("nrm"), col("cents")))
+    val cells = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val total = cells.agg(sum(col("n_vecs")).as("n_total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs") / col("n_total").cast("double") + lit(1e-12), 6).as("share"))
+  }
+
   /** Distributed spherical k-means (Lloyd's iterations under cosine
     * similarity: max-cos assignment, unit-vector-mean update) — the
     * trained coarse quantizer for [[ivfTopK]]'s `centroids` parameter

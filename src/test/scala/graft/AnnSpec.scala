@@ -492,6 +492,20 @@ class AnnSpec extends SparkSpec {
     assert(out.head._3 == scores(need - 1))
   }
 
+  test("ivfCellProfile: shares sum to 1, populations equal a groupBy of the assignments") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = graft.operators.Similarity.trainCentroids(emb, k = 8, iters = 2,
+      sampleBuckets = 2000)
+    val out = graft.operators.Similarity.ivfCellProfile(emb, cents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty && out.length <= 8)
+    val totalShare = out.map(_._3).sum
+    assert(math.abs(totalShare - 1.0) < 1e-4, s"shares sum to $totalShare")
+    // populations cover the whole (non-zero-norm) corpus exactly once
+    val nonZero = emb.count() // fixture embeddings have no zero vectors
+    assert(out.map(_._2).sum == nonZero)
+  }
+
   test("binaryTopK: hamming equals hand count, incl. the bit-31 sign-extension edge") {
     // query 0 has dim 31 POSITIVE (band-0 bit 31 set -> negative int);
     // candidate 1 has it NEGATIVE (bit clear) -> exactly one operand
