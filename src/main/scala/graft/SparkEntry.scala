@@ -423,6 +423,8 @@ object SparkEntry {
     "q_retention" -> ((s, dir) => Sessions.retention(ev(s, dir))),
     // content-defined chunking: insertion-stable chunk manifests
     "d_cdc_chunks" -> ((s, dir) => Dedup.cdcChunks(Tables.documents(s, dir))),
+    // chunk-store dedup ratio per document over the CDC boundaries
+    "d_cdc_savings" -> ((s, dir) => Dedup.cdcDedupStats(Tables.documents(s, dir))),
     // Efraimidis–Spirakis weighted sample, 50 docs per source
     "c_weighted_sample" -> ((s, dir) =>
       Corpus.weightedSample(Tables.documents(s, dir))),
@@ -2791,6 +2793,30 @@ object SparkEntry {
         |SELECT doc_id, chunk_idx, CAST(MIN(pos) AS BIGINT) AS first_pos, COUNT(*) AS n_words,
         |       md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_md5
         |FROM c GROUP BY doc_id, chunk_idx""".stripMargin,
+    // savings: the cdc CTEs + a first-occurrence window + doc rollup
+    "d_cdc_savings" ->
+      """WITH w AS (SELECT doc_id, generate_subscripts(wl, 1) - 1 AS pos, unnest(wl) AS word
+        |           FROM (SELECT doc_id, string_split(text, ' ') AS wl FROM documents)),
+        |b AS (SELECT doc_id, pos, word,
+        |             CASE WHEN CAST('0x' || substring(md5(word), 1, 8) AS UBIGINT) % 16 = 0
+        |                  THEN 1 ELSE 0 END AS brk
+        |      FROM w),
+        |c AS (SELECT doc_id, pos, word,
+        |             CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                                 ROWS UNBOUNDED PRECEDING) - brk AS BIGINT) AS chunk_idx
+        |      FROM b),
+        |ch AS (SELECT doc_id, chunk_idx, COUNT(*) AS n_words,
+        |              md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_md5
+        |       FROM c GROUP BY doc_id, chunk_idx),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk_md5
+        |                                   ORDER BY doc_id, chunk_idx) AS rn FROM ch)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |       CAST(SUM(n_words) AS BIGINT) AS words_total,
+        |       CAST(SUM(CASE WHEN rn > 1 THEN n_words ELSE 0 END) AS BIGINT) AS words_saved,
+        |       ROUND(SUM(CASE WHEN rn > 1 THEN n_words ELSE 0 END)
+        |             / CAST(SUM(n_words) AS DOUBLE) + 1e-12, 6) AS save_frac
+        |FROM r GROUP BY doc_id""".stripMargin,
     // all-pairs DP with the lossless length prune — the quadratic
     // spec the pigeonhole candidate join provably equals
     "d_edit_neardup" ->

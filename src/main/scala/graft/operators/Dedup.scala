@@ -908,6 +908,34 @@ object Dedup {
         round(col("n_found") / col("n_pairs").cast("double") + lit(1e-12), 4).as("recall"))
   }
 
+  /** CDC storage-dedup accounting — what content-defined chunking is
+    * FOR: per document, how many of its chunks already exist earlier
+    * in the corpus (first occurrence by (doc_id, chunk_idx) order)
+    * and the words a chunk-store would save — the rsync/casync-style
+    * dedup ratio report over [[cdcChunks]]' insertion-stable
+    * boundaries. Returns (doc_id, n_chunks, n_dup_chunks,
+    * words_total, words_saved, save_frac).
+    *
+    * Scale shape: the first-occurrence decision is a row_number over
+    * chunk-fingerprint partitions ([[blockDedup]]'s accepted pattern —
+    * a hot boilerplate chunk concentrates its copies on one task,
+    * bounded by that chunk's duplication count), then one doc-keyed
+    * partial-aggregating rollup; only (16-byte md5, ids, counts) rows
+    * shuffle. */
+  def cdcDedupStats(documents: DataFrame, divisor: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ch = cdcChunks(documents, divisor)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("chunk_md5")).orderBy(col("doc_id"), col("chunk_idx"))))
+    ch.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(col("n_words")).as("words_total"),
+        sum(when(col("rn") > 1, col("n_words")).otherwise(0L)).as("words_saved"),
+        round(sum(when(col("rn") > 1, col("n_words")).otherwise(0L))
+          / sum(col("n_words")).cast("double") + lit(1e-12), 6).as("save_frac"))
+  }
+
   /** Shingle DOCUMENT-FREQUENCY spectrum — the count-of-counts table
     * over shingle posting-list lengths (how many distinct shingles
     * appear in exactly d documents), the tuning input for every

@@ -499,6 +499,19 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists { case (a, b, _) => a == 9L || b == 10L }) // sub-3-char heads excluded
   }
 
+  test("cdcDedupStats: identical docs save everything after the first; totals conserve") {
+    val text = (1 to 60).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> text, 2L -> text, 3L -> "completely different content here now")
+    val out = Dedup.cdcDedupStats(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val (d1, d2, d3) = (out(0), out(1), out(2))
+    assert(d1._2 == d2._2 && d1._4 == 60L && d2._4 == 60L)
+    assert(d1._3 == 0L && d1._5 == 0L)            // doc 1 owns every first occurrence
+    assert(d2._3 == d2._2 && d2._5 == 60L)        // doc 2 is fully deduplicated
+    assert(d3._3 == 0L && d3._5 == 0L)            // unrelated doc saves nothing
+  }
+
   test("dupSourceMatrix: unordered orientation, diagonal counts within-source dups") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val d = Seq(
