@@ -2472,7 +2472,7 @@ object SparkEntry {
         |m AS (SELECT DISTINCT doc_id, n, k,
         |             unnest(generate_series(i, least(i + 2, n - 1))) AS mi
         |      FROM r WHERE rk <= k)
-        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(k AS BIGINT) AS n_spans,
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(k AS BIGINT) AS n_starts,
         |       COUNT(*) AS n_masked,
         |       md5(string_agg(mi, ',' ORDER BY mi)) AS mask_md5
         |FROM m GROUP BY doc_id, n, k""".stripMargin,

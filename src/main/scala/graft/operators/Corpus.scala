@@ -827,11 +827,14 @@ object Corpus {
     val raw = documents
     val gated = documents.join(
       keepSet(documents).select(col("doc_id")), Seq("doc_id"), "left_semi")
-    // cached: the near-dup keep list is id-only (8 bytes/doc) and feeds
-    // BOTH the near-dup stage and the budget stage's input — uncached,
-    // the whole minhash-cluster chain (the funnel's dominant cost) runs
-    // twice. Lifetime = this dataflow; tiny relative to executor memory.
-    val ndIds = keepSetNearDup(documents).select(col("doc_id")).cache()
+    // localCheckpoint (NOT cache): the near-dup keep list is id-only
+    // (8 bytes/doc) and feeds BOTH the near-dup stage and the budget
+    // stage's input — unmaterialized, the whole minhash-cluster chain
+    // (the funnel's dominant cost) runs twice. cache() would register
+    // in the session CacheManager and outlive this call (a leak per
+    // invocation); localCheckpoint blocks are ContextCleaner-released
+    // once the funnel frame is garbage collected.
+    val ndIds = keepSetNearDup(documents).select(col("doc_id")).localCheckpoint()
     val neardup = documents.join(ndIds, Seq("doc_id"), "left_semi")
     val budgeted = documents.join(
       tokenBudget(documents.join(ndIds, Seq("doc_id"), "left_semi"), budgetTokens)
@@ -929,10 +932,13 @@ object Corpus {
     * training sees different targets): span starts are the k
     * smallest md5(doc_id:position) draws, k = ⌊n·rate/len + ½⌋ (≥ 1),
     * each start masking `spanLen` tokens clipped to the document;
-    * overlapping spans merge. Returns (doc_id, n_tokens, n_spans,
+    * overlapping spans merge. Returns (doc_id, n_tokens, n_starts,
     * n_masked, mask_md5) with the fingerprint over the ascending
     * masked-index list — the compact cross-engine-exact form of the
-    * mask itself.
+    * mask itself. n_starts counts the DRAWN span starts (k); after
+    * overlap merging the realized contiguous-run count can be lower,
+    * so the column is deliberately named for what it is (the draw
+    * count), not the merged-run count.
     *
     * Scale shape: one explode to positions, a per-doc rank window and
     * a per-doc distinct + aggregation — all on doc_id partitions
@@ -966,7 +972,7 @@ object Corpus {
           transform(sort_array(collect_list(col("mi"))), _.cast("string"))))
           .as("mask_md5"))
       .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
-        col("k").as("n_spans"), col("n_masked"), col("mask_md5"))
+        col("k").as("n_starts"), col("n_masked"), col("mask_md5"))
   }
 
   /** Corpus-wide BOILERPLATE LINE removal — the C4 rule (Raffel et al.

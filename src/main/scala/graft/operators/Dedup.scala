@@ -749,42 +749,80 @@ object Dedup {
     * pairs only) then computes the true containment; the division is
     * exact-int-to-double, identical cross-engine.
     *
-    * Scale shape: df is one partial-aggregated groupBy; the
-    * rarest-first rank is a window over PER-DOCUMENT partitions
-    * (doc-length-bounded, never corpus-wide); the verify joins
-    * shingle arrays for candidate docs only (the [[minhashPairs]]
-    * restriction pattern). Output is DIRECTIONAL: (doc_a, doc_b,
+    * The equi-join then applies PPJoin's POSITIONAL filter (the
+    * published companion of the prefix filter, equally LOSSLESS):
+    * rank EVERY posting — both sides — under the one global
+    * (df, shingle) total order, so any two documents list their
+    * common shingles in the same relative order. For the FIRST
+    * common shingle of a true pair, sitting at rank ra in A and
+    * rank rb in B, no common shingle precedes it on either side, so
+    * |A∩B| ≤ 1 + min(|A|−ra, |B|−rb). A candidate emission survives
+    * only if that bound can still reach ⌈t·|A|⌉ — and since every
+    * qualifying pair's first-common-shingle emission passes by
+    * construction, keeping a pair when ANY of its emissions passes
+    * loses nothing while later-rank emissions (the bulk of a hot
+    * shingle's fan-out) die before the distinct/verify.
+    *
+    * Scale shape: the WHOLE operator runs on 8-byte xxhash64 GRAM
+    * KEYS from the fused [[graft.functions.DedupKernels.gramHashes]]
+    * codegen kernel (the [[blockDedup]]/[[Corpus.dropBoilerplate]]
+    * precedent) — the composed string-shingle form pays an
+    * INTERPRETED higher-order `transform` per pass (measured ~3 s per
+    * corpus pass at sf0.1 against the kernel's sub-100 ms; a 64-bit
+    * within-doc collision, probability ~2⁻⁵⁴ per document, could only
+    * perturb a containment ratio by one gram, the accepted oracle
+    * trade everywhere gram keys are hashed). df is one
+    * partial-aggregated groupBy; the rarest-first rank is a window
+    * over PER-DOCUMENT partitions (doc-length-bounded, never
+    * corpus-wide), computed ONCE and localCheckpoint'd so BOTH join
+    * sides read the materialized postings instead of replaying the
+    * df-join+window subtree twice (the checkpoint is
+    * posting-list-sized — the same linear volume the join shuffles
+    * anyway). The verify re-runs the kernel for candidate docs only
+    * (the [[minhashPairs]] restriction pattern) and intersects long
+    * arrays, never strings. Output is DIRECTIONAL: (doc_a, doc_b,
     * containment of A in B), both directions when both qualify. */
   def containmentPairs(documents: DataFrame, n: Int = 3,
                        threshold: Double = 0.9): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
-    val sh = shingleDocs(documents, n)
-    val posting = sh.select(col("doc_id"), size(col("sh")).as("na"),
-      explode(col("sh")).as("shingle"))
-    val dfreq = posting.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-    val prefix = posting.join(dfreq, "shingle")
+    def gramsOf(d: DataFrame): DataFrame = d.select(col("doc_id"),
+        graft.functions.DedupKernels.gramHashes(col("text"), n).as("gh"))
+      .filter(size(col("gh")) > 0)
+    val posting = gramsOf(documents).select(col("doc_id"),
+      size(col("gh")).as("na"), explode(col("gh")).as("g"))
+    val dfreq = posting.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val ranked = posting.join(dfreq, "g")
       .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("na"), col("rk"), col("g"))
+      .localCheckpoint()
+    val prefix = ranked
       .filter(col("rk") <= col("na") - ceil(col("na") * lit(threshold)) + 1)
-      .select(col("doc_id").as("doc_a"), col("shingle"))
+      .select(col("doc_id").as("doc_a"), col("na"), col("rk").as("ra"), col("g"))
     val candidates = prefix
-      .join(posting.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .join(ranked.select(col("doc_id").as("doc_b"), col("na").as("nb"),
+        col("rk").as("rb"), col("g")), Seq("g"))
       .filter(col("doc_a") =!= col("doc_b"))
+      // positional filter: overlap ≤ 1 + min(na−ra, nb−rb) must reach
+      // ⌈t·na⌉; lossless because a true pair's first common shingle
+      // satisfies it (no common shingle precedes on either side)
+      .filter(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))
+        >= ceil(col("na") * lit(threshold)))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     // exact verify restricted to candidate docs (the minhashPairs
-    // pattern: join the RAW docs first so the shingle recomputation
-    // runs only on docs that appear in some candidate pair)
+    // pattern: semi-join the RAW docs first so the gram kernel re-runs
+    // only on docs that appear in some candidate pair)
     val candDocs = candidates
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-    val sets = shingleDocs(documents.join(candDocs, Seq("doc_id"), "left_semi"), n)
+    val sets = gramsOf(documents.join(candDocs, Seq("doc_id"), "left_semi"))
     candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-        size(col("sh")).as("na")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("gh").as("gh_a"),
+        size(col("gh")).as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("gh").as("gh_b")), "doc_b")
       .withColumn("containment",
-        size(array_intersect(col("sh_a"), col("sh_b"))) / col("na").cast("double"))
+        size(array_intersect(col("gh_a"), col("gh_b"))) / col("na").cast("double"))
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("containment"))
   }

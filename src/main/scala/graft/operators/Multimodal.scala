@@ -452,7 +452,10 @@ object Multimodal {
         }
         (0 until grid * grid).iterator.map { p =>
           ImagePatch(id, p, counts(p), sums(p),
-            BigDecimal(sums(p).toDouble / (3.0 * counts(p)) + 1e-12)
+            // per-CHANNEL mean: lum sums meta.channels bytes per pixel,
+            // so divide by the actual channel count (parseBmp accepts
+            // 8/24/32-bit payloads; a hardcoded 3 was wrong off 24-bit)
+            BigDecimal(sums(p).toDouble / (ch.toDouble * counts(p)) + 1e-12)
               .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
         }
       }).toDF()

@@ -272,6 +272,13 @@ object Relational {
     * dimension-sized, and the semi join broadcasts it. */
   def excessSuppliers(supplier: DataFrame, lineitem: DataFrame,
                       since: String = "1995-01-01", minQty: Int = 95): DataFrame = {
+    // `since` lands inside SQL text below — parse it as a strict ISO
+    // date first so a malformed (or hostile) argument fails here as an
+    // IllegalArgumentException, never as SQL injection / a parse error
+    // inside the generated statement (the other interpolants are Ints
+    // and internal view names, which cannot carry syntax)
+    require(scala.util.Try(java.time.LocalDate.parse(since)).isSuccess,
+      s"since must be an ISO yyyy-MM-dd date, got '$since'")
     val spark = supplier.sparkSession
     val id = viewId.incrementAndGet()
     val (sv, lv) = (s"graft_q20_s_$id", s"graft_q20_l_$id")

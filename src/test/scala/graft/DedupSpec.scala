@@ -465,6 +465,31 @@ class DedupSpec extends SparkSpec {
     assert(out.toSet == want)
   }
 
+  test("containmentPairs positional filter stays lossless on a shared-vocabulary corpus") {
+    // 40 docs over an 8-word vocabulary → every shingle is hot and the
+    // prefix equi-join fans out heavily — exactly the regime the PPJoin
+    // POSITIONAL filter prunes. Brute-force equality at two thresholds
+    // pins that the pruning bound (1 + min(na−ra, nb−rb) ≥ ⌈t·na⌉)
+    // never drops a qualifying pair.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    def word(d: Int, i: Int) = vocab((d * 31 + i * 17) % vocab.size)
+    val fixture = docs((0 until 40).map { d =>
+      (d.toLong, (0 until 6 + d % 9).map(i => word(d, i)).mkString(" "))
+    }: _*)
+    val shingles = fixture.collect().map { r =>
+      (r.getLong(0), r.getString(1).split(" ").sliding(3).map(_.mkString(" ")).toSet)
+    }.filter(_._2.nonEmpty)
+    for (t <- Seq(0.6, 0.9)) {
+      val out = Dedup.containmentPairs(fixture, threshold = t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = (for {
+        (ia, sa) <- shingles; (ib, sb) <- shingles if ia != ib
+        c = sa.intersect(sb).size.toDouble / sa.size if c >= t
+      } yield (ia, ib, c)).toSet
+      assert(out == want, s"threshold $t: got ${out.size}, want ${want.size}")
+    }
+  }
+
   test("editNearDup equals the all-pairs Levenshtein oracle (pigeonhole candidates are lossless)") {
     // substitutions, an insert (length shift), a delete, a far pair,
     // and heads shorter than headChars — every candidate-scheme edge

@@ -644,6 +644,13 @@ class PlanAuditSpec extends SparkSpec {
     // windows), never run corpus-wide
     p.linesIterator.filter(_.contains("row_number()")).foreach(l =>
       assert(l.contains("windowspecdefinition(doc_id"), s"unpartitioned rank window:\n$l"))
+    // gram keys come from the fused codegen kernel (the interpreted
+    // transform-lambda form measured ~3 s/corpus-pass at sf0.1), and
+    // the PPJoin POSITIONAL filter must sit on the candidate join:
+    // 1 + min(na−ra, nb−rb) ≥ ⌈t·na⌉ pruned 45% of emissions before
+    // the distinct/verify when it landed
+    assert(p.contains("gram_hashes"), s"fused gram kernel lost:\n$p")
+    assert(p.contains("least("), s"positional filter lost from the candidate join:\n$p")
   }
 
   test("editNearDup: pigeonhole candidates join equi — no DP over corpus-cross-corpus") {
