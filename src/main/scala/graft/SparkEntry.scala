@@ -162,6 +162,15 @@ object SparkEntry {
     // the aggregated (supp, part) frame
     "q20_excess_suppliers" -> ((s, dir) =>
       Relational.excessSuppliers(Tables.supplier(s, dir), Tables.lineitem(s, dir))),
+    // Q13-shaped customer-order distribution: predicate in the OUTER
+    // join condition so zero-order customers survive into the histogram
+    "q13_custdist" -> ((s, dir) =>
+      Relational.customerDistribution(Tables.customer(s, dir), Tables.orders(s, dir))),
+    // Q21-shaped sole-blame suppliers: correlated EXISTS + NOT EXISTS
+    // on the same lineitem key, decorrelated to semi + anti joins
+    "q21_waiting_suppliers" -> ((s, dir) =>
+      Relational.soleBlameSuppliers(Tables.supplier(s, dir),
+        Tables.lineitem(s, dir), Tables.orders(s, dir))),
     // ANSI set ops: INTERSECT / EXCEPT over per-year customer sets
     "q_set_ops" -> ((s, dir) => Relational.customerYearSetOps(Tables.orders(s, dir))),
     // Z-order layout key: Morton interleave of (customer, order date)
@@ -1369,6 +1378,33 @@ object SparkEntry {
         |  WHERE l_shipdate >= DATE '1995-01-01'
         |  GROUP BY l_suppkey, l_partkey
         |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 95)""".stripMargin,
+    // Q13 shape: the priority predicate must ride the OUTER join (a
+    // WHERE would drop the zero-order bucket); COUNT over the
+    // null-extended o_orderkey yields 0 for order-less customers
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    // Q21 shape: EXISTS/NOT EXISTS on the same lineitem key with a
+    // supplier-inequality residual — both engines decorrelate; counts
+    // are exact integers
+    "q21_waiting_suppliers" ->
+      """SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_suppkey, s.s_name""".stripMargin,
     // set ops: INTERSECT/EXCEPT are distinct-semantics in both engines
     "q_set_ops" ->
       """SELECT o_custkey, 'both' AS set_op FROM (

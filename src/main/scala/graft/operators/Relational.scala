@@ -521,4 +521,77 @@ object Relational {
         year(col("l_shipdate")).cast("long").as("l_year"))
       .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
   }
+
+  /** TPC-H Q13 customer-order DISTRIBUTION: how many customers placed
+    * 0, 1, 2, … qualifying orders — the outer-join-then-histogram
+    * shape every BI workload runs. The load-bearing detail is that
+    * the order-side predicate lives in the JOIN CONDITION, not a
+    * WHERE: a post-join filter would silently drop the zero-order
+    * customers the distribution's first bucket exists to count
+    * (`count(o_orderkey)` over the null-extended rows yields their 0).
+    * This schema carries no o_comment, so the qualifying predicate is
+    * priority-based (`o_orderpriority <> excludePriority`) — same
+    * shape, same plan class as the reference query's NOT LIKE.
+    *
+    * Scale shape: the priority filter pushes to the orders scan
+    * (it's a plain scan predicate — only the OUTER join placement is
+    * semantic), the outer join and first groupBy share one custkey
+    * exchange, and the second groupBy aggregates a ≤ max-orders-
+    * per-customer-sized key space with map-side partials. No
+    * broadcast of the SF-proportional customer side is hinted —
+    * the planner decides by size exactly like [[revenueByNation]]. */
+  def customerDistribution(customer: DataFrame, orders: DataFrame,
+                           excludePriority: String = "5-LOW"): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority")),
+        col("c_custkey") === col("o_custkey")
+          && col("o_orderpriority") =!= excludePriority, "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q21-shaped SOLE-BLAME suppliers: for finished orders, the
+    * supplier with a RETURNED line where ANOTHER supplier shipped on
+    * the same order (EXISTS) but NO other supplier's line was returned
+    * (NOT EXISTS) — the hardest decorrelation shape in the suite, two
+    * correlated subqueries on the SAME lineitem key with inequality
+    * side-conditions. SQL-form deliberately (the
+    * [[smallQuantityOutliers]] rationale): Catalyst must plan the
+    * EXISTS as a LEFT SEMI and the NOT EXISTS as a LEFT ANTI join on
+    * the l_orderkey equi-key, carrying the `l_suppkey <>` conjunct as
+    * a join residual — never a per-row subquery, never a nested loop.
+    * This schema has no receipt/commit dates, so "the problem line"
+    * is `l_returnflag = 'R'` (same shape as the reference's
+    * late-delivery predicate; a returned line is the blame marker).
+    *
+    * Scale shape: three shuffles on l_orderkey (the probe, the semi,
+    * the anti — all fact-fact equi-joins with partial nothing needed),
+    * one on o_orderkey for the orders filter join (status pushed to
+    * the scan), supplier is a broadcast dim, and the final groupBy
+    * aggregates supplier-cardinality keys with map-side partials. */
+  def soleBlameSuppliers(supplier: DataFrame, lineitem: DataFrame,
+                         orders: DataFrame): DataFrame = {
+    val spark = supplier.sparkSession
+    val id = viewId.incrementAndGet()
+    val (sv, lv, ov) = (s"graft_q21_s_$id", s"graft_q21_l_$id", s"graft_q21_o_$id")
+    supplier.createOrReplaceTempView(sv)
+    lineitem.createOrReplaceTempView(lv)
+    orders.createOrReplaceTempView(ov)
+    try org.apache.spark.sql.graft.SqlBridge.ofAnalyzed(spark, spark.sql(s"""
+      SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+      FROM $sv s
+      JOIN $lv l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN $ov o ON o.o_orderkey = l1.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM $lv l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM $lv l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s.s_suppkey, s.s_name"""))
+    finally Seq(sv, lv, ov).foreach(spark.catalog.dropTempView)
+  }
 }

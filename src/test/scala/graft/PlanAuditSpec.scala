@@ -393,6 +393,29 @@ class PlanAuditSpec extends SparkSpec {
       || p.contains("GreaterThanOrEqual(l_shipdate"), s"date filter not pushed:\n$p")
   }
 
+  test("customerDistribution (Q13): one outer join, priority filter pushed, no cartesian") {
+    val p = plan(Relational.customerDistribution(
+      Tables.customer(spark, dir), Tables.orders(spark, dir)))
+    assert(p.contains("LeftOuter"), s"zero-order customers need an OUTER join:\n$p")
+    assert(count(p, "Join") == 1, s"expected exactly one join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    // the join-condition predicate is a plain scan predicate on the
+    // orders side — it must reach the parquet scan
+    assert(p.contains("Not(EqualTo(o_orderpriority"), s"priority filter not pushed:\n$p")
+  }
+
+  test("soleBlameSuppliers (Q21): EXISTS/NOT EXISTS decorrelate to semi + anti, no nested loop") {
+    val p = plan(Relational.soleBlameSuppliers(Tables.supplier(spark, dir),
+      Tables.lineitem(spark, dir), Tables.orders(spark, dir)))
+    assert(p.contains("LeftSemi"), s"EXISTS did not plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not plan as an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"nested-loop fallback:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"theta-join fallback:\n$p")
+    // the status and returnflag predicates reach their scans
+    assert(p.contains("EqualTo(o_orderstatus,F)"), s"status filter not pushed:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag filter not pushed:\n$p")
+  }
+
   test("pq encode: broadcast codebook, shuffle-free corpus pass") {
     val emb = Tables.embeddings(spark, dir)
     val cb = ProductQuantization.train(emb)
