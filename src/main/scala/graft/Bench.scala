@@ -8,9 +8,25 @@ import org.apache.spark.sql.SparkSession
   * comment at the print site. Failures are reported in an explicit
   * "errors" field (never disguised as a wall-time); a table-scan
   * warm-up pass absorbs JVM/classloader/parquet-footer first-query
-  * noise so per-query numbers measure the query, not startup; the
-  * codegen-dominated entries get a second timed "warm" pass that
-  * separates compile cost from data cost. */
+  * noise so per-query numbers measure the query, not startup.
+  *
+  * Attribution counters, recorded PER QUERY so suite-position effects
+  * are diagnosable from the artifact instead of re-run A/Bs (the
+  * r8/r9 closing-run inflation lesson — BENCH_NOTES.md):
+  *  - compiles: delta of CodegenMetrics.METRIC_COMPILATION_TIME.count
+  *    — janino whole-stage compilations this query triggered. A
+  *    late-position query recompiling shared kernels shows up here
+  *    (codegen-cache eviction signature).
+  *  - gc_ms: delta of total collector time — reclamation pressure
+  *    from one long-lived JVM (broadcast/shuffle block cleanup).
+  *  - jit_ms: delta of HotSpot compiler thread time — C2 re-JIT of
+  *    freshly loaded generated classes.
+  *
+  * After the cold pass, the TOP-10 queries by cold time get a second
+  * timed "warm" run (codegen cache + JIT hot, caches cleared) so the
+  * steady-state data cost stays separable from compile cost as the
+  * suite grows — the warm set follows each round's actual tail
+  * instead of a hardcoded list. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,50 +77,70 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1,q2 benches a subset (local iteration aid);
     // same parse as the prestage gate above — keep them one value
     val only = only0
-    // second timed pass for the codegen-dominated entries: their cold
-    // numbers are mostly first-run janino/whole-stage compilation, not
-    // data work (probed: PQ train 8 s cold / 2 s warm). The warm map
-    // separates compile cost from data cost — measurement honesty for
-    // cross-round comparisons, never mixed into the cold total.
-    val warmSet = Set("a_pq_codes", "a_pq_topk", "a_ivfadc_topk", "a_ivfadc_trained",
-      "a_ivf_trained", "q_pagerank", "t_sparse_sim", "q_triangles")
+
+    // attribution counter reads (see scaladoc)
+    import java.lang.management.ManagementFactory
+    import org.apache.spark.metrics.source.CodegenMetrics
+    import scala.jdk.CollectionConverters._
+    def compileCount: Long = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    def gcMs: Long =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def jitMs: Long = Option(ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported).map(_.getTotalCompilationTime)
+      .getOrElse(0L)
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val compiles = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val gcs = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val jits = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def isolate(): Unit = {
+      // isolate queries: drop cached data, then force a GC so the
+      // context cleaner releases the previous query's broadcast and
+      // shuffle blocks NOW — otherwise they accumulate across the run
+      // and later queries pay the reclamation (measured up to 7x)
+      spark.catalog.clearCache()
+      System.gc()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.forall(_.contains(name))) {
+        val (c0, g0, j0) = (compileCount, gcMs, jitMs)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
           timings(name) = (System.nanoTime() - t0) / 1e9
-          if (warmSet(name)) {
-            // isolate the warm pass exactly like a fresh query: the cold
-            // pass's checkpoint/broadcast blocks otherwise crowd memory
-            // and the "warm" number measures reclamation, not the query
-            // (observed 27 s warm vs 6.5 s cold on q_triangles)
-            spark.catalog.clearCache()
-            System.gc()
-            val t1 = System.nanoTime()
-            fn(spark, sfDir).count()
-            warm(name) = (System.nanoTime() - t1) / 1e9
-          }
+          compiles(name) = compileCount - c0
+          gcs(name) = gcMs - g0
+          jits(name) = jitMs - j0
         } catch {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         }
-        // isolate queries: drop cached data, then force a GC so the
-        // context cleaner releases the previous query's broadcast and
-        // shuffle blocks NOW — otherwise they accumulate across the run
-        // and later queries pay the reclamation (measured up to 7x)
-        spark.catalog.clearCache()
-        System.gc()
+        isolate()
       }
+    }
+    // dynamic warm pass: the top-10 by cold time, re-run with codegen
+    // cache and JIT warm but data caches cleared exactly like a fresh
+    // query (the cold pass's checkpoint/broadcast blocks otherwise
+    // crowd memory and "warm" measures reclamation, not the query —
+    // observed 27 s warm vs 6.5 s cold on q_triangles)
+    timings.toSeq.sortBy(-_._2).take(10).foreach { case (name, _) =>
+      val fn = SparkEntry.queries(name)
+      val t1 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        warm(name) = (System.nanoTime() - t1) / 1e9
+      } catch { case _: Throwable => () }
+      isolate()
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
     def jmap(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => f""""${esc(k)}":$v%1.3f""" }.mkString("{", ",", "}")
+    def jmapL(m: scala.collection.Map[String, Long]): String =
+      m.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val qs = jmap(timings)
     val ws = jmap(warm)
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
@@ -131,7 +167,7 @@ object Bench {
     // to fit the window whole. build.sbt routes forked-run stdout past
     // the sbt logger so no "[info] " prefix rides the line.
     val fullLine =
-      s"""{"full":true,"value":$total,"unit":"sec","queries":$qs,"warm":$ws,"subtotals":$subs,"errors":$es,"sf":"$sfDir","threads":$cpus}"""
+      s"""{"full":true,"value":$total,"unit":"sec","queries":$qs,"warm":$ws,"subtotals":$subs,"errors":$es,"compiles":${jmapL(compiles)},"gc_ms":${jmapL(gcs)},"jit_ms":${jmapL(jits)},"sf":"$sfDir","threads":$cpus}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
