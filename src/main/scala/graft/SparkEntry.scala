@@ -653,6 +653,13 @@ object SparkEntry {
     // arithmetically while Spark runs the real entropy decode
     "m_decode_jpeg_pixels" -> ((s, dir) =>
       Multimodal.decodeJpegPixels(Multimodal.jpegPixelDocs(Tables.documents(s, dir))).toDF()),
+    // COLOR JPEG pixel decode: 3-component YCbCr interleaved-MCU scan
+    // (4:2:0 and 4:4:4), chroma upsampling + JFIF conversion; fixtures
+    // are constant dual-fixed-point colors so the oracle recomputes
+    // the interleaved RGB stream arithmetically
+    "m_decode_jpeg_color" -> ((s, dir) =>
+      Multimodal.decodeJpegColorPixels(
+        Multimodal.jpegColorDocs(Tables.documents(s, dir))).toDF()),
     "m_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     "m_feature_extract" -> ((s, dir) => Multimodal.featureExtract(Tables.documents(s, dir)).toDF()),
     "m_resize_plan" -> ((s, dir) => Multimodal.resizePlan(Tables.documents(s, dir))),
@@ -2189,6 +2196,26 @@ object SparkEntry {
         |       md5(array_to_string(
         |         [lpad(hex((doc_id + 5 * ((k % w) // 8) + 7 * ((k // w) // 8)) % 256), 2, '0')
         |          for k in generate_series(0, w * h - 1)], '')) AS pix_md5
+        |FROM g""".stripMargin,
+    // color JPEG pixel decode: each fixture is ONE dual-fixed-point
+    // palette color (constant planes -> DC-only blocks, lossless at
+    // q=1.0), so the interleaved RGB stream is that color's 3 hex
+    // bytes repeated w*h times — the Spark side must run the real
+    // 3-component interleaved entropy scan, upsample and convert to
+    // land on the same stream; the sampling column pins that both
+    // MCU geometries (even ids 4:2:0, odd ids forced 4:4:4) ran
+    "m_decode_jpeg_color" ->
+      """WITH g AS (SELECT doc_id,
+        |  CAST(8 + doc_id % 25 AS INT) AS w,
+        |  CAST(8 + doc_id % 19 AS INT) AS h,
+        |  ['4E4E4E','414E9C','4E4EEA','4EA934','4E9CA9','4E8FF7','4EEA41','4EF79C',
+        |   '9C4E4E','A934A9','A99C4E','A9A9A9','F7414E','F79C41','F7F741','F7F7F7']
+        |   [CAST(doc_id % 16 AS INT) + 1] AS c
+        |  FROM documents)
+        |SELECT doc_id, w AS width, h AS height,
+        |       CAST(w * h AS BIGINT) AS n_pixels,
+        |       CASE WHEN doc_id % 2 = 0 THEN '4:2:0' ELSE '4:4:4' END AS sampling,
+        |       md5(repeat(c, w * h)) AS pix_md5
         |FROM g""".stripMargin,
     // audio decimation: surviving sample j is input sample 2j — its
     // little-endian byte pair recomputed arithmetically; a stride,

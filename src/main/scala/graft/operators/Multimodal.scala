@@ -1266,6 +1266,105 @@ object Multimodal {
       }).toDF("doc_id", "payload")
   }
 
+  case class JpegColorPixels(doc_id: Long, width: Int, height: Int,
+                             n_pixels: Long, sampling: String, pix_md5: String)
+
+  /** Deterministic COLOR JPEG corpus for the 3-component pixel-decode
+    * oracle — the YCbCr sibling of [[jpegPixelDocs]]. Each doc is one
+    * CONSTANT color from a 16-entry palette of empirically verified
+    * DUAL FIXED POINTS: triples that survive the JDK encoder's
+    * fixed-point RGB→YCbCr, the q=1.0 all-ones quant (constant planes
+    * = DC-only blocks, lossless like the grayscale fixtures), and
+    * BOTH our float JFIF YCbCr→RGB and ImageIO's integer one, bit
+    * exactly (probed over a 20³ RGB grid; 2032/8000 triples qualify —
+    * the palette picks one per coarse RGB cell for coverage). Constant
+    * chroma also makes the decode upsampler-independent, so the
+    * arithmetic oracle holds for any conformant decoder. Even ids
+    * encode at the JDK default 2×2 luma sampling (4:2:0 — interleaved
+    * MCUs of 4 luma + 1 Cb + 1 Cr blocks, the real-crawl majority
+    * layout); odd ids force 1×1 via the encoder metadata tree (4:4:4).
+    * Dims are deliberately NOT MCU-aligned (8+id%25 × 8+id%19) so the
+    * scan exercises MCU edge padding and crop in both geometries. */
+  def jpegColorDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (r, g, bl) = JpegColorPalette((id % 16).toInt)
+        val w = (8 + id % 25).toInt; val h = (8 + id % 19).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val gr = img.createGraphics()
+        gr.setColor(new java.awt.Color(r, g, bl))
+        gr.fillRect(0, 0, w, h)
+        gr.dispose()
+        val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+        val p = wr.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(1.0f)
+        val meta = if (id % 2 == 1) {
+          // force 1×1 luma sampling (4:4:4) through the native
+          // metadata tree — the only JDK channel for sampling control
+          val m = wr.getDefaultImageMetadata(
+            javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), p)
+          val tree = m.getAsTree("javax_imageio_jpeg_image_1.0")
+          def walk(n: org.w3c.dom.Node): Unit = {
+            if (n.getNodeName == "componentSpec") {
+              val at = n.getAttributes
+              if (at.getNamedItem("componentId").getNodeValue.toInt == 1) {
+                at.getNamedItem("HsamplingFactor").setNodeValue("1")
+                at.getNamedItem("VsamplingFactor").setNodeValue("1")
+              }
+            }
+            val cs = n.getChildNodes
+            (0 until cs.getLength).foreach(i => walk(cs.item(i)))
+          }
+          walk(tree)
+          m.setFromTree("javax_imageio_jpeg_image_1.0", tree)
+          m
+        } else null
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        wr.setOutput(ios)
+        wr.write(null, new javax.imageio.IIOImage(img, null, meta), p)
+        ios.close(); wr.dispose()
+        (id, bos.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** The 16 dual-fixed-point palette entries of [[jpegColorDocs]] —
+    * see its scaladoc for the selection procedure. */
+  private[graft] val JpegColorPalette: Array[(Int, Int, Int)] = Array(
+    (78, 78, 78), (65, 78, 156), (78, 78, 234), (78, 169, 52),
+    (78, 156, 169), (78, 143, 247), (78, 234, 65), (78, 247, 156),
+    (156, 78, 78), (169, 52, 169), (169, 156, 78), (169, 169, 169),
+    (247, 65, 78), (247, 156, 65), (247, 247, 65), (247, 247, 247))
+
+  /** [[decodeJpegColor]] over a (doc_id, payload) frame through the
+    * batched seam, fingerprinting the interleaved RGB stream with the
+    * repo's uppercase-hex md5 convention. The sampling column reads
+    * the SOF's luma factors back out of the payload so the oracle
+    * pins that both geometries were actually exercised. Throws on
+    * undecodable payloads — every [[jpegColorDocs]] payload is a
+    * baseline YCbCr JPEG by construction. */
+  def decodeJpegColorPixels(bin: DataFrame): Dataset[JpegColorPixels] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w, h, hs, vs, rgb) = decodeJpegColor(bytes).getOrElse(
+          throw new IllegalArgumentException(
+            s"doc $id: not a decodable baseline YCbCr JPEG"))
+        val hexUpper = org.apache.commons.codec.binary.Hex
+          .encodeHexString(rgb).toUpperCase
+        JpegColorPixels(id, w, h, w.toLong * h,
+          if (hs == 2 && vs == 2) "4:2:0"
+          else if (hs == 1 && vs == 1) "4:4:4" else s"${hs}x$vs",
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(hexUpper))
+      })
+  }
+
   /** Entropy-scan bit reader (ITU T.81 §F.2.2.5): MSB-first bits with
     * 0xFF00 byte-stuffing unstuffed; RST markers are consumed by the
     * caller via [[alignAndExpectRst]]. */
@@ -1554,6 +1653,246 @@ object Multimodal {
         JpegPixels(id, w, h, w.toLong * h,
           org.apache.commons.codec.digest.DigestUtils.md5Hex(hexUpper))
       })
+  }
+
+  /** REAL baseline JPEG pixel decode for 3-component YCbCr scans —
+    * the color sibling of [[decodeJpegGray]] that closes the
+    * grayscale-only scope gate (real crawls are overwhelmingly YCbCr).
+    * The marker walk collects the same DQT/DHT/SOF0/DRI state plus
+    * per-component sampling factors; the SOS entropy scan decodes
+    * INTERLEAVED MCUs — for each MCU, every component contributes its
+    * v×h raster of 8×8 blocks (T.81 §A.2.3), each through its own
+    * DC predictor and Huffman/quant tables — into per-component
+    * planes at MCU-padded resolution. Chroma then upsamples by sample
+    * replication (x·hᵢ/hmax, y·vᵢ/vmax — the box filter; a fancier
+    * triangle filter changes only sub-LSB shading, and the fixture
+    * corpus keeps chroma constant so ANY conformant upsampler agrees
+    * bit-for-bit), and the JFIF YCbCr→RGB conversion
+    * (R = Y + 1.402·(Cr−128) etc, round + clamp) lands on interleaved
+    * RGB bytes cropped to frame dims. Both sampling families ship in
+    * the wild and both are handled generically: 1×1 (4:4:4) and the
+    * 2×2 luma default (4:2:0), plus the rectangular mixes (h and v
+    * are read per component, not assumed).
+    *
+    * Restart intervals reset ALL three predictors and realign like
+    * the gray scan. Returns (width, height, luma h, luma v, RGB
+    * bytes); None for anything that is not a baseline sequential
+    * 8-bit 3-component JFIF JPEG (component ids 1,2,3); grayscale
+    * payloads stay [[decodeJpegGray]]'s. */
+  private[graft] def decodeJpegColor(
+      b: Array[Byte]): Option[(Int, Int, Int, Int, Array[Byte])] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (b.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None
+    val qtabs = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuffTable](4)
+    val acTabs = new Array[JpegHuffTable](4)
+    var w = 0; var h = 0
+    // per component (index = component id - 1): sampling + quant table
+    val compH = new Array[Int](3); val compV = new Array[Int](3)
+    val compQ = Array.fill(3)(-1)
+    var sofSeen = false
+    var restartInterval = 0
+    var p = 2
+    while (p + 4 <= b.length) {
+      if (u8(p) != 0xFF) return None
+      while (p < b.length && u8(p) == 0xFF) p += 1
+      if (p >= b.length) return None
+      val marker = u8(p); p += 1
+      marker match {
+        case 0xD8 => return None // repeated SOI
+        case 0x01 => () // TEM: standalone
+        case m if m >= 0xD0 && m <= 0xD7 => () // stray RST: standalone
+        case 0xDB => // DQT: one or more tables
+          val len = be16(p); val end = p + len
+          if (len < 2 || end > b.length) return None
+          var q = p + 2
+          while (q < end) {
+            val pq = u8(q) >> 4; val tq = u8(q) & 0x0F
+            if (tq > 3 || (pq != 0 && pq != 1)) return None
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) {
+              t(i) = if (pq == 0) u8(q + 1 + i) else be16(q + 1 + 2 * i)
+              i += 1
+            }
+            qtabs(tq) = t
+            q += 1 + (if (pq == 0) 64 else 128)
+          }
+          p = end
+        case 0xC4 => // DHT: one or more tables
+          val len = be16(p); val end = p + len
+          if (len < 2 || end > b.length) return None
+          var q = p + 2
+          while (q < end) {
+            val tc = u8(q) >> 4; val th = u8(q) & 0x0F
+            if (th > 3 || tc > 1) return None
+            val counts = Array.tabulate(16)(i => u8(q + 1 + i))
+            val n = counts.sum
+            if (q + 17 + n > end) return None
+            val symbols = Array.tabulate(n)(i => u8(q + 17 + i))
+            val tab = new JpegHuffTable(counts, symbols)
+            if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+            q += 17 + n
+          }
+          p = end
+        case 0xC0 | 0xC1 => // SOF0/1: baseline (ext-sequential shares the scan)
+          val len = be16(p)
+          if (len < 8 || p + len > b.length) return None
+          if (u8(p + 2) != 8) return None // precision
+          h = be16(p + 3); w = be16(p + 5)
+          val ncomp = u8(p + 7)
+          if (w <= 0 || h <= 0) return None
+          if (ncomp != 3) return None // color scan only
+          var c = 0
+          while (c < 3) {
+            val cid = u8(p + 8 + 3 * c)
+            if (cid < 1 || cid > 3) return None // JFIF YCbCr ids only
+            val hv = u8(p + 9 + 3 * c)
+            val hs = hv >> 4; val vs = hv & 0x0F
+            if (hs < 1 || hs > 4 || vs < 1 || vs > 4) return None
+            compH(cid - 1) = hs; compV(cid - 1) = vs
+            compQ(cid - 1) = u8(p + 10 + 3 * c)
+            c += 1
+          }
+          sofSeen = true
+          p += len
+        case 0xC2 => return None // progressive: out of scope
+        case 0xDD => // DRI
+          val len = be16(p)
+          if (len != 4 || p + len > b.length) return None
+          restartInterval = be16(p + 2)
+          p += len
+        case 0xD9 => return None // EOI before SOS
+        case 0xDA => // SOS: decode the interleaved scan
+          val len = be16(p)
+          if (len < 2 || p + len > b.length) return None
+          if (!sofSeen) return None
+          val ns = u8(p + 2)
+          if (ns != 3) return None
+          // scan component order → (component index, dc table, ac table)
+          val scanComp = new Array[Int](3)
+          val scanDc = new Array[JpegHuffTable](3)
+          val scanAc = new Array[JpegHuffTable](3)
+          var s = 0
+          while (s < 3) {
+            val cid = u8(p + 3 + 2 * s)
+            if (cid < 1 || cid > 3) return None
+            val dcId = u8(p + 4 + 2 * s) >> 4; val acId = u8(p + 4 + 2 * s) & 0x0F
+            scanComp(s) = cid - 1
+            scanDc(s) = dcTabs(dcId); scanAc(s) = acTabs(acId)
+            if (scanDc(s) == null || scanAc(s) == null) return None
+            if (compQ(cid - 1) < 0 || qtabs(compQ(cid - 1)) == null) return None
+            s += 1
+          }
+          val hmax = compH.max; val vmax = compV.max
+          val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+          val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+          // per-component planes at MCU-padded resolution
+          val planeW = Array.tabulate(3)(i => mcusX * compH(i) * 8)
+          val planes = Array.tabulate(3)(i =>
+            new Array[Byte](planeW(i) * mcusY * compV(i) * 8))
+          val preds = new Array[Int](3)
+          val br = new JpegBitReader(b, p + len)
+          var mcu = 0
+          var rstN = 0
+          var my = 0
+          while (my < mcusY) {
+            var mx = 0
+            while (mx < mcusX) {
+              if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+                br.alignAndExpectRst(rstN)
+                rstN = (rstN + 1) & 7
+                java.util.Arrays.fill(preds, 0)
+              }
+              var s2 = 0
+              while (s2 < 3) {
+                val ci = scanComp(s2)
+                val qt = qtabs(compQ(ci))
+                var bv = 0
+                while (bv < compV(ci)) {
+                  var bx2 = 0
+                  while (bx2 < compH(ci)) {
+                    // DC: category symbol + extend bits, diff-coded
+                    val t = scanDc(s2).decode(br)
+                    require(t <= 11, s"DC category $t out of range")
+                    preds(ci) += jpegExtend(br.bits(t), t)
+                    val coef = new Array[Double](64)
+                    coef(0) = preds(ci).toDouble * qt(0)
+                    // AC: run/size to 63, EOB ends the block, ZRL skips 16
+                    var k = 1
+                    var open = true
+                    while (open && k < 64) {
+                      val rs = scanAc(s2).decode(br)
+                      val r = rs >> 4; val sz = rs & 0x0F
+                      if (sz == 0) {
+                        if (r == 15) k += 16 // ZRL
+                        else open = false // EOB
+                      } else {
+                        k += r
+                        require(k < 64, "AC index overran the block")
+                        coef(JpegZigZag(k)) = jpegExtend(br.bits(sz), sz).toDouble * qt(k)
+                        k += 1
+                      }
+                    }
+                    val out = jpegIdct(coef)
+                    val x0 = (mx * compH(ci) + bx2) * 8
+                    val y0 = (my * compV(ci) + bv) * 8
+                    val pw = planeW(ci)
+                    var yy = 0
+                    while (yy < 8) {
+                      var xx = 0
+                      while (xx < 8) {
+                        val v = math.round(out(yy * 8 + xx) + 128.0).toInt
+                        planes(ci)((y0 + yy) * pw + (x0 + xx)) =
+                          math.max(0, math.min(255, v)).toByte
+                        xx += 1
+                      }
+                      yy += 1
+                    }
+                    bx2 += 1
+                  }
+                  bv += 1
+                }
+                s2 += 1
+              }
+              mcu += 1
+              mx += 1
+            }
+            my += 1
+          }
+          // upsample (sample replication) + JFIF YCbCr→RGB, crop to frame
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              def plane(ci: Int): Int = {
+                val sx = x * compH(ci) / hmax; val sy = y * compV(ci) / vmax
+                planes(ci)(sy * planeW(ci) + sx) & 0xFF
+              }
+              val yv = plane(0); val cb = plane(1) - 128; val cr = plane(2) - 128
+              def clamp(d: Double): Byte = {
+                val v = math.round(d).toInt
+                math.max(0, math.min(255, v)).toByte
+              }
+              val o = (y * w + x) * 3
+              rgb(o) = clamp(yv + 1.402 * cr)
+              rgb(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+              rgb(o + 2) = clamp(yv + 1.772 * cb)
+              x += 1
+            }
+            y += 1
+          }
+          return Some((w, h, compH(0), compV(0), rgb))
+        case _ => // every other segment is length-prefixed: skip it
+          if (p + 2 > b.length) return None
+          val len = be16(p)
+          if (len < 2 || p + len > b.length) return None
+          p += len
+      }
+    }
+    None
   }
 
   // ---- REAL GIF decode: LZW-compressed index stream → pixels ----

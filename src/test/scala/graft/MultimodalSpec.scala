@@ -568,6 +568,108 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeJpegGray("not a jpeg at all".getBytes).isEmpty)
   }
 
+  test("decodeJpegColor: bit-equal to ImageIO on the dual-fixed-point fixtures") {
+    val docs = (0L until 32L).map(d => (d, s"doc $d")).toDF("doc_id", "text")
+    val payloads = Multimodal.jpegColorDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(payloads.length == 32)
+    payloads.foreach { case (id, bytes) =>
+      val (w, h, hs, vs, rgb) = Multimodal.decodeJpegColor(bytes).get
+      assert((w, h) == ((8 + id % 25).toInt, (8 + id % 19).toInt))
+      // the encoder geometry the fixtures claim: JDK default 2x2 luma
+      // on even ids, metadata-forced 1x1 on odd ids
+      if (id % 2 == 0) assert((hs, vs) == ((2, 2)), s"doc $id sampling")
+      else assert((hs, vs) == ((1, 1)), s"doc $id sampling")
+      // the planted palette color survives encode+decode losslessly
+      // (dual fixed point + constant DC-only planes at q=1.0)
+      val (pr, pg, pb) = Multimodal.JpegColorPalette((id % 16).toInt)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        assert(((rgb(o) & 0xFF, rgb(o + 1) & 0xFF, rgb(o + 2) & 0xFF)) == ((pr, pg, pb)),
+          s"doc $id planted color mismatch at ($x,$y)")
+      }
+      // ...and the JDK's own decoder agrees byte for byte
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        assert(((rgb(o) & 0xFF, rgb(o + 1) & 0xFF, rgb(o + 2) & 0xFF)) ==
+          (((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)),
+          s"doc $id ImageIO mismatch at ($x,$y)")
+      }
+    }
+  }
+
+  test("decodeJpegColor: general AC path tracks ImageIO at 4:4:4 within tolerance") {
+    // a non-constant color image: AC coefficients nonzero, lossy
+    // quantization, multi-table Huffman across all three components.
+    // Encoded at metadata-forced 1x1 sampling so no chroma upsampler
+    // is in play (ours is box replication, the JDK's is triangle) —
+    // residual drift is only IDCT accuracy + float-vs-int YCbCr->RGB.
+    val w = 40; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 7 + y * 13) % 256
+      val g = (x * 11 + y * 3 + 40) % 256
+      val b = (x * y) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.9f)
+    val m = wr.getDefaultImageMetadata(
+      javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), p)
+    val tree = m.getAsTree("javax_imageio_jpeg_image_1.0")
+    def walk(n: org.w3c.dom.Node): Unit = {
+      if (n.getNodeName == "componentSpec") {
+        val at = n.getAttributes
+        if (at.getNamedItem("componentId").getNodeValue.toInt == 1) {
+          at.getNamedItem("HsamplingFactor").setNodeValue("1")
+          at.getNamedItem("VsamplingFactor").setNodeValue("1")
+        }
+      }
+      val cs = n.getChildNodes
+      (0 until cs.getLength).foreach(i => walk(cs.item(i)))
+    }
+    walk(tree)
+    m.setFromTree("javax_imageio_jpeg_image_1.0", tree)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, m), p)
+    ios.close(); wr.dispose()
+    val bytes = bos.toByteArray
+    val (dw, dh, hs, vs, rgb) = Multimodal.decodeJpegColor(bytes).get
+    assert((dw, dh, hs, vs) == ((w, h, 1, 1)))
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val got = rgb((y * w + x) * 3 + c) & 0xFF
+      val ref = (back.getRGB(x, y) >> (16 - 8 * c)) & 0xFF
+      val d = math.abs(got - ref)
+      if (d > maxDiff) maxDiff = d
+    }
+    assert(maxDiff <= 3, s"decoded pixels drifted from ImageIO by $maxDiff")
+  }
+
+  test("decodeJpegColor: rejects grayscale JPEGs, truncated scans, non-JPEG bytes") {
+    val docs = (0L until 4L).map(d => (d, s"doc $d")).toDF("doc_id", "text")
+    // single-component payloads belong to the gray scan: None, not a misparse
+    val gray = Multimodal.jpegPixelDocs(docs.limit(1)).collect()(0).getAs[Array[Byte]]("payload")
+    assert(Multimodal.decodeJpegColor(gray).isEmpty)
+    // truncation: None in the header walk, exception mid-entropy —
+    // never a silent wrong decode
+    val colr = Multimodal.jpegColorDocs(docs.limit(1)).collect()(0).getAs[Array[Byte]]("payload")
+    for (keep <- Seq(colr.length / 4, colr.length / 2, colr.length * 3 / 4)) {
+      val res = try Multimodal.decodeJpegColor(colr.take(keep))
+      catch { case _: Exception => None }
+      assert(res.isEmpty, s"truncation at $keep bytes decoded anyway")
+    }
+    assert(Multimodal.decodeJpegColor("not a jpeg at all".getBytes).isEmpty)
+  }
+
   test("lzwDecode: inverts a genuinely compressed stream (dict growth, repeats)") {
     val rnd = new scala.util.Random(7)
     // repetitive data → real compression, many dictionary entries
