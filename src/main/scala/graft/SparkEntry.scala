@@ -72,6 +72,8 @@ object SparkEntry {
       graft.streaming.StreamRunner.replaySessionAgg(s, ev(s, dir))),
     "s_stream_outer_join" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayOuterIntervalJoin(s, ev(s, dir))),
+    "s_stream_full_outer_join" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayFullOuterIntervalJoin(s, ev(s, dir))),
     "s_stream_update_agg" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayUpdateAgg(s, ev(s, dir))),
     // streaming running moments: additive (n, Σv, Σv²) per kind as
@@ -676,6 +678,17 @@ object SparkEntry {
     // the corpus-trained merge table
     "t_bpe_fertility" -> ((s, dir) =>
       graft.functions.Bpe.fertilityByLang(Tables.documents(s, dir))),
+    // ---- unigram-LM (SentencePiece-style) tokenizer: hard-EM trained
+    // piece vocabulary + integer-cost Viterbi segmentation ----
+    "t_unigram_tokenizer" -> ((s, dir) =>
+      graft.functions.Unigram.train(Tables.documents(s, dir), 64, 4, 2)),
+    "t_unigram_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.Unigram.encode(docs.filter(col("doc_id") % 7 === 0),
+        graft.functions.Unigram.train(docs, 64, 4, 2))
+    }),
+    "t_unigram_fertility" -> ((s, dir) =>
+      graft.functions.Unigram.fertilityVsBpe(Tables.documents(s, dir))),
   )
 
   private val carsCte =
@@ -1031,6 +1044,29 @@ object SparkEntry {
         |SELECT c.car_event_id, z.zone_event_id, c.car_id, c.zone_id,
         |       c.fuel_level, z.pollution_level
         |FROM c LEFT JOIN z ON c.zone_id = z.zone_id
+        |  AND z.zus >= c.cus AND z.zus <= c.cus + 3600000000""".stripMargin,
+    // full-outer interval join: both sides' unmatched rows emit with
+    // nulls once the sentinel-advanced watermark proves no match can
+    // arrive. The zone side drops unparseable zones (the envelope's
+    // keyless-reading filter), so the oracle's z leg filters them too;
+    // unparseable CAR zones still surface as unmatched cars with a
+    // null zone_id. zone_id coalesces the surviving side's key.
+    "s_stream_full_outer_join" ->
+      """WITH c AS (
+        |  SELECT event_id AS car_event_id, user_id AS car_id,
+        |         CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS zone_id,
+        |         value AS fuel_level, epoch_ns(ts) // 1000 AS cus
+        |  FROM events WHERE event_type IN ('click','view')),
+        |z AS (
+        |  SELECT event_id AS zone_event_id,
+        |         CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS zone_id,
+        |         value AS pollution_level, epoch_ns(ts) // 1000 AS zus
+        |  FROM events WHERE event_type = 'error'
+        |    AND NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') IS NOT NULL)
+        |SELECT c.car_event_id, z.zone_event_id, c.car_id,
+        |       COALESCE(c.zone_id, z.zone_id) AS zone_id,
+        |       c.fuel_level, z.pollution_level
+        |FROM c FULL JOIN z ON c.zone_id = z.zone_id
         |  AND z.zus >= c.cus AND z.zus <= c.cus + 3600000000""".stripMargin,
     // append-mode windowed agg with watermark: the sentinel chunks close
     // every real window, so the emitted log equals the batch per-window
@@ -3255,6 +3291,14 @@ object SparkEntry {
     "t_bpe_encode" -> bpeEncodeOracle,
     "c_bpe_budget" -> bpeBudgetOracle,
     "t_bpe_fertility" -> bpeFertilityOracle,
+    // unigram LM: integer-quantized piece scores make the Viterbi DP
+    // pure integer arithmetic (no float comparison ever picks a
+    // segmentation), so DuckDB's recursive-CTE DP and Spark's
+    // aggregate() fold walk bit-identical paths — see
+    // graft.functions.Unigram's scaladoc for the quantization argument
+    "t_unigram_tokenizer" -> unigramTrainOracle,
+    "t_unigram_encode" -> unigramEncodeOracle,
+    "t_unigram_fertility" -> unigramFertilityOracle,
   )
 
   /** The BPE training recurrence (graft.functions.Bpe.train) as DuckDB
@@ -3356,6 +3400,151 @@ object SparkEntry {
        |       CAST(SUM(n_tokens) AS BIGINT) AS n_bpe_tokens,
        |       ROUND(SUM(n_tokens) / CAST(SUM(n_words) AS DOUBLE) + 1e-12, 4) AS fertility
        |FROM j GROUP BY lang""".stripMargin
+  }
+
+  /** One unigram Viterbi DP as a DuckDB recursive CTE: per word, the
+    * state row carries the full prefix-cost and prefix-pieces lists
+    * and appends one position per iteration; candidate piece lengths
+    * resolve with the pinned tiebreak (longest wins ties — the CASE is
+    * equivalent to graft.functions.Unigram.viterbi's ascending-≤
+    * scan). Integer costs only; the map lookup m[piece][1] is null for
+    * out-of-vocabulary pieces, with the single-char fallback 1000000
+    * mirroring Unigram.UnkNll. */
+  private def uniDp(name: String, mapCte: String): String =
+    s"""$name AS (
+       |  SELECT w, c, [CAST(0 AS BIGINT)] AS costs, [CAST([] AS VARCHAR[])] AS ps
+       |  FROM u_w
+       |  UNION ALL
+       |  SELECT w, c,
+       |         list_append(costs, least(c1, c2, c3, c4)),
+       |         list_append(ps, list_append(ps[k - bl + 1], substr(w, k - bl + 1, bl)))
+       |  FROM (
+       |    SELECT w, c, costs, ps, k, c1, c2, c3, c4,
+       |      CASE WHEN c4 IS NOT NULL AND c4 <= least(c1, c2, c3) THEN 4
+       |           WHEN c3 IS NOT NULL AND c3 <= least(c1, c2) THEN 3
+       |           WHEN c2 IS NOT NULL AND c2 <= c1 THEN 2
+       |           ELSE 1 END AS bl
+       |    FROM (
+       |      SELECT w, c, costs, ps, len(costs) AS k,
+       |        costs[len(costs)] + coalesce(m[substr(w, len(costs), 1)][1], 1000000) AS c1,
+       |        CASE WHEN len(costs) >= 2 THEN costs[len(costs) - 1] + m[substr(w, len(costs) - 1, 2)][1] END AS c2,
+       |        CASE WHEN len(costs) >= 3 THEN costs[len(costs) - 2] + m[substr(w, len(costs) - 2, 3)][1] END AS c3,
+       |        CASE WHEN len(costs) >= 4 THEN costs[len(costs) - 3] + m[substr(w, len(costs) - 3, 4)][1] END AS c4
+       |      FROM $name, $mapCte
+       |      WHERE len(costs) <= length(w))))""".stripMargin
+
+  /** The unigram training chain (graft.functions.Unigram.train) as
+    * DuckDB CTEs: u_w word vocabulary → u_seed substring counts →
+    * u_v0 top-`v` multi-char pieces + all chars → per EM round r a
+    * Viterbi DP (u_dp$r), hard counts with add-one smoothing and
+    * requantized nll (u_n$r) + the piece→nll map (u_m$r). */
+  private def uniChain(v: Int, rounds: Int): String = {
+    val head =
+      s"""u_w AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY w),
+         |u_seed AS (
+         |  SELECT piece, CAST(SUM(c) AS BIGINT) AS cnt
+         |  FROM (SELECT c, unnest(flatten([[substr(w, s, l)
+         |                for l in generate_series(1, least(4, length(w) - s + 1))]
+         |               for s in generate_series(1, length(w))])) AS piece
+         |        FROM u_w)
+         |  GROUP BY piece),
+         |u_v0 AS (
+         |  SELECT piece, cnt AS seed_cnt, cnt FROM (
+         |    SELECT piece, cnt FROM u_seed WHERE length(piece) >= 2
+         |    ORDER BY cnt DESC, piece LIMIT $v)
+         |  UNION ALL SELECT piece, cnt AS seed_cnt, cnt FROM u_seed WHERE length(piece) = 1),
+         |u_t0 AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM u_v0),
+         |u_n0 AS (SELECT piece, seed_cnt, cnt,
+         |                CAST(ROUND(LN(total / CAST(cnt AS DOUBLE)) * 1000, 0) AS BIGINT) AS nll
+         |         FROM u_v0, u_t0),
+         |u_m0 AS (SELECT map_from_entries(list({'k': piece, 'v': nll})) AS m FROM u_n0)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      uniDp(s"u_dp$r", s"u_m${r - 1}") + ",\n" +
+        s"""u_vit$r AS (SELECT w, c, ps[length(w) + 1] AS pieces
+           |            FROM u_dp$r WHERE len(costs) = length(w) + 1),
+           |u_c$r AS (SELECT piece, CAST(SUM(c) AS BIGINT) AS hard
+           |          FROM (SELECT c, unnest(pieces) AS piece FROM u_vit$r) GROUP BY piece),
+           |u_v$r AS (SELECT n.piece, n.seed_cnt, COALESCE(h.hard, 0) + 1 AS cnt
+           |          FROM u_n${r - 1} n LEFT JOIN u_c$r h USING (piece)),
+           |u_t$r AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM u_v$r),
+           |u_n$r AS (SELECT piece, seed_cnt, cnt,
+           |                 CAST(ROUND(LN(total / CAST(cnt AS DOUBLE)) * 1000, 0) AS BIGINT) AS nll
+           |          FROM u_v$r, u_t$r),
+           |u_m$r AS (SELECT map_from_entries(list({'k': piece, 'v': nll})) AS m FROM u_n$r)""".stripMargin
+    }
+    (head +: rs).mkString(",\n")
+  }
+
+  private lazy val unigramTrainOracle: String =
+    s"""WITH RECURSIVE ${uniChain(64, 2)}
+       |SELECT piece, CAST(length(piece) AS INT) AS n_chars, seed_cnt, cnt, nll
+       |FROM u_n2""".stripMargin
+
+  /** Encode replay: one more DP under the FINAL map (u_m2) over the
+    * word vocabulary, then per selected document the word stream
+    * rejoins its piece list and flattens in word order — positions
+    * are assigned over the flattened stream exactly like posexplode. */
+  private lazy val unigramEncodeOracle: String =
+    s"""WITH RECURSIVE ${uniChain(64, 2)},
+       |${uniDp("u_dpe", "u_m2")},
+       |u_vite AS (SELECT w, ps[length(w) + 1] AS pieces
+       |           FROM u_dpe WHERE len(costs) = length(w) + 1),
+       |dw AS (
+       |  SELECT doc_id, u.wi AS wi, u.w AS w FROM (
+       |    SELECT doc_id, unnest([{'wi': i, 'w': ws[i]} for i in generate_series(1, len(ws))]) AS u
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id % 7 = 0))
+       |  WHERE u.w <> ''),
+       |fl AS (
+       |  SELECT doc_id, flatten(list(pieces ORDER BY wi)) AS ps
+       |  FROM dw JOIN u_vite v USING (w) GROUP BY doc_id)
+       |SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, u.p AS piece FROM (
+       |  SELECT doc_id, unnest([{'i': i, 'p': ps[i]} for i in generate_series(1, len(ps))]) AS u
+       |  FROM fl)""".stripMargin
+
+  /** Both tokenizers' per-language fertility side by side: the BPE
+    * whole-document encode replay (bpeFertilityOracle's chain) joined
+    * with the unigram piece counts under the final trained map. */
+  private lazy val unigramFertilityOracle: String = {
+    val n = 8
+    val encs = (1 to n).map(r =>
+      s"""enc$r AS (
+         |  SELECT doc_id, replace(seq, ' ' || b.l || ' ' || b.r || ' ',
+         |                              ' ' || b.l || b.r || ' ') AS seq
+         |  FROM enc${r - 1}, b$r b)""".stripMargin).mkString(",\n")
+    s"""WITH RECURSIVE ${bpeChain(n)},
+       |${uniChain(64, 2)},
+       |${uniDp("u_dpe", "u_m2")},
+       |u_vite AS (SELECT w, ps[length(w) + 1] AS pieces
+       |           FROM u_dpe WHERE len(costs) = length(w) + 1),
+       |enc0 AS (
+       |  SELECT doc_id, ' ' || array_to_string(string_split(text, ''), ' ') || ' ' AS seq
+       |  FROM documents),
+       |$encs,
+       |nt AS (
+       |  SELECT doc_id,
+       |         len(list_filter(string_split(trim(seq), ' '), x -> x <> '')) AS n_tokens
+       |  FROM enc$n),
+       |bl AS (SELECT d.lang, CAST(SUM(nt.n_tokens) AS BIGINT) AS n_bpe_tokens,
+       |              ROUND(SUM(nt.n_tokens) / CAST(SUM(len(string_split(d.text, ' '))) AS DOUBLE) + 1e-12, 4) AS bpe_fertility
+       |       FROM documents d JOIN nt USING (doc_id) GROUP BY d.lang),
+       |dwa AS (
+       |  SELECT doc_id, u.w AS w FROM (
+       |    SELECT doc_id, unnest([{'wi': i, 'w': ws[i]} for i in generate_series(1, len(ws))]) AS u
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+       |  WHERE u.w <> ''),
+       |un AS (SELECT doc_id, CAST(SUM(len(v.pieces)) AS BIGINT) AS n_uni
+       |       FROM dwa JOIN u_vite v USING (w) GROUP BY doc_id),
+       |ul AS (SELECT d.lang, COUNT(*) AS n_docs,
+       |              CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_words,
+       |              CAST(SUM(COALESCE(un.n_uni, 0)) AS BIGINT) AS n_uni_pieces,
+       |              ROUND(SUM(COALESCE(un.n_uni, 0)) / CAST(SUM(len(string_split(d.text, ' '))) AS DOUBLE) + 1e-12, 4) AS uni_fertility
+       |       FROM documents d LEFT JOIN un USING (doc_id) GROUP BY d.lang)
+       |SELECT ul.lang, ul.n_docs, ul.n_words, ul.n_uni_pieces, ul.uni_fertility,
+       |       bl.n_bpe_tokens, bl.bpe_fertility
+       |FROM ul JOIN bl USING (lang)""".stripMargin
   }
 
   private lazy val bpeBudgetOracle: String = {

@@ -1,0 +1,202 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenization (Kudo 2018, the SentencePiece
+  * unigram model — public algorithm) — the other half of the
+  * production tokenizer menu next to [[Bpe]]: instead of greedy
+  * merges, a PIECE VOCABULARY with unigram probabilities scores every
+  * segmentation of a word, and the tokenizer picks the
+  * maximum-likelihood one (Viterbi). Three halves, all deterministic
+  * and oracle-replayable:
+  *
+  *  - seed: every substring of every vocabulary word up to
+  *    `maxPieceLen` chars, weighted by word frequency; the vocabulary
+  *    keeps the `vocabSize` most frequent multi-char pieces (fixed
+  *    tiebreak: count desc, then piece) PLUS every single character,
+  *    so any word stays segmentable (the SentencePiece coverage
+  *    invariant).
+  *  - [[train]]: hard-EM rounds — E-step Viterbi-segments each
+  *    vocabulary word under the current piece scores, M-step
+  *    re-estimates counts from the chosen segmentations with add-one
+  *    smoothing (every piece stays defined; SentencePiece's soft EM
+  *    forward-backward differs only in using expected rather than
+  *    argmax counts — hard EM is the documented, replayable variant).
+  *  - [[encode]]: Viterbi decode of every document word under the
+  *    trained scores → (doc_id, pos, piece) rows.
+  *
+  * INTEGER-QUANTIZED SCORES — the cross-engine-determinism keystone:
+  * a piece's negative log-likelihood is quantized ONCE per EM round to
+  * an integer, nll = round(1000·ln(total/count)), and the Viterbi DP
+  * then runs in PURE INTEGER arithmetic (sums + comparisons), so no
+  * float comparison ever decides a segmentation and both engines walk
+  * bit-identical paths. The only float op is the ln() inside the
+  * quantization; a boundary flip needs ln() to land within ~1e-12 of
+  * a .5/1000 boundary (double ln is ~1e-15-relative on values < 20) —
+  * ~1e-9 aggregate odds across a vocabulary, far below the accepted
+  * [[graft.operators.Dedup.minhashPairs]] banding-miss precedent.
+  *
+  * VITERBI TIEBREAK (pinned, both engines): scanning candidate piece
+  * lengths ascending, a longer piece REPLACES the incumbent when its
+  * path cost is ≤ — so equal-cost segmentations resolve to the
+  * longest-final-piece path, deterministically.
+  *
+  * 100 TB shape: ONE corpus scan builds the (word, count) vocabulary
+  * (map-side partial counting; vocabulary is language-bounded, not
+  * corpus-bounded — the [[Bpe.train]] argument). Seeding explodes
+  * substrings of the VOCABULARY only (≤ len·maxPieceLen pieces per
+  * distinct word), the top-V selection compiles to TakeOrdered
+  * (distributed, never a single-partition window), and each EM round
+  * shuffles only vocabulary-sized piece statistics with
+  * `localCheckpoint` truncating per-round lineage. Encoding
+  * broadcasts the one-row piece→nll map and runs as per-row
+  * expressions — no shuffle at all.
+  */
+object Unigram {
+
+  /** Fallback cost for a character absent from the piece table —
+    * unreachable when encoding the training corpus (every single char
+    * of every vocabulary word is a kept piece) but keeps the DP total
+    * on foreign input instead of null-poisoning the path. */
+  private val UnkNll = 1000000L
+
+  private[graft] def words(text: Column): Column = Bpe.words(text)
+
+  /** Maximum-likelihood segmentation of word `w` under the broadcast
+    * piece→nll map `m`: an integer-cost Viterbi over prefix lengths.
+    * The DP accumulator is an array of (cost, pieces) states, one per
+    * prefix length; state j considers the ≤ `maxLen` candidate pieces
+    * ending at char j with the pinned ascending-≤ tiebreak. */
+  private[graft] def viterbi(w: Column, m: Column, maxLen: Int): Column = {
+    val init = array(struct(lit(0L).as("cost"),
+      typedLit(Seq.empty[String]).as("ps")))
+    aggregate(
+      sequence(lit(1), length(w)),
+      init,
+      (acc, k) => {
+        // candidate: the length-l piece ending at char k; null cost when
+        // k < l or (for l >= 2) the piece is not in the vocabulary
+        def cand(l: Int): Column = {
+          val prev = element_at(acc, greatest(k - lit(l) + 1, lit(1)))
+            .getField("cost")
+          val nll = element_at(m, w.substr(k - lit(l) + 1, lit(l)))
+          if (l == 1) prev + coalesce(nll, lit(UnkNll))
+          else when(k >= lit(l), prev + nll)
+        }
+        val cs = (1 to maxLen).map(cand)
+        // ascending scan, longer piece replaces on <= (pinned tiebreak)
+        var best = cs.head
+        var bl: Column = lit(1)
+        for (l <- 2 to maxLen) {
+          val take = cs(l - 1).isNotNull && cs(l - 1) <= best
+          bl = when(take, lit(l)).otherwise(bl)
+          best = when(take, cs(l - 1)).otherwise(best)
+        }
+        val prev = element_at(acc, k - bl + 1)
+        concat(acc, array(struct(best.as("cost"),
+          concat(prev.getField("ps"), array(w.substr(k - bl + 1, bl)))
+            .as("ps"))))
+      },
+      acc => element_at(acc, -1).getField("ps"))
+  }
+
+  /** The corpus (word, count) vocabulary — the one corpus-sized stage. */
+  private def wordVocab(documents: DataFrame): DataFrame =
+    documents.select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+
+  /** Substring seed counts over the word vocabulary. */
+  private def seedCounts(wordsDf: DataFrame, maxLen: Int): DataFrame =
+    wordsDf
+      .select(col("c"), explode(flatten(transform(
+        sequence(lit(1), length(col("w"))),
+        s => transform(
+          sequence(lit(1), least(lit(maxLen), length(col("w")) - s + 1)),
+          l => col("w").substr(s, l))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("c")).as("cnt"))
+
+  /** One-row broadcastable piece→nll map. */
+  private def nllMap(pieces: DataFrame): DataFrame =
+    pieces.agg(map_from_entries(
+      collect_list(struct(col("piece"), col("nll")))).as("m"))
+
+  /** Quantized scores from counts: nll = round(1000·ln(total/cnt)). */
+  private def withNll(counted: DataFrame): DataFrame = {
+    val total = counted.agg(sum(col("cnt")).cast("double").as("total"))
+    counted.crossJoin(broadcast(total))
+      .select(col("piece"), col("seed_cnt"), col("cnt"),
+        round(log(col("total") / col("cnt").cast("double")) * 1000, 0)
+          .cast("long").as("nll"))
+  }
+
+  /** Train the unigram piece table: seed → `emRounds` hard-EM rounds.
+    * Returns (piece, n_chars, seed_cnt, cnt, nll) — `cnt` the final
+    * smoothed hard count, `nll` the integer score [[encode]] uses. */
+  def train(documents: DataFrame, vocabSize: Int = 64, maxPieceLen: Int = 4,
+            emRounds: Int = 2): DataFrame = {
+    require(vocabSize >= 1 && vocabSize <= 100000,
+      s"vocabSize must be in [1, 100000], got $vocabSize")
+    require(maxPieceLen == 4,
+      s"the DP unrolls exactly 4 candidate lengths (oracle parity), got $maxPieceLen")
+    require(emRounds >= 1 && emRounds <= 8,
+      s"emRounds must be in [1, 8], got $emRounds")
+    val wv = wordVocab(documents).localCheckpoint()
+    val seed = seedCounts(wv, maxPieceLen).localCheckpoint()
+    // top-V multi-char pieces (TakeOrdered — distributed) + ALL chars
+    val v0 = seed.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
+      .unionByName(seed.filter(length(col("piece")) === 1))
+      .select(col("piece"), col("cnt").as("seed_cnt"), col("cnt"))
+    var pieces = withNll(v0).localCheckpoint()
+    for (_ <- 1 to emRounds) {
+      val hard = wv.crossJoin(broadcast(nllMap(pieces)))
+        .select(col("c"),
+          explode(viterbi(col("w"), col("m"), maxPieceLen)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("c")).as("hard"))
+      val counted = pieces.join(hard, Seq("piece"), "left")
+        .select(col("piece"), col("seed_cnt"),
+          (coalesce(col("hard"), lit(0L)) + 1).as("cnt"))
+      pieces = withNll(counted).localCheckpoint()
+    }
+    pieces.select(col("piece"), length(col("piece")).as("n_chars"),
+      col("seed_cnt"), col("cnt"), col("nll"))
+  }
+
+  /** Viterbi-encode each document under a trained piece table →
+    * (doc_id, pos, piece), pos running over the document's flattened
+    * piece stream. Broadcast map + per-row DP — no shuffle. */
+  def encode(documents: DataFrame, pieces: DataFrame,
+             maxPieceLen: Int = 4): DataFrame =
+    documents.crossJoin(broadcast(nllMap(pieces)))
+      .select(col("doc_id"),
+        flatten(transform(words(col("text")),
+          w => viterbi(w, col("m"), maxPieceLen))).as("ps"))
+      .select(col("doc_id"), posexplode(col("ps")).as(Seq("pos", "piece")))
+
+  /** Per-language FERTILITY comparison against [[Bpe]] — pieces per
+    * whitespace word under both learned tokenizers, side by side (the
+    * model-selection table a tokenizer bake-off publishes: unigram LM
+    * typically segments closer to morphemes, BPE greedier — the ratio
+    * gap per language is the evidence). Piece counts ride the same
+    * broadcast-map per-row pass as [[encode]] (no explode); one
+    * language-keyed scalar aggregation each. */
+  def fertilityVsBpe(documents: DataFrame, vocabSize: Int = 64,
+                     nMerges: Int = 8, emRounds: Int = 2): DataFrame = {
+    val uni = documents.crossJoin(broadcast(nllMap(
+        train(documents, vocabSize, 4, emRounds))))
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        size(flatten(transform(words(col("text")),
+          w => viterbi(w, col("m"), 4)))).cast("long").as("n_uni"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_uni")).as("n_uni_pieces"),
+        round(sum(col("n_uni")) / sum(col("n_words")).cast("double")
+          + lit(1e-12), 4).as("uni_fertility"))
+    val bpe = Bpe.fertilityByLang(documents, nMerges)
+      .select(col("lang"), col("n_bpe_tokens"),
+        col("fertility").as("bpe_fertility"))
+    uni.join(bpe, Seq("lang"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Bpe, Unigram}
+
+/** Unigram-LM tokenizer invariants: segmentation reconstructs the
+  * text, coverage (every char is a piece), ML behavior on a
+  * hand-checkable corpus, the pinned longest-wins tiebreak, and the
+  * train/encode consistency the integer-cost DP guarantees. */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "lang")
+
+  test("train: every single character is kept (coverage invariant)") {
+    val d = docs((0, "the cat sat on the mat", "en"), (1, "le chat", "fr"))
+    val pieces = Unigram.train(d, vocabSize = 8).collect()
+    val kept = pieces.map(_.getString(0)).toSet
+    val chars = "the cat sat on the mat le chat".replace(" ", "").toSet
+    chars.foreach(c => assert(kept.contains(c.toString), s"char '$c' missing"))
+    // multi-char selection is capped at vocabSize
+    assert(pieces.count(_.getInt(1) >= 2) <= 8)
+    // nll is a nonnegative integer score; more frequent pieces score lower
+    val byPiece = pieces.map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(byPiece.values.forall(_ >= 0))
+  }
+
+  test("encode: pieces concatenate back to the exact word stream") {
+    val d = docs(
+      (0, "the quick brown fox jumps over the lazy dog", "en"),
+      (7, "pack my box with five dozen liquor jugs", "en"))
+    val pieces = Unigram.train(d, vocabSize = 16)
+    val enc = Unigram.encode(d, pieces)
+      .orderBy(col("doc_id"), col("pos")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.sortBy(_.getInt(1)).map(_.getString(2)).mkString }
+    assert(enc(0L) == "thequickbrownfoxjumpsoverthelazydog")
+    assert(enc(7L) == "packmyboxwithfivedozenliquorjugs")
+  }
+
+  test("viterbi picks the maximum-likelihood segmentation") {
+    // corpus where 'ab' is overwhelmingly frequent: encoding must use
+    // the 'ab' piece rather than 'a'+'b'
+    val d = docs((0, ("ab " * 50).trim, "en"), (1, "ab ab cd", "en"))
+    val pieces = Unigram.train(d, vocabSize = 4)
+    val enc = Unigram.encode(d.filter(col("doc_id") === 1), pieces)
+      .orderBy(col("pos")).collect().map(_.getString(2))
+    assert(enc.take(2).toSeq == Seq("ab", "ab"), s"got ${enc.toSeq}")
+  }
+
+  test("tiebreak: equal integer cost resolves to the longer piece") {
+    // a degenerate one-word corpus: 'aa' and 'a' both in vocabulary;
+    // whatever the costs, re-encoding 'aaaa' must be deterministic and
+    // prefer longer pieces on ties — pinned by re-running twice
+    val d = docs((0, "aaaa aaaa aaaa", "en"))
+    val pieces = Unigram.train(d, vocabSize = 4)
+    val one = Unigram.encode(d, pieces).orderBy(col("pos")).collect().map(_.getString(2)).toSeq
+    val two = Unigram.encode(d, pieces).orderBy(col("pos")).collect().map(_.getString(2)).toSeq
+    assert(one == two)
+    // the 4-char word with 'aaaa' in vocabulary must be one piece
+    assert(one.forall(p => Set("aaaa").contains(p)), s"got $one")
+  }
+
+  test("train is deterministic across invocations") {
+    val d = docs((0, "the cat sat on the mat", "en"), (1, "a dog sat", "en"))
+    val a = Unigram.train(d).collect().map(_.toSeq).sortBy(_.toString)
+    val b = Unigram.train(d).collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("fertilityVsBpe: both tokenizers' per-lang fertility, unigram <= chars/word") {
+    val d = docs(
+      (0, "the cat sat on the mat", "en"), (1, "the dog sat", "en"),
+      (2, "le chat le chien", "fr"), (3, "le le le", "fr"))
+    val f = Unigram.fertilityVsBpe(d).collect()
+    assert(f.map(_.getString(0)).toSet == Set("en", "fr"))
+    f.foreach { r =>
+      val uni = r.getDouble(4); val bpe = r.getDouble(6)
+      assert(uni >= 1.0 && bpe >= 1.0, s"fertility below 1: $r")
+      // a learned subword vocab must stay far from char splitting
+      assert(uni <= 10.0)
+    }
+    // 'le' dominates French: its fertility must reflect the learned
+    // whole-word piece (1 piece per word for the 'le' docs)
+    val fr = f.find(_.getString(0) == "fr").get
+    assert(fr.getDouble(4) <= 1.5, s"fr unigram fertility too high: $fr")
+  }
+}
