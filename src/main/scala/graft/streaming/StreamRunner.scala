@@ -681,6 +681,58 @@ object StreamRunner {
         col("fuel_level"), col("pollution_level"))
   }
 
+  /** FULL-outer stream-stream interval join replay — completes the
+    * inner/left family: unmatched CAR arrivals emit with null
+    * pollution AND unmatched ZONE readings (no car arrived in the
+    * hour before them) emit with null car columns, each side's
+    * unmatched row watermark-gated exactly like
+    * [[replayOuterIntervalJoin]]'s left side (a null row is correct
+    * only once the other side's window provably closed — the staged
+    * sentinel provides that proof and the flush batch the emission).
+    *
+    * The batch FULL range-join is the exact oracle, with one envelope
+    * asymmetry mirrored on the oracle side: zone readings without a
+    * parseable zone are DROPPED at the envelope (`envelope`'s
+    * `a.isNotNull` filter — a keyless reading is meaningless), so
+    * they never surface as unmatched zone rows, while unparseable
+    * CAR zones ride the −1 sentinel and DO surface as unmatched cars
+    * with a null zone_id. */
+  def replayFullOuterIntervalJoin(spark: SparkSession, events: DataFrame,
+                                  rangeSecs: Int = 3600): DataFrame = {
+    val (log, _) = replay(spark, events,
+      (src: DataFrame) => fullOuterIntervalJoinTopology(src, rangeSecs),
+      withSentinel = true)
+    log
+  }
+
+  /** The full-outer topology: [[outerIntervalJoinTopology]]'s sides
+    * and range condition with join type fullOuter; the output zone_id
+    * coalesces the car side's sentinel-mapped zone with the zone
+    * side's key so both unmatched shapes carry their natural key. */
+  private[graft] def fullOuterIntervalJoinTopology(src: DataFrame, rangeSecs: Int): DataFrame = {
+    val cutoff = timestamp_micros(lit(SentinelCutoffUs))
+    val cars = src.filter(col("kind").isin("car", "wm"))
+      .select(col("a").as("car_id"), col("b").as("car_zone"),
+        col("v").as("fuel_level"), col("eventId").as("car_event_id"),
+        timestamp_micros(expr("ts div 1000")).as("cts"))
+      .withWatermark("cts", "0 seconds")
+      .filter(col("cts") < cutoff)
+    val zones = src.filter(col("kind").isin("zone", "wm"))
+      .select(col("a").as("zone_id"), col("v").as("pollution_level"),
+        col("eventId").as("zone_event_id"),
+        timestamp_micros(expr("ts div 1000")).as("zts"))
+      .withWatermark("zts", "0 seconds")
+      .filter(col("zts") < cutoff)
+    cars.join(zones,
+      col("car_zone") === col("zone_id") &&
+        col("zts") >= col("cts") &&
+        col("zts") <= col("cts") + expr(s"INTERVAL $rangeSecs SECONDS"),
+      "fullOuter")
+      .select(col("car_event_id"), col("zone_event_id"), col("car_id"),
+        coalesce(nullif(col("car_zone"), lit(-1L)), col("zone_id")).as("zone_id"),
+        col("fuel_level"), col("pollution_level"))
+  }
+
   /** UPDATE-output-mode replay: like [[replay]], but the topology's
     * changed rows are emitted per micro-batch through `foreachBatch`
     * into per-batch parquet directories (the file sink proper is

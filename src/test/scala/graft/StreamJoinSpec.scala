@@ -89,4 +89,31 @@ class StreamJoinSpec extends SparkSpec {
       (4L, None, Some(5L), None),
       (5L, None, None, None)))
   }
+
+  test("full-outer interval join emits both sides' watermark-gated unmatched rows") {
+    val t0 = 1704067200000000000L
+    val min = 60L * 1000000000L
+    def car(id: Long, carId: Long, zone: Long, ts: Long) =
+      (id, carId, "click", s"""{"k": $zone}""", 10.0 + id, ts)
+    def zone(id: Long, z: Long, v: Double, ts: Long) =
+      (id, 0L, "error", s"""{"k": $z}""", v, ts)
+    val events = Seq(
+      car(1L, 100L, 5L, t0),             // matched by zone 2
+      zone(2L, 5L, 1.5, t0 + 10 * min),
+      car(3L, 200L, 6L, t0 + 40 * min),  // zone 6 never reports → null zone cols
+      zone(4L, 7L, 2.5, t0 + 45 * min),  // no car ever in zone 7 → null car cols
+      zone(5L, 5L, 3.5, t0 + 70 * min),  // > 1 h after car 1 → unmatched zone row
+      (6L, 400L, "click", "not json", 99.0, t0 + 90 * min), // unparseable car zone → unmatched, null zone_id
+      (7L, 0L, "error", "not json", 7.5, t0 + 95 * min))    // keyless reading: dropped entirely
+      .toDF("event_id", "user_id", "event_type", "props", "value", "ts")
+    val out = StreamRunner.replayFullOuterIntervalJoin(spark, events)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(5)))).toSet
+    assert(out == Set(
+      (Some(1L), Some(2L), Some(100L), Some(5L), Some(1.5)),
+      (Some(3L), None, Some(200L), Some(6L), None),
+      (None, Some(4L), None, Some(7L), Some(2.5)),
+      (None, Some(5L), None, Some(5L), Some(3.5)),
+      (Some(6L), None, Some(400L), None, None)))
+  }
 }
