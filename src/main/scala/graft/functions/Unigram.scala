@@ -102,12 +102,12 @@ object Unigram {
   }
 
   /** The corpus (word, count) vocabulary — the one corpus-sized stage. */
-  private def wordVocab(documents: DataFrame): DataFrame =
+  private[graft] def wordVocab(documents: DataFrame): DataFrame =
     documents.select(explode(words(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
 
   /** Substring seed counts over the word vocabulary. */
-  private def seedCounts(wordsDf: DataFrame, maxLen: Int): DataFrame =
+  private[graft] def seedCounts(wordsDf: DataFrame, maxLen: Int): DataFrame =
     wordsDf
       .select(col("c"), explode(flatten(transform(
         sequence(lit(1), length(col("w"))),
@@ -115,6 +115,17 @@ object Unigram {
           sequence(lit(1), least(lit(maxLen), length(col("w")) - s + 1)),
           l => col("w").substr(s, l))))).as("piece"))
       .groupBy(col("piece")).agg(sum(col("c")).as("cnt"))
+
+  /** The initial vocabulary from seed counts: the `vocabSize` most
+    * frequent multi-char pieces under the fixed tiebreak — an
+    * orderBy().limit() that compiles to TakeOrdered (distributed,
+    * never a single-partition window; PlanAuditSpec locks it) — plus
+    * every single character (coverage). */
+  private[graft] def seedVocab(seed: DataFrame, vocabSize: Int): DataFrame =
+    seed.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
+      .unionByName(seed.filter(length(col("piece")) === 1))
+      .select(col("piece"), col("cnt").as("seed_cnt"), col("cnt"))
 
   /** One-row broadcastable piece→nll map. */
   private def nllMap(pieces: DataFrame): DataFrame =
@@ -142,13 +153,8 @@ object Unigram {
     require(emRounds >= 1 && emRounds <= 8,
       s"emRounds must be in [1, 8], got $emRounds")
     val wv = wordVocab(documents).localCheckpoint()
-    val seed = seedCounts(wv, maxPieceLen).localCheckpoint()
-    // top-V multi-char pieces (TakeOrdered — distributed) + ALL chars
-    val v0 = seed.filter(length(col("piece")) >= 2)
-      .orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
-      .unionByName(seed.filter(length(col("piece")) === 1))
-      .select(col("piece"), col("cnt").as("seed_cnt"), col("cnt"))
-    var pieces = withNll(v0).localCheckpoint()
+    var pieces = withNll(seedVocab(
+      seedCounts(wv, maxPieceLen).localCheckpoint(), vocabSize)).localCheckpoint()
     for (_ <- 1 to emRounds) {
       val hard = wv.crossJoin(broadcast(nllMap(pieces)))
         .select(col("c"),

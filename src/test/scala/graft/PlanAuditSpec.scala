@@ -748,4 +748,33 @@ class PlanAuditSpec extends SparkSpec {
     // rangepartitioning exchange anywhere)
     assert(!p.contains("Exchange rangepartitioning"), s"corpus-wide sort:\n$p")
   }
+
+  test("Unigram seed: word and piece counts partial-agg; top-V is TakeOrdered") {
+    val u = graft.functions.Unigram
+    val seed = u.seedCounts(u.wordVocab(Tables.documents(spark, dir)), 4)
+    val p = plan(u.seedVocab(seed, 64))
+    // both count stages must combine map-side before their exchange —
+    // at 100 TB the word stream is corpus-sized, the exchange must not be
+    assert(count(p, "partial_count") + count(p, "partial_sum") >= 2,
+      s"no map-side partial aggregation in the seed chain:\n$p")
+    // the top-V selection is TakeOrdered (distributed), never a global
+    // sort or a single-partition window over the substring vocabulary
+    assert(p.contains("TakeOrderedAndProject"), s"top-V not TakeOrdered:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"vocab-wide sort:\n$p")
+  }
+
+  test("Unigram.encode: one-row score map broadcasts; documents never shuffle") {
+    val docs = Tables.documents(spark, dir)
+    val pieces = graft.functions.Unigram.train(docs)
+    val p = plan(graft.functions.Unigram.encode(docs, pieces))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"piece map not broadcast:\n$p")
+    // the document stream itself is map-only after the broadcast: no
+    // hashpartitioning exchange may touch the text/pieces columns
+    val docEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("text") || l.contains("ps")))
+    assert(docEx == 0, s"document text crosses an exchange:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"corpus-wide sort:\n$p")
+  }
 }
