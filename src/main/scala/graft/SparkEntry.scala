@@ -508,6 +508,9 @@ object SparkEntry {
     // degree count-of-counts over the same co-purchase graph
     "q_degree_dist" -> ((s, dir) =>
       graft.operators.Graph.degreeDistribution(Tables.lineitem(s, dir))),
+    // core decomposition (h-index iteration) over the same graph
+    "q_kcore" -> ((s, dir) =>
+      graft.operators.Graph.coreNumbers(Tables.lineitem(s, dir))),
     // hot-key-salted fact⋈dim join; the oracle is the PLAIN join —
     // salting must be invisible in the result
     "q_salted_join" -> ((s, dir) => {
@@ -3081,6 +3084,9 @@ object SparkEntry {
         |            ELSE 0.0 END AS coef
         |FROM deg LEFT JOIN tc ON tc.node = deg.n""".stripMargin,
     "q_communities" -> communitiesOracle,
+    // core numbers: the synchronous h-index recurrence is pure integer
+    // arithmetic, so the unrolled-round replay is hash-exact
+    "q_kcore" -> kcoreOracle,
     "q_degree_dist" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v
@@ -4285,6 +4291,35 @@ object SparkEntry {
   /** Unrolled 4-round synchronous label propagation: each round a
     * (node, label) vote count + a (cnt DESC, label) argmax — the same
     * recurrence the Spark loop runs with a struct-MIN. */
+  /** The h-index core-number recurrence over the communitiesOracle
+    * edge build, iterated TO FIXPOINT by a recursive CTE: the working
+    * table is the previous sweep's (node, c); each step recomputes
+    * every node's H-index of neighbor values (descending rank window,
+    * integer-exact) and emits only while ANY node changed (the
+    * window-MAX change flag), so recursion stops exactly at the
+    * fixpoint — which is the unique core number, so round counts need
+    * not match Spark's delta iteration. Monotone non-increase makes
+    * the final value MIN(c) per node over all sweeps. */
+  private lazy val kcoreOracle: String =
+    """WITH RECURSIVE
+      |po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+      |sym AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+      |w AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS c FROM sym GROUP BY node
+      |  UNION ALL
+      |  SELECT node, c FROM (
+      |    SELECT x.node, x.c,
+      |           MAX(CASE WHEN x.c <> wprev.c THEN 1 ELSE 0 END) OVER () AS anych
+      |    FROM (SELECT node, CAST(MAX(LEAST(cn, rn)) AS BIGINT) AS c FROM (
+      |            SELECT s.node, w2.c AS cn,
+      |                   ROW_NUMBER() OVER (PARTITION BY s.node ORDER BY w2.c DESC, s.nbr) AS rn
+      |            FROM sym s JOIN w w2 ON w2.node = s.nbr) GROUP BY node) x
+      |    JOIN w wprev ON wprev.node = x.node)
+      |  WHERE anych = 1)
+      |SELECT node, MIN(c) AS coreness FROM w GROUP BY node""".stripMargin
+
   private lazy val communitiesOracle: String = {
     val rounds = 4
     val sb = new StringBuilder

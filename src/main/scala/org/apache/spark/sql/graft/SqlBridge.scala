@@ -30,4 +30,35 @@ object SqlBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       df.queryExecution.analyzed)
+
+  /** A localCheckpoint that KEEPS its hash partitioning visible to the
+    * planner. Under AQE the adaptive plan reports UnknownPartitioning
+    * into `Dataset.localCheckpoint`'s LogicalRDD, so an iterative
+    * operator that pre-partitions a frame to amortize per-round
+    * exchanges would silently re-shuffle it every round anyway
+    * (measured: the h-index fixpoint loop re-exchanged its edge frame
+    * per sweep). Repartitions by `partitionCol` with an EXPLICIT
+    * partition count — user-specified counts are exempt from AQE
+    * partition coalescing, so the declared partitioning is factual —
+    * checkpoints eagerly, and wraps the materialized rows in a
+    * LogicalRDD that declares HashPartitioning(partitionCol, n). Any
+    * downstream window/aggregate/join clustered on `partitionCol` then
+    * plans with NO exchange. */
+  def checkpointHashPartitioned(df: org.apache.spark.sql.DataFrame,
+                                partitionCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val n = spark.sessionState.conf.numShufflePartitions
+    val cp = df.repartition(n, org.apache.spark.sql.functions.col(partitionCol))
+      .localCheckpoint()
+    val qe = cp.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution
+    val output = qe.analyzed.output
+    val attr = output.find(_.name == partitionCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"checkpointHashPartitioned: no column named $partitionCol in ${output.map(_.name)}"))
+    val lr = org.apache.spark.sql.execution.LogicalRDD(
+      output, qe.toRdd,
+      org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(Seq(attr), n),
+      Nil, false, None)(spark, None, None)
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, lr)
+  }
 }

@@ -125,4 +125,41 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
+
+  test("coreNumbers: clique core 3, pendant path core 1, bridge node stays in the core") {
+    // order 1 = clique {1,2,3,4} (each node inside the 3-core),
+    // order 2 = edge 4-5, order 3 = edge 5-6 (a pendant path: core 1)
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 4L), (2L, 5L), (3L, 5L), (3L, 6L)).toDF("l_orderkey", "l_partkey")
+    val core = Graph.coreNumbers(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L, 6L -> 1L),
+      s"got $core")
+  }
+
+  test("coreNumbers: fixpoint properties on sf0.001 — core <= degree, k-core closed") {
+    val li = Tables.lineitem(spark, sf0001)
+    val core = Graph.coreNumbers(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core.nonEmpty && core.values.forall(_ >= 1))
+    // fixpoint check: every node's core equals the H-index of its
+    // neighbors' cores (the defining equation, verified independently)
+    val edges = Graph.coPurchaseEdges(li, 1024).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._2) }
+    def hIndex(vs: Seq[Long]): Long = {
+      val sorted = vs.sorted(Ordering[Long].reverse)
+      sorted.zipWithIndex.map { case (v, i) => math.min(v, i + 1L) }.max
+    }
+    adj.foreach { case (n, nbrs) =>
+      assert(core(n) == hIndex(nbrs.map(core).toSeq),
+        s"node $n core ${core(n)} violates the fixpoint equation")
+    }
+    // determinism
+    val again = Graph.coreNumbers(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again == core)
+  }
 }
