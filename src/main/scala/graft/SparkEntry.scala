@@ -257,6 +257,9 @@ object SparkEntry {
         Seq("hash", "join", "spark"))),
     // ---- training-data pipeline: similarity search over embeddings ----
     "a_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
+    // metadata-filtered vector search: label predicate pre-filters the
+    // candidate set (pushed to the scan) before any distance math
+    "a_filtered_topk" -> ((s, dir) => Similarity.filteredTopK(Tables.embeddings(s, dir))),
     // max-inner-product retrieval: magnitude-aware ranking
     "a_mips_topk" -> ((s, dir) => Similarity.mipsTopK(Tables.embeddings(s, dir))),
     "a_cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir))),
@@ -447,6 +450,11 @@ object SparkEntry {
     "q7_volume_shipping" -> ((s, dir) =>
       Relational.volumeShipping(Tables.lineitem(s, dir), Tables.orders(s, dir),
         Tables.customer(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))),
+    // TPC-H Q8: one nation's share of a regional market's yearly revenue
+    "q8_market_share" -> ((s, dir) =>
+      Relational.marketShare(Tables.part(s, dir), Tables.supplier(s, dir),
+        Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir))),
     // per-source power-of-two length profile (integer-exact buckets)
     "c_length_histogram" -> ((s, dir) =>
       Corpus.lengthHistogram(Tables.documents(s, dir))),
@@ -1895,6 +1903,23 @@ object SparkEntry {
         |SELECT query_id, vec_id, cos, rk FROM (
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rk
         |  FROM s) WHERE rk <= 5""".stripMargin,
+    // filtered search: the label predicate restricts CANDIDATES before
+    // ranking (queries stay unfiltered), so k fills from qualifying
+    // vectors — the pre-filter semantics the Spark side plan-locks
+    "a_filtered_topk" ->
+      """WITH nl AS (SELECT vec_id, label, v, nrm
+        |      FROM (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+        |            FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |                  FROM embeddings))
+        |      WHERE nrm > 0),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nl WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, nl.vec_id, nl.label,
+        |             ROUND(list_dot_product(nl.v, q.qv) / (nl.nrm * q.qnrm) + 1e-12, 6) AS cos
+        |      FROM nl JOIN q ON nl.vec_id <> q.query_id
+        |      WHERE nl.label IN (0, 1, 2, 3))
+        |SELECT query_id, vec_id, label, cos, rk FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rk
+        |  FROM s) WHERE rk <= 5""".stripMargin,
     // MIPS: raw index-order dot, no normalization, zero vectors kept
     "a_mips_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -3028,6 +3053,29 @@ object SparkEntry {
         |  AND n2.n_name IN ('NATION_1', 'NATION_2')
         |  AND n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3""".stripMargin,
+    // Q8 market share: numerator and denominator are ONE conditional
+    // decimal aggregation pass; the share divides the exact sums once
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(ROUND(SUM(CASE WHEN n1.n_name = 'NATION_2'
+        |                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |                 ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS nation_volume,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_volume,
+        |       ROUND(CAST(SUM(CASE WHEN n1.n_name = 'NATION_2'
+        |                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |             + 1e-12, 6) AS mkt_share
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
     "c_length_histogram" ->
       """SELECT source, CAST(length(bin(greatest(n_chars, 1))) AS BIGINT) AS bucket,
         |       COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars

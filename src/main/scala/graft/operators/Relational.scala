@@ -522,6 +522,60 @@ object Relational {
       .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
   }
 
+  /** TPC-H Q8-style NATIONAL MARKET SHARE: within the market defined
+    * by (customer region, part type), the fraction of yearly revenue
+    * supplied by one target nation — the two-level
+    * conditional-share-within-group shape (a CASE'd sum divided by the
+    * group sum) every BI market-share report runs. This schema's part
+    * types are the p_type categories; volume is the classic
+    * l_extendedprice·(1−l_discount).
+    *
+    * Scale shape: the 6-table join path prunes earliest — the part
+    * filter cuts lineitem at its first join, the region-restricted
+    * customer-nation dim and the full supplier-nation dim are HINTED
+    * broadcasts (fixed cardinality at any SF, the [[revenueByNation]]
+    * argument), customer/orders/lineitem joins shuffle on their keys
+    * and the final per-year aggregate is partial-aggregated over a
+    * years-sized key space. Both the numerator and denominator ride
+    * ONE aggregation pass (conditional decimal sums — never two scans
+    * or a self-join); the share divides the two exact decimal sums
+    * once, with the repo's boundary nudge. */
+  def marketShare(part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+                  orders: DataFrame, customer: DataFrame, nation: DataFrame,
+                  region: DataFrame, targetNation: String = "NATION_2",
+                  partType: String = "ECONOMY",
+                  regionName: String = "ASIA"): DataFrame = {
+    val custNations = nation
+      .join(region.filter(col("r_name") === regionName),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val suppNations = nation
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,4)")
+    lineitem
+      .join(part.filter(col("p_type") === partType).select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNations), col("s_nationkey") === col("s_nk"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNations), col("c_nationkey") === col("c_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === targetNation, vol)
+          .otherwise(lit(0).cast("decimal(18,4)"))), 2).cast("double")
+          .as("nation_volume"),
+        round(sum(vol), 2).cast("double").as("total_volume"),
+        round(sum(when(col("supp_nation") === targetNation, vol)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double")
+            / sum(vol).cast("double") + lit(1e-12), 6)
+          .as("mkt_share"))
+  }
+
   /** TPC-H Q13 customer-order DISTRIBUTION: how many customers placed
     * 0, 1, 2, … qualifying orders — the outer-join-then-histogram
     * shape every BI workload runs. The load-bearing detail is that

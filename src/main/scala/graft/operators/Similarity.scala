@@ -72,6 +72,38 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** METADATA-FILTERED cosine top-k — "vector search with a filter",
+    * the retrieval shape every production vector store treats as
+    * first-class (restrict candidates by language / license / source
+    * before ranking). This is PRE-filtering: the label predicate
+    * applies BEFORE any distance computation — so k results always
+    * fill from qualifying candidates — and, being a plain scan
+    * predicate, it PUSHES DOWN to the parquet scan (plan-locked):
+    * filtered-out vectors are never even decoded, the property
+    * post-filtering (rank first, filter after, return < k rows)
+    * forfeits. Queries are the first `numQueries` vectors regardless
+    * of their own label. Everything else is [[cosineTopK]]'s shape:
+    * broadcast queries, corpus vectors never shuffle,
+    * WindowGroupLimit rank. */
+  def filteredTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                   allowedLabels: Seq[Int] = Seq(0, 1, 2, 3)): DataFrame = {
+    require(allowedLabels.nonEmpty, "allowedLabels must not be empty")
+    val e = embeddings
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    e.filter(col("label").isin(allowedLabels: _*))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosRounded(dot(col("v"), col("qv")), col("nrm") * col("qnrm")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+  }
+
   /** Maximum-inner-product top-k — the RECOMMENDATION-retrieval
     * scoring ([[cosineTopK]]'s unnormalized sibling): rank by the raw
     * dot product, where vector MAGNITUDE carries signal (item

@@ -25,6 +25,21 @@ class AnnSpec extends SparkSpec {
     assert(out(0)._3 == 1.0 && out(1)._3 == 0.707107 && out(2)._3 == 0.0)
   }
 
+  test("filteredTopK: pre-filter fills k from qualifying labels only") {
+    val df = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 9),  // the query (label outside the filter: allowed)
+      (1L, Seq(2f, 0f, 0f, 0f), 0),  // cos 1.0, allowed
+      (2L, Seq(1f, 1f, 0f, 0f), 7),  // cos ~0.707 but label 7: EXCLUDED
+      (3L, Seq(0f, 3f, 0f, 0f), 1),  // cos 0.0, allowed
+      (4L, Seq(-1f, 0f, 0f, 0f), 2)) // cos -1.0, allowed
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.filteredTopK(df, numQueries = 1, k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(4))).sortBy(_._3)
+    // vec 2 (best cosine after 1) never appears; k fills from the rest —
+    // the pre-filter semantics (post-filtering would return only 2 rows)
+    assert(out.toSeq == Seq((1L, 0, 1), (3L, 1, 2), (4L, 2, 3)), s"got ${out.toSeq}")
+  }
+
   test("cosinePairs finds exactly the pairs above threshold") {
     val df = vecs(
       (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.01f)), // cos ~0.99995

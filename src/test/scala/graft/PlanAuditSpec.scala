@@ -108,6 +108,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") == 1, s"extra shuffles:\n$p")
   }
 
+  test("filteredTopK: label predicate pushed to the scan; topk shape intact") {
+    val p = plan(Similarity.filteredTopK(Tables.embeddings(spark, dir)))
+    // pre-filtering's whole point: the candidate restriction reaches the
+    // parquet scan, so excluded vectors are never decoded
+    assert(p.contains("In(label") || p.contains("PushedFilters: [In(label"),
+      s"label filter not pushed to the embeddings scan:\n$p")
+    assert(count(p, "WindowGroupLimit") >= 2,
+      s"top-k lost its partial WindowGroupLimit:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query side not broadcast:\n$p")
+  }
+
   test("annTopK: bucket join and re-rank broadcast the query side only; no cartesian") {
     val p = plan(Similarity.annTopK(Tables.embeddings(spark, dir)))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -402,6 +413,25 @@ class PlanAuditSpec extends SparkSpec {
     // the join-condition predicate is a plain scan predicate on the
     // orders side — it must reach the parquet scan
     assert(p.contains("Not(EqualTo(o_orderpriority"), s"priority filter not pushed:\n$p")
+  }
+
+  test("marketShare (Q8): dims broadcast, part filter pushed, one agg pass, no cartesian") {
+    val p = plan(Relational.marketShare(Tables.part(spark, dir),
+      Tables.supplier(spark, dir), Tables.lineitem(spark, dir),
+      Tables.orders(spark, dir), Tables.customer(spark, dir),
+      Tables.nation(spark, dir), Tables.region(spark, dir)))
+    // the two hinted nation dims (region-restricted customer side,
+    // supplier side) must stay broadcast at every scale
+    assert(count(p, "BroadcastHashJoin") >= 2, s"nation dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(p.contains("EqualTo(p_type,ECONOMY)") || p.contains("EqualTo(p_type"),
+      s"part-type filter not pushed to the part scan:\n$p")
+    // numerator + denominator ride ONE aggregation (conditional sums),
+    // never a self-join or second scan of lineitem
+    // 8 scans = 7 tables + nation twice (both dim roles); more means a
+    // second pass over a fact table crept in
+    assert(count(p, "partial_sum") >= 2 && count(p, "Scan parquet") <= 8,
+      s"expected one conditional agg pass over a single join tree:\n$p")
   }
 
   test("soleBlameSuppliers (Q21): EXISTS/NOT EXISTS decorrelate to semi + anti, no nested loop") {
