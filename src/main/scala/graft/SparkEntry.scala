@@ -119,6 +119,10 @@ object SparkEntry {
     // keyed so the oracle replays them bit-identically)
     "q_hll_distinct" -> ((s, dir) =>
       operators.Sketch.hllDistinct(ev(s, dir), "user_id", Seq("event_type"))),
+    // sketch algebra: per-type sketches + the register-merged total,
+    // the total never rescanning raw rows
+    "q_hll_rollup" -> ((s, dir) =>
+      operators.Sketch.hllRollup(ev(s, dir), "user_id", "event_type")),
     "q_heavy_hitters" -> ((s, dir) =>
       operators.Sketch.cmsHeavyHitters(ev(s, dir), "user_id")),
     // KMV union/intersection estimates over two sources' shingle sets
@@ -1223,6 +1227,36 @@ object SparkEntry {
         |             * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE) / CAST(z AS DOUBLE) AS e
         |      FROM z)
         |SELECT event_type,
+        |       ROUND(CASE WHEN v > 0 AND e <= CAST(2.5 AS DOUBLE) * CAST(64.0 AS DOUBLE)
+        |                  THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / CAST(v AS DOUBLE))
+        |                  ELSE e END + 1e-9, 4) AS est_distinct,
+        |       CAST(nhit AS INT) AS registers_hit
+        |FROM e""".stripMargin,
+    // HLL rollup: the merged scope re-estimates from register-wise
+    // maxes of the per-group sketches (HLL's lossless union), so its
+    // row equals the direct ungrouped sketch bit-for-bit
+    "q_hll_rollup" ->
+      """WITH h AS (SELECT event_type,
+        |                  CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS UBIGINT) AS h
+        |           FROM events),
+        |r AS (SELECT event_type, h % 64 AS j,
+        |             CASE WHEN h // 64 > 0 THEN 55 - length(bin(h // 64)) ELSE 55 END AS rho
+        |      FROM h),
+        |m AS (SELECT event_type, j, MAX(rho) AS mj FROM r GROUP BY 1, 2),
+        |ma AS (SELECT CAST('__all__' AS VARCHAR) AS scope, j, MAX(mj) AS mj FROM m GROUP BY 1, 2),
+        |u AS (SELECT CAST(event_type AS VARCHAR) AS scope, j, mj FROM m
+        |      UNION ALL SELECT scope, j, mj FROM ma),
+        |z AS (SELECT scope,
+        |             CAST(SUM(CAST(1 AS BIGINT) << (55 - mj)) AS BIGINT)
+        |               + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 55) AS z,
+        |             64 - COUNT(*) AS v, COUNT(*) AS nhit
+        |      FROM u GROUP BY 1),
+        |e AS (SELECT scope, v, nhit,
+        |             (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)))
+        |             * CAST(64.0 AS DOUBLE) * CAST(64.0 AS DOUBLE)
+        |             * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE) / CAST(z AS DOUBLE) AS e
+        |      FROM z)
+        |SELECT scope,
         |       ROUND(CASE WHEN v > 0 AND e <= CAST(2.5 AS DOUBLE) * CAST(64.0 AS DOUBLE)
         |                  THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / CAST(v AS DOUBLE))
         |                  ELSE e END + 1e-9, 4) AS est_distinct,

@@ -104,6 +104,34 @@ object Sketch {
       col("nhit").cast("int").as("registers_hit")): _*)
   }
 
+  /** SKETCH-ALGEBRA ROLLUP — HLL's mergeability made a batch
+    * operator: the per-group sketches AND their union-merged total,
+    * with the total derived ONLY from the per-group REGISTERS
+    * (register-wise max — HLL's lossless union), never from a second
+    * scan of the raw rows. This is the shape a 100 TB profiling job
+    * actually ships: per-partition/per-day sketches persist small and
+    * roll up to any coarser scope at read time for free, the raw data
+    * long gone. Returns (scope, est_distinct, registers_hit) — scope
+    * is the group value or '__all__' for the merged row. The union is
+    * EXACT over sketches (max of maxes), so the merged row equals the
+    * direct sketch of the ungrouped data bit-for-bit — pinned by
+    * SketchSpec, and the plan shows one scan: the merged branch reads
+    * the register frame, not the input. */
+  def hllRollup(df: DataFrame, keyCol: String, groupCol: String): DataFrame = {
+    val regs = registerRows(df, keyCol, Seq(groupCol))
+      .groupBy(col(groupCol), col("j")).agg(max(col("rho")).as("mj"))
+      .localCheckpoint()
+    val perGroup = estimate(regs, Seq(groupCol))
+      .select(col(groupCol).cast("string").as("scope"),
+        col("est_distinct"), col("registers_hit"))
+    val merged = estimate(
+      regs.groupBy(col("j")).agg(max(col("mj")).as("mj"))
+        .withColumn("scope", lit("__all__")),
+      Seq("scope"))
+      .select(col("scope"), col("est_distinct"), col("registers_hit"))
+    perGroup.unionByName(merged)
+  }
+
   /** Count-min heavy hitters: estimate every key's frequency from a
     * d×w = 3×1024 integer grid (row r counts bucket md5("cms r:"+key)
     * mod w; a key's estimate is the MIN over its d cells — classic

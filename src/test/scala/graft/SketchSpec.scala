@@ -23,6 +23,24 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("hllRollup: the merged row equals the direct ungrouped sketch bit-for-bit") {
+    val ev = Tables.events(spark, sf0001)
+    val rollMap = Sketch.hllRollup(ev, "user_id", "event_type").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    // the '__all__' scope re-estimates from per-group register maxes;
+    // HLL union is lossless, so it must EQUAL the direct sketch of the
+    // ungrouped stream — exact doubles, not within-error
+    val direct = Sketch.hllDistinct(
+        ev.withColumn("one", org.apache.spark.sql.functions.lit("x")), "user_id", Seq("one"))
+      .collect()(0)
+    assert(rollMap("__all__") == ((direct.getDouble(1), direct.getInt(2))),
+      s"merged ${rollMap("__all__")} != direct sketch ${(direct.getDouble(1), direct.getInt(2))}")
+    // and each per-group row equals hllDistinct's
+    val per = Sketch.hllDistinct(ev, "user_id", Seq("event_type")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    per.foreach { case (t, v) => assert(rollMap(t) == v, s"group $t differs") }
+  }
+
   test("hllDistinct is a DISTINCT estimator: duplicating every row changes nothing") {
     val ev = Tables.events(spark, sf0001)
     val once = Sketch.hllDistinct(ev, "user_id", Seq("event_type")).collect()
