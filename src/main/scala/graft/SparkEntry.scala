@@ -428,6 +428,8 @@ object SparkEntry {
     // gaps-and-islands user sessionization (4 h inactivity gap) — the
     // batch ground truth of the streaming session_window replay
     "q_sessionize" -> ((s, dir) => Sessions.sessionize(ev(s, dir))),
+    // clickstream path discovery: top length-3 event-type sequences
+    "q_event_paths" -> ((s, dir) => Sessions.eventPaths(ev(s, dir))),
     // batch interval self-join via the 3-adjacent-time-bucket equi-join
     // (the theta-join a nested loop would otherwise plan)
     "q_interval_pairs" -> ((s, dir) => Sessions.intervalPairs(ev(s, dir))),
@@ -523,6 +525,9 @@ object SparkEntry {
     // core decomposition (h-index iteration) over the same graph
     "q_kcore" -> ((s, dir) =>
       graft.operators.Graph.coreNumbers(Tables.lineitem(s, dir))),
+    // reachability clusters over the same graph (shared CC engine)
+    "q_components" -> ((s, dir) =>
+      graft.operators.Graph.components(Tables.lineitem(s, dir))),
     // hot-key-salted fact⋈dim join; the oracle is the PLAIN join —
     // salting must be invisible in the result
     "q_salted_join" -> ((s, dir) => {
@@ -3034,6 +3039,19 @@ object SparkEntry {
         |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) + 1e-12, 4)
         |         AS avg_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // path discovery: consecutive event-type 3-grams under the same
+    // (tus, event_id) per-user order sessionize pins; top-20 by count
+    // with the path-string tiebreak
+    "q_event_paths" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus, event_type FROM events),
+        |o AS (SELECT user_id, event_type,
+        |             LEAD(event_type, 1) OVER w AS e2,
+        |             LEAD(event_type, 2) OVER w AS e3
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |p AS (SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path
+        |      FROM o WHERE e3 IS NOT NULL)
+        |SELECT path, COUNT(*) AS n_paths FROM p GROUP BY 1
+        |ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
     // staged first-arrival funnel: stage i+1 = first event of its type
     // strictly after the user's stage-i arrival
     "q_funnel" ->
@@ -3169,6 +3187,22 @@ object SparkEntry {
     // core numbers: the synchronous h-index recurrence is pure integer
     // arithmetic, so the unrolled-round replay is hash-exact
     "q_kcore" -> kcoreOracle,
+    // components: transitive closure to fixpoint; label = component min
+    "q_components" ->
+      """WITH RECURSIVE
+        |po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+        |verts AS (SELECT u AS x FROM e UNION SELECT v FROM e),
+        |sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |reach(x, l) AS (
+        |  SELECT x, x FROM verts
+        |  UNION
+        |  SELECT s.b, r.l FROM reach r JOIN sym s ON s.a = r.x),
+        |lab AS (SELECT x AS node, MIN(l) AS component FROM reach GROUP BY x),
+        |sz AS (SELECT component, COUNT(*) AS component_size FROM lab GROUP BY 1)
+        |SELECT lab.node, lab.component, sz.component_size
+        |FROM lab JOIN sz USING (component)""".stripMargin,
     "q_degree_dist" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v

@@ -299,6 +299,28 @@ object Graph {
       .select(col("node"), col("community"), col("community_size"))
   }
 
+  /** CONNECTED COMPONENTS over the co-purchase graph — the purchase
+    * topology's reachability clusters (which item families ever sell
+    * together), completing the graph family next to [[pageRank]],
+    * [[triangles]], [[communities]] and [[coreNumbers]]. Delegates to
+    * [[Dedup.connectedComponents]]'s engine — the edge-count-gated
+    * single-task union-find fast path with the pointer-jumping
+    * min-label loop as the scale path (O(log diameter) rounds of
+    * pair-graph-sized joins; non-convergence throws) — so the two
+    * graph stacks share one audited implementation. Labels are the
+    * component MINIMUM node id; component_size rides along. */
+  def components(lineitem: DataFrame, maxBasket: Int = 1024,
+                 maxIters: Int = 40): DataFrame = {
+    val lab = graft.operators.Dedup.connectedComponents(
+      coPurchaseEdges(lineitem, maxBasket)
+        .select(col("u").as("doc_a"), col("v").as("doc_b")), maxIters)
+      .select(col("doc_id").as("node"), col("label").as("component"))
+    val sizes = lab.groupBy(col("component"))
+      .agg(count(lit(1)).as("component_size"))
+    lab.join(sizes, "component")
+      .select(col("node"), col("component"), col("component_size"))
+  }
+
   /** CORE DECOMPOSITION by the h-index iteration TO FIXPOINT (Lü et
     * al. 2016, "The H-index of a network, and its relation to degree
     * and coreness" — public result): start every node at its degree,

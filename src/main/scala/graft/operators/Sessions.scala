@@ -133,6 +133,31 @@ object Sessions {
     * its type partition — at 100 TB swap in the quantile sketch, the
     * documented trade of the percentile family) and one broadcast
     * join of the type-keyed stats; output is one row per type. */
+  /** TOP EVENT PATHS — the "what do users do next" clickstream report:
+    * the most frequent length-3 event-type sequences across all users'
+    * time-ordered streams (the path-analysis table next to [[funnel]]:
+    * the funnel checks ONE hypothesized order, paths DISCOVER the
+    * orders that actually happen). A path is three consecutive events
+    * of one user under the (tus, event_id) total order — the same
+    * deterministic ordering [[sessionize]] pins.
+    *
+    * Scale shape: the sequence windows are per-user partitions (each
+    * user's history bounded), path counts partial-aggregate over a
+    * |event types|³-bounded key space, and the top-k compiles to
+    * TakeOrdered (ties broken by path string — deterministic). */
+  def eventPaths(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tus"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(" > ", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path")).limit(k)
+  }
+
   def madOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val e = events.select(col("event_type"),

@@ -138,6 +138,16 @@ class GraphSpec extends SparkSpec {
       s"got $core")
   }
 
+  test("components: disjoint cliques stay separate; label is the component minimum") {
+    // order 1 = clique {1,2,3}, order 2 = clique {10,11}: two components
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 10L), (2L, 11L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Graph.components(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)), s"got $out")
+  }
+
   test("coreNumbers: fixpoint properties on sf0.001 — core <= degree, k-core closed") {
     val li = Tables.lineitem(spark, sf0001)
     val core = Graph.coreNumbers(li).collect()

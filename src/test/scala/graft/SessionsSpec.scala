@@ -95,6 +95,24 @@ class SessionsSpec extends SparkSpec {
       s"corpus-wide single-partition stage crept in:\n$p")
   }
 
+  test("eventPaths: per-user ordered 3-grams, cross-user counts, deterministic top-k") {
+    val out = Sessions.eventPaths(ev(
+      // user 1: A B C D -> paths "A > B > C", "B > C > D"
+      (1L, 1L, 10L, 0.0, "A"), (2L, 1L, 20L, 0.0, "B"),
+      (3L, 1L, 30L, 0.0, "C"), (4L, 1L, 40L, 0.0, "D"),
+      // user 2: A B C -> "A > B > C" again (cross-user count = 2)
+      (5L, 2L, 10L, 0.0, "A"), (6L, 2L, 20L, 0.0, "B"), (7L, 2L, 30L, 0.0, "C"),
+      // user 3: only two events -> contributes no path
+      (8L, 3L, 10L, 0.0, "A"), (9L, 3L, 20L, 0.0, "B")))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("A > B > C", 2L), ("B > C > D", 1L)), s"got ${out.toSeq}")
+    // equal timestamps order by event_id — swapping ids reorders the path
+    val tied = Sessions.eventPaths(ev(
+      (2L, 1L, 10L, 0.0, "B"), (1L, 1L, 10L, 0.0, "A"), (3L, 1L, 20L, 0.0, "C")))
+      .collect().map(_.getString(0))
+    assert(tied.toSeq == Seq("A > B > C"))
+  }
+
   test("madOutliers: hand-computed median/MAD; the planted spike is the only outlier") {
     // values 1..9 plus a 1000 spike: median 5.5, deviations
     // {4.5,3.5,...,0.5,994.5} -> MAD = median of sorted devs
