@@ -274,6 +274,9 @@ object SparkEntry {
     // one broadcast-center corpus pass per round
     "a_kcenter_sample" -> ((s, dir) =>
       Similarity.kcenterSample(Tables.embeddings(s, dir))),
+    // MMR: diversity-aware re-ranking over the relevance pool
+    "a_mmr_select" -> ((s, dir) =>
+      Similarity.mmrSelect(Tables.embeddings(s, dir))),
     // contrastive hard negatives: top-5 most-similar DIFFERENT-label
     // vectors per query (the DPR mining step)
     "a_hard_negatives" -> ((s, dir) =>
@@ -1815,6 +1818,10 @@ object SparkEntry {
     // k-center: the 8-round greedy recurrence unrolled, every distance
     // through the |x|²+|c|²−2x·c identity and the 6-dp rounded compare
     "a_kcenter_sample" -> kcenterOracle,
+    // MMR: the same unrolled greedy shape with the relevance term —
+    // running max-sim fold against each selection, (mmr DESC, vec_id)
+    // argmax, all scores 6-dp nudge-rounded
+    "a_mmr_select" -> mmrOracle,
     // norm histogram: floor of the sequential-dot norm as the bucket
     "a_norm_profile" ->
       """WITH n AS (SELECT sqrt(list_dot_product(v, v)) AS nrm FROM (
@@ -3752,6 +3759,44 @@ object SparkEntry {
       |  SELECT v, v FROM verts
       |  UNION
       |  SELECT s.b, r.l FROM reach r JOIN sym s ON s.a = r.v)""".stripMargin
+
+  /** Unrolled MMR greedy recurrence (k=8, pool=32, λ=0.5): pool =
+    * top-relevance cosine pass, c0 the relevance argmax, then per
+    * round the candidates fold the newest selection's similarity into
+    * their running max and the (mmr DESC, vec_id) argmax picks next —
+    * generated by the same loop shape the Spark operator runs. */
+  private lazy val mmrOracle: String = {
+    val k = 8
+    val sb = new StringBuilder
+    sb.append(s"WITH $normCte,\n")
+    sb.append(
+      """q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+        |pool AS (SELECT n.vec_id, n.v, n.nrm,
+        |                ROUND(list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm) + 1e-12, 6) AS rel
+        |         FROM n, q WHERE n.vec_id <> 0
+        |         ORDER BY rel DESC, vec_id LIMIT 32),
+        |c0 AS (SELECT vec_id, v, nrm, rel FROM pool ORDER BY rel DESC, vec_id LIMIT 1),
+        |s1 AS (SELECT p.vec_id, p.v, p.nrm, p.rel,
+        |              ROUND(list_dot_product(p.v, c.v) / (p.nrm * c.nrm) + 1e-12, 6) AS ms
+        |       FROM pool p, c0 c WHERE p.vec_id <> c.vec_id),
+        |c1 AS (SELECT vec_id, v, nrm, rel, ms,
+        |              ROUND((rel - ms) / CAST(2.0 AS DOUBLE) + 1e-12, 6) AS mmr
+        |       FROM s1 ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin)
+    for (r <- 2 until k) {
+      sb.append(s""",
+        |s$r AS (SELECT s.vec_id, s.v, s.nrm, s.rel,
+        |              GREATEST(s.ms, ROUND(list_dot_product(s.v, c.v) / (s.nrm * c.nrm) + 1e-12, 6)) AS ms
+        |       FROM s${r - 1} s, c${r - 1} c WHERE s.vec_id <> c.vec_id),
+        |c$r AS (SELECT vec_id, v, nrm, rel, ms,
+        |              ROUND((rel - ms) / CAST(2.0 AS DOUBLE) + 1e-12, 6) AS mmr
+        |       FROM s$r ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin)
+    }
+    sb.append("\nSELECT CAST(0 AS INT) AS round, vec_id, rel, " +
+      "ROUND(rel / CAST(2.0 AS DOUBLE) + 1e-12, 6) AS mmr FROM c0")
+    for (r <- 1 until k)
+      sb.append(s"\nUNION ALL SELECT CAST($r AS INT), vec_id, rel, mmr FROM c$r")
+    sb.toString
+  }
 
   private lazy val dupClustersOracle: String =
     s"""WITH RECURSIVE $componentsCtes

@@ -1012,4 +1012,65 @@ object Similarity {
     }
     out
   }
+
+  /** MMR — Maximal Marginal Relevance selection (Carbonell &
+    * Goldstein 1998, public algorithm): greedily pick k items
+    * maximizing λ·sim(query, d) − (1−λ)·max sim(d, selected) at
+    * λ = 0.5 — the diversity-aware retrieval that stops a top-k from
+    * returning ten paraphrases of one passage, and the batch shape of
+    * diverse training-example selection. [[kcenterSample]]'s greedy
+    * recurrence with a relevance term: the candidate POOL is the
+    * `poolSize` most query-relevant vectors (the standard re-ranking
+    * stage over a first-pass retrieval), then each of the k rounds
+    * folds the newly selected vector's similarity into each
+    * candidate's running max (one-row broadcast) and takes the
+    * (mmr DESC, vec_id) argmax. Returns (round, vec_id, rel, mmr)
+    * — round 0 is the pure-relevance seed with mmr = rel/2 (its
+    * λ-weighted score; the selected set is empty).
+    *
+    * Scale shape: pool selection is TakeOrdered over the broadcast-
+    * query cosine pass (corpus never shuffles); every round after
+    * that touches only the pool (localCheckpoint'd, poolSize rows).
+    * All scores are 6-dp-rounded doubles with the boundary nudge —
+    * the [[kcenterSample]] parity recipe — so the oracle's unrolled
+    * recurrence is hash-exact. */
+  def mmrSelect(embeddings: DataFrame, queryId: Long = 0L,
+                poolSize: Int = 32, k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    require(poolSize > k, s"poolSize must exceed k, got ($poolSize, $k)")
+    val e = normalized(embeddings)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val pool = e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        cosRounded(dot(col("v"), col("qv")), col("nrm") * col("qnrm")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(poolSize)
+      .localCheckpoint()
+    var sel = pool.orderBy(col("rel").desc, col("vec_id")).limit(1).localCheckpoint()
+    var state = pool
+    var out = sel.select(lit(0).as("round"), col("vec_id"), col("rel"),
+      round(col("rel") / lit(2.0) + lit(1e-12), 6).as("mmr"))
+    var r = 1
+    while (r < k) {
+      val c = broadcast(sel.select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cnrm")))
+      val sim = cosRounded(dot(col("v"), col("cv")), col("nrm") * col("cnrm"))
+      state = state.crossJoin(c)
+        .filter(col("vec_id") =!= col("cid"))
+        .withColumn("s", sim)
+        .withColumn("ms", if (r == 1) col("s") else greatest(col("ms"), col("s")))
+        .drop("cid", "cv", "cnrm", "s")
+        .localCheckpoint()
+      sel = state
+        .withColumn("mmr",
+          round((col("rel") - col("ms")) / lit(2.0) + lit(1e-12), 6))
+        .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+        .localCheckpoint()
+      out = out.unionByName(
+        sel.select(lit(r).as("round"), col("vec_id"), col("rel"), col("mmr")))
+      r += 1
+    }
+    out
+  }
 }

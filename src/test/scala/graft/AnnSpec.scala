@@ -40,6 +40,25 @@ class AnnSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0, 1), (3L, 1, 2), (4L, 2, 3)), s"got ${out.toSeq}")
   }
 
+  test("mmrSelect: a near-duplicate of the first pick loses to a diverse candidate") {
+    // query = e1; vecs 1,2 are near-copies of each other (mutual cos
+    // ~0.999995) at rel ~0.948; vec 3 is orthogonal to everything
+    // (rel 0). Pure relevance would pick 1 then 2; MMR's penalty makes
+    // round 1 prefer the diverse vec 3 (mmr 0 > (0.948-0.999)/2 < 0).
+    val df = vecs(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(3f, 1f, 0f, 0f)),
+      (2L, Seq(3f, 1.01f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f)))
+    val out = graft.operators.Similarity.mmrSelect(df, queryId = 0L, poolSize = 3, k = 2)
+      .orderBy("round").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0, 1L), (1, 3L)), s"got ${out.toSeq}")
+    // determinism across runs
+    val again = graft.operators.Similarity.mmrSelect(df, queryId = 0L, poolSize = 3, k = 2)
+      .orderBy("round").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("cosinePairs finds exactly the pairs above threshold") {
     val df = vecs(
       (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.01f)), // cos ~0.99995
