@@ -169,15 +169,32 @@ object Unigram {
       col("seed_cnt"), col("cnt"), col("nll"))
   }
 
+  /** One-row word→pieces DICTIONARY: the Viterbi DP runs ONCE PER
+    * DISTINCT WORD of `docs` (vocabulary-sized — the [[Bpe.train]]
+    * corpus-independence argument; running the interpreted DP per word
+    * INSTANCE instead measured 24 s vs 1 s at sf0.1), then pivots to a
+    * broadcastable map. Complete over `docs` by construction. At a
+    * web-scale vocabulary too large to broadcast, trade this for a
+    * repartition join of the exploded word stream against the
+    * dictionary frame — same DP count, one extra shuffle. */
+  private def wordPieceMap(docs: DataFrame, pieces: DataFrame,
+                           maxLen: Int): DataFrame =
+    docs.select(explode(words(col("text"))).as("w")).distinct()
+      .crossJoin(broadcast(nllMap(pieces)))
+      .select(col("w"), viterbi(col("w"), col("m"), maxLen).as("ps"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("ps")))).as("wm"))
+
   /** Viterbi-encode each document under a trained piece table →
     * (doc_id, pos, piece), pos running over the document's flattened
-    * piece stream. Broadcast map + per-row DP — no shuffle. */
+    * piece stream. The [[wordPieceMap]] dictionary broadcast makes the
+    * per-document pass a pure map lookup — no shuffle, no per-instance
+    * DP. */
   def encode(documents: DataFrame, pieces: DataFrame,
              maxPieceLen: Int = 4): DataFrame =
-    documents.crossJoin(broadcast(nllMap(pieces)))
+    documents.crossJoin(broadcast(wordPieceMap(documents, pieces, maxPieceLen)))
       .select(col("doc_id"),
         flatten(transform(words(col("text")),
-          w => viterbi(w, col("m"), maxPieceLen))).as("ps"))
+          w => element_at(col("wm"), w))).as("ps"))
       .select(col("doc_id"), posexplode(col("ps")).as(Seq("pos", "piece")))
 
   /** Per-language FERTILITY comparison against [[Bpe]] — pieces per
@@ -189,12 +206,12 @@ object Unigram {
     * language-keyed scalar aggregation each. */
   def fertilityVsBpe(documents: DataFrame, vocabSize: Int = 64,
                      nMerges: Int = 8, emRounds: Int = 2): DataFrame = {
-    val uni = documents.crossJoin(broadcast(nllMap(
-        train(documents, vocabSize, 4, emRounds))))
+    val uni = documents.crossJoin(broadcast(wordPieceMap(documents,
+        train(documents, vocabSize, 4, emRounds), 4)))
       .select(col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_words"),
         size(flatten(transform(words(col("text")),
-          w => viterbi(w, col("m"), 4)))).cast("long").as("n_uni"))
+          w => element_at(col("wm"), w)))).cast("long").as("n_uni"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
         sum(col("n_uni")).as("n_uni_pieces"),
