@@ -433,6 +433,8 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) => Sessions.sessionize(ev(s, dir))),
     // clickstream path discovery: top length-3 event-type sequences
     "q_event_paths" -> ((s, dir) => Sessions.eventPaths(ev(s, dir))),
+    // conversion credit: purchase value to the same-session predecessor
+    "q_attribution" -> ((s, dir) => Sessions.attribution(ev(s, dir))),
     // batch interval self-join via the 3-adjacent-time-bucket equi-join
     // (the theta-join a nested loop would otherwise plan)
     "q_interval_pairs" -> ((s, dir) => Sessions.intervalPairs(ev(s, dir))),
@@ -3059,6 +3061,21 @@ object SparkEntry {
         |      FROM o WHERE e3 IS NOT NULL)
         |SELECT path, COUNT(*) AS n_paths FROM p GROUP BY 1
         |ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
+    // last-touch attribution: LAG under the per-user order, the
+    // sessionize gap rule deciding in-session vs 'direct'
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus,
+        |                  event_type, value FROM events),
+        |o AS (SELECT user_id, event_type, value, tus,
+        |             LAG(event_type) OVER w AS prev_type,
+        |             LAG(tus) OVER w AS prev_tus
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |p AS (SELECT CASE WHEN prev_tus IS NOT NULL AND tus - prev_tus <= 14400000000
+        |                  THEN prev_type ELSE 'direct' END AS touch, value
+        |      FROM o WHERE event_type = 'purchase')
+        |SELECT touch, COUNT(*) AS n_purchases,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+        |FROM p GROUP BY 1""".stripMargin,
     // staged first-arrival funnel: stage i+1 = first event of its type
     // strictly after the user's stage-i arrival
     "q_funnel" ->

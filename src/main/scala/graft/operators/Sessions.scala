@@ -158,6 +158,38 @@ object Sessions {
       .orderBy(col("n_paths").desc, col("path")).limit(k)
   }
 
+  /** LAST-TOUCH ATTRIBUTION — the conversion-credit report next to
+    * [[funnel]] and [[eventPaths]]: each purchase attributes its value
+    * to the event immediately BEFORE it in the same user's stream,
+    * PROVIDED that event is inside the purchase's session (the
+    * [[sessionize]] gap rule: silence ≤ gap continues the session); a
+    * purchase that opens its session is 'direct' traffic. Returns
+    * (touch, n_purchases, total_value) with the decimal-exact money
+    * sum.
+    *
+    * Scale shape: one per-user window pass ([[sessionize]]'s
+    * partitioning — user-bounded state), the purchase filter prunes
+    * before the aggregate, and the touch-type key space is
+    * |event types|+1 — partial aggregation collapses it map-side. */
+  def attribution(events: DataFrame, gapSec: Long = DefaultGapSec): DataFrame = {
+    val gapUs = gapSec * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tus"), col("event_type"), col("value"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_tus", lag(col("tus"), 1).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("prev_tus").isNotNull && col("tus") - col("prev_tus") <= gapUs,
+          col("prev_type")).otherwise(lit("direct")).as("touch"),
+        col("value"))
+      .groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value").cast("decimal(18,4)")), 2).cast("double")
+          .as("total_value"))
+  }
+
   def madOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val e = events.select(col("event_type"),

@@ -113,6 +113,22 @@ class SessionsSpec extends SparkSpec {
     assert(tied.toSeq == Seq("A > B > C"))
   }
 
+  test("attribution: same-session predecessor credited, session-opening purchase is direct") {
+    val gapUs = Sessions.DefaultGapSec * 1000000L
+    val out = Sessions.attribution(ev(
+      // user 1: view then purchase 10us later -> credited to 'view'
+      (1L, 1L, 0L, 0.0, "view"), (2L, 1L, 10L, 5.0, "purchase"),
+      // user 2: click, long silence (> gap), then purchase -> 'direct'
+      (3L, 2L, 0L, 0.0, "click"), (4L, 2L, gapUs + 1L, 7.0, "purchase"),
+      // user 3: click EXACTLY gap before the purchase -> still in session
+      (5L, 3L, 0L, 0.0, "click"), (6L, 3L, gapUs, 3.0, "purchase"),
+      // user 4: purchase is their first event ever -> 'direct'
+      (7L, 4L, 0L, 11.0, "purchase")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set(("view", 1L, 5.0), ("click", 1L, 3.0), ("direct", 2L, 18.0)),
+      s"got $out")
+  }
+
   test("madOutliers: hand-computed median/MAD; the planted spike is the only outlier") {
     // values 1..9 plus a 1000 spike: median 5.5, deviations
     // {4.5,3.5,...,0.5,994.5} -> MAD = median of sorted devs
