@@ -74,6 +74,8 @@ object SparkEntry {
       graft.streaming.StreamRunner.replayOuterIntervalJoin(s, ev(s, dir))),
     "s_stream_full_outer_join" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayFullOuterIntervalJoin(s, ev(s, dir))),
+    "s_stream_move_paths" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayMovePaths(s, ev(s, dir))),
     "s_stream_update_agg" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayUpdateAgg(s, ev(s, dir))),
     // streaming running moments: additive (n, Σv, Σv²) per kind as
@@ -3048,6 +3050,22 @@ object SparkEntry {
         |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) + 1e-12, 4)
         |         AS avg_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // streaming zone paths: the per-car sequence state emits exactly
+    // the batch lag-window 3-grams (state carries the window across
+    // chunk boundaries; -1 sentinels skipped = the oracle's pre-window
+    // filter), so the top-k over the emission log is the batch count
+    "s_stream_move_paths" ->
+      """WITH c AS (SELECT user_id AS car, epoch_ns(ts) // 1000 AS tus, event_id,
+        |                  CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS z
+        |           FROM events WHERE event_type IN ('click','view')),
+        |f AS (SELECT car, z, LAG(z, 1) OVER w AS z1, LAG(z, 2) OVER w AS z2
+        |      FROM c WHERE z IS NOT NULL
+        |      WINDOW w AS (PARTITION BY car ORDER BY tus, event_id)),
+        |p AS (SELECT CAST(z2 AS VARCHAR) || ' > ' || CAST(z1 AS VARCHAR) || ' > ' ||
+        |             CAST(z AS VARCHAR) AS path
+        |      FROM f WHERE z2 IS NOT NULL)
+        |SELECT path, COUNT(*) AS n_paths FROM p GROUP BY 1
+        |ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
     // path discovery: consecutive event-type 3-grams under the same
     // (tus, event_id) per-user order sessionize pins; top-20 by count
     // with the path-string tiebreak

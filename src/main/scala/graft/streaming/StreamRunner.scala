@@ -73,6 +73,45 @@ private[streaming] case class QuantileSnap(kind: String, upTo: Long, event_id: L
 private[streaming] case class QuantileSampleState(hs: Array[String], ids: Array[Long],
                                                   vs: Array[Double], maxSeq: Long)
 
+/** Streaming zone-path plumbing: one parseable car arrival in, one
+  * completed length-3 zone path out, and the bounded per-car state —
+  * the last two zones plus how many arrivals have folded (16 B/car,
+  * fixed regardless of stream length). */
+private[streaming] case class MovePathIn(car: Long, zone: Long, seq: Long)
+private[streaming] case class MovePathOut(car_id: Long, path: String)
+private[streaming] case class MovePathState(n: Long, z1: Long, z2: Long)
+
+/** Per-car SEQUENCE state — the streaming shape none of the sketches
+  * exercise: the processor remembers each car's last two zones and
+  * emits the completed 3-gram path on every further arrival (the
+  * n-gram window over a keyed stream, the streaming half of
+  * [[graft.operators.Sessions.eventPaths]]'s discovery idea applied
+  * to the car/zone domain). Rows fold in seq order within each batch
+  * (the FkJoinStream ordering contract), so the emitted path log is
+  * exactly the batch lag-window 3-grams however the stream was
+  * chunked. */
+private[streaming] class MovePathProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, MovePathIn, MovePathOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var state: ValueState[MovePathState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[MovePathState]("zpath",
+      Encoders.product[MovePathState], TTLConfig.NONE)
+
+  override def handleInputRows(car: Long, rows: Iterator[MovePathIn],
+                               timers: TimerValues): Iterator[MovePathOut] = {
+    var st = if (state.exists) state.get() else MovePathState(0L, 0L, 0L)
+    val out = scala.collection.mutable.ArrayBuffer.empty[MovePathOut]
+    rows.toArray.sortBy(_.seq).foreach { r =>
+      if (st.n >= 2) out += MovePathOut(car, s"${st.z1} > ${st.z2} > ${r.zone}")
+      st = MovePathState(st.n + 1, st.z2, r.zone)
+    }
+    state.update(st)
+    out.iterator
+  }
+}
+
 /** The quantile sketch's streaming state owner: merges each batch's
   * rows into the kind's bottom-k-by-hash sample (the [[graft.operators.Sketch.quantileSketch]]
   * selection rule — md5 of the decimal event-id string, ties by the
@@ -921,6 +960,29 @@ object StreamRunner {
       .filter(col("upTo") === col("mx"))
       .select(col("kind").as("side"), col("key"))
     graft.operators.Sketch.kmvEstimates(latest, "car", "zone", k)
+  }
+
+  /** Streaming ZONE-PATH discovery — per-car SEQUENCE state (the last
+    * two zones, 16 B/car) emitting each completed length-3 zone path
+    * as it happens; the top-k aggregation over the emitted log then
+    * equals the batch lag-window 3-gram count exactly (the processor
+    * folds rows in seq order and the path emission is
+    * chunk-boundary-insensitive: state carries the window across
+    * batches). Unparseable-zone arrivals (the −1 sentinel) are
+    * SKIPPED — they update nothing, matching the oracle's filter
+    * BEFORE its window. */
+  def replayMovePaths(spark: SparkSession, events: DataFrame, k: Int = 20): DataFrame = {
+    val (log, _) = replay(spark, events, rocksDb = true, topology = (src: DataFrame) => {
+      import spark.implicits._
+      src.filter(col("kind") === "car" && col("b") =!= -1L)
+        .select(col("a").as("car"), col("b").as("zone"), col("seq")).as[MovePathIn]
+        .groupByKey(_.car)
+        .transformWithState(new MovePathProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+    })
+    log.groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path")).limit(k)
   }
 
   /** Stage-1 (move fold) replay → the arrive/leave event log with its

@@ -46,4 +46,27 @@ class StreamSessionSpec extends SparkSpec {
     assert(streamed.keySet.forall { case (ss, se, zid) =>
       ss < 4102444800000000L && se > ss && zid >= 0 })
   }
+
+  test("streaming zone paths: sequence state bridges micro-batch boundaries") {
+    import spark.implicits._
+    // one car visiting zones 5,6,7,8,9 across the replay's range
+    // chunks: the middle 3-grams straddle chunk boundaries, so only
+    // carried (z1, z2) state can emit them
+    val t0 = 1704067200000000000L
+    val min = 60L * 1000000000L
+    val events = (0 until 5).map(i =>
+      ((i + 1).toLong, 100L, "click", s"""{"k": ${5 + i}}""", 1.0, t0 + i * min))
+      .toDF("event_id", "user_id", "event_type", "props", "value", "ts")
+    val out = StreamRunner.replayMovePaths(spark, events)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("5 > 6 > 7", 1L), ("6 > 7 > 8", 1L), ("7 > 8 > 9", 1L)),
+      s"got $out")
+    // an unparseable-zone arrival mid-sequence is skipped, not a break
+    val events2 = events.unionByName(Seq(
+      (99L, 100L, "click", "not json", 1.0, t0 + 90L * 1000000000L))
+      .toDF("event_id", "user_id", "event_type", "props", "value", "ts"))
+    val out2 = StreamRunner.replayMovePaths(spark, events2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out2 == out, s"sentinel arrival changed paths: $out2")
+  }
 }
