@@ -261,6 +261,10 @@ object SparkEntry {
     "t_bm25" -> ((s, dir) =>
       graft.functions.TextAnalysis.bm25(Tables.documents(s, dir),
         Seq("hash", "join", "spark"))),
+    // hybrid retrieval: RRF fusion of the BM25 and term-coverage lists
+    "t_rrf_fusion" -> ((s, dir) =>
+      graft.functions.TextAnalysis.rrfFusion(Tables.documents(s, dir),
+        Seq("hash", "join", "spark"))),
     // ---- training-data pipeline: similarity search over embeddings ----
     "a_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
     // metadata-filtered vector search: label predicate pre-filters the
@@ -1771,6 +1775,41 @@ object SparkEntry {
         |SELECT doc_id, ROUND(CAST(s AS DOUBLE) + 1e-12, 6) AS score, rk
         |FROM (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS INT) AS rk FROM s)
         |WHERE rk <= 10""".stripMargin,
+    // RRF: the bm25 chain's ranks fused with the coverage ranks via
+    // integer-quantized reciprocal contributions — the fused order is
+    // pure integer arithmetic on both engines
+    "t_rrf_fusion" ->
+      """WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term IN ('hash', 'join', 'spark')
+        |  GROUP BY doc_id, term),
+        |d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |c AS (SELECT tf.doc_id,
+        |             CAST(ROUND(
+        |               ln((CAST(st.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |               * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+        |               / (tf.tf + CAST(1.2 AS DOUBLE)
+        |                  * (1.0 - CAST(0.75 AS DOUBLE)
+        |                     + CAST(0.75 AS DOUBLE) * dl.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))
+        |               + 1e-12, 9) AS DECIMAL(18,9)) AS contrib
+        |      FROM tf JOIN d USING (term) JOIN dl USING (doc_id), st),
+        |s AS (SELECT doc_id, SUM(contrib) AS s FROM c GROUP BY doc_id),
+        |la AS (SELECT doc_id, rk AS rk_bm25
+        |       FROM (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS INT) AS rk FROM s)
+        |       WHERE rk <= 10),
+        |cv AS (SELECT doc_id, COUNT(DISTINCT term) AS nq, CAST(SUM(tf) AS BIGINT) AS tfq
+        |       FROM tf GROUP BY doc_id),
+        |lb AS (SELECT doc_id, rk AS rk_cov
+        |       FROM (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY nq DESC, tfq DESC, doc_id) AS INT) AS rk FROM cv)
+        |       WHERE rk <= 10),
+        |f AS (SELECT COALESCE(la.doc_id, lb.doc_id) AS doc_id, la.rk_bm25, lb.rk_cov,
+        |             COALESCE(CAST(ROUND(CAST(1000000.0 AS DOUBLE) / (la.rk_bm25 + 60), 0) AS BIGINT), 0)
+        |             + COALESCE(CAST(ROUND(CAST(1000000.0 AS DOUBLE) / (lb.rk_cov + 60), 0) AS BIGINT), 0) AS rrf
+        |      FROM la FULL JOIN lb ON la.doc_id = lb.doc_id)
+        |SELECT doc_id, rk_bm25, rk_cov, rrf FROM f
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     // sparse similarity: the tfidf pipeline over word BIGRAMS (posting
     // sparsity — see the operator scaladoc), then exact DECIMAL(9,4)
     // products/sums (4-dp weights make them exact in any order) and a

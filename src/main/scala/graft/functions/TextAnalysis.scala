@@ -495,6 +495,49 @@ object TextAnalysis {
         round(col("s").cast("double") + lit(1e-12), 6).as("score"), col("rk"))
   }
 
+  /** RECIPROCAL RANK FUSION (Cormack et al. 2009, public algorithm) —
+    * the standard hybrid-search combiner: fuse two retrievers' top-k
+    * lists by summing 1/(rrfK + rank) per list, no score calibration
+    * needed (ranks, not scores, carry the signal — the property that
+    * made RRF the default fusion in every hybrid lexical+semantic
+    * stack). Lists here: [[bm25]] (graded lexical scoring) and a
+    * term-COVERAGE ranking (distinct query terms matched desc, total
+    * query-term tf desc, doc_id — the boolean-retrieval-shaped second
+    * opinion). Contributions are INTEGER-quantized
+    * (round(10⁶/(rrfK + rank))) so the fused order is pure integer
+    * arithmetic — no float comparison ranks a document (the
+    * [[graft.functions.Unigram]] determinism recipe; 2·10⁶/(rrfK+r)
+    * is never an odd integer for rank ≤ 1000, so the quantization
+    * itself sits away from every rounding boundary).
+    *
+    * Scale shape: both legs end in TakeOrdered top-k (the corpus
+    * never globally sorts), the rank windows run over ≤ topk
+    * surviving rows, and the fusion is a full outer join of two
+    * ≤ topk-row frames. Returns (doc_id, rk_bm25, rk_cov, rrf) —
+    * null rank = absent from that list. */
+  def rrfFusion(documents: DataFrame, query: Seq[String],
+                topk: Int = 10, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(query.nonEmpty, "rrfFusion needs at least one query term")
+    val a = bm25(documents, query, topk = topk)
+      .select(col("doc_id"), col("rk").as("rk_bm25"))
+    val cov = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(query: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("nq"), count(lit(1)).as("tfq"))
+    val b = cov.orderBy(col("nq").desc, col("tfq").desc, col("doc_id")).limit(topk)
+      .withColumn("rk_cov", row_number().over(
+        Window.orderBy(col("nq").desc, col("tfq").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rk_cov"))
+    def contrib(rk: org.apache.spark.sql.Column) =
+      coalesce(round(lit(1000000.0) / (rk + lit(rrfK)), 0).cast("long"), lit(0L))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rk_bm25"), col("rk_cov"),
+        (contrib(col("rk_bm25")) + contrib(col("rk_cov"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(topk)
+  }
+
   /** Corpus-unigram language-model score: each document's mean token
     * log-probability under the corpus's own unigram distribution —
     * the classic model-based quality signal (far-below-average score =

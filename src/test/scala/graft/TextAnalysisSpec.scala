@@ -249,6 +249,27 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     assert(out.forall(_._2 > 0))
   }
 
+  test("rrfFusion: presence in both lists beats a single better rank; integer contributions") {
+    val filler = Array.fill(50)("pad").mkString(" ")
+    val df = Seq(
+      (1L, "alpha alpha beta"),           // strong in BOTH lists
+      (2L, s"alpha alpha alpha $filler"), // bm25-leaning, coverage nq=1
+      (3L, s"beta $filler"),              // weak in both
+      (4L, "nothing relevant here")).toDF("doc_id", "text")
+    val out = TextAnalysis.rrfFusion(df, Seq("alpha", "beta")).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), r.getLong(3)))
+    // termless doc never appears; both-list doc 1 tops the fusion
+    assert(!out.map(_._1).contains(4L))
+    assert(out.head._1 == 1L, s"got ${out.toSeq}")
+    // every contribution is round(1e6/(60+rank)) summed over present lists
+    out.foreach { case (_, a, b, rrf) =>
+      def c(o: Option[Any]) = o.map(r => math.round(1000000.0 / (60 + r.asInstanceOf[Int]))).getOrElse(0L)
+      assert(rrf == c(a) + c(b), s"rrf mismatch for ranks ($a, $b): $rrf")
+    }
+    // rows come back fused-order: rrf non-increasing
+    assert(out.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
   test("pmiCollocations: derived unigram counts equal direct counts; PMI ranks the glued pair first") {
     // "aa bb" always co-occur (PMI high); "cc" is frequent alone (PMI low);
     // a one-token doc exercises the last-token unigram derivation
