@@ -659,6 +659,10 @@ object SparkEntry {
     // fingerprinted; the oracle rebuilds each sampled frame's bytes
     "m_avi_frames" -> ((s, dir) =>
       Multimodal.aviFrames(Multimodal.aviDocs(Tables.documents(s, dir)))),
+    // shot boundaries: per-frame intensity sums in the container walk,
+    // integer cross-multiplied cut decision per consecutive pair
+    "m_scene_cuts" -> ((s, dir) =>
+      Multimodal.sceneCuts(Multimodal.aviDocs(Tables.documents(s, dir)))),
     // REAL audio resampling: every 2nd PCM frame survives, rate halves,
     // resampled stream fingerprinted — the oracle recomputes every
     // surviving sample arithmetically
@@ -2500,6 +2504,24 @@ object SparkEntry {
         |       md5(array_to_string([lpad(hex((doc_id * 31 + fi * 131 + k * 7) % 256), 2, '0')
         |                            for k in generate_series(0, fb - 1)], '')) AS frame_md5
         |FROM f""".stripMargin,
+    // scene cuts: the fixtures' frame bytes are arithmetic, so every
+    // per-frame intensity sum (and therefore each cut decision) is
+    // recomputable exactly; the Spark side sums the REAL payload bytes
+    "m_scene_cuts" ->
+      """WITH p AS (SELECT doc_id, CAST(8 + (doc_id % 4) * 2 AS INT) AS w,
+        |                  CAST(6 + (doc_id // 4) % 5 AS INT) AS h,
+        |                  CAST(2 + doc_id % 3 AS INT) AS nf FROM documents),
+        |f AS (SELECT doc_id, w * h * 3 AS fb, unnest(generate_series(0, nf - 1)) AS fi
+        |      FROM p),
+        |s AS (SELECT doc_id, fi, fb,
+        |             CAST(list_sum([(doc_id * 31 + fi * 131 + k * 7) % 256
+        |                            for k in generate_series(0, fb - 1)]) AS BIGINT) AS sl
+        |      FROM f),
+        |l AS (SELECT doc_id, fi, fb, sl,
+        |             LAG(sl) OVER (PARTITION BY doc_id ORDER BY fi) AS ps FROM s)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx, sl AS sum_lum,
+        |       sl - ps AS delta, ABS(sl - ps) > fb * 8 AS is_cut
+        |FROM l WHERE ps IS NOT NULL""".stripMargin,
     "m_audio_resample" ->
       """WITH s AS (SELECT doc_id, 16 + doc_id % 97 AS n FROM documents),
         |d AS (SELECT doc_id, n, (n + 1) // 2 AS n_out FROM s)

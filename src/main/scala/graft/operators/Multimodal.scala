@@ -2222,4 +2222,48 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"), col("n_bytes"),
         md5(hex(col("frame"))).as("frame_md5"))
   }
+
+  /** SHOT-BOUNDARY (scene-cut) detection over the REAL AVI frame
+    * stream — the video-curation pass that segments a clip before
+    * frame sampling ([[aviFrames]]): per document, every frame's
+    * byte-intensity SUM is computed in the same scan that walks the
+    * container (payload bytes never shuffle — only (doc, idx, sum)
+    * triples), then consecutive frames compare via the integer
+    * cross-multiplication |Δsum| > threshold·frame_bytes (mean-delta
+    * > `threshold` intensity units without a division — frames of one
+    * stream share a size, so sums compare directly). A real pipeline
+    * swaps the intensity sum for a decoded-luma histogram distance;
+    * the dataflow — per-frame scan statistic, per-doc lag window,
+    * integer decision — is identical. Returns one row per frame with
+    * a predecessor: (doc_id, frame_idx, sum_lum, delta, is_cut).
+    *
+    * Scale shape: the per-frame statistic is map-only inside the
+    * container walk; the lag window partitions by doc_id (state
+    * bounded by frames-per-doc); nothing byte-sized crosses an
+    * exchange. */
+  def sceneCuts(bin: DataFrame, threshold: Int = 8): DataFrame = {
+    require(threshold >= 1, s"threshold must be positive, got $threshold")
+    val spark = bin.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sums = bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val (_, frames) = parseAvi(id, bytes).getOrElse(
+          throw new IllegalArgumentException(s"doc $id: not a well-formed AVI"))
+        frames.iterator.zipWithIndex.map { case ((off, len), fi) =>
+          var s = 0L
+          var k = off
+          while (k < off + len) { s += bytes(k) & 0xFF; k += 1 }
+          (id, fi.toLong, len.toLong, s)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "n_bytes", "sum_lum")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    sums
+      .withColumn("prev", lag(col("sum_lum"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("doc_id"), col("frame_idx"), col("sum_lum"),
+        (col("sum_lum") - col("prev")).as("delta"),
+        (abs(col("sum_lum") - col("prev")) > col("n_bytes") * threshold).as("is_cut"))
+  }
 }

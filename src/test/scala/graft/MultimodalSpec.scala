@@ -670,6 +670,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeJpegColor("not a jpeg at all".getBytes).isEmpty)
   }
 
+  test("sceneCuts: deltas and cut flags equal a brute-force walk over the frame bytes") {
+    val docs = (0L until 6L).map(d => (d, s"doc $d")).toDF("doc_id", "text")
+    val bin = Multimodal.aviDocs(docs)
+    val out = Multimodal.sceneCuts(bin).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    val brute = bin.collect().flatMap { row =>
+      val id = row.getLong(0); val bytes = row.getAs[Array[Byte]](1)
+      val (_, frames) = Multimodal.parseAvi(id, bytes).get
+      val sums = frames.map { case (off, len) =>
+        (len, (off until off + len).map(k => (bytes(k) & 0xFF).toLong).sum) }
+      sums.zipWithIndex.drop(1).map { case ((len, s), fi) =>
+        val prev = sums(fi - 1)._2
+        (id, fi.toLong) -> (s, s - prev, math.abs(s - prev) > len * 8L)
+      }
+    }.toMap
+    assert(out == brute, s"scene cuts diverge from the brute-force walk")
+    assert(out.nonEmpty)
+  }
+
   test("lzwDecode: inverts a genuinely compressed stream (dict growth, repeats)") {
     val rnd = new scala.util.Random(7)
     // repetitive data → real compression, many dictionary entries
