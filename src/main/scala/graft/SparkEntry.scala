@@ -472,6 +472,12 @@ object SparkEntry {
       Relational.marketShare(Tables.part(s, dir), Tables.supplier(s, dir),
         Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir))),
+    // TPC-H Q19: OR-of-ANDs disjunctive envelopes, per-side extraction
+    "q19_discounted_revenue" -> ((s, dir) =>
+      Relational.discountedRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    // TPC-H Q18: grouped-HAVING order quantities joined back, top-k
+    "q18_large_orders" -> ((s, dir) =>
+      Relational.largeOrders(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     // per-source power-of-two length profile (integer-exact buckets)
     "c_length_histogram" -> ((s, dir) =>
       Corpus.lengthHistogram(Tables.documents(s, dir))),
@@ -3231,6 +3237,23 @@ object SparkEntry {
         |  JOIN region ON n2.n_regionkey = r_regionkey
         |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
         |GROUP BY 1""".stripMargin,
+    // Q19: the disjunction evaluated post-join — same rows whatever
+    // each engine pushes; integer envelopes, decimal-exact revenue
+    "q19_discounted_revenue" ->
+      """SELECT COUNT(*) AS n_lines,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+    // Q18: HAVING on the grouped fact, join back, stored-double top-k
+    "q18_large_orders" ->
+      """WITH b AS (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq
+        |           FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150)
+        |SELECT o_orderkey, o_custkey, o_totalprice AS total_price,
+        |       CAST(ROUND(sq, 2) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN b ON o_orderkey = l_orderkey
+        |ORDER BY total_price DESC, o_orderkey LIMIT 20""".stripMargin,
     "c_length_histogram" ->
       """SELECT source, CAST(length(bin(greatest(n_chars, 1))) AS BIGINT) AS bucket,
         |       COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars

@@ -576,6 +576,51 @@ object Relational {
           .as("mkt_share"))
   }
 
+  /** TPC-H Q19-style DISCOUNTED REVENUE under a DISJUNCTION of
+    * brand/size/quantity envelopes — the classic OR-of-ANDs predicate
+    * whose whole point is what the optimizer does with it: each
+    * disjunct references BOTH tables, and Catalyst must EXTRACT the
+    * per-side implications (the brand/size OR pushes to the part
+    * scan, the quantity-range OR to the lineitem scan — disjunctive
+    * predicate extraction) so neither side scans rows no disjunct
+    * can accept. Plan-locked; a planner that keeps the filter above
+    * the join reads both tables in full. One-row output
+    * (n_lines, revenue), money decimal-exact. */
+  def discountedRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 15)) ||
+      (col("p_brand") === "Brand#13" && col("p_size").between(5, 20) &&
+        col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#20" && col("p_size").between(10, 40) &&
+        col("l_quantity").between(20, 50))
+    lineitem
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(count(lit(1)).as("n_lines"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  /** TPC-H Q18-style LARGE ORDERS: orders whose total line quantity
+    * exceeds `minQty` — the grouped-HAVING-then-join-back shape (the
+    * reference query's `IN (SELECT … HAVING)` decorrelates to exactly
+    * this). The qualifying-order frame carries only (orderkey, sum) —
+    * orders join against it, never against re-aggregated lineitem
+    * twice — and the final top-k by stored price compiles to
+    * TakeOrdered (doubles compared bit-for-bit, never recomputed, so
+    * the cross-engine order is exact). */
+  def largeOrders(lineitem: DataFrame, orders: DataFrame,
+                  minQty: Int = 150, topk: Int = 20): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sq"))
+      .filter(col("sq") > minQty)
+    orders.join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("total_price"),
+        round(col("sq"), 2).cast("double").as("sum_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey")).limit(topk)
+  }
+
   /** TPC-H Q13 customer-order DISTRIBUTION: how many customers placed
     * 0, 1, 2, … qualifying orders — the outer-join-then-histogram
     * shape every BI workload runs. The load-bearing detail is that

@@ -434,6 +434,28 @@ class PlanAuditSpec extends SparkSpec {
       s"expected one conditional agg pass over a single join tree:\n$p")
   }
 
+  test("discountedRevenue (Q19): per-side disjunctions extracted and pushed to both scans") {
+    val p = plan(Relational.discountedRevenue(
+      Tables.lineitem(spark, dir), Tables.part(spark, dir)))
+    // the whole point of the OR-of-ANDs shape: each side's implied
+    // disjunction reaches its own parquet scan, so neither table is
+    // read in full
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"quantity-range OR not pushed to the lineitem scan:\n$p")
+    assert(p.contains("EqualTo(p_brand,Brand#"),
+      s"brand/size OR not pushed to the part scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("largeOrders (Q18): one lineitem aggregation, join-back, TakeOrdered top-k") {
+    val p = plan(Relational.largeOrders(
+      Tables.lineitem(spark, dir), Tables.orders(spark, dir)))
+    assert(count(p, "Scan parquet") == 2,
+      s"lineitem must aggregate once, never rescan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+    assert(count(p, "partial_sum") >= 1, s"quantity sum lost its partial:\n$p")
+  }
+
   test("soleBlameSuppliers (Q21): EXISTS/NOT EXISTS decorrelate to semi + anti, no nested loop") {
     val p = plan(Relational.soleBlameSuppliers(Tables.supplier(spark, dir),
       Tables.lineitem(spark, dir), Tables.orders(spark, dir)))
