@@ -545,6 +545,9 @@ object SparkEntry {
     // reachability clusters over the same graph (shared CC engine)
     "q_components" -> ((s, dir) =>
       graft.operators.Graph.components(Tables.lineitem(s, dir))),
+    // market-basket rules: support/confidence/lift, top-k by lift
+    "q_assoc_rules" -> ((s, dir) =>
+      graft.operators.Graph.associationRules(Tables.lineitem(s, dir))),
     // hot-key-salted fact⋈dim join; the oracle is the PLAIN join —
     // salting must be invisible in the result
     "q_salted_join" -> ((s, dir) => {
@@ -3313,6 +3316,27 @@ object SparkEntry {
     // core numbers: the synchronous h-index recurrence is pure integer
     // arithmetic, so the unrolled-round replay is hash-exact
     "q_kcore" -> kcoreOracle,
+    // association rules: integer basket/item/pair counts, each ratio
+    // one nudge-rounded division, rank ties on the ids
+    "q_assoc_rules" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |nb AS (SELECT CAST(COUNT(DISTINCT o) AS DOUBLE) AS nb FROM po),
+        |ic AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM po GROUP BY p),
+        |pc AS (SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |       FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |d AS (SELECT u AS antecedent, v AS consequent, n_ab FROM pc
+        |      UNION ALL SELECT v, u, n_ab FROM pc),
+        |r AS (SELECT d.antecedent, d.consequent, d.n_ab,
+        |             ROUND(CAST(d.n_ab AS DOUBLE) / nb.nb + 1e-12, 6) AS support,
+        |             ROUND(CAST(d.n_ab AS DOUBLE) / CAST(ia.n AS DOUBLE) + 1e-12, 6) AS confidence,
+        |             ROUND(CAST(d.n_ab AS DOUBLE) * nb.nb
+        |                   / (CAST(ia.n AS DOUBLE) * CAST(ib.n AS DOUBLE)) + 1e-12, 6) AS lift
+        |      FROM d
+        |      JOIN ic ia ON ia.p = d.antecedent
+        |      JOIN ic ib ON ib.p = d.consequent, nb)
+        |SELECT * FROM r
+        |ORDER BY lift DESC, confidence DESC, antecedent, consequent LIMIT 20""".stripMargin,
     // components: transitive closure to fixpoint; label = component min
     "q_components" ->
       """WITH RECURSIVE

@@ -299,6 +299,57 @@ object Graph {
       .select(col("node"), col("community"), col("community_size"))
   }
 
+  /** MARKET-BASKET ASSOCIATION RULES (Agrawal & Srikant 1994's
+    * support/confidence/lift statistics, public method) over the
+    * order baskets: for each co-purchased pair, both directed rules
+    * a→b and b→a with support = n_ab/n_baskets, confidence =
+    * n_ab/n_a and lift = n_ab·n_baskets/(n_a·n_b) — the
+    * recommendation/affinity table the co-purchase graph exists to
+    * feed. Top-`k` by (lift desc, confidence desc, antecedent,
+    * consequent); all three ratios divide exact integer counts once
+    * and round with the repo nudge, so the oracle replays the ranking
+    * exactly (ties resolve on the integer ids).
+    *
+    * Scale shape: pair counts ride the [[coPurchaseEdges]]-style
+    * basket-capped self-join (one shuffle on the 16-byte pair key,
+    * partial-aggregated), item counts one narrow groupBy, the basket
+    * total one scalar, and the top-k compiles to TakeOrdered. */
+  def associationRules(lineitem: DataFrame, maxBasket: Int = 1024,
+                       minCount: Long = 2L, k: Int = 20): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    import org.apache.spark.sql.expressions.Window
+    val po0 = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val po = po0
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("o"))))
+      .filter(col("bsz") <= maxBasket).drop("bsz")
+      .localCheckpoint()
+    val nBaskets = po.select(col("o")).distinct().count()
+    val itemCnt = po.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val pairCnt = po.as("x").join(po.as("y"), Seq("o"))
+      .filter(col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("u"), col("y.p").as("v"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val directed = pairCnt
+      .select(col("u").as("antecedent"), col("v").as("consequent"), col("n_ab"))
+      .unionByName(pairCnt.select(col("v").as("antecedent"),
+        col("u").as("consequent"), col("n_ab")))
+    directed
+      .join(itemCnt.select(col("p").as("antecedent"), col("n").as("n_a")), "antecedent")
+      .join(itemCnt.select(col("p").as("consequent"), col("n").as("n_b")), "consequent")
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        round(col("n_ab").cast("double") / lit(nBaskets.toDouble) + lit(1e-12), 6)
+          .as("support"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double") + lit(1e-12), 6)
+          .as("confidence"),
+        round(col("n_ab").cast("double") * lit(nBaskets.toDouble)
+          / (col("n_a").cast("double") * col("n_b").cast("double")) + lit(1e-12), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("confidence").desc,
+        col("antecedent"), col("consequent"))
+      .limit(k)
+  }
+
   /** CONNECTED COMPONENTS over the co-purchase graph — the purchase
     * topology's reachability clusters (which item families ever sell
     * together), completing the graph family next to [[pageRank]],

@@ -148,6 +148,20 @@ class GraphSpec extends SparkSpec {
       (10L, 10L, 2L), (11L, 10L, 2L)), s"got $out")
   }
 
+  test("associationRules: hand-computed support/confidence/lift; sub-minCount pairs drop") {
+    // baskets: {A,B}, {A,B}, {A,C} with A=1, B=2, C=3
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Graph.associationRules(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // the A-C pair occurs once (< minCount 2): only A<->B survives
+    assert(out.keySet == Set((1L, 2L), (2L, 1L)), s"got ${out.keySet}")
+    // n_ab=2, nB=3, n_A=3, n_B=2
+    assert(out((1L, 2L)) == ((2L, 0.666667, 0.666667, 1.0))) // A->B: 2/3, 2/3, 2*3/(3*2)
+    assert(out((2L, 1L)) == ((2L, 0.666667, 1.0, 1.0)))      // B->A: conf 2/2
+  }
+
   test("coreNumbers: fixpoint properties on sf0.001 — core <= degree, k-core closed") {
     val li = Tables.lineitem(spark, sf0001)
     val core = Graph.coreNumbers(li).collect()
