@@ -478,6 +478,9 @@ object SparkEntry {
     // TPC-H Q18: grouped-HAVING order quantities joined back, top-k
     "q18_large_orders" -> ((s, dir) =>
       Relational.largeOrders(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    // TPC-H Q14: monthly promo-class revenue share, one conditional agg
+    "q14_promo_revenue" -> ((s, dir) =>
+      Relational.promoRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
     // per-source power-of-two length profile (integer-exact buckets)
     "c_length_histogram" -> ((s, dir) =>
       Corpus.lengthHistogram(Tables.documents(s, dir))),
@@ -3257,6 +3260,21 @@ object SparkEntry {
         |       CAST(ROUND(sq, 2) AS DOUBLE) AS sum_qty
         |FROM orders JOIN b ON o_orderkey = l_orderkey
         |ORDER BY total_price DESC, o_orderkey LIMIT 20""".stripMargin,
+    // Q14: numerator + denominator one conditional decimal pass; the
+    // month key via strftime = Spark's date_format yyyy-MM
+    "q14_promo_revenue" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |       CAST(ROUND(SUM(CASE WHEN p_type = 'ECONOMY'
+        |                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |                 ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS promo_revenue,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue,
+        |       ROUND(CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+        |                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |             + 1e-12, 6) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
     "c_length_histogram" ->
       """SELECT source, CAST(length(bin(greatest(n_chars, 1))) AS BIGINT) AS bucket,
         |       COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars

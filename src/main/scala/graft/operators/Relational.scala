@@ -601,6 +601,31 @@ object Relational {
         moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
   }
 
+  /** TPC-H Q14-style PROMOTION REVENUE share: the fraction of monthly
+    * revenue from promo-class parts (this schema's ECONOMY type plays
+    * the PROMO% role) — the conditional-share shape of [[marketShare]]
+    * at its simplest: one part-dim join, numerator and denominator in
+    * ONE conditional decimal aggregation, a months-sized key space.
+    * Returns (ship_month, promo_revenue, total_revenue, promo_share). */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame,
+                   promoType: String = "ECONOMY"): DataFrame = {
+    val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,4)")
+    lineitem
+      .join(part.select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(
+        round(sum(when(col("p_type") === promoType, vol)
+          .otherwise(lit(0).cast("decimal(18,4)"))), 2).cast("double")
+          .as("promo_revenue"),
+        round(sum(vol), 2).cast("double").as("total_revenue"),
+        round(sum(when(col("p_type") === promoType, vol)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double")
+            / sum(vol).cast("double") + lit(1e-12), 6)
+          .as("promo_share"))
+  }
+
   /** TPC-H Q18-style LARGE ORDERS: orders whose total line quantity
     * exceeds `minQty` — the grouped-HAVING-then-join-back shape (the
     * reference query's `IN (SELECT … HAVING)` decorrelates to exactly
