@@ -265,6 +265,9 @@ object SparkEntry {
     "t_rrf_fusion" -> ((s, dir) =>
       graft.functions.TextAnalysis.rrfFusion(Tables.documents(s, dir),
         Seq("hash", "join", "spark"))),
+    // RAKE keyphrases: stopword-free runs, integer-quantized deg/freq
+    "t_rake_keyphrases" -> ((s, dir) =>
+      graft.functions.TextAnalysis.rakeKeyphrases(Tables.documents(s, dir))),
     // ---- training-data pipeline: similarity search over embeddings ----
     "a_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
     // metadata-filtered vector search: label predicate pre-filters the
@@ -1826,6 +1829,27 @@ object SparkEntry {
         |      FROM la FULL JOIN lb ON la.doc_id = lb.doc_id)
         |SELECT doc_id, rk_bm25, rk_cov, rrf FROM f
         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    // RAKE: identical run-splitting (stop tokens -> chr(1), one split,
+    // trim), integer-quantized word scores, integer phrase ranking
+    "t_rake_keyphrases" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |seg AS (SELECT doc_id, unnest(string_split(array_to_string(
+        |          list_transform(w, x -> CASE WHEN x IN ('the','a','of','and')
+        |                                      THEN chr(1) ELSE x END), ' '), chr(1))) AS r
+        |        FROM toks),
+        |ph AS (SELECT trim(r) AS phrase FROM seg
+        |       WHERE trim(r) <> '' AND len(string_split(trim(r), ' ')) BETWEEN 1 AND 4),
+        |pd AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM ph GROUP BY 1),
+        |wo AS (SELECT len(string_split(phrase, ' ')) AS plen,
+        |              unnest(string_split(phrase, ' ')) AS w FROM ph),
+        |ws AS (SELECT w, CAST(ROUND(CAST(1000000.0 AS DOUBLE) * SUM(plen) / COUNT(*), 0) AS BIGINT) AS wscore
+        |       FROM wo GROUP BY w),
+        |pw0 AS (SELECT phrase, n_occurrences, unnest(string_split(phrase, ' ')) AS w FROM pd),
+        |pw AS (SELECT phrase, n_occurrences, CAST(SUM(wscore) AS BIGINT) AS score
+        |       FROM pw0 JOIN ws USING (w) GROUP BY 1, 2)
+        |SELECT phrase, CAST(len(string_split(phrase, ' ')) AS INT) AS n_words,
+        |       n_occurrences, score
+        |FROM pw ORDER BY score DESC, n_occurrences DESC, phrase LIMIT 20""".stripMargin,
     // sparse similarity: the tfidf pipeline over word BIGRAMS (posting
     // sparsity — see the operator scaladoc), then exact DECIMAL(9,4)
     // products/sums (4-dp weights make them exact in any order) and a

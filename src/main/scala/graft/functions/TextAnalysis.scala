@@ -538,6 +538,63 @@ object TextAnalysis {
       .orderBy(col("rrf").desc, col("doc_id")).limit(topk)
   }
 
+  /** RAKE KEYPHRASE EXTRACTION (Rose et al. 2010, public algorithm) —
+    * the unsupervised keyphrase miner a corpus build runs for document
+    * metadata/tagging: candidate phrases are maximal stopword-free
+    * token runs (capped at `maxPhraseLen` words — the scale guard on
+    * degenerate stopword-free documents), each word scores
+    * degree/frequency over the candidate set (degree = Σ length of
+    * phrases containing it, frequency = its phrase occurrences — words
+    * that live in long phrases beat words that appear alone), and a
+    * phrase scores the sum of its words' scores. Word scores are
+    * INTEGER-quantIZED (round(10⁶·deg/freq)) so phrase ranking is pure
+    * integer arithmetic — the [[Unigram]]/[[rrfFusion]] determinism
+    * recipe (exact .5 landings need a dyadic freq, where both engines'
+    * doubles are exact and round identically).
+    *
+    * Scale shape: run-splitting is per-row codegen (stopwords become a
+    * delimiter, one split — no UDF); word stats partial-aggregate over
+    * the vocabulary; phrase scores shuffle only (phrase, word) pairs
+    * bounded by maxPhraseLen per candidate; top-k is TakeOrdered.
+    * Returns (phrase, n_words, n_occurrences, score). */
+  def rakeKeyphrases(documents: DataFrame, maxPhraseLen: Int = 4,
+                     topk: Int = 20): DataFrame = {
+    require(maxPhraseLen >= 1 && maxPhraseLen <= 16,
+      s"maxPhraseLen must be in [1, 16], got $maxPhraseLen")
+    val stops = Seq("the", "a", "of", "and")
+    // stopword-free runs via the delimiter trick: each stop token
+    // becomes a U+0001 sentinel (never in word text), ONE split on it,
+    // trim the space remnants, bound the word count
+    val runs = split(
+      array_join(transform(tokens(col("text")),
+        w => when(w.isin(stops: _*), lit("\u0001")).otherwise(w)), " "),
+      "\u0001")
+    val phrases = filter(
+      transform(runs, r => trim(r)),
+      r => r =!= "" && size(split(r, " ")).between(1, maxPhraseLen))
+    val pocc = documents.select(explode(phrases).as("phrase"))
+    val pdistinct = pocc.groupBy(col("phrase")).agg(count(lit(1)).as("n_occurrences"))
+      .localCheckpoint()
+    // word stats over ALL candidate occurrences (multiplicity counts)
+    val wstats = pocc
+      .select(size(split(col("phrase"), " ")).as("plen"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(sum(col("plen")).cast("long").as("deg"), count(lit(1)).as("freq"))
+      .select(col("w"),
+        round(lit(1000000.0) * col("deg") / col("freq"), 0).cast("long").as("wscore"))
+    pdistinct
+      .select(col("phrase"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wstats, "w")
+      .groupBy(col("phrase"), col("n_occurrences"))
+      .agg(sum(col("wscore")).as("score"))
+      .select(col("phrase"), size(split(col("phrase"), " ")).as("n_words"),
+        col("n_occurrences"), col("score"))
+      .orderBy(col("score").desc, col("n_occurrences").desc, col("phrase"))
+      .limit(topk)
+  }
+
   /** Corpus-unigram language-model score: each document's mean token
     * log-probability under the corpus's own unigram distribution —
     * the classic model-based quality signal (far-below-average score =

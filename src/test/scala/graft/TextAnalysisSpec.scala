@@ -270,6 +270,20 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     assert(out.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
 
+  test("rakeKeyphrases: stopword-split runs, degree/frequency scoring, tie by occurrences") {
+    val df = Seq(
+      (1L, "the red fox of deep forest and red fox"),
+      (2L, "the cat")).toDF("doc_id", "text")
+    val out = TextAnalysis.rakeKeyphrases(df).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // phrases: 'red fox' x2, 'deep forest' x1, 'cat' x1; red/fox/deep/
+    // forest all score deg/freq = 2 -> 2e6; cat scores 1e6
+    assert(out.map(_._1).toSeq == Seq("red fox", "deep forest", "cat"), s"got ${out.toSeq}")
+    assert(out(0) == (("red fox", 2, 2L, 4000000L)))
+    assert(out(1) == (("deep forest", 2, 1L, 4000000L)))
+    assert(out(2) == (("cat", 1, 1L, 1000000L)))
+  }
+
   test("pmiCollocations: derived unigram counts equal direct counts; PMI ranks the glued pair first") {
     // "aa bb" always co-occur (PMI high); "cc" is frequent alone (PMI low);
     // a one-token doc exercises the last-token unigram derivation
