@@ -484,6 +484,27 @@ object SparkEntry {
     // TPC-H Q14: monthly promo-class revenue share, one conditional agg
     "q14_promo_revenue" -> ((s, dir) =>
       Relational.promoRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    // TPC-H Q6: the pure scan-aggregate pushdown canary
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Relational.forecastRevenue(Tables.lineitem(s, dir))),
+    // TPC-H Q9: star join + (nation, year) profit aggregation
+    "q9_product_profit" -> ((s, dir) =>
+      Relational.productTypeProfit(Tables.lineitem(s, dir), Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir))),
+    // TPC-H Q10: aggregate-then-enrich returned-revenue top-20
+    "q10_returned_items" -> ((s, dir) =>
+      Relational.returnedItemReport(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), Tables.nation(s, dir))),
+    // TPC-H Q12: join + conditional priority counts per line class
+    "q12_priority_split" -> ((s, dir) =>
+      Relational.shippingPrioritySplit(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    // TPC-H Q15: supplier revenue equal to the global max (ties kept)
+    "q15_top_supplier" -> ((s, dir) =>
+      Relational.topSupplier(Tables.supplier(s, dir), Tables.lineitem(s, dir))),
+    // TPC-H Q16: anti-join denylist + distinct-supplier variety count
+    "q16_part_variety" -> ((s, dir) =>
+      Relational.partSupplierVariety(Tables.part(s, dir), Tables.lineitem(s, dir),
+        Tables.supplier(s, dir))),
     // per-source power-of-two length profile (integer-exact buckets)
     "c_length_histogram" -> ((s, dir) =>
       Corpus.lengthHistogram(Tables.documents(s, dir))),
@@ -3299,6 +3320,71 @@ object SparkEntry {
         |             + 1e-12, 6) AS promo_share
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1""".stripMargin,
+    // Q6: pure scan-agg; decimal-exact discount revenue
+    "q6_forecast_revenue" ->
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS revenue_increase,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    // Q9: profit = revenue - 0.6·retail·qty proxy, decimal-exact
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                           - p_retailprice * 0.6 * l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS profit
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE contains(p_name, 'bolt')
+        |GROUP BY 1, 2""".stripMargin,
+    // Q10: group by custkey first, enrich after, top-20 by revenue
+    "q10_returned_items" ->
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |         CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |           AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, revenue, c_acctbal, n_name AS nation
+        |FROM customer
+        |  JOIN r ON c_custkey = o_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // Q12: one conditional-count pass after the fact-fact join
+    "q12_priority_split" ->
+      """SELECT l_linestatus AS line_class,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+        |            AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+    // Q15: exact-decimal revenue equal to its global max (ties kept)
+    "q15_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS tr
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(ROUND(tr, 2) AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN r ON s_suppkey = l_suppkey
+        |WHERE tr = (SELECT MAX(tr) FROM r)""".stripMargin,
+    // Q16: lineitem pairs play partsupp; negative-balance denylist
+    "q16_part_variety" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ok AS (SELECT * FROM ps WHERE l_suppkey NOT IN
+        |         (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN ok ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'ECONOMY'
+        |  AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "c_length_histogram" ->
       """SELECT source, CAST(length(bin(greatest(n_chars, 1))) AS BIGINT) AS bucket,
         |       COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars

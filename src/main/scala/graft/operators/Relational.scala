@@ -718,4 +718,156 @@ object Relational {
       GROUP BY s.s_suppkey, s.s_name"""))
     finally Seq(sv, lv, ov).foreach(spark.catalog.dropTempView)
   }
+
+  /** TPC-H Q6 FORECASTING REVENUE CHANGE: the pure scan-aggregate —
+    * one table, three scan predicates, one sum; the benchmark's
+    * pushdown/pruning canary. All three predicates reach the parquet
+    * scan as PushedFilters (plain column comparisons, no expressions
+    * over the column), ReadSchema carries only the four touched
+    * columns, and the single global sum is a two-stage partial
+    * aggregate (per-partition partials → one-row final) — no shuffle
+    * wider than one row at any scale. Revenue is the would-have-been
+    * discount (price × discount), decimal-exact per [[moneySum]]. */
+  def forecastRevenue(lineitem: DataFrame,
+                      yearStart: String = "1996-01-01",
+                      yearEnd: String = "1997-01-01"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(yearStart) && col("l_shipdate") < lit(yearEnd)
+        && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(moneySum(col("l_extendedprice") * col("l_discount")).as("revenue_increase"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q9-shaped PRODUCT TYPE PROFIT: per (nation, year) profit on
+    * parts whose name carries a token — the star-join-then-two-key-agg
+    * shape. This schema has no partsupp/ps_supplycost, so cost is the
+    * retail-anchored proxy 0.6·p_retailprice·l_quantity (same
+    * revenue-minus-cost arithmetic class as the reference query's
+    * ps_supplycost·l_quantity). The name filter prunes part BEFORE the
+    * fact join (the selective dim drives the probe side), nation is a
+    * broadcast dim, supplier carries no hint (SF-proportional — the
+    * planner broadcasts while it fits, exactly the [[revenueByNation]]
+    * rationale), and the (nation, year) key space is ≤ 25 × years so
+    * the final aggregation is all map-side partials. */
+  def productTypeProfit(lineitem: DataFrame, part: DataFrame,
+                        supplier: DataFrame, nation: DataFrame,
+                        nameToken: String = "bolt"): DataFrame =
+    lineitem
+      .join(part.filter(col("p_name").contains(nameToken))
+        .select(col("p_partkey"), col("p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).cast("long").as("o_year"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        - col("p_retailprice") * lit(0.6) * col("l_quantity")).as("profit"))
+
+  /** TPC-H Q10 RETURNED ITEM REPORTING: the quarter's top-20 customers
+    * by revenue lost to returns. Aggregates lineitem×orders down to
+    * (custkey, revenue) FIRST and only then joins customer — the
+    * grouped frame is customer-cardinality, so the enrichment join
+    * moves orders-of-magnitude less data than the reference query's
+    * group-by-every-customer-column form (legal because c_custkey is
+    * the customer key; the output columns are functionally dependent).
+    * The quarter predicate pushes to the orders scan, the returnflag
+    * predicate to lineitem's, and the final top-k on the decimal-exact
+    * revenue (custkey tiebreak) compiles to TakeOrdered — no global
+    * sort materializes. */
+  def returnedItemReport(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame, nation: DataFrame,
+                         qStart: String = "1996-01-01", qEnd: String = "1996-04-01",
+                         topk: Int = 20): DataFrame = {
+    val rev = lineitem.filter(col("l_returnflag") === "R")
+      .join(orders.filter(col("o_orderdate") >= lit(qStart) && col("o_orderdate") < lit(qEnd))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    customer.join(rev, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"),
+        col("n_name").as("nation"))
+      .orderBy(col("revenue").desc, col("c_custkey")).limit(topk)
+  }
+
+  /** TPC-H Q12-shaped SHIPPING PRIORITY SPLIT: per line class, how
+    * many of the year's shipped lines belonged to high- vs low-
+    * priority orders — the join-then-conditional-count shape. This
+    * schema has no l_shipmode/commitdate/receiptdate, so l_linestatus
+    * plays the grouping class and the ship-year window plays the
+    * receipt window; the semantics exercised are identical (one
+    * fact-fact equi-join, CASE-conditional counts, a tiny key space).
+    * The year range pushes to the lineitem scan as two plain
+    * comparisons (never `year(col) = y`, which would defeat pushdown),
+    * both conditional sums ride ONE aggregation pass, and the ≤ 2-key
+    * groupBy is all map-side partials. */
+  def shippingPrioritySplit(lineitem: DataFrame, orders: DataFrame,
+                            yearStart: String = "1997-01-01",
+                            yearEnd: String = "1998-01-01"): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .filter(col("l_shipdate") >= lit(yearStart) && col("l_shipdate") < lit(yearEnd))
+      .select(col("l_orderkey"), col("l_linestatus"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus").as("line_class"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q15 TOP SUPPLIER: the quarter's revenue-per-supplier, kept
+    * only where it EQUALS the global max — the view-plus-max-equality
+    * shape (ties all surface, per the reference query). The revenue
+    * frame is supplier-cardinality and is localCheckpoint-materialized
+    * (ContextCleaner-released, the [[graft.operators.Corpus]] funnel
+    * rationale), so lineitem is scanned ONCE: the global max is a
+    * one-row aggregate over the checkpointed frame, broadcast back as
+    * an equi-condition. Equality compares the EXACT decimal sums
+    * (bit-stable in
+    * any engine and any aggregation order); the rounded double is
+    * only projected afterwards. The supplier enrichment join is
+    * against the ≤-a-few-rows winners frame. */
+  def topSupplier(supplier: DataFrame, lineitem: DataFrame,
+                  qStart: String = "1996-01-01", qEnd: String = "1996-04-01"): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(qStart) && col("l_shipdate") < lit(qEnd))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("tr"))
+      .localCheckpoint()
+    val winners = rev.join(broadcast(rev.agg(max(col("tr")).as("mx"))),
+      col("tr") === col("mx"))
+    supplier.join(winners, col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("tr"), 2).cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q16-shaped PARTS/SUPPLIER VARIETY: distinct supplier count
+    * per (brand, type, size) bucket, excluding one brand/type and a
+    * supplier denylist — the NOT-IN-subquery-over-a-distinct-pair-set
+    * shape. This schema has no partsupp or s_comment, so the observed
+    * (partkey, suppkey) pairs in lineitem play partsupp and
+    * `s_acctbal < 0` plays the complaint denylist. The denylist
+    * compiles to a LEFT ANTI join (never a per-row subquery); the
+    * pair-distinct shares its suppkey-side shuffle with nothing (it
+    * must dedup observed pairs — the one unavoidable fact-sized
+    * exchange); part's three predicates all push to its scan; and the
+    * count-DISTINCT aggregation runs Spark's standard two-phase
+    * distinct expansion over a (brand,type,size)-bounded key space. */
+  def partSupplierVariety(part: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+                          excludeBrand: String = "Brand#13",
+                          excludeType: String = "ECONOMY"): DataFrame = {
+    val pairs = lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+    val allowed = pairs.join(
+      supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey")),
+      col("l_suppkey") === col("s_suppkey"), "left_anti")
+    part.filter(col("p_brand") =!= excludeBrand && col("p_type") =!= excludeType
+        && col("p_size").isin(1, 9, 17, 25, 33, 41, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      .join(allowed, col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
 }

@@ -21,6 +21,16 @@ class PlanAuditSpec extends SparkSpec {
 
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
+  /** Renders `body` with a 1000-char metadata budget: a scan's
+    * PushedFilters list truncates at spark.sql.maxMetadataStringLength
+    * (default 100), which hides the tail of a 3+-predicate pushdown
+    * from a contains() assertion. By-name so the conf wraps the
+    * plan-string rendering, not just the call. */
+  private def withWideMetadata(body: => String): String = {
+    spark.conf.set("spark.sql.maxMetadataStringLength", 1000)
+    try body finally spark.conf.set("spark.sql.maxMetadataStringLength", 100)
+  }
+
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
 
@@ -466,6 +476,72 @@ class PlanAuditSpec extends SparkSpec {
     // the status and returnflag predicates reach their scans
     assert(p.contains("EqualTo(o_orderstatus,F)"), s"status filter not pushed:\n$p")
     assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag filter not pushed:\n$p")
+  }
+
+  test("forecastRevenue (Q6): all three predicates pushed, one scan, partial agg") {
+    // the three-predicate PushedFilters list outgrows the default
+    // 100-char metadata render; widen it so the assertion sees the tail
+    val p = withWideMetadata(plan(Relational.forecastRevenue(Tables.lineitem(spark, dir))))
+    assert(count(p, "Scan parquet") == 1, s"Q6 is one scan by definition:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"date range not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_discount"), s"discount range not pushed:\n$p")
+    assert(p.contains("LessThan(l_quantity"), s"quantity bound not pushed:\n$p")
+    assert(p.contains("partial_sum"), s"global sum lost its map-side partial:\n$p")
+  }
+
+  test("productTypeProfit (Q9): name filter pushed, nation broadcast, one agg pass") {
+    val p = plan(Relational.productTypeProfit(Tables.lineitem(spark, dir),
+      Tables.part(spark, dir), Tables.supplier(spark, dir), Tables.nation(spark, dir)))
+    assert(p.contains("StringContains(p_name,bolt)"),
+      s"name filter not pushed to the part scan:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 1, s"nation dim not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    // 4 scans = 4 tables, each read once; the profit sum partial-aggregates
+    assert(count(p, "Scan parquet") == 4 && p.contains("partial_sum"),
+      s"expected one pass over each table with a partial agg:\n$p")
+  }
+
+  test("returnedItemReport (Q10): agg before enrich, filters pushed, TakeOrdered top-k") {
+    val p = plan(Relational.returnedItemReport(Tables.customer(spark, dir),
+      Tables.orders(spark, dir), Tables.lineitem(spark, dir), Tables.nation(spark, dir)))
+    assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"quarter not pushed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not TakeOrdered:\n$p")
+    assert(p.contains("partial_sum"), s"revenue agg lost its partial:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("shippingPrioritySplit (Q12): year range pushed, one join, one conditional agg pass") {
+    val p = plan(Relational.shippingPrioritySplit(
+      Tables.lineitem(spark, dir), Tables.orders(spark, dir)))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"year range not pushed (a year(col)=y shape would do this):\n$p")
+    assert(count(p, "Join") == 1, s"expected exactly one join:\n$p")
+    // both conditional counts ride ONE aggregation pass over one scan each
+    assert(count(p, "Scan parquet") == 2 && count(p, "partial_sum") >= 1,
+      s"expected one conditional agg pass over a single join tree:\n$p")
+  }
+
+  test("topSupplier (Q15): lineitem scanned once, max broadcast back as equi-join") {
+    val p = plan(Relational.topSupplier(
+      Tables.supplier(spark, dir), Tables.lineitem(spark, dir)))
+    // the revenue view is checkpoint-materialized: the only parquet
+    // scan left in this plan is supplier — lineitem never rescans
+    assert(count(p, "Scan parquet") == 1,
+      s"lineitem must be scanned once via the checkpointed view:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 1, s"one-row max not broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"max equality must stay an equi-join:\n$p")
+  }
+
+  test("partSupplierVariety (Q16): denylist anti-joins, part filters pushed, no cartesian") {
+    val p = withWideMetadata(plan(Relational.partSupplierVariety(Tables.part(spark, dir),
+      Tables.lineitem(spark, dir), Tables.supplier(spark, dir))))
+    assert(p.contains("LeftAnti"), s"NOT IN denylist did not plan as an anti join:\n$p")
+    assert(p.contains("Not(EqualTo(p_brand,Brand#13))"), s"brand exclusion not pushed:\n$p")
+    assert(p.contains("In(p_size"), s"size IN-list not pushed:\n$p")
+    assert(p.contains("LessThan(s_acctbal"), s"denylist predicate not pushed:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
   }
 
   test("pq encode: broadcast codebook, shuffle-free corpus pass") {
