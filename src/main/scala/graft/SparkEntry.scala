@@ -430,6 +430,10 @@ object SparkEntry {
     // 30% of documents under the corpus's own bigram LM
     "c_perplexity_filter" -> ((s, dir) =>
       Corpus.perplexityFilter(Tables.documents(s, dir))),
+    // DSIR importance weights: hashed-unigram target/raw log-ratio
+    // scoring with a top-25% resampling keep set
+    "c_dsir_weights" -> ((s, dir) =>
+      Corpus.dsirWeights(Tables.documents(s, dir))),
     "c_quality_filter" -> ((s, dir) =>
       Corpus.qualityQuantileFilter(Tables.documents(s, dir))),
     // repeated-signal suppression over the event log (24 h window)
@@ -3027,6 +3031,32 @@ object SparkEntry {
     // per-source histogram quantile: threshold = smallest 4-dp quality
     // with cumulative count >= ceil(p * total), p = 0.5
     // the t_bigram_logprob model CTEs + the bounded-histogram lower
+    // DSIR: Laplace-smoothed hashed-unigram LMs over 4096 md5 buckets,
+    // target = lang='en'; per-doc sum of 9-dp log-ratio decimals, 4-dp
+    // rounded; keep = top 25% by weight via the histogram quantile
+    "c_dsir_weights" ->
+      """WITH tb AS (SELECT doc_id, lang,
+        |                   CAST('0x' || substring(md5(tok), 1, 8) AS UBIGINT) % 4096 AS b
+        |            FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |                  FROM documents)),
+        |raw AS (SELECT b, COUNT(*) AS raw_cnt FROM tb GROUP BY b),
+        |tgt AS (SELECT b, COUNT(*) AS tgt_cnt FROM tb WHERE lang = 'en' GROUP BY b),
+        |nr AS (SELECT SUM(raw_cnt) AS n_raw FROM raw),
+        |nt AS (SELECT SUM(tgt_cnt) AS n_tgt FROM tgt),
+        |lr AS (SELECT raw.b,
+        |              CAST(ROUND(ln((COALESCE(tgt_cnt, 0) + 1) / CAST(n_tgt + 4096 AS DOUBLE))
+        |                         - ln((raw_cnt + 1) / CAST(n_raw + 4096 AS DOUBLE))
+        |                         + 1e-12, 9) AS DECIMAL(18,9)) AS lr
+        |       FROM raw LEFT JOIN tgt USING (b), nr, nt),
+        |sc AS (SELECT tb.doc_id, COUNT(*) AS n_tok,
+        |              ROUND(CAST(SUM(lr.lr) AS DOUBLE) + 1e-12, 4) AS logw
+        |       FROM tb JOIN lr ON lr.b = tb.b GROUP BY tb.doc_id),
+        |h AS (SELECT logw, COUNT(*) AS c FROM sc GROUP BY logw),
+        |t AS (SELECT logw, SUM(c) OVER (ORDER BY logw DESC) AS cum,
+        |             SUM(c) OVER () AS tot FROM h),
+        |thr AS (SELECT MAX(logw) AS w_thr FROM t WHERE cum >= ceil(tot * 0.25))
+        |SELECT sc.doc_id, sc.n_tok, sc.logw, thr.w_thr, sc.logw >= thr.w_thr AS keep
+        |FROM sc CROSS JOIN thr""".stripMargin,
     // quantile at p=0.3 (same threshold rule as c_quality_filter)
     "c_perplexity_filter" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -1022,4 +1022,67 @@ object Corpus {
               struct(col("si"), when(col("drop"), lit(null)).otherwise(col("s")).as("s")))),
             x => x.getField("s").isNotNull).getField("s")).as("text_clean"))
   }
+
+  /** DSIR importance weights — Data Selection via Importance
+    * Resampling (Xie et al., NeurIPS 2023): score every raw document
+    * by how much more likely its tokens are under the TARGET
+    * distribution than under the raw pool, using hashed bag-of-words
+    * unigram models. Per document, log w(x) = Σ_tokens
+    * [ln p̂_target(bucket) − ln p̂_raw(bucket)] with Laplace-smoothed
+    * bucket probabilities over `buckets` md5-hashed token buckets;
+    * `keep` marks the top-p fraction by weight — the resampling step's
+    * selection set. Target here = documents whose `lang` equals
+    * `targetLang` (the published recipe's "formal text" seed set; any
+    * predicate works).
+    *
+    * Scale shape (the reason DSIR beats classifier scoring at 100 TB):
+    * both LMs are FIXED-SIZE dictionaries — two partial-aggregating
+    * groupBys onto ≤ `buckets` rows each, merged and broadcast back
+    * onto the token stream, so the corpus text crosses exactly one
+    * exchange (the per-doc sum, map-side combined on doc_id) and the
+    * model "training" never materializes a vocabulary. The keep
+    * threshold rides the [[perplexityFilter]] bounded-histogram
+    * quantile (4-dp rounded scores → tiny (value, count) histogram →
+    * one-row broadcast), not a corpus sort.
+    *
+    * Determinism: per-bucket log-ratios are 9-dp-rounded decimals
+    * (ties in ln across engines resolved by the +1e-12 nudge, the
+    * house convention), summed exactly, then 4-dp rounded — bit-stable
+    * vs the DuckDB oracle. */
+  def dsirWeights(documents: DataFrame, targetLang: String = "en",
+                  buckets: Int = 4096, p: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
+    require(p > 0 && p < 1, s"keep fraction p must be in (0, 1), got $p")
+    val tok = documents.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % buckets).as("b"))
+    val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("raw_cnt"))
+    val tgt = tok.filter(col("lang") === targetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("tgt_cnt"))
+    val ratios = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("tgt_cnt"))
+      .crossJoin(broadcast(raw.agg(sum(col("raw_cnt")).as("n_raw"))))
+      .crossJoin(broadcast(tgt.agg(sum(col("tgt_cnt")).as("n_tgt"))))
+      .select(col("b"),
+        round(log((col("tgt_cnt") + 1).cast("double") / (col("n_tgt") + buckets).cast("double"))
+          - log((col("raw_cnt") + 1).cast("double") / (col("n_raw") + buckets).cast("double"))
+          + lit(1e-12), 9).cast("decimal(18,9)").as("lr"))
+    val scored = tok.join(broadcast(ratios), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum(col("lr")).cast("double") + lit(1e-12), 4).as("logw"))
+    val hist = scored.groupBy(col("logw")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("logw").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("tot"))))
+      .filter(col("cum") >= ceil(col("tot") * lit(p)))
+      .agg(max(col("logw")).as("w_thr"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_tok"), col("logw"), col("w_thr"),
+        (col("logw") >= col("w_thr")).as("keep"))
+  }
 }
