@@ -5,30 +5,174 @@ import org.apache.spark.sql.SparkSession
   * Emits the complete per-query JSON to bench_full.json + an stdout
   * line, then a compact final line (total, subtotals, slowest queries,
   * warm map) sized to survive a 2000-char stdout tail window — see the
-  * comment at the print site. Failures are reported in an explicit
-  * "errors" field (never disguised as a wall-time); a table-scan
-  * warm-up pass absorbs JVM/classloader/parquet-footer first-query
-  * noise so per-query numbers measure the query, not startup.
+  * comment at the print site.
   *
-  * Attribution counters, recorded PER QUERY so suite-position effects
-  * are diagnosable from the artifact instead of re-run A/Bs (the
-  * r8/r9 closing-run inflation lesson — BENCH_NOTES.md):
+  * PER-FAMILY JVM ISOLATION (the r8→r10 closing-run lesson): one
+  * long-lived JVM timing a 200+-query suite inflates its tail — late
+  * queries pay reclamation of every earlier query's broadcast/shuffle
+  * blocks and codegen/JIT churn, and the end-of-suite warm pass can
+  * measure GC instead of the query (r10 shipped q_communities at
+  * 21.3 s vs 8.4 s quiet-solo with NORMAL counters, and q_kcore warm
+  * 50.3 s > cold 29.8 s). Counters attributed it three rounds running;
+  * this fixes the RUN STRUCTURE instead: the parent process (no
+  * SparkSession) partitions the suite into prefix families (stream /
+  * graph / relational / dedup / ann / text / corpus / multimodal),
+  * spawns ONE FRESH CHILD JVM per family sequentially, and each child
+  * runs cold passes plus its own family's warm pass while its JVM is
+  * young — so every measurement, including the artifact's own warm
+  * map, is taken within ~1 family of JVM age (the quiet-solo regime)
+  * at full suite coverage. The parent merges the children's fragments
+  * into the same bench_full.json + compact stdout line as before.
+  *
+  * Failures are reported in an explicit "errors" field (never
+  * disguised as a wall-time) — including WARM-pass failures, recorded
+  * as "<name>(warm)". A table-scan warm-up pass per child absorbs
+  * JVM/classloader/parquet-footer first-query noise.
+  *
+  * Attribution counters, recorded PER QUERY so position effects stay
+  * diagnosable from the artifact (BENCH_NOTES.md):
   *  - compiles: delta of CodegenMetrics.METRIC_COMPILATION_TIME.count
-  *    — janino whole-stage compilations this query triggered. A
-  *    late-position query recompiling shared kernels shows up here
-  *    (codegen-cache eviction signature).
-  *  - gc_ms: delta of total collector time — reclamation pressure
-  *    from one long-lived JVM (broadcast/shuffle block cleanup).
-  *  - jit_ms: delta of HotSpot compiler thread time — C2 re-JIT of
-  *    freshly loaded generated classes.
-  *
-  * After the cold pass, the TOP-10 queries by cold time get a second
-  * timed "warm" run (codegen cache + JIT hot, caches cleared) so the
-  * steady-state data cost stays separable from compile cost as the
-  * suite grows — the warm set follows each round's actual tail
-  * instead of a hardcoded list. */
+  *  - gc_ms: delta of total collector time
+  *  - jit_ms: delta of HotSpot compiler thread time
+  */
 object Bench {
+
+  /** Family key for per-JVM isolation AND the stdout subtotals. Graph
+    * queries get their own JVM — they are the iterative heavy tail the
+    * r10 artifact inflated. */
+  private def section(name: String): String =
+    if (name.startsWith("s_stream")) "stream"
+    else if (name.startsWith("d_")) "dedup"
+    else if (name.startsWith("a_")) "ann"
+    else if (name.startsWith("t_")) "text"
+    else if (name.startsWith("c_")) "corpus"
+    else if (name.startsWith("m_")) "multimodal"
+    else if (GraphQueries(name)) "graph"
+    else "relational"
+
+  private val GraphQueries = Set(
+    "q_pagerank", "q_triangles", "q_clustering_coef", "q_communities",
+    "q_degree_dist", "q_kcore", "q_components", "q_assoc_rules",
+    "q_bfs_depth")
+
   def main(args: Array[String]): Unit = {
+    sys.env.get("SPARK_GRAFT_CHILD_OUT") match {
+      case Some(out) => childMain(out)
+      case None => parentMain()
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // parent: spawn one fresh JVM per family, merge fragments, report
+  // ---------------------------------------------------------------
+  private def parentMain(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(8, Runtime.getRuntime.availableProcessors()).toString)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val names = SparkEntry.queries.keys.toSeq.filter(n => only.forall(_.contains(n)))
+    // families in first-appearance order — deterministic round over round
+    val families = names.foldLeft(Vector.empty[(String, Vector[String])]) {
+      case (acc, n) =>
+        val fam = section(n)
+        acc.indexWhere(_._1 == fam) match {
+          case -1 => acc :+ (fam -> Vector(n))
+          case i  => acc.updated(i, fam -> (acc(i)._2 :+ n))
+        }
+    }
+
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val compiles = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val gcs = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val jits = scala.collection.mutable.LinkedHashMap[String, Long]()
+
+    // child JVMs get this JVM's exact flags (heap, --add-opens) and
+    // classpath — they run the same forked-run environment sbt gave us
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filterNot(_.startsWith("-agentlib"))
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+
+    families.foreach { case (fam, qs) =>
+      val frag = java.io.File.createTempFile(s"bench_$fam", ".frag")
+      frag.deleteOnExit()
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_ONLY", qs.mkString(","))
+      pb.environment().put("SPARK_GRAFT_CHILD_OUT", frag.getAbsolutePath)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      // children talk to OUR streams so their logs interleave live and
+      // the final compact line below still lands last on stdout
+      pb.inheritIO()
+      val proc = pb.start()
+      val finished = proc.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) {
+        proc.destroyForcibly()
+        errors(s"family:$fam") = "child JVM timed out after 45 minutes"
+      } else if (proc.exitValue() != 0) {
+        errors(s"family:$fam") = s"child JVM exited ${proc.exitValue()}"
+      }
+      // merge whatever the child managed to record (crash-partial ok)
+      scala.io.Source.fromFile(frag, "UTF-8").getLines().foreach { line =>
+        line.split(" ", 3) match {
+          case Array("T", n, v) => timings(n) = v.toDouble
+          case Array("W", n, v) => warm(n) = v.toDouble
+          case Array("C", n, v) => compiles(n) = v.toLong
+          case Array("G", n, v) => gcs(n) = v.toLong
+          case Array("J", n, v) => jits(n) = v.toLong
+          case Array("E", n, m) => errors(n) = m
+          case _ => ()
+        }
+      }
+      frag.delete()
+    }
+
+    val qs = jmap(timings)
+    val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+    val total = timings.values.sum
+    // per-section subtotals so round-over-round comparisons separate
+    // the streaming-replay floor from batch movement
+    val subs = timings.toSeq.groupBy { case (k, _) => section(k) }.toSeq.sortBy(_._1)
+      .map { case (s, kvs) => f""""$s":${kvs.map(_._2).sum}%1.3f""" }
+      .mkString("{", ",", "}")
+    // Two outputs. The harness that reads this keeps only the LAST
+    // ~2000 chars of stdout and parses the JSON it finds there — a
+    // 100+-entry per-query map overflows that window and truncates
+    // mid-object (unparseable). So the complete per-query detail goes
+    // ONLY to a file in the repo, and stdout carries a single compact
+    // final line (total + subtotals + slowest queries + warm map)
+    // guaranteed to fit the window whole. build.sbt routes forked-run
+    // stdout past the sbt logger so no "[info] " prefix rides the line.
+    val fullLine =
+      s"""{"full":true,"value":$total,"unit":"sec","queries":$qs,"warm":${jmap(warm)},"subtotals":$subs,"errors":$es,"compiles":${jmapL(compiles)},"gc_ms":${jmapL(gcs)},"jit_ms":${jmapL(jits)},"sf":"$sfDir","threads":$cpus,"jvms":${families.size}}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(fullLine) finally w.close()
+    } catch { case _: Throwable => () } // best-effort; the compact line still lands
+    val slowNames = timings.toSeq.sortBy(-_._2).take(12).map(_._1)
+    val slowest = jmap(scala.collection.immutable.ListMap(
+      slowNames.map(n => n -> timings(n)): _*))
+    // the stdout warm map carries the slowest queries' warm numbers
+    // (each measured INSIDE its own family's young JVM, so warm<=cold
+    // is the expected steady-state reading, not a reclamation artifact)
+    val warmSlow = jmap(scala.collection.immutable.ListMap(
+      warm.toSeq.sortBy { case (n, _) => -timings.getOrElse(n, 0.0) }.take(12): _*))
+    // provenance: the thread count the harness ACTUALLY ran with (the
+    // driver's own record reflects the host, not this tuning), so
+    // cross-round numbers stay comparable
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"queries":$slowest,"warm":$warmSlow,"subtotals":$subs,"errors":$es,"full":"$outPath","sf":"$sfDir","threads":$cpus,"jvms":${families.size}}""")
+  }
+
+  // ---------------------------------------------------------------
+  // child: the measurement loop over SPARK_GRAFT_ONLY, fragment out
+  // ---------------------------------------------------------------
+  private def childMain(fragPath: String): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // 8 measured fastest end-to-end on this host: 32 threads oversubscribe
     // (and spin up 32 RocksDB instances per streaming micro-batch) for
@@ -38,15 +182,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // static conf, default 100: a 130+-query run evicts early
-      // generated classes from the codegen cache before late queries
-      // reuse their shared kernels (minhash/cluster fragments), so the
-      // tail of the run silently re-compiles and re-loads classes —
-      // r8 measured c_data_build 3x slower at position 116/132 than in
-      // a quiet subset run with its kernels warm. Sized ~40 entries
-      // per suite query with headroom (the r9 183-query suite showed
-      // the same ~2.8x late-position spikes at 2000 that 132 queries
-      // showed at the default; solo A/B confirmed the code unchanged).
+      // static conf, default 100: a long run evicts early generated
+      // classes from the codegen cache before late queries reuse their
+      // shared kernels (minhash/cluster fragments), so the tail of the
+      // run silently re-compiles and re-loads classes — r8 measured
+      // c_data_build 3x slower at position 116/132 than in a quiet
+      // subset run with its kernels warm. Per-family children hold
+      // ≤~60 queries, but the cache is kept suite-sized — it costs
+      // only metadata headroom.
       .config("spark.sql.codegen.cache.maxEntries", "8000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -67,16 +210,12 @@ object Bench {
     // consumer starts (reference README.md:12-26) — staging is transport,
     // and all replays share one immutable staging per input anyway, so
     // warming it only moves the one-time cost off the first streaming
-    // query's measurement. Skipped when SPARK_GRAFT_ONLY selects a
-    // batch-only subset (an iteration run shouldn't pay staging at all).
-    val only0 = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    if (only0.forall(_.exists(_.startsWith("s_stream"))))
+    // query's measurement. Skipped for batch-only subsets (a batch
+    // family's JVM shouldn't pay staging at all).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    if (only.forall(_.exists(_.startsWith("s_stream"))))
       try graft.streaming.StreamRunner.prestage(spark, Tables.events(spark, sfDir))
       catch { case _: Throwable => () }
-
-    // SPARK_GRAFT_ONLY=q1,q2 benches a subset (local iteration aid);
-    // same parse as the prestage gate above — keep them one value
-    val only = only0
 
     // attribution counter reads (see scaladoc)
     import java.lang.management.ManagementFactory
@@ -120,65 +259,49 @@ object Bench {
         isolate()
       }
     }
-    // dynamic warm pass: the top-10 by cold time, re-run with codegen
-    // cache and JIT warm but data caches cleared exactly like a fresh
-    // query (the cold pass's checkpoint/broadcast blocks otherwise
-    // crowd memory and "warm" measures reclamation, not the query —
-    // observed 27 s warm vs 6.5 s cold on q_triangles)
-    timings.toSeq.sortBy(-_._2).take(10).foreach { case (name, _) =>
+    // family warm pass: the family's slowest queries (top-5, plus
+    // anything over 2 s cold), re-run with codegen cache and JIT warm
+    // but data caches cleared exactly like a fresh query. Running it
+    // HERE — a JVM that has only seen this family — is what makes the
+    // artifact's warm numbers steady-state readings instead of
+    // end-of-suite reclamation measurements (r10: q_kcore warm 50.3 s
+    // vs cold 29.8 s after 219 queries; quiet-solo warm 9.1 s).
+    val byCold = timings.toSeq.sortBy(-_._2)
+    val warmSet = (byCold.take(5) ++ byCold.filter(_._2 >= 2.0)).map(_._1).distinct
+    warmSet.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t1 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
         warm(name) = (System.nanoTime() - t1) / 1e9
-      } catch { case _: Throwable => () }
+      } catch {
+        // a warm failure is a real signal (cold pass succeeded) —
+        // record it, never swallow it
+        case e: Throwable =>
+          errors(name + "(warm)") =
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
       isolate()
     }
-    def esc(s: String): String =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-                  case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
-    def jmap(m: scala.collection.Map[String, Double]): String =
-      m.map { case (k, v) => f""""${esc(k)}":$v%1.3f""" }.mkString("{", ",", "}")
-    def jmapL(m: scala.collection.Map[String, Long]): String =
-      m.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
-    val qs = jmap(timings)
-    val ws = jmap(warm)
-    val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
-    val total = timings.values.sum
-    // per-section subtotals so round-over-round comparisons separate
-    // the streaming-replay floor from batch movement
-    def section(name: String): String =
-      if (name.startsWith("s_stream")) "stream"
-      else if (name.startsWith("d_")) "dedup"
-      else if (name.startsWith("a_")) "ann"
-      else if (name.startsWith("t_")) "text"
-      else if (name.startsWith("c_")) "corpus"
-      else if (name.startsWith("m_")) "multimodal"
-      else "relational"
-    val subs = timings.toSeq.groupBy { case (k, _) => section(k) }.toSeq.sortBy(_._1)
-      .map { case (s, kvs) => f""""$s":${kvs.map(_._2).sum}%1.3f""" }.mkString("{", ",", "}")
-    // Two outputs. The harness that reads this keeps only the LAST
-    // ~2000 chars of stdout and parses the JSON it finds there — a
-    // 100+-entry per-query map overflows that window and truncates
-    // mid-object (unparseable; r8's tail showed exactly that fragment
-    // crowding the window). So the complete per-query detail goes ONLY
-    // to a file in the repo, and stdout carries a single compact final
-    // line (total + subtotals + slowest queries + warm map) guaranteed
-    // to fit the window whole. build.sbt routes forked-run stdout past
-    // the sbt logger so no "[info] " prefix rides the line.
-    val fullLine =
-      s"""{"full":true,"value":$total,"unit":"sec","queries":$qs,"warm":$ws,"subtotals":$subs,"errors":$es,"compiles":${jmapL(compiles)},"gc_ms":${jmapL(gcs)},"jit_ms":${jmapL(jits)},"sf":"$sfDir","threads":$cpus}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    try {
-      val w = new java.io.PrintWriter(outPath, "UTF-8")
-      try w.println(fullLine) finally w.close()
-    } catch { case _: Throwable => () } // best-effort; the compact line still lands
-    val slowest = jmap(scala.collection.immutable.ListMap(
-      timings.toSeq.sortBy(-_._2).take(12): _*))
-    // provenance: the thread count the harness ACTUALLY ran with (the
-    // driver's own record reflects the host, not this tuning), so
-    // cross-round numbers stay comparable
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"queries":$slowest,"warm":$ws,"subtotals":$subs,"errors":$es,"full":"$outPath","sf":"$sfDir","threads":$cpus}""")
+    // fragment: trivially line-parseable, crash-partial tolerant
+    val sb = new StringBuilder
+    timings.foreach { case (n, v) => sb.append(f"T $n $v%1.3f\n") }
+    warm.foreach { case (n, v) => sb.append(f"W $n $v%1.3f\n") }
+    compiles.foreach { case (n, v) => sb.append(s"C $n $v\n") }
+    gcs.foreach { case (n, v) => sb.append(s"G $n $v\n") }
+    jits.foreach { case (n, v) => sb.append(s"J $n $v\n") }
+    errors.foreach { case (n, m) =>
+      sb.append(s"E $n ${m.replace('\n', ' ').replace('\r', ' ')}\n") }
+    val w = new java.io.PrintWriter(fragPath, "UTF-8")
+    try w.print(sb.toString) finally w.close()
     spark.stop()
   }
+
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+                case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+  private def jmap(m: scala.collection.Map[String, Double]): String =
+    m.map { case (k, v) => f""""${esc(k)}":$v%1.3f""" }.mkString("{", ",", "}")
+  private def jmapL(m: scala.collection.Map[String, Long]): String =
+    m.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
 }

@@ -579,6 +579,10 @@ object SparkEntry {
     // market-basket rules: support/confidence/lift, top-k by lift
     "q_assoc_rules" -> ((s, dir) =>
       graft.operators.Graph.associationRules(Tables.lineitem(s, dir))),
+    // BFS hop distance from the 10 smallest nodes (crawl-depth /
+    // trust-radius features) over the same co-purchase graph
+    "q_bfs_depth" -> ((s, dir) =>
+      graft.operators.Graph.bfsDepth(Tables.lineitem(s, dir))),
     // hot-key-salted fact⋈dim join; the oracle is the PLAIN join —
     // salting must be invisible in the result
     "q_salted_join" -> ((s, dir) => {
@@ -3438,7 +3442,8 @@ object SparkEntry {
     // (a<b<c); the Spark side enumerates once by degree-ordering —
     // same triangle set, so per-node counts agree exactly
     "q_triangles" ->
-      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      """WITH po0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |po AS (SELECT o, p FROM po0 QUALIFY COUNT(*) OVER (PARTITION BY o) <= 1024),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v
         |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -3452,7 +3457,8 @@ object SparkEntry {
     // clustering coefficient: the q_triangles enumeration + degrees,
     // left-joined so triangle-free nodes emit coef 0
     "q_clustering_coef" ->
-      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      """WITH po0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |po AS (SELECT o, p FROM po0 QUALIFY COUNT(*) OVER (PARTITION BY o) <= 1024),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v
         |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
         |deg AS (SELECT n, COUNT(*) AS d FROM (
@@ -3477,7 +3483,8 @@ object SparkEntry {
     // association rules: integer basket/item/pair counts, each ratio
     // one nudge-rounded division, rank ties on the ids
     "q_assoc_rules" ->
-      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      """WITH po0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |po AS (SELECT o, p FROM po0 QUALIFY COUNT(*) OVER (PARTITION BY o) <= 1024),
         |nb AS (SELECT CAST(COUNT(DISTINCT o) AS DOUBLE) AS nb FROM po),
         |ic AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM po GROUP BY p),
         |pc AS (SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS n_ab
@@ -3498,7 +3505,8 @@ object SparkEntry {
     // components: transitive closure to fixpoint; label = component min
     "q_components" ->
       """WITH RECURSIVE
-        |po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |po0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |po AS (SELECT o, p FROM po0 QUALIFY COUNT(*) OVER (PARTITION BY o) <= 1024),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v
         |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
         |verts AS (SELECT u AS x FROM e UNION SELECT v FROM e),
@@ -3512,12 +3520,31 @@ object SparkEntry {
         |SELECT lab.node, lab.component, sz.component_size
         |FROM lab JOIN sz USING (component)""".stripMargin,
     "q_degree_dist" ->
-      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      """WITH po0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |po AS (SELECT o, p FROM po0 QUALIFY COUNT(*) OVER (PARTITION BY o) <= 1024),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v
         |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
         |deg AS (SELECT n, COUNT(*) AS degree FROM (
         |          SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n)
         |SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree""".stripMargin,
+    // BFS levels by shortest-path recursion: UNION-distinct on
+    // (node, depth) pairs bounded by maxDepth, then MIN per node —
+    // the same "first discovery wins" rule the Spark anti-join applies
+    "q_bfs_depth" ->
+      """WITH RECURSIVE
+        |po0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |po AS (SELECT o, p FROM po0 QUALIFY COUNT(*) OVER (PARTITION BY o) <= 1024),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |seeds AS (SELECT node FROM (SELECT DISTINCT node FROM sym)
+        |          ORDER BY node LIMIT 10),
+        |walk(node, depth) AS (
+        |  SELECT node, CAST(0 AS BIGINT) FROM seeds
+        |  UNION
+        |  SELECT s.nbr, w.depth + 1 FROM walk w
+        |  JOIN sym s ON s.node = w.node WHERE w.depth < 8)
+        |SELECT node, MIN(depth) AS depth FROM walk GROUP BY node""".stripMargin,
     "q_salted_join" ->
       """SELECT s_name, COUNT(*) AS n_lines,
         |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
@@ -4764,7 +4791,8 @@ object SparkEntry {
     * the final value MIN(c) per node over all sweeps. */
   private lazy val kcoreOracle: String =
     """WITH RECURSIVE
-      |po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |po0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |po AS (SELECT o, p FROM po0 QUALIFY COUNT(*) OVER (PARTITION BY o) <= 1024),
       |e AS (SELECT DISTINCT a.p AS u, b.p AS v
       |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
       |sym AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
@@ -4786,7 +4814,8 @@ object SparkEntry {
     val rounds = 4
     val sb = new StringBuilder
     sb.append(
-      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      """WITH po0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |po AS (SELECT o, p FROM po0 QUALIFY COUNT(*) OVER (PARTITION BY o) <= 1024),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v
         |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
         |sym AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),

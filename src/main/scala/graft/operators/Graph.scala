@@ -44,12 +44,23 @@ object Graph {
     * adjacency frame by endpoint instead. */
   val BroadcastEdgeLimit = 10000000L
 
+  /** Node-count bound under which the ITERATIVE operators ([[pageRank]],
+    * [[coreNumbers]]) broadcast their per-round node-keyed vector
+    * (16 B/node — ≈160 MB at the bound, the [[BroadcastEdgeLimit]]
+    * comfort zone). Past the bound the hint drops and each round's
+    * vector join shuffles both sides — the semantics and the
+    * per-round cost class are unchanged, only the exchange count
+    * grows (this is the "drop the hint at ~100M+ nodes" fallback the
+    * scaladoc promises, now enforced in code, not comments). */
+  val BroadcastNodeLimit = 10000000L
+
   /** (node, pr) after [[Iters]] rounds over the undirected
     * customer–supplier graph. Node ids are disjointified as
     * custkey·2 / suppkey·2+1. Every node has ≥ 1 edge by
     * construction (edges define the node set), so there is no
     * dangling-mass correction term. */
-  def pageRank(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+  def pageRank(orders: DataFrame, lineitem: DataFrame,
+               nodeBroadcastLimit: Long = BroadcastNodeLimit): DataFrame = {
     val e0 = orders.select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -73,17 +84,21 @@ object Graph {
     // extra beyond the share build
     val nodes = shares.select(col("src").as("node")).distinct().localCheckpoint()
     val n = nodes.count()
+    // the rank vector is 16 bytes/node and node-bounded — broadcast it
+    // (the Pregel vertex-state analog) while the node count is inside
+    // [[BroadcastNodeLimit]], so each iteration is a map-side join +
+    // ONE partial-aggregated shuffle of per-dst contributions, never a
+    // re-shuffle of the edge frame. Past the gate (a ~100M+-node
+    // vertex set outgrows broadcast room) the hint drops and the
+    // planner shuffles both sides — semantics and per-iteration cost
+    // class unchanged. The gate reads the exact count already paid
+    // for the teleport base, the triangleCounts pattern.
+    def gated(df: DataFrame): DataFrame =
+      if (n <= nodeBroadcastLimit) broadcast(df) else df
     val base = (1.0 - Damping) / n
     var pr = nodes.withColumn("pr", round(lit(1.0 / n) + lit(1e-12), 9))
     for (_ <- 0 until Iters) {
-      // the rank vector is 16 bytes/node and node-bounded — broadcast
-      // it (the Pregel vertex-state analog) so each iteration is a
-      // map-side join + ONE partial-aggregated shuffle of per-dst
-      // contributions, never a re-shuffle of the edge frame. For a
-      // graph whose vertex set outgrows a broadcast (~100M+ nodes),
-      // drop the hint and the planner shuffles both sides — the
-      // semantics and the per-iteration cost class stay the same.
-      pr = shares.join(broadcast(pr), col("src") === col("node"))
+      pr = shares.join(gated(pr), col("src") === col("node"))
         .select(col("dst"),
           round(col("pr") * col("share") * lit(Damping) + lit(1e-12), 9)
             .cast("decimal(18,9)").as("contrib"))
@@ -175,24 +190,35 @@ object Graph {
           .otherwise(lit(0.0)).as("coef"))
   }
 
-  /** The distinct co-purchase edge set (u < v), basket-capped and
-    * checkpointed — shared by [[triangles]] and
-    * [[clusteringCoefficient]] so both run the identical graph. */
-  private[graft] def coPurchaseEdges(lineitem: DataFrame, maxBasket: Int): DataFrame = {
+  /** The basket-capped distinct (order, part) incidence — the ONE
+    * audited basket build every co-purchase consumer derives from
+    * ([[coPurchaseEdges]] for the graph family, [[associationRules]]
+    * for the rule statistics), checkpointed so each consumer's
+    * self-join reads a materialized frame.
+    *
+    * Hot-basket guard: the downstream self-joins expand each order
+    * into basket² pairs BEFORE any degree-orientation cap can help —
+    * a single pathological 10⁵-item basket would build 10¹⁰ rows.
+    * Orders above the cap are DROPPED (their pairs are excluded, the
+    * jaccardPairs.maxDf treatment): at TPC-H shape baskets are ≤ 7,
+    * so the default cap changes nothing there. The basket-size count
+    * shares the distinct's own hash partitioning on o, so the guard
+    * adds no extra shuffle. */
+  private[graft] def basketItems(lineitem: DataFrame, maxBasket: Int): DataFrame = {
     require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
     import org.apache.spark.sql.expressions.Window
-    val po0 = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    // Hot-basket guard: the self-join below expands each order into
-    // basket² pairs BEFORE the orientation's √(2m) degree cap can help
-    // — a single pathological 10⁵-item basket would build 10¹⁰ rows.
-    // Orders above the cap are DROPPED (their co-purchase edges are
-    // excluded, the jaccardPairs.maxDf treatment): at TPC-H shape
-    // baskets are ≤ 7, so the default cap changes nothing there. The
-    // basket-size count shares the self-join's own hash partitioning
-    // on o, so the guard adds no extra shuffle.
-    val po = po0
+    lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("o"))))
       .filter(col("bsz") <= maxBasket).drop("bsz")
+      .localCheckpoint()
+  }
+
+  /** The distinct co-purchase edge set (u < v) over [[basketItems]],
+    * checkpointed — shared by [[triangles]], [[clusteringCoefficient]],
+    * [[communities]], [[components]] and [[coreNumbers]] so all run
+    * the identical graph. */
+  private[graft] def coPurchaseEdges(lineitem: DataFrame, maxBasket: Int): DataFrame = {
+    val po = basketItems(lineitem, maxBasket)
     po.as("x").join(po.as("y"), Seq("o"))
       .filter(col("x.p") < col("y.p"))
       .select(col("x.p").as("u"), col("y.p").as("v"))
@@ -310,19 +336,16 @@ object Graph {
     * and round with the repo nudge, so the oracle replays the ranking
     * exactly (ties resolve on the integer ids).
     *
-    * Scale shape: pair counts ride the [[coPurchaseEdges]]-style
-    * basket-capped self-join (one shuffle on the 16-byte pair key,
+    * Scale shape: pair counts ride [[basketItems]]' checkpointed
+    * basket-capped build (the same frame [[coPurchaseEdges]] derives
+    * the graph from — one audited guard, not two copies) through a
+    * self-join (one shuffle on the 16-byte pair key,
     * partial-aggregated), item counts one narrow groupBy, the basket
     * total one scalar, and the top-k compiles to TakeOrdered. */
   def associationRules(lineitem: DataFrame, maxBasket: Int = 1024,
                        minCount: Long = 2L, k: Int = 20): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    import org.apache.spark.sql.expressions.Window
-    val po0 = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val po = po0
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("o"))))
-      .filter(col("bsz") <= maxBasket).drop("bsz")
-      .localCheckpoint()
+    val po = basketItems(lineitem, maxBasket)
     val nBaskets = po.select(col("o")).distinct().count()
     val itemCnt = po.groupBy(col("p")).agg(count(lit(1)).as("n"))
     val pairCnt = po.as("x").join(po.as("y"), Seq("o"))
@@ -372,6 +395,72 @@ object Graph {
       .select(col("node"), col("component"), col("component_size"))
   }
 
+  /** BFS HOP DISTANCE from a deterministic seed set over the
+    * co-purchase graph — the reachability-depth primitive the graph
+    * family was missing (crawl-depth features, link-spam radius:
+    * "how many hops is this node from the trusted nucleus").
+    * Seeds are the `nSeeds` smallest node ids (a total order both
+    * engines replay); output is (node, depth) for every node within
+    * `maxDepth` hops of a seed, depth = the BFS level (seeds at 0).
+    * Pure integer arithmetic — hash-exact cross-engine.
+    *
+    * Scale shape: classic frontier expansion (the Pregel/GraphX BFS
+    * loop). Each level is ONE join of the symmetric edge frame
+    * against the frontier (frontier gated-broadcast per
+    * [[BroadcastNodeLimit]], so the edge frame never re-shuffles
+    * while the vertex set fits; past the gate both sides shuffle —
+    * same cost class), one distinct on the discovered neighbors
+    * (frontier-sized exchange, BFS's distributed cost floor), and one
+    * anti-join against the visited set to keep levels minimal.
+    * Visited/frontier localCheckpoint per level with fresh leaf stats
+    * (the coreNumbers stats-squaring rule); rounds are bounded by
+    * min(maxDepth, graph diameter) — the loop exits the moment a
+    * frontier comes back empty. Shares [[coPurchaseEdges]]'
+    * basket-capped checkpointed edge build. */
+  def bfsDepth(lineitem: DataFrame, nSeeds: Int = 10, maxDepth: Int = 8,
+               maxBasket: Int = 1024,
+               nodeBroadcastLimit: Long = BroadcastNodeLimit): DataFrame = {
+    require(nSeeds >= 1, s"nSeeds must be >= 1, got $nSeeds")
+    require(maxDepth >= 0 && maxDepth <= 256,
+      s"maxDepth must be in [0, 256], got $maxDepth")
+    val spark = lineitem.sparkSession
+    val edges = coPurchaseEdges(lineitem, maxBasket)
+    val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .unionByName(edges.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint()
+    val nNodes = sym.select(col("node")).distinct().count()
+    def gated(df: DataFrame): DataFrame =
+      if (nNodes <= nodeBroadcastLimit) broadcast(df) else df
+    // seed set: the nSeeds smallest node ids — compiles to TakeOrdered
+    val seeds = sym.select(col("node")).distinct()
+      .orderBy(col("node")).limit(nSeeds)
+    var visited = seeds.select(col("node"), lit(0L).as("depth")).localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var d = 0L
+    var done = frontier.isEmpty
+    while (!done && d < maxDepth) {
+      d += 1
+      // neighbors of the frontier, minus anything already levelled —
+      // the anti-join keeps depth = FIRST discovery (the BFS level)
+      val nextCp = sym
+        .join(gated(frontier), "node")
+        .select(col("nbr").as("node")).distinct()
+        .join(gated(visited.select(col("node"))), Seq("node"), "left_anti")
+        .select(col("node"), lit(d).as("depth"))
+        .localCheckpoint()
+      // fresh leaf stats per level (the coreNumbers lesson: iterative
+      // frames carrying joined stats square sizeInBytes estimates)
+      val next = spark.createDataFrame(nextCp.rdd, nextCp.schema)
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionByName(next).localCheckpoint()
+        visited = spark.createDataFrame(visited.rdd, visited.schema)
+        frontier = next.select(col("node"))
+      }
+    }
+    visited
+  }
+
   /** CORE DECOMPOSITION by the h-index iteration TO FIXPOINT (Lü et
     * al. 2016, "The H-index of a network, and its relation to degree
     * and coreness" — public result): start every node at its degree,
@@ -404,15 +493,157 @@ object Graph {
     * reads one changed-count per round (the loop-control action every
     * Pregel-class system pays). Throws (loudly, never silently wrong)
     * if `maxRounds` is hit before convergence. Shares
-    * [[coPurchaseEdges]]' checkpointed edge build. */
+    * [[coPurchaseEdges]]' checkpointed edge build.
+    *
+    * CHANGE FRONTIER (Montresor et al. 2013's message-on-change): a
+    * node's H recompute can only produce a new value if some
+    * neighbor's c changed since its last recompute, so after round 1
+    * each round restricts the sweep to the WORK SET — nodes within
+    * `sweepsPerRound` hops of a node that changed last round (hop h
+    * covers everything sweep h of the chained plan could update; the
+    * expansion is sweepsPerRound broadcast semi-joins against `sym`,
+    * exchange-free and lazy inside the round's one plan). Every other
+    * node's value merges through unchanged. Late rounds — the long
+    * tail of a diameter-bounded iteration, where a handful of tendril
+    * nodes still move — then sweep near-empty frames instead of the
+    * full edge set. The fixpoint is untouched: H is a pure function
+    * of neighbor values, so recomputing a node whose neighborhood is
+    * unchanged returns the same value, and any node whose
+    * neighborhood DID change is in the next round's work set by
+    * construction — the iteration stops exactly where the full sweep
+    * would.
+    *
+    * Per-round node-bounded broadcasts (the value frame, the changed
+    * set, the work set — 16 B/row) gate on [[BroadcastNodeLimit]]
+    * like [[pageRank]]; past the gate the hints drop and the planner
+    * shuffles instead, same per-round cost class.
+    *
+    * FAST PATH (the [[Dedup.connectedComponents]] single-task gate):
+    * when the materialized edge set is inside [[PeelEdgeLimit]], ONE
+    * task runs Batagelj–Zaveršnik bucket peeling (2003, the O(m)
+    * exact core-decomposition algorithm) over the edge list — one job
+    * instead of ~8 jobs × rounds of the distributed loop, whose
+    * per-round BARRIER cost (not data) dominates small graphs
+    * (measured: a 1.2M-edge graph pays ~2 s/round of pure
+    * job-scheduling floor across 11 rounds, while the peel itself is
+    * milliseconds). Peeling and the h-index fixpoint provably land on
+    * the same unique core numbers, so the two paths are
+    * output-identical (GraphSpec pins parity). The distributed sweep
+    * loop stays the >limit scale path. */
   def coreNumbers(lineitem: DataFrame, maxRounds: Int = 256,
-                  maxBasket: Int = 1024, sweepsPerRound: Int = 4): DataFrame = {
+                  maxBasket: Int = 1024, sweepsPerRound: Int = 4,
+                  nodeBroadcastLimit: Long = BroadcastNodeLimit): DataFrame =
+    coreNumbersWithStats(lineitem, maxRounds, maxBasket, sweepsPerRound,
+      nodeBroadcastLimit)._1
+
+  /** Edge-count bound for [[coreNumbers]]' single-task peeling fast
+    * path: CSR adjacency of 2·limit ints + per-node arrays ≈ low
+    * hundreds of MB of one task's heap at the bound — the same
+    * "what one task comfortably holds" figure as
+    * [[Dedup.SingleTaskEdgeLimit]], sized up because the peel holds
+    * primitive int arrays, not a boxed map. */
+  private[graft] val PeelEdgeLimit = 10000000L
+
+  /** Batagelj–Zaveršnik (2003) bucket peel over a (u, v) distinct
+    * undirected edge frame, in ONE task: index the node ids, build a
+    * CSR adjacency, sort nodes into degree buckets, then repeatedly
+    * remove a minimum-degree node — its residual degree at removal IS
+    * its core number — decrementing each still-present neighbor's
+    * degree with O(1) bucket repositioning. Pure primitive-array
+    * arithmetic, O(m) time, deterministic. */
+  private def peelCoreNumbers(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    edges.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)](inEnc)
+      .coalesce(1)
+      .mapPartitions { it =>
+        val us = new scala.collection.mutable.ArrayBuffer[Long]()
+        val vs = new scala.collection.mutable.ArrayBuffer[Long]()
+        it.foreach { case (a, b) => us += a; vs += b }
+        val m = us.length
+        // id -> dense index
+        val idx = new scala.collection.mutable.LongMap[Int]()
+        val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+        def indexOf(id: Long): Int = idx.getOrElseUpdate(id, { ids += id; ids.length - 1 })
+        val eu = new Array[Int](m); val ev = new Array[Int](m)
+        var i = 0
+        while (i < m) { eu(i) = indexOf(us(i)); ev(i) = indexOf(vs(i)); i += 1 }
+        val n = ids.length
+        // CSR over the symmetric adjacency
+        val deg = new Array[Int](n)
+        i = 0; while (i < m) { deg(eu(i)) += 1; deg(ev(i)) += 1; i += 1 }
+        val off = new Array[Int](n + 1)
+        i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+        val adj = new Array[Int](2 * m)
+        val fill = java.util.Arrays.copyOf(off, n)
+        i = 0
+        while (i < m) {
+          adj(fill(eu(i))) = ev(i); fill(eu(i)) += 1
+          adj(fill(ev(i))) = eu(i); fill(ev(i)) += 1
+          i += 1
+        }
+        // bucket sort by degree: vert = nodes ordered by current degree,
+        // pos = node -> slot in vert, bin = first slot of each degree
+        val d = java.util.Arrays.copyOf(deg, n)
+        val maxDeg = if (n == 0) 0 else d.max
+        val bin = new Array[Int](maxDeg + 2)
+        i = 0; while (i < n) { bin(d(i) + 1) += 1; i += 1 }
+        i = 1; while (i <= maxDeg + 1) { bin(i) += bin(i - 1); i += 1 }
+        val vert = new Array[Int](n)
+        val pos = new Array[Int](n)
+        val cursor = java.util.Arrays.copyOf(bin, maxDeg + 1)
+        i = 0
+        while (i < n) { pos(i) = cursor(d(i)); vert(pos(i)) = i; cursor(d(i)) += 1; i += 1 }
+        // peel in degree order; on removal d(v) is final
+        var p = 0
+        while (p < n) {
+          val v = vert(p)
+          var e = off(v)
+          while (e < off(v + 1)) {
+            val u = adj(e)
+            if (d(u) > d(v)) {
+              // swap u to the front of its degree bucket, shrink bucket
+              val du = d(u); val pu = pos(u)
+              val pw = bin(du); val w = vert(pw)
+              if (u != w) {
+                pos(u) = pw; vert(pw) = u
+                pos(w) = pu; vert(pu) = w
+              }
+              bin(du) += 1
+              d(u) = du - 1
+            }
+            e += 1
+          }
+          p += 1
+        }
+        (0 until n).iterator.map(j => (ids(j), d(j).toLong))
+      }(outEnc)
+      .toDF("node", "coreness")
+  }
+
+  /** [[coreNumbers]] plus the per-round changed-node counts the loop
+    * control reads anyway — the frontier-shrinkage evidence (next
+    * round's work set is the changed set's ≤sweepsPerRound-hop
+    * neighborhood, so these counts bound the frontier) at no extra
+    * action (empty on the single-task fast path, which has no
+    * rounds). `forceDistributed` routes around the fast-path gate so
+    * specs exercise the scale path on small fixtures. */
+  private[graft] def coreNumbersWithStats(
+      lineitem: DataFrame, maxRounds: Int = 256, maxBasket: Int = 1024,
+      sweepsPerRound: Int = 4,
+      nodeBroadcastLimit: Long = BroadcastNodeLimit,
+      forceDistributed: Boolean = false): (DataFrame, Seq[Long]) = {
     require(maxRounds >= 1 && maxRounds <= 4096,
       s"maxRounds must be in [1, 4096], got $maxRounds")
     require(sweepsPerRound >= 1 && sweepsPerRound <= 16,
       s"sweepsPerRound must be in [1, 16], got $sweepsPerRound")
     import org.apache.spark.sql.expressions.Window
     val edges = coPurchaseEdges(lineitem, maxBasket)
+    val edgeCount = edges.count()
+    if (edgeCount < PeelEdgeLimit && !forceDistributed)
+      return (peelCoreNumbers(edges), Seq.empty)
     // pre-partition the symmetric edge frame by node ONCE, with the
     // partitioning kept visible to the planner (plain localCheckpoint
     // reports UnknownPartitioning under AQE — SqlBridge's wrapper
@@ -428,15 +659,51 @@ object Graph {
       "node")
     // c0 = degree (edges are distinct pairs, so COUNT is the degree)
     var c = sym.groupBy(col("node")).agg(count(lit(1)).as("c")).localCheckpoint()
+    val nNodes = c.count()
+    def gated(df: DataFrame): DataFrame =
+      if (nNodes <= nodeBroadcastLimit) broadcast(df) else df
+    // nodes whose c changed LAST round; None = round 1, where c0 is
+    // fresh everywhere so the first sweep must cover all nodes
+    var changed: Option[DataFrame] = None
+    val changedCounts = scala.collection.mutable.ArrayBuffer[Long]()
     var r = 0
     var converged = false
+    val kcoreDebug = sys.env.contains("GRAFT_KCORE_DEBUG")
     while (!converged && r < maxRounds) {
-      // sweepsPerRound chained H applications in ONE plan; every node
-      // has >= 1 neighbor (edges define the node set), so each sweep
-      // re-covers all nodes and no merge with the previous values is
-      // needed
-      var next = c
+      val roundT0 = System.nanoTime()
+      // work set: union of N^h(changed) for h = 1..sweepsPerRound —
+      // everything any sweep of this round could possibly update. Each
+      // hop is a semi-join of sym against the (gated) previous hop,
+      // built as a LINEAR chain (hop h references only hop h−1 — a
+      // fold that unioned the running work set into each next hop
+      // would embed the previous frame TWICE per step and the round
+      // plan would double per sweep; first cut measured 190 s at
+      // sf0.1 from exactly that). The distincts land on sym's node
+      // partitioning, exchange-free; identical broadcast subtrees
+      // dedupe under ReuseExchange.
+      val symWork = changed match {
+        case None => sym
+        case Some(chg) =>
+          def hop(f: DataFrame): DataFrame =
+            sym.join(gated(f.select(col("node").as("nbr"))), "nbr")
+              .select(col("node")).distinct()
+          val hops = Iterator.iterate(hop(chg))(hop).take(sweepsPerRound).toSeq
+          val work = hops.reduce(_.unionByName(_)).distinct()
+          sym.join(gated(work), "node")
+      }
+      // sweepsPerRound chained H applications in ONE plan over the
+      // work subgraph. Each sweep's visible values = round-start c
+      // overlaid with the work-node results so far (one left join
+      // against the CHECKPOINTED c — the previous sweep's frame is
+      // referenced exactly ONCE, keeping the chained plan linear; the
+      // first cut's next-join-computed merge referenced it twice and
+      // went exponential in sweepsPerRound).
+      var nextW: DataFrame = null // H values for work nodes, this round
       for (_ <- 1 to sweepsPerRound) {
+        val vals =
+          if (nextW == null) c
+          else c.join(nextW.select(col("node"), col("c").as("cw")), Seq("node"), "left")
+            .select(col("node"), coalesce(col("cw"), col("c")).as("c"))
         // H-index over the DISTINCT-VALUE histogram instead of the raw
         // neighbor list: H = max over distinct v of min(v, #{cn ≥ v})
         // (equal to max_i min(a_i, i) — the m_v-th largest element is
@@ -446,14 +713,20 @@ object Graph {
         // handful of values per node — and the RANGE frame of the
         // running sum counts ties in one row. No exchange anywhere:
         // everything is clustered by the checkpoint's partitioning.
-        next = sym
-          .join(broadcast(next.select(col("node").as("nbr"), col("c").as("cn"))), "nbr")
+        nextW = symWork
+          .join(gated(vals.select(col("node").as("nbr"), col("c").as("cn"))), "nbr")
           .groupBy(col("node"), col("cn")).agg(count(lit(1)).as("m"))
           .withColumn("cum", sum(col("m")).over(
             Window.partitionBy(col("node")).orderBy(col("cn").desc)))
           .groupBy(col("node"))
           .agg(max(least(col("cn"), col("cum"))).as("c"))
       }
+      // outside the work set nothing can move this round — overlay the
+      // work-node results onto the round-start values (round 1 covers
+      // every node, so the overlay is the identity there)
+      val next = c
+        .join(nextW.select(col("node"), col("c").as("cw")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("cw"), col("c")).as("c"))
       // ONE materialization per round, carrying the changed flag the
       // loop control reads
       val mergedCp = next
@@ -469,12 +742,21 @@ object Graph {
       // pins fresh leaf stats; the frame is narrow, the Row round-trip
       // is noise.
       val merged = lineitem.sparkSession.createDataFrame(mergedCp.rdd, mergedCp.schema)
-      if (merged.filter(col("chg")).isEmpty) converged = true
-      else { c = merged.select(col("node"), col("c")); r += 1 }
+      val nChanged = merged.filter(col("chg")).count()
+      changedCounts += nChanged
+      if (kcoreDebug) println(
+        f"[kcore] round $r changed=$nChanged took ${(System.nanoTime() - roundT0) / 1e9}%.2f s")
+      if (nChanged == 0) converged = true
+      else {
+        c = merged.select(col("node"), col("c"))
+        changed = Some(merged.filter(col("chg")).select(col("node")))
+        r += 1
+      }
     }
     if (!converged) throw new IllegalStateException(
       s"coreNumbers: h-index iteration not converged after $maxRounds rounds " +
         "— raise maxRounds (rounds scale with the graph\u2019s tendril diameter)")
-    c.select(col("node"), col("c").as("coreness"))
+    (c.select(col("node"), col("c").as("coreness")), changedCounts.toSeq)
   }
 }
+

@@ -1486,8 +1486,20 @@ object Multimodal {
     * RSTn alignment). Returns None for anything that is not a
     * baseline sequential 8-bit single-component JPEG — the 3-channel
     * subsampled family stays out of scope (the fixtures and oracle
-    * are grayscale; nothing downstream feeds color JPEGs). */
-  private[graft] def decodeJpegGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    * are grayscale; nothing downstream feeds color JPEGs).
+    *
+    * The contract is Option for ANY input: the entropy scan's
+    * internal require()s (truncated stream, bad Huffman code, AC
+    * overrun) signal a structurally-valid-header but corrupt-scan
+    * payload, which is still "not a decodable baseline JPEG" — they
+    * are caught here so no exception escapes to callers. */
+  private[graft] def decodeJpegGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try decodeJpegGrayWalk(b)
+    catch {
+      case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None
+    }
+
+  private def decodeJpegGrayWalk(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     def u8(i: Int): Int = b(i) & 0xFF
     def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     if (b.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None
@@ -1678,8 +1690,19 @@ object Multimodal {
     * the gray scan. Returns (width, height, luma h, luma v, RGB
     * bytes); None for anything that is not a baseline sequential
     * 8-bit 3-component JFIF JPEG (component ids 1,2,3); grayscale
-    * payloads stay [[decodeJpegGray]]'s. */
+    * payloads stay [[decodeJpegGray]]'s.
+    *
+    * Option holds for ANY input (the [[decodeJpegGray]] rule): the
+    * scan's internal require()s on corrupt entropy data are caught
+    * here, never thrown past the boundary. */
   private[graft] def decodeJpegColor(
+      b: Array[Byte]): Option[(Int, Int, Int, Int, Array[Byte])] =
+    try decodeJpegColorWalk(b)
+    catch {
+      case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None
+    }
+
+  private def decodeJpegColorWalk(
       b: Array[Byte]): Option[(Int, Int, Int, Int, Array[Byte])] = {
     def u8(i: Int): Int = b(i) & 0xFF
     def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)

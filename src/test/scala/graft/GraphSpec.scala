@@ -162,6 +162,56 @@ class GraphSpec extends SparkSpec {
     assert(out((2L, 1L)) == ((2L, 0.666667, 1.0, 1.0)))      // B->A: conf 2/2
   }
 
+  test("coreNumbers/pageRank: broadcast gate forced low gives identical results; frontier shrinks") {
+    val li = Tables.lineitem(spark, sf0001)
+    // nodeBroadcastLimit = 0 forces EVERY per-round vector join to the
+    // no-hint (shuffle) path, and forceDistributed bypasses the
+    // single-task peel — result parity proves all three routes (peel,
+    // broadcast sweeps, shuffle sweeps) compute the same fixpoint
+    val (lowDf, counts) = Graph.coreNumbersWithStats(li,
+      nodeBroadcastLimit = 0, forceDistributed = true)
+    val low = lowDf.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // default = the Batagelj–Zaveršnik fast path at this fixture size
+    val dft = Graph.coreNumbers(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(low == dft)
+    val (bcastDf, _) = Graph.coreNumbersWithStats(li, forceDistributed = true)
+    assert(bcastDf.collect().map(r => (r.getLong(0), r.getLong(1))).toMap == dft)
+    // frontier shrinkage: the per-round changed count (what seeds the
+    // next round's work set) collapses after round 1 and ends at the
+    // fixpoint's exact 0
+    assert(counts.last == 0L, s"last round must change nothing: $counts")
+    assert(counts.tail.forall(_ < counts.head),
+      s"frontier did not shrink after round 1: $counts")
+    val ord = Tables.orders(spark, sf0001)
+    val prLow = Graph.pageRank(ord, li, nodeBroadcastLimit = 0).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val prDft = Graph.pageRank(ord, li).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // exact-decimal contributions make the per-node sum order-independent,
+    // so broadcast- and shuffle-join rounds agree to the bit
+    assert(prLow == prDft)
+  }
+
+  test("bfsDepth: hand graph levels, unreachable excluded, maxDepth cutoff") {
+    // clique {1,2,3}, path 3-10-11-12, disconnected pair {100,101}
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (2L, 10L),
+      (3L, 10L), (3L, 11L),
+      (4L, 11L), (4L, 12L),
+      (5L, 100L), (5L, 101L)).toDF("l_orderkey", "l_partkey")
+    // seeds = the 2 smallest node ids = {1, 2}
+    val out = Graph.bfsDepth(li, nSeeds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 10L -> 2L, 11L -> 3L, 12L -> 4L),
+      s"got $out")
+    // maxDepth cuts the walk; the {100,101} component never appears
+    val cut = Graph.bfsDepth(li, nSeeds = 2, maxDepth = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cut == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 10L -> 2L), s"got $cut")
+  }
+
   test("coreNumbers: fixpoint properties on sf0.001 — core <= degree, k-core closed") {
     val li = Tables.lineitem(spark, sf0001)
     val core = Graph.coreNumbers(li).collect()

@@ -27,8 +27,11 @@ class PlanAuditSpec extends SparkSpec {
     * from a contains() assertion. By-name so the conf wraps the
     * plan-string rendering, not just the call. */
   private def withWideMetadata(body: => String): String = {
+    // restore whatever the suite had, not the stock default — a
+    // suite-level override must survive this block
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
     spark.conf.set("spark.sql.maxMetadataStringLength", 1000)
-    try body finally spark.conf.set("spark.sql.maxMetadataStringLength", 100)
+    try body finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
   }
 
   private def count(hay: String, needle: String): Int =
