@@ -76,6 +76,11 @@ object SparkEntry {
       graft.streaming.StreamRunner.replayFullOuterIntervalJoin(s, ev(s, dir))),
     "s_stream_move_paths" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayMovePaths(s, ev(s, dir))),
+    // streaming keep-set: the curation gate as an incremental
+    // pipeline — per-fingerprint keeper state emitting a keep/retract
+    // changelog whose final state equals batch keepSet (same oracle)
+    "s_stream_keep_set" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayKeepSet(s, Tables.documents(s, dir))),
     "s_stream_update_agg" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayUpdateAgg(s, ev(s, dir))),
     // streaming running moments: additive (n, Σv, Σv²) per kind as
@@ -3677,6 +3682,9 @@ object SparkEntry {
     // per fingerprint, so min-id over all copies = min-id over
     // surviving copies
     "t_keep_set" -> keepSetOracle,
+    // the streaming keep-set's changelog-final state IS the batch
+    // keep-list — the replayUpdateAgg proof pattern, same oracle SQL
+    "s_stream_keep_set" -> keepSetOracle,
     // the fuzzy-dedup keep-list: the exact keepers minus non-minimum
     // members of the recursive-CTE minhash components (the
     // d_dup_clusters oracle pattern)

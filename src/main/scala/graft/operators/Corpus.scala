@@ -69,22 +69,14 @@ object Corpus {
   private def sampleBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(id.cast("string")), 9, 8), 16, 10).cast("long") % 10000
 
-  /** The end-to-end pretraining keep-list: documents that pass the
-    * language gate, the quality floor, the repetition cap, AND are the
-    * canonical copy under exact dedup — the composition every real
-    * corpus build runs, expressed as ONE pipeline instead of four
-    * joined operator outputs.
-    *
-    * Scale shape: all three text signals are per-row columns computed
-    * in a single scan (TextAnalysis count formulas — no join, no
-    * re-read per signal; CorpusSpec pins equivalence with the composed
-    * operators). The gate filters run ABOVE the dedup window — see the
-    * inline comment for why — so the fingerprint shuffle carries every
-    * document's 16-byte fingerprint + three scalars (never the text);
-    * the signals themselves evaluate exactly once per document. */
-  def keepSet(documents: DataFrame, minQuality: Double = 0.6,
-              maxDupTrigram: Double = 0.05, lang: String = "en"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The per-document signal block [[keepSet]] gates on — (doc_id,
+    * fp, lang_pred, quality, dup_trigram_frac) in ONE scan — shared
+    * with the streaming replay
+    * ([[graft.streaming.StreamRunner.replayKeepSet]]) so the batch
+    * pipeline and the incremental one compute literally the same
+    * expressions (streamed-equals-batch then reduces to the state
+    * semantics, not to expression drift). */
+  private[graft] def keepSignals(documents: DataFrame): DataFrame = {
     import graft.functions.TextAnalysis.{tokens, langScores, qualityFromCounts, dupTrigramFromCounts}
     val t = col("text")
     val toks = tokens(t)
@@ -104,13 +96,32 @@ object Corpus {
       array(langScores(t).map { case (l, s) => struct(s.as("s"), lit(l).as("l")) }: _*)
         .as("langs"))
     val top = array_max(transform(col("langs"), e => e.getField("s")))
-    val sig = counts.select(
+    counts.select(
       col("doc_id"), col("fp"),
       when(top > 0,
         filter(col("langs"), e => e.getField("s") === top)(0).getField("l"))
         .otherwise("und").as("lang_pred"),
       qualityFromCounts(col("n"), col("nd"), col("nstop")).as("quality"),
       dupTrigramFromCounts(col("n"), col("td")).as("dup_trigram_frac"))
+  }
+
+  /** The end-to-end pretraining keep-list: documents that pass the
+    * language gate, the quality floor, the repetition cap, AND are the
+    * canonical copy under exact dedup — the composition every real
+    * corpus build runs, expressed as ONE pipeline instead of four
+    * joined operator outputs.
+    *
+    * Scale shape: all three text signals are per-row columns computed
+    * in a single scan (TextAnalysis count formulas — no join, no
+    * re-read per signal; CorpusSpec pins equivalence with the composed
+    * operators). The gate filters run ABOVE the dedup window — see the
+    * inline comment for why — so the fingerprint shuffle carries every
+    * document's 16-byte fingerprint + three scalars (never the text);
+    * the signals themselves evaluate exactly once per document. */
+  def keepSet(documents: DataFrame, minQuality: Double = 0.6,
+              maxDupTrigram: Double = 0.05, lang: String = "en"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = keepSignals(documents)
     // The dedup window sits BELOW the gate filters on purpose: a
     // Filter directly above the sig projection gets predicate-pushed
     // THROUGH it, substituting the signal expressions into the

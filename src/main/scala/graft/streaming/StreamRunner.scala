@@ -19,6 +19,13 @@ import graft.operators.CarZone
 private[streaming] case class StagedEvent(kind: String, a: Long, b: Long, v: Double,
                                           ts: Long, eventId: Long, pid: Int, seq: Long)
 
+/** One staged document-replay record: (docId, text) plus the chunk id
+  * and in-chunk rank — the documents table as a topic, staged in
+  * DESCENDING doc_id order so smaller (winning) ids arrive LATE and
+  * the keeper state's retraction path is exercised on real data, not
+  * just in specs. */
+private[streaming] case class StagedDoc(docId: Long, text: String, pid: Int, seq: Long)
+
 /** Streaming KMV-sketch plumbing: one key row in, a snapshot row out,
   * per-side state = the bottom-k distinct keys by (h60 hex prefix,
   * key) — the [[graft.operators.Sketch.kmvEstimates]] selection rule,
@@ -109,6 +116,53 @@ private[streaming] class MovePathProcessor
     }
     state.update(st)
     out.iterator
+  }
+}
+
+/** Streaming keep-set plumbing: one gate-passing document in (keyed
+  * by its exact-dedup fingerprint), keep-decision changelog rows out.
+  * The per-fingerprint state is the current KEEPER (the minimum
+  * doc_id seen so far) — 8 bytes per distinct document text,
+  * RocksDB-backed: the streaming form of the batch
+  * [[graft.operators.Corpus.keepSet]] min-id window. */
+private[streaming] case class KeepIn(fp: String, docId: Long, langPred: String,
+                                     quality: Double, dupFrac: Double)
+private[streaming] case class KeepDecision(doc_id: Long, lang_pred: String,
+                                           quality: Double, dup_trigram_frac: Double,
+                                           keep: Boolean)
+
+/** The exact-dedup keeper state owner: on each batch, the smallest
+  * incoming doc_id per fingerprint challenges the stored keeper. A
+  * first sighting emits keep=true; a smaller late arrival RETRACTS
+  * the previous keeper (keep=false) and emits the new one — the
+  * KTable-changelog shape, so the log's surviving keep=true rows
+  * (adds never retracted) are exactly the batch keep-list whatever
+  * the chunking. Signals ride the rows: copies share text (the
+  * fingerprint IS md5(text)), so any copy's signals are the
+  * keeper's. */
+private[streaming] class KeepSetProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, KeepIn, KeepDecision] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var keeper: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    keeper = getHandle.getValueState[Long]("keeper",
+      Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(fp: String, rows: Iterator[KeepIn],
+                               timers: TimerValues): Iterator[KeepDecision] = {
+    val best = rows.minBy(_.docId)
+    if (!keeper.exists) {
+      keeper.update(best.docId)
+      Iterator.single(KeepDecision(best.docId, best.langPred, best.quality,
+        best.dupFrac, keep = true))
+    } else if (best.docId < keeper.get()) {
+      val prev = keeper.get()
+      keeper.update(best.docId)
+      Iterator(
+        KeepDecision(prev, best.langPred, best.quality, best.dupFrac, keep = false),
+        KeepDecision(best.docId, best.langPred, best.quality, best.dupFrac, keep = true))
+    } else Iterator.empty
   }
 }
 
@@ -1006,4 +1060,106 @@ object StreamRunner {
       .select(col("event_id"), col("carId").as("car_id"), col("zoneId").as("zone_id"),
         col("isArriving").as("is_arriving"), col("fuelLevel").as("fuel_level"))
   }
+
+  /** Documents-as-a-topic staging for [[replayKeepSet]]: the
+    * (doc_id, text) table range-partitioned into [[ReplayChunks]]
+    * chunks by DESCENDING doc_id (see [[StagedDoc]]), mtime-ordered
+    * for the file source — the [[stage]] recipe minus the event-time
+    * sentinels (the keeper topology is key-state-only; nothing
+    * watermarks). Idempotent per (session, input plan), like
+    * [[stagedDir]]. */
+  private val docStagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), Path]()
+
+  private def docStagedDir(spark: SparkSession, documents: DataFrame): Path =
+    docStagedDirs.computeIfAbsent((spark, documents.semanticHash()), _ => {
+      import spark.implicits._
+      val dir = Files.createTempDirectory(s"graft_docstage_${runId.incrementAndGet()}_")
+        .resolve("src")
+      documents.select(col("doc_id"), col("text"))
+        .localCheckpoint()
+        .repartitionByRange(ReplayChunks, col("doc_id").desc)
+        .sortWithinPartitions(col("doc_id").desc)
+        .withColumn("pid", spark_partition_id())
+        .select(col("doc_id").as("docId"), col("text"), col("pid"), lit(0L).as("seq"))
+        .as[StagedDoc]
+        .mapPartitions { it =>
+          var rank = 0L
+          it.map { d => rank += 1; d.copy(seq = d.pid.toLong * ChunkSpan + rank) }
+        }
+        .write.mode("overwrite").parquet(dir.toString)
+      val listing = Files.list(dir)
+      val parts =
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(listing.iterator()).asScala
+          .filter(p => !p.getFileName.toString.startsWith("_"))
+          .toSeq.sortBy(_.getFileName.toString)
+        finally listing.close()
+      val base = System.currentTimeMillis() - 86400000L
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(base + i * 10000L))
+      }
+      Files.deleteIfExists(dir.resolve("_SUCCESS"))
+      dir
+    })
+
+  /** STREAMING KEEP-SET — the incremental form of the flagship batch
+    * curation gate ([[graft.operators.Corpus.keepSet]]): documents
+    * arrive as a stream; the stateless signal block
+    * ([[graft.operators.Corpus.keepSignals]] — literally the same
+    * expressions as batch) and the three gates run per micro-batch,
+    * and ONE transformWithState keyed by the exact-dedup fingerprint
+    * holds the keeper (min doc_id, 8 B per distinct text, RocksDB —
+    * the reference's persistent-KV model) and emits keep decisions as
+    * a changelog: keep=true on first sighting / new winner, keep=false
+    * retracting a dethroned keeper. The changelog-final state — adds
+    * never retracted — equals the batch keep-list exactly (min-id is
+    * order-insensitive and the gates are per-row), which is what the
+    * oracle checks: same SQL as t_keep_set.
+    *
+    * Scale shape: the text column never enters state — only the
+    * 16-byte fingerprint key and an 8-byte keeper id; the gates drop
+    * rows BEFORE the state shuffle (copies share text, so min-id over
+    * gate-passers equals min-id over all copies); the changelog fold
+    * at the end is one partial-aggregated groupBy over the decision
+    * log. */
+  def replayKeepSet(spark: SparkSession, documents: DataFrame,
+                    minQuality: Double = 0.6, maxDupTrigram: Double = 0.05,
+                    lang: String = "en"): DataFrame = {
+    val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
+    val srcDir = docStagedDir(spark, documents)
+    val session = replaySession(spark, rocksDb = true)
+    val src = session.readStream
+      .schema(Encoders.product[StagedDoc].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    import session.implicits._
+    val sig = graft.operators.Corpus.keepSignals(
+      src.select(col("docId").as("doc_id"), col("text")))
+    val decisions = sig
+      .filter(col("lang_pred") === lang && col("quality") >= minQuality &&
+        col("dup_trigram_frac") <= maxDupTrigram)
+      .select(col("fp"), col("doc_id").as("docId"), col("lang_pred").as("langPred"),
+        col("quality"), col("dup_trigram_frac").as("dupFrac"))
+      .as[KeepIn]
+      .groupByKey(_.fp)
+      .transformWithState(new KeepSetProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    val q = decisions.writeStream.format("parquet")
+      .option("path", work.resolve("out").toString)
+      .option("checkpointLocation", work.resolve("cp").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val log = spark.read.parquet(work.resolve("out").toString)
+    // changelog-final: a doc is kept iff its add was never retracted
+    // (adds and retracts alternate per doc at most once each)
+    log.groupBy(col("doc_id"), col("lang_pred"), col("quality"),
+        col("dup_trigram_frac"))
+      .agg(sum(when(col("keep"), 1).otherwise(-1)).as("bal"))
+      .filter(col("bal") > 0)
+      .select(col("doc_id"), col("lang_pred"), col("quality"), col("dup_trigram_frac"))
+  }
 }
+

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Corpus
+import graft.streaming.StreamRunner
+
+/** The streaming keep-set's changelog-final state must equal the batch
+  * [[Corpus.keepSet]] exactly — the incremental form of the flagship
+  * curation gate. The staging deliberately feeds documents in
+  * DESCENDING doc_id order, so the winning (minimum-id) copy of every
+  * duplicated text arrives LAST and the keeper state's retraction path
+  * is load-bearing, not decorative. */
+class StreamKeepSetSpec extends SparkSpec {
+
+  test("streaming keepSet changelog-final equals batch keepSet (retractions exercised)") {
+    // sf0.001 has no duplicate texts, so graft higher-id copies onto
+    // the fixture: descending-id staging delivers the copies FIRST and
+    // every original then RETRACTS its copy's keep — the changelog's
+    // retraction path is load-bearing in this parity, not decorative
+    val base = Tables.documents(spark, sf0001)
+    val docs = base.unionByName(
+      base.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val streamed = StreamRunner.replayKeepSet(spark, docs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val batch = Corpus.keepSet(docs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // no grafted copy survives (each has a lower-id original), so the
+    // keeps that stood after their arrival were retracted in-stream
+    assert(streamed.keySet.forall(_ < 1000000L))
+    // and some originals pass the gates (the retractions really fired)
+    assert(batch.keySet.exists(_ % 3 == 0))
+  }
+}
