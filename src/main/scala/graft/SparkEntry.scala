@@ -746,6 +746,15 @@ object SparkEntry {
     "m_decode_jpeg_color" -> ((s, dir) =>
       Multimodal.decodeJpegColorPixels(
         Multimodal.jpegColorDocs(Tables.documents(s, dir))).toDF()),
+    // PROGRESSIVE (SOF2) JPEG pixel decode: spectral-selection +
+    // successive-approximation scans accumulated per block, then the
+    // shared dequantize/IDCT/upsample tail; fixtures are the color
+    // palette re-encoded through ImageIO's progressive scan script,
+    // so the oracle is the same constant-color arithmetic plus a
+    // marker-derived column pinning the payloads really were SOF2
+    "m_decode_jpeg_progressive" -> ((s, dir) =>
+      Multimodal.decodeJpegProgressivePixels(
+        Multimodal.jpegProgressiveDocs(Tables.documents(s, dir))).toDF()),
     "m_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     "m_feature_extract" -> ((s, dir) => Multimodal.featureExtract(Tables.documents(s, dir)).toDF()),
     "m_resize_plan" -> ((s, dir) => Multimodal.resizePlan(Tables.documents(s, dir))),
@@ -2442,6 +2451,25 @@ object SparkEntry {
         |SELECT doc_id, w AS width, h AS height,
         |       CAST(w * h AS BIGINT) AS n_pixels,
         |       CASE WHEN doc_id % 2 = 0 THEN '4:2:0' ELSE '4:4:4' END AS sampling,
+        |       md5(repeat(c, w * h)) AS pix_md5
+        |FROM g""".stripMargin,
+    // progressive decode: the constant-color fixtures accumulate to
+    // the SAME final coefficients as baseline (successive
+    // approximation is lossless bit-plane transmission), so the RGB
+    // stream is the same repeated color; `progressive` pins the Spark
+    // side actually read SOF2 payloads
+    "m_decode_jpeg_progressive" ->
+      """WITH g AS (SELECT doc_id,
+        |  CAST(8 + doc_id % 25 AS INT) AS w,
+        |  CAST(8 + doc_id % 19 AS INT) AS h,
+        |  ['4E4E4E','414E9C','4E4EEA','4EA934','4E9CA9','4E8FF7','4EEA41','4EF79C',
+        |   '9C4E4E','A934A9','A99C4E','A9A9A9','F7414E','F79C41','F7F741','F7F7F7']
+        |   [CAST(doc_id % 16 AS INT) + 1] AS c
+        |  FROM documents)
+        |SELECT doc_id, w AS width, h AS height,
+        |       CAST(w * h AS BIGINT) AS n_pixels,
+        |       CASE WHEN doc_id % 2 = 0 THEN '4:2:0' ELSE '4:4:4' END AS sampling,
+        |       TRUE AS progressive,
         |       md5(repeat(c, w * h)) AS pix_md5
         |FROM g""".stripMargin,
     // audio decimation: surviving sample j is input sample 2j — its

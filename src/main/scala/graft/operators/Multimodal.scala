@@ -1285,7 +1285,21 @@ object Multimodal {
     * layout); odd ids force 1×1 via the encoder metadata tree (4:4:4).
     * Dims are deliberately NOT MCU-aligned (8+id%25 × 8+id%19) so the
     * scan exercises MCU edge padding and crop in both geometries. */
-  def jpegColorDocs(documents: DataFrame): DataFrame = {
+  def jpegColorDocs(documents: DataFrame): DataFrame =
+    jpegEncodedColorDocs(documents, progressive = false)
+
+  /** [[jpegColorDocs]] re-encoded PROGRESSIVE (SOF2) through ImageIO's
+    * MODE_DEFAULT scan script (the classic libjpeg 10-scan sequence:
+    * interleaved DC first at Al=1, banded luma AC, full chroma AC,
+    * successive-approximation refinements down to Al=0) — same
+    * dual-fixed-point palette and both MCU geometries, so the decoded
+    * RGB stream is the same constant color and the oracle is shared
+    * arithmetic. */
+  def jpegProgressiveDocs(documents: DataFrame): DataFrame =
+    jpegEncodedColorDocs(documents, progressive = true)
+
+  private def jpegEncodedColorDocs(documents: DataFrame,
+                                   progressive: Boolean): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id")).as[Long]
@@ -1302,6 +1316,8 @@ object Multimodal {
         val p = wr.getDefaultWriteParam
         p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
         p.setCompressionQuality(1.0f)
+        if (progressive)
+          p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
         val meta = if (id % 2 == 1) {
           // force 1×1 luma sampling (4:4:4) through the native
           // metadata tree — the only JDK channel for sampling control
@@ -1363,6 +1379,64 @@ object Multimodal {
           else if (hs == 1 && vs == 1) "4:4:4" else s"${hs}x$vs",
           org.apache.commons.codec.digest.DigestUtils.md5Hex(hexUpper))
       })
+  }
+
+  case class JpegProgressivePixels(doc_id: Long, width: Int, height: Int,
+                                   n_pixels: Long, sampling: String,
+                                   progressive: Boolean, pix_md5: String)
+
+  /** [[decodeJpegProgressive]] over a (doc_id, payload) frame through
+    * the batched seam, fingerprinting the interleaved RGB stream with
+    * the repo's uppercase-hex md5 convention. The `progressive`
+    * column reads the SOF marker back out of the payload (0xC2) so
+    * the oracle pins that the fixtures really were multi-scan SOF2,
+    * not silently re-encoded baseline. Throws on undecodable
+    * payloads — every [[jpegProgressiveDocs]] payload is a
+    * progressive YCbCr JPEG by construction. */
+  def decodeJpegProgressivePixels(bin: DataFrame): Dataset[JpegProgressivePixels] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w, h, hs, vs, rgb) = decodeJpegProgressive(bytes).getOrElse(
+          throw new IllegalArgumentException(
+            s"doc $id: not a decodable progressive YCbCr JPEG"))
+        val hexUpper = org.apache.commons.codec.binary.Hex
+          .encodeHexString(rgb).toUpperCase
+        JpegProgressivePixels(id, w, h, w.toLong * h,
+          if (hs == 2 && vs == 2) "4:2:0"
+          else if (hs == 1 && vs == 1) "4:4:4" else s"${hs}x$vs",
+          sofMarker(bytes) == 0xC2,
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(hexUpper))
+      })
+  }
+
+  /** The payload's SOF marker code (0xC0 baseline / 0xC2 progressive /
+    * -1 none) — a marker walk that skips length-prefixed segments, for
+    * provenance columns that pin what the decoder actually consumed. */
+  private[graft] def sofMarker(b: Array[Byte]): Int = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (b.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return -1
+    var p = 2
+    while (p + 4 <= b.length) {
+      if (u8(p) != 0xFF) return -1
+      while (p < b.length && u8(p) == 0xFF) p += 1
+      if (p >= b.length) return -1
+      val marker = u8(p); p += 1
+      if (marker >= 0xC0 && marker <= 0xCF && marker != 0xC4 &&
+        marker != 0xC8 && marker != 0xCC) return marker
+      if (marker == 0xD9 || marker == 0xDA) return -1
+      if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) ()
+      else {
+        if (p + 2 > b.length) return -1
+        val len = be16(p)
+        if (len < 2 || p + len > b.length) return -1
+        p += len
+      }
+    }
+    -1
   }
 
   /** Entropy-scan bit reader (ITU T.81 §F.2.2.5): MSB-first bits with
@@ -1884,31 +1958,455 @@ object Multimodal {
             }
             my += 1
           }
-          // upsample (sample replication) + JFIF YCbCr→RGB, crop to frame
-          val rgb = new Array[Byte](w * h * 3)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              def plane(ci: Int): Int = {
-                val sx = x * compH(ci) / hmax; val sy = y * compV(ci) / vmax
-                planes(ci)(sy * planeW(ci) + sx) & 0xFF
-              }
-              val yv = plane(0); val cb = plane(1) - 128; val cr = plane(2) - 128
-              def clamp(d: Double): Byte = {
-                val v = math.round(d).toInt
-                math.max(0, math.min(255, v)).toByte
-              }
-              val o = (y * w + x) * 3
-              rgb(o) = clamp(yv + 1.402 * cr)
-              rgb(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
-              rgb(o + 2) = clamp(yv + 1.772 * cb)
-              x += 1
-            }
-            y += 1
-          }
-          return Some((w, h, compH(0), compV(0), rgb))
+          return Some((w, h, compH(0), compV(0),
+            upsampleYCbCrToRgb(w, h, compH, compV, planeW, planes)))
         case _ => // every other segment is length-prefixed: skip it
+          if (p + 2 > b.length) return None
+          val len = be16(p)
+          if (len < 2 || p + len > b.length) return None
+          p += len
+      }
+    }
+    None
+  }
+
+  /** Chroma upsampling by sample replication (x·hᵢ/hmax box filter) +
+    * the JFIF YCbCr→RGB conversion (round + clamp), cropping the
+    * MCU-padded component planes to frame dims — the shared tail of
+    * [[decodeJpegColor]] and [[decodeJpegProgressive]]. */
+  private def upsampleYCbCrToRgb(w: Int, h: Int, compH: Array[Int], compV: Array[Int],
+                                 planeW: Array[Int],
+                                 planes: Array[Array[Byte]]): Array[Byte] = {
+    val hmax = compH.max; val vmax = compV.max
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        def plane(ci: Int): Int = {
+          val sx = x * compH(ci) / hmax; val sy = y * compV(ci) / vmax
+          planes(ci)(sy * planeW(ci) + sx) & 0xFF
+        }
+        val yv = plane(0); val cb = plane(1) - 128; val cr = plane(2) - 128
+        def clamp(d: Double): Byte = {
+          val v = math.round(d).toInt
+          math.max(0, math.min(255, v)).toByte
+        }
+        val o = (y * w + x) * 3
+        rgb(o) = clamp(yv + 1.402 * cr)
+        rgb(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+        rgb(o + 2) = clamp(yv + 1.772 * cb)
+        x += 1
+      }
+      y += 1
+    }
+    rgb
+  }
+
+  /** REAL PROGRESSIVE JPEG pixel decode (SOF2, ITU T.81 §G) — the last
+    * real-format gap in the image stack: a real crawl is ~5–10%
+    * progressive, which the baseline decoders deliberately reject.
+    * Coefficients for every component accumulate across the scan
+    * sequence in per-block arrays; each SOS contributes one
+    * (spectral band, bit plane) slice:
+    *
+    *  - DC first scans (Ss=Se=0, Ah=0; the only scans allowed to
+    *    interleave components): Huffman-coded DC diffs of the
+    *    Al-shifted value per MCU block, per-component predictors.
+    *  - DC refinement (Ah>0): one raw bit per block, OR-ed at Al.
+    *  - AC first scans (Ss>0, Ah=0; single component, blocks in the
+    *    component's own raster order): run/size coding plus the EOBn
+    *    end-of-band run codes (EOBRUN = 2^r−1 + r extra bits).
+    *  - AC refinement (Ah>0): the T.81 §G.1.2.3 correction-bit walk —
+    *    new ±1·2^Al coefficients interleaved with one correction bit
+    *    for every already-nonzero coefficient passed, EOB runs
+    *    refining the remaining band (the libjpeg
+    *    decode_mcu_AC_refine procedure, public spec).
+    *
+    * Restart intervals reset predictors AND the EOB run. At EOI the
+    * accumulated coefficients dequantize through the last-defined
+    * tables, IDCT, and (for 3-component scans) ride the same
+    * upsample + JFIF conversion as [[decodeJpegColor]]. Returns
+    * (width, height, luma h, luma v, RGB bytes) for 3-component
+    * YCbCr, (w, h, 1, 1, gray bytes) for single-component; None for
+    * anything that is not an 8-bit SOF2 JPEG (baseline stays with
+    * [[decodeJpegGray]]/[[decodeJpegColor]]), with in-scan require()
+    * failures caught at this boundary (the Option-contract rule). */
+  private[graft] def decodeJpegProgressive(
+      b: Array[Byte]): Option[(Int, Int, Int, Int, Array[Byte])] =
+    try decodeJpegProgressiveWalk(b)
+    catch {
+      case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None
+    }
+
+  private[graft] def decodeJpegProgressiveWalk(
+      b: Array[Byte]): Option[(Int, Int, Int, Int, Array[Byte])] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (b.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None
+    val qtabs = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuffTable](4)
+    val acTabs = new Array[JpegHuffTable](4)
+    var w = 0; var h = 0; var ncomp = 0
+    val compH = new Array[Int](3); val compV = new Array[Int](3)
+    val compQ = Array.fill(3)(-1)
+    var sofSeen = false
+    var restartInterval = 0
+    // per-component coefficient store at MCU-padded block resolution,
+    // filled scan by scan; allocated once the SOF fixes the geometry
+    var mcusX = 0; var mcusY = 0
+    val bw = new Array[Int](3); val bh = new Array[Int](3)
+    val coefs = new Array[Array[Int]](3)
+    val preds = new Array[Int](3)
+    var p = 2
+    // (p + 2: the trailing EOI is the last two bytes — a progressive
+    // decode only completes THERE, unlike the baseline walks that
+    // return from inside their single SOS)
+    while (p + 2 <= b.length) {
+      if (u8(p) != 0xFF) return None
+      while (p < b.length && u8(p) == 0xFF) p += 1
+      if (p >= b.length) return None
+      val marker = u8(p); p += 1
+      marker match {
+        case 0xD8 => return None // repeated SOI
+        case 0x01 => ()
+        case m if m >= 0xD0 && m <= 0xD7 => () // stray RST
+        case 0xDB =>
+          val len = be16(p); val end = p + len
+          if (len < 2 || end > b.length) return None
+          var q = p + 2
+          while (q < end) {
+            val pq = u8(q) >> 4; val tq = u8(q) & 0x0F
+            if (tq > 3 || (pq != 0 && pq != 1)) return None
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) {
+              t(i) = if (pq == 0) u8(q + 1 + i) else be16(q + 1 + 2 * i)
+              i += 1
+            }
+            qtabs(tq) = t
+            q += 1 + (if (pq == 0) 64 else 128)
+          }
+          p = end
+        case 0xC4 =>
+          val len = be16(p); val end = p + len
+          if (len < 2 || end > b.length) return None
+          var q = p + 2
+          while (q < end) {
+            val tc = u8(q) >> 4; val th = u8(q) & 0x0F
+            if (th > 3 || tc > 1) return None
+            val counts = Array.tabulate(16)(i => u8(q + 1 + i))
+            val n = counts.sum
+            if (q + 17 + n > end) return None
+            val symbols = Array.tabulate(n)(i => u8(q + 17 + i))
+            val tab = new JpegHuffTable(counts, symbols)
+            if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+            q += 17 + n
+          }
+          p = end
+        case 0xC2 => // SOF2: progressive
+          val len = be16(p)
+          if (len < 8 || p + len > b.length) return None
+          if (u8(p + 2) != 8) return None
+          h = be16(p + 3); w = be16(p + 5)
+          ncomp = u8(p + 7)
+          if (w <= 0 || h <= 0) return None
+          if (ncomp != 1 && ncomp != 3) return None
+          var c = 0
+          while (c < ncomp) {
+            val cid = u8(p + 8 + 3 * c)
+            if (cid < 1 || cid > 3) return None
+            val hv = u8(p + 9 + 3 * c)
+            val hs = hv >> 4; val vs = hv & 0x0F
+            if (hs < 1 || hs > 4 || vs < 1 || vs > 4) return None
+            compH(cid - 1) = hs; compV(cid - 1) = vs
+            compQ(cid - 1) = u8(p + 10 + 3 * c)
+            c += 1
+          }
+          val hmax = compH.take(ncomp).max; val vmax = compV.take(ncomp).max
+          mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+          mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+          c = 0
+          while (c < ncomp) {
+            bw(c) = mcusX * compH(c); bh(c) = mcusY * compV(c)
+            coefs(c) = new Array[Int](bw(c) * bh(c) * 64)
+            c += 1
+          }
+          sofSeen = true
+          p += len
+        case 0xC0 | 0xC1 => return None // baseline: other decoders' scope
+        case 0xDD =>
+          val len = be16(p)
+          if (len != 4 || p + len > b.length) return None
+          restartInterval = be16(p + 2)
+          p += len
+        case 0xD9 => // EOI: reconstruct from the accumulated coefficients
+          if (!sofSeen) return None
+          val planeW = new Array[Int](3)
+          val planes = new Array[Array[Byte]](3)
+          var ci = 0
+          while (ci < ncomp) {
+            if (compQ(ci) < 0 || qtabs(compQ(ci)) == null) return None
+            val qt = qtabs(compQ(ci))
+            planeW(ci) = bw(ci) * 8
+            planes(ci) = new Array[Byte](planeW(ci) * bh(ci) * 8)
+            var by = 0
+            while (by < bh(ci)) {
+              var bx = 0
+              while (bx < bw(ci)) {
+                val base = (by * bw(ci) + bx) * 64
+                val coef = new Array[Double](64)
+                var k = 0
+                while (k < 64) {
+                  val v = coefs(ci)(base + k)
+                  if (v != 0) coef(JpegZigZag(k)) = v.toDouble * qt(k)
+                  k += 1
+                }
+                val out = jpegIdct(coef)
+                val x0 = bx * 8; val y0 = by * 8
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    val v = math.round(out(yy * 8 + xx) + 128.0).toInt
+                    planes(ci)((y0 + yy) * planeW(ci) + (x0 + xx)) =
+                      math.max(0, math.min(255, v)).toByte
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                bx += 1
+              }
+              by += 1
+            }
+            ci += 1
+          }
+          if (ncomp == 1) {
+            // crop the single gray plane to frame dims
+            val pix = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              System.arraycopy(planes(0), y * planeW(0), pix, y * w, w)
+              y += 1
+            }
+            return Some((w, h, 1, 1, pix))
+          }
+          return Some((w, h, compH(0), compV(0),
+            upsampleYCbCrToRgb(w, h, compH, compV, planeW, planes)))
+        case 0xDA => // one progressive scan
+          val len = be16(p)
+          if (len < 2 || p + len > b.length) return None
+          if (!sofSeen) return None
+          val ns = u8(p + 2)
+          if (ns < 1 || ns > 3) return None
+          val scanComp = new Array[Int](ns)
+          val scanDc = new Array[JpegHuffTable](ns)
+          val scanAc = new Array[JpegHuffTable](ns)
+          var s = 0
+          while (s < ns) {
+            val cid = u8(p + 3 + 2 * s)
+            if (cid < 1 || cid > 3 || cid > ncomp) return None
+            scanComp(s) = cid - 1
+            scanDc(s) = dcTabs(u8(p + 4 + 2 * s) >> 4)
+            scanAc(s) = acTabs(u8(p + 4 + 2 * s) & 0x0F)
+            s += 1
+          }
+          val ss = u8(p + 3 + 2 * ns)
+          val se = u8(p + 4 + 2 * ns)
+          val ah = u8(p + 5 + 2 * ns) >> 4
+          val al = u8(p + 5 + 2 * ns) & 0x0F
+          if (ss > se || se > 63) return None
+          if (ss == 0 && se != 0) return None // progressive DC is DC-only
+          if (ss > 0 && ns != 1) return None  // AC scans never interleave
+          val br = new JpegBitReader(b, p + len)
+          var eobrun = 0
+          java.util.Arrays.fill(preds, 0)
+          var rstN = 0
+          var unit = 0 // restart-interval unit counter (MCU or block)
+          def maybeRestart(): Unit =
+            if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+              br.alignAndExpectRst(rstN)
+              rstN = (rstN + 1) & 7
+              java.util.Arrays.fill(preds, 0)
+              eobrun = 0
+            }
+          if (ss == 0) {
+            // DC scan: MCU-interleaved walk when ns>1, still MCU-shaped
+            // for ns==1 single-component frames; for a 1-component scan
+            // of a 3-component frame the walk degenerates to that
+            // component's own grid (compH/compV of 1x1 per MCU here
+            // would be wrong — use the component's padded grid).
+            if (ns > 1 || ncomp == 1) {
+              var my = 0
+              while (my < mcusY) {
+                var mx = 0
+                while (mx < mcusX) {
+                  maybeRestart()
+                  var s2 = 0
+                  while (s2 < ns) {
+                    val c = scanComp(s2)
+                    var bv = 0
+                    while (bv < compV(c)) {
+                      var bx2 = 0
+                      while (bx2 < compH(c)) {
+                        val bxx = mx * compH(c) + bx2
+                        val byy = my * compV(c) + bv
+                        val base = (byy * bw(c) + bxx) * 64
+                        if (ah == 0) {
+                          val tab = scanDc(s2)
+                          if (tab == null) return None
+                          val t = tab.decode(br)
+                          require(t <= 11, s"DC category $t out of range")
+                          preds(c) += jpegExtend(br.bits(t), t)
+                          coefs(c)(base) = preds(c) << al
+                        } else {
+                          if (br.bit() != 0) coefs(c)(base) |= (1 << al)
+                        }
+                        bx2 += 1
+                      }
+                      bv += 1
+                    }
+                    s2 += 1
+                  }
+                  unit += 1
+                  mx += 1
+                }
+                my += 1
+              }
+            } else {
+              // single-component DC scan of a multi-component frame:
+              // the component's own (non-interleaved) block raster
+              val c = scanComp(0)
+              val hmax = compH.take(ncomp).max; val vmax = compV.take(ncomp).max
+              val cw = (w * compH(c) + hmax - 1) / hmax
+              val ch = (h * compV(c) + vmax - 1) / vmax
+              val nbw = (cw + 7) / 8; val nbh = (ch + 7) / 8
+              var byy = 0
+              while (byy < nbh) {
+                var bxx = 0
+                while (bxx < nbw) {
+                  maybeRestart()
+                  val base = (byy * bw(c) + bxx) * 64
+                  if (ah == 0) {
+                    val tab = scanDc(0)
+                    if (tab == null) return None
+                    val t = tab.decode(br)
+                    require(t <= 11, s"DC category $t out of range")
+                    preds(c) += jpegExtend(br.bits(t), t)
+                    coefs(c)(base) = preds(c) << al
+                  } else {
+                    if (br.bit() != 0) coefs(c)(base) |= (1 << al)
+                  }
+                  unit += 1
+                  bxx += 1
+                }
+                byy += 1
+              }
+            }
+          } else {
+            // AC scan: single component, its own block raster
+            val c = scanComp(0)
+            val tab = scanAc(0)
+            if (tab == null) return None
+            val hmax = compH.take(ncomp).max; val vmax = compV.take(ncomp).max
+            val cw = (w * compH(c) + hmax - 1) / hmax
+            val ch = (h * compV(c) + vmax - 1) / vmax
+            val nbw = (cw + 7) / 8; val nbh = (ch + 7) / 8
+            val p1 = 1 << al
+            val m1 = -1 << al
+            var byy = 0
+            while (byy < nbh) {
+              var bxx = 0
+              while (bxx < nbw) {
+                maybeRestart()
+                val base = (byy * bw(c) + bxx) * 64
+                if (ah == 0) {
+                  // AC first scan (G.1.2.2): run/size + EOBn runs
+                  if (eobrun > 0) eobrun -= 1
+                  else {
+                    var k = ss
+                    var open = true
+                    while (open && k <= se) {
+                      val rs = tab.decode(br)
+                      val r = rs >> 4; val sz = rs & 0x0F
+                      if (sz == 0) {
+                        if (r == 15) k += 16 // ZRL
+                        else {
+                          eobrun = (1 << r) - 1 + (if (r > 0) br.bits(r) else 0)
+                          open = false
+                        }
+                      } else {
+                        k += r
+                        require(k <= se, "AC index overran the band")
+                        coefs(c)(base + k) = jpegExtend(br.bits(sz), sz) << al
+                        k += 1
+                      }
+                    }
+                  }
+                } else {
+                  // AC refinement (G.1.2.3): correction-bit walk
+                  var k = ss
+                  if (eobrun == 0) {
+                    var open = true
+                    while (open && k <= se) {
+                      val rs = tab.decode(br)
+                      var r = rs >> 4; val sz = rs & 0x0F
+                      var newVal = 0
+                      if (sz == 0) {
+                        if (r != 15) {
+                          eobrun = (1 << r) + (if (r > 0) br.bits(r) else 0)
+                          open = false
+                        }
+                        // r == 15: ZRL — skip 16 zero-history coeffs
+                      } else {
+                        require(sz == 1, s"AC refinement size $sz invalid")
+                        newVal = if (br.bit() != 0) p1 else m1
+                      }
+                      if (open) {
+                        // advance past r zero-history coefficients,
+                        // refining every nonzero-history one passed
+                        var placed = false
+                        while (!placed && k <= se) {
+                          val v = coefs(c)(base + k)
+                          if (v != 0) {
+                            if (br.bit() != 0 && (v & p1) == 0)
+                              coefs(c)(base + k) = if (v >= 0) v + p1 else v + m1
+                          } else {
+                            if (r == 0) {
+                              if (sz != 0) coefs(c)(base + k) = newVal
+                              placed = true
+                            } else r -= 1
+                          }
+                          k += 1
+                        }
+                        require(placed || sz == 0, "AC refinement ran past the band")
+                      }
+                    }
+                  }
+                  if (eobrun > 0) {
+                    // end-of-band: refine the remaining nonzero coeffs
+                    while (k <= se) {
+                      val v = coefs(c)(base + k)
+                      if (v != 0) {
+                        if (br.bit() != 0 && (v & p1) == 0)
+                          coefs(c)(base + k) = if (v >= 0) v + p1 else v + m1
+                      }
+                      k += 1
+                    }
+                    eobrun -= 1
+                  }
+                }
+                unit += 1
+                bxx += 1
+              }
+              byy += 1
+            }
+          }
+          // scan consumed: align to the next marker
+          p = br.pos
+          while (p + 1 < b.length &&
+            !(u8(p) == 0xFF && u8(p + 1) != 0x00)) p += 1
+        case _ =>
           if (p + 2 > b.length) return None
           val len = be16(p)
           if (len < 2 || p + len > b.length) return None

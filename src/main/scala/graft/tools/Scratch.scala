@@ -1,28 +1,10 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Throwaway local profiling harness (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.codegen.cache.maxEntries", "8000")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val li = graft.Tables.lineitem(spark, sfDir)
-    li.count()
-    val spr = sys.env.getOrElse("GRAFT_KCORE_SPR", "4").toInt
-    val t0 = System.nanoTime()
-    val (df, counts) = graft.operators.Graph.coreNumbersWithStats(li, sweepsPerRound = spr)
-    val n = df.count()
-    println(f"kcore spr=$spr n=$n total=${(System.nanoTime() - t0) / 1e9}%.1f s rounds=${counts.size} changed=${counts.mkString(",")}")
-    spark.stop()
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    println("queries=" + q.size + " oracles=" + o.size + " missing-oracle=" + (q -- o))
   }
 }

@@ -654,6 +654,112 @@ class MultimodalSpec extends SparkSpec {
     assert(maxDiff <= 3, s"decoded pixels drifted from ImageIO by $maxDiff")
   }
 
+  test("decodeJpegProgressive: bit-equal to ImageIO on the progressive fixtures") {
+    val docs = (0L until 32L).map(d => (d, s"doc $d")).toDF("doc_id", "text")
+    val payloads = Multimodal.jpegProgressiveDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(payloads.length == 32)
+    payloads.foreach { case (id, bytes) =>
+      // the fixture really is SOF2 — multi-scan progressive, not a
+      // silently re-encoded baseline payload
+      assert(Multimodal.sofMarker(bytes) == 0xC2, s"doc $id not progressive")
+      // ...and out of the baseline decoders' scope by design
+      assert(Multimodal.decodeJpegColor(bytes).isEmpty, s"doc $id leaked to baseline")
+      val (w, h, hs, vs, rgb) = Multimodal.decodeJpegProgressive(bytes).get
+      assert((w, h) == ((8 + id % 25).toInt, (8 + id % 19).toInt))
+      if (id % 2 == 0) assert((hs, vs) == ((2, 2)), s"doc $id sampling")
+      else assert((hs, vs) == ((1, 1)), s"doc $id sampling")
+      // the planted palette color accumulates to the same coefficients
+      // baseline transmits (successive approximation is lossless), so
+      // the decode is the exact constant color...
+      val (pr, pg, pb) = Multimodal.JpegColorPalette((id % 16).toInt)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        assert(((rgb(o) & 0xFF, rgb(o + 1) & 0xFF, rgb(o + 2) & 0xFF)) == ((pr, pg, pb)),
+          s"doc $id planted color mismatch at ($x,$y)")
+      }
+      // ...and the JDK's own progressive decoder agrees byte for byte
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        assert(((rgb(o) & 0xFF, rgb(o + 1) & 0xFF, rgb(o + 2) & 0xFF)) ==
+          (((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)),
+          s"doc $id ImageIO mismatch at ($x,$y)")
+      }
+    }
+  }
+
+  test("decodeJpegProgressive: general AC path tracks ImageIO at 4:4:4 within tolerance") {
+    // a non-constant image through the progressive scan script: the AC
+    // first scans carry real run/size codes and EOB runs, and the
+    // successive-approximation refinements exercise the correction-bit
+    // walk — the paths the constant fixtures never reach. 1x1 sampling
+    // keeps the chroma upsampler out of the comparison (ours is box,
+    // the JDK's is triangle); residual drift is IDCT accuracy only.
+    val w = 40; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 7 + y * 13) % 256
+      val g = (x * 11 + y * 3 + 40) % 256
+      val b = (x * y) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.9f)
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val m = wr.getDefaultImageMetadata(
+      javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), p)
+    val tree = m.getAsTree("javax_imageio_jpeg_image_1.0")
+    def walk(n: org.w3c.dom.Node): Unit = {
+      if (n.getNodeName == "componentSpec") {
+        val at = n.getAttributes
+        if (at.getNamedItem("componentId").getNodeValue.toInt == 1) {
+          at.getNamedItem("HsamplingFactor").setNodeValue("1")
+          at.getNamedItem("VsamplingFactor").setNodeValue("1")
+        }
+      }
+      val cs = n.getChildNodes
+      (0 until cs.getLength).foreach(i => walk(cs.item(i)))
+    }
+    walk(tree)
+    m.setFromTree("javax_imageio_jpeg_image_1.0", tree)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, m), p)
+    ios.close(); wr.dispose()
+    val bytes = bos.toByteArray
+    assert(Multimodal.sofMarker(bytes) == 0xC2)
+    val (dw, dh, hs, vs, rgb) = Multimodal.decodeJpegProgressive(bytes).get
+    assert((dw, dh, hs, vs) == ((w, h, 1, 1)))
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val got = rgb((y * w + x) * 3 + c) & 0xFF
+      val ref = (back.getRGB(x, y) >> (16 - 8 * c)) & 0xFF
+      val d = math.abs(got - ref)
+      if (d > maxDiff) maxDiff = d
+    }
+    assert(maxDiff <= 3, s"decoded pixels drifted from ImageIO by $maxDiff")
+  }
+
+  test("decodeJpegProgressive: rejects baseline payloads, truncation, non-JPEG bytes") {
+    val docs = (0L until 4L).map(d => (d, s"doc $d")).toDF("doc_id", "text")
+    // baseline payloads belong to decodeJpegColor: None, not a misparse
+    val base = Multimodal.jpegColorDocs(docs.limit(1)).collect()(0).getAs[Array[Byte]]("payload")
+    assert(Multimodal.decodeJpegProgressive(base).isEmpty)
+    val prog = Multimodal.jpegProgressiveDocs(docs.limit(1)).collect()(0)
+      .getAs[Array[Byte]]("payload")
+    for (keep <- Seq(prog.length / 4, prog.length / 2, prog.length * 3 / 4))
+      assert(Multimodal.decodeJpegProgressive(prog.take(keep)).isEmpty,
+        s"truncation at $keep bytes decoded anyway")
+    assert(Multimodal.decodeJpegProgressive("not a jpeg at all".getBytes).isEmpty)
+  }
+
   test("decodeJpegColor: rejects grayscale JPEGs, truncated scans, non-JPEG bytes") {
     val docs = (0L until 4L).map(d => (d, s"doc $d")).toDF("doc_id", "text")
     // single-component payloads belong to the gray scan: None, not a misparse
