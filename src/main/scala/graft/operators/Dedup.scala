@@ -500,8 +500,16 @@ object Dedup {
     * was the hazard). */
   private[graft] val SingleTaskEdgeLimit = 1000000L
 
+  /** `singleTaskEdgeLimit` lets a caller with a KNOWN node-bounded
+    * graph raise the fast-path gate (the union-find map is sized by
+    * the NODE count, edges only stream through the single task):
+    * [[graft.operators.Graph.components]] passes its 10M peel gate so
+    * a ~1M-edge / 20k-node co-purchase graph takes the one-job path
+    * its siblings use. The default stays conservative for dedup pair
+    * graphs whose node count tracks the edge count. */
   private[graft] def connectedComponents(edges0: DataFrame, maxIters: Int,
-                                         forceDistributed: Boolean = false): DataFrame = {
+                                         forceDistributed: Boolean = false,
+                                         singleTaskEdgeLimit: Long = SingleTaskEdgeLimit): DataFrame = {
     val caller = edges0.sparkSession
     val edgesCk = edges0.localCheckpoint()
     val edgeCount = edgesCk.count()
@@ -519,7 +527,7 @@ object Dedup {
     // contract: label = component min. The distributed loop below
     // remains the >SingleTaskEdgeLimit scale path; CarZoneProps pins
     // both paths to a brute-force union-find model.
-    if (edgeCount < SingleTaskEdgeLimit && !forceDistributed) {
+    if (edgeCount < singleTaskEdgeLimit && !forceDistributed) {
       import org.apache.spark.sql.Encoders
       implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
       return edgesCk.select(col("doc_a").cast("long"), col("doc_b").cast("long"))

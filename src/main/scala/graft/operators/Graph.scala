@@ -299,30 +299,109 @@ object Graph {
     * join. Shares [[coPurchaseEdges]]' basket-capped, checkpointed
     * edge build with [[triangles]]. */
   def communities(lineitem: DataFrame, rounds: Int = 4,
-                  maxBasket: Int = 1024): DataFrame = {
+                  maxBasket: Int = 1024,
+                  forceDistributed: Boolean = false): DataFrame = {
     require(rounds >= 1 && rounds <= 16, s"rounds must be in [1, 16], got $rounds")
     val edges = coPurchaseEdges(lineitem, maxBasket)
-    val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
-      .unionByName(edges.select(col("v").as("node"), col("u").as("nbr")))
-      .localCheckpoint()
-    val nodes = sym.select(col("node")).distinct().localCheckpoint()
-    var labels = nodes.select(col("node"), col("node").as("label"))
-    for (_ <- 0 until rounds) {
-      val votes = sym
-        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
-        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
-      val winners = votes
-        .groupBy(col("node"))
-        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
-          .getField("l").as("new_label"))
-      labels = nodes.join(winners, Seq("node"), "left")
-        .select(col("node"), coalesce(col("new_label"), col("node")).as("label"))
-        .localCheckpoint()
-    }
+    // small-graph fast path (the coreNumbers peel gate): the SAME
+    // synchronous recurrence in one task — 4 CSR passes in-heap
+    // instead of 4 rounds × (edge join + two aggregations + a
+    // checkpoint barrier), which are job-bound, not data-bound, at
+    // bench scale. Identical output by construction (GraphSpec pins
+    // parity); the loop below stays the >limit scale path.
+    val labels =
+      if (edges.count() < PeelEdgeLimit && !forceDistributed)
+        lpaSingleTask(edges, rounds)
+      else {
+        val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
+          .unionByName(edges.select(col("v").as("node"), col("u").as("nbr")))
+          .localCheckpoint()
+        val nodes = sym.select(col("node")).distinct().localCheckpoint()
+        var lab = nodes.select(col("node"), col("node").as("label"))
+        for (_ <- 0 until rounds) {
+          val votes = sym
+            .join(lab.select(col("node").as("nbr"), col("label")), "nbr")
+            .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
+          val winners = votes
+            .groupBy(col("node"))
+            .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+              .getField("l").as("new_label"))
+          lab = nodes.join(winners, Seq("node"), "left")
+            .select(col("node"), coalesce(col("new_label"), col("node")).as("label"))
+            .localCheckpoint()
+        }
+        lab
+      }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
     labels.select(col("node"), col("label").as("community"))
       .join(sizes.select(col("label").as("community"), col("community_size")), "community")
       .select(col("node"), col("community"), col("community_size"))
+  }
+
+  /** The synchronous-LPA recurrence of [[communities]] in ONE task
+    * over a CSR adjacency: each round every node adopts the most
+    * frequent PREVIOUS-round label among its neighbors, ties to the
+    * smallest label — the exact vote/argmax the distributed loop
+    * computes, as primitive-array passes. */
+  private def lpaSingleTask(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    edges.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)](inEnc)
+      .coalesce(1)
+      .mapPartitions { it =>
+        val us = new scala.collection.mutable.ArrayBuffer[Long]()
+        val vs = new scala.collection.mutable.ArrayBuffer[Long]()
+        it.foreach { case (a, b) => us += a; vs += b }
+        val m = us.length
+        val idx = new scala.collection.mutable.LongMap[Int]()
+        val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+        def indexOf(id: Long): Int = idx.getOrElseUpdate(id, { ids += id; ids.length - 1 })
+        val eu = new Array[Int](m); val ev = new Array[Int](m)
+        var i = 0
+        while (i < m) { eu(i) = indexOf(us(i)); ev(i) = indexOf(vs(i)); i += 1 }
+        val n = ids.length
+        val deg = new Array[Int](n)
+        i = 0; while (i < m) { deg(eu(i)) += 1; deg(ev(i)) += 1; i += 1 }
+        val off = new Array[Int](n + 1)
+        i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+        val adj = new Array[Int](2 * m)
+        val fill = java.util.Arrays.copyOf(off, n)
+        i = 0
+        while (i < m) {
+          adj(fill(eu(i))) = ev(i); fill(eu(i)) += 1
+          adj(fill(ev(i))) = eu(i); fill(ev(i)) += 1
+          i += 1
+        }
+        var lab = Array.tabulate(n)(j => ids(j)) // own id
+        var r = 0
+        while (r < rounds) {
+          val next = new Array[Long](n)
+          val cnt = new scala.collection.mutable.LongMap[Int]()
+          var v = 0
+          while (v < n) {
+            cnt.clear()
+            var e = off(v)
+            while (e < off(v + 1)) {
+              val l = lab(adj(e))
+              cnt(l) = cnt.getOrElse(l, 0) + 1
+              e += 1
+            }
+            // argmax by (count desc, label asc) — the struct-MIN rule
+            var bestL = Long.MaxValue; var bestC = -1
+            cnt.foreach { case (l, c) =>
+              if (c > bestC || (c == bestC && l < bestL)) { bestL = l; bestC = c }
+            }
+            next(v) = if (bestC < 0) ids(v) else bestL
+            v += 1
+          }
+          lab = next
+          r += 1
+        }
+        (0 until n).iterator.map(j => (ids(j), lab(j)))
+      }(outEnc)
+      .toDF("node", "label")
   }
 
   /** MARKET-BASKET ASSOCIATION RULES (Agrawal & Srikant 1994's
@@ -385,9 +464,14 @@ object Graph {
     * component MINIMUM node id; component_size rides along. */
   def components(lineitem: DataFrame, maxBasket: Int = 1024,
                  maxIters: Int = 40): DataFrame = {
+    // the co-purchase graph is NODE-bounded (≤ part count) however
+    // dense its edges, and the single-task union-find holds one entry
+    // per node — so the fast-path gate is this family's 10M peel gate,
+    // not the dedup default sized for node-count≈edge-count pair graphs
     val lab = graft.operators.Dedup.connectedComponents(
       coPurchaseEdges(lineitem, maxBasket)
-        .select(col("u").as("doc_a"), col("v").as("doc_b")), maxIters)
+        .select(col("u").as("doc_a"), col("v").as("doc_b")), maxIters,
+      singleTaskEdgeLimit = PeelEdgeLimit)
       .select(col("doc_id").as("node"), col("label").as("component"))
     val sizes = lab.groupBy(col("component"))
       .agg(count(lit(1)).as("component_size"))
@@ -419,12 +503,19 @@ object Graph {
     * basket-capped checkpointed edge build. */
   def bfsDepth(lineitem: DataFrame, nSeeds: Int = 10, maxDepth: Int = 8,
                maxBasket: Int = 1024,
-               nodeBroadcastLimit: Long = BroadcastNodeLimit): DataFrame = {
+               nodeBroadcastLimit: Long = BroadcastNodeLimit,
+               forceDistributed: Boolean = false): DataFrame = {
     require(nSeeds >= 1, s"nSeeds must be >= 1, got $nSeeds")
     require(maxDepth >= 0 && maxDepth <= 256,
       s"maxDepth must be in [0, 256], got $maxDepth")
     val spark = lineitem.sparkSession
     val edges = coPurchaseEdges(lineitem, maxBasket)
+    // small-graph fast path (the coreNumbers peel gate): the whole
+    // level walk in one task over a CSR — frontier rounds at bench
+    // scale are job-bound, not data-bound. Identical output (GraphSpec
+    // pins parity); the loop below stays the >limit scale path.
+    if (edges.count() < PeelEdgeLimit && !forceDistributed)
+      return bfsSingleTask(edges, nSeeds, maxDepth)
     val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
       .unionByName(edges.select(col("v").as("node"), col("u").as("nbr")))
       .localCheckpoint()
@@ -459,6 +550,61 @@ object Graph {
       }
     }
     visited
+  }
+
+  /** The frontier walk of [[bfsDepth]] in ONE task over a CSR
+    * adjacency: seeds = the nSeeds smallest node ids, classic queue
+    * BFS bounded by maxDepth. Pure integer arithmetic, identical
+    * levels to the distributed loop. */
+  private def bfsSingleTask(edges: DataFrame, nSeeds: Int, maxDepth: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    edges.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)](inEnc)
+      .coalesce(1)
+      .mapPartitions { it =>
+        val us = new scala.collection.mutable.ArrayBuffer[Long]()
+        val vs = new scala.collection.mutable.ArrayBuffer[Long]()
+        it.foreach { case (a, b) => us += a; vs += b }
+        val m = us.length
+        val idx = new scala.collection.mutable.LongMap[Int]()
+        val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+        def indexOf(id: Long): Int = idx.getOrElseUpdate(id, { ids += id; ids.length - 1 })
+        val eu = new Array[Int](m); val ev = new Array[Int](m)
+        var i = 0
+        while (i < m) { eu(i) = indexOf(us(i)); ev(i) = indexOf(vs(i)); i += 1 }
+        val n = ids.length
+        val deg = new Array[Int](n)
+        i = 0; while (i < m) { deg(eu(i)) += 1; deg(ev(i)) += 1; i += 1 }
+        val off = new Array[Int](n + 1)
+        i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+        val adj = new Array[Int](2 * m)
+        val fill = java.util.Arrays.copyOf(off, n)
+        i = 0
+        while (i < m) {
+          adj(fill(eu(i))) = ev(i); fill(eu(i)) += 1
+          adj(fill(ev(i))) = eu(i); fill(ev(i)) += 1
+          i += 1
+        }
+        val depth = Array.fill(n)(-1L)
+        val order = (0 until n).sortBy(ids)
+        val queue = new java.util.ArrayDeque[Integer]()
+        order.take(nSeeds).foreach { s => depth(s) = 0L; queue.add(s) }
+        while (!queue.isEmpty) {
+          val v = queue.poll()
+          if (depth(v) < maxDepth) {
+            var e = off(v)
+            while (e < off(v + 1)) {
+              val u = adj(e)
+              if (depth(u) < 0) { depth(u) = depth(v) + 1; queue.add(u) }
+              e += 1
+            }
+          }
+        }
+        (0 until n).iterator.filter(depth(_) >= 0).map(j => (ids(j), depth(j)))
+      }(outEnc)
+      .toDF("node", "depth")
   }
 
   /** CORE DECOMPOSITION by the h-index iteration TO FIXPOINT (Lü et

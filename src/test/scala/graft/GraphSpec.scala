@@ -193,6 +193,16 @@ class GraphSpec extends SparkSpec {
     assert(prLow == prDft)
   }
 
+  test("communities: single-task LPA fast path equals the distributed loop") {
+    val li = Tables.lineitem(spark, sf0001)
+    val fast = Graph.communities(li).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val dist = Graph.communities(li, forceDistributed = true).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fast == dist)
+    assert(fast.nonEmpty)
+  }
+
   test("bfsDepth: hand graph levels, unreachable excluded, maxDepth cutoff") {
     // clique {1,2,3}, path 3-10-11-12, disconnected pair {100,101}
     val li = Seq(
@@ -210,6 +220,16 @@ class GraphSpec extends SparkSpec {
     val cut = Graph.bfsDepth(li, nSeeds = 2, maxDepth = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(cut == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 10L -> 2L), s"got $cut")
+  }
+
+  test("bfsDepth: single-task fast path equals the distributed frontier loop") {
+    val li = Tables.lineitem(spark, sf0001)
+    val fast = Graph.bfsDepth(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dist = Graph.bfsDepth(li, forceDistributed = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fast == dist)
+    assert(fast.nonEmpty && fast.values.min == 0L)
   }
 
   test("coreNumbers: fixpoint properties on sf0.001 — core <= degree, k-core closed") {
