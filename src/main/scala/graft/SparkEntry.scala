@@ -426,6 +426,9 @@ object SparkEntry {
     // interpolated bigram LM (perplexity-filter shape)
     "t_bigram_logprob" -> ((s, dir) =>
       graft.functions.TextAnalysis.bigramLogProb(Tables.documents(s, dir))),
+    // interpolated Kneser-Ney bigram LM: continuation-count smoothing
+    "t_kneser_ney" -> ((s, dir) =>
+      graft.functions.TextAnalysis.knLogProb(Tables.documents(s, dir))),
     "t_pii_scrub" -> ((s, dir) =>
       graft.functions.TextAnalysis.piiScrub(Tables.documents(s, dir))),
     "t_normalize" -> ((s, dir) =>
@@ -453,6 +456,9 @@ object SparkEntry {
     "q_event_paths" -> ((s, dir) => Sessions.eventPaths(ev(s, dir))),
     // conversion credit: purchase value to the same-session predecessor
     "q_attribution" -> ((s, dir) => Sessions.attribution(ev(s, dir))),
+    // first-order Markov model: in-session consecutive-pair counts and
+    // P(dst | src) over the |event types|^2 transition space
+    "q_event_transitions" -> ((s, dir) => Sessions.eventTransitions(ev(s, dir))),
     // batch interval self-join via the 3-adjacent-time-bucket equi-join
     // (the theta-join a nested loop would otherwise plan)
     "q_interval_pairs" -> ((s, dir) => Sessions.intervalPairs(ev(s, dir))),
@@ -561,6 +567,11 @@ object SparkEntry {
     // purchase graph (exact-decimal contributions, 9-dp pr per round)
     "q_pagerank" -> ((s, dir) =>
       graft.operators.Graph.pageRank(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // personalized PageRank: teleport restricted to the 10 smallest
+    // node ids; the rank vector stays sparse (seed neighborhood only)
+    "q_ppr" -> ((s, dir) =>
+      graft.operators.Graph.personalizedPageRank(
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // per-node triangle counts over the part co-purchase graph,
     // degree-oriented so wedge work is O(m^1.5) regardless of skew
     "q_triangles" -> ((s, dir) =>
@@ -686,6 +697,12 @@ object SparkEntry {
     // stride, chunk-walk or CRC bug can never hash right
     "m_decode_png_pixels" -> ((s, dir) =>
       Multimodal.decodePngPixels(Multimodal.pngPixelDocs(Tables.documents(s, dir))).toDF()),
+    // Adam7 INTERLACED decode: 7-pass sub-grid extraction, per-pass
+    // defilter, scatter-back — the oracle recomputes the DEINTERLACED
+    // stream arithmetically, so any pass-geometry, empty-pass or
+    // scatter bug mismatches the hash
+    "m_decode_png_interlaced" -> ((s, dir) =>
+      Multimodal.decodePngInterlaced(Multimodal.pngInterlacedDocs(Tables.documents(s, dir))).toDF()),
     // REAL GIF decode: conformant LZW index streams (SQL-constructed
     // clear-interleaved codes) decoded through the general variable-
     // width LZW path; the oracle recomputes dims and the pixel stream
@@ -2276,6 +2293,23 @@ object SparkEntry {
         |         [lpad(hex((doc_id + 31 * (k // (w * ch)) + 7 * (k % (w * ch))) % 256), 2, '0')
         |          for k in generate_series(0, w * h * ch - 1)], '')) AS pix_md5
         |FROM g""".stripMargin,
+    // Adam7 deinterlaced decode: the expected output is the same
+    // row-major raw stream as a non-interlaced image of these dims —
+    // (doc_id + 31r + 7j) % 256 — so the oracle is pass-agnostic and
+    // the Spark side must reassemble all 7 passes exactly to match
+    "m_decode_png_interlaced" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CAST(1 + doc_id % 21 AS INT) AS w,
+        |         CAST(1 + doc_id % 13 AS INT) AS h,
+        |         CAST([1, 3, 2, 4][CAST(doc_id % 4 AS INT) + 1] AS INT) AS ch
+        |  FROM documents)
+        |SELECT doc_id, w AS width, h AS height, ch AS channels,
+        |       CAST(w * h AS BIGINT) AS n_pixels,
+        |       md5(array_to_string(
+        |         [lpad(hex((doc_id + 31 * (k // (w * ch)) + 7 * (k % (w * ch))) % 256), 2, '0')
+        |          for k in generate_series(0, w * h * ch - 1)], '')) AS pix_md5
+        |FROM g""".stripMargin,
     // real GIF decode: dims and the palette-index stream fingerprint
     // recomputed arithmetically from the gifDocs construction (pixel k
     // carries (doc_id + k) % 256) — the Spark side must walk the
@@ -3020,6 +3054,35 @@ object SparkEntry {
         |       ROUND(CAST(SUM(lp.logp) AS DOUBLE) / COUNT(*) + 1e-12, 4) AS avg_logp
         |FROM bg b JOIN lp ON lp.bg = b.bg
         |GROUP BY b.doc_id""".stripMargin,
+    // interpolated Kneser-Ney: the one pinned-parenthesization double
+    // expression ((c12-D)/ctx) + (((D*nf)/ctx)*(np/B)), 9-dp decimal
+    // per-type log-probs, 4-dp doc mean — the bigram-LM discipline
+    "t_kneser_ney" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, unnest([w[i+1] || ' ' || w[i+2]
+        |                              for i in generate_series(0, len(w) - 2)]) AS bg
+        |       FROM w WHERE len(w) >= 2),
+        |bgc AS (SELECT bg, COUNT(*) AS bg_cnt FROM bg GROUP BY bg),
+        |ctx AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(bg_cnt) AS ctx_cnt,
+        |               COUNT(*) AS n_follow
+        |        FROM bgc GROUP BY 1),
+        |prec AS (SELECT string_split(bg, ' ')[2] AS w2, COUNT(*) AS n_prec
+        |         FROM bgc GROUP BY 1),
+        |ty AS (SELECT COUNT(*) AS n_types FROM bgc),
+        |lp AS (SELECT bgc.bg,
+        |              CAST(ROUND(ln(
+        |                ((CAST(bg_cnt AS DOUBLE) - CAST(0.75 AS DOUBLE)) / CAST(ctx_cnt AS DOUBLE))
+        |                + (((CAST(0.75 AS DOUBLE) * CAST(n_follow AS DOUBLE)) / CAST(ctx_cnt AS DOUBLE))
+        |                   * (CAST(n_prec AS DOUBLE) / CAST(n_types AS DOUBLE))))
+        |                + 1e-12, 9) AS DECIMAL(18,9)) AS logp
+        |       FROM bgc
+        |       JOIN ctx ON ctx.w1 = string_split(bgc.bg, ' ')[1]
+        |       JOIN prec ON prec.w2 = string_split(bgc.bg, ' ')[2]
+        |       CROSS JOIN ty)
+        |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       ROUND(CAST(SUM(lp.logp) AS DOUBLE) / COUNT(*) + 1e-12, 4) AS avg_logp
+        |FROM bg b JOIN lp ON lp.bg = b.bg
+        |GROUP BY b.doc_id""".stripMargin,
     // deterministic shuffle: the oracle's single global ROW_NUMBER over
     // the md5-hash order equals the Spark side's two-level (hash-prefix-
     // bucketed) rank — hex strings compare bytewise identically in both
@@ -3279,6 +3342,21 @@ object SparkEntry {
         |SELECT touch, COUNT(*) AS n_purchases,
         |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
         |FROM p GROUP BY 1""".stripMargin,
+    // Markov transitions: LEAD under the per-user order, the session
+    // gap rule gating pairs, per-src share over the tiny type^2 frame
+    "q_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus, event_type FROM events),
+        |o AS (SELECT user_id, event_type,
+        |             LEAD(event_type, 1) OVER w AS next_type,
+        |             LEAD(tus, 1) OVER w AS next_tus, tus
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |t AS (SELECT event_type AS src_type, next_type AS dst_type, COUNT(*) AS n_trans
+        |      FROM o WHERE next_type IS NOT NULL AND next_tus - tus <= 14400000000
+        |      GROUP BY 1, 2)
+        |SELECT src_type, dst_type, n_trans,
+        |       ROUND(CAST(n_trans AS DOUBLE) / SUM(n_trans) OVER (PARTITION BY src_type)
+        |             + 1e-12, 6) AS prob
+        |FROM t""".stripMargin,
     // staged first-arrival funnel: stage i+1 = first event of its type
     // strictly after the user's stage-i arrival
     "q_funnel" ->
@@ -3471,6 +3549,7 @@ object SparkEntry {
         |       CAST(ROW_NUMBER() OVER (ORDER BY band DESC, h, doc_id) AS BIGINT) - 1 AS curriculum_rank
         |FROM b""".stripMargin,
     "q_pagerank" -> pagerankOracle,
+    "q_ppr" -> pprOracle,
     // the oracle enumerates each triangle once by id-ordering
     // (a<b<c); the Spark side enumerates once by degree-ordering —
     // same triangle set, so per-node counts agree exactly
@@ -4580,6 +4659,41 @@ object SparkEntry {
     * sums), pr re-quantized to 9 dp per round. The teleport base is
     * COMPUTED as (1.0 − 0.85)/n in doubles on both engines — the
     * literal 0.15 is a different binary value. */
+  /** Personalized PageRank replayed sparsely: the teleport base rows
+    * live only on the 10 seed nodes, each round UNION ALLs them under
+    * the contribution sum (a seed with zero inbound keeps its mass),
+    * and a node appears only once reached — the exact recurrence
+    * [[graft.operators.Graph.personalizedPageRank]] runs, decimal
+    * quantization and all. */
+  private lazy val pprOracle: String = {
+    import graft.operators.Graph.{Damping, Iters}
+    val iterCtes = (1 to Iters).map { i =>
+      s"""p$i AS (SELECT node, ROUND(CAST(SUM(x) AS DOUBLE) + 1e-12, 9) AS pr FROM (
+         |  SELECT sh.dst AS node,
+         |         CAST(ROUND(p.pr * sh.share * CAST($Damping AS DOUBLE) + 1e-12, 9)
+         |              AS DECIMAL(18,9)) AS x
+         |  FROM sh JOIN p${i - 1} p ON sh.src = p.node
+         |  UNION ALL SELECT node, x FROM sbase) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst, COUNT(*) AS w
+       |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+       |ed AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
+       |sh AS (SELECT src, dst,
+       |              CAST(w AS DOUBLE) / CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE) AS share
+       |       FROM ed),
+       |seeds AS (SELECT node FROM (SELECT DISTINCT src AS node FROM ed)
+       |          ORDER BY node LIMIT 10),
+       |ns AS (SELECT COUNT(*) AS s FROM seeds),
+       |p0 AS (SELECT node, ROUND(CAST(1.0 AS DOUBLE) / ns.s + 1e-12, 9) AS pr
+       |       FROM seeds, ns),
+       |sbase AS (SELECT node,
+       |                 CAST(ROUND((CAST(1.0 AS DOUBLE) - CAST($Damping AS DOUBLE)) / ns.s
+       |                            + 1e-12, 9) AS DECIMAL(18,9)) AS x
+       |          FROM seeds, ns),
+       |$iterCtes
+       |SELECT node, pr FROM p$Iters""".stripMargin
+  }
+
   private lazy val pagerankOracle: String = {
     import graft.operators.Graph.{Damping, Iters}
     val iterCtes = (1 to Iters).map { i =>

@@ -711,6 +711,80 @@ object TextAnalysis {
         r4(col("slp").cast("double") / col("n_bigrams")).as("avg_logp"))
   }
 
+  /** Per-document mean bigram log-probability under an interpolated
+    * KNESER-NEY LM (Kneser & Ney 1995; the Chen & Goodman 1998
+    * interpolated formulation — public results) trained on the corpus
+    * itself — the smoothing that actually ships in n-gram LM
+    * perplexity filters, one modeling step past [[bigramLogProb]]'s
+    * count interpolation: the lower-order weight of a word is its
+    * CONTINUATION count (how many distinct contexts it follows), not
+    * its frequency, so "Francisco" (frequent, one context) stops
+    * inflating unseen-bigram mass.
+    *
+    *   P(w2|w1) = (c(w1w2) − D)/c(w1·)
+    *            + (D·N1+(w1·)/c(w1·)) · (N1+(·w2)/B)
+    *
+    * with discount `D`, N1+(w1·) = distinct followers of w1,
+    * N1+(·w2) = distinct predecessors of w2, B = distinct bigram
+    * types. Self-trained, every scored bigram has c ≥ 1 > D, so the
+    * max(·−D, 0) clamp never binds and P > 0 always — no OOV branch.
+    *
+    * Cross-engine parity: the probability is ONE double expression
+    * with pinned parenthesization (left-to-right association differs
+    * between engines unless forced), per-distinct-bigram log-probs
+    * round to 9 dp into DECIMAL(18,9) (order-exact per-doc sums), the
+    * mean takes the 4-dp nudge — the [[bigramLogProb]] discipline.
+    *
+    * Scale shape: identical to [[bigramLogProb]] — the fused
+    * [[graft.functions.DedupKernels.gramHashSeq]] kernel, all model
+    * tables vocabulary-bounded, joins on 8-byte gram hashes; the two
+    * continuation tables are one extra groupBy each over the
+    * bigram-TYPE table (vocabulary², not corpus, sized), and B is a
+    * one-row broadcast. Documents shorter than two words emit no row. */
+  def knLogProb(documents: DataFrame, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0, 1), got $discount")
+    import graft.functions.DedupKernels.gramHashSeq
+    val hashed = documents.select(col("doc_id"),
+        gramHashSeq(col("text"), 1).as("g1"),
+        gramHashSeq(col("text"), 2).as("g2"))
+    val bg = hashed
+      .filter(size(col("g2")) > 0)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("g2")) - 1), i =>
+          struct(element_at(col("g2"), i + 1).as("g"),
+            element_at(col("g1"), i + 1).as("h1"),
+            element_at(col("g1"), i + 2).as("h2")))).as("p"))
+      .select(col("doc_id"), col("p.g").as("g"),
+        col("p.h1").as("h1"), col("p.h2").as("h2"))
+    val bgCount = bg.groupBy(col("g"))
+      .agg(count(lit(1)).as("bg_cnt"),
+        first(col("h1")).as("h1"), first(col("h2")).as("h2"))
+      .localCheckpoint()
+    // c(w1·) and N1+(w1·) ride ONE pass over the type table; N1+(·w2)
+    // a second; B one scalar — all vocabulary-bounded
+    val ctx = bgCount.groupBy(col("h1"))
+      .agg(sum(col("bg_cnt")).as("ctx_cnt"), count(lit(1)).as("n_follow"))
+    val prec = bgCount.groupBy(col("h2")).agg(count(lit(1)).as("n_prec"))
+    val types = bgCount.agg(count(lit(1)).as("n_types"))
+    val logp = bgCount
+      .join(ctx, "h1")
+      .join(prec, "h2")
+      .crossJoin(broadcast(types))
+      .select(col("g"),
+        round(log(
+          ((col("bg_cnt").cast("double") - lit(discount)) / col("ctx_cnt").cast("double"))
+            + (((lit(discount) * col("n_follow").cast("double")) / col("ctx_cnt").cast("double"))
+               * (col("n_prec").cast("double") / col("n_types").cast("double"))))
+          + lit(1e-12), 9)
+          .cast("decimal(18,9)").as("logp"))
+    bg.select(col("doc_id"), col("g")).join(logp, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r4(col("slp").cast("double") / col("n_bigrams")).as("avg_logp"))
+  }
+
   /** HELD-OUT perplexity — [[bigramLogProb]] with the train/eval
     * separation the real recipe requires (a model scored on its own
     * training text under-reports perplexity; contamination-free eval

@@ -61,25 +61,7 @@ object Graph {
     * dangling-mass correction term. */
   def pageRank(orders: DataFrame, lineitem: DataFrame,
                nodeBroadcastLimit: Long = BroadcastNodeLimit): DataFrame = {
-    val e0 = orders.select(col("o_orderkey"), col("o_custkey"))
-      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("o_custkey"), col("l_suppkey"))
-      .agg(count(lit(1)).as("w"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"), col("w"))
-    val edges = e0
-      .union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-    // out-weight shares are static across iterations: exact integer
-    // weight sums, one double division per edge, checkpointed so the
-    // loop re-reads a materialized frame instead of re-running the
-    // orders ⋈ lineitem build every iteration
-    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
-    val shares = edges
-      .join(outW, "src")
-      .select(col("src"), col("dst"),
-        (col("w").cast("double") / col("wtot").cast("double")).as("share"))
-      .localCheckpoint()
+    val shares = custSuppShares(orders, lineitem)
     // outW is already one row per node — the node set costs nothing
     // extra beyond the share build
     val nodes = shares.select(col("src").as("node")).distinct().localCheckpoint()
@@ -106,6 +88,93 @@ object Graph {
         .agg(sum(col("contrib")).as("s"))
         .select(col("dst").as("node"),
           round(lit(base) + col("s").cast("double") + lit(1e-12), 9).as("pr"))
+    }
+    pr
+  }
+
+  /** The (src, dst, share) transition frame both PageRank variants
+    * iterate over — one audited build: undirected customer–supplier
+    * edges weighted by line count (node ids disjointified as
+    * custkey·2 / suppkey·2+1), out-weight shares from exact integer
+    * sums, one double division per edge, localCheckpoint'd so the
+    * power loops re-read a materialized frame instead of re-running
+    * the orders ⋈ lineitem build every iteration. */
+  private[graft] def custSuppShares(orders: DataFrame,
+                                    lineitem: DataFrame): DataFrame = {
+    val e0 = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("w"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"), col("w"))
+    val edges = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
+    edges
+      .join(outW, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("wtot").cast("double")).as("share"))
+      .localCheckpoint()
+  }
+
+  /** PERSONALIZED PAGERANK (Haveliwala 2002's topic-sensitive
+    * teleport, public formulation) over the same customer–supplier
+    * graph as [[pageRank]]: the restart distribution concentrates on
+    * a SEED set (the `nSeeds` smallest node ids — the [[bfsDepth]]
+    * seed rule) instead of the uniform vector, so rank measures
+    * proximity-weighted influence AROUND the seeds — the
+    * "expand from trusted domains" primitive of crawl curation
+    * (TrustRank-style seed propagation) next to the global
+    * centrality. pr⁰ = 1/|S| on seeds; each round
+    * pr⁺(v) = (1−d)/|S|·[v ∈ S] + d·Σ share·pr(u).
+    *
+    * The vector stays SPARSE — only nodes within [[Iters]] hops of a
+    * seed ever hold mass, and only those rows exist (the defining
+    * advantage of PPR at 100 TB: a 10⁹-node graph with a 10-seed
+    * query touches the seeds' neighborhood, not the node set; the
+    * frame grows with reachable volume per round, never |V|).
+    * Nodes never reached emit no row.
+    *
+    * Scale shape: the share frame is the one checkpointed
+    * [[custSuppShares]] build; each round joins the sparse vector
+    * (gated-broadcast while the NODE COUNT — the sparse frame's
+    * upper bound — is inside [[BroadcastNodeLimit]]; past the gate
+    * both sides shuffle, same cost class) onto edges by src, rounds
+    * per-edge contributions into DECIMAL(18,9), UNIONs the static
+    * seed-base rows (so seeds keep their teleport mass even with
+    * zero inbound), and partial-aggregates by dst — the exact
+    * [[pageRank]] parity discipline, so the DuckDB oracle replays
+    * the recurrence bit-for-bit. */
+  def personalizedPageRank(orders: DataFrame, lineitem: DataFrame,
+                           nSeeds: Int = 10,
+                           nodeBroadcastLimit: Long = BroadcastNodeLimit): DataFrame = {
+    require(nSeeds >= 1, s"nSeeds must be >= 1, got $nSeeds")
+    val shares = custSuppShares(orders, lineitem)
+    // seed set: the nSeeds smallest node ids — compiles to TakeOrdered
+    val nodes = shares.select(col("src").as("node")).distinct().localCheckpoint()
+    val n = nodes.count()
+    val seeds = nodes.orderBy(col("node")).limit(nSeeds).localCheckpoint()
+    val nS = seeds.count()
+    // the gate bounds the BROADCAST side by its worst case: the
+    // sparse vector can only grow to the node set, so the node count
+    // (already paid for the seed TakeOrdered's input) is the bound
+    def gated(df: DataFrame): DataFrame =
+      if (n <= nodeBroadcastLimit) broadcast(df) else df
+    // teleport base rows are static across rounds: (1−d)/|S| on each
+    // seed, 9-dp-quantized into the same decimal the contributions use
+    val seedBase = seeds.select(col("node"),
+      round(lit((1.0 - Damping) / nS) + lit(1e-12), 9)
+        .cast("decimal(18,9)").as("x")).localCheckpoint()
+    var pr = seeds.withColumn("pr", round(lit(1.0 / nS) + lit(1e-12), 9))
+    for (_ <- 0 until Iters) {
+      val contribs = shares.join(gated(pr), col("src") === col("node"))
+        .select(col("dst").as("node"),
+          round(col("pr") * col("share") * lit(Damping) + lit(1e-12), 9)
+            .cast("decimal(18,9)").as("x"))
+      pr = contribs.unionByName(seedBase)
+        .groupBy(col("node"))
+        .agg(round(sum(col("x")).cast("double") + lit(1e-12), 9).as("pr"))
     }
     pr
   }

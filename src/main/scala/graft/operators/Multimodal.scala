@@ -894,6 +894,243 @@ object Multimodal {
       })
   }
 
+  // ---- Adam7 INTERLACED PNG: the progressive layout of the PNG spec ----
+
+  /** Adam7 pass geometry (PNG spec §8.2, public): starting offsets and
+    * strides of the 7 interlace passes over the image grid. */
+  private val A7xStart = Array(0, 4, 0, 2, 0, 1, 0)
+  private val A7yStart = Array(0, 0, 4, 0, 2, 0, 1)
+  private val A7xStep = Array(8, 8, 4, 4, 2, 2, 1)
+  private val A7yStep = Array(8, 8, 8, 4, 4, 2, 2)
+
+  /** Deterministic ADAM7-INTERLACED PNG corpus — [[pngPixelDocs]]' raw
+    * arithmetic (pixel byte j of image row r carries
+    * (doc_id + 31·r + 7·j) % 256) re-laid-out through the 7-pass
+    * interlace the PNG spec defines for progressive rendering: each
+    * pass extracts its (xStart + i·xStep, yStart + k·yStep) sub-grid,
+    * is FILTERED AS AN INDEPENDENT IMAGE (per spec — scanline
+    * predictors never cross a pass boundary; filter type cycles
+    * k % 5 within each pass so all five filters appear), and the
+    * passes concatenate into ONE zlib stream. Dims (1 + id % 21,
+    * 1 + id % 13) keep sub-8×8 images in the fixture, so EMPTY passes
+    * (pw = 0 or ph = 0, which must contribute zero bytes — the
+    * classic interlace off-by-one) are exercised throughout. */
+  def pngInterlacedDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (1 + id % 21).toInt; val h = (1 + id % 13).toInt
+        val ct = Array(0, 2, 4, 6)((id % 4).toInt)
+        val ch = ct match { case 0 => 1; case 2 => 3; case 4 => 2; case _ => 4 }
+        def raw(r: Int, j: Int): Int = ((id + 31L * r + 7L * j) % 256).toInt
+        val out = new java.io.ByteArrayOutputStream()
+        var p = 0
+        while (p < 7) {
+          val pw = if (w > A7xStart(p)) (w - A7xStart(p) + A7xStep(p) - 1) / A7xStep(p) else 0
+          val ph = if (h > A7yStart(p)) (h - A7yStart(p) + A7yStep(p) - 1) / A7yStep(p) else 0
+          if (pw > 0 && ph > 0) {
+            val rowBytes = pw * ch
+            // the pass's raw sub-image, gathered from the full grid
+            def praw(k: Int, j: Int): Int = {
+              val y = A7yStart(p) + k * A7yStep(p)
+              val x = A7xStart(p) + (j / ch) * A7xStep(p)
+              raw(y, x * ch + j % ch)
+            }
+            var k = 0
+            while (k < ph) {
+              val ft = k % 5
+              out.write(ft)
+              val line = new Array[Byte](rowBytes)
+              var j = 0
+              while (j < rowBytes) {
+                val a = if (j >= ch) praw(k, j - ch) else 0
+                val b = if (k > 0) praw(k - 1, j) else 0
+                val c = if (k > 0 && j >= ch) praw(k - 1, j - ch) else 0
+                val pred = ft match {
+                  case 0 => 0
+                  case 1 => a
+                  case 2 => b
+                  case 3 => (a + b) / 2
+                  case _ => paeth(a, b, c)
+                }
+                line(j) = ((praw(k, j) - pred) & 0xFF).toByte
+                j += 1
+              }
+              out.write(line)
+              k += 1
+            }
+          }
+          p += 1
+        }
+        val deflater = new java.util.zip.Deflater()
+        deflater.setInput(out.toByteArray); deflater.finish()
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        while (!deflater.finished()) buf.write(tmp, 0, deflater.deflate(tmp))
+        deflater.end()
+        def be32(x: Long): Array[Byte] =
+          Array((x >>> 24).toByte, (x >>> 16).toByte, (x >>> 8).toByte, x.toByte)
+        def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+          val crc = new java.util.zip.CRC32()
+          crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+          be32(data.length.toLong) ++ typ.getBytes("US-ASCII") ++ data ++ be32(crc.getValue)
+        }
+        val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
+          Array(8.toByte, ct.toByte, 0.toByte, 0.toByte, 1.toByte) // interlace = 1
+        val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+        (id, sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.toByteArray) ++ chunk("IEND", Array.empty[Byte]))
+      }).toDF("doc_id", "payload")
+  }
+
+  /** [[inflatePng]]'s Adam7 counterpart: walks chunks (CRC-verified),
+    * inflates the one zlib stream, de-filters EACH PASS as an
+    * independent image, and scatters each pass's pixels back to their
+    * (xStart + i·xStep, yStart + k·yStep) grid positions — returning
+    * the fully DEINTERLACED row-major raw bytes, so downstream
+    * consumers see exactly what the non-interlaced decode of the same
+    * image would produce. Modeled surface: 8-bit depth, interlace = 1
+    * (a non-interlaced payload belongs to [[inflatePng]] and returns
+    * None here). The inflated stream must measure exactly
+    * Σ_pass ph·(1 + pw·ch) — trailing or missing bytes reject. */
+  private[graft] def inflatePngAdam7(id: Long, b: Array[Byte]): Option[(PngMeta, Array[Byte])] =
+    parsePng(id, b).flatMap { meta =>
+      if (meta.bit_depth != 8 || b(26) != 0 || b(27) != 0 || b(28) != 1) None
+      else {
+        def u8(i: Int): Int = b(i) & 0xFF
+        def be32(i: Int): Long =
+          (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3)
+        val idat = new java.io.ByteArrayOutputStream()
+        var off = 8; var sawEnd = false; var ok = true
+        while (!sawEnd && ok) {
+          if (off + 12 > b.length) ok = false
+          else {
+            val len = be32(off)
+            if (len > Int.MaxValue || off + 12 + len > b.length) ok = false
+            else {
+              val crc = new java.util.zip.CRC32()
+              crc.update(b, off + 4, 4 + len.toInt)
+              if (crc.getValue != be32(off + 8 + len.toInt)) ok = false
+              else {
+                val typ = new String(b, off + 4, 4, "US-ASCII")
+                if (typ == "IDAT") idat.write(b, off + 8, len.toInt)
+                if (typ == "IEND") sawEnd = true
+                off += 12 + len.toInt
+              }
+            }
+          }
+        }
+        if (!ok || !sawEnd || idat.size() == 0) None
+        else {
+          val ch = meta.channels
+          val w = meta.width; val h = meta.height
+          // pass geometry first: total filtered length is the contract
+          val pws = new Array[Int](7); val phs = new Array[Int](7)
+          var total = 0
+          var p = 0
+          while (p < 7) {
+            pws(p) = if (w > A7xStart(p)) (w - A7xStart(p) + A7xStep(p) - 1) / A7xStep(p) else 0
+            phs(p) = if (h > A7yStart(p)) (h - A7yStart(p) + A7yStep(p) - 1) / A7yStep(p) else 0
+            if (pws(p) > 0 && phs(p) > 0) total += phs(p) * (1 + pws(p) * ch)
+            p += 1
+          }
+          val filt = new Array[Byte](total)
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(idat.toByteArray)
+          val fully = try {
+            var got = 0
+            var stalled = false
+            while (got < filt.length && !inf.finished() && !stalled) {
+              val k = inf.inflate(filt, got, filt.length - got)
+              if (k == 0) stalled = true else got += k
+            }
+            got == filt.length && (inf.finished() || inf.inflate(new Array[Byte](1)) == 0)
+          } catch { case _: java.util.zip.DataFormatException => false }
+          finally inf.end()
+          if (!fully) None
+          else {
+            val raw = new Array[Byte](h * w * ch)
+            var badFilter = false
+            var base = 0
+            p = 0
+            while (p < 7 && !badFilter) {
+              val pw = pws(p); val ph = phs(p)
+              if (pw > 0 && ph > 0) {
+                val rowBytes = pw * ch
+                // de-filter the pass into its own contiguous sub-image
+                val sub = new Array[Byte](ph * rowBytes)
+                var k = 0
+                while (k < ph && !badFilter) {
+                  val ft = filt(base + k * (1 + rowBytes)) & 0xFF
+                  if (ft > 4) badFilter = true
+                  else {
+                    var j = 0
+                    while (j < rowBytes) {
+                      val x = filt(base + k * (1 + rowBytes) + 1 + j) & 0xFF
+                      val a = if (j >= ch) sub(k * rowBytes + j - ch) & 0xFF else 0
+                      val bb = if (k > 0) sub((k - 1) * rowBytes + j) & 0xFF else 0
+                      val cc = if (k > 0 && j >= ch) sub((k - 1) * rowBytes + j - ch) & 0xFF else 0
+                      val pred = ft match {
+                        case 0 => 0
+                        case 1 => a
+                        case 2 => bb
+                        case 3 => (a + bb) / 2
+                        case _ => paeth(a, bb, cc)
+                      }
+                      sub(k * rowBytes + j) = ((x + pred) & 0xFF).toByte
+                      j += 1
+                    }
+                    k += 1
+                  }
+                }
+                // scatter the pass back to the full grid
+                if (!badFilter) {
+                  var kk = 0
+                  while (kk < ph) {
+                    val y = A7yStart(p) + kk * A7yStep(p)
+                    var i = 0
+                    while (i < pw) {
+                      val x = A7xStart(p) + i * A7xStep(p)
+                      var c = 0
+                      while (c < ch) {
+                        raw(y * w * ch + x * ch + c) = sub(kk * rowBytes + i * ch + c)
+                        c += 1
+                      }
+                      i += 1
+                    }
+                    kk += 1
+                  }
+                  base += ph * (1 + rowBytes)
+                }
+              }
+              p += 1
+            }
+            if (badFilter) None else Some((meta, raw))
+          }
+        }
+      }
+    }
+
+  /** [[inflatePngAdam7]] over a (doc_id, payload) frame through the
+    * batched seam — the [[decodePngPixels]] shape: emits dims and the
+    * md5 fingerprint of the DEINTERLACED raw bytes. Map-only at any
+    * scale; compressed payloads never shuffle. Throws on an
+    * undecodable payload — every [[pngInterlacedDocs]] blob is
+    * decodable by construction, so a miss is a decoder bug. */
+  def decodePngInterlaced(bin: DataFrame): Dataset[PngPixels] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (meta, raw) = inflatePngAdam7(id, bytes).getOrElse(throw new IllegalArgumentException(
+          s"doc $id: not a decodable 8-bit Adam7-interlaced PNG"))
+        val hexUpper = org.apache.commons.codec.binary.Hex.encodeHexString(raw).toUpperCase
+        PngPixels(id, meta.width, meta.height, meta.channels, meta.n_pixels,
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(hexUpper))
+      })
+  }
+
   /** Deterministic BMP corpus WITH PLANTED NEAR-DUPLICATES — the image
     * fixture for perceptual-hash dedup, the way the documents table's
     * generated text carries near-dup pairs for MinHash. Docs come in

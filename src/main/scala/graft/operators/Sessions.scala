@@ -190,6 +190,45 @@ object Sessions {
           .as("total_value"))
   }
 
+  /** MARKOV TRANSITION MATRIX over the event stream — the first-order
+    * behavioral model next to [[eventPaths]]' raw trigram counts:
+    * for each ordered pair of event types, how often does `src`
+    * transition to `dst` as CONSECUTIVE events of one user inside one
+    * session (the [[sessionize]] gap rule: silence ≤ gap continues),
+    * and what fraction of src's in-session transitions is that —
+    * P(dst | src) with exact integer counts, the navigation model a
+    * recommendation prefetcher or anomaly scorer consumes.
+    *
+    * Returns (src_type, dst_type, n_trans, prob) for every observed
+    * pair, prob = n_trans / Σ_dst n_trans rounded to 6 dp.
+    *
+    * Scale shape: ONE per-user window pass (lead over the
+    * [[sessionize]] partitioning — user-bounded state, millions of
+    * independent partitions), the session-gap filter prunes before
+    * any aggregate, and the transition key space is |event types|² —
+    * the groupBy partial-aggregates map-side into a frame small
+    * enough to read, whatever the corpus size; the per-src totals
+    * ride a window over that tiny aggregated frame, not the events. */
+  def eventTransitions(events: DataFrame,
+                       gapSec: Long = DefaultGapSec): DataFrame = {
+    val gapUs = gapSec * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val trans = events
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tus"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_tus", lead(col("tus"), 1).over(w))
+      .filter(col("next_type").isNotNull && col("next_tus") - col("tus") <= gapUs)
+      .groupBy(col("event_type").as("src_type"), col("next_type").as("dst_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val perSrc = Window.partitionBy(col("src_type"))
+    trans
+      .withColumn("prob",
+        round(col("n_trans").cast("double") / sum(col("n_trans")).over(perSrc)
+          + lit(1e-12), 6))
+      .select(col("src_type"), col("dst_type"), col("n_trans"), col("prob"))
+  }
+
   def madOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val e = events.select(col("event_type"),

@@ -256,4 +256,53 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(again == core)
   }
+
+  test("personalizedPageRank: sparse support, seed locality, gate parity") {
+    val ord = Tables.orders(spark, sf0001)
+    val li = Tables.lineitem(spark, sf0001)
+    val ppr = Graph.personalizedPageRank(ord, li).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(ppr.nonEmpty && ppr.values.forall(_ > 0))
+    // support is exactly the nodes within Iters hops of the seed set
+    // (every share > 0, so mass reaches precisely the reachable ball)
+    val shares = Graph.custSuppShares(ord, li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = shares.map(_._1).distinct.sorted
+    val seeds = nodes.take(10).toSet
+    val adj = shares.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    var ball = seeds
+    for (_ <- 0 until Graph.Iters)
+      ball = ball ++ ball.flatMap(n => adj.getOrElse(n, Set.empty[Long]))
+    assert(ppr.keySet == ball,
+      s"support ${ppr.keySet.size} != ${Graph.Iters}-hop ball ${ball.size}")
+    // seeds keep their teleport floor even with weak inbound mass
+    val seedFloor = (1.0 - Graph.Damping) / seeds.size
+    seeds.foreach(s => assert(ppr(s) >= seedFloor - 1e-9,
+      s"seed $s below teleport floor: ${ppr(s)}"))
+    // forcing the gate low (shuffle-join rounds) is bit-identical:
+    // exact-decimal contributions make the sum order-independent
+    val low = Graph.personalizedPageRank(ord, li, nodeBroadcastLimit = 0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(low == ppr)
+  }
+
+  test("personalizedPageRank: two-node graph hand recurrence") {
+    // single order, one customer (node 2), one supplier (node 3):
+    // shares are 1.0 both ways; with 1 seed (node 2, the smaller id)
+    // p0 = {2 -> 1.0}; each round pr(3) = 0.85*pr(2), pr(2) = 0.15 +
+    // 0.85*pr(3) (base only on the seed)
+    val ord = Seq((1L, 1L)).toDF("o_orderkey", "o_custkey")
+    val li = Seq((1L, 1L)).toDF("l_orderkey", "l_suppkey")
+    val out = Graph.personalizedPageRank(ord, li, nSeeds = 1).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    var p2 = 1.0; var p3 = 0.0
+    for (_ <- 0 until Graph.Iters) {
+      val n3 = 0.85 * p2
+      val n2 = 0.15 + 0.85 * p3
+      p2 = BigDecimal(n2).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      p3 = BigDecimal(n3).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(math.abs(out(2L) - p2) < 1e-8 && math.abs(out(3L) - p3) < 1e-8,
+      s"got $out expected (2 -> $p2, 3 -> $p3)")
+  }
 }

@@ -340,6 +340,50 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("inflatePngAdam7 deinterlaces to the construction arithmetic; ImageIO agrees") {
+    // ids cover all four color types; dims 1+id%21 x 1+id%13 exercise
+    // empty passes (sub-8x8) and multi-pass geometry
+    val ids = Seq(16L, 17L, 18L, 19L, 40L, 41L, 62L, 83L)
+    val payloads = Multimodal.pngInterlacedDocs(
+        ids.map((_, "x")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
+    assert(payloads.length == ids.length)
+    for ((id, bytes) <- payloads) {
+      assert(bytes(28) == 1, s"doc $id: interlace byte")
+      val (meta, raw) = Multimodal.inflatePngAdam7(id, bytes).get
+      val ch = meta.channels
+      val rowBytes = meta.width * ch
+      for (r <- 0 until meta.height; j <- 0 until rowBytes)
+        assert((raw(r * rowBytes + j) & 0xFF) == ((id + 31L * r + 7L * j) % 256).toInt,
+          s"doc $id raw($r,$j)")
+      // independent decoder: the JDK's PNG reader deinterlaces too
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth == meta.width && img.getHeight == meta.height)
+      val raster = img.getRaster
+      assert(raster.getNumBands == ch, s"doc $id bands")
+      for (y <- 0 until meta.height; x <- 0 until meta.width; c <- 0 until ch)
+        assert(raster.getSample(x, y, c) == (raw(y * rowBytes + x * ch + c) & 0xFF),
+          s"doc $id sample($x,$y,$c)")
+    }
+    // route separation: an interlaced payload is None to the
+    // non-interlaced decoder and vice versa
+    val (iid, ibytes) = payloads.head
+    assert(Multimodal.inflatePng(iid, ibytes).isEmpty)
+    val flat = Multimodal.pngPixelDocs(Seq((16L, "x")).toDF("doc_id", "text"))
+      .collect().head.getAs[Array[Byte]]("payload")
+    assert(Multimodal.inflatePngAdam7(16L, flat).isEmpty)
+  }
+
+  test("inflatePngAdam7 rejects corruption: bad CRC and truncated stream") {
+    val bytes = Multimodal.pngInterlacedDocs(Seq((23L, "x")).toDF("doc_id", "text"))
+      .collect().head.getAs[Array[Byte]]("payload")
+    assert(Multimodal.inflatePngAdam7(23L, bytes).isDefined)
+    val corrupt = bytes.clone(); corrupt(40) = (corrupt(40) ^ 0x01).toByte
+    assert(Multimodal.inflatePngAdam7(23L, corrupt).isEmpty, "CRC flip must reject")
+    assert(Multimodal.inflatePngAdam7(23L, bytes.dropRight(16)).isEmpty,
+      "truncation must reject")
+  }
+
   test("inflatePng rejects corruption: bad CRC, truncated IDAT, missing IEND, bogus filter") {
     val bytes = Multimodal.pngPixelDocs(Seq((21L, "x")).toDF("doc_id", "text"))
       .collect().head.getAs[Array[Byte]]("payload")

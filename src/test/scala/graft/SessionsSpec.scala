@@ -129,6 +129,34 @@ class SessionsSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("eventTransitions: in-session pairs only, per-src shares sum to 1") {
+    val gapUs = Sessions.DefaultGapSec * 1000000L
+    // user 7: view->click->view in one session, then a gap break, then
+    // view->purchase; user 8: click->click (one pair)
+    val out = Sessions.eventTransitions(ev(
+      (1L, 7L, 0L, 0.0, "view"),
+      (2L, 7L, 10L, 0.0, "click"),
+      (3L, 7L, 20L, 0.0, "view"),
+      (4L, 7L, 20L + gapUs + 1, 0.0, "view"), // gap+1us: pair 3->4 dropped
+      (5L, 7L, 21L + gapUs, 0.0, "purchase"),
+      (6L, 8L, 0L, 0.0, "click"),
+      (7L, 8L, 5L, 0.0, "click"))).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      ("view", "click") -> ((1L, 0.5)),
+      ("view", "purchase") -> ((1L, 0.5)),
+      ("click", "view") -> ((1L, 0.5)),
+      ("click", "click") -> ((1L, 0.5))))
+    // real data: per-src probabilities sum to 1 up to 6-dp rounding
+    val real = Sessions.eventTransitions(Tables.events(spark, sf0001)).collect()
+    val bySrc = real.groupBy(_.getString(0))
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (src, rs) =>
+      val s = rs.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < rs.length * 5e-7 + 1e-9, s"$src sums to $s")
+    }
+  }
+
   test("madOutliers: hand-computed median/MAD; the planted spike is the only outlier") {
     // values 1..9 plus a 1000 spike: median 5.5, deviations
     // {4.5,3.5,...,0.5,994.5} -> MAD = median of sorted devs

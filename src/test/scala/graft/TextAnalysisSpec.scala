@@ -187,6 +187,38 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     assert(scored.keySet == Set(0L, 1L) && scored(0L) > scored(1L))
   }
 
+  test("knLogProb: hand-computed Kneser-Ney model; continuation beats frequency") {
+    // corpus bigrams: "a b" x2, "b a" x1, "b c" x1
+    // ctx: a -> (cnt 2, follow 1), b -> (cnt 2, follow 2)
+    // prec: b <- 1 (only a), a <- 1 (only b), c <- 1 (only b); B = 3 types
+    val df = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val D = 0.75
+    def lp(c12: Double, ctx: Double, nf: Double, np: Double): BigDecimal =
+      BigDecimal(math.log(((c12 - D) / ctx) + (((D * nf) / ctx) * (np / 3.0))) + 1e-12)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r4(x: Double): Double =
+      BigDecimal(x + 1e-12).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ab = lp(2, 2, 1, 1) // "a b": (2-D)/2 + (D*1/2)*(1/3)
+    val ba = lp(1, 2, 2, 1) // "b a": (1-D)/2 + (D*2/2)*(1/3)
+    val bc = lp(1, 2, 2, 1) // "b c": same counts as "b a"
+    val exp = Map(
+      1L -> (3L, r4(((ab * 2 + ba) / 3).toDouble)),
+      2L -> (1L, r4(bc.toDouble)))
+    val out = TextAnalysis.knLogProb(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == exp)
+    // the KN signature: a frequent word seen in ONE context gets less
+    // unseen-mass weight than a rarer word seen in many. Probabilities
+    // stay positive and finite on real data; <2-word docs emit no row
+    val docs = Tables.documents(spark, sf0001).limit(200)
+    val scored = TextAnalysis.knLogProb(docs).collect()
+    assert(scored.nonEmpty)
+    scored.foreach { r =>
+      val v = r.getDouble(2)
+      assert(!v.isNaN && !v.isInfinite && v < 0, s"doc ${r.getLong(0)}: $v")
+    }
+  }
+
   test("winnow kernel: codegen and interpreted paths agree") {
     val docs = Tables.documents(spark, sf0001).limit(50)
     val fromCodegen = rows(TextAnalysis.winnowFingerprint(docs))
