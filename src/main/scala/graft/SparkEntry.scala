@@ -599,6 +599,10 @@ object SparkEntry {
     // trust-radius features) over the same co-purchase graph
     "q_bfs_depth" -> ((s, dir) =>
       graft.operators.Graph.bfsDepth(Tables.lineitem(s, dir))),
+    // weighted shortest paths: exactly-K-round Bellman-Ford from the
+    // same seed rule, deterministic 1+(u+v)%7 edge costs
+    "q_sssp" -> ((s, dir) =>
+      graft.operators.Graph.shortestPaths(Tables.lineitem(s, dir))),
     // hot-key-salted fact⋈dim join; the oracle is the PLAIN join —
     // salting must be invisible in the result
     "q_salted_join" -> ((s, dir) => {
@@ -3657,6 +3661,7 @@ object SparkEntry {
         |  SELECT s.nbr, w.depth + 1 FROM walk w
         |  JOIN sym s ON s.node = w.node WHERE w.depth < 8)
         |SELECT node, MIN(depth) AS depth FROM walk GROUP BY node""".stripMargin,
+    "q_sssp" -> ssspOracle,
     "q_salted_join" ->
       """SELECT s_name, COUNT(*) AS n_lines,
         |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
@@ -4659,6 +4664,39 @@ object SparkEntry {
     * sums), pr re-quantized to 9 dp per round. The teleport base is
     * COMPUTED as (1.0 − 0.85)/n in doubles on both engines — the
     * literal 0.15 is a different binary value. */
+  /** Exactly-K-round Bellman-Ford, unrolled one CTE block per round
+    * (the pagerankOracle discipline): d_{i+1}(v) = MIN over the
+    * standing table unioned with every frontier relaxation — the
+    * frontier restriction on the Spark side is exact (an unimproved
+    * node re-offers candidates the previous merge already beat), so
+    * full-relaxation blocks here replay the identical trajectory. */
+  private lazy val ssspOracle: String = {
+    import graft.operators.Graph.SsspRounds
+    // each block references its predecessor TWICE (standing table +
+    // relaxation join) — left to CTE inlining the plan doubles per
+    // round (2^12 lineitem scans: the exact stats-squaring failure
+    // the Spark loop checkpoints away), so every round and the edge
+    // frame pin MATERIALIZED
+    val iterCtes = (1 to SsspRounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+         |  SELECT node, dist FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT s.nbr, d.dist + s.w FROM d${i - 1} d JOIN sym s ON s.node = d.node)
+         |GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH po0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |po AS (SELECT o, p FROM po0 QUALIFY COUNT(*) OVER (PARTITION BY o) <= 1024),
+       |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+       |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+       |sym AS MATERIALIZED (SELECT u AS node, v AS nbr, 1 + (u + v) % 7 AS w FROM e
+       |        UNION ALL SELECT v, u, 1 + (u + v) % 7 FROM e),
+       |seeds AS (SELECT node FROM (SELECT DISTINCT node FROM sym)
+       |          ORDER BY node LIMIT 10),
+       |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+       |$iterCtes
+       |SELECT node, dist FROM d$SsspRounds""".stripMargin
+  }
+
   /** Personalized PageRank replayed sparsely: the teleport base rows
     * live only on the 10 seed nodes, each round UNION ALLs them under
     * the contribution sum (a seed with zero inbound keeps its mass),

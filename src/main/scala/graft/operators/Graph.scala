@@ -621,6 +621,144 @@ object Graph {
     visited
   }
 
+  /** Bellman-Ford relaxation rounds of [[shortestPaths]] — exactly
+    * this many synchronous sweeps define the operator's semantics
+    * (both engines replay the same count, so the output is pinned
+    * whether or not the graph has converged; at any `rounds` ≥ the
+    * weighted diameter in hops it IS the true shortest-path table). */
+  val SsspRounds = 12
+
+  /** WEIGHTED SINGLE-SOURCE-SET SHORTEST PATHS over the co-purchase
+    * graph — [[bfsDepth]]'s metric sibling (hop count → additive edge
+    * cost): dist(v) = the minimum total weight of any path from the
+    * seed set (the nSeeds smallest node ids) using at most
+    * [[SsspRounds]] edges. Edge weight is the deterministic
+    * 1 + (u + v) % 7 (positive integers, symmetric by construction),
+    * standing in for any per-edge cost column. Semantics are EXACTLY
+    * `rounds` synchronous Bellman-Ford relaxations — a pinned-round
+    * recurrence, so the DuckDB oracle unrolls the same blocks
+    * ([[pageRank]]'s discipline) and both engines agree even on a
+    * graph deeper than the round budget; unreached nodes emit no row.
+    *
+    * Scale shape: the classic frontier-optimized Bellman-Ford
+    * (synchronous rounds are exact with a frontier: a node whose
+    * distance did not improve re-relaxes to the same candidates it
+    * already produced, so only IMPROVED nodes re-emit — the
+    * delta-stepping insight with Δ = ∞). Each round is one join of
+    * the weighted symmetric edge frame against the frontier
+    * (gated-broadcast under [[BroadcastNodeLimit]]), a min-aggregate
+    * of candidates unioned with the standing table, and a changed-set
+    * anti-semi comparison — all node-bounded; per-round
+    * localCheckpoint with fresh leaf stats (the coreNumbers
+    * stats-squaring rule), early exit the round nothing improves
+    * (identical output: a fixpoint replays unchanged). Single-task
+    * CSR sweep under the [[PeelEdgeLimit]] gate, parity-pinned. */
+  def shortestPaths(lineitem: DataFrame, nSeeds: Int = 10,
+                    rounds: Int = SsspRounds, maxBasket: Int = 1024,
+                    nodeBroadcastLimit: Long = BroadcastNodeLimit,
+                    forceDistributed: Boolean = false): DataFrame = {
+    require(nSeeds >= 1, s"nSeeds must be >= 1, got $nSeeds")
+    require(rounds >= 0 && rounds <= 256,
+      s"rounds must be in [0, 256], got $rounds")
+    val spark = lineitem.sparkSession
+    val edges = coPurchaseEdges(lineitem, maxBasket)
+    if (edges.count() < PeelEdgeLimit && !forceDistributed)
+      return ssspSingleTask(edges, nSeeds, rounds)
+    val sym = edges
+      .select(col("u").as("node"), col("v").as("nbr"),
+        (lit(1L) + (col("u") + col("v")) % 7).as("w"))
+      .unionByName(edges.select(col("v").as("node"), col("u").as("nbr"),
+        (lit(1L) + (col("u") + col("v")) % 7).as("w")))
+      .localCheckpoint()
+    val nNodes = sym.select(col("node")).distinct().count()
+    def gated(df: DataFrame): DataFrame =
+      if (nNodes <= nodeBroadcastLimit) broadcast(df) else df
+    val seeds = sym.select(col("node")).distinct()
+      .orderBy(col("node")).limit(nSeeds)
+    var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = dist
+    var r = 0
+    var done = frontier.isEmpty
+    while (!done && r < rounds) {
+      r += 1
+      // candidates from the frontier only (exact: see scaladoc), then
+      // min-merge with the standing table
+      val cand = sym.join(gated(frontier.select(col("node"), col("dist"))), "node")
+        .select(col("nbr").as("node"), (col("dist") + col("w")).as("dist"))
+      val mergedCp = dist.unionByName(cand)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      val merged = spark.createDataFrame(mergedCp.rdd, mergedCp.schema)
+      // improved = rows whose dist strictly dropped (new nodes included)
+      val nextCp = merged.join(gated(dist.withColumnRenamed("dist", "old")),
+          Seq("node"), "left")
+        .filter(col("old").isNull || col("dist") < col("old"))
+        .select(col("node"), col("dist"))
+        .localCheckpoint()
+      val next = spark.createDataFrame(nextCp.rdd, nextCp.schema)
+      if (next.isEmpty) done = true
+      else { dist = merged; frontier = next }
+    }
+    dist
+  }
+
+  /** The relaxation sweep of [[shortestPaths]] in ONE task over a
+    * CSR adjacency: at most `rounds` synchronous Bellman-Ford passes
+    * with early exit on a fixpoint — identical distances to the
+    * distributed loop. */
+  private def ssspSingleTask(edges: DataFrame, nSeeds: Int, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    edges.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)](inEnc)
+      .coalesce(1)
+      .mapPartitions { it =>
+        val us = new scala.collection.mutable.ArrayBuffer[Long]()
+        val vs = new scala.collection.mutable.ArrayBuffer[Long]()
+        it.foreach { case (a, b) => us += a; vs += b }
+        val m = us.length
+        val idx = new scala.collection.mutable.LongMap[Int]()
+        val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+        def indexOf(id: Long): Int = idx.getOrElseUpdate(id, { ids += id; ids.length - 1 })
+        val eu = new Array[Int](m); val ev = new Array[Int](m)
+        val ew = new Array[Long](m)
+        var i = 0
+        while (i < m) {
+          eu(i) = indexOf(us(i)); ev(i) = indexOf(vs(i))
+          ew(i) = 1L + (us(i) + vs(i)) % 7
+          i += 1
+        }
+        val n = ids.length
+        val dist = Array.fill(n)(Long.MaxValue)
+        val order = (0 until n).sortBy(ids)
+        order.take(nSeeds).foreach(dist(_) = 0L)
+        var r = 0
+        var changed = true
+        while (r < rounds && changed) {
+          changed = false
+          // synchronous sweep: relax against the PREVIOUS round's
+          // distances (a copy), matching the distributed recurrence
+          val prev = dist.clone()
+          i = 0
+          while (i < m) {
+            val du = prev(eu(i)); val dv = prev(ev(i))
+            if (du != Long.MaxValue && du + ew(i) < dist(ev(i))) {
+              dist(ev(i)) = du + ew(i); changed = true
+            }
+            if (dv != Long.MaxValue && dv + ew(i) < dist(eu(i))) {
+              dist(eu(i)) = dv + ew(i); changed = true
+            }
+            i += 1
+          }
+          r += 1
+        }
+        (0 until n).iterator.filter(dist(_) != Long.MaxValue)
+          .map(j => (ids(j), dist(j)))
+      }(outEnc)
+      .toDF("node", "dist")
+  }
+
   /** The frontier walk of [[bfsDepth]] in ONE task over a CSR
     * adjacency: seeds = the nSeeds smallest node ids, classic queue
     * BFS bounded by maxDepth. Pure integer arithmetic, identical

@@ -257,6 +257,42 @@ class GraphSpec extends SparkSpec {
     assert(again == core)
   }
 
+  test("shortestPaths: hand graph distances, weighted < hop metric, route parity") {
+    // chain of 2-item orders: parts 1-2-3-4-5; weights 1+(u+v)%7:
+    // (1,2)->4, (2,3)->6, (3,4)->1, (4,5)->3. Seed (nSeeds=1) = node 1
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 3L), (3L, 4L),
+      (4L, 4L), (4L, 5L)).toDF("l_orderkey", "l_partkey")
+    val out = Graph.shortestPaths(li, nSeeds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 0L, 2L -> 4L, 3L -> 10L, 4L -> 11L, 5L -> 14L))
+    // rounds budget cuts the walk: 2 rounds reach only 2 hops
+    val cut = Graph.shortestPaths(li, nSeeds = 1, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cut == Map(1L -> 0L, 2L -> 4L, 3L -> 10L))
+    // real data: weighted distances bracket the BFS hop metric
+    val sf = Tables.lineitem(spark, sf0001)
+    val dist = Graph.shortestPaths(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hops = Graph.bfsDepth(sf, maxDepth = Graph.SsspRounds).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // weights are in [1, 7]: hop count lower-bounds weighted distance,
+    // 7x hop count upper-bounds it; the reachable sets agree
+    assert(dist.keySet == hops.keySet)
+    dist.foreach { case (n, d) =>
+      assert(d >= hops(n) && d <= 7 * hops(n),
+        s"node $n dist $d vs hops ${hops(n)}")
+    }
+    // three routes agree: single-task (default), distributed broadcast,
+    // distributed shuffle (gate forced low)
+    val distLoop = Graph.shortestPaths(sf, forceDistributed = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(distLoop == dist)
+    val distLow = Graph.shortestPaths(sf, forceDistributed = true,
+      nodeBroadcastLimit = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(distLow == dist)
+  }
+
   test("personalizedPageRank: sparse support, seed locality, gate parity") {
     val ord = Tables.orders(spark, sf0001)
     val li = Tables.lineitem(spark, sf0001)
