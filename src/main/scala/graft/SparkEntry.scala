@@ -275,6 +275,9 @@ object SparkEntry {
       graft.functions.TextAnalysis.rakeKeyphrases(Tables.documents(s, dir))),
     // ---- training-data pipeline: similarity search over embeddings ----
     "a_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
+    // radius retrieval: every neighbor with cos >= 0.35 of the query
+    // set — a shuffle-free corpus scan (the recall-guaranteed mode)
+    "a_range_search" -> ((s, dir) => Similarity.rangeSearch(Tables.embeddings(s, dir))),
     // metadata-filtered vector search: label predicate pre-filters the
     // candidate set (pushed to the scan) before any distance math
     "a_filtered_topk" -> ((s, dir) => Similarity.filteredTopK(Tables.embeddings(s, dir))),
@@ -2096,6 +2099,15 @@ object SparkEntry {
         |SELECT query_id, vec_id, cos, rk FROM (
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rk
         |  FROM s) WHERE rk <= 5""".stripMargin,
+    // radius retrieval: the top-k oracle without the rank cut — every
+    // pair at cos >= 0.35 qualifies, however many per query
+    "a_range_search" ->
+      s"""WITH $normCte,
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10)
+        |SELECT q.query_id, n.vec_id,
+        |       ROUND(list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm) + 1e-12, 6) AS cos
+        |FROM n JOIN q ON n.vec_id <> q.query_id
+        |WHERE ROUND(list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm) + 1e-12, 6) >= 0.35""".stripMargin,
     // filtered search: the label predicate restricts CANDIDATES before
     // ranking (queries stay unfiltered), so k fills from qualifying
     // vectors — the pre-filter semantics the Spark side plan-locks

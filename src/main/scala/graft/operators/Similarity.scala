@@ -72,6 +72,30 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** RANGE SEARCH — the RADIUS retrieval mode next to [[cosineTopK]]'s
+    * k-bounded one: every corpus vector within cosine ≥ `radius` of a
+    * query, however many there are (the dedup/recall-guarantee shape:
+    * "give me EVERYTHING this close", where a top-k cut would silently
+    * drop qualifying neighbors past k — the two modes answer different
+    * questions and production vector stores expose both).
+    *
+    * Scale shape: the strongest in the family — queries broadcast,
+    * and the corpus side is a PURE SCAN: dot product + filter per
+    * row, no window, no aggregate, NO SHUFFLE AT ALL (cosineTopK
+    * still pays one k-row exchange for its rank); output size is the
+    * true neighbor count, the operator's irreducible floor. */
+  def rangeSearch(embeddings: DataFrame, numQueries: Int = 10,
+                  radius: Double = 0.35): DataFrame = {
+    require(radius >= -1 && radius <= 1, s"radius must be in [-1, 1], got $radius")
+    val e = normalized(embeddings)
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosRounded(dot(col("v"), col("qv")), col("nrm") * col("qnrm")).as("cos"))
+      .filter(col("cos") >= radius)
+  }
+
   /** METADATA-FILTERED cosine top-k — "vector search with a filter",
     * the retrieval shape every production vector store treats as
     * first-class (restrict candidates by language / license / source

@@ -59,6 +59,30 @@ class AnnSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("rangeSearch: exactly the neighbors inside the radius, no k cut") {
+    val df = vecs(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(2f, 0f, 0f, 0f)),   // cos 1.0
+      (2L, Seq(1f, 1f, 0f, 0f)),   // cos ~0.7071
+      (3L, Seq(1f, 2f, 0f, 0f)),   // cos ~0.4472
+      (4L, Seq(0f, 3f, 0f, 0f)))   // cos 0.0
+    val out = Similarity.rangeSearch(df, numQueries = 1, radius = 0.7).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // both qualifying neighbors survive — a k=1 cut would drop one
+    assert(out.toSeq == Seq((1L, 1.0), (2L, 0.707107)))
+    // completeness vs the exact pair scan on real embeddings: range
+    // search from query q returns exactly cosinePairs' q-incident
+    // pairs at the same threshold (plus cos computed identically)
+    val emb = Tables.embeddings(spark, sf0001)
+    val rs = Similarity.rangeSearch(emb, numQueries = 5, radius = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Similarity.cosinePairs(emb, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+      .filter(_._1 < 5).toSet
+    assert(rs.nonEmpty && rs == brute, s"range ${rs.size} vs brute ${brute.size}")
+  }
+
   test("cosinePairs finds exactly the pairs above threshold") {
     val df = vecs(
       (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.01f)), // cos ~0.99995
