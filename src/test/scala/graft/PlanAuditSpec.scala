@@ -937,4 +937,62 @@ class PlanAuditSpec extends SparkSpec {
     assert(docEx == 0, s"document text crosses an exchange:\n$p")
     assert(!p.contains("Exchange rangepartitioning"), s"corpus-wide sort:\n$p")
   }
+
+  test("rangeSearch: queries broadcast; the corpus side has NO exchange at all") {
+    val p = plan(Similarity.rangeSearch(Tables.embeddings(spark, dir)))
+    assert(p.contains("BroadcastExchange"), s"query set not broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"radius retrieval must be a pure scan — an exchange crept in:\n$p")
+    assert(!p.contains("Window"), s"no rank window belongs here:\n$p")
+  }
+
+  test("personalizedPageRank: per-round vector joins broadcast under the gate") {
+    val p = plan(Graph.personalizedPageRank(
+      Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
+    // the share frame is checkpointed; each visible round joins the
+    // sparse vector via broadcast (gate holds at fixture size) and
+    // partial-aggregates the decimal contributions
+    assert(p.contains("BroadcastExchange"), s"vector join not broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"contributions not partial-aggregated:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("shortestPaths distributed: every round materializes (checkpointed scan)") {
+    // the loop checkpoints each min-merge with fresh leaf stats (the
+    // coreNumbers stats-squaring rule), so the RETURNED frame must be
+    // a bare materialized scan — any live join/aggregate lineage here
+    // means a round escaped its checkpoint and later rounds would
+    // recompute (and re-estimate) the whole chain
+    val p = plan(Graph.shortestPaths(Tables.lineitem(spark, dir),
+      forceDistributed = true, rounds = 1))
+    assert(p.contains("Scan ExistingRDD"), s"rounds not checkpointed:\n$p")
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"live lineage escaped the per-round checkpoint:\n$p")
+  }
+
+  test("eventTransitions: one user exchange; the share window runs on the type² frame") {
+    val p = plan(Sessions.eventTransitions(Tables.events(spark, dir)))
+    // exactly one exchange keyed by user_id feeds the lead window; the
+    // per-src probability window partitions by src_type over the
+    // aggregated (tiny) frame — never the event stream
+    assert(p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id")),
+      s"no user-keyed exchange for the lead window:\n$p")
+    assert(p.contains("partial_count"), s"transition counts not partial-aggregated:\n$p")
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach(l =>
+      assert(l.contains("user_id") || l.contains("src_type"),
+        s"unexpected window partitioning:\n$l"))
+  }
+
+  test("knLogProb: hash-keyed model joins; no corpus-wide sort") {
+    val p = plan(graft.functions.TextAnalysis.knLogProb(Tables.documents(spark, dir)))
+    assert(!p.contains("Exchange rangepartitioning"), s"corpus-wide sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"model counts not partial-aggregated:\n$p")
+    // B (the bigram-type total) is a one-row broadcast
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the scalar type total must broadcast:\n$p")
+  }
 }
