@@ -418,6 +418,9 @@ object SparkEntry {
     // with in-bin offsets (what the dataloader actually consumes)
     "c_pack_manifest" -> ((s, dir) => Corpus.packManifest(Tables.documents(s, dir))),
     "c_source_profile" -> ((s, dir) => Corpus.sourceProfile(Tables.documents(s, dir))),
+    // data-constrained epoch schedule: uniform repeat multiplier under
+    // a token budget and a per-corpus epoch cap
+    "c_epoch_schedule" -> ((s, dir) => Corpus.epochSchedule(Tables.documents(s, dir))),
     "c_source_mix" -> ((s, dir) => Corpus.sourceMix(Tables.documents(s, dir))),
     // upsampling mixture: scarce sources get fractional extra epochs
     // (largest source anchors at 1) — realized mass ∝ count^alpha
@@ -2936,6 +2939,24 @@ object SparkEntry {
         |             / COUNT(*) + 1e-12, 6) AS exact_dup_rate,
         |       ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*) + 1e-12, 4) AS mean_quality
         |FROM q""".stripMargin,
+    // epoch schedule: the uniform multiplier quantizes to DECIMAL(18,4)
+    // BEFORE the per-source token product, so the floor is exact
+    // decimal arithmetic on both engines
+    "c_epoch_schedule" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+        |                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS unique_tokens
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(unique_tokens) AS BIGINT) AS u FROM s),
+        |e AS (SELECT s.*, t.u,
+        |             CAST(ROUND(LEAST(CAST(4.0 AS DOUBLE),
+        |                              CAST(60000 AS DOUBLE) / CAST(t.u AS DOUBLE))
+        |                        + 1e-12, 4) AS DECIMAL(18,4)) AS eq
+        |      FROM s, t)
+        |SELECT source, n_docs, unique_tokens,
+        |       CAST(eq AS DOUBLE) AS epochs,
+        |       CAST(FLOOR(CAST(unique_tokens AS DECIMAL(18,0)) * eq) AS BIGINT) AS train_tokens,
+        |       (CAST(60000 AS DOUBLE) / CAST(u AS DOUBLE) > CAST(4.0 AS DOUBLE)) AS capped
+        |FROM e""".stripMargin,
     "c_source_profile" ->
       """WITH q AS (
         |  SELECT source, lang, n_chars,

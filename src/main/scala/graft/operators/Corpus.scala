@@ -302,6 +302,46 @@ object Corpus {
     * Thresholds quantize to 1/10000 with a 1e-9 nudge before floor, so
     * a last-ulp pow() difference cannot move a source across an
     * integer threshold boundary. */
+  /** DATA-CONSTRAINED EPOCH SCHEDULE — the repeated-epochs planning
+    * table of the data-constrained scaling literature (Muennighoff et
+    * al. 2023's "repeat up to ~4 epochs at negligible loss penalty",
+    * public result): given a total training token budget and a repeat
+    * cap, every source trains for the same UNIFORM epoch multiplier
+    * e = min(maxEpochs, budget / Σ unique_tokens) — under-budget runs
+    * see a partial epoch (e < 1), data-constrained runs repeat the
+    * corpus up to the cap, and `capped` records when the cap (not the
+    * budget) is binding, i.e. budget the corpus cannot absorb.
+    *
+    * Returns per source: (source, n_docs, unique_tokens, epochs,
+    * train_tokens, capped) — train_tokens = ⌊unique_tokens · e⌋ with
+    * e quantized to 4 dp FIRST, so the product is exact decimal
+    * arithmetic and both engines land the same integer.
+    *
+    * Scale shape: one partial-aggregated groupBy on the
+    * |sources|-bounded key, the corpus total as a one-row broadcast —
+    * nothing corpus-sized past the first aggregate. */
+  def epochSchedule(documents: DataFrame, budgetTokens: Long = 60000L,
+                    maxEpochs: Double = 4.0): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val perSrc = documents.select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("unique_tokens"))
+    val tot = perSrc.agg(sum(col("unique_tokens")).as("u"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("eq",
+        round(least(lit(maxEpochs),
+          lit(budgetTokens.toDouble) / col("u").cast("double")) + lit(1e-12), 4)
+          .cast("decimal(18,4)"))
+      .select(col("source"), col("n_docs"), col("unique_tokens"),
+        col("eq").cast("double").as("epochs"),
+        floor(col("unique_tokens").cast("decimal(18,0)") * col("eq"))
+          .cast("long").as("train_tokens"),
+        (lit(budgetTokens.toDouble) / col("u").cast("double") > lit(maxEpochs))
+          .as("capped"))
+  }
+
   def sourceMix(documents: DataFrame, alpha: Double = 0.5,
                 idCol: String = "doc_id"): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")

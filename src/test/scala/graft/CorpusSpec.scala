@@ -118,6 +118,36 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq == Seq((5L, 1L, true)))
   }
 
+  test("epochSchedule: budget, cap and partial-epoch branches; exact token math") {
+    // two sources, 10 + 30 tokens
+    val df = Seq((1L, "s1", "a b c d e f g h i j"),
+      (2L, "s2", ("x " * 29).trim + " y")).toDF("doc_id", "source", "text")
+    def run(b: Long, cap: Double) =
+      Corpus.epochSchedule(df, budgetTokens = b, maxEpochs = cap).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getBoolean(5)))).toMap
+    // budget 80 over 40 unique tokens: 2 epochs, uncapped
+    val mid = run(80L, 4.0)
+    assert(mid("s1") == ((1L, 10L, 2.0, 20L, false)))
+    assert(mid("s2") == ((1L, 30L, 2.0, 60L, false)))
+    // budget 400: the 4-epoch cap binds
+    val big = run(400L, 4.0)
+    assert(big("s1") == ((1L, 10L, 4.0, 40L, true)))
+    assert(big("s2") == ((1L, 30L, 4.0, 120L, true)))
+    // budget 30 < corpus: partial epoch 0.75, floor is exact
+    val small = run(30L, 4.0)
+    assert(small("s1") == ((1L, 10L, 0.75, 7L, false)))
+    assert(small("s2") == ((1L, 30L, 0.75, 22L, false)))
+    // real corpus: train_tokens never exceeds epochs x unique + 1
+    val real = Corpus.epochSchedule(Tables.documents(spark, sf0001)).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val (u, e, t) = (r.getLong(2), r.getDouble(3), r.getLong(4))
+      assert(t <= (u * e + 1).toLong && t >= (u * e - 1).toLong,
+        s"${r.getString(0)}: $t vs $u x $e")
+    }
+  }
+
   test("keepSet equals the composition of the public operators on the corpus") {
     import graft.functions.TextAnalysis
     import graft.operators.Dedup
