@@ -719,6 +719,11 @@ object SparkEntry {
     // fingerprint arithmetically from doc_id
     "m_decode_gif" -> ((s, dir) =>
       Multimodal.decodeGif(Multimodal.gifDocs(Tables.documents(s, dir))).toDF()),
+    // ANIMATED GIF: full block-stream walk — every frame's LZW stream
+    // decoded, paired with its Graphics Control Extension delay; the
+    // oracle recomputes each frame's index stream arithmetically
+    "m_gif_frames" -> ((s, dir) =>
+      Multimodal.decodeGifFrames(Multimodal.gifAnimDocs(Tables.documents(s, dir))).toDF()),
     // REAL audio decode + DSP: RIFF/WAV header parsing and sample-level
     // statistics from the actual little-endian PCM bytes
     "m_audio_features" -> ((s, dir) =>
@@ -2345,6 +2350,26 @@ object SparkEntry {
         |         [lpad(hex((doc_id + k) % 256), 2, '0')
         |          for k in generate_series(0, w * h - 1)], '')) AS pixels_md5
         |FROM g""".stripMargin,
+    // animated GIF: one row per (doc, frame) — frame f of doc d is
+    // 1+d%5 frames of (2+d%9)x(1+d%7) pixels carrying (d+11f+k)%256,
+    // GCE delay (f+1)*10 cs; the Spark side must walk every block and
+    // LZW-decode every frame to reproduce the per-frame hashes
+    "m_gif_frames" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CAST(2 + doc_id % 9 AS INT) AS w,
+        |         CAST(1 + doc_id % 7 AS INT) AS h,
+        |         CAST(1 + doc_id % 5 AS INT) AS nf
+        |  FROM documents),
+        |f AS (SELECT doc_id, w, h, CAST(u.f AS INT) AS frame_idx
+        |      FROM g, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) u)
+        |SELECT doc_id, frame_idx, w AS width, h AS height,
+        |       CAST((frame_idx + 1) * 10 AS INT) AS delay_cs,
+        |       CAST(w * h AS BIGINT) AS n_pixels,
+        |       md5(array_to_string(
+        |         [lpad(hex((doc_id + 11 * frame_idx + k) % 256), 2, '0')
+        |          for k in generate_series(0, w * h - 1)], '')) AS px_md5
+        |FROM f""".stripMargin,
     // real-BMP resampling: the oracle computes each resized byte
     // ARITHMETICALLY — pixel byte at array position p carries
     // (doc_id + p) % 256 by construction, so the expected stream is

@@ -2823,6 +2823,159 @@ object Multimodal {
           s"doc $id: not a decodable non-interlaced GIF")) })
   }
 
+  // ---- ANIMATED GIF: multi-frame walks + per-frame timing (GIF89a) ----
+
+  /** Deterministic ANIMATED-GIF corpus — GIF89a with 1 + id % 5
+    * frames, each frame preceded by a real Graphics Control Extension
+    * (disposal 1, delay (f+1)·10 cs) and carrying its own
+    * LZW-compressed index stream (the gifDocs clear-interleaved
+    * 9-bit scheme, here emitted by a general JVM bit-writer so dims
+    * need no mod-4 alignment). Frame f's pixel k carries
+    * (doc_id + 11·f + k) % 256 — varying across BOTH frame and
+    * position, so a walker that misses a frame boundary, reuses a
+    * frame, or mis-parses a GCE delay can never match the oracle.
+    * Built in the batched mapPartitions seam ([[pngPixelDocs]]'
+    * justification: sub-block framing is not SQL-replayable, and the
+    * oracle never needs the container — it recomputes the DECODED
+    * index stream arithmetically). */
+  def gifAnimDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (2 + id % 9).toInt; val h = (1 + id % 7).toInt
+        val nf = (1 + id % 5).toInt
+        val out = new java.io.ByteArrayOutputStream()
+        def le16(x: Int): Unit = { out.write(x & 0xFF); out.write((x >> 8) & 0xFF) }
+        out.write("GIF89a".getBytes("US-ASCII"))
+        le16(w); le16(h)
+        out.write(0xF7) // global table, 8-bit color resolution, 256 entries
+        out.write(0); out.write(0)
+        var i = 0
+        while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+        var f = 0
+        while (f < nf) {
+          // Graphics Control Extension: disposal 1, (f+1)*10 cs delay
+          out.write(0x21); out.write(0xF9); out.write(4)
+          out.write(0x04); le16((f + 1) * 10); out.write(0); out.write(0)
+          // image descriptor at the origin, no local table, sequential
+          out.write(0x2C); le16(0); le16(0); le16(w); le16(h); out.write(0)
+          out.write(8) // LZW minimum code size
+          // clear-interleaved 9-bit stream: [clear p0 clear p1 ... eoi]
+          val bits = new java.io.ByteArrayOutputStream()
+          var acc = 0L; var nAcc = 0
+          def emit(code: Int): Unit = {
+            acc |= (code.toLong & 0x1FF) << nAcc; nAcc += 9
+            while (nAcc >= 8) { bits.write((acc & 0xFF).toInt); acc >>= 8; nAcc -= 8 }
+          }
+          var k = 0
+          while (k < w * h) {
+            emit(256) // clear: code width stays 9, dictionary never grows
+            emit(((id + 11L * f + k) % 256).toInt)
+            k += 1
+          }
+          emit(257) // end of information
+          if (nAcc > 0) bits.write((acc & 0xFF).toInt)
+          // sub-block framing: <=255-byte chunks, zero terminator
+          val raw = bits.toByteArray
+          var off = 0
+          while (off < raw.length) {
+            val n = math.min(255, raw.length - off)
+            out.write(n); out.write(raw, off, n); off += n
+          }
+          out.write(0)
+          f += 1
+        }
+        out.write(0x3B) // trailer
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  case class GifFrame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
+                      delay_cs: Int, n_pixels: Long, px_md5: String)
+
+  /** [[parseGif]] extended across the WHOLE block stream: walks every
+    * extension and image descriptor to the trailer, pairing each
+    * frame with the delay its preceding Graphics Control Extension
+    * declared (0 when absent, per spec), LZW-decoding every frame's
+    * index stream through the general [[lzwDecode]] path. Returns one
+    * row per frame. None for malformed containers, interlaced frames,
+    * or a frame whose stream does not decode to exactly w·h pixels. */
+  private[graft] def parseGifFrames(id: Long, b: Array[Byte]): Option[Seq[GifFrame]] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (b.length < 14) return None
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val flags = u8(10)
+    var p = 13 + (if ((flags & 0x80) != 0) 3 * (1 << ((flags & 7) + 1)) else 0)
+    val frames = Seq.newBuilder[GifFrame]
+    var idx = 0
+    var delay = 0 // the pending GCE delay for the NEXT image, 0 if none
+    var sawTrailer = false
+    while (!sawTrailer) {
+      if (p >= b.length) return None // ran out before the trailer
+      u8(p) match {
+        case 0x3B => sawTrailer = true
+        case 0x21 => // extension: capture GCE delay, skip the rest
+          if (p + 2 > b.length) return None
+          val label = u8(p + 1)
+          p += 2
+          if (label == 0xF9) {
+            if (p + 1 + u8(p) > b.length || u8(p) < 4) return None
+            delay = le16(p + 2)
+          }
+          while (p < b.length && u8(p) != 0) p += 1 + u8(p)
+          if (p >= b.length) return None
+          p += 1
+        case 0x2C => // image descriptor
+          if (p + 10 > b.length) return None
+          val iw = le16(p + 5); val ih = le16(p + 7)
+          val iflags = u8(p + 9)
+          if ((iflags & 0x40) != 0) return None // interlaced: not modeled
+          if (iw <= 0 || ih <= 0) return None
+          p += 10 + (if ((iflags & 0x80) != 0) 3 * (1 << ((iflags & 7) + 1)) else 0)
+          if (p >= b.length) return None
+          val minCodeSize = u8(p); p += 1
+          val data = new java.io.ByteArrayOutputStream()
+          while (p < b.length && u8(p) != 0) {
+            val n = u8(p); p += 1
+            if (p + n > b.length) return None
+            data.write(b, p, n); p += n
+          }
+          if (p >= b.length) return None
+          p += 1 // sub-block terminator
+          val px = lzwDecode(minCodeSize, data.toByteArray, iw * ih)
+            .getOrElse(return None)
+          if (px.length != iw * ih) return None
+          val hexUpper = org.apache.commons.codec.binary.Hex.encodeHexString(px).toUpperCase
+          frames += GifFrame(id, idx, iw, ih, delay, iw.toLong * ih,
+            org.apache.commons.codec.digest.DigestUtils.md5Hex(hexUpper))
+          idx += 1; delay = 0
+        case _ => return None // unknown block introducer
+      }
+    }
+    val fs = frames.result()
+    if (fs.isEmpty) None else Some(fs)
+  }
+
+  /** [[parseGifFrames]] over a (doc_id, payload) frame through the
+    * batched seam — one output row PER FRAME (the animation's timing
+    * and content table). Map-only at any scale: payloads never
+    * shuffle, frames exist only inside the task. Throws on an
+    * undecodable payload — every [[gifAnimDocs]] blob decodes by
+    * construction. */
+  def decodeGifFrames(bin: DataFrame): Dataset[GifFrame] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseGifFrames(id, bytes).getOrElse(throw new IllegalArgumentException(
+          s"doc $id: not a decodable animated GIF"))
+      })
+  }
+
   // ---------------------------------------------------------------
   // VIDEO: real RIFF/AVI container walking + frame sampling — the
   // video member of the multimodal family. AVI is byte-specified

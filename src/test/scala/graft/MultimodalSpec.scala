@@ -374,6 +374,48 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.inflatePngAdam7(16L, flat).isEmpty)
   }
 
+  test("parseGifFrames: every frame decodes to its arithmetic stream; ImageIO agrees") {
+    // ids cover 1..5 frames and varied dims
+    val ids = Seq(10L, 11L, 12L, 13L, 14L)
+    val payloads = Multimodal.gifAnimDocs(ids.map((_, "x")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
+    for ((id, bytes) <- payloads) {
+      val frames = Multimodal.parseGifFrames(id, bytes).get
+      assert(frames.length == (1 + id % 5).toInt, s"doc $id frame count")
+      frames.foreach { fr =>
+        assert(fr.width == (2 + id % 9).toInt && fr.height == (1 + id % 7).toInt)
+        assert(fr.delay_cs == (fr.frame_idx + 1) * 10, s"doc $id delay")
+      }
+      // the JDK's own GIF reader sees the same frame count and, with
+      // the greyscale identity palette, the same sample values
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      reader.setInput(iis)
+      assert(reader.getNumImages(true) == frames.length, s"doc $id ImageIO count")
+      for (f <- frames.indices) {
+        val img = reader.read(f)
+        val w = img.getWidth; val h = img.getHeight
+        assert(w == frames(f).width && h == frames(f).height)
+        for (y <- 0 until h; x <- 0 until w) {
+          val expected = ((id + 11L * f + (y.toLong * w + x)) % 256).toInt
+          // palette index i maps to grey (i,i,i): read the blue channel
+          assert((img.getRGB(x, y) & 0xFF) == expected,
+            s"doc $id frame $f sample($x,$y)")
+        }
+      }
+      reader.dispose(); iis.close()
+    }
+    // corruption: truncation and a bad introducer reject
+    val (cid, cbytes) = payloads.head
+    assert(Multimodal.parseGifFrames(cid, cbytes.dropRight(2)).isEmpty)
+    val bad = cbytes.clone()
+    // first byte after the 768-byte global table (offset 13+768) is a
+    // block introducer; 0x7F is not a valid one
+    bad(13 + 768) = 0x7F.toByte
+    assert(Multimodal.parseGifFrames(cid, bad).isEmpty)
+  }
+
   test("inflatePngAdam7 rejects corruption: bad CRC and truncated stream") {
     val bytes = Multimodal.pngInterlacedDocs(Seq((23L, "x")).toDF("doc_id", "text"))
       .collect().head.getAs[Array[Byte]]("payload")
