@@ -465,6 +465,9 @@ object SparkEntry {
     // first-order Markov model: in-session consecutive-pair counts and
     // P(dst | src) over the |event types|^2 transition space
     "q_event_transitions" -> ((s, dir) => Sessions.eventTransitions(ev(s, dir))),
+    // sweep-line load profile: per-day peak concurrent sessions via the
+    // two-level prefix scan (day carry + day-bounded running level)
+    "q_peak_concurrency" -> ((s, dir) => Sessions.peakConcurrency(ev(s, dir))),
     // batch interval self-join via the 3-adjacent-time-bucket equi-join
     // (the theta-join a nested loop would otherwise plan)
     "q_interval_pairs" -> ((s, dir) => Sessions.intervalPairs(ev(s, dir))),
@@ -3360,6 +3363,32 @@ object SparkEntry {
         |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) + 1e-12, 4)
         |         AS avg_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // sweep line: session [start, end] inclusive -> +1/-1 boundaries,
+    // closes before opens at a tied instant (ORDER BY t, d), peak =
+    // carry-in + max(0, running level) — one global ORDER BY here
+    // replays the Spark side's two-level scan exactly
+    "q_peak_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus FROM events),
+        |b AS (SELECT *, CASE WHEN LAG(tus) OVER w IS NULL
+        |                       OR tus - LAG(tus) OVER w > 14400000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |sx AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS sid FROM b),
+        |sess AS (SELECT user_id, sid, MIN(tus) AS s, MAX(tus) AS e2
+        |         FROM sx GROUP BY user_id, sid),
+        |d AS (SELECT s AS t, CAST(1 AS BIGINT) AS d FROM sess
+        |      UNION ALL SELECT e2 + 1, CAST(-1 AS BIGINT) FROM sess),
+        |dd AS (SELECT t, d, CAST(FLOOR(t / 86400000000) AS BIGINT) AS day FROM d),
+        |pd AS (SELECT day, SUM(d) AS net FROM dd GROUP BY day),
+        |c AS (SELECT day, COALESCE(SUM(net) OVER (ORDER BY day
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_level
+        |      FROM pd),
+        |r AS (SELECT day, SUM(d) OVER (PARTITION BY day ORDER BY t, d
+        |                    ROWS UNBOUNDED PRECEDING) AS lvl FROM dd),
+        |m AS (SELECT day, GREATEST(MAX(lvl), 0) AS mx FROM r GROUP BY day)
+        |SELECT m.day AS epoch_day, CAST(c.start_level AS BIGINT) AS start_level,
+        |       CAST(c.start_level + m.mx AS BIGINT) AS peak_concurrency
+        |FROM m JOIN c ON m.day = c.day""".stripMargin,
     // streaming zone paths: the per-car sequence state emits exactly
     // the batch lag-window 3-grams (state carries the window across
     // chunk boundaries; -1 sentinels skipped = the oracle's pre-window

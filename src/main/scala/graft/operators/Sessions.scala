@@ -229,6 +229,50 @@ object Sessions {
       .select(col("src_type"), col("dst_type"), col("n_trans"), col("prob"))
   }
 
+  /** PEAK CONCURRENT SESSIONS per day — the load-profile sweep line
+    * over [[sessionize]]'s intervals (capacity planning's first
+    * question: how many users were on at once): each session
+    * contributes +1 at its start and −1 one microsecond after its
+    * end (inclusive span), and the day's peak is the maximum of the
+    * running level. Returns (epoch_day, start_level, peak_concurrency)
+    * for every day with ≥ 1 boundary — `start_level` the level carried
+    * in by sessions still open from previous days (itself a valid
+    * peak when a day only closes sessions).
+    *
+    * Scale shape: the corpus-wide running sum is the packStream
+    * TWO-LEVEL prefix scan, never one global window — per-day net
+    * deltas roll up (partial-aggregated, day-grain), the carry-in is
+    * a running total over the CALENDAR-bounded day frame, and the
+    * within-day cumulative level partitions by day (day-bounded
+    * windows). Determinism at tied timestamps: boundaries order by
+    * (t, delta) so closes precede opens at the same instant, and any
+    * remaining ties share the same delta — every permutation yields
+    * the same running-value multiset, so the max is well-defined.
+    * Pure integer arithmetic end to end. */
+  def peakConcurrency(events: DataFrame,
+                      gapSec: Long = DefaultGapSec): DataFrame = {
+    val DayUs = 86400000000L
+    val s = sessionize(events, gapSec)
+    val deltas = s.select(col("session_start").as("t"), lit(1L).as("d"))
+      .unionByName(s.select((col("session_end") + 1).as("t"), lit(-1L).as("d")))
+      .withColumn("day", floor(col("t") / DayUs).cast("long"))
+    val perDay = deltas.groupBy(col("day")).agg(sum(col("d")).as("net"))
+    // carry-in: running total over the day-grain frame (calendar-
+    // bounded — the packStream unpartitioned-window justification)
+    val carry = perDay.withColumn("start_level",
+        coalesce(sum(col("net")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("start_level"))
+    val run = deltas.withColumn("lvl",
+      sum(col("d")).over(Window.partitionBy(col("day"))
+        .orderBy(col("t"), col("d"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    run.groupBy(col("day")).agg(greatest(max(col("lvl")), lit(0L)).as("mx"))
+      .join(carry, "day")
+      .select(col("day").as("epoch_day"), col("start_level"),
+        (col("start_level") + col("mx")).as("peak_concurrency"))
+  }
+
   def madOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val e = events.select(col("event_type"),

@@ -157,6 +157,45 @@ class SessionsSpec extends SparkSpec {
     }
   }
 
+  test("peakConcurrency: overlap peaks, midnight carry, close-only day, brute parity") {
+    val day = 86400000000L
+    // three users on day 0: u1 [0, 100], u2 [50, 150], u3 opens near
+    // midnight and closes on day 1 (one session: 150 us gap << 4 h)
+    val out = Sessions.peakConcurrency(ev(
+      (1L, 1L, 0L, 0.0), (2L, 1L, 100L, 0.0),
+      (3L, 2L, 50L, 0.0), (4L, 2L, 150L, 0.0),
+      (5L, 3L, day - 100L, 0.0), (6L, 3L, day + 50L, 0.0))).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // day 0: u1+u2 overlap -> peak 2; u3's open near midnight reaches
+    // only level 1. day 1: carry 1 (u3 still open), only a close ->
+    // peak = the carried level
+    assert(out == Map(0L -> ((0L, 2L)), 1L -> ((1L, 1L))))
+    // tied instant: one session ends exactly when another starts
+    // (close processes first, so the level never double-counts)
+    val tied = Sessions.peakConcurrency(ev(
+      (1L, 7L, 0L, 0.0),
+      (2L, 8L, 1L, 0.0), (3L, 8L, 10L, 0.0))).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).head
+    assert(tied == ((0L, 1L)), s"tied boundary double-counted: $tied")
+    // real data: equals a brute-force sweep over collected sessions
+    val events = Tables.events(spark, sf0001)
+    val got = Sessions.peakConcurrency(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val sess = Sessions.sessionize(events).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    val deltas = sess.flatMap { case (s, e) => Seq((s, 1L), (e + 1, -1L)) }
+      .sortBy(t => (t._1, t._2))
+    var lvl = 0L
+    val seen = scala.collection.mutable.Map[Long, (Long, Long)]()
+    deltas.foreach { case (t, d) =>
+      val dy = t / day
+      val (st, pk) = seen.getOrElseUpdate(dy, (lvl, lvl))
+      lvl += d
+      seen(dy) = (st, math.max(pk, lvl))
+    }
+    assert(got == seen.toMap, s"sweep mismatch: got ${got.size} days")
+  }
+
   test("madOutliers: hand-computed median/MAD; the planted spike is the only outlier") {
     // values 1..9 plus a 1000 spike: median 5.5, deviations
     // {4.5,3.5,...,0.5,994.5} -> MAD = median of sorted devs
