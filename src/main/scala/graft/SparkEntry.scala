@@ -339,6 +339,13 @@ object SparkEntry {
       val cents = Similarity.trainCentroids(emb, k = 16, iters = 3, sampleBuckets = 2000)
       Similarity.ivfCellProfile(emb, cents)
     }),
+    // Davies-Bouldin cluster quality over the trained quantizer:
+    // per-cell scatter + worst-separated-neighbor ratio
+    "a_cluster_quality" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.trainCentroids(emb, k = 16, iters = 3, sampleBuckets = 2000)
+      Similarity.clusterQuality(emb, cents)
+    }),
     // product quantization: per-subspace exact-decimal k-means → M
     // codes per vector; codes = the compressed corpus, adc = search in
     // the compressed domain (query exact, corpus ≈ centroids)
@@ -2077,6 +2084,7 @@ object SparkEntry {
     // centroids), so both engines train bit-identical quantizers and
     // k-means recall never enters the compare
     "a_ivf_trained" -> ivfTrainedOracle,
+    "a_cluster_quality" -> clusterQualityOracle,
     "a_ivf_profile" -> ivfProfileOracle,
     // product quantization: the oracle unrolls the same per-subspace
     // exact-decimal Lloyd recurrence (see pqCte); ADC sums are exact
@@ -4718,6 +4726,41 @@ object SparkEntry {
        |SELECT cell, n_vecs,
        |       ROUND(n_vecs / CAST(n_total AS DOUBLE) + 1e-12, 6) AS share
        |FROM cells, tot""".stripMargin
+  }
+
+  /** Davies-Bouldin over the kmeansCtes-trained centroids: member and
+    * centroid-pair cosine distances quantize to 6 dp, scatter divides
+    * the exact decimal sum, R_i maxes the once-rounded ratio — the
+    * identical expression tree [[Similarity.clusterQuality]] runs.
+    * Zero-distance centroid pairs are excluded on both sides. */
+  private lazy val clusterQualityOracle: String = {
+    val iters = 3
+    s"""WITH $normCte,
+       |${kmeansCtes(16, iters, 2000, "")},
+       |asg AS (SELECT vec_id, cell FROM (
+       |  SELECT n.vec_id, c.cid AS cell,
+       |         ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |           ORDER BY list_dot_product(n.v, c.v) / (n.nrm * c.nrm) DESC, c.cid) AS rn
+       |  FROM n, c$iters c) WHERE rn = 1),
+       |scat AS (SELECT cell, COUNT(*) AS n_vecs,
+       |                ROUND(CAST(SUM(dist) AS DOUBLE) / COUNT(*) + 1e-12, 6) AS scatter
+       |         FROM (SELECT a.cell,
+       |                      CAST(ROUND(1 - ROUND(list_dot_product(n.v, c.v) / (n.nrm * c.nrm)
+       |                                           + 1e-12, 6) + 1e-12, 6) AS DECIMAL(18,6)) AS dist
+       |               FROM asg a
+       |               JOIN n ON n.vec_id = a.vec_id
+       |               JOIN c$iters c ON c.cid = a.cell)
+       |         GROUP BY cell),
+       |dij AS (SELECT x.cid AS i, y.cid AS j,
+       |               ROUND(1 - ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm)
+       |                               + 1e-12, 6) + 1e-12, 6) AS d
+       |        FROM c$iters x JOIN c$iters y ON x.cid <> y.cid),
+       |r AS (SELECT i, MAX(ROUND((si.scatter + sj.scatter) / d + 1e-12, 6)) AS db_component
+       |      FROM dij JOIN scat si ON si.cell = dij.i
+       |                JOIN scat sj ON sj.cell = dij.j
+       |      WHERE d > 0 GROUP BY i)
+       |SELECT s.cell, s.n_vecs, s.scatter, r.db_component
+       |FROM scat s JOIN r ON r.i = s.cell""".stripMargin
   }
 
   private lazy val ivfTrainedOracle: String = {

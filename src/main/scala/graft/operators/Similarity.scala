@@ -371,6 +371,59 @@ object Similarity {
         round(col("n_vecs") / col("n_total").cast("double") + lit(1e-12), 6).as("share"))
   }
 
+  /** CLUSTER QUALITY — the Davies-Bouldin table (Davies & Bouldin
+    * 1979, public result) over a trained quantizer: per cluster, its
+    * population, SCATTER (mean cosine distance of members to their
+    * centroid) and DB COMPONENT R_i = max_{j≠i} (s_i + s_j) / d(c_i,
+    * c_j) — the worst-separated-neighbor ratio whose mean is the DB
+    * index. The model-selection health check between [[trainCentroids]]
+    * and committing to an IVF layout: a cell with large R overlaps a
+    * neighbor and will leak probes.
+    *
+    * Scale shape: assignment is [[ivfCellProfile]]'s broadcast kernel
+    * pass (corpus never shuffles); scatter is one cell-keyed
+    * partial-aggregating groupBy; everything after operates on k-row
+    * frames (k² centroid pairs, broadcast joins). Parity: member and
+    * centroid distances quantize to 6 dp (the cosRounded nudge), the
+    * scatter mean divides an exact decimal sum, and R rounds once —
+    * the oracle replays the identical expression tree. Centroid pairs
+    * at distance 0 (duplicate centroids) are excluded from R rather
+    * than dividing by zero. */
+  def clusterQuality(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val e = normalized(embeddings)
+    val model = centroids
+      .agg(sort_array(collect_list(struct(col("cid"), col("v"), col("nrm")))).as("cents"))
+    val own = e.crossJoin(broadcast(model))
+      .withColumn("cell",
+        graft.functions.VectorKernels.ivfCell(col("v"), col("nrm"), col("cents")))
+      .drop("cents")
+      .join(broadcast(centroids.select(col("cid").as("cell"),
+        col("v").as("cv"), col("nrm").as("cnrm"))), "cell")
+      .select(col("cell"),
+        round(lit(1.0) - cosRounded(dot(col("v"), col("cv")), col("nrm") * col("cnrm"))
+          + lit(1e-12), 6).cast("decimal(18,6)").as("dist"))
+    val scat = own.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("dist")).cast("double") / count(lit(1)) + lit(1e-12), 6)
+          .as("scatter"))
+      .localCheckpoint() // read three times below (rows, s_i, s_j)
+    val x = centroids.select(col("cid").as("i"), col("v").as("vi"), col("nrm").as("ni"))
+    val y = centroids.select(col("cid").as("j"), col("v").as("vj"), col("nrm").as("nj"))
+    val dij = x.join(broadcast(y), col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        round(lit(1.0) - cosRounded(dot(col("vi"), col("vj")), col("ni") * col("nj"))
+          + lit(1e-12), 6).as("d"))
+      .filter(col("d") > 0)
+    val comp = dij
+      .join(broadcast(scat.select(col("cell").as("i"), col("scatter").as("si"))), "i")
+      .join(broadcast(scat.select(col("cell").as("j"), col("scatter").as("sj"))), "j")
+      .groupBy(col("i"))
+      .agg(max(round((col("si") + col("sj")) / col("d") + lit(1e-12), 6))
+        .as("db_component"))
+    scat.join(comp, col("cell") === col("i"))
+      .select(col("cell"), col("n_vecs"), col("scatter"), col("db_component"))
+  }
+
   /** Distributed spherical k-means (Lloyd's iterations under cosine
     * similarity: max-cos assignment, unit-vector-mean update) — the
     * trained coarse quantizer for [[ivfTopK]]'s `centroids` parameter

@@ -83,6 +83,37 @@ class AnnSpec extends SparkSpec {
     assert(rs.nonEmpty && rs == brute, s"range ${rs.size} vs brute ${brute.size}")
   }
 
+  test("clusterQuality: perfectly tight orthogonal clusters score zero; real data sane") {
+    // ids chosen so the k-smallest-id init lands one seed per cluster
+    val df = vecs(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(2f, 0f, 0f, 0f)), (3L, Seq(0f, 3f, 0f, 0f)))
+    val cents = Similarity.trainCentroids(df, k = 2, iters = 1)
+    val out = Similarity.clusterQuality(df, cents).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // every member sits ON its centroid (cos 1 -> dist 0), centroids
+    // are orthogonal (d 1) -> scatter 0 and R = (0+0)/1 = 0
+    assert(out.size == 2, s"expected 2 clusters: $out")
+    out.values.foreach { case (n, s, db) =>
+      assert(n == 2L && s == 0.0 && db == 0.0, s"$out")
+    }
+    // real embeddings: populations cover the corpus, scatter within
+    // the cosine-distance range, R positive and finite, deterministic
+    val emb = Tables.embeddings(spark, sf0001)
+    val trained = Similarity.trainCentroids(emb, k = 16, iters = 3,
+      sampleBuckets = 2000)
+    val q = Similarity.clusterQuality(emb, trained).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(q.nonEmpty)
+    q.foreach { case (cell, n, s, db) =>
+      assert(n > 0 && s >= 0.0 && s <= 2.0 && db > 0.0 && !db.isInfinite,
+        s"cell $cell: n=$n s=$s db=$db")
+    }
+    val again = Similarity.clusterQuality(emb, trained).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(q.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("cosinePairs finds exactly the pairs above threshold") {
     val df = vecs(
       (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.01f)), // cos ~0.99995
