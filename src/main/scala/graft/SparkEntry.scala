@@ -76,6 +76,11 @@ object SparkEntry {
       graft.streaming.StreamRunner.replayFullOuterIntervalJoin(s, ev(s, dir))),
     "s_stream_move_paths" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayMovePaths(s, ev(s, dir))),
+    // streaming incremental top-k: moveFold changelog -> per-zone
+    // occupancy MapState -> versioned rank snapshots; the final
+    // (max-version) standings equal the batch latest-per-car ranking
+    "s_stream_zone_topk" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayZoneTopK(s, ev(s, dir))),
     // streaming keep-set: the curation gate as an incremental
     // pipeline — per-fingerprint keeper state emitting a keep/retract
     // changelog whose final state equals batch keepSet (same oracle)
@@ -3397,6 +3402,24 @@ object SparkEntry {
         |SELECT m.day AS epoch_day, CAST(c.start_level AS BIGINT) AS start_level,
         |       CAST(c.start_level + m.mx AS BIGINT) AS peak_concurrency
         |FROM m JOIN c ON m.day = c.day""".stripMargin,
+    // streaming incremental top-k: the final occupancy map holds each
+    // car's LATEST reading filed under its CURRENT zone (arrive
+    // upserts, leave retractions), so the max-version snapshots equal
+    // this batch ranking — fuel desc, car asc, top 3 per zone
+    "s_stream_zone_topk" ->
+      """WITH c AS (SELECT user_id AS car_id, epoch_ns(ts) // 1000 AS tus, event_id,
+        |                  CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS zone_id,
+        |                  value AS fuel_level
+        |           FROM events WHERE event_type IN ('click','view')),
+        |latest AS (SELECT car_id, zone_id, fuel_level FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY car_id
+        |              ORDER BY tus DESC, event_id DESC) AS rn
+        |  FROM c WHERE zone_id IS NOT NULL) WHERE rn = 1)
+        |SELECT zone_id, CAST(rank AS INT) AS rank, car_id, fuel_level FROM (
+        |  SELECT zone_id, car_id, fuel_level,
+        |         ROW_NUMBER() OVER (PARTITION BY zone_id
+        |           ORDER BY fuel_level DESC, car_id) AS rank
+        |  FROM latest) WHERE rank <= 3""".stripMargin,
     // streaming zone paths: the per-car sequence state emits exactly
     // the batch lag-window 3-grams (state carries the window across
     // chunk boundaries; -1 sentinels skipped = the oracle's pre-window

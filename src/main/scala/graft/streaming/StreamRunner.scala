@@ -119,6 +119,58 @@ private[streaming] class MovePathProcessor
   }
 }
 
+/** Streaming TOP-K rank maintenance plumbing: [[FkJoinStream.moveFold]]
+  * changelog rows in (keyed by zone after the re-key exchange —
+  * arrivals upsert, retractions delete), per-zone top-k snapshots out.
+  * State per zone is the car → latest-fuel occupancy map (the same
+  * MapState the FK join's zone side holds) plus a version counter;
+  * every batch that touches the zone emits the zone's FULL current
+  * top-k under the new version, so the max-version rows per zone are
+  * the final standings whatever the chunking — incremental rank
+  * maintenance, a capability the reference's engine (no sort, no
+  * top-k, DemoApp.scala:62-63) cannot express. */
+private[streaming] case class TopKOut(zone_id: Long, ver: Long, rank: Int,
+                                      car_id: Long, fuel_level: Double)
+
+private[streaming] class ZoneTopKProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, CarMoveEvent, TopKOut] {
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var cars: MapState[Long, Double] = _
+  @transient private var ver: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    cars = getHandle.getMapState[Long, Double]("occupancy",
+      Encoders.scalaLong, Encoders.scalaDouble, TTLConfig.NONE)
+    ver = getHandle.getValueState[Long]("ver", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(zone: Long, rows: Iterator[CarMoveEvent],
+                               timers: TimerValues): Iterator[TopKOut] = {
+    rows.toArray.sortBy(_.seq).foreach { r =>
+      if (r.isArriving) cars.updateValue(r.carId, r.fuelLevel)
+      else cars.removeKey(r.carId)
+    }
+    val v = (if (ver.exists) ver.get() else 0L) + 1
+    ver.update(v)
+    val top = {
+      val it = cars.iterator().toArray
+      // fuel desc, car asc — the deterministic rank order both the
+      // batch oracle and every re-run share
+      scala.util.Sorting.stableSort(it,
+        (a: (Long, Double), b: (Long, Double)) =>
+          a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+      it.take(k)
+    }
+    // an EMPTIED zone must still advance in the log: with no marker, a
+    // zone whose last car left would keep its previous (stale) snapshot
+    // as the max version downstream — emit a rank-0 tombstone instead
+    if (top.isEmpty) Iterator.single(TopKOut(zone, v, 0, -1L, 0.0))
+    else top.iterator.zipWithIndex.map { case ((car, fuel), i) =>
+      TopKOut(zone, v, i + 1, car, fuel)
+    }
+  }
+}
+
 /** Streaming keep-set plumbing: one gate-passing document in (keyed
   * by its exact-dedup fingerprint), keep-decision changelog rows out.
   * The per-fingerprint state is the current KEEPER (the minimum
@@ -1037,6 +1089,35 @@ object StreamRunner {
     })
     log.groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
       .orderBy(col("n_paths").desc, col("path")).limit(k)
+  }
+
+  /** Streaming INCREMENTAL TOP-K per zone: stage 1 is the
+    * [[FkJoinStream.moveFold]] changelog (arrive upserts, leave
+    * retractions — the reference's dual-update discipline), re-keyed
+    * by zone through the chained-stateful-op exchange into
+    * [[ZoneTopKProcessor]], whose occupancy MapState yields each
+    * zone's current fuel ranking; every touched zone emits its full
+    * top-k snapshot under a fresh version. The returned frame keeps
+    * only each zone's MAX-version snapshot — the final standings,
+    * which equal the batch "latest reading per car, ranked within its
+    * current zone" table however the stream was chunked (the
+    * changelog-final proof shape). */
+  def replayZoneTopK(spark: SparkSession, events: DataFrame, k: Int = 3): DataFrame = {
+    val (log, _) = replay(spark, events, rocksDb = true, topology = (src: DataFrame) => {
+      import spark.implicits._
+      src.filter(col("kind") === "car" && col("b") >= 0)
+        .select(col("seq"), col("a").as("carId"), col("b").as("zoneId"),
+          col("v").as("fuelLevel")).as[CarArrival]
+        .transform(FkJoinStream.moveFold(_))
+        .groupByKey(_.zoneId)
+        .transformWithState(new ZoneTopKProcessor(k),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+    })
+    log.withColumn("rk", rank().over(
+        Window.partitionBy(col("zone_id")).orderBy(col("ver").desc)))
+      .filter(col("rk") === 1 && col("rank") >= 1) // rank 0 = empty-zone tombstone
+      .select(col("zone_id"), col("rank"), col("car_id"), col("fuel_level"))
   }
 
   /** Stage-1 (move fold) replay → the arrive/leave event log with its

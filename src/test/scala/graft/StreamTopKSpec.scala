@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.streaming.StreamRunner
+
+/** The streaming zone top-k's max-version snapshots must equal the
+  * batch "latest reading per car, ranked within its current zone"
+  * table — incremental rank maintenance over the moveFold changelog.
+  * Retractions are load-bearing: a car that moves must leave its old
+  * zone's ranking, so any stale occupancy entry breaks parity. */
+class StreamTopKSpec extends SparkSpec {
+
+  test("streaming zone top-k final standings equal the batch ranking") {
+    val events = Tables.events(spark, sf0001)
+    val streamed = StreamRunner.replayZoneTopK(spark, events)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // batch: latest parseable-zone event per car, rank within zone
+    val zid = graft.operators.CarZone.propsK(col("props"))
+    val latest = events
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("car_id"), zid.as("zone_id"),
+        col("value").as("fuel_level"), expr("ts div 1000").as("tus"), col("event_id"))
+      .filter(col("zone_id").isNotNull)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("car_id"))
+        .orderBy(col("tus").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+    val batch = latest
+      .withColumn("rank", row_number().over(Window.partitionBy(col("zone_id"))
+        .orderBy(col("fuel_level").desc, col("car_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("zone_id"), col("rank"), col("car_id"), col("fuel_level"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"streamed ${streamed.size} rows vs batch ${batch.size}")
+    // retractions fired: at least one car's earlier zone differs from
+    // its final zone (it moved), so stale-entry bugs cannot hide
+    val moved = events
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), zid.as("z")).filter(col("z").isNotNull)
+      .groupBy(col("user_id")).agg(countDistinct(col("z")).as("nz"))
+      .filter(col("nz") > 1).count()
+    assert(moved > 0, "fixture has no zone moves — retraction path untested")
+  }
+}
