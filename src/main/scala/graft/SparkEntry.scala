@@ -145,6 +145,10 @@ object SparkEntry {
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
       operators.Sketch.kmvOverlap(sh, "shingle", "source", "src0", "src1")
     }),
+    // join cardinality estimate by correlated key sampling: the
+    // sampled branch filters by key hash before its only exchange
+    "q_join_size_estimate" -> ((s, dir) =>
+      operators.Sketch.joinSizeEstimate(Tables.lineitem(s, dir))),
     // quantile sketch: per-priority price percentiles from a fixed-size
     // deterministic hash-rank sample — q_price_quantiles' exact
     // (sort-based) percentiles are its semantic anchor
@@ -155,6 +159,9 @@ object SparkEntry {
     "q_revenue_rollup" -> ((s, dir) => Relational.revenueRollup(Tables.orders(s, dir))),
     // CUBE: all four grouping sets of (status, year) in one pass
     "q_revenue_cube" -> ((s, dir) => Relational.revenueCube(Tables.orders(s, dir))),
+    // materialized-view delta maintenance: merge base + delta partials;
+    // the oracle's full recompute IS the correctness statement
+    "q_incremental_agg" -> ((s, dir) => Relational.incrementalAgg(Tables.orders(s, dir))),
     "q_price_quantiles" -> ((s, dir) => Relational.priceQuantiles(Tables.orders(s, dir))),
     // window frames: trailing 7-day RANGE sum + running total over the
     // daily revenue series
@@ -307,6 +314,10 @@ object SparkEntry {
     // map-only transform fingerprinted at 4 dp
     "a_standardize" -> ((s, dir) =>
       Similarity.standardize(Tables.embeddings(s, dir))),
+    // per-dimension KS + mean shift between the vec_id-parity halves
+    // off one bounded histogram (drift monitoring for ANN indexes)
+    "a_embedding_drift" -> ((s, dir) =>
+      Similarity.embeddingDrift(Tables.embeddings(s, dir))),
     // 1-bit sign codes via the SRP kernel with identity planes;
     // retrieval by XOR+popcount Hamming
     "a_binary_topk" -> ((s, dir) =>
@@ -607,6 +618,9 @@ object SparkEntry {
     // degree count-of-counts over the same co-purchase graph
     "q_degree_dist" -> ((s, dir) =>
       graft.operators.Graph.degreeDistribution(Tables.lineitem(s, dir))),
+    // degree assortativity (Newman's r): hub-to-hub vs hub-to-leaf
+    "q_assortativity" -> ((s, dir) =>
+      graft.operators.Graph.assortativity(Tables.lineitem(s, dir))),
     // core decomposition (h-index iteration) over the same graph
     "q_kcore" -> ((s, dir) =>
       graft.operators.Graph.coreNumbers(Tables.lineitem(s, dir))),
@@ -1442,6 +1456,23 @@ object SparkEntry {
         |       ROUND(nb / CAST(ks AS DOUBLE) + 1e-12, 6) AS jac_est,
         |       CAST(ks AS BIGINT) AS k_used
         |FROM fin""".stripMargin,
+    // correlated-sampling join-size estimate: same md5-based h60 as
+    // the Spark kernel; threshold 2^56 = keys sampled at p = 1/16
+    "q_join_size_estimate" ->
+      """WITH f AS (SELECT CAST(l_partkey AS VARCHAR) AS key, COUNT(*) AS fa,
+        |                  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS fb
+        |           FROM lineitem GROUP BY 1),
+        |s AS (SELECT fa * fb AS prod,
+        |             CAST('0x' || substring(md5(key), 1, 15) AS UBIGINT)
+        |               < 72057594037927936 AS sampled
+        |      FROM f)
+        |SELECT CAST(SUM(CASE WHEN sampled THEN prod ELSE 0 END) * 16 AS BIGINT) AS est_join_size,
+        |       CAST(SUM(prod) AS BIGINT) AS exact_join_size,
+        |       ROUND(CAST(ABS(SUM(CASE WHEN sampled THEN prod ELSE 0 END) * 16
+        |                      - SUM(prod)) AS DOUBLE)
+        |             / CAST(SUM(prod) AS DOUBLE) + 1e-12, 4) AS rel_err,
+        |       CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM s""".stripMargin,
     "q_heavy_hitters" ->
       """WITH cells AS (SELECT unnest([0, 1, 2]) AS r),
         |sk AS (SELECT c.r,
@@ -1501,6 +1532,15 @@ object SparkEntry {
         |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price,
         |       CAST(GROUPING(o_orderstatus, CAST(year(o_orderdate) AS BIGINT)) AS BIGINT) AS gid
         |FROM orders GROUP BY CUBE (o_orderstatus, CAST(year(o_orderdate) AS BIGINT))""".stripMargin,
+    // incremental-view maintenance: the oracle recomputes the view
+    // from scratch over the full table — agreement with the Spark
+    // side's base+delta partial merge IS the correctness statement
+    "q_incremental_agg" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_total,
+        |       ROUND(MAX(o_totalprice), 2) AS max_total,
+        |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) + 1e-9, 4) AS avg_total
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     // exact percentiles: both engines linear-interpolate over the
     // decimal-recovered doubles; 1e-9 nudge (values are ~1e5, so 1e-12
     // is below double ulp there)
@@ -2050,6 +2090,39 @@ object SparkEntry {
         |       md5(string_agg(CAST(z AS VARCHAR), ',' ORDER BY pos)) AS z_md5,
         |       CAST(MAX(abs(z)) AS DOUBLE) AS max_abs_z
         |FROM z GROUP BY vec_id""".stripMargin,
+    // drift: exact KS over 3-dp buckets + decimal-exact mean shift,
+    // both replayed from the same bounded histogram the Spark side
+    // aggregates (generate_subscripts is 1-based; dim is 0-based)
+    "a_embedding_drift" ->
+      """WITH e AS (SELECT vec_id % 2 AS side,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |x AS (SELECT side, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM e),
+        |r AS (SELECT side, CAST(dim AS BIGINT) AS dim,
+        |             CAST(ROUND(x + 1e-12, 3) AS DECIMAL(9,3)) AS b,
+        |             CAST(ROUND(x + 1e-12, 9) AS DECIMAL(18,9)) AS x9
+        |      FROM x),
+        |h AS (SELECT dim, b,
+        |             SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS na,
+        |             SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS nb,
+        |             SUM(CASE WHEN side = 0 THEN x9 ELSE CAST(0 AS DECIMAL(18,9)) END) AS sxa,
+        |             SUM(CASE WHEN side = 1 THEN x9 ELSE CAST(0 AS DECIMAL(18,9)) END) AS sxb
+        |      FROM r GROUP BY dim, b),
+        |c AS (SELECT dim, b,
+        |             SUM(na) OVER (PARTITION BY dim ORDER BY b) AS ca,
+        |             SUM(nb) OVER (PARTITION BY dim ORDER BY b) AS cb,
+        |             SUM(na) OVER (PARTITION BY dim) AS ta,
+        |             SUM(nb) OVER (PARTITION BY dim) AS tb,
+        |             SUM(sxa) OVER (PARTITION BY dim) AS sa,
+        |             SUM(sxb) OVER (PARTITION BY dim) AS sb
+        |      FROM h)
+        |SELECT dim,
+        |       ROUND(MAX(ABS(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+        |                     - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))) + 1e-12, 6) AS ks,
+        |       ROUND(CAST(MAX(sb) AS DOUBLE) / CAST(MAX(tb) AS DOUBLE)
+        |             - CAST(MAX(sa) AS DOUBLE) / CAST(MAX(ta) AS DOUBLE) + 1e-12, 6) AS mean_shift,
+        |       CAST(MAX(ta) AS BIGINT) AS n_a, CAST(MAX(tb) AS BIGINT) AS n_b
+        |FROM c GROUP BY dim""".stripMargin,
     // hard negatives: the cosine_topk CTE with labels carried and the
     // different-label predicate inside the join
     "a_hard_negatives" ->
@@ -3761,6 +3834,27 @@ object SparkEntry {
         |deg AS (SELECT n, COUNT(*) AS degree FROM (
         |          SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n)
         |SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree""".stripMargin,
+    // assortativity: Pearson r of endpoint degrees over the symmetric
+    // edge list — CORR is shift/scale invariant so engines agree
+    "q_assortativity" ->
+      """WITH po0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |po AS (SELECT o, p FROM po0 QUALIFY COUNT(*) OVER (PARTITION BY o) <= 1024),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |deg AS (SELECT u AS n, COUNT(*) AS d FROM sym GROUP BY u),
+        |st AS (SELECT COUNT(*) AS n, SUM(a.d) AS sx, SUM(b.d) AS sy,
+        |              SUM(a.d * b.d) AS sxy, SUM(a.d * a.d) AS sxx,
+        |              SUM(b.d * b.d) AS syy
+        |       FROM sym JOIN deg a ON sym.u = a.n JOIN deg b ON sym.v = b.n)
+        |SELECT CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |            THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |                       + 1e-12, 4)
+        |       END AS assortativity,
+        |       CAST(n / 2 AS BIGINT) AS n_edges
+        |FROM st""".stripMargin,
     // BFS levels by shortest-path recursion: UNION-distinct on
     // (node, depth) pairs bounded by maxDepth, then MIN per node —
     // the same "first discovery wins" rule the Spark anti-join applies

@@ -351,6 +351,54 @@ object Graph {
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Degree ASSORTATIVITY (Newman 2002's r): the Pearson correlation
+    * of endpoint degrees over the symmetrized edge list. r > 0 means
+    * hubs attach to hubs (assortative); r < 0 means hubs attach to
+    * leaves — for a product co-purchase graph a strong negative r is
+    * the popular-staple-anchors-long-tail signature.
+    *
+    * Scale shape: one degree aggregate (node-bounded) joined onto the
+    * symmetric edge frame twice through the same [[BroadcastEdgeLimit]]
+    * gate as [[triangles]] — past the gate both joins shuffle on the
+    * node id instead of broadcasting. The correlation itself is one
+    * partial-aggregating scalar pass (Pearson r is shift/scale
+    * invariant, so the sample-vs-population denominator choice cancels
+    * and any engine agrees to float precision). */
+  def assortativity(lineitem: DataFrame, maxBasket: Int = 1024,
+                    broadcastLimit: Long = BroadcastEdgeLimit): DataFrame = {
+    val edges = coPurchaseEdges(lineitem, maxBasket)
+    // metadata-cheap off the checkpointed frame; gates both joins below
+    val broadcastable = edges.count() <= broadcastLimit
+    def gated(df: DataFrame): DataFrame = if (broadcastable) broadcast(df) else df
+    val sym = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+    // Pearson r from EXACT integer moments (degrees are integers, so
+    // every sum below is exact decimal arithmetic; engines agree on
+    // the one double combination at the end) — also the zero-variance
+    // guard a streaming corr can't give under ANSI: a regular graph
+    // reads NULL, not a divide-by-zero
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+    val st = sym
+      .join(gated(deg.select(col("n").as("u"), col("d").as("du"))), "u")
+      .join(gated(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("du"))).as("sx"), sum(dec(col("dv"))).as("sy"),
+        sum(dec(col("du")) * dec(col("dv"))).as("sxy"),
+        sum(dec(col("du")) * dec(col("du"))).as("sxx"),
+        sum(dec(col("dv")) * dec(col("dv"))).as("syy"))
+    val n38 = col("n").cast("decimal(38,0)")
+    val varx = (n38 * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vary = (n38 * col("syy") - col("sy") * col("sy")).cast("double")
+    val num = (n38 * col("sxy") - col("sx") * col("sy")).cast("double")
+    st.select(
+      when(varx > 0 && vary > 0,
+        round(num / (sqrt(varx) * sqrt(vary)) + lit(1e-12), 4))
+        .as("assortativity"),
+      (col("n") / 2).cast("long").as("n_edges"))
+  }
+
   /** COMMUNITY detection by deterministic synchronous label
     * propagation (Raghavan et al. 2007, made hash-checkable): labels
     * start as node ids; each round every node adopts the MOST FREQUENT

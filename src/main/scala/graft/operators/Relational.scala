@@ -870,4 +870,45 @@ object Relational {
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
+
+  /** Materialized-view DELTA MAINTENANCE: the per-customer order
+    * aggregate is kept as mergeable partials (count / decimal sum /
+    * max), so a refresh aggregates only the delta slice and merges it
+    * with the stored base — the base table is never rescanned. The
+    * merge is exactly the combine Spark's partial aggregation applies
+    * between map and reduce sides (sum-of-counts, sum-of-sums,
+    * max-of-maxes); avg is derived from the merged partials at read
+    * time, which is why it is NOT stored (averages don't merge; their
+    * partials do). The decimal sum makes merged-vs-recomputed equality
+    * exact rather than float-association-lucky.
+    *
+    * At 100 TB the base partials are a |customers|-sized table and the
+    * delta is one date partition: refresh cost is O(delta + customers),
+    * independent of |orders|. The oracle recomputes from scratch over
+    * the full table — equality with it IS the view-maintenance
+    * correctness statement. */
+  def incrementalAgg(orders: DataFrame, cutoff: String = "1997-01-01"): DataFrame = {
+    def partials(slice: DataFrame): DataFrame =
+      slice.groupBy(col("o_custkey")).agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("sum_p"),
+        max(col("o_totalprice")).as("max_p"))
+    val base = partials(orders.filter(col("o_orderdate") < lit(cutoff)))
+    val delta = partials(orders.filter(col("o_orderdate") >= lit(cutoff)))
+    base.unionAll(delta)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(col("n_orders")).as("n_orders"),
+        sum(col("sum_p")).as("sum_p"),
+        max(col("max_p")).as("max_p"))
+      .select(
+        col("o_custkey"),
+        col("n_orders"),
+        round(col("sum_p"), 2).cast("double").as("sum_total"),
+        round(col("max_p"), 2).as("max_total"),
+        // 1e-9 nudge: totals are ~1e5, where double ulp is ~3e-11 —
+        // the q_price_quantiles boundary-disambiguation rule
+        round((col("sum_p").cast("double") / col("n_orders")) + lit(1e-9), 4)
+          .as("avg_total"))
+  }
 }

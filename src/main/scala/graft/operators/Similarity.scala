@@ -1150,4 +1150,56 @@ object Similarity {
     }
     out
   }
+
+  /** EMBEDDING DRIFT between two corpus snapshots — the monitoring
+    * step that catches a retrained encoder or an upstream data shift
+    * before it poisons ANN indexes and dedup thresholds. Snapshots
+    * are the deterministic vec_id-parity halves; per dimension the
+    * drift is the Kolmogorov–Smirnov statistic max|F_A − F_B| plus
+    * the mean shift.
+    *
+    * The KS is EXACT over 3-dp-quantized values, computed from a
+    * bounded histogram: the exploded corpus collapses to at most
+    * (dims × 2001) bucket rows in ONE partial-aggregating exchange,
+    * and the cumulative/max window runs over each dimension's ≤2001
+    * buckets — the same bounded-histogram shape as [[standardize]]'s
+    * moment pass. At 100 TB the corpus crosses one exchange at
+    * histogram (not row) width and the window never sees more rows
+    * than buckets. Mean shift rides the same histogram via exact
+    * decimal sums, so both outputs are order-independent and
+    * oracle-hash-stable. */
+  def embeddingDrift(embeddings: DataFrame): DataFrame = {
+    val x = embeddings
+      .select((col("vec_id") % 2).cast("int").as("side"),
+        posexplode(transform(col("embedding"), _.cast("double"))).as(Seq("dim", "x")))
+      .select(col("side"), col("dim").cast("long").as("dim"),
+        round(col("x") + lit(1e-12), 3).cast("decimal(9,3)").as("b"),
+        round(col("x") + lit(1e-12), 9).cast("decimal(18,9)").as("x9"))
+    val zero9 = lit(0).cast("decimal(18,9)")
+    val hist = x.groupBy(col("dim"), col("b"))
+      .agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("side") === 0, col("x9")).otherwise(zero9)).as("sxa"),
+        sum(when(col("side") === 1, col("x9")).otherwise(zero9)).as("sxb"))
+    val byDim = Window.partitionBy(col("dim")).orderBy(col("b"))
+    val whole = Window.partitionBy(col("dim"))
+    hist
+      .withColumn("ca", sum(col("na")).over(byDim))
+      .withColumn("cb", sum(col("nb")).over(byDim))
+      .withColumn("ta", sum(col("na")).over(whole))
+      .withColumn("tb", sum(col("nb")).over(whole))
+      .withColumn("sa", sum(col("sxa")).over(whole))
+      .withColumn("sb", sum(col("sxb")).over(whole))
+      .groupBy(col("dim"))
+      .agg(
+        round(max(abs(col("ca").cast("double") / col("ta").cast("double")
+          - col("cb").cast("double") / col("tb").cast("double"))) + lit(1e-12), 6)
+          .as("ks"),
+        round(max(col("sb")).cast("double") / max(col("tb")).cast("double")
+          - max(col("sa")).cast("double") / max(col("ta")).cast("double")
+          + lit(1e-12), 6).as("mean_shift"),
+        max(col("ta")).as("n_a"),
+        max(col("tb")).as("n_b"))
+  }
 }

@@ -343,4 +343,46 @@ object Sketch {
         col("v").cast("double").as("est"),
         col("m").cast("long").as("n_sample")): _*)
   }
+
+  /** JOIN-SIZE ESTIMATION by correlated key sampling — the
+    * cardinality-estimate a planner needs BEFORE committing to a join
+    * strategy (|A ⋈ B| = Σ_key f_A·f_B blows up on skewed keys long
+    * before either input looks big). Both sides sample the SAME keys
+    * (every key with h60(key) below the 1/invP threshold — Vengerov
+    * et al.'s correlated sampling), so matching keys survive on both
+    * sides and Σ f_A·f_B over the sample, scaled by invP, is an
+    * unbiased estimate.
+    *
+    * Sides here: all of lineitem vs its returned slice, keyed by
+    * partkey. The estimate branch filters the fact table BY KEY HASH
+    * before its aggregation — at 100 TB that is a map-side filter
+    * that cuts the only exchange invP×, and no per-key state beyond
+    * the sampled keys exists. The exact branch is the oracle-checkable
+    * ground truth (itself join-free: one count-product aggregation);
+    * at scale you run only the sampled branch. Returns one row:
+    * (est_join_size, exact_join_size, rel_err, n_sampled). */
+  def joinSizeEstimate(lineitem: DataFrame, invP: Int = 16): DataFrame = {
+    require(invP >= 2 && Integer.bitCount(invP) == 1,
+      s"invP must be a power of two >= 2, got $invP")
+    val thresh = (1L << 60) / invP
+    def prods(df: DataFrame): DataFrame = df
+      .groupBy(col("l_partkey").cast("string").as("key"))
+      .agg(count(lit(1)).as("fa"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("fb"))
+      .select(col("key"), (col("fa") * col("fb")).as("prod"))
+    // estimate branch: the key-hash predicate runs BEFORE the shuffle
+    val est = prods(lineitem.filter(h60(col("l_partkey")) < thresh))
+      .agg((sum(col("prod")) * invP).as("est_join_size"),
+        count(lit(1)).as("n_sampled"))
+    val exact = prods(lineitem)
+      .agg(sum(col("prod")).as("exact_join_size"))
+    est.crossJoin(exact)
+      .select(
+        coalesce(col("est_join_size"), lit(0L)).as("est_join_size"),
+        col("exact_join_size"),
+        round(abs(coalesce(col("est_join_size"), lit(0L)) - col("exact_join_size"))
+          .cast("double") / col("exact_join_size").cast("double") + lit(1e-12), 4)
+          .as("rel_err"),
+        col("n_sampled"))
+  }
 }

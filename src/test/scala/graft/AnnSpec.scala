@@ -671,4 +671,44 @@ class AnnSpec extends SparkSpec {
       .orderBy("round").collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
     assert(again.toSeq == out.toSeq)
   }
+
+  test("embeddingDrift: identical parity halves read zero drift") {
+    // vec 0 ≡ vec 1 and vec 2 ≡ vec 3: both sides hold the same
+    // value multiset per dimension
+    val e = vecs(
+      0L -> Seq(0.1f, -0.4f), 1L -> Seq(0.1f, -0.4f),
+      2L -> Seq(0.9f, 0.2f), 3L -> Seq(0.9f, 0.2f))
+    val out = Similarity.embeddingDrift(e).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.length == 2)
+    out.foreach { case (_, ks, shift) =>
+      assert(ks == 0.0 && shift == 0.0, s"expected zero drift, got $out")
+    }
+  }
+
+  test("embeddingDrift: a disjoint shift saturates KS and reads the mean delta") {
+    // odd vectors sit exactly +0.5 above the even ones in dim 0 and
+    // are identical in dim 1: KS 1 / shift 0.5 vs KS 0 / shift 0
+    val e = vecs(
+      0L -> Seq(0.1f, 0.3f), 1L -> Seq(0.6f, 0.3f),
+      2L -> Seq(0.2f, 0.3f), 3L -> Seq(0.7f, 0.3f))
+    val byDim = Similarity.embeddingDrift(e).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(byDim(0)._2 == 1.0 && math.abs(byDim(0)._3 - 0.5) < 1e-9, s"$byDim")
+    assert(byDim(1)._2 == 0.0 && byDim(1)._3 == 0.0, s"$byDim")
+    assert(byDim.forall(d => d._4 == 2L && d._5 == 2L))
+  }
+
+  test("embeddingDrift: one row per dimension, KS bounded, on sf0.001") {
+    val e = Tables.embeddings(spark, sf0001)
+    val dims = e.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("embedding"))).head().getInt(0)
+    val out = Similarity.embeddingDrift(e).collect()
+    assert(out.length == dims)
+    out.foreach { r =>
+      val ks = r.getDouble(1)
+      assert(ks >= 0.0 && ks <= 1.0, s"ks out of range: $ks")
+    }
+  }
 }

@@ -322,6 +322,37 @@ class GraphSpec extends SparkSpec {
     assert(low == ppr)
   }
 
+  test("assortativity: a star is perfectly disassortative (r = -1)") {
+    // orders {1,2} and {1,3} co-purchase into the path/star 2-1-3:
+    // every edge pairs the hub (degree 2) with a leaf (degree 1)
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Graph.assortativity(li).collect()
+    assert(out.length == 1)
+    assert(out(0).getDouble(0) == -1.0, s"r = ${out(0).getDouble(0)}")
+    assert(out(0).getLong(1) == 2L)
+  }
+
+  test("assortativity: a clique has zero degree variance (r is null)") {
+    // one order with 3 parts → K3; corr over constant series is NULL
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("l_orderkey", "l_partkey")
+    val out = Graph.assortativity(li).collect()
+    assert(out(0).isNullAt(0))
+    assert(out(0).getLong(1) == 3L)
+  }
+
+  test("assortativity: gate parity and range on sf0.001") {
+    val li = Tables.lineitem(spark, sf0001)
+    val hinted = Graph.assortativity(li).collect()(0)
+    // forcing the gate low (shuffle joins) must not move the scalar:
+    // the correlation is over the identical joined multiset
+    val gated = Graph.assortativity(li, broadcastLimit = 0).collect()(0)
+    assert(hinted.getDouble(0) == gated.getDouble(0))
+    assert(hinted.getLong(1) == gated.getLong(1))
+    assert(hinted.getDouble(0) >= -1.0 && hinted.getDouble(0) <= 1.0)
+    assert(hinted.getLong(1) > 0)
+  }
+
   test("personalizedPageRank: two-node graph hand recurrence") {
     // single order, one customer (node 2), one supplier (node 3):
     // shares are 1.0 both ways; with 1 seed (node 2, the smaller id)

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+/** Semantic checks on relational operators that the oracle can only
+  * probe at one parameterization — here, that incrementalAgg's
+  * base+delta partial merge equals the scratch recompute for ANY
+  * cutoff, including the empty-side extremes. */
+class RelationalSpec extends SparkSpec {
+
+  private def viewRows(cutoff: String): Seq[(Long, Long, Double, Double, Double)] =
+    Relational.incrementalAgg(Tables.orders(spark, sf0001), cutoff)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1).toSeq
+
+  test("incrementalAgg: merge result is cutoff-invariant") {
+    // mid-range cutoff vs both empty-side extremes: delta-only
+    // (cutoff before all dates) and base-only (after all dates)
+    val mid = viewRows("1997-01-01")
+    assert(mid.nonEmpty)
+    assert(viewRows("1900-01-01") == mid, "delta-only differs")
+    assert(viewRows("2100-01-01") == mid, "base-only differs")
+    assert(viewRows("1996-06-15") == mid, "second mid cutoff differs")
+  }
+
+  test("incrementalAgg: partials merge to the scratch recompute") {
+    val got = viewRows("1997-01-01")
+    val exp = Tables.orders(spark, sf0001)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_total"),
+        round(max(col("o_totalprice")), 2).as("max_total"),
+        round((sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+          / count(lit(1))) + lit(1e-9), 4).as("avg_total"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1).toSeq
+    assert(got == exp)
+  }
+}

@@ -223,4 +223,36 @@ class SketchSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
     assert(run(orders) == run(orders.orderBy(org.apache.spark.sql.functions.rand(7))))
   }
+
+  test("joinSizeEstimate: exact leg equals the materialized join count (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf0001)
+    val out = Sketch.joinSizeEstimate(li).collect()(0)
+    val est = out.getLong(0); val exact = out.getLong(1)
+    val relErr = out.getDouble(2); val nSampled = out.getLong(3)
+    val joined = li.select(col("l_partkey").as("k"))
+      .join(li.filter(col("l_returnflag") === "R").select(col("l_partkey").as("k")), "k")
+      .count()
+    assert(exact == joined, s"exact $exact != join count $joined")
+    assert(est % 16 == 0, "estimate must be a multiple of invP")
+    assert(nSampled > 0 && est > 0, s"sampling degenerate: n=$nSampled est=$est")
+    // a 1/16 correlated sample over thousands of keys lands well
+    // inside 3x — loose enough to never flake, tight enough to catch
+    // a broken threshold or scale factor
+    assert(relErr < 2.0, s"rel_err $relErr out of band")
+    assert(math.abs(relErr - math.abs(est - exact).toDouble / exact) < 1e-3)
+  }
+
+  test("joinSizeEstimate: the sample is by key hash, not by row") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf0001)
+    // doubling every row doubles fa and fb per key: exact and est both
+    // scale 4x, and the SAME keys stay sampled (hash ignores rows)
+    val doubled = li.unionAll(li)
+    val a = Sketch.joinSizeEstimate(li).collect()(0)
+    val b = Sketch.joinSizeEstimate(doubled).collect()(0)
+    assert(b.getLong(0) == 4 * a.getLong(0))
+    assert(b.getLong(1) == 4 * a.getLong(1))
+    assert(b.getLong(3) == a.getLong(3))
+  }
 }
