@@ -3835,7 +3835,8 @@ object SparkEntry {
         |          SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n)
         |SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree""".stripMargin,
     // assortativity: Pearson r of endpoint degrees over the symmetric
-    // edge list — CORR is shift/scale invariant so engines agree
+    // edge list, replayed from the same exact integer moments as the
+    // Spark side (one double combination at the end; no engine CORR)
     "q_assortativity" ->
       """WITH po0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |po AS (SELECT o, p FROM po0 QUALIFY COUNT(*) OVER (PARTITION BY o) <= 1024),
