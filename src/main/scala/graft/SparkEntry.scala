@@ -43,6 +43,8 @@ object SparkEntry {
     "q_fk_join_outer" -> ((s, dir) => CarZone.fkJoinOuter(ev(s, dir))),
     "q_move_transitions" -> ((s, dir) => CarZone.moveTransitions(ev(s, dir))),
     "q_asof_join" -> ((s, dir) => CarZone.asofJoin(ev(s, dir))),
+    // SCD type-2: zone-residence interval history per car
+    "q_scd2" -> ((s, dir) => CarZone.scd2Residence(ev(s, dir))),
     "q_arrive_leave" -> ((s, dir) => CarZone.arriveLeave(ev(s, dir))),
     "q_union_envelope" -> ((s, dir) => CarZone.unionEnvelope(ev(s, dir))),
     // timestamps framed in ms like the reference's producer
@@ -163,6 +165,8 @@ object SparkEntry {
     // the oracle's full recompute IS the correctness statement
     "q_incremental_agg" -> ((s, dir) => Relational.incrementalAgg(Tables.orders(s, dir))),
     "q_price_quantiles" -> ((s, dir) => Relational.priceQuantiles(Tables.orders(s, dir))),
+    // RFM segmentation: quartile boundaries broadcast back, never ntile
+    "q_rfm" -> ((s, dir) => Relational.rfmSegments(Tables.orders(s, dir))),
     // window frames: trailing 7-day RANGE sum + running total over the
     // daily revenue series
     "q_moving_avg" -> ((s, dir) => Relational.revenueMovingAvg(Tables.orders(s, dir))),
@@ -638,6 +642,11 @@ object SparkEntry {
     // same seed rule, deterministic 1+(u+v)%7 edge costs
     "q_sssp" -> ((s, dir) =>
       graft.operators.Graph.shortestPaths(Tables.lineitem(s, dir))),
+    // HyperBall approximate neighborhood function: per-node HLL ball
+    // sizes at radius 1..3 — sketch arithmetic replayed exactly by
+    // the oracle (register max-merge is HLL's lossless union)
+    "q_anf" -> ((s, dir) =>
+      graft.operators.Graph.neighborhoodFunction(Tables.lineitem(s, dir))),
     // hot-key-salted fact⋈dim join; the oracle is the PLAIN join —
     // salting must be invisible in the result
     "q_salted_join" -> ((s, dir) => {
@@ -911,6 +920,31 @@ object SparkEntry {
     "q_move_transitions" ->
       s"""WITH $movesCte
          |SELECT event_id, car_id, from_zone, to_zone, fuel_level FROM moves""".stripMargin,
+    // SCD type-2: same gaps-and-islands formulation — island flag via
+    // row_number/lag (null-safe zone equality), running island id,
+    // per-island min(ts)/count, lead() closes each interval. Raw
+    // timestamps and integers end to end — no rounding rules needed
+    "q_scd2" ->
+      """WITH ce AS (
+        |  SELECT user_id AS car_id,
+        |         CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS zone_id,
+        |         epoch_ns(ts) AS ts, event_id
+        |  FROM events WHERE event_type IN ('click','view')),
+        |fl AS (
+        |  SELECT *, CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+        |                 WHEN zone_id IS NOT DISTINCT FROM LAG(zone_id) OVER w THEN 0
+        |                 ELSE 1 END AS new_island
+        |  FROM ce WINDOW w AS (PARTITION BY car_id ORDER BY ts, event_id)),
+        |isl AS (
+        |  SELECT *, SUM(new_island) OVER (PARTITION BY car_id ORDER BY ts, event_id) AS island
+        |  FROM fl),
+        |agg AS (
+        |  SELECT car_id, island, zone_id, MIN(ts) AS valid_from, COUNT(*) AS n_events
+        |  FROM isl GROUP BY 1, 2, 3)
+        |SELECT car_id, zone_id, valid_from,
+        |       LEAD(valid_from) OVER w2 AS valid_to, n_events,
+        |       LEAD(valid_from) OVER w2 IS NULL AS is_current
+        |FROM agg WINDOW w2 AS (PARTITION BY car_id ORDER BY island)""".stripMargin,
     // as-of join: same union + filled-forward window formulation as the
     // Spark side (readings sort before events at equal ts via pref, so
     // a reading exactly at the event time is visible); values are raw
@@ -1550,6 +1584,46 @@ object SparkEntry {
         |       ROUND(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 0.9) + 1e-9, 2) AS p90,
         |       ROUND(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 0.99) + 1e-9, 2) AS p99
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // RFM: same broadcast-boundary formulation — exact per-customer
+    // measures (integer days/counts, 2-dp decimal money), type-7
+    // quartiles at quarter fractions are exact binary arithmetic, so
+    // the <= score comparisons replay identically cross-engine
+    "q_rfm" ->
+      """WITH anchor AS (SELECT MAX(o_orderdate) AS anchor FROM orders),
+        |rfm AS (
+        |  SELECT o_custkey,
+        |         CAST(CAST((SELECT anchor FROM anchor) AS DATE)
+        |              - CAST(MAX(o_orderdate) AS DATE) AS BIGINT) AS recency_days,
+        |         COUNT(*) AS frequency,
+        |         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1),
+        |b AS (
+        |  SELECT quantile_cont(CAST(recency_days AS DOUBLE), 0.25) AS r25,
+        |         quantile_cont(CAST(recency_days AS DOUBLE), 0.5)  AS r50,
+        |         quantile_cont(CAST(recency_days AS DOUBLE), 0.75) AS r75,
+        |         quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f25,
+        |         quantile_cont(CAST(frequency AS DOUBLE), 0.5)  AS f50,
+        |         quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f75,
+        |         quantile_cont(monetary, 0.25) AS m25,
+        |         quantile_cont(monetary, 0.5)  AS m50,
+        |         quantile_cont(monetary, 0.75) AS m75
+        |  FROM rfm),
+        |s AS (
+        |  SELECT o_custkey, recency_days, frequency, monetary,
+        |         CASE WHEN recency_days <= r25 THEN 4 WHEN recency_days <= r50 THEN 3
+        |              WHEN recency_days <= r75 THEN 2 ELSE 1 END AS r_score,
+        |         CASE WHEN frequency <= f25 THEN 1 WHEN frequency <= f50 THEN 2
+        |              WHEN frequency <= f75 THEN 3 ELSE 4 END AS f_score,
+        |         CASE WHEN monetary <= m25 THEN 1 WHEN monetary <= m50 THEN 2
+        |              WHEN monetary <= m75 THEN 3 ELSE 4 END AS m_score
+        |  FROM rfm, b)
+        |SELECT *,
+        |       CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3 THEN 'champion'
+        |            WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+        |            WHEN r_score >= 3 THEN 'recent'
+        |            WHEN f_score >= 3 OR m_score >= 3 THEN 'at_risk'
+        |            ELSE 'hibernating' END AS segment
+        |FROM s""".stripMargin,
     // window frames over the daily series: DECIMAL-exact sums, RANGE
     // frame on the integer day ordinal — identical on both engines
     "q_moving_avg" ->
@@ -3875,6 +3949,56 @@ object SparkEntry {
         |  JOIN sym s ON s.node = w.node WHERE w.depth < 8)
         |SELECT node, MIN(depth) AS depth FROM walk GROUP BY node""".stripMargin,
     "q_sssp" -> ssspOracle,
+    // HyperBall ANF: the oracle replays the sketch itself — three
+    // register max-merge rounds (HLL's lossless union) and the exact
+    // integer harmonic estimator of q_hll_distinct, per (node, r)
+    "q_anf" ->
+      """WITH po0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |po AS (SELECT o, p FROM po0 QUALIFY COUNT(*) OVER (PARTITION BY o) <= 1024),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |nodes AS (SELECT DISTINCT node FROM sym),
+        |h AS (SELECT node,
+        |             CAST('0x' || substring(md5(CAST(node AS VARCHAR)), 1, 15) AS UBIGINT) AS h
+        |      FROM nodes),
+        |r0 AS (SELECT node, h % 64 AS j,
+        |              CASE WHEN h // 64 > 0 THEN 55 - length(bin(h // 64)) ELSE 55 END AS mj
+        |       FROM h),
+        |rr1 AS (SELECT node, j, MAX(mj) AS mj FROM (
+        |          SELECT node, j, mj FROM r0
+        |          UNION ALL
+        |          SELECT s.node, r.j, r.mj FROM sym s JOIN r0 r ON r.node = s.nbr)
+        |        GROUP BY 1, 2),
+        |rr2 AS (SELECT node, j, MAX(mj) AS mj FROM (
+        |          SELECT node, j, mj FROM rr1
+        |          UNION ALL
+        |          SELECT s.node, r.j, r.mj FROM sym s JOIN rr1 r ON r.node = s.nbr)
+        |        GROUP BY 1, 2),
+        |rr3 AS (SELECT node, j, MAX(mj) AS mj FROM (
+        |          SELECT node, j, mj FROM rr2
+        |          UNION ALL
+        |          SELECT s.node, r.j, r.mj FROM sym s JOIN rr2 r ON r.node = s.nbr)
+        |        GROUP BY 1, 2),
+        |u AS (SELECT 1 AS r, node, j, mj FROM rr1
+        |      UNION ALL SELECT 2, node, j, mj FROM rr2
+        |      UNION ALL SELECT 3, node, j, mj FROM rr3),
+        |z AS (SELECT node, r,
+        |             CAST(SUM(CAST(1 AS BIGINT) << (55 - mj)) AS BIGINT)
+        |               + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 55) AS z,
+        |             64 - COUNT(*) AS v, COUNT(*) AS nhit
+        |      FROM u GROUP BY 1, 2),
+        |ee AS (SELECT node, r, v, nhit,
+        |              (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)))
+        |              * CAST(64.0 AS DOUBLE) * CAST(64.0 AS DOUBLE)
+        |              * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE) / CAST(z AS DOUBLE) AS e
+        |       FROM z)
+        |SELECT node, r,
+        |       ROUND(CASE WHEN v > 0 AND e <= CAST(2.5 AS DOUBLE) * CAST(64.0 AS DOUBLE)
+        |                  THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / CAST(v AS DOUBLE))
+        |                  ELSE e END + 1e-9, 4) AS est_ball,
+        |       CAST(nhit AS INT) AS registers_hit
+        |FROM ee""".stripMargin,
     "q_salted_join" ->
       """SELECT s_name, COUNT(*) AS n_lines,
         |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty

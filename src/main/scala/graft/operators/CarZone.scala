@@ -174,6 +174,43 @@ object CarZone {
         col("fuel_level"), col("pollution_asof"))
   }
 
+  /** SCD TYPE-2 dimension reconstruction — the zone-residence HISTORY
+    * table the reference's latest-state KTable (DemoApp.scala:86)
+    * throws away: per car, one row per maximal run of consecutive
+    * same-zone events (gaps-and-islands), carrying
+    * (valid_from, valid_to, n_events, is_current) with valid_to =
+    * the next residence's first event time and NULL on the open
+    * (current) interval. Re-entering a zone later opens a NEW
+    * interval — the type-2 semantics that make point-in-time joins
+    * replayable. Null zone_ids island together under null-safe
+    * equality (an unparseable position is its own dimension value,
+    * not a wildcard).
+    *
+    * Scale shape: ONE exchange on car_id serves the whole operator —
+    * the island flag + running island id are two window functions
+    * over the same (car_id; ts, event_id) spec (one window pass), the
+    * island aggregate groups on (car_id, island, zone_id) whose
+    * clustering the car_id hash partitioning already satisfies (no
+    * second exchange; PlanAuditSpec locks the single-exchange plan),
+    * and the closing lead() rides the same partitioning. Per-car
+    * window frames — never a global sort; skew ceiling = events per
+    * car, the domain's own bound. */
+  def scd2Residence(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("car_id")).orderBy(col("ts"), col("event_id"))
+    val islands = carEvents(events)
+      .withColumn("new_island",
+        when(row_number().over(w) === 1, 1)
+          .otherwise(when(col("zone_id") <=> lag(col("zone_id"), 1).over(w), 0)
+            .otherwise(1)))
+      .withColumn("island", sum(col("new_island")).over(w))
+    val w2 = Window.partitionBy(col("car_id")).orderBy(col("island"))
+    islands.groupBy(col("car_id"), col("island"), col("zone_id"))
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .select(col("car_id"), col("zone_id"), col("valid_from"),
+        col("valid_to"), col("n_events"), col("valid_to").isNull.as("is_current"))
+  }
+
   /** Stream union (reference merge #18, DemoApp.scala:105-106): both
     * changelogs normalized to one envelope schema. At scale: union is
     * shuffle-free (pure partition concatenation).

@@ -1159,5 +1159,93 @@ object Graph {
         "— raise maxRounds (rounds scale with the graph\u2019s tendril diameter)")
     (c.select(col("node"), col("c").as("coreness")), changedCounts.toSeq)
   }
+
+  /** APPROXIMATE NEIGHBORHOOD FUNCTION by HyperBall (Boldi & Vigna
+    * 2013; ANF: Palmer, Gibbons & Faloutsos 2002) over the co-purchase
+    * graph — per-node ball-size estimates |{u : d(u,v) <= r}| for
+    * r = 1..`radius`, the primitive behind effective-diameter,
+    * closeness/harmonic centrality, and "how central is this page in
+    * the crawl" features at scales where exact all-pairs BFS is
+    * unthinkable. Each node carries ONE fixed-size HLL sketch
+    * ([[Sketch.HllRegisters]] = 64 registers, the repo's deterministic
+    * md5-derived rho values); a round replaces every sketch with the
+    * register-wise max of itself and its neighbors' sketches. By
+    * induction the round-r registers EQUAL the direct HLL registers of
+    * the exact r-ball (max-merge is HLL's lossless union), so the
+    * estimates inherit [[Sketch.hllDistinct]]'s integer-exact,
+    * cross-engine-replayable arithmetic — the DuckDB oracle unrolls
+    * the same `radius` merge rounds and the same estimator and the
+    * hash comparison is exact, sketch and all (`q_anf`). GraphSpec
+    * pins the union invariant against an exact in-test BFS ball.
+    *
+    * Scale shape (the published HyperBall cost): per round ONE
+    * edge-times-register-sized shuffle — the symmetric edge frame
+    * joins the register frame on the neighbor key (register frame =
+    * at most 64 small rows per node, the sketch's fixed budget), and
+    * the register-wise max partial-aggregates map-side on (node, j)
+    * before the exchange, so the reduce side is node-bounded
+    * (<= 64·|V| rows) no matter the edge count. Rounds are `radius`
+    * (a small constant, 3 here — ANF consumers want small-r balls;
+    * effective-diameter runs need ~log-diameter rounds of the same
+    * shape). Register frames localCheckpoint per round with fresh
+    * leaf stats (the coreNumbers stats-squaring rule). Nothing is
+    * collected; nothing broadcast grows with |V| (at 10⁹ nodes the
+    * register frame is 64·10⁹ tiny rows — a packed 64-column variant
+    * halves the shuffle width if that ever binds; documented, not
+    * needed at this register count). Shares [[coPurchaseEdges]]'
+    * basket-capped checkpointed build. */
+  def neighborhoodFunction(lineitem: DataFrame, radius: Int = 3,
+                           maxBasket: Int = 1024): DataFrame = {
+    require(radius >= 1 && radius <= 16,
+      s"radius must be in [1, 16], got $radius")
+    val spark = lineitem.sparkSession
+    val sym = anfSym(lineitem, maxBasket)
+    var regs = seedRegisters(sym)
+    var out: DataFrame = null
+    for (r <- 1 to radius) {
+      val nextCp = mergeRound(sym, regs).localCheckpoint()
+      regs = spark.createDataFrame(nextCp.rdd, nextCp.schema)
+      val est = Sketch.estimate(
+          regs.select(col("node"), col("j"), col("mj"), lit(r).as("r")),
+          Seq("node", "r"))
+        .select(col("node"), col("r"),
+          col("est_distinct").as("est_ball"), col("registers_hit"))
+      out = if (out == null) est else out.unionByName(est)
+    }
+    out
+  }
+
+  private def anfSym(lineitem: DataFrame, maxBasket: Int): DataFrame = {
+    val edges = coPurchaseEdges(lineitem, maxBasket)
+    edges.select(col("u").as("node"), col("v").as("nbr"))
+      .unionByName(edges.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint()
+  }
+
+  /** Round-0 sketches: each node's own-key HLL registers. */
+  private def seedRegisters(sym: DataFrame): DataFrame =
+    Sketch.registerRows(sym.select(col("node")).distinct(), "node", Seq("node"))
+      .groupBy(col("node"), col("j")).agg(max(col("rho")).as("mj"))
+      .localCheckpoint()
+
+  /** One HyperBall merge round: register-wise max of self + neighbors
+    * (HLL's lossless union, partial-aggregated map-side on (node, j)). */
+  private def mergeRound(sym: DataFrame, regs: DataFrame): DataFrame =
+    regs.unionByName(
+        sym.join(regs.select(col("node").as("nbr"), col("j"), col("mj")), "nbr")
+          .select(col("node"), col("j"), col("mj")))
+      .groupBy(col("node"), col("j")).agg(max(col("mj")).as("mj"))
+
+  /** The round-`radius` HyperBall register frame (node, j, mj) —
+    * radius 0 = each node's own-sketch registers. Exposed so GraphSpec
+    * can pin the union invariant (round-r registers == direct HLL
+    * registers of the exact r-ball) without re-deriving the loop. */
+  private[graft] def ballRegisters(lineitem: DataFrame, radius: Int,
+                                   maxBasket: Int = 1024): DataFrame = {
+    val sym = anfSym(lineitem, maxBasket)
+    var regs = seedRegisters(sym)
+    for (_ <- 1 to radius) regs = mergeRound(sym, regs).localCheckpoint()
+    regs
+  }
 }
 

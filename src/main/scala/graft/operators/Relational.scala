@@ -495,6 +495,62 @@ object Relational {
         round(percentile(col("o_totalprice").cast("decimal(18,4)").cast("double"), lit(0.99))
           + lit(1e-9), 2).as("p99"))
 
+  /** RFM SEGMENTATION — the classic customer-value partitioning
+    * (recency / frequency / monetary quartile scores + a named
+    * segment), the audience-selection primitive a marketing or
+    * data-curation pipeline runs before sampling. Recency = days from
+    * the corpus's latest order date (one broadcast scalar anchor);
+    * quartile boundaries come from ONE exact-percentile aggregate
+    * over the per-customer frame and are BROADCAST BACK for the score
+    * comparisons — never an ntile() window over all customers (a
+    * corpus-wide single-partition sort; at 10⁹ customers it is the
+    * difference between a 24-byte broadcast and a global sort).
+    * Boundary determinism: all three measures are exact (integer days,
+    * counts, 2-dp decimal-summed money), and type-7 interpolation at
+    * quarter fractions over exact inputs is exact binary arithmetic on
+    * both engines, so the <= comparisons replay identically. */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val anchor = orders.agg(max(col("o_orderdate")).as("anchor"))
+    val rfm = orders.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("monetary"))
+      .crossJoin(broadcast(anchor))
+      .select(col("o_custkey"),
+        datediff(col("anchor").cast("date"), col("last_order").cast("date"))
+          .cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+    def q(c: String, p: Double) = percentile(col(c).cast("double"), lit(p))
+    val bounds = rfm.agg(
+      q("recency_days", 0.25).as("r25"), q("recency_days", 0.5).as("r50"),
+      q("recency_days", 0.75).as("r75"),
+      q("frequency", 0.25).as("f25"), q("frequency", 0.5).as("f50"),
+      q("frequency", 0.75).as("f75"),
+      q("monetary", 0.25).as("m25"), q("monetary", 0.5).as("m50"),
+      q("monetary", 0.75).as("m75"))
+    def asc(c: String, b: String) =
+      when(col(c) <= col(s"${b}25"), 1).otherwise(
+        when(col(c) <= col(s"${b}50"), 2).otherwise(
+          when(col(c) <= col(s"${b}75"), 3).otherwise(4)))
+    val scored = rfm.crossJoin(broadcast(bounds))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        // recency: smaller is better — the quartile score inverts
+        when(col("recency_days") <= col("r25"), 4).otherwise(
+          when(col("recency_days") <= col("r50"), 3).otherwise(
+            when(col("recency_days") <= col("r75"), 2).otherwise(1))).as("r_score"),
+        asc("frequency", "f").as("f_score"),
+        asc("monetary", "m").as("m_score"))
+    scored.withColumn("segment",
+      when(col("r_score") >= 3 && col("f_score") >= 3 && col("m_score") >= 3,
+        lit("champion"))
+        .otherwise(when(col("r_score") >= 3 && col("f_score") >= 3, lit("loyal"))
+          .otherwise(when(col("r_score") >= 3, lit("recent"))
+            .otherwise(when(col("f_score") >= 3 || col("m_score") >= 3,
+              lit("at_risk")).otherwise(lit("hibernating"))))))
+  }
+
   /** TPC-H Q7-style volume shipping: bilateral trade between two
     * nations by ship year, over the full 5-table join path
     * lineitem ⋈ supplier ⋈ nation ⋈ orders ⋈ customer ⋈ nation.

@@ -95,4 +95,37 @@ class CarZoneSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted
     assert(out.toSeq == Seq((1L, "b"), (2L, "c")))
   }
+
+  test("scd2Residence: runs collapse, re-entry opens a new interval, last is open") {
+    // car 1: zone 100 (2 events) -> 200 (1) -> back to 100 (1)
+    val df = events(
+      car(0, 10, 1, 100, 1.0),
+      car(1, 20, 1, 100, 2.0),
+      car(2, 30, 1, 200, 3.0),
+      car(3, 40, 1, 100, 4.0))
+    val out = CarZone.scd2Residence(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4), r.getBoolean(5)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(out == Seq(
+      (1L, 100L, 10L, Some(30L), 2L, false),
+      (1L, 200L, 30L, Some(40L), 1L, false),
+      (1L, 100L, 40L, None, 1L, true)))
+  }
+
+  test("scd2Residence: null zones island together (null-safe equality), intervals abut") {
+    val df = events(
+      (0L, 10L, 7L, "click", 1.0, "{}"),        // unparseable -> null zone
+      (1L, 20L, 7L, "click", 2.0, "{}"),        // still null: same island
+      car(2, 30, 7, 300, 3.0))
+    val out = CarZone.scd2Residence(df).collect()
+      .map(r => (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4)))
+      .sortBy(_._2).toSeq
+    assert(out == Seq((None, 10L, Some(30L), 2L), (Some(300L), 30L, None, 1L)))
+    // coverage: every event lands in exactly one interval; intervals
+    // abut (valid_to == next valid_from) with no gaps or overlaps
+    val ns = out.map(_._4).sum
+    assert(ns == 3)
+  }
 }

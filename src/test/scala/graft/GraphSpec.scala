@@ -372,4 +372,54 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(out(2L) - p2) < 1e-8 && math.abs(out(3L) - p3) < 1e-8,
       s"got $out expected (2 -> $p2, 3 -> $p3)")
   }
+
+  test("HyperBall: round-r registers equal the exact r-ball's direct HLL registers (sf0.001)") {
+    // the union invariant that makes q_anf oracle-exact: max-merge
+    // over neighbors is HLL's lossless union, so by induction the
+    // round-r sketch IS the sketch of the exact r-ball
+    val li = Tables.lineitem(spark, sf0001)
+    val edges = graft.operators.Graph.coPurchaseEdges(li, 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+    edges.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, scala.collection.mutable.Set()) += v
+      adj.getOrElseUpdate(v, scala.collection.mutable.Set()) += u
+    }
+    val pairs = adj.keys.toSeq.flatMap { s =>
+      var ball = Set(s)
+      var frontier = Set(s)
+      for (_ <- 1 to 2) {
+        frontier = frontier.flatMap(n => adj(n)) -- ball
+        ball ++= frontier
+      }
+      ball.map(m => (s, m))
+    }.toDF("node", "member")
+    val direct = graft.operators.Sketch.registerRows(pairs, "member", Seq("node"))
+      .groupBy($"node", $"j").agg(max($"rho").as("mj"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hyper = graft.operators.Graph.ballRegisters(li, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(hyper == direct,
+      s"HyperBall registers diverge from exact-ball registers: " +
+        s"${(hyper -- direct).take(3)} vs ${(direct -- hyper).take(3)}")
+  }
+
+  test("neighborhoodFunction: registers grow monotonically with radius; shape is nodes x radius") {
+    val li = Tables.lineitem(spark, sf0001)
+    val r1 = graft.operators.Graph.ballRegisters(li, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val r2 = graft.operators.Graph.ballRegisters(li, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // a register never loses information as the ball grows
+    r1.foreach { case (k, mj) =>
+      assert(r2.contains(k) && r2(k) >= mj, s"register $k regressed: $mj -> ${r2.get(k)}")
+    }
+    val out = graft.operators.Graph.neighborhoodFunction(li, radius = 2)
+    val nNodes = graft.operators.Graph.coPurchaseEdges(li, 1024)
+      .select(col("u")).unionAll(
+        graft.operators.Graph.coPurchaseEdges(li, 1024).select(col("v")))
+      .distinct().count()
+    assert(out.count() == nNodes * 2, s"expected ${nNodes * 2} rows")
+    assert(out.filter(col("est_ball") <= 0).count() == 0)
+  }
 }

@@ -995,4 +995,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
       s"the scalar type total must broadcast:\n$p")
   }
+
+  test("scd2Residence: ONE car_id exchange serves windows, island agg, and close") {
+    val p = plan(CarZone.scd2Residence(Tables.events(spark, dir)))
+    // the island groupBy clusters on (car_id, island, zone_id) — the
+    // car_id hash partitioning must satisfy it with no second exchange
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("car_id"),
+      s"expected exactly one car_id exchange, got ${exchanges.size}:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"island aggregate lost its map-side partial:\n$p")
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach(l =>
+      assert(l.contains("car_id"), s"window not per-car:\n$l"))
+  }
+
+  test("neighborhoodFunction: register max-merge partial-aggregates map-side") {
+    val regs = Graph.ballRegisters(Tables.lineitem(spark, dir), 1)
+    val p = plan(regs)
+    // the frame is checkpointed; audit the merge ROUND plan instead —
+    // rebuild one round over the checkpointed frame
+    val sym = Graph.coPurchaseEdges(Tables.lineitem(spark, dir), 1024)
+      .select(col("u").as("node"), col("v").as("nbr"))
+    val round = sym.join(regs.select(col("node").as("nbr"), col("j"), col("mj")), "nbr")
+      .select(col("node"), col("j"), col("mj"))
+      .groupBy(col("node"), col("j")).agg(max(col("mj")).as("mj"))
+    val rp = plan(round)
+    assert(rp.contains("partial_max"),
+      s"register union not partial-aggregated before the exchange:\n$rp")
+    assert(!rp.contains("CartesianProduct") && !p.contains("CartesianProduct"))
+  }
+
+  test("rfmSegments: boundaries broadcast; no ntile window over customers") {
+    val p = plan(Relational.rfmSegments(Tables.orders(spark, dir)))
+    assert(!p.contains("windowspecdefinition"),
+      s"a window crept into RFM — boundaries must broadcast instead:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"quartile bounds must broadcast:\n$p")
+    assert(p.contains("partial_count"), s"per-customer agg lost its partial:\n$p")
+  }
 }
