@@ -78,6 +78,11 @@ object SparkEntry {
       graft.streaming.StreamRunner.replayFullOuterIntervalJoin(s, ev(s, dir))),
     "s_stream_move_paths" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayMovePaths(s, ev(s, dir))),
+    // streaming SCD2: per-car open-interval state, zone changes close
+    // and emit the finished dimension row — the log equals the batch
+    // gaps-and-islands table's closed intervals
+    "s_stream_scd2" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayScd2(s, ev(s, dir))),
     // streaming incremental top-k: moveFold changelog -> per-zone
     // occupancy MapState -> versioned rank snapshots; the final
     // (max-version) standings equal the batch latest-per-car ranking
@@ -3583,6 +3588,34 @@ object SparkEntry {
         |      FROM f WHERE z2 IS NOT NULL)
         |SELECT path, COUNT(*) AS n_paths FROM p GROUP BY 1
         |ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
+    // streaming SCD2: the batch gaps-and-islands residence table
+    // restricted to parseable zones, CLOSED intervals only (the open
+    // interval per car lives in processor state, not the log)
+    "s_stream_scd2" ->
+      """WITH ce AS (
+        |  SELECT user_id AS car_id,
+        |         CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS zone_id,
+        |         epoch_ns(ts) AS ts, event_id
+        |  FROM events WHERE event_type IN ('click','view')),
+        |cz AS (SELECT * FROM ce WHERE zone_id IS NOT NULL),
+        |fl AS (
+        |  SELECT *, CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+        |                 WHEN zone_id = LAG(zone_id) OVER w THEN 0
+        |                 ELSE 1 END AS new_island
+        |  FROM cz WINDOW w AS (PARTITION BY car_id ORDER BY ts, event_id)),
+        |isl AS (
+        |  SELECT *, SUM(new_island) OVER (PARTITION BY car_id ORDER BY ts, event_id) AS island
+        |  FROM fl),
+        |agg AS (
+        |  SELECT car_id, island, zone_id, MIN(ts) AS valid_from, COUNT(*) AS n_events
+        |  FROM isl GROUP BY 1, 2, 3),
+        |cl AS (
+        |  SELECT car_id, zone_id, valid_from,
+        |         LEAD(valid_from) OVER (PARTITION BY car_id ORDER BY island) AS valid_to,
+        |         n_events
+        |  FROM agg)
+        |SELECT car_id, zone_id, valid_from, valid_to, n_events
+        |FROM cl WHERE valid_to IS NOT NULL""".stripMargin,
     // path discovery: consecutive event-type 3-grams under the same
     // (tus, event_id) per-user order sessionize pins; top-20 by count
     // with the path-string tiebreak

@@ -119,6 +119,53 @@ private[streaming] class MovePathProcessor
   }
 }
 
+/** Streaming SCD2 plumbing: one parseable car arrival in, one CLOSED
+  * residence interval out, and the bounded per-car state — the open
+  * interval (zone, valid_from, n_events; 24 B/car, fixed regardless
+  * of stream length). */
+private[streaming] case class Scd2In(car: Long, zone: Long, ts: Long, seq: Long)
+private[streaming] case class Scd2Out(car_id: Long, zone_id: Long, valid_from: Long,
+                                      valid_to: Long, n_events: Long)
+private[streaming] case class Scd2State(zone: Long, from: Long, n: Long)
+
+/** INCREMENTAL SCD TYPE-2 — the streaming half of
+  * [[graft.operators.CarZone.scd2Residence]]: per car, the open
+  * residence interval lives in ValueState; an arrival in the same
+  * zone extends it, a zone change CLOSES it (valid_to = the new
+  * arrival's time) and emits the finished dimension row. The emitted
+  * log is exactly the batch gaps-and-islands table's closed rows
+  * however the stream was chunked (rows fold in seq order within each
+  * batch — the FkJoinStream ordering contract; islands never span a
+  * retraction, so chunking cannot split or merge one). The open
+  * interval per car stays in state — the "current" row a type-2
+  * dimension serves point-lookups from while history accretes to the
+  * log. */
+private[streaming] class Scd2Processor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Scd2In, Scd2Out] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var state: ValueState[Scd2State] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[Scd2State]("scd2open",
+      Encoders.product[Scd2State], TTLConfig.NONE)
+
+  override def handleInputRows(car: Long, rows: Iterator[Scd2In],
+                               timers: TimerValues): Iterator[Scd2Out] = {
+    var st = if (state.exists) state.get() else null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Out]
+    rows.toArray.sortBy(_.seq).foreach { r =>
+      if (st == null) st = Scd2State(r.zone, r.ts, 1L)
+      else if (st.zone == r.zone) st = Scd2State(st.zone, st.from, st.n + 1L)
+      else {
+        out += Scd2Out(car, st.zone, st.from, r.ts, st.n)
+        st = Scd2State(r.zone, r.ts, 1L)
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+}
+
 /** Streaming TOP-K rank maintenance plumbing: [[FkJoinStream.moveFold]]
   * changelog rows in (keyed by zone after the re-key exchange —
   * arrivals upsert, retractions delete), per-zone top-k snapshots out.
@@ -1089,6 +1136,27 @@ object StreamRunner {
     })
     log.groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
       .orderBy(col("n_paths").desc, col("path")).limit(k)
+  }
+
+  /** Streaming SCD TYPE-2 replay: parseable car arrivals keyed by car
+    * through [[Scd2Processor]]; the emitted log is the batch
+    * gaps-and-islands residence table's CLOSED intervals (the open
+    * interval per car lives in state, awaiting its close). Oracle:
+    * [[graft.operators.CarZone.scd2Residence]]'s SQL restricted to
+    * parseable zones and non-null valid_to. */
+  def replayScd2(spark: SparkSession, events: DataFrame): DataFrame = {
+    val (log, _) = replay(spark, events, rocksDb = true, topology = (src: DataFrame) => {
+      import spark.implicits._
+      src.filter(col("kind") === "car" && col("b") >= 0)
+        .select(col("a").as("car"), col("b").as("zone"), col("ts"), col("seq"))
+        .as[Scd2In]
+        .groupByKey(_.car)
+        .transformWithState(new Scd2Processor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+    })
+    log.select(col("car_id"), col("zone_id"), col("valid_from"),
+      col("valid_to"), col("n_events"))
   }
 
   /** Streaming INCREMENTAL TOP-K per zone: stage 1 is the

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamRunner
+import graft.operators.CarZone
+
+/** The streaming SCD2 log must equal the batch gaps-and-islands
+  * residence table's CLOSED intervals (restricted to parseable zones,
+  * the envelope's domain) however the stream was chunked — islands
+  * never span a micro-batch boundary incorrectly because the open
+  * interval rides ValueState across batches. */
+class StreamScd2Spec extends SparkSpec {
+
+  test("streaming SCD2 closed intervals equal the batch islands (sf0.001)") {
+    val events = Tables.events(spark, sf0001)
+    val streamed = StreamRunner.replayScd2(spark, events)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // batch: scd2Residence over parseable-zone events only, closed rows
+    val zid = CarZone.propsK(col("props"))
+    val parseable = events.filter(
+      !col("event_type").isin("click", "view") || zid.isNotNull)
+    val batch = CarZone.scd2Residence(parseable)
+      .filter(col("valid_to").isNotNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(streamed.nonEmpty, "no closed intervals — fixture has no zone moves")
+    assert(streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size}; " +
+        s"only-streamed=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+    // the state actually spans batches: at least one closed interval
+    // must aggregate >1 event (a run), or chunk boundaries were never
+    // exercised inside an island
+    assert(streamed.exists(_._5 > 1L), "no multi-event island in fixture")
+  }
+}
