@@ -767,6 +767,11 @@ object SparkEntry {
     // oracle recomputes each frame's index stream arithmetically
     "m_gif_frames" -> ((s, dir) =>
       Multimodal.decodeGifFrames(Multimodal.gifAnimDocs(Tables.documents(s, dir))).toDF()),
+    // REAL TIFF decode: byte-order dispatch (even docs II, odd MM),
+    // full IFD walk, multi-strip assembly; the oracle recomputes the
+    // pixel fingerprint arithmetically from doc_id
+    "m_decode_tiff" -> ((s, dir) =>
+      Multimodal.decodeTiffMeta(Multimodal.tiffDocs(Tables.documents(s, dir))).toDF()),
     // REAL audio decode + DSP: RIFF/WAV header parsing and sample-level
     // statistics from the actual little-endian PCM bytes
     "m_audio_features" -> ((s, dir) =>
@@ -2516,6 +2521,22 @@ object SparkEntry {
         |       CAST(w * h AS BIGINT) AS n_pixels,
         |       md5(array_to_string(
         |         [lpad(hex((doc_id + k) % 256), 2, '0')
+        |          for k in generate_series(0, w * h - 1)], '')) AS pixels_md5
+        |FROM g""".stripMargin,
+    // TIFF: dims/strips/byte-order are doc_id arithmetic; the pixel
+    // fingerprint is the (id+3k)%256 stream — the Spark side must walk
+    // the IFD in the right endianness and assemble strips in order
+    "m_decode_tiff" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CAST(2 + doc_id % 11 AS INT) AS w,
+        |         CAST(1 + doc_id % 6 AS INT) AS h
+        |  FROM documents)
+        |SELECT doc_id, w AS width, h AS height,
+        |       CAST((h + 1) // 2 AS INT) AS n_strips,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |       md5(array_to_string(
+        |         [lpad(hex((doc_id + 3 * k) % 256), 2, '0')
         |          for k in generate_series(0, w * h - 1)], '')) AS pixels_md5
         |FROM g""".stripMargin,
     // animated GIF: one row per (doc, frame) — frame f of doc d is

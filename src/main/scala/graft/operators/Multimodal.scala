@@ -3177,4 +3177,177 @@ object Multimodal {
         (col("sum_lum") - col("prev")).as("delta"),
         (abs(col("sum_lum") - col("prev")) > col("n_bytes") * threshold).as("is_cut"))
   }
+
+  // ---- TIFF: byte-order-aware IFD walk + multi-strip assembly ----
+
+  /** Deterministic TIFF corpus — baseline grayscale 8-bit uncompressed,
+    * one image per document: (2 + id % 11) x (1 + id % 6), pixel k =
+    * (id + 3k) % 256 (position-varying — a wrong strip offset or
+    * endianness can never hash right). Even doc_ids write
+    * little-endian ("II"), odd big-endian ("MM") — both byte orders of
+    * the format in one corpus, so the decoder's endianness dispatch is
+    * load-bearing for the oracle hash. Pixels land in RowsPerStrip=2
+    * strips, so multi-row images carry REAL StripOffsets /
+    * StripByteCounts ARRAYS stored outside the IFD entry (the
+    * value-vs-offset rule TIFF readers get wrong first). Built in the
+    * batched mapPartitions seam (gifAnimDocs' justification: IFD
+    * offset bookkeeping is not SQL-replayable, and the oracle never
+    * needs the container — it recomputes the decoded pixel stream
+    * arithmetically from doc_id). */
+  def tiffDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (2 + id % 11).toInt; val h = (1 + id % 6).toInt
+        val le = id % 2 == 0
+        val rps = 2
+        val nStrips = (h + rps - 1) / rps
+        val out = new java.io.ByteArrayOutputStream()
+        def u16(x: Int): Unit =
+          if (le) { out.write(x & 0xFF); out.write((x >> 8) & 0xFF) }
+          else { out.write((x >> 8) & 0xFF); out.write(x & 0xFF) }
+        def u32(x: Int): Unit =
+          if (le) { out.write(x & 0xFF); out.write((x >> 8) & 0xFF)
+                    out.write((x >> 16) & 0xFF); out.write((x >> 24) & 0xFF) }
+          else { out.write((x >> 24) & 0xFF); out.write((x >> 16) & 0xFF)
+                 out.write((x >> 8) & 0xFF); out.write(x & 0xFF) }
+        // layout: header(8) | strip data | [offset+count arrays] | IFD
+        val stripLens = (0 until nStrips).map(s =>
+          (math.min(h, (s + 1) * rps) - s * rps) * w)
+        val stripOffs = stripLens.scanLeft(8)(_ + _).init
+        val dataEnd = 8 + stripLens.sum
+        val arraysLen = if (nStrips > 1) nStrips * 8 else 0
+        val ifdOff = dataEnd + arraysLen
+        // header
+        if (le) { out.write('I'); out.write('I') } else { out.write('M'); out.write('M') }
+        u16(42); u32(ifdOff)
+        // strip data: pixel k of the row-major image
+        var k = 0
+        while (k < w * h) { out.write(((id + 3L * k) % 256).toInt); k += 1 }
+        // out-of-line offset/count arrays (only when a real array)
+        if (nStrips > 1) { stripOffs.foreach(u32); stripLens.foreach(u32) }
+        // IFD: 9 entries, ascending tag order (the spec's requirement)
+        u16(9)
+        def entryShort(tag: Int, v: Int): Unit = {
+          u16(tag); u16(3); u32(1); u16(v); u16(0) // left-justified value
+        }
+        def entryLong(tag: Int, v: Int): Unit = { u16(tag); u16(4); u32(1); u32(v) }
+        def entryLongs(tag: Int, vs: Seq[Int], arrOff: Int): Unit =
+          if (vs.size == 1) entryLong(tag, vs.head)
+          else { u16(tag); u16(4); u32(vs.size); u32(arrOff) }
+        entryShort(256, w); entryShort(257, h)
+        entryShort(258, 8) // BitsPerSample
+        entryShort(259, 1) // Compression: none
+        entryShort(262, 1) // Photometric: BlackIsZero
+        entryLongs(273, stripOffs, dataEnd) // StripOffsets
+        entryShort(277, 1) // SamplesPerPixel
+        entryLong(278, rps) // RowsPerStrip
+        entryLongs(279, stripLens, dataEnd + nStrips * 4) // StripByteCounts
+        u32(0) // no next IFD
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  case class TiffMeta(doc_id: Long, width: Int, height: Int, n_strips: Int,
+                      byte_order: String, pixels_md5: String)
+
+  /** REAL TIFF decode: byte-order dispatch (II little- / MM
+    * big-endian), the 42 magic, a full IFD entry walk (SHORT values
+    * left-justified inside the 4-byte field — the rule naive readers
+    * break on MM files), value-vs-offset resolution for the
+    * StripOffsets/StripByteCounts arrays, and multi-strip pixel
+    * assembly in strip order. Returns None for anything that is not a
+    * decodable baseline grayscale uncompressed TIFF (bad magic,
+    * truncated IFD, unsupported bits/compression/photometric, strip
+    * bytes out of range, pixel count mismatch) — internal bounds
+    * violations are caught at the boundary so the Option contract
+    * holds for malformed payloads (the decodeJpegGray discipline).
+    * The pixel fingerprint is md5 over the uppercase hex stream, the
+    * repo's binary convention; MultimodalSpec cross-checks against
+    * javax.imageio's TIFF reader bit-for-bit. */
+  private[graft] def decodeTiff(id: Long, b: Array[Byte]): Option[TiffMeta] =
+    try decodeTiffWalk(id, b)
+    catch {
+      case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None
+    }
+
+  private def decodeTiffWalk(id: Long, b: Array[Byte]): Option[TiffMeta] = {
+    if (b.length < 8) return None
+    val le =
+      if (b(0) == 'I' && b(1) == 'I') true
+      else if (b(0) == 'M' && b(1) == 'M') false
+      else return None
+    def u16(i: Int): Int =
+      if (le) (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+      else ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+    def u32(i: Int): Int =
+      if (le) (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+        ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+      else ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+        ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return None
+    val n = u16(ifd)
+    if (ifd + 2 + n * 12 + 4 > b.length) return None
+    var w = -1; var h = -1; var bits = 1; var comp = 1; var photo = 0; var spp = 1
+    var offs: Seq[Int] = Nil; var cnts: Seq[Int] = Nil
+    var e = 0
+    while (e < n) {
+      val p = ifd + 2 + e * 12
+      val tag = u16(p); val typ = u16(p + 2); val cnt = u32(p + 4)
+      // scalar value: SHORT is left-justified in the field (byte-order
+      // aware via u16 at the field start); LONG fills it
+      def sv: Int = typ match {
+        case 3 => u16(p + 8)
+        case 4 => u32(p + 8)
+        case _ => throw new IllegalArgumentException(s"unsupported type $typ for tag $tag")
+      }
+      def longs: Seq[Int] =
+        if (cnt == 1) Seq(sv)
+        else {
+          val base = u32(p + 8)
+          val width = if (typ == 3) 2 else 4
+          require(base >= 0 && base + cnt * width <= b.length, "array out of range")
+          (0 until cnt).map(i => if (typ == 3) u16(base + i * 2) else u32(base + i * 4))
+        }
+      tag match {
+        case 256 => w = sv
+        case 257 => h = sv
+        case 258 => bits = sv
+        case 259 => comp = sv
+        case 262 => photo = sv
+        case 273 => offs = longs
+        case 277 => spp = sv
+        case 279 => cnts = longs
+        case _ => () // RowsPerStrip and friends: assembly uses the arrays
+      }
+      e += 1
+    }
+    if (w <= 0 || h <= 0 || bits != 8 || comp != 1 || photo > 1 || spp != 1 ||
+      offs.isEmpty || offs.size != cnts.size) return None
+    val pixels = new java.io.ByteArrayOutputStream()
+    offs.zip(cnts).foreach { case (o, c) =>
+      require(o >= 0 && c >= 0 && o + c <= b.length, "strip out of range")
+      pixels.write(b, o, c)
+    }
+    val px = pixels.toByteArray
+    if (px.length != w * h) return None
+    Some(TiffMeta(id, w, h, offs.size, if (le) "II" else "MM", md5HexUpper(px)))
+  }
+
+  /** One row per decodable TIFF payload — dims, strip count, byte
+    * order and the decoded-pixel fingerprint. Decode rides the
+    * batched mapPartitions seam like every real-format walk; payload
+    * bytes never shuffle. */
+  def decodeTiffMeta(bin: DataFrame): Dataset[TiffMeta] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeTiff(id, bytes).getOrElse(throw new IllegalArgumentException(
+          s"doc $id: not a decodable baseline grayscale TIFF")) })
+  }
 }

@@ -1055,4 +1055,59 @@ class MultimodalSpec extends SparkSpec {
       .map(k => f"${(5 * 31 + 2 * 131 + k * 7) % 256}%02X").mkString)
     assert(out(1)._3 == wantF2)
   }
+
+  test("decodeTiff: both byte orders decode to the construction arithmetic; ImageIO agrees") {
+    // doc 6 = II multi-strip (h=1? 1+6%6=1 -> single strip; pick ids
+    // covering single- and multi-strip in both byte orders)
+    val ids = Seq(2L, 3L, 4L, 5L, 16L, 21L)
+    val payloads = Multimodal.tiffDocs(ids.map((_, "x")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
+    assert(payloads.length == ids.length)
+    for ((id, bytes) <- payloads) {
+      val meta = Multimodal.decodeTiff(id, bytes).get
+      assert(meta.width == (2 + id % 11).toInt && meta.height == (1 + id % 6).toInt)
+      assert(meta.byte_order == (if (id % 2 == 0) "II" else "MM"), s"doc $id order")
+      assert(meta.n_strips == (meta.height + 1) / 2, s"doc $id strips")
+      // independent reader: the JDK's own TIFF plugin must see the
+      // same dims and samples from our constructed container
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"doc $id: ImageIO rejects our TIFF")
+      assert(img.getWidth == meta.width && img.getHeight == meta.height)
+      for (y <- 0 until meta.height; x <- 0 until meta.width)
+        assert(img.getRaster.getSample(x, y, 0) ==
+          ((id + 3L * (y * meta.width + x)) % 256).toInt, s"doc $id ($x,$y)")
+    }
+  }
+
+  test("decodeTiff: ImageIO-WRITTEN grayscale TIFFs decode; malformed input is None") {
+    import java.awt.image.BufferedImage
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 3) {
+      val w = 5 + rnd.nextInt(20); val h = 3 + rnd.nextInt(15)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("TIFF").next()
+      writer.setOutput(ios)
+      writer.write(img) // default: uncompressed baseline for gray
+      ios.close(); writer.dispose()
+      val bytes = baos.toByteArray
+      val meta = Multimodal.decodeTiff(99L, bytes)
+      assert(meta.isDefined, "our reader rejects a JDK-written TIFF")
+      assert(meta.get.width == w && meta.get.height == h)
+      val raw = new Array[Byte](w * h)
+      for (y <- 0 until h; x <- 0 until w)
+        raw(y * w + x) = img.getRaster.getSample(x, y, 0).toByte
+      val wantMd5 = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        raw.map(b => f"${b & 0xFF}%02X").mkString)
+      assert(meta.get.pixels_md5 == wantMd5, "pixel stream diverges from the raster")
+    }
+    // Option contract for malformed payloads
+    assert(Multimodal.decodeTiff(0L, Array[Byte](73, 73, 42)).isEmpty)
+    assert(Multimodal.decodeTiff(0L, "not a tiff".getBytes).isEmpty)
+    assert(Multimodal.decodeTiff(0L,
+      Array[Byte](73, 73, 42, 0, -1, -1, -1, 127)).isEmpty) // IFD out of range
+  }
 }
