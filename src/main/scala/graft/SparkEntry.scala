@@ -83,6 +83,11 @@ object SparkEntry {
     // gaps-and-islands table's closed intervals
     "s_stream_scd2" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayScd2(s, ev(s, dir))),
+    // streaming as-of (temporal) join: per-zone latest-reading state;
+    // each car arrival pairs with the reading strictly before it in
+    // the (ts, event_id) arrival order
+    "s_stream_asof_join" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayAsofJoin(s, ev(s, dir))),
     // streaming incremental top-k: moveFold changelog -> per-zone
     // occupancy MapState -> versioned rank snapshots; the final
     // (max-version) standings equal the batch latest-per-car ranking
@@ -3609,6 +3614,31 @@ object SparkEntry {
         |      FROM f WHERE z2 IS NOT NULL)
         |SELECT path, COUNT(*) AS n_paths FROM p GROUP BY 1
         |ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
+    // streaming as-of join: "latest reading strictly before the car
+    // event in (ts, event_id) order" — the ignore-nulls window with an
+    // UNBOUNDED PRECEDING..1 PRECEDING frame replays the stream's
+    // fold order exactly; cars in zones with no reading yet read null
+    "s_stream_asof_join" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id AS car_id, z AS zone_id, value AS fuel_level,
+        |         epoch_ns(ts) AS tns, 1 AS is_car, CAST(NULL AS DOUBLE) AS reading
+        |  FROM (SELECT *, CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS z
+        |        FROM events WHERE event_type IN ('click','view'))
+        |  WHERE z IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_id, CAST(NULL AS BIGINT), z, CAST(NULL AS DOUBLE),
+        |         epoch_ns(ts), 0, value
+        |  FROM (SELECT *, CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS z
+        |        FROM events WHERE event_type = 'error')
+        |  WHERE z IS NOT NULL),
+        |w AS (
+        |  SELECT event_id, car_id, zone_id, fuel_level, is_car,
+        |         last_value(reading IGNORE NULLS) OVER (
+        |           PARTITION BY zone_id ORDER BY tns, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pollution_asof
+        |  FROM u)
+        |SELECT event_id, car_id, zone_id, fuel_level, pollution_asof
+        |FROM w WHERE is_car = 1""".stripMargin,
     // streaming SCD2: the batch gaps-and-islands residence table
     // restricted to parseable zones, CLOSED intervals only (the open
     // interval per car lives in processor state, not the log)

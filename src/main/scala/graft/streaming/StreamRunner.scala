@@ -166,6 +166,49 @@ private[streaming] class Scd2Processor
   }
 }
 
+/** Streaming AS-OF join plumbing: both envelope kinds keyed by zone,
+  * one joined car row out per car arrival; per-zone state is the
+  * latest reading (8 B/zone, fixed regardless of stream length). */
+private[streaming] case class AsofIn(kind: String, zone: Long, car: Long, v: Double,
+                                     eventId: Long, seq: Long)
+private[streaming] case class AsofOut(event_id: Long, car_id: Long, zone_id: Long,
+                                      fuel_level: Double, pollution_asof: Option[Double])
+
+/** Streaming EVENT-TIME AS-OF join (the temporal join): each car
+  * arrival is paired with the zone's latest reading at that point of
+  * the arrival-ordered stream — "pollution known at event time"
+  * evaluated INCREMENTALLY instead of by the batch window pass
+  * ([[graft.operators.CarZone.asofJoin]]). Both sides are keyed by
+  * zone, so a zone's readings and its cars' arrivals fold through ONE
+  * processor in seq order (ties = (ts, event_id), the staging order),
+  * and the visible reading is exactly "latest with (ts, event_id)
+  * strictly before the car event" — the oracle replays that rule with
+  * an UNBOUNDED PRECEDING..1 PRECEDING ignore-nulls window. A car in
+  * a zone with no reading yet emits a null (the asofJoin semantics,
+  * not the FK join's suppression). */
+private[streaming] class AsofProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, AsofIn, AsofOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var reading: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    reading = getHandle.getValueState[Double]("reading",
+      Encoders.scalaDouble, TTLConfig.NONE)
+
+  override def handleInputRows(zone: Long, rows: Iterator[AsofIn],
+                               timers: TimerValues): Iterator[AsofOut] = {
+    var has = reading.exists
+    var cur = if (has) reading.get() else 0.0
+    val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+    rows.toArray.sortBy(_.seq).foreach { r =>
+      if (r.kind == "zone") { cur = r.v; has = true }
+      else out += AsofOut(r.eventId, r.car, zone, r.v, if (has) Some(cur) else None)
+    }
+    if (has) reading.update(cur)
+    out.iterator
+  }
+}
+
 /** Streaming TOP-K rank maintenance plumbing: [[FkJoinStream.moveFold]]
   * changelog rows in (keyed by zone after the re-key exchange —
   * arrivals upsert, retractions delete), per-zone top-k snapshots out.
@@ -1136,6 +1179,28 @@ object StreamRunner {
     })
     log.groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
       .orderBy(col("n_paths").desc, col("path")).limit(k)
+  }
+
+  /** Streaming AS-OF join replay: the full envelope keyed by zone
+    * through [[AsofProcessor]] — readings update per-zone state, car
+    * arrivals read it. Unparseable-zone car events have no zone to
+    * join and are excluded (their batch-asof rows carry null zone and
+    * null reading; the stream's domain is the joinable rows). */
+  def replayAsofJoin(spark: SparkSession, events: DataFrame): DataFrame = {
+    val (log, _) = replay(spark, events, rocksDb = true, topology = (src: DataFrame) => {
+      import spark.implicits._
+      src.filter(col("kind") === "zone" || (col("kind") === "car" && col("b") >= 0))
+        .select(col("kind"),
+          when(col("kind") === "zone", col("a")).otherwise(col("b")).as("zone"),
+          when(col("kind") === "car", col("a")).otherwise(lit(0L)).as("car"),
+          col("v"), col("eventId"), col("seq")).as[AsofIn]
+        .groupByKey(_.zone)
+        .transformWithState(new AsofProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+    })
+    log.select(col("event_id"), col("car_id"), col("zone_id"),
+      col("fuel_level"), col("pollution_asof"))
   }
 
   /** Streaming SCD TYPE-2 replay: parseable car arrivals keyed by car

@@ -116,4 +116,44 @@ class StreamJoinSpec extends SparkSpec {
       (None, Some(5L), None, Some(5L), Some(3.5)),
       (Some(6L), None, Some(400L), None, None)))
   }
+
+  test("streaming as-of join equals the strictly-before window formulation (sf0.001)") {
+    import org.apache.spark.sql.expressions.Window
+    val events = Tables.events(spark, sf0001)
+    val streamed = graft.streaming.StreamRunner.replayAsofJoin(spark, events)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toSet
+    // batch: union both sides on zone, latest reading STRICTLY before
+    // in (ts, event_id) order (the stream's fold order)
+    val zid = graft.operators.CarZone.propsK(col("props"))
+    val isZone = col("event_type") === "error"
+    val u = events
+      .filter(col("event_type").isin("click", "view", "error"))
+      .withColumn("zone_id", zid).filter(col("zone_id").isNotNull)
+      .select(col("event_id"),
+        when(isZone, lit(null).cast("long")).otherwise(col("user_id")).as("car_id"),
+        col("zone_id"),
+        when(isZone, lit(null).cast("double")).otherwise(col("value")).as("fuel_level"),
+        col("ts"),
+        when(isZone, col("value")).otherwise(lit(null).cast("double")).as("reading"),
+        isZone.as("is_zone"))
+    val w = Window.partitionBy(col("zone_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val batch = u
+      .withColumn("pollution_asof", last(col("reading"), ignoreNulls = true).over(w))
+      .filter(!col("is_zone"))
+      .select(col("event_id"), col("car_id"), col("zone_id"),
+        col("fuel_level"), col("pollution_asof"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size}; " +
+        s"diff=${(streamed -- batch).take(3)} / ${(batch -- streamed).take(3)}")
+    // both outcome classes exercised: some car saw a reading, some not
+    assert(streamed.exists(_._5.isDefined) && streamed.exists(_._5.isEmpty))
+  }
 }
