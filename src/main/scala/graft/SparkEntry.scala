@@ -685,6 +685,16 @@ object SparkEntry {
         withSplit.filter(col("split") === "test"))
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
+    // fuzzy decontamination: train docs minhash-near-dup (jac >= 0.8)
+    // with ANY eval doc are evicted; candidates from the cross-corpus
+    // band join, verified with exact jaccard before eviction
+    "c_neardup_decontaminate" -> ((s, dir) => {
+      val withSplit = Corpus.hashSplit(Tables.documents(s, dir))
+      Corpus.decontaminateNearDup(
+        withSplit.filter(col("split") === "train"),
+        withSplit.filter(col("split") === "test"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
     // quality-ranked selection under a global token budget (two-level
     // distributed prefix scan over the quality ordering)
     "c_token_budget" -> ((s, dir) => Corpus.tokenBudget(Tables.documents(s, dir))),
@@ -4185,6 +4195,37 @@ object SparkEntry {
         |                               for i in generate_series(0, len(w) - 5)]) AS g
         |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM tr) WHERE len(w) >= 5),
         |hit AS (SELECT DISTINCT t.doc_id FROM trg t JOIN evg USING (g))
+        |SELECT doc_id, source, n_chars FROM tr
+        |WHERE NOT EXISTS (SELECT 1 FROM hit WHERE hit.doc_id = tr.doc_id)""".stripMargin,
+    // near-dup decontamination: exact tr x ev 3-gram jaccard >= 0.8
+    // evicts; the Spark side's LSH candidates + exact verify equal
+    // this up to the documented 16x3-band recall bound (~1e-5 miss
+    // probability per threshold pair — the d_minhash_against margin)
+    "c_neardup_decontaminate" ->
+      """WITH b AS (SELECT doc_id, text, source, n_chars,
+        |                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 AS bucket
+        |           FROM documents),
+        |ev AS (SELECT doc_id, text FROM b WHERE bucket >= 95),
+        |tr AS (SELECT doc_id, text, source, n_chars FROM b WHERE bucket < 90),
+        |tt AS (SELECT doc_id, string_split(text, ' ') AS w FROM tr),
+        |tk AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM tt),
+        |ts_ AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        |        FROM tk a
+        |        JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |        JOIN tk c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |et AS (SELECT doc_id, string_split(text, ' ') AS w FROM ev),
+        |ek AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM et),
+        |es AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        |       FROM ek a
+        |       JOIN ek b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |       JOIN ek c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |tc AS (SELECT doc_id, COUNT(*) AS n FROM ts_ GROUP BY 1),
+        |ec AS (SELECT doc_id, COUNT(*) AS n FROM es GROUP BY 1),
+        |inter AS (SELECT t.doc_id AS tid, e.doc_id AS eid, COUNT(*) AS i
+        |          FROM ts_ t JOIN es e ON t.shingle = e.shingle GROUP BY 1, 2),
+        |hit AS (SELECT DISTINCT tid AS doc_id
+        |        FROM inter JOIN tc ON tc.doc_id = tid JOIN ec ON ec.doc_id = eid
+        |        WHERE i / CAST(tc.n + ec.n - i AS DOUBLE) >= 0.8)
         |SELECT doc_id, source, n_chars FROM tr
         |WHERE NOT EXISTS (SELECT 1 FROM hit WHERE hit.doc_id = tr.doc_id)""".stripMargin,
     // token budget: the oracle's single global running sum over the

@@ -481,6 +481,26 @@ object Corpus {
     trainDocs.join(hitIds, Seq("doc_id"), "left_anti")
   }
 
+  /** NEAR-DUP decontamination — [[decontaminate]]'s fuzzy sibling:
+    * the training split with every document that is a MinHash
+    * NEAR-duplicate (n-gram Jaccard ≥ `threshold`) of ANY eval
+    * document removed, not just exact-gram hits. This is the gate
+    * eval-integrity audits actually require: a paraphrased or
+    * lightly-edited eval leak shares most shingles but not
+    * necessarily any exact 5-gram run. Candidates come from
+    * [[Dedup.minhashAgainst]]'s cross-corpus band join (work ∝
+    * cross-corpus duplicate density, never |train|·|eval|), each
+    * candidate verified with the exact Jaccard before it can evict —
+    * so the kept set is exact up to LSH recall (P(miss | jac ≥ 0.8)
+    * ≈ 1e-5 per pair at the 16×3 band parameters, the documented
+    * bound the d_minhash_against oracle already rides). */
+  def decontaminateNearDup(trainDocs: DataFrame, evalDocs: DataFrame,
+                           n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val hits = Dedup.minhashAgainst(trainDocs, evalDocs, n, threshold)
+      .select(col("new_id").as("doc_id")).distinct()
+    trainDocs.join(hits, Seq("doc_id"), "left_anti")
+  }
+
   /** (doc_id, g) distinct-gram xxhash64 keys through the fused one-pass
     * [[graft.functions.DedupKernels.gramHashes]] kernel — no gram
     * strings materialized, 8-byte keys into the shuffle (measured ~2x

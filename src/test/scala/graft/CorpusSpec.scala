@@ -599,4 +599,18 @@ class CorpusSpec extends SparkSpec {
     // "hot" occurs 4 times -> drops everywhere; order of survivors kept
     assert(out.toSeq == Seq((10L, 2L, "a. b. c"), (11L, 1L, "x"), (12L, 1L, "y")))
   }
+
+  test("decontaminateNearDup: heavy-overlap train docs evict; light overlap survives") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    // one-word edit of the eval doc: 3-gram jaccard = 35/41 ~ 0.854
+    val nearDup = ((1 to 40).map(i => if (i == 20) "EDIT" else s"w$i")).mkString(" ")
+    // shares a prefix only: jac = 18/60 < 0.8
+    val partial = ((1 to 20).map(i => s"w$i") ++ (1 to 20).map(i => s"x$i")).mkString(" ")
+    val train = Seq((1L, nearDup), (2L, partial), (3L, "entirely different words here"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, base)).toDF("doc_id", "text")
+    val kept = Corpus.decontaminateNearDup(train, eval)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"expected near-dup 1 evicted only, got kept=$kept")
+  }
 }
