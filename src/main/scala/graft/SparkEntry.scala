@@ -304,6 +304,9 @@ object SparkEntry {
     // radius retrieval: every neighbor with cos >= 0.35 of the query
     // set — a shuffle-free corpus scan (the recall-guaranteed mode)
     "a_range_search" -> ((s, dir) => Similarity.rangeSearch(Tables.embeddings(s, dir))),
+    // Matryoshka: recall@5 of prefix-truncated rankings vs full-dim
+    "a_matryoshka_recall" -> ((s, dir) =>
+      Similarity.matryoshkaRecall(Tables.embeddings(s, dir))),
     // metadata-filtered vector search: label predicate pre-filters the
     // candidate set (pushed to the scan) before any distance math
     "a_filtered_topk" -> ((s, dir) => Similarity.filteredTopK(Tables.embeddings(s, dir))),
@@ -2295,6 +2298,9 @@ object SparkEntry {
         |SELECT query_id, vec_id, cos, rk FROM (
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rk
         |  FROM s) WHERE rk <= 5""".stripMargin,
+    // Matryoshka truncation recall: full-dim and per-width top-5
+    // rankings from the same rounded-cosine rule, hits counted
+    "a_matryoshka_recall" -> matryoshkaOracle,
     // radius retrieval: the top-k oracle without the rank cut — every
     // pair at cos >= 0.35 qualifies, however many per query
     "a_range_search" ->
@@ -5461,6 +5467,38 @@ object SparkEntry {
       |            FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |                  FROM embeddings))
       |      WHERE nrm > 0)""".stripMargin
+
+  /** Per-truncation-width top-5 CTEs + the recall join — one block per
+    * dim, the same 6-dp rounded cosine and (cos DESC, vec_id) tiebreak
+    * as a_cosine_topk; `p` = "" is the full-dim ranking. */
+  private lazy val matryoshkaOracle: String = {
+    def topCtes(p: String, slice: String): String =
+      s"""${p}n AS (SELECT vec_id, v, nrm
+         |      FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+         |            FROM (SELECT vec_id, list_transform(embedding$slice, x -> CAST(x AS DOUBLE)) AS v
+         |                  FROM embeddings))
+         |      WHERE nrm > 0),
+         |${p}top AS (SELECT query_id, vec_id FROM (
+         |  SELECT q.query_id, n.vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |           ROUND(list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm) + 1e-12, 6) DESC,
+         |           n.vec_id) AS rk
+         |  FROM ${p}n n
+         |  JOIN (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM ${p}n WHERE vec_id < 10) q
+         |    ON n.vec_id <> q.query_id) WHERE rk <= 5)""".stripMargin
+    val dims = Seq(8, 16, 32)
+    val blocks = (topCtes("f", "") +: dims.map(d => topCtes(s"t$d", s"[1:$d]")))
+      .mkString(",\n")
+    val union = dims.map(d =>
+      s"SELECT query_id, vec_id, $d AS dim FROM t${d}top").mkString("\nUNION ALL ")
+    s"""WITH $blocks,
+       |u AS ($union)
+       |SELECT u.query_id, u.dim,
+       |       CAST(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       ROUND(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0 + 1e-12, 4) AS recall
+       |FROM u LEFT JOIN ftop f ON f.query_id = u.query_id AND f.vec_id = u.vec_id
+       |GROUP BY 1, 2""".stripMargin
+  }
 
   /** Unrolled 4-round synchronous label propagation: each round a
     * (node, label) vote count + a (cnt DESC, label) argmax — the same

@@ -72,6 +72,41 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** MATRYOSHKA truncation evaluation — recall@k of PREFIX-truncated
+    * embeddings against the full-dimension ranking, per truncation
+    * width (Kusupati et al. 2022: MRL-trained models pack coarse
+    * semantics into the leading dims, so serving can trade dimensions
+    * for cost; this measures what THAT trade costs on this corpus —
+    * the table a retrieval team reads before shrinking its index).
+    * For each d in `dims`, rank by cosine over `embedding[0..d)` and
+    * count how many of the query's full-dim top-k survive. Returns
+    * (query_id, dim, n_hits, recall).
+    *
+    * Scale shape: each ranking is [[cosineTopK]]'s broadcast-query
+    * scan (one corpus pass per dim — at production scale the
+    * truncated passes read the SAME scan via one select of sliced
+    * columns; here they stay separate for oracle parity); the recall
+    * join touches only numQueries·k·(dims+1) rows — eval-slice sized,
+    * broadcast. Ties break (cos DESC, vec_id), the family rule. */
+  def matryoshkaRecall(embeddings: DataFrame, dims: Seq[Int] = Seq(8, 16, 32),
+                       numQueries: Int = 10, k: Int = 5): DataFrame = {
+    require(dims.nonEmpty && dims.forall(d => d >= 1 && d <= 4096),
+      s"dims must be in [1, 4096], got $dims")
+    val full = cosineTopK(embeddings, numQueries, k)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    val truncated = dims.map { d =>
+      cosineTopK(embeddings.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding")), numQueries, k)
+        .select(col("query_id"), col("vec_id"), lit(d).as("dim"))
+    }.reduce(_.unionByName(_))
+    truncated
+      .join(broadcast(full), Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"), col("dim"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(col("query_id"), col("dim"), col("n_hits"),
+        round(col("n_hits") / lit(k.toDouble) + lit(1e-12), 4).as("recall"))
+  }
+
   /** RANGE SEARCH — the RADIUS retrieval mode next to [[cosineTopK]]'s
     * k-bounded one: every corpus vector within cosine ≥ `radius` of a
     * query, however many there are (the dedup/recall-guarantee shape:

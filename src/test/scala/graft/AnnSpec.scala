@@ -711,4 +711,22 @@ class AnnSpec extends SparkSpec {
       assert(ks >= 0.0 && ks <= 1.0, s"ks out of range: $ks")
     }
   }
+
+  test("matryoshkaRecall: full-width truncation is identity (recall 1); shape and range hold") {
+    val e = Tables.embeddings(spark, sf0001)
+    // the corpus is 64-dim: truncating at 64 must reproduce the
+    // full ranking exactly — recall 1.0 for every query
+    val out = Similarity.matryoshkaRecall(e, dims = Seq(8, 64))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.count(_._2 == 64) == 10)
+    out.filter(_._2 == 64).foreach { case (q, _, nh, rec) =>
+      assert(nh == 5L && rec == 1.0, s"query $q: full-width recall $rec")
+    }
+    out.foreach { case (_, _, nh, rec) =>
+      assert(nh >= 0L && nh <= 5L && rec >= 0.0 && rec <= 1.0)
+    }
+    // truncation at 8 dims must actually cost something somewhere, or
+    // the eval measures nothing on this corpus
+    assert(out.filter(_._2 == 8).exists(_._3 < 5L), "8-dim ranking identical to full?")
+  }
 }
