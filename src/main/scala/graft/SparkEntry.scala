@@ -88,6 +88,11 @@ object SparkEntry {
     // the (ts, event_id) arrival order
     "s_stream_asof_join" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayAsofJoin(s, ev(s, dir))),
+    // streaming funnel: per-user stage state machine over the raw
+    // topic — one row per stage advance; equals the batch funnel's
+    // stage-reached user sets
+    "s_stream_funnel" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayFunnel(s, ev(s, dir))),
     // streaming incremental top-k: moveFold changelog -> per-zone
     // occupancy MapState -> versioned rank snapshots; the final
     // (max-version) standings equal the batch latest-per-car ranking
@@ -3726,6 +3731,18 @@ object SparkEntry {
         |       ROUND(CAST(n_trans AS DOUBLE) / SUM(n_trans) OVER (PARTITION BY src_type)
         |             + 1e-12, 6) AS prob
         |FROM t""".stripMargin,
+    // streaming funnel: the batch funnel's per-stage USER SETS (the
+    // state machine's advance log) rather than its counts
+    "s_stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |s1 AS (SELECT user_id, MIN(tus) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(tus) AS t FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND tus > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(tus) AS t FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tus > s2.t GROUP BY 1)
+        |SELECT user_id, 1 AS stage_idx, 'view' AS stage FROM s1
+        |UNION ALL SELECT user_id, 2, 'click' FROM s2
+        |UNION ALL SELECT user_id, 3, 'purchase' FROM s3""".stripMargin,
     // staged first-arrival funnel: stage i+1 = first event of its type
     // strictly after the user's stage-i arrival
     "q_funnel" ->

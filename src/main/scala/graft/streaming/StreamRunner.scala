@@ -209,6 +209,49 @@ private[streaming] class AsofProcessor
   }
 }
 
+/** Raw-events topic row (the funnel family's staging: unlike the
+  * car/zone envelope this keeps event_type, the stage alphabet). */
+private[streaming] case class StagedRaw(eventId: Long, userId: Long, eventType: String,
+                                        tus: Long, pid: Int, seq: Long)
+private[streaming] case class FunnelIn(userId: Long, eventType: String, tus: Long, seq: Long)
+private[streaming] case class FunnelOut(user_id: Long, stage_idx: Int, stage: String)
+private[streaming] case class FunnelState(stage: Int, t: Long)
+
+/** Streaming FUNNEL — the staged-conversion state machine (the CEP
+  * "sequence of events in order" pattern): per user, an 8+8-byte
+  * ValueState holds (stages completed, first-arrival time of the last
+  * completed stage); an arrival of the NEXT stage's type strictly
+  * after that time advances the machine and emits the stage-reached
+  * row. Folding in (ts, event_id) order makes the first qualifying
+  * arrival the batch MIN — micros truncation is monotone in the nano
+  * order — so the emitted log is exactly the batch funnel's
+  * stage-reached user sets ([[graft.operators.Sessions.funnel]]'s s1/
+  * s2/s3 frames) however the stream was chunked. */
+private[streaming] class FunnelProcessor(stages: Array[String])
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FunnelIn, FunnelOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var state: ValueState[FunnelState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[FunnelState]("funnel",
+      Encoders.product[FunnelState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[FunnelIn],
+                               timers: TimerValues): Iterator[FunnelOut] = {
+    var st = if (state.exists) state.get() else FunnelState(0, Long.MinValue)
+    val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+    rows.toArray.sortBy(_.seq).foreach { r =>
+      if (st.stage < stages.length && r.eventType == stages(st.stage) &&
+        (st.stage == 0 || r.tus > st.t)) {
+        st = FunnelState(st.stage + 1, r.tus)
+        out += FunnelOut(user, st.stage, stages(st.stage - 1))
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+}
+
 /** Streaming TOP-K rank maintenance plumbing: [[FkJoinStream.moveFold]]
   * changelog rows in (keyed by zone after the re-key exchange —
   * arrivals upsert, retractions delete), per-zone top-k snapshots out.
@@ -1284,6 +1327,81 @@ object StreamRunner {
     * [[stagedDir]]. */
   private val docStagedDirs =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), Path]()
+
+  /** Raw-events topic staging for the funnel family: (event_id,
+    * user_id, event_type, tus) chunks in (ts, event_id) order — the
+    * [[stage]] recipe with the stage alphabet kept (the car/zone
+    * envelope erases event_type, which IS the funnel's input).
+    * Idempotent per (session, input plan), like [[stagedDir]]. */
+  private val rawStagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), Path]()
+
+  private def rawStagedDir(spark: SparkSession, events: DataFrame): Path =
+    rawStagedDirs.computeIfAbsent((spark, events.semanticHash()), _ => {
+      import spark.implicits._
+      val dir = Files.createTempDirectory(s"graft_rawstage_${runId.incrementAndGet()}_")
+        .resolve("src")
+      events
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus"), col("ts"))
+        .localCheckpoint()
+        .repartitionByRange(ReplayChunks, col("ts"), col("event_id"))
+        .sortWithinPartitions(col("ts"), col("event_id"))
+        .withColumn("pid", spark_partition_id())
+        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("tus"), col("pid"),
+          lit(0L).as("seq"))
+        .as[StagedRaw]
+        .mapPartitions { it =>
+          var rank = 0L
+          it.map { e => rank += 1; e.copy(seq = e.pid.toLong * ChunkSpan + rank) }
+        }
+        .write.mode("overwrite").parquet(dir.toString)
+      val listing = Files.list(dir)
+      val parts =
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(listing.iterator()).asScala
+          .filter(p => !p.getFileName.toString.startsWith("_"))
+          .toSeq.sortBy(_.getFileName.toString)
+        finally listing.close()
+      val base = System.currentTimeMillis() - 86400000L
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(base + i * 10000L))
+      }
+      Files.deleteIfExists(dir.resolve("_SUCCESS"))
+      dir
+    })
+
+  /** Streaming funnel replay: the raw-events topic keyed by user
+    * through [[FunnelProcessor]] — one (user_id, stage_idx, stage)
+    * row per stage advance. Oracle: the batch funnel's stage-reached
+    * user sets (q_funnel's s1/s2/s3 CTEs, one row per user·stage). */
+  def replayFunnel(spark: SparkSession, events: DataFrame,
+                   stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
+    val srcDir = rawStagedDir(spark, events)
+    val session = replaySession(spark, rocksDb = true)
+    val src = session.readStream
+      .schema(Encoders.product[StagedRaw].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    import session.implicits._
+    val log = src
+      .filter(col("eventType").isin(stages: _*))
+      .select(col("userId"), col("eventType"), col("tus"), col("seq")).as[FunnelIn]
+      .groupByKey(_.userId)
+      .transformWithState(new FunnelProcessor(stages.toArray),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    val q = log.writeStream.format("parquet")
+      .option("path", work.resolve("out").toString)
+      .option("checkpointLocation", work.resolve("cp").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(work.resolve("out").toString)
+      .select(col("user_id"), col("stage_idx"), col("stage"))
+  }
 
   private def docStagedDir(spark: SparkSession, documents: DataFrame): Path =
     docStagedDirs.computeIfAbsent((spark, documents.semanticHash()), _ => {

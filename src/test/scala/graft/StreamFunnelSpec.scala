@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamRunner
+import graft.operators.Sessions
+
+/** The streaming funnel's advance log must equal the batch funnel's
+  * stage-reached user sets — the per-user state machine is the
+  * incremental form of the staged first-arrival joins. */
+class StreamFunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming funnel stage counts equal the batch funnel (sf0.001)") {
+    val events = Tables.events(spark, sf0001)
+    val streamed = StreamRunner.replayFunnel(spark, events)
+      .groupBy(col("stage_idx"), col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = Sessions.funnel(events)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    // a real funnel: strictly decreasing or equal stage population
+    assert(streamed((1, "view")) >= streamed((2, "click")))
+    assert(streamed((2, "click")) >= streamed((3, "purchase")))
+    assert(streamed((3, "purchase")) > 0, "no full conversions in fixture")
+  }
+
+  test("streaming funnel: out-of-order stages do not advance (strict-after rule)") {
+    // user 1 purchases BEFORE clicking: reaches view+click only; user 2
+    // converts in order; user 3 clicks with no view: reaches nothing
+    def e(id: Long, ts: Long, u: Long, t: String) = (id, ts * 1000, u, t, 0.0, "{}")
+    val df = Seq(
+      e(0, 10, 1, "view"), e(1, 20, 1, "purchase"), e(2, 30, 1, "click"),
+      e(3, 10, 2, "view"), e(4, 20, 2, "click"), e(5, 30, 2, "purchase"),
+      e(6, 10, 3, "click"), e(7, 20, 3, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = StreamRunner.replayFunnel(spark, df)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(out == Set((1L, 1), (1L, 2), (2L, 1), (2L, 2), (2L, 3)),
+      s"got $out")
+  }
+}
