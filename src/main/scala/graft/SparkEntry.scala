@@ -93,6 +93,10 @@ object SparkEntry {
     // stage-reached user sets
     "s_stream_funnel" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayFunnel(s, ev(s, dir))),
+    // streaming retention: cohort pinned by first arrival, 30-bit
+    // seen-offset mask per user; increment log folds to the batch grid
+    "s_stream_retention" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayRetention(s, ev(s, dir))),
     // streaming incremental top-k: moveFold changelog -> per-zone
     // occupancy MapState -> versioned rank snapshots; the final
     // (max-version) standings equal the batch latest-per-car ranking
@@ -3755,6 +3759,15 @@ object SparkEntry {
         |SELECT 1 AS stage_idx, 'view' AS stage, (SELECT COUNT(*) FROM s1) AS n_users
         |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)""".stripMargin,
+    // streaming retention: identical grid to the batch q_retention
+    "s_stream_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |                  (epoch_ns(ts) // 1000) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset, COUNT(*) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |WHERE day - cohort_day <= 29
+        |GROUP BY 1, 2""".stripMargin,
     // cohort retention on integer epoch-days
     "q_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,

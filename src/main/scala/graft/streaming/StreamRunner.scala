@@ -252,6 +252,53 @@ private[streaming] class FunnelProcessor(stages: Array[String])
   }
 }
 
+/** Streaming retention plumbing: raw-topic arrivals keyed by user;
+  * per-user state is (cohort day, 30-bit seen-offset mask) — 16 B
+  * regardless of stream length. */
+private[streaming] case class RetIn(userId: Long, tus: Long, seq: Long)
+private[streaming] case class RetOut(cohort_day: Long, day_offset: Long)
+private[streaming] case class RetState(cohort: Long, mask: Long)
+
+/** Streaming COHORT RETENTION — the (cohort_day, day_offset) grid
+  * maintained incrementally: a user's FIRST arrival pins the cohort
+  * (time-ordered fold ⇒ first event's day IS the min day), and each
+  * later arrival sets its offset bit in a 30-bit mask, emitting the
+  * (cohort, offset) increment exactly once per user·offset. The
+  * emitted log's counts equal batch [[graft.operators.Sessions
+  * .retention]] however the stream was chunked — distinct-day
+  * semantics ride the bitmask, never a growing day set. Offsets past
+  * the window are ignored (the batch filter). */
+private[streaming] class RetentionProcessor(maxOffsetDays: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, RetIn, RetOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var state: ValueState[RetState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[RetState]("ret",
+      Encoders.product[RetState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[RetIn],
+                               timers: TimerValues): Iterator[RetOut] = {
+    var st = if (state.exists) state.get() else null
+    val out = scala.collection.mutable.ArrayBuffer.empty[RetOut]
+    rows.toArray.sortBy(_.seq).foreach { r =>
+      val day = r.tus / 86400000000L
+      if (st == null) {
+        st = RetState(day, 1L)
+        out += RetOut(day, 0L)
+      } else {
+        val off = day - st.cohort
+        if (off >= 1 && off <= maxOffsetDays && (st.mask & (1L << off)) == 0) {
+          st = RetState(st.cohort, st.mask | (1L << off))
+          out += RetOut(st.cohort, off)
+        }
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+}
+
 /** Streaming TOP-K rank maintenance plumbing: [[FkJoinStream.moveFold]]
   * changelog rows in (keyed by zone after the re-key exchange —
   * arrivals upsert, retractions delete), per-zone top-k snapshots out.
@@ -1401,6 +1448,38 @@ object StreamRunner {
     q.awaitTermination()
     spark.read.parquet(work.resolve("out").toString)
       .select(col("user_id"), col("stage_idx"), col("stage"))
+  }
+
+  /** Streaming retention replay: the raw topic keyed by user through
+    * [[RetentionProcessor]]; the increment log folds to the
+    * (cohort_day, day_offset, n_users) grid — the batch retention
+    * table (same oracle as q_retention). */
+  def replayRetention(spark: SparkSession, events: DataFrame,
+                      maxOffsetDays: Int = 29): DataFrame = {
+    val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
+    val srcDir = rawStagedDir(spark, events)
+    val session = replaySession(spark, rocksDb = true)
+    val src = session.readStream
+      .schema(Encoders.product[StagedRaw].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    import session.implicits._
+    val log = src
+      .select(col("userId"), col("tus"), col("seq")).as[RetIn]
+      .groupByKey(_.userId)
+      .transformWithState(new RetentionProcessor(maxOffsetDays),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    val q = log.writeStream.format("parquet")
+      .option("path", work.resolve("out").toString)
+      .option("checkpointLocation", work.resolve("cp").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(work.resolve("out").toString)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
   }
 
   private def docStagedDir(spark: SparkSession, documents: DataFrame): Path =

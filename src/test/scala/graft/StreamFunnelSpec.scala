@@ -40,4 +40,30 @@ class StreamFunnelSpec extends SparkSpec {
     assert(out == Set((1L, 1), (1L, 2), (2L, 1), (2L, 2), (2L, 3)),
       s"got $out")
   }
+
+  test("streaming retention grid equals the batch retention (sf0.001)") {
+    val events = Tables.events(spark, sf0001)
+    val streamed = StreamRunner.replayRetention(spark, events)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Sessions.retention(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, s"streamed ${streamed.size} cells vs batch ${batch.size}")
+    // repeat visits must not double-count: offset-0 exists and some
+    // user returns on a later day (the mask's dedup is load-bearing)
+    assert(streamed.keys.exists(_._2 == 0L) && streamed.keys.exists(_._2 > 0L))
+  }
+
+  test("streaming retention: same-day repeats count once; day 31 is outside the window") {
+    def e(id: Long, dayUs: Long, u: Long) =
+      (id, dayUs * 86400000000L * 1000 + id * 1000, u, "view", 0.0, "{}")
+    val df = Seq(
+      e(0, 0, 1), e(1, 0, 1),       // two arrivals on the cohort day
+      e(2, 3, 1),                   // returns on offset 3
+      e(3, 31, 1),                  // outside the 29-day window
+      e(4, 5, 2), e(5, 5, 2))       // user 2: cohort day 5 only
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = StreamRunner.replayRetention(spark, df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((0L, 0L, 1L), (0L, 3L, 1L), (5L, 0L, 1L)), s"got $out")
+  }
 }
