@@ -526,6 +526,8 @@ object SparkEntry {
     // ordered conversion funnel: view -> click -> purchase, strictly
     // increasing arrival times per user
     "q_funnel" -> ((s, dir) => Sessions.funnel(ev(s, dir))),
+    // time-to-convert: exact p50/p90 first-arrival lag per transition
+    "q_conversion_lag" -> ((s, dir) => Sessions.conversionLag(ev(s, dir))),
     // first-active-day cohorts × return-day offsets
     "q_retention" -> ((s, dir) => Sessions.retention(ev(s, dir))),
     // content-defined chunking: insertion-stable chunk manifests
@@ -3768,6 +3770,29 @@ object SparkEntry {
         |FROM e JOIN c USING (user_id)
         |WHERE day - cohort_day <= 29
         |GROUP BY 1, 2""".stripMargin,
+    // conversion lag: the funnel's stage frames pairwise-joined;
+    // exact interpolated percentiles over integer-micro lags
+    "q_conversion_lag" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |s1 AS (SELECT user_id, MIN(tus) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(tus) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND tus > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(tus) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tus > s2.t2 GROUP BY 1)
+        |SELECT 'view>click' AS step, COUNT(*) AS n_users,
+        |       ROUND(quantile_cont(CAST(t2 - t1 AS DOUBLE), 0.5) + 1e-9, 2) AS p50_us,
+        |       ROUND(quantile_cont(CAST(t2 - t1 AS DOUBLE), 0.9) + 1e-9, 2) AS p90_us
+        |FROM s1 JOIN s2 USING (user_id)
+        |UNION ALL
+        |SELECT 'click>purchase', COUNT(*),
+        |       ROUND(quantile_cont(CAST(t3 - t2 AS DOUBLE), 0.5) + 1e-9, 2),
+        |       ROUND(quantile_cont(CAST(t3 - t2 AS DOUBLE), 0.9) + 1e-9, 2)
+        |FROM s2 JOIN s3 USING (user_id)
+        |UNION ALL
+        |SELECT 'view>purchase', COUNT(*),
+        |       ROUND(quantile_cont(CAST(t3 - t1 AS DOUBLE), 0.5) + 1e-9, 2),
+        |       ROUND(quantile_cont(CAST(t3 - t1 AS DOUBLE), 0.9) + 1e-9, 2)
+        |FROM s1 JOIN s3 USING (user_id)""".stripMargin,
     // cohort retention on integer epoch-days
     "q_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,
