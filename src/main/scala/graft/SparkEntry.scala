@@ -2567,6 +2567,7 @@ object SparkEntry {
         |SELECT doc_id, w AS width, h AS height,
         |       CAST((h + 1) // 2 AS INT) AS n_strips,
         |       CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |       CAST(CASE WHEN doc_id % 3 = 2 THEN 32773 ELSE 1 END AS INT) AS compression,
         |       md5(array_to_string(
         |         [lpad(hex((doc_id + 3 * k) % 256), 2, '0')
         |          for k in generate_series(0, w * h - 1)], '')) AS pixels_md5

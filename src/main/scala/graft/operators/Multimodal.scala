@@ -3201,6 +3201,7 @@ object Multimodal {
       .mapPartitions(_.map { id =>
         val w = (2 + id % 11).toInt; val h = (1 + id % 6).toInt
         val le = id % 2 == 0
+        val packed = id % 3 == 2 // every third doc: PackBits strips
         val rps = 2
         val nStrips = (h + rps - 1) / rps
         val out = new java.io.ByteArrayOutputStream()
@@ -3212,9 +3213,16 @@ object Multimodal {
                     out.write((x >> 16) & 0xFF); out.write((x >> 24) & 0xFF) }
           else { out.write((x >> 24) & 0xFF); out.write((x >> 16) & 0xFF)
                  out.write((x >> 8) & 0xFF); out.write(x & 0xFF) }
+        // per-strip raw pixel bytes, then the on-disk (possibly
+        // PackBits-encoded) form; pixel k = (id + 3k) % 256 row-major
+        val rawStrips = (0 until nStrips).map { s =>
+          val rows = math.min(h, (s + 1) * rps) - s * rps
+          val base = s * rps * w
+          Array.tabulate(rows * w)(j => ((id + 3L * (base + j)) % 256).toByte)
+        }
+        val diskStrips = if (packed) rawStrips.map(packBits) else rawStrips
         // layout: header(8) | strip data | [offset+count arrays] | IFD
-        val stripLens = (0 until nStrips).map(s =>
-          (math.min(h, (s + 1) * rps) - s * rps) * w)
+        val stripLens = diskStrips.map(_.length)
         val stripOffs = stripLens.scanLeft(8)(_ + _).init
         val dataEnd = 8 + stripLens.sum
         val arraysLen = if (nStrips > 1) nStrips * 8 else 0
@@ -3222,9 +3230,7 @@ object Multimodal {
         // header
         if (le) { out.write('I'); out.write('I') } else { out.write('M'); out.write('M') }
         u16(42); u32(ifdOff)
-        // strip data: pixel k of the row-major image
-        var k = 0
-        while (k < w * h) { out.write(((id + 3L * k) % 256).toInt); k += 1 }
+        diskStrips.foreach(s => out.write(s, 0, s.length))
         // out-of-line offset/count arrays (only when a real array)
         if (nStrips > 1) { stripOffs.foreach(u32); stripLens.foreach(u32) }
         // IFD: 9 entries, ascending tag order (the spec's requirement)
@@ -3238,7 +3244,7 @@ object Multimodal {
           else { u16(tag); u16(4); u32(vs.size); u32(arrOff) }
         entryShort(256, w); entryShort(257, h)
         entryShort(258, 8) // BitsPerSample
-        entryShort(259, 1) // Compression: none
+        entryShort(259, if (packed) 32773 else 1) // Compression
         entryShort(262, 1) // Photometric: BlackIsZero
         entryLongs(273, stripOffs, dataEnd) // StripOffsets
         entryShort(277, 1) // SamplesPerPixel
@@ -3249,23 +3255,77 @@ object Multimodal {
       }).toDF("doc_id", "payload")
   }
 
+  /** PackBits (TIFF Compression 32773) encode: literal runs up to 128
+    * bytes, repeat runs of 3+ identical bytes as (1-n, byte). The
+    * (id + 3k) % 256 fill has no repeats, so real corpora exercise the
+    * literal arm; the spec feeds repeat runs explicitly. */
+  private[graft] def packBits(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < raw.length) {
+      // repeat run?
+      var run = 1
+      while (i + run < raw.length && run < 128 && raw(i + run) == raw(i)) run += 1
+      if (run >= 3) {
+        out.write(1 - run); out.write(raw(i)); i += run
+      } else {
+        // literal run until the next 3-byte repeat (or 128 bytes)
+        var j = i
+        var lit = 0
+        var stop = false
+        while (j < raw.length && lit < 128 && !stop) {
+          if (j + 2 < raw.length && raw(j) == raw(j + 1) && raw(j) == raw(j + 2)) stop = true
+          else { j += 1; lit += 1 }
+        }
+        out.write(lit - 1)
+        out.write(raw, i, lit)
+        i = j
+      }
+    }
+    out.toByteArray
+  }
+
+  /** PackBits decode — the inverse walk: n in 0..127 copies n+1
+    * literal bytes; n in -127..-1 repeats the next byte 1-n times;
+    * -128 is a noop. */
+  private[graft] def unpackBits(b: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = off
+    val end = off + len
+    while (i < end) {
+      val n = b(i); i += 1
+      if (n >= 0) {
+        require(i + n + 1 <= end, "PackBits literal overruns the strip")
+        out.write(b, i, n + 1); i += n + 1
+      } else if (n != -128) {
+        require(i < end, "PackBits repeat missing its byte")
+        var r = 1 - n
+        while (r > 0) { out.write(b(i)); r -= 1 }
+        i += 1
+      }
+    }
+    out.toByteArray
+  }
+
   case class TiffMeta(doc_id: Long, width: Int, height: Int, n_strips: Int,
-                      byte_order: String, pixels_md5: String)
+                      byte_order: String, compression: Int, pixels_md5: String)
 
   /** REAL TIFF decode: byte-order dispatch (II little- / MM
     * big-endian), the 42 magic, a full IFD entry walk (SHORT values
     * left-justified inside the 4-byte field — the rule naive readers
     * break on MM files), value-vs-offset resolution for the
-    * StripOffsets/StripByteCounts arrays, and multi-strip pixel
-    * assembly in strip order. Returns None for anything that is not a
-    * decodable baseline grayscale uncompressed TIFF (bad magic,
-    * truncated IFD, unsupported bits/compression/photometric, strip
-    * bytes out of range, pixel count mismatch) — internal bounds
-    * violations are caught at the boundary so the Option contract
-    * holds for malformed payloads (the decodeJpegGray discipline).
-    * The pixel fingerprint is md5 over the uppercase hex stream, the
-    * repo's binary convention; MultimodalSpec cross-checks against
-    * javax.imageio's TIFF reader bit-for-bit. */
+    * StripOffsets/StripByteCounts arrays, per-strip decompression
+    * (none, or PackBits — Compression 32773, the codec scanned fax
+    * archives actually carry), and multi-strip pixel assembly in
+    * strip order. Returns None for anything that is not a decodable
+    * baseline grayscale TIFF (bad magic, truncated IFD, unsupported
+    * bits/compression/photometric, strip bytes out of range, pixel
+    * count mismatch) — internal bounds violations are caught at the
+    * boundary so the Option contract holds for malformed payloads
+    * (the decodeJpegGray discipline). The pixel fingerprint is md5
+    * over the uppercase hex stream, the repo's binary convention;
+    * MultimodalSpec cross-checks against javax.imageio's TIFF reader
+    * bit-for-bit in BOTH directions. */
   private[graft] def decodeTiff(id: Long, b: Array[Byte]): Option[TiffMeta] =
     try decodeTiffWalk(id, b)
     catch {
@@ -3325,16 +3385,17 @@ object Multimodal {
       }
       e += 1
     }
-    if (w <= 0 || h <= 0 || bits != 8 || comp != 1 || photo > 1 || spp != 1 ||
-      offs.isEmpty || offs.size != cnts.size) return None
+    if (w <= 0 || h <= 0 || bits != 8 || (comp != 1 && comp != 32773) ||
+      photo > 1 || spp != 1 || offs.isEmpty || offs.size != cnts.size) return None
     val pixels = new java.io.ByteArrayOutputStream()
     offs.zip(cnts).foreach { case (o, c) =>
       require(o >= 0 && c >= 0 && o + c <= b.length, "strip out of range")
-      pixels.write(b, o, c)
+      if (comp == 32773) { val d = unpackBits(b, o, c); pixels.write(d, 0, d.length) }
+      else pixels.write(b, o, c)
     }
     val px = pixels.toByteArray
     if (px.length != w * h) return None
-    Some(TiffMeta(id, w, h, offs.size, if (le) "II" else "MM", md5HexUpper(px)))
+    Some(TiffMeta(id, w, h, offs.size, if (le) "II" else "MM", comp, md5HexUpper(px)))
   }
 
   /** One row per decodable TIFF payload — dims, strip count, byte

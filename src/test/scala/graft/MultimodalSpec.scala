@@ -1068,6 +1068,7 @@ class MultimodalSpec extends SparkSpec {
       assert(meta.width == (2 + id % 11).toInt && meta.height == (1 + id % 6).toInt)
       assert(meta.byte_order == (if (id % 2 == 0) "II" else "MM"), s"doc $id order")
       assert(meta.n_strips == (meta.height + 1) / 2, s"doc $id strips")
+      assert(meta.compression == (if (id % 3 == 2) 32773 else 1), s"doc $id comp")
       // independent reader: the JDK's own TIFF plugin must see the
       // same dims and samples from our constructed container
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -1109,5 +1110,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeTiff(0L, "not a tiff".getBytes).isEmpty)
     assert(Multimodal.decodeTiff(0L,
       Array[Byte](73, 73, 42, 0, -1, -1, -1, 127)).isEmpty) // IFD out of range
+  }
+
+  test("packBits: round-trips runs, literals, and the 128-byte caps") {
+    val rnd = new scala.util.Random(13)
+    val cases = Seq(
+      Array.fill(300)(7.toByte),                       // one long repeat run (>128)
+      Array.tabulate(200)(i => i.toByte),              // pure literal (>128)
+      Array[Byte](1, 1, 1, 2, 3, 3, 3, 3, 4),          // mixed runs
+      Array[Byte](9),                                  // single byte
+      Array.tabulate(257)(i => (i / 3).toByte)         // 3-runs back to back
+    ) ++ (0 until 5).map(_ => Array.fill(100 + rnd.nextInt(200))(
+      (if (rnd.nextBoolean()) rnd.nextInt(4) else rnd.nextInt(256)).toByte))
+    for (raw <- cases) {
+      val packed = Multimodal.packBits(raw)
+      val back = Multimodal.unpackBits(packed, 0, packed.length)
+      assert(back.toSeq == raw.toSeq, s"round-trip failed for ${raw.take(10).toSeq}...")
+    }
+    // repeat runs actually compress
+    assert(Multimodal.packBits(Array.fill(300)(7.toByte)).length <= 6)
   }
 }
