@@ -671,6 +671,9 @@ object SparkEntry {
     // the oracle (register max-merge is HLL's lossless union)
     "q_anf" -> ((s, dir) =>
       graft.operators.Graph.neighborhoodFunction(Tables.lineitem(s, dir))),
+    // harmonic centrality from the same registers (Boldi-Vigna)
+    "q_harmonic" -> ((s, dir) =>
+      graft.operators.Graph.harmonicCentrality(Tables.lineitem(s, dir))),
     // hot-key-salted fact⋈dim join; the oracle is the PLAIN join —
     // salting must be invisible in the result
     "q_salted_join" -> ((s, dir) => {
@@ -4108,53 +4111,21 @@ object SparkEntry {
     // HyperBall ANF: the oracle replays the sketch itself — three
     // register max-merge rounds (HLL's lossless union) and the exact
     // integer harmonic estimator of q_hll_distinct, per (node, r)
-    "q_anf" ->
-      """WITH po0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |po AS (SELECT o, p FROM po0 QUALIFY COUNT(*) OVER (PARTITION BY o) <= 1024),
-        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
-        |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
-        |sym AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
-        |nodes AS (SELECT DISTINCT node FROM sym),
-        |h AS (SELECT node,
-        |             CAST('0x' || substring(md5(CAST(node AS VARCHAR)), 1, 15) AS UBIGINT) AS h
-        |      FROM nodes),
-        |r0 AS (SELECT node, h % 64 AS j,
-        |              CASE WHEN h // 64 > 0 THEN 55 - length(bin(h // 64)) ELSE 55 END AS mj
-        |       FROM h),
-        |rr1 AS (SELECT node, j, MAX(mj) AS mj FROM (
-        |          SELECT node, j, mj FROM r0
-        |          UNION ALL
-        |          SELECT s.node, r.j, r.mj FROM sym s JOIN r0 r ON r.node = s.nbr)
-        |        GROUP BY 1, 2),
-        |rr2 AS (SELECT node, j, MAX(mj) AS mj FROM (
-        |          SELECT node, j, mj FROM rr1
-        |          UNION ALL
-        |          SELECT s.node, r.j, r.mj FROM sym s JOIN rr1 r ON r.node = s.nbr)
-        |        GROUP BY 1, 2),
-        |rr3 AS (SELECT node, j, MAX(mj) AS mj FROM (
-        |          SELECT node, j, mj FROM rr2
-        |          UNION ALL
-        |          SELECT s.node, r.j, r.mj FROM sym s JOIN rr2 r ON r.node = s.nbr)
-        |        GROUP BY 1, 2),
-        |u AS (SELECT 1 AS r, node, j, mj FROM rr1
-        |      UNION ALL SELECT 2, node, j, mj FROM rr2
-        |      UNION ALL SELECT 3, node, j, mj FROM rr3),
-        |z AS (SELECT node, r,
-        |             CAST(SUM(CAST(1 AS BIGINT) << (55 - mj)) AS BIGINT)
-        |               + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 55) AS z,
-        |             64 - COUNT(*) AS v, COUNT(*) AS nhit
-        |      FROM u GROUP BY 1, 2),
-        |ee AS (SELECT node, r, v, nhit,
-        |              (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)))
-        |              * CAST(64.0 AS DOUBLE) * CAST(64.0 AS DOUBLE)
-        |              * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE) / CAST(z AS DOUBLE) AS e
-        |       FROM z)
-        |SELECT node, r,
-        |       ROUND(CASE WHEN v > 0 AND e <= CAST(2.5 AS DOUBLE) * CAST(64.0 AS DOUBLE)
-        |                  THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / CAST(v AS DOUBLE))
-        |                  ELSE e END + 1e-9, 4) AS est_ball,
-        |       CAST(nhit AS INT) AS registers_hit
-        |FROM ee""".stripMargin,
+    "q_anf" -> anfOracle,
+    // harmonic centrality from the same registers: h(v) =
+    // sum_r (ball_r - ball_{r-1}) / r with ball_0 = 1 — pure
+    // arithmetic over the 4-dp ANF estimates, so the sketch replay
+    // carries over unchanged
+    "q_harmonic" ->
+      s"""WITH anf AS ($anfOracle),
+         |p AS (SELECT node,
+         |             MAX(CASE WHEN r = 1 THEN est_ball END) AS b1,
+         |             MAX(CASE WHEN r = 2 THEN est_ball END) AS b2,
+         |             MAX(CASE WHEN r = 3 THEN est_ball END) AS b3
+         |      FROM anf GROUP BY 1)
+         |SELECT node,
+         |       ROUND((b1 - 1.0) + (b2 - b1) / 2.0 + (b3 - b2) / 3.0 + 1e-9, 4) AS harmonic
+         |FROM p""".stripMargin,
     "q_salted_join" ->
       """SELECT s_name, COUNT(*) AS n_lines,
         |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
@@ -5523,6 +5494,55 @@ object SparkEntry {
       |            FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |                  FROM embeddings))
       |      WHERE nrm > 0)""".stripMargin
+
+  /** The q_anf oracle body — also the base CTE of q_harmonic. */
+  private lazy val anfOracle: String =
+    """WITH po0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |po AS (SELECT o, p FROM po0 QUALIFY COUNT(*) OVER (PARTITION BY o) <= 1024),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+      |sym AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+      |nodes AS (SELECT DISTINCT node FROM sym),
+      |h AS (SELECT node,
+      |             CAST('0x' || substring(md5(CAST(node AS VARCHAR)), 1, 15) AS UBIGINT) AS h
+      |      FROM nodes),
+      |r0 AS (SELECT node, h % 64 AS j,
+      |              CASE WHEN h // 64 > 0 THEN 55 - length(bin(h // 64)) ELSE 55 END AS mj
+      |       FROM h),
+      |rr1 AS (SELECT node, j, MAX(mj) AS mj FROM (
+      |          SELECT node, j, mj FROM r0
+      |          UNION ALL
+      |          SELECT s.node, r.j, r.mj FROM sym s JOIN r0 r ON r.node = s.nbr)
+      |        GROUP BY 1, 2),
+      |rr2 AS (SELECT node, j, MAX(mj) AS mj FROM (
+      |          SELECT node, j, mj FROM rr1
+      |          UNION ALL
+      |          SELECT s.node, r.j, r.mj FROM sym s JOIN rr1 r ON r.node = s.nbr)
+      |        GROUP BY 1, 2),
+      |rr3 AS (SELECT node, j, MAX(mj) AS mj FROM (
+      |          SELECT node, j, mj FROM rr2
+      |          UNION ALL
+      |          SELECT s.node, r.j, r.mj FROM sym s JOIN rr2 r ON r.node = s.nbr)
+      |        GROUP BY 1, 2),
+      |u AS (SELECT 1 AS r, node, j, mj FROM rr1
+      |      UNION ALL SELECT 2, node, j, mj FROM rr2
+      |      UNION ALL SELECT 3, node, j, mj FROM rr3),
+      |z AS (SELECT node, r,
+      |             CAST(SUM(CAST(1 AS BIGINT) << (55 - mj)) AS BIGINT)
+      |               + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 55) AS z,
+      |             64 - COUNT(*) AS v, COUNT(*) AS nhit
+      |      FROM u GROUP BY 1, 2),
+      |ee AS (SELECT node, r, v, nhit,
+      |              (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)))
+      |              * CAST(64.0 AS DOUBLE) * CAST(64.0 AS DOUBLE)
+      |              * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE) / CAST(z AS DOUBLE) AS e
+      |       FROM z)
+      |SELECT node, r,
+      |       ROUND(CASE WHEN v > 0 AND e <= CAST(2.5 AS DOUBLE) * CAST(64.0 AS DOUBLE)
+      |                  THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / CAST(v AS DOUBLE))
+      |                  ELSE e END + 1e-9, 4) AS est_ball,
+      |       CAST(nhit AS INT) AS registers_hit
+      |FROM ee""".stripMargin
 
   /** Per-truncation-width top-5 CTEs + the recall join — one block per
     * dim, the same 6-dp rounded cosine and (cos DESC, vec_id) tiebreak

@@ -1215,6 +1215,27 @@ object Graph {
     out
   }
 
+  /** Approximate HARMONIC CENTRALITY from the HyperBall registers —
+    * h(v) = Σ_{r≥1} |sphere(v, r)| / r estimated as
+    * (ball_r − ball_{r−1})/r with ball_0 = 1 (Boldi & Vigna's
+    * centrality-from-ANF application: the well-behaved closeness
+    * variant that handles disconnected graphs without infinities).
+    * Pure arithmetic over [[neighborhoodFunction]]'s 4-dp estimates —
+    * the oracle reuses the full ANF sketch replay and this formula
+    * verbatim (`q_harmonic`). Same cost as the ANF run it derives
+    * from; the final pivot+combine is node-bounded. */
+  def harmonicCentrality(lineitem: DataFrame, radius: Int = 3,
+                         maxBasket: Int = 1024): DataFrame = {
+    val anf = neighborhoodFunction(lineitem, radius, maxBasket)
+    val balls = (1 to radius).map(r =>
+      max(when(col("r") === r, col("est_ball"))).as(s"b$r"))
+    val p = anf.groupBy(col("node")).agg(balls.head, balls.tail: _*)
+    val spheres = (col("b1") - lit(1.0)) +: (2 to radius).map(r =>
+      (col(s"b$r") - col(s"b${r - 1}")) / lit(r.toDouble))
+    p.select(col("node"),
+      round(spheres.reduce(_ + _) + lit(1e-9), 4).as("harmonic"))
+  }
+
   private def anfSym(lineitem: DataFrame, maxBasket: Int): DataFrame = {
     val edges = coPurchaseEdges(lineitem, maxBasket)
     edges.select(col("u").as("node"), col("v").as("nbr"))

@@ -404,6 +404,26 @@ class GraphSpec extends SparkSpec {
         s"${(hyper -- direct).take(3)} vs ${(direct -- hyper).take(3)}")
   }
 
+  test("harmonicCentrality: on a clique every ball is the whole graph — h = est(V) - 1") {
+    // one 4-item order = K4: ball(v, r) = V for all r >= 1, so the
+    // sphere terms vanish and h(v) = ball_1 - 1 for every node
+    val k4 = Seq.tabulate(4)(i => (1L, 10L + i)).toDF("l_orderkey", "l_partkey")
+    val out = graft.operators.Graph.harmonicCentrality(k4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out.size == 4)
+    // expected: the direct HLL estimate of the 4-node set, minus 1
+    val ids = Seq(10L, 11L, 12L, 13L)
+    val est = graft.operators.Sketch.hllDistinct(
+        ids.flatMap(v => ids.map(m => (v, m))).toDF("node", "member"),
+        "member", Seq("node"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    ids.foreach { v =>
+      val want = BigDecimal(est(v) - 1.0 + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(out(v) - want) < 5e-4, s"node $v: ${out(v)} vs $want")
+    }
+  }
+
   test("neighborhoodFunction: registers grow monotonically with radius; shape is nodes x radius") {
     val li = Tables.lineitem(spark, sf0001)
     val r1 = graft.operators.Graph.ballRegisters(li, 1)
