@@ -166,6 +166,13 @@ object SparkEntry {
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
       operators.Sketch.kmvOverlap(sh, "shingle", "source", "src0", "src1")
     }),
+    // KMV set difference: only-in-one Bernoulli fractions x union est
+    "q_kmv_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = Dedup.shingles(docs, 3)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      operators.Sketch.kmvDifference(sh, "shingle", "source", "src0", "src1")
+    }),
     // join cardinality estimate by correlated key sampling: the
     // sampled branch filters by key hash before its only exchange
     "q_join_size_estimate" -> ((s, dir) =>
@@ -1481,6 +1488,45 @@ object SparkEntry {
     // key tiebreak — integers end to end, no rounding rules needed
     // KMV set-op estimates: bottom-256 md5 sketches of two sources'
     // shingle sets, classic (k-1)/U_k estimator, Bernoulli overlap
+    // KMV differences: identical sketch CTEs, only-in-one flags
+    "q_kmv_diff" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |           FROM documents WHERE source IN ('src0', 'src1')),
+        |tok AS (SELECT doc_id, source, unnest(w) AS tok,
+        |               generate_subscripts(w, 1) AS pos FROM d),
+        |sh AS (SELECT DISTINCT a.source AS side,
+        |              a.tok || ' ' || b.tok || ' ' || c.tok AS key
+        |       FROM tok a
+        |       JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |       JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |uh AS (SELECT key, CAST('0x' || substring(md5(key), 1, 15) AS BIGINT) AS h
+        |       FROM (SELECT DISTINCT key FROM sh)),
+        |us AS (SELECT * FROM (SELECT key, h,
+        |                ROW_NUMBER() OVER (ORDER BY h, key) AS rn FROM uh)
+        |       WHERE rn <= 256),
+        |fl AS (SELECT us.h,
+        |              CASE WHEN ea.key IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+        |              CASE WHEN eb.key IS NOT NULL THEN 1 ELSE 0 END AS in_b
+        |       FROM us
+        |       LEFT JOIN (SELECT DISTINCT key FROM sh WHERE side = 'src0') ea
+        |         ON ea.key = us.key
+        |       LEFT JOIN (SELECT DISTINCT key FROM sh WHERE side = 'src1') eb
+        |         ON eb.key = us.key),
+        |ust AS (SELECT (SELECT COUNT(*) FROM uh) AS mu, MAX(h) AS hku,
+        |               COUNT(*) AS ks,
+        |               SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS na_only,
+        |               SUM(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END) AS nb_only
+        |        FROM fl),
+        |fin AS (SELECT *, CASE WHEN mu < 256 THEN CAST(mu AS DOUBLE)
+        |                       ELSE ROUND(255.0 * CAST(1152921504606846976 AS DOUBLE) / hku
+        |                                  + 1e-12, 4) END AS est_union
+        |        FROM ust)
+        |SELECT 'src0' AS side_a, 'src1' AS side_b,
+        |       ROUND(na_only / CAST(ks AS DOUBLE) * est_union + 1e-12, 4) AS est_a_only,
+        |       ROUND(nb_only / CAST(ks AS DOUBLE) * est_union + 1e-12, 4) AS est_b_only,
+        |       ROUND((na_only + nb_only) / CAST(ks AS DOUBLE) * est_union + 1e-12, 4) AS est_sym_diff,
+        |       CAST(ks AS BIGINT) AS k_used
+        |FROM fin""".stripMargin,
     "q_kmv_overlap" ->
       """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
         |           FROM documents WHERE source IN ('src0', 'src1')),

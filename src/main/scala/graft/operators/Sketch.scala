@@ -313,6 +313,51 @@ object Sketch {
         col("ks").cast("long").as("k_used"))
   }
 
+  /** KMV SET-DIFFERENCE estimates — the family's remaining set
+    * operation next to [[kmvOverlap]]'s union/intersection/Jaccard:
+    * |A \ B|, |B \ A| and the symmetric difference, each as the
+    * union-sketch Bernoulli fraction × the union estimate (the same
+    * estimator est_inter rides, applied to the only-in-one membership
+    * flags — flags survive sampling by the bottom-k closure argument
+    * on [[kmvEstimates]]). The "what does this crawl add over the
+    * last one" question, answered from two fixed-size sketches. */
+  def kmvDifference(df: DataFrame, keyCol: String, sideCol: String,
+                    sideA: String, sideB: String, k: Int = 256): DataFrame = {
+    require(sideA != sideB, "sides must differ")
+    require(k >= 2, s"need k >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val keys = df.filter(col(sideCol).isin(sideA, sideB))
+      .select(col(sideCol).as("side"), col(keyCol).cast("string").as("key"))
+      .distinct()
+    val uKeys = keys.select(col("key")).distinct()
+      .withColumn("h", h60(col("key")))
+    val uSketch = uKeys
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("h"), col("key"))))
+      .filter(col("rn") <= k)
+    val flagged = uSketch
+      .join(keys.filter(col("side") === sideA).select(col("key"), lit(1).as("in_a")),
+        Seq("key"), "left")
+      .join(keys.filter(col("side") === sideB).select(col("key"), lit(1).as("in_b")),
+        Seq("key"), "left")
+    val uStats = uKeys.agg(count(lit(1)).as("mu"))
+      .crossJoin(broadcast(flagged.agg(
+        max(col("h")).as("hku"), count(lit(1)).as("ks"),
+        sum(when(col("in_a") === 1 && col("in_b").isNull, 1L).otherwise(0L)).as("na_only"),
+        sum(when(col("in_b") === 1 && col("in_a").isNull, 1L).otherwise(0L)).as("nb_only"))))
+      .withColumn("est_union", when(col("mu") < k, col("mu").cast("double"))
+        .otherwise(round(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) / col("hku")
+          + lit(1e-12), 4)))
+    uStats.select(lit(sideA).as("side_a"), lit(sideB).as("side_b"),
+      round(col("na_only") / col("ks").cast("double") * col("est_union") + lit(1e-12), 4)
+        .as("est_a_only"),
+      round(col("nb_only") / col("ks").cast("double") * col("est_union") + lit(1e-12), 4)
+        .as("est_b_only"),
+      round((col("na_only") + col("nb_only")) / col("ks").cast("double") * col("est_union")
+        + lit(1e-12), 4).as("est_sym_diff"),
+      col("ks").cast("long").as("k_used"))
+  }
+
   def quantileSketch(df: DataFrame, valueCol: String, rowKeyCol: String,
                      groupCols: Seq[String], k: Int = 1000,
                      quantiles: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {

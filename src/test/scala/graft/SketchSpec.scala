@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.operators.Sketch
 
 /** Sketch semantics: HLL estimate quality and invariance properties,
@@ -254,5 +255,25 @@ class SketchSpec extends SparkSpec {
     assert(b.getLong(0) == 4 * a.getLong(0))
     assert(b.getLong(1) == 4 * a.getLong(1))
     assert(b.getLong(3) == a.getLong(3))
+  }
+
+  test("kmvDifference: exact below k; inclusion-exclusion closes against kmvOverlap") {
+    import spark.implicits._
+    // {1..5} vs {4..8}: union 8 < k -> exact path, fractions exact
+    val small = ((1 to 5).map(i => ("A", i)) ++ (4 to 8).map(i => ("B", i)))
+      .toDF("side", "k")
+    val d = Sketch.kmvDifference(small, "k", "side", "A", "B", k = 256).collect()(0)
+    assert(d.getDouble(2) == 3.0 && d.getDouble(3) == 3.0 && d.getDouble(4) == 6.0,
+      s"expected 3/3/6, got $d")
+    // real data: onlyA + onlyB + both = ks exactly, so the three
+    // scaled estimates close to the union estimate up to rounding
+    val docs = Tables.documents(spark, sf0001)
+    val sh = graft.operators.Dedup.shingles(docs, 3)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val diff = Sketch.kmvDifference(sh, "shingle", "source", "src0", "src1").collect()(0)
+    val over = Sketch.kmvOverlap(sh, "shingle", "source", "src0", "src1").collect()(0)
+    val sum = diff.getDouble(2) + diff.getDouble(3) + over.getDouble(5)
+    assert(math.abs(sum - over.getDouble(4)) < 2e-4,
+      s"a_only+b_only+inter=$sum vs union=${over.getDouble(4)}")
   }
 }
