@@ -193,6 +193,11 @@ object SparkEntry {
     "q_price_quantiles" -> ((s, dir) => Relational.priceQuantiles(Tables.orders(s, dir))),
     // RFM segmentation: quartile boundaries broadcast back, never ntile
     "q_rfm" -> ((s, dir) => Relational.rfmSegments(Tables.orders(s, dir))),
+    // data-quality profile: per-column nulls/distincts/min/max, 1 scan
+    "q_dq_profile" -> ((s, dir) => Relational.dqProfile(Tables.lineitem(s, dir))),
+    // expectation-style rule validation: per-rule violation counts
+    "q_dq_rules" -> ((s, dir) =>
+      Relational.dqRules(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     // window frames: trailing 7-day RANGE sum + running total over the
     // daily revenue series
     "q_moving_avg" -> ((s, dir) => Relational.revenueMovingAvg(Tables.orders(s, dir))),
@@ -1712,6 +1717,57 @@ object SparkEntry {
         |            WHEN f_score >= 3 OR m_score >= 3 THEN 'at_risk'
         |            ELSE 'hibernating' END AS segment
         |FROM s""".stripMargin,
+    // data-quality profile: one aggregate row, six projections
+    "q_dq_profile" ->
+      """WITH a AS (SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ok_nulls,
+        |  COUNT(DISTINCT l_orderkey) AS ok_d,
+        |  CAST(MIN(l_orderkey) AS DOUBLE) AS ok_min, CAST(MAX(l_orderkey) AS DOUBLE) AS ok_max,
+        |  CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS pk_nulls,
+        |  COUNT(DISTINCT l_partkey) AS pk_d,
+        |  CAST(MIN(l_partkey) AS DOUBLE) AS pk_min, CAST(MAX(l_partkey) AS DOUBLE) AS pk_max,
+        |  CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS sk_nulls,
+        |  COUNT(DISTINCT l_suppkey) AS sk_d,
+        |  CAST(MIN(l_suppkey) AS DOUBLE) AS sk_min, CAST(MAX(l_suppkey) AS DOUBLE) AS sk_max,
+        |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+        |  COUNT(DISTINCT l_quantity) AS q_d,
+        |  CAST(MIN(l_quantity) AS DOUBLE) AS q_min, CAST(MAX(l_quantity) AS DOUBLE) AS q_max,
+        |  CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS di_nulls,
+        |  COUNT(DISTINCT l_discount) AS di_d,
+        |  CAST(MIN(l_discount) AS DOUBLE) AS di_min, CAST(MAX(l_discount) AS DOUBLE) AS di_max,
+        |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS rf_nulls,
+        |  COUNT(DISTINCT l_returnflag) AS rf_d,
+        |  MIN(l_returnflag) AS rf_min, MAX(l_returnflag) AS rf_max
+        |FROM lineitem)
+        |SELECT 'l_orderkey' AS "column", n_rows, ok_nulls AS n_nulls, ok_d AS n_distinct,
+        |       ok_min AS min_num, ok_max AS max_num,
+        |       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+        |UNION ALL SELECT 'l_partkey', n_rows, pk_nulls, pk_d, pk_min, pk_max, NULL, NULL FROM a
+        |UNION ALL SELECT 'l_suppkey', n_rows, sk_nulls, sk_d, sk_min, sk_max, NULL, NULL FROM a
+        |UNION ALL SELECT 'l_quantity', n_rows, q_nulls, q_d, q_min, q_max, NULL, NULL FROM a
+        |UNION ALL SELECT 'l_discount', n_rows, di_nulls, di_d, di_min, di_max, NULL, NULL FROM a
+        |UNION ALL SELECT 'l_returnflag', n_rows, rf_nulls, rf_d,
+        |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), rf_min, rf_max FROM a""".stripMargin,
+    // expectation-style validation: conditional sums share one scan,
+    // referential + uniqueness rules are counted joins
+    "q_dq_rules" ->
+      """WITH s AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS vq,
+        |  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS vd,
+        |  CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS vp,
+        |  CAST(SUM(CASE WHEN l_shipdate > TIMESTAMP '2035-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS vf
+        |FROM lineitem),
+        |orph AS (SELECT COUNT(*) AS v FROM lineitem
+        |         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)),
+        |dups AS (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS v FROM (
+        |           SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |         WHERE c > 1)
+        |SELECT 'quantity_in_1_50' AS rule, vq AS n_violations, n AS n_checked FROM s
+        |UNION ALL SELECT 'discount_in_range', vd, n FROM s
+        |UNION ALL SELECT 'price_positive', vp, n FROM s
+        |UNION ALL SELECT 'shipdate_not_future', vf, n FROM s
+        |UNION ALL SELECT 'no_orphan_lineitems', (SELECT v FROM orph), n FROM s
+        |UNION ALL SELECT 'pk_unique', (SELECT v FROM dups), n FROM s""".stripMargin,
     // window frames over the daily series: DECIMAL-exact sums, RANGE
     // frame on the integer day ordinal — identical on both engines
     "q_moving_avg" ->

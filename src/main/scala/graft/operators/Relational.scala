@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -494,6 +494,84 @@ object Relational {
           + lit(1e-9), 2).as("p90"),
         round(percentile(col("o_totalprice").cast("decimal(18,4)").cast("double"), lit(0.99))
           + lit(1e-9), 2).as("p99"))
+
+  /** DATA-QUALITY PROFILE — the per-column statistics table every
+    * ingestion pipeline publishes before anything downstream trusts a
+    * feed: row count, null count, exact distinct count, and min/max
+    * (numeric and string kept in separate typed columns — never a
+    * stringified double, whose rendering is engine-specific). ONE
+    * scan computes every column's aggregates in a single aggregate
+    * row; the per-column rows are six projections of that one row
+    * unioned (no re-scan). Exact distinct counts are the oracle
+    * choice; at 100 TB swap each for approx_count_distinct / the HLL
+    * sketch — same plan shape, sketch-sized state. */
+  def dqProfile(lineitem: DataFrame): DataFrame = {
+    val numeric = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_discount")
+    val stringy = Seq("l_returnflag")
+    val aggs = count(lit(1)).as("n_rows") +:
+      ((numeric ++ stringy).flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          count_distinct(col(c)).as(s"${c}_distinct"))
+      } ++ numeric.flatMap { c =>
+        Seq(min(col(c)).cast("double").as(s"${c}_min"),
+          max(col(c)).cast("double").as(s"${c}_max"))
+      } ++ stringy.flatMap { c =>
+        Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
+      })
+    val one = lineitem.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    val numRows = numeric.map { c =>
+      one.select(lit(c).as("column"), col("n_rows"),
+        col(s"${c}_nulls").as("n_nulls"), col(s"${c}_distinct").as("n_distinct"),
+        col(s"${c}_min").as("min_num"), col(s"${c}_max").as("max_num"),
+        lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
+    }
+    val strRows = stringy.map { c =>
+      one.select(lit(c).as("column"), col("n_rows"),
+        col(s"${c}_nulls").as("n_nulls"), col(s"${c}_distinct").as("n_distinct"),
+        lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+        col(s"${c}_min").as("min_str"), col(s"${c}_max").as("max_str"))
+    }
+    (numRows ++ strRows).reduce(_.unionByName(_))
+  }
+
+  /** DATA-QUALITY RULES — expectation-style validation: each named
+    * rule reports how many rows violate it and how many it checked
+    * (the Great-Expectations/dbt-test shape). Scalar-aggregate rules
+    * share ONE scan via conditional sums; the referential rule
+    * (orphan lineitems) is a broadcast-or-shuffle anti join count;
+    * the key-uniqueness rule counts surplus rows per (orderkey,
+    * linenumber) group — all integer counts, hash-exact. */
+  def dqRules(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val scalar = lineitem.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L))
+        .as("v_qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.5, 1L).otherwise(0L))
+        .as("v_disc"),
+      sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("v_price"),
+      sum(when(col("l_shipdate") > lit("2035-01-01").cast("timestamp"), 1L)
+        .otherwise(0L)).as("v_future")).localCheckpoint()
+    val orphans = lineitem.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("v"))
+    val dups = lineitem.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("v"))
+    def row(rule: String, v: Column): DataFrame =
+      scalar.select(lit(rule).as("rule"), v.as("n_violations"),
+        col("n").as("n_checked"))
+    row("quantity_in_1_50", col("v_qty"))
+      .unionByName(row("discount_in_range", col("v_disc")))
+      .unionByName(row("price_positive", col("v_price")))
+      .unionByName(row("shipdate_not_future", col("v_future")))
+      .unionByName(scalar.crossJoin(broadcast(orphans))
+        .select(lit("no_orphan_lineitems").as("rule"), col("v").as("n_violations"),
+          col("n").as("n_checked")))
+      .unionByName(scalar.crossJoin(broadcast(dups))
+        .select(lit("pk_unique").as("rule"), col("v").as("n_violations"),
+          col("n").as("n_checked")))
+  }
 
   /** RFM SEGMENTATION — the classic customer-value partitioning
     * (recency / frequency / monetary quartile scores + a named

@@ -41,4 +41,48 @@ class RelationalSpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(got == exp)
   }
+
+  test("dqRules: planted violations are counted per rule; clean rows pass") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    val far = java.sql.Timestamp.valueOf("2040-01-01 00:00:00")
+    // (orderkey, linenumber, qty, discount, price, shipdate)
+    val li = Seq(
+      (1L, 1, 10.0, 0.05, 100.0, ts),   // clean
+      (1L, 1, 10.0, 0.05, 100.0, ts),   // duplicate PK -> pk_unique 1
+      (2L, 1, 99.0, 0.05, 100.0, ts),   // qty out of range
+      (3L, 1, 10.0, 0.9, 100.0, ts),    // discount out of range
+      (4L, 1, 10.0, 0.05, -5.0, far),   // price <= 0 AND future shipdate
+      (9L, 1, 10.0, 0.05, 100.0, ts))   // orderkey 9 has no order -> orphan
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_extendedprice", "l_shipdate")
+    val ord = Seq(1L, 2L, 3L, 4L).toDF("o_orderkey")
+    val out = Relational.dqRules(li, ord)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      "quantity_in_1_50" -> ((1L, 6L)),
+      "discount_in_range" -> ((1L, 6L)),
+      "price_positive" -> ((1L, 6L)),
+      "shipdate_not_future" -> ((1L, 6L)),
+      "no_orphan_lineitems" -> ((1L, 6L)),
+      "pk_unique" -> ((1L, 6L))), s"got $out")
+  }
+
+  test("dqProfile: null and distinct counting on a hand frame") {
+    import spark.implicits._
+    val li = Seq(
+      (1L, Option(5L), 2L, 1, 1.0, 0.0, 1.0, 0.0, "A", "O", java.sql.Timestamp.valueOf("1998-01-01 00:00:00")),
+      (2L, None, 2L, 1, 2.0, 0.0, 1.0, 0.0, "R", "O", java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_discount", "l_extendedprice", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+    val out = Relational.dqProfile(li)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("l_partkey") == ((2L, 1L, 1L)))     // one null, one distinct
+    assert(out("l_orderkey") == ((2L, 0L, 2L)))
+    assert(out("l_returnflag") == ((2L, 0L, 2L)))
+    val rf = Relational.dqProfile(li).filter(col("column") === "l_returnflag")
+      .collect()(0)
+    assert(rf.getString(6) == "A" && rf.getString(7) == "R")
+  }
 }
