@@ -193,6 +193,11 @@ object SparkEntry {
     "q_price_quantiles" -> ((s, dir) => Relational.priceQuantiles(Tables.orders(s, dir))),
     // RFM segmentation: quartile boundaries broadcast back, never ntile
     "q_rfm" -> ((s, dir) => Relational.rfmSegments(Tables.orders(s, dir))),
+    // weekday load curve: arithmetic day-of-week, broadcast share
+    "q_weekday_profile" -> ((s, dir) =>
+      Relational.weekdayProfile(Tables.orders(s, dir))),
+    // Benford first-digit audit over order totals
+    "q_benford" -> ((s, dir) => Relational.benfordDigits(Tables.orders(s, dir))),
     // data-quality profile: per-column nulls/distincts/min/max, 1 scan
     "q_dq_profile" -> ((s, dir) => Relational.dqProfile(Tables.lineitem(s, dir))),
     // expectation-style rule validation: per-rule violation counts
@@ -1717,6 +1722,31 @@ object SparkEntry {
         |            WHEN f_score >= 3 OR m_score >= 3 THEN 'at_risk'
         |            ELSE 'hibernating' END AS segment
         |FROM s""".stripMargin,
+    // weekday profile: (days+4)%7 arithmetic dow, decimal revenue
+    "q_weekday_profile" ->
+      """WITH b AS (
+        |  SELECT CAST((CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) + 4) % 7 AS INT) AS dow,
+        |         o_totalprice
+        |  FROM orders),
+        |g AS (SELECT dow, COUNT(*) AS n_orders,
+        |             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT SUM(n_orders) AS n_total FROM g)
+        |SELECT dow, n_orders, revenue,
+        |       ROUND(n_orders / CAST(n_total AS DOUBLE) + 1e-12, 6) AS share
+        |FROM g, t""".stripMargin,
+    // Benford: leading digit from the DECIMAL rendering, closed-form
+    // expectation on identical double literals
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT SUM(n) AS nt FROM g)
+        |SELECT digit, n,
+        |       ROUND(n / CAST(nt AS DOUBLE) + 1e-12, 6) AS observed,
+        |       ROUND(log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)) + 1e-12, 6) AS benford
+        |FROM g, t""".stripMargin,
     // data-quality profile: one aggregate row, six projections
     "q_dq_profile" ->
       """WITH a AS (SELECT COUNT(*) AS n_rows,

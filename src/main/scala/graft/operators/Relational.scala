@@ -573,6 +573,49 @@ object Relational {
           col("n").as("n_checked")))
   }
 
+  /** WEEKDAY SEASONALITY PROFILE — order volume and revenue by day of
+    * week, with each day's share of the total: the load-curve table
+    * capacity planning and anomaly baselines read. Day-of-week is
+    * computed ARITHMETICALLY from the epoch-day ordinal ((days + 4) %
+    * 7, 0 = Sunday — 1970-01-01 was a Thursday) because the engines'
+    * dayofweek() builtins disagree on numbering; integer arithmetic
+    * is engine-exact. One partial-aggregated scan; the share divides
+    * by a one-row broadcast total. */
+  def weekdayProfile(orders: DataFrame): DataFrame = {
+    val day = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+    val byDow = orders
+      .select((((day + lit(4)) % 7)).cast("int").as("dow"),
+        col("o_totalprice"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))
+    val total = byDow.agg(sum(col("n_orders")).as("n_total"))
+    byDow.crossJoin(broadcast(total))
+      .select(col("dow"), col("n_orders"), col("revenue"),
+        round(col("n_orders") / col("n_total").cast("double") + lit(1e-12), 6)
+          .as("share"))
+  }
+
+  /** BENFORD FIRST-DIGIT AUDIT — the distribution of leading digits
+    * of order totals against Benford's law, the classic fabricated-
+    * numbers screen. The leading digit comes from the DECIMAL's
+    * string rendering (both engines print a positive decimal's most
+    * significant digit first; no scientific notation) — never from
+    * log10 of a double, whose boundary behavior is engine-specific.
+    * Expected share is the closed-form log10(1 + 1/d) on identical
+    * double literals. One partial-aggregated scan over a 9-row grid. */
+  def benfordDigits(orders: DataFrame): DataFrame = {
+    val digit = substring(col("o_totalprice").cast("decimal(18,4)").cast("string"), 1, 1)
+    val counts = orders.filter(col("o_totalprice") > 0)
+      .select(digit.cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("nt"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("nt").cast("double") + lit(1e-12), 6).as("observed"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")) + lit(1e-12), 6)
+          .as("benford"))
+  }
+
   /** RFM SEGMENTATION — the classic customer-value partitioning
     * (recency / frequency / monetary quartile scores + a named
     * segment), the audience-selection primitive a marketing or
