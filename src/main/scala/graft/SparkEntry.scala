@@ -97,6 +97,10 @@ object SparkEntry {
     // seen-offset mask per user; increment log folds to the batch grid
     "s_stream_retention" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayRetention(s, ev(s, dir))),
+    // streaming last-touch attribution: per-user last-event state,
+    // purchases read it before it overwrites — batch lag-window rule
+    "s_stream_attribution" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayAttribution(s, ev(s, dir))),
     // streaming incremental top-k: moveFold changelog -> per-zone
     // occupancy MapState -> versioned rank snapshots; the final
     // (max-version) standings equal the batch latest-per-car ranking
@@ -3845,6 +3849,20 @@ object SparkEntry {
         |ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
     // last-touch attribution: LAG under the per-user order, the
     // sessionize gap rule deciding in-session vs 'direct'
+    // streaming attribution: identical credit table to the batch rule
+    "s_stream_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus,
+        |                  event_type, value FROM events),
+        |o AS (SELECT user_id, event_type, value, tus,
+        |             LAG(event_type) OVER w AS prev_type,
+        |             LAG(tus) OVER w AS prev_tus
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |p AS (SELECT CASE WHEN prev_tus IS NOT NULL AND tus - prev_tus <= 14400000000
+        |                  THEN prev_type ELSE 'direct' END AS touch, value
+        |      FROM o WHERE event_type = 'purchase')
+        |SELECT touch, COUNT(*) AS n_purchases,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+        |FROM p GROUP BY 1""".stripMargin,
     "q_attribution" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus,
         |                  event_type, value FROM events),

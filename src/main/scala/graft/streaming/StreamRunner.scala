@@ -212,7 +212,7 @@ private[streaming] class AsofProcessor
 /** Raw-events topic row (the funnel family's staging: unlike the
   * car/zone envelope this keeps event_type, the stage alphabet). */
 private[streaming] case class StagedRaw(eventId: Long, userId: Long, eventType: String,
-                                        tus: Long, pid: Int, seq: Long)
+                                        tus: Long, v: Double, pid: Int, seq: Long)
 private[streaming] case class FunnelIn(userId: Long, eventType: String, tus: Long, seq: Long)
 private[streaming] case class FunnelOut(user_id: Long, stage_idx: Int, stage: String)
 private[streaming] case class FunnelState(stage: Int, t: Long)
@@ -248,6 +248,45 @@ private[streaming] class FunnelProcessor(stages: Array[String])
       }
     }
     state.update(st)
+    out.iterator
+  }
+}
+
+/** Streaming attribution plumbing: raw-topic arrivals keyed by user;
+  * per-user state is the LAST event (type + time) — the only context
+  * last-touch credit needs (~24 B/user). */
+private[streaming] case class AttrIn(userId: Long, eventType: String, tus: Long,
+                                     v: Double, seq: Long)
+private[streaming] case class AttrOut(touch: String, value: Double)
+private[streaming] case class AttrState(etype: String, tus: Long)
+
+/** Streaming LAST-TOUCH ATTRIBUTION — credit assignment as it
+  * happens: every arrival overwrites the user's last-event state; a
+  * purchase first reads it, crediting the previous event's type when
+  * it falls inside the session gap and 'direct' otherwise (exactly
+  * the batch lag-window rule, [[graft.operators.Sessions
+  * .attribution]]). The emitted (touch, value) log folds to the batch
+  * credit table however the stream was chunked. */
+private[streaming] class AttributionProcessor(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, AttrIn, AttrOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var state: ValueState[AttrState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[AttrState]("lastTouch",
+      Encoders.product[AttrState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[AttrIn],
+                               timers: TimerValues): Iterator[AttrOut] = {
+    var st = if (state.exists) state.get() else null
+    val out = scala.collection.mutable.ArrayBuffer.empty[AttrOut]
+    rows.toArray.sortBy(_.seq).foreach { r =>
+      if (r.eventType == "purchase")
+        out += AttrOut(
+          if (st != null && r.tus - st.tus <= gapUs) st.etype else "direct", r.v)
+      st = AttrState(r.eventType, r.tus)
+    }
+    if (st != null) state.update(st)
     out.iterator
   }
 }
@@ -1390,14 +1429,14 @@ object StreamRunner {
         .resolve("src")
       events
         .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("ts div 1000").as("tus"), col("ts"))
+          expr("ts div 1000").as("tus"), col("value"), col("ts"))
         .localCheckpoint()
         .repartitionByRange(ReplayChunks, col("ts"), col("event_id"))
         .sortWithinPartitions(col("ts"), col("event_id"))
         .withColumn("pid", spark_partition_id())
         .select(col("event_id").as("eventId"), col("user_id").as("userId"),
-          col("event_type").as("eventType"), col("tus"), col("pid"),
-          lit(0L).as("seq"))
+          col("event_type").as("eventType"), col("tus"), col("value").as("v"),
+          col("pid"), lit(0L).as("seq"))
         .as[StagedRaw]
         .mapPartitions { it =>
           var rank = 0L
@@ -1480,6 +1519,41 @@ object StreamRunner {
     spark.read.parquet(work.resolve("out").toString)
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Streaming attribution replay: the raw topic keyed by user through
+    * [[AttributionProcessor]]; the credit log folds to (touch,
+    * n_purchases, total_value) — the batch table (same oracle shape as
+    * q_attribution). */
+  def replayAttribution(spark: SparkSession, events: DataFrame,
+                        gapSec: Long = graft.operators.Sessions.DefaultGapSec): DataFrame = {
+    val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
+    val srcDir = rawStagedDir(spark, events)
+    val session = replaySession(spark, rocksDb = true)
+    val src = session.readStream
+      .schema(Encoders.product[StagedRaw].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    import session.implicits._
+    val log = src
+      .select(col("userId"), col("eventType"), col("tus"), col("v"), col("seq"))
+      .as[AttrIn]
+      .groupByKey(_.userId)
+      .transformWithState(new AttributionProcessor(gapSec * 1000000L),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    val q = log.writeStream.format("parquet")
+      .option("path", work.resolve("out").toString)
+      .option("checkpointLocation", work.resolve("cp").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(work.resolve("out").toString)
+      .groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value").cast("decimal(18,4)")), 2).cast("double")
+          .as("total_value"))
   }
 
   private def docStagedDir(spark: SparkSession, documents: DataFrame): Path =

@@ -66,4 +66,33 @@ class StreamFunnelSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out == Set((0L, 0L, 1L), (0L, 3L, 1L), (5L, 0L, 1L)), s"got $out")
   }
+
+  test("streaming attribution credit table equals the batch lag rule (sf0.001)") {
+    val events = Tables.events(spark, sf0001)
+    val streamed = StreamRunner.replayAttribution(spark, events)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val batch = Sessions.attribution(events)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    // both arms live: some credited touch and some 'direct'
+    assert(streamed.contains("direct") && streamed.keys.exists(_ != "direct"))
+  }
+
+  test("streaming attribution: gap expiry and purchase-after-purchase credit") {
+    def e(id: Long, tsUs: Long, u: Long, t: String, v: Double) =
+      (id, tsUs * 1000, u, t, v, "{}")
+    val gapUs = graft.operators.Sessions.DefaultGapSec * 1000000L
+    val df = Seq(
+      e(0, 10, 1, "click", 0.0),
+      e(1, 20, 1, "purchase", 5.0),                 // credited to click
+      e(2, 30, 1, "purchase", 7.0),                 // previous event IS a purchase
+      e(3, 40 + gapUs, 1, "purchase", 9.0),         // gap expired -> direct
+      e(4, 10, 2, "purchase", 1.0))                 // first event -> direct
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = StreamRunner.replayAttribution(spark, df)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(
+      "click" -> ((1L, 5.0)), "purchase" -> ((1L, 7.0)), "direct" -> ((2L, 10.0))),
+      s"got $out")
+  }
 }
