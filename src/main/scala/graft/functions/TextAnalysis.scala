@@ -1107,4 +1107,32 @@ object TextAnalysis {
         when(length(col("norm_text")) === 0, lit(0L))
           .otherwise(size(split(col("norm_text"), " ")).cast("long")))
   }
+
+  /** FEATURE-HASHED document vectors (the hashing trick — Weinberger
+    * et al. 2009; Vowpal Wabbit's featurizer): token → dimension by
+    * md5 hash mod `dims`, term frequencies L2-normalized per document
+    * — a vocabulary-FREE text embedding: no dictionary to build,
+    * broadcast, or keep consistent across a 100 TB corpus, which is
+    * exactly why the trick survives at scale where learned
+    * vocabularies need coordination. Sparse output
+    * (doc_id, dim, weight), weight = tf / ||tf||₂ rounded to 6 dp
+    * (sqrt of an exact integer sum of squares — engine-identical).
+    *
+    * Scale shape: one token scan, a partial-aggregated (doc, dim)
+    * count (≤ `dims` rows per doc), a doc-bounded norm aggregate
+    * joined back on doc_id — the same exchange's partitioning. */
+  def hashEmbed(documents: DataFrame, dims: Int = 16): DataFrame = {
+    require(dims >= 2 && dims <= 65536, s"dims must be in [2, 65536], got $dims")
+    val counts = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % dims).as("dim"))
+      .groupBy(col("doc_id"), col("dim")).agg(count(lit(1)).as("cnt"))
+    val norms = counts.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("cnt") * col("cnt")).cast("double")).as("nrm"))
+    counts.join(norms, "doc_id")
+      .select(col("doc_id"), col("dim").cast("int").as("dim"),
+        round(col("cnt") / col("nrm") + lit(1e-9), 6).as("weight"))
+  }
 }

@@ -135,6 +135,39 @@ object Sessions {
         col("t3") - col("t1")))
   }
 
+  /** COHORT LTV CURVE — cumulative revenue per acquisition cohort by
+    * months since first order: the lifetime-value table subscription
+    * and marketplace finance teams steer by. Cohort = the month of a
+    * customer's first order (integer months-since-epoch — engine-exact
+    * arithmetic on year/month fields); revenue sums in DECIMAL; the
+    * cumulative ride is a window over the (cohorts × offsets) grid,
+    * never the orders.
+    *
+    * Scale shape: one per-customer min for the cohort, one equi-join
+    * back, a partial-aggregating (cohort, offset) groupBy, and the
+    * running total over the grid frame (cohort-partitioned window on
+    * a frame bounded by cohorts × offsets — thousands of rows at any
+    * corpus size). */
+  def cohortLtv(orders: DataFrame, maxOffsetMonths: Int = 24): DataFrame = {
+    val m = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m")
+    val o = orders.select(col("o_custkey"), m, col("o_totalprice"))
+    val cohort = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort_m"))
+    val grid = o.join(cohort, "o_custkey")
+      .select(col("cohort_m"), (col("m") - col("cohort_m")).as("month_offset"),
+        col("o_totalprice"))
+      .filter(col("month_offset") <= maxOffsetMonths)
+      .groupBy(col("cohort_m"), col("month_offset"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+    val w = Window.partitionBy(col("cohort_m")).orderBy(col("month_offset"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .withColumn("cum", sum(col("rev")).over(w))
+      .select(col("cohort_m"), col("month_offset"), col("n_orders"),
+        round(col("rev"), 2).cast("double").as("revenue"),
+        round(col("cum"), 2).cast("double").as("cum_revenue"))
+  }
+
   /** Classic cohort retention: users grouped by their FIRST active day
     * (the cohort), counted on each later day they return. Returns
     * (cohort_day, day_offset, n_users) for offsets 0..`maxOffsetDays`;

@@ -466,4 +466,22 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
       .collect().head.getDouble(2)
     assert(aFlat > aSkew, s"flat=$aFlat skew=$aSkew") // hot term far from fmin -> bigger log sum -> smaller alpha
   }
+
+  test("hashEmbed: unit L2 norm per doc; same tokens land in the same dimension") {
+    val docs = Seq((1L, "a b a c"), (2L, "a a a a"), (3L, "x y z w v u")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashEmbed(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // per-doc squared weights sum to ~1 (rounding leaves <= 1e-4 slack)
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      val s2 = rows.map(r => r._3 * r._3).sum
+      assert(math.abs(s2 - 1.0) < 1e-4, s"doc $id: ||w||^2 = $s2")
+      rows.foreach(r => assert(r._2 >= 0 && r._2 < 16 && r._3 > 0))
+    }
+    // doc 2 is a single repeated token: exactly one dim at weight 1
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._3 == 1.0)
+    // the shared token 'a' hits the same dim in doc 1 and doc 2
+    val aDim = d2.head._2
+    assert(out.filter(_._1 == 1L).exists(_._2 == aDim))
+  }
 }
