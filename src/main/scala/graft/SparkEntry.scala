@@ -554,6 +554,10 @@ object SparkEntry {
     "q_conversion_lag" -> ((s, dir) => Sessions.conversionLag(ev(s, dir))),
     // cohort LTV: cumulative decimal revenue over the cohort grid
     "q_cohort_ltv" -> ((s, dir) => Sessions.cohortLtv(Tables.orders(s, dir))),
+    // CUSUM change-point scan over the daily event counts
+    "q_cusum_changepoint" -> ((s, dir) => Sessions.cusumChangepoint(ev(s, dir))),
+    // A/B conversion comparison with the pooled z statistic
+    "q_ab_test" -> ((s, dir) => Sessions.abTest(ev(s, dir))),
     // first-active-day cohorts × return-day offsets
     "q_retention" -> ((s, dir) => Sessions.retention(ev(s, dir))),
     // content-defined chunking: insertion-stable chunk manifests
@@ -3982,6 +3986,42 @@ object SparkEntry {
         |       CAST(ROUND(SUM(rev) OVER (PARTITION BY cohort_m ORDER BY month_offset
         |                                 ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS cum_revenue
         |FROM g""".stripMargin,
+    // CUSUM: closed-form cum - k*mean over the day grid, argmax peak
+    "q_cusum_changepoint" ->
+      """WITH daily AS (SELECT (epoch_ns(ts) // 1000) // 86400000000 AS day, COUNT(*) AS n
+        |               FROM events GROUP BY 1),
+        |st AS (SELECT SUM(n) AS total, COUNT(*) AS n_days FROM daily),
+        |sc AS (SELECT day, n,
+        |              ROUND(total / CAST(n_days AS DOUBLE) + 1e-12, 6) AS mean,
+        |              ROW_NUMBER() OVER (ORDER BY day) AS k,
+        |              SUM(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+        |       FROM daily, st),
+        |cs AS (SELECT day, n, ROUND(cum - k * mean + 1e-9, 6) AS cusum FROM sc),
+        |pk AS (SELECT day AS peak_day FROM cs ORDER BY abs(cusum) DESC, day LIMIT 1)
+        |SELECT day, n, cusum, day = (SELECT peak_day FROM pk) AS is_peak FROM cs""".stripMargin,
+    // A/B test: exact per-variant counts, fixed z expression tree
+    "q_ab_test" ->
+      """WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+        |                  event_type FROM events),
+        |f AS (SELECT user_id, MIN(day) AS d0 FROM e GROUP BY 1),
+        |u AS (SELECT e.user_id, CAST(e.user_id % 2 AS INT) AS variant,
+        |             CAST(MAX(CASE WHEN event_type = 'purchase' AND day = d0
+        |                           THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        |      FROM e JOIN f USING (user_id) GROUP BY 1, 2),
+        |v AS (SELECT variant, COUNT(*) AS n_users,
+        |             CAST(SUM(converted) AS BIGINT) AS n_converted
+        |      FROM u GROUP BY 1),
+        |a AS (SELECT n_users AS na, n_converted AS ca FROM v WHERE variant = 0),
+        |b AS (SELECT n_users AS nb, n_converted AS cb FROM v WHERE variant = 1)
+        |SELECT na, ca, nb, cb,
+        |       ROUND(ca / CAST(na AS DOUBLE) + 1e-12, 6) AS rate_a,
+        |       ROUND(cb / CAST(nb AS DOUBLE) + 1e-12, 6) AS rate_b,
+        |       ROUND((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE)) /
+        |             sqrt(((ca + cb) / CAST(na + nb AS DOUBLE)) *
+        |                  (CAST(1.0 AS DOUBLE) - (ca + cb) / CAST(na + nb AS DOUBLE)) *
+        |                  (CAST(1.0 AS DOUBLE) / CAST(na AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(nb AS DOUBLE)))
+        |             + 1e-12, 6) AS z
+        |FROM a, b""".stripMargin,
     // cohort retention on integer epoch-days
     "q_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,

@@ -135,6 +135,78 @@ object Sessions {
         col("t3") - col("t1")))
   }
 
+  /** CUSUM CHANGE-POINT SCAN — for each day of the event series, the
+    * cumulative sum of deviations of the daily event count from the
+    * global daily mean; the |CUSUM| maximum marks the most likely
+    * level-shift day (Page 1954's detector in its offline scan form —
+    * the "did traffic change, and when" question). All sums are exact
+    * integers until one final mean division quantized to 6 dp, and
+    * the CUSUM recurrence is equivalently cum_count − day_rank·mean —
+    * closed form, no per-row recursion; is_peak marks the argmax
+    * (ties broken by earliest day). The day-grain frame bounds every
+    * window (the revenueMovingAvg calendar rule). */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(expr("ts div 1000 div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val stats = daily.agg(sum(col("n")).as("total"), count(lit(1)).as("n_days"))
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    val scanned = daily.crossJoin(broadcast(stats))
+      .withColumn("mean", round(col("total") / col("n_days").cast("double")
+        + lit(1e-12), 6))
+      .withColumn("k", row_number().over(Window.orderBy(col("day"))))
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("cusum", round(col("cum") - col("k") * col("mean") + lit(1e-9), 6))
+    val peak = scanned
+      .select(col("day").as("peak_day"), abs(col("cusum")).as("a"))
+      .orderBy(col("a").desc, col("peak_day")).limit(1)
+      .select(col("peak_day"))
+    scanned.crossJoin(broadcast(peak))
+      .select(col("day"), col("n"), col("cusum"),
+        (col("day") === col("peak_day")).as("is_peak"))
+  }
+
+  /** A/B PROPORTION TEST — conversion-rate comparison between two
+    * user buckets (variant = user_id parity, standing in for any
+    * assignment column) with the pooled two-sample z statistic: the
+    * experimentation readout every product pipeline ships. Counts are
+    * exact integers; the rate/z arithmetic is a fixed expression tree
+    * over them, rounded to 6 dp (identical on both engines). One
+    * per-user aggregate (converted = any purchase), then a two-row
+    * variant aggregate and a one-row final — nothing user-bounded
+    * ever sorts globally. */
+  def abTest(events: DataFrame): DataFrame = {
+    // conversion = a purchase on the user's FIRST active day (day-0
+    // conversion) — over a long window "ever purchased" saturates to
+    // p = 1 and the z denominator degenerates; day-0 is the metric
+    // activation experiments actually read
+    val days = events.select(col("user_id"),
+      expr("ts div 1000 div 86400000000").as("day"), col("event_type"))
+    val first = days.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+    val users = days.join(first, "user_id")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("day") === col("d0"), 1L)
+        .otherwise(0L)).as("converted"))
+      .select(col("user_id"), (col("user_id") % 2).cast("int").as("variant"),
+        col("converted"))
+    val byVariant = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"))
+    val a = byVariant.filter(col("variant") === 0)
+      .select(col("n_users").as("na"), col("n_converted").as("ca"))
+    val b = byVariant.filter(col("variant") === 1)
+      .select(col("n_users").as("nb"), col("n_converted").as("cb"))
+    a.crossJoin(broadcast(b)).select(
+      col("na"), col("ca"), col("nb"), col("cb"),
+      round(col("ca") / col("na").cast("double") + lit(1e-12), 6).as("rate_a"),
+      round(col("cb") / col("nb").cast("double") + lit(1e-12), 6).as("rate_b"),
+      round(
+        (col("ca") / col("na").cast("double") - col("cb") / col("nb").cast("double")) /
+          sqrt(((col("ca") + col("cb")) / (col("na") + col("nb")).cast("double")) *
+            (lit(1.0) - (col("ca") + col("cb")) / (col("na") + col("nb")).cast("double")) *
+            (lit(1.0) / col("na").cast("double") + lit(1.0) / col("nb").cast("double")))
+          + lit(1e-12), 6).as("z"))
+  }
+
   /** COHORT LTV CURVE — cumulative revenue per acquisition cohort by
     * months since first order: the lifetime-value table subscription
     * and marketplace finance teams steer by. Cohort = the month of a

@@ -261,4 +261,37 @@ class SessionsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == brute && got.nonEmpty)
   }
+
+  test("cusumChangepoint: level shift peaks at the last pre-shift day") {
+    val dayUs = 86400000000L
+    // 3 quiet days (1 event) then 2 loud days (5 events): mean 2.6,
+    // cusum = cum - k*2.6 = -1.6, -3.2, -4.8, -2.4, 0 -> peak day 2
+    val rows = Seq(0L, 1L, 2L).map(d => (d, 1L)) ++ Seq((3L, 5L), (4L, 5L))
+    val events = rows.zipWithIndex.flatMap { case ((d, n), _) =>
+      (0L until n).map(i => (d * 100 + i, 1L, d * dayUs + i, 1.0))
+    }
+    val out = Sessions.cusumChangepoint(ev(events: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(out.map(t => (t._1, t._2)).toSeq ==
+      Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 5L), (4L, 5L)))
+    assert(out.filter(_._4).map(_._1).toSeq == Seq(2L), s"peak: $out")
+    assert(math.abs(out(2)._3 - (-4.8)) < 1e-6)
+  }
+
+  test("abTest: hand counts, rates, and z sign") {
+    val dayUs = 86400000000L
+    // even users (variant 0): user 2 converts day 0, user 4 does not
+    // (purchase only on day 1); odd (variant 1): users 1 and 3 convert
+    val events = ev(
+      (0L, 2L, 0L, 1.0, "purchase"),
+      (1L, 4L, 0L, 1.0, "view"), (2L, 4L, dayUs, 1.0, "purchase"),
+      (3L, 1L, 0L, 1.0, "purchase"),
+      (4L, 3L, 0L, 1.0, "view"), (5L, 3L, 10L, 2.0, "purchase"))
+    val r = Sessions.abTest(events).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 2L, 2L)), s"counts: $r")
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 1.0)
+    assert(r.getDouble(6) < 0, s"variant 1 converts more, z must be negative: $r")
+  }
 }
