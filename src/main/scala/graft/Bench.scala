@@ -53,7 +53,8 @@ object Bench {
   private val GraphQueries = Set(
     "q_pagerank", "q_triangles", "q_clustering_coef", "q_communities",
     "q_degree_dist", "q_kcore", "q_components", "q_assoc_rules",
-    "q_bfs_depth", "q_ppr", "q_sssp", "q_assortativity", "q_anf", "q_harmonic")
+    "q_bfs_depth", "q_ppr", "q_sssp", "q_assortativity", "q_anf", "q_harmonic",
+    "q_modularity")
 
   def main(args: Array[String]): Unit = {
     sys.env.get("SPARK_GRAFT_CHILD_OUT") match {

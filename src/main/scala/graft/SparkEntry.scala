@@ -704,6 +704,9 @@ object SparkEntry {
     // harmonic centrality from the same registers (Boldi-Vigna)
     "q_harmonic" -> ((s, dir) =>
       graft.operators.Graph.harmonicCentrality(Tables.lineitem(s, dir))),
+    // Newman modularity per LPA community — integer counts, 2 divisions
+    "q_modularity" -> ((s, dir) =>
+      graft.operators.Graph.modularity(Tables.lineitem(s, dir))),
     // hot-key-salted fact⋈dim join; the oracle is the PLAIN join —
     // salting must be invisible in the result
     "q_salted_join" -> ((s, dir) => {
@@ -4242,6 +4245,7 @@ object SparkEntry {
         |            ELSE 0.0 END AS coef
         |FROM deg LEFT JOIN tc ON tc.node = deg.n""".stripMargin,
     "q_communities" -> communitiesOracle,
+    "q_modularity" -> modularityOracle,
     // core numbers: the synchronous h-index recurrence is pure integer
     // arithmetic, so the unrolled-round replay is hash-exact
     "q_kcore" -> kcoreOracle,
@@ -5859,6 +5863,47 @@ object SparkEntry {
       |SELECT f.node, f.label AS community,
       |       CAST(sz.community_size AS BIGINT) AS community_size
       |FROM l$rounds f JOIN sz ON sz.label = f.label""".stripMargin)
+    sb.toString
+  }
+
+  /** [[communitiesOracle]]'s LPA rounds + Newman's Q per community —
+    * integer intra/degree counts, one division pair per community. */
+  private lazy val modularityOracle: String = {
+    val rounds = 4
+    val sb = new StringBuilder
+    sb.append(
+      """WITH po0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |po AS (SELECT o, p FROM po0 QUALIFY COUNT(*) OVER (PARTITION BY o) <= 1024),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |l0 AS (SELECT DISTINCT node, node AS label FROM sym)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |v$r AS (SELECT s.node, l.label, COUNT(*) AS cnt
+        |       FROM sym s JOIN l${r - 1} l ON l.node = s.nbr
+        |       GROUP BY s.node, l.label),
+        |l$r AS (SELECT node, label FROM (
+        |         SELECT node, label,
+        |                ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        |         FROM v$r) WHERE rn = 1)""".stripMargin)
+    }
+    sb.append(s"""
+      |, lab AS (SELECT node, label AS community FROM l$rounds),
+      |deg AS (SELECT node, COUNT(*) AS d FROM sym GROUP BY 1),
+      |mm AS (SELECT COUNT(*) AS m FROM e),
+      |cd AS (SELECT community, COUNT(*) AS n_nodes,
+      |              CAST(SUM(d) AS BIGINT) AS degree_sum
+      |       FROM lab JOIN deg USING (node) GROUP BY 1),
+      |ie AS (SELECT la.community, COUNT(*) AS intra
+      |       FROM e JOIN lab la ON la.node = e.u JOIN lab lb ON lb.node = e.v
+      |       WHERE la.community = lb.community GROUP BY 1)
+      |SELECT cd.community, cd.n_nodes,
+      |       CAST(COALESCE(ie.intra, 0) AS BIGINT) AS intra_edges, cd.degree_sum,
+      |       ROUND(COALESCE(ie.intra, 0) / CAST(m AS DOUBLE)
+      |             - (degree_sum / (2.0 * m)) * (degree_sum / (2.0 * m))
+      |             + 1e-12, 6) AS q_c
+      |FROM cd LEFT JOIN ie USING (community), mm""".stripMargin)
     sb.toString
   }
 

@@ -1215,6 +1215,49 @@ object Graph {
     out
   }
 
+  /** MODULARITY of the [[communities]] partition — Newman's Q per
+    * community: Q_c = L_c/m − (D_c/2m)², the quantity that says
+    * whether the label propagation actually found structure (Q_c sums
+    * near 0 ⇒ no better than random wiring). All inputs are exact
+    * integers (intra-edge counts, degree sums, the edge total); the
+    * two divisions happen once per COMMUNITY row, rounded 6 dp.
+    *
+    * Scale shape: the label frame is node-bounded (16 B/node) and
+    * joins the edge frame twice (u and v sides — gated broadcast
+    * under [[BroadcastNodeLimit]], shuffle past it); intra counts and
+    * degree sums partial-aggregate map-side; the Q arithmetic runs on
+    * the community-bounded frame against a one-row broadcast m. */
+  def modularity(lineitem: DataFrame, rounds: Int = 4,
+                 maxBasket: Int = 1024,
+                 nodeBroadcastLimit: Long = BroadcastNodeLimit): DataFrame = {
+    val labels = communities(lineitem, rounds, maxBasket)
+      .select(col("node"), col("community")).localCheckpoint()
+    val nNodes = labels.count()
+    def gated(df: DataFrame): DataFrame =
+      if (nNodes <= nodeBroadcastLimit) broadcast(df) else df
+    val edges = coPurchaseEdges(lineitem, maxBasket)
+    val mTotal = edges.agg(count(lit(1)).as("m"))
+    val sym = edges.select(col("u").as("node")).unionByName(
+      edges.select(col("v").as("node")))
+    val deg = sym.groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val cd = gated(labels).join(deg, "node")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("degree_sum"))
+    val intra = edges
+      .join(gated(labels.select(col("node").as("u"), col("community").as("ca"))), "u")
+      .join(gated(labels.select(col("node").as("v"), col("community").as("cb"))), "v")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra"))
+    val frac = col("degree_sum") / (lit(2.0) * col("m"))
+    cd.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(mTotal))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        round(coalesce(col("intra"), lit(0L)) / col("m").cast("double")
+          - frac * frac + lit(1e-12), 6).as("q_c"))
+  }
+
   /** Approximate HARMONIC CENTRALITY from the HyperBall registers —
     * h(v) = Σ_{r≥1} |sphere(v, r)| / r estimated as
     * (ball_r − ball_{r−1})/r with ball_0 = 1 (Boldi & Vigna's

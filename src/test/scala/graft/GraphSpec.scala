@@ -404,6 +404,23 @@ class GraphSpec extends SparkSpec {
         s"${(hyper -- direct).take(3)} vs ${(direct -- hyper).take(3)}")
   }
 
+  test("modularity: two disjoint triangles give Q_c = 0.25 each; one clique gives 0") {
+    // two 3-item orders = two disjoint K3s: m=6, per community
+    // L_c=3, D_c=6 -> Q_c = 3/6 - (6/12)^2 = 0.25
+    val two = Seq.tabulate(3)(i => (1L, 10L + i)) ++ Seq.tabulate(3)(i => (2L, 20L + i))
+    val out = graft.operators.Graph.modularity(two.toDF("l_orderkey", "l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(out.length == 2)
+    out.foreach { case (_, n, intra, deg, q) =>
+      assert(n == 3L && intra == 3L && deg == 6L && math.abs(q - 0.25) < 1e-9, s"$out")
+    }
+    // a single K4 labels as one community: Q = m/m - (2m/2m)^2 = 0
+    val k4 = Seq.tabulate(4)(i => (1L, 10L + i)).toDF("l_orderkey", "l_partkey")
+    val q4 = graft.operators.Graph.modularity(k4).collect()
+    assert(q4.length == 1 && math.abs(q4(0).getDouble(4)) < 1e-9, s"${q4.toSeq}")
+  }
+
   test("harmonicCentrality: on a clique every ball is the whole graph — h = est(V) - 1") {
     // one 4-item order = K4: ball(v, r) = V for all r >= 1, so the
     // sphere terms vanish and h(v) = ball_1 - 1 for every node
