@@ -707,6 +707,9 @@ object SparkEntry {
     // Newman modularity per LPA community — integer counts, 2 divisions
     "q_modularity" -> ((s, dir) =>
       graft.operators.Graph.modularity(Tables.lineitem(s, dir))),
+    // rich-club density among nodes of degree > k, per threshold
+    "q_rich_club" -> ((s, dir) =>
+      graft.operators.Graph.richClub(Tables.lineitem(s, dir))),
     // hot-key-salted fact⋈dim join; the oracle is the PLAIN join —
     // salting must be invisible in the result
     "q_salted_join" -> ((s, dir) => {
@@ -4246,6 +4249,25 @@ object SparkEntry {
         |FROM deg LEFT JOIN tc ON tc.node = deg.n""".stripMargin,
     "q_communities" -> communitiesOracle,
     "q_modularity" -> modularityOracle,
+    // rich club: degree-annotated edges filtered per threshold
+    "q_rich_club" ->
+      """WITH po0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |po AS (SELECT o, p FROM po0 QUALIFY COUNT(*) OVER (PARTITION BY o) <= 1024),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT node, COUNT(*) AS d FROM (
+        |          SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |de AS (SELECT du.d AS du, dv.d AS dv
+        |       FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+        |ks AS (SELECT unnest([1, 2, 4, 8, 16]) AS k),
+        |nk AS (SELECT k, (SELECT COUNT(*) FROM deg WHERE d > k) AS n_club,
+        |              (SELECT COUNT(*) FROM de WHERE du > k AND dv > k) AS club_edges
+        |       FROM ks)
+        |SELECT CAST(k AS INT) AS k, n_club, club_edges,
+        |       CASE WHEN n_club >= 2
+        |            THEN ROUND(2.0 * club_edges / CAST(n_club * (n_club - 1) AS DOUBLE) + 1e-12, 6)
+        |            ELSE NULL END AS phi
+        |FROM nk""".stripMargin,
     // core numbers: the synchronous h-index recurrence is pure integer
     // arithmetic, so the unrolled-round replay is hash-exact
     "q_kcore" -> kcoreOracle,

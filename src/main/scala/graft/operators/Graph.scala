@@ -1215,6 +1215,49 @@ object Graph {
     out
   }
 
+  /** RICH-CLUB COEFFICIENT — for each degree threshold k in `ks`:
+    * among the nodes of degree > k ("the club"), the realized edge
+    * density φ(k) = 2·E_k / (N_k·(N_k−1)) (Zhou & Mondragón 2004) —
+    * do the hubs preferentially wire to each other? The
+    * hub-interconnection question [[assortativity]]'s single scalar
+    * can't localize. Integer counts; one division per k row.
+    *
+    * Scale shape: degrees partial-aggregate from the edge frame; the
+    * club membership frame is node-bounded and joins the edge frame
+    * twice (gated broadcast under [[BroadcastNodeLimit]]); each
+    * threshold reuses the SAME degree-annotated edge frame with a
+    * filter — k rows out, one pass over edges per plan, no
+    * re-derivation. */
+  def richClub(lineitem: DataFrame, ks: Seq[Int] = Seq(1, 2, 4, 8, 16),
+               maxBasket: Int = 1024,
+               nodeBroadcastLimit: Long = BroadcastNodeLimit): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 0), s"thresholds must be >= 0, got $ks")
+    val edges = coPurchaseEdges(lineitem, maxBasket)
+    val deg = edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val nNodes = deg.count()
+    def gated(df: DataFrame): DataFrame =
+      if (nNodes <= nodeBroadcastLimit) broadcast(df) else df
+    // degree-annotated edges, built once
+    val de = edges
+      .join(gated(deg.select(col("node").as("u"), col("d").as("du"))), "u")
+      .join(gated(deg.select(col("node").as("v"), col("d").as("dv"))), "v")
+      .localCheckpoint()
+    ks.map { k =>
+      val nk = deg.filter(col("d") > k).agg(count(lit(1)).as("n_club"))
+      val ek = de.filter(col("du") > k && col("dv") > k)
+        .agg(count(lit(1)).as("club_edges"))
+      nk.crossJoin(broadcast(ek)).select(
+        lit(k).as("k"), col("n_club"), col("club_edges"),
+        when(col("n_club") >= 2,
+          round(lit(2.0) * col("club_edges") /
+            (col("n_club") * (col("n_club") - 1)).cast("double") + lit(1e-12), 6))
+          .otherwise(lit(null).cast("double")).as("phi"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** MODULARITY of the [[communities]] partition — Newman's Q per
     * community: Q_c = L_c/m − (D_c/2m)², the quantity that says
     * whether the label propagation actually found structure (Q_c sums

@@ -404,6 +404,18 @@ class GraphSpec extends SparkSpec {
         s"${(hyper -- direct).take(3)} vs ${(direct -- hyper).take(3)}")
   }
 
+  test("richClub: a clique is a perfect club at thresholds below its degree") {
+    // K4: every node degree 3; at k=1 and k=2 the club is all of K4
+    // (density 1); at k=4 the club is empty (phi null)
+    val k4 = Seq.tabulate(4)(i => (1L, 10L + i)).toDF("l_orderkey", "l_partkey")
+    val out = graft.operators.Graph.richClub(k4, ks = Seq(1, 2, 4)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(1) == ((4L, 6L, Some(1.0))), s"$out")
+    assert(out(2) == ((4L, 6L, Some(1.0))), s"$out")
+    assert(out(4) == ((0L, 0L, None)), s"$out")
+  }
+
   test("modularity: two disjoint triangles give Q_c = 0.25 each; one clique gives 0") {
     // two 3-item orders = two disjoint K3s: m=6, per community
     // L_c=3, D_c=6 -> Q_c = 3/6 - (6/12)^2 = 0.25
