@@ -1178,38 +1178,38 @@ object Graph {
     * hash comparison is exact, sketch and all (`q_anf`). GraphSpec
     * pins the union invariant against an exact in-test BFS ball.
     *
-    * Scale shape (the published HyperBall cost): per round ONE
-    * edge-times-register-sized shuffle — the symmetric edge frame
-    * joins the register frame on the neighbor key (register frame =
-    * at most 64 small rows per node, the sketch's fixed budget), and
-    * the register-wise max partial-aggregates map-side on (node, j)
-    * before the exchange, so the reduce side is node-bounded
-    * (<= 64·|V| rows) no matter the edge count. Rounds are `radius`
-    * (a small constant, 3 here — ANF consumers want small-r balls;
-    * effective-diameter runs need ~log-diameter rounds of the same
-    * shape). Register frames localCheckpoint per round with fresh
-    * leaf stats (the coreNumbers stats-squaring rule). Nothing is
-    * collected; nothing broadcast grows with |V| (at 10⁹ nodes the
-    * register frame is 64·10⁹ tiny rows — a packed 64-column variant
-    * halves the shuffle width if that ever binds; documented, not
-    * needed at this register count). Shares [[coPurchaseEdges]]'
-    * basket-capped checkpointed build. */
+    * Scale shape (the published HyperBall cost): registers live
+    * PACKED — one row per node with the full 64-register array — so a
+    * merge round is one join of the node-bounded register frame onto
+    * the edges (gated broadcast under [[BroadcastNodeLimit]]; both
+    * sides shuffle past it, same cost class) plus 64 independent max
+    * aggregates that ALL combine map-side: the exchange carries
+    * ~|V|·partitions partial rows, never the |E|·64 register-row
+    * stream (the row-form merge measured 96 s at sf0.1; packed runs
+    * in seconds — identical register contents, so the DuckDB oracle
+    * keeps replaying the row form and hashes equal). Rounds are
+    * `radius` (a small constant, 3 here — ANF consumers want small-r
+    * balls; effective-diameter runs need ~log-diameter rounds of the
+    * same shape). Register frames localCheckpoint per round with
+    * fresh leaf stats (the coreNumbers stats-squaring rule). Nothing
+    * is collected; per-node state is the fixed 64-int sketch. Shares
+    * [[coPurchaseEdges]]' basket-capped checkpointed build. */
   def neighborhoodFunction(lineitem: DataFrame, radius: Int = 3,
-                           maxBasket: Int = 1024): DataFrame = {
+                           maxBasket: Int = 1024,
+                           nodeBroadcastLimit: Long = BroadcastNodeLimit): DataFrame = {
     require(radius >= 1 && radius <= 16,
       s"radius must be in [1, 16], got $radius")
     val spark = lineitem.sparkSession
     val sym = anfSym(lineitem, maxBasket)
-    var regs = seedRegisters(sym)
+    val nNodes = sym.select(col("node")).distinct().count()
+    def gated(df: DataFrame): DataFrame =
+      if (nNodes <= nodeBroadcastLimit) broadcast(df) else df
+    var regs = packedSeed(sym)
     var out: DataFrame = null
     for (r <- 1 to radius) {
-      val nextCp = mergeRound(sym, regs).localCheckpoint()
+      val nextCp = mergeRoundPacked(sym, regs, gated).localCheckpoint()
       regs = spark.createDataFrame(nextCp.rdd, nextCp.schema)
-      val est = Sketch.estimate(
-          regs.select(col("node"), col("j"), col("mj"), lit(r).as("r")),
-          Seq("node", "r"))
-        .select(col("node"), col("r"),
-          col("est_distinct").as("est_ball"), col("registers_hit"))
+      val est = estimatePacked(regs, r)
       out = if (out == null) est else out.unionByName(est)
     }
     out
@@ -1329,19 +1329,69 @@ object Graph {
       .localCheckpoint()
   }
 
-  /** Round-0 sketches: each node's own-key HLL registers. */
-  private def seedRegisters(sym: DataFrame): DataFrame =
+  /** Round-0 sketches in PACKED form — one row per node carrying the
+    * full 64-register array (empty register = 0; real rho values are
+    * ≥ 1, so 0 is unambiguous). The packed layout is the round-cost
+    * lever: a merge round becomes one gated-broadcast join of the
+    * node-bounded register frame onto the edges plus 64 map-side-
+    * combined max aggregates, so the exchange carries ~|V|·threads
+    * partial rows instead of the |E|·64 register-row stream the
+    * row-form merge shuffled (measured 96 s → seconds at sf0.1,
+    * identical register contents — the oracle replays the row form
+    * and hashes equal because max-merge is layout-independent). */
+  private def packedSeed(sym: DataFrame): DataFrame =
     Sketch.registerRows(sym.select(col("node")).distinct(), "node", Seq("node"))
-      .groupBy(col("node"), col("j")).agg(max(col("rho")).as("mj"))
+      .select(col("node"),
+        transform(sequence(lit(0), lit(Sketch.HllRegisters - 1)),
+          i => when(i === col("j"), col("rho")).otherwise(lit(0))).as("regs"))
       .localCheckpoint()
 
-  /** One HyperBall merge round: register-wise max of self + neighbors
-    * (HLL's lossless union, partial-aggregated map-side on (node, j)). */
-  private def mergeRound(sym: DataFrame, regs: DataFrame): DataFrame =
-    regs.unionByName(
-        sym.join(regs.select(col("node").as("nbr"), col("j"), col("mj")), "nbr")
-          .select(col("node"), col("j"), col("mj")))
-      .groupBy(col("node"), col("j")).agg(max(col("mj")).as("mj"))
+  /** One packed HyperBall merge round: register-wise max of self +
+    * neighbors (HLL's lossless union) via 64 independent max
+    * aggregates, each map-side combined, over the gated-broadcast-
+    * joined contribution stream. */
+  private def mergeRoundPacked(sym: DataFrame, regs: DataFrame,
+                               gated: DataFrame => DataFrame): DataFrame = {
+    val contrib = sym
+      .join(gated(regs.select(col("node").as("nbr"), col("regs"))), "nbr")
+      .select(col("node"), col("regs"))
+    val maxes = (0 until Sketch.HllRegisters).map(i =>
+      max(element_at(col("regs"), i + 1)).as(s"m$i"))
+    regs.select(col("node"), col("regs")).unionByName(contrib)
+      .groupBy(col("node")).agg(maxes.head, maxes.tail: _*)
+      .select(col("node"),
+        array((0 until Sketch.HllRegisters).map(i => col(s"m$i")): _*).as("regs"))
+  }
+
+  /** [[Sketch.estimate]]'s arithmetic evaluated PER ROW on a packed
+    * register array — no groupBy, no exchange: z sums
+    * 1L << (55 − m) over all 64 entries in index order (an empty
+    * register's m = 0 contributes exactly the 2^55 the row-form
+    * estimator adds for it; long addition is exactly associative, so
+    * the value is bit-identical to the SQL SUM), and the
+    * small-range/raw switch and rounding replay the shared estimator
+    * verbatim — the oracle's row-form replay hashes equal. */
+  private def estimatePacked(regs: DataFrame, r: Int): DataFrame = {
+    val z = aggregate(col("regs"), lit(0L),
+      (acc, m) => acc + call_function("shiftleft", lit(1L), lit(55) - m))
+    val nhit = size(filter(col("regs"), m => m > lit(0)))
+    val v = lit(Sketch.HllRegisters) - nhit
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0))
+    val e = alpha * lit(64.0) * lit(64.0) * lit((1L << 55).toDouble) /
+      z.cast("double")
+    regs.select(col("node"), lit(r).as("r"),
+      round(when(v > 0 && e <= lit(2.5) * lit(64.0),
+        lit(64.0) * log(lit(64.0) / v.cast("double"))).otherwise(e) + lit(1e-9), 4)
+        .as("est_ball"),
+      nhit.cast("int").as("registers_hit"))
+  }
+
+  /** Packed registers → the (node, j, mj) row form the estimator and
+    * the specs consume (hit registers only — 0 means empty). */
+  private def unpackRegisters(regs: DataFrame): DataFrame =
+    regs.select(col("node"), posexplode(col("regs")).as(Seq("j", "mj")))
+      .filter(col("mj") > 0)
+      .select(col("node"), col("j").cast("long").as("j"), col("mj"))
 
   /** The round-`radius` HyperBall register frame (node, j, mj) —
     * radius 0 = each node's own-sketch registers. Exposed so GraphSpec
@@ -1350,9 +1400,10 @@ object Graph {
   private[graft] def ballRegisters(lineitem: DataFrame, radius: Int,
                                    maxBasket: Int = 1024): DataFrame = {
     val sym = anfSym(lineitem, maxBasket)
-    var regs = seedRegisters(sym)
-    for (_ <- 1 to radius) regs = mergeRound(sym, regs).localCheckpoint()
-    regs
+    var regs = packedSeed(sym)
+    for (_ <- 1 to radius)
+      regs = mergeRoundPacked(sym, regs, broadcast).localCheckpoint()
+    unpackRegisters(regs)
   }
 }
 
