@@ -214,9 +214,16 @@ object Bench {
     // query's measurement. Skipped for batch-only subsets (a batch
     // family's JVM shouldn't pay staging at all).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    if (only.forall(_.exists(_.startsWith("s_stream"))))
+    if (only.forall(_.exists(_.startsWith("s_stream")))) {
       try graft.streaming.StreamRunner.prestage(spark, Tables.events(spark, sfDir))
       catch { case _: Throwable => () }
+      // the raw-events and documents topics too — each family of
+      // consumers shares one immutable staging per input
+      try graft.streaming.StreamRunner.prestageRaw(spark, Tables.events(spark, sfDir))
+      catch { case _: Throwable => () }
+      try graft.streaming.StreamRunner.prestageDocs(spark, Tables.documents(spark, sfDir))
+      catch { case _: Throwable => () }
+    }
 
     // attribution counter reads (see scaladoc)
     import java.lang.management.ManagementFactory

@@ -719,6 +719,17 @@ object StreamRunner {
     stagedDir(spark, events); ()
   }
 
+  /** [[prestage]] for the raw-events topic (funnel / retention /
+    * attribution family). */
+  def prestageRaw(spark: SparkSession, events: DataFrame): Unit = {
+    rawStagedDir(spark, events); ()
+  }
+
+  /** [[prestage]] for the documents topic (streaming keep-set). */
+  def prestageDocs(spark: SparkSession, documents: DataFrame): Unit = {
+    docStagedDir(spark, documents); ()
+  }
+
   /** Validated replay partition count from [[ReplayPartitionsKey]]: a
     * malformed or non-positive override fails HERE, naming the key,
     * instead of surfacing later as an opaque shuffle-partition error
