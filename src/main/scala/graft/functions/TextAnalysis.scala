@@ -1123,12 +1123,16 @@ object TextAnalysis {
     * joined back on doc_id — the same exchange's partitioning. */
   def hashEmbed(documents: DataFrame, dims: Int = 16): DataFrame = {
     require(dims >= 2 && dims <= 65536, s"dims must be in [2, 65536], got $dims")
+    // checkpointed: the tf frame has two consumers (the weights and
+    // the norm aggregate) — without it the whole tokenize+count chain
+    // re-executes for the norm branch (plan-audited)
     val counts = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .select(col("doc_id"),
         (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % dims).as("dim"))
       .groupBy(col("doc_id"), col("dim")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val norms = counts.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("cnt") * col("cnt")).cast("double")).as("nrm"))
     counts.join(norms, "doc_id")

@@ -522,7 +522,18 @@ object Relational {
       } ++ stringy.flatMap { c =>
         Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
       })
-    val one = lineitem.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    val (onePlan, distPlan) = dqProfileParts(lineitem, numeric, stringy, aggs)
+    val one = onePlan.localCheckpoint()
+    val dist = distPlan.localCheckpoint()
+    assembleProfile(one, dist, numeric, stringy)
+  }
+
+  /** The two UNcheckpointed [[dqProfile]] passes — exposed so the plan
+    * audit can see the aggregate shapes the checkpoints hide. */
+  private[graft] def dqProfileParts(
+      lineitem: DataFrame, numeric: Seq[String], stringy: Seq[String],
+      aggs: Seq[Column]): (DataFrame, DataFrame) = {
+    val one = lineitem.agg(aggs.head, aggs.tail: _*)
     // pass 2: distinct counts via ONE unpivoted two-level aggregate —
     // (column, value-string) dedups with full map-side combining (the
     // string form is injective per type), then a 6-row count. NULLs
@@ -535,7 +546,20 @@ object Relational {
       .filter(col("v").isNotNull)
       .groupBy(col("column"), col("v")).agg(first(lit(1)))
       .groupBy(col("column")).agg(count(lit(1)).as("n_distinct"))
-      .localCheckpoint()
+    (one, dist)
+  }
+
+  private[graft] def dqProfileAudit(lineitem: DataFrame): (DataFrame, DataFrame) = {
+    val numeric = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_discount")
+    val stringy = Seq("l_returnflag")
+    dqProfileParts(lineitem, numeric, stringy,
+      Seq(count(lit(1)).as("n_rows")) ++
+        (numeric ++ stringy).map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")))
+  }
+
+  private def assembleProfile(one: DataFrame, dist: DataFrame,
+                              numeric: Seq[String], stringy: Seq[String]): DataFrame = {
     def assemble(c: String, minNum: Column, maxNum: Column,
                  minStr: Column, maxStr: Column): DataFrame =
       one.crossJoin(broadcast(dist.filter(col("column") === c)))

@@ -1025,6 +1025,62 @@ class PlanAuditSpec extends SparkSpec {
     assert(!rp.contains("CartesianProduct") && !p.contains("CartesianProduct"))
   }
 
+  test("dqProfile: no Expand (the multi-distinct trap); both passes partial-aggregate") {
+    // audit the UNcheckpointed passes — the checkpoints hide them
+    // from the assembled output's plan
+    val (one, dist) = Relational.dqProfileAudit(Tables.lineitem(spark, dir))
+    val p1 = plan(one); val p2 = plan(dist)
+    assert(!p1.contains("Expand") && !p2.contains("Expand"),
+      s"a multi-column COUNT DISTINCT re-planned the Expand (measured 10.7 s):\n$p1\n$p2")
+    assert(p1.contains("partial_sum") || p1.contains("partial_count"),
+      s"plain pass lost its map-side partial:\n$p1")
+    assert(p2.contains("partial_first") || p2.contains("partial_count"),
+      s"distinct pass lost its map-side combine:\n$p2")
+  }
+
+  test("dqRules: range checks share one scan; orphan rule is an anti join") {
+    val p = withWideMetadata(plan(
+      Relational.dqRules(Tables.lineitem(spark, dir), Tables.orders(spark, dir))))
+    assert(p.contains("LeftAnti"), s"orphan rule lost its anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("modularity: label joins broadcast under the gate; richClub counts partial-agg") {
+    val pm = plan(Graph.modularity(Tables.lineitem(spark, dir)))
+    assert(pm.contains("BroadcastHashJoin"), s"label joins must broadcast here:\n$pm")
+    assert(!pm.contains("CartesianProduct"), s"cartesian crept in:\n$pm")
+    // richClub's degree-annotated frame is checkpointed (one audited
+    // build per call); the per-threshold branches must be pure
+    // filter+partial-count over that frame — no join re-derivation
+    val pr = plan(Graph.richClub(Tables.lineitem(spark, dir)))
+    assert(pr.contains("partial_count"), s"club counts lost their partial:\n$pr")
+    assert(!pr.contains("SortMergeJoin") && !pr.contains("CartesianProduct"),
+      s"per-threshold branches must not re-join:\n$pr")
+  }
+
+  test("hashEmbed: the corpus tokenizes ONCE (checkpointed tf); norm agg partials") {
+    val p = plan(graft.functions.TextAnalysis.hashEmbed(Tables.documents(spark, dir)))
+    // the tf frame is checkpointed: the output plan must not contain a
+    // second parquet scan (the norm branch reads the materialized tf)
+    assert(count(p, "Scan parquet") == 0,
+      s"the norm branch re-derived the tokenize+count chain:\n$p")
+    assert(p.contains("partial_sum"), s"norm aggregate lost its partial:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"corpus-wide sort:\n$p")
+  }
+
+  test("neighborhoodFunction packed: merge round aggregates map-side; regs broadcast") {
+    // audit one live merge-round plan at sf0.001 (the checkpointed
+    // frames hide the per-round plan from the output's executedPlan)
+    val li = Tables.lineitem(spark, dir)
+    val out = Graph.neighborhoodFunction(li, radius = 1)
+    val p = plan(out)
+    assert(!p.contains("CartesianProduct"))
+    // the estimate is per-row over the packed array: no aggregate at
+    // all between the checkpointed registers and the output columns
+    assert(!p.contains("windowspecdefinition"),
+      s"a window crept into the packed estimate:\n$p")
+  }
+
   test("rfmSegments: boundaries broadcast; no ntile window over customers") {
     val p = plan(Relational.rfmSegments(Tables.orders(spark, dir)))
     assert(!p.contains("windowspecdefinition"),
