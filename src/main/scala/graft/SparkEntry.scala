@@ -316,6 +316,9 @@ object SparkEntry {
     // hashing-trick featurizer: vocabulary-free sparse doc vectors
     "t_hash_embed" -> ((s, dir) =>
       graft.functions.TextAnalysis.hashEmbed(Tables.documents(s, dir))),
+    // corpus drift: JS divergence over hashed unigram distributions
+    "t_source_divergence" -> ((s, dir) =>
+      graft.functions.TextAnalysis.sourceDivergence(Tables.documents(s, dir))),
     "t_tfidf" -> ((s, dir) =>
       graft.functions.TextAnalysis.tfidf(Tables.documents(s, dir))),
     // lexical near-neighbor retrieval over top-k TF-IDF sparse vectors
@@ -2156,6 +2159,30 @@ object SparkEntry {
     // engines rank by the ROUNDED score with the term tiebreak, so a
     // last-ulp ln() difference cannot flip ranks (1e-9 nudge: ln values
     // are O(1), same convention as the percentile oracle)
+    // JS divergence: per-bucket contributions quantized to 12-dp
+    // DECIMAL before the sum (exact in any order); 6-dp final round
+    "t_source_divergence" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |            FROM documents WHERE source IN ('src0', 'src1')),
+        |tb AS (SELECT source,
+        |              CAST(CAST('0x' || substring(md5(w), 1, 15) AS UBIGINT) % 4096 AS BIGINT) AS b
+        |       FROM tok WHERE len(w) > 0),
+        |cnt AS (SELECT b,
+        |               CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |               CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |        FROM tb GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM cnt),
+        |pq AS (SELECT na, nb, ca / CAST(na AS DOUBLE) AS p, cb / CAST(nb AS DOUBLE) AS q
+        |       FROM cnt, tot),
+        |ct AS (SELECT na, nb,
+        |              CAST(CASE WHEN p > 0 THEN ROUND(p * ln(p / ((p + q) / 2.0)) + 1e-15, 12)
+        |                        ELSE 0.0 END AS DECIMAL(28,12)) +
+        |              CAST(CASE WHEN q > 0 THEN ROUND(q * ln(q / ((p + q) / 2.0)) + 1e-15, 12)
+        |                        ELSE 0.0 END AS DECIMAL(28,12)) AS c
+        |       FROM pq)
+        |SELECT 'src0' AS side_a, 'src1' AS side_b, na AS n_a, nb AS n_b,
+        |       ROUND(CAST(SUM(c) / 2 AS DOUBLE) + 1e-9, 6) AS js
+        |FROM ct GROUP BY na, nb""".stripMargin,
     // hashed features: md5-mod-16 dims, exact tf, L2 norm of integers
     "t_hash_embed" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -1108,6 +1108,47 @@ object TextAnalysis {
           .otherwise(size(split(col("norm_text"), " ")).cast("long")))
   }
 
+  /** JENSEN-SHANNON DIVERGENCE between two sources' unigram
+    * distributions — the corpus-drift scalar a mixture curator reads
+    * before blending crawls ("how different is this source's language,
+    * really"): symmetric, bounded by ln 2, zero iff identical. Token
+    * distributions live in `buckets` HASHED bins (the DSIR dictionary
+    * shape — fixed-size state however large the vocabulary), counts
+    * are exact integers, and every per-bucket contribution
+    * p·ln(p/m) / q·ln(q/m) is QUANTIZED to a 12-dp DECIMAL before the
+    * sum — decimal addition is exact in any order, so the corpus-sized
+    * reduction is engine-identical (the repo's float-sum discipline);
+    * only the final halved total rounds to 6 dp. Returns one row:
+    * (side_a, side_b, n_a, n_b, js). */
+  def sourceDivergence(documents: DataFrame, sideA: String = "src0",
+                       sideB: String = "src1", buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536, s"buckets in [2, 65536], got $buckets")
+    val tok = documents.filter(col("source").isin(sideA, sideB))
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("source"),
+        (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % buckets)
+          .as("b"))
+    val cnt = tok.groupBy(col("b"))
+      .agg(sum(when(col("source") === sideA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === sideB, 1L).otherwise(0L)).as("cb"))
+    val tot = cnt.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val contrib = cnt.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        (col("ca") / col("na").cast("double")).as("p"),
+        (col("cb") / col("nb").cast("double")).as("q"))
+      .withColumn("m", (col("p") + col("q")) / 2.0)
+      .select(col("na"), col("nb"),
+        (when(col("p") > 0, round(col("p") * log(col("p") / col("m")) + lit(1e-15), 12))
+          .otherwise(lit(0.0)).cast("decimal(28,12)") +
+          when(col("q") > 0, round(col("q") * log(col("q") / col("m")) + lit(1e-15), 12))
+            .otherwise(lit(0.0)).cast("decimal(28,12)")).as("c"))
+    contrib.groupBy(col("na"), col("nb"))
+      .agg(round((sum(col("c")) / 2).cast("double") + lit(1e-9), 6).as("js"))
+      .select(lit(sideA).as("side_a"), lit(sideB).as("side_b"),
+        col("na").as("n_a"), col("nb").as("n_b"), col("js"))
+  }
+
   /** FEATURE-HASHED document vectors (the hashing trick — Weinberger
     * et al. 2009; Vowpal Wabbit's featurizer): token → dimension by
     * md5 hash mod `dims`, term frequencies L2-normalized per document

@@ -467,6 +467,18 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     assert(aFlat > aSkew, s"flat=$aFlat skew=$aSkew") // hot term far from fmin -> bigger log sum -> smaller alpha
   }
 
+  test("sourceDivergence: identical sources give ~0; disjoint vocabularies give ~ln 2") {
+    val same = Seq((1L, "a b c d", "src0"), (2L, "a b c d", "src1"))
+      .toDF("doc_id", "text", "source")
+    val js0 = TextAnalysis.sourceDivergence(same).collect()(0).getDouble(4)
+    assert(math.abs(js0) < 1e-6, s"identical distributions: js=$js0")
+    // disjoint token sets (distinct md5 buckets at this size): JS = ln 2
+    val disj = Seq((1L, "aa bb cc", "src0"), (2L, "xx yy zz", "src1"))
+      .toDF("doc_id", "text", "source")
+    val js1 = TextAnalysis.sourceDivergence(disj).collect()(0).getDouble(4)
+    assert(math.abs(js1 - math.log(2)) < 1e-4, s"disjoint: js=$js1 vs ${math.log(2)}")
+  }
+
   test("hashEmbed: unit L2 norm per doc; same tokens land in the same dimension") {
     val docs = Seq((1L, "a b a c"), (2L, "a a a a"), (3L, "x y z w v u")).toDF("doc_id", "text")
     val out = TextAnalysis.hashEmbed(docs).collect()
