@@ -93,6 +93,10 @@ object SparkEntry {
     // stage-reached user sets
     "s_stream_funnel" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayFunnel(s, ev(s, dir))),
+    // streaming conversion lags: the funnel advance log's stage times
+    // self-joined into per-user transition lags
+    "s_stream_conversion_lag" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayConversionLag(s, ev(s, dir))),
     // streaming retention: cohort pinned by first arrival, 30-bit
     // seen-offset mask per user; increment log folds to the batch grid
     "s_stream_retention" -> ((s, dir) =>
@@ -3977,6 +3981,19 @@ object SparkEntry {
         |FROM e JOIN c USING (user_id)
         |WHERE day - cohort_day <= 29
         |GROUP BY 1, 2""".stripMargin,
+    // streaming conversion lags: the batch pairwise first-arrival
+    // lags, one row per user and transition
+    "s_stream_conversion_lag" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |s1 AS (SELECT user_id, MIN(tus) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(tus) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND tus > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(tus) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tus > s2.t2 GROUP BY 1)
+        |SELECT 'view>click' AS step, user_id, t2 - t1 AS lag_us
+        |FROM s1 JOIN s2 USING (user_id)
+        |UNION ALL SELECT 'click>purchase', user_id, t3 - t2 FROM s2 JOIN s3 USING (user_id)
+        |UNION ALL SELECT 'view>purchase', user_id, t3 - t1 FROM s1 JOIN s3 USING (user_id)""".stripMargin,
     // conversion lag: the funnel's stage frames pairwise-joined;
     // exact interpolated percentiles over integer-micro lags
     "q_conversion_lag" ->

@@ -214,7 +214,8 @@ private[streaming] class AsofProcessor
 private[streaming] case class StagedRaw(eventId: Long, userId: Long, eventType: String,
                                         tus: Long, v: Double, pid: Int, seq: Long)
 private[streaming] case class FunnelIn(userId: Long, eventType: String, tus: Long, seq: Long)
-private[streaming] case class FunnelOut(user_id: Long, stage_idx: Int, stage: String)
+private[streaming] case class FunnelOut(user_id: Long, stage_idx: Int, stage: String,
+                                        t: Long)
 private[streaming] case class FunnelState(stage: Int, t: Long)
 
 /** Streaming FUNNEL — the staged-conversion state machine (the CEP
@@ -244,7 +245,7 @@ private[streaming] class FunnelProcessor(stages: Array[String])
       if (st.stage < stages.length && r.eventType == stages(st.stage) &&
         (st.stage == 0 || r.tus > st.t)) {
         st = FunnelState(st.stage + 1, r.tus)
-        out += FunnelOut(user, st.stage, stages(st.stage - 1))
+        out += FunnelOut(user, st.stage, stages(st.stage - 1), r.tus)
       }
     }
     state.update(st)
@@ -1473,7 +1474,35 @@ object StreamRunner {
     * row per stage advance. Oracle: the batch funnel's stage-reached
     * user sets (q_funnel's s1/s2/s3 CTEs, one row per user·stage). */
   def replayFunnel(spark: SparkSession, events: DataFrame,
-                   stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+                   stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    funnelLog(spark, events, stages)
+      .select(col("user_id"), col("stage_idx"), col("stage"))
+
+  /** Streaming CONVERSION LAGS — the funnel topology's advance log
+    * carries each stage's first-arrival time, so the per-user
+    * transition lags fall out of a stage-pair self-join over the
+    * (users × stages)-bounded emission frame: one (step, user, lag)
+    * row per completed transition, equal to the batch pairwise
+    * first-arrival lags however the stream was chunked (the
+    * [[FunnelProcessor]] advance times ARE the batch MINs). */
+  def replayConversionLag(spark: SparkSession, events: DataFrame,
+                          stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val log = funnelLog(spark, events, stages).localCheckpoint()
+    def stageT(i: Int) = log.filter(col("stage_idx") === i)
+      .select(col("user_id"), col("t").as(s"t$i"))
+    def step(name: String, a: Int, b: Int): DataFrame =
+      stageT(a).join(stageT(b), "user_id")
+        .select(lit(name).as("step"), col("user_id"),
+          (col(s"t$b") - col(s"t$a")).as("lag_us"))
+    step(s"${stages(0)}>${stages(1)}", 1, 2)
+      .unionByName(step(s"${stages(1)}>${stages(2)}", 2, 3))
+      .unionByName(step(s"${stages(0)}>${stages(2)}", 1, 3))
+  }
+
+  /** The funnel advance log (user_id, stage_idx, stage, t) — shared by
+    * [[replayFunnel]] and [[replayConversionLag]]. */
+  private def funnelLog(spark: SparkSession, events: DataFrame,
+                        stages: Seq[String]): DataFrame = {
     val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
     val srcDir = rawStagedDir(spark, events)
     val session = replaySession(spark, rocksDb = true)
@@ -1497,7 +1526,6 @@ object StreamRunner {
       .start()
     q.awaitTermination()
     spark.read.parquet(work.resolve("out").toString)
-      .select(col("user_id"), col("stage_idx"), col("stage"))
   }
 
   /** Streaming retention replay: the raw topic keyed by user through
