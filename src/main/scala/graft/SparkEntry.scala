@@ -847,6 +847,9 @@ object SparkEntry {
     // pixel fingerprint arithmetically from doc_id
     "m_decode_tiff" -> ((s, dir) =>
       Multimodal.decodeTiffMeta(Multimodal.tiffDocs(Tables.documents(s, dir))).toDF()),
+    // REAL netpbm decode: header token scan with comments, raw raster
+    "m_decode_pnm" -> ((s, dir) =>
+      Multimodal.decodePnmMeta(Multimodal.pnmDocs(Tables.documents(s, dir))).toDF()),
     // REAL audio decode + DSP: RIFF/WAV header parsing and sample-level
     // statistics from the actual little-endian PCM bytes
     "m_audio_features" -> ((s, dir) =>
@@ -2750,6 +2753,20 @@ object SparkEntry {
         |       md5(array_to_string(
         |         [lpad(hex((doc_id + k) % 256), 2, '0')
         |          for k in generate_series(0, w * h - 1)], '')) AS pixels_md5
+        |FROM g""".stripMargin,
+    // netpbm: dims/channels are doc_id arithmetic, raster (id+7k)%256
+    "m_decode_pnm" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CAST(2 + doc_id % 9 AS INT) AS w,
+        |         CAST(1 + doc_id % 5 AS INT) AS h,
+        |         CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS ch
+        |  FROM documents)
+        |SELECT doc_id, w AS width, h AS height, ch AS channels,
+        |       CAST(255 AS INT) AS maxval,
+        |       md5(array_to_string(
+        |         [lpad(hex((doc_id + 7 * k) % 256), 2, '0')
+        |          for k in generate_series(0, w * h * ch - 1)], '')) AS pixels_md5
         |FROM g""".stripMargin,
     // TIFF: dims/strips/byte-order are doc_id arithmetic; the pixel
     // fingerprint is the (id+3k)%256 stream — the Spark side must walk

@@ -3398,6 +3398,94 @@ object Multimodal {
     Some(TiffMeta(id, w, h, offs.size, if (le) "II" else "MM", comp, md5HexUpper(px)))
   }
 
+  // ---- netpbm (PGM P5 / PPM P6): token-stream header + raw raster ----
+
+  /** Deterministic netpbm corpus — even doc_ids P5 grayscale, odd P6
+    * RGB, dims (2 + id % 9) x (1 + id % 5), byte k of the raster =
+    * (id + 7k) % 256. Headers carry a REAL comment line between the
+    * magic and the dimensions (the token-stream parsing rule naive
+    * readers break on: '#' runs to end-of-line anywhere in the
+    * header), and whitespace varies (space vs newline separators by
+    * id parity). Built in the mapPartitions seam; the oracle
+    * recomputes the raster arithmetically. */
+  def pnmDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (2 + id % 9).toInt; val h = (1 + id % 5).toInt
+        val gray = id % 2 == 0
+        val ch = if (gray) 1 else 3
+        val out = new java.io.ByteArrayOutputStream()
+        val sep = if (id % 4 < 2) " " else "\n"
+        out.write((if (gray) "P5" else "P6").getBytes("US-ASCII"))
+        out.write('\n')
+        out.write(s"# graft synthetic $id\n".getBytes("US-ASCII"))
+        out.write(s"$w$sep$h\n255\n".getBytes("US-ASCII"))
+        var k = 0
+        while (k < w * h * ch) { out.write(((id + 7L * k) % 256).toInt); k += 1 }
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  case class PnmMeta(doc_id: Long, width: Int, height: Int, channels: Int,
+                     maxval: Int, pixels_md5: String)
+
+  /** REAL netpbm decode: P5 (gray) and P6 (RGB) with the full header
+    * token scan — comments ('#' to end-of-line) legal between any
+    * tokens, any whitespace run as separator, single whitespace byte
+    * after maxval, then the raw raster. Returns None for anything
+    * not a decodable maxval<=255 binary netpbm (bad magic, malformed
+    * header, short raster) — the Option contract of the decode
+    * family. */
+  private[graft] def decodePnm(id: Long, b: Array[Byte]): Option[PnmMeta] =
+    try decodePnmWalk(id, b)
+    catch {
+      case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+           _: NumberFormatException => None
+    }
+
+  private def decodePnmWalk(id: Long, b: Array[Byte]): Option[PnmMeta] = {
+    if (b.length < 2 || b(0) != 'P' || (b(1) != '5' && b(1) != '6')) return None
+    val ch = if (b(1) == '5') 1 else 3
+    var p = 2
+    def isWs(c: Byte) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+    // next header token: skip whitespace and #-comments, read digits
+    def token(): Int = {
+      var done = false
+      while (!done) {
+        while (p < b.length && isWs(b(p))) p += 1
+        if (p < b.length && b(p) == '#') {
+          while (p < b.length && b(p) != '\n') p += 1
+        } else done = true
+      }
+      val s = p
+      while (p < b.length && !isWs(b(p)) && b(p) != '#') p += 1
+      require(p > s, "empty header token")
+      new String(b, s, p - s, "US-ASCII").toInt
+    }
+    val w = token(); val h = token(); val maxval = token()
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+    // exactly ONE whitespace byte separates maxval from the raster
+    if (p >= b.length || !isWs(b(p))) return None
+    p += 1
+    val n = w * h * ch
+    if (p + n > b.length) return None
+    Some(PnmMeta(id, w, h, ch, maxval,
+      md5HexUpper(java.util.Arrays.copyOfRange(b, p, p + n))))
+  }
+
+  /** One row per decodable netpbm payload, batched decode seam. */
+  def decodePnmMeta(bin: DataFrame): Dataset[PnmMeta] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodePnm(id, bytes).getOrElse(throw new IllegalArgumentException(
+          s"doc $id: not a decodable binary netpbm")) })
+  }
+
   /** One row per decodable TIFF payload — dims, strip count, byte
     * order and the decoded-pixel fingerprint. Decode rides the
     * batched mapPartitions seam like every real-format walk; payload

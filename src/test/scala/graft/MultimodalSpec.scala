@@ -1112,6 +1112,32 @@ class MultimodalSpec extends SparkSpec {
       Array[Byte](73, 73, 42, 0, -1, -1, -1, 127)).isEmpty) // IFD out of range
   }
 
+  test("decodePnm: construction arithmetic round-trips; comments parse; malformed is None") {
+    val ids = Seq(2L, 3L, 4L, 5L)
+    val payloads = Multimodal.pnmDocs(ids.map((_, "x")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
+    for ((id, bytes) <- payloads) {
+      val m = Multimodal.decodePnm(id, bytes).get
+      assert(m.width == (2 + id % 9).toInt && m.height == (1 + id % 5).toInt)
+      assert(m.channels == (if (id % 2 == 0) 1 else 3) && m.maxval == 255)
+      // the JDK ships no PNM reader; cross-check arithmetic instead
+      val ch = m.channels
+      val want = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        (0 until m.width * m.height * ch)
+          .map(k => f"${(id + 7L * k) % 256}%02X").mkString)
+      assert(m.pixels_md5 == want, s"doc $id raster")
+    }
+    // header oddities: comment between dims, multi-space separators
+    val odd = ("P5\n# c1\n 3 # c2\n 2\n# c3\n255\n" + "ABCDEF").getBytes("US-ASCII")
+    val m = Multimodal.decodePnm(0L, odd).get
+    assert(m.width == 3 && m.height == 2 && m.pixels_md5 ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        "ABCDEF".getBytes("US-ASCII").map(b => f"${b & 0xFF}%02X").mkString))
+    assert(Multimodal.decodePnm(0L, "P7\n1 1\n255\nx".getBytes).isEmpty)
+    assert(Multimodal.decodePnm(0L, "P5\n4 4\n255\nxx".getBytes).isEmpty) // short raster
+    assert(Multimodal.decodePnm(0L, "P5\n1 1\n70000\nx".getBytes).isEmpty) // 16-bit maxval
+  }
+
   test("packBits: round-trips runs, literals, and the 128-byte caps") {
     val rnd = new scala.util.Random(13)
     val cases = Seq(
