@@ -105,6 +105,10 @@ object SparkEntry {
     // purchases read it before it overwrites — batch lag-window rule
     "s_stream_attribution" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayAttribution(s, ev(s, dir))),
+    // streaming A/B: enrollment/day-0-conversion state per user; the
+    // folded counts feed the batch z expression tree
+    "s_stream_ab_test" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayAbTest(s, ev(s, dir))),
     // streaming incremental top-k: moveFold changelog -> per-zone
     // occupancy MapState -> versioned rank snapshots; the final
     // (max-version) standings equal the batch latest-per-car ranking
@@ -4066,6 +4070,29 @@ object SparkEntry {
         |cs AS (SELECT day, n, ROUND(cum - k * mean + 1e-9, 6) AS cusum FROM sc),
         |pk AS (SELECT day AS peak_day FROM cs ORDER BY abs(cusum) DESC, day LIMIT 1)
         |SELECT day, n, cusum, day = (SELECT peak_day FROM pk) AS is_peak FROM cs""".stripMargin,
+    // streaming A/B: identical readout to the batch q_ab_test
+    "s_stream_ab_test" ->
+      """WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+        |                  event_type FROM events),
+        |f AS (SELECT user_id, MIN(day) AS d0 FROM e GROUP BY 1),
+        |u AS (SELECT e.user_id, CAST(e.user_id % 2 AS INT) AS variant,
+        |             CAST(MAX(CASE WHEN event_type = 'purchase' AND day = d0
+        |                           THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        |      FROM e JOIN f USING (user_id) GROUP BY 1, 2),
+        |v AS (SELECT variant, COUNT(*) AS n_users,
+        |             CAST(SUM(converted) AS BIGINT) AS n_converted
+        |      FROM u GROUP BY 1),
+        |a AS (SELECT n_users AS na, n_converted AS ca FROM v WHERE variant = 0),
+        |b AS (SELECT n_users AS nb, n_converted AS cb FROM v WHERE variant = 1)
+        |SELECT na, ca, nb, cb,
+        |       ROUND(ca / CAST(na AS DOUBLE) + 1e-12, 6) AS rate_a,
+        |       ROUND(cb / CAST(nb AS DOUBLE) + 1e-12, 6) AS rate_b,
+        |       ROUND((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE)) /
+        |             sqrt(((ca + cb) / CAST(na + nb AS DOUBLE)) *
+        |                  (CAST(1.0 AS DOUBLE) - (ca + cb) / CAST(na + nb AS DOUBLE)) *
+        |                  (CAST(1.0 AS DOUBLE) / CAST(na AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(nb AS DOUBLE)))
+        |             + 1e-12, 6) AS z
+        |FROM a, b""".stripMargin,
     // A/B test: exact per-variant counts, fixed z expression tree
     "q_ab_test" ->
       """WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day,

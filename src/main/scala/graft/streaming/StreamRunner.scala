@@ -292,6 +292,47 @@ private[streaming] class AttributionProcessor(gapUs: Long)
   }
 }
 
+/** Streaming A/B plumbing: raw-topic arrivals keyed by user; state is
+  * (first-day, converted) — 9 B/user. */
+private[streaming] case class AbIn(userId: Long, eventType: String, tus: Long, seq: Long)
+private[streaming] case class AbOut(variant: Int, kind: String)
+private[streaming] case class AbState(d0: Long, converted: Boolean)
+
+/** Streaming A/B ENROLLMENT + CONVERSION — the experiment readout
+  * maintained incrementally: a user's first arrival pins their day-0
+  * (time-ordered fold ⇒ it is the min day) and emits the enrollment
+  * row; the first purchase ON that day emits the conversion row. The
+  * (variant, kind) log folds to the batch day-0 conversion counts
+  * ([[graft.operators.Sessions.abTest]]) however the stream was
+  * chunked; the z arithmetic runs once on the folded counts with the
+  * batch expression tree. */
+private[streaming] class AbTestProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, AbIn, AbOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var state: ValueState[AbState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[AbState]("ab",
+      Encoders.product[AbState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[AbIn],
+                               timers: TimerValues): Iterator[AbOut] = {
+    val variant = (user % 2).toInt
+    var st = if (state.exists) state.get() else null
+    val out = scala.collection.mutable.ArrayBuffer.empty[AbOut]
+    rows.toArray.sortBy(_.seq).foreach { r =>
+      val day = r.tus / 86400000000L
+      if (st == null) { st = AbState(day, converted = false); out += AbOut(variant, "user") }
+      if (!st.converted && r.eventType == "purchase" && day == st.d0) {
+        st = AbState(st.d0, converted = true)
+        out += AbOut(variant, "conv")
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+}
+
 /** Streaming retention plumbing: raw-topic arrivals keyed by user;
   * per-user state is (cohort day, 30-bit seen-offset mask) — 16 B
   * regardless of stream length. */
@@ -1526,6 +1567,51 @@ object StreamRunner {
       .start()
     q.awaitTermination()
     spark.read.parquet(work.resolve("out").toString)
+  }
+
+  /** Streaming A/B replay: enrollment/conversion log folded to the
+    * batch day-0 counts, then the batch z expression tree. Same
+    * oracle as q_ab_test. */
+  def replayAbTest(spark: SparkSession, events: DataFrame): DataFrame = {
+    val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
+    val srcDir = rawStagedDir(spark, events)
+    val session = replaySession(spark, rocksDb = true)
+    val src = session.readStream
+      .schema(Encoders.product[StagedRaw].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    import session.implicits._
+    val log = src
+      .select(col("userId"), col("eventType"), col("tus"), col("seq")).as[AbIn]
+      .groupByKey(_.userId)
+      .transformWithState(new AbTestProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    val q = log.writeStream.format("parquet")
+      .option("path", work.resolve("out").toString)
+      .option("checkpointLocation", work.resolve("cp").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val counts = spark.read.parquet(work.resolve("out").toString)
+      .groupBy(col("variant"))
+      .agg(sum(when(col("kind") === "user", 1L).otherwise(0L)).as("n_users"),
+        sum(when(col("kind") === "conv", 1L).otherwise(0L)).as("n_converted"))
+    val a = counts.filter(col("variant") === 0)
+      .select(col("n_users").as("na"), col("n_converted").as("ca"))
+    val b = counts.filter(col("variant") === 1)
+      .select(col("n_users").as("nb"), col("n_converted").as("cb"))
+    a.crossJoin(broadcast(b)).select(
+      col("na"), col("ca"), col("nb"), col("cb"),
+      round(col("ca") / col("na").cast("double") + lit(1e-12), 6).as("rate_a"),
+      round(col("cb") / col("nb").cast("double") + lit(1e-12), 6).as("rate_b"),
+      round(
+        (col("ca") / col("na").cast("double") - col("cb") / col("nb").cast("double")) /
+          sqrt(((col("ca") + col("cb")) / (col("na") + col("nb")).cast("double")) *
+            (lit(1.0) - (col("ca") + col("cb")) / (col("na") + col("nb")).cast("double")) *
+            (lit(1.0) / col("na").cast("double") + lit(1.0) / col("nb").cast("double")))
+          + lit(1e-12), 6).as("z"))
   }
 
   /** Streaming retention replay: the raw topic keyed by user through

@@ -67,6 +67,17 @@ class StreamFunnelSpec extends SparkSpec {
     assert(out == Set((0L, 0L, 1L), (0L, 3L, 1L), (5L, 0L, 1L)), s"got $out")
   }
 
+  test("streaming A/B readout equals the batch day-0 conversion test (sf0.001)") {
+    val events = Tables.events(spark, sf0001)
+    val streamed = StreamRunner.replayAbTest(spark, events).collect()(0)
+    val batch = Sessions.abTest(events).collect()(0)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed ${streamed.toSeq} vs batch ${batch.toSeq}")
+    // both variants enrolled, neither conversion rate degenerate
+    assert(streamed.getLong(0) > 0 && streamed.getLong(2) > 0)
+    assert(streamed.getDouble(4) > 0 && streamed.getDouble(4) < 1)
+  }
+
   test("streaming attribution credit table equals the batch lag rule (sf0.001)") {
     val events = Tables.events(spark, sf0001)
     val streamed = StreamRunner.replayAttribution(spark, events)
