@@ -567,6 +567,8 @@ object SparkEntry {
     "q_cohort_ltv" -> ((s, dir) => Sessions.cohortLtv(Tables.orders(s, dir))),
     // CUSUM change-point scan over the daily event counts
     "q_cusum_changepoint" -> ((s, dir) => Sessions.cusumChangepoint(ev(s, dir))),
+    // weekday-adjusted anomaly days: per-weekday median/MAD baselines
+    "q_seasonal_anomaly" -> ((s, dir) => Sessions.seasonalAnomalies(ev(s, dir))),
     // A/B conversion comparison with the pooled z statistic
     "q_ab_test" -> ((s, dir) => Sessions.abTest(ev(s, dir))),
     // first-active-day cohorts × return-day offsets
@@ -4057,6 +4059,19 @@ object SparkEntry {
         |       CAST(ROUND(SUM(rev) OVER (PARTITION BY cohort_m ORDER BY month_offset
         |                                 ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS cum_revenue
         |FROM g""".stripMargin,
+    // seasonal anomalies: per-weekday exact median/MAD, 3*MAD flag
+    "q_seasonal_anomaly" ->
+      """WITH daily AS (SELECT (epoch_ns(ts) // 1000) // 86400000000 AS day, COUNT(*) AS n
+        |               FROM events GROUP BY 1),
+        |d AS (SELECT day, n, CAST((day + 4) % 7 AS INT) AS dow FROM daily),
+        |med AS (SELECT dow, quantile_cont(CAST(n AS DOUBLE), 0.5) AS med FROM d GROUP BY 1),
+        |mad AS (SELECT d.dow, med, quantile_cont(abs(n - med), 0.5) AS mad
+        |        FROM d JOIN med USING (dow) GROUP BY 1, 2)
+        |SELECT day, d.dow, n,
+        |       ROUND(med + 1e-9, 2) AS wd_median,
+        |       ROUND(mad + 1e-9, 2) AS wd_mad,
+        |       abs(n - med) > 3.0 * mad AS is_anomaly
+        |FROM d JOIN mad USING (dow)""".stripMargin,
     // CUSUM: closed-form cum - k*mean over the day grid, argmax peak
     "q_cusum_changepoint" ->
       """WITH daily AS (SELECT (epoch_ns(ts) // 1000) // 86400000000 AS day, COUNT(*) AS n

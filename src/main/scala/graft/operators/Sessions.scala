@@ -207,6 +207,38 @@ object Sessions {
           + lit(1e-12), 6).as("z"))
   }
 
+  /** SEASONALITY-ADJUSTED ANOMALY DAYS — each day's event count
+    * against ITS WEEKDAY's robust baseline: per weekday the exact
+    * median and MAD over that weekday's daily counts, then a day is
+    * anomalous when |n − median| > k·MAD (the [[madOutliers]] rule
+    * applied after seasonal grouping — a quiet Sunday is not an
+    * anomaly just because Mondays are loud). Day-of-week is the
+    * engine-exact (days + 4) % 7 arithmetic; medians ride the
+    * priceQuantiles parity recipe over integer counts. Returns every
+    * day with its weekday baseline and flag.
+    *
+    * Scale shape: the daily frame is calendar-bounded; both medians
+    * aggregate 7 groups; the flag comparison joins the 7-row baseline
+    * back broadcast. */
+  def seasonalAnomalies(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val daily = events
+      .select(expr("ts div 1000 div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .withColumn("dow", ((col("day") + 4) % 7).cast("int"))
+      .localCheckpoint()
+    val med = daily.groupBy(col("dow"))
+      .agg(percentile(col("n").cast("double"), lit(0.5)).as("med"))
+    val mad = daily.join(broadcast(med), "dow")
+      .select(col("dow"), abs(col("n") - col("med")).as("ad"), col("med"))
+      .groupBy(col("dow"), col("med"))
+      .agg(percentile(col("ad"), lit(0.5)).as("mad"))
+    daily.join(broadcast(mad), "dow")
+      .select(col("day"), col("dow"), col("n"),
+        round(col("med") + lit(1e-9), 2).as("wd_median"),
+        round(col("mad") + lit(1e-9), 2).as("wd_mad"),
+        (abs(col("n") - col("med")) > lit(k) * col("mad")).as("is_anomaly"))
+  }
+
   /** COHORT LTV CURVE — cumulative revenue per acquisition cohort by
     * months since first order: the lifetime-value table subscription
     * and marketplace finance teams steer by. Cohort = the month of a

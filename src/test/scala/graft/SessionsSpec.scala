@@ -279,6 +279,24 @@ class SessionsSpec extends SparkSpec {
     assert(math.abs(out(2)._3 - (-4.8)) < 1e-6)
   }
 
+  test("seasonalAnomalies: a spike flags only against its own weekday baseline") {
+    val dayUs = 86400000000L
+    // three weeks: Mondays (epoch day 4 = Monday? day%7 arithmetic:
+    // dow = (day+4)%7) — use dow groups directly: days 0,7,14 share a
+    // weekday with counts 2,2,50; days 1,8,15 another with 10,10,10
+    val rows = Seq((0L, 2L), (7L, 2L), (14L, 50L), (1L, 10L), (8L, 10L), (15L, 10L))
+    val events = ev(rows.flatMap { case (d, n) =>
+      (0L until n).map(i => (d * 1000 + i, 1L, d * dayUs + i, 1.0))
+    }: _*)
+    val out = Sessions.seasonalAnomalies(events).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    // the 50 on a 2-2 weekday flags; the flat 10s never do; and 50
+    // would NOT flag against the global distribution alone if it were
+    // pooled with the 10s (the seasonal grouping is load-bearing)
+    assert(out == Map(0L -> false, 7L -> false, 14L -> true,
+      1L -> false, 8L -> false, 15L -> false), s"got $out")
+  }
+
   test("abTest: hand counts, rates, and z sign") {
     val dayUs = 86400000000L
     // even users (variant 0): user 2 converts day 0, user 4 does not
