@@ -205,6 +205,9 @@ object SparkEntry {
     "q_price_quantiles" -> ((s, dir) => Relational.priceQuantiles(Tables.orders(s, dir))),
     // RFM segmentation: quartile boundaries broadcast back, never ntile
     "q_rfm" -> ((s, dir) => Relational.rfmSegments(Tables.orders(s, dir))),
+    // revenue concentration: top-decile share, boundary broadcast
+    "q_revenue_concentration" -> ((s, dir) =>
+      Relational.revenueConcentration(Tables.orders(s, dir))),
     // weekday load curve: arithmetic day-of-week, broadcast share
     "q_weekday_profile" -> ((s, dir) =>
       Relational.weekdayProfile(Tables.orders(s, dir))),
@@ -1757,6 +1760,23 @@ object SparkEntry {
         |            WHEN f_score >= 3 OR m_score >= 3 THEN 'at_risk'
         |            ELSE 'hibernating' END AS segment
         |FROM s""".stripMargin,
+    // concentration: decile boundary from one exact percentile
+    "q_revenue_concentration" ->
+      """WITH pc AS (SELECT o_custkey,
+        |                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS rev
+        |            FROM orders GROUP BY 1),
+        |b AS (SELECT quantile_cont(rev, 0.9) AS p90, COUNT(*) AS n_customers,
+        |             CAST(ROUND(SUM(CAST(rev AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |      FROM pc)
+        |SELECT n_customers,
+        |       CAST(SUM(CASE WHEN rev >= p90 THEN 1 ELSE 0 END) AS BIGINT) AS top_customers,
+        |       total,
+        |       CAST(ROUND(SUM(CASE WHEN rev >= p90 THEN CAST(rev AS DECIMAL(18,4))
+        |                           ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS top_revenue,
+        |       ROUND(CAST(ROUND(SUM(CASE WHEN rev >= p90 THEN CAST(rev AS DECIMAL(18,4))
+        |                                 ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) / total
+        |             + 1e-12, 6) AS top_share
+        |FROM pc, b GROUP BY n_customers, total""".stripMargin,
     // weekday profile: (days+4)%7 arithmetic dow, decimal revenue
     "q_weekday_profile" ->
       """WITH b AS (

@@ -657,6 +657,33 @@ object Relational {
           .as("benford"))
   }
 
+  /** REVENUE CONCENTRATION — the 80/20 readout: what share of total
+    * revenue comes from the top decile of customers by spend. The
+    * decile boundary is ONE exact percentile over the per-customer
+    * frame broadcast back for the conditional sum — never a global
+    * sort/rank over customers (the rfmSegments rule). Per-customer
+    * revenue is 2-dp decimal-exact, so the boundary comparison is
+    * engine-stable (the RFM argument); shares round to 6 dp. */
+  def revenueConcentration(orders: DataFrame): DataFrame = {
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double").as("rev"))
+      .localCheckpoint()
+    val bound = perCust.agg(
+      percentile(col("rev"), lit(0.9)).as("p90"),
+      count(lit(1)).as("n_customers"),
+      round(sum(col("rev").cast("decimal(18,4)")), 2).cast("double").as("total"))
+    perCust.crossJoin(broadcast(bound))
+      .groupBy(col("n_customers"), col("total"))
+      .agg(sum(when(col("rev") >= col("p90"), 1L).otherwise(0L)).as("top_customers"),
+        round(sum(when(col("rev") >= col("p90"),
+          col("rev").cast("decimal(18,4)")).otherwise(lit(0).cast("decimal(18,4)"))), 2)
+          .cast("double").as("top_revenue"))
+      .select(col("n_customers"), col("top_customers"), col("total"),
+        col("top_revenue"),
+        round(col("top_revenue") / col("total") + lit(1e-12), 6).as("top_share"))
+  }
+
   /** RFM SEGMENTATION — the classic customer-value partitioning
     * (recency / frequency / monetary quartile scores + a named
     * segment), the audience-selection primitive a marketing or
