@@ -561,11 +561,17 @@ object Relational {
   private def assembleProfile(one: DataFrame, dist: DataFrame,
                               numeric: Seq[String], stringy: Seq[String]): DataFrame = {
     def assemble(c: String, minNum: Column, maxNum: Column,
-                 minStr: Column, maxStr: Column): DataFrame =
-      one.crossJoin(broadcast(dist.filter(col("column") === c)))
-        .select(col("column"), col("n_rows"), col(s"${c}_nulls").as("n_nulls"),
+                 minStr: Column, maxStr: Column): DataFrame = {
+      // Global agg over the (possibly EMPTY) per-column slice always
+      // yields exactly one row, so an all-NULL column still reports
+      // n_distinct = 0 instead of vanishing in the cross join.
+      val d = dist.filter(col("column") === c)
+        .agg(coalesce(first(col("n_distinct")), lit(0L)).as("n_distinct"))
+      one.crossJoin(broadcast(d))
+        .select(lit(c).as("column"), col("n_rows"), col(s"${c}_nulls").as("n_nulls"),
           col("n_distinct"), minNum.as("min_num"), maxNum.as("max_num"),
           minStr.as("min_str"), maxStr.as("max_str"))
+    }
     val numRows = numeric.map(c => assemble(c,
       col(s"${c}_min"), col(s"${c}_max"),
       lit(null).cast("string"), lit(null).cast("string")))

@@ -351,6 +351,10 @@ private[streaming] case class RetState(cohort: Long, mask: Long)
   * the window are ignored (the batch filter). */
 private[streaming] class RetentionProcessor(maxOffsetDays: Int)
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, RetIn, RetOut] {
+  // The seen-offset set is a Long bitmask, so offsets above 62 would
+  // silently wrap (1L << 63 is the sign bit; << 64 wraps to bit 0).
+  require(maxOffsetDays >= 1 && maxOffsetDays <= 62,
+    s"maxOffsetDays must be in [1, 62] (Long bitmask), got $maxOffsetDays")
   import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
   @transient private var state: ValueState[RetState] = _
 
@@ -1468,7 +1472,7 @@ object StreamRunner {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), Path]()
 
   /** Raw-events topic staging for the funnel family: (event_id,
-    * user_id, event_type, tus) chunks in (ts, event_id) order — the
+    * user_id, event_type, tus) chunks in (tus, event_id) order — the
     * [[stage]] recipe with the stage alphabet kept (the car/zone
     * envelope erases event_type, which IS the funnel's input).
     * Idempotent per (session, input plan), like [[stagedDir]]. */
@@ -1484,8 +1488,12 @@ object StreamRunner {
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("ts div 1000").as("tus"), col("value"), col("ts"))
         .localCheckpoint()
-        .repartitionByRange(ReplayChunks, col("ts"), col("event_id"))
-        .sortWithinPartitions(col("ts"), col("event_id"))
+        // Stage in (tus, event_id) order — the SAME (µs-grain, id) key
+        // the batch funnel/attribution windows order by — so two
+        // same-user events inside one microsecond replay in oracle
+        // order even when their ns-grain ts order differs.
+        .repartitionByRange(ReplayChunks, col("tus"), col("event_id"))
+        .sortWithinPartitions(col("tus"), col("event_id"))
         .withColumn("pid", spark_partition_id())
         .select(col("event_id").as("eventId"), col("user_id").as("userId"),
           col("event_type").as("eventType"), col("tus"), col("value").as("v"),
