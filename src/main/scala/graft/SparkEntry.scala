@@ -698,6 +698,10 @@ object SparkEntry {
     // core decomposition (h-index iteration) over the same graph
     "q_kcore" -> ((s, dir) =>
       graft.operators.Graph.coreNumbers(Tables.lineitem(s, dir))),
+    // truss decomposition (per-edge cohesion: trussness = largest k
+    // with the edge inside the k-truss) over the same graph
+    "q_ktruss" -> ((s, dir) =>
+      graft.operators.Graph.trussNumbers(Tables.lineitem(s, dir))),
     // reachability clusters over the same graph (shared CC engine)
     "q_components" -> ((s, dir) =>
       graft.operators.Graph.components(Tables.lineitem(s, dir))),
@@ -4394,6 +4398,7 @@ object SparkEntry {
     // core numbers: the synchronous h-index recurrence is pure integer
     // arithmetic, so the unrolled-round replay is hash-exact
     "q_kcore" -> kcoreOracle,
+    "q_ktruss" -> ktrussOracle,
     // association rules: integer basket/item/pair counts, each ratio
     // one nudge-rounded division, rank ties on the ids
     "q_assoc_rules" ->
@@ -5982,6 +5987,49 @@ object SparkEntry {
       |    JOIN w wprev ON wprev.node = x.node)
       |  WHERE anych = 1)
       |SELECT node, MIN(c) AS coreness FROM w GROUP BY node""".stripMargin
+
+  /** [[graft.operators.Graph.trussNumbers]]' local h-index recurrence
+    * replayed as a recursive CTE: static triangle-incidence rows (3
+    * per triangle), seed t = support, each iteration replaces t(e) by
+    * the h-index of { min(t of the other two edges) } with q_kcore's
+    * any-change sentinel; MIN over the accumulated rows is the
+    * (monotone) fixpoint, + 2 = trussness. */
+  private lazy val ktrussOracle: String =
+    """WITH RECURSIVE
+      |po0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |po AS (SELECT o, p FROM po0 QUALIFY COUNT(*) OVER (PARTITION BY o) <= 1024),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+      |tri AS (SELECT a.u AS x, a.v AS y, c.v AS z
+      |        FROM e a JOIN e b ON b.u = a.v JOIN e c ON c.u = a.u AND c.v = b.v),
+      |inc AS (
+      |  SELECT x AS eu, y AS ev, y AS o1u, z AS o1v, x AS o2u, z AS o2v FROM tri
+      |  UNION ALL
+      |  SELECT y, z, x, y, x, z FROM tri
+      |  UNION ALL
+      |  SELECT x, z, x, y, y, z FROM tri),
+      |sup AS (SELECT e.u, e.v, CAST(COALESCE(cnt, 0) AS BIGINT) AS t
+      |        FROM e LEFT JOIN (SELECT eu, ev, COUNT(*) AS cnt FROM inc GROUP BY 1, 2) i
+      |          ON i.eu = e.u AND i.ev = e.v),
+      |w AS (
+      |  SELECT u, v, t FROM sup
+      |  UNION ALL
+      |  SELECT u, v, t FROM (
+      |    SELECT x.u, x.v, x.t,
+      |           MAX(CASE WHEN x.t <> wp.t THEN 1 ELSE 0 END) OVER () AS anych
+      |    FROM (SELECT i.eu AS u, i.ev AS v,
+      |                 CAST(COALESCE(MAX(LEAST(s, rn)), 0) AS BIGINT) AS t
+      |          FROM (SELECT i0.eu, i0.ev, LEAST(w1.t, w2.t) AS s,
+      |                       ROW_NUMBER() OVER (PARTITION BY i0.eu, i0.ev
+      |                          ORDER BY LEAST(w1.t, w2.t) DESC, i0.o1u, i0.o1v) AS rn
+      |                FROM inc i0
+      |                JOIN w w1 ON w1.u = i0.o1u AND w1.v = i0.o1v
+      |                JOIN w w2 ON w2.u = i0.o2u AND w2.v = i0.o2v) i
+      |          GROUP BY 1, 2) x
+      |    JOIN w wp ON wp.u = x.u AND wp.v = x.v)
+      |  WHERE anych = 1)
+      |SELECT u, v, CAST(MIN(t) + 2 AS BIGINT) AS trussness
+      |FROM w GROUP BY u, v""".stripMargin
 
   private lazy val communitiesOracle: String = {
     val rounds = 4

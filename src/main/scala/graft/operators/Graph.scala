@@ -295,14 +295,12 @@ object Graph {
       .localCheckpoint()
   }
 
-  /** The compact-forward closure + per-corner count over a prepared
-    * edge frame (see [[triangles]]' scaladoc for the plan math). */
-  private def triangleCounts(edges: DataFrame): DataFrame = {
-    // exact edge count off the materialized frame (metadata-cheap)
-    // gates every small-side broadcast below: the degree vector and the
-    // adjacency frame are both ≤ one row per node / one long per edge,
-    // so the same bound keeps each well inside broadcast room
-    val broadcastable = edges.count() <= BroadcastEdgeLimit
+  /** One row per TRIANGLE of a prepared (u < v) distinct edge frame,
+    * via the compact-forward closure (degree-ordered orientation, so
+    * each triangle is found exactly once and hub adjacency lists stay
+    * short — see [[triangles]]' scaladoc for the plan math). Columns
+    * (src, dst, w): (src, dst) is an oriented edge, w closes it. */
+  private def triangleRows(edges: DataFrame, broadcastable: Boolean): DataFrame = {
     def gated(df: DataFrame): DataFrame = if (broadcastable) broadcast(df) else df
     val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -319,7 +317,7 @@ object Graph {
     // out-neighbor arrays per node; element order is irrelevant (the
     // intersection is exploded and counted), so no sort is paid
     val adj = oriented.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
-    val tri = oriented
+    oriented
       .join(gated(adj.select(col("src"), col("nbrs").as("un"))), Seq("src"))
       // dst-side left join: maximal-order nodes have no out-neighbors
       .join(gated(adj.select(col("src").as("dst"), col("nbrs").as("vn"))),
@@ -328,10 +326,232 @@ object Graph {
       .select(col("src"), col("dst"),
         explode(array_intersect(col("un"),
           coalesce(col("vn"), array().cast("array<bigint>")))).as("w"))
+  }
+
+  /** The compact-forward closure + per-corner count over a prepared
+    * edge frame (see [[triangles]]' scaladoc for the plan math). */
+  private def triangleCounts(edges: DataFrame): DataFrame = {
+    // exact edge count off the materialized frame (metadata-cheap)
+    // gates every small-side broadcast below: the degree vector and the
+    // adjacency frame are both ≤ one row per node / one long per edge,
+    // so the same bound keeps each well inside broadcast room
+    val tri = triangleRows(edges, edges.count() <= BroadcastEdgeLimit)
     // each triangle credits its three corners; partial counts absorb
     // them map-side before the only remaining shuffle (key-bounded)
     tri.select(explode(array(col("src"), col("dst"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** TRUSS DECOMPOSITION — per-edge truss number over the co-purchase
+    * graph: the largest k such that the edge survives in the k-truss
+    * (the maximal subgraph where every edge closes ≥ k−2 triangles).
+    * The cohesion primitive one level above [[triangles]]: k-trusses
+    * are the nested dense cores community detection seeds from
+    * (Cohen 2008). Returns (u, v, trussness) for every edge, u < v;
+    * triangle-free edges report trussness 2.
+    *
+    * Two routes under the [[PeelEdgeLimit]] gate, same discipline as
+    * [[coreNumbers]]:
+    *  - ≤ gate: single-task support peel ([[peelTrussNumbers]]) —
+    *    bucket-queue removal in ascending support order, O(m^1.5).
+    *  - > gate (or `forceDistributed`): the LOCAL h-index iteration
+    *    (Sariyüce/Seshadhri/Pinar 2018's nucleus-decomposition local
+    *    algorithm, edge case): seed each edge with its support, then
+    *    repeatedly replace t(e) by the h-index of
+    *    { min(t(e₁), t(e₂)) : (e, e₁, e₂) a triangle } — values fall
+    *    monotonically to exactly trussness − 2. No edge is ever
+    *    deleted, so the per-triangle incidence frame (3 rows per
+    *    triangle) is built ONCE, checkpointed, and every round is two
+    *    key-partitioned joins against the 24 B/row edge-value frame
+    *    (gated broadcast under [[BroadcastEdgeLimit]]) + one
+    *    in-partition window + a partial-aggregated max — no
+    *    triangle re-enumeration, no growing state. At 100 TB the
+    *    round cost is ∝ triangle count with bounded rounds (h-index
+    *    iterations converge in a few dozen rounds on real graphs),
+    *    and the convergence test is a metadata-cheap count on the
+    *    per-round checkpoint.
+    *
+    * The same recurrence replays in the DuckDB oracle (recursive CTE
+    * with the any-change sentinel, like q_kcore's). */
+  def trussNumbers(lineitem: DataFrame, maxBasket: Int = 1024, maxRounds: Int = 64,
+                   edgeBroadcastLimit: Long = BroadcastEdgeLimit,
+                   forceDistributed: Boolean = false): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 4096,
+      s"maxRounds must be in [1, 4096], got $maxRounds")
+    val edges = coPurchaseEdges(lineitem, maxBasket)
+    val edgeCount = edges.count()
+    if (edgeCount < PeelEdgeLimit && !forceDistributed)
+      return peelTrussNumbers(edges)
+    import org.apache.spark.sql.expressions.Window
+    val broadcastable = edgeCount <= edgeBroadcastLimit
+    def gated(df: DataFrame): DataFrame = if (broadcastable) broadcast(df) else df
+    // canonical (min, max) edge keys for the 3 edges of each triangle;
+    // 3 incidence rows per triangle: one per member edge, carrying the
+    // OTHER two edges' keys
+    val tri = triangleRows(edges, broadcastable)
+      .select(least(col("src"), col("dst")).as("e1u"),
+        greatest(col("src"), col("dst")).as("e1v"),
+        least(col("src"), col("w")).as("e2u"),
+        greatest(col("src"), col("w")).as("e2v"),
+        least(col("dst"), col("w")).as("e3u"),
+        greatest(col("dst"), col("w")).as("e3v"))
+    val inc = tri.select(col("e1u").as("eu"), col("e1v").as("ev"),
+        col("e2u").as("o1u"), col("e2v").as("o1v"),
+        col("e3u").as("o2u"), col("e3v").as("o2v"))
+      .unionByName(tri.select(col("e2u").as("eu"), col("e2v").as("ev"),
+        col("e1u").as("o1u"), col("e1v").as("o1v"),
+        col("e3u").as("o2u"), col("e3v").as("o2v")))
+      .unionByName(tri.select(col("e3u").as("eu"), col("e3v").as("ev"),
+        col("e1u").as("o1u"), col("e1v").as("o1v"),
+        col("e2u").as("o2u"), col("e2v").as("o2v")))
+      .localCheckpoint()
+    // seed: support per edge (triangle-free edges keep 0). Per-round
+    // checkpoints DROP origin stats — the round plan joins the
+    // previous checkpoint twice, so inherited join-product stats
+    // would square every round (see SqlBridge.checkpointDropStats).
+    import org.apache.spark.sql.graft.SqlBridge.checkpointDropStats
+    var t = checkpointDropStats(edges.join(
+        inc.groupBy(col("eu"), col("ev")).agg(count(lit(1)).as("c")),
+        col("u") === col("eu") && col("v") === col("ev"), "left")
+      .select(col("u"), col("v"), coalesce(col("c"), lit(0L)).as("t")))
+    var round = 0
+    var changed = 1L
+    while (round < maxRounds && changed > 0L) {
+      val s = inc
+        .join(gated(t.select(col("u").as("o1u"), col("v").as("o1v"),
+          col("t").as("t1"))), Seq("o1u", "o1v"))
+        .join(gated(t.select(col("u").as("o2u"), col("v").as("o2v"),
+          col("t").as("t2"))), Seq("o2u", "o2v"))
+        .select(col("eu"), col("ev"),
+          least(col("t1"), col("t2")).as("s"), col("o1u"), col("o1v"))
+      // h-index of the per-edge multiset: sort desc, h = max(min(s, rank))
+      val h = s.withColumn("rn", row_number().over(
+          Window.partitionBy(col("eu"), col("ev"))
+            .orderBy(col("s").desc, col("o1u"), col("o1v"))).cast("long"))
+        .groupBy(col("eu"), col("ev"))
+        .agg(max(least(col("s"), col("rn"))).as("h"))
+      val merged = checkpointDropStats(t.join(h,
+          col("u") === col("eu") && col("v") === col("ev"), "left")
+        .select(col("u"), col("v"), col("t").as("prev"),
+          least(col("t"), coalesce(col("h"), lit(0L))).as("t")))
+      changed = merged.filter(col("t") =!= col("prev")).count()
+      t = merged.drop("prev")
+      round += 1
+    }
+    t.select(col("u"), col("v"), (col("t") + 2L).as("trussness"))
+  }
+
+  /** Single-task truss peel over a (u < v) distinct edge frame:
+    * index nodes, build a neighbor-sorted CSR with edge ids, count
+    * each edge's support by merge-intersecting its endpoints'
+    * adjacency, then remove edges in ascending-support bucket order —
+    * an edge's support at removal IS its trussness − 2, and each
+    * destroyed triangle decrements its two surviving edges with O(1)
+    * bucket repositioning (the Batagelj–Zaveršnik structure lifted
+    * from nodes to edges). Pure primitive arrays, deterministic. */
+  private def peelTrussNumbers(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    edges.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)](inEnc)
+      .coalesce(1)
+      .mapPartitions { it =>
+        val us = new scala.collection.mutable.ArrayBuffer[Long]()
+        val vs = new scala.collection.mutable.ArrayBuffer[Long]()
+        it.foreach { case (a, b) => us += a; vs += b }
+        val m = us.length
+        val idx = new scala.collection.mutable.LongMap[Int]()
+        val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+        def indexOf(id: Long): Int = idx.getOrElseUpdate(id, { ids += id; ids.length - 1 })
+        val eu = new Array[Int](m); val ev = new Array[Int](m)
+        var i = 0
+        while (i < m) { eu(i) = indexOf(us(i)); ev(i) = indexOf(vs(i)); i += 1 }
+        val n = ids.length
+        // CSR adjacency carrying edge ids, each segment sorted by
+        // neighbor (packed (nbr << 32 | edgeId) longs sort correctly:
+        // dense indices stay under 2^31)
+        val deg = new Array[Int](n)
+        i = 0; while (i < m) { deg(eu(i)) += 1; deg(ev(i)) += 1; i += 1 }
+        val off = new Array[Int](n + 1)
+        i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+        val adj = new Array[Long](2 * m)
+        val fill = java.util.Arrays.copyOf(off, n)
+        i = 0
+        while (i < m) {
+          adj(fill(eu(i))) = (ev(i).toLong << 32) | i.toLong; fill(eu(i)) += 1
+          adj(fill(ev(i))) = (eu(i).toLong << 32) | i.toLong; fill(ev(i)) += 1
+          i += 1
+        }
+        i = 0
+        while (i < n) { java.util.Arrays.sort(adj, off(i), off(i + 1)); i += 1 }
+        @inline def nbrOf(x: Long): Int = (x >>> 32).toInt
+        @inline def edgeOf(x: Long): Int = (x & 0xFFFFFFFFL).toInt
+        // support per edge: merge-intersect the two sorted segments
+        val sup = new Array[Int](m)
+        i = 0
+        while (i < m) {
+          var a = off(eu(i)); var b = off(ev(i))
+          val ae = off(eu(i) + 1); val be = off(ev(i) + 1)
+          var c = 0
+          while (a < ae && b < be) {
+            val na = nbrOf(adj(a)); val nb = nbrOf(adj(b))
+            if (na < nb) a += 1
+            else if (nb < na) b += 1
+            else { c += 1; a += 1; b += 1 }
+          }
+          sup(i) = c
+          i += 1
+        }
+        // bucket sort edges by support (vert/pos/bin, the B-Z layout)
+        val d = java.util.Arrays.copyOf(sup, m)
+        val maxSup = if (m == 0) 0 else d.max
+        val bin = new Array[Int](maxSup + 2)
+        i = 0; while (i < m) { bin(d(i) + 1) += 1; i += 1 }
+        i = 1; while (i <= maxSup + 1) { bin(i) += bin(i - 1); i += 1 }
+        val vert = new Array[Int](m)
+        val pos = new Array[Int](m)
+        val cursor = java.util.Arrays.copyOf(bin, maxSup + 1)
+        i = 0
+        while (i < m) { pos(i) = cursor(d(i)); vert(pos(i)) = i; cursor(d(i)) += 1; i += 1 }
+        val alive = new Array[Boolean](m)
+        java.util.Arrays.fill(alive, true)
+        @inline def decrement(x: Int, floor: Int): Unit =
+          if (d(x) > floor) {
+            val dx = d(x); val px = pos(x); val pw = bin(dx); val w0 = vert(pw)
+            if (x != w0) {
+              pos(x) = pw; vert(pw) = x
+              pos(w0) = px; vert(px) = w0
+            }
+            bin(dx) += 1
+            d(x) = dx - 1
+          }
+        // peel in support order; d(e) at removal is final (truss − 2)
+        var p = 0
+        while (p < m) {
+          val e = vert(p)
+          val s = d(e)
+          alive(e) = false
+          // each common neighbor w with BOTH cross edges alive is a
+          // surviving triangle this removal destroys
+          var a = off(eu(e)); var b = off(ev(e))
+          val ae = off(eu(e) + 1); val be = off(ev(e) + 1)
+          while (a < ae && b < be) {
+            val na = nbrOf(adj(a)); val nb = nbrOf(adj(b))
+            if (na < nb) a += 1
+            else if (nb < na) b += 1
+            else {
+              val e1 = edgeOf(adj(a)); val e2 = edgeOf(adj(b))
+              if (alive(e1) && alive(e2)) { decrement(e1, s); decrement(e2, s) }
+              a += 1; b += 1
+            }
+          }
+          p += 1
+        }
+        (0 until m).iterator.map(j => (us(j), vs(j), d(j).toLong + 2L))
+      }(outEnc)
+      .toDF("u", "v", "trussness")
   }
 
   /** DEGREE DISTRIBUTION of the co-purchase graph — the

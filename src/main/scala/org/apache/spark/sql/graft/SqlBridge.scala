@@ -44,6 +44,30 @@ object SqlBridge {
     * LogicalRDD that declares HashPartitioning(partitionCol, n). Any
     * downstream window/aggregate/join clustered on `partitionCol` then
     * plans with NO exchange. */
+  /** A localCheckpoint whose wrapper DROPS the origin plan's
+    * statistics. `Dataset.localCheckpoint` snapshots the source
+    * plan's stats into its LogicalRDD (so planner decisions survive
+    * truncation) — but in an iterative operator whose per-round plan
+    * JOINS the previous round's checkpoint, the inherited
+    * join-product sizeInBytes SQUARES every round: by round ~20 the
+    * estimate is a multi-thousand-bit BigInt and stats estimation
+    * itself (Karatsuba/Toom-Cook multiplies) dominates the round
+    * (measured on the truss fixpoint loop: 0.6 s rounds grew to 63 s
+    * by round 21 on a 9k-edge graph). Re-wrapping with originStats =
+    * None resets each round to the default size-based estimate off
+    * the materialized rows. */
+  def checkpointDropStats(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val cp = df.localCheckpoint()
+    val lp = cp.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    val lr = org.apache.spark.sql.execution.LogicalRDD(
+      lp.output, lp.rdd, lp.outputPartitioning, lp.outputOrdering,
+      lp.isStreaming, lp.stream)(spark, None, None)
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, lr)
+  }
+
   def checkpointHashPartitioned(df: org.apache.spark.sql.DataFrame,
                                 partitionCol: String): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

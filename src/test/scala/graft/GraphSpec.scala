@@ -138,6 +138,55 @@ class GraphSpec extends SparkSpec {
       s"got $core")
   }
 
+  test("trussNumbers: clique truss 4, pendant path truss 2, hand-checked") {
+    // order 1 = clique {1,2,3,4}: every edge closes 2 triangles →
+    // 4-truss; orders 2/3 = pendant path 4-5-6: triangle-free → truss 2
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 4L), (2L, 5L), (3L, 5L), (3L, 6L)).toDF("l_orderkey", "l_partkey")
+    val out = Graph.trussNumbers(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = Map(
+      (1L, 2L) -> 4L, (1L, 3L) -> 4L, (1L, 4L) -> 4L,
+      (2L, 3L) -> 4L, (2L, 4L) -> 4L, (3L, 4L) -> 4L,
+      (4L, 5L) -> 2L, (5L, 6L) -> 2L)
+    assert(out == expected, s"got $out")
+  }
+
+  test("trussNumbers: three-route parity on sf0.001 (peel, broadcast, shuffle)") {
+    // an orderkey slice keeps the h-index iteration's round count (and
+    // the spec) small while exercising a real multi-truss graph
+    val li = Tables.lineitem(spark, sf0001).filter(col("l_orderkey") % 8 === 0)
+    // default = single-task support peel at this fixture size
+    val peel = Graph.trussNumbers(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // forceDistributed = the h-index iteration, broadcast value joins
+    val bcast = Graph.trussNumbers(li, forceDistributed = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // edgeBroadcastLimit = 0 drops the hint: shuffle value joins
+    val shuffle = Graph.trussNumbers(li, forceDistributed = true,
+        edgeBroadcastLimit = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(peel.nonEmpty)
+    assert(bcast == peel)
+    assert(shuffle == peel)
+    // structural sanity: trussness ≥ 2 everywhere, and the k-truss is
+    // closed — inside the maximal-k subgraph every edge has ≥ k−2
+    // triangles (spot-check at the max level)
+    assert(peel.values.forall(_ >= 2L))
+    val kMax = peel.values.max
+    val keep = peel.filter(_._2 == kMax).keySet
+    if (kMax > 2L) {
+      val adj = keep.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      keep.foreach { case (u, v) =>
+        val tris = (adj(u) & adj(v)).size
+        assert(tris >= kMax - 2,
+          s"edge ($u,$v) in the $kMax-truss closes only $tris triangles")
+      }
+    }
+  }
+
   test("components: disjoint cliques stay separate; label is the component minimum") {
     // order 1 = clique {1,2,3}, order 2 = clique {10,11}: two components
     val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 10L), (2L, 11L))
