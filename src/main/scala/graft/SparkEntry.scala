@@ -860,6 +860,11 @@ object SparkEntry {
     // pixel fingerprint arithmetically from doc_id
     "m_decode_tiff" -> ((s, dir) =>
       Multimodal.decodeTiffMeta(Multimodal.tiffDocs(Tables.documents(s, dir))).toDF()),
+    // REAL TIFF LZW decode (Compression 5): MSB-first variable-width
+    // codes with the early width change, per-strip streams; the
+    // oracle recomputes the decoded pixel stream arithmetically
+    "m_decode_tiff_lzw" -> ((s, dir) =>
+      Multimodal.decodeTiffMeta(Multimodal.tiffLzwDocs(Tables.documents(s, dir))).toDF()),
     // REAL netpbm decode: header token scan with comments, raw raster
     "m_decode_pnm" -> ((s, dir) =>
       Multimodal.decodePnmMeta(Multimodal.pnmDocs(Tables.documents(s, dir))).toDF()),
@@ -2813,6 +2818,23 @@ object SparkEntry {
         |       CAST(CASE WHEN doc_id % 3 = 2 THEN 32773 ELSE 1 END AS INT) AS compression,
         |       md5(array_to_string(
         |         [lpad(hex((doc_id + 3 * k) % 256), 2, '0')
+        |          for k in generate_series(0, w * h - 1)], '')) AS pixels_md5
+        |FROM g""".stripMargin,
+    // TIFF LZW: the decoded stream is the (id + 3*(k div 4)) % 256
+    // run pattern — the Spark side must bit-unpack MSB-first
+    // variable-width codes with the early change to reproduce it
+    "m_decode_tiff_lzw" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CAST(3 + doc_id % 10 AS INT) AS w,
+        |         CAST(1 + doc_id % 7 AS INT) AS h
+        |  FROM documents)
+        |SELECT doc_id, w AS width, h AS height,
+        |       CAST((h + 1) // 2 AS INT) AS n_strips,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |       CAST(5 AS INT) AS compression,
+        |       md5(array_to_string(
+        |         [lpad(hex((doc_id + 3 * (k // 4)) % 256), 2, '0')
         |          for k in generate_series(0, w * h - 1)], '')) AS pixels_md5
         |FROM g""".stripMargin,
     // animated GIF: one row per (doc, frame) — frame f of doc d is

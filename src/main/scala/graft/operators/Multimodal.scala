@@ -3221,38 +3221,81 @@ object Multimodal {
           Array.tabulate(rows * w)(j => ((id + 3L * (base + j)) % 256).toByte)
         }
         val diskStrips = if (packed) rawStrips.map(packBits) else rawStrips
-        // layout: header(8) | strip data | [offset+count arrays] | IFD
-        val stripLens = diskStrips.map(_.length)
-        val stripOffs = stripLens.scanLeft(8)(_ + _).init
-        val dataEnd = 8 + stripLens.sum
-        val arraysLen = if (nStrips > 1) nStrips * 8 else 0
-        val ifdOff = dataEnd + arraysLen
-        // header
-        if (le) { out.write('I'); out.write('I') } else { out.write('M'); out.write('M') }
-        u16(42); u32(ifdOff)
-        diskStrips.foreach(s => out.write(s, 0, s.length))
-        // out-of-line offset/count arrays (only when a real array)
-        if (nStrips > 1) { stripOffs.foreach(u32); stripLens.foreach(u32) }
-        // IFD: 9 entries, ascending tag order (the spec's requirement)
-        u16(9)
-        def entryShort(tag: Int, v: Int): Unit = {
-          u16(tag); u16(3); u32(1); u16(v); u16(0) // left-justified value
-        }
-        def entryLong(tag: Int, v: Int): Unit = { u16(tag); u16(4); u32(1); u32(v) }
-        def entryLongs(tag: Int, vs: Seq[Int], arrOff: Int): Unit =
-          if (vs.size == 1) entryLong(tag, vs.head)
-          else { u16(tag); u16(4); u32(vs.size); u32(arrOff) }
-        entryShort(256, w); entryShort(257, h)
-        entryShort(258, 8) // BitsPerSample
-        entryShort(259, if (packed) 32773 else 1) // Compression
-        entryShort(262, 1) // Photometric: BlackIsZero
-        entryLongs(273, stripOffs, dataEnd) // StripOffsets
-        entryShort(277, 1) // SamplesPerPixel
-        entryLong(278, rps) // RowsPerStrip
-        entryLongs(279, stripLens, dataEnd + nStrips * 4) // StripByteCounts
-        u32(0) // no next IFD
-        (id, out.toByteArray)
+        (id, writeTiffGray(le, w, h, rps, if (packed) 32773 else 1, diskStrips))
       }).toDF("doc_id", "payload")
+  }
+
+  /** Deterministic LZW TIFF corpus — the [[tiffDocs]] container with
+    * every strip Compression 5 (TIFF LZW, the common real-world TIFF
+    * codec): dims (3 + id % 10) x (1 + id % 7), pixel k =
+    * (id + 3·(k div 4)) % 256 — runs of four identical bytes, so the
+    * encoder builds REAL multi-byte dictionary entries and the
+    * decoder's width-bump/KwKwK arms are load-bearing. Even doc_ids
+    * II, odd MM; RowsPerStrip = 2 keeps multi-strip offset arrays
+    * real. The oracle recomputes the decoded stream arithmetically —
+    * it never sees the compressed bytes. */
+  def tiffLzwDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (3 + id % 10).toInt; val h = (1 + id % 7).toInt
+        val le = id % 2 == 0
+        val rps = 2
+        val nStrips = (h + rps - 1) / rps
+        val rawStrips = (0 until nStrips).map { s =>
+          val rows = math.min(h, (s + 1) * rps) - s * rps
+          val base = s * rps * w
+          Array.tabulate(rows * w)(j =>
+            ((id + 3L * ((base + j) / 4)) % 256).toByte)
+        }
+        (id, writeTiffGray(le, w, h, rps, 5, rawStrips.map(lzwEncodeTiff)))
+      }).toDF("doc_id", "payload")
+  }
+
+  /** Shared grayscale-TIFF container writer for the fixture corpora:
+    * header(8) | strip data | out-of-line offset/count arrays (only
+    * when a real array) | 9-entry IFD in ascending tag order, SHORT
+    * values left-justified — both byte orders. */
+  private[graft] def writeTiffGray(le: Boolean, w: Int, h: Int, rps: Int,
+                                   comp: Int, diskStrips: Seq[Array[Byte]]): Array[Byte] = {
+    val nStrips = diskStrips.size
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(x: Int): Unit =
+      if (le) { out.write(x & 0xFF); out.write((x >> 8) & 0xFF) }
+      else { out.write((x >> 8) & 0xFF); out.write(x & 0xFF) }
+    def u32(x: Int): Unit =
+      if (le) { out.write(x & 0xFF); out.write((x >> 8) & 0xFF)
+                out.write((x >> 16) & 0xFF); out.write((x >> 24) & 0xFF) }
+      else { out.write((x >> 24) & 0xFF); out.write((x >> 16) & 0xFF)
+             out.write((x >> 8) & 0xFF); out.write(x & 0xFF) }
+    val stripLens = diskStrips.map(_.length)
+    val stripOffs = stripLens.scanLeft(8)(_ + _).init
+    val dataEnd = 8 + stripLens.sum
+    val arraysLen = if (nStrips > 1) nStrips * 8 else 0
+    val ifdOff = dataEnd + arraysLen
+    if (le) { out.write('I'); out.write('I') } else { out.write('M'); out.write('M') }
+    u16(42); u32(ifdOff)
+    diskStrips.foreach(s => out.write(s, 0, s.length))
+    if (nStrips > 1) { stripOffs.foreach(u32); stripLens.foreach(u32) }
+    u16(9)
+    def entryShort(tag: Int, v: Int): Unit = {
+      u16(tag); u16(3); u32(1); u16(v); u16(0) // left-justified value
+    }
+    def entryLong(tag: Int, v: Int): Unit = { u16(tag); u16(4); u32(1); u32(v) }
+    def entryLongs(tag: Int, vs: Seq[Int], arrOff: Int): Unit =
+      if (vs.size == 1) entryLong(tag, vs.head)
+      else { u16(tag); u16(4); u32(vs.size); u32(arrOff) }
+    entryShort(256, w); entryShort(257, h)
+    entryShort(258, 8) // BitsPerSample
+    entryShort(259, comp) // Compression
+    entryShort(262, 1) // Photometric: BlackIsZero
+    entryLongs(273, stripOffs, dataEnd) // StripOffsets
+    entryShort(277, 1) // SamplesPerPixel
+    entryLong(278, rps) // RowsPerStrip
+    entryLongs(279, stripLens, dataEnd + nStrips * 4) // StripByteCounts
+    u32(0) // no next IFD
+    out.toByteArray
   }
 
   /** PackBits (TIFF Compression 32773) encode: literal runs up to 128
@@ -3307,6 +3350,111 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** TIFF LZW (Compression 5) encode — the TIFF 6.0 variant of the
+    * GIF codec: fixed 8-bit roots (Clear = 256, EOI = 257, first
+    * table entry 258), codes packed MSB-FIRST within bytes, and the
+    * EARLY code-width change (width bumps when the next free code
+    * reaches 2^width − 1, one code before GIF would). Emits Clear +
+    * a table reset at entry 4094 per spec; streams end with EOI and
+    * zero-padded flush. */
+  private[graft] def lzwEncodeTiff(raw: Array[Byte]): Array[Byte] = {
+    val Clear = 256; val Eoi = 257
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var nPend = 0
+    var codeSize = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << codeSize) | code.toLong; nPend += codeSize
+      while (nPend >= 8) {
+        out.write(((bitBuf >> (nPend - 8)) & 0xFF).toInt); nPend -= 8
+      }
+    }
+    var dict = new scala.collection.mutable.LongMap[Int]()
+    var nextCode = 258
+    put(Clear)
+    var cur = -1
+    var i = 0
+    while (i < raw.length) {
+      val b = raw(i) & 0xFF
+      if (cur < 0) cur = b
+      else {
+        val key = (cur.toLong << 8) | b.toLong
+        dict.get(key) match {
+          case Some(c) => cur = c
+          case None =>
+            put(cur)
+            dict(key) = nextCode
+            nextCode += 1
+            // the encoder's counter LEADS the decoder's by one (the
+            // decoder adds each entry one code later), so the early
+            // change lands here at 2^w, putting both at the same bit
+            // position: decoder table hits 2^w − 1 at the same code
+            if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+            cur = b
+            if (nextCode == 4094) {
+              put(Clear)
+              dict = new scala.collection.mutable.LongMap[Int]()
+              nextCode = 258; codeSize = 9
+            }
+        }
+      }
+      i += 1
+    }
+    if (cur >= 0) put(cur)
+    put(Eoi)
+    if (nPend > 0) out.write(((bitBuf << (8 - nPend)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  /** TIFF LZW decode — the inverse walk: 9→12-bit MSB-first codes,
+    * Clear/EOI, KwKwK, and the early width change mirrored (width
+    * bumps when the table size reaches 2^width − 1, keeping the
+    * reader bit-synchronized with conformant writers). Returns None
+    * on a malformed stream. */
+  private[graft] def lzwDecodeTiff(b: Array[Byte], off: Int, len: Int,
+                                   maxOut: Int): Option[Array[Byte]] = {
+    val Clear = 256; val Eoi = 257
+    val dict = new Array[Array[Byte]](4096)
+    var i = 0
+    while (i < 256) { dict(i) = Array(i.toByte); i += 1 }
+    var dictSize = 258
+    var codeSize = 9
+    var bitPos = 0
+    val nBits = len * 8
+    val out = new java.io.ByteArrayOutputStream()
+    var prev: Array[Byte] = null
+    var done = false
+    while (!done) {
+      if (bitPos + codeSize > nBits) return None // ran out before EOI
+      var code = 0; var k = 0
+      while (k < codeSize) {
+        val bp = bitPos + k
+        code = (code << 1) | ((b(off + (bp >> 3)) >> (7 - (bp & 7))) & 1)
+        k += 1
+      }
+      bitPos += codeSize
+      if (code == Clear) {
+        var j = 258; while (j < dictSize) { dict(j) = null; j += 1 }
+        dictSize = 258; codeSize = 9; prev = null
+      } else if (code == Eoi) {
+        done = true
+      } else {
+        val entry =
+          if (code < dictSize && dict(code) != null) dict(code)
+          else if (code == dictSize && prev != null) prev :+ prev(0) // KwKwK
+          else return None
+        out.write(entry, 0, entry.length)
+        if (out.size() > maxOut) return None
+        if (prev != null && dictSize < 4096) {
+          dict(dictSize) = prev :+ entry(0)
+          dictSize += 1
+          if (dictSize == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+        }
+        prev = entry
+      }
+    }
+    Some(out.toByteArray)
+  }
+
   case class TiffMeta(doc_id: Long, width: Int, height: Int, n_strips: Int,
                       byte_order: String, compression: Int, pixels_md5: String)
 
@@ -3315,8 +3463,11 @@ object Multimodal {
     * left-justified inside the 4-byte field — the rule naive readers
     * break on MM files), value-vs-offset resolution for the
     * StripOffsets/StripByteCounts arrays, per-strip decompression
-    * (none, or PackBits — Compression 32773, the codec scanned fax
-    * archives actually carry), and multi-strip pixel assembly in
+    * (none; PackBits — Compression 32773, the codec scanned fax
+    * archives carry; or TIFF LZW — Compression 5, the common
+    * real-world TIFF codec, via [[lzwDecodeTiff]]'s MSB-first
+    * early-change decoder), the horizontal-differencing predictor
+    * (tag 317 = 2) undone per row, and multi-strip pixel assembly in
     * strip order. Returns None for anything that is not a decodable
     * baseline grayscale TIFF (bad magic, truncated IFD, unsupported
     * bits/compression/photometric, strip bytes out of range, pixel
@@ -3352,6 +3503,7 @@ object Multimodal {
     val n = u16(ifd)
     if (ifd + 2 + n * 12 + 4 > b.length) return None
     var w = -1; var h = -1; var bits = 1; var comp = 1; var photo = 0; var spp = 1
+    var predictor = 1
     var offs: Seq[Int] = Nil; var cnts: Seq[Int] = Nil
     var e = 0
     while (e < n) {
@@ -3381,20 +3533,38 @@ object Multimodal {
         case 273 => offs = longs
         case 277 => spp = sv
         case 279 => cnts = longs
+        case 317 => predictor = sv
         case _ => () // RowsPerStrip and friends: assembly uses the arrays
       }
       e += 1
     }
-    if (w <= 0 || h <= 0 || bits != 8 || (comp != 1 && comp != 32773) ||
-      photo > 1 || spp != 1 || offs.isEmpty || offs.size != cnts.size) return None
+    if (w <= 0 || h <= 0 || bits != 8 || (comp != 1 && comp != 5 && comp != 32773) ||
+      photo > 1 || spp != 1 || (predictor != 1 && predictor != 2) ||
+      offs.isEmpty || offs.size != cnts.size) return None
     val pixels = new java.io.ByteArrayOutputStream()
     offs.zip(cnts).foreach { case (o, c) =>
       require(o >= 0 && c >= 0 && o + c <= b.length, "strip out of range")
-      if (comp == 32773) { val d = unpackBits(b, o, c); pixels.write(d, 0, d.length) }
-      else pixels.write(b, o, c)
+      comp match {
+        case 32773 => val d = unpackBits(b, o, c); pixels.write(d, 0, d.length)
+        case 5 =>
+          val d = lzwDecodeTiff(b, o, c, w * h).getOrElse(
+            throw new IllegalArgumentException("bad LZW strip"))
+          pixels.write(d, 0, d.length)
+        case _ => pixels.write(b, o, c)
+      }
     }
     val px = pixels.toByteArray
     if (px.length != w * h) return None
+    // Predictor 2 (horizontal differencing): each stored byte is the
+    // delta to its left neighbor; undo per row
+    if (predictor == 2) {
+      var y = 0
+      while (y < h) {
+        var x = 1
+        while (x < w) { px(y * w + x) = (px(y * w + x) + px(y * w + x - 1)).toByte; x += 1 }
+        y += 1
+      }
+    }
     Some(TiffMeta(id, w, h, offs.size, if (le) "II" else "MM", comp, md5HexUpper(px)))
   }
 

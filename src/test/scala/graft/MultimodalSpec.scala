@@ -1080,6 +1080,88 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("lzwEncodeTiff/lzwDecodeTiff: round-trip on runs, randoms, and the KwKwK case") {
+    val rnd = new scala.util.Random(11)
+    val cases = Seq(
+      Array.fill(200)(7.toByte),                       // one long run (KwKwK-heavy)
+      Array.tabulate(300)(i => (i / 4 % 256).toByte),  // stride runs
+      Array.tabulate(257)(i => (i % 256).toByte),      // all roots + wrap
+      Array.fill(500)(rnd.nextInt(256).toByte),        // incompressible
+      Array.tabulate(5000)(i => ((i * i) % 251).toByte), // long: width bumps past 10/11 bits
+      Array[Byte](),                                   // empty stream
+      Array[Byte](42))                                 // single byte
+    for (raw <- cases) {
+      val enc = Multimodal.lzwEncodeTiff(raw)
+      val dec = Multimodal.lzwDecodeTiff(enc, 0, enc.length, raw.length + 1)
+      assert(dec.isDefined, s"decode failed for len ${raw.length}")
+      assert(dec.get.toSeq == raw.toSeq, s"round-trip diverged for len ${raw.length}")
+    }
+    // malformed: truncated stream (no EOI reachable) must be None
+    val enc = Multimodal.lzwEncodeTiff(Array.tabulate(100)(_.toByte))
+    assert(Multimodal.lzwDecodeTiff(enc, 0, 2, 1000).isEmpty)
+    // conformance across the 511/1023 width boundaries: an
+    // INDEPENDENT reader (the JDK's TIFF plugin) must bit-track our
+    // encoder through both early changes on a 2000-entry stream
+    val big = Array.fill(2000)(rnd.nextInt(256).toByte)
+    val tif = Multimodal.writeTiffGray(le = true, 100, 20, 20, 5,
+      Seq(Multimodal.lzwEncodeTiff(big)))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(tif))
+    assert(img != null, "ImageIO rejects our boundary-crossing LZW TIFF")
+    for (y <- 0 until 20; x <- 0 until 100)
+      assert(img.getRaster.getSample(x, y, 0) == (big(y * 100 + x) & 0xFF),
+        s"ImageIO diverges at ($x,$y)")
+  }
+
+  test("decodeTiff LZW: construction arithmetic round-trips; ImageIO agrees") {
+    // ids cover single- and multi-strip, both byte orders
+    val ids = Seq(0L, 1L, 4L, 5L, 12L, 27L)
+    val payloads = Multimodal.tiffLzwDocs(ids.map((_, "x")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
+    for ((id, bytes) <- payloads) {
+      val meta = Multimodal.decodeTiff(id, bytes).get
+      assert(meta.width == (3 + id % 10).toInt && meta.height == (1 + id % 7).toInt)
+      assert(meta.byte_order == (if (id % 2 == 0) "II" else "MM"), s"doc $id order")
+      assert(meta.compression == 5, s"doc $id comp")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"doc $id: ImageIO rejects our LZW TIFF")
+      assert(img.getWidth == meta.width && img.getHeight == meta.height)
+      for (y <- 0 until meta.height; x <- 0 until meta.width)
+        assert(img.getRaster.getSample(x, y, 0) ==
+          ((id + 3L * ((y * meta.width + x) / 4)) % 256).toInt, s"doc $id ($x,$y)")
+    }
+  }
+
+  test("decodeTiff LZW: ImageIO-WRITTEN LZW TIFFs decode bit-for-bit") {
+    import java.awt.image.BufferedImage
+    val rnd = new scala.util.Random(13)
+    for (_ <- 0 until 3) {
+      val w = 5 + rnd.nextInt(30); val h = 3 + rnd.nextInt(20)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("TIFF").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionType("LZW")
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      val bytes = baos.toByteArray
+      val meta = Multimodal.decodeTiff(99L, bytes)
+      assert(meta.isDefined, "our reader rejects a JDK-written LZW TIFF")
+      assert(meta.get.width == w && meta.get.height == h)
+      assert(meta.get.compression == 5)
+      val raw = new Array[Byte](w * h)
+      for (y <- 0 until h; x <- 0 until w)
+        raw(y * w + x) = img.getRaster.getSample(x, y, 0).toByte
+      val wantMd5 = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        raw.map(b => f"${b & 0xFF}%02X").mkString)
+      assert(meta.get.pixels_md5 == wantMd5, "pixel stream diverges from the raster")
+    }
+  }
+
   test("decodeTiff: ImageIO-WRITTEN grayscale TIFFs decode; malformed input is None") {
     import java.awt.image.BufferedImage
     val rnd = new scala.util.Random(7)
