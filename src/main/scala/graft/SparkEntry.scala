@@ -880,6 +880,11 @@ object SparkEntry {
     // index from the actual little-endian bytes
     "m_avi_meta" -> ((s, dir) =>
       Multimodal.aviMeta(Multimodal.aviDocs(Tables.documents(s, dir))).toDF()),
+    // REAL ISO-BMFF (MP4) box-tree walk: big-endian sizes with the
+    // 64-bit largesize promotion, moov/trak/mdia recursion, hdlr
+    // track typing, 16.16 tkhd dims, mdat byte totals
+    "m_decode_mp4" -> ((s, dir) =>
+      Multimodal.decodeMp4Meta(Multimodal.mp4Docs(Tables.documents(s, dir))).toDF()),
     // every 2nd REAL video frame sliced from the movi index and
     // fingerprinted; the oracle rebuilds each sampled frame's bytes
     "m_avi_frames" -> ((s, dir) =>
@@ -3156,6 +3161,25 @@ object SparkEntry {
         |       CAST(nf AS BIGINT) AS n_frames_found,
         |       CAST(40000 AS BIGINT) AS us_per_frame,
         |       CAST(nf * (w * h * 3) AS BIGINT) AS frame_bytes_total
+        |FROM p""".stripMargin,
+    // MP4: the ISO-BMFF fixture is closed-form in doc_id, so every
+    // field the box walk extracts (brand, mvhd timescale/duration,
+    // track counts by hdlr, first-video tkhd dims, mdat byte total)
+    // is pure arithmetic; duration_ms is integer division both sides
+    "m_decode_mp4" ->
+      """WITH p AS (SELECT doc_id,
+        |                  CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+        |                  CAST(600 + 100 * (doc_id % 5) AS BIGINT) AS timescale,
+        |                  CAST(500 + doc_id % 4000 AS BIGINT) AS duration,
+        |                  CAST(16 * (2 + doc_id % 5) AS INT) AS video_width,
+        |                  CAST(16 * (1 + doc_id % 4) AS INT) AS video_height,
+        |                  CAST(10 + doc_id % 50 AS BIGINT) AS mdat_bytes
+        |           FROM documents)
+        |SELECT doc_id, 'isom' AS major_brand, timescale, duration,
+        |       CAST(duration * 1000 // timescale AS BIGINT) AS duration_ms,
+        |       n_tracks, CAST(1 AS INT) AS n_video,
+        |       CAST(n_tracks - 1 AS INT) AS n_audio,
+        |       video_width, video_height, mdat_bytes
         |FROM p""".stripMargin,
     "m_avi_frames" ->
       """WITH p AS (SELECT doc_id, CAST(8 + (doc_id % 4) * 2 AS INT) AS w,

@@ -3178,6 +3178,202 @@ object Multimodal {
         (abs(col("sum_lum") - col("prev")) > col("n_bytes") * threshold).as("is_cut"))
   }
 
+  // ---- MP4 / ISO-BMFF: nested box-tree walk (ftyp/moov/trak) ----
+  // The container a modern crawl's video actually ships in (ISO/IEC
+  // 14496-12). Boxes are big-endian (size32 | type4 | payload), with
+  // size==1 promoting to a 64-bit largesize — the dual of RIFF's
+  // little-endian chunks next door; moov/trak/mdia nest, and the
+  // metadata a pipeline needs (duration, track kinds, dims) lives in
+  // mvhd/tkhd/mdhd/hdlr leaves at fixed offsets within their
+  // version-dependent layouts.
+
+  case class Mp4Meta(doc_id: Long, major_brand: String, timescale: Long,
+                     duration: Long, duration_ms: Long, n_tracks: Int,
+                     n_video: Int, n_audio: Int, video_width: Int,
+                     video_height: Int, mdat_bytes: Long)
+
+  /** Deterministic MP4 corpus — structurally complete ISO-BMFF files
+    * built in the batched mapPartitions seam (the tiffDocs
+    * justification: nested box-size bookkeeping is offset
+    * arithmetic, and the oracle never needs the container — every
+    * field is closed-form in doc_id): ftyp(isom) | moov(mvhd +
+    * 1 + id%3 traks, track 0 'vide' with 16.16 fixed-point dims,
+    * the rest 'soun') | mdat. timescale = 600 + 100·(id%5),
+    * duration = 500 + id%4000, w = 16·(2 + id%5), h = 16·(1 + id%4),
+    * mdat payload = 10 + id%50 bytes of (id·7 + 13k) % 256. */
+  def mp4Docs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val nTracks = (1 + id % 3).toInt
+        val timescale = (600 + 100 * (id % 5)).toInt
+        val duration = (500 + id % 4000).toInt
+        val w = (16 * (2 + id % 5)).toInt
+        val h = (16 * (1 + id % 4)).toInt
+        val mdatLen = (10 + id % 50).toInt
+        val out = new java.io.ByteArrayOutputStream()
+        def be32(x: Int): Unit = { out.write((x >> 24) & 0xFF); out.write((x >> 16) & 0xFF)
+                                   out.write((x >> 8) & 0xFF); out.write(x & 0xFF) }
+        def be16(x: Int): Unit = { out.write((x >> 8) & 0xFF); out.write(x & 0xFF) }
+        def tag(s: String): Unit = s.foreach(c => out.write(c.toInt))
+        def zeros(n: Int): Unit = (0 until n).foreach(_ => out.write(0))
+        // identity matrix: 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+        def matrix(): Unit = {
+          be32(0x10000); be32(0); be32(0); be32(0); be32(0x10000); be32(0)
+          be32(0); be32(0); be32(0x40000000)
+        }
+        // ftyp: major 'isom', minor 0, compatible [isom, mp42]
+        be32(24); tag("ftyp"); tag("isom"); be32(0); tag("isom"); tag("mp42")
+        // moov = mvhd(108) + nTracks * trak(173)
+        be32(8 + 108 + nTracks * 173); tag("moov")
+        // mvhd v0: ver/flags, creation, modification, timescale,
+        // duration, rate(16.16), volume(8.8), 10 reserved, matrix,
+        // 24 predefined, next_track_id
+        be32(108); tag("mvhd"); be32(0); be32(0); be32(0)
+        be32(timescale); be32(duration); be32(0x10000); be16(0x0100)
+        zeros(10); matrix(); zeros(24); be32(nTracks + 1)
+        var t = 0
+        while (t < nTracks) {
+          val video = t == 0
+          be32(173); tag("trak")
+          // tkhd v0 (payload 84): ver/flags, creation, modification,
+          // track_id, reserved, duration, 8 reserved, layer, altgroup,
+          // volume, reserved, matrix, width/height as 16.16
+          be32(92); tag("tkhd"); be32(7); be32(0); be32(0)
+          be32(t + 1); be32(0); be32(duration); zeros(8)
+          be16(0); be16(0); be16(if (video) 0 else 0x0100); be16(0); matrix()
+          be32(if (video) w << 16 else 0); be32(if (video) h << 16 else 0)
+          // mdia = mdhd(32) + hdlr(33)
+          be32(73); tag("mdia")
+          // mdhd v0: ver/flags, creation, modification, timescale,
+          // duration, language ('und' packed 5-bit), predefined
+          be32(32); tag("mdhd"); be32(0); be32(0); be32(0)
+          be32(timescale); be32(duration); be16(0x55C4); be16(0)
+          // hdlr: ver/flags, predefined, handler, 12 reserved, "" name
+          be32(33); tag("hdlr"); be32(0); be32(0)
+          tag(if (video) "vide" else "soun"); zeros(12); out.write(0)
+          t += 1
+        }
+        be32(8 + mdatLen); tag("mdat")
+        var k = 0
+        while (k < mdatLen) { out.write(((id * 7 + 13L * k) % 256).toInt); k += 1 }
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** REAL ISO-BMFF walk: validates that the FIRST top-level box is
+    * ftyp (reading the major brand), then walks the sibling chain by
+    * declared big-endian sizes — size==1 reads the 64-bit largesize,
+    * size==0 means to-end-of-file, both per spec — recursing into
+    * moov → trak → mdia containers. Reads mvhd's version-dependent
+    * layout (v0 32-bit / v1 64-bit timestamps) for movie timescale +
+    * duration, counts tracks by their hdlr handler ('vide'/'soun'),
+    * takes the first video tkhd's 16.16 fixed-point dims, and sums
+    * mdat payload bytes. duration_ms is integer arithmetic
+    * (duration · 1000 div timescale) — engine-exact. Returns None
+    * for anything that is not a well-formed single-moov MP4 (bad
+    * leading box, truncated box chain, missing mvhd, no tracks). */
+  private[graft] def parseMp4(id: Long, b: Array[Byte]): Option[Mp4Meta] =
+    try parseMp4Walk(id, b)
+    catch {
+      case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+           _: StringIndexOutOfBoundsException => None
+    }
+
+  private def parseMp4Walk(id: Long, b: Array[Byte]): Option[Mp4Meta] = {
+    def u8(i: Int): Long = (b(i) & 0xFF).toLong
+    def be32(i: Int): Long =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def typ(i: Int): String = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // walk one sibling chain in [from, to); f(type, payloadOff,
+    // payloadEnd) per box — payload offsets EXCLUDE the (possibly
+    // extended) header
+    def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Boolean = {
+      var p = from
+      while (p < to) {
+        if (p + 8 > to) return false
+        var size = be32(p)
+        var hdr = 8
+        if (size == 1L) {
+          if (p + 16 > to) return false
+          size = be64(p + 8); hdr = 16
+        } else if (size == 0L) size = (to - p).toLong // to end of enclosing box
+        if (size < hdr || p + size > to) return false
+        f(typ(p), p + hdr, p + size.toInt)
+        p += size.toInt
+      }
+      true
+    }
+    if (b.length < 8 || typ(0) != "ftyp") return None
+    var brand: String = null
+    var timescale = -1L; var duration = -1L
+    var nTracks = 0; var nVideo = 0; var nAudio = 0
+    var vw = 0; var vh = 0; var mdat = 0L
+    var sawMoov = false
+    val ok = walk(0, b.length) { (t, o, e) =>
+      t match {
+        case "ftyp" => if (brand == null) brand = new String(b, o, 4,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        case "mdat" => mdat += (e - o).toLong
+        case "moov" =>
+          sawMoov = true
+          walk(o, e) { (t2, o2, e2) =>
+            t2 match {
+              case "mvhd" =>
+                val v = u8(o2)
+                if (v == 0) { timescale = be32(o2 + 12); duration = be32(o2 + 16) }
+                else { timescale = be32(o2 + 20); duration = be64(o2 + 24) }
+              case "trak" =>
+                nTracks += 1
+                var tw = 0; var th = 0; var handler: String = null
+                walk(o2, e2) { (t3, o3, e3) =>
+                  t3 match {
+                    case "tkhd" =>
+                      val v = u8(o3)
+                      // width/height are the LAST 8 payload bytes in
+                      // both versions, 16.16 fixed point
+                      tw = (be32(e3 - 8) >> 16).toInt
+                      th = (be32(e3 - 4) >> 16).toInt
+                      require(v <= 1, "bad tkhd version")
+                    case "mdia" =>
+                      walk(o3, e3) { (t4, o4, _) =>
+                        if (t4 == "hdlr") handler = new String(b, o4 + 8, 4,
+                          java.nio.charset.StandardCharsets.ISO_8859_1)
+                      }
+                    case _ => ()
+                  }
+                }
+                if (handler == "vide") {
+                  nVideo += 1
+                  if (vw == 0) { vw = tw; vh = th }
+                } else if (handler == "soun") nAudio += 1
+              case _ => ()
+            }
+          }
+        case _ => () // free/skip/unknown top-level boxes
+      }
+    }
+    if (!ok || !sawMoov || brand == null || timescale <= 0 || duration < 0 ||
+      nTracks == 0) return None
+    Some(Mp4Meta(id, brand, timescale, duration,
+      duration * 1000L / timescale, nTracks, nVideo, nAudio, vw, vh, mdat))
+  }
+
+  /** One row per decodable MP4 payload through the batched seam —
+    * payload bytes never shuffle; only the fixed-width metadata row
+    * leaves the task. Throws on an undecodable payload — every
+    * [[mp4Docs]] blob parses by construction. */
+  def decodeMp4Meta(bin: DataFrame): Dataset[Mp4Meta] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseMp4(id, bytes).getOrElse(throw new IllegalArgumentException(
+          s"doc $id: not a well-formed MP4")) })
+  }
+
   // ---- TIFF: byte-order-aware IFD walk + multi-strip assembly ----
 
   /** Deterministic TIFF corpus — baseline grayscale 8-bit uncompressed,

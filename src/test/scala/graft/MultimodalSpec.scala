@@ -1056,6 +1056,73 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1)._3 == wantF2)
   }
 
+  test("mp4Docs builds well-formed ISO-BMFF whose box walk matches the closed form") {
+    val docs = Tables.documents(spark, sf0001).limit(40)
+    val out = Multimodal.decodeMp4Meta(Multimodal.mp4Docs(docs)).collect()
+    assert(out.length == 40)
+    out.foreach { m =>
+      val id = m.doc_id
+      assert(m.major_brand == "isom")
+      assert(m.timescale == 600 + 100 * (id % 5))
+      assert(m.duration == 500 + id % 4000)
+      assert(m.duration_ms == m.duration * 1000L / m.timescale)
+      assert(m.n_tracks == (1 + id % 3).toInt)
+      assert(m.n_video == 1 && m.n_audio == m.n_tracks - 1)
+      assert(m.video_width == (16 * (2 + id % 5)).toInt)
+      assert(m.video_height == (16 * (1 + id % 4)).toInt)
+      assert(m.mdat_bytes == 10 + id % 50)
+    }
+  }
+
+  test("parseMp4 walks a hand-built box tree incl. largesize, size-0, v1 mvhd; corruption is None") {
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(x: Long): Unit = { out.write(((x >> 24) & 0xFF).toInt); out.write(((x >> 16) & 0xFF).toInt)
+                                out.write(((x >> 8) & 0xFF).toInt); out.write((x & 0xFF).toInt) }
+    def be64(x: Long): Unit = { be32(x >>> 32); be32(x & 0xFFFFFFFFL) }
+    def tag(s: String): Unit = s.foreach(c => out.write(c.toInt))
+    def zeros(n: Int): Unit = (0 until n).foreach(_ => out.write(0))
+    // ftyp with 'mp42' brand
+    be32(16); tag("ftyp"); tag("mp42"); be32(0)
+    // a 'free' box the walk must skip
+    be32(11); tag("free"); zeros(3)
+    // moov { mvhd v1 (120 payload), trak { tkhd v1 (pl 96), mdia { mdhd(32), hdlr('vide') } } }
+    // mvhd v1: ver(1)/flags, creation64, modification64, timescale32,
+    // duration64, rate, volume, 10 res, matrix(36), 24 pre, next_id
+    val mvhdSize = 8 + 4 + 8 + 8 + 4 + 8 + 4 + 2 + 10 + 36 + 24 + 4 // = 120
+    val tkhdSize = 8 + 4 + 8 + 8 + 4 + 4 + 8 + 8 + 2 + 2 + 2 + 2 + 36 + 4 + 4 // = 104
+    val mdiaSize = 8 + 32 + 33
+    val trakSize = 8 + tkhdSize + mdiaSize
+    be32(8 + mvhdSize + trakSize); tag("moov")
+    be32(mvhdSize); tag("mvhd"); out.write(1); zeros(3); be64(0); be64(0)
+    be32(90000); be64(123456789L); be32(0x10000); out.write(1); out.write(0)
+    zeros(10); zeros(36); zeros(24); be32(2)
+    be32(trakSize); tag("trak")
+    be32(tkhdSize); tag("tkhd"); out.write(1); zeros(3); be64(0); be64(0)
+    be32(1); be32(0); be64(123456789L); zeros(8); zeros(8) // layer/alt/vol/res
+    zeros(36); be32(640 << 16); be32(360 << 16)
+    be32(mdiaSize); tag("mdia")
+    be32(32); tag("mdhd"); zeros(4); be32(0); be32(0); be32(90000); be32(0); zeros(4)
+    be32(33); tag("hdlr"); be32(0); be32(0); tag("vide"); zeros(12); out.write(0)
+    // mdat via 64-bit largesize: size==1 then largesize = 16 + 7
+    be32(1); tag("mdat"); be64(16 + 7); zeros(7)
+    // trailing mdat with size==0 (to end of file): 8 header + 5 data
+    be32(0); tag("mdat"); zeros(5)
+    val file = out.toByteArray
+    val Some(m) = Multimodal.parseMp4(9L, file)
+    assert(m.major_brand == "mp42")
+    assert(m.timescale == 90000L && m.duration == 123456789L)
+    assert(m.duration_ms == 123456789L * 1000L / 90000L)
+    assert(m.n_tracks == 1 && m.n_video == 1 && m.n_audio == 0)
+    assert(m.video_width == 640 && m.video_height == 360)
+    assert(m.mdat_bytes == 7L + 5L)
+    // not starting with ftyp -> None; truncated mid-box -> None;
+    // box overrunning the file -> None
+    assert(Multimodal.parseMp4(9L, file.drop(16)).isEmpty)
+    assert(Multimodal.parseMp4(9L, file.take(40)).isEmpty)
+    val bad = file.clone(); bad(19) = 0x7F.toByte // inflate free box size
+    assert(Multimodal.parseMp4(9L, bad).isEmpty)
+  }
+
   test("decodeTiff: both byte orders decode to the construction arithmetic; ImageIO agrees") {
     // doc 6 = II multi-strip (h=1? 1+6%6=1 -> single strip; pick ids
     // covering single- and multi-strip in both byte orders)
