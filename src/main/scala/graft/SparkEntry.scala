@@ -119,6 +119,12 @@ object SparkEntry {
     // changelog whose final state equals batch keepSet (same oracle)
     "s_stream_keep_set" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayKeepSet(s, Tables.documents(s, dir))),
+    // streaming token budget: per-quality-band candidate-prefix state
+    // (budget-bounded — the monotone running sum means a dropped doc
+    // never re-enters) + a bounded cross-band fold; the changelog's
+    // final state equals batch tokenBudget (same oracle)
+    "s_stream_token_budget" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayTokenBudget(s, Tables.documents(s, dir))),
     "s_stream_update_agg" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayUpdateAgg(s, ev(s, dir))),
     // streaming running moments: additive (n, Σv, Σv²) per kind as
@@ -4690,22 +4696,10 @@ object SparkEntry {
     // (quality DESC, doc_id) ordering equals the Spark side's two-level
     // quality-bucketed prefix scan — identical 4-dp-exact quality,
     // identical integer cumulative sums
-    "c_token_budget" ->
-      """WITH q AS (
-        |  SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
-        |         ROUND(
-        |           len(list_distinct(string_split(text,' '))) / CAST(len(string_split(text,' ')) AS DOUBLE) * 0.5
-        |           + (1.0 - len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and')))
-        |                    / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.2
-        |           + least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.3
-        |           + 1e-12, 4) AS quality
-        |  FROM documents),
-        |c AS (SELECT doc_id, quality, n_tokens,
-        |             SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
-        |      FROM q)
-        |SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |       CAST(cum AS BIGINT) AS cum_tokens
-        |FROM c WHERE cum <= 10000""".stripMargin,
+    "c_token_budget" -> tokenBudgetOracle,
+    // the streaming token budget's changelog-final state IS the batch
+    // budget cut — the s_stream_keep_set proof pattern, same oracle
+    "s_stream_token_budget" -> tokenBudgetOracle,
     // keep-list: same lang CASE, quality weights+nudge, trigram math
     // and md5 keeper as the individual oracles, composed. The oracle
     // filters before its keeper window while the Spark side windows
@@ -5214,6 +5208,26 @@ object SparkEntry {
       |WHERE doc_id = keep_id""".stripMargin
 
   private lazy val keepSetOracle: String = s"WITH $keepSetCtes\n$keepSetSelect"
+
+  /** The greedy (quality DESC, doc_id) prefix under the 10000-token
+    * budget — shared by batch c_token_budget and the streaming replay
+    * (whose changelog-final state equals the batch cut exactly). */
+  private lazy val tokenBudgetOracle: String =
+    """WITH q AS (
+      |  SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+      |         ROUND(
+      |           len(list_distinct(string_split(text,' '))) / CAST(len(string_split(text,' ')) AS DOUBLE) * 0.5
+      |           + (1.0 - len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and')))
+      |                    / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.2
+      |           + least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0) * 0.3
+      |           + 1e-12, 4) AS quality
+      |  FROM documents),
+      |c AS (SELECT doc_id, quality, n_tokens,
+      |             SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM q)
+      |SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(cum AS BIGINT) AS cum_tokens
+      |FROM c WHERE cum <= 10000""".stripMargin
 
   private lazy val keepSetNearDupOracle: String =
     s"""WITH RECURSIVE $keepSetCtes,

@@ -483,6 +483,108 @@ private[streaming] class KeepSetProcessor
   }
 }
 
+/** Streaming token-budget plumbing: one document in (keyed by its
+  * quality band qb = round(quality·10⁴), the batch prefix-scan's
+  * primary bucket), changelog events out. Three event kinds: `add` /
+  * `retract` maintain the band's CANDIDATE set (in-band cumulative
+  * tokens ≤ budget), `tot` snapshots the band's running token total
+  * (ALL arrivals — dropped docs still count toward lower bands'
+  * global prefixes, exactly as the batch running sum does). */
+private[streaming] case class BudgetIn(qb: Long, docId: Long, quality: Double,
+                                       nTokens: Long)
+private[streaming] case class BudgetEvent(kind: String, qb: Long, doc_id: Long,
+                                          quality: Double, n_tokens: Long)
+private[streaming] case class BudgetCand(quality: Double, nTokens: Long)
+
+/** The per-band budget state owner. The batch cut keeps the maximal
+  * (quality DESC, doc_id) PREFIX whose inclusive running token sum
+  * stays within the budget — and because the running sum only grows
+  * as documents arrive, the kept set is always a prefix of the seen
+  * ranking and a dropped document can never re-enter. That monotone
+  * structure is what makes the state bounded: per band we hold only
+  * the current candidate prefix (in-band cum ≤ budget ⇒ at most
+  * `budget` tokens of state per band, parallel across ≤10⁴+1 bands)
+  * plus the in-band drop frontier (the smallest dropped doc_id — any
+  * later-ranked arrival's prefix contains that dropped doc's whole
+  * over-budget prefix, so it is dropped without inspection).
+  *
+  * Per arrival ranked before the frontier: its in-band prefix is the
+  * candidate tokens with smaller id (all smaller-id seen docs are
+  * candidates, by the prefix property); on admit, larger-id
+  * candidates' cums grow by its tokens and the over-budget suffix is
+  * retracted; on reject, ALL larger-id candidates are retracted
+  * (their prefixes now contain an over-budget prefix). Every step is
+  * order-insensitive — any arrival permutation yields the same final
+  * candidate set — so the changelog-final state equals the batch
+  * in-band prefix however the stream was chunked. The cross-band cut
+  * (global prefix of band totals) is a bounded post-fold over the
+  * `tot` snapshots: ≤10⁴+1 rows, the same single small window the
+  * batch totals recursion bottoms out in. */
+private[streaming] class TokenBudgetProcessor(budget: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, BudgetIn, BudgetEvent] {
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var cand: MapState[Long, BudgetCand] = _
+  @transient private var frontier: ValueState[Long] = _
+  @transient private var bandTotal: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    cand = getHandle.getMapState[Long, BudgetCand]("cand",
+      Encoders.scalaLong, Encoders.product[BudgetCand], TTLConfig.NONE)
+    frontier = getHandle.getValueState[Long]("frontier",
+      Encoders.scalaLong, TTLConfig.NONE)
+    bandTotal = getHandle.getValueState[Long]("bandTotal",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(qb: Long, rows: Iterator[BudgetIn],
+                               timers: TimerValues): Iterator[BudgetEvent] = {
+    val cands = scala.collection.mutable.TreeMap.empty[Long, BudgetCand]
+    cand.iterator().foreach { case (id, v) => cands.update(id, v) }
+    var bnd = if (frontier.exists) frontier.get() else Long.MaxValue
+    var tot = if (bandTotal.exists) bandTotal.get() else 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[BudgetEvent]
+    def retractFrom(fromId: Long): Unit = {
+      val gone = cands.iteratorFrom(fromId).toArray
+      gone.foreach { case (id, v) =>
+        out += BudgetEvent("retract", qb, id, v.quality, v.nTokens)
+        cands.remove(id); cand.removeKey(id)
+        if (id < bnd) bnd = id
+      }
+    }
+    rows.toArray.sortBy(_.docId).foreach { r =>
+      tot += r.nTokens
+      if (r.docId < bnd) {
+        val prefix = cands.rangeUntil(r.docId).valuesIterator.map(_.nTokens).sum
+        if (prefix + r.nTokens <= budget) {
+          // admit; then the over-budget suffix of larger-id candidates
+          // (cums all grew by r.nTokens; once one overflows, every
+          // later one does too — running sums are monotone in rank)
+          var cum = prefix + r.nTokens
+          var cut = Long.MaxValue
+          val later = cands.iteratorFrom(r.docId)
+          while (cut == Long.MaxValue && later.hasNext) {
+            val (id, v) = later.next(); cum += v.nTokens
+            if (cum > budget) cut = id
+          }
+          cands.update(r.docId, BudgetCand(r.quality, r.nTokens))
+          cand.updateValue(r.docId, BudgetCand(r.quality, r.nTokens))
+          out += BudgetEvent("add", qb, r.docId, r.quality, r.nTokens)
+          if (cut != Long.MaxValue) retractFrom(cut)
+        } else {
+          if (r.docId < bnd) bnd = r.docId
+          retractFrom(r.docId)
+        }
+      }
+    }
+    bandTotal.update(tot)
+    if (bnd != Long.MaxValue) frontier.update(bnd)
+    // one running-total snapshot per touched band per batch; totals
+    // only grow, so the fold's MAX per band is the final band total
+    out += BudgetEvent("tot", qb, -1L, 0.0, tot)
+    out.iterator
+  }
+}
+
 /** The quantile sketch's streaming state owner: merges each batch's
   * rows into the kind's bottom-k-by-hash sample (the [[graft.operators.Sketch.quantileSketch]]
   * selection rule — md5 of the decimal event-id string, ties by the
@@ -1778,6 +1880,84 @@ object StreamRunner {
       .agg(sum(when(col("keep"), 1).otherwise(-1)).as("bal"))
       .filter(col("bal") > 0)
       .select(col("doc_id"), col("lang_pred"), col("quality"), col("dup_trigram_frac"))
+  }
+
+  /** STREAMING TOKEN BUDGET — the incremental form of the batch
+    * corpus cut ([[graft.operators.Corpus.tokenBudget]]): documents
+    * arrive as a stream; the per-row signals (whitespace token count,
+    * the shared 4-dp [[graft.functions.TextAnalysis.qualityCol]]) run
+    * per micro-batch with literally the batch expressions, and ONE
+    * transformWithState keyed by the quality band — the batch
+    * prefix-scan's primary bucket — maintains each band's
+    * budget-feasible candidate prefix in budget-BOUNDED state (see
+    * [[TokenBudgetProcessor]] for why the monotone running sum makes
+    * that sufficient and order-insensitive). The changelog folds to
+    * the batch kept set exactly: candidates with surviving adds,
+    * in-band cums re-derived over the (budget-bounded, per-band)
+    * final candidates, plus the cross-band prefix over the ≤10⁴+1
+    * band-total snapshots — the same bounded window the batch totals
+    * recursion bottoms out in. Oracle: the c_token_budget SQL.
+    *
+    * Scale shape: state is parallel across bands and ≤ budget tokens
+    * per band; the text column never enters state (only (id, tokens,
+    * quality) triples of current candidates); the post-fold windows
+    * touch only budget-bounded candidate sets and the band-count-
+    * bounded totals frame, never the corpus. */
+  def replayTokenBudget(spark: SparkSession, documents: DataFrame,
+                        budgetTokens: Long = 10000L): DataFrame = {
+    val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
+    val srcDir = docStagedDir(spark, documents)
+    val session = replaySession(spark, rocksDb = true)
+    val src = session.readStream
+      .schema(Encoders.product[StagedDoc].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    import session.implicits._
+    import graft.functions.TextAnalysis.qualityCol
+    val events = src
+      .select(col("docId").as("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nTokens"),
+        qualityCol(col("text")).as("quality"))
+      .select(round(col("quality") * 10000).cast("long").as("qb"),
+        col("doc_id").as("docId"), col("quality"), col("nTokens"))
+      .as[BudgetIn]
+      .groupByKey(_.qb)
+      .transformWithState(new TokenBudgetProcessor(budgetTokens),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    val q = events.writeStream.format("parquet")
+      .option("path", work.resolve("out").toString)
+      .option("checkpointLocation", work.resolve("cp").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val log = spark.read.parquet(work.resolve("out").toString)
+    // band totals: running snapshots only grow, so max = final
+    val totals = log.filter(col("kind") === "tot")
+      .groupBy(col("qb")).agg(max(col("n_tokens")).as("band_tot"))
+    // exclusive cross-band prefix — band count is bounded (≤ 10001),
+    // the one small single-partition window (batch does the same)
+    val prefixed = totals.withColumn("band_prefix",
+      coalesce(sum(col("band_tot")).over(
+        Window.orderBy(col("qb").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // changelog-final candidates: adds never retracted
+    val cands = log.filter(col("kind") =!= "tot")
+      .groupBy(col("doc_id"), col("qb"), col("quality"), col("n_tokens"))
+      .agg(sum(when(col("kind") === "add", 1).otherwise(-1)).as("bal"))
+      .filter(col("bal") > 0)
+    // in-band inclusive cums over the final candidates (a per-band
+    // prefix: every smaller-id same-band doc is itself a candidate,
+    // so this equals the true in-band running sum), budget-bounded
+    // per partition
+    cands.withColumn("ib", sum(col("n_tokens")).over(
+        Window.partitionBy(col("qb")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(prefixed, Seq("qb"))
+      .withColumn("cum_tokens", col("band_prefix") + col("ib"))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
   }
 }
 

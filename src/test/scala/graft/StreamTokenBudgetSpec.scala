@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Corpus
+import graft.streaming.StreamRunner
+
+/** The streaming token budget's changelog-final state must equal the
+  * batch [[Corpus.tokenBudget]] exactly — the incremental form of the
+  * corpus cut. The staging feeds documents in DESCENDING doc_id
+  * order, the adversarial order for a (quality DESC, doc_id ASC)
+  * prefix: within a band every arrival ranks BEFORE everything seen,
+  * so each admit shifts the cums of already-admitted larger-id
+  * candidates and the retraction path runs on real data, not just by
+  * construction. */
+class StreamTokenBudgetSpec extends SparkSpec {
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3)))
+    .toMap
+
+  test("streaming tokenBudget changelog-final equals batch (default budget)") {
+    val docs = Tables.documents(spark, sf0001)
+    val streamed = asMap(StreamRunner.replayTokenBudget(spark, docs))
+    val batch = asMap(Corpus.tokenBudget(docs))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming tokenBudget equals batch at a tight budget (boundary churn)") {
+    // a small budget keeps the kept set near the boundary all replay
+    // long — most admits retract a suffix, and whole bands fall out of
+    // the cross-band cut as better bands fill up
+    val docs = Tables.documents(spark, sf0001)
+    val streamed = asMap(StreamRunner.replayTokenBudget(spark, docs, budgetTokens = 700L))
+    val batch = asMap(Corpus.tokenBudget(docs, budgetTokens = 700L))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // the tight cut must actually bind: far fewer docs than default
+    assert(streamed.size < asMap(Corpus.tokenBudget(docs)).size)
+  }
+}
