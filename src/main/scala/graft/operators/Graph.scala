@@ -800,7 +800,8 @@ object Graph {
     * graph stacks share one audited implementation. Labels are the
     * component MINIMUM node id; component_size rides along. */
   def components(lineitem: DataFrame, maxBasket: Int = 1024,
-                 maxIters: Int = 40): DataFrame = {
+                 maxIters: Int = 40,
+                 forceDistributed: Boolean = false): DataFrame = {
     // the co-purchase graph is NODE-bounded (≤ part count) however
     // dense its edges, and the single-task union-find holds one entry
     // per node — so the fast-path gate is this family's 10M peel gate,
@@ -808,6 +809,7 @@ object Graph {
     val lab = graft.operators.Dedup.connectedComponents(
       coPurchaseEdges(lineitem, maxBasket)
         .select(col("u").as("doc_a"), col("v").as("doc_b")), maxIters,
+      forceDistributed = forceDistributed,
       singleTaskEdgeLimit = PeelEdgeLimit)
       .select(col("doc_id").as("node"), col("label").as("component"))
     val sizes = lab.groupBy(col("component"))
@@ -1624,6 +1626,224 @@ object Graph {
     for (_ <- 1 to radius)
       regs = mergeRoundPacked(sym, regs, broadcast).localCheckpoint()
     unpackRegisters(regs)
+  }
+
+  /** Default hop bound for [[betweenness]]: the dependency walk stops
+    * at distance 4 — bounded-distance Brandes (the κ-bounded
+    * estimator), which on small-world graphs captures most of the
+    * centrality mass while making the path-count magnitudes (and the
+    * oracle's unrolled depth) fixed. */
+  val BetweennessDepth = 4
+
+  /** SAMPLED BOUNDED-DISTANCE BETWEENNESS CENTRALITY over the
+    * co-purchase graph — the shortest-path "bridge" centrality the
+    * family was missing next to [[harmonicCentrality]] (which ranks
+    * by closeness, not by brokerage): bc(v) = Σ over sampled sources
+    * s ≠ v of the Brandes dependency δ_s(v) = Σ_{w: v ∈ pred_s(w)}
+    * σ_s(v)/σ_s(w) · (1 + δ_s(w)), where σ is the shortest-path
+    * count and predecessors are taken on the BFS DAG truncated at
+    * `maxDepth` hops (Brandes 2001's accumulation; source sampling à
+    * la Eppstein–Wang — the 100 TB estimator shape, since exact BC is
+    * O(V·E) and never runs whole-corpus). Sources are the `nSeeds`
+    * smallest node ids (the family's deterministic seed rule); the
+    * output is the UNNORMALIZED sampled dependency sum, rounded to
+    * 6 dp, one row per non-source-level node within maxDepth−1 hops
+    * of any source (nodes whose bounded dependency is 0 included).
+    *
+    * Cross-engine determinism: σ is exact BIGINT arithmetic; each
+    * dependency term is quantized to 9 dp and summed as
+    * DECIMAL(28,9) (exact, order-free — the [[personalizedPageRank]]
+    * discipline), the per-level δ is carried as a 9 dp-rounded
+    * DOUBLE, and the final per-node sum re-quantizes the same way, so
+    * the DuckDB oracle's unrolled replay hashes equal.
+    *
+    * Scale shape, distributed route: the forward pass is `maxDepth`
+    * rounds of (edge frame ⋈ gated-broadcast frontier → partial-agg
+    * Σσ → anti-join vs visited), all keyed (src, node) so the state
+    * is |sample|·|V|-bounded, never |V|²; the backward pass is
+    * maxDepth−1 rounds of the same join shape against the
+    * next-deeper level. Per-round localCheckpoint with fresh leaf
+    * stats (the coreNumbers stats-squaring rule). Single-task CSR
+    * Brandes under the [[PeelEdgeLimit]] gate, parity-pinned by
+    * GraphSpec. */
+  def betweenness(lineitem: DataFrame, nSeeds: Int = 10,
+                  maxDepth: Int = BetweennessDepth, maxBasket: Int = 1024,
+                  nodeBroadcastLimit: Long = BroadcastNodeLimit,
+                  forceDistributed: Boolean = false): DataFrame = {
+    require(nSeeds >= 1, s"nSeeds must be >= 1, got $nSeeds")
+    require(maxDepth >= 2 && maxDepth <= 8,
+      s"maxDepth must be in [2, 8] (sigma stays BIGINT-exact), got $maxDepth")
+    val spark = lineitem.sparkSession
+    val edges = coPurchaseEdges(lineitem, maxBasket)
+    if (edges.count() < PeelEdgeLimit && !forceDistributed)
+      return betweennessSingleTask(edges, nSeeds, maxDepth)
+    val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .unionByName(edges.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint()
+    val nNodes = sym.select(col("node")).distinct().count()
+    def gated(df: DataFrame): DataFrame =
+      if (nNodes <= nodeBroadcastLimit) broadcast(df) else df
+    val seeds = sym.select(col("node")).distinct()
+      .orderBy(col("node")).limit(nSeeds)
+    // forward: lvls(k) = (src, node, sigma) for nodes first reached at
+    // hop k; empty frames keep the unrolled-oracle shape when the
+    // graph is shallower than maxDepth
+    val lvl0 = seeds.select(col("node").as("src"), col("node"),
+      lit(1L).as("sigma")).localCheckpoint()
+    val lvls = scala.collection.mutable.ArrayBuffer[DataFrame](lvl0)
+    var visited = lvl0.select(col("src"), col("node"))
+    var frontierEmpty = lvl0.isEmpty
+    for (k <- 1 to maxDepth) {
+      if (frontierEmpty) lvls += spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], lvl0.schema)
+      else {
+        val nextCp = sym.join(gated(lvls(k - 1)), "node")
+          .groupBy(col("src"), col("nbr").as("node"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .join(gated(visited), Seq("src", "node"), "left_anti")
+          .localCheckpoint()
+        val next = spark.createDataFrame(nextCp.rdd, nextCp.schema)
+        lvls += next
+        frontierEmpty = next.isEmpty
+        if (!frontierEmpty) {
+          visited = visited.unionByName(next.select(col("src"), col("node")))
+            .localCheckpoint()
+          visited = spark.createDataFrame(visited.rdd, visited.schema)
+        }
+      }
+    }
+    // backward: dfull(k) = lvls(k) + its delta (0 when no successors);
+    // level maxDepth's delta is 0 by the bounded-estimator definition
+    val term = round(col("sigma").cast("double") / col("sigma_w").cast("double") *
+      (lit(1.0) + col("delta_w")) + lit(1e-12), 9).cast("decimal(28,9)")
+    var dfullNext = lvls(maxDepth).withColumn("delta", lit(0.0))
+    val outs = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (k <- (maxDepth - 1) to 1 by -1) {
+      val dk = lvls(k).join(sym, "node")
+        .join(gated(dfullNext.select(col("src"), col("node").as("nbr"),
+          col("sigma").as("sigma_w"), col("delta").as("delta_w"))),
+          Seq("src", "nbr"))
+        .groupBy(col("src"), col("node"))
+        .agg(round(sum(term).cast("double") + lit(1e-12), 9).as("delta"))
+      val dfullCp = lvls(k).join(dk, Seq("src", "node"), "left")
+        .select(col("src"), col("node"), col("sigma"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint()
+      dfullNext = spark.createDataFrame(dfullCp.rdd, dfullCp.schema)
+      outs += dfullNext
+    }
+    outs.reduce(_ unionByName _)
+      .groupBy(col("node"))
+      .agg(round(sum(round(col("delta") + lit(1e-12), 9).cast("decimal(28,9)"))
+        .cast("double") + lit(1e-12), 6).as("betweenness"))
+  }
+
+  /** The Brandes walk of [[betweenness]] in ONE task over a CSR
+    * adjacency — per sampled source: queue BFS to maxDepth computing
+    * (dist, σ), then the dependency accumulation deepest-level-first
+    * with the SAME 9 dp term quantization (BigDecimal HALF_UP mirrors
+    * Spark's `round`), δ carried as the 9 dp double, contributions
+    * summed in exact nano-unit longs. Identical output to the
+    * distributed loop (GraphSpec pins parity). */
+  private def betweennessSingleTask(edges: DataFrame, nSeeds: Int,
+                                    maxDepth: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    edges.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)](inEnc)
+      .coalesce(1)
+      .mapPartitions { it =>
+        import java.math.{BigDecimal => JBD, RoundingMode}
+        def round9(x: Double): Double =
+          JBD.valueOf(x + 1e-12).setScale(9, RoundingMode.HALF_UP).doubleValue()
+        // a 9 dp-rounded double's decimal rendering is exact — nano
+        // units make the cross-(src,k) sum order-free, like the
+        // distributed DECIMAL(28,9) aggregation
+        def nanos(x: Double): Long =
+          JBD.valueOf(x).movePointRight(9).setScale(0, RoundingMode.HALF_UP)
+            .longValueExact()
+        val us = new scala.collection.mutable.ArrayBuffer[Long]()
+        val vs = new scala.collection.mutable.ArrayBuffer[Long]()
+        it.foreach { case (a, b) => us += a; vs += b }
+        val m = us.length
+        val idx = new scala.collection.mutable.LongMap[Int]()
+        val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+        def indexOf(id: Long): Int = idx.getOrElseUpdate(id, { ids += id; ids.length - 1 })
+        val eu = new Array[Int](m); val ev = new Array[Int](m)
+        var i = 0
+        while (i < m) { eu(i) = indexOf(us(i)); ev(i) = indexOf(vs(i)); i += 1 }
+        val n = ids.length
+        val deg = new Array[Int](n)
+        i = 0; while (i < m) { deg(eu(i)) += 1; deg(ev(i)) += 1; i += 1 }
+        val off = new Array[Int](n + 1)
+        i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+        val adj = new Array[Int](2 * m)
+        val fill = java.util.Arrays.copyOf(off, n)
+        i = 0
+        while (i < m) {
+          adj(fill(eu(i))) = ev(i); fill(eu(i)) += 1
+          adj(fill(ev(i))) = eu(i); fill(ev(i)) += 1
+          i += 1
+        }
+        val seeds = (0 until n).sortBy(ids).take(nSeeds)
+        val bcNanos = new scala.collection.mutable.LongMap[Long]()
+        val touched = new scala.collection.mutable.BitSet(n)
+        val dist = new Array[Int](n)
+        val sigma = new Array[Long](n)
+        val delta = new Array[Double](n)
+        val order = new Array[Int](n) // BFS visit order (level-sorted)
+        seeds.foreach { s =>
+          java.util.Arrays.fill(dist, -1)
+          java.util.Arrays.fill(sigma, 0L)
+          java.util.Arrays.fill(delta, 0.0)
+          dist(s) = 0; sigma(s) = 1L
+          order(0) = s
+          var head = 0; var tail = 1
+          while (head < tail) {
+            val v = order(head); head += 1
+            if (dist(v) < maxDepth) {
+              var e = off(v)
+              while (e < off(v + 1)) {
+                val w = adj(e)
+                if (dist(w) < 0) {
+                  dist(w) = dist(v) + 1; order(tail) = w; tail += 1
+                }
+                if (dist(w) == dist(v) + 1) sigma(w) = sigma(w) + sigma(v)
+                e += 1
+              }
+            }
+          }
+          // dependency accumulation, deepest first; nodes at maxDepth
+          // keep delta 0 and are not emitted (bounded estimator)
+          var p = tail - 1
+          while (p >= 0) {
+            val v = order(p); p -= 1
+            if (dist(v) < maxDepth) {
+              var acc = 0L
+              var e = off(v)
+              while (e < off(v + 1)) {
+                val w = adj(e)
+                if (dist(w) == dist(v) + 1)
+                  acc = Math.addExact(acc, nanos(round9(
+                    sigma(v).toDouble / sigma(w).toDouble * (1.0 + delta(w)))))
+                e += 1
+              }
+              delta(v) = round9(JBD.valueOf(acc, 9).doubleValue())
+              if (dist(v) >= 1 && dist(v) <= maxDepth - 1) {
+                bcNanos(v) = bcNanos.getOrElse(v, 0L) + nanos(delta(v))
+                touched += v
+              }
+            }
+          }
+        }
+        def round6(x: Double): Double =
+          JBD.valueOf(x + 1e-12).setScale(6, RoundingMode.HALF_UP).doubleValue()
+        touched.iterator.map { v =>
+          (ids(v), round6(JBD.valueOf(bcNanos(v), 9).doubleValue()))
+        }
+      }(outEnc)
+      .toDF("node", "betweenness")
   }
 }
 

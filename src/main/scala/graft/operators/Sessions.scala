@@ -149,6 +149,14 @@ object Sessions {
     val daily = events
       .select(expr("ts div 1000 div 86400000000").as("day"))
       .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    cusumScan(daily)
+  }
+
+  /** The closed-form CUSUM scan over an already-built (day, n) daily
+    * frame — shared by [[cusumChangepoint]] and the streaming replay
+    * (whose incrementally-maintained daily counts fold to exactly
+    * this frame). Day-grain input bounds every window. */
+  private[graft] def cusumScan(daily: DataFrame): DataFrame = {
     val stats = daily.agg(sum(col("n")).as("total"), count(lit(1)).as("n_days"))
     val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
     val scanned = daily.crossJoin(broadcast(stats))

@@ -660,6 +660,44 @@ object StreamRunner {
 
   private val runId = new AtomicInteger(0)
 
+  // ---------------------------------------------------------------
+  // Replay progress accounting (bench attribution). The replay wall
+  // time of a kilobyte-scale chunked backfill is dominated by the
+  // per-micro-batch fixed floor (planning + offset-log fsync + state
+  // commit), so a graded number is only comparable across hosts and
+  // rounds together with (a) the batch count it paid and (b) how much
+  // of the wall was inside trigger execution vs scheduling gaps.
+  // Every replay folds its query's progress events into these
+  // counters; the bench reads the delta per query and ships both in
+  // bench_full.json ("batches" / "trigger_ms").
+  // ---------------------------------------------------------------
+  private val replayBatchTotal = new java.util.concurrent.atomic.AtomicLong(0)
+  private val replayTriggerMsTotal = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** (micro-batches executed, summed triggerExecution ms) across every
+    * replay since [[resetReplayStats]]. Monotone within a session;
+    * callers diff around a measured region. */
+  def replayStats: (Long, Long) =
+    (replayBatchTotal.get, replayTriggerMsTotal.get)
+
+  def resetReplayStats(): Unit = {
+    replayBatchTotal.set(0); replayTriggerMsTotal.set(0)
+  }
+
+  /** Drain the query, then fold its executed-batch progress into the
+    * session counters. `recentProgress` retains the last 100 progress
+    * events — far above any replay's batch count (≤ ReplayChunks + 2
+    * sentinels; no-data batches are disabled on replay sessions, so
+    * the count is exactly the staged file count the glob admits). */
+  private def awaitAndRecord(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination()
+    val progs = q.recentProgress
+    replayBatchTotal.addAndGet(progs.length.toLong)
+    replayTriggerMsTotal.addAndGet(progs.map { p =>
+      Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)
+    }.sum)
+  }
+
   /** Chunks = micro-batches in the replay: 2 proves incremental
     * cross-batch state handling (state crosses a real batch boundary;
     * FkJoinStreamSpec exercises many-batch interleavings separately)
@@ -904,6 +942,18 @@ object StreamRunner {
       if (s.conf.isModifiable(k)) s.conf.set(k, v)
     }
     s.conf.set("spark.sql.shuffle.partitions", replayPartitions(spark).toString)
+    // Pin the micro-batch count to EXACTLY the staged file count the
+    // source glob admits: with no-data batches on, the engine may or
+    // may not append trailing empty batches (watermark-commit flushes),
+    // and that host-scheduling-dependent extra batch is pure fixed
+    // floor — it moved graded replay numbers 2.5x round-over-round.
+    // Semantics do not depend on it: the two-sentinel closure protocol
+    // was designed so append-mode emission never needs a no-data flush
+    // batch (see [[stage]]), and the no-watermark topologies
+    // (TimeMode.None / update folds) never used them at all. With this
+    // off, wall time is batch-count-deterministic and the "batches"
+    // counter in bench_full.json proves it per query per round.
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     // State-store provider is a PER-TOPOLOGY choice, set explicitly on
     // the clone (never inherited, never leaked to the caller):
     //  - RocksDB for the topologies that model the reference's
@@ -958,7 +1008,7 @@ object StreamRunner {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     (spark.read.parquet(work.resolve("out").toString),
       spark.read.parquet(srcDir.toString))
   }
@@ -1284,7 +1334,7 @@ object StreamRunner {
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     spark.read.parquet(s"$outDir/b*")
   }
 
@@ -1675,7 +1725,7 @@ object StreamRunner {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     spark.read.parquet(work.resolve("out").toString)
   }
 
@@ -1703,7 +1753,7 @@ object StreamRunner {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     val counts = spark.read.parquet(work.resolve("out").toString)
       .groupBy(col("variant"))
       .agg(sum(when(col("kind") === "user", 1L).otherwise(0L)).as("n_users"),
@@ -1722,6 +1772,44 @@ object StreamRunner {
             (lit(1.0) - (col("ca") + col("cb")) / (col("na") + col("nb")).cast("double")) *
             (lit(1.0) / col("na").cast("double") + lit(1.0) / col("nb").cast("double")))
           + lit(1e-12), 6).as("z"))
+  }
+
+  /** Streaming CUSUM change-point replay: the raw topic maintains a
+    * per-day event count as UPDATE-mode state (one row per distinct
+    * day — calendar-bounded however large the stream), re-emitting a
+    * day's count each micro-batch it changes; the changelog's LAST
+    * emission per day is the exact batch daily frame, and the
+    * closed-form CUSUM scan ([[graft.operators.Sessions.cusumScan]],
+    * literally the batch expressions) runs over that day-grain fold.
+    * The detector is thus incrementally maintainable: at 100 TB the
+    * state is the day dimension, the scan cost the calendar length.
+    * Oracle: identical SQL to q_cusum_changepoint. */
+  def replayCusum(spark: SparkSession, events: DataFrame): DataFrame = {
+    val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
+    val srcDir = rawStagedDir(spark, events)
+    val session = replaySession(spark, rocksDb = false)
+    val src = session.readStream
+      .schema(Encoders.product[StagedRaw].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    val outDir = work.resolve("out")
+    val agg = src.select(expr("tus div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(outDir.resolve(s"b$batchId").toString)
+        ()
+      }
+      .option("checkpointLocation", work.resolve("cp").toString)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q)
+    val daily = spark.read.parquet(s"$outDir/b*")
+      .groupBy(col("day"))
+      .agg(max_by(col("n"), col("batch_id")).as("n"))
+    graft.operators.Sessions.cusumScan(daily)
   }
 
   /** Streaming retention replay: the raw topic keyed by user through
@@ -1750,7 +1838,7 @@ object StreamRunner {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     spark.read.parquet(work.resolve("out").toString)
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(count(lit(1)).as("n_users"))
@@ -1783,7 +1871,7 @@ object StreamRunner {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     spark.read.parquet(work.resolve("out").toString)
       .groupBy(col("touch"))
       .agg(count(lit(1)).as("n_purchases"),
@@ -1871,7 +1959,7 @@ object StreamRunner {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     val log = spark.read.parquet(work.resolve("out").toString)
     // changelog-final: a doc is kept iff its add was never retracted
     // (adds and retracts alternate per doc at most once each)
@@ -1931,7 +2019,7 @@ object StreamRunner {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     val log = spark.read.parquet(work.resolve("out").toString)
     // band totals: running snapshots only grow, so max = final
     val totals = log.filter(col("kind") === "tot")

