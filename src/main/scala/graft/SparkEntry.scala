@@ -109,6 +109,11 @@ object SparkEntry {
     // folded counts feed the batch z expression tree
     "s_stream_ab_test" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayAbTest(s, ev(s, dir))),
+    // streaming CUSUM change-point: update-mode per-day counts
+    // (calendar-bounded state), changelog folds to the batch daily
+    // frame, then the shared closed-form scan
+    "s_stream_cusum" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayCusum(s, ev(s, dir))),
     // streaming incremental top-k: moveFold changelog -> per-zone
     // occupancy MapState -> versioned rank snapshots; the final
     // (max-version) standings equal the batch latest-per-car ranking
@@ -736,6 +741,10 @@ object SparkEntry {
     // rich-club density among nodes of degree > k, per threshold
     "q_rich_club" -> ((s, dir) =>
       graft.operators.Graph.richClub(Tables.lineitem(s, dir))),
+    // sampled bounded-distance Brandes betweenness (brokerage
+    // centrality): 10 sources, dependency walk truncated at 4 hops
+    "q_betweenness" -> ((s, dir) =>
+      graft.operators.Graph.betweenness(Tables.lineitem(s, dir))),
     // hot-key-salted fact⋈dim join; the oracle is the PLAIN join —
     // salting must be invisible in the result
     "q_salted_join" -> ((s, dir) => {
@@ -891,6 +900,14 @@ object SparkEntry {
     // track typing, 16.16 tkhd dims, mdat byte totals
     "m_decode_mp4" -> ((s, dir) =>
       Multimodal.decodeMp4Meta(Multimodal.mp4Docs(Tables.documents(s, dir))).toDF()),
+    // REAL RIFF/WebP walk: VP8 start-code + 14-bit dims, VP8L packed
+    // 28-bit bitfield, VP8X 24-bit canvas + feature flags
+    "m_decode_webp" -> ((s, dir) =>
+      Multimodal.decodeWebpMeta(Multimodal.webpDocs(Tables.documents(s, dir))).toDF()),
+    // REAL MPEG-1 Layer III frame walk: ID3v2 syncsafe skip, per-frame
+    // sync/bitrate/rate validation, spec frame-length advance
+    "m_decode_mp3" -> ((s, dir) =>
+      Multimodal.decodeMp3Meta(Multimodal.mp3Docs(Tables.documents(s, dir))).toDF()),
     // every 2nd REAL video frame sliced from the movi index and
     // fingerprinted; the oracle rebuilds each sampled frame's bytes
     "m_avi_frames" -> ((s, dir) =>
@@ -3172,6 +3189,33 @@ object SparkEntry {
     // field the box walk extracts (brand, mvhd timescale/duration,
     // track counts by hdlr, first-video tkhd dims, mdat byte total)
     // is pure arithmetic; duration_ms is integer division both sides
+    // WebP: every field is closed-form in doc_id (the walk validates
+    // the real container; the oracle replays the generator arithmetic)
+    "m_decode_webp" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'VP8 '
+        |            WHEN 1 THEN 'VP8L' ELSE 'VP8X' END AS variant,
+        |       CAST(16 + doc_id % 300 AS INT) AS width,
+        |       CAST(16 + doc_id % 200 AS INT) AS height,
+        |       (doc_id % 3 <> 0 AND doc_id % 2 = 0) AS has_alpha,
+        |       CAST(CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS INT) AS n_chunks,
+        |       CAST(CASE WHEN doc_id % 3 = 1 THEN 5 ELSE 10 END
+        |            + 10 + doc_id % 40 AS BIGINT) AS image_bytes
+        |FROM documents""".stripMargin,
+    // MP3: CBR frame-length recurrence — table lookups + integer sums
+    "m_decode_mp3" ->
+      """WITH p AS (SELECT doc_id,
+        |    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(1 + doc_id % 14 AS INT)] AS kbps,
+        |    ([44100,48000,32000])[CAST(1 + doc_id % 3 AS INT)] AS rate,
+        |    CAST(3 + doc_id % 8 AS INT) AS nf FROM documents)
+        |SELECT doc_id, CAST(kbps AS INT) AS bitrate_kbps,
+        |       CAST(rate AS INT) AS sample_rate, nf AS n_frames,
+        |       CAST(nf * 1152 * 1000 // rate AS BIGINT) AS duration_ms,
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 20 + doc_id % 20 ELSE 0 END
+        |            AS BIGINT) AS id3_bytes,
+        |       CAST(list_sum([144000 * kbps // rate + (doc_id + k) % 2
+        |                      for k in generate_series(0, nf - 1)]) AS BIGINT) AS audio_bytes
+        |FROM p""".stripMargin,
     "m_decode_mp4" ->
       """WITH p AS (SELECT doc_id,
         |                  CAST(1 + doc_id % 3 AS INT) AS n_tracks,
@@ -4149,18 +4193,10 @@ object SparkEntry {
         |       abs(n - med) > 3.0 * mad AS is_anomaly
         |FROM d JOIN mad USING (dow)""".stripMargin,
     // CUSUM: closed-form cum - k*mean over the day grid, argmax peak
-    "q_cusum_changepoint" ->
-      """WITH daily AS (SELECT (epoch_ns(ts) // 1000) // 86400000000 AS day, COUNT(*) AS n
-        |               FROM events GROUP BY 1),
-        |st AS (SELECT SUM(n) AS total, COUNT(*) AS n_days FROM daily),
-        |sc AS (SELECT day, n,
-        |              ROUND(total / CAST(n_days AS DOUBLE) + 1e-12, 6) AS mean,
-        |              ROW_NUMBER() OVER (ORDER BY day) AS k,
-        |              SUM(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
-        |       FROM daily, st),
-        |cs AS (SELECT day, n, ROUND(cum - k * mean + 1e-9, 6) AS cusum FROM sc),
-        |pk AS (SELECT day AS peak_day FROM cs ORDER BY abs(cusum) DESC, day LIMIT 1)
-        |SELECT day, n, cusum, day = (SELECT peak_day FROM pk) AS is_peak FROM cs""".stripMargin,
+    "q_cusum_changepoint" -> cusumOracle,
+    // streaming CUSUM: the update-mode daily-count changelog folds to
+    // the exact batch daily frame, then the same closed-form scan
+    "s_stream_cusum" -> cusumOracle,
     // streaming A/B: identical readout to the batch q_ab_test
     "s_stream_ab_test" ->
       """WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day,
@@ -4451,6 +4487,10 @@ object SparkEntry {
     // arithmetic, so the unrolled-round replay is hash-exact
     "q_kcore" -> kcoreOracle,
     "q_ktruss" -> ktrussOracle,
+    // betweenness: sigma is exact BIGINT; each dependency term is
+    // 9-dp-quantized and summed as DECIMAL (the PPR discipline), so
+    // the unrolled forward/backward replay is hash-exact
+    "q_betweenness" -> betweennessOracle,
     // association rules: integer basket/item/pair counts, each ratio
     // one nudge-rounded division, rank ties on the ids
     "q_assoc_rules" ->
@@ -6054,6 +6094,78 @@ object SparkEntry {
     * the h-index of { min(t of the other two edges) } with q_kcore's
     * any-change sentinel; MIN over the accumulated rows is the
     * (monotone) fixpoint, + 2 = trussness. */
+  /** Day-grain CUSUM scan (Page's detector, offline closed form):
+    * exact integer sums until one 6-dp mean division — shared by the
+    * batch q_cusum_changepoint and the streaming s_stream_cusum,
+    * whose folded daily-count changelog is the same frame. */
+  private lazy val cusumOracle: String =
+    """WITH daily AS (SELECT (epoch_ns(ts) // 1000) // 86400000000 AS day, COUNT(*) AS n
+      |               FROM events GROUP BY 1),
+      |st AS (SELECT SUM(n) AS total, COUNT(*) AS n_days FROM daily),
+      |sc AS (SELECT day, n,
+      |              ROUND(total / CAST(n_days AS DOUBLE) + 1e-12, 6) AS mean,
+      |              ROW_NUMBER() OVER (ORDER BY day) AS k,
+      |              SUM(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+      |       FROM daily, st),
+      |cs AS (SELECT day, n, ROUND(cum - k * mean + 1e-9, 6) AS cusum FROM sc),
+      |pk AS (SELECT day AS peak_day FROM cs ORDER BY abs(cusum) DESC, day LIMIT 1)
+      |SELECT day, n, cusum, day = (SELECT peak_day FROM pk) AS is_peak FROM cs""".stripMargin
+
+  /** Bounded-distance Brandes replayed level by level: forward CTEs
+    * build (src, node, sigma) per hop with an explicit visited frame
+    * (sigma = exact path counts, BIGINT arithmetic), backward CTEs
+    * accumulate the dependency with the identical 9-dp
+    * term-quantize / DECIMAL-sum / 9-dp-round chain the Spark loop
+    * (and its single-task CSR twin) computes — see
+    * [[graft.operators.Graph.betweenness]]. */
+  private lazy val betweennessOracle: String = {
+    import graft.operators.Graph.BetweennessDepth
+    val d = BetweennessDepth
+    val fwd = (1 to d).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT t.src, t.node, t.sigma FROM (
+         |    SELECT l.src, s.nbr AS node, SUM(l.sigma) AS sigma
+         |    FROM l${k - 1} l JOIN sym s ON s.node = l.node
+         |    GROUP BY l.src, s.nbr) t
+         |  LEFT JOIN v${k - 1} v ON v.src = t.src AND v.node = t.node
+         |  WHERE v.node IS NULL),
+         |v$k AS MATERIALIZED (SELECT src, node FROM v${k - 1}
+         |  UNION ALL SELECT src, node FROM l$k)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((d - 1) to 1 by -1).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT l.src, l.node,
+         |         ROUND(CAST(SUM(CAST(ROUND(CAST(l.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE)
+         |                * (1.0 + w.delta) + 1e-12, 9) AS DECIMAL(28,9))) AS DOUBLE)
+         |               + 1e-12, 9) AS delta
+         |  FROM l$k l JOIN sym s ON s.node = l.node
+         |       JOIN f${k + 1} w ON w.src = l.src AND w.node = s.nbr
+         |  GROUP BY l.src, l.node),
+         |f$k AS MATERIALIZED (
+         |  SELECT l.src, l.node, l.sigma, COALESCE(dd.delta, 0.0) AS delta
+         |  FROM l$k l LEFT JOIN d$k dd ON dd.src = l.src AND dd.node = l.node)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to d - 1).map(k => s"SELECT node, delta FROM f$k")
+      .mkString(" UNION ALL ")
+    s"""WITH po0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |po AS (SELECT o, p FROM po0 QUALIFY COUNT(*) OVER (PARTITION BY o) <= 1024),
+       |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+       |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+       |sym AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e
+       |        UNION ALL SELECT v, u FROM e),
+       |seeds AS (SELECT node FROM (SELECT DISTINCT node FROM sym)
+       |          ORDER BY node LIMIT 10),
+       |l0 AS (SELECT node AS src, node, CAST(1 AS BIGINT) AS sigma FROM seeds),
+       |v0 AS (SELECT src, node FROM l0),
+       |$fwd,
+       |f$d AS (SELECT src, node, sigma, 0.0 AS delta FROM l$d),
+       |$bwd
+       |SELECT node,
+       |       ROUND(CAST(SUM(CAST(ROUND(delta + 1e-12, 9) AS DECIMAL(28,9))) AS DOUBLE)
+       |             + 1e-12, 6) AS betweenness
+       |FROM ($unions) GROUP BY node""".stripMargin
+  }
+
   private lazy val ktrussOracle: String =
     """WITH RECURSIVE
       |po0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -3865,4 +3865,282 @@ object Multimodal {
         decodeTiff(id, bytes).getOrElse(throw new IllegalArgumentException(
           s"doc $id: not a decodable baseline grayscale TIFF")) })
   }
+
+  // ---- WebP: RIFF walk + VP8/VP8L/VP8X header bitstreams ----
+
+  case class WebpMeta(doc_id: Long, variant: String, width: Int, height: Int,
+                      has_alpha: Boolean, n_chunks: Int, image_bytes: Long)
+
+  /** Deterministic WebP corpus cycling all three stream variants by
+    * doc_id % 3 — lossy VP8 (the 0x9d012a start code + two 14-bit
+    * little-endian dims), lossless VP8L (the 0x2f signature + a
+    * 28-bit packed w−1/h−1/alpha bitfield), and extended VP8X (the
+    * 24-bit little-endian canvas−1 fields + feature flags, wrapping a
+    * VP8 image chunk). dims w = 16 + id % 300, h = 16 + id % 200;
+    * VP8X/VP8L carry alpha iff id % 2 = 0; the image chunk trails
+    * 10 + id % 40 deterministic filler bytes so declared chunk sizes
+    * are load-bearing. Built in the batched mapPartitions seam (the
+    * tiffDocs justification); the oracle never needs the container —
+    * every output field is closed-form in doc_id. */
+  def webpDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (16 + id % 300).toInt
+        val h = (16 + id % 200).toInt
+        val alpha = id % 2 == 0
+        val filler = (10 + id % 40).toInt
+        val out = new java.io.ByteArrayOutputStream()
+        def le16(x: Int): Unit = { out.write(x & 0xFF); out.write((x >> 8) & 0xFF) }
+        def le24(x: Int): Unit = { le16(x); out.write((x >> 16) & 0xFF) }
+        def le32(x: Int): Unit = { le24(x); out.write((x >> 24) & 0xFF) }
+        def tag(s: String): Unit = s.foreach(c => out.write(c.toInt))
+        def vp8Chunk(): Unit = {
+          // frame tag: keyframe (bit0=0), version 0, show_frame, a
+          // 19-bit first-partition size (filler) — then the start code
+          val partSize = filler
+          val tag0 = (partSize << 5) | 0x10
+          tag("VP8 "); le32(10 + filler)
+          out.write(tag0 & 0xFF); out.write((tag0 >> 8) & 0xFF)
+          out.write((tag0 >> 16) & 0xFF)
+          out.write(0x9D); out.write(0x01); out.write(0x2A)
+          le16(w); le16(h) // 14-bit dims, scale bits 0
+          var k = 0
+          while (k < filler) { out.write(((id * 11 + 5L * k) % 256).toInt); k += 1 }
+          if ((10 + filler) % 2 == 1) out.write(0) // RIFF even padding
+        }
+        def vp8lChunk(): Unit = {
+          // 0x2f signature, then LSB-first packed: 14-bit w-1, 14-bit
+          // h-1, 1-bit alpha, 3-bit version (0)
+          val bits = (w - 1).toLong | ((h - 1).toLong << 14) |
+            ((if (alpha) 1L else 0L) << 28)
+          tag("VP8L"); le32(5 + filler)
+          out.write(0x2F)
+          le32((bits & 0xFFFFFFFFL).toInt)
+          var k = 0
+          while (k < filler) { out.write(((id * 11 + 5L * k) % 256).toInt); k += 1 }
+          if ((5 + filler) % 2 == 1) out.write(0)
+        }
+        id % 3 match {
+          case 0 => vp8Chunk()
+          case 1 => vp8lChunk()
+          case _ =>
+            // VP8X: flags (alpha bit 4 of byte 0), 3 reserved, 24-bit
+            // canvas w-1 / h-1, then the image chunk
+            tag("VP8X"); le32(10)
+            out.write(if (alpha) 0x10 else 0x00)
+            out.write(0); out.write(0); out.write(0)
+            le24(w - 1); le24(h - 1)
+            vp8Chunk()
+        }
+        val chunks = out.toByteArray
+        val riff = new java.io.ByteArrayOutputStream()
+        def rle32(x: Int): Unit = { riff.write(x & 0xFF); riff.write((x >> 8) & 0xFF)
+                                    riff.write((x >> 16) & 0xFF); riff.write((x >> 24) & 0xFF) }
+        "RIFF".foreach(c => riff.write(c.toInt))
+        rle32(4 + chunks.length)
+        "WEBP".foreach(c => riff.write(c.toInt))
+        riff.write(chunks)
+        (id, riff.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** REAL WebP walk: validates the RIFF/WEBP envelope (little-endian
+    * RIFF size must cover the chunk chain), then iterates fourcc
+    * chunks with even-byte padding. The FIRST chunk types the stream:
+    * 'VP8 ' → verify the 0x9d012a start code, dims from two 14-bit
+    * little-endian fields; 'VP8L' → verify the 0x2f signature, dims
+    * (+alpha) from the LSB-first 28-bit bitfield, version must be 0;
+    * 'VP8X' → feature flags + 24-bit canvas−1 fields, then the inner
+    * image chunk is still walked (n_chunks counts it). image_bytes =
+    * the declared size of the VP8/VP8L image chunk. None for a
+    * malformed envelope, unknown leading chunk, bad signature, or a
+    * chunk running past the buffer. */
+  private[graft] def parseWebp(id: Long, b: Array[Byte]): Option[WebpMeta] =
+    try {
+      def u8(i: Int): Int = b(i) & 0xFF
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def le24(i: Int): Int = le16(i) | (u8(i + 2) << 16)
+      def le32(i: Int): Long = le24(i).toLong | (u8(i + 3).toLong << 24)
+      def tag(i: Int): String =
+        new String(b, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (b.length < 20 || tag(0) != "RIFF" || tag(8) != "WEBP") return None
+      val riffEnd = 8L + le32(4)
+      if (riffEnd > b.length) return None
+      var off = 12
+      var variant: String = null
+      var width = -1; var height = -1; var alpha = false
+      var chunks = 0; var imageBytes = -1L
+      while (off + 8 <= riffEnd) {
+        val fourcc = tag(off)
+        val size = le32(off + 4)
+        val p = off + 8
+        if (p + size > riffEnd) return None
+        chunks += 1
+        fourcc match {
+          case "VP8 " =>
+            if (size < 10 || u8(p + 3) != 0x9D || u8(p + 4) != 0x01 ||
+                u8(p + 5) != 0x2A) return None
+            if (variant == null) variant = "VP8 "
+            if (width < 0) { width = le16(p + 6) & 0x3FFF; height = le16(p + 8) & 0x3FFF }
+            imageBytes = size
+          case "VP8L" =>
+            if (size < 5 || u8(p) != 0x2F) return None
+            val bits = le32(p + 1)
+            if (((bits >> 29) & 0x7L) != 0L) return None // version
+            if (variant == null) variant = "VP8L"
+            if (width < 0) {
+              width = ((bits & 0x3FFF) + 1).toInt
+              height = (((bits >> 14) & 0x3FFF) + 1).toInt
+              alpha = ((bits >> 28) & 1L) == 1L
+            }
+            imageBytes = size
+          case "VP8X" =>
+            if (size != 10 || variant != null) return None
+            variant = "VP8X"
+            alpha = (u8(p) & 0x10) != 0
+            width = le24(p + 4) + 1
+            height = le24(p + 7) + 1
+          case _ => return None
+        }
+        off = p + size.toInt + (size.toInt & 1) // chunks are even-aligned
+      }
+      if (variant == null || width < 0 || imageBytes < 0) return None
+      Some(WebpMeta(id, variant, width, height, alpha, chunks, imageBytes))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+
+  /** One row per decodable WebP payload. Decode rides the batched
+    * mapPartitions seam; payload bytes never shuffle. */
+  def decodeWebpMeta(bin: DataFrame): Dataset[WebpMeta] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseWebp(id, bytes).getOrElse(throw new IllegalArgumentException(
+          s"doc $id: not a well-formed WebP")) })
+  }
+
+  // ---- MP3: MPEG-1 Layer III frame-header walk (+ ID3v2 skip) ----
+
+  case class Mp3Meta(doc_id: Long, bitrate_kbps: Int, sample_rate: Int,
+                     n_frames: Int, duration_ms: Long, id3_bytes: Long,
+                     audio_bytes: Long)
+
+  /** MPEG-1 Layer III bitrate table, kbps, header indexes 1–14
+    * (index 0 = free-format, 15 = invalid — both rejected). */
+  private val Mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MPEG-1 sample rates, header indexes 0–2 (3 = reserved). */
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /** Deterministic MP3 corpus — CBR MPEG-1 Layer III: an ID3v2.3 tag
+    * (even doc_ids only; syncsafe size, 10 + id % 20 payload bytes)
+    * followed by 3 + id % 8 frames at bitrate index 1 + id % 14 and
+    * sample-rate index id % 3, padding bit alternating (id + k) % 2 —
+    * frame k's length is the spec's 144000·kbps/rate + pad. Frame
+    * payloads are deterministic filler; the walk never decodes them
+    * (a metadata pass, like the MP4 walk). Every output field is
+    * closed-form in doc_id for the oracle. */
+  def mp3Docs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bIdx = (1 + id % 14).toInt
+        val sIdx = (id % 3).toInt
+        val nFrames = (3 + id % 8).toInt
+        val out = new java.io.ByteArrayOutputStream()
+        if (id % 2 == 0) {
+          val tagLen = (10 + id % 20).toInt
+          out.write('I'); out.write('D'); out.write('3')
+          out.write(3); out.write(0) // v2.3.0
+          out.write(0)               // flags
+          // syncsafe 28-bit size (7 bits per byte)
+          out.write((tagLen >> 21) & 0x7F); out.write((tagLen >> 14) & 0x7F)
+          out.write((tagLen >> 7) & 0x7F); out.write(tagLen & 0x7F)
+          var k = 0
+          while (k < tagLen) { out.write(((id + 3L * k) % 256).toInt); k += 1 }
+        }
+        var f = 0
+        while (f < nFrames) {
+          val pad = ((id + f) % 2).toInt
+          val len = 144000 * Mp3Bitrates(bIdx) / Mp3Rates(sIdx) + pad
+          // header: sync(11) + MPEG1(2) + Layer III(2) + no-CRC(1) →
+          // FF FB; then bitrate(4) samplerate(2) padding(1) private(1);
+          // then stereo mode byte
+          out.write(0xFF); out.write(0xFB)
+          out.write((bIdx << 4) | (sIdx << 2) | (pad << 1))
+          out.write(0x00)
+          var k = 4
+          while (k < len) { out.write(((id * 17 + 7L * k + f) % 256).toInt); k += 1 }
+          f += 1
+        }
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** REAL MP3 walk: skips a leading ID3v2 tag by its syncsafe size,
+    * then iterates MPEG-1 Layer III frame headers — verifying the
+    * 11-bit sync, version/layer bits, and a valid bitrate/sample-rate
+    * index per frame — advancing by the spec frame length
+    * 144000·kbps/rate + padding. Requires CBR (every frame the same
+    * bitrate and rate — VBR would need a Xing walk) and the byte
+    * stream to end exactly on a frame boundary. duration_ms =
+    * n_frames · 1152 · 1000 div rate (integer — engine-exact). None
+    * for bad sync, reserved indexes, a truncated trailing frame, or
+    * mid-stream bitrate changes. */
+  private[graft] def parseMp3(id: Long, b: Array[Byte]): Option[Mp3Meta] =
+    try {
+      def u8(i: Int): Int = b(i) & 0xFF
+      var off = 0
+      var id3 = 0L
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        val size = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+        id3 = 10L + size
+        off = id3.toInt
+      }
+      var frames = 0
+      var kbps = -1
+      var rate = -1
+      var audio = 0L
+      while (off < b.length) {
+        if (off + 4 > b.length) return None
+        if (u8(off) != 0xFF || (u8(off + 1) & 0xFE) != 0xFA) return None
+        val b2 = u8(off + 2)
+        val bIdx = (b2 >> 4) & 0xF
+        val sIdx = (b2 >> 2) & 0x3
+        val pad = (b2 >> 1) & 0x1
+        if (bIdx == 0 || bIdx == 15 || sIdx == 3) return None
+        val fk = Mp3Bitrates(bIdx); val fr = Mp3Rates(sIdx)
+        if (kbps < 0) { kbps = fk; rate = fr }
+        else if (kbps != fk || rate != fr) return None // CBR only
+        val len = 144000 * fk / fr + pad
+        if (off + len > b.length) return None
+        audio += len
+        frames += 1
+        off += len
+      }
+      if (frames == 0) return None
+      Some(Mp3Meta(id, kbps, rate, frames,
+        frames.toLong * 1152L * 1000L / rate, id3, audio))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+
+  /** One row per decodable MP3 payload. Decode rides the batched
+    * mapPartitions seam; payload bytes never shuffle. */
+  def decodeMp3Meta(bin: DataFrame): Dataset[Mp3Meta] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseMp3(id, bytes).getOrElse(throw new IllegalArgumentException(
+          s"doc $id: not a well-formed CBR MP3")) })
+  }
 }

@@ -271,6 +271,48 @@ class GraphSpec extends SparkSpec {
     assert(cut == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 10L -> 2L), s"got $cut")
   }
 
+  test("betweenness: path graph dependency sums, endpoints get explicit zeros") {
+    // chain 1-2-3-4-5 via 2-item orders; all 5 nodes are sources
+    // (nSeeds default 10). Brandes on a tree: delta_s(v) = #targets
+    // behind v, so bc(2)=bc(4)=6, bc(3)=8; endpoints are never
+    // interior but ARE discovered at levels 1..3 -> explicit 0 rows.
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 3L), (3L, 4L),
+      (4L, 4L), (4L, 5L)).toDF("l_orderkey", "l_partkey")
+    val out = Graph.betweenness(li).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out == Map(1L -> 0.0, 2L -> 6.0, 3L -> 8.0, 4L -> 6.0, 5L -> 0.0),
+      s"got $out")
+  }
+
+  test("betweenness: 4-cycle splits path counts (sigma ratios), route parity on empty deep levels") {
+    // cycle 1-2-4-3-1: two equal shortest paths between opposite
+    // corners -> every node brokers exactly 2 x 0.5
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L),
+      (4L, 3L), (4L, 4L)).toDF("l_orderkey", "l_partkey")
+    val fast = Graph.betweenness(li).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(fast == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0), s"got $fast")
+    // the cycle's BFS dies at hop 2 -> levels 3..4 are EMPTY frames in
+    // the distributed loop; parity proves the empty-level plumbing
+    val dist = Graph.betweenness(li, forceDistributed = true).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(dist == fast)
+  }
+
+  test("betweenness: single-task CSR Brandes equals the distributed loop (sf0.001)") {
+    val li = Tables.lineitem(spark, sf0001)
+    val fast = Graph.betweenness(li).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val dist = Graph.betweenness(li, forceDistributed = true).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(fast == dist)
+    assert(fast.nonEmpty && fast.values.forall(_ >= 0.0))
+    // determinism across runs
+    val again = Graph.betweenness(li).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(again == fast)
+  }
+
   test("bfsDepth: single-task fast path equals the distributed frontier loop") {
     val li = Tables.lineitem(spark, sf0001)
     val fast = Graph.bfsDepth(li).collect()

@@ -1074,6 +1074,88 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("webpDocs builds all three WebP variants whose RIFF walk matches the closed form") {
+    val docs = Tables.documents(spark, sf0001).limit(42)
+    val out = Multimodal.decodeWebpMeta(Multimodal.webpDocs(docs)).collect()
+    assert(out.length == 42)
+    // the 42-doc slice covers every variant
+    assert(out.map(_.variant).toSet == Set("VP8 ", "VP8L", "VP8X"))
+    out.foreach { m =>
+      val id = m.doc_id
+      assert(m.variant == Seq("VP8 ", "VP8L", "VP8X")((id % 3).toInt))
+      assert(m.width == (16 + id % 300).toInt && m.height == (16 + id % 200).toInt)
+      assert(m.has_alpha == (id % 3 != 0 && id % 2 == 0))
+      assert(m.n_chunks == (if (id % 3 == 2) 2 else 1))
+      assert(m.image_bytes ==
+        (if (id % 3 == 1) 5 else 10) + 10 + id % 40)
+    }
+  }
+
+  test("parseWebp rejects corruption: bad envelope, start code, version, overrun") {
+    // fabricated ids 0/1/2 hit each variant deterministically
+    val goods = Multimodal.webpDocs(Seq(0L, 1L, 2L).toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    goods.foreach { case (id, good) =>
+      assert(Multimodal.parseWebp(id, good).isDefined)
+      assert(Multimodal.parseWebp(id, good.take(10)).isEmpty, "truncated envelope")
+      val badMagic = good.clone(); badMagic(8) = 'X'.toByte
+      assert(Multimodal.parseWebp(id, badMagic).isEmpty, "bad WEBP tag")
+      // oversize the first chunk's declared length past the buffer
+      val overrun = good.clone(); overrun(16) = (overrun(16) | 0x7F).toByte
+      overrun(17) = 0x7F.toByte
+      assert(Multimodal.parseWebp(id, overrun).isEmpty, "chunk overrun")
+    }
+    // VP8 start code corruption (doc 0 is a VP8 file: code at 23..25)
+    val badCode = goods(0L).clone(); badCode(23) = 0x00
+    assert(Multimodal.parseWebp(0L, badCode).isEmpty, "bad VP8 start code")
+    // VP8L version bits must be zero (doc 1 is VP8L: bitfield at 21..24)
+    val badVer = goods(1L).clone(); badVer(24) = (badVer(24) | 0x20).toByte
+    assert(Multimodal.parseWebp(1L, badVer).isEmpty, "nonzero VP8L version")
+  }
+
+  test("mp3Docs builds CBR streams whose frame walk matches the closed form") {
+    val docs = Tables.documents(spark, sf0001).limit(40)
+    val out = Multimodal.decodeMp3Meta(Multimodal.mp3Docs(docs)).collect()
+    assert(out.length == 40)
+    val bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val rates = Array(44100, 48000, 32000)
+    out.foreach { m =>
+      val id = m.doc_id
+      assert(m.bitrate_kbps == bitrates((1 + id % 14).toInt))
+      assert(m.sample_rate == rates((id % 3).toInt))
+      assert(m.n_frames == (3 + id % 8).toInt)
+      assert(m.duration_ms == m.n_frames.toLong * 1152 * 1000 / m.sample_rate)
+      assert(m.id3_bytes == (if (id % 2 == 0) 20 + id % 20 else 0))
+      val expectBytes = (0 until m.n_frames).map(k =>
+        144000 * m.bitrate_kbps / m.sample_rate + ((id + k) % 2).toInt).sum
+      assert(m.audio_bytes == expectBytes)
+    }
+  }
+
+  test("parseMp3 rejects bad sync, reserved indexes, truncation, mid-stream rate change") {
+    // id 0 carries an ID3v2 tag, id 1 starts at the first frame
+    val goods = Multimodal.mp3Docs(Seq(0L, 1L).toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    goods.foreach { case (id, good) =>
+      val m = Multimodal.parseMp3(id, good)
+      assert(m.isDefined)
+      assert(m.get.id3_bytes == (if (id % 2 == 0) 20 + id % 20 else 0))
+      assert(Multimodal.parseMp3(id, good.dropRight(1)).isEmpty, "truncated last frame")
+      val start = m.get.id3_bytes.toInt
+      val badSync = good.clone(); badSync(start) = 0x00
+      assert(Multimodal.parseMp3(id, badSync).isEmpty, "bad sync")
+      val badIdx = good.clone(); badIdx(start + 2) = 0xFF.toByte // bitrate idx 15
+      assert(Multimodal.parseMp3(id, badIdx).isEmpty, "invalid bitrate index")
+    }
+    // CBR violation: two valid frames at different bitrates spliced
+    val f1 = Array(0xFF.toByte, 0xFB.toByte, 0x14.toByte, 0x00.toByte) ++
+      Array.fill(144000 * 32 / 48000 - 4)(0.toByte)   // 32 kbps @ 48 k = 96 B
+    val f2 = Array(0xFF.toByte, 0xFB.toByte, 0x24.toByte, 0x00.toByte) ++
+      Array.fill(144000 * 40 / 48000 - 4)(0.toByte)   // 40 kbps @ 48 k = 120 B
+    assert(Multimodal.parseMp3(7L, f1 ++ f1).isDefined, "CBR pair decodes")
+    assert(Multimodal.parseMp3(7L, f1 ++ f2).isEmpty, "mid-stream bitrate change")
+  }
+
   test("parseMp4 walks a hand-built box tree incl. largesize, size-0, v1 mvhd; corruption is None") {
     val out = new java.io.ByteArrayOutputStream()
     def be32(x: Long): Unit = { out.write(((x >> 24) & 0xFF).toInt); out.write(((x >> 16) & 0xFF).toInt)

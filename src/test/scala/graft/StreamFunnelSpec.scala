@@ -78,6 +78,34 @@ class StreamFunnelSpec extends SparkSpec {
     assert(streamed.getDouble(4) > 0 && streamed.getDouble(4) < 1)
   }
 
+  test("streaming CUSUM scan equals the batch change-point table (sf0.001)") {
+    val events = Tables.events(spark, sf0001)
+    val streamed = StreamRunner.replayCusum(spark, events)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val batch = Sessions.cusumChangepoint(events)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    // exactly one peak, and the fixture spans multiple days (so at
+    // least one day's count was updated across micro-batch boundaries)
+    assert(streamed.values.count(_._3) == 1)
+    assert(streamed.size > 1)
+  }
+
+  test("streaming CUSUM: a day split across micro-batches folds to its final count") {
+    // chunk boundary lands mid-stream: the staged raw topic is range-
+    // partitioned by (tus, event_id), so day 1's six events straddle
+    // the two replay chunks and its count is re-emitted; the fold must
+    // keep the LAST emission (6), not sum emissions
+    def e(id: Long, dayUs: Long, off: Long) =
+      (id, (dayUs * 86400000000L + off) * 1000, 1L, "view", 0.0, "{}")
+    val df = (Seq(e(0, 0, 0), e(1, 0, 1)) ++
+      (2L to 7L).map(i => e(i, 1, i)) ++ Seq(e(8, 2, 0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = StreamRunner.replayCusum(spark, df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 2L, 1L -> 6L, 2L -> 1L), s"got $out")
+  }
+
   test("streaming attribution credit table equals the batch lag rule (sf0.001)") {
     val events = Tables.events(spark, sf0001)
     val streamed = StreamRunner.replayAttribution(spark, events)
