@@ -70,7 +70,8 @@ object Bench {
     "q_pagerank", "q_triangles", "q_clustering_coef", "q_communities",
     "q_degree_dist", "q_kcore", "q_components", "q_assoc_rules",
     "q_bfs_depth", "q_ppr", "q_sssp", "q_assortativity", "q_anf", "q_harmonic",
-    "q_modularity", "q_rich_club", "q_ktruss", "q_betweenness")
+    "q_modularity", "q_rich_club", "q_ktruss", "q_betweenness",
+    "q_reach_profile")
 
   def main(args: Array[String]): Unit = {
     sys.env.get("SPARK_GRAFT_CHILD_OUT") match {

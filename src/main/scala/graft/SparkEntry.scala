@@ -130,6 +130,11 @@ object SparkEntry {
     // final state equals batch tokenBudget (same oracle)
     "s_stream_token_budget" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayTokenBudget(s, Tables.documents(s, dir))),
+    // streaming decontamination gate: per-gram matcher state (train
+    // latch + pending eval postings); hits emit whichever side arrives
+    // second, so the fold equals the batch semi-join
+    "s_stream_contamination" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayContamination(s, Tables.documents(s, dir))),
     "s_stream_update_agg" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayUpdateAgg(s, ev(s, dir))),
     // streaming running moments: additive (n, Σv, Σv²) per kind as
@@ -735,6 +740,10 @@ object SparkEntry {
     // harmonic centrality from the same registers (Boldi-Vigna)
     "q_harmonic" -> ((s, dir) =>
       graft.operators.Graph.harmonicCentrality(Tables.lineitem(s, dir))),
+    // whole-graph reach curve + discrete 90% effective diameter from
+    // the same HyperBall registers
+    "q_reach_profile" -> ((s, dir) =>
+      graft.operators.Graph.reachProfile(Tables.lineitem(s, dir))),
     // Newman modularity per LPA community — integer counts, 2 divisions
     "q_modularity" -> ((s, dir) =>
       graft.operators.Graph.modularity(Tables.lineitem(s, dir))),
@@ -4597,6 +4606,20 @@ object SparkEntry {
          |SELECT node,
          |       ROUND((b1 - 1.0) + (b2 - b1) / 2.0 + (b3 - b2) / 3.0 + 1e-9, 4) AS harmonic
          |FROM p""".stripMargin,
+    // reach profile: per-radius reach sums as DECIMAL(18,4) over the
+    // same ANF estimates, one division per row, min-r effective mark
+    "q_reach_profile" ->
+      s"""WITH anf AS ($anfOracle),
+         |nr AS (SELECT r, ROUND(CAST(SUM(CAST(est_ball AS DECIMAL(18,4))) AS DOUBLE)
+         |                       + 1e-9, 4) AS total_reach
+         |       FROM anf GROUP BY r),
+         |mx AS (SELECT total_reach AS reach_max FROM nr WHERE r = 3),
+         |pf AS (SELECT r, total_reach,
+         |              ROUND(total_reach / reach_max + 1e-12, 6) AS frac FROM nr, mx),
+         |ef AS (SELECT MIN(r) AS eff_r FROM pf WHERE frac >= 0.9)
+         |SELECT r, total_reach, frac,
+         |       r = (SELECT eff_r FROM ef) AS is_effective_diameter
+         |FROM pf""".stripMargin,
     "q_salted_join" ->
       """SELECT s_name, COUNT(*) AS n_lines,
         |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
@@ -4682,6 +4705,9 @@ object SparkEntry {
     // per-doc-distinct hashes count identically to the oracle's
     // distinct gram strings (64-bit birthday bound, ~1e-8 at 1e9 grams)
     "t_contamination" -> contaminationOracle,
+    // streaming contamination: same split, same distinct word-5-grams,
+    // incremental per-gram matcher state — identical final table
+    "s_stream_contamination" -> contaminationOracle,
     // decontamination: training docs (bucket < 90) with NO distinct
     // 5-gram in the test split (bucket >= 95) — same gram construction
     // as the contamination oracle, enforcement direction

@@ -1437,6 +1437,37 @@ object Graph {
     out
   }
 
+  /** REACH PROFILE + EFFECTIVE DIAMETER — the whole-graph readout of
+    * [[neighborhoodFunction]] (HyperANF's raison d'être, Boldi-Vigna):
+    * N(r) = Σ_v |ball_r(v)| per radius, the fraction of terminal
+    * reach attained by radius r, and the discrete effective diameter
+    * (the smallest r whose fraction ≥ `effFrac`, default the standard
+    * 90th percentile). Pure arithmetic over the 4-dp ANF estimates —
+    * the per-term DECIMAL(18,4) quantization makes the corpus-wide
+    * reach sum order-free, so the sketch replay carries to the oracle
+    * unchanged (the q_harmonic discipline). One (radius)-bounded
+    * frame; two one-row broadcasts; nothing node-bounded ever sorts
+    * globally. */
+  def reachProfile(lineitem: DataFrame, radius: Int = 3,
+                   effFrac: Double = 0.9, maxBasket: Int = 1024,
+                   nodeBroadcastLimit: Long = BroadcastNodeLimit): DataFrame = {
+    require(effFrac > 0.0 && effFrac <= 1.0,
+      s"effFrac must be in (0, 1], got $effFrac")
+    val anf = neighborhoodFunction(lineitem, radius, maxBasket, nodeBroadcastLimit)
+    val nr = anf.groupBy(col("r"))
+      .agg(round(sum(col("est_ball").cast("decimal(18,4)")).cast("double")
+        + lit(1e-9), 4).as("total_reach"))
+    val last = nr.filter(col("r") === radius)
+      .select(col("total_reach").as("reach_max"))
+    val prof = nr.crossJoin(broadcast(last))
+      .withColumn("frac",
+        round(col("total_reach") / col("reach_max") + lit(1e-12), 6))
+    val eff = prof.filter(col("frac") >= effFrac).agg(min(col("r")).as("eff_r"))
+    prof.crossJoin(broadcast(eff))
+      .select(col("r"), col("total_reach"), col("frac"),
+        (col("r") === col("eff_r")).as("is_effective_diameter"))
+  }
+
   /** RICH-CLUB COEFFICIENT — for each degree threshold k in `ks`:
     * among the nodes of degree > k ("the club"), the realized edge
     * density φ(k) = 2·E_k / (N_k·(N_k−1)) (Zhou & Mondragón 2004) —

@@ -585,6 +585,59 @@ private[streaming] class TokenBudgetProcessor(budget: Long)
   }
 }
 
+/** Streaming contamination plumbing: one (gram key, doc, side) row in
+  * — the fused distinct-gram xxhash64 keys of a document, tagged by
+  * its hash-split side — one hit event out per (eval doc, gram) pair
+  * whose gram also occurs in ANY train document, whichever side
+  * arrived first. */
+private[streaming] case class ContIn(g: Long, docId: Long, isEval: Boolean)
+private[streaming] case class ContHit(doc_id: Long)
+
+/** Per-gram matcher state for the streaming decontamination gate:
+  * `trainSeen` latches once the first train occurrence of the gram
+  * arrives; `pending` buffers eval doc ids that arrived BEFORE any
+  * train occurrence (each (gram, eval doc) pair occurs exactly once
+  * in the topic — gram keys are per-doc distinct and a doc is one
+  * record — so the buffer needs no dedup). An eval arrival after the
+  * latch emits its hit immediately; the latch arrival flushes the
+  * buffer. State per gram is one boolean + the gram's so-far-
+  * unmatched eval postings — bounded by the eval split's posting
+  * list, the same frame the batch semi-join materializes, sharded by
+  * gram key across the state partitions. */
+private[streaming] class ContaminationProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ContIn, ContHit] {
+  import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var trainSeen: ValueState[Boolean] = _
+  @transient private var pending: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    trainSeen = getHandle.getValueState[Boolean]("trainSeen",
+      Encoders.scalaBoolean, TTLConfig.NONE)
+    pending = getHandle.getListState[Long]("pending",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(g: Long, rows: Iterator[ContIn],
+                               timers: TimerValues): Iterator[ContHit] = {
+    val rs = rows.toArray
+    var seen = trainSeen.exists && trainSeen.get()
+    val out = scala.collection.mutable.ArrayBuffer.empty[ContHit]
+    if (!seen && rs.exists(!_.isEval)) {
+      seen = true
+      trainSeen.update(true)
+      pending.get().foreach(d => out += ContHit(d))
+      pending.clear()
+    }
+    rs.foreach { r =>
+      if (r.isEval) {
+        if (seen) out += ContHit(r.docId)
+        else pending.appendValue(r.docId)
+      }
+    }
+    out.iterator
+  }
+}
+
 /** The quantile sketch's streaming state owner: merges each batch's
   * rows into the kind's bottom-k-by-hash sample (the [[graft.operators.Sketch.quantileSketch]]
   * selection rule — md5 of the decimal event-id string, ties by the
@@ -1968,6 +2021,71 @@ object StreamRunner {
       .agg(sum(when(col("keep"), 1).otherwise(-1)).as("bal"))
       .filter(col("bal") > 0)
       .select(col("doc_id"), col("lang_pred"), col("quality"), col("dup_trigram_frac"))
+  }
+
+  /** STREAMING CONTAMINATION — the decontamination gate as an
+    * incremental pipeline (the form a 100 TB ingest actually needs:
+    * eval benchmarks and crawl shards arrive continuously; "did this
+    * eval doc leak into training" must not re-scan the corpus). The
+    * documents topic splits per record by the batch hashSplit
+    * arithmetic, each record explodes to its per-doc DISTINCT
+    * 5-gram xxhash64 keys (the fused
+    * [[graft.functions.DedupKernels.gramHashes]] kernel, literally
+    * the batch expression), and ONE transformWithState keyed by the
+    * GRAM maintains the train/eval match ([[ContaminationProcessor]]
+    * — order-insensitive: hits emit on whichever side arrives
+    * second, so the changelog fold equals the batch semi-join
+    * however the stream was chunked; the staging's DESC doc order
+    * makes the eval-before-train buffer path load-bearing on real
+    * data). The per-doc gram totals are stateless per-record
+    * arithmetic, computed in the fold off the staged topic — the
+    * cross-record state this operator proves incremental is the
+    * train×eval gram matching. Oracle: the t_contamination SQL. */
+  def replayContamination(spark: SparkSession, documents: DataFrame,
+                          n: Int = 5): DataFrame = {
+    val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
+    val srcDir = docStagedDir(spark, documents)
+    val session = replaySession(spark, rocksDb = true)
+    val src = session.readStream
+      .schema(Encoders.product[StagedDoc].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    import session.implicits._
+    def bucket(id: org.apache.spark.sql.Column) =
+      conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 100
+    val hits = src
+      .select(col("docId"), col("text"), bucket(col("docId")).as("bucket"))
+      .filter(col("bucket") < 90 || col("bucket") >= 95) // val slice never matches
+      .select(explode(graft.functions.DedupKernels.gramHashes(col("text"), n)).as("g"),
+        col("docId"), (col("bucket") >= 95).as("isEval"))
+      .as[ContIn]
+      .groupByKey(_.g)
+      .transformWithState(new ContaminationProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    val q = hits.writeStream.format("parquet")
+      .option("path", work.resolve("out").toString)
+      .option("checkpointLocation", work.resolve("cp").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q)
+    val nHit = spark.read.parquet(work.resolve("out").toString)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val ev = spark.read.parquet(srcDir.toString)
+      .select(col("docId").as("doc_id"), col("text"))
+      .filter(bucket(col("doc_id")) >= 95)
+    val totals = ev
+      .select(col("doc_id"),
+        explode(graft.functions.DedupKernels.gramHashes(col("text"), n)).as("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    ev.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(nHit, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contaminated", col("n_hit") > 0)
   }
 
   /** STREAMING TOKEN BUDGET — the incremental form of the batch

@@ -271,6 +271,29 @@ class GraphSpec extends SparkSpec {
     assert(cut == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 10L -> 2L), s"got $cut")
   }
 
+  test("reachProfile: monotone reach, terminal fraction 1.0, exactly one effective-diameter row") {
+    val li = Tables.lineitem(spark, sf0001)
+    val prof = Graph.reachProfile(li).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(prof.map(_._1).toSeq == Seq(1, 2, 3))
+    // balls only grow with radius -> reach sums are nondecreasing and
+    // the terminal fraction is exactly 1.0
+    assert(prof.sliding(2).forall { case Array(a, b) => b._2 >= a._2 })
+    assert(prof.last._3 == 1.0)
+    assert(prof.forall(p => p._3 > 0 && p._3 <= 1.0))
+    assert(prof.count(_._4) == 1, s"effective-diameter mark not unique: $prof")
+    // the marked radius is the smallest with frac >= 0.9
+    val eff = prof.find(_._4).get._1
+    assert(prof.filter(_._1 < eff).forall(_._3 < 0.9))
+    assert(prof.find(_._1 == eff).get._3 >= 0.9)
+    // determinism
+    val again = Graph.reachProfile(li).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(again.toSeq == prof.toSeq)
+  }
+
   test("betweenness: path graph dependency sums, endpoints get explicit zeros") {
     // chain 1-2-3-4-5 via 2-item orders; all 5 nodes are sources
     // (nSeeds default 10). Brandes on a tree: delta_s(v) = #targets

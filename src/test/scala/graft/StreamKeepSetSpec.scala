@@ -13,6 +13,35 @@ import graft.streaming.StreamRunner
   * is load-bearing, not decorative. */
 class StreamKeepSetSpec extends SparkSpec {
 
+  test("streaming contamination equals batch contamination (sf0.001)") {
+    val docs = Tables.documents(spark, sf0001)
+    val streamed = StreamRunner.replayContamination(spark, docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val withSplit = Corpus.hashSplit(docs)
+    val batch = Corpus.contamination(
+        withSplit.filter(col("split") === "test"),
+        withSplit.filter(col("split") === "train"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming contamination: eval-before-train arrivals hit via the pending buffer") {
+    import spark.implicits._
+    // md5-bucket arithmetic puts ids 20/30 in the eval slice and 2/3
+    // in train; DESC staging delivers evals FIRST, so doc 20's hit can
+    // only come from the retro flush when train doc 2's gram arrives
+    val docs = Seq(
+      (20L, "a b c d e x"),   // eval: grams {a b c d e, b c d e x}
+      (30L, "p q r s t"),     // eval: one gram, never matched
+      (2L, "a b c d e foo"),  // train: shares "a b c d e" with doc 20
+      (3L, "z z z z"))        // train: < 5 words -> no grams
+      .toDF("doc_id", "text")
+    val out = StreamRunner.replayContamination(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(out == Set((20L, 2L, 1L, true), (30L, 1L, 0L, false)), s"got $out")
+  }
+
   test("streaming keepSet changelog-final equals batch keepSet (retractions exercised)") {
     // sf0.001 has no duplicate texts, so graft higher-id copies onto
     // the fixture: descending-id staging delivers the copies FIRST and
