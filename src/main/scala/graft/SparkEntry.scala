@@ -135,6 +135,10 @@ object SparkEntry {
     // second, so the fold equals the batch semi-join
     "s_stream_contamination" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayContamination(s, Tables.documents(s, dir))),
+    // streaming LSH near-dup index: per-bucket membership state emits
+    // candidates at ingest; fold = batch exact-Jaccard verify
+    "s_stream_minhash" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayMinhashPairs(s, Tables.documents(s, dir))),
     "s_stream_update_agg" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayUpdateAgg(s, ev(s, dir))),
     // streaming running moments: additive (n, Σv, Σv²) per kind as
@@ -4647,6 +4651,9 @@ object SparkEntry {
     // ~thousands of threshold pairs (this corpus has dozens); see the
     // band math at Dedup.MinhashFuncs.
     "d_minhash_pairs" -> jaccardOracle,
+    // streaming LSH: same signatures, same buckets, incremental
+    // membership — the verified pair table is the batch one
+    "s_stream_minhash" -> jaccardOracle,
     // recall curve: ground truth = exact pairs at 0.5; "found" = the
     // jac>=0.8 subset, since the banded path surfaces exactly those
     // (same recall-1-at-threshold assumption as d_minhash_pairs)

@@ -284,7 +284,7 @@ object Dedup {
   /** (band, 32-bit band signature) per doc from a [[minhashSignatures]]
     * frame — the LSH bucket key shared by [[minhashPairs]] (self-join)
     * and [[minhashAgainst]] (cross-corpus join). */
-  private def bandBuckets(sig: DataFrame): DataFrame = {
+  private[graft] def bandBuckets(sig: DataFrame): DataFrame = {
     val rowsPerBand = MinhashFuncs / MinhashBands
     val bandCols = (0 until MinhashBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))

@@ -585,6 +585,47 @@ private[streaming] class TokenBudgetProcessor(budget: Long)
   }
 }
 
+/** Streaming LSH plumbing: one (bucket key, doc) row in — bucket =
+  * band ordinal packed with the band's 32-bit minhash signature —
+  * candidate pairs out as docs land in an occupied bucket. */
+private[streaming] case class BucketIn(bucket: Long, docId: Long)
+private[streaming] case class CandPair(doc_a: Long, doc_b: Long)
+
+/** Per-LSH-bucket membership state for the streaming near-dup index:
+  * each arriving doc pairs with every doc already in its bucket and
+  * is appended — exactly the batch band self-join's candidate set,
+  * generated incrementally (pair emission is quadratic per bucket,
+  * i.e. duplicate-density-proportional — the SAME candidate
+  * complexity the batch join pays, never corpus-quadratic). Same-
+  * batch bucket-mates process in doc_id order so emissions are
+  * deterministic under replay; cross-band repeats of a pair are
+  * deduped at the fold. */
+private[streaming] class LshBucketProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, BucketIn, CandPair] {
+  import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+  @transient private var members: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    members = getHandle.getListState[Long]("members",
+      Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(bucket: Long, rows: Iterator[BucketIn],
+                               timers: TimerValues): Iterator[CandPair] = {
+    val prior = scala.collection.mutable.ArrayBuffer.empty[Long]
+    members.get().foreach(prior += _)
+    val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+    rows.toArray.sortBy(_.docId).foreach { r =>
+      prior.foreach { d =>
+        if (d != r.docId)
+          out += CandPair(math.min(d, r.docId), math.max(d, r.docId))
+      }
+      prior += r.docId
+      members.appendValue(r.docId)
+    }
+    out.iterator
+  }
+}
+
 /** Streaming contamination plumbing: one (gram key, doc, side) row in
   * — the fused distinct-gram xxhash64 keys of a document, tagged by
   * its hash-split side — one hit event out per (eval doc, gram) pair
@@ -2021,6 +2062,72 @@ object StreamRunner {
       .agg(sum(when(col("keep"), 1).otherwise(-1)).as("bal"))
       .filter(col("bal") > 0)
       .select(col("doc_id"), col("lang_pred"), col("quality"), col("dup_trigram_frac"))
+  }
+
+  /** STREAMING MINHASH NEAR-DUP — the LSH index as it would run at
+    * ingest: every arriving document minhashes through the batch
+    * kernel (literally [[graft.operators.Dedup.minhashSignatures]] /
+    * `bandBuckets` per micro-batch), and ONE transformWithState keyed
+    * by (band, band-signature) BUCKET holds the bucket's membership,
+    * emitting candidate pairs the moment a doc lands next to an
+    * earlier one — the batch band self-join, incrementalized. The
+    * fold dedups cross-band pair repeats and runs the batch
+    * exact-Jaccard verify (candidate-restricted shingle recompute)
+    * against the staged topic, so the final table equals
+    * [[graft.operators.Dedup.minhashPairs]] however the stream was
+    * chunked. Same oracle as d_minhash_pairs.
+    *
+    * Scale shape: per-bucket state is the bucket's doc list; pair
+    * emission is quadratic per bucket — duplicate-density-
+    * proportional, the same candidate complexity the batch join
+    * pays, sharded by bucket key across state partitions. */
+  def replayMinhashPairs(spark: SparkSession, documents: DataFrame,
+                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
+    val srcDir = docStagedDir(spark, documents)
+    val session = replaySession(spark, rocksDb = true)
+    val src = session.readStream
+      .schema(Encoders.product[StagedDoc].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    import session.implicits._
+    import graft.operators.Dedup
+    val buckets = Dedup.bandBuckets(Dedup.minhashSignatures(
+      src.select(col("docId").as("doc_id"), col("text")), n))
+    val cands = buckets
+      .select(expr("shiftleft(cast(band as bigint), 32) | " +
+        "(cast(sig as bigint) & 4294967295)").as("bucket"),
+        col("doc_id").as("docId"))
+      .as[BucketIn]
+      .groupByKey(_.bucket)
+      .transformWithState(new LshBucketProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    val q = cands.writeStream.format("parquet")
+      .option("path", work.resolve("out").toString)
+      .option("checkpointLocation", work.resolve("cp").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q)
+    val candidates = spark.read.parquet(work.resolve("out").toString)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // the batch verify tail, verbatim: shingles recomputed only for
+    // docs appearing in some candidate pair
+    val docs = spark.read.parquet(srcDir.toString)
+      .select(col("docId").as("doc_id"), col("text"))
+    val candDocs = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val sets = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), Dedup.shingleArray(col("text"), n).as("sh"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", col("n_inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
   /** STREAMING CONTAMINATION — the decontamination gate as an

@@ -24,4 +24,30 @@ class StreamDedupSpec extends SparkSpec {
     assert(out == expected)
     assert(out.nonEmpty)
   }
+
+  test("streaming LSH pair table equals batch minhashPairs (grafted duplicates)") {
+    // sf0.001 has no duplicate texts; graft higher-id exact copies so
+    // real pairs exist. DESC staging delivers the copies FIRST, the
+    // originals land in already-occupied buckets across batches —
+    // the cross-batch membership state is load-bearing.
+    val base = Tables.documents(spark, sf0001)
+    val docs = base.unionByName(
+      base.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val streamed = StreamRunner.replayMinhashPairs(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.Dedup.minhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+    // every grafted copy's (original, copy, 1.0) pair is present (the
+    // corpus also carries natural near-dups — cross pairs are fine)
+    val graftedIds = base.filter(col("doc_id") % 7 === 0)
+      .filter(size(split(col("text"), " ")) >= 3) // shorter docs shingle to nothing
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(graftedIds.nonEmpty)
+    graftedIds.foreach { id =>
+      assert(streamed.contains((id, id + 1000000L, 1.0)),
+        s"missing exact-copy pair for $id")
+    }
+  }
 }
