@@ -921,6 +921,10 @@ object SparkEntry {
     // sync/bitrate/rate validation, spec frame-length advance
     "m_decode_mp3" -> ((s, dir) =>
       Multimodal.decodeMp3Meta(Multimodal.mp3Docs(Tables.documents(s, dir))).toDF()),
+    // REAL FLAC metadata-block walk: last-flag/24-bit length chain +
+    // bit-packed STREAMINFO (20-bit rate, 36-bit total samples)
+    "m_decode_flac" -> ((s, dir) =>
+      Multimodal.decodeFlacMeta(Multimodal.flacDocs(Tables.documents(s, dir))).toDF()),
     // every 2nd REAL video frame sliced from the movi index and
     // fingerprinted; the oracle rebuilds each sampled frame's bytes
     "m_avi_frames" -> ((s, dir) =>
@@ -3215,6 +3219,21 @@ object SparkEntry {
         |       CAST(CASE WHEN doc_id % 3 = 1 THEN 5 ELSE 10 END
         |            + 10 + doc_id % 40 AS BIGINT) AS image_bytes
         |FROM documents""".stripMargin,
+    // FLAC: every field closed-form in doc_id; md5_hex replays the
+    // signature bytes' hex like m_avi_frames' frame_md5 arithmetic
+    "m_decode_flac" ->
+      """WITH p AS (SELECT doc_id,
+        |    ([8000,16000,22050,24000,32000,44100,48000])[CAST(1 + doc_id % 7 AS INT)] AS rate,
+        |    CAST(1000 + doc_id % 100000 AS BIGINT) AS total FROM documents)
+        |SELECT doc_id, CAST(rate AS INT) AS sample_rate,
+        |       CAST(1 + doc_id % 2 AS INT) AS channels,
+        |       CAST(8 * (1 + doc_id % 3) AS INT) AS bits_per_sample,
+        |       total AS total_samples,
+        |       CAST(total * 1000 // rate AS BIGINT) AS duration_ms,
+        |       CAST(2 AS INT) AS n_blocks,
+        |       array_to_string([lpad(hex((doc_id * 13 + 7 * k) % 256), 2, '0')
+        |                        for k in generate_series(0, 15)], '') AS md5_hex
+        |FROM p""".stripMargin,
     // MP3: CBR frame-length recurrence — table lookups + integer sums
     "m_decode_mp3" ->
       """WITH p AS (SELECT doc_id,

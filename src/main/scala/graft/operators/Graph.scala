@@ -1750,7 +1750,9 @@ object Graph {
     var dfullNext = lvls(maxDepth).withColumn("delta", lit(0.0))
     val outs = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (k <- (maxDepth - 1) to 1 by -1) {
-      val dk = lvls(k).join(sym, "node")
+      // edge frame stays put; both node-bounded frames ride the gated
+      // broadcast (the forward pass's join shape, mirrored)
+      val dk = sym.join(gated(lvls(k)), "node")
         .join(gated(dfullNext.select(col("src"), col("node").as("nbr"),
           col("sigma").as("sigma_w"), col("delta").as("delta_w"))),
           Seq("src", "nbr"))

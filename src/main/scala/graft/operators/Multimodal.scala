@@ -4024,6 +4024,118 @@ object Multimodal {
           s"doc $id: not a well-formed WebP")) })
   }
 
+  // ---- FLAC: metadata-block walk + bit-packed STREAMINFO ----
+
+  case class FlacMeta(doc_id: Long, sample_rate: Int, channels: Int,
+                      bits_per_sample: Int, total_samples: Long,
+                      duration_ms: Long, n_blocks: Int, md5_hex: String)
+
+  private val FlacRates = Array(8000, 16000, 22050, 24000, 32000, 44100, 48000)
+
+  /** Deterministic FLAC corpus — the 'fLaC' magic, a STREAMINFO block
+    * (rate = the id%7-th of the canonical rate table, channels =
+    * 1 + id%2, bits = 8/16/24 by id%3, total samples = 1000 +
+    * id%100000, signature MD5 bytes (id·13 + 7k)%256), and a
+    * VORBIS_COMMENT block of 10 + id%20 filler bytes marked LAST —
+    * two blocks, so the last-block flag and the 24-bit length chain
+    * are both load-bearing. Every output field is closed-form in
+    * doc_id for the oracle; the frame data after the block chain is
+    * never parsed (a metadata pass, like the MP4 walk). */
+  def flacDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val rate = FlacRates((id % 7).toInt)
+        val channels = (1 + id % 2).toInt
+        val bps = (8 * (1 + id % 3)).toInt
+        val total = 1000L + id % 100000
+        val out = new java.io.ByteArrayOutputStream()
+        "fLaC".foreach(c => out.write(c.toInt))
+        // STREAMINFO: type 0, not last, length 34
+        out.write(0x00); out.write(0); out.write(0); out.write(34)
+        out.write(0x10); out.write(0x00) // min blocksize 4096
+        out.write(0x10); out.write(0x00) // max blocksize 4096
+        (0 until 6).foreach(_ => out.write(0)) // min/max framesize unknown
+        // 20-bit rate | 3-bit channels-1 | 5-bit bps-1 | 36-bit total
+        out.write((rate >> 12) & 0xFF)
+        out.write((rate >> 4) & 0xFF)
+        out.write(((rate & 0xF) << 4) | ((channels - 1) << 1) | ((bps - 1) >> 4))
+        out.write((((bps - 1) & 0xF) << 4) | ((total >> 32) & 0xF).toInt)
+        out.write(((total >> 24) & 0xFF).toInt)
+        out.write(((total >> 16) & 0xFF).toInt)
+        out.write(((total >> 8) & 0xFF).toInt)
+        out.write((total & 0xFF).toInt)
+        (0 until 16).foreach(k => out.write(((id * 13 + 7L * k) % 256).toInt))
+        // VORBIS_COMMENT: type 4, LAST-block flag set
+        val vc = (10 + id % 20).toInt
+        out.write(0x80 | 0x04); out.write((vc >> 16) & 0xFF)
+        out.write((vc >> 8) & 0xFF); out.write(vc & 0xFF)
+        (0 until vc).foreach(k => out.write(((id * 5 + 11L * k) % 256).toInt))
+        // opaque frame data the walk never reads
+        (0 until 8).foreach(k => out.write(((id + k) % 256).toInt))
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** REAL FLAC walk: validates the 'fLaC' magic, iterates the
+    * metadata-block chain by the 1-byte type/last header + 24-bit
+    * big-endian lengths until the last-block flag, and unpacks
+    * STREAMINFO's bit fields (20-bit rate, 3-bit channels−1, 5-bit
+    * bps−1, 36-bit total samples, 128-bit signature MD5).
+    * duration_ms = total·1000 div rate (integer — engine-exact).
+    * None for a bad magic, a block running past the buffer, a
+    * missing or short STREAMINFO, or a zero sample rate. */
+  private[graft] def parseFlac(id: Long, b: Array[Byte]): Option[FlacMeta] =
+    try {
+      def u8(i: Int): Int = b(i) & 0xFF
+      if (b.length < 8 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C')
+        return None
+      var off = 4
+      var last = false
+      var blocks = 0
+      var si = -1
+      while (!last) {
+        if (off + 4 > b.length) return None
+        last = (u8(off) & 0x80) != 0
+        val typ = u8(off) & 0x7F
+        val len = (u8(off + 1) << 16) | (u8(off + 2) << 8) | u8(off + 3)
+        if (off + 4 + len > b.length) return None
+        if (typ == 0) {
+          if (len < 34) return None
+          si = off + 4
+        }
+        blocks += 1
+        off += 4 + len
+      }
+      if (si < 0) return None
+      val rate = (u8(si + 10) << 12) | (u8(si + 11) << 4) | (u8(si + 12) >> 4)
+      if (rate == 0) return None
+      val channels = ((u8(si + 12) >> 1) & 0x7) + 1
+      val bps = (((u8(si + 12) & 1) << 4) | (u8(si + 13) >> 4)) + 1
+      val total = ((u8(si + 13) & 0xF).toLong << 32) |
+        (u8(si + 14).toLong << 24) | (u8(si + 15).toLong << 16) |
+        (u8(si + 16).toLong << 8) | u8(si + 17).toLong
+      // uppercase hex — the oracle side's DuckDB hex() casing
+      val md5 = (0 until 16).map(k => f"${u8(si + 18 + k)}%02X").mkString
+      Some(FlacMeta(id, rate, channels, bps, total,
+        total * 1000L / rate, blocks, md5))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+
+  /** One row per decodable FLAC payload. Decode rides the batched
+    * mapPartitions seam; payload bytes never shuffle. */
+  def decodeFlacMeta(bin: DataFrame): Dataset[FlacMeta] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseFlac(id, bytes).getOrElse(throw new IllegalArgumentException(
+          s"doc $id: not a well-formed FLAC")) })
+  }
+
   // ---- MP3: MPEG-1 Layer III frame-header walk (+ ID3v2 skip) ----
 
   case class Mp3Meta(doc_id: Long, bitrate_kbps: Int, sample_rate: Int,

@@ -1,10 +1,44 @@
 package graft.tools
 
-/** Throwaway local profiling harness (not part of the library surface). */
+/** Throwaway local profiling harness (not part of the library surface).
+  * Current shape: run one query N consecutive times in a single JVM
+  * with per-execution jit/gc/compile counters — the warm>cold
+  * attribution probe (SPARK_GRAFT_PROBE=q_name, SPARK_GRAFT_PROBE_N). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val q = graft.SparkEntry.queries.keySet
-    val o = graft.SparkEntry.oracleSql.keySet
-    println("queries=" + q.size + " oracles=" + o.size + " missing-oracle=" + (q -- o))
+    val name = sys.env.getOrElse("SPARK_GRAFT_PROBE", "")
+    if (name.isEmpty) {
+      val q = graft.SparkEntry.queries.keySet
+      val o = graft.SparkEntry.oracleSql.keySet
+      println("queries=" + q.size + " oracles=" + o.size + " missing-oracle=" + (q -- o))
+      return
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_PROBE_N", "5").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.cache.maxEntries", "8000")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def gcMs = ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def jitMs = ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+    def compiles = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    val fn = graft.SparkEntry.queries(name)
+    (1 to nRuns).foreach { i =>
+      spark.catalog.clearCache(); System.gc()
+      val (j0, g0, c0) = (jitMs, gcMs, compiles)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE $name run$i $dt%1.2fs jit=${jitMs - j0}ms gc=${gcMs - g0}ms compiles=${compiles - c0}")
+    }
+    spark.stop()
   }
 }

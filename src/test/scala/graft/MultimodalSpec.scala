@@ -1113,6 +1113,41 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWebp(1L, badVer).isEmpty, "nonzero VP8L version")
   }
 
+  test("flacDocs builds block chains whose STREAMINFO unpack matches the closed form") {
+    val docs = Tables.documents(spark, sf0001).limit(40)
+    val out = Multimodal.decodeFlacMeta(Multimodal.flacDocs(docs)).collect()
+    assert(out.length == 40)
+    val rates = Array(8000, 16000, 22050, 24000, 32000, 44100, 48000)
+    out.foreach { m =>
+      val id = m.doc_id
+      assert(m.sample_rate == rates((id % 7).toInt))
+      assert(m.channels == (1 + id % 2).toInt)
+      assert(m.bits_per_sample == (8 * (1 + id % 3)).toInt)
+      assert(m.total_samples == 1000L + id % 100000)
+      assert(m.duration_ms == m.total_samples * 1000 / m.sample_rate)
+      assert(m.n_blocks == 2)
+      assert(m.md5_hex == (0 until 16).map(k => f"${(id * 13 + 7 * k) % 256}%02X").mkString)
+    }
+  }
+
+  test("parseFlac rejects bad magic, overruns, and a missing STREAMINFO") {
+    val goods = Multimodal.flacDocs(Seq(0L, 5L).toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    goods.foreach { case (id, good) =>
+      assert(Multimodal.parseFlac(id, good).isDefined)
+      val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+      assert(Multimodal.parseFlac(id, badMagic).isEmpty, "bad magic")
+      // truncate inside the VORBIS_COMMENT block: its declared 24-bit
+      // length now overruns the buffer
+      assert(Multimodal.parseFlac(id, good.take(4 + 4 + 34 + 4 + 2)).isEmpty,
+        "block overrun")
+      // flip STREAMINFO's type to PADDING (1): chain walks fine but no
+      // STREAMINFO is found
+      val noSi = good.clone(); noSi(4) = 0x01
+      assert(Multimodal.parseFlac(id, noSi).isEmpty, "missing STREAMINFO")
+    }
+  }
+
   test("mp3Docs builds CBR streams whose frame walk matches the closed form") {
     val docs = Tables.documents(spark, sf0001).limit(40)
     val out = Multimodal.decodeMp3Meta(Multimodal.mp3Docs(docs)).collect()
