@@ -925,6 +925,10 @@ object SparkEntry {
     // bit-packed STREAMINFO (20-bit rate, 36-bit total samples)
     "m_decode_flac" -> ((s, dir) =>
       Multimodal.decodeFlacMeta(Multimodal.flacDocs(Tables.documents(s, dir))).toDF()),
+    // REAL EXIF walk: JPEG APP1 scan + the embedded TIFF structure's
+    // own byte-order dispatch, IFD0 + Exif sub-IFD tag extraction
+    "m_exif" -> ((s, dir) =>
+      Multimodal.decodeExifMeta(Multimodal.exifDocs(Tables.documents(s, dir))).toDF()),
     // every 2nd REAL video frame sliced from the movi index and
     // fingerprinted; the oracle rebuilds each sampled frame's bytes
     "m_avi_frames" -> ((s, dir) =>
@@ -3218,6 +3222,19 @@ object SparkEntry {
         |       CAST(CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS INT) AS n_chunks,
         |       CAST(CASE WHEN doc_id % 3 = 1 THEN 5 ELSE 10 END
         |            + 10 + doc_id % 40 AS BIGINT) AS image_bytes
+        |FROM documents""".stripMargin,
+    // EXIF: every field closed-form in doc_id (the walk validates the
+    // real marker stream + IFD chain; the oracle replays the arithmetic)
+    "m_exif" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |       'MAKE' || CAST(doc_id % 5 AS VARCHAR) AS make,
+        |       'MODEL' || CAST(doc_id % 7 AS VARCHAR) AS model,
+        |       CAST(1 + doc_id % 8 AS INT) AS orientation,
+        |       CAST(100 * (1 + doc_id % 16) AS INT) AS iso,
+        |       CAST(640 + 16 * (doc_id % 20) AS INT) AS exif_width,
+        |       CAST(480 + 16 * (doc_id % 12) AS INT) AS exif_height,
+        |       CAST(4 AS INT) AS n_ifd0_tags
         |FROM documents""".stripMargin,
     // FLAC: every field closed-form in doc_id; md5_hex replays the
     // signature bytes' hex like m_avi_frames' frame_md5 arithmetic

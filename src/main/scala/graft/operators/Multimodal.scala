@@ -4024,6 +4024,173 @@ object Multimodal {
           s"doc $id: not a well-formed WebP")) })
   }
 
+  // ---- EXIF: JPEG APP1 marker scan + TIFF-structure IFD chain ----
+
+  case class ExifMeta(doc_id: Long, byte_order: String, make: String,
+                      model: String, orientation: Int, iso: Int,
+                      exif_width: Int, exif_height: Int, n_ifd0_tags: Int)
+
+  /** Deterministic EXIF corpus — a real JPEG marker stream (SOI, APP1,
+    * EOI) whose APP1 carries the Exif header and a TIFF-structure
+    * payload: IFD0 with Make/Model (ASCII, stored out-of-line with
+    * NUL terminators), Orientation (SHORT) and the ExifIFD pointer
+    * (LONG), then the Exif sub-IFD with ISOSpeedRatings +
+    * PixelX/YDimension. Even doc_ids write little-endian ('II'), odd
+    * big-endian ('MM') — the byte-order dispatch is load-bearing for
+    * the oracle, like tiffDocs. All offsets are TIFF-header-relative
+    * per spec; every output field is closed-form in doc_id. */
+  def exifDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val le = id % 2 == 0
+        val make = s"MAKE${id % 5}"
+        val model = s"MODEL${id % 7}"
+        val orientation = (1 + id % 8).toInt
+        val iso = (100 * (1 + id % 16)).toInt
+        val w = (640 + 16 * (id % 20)).toInt
+        val h = (480 + 16 * (id % 12)).toInt
+        val tiff = new java.io.ByteArrayOutputStream()
+        def w16(x: Int): Unit =
+          if (le) { tiff.write(x & 0xFF); tiff.write((x >> 8) & 0xFF) }
+          else { tiff.write((x >> 8) & 0xFF); tiff.write(x & 0xFF) }
+        def w32(x: Int): Unit =
+          if (le) { w16(x & 0xFFFF); w16((x >> 16) & 0xFFFF) }
+          else { w16((x >> 16) & 0xFFFF); w16(x & 0xFFFF) }
+        // entry writer: SHORT scalars left-justify in the 4-byte field
+        def entry(tag: Int, typ: Int, cnt: Int, value: Int,
+                  shortScalar: Boolean): Unit = {
+          w16(tag); w16(typ); w32(cnt)
+          if (shortScalar) { w16(value); w16(0) } else w32(value)
+        }
+        val makeB = (make + "\u0000").getBytes("US-ASCII") // NUL-terminated ASCII
+        val modelB = (model + "\u0000").getBytes("US-ASCII")
+        // layout: header(8) | IFD0: 2 + 4*12 + 4 = 54 | make | model | exif IFD
+        val dataOff = 8 + 54
+        val exifOff = dataOff + makeB.length + modelB.length
+        if (le) { tiff.write('I'); tiff.write('I') }
+        else { tiff.write('M'); tiff.write('M') }
+        w16(42); w32(8)
+        w16(4) // IFD0 entry count
+        entry(0x010F, 2, makeB.length, dataOff, shortScalar = false)
+        entry(0x0110, 2, modelB.length, dataOff + makeB.length, shortScalar = false)
+        entry(0x0112, 3, 1, orientation, shortScalar = true)
+        entry(0x8769, 4, 1, exifOff, shortScalar = false)
+        w32(0) // no next IFD
+        tiff.write(makeB); tiff.write(modelB)
+        w16(3) // Exif sub-IFD entry count
+        entry(0x8827, 3, 1, iso, shortScalar = true)
+        entry(0xA002, 4, 1, w, shortScalar = false)
+        entry(0xA003, 4, 1, h, shortScalar = false)
+        w32(0)
+        val t = tiff.toByteArray
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(0xFF); out.write(0xD8) // SOI
+        out.write(0xFF); out.write(0xE1) // APP1
+        val segLen = 2 + 6 + t.length
+        out.write((segLen >> 8) & 0xFF); out.write(segLen & 0xFF)
+        "Exif".foreach(c => out.write(c.toInt)); out.write(0); out.write(0)
+        out.write(t)
+        out.write(0xFF); out.write(0xD9) // EOI
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** REAL EXIF walk: scans the JPEG marker stream for an APP1 segment
+    * with the Exif\0\0 header, then reads the embedded TIFF structure
+    * with ITS OWN byte-order mark (independent of any outer
+    * convention): IFD0's Make/Model ASCII values (count includes the
+    * NUL; out-of-line when > 4 bytes, per the value-vs-offset rule),
+    * Orientation, and the 0x8769 Exif sub-IFD for ISO and pixel
+    * dimensions. Unknown tags are skipped by the fixed 12-byte entry
+    * stride — real EXIF is full of them. None for a missing/bad APP1,
+    * bad TIFF magic, or an IFD running past the segment. */
+  private[graft] def parseExif(id: Long, b: Array[Byte]): Option[ExifMeta] =
+    try {
+      if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
+      // find APP1/Exif among the leading marker segments
+      var p = 2
+      var tiff0 = -1; var tiffEnd = -1
+      while (tiff0 < 0 && p + 4 <= b.length && (b(p) & 0xFF) == 0xFF) {
+        val marker = b(p + 1) & 0xFF
+        if (marker == 0xD9 || marker == 0xDA) return None // hit EOI/SOS first
+        val len = ((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF)
+        if (p + 2 + len > b.length) return None
+        if (marker == 0xE1 && len >= 8 && b(p + 4) == 'E' && b(p + 5) == 'x' &&
+            b(p + 6) == 'i' && b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0) {
+          tiff0 = p + 10; tiffEnd = p + 2 + len
+        }
+        p += 2 + len
+      }
+      if (tiff0 < 0 || tiffEnd - tiff0 < 8) return None
+      val le =
+        if (b(tiff0) == 'I' && b(tiff0 + 1) == 'I') true
+        else if (b(tiff0) == 'M' && b(tiff0 + 1) == 'M') false
+        else return None
+      def u16(i: Int): Int = {
+        val a = b(tiff0 + i) & 0xFF; val c = b(tiff0 + i + 1) & 0xFF
+        if (le) a | (c << 8) else (a << 8) | c
+      }
+      def u32(i: Int): Int = {
+        val a = u16(i); val c = u16(i + 2)
+        if (le) a | (c << 16) else (a << 16) | c
+      }
+      val limit = tiffEnd - tiff0
+      if (u16(2) != 42) return None
+      def ascii(off: Int, cnt: Int): String = {
+        require(off >= 0 && off + cnt <= limit && cnt >= 1, "ascii out of range")
+        new String(b, tiff0 + off, cnt - 1, java.nio.charset.StandardCharsets.US_ASCII)
+      }
+      var make = ""; var model = ""; var orientation = -1
+      var iso = -1; var w = -1; var h = -1; var exifIfd = -1
+      var n0 = 0
+      def walk(ifd: Int, ifd0: Boolean): Unit = {
+        require(ifd >= 8 && ifd + 2 <= limit, "ifd out of range")
+        val n = u16(ifd)
+        require(ifd + 2 + n * 12 + 4 <= limit, "ifd entries out of range")
+        if (ifd0) n0 = n
+        var e = 0
+        while (e < n) {
+          val q = ifd + 2 + e * 12
+          val tag = u16(q); val typ = u16(q + 2); val cnt = u32(q + 4)
+          def sv: Int = if (typ == 3) u16(q + 8) else u32(q + 8)
+          tag match {
+            case 0x010F if typ == 2 =>
+              make = ascii(if (cnt <= 4) q + 8 else u32(q + 8), cnt)
+            case 0x0110 if typ == 2 =>
+              model = ascii(if (cnt <= 4) q + 8 else u32(q + 8), cnt)
+            case 0x0112 if typ == 3 => orientation = sv
+            case 0x8769 if typ == 4 => exifIfd = sv
+            case 0x8827 if typ == 3 => iso = sv
+            case 0xA002 => w = sv
+            case 0xA003 => h = sv
+            case _ => () // unknown tags: fixed-stride skip
+          }
+          e += 1
+        }
+      }
+      walk(u32(4), ifd0 = true)
+      if (exifIfd > 0) walk(exifIfd, ifd0 = false)
+      if (orientation < 0 || iso < 0 || w < 0 || h < 0 || make.isEmpty) return None
+      Some(ExifMeta(id, if (le) "II" else "MM", make, model, orientation,
+        iso, w, h, n0))
+    } catch {
+      case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None
+    }
+
+  /** One row per decodable EXIF payload. Decode rides the batched
+    * mapPartitions seam; payload bytes never shuffle. */
+  def decodeExifMeta(bin: DataFrame): Dataset[ExifMeta] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseExif(id, bytes).getOrElse(throw new IllegalArgumentException(
+          s"doc $id: no parseable EXIF")) })
+  }
+
   // ---- FLAC: metadata-block walk + bit-packed STREAMINFO ----
 
   case class FlacMeta(doc_id: Long, sample_rate: Int, channels: Int,

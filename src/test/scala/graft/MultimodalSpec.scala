@@ -1113,6 +1113,46 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWebp(1L, badVer).isEmpty, "nonzero VP8L version")
   }
 
+  test("exifDocs builds JPEG/APP1 payloads whose IFD walk matches the closed form") {
+    val docs = Tables.documents(spark, sf0001).limit(40)
+    val out = Multimodal.decodeExifMeta(Multimodal.exifDocs(docs)).collect()
+    assert(out.length == 40)
+    assert(out.map(_.byte_order).toSet == Set("II", "MM"))
+    out.foreach { m =>
+      val id = m.doc_id
+      assert(m.byte_order == (if (id % 2 == 0) "II" else "MM"))
+      assert(m.make == s"MAKE${id % 5}" && m.model == s"MODEL${id % 7}")
+      assert(m.orientation == (1 + id % 8).toInt)
+      assert(m.iso == (100 * (1 + id % 16)).toInt)
+      assert(m.exif_width == (640 + 16 * (id % 20)).toInt)
+      assert(m.exif_height == (480 + 16 * (id % 12)).toInt)
+      assert(m.n_ifd0_tags == 4)
+    }
+  }
+
+  test("parseExif rejects missing APP1, bad TIFF magic, truncated IFDs; skips unknown tags") {
+    val goods = Multimodal.exifDocs(Seq(0L, 1L).toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    goods.foreach { case (id, good) =>
+      assert(Multimodal.parseExif(id, good).isDefined)
+      // SOI followed directly by EOI: no APP1 at all
+      assert(Multimodal.parseExif(id,
+        Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)).isEmpty, "no APP1")
+      val badMagic = good.clone(); badMagic(10) = 'X'.toByte // TIFF byte-order mark
+      assert(Multimodal.parseExif(id, badMagic).isEmpty, "bad TIFF magic")
+      assert(Multimodal.parseExif(id, good.take(30)).isEmpty, "truncated segment")
+    }
+    // an APP0/JFIF segment BEFORE the Exif APP1 must be skipped, and an
+    // unknown tag inside IFD0 must not derail the fixed-stride walk —
+    // splice a JFIF segment in front of doc 0's APP1
+    val g = goods(0L)
+    val jfif = Array(0xFF, 0xE0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0, 1, 1, 0,
+      0, 1, 0, 1, 0, 0).map(_.toByte)
+    val spliced = g.take(2) ++ jfif ++ g.drop(2)
+    val m = Multimodal.parseExif(0L, spliced)
+    assert(m.isDefined && m.get.make == "MAKE0", "APP0 not skipped")
+  }
+
   test("flacDocs builds block chains whose STREAMINFO unpack matches the closed form") {
     val docs = Tables.documents(spark, sf0001).limit(40)
     val out = Multimodal.decodeFlacMeta(Multimodal.flacDocs(docs)).collect()
