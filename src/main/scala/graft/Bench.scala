@@ -352,6 +352,16 @@ object Bench {
     val warmSet = (byCold.take(5) ++ byCold.filter(_._2 >= 2.0)).map(_._1).distinct
     warmSet.foreach { name =>
       val fn = SparkEntry.queries(name)
+      // absorb the C2-promotion debt first, untimed: with the code
+      // warmup the COLD pass runs compile-free, so HotSpot's tiered
+      // promotions (C1→C2 recompiles of the now-hot kernels) would
+      // otherwise land their compiler CPU inside the timed warm rerun
+      // — 27 warm>cold rows with wjit 1-3s / wcomp 0 in the first r12
+      // closing run. One untimed rerun collects that debt; the timed
+      // pass below then reads true steady state (the number "warm"
+      // has always claimed to be).
+      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      isolate()
       val (c1, g1, j1) = (compileCount, gcMs, jitMs)
       resetReplayStats()
       val t1 = System.nanoTime()
