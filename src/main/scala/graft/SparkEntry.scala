@@ -306,6 +306,10 @@ object SparkEntry {
       graft.functions.TextAnalysis.winnowFingerprint(Tables.documents(s, dir))),
     "t_top_terms" -> ((s, dir) =>
       graft.functions.TextAnalysis.topTerms(Tables.documents(s, dir))),
+    // word burstiness: Fano factor of per-doc counts (zeros included)
+    // for the top-50 words — the dispersion/boilerplate signal
+    "t_burstiness" -> ((s, dir) =>
+      graft.functions.TextAnalysis.burstiness(Tables.documents(s, dir))),
     "t_repetition" -> ((s, dir) =>
       graft.functions.TextAnalysis.repetition(Tables.documents(s, dir))),
     // PMI collocations: corpus-wide multiword-expression mining
@@ -2225,6 +2229,19 @@ object SparkEntry {
         |SELECT term, df, rank FROM (
         |  SELECT term, df, CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term) AS INT) AS rank
         |  FROM d) WHERE rank <= 100""".stripMargin,
+    // burstiness: exact integer total/ss/df counts; mean and VMR are
+    // the identical fixed expression tree, 6-dp nudge-rounded
+    "t_burstiness" ->
+      """WITH pd AS (SELECT word, doc_id, COUNT(*) AS c FROM (
+        |              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |              FROM documents) WHERE word <> '' GROUP BY word, doc_id),
+        |st AS (SELECT word, SUM(c) AS total_cnt, COUNT(*) AS doc_freq,
+        |              SUM(c * c) AS ss FROM pd GROUP BY word),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT word, CAST(total_cnt AS BIGINT) AS total_cnt, doc_freq,
+        |       ROUND((ss / n_docs - (total_cnt / n_docs) * (total_cnt / n_docs))
+        |             / (total_cnt / n_docs) + 1e-12, 6) AS vmr
+        |FROM st, nd ORDER BY total_cnt DESC, word LIMIT 50""".stripMargin,
     // repetition signals: the oracle counts the bigram mode via unnest +
     // GROUP BY (the Spark side finds the same count as the longest run
     // in the sorted bigram array); identical integer divisions + nudge

@@ -87,6 +87,43 @@ object TextAnalysis {
     * compiles to TakeOrderedAndProject — every partition keeps only
     * its k best, never a vocabulary-sized global sort (locked by
     * PlanAuditSpec). The rank window runs over exactly k rows. */
+  /** WORD BURSTINESS — the variance-to-mean ratio (Fano factor) of
+    * each top-k word's per-document count, zeros included: VMR ≈ 1 is
+    * Poisson scatter (function words), VMR ≫ 1 is bursty topical
+    * clumping — the classic corpus-linguistics dispersion signal
+    * (Church & Gale's burstiness), and a cheap template/spam tell in
+    * a quality pipeline (boilerplate tokens burst; natural prose
+    * doesn't). Output: (word, total_cnt, doc_freq, vmr) for the k
+    * most frequent words, ties broken by word.
+    *
+    * Cross-engine determinism: total/ss/doc counts are exact
+    * integers; mean and VMR are ONE fixed expression tree over them
+    * (long/long division promotes to double identically in both
+    * engines), nudge-rounded to 6 dp — the assoc-rules discipline.
+    *
+    * Scale shape: one explode → (word, doc) partial-agg → a
+    * VOCABULARY-bounded (word) aggregate; the corpus-wide doc count
+    * is a one-row broadcast; top-k compiles to TakeOrdered. Nothing
+    * vocabulary-sized ever sorts globally except the k-row result. */
+  def burstiness(documents: DataFrame, k: Int = 50): DataFrame = {
+    val perDoc = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val stats = perDoc.groupBy(col("word")).agg(
+      sum(col("c")).as("total_cnt"),
+      count(lit(1)).as("doc_freq"),
+      sum(col("c") * col("c")).as("ss"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    stats.crossJoin(broadcast(n))
+      .withColumn("vmr", round(
+        (col("ss") / col("n_docs") -
+          (col("total_cnt") / col("n_docs")) * (col("total_cnt") / col("n_docs"))) /
+          (col("total_cnt") / col("n_docs")) + lit(1e-12), 6))
+      .orderBy(col("total_cnt").desc, col("word")).limit(k)
+      .select(col("word"), col("total_cnt"), col("doc_freq"), col("vmr"))
+  }
+
   def topTerms(documents: DataFrame, k: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     documents

@@ -38,6 +38,23 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     assert(out.toSeq == Seq(("a", 3L, 1), ("b", 2L, 2), ("c", 1L, 3)))
   }
 
+  test("burstiness: Fano factor over per-doc counts with zeros, hand-exact") {
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.burstiness(df, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // a: counts (2,1) over N=2 -> mean 1.5, var 5/2-2.25 = 0.25, vmr 1/6
+    // b,c: counts (1,0) -> mean .5, var .25, vmr .5; tie broken b < c
+    assert(out.toSeq == Seq(("a", 3L, 2L, 0.166667),
+      ("b", 1L, 1L, 0.5), ("c", 1L, 1L, 0.5)), s"got ${out.toSeq}")
+    // a constant-rate word disperses (vmr < 1); a clumped one bursts
+    val big = Seq.tabulate(20)(i =>
+      (i.toLong, if (i < 2) "z z z z z z z z z z" else s"w pad$i")).toDF("doc_id", "text")
+    val m = TextAnalysis.burstiness(big, k = 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(m("z") > 5.0, s"clumped word not bursty: $m")
+    assert(m("w") < 1.0, s"even word not under-dispersed: $m")
+  }
+
   test("repetition: mode-by-sorted-run equals hand counts, degenerate docs score 0") {
     val df = Seq(
       (1L, "go go go stop"),   // bigrams: "go go"×2, "go stop" → top 2/3
