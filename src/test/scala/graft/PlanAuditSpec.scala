@@ -168,6 +168,17 @@ class PlanAuditSpec extends SparkSpec {
       s"top-k lost TakeOrdered (global sort of the vocabulary):\n$p")
   }
 
+  test("burstiness: partial aggs both levels, one-row broadcast, TakeOrdered top-k") {
+    val p = plan(graft.functions.TextAnalysis.burstiness(Tables.documents(spark, dir)))
+    assert(p.contains("partial_count"), s"per-doc count lost its map-side partial:\n$p")
+    assert(p.contains("partial_sum"), s"word stats lost their map-side partial:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row doc-count frame stopped broadcasting:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k lost TakeOrdered (global sort of the vocabulary):\n$p")
+    assert(!p.contains("CartesianProduct"), s"one-row cross join went cartesian:\n$p")
+  }
+
   test("contamination: gram semi-join, partial aggs, no cartesian") {
     val docs = Tables.documents(spark, dir)
     val withSplit = Corpus.hashSplit(docs)
