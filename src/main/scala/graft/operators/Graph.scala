@@ -1842,7 +1842,10 @@ object Graph {
                 if (dist(w) < 0) {
                   dist(w) = dist(v) + 1; order(tail) = w; tail += 1
                 }
-                if (dist(w) == dist(v) + 1) sigma(w) = sigma(w) + sigma(v)
+                // addExact: on a pathologically dense graph sigma can
+                // overflow within maxDepth hops — surface it, don't wrap.
+                if (dist(w) == dist(v) + 1)
+                  sigma(w) = Math.addExact(sigma(w), sigma(v))
                 e += 1
               }
             }

@@ -4006,6 +4006,10 @@ object Multimodal {
         }
         off = p + size.toInt + (size.toInt & 1) // chunks are even-aligned
       }
+      // The declared RIFF size must exactly cover the chunk chain:
+      // 1-7 trailing junk bytes (or a truncated final chunk header)
+      // inside riffEnd are malformed, not ignorable slack.
+      if (off != riffEnd) return None
       if (variant == null || width < 0 || imageBytes < 0) return None
       Some(WebpMeta(id, variant, width, height, alpha, chunks, imageBytes))
     } catch {

@@ -786,6 +786,13 @@ object StreamRunner {
   private def awaitAndRecord(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     q.awaitTermination()
     val progs = q.recentProgress
+    // recentProgress is a ring buffer of the last 100 events; a replay
+    // long enough to wrap it would silently undercount the bench
+    // attribution counters. Fail loudly instead of skewing the artifact.
+    require(progs.length < 100,
+      s"replay executed ${progs.length} batches — recentProgress ring " +
+        "buffer (100) would truncate the bench counters; lower ReplayChunks " +
+        "or switch awaitAndRecord to a StreamingQueryListener")
     replayBatchTotal.addAndGet(progs.length.toLong)
     replayTriggerMsTotal.addAndGet(progs.map { p =>
       Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)

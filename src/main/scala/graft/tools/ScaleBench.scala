@@ -86,6 +86,10 @@ object ScaleBench {
       // artifact of running first
       val (tf, nf) = timed(fast)
       val (td, nd) = timed(forced)
+      // routes must agree on row count — a parity regression in a
+      // forced-distributed route should fail the run, not hide in the
+      // artifact until someone reads rows_fast vs rows_forced by hand
+      require(nf == nd, s"$name route parity broke: fast=$nf forced=$nd")
       val warmPart = if (repeat) {
         val (tw, _) = timed(forced)
         println(f"  $name forced-warm=$tw%1.2fs")

@@ -1111,6 +1111,17 @@ class MultimodalSpec extends SparkSpec {
     // VP8L version bits must be zero (doc 1 is VP8L: bitfield at 21..24)
     val badVer = goods(1L).clone(); badVer(24) = (badVer(24) | 0x20).toByte
     assert(Multimodal.parseWebp(1L, badVer).isEmpty, "nonzero VP8L version")
+    // trailing junk inside the declared RIFF size: grow the RIFF size
+    // by 3 and append 3 junk bytes — the chunk chain no longer covers
+    // the envelope exactly, so the walk must reject it
+    goods.foreach { case (id, good) =>
+      val junk = java.util.Arrays.copyOf(good, good.length + 3)
+      val newSz = (good.length - 8) + 3
+      junk(4) = newSz.toByte; junk(5) = (newSz >> 8).toByte
+      junk(6) = (newSz >> 16).toByte; junk(7) = (newSz >> 24).toByte
+      assert(Multimodal.parseWebp(id, junk).isEmpty,
+        "trailing junk inside declared RIFF size")
+    }
   }
 
   test("exifDocs builds JPEG/APP1 payloads whose IFD walk matches the closed form") {
