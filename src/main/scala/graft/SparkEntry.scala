@@ -550,6 +550,14 @@ object SparkEntry {
       graft.functions.TextAnalysis.piiScrub(Tables.documents(s, dir))),
     "t_normalize" -> ((s, dir) =>
       graft.functions.TextAnalysis.normalize(Tables.documents(s, dir))),
+    // HTML main-content extraction: fused per-row state machine over
+    // REAL markup (head/script/style/comment structural skip, entity
+    // decode, block segmentation, link-density boilerplate drop); the
+    // fixture is closed-form in doc_id so the oracle replays the
+    // extraction as string arithmetic
+    "t_html_extract" -> ((s, dir) =>
+      graft.functions.TextAnalysis.extractHtml(
+        graft.functions.TextAnalysis.htmlDocs(Tables.documents(s, dir)))),
     // adaptive per-source quality cut: histogram-quantile threshold
     // CCNet-shaped LM perplexity gate: drop the lowest-probability
     // 30% of documents under the corpus's own bigram LM
@@ -3807,6 +3815,29 @@ object SparkEntry {
         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |         '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
         |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
+    // HTML extraction: the fixture's boilerplate fragments are
+    // closed-form in doc_id (nav/aside/footer link-dense or short →
+    // boilerplate; h1 + the document text + the entity paragraph pass
+    // the density/length gates), so the oracle rebuilds every output
+    // string arithmetically — entities appear DECODED here because the
+    // extractor decodes them (&amp;→&, &nbsp;→space, &#72;&#x49;→HI,
+    // &copy;→©)
+    "t_html_extract" ->
+      """SELECT doc_id,
+        |       'doc ' || CAST(doc_id AS VARCHAR) || ' title' AS title,
+        |       'home section ' || CAST(doc_id % 5 AS VARCHAR) || ' contact ' ||
+        |       'main heading ' || CAST(doc_id AS VARCHAR) || ' of document ' ||
+        |       CAST(doc_id % 97 AS VARCHAR) || ' ' || text ||
+        |       ' entities: A&B <x> "y" HI tail ' || CAST(doc_id % 13 AS VARCHAR) ||
+        |       ' promo offer ' || '© 2026 corpus site terms privacy' AS text_all,
+        |       'main heading ' || CAST(doc_id AS VARCHAR) || ' of document ' ||
+        |       CAST(doc_id % 97 AS VARCHAR) || ' ' || text ||
+        |       ' entities: A&B <x> "y" HI tail ' || CAST(doc_id % 13 AS VARCHAR)
+        |         AS main_text,
+        |       CAST(6 AS INT) AS n_blocks,
+        |       CAST(3 AS INT) AS n_boiler_blocks,
+        |       CAST(7 AS INT) AS n_links
         |FROM documents""".stripMargin,
     "t_normalize" ->
       """SELECT doc_id,

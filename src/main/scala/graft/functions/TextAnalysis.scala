@@ -1217,4 +1217,60 @@ object TextAnalysis {
       .select(col("doc_id"), col("dim").cast("int").as("dim"),
         round(col("cnt") / col("nrm") + lit(1e-9), 6).as("weight"))
   }
+
+  /** Deterministic raw-HTML corpus — each document's text wrapped in a
+    * realistic page: DOCTYPE, head with title/style/script (the script
+    * body contains `"<p>fake</p>"` in a string literal — a regex
+    * tag-strip would leak it; the state machine must not), an HTML
+    * comment containing markup, a nav bar of links, a main div with an
+    * h1 + the document text + an entity-bearing paragraph (named,
+    * NBSP, decimal and hex numeric forms), a link-only aside, and a
+    * link-dense footer. Every boilerplate fragment is closed-form in
+    * doc_id so the DuckDB oracle replays the extraction result as
+    * string arithmetic. Built with codegen'd concat — fixture
+    * generation is map-only scan work like the decode-family docs. */
+  def htmlDocs(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(x: String) = lit(x)
+    val html = concat(
+      s("<!DOCTYPE html>\n<html><head>\n<title>doc "), id, s(" title</title>\n"),
+      s("<style>.c"), id % 7, s(" { color: #abc; margin: 0; }</style>\n"),
+      s("<script type=\"text/javascript\">var n = "), id,
+      s("; if (n < 10) { emit(\"<p>fake</p>\"); }</script>\n</head>\n<body>\n"),
+      s("<!-- build "), id, s(" <div>commented markup</div> -->\n"),
+      s("<nav><a href=\"/\">home</a> <a href=\"/s"), id % 5, s("\">section "),
+      id % 5, s("</a> <a href=\"/c\">contact</a></nav>\n"),
+      s("<div id=\"main\">\n<h1>main heading "), id, s(" of document "),
+      id % 97, s("</h1>\n"),
+      s("<p>"), col("text"), s("</p>\n"),
+      s("<p>entities: A&amp;B&nbsp;&lt;x&gt; &quot;y&quot; &#72;&#x49; tail "),
+      id % 13, s("</p>\n</div>\n"),
+      s("<aside><a href=\"/p\">promo</a> <a href=\"/q\">offer</a></aside>\n"),
+      s("<footer>&copy; 2026 corpus site <a href=\"/terms\">terms</a> "),
+      s("<a href=\"/privacy\">privacy</a></footer>\n</body></html>"))
+    documents.select(col("doc_id"), col("text"), html.as("html"))
+  }
+
+  /** HTML main-content extraction over a raw-HTML column — one fused
+    * per-row state-machine pass ([[graft.functions.HtmlKernels]]):
+    * strips comments/script/style/head structurally, decodes entities,
+    * segments text at block-level tags and classifies each block
+    * content-vs-boilerplate by link density + a minimum-length floor
+    * (the readability/trafilatura lineage). Emits the page title, the
+    * full visible text, the main text (boilerplate blocks dropped) and
+    * the block/link counts. Map-only scan at any scale; the struct is
+    * staged through an explicit projection barrier so the kernel
+    * evaluates once per row, not once per extracted field (the
+    * keepSignals discipline). */
+  def extractHtml(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val staged = pages.select(col("doc_id"),
+      HtmlKernels.htmlExtract(col(htmlCol)).as("x"))
+    staged.select(col("doc_id"),
+      col("x.title").as("title"),
+      col("x.text_all").as("text_all"),
+      col("x.main_text").as("main_text"),
+      col("x.n_blocks").as("n_blocks"),
+      col("x.n_boiler_blocks").as("n_boiler_blocks"),
+      col("x.n_links").as("n_links"))
+  }
 }

@@ -179,6 +179,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"one-row cross join went cartesian:\n$p")
   }
 
+  test("extractHtml: one kernel evaluation per row, shuffle-free map work") {
+    val p = plan(graft.functions.TextAnalysis.extractHtml(
+      graft.functions.TextAnalysis.htmlDocs(Tables.documents(spark, dir))))
+    // the staged-struct barrier must hold: collapsing the field
+    // projection into the kernel projection would run the state
+    // machine once PER EXTRACTED FIELD (6x) instead of once per row
+    assert(count(p, "html_extract") == 1,
+      s"html_extract must evaluate exactly once per row:\n$p")
+    assert(!p.contains("Exchange"), s"extraction is per-row work, no shuffle:\n$p")
+  }
+
   test("contamination: gram semi-join, partial aggs, no cartesian") {
     val docs = Tables.documents(spark, dir)
     val withSplit = Corpus.hashSplit(docs)

@@ -513,4 +513,95 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     val aDim = d2.head._2
     assert(out.filter(_._1 == 1L).exists(_._2 == aDim))
   }
+
+  // ---- HTML main-content extraction ----
+
+  /** Direct kernel call: (title, text_all, main_text, n_blocks,
+    * n_boiler_blocks, n_links). */
+  private def extract(html: String): (String, String, String, Int, Int, Int) = {
+    val r = graft.functions.HtmlKernels.extractInto(
+      org.apache.spark.unsafe.types.UTF8String.fromString(html))
+    (r.getUTF8String(0).toString, r.getUTF8String(1).toString,
+      r.getUTF8String(2).toString, r.getInt(3), r.getInt(4), r.getInt(5))
+  }
+
+  test("extractHtml drops nav/aside/footer boilerplate from main_text but keeps it in text_all") {
+    val docs = Tables.documents(spark, sf0001).limit(25)
+    val src = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TextAnalysis.extractHtml(TextAnalysis.htmlDocs(docs)).collect()
+    assert(out.length == 25)
+    out.foreach { r =>
+      val (id, title, all, main) =
+        (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))
+      assert(title == s"doc $id title")
+      val expMain = s"main heading $id of document ${id % 97} ${src(id)} " +
+        "entities: A&B <x> \"y\" HI tail " + (id % 13)
+      assert(main == expMain, s"doc $id main_text")
+      assert(all.startsWith(s"home section ${id % 5} contact "), "nav in text_all")
+      assert(all.endsWith(" promo offer © 2026 corpus site terms privacy"),
+        "aside + footer in text_all")
+      assert(all.contains(expMain), "main content inside text_all")
+      assert(!main.contains("home") && !main.contains("promo") &&
+        !main.contains("privacy"), "boilerplate leaked into main_text")
+      assert(r.getInt(4) == 6 && r.getInt(5) == 3 && r.getInt(6) == 7)
+    }
+  }
+
+  test("extractHtml: script/style/comment payloads never leak, even markup inside a script string") {
+    val (_, all, main, nb, _, _) = extract(
+      "<body><p>real paragraph text long enough to pass the floor</p>" +
+        "<script>var s = \"</p><p>fake</p>\"; if (a < b) { x(); }</script>" +
+        "<style>p > em { color: red }</style>" +
+        "<!-- <p>hidden comment markup</p> --></body>")
+    assert(all == "real paragraph text long enough to pass the floor")
+    assert(main == all)
+    assert(nb == 1)
+    // a script whose string literal contains its own terminator text
+    // must still end at the REAL </script>
+    val (_, all2, _, _, _, _) = extract(
+      "<body><script>emit(\"</scr\" + \"ipt>\");</script><p>after the script body</p></body>")
+    // "</scr" + "ipt>" never assembles the terminator text, so the
+    // raw-text skip runs to the REAL </script>
+    assert(all2 == "after the script body", s"script skip mis-terminated: '$all2'")
+  }
+
+  test("extractHtml entity decode: named + numeric forms; malformed entities stay literal") {
+    val (_, all, _, _, _, _) = extract(
+      "<body><p>A&amp;B &unknown; &#65;&#x42; &#0; &#xD800; &amp tail&nbsp;word padding</p></body>")
+    assert(all == "A&B &unknown; AB &#0; &#xD800; &amp tail word padding")
+  }
+
+  test("extractHtml: block segmentation, quoted '>' in attributes, density thresholds") {
+    // a '>' inside a quoted attribute value must not terminate the tag
+    val (_, all, main, nb, nboil, nl) = extract(
+      "<body><p>alpha beta gamma delta epsilon zeta</p><a href=\"x>y\">link</a></body>")
+    assert(all == "alpha beta gamma delta epsilon zeta link" && nl == 1)
+    assert(main == "alpha beta gamma delta epsilon zeta") // trailing link block: short => boiler
+    assert(nb == 2 && nboil == 1)
+    // exactly MinTextLen-1 chars => boiler; MinTextLen with no links => content
+    val short24 = "x" * 24; val ok25 = "y" * 25
+    val (_, _, m2, _, b2, _) = extract(s"<body><p>$short24</p><p>$ok25</p></body>")
+    assert(m2 == ok25 && b2 == 1)
+    // link density exactly 1/3 (10 link chars of 30) => boiler
+    val (_, _, m3, _, b3, _) = extract(
+      "<body><p>aaaaaaaaa bbbbbbbbb <a href=\"/\">cccccccccc</a></p></body>")
+    assert(m3 == "" && b3 == 1, s"density-1/3 block must drop, got '$m3'")
+    // head text (outside title) is structural, not content
+    val (t4, all4, _, _, _, _) = extract(
+      "<html><head><title> padded  title </title><p>head junk</p></head>" +
+        "<body><p>only the body paragraph counts here</p></body></html>")
+    assert(t4 == "padded title" && all4 == "only the body paragraph counts here")
+  }
+
+  test("extractHtml output composes with Corpus.keepSet as the curation front door") {
+    val pages = TextAnalysis.htmlDocs(Tables.documents(spark, sf0001).limit(50))
+    val ext = TextAnalysis.extractHtml(pages)
+      .select(col("doc_id"), col("main_text").as("text"))
+    val kept = operators.Corpus.keepSet(ext)
+    // extracted docs carry the original english text plus a fixed
+    // header/trailer; the en gate and dedup must still pass a nonempty
+    // keeper set, and every keeper is one of the inputs
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && ids.forall(_ < 50))
+  }
 }
