@@ -558,6 +558,11 @@ object SparkEntry {
     "t_html_extract" -> ((s, dir) =>
       graft.functions.TextAnalysis.extractHtml(
         graft.functions.TextAnalysis.htmlDocs(Tables.documents(s, dir)))),
+    // per-document gzip decode seam: REAL RFC 1952 member walk +
+    // Inflater + trailer CRC/ISIZE verification; the oracle compares
+    // the decoded leg against the plaintext column
+    "t_gzip_decode" -> ((s, dir) =>
+      Corpus.inflateText(Corpus.gzipDocs(Tables.documents(s, dir)))),
     // adaptive per-source quality cut: histogram-quantile threshold
     // CCNet-shaped LM perplexity gate: drop the lowest-probability
     // 30% of documents under the corpus's own bigram LM
@@ -3838,6 +3843,11 @@ object SparkEntry {
         |       CAST(6 AS INT) AS n_blocks,
         |       CAST(3 AS INT) AS n_boiler_blocks,
         |       CAST(7 AS INT) AS n_links
+        |FROM documents""".stripMargin,
+    // gzip decode: round-trips the plaintext (the container bytes are
+    // not SQL-replayable; the decoded leg is the oracle surface)
+    "t_gzip_decode" ->
+      """SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_raw
         |FROM documents""".stripMargin,
     "t_normalize" ->
       """SELECT doc_id,

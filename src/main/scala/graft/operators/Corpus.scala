@@ -1156,4 +1156,113 @@ object Corpus {
       .select(col("doc_id"), col("n_tok"), col("logw"), col("w_thr"),
         (col("logw") >= col("w_thr")).as("keep"))
   }
+
+  // ---- per-document compressed text payloads ----
+
+  /** Deterministic gzip corpus: each document's text UTF-8 bytes
+    * wrapped in a REAL RFC 1952 gzip member — magic 1f 8b, CM=8
+    * (deflate), FLG=0, MTIME=0, XFL=0, OS=255, the deflate stream,
+    * then CRC-32 and ISIZE (mod 2^32) little-endian. Web corpora ship
+    * documents this way (WARC payloads, .json.gz shards); the fixture
+    * runs in the same batched mapPartitions seam as the image
+    * encoders — Deflater output is not SQL-replayable, but the oracle
+    * never needs the container: it compares the DECODED leg against
+    * the plaintext column arithmetically. */
+  def gzipDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, /* nowrap = */ true)
+        deflater.setInput(raw); deflater.finish()
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        while (!deflater.finished()) buf.write(tmp, 0, deflater.deflate(tmp))
+        deflater.end()
+        val crc = new java.util.zip.CRC32(); crc.update(raw)
+        def le32(x: Long): Array[Byte] =
+          Array(x.toByte, (x >>> 8).toByte, (x >>> 16).toByte, (x >>> 24).toByte)
+        val header = Array(0x1F, 0x8B, 8, 0, 0, 0, 0, 0, 0, 255).map(_.toByte)
+        (id, header ++ buf.toByteArray ++ le32(crc.getValue) ++ le32(raw.length.toLong))
+      }).toDF("doc_id", "payload")
+  }
+
+  /** Per-document gzip text decode — the seam that lets every curation
+    * gate downstream (keepSignals, Gopher rules, dedup) run over a
+    * compressed-payload corpus in ONE scan: walk the RFC 1952 header
+    * (validating magic/CM and skipping FEXTRA/FNAME/FCOMMENT/FHCRC if
+    * flagged), inflate the raw deflate stream with the JDK Inflater
+    * (the [[Multimodal.inflatePng]] discipline), then VERIFY the
+    * trailer CRC-32 and ISIZE against the decoded bytes — a truncated
+    * or corrupted member fails loudly, it does not yield silent
+    * garbage text. Emits (doc_id, text, n_raw).
+    *
+    * Scale shape: batched per-row map work behind the decode seam —
+    * payload bytes never shuffle; composing keepSignals on the output
+    * stays a single scan (plan-audited in CorpusSpec). */
+  def inflateText(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        (id, inflateGzip(id, b))
+      }).toDF("doc_id", "text")
+      .withColumn("n_raw", length(col("text")).cast("long"))
+  }
+
+  /** One gzip member → decoded UTF-8 string, with CRC/ISIZE trailer
+    * verification. Throws IllegalArgumentException on any malformation
+    * (bad magic, unknown CM, reserved FLG bits, truncation, trailer
+    * mismatch). */
+  private[graft] def inflateGzip(id: Long, b: Array[Byte]): String = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    if (b.length < 18) fail("gzip member shorter than header + trailer")
+    if ((b(0) & 0xFF) != 0x1F || (b(1) & 0xFF) != 0x8B) fail("bad gzip magic")
+    if (b(2) != 8) fail(s"unsupported compression method ${b(2)}")
+    val flg = b(3) & 0xFF
+    if ((flg & 0xE0) != 0) fail("reserved FLG bits set")
+    var off = 10
+    if ((flg & 0x04) != 0) { // FEXTRA: 2-byte LE length + payload
+      if (off + 2 > b.length) fail("truncated FEXTRA length")
+      val xlen = (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+      off += 2 + xlen
+    }
+    if ((flg & 0x08) != 0) { // FNAME: NUL-terminated
+      while (off < b.length && b(off) != 0) off += 1
+      off += 1
+    }
+    if ((flg & 0x10) != 0) { // FCOMMENT: NUL-terminated
+      while (off < b.length && b(off) != 0) off += 1
+      off += 1
+    }
+    if ((flg & 0x02) != 0) off += 2 // FHCRC
+    if (off + 8 > b.length) fail("truncated after header fields")
+    val inf = new java.util.zip.Inflater(/* nowrap = */ true)
+    inf.setInput(b, off, b.length - off - 8)
+    val out = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(tmp)
+        // n == 0 with input exhausted but no final block seen: truncated
+        if (n == 0 && !inf.finished() && inf.needsInput()) fail("truncated deflate stream")
+        out.write(tmp, 0, n)
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        fail(s"corrupt deflate stream: ${e.getMessage}")
+    } finally inf.end()
+    val raw = out.toByteArray
+    // the trailer sits in the last 8 bytes of the member
+    def le32(i: Int): Long =
+      (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+        ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+    val crc = new java.util.zip.CRC32(); crc.update(raw)
+    if (crc.getValue != le32(b.length - 8)) fail("trailer CRC-32 mismatch")
+    if ((raw.length.toLong & 0xFFFFFFFFL) != le32(b.length - 4)) fail("trailer ISIZE mismatch")
+    new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+  }
 }

@@ -613,4 +613,50 @@ class CorpusSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 3L), s"expected near-dup 1 evicted only, got kept=$kept")
   }
+
+  test("gzip decode round-trips the text and validates header + trailer") {
+    val df = docs((1L, "hello compressed world"), (2L, ""), (3L, "unicode: ± © ☃"))
+    val out = Corpus.inflateText(Corpus.gzipDocs(df)).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("hello compressed world", 22L)))
+    assert(out(2L) == (("", 0L)))
+    assert(out(3L)._1 == "unicode: ± © ☃")
+  }
+
+  test("gzip decode: optional header fields (FEXTRA/FNAME/FHCRC-free path) and corruption fail loudly") {
+    val member = Corpus.gzipDocs(docs((7L, "payload text of doc seven")))
+      .collect()(0).getAs[Array[Byte]]("payload")
+    // inject FNAME + FEXTRA fields before the deflate stream: the
+    // header walk must skip both and still decode
+    val flg = Array[Byte](0x1F.toByte, 0x8B.toByte, 8, (0x04 | 0x08).toByte,
+      0, 0, 0, 0, 0, 0xFF.toByte)
+    val extra = Array[Byte](3, 0, 9, 9, 9) // XLEN=3 LE + 3 payload bytes
+    val fname = "shard.json".getBytes("US-ASCII") ++ Array[Byte](0)
+    val withFields = flg ++ extra ++ fname ++ member.drop(10)
+    assert(Corpus.inflateGzip(7L, withFields) == "payload text of doc seven")
+    // corruption: bad magic, flipped CRC byte, truncation
+    val badMagic = member.clone(); badMagic(0) = 0
+    intercept[IllegalArgumentException](Corpus.inflateGzip(7L, badMagic))
+    val badCrc = member.clone()
+    badCrc(member.length - 8) = (badCrc(member.length - 8) ^ 0x01).toByte
+    intercept[IllegalArgumentException](Corpus.inflateGzip(7L, badCrc))
+    intercept[IllegalArgumentException](Corpus.inflateGzip(7L, member.take(12)))
+    val badIsize = member.clone()
+    badIsize(member.length - 1) = (badIsize(member.length - 1) ^ 0x40).toByte
+    intercept[IllegalArgumentException](Corpus.inflateGzip(7L, badIsize))
+  }
+
+  test("keepSignals composes over the gzip decode seam in one scan (no exchange)") {
+    val sub = Tables.documents(spark, sf0001).filter(col("doc_id") < 30)
+    val pages = Corpus.gzipDocs(sub)
+    val sig = Corpus.keepSignals(Corpus.inflateText(pages))
+    val p = sig.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"decode + signals must stay a single per-row scan:\n$p")
+    val direct = Corpus.keepSignals(sub)
+    // decoded text == stored text, so every signal matches the direct leg
+    val a = sig.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val b = direct.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(a == b, "signals over decoded text diverge from plaintext leg")
+  }
 }
