@@ -135,6 +135,11 @@ object SparkEntry {
     // second, so the fold equals the batch semi-join
     "s_stream_contamination" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayContamination(s, Tables.documents(s, dir))),
+    // streaming shuffle order: per-hash-prefix-bucket running-count
+    // state (<= 65,536 longs total) + the batch two-level fold; the
+    // final rank table equals batch shuffleOrder (same oracle)
+    "s_stream_shuffle_order" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayShuffleOrder(s, Tables.documents(s, dir))),
     // streaming LSH near-dup index: per-bucket membership state emits
     // candidates at ingest; fold = batch exact-Jaccard verify
     "s_stream_minhash" -> ((s, dir) =>
@@ -3788,11 +3793,10 @@ object SparkEntry {
     // deterministic shuffle: the oracle's single global ROW_NUMBER over
     // the md5-hash order equals the Spark side's two-level (hash-prefix-
     // bucketed) rank — hex strings compare bytewise identically in both
-    "c_shuffle_order" ->
-      """SELECT doc_id,
-        |       CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
-        |            AS BIGINT) AS shuffle_rank
-        |FROM documents""".stripMargin,
+    "c_shuffle_order" -> shuffleOrderOracle,
+    // streaming shuffle order: per-bucket running-count state + the
+    // same two-level fold — identical final rank table
+    "s_stream_shuffle_order" -> shuffleOrderOracle,
     // unigram-LM scoring: per-WORD log-probs rounded to 9 dp and cast
     // to DECIMAL(18,9) on both engines, so the per-doc sums are exact
     // decimal arithmetic in any order (a raw double ln() sum would be
@@ -5395,6 +5399,14 @@ object SparkEntry {
       |SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
       |       CAST(cum AS BIGINT) AS cum_tokens
       |FROM c WHERE cum <= 10000""".stripMargin
+
+  /** Shared by c_shuffle_order (batch two-level scan) and
+    * s_stream_shuffle_order (per-bucket count state + the same fold). */
+  private lazy val shuffleOrderOracle: String =
+    """SELECT doc_id,
+      |       CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+      |            AS BIGINT) AS shuffle_rank
+      |FROM documents""".stripMargin
 
   private lazy val keepSetNearDupOracle: String =
     s"""WITH RECURSIVE $keepSetCtes,

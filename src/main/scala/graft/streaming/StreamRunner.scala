@@ -585,6 +585,42 @@ private[streaming] class TokenBudgetProcessor(budget: Long)
   }
 }
 
+private[streaming] case class ShuffleIn(hb: Long, h: String, docId: Long)
+private[streaming] case class ShuffleEvent(kind: String, hb: Long, h: String,
+                                           doc_id: Long, n: Long)
+
+/** Per-hash-prefix-bucket running document COUNTS — the streaming leg
+  * of [[graft.operators.Corpus.shuffleOrder]]'s two-level prefix scan
+  * (the TokenBudgetProcessor state shape): one Long per bucket, so
+  * total state is bounded by the 65,536 data-independent buckets no
+  * matter the corpus size. Each arriving doc passes through tagged
+  * with its bucket/hash (same-batch arrivals process in (h, id) order
+  * so emission is deterministic under replay); each touched bucket
+  * snapshots its running count per batch — counts only grow, so the
+  * fold's MAX per bucket is the final bucket total, exactly the batch
+  * scan's bucket-COUNT frame. */
+private[streaming] class ShuffleOrderProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ShuffleIn, ShuffleEvent] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var cnt: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(hb: Long, rows: Iterator[ShuffleIn],
+                               timers: TimerValues): Iterator[ShuffleEvent] = {
+    var c = if (cnt.exists) cnt.get() else 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[ShuffleEvent]
+    rows.toArray.sortBy(r => (r.h, r.docId)).foreach { r =>
+      c += 1
+      out += ShuffleEvent("doc", hb, r.h, r.docId, c)
+    }
+    cnt.update(c)
+    out += ShuffleEvent("tot", hb, "", -1L, c)
+    out.iterator
+  }
+}
+
 /** Streaming LSH plumbing: one (bucket key, doc) row in — bucket =
   * band ordinal packed with the band's 32-bit minhash signature —
   * candidate pairs out as docs land in an occupied bucket. */
@@ -2278,6 +2314,67 @@ object StreamRunner {
       .withColumn("cum_tokens", col("band_prefix") + col("ib"))
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** STREAMING SHUFFLE ORDER — the incremental form of the batch
+    * training-order rank ([[graft.operators.Corpus.shuffleOrder]]),
+    * the last batch-only leg of the curation composition (keepSet →
+    * tokenBudget → shuffleOrder). Documents arrive as a stream; each
+    * re-keys by its top-16-bit md5 prefix (the batch scan's bucket),
+    * and ONE transformWithState keyed by bucket maintains a running
+    * per-bucket COUNT — bounded state: ≤ 65,536 longs total, however
+    * large the corpus. The changelog fold equals the batch two-level
+    * scan exactly: within-bucket ranks from a window PARTITIONED by
+    * bucket over the streamed-through doc rows (hash order within a
+    * bucket is global hash order — the prefix is the high bits), and
+    * cross-bucket offsets from an exclusive prefix sum over the ≤
+    * 65,536 final bucket-count snapshots — the same one bounded
+    * single-partition window the batch totals frame uses. Oracle: the
+    * c_shuffle_order SQL (one global ROW_NUMBER in DuckDB).
+    *
+    * Scale shape: state is one counter per bucket; the text column
+    * never enters the stream (only (bucket, hash, id)); the post-fold
+    * windows are bucket-parallel over ~N/65,536-row partitions plus
+    * the bucket-count-bounded totals window. */
+  def replayShuffleOrder(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
+    val srcDir = docStagedDir(spark, documents)
+    val session = replaySession(spark, rocksDb = true)
+    val src = session.readStream
+      .schema(Encoders.product[StagedDoc].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    import session.implicits._
+    val events = src
+      .select(col("docId"), md5(col("docId").cast("string")).as("h"))
+      .select(conv(substring(col("h"), 1, 4), 16, 10).cast("long").as("hb"),
+        col("h"), col("docId"))
+      .as[ShuffleIn]
+      .groupByKey(_.hb)
+      .transformWithState(new ShuffleOrderProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    val q = events.writeStream.format("parquet")
+      .option("path", work.resolve("out").toString)
+      .option("checkpointLocation", work.resolve("cp").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q)
+    val log = spark.read.parquet(work.resolve("out").toString)
+    // bucket totals: running snapshots only grow, so max = final;
+    // exclusive cross-bucket prefix over the bounded totals frame
+    val prefixed = log.filter(col("kind") === "tot")
+      .groupBy(col("hb")).agg(max(col("n")).as("btot"))
+      .withColumn("bprefix",
+        coalesce(sum(col("btot")).over(
+          Window.orderBy(col("hb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    log.filter(col("kind") === "doc")
+      .withColumn("ib", row_number().over(
+        Window.partitionBy(col("hb")).orderBy(col("h"), col("doc_id"))))
+      .join(prefixed, Seq("hb"))
+      .select(col("doc_id"), (col("bprefix") + col("ib") - 1L).as("shuffle_rank"))
   }
 }
 

@@ -1,0 +1,29 @@
+package graft
+
+import graft.operators.Corpus
+import graft.streaming.StreamRunner
+
+/** The streaming shuffle order's changelog-final rank table must equal
+  * the batch [[Corpus.shuffleOrder]] exactly — the incremental form of
+  * the deterministic training order, and the last leg of the curation
+  * composition to gain a streaming twin. The staging feeds documents
+  * in DESCENDING doc_id order while ranks follow md5-hash order, so
+  * arrival order and rank order are decorrelated by construction:
+  * nearly every arrival lands between already-seen hashes, proving the
+  * fold's within-bucket window (not arrival ordinals) carries the
+  * rank. */
+class StreamShuffleOrderSpec extends SparkSpec {
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("streaming shuffleOrder changelog-final equals batch") {
+    val docs = Tables.documents(spark, sf0001)
+    val streamed = asMap(StreamRunner.replayShuffleOrder(spark, docs))
+    val batch = asMap(Corpus.shuffleOrder(docs))
+    assert(streamed == batch)
+    // a permutation of [0, N): every rank exactly once
+    assert(streamed.values.toSeq.sorted == (0L until streamed.size.toLong))
+    assert(streamed.nonEmpty)
+  }
+}
