@@ -935,6 +935,12 @@ object SparkEntry {
     // track typing, 16.16 tkhd dims, mdat byte totals
     "m_decode_mp4" -> ((s, dir) =>
       Multimodal.decodeMp4Meta(Multimodal.mp4Docs(Tables.documents(s, dir))).toDF()),
+    // REAL sample-table walk: stts/stsc/stsz/stco expansion to
+    // per-sample (offset, size, time); every 2nd sample sliced from
+    // mdat and fingerprinted — the oracle rebuilds each sampled
+    // sample's bytes arithmetically
+    "m_mp4_samples" -> ((s, dir) =>
+      Multimodal.mp4Samples(Multimodal.mp4Docs(Tables.documents(s, dir)))),
     // REAL RIFF/WebP walk: VP8 start-code + 14-bit dims, VP8L packed
     // 28-bit bitfield, VP8X 24-bit canvas + feature flags
     "m_decode_webp" -> ((s, dir) =>
@@ -3315,6 +3321,29 @@ object SparkEntry {
         |       CAST(n_tracks - 1 AS INT) AS n_audio,
         |       video_width, video_height, mdat_bytes
         |FROM p""".stripMargin,
+    // MP4 sample walk: ns = 3 + id%4 samples, size(j) = 1 + (id+j)%2,
+    // so sample j starts at mdat position j + (j + id%2) // 2; times
+    // follow the two stts runs (2 samples at d1, the rest at d2);
+    // byte at mdat position p = (id*7 + 13p) % 256, fingerprint =
+    // md5 over the hex form like m_avi_frames
+    "m_mp4_samples" ->
+      """WITH p AS (SELECT doc_id, CAST(3 + doc_id % 4 AS INT) AS ns,
+        |                  CAST(100 + doc_id % 7 AS BIGINT) AS d1,
+        |                  CAST(200 + doc_id % 11 AS BIGINT) AS d2
+        |           FROM documents),
+        |s AS (SELECT doc_id, d1, d2, unnest(generate_series(0, ns - 1, 2)) AS j
+        |      FROM p),
+        |g AS (SELECT doc_id, d1, d2, j,
+        |             1 + (doc_id + j) % 2 AS sb,
+        |             j + (j + doc_id % 2) // 2 AS st FROM s)
+        |SELECT doc_id, CAST(j AS BIGINT) AS sample_idx,
+        |       CAST(sb AS BIGINT) AS n_bytes,
+        |       CAST(CASE WHEN j < 2 THEN j * d1
+        |                 ELSE 2 * d1 + (j - 2) * d2 END AS BIGINT) AS t_units,
+        |       md5(array_to_string([lpad(hex((doc_id * 7 + 13 * (st + k)) % 256), 2, '0')
+        |                            for k in generate_series(0, CAST(sb AS INT) - 1)], ''))
+        |         AS sample_md5
+        |FROM g""".stripMargin,
     "m_avi_frames" ->
       """WITH p AS (SELECT doc_id, CAST(8 + (doc_id % 4) * 2 AS INT) AS w,
         |                  CAST(6 + (doc_id // 4) % 5 AS INT) AS h,

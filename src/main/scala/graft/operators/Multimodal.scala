@@ -3200,7 +3200,11 @@ object Multimodal {
     * 1 + id%3 traks, track 0 'vide' with 16.16 fixed-point dims,
     * the rest 'soun') | mdat. timescale = 600 + 100·(id%5),
     * duration = 500 + id%4000, w = 16·(2 + id%5), h = 16·(1 + id%4),
-    * mdat payload = 10 + id%50 bytes of (id·7 + 13k) % 256. */
+    * mdat payload = 10 + id%50 bytes of (id·7 + 13k) % 256. The video
+    * track carries a full minf/stbl sample table — stts (two delta
+    * runs), stsc (2-sample chunk 1, the rest in chunk 2), stsz
+    * (variable per-sample sizes) and stco (absolute chunk offsets
+    * into mdat) — so [[mp4Samples]] exercises every table. */
   def mp4Docs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -3212,6 +3216,21 @@ object Multimodal {
         val w = (16 * (2 + id % 5)).toInt
         val h = (16 * (1 + id % 4)).toInt
         val mdatLen = (10 + id % 50).toInt
+        // video sample table: ns samples of 1-2 bytes each (total <= 9,
+        // always inside mdat), split 2 / ns-2 across two chunks, two
+        // stts delta runs — every table (stts/stsc/stsz/stco) does
+        // real work and every derived (offset, size, time) is
+        // closed-form in doc_id for the m_mp4_samples oracle
+        val ns = (3 + id % 4).toInt
+        def sz(j: Int): Int = (1 + (id + j) % 2).toInt
+        val d1 = (100 + id % 7).toInt
+        val d2 = (200 + id % 11).toInt
+        val stblSize = 8 + 32 + 40 + (20 + 4 * ns) + 24
+        val minfSize = 8 + stblSize
+        val videoMdia = 8 + 32 + 33 + minfSize
+        val videoTrak = 8 + 92 + videoMdia
+        val moovSize = 8 + 108 + videoTrak + (nTracks - 1) * 173
+        val mdatStart = 24 + moovSize + 8
         val out = new java.io.ByteArrayOutputStream()
         def be32(x: Int): Unit = { out.write((x >> 24) & 0xFF); out.write((x >> 16) & 0xFF)
                                    out.write((x >> 8) & 0xFF); out.write(x & 0xFF) }
@@ -3225,8 +3244,7 @@ object Multimodal {
         }
         // ftyp: major 'isom', minor 0, compatible [isom, mp42]
         be32(24); tag("ftyp"); tag("isom"); be32(0); tag("isom"); tag("mp42")
-        // moov = mvhd(108) + nTracks * trak(173)
-        be32(8 + 108 + nTracks * 173); tag("moov")
+        be32(moovSize); tag("moov")
         // mvhd v0: ver/flags, creation, modification, timescale,
         // duration, rate(16.16), volume(8.8), 10 reserved, matrix,
         // 24 predefined, next_track_id
@@ -3236,7 +3254,7 @@ object Multimodal {
         var t = 0
         while (t < nTracks) {
           val video = t == 0
-          be32(173); tag("trak")
+          be32(if (video) videoTrak else 173); tag("trak")
           // tkhd v0 (payload 84): ver/flags, creation, modification,
           // track_id, reserved, duration, 8 reserved, layer, altgroup,
           // volume, reserved, matrix, width/height as 16.16
@@ -3244,8 +3262,8 @@ object Multimodal {
           be32(t + 1); be32(0); be32(duration); zeros(8)
           be16(0); be16(0); be16(if (video) 0 else 0x0100); be16(0); matrix()
           be32(if (video) w << 16 else 0); be32(if (video) h << 16 else 0)
-          // mdia = mdhd(32) + hdlr(33)
-          be32(73); tag("mdia")
+          // mdia = mdhd(32) + hdlr(33) [+ minf(stbl) on the video track]
+          be32(if (video) videoMdia else 73); tag("mdia")
           // mdhd v0: ver/flags, creation, modification, timescale,
           // duration, language ('und' packed 5-bit), predefined
           be32(32); tag("mdhd"); be32(0); be32(0); be32(0)
@@ -3253,6 +3271,23 @@ object Multimodal {
           // hdlr: ver/flags, predefined, handler, 12 reserved, "" name
           be32(33); tag("hdlr"); be32(0); be32(0)
           tag(if (video) "vide" else "soun"); zeros(12); out.write(0)
+          if (video) {
+            be32(minfSize); tag("minf")
+            be32(stblSize); tag("stbl")
+            // stts: two runs — first 2 samples at delta d1, rest at d2
+            be32(32); tag("stts"); be32(0); be32(2)
+            be32(2); be32(d1); be32(ns - 2); be32(d2)
+            // stsc: chunk 1 holds 2 samples, chunk 2 the rest
+            be32(40); tag("stsc"); be32(0); be32(2)
+            be32(1); be32(2); be32(1); be32(2); be32(ns - 2); be32(1)
+            // stsz: variable sizes (sample_size = 0 + table)
+            be32(20 + 4 * ns); tag("stsz"); be32(0); be32(0); be32(ns)
+            var j = 0
+            while (j < ns) { be32(sz(j)); j += 1 }
+            // stco: absolute file offsets of the two chunks
+            be32(24); tag("stco"); be32(0); be32(2)
+            be32(mdatStart); be32(mdatStart + sz(0) + sz(1))
+          }
           t += 1
         }
         be32(8 + mdatLen); tag("mdat")
@@ -3372,6 +3407,160 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) =>
         parseMp4(id, bytes).getOrElse(throw new IllegalArgumentException(
           s"doc $id: not a well-formed MP4")) })
+  }
+
+  /** REAL ISO-BMFF SAMPLE-TABLE walk — [[parseMp4Walk]] extended
+    * through the first video track's mdia → minf → stbl into the four
+    * tables that map samples to bytes and time (ISO/IEC 14496-12
+    * §8.6–8.7): stts (decoding deltas, run-length), stsc
+    * (samples-per-chunk runs keyed by first_chunk), stsz (fixed or
+    * per-sample sizes) and stco/co64 (absolute chunk offsets). The
+    * standard expansion: stsc entry i covers chunks first_i ..
+    * first_{i+1}−1; within a chunk, sample offsets accumulate sizes
+    * from the chunk's stco base; times accumulate stts deltas.
+    * Returns one (index, fileOffset, size, time) per sample, fully
+    * validated: table counts must agree, every byte range must sit
+    * inside the buffer. */
+  private[graft] def parseMp4Samples(id: Long, b: Array[Byte]): Seq[(Int, Int, Int, Long)] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    def u8(i: Int): Long = (b(i) & 0xFF).toLong
+    def be32(i: Int): Long =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def typ(i: Int): String = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var p = from
+      while (p < to) {
+        if (p + 8 > to) fail("truncated box header")
+        var size = be32(p)
+        var hdr = 8
+        if (size == 1L) {
+          if (p + 16 > to) fail("truncated largesize")
+          size = be64(p + 8); hdr = 16
+        } else if (size == 0L) size = (to - p).toLong
+        if (size < hdr || p + size > to) fail("box overruns container")
+        f(typ(p), p + hdr, p + size.toInt)
+        p += size.toInt
+      }
+    }
+    if (b.length < 8 || typ(0) != "ftyp") fail("not an MP4 (no leading ftyp)")
+    var stts: Array[(Int, Long)] = null       // (count, delta) runs
+    var stsc: Array[(Int, Int)] = null        // (first_chunk, samples_per_chunk)
+    var sizes: Array[Int] = null              // per-sample sizes (expanded)
+    var chunkOffs: Array[Long] = null
+    var found = false
+    walk(0, b.length) { (t, o, e) =>
+      if (t == "moov") walk(o, e) { (t2, o2, e2) =>
+        if (t2 == "trak" && !found) {
+          var isVideo = false
+          var stblRange: Option[(Int, Int)] = None
+          walk(o2, e2) { (t3, o3, e3) =>
+            if (t3 == "mdia") walk(o3, e3) { (t4, o4, e4) =>
+              t4 match {
+                case "hdlr" =>
+                  isVideo = new String(b, o4 + 8, 4,
+                    java.nio.charset.StandardCharsets.ISO_8859_1) == "vide"
+                case "minf" => walk(o4, e4) { (t5, o5, e5) =>
+                  if (t5 == "stbl") stblRange = Some((o5, e5))
+                }
+                case _ => ()
+              }
+            }
+          }
+          if (isVideo) stblRange.foreach { case (so, se) =>
+            found = true
+            walk(so, se) { (t6, o6, _) =>
+              t6 match {
+                case "stts" =>
+                  val n = be32(o6 + 4).toInt
+                  stts = Array.tabulate(n)(i =>
+                    (be32(o6 + 8 + 8 * i).toInt, be32(o6 + 12 + 8 * i)))
+                case "stsc" =>
+                  val n = be32(o6 + 4).toInt
+                  stsc = Array.tabulate(n)(i =>
+                    (be32(o6 + 8 + 12 * i).toInt, be32(o6 + 12 + 12 * i).toInt))
+                case "stsz" =>
+                  val fixed = be32(o6 + 4)
+                  val n = be32(o6 + 8).toInt
+                  sizes =
+                    if (fixed != 0L) Array.fill(n)(fixed.toInt)
+                    else Array.tabulate(n)(i => be32(o6 + 12 + 4 * i).toInt)
+                case "stco" =>
+                  val n = be32(o6 + 4).toInt
+                  chunkOffs = Array.tabulate(n)(i => be32(o6 + 8 + 4 * i))
+                case "co64" =>
+                  val n = be32(o6 + 4).toInt
+                  chunkOffs = Array.tabulate(n)(i => be64(o6 + 8 + 8 * i))
+                case _ => ()
+              }
+            }
+          }
+        }
+      }
+    }
+    if (!found) fail("no video track with a sample table")
+    if (stts == null || stsc == null || sizes == null || chunkOffs == null)
+      fail("incomplete sample table (need stts+stsc+stsz+stco)")
+    if (stts.map(_._1.toLong).sum != sizes.length)
+      fail("stts sample count disagrees with stsz")
+    stsc.zipWithIndex.foreach { case ((fc, _), i) =>
+      if (i == 0 && fc != 1) fail("stsc must start at chunk 1")
+      if (i > 0 && fc <= stsc(i - 1)._1) fail("stsc first_chunk not increasing")
+    }
+    // time per sample from the stts runs
+    val times = new Array[Long](sizes.length)
+    var si = 0; var tAcc = 0L
+    stts.foreach { case (cnt, delta) =>
+      var k = 0
+      while (k < cnt) { times(si) = tAcc; tAcc += delta; si += 1; k += 1 }
+    }
+    // expand stsc across the stco chunk list
+    val out = Seq.newBuilder[(Int, Int, Int, Long)]
+    var sample = 0
+    var entry = 0
+    var chunk = 1
+    while (chunk <= chunkOffs.length) {
+      if (entry + 1 < stsc.length && chunk >= stsc(entry + 1)._1) entry += 1
+      val spc = stsc(entry)._2
+      var off = chunkOffs(chunk - 1)
+      var k = 0
+      while (k < spc) {
+        if (sample >= sizes.length) fail("stsc expansion exceeds stsz count")
+        val len = sizes(sample)
+        if (off < 0 || off + len > b.length) fail("sample range outside file")
+        out += ((sample, off.toInt, len, times(sample)))
+        off += len; sample += 1; k += 1
+      }
+      chunk += 1
+    }
+    if (sample != sizes.length) fail("stsc expansion short of stsz count")
+    out.result()
+  }
+
+  /** Every `stride`-th REAL MP4 sample, sliced from the sample-table
+    * mapping and fingerprinted — the [[aviFrames]] pass for the
+    * container modern crawls actually carry: per sampled sample,
+    * (doc_id, sample_idx, n_bytes, t_units, sample_md5) where
+    * t_units is the stts decode time and the fingerprint is md5 over
+    * the hex form of the sample's actual mdat bytes (the repo's
+    * binary-hash convention). Payload bytes never shuffle — only the
+    * fixed-width sample rows leave the task. */
+  def mp4Samples(bin: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride must be positive, got $stride")
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseMp4Samples(id, bytes).iterator
+          .filter { case (si, _, _, _) => si % stride == 0 }
+          .map { case (si, off, len, t) =>
+            (id, si.toLong, len.toLong, t,
+              java.util.Arrays.copyOfRange(bytes, off, off + len)) }
+      })
+      .toDF("doc_id", "sample_idx", "n_bytes", "t_units", "sample")
+      .select(col("doc_id"), col("sample_idx"), col("n_bytes"), col("t_units"),
+        md5(hex(col("sample"))).as("sample_md5"))
   }
 
   // ---- TIFF: byte-order-aware IFD walk + multi-strip assembly ----

@@ -1074,6 +1074,60 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mp4Samples: stts/stsc/stsz/stco expansion matches the closed form; stride-1 reassembles mdat") {
+    val docs = Tables.documents(spark, sf0001).limit(30)
+    val bins = Multimodal.mp4Docs(docs)
+    val out = Multimodal.mp4Samples(bins).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.foreach { case (id, j, nb, t) =>
+      assert(j % 2 == 0, "stride-2 keeps even sample indices")
+      assert(nb == 1 + (id + j) % 2, s"doc $id sample $j size")
+      val d1 = 100 + id % 7; val d2 = 200 + id % 11
+      assert(t == (if (j < 2) j * d1 else 2 * d1 + (j - 2) * d2), s"doc $id sample $j time")
+    }
+    val perDoc = out.groupBy(_._1)
+    perDoc.foreach { case (id, rows) =>
+      assert(rows.length == ((3 + id % 4) + 1) / 2, s"doc $id sampled count")
+    }
+    // stride 1: every sample, in order, reassembles the leading run of
+    // the mdat payload exactly (chunks are contiguous by construction)
+    val payloads = bins.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    payloads.foreach { case (id, bytes) =>
+      val samples = Multimodal.parseMp4Samples(id, bytes)
+      assert(samples.map(_._1) == samples.indices, s"doc $id: indices dense")
+      val joined = samples.flatMap { case (_, off, len, _) =>
+        bytes.slice(off, off + len) }
+      val total = samples.map(_._3).sum
+      val mdatPayloadStart = samples.head._2
+      assert(joined == bytes.slice(mdatPayloadStart, mdatPayloadStart + total).toSeq,
+        s"doc $id: concatenated samples != mdat prefix")
+    }
+  }
+
+  test("parseMp4Samples rejects inconsistent sample tables") {
+    val good = Multimodal.mp4Docs(Seq(5L).toDF("doc_id")).collect()(0)
+      .getAs[Array[Byte]]("payload")
+    assert(Multimodal.parseMp4Samples(5L, good).nonEmpty)
+    def tagAt(b: Array[Byte], t: String): Int = {
+      val pat = t.getBytes("US-ASCII")
+      val i = b.indexOfSlice(pat)
+      assert(i > 0, s"$t not found"); i
+    }
+    // stsz count bumped: stts total no longer agrees
+    val badCount = good.clone()
+    val stsz = tagAt(badCount, "stsz")
+    badCount(stsz + 15) = (badCount(stsz + 15) + 1).toByte // sample_count lsb
+    intercept[IllegalArgumentException](Multimodal.parseMp4Samples(5L, badCount))
+    // first stco offset pushed past EOF: sample range outside file
+    val badOff = good.clone()
+    val stco = tagAt(badOff, "stco")
+    badOff(stco + 12) = 0x7F.toByte // chunk 1 offset msb
+    intercept[IllegalArgumentException](Multimodal.parseMp4Samples(5L, badOff))
+    // audio-only file (no video stbl): fail loudly
+    val noFtyp = good.drop(24)
+    intercept[IllegalArgumentException](Multimodal.parseMp4Samples(5L, noFtyp))
+  }
+
   test("webpDocs builds all three WebP variants whose RIFF walk matches the closed form") {
     val docs = Tables.documents(spark, sf0001).limit(42)
     val out = Multimodal.decodeWebpMeta(Multimodal.webpDocs(docs)).collect()
