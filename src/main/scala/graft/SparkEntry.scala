@@ -953,6 +953,12 @@ object SparkEntry {
     // bit-packed STREAMINFO (20-bit rate, 36-bit total samples)
     "m_decode_flac" -> ((s, dir) =>
       Multimodal.decodeFlacMeta(Multimodal.flacDocs(Tables.documents(s, dir))).toDF()),
+    // REAL FLAC frame decode (CONSTANT + VERBATIM subframes): frame
+    // header walk with CRC-8/CRC-16 verification, bit-unpacked
+    // sign-extended samples; per-frame integer statistics are
+    // closed-form in doc_id for the oracle
+    "m_flac_samples" -> ((s, dir) =>
+      Multimodal.flacSamples(Multimodal.flacPcmDocs(Tables.documents(s, dir)))),
     // REAL EXIF walk: JPEG APP1 scan + the embedded TIFF structure's
     // own byte-order dispatch, IFD0 + Exif sub-IFD tag extraction
     "m_exif" -> ((s, dir) =>
@@ -3292,6 +3298,29 @@ object SparkEntry {
         |       array_to_string([lpad(hex((doc_id * 13 + 7 * k) % 256), 2, '0')
         |                        for k in generate_series(0, 15)], '') AS md5_hex
         |FROM p""".stripMargin,
+    // FLAC frame decode: even frames CONSTANT (value (id+17f)%199-99
+    // replicated bs times per channel), odd frames VERBATIM (sample
+    // (id+31f+7c+3s)%199-99); the oracle replays the decoded-PCM
+    // integer statistics arithmetically (flattened k = c*bs + s)
+    "m_flac_samples" ->
+      """WITH p AS (SELECT doc_id, CAST(4 + doc_id % 3 AS BIGINT) AS bs,
+        |                  CAST(2 + doc_id % 3 AS INT) AS nf,
+        |                  CAST(1 + doc_id % 2 AS BIGINT) AS ch FROM documents),
+        |f AS (SELECT doc_id, bs, ch, unnest(generate_series(0, nf - 1)) AS fi FROM p)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |       CASE WHEN fi % 2 = 0 THEN 'CONSTANT' ELSE 'VERBATIM' END AS sub_type,
+        |       bs AS n_samples,
+        |       CAST(CASE WHEN fi % 2 = 0
+        |                 THEN ch * bs * ((doc_id + 17 * fi) % 199 - 99)
+        |                 ELSE list_sum([(doc_id + 31 * fi + 7 * (k // bs) + 3 * (k % bs)) % 199 - 99
+        |                                for k in generate_series(0, ch * bs - 1)])
+        |            END AS BIGINT) AS sum_samples,
+        |       CAST(CASE WHEN fi % 2 = 0 THEN (doc_id + 17 * fi) % 199 - 99
+        |                 ELSE (doc_id + 31 * fi) % 199 - 99 END AS BIGINT) AS first_sample,
+        |       CAST(CASE WHEN fi % 2 = 0 THEN (doc_id + 17 * fi) % 199 - 99
+        |                 ELSE (doc_id + 31 * fi + 7 * (ch - 1) + 3 * (bs - 1)) % 199 - 99
+        |            END AS BIGINT) AS last_sample
+        |FROM f""".stripMargin,
     // MP3: CBR frame-length recurrence — table lookups + integer sums
     "m_decode_mp3" ->
       """WITH p AS (SELECT doc_id,

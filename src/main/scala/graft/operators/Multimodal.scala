@@ -4484,6 +4484,277 @@ object Multimodal {
       case _: ArrayIndexOutOfBoundsException => None
     }
 
+  // ---- FLAC frame decode: CONSTANT + VERBATIM subframes ----
+  // The byte-specified subset of the FLAC frame format (frame header
+  // with CRC-8, bit-packed subframes, frame CRC-16) — enough to carry
+  // real PCM through a compressed container into the audio DSP family.
+
+  private val FlacCrc8Poly = 0x07
+  private val FlacCrc16Poly = 0x8005
+
+  private[graft] def flacCrc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= b(i) & 0xFF
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ FlacCrc8Poly) & 0xFF else (crc << 1) & 0xFF
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private[graft] def flacCrc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xFF) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ FlacCrc16Poly) & 0xFFFF
+              else (crc << 1) & 0xFFFF
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** Deterministic FLAC corpus WITH audio frames — the [[flacDocs]]
+    * metadata chain (closed-form STREAMINFO) followed by nf = 2+id%3
+    * REAL frames of bs = 4+id%3 samples x ch = 1+id%2 channels at
+    * bps = 8·(1+id%3): even frames carry CONSTANT subframes (one
+    * sign-extended value), odd frames VERBATIM (bs raw samples per
+    * channel), every sample closed-form —
+    * constant value (id+17f)%199−99, verbatim sample
+    * (id+31f+7c+3s)%199−99 — with spec CRC-8 header and CRC-16 frame
+    * checksums the decoder verifies. Test-only encoder in the batched
+    * seam, like the GIF/PNG builders. */
+  def flacPcmDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val rate = FlacRates((id % 7).toInt)
+        val channels = (1 + id % 2).toInt
+        val bps = (8 * (1 + id % 3)).toInt
+        val bs = (4 + id % 3).toInt
+        val nf = (2 + id % 3).toInt
+        val total = (nf * bs).toLong
+        val out = new java.io.ByteArrayOutputStream()
+        "fLaC".foreach(c => out.write(c.toInt))
+        // STREAMINFO marked LAST (single metadata block)
+        out.write(0x80); out.write(0); out.write(0); out.write(34)
+        out.write(0x10); out.write(0x00); out.write(0x10); out.write(0x00)
+        (0 until 6).foreach(_ => out.write(0))
+        out.write((rate >> 12) & 0xFF)
+        out.write((rate >> 4) & 0xFF)
+        out.write(((rate & 0xF) << 4) | ((channels - 1) << 1) | ((bps - 1) >> 4))
+        out.write((((bps - 1) & 0xF) << 4) | ((total >> 32) & 0xF).toInt)
+        out.write(((total >> 24) & 0xFF).toInt)
+        out.write(((total >> 16) & 0xFF).toInt)
+        out.write(((total >> 8) & 0xFF).toInt)
+        out.write((total & 0xFF).toInt)
+        (0 until 16).foreach(k => out.write(((id * 13 + 7L * k) % 256).toInt))
+        val bpsCode = bps match { case 8 => 1; case 16 => 4; case _ => 6 }
+        var f = 0
+        while (f < nf) {
+          val frame = new java.io.ByteArrayOutputStream()
+          frame.write(0xFF); frame.write(0xF8)          // sync, fixed blocking
+          frame.write(0x60)                              // bs code 6 (8-bit follows), rate from STREAMINFO
+          frame.write(((channels - 1) << 4) | (bpsCode << 1))
+          frame.write(f)                                 // UTF-8 frame number (< 128)
+          frame.write(bs - 1)                            // 8-bit blocksize - 1
+          val h = frame.toByteArray
+          frame.write(flacCrc8(h, 0, h.length))
+          def sample(x: Int): Unit = {
+            var sh = bps - 8
+            while (sh >= 0) { frame.write((x >> sh) & 0xFF); sh -= 8 }
+          }
+          var c = 0
+          while (c < channels) {
+            if (f % 2 == 0) {
+              frame.write(0x00)                          // CONSTANT subframe
+              sample((((id + 17L * f) % 199) - 99).toInt)
+            } else {
+              frame.write(0x02)                          // VERBATIM subframe
+              var s = 0
+              while (s < bs) {
+                sample((((id + 31L * f + 7L * c + 3L * s) % 199) - 99).toInt)
+                s += 1
+              }
+            }
+            c += 1
+          }
+          val body = frame.toByteArray
+          val crc = flacCrc16(body, 0, body.length)
+          frame.write((crc >> 8) & 0xFF); frame.write(crc & 0xFF)
+          frame.writeTo(out)
+          f += 1
+        }
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** REAL FLAC frame decode for CONSTANT and VERBATIM subframes: after
+    * the metadata chain, walk the frame sequence — validate the 14-bit
+    * sync + reserved bits, read the blocksize/rate/channel/bps codes
+    * (blocksize from the 8/16-bit follow fields when coded, bps from
+    * STREAMINFO when coded 000), decode the UTF-8-style frame number,
+    * VERIFY the header CRC-8 — then bit-unpack each channel's
+    * subframe (sign-extended bps-bit samples; a real bit reader, so
+    * non-byte-aligned layouts decode too) and VERIFY the frame CRC-16.
+    * Returns per frame: (index, subframe type, blocksize, decoded PCM
+    * per channel). Throws on any malformation — sync loss, reserved
+    * bits, CRC mismatch, unsupported subframe type (fixed/LPC
+    * prediction is out of modeled scope), or trailing garbage. */
+  private[graft] def parseFlacFrames(id: Long, b: Array[Byte])
+      : Seq[(Int, String, Int, Array[Array[Int]])] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    def u8(i: Int): Int = b(i) & 0xFF
+    if (b.length < 8 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C')
+      fail("bad FLAC magic")
+    // metadata chain (the parseFlac walk), capturing STREAMINFO
+    var off = 4
+    var last = false
+    var si = -1
+    while (!last) {
+      if (off + 4 > b.length) fail("truncated metadata chain")
+      last = (u8(off) & 0x80) != 0
+      val typ = u8(off) & 0x7F
+      val len = (u8(off + 1) << 16) | (u8(off + 2) << 8) | u8(off + 3)
+      if (off + 4 + len > b.length) fail("metadata block overruns buffer")
+      if (typ == 0) si = off + 4
+      off += 4 + len
+    }
+    if (si < 0) fail("missing STREAMINFO")
+    val channels = ((u8(si + 12) >> 1) & 0x7) + 1
+    val siBps = (((u8(si + 12) & 1) << 4) | (u8(si + 13) >> 4)) + 1
+    val frames = Seq.newBuilder[(Int, String, Int, Array[Array[Int]])]
+    while (off < b.length) {
+      val frameStart = off
+      if (off + 5 > b.length) fail("truncated frame header")
+      if (u8(off) != 0xFF || (u8(off + 1) & 0xFC) != 0xF8)
+        fail("lost frame sync")
+      val bsCode = u8(off + 2) >> 4
+      val rateCode = u8(off + 2) & 0xF
+      val chAssign = u8(off + 3) >> 4
+      val bpsCode = (u8(off + 3) >> 1) & 0x7
+      if ((u8(off + 3) & 1) != 0) fail("reserved frame-header bit set")
+      if (chAssign + 1 != channels) fail("frame channel count != STREAMINFO")
+      val bps = bpsCode match {
+        case 0 => siBps
+        case 1 => 8
+        case 2 => 12
+        case 4 => 16
+        case 5 => 20
+        case 6 => 24
+        case _ => fail(s"bad sample-size code $bpsCode")
+      }
+      off += 4
+      // UTF-8-style coded frame number
+      val lead = u8(off)
+      var extra = 0
+      var num = 0L
+      if (lead < 0x80) { num = lead; extra = 0 }
+      else {
+        var mask = 0x40
+        while ((lead & mask) != 0) { extra += 1; mask >>= 1 }
+        if (extra < 1 || extra > 6) fail("bad frame-number coding")
+        num = (lead & (mask - 1)).toLong
+      }
+      off += 1
+      var k = 0
+      while (k < extra) {
+        if ((u8(off) & 0xC0) != 0x80) fail("bad frame-number continuation")
+        num = (num << 6) | (u8(off) & 0x3F)
+        off += 1; k += 1
+      }
+      val blockSize = bsCode match {
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case 6 => val v = u8(off) + 1; off += 1; v
+        case 7 => val v = ((u8(off) << 8) | u8(off + 1)) + 1; off += 2; v
+        case c if c >= 8 => 256 << (c - 8)
+        case _ => fail("reserved blocksize code")
+      }
+      if (rateCode > 0xE) fail("invalid sample-rate code")
+      if (flacCrc8(b, frameStart, off) != u8(off)) fail("frame header CRC-8 mismatch")
+      off += 1
+      // bit-unpack the subframes
+      var bitPos = off.toLong * 8
+      def readBits(n: Int): Long = {
+        var v = 0L
+        var r = n
+        while (r > 0) {
+          val byteIdx = (bitPos >> 3).toInt
+          if (byteIdx >= b.length) fail("frame truncated mid-subframe")
+          val bitIdx = 7 - (bitPos & 7).toInt
+          v = (v << 1) | ((u8(byteIdx) >> bitIdx) & 1)
+          bitPos += 1; r -= 1
+        }
+        v
+      }
+      def readSigned(n: Int): Int = {
+        val v = readBits(n)
+        ((v << (64 - n)).toLong >> (64 - n)).toInt
+      }
+      var subType: String = null
+      val pcm = Array.ofDim[Array[Int]](channels)
+      var c = 0
+      while (c < channels) {
+        if (readBits(1) != 0) fail("reserved subframe-header bit set")
+        val typ6 = readBits(6).toInt
+        if (readBits(1) != 0) fail("wasted-bits not in modeled scope")
+        val t = typ6 match {
+          case 0 => "CONSTANT"
+          case 1 => "VERBATIM"
+          case _ => fail(s"subframe type $typ6 not in modeled scope (fixed/LPC)")
+        }
+        if (subType == null) subType = t
+        else if (subType != t) fail("mixed subframe types in one frame")
+        pcm(c) =
+          if (t == "CONSTANT") { val v = readSigned(bps); Array.fill(blockSize)(v) }
+          else Array.fill(blockSize)(readSigned(bps)) // fill evaluates per element: bs reads
+        c += 1
+      }
+      // byte-align, then the frame CRC-16
+      bitPos = (bitPos + 7) & ~7L
+      off = (bitPos >> 3).toInt
+      if (off + 2 > b.length) fail("frame truncated before CRC-16")
+      val crc = (u8(off) << 8) | u8(off + 1)
+      if (flacCrc16(b, frameStart, off) != crc) fail("frame CRC-16 mismatch")
+      off += 2
+      frames += ((num.toInt, subType, blockSize, pcm))
+    }
+    frames.result()
+  }
+
+  /** Per-frame decoded-PCM statistics from REAL FLAC frames — the
+    * operator that extends the PCM DSP family to a compressed
+    * container: every frame's CONSTANT/VERBATIM subframes decode
+    * in-task and only fixed-width per-frame rows (type, blocksize,
+    * exact integer sum, first/last samples) leave the seam. */
+  def flacSamples(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseFlacFrames(id, bytes).iterator.map { case (fi, t, bs, pcm) =>
+          var sum = 0L
+          pcm.foreach(_.foreach(sum += _))
+          (id, fi.toLong, t, bs.toLong, sum,
+            pcm(0)(0).toLong, pcm(pcm.length - 1)(bs - 1).toLong)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "sub_type", "n_samples", "sum_samples",
+        "first_sample", "last_sample")
+  }
+
   /** One row per decodable FLAC payload. Decode rides the batched
     * mapPartitions seam; payload bytes never shuffle. */
   def decodeFlacMeta(bin: DataFrame): Dataset[FlacMeta] = {

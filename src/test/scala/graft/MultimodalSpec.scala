@@ -1128,6 +1128,76 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.parseMp4Samples(5L, noFtyp))
   }
 
+  test("flacSamples: CONSTANT/VERBATIM frames decode to the closed-form PCM; CRCs verified") {
+    val docs = Tables.documents(spark, sf0001).limit(24)
+    val bins = Multimodal.flacPcmDocs(docs)
+    // full per-sample check straight off the parser
+    bins.collect().foreach { r =>
+      val id = r.getLong(0); val bytes = r.getAs[Array[Byte]](1)
+      val frames = Multimodal.parseFlacFrames(id, bytes)
+      val (bs, nf, ch) = ((4 + id % 3).toInt, (2 + id % 3).toInt, (1 + id % 2).toInt)
+      assert(frames.length == nf)
+      frames.foreach { case (fi, t, gotBs, pcm) =>
+        assert(gotBs == bs && pcm.length == ch)
+        assert(t == (if (fi % 2 == 0) "CONSTANT" else "VERBATIM"))
+        for (c <- 0 until ch; s <- 0 until bs) {
+          val exp = if (fi % 2 == 0) ((id + 17L * fi) % 199 - 99).toInt
+                    else ((id + 31L * fi + 7L * c + 3L * s) % 199 - 99).toInt
+          assert(pcm(c)(s) == exp, s"doc $id frame $fi ch $c sample $s")
+        }
+      }
+      // corruption fails loudly: a flipped frame byte (CRC-16 catches
+      // it) and a truncated final frame
+      val headerEnd = 4 + 4 + 34 // magic + block header + STREAMINFO
+      val bodyFlip = bytes.clone()
+      bodyFlip(headerEnd + 8) = (bodyFlip(headerEnd + 8) ^ 0x01).toByte
+      intercept[IllegalArgumentException](Multimodal.parseFlacFrames(id, bodyFlip))
+      intercept[IllegalArgumentException](
+        Multimodal.parseFlacFrames(id, bytes.dropRight(1)))
+    }
+  }
+
+  test("parseFlacFrames: non-byte-aligned 12-bit verbatim subframe decodes (real bit reader)") {
+    // handcrafted mono file: bs=3 samples of bps=12 — subframe payload
+    // is 8 + 36 = 44 bits, forcing 4 padding bits before the CRC-16
+    val out = new java.io.ByteArrayOutputStream()
+    "fLaC".foreach(c => out.write(c.toInt))
+    out.write(0x80); out.write(0); out.write(0); out.write(34) // STREAMINFO, last
+    out.write(0x10); out.write(0); out.write(0x10); out.write(0)
+    (0 until 6).foreach(_ => out.write(0))
+    val rate = 8000; val total = 3L
+    out.write((rate >> 12) & 0xFF); out.write((rate >> 4) & 0xFF)
+    out.write(((rate & 0xF) << 4) | (0 << 1) | ((12 - 1) >> 4)) // mono, bps 12
+    out.write((((12 - 1) & 0xF) << 4) | 0)
+    out.write(0); out.write(0); out.write(0); out.write(total.toInt)
+    (0 until 16).foreach(_ => out.write(0))
+    val frame = new java.io.ByteArrayOutputStream()
+    frame.write(0xFF); frame.write(0xF8); frame.write(0x60)
+    frame.write((0 << 4) | (2 << 1)) // mono, sample-size code 2 = 12 bit
+    frame.write(0); frame.write(3 - 1)
+    val h = frame.toByteArray
+    frame.write(Multimodal.flacCrc8(h, 0, h.length))
+    // bit-pack: subframe header 0x02 (VERBATIM), then -5, 100, -2048
+    var acc = 0L; var nbits = 0
+    val packed = new java.io.ByteArrayOutputStream()
+    def put(v: Long, n: Int): Unit = {
+      acc = (acc << n) | (v & ((1L << n) - 1)); nbits += n
+      while (nbits >= 8) { packed.write(((acc >> (nbits - 8)) & 0xFF).toInt); nbits -= 8 }
+    }
+    put(0x02, 8); put(-5L, 12); put(100L, 12); put(-2048L, 12)
+    if (nbits > 0) { packed.write(((acc << (8 - nbits)) & 0xFF).toInt); nbits = 0 }
+    packed.writeTo(frame)
+    val body = frame.toByteArray
+    val crc = Multimodal.flacCrc16(body, 0, body.length)
+    frame.write((crc >> 8) & 0xFF); frame.write(crc & 0xFF)
+    frame.writeTo(out)
+    val frames = Multimodal.parseFlacFrames(42L, out.toByteArray)
+    assert(frames.length == 1)
+    val (fi, t, bs, pcm) = frames.head
+    assert(fi == 0 && t == "VERBATIM" && bs == 3)
+    assert(pcm(0).toSeq == Seq(-5, 100, -2048), "sign extension across byte boundaries")
+  }
+
   test("webpDocs builds all three WebP variants whose RIFF walk matches the closed form") {
     val docs = Tables.documents(spark, sf0001).limit(42)
     val out = Multimodal.decodeWebpMeta(Multimodal.webpDocs(docs)).collect()
