@@ -31,13 +31,35 @@ object Scratch {
     def jitMs = ManagementFactory.getCompilationMXBean.getTotalCompilationTime
     def compiles = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
     val fn = graft.SparkEntry.queries(name)
+    // optional pre-run list: execute these once first (same JVM) to
+    // reproduce accumulation effects — e.g. a stream replay probed
+    // after many other replays' RocksDB providers have loaded
+    sys.env.get("SPARK_GRAFT_PROBE_PRE").foreach(_.split(",").foreach { pre =>
+      val t0 = System.nanoTime()
+      try graft.SparkEntry.queries(pre)(spark, sfDir).count()
+      catch { case e: Throwable => println(s"PROBE pre $pre failed: ${e.getMessage}") }
+      println(f"PROBE pre $pre ${(System.nanoTime() - t0) / 1e9}%1.2fs")
+      spark.catalog.clearCache(); System.gc()
+    })
+    // optional idle gap between runs: if per-run jit is a draining
+    // background C2 queue, it shows up as jit burned DURING the sleep
+    // and the next run's in-run jit drops
+    val sleepS = sys.env.getOrElse("SPARK_GRAFT_PROBE_SLEEP", "0").toInt
     (1 to nRuns).foreach { i =>
       spark.catalog.clearCache(); System.gc()
+      graft.streaming.StreamRunner.resetReplayStats()
       val (j0, g0, c0) = (jitMs, gcMs, compiles)
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"PROBE $name run$i $dt%1.2fs jit=${jitMs - j0}ms gc=${gcMs - g0}ms compiles=${compiles - c0}")
+      val (rb, rt) = graft.streaming.StreamRunner.replayStats
+      val streamBit = if (rb > 0) s" batches=$rb trigger_ms=$rt" else ""
+      println(f"PROBE $name run$i $dt%1.2fs jit=${jitMs - j0}ms gc=${gcMs - g0}ms compiles=${compiles - c0}$streamBit")
+      if (sleepS > 0 && i < nRuns) {
+        val js = jitMs
+        Thread.sleep(sleepS * 1000L)
+        println(f"PROBE $name sleep$i jit_during_sleep=${jitMs - js}ms")
+      }
     }
     spark.stop()
   }

@@ -14,6 +14,14 @@ object SqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Close and drop every loaded state-store provider. Providers are
+    * JVM-global; a harness that runs many independent streaming
+    * queries (each on a fresh checkpoint) accumulates finished
+    * queries' providers, whose maintenance grows later queries'
+    * in-trigger time. private[sql] upstream, hence surfaced here. */
+  def unloadAllStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+
   /** The live session's function registry — the target for registering
     * graft's native SQL functions on a session built WITHOUT
     * `spark.sql.extensions` (e.g. one owned by a host harness). */
