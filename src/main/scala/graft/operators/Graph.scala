@@ -1107,13 +1107,19 @@ object Graph {
     * is tendril-diameter-bounded (a finite chain proves its 1-core
     * one hop per sweep; sf0.001/0.01/0.1 measured 10/19/38) — the
     * inherent round complexity of exact distributed core
-    * decomposition (Montresor et al. 2013 pay the same). Because at
-    * bench SFs wall time is BARRIER-bound, not data-bound,
-    * `sweepsPerRound` chains several H applications into one
-    * materialized round (H∘H has the same fixpoint; convergence
-    * checked per round, valid by monotonicity) — at true 100 TB scale
-    * set it to 1 so each barrier ships the minimum data. The driver
-    * reads one changed-count per round (the loop-control action every
+    * decomposition (Montresor et al. 2013 pay the same).
+    * `sweepsPerRound` chains H applications into one materialized
+    * round (H∘H has the same fixpoint; convergence checked per round,
+    * valid by monotonicity) — but each chained sweep's value frame is
+    * BROADCAST into the next sweep's join, and materializing that
+    * broadcast re-executes the chain prefix, so per-round cost grows
+    * QUADRATICALLY in the chain length while the saved barriers are
+    * ~0.7 s each (sf0.1/32T A/B: sweeps 1 → 29.8 s, 2 → 29.9 s,
+    * 4 → 170.7 s, 8 → 418.1 s forced-distributed wall). Default 2:
+    * the same wall as 1 at bench scale with HALF the barriers — the
+    * term that matters on a real cluster, where a barrier costs
+    * straggler variance, not 0.7 s. The driver reads one
+    * changed-count per round (the loop-control action every
     * Pregel-class system pays). Throws (loudly, never silently wrong)
     * if `maxRounds` is hit before convergence. Shares
     * [[coPurchaseEdges]]' checkpointed edge build.
@@ -1154,7 +1160,7 @@ object Graph {
     * output-identical (GraphSpec pins parity). The distributed sweep
     * loop stays the >limit scale path. */
   def coreNumbers(lineitem: DataFrame, maxRounds: Int = 256,
-                  maxBasket: Int = 1024, sweepsPerRound: Int = 4,
+                  maxBasket: Int = 1024, sweepsPerRound: Int = 2,
                   nodeBroadcastLimit: Long = BroadcastNodeLimit): DataFrame =
     coreNumbersWithStats(lineitem, maxRounds, maxBasket, sweepsPerRound,
       nodeBroadcastLimit)._1
@@ -1255,7 +1261,7 @@ object Graph {
     * specs exercise the scale path on small fixtures. */
   private[graft] def coreNumbersWithStats(
       lineitem: DataFrame, maxRounds: Int = 256, maxBasket: Int = 1024,
-      sweepsPerRound: Int = 4,
+      sweepsPerRound: Int = 2,
       nodeBroadcastLimit: Long = BroadcastNodeLimit,
       forceDistributed: Boolean = false): (DataFrame, Seq[Long]) = {
     require(maxRounds >= 1 && maxRounds <= 4096,

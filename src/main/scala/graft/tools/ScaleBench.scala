@@ -43,11 +43,17 @@ object ScaleBench {
     import graft.operators.Graph
     def li = Tables.lineitem(spark, sfDir)
 
+    // barrier-count experiment knob for the kcore forced path: more
+    // chained H applications per materialized round = fewer barriers,
+    // same fixpoint (H is monotone; convergence checked per round)
+    val kcoreSweeps = sys.env.getOrElse("SPARK_GRAFT_KCORE_SWEEPS", "2").toInt
+
     // (query name, gated route, forced-distributed route)
     val ops: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
       ("q_kcore",
         () => Graph.coreNumbers(li),
-        () => Graph.coreNumbersWithStats(li, forceDistributed = true)._1),
+        () => Graph.coreNumbersWithStats(li, forceDistributed = true,
+          sweepsPerRound = kcoreSweeps)._1),
       ("q_ktruss",
         () => Graph.trussNumbers(li),
         () => Graph.trussNumbers(li, forceDistributed = true)),
