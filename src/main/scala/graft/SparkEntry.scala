@@ -568,6 +568,18 @@ object SparkEntry {
     // the decoded leg against the plaintext column
     "t_gzip_decode" -> ((s, dir) =>
       Corpus.inflateText(Corpus.gzipDocs(Tables.documents(s, dir)))),
+    // URL canonicalization: native parse_url split, host lowercase +
+    // www-strip, default-port drop, order-preserving utm removal —
+    // the URL-dedup key; fixture closed-form in doc_id
+    "t_url_parse" -> ((s, dir) =>
+      Corpus.urlFeatures(Corpus.urlDocs(Tables.documents(s, dir)))),
+    // REAL WARC walk, the crawl front door end to end: member-wise
+    // gunzip (odd ids are warc.gz, one member per record), record walk
+    // by Content-Length, request records skipped, the response's HTTP
+    // block split, the HTML body through the fused extraction kernel
+    "t_warc_extract" -> ((s, dir) =>
+      graft.sources.Warc.warcExtract(
+        graft.sources.Warc.warcDocs(Tables.documents(s, dir)))),
     // adaptive per-source quality cut: histogram-quantile threshold
     // CCNet-shaped LM perplexity gate: drop the lowest-probability
     // 30% of documents under the corpus's own bigram LM
@@ -3911,6 +3923,43 @@ object SparkEntry {
     "t_gzip_decode" ->
       """SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_raw
         |FROM documents""".stripMargin,
+    // WARC extraction: uri/status/record-count closed-form; the
+    // extracted title/main_text equal the t_html_extract closed form
+    // (the response body IS the htmlDocs page)
+    "t_warc_extract" ->
+      """SELECT doc_id,
+        |       'https://crawl.site' || CAST(doc_id % 50 AS VARCHAR) || '.com/doc/' ||
+        |       CAST(doc_id % 97 AS VARCHAR) AS target_uri,
+        |       CAST(200 AS INT) AS http_status,
+        |       CAST(2 AS INT) AS n_records,
+        |       'doc ' || CAST(doc_id AS VARCHAR) || ' title' AS title,
+        |       'main heading ' || CAST(doc_id AS VARCHAR) || ' of document ' ||
+        |       CAST(doc_id % 97 AS VARCHAR) || ' ' || text ||
+        |       ' entities: A&B <x> "y" HI tail ' || CAST(doc_id % 13 AS VARCHAR)
+        |         AS main_text
+        |FROM documents""".stripMargin,
+    // URL canonicalization: every derived field replayed as string
+    // arithmetic from the closed-form fixture (host lowercased,
+    // www-stripped domain, default ports dropped, utm params removed
+    // in place, fragment gone)
+    "t_url_parse" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END AS scheme,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+        |         WHEN doc_id % 3 = 1 THEN 'cdn.site' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+        |         ELSE 'site' || CAST(doc_id % 50 AS VARCHAR) || '.com' END AS host,
+        |    CASE WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END AS port_norm,
+        |    '/articles/' || CAST(doc_id % 97 AS VARCHAR) || '/view' AS path,
+        |    'q=term' || CAST(doc_id % 13 AS VARCHAR) || '&page=' || CAST(doc_id % 4 AS VARCHAR) AS qc
+        |  FROM documents)
+        |SELECT doc_id, scheme, host,
+        |       CASE WHEN doc_id % 3 = 0 THEN substring(host, 5) ELSE host END AS domain,
+        |       path, qc AS query_clean, CAST(2 AS BIGINT) AS n_params,
+        |       scheme || '://' ||
+        |       (CASE WHEN doc_id % 3 = 0 THEN substring(host, 5) ELSE host END) ||
+        |       port_norm || path || '?' || qc AS url_norm,
+        |       doc_id % 2 = 0 AS is_secure
+        |FROM p""".stripMargin,
     "t_normalize" ->
       """SELECT doc_id,
         |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),

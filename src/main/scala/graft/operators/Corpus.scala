@@ -1157,6 +1157,71 @@ object Corpus {
         (col("logw") >= col("w_thr")).as("keep"))
   }
 
+  // ---- URL canonicalization ----
+
+  /** Deterministic URL corpus — one crawl-shaped URL per document,
+    * closed-form in doc_id: mixed-case hosts (canonicalization is
+    * load-bearing), an explicit DEFAULT port on some (":443"/":80" —
+    * must strip), a real non-default port on others (":8080" — must
+    * keep), tracking params (utm_*) interleaved with content params,
+    * and a fragment. The oracle replays every derived field as string
+    * arithmetic. */
+  def urlDocs(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val scheme = when(id % 2 === 0, "https").otherwise("http")
+    val host = when(id % 3 === 0, concat(lit("WWW.Site"), id % 50, lit(".COM")))
+      .when(id % 3 === 1, concat(lit("cdn.site"), id % 50, lit(".com")))
+      .otherwise(concat(lit("Site"), id % 50, lit(".com")))
+    val port = when(id % 5 === 0, when(id % 2 === 0, ":443").otherwise(":80"))
+      .when(id % 5 === 1, lit(":8080")).otherwise(lit(""))
+    val url = concat(scheme, lit("://"), host, port,
+      lit("/articles/"), id % 97, lit("/view"),
+      lit("?utm_source=feed&q=term"), id % 13,
+      lit("&utm_campaign=c"), id % 3, lit("&page="), id % 4,
+      lit("#sec"), id % 6)
+    documents.select(col("doc_id"), url.as("url"))
+  }
+
+  /** URL parsing + canonicalization — the primitive behind URL-keyed
+    * dedup and domain-level curation (CCNet/RefinedWeb dedupe crawls
+    * by canonical URL before any text runs): scheme/host/path/query
+    * split via Spark's native `parse_url`, host lowercased, the
+    * leading "www." stripped into a registrable-domain column,
+    * explicit DEFAULT ports dropped (":443" on https, ":80" on http)
+    * while real ports survive, tracking parameters (utm_*) removed
+    * ORDER-PRESERVINGLY via a filter/array_join HOF (a regex splice
+    * would leave '&&' seams), fragment dropped. `url_norm` reassembles
+    * the canonical form; equal norms = same resource, the URL-dedup
+    * key. Pure per-row codegen — no shuffle, no UDF, a map-only scan
+    * at crawl scale. */
+  def urlFeatures(pages: DataFrame): DataFrame = {
+    val scheme = lower(expr("parse_url(url, 'PROTOCOL')"))
+    val host = lower(expr("parse_url(url, 'HOST')"))
+    val auth = expr("parse_url(url, 'AUTHORITY')")
+    val portStr = regexp_extract(auth, ":(\\d+)$", 1)
+    val path = expr("parse_url(url, 'PATH')")
+    val query = coalesce(expr("parse_url(url, 'QUERY')"), lit(""))
+    val domain = regexp_replace(host, "^www\\.", "")
+    val cleanParams = filter(split(query, "&"),
+      p => !p.startsWith("utm_") && length(p) > 0)
+    val queryClean = array_join(cleanParams, "&")
+    val portNorm = when(portStr === "", lit(""))
+      .when(scheme === "https" && portStr === "443", lit(""))
+      .when(scheme === "http" && portStr === "80", lit(""))
+      .otherwise(concat(lit(":"), portStr))
+    pages.select(col("doc_id"), scheme.as("scheme"), host.as("host"),
+        domain.as("domain"), path.as("path"), queryClean.as("query_clean"),
+        size(cleanParams).cast("long").as("n_params"),
+        portNorm.as("port_norm"))
+      .select(col("doc_id"), col("scheme"), col("host"), col("domain"),
+        col("path"), col("query_clean"), col("n_params"),
+        concat(col("scheme"), lit("://"), col("domain"), col("port_norm"),
+          col("path"),
+          when(col("query_clean") === "", lit(""))
+            .otherwise(concat(lit("?"), col("query_clean")))).as("url_norm"),
+        (col("scheme") === "https").as("is_secure"))
+  }
+
   // ---- per-document compressed text payloads ----
 
   /** Deterministic gzip corpus: each document's text UTF-8 bytes

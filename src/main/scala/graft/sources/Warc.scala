@@ -1,0 +1,170 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** WARC (ISO 28500) record walk — the wire format web crawls actually
+  * ship in (Common Crawl's .warc.gz). A WARC file is a sequence of
+  * records: a `WARC/1.0` version line, named headers (WARC-Type,
+  * WARC-Target-URI, Content-Length, …), CRLF CRLF, `Content-Length`
+  * octets of block, CRLF CRLF. In the compressed form every RECORD is
+  * its own gzip member and members are concatenated — a reader can
+  * seek to any record boundary and inflate just that record, which is
+  * why the format survives at crawl scale.
+  *
+  * This walker models the pipeline front door end to end: member-wise
+  * gunzip (JDK GZIPInputStream — multi-member concatenation and
+  * per-member CRC verification are part of its contract), record walk
+  * by declared Content-Length, request/metadata records skipped,
+  * response records' HTTP block split (status line, headers, body),
+  * and the HTML body handed to the fused extraction kernel
+  * ([[graft.functions.HtmlKernels]]) — WARC → gzip → HTTP → HTML →
+  * text in ONE task per document, payload bytes never shuffling.
+  *
+  * Reference behavior: the read path of every public crawl-corpus
+  * recipe (CCNet, C4, RefinedWeb all start from Common Crawl WARCs).
+  */
+object Warc {
+
+  /** Deterministic WARC corpus — per document a two-record WARC
+    * stream: a request record (the walker must SKIP it) and a
+    * response record whose HTTP body is the document's
+    * [[graft.functions.TextAnalysis.htmlDocs]] page. Even doc_ids are
+    * plain WARC; odd doc_ids are warc.gz — each record its own gzip
+    * member, concatenated, exactly the Common Crawl layout. All
+    * headers are closed-form in doc_id; the HTML is all-ASCII, so
+    * Content-Length arithmetic is exact on both engines. */
+  def warcDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    graft.functions.TextAnalysis.htmlDocs(documents)
+      .select(col("doc_id"), col("html")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, html) =>
+        val uri = s"https://crawl.site${id % 50}.com/doc/${id % 97}"
+        def record(typ: String, block: Array[Byte]): Array[Byte] = {
+          val hdr = new StringBuilder
+          hdr.append("WARC/1.0\r\n")
+          hdr.append(s"WARC-Type: $typ\r\n")
+          hdr.append(s"WARC-Record-ID: <urn:graft:$id:$typ>\r\n")
+          hdr.append(s"WARC-Target-URI: $uri\r\n")
+          hdr.append("WARC-Date: 2026-01-01T00:00:00Z\r\n")
+          hdr.append(s"Content-Length: ${block.length}\r\n")
+          hdr.append("\r\n")
+          hdr.toString.getBytes("US-ASCII") ++ block ++ "\r\n\r\n".getBytes("US-ASCII")
+        }
+        val reqBlock = s"GET /doc/${id % 97} HTTP/1.1\r\nHost: crawl.site${id % 50}.com\r\n\r\n"
+          .getBytes("US-ASCII")
+        val htmlBytes = html.getBytes("US-ASCII")
+        val respBlock = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+          s"Content-Length: ${htmlBytes.length}\r\n\r\n").getBytes("US-ASCII") ++ htmlBytes
+        val recs = Seq(record("request", reqBlock), record("response", respBlock))
+        val payload =
+          if (id % 2 == 0) recs.reduce(_ ++ _)
+          else recs.map(gzipMember).reduce(_ ++ _) // one member per record (warc.gz)
+        (id, payload)
+      }).toDF("doc_id", "payload")
+  }
+
+  private def gzipMember(raw: Array[Byte]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(buf)
+    gz.write(raw); gz.close()
+    buf.toByteArray
+  }
+
+  /** One parsed response per document: (targetUri, httpStatus,
+    * htmlBody, nRecords). Gunzips member-concatenated payloads first
+    * (magic sniff), walks every record by Content-Length, skips
+    * non-response records, splits the response's HTTP block. Throws on
+    * malformation: bad version line, missing Content-Length, truncated
+    * block, missing record separator, no response record. */
+  private[graft] def parseWarc(id: Long, payload: Array[Byte]): (String, Int, String, Int) = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    val b =
+      if (payload.length >= 2 && (payload(0) & 0xFF) == 0x1F && (payload(1) & 0xFF) == 0x8B) {
+        // multi-member gunzip with per-member CRC checks (JDK contract)
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try in.readAllBytes()
+        catch { case e: java.util.zip.ZipException => fail(s"corrupt warc.gz: ${e.getMessage}") }
+        finally in.close()
+      } else payload
+    var off = 0
+    var nRecords = 0
+    var resp: Option[(String, Int, String)] = None
+    def line(from: Int): (String, Int) = {
+      var i = from
+      while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
+      if (i + 1 >= b.length) fail("unterminated header line")
+      (new String(b, from, i - from, "US-ASCII"), i + 2)
+    }
+    while (off < b.length) {
+      val (ver, afterVer) = line(off)
+      if (ver != "WARC/1.0" && ver != "WARC/1.1") fail(s"bad WARC version line '$ver'")
+      var p = afterVer
+      val headers = scala.collection.mutable.Map.empty[String, String]
+      var done = false
+      while (!done) {
+        val (l, np) = line(p); p = np
+        if (l.isEmpty) done = true
+        else {
+          val colonAt = l.indexOf(':')
+          if (colonAt < 0) fail(s"malformed WARC header '$l'")
+          headers.update(l.substring(0, colonAt).trim.toLowerCase(java.util.Locale.ROOT),
+            l.substring(colonAt + 1).trim)
+        }
+      }
+      val len = headers.getOrElse("content-length", fail("missing Content-Length")).toInt
+      if (p + len > b.length) fail("record block overruns buffer")
+      val block = java.util.Arrays.copyOfRange(b, p, p + len)
+      p += len
+      // the record separator: CRLF CRLF
+      if (p + 4 > b.length || b(p) != '\r' || b(p + 1) != '\n' ||
+          b(p + 2) != '\r' || b(p + 3) != '\n') fail("missing record separator")
+      p += 4
+      nRecords += 1
+      if (headers.get("warc-type").contains("response")) {
+        if (resp.nonEmpty) fail("multiple response records in one payload")
+        val uri = headers.getOrElse("warc-target-uri", fail("response lacks WARC-Target-URI"))
+        // HTTP block: status line, headers, CRLF CRLF, body
+        val blockStr = new String(block, "US-ASCII")
+        val statusEnd = blockStr.indexOf("\r\n")
+        if (statusEnd < 0) fail("HTTP block lacks a status line")
+        val statusParts = blockStr.substring(0, statusEnd).split(" ", 3)
+        if (statusParts.length < 2 || !statusParts(0).startsWith("HTTP/"))
+          fail("malformed HTTP status line")
+        val status = statusParts(1).toInt
+        val bodyAt = blockStr.indexOf("\r\n\r\n")
+        if (bodyAt < 0) fail("HTTP block lacks a header terminator")
+        resp = Some((uri, status, blockStr.substring(bodyAt + 4)))
+      }
+      off = p
+    }
+    val (uri, status, body) = resp.getOrElse(fail("no response record"))
+    (uri, status, body, nRecords)
+  }
+
+  /** WARC → extracted text, end to end: walk + gunzip + HTTP split in
+    * the batched seam, then the fused HTML kernel on the body — only
+    * (id, uri, status, counts, extracted text) rows leave the task.
+    * The crawl-corpus front door as one composed scan. */
+  def warcExtract(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    val walked = bin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (uri, status, html, n) = parseWarc(id, bytes)
+        (id, uri, status, n, html)
+      }).toDF("doc_id", "target_uri", "http_status", "n_records", "html")
+    // staged struct barrier: the kernel evaluates once per row (the
+    // extractHtml discipline)
+    val staged = walked.select(col("doc_id"), col("target_uri"),
+      col("http_status"), col("n_records"),
+      graft.functions.HtmlKernels.htmlExtract(col("html")).as("x"))
+    staged.select(col("doc_id"), col("target_uri"), col("http_status"),
+      col("n_records"), col("x.title").as("title"),
+      col("x.main_text").as("main_text"))
+  }
+}

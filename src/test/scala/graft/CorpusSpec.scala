@@ -646,6 +646,38 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](Corpus.inflateGzip(7L, badIsize))
   }
 
+  test("urlFeatures canonicalizes: case, www, default ports, utm params, fragments") {
+    val urls = Seq(
+      (1L, "HTTPS://WWW.Example.COM:443/a/b?utm_source=x&q=1&utm_medium=y&z=2#frag"),
+      (2L, "http://api.example.com:8080/v1?utm_campaign=only"),
+      (3L, "https://example.com/plain"),
+      (4L, "http://www.example.com:80/p?page=3")).toDF("doc_id", "url")
+    val out = Corpus.urlFeatures(urls).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5), r.getLong(6), r.getString(7),
+        r.getBoolean(8)))).toMap
+    // case folded, www stripped, :443 dropped on https, utm removed
+    // order-preservingly, fragment gone
+    assert(out(1L) == (("https", "www.example.com", "example.com", "/a/b",
+      "q=1&z=2", 2L, "https://example.com/a/b?q=1&z=2", true)))
+    // real port survives; all-utm query collapses to no '?' at all
+    assert(out(2L) == (("http", "api.example.com", "api.example.com", "/v1",
+      "", 0L, "http://api.example.com:8080/v1", false)))
+    // nothing to normalize stays identity
+    assert(out(3L) == (("https", "example.com", "example.com", "/plain",
+      "", 0L, "https://example.com/plain", true)))
+    // :80 dropped on http
+    assert(out(4L) == (("http", "www.example.com", "example.com", "/p",
+      "page=3", 1L, "http://example.com/p?page=3", false)))
+    // canonical equality = the URL-dedup key: variants of doc 1 and 4
+    // with/without defaults normalize identically
+    val variants = Seq(
+      (10L, "https://example.com/a/b?q=1&z=2"),
+      (11L, "HTTPS://www.EXAMPLE.com:443/a/b?q=1&utm_x=t&z=2#x")).toDF("doc_id", "url")
+    val norms = Corpus.urlFeatures(variants).select("url_norm").collect().map(_.getString(0))
+    assert(norms.distinct.length == 1, s"variants must share one canonical form: ${norms.toSeq}")
+  }
+
   test("keepSignals composes over the gzip decode seam in one scan (no exchange)") {
     val sub = Tables.documents(spark, sf0001).filter(col("doc_id") < 30)
     val pages = Corpus.gzipDocs(sub)

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Warc
+import graft.functions.TextAnalysis
+
+/** WARC record-walk semantics: the crawl front door (gunzip → record
+  * walk → HTTP split → HTML extraction) against the closed-form
+  * fixture and handcrafted malformations. */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("warcExtract: plain and per-record-gzip payloads both yield the htmlDocs extraction") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 30)
+    val out = Warc.warcExtract(Warc.warcDocs(docs)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3),
+        r.getString(4), r.getString(5)))).toMap
+    assert(out.size == 30)
+    // the extraction leg must equal extractHtml over the same pages
+    val direct = TextAnalysis.extractHtml(TextAnalysis.htmlDocs(docs))
+      .select(col("doc_id"), col("title"), col("main_text")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    out.foreach { case (id, (uri, status, n, title, main)) =>
+      assert(uri == s"https://crawl.site${id % 50}.com/doc/${id % 97}")
+      assert(status == 200 && n == 2, "request record skipped but counted")
+      assert((title, main) == direct(id), s"doc $id extraction diverges")
+    }
+    // both transport forms are exercised: even=plain, odd=warc.gz
+    val payloads = Warc.warcDocs(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    payloads.foreach { case (id, b) =>
+      val gz = (b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B
+      assert(gz == (id % 2 == 1), s"doc $id transport form")
+    }
+  }
+
+  test("parseWarc rejects malformed records loudly") {
+    val plain = Warc.warcDocs(Seq(2L).toDF("doc_id")
+        .join(Tables.documents(spark, sf0001), "doc_id"))
+      .collect()(0).getAs[Array[Byte]]("payload")
+    assert(Warc.parseWarc(2L, plain)._2 == 200)
+    // bad version line
+    val badVer = plain.clone(); badVer(5) = '9'.toByte
+    intercept[IllegalArgumentException](Warc.parseWarc(2L, badVer))
+    // truncated final record (separator gone)
+    intercept[IllegalArgumentException](Warc.parseWarc(2L, plain.dropRight(2)))
+    // request-only stream: no response record. CRLFCRLF occurs three
+    // times in the first record — end of WARC headers, end of the
+    // request's own HTTP headers (== end of block), record separator —
+    // so the record ends after the third occurrence
+    val sep = "\r\n\r\n".getBytes("US-ASCII")
+    val recEnd = Iterator.iterate(plain.indexOfSlice(sep, 0))(
+      i => plain.indexOfSlice(sep, i + 4)).drop(2).next() + 4
+    val requestOnly = plain.take(recEnd)
+    intercept[IllegalArgumentException](Warc.parseWarc(2L, requestOnly))
+    // corrupt gzip stream
+    val gzed = Warc.warcDocs(Seq(3L).toDF("doc_id")
+        .join(Tables.documents(spark, sf0001), "doc_id"))
+      .collect()(0).getAs[Array[Byte]]("payload")
+    val badGz = gzed.clone(); badGz(badGz.length / 2) = (badGz(badGz.length / 2) ^ 0x5A).toByte
+    intercept[Exception](Warc.parseWarc(3L, badGz))
+  }
+}
