@@ -573,6 +573,10 @@ object SparkEntry {
     // the URL-dedup key; fixture closed-form in doc_id
     "t_url_parse" -> ((s, dir) =>
       Corpus.urlFeatures(Corpus.urlDocs(Tables.documents(s, dir)))),
+    // paragraph-level dedup (the CCNet move): repeated 10-word
+    // segments dropped corpus-wide, survivors reassembled in order
+    "c_paragraph_dedup" -> ((s, dir) =>
+      Corpus.paragraphDedup(Tables.documents(s, dir))),
     // REAL WARC walk, the crawl front door end to end: member-wise
     // gunzip (odd ids are warc.gz, one member per record), record walk
     // by Content-Length, request records skipped, the response's HTTP
@@ -3923,6 +3927,29 @@ object SparkEntry {
     "t_gzip_decode" ->
       """SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_raw
         |FROM documents""".stripMargin,
+    // paragraph dedup: same 10-word segmentation, same (doc, seg)
+    // keeper order, ordered string_agg reassembly
+    "c_paragraph_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ks AS (SELECT doc_id, t,
+        |              unnest(generate_series(0, CAST(ceil(len(t) / 10.0) AS INT) - 1)) AS k
+        |       FROM toks),
+        |seg AS (SELECT doc_id, k AS seg_idx,
+        |               array_to_string(t[(k*10+1):(k*10+10)], ' ') AS seg
+        |        FROM ks),
+        |rk AS (SELECT doc_id, seg_idx, seg,
+        |              ROW_NUMBER() OVER (PARTITION BY md5(seg)
+        |                                 ORDER BY doc_id, seg_idx) AS rk
+        |       FROM seg),
+        |agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup,
+        |               COUNT(*) AS n_kept
+        |        FROM rk WHERE rk = 1 GROUP BY doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n FROM seg GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.text_dedup, '') AS text_dedup,
+        |       CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        |       CAST(tot.n - coalesce(agg.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM documents d JOIN tot ON d.doc_id = tot.doc_id
+        |LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
     // WARC extraction: uri/status/record-count closed-form; the
     // extracted title/main_text equal the t_html_extract closed form
     // (the response body IS the htmlDocs page)

@@ -1157,6 +1157,49 @@ object Corpus {
         (col("logw") >= col("w_thr")).as("keep"))
   }
 
+  /** PARAGRAPH-LEVEL dedup — the CCNet move: drop every repeated
+    * paragraph ACROSS the corpus (boilerplate repeats millions of
+    * times; deduping at document granularity never touches it), keep
+    * each document's surviving paragraphs in order. Paragraphs here
+    * are fixed `segWords`-word segments (the corpus is single-line;
+    * a newline-split corpus swaps the segmentation expression, the
+    * dataflow is identical). Keeper = first occurrence in (doc_id,
+    * seg_idx) order. Returns (doc_id, text_dedup, n_kept, n_dropped);
+    * a document whose every segment appeared earlier survives with
+    * empty text.
+    *
+    * Scale shape: segments explode once; the dedup shuffle carries
+    * (16-byte md5, doc_id, seg_idx) — never segment text twice (the
+    * window's partition key is the hash, so duplicate groups
+    * co-locate); reassembly is one doc-keyed aggregation whose
+    * collect_list is bounded by the document's own segment count.
+    * Exactly two exchanges at any corpus size. */
+  def paragraphDedup(documents: DataFrame, segWords: Int = 10): DataFrame = {
+    require(segWords >= 1 && segWords <= 10000,
+      s"segWords must be in [1, 10000], got $segWords")
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val nSegs = ceil(size(toks) / lit(segWords.toDouble)).cast("int")
+    val segArr = transform(sequence(lit(0), nSegs - 1),
+      k => array_join(slice(toks, k * segWords + 1, lit(segWords)), " "))
+    val segs = documents.select(col("doc_id"), posexplode(segArr).as(Seq("seg_idx", "seg")))
+      .withColumn("h", md5(col("seg")))
+    val kept = segs.withColumn("rk", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"), col("seg_idx"))))
+      .filter(col("rk") === 1)
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg")), " ").as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+    documents.select(col("doc_id"), nSegs.cast("long").as("n_segs"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   // ---- URL canonicalization ----
 
   /** Deterministic URL corpus — one crawl-shaped URL per document,

@@ -646,6 +646,25 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](Corpus.inflateGzip(7L, badIsize))
   }
 
+  test("paragraphDedup drops repeated segments corpus-wide, keeps first occurrence in order") {
+    // segWords=3: doc 1 = [A][B], doc 2 = [B][C] (B repeats), doc 3 = [A]
+    // where A = "a b c", B = "d e f", C = "g h i"; doc 4 repeats B twice
+    val df = docs(
+      (1L, "a b c d e f"),
+      (2L, "d e f g h i"),
+      (3L, "a b c"),
+      (4L, "d e f d e f"))
+    val out = Corpus.paragraphDedup(df, segWords = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a b c d e f", 2L, 0L)), "first occurrences all survive")
+    assert(out(2L) == (("g h i", 1L, 1L)), "cross-doc repeat dropped, order kept")
+    assert(out(3L) == (("", 0L, 1L)), "fully-duplicated doc survives empty")
+    assert(out(4L) == (("", 0L, 2L)), "within-doc repeats drop too")
+    // ragged tail is its own segment
+    val ragged = Corpus.paragraphDedup(docs((9L, "a b c x y")), segWords = 3).collect()(0)
+    assert(ragged.getString(1) == "a b c x y" && ragged.getLong(2) == 2L)
+  }
+
   test("urlFeatures canonicalizes: case, www, default ports, utm params, fragments") {
     val urls = Seq(
       (1L, "HTTPS://WWW.Example.COM:443/a/b?utm_source=x&q=1&utm_medium=y&z=2#frag"),

@@ -190,6 +190,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"extraction is per-row work, no shuffle:\n$p")
   }
 
+  test("urlFeatures: shuffle-free per-row canonicalization") {
+    val p = plan(Corpus.urlFeatures(Corpus.urlDocs(Tables.documents(spark, dir))))
+    assert(!p.contains("Exchange"), s"URL parse is per-row map work:\n$p")
+  }
+
+  test("warcExtract: walk + kernel stay per-row; extraction evaluates once") {
+    val p = plan(graft.sources.Warc.warcExtract(
+      graft.sources.Warc.warcDocs(Tables.documents(spark, dir))))
+    assert(count(p, "html_extract") == 1,
+      s"html_extract must evaluate exactly once per row:\n$p")
+    assert(!p.contains("Exchange"), s"the WARC front door is one scan:\n$p")
+  }
+
+  test("paragraphDedup: dedup shuffle keyed on the segment hash, no cartesian") {
+    val p = plan(Corpus.paragraphDedup(Tables.documents(spark, dir)))
+    assert(p.contains("hashpartitioning(h#"),
+      s"duplicate groups must co-locate on the 16-byte hash:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("contamination: gram semi-join, partial aggs, no cartesian") {
     val docs = Tables.documents(spark, dir)
     val withSplit = Corpus.hashSplit(docs)
