@@ -831,6 +831,9 @@ object StreamRunner {
     // replays; with unloadAll the reruns read flat). Unloading never
     // affects correctness: no replay ever reopens a prior checkpoint.
     org.apache.spark.sql.graft.SqlBridge.unloadAllStateStores()
+    // the cached replay session's query manager would otherwise keep
+    // every finished replay's terminated-query record forever
+    q.sparkSession.streams.resetTerminated()
     val progs = q.recentProgress
     // recentProgress is a ring buffer of the last 100 events; a replay
     // long enough to wrap it would silently undercount the bench
@@ -1083,7 +1086,31 @@ object StreamRunner {
     * a save/set/restore on the shared conf could. Runtime confs are
     * copied over first so the replay keeps the caller's state-store
     * provider and any other tuning. */
+  /** One cached clone per (caller session, provider flavor). A fresh
+    * session PER REPLAY leaks one streaming listener bus onto the
+    * shared LiveListenerBus per replay (a session's
+    * StreamingQueryManager registers its bus on first query start and
+    * nothing ever removes it — sessions have no stop()), and every
+    * micro-batch event then fans out to all of them: measured, the
+    * ~60th replay in a JVM reads ~2x in-trigger time (6.8 s vs 3.4 s
+    * on s_stream_fk_join) with identical batches. Two cached clones
+    * bound the bus count for the life of the JVM. */
+  private val replaySessions =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Boolean), SparkSession]()
+
   private def replaySession(spark: SparkSession, rocksDb: Boolean): SparkSession = {
+    // validate + propagate the per-replay partition override on EVERY
+    // call (the caller may set/unset it between replays; the cached
+    // clone must follow, and a bad value must fail the call that set
+    // it, not whichever call happened to build the cache)
+    val parts = replayPartitions(spark)
+    val s = replaySessions.computeIfAbsent((spark, rocksDb),
+      _ => buildReplaySession(spark, rocksDb))
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s
+  }
+
+  private def buildReplaySession(spark: SparkSession, rocksDb: Boolean): SparkSession = {
     val s = spark.newSession()
     spark.conf.getAll.foreach { case (k, v) =>
       if (s.conf.isModifiable(k)) s.conf.set(k, v)
