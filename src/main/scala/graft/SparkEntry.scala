@@ -577,6 +577,10 @@ object SparkEntry {
     // segments dropped corpus-wide, survivors reassembled in order
     "c_paragraph_dedup" -> ((s, dir) =>
       Corpus.paragraphDedup(Tables.documents(s, dir))),
+    // streaming paragraph dedup: per-segment-hash keeper state with
+    // add/retract on keeper replacement; changelog-final == batch
+    "s_stream_paragraph_dedup" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayParagraphDedup(s, Tables.documents(s, dir))),
     // REAL WARC walk, the crawl front door end to end: member-wise
     // gunzip (odd ids are warc.gz, one member per record), record walk
     // by Content-Length, request records skipped, the response's HTTP
@@ -3929,27 +3933,10 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // paragraph dedup: same 10-word segmentation, same (doc, seg)
     // keeper order, ordered string_agg reassembly
-    "c_paragraph_dedup" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |ks AS (SELECT doc_id, t,
-        |              unnest(generate_series(0, CAST(ceil(len(t) / 10.0) AS INT) - 1)) AS k
-        |       FROM toks),
-        |seg AS (SELECT doc_id, k AS seg_idx,
-        |               array_to_string(t[(k*10+1):(k*10+10)], ' ') AS seg
-        |        FROM ks),
-        |rk AS (SELECT doc_id, seg_idx, seg,
-        |              ROW_NUMBER() OVER (PARTITION BY md5(seg)
-        |                                 ORDER BY doc_id, seg_idx) AS rk
-        |       FROM seg),
-        |agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup,
-        |               COUNT(*) AS n_kept
-        |        FROM rk WHERE rk = 1 GROUP BY doc_id),
-        |tot AS (SELECT doc_id, COUNT(*) AS n FROM seg GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(agg.text_dedup, '') AS text_dedup,
-        |       CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
-        |       CAST(tot.n - coalesce(agg.n_kept, 0) AS BIGINT) AS n_dropped
-        |FROM documents d JOIN tot ON d.doc_id = tot.doc_id
-        |LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+    "c_paragraph_dedup" -> paragraphDedupOracle,
+    // streaming paragraph dedup: same segmentation, same keeper rule,
+    // same reassembly — identical final table
+    "s_stream_paragraph_dedup" -> paragraphDedupOracle,
     // WARC extraction: uri/status/record-count closed-form; the
     // extracted title/main_text equal the t_html_extract closed form
     // (the response body IS the htmlDocs page)
@@ -5541,6 +5528,31 @@ object SparkEntry {
       |       CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
       |            AS BIGINT) AS shuffle_rank
       |FROM documents""".stripMargin
+
+  /** Shared by c_paragraph_dedup (batch) and s_stream_paragraph_dedup
+    * (keeper-state changelog): same segmentation, keeper order and
+    * ordered reassembly. */
+  private lazy val paragraphDedupOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ks AS (SELECT doc_id, t,
+        |              unnest(generate_series(0, CAST(ceil(len(t) / 10.0) AS INT) - 1)) AS k
+        |       FROM toks),
+        |seg AS (SELECT doc_id, k AS seg_idx,
+        |               array_to_string(t[(k*10+1):(k*10+10)], ' ') AS seg
+        |        FROM ks),
+        |rk AS (SELECT doc_id, seg_idx, seg,
+        |              ROW_NUMBER() OVER (PARTITION BY md5(seg)
+        |                                 ORDER BY doc_id, seg_idx) AS rk
+        |       FROM seg),
+        |agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup,
+        |               COUNT(*) AS n_kept
+        |        FROM rk WHERE rk = 1 GROUP BY doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n FROM seg GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.text_dedup, '') AS text_dedup,
+        |       CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        |       CAST(tot.n - coalesce(agg.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM documents d JOIN tot ON d.doc_id = tot.doc_id
+        |LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
 
   private lazy val keepSetNearDupOracle: String =
     s"""WITH RECURSIVE $keepSetCtes,

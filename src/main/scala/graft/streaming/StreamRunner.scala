@@ -585,6 +585,51 @@ private[streaming] class TokenBudgetProcessor(budget: Long)
   }
 }
 
+private[streaming] case class SegIn(h: String, docId: Long, segIdx: Long, seg: String)
+private[streaming] case class SegEvent(kind: String, doc_id: Long, seg_idx: Long,
+                                       seg: String)
+
+/** Per-segment-hash KEEPER state for the streaming paragraph dedup —
+  * the incremental form of [[graft.operators.Corpus.paragraphDedup]]'s
+  * first-occurrence rule. Arrival order is not keeper order (the
+  * staging feeds doc_id DESCENDING, the adversarial order): when a
+  * smaller (doc_id, seg_idx) arrives after a keeper was announced, the
+  * old keeper RETRACTS and the new one is added — the
+  * TokenBudgetProcessor retraction discipline. State per distinct
+  * segment hash: one (doc_id, seg_idx) pair; the segment text never
+  * enters state (same hash = same text, so a retraction can carry the
+  * arriving row's text). Every arrival also emits a "seen" marker so
+  * the fold recovers per-doc segment totals without a second source
+  * pass. */
+private[streaming] class ParagraphDedupProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, SegIn, SegEvent] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var keeper: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    keeper = getHandle.getValueState[(Long, Long)]("keeper",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(h: String, rows: Iterator[SegIn],
+                               timers: TimerValues): Iterator[SegEvent] = {
+    var best: (Long, Long) = if (keeper.exists) keeper.get() else null
+    val out = scala.collection.mutable.ArrayBuffer.empty[SegEvent]
+    rows.toArray.sortBy(r => (r.docId, r.segIdx)).foreach { r =>
+      out += SegEvent("seen", r.docId, r.segIdx, "")
+      if (best == null) {
+        best = (r.docId, r.segIdx)
+        out += SegEvent("add", r.docId, r.segIdx, r.seg)
+      } else if (r.docId < best._1 || (r.docId == best._1 && r.segIdx < best._2)) {
+        out += SegEvent("retract", best._1, best._2, r.seg)
+        best = (r.docId, r.segIdx)
+        out += SegEvent("add", r.docId, r.segIdx, r.seg)
+      }
+    }
+    keeper.update(best)
+    out.iterator
+  }
+}
+
 private[streaming] case class ShuffleIn(hb: Long, h: String, docId: Long)
 private[streaming] case class ShuffleEvent(kind: String, hb: Long, h: String,
                                            doc_id: Long, n: Long)
@@ -2412,6 +2457,75 @@ object StreamRunner {
         Window.partitionBy(col("hb")).orderBy(col("h"), col("doc_id"))))
       .join(prefixed, Seq("hb"))
       .select(col("doc_id"), (col("bprefix") + col("ib") - 1L).as("shuffle_rank"))
+  }
+
+  /** STREAMING PARAGRAPH DEDUP — the incremental form of the CCNet
+    * move ([[graft.operators.Corpus.paragraphDedup]]): documents
+    * arrive as a stream, segment per micro-batch with literally the
+    * batch expressions, re-key by segment md5, and ONE
+    * transformWithState keyed by hash maintains each distinct
+    * segment's keeper (see [[ParagraphDedupProcessor]] — keeper
+    * replacement emits add/retract, so the changelog's final adds ARE
+    * the batch keep set). The fold reassembles surviving segments per
+    * document in seg_idx order and recovers totals from the "seen"
+    * markers — identical final table, same oracle as
+    * c_paragraph_dedup.
+    *
+    * Scale shape: state is one (doc, idx) pair per DISTINCT segment
+    * (the same asymptotics as any exact-dedup index); segment text
+    * rides the stream but never enters state; the fold's windows are
+    * doc-bounded. */
+  def replayParagraphDedup(spark: SparkSession, documents: DataFrame,
+                           segWords: Int = 10): DataFrame = {
+    require(segWords >= 1 && segWords <= 10000,
+      s"segWords must be in [1, 10000], got $segWords")
+    val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
+    val srcDir = docStagedDir(spark, documents)
+    val session = replaySession(spark, rocksDb = true)
+    val src = session.readStream
+      .schema(Encoders.product[StagedDoc].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    import session.implicits._
+    val toks = split(col("text"), " ")
+    val nSegs = ceil(size(toks) / lit(segWords.toDouble)).cast("int")
+    val segArr = transform(sequence(lit(0), nSegs - 1),
+      k => array_join(slice(toks, k * segWords + 1, lit(segWords)), " "))
+    val events = src
+      .select(col("docId"), posexplode(segArr).as(Seq("segIdx", "seg")))
+      .select(md5(col("seg")).as("h"), col("docId"),
+        col("segIdx").cast("long").as("segIdx"), col("seg"))
+      .as[SegIn]
+      .groupByKey(_.h)
+      .transformWithState(new ParagraphDedupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    val q = events.writeStream.format("parquet")
+      .option("path", work.resolve("out").toString)
+      .option("checkpointLocation", work.resolve("cp").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q)
+    val log = spark.read.parquet(work.resolve("out").toString)
+    // per-doc totals from the seen markers (every segment arrives once)
+    val totals = log.filter(col("kind") === "seen")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+    // changelog-final keepers: add balance survives retraction churn
+    val kept = log.filter(col("kind") =!= "seen")
+      .groupBy(col("doc_id"), col("seg_idx"), col("seg"))
+      .agg(sum(when(col("kind") === "add", 1).otherwise(-1)).as("bal"))
+      .filter(col("bal") > 0)
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg")), " ").as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+    totals.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 }
 

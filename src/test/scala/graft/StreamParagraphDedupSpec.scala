@@ -1,0 +1,28 @@
+package graft
+
+import graft.operators.Corpus
+import graft.streaming.StreamRunner
+
+/** The streaming paragraph dedup's changelog-final table must equal
+  * batch [[Corpus.paragraphDedup]] exactly. The staging feeds doc_id
+  * DESCENDING — the adversarial order for a first-(doc_id, seg_idx)
+  * keeper rule: nearly every duplicate's true keeper arrives AFTER a
+  * provisional keeper was announced, so the retraction path is
+  * load-bearing, not decorative. */
+class StreamParagraphDedupSpec extends SparkSpec {
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+    .toMap
+
+  test("streaming paragraphDedup changelog-final equals batch") {
+    val docs = Tables.documents(spark, sf0001)
+    val streamed = asMap(StreamRunner.replayParagraphDedup(spark, docs))
+    val batch = asMap(Corpus.paragraphDedup(docs))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // the dedup must actually bite at this SF (shared boilerplate
+    // vocabulary) — otherwise the retraction path went untested
+    assert(streamed.values.exists(_._3 > 0), "no duplicate segments at sf0.001?")
+  }
+}
