@@ -876,9 +876,9 @@ object StreamRunner {
     // replays; with unloadAll the reruns read flat). Unloading never
     // affects correctness: no replay ever reopens a prior checkpoint.
     org.apache.spark.sql.graft.SqlBridge.unloadAllStateStores()
-    // the cached replay session's query manager would otherwise keep
-    // every finished replay's terminated-query record forever
-    q.sparkSession.streams.resetTerminated()
+    // the replay's session is discarded here — detach its streaming
+    // listener bus from the shared LiveListenerBus (see replaySession)
+    org.apache.spark.sql.graft.SqlBridge.detachStreamingListenerBus(q.sparkSession)
     val progs = q.recentProgress
     // recentProgress is a ring buffer of the last 100 events; a replay
     // long enough to wrap it would silently undercount the bench
@@ -1131,29 +1131,22 @@ object StreamRunner {
     * a save/set/restore on the shared conf could. Runtime confs are
     * copied over first so the replay keeps the caller's state-store
     * provider and any other tuning. */
-  /** One cached clone per (caller session, provider flavor). A fresh
-    * session PER REPLAY leaks one streaming listener bus onto the
-    * shared LiveListenerBus per replay (a session's
-    * StreamingQueryManager registers its bus on first query start and
-    * nothing ever removes it — sessions have no stop()), and every
-    * micro-batch event then fans out to all of them: measured, the
-    * ~60th replay in a JVM reads ~2x in-trigger time (6.8 s vs 3.4 s
-    * on s_stream_fk_join) with identical batches. Two cached clones
-    * bound the bus count for the life of the JVM. */
-  private val replaySessions =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Boolean), SparkSession]()
-
-  private def replaySession(spark: SparkSession, rocksDb: Boolean): SparkSession = {
-    // validate + propagate the per-replay partition override on EVERY
-    // call (the caller may set/unset it between replays; the cached
-    // clone must follow, and a bad value must fail the call that set
-    // it, not whichever call happened to build the cache)
-    val parts = replayPartitions(spark)
-    val s = replaySessions.computeIfAbsent((spark, rocksDb),
-      _ => buildReplaySession(spark, rocksDb))
-    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    s
-  }
+  /** Fresh clone per replay (conf isolation from the caller), with the
+    * leak that once made "fresh per replay" unsustainable fixed at the
+    * source: a session's StreamingQueryManager registers a
+    * StreamingQueryListenerBus on the shared LiveListenerBus and
+    * nothing ever removes it (sessions have no stop()), so every
+    * micro-batch event fans out to one more bus per replay — measured
+    * ~2x in-trigger time by the ~60th replay in a JVM. [[awaitAndRecord]]
+    * detaches the finished replay's bus
+    * ([[org.apache.spark.sql.graft.SqlBridge.detachStreamingListenerBus]]),
+    * so the bus count stays O(1) while every replay keeps its own
+    * session. (A shared cached clone was A/B-measured 16% SLOWER on
+    * the cold pass — 93.7 s vs 80.9 s over the 31-replay family — for
+    * reasons the counters don't attribute; fresh + detach wins on both
+    * ends.) */
+  private def replaySession(spark: SparkSession, rocksDb: Boolean): SparkSession =
+    buildReplaySession(spark, rocksDb)
 
   private def buildReplaySession(spark: SparkSession, rocksDb: Boolean): SparkSession = {
     val s = spark.newSession()
