@@ -31,9 +31,14 @@ object Warc {
     * response record whose HTTP body is the document's
     * [[graft.functions.TextAnalysis.htmlDocs]] page. Even doc_ids are
     * plain WARC; odd doc_ids are warc.gz — each record its own gzip
-    * member, concatenated, exactly the Common Crawl layout. All
-    * headers are closed-form in doc_id; the HTML is all-ASCII, so
-    * Content-Length arithmetic is exact on both engines. */
+    * member, concatenated, exactly the Common Crawl layout. On top,
+    * ids % 3 == 0 gzip the HTTP ENTITY itself (Content-Encoding:
+    * gzip — how crawled servers actually answer), so the walker
+    * exercises record-level and entity-level compression
+    * independently AND stacked (id ≡ 3 mod 6: gzip entity inside a
+    * gzip record). All headers are closed-form in doc_id; the HTML is
+    * all-ASCII, so Content-Length arithmetic is exact on both
+    * engines. */
   def warcDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -54,9 +59,15 @@ object Warc {
         }
         val reqBlock = s"GET /doc/${id % 97} HTTP/1.1\r\nHost: crawl.site${id % 50}.com\r\n\r\n"
           .getBytes("US-ASCII")
-        val htmlBytes = html.getBytes("US-ASCII")
+        // ids % 3 == 0 ship the HTTP body Content-Encoding: gzip —
+        // the form crawled servers actually answer with; the walker
+        // must read the header and inflate the entity
+        val plainBody = html.getBytes("US-ASCII")
+        val (bodyBytes, encHdr) =
+          if (id % 3 == 0) (gzipMember(plainBody), "Content-Encoding: gzip\r\n")
+          else (plainBody, "")
         val respBlock = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
-          s"Content-Length: ${htmlBytes.length}\r\n\r\n").getBytes("US-ASCII") ++ htmlBytes
+          encHdr + s"Content-Length: ${bodyBytes.length}\r\n\r\n").getBytes("US-ASCII") ++ bodyBytes
         val recs = Seq(record("request", reqBlock), record("response", respBlock))
         val payload =
           if (id % 2 == 0) recs.reduce(_ ++ _)
@@ -127,17 +138,46 @@ object Warc {
       if (headers.get("warc-type").contains("response")) {
         if (resp.nonEmpty) fail("multiple response records in one payload")
         val uri = headers.getOrElse("warc-target-uri", fail("response lacks WARC-Target-URI"))
-        // HTTP block: status line, headers, CRLF CRLF, body
-        val blockStr = new String(block, "US-ASCII")
-        val statusEnd = blockStr.indexOf("\r\n")
-        if (statusEnd < 0) fail("HTTP block lacks a status line")
-        val statusParts = blockStr.substring(0, statusEnd).split(" ", 3)
+        // HTTP block: status line, headers, CRLF CRLF, body. The
+        // terminator is found at the BYTE level — a Content-Encoding:
+        // gzip entity is binary, and a String round-trip would
+        // corrupt it before the inflate.
+        var hEnd = -1
+        var i = 0
+        while (hEnd < 0 && i + 3 < block.length) {
+          if (block(i) == '\r' && block(i + 1) == '\n' &&
+              block(i + 2) == '\r' && block(i + 3) == '\n') hEnd = i
+          i += 1
+        }
+        if (hEnd < 0) fail("HTTP block lacks a header terminator")
+        val headLines = new String(block, 0, hEnd, "US-ASCII").split("\r\n")
+        val statusParts = headLines(0).split(" ", 3)
         if (statusParts.length < 2 || !statusParts(0).startsWith("HTTP/"))
           fail("malformed HTTP status line")
         val status = statusParts(1).toInt
-        val bodyAt = blockStr.indexOf("\r\n\r\n")
-        if (bodyAt < 0) fail("HTTP block lacks a header terminator")
-        resp = Some((uri, status, blockStr.substring(bodyAt + 4)))
+        val httpHeaders = headLines.drop(1).flatMap { l =>
+          val c = l.indexOf(':')
+          if (c < 0) None
+          else Some(l.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT) ->
+            l.substring(c + 1).trim)
+        }.toMap
+        val bodyRaw = java.util.Arrays.copyOfRange(block, hEnd + 4, block.length)
+        httpHeaders.get("content-length").foreach { cl =>
+          if (cl.toInt != bodyRaw.length)
+            fail(s"HTTP Content-Length $cl != entity length ${bodyRaw.length}")
+        }
+        val body = httpHeaders.get("content-encoding") match {
+          case Some("gzip") =>
+            val in = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(bodyRaw))
+            try in.readAllBytes()
+            catch { case e: java.util.zip.ZipException =>
+              fail(s"corrupt gzip entity: ${e.getMessage}") }
+            finally in.close()
+          case Some(other) => fail(s"unsupported Content-Encoding '$other'")
+          case None => bodyRaw
+        }
+        resp = Some((uri, status, new String(body, java.nio.charset.StandardCharsets.UTF_8)))
       }
       off = p
     }

@@ -32,6 +32,13 @@ class WarcSpec extends SparkSpec {
       val gz = (b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B
       assert(gz == (id % 2 == 1), s"doc $id transport form")
     }
+    // ...and the entity-level form: ids % 3 == 0 carry Content-Encoding:
+    // gzip (verified by header presence on a plain-record doc, plus the
+    // stacked gzip-entity-in-gzip-record case id = 3 decoding above)
+    val plain6 = new String(payloads(6L), "ISO-8859-1")
+    assert(plain6.contains("Content-Encoding: gzip"), "doc 6 entity gzip'd")
+    val plain4 = new String(payloads(4L), "ISO-8859-1")
+    assert(!plain4.contains("Content-Encoding"), "doc 4 entity plain")
   }
 
   test("parseWarc rejects malformed records loudly") {
