@@ -588,6 +588,18 @@ object SparkEntry {
     "t_warc_extract" -> ((s, dir) =>
       graft.sources.Warc.warcExtract(
         graft.sources.Warc.warcDocs(Tables.documents(s, dir)))),
+    // charset front door: strict UTF-8 validation, Windows-1252
+    // fallback decode, and ftfy-style double-encoding repair (encode
+    // cp1252 → re-decode UTF-8 when the round trip changes the text);
+    // the fixture's three encoding arms rotate on doc_id % 3
+    "t_charset_fix" -> ((s, dir) =>
+      graft.sources.Charset.fixedText(
+        graft.sources.Charset.charsetDocs(Tables.documents(s, dir)))),
+    // RFC 9309 robots gate: per-host rule parse (group scoping with
+    // exact-agent precedence), broadcast rules × canonical URLs,
+    // longest-prefix match with the Allow tie-break
+    "t_robots_gate" -> ((s, dir) =>
+      Crawl.robotsGateOnCorpus(Tables.documents(s, dir))),
     // adaptive per-source quality cut: histogram-quantile threshold
     // CCNet-shaped LM perplexity gate: drop the lowest-probability
     // 30% of documents under the corpus's own bigram LM
@@ -983,6 +995,29 @@ object SparkEntry {
     // own byte-order dispatch, IFD0 + Exif sub-IFD tag extraction
     "m_exif" -> ((s, dir) =>
       Multimodal.decodeExifMeta(Multimodal.exifDocs(Tables.documents(s, dir))).toDF()),
+    // from-scratch ZIP central-directory walk over REAL JDK-written
+    // archives: EOCD scan, CD entry walk, local-header slice, raw
+    // deflate inflate, CRC-32 + size verification per member
+    "m_zip_entries" -> ((s, dir) =>
+      graft.sources.Archives.zipEntries(
+        graft.sources.Archives.zipDocs(Tables.documents(s, dir)))),
+    // POSIX ustar walk: 512-byte headers, octal sizes, the
+    // spaces-for-checksum sum rule, end-of-archive zero blocks
+    "m_tar_entries" -> ((s, dir) =>
+      graft.sources.Archives.tarEntries(
+        graft.sources.Archives.tarDocs(Tables.documents(s, dir)))),
+    // magic-byte format router (the libmagic move): 13 published
+    // signatures incl. RIFF form-type and offset-4 ftyp dispatch,
+    // strict-UTF-8 text fallthrough
+    "m_sniff_format" -> ((s, dir) =>
+      graft.sources.Archives.sniffFormat(
+        graft.sources.Archives.sniffDocs(Tables.documents(s, dir)))),
+    // PDF text extraction over REAL PDF 1.4 files: header version,
+    // classic xref table, page-tree walk, FlateDecode content
+    // streams, Tj/'/TJ with full literal-string unescaping
+    "m_pdf_text" -> ((s, dir) =>
+      graft.sources.Pdf.pdfText(
+        graft.sources.Pdf.pdfDocs(Tables.documents(s, dir)))),
     // every 2nd REAL video frame sliced from the movi index and
     // fingerprinted; the oracle rebuilds each sampled frame's bytes
     "m_avi_frames" -> ((s, dir) =>
@@ -3341,6 +3376,65 @@ object SparkEntry {
         |                 ELSE (doc_id + 31 * fi + 7 * (ch - 1) + 3 * (bs - 1)) % 199 - 99
         |            END AS BIGINT) AS last_sample
         |FROM f""".stripMargin,
+    // ZIP walk: three entries per doc in central-directory order —
+    // the directory entry, the DEFLATED document text, the STORED
+    // closed-form metadata member; every column replays from the
+    // plaintext leg (the archive bytes are never SQL-visible)
+    "m_zip_entries" ->
+      """WITH m AS (SELECT doc_id, text,
+        |                  'id=' || CAST(doc_id AS VARCHAR) || ' lang=' ||
+        |                  CAST(doc_id % 5 AS VARCHAR) || ' (zip)' AS info
+        |           FROM documents)
+        |SELECT doc_id, CAST(0 AS INT) AS entry_idx, 'meta/' AS name,
+        |       'store' AS method, CAST(0 AS BIGINT) AS n_bytes, '' AS text FROM m
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INT),
+        |       'docs/doc_' || CAST(doc_id % 97 AS VARCHAR) || '.txt',
+        |       'deflate', CAST(length(text) AS BIGINT), text FROM m
+        |UNION ALL
+        |SELECT doc_id, CAST(2 AS INT), 'meta/info.txt', 'store',
+        |       CAST(length(info) AS BIGINT), info FROM m""".stripMargin,
+    // tar walk: two ustar members per doc, names/sizes/payloads all
+    // closed-form in (doc_id, text)
+    "m_tar_entries" ->
+      """SELECT doc_id, CAST(0 AS INT) AS entry_idx,
+        |       'docs/doc_' || CAST(doc_id % 97 AS VARCHAR) || '.txt' AS name,
+        |       CAST(length(text) AS BIGINT) AS n_bytes, text FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INT),
+        |       'docs/meta_' || CAST(doc_id % 13 AS VARCHAR) || '.txt',
+        |       CAST(9 + length(CAST(doc_id % 13 AS VARCHAR)) AS BIGINT),
+        |       'tar meta ' || CAST(doc_id % 13 AS VARCHAR) FROM documents""".stripMargin,
+    // format sniffer: the fixture rotates 13 published signatures on
+    // doc_id % 13; the oracle is the rotation itself
+    "m_sniff_format" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 13 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+        |    WHEN 3 THEN 'bmp' WHEN 4 THEN 'tiff' WHEN 5 THEN 'tiff' WHEN 6 THEN 'zip'
+        |    WHEN 7 THEN 'gzip' WHEN 8 THEN 'pdf' WHEN 9 THEN 'wav' WHEN 10 THEN 'webp'
+        |    WHEN 11 THEN 'mp4' ELSE 'text' END AS format,
+        |  CASE doc_id % 13 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |    WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/bmp' WHEN 4 THEN 'image/tiff'
+        |    WHEN 5 THEN 'image/tiff' WHEN 6 THEN 'application/zip'
+        |    WHEN 7 THEN 'application/gzip' WHEN 8 THEN 'application/pdf'
+        |    WHEN 9 THEN 'audio/wav' WHEN 10 THEN 'image/webp'
+        |    WHEN 11 THEN 'video/mp4' ELSE 'text/plain' END AS mime
+        |FROM documents""".stripMargin,
+    // PDF extraction: page i shows "page i of doc <id>: " + two text
+    // slices + the escaped-paren and octal-escape legs; pages joined
+    // by newline; object count = catalog + page tree + 2 per page
+    "m_pdf_text" ->
+      """WITH p AS (SELECT doc_id, text, CAST(1 + doc_id % 3 AS INT) AS np FROM documents),
+        |g AS (SELECT doc_id, text, np, unnest(generate_series(0, np - 1)) AS i FROM p),
+        |pg AS (SELECT doc_id, np, i,
+        |   'page ' || CAST(i AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
+        |   substring(text, 1 + 30 * CAST(i AS INT), 20) ||
+        |   substring(text, 11 + 30 * CAST(i AS INT), 10) ||
+        |   ' (p' || CAST(i AS VARCHAR) || ')tail ' || CAST(doc_id % 7 AS VARCHAR) AS ptxt
+        |   FROM g)
+        |SELECT doc_id, '1.4' AS version, CAST(2 + 2 * np AS INT) AS n_objects,
+        |       np AS n_pages, string_agg(ptxt, chr(10) ORDER BY i) AS text
+        |FROM pg GROUP BY doc_id, np""".stripMargin,
     // MP3: CBR frame-length recurrence — table lookups + integer sums
     "m_decode_mp3" ->
       """WITH p AS (SELECT doc_id,
@@ -3952,6 +4046,41 @@ object SparkEntry {
         |       ' entities: A&B <x> "y" HI tail ' || CAST(doc_id % 13 AS VARCHAR)
         |         AS main_text
         |FROM documents""".stripMargin,
+    // charset repair: text_fixed round-trips text + the non-ASCII
+    // marker on every arm; the byte column is arithmetic — the marker
+    // is 17 chars = 24 UTF-8 bytes = 17 cp1252 bytes = 39 bytes after
+    // the cp1252-misdecode-re-encode corruption (text itself is ASCII)
+    "t_charset_fix" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'utf-8'
+        |                       WHEN 1 THEN 'windows-1252'
+        |                       ELSE 'utf-8-mojibake' END AS encoding,
+        |       text || ' café — “naïve ±1' AS text_fixed,
+        |       CAST(length(text) + CASE doc_id % 3 WHEN 0 THEN 24
+        |                                           WHEN 1 THEN 17
+        |                                           ELSE 39 END AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+    // robots gate: h%4==0 hosts disallow /articles/ but allow the
+    // longer /articles/7 (longest match wins → paths whose article id
+    // starts with 7 survive); h%4==2 hosts tie Allow/Disallow at
+    // /articles/ (Allow wins); other hosts have no articles rule
+    "t_robots_gate" ->
+      """WITH u AS (SELECT doc_id, doc_id % 50 AS h, doc_id % 97 AS p,
+        |                  CASE WHEN doc_id % 3 = 1
+        |                       THEN 'cdn.site' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+        |                       ELSE 'site' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+        |                  END AS domain
+        |           FROM documents)
+        |SELECT doc_id, domain,
+        |       '/articles/' || CAST(p AS VARCHAR) || '/view' AS path,
+        |       CASE WHEN h % 4 = 0 THEN CAST(p AS VARCHAR) LIKE '7%'
+        |            ELSE TRUE END AS allowed,
+        |       CASE WHEN h % 4 = 0 THEN
+        |              CASE WHEN CAST(p AS VARCHAR) LIKE '7%'
+        |                   THEN '/articles/7' ELSE '/articles/' END
+        |            WHEN h % 4 = 2 THEN '/articles/'
+        |            ELSE '' END AS rule
+        |FROM u""".stripMargin,
     // URL canonicalization: every derived field replayed as string
     // arithmetic from the closed-form fixture (host lowercased,
     // www-stripped domain, default ports dropped, utm params removed

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl-politeness operators — robots.txt parsing and the REP gate
+  * (RFC 9309): before a crawl corpus is even fetched, every URL
+  * passes through its host's robots rules. The gate is the
+  * first *legal* filter of a pretraining pipeline, and replaying it
+  * over an already-fetched corpus ("which of these documents would
+  * today's robots.txt still allow?") is a standard compliance sweep.
+  *
+  * Semantics implemented (RFC 9309 §2.2): rules are grouped under
+  * consecutive User-agent lines; a crawler obeys the group naming it
+  * EXACTLY if one exists, else the `*` groups; the matching rule is
+  * the LONGEST-PREFIX match over Allow+Disallow, ties broken in
+  * favor of Allow; no matching rule means allowed.
+  *
+  * Scale shape: the rules frame is per-host metadata — thousands of
+  * rows against billions of URLs — so the gate is one broadcast
+  * equi-join on host followed by a per-(url, rule) prefix test and a
+  * per-URL max; the URL side never shuffles. Parsing the robots text
+  * itself is per-row HOF work (split/posexplode over line counts
+  * bounded by the file's own size).
+  */
+object Crawl {
+
+  /** Deterministic robots corpus — one robots.txt per distinct fixture
+    * host (`site<h>.com` and `cdn.site<h>.com`, h = 0..49, matching
+    * [[Corpus.urlDocs]]'s canonical domains). Every file carries a
+    * decoy group for another crawler (`evilbot` is denied everything
+    * — scoping is load-bearing), a `/private/` rule that never
+    * matches the fixture paths, comment and Crawl-delay noise, and
+    * per h % 4 the articles rules: h%4==0 disallows `/articles/` but
+    * allows the longer `/articles/7` (longest-match decides); h%4==2
+    * allows and disallows `/articles/` at equal length (the tie →
+    * Allow rule decides); other hosts leave articles unruled
+    * (default-allow decides). */
+  def robotsDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val hosts = spark.range(0, 100).select(
+      (col("id") % 50).as("h"),
+      when(col("id") < 50, concat(lit("site"), col("id") % 50, lit(".com")))
+        .otherwise(concat(lit("cdn.site"), col("id") % 50, lit(".com"))).as("robots_host"))
+    val h = col("h")
+    val txt = concat(
+      lit("# robots for "), col("robots_host"), lit("\n"),
+      lit("User-agent: evilbot\nDisallow: /\n\n"),
+      lit("User-agent: *\nDisallow: /private/\n"),
+      when(h % 4 === 0, lit("Disallow: /articles/\nAllow: /articles/7\n")).otherwise(lit("")),
+      when(h % 4 === 2, lit("Allow: /articles/\nDisallow: /articles/\n")).otherwise(lit("")),
+      lit("Crawl-delay: 2\n"))
+    hosts.select(col("robots_host"), txt.as("robots_txt"))
+  }
+
+  /** robots.txt → one rule row per (host, applicable Allow/Disallow):
+    * (robots_host, rule_type, rule_path, rule_len). Pure DataFrame
+    * line work: strip comments, split directives, assign groups by a
+    * running count of user-agent runs, scope to `userAgent` with the
+    * RFC's exact-group-beats-star precedence, drop empty-path rules
+    * (an empty Disallow means allow-everything and matches nothing).
+    */
+  def robotsRules(robots: DataFrame, userAgent: String): DataFrame = {
+    val lines = robots.select(col("robots_host"),
+        posexplode(split(col("robots_txt"), "\n")).as(Seq("line_no", "raw")))
+      .select(col("robots_host"), col("line_no"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(col("line") =!= "")
+      .select(col("robots_host"), col("line_no"),
+        lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))).as("directive"),
+        trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("value"))
+      .filter(col("directive") =!= "")
+    // group id: a new group starts at a user-agent line not preceded
+    // by another user-agent line (consecutive UA lines share a group)
+    val w = Window.partitionBy(col("robots_host")).orderBy(col("line_no"))
+    val isUa = col("directive") === "user-agent"
+    val grouped = lines
+      .withColumn("grp", sum(when(isUa && !coalesce(lag(isUa, 1).over(w), lit(false)), 1)
+        .otherwise(0)).over(w))
+    val agents = grouped.filter(isUa)
+      .select(col("robots_host"), col("grp"), lower(col("value")).as("agent"))
+    val ua = lit(userAgent.toLowerCase(java.util.Locale.ROOT))
+    // exact-group precedence per host
+    val hostHasExact = agents.groupBy(col("robots_host"))
+      .agg(max((col("agent") === ua).cast("int")).as("has_exact"))
+    val applicable = agents.join(hostHasExact, Seq("robots_host"))
+      .filter((col("has_exact") === 1 && col("agent") === ua) ||
+              (col("has_exact") === 0 && col("agent") === "*"))
+      .select(col("robots_host"), col("grp")).distinct()
+    grouped.filter(col("directive").isin("allow", "disallow") && col("value") =!= "")
+      .join(applicable, Seq("robots_host", "grp"))
+      .select(col("robots_host"), col("directive").as("rule_type"),
+        col("value").as("rule_path"), length(col("value")).as("rule_len"))
+  }
+
+  /** The REP gate: URLs (doc_id, domain, path) × broadcast rules →
+    * (doc_id, domain, path, allowed, rule). Longest matching prefix
+    * wins, Allow beats Disallow on equal length, no match = allowed.
+    *
+    * Scale shape: the rules collapse to ONE array row per host
+    * (robots files are small by construction — RFC 9309 caps parsing
+    * at 500 KiB — so the per-host rule array is bounded); the join is
+    * then 1:1 per URL against a broadcast, and the winner is a
+    * per-row `filter` + `array_max` over struct ordering
+    * (rule_len, is_allow, rule_path). NO exchange touches the URL
+    * side — the gate is a map-only scan at any corpus size, where a
+    * per-URL window/row_number formulation would shuffle the whole
+    * corpus. */
+  def robotsGate(urls: DataFrame, rules: DataFrame): DataFrame = {
+    val perHost = rules.groupBy(col("robots_host"))
+      .agg(collect_list(struct(col("rule_len"),
+        (col("rule_type") === "allow").as("is_allow"),
+        col("rule_path"))).as("rules"))
+    val joined = urls.join(broadcast(perHost),
+      urls("domain") === perHost("robots_host"), "left")
+    // struct max = longest rule_len, Allow over Disallow on ties
+    val winner = array_max(filter(col("rules"),
+      r => col("path").startsWith(r.getField("rule_path"))))
+    joined.select(col("doc_id"), col("domain"), col("path"), winner.as("w"))
+      .select(col("doc_id"), col("domain"), col("path"),
+        coalesce(col("w.is_allow"), lit(true)).as("allowed"),
+        coalesce(col("w.rule_path"), lit("")).as("rule"))
+  }
+
+  /** End-to-end convenience: canonical URLs from [[Corpus.urlDocs]] →
+    * [[Corpus.urlFeatures]], robots from [[robotsDocs]], gate for
+    * `userAgent`. */
+  def robotsGateOnCorpus(documents: DataFrame, userAgent: String = "graftbot"): DataFrame = {
+    val urls = Corpus.urlFeatures(Corpus.urlDocs(documents))
+      .select(col("doc_id"), col("domain"), col("path"))
+    val rules = robotsRules(robotsDocs(documents), userAgent)
+    robotsGate(urls, rules)
+  }
+}

@@ -1,0 +1,356 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Archive-container walks — the packaging layer of real document
+  * corpora. Books, office documents and code dumps arrive as ZIP
+  * members (EPUB/DOCX/ODT/JAR are all ZIP), dataset drops arrive as
+  * POSIX ustar tarballs, and a crawl's first decision on any payload
+  * is "what format is this?" (libmagic's job). All three are byte
+  * walks in the batched `mapPartitions` seam the image decoders use:
+  * payload bytes never shuffle, only (id, entry metadata, extracted
+  * text) rows leave the task — at 100 TB the container walk is a
+  * map-only scan whose output is orders of magnitude smaller than
+  * its input.
+  *
+  * Reference behavior: APPNOTE.TXT (PKWARE ZIP spec) for the
+  * local-header/central-directory/EOCD layout; POSIX.1-1988 ustar
+  * for the 512-byte tar header; magic prefixes are the published
+  * file signatures (PNG ISO 15948 §5.2, JPEG ISO 10918 SOI, RIFF,
+  * ISO-BMFF ftyp, RFC 1952 gzip, %PDF per ISO 32000).
+  */
+object Archives {
+
+  private val FixedTime = 1767225600000L // 2026-01-01, inside DOS-time range
+
+  /** Deterministic ZIP corpus — per document a REAL ZIP archive
+    * (JDK ZipOutputStream: genuine local headers, deflate streams,
+    * data descriptors, central directory, EOCD) with three entries:
+    * a directory entry `meta/` (STORED, empty), the document text as
+    * `docs/doc_<id%97>.txt` (DEFLATED — the walker must inflate), and
+    * a STORED `meta/info.txt` whose content is closed-form in doc_id.
+    * Entry names/sizes/payloads are all arithmetic in doc_id so the
+    * oracle replays every output column from the plaintext leg. */
+  def zipDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val buf = new java.io.ByteArrayOutputStream()
+        val zos = new java.util.zip.ZipOutputStream(buf)
+        // directory entry: STORED, zero bytes
+        val dir = new java.util.zip.ZipEntry("meta/")
+        dir.setTime(FixedTime)
+        dir.setMethod(java.util.zip.ZipOutputStream.STORED)
+        dir.setSize(0); dir.setCompressedSize(0); dir.setCrc(0L)
+        zos.putNextEntry(dir); zos.closeEntry()
+        // the document text, DEFLATED
+        val doc = new java.util.zip.ZipEntry(s"docs/doc_${id % 97}.txt")
+        doc.setTime(FixedTime)
+        zos.putNextEntry(doc)
+        zos.write(text.getBytes("UTF-8")); zos.closeEntry()
+        // a STORED metadata member (STORED needs size+crc up front)
+        val metaBytes = s"id=$id lang=${id % 5} (zip)".getBytes("UTF-8")
+        val meta = new java.util.zip.ZipEntry("meta/info.txt")
+        meta.setTime(FixedTime)
+        meta.setMethod(java.util.zip.ZipOutputStream.STORED)
+        val crc = new java.util.zip.CRC32(); crc.update(metaBytes)
+        meta.setSize(metaBytes.length.toLong)
+        meta.setCompressedSize(metaBytes.length.toLong)
+        meta.setCrc(crc.getValue)
+        zos.putNextEntry(meta); zos.write(metaBytes); zos.closeEntry()
+        zos.close()
+        (id, buf.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** From-scratch ZIP central-directory walk (the way real readers
+    * work — the CD, not the local-header chain, is authoritative
+    * because DEFLATED entries written streamingly carry their sizes
+    * only in the data descriptor / CD): locate the EOCD by scanning
+    * backwards for PK\x05\x06 (validating the comment-length field
+    * covers the remaining bytes, so a PK\x05\x06 inside a comment
+    * cannot fool it), read entry count + CD offset, walk PK\x01\x02
+    * central headers for (name, method, crc, sizes, local offset),
+    * then slice each member's data past its PK\x03\x04 local header,
+    * inflate method-8 members (raw deflate, `Inflater(nowrap)`), and
+    * VERIFY the CRC-32 and declared uncompressed size. Throws on any
+    * malformation — corrupt archives must fail loudly, not pass as
+    * empty. */
+  private[graft] def parseZip(id: Long, b: Array[Byte]): Seq[(Int, String, String, Long, String)] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    def u16(i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    def u32(i: Int): Long = (u16(i) & 0xFFFFL) | ((u16(i + 2) & 0xFFFFL) << 16)
+    // EOCD: last PK\x05\x06 whose comment length reaches exactly EOF
+    var eocd = -1
+    var i = b.length - 22
+    while (eocd < 0 && i >= 0) {
+      if (b(i) == 'P' && b(i + 1) == 'K' && b(i + 2) == 5 && b(i + 3) == 6 &&
+          i + 22 + u16(i + 20) == b.length) eocd = i
+      i -= 1
+    }
+    if (eocd < 0) fail("no end-of-central-directory record")
+    val nEntries = u16(eocd + 10)
+    if (nEntries != u16(eocd + 8)) fail("multi-disk archives unsupported")
+    val cdOff = u32(eocd + 16).toInt
+    if (cdOff < 0 || cdOff > eocd) fail("central directory offset out of range")
+    val out = Seq.newBuilder[(Int, String, String, Long, String)]
+    var p = cdOff
+    var e = 0
+    while (e < nEntries) {
+      if (p + 46 > eocd || b(p) != 'P' || b(p + 1) != 'K' || b(p + 2) != 1 || b(p + 3) != 2)
+        fail(s"bad central header at $p")
+      val method = u16(p + 10)
+      val crcDecl = u32(p + 16)
+      val compLen = u32(p + 20).toInt
+      val uncompLen = u32(p + 24).toInt
+      val nameLen = u16(p + 28)
+      val extraLen = u16(p + 30)
+      val commentLen = u16(p + 32)
+      val localOff = u32(p + 42).toInt
+      val name = new String(b, p + 46, nameLen, "UTF-8")
+      // local header: PK\x03\x04 | ver(2) flags(2) method(2) time(4)
+      // crc(4) csize(4) usize(4) nlen(2) xlen(2) | name | extra | data
+      if (localOff + 30 > b.length || b(localOff) != 'P' || b(localOff + 1) != 'K' ||
+          b(localOff + 2) != 3 || b(localOff + 3) != 4)
+        fail(s"bad local header for '$name' at $localOff")
+      if (u16(localOff + 8) != method) fail(s"method mismatch for '$name'")
+      val dataOff = localOff + 30 + u16(localOff + 26) + u16(localOff + 28)
+      if (dataOff + compLen > b.length) fail(s"member '$name' overruns archive")
+      val raw = java.util.Arrays.copyOfRange(b, dataOff, dataOff + compLen)
+      val data = method match {
+        case 0 => raw // STORED
+        case 8 => // DEFLATED: raw deflate stream, no zlib wrapper
+          val inf = new java.util.zip.Inflater(true)
+          inf.setInput(raw)
+          val acc = new java.io.ByteArrayOutputStream(uncompLen max 16)
+          val chunk = new Array[Byte](4096)
+          try {
+            while (!inf.finished()) {
+              val n = inf.inflate(chunk)
+              if (n == 0 && inf.needsInput()) fail(s"truncated deflate stream in '$name'")
+              acc.write(chunk, 0, n)
+            }
+          } catch { case ex: java.util.zip.DataFormatException =>
+            fail(s"corrupt deflate stream in '$name': ${ex.getMessage}")
+          } finally inf.end()
+          acc.toByteArray
+        case m => fail(s"unsupported compression method $m for '$name'")
+      }
+      if (data.length != uncompLen)
+        fail(s"'$name' declared $uncompLen bytes, inflated ${data.length}")
+      val crc = new java.util.zip.CRC32(); crc.update(data)
+      if (crc.getValue != crcDecl)
+        fail(f"'$name' CRC mismatch: stored $crcDecl%08x computed ${crc.getValue}%08x")
+      out += ((e, name, if (method == 0) "store" else "deflate",
+        uncompLen.toLong, new String(data, "UTF-8")))
+      p += 46 + nameLen + extraLen + commentLen
+      e += 1
+    }
+    out.result()
+  }
+
+  /** ZIP → per-entry rows: (doc_id, entry_idx, name, method, n_bytes,
+    * text) in central-directory order, CRC-verified. One map-only
+    * scan; the archive bytes never leave the task. */
+  def zipEntries(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseZip(id, bytes).map { case (idx, name, method, n, text) =>
+          (id, idx, name, method, n, text)
+        }
+      }).toDF("doc_id", "entry_idx", "name", "method", "n_bytes", "text")
+  }
+
+  /** Deterministic tar corpus — per document a hand-built POSIX ustar
+    * stream: two regular-file members (the document text and a
+    * closed-form metadata file), each a 512-byte header (octal size,
+    * ustar magic, verified checksum) + content padded to the block
+    * size, terminated by the spec's two zero blocks. */
+  def tarDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val out = new java.io.ByteArrayOutputStream()
+        def member(name: String, content: Array[Byte]): Unit = {
+          val h = new Array[Byte](512)
+          def put(off: Int, s: String): Unit = {
+            val bs = s.getBytes("US-ASCII")
+            System.arraycopy(bs, 0, h, off, bs.length)
+          }
+          put(0, name)                                  // name
+          put(100, "0000644")  // fields NUL-terminated by the zero-filled header                     // mode
+          put(108, "0000000")                     // uid
+          put(116, "0000000")                     // gid
+          put(124, f"${content.length}%011o")     // size, octal
+          put(136, "00000000000")                 // mtime
+          h(156) = '0'                                  // typeflag: regular
+          put(257, "ustar")                       // magic
+          put(263, "00")                                // version
+          // checksum: header summed with the checksum field as spaces
+          java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+          var sum = 0
+          var i = 0
+          while (i < 512) { sum += h(i) & 0xFF; i += 1 }
+          put(148, f"$sum%06o")
+          h(155) = ' '.toByte // POSIX: 6 octal digits, NUL, space
+          out.write(h)
+          out.write(content)
+          val pad = (512 - content.length % 512) % 512
+          out.write(new Array[Byte](pad))
+        }
+        member(s"docs/doc_${id % 97}.txt", text.getBytes("UTF-8"))
+        member(s"docs/meta_${id % 13}.txt", s"tar meta ${id % 13}".getBytes("UTF-8"))
+        out.write(new Array[Byte](1024)) // end-of-archive: two zero blocks
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** From-scratch ustar walk: 512-byte headers, octal size fields,
+    * magic verification, and the POSIX checksum rule (sum of header
+    * bytes with the checksum field read as spaces). Stops at the
+    * end-of-archive zero block; throws on bad magic, checksum
+    * mismatch, or a member overrunning the stream. */
+  private[graft] def parseTar(id: Long, b: Array[Byte]): Seq[(Int, String, Long, String)] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    val out = Seq.newBuilder[(Int, String, Long, String)]
+    var off = 0
+    var e = 0
+    var done = false
+    while (!done) {
+      if (off + 512 > b.length) fail("truncated tar header")
+      var allZero = true
+      var i = 0
+      while (allZero && i < 512) { if (b(off + i) != 0) allZero = false; i += 1 }
+      if (allZero) {
+        done = true
+      } else {
+        def str(o: Int, len: Int): String = {
+          var end = o
+          while (end < o + len && b(off + end) != 0) end += 1
+          new String(b, off + o, end - o, "US-ASCII")
+        }
+        if (str(257, 6) != "ustar") fail(s"bad ustar magic in header at $off")
+        // checksum: stored simple octal; recompute with field as spaces
+        val stored = java.lang.Long.parseLong(str(148, 8).trim, 8)
+        var sum = 0L
+        i = 0
+        while (i < 512) {
+          sum += (if (i >= 148 && i < 156) ' '.toInt else b(off + i) & 0xFF)
+          i += 1
+        }
+        if (sum != stored) fail(s"tar checksum mismatch at $off: stored $stored computed $sum")
+        val name = str(0, 100)
+        val size = java.lang.Long.parseLong(str(124, 12).trim, 8)
+        val dataOff = off + 512
+        if (dataOff + size > b.length) fail(s"member '$name' overruns archive")
+        val text = new String(b, dataOff, size.toInt, "UTF-8")
+        if (b(off + 156) == '0'.toByte || b(off + 156) == 0) {
+          out += ((e, name, size, text)); e += 1
+        }
+        off = dataOff + ((size + 511) / 512 * 512).toInt
+      }
+    }
+    out.result()
+  }
+
+  /** tar → per-member rows: (doc_id, entry_idx, name, n_bytes, text),
+    * checksum-verified, map-only. */
+  def tarEntries(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseTar(id, bytes).map { case (idx, name, n, text) => (id, idx, name, n, text) }
+      }).toDF("doc_id", "entry_idx", "name", "n_bytes", "text")
+  }
+
+  /** Deterministic mixed-format corpus for the sniffer — one payload
+    * per document whose format rotates over 13 published signatures
+    * (doc_id % 13): PNG, JPEG/JFIF, GIF89a, BMP, TIFF-LE, TIFF-BE,
+    * ZIP, gzip, PDF, RIFF/WAVE, RIFF/WEBP, ISO-BMFF ftyp, and plain
+    * UTF-8 text (no magic — the fallthrough arm). Tails carry
+    * id-dependent junk so the sniffer cannot cheat on length. */
+  def sniffDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val tail = Array.tabulate(8)(k => ((id * 31 + 7 * k) % 256).toByte)
+        def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+        val payload: Array[Byte] = (id % 13) match {
+          case 0 => bytes(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++ tail
+          case 1 => bytes(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10) ++ ("JFIF" + "\u0000").getBytes("US-ASCII") ++ tail
+          case 2 => "GIF89a".getBytes("US-ASCII") ++ tail
+          case 3 => "BM".getBytes("US-ASCII") ++ tail
+          case 4 => bytes(0x49, 0x49, 0x2A, 0x00) ++ tail
+          case 5 => bytes(0x4D, 0x4D, 0x00, 0x2A) ++ tail
+          case 6 => bytes(0x50, 0x4B, 0x03, 0x04) ++ tail
+          case 7 => bytes(0x1F, 0x8B, 0x08) ++ tail
+          case 8 => s"%PDF-1.4\n% doc $id".getBytes("US-ASCII") ++ tail
+          case 9 => "RIFF".getBytes("US-ASCII") ++ bytes(0x24, 0, 0, 0) ++ "WAVE".getBytes("US-ASCII") ++ tail
+          case 10 => "RIFF".getBytes("US-ASCII") ++ bytes(0x14, 0, 0, 0) ++ "WEBP".getBytes("US-ASCII") ++ tail
+          case 11 => bytes(0, 0, 0, 0x18) ++ "ftypisom".getBytes("US-ASCII") ++ tail
+          case _ => text.getBytes("UTF-8")
+        }
+        (id, payload)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** Magic-byte format identification — libmagic's core move, and the
+    * first gate of any multimodal ingest: route each payload to its
+    * decoder (or to the text path) by its published signature.
+    * RIFF containers are discriminated by their form type at offset
+    * 8 (WAVE vs WEBP vs 'AVI '), ISO-BMFF by 'ftyp' at offset 4
+    * (the size field varies, the brand box does not). Payloads with
+    * no known signature fall through to a strict UTF-8 validity
+    * check: decodable → text/plain, else application/octet-stream. */
+  private[graft] def sniff(b: Array[Byte]): (String, String) = {
+    def at(off: Int, sig: Int*): Boolean =
+      b.length >= off + sig.length && sig.indices.forall(k => (b(off + k) & 0xFF) == sig(k))
+    def ascii(off: Int, s: String): Boolean =
+      b.length >= off + s.length && s.indices.forall(k => b(off + k) == s.charAt(k).toByte)
+    if (at(0, 0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)) ("png", "image/png")
+    else if (at(0, 0xFF, 0xD8, 0xFF)) ("jpeg", "image/jpeg")
+    else if (ascii(0, "GIF87a") || ascii(0, "GIF89a")) ("gif", "image/gif")
+    else if (at(0, 0x49, 0x49, 0x2A, 0x00) || at(0, 0x4D, 0x4D, 0x00, 0x2A)) ("tiff", "image/tiff")
+    else if (at(0, 0x50, 0x4B, 0x03, 0x04) || at(0, 0x50, 0x4B, 0x05, 0x06) ||
+             at(0, 0x50, 0x4B, 0x07, 0x08)) ("zip", "application/zip")
+    else if (at(0, 0x1F, 0x8B)) ("gzip", "application/gzip")
+    else if (ascii(0, "%PDF-")) ("pdf", "application/pdf")
+    else if (ascii(0, "RIFF") && ascii(8, "WAVE")) ("wav", "audio/wav")
+    else if (ascii(0, "RIFF") && ascii(8, "WEBP")) ("webp", "image/webp")
+    else if (ascii(0, "RIFF") && ascii(8, "AVI ")) ("avi", "video/x-msvideo")
+    else if (ascii(4, "ftyp")) ("mp4", "video/mp4")
+    else if (ascii(0, "fLaC")) ("flac", "audio/flac")
+    else if (ascii(0, "ID3") || (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xE0) == 0xE0))
+      ("mp3", "audio/mpeg")
+    else if (ascii(0, "BM")) ("bmp", "image/bmp")
+    else if (ascii(257, "ustar")) ("tar", "application/x-tar")
+    else {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      try { dec.decode(java.nio.ByteBuffer.wrap(b)); ("text", "text/plain") }
+      catch { case _: java.nio.charset.CharacterCodingException =>
+        ("unknown", "application/octet-stream") }
+    }
+  }
+
+  /** payload → (doc_id, format, mime): the decode-router scan. */
+  def sniffFormat(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (fmt, mime) = sniff(bytes)
+        (id, fmt, mime)
+      }).toDF("doc_id", "format", "mime")
+  }
+}

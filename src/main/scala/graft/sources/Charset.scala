@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Charset detection + mojibake repair — the encoding front door of
+  * every crawl pipeline (CCNet/C4 both normalize encodings before
+  * any text gate runs). Real crawls arrive as three populations:
+  * clean UTF-8, legacy Windows-1252 (mislabeled as latin-1 or not
+  * labeled at all), and DOUBLE-ENCODED mojibake — UTF-8 bytes that
+  * some upstream system decoded as cp1252 and re-encoded as UTF-8
+  * (the classic "Ã©" for "é"). The repair is the ftfy move: if a
+  * valid-UTF-8 string survives an encode(cp1252) → decode(UTF-8)
+  * round trip AND that round trip changes it, the cp1252 reading of
+  * its bytes was spurious and the re-decode is the original text.
+  *
+  * Detection is per-row byte work in the batched seam — no shuffle,
+  * no UDF registry, a map-only scan at 100 TB whose output is the
+  * same row count in.
+  */
+object Charset {
+
+  /** Non-ASCII marker appended to every fixture text: each char is
+    * cp1252-encodable and none of their UTF-8 bytes land on cp1252's
+    * five unmapped positions (0x81 8D 8F 90 9D), so all three
+    * encoding arms round-trip losslessly on both engines. */
+  private[graft] val Marker = " café — “naïve ±1"
+
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  /** Deterministic mixed-encoding corpus: text+marker encoded per
+    * doc_id % 3 — 0: UTF-8; 1: Windows-1252; 2: UTF-8-as-cp1252
+    * double-encoded mojibake (the bytes a broken upstream would
+    * emit). */
+  def charsetDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val s = text + Marker
+        val payload: Array[Byte] = (id % 3) match {
+          case 0 => s.getBytes(Utf8)
+          case 1 => s.getBytes(Cp1252)
+          case _ => new String(s.getBytes(Utf8), Cp1252).getBytes(Utf8)
+        }
+        (id, payload)
+      }).toDF("doc_id", "payload")
+  }
+
+  private def strictUtf8(b: Array[Byte]): Option[String] = {
+    val dec = Utf8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try Some(dec.decode(java.nio.ByteBuffer.wrap(b)).toString)
+    catch { case _: java.nio.charset.CharacterCodingException => None }
+  }
+
+  /** (encoding label, repaired text). Decision tree:
+    * 1. not valid UTF-8 → decode as Windows-1252 ("windows-1252").
+    * 2. valid UTF-8 whose cp1252 re-encoding is ALSO valid UTF-8 and
+    *    decodes to a DIFFERENT string → double-encoded; the re-decode
+    *    is the repair ("utf-8-mojibake"). Pure-ASCII text round-trips
+    *    to itself and is never flagged; genuine UTF-8 with non-ASCII
+    *    chars (é = C3 A9) re-encodes to bytes (E9) that are NOT valid
+    *    UTF-8 mid-text, so it is never flagged either.
+    * 3. otherwise clean ("utf-8"). */
+  private[graft] def fixEncoding(b: Array[Byte]): (String, String) =
+    strictUtf8(b) match {
+      case None => ("windows-1252", new String(b, Cp1252))
+      case Some(s) =>
+        val enc = Cp1252.newEncoder()
+        if (s.exists(_ >= 0x80) && enc.canEncode(s)) {
+          strictUtf8(s.getBytes(Cp1252)) match {
+            case Some(re) if re != s => ("utf-8-mojibake", re)
+            case _ => ("utf-8", s)
+          }
+        } else ("utf-8", s)
+    }
+
+  /** payload → (doc_id, encoding, text_fixed, n_bytes): detect,
+    * repair, and record the raw byte length (the corpus-accounting
+    * column — mojibake inflates byte counts ~1.6x and a pipeline
+    * that budgets on bytes must see the true figure). */
+  def fixedText(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (encoding, text) = fixEncoding(bytes)
+        (id, encoding, text, bytes.length.toLong)
+      }).toDF("doc_id", "encoding", "text_fixed", "n_bytes")
+  }
+}

@@ -1,0 +1,457 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** PDF text extraction — after HTML, the second-largest text source
+  * of real pretraining corpora (papers, books, reports all ship as
+  * PDF). This is a from-scratch ISO 32000 subset: header version,
+  * classic cross-reference table + trailer, indirect-object
+  * resolution, the Catalog → Pages → Kids page-tree walk, content
+  * streams (raw or /FlateDecode — the JDK Inflater discipline the
+  * PNG path uses), and the text-showing operators `Tj`, `'` and `TJ`
+  * with full literal-string unescaping (\\, \(, \), \n, \r, \t, \b,
+  * \f, octal \ddd, and line continuations).
+  *
+  * Scale shape: one payload in, one (version, counts, text) row out,
+  * per row of a map-only scan — document bytes never shuffle, and at
+  * 100 TB the extraction output is a small fraction of the scan. The
+  * parse throws on malformation (bad header, dangling xref offset,
+  * missing trailer /Root, /Count disagreeing with /Kids) — a corrupt
+  * corpus must surface, not silently shrink.
+  */
+object Pdf {
+
+  /** Deterministic PDF corpus — per document a REAL PDF 1.4 file:
+    * catalog (obj 1), page tree (obj 2), then per page a /Page object
+    * and a /Contents stream. 1 + id%3 pages; even doc_ids deflate
+    * their content streams (/Filter /FlateDecode), odd ship them raw.
+    * Page i shows three strings via both `Tj` and a `TJ` array —
+    * including escaped parens and an octal escape, so the unescaper
+    * is load-bearing — whose concatenation is closed-form in
+    * (doc_id, text): "page i of doc <id>: " + text[30i, +20] +
+    * text[30i+10, +10] + " (p<i>)tail <id%7>". The xref table carries
+    * the true byte offset of every object. */
+  def pdfDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val np = (1 + id % 3).toInt
+        val nObjs = 2 + 2 * np
+        val out = new java.io.ByteArrayOutputStream()
+        def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+        val offsets = new Array[Int](nObjs + 1)
+        w("%PDF-1.4\n")
+        // binary-comment marker line per spec (4 high bytes)
+        out.write("%âãÏÓ\n".getBytes("ISO-8859-1"))
+        offsets(1) = out.size()
+        w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+        offsets(2) = out.size()
+        val kids = (0 until np).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+        w(s"2 0 obj\n<< /Type /Pages /Kids [ $kids ] /Count $np >>\nendobj\n")
+        def esc(s: String): String =
+          s.flatMap {
+            case '\\' => "\\\\"
+            case '(' => "\\("
+            case ')' => "\\)"
+            case c => c.toString
+          }
+        var i = 0
+        while (i < np) {
+          val pageObj = 3 + 2 * i
+          val contObj = 4 + 2 * i
+          offsets(pageObj) = out.size()
+          w(s"$pageObj 0 obj\n<< /Type /Page /Parent 2 0 R " +
+            s"/MediaBox [ 0 0 612 792 ] /Contents $contObj 0 R >>\nendobj\n")
+          val fragA = esc(text.slice(30 * i, 30 * i + 20))
+          val fragB = esc(text.slice(30 * i + 10, 30 * i + 20))
+          // \164 = 't' — the octal-escape leg of the unescaper
+          val content = s"BT /F1 12 Tf 72 720 Td " +
+            s"(page $i of doc $id: ) Tj ($fragA) Tj T* " +
+            s"[($fragB) -250 ( \\(p$i\\)) -100 (\\164ail ${id % 7})] TJ ET"
+          val contentBytes = content.getBytes("US-ASCII")
+          val (streamBytes, filter) =
+            if (id % 2 == 0) (deflate(contentBytes), " /Filter /FlateDecode") else (contentBytes, "")
+          offsets(contObj) = out.size()
+          w(s"$contObj 0 obj\n<< /Length ${streamBytes.length}$filter >>\nstream\n")
+          out.write(streamBytes)
+          w("\nendstream\nendobj\n")
+          i += 1
+        }
+        val xrefAt = out.size()
+        w(s"xref\n0 ${nObjs + 1}\n")
+        w("0000000000 65535 f \n")
+        var k = 1
+        while (k <= nObjs) { w(f"${offsets(k)}%010d 00000 n \n"); k += 1 }
+        w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val acc = new java.io.ByteArrayOutputStream(raw.length)
+    val chunk = new Array[Byte](4096)
+    while (!d.finished()) acc.write(chunk, 0, d.deflate(chunk))
+    d.end()
+    acc.toByteArray
+  }
+
+  // ---- a tiny PDF object model ----
+  private sealed trait Obj
+  private case class PNum(v: Double) extends Obj
+  private case class PName(v: String) extends Obj
+  private case class PRef(num: Int) extends Obj
+  private case class PArr(v: Vector[Obj]) extends Obj
+  private case class PDict(v: Map[String, Obj]) extends Obj
+  private case class PStr(v: String) extends Obj
+  private case class POther(v: String) extends Obj
+
+  /** Recursive-descent parse of one PDF object value starting at
+    * `pos` — numbers (collapsing `n g R` triples into references),
+    * names, strings, arrays, dictionaries, booleans/null. Returns
+    * (value, next position). */
+  private def parseObj(b: Array[Byte], pos: Int, fail: String => Nothing): (Obj, Int) = {
+    var p = skipWs(b, pos)
+    if (p >= b.length) fail("unexpected end of object data")
+    b(p) match {
+      case '<' if p + 1 < b.length && b(p + 1) == '<' =>
+        p += 2
+        var m = Map.empty[String, Obj]
+        var closed = false
+        while (!closed) {
+          p = skipWs(b, p)
+          if (p + 1 < b.length && b(p) == '>' && b(p + 1) == '>') { closed = true; p += 2 }
+          else {
+            if (b(p) != '/') fail(s"dict key at $p is not a name")
+            val (k, np1) = parseName(b, p)
+            val (v, np2) = parseValue(b, np1, fail)
+            m += (k -> v); p = np2
+          }
+        }
+        (PDict(m), p)
+      case '[' =>
+        p += 1
+        var items = Vector.empty[Obj]
+        var closed = false
+        while (!closed) {
+          p = skipWs(b, p)
+          if (b(p) == ']') { closed = true; p += 1 }
+          else { val (v, np) = parseObj(b, p, fail); items :+= v; p = np }
+        }
+        (PArr(collapseRefs(items)), p)
+      case '/' =>
+        val (n, np) = parseName(b, p); (PName(n), np)
+      case '(' =>
+        val (s, np) = parseString(b, p, fail); (PStr(s), np)
+      case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+        var q = p
+        while (q < b.length && (b(q) == '+' || b(q) == '-' || b(q) == '.' ||
+               (b(q) >= '0' && b(q) <= '9'))) q += 1
+        (PNum(new String(b, p, q - p, "US-ASCII").toDouble), q)
+      case _ =>
+        var q = p
+        while (q < b.length && b(q).toChar.isLetter) q += 1
+        if (q == p) fail(s"unparseable object at $p")
+        (POther(new String(b, p, q - p, "US-ASCII")), q)
+    }
+  }
+
+  /** Dictionary VALUES may be `n g R` reference triples — parse the
+    * leading number, then peek for a second integer followed by the
+    * `R` keyword and collapse the triple into a PRef. Without this,
+    * `/Pages 2 0 R` would leave `0` to be misread as the next key. */
+  private def parseValue(b: Array[Byte], pos: Int, fail: String => Nothing): (Obj, Int) = {
+    val (v, p1) = parseObj(b, pos, fail)
+    v match {
+      case PNum(n) if n >= 0 && n == math.floor(n) =>
+        try {
+          val (v2, p2) = parseObj(b, p1, fail)
+          v2 match {
+            case PNum(_) =>
+              val (v3, p3) = parseObj(b, p2, fail)
+              if (v3 == POther("R")) (PRef(n.toInt), p3) else (v, p1)
+            case _ => (v, p1)
+          }
+        } catch { case _: IllegalArgumentException => (v, p1) }
+      case _ => (v, p1)
+    }
+  }
+
+  /** `n g R` reference triples inside arrays arrive as three tokens;
+    * fold them into PRef. */
+  private def collapseRefs(items: Vector[Obj]): Vector[Obj] = {
+    val out = Vector.newBuilder[Obj]
+    var i = 0
+    while (i < items.length) {
+      items(i) match {
+        case PNum(n) if i + 2 < items.length && items(i + 1).isInstanceOf[PNum] &&
+            items(i + 2) == POther("R") =>
+          out += PRef(n.toInt); i += 3
+        case o => out += o; i += 1
+      }
+    }
+    out.result()
+  }
+
+  private def skipWs(b: Array[Byte], pos: Int): Int = {
+    var p = pos
+    var moved = true
+    while (moved) {
+      moved = false
+      while (p < b.length && (b(p) == ' ' || b(p) == '\n' || b(p) == '\r' ||
+             b(p) == '\t' || b(p) == 0 || b(p) == 12)) { p += 1; moved = true }
+      if (p < b.length && b(p) == '%') { // comment to end of line
+        while (p < b.length && b(p) != '\n' && b(p) != '\r') p += 1
+        moved = true
+      }
+    }
+    p
+  }
+
+  private def parseName(b: Array[Byte], pos: Int): (String, Int) = {
+    var p = pos + 1
+    val sb = new StringBuilder
+    while (p < b.length && !isDelim(b(p))) { sb.append(b(p).toChar); p += 1 }
+    (sb.toString, p)
+  }
+
+  private def isDelim(c: Byte): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == 0 || c == 12 ||
+    c == '/' || c == '(' || c == ')' || c == '<' || c == '>' || c == '[' ||
+    c == ']' || c == '%'
+
+  /** Literal string per ISO 32000 §7.3.4.2: balanced unescaped parens
+    * nest; escapes \n \r \t \b \f \( \) \\, 1-3 digit octal, and a
+    * backslash-newline line continuation (dropped). */
+  private def parseString(b: Array[Byte], pos: Int, fail: String => Nothing): (String, Int) = {
+    var p = pos + 1
+    val sb = new StringBuilder
+    var depth = 1
+    while (depth > 0) {
+      if (p >= b.length) fail("unterminated literal string")
+      b(p) match {
+        case '\\' =>
+          if (p + 1 >= b.length) fail("dangling backslash in string")
+          b(p + 1) match {
+            case 'n' => sb.append('\n'); p += 2
+            case 'r' => sb.append('\r'); p += 2
+            case 't' => sb.append('\t'); p += 2
+            case 'b' => sb.append('\b'); p += 2
+            case 'f' => sb.append('\f'); p += 2
+            case '(' => sb.append('('); p += 2
+            case ')' => sb.append(')'); p += 2
+            case '\\' => sb.append('\\'); p += 2
+            case '\n' => p += 2 // line continuation
+            case '\r' => p += (if (p + 2 < b.length && b(p + 2) == '\n') 3 else 2)
+            case d if d >= '0' && d <= '7' =>
+              var v = 0; var k = 0; p += 1
+              while (k < 3 && p < b.length && b(p) >= '0' && b(p) <= '7') {
+                v = v * 8 + (b(p) - '0'); p += 1; k += 1
+              }
+              sb.append(v.toChar)
+            case other => sb.append(other.toChar); p += 2 // spec: ignore the backslash
+          }
+        case '(' => depth += 1; sb.append('('); p += 1
+        case ')' =>
+          depth -= 1
+          if (depth > 0) sb.append(')')
+          p += 1
+        case c => sb.append(c.toChar); p += 1
+      }
+    }
+    (sb.toString, p)
+  }
+
+  /** Text-showing walk over one decoded content stream: tokenizes
+    * strings, arrays and operators; `Tj` and `'` append their string
+    * operand, `TJ` appends every string element of its array operand
+    * (kern numbers skipped). */
+  private[graft] def extractText(b: Array[Byte], fail: String => Nothing): String = {
+    val sb = new StringBuilder
+    var lastStr: String = null
+    var lastArr: Vector[Obj] = null
+    var p = 0
+    while ({ p = skipWs(b, p); p < b.length }) {
+      b(p) match {
+        case '(' =>
+          val (s, np) = parseString(b, p, fail); lastStr = s; lastArr = null; p = np
+        case '[' =>
+          val (a, np) = parseObj(b, p, fail)
+          lastArr = a.asInstanceOf[PArr].v; lastStr = null; p = np
+        case '<' =>
+          // hex strings / dicts — not text-showing operands we emit
+          val (_, np) = parseObj(b, p, fail); lastStr = null; lastArr = null; p = np
+        case '/' =>
+          val (_, np) = parseName(b, p); p = np
+        case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          val (_, np) = parseObj(b, p, fail); p = np
+        case _ =>
+          var q = p
+          while (q < b.length && !isDelim(b(q))) q += 1
+          val op = new String(b, p, q - p, "US-ASCII")
+          op match {
+            case "Tj" | "'" | "\"" =>
+              if (lastStr == null) fail(s"$op with no string operand")
+              sb.append(lastStr)
+            case "TJ" =>
+              if (lastArr == null) fail("TJ with no array operand")
+              lastArr.foreach { case PStr(s) => sb.append(s); case _ => () }
+            case _ => () // positioning/state operators carry no text
+          }
+          lastStr = null; lastArr = null
+          p = q
+      }
+    }
+    sb.toString
+  }
+
+  private[graft] case class PdfDoc(version: String, nObjects: Int, nPages: Int, text: String)
+
+  /** Full-document parse: header version, startxref → classic xref
+    * table → per-object byte offsets, trailer /Root, page-tree walk,
+    * per-page content-stream decode (+/FlateDecode inflate), text
+    * extraction in /Kids order. */
+  private[graft] def parsePdf(id: Long, b: Array[Byte]): PdfDoc = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    if (b.length < 9 || new String(b, 0, 5, "US-ASCII") != "%PDF-") fail("missing %PDF header")
+    var ve = 5
+    while (ve < b.length && b(ve) != '\n' && b(ve) != '\r' && b(ve) != '%') ve += 1
+    val version = new String(b, 5, ve - 5, "US-ASCII").trim
+    // startxref: scan the tail for the keyword, take the LAST one
+    val tailStart = math.max(0, b.length - 64)
+    val tail = new String(b, tailStart, b.length - tailStart, "US-ASCII")
+    val sxAt = tail.lastIndexOf("startxref")
+    if (sxAt < 0) fail("missing startxref")
+    val xrefAt = tail.substring(sxAt + 9).trim.split("\\s+")(0).toInt
+    if (xrefAt < 0 || xrefAt >= b.length) fail(s"startxref offset $xrefAt out of range")
+    // classic xref table: "xref\n<start> <count>\n" + 20-byte entries
+    var p = skipWs(b, xrefAt)
+    if (new String(b, p, 4, "US-ASCII") != "xref") fail("startxref does not point at an xref table")
+    p = skipWs(b, p + 4)
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    var trailerDict: PDict = null
+    var done = false
+    while (!done) {
+      if (p + 7 <= b.length && new String(b, p, 7, "US-ASCII") == "trailer") {
+        val (t, _) = parseObj(b, p + 7, fail)
+        trailerDict = t match { case d: PDict => d; case _ => fail("trailer is not a dict") }
+        done = true
+      } else {
+        // subsection header: "<first> <count>"
+        var q = p
+        while (q < b.length && b(q) != '\n' && b(q) != '\r') q += 1
+        val parts = new String(b, p, q - p, "US-ASCII").trim.split("\\s+")
+        if (parts.length != 2) fail(s"bad xref subsection header at $p")
+        val first = parts(0).toInt
+        val count = parts(1).toInt
+        p = skipWs(b, q)
+        var k = 0
+        while (k < count) {
+          val entry = new String(b, p, 18, "US-ASCII")
+          val typ = b(p + 17)
+          if (typ == 'n') offsets(first + k) = entry.substring(0, 10).toInt
+          p += 20
+          k += 1
+        }
+        p = skipWs(b, p)
+      }
+    }
+    val size = trailerDict.v.get("Size") match {
+      case Some(PNum(n)) => n.toInt
+      case _ => fail("trailer lacks /Size")
+    }
+    val rootRef = trailerDict.v.get("Root") match {
+      case Some(PRef(n)) => n
+      case Some(PNum(n)) => n.toInt // "1 0 R" parses as num if not collapsed
+      case _ => fail("trailer lacks /Root")
+    }
+    // indirect object loader: "<num> <gen> obj" <value> [stream]
+    def load(num: Int): (PDict, Option[Array[Byte]]) = {
+      val off = offsets.getOrElse(num, fail(s"object $num not in xref"))
+      var q = skipWs(b, off)
+      val (hn, q1) = parseObj(b, q, fail)
+      val (_, q2) = parseObj(b, q1, fail)
+      hn match { case PNum(n) if n.toInt == num => (); case _ => fail(s"object at $off is not $num") }
+      q = skipWs(b, q2)
+      if (new String(b, q, 3, "US-ASCII") != "obj") fail(s"missing obj keyword for $num")
+      val (v, q3) = parseObj(b, q + 3, fail)
+      val dict = v match { case d: PDict => d; case _ => fail(s"object $num is not a dict") }
+      q = skipWs(b, q3)
+      if (q + 6 <= b.length && new String(b, q, 6, "US-ASCII") == "stream") {
+        q += 6
+        if (b(q) == '\r') q += 1
+        if (b(q) == '\n') q += 1
+        val len = dict.v.get("Length") match {
+          case Some(PNum(n)) => n.toInt
+          case _ => fail(s"stream object $num lacks /Length")
+        }
+        if (q + len > b.length) fail(s"stream of object $num overruns file")
+        val raw = java.util.Arrays.copyOfRange(b, q, q + len)
+        val data = dict.v.get("Filter") match {
+          case Some(PName("FlateDecode")) =>
+            val inf = new java.util.zip.Inflater()
+            inf.setInput(raw)
+            val acc = new java.io.ByteArrayOutputStream(len * 2 max 64)
+            val chunk = new Array[Byte](4096)
+            try {
+              while (!inf.finished()) {
+                val n = inf.inflate(chunk)
+                if (n == 0 && inf.needsInput()) fail(s"truncated FlateDecode stream in $num")
+                acc.write(chunk, 0, n)
+              }
+            } catch { case ex: java.util.zip.DataFormatException =>
+              fail(s"corrupt FlateDecode stream in $num: ${ex.getMessage}")
+            } finally inf.end()
+            acc.toByteArray
+          case Some(PName(other)) => fail(s"unsupported filter /$other in $num")
+          case None => raw
+          case _ => fail(s"malformed /Filter in $num")
+        }
+        (dict, Some(data))
+      } else (dict, None)
+    }
+    val (catalog, _) = load(rootRef)
+    if (catalog.v.get("Type") != Some(PName("Catalog"))) fail("/Root is not a /Catalog")
+    val pagesRef = catalog.v.get("Pages") match {
+      case Some(PRef(n)) => n
+      case _ => fail("catalog lacks /Pages")
+    }
+    val (pages, _) = load(pagesRef)
+    val kids = pages.v.get("Kids") match {
+      case Some(PArr(ks)) => ks.map { case PRef(n) => n; case _ => fail("non-ref in /Kids") }
+      case _ => fail("page tree lacks /Kids")
+    }
+    pages.v.get("Count") match {
+      case Some(PNum(n)) if n.toInt == kids.length => ()
+      case Some(PNum(n)) => fail(s"/Count ${n.toInt} != ${kids.length} kids")
+      case _ => fail("page tree lacks /Count")
+    }
+    val pageTexts = kids.map { kid =>
+      val (page, _) = load(kid)
+      if (page.v.get("Type") != Some(PName("Page"))) fail(s"kid $kid is not a /Page")
+      val contRef = page.v.get("Contents") match {
+        case Some(PRef(n)) => n
+        case _ => fail(s"page $kid lacks /Contents")
+      }
+      val (_, stream) = load(contRef)
+      extractText(stream.getOrElse(fail(s"contents $contRef has no stream")), fail)
+    }
+    PdfDoc(version, size - 1, kids.length, pageTexts.mkString("\n"))
+  }
+
+  /** PDF → (doc_id, version, n_objects, n_pages, text): the
+    * paper/book front door as one map-only scan. */
+  def pdfText(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val d = parsePdf(id, bytes)
+        (id, d.version, d.nObjects, d.nPages, d.text)
+      }).toDF("doc_id", "version", "n_objects", "n_pages", "text")
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Archives
+
+/** Archive walks: ZIP central-directory semantics (CRC verification,
+  * deflate, corrupt-archive rejection), ustar checksum semantics, and
+  * the magic-byte router's 13 arms. */
+class ArchivesSpec extends SparkSpec {
+
+  test("zipEntries: round-trips names, methods, sizes and text; rejects corruption") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val rows = Archives.zipEntries(Archives.zipDocs(docs)).collect()
+    assert(rows.length == 120, "3 entries per archive")
+    val text = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (id, idx, name, method, n, t) =
+        (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3), r.getLong(4), r.getString(5))
+      idx match {
+        case 0 => assert(name == "meta/" && method == "store" && n == 0 && t == "")
+        case 1 =>
+          assert(name == s"docs/doc_${id % 97}.txt" && method == "deflate")
+          assert(t == text(id) && n == text(id).length)
+        case 2 =>
+          assert(name == "meta/info.txt" && method == "store")
+          assert(t == s"id=$id lang=${id % 5} (zip)")
+      }
+    }
+    // corruption must fail loudly: flip one byte of a member's data
+    val payload = Archives.zipDocs(docs.filter(col("doc_id") === 1))
+      .collect()(0).getAs[Array[Byte]](1)
+    // byte 100 sits inside the second member's deflate data (its data
+    // starts at 79 = 35 + 30-byte header + 14-byte name; the stream
+    // runs for a few hundred bytes)
+    val corrupted = payload.clone()
+    corrupted(100) = (corrupted(100) ^ 0x55).toByte
+    val ex = intercept[IllegalArgumentException](Archives.parseZip(1L, corrupted))
+    assert(ex.getMessage.contains("CRC") || ex.getMessage.contains("corrupt") ||
+           ex.getMessage.contains("declared") || ex.getMessage.contains("truncated") ||
+           ex.getMessage.contains("bad local header") || ex.getMessage.contains("mismatch"),
+      s"unexpected failure mode: ${ex.getMessage}")
+    // truncating the EOCD off the end must also fail
+    intercept[IllegalArgumentException](
+      Archives.parseZip(1L, payload.take(payload.length - 4)))
+  }
+
+  test("tarEntries: ustar walk verifies checksums and octal sizes") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val rows = Archives.tarEntries(Archives.tarDocs(docs)).collect()
+    assert(rows.length == 80, "2 members per tarball")
+    val text = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (id, idx, name, n, t) =
+        (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getString(4))
+      if (idx == 0) {
+        assert(name == s"docs/doc_${id % 97}.txt" && t == text(id) && n == text(id).length)
+      } else {
+        assert(name == s"docs/meta_${id % 13}.txt" && t == s"tar meta ${id % 13}")
+      }
+    }
+    // a flipped header byte breaks the checksum
+    val payload = Archives.tarDocs(docs.filter(col("doc_id") === 2))
+      .collect()(0).getAs[Array[Byte]](1)
+    val bad = payload.clone()
+    bad(0) = 'X'.toByte
+    val ex = intercept[IllegalArgumentException](Archives.parseTar(2L, bad))
+    assert(ex.getMessage.contains("checksum"))
+    // a size field pointing past the stream must fail, not wrap
+    val overrun = payload.clone()
+    // size field at 124: bump the leading octal digit
+    overrun(124) = '7'.toByte
+    val ex2 = intercept[IllegalArgumentException](Archives.parseTar(2L, overrun))
+    assert(ex2.getMessage.contains("checksum") || ex2.getMessage.contains("overruns"))
+  }
+
+  test("sniffFormat: all 13 fixture arms route to their format") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 52)
+    val got = Archives.sniffFormat(Archives.sniffDocs(docs)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val expect = Seq("png", "jpeg", "gif", "bmp", "tiff", "tiff", "zip",
+      "gzip", "pdf", "wav", "webp", "mp4", "text")
+    got.foreach { case (id, (fmt, mime)) =>
+      assert(fmt == expect((id % 13).toInt), s"doc $id sniffed $fmt")
+      assert(mime.nonEmpty && mime.contains("/"))
+    }
+    // an unknown binary payload (invalid UTF-8, no signature) is
+    // 'unknown', not text
+    assert(Archives.sniff(Array[Byte](0x01, 0xFE.toByte, 0xFF.toByte, 0x00))._1 == "unknown")
+    // real containers from the other fixtures sniff correctly too
+    val zipBytes = Archives.zipDocs(docs.limit(1)).collect()(0).getAs[Array[Byte]](1)
+    assert(Archives.sniff(zipBytes)._1 == "zip")
+    val tarBytes = Archives.tarDocs(docs.limit(1)).collect()(0).getAs[Array[Byte]](1)
+    assert(Archives.sniff(tarBytes)._1 == "tar")
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Charset
+
+/** Charset detection/repair semantics: the three fixture arms, the
+  * mojibake round-trip rule's non-flagging of clean UTF-8 and pure
+  * ASCII, and the byte-accounting column. */
+class CharsetSpec extends SparkSpec {
+
+  test("fixedText: all three arms recover text + marker; byte counts match the arm") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 30)
+    val text = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Charset.fixedText(Charset.charsetDocs(docs)).collect()
+    assert(got.length == 30)
+    got.foreach { r =>
+      val (id, enc, fixed, n) = (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))
+      val expected = text(id) + Charset.Marker
+      assert(fixed == expected, s"doc $id repair diverges")
+      val expectEnc = (id % 3) match {
+        case 0 => "utf-8"; case 1 => "windows-1252"; case _ => "utf-8-mojibake"
+      }
+      assert(enc == expectEnc, s"doc $id detected $enc")
+      // marker: 17 chars, 24 UTF-8 bytes, 39 after double-encoding
+      val expectBytes = text(id).length + ((id % 3) match {
+        case 0 => 24; case 1 => 17; case _ => 39
+      })
+      assert(n == expectBytes, s"doc $id byte count $n != $expectBytes")
+    }
+  }
+
+  test("fixEncoding: decision-tree edges") {
+    // pure ASCII: utf-8, untouched (the round trip is the identity)
+    assert(Charset.fixEncoding("plain ascii".getBytes("UTF-8")) ==
+      (("utf-8", "plain ascii")))
+    // clean UTF-8 with non-ASCII: NOT flagged as mojibake (its cp1252
+    // re-encoding is not valid UTF-8)
+    assert(Charset.fixEncoding("café au lait".getBytes("UTF-8")) ==
+      (("utf-8", "café au lait")))
+    // raw cp1252 bytes: invalid UTF-8, decoded as windows-1252
+    assert(Charset.fixEncoding("café".getBytes("windows-1252")) ==
+      (("windows-1252", "café")))
+    // the classic double-encoding: "é" shipped as "Ã©"
+    val mojibake = new String("café".getBytes("UTF-8"), "windows-1252").getBytes("UTF-8")
+    assert(Charset.fixEncoding(mojibake) == (("utf-8-mojibake", "café")))
+  }
+}

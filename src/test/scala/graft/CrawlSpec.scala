@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Crawl
+
+/** RFC 9309 REP semantics: longest-prefix match, the Allow tie-break,
+  * default allow, and agent-group scoping with exact-group
+  * precedence. */
+class CrawlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("robotsGate over the corpus: longest match, tie → allow, default allow") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 200)
+    val got = Crawl.robotsGateOnCorpus(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(3), r.getString(4)))).toMap
+    assert(got.size == 200)
+    got.foreach { case (id, (allowed, rule)) =>
+      val h = id % 50
+      val p = id % 97
+      (h % 4) match {
+        case 0 =>
+          // Disallow /articles/ vs the longer Allow /articles/7
+          val expect = p.toString.startsWith("7")
+          assert(allowed == expect, s"doc $id (h=$h p=$p): allowed=$allowed")
+          assert(rule == (if (expect) "/articles/7" else "/articles/"))
+        case 2 =>
+          // equal-length Allow + Disallow: Allow wins
+          assert(allowed && rule == "/articles/")
+        case _ =>
+          // no articles rule in the * group
+          assert(allowed && rule == "")
+      }
+    }
+  }
+
+  test("robotsRules: exact agent group beats *, evilbot is denied everything") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 100)
+    val robots = Crawl.robotsDocs(docs)
+    // as evilbot, the exact group (Disallow: /) applies INSTEAD of *
+    val rules = Crawl.robotsRules(robots, "EvilBot").collect()
+    assert(rules.nonEmpty)
+    assert(rules.forall(r => r.getString(1) == "disallow" && r.getString(2) == "/"),
+      "evilbot must see only its exact group")
+    val urls = graft.operators.Corpus
+      .urlFeatures(graft.operators.Corpus.urlDocs(docs))
+      .select(col("doc_id"), col("domain"), col("path"))
+    val gated = Crawl.robotsGate(urls, Crawl.robotsRules(robots, "evilbot")).collect()
+    assert(gated.forall(!_.getBoolean(3)), "every path disallowed for evilbot")
+  }
+
+  test("robotsRules: group scoping survives noise lines and comments") {
+    val robots = Seq(
+      ("x.com",
+        "# hello\nUser-agent: a\nUser-agent: b\nDisallow: /shared/\n\n" +
+        "User-agent: *\nAllow: /shared/ok\nDisallow: /shared/\nCrawl-delay: 9\nSitemap: s\n")
+    ).toDF("robots_host", "robots_txt")
+    // agent b matches the first group exactly: only /shared/ disallow
+    val forB = Crawl.robotsRules(robots, "b").collect()
+    assert(forB.length == 1 && forB(0).getString(1) == "disallow" &&
+      forB(0).getString(2) == "/shared/")
+    // an unknown agent falls to *: two rules, and the LONGER allow wins
+    val rules = Crawl.robotsRules(robots, "nobody")
+    assert(rules.count() == 2)
+    val urls = Seq((1L, "x.com", "/shared/ok/page"), (2L, "x.com", "/shared/no"))
+      .toDF("doc_id", "domain", "path")
+    val out = Crawl.robotsGate(urls, rules).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out(1L) && !out(2L))
+  }
+}

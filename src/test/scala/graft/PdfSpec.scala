@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Pdf
+
+/** PDF extraction semantics: xref-driven object resolution, page
+  * order, FlateDecode vs raw streams, string unescaping, and loud
+  * failure on malformation. */
+class PdfSpec extends SparkSpec {
+
+  test("pdfText: page texts reassemble closed-form from (doc_id, text), both filter arms") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val text = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Pdf.pdfText(Pdf.pdfDocs(docs)).collect()
+    assert(got.length == 40)
+    got.foreach { r =>
+      val (id, ver, nObj, nPages, t) =
+        (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getString(4))
+      val np = (1 + id % 3).toInt
+      assert(ver == "1.4" && nObj == 2 + 2 * np && nPages == np)
+      val expect = (0 until np).map { i =>
+        s"page $i of doc $id: " +
+          text(id).slice(30 * i, 30 * i + 20) +
+          text(id).slice(30 * i + 10, 30 * i + 20) +
+          s" (p$i)tail ${id % 7}"
+      }.mkString("\n")
+      assert(t == expect, s"doc $id text diverges")
+    }
+  }
+
+  test("pdfText: string unescaper handles parens, octal and continuations") {
+    // hand-built content stream exercising every escape class
+    val content = "BT (a\\(b\\)c) Tj (\\\\back) Tj [(\\101\\102) -3 (x\\\ny)] TJ ET"
+    def fail(m: String): Nothing = throw new IllegalArgumentException(m)
+    val out = Pdf.extractText(content.getBytes("US-ASCII"), fail)
+    assert(out == "a(b)c\\backABxy")
+  }
+
+  test("pdfText: malformed documents fail loudly") {
+    val one = Tables.documents(spark, sf0001).filter(col("doc_id") === 4)
+    val payload = Pdf.pdfDocs(one).collect()(0).getAs[Array[Byte]](1)
+    // not a PDF at all
+    intercept[IllegalArgumentException](Pdf.parsePdf(4L, "hello world".getBytes))
+    // startxref pointing into the void
+    val s = new String(payload, "ISO-8859-1")
+    val sx = s.lastIndexOf("startxref")
+    val broken = (s.substring(0, sx) + "startxref\n2\n%%EOF\n").getBytes("ISO-8859-1")
+    intercept[IllegalArgumentException](Pdf.parsePdf(4L, broken))
+    // truncated FlateDecode stream (doc 4 is an even id → deflated)
+    val streamAt = s.indexOf("stream\n")
+    val cut = payload.clone()
+    cut(streamAt + 10) = (cut(streamAt + 10) ^ 0x7F).toByte
+    intercept[IllegalArgumentException](Pdf.parsePdf(4L, cut))
+  }
+}
