@@ -600,6 +600,16 @@ object SparkEntry {
     // longest-prefix match with the Allow tie-break
     "t_robots_gate" -> ((s, dir) =>
       Crawl.robotsGateOnCorpus(Tables.documents(s, dir))),
+    // crawl discovery: sitemaps.org urlset walk — non-greedy <url>
+    // block split + per-block field regex, priority as integer
+    // tenths, raise_error on a non-urlset payload
+    "t_sitemap_parse" -> ((s, dir) =>
+      Crawl.sitemapUrls(Crawl.sitemapDocs(Tables.documents(s, dir)))),
+    // trained quality classifier: integer-exact batch perceptron on
+    // 512 hashed bag-of-words buckets, 3 epochs, broadcast weight
+    // vector — the fastText-classifier move, bitwise-reproducible
+    "c_train_classifier" -> ((s, dir) =>
+      Corpus.trainQualityPerceptron(Tables.documents(s, dir))),
     // adaptive per-source quality cut: histogram-quantile threshold
     // CCNet-shaped LM perplexity gate: drop the lowest-probability
     // 30% of documents under the corpus's own bigram LM
@@ -1018,6 +1028,12 @@ object SparkEntry {
     "m_pdf_text" -> ((s, dir) =>
       graft.sources.Pdf.pdfText(
         graft.sources.Pdf.pdfDocs(Tables.documents(s, dir)))),
+    // e-book front door: OCF/ZIP walk (stored-mimetype contract
+    // verified) + the fused HTML kernel per chapter via a transform
+    // HOF — container opened in one task, chapters joined in order
+    "m_epub_text" -> ((s, dir) =>
+      graft.sources.Archives.epubText(
+        graft.sources.Archives.epubDocs(Tables.documents(s, dir)))),
     // every 2nd REAL video frame sliced from the movi index and
     // fingerprinted; the oracle rebuilds each sampled frame's bytes
     "m_avi_frames" -> ((s, dir) =>
@@ -3435,6 +3451,18 @@ object SparkEntry {
         |SELECT doc_id, '1.4' AS version, CAST(2 + 2 * np AS INT) AS n_objects,
         |       np AS n_pages, string_agg(ptxt, chr(10) ORDER BY i) AS text
         |FROM pg GROUP BY doc_id, np""".stripMargin,
+    // EPUB: each chapter is the htmlDocs page, so the book text is
+    // the t_html_extract main_text closed form repeated per chapter
+    "m_epub_text" ->
+      """WITH p AS (SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS nc,
+        |   'main heading ' || CAST(doc_id AS VARCHAR) || ' of document ' ||
+        |   CAST(doc_id % 97 AS VARCHAR) || ' ' || text ||
+        |   ' entities: A&B <x> "y" HI tail ' || CAST(doc_id % 13 AS VARCHAR) AS mt
+        |   FROM documents)
+        |SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) || ' title' AS title,
+        |       nc AS n_chapters,
+        |       CASE WHEN nc = 1 THEN mt ELSE mt || chr(10) || mt END AS text
+        |FROM p""".stripMargin,
     // MP3: CBR frame-length recurrence — table lookups + integer sums
     "m_decode_mp3" ->
       """WITH p AS (SELECT doc_id,
@@ -4081,6 +4109,50 @@ object SparkEntry {
         |            WHEN h % 4 = 2 THEN '/articles/'
         |            ELSE '' END AS rule
         |FROM u""".stripMargin,
+    // sitemap walk: every field is arithmetic in (host, entry index)
+    "t_sitemap_parse" ->
+      """WITH h AS (SELECT i AS h FROM range(0, 50) t(i)),
+        |u AS (SELECT h, unnest(generate_series(0, 1 + h % 3)) AS j FROM h)
+        |SELECT 'site' || CAST(h AS VARCHAR) || '.com' AS host,
+        |       CAST(j AS INT) AS url_idx,
+        |       'https://site' || CAST(h AS VARCHAR) || '.com/articles/' ||
+        |       CAST((h * 7 + j) % 97 AS VARCHAR) || '/view' AS loc,
+        |       CAST('2026-01-' || lpad(CAST(1 + (h + j) % 28 AS VARCHAR), 2, '0')
+        |            AS DATE) AS lastmod,
+        |       CAST(1 + (h + j) % 9 AS INT) AS priority_tenths
+        |FROM u""".stripMargin,
+    // batch perceptron, 3 unrolled integer-exact epochs: w1 is the
+    // full class-difference vector (w0 = 0 misclassifies everything),
+    // then two update rounds over each round's misclassified set;
+    // final scores under w3. Same md5 bucket idiom as c_dsir_weights.
+    "c_train_classifier" ->
+      """WITH tb AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |                   CAST(CAST('0x' || substring(md5(tok), 1, 8) AS UBIGINT) % 512
+        |                        AS BIGINT) AS b
+        |            FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |                  FROM documents)),
+        |cnt AS (SELECT doc_id, y, b, COUNT(*) AS c FROM tb GROUP BY 1, 2, 3),
+        |w1 AS (SELECT b, SUM(y * c) AS w FROM cnt GROUP BY b),
+        |s2 AS (SELECT cnt.doc_id, cnt.y, SUM(cnt.c * COALESCE(w1.w, 0)) AS score
+        |       FROM cnt LEFT JOIN w1 USING (b) GROUP BY 1, 2),
+        |d2 AS (SELECT cnt.b, SUM(cnt.y * cnt.c) AS dw FROM cnt JOIN s2 USING (doc_id)
+        |       WHERE s2.y * s2.score <= 0 GROUP BY cnt.b),
+        |w2 AS (SELECT COALESCE(w1.b, d2.b) AS b,
+        |              COALESCE(w1.w, 0) + COALESCE(d2.dw, 0) AS w
+        |       FROM w1 FULL JOIN d2 ON w1.b = d2.b),
+        |s3 AS (SELECT cnt.doc_id, cnt.y, SUM(cnt.c * COALESCE(w2.w, 0)) AS score
+        |       FROM cnt LEFT JOIN w2 USING (b) GROUP BY 1, 2),
+        |d3 AS (SELECT cnt.b, SUM(cnt.y * cnt.c) AS dw FROM cnt JOIN s3 USING (doc_id)
+        |       WHERE s3.y * s3.score <= 0 GROUP BY cnt.b),
+        |w3 AS (SELECT COALESCE(w2.b, d3.b) AS b,
+        |              COALESCE(w2.w, 0) + COALESCE(d3.dw, 0) AS w
+        |       FROM w2 FULL JOIN d3 ON w2.b = d3.b),
+        |sf AS (SELECT cnt.doc_id, SUM(cnt.c * COALESCE(w3.w, 0)) AS score
+        |       FROM cnt LEFT JOIN w3 USING (b) GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(sf.score, 0) AS BIGINT) AS score,
+        |       COALESCE(sf.score > 0, FALSE) AS predicted,
+        |       d.lang = 'en' AS label
+        |FROM documents d LEFT JOIN sf ON d.doc_id = sf.doc_id""".stripMargin,
     // URL canonicalization: every derived field replayed as string
     // arithmetic from the closed-form fixture (host lowercased,
     // www-stripped domain, default ports dropped, utm params removed

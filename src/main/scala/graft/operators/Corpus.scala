@@ -1157,6 +1157,71 @@ object Corpus {
         (col("logw") >= col("w_thr")).as("keep"))
   }
 
+  /** TRAINED quality classifier — the fastText/LR move every modern
+    * curation recipe leans on (GPT-3's WebText classifier, LLaMA's
+    * Wikipedia-reference classifier): learn to separate target-like
+    * documents from the rest on hashed bag-of-words features, then
+    * score the whole corpus. The learner is the BATCH perceptron
+    * (Rosenblatt's rule summed over the misclassified set each
+    * epoch), chosen deliberately over logistic regression because it
+    * is INTEGER-EXACT: counts, weights, scores and updates are all
+    * BIGINT arithmetic, so training is bitwise-reproducible on any
+    * engine and any partitioning — no float-sum association drift.
+    * Labels here come from the lang column (target = `targetLang`);
+    * a production run swaps in any curated positive set.
+    *
+    * Dataflow per epoch: per-(doc, bucket) counts scored map-side
+    * against the BROADCAST weight vector (a `buckets`-long literal
+    * array — the model rides the closure, never a join), one shuffle
+    * to sum per-doc scores, misclassified docs rejoined to their
+    * counts, one `buckets`-key partial aggregation for the update.
+    * The weight vector (512 longs) is the only driver-side state —
+    * the same bounded-model-state class as the Bloom and k-means
+    * sites. At 100 TB: epochs × (two data-sized shuffles of int
+    * triples); the corpus text itself is read once into the cached
+    * count frame. */
+  def trainQualityPerceptron(documents: DataFrame, targetLang: String = "en",
+                             buckets: Int = 512, epochs: Int = 3): DataFrame = {
+    require(buckets >= 1 && buckets <= 65536,
+      s"bucket count must be in [1, 65536], got $buckets")
+    require(epochs >= 1 && epochs <= 16, s"epochs must be in [1, 16], got $epochs")
+    val y = when(col("lang") === targetLang, 1L).otherwise(-1L)
+    val cnt = documents.select(col("doc_id"), y.as("y"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("y"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % buckets).as("b"))
+      .groupBy(col("doc_id"), col("y"), col("b")).agg(count(lit(1)).as("c"))
+    cnt.persist()
+    val w = Array.fill(buckets)(0L)
+    try {
+      var t = 0
+      while (t < epochs) {
+        // epoch 0 scores under w = 0: every doc has y·score = 0 ≤ 0,
+        // so the first update is the full class-difference vector
+        val scores = cnt
+          .withColumn("wv", element_at(lit(w), col("b").cast("int") + 1))
+          .groupBy(col("doc_id"), col("y"))
+          .agg(sum(col("c") * col("wv")).as("score"))
+        val mis = scores.filter(col("y") * col("score") <= 0).select(col("doc_id"))
+        cnt.join(mis, "doc_id")
+          .groupBy(col("b")).agg(sum(col("y") * col("c")).as("dw"))
+          .collect()
+          .foreach { r =>
+            val b = r.getLong(0).toInt
+            w(b) = Math.addExact(w(b), r.getLong(1)) // overflow surfaces, never wraps
+          }
+        t += 1
+      }
+    } finally cnt.unpersist()
+    val finalScores = cnt
+      .withColumn("wv", element_at(lit(w), col("b").cast("int") + 1))
+      .groupBy(col("doc_id")).agg(sum(col("c") * col("wv")).as("score"))
+    documents.select(col("doc_id"), (col("lang") === targetLang).as("label"))
+      .join(finalScores, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("score"), lit(0L)).as("score"),
+        coalesce(col("score") > 0, lit(false)).as("predicted"), col("label"))
+  }
+
   /** PARAGRAPH-LEVEL dedup — the CCNet move: drop every repeated
     * paragraph ACROSS the corpus (boilerplate repeats millions of
     * times; deduping at document granularity never touches it), keep

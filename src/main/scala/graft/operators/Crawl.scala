@@ -123,6 +123,53 @@ object Crawl {
         coalesce(col("w.rule_path"), lit("")).as("rule"))
   }
 
+  /** Deterministic sitemap corpus — one sitemaps.org urlset per base
+    * fixture host (h = 0..49): 2 + h%3 `<url>` entries with loc,
+    * lastmod and priority all closed-form in (h, entry index). Built
+    * with sequence/transform HOFs — the XML itself is a per-row
+    * string expression. */
+  def sitemapDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val hosts = spark.range(0, 50).select(col("id").as("h"))
+    val h = col("h")
+    val items = transform(sequence(lit(0), lit(1) + h % 3), j =>
+      concat(lit("  <url><loc>https://site"), h, lit(".com/articles/"),
+        (h * 7 + j) % 97, lit("/view</loc><lastmod>2026-01-"),
+        lpad((lit(1) + (h + j) % 28).cast("string"), 2, "0"),
+        lit("</lastmod><priority>0."), lit(1) + (h + j) % 9,
+        lit("</priority></url>")))
+    hosts.select(concat(lit("site"), h, lit(".com")).as("host"),
+      concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+        array_join(items, "\n"), lit("\n</urlset>\n")).as("sitemap_xml"))
+  }
+
+  /** sitemaps.org XML walk — crawl discovery, the companion of the
+    * robots gate: `<url>` blocks split with a non-greedy
+    * regexp_extract_all, loc/lastmod/priority pulled per block, the
+    * priority kept as integer tenths (sitemap priorities are
+    * single-decimal by spec; never a float column). A payload without
+    * a `<urlset>` root raises — a sitemap index or junk must surface,
+    * not parse as zero URLs. Pure per-row regex codegen + one
+    * generate: no shuffle, no UDF; at crawl scale this is a map-only
+    * scan over per-host metadata (bounded: the spec caps a sitemap at
+    * 50k URLs / 50 MB). */
+  def sitemapUrls(sitemaps: DataFrame): DataFrame = {
+    val checked = sitemaps.select(col("host"),
+      when(col("sitemap_xml").contains("<urlset"), col("sitemap_xml"))
+        .otherwise(raise_error(concat(lit("not a sitemap urlset: "), col("host"))))
+        .as("xml"))
+    val blocks = checked.select(col("host"),
+      posexplode(regexp_extract_all(col("xml"), lit("(?s)<url>(.*?)</url>"), lit(1)))
+        .as(Seq("url_idx", "block")))
+    blocks.select(col("host"), col("url_idx").cast("int").as("url_idx"),
+      regexp_extract(col("block"), "<loc>(.*?)</loc>", 1).as("loc"),
+      to_date(regexp_extract(col("block"), "<lastmod>(.*?)</lastmod>", 1)).as("lastmod"),
+      regexp_extract(col("block"), "<priority>0\\.([0-9])</priority>", 1)
+        .cast("int").as("priority_tenths"))
+  }
+
   /** End-to-end convenience: canonical URLs from [[Corpus.urlDocs]] →
     * [[Corpus.urlFeatures]], robots from [[robotsDocs]], gate for
     * `userAgent`. */

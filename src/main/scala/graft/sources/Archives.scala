@@ -353,4 +353,74 @@ object Archives {
         (id, fmt, mime)
       }).toDF("doc_id", "format", "mime")
   }
+
+  /** Deterministic EPUB corpus — per document a REAL OCF container
+    * (EPUB is a ZIP, per the spec with a STORED `mimetype` entry
+    * first): `mimetype` = "application/epub+zip", then 1 + id%2
+    * DEFLATED XHTML chapters, each the document's
+    * [[graft.functions.TextAnalysis.htmlDocs]] page — so the chapter
+    * extraction's closed form is t_html_extract's, and the book text
+    * is it repeated per chapter. */
+  def epubDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    graft.functions.TextAnalysis.htmlDocs(documents)
+      .select(col("doc_id"), col("html")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, html) =>
+        val buf = new java.io.ByteArrayOutputStream()
+        val zos = new java.util.zip.ZipOutputStream(buf)
+        val mt = "application/epub+zip".getBytes("US-ASCII")
+        val e = new java.util.zip.ZipEntry("mimetype")
+        e.setTime(FixedTime)
+        e.setMethod(java.util.zip.ZipOutputStream.STORED)
+        val crc = new java.util.zip.CRC32(); crc.update(mt)
+        e.setSize(mt.length.toLong); e.setCompressedSize(mt.length.toLong)
+        e.setCrc(crc.getValue)
+        zos.putNextEntry(e); zos.write(mt); zos.closeEntry()
+        val nc = (1 + id % 2).toInt
+        var j = 0
+        while (j < nc) {
+          val ch = new java.util.zip.ZipEntry(s"OEBPS/chapter$j.xhtml")
+          ch.setTime(FixedTime)
+          zos.putNextEntry(ch); zos.write(html.getBytes("UTF-8")); zos.closeEntry()
+          j += 1
+        }
+        zos.close()
+        (id, buf.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** EPUB → (doc_id, title, n_chapters, text): the e-book front door
+    * as ZIP walk ∘ HTML extraction — the container is opened and its
+    * chapters collected in ONE task (bytes never shuffle), then the
+    * fused HTML kernel runs per chapter inside a `transform` HOF over
+    * the chapter array, main texts joined in chapter order. Validates
+    * the OCF contract (first entry `mimetype` with the EPUB media
+    * type) and fails loudly otherwise. */
+  def epubText(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_join, element_at, transform => hofTransform}
+    val walked = bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val entries = parseZip(id, bytes)
+        if (entries.isEmpty || entries.head._2 != "mimetype" ||
+            entries.head._5 != "application/epub+zip")
+          throw new IllegalArgumentException(
+            s"doc $id: not an EPUB (first entry must be the stored mimetype)")
+        val chapters = entries.filter(_._2.startsWith("OEBPS/chapter"))
+          .sortBy(_._2).map(_._5)
+        if (chapters.isEmpty)
+          throw new IllegalArgumentException(s"doc $id: EPUB has no chapters")
+        (id, chapters.length, chapters)
+      }).toDF("doc_id", "n_chapters", "chapters")
+    // staged barrier: one kernel evaluation per chapter
+    val staged = walked.select(col("doc_id"), col("n_chapters"),
+      hofTransform(col("chapters"),
+        c => graft.functions.HtmlKernels.htmlExtract(c)).as("xs"))
+    staged.select(col("doc_id"),
+      element_at(col("xs"), 1).getField("title").as("title"),
+      col("n_chapters"),
+      array_join(hofTransform(col("xs"), x => x.getField("main_text")), "\n").as("text"))
+  }
 }

@@ -94,4 +94,29 @@ class ArchivesSpec extends SparkSpec {
     val tarBytes = Archives.tarDocs(docs.limit(1)).collect()(0).getAs[Array[Byte]](1)
     assert(Archives.sniff(tarBytes)._1 == "tar")
   }
+
+  test("epubText: ZIP walk composes with the HTML kernel; OCF contract enforced") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 20)
+    val got = Archives.epubText(Archives.epubDocs(docs)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got.size == 20)
+    // chapter extraction equals the direct extractHtml main_text,
+    // repeated n_chapters times
+    val direct = graft.functions.TextAnalysis
+      .extractHtml(graft.functions.TextAnalysis.htmlDocs(docs))
+      .select(col("doc_id"), col("title"), col("main_text")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    got.foreach { case (id, (title, nc, text)) =>
+      assert(nc == 1 + (id % 2).toInt)
+      assert(title == direct(id)._1)
+      assert(text == Seq.fill(nc)(direct(id)._2).mkString("\n"), s"doc $id book text")
+    }
+    // a plain ZIP (no stored-mimetype first entry) is not an EPUB
+    val plainZip = Archives.zipDocs(docs.limit(1))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Archives.epubText(plainZip).collect()
+    }
+    assert(ex.getMessage.contains("not an EPUB") ||
+      Option(ex.getCause).exists(_.getMessage.contains("not an EPUB")))
+  }
 }

@@ -67,4 +67,20 @@ class CrawlSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(out(1L) && !out(2L))
   }
+
+  test("sitemapUrls: urlset walk replays closed-form; junk raises") {
+    val docs = Tables.documents(spark, sf0001)
+    val rows = Crawl.sitemapUrls(Crawl.sitemapDocs(docs)).collect()
+    assert(rows.length == (0 until 50).map(h => 2 + h % 3).sum)
+    rows.foreach { r =>
+      val host = r.getString(0)
+      val h = host.stripPrefix("site").stripSuffix(".com").toLong
+      val j = r.getInt(1)
+      assert(r.getString(2) == s"https://site$h.com/articles/${(h * 7 + j) % 97}/view")
+      assert(r.getDate(3).toString == f"2026-01-${1 + (h + j) % 28}%02d")
+      assert(r.getInt(4) == 1 + (h + j) % 9)
+    }
+    val junk = Seq(("x.com", "<html>not a sitemap</html>")).toDF("host", "sitemap_xml")
+    intercept[Exception](Crawl.sitemapUrls(junk).collect())
+  }
 }
