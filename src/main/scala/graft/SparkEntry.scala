@@ -1034,6 +1034,11 @@ object SparkEntry {
     "m_epub_text" -> ((s, dir) =>
       graft.sources.Archives.epubText(
         graft.sources.Archives.epubDocs(Tables.documents(s, dir)))),
+    // office-document front door: OPC/ZIP walk (content-type Override
+    // verified) + w:p/w:t regex extraction with entity decode
+    "m_docx_text" -> ((s, dir) =>
+      graft.sources.Archives.docxText(
+        graft.sources.Archives.docxDocs(Tables.documents(s, dir)))),
     // every 2nd REAL video frame sliced from the movi index and
     // fingerprinted; the oracle rebuilds each sampled frame's bytes
     "m_avi_frames" -> ((s, dir) =>
@@ -3439,6 +3444,8 @@ object SparkEntry {
     // PDF extraction: page i shows "page i of doc <id>: " + two text
     // slices + the escaped-paren and octal-escape legs; pages joined
     // by newline; object count = catalog + page tree + 2 per page
+    // (+1 on odd ids: the PDF 1.5 cross-reference stream is itself an
+    // object, and /Size counts it)
     "m_pdf_text" ->
       """WITH p AS (SELECT doc_id, text, CAST(1 + doc_id % 3 AS INT) AS np FROM documents),
         |g AS (SELECT doc_id, text, np, unnest(generate_series(0, np - 1)) AS i FROM p),
@@ -3448,7 +3455,9 @@ object SparkEntry {
         |   substring(text, 11 + 30 * CAST(i AS INT), 10) ||
         |   ' (p' || CAST(i AS VARCHAR) || ')tail ' || CAST(doc_id % 7 AS VARCHAR) AS ptxt
         |   FROM g)
-        |SELECT doc_id, '1.4' AS version, CAST(2 + 2 * np AS INT) AS n_objects,
+        |SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN '1.4' ELSE '1.5' END AS version,
+        |       CAST(2 + 2 * np + doc_id % 2 AS INT) AS n_objects,
         |       np AS n_pages, string_agg(ptxt, chr(10) ORDER BY i) AS text
         |FROM pg GROUP BY doc_id, np""".stripMargin,
     // EPUB: each chapter is the htmlDocs page, so the book text is
@@ -3463,6 +3472,19 @@ object SparkEntry {
         |       nc AS n_chapters,
         |       CASE WHEN nc = 1 THEN mt ELSE mt || chr(10) || mt END AS text
         |FROM p""".stripMargin,
+    // DOCX: paragraph i = its three runs concatenated (the &amp;
+    // entity decoded), paragraphs joined by newline
+    "m_docx_text" ->
+      """WITH p AS (SELECT doc_id, text, CAST(1 + doc_id % 3 AS INT) AS np FROM documents),
+        |g AS (SELECT doc_id, text, np, unnest(generate_series(0, np - 1)) AS i FROM p),
+        |pg AS (SELECT doc_id, np, i,
+        |   'para ' || CAST(i AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) ||
+        |   ': ' || substring(text, 1 + 40 * CAST(i AS INT), 25) ||
+        |   ' & tail ' || CAST(doc_id % 5 AS VARCHAR) AS ptxt
+        |   FROM g)
+        |SELECT doc_id, np AS n_paragraphs,
+        |       string_agg(ptxt, chr(10) ORDER BY i) AS text
+        |FROM pg GROUP BY doc_id, np""".stripMargin,
     // MP3: CBR frame-length recurrence — table lookups + integer sums
     "m_decode_mp3" ->
       """WITH p AS (SELECT doc_id,

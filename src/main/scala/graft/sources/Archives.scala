@@ -423,4 +423,85 @@ object Archives {
       col("n_chapters"),
       array_join(hofTransform(col("xs"), x => x.getField("main_text")), "\n").as("text"))
   }
+
+  /** Deterministic DOCX corpus — per document a REAL OPC package
+    * (DOCX is a ZIP per ECMA-376): `[Content_Types].xml` with the
+    * wordprocessingml Override, `_rels/.rels`, and
+    * `word/document.xml` holding 1 + id%3 paragraphs of 3 runs each
+    * (one `xml:space="preserve"`, one with an `&amp;` entity — both
+    * legs of the extractor are load-bearing). */
+  def docxDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        def xmlEsc(s: String): String =
+          s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        val np = (1 + id % 3).toInt
+        val paras = (0 until np).map { i =>
+          val slice = xmlEsc(text.slice(40 * i, 40 * i + 25))
+          s"""<w:p><w:pPr><w:pStyle w:val="Normal"/></w:pPr>""" +
+            s"""<w:r><w:t>para $i of doc $id: </w:t></w:r>""" +
+            s"""<w:r><w:t xml:space="preserve">$slice</w:t></w:r>""" +
+            s"""<w:r><w:t> &amp; tail ${id % 5}</w:t></w:r></w:p>"""
+        }.mkString
+        val docXml =
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>""" +
+          paras +
+          """<w:sectPr><w:pgSz w:w="12240" w:h="15840"/></w:sectPr></w:body></w:document>"""
+        val contentTypes =
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+          """<Default Extension="xml" ContentType="application/xml"/>""" +
+          """<Override PartName="/word/document.xml" ContentType=""" +
+          """"application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/></Types>"""
+        val rels =
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/></Relationships>"""
+        val buf = new java.io.ByteArrayOutputStream()
+        val zos = new java.util.zip.ZipOutputStream(buf)
+        Seq("[Content_Types].xml" -> contentTypes, "_rels/.rels" -> rels,
+            "word/document.xml" -> docXml).foreach { case (name, content) =>
+          val e = new java.util.zip.ZipEntry(name)
+          e.setTime(FixedTime)
+          zos.putNextEntry(e); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+        }
+        zos.close()
+        (id, buf.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** DOCX → (doc_id, n_paragraphs, text): OPC walk (content-type
+    * Override verified) in one task, then pure regex codegen —
+    * `<w:p>` blocks split non-greedily, `<w:t>` runs concatenated per
+    * paragraph inside a transform HOF, XML entities decoded
+    * (&amp; last, so decoded ampersands cannot re-trigger), paragraphs
+    * joined by newline. No shuffle, no UDF. */
+  def docxText(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_join, lit, regexp_extract_all, replace, size, transform => hofTransform}
+    val walked = bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val entries = parseZip(id, bytes)
+        val ct = entries.find(_._2 == "[Content_Types].xml").getOrElse(
+          throw new IllegalArgumentException(s"doc $id: not an OPC package"))._5
+        if (!ct.contains("wordprocessingml.document.main+xml"))
+          throw new IllegalArgumentException(s"doc $id: no wordprocessingml content type")
+        val doc = entries.find(_._2 == "word/document.xml").getOrElse(
+          throw new IllegalArgumentException(s"doc $id: missing word/document.xml"))._5
+        (id, doc)
+      }).toDF("doc_id", "xml")
+    val paras = regexp_extract_all(col("xml"), lit("(?s)<w:p[ >](.*?)</w:p>"), lit(1))
+    val paraTexts = hofTransform(paras, p =>
+      array_join(regexp_extract_all(p, lit("(?s)<w:t[^>]*>(.*?)</w:t>"), lit(1)), ""))
+    val joined = array_join(paraTexts, "\n")
+    val decoded = replace(replace(replace(replace(replace(joined,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&apos;"), lit("'")),
+      lit("&amp;"), lit("&"))
+    walked.select(col("doc_id"), size(paras).as("n_paragraphs"), decoded.as("text"))
+  }
 }

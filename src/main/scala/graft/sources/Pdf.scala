@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions.col
 /** PDF text extraction — after HTML, the second-largest text source
   * of real pretraining corpora (papers, books, reports all ship as
   * PDF). This is a from-scratch ISO 32000 subset: header version,
-  * classic cross-reference table + trailer, indirect-object
+  * BOTH cross-reference generations — the classic table + trailer
+  * (§7.5.4) and the PDF 1.5+ cross-reference STREAM (§7.5.8:
+  * /W-packed big-endian rows over /Index subsections, the stream
+  * dict doubling as the trailer), indirect-object
   * resolution, the Catalog → Pages → Kids page-tree walk, content
   * streams (raw or /FlateDecode — the JDK Inflater discipline the
   * PNG path uses), and the text-showing operators `Tj`, `'` and `TJ`
@@ -42,7 +45,9 @@ object Pdf {
         val out = new java.io.ByteArrayOutputStream()
         def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
         val offsets = new Array[Int](nObjs + 1)
-        w("%PDF-1.4\n")
+        // even ids: PDF 1.4, classic xref table; odd ids: PDF 1.5,
+        // cross-reference STREAM — both generations of real PDFs
+        w(if (id % 2 == 0) "%PDF-1.4\n" else "%PDF-1.5\n")
         // binary-comment marker line per spec (4 high bytes)
         out.write("%âãÏÓ\n".getBytes("ISO-8859-1"))
         offsets(1) = out.size()
@@ -79,12 +84,36 @@ object Pdf {
           w("\nendstream\nendobj\n")
           i += 1
         }
-        val xrefAt = out.size()
-        w(s"xref\n0 ${nObjs + 1}\n")
-        w("0000000000 65535 f \n")
-        var k = 1
-        while (k <= nObjs) { w(f"${offsets(k)}%010d 00000 n \n"); k += 1 }
-        w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+        if (id % 2 == 0) {
+          val xrefAt = out.size()
+          w(s"xref\n0 ${nObjs + 1}\n")
+          w("0000000000 65535 f \n")
+          var k = 1
+          while (k <= nObjs) { w(f"${offsets(k)}%010d 00000 n \n"); k += 1 }
+          w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+        } else {
+          // PDF 1.5 cross-reference stream: object nObjs+1, /W [1 4 2]
+          // big-endian rows (type, offset, gen), dict doubles as the
+          // trailer, FlateDecode'd like real writers emit it
+          val xrefAt = out.size()
+          val rows = new java.io.ByteArrayOutputStream()
+          def row(t: Int, off: Int, g: Int): Unit = {
+            rows.write(t)
+            rows.write((off >> 24) & 0xFF); rows.write((off >> 16) & 0xFF)
+            rows.write((off >> 8) & 0xFF); rows.write(off & 0xFF)
+            rows.write((g >> 8) & 0xFF); rows.write(g & 0xFF)
+          }
+          row(0, 0, 0xFFFF)
+          var k = 1
+          while (k <= nObjs) { row(1, offsets(k), 0); k += 1 }
+          row(1, xrefAt, 0) // the xref stream object itself
+          val body = deflate(rows.toByteArray)
+          w(s"${nObjs + 1} 0 obj\n<< /Type /XRef /Size ${nObjs + 2} /W [ 1 4 2 ] " +
+            s"/Root 1 0 R /Filter /FlateDecode /Length ${body.length} >>\nstream\n")
+          out.write(body)
+          w("\nendstream\nendobj\n")
+          w(s"startxref\n$xrefAt\n%%EOF\n")
+        }
         (id, out.toByteArray)
       }).toDF("doc_id", "payload")
   }
@@ -328,58 +357,22 @@ object Pdf {
     if (sxAt < 0) fail("missing startxref")
     val xrefAt = tail.substring(sxAt + 9).trim.split("\\s+")(0).toInt
     if (xrefAt < 0 || xrefAt >= b.length) fail(s"startxref offset $xrefAt out of range")
-    // classic xref table: "xref\n<start> <count>\n" + 20-byte entries
-    var p = skipWs(b, xrefAt)
-    if (new String(b, p, 4, "US-ASCII") != "xref") fail("startxref does not point at an xref table")
-    p = skipWs(b, p + 4)
     val offsets = scala.collection.mutable.Map.empty[Int, Int]
     var trailerDict: PDict = null
-    var done = false
-    while (!done) {
-      if (p + 7 <= b.length && new String(b, p, 7, "US-ASCII") == "trailer") {
-        val (t, _) = parseObj(b, p + 7, fail)
-        trailerDict = t match { case d: PDict => d; case _ => fail("trailer is not a dict") }
-        done = true
-      } else {
-        // subsection header: "<first> <count>"
-        var q = p
-        while (q < b.length && b(q) != '\n' && b(q) != '\r') q += 1
-        val parts = new String(b, p, q - p, "US-ASCII").trim.split("\\s+")
-        if (parts.length != 2) fail(s"bad xref subsection header at $p")
-        val first = parts(0).toInt
-        val count = parts(1).toInt
-        p = skipWs(b, q)
-        var k = 0
-        while (k < count) {
-          val entry = new String(b, p, 18, "US-ASCII")
-          val typ = b(p + 17)
-          if (typ == 'n') offsets(first + k) = entry.substring(0, 10).toInt
-          p += 20
-          k += 1
-        }
-        p = skipWs(b, p)
-      }
-    }
-    val size = trailerDict.v.get("Size") match {
-      case Some(PNum(n)) => n.toInt
-      case _ => fail("trailer lacks /Size")
-    }
-    val rootRef = trailerDict.v.get("Root") match {
-      case Some(PRef(n)) => n
-      case Some(PNum(n)) => n.toInt // "1 0 R" parses as num if not collapsed
-      case _ => fail("trailer lacks /Root")
-    }
-    // indirect object loader: "<num> <gen> obj" <value> [stream]
-    def load(num: Int): (PDict, Option[Array[Byte]]) = {
-      val off = offsets.getOrElse(num, fail(s"object $num not in xref"))
+    // object loader at a known byte offset: "<num> <gen> obj" <dict>
+    // [stream]; expect < 0 skips the object-number check
+    def loadAt(off: Int, expect: Int): (PDict, Option[Array[Byte]]) = {
       var q = skipWs(b, off)
       val (hn, q1) = parseObj(b, q, fail)
       val (_, q2) = parseObj(b, q1, fail)
-      hn match { case PNum(n) if n.toInt == num => (); case _ => fail(s"object at $off is not $num") }
+      hn match {
+        case PNum(n) if expect < 0 || n.toInt == expect => ()
+        case _ => fail(s"object at $off is not $expect")
+      }
       q = skipWs(b, q2)
-      if (new String(b, q, 3, "US-ASCII") != "obj") fail(s"missing obj keyword for $num")
+      if (new String(b, q, 3, "US-ASCII") != "obj") fail(s"missing obj keyword at $off")
       val (v, q3) = parseObj(b, q + 3, fail)
-      val dict = v match { case d: PDict => d; case _ => fail(s"object $num is not a dict") }
+      val dict = v match { case d: PDict => d; case _ => fail(s"object at $off is not a dict") }
       q = skipWs(b, q3)
       if (q + 6 <= b.length && new String(b, q, 6, "US-ASCII") == "stream") {
         q += 6
@@ -387,9 +380,9 @@ object Pdf {
         if (b(q) == '\n') q += 1
         val len = dict.v.get("Length") match {
           case Some(PNum(n)) => n.toInt
-          case _ => fail(s"stream object $num lacks /Length")
+          case _ => fail(s"stream object at $off lacks /Length")
         }
-        if (q + len > b.length) fail(s"stream of object $num overruns file")
+        if (q + len > b.length) fail(s"stream of object at $off overruns file")
         val raw = java.util.Arrays.copyOfRange(b, q, q + len)
         val data = dict.v.get("Filter") match {
           case Some(PName("FlateDecode")) =>
@@ -400,20 +393,115 @@ object Pdf {
             try {
               while (!inf.finished()) {
                 val n = inf.inflate(chunk)
-                if (n == 0 && inf.needsInput()) fail(s"truncated FlateDecode stream in $num")
+                if (n == 0 && inf.needsInput()) fail(s"truncated FlateDecode stream at $off")
                 acc.write(chunk, 0, n)
               }
             } catch { case ex: java.util.zip.DataFormatException =>
-              fail(s"corrupt FlateDecode stream in $num: ${ex.getMessage}")
+              fail(s"corrupt FlateDecode stream at $off: ${ex.getMessage}")
             } finally inf.end()
             acc.toByteArray
-          case Some(PName(other)) => fail(s"unsupported filter /$other in $num")
+          case Some(PName(other)) => fail(s"unsupported filter /$other at $off")
           case None => raw
-          case _ => fail(s"malformed /Filter in $num")
+          case _ => fail(s"malformed /Filter at $off")
         }
         (dict, Some(data))
       } else (dict, None)
     }
+    var p = skipWs(b, xrefAt)
+    if (p + 4 <= b.length && new String(b, p, 4, "US-ASCII") == "xref") {
+      // classic table: "xref\n<start> <count>\n" + 20-byte entries
+      p = skipWs(b, p + 4)
+      var done = false
+      while (!done) {
+        if (p + 7 <= b.length && new String(b, p, 7, "US-ASCII") == "trailer") {
+          val (t, _) = parseObj(b, p + 7, fail)
+          trailerDict = t match { case d: PDict => d; case _ => fail("trailer is not a dict") }
+          done = true
+        } else {
+          // subsection header: "<first> <count>"
+          var q = p
+          while (q < b.length && b(q) != '\n' && b(q) != '\r') q += 1
+          val parts = new String(b, p, q - p, "US-ASCII").trim.split("\\s+")
+          if (parts.length != 2) fail(s"bad xref subsection header at $p")
+          val first = parts(0).toInt
+          val count = parts(1).toInt
+          p = skipWs(b, q)
+          var k = 0
+          while (k < count) {
+            val entry = new String(b, p, 18, "US-ASCII")
+            val typ = b(p + 17)
+            if (typ == 'n') offsets(first + k) = entry.substring(0, 10).toInt
+            p += 20
+            k += 1
+          }
+          p = skipWs(b, p)
+        }
+      }
+    } else {
+      // PDF 1.5+ cross-reference STREAM (ISO 32000 §7.5.8): the xref
+      // is itself an indirect stream object whose dict doubles as the
+      // trailer; rows are /W-packed big-endian (type, field2, field3)
+      // over the /Index subsections (default [0 /Size])
+      val (xd, xdata) = loadAt(xrefAt, -1)
+      if (xd.v.get("Type") != Some(PName("XRef")))
+        fail("startxref points at neither an xref table nor an /XRef stream")
+      val data = xdata.getOrElse(fail("/XRef object carries no stream"))
+      val ws = xd.v.get("W") match {
+        case Some(PArr(a)) => a.map {
+          case PNum(n) => n.toInt; case _ => fail("non-integer in /W") }
+        case _ => fail("/XRef stream lacks /W")
+      }
+      if (ws.length != 3 || ws.exists(x => x < 0 || x > 4))
+        fail(s"unsupported /W ${ws.mkString("[", " ", "]")}")
+      val sz = xd.v.get("Size") match {
+        case Some(PNum(n)) => n.toInt; case _ => fail("/XRef stream lacks /Size") }
+      val index: Seq[(Int, Int)] = xd.v.get("Index") match {
+        case Some(PArr(a)) =>
+          val nums = a.map { case PNum(n) => n.toInt; case _ => fail("non-integer in /Index") }
+          if (nums.length % 2 != 0) fail("odd-length /Index")
+          nums.grouped(2).map(g => (g(0), g(1))).toSeq
+        case None => Seq((0, sz))
+        case _ => fail("malformed /Index")
+      }
+      val rowLen = ws.sum
+      var pos = 0
+      def field(width: Int, dflt: Long): Long =
+        if (width == 0) dflt
+        else {
+          var v = 0L; var j = 0
+          while (j < width) { v = (v << 8) | (data(pos) & 0xFF); pos += 1; j += 1 }
+          v
+        }
+      index.foreach { case (first, count) =>
+        var k = 0
+        while (k < count) {
+          if (pos + rowLen > data.length) fail("/XRef stream shorter than /Index claims")
+          val typ = field(ws(0), 1L) // type defaults to 1 when W[0] = 0
+          val f2 = field(ws(1), 0L)
+          field(ws(2), 0L) // gen / objstm index — unused for type 0/1
+          typ match {
+            case 1L => offsets(first + k) = f2.toInt
+            case 0L => () // free entry
+            case 2L => fail("compressed object-stream entries (type 2) unsupported")
+            case t => fail(s"unknown /XRef entry type $t")
+          }
+          k += 1
+        }
+      }
+      trailerDict = xd
+    }
+    val size = trailerDict.v.get("Size") match {
+      case Some(PNum(n)) => n.toInt
+      case _ => fail("trailer lacks /Size")
+    }
+    val rootRef = trailerDict.v.get("Root") match {
+      case Some(PRef(n)) => n
+      case Some(PNum(n)) => n.toInt // "1 0 R" parses as num if not collapsed
+      case _ => fail("trailer lacks /Root")
+    }
+    // indirect object loader by number, through the xref offsets
+    def load(num: Int): (PDict, Option[Array[Byte]]) =
+      loadAt(offsets.getOrElse(num, fail(s"object $num not in xref")), num)
     val (catalog, _) = load(rootRef)
     if (catalog.v.get("Type") != Some(PName("Catalog"))) fail("/Root is not a /Catalog")
     val pagesRef = catalog.v.get("Pages") match {

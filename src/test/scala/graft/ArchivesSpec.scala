@@ -119,4 +119,28 @@ class ArchivesSpec extends SparkSpec {
     assert(ex.getMessage.contains("not an EPUB") ||
       Option(ex.getCause).exists(_.getMessage.contains("not an EPUB")))
   }
+
+  test("docxText: OPC walk + w:t run extraction replays closed-form") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 24)
+    val text = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Archives.docxText(Archives.docxDocs(docs)).collect()
+    assert(got.length == 24)
+    got.foreach { r =>
+      val (id, np, t) = (r.getLong(0), r.getInt(1), r.getString(2))
+      assert(np == 1 + (id % 3).toInt)
+      val expect = (0 until np).map { i =>
+        s"para $i of doc $id: " + text(id).slice(40 * i, 40 * i + 25) +
+          s" & tail ${id % 5}"
+      }.mkString("\n")
+      assert(t == expect, s"doc $id docx text diverges")
+    }
+    // a ZIP without the wordprocessingml content type is rejected
+    val notDocx = Archives.epubDocs(docs.limit(1))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Archives.docxText(notDocx).collect()
+    }
+    assert(ex.getMessage.contains("not an OPC") ||
+      Option(ex.getCause).exists(_.getMessage.contains("not an OPC")))
+  }
 }

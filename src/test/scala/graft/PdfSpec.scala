@@ -18,7 +18,9 @@ class PdfSpec extends SparkSpec {
       val (id, ver, nObj, nPages, t) =
         (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getString(4))
       val np = (1 + id % 3).toInt
-      assert(ver == "1.4" && nObj == 2 + 2 * np && nPages == np)
+      // odd ids: PDF 1.5 with an xref STREAM (which /Size counts)
+      assert(ver == (if (id % 2 == 0) "1.4" else "1.5"))
+      assert(nObj == 2 + 2 * np + (id % 2).toInt && nPages == np)
       val expect = (0 until np).map { i =>
         s"page $i of doc $id: " +
           text(id).slice(30 * i, 30 * i + 20) +
@@ -52,5 +54,16 @@ class PdfSpec extends SparkSpec {
     val cut = payload.clone()
     cut(streamAt + 10) = (cut(streamAt + 10) ^ 0x7F).toByte
     intercept[IllegalArgumentException](Pdf.parsePdf(4L, cut))
+    // odd ids carry the xref STREAM — corrupting its deflate body
+    // must fail the parse, not silently drop objects
+    val odd = Tables.documents(spark, sf0001).filter(col("doc_id") === 5)
+    val oddPayload = Pdf.pdfDocs(odd).collect()(0).getAs[Array[Byte]](1)
+    val os = new String(oddPayload, "ISO-8859-1")
+    // the first "stream" keyword after the /Type /XRef dict is the
+    // xref stream's own; +7 is its deflate body
+    val xrefStreamAt = os.indexOf("stream\n", os.indexOf("/Type /XRef"))
+    val oddCut = oddPayload.clone()
+    oddCut(xrefStreamAt + 10) = (oddCut(xrefStreamAt + 10) ^ 0x7F).toByte
+    intercept[IllegalArgumentException](Pdf.parsePdf(5L, oddCut))
   }
 }
