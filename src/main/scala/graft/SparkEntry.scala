@@ -3445,7 +3445,8 @@ object SparkEntry {
     // slices + the escaped-paren and octal-escape legs; pages joined
     // by newline; object count = catalog + page tree + 2 per page
     // (+1 on odd ids: the PDF 1.5 cross-reference stream is itself an
-    // object, and /Size counts it)
+    // object, and /Size counts it); ids % 4 == 0 carry an incremental
+    // update replacing page 0's content (" rev2") behind a /Prev chain
     "m_pdf_text" ->
       """WITH p AS (SELECT doc_id, text, CAST(1 + doc_id % 3 AS INT) AS np FROM documents),
         |g AS (SELECT doc_id, text, np, unnest(generate_series(0, np - 1)) AS i FROM p),
@@ -3453,7 +3454,8 @@ object SparkEntry {
         |   'page ' || CAST(i AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
         |   substring(text, 1 + 30 * CAST(i AS INT), 20) ||
         |   substring(text, 11 + 30 * CAST(i AS INT), 10) ||
-        |   ' (p' || CAST(i AS VARCHAR) || ')tail ' || CAST(doc_id % 7 AS VARCHAR) AS ptxt
+        |   ' (p' || CAST(i AS VARCHAR) || ')tail ' || CAST(doc_id % 7 AS VARCHAR) ||
+        |   CASE WHEN i = 0 AND doc_id % 4 = 0 THEN ' rev2' ELSE '' END AS ptxt
         |   FROM g)
         |SELECT doc_id,
         |       CASE WHEN doc_id % 2 = 0 THEN '1.4' ELSE '1.5' END AS version,

@@ -62,6 +62,16 @@ object Pdf {
             case ')' => "\\)"
             case c => c.toString
           }
+        // \164 = 't' — the octal-escape leg of the unescaper; rev
+        // marks the incremental-update replacement of page 0
+        def pageContent(i: Int, rev: Boolean): String = {
+          val fragA = esc(text.slice(30 * i, 30 * i + 20))
+          val fragB = esc(text.slice(30 * i + 10, 30 * i + 20))
+          s"BT /F1 12 Tf 72 720 Td " +
+            s"(page $i of doc $id: ) Tj ($fragA) Tj T* " +
+            s"[($fragB) -250 ( \\(p$i\\)) -100 (\\164ail ${id % 7})] TJ" +
+            (if (rev) " ( rev2) Tj ET" else " ET")
+        }
         var i = 0
         while (i < np) {
           val pageObj = 3 + 2 * i
@@ -69,13 +79,7 @@ object Pdf {
           offsets(pageObj) = out.size()
           w(s"$pageObj 0 obj\n<< /Type /Page /Parent 2 0 R " +
             s"/MediaBox [ 0 0 612 792 ] /Contents $contObj 0 R >>\nendobj\n")
-          val fragA = esc(text.slice(30 * i, 30 * i + 20))
-          val fragB = esc(text.slice(30 * i + 10, 30 * i + 20))
-          // \164 = 't' — the octal-escape leg of the unescaper
-          val content = s"BT /F1 12 Tf 72 720 Td " +
-            s"(page $i of doc $id: ) Tj ($fragA) Tj T* " +
-            s"[($fragB) -250 ( \\(p$i\\)) -100 (\\164ail ${id % 7})] TJ ET"
-          val contentBytes = content.getBytes("US-ASCII")
+          val contentBytes = pageContent(i, rev = false).getBytes("US-ASCII")
           val (streamBytes, filter) =
             if (id % 2 == 0) (deflate(contentBytes), " /Filter /FlateDecode") else (contentBytes, "")
           offsets(contObj) = out.size()
@@ -91,6 +95,23 @@ object Pdf {
           var k = 1
           while (k <= nObjs) { w(f"${offsets(k)}%010d 00000 n \n"); k += 1 }
           w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+          if (id % 4 == 0) {
+            // INCREMENTAL UPDATE (ISO 32000 §7.5.6): real PDFs append
+            // edits — a replacement for page 0's content object (a
+            // " rev2" suffix), a new xref section covering only it,
+            // and a trailer whose /Prev chains to the original table.
+            // The reader must take the NEWEST definition of object 4.
+            val rev = pageContent(0, rev = true).getBytes("US-ASCII")
+            val obj4At = out.size()
+            w(s"4 0 obj\n<< /Length ${rev.length} >>\nstream\n")
+            out.write(rev)
+            w("\nendstream\nendobj\n")
+            val xref2At = out.size()
+            w("xref\n4 1\n")
+            w(f"$obj4At%010d 00000 n \n")
+            w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R /Prev $xrefAt >>\n" +
+              s"startxref\n$xref2At\n%%EOF\n")
+          }
         } else {
           // PDF 1.5 cross-reference stream: object nObjs+1, /W [1 4 2]
           // big-endian rows (type, offset, gen), dict doubles as the
@@ -407,88 +428,109 @@ object Pdf {
         (dict, Some(data))
       } else (dict, None)
     }
-    var p = skipWs(b, xrefAt)
-    if (p + 4 <= b.length && new String(b, p, 4, "US-ASCII") == "xref") {
-      // classic table: "xref\n<start> <count>\n" + 20-byte entries
-      p = skipWs(b, p + 4)
-      var done = false
-      while (!done) {
-        if (p + 7 <= b.length && new String(b, p, 7, "US-ASCII") == "trailer") {
-          val (t, _) = parseObj(b, p + 7, fail)
-          trailerDict = t match { case d: PDict => d; case _ => fail("trailer is not a dict") }
-          done = true
-        } else {
-          // subsection header: "<first> <count>"
-          var q = p
-          while (q < b.length && b(q) != '\n' && b(q) != '\r') q += 1
-          val parts = new String(b, p, q - p, "US-ASCII").trim.split("\\s+")
-          if (parts.length != 2) fail(s"bad xref subsection header at $p")
-          val first = parts(0).toInt
-          val count = parts(1).toInt
-          p = skipWs(b, q)
+    // one cross-reference SECTION (either generation) → its entries +
+    // its trailer dict
+    def parseXrefSection(at: Int): (scala.collection.mutable.Map[Int, Int], PDict) = {
+      val ents = scala.collection.mutable.Map.empty[Int, Int]
+      var p = skipWs(b, at)
+      if (p + 4 <= b.length && new String(b, p, 4, "US-ASCII") == "xref") {
+        // classic table: "xref\n<start> <count>\n" + 20-byte entries
+        p = skipWs(b, p + 4)
+        var trailer: PDict = null
+        while (trailer == null) {
+          if (p + 7 <= b.length && new String(b, p, 7, "US-ASCII") == "trailer") {
+            val (t, _) = parseObj(b, p + 7, fail)
+            trailer = t match { case d: PDict => d; case _ => fail("trailer is not a dict") }
+          } else {
+            // subsection header: "<first> <count>"
+            var q = p
+            while (q < b.length && b(q) != '\n' && b(q) != '\r') q += 1
+            val parts = new String(b, p, q - p, "US-ASCII").trim.split("\\s+")
+            if (parts.length != 2) fail(s"bad xref subsection header at $p")
+            val first = parts(0).toInt
+            val count = parts(1).toInt
+            p = skipWs(b, q)
+            var k = 0
+            while (k < count) {
+              val entry = new String(b, p, 18, "US-ASCII")
+              val typ = b(p + 17)
+              if (typ == 'n') ents(first + k) = entry.substring(0, 10).toInt
+              p += 20
+              k += 1
+            }
+            p = skipWs(b, p)
+          }
+        }
+        (ents, trailer)
+      } else {
+        // PDF 1.5+ cross-reference STREAM (ISO 32000 §7.5.8): the xref
+        // is itself an indirect stream object whose dict doubles as the
+        // trailer; rows are /W-packed big-endian (type, field2, field3)
+        // over the /Index subsections (default [0 /Size])
+        val (xd, xdata) = loadAt(at, -1)
+        if (xd.v.get("Type") != Some(PName("XRef")))
+          fail("startxref points at neither an xref table nor an /XRef stream")
+        val data = xdata.getOrElse(fail("/XRef object carries no stream"))
+        val ws = xd.v.get("W") match {
+          case Some(PArr(a)) => a.map {
+            case PNum(n) => n.toInt; case _ => fail("non-integer in /W") }
+          case _ => fail("/XRef stream lacks /W")
+        }
+        if (ws.length != 3 || ws.exists(x => x < 0 || x > 4))
+          fail(s"unsupported /W ${ws.mkString("[", " ", "]")}")
+        val sz = xd.v.get("Size") match {
+          case Some(PNum(n)) => n.toInt; case _ => fail("/XRef stream lacks /Size") }
+        val index: Seq[(Int, Int)] = xd.v.get("Index") match {
+          case Some(PArr(a)) =>
+            val nums = a.map { case PNum(n) => n.toInt; case _ => fail("non-integer in /Index") }
+            if (nums.length % 2 != 0) fail("odd-length /Index")
+            nums.grouped(2).map(g => (g(0), g(1))).toSeq
+          case None => Seq((0, sz))
+          case _ => fail("malformed /Index")
+        }
+        val rowLen = ws.sum
+        var pos = 0
+        def field(width: Int, dflt: Long): Long =
+          if (width == 0) dflt
+          else {
+            var v = 0L; var j = 0
+            while (j < width) { v = (v << 8) | (data(pos) & 0xFF); pos += 1; j += 1 }
+            v
+          }
+        index.foreach { case (first, count) =>
           var k = 0
           while (k < count) {
-            val entry = new String(b, p, 18, "US-ASCII")
-            val typ = b(p + 17)
-            if (typ == 'n') offsets(first + k) = entry.substring(0, 10).toInt
-            p += 20
+            if (pos + rowLen > data.length) fail("/XRef stream shorter than /Index claims")
+            val typ = field(ws(0), 1L) // type defaults to 1 when W[0] = 0
+            val f2 = field(ws(1), 0L)
+            field(ws(2), 0L) // gen / objstm index — unused for type 0/1
+            typ match {
+              case 1L => ents(first + k) = f2.toInt
+              case 0L => () // free entry
+              case 2L => fail("compressed object-stream entries (type 2) unsupported")
+              case t => fail(s"unknown /XRef entry type $t")
+            }
             k += 1
           }
-          p = skipWs(b, p)
         }
+        (ents, xd)
       }
-    } else {
-      // PDF 1.5+ cross-reference STREAM (ISO 32000 §7.5.8): the xref
-      // is itself an indirect stream object whose dict doubles as the
-      // trailer; rows are /W-packed big-endian (type, field2, field3)
-      // over the /Index subsections (default [0 /Size])
-      val (xd, xdata) = loadAt(xrefAt, -1)
-      if (xd.v.get("Type") != Some(PName("XRef")))
-        fail("startxref points at neither an xref table nor an /XRef stream")
-      val data = xdata.getOrElse(fail("/XRef object carries no stream"))
-      val ws = xd.v.get("W") match {
-        case Some(PArr(a)) => a.map {
-          case PNum(n) => n.toInt; case _ => fail("non-integer in /W") }
-        case _ => fail("/XRef stream lacks /W")
+    }
+    // incremental updates (§7.5.6): walk the /Prev chain newest-first;
+    // an object number already seen keeps its NEWEST definition
+    var sectionAt = xrefAt
+    var hops = 0
+    while (sectionAt >= 0) {
+      if (hops > 16) fail("/Prev chain too deep (cycle?)")
+      val (ents, tr) = parseXrefSection(sectionAt)
+      ents.foreach { case (k, v) => if (!offsets.contains(k)) offsets(k) = v }
+      if (trailerDict == null) trailerDict = tr
+      sectionAt = tr.v.get("Prev") match {
+        case Some(PNum(n)) => n.toInt
+        case None => -1
+        case _ => fail("malformed /Prev")
       }
-      if (ws.length != 3 || ws.exists(x => x < 0 || x > 4))
-        fail(s"unsupported /W ${ws.mkString("[", " ", "]")}")
-      val sz = xd.v.get("Size") match {
-        case Some(PNum(n)) => n.toInt; case _ => fail("/XRef stream lacks /Size") }
-      val index: Seq[(Int, Int)] = xd.v.get("Index") match {
-        case Some(PArr(a)) =>
-          val nums = a.map { case PNum(n) => n.toInt; case _ => fail("non-integer in /Index") }
-          if (nums.length % 2 != 0) fail("odd-length /Index")
-          nums.grouped(2).map(g => (g(0), g(1))).toSeq
-        case None => Seq((0, sz))
-        case _ => fail("malformed /Index")
-      }
-      val rowLen = ws.sum
-      var pos = 0
-      def field(width: Int, dflt: Long): Long =
-        if (width == 0) dflt
-        else {
-          var v = 0L; var j = 0
-          while (j < width) { v = (v << 8) | (data(pos) & 0xFF); pos += 1; j += 1 }
-          v
-        }
-      index.foreach { case (first, count) =>
-        var k = 0
-        while (k < count) {
-          if (pos + rowLen > data.length) fail("/XRef stream shorter than /Index claims")
-          val typ = field(ws(0), 1L) // type defaults to 1 when W[0] = 0
-          val f2 = field(ws(1), 0L)
-          field(ws(2), 0L) // gen / objstm index — unused for type 0/1
-          typ match {
-            case 1L => offsets(first + k) = f2.toInt
-            case 0L => () // free entry
-            case 2L => fail("compressed object-stream entries (type 2) unsupported")
-            case t => fail(s"unknown /XRef entry type $t")
-          }
-          k += 1
-        }
-      }
-      trailerDict = xd
+      hops += 1
     }
     val size = trailerDict.v.get("Size") match {
       case Some(PNum(n)) => n.toInt

@@ -25,7 +25,10 @@ class PdfSpec extends SparkSpec {
         s"page $i of doc $id: " +
           text(id).slice(30 * i, 30 * i + 20) +
           text(id).slice(30 * i + 10, 30 * i + 20) +
-          s" (p$i)tail ${id % 7}"
+          s" (p$i)tail ${id % 7}" +
+          // ids % 4 == 0: the incremental update's page-0 revision
+          // (the /Prev chain must resolve object 4 newest-first)
+          (if (i == 0 && id % 4 == 0) " rev2" else "")
       }.mkString("\n")
       assert(t == expect, s"doc $id text diverges")
     }
@@ -40,20 +43,22 @@ class PdfSpec extends SparkSpec {
   }
 
   test("pdfText: malformed documents fail loudly") {
-    val one = Tables.documents(spark, sf0001).filter(col("doc_id") === 4)
+    // doc 6: even (deflated content, classic xref) and 6 % 4 != 0, so
+    // no incremental update shadows the objects we corrupt
+    val one = Tables.documents(spark, sf0001).filter(col("doc_id") === 6)
     val payload = Pdf.pdfDocs(one).collect()(0).getAs[Array[Byte]](1)
     // not a PDF at all
-    intercept[IllegalArgumentException](Pdf.parsePdf(4L, "hello world".getBytes))
+    intercept[IllegalArgumentException](Pdf.parsePdf(6L, "hello world".getBytes))
     // startxref pointing into the void
     val s = new String(payload, "ISO-8859-1")
     val sx = s.lastIndexOf("startxref")
     val broken = (s.substring(0, sx) + "startxref\n2\n%%EOF\n").getBytes("ISO-8859-1")
-    intercept[IllegalArgumentException](Pdf.parsePdf(4L, broken))
-    // truncated FlateDecode stream (doc 4 is an even id → deflated)
+    intercept[IllegalArgumentException](Pdf.parsePdf(6L, broken))
+    // truncated FlateDecode stream
     val streamAt = s.indexOf("stream\n")
     val cut = payload.clone()
     cut(streamAt + 10) = (cut(streamAt + 10) ^ 0x7F).toByte
-    intercept[IllegalArgumentException](Pdf.parsePdf(4L, cut))
+    intercept[IllegalArgumentException](Pdf.parsePdf(6L, cut))
     // odd ids carry the xref STREAM — corrupting its deflate body
     // must fail the parse, not silently drop objects
     val odd = Tables.documents(spark, sf0001).filter(col("doc_id") === 5)
