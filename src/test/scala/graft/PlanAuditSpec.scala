@@ -1131,4 +1131,44 @@ class PlanAuditSpec extends SparkSpec {
       s"quartile bounds must broadcast:\n$p")
     assert(p.contains("partial_count"), s"per-customer agg lost its partial:\n$p")
   }
+
+  test("robotsGate: rules broadcast; the URL side never shuffles") {
+    val docs = Tables.documents(spark, dir)
+    val p = plan(Crawl.robotsGateOnCorpus(docs))
+    // the gate must be a broadcast join + per-row array fold — a
+    // per-URL window/row_number formulation would shuffle the corpus
+    assert(p.contains("BroadcastHashJoin"), s"rules must broadcast:\n$p")
+    assert(!p.contains("hashpartitioning(doc_id"),
+      s"the URL side shuffled by doc — the 100 TB killer:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"gate degraded to a sort-merge join:\n$p")
+  }
+
+  test("container extraction scans are exchange-free map work") {
+    val docs = Tables.documents(spark, dir)
+    // EPUB: ZIP walk + per-chapter kernel in a transform HOF
+    val pEpub = plan(graft.sources.Archives.epubText(graft.sources.Archives.epubDocs(docs)))
+    assert(!pEpub.contains("Exchange"), s"EPUB extraction shuffled:\n$pEpub")
+    // DOCX: OPC walk + w:t regex runs
+    val pDocx = plan(graft.sources.Archives.docxText(graft.sources.Archives.docxDocs(docs)))
+    assert(!pDocx.contains("Exchange"), s"DOCX extraction shuffled:\n$pDocx")
+    // charset repair: detect + fix per row
+    val pCs = plan(graft.sources.Charset.fixedText(graft.sources.Charset.charsetDocs(docs)))
+    assert(!pCs.contains("Exchange"), s"charset repair shuffled:\n$pCs")
+    // sitemap walk: regex split + generate
+    val pSm = plan(Crawl.sitemapUrls(Crawl.sitemapDocs(docs)))
+    assert(!pSm.contains("Exchange"), s"sitemap walk shuffled:\n$pSm")
+  }
+
+  test("trainQualityPerceptron: weights ride the closure, not a join; aggs stay partial") {
+    val docs = Tables.documents(spark, dir).limit(60)
+    val p = plan(Corpus.trainQualityPerceptron(docs, epochs = 1))
+    // the model is an element_at over a literal array (it collapses
+    // into the aggregate's result expressions, so it never renders as
+    // text) — the observable invariant is that the ONLY join in the
+    // scoring plan is the final label join; a weights-frame join
+    // would add a second
+    assert(count(p, "Join") <= 1, s"scoring picked up a weights join:\n$p")
+    assert(p.contains("partial_sum"), s"per-doc scoring lost its partial agg:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept into scoring:\n$p")
+  }
 }
