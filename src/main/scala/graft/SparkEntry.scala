@@ -581,6 +581,11 @@ object SparkEntry {
     // add/retract on keeper replacement; changelog-final == batch
     "s_stream_paragraph_dedup" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayParagraphDedup(s, Tables.documents(s, dir))),
+    // streaming crawl frontier: URLs canonicalized with the batch
+    // expression chain, per-HOST FIFO queue positions from one Long
+    // of transformWithState state per domain
+    "s_stream_crawl_frontier" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayCrawlFrontier(s, Tables.documents(s, dir))),
     // REAL WARC walk, the crawl front door end to end: member-wise
     // gunzip (odd ids are warc.gz, one member per record), record walk
     // by Content-Length, request records skipped, the response's HTTP
@@ -4132,6 +4137,20 @@ object SparkEntry {
         |                   THEN '/articles/7' ELSE '/articles/' END
         |            WHEN h % 4 = 2 THEN '/articles/'
         |            ELSE '' END AS rule
+        |FROM u""".stripMargin,
+    // streaming crawl frontier: arrival order is the staged stream's
+    // descending-doc order, so the per-host FIFO position is a rank
+    // over doc_id DESC within the canonical domain
+    "s_stream_crawl_frontier" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 1
+        |         THEN 'cdn.site' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+        |         ELSE 'site' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+        |    END AS domain
+        |  FROM documents)
+        |SELECT doc_id, domain,
+        |       CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id DESC)
+        |            AS BIGINT) AS seq
         |FROM u""".stripMargin,
     // sitemap walk: every field is arithmetic in (host, entry index)
     "t_sitemap_parse" ->

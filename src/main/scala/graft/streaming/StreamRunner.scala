@@ -666,6 +666,40 @@ private[streaming] class ShuffleOrderProcessor
   }
 }
 
+private[streaming] case class FrontierIn(domain: String, docId: Long)
+private[streaming] case class FrontierEvent(doc_id: Long, domain: String, seq: Long)
+
+/** Per-HOST crawl-frontier position — the politeness queue every real
+  * crawler keeps: each arriving URL takes the next FIFO slot of its
+  * host's queue. One Long of state per distinct host (bounded by the
+  * web's host count, not the URL count); arrival order is the staged
+  * stream's doc order (same-batch arrivals process in that order too,
+  * so emission is deterministic under replay), and each document is
+  * emitted exactly once with its queue position — no retraction
+  * needed, counts only grow. */
+private[streaming] class CrawlFrontierProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, FrontierIn, FrontierEvent] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var cnt: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(domain: String, rows: Iterator[FrontierIn],
+                               timers: TimerValues): Iterator[FrontierEvent] = {
+    var c = if (cnt.exists) cnt.get() else 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[FrontierEvent]
+    // staged chunks arrive by DESCENDING doc_id; same-batch rows sort
+    // the same way so the queue order is the arrival order
+    rows.toArray.sortBy(r => -r.docId).foreach { r =>
+      c += 1
+      out += FrontierEvent(r.docId, domain, c)
+    }
+    cnt.update(c)
+    out.iterator
+  }
+}
+
 /** Streaming LSH plumbing: one (bucket key, doc) row in — bucket =
   * band ordinal packed with the band's 32-bit minhash signature —
   * candidate pairs out as docs land in an occupied bucket. */
@@ -2519,6 +2553,47 @@ object StreamRunner {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** STREAMING CRAWL FRONTIER — URLs arrive as a stream, canonicalize
+    * through the REAL batch chain ([[graft.operators.Corpus.urlDocs]]
+    * → [[graft.operators.Corpus.urlFeatures]], pure expressions, so
+    * they run unchanged on the streaming frame), re-key by canonical
+    * host, and ONE transformWithState keyed by domain assigns each
+    * document its FIFO position in that host's politeness queue (see
+    * [[CrawlFrontierProcessor]]). Arrival order is the staged
+    * stream's descending-doc order, so the batch replay is a window
+    * rank over the same order — identical final table.
+    *
+    * Scale shape: one Long per distinct host; URL text rides the
+    * stream but never enters state. */
+  def replayCrawlFrontier(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
+    val srcDir = docStagedDir(spark, documents)
+    val session = replaySession(spark, rocksDb = true)
+    val src = session.readStream
+      .schema(Encoders.product[StagedDoc].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    import session.implicits._
+    val urls = graft.operators.Corpus.urlFeatures(
+      graft.operators.Corpus.urlDocs(src.select(col("docId").as("doc_id"))))
+    val events = urls
+      .select(col("domain"), col("doc_id").as("docId"))
+      .as[FrontierIn]
+      .groupByKey(_.domain)
+      .transformWithState(new CrawlFrontierProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    val q = events.writeStream.format("parquet")
+      .option("path", work.resolve("out").toString)
+      .option("checkpointLocation", work.resolve("cp").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q)
+    spark.read.parquet(work.resolve("out").toString)
+      .select(col("doc_id"), col("domain"), col("seq"))
   }
 }
 

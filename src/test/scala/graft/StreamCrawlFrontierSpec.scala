@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+import graft.streaming.StreamRunner
+
+/** The streaming crawl frontier's queue positions must equal the batch
+  * rank over the same arrival order: per canonical host, seq is the
+  * 1-based position by descending doc_id (the staged stream's arrival
+  * order). The per-domain counter state must behave as a FIFO — each
+  * domain's positions are exactly 1..n with no gaps even though the
+  * domain's documents arrive spread over many micro-batches. */
+class StreamCrawlFrontierSpec extends SparkSpec {
+
+  test("streaming crawl frontier equals the batch per-host rank") {
+    val docs = Tables.documents(spark, sf0001)
+    val streamed = StreamRunner.replayCrawlFrontier(spark, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val batch = Corpus.urlFeatures(Corpus.urlDocs(docs))
+      .select(col("doc_id"), col("domain"),
+        row_number().over(Window.partitionBy(col("domain"))
+          .orderBy(col("doc_id").desc)).cast("long").as("seq"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(streamed == batch)
+    // FIFO invariant: every domain's positions are 1..n, gap-free
+    streamed.toSeq.groupBy(_._2._1).foreach { case (dom, rows) =>
+      val seqs = rows.map(_._2._2).sorted
+      assert(seqs == (1L to seqs.length.toLong), s"domain $dom positions have gaps: $seqs")
+    }
+    assert(streamed.nonEmpty)
+  }
+}
