@@ -3450,8 +3450,10 @@ object SparkEntry {
     // slices + the escaped-paren and octal-escape legs; pages joined
     // by newline; object count = catalog + page tree + 2 per page
     // (+1 on odd ids: the PDF 1.5 cross-reference stream is itself an
-    // object, and /Size counts it); ids % 4 == 0 carry an incremental
-    // update replacing page 0's content (" rev2") behind a /Prev chain
+    // object, and /Size counts it; +1 again on ids % 4 == 1, whose
+    // non-stream objects live in a /ObjStm — also an object);
+    // ids % 4 == 0 carry an incremental update replacing page 0's
+    // content (" rev2") behind a /Prev chain
     "m_pdf_text" ->
       """WITH p AS (SELECT doc_id, text, CAST(1 + doc_id % 3 AS INT) AS np FROM documents),
         |g AS (SELECT doc_id, text, np, unnest(generate_series(0, np - 1)) AS i FROM p),
@@ -3464,7 +3466,8 @@ object SparkEntry {
         |   FROM g)
         |SELECT doc_id,
         |       CASE WHEN doc_id % 2 = 0 THEN '1.4' ELSE '1.5' END AS version,
-        |       CAST(2 + 2 * np + doc_id % 2 AS INT) AS n_objects,
+        |       CAST(2 + 2 * np + doc_id % 2 +
+        |            CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS INT) AS n_objects,
         |       np AS n_pages, string_agg(ptxt, chr(10) ORDER BY i) AS text
         |FROM pg GROUP BY doc_id, np""".stripMargin,
     // EPUB: each chapter is the htmlDocs page, so the book text is

@@ -42,19 +42,30 @@ object Pdf {
       .mapPartitions(_.map { case (id, text) =>
         val np = (1 + id % 3).toInt
         val nObjs = 2 + 2 * np
+        // ids % 4 == 1 (a subset of the xref-stream files) pack their
+        // NON-STREAM objects into a /ObjStm compressed object stream —
+        // the layout modern writers emit; content streams stay
+        // top-level (streams may not live inside an ObjStm, §7.5.7)
+        val useObjStm = id % 4 == 1
         val out = new java.io.ByteArrayOutputStream()
         def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
-        val offsets = new Array[Int](nObjs + 1)
+        val offsets = new Array[Int](nObjs + 2)
         // even ids: PDF 1.4, classic xref table; odd ids: PDF 1.5,
         // cross-reference STREAM — both generations of real PDFs
         w(if (id % 2 == 0) "%PDF-1.4\n" else "%PDF-1.5\n")
         // binary-comment marker line per spec (4 high bytes)
         out.write("%âãÏÓ\n".getBytes("ISO-8859-1"))
-        offsets(1) = out.size()
-        w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
-        offsets(2) = out.size()
         val kids = (0 until np).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
-        w(s"2 0 obj\n<< /Type /Pages /Kids [ $kids ] /Count $np >>\nendobj\n")
+        val catalogVal = "<< /Type /Catalog /Pages 2 0 R >>"
+        val pagesVal = s"<< /Type /Pages /Kids [ $kids ] /Count $np >>"
+        def pageVal(i: Int): String =
+          s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] /Contents ${4 + 2 * i} 0 R >>"
+        if (!useObjStm) {
+          offsets(1) = out.size()
+          w(s"1 0 obj\n$catalogVal\nendobj\n")
+          offsets(2) = out.size()
+          w(s"2 0 obj\n$pagesVal\nendobj\n")
+        }
         def esc(s: String): String =
           s.flatMap {
             case '\\' => "\\\\"
@@ -76,9 +87,10 @@ object Pdf {
         while (i < np) {
           val pageObj = 3 + 2 * i
           val contObj = 4 + 2 * i
-          offsets(pageObj) = out.size()
-          w(s"$pageObj 0 obj\n<< /Type /Page /Parent 2 0 R " +
-            s"/MediaBox [ 0 0 612 792 ] /Contents $contObj 0 R >>\nendobj\n")
+          if (!useObjStm) {
+            offsets(pageObj) = out.size()
+            w(s"$pageObj 0 obj\n${pageVal(i)}\nendobj\n")
+          }
           val contentBytes = pageContent(i, rev = false).getBytes("US-ASCII")
           val (streamBytes, filter) =
             if (id % 2 == 0) (deflate(contentBytes), " /Filter /FlateDecode") else (contentBytes, "")
@@ -113,23 +125,56 @@ object Pdf {
               s"startxref\n$xref2At\n%%EOF\n")
           }
         } else {
-          // PDF 1.5 cross-reference stream: object nObjs+1, /W [1 4 2]
-          // big-endian rows (type, offset, gen), dict doubles as the
-          // trailer, FlateDecode'd like real writers emit it
+          val objStmNum = nObjs + 1
+          val xrefNum = if (useObjStm) nObjs + 2 else nObjs + 1
+          if (useObjStm) {
+            // /ObjStm (§7.5.7): header of N "num offset" pairs, then
+            // the object VALUES back to back; /First = header length;
+            // offsets relative to /First; FlateDecode'd whole
+            val vals = Seq(1 -> catalogVal, 2 -> pagesVal) ++
+              (0 until np).map(i => (3 + 2 * i) -> pageVal(i))
+            val bodyParts = vals.map(_._2 + "\n")
+            val offs = bodyParts.scanLeft(0)(_ + _.length)
+            val header = vals.zip(offs).map { case ((num, _), off) => s"$num $off" }
+              .mkString(" ") + "\n"
+            val payload = (header + bodyParts.mkString).getBytes("US-ASCII")
+            val zipped = deflate(payload)
+            offsets(objStmNum) = out.size()
+            w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${vals.length} /First ${header.length} " +
+              s"/Filter /FlateDecode /Length ${zipped.length} >>\nstream\n")
+            out.write(zipped)
+            w("\nendstream\nendobj\n")
+          }
+          // PDF 1.5 cross-reference stream: /W [1 4 2] big-endian rows
+          // (type, field2, field3), dict doubles as the trailer,
+          // FlateDecode'd like real writers emit it
           val xrefAt = out.size()
           val rows = new java.io.ByteArrayOutputStream()
-          def row(t: Int, off: Int, g: Int): Unit = {
+          def row(t: Int, f2: Int, f3: Int): Unit = {
             rows.write(t)
-            rows.write((off >> 24) & 0xFF); rows.write((off >> 16) & 0xFF)
-            rows.write((off >> 8) & 0xFF); rows.write(off & 0xFF)
-            rows.write((g >> 8) & 0xFF); rows.write(g & 0xFF)
+            rows.write((f2 >> 24) & 0xFF); rows.write((f2 >> 16) & 0xFF)
+            rows.write((f2 >> 8) & 0xFF); rows.write(f2 & 0xFF)
+            rows.write((f3 >> 8) & 0xFF); rows.write(f3 & 0xFF)
           }
           row(0, 0, 0xFFFF)
-          var k = 1
-          while (k <= nObjs) { row(1, offsets(k), 0); k += 1 }
+          if (useObjStm) {
+            // type-2 entries: (ObjStm object number, index within it)
+            row(2, objStmNum, 0) // obj 1: catalog
+            row(2, objStmNum, 1) // obj 2: page tree
+            var k = 0
+            while (k < np) {
+              row(2, objStmNum, 2 + k)     // page object 3+2k
+              row(1, offsets(4 + 2 * k), 0) // content stream 4+2k
+              k += 1
+            }
+            row(1, offsets(objStmNum), 0)
+          } else {
+            var k = 1
+            while (k <= nObjs) { row(1, offsets(k), 0); k += 1 }
+          }
           row(1, xrefAt, 0) // the xref stream object itself
           val body = deflate(rows.toByteArray)
-          w(s"${nObjs + 1} 0 obj\n<< /Type /XRef /Size ${nObjs + 2} /W [ 1 4 2 ] " +
+          w(s"$xrefNum 0 obj\n<< /Type /XRef /Size ${xrefNum + 1} /W [ 1 4 2 ] " +
             s"/Root 1 0 R /Filter /FlateDecode /Length ${body.length} >>\nstream\n")
           out.write(body)
           w("\nendstream\nendobj\n")
@@ -379,6 +424,9 @@ object Pdf {
     val xrefAt = tail.substring(sxAt + 9).trim.split("\\s+")(0).toInt
     if (xrefAt < 0 || xrefAt >= b.length) fail(s"startxref offset $xrefAt out of range")
     val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    // object number → (ObjStm object number, index within it) for
+    // compressed (type-2) objects
+    val compressed = scala.collection.mutable.Map.empty[Int, (Int, Int)]
     var trailerDict: PDict = null
     // object loader at a known byte offset: "<num> <gen> obj" <dict>
     // [stream]; expect < 0 skips the object-number check
@@ -428,10 +476,12 @@ object Pdf {
         (dict, Some(data))
       } else (dict, None)
     }
-    // one cross-reference SECTION (either generation) → its entries +
-    // its trailer dict
-    def parseXrefSection(at: Int): (scala.collection.mutable.Map[Int, Int], PDict) = {
+    // one cross-reference SECTION (either generation) → its type-1
+    // entries, its type-2 (compressed) entries, and its trailer dict
+    def parseXrefSection(at: Int): (scala.collection.mutable.Map[Int, Int],
+                                    scala.collection.mutable.Map[Int, (Int, Int)], PDict) = {
       val ents = scala.collection.mutable.Map.empty[Int, Int]
+      val ents2 = scala.collection.mutable.Map.empty[Int, (Int, Int)]
       var p = skipWs(b, at)
       if (p + 4 <= b.length && new String(b, p, 4, "US-ASCII") == "xref") {
         // classic table: "xref\n<start> <count>\n" + 20-byte entries
@@ -461,7 +511,7 @@ object Pdf {
             p = skipWs(b, p)
           }
         }
-        (ents, trailer)
+        (ents, ents2, trailer)
       } else {
         // PDF 1.5+ cross-reference STREAM (ISO 32000 §7.5.8): the xref
         // is itself an indirect stream object whose dict doubles as the
@@ -503,17 +553,17 @@ object Pdf {
             if (pos + rowLen > data.length) fail("/XRef stream shorter than /Index claims")
             val typ = field(ws(0), 1L) // type defaults to 1 when W[0] = 0
             val f2 = field(ws(1), 0L)
-            field(ws(2), 0L) // gen / objstm index — unused for type 0/1
+            val f3 = field(ws(2), 0L) // gen (type 0/1) / ObjStm index (type 2)
             typ match {
               case 1L => ents(first + k) = f2.toInt
               case 0L => () // free entry
-              case 2L => fail("compressed object-stream entries (type 2) unsupported")
+              case 2L => ents2(first + k) = (f2.toInt, f3.toInt)
               case t => fail(s"unknown /XRef entry type $t")
             }
             k += 1
           }
         }
-        (ents, xd)
+        (ents, ents2, xd)
       }
     }
     // incremental updates (§7.5.6): walk the /Prev chain newest-first;
@@ -522,8 +572,10 @@ object Pdf {
     var hops = 0
     while (sectionAt >= 0) {
       if (hops > 16) fail("/Prev chain too deep (cycle?)")
-      val (ents, tr) = parseXrefSection(sectionAt)
-      ents.foreach { case (k, v) => if (!offsets.contains(k)) offsets(k) = v }
+      val (ents, ents2, tr) = parseXrefSection(sectionAt)
+      def fresh(k: Int): Boolean = !offsets.contains(k) && !compressed.contains(k)
+      ents.foreach { case (k, v) => if (fresh(k)) offsets(k) = v }
+      ents2.foreach { case (k, v) => if (fresh(k)) compressed(k) = v }
       if (trailerDict == null) trailerDict = tr
       sectionAt = tr.v.get("Prev") match {
         case Some(PNum(n)) => n.toInt
@@ -541,9 +593,42 @@ object Pdf {
       case Some(PNum(n)) => n.toInt // "1 0 R" parses as num if not collapsed
       case _ => fail("trailer lacks /Root")
     }
-    // indirect object loader by number, through the xref offsets
+    // /ObjStm cache: decoded payload + header pairs + /First, loaded
+    // once per object stream however many members resolve through it
+    val objStmCache = scala.collection.mutable.Map.empty[Int, (Array[Byte], Vector[(Int, Int)], Int)]
+    // indirect object loader by number: type-1 entries load at their
+    // byte offset; type-2 (compressed) entries resolve through their
+    // /ObjStm — itself required to be type-1 (§7.5.7 forbids nesting)
     def load(num: Int): (PDict, Option[Array[Byte]]) =
-      loadAt(offsets.getOrElse(num, fail(s"object $num not in xref")), num)
+      offsets.get(num) match {
+        case Some(off) => loadAt(off, num)
+        case None =>
+          val (stmNum, idx) = compressed.getOrElse(num, fail(s"object $num not in xref"))
+          val (data, pairs, first) = objStmCache.getOrElseUpdate(stmNum, {
+            val (sd, sdata) = loadAt(
+              offsets.getOrElse(stmNum, fail(s"/ObjStm $stmNum not a type-1 object")), stmNum)
+            if (sd.v.get("Type") != Some(PName("ObjStm")))
+              fail(s"object $stmNum is not an /ObjStm")
+            val n = sd.v.get("N") match {
+              case Some(PNum(x)) => x.toInt; case _ => fail(s"/ObjStm $stmNum lacks /N") }
+            val fst = sd.v.get("First") match {
+              case Some(PNum(x)) => x.toInt; case _ => fail(s"/ObjStm $stmNum lacks /First") }
+            val payload = sdata.getOrElse(fail(s"/ObjStm $stmNum carries no stream"))
+            if (fst < 0 || fst > payload.length) fail(s"/ObjStm $stmNum /First out of range")
+            val nums = new String(payload, 0, fst, "US-ASCII").trim.split("\\s+")
+            if (nums.length != 2 * n) fail(s"/ObjStm $stmNum header has ${nums.length} ints, expected ${2 * n}")
+            val prs = nums.grouped(2).map(g => (g(0).toInt, g(1).toInt)).toVector
+            (payload, prs, fst)
+          })
+          if (idx < 0 || idx >= pairs.length) fail(s"/ObjStm index $idx out of range for $num")
+          val (objNum, off) = pairs(idx)
+          if (objNum != num) fail(s"/ObjStm header lists object $objNum at index $idx, xref said $num")
+          val (v, _) = parseObj(data, first + off, fail)
+          v match {
+            case d: PDict => (d, None)
+            case _ => fail(s"compressed object $num is not a dict")
+          }
+      }
     val (catalog, _) = load(rootRef)
     if (catalog.v.get("Type") != Some(PName("Catalog"))) fail("/Root is not a /Catalog")
     val pagesRef = catalog.v.get("Pages") match {

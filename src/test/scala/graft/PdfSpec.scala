@@ -18,9 +18,11 @@ class PdfSpec extends SparkSpec {
       val (id, ver, nObj, nPages, t) =
         (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getString(4))
       val np = (1 + id % 3).toInt
-      // odd ids: PDF 1.5 with an xref STREAM (which /Size counts)
+      // odd ids: PDF 1.5 with an xref STREAM (which /Size counts);
+      // ids % 4 == 1 pack non-stream objects into an /ObjStm (ditto)
       assert(ver == (if (id % 2 == 0) "1.4" else "1.5"))
-      assert(nObj == 2 + 2 * np + (id % 2).toInt && nPages == np)
+      val expectObjs = 2 + 2 * np + (id % 2).toInt + (if (id % 4 == 1) 1 else 0)
+      assert(nObj == expectObjs && nPages == np)
       val expect = (0 until np).map { i =>
         s"page $i of doc $id: " +
           text(id).slice(30 * i, 30 * i + 20) +
