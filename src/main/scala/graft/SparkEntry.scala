@@ -4109,16 +4109,20 @@ object SparkEntry {
     // charset repair: text_fixed round-trips text + the non-ASCII
     // marker on every arm; the byte column is arithmetic — the marker
     // is 17 chars = 24 UTF-8 bytes = 17 cp1252 bytes = 39 bytes after
-    // the cp1252-misdecode-re-encode corruption (text itself is ASCII)
+    // the cp1252-misdecode-re-encode corruption; the UTF-16LE arm is
+    // 2 BOM bytes + 2 per char (text itself is ASCII)
     "t_charset_fix" ->
       """SELECT doc_id,
-        |       CASE doc_id % 3 WHEN 0 THEN 'utf-8'
+        |       CASE doc_id % 4 WHEN 0 THEN 'utf-8'
         |                       WHEN 1 THEN 'windows-1252'
-        |                       ELSE 'utf-8-mojibake' END AS encoding,
+        |                       WHEN 2 THEN 'utf-8-mojibake'
+        |                       ELSE 'utf-16le' END AS encoding,
         |       text || ' café — “naïve ±1' AS text_fixed,
-        |       CAST(length(text) + CASE doc_id % 3 WHEN 0 THEN 24
+        |       CAST(length(text) + CASE doc_id % 4 WHEN 0 THEN 24
         |                                           WHEN 1 THEN 17
-        |                                           ELSE 39 END AS BIGINT) AS n_bytes
+        |                                           WHEN 2 THEN 39
+        |                                           ELSE length(text) + 36 END
+        |            AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
     // robots gate: h%4==0 hosts disallow /articles/ but allow the
     // longer /articles/7 (longest match wins → paths whose article id

@@ -30,19 +30,25 @@ object Charset {
   private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
 
   /** Deterministic mixed-encoding corpus: text+marker encoded per
-    * doc_id % 3 — 0: UTF-8; 1: Windows-1252; 2: UTF-8-as-cp1252
+    * doc_id % 4 — 0: UTF-8; 1: Windows-1252; 2: UTF-8-as-cp1252
     * double-encoded mojibake (the bytes a broken upstream would
-    * emit). */
+    * emit); 3: UTF-16LE with its BOM (the Windows-export flavor
+    * crawls regularly surface). */
   def charsetDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val s = text + Marker
-        val payload: Array[Byte] = (id % 3) match {
+        val payload: Array[Byte] = (id % 4) match {
           case 0 => s.getBytes(Utf8)
           case 1 => s.getBytes(Cp1252)
-          case _ => new String(s.getBytes(Utf8), Cp1252).getBytes(Utf8)
+          case 2 => new String(s.getBytes(Utf8), Cp1252).getBytes(Utf8)
+          case _ =>
+            // JDK UnicodeLittle would also emit the BOM; write it
+            // explicitly so the fixture states what the bytes are
+            Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+              s.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
         }
         (id, payload)
       }).toDF("doc_id", "payload")
@@ -57,6 +63,8 @@ object Charset {
   }
 
   /** (encoding label, repaired text). Decision tree:
+    * 0. a UTF-16 byte-order mark decides outright: FF FE → UTF-16LE,
+    *    FE FF → UTF-16BE (BOM stripped from the text).
     * 1. not valid UTF-8 → decode as Windows-1252 ("windows-1252").
     * 2. valid UTF-8 whose cp1252 re-encoding is ALSO valid UTF-8 and
     *    decodes to a DIFFERENT string → double-encoded; the re-decode
@@ -66,7 +74,13 @@ object Charset {
     *    UTF-8 mid-text, so it is never flagged either.
     * 3. otherwise clean ("utf-8"). */
   private[graft] def fixEncoding(b: Array[Byte]): (String, String) =
-    strictUtf8(b) match {
+    if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xFE)
+      ("utf-16le", new String(b, 2, b.length - 2,
+        java.nio.charset.StandardCharsets.UTF_16LE))
+    else if (b.length >= 2 && (b(0) & 0xFF) == 0xFE && (b(1) & 0xFF) == 0xFF)
+      ("utf-16be", new String(b, 2, b.length - 2,
+        java.nio.charset.StandardCharsets.UTF_16BE))
+    else strictUtf8(b) match {
       case None => ("windows-1252", new String(b, Cp1252))
       case Some(s) =>
         val enc = Cp1252.newEncoder()

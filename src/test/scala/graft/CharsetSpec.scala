@@ -18,14 +18,19 @@ class CharsetSpec extends SparkSpec {
       val (id, enc, fixed, n) = (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))
       val expected = text(id) + Charset.Marker
       assert(fixed == expected, s"doc $id repair diverges")
-      val expectEnc = (id % 3) match {
-        case 0 => "utf-8"; case 1 => "windows-1252"; case _ => "utf-8-mojibake"
+      val expectEnc = (id % 4) match {
+        case 0 => "utf-8"; case 1 => "windows-1252"
+        case 2 => "utf-8-mojibake"; case _ => "utf-16le"
       }
       assert(enc == expectEnc, s"doc $id detected $enc")
-      // marker: 17 chars, 24 UTF-8 bytes, 39 after double-encoding
-      val expectBytes = text(id).length + ((id % 3) match {
-        case 0 => 24; case 1 => 17; case _ => 39
-      })
+      // marker: 17 chars, 24 UTF-8 bytes, 39 after double-encoding;
+      // UTF-16LE: 2 BOM bytes + 2 per char
+      val expectBytes = (id % 4) match {
+        case 0 => text(id).length + 24
+        case 1 => text(id).length + 17
+        case 2 => text(id).length + 39
+        case _ => 2 + 2 * (text(id).length + 17)
+      }
       assert(n == expectBytes, s"doc $id byte count $n != $expectBytes")
     }
   }
@@ -44,5 +49,10 @@ class CharsetSpec extends SparkSpec {
     // the classic double-encoding: "é" shipped as "Ã©"
     val mojibake = new String("café".getBytes("UTF-8"), "windows-1252").getBytes("UTF-8")
     assert(Charset.fixEncoding(mojibake) == (("utf-8-mojibake", "café")))
+    // UTF-16 BOMs decide outright, both byte orders, BOM stripped
+    val le = Array[Byte](0xFF.toByte, 0xFE.toByte) ++ "hi é".getBytes("UTF-16LE")
+    assert(Charset.fixEncoding(le) == (("utf-16le", "hi é")))
+    val be = Array[Byte](0xFE.toByte, 0xFF.toByte) ++ "hi é".getBytes("UTF-16BE")
+    assert(Charset.fixEncoding(be) == (("utf-16be", "hi é")))
   }
 }
