@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Archives, Pdf, Warc}
+
+/** Truncation fuzz over the container parsers: a prefix of a valid
+  * archive/document must FAIL the parse — every format here declares
+  * its lengths (ZIP's EOCD and central directory, tar's octal sizes,
+  * WARC's Content-Length framing, PDF's startxref/xref offsets), so a
+  * cut payload is detectable and silently returning partial or wrong
+  * rows would poison a corpus. Truncation points are deterministic
+  * fractions of each payload, chosen inside the length-declared
+  * regions. */
+class TruncationFuzzSpec extends SparkSpec {
+
+  private def payloadOf(df: org.apache.spark.sql.DataFrame, id: Long): Array[Byte] =
+    df.filter(col("doc_id") === id).collect()(0).getAs[Array[Byte]](1)
+
+  private val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L)
+  private lazy val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 6)
+
+  private def points(len: Int, hi: Int): Seq[Int] =
+    (1 to 8).map(k => (hi.toLong * k / 9).toInt).filter(p => p > 0 && p < len).distinct
+
+  test("zip: every truncation point fails the parse (EOCD is end-anchored)") {
+    ids.foreach { id =>
+      val full = payloadOf(Archives.zipDocs(docs), id)
+      assert(Archives.parseZip(id, full).nonEmpty) // sanity: intact parses
+      points(full.length, full.length - 1).foreach { p =>
+        intercept[IllegalArgumentException](Archives.parseZip(id, full.take(p)))
+      }
+    }
+  }
+
+  test("tar: truncations inside the data region fail the checksum/size walk") {
+    ids.foreach { id =>
+      val full = payloadOf(Archives.tarDocs(docs), id)
+      assert(Archives.parseTar(id, full).length == 2)
+      // points strictly before the two end-of-archive zero blocks — a
+      // cut INSIDE the terminator is indistinguishable from a valid
+      // end marker by design (tar has no global length field)
+      points(full.length, full.length - 1025).foreach { p =>
+        intercept[IllegalArgumentException](Archives.parseTar(id, full.take(p)))
+      }
+    }
+  }
+
+  test("warc: truncations break Content-Length framing or the gzip members") {
+    ids.foreach { id =>
+      val full = payloadOf(Warc.warcDocs(docs), id)
+      points(full.length, full.length - 1).foreach { p =>
+        intercept[Exception](Warc.parseWarc(id, full.take(p)))
+      }
+    }
+  }
+
+  test("pdf: truncations in the object region fail the xref-driven parse") {
+    ids.foreach { id =>
+      val full = payloadOf(Pdf.pdfDocs(docs), id)
+      assert(Pdf.parsePdf(id, full).nObjects > 0)
+      // first half of the file: always mid-object, so the startxref
+      // tail (and with it the xref) is gone or dangling
+      points(full.length, full.length / 2).foreach { p =>
+        intercept[Exception](Pdf.parsePdf(id, full.take(p)))
+      }
+    }
+  }
+}
