@@ -1039,6 +1039,11 @@ object SparkEntry {
     "m_epub_text" -> ((s, dir) =>
       graft.sources.Archives.epubText(
         graft.sources.Archives.epubDocs(Tables.documents(s, dir)))),
+    // the OCF chain made observable: container.xml → OPF manifest →
+    // SPINE reading order (odd ids reverse it vs file names)
+    "m_epub_spine" -> ((s, dir) =>
+      graft.sources.Archives.epubSpine(
+        graft.sources.Archives.epubDocs(Tables.documents(s, dir)))),
     // office-document front door: OPC/ZIP walk (content-type Override
     // verified) + w:p/w:t regex extraction with entity decode
     "m_docx_text" -> ((s, dir) =>
@@ -3462,6 +3467,7 @@ object SparkEntry {
         |   substring(text, 1 + 30 * CAST(i AS INT), 20) ||
         |   substring(text, 11 + 30 * CAST(i AS INT), 10) ||
         |   ' (p' || CAST(i AS VARCHAR) || ')tail ' || CAST(doc_id % 7 AS VARCHAR) ||
+        |   ' hx' || CAST(doc_id % 3 AS VARCHAR) ||
         |   CASE WHEN i = 0 AND doc_id % 4 = 0 THEN ' rev2' ELSE '' END AS ptxt
         |   FROM g)
         |SELECT doc_id,
@@ -3482,6 +3488,16 @@ object SparkEntry {
         |       nc AS n_chapters,
         |       CASE WHEN nc = 1 THEN mt ELSE mt || chr(10) || mt END AS text
         |FROM p""".stripMargin,
+    // EPUB spine: odd ids reverse reading order vs chapter file names
+    "m_epub_spine" ->
+      """WITH p AS (SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS nc FROM documents),
+        |g AS (SELECT doc_id, nc, unnest(generate_series(0, nc - 1)) AS s FROM p)
+        |SELECT doc_id, CAST(s AS INT) AS spine_idx,
+        |       'OEBPS/chapter' ||
+        |       CAST(CASE WHEN doc_id % 2 = 1 THEN nc - 1 - s ELSE s END AS VARCHAR) ||
+        |       '.xhtml' AS href,
+        |       'doc ' || CAST(doc_id AS VARCHAR) || ' title' AS title
+        |FROM g""".stripMargin,
     // DOCX: paragraph i = its three runs concatenated (the &amp;
     // entity decoded), paragraphs joined by newline
     "m_docx_text" ->

@@ -356,7 +356,11 @@ object Archives {
 
   /** Deterministic EPUB corpus — per document a REAL OCF container
     * (EPUB is a ZIP, per the spec with a STORED `mimetype` entry
-    * first): `mimetype` = "application/epub+zip", then 1 + id%2
+    * first): `mimetype` = "application/epub+zip",
+    * `META-INF/container.xml` pointing at the OPF, the OPF package
+    * document with a manifest and a SPINE (reading order — REVERSED
+    * relative to file names on odd doc_ids, so a reader that sorts by
+    * name instead of walking the spine is caught), then 1 + id%2
     * DEFLATED XHTML chapters, each the document's
     * [[graft.functions.TextAnalysis.htmlDocs]] page — so the chapter
     * extraction's closed form is t_html_extract's, and the book text
@@ -377,17 +381,68 @@ object Archives {
         e.setSize(mt.length.toLong); e.setCompressedSize(mt.length.toLong)
         e.setCrc(crc.getValue)
         zos.putNextEntry(e); zos.write(mt); zos.closeEntry()
+        def deflated(name: String, content: String): Unit = {
+          val ze = new java.util.zip.ZipEntry(name)
+          ze.setTime(FixedTime)
+          zos.putNextEntry(ze); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+        }
         val nc = (1 + id % 2).toInt
+        deflated("META-INF/container.xml",
+          """<?xml version="1.0" encoding="UTF-8"?>""" +
+          """<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">""" +
+          """<rootfiles><rootfile full-path="OEBPS/content.opf" """ +
+          """media-type="application/oebps-package+xml"/></rootfiles></container>""")
+        val manifest = (0 until nc).map(j =>
+          s"""<item id="ch$j" href="chapter$j.xhtml" media-type="application/xhtml+xml"/>""").mkString
+        // spine = reading order: odd ids REVERSE the name order
+        val spineIds = if (id % 2 == 1) (nc - 1) to 0 by -1 else 0 until nc
+        val spine = spineIds.map(j => s"""<itemref idref="ch$j"/>""").mkString
+        deflated("OEBPS/content.opf",
+          """<?xml version="1.0" encoding="UTF-8"?>""" +
+          """<package xmlns="http://www.idpf.org/2007/opf" version="3.0">""" +
+          s"""<manifest>$manifest</manifest><spine>$spine</spine></package>""")
         var j = 0
         while (j < nc) {
-          val ch = new java.util.zip.ZipEntry(s"OEBPS/chapter$j.xhtml")
-          ch.setTime(FixedTime)
-          zos.putNextEntry(ch); zos.write(html.getBytes("UTF-8")); zos.closeEntry()
+          deflated(s"OEBPS/chapter$j.xhtml", html)
           j += 1
         }
         zos.close()
         (id, buf.toByteArray)
       }).toDF("doc_id", "payload")
+  }
+
+  /** OCF + OPF walk shared by [[epubText]] and [[epubSpine]]: verify
+    * the stored-mimetype contract, follow META-INF/container.xml to
+    * the OPF, resolve the spine's idrefs through the manifest, and
+    * return the chapters as (href, content) in SPINE order. Fails
+    * loudly on any missing link of the chain. */
+  private def walkEpub(id: Long, bytes: Array[Byte]): Seq[(String, String)] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    val entries = parseZip(id, bytes)
+    if (entries.isEmpty || entries.head._2 != "mimetype" ||
+        entries.head._5 != "application/epub+zip")
+      fail("not an EPUB (first entry must be the stored mimetype)")
+    val byName = entries.map(e => e._2 -> e._5).toMap
+    val container = byName.getOrElse("META-INF/container.xml",
+      fail("missing META-INF/container.xml"))
+    val opfPath = "full-path=\"([^\"]+)\"".r.findFirstMatchIn(container)
+      .map(_.group(1)).getOrElse(fail("container.xml lacks a rootfile full-path"))
+    val opf = byName.getOrElse(opfPath, fail(s"missing OPF '$opfPath'"))
+    val opfDir = opfPath.lastIndexOf('/') match {
+      case -1 => ""
+      case k => opfPath.substring(0, k + 1)
+    }
+    val manifest = "<item id=\"([^\"]+)\" href=\"([^\"]+)\"".r
+      .findAllMatchIn(opf).map(m => m.group(1) -> m.group(2)).toMap
+    val spineRefs = "<itemref idref=\"([^\"]+)\"".r
+      .findAllMatchIn(opf).map(_.group(1)).toSeq
+    if (spineRefs.isEmpty) fail("OPF has no spine")
+    spineRefs.map { ref =>
+      val href = manifest.getOrElse(ref, fail(s"spine idref '$ref' not in manifest"))
+      val full = opfDir + href
+      (full, byName.getOrElse(full, fail(s"spine chapter '$full' missing from container")))
+    }
   }
 
   /** EPUB → (doc_id, title, n_chapters, text): the e-book front door
@@ -403,15 +458,7 @@ object Archives {
     import org.apache.spark.sql.functions.{array_join, element_at, transform => hofTransform}
     val walked = bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val entries = parseZip(id, bytes)
-        if (entries.isEmpty || entries.head._2 != "mimetype" ||
-            entries.head._5 != "application/epub+zip")
-          throw new IllegalArgumentException(
-            s"doc $id: not an EPUB (first entry must be the stored mimetype)")
-        val chapters = entries.filter(_._2.startsWith("OEBPS/chapter"))
-          .sortBy(_._2).map(_._5)
-        if (chapters.isEmpty)
-          throw new IllegalArgumentException(s"doc $id: EPUB has no chapters")
+        val chapters = walkEpub(id, bytes).map(_._2)
         (id, chapters.length, chapters)
       }).toDF("doc_id", "n_chapters", "chapters")
     // staged barrier: one kernel evaluation per chapter
@@ -422,6 +469,26 @@ object Archives {
       element_at(col("xs"), 1).getField("title").as("title"),
       col("n_chapters"),
       array_join(hofTransform(col("xs"), x => x.getField("main_text")), "\n").as("text"))
+  }
+
+  /** EPUB spine table: one row per chapter in READING order —
+    * (doc_id, spine_idx, href, title). The odd-id fixtures reverse
+    * the spine relative to file names, so these rows prove the
+    * container.xml → OPF → manifest → spine chain is actually walked
+    * (a name-sorted shortcut would emit the wrong hrefs). */
+  def epubSpine(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    val walked = bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        walkEpub(id, bytes).zipWithIndex.map { case ((href, html), k) =>
+          (id, k, href, html)
+        }
+      }).toDF("doc_id", "spine_idx", "href", "html")
+    val staged = walked.select(col("doc_id"), col("spine_idx"), col("href"),
+      graft.functions.HtmlKernels.htmlExtract(col("html")).as("x"))
+    staged.select(col("doc_id"), col("spine_idx"), col("href"),
+      col("x.title").as("title"))
   }
 
   /** Deterministic DOCX corpus — per document a REAL OPC package

@@ -78,9 +78,12 @@ object Pdf {
         def pageContent(i: Int, rev: Boolean): String = {
           val fragA = esc(text.slice(30 * i, 30 * i + 20))
           val fragB = esc(text.slice(30 * i + 10, 30 * i + 20))
+          // one HEX string operand per page (§7.3.4.3) — " hx<id%3>"
+          val hex = s" hx${id % 3}".getBytes("US-ASCII").map(b => f"$b%02X").mkString
           s"BT /F1 12 Tf 72 720 Td " +
             s"(page $i of doc $id: ) Tj ($fragA) Tj T* " +
             s"[($fragB) -250 ( \\(p$i\\)) -100 (\\164ail ${id % 7})] TJ" +
+            s" <$hex> Tj" +
             (if (rev) " ( rev2) Tj ET" else " ET")
         }
         var i = 0
@@ -212,6 +215,28 @@ object Pdf {
     var p = skipWs(b, pos)
     if (p >= b.length) fail("unexpected end of object data")
     b(p) match {
+      case '<' if p + 1 < b.length && b(p + 1) != '<' =>
+        // hex string (§7.3.4.3): pairs of hex digits to '>', odd
+        // final digit padded with 0, whitespace ignored
+        p += 1
+        val sb = new StringBuilder
+        var hi = -1
+        var closed = false
+        while (!closed) {
+          if (p >= b.length) fail("unterminated hex string")
+          val c = b(p).toChar
+          if (c == '>') {
+            if (hi >= 0) sb.append((hi << 4).toChar) // odd count: pad 0
+            closed = true
+          } else if (!c.isWhitespace) {
+            val d = Character.digit(c, 16)
+            if (d < 0) fail(s"bad hex digit '$c' in hex string")
+            if (hi < 0) hi = d
+            else { sb.append(((hi << 4) | d).toChar); hi = -1 }
+          }
+          p += 1
+        }
+        (PStr(sb.toString), p)
       case '<' if p + 1 < b.length && b(p + 1) == '<' =>
         p += 2
         var m = Map.empty[String, Obj]
@@ -377,8 +402,14 @@ object Pdf {
           val (a, np) = parseObj(b, p, fail)
           lastArr = a.asInstanceOf[PArr].v; lastStr = null; p = np
         case '<' =>
-          // hex strings / dicts — not text-showing operands we emit
-          val (_, np) = parseObj(b, p, fail); lastStr = null; lastArr = null; p = np
+          // hex string → a show-string operand like any literal;
+          // dicts (<<) carry no text
+          val (v, np) = parseObj(b, p, fail)
+          v match {
+            case PStr(s) => lastStr = s; lastArr = null
+            case _ => lastStr = null; lastArr = null
+          }
+          p = np
         case '/' =>
           val (_, np) = parseName(b, p); p = np
         case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>

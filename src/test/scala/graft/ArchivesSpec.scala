@@ -120,6 +120,23 @@ class ArchivesSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("not an EPUB")))
   }
 
+  test("epubSpine: reading order follows the OPF spine, not file names") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 20)
+    val rows = Archives.epubSpine(Archives.epubDocs(docs)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getString(3)))).toMap
+    rows.foreach { case ((id, s), (href, title)) =>
+      val nc = 1 + (id % 2).toInt
+      // odd ids: the spine REVERSES the chapter file-name order
+      val j = if (id % 2 == 1) nc - 1 - s else s
+      assert(href == s"OEBPS/chapter$j.xhtml", s"doc $id spine[$s] = $href")
+      assert(title == s"doc $id title")
+    }
+    // every 2-chapter (odd-id) book proves the reversal: spine[0] is
+    // chapter1, not chapter0
+    val odd = rows.keys.map(_._1).filter(_ % 2 == 1)
+    assert(odd.nonEmpty && odd.forall(id => rows((id, 0))._1 == "OEBPS/chapter1.xhtml"))
+  }
+
   test("docxText: OPC walk + w:t run extraction replays closed-form") {
     val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 24)
     val text = docs.select(col("doc_id"), col("text")).collect()

@@ -28,6 +28,7 @@ class PdfSpec extends SparkSpec {
           text(id).slice(30 * i, 30 * i + 20) +
           text(id).slice(30 * i + 10, 30 * i + 20) +
           s" (p$i)tail ${id % 7}" +
+          s" hx${id % 3}" + // the hex-string operand
           // ids % 4 == 0: the incremental update's page-0 revision
           // (the /Prev chain must resolve object 4 newest-first)
           (if (i == 0 && id % 4 == 0) " rev2" else "")
@@ -42,6 +43,9 @@ class PdfSpec extends SparkSpec {
     def fail(m: String): Nothing = throw new IllegalArgumentException(m)
     val out = Pdf.extractText(content.getBytes("US-ASCII"), fail)
     assert(out == "a(b)c\\backABxy")
+    // hex strings: whitespace ignored, odd final digit padded with 0
+    val hexContent = "BT <48 69> Tj <5A7> Tj ET"
+    assert(Pdf.extractText(hexContent.getBytes("US-ASCII"), fail) == "HiZp")
   }
 
   test("pdfText: malformed documents fail loudly") {
