@@ -615,6 +615,11 @@ object SparkEntry {
     // vector — the fastText-classifier move, bitwise-reproducible
     "c_train_classifier" -> ((s, dir) =>
       Corpus.trainQualityPerceptron(Tables.documents(s, dir))),
+    // train/eval discipline: fit on the hashSplit train partition
+    // only, report accuracy per (split, label) — val/test rows come
+    // from data the weights never saw
+    "c_classifier_eval" -> ((s, dir) =>
+      Corpus.classifierEval(Tables.documents(s, dir))),
     // adaptive per-source quality cut: histogram-quantile threshold
     // CCNet-shaped LM perplexity gate: drop the lowest-probability
     // 30% of documents under the corpus's own bigram LM
@@ -4219,6 +4224,52 @@ object SparkEntry {
         |       COALESCE(sf.score > 0, FALSE) AS predicted,
         |       d.lang = 'en' AS label
         |FROM documents d LEFT JOIN sf ON d.doc_id = sf.doc_id""".stripMargin,
+    // classifier eval: the same 3 unrolled epochs but trained on the
+    // hashSplit train partition only (md5(doc_id) bucket < 90), then
+    // accuracy per (split, label) over ALL documents
+    "c_classifier_eval" ->
+      """WITH sp AS (SELECT doc_id, text, lang,
+        |              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |                   AS UBIGINT) % 100 AS bkt
+        |            FROM documents),
+        |tr AS (SELECT * FROM sp WHERE bkt < 90),
+        |tb AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |              CAST(CAST('0x' || substring(md5(tok), 1, 8) AS UBIGINT) % 512
+        |                   AS BIGINT) AS b
+        |       FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM tr)),
+        |cnt AS (SELECT doc_id, y, b, COUNT(*) AS c FROM tb GROUP BY 1, 2, 3),
+        |w1 AS (SELECT b, SUM(y * c) AS w FROM cnt GROUP BY b),
+        |s2 AS (SELECT cnt.doc_id, cnt.y, SUM(cnt.c * COALESCE(w1.w, 0)) AS score
+        |       FROM cnt LEFT JOIN w1 USING (b) GROUP BY 1, 2),
+        |d2 AS (SELECT cnt.b, SUM(cnt.y * cnt.c) AS dw FROM cnt JOIN s2 USING (doc_id)
+        |       WHERE s2.y * s2.score <= 0 GROUP BY cnt.b),
+        |w2 AS (SELECT COALESCE(w1.b, d2.b) AS b,
+        |              COALESCE(w1.w, 0) + COALESCE(d2.dw, 0) AS w
+        |       FROM w1 FULL JOIN d2 ON w1.b = d2.b),
+        |s3 AS (SELECT cnt.doc_id, cnt.y, SUM(cnt.c * COALESCE(w2.w, 0)) AS score
+        |       FROM cnt LEFT JOIN w2 USING (b) GROUP BY 1, 2),
+        |d3 AS (SELECT cnt.b, SUM(cnt.y * cnt.c) AS dw FROM cnt JOIN s3 USING (doc_id)
+        |       WHERE s3.y * s3.score <= 0 GROUP BY cnt.b),
+        |w3 AS (SELECT COALESCE(w2.b, d3.b) AS b,
+        |              COALESCE(w2.w, 0) + COALESCE(d3.dw, 0) AS w
+        |       FROM w2 FULL JOIN d3 ON w2.b = d3.b),
+        |ta AS (SELECT doc_id,
+        |              CAST(CAST('0x' || substring(md5(tok), 1, 8) AS UBIGINT) % 512
+        |                   AS BIGINT) AS b
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM sp)),
+        |ca AS (SELECT doc_id, b, COUNT(*) AS c FROM ta GROUP BY 1, 2),
+        |sf AS (SELECT ca.doc_id, SUM(ca.c * COALESCE(w3.w, 0)) AS score
+        |       FROM ca LEFT JOIN w3 USING (b) GROUP BY 1),
+        |lab AS (SELECT sp.doc_id,
+        |               CASE WHEN bkt < 90 THEN 'train'
+        |                    WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split,
+        |               sp.lang = 'en' AS label,
+        |               COALESCE(sf.score > 0, FALSE) AS predicted
+        |        FROM sp LEFT JOIN sf ON sp.doc_id = sf.doc_id)
+        |SELECT split, label, COUNT(*) AS n,
+        |       CAST(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_correct
+        |FROM lab GROUP BY 1, 2""".stripMargin,
     // URL canonicalization: every derived field replayed as string
     // arithmetic from the closed-form fixture (host lowercased,
     // www-stripped domain, default ports dropped, utm params removed

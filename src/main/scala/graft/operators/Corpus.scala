@@ -1180,17 +1180,21 @@ object Corpus {
     * sites. At 100 TB: epochs × (two data-sized shuffles of int
     * triples); the corpus text itself is read once into the cached
     * count frame. */
-  def trainQualityPerceptron(documents: DataFrame, targetLang: String = "en",
-                             buckets: Int = 512, epochs: Int = 3): DataFrame = {
-    require(buckets >= 1 && buckets <= 65536,
-      s"bucket count must be in [1, 65536], got $buckets")
-    require(epochs >= 1 && epochs <= 16, s"epochs must be in [1, 16], got $epochs")
+  /** Per-(doc, bucket, class) token counts — the perceptron's only
+    * view of the text. */
+  private def perceptronCounts(documents: DataFrame, targetLang: String,
+                               buckets: Int): DataFrame = {
     val y = when(col("lang") === targetLang, 1L).otherwise(-1L)
-    val cnt = documents.select(col("doc_id"), y.as("y"),
+    documents.select(col("doc_id"), y.as("y"),
         explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), col("y"),
         (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % buckets).as("b"))
       .groupBy(col("doc_id"), col("y"), col("b")).agg(count(lit(1)).as("c"))
+  }
+
+  /** The training loop: `epochs` batch-perceptron updates over the
+    * given count frame; returns the integer weight vector. */
+  private def perceptronWeights(cnt: DataFrame, buckets: Int, epochs: Int): Array[Long] = {
     cnt.persist()
     val w = Array.fill(buckets)(0L)
     try {
@@ -1213,13 +1217,53 @@ object Corpus {
         t += 1
       }
     } finally cnt.unpersist()
-    val finalScores = cnt
-      .withColumn("wv", element_at(lit(w), col("b").cast("int") + 1))
+    w
+  }
+
+  /** Per-doc scores under a fixed weight vector: one map-side literal
+    * array probe + a per-doc partial-aggregated sum. */
+  private def perceptronScores(cnt: DataFrame, w: Array[Long]): DataFrame =
+    cnt.withColumn("wv", element_at(lit(w), col("b").cast("int") + 1))
       .groupBy(col("doc_id")).agg(sum(col("c") * col("wv")).as("score"))
+
+  def trainQualityPerceptron(documents: DataFrame, targetLang: String = "en",
+                             buckets: Int = 512, epochs: Int = 3): DataFrame = {
+    require(buckets >= 1 && buckets <= 65536,
+      s"bucket count must be in [1, 65536], got $buckets")
+    require(epochs >= 1 && epochs <= 16, s"epochs must be in [1, 16], got $epochs")
+    val cnt = perceptronCounts(documents, targetLang, buckets)
+    val w = perceptronWeights(cnt, buckets, epochs)
     documents.select(col("doc_id"), (col("lang") === targetLang).as("label"))
-      .join(finalScores, Seq("doc_id"), "left")
+      .join(perceptronScores(cnt, w), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("score"), lit(0L)).as("score"),
         coalesce(col("score") > 0, lit(false)).as("predicted"), col("label"))
+  }
+
+  /** Train/eval DISCIPLINE for the quality classifier: fit the
+    * perceptron on the [[hashSplit]] train partition ONLY, then score
+    * every document and report accuracy per (split, label) — the
+    * generalization table a real curation pipeline signs off on
+    * before deploying a filter (training-set accuracy alone hides
+    * overfitting; here val/test rows come from data the weights never
+    * saw). Same integer-exact arithmetic as the trainer, so the whole
+    * table is engine-reproducible. */
+  def classifierEval(documents: DataFrame, targetLang: String = "en",
+                     buckets: Int = 512, epochs: Int = 3): DataFrame = {
+    require(buckets >= 1 && buckets <= 65536,
+      s"bucket count must be in [1, 65536], got $buckets")
+    require(epochs >= 1 && epochs <= 16, s"epochs must be in [1, 16], got $epochs")
+    val split = hashSplit(documents)
+    val w = perceptronWeights(
+      perceptronCounts(split.filter(col("split") === "train"), targetLang, buckets),
+      buckets, epochs)
+    val scored = perceptronScores(perceptronCounts(documents, targetLang, buckets), w)
+    split.select(col("doc_id"), col("split"), (col("lang") === targetLang).as("label"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("split"), col("label"),
+        (coalesce(col("score") > 0, lit(false)) === col("label")).as("correct"))
+      .groupBy(col("split"), col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
   }
 
   /** PARAGRAPH-LEVEL dedup — the CCNet move: drop every repeated

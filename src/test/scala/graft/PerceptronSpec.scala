@@ -34,6 +34,24 @@ class PerceptronSpec extends SparkSpec {
     assert(a == b, "training must not depend on partitioning")
   }
 
+  test("classifierEval: separable data generalizes to the held-out splits") {
+    val docs = (0 until 200).map { i =>
+      val en = i % 2 == 0
+      val words = if (en) "alpha beta gamma alpha" else "zork blug quux zork"
+      (i.toLong, words, if (en) "en" else "xx")
+    }.toDF("doc_id", "text", "lang")
+    val out = Corpus.classifierEval(docs).collect()
+      .map(r => (r.getString(0), r.getBoolean(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // every (split, label) cell is perfectly classified — the
+    // vocabulary is disjoint, so train-only weights transfer
+    assert(out.values.map(_._1).sum == 200, "every document accounted for")
+    out.foreach { case ((split, label), (n, correct)) =>
+      assert(n == correct, s"($split, $label): $correct/$n")
+    }
+    // the eval actually has held-out rows
+    assert(out.keys.exists(_._1 != "train"), "hash split produced no held-out docs")
+  }
+
   test("trainQualityPerceptron: one epoch yields the class-difference weights") {
     // w0 = 0 misclassifies every doc, so w1[b] = sum over all docs of
     // y * count(doc, b); a doc's epoch-1 score is its count vector
