@@ -610,6 +610,22 @@ object SparkEntry {
     // tenths, raise_error on a non-urlset payload
     "t_sitemap_parse" -> ((s, dir) =>
       Crawl.sitemapUrls(Crawl.sitemapDocs(Tables.documents(s, dir)))),
+    // two-level crawl discovery: sitemap INDEX → child refs by file
+    // name → per-child urlset walk
+    "t_sitemap_index" -> ((s, dir) =>
+      Crawl.sitemapIndexUrls(Crawl.sitemapIndexDocs(Tables.documents(s, dir)),
+        Crawl.sitemapChildDocs(Tables.documents(s, dir)))),
+    // non-rule robots metadata: Sitemap discovery URLs (file-wide) +
+    // the group-scoped Crawl-delay for our agent
+    "t_robots_sitemaps" -> ((s, dir) =>
+      Crawl.robotsMeta(Crawl.robotsDocs(Tables.documents(s, dir)), "graftbot")),
+    // the politeness composition: frontier position × crawl delay
+    "t_fetch_schedule" -> ((s, dir) => {
+      val urls = Corpus.urlFeatures(Corpus.urlDocs(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("domain"))
+      Crawl.fetchSchedule(urls,
+        Crawl.robotsMeta(Crawl.robotsDocs(Tables.documents(s, dir)), "graftbot"))
+    }),
     // trained quality classifier: integer-exact batch perceptron on
     // 512 hashed bag-of-words buckets, 3 epochs, broadcast weight
     // vector — the fastText-classifier move, bitwise-reproducible
@@ -4180,6 +4196,45 @@ object SparkEntry {
         |       CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id DESC)
         |            AS BIGINT) AS seq
         |FROM u""".stripMargin,
+    // sitemap index: child k of host h holds its even/odd url
+    // positions; url_idx within child = j // 2
+    "t_sitemap_index" ->
+      """WITH hh AS (SELECT i AS h FROM range(0, 50) t(i)),
+        |u AS (SELECT h, unnest(generate_series(0, 1 + h % 3)) AS j FROM hh)
+        |SELECT 'site' || CAST(h AS VARCHAR) || '.com' AS host,
+        |       CAST(j % 2 AS INT) AS child_idx,
+        |       CAST(j // 2 AS INT) AS url_idx,
+        |       'https://site' || CAST(h AS VARCHAR) || '.com/articles/' ||
+        |       CAST((h * 7 + j) % 97 AS VARCHAR) || '/view' AS loc
+        |FROM u""".stripMargin,
+    // robots metadata: one sitemap per host; crawl delay 1 + h%5 from
+    // the * group graftbot falls to
+    "t_robots_sitemaps" ->
+      """SELECT CASE WHEN i < 50 THEN 'site' || CAST(i % 50 AS VARCHAR) || '.com'
+        |            ELSE 'cdn.site' || CAST(i % 50 AS VARCHAR) || '.com' END
+        |         AS robots_host,
+        |       'https://' ||
+        |       CASE WHEN i < 50 THEN 'site' || CAST(i % 50 AS VARCHAR) || '.com'
+        |            ELSE 'cdn.site' || CAST(i % 50 AS VARCHAR) || '.com' END ||
+        |       '/sitemap.xml' AS sitemap_url,
+        |       CAST(1 + (i % 50) % 5 AS INT) AS crawl_delay_s
+        |FROM range(0, 100) t(i)""".stripMargin,
+    // fetch schedule: position within the canonical domain × the
+    // host's crawl delay
+    "t_fetch_schedule" ->
+      """WITH u AS (SELECT doc_id, doc_id % 50 AS h,
+        |             CASE WHEN doc_id % 3 = 1
+        |                  THEN 'cdn.site' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+        |                  ELSE 'site' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+        |             END AS domain
+        |           FROM documents),
+        |r AS (SELECT doc_id, domain, h,
+        |             row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS pos
+        |      FROM u)
+        |SELECT doc_id, domain, CAST(pos AS BIGINT) AS pos,
+        |       CAST(1 + h % 5 AS INT) AS delay_s,
+        |       CAST((pos - 1) * (1 + h % 5) AS BIGINT) AS sched_s
+        |FROM r""".stripMargin,
     // sitemap walk: every field is arithmetic in (host, entry index)
     "t_sitemap_parse" ->
       """WITH h AS (SELECT i AS h FROM range(0, 50) t(i)),

@@ -50,7 +50,10 @@ object Crawl {
       lit("User-agent: *\nDisallow: /private/\n"),
       when(h % 4 === 0, lit("Disallow: /articles/\nAllow: /articles/7\n")).otherwise(lit("")),
       when(h % 4 === 2, lit("Allow: /articles/\nDisallow: /articles/\n")).otherwise(lit("")),
-      lit("Crawl-delay: 2\n"))
+      lit("Crawl-delay: "), lit(1) + h % 5, lit("\n\n"),
+      // Sitemap is a non-group directive (RFC 9309 §2.3 allows it
+      // anywhere); real files put it at the end as often as the top
+      lit("Sitemap: https://"), col("robots_host"), lit("/sitemap.xml\n"))
     hosts.select(col("robots_host"), txt.as("robots_txt"))
   }
 
@@ -62,6 +65,19 @@ object Crawl {
     * (an empty Disallow means allow-everything and matches nothing).
     */
   def robotsRules(robots: DataFrame, userAgent: String): DataFrame = {
+    val grouped = robotsGroupedLines(robots)
+    val applicable = applicableGroups(grouped, userAgent)
+    grouped.filter(col("directive").isin("allow", "disallow") && col("value") =!= "")
+      .join(applicable, Seq("robots_host", "grp"))
+      .select(col("robots_host"), col("directive").as("rule_type"),
+        col("value").as("rule_path"), length(col("value")).as("rule_len"))
+  }
+
+  /** robots.txt lines → (robots_host, line_no, directive, value, grp):
+    * comments stripped, directives lower-cased, group ids assigned —
+    * a new group starts at a user-agent line not preceded by another
+    * user-agent line (consecutive UA lines share a group). */
+  private def robotsGroupedLines(robots: DataFrame): DataFrame = {
     val lines = robots.select(col("robots_host"),
         posexplode(split(col("robots_txt"), "\n")).as(Seq("line_no", "raw")))
       .select(col("robots_host"), col("line_no"),
@@ -71,27 +87,44 @@ object Crawl {
         lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))).as("directive"),
         trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("value"))
       .filter(col("directive") =!= "")
-    // group id: a new group starts at a user-agent line not preceded
-    // by another user-agent line (consecutive UA lines share a group)
     val w = Window.partitionBy(col("robots_host")).orderBy(col("line_no"))
     val isUa = col("directive") === "user-agent"
-    val grouped = lines
-      .withColumn("grp", sum(when(isUa && !coalesce(lag(isUa, 1).over(w), lit(false)), 1)
+    lines.withColumn("grp",
+      sum(when(isUa && !coalesce(lag(isUa, 1).over(w), lit(false)), 1)
         .otherwise(0)).over(w))
-    val agents = grouped.filter(isUa)
+  }
+
+  /** The groups `userAgent` obeys, per host: the exactly-matching
+    * groups if any exist, else the `*` groups (RFC 9309 §2.2.1). */
+  private def applicableGroups(grouped: DataFrame, userAgent: String): DataFrame = {
+    val agents = grouped.filter(col("directive") === "user-agent")
       .select(col("robots_host"), col("grp"), lower(col("value")).as("agent"))
     val ua = lit(userAgent.toLowerCase(java.util.Locale.ROOT))
-    // exact-group precedence per host
     val hostHasExact = agents.groupBy(col("robots_host"))
       .agg(max((col("agent") === ua).cast("int")).as("has_exact"))
-    val applicable = agents.join(hostHasExact, Seq("robots_host"))
+    agents.join(hostHasExact, Seq("robots_host"))
       .filter((col("has_exact") === 1 && col("agent") === ua) ||
               (col("has_exact") === 0 && col("agent") === "*"))
       .select(col("robots_host"), col("grp")).distinct()
-    grouped.filter(col("directive").isin("allow", "disallow") && col("value") =!= "")
+  }
+
+  /** Non-rule robots metadata: the host's `Sitemap:` discovery URLs
+    * (non-group directives, collected file-wide per RFC 9309 §2.3)
+    * and its Crawl-delay as seen by `userAgent` (group-scoped like
+    * the rules; hosts without one default to 0). One row per
+    * (host, sitemap URL). */
+  def robotsMeta(robots: DataFrame, userAgent: String): DataFrame = {
+    val grouped = robotsGroupedLines(robots)
+    val applicable = applicableGroups(grouped, userAgent)
+    val delays = grouped.filter(col("directive") === "crawl-delay")
       .join(applicable, Seq("robots_host", "grp"))
-      .select(col("robots_host"), col("directive").as("rule_type"),
-        col("value").as("rule_path"), length(col("value")).as("rule_len"))
+      .groupBy(col("robots_host"))
+      .agg(max(col("value").cast("int")).as("crawl_delay_s"))
+    grouped.filter(col("directive") === "sitemap")
+      .select(col("robots_host"), col("value").as("sitemap_url"))
+      .join(delays, Seq("robots_host"), "left")
+      .select(col("robots_host"), col("sitemap_url"),
+        coalesce(col("crawl_delay_s"), lit(0)).as("crawl_delay_s"))
   }
 
   /** The REP gate: URLs (doc_id, domain, path) × broadcast rules →
@@ -168,6 +201,88 @@ object Crawl {
       to_date(regexp_extract(col("block"), "<lastmod>(.*?)</lastmod>", 1)).as("lastmod"),
       regexp_extract(col("block"), "<priority>0\\.([0-9])</priority>", 1)
         .cast("int").as("priority_tenths"))
+  }
+
+  /** Deterministic sitemap-INDEX corpus (sitemaps.org: a site past
+    * 50k URLs must shard into children behind an index): per base
+    * host an index listing two child sitemaps. */
+  def sitemapIndexDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val hosts = spark.range(0, 50).select(col("id").as("h"))
+    val h = col("h")
+    def ref(k: Int) = concat(lit("<sitemap><loc>https://site"), h,
+      lit(s".com/sitemap$k.xml</loc></sitemap>"))
+    hosts.select(concat(lit("site"), h, lit(".com")).as("host"),
+      concat(lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+        ref(0), lit("\n"), ref(1),
+        lit("\n</sitemapindex>\n")).as("index_xml"))
+  }
+
+  /** The index's child sitemaps: child k of host h holds the urls at
+    * even (k=0) / odd (k=1) positions of the host's 2 + h%3 entries —
+    * a deterministic shard assignment the index walk must reassemble.
+    */
+  def sitemapChildDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val rows = spark.range(0, 100).select((col("id") % 50).as("h"),
+      (col("id") / 50).cast("int").as("k"))
+    val h = col("h")
+    val k = col("k")
+    val items = transform(
+      filter(sequence(lit(0), lit(1) + h % 3), j => j % 2 === k.cast("long")),
+      j => concat(lit("  <url><loc>https://site"), h, lit(".com/articles/"),
+        (h * 7 + j) % 97, lit("/view</loc></url>")))
+    rows.select(concat(lit("site"), h, lit(".com")).as("host"),
+      concat(lit("sitemap"), k, lit(".xml")).as("name"),
+      concat(lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+        array_join(items, "\n"), lit("\n</urlset>\n")).as("sitemap_xml"))
+  }
+
+  /** Two-level discovery: index → child refs (non-greedy `<sitemap>`
+    * block split, child resolved by its file name) → per-child
+    * `<url>` walk. Both frames are per-host metadata, so the join is
+    * metadata-sized at any corpus scale; a non-index payload raises.
+    */
+  def sitemapIndexUrls(index: DataFrame, children: DataFrame): DataFrame = {
+    val checked = index.select(col("host"),
+      when(col("index_xml").contains("<sitemapindex"), col("index_xml"))
+        .otherwise(raise_error(concat(lit("not a sitemap index: "), col("host"))))
+        .as("xml"))
+    val refs = checked.select(col("host"),
+        posexplode(regexp_extract_all(col("xml"),
+          lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1))).as(Seq("child_idx", "block")))
+      .select(col("host"), col("child_idx").cast("int").as("child_idx"),
+        regexp_extract(regexp_extract(col("block"), "<loc>(.*?)</loc>", 1),
+          "([^/]+)$", 1).as("name"))
+    val resolved = refs.join(children, Seq("host", "name"))
+    resolved.select(col("host"), col("child_idx"),
+        posexplode(regexp_extract_all(col("sitemap_xml"),
+          lit("(?s)<url>(.*?)</url>"), lit(1))).as(Seq("url_idx", "block")))
+      .select(col("host"), col("child_idx"),
+        col("url_idx").cast("int").as("url_idx"),
+        regexp_extract(col("block"), "<loc>(.*?)</loc>", 1).as("loc"))
+  }
+
+  /** Politeness schedule — the composition the crawl stack exists
+    * for: a URL's earliest fetch offset is (its FIFO position in the
+    * host's queue − 1) × the host's Crawl-delay. The domain-keyed
+    * window IS the politeness constraint (URLs within one host are
+    * inherently sequential; hosts parallelize), so the per-domain
+    * exchange is the problem's own shape, not an artifact. Delays
+    * ride a broadcast. */
+  def fetchSchedule(urls: DataFrame, meta: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("domain")).orderBy(col("doc_id"))
+    val delays = meta.groupBy(col("robots_host"))
+      .agg(max(col("crawl_delay_s")).as("delay_s"))
+    urls.select(col("doc_id"), col("domain"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .join(broadcast(delays), col("domain") === col("robots_host"), "left")
+      .select(col("doc_id"), col("domain"), col("pos"),
+        coalesce(col("delay_s"), lit(0)).as("delay_s"),
+        ((col("pos") - 1L) * coalesce(col("delay_s"), lit(0)).cast("long"))
+          .as("sched_s"))
   }
 
   /** End-to-end convenience: canonical URLs from [[Corpus.urlDocs]] →

@@ -83,4 +83,53 @@ class CrawlSpec extends SparkSpec {
     val junk = Seq(("x.com", "<html>not a sitemap</html>")).toDF("host", "sitemap_xml")
     intercept[Exception](Crawl.sitemapUrls(junk).collect())
   }
+
+  test("sitemapIndexUrls: the two-level walk reassembles exactly the flat urlset") {
+    val docs = Tables.documents(spark, sf0001)
+    val flat = Crawl.sitemapUrls(Crawl.sitemapDocs(docs)).collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    val indexed = Crawl.sitemapIndexUrls(
+        Crawl.sitemapIndexDocs(docs), Crawl.sitemapChildDocs(docs)).collect()
+    // same (host, loc) universe — the shard split loses nothing
+    assert(indexed.map(r => (r.getString(0), r.getString(3))).toSet == flat)
+    // and the shard assignment is the even/odd position split
+    indexed.foreach { r =>
+      val h = r.getString(0).stripPrefix("site").stripSuffix(".com").toLong
+      val k = r.getInt(1); val u = r.getInt(2)
+      val j = 2 * u + k
+      assert(r.getString(3) == s"https://site$h.com/articles/${(h * 7 + j) % 97}/view")
+    }
+  }
+
+  test("robotsMeta: sitemap discovery + group-scoped crawl delay") {
+    val docs = Tables.documents(spark, sf0001)
+    val meta = Crawl.robotsMeta(Crawl.robotsDocs(docs), "graftbot").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(meta.size == 100)
+    meta.foreach { case (host, (url, delay)) =>
+      assert(url == s"https://$host/sitemap.xml")
+      val h = host.stripPrefix("cdn.").stripPrefix("site").stripSuffix(".com").toLong
+      assert(delay == 1 + (h % 5).toInt, s"$host delay $delay")
+    }
+    // the delay is group-scoped: evilbot's group has none → 0
+    val evil = Crawl.robotsMeta(Crawl.robotsDocs(docs), "evilbot").collect()
+    assert(evil.nonEmpty && evil.forall(_.getInt(2) == 0))
+  }
+
+  test("fetchSchedule: position × delay, per host") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 100)
+    val urls = graft.operators.Corpus
+      .urlFeatures(graft.operators.Corpus.urlDocs(docs))
+      .select(col("doc_id"), col("domain"))
+    val out = Crawl.fetchSchedule(urls,
+      Crawl.robotsMeta(Crawl.robotsDocs(docs), "graftbot")).collect()
+    assert(out.length == 100)
+    out.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(0)) // by doc_id
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(2) == i + 1, "positions are the per-host FIFO rank")
+        assert(r.getLong(4) == i.toLong * r.getInt(3), "sched = (pos-1) * delay")
+      }
+    }
+  }
 }
