@@ -3446,8 +3446,8 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, CAST(2 AS INT), 'meta/info.txt', 'store',
         |       CAST(length(info) AS BIGINT), info FROM m""".stripMargin,
-    // tar walk: two ustar members per doc, names/sizes/payloads all
-    // closed-form in (doc_id, text)
+    // tar walk: three ustar members per doc — the third's path runs
+    // past 100 bytes and rides the POSIX prefix field
     "m_tar_entries" ->
       """SELECT doc_id, CAST(0 AS INT) AS entry_idx,
         |       'docs/doc_' || CAST(doc_id % 97 AS VARCHAR) || '.txt' AS name,
@@ -3456,7 +3456,15 @@ object SparkEntry {
         |SELECT doc_id, CAST(1 AS INT),
         |       'docs/meta_' || CAST(doc_id % 13 AS VARCHAR) || '.txt',
         |       CAST(9 + length(CAST(doc_id % 13 AS VARCHAR)) AS BIGINT),
-        |       'tar meta ' || CAST(doc_id % 13 AS VARCHAR) FROM documents""".stripMargin,
+        |       'tar meta ' || CAST(doc_id % 13 AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(2 AS INT),
+        |       'archive/section-' || CAST(doc_id % 7 AS VARCHAR) ||
+        |       '/a-very-long-collection-directory-name-used-for-prefix-field-testing' ||
+        |       '/shard-' || CAST(doc_id % 13 AS VARCHAR) ||
+        |       '/doc_' || CAST(doc_id % 97 AS VARCHAR) || '.txt',
+        |       CAST(6 AS BIGINT),
+        |       'long ' || CAST(doc_id % 7 AS VARCHAR) FROM documents""".stripMargin,
     // format sniffer: the fixture rotates 13 published signatures on
     // doc_id % 13; the oracle is the rotation itself
     "m_sniff_format" ->

@@ -183,7 +183,18 @@ object Archives {
             val bs = s.getBytes("US-ASCII")
             System.arraycopy(bs, 0, h, off, bs.length)
           }
-          put(0, name)                                  // name
+          // POSIX split for names past the 100-byte field: the tail
+          // goes in `name`, the leading directories in `prefix`
+          // (offset 345, 155 bytes), rejoined with '/' by the reader
+          if (name.length <= 100) put(0, name)
+          else {
+            // first '/' at or after len-101 → tail fits in 100 bytes
+            val cut = name.indexOf('/', math.max(0, name.length - 101))
+            require(cut > 0 && cut <= 155 && name.length - cut - 1 <= 100,
+              s"unsplittable tar name '$name'")
+            put(345, name.substring(0, cut))
+            put(0, name.substring(cut + 1))
+          }
           put(100, "0000644")  // fields NUL-terminated by the zero-filled header                     // mode
           put(108, "0000000")                     // uid
           put(116, "0000000")                     // gid
@@ -206,6 +217,11 @@ object Archives {
         }
         member(s"docs/doc_${id % 97}.txt", text.getBytes("UTF-8"))
         member(s"docs/meta_${id % 13}.txt", s"tar meta ${id % 13}".getBytes("UTF-8"))
+        // a >100-char path exercising the POSIX prefix field
+        member(s"archive/section-${id % 7}/" +
+          "a-very-long-collection-directory-name-used-for-prefix-field-testing/" +
+          s"shard-${id % 13}/doc_${id % 97}.txt",
+          s"long ${id % 7}".getBytes("UTF-8"))
         out.write(new Array[Byte](1024)) // end-of-archive: two zero blocks
         (id, out.toByteArray)
       }).toDF("doc_id", "payload")
@@ -246,7 +262,9 @@ object Archives {
           i += 1
         }
         if (sum != stored) fail(s"tar checksum mismatch at $off: stored $stored computed $sum")
-        val name = str(0, 100)
+        // POSIX prefix field: leading directories of a >100-byte path
+        val prefix = str(345, 155)
+        val name = if (prefix.isEmpty) str(0, 100) else prefix + "/" + str(0, 100)
         val size = java.lang.Long.parseLong(str(124, 12).trim, 8)
         val dataOff = off + 512
         if (dataOff + size > b.length) fail(s"member '$name' overruns archive")

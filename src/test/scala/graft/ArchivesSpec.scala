@@ -48,16 +48,24 @@ class ArchivesSpec extends SparkSpec {
   test("tarEntries: ustar walk verifies checksums and octal sizes") {
     val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
     val rows = Archives.tarEntries(Archives.tarDocs(docs)).collect()
-    assert(rows.length == 80, "2 members per tarball")
+    assert(rows.length == 120, "3 members per tarball")
     val text = docs.select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     rows.foreach { r =>
       val (id, idx, name, n, t) =
         (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getString(4))
-      if (idx == 0) {
-        assert(name == s"docs/doc_${id % 97}.txt" && t == text(id) && n == text(id).length)
-      } else {
-        assert(name == s"docs/meta_${id % 13}.txt" && t == s"tar meta ${id % 13}")
+      idx match {
+        case 0 =>
+          assert(name == s"docs/doc_${id % 97}.txt" && t == text(id) && n == text(id).length)
+        case 1 =>
+          assert(name == s"docs/meta_${id % 13}.txt" && t == s"tar meta ${id % 13}")
+        case 2 =>
+          // the >100-char path round-trips through the prefix field
+          val expect = s"archive/section-${id % 7}/" +
+            "a-very-long-collection-directory-name-used-for-prefix-field-testing/" +
+            s"shard-${id % 13}/doc_${id % 97}.txt"
+          assert(expect.length > 100, "fixture must exceed the name field")
+          assert(name == expect && t == s"long ${id % 7}")
       }
     }
     // a flipped header byte breaks the checksum

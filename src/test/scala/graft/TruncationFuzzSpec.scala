@@ -35,7 +35,7 @@ class TruncationFuzzSpec extends SparkSpec {
   test("tar: truncations inside the data region fail the checksum/size walk") {
     ids.foreach { id =>
       val full = payloadOf(Archives.tarDocs(docs), id)
-      assert(Archives.parseTar(id, full).length == 2)
+      assert(Archives.parseTar(id, full).length == 3)
       // points strictly before the two end-of-archive zero blocks — a
       // cut INSIDE the terminator is indistinguishable from a valid
       // end marker by design (tar has no global length field)
