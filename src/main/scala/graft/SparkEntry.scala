@@ -596,7 +596,7 @@ object SparkEntry {
     // charset front door: strict UTF-8 validation, Windows-1252
     // fallback decode, and ftfy-style double-encoding repair (encode
     // cp1252 → re-decode UTF-8 when the round trip changes the text);
-    // the fixture's three encoding arms rotate on doc_id % 3
+    // the fixture's four encoding arms rotate on doc_id % 4
     "t_charset_fix" -> ((s, dir) =>
       graft.sources.Charset.fixedText(
         graft.sources.Charset.charsetDocs(Tables.documents(s, dir)))),

@@ -1205,14 +1205,19 @@ object Corpus {
         val scores = cnt
           .withColumn("wv", element_at(lit(w), col("b").cast("int") + 1))
           .groupBy(col("doc_id"), col("y"))
-          .agg(sum(col("c") * col("wv")).as("score"))
+          // decimal(38,0), like perceptronScores: a BIGINT sum would
+          // wrap silently on adversarially long documents
+          .agg(sum(col("c").cast("decimal(38,0)") * col("wv")).as("score"))
         val mis = scores.filter(col("y") * col("score") <= 0).select(col("doc_id"))
         cnt.join(mis, "doc_id")
-          .groupBy(col("b")).agg(sum(col("y") * col("c")).as("dw"))
+          .groupBy(col("b"))
+          .agg(sum((col("y") * col("c")).cast("decimal(38,0)")).as("dw"))
           .collect()
           .foreach { r =>
             val b = r.getLong(0).toInt
-            w(b) = Math.addExact(w(b), r.getLong(1)) // overflow surfaces, never wraps
+            // longValueExact + addExact: overflow surfaces, never wraps
+            val dw = r.getDecimal(1).toBigInteger.longValueExact()
+            w(b) = Math.addExact(w(b), dw)
           }
         t += 1
       }
@@ -1221,10 +1226,28 @@ object Corpus {
   }
 
   /** Per-doc scores under a fixed weight vector: one map-side literal
-    * array probe + a per-doc partial-aggregated sum. */
+    * array probe + a per-doc partial-aggregated sum. The sum runs as
+    * decimal(38,0) — a BIGINT aggregation wraps silently (non-ANSI)
+    * on adversarially long documents, breaking the "overflow
+    * surfaces, never wraps" guarantee the weight updates already
+    * carry. (Each c·w product is ≤ 2^126, within 38 digits; a sum
+    * needs ~10^19 max-magnitude terms to leave decimal(38,0) — not a
+    * reachable document size.) */
   private def perceptronScores(cnt: DataFrame, w: Array[Long]): DataFrame =
     cnt.withColumn("wv", element_at(lit(w), col("b").cast("int") + 1))
-      .groupBy(col("doc_id")).agg(sum(col("c") * col("wv")).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c").cast("decimal(38,0)") * col("wv")).as("score"))
+
+  /** The decimal score back to the public BIGINT column, with an
+    * explicit range check — out-of-range raises instead of wrapping.
+    */
+  private def scoreAsLong(score: org.apache.spark.sql.Column,
+                          docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = coalesce(score, lit(0).cast("decimal(38,0)"))
+    when(s > lit(Long.MaxValue) || s < lit(Long.MinValue),
+      raise_error(concat(lit("perceptron score overflows BIGINT for doc "), docId)))
+      .otherwise(s.cast("long"))
+  }
 
   def trainQualityPerceptron(documents: DataFrame, targetLang: String = "en",
                              buckets: Int = 512, epochs: Int = 3): DataFrame = {
@@ -1235,7 +1258,7 @@ object Corpus {
     val w = perceptronWeights(cnt, buckets, epochs)
     documents.select(col("doc_id"), (col("lang") === targetLang).as("label"))
       .join(perceptronScores(cnt, w), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("score"), lit(0L)).as("score"),
+      .select(col("doc_id"), scoreAsLong(col("score"), col("doc_id")).as("score"),
         coalesce(col("score") > 0, lit(false)).as("predicted"), col("label"))
   }
 
@@ -1457,26 +1480,18 @@ object Corpus {
     }
     if ((flg & 0x02) != 0) off += 2 // FHCRC
     if (off + 8 > b.length) fail("truncated after header fields")
-    val inf = new java.util.zip.Inflater(/* nowrap = */ true)
-    inf.setInput(b, off, b.length - off - 8)
-    val out = new java.io.ByteArrayOutputStream()
-    val tmp = new Array[Byte](8192)
-    try {
-      while (!inf.finished()) {
-        val n = inf.inflate(tmp)
-        // n == 0 with input exhausted but no final block seen: truncated
-        if (n == 0 && !inf.finished() && inf.needsInput()) fail("truncated deflate stream")
-        out.write(tmp, 0, n)
-      }
-    } catch {
-      case e: java.util.zip.DataFormatException =>
-        fail(s"corrupt deflate stream: ${e.getMessage}")
-    } finally inf.end()
-    val raw = out.toByteArray
     // the trailer sits in the last 8 bytes of the member
     def le32(i: Int): Long =
       (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
         ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+    // trailer ISIZE is the member's own declared inflated size — use
+    // it as a hard ceiling INSIDE the loop, so a deflate bomb whose
+    // stream expands past its declaration fails before the bytes
+    // materialize (ISIZE is mod 2^32; a bounded ceiling regardless)
+    val declared = le32(b.length - 4)
+    val raw = graft.sources.Inflate.inflateCapped(
+      b, off, b.length - off - 8, nowrap = true,
+      limit = declared, what = "gzip member", fail)
     val crc = new java.util.zip.CRC32(); crc.update(raw)
     if (crc.getValue != le32(b.length - 8)) fail("trailer CRC-32 mismatch")
     if ((raw.length.toLong & 0xFFFFFFFFL) != le32(b.length - 4)) fail("trailer ISIZE mismatch")

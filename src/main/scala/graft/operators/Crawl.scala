@@ -58,19 +58,37 @@ object Crawl {
   }
 
   /** robots.txt → one rule row per (host, applicable Allow/Disallow):
-    * (robots_host, rule_type, rule_path, rule_len). Pure DataFrame
-    * line work: strip comments, split directives, assign groups by a
-    * running count of user-agent runs, scope to `userAgent` with the
-    * RFC's exact-group-beats-star precedence, drop empty-path rules
-    * (an empty Disallow means allow-everything and matches nothing).
-    */
+    * (robots_host, rule_type, rule_path, rule_len, has_wild,
+    * rule_regex). Pure DataFrame line work: strip comments, split
+    * directives, assign groups by a running count of user-agent runs,
+    * scope to `userAgent` with the RFC's exact-group-beats-star
+    * precedence, drop empty-path rules (an empty Disallow means
+    * allow-everything and matches nothing).
+    *
+    * RFC 9309 §2.2.3 special characters: `*` in a rule path matches
+    * any character sequence and a TRAILING `$` anchors the match at
+    * the end of the path (a non-trailing `$` is literal, matching the
+    * published Google REP parser). Rules using either are translated
+    * here — once, on the metadata-sized rules frame — into an
+    * anchored Java regex (`rule_regex`, all other metacharacters
+    * escaped); plain rules keep `has_wild = false` so the gate's hot
+    * path stays a codegen `startsWith`. */
   def robotsRules(robots: DataFrame, userAgent: String): DataFrame = {
     val grouped = robotsGroupedLines(robots)
     val applicable = applicableGroups(grouped, userAgent)
-    grouped.filter(col("directive").isin("allow", "disallow") && col("value") =!= "")
+    val v = col("value")
+    val anchored = v.endsWith("$")
+    val core = when(anchored, expr("substring(value, 1, length(value) - 1)")).otherwise(v)
+    // escape every regex metacharacter except '*', then '*' -> '.*'
+    val escaped = regexp_replace(core, """([\\.\[\]\{\}\(\)\+\-\^\$\|\?])""", """\\$1""")
+    val translated = concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
+    grouped.filter(col("directive").isin("allow", "disallow") && v =!= "")
       .join(applicable, Seq("robots_host", "grp"))
       .select(col("robots_host"), col("directive").as("rule_type"),
-        col("value").as("rule_path"), length(col("value")).as("rule_len"))
+        v.as("rule_path"), length(v).as("rule_len"),
+        (v.contains("*") || anchored).as("has_wild"),
+        translated.as("rule_regex"))
   }
 
   /** robots.txt lines → (robots_host, line_no, directive, value, grp):
@@ -144,12 +162,16 @@ object Crawl {
     val perHost = rules.groupBy(col("robots_host"))
       .agg(collect_list(struct(col("rule_len"),
         (col("rule_type") === "allow").as("is_allow"),
-        col("rule_path"))).as("rules"))
+        col("rule_path"), col("has_wild"), col("rule_regex"))).as("rules"))
     val joined = urls.join(broadcast(perHost),
       urls("domain") === perHost("robots_host"), "left")
-    // struct max = longest rule_len, Allow over Disallow on ties
+    // struct max = longest rule_len, Allow over Disallow on ties.
+    // Plain rules ride the codegen startsWith; '*'/'$' rules (rare in
+    // real files) fall to the RFC 9309 §2.2.3 regex translation.
     val winner = array_max(filter(col("rules"),
-      r => col("path").startsWith(r.getField("rule_path"))))
+      r => when(r.getField("has_wild"),
+             regexp_like(col("path"), r.getField("rule_regex")))
+           .otherwise(col("path").startsWith(r.getField("rule_path")))))
     joined.select(col("doc_id"), col("domain"), col("path"), winner.as("w"))
       .select(col("doc_id"), col("domain"), col("path"),
         coalesce(col("w.is_allow"), lit(true)).as("allowed"),

@@ -78,10 +78,21 @@ object Archives {
     * VERIFY the CRC-32 and declared uncompressed size. Throws on any
     * malformation — corrupt archives must fail loudly, not pass as
     * empty. */
-  private[graft] def parseZip(id: Long, b: Array[Byte]): Seq[(Int, String, String, Long, String)] = {
+  private[graft] def parseZip(id: Long, b: Array[Byte]): Seq[(Int, String, String, Long, String)] =
+    try parseZipWalk(id, b)
+    catch { // garbage length/offset fields must surface as the documented
+            // IllegalArgumentException, never a raw index error
+      case e: ArrayIndexOutOfBoundsException =>
+        throw new IllegalArgumentException(s"doc $id: field offset out of range (${e.getMessage})")
+    }
+
+  private def parseZipWalk(id: Long, b: Array[Byte]): Seq[(Int, String, String, Long, String)] = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"doc $id: $msg")
-    def u16(i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    def u16(i: Int): Int = {
+      if (i < 0 || i + 2 > b.length) fail(s"u16 read at $i out of range")
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    }
     def u32(i: Int): Long = (u16(i) & 0xFFFFL) | ((u16(i + 2) & 0xFFFFL) << 16)
     // EOCD: last PK\x05\x06 whose comment length reaches exactly EOF
     var eocd = -1
@@ -110,6 +121,9 @@ object Archives {
       val extraLen = u16(p + 30)
       val commentLen = u16(p + 32)
       val localOff = u32(p + 42).toInt
+      if (compLen < 0 || uncompLen < 0 || localOff < 0)
+        fail(s"central header at $p declares sizes/offset past 2 GiB")
+      if (p + 46 + nameLen > b.length) fail(s"entry name at $p overruns archive")
       val name = new String(b, p + 46, nameLen, "UTF-8")
       // local header: PK\x03\x04 | ver(2) flags(2) method(2) time(4)
       // crc(4) csize(4) usize(4) nlen(2) xlen(2) | name | extra | data
@@ -122,21 +136,11 @@ object Archives {
       val raw = java.util.Arrays.copyOfRange(b, dataOff, dataOff + compLen)
       val data = method match {
         case 0 => raw // STORED
-        case 8 => // DEFLATED: raw deflate stream, no zlib wrapper
-          val inf = new java.util.zip.Inflater(true)
-          inf.setInput(raw)
-          val acc = new java.io.ByteArrayOutputStream(uncompLen max 16)
-          val chunk = new Array[Byte](4096)
-          try {
-            while (!inf.finished()) {
-              val n = inf.inflate(chunk)
-              if (n == 0 && inf.needsInput()) fail(s"truncated deflate stream in '$name'")
-              acc.write(chunk, 0, n)
-            }
-          } catch { case ex: java.util.zip.DataFormatException =>
-            fail(s"corrupt deflate stream in '$name': ${ex.getMessage}")
-          } finally inf.end()
-          acc.toByteArray
+        case 8 => // DEFLATED: raw deflate stream, no zlib wrapper. The
+          // ceiling is the CD's own declared size — output exceeding it
+          // fails INSIDE the loop, so a deflate bomb never materializes.
+          Inflate.inflateCapped(raw, 0, raw.length, nowrap = true,
+            limit = uncompLen.toLong, what = s"'$name'", fail)
         case m => fail(s"unsupported compression method $m for '$name'")
       }
       if (data.length != uncompLen)
@@ -253,8 +257,16 @@ object Archives {
           new String(b, off + o, end - o, "US-ASCII")
         }
         if (str(257, 6) != "ustar") fail(s"bad ustar magic in header at $off")
+        // octal fields: garbage must surface as the documented
+        // IllegalArgumentException, not NumberFormatException
+        def octal(o: Int, len: Int, field: String): Long = {
+          val s = str(o, len).trim
+          try java.lang.Long.parseLong(s, 8)
+          catch { case _: NumberFormatException =>
+            fail(s"non-octal $field field '$s' in header at $off") }
+        }
         // checksum: stored simple octal; recompute with field as spaces
-        val stored = java.lang.Long.parseLong(str(148, 8).trim, 8)
+        val stored = octal(148, 8, "checksum")
         var sum = 0L
         i = 0
         while (i < 512) {
@@ -265,7 +277,8 @@ object Archives {
         // POSIX prefix field: leading directories of a >100-byte path
         val prefix = str(345, 155)
         val name = if (prefix.isEmpty) str(0, 100) else prefix + "/" + str(0, 100)
-        val size = java.lang.Long.parseLong(str(124, 12).trim, 8)
+        val size = octal(124, 12, "size")
+        if (size < 0 || size > Int.MaxValue) fail(s"tar size $size out of range at $off")
         val dataOff = off + 512
         if (dataOff + size > b.length) fail(s"member '$name' overruns archive")
         val text = new String(b, dataOff, size.toInt, "UTF-8")

@@ -62,9 +62,25 @@ object Charset {
     catch { case _: java.nio.charset.CharacterCodingException => None }
   }
 
+  /** Strict decode of the post-BOM body: an ODD-length body cannot be
+    * UTF-16, and unpaired surrogates are malformation, not U+FFFD —
+    * both fall back to the byte-level arms (genuine cp1252 text can
+    * begin "ÿþ"/"þÿ", so a BOM alone must not decide). */
+  private def strictUtf16(b: Array[Byte], cs: java.nio.charset.Charset): Option[String] = {
+    if ((b.length - 2) % 2 != 0) return None
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try Some(dec.decode(java.nio.ByteBuffer.wrap(b, 2, b.length - 2)).toString)
+    catch { case _: java.nio.charset.CharacterCodingException => None }
+  }
+
   /** (encoding label, repaired text). Decision tree:
-    * 0. a UTF-16 byte-order mark decides outright: FF FE → UTF-16LE,
-    *    FE FF → UTF-16BE (BOM stripped from the text).
+    * 0. a UTF-16 byte-order mark (FF FE → UTF-16LE, FE FF → UTF-16BE)
+    *    decides IF the body validates as UTF-16 (even length, strict
+    *    decode — no lenient U+FFFD); else fall through, so cp1252
+    *    text that merely begins "ÿþ"/"þÿ" reaches the byte-level arms
+    *    (BOM stripped from the text when the UTF-16 arm wins).
     * 1. not valid UTF-8 → decode as Windows-1252 ("windows-1252").
     * 2. valid UTF-8 whose cp1252 re-encoding is ALSO valid UTF-8 and
     *    decodes to a DIFFERENT string → double-encoded; the re-decode
@@ -73,14 +89,18 @@ object Charset {
     *    chars (é = C3 A9) re-encodes to bytes (E9) that are NOT valid
     *    UTF-8 mid-text, so it is never flagged either.
     * 3. otherwise clean ("utf-8"). */
-  private[graft] def fixEncoding(b: Array[Byte]): (String, String) =
+  private[graft] def fixEncoding(b: Array[Byte]): (String, String) = {
     if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xFE)
-      ("utf-16le", new String(b, 2, b.length - 2,
-        java.nio.charset.StandardCharsets.UTF_16LE))
-    else if (b.length >= 2 && (b(0) & 0xFF) == 0xFE && (b(1) & 0xFF) == 0xFF)
-      ("utf-16be", new String(b, 2, b.length - 2,
-        java.nio.charset.StandardCharsets.UTF_16BE))
-    else strictUtf8(b) match {
+      strictUtf16(b, java.nio.charset.StandardCharsets.UTF_16LE) match {
+        case Some(s) => return ("utf-16le", s)
+        case None => () // not UTF-16 after all — fall through
+      }
+    if (b.length >= 2 && (b(0) & 0xFF) == 0xFE && (b(1) & 0xFF) == 0xFF)
+      strictUtf16(b, java.nio.charset.StandardCharsets.UTF_16BE) match {
+        case Some(s) => return ("utf-16be", s)
+        case None => ()
+      }
+    strictUtf8(b) match {
       case None => ("windows-1252", new String(b, Cp1252))
       case Some(s) =>
         val enc = Cp1252.newEncoder()
@@ -91,6 +111,7 @@ object Charset {
           }
         } else ("utf-8", s)
     }
+  }
 
   /** payload → (doc_id, encoding, text_fixed, n_bytes): detect,
     * repair, and record the raw byte length (the corpus-accounting

@@ -1,0 +1,96 @@
+package graft.sources
+
+/** Decompression with a HARD output ceiling, enforced inside the
+  * inflate loop — a 100 TB crawl front door must survive hostile
+  * payloads, and a deflate bomb (kilobytes of input expanding to
+  * gigabytes) would otherwise OOM an executor BEFORE any
+  * declared-size check runs on the fully-materialized output.
+  *
+  * Two ceilings exist:
+  *  - formats that declare the inflated size up front (ZIP central
+  *    directory `uncompLen`, gzip trailer `ISIZE`) fail the moment
+  *    accumulated output exceeds the declaration;
+  *  - formats with no declaration (WARC HTTP entities, PDF
+  *    /FlateDecode streams) get [[Inflate.MaxInflatedBytes]],
+  *    overridable per call (the DataFrame-level APIs read
+  *    `spark.graft.maxInflatedBytes` at plan time and close over it).
+  *
+  * Reference behavior: every production WARC reader caps member
+  * expansion (e.g. Common Crawl processing pipelines reject records
+  * whose inflated size passes a per-record bound) — the bound is a
+  * robustness gate, not a semantics change; benign corpora never
+  * reach it.
+  */
+object Inflate {
+
+  /** Default per-document ceiling for undeclared-size inflates:
+    * 64 MiB, far above any single crawled document yet small enough
+    * that one hostile record cannot destabilize an executor holding
+    * dozens of task buffers. */
+  val MaxInflatedBytes: Long = 64L << 20
+
+  /** Spark conf key the DataFrame-level decode APIs consult. */
+  val ConfKey = "spark.graft.maxInflatedBytes"
+
+  /** Raw-deflate (`nowrap = true`) or zlib inflate of
+    * `input[off, off+len)`, failing via `fail` (which must throw) the
+    * moment output exceeds `limit` — the bytes past the ceiling are
+    * never accumulated. `what` names the stream in error messages. */
+  def inflateCapped(input: Array[Byte], off: Int, len: Int, nowrap: Boolean,
+                    limit: Long, what: String,
+                    fail: String => Nothing): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(nowrap)
+    inf.setInput(input, off, len)
+    val acc = new java.io.ByteArrayOutputStream(math.min(limit, 4096L).toInt max 16)
+    val chunk = new Array[Byte](8192)
+    var total = 0L
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(chunk)
+        if (n == 0 && !inf.finished() && inf.needsInput())
+          fail(s"truncated deflate stream in $what")
+        total += n
+        if (total > limit)
+          fail(s"$what inflates past the $limit-byte ceiling (deflate bomb?)")
+        acc.write(chunk, 0, n)
+      }
+    } catch {
+      case ex: java.util.zip.DataFormatException =>
+        fail(s"corrupt deflate stream in $what: ${ex.getMessage}")
+    } finally inf.end()
+    acc.toByteArray
+  }
+
+  /** Member-concatenated gunzip (JDK GZIPInputStream: multi-member
+    * walk + per-member CRC verification) with the same in-loop
+    * ceiling. ZipException surfaces as `corrupt $what: …` to keep the
+    * callers' established reject discipline. */
+  def gunzipCapped(payload: Array[Byte], limit: Long, what: String,
+                   fail: String => Nothing): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val acc = new java.io.ByteArrayOutputStream(8192)
+    val chunk = new Array[Byte](8192)
+    var total = 0L
+    try {
+      var n = in.read(chunk)
+      while (n >= 0) {
+        total += n
+        if (total > limit)
+          fail(s"$what inflates past the $limit-byte ceiling (deflate bomb?)")
+        acc.write(chunk, 0, n)
+        n = in.read(chunk)
+      }
+    } catch {
+      case e: java.util.zip.ZipException => fail(s"corrupt $what: ${e.getMessage}")
+      case e: java.io.EOFException => fail(s"corrupt $what: ${e.getMessage}")
+    } finally in.close()
+    acc.toByteArray
+  }
+
+  /** The effective ceiling for a DataFrame-level decode: the session's
+    * `spark.graft.maxInflatedBytes` if set, else the default. Read at
+    * PLAN time on the driver and closed over into the task. */
+  def limitOf(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(ConfKey).map(_.toLong).getOrElse(MaxInflatedBytes)
+}

@@ -440,7 +440,8 @@ object Pdf {
     * table → per-object byte offsets, trailer /Root, page-tree walk,
     * per-page content-stream decode (+/FlateDecode inflate), text
     * extraction in /Kids order. */
-  private[graft] def parsePdf(id: Long, b: Array[Byte]): PdfDoc = {
+  private[graft] def parsePdf(id: Long, b: Array[Byte],
+                              maxInflatedBytes: Long = Inflate.MaxInflatedBytes): PdfDoc = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"doc $id: $msg")
     if (b.length < 9 || new String(b, 0, 5, "US-ASCII") != "%PDF-") fail("missing %PDF header")
@@ -486,20 +487,11 @@ object Pdf {
         val raw = java.util.Arrays.copyOfRange(b, q, q + len)
         val data = dict.v.get("Filter") match {
           case Some(PName("FlateDecode")) =>
-            val inf = new java.util.zip.Inflater()
-            inf.setInput(raw)
-            val acc = new java.io.ByteArrayOutputStream(len * 2 max 64)
-            val chunk = new Array[Byte](4096)
-            try {
-              while (!inf.finished()) {
-                val n = inf.inflate(chunk)
-                if (n == 0 && inf.needsInput()) fail(s"truncated FlateDecode stream at $off")
-                acc.write(chunk, 0, n)
-              }
-            } catch { case ex: java.util.zip.DataFormatException =>
-              fail(s"corrupt FlateDecode stream at $off: ${ex.getMessage}")
-            } finally inf.end()
-            acc.toByteArray
+            // no declared inflated size in the stream dict → the
+            // configurable per-document ceiling stands in, enforced
+            // inside the loop (deflate-bomb guard)
+            Inflate.inflateCapped(raw, 0, raw.length, nowrap = false,
+              limit = maxInflatedBytes, what = s"FlateDecode stream at $off", fail)
           case Some(PName(other)) => fail(s"unsupported filter /$other at $off")
           case None => raw
           case _ => fail(s"malformed /Filter at $off")
@@ -694,9 +686,10 @@ object Pdf {
   def pdfText(bin: DataFrame): DataFrame = {
     val spark = bin.sparkSession
     import spark.implicits._
+    val limit = Inflate.limitOf(spark) // read on the driver, closed over
     bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val d = parsePdf(id, bytes)
+        val d = parsePdf(id, bytes, limit)
         (id, d.version, d.nObjects, d.nPages, d.text)
       }).toDF("doc_id", "version", "n_objects", "n_pages", "text")
   }

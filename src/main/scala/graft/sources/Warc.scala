@@ -89,18 +89,20 @@ object Warc {
     * non-response records, splits the response's HTTP block. Throws on
     * malformation: bad version line, missing Content-Length, truncated
     * block, missing record separator, no response record. */
-  private[graft] def parseWarc(id: Long, payload: Array[Byte]): (String, Int, String, Int) = {
+  private[graft] def parseWarc(id: Long, payload: Array[Byte],
+                               maxInflatedBytes: Long = Inflate.MaxInflatedBytes)
+      : (String, Int, String, Int) = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"doc $id: $msg")
+    def intHeader(v: String, what: String): Int =
+      try v.toInt
+      catch { case _: NumberFormatException => fail(s"non-numeric $what '$v'") }
     val b =
-      if (payload.length >= 2 && (payload(0) & 0xFF) == 0x1F && (payload(1) & 0xFF) == 0x8B) {
-        // multi-member gunzip with per-member CRC checks (JDK contract)
-        val in = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        try in.readAllBytes()
-        catch { case e: java.util.zip.ZipException => fail(s"corrupt warc.gz: ${e.getMessage}") }
-        finally in.close()
-      } else payload
+      if (payload.length >= 2 && (payload(0) & 0xFF) == 0x1F && (payload(1) & 0xFF) == 0x8B)
+        // multi-member gunzip with per-member CRC checks (JDK
+        // contract), capped so a deflate bomb fails inside the loop
+        Inflate.gunzipCapped(payload, maxInflatedBytes, "warc.gz", fail)
+      else payload
     var off = 0
     var nRecords = 0
     var resp: Option[(String, Int, String)] = None
@@ -126,7 +128,9 @@ object Warc {
             l.substring(colonAt + 1).trim)
         }
       }
-      val len = headers.getOrElse("content-length", fail("missing Content-Length")).toInt
+      val len = intHeader(headers.getOrElse("content-length", fail("missing Content-Length")),
+        "Content-Length")
+      if (len < 0) fail(s"negative Content-Length $len")
       if (p + len > b.length) fail("record block overruns buffer")
       val block = java.util.Arrays.copyOfRange(b, p, p + len)
       p += len
@@ -154,7 +158,7 @@ object Warc {
         val statusParts = headLines(0).split(" ", 3)
         if (statusParts.length < 2 || !statusParts(0).startsWith("HTTP/"))
           fail("malformed HTTP status line")
-        val status = statusParts(1).toInt
+        val status = intHeader(statusParts(1), "HTTP status")
         val httpHeaders = headLines.drop(1).flatMap { l =>
           val c = l.indexOf(':')
           if (c < 0) None
@@ -163,17 +167,12 @@ object Warc {
         }.toMap
         val bodyRaw = java.util.Arrays.copyOfRange(block, hEnd + 4, block.length)
         httpHeaders.get("content-length").foreach { cl =>
-          if (cl.toInt != bodyRaw.length)
+          if (intHeader(cl, "HTTP Content-Length") != bodyRaw.length)
             fail(s"HTTP Content-Length $cl != entity length ${bodyRaw.length}")
         }
         val body = httpHeaders.get("content-encoding") match {
           case Some("gzip") =>
-            val in = new java.util.zip.GZIPInputStream(
-              new java.io.ByteArrayInputStream(bodyRaw))
-            try in.readAllBytes()
-            catch { case e: java.util.zip.ZipException =>
-              fail(s"corrupt gzip entity: ${e.getMessage}") }
-            finally in.close()
+            Inflate.gunzipCapped(bodyRaw, maxInflatedBytes, "gzip entity", fail)
           case Some(other) => fail(s"unsupported Content-Encoding '$other'")
           case None => bodyRaw
         }
@@ -192,10 +191,11 @@ object Warc {
   def warcExtract(bin: DataFrame): DataFrame = {
     val spark = bin.sparkSession
     import spark.implicits._
+    val limit = Inflate.limitOf(spark) // read on the driver, closed over
     val walked = bin.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val (uri, status, html, n) = parseWarc(id, bytes)
+        val (uri, status, html, n) = parseWarc(id, bytes, limit)
         (id, uri, status, n, html)
       }).toDF("doc_id", "target_uri", "http_status", "n_records", "html")
     // staged struct barrier: the kernel evaluates once per row (the

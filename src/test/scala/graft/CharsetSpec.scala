@@ -55,4 +55,20 @@ class CharsetSpec extends SparkSpec {
     val be = Array[Byte](0xFE.toByte, 0xFF.toByte) ++ "hi é".getBytes("UTF-16BE")
     assert(Charset.fixEncoding(be) == (("utf-16be", "hi é")))
   }
+
+  test("fixEncoding: a BOM-lookalike prefix does NOT force UTF-16") {
+    // genuine cp1252 text beginning "ÿþ" with an odd-length body: the
+    // strict-UTF-16 validation fails and the byte arms decide (an
+    // even-length all-BMP body is inherently ambiguous — accepted)
+    val odd = "ÿþ genuine cp1252".getBytes("windows-1252") // 17 bytes → odd body
+    assert((odd.length - 2) % 2 != 0)
+    assert(Charset.fixEncoding(odd) == (("windows-1252", "ÿþ genuine cp1252")))
+    // even-length body containing an unpaired surrogate: strict decode
+    // REPORTs (no lenient U+FFFD) and the arms fall through
+    val badLe = Array[Byte](0xFF.toByte, 0xFE.toByte, // BOM
+      0x00, 0xD8.toByte, // unpaired high surrogate U+D800 (LE)
+      'a'.toByte, 0x40) // valid unit so length stays even
+    val (encB, _) = Charset.fixEncoding(badLe)
+    assert(encB != "utf-16le", s"unpaired surrogate must not decode leniently, got $encB")
+  }
 }

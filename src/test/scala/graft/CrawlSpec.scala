@@ -68,6 +68,35 @@ class CrawlSpec extends SparkSpec {
     assert(out(1L) && !out(2L))
   }
 
+  test("robotsGate: RFC 9309 §2.2.3 '*' and '$' rule paths") {
+    val robots = Seq(
+      ("w.com",
+        // '*' matches any sequence; trailing '$' anchors at path end;
+        // a NON-trailing '$' and other regex metachars are literal
+        "User-agent: *\nDisallow: /fish*.php\nDisallow: /*.pdf$\n" +
+        "Allow: /fish*.php?ok\nDisallow: /a$b/\nDisallow: /dot.txt\n")
+    ).toDF("robots_host", "robots_txt")
+    val rules = Crawl.robotsRules(robots, "anybot")
+    val urls = Seq(
+      (1L, "w.com", "/fishheads/catfish.php?p=2"), // Disallow /fish*.php
+      (2L, "w.com", "/fishheads/catfish.php?ok=1"), // longer Allow wins
+      (3L, "w.com", "/docs/report.pdf"),            // anchored: disallowed
+      (4L, "w.com", "/docs/report.pdf.html"),       // past the anchor: allowed
+      (5L, "w.com", "/a$b/page"),                   // literal non-trailing '$'
+      (6L, "w.com", "/dotxtxt"),                    // '.' must NOT be a regex dot
+      (7L, "w.com", "/dot.txt")
+    ).toDF("doc_id", "domain", "path")
+    val out = Crawl.robotsGate(urls, rules).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(!out(1L), "* rule matches across segments")
+    assert(out(2L), "longer Allow with * beats the Disallow")
+    assert(!out(3L), "trailing $ anchors and matches")
+    assert(out(4L), "trailing $ must not match a longer path")
+    assert(!out(5L), "non-trailing $ is a literal octet")
+    assert(out(6L), "'.' in a rule is literal, not any-char")
+    assert(!out(7L))
+  }
+
   test("sitemapUrls: urlset walk replays closed-form; junk raises") {
     val docs = Tables.documents(spark, sf0001)
     val rows = Crawl.sitemapUrls(Crawl.sitemapDocs(docs)).collect()

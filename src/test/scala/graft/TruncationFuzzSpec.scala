@@ -65,4 +65,77 @@ class TruncationFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- deflate bombs: every inflate path must fail INSIDE the loop,
+  // the moment output passes its ceiling — never after materializing
+  // the full expansion (a KB-sized bomb declaring KBs but inflating
+  // to GBs would otherwise OOM the executor before any size check)
+
+  private def gzipOf(raw: Array[Byte]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(buf)
+    gz.write(raw); gz.close()
+    buf.toByteArray
+  }
+
+  test("zip bomb: a member inflating past its declared size fails at the ceiling") {
+    // 8 MiB of zeros deflates to ~8 KB; tamper the central directory's
+    // declared uncompressed size down to 100 — the walk must reject at
+    // the in-loop ceiling, not after accumulating 8 MiB
+    val buf = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(buf)
+    zos.putNextEntry(new java.util.zip.ZipEntry("bomb.bin"))
+    zos.write(new Array[Byte](8 << 20)); zos.closeEntry(); zos.close()
+    val zip = buf.toByteArray
+    var cd = -1 // first PK\x01\x02 central header
+    var i = 0
+    while (cd < 0 && i + 4 <= zip.length) {
+      if (zip(i) == 'P' && zip(i + 1) == 'K' && zip(i + 2) == 1 && zip(i + 3) == 2) cd = i
+      i += 1
+    }
+    assert(cd > 0)
+    zip(cd + 24) = 100; zip(cd + 25) = 0; zip(cd + 26) = 0; zip(cd + 27) = 0
+    val e = intercept[IllegalArgumentException](Archives.parseZip(99L, zip))
+    assert(e.getMessage.contains("ceiling"), e.getMessage)
+  }
+
+  test("gzip bomb: a member inflating past its trailer ISIZE fails at the ceiling") {
+    val gz = gzipOf(new Array[Byte](8 << 20))
+    // ISIZE (last 4 bytes LE) tampered down to 100
+    gz(gz.length - 4) = 100; gz(gz.length - 3) = 0
+    gz(gz.length - 2) = 0; gz(gz.length - 1) = 0
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Corpus.inflateGzip(99L, gz))
+    assert(e.getMessage.contains("ceiling"), e.getMessage)
+  }
+
+  test("warc bomb: gzip entity and gzip record both fail at maxInflatedBytes") {
+    // a response record whose Content-Encoding: gzip entity inflates
+    // to 1 MiB — parsed under a 4 KiB ceiling it must reject
+    val entity = gzipOf(new Array[Byte](1 << 20))
+    val http = ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+      s"Content-Length: ${entity.length}\r\n\r\n").getBytes("US-ASCII") ++ entity
+    val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://bomb.example/\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes("US-ASCII") ++
+      http ++ "\r\n\r\n".getBytes("US-ASCII")
+    val e1 = intercept[IllegalArgumentException](
+      Warc.parseWarc(99L, rec, maxInflatedBytes = 4096))
+    assert(e1.getMessage.contains("ceiling"), e1.getMessage)
+    // record-level: the same record as one gzip member (warc.gz form)
+    val e2 = intercept[IllegalArgumentException](
+      Warc.parseWarc(99L, gzipOf(rec), maxInflatedBytes = 4096))
+    assert(e2.getMessage.contains("ceiling"), e2.getMessage)
+  }
+
+  test("pdf bomb: a FlateDecode stream inflating past maxInflatedBytes fails") {
+    // doc 2: even (FlateDecode'd content stream) but NOT ≡ 0 mod 4 —
+    // the incremental-update arm would replace the deflated object
+    // with a raw revision and no inflate would ever run
+    val full = payloadOf(Pdf.pdfDocs(docs), 2)
+    assert(Pdf.parsePdf(2L, full).nPages > 0) // sanity: intact parses
+    val e = intercept[IllegalArgumentException](
+      Pdf.parsePdf(2L, full, maxInflatedBytes = 8))
+    assert(e.getMessage.contains("ceiling"), e.getMessage)
+  }
 }
