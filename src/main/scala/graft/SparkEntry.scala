@@ -626,6 +626,23 @@ object SparkEntry {
       Crawl.fetchSchedule(urls,
         Crawl.robotsMeta(Crawl.robotsDocs(Tables.documents(s, dir)), "graftbot"))
     }),
+    // code-corpus front door: language routing by extension →
+    // shebang → modeline precedence (the github-linguist strategy)
+    "c_route_source" -> ((s, dir) =>
+      CodeCorpus.routeSourceFiles(CodeCorpus.codeDocs(Tables.documents(s, dir)))),
+    // the legal gate: SPDX-License-Identifier tag beats the canonical
+    // header phrases beats 'unknown'
+    "t_license_detect" -> ((s, dir) =>
+      CodeCorpus.licenseDetect(CodeCorpus.codeDocs(Tables.documents(s, dir)))),
+    // credential scanning + typed-tag redaction: AWS key ids, PEM
+    // private-key blocks, bearer tokens, quoted api_key assignments —
+    // counts on the original content, fixed replacement order
+    "t_secret_scrub" -> ((s, dir) =>
+      CodeCorpus.secretScrub(CodeCorpus.codeDocs(Tables.documents(s, dir)))),
+    // the composed keep set: routed + permissive license + zero
+    // secrets, fused into one map-only projection/filter stage
+    "c_code_keep_set" -> ((s, dir) =>
+      CodeCorpus.codeKeepSet(CodeCorpus.codeDocs(Tables.documents(s, dir)))),
     // trained quality classifier: integer-exact batch perceptron on
     // 512 hashed bag-of-words buckets, 3 epochs, broadcast weight
     // vector — the fastText-classifier move, bitwise-reproducible
@@ -4255,6 +4272,58 @@ object SparkEntry {
         |            AS DATE) AS lastmod,
         |       CAST(1 + (h + j) % 9 AS INT) AS priority_tenths
         |FROM u""".stripMargin,
+    // code routing: the fixture's 8 arms map closed-form to
+    // (language, route) — an independent arithmetic reimplementation,
+    // no regex replay needed
+    "c_route_source" ->
+      s"""SELECT doc_id, $CodePathSql AS path,
+        |       CASE doc_id % 8 WHEN 0 THEN 'python' WHEN 1 THEN 'scala'
+        |         WHEN 2 THEN 'javascript' WHEN 3 THEN 'c' WHEN 4 THEN 'go'
+        |         WHEN 5 THEN 'ruby' WHEN 6 THEN 'shell' ELSE 'lisp' END AS language,
+        |       CASE WHEN doc_id % 8 <= 5 THEN 'extension'
+        |            WHEN doc_id % 8 = 6 THEN 'shebang'
+        |            ELSE 'modeline' END AS route
+        |FROM documents""".stripMargin,
+    // license gate: the 5 fixture arms, closed-form
+    "t_license_detect" ->
+      s"""SELECT doc_id, $CodePathSql AS path,
+        |       CASE doc_id % 5 WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0'
+        |         WHEN 2 THEN 'Apache-2.0' WHEN 3 THEN 'MIT'
+        |         ELSE 'unknown' END AS license,
+        |       CASE doc_id % 5 WHEN 0 THEN 'spdx' WHEN 1 THEN 'spdx'
+        |         WHEN 2 THEN 'header' WHEN 3 THEN 'header'
+        |         ELSE 'none' END AS license_source
+        |FROM documents""".stripMargin,
+    // secret scrub: counts are the arm indicators; scrubbed is the
+    // fixture content rebuilt with each secret's typed tag in place
+    "t_secret_scrub" ->
+      s"""SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_aws_keys,
+        |       CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_private_keys,
+        |       CAST(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END AS BIGINT) AS n_bearer_tokens,
+        |       CAST(CASE WHEN doc_id % 9 = 4 THEN 1 ELSE 0 END AS BIGINT) AS n_generic_secrets,
+        |       $CodeLeadSql
+        |       || $CodeLicenseSql
+        |       || CASE WHEN doc_id % 3 = 0
+        |            THEN 'aws_access_key_id = "<AWS_KEY>"' || chr(10) ELSE '' END
+        |       || CASE WHEN doc_id % 4 = 1 THEN '<PRIVATE_KEY>' || chr(10) ELSE '' END
+        |       || CASE WHEN doc_id % 7 = 3
+        |            THEN 'curl -H "Authorization: Bearer <TOKEN>" -s' || chr(10) ELSE '' END
+        |       || CASE WHEN doc_id % 9 = 4 THEN '<SECRET>' || chr(10) ELSE '' END
+        |       || '// ' || text || chr(10) AS scrubbed
+        |FROM documents""".stripMargin,
+    // composed keep set: permissive-license arms minus every
+    // secret-planting rotation (route is never 'none' in the fixture)
+    "c_code_keep_set" ->
+      s"""SELECT doc_id, $CodePathSql AS path,
+        |       CASE doc_id % 8 WHEN 0 THEN 'python' WHEN 1 THEN 'scala'
+        |         WHEN 2 THEN 'javascript' WHEN 3 THEN 'c' WHEN 4 THEN 'go'
+        |         WHEN 5 THEN 'ruby' WHEN 6 THEN 'shell' ELSE 'lisp' END AS language,
+        |       CASE doc_id % 5 WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0'
+        |         WHEN 2 THEN 'Apache-2.0' ELSE 'MIT' END AS license
+        |FROM documents
+        |WHERE doc_id % 5 < 4 AND doc_id % 3 <> 0 AND doc_id % 4 <> 1
+        |  AND doc_id % 7 <> 3 AND doc_id % 9 <> 4""".stripMargin,
     // batch perceptron, 3 unrolled integer-exact epochs: w1 is the
     // full class-difference vector (w0 = 0 misclassifies everything),
     // then two update rounds over each round's misclassified set;
@@ -5881,6 +5950,30 @@ object SparkEntry {
       |WHERE doc_id = keep_id""".stripMargin
 
   private lazy val keepSetOracle: String = s"WITH $keepSetCtes\n$keepSetSelect"
+
+  /** Shared fragments of the code-corpus fixture ([[graft.operators
+    * .CodeCorpus.codeDocs]]) replayed arithmetically in DuckDB. */
+  private lazy val CodePathSql: String =
+    """CASE WHEN doc_id % 8 <= 5
+      |  THEN 'src/m' || CAST(doc_id % 23 AS VARCHAR) || '/f' ||
+      |       CAST(doc_id % 97 AS VARCHAR) ||
+      |       CASE doc_id % 8 WHEN 0 THEN '.py' WHEN 1 THEN '.scala'
+      |         WHEN 2 THEN '.js' WHEN 3 THEN '.c' WHEN 4 THEN '.go'
+      |         ELSE '.rb' END
+      |  ELSE 'bin/tool' || CAST(doc_id % 97 AS VARCHAR) END""".stripMargin
+
+  private lazy val CodeLeadSql: String =
+    """CASE WHEN doc_id % 8 = 6 THEN '#!/usr/bin/env bash' || chr(10)
+      |     WHEN doc_id % 8 = 7 THEN ';; -*- mode: lisp -*-' || chr(10)
+      |     ELSE '' END""".stripMargin
+
+  private lazy val CodeLicenseSql: String =
+    """CASE doc_id % 5
+      |  WHEN 0 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+      |  WHEN 1 THEN '// SPDX-License-Identifier: Apache-2.0' || chr(10)
+      |  WHEN 2 THEN '// Licensed under the Apache License, Version 2.0 (the "License");' || chr(10)
+      |  WHEN 3 THEN '// Permission is hereby granted, free of charge, to any person obtaining' || chr(10)
+      |  ELSE '' END""".stripMargin
 
   /** The greedy (quality DESC, doc_id) prefix under the 10000-token
     * budget — shared by batch c_token_budget and the streaming replay
