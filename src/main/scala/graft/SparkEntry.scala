@@ -593,6 +593,17 @@ object SparkEntry {
     "t_warc_extract" -> ((s, dir) =>
       graft.sources.Warc.warcExtract(
         graft.sources.Warc.warcDocs(Tables.documents(s, dir)))),
+    // WET sibling: warcinfo skipped, the conversion record's block IS
+    // the extracted text — no HTTP split, no HTML kernel
+    "t_wet_extract" -> ((s, dir) =>
+      graft.sources.Warc.wetExtract(
+        graft.sources.Warc.wetDocs(Tables.documents(s, dir)))),
+    // WAT sibling: the metadata record's JSON envelope, fields pulled
+    // with native codegen JSON paths (status, content type, link
+    // count, first link)
+    "t_wat_extract" -> ((s, dir) =>
+      graft.sources.Warc.watExtract(
+        graft.sources.Warc.watDocs(Tables.documents(s, dir)))),
     // charset front door: strict UTF-8 validation, Windows-1252
     // fallback decode, and ftfy-style double-encoding repair (encode
     // cp1252 → re-decode UTF-8 when the round trip changes the text);
@@ -4167,6 +4178,27 @@ object SparkEntry {
         |       CAST(doc_id % 97 AS VARCHAR) || ' ' || text ||
         |       ' entities: A&B <x> "y" HI tail ' || CAST(doc_id % 13 AS VARCHAR)
         |         AS main_text
+        |FROM documents""".stripMargin,
+    // WET: the conversion block is the closed-form extracted text;
+    // n_records counts the skipped warcinfo record too
+    "t_wet_extract" ->
+      """SELECT doc_id,
+        |       'https://crawl.site' || CAST(doc_id % 50 AS VARCHAR) || '.com/doc/' ||
+        |       CAST(doc_id % 97 AS VARCHAR) AS target_uri,
+        |       CAST(2 AS INT) AS n_records,
+        |       'doc ' || CAST(doc_id AS VARCHAR) || ' extracted: ' || text AS text
+        |FROM documents""".stripMargin,
+    // WAT: every JSON-envelope field is arithmetic in doc_id — status
+    // rotates 200/301 on id%4==2, 1 + id%4 links, first link at j=0
+    "t_wat_extract" ->
+      """SELECT doc_id,
+        |       'https://crawl.site' || CAST(doc_id % 50 AS VARCHAR) || '.com/doc/' ||
+        |       CAST(doc_id % 97 AS VARCHAR) AS target_uri,
+        |       CAST(CASE WHEN doc_id % 4 = 2 THEN 301 ELSE 200 END AS INT) AS http_status,
+        |       'text/html' AS content_type,
+        |       CAST(1 + doc_id % 4 AS INT) AS n_links,
+        |       'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.com/link/' ||
+        |       CAST(doc_id % 97 AS VARCHAR) AS first_link
         |FROM documents""".stripMargin,
     // charset repair: text_fixed round-trips text + the non-ASCII
     // marker on every arm; the byte column is arithmetic — the marker

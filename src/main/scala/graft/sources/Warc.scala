@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, get_json_object, json_array_length}
 
 /** WARC (ISO 28500) record walk — the wire format web crawls actually
   * ship in (Common Crawl's .warc.gz). A WARC file is a sequence of
@@ -83,20 +83,19 @@ object Warc {
     buf.toByteArray
   }
 
-  /** One parsed response per document: (targetUri, httpStatus,
-    * htmlBody, nRecords). Gunzips member-concatenated payloads first
-    * (magic sniff), walks every record by Content-Length, skips
-    * non-response records, splits the response's HTTP block. Throws on
-    * malformation: bad version line, missing Content-Length, truncated
-    * block, missing record separator, no response record. */
-  private[graft] def parseWarc(id: Long, payload: Array[Byte],
-                               maxInflatedBytes: Long = Inflate.MaxInflatedBytes)
-      : (String, Int, String, Int) = {
+  /** The shared framing walk every WARC-family reader (raw WARC, WET,
+    * WAT) rides: member-wise gunzip if the payload leads with the
+    * gzip magic (capped — deflate bombs fail inside the loop), then
+    * record-by-record: version line, headers, `Content-Length` octets
+    * of block, CRLF CRLF separator. Returns (lower-cased header map,
+    * block bytes) per record. Throws on malformation: bad version
+    * line, missing/garbage Content-Length, truncated block, missing
+    * separator. */
+  private[graft] def walkRecords(id: Long, payload: Array[Byte],
+                                 maxInflatedBytes: Long)
+      : Vector[(Map[String, String], Array[Byte])] = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"doc $id: $msg")
-    def intHeader(v: String, what: String): Int =
-      try v.toInt
-      catch { case _: NumberFormatException => fail(s"non-numeric $what '$v'") }
     val b =
       if (payload.length >= 2 && (payload(0) & 0xFF) == 0x1F && (payload(1) & 0xFF) == 0x8B)
         // multi-member gunzip with per-member CRC checks (JDK
@@ -104,8 +103,7 @@ object Warc {
         Inflate.gunzipCapped(payload, maxInflatedBytes, "warc.gz", fail)
       else payload
     var off = 0
-    var nRecords = 0
-    var resp: Option[(String, Int, String)] = None
+    val out = Vector.newBuilder[(Map[String, String], Array[Byte])]
     def line(from: Int): (String, Int) = {
       var i = from
       while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
@@ -128,8 +126,10 @@ object Warc {
             l.substring(colonAt + 1).trim)
         }
       }
-      val len = intHeader(headers.getOrElse("content-length", fail("missing Content-Length")),
-        "Content-Length")
+      val len =
+        try headers.getOrElse("content-length", fail("missing Content-Length")).toInt
+        catch { case _: NumberFormatException =>
+          fail(s"non-numeric Content-Length '${headers("content-length")}'") }
       if (len < 0) fail(s"negative Content-Length $len")
       if (p + len > b.length) fail("record block overruns buffer")
       val block = java.util.Arrays.copyOfRange(b, p, p + len)
@@ -138,7 +138,28 @@ object Warc {
       if (p + 4 > b.length || b(p) != '\r' || b(p + 1) != '\n' ||
           b(p + 2) != '\r' || b(p + 3) != '\n') fail("missing record separator")
       p += 4
-      nRecords += 1
+      out += ((headers.toMap, block))
+      off = p
+    }
+    out.result()
+  }
+
+  /** One parsed response per document: (targetUri, httpStatus,
+    * htmlBody, nRecords). Rides [[walkRecords]], skips non-response
+    * records, splits the response's HTTP block. Throws additionally
+    * on: no response record, multiple response records, malformed
+    * HTTP status/headers. */
+  private[graft] def parseWarc(id: Long, payload: Array[Byte],
+                               maxInflatedBytes: Long = Inflate.MaxInflatedBytes)
+      : (String, Int, String, Int) = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    def intHeader(v: String, what: String): Int =
+      try v.toInt
+      catch { case _: NumberFormatException => fail(s"non-numeric $what '$v'") }
+    val records = walkRecords(id, payload, maxInflatedBytes)
+    var resp: Option[(String, Int, String)] = None
+    records.foreach { case (headers, block) =>
       if (headers.get("warc-type").contains("response")) {
         if (resp.nonEmpty) fail("multiple response records in one payload")
         val uri = headers.getOrElse("warc-target-uri", fail("response lacks WARC-Target-URI"))
@@ -178,10 +199,9 @@ object Warc {
         }
         resp = Some((uri, status, new String(body, java.nio.charset.StandardCharsets.UTF_8)))
       }
-      off = p
     }
     val (uri, status, body) = resp.getOrElse(fail("no response record"))
-    (uri, status, body, nRecords)
+    (uri, status, body, records.length)
   }
 
   /** WARC → extracted text, end to end: walk + gunzip + HTTP split in
@@ -206,5 +226,145 @@ object Warc {
     staged.select(col("doc_id"), col("target_uri"), col("http_status"),
       col("n_records"), col("x.title").as("title"),
       col("x.main_text").as("main_text"))
+  }
+
+  // ---- WET (extracted-text) and WAT (metadata) sibling formats ----
+  // Common Crawl users consume these far more often than raw WARC:
+  // a WET file carries `warcinfo` + `conversion` records whose blocks
+  // are ALREADY-extracted plaintext; a WAT file carries `metadata`
+  // records whose blocks are JSON envelopes describing the original
+  // response. The framing is the shared record walk — only the
+  // payload handling differs.
+
+  private def warcinfoRecord(id: Long): Array[Byte] = {
+    val block = ("software: graft-crawler/1.0\r\n" +
+      "format: WARC File Format 1.1\r\n").getBytes("US-ASCII")
+    (s"WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      s"WARC-Record-ID: <urn:graft:$id:warcinfo>\r\n" +
+      s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      s"Content-Length: ${block.length}\r\n\r\n").getBytes("US-ASCII") ++
+      block ++ "\r\n\r\n".getBytes("US-ASCII")
+  }
+
+  private def typedRecord(id: Long, typ: String, uri: String,
+                          contentType: String, block: Array[Byte]): Array[Byte] =
+    (s"WARC/1.0\r\nWARC-Type: $typ\r\n" +
+      s"WARC-Record-ID: <urn:graft:$id:$typ>\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      s"Content-Type: $contentType\r\n" +
+      s"Content-Length: ${block.length}\r\n\r\n").getBytes("US-ASCII") ++
+      block ++ "\r\n\r\n".getBytes("US-ASCII")
+
+  /** Deterministic WET corpus — per document a warcinfo record (the
+    * walker must skip it) + one conversion record whose block is the
+    * closed-form extracted text. Even ids plain, odd ids warc.gz
+    * (one member per record), matching the WARC fixture's transport
+    * split. */
+  def wetDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val uri = s"https://crawl.site${id % 50}.com/doc/${id % 97}"
+        val block = s"doc $id extracted: $text".getBytes("UTF-8")
+        val recs = Seq(warcinfoRecord(id),
+          typedRecord(id, "conversion", uri, "text/plain", block))
+        val payload =
+          if (id % 2 == 0) recs.reduce(_ ++ _)
+          else recs.map(gzipMember).reduce(_ ++ _)
+        (id, payload)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** WET → (doc_id, target_uri, n_records, text): the record walk
+    * keeps conversion records only (their block IS the text — no
+    * HTTP split, no HTML kernel). Fails loudly on zero or multiple
+    * conversion records. Map-only in the batched seam, like the WARC
+    * walk. */
+  def wetExtract(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    val limit = Inflate.limitOf(spark)
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        def fail(msg: String): Nothing =
+          throw new IllegalArgumentException(s"doc $id: $msg")
+        val records = walkRecords(id, bytes, limit)
+        val convs = records.filter(_._1.get("warc-type").contains("conversion"))
+        if (convs.isEmpty) fail("no conversion record")
+        if (convs.length > 1) fail("multiple conversion records in one payload")
+        val (headers, block) = convs.head
+        val uri = headers.getOrElse("warc-target-uri",
+          fail("conversion lacks WARC-Target-URI"))
+        (id, uri, records.length,
+          new String(block, java.nio.charset.StandardCharsets.UTF_8))
+      }).toDF("doc_id", "target_uri", "n_records", "text")
+  }
+
+  /** Deterministic WAT corpus — per document a warcinfo record + one
+    * metadata record whose block is the Common-Crawl-shaped JSON
+    * envelope: WARC header metadata (target URI, original record
+    * type) and HTTP response metadata (status, Content-Type, an
+    * HTML-Metadata.Links array of 1 + id%4 closed-form URLs). Status
+    * rotates 200/301 on id % 4 == 2. */
+  def watDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val uri = s"https://crawl.site${id % 50}.com/doc/${id % 97}"
+        val status = if (id % 4 == 2) 301 else 200
+        val links = (0 until (1 + (id % 4)).toInt).map { j =>
+          s"""{"path":"A@/href","url":"https://site${id % 50}.com/link/${(id + 7 * j) % 97}"}"""
+        }.mkString(",")
+        val json =
+          s"""{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"$uri","WARC-Type":"response"},""" +
+            s""""Payload-Metadata":{"HTTP-Response-Metadata":{""" +
+            s""""Response-Message":{"Status":"$status"},""" +
+            s""""Headers":{"Content-Type":"text/html"},""" +
+            s""""HTML-Metadata":{"Links":[$links]}}}}}"""
+        val recs = Seq(warcinfoRecord(id),
+          typedRecord(id, "metadata", uri, "application/json", json.getBytes("UTF-8")))
+        val payload =
+          if (id % 2 == 0) recs.reduce(_ ++ _)
+          else recs.map(gzipMember).reduce(_ ++ _)
+        (id, payload)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** WAT → (doc_id, target_uri, http_status, content_type, n_links,
+    * first_link): the walk emits each metadata record's JSON block as
+    * a string; the FIELD extraction is native codegen JSON-path work
+    * (`get_json_object`/`json_array_length`) — no JSON parsing in the
+    * batched seam, so Catalyst prunes/pushes around it like any other
+    * expression. */
+  def watExtract(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    val limit = Inflate.limitOf(spark)
+    val walked = bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        def fail(msg: String): Nothing =
+          throw new IllegalArgumentException(s"doc $id: $msg")
+        val metas = walkRecords(id, bytes, limit)
+          .filter(_._1.get("warc-type").contains("metadata"))
+        if (metas.isEmpty) fail("no metadata record")
+        if (metas.length > 1) fail("multiple metadata records in one payload")
+        (id, new String(metas.head._2, java.nio.charset.StandardCharsets.UTF_8))
+      }).toDF("doc_id", "wat_json")
+    val env = "$['Envelope']"
+    val http = s"$env['Payload-Metadata']['HTTP-Response-Metadata']"
+    walked.select(col("doc_id"),
+      get_json_object(col("wat_json"),
+        s"$env['WARC-Header-Metadata']['WARC-Target-URI']").as("target_uri"),
+      get_json_object(col("wat_json"),
+        s"$http['Response-Message']['Status']").cast("int").as("http_status"),
+      get_json_object(col("wat_json"),
+        s"$http['Headers']['Content-Type']").as("content_type"),
+      json_array_length(get_json_object(col("wat_json"),
+        s"$http['HTML-Metadata']['Links']")).as("n_links"),
+      get_json_object(col("wat_json"),
+        s"$http['HTML-Metadata']['Links'][0]['url']").as("first_link"))
   }
 }

@@ -67,4 +67,36 @@ class WarcSpec extends SparkSpec {
     val badGz = gzed.clone(); badGz(badGz.length / 2) = (badGz(badGz.length / 2) ^ 0x5A).toByte
     intercept[Exception](Warc.parseWarc(3L, badGz))
   }
+
+  test("wetExtract: warcinfo skipped, the conversion block is the text, both transports") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 20)
+    val text = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Warc.wetExtract(Warc.wetDocs(docs)).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == s"https://crawl.site${id % 50}.com/doc/${id % 97}")
+      assert(r.getInt(2) == 2, "warcinfo counted but skipped")
+      assert(r.getString(3) == s"doc $id extracted: ${text(id)}")
+    }
+    // a WET payload with no conversion record fails loudly: a raw
+    // WARC stream (request+response) is NOT a WET file
+    val warc = Warc.warcDocs(docs.filter(col("doc_id") === 2))
+    intercept[Exception](Warc.wetExtract(warc).collect())
+  }
+
+  test("watExtract: JSON envelope fields via native JSON paths, both transports") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 20)
+    val out = Warc.watExtract(Warc.watDocs(docs)).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == s"https://crawl.site${id % 50}.com/doc/${id % 97}")
+      assert(r.getInt(2) == (if (id % 4 == 2) 301 else 200))
+      assert(r.getString(3) == "text/html")
+      assert(r.getInt(4) == 1 + (id % 4), s"doc $id link count")
+      assert(r.getString(5) == s"https://site${id % 50}.com/link/${id % 97}")
+    }
+  }
 }
