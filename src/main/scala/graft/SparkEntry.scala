@@ -563,6 +563,18 @@ object SparkEntry {
     "t_html_extract" -> ((s, dir) =>
       graft.functions.TextAnalysis.extractHtml(
         graft.functions.TextAnalysis.htmlDocs(Tables.documents(s, dir)))),
+    // LaTeX extraction (the arXiv/science slice): fused state machine
+    // dropping comments/preamble/math/cites, keeping section text,
+    // capturing \title — structure counts ride along
+    "t_latex_extract" -> ((s, dir) =>
+      graft.functions.MarkupKernels.latexExtract(
+        graft.functions.MarkupKernels.latexDocs(Tables.documents(s, dir)))),
+    // Markdown extraction (the README/docs slice): fenced code
+    // skipped, heading/link/image/emphasis markup shed, first H1 as
+    // title
+    "t_markdown_extract" -> ((s, dir) =>
+      graft.functions.MarkupKernels.markdownExtract(
+        graft.functions.MarkupKernels.markdownDocs(Tables.documents(s, dir)))),
     // per-document gzip decode seam: REAL RFC 1952 member walk +
     // Inflater + trailer CRC/ISIZE verification; the oracle compares
     // the decoded leg against the plaintext column
@@ -4152,6 +4164,36 @@ object SparkEntry {
         |       CAST(6 AS INT) AS n_blocks,
         |       CAST(3 AS INT) AS n_boiler_blocks,
         |       CAST(7 AS INT) AS n_links
+        |FROM documents""".stripMargin,
+    // LaTeX extraction: every output byte is arithmetic in (doc_id,
+    // text) — sections keep their argument text, comments/preamble/
+    // math/cites drop, \% survives as a literal percent, ~ is a space
+    "t_latex_extract" ->
+      """SELECT doc_id,
+        |       'Doc ' || CAST(doc_id AS VARCHAR) || ' title' AS title,
+        |       'Intro ' || CAST(doc_id % 7 AS VARCHAR) || ' This is doc ' ||
+        |       CAST(doc_id % 97 AS VARCHAR) || ' body: ' || text ||
+        |       ' 100% real. Math inline and display end. See and here now.' AS text,
+        |       CAST(1 AS INT) AS n_sections,
+        |       CAST(2 AS INT) AS n_envs,
+        |       CAST(3 AS INT) AS n_math,
+        |       CAST(1 AS INT) AS n_cites
+        |FROM documents""".stripMargin,
+    // Markdown extraction: heading/list/quote/emphasis markup shed,
+    // link text kept (url dropped), image dropped, fence skipped,
+    // inline code keeps its content
+    "t_markdown_extract" ->
+      """SELECT doc_id,
+        |       'Doc ' || CAST(doc_id AS VARCHAR) || ' Title' AS title,
+        |       'Doc ' || CAST(doc_id AS VARCHAR) || ' Title Intro emphasis and ' ||
+        |       'strong words. item ' || CAST(doc_id % 5 AS VARCHAR) ||
+        |       ' second item quote line ' || CAST(doc_id % 7 AS VARCHAR) ||
+        |       ' A link ' || CAST(doc_id % 11 AS VARCHAR) || ' and here. Inline code' ||
+        |       CAST(doc_id % 9 AS VARCHAR) || ' end. ' || text AS text,
+        |       CAST(1 AS INT) AS n_headings,
+        |       CAST(1 AS INT) AS n_links,
+        |       CAST(1 AS INT) AS n_images,
+        |       CAST(1 AS INT) AS n_code_blocks
         |FROM documents""".stripMargin,
     // gzip decode: round-trips the plaintext (the container bytes are
     // not SQL-replayable; the decoded leg is the oracle surface)

@@ -1,0 +1,442 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SqlBridge
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** LaTeX and Markdown text extraction — the arXiv/science and
+  * README/documentation slices of a pretraining corpus. Both are the
+  * [[HtmlKernels]] move re-instantiated: ONE fused per-row
+  * state-machine pass (a codegen'd Catalyst expression riding
+  * WholeStageCodegen — no UDF, no shuffle; a map-only scan at
+  * 100 TB) that strips markup STRUCTURALLY rather than by regex — a
+  * regex `\\command` strip would mangle escaped `\%` and bite into
+  * math, and a regex backtick strip would eat fenced code bodies.
+  *
+  * LaTeX rules (the arxiv-cleaner lineage):
+  *  - `%` comments dropped to end of line (`\%` is a literal percent);
+  *  - math dropped and counted: `$…$`, `$$…$$`, `\[…\]`, `\(…\)` and
+  *    the math environments (equation/align/math/displaymath/gather,
+  *    starred forms);
+  *  - `\begin{…}`/`\end{…}` markers dropped (environments counted);
+  *  - commands with CONSUMED arguments: the reference/preamble set
+  *    (cite/ref/label/usepackage/documentclass/includegraphics/
+  *    input/include/bibliography…) drops `[opt]{arg}` entirely
+  *    (cites counted); `\title{…}` is captured as the title;
+  *  - sectioning commands (section/subsection/…/chapter/paragraph)
+  *    are counted and their argument text KEPT;
+  *  - every other `\command` drops just the command token, and brace
+  *    groups `{…}` shed their braces in the main loop — so nested
+  *    markup inside kept arguments (`\section{a \emph{b}}`) is
+  *    processed naturally instead of leaking;
+  *  - `~` → space, `\\` → space, `\%&_$#{}` escapes → the literal.
+  *
+  * Markdown rules (CommonMark core):
+  *  - fenced code blocks (``` / ~~~) skipped and counted;
+  *  - ATX headings: hashes stripped, text kept, counted; the first
+  *    `#` heading is the title;
+  *  - `[text](url)` keeps text, drops url (counted);
+  *    `![alt](url)` drops entirely (counted);
+  *  - inline backtick code keeps its content, sheds the backticks;
+  *  - `*` emphasis markers dropped; `>` quote prefixes and list
+  *    markers (`- * +`, `1.`) stripped at line start; `---` rules
+  *    dropped.
+  * Whitespace collapses to single spaces in every output, matching
+  * the HTML kernel's discipline, so the oracle replays outputs with
+  * exact string arithmetic.
+  */
+object MarkupKernels {
+
+  // ---- output schemas ----
+
+  val LatexOutputType: StructType = StructType(Seq(
+    StructField("title", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("n_sections", IntegerType, nullable = false),
+    StructField("n_envs", IntegerType, nullable = false),
+    StructField("n_math", IntegerType, nullable = false),
+    StructField("n_cites", IntegerType, nullable = false)))
+
+  val MarkdownOutputType: StructType = StructType(Seq(
+    StructField("title", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("n_headings", IntegerType, nullable = false),
+    StructField("n_links", IntegerType, nullable = false),
+    StructField("n_images", IntegerType, nullable = false),
+    StructField("n_code_blocks", IntegerType, nullable = false)))
+
+  def latexExtractCol(tex: Column): Column =
+    SqlBridge.column(LatexExtract(SqlBridge.expression(tex)))
+
+  def markdownExtractCol(md: Column): Column =
+    SqlBridge.column(MarkdownExtract(SqlBridge.expression(md)))
+
+  // ---- fixtures (pure concat expressions — closed-form in doc_id) ----
+
+  /** Deterministic LaTeX corpus: preamble with a comment and a
+    * consumed-arg package, a title, one section, emphasis, an escaped
+    * percent, inline + display math, an equation environment, cite +
+    * ref + a tie — every extraction rule exercised, every output
+    * byte arithmetic in (doc_id, text). */
+  def latexDocs(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val tex = concat(
+      lit("\\documentclass{article}\n"),
+      lit("% review notes: drop line "), id % 41, lit(" entirely\n"),
+      lit("\\usepackage{amsmath}\n"),
+      lit("\\title{Doc "), id, lit(" title}\n"),
+      lit("\\begin{document}\n\\maketitle\n"),
+      lit("\\section{Intro "), id % 7, lit("}\n"),
+      lit("This is \\emph{doc "), id % 97, lit("} body: "), col("text"),
+      lit(" 100\\% real.\n"),
+      lit("Math inline $x^2 + "), id % 5,
+      lit("$ and display \\[ y_"), id % 3, lit(" = "), id % 9, lit(" \\] end.\n"),
+      lit("\\begin{equation}\nE = m c^2 + "), id % 11, lit("\n\\end{equation}\n"),
+      lit("See \\cite{ref"), id % 11, lit("} and \\ref{fig:"), id % 13,
+      lit("} here~now.\n"),
+      lit("\\end{document}\n"))
+    documents.select(id, tex.as("tex"))
+  }
+
+  /** Deterministic Markdown corpus: an H1 title, emphasis, list
+    * items, a blockquote, a link + an image, a fenced code block, a
+    * rule, inline code — all arithmetic in (doc_id, text). */
+  def markdownDocs(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val md = concat(
+      lit("# Doc "), id, lit(" Title\n"),
+      lit("Intro *emphasis* and **strong** words.\n"),
+      lit("- item "), id % 5, lit("\n- second item\n"),
+      lit("> quote line "), id % 7, lit("\n"),
+      lit("A [link "), id % 11, lit("](https://x.com/p"), id % 13,
+      lit(") and ![pic](img"), id % 3, lit(".png) here.\n"),
+      lit("---\n"),
+      lit("```\nlet x = "), id % 17, lit(";\n```\n"),
+      lit("Inline `code"), id % 9, lit("` end. "), col("text"), lit("\n"))
+    documents.select(id, md.as("md"))
+  }
+
+  /** LaTeX → (doc_id, title, text, n_sections, n_envs, n_math,
+    * n_cites), one fused pass. */
+  def latexExtract(docs: DataFrame): DataFrame = {
+    val staged = docs.select(col("doc_id"), latexExtractCol(col("tex")).as("x"))
+    staged.select(col("doc_id"), col("x.title").as("title"),
+      col("x.text").as("text"), col("x.n_sections").as("n_sections"),
+      col("x.n_envs").as("n_envs"), col("x.n_math").as("n_math"),
+      col("x.n_cites").as("n_cites"))
+  }
+
+  /** Markdown → (doc_id, title, text, n_headings, n_links, n_images,
+    * n_code_blocks), one fused pass. */
+  def markdownExtract(docs: DataFrame): DataFrame = {
+    val staged = docs.select(col("doc_id"), markdownExtractCol(col("md")).as("x"))
+    staged.select(col("doc_id"), col("x.title").as("title"),
+      col("x.text").as("text"), col("x.n_headings").as("n_headings"),
+      col("x.n_links").as("n_links"), col("x.n_images").as("n_images"),
+      col("x.n_code_blocks").as("n_code_blocks"))
+  }
+
+  // ---- LaTeX state machine ----
+
+  private val MathEnvs: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("equation", "equation*", "align", "align*", "math",
+      "displaymath", "eqnarray", "eqnarray*", "gather", "gather*")
+      .foreach(s.add)
+    s
+  }
+
+  private val SectionCmds: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("part", "chapter", "section", "subsection", "subsubsection",
+      "paragraph", "subparagraph").foreach(s.add)
+    s
+  }
+
+  /** Commands whose bracket/brace arguments are consumed and dropped
+    * (references, preamble, floats' payloads). */
+  private val DropArgCmds: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("cite", "citep", "citet", "ref", "eqref", "pageref", "label",
+      "usepackage", "documentclass", "includegraphics", "input",
+      "include", "bibliography", "bibliographystyle", "vspace",
+      "hspace", "setlength", "newcommand", "renewcommand")
+      .foreach(s.add)
+    s
+  }
+
+  private def collapse(sb: java.lang.StringBuilder): String = {
+    val out = new java.lang.StringBuilder(sb.length)
+    var i = 0
+    var pending = false
+    while (i < sb.length) {
+      val c = sb.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f') {
+        if (out.length > 0) pending = true
+      } else {
+        if (pending) { out.append(' '); pending = false }
+        out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  /** Balanced-brace group starting at h(i)=='{': returns (inner,
+    * index past the closing brace). Unbalanced → rest of input. */
+  private def braceGroup(h: String, i: Int): (String, Int) = {
+    var depth = 0
+    var j = i
+    while (j < h.length) {
+      val c = h.charAt(j)
+      if (c == '\\' && j + 1 < h.length) j += 1 // escaped char
+      else if (c == '{') depth += 1
+      else if (c == '}') {
+        depth -= 1
+        if (depth == 0) return (h.substring(i + 1, j), j + 1)
+      }
+      j += 1
+    }
+    (h.substring(math.min(i + 1, h.length)), h.length)
+  }
+
+  /** Called from generated code (static forwarder). */
+  def latexInto(s: UTF8String): InternalRow = {
+    val h = s.toString
+    val n = h.length
+    val title = new java.lang.StringBuilder
+    val text = new java.lang.StringBuilder
+    var nSections = 0
+    var nEnvs = 0
+    var nMath = 0
+    var nCites = 0
+    // \title{…} capture: appends retarget to `title` until the brace
+    // depth falls back to where the capture began — so nested markup
+    // inside the title (\title{My \emph{Fine} Paper}) is processed by
+    // the SAME loop instead of leaking raw
+    var groupDepth = 0
+    var titleUntil = -1
+    def dest = if (titleUntil >= 0) title else text
+
+    var i = 0
+    while (i < n) {
+      val c = h.charAt(i)
+      if (c == '%') { // comment to end of line (escaped \% never lands here)
+        while (i < n && h.charAt(i) != '\n') i += 1
+      } else if (c == '$') {
+        nMath += 1
+        val dollars = if (i + 1 < n && h.charAt(i + 1) == '$') 2 else 1
+        i += dollars
+        // skip to the closing delimiter of the same arity
+        var closed = false
+        while (!closed && i < n) {
+          if (h.charAt(i) == '\\' && i + 1 < n) i += 2
+          else if (h.charAt(i) == '$') {
+            if (dollars == 1) { closed = true; i += 1 }
+            else if (i + 1 < n && h.charAt(i + 1) == '$') { closed = true; i += 2 }
+            else i += 1
+          } else i += 1
+        }
+      } else if (c == '~') {
+        dest.append(' '); i += 1
+      } else if (c == '{') {
+        groupDepth += 1; i += 1 // group markers shed; content flows
+      } else if (c == '}') {
+        groupDepth -= 1
+        if (titleUntil >= 0 && groupDepth <= titleUntil) titleUntil = -1
+        i += 1
+      } else if (c == '\\') {
+        if (i + 1 >= n) { i += 1 }
+        else {
+          val d = h.charAt(i + 1)
+          if (d == '[' || d == '(') { // display/inline math \[…\] \(…\)
+            nMath += 1
+            val closer = if (d == '[') "\\]" else "\\)"
+            val end = h.indexOf(closer, i + 2)
+            i = if (end < 0) n else end + 2
+          } else if (d == '\\') {
+            dest.append(' '); i += 2 // forced line break
+          } else if (d == '%' || d == '&' || d == '_' || d == '$' ||
+                     d == '#' || d == '{' || d == '}') {
+            dest.append(d); i += 2 // escaped literal
+          } else if (Character.isLetter(d)) {
+            var j = i + 1
+            while (j < n && Character.isLetter(h.charAt(j))) j += 1
+            var name = h.substring(i + 1, j)
+            if (j < n && h.charAt(j) == '*') { name += "*"; j += 1 }
+            while (j < n && h.charAt(j) == ' ') j += 1
+            // optional [opt] argument: consumed for ALL commands
+            if (j < n && h.charAt(j) == '[') {
+              val rb = h.indexOf(']', j + 1)
+              j = if (rb < 0) n else rb + 1
+            }
+            val base = if (name.endsWith("*")) name.dropRight(1) else name
+            if (base == "begin" && j < n && h.charAt(j) == '{') {
+              val (env, after) = braceGroup(h, j)
+              nEnvs += 1
+              if (MathEnvs.contains(env)) {
+                nMath += 1
+                val closer = s"\\end{$env}"
+                val end = h.indexOf(closer, after)
+                i = if (end < 0) n else end + closer.length
+              } else i = after
+            } else if (base == "end" && j < n && h.charAt(j) == '{') {
+              i = braceGroup(h, j)._2
+            } else if (base == "title" && j < n && h.charAt(j) == '{') {
+              titleUntil = groupDepth // capture until this depth returns
+              i = j // the '{' itself increments groupDepth in the main loop
+            } else if (DropArgCmds.contains(base)) {
+              if (base == "cite" || base == "citep" || base == "citet") nCites += 1
+              // consume every immediately-following brace group
+              var p = j
+              while (p < n && h.charAt(p) == '{') p = braceGroup(h, p)._2
+              i = p
+            } else {
+              if (SectionCmds.contains(base)) nSections += 1
+              // keep-command: drop the token only; argument braces
+              // shed in the main loop (nested markup processed)
+              i = j
+              dest.append(' ') // the command consumed trailing spaces
+            }
+          } else { i += 2 } // unknown escape: dropped
+        }
+      } else {
+        dest.append(c); i += 1
+      }
+    }
+
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(collapse(title)),
+      UTF8String.fromString(collapse(text)),
+      nSections, nEnvs, nMath, nCites))
+  }
+
+  // ---- Markdown state machine ----
+
+  /** Called from generated code (static forwarder). */
+  def markdownInto(s: UTF8String): InternalRow = {
+    val h = s.toString
+    val title = new java.lang.StringBuilder
+    val text = new java.lang.StringBuilder
+    var nHeadings = 0
+    var nLinks = 0
+    var nImages = 0
+    var nCode = 0
+    var inFence = false
+
+    def inline(line: String, into: java.lang.StringBuilder): Unit = {
+      var i = 0
+      val n = line.length
+      while (i < n) {
+        val c = line.charAt(i)
+        if (c == '!' && i + 1 < n && line.charAt(i + 1) == '[') {
+          val rb = line.indexOf(']', i + 2)
+          if (rb >= 0 && rb + 1 < n && line.charAt(rb + 1) == '(') {
+            val rp = line.indexOf(')', rb + 2)
+            if (rp >= 0) { nImages += 1; i = rp + 1 }
+            else { into.append(c); i += 1 }
+          } else { into.append(c); i += 1 }
+        } else if (c == '[') {
+          val rb = line.indexOf(']', i + 1)
+          if (rb >= 0 && rb + 1 < n && line.charAt(rb + 1) == '(') {
+            val rp = line.indexOf(')', rb + 2)
+            if (rp >= 0) {
+              nLinks += 1
+              inline(line.substring(i + 1, rb), into) // link text, recursively
+              i = rp + 1
+            } else { into.append(c); i += 1 }
+          } else { into.append(c); i += 1 }
+        } else if (c == '`') {
+          val close = line.indexOf('`', i + 1)
+          if (close >= 0) { into.append(line, i + 1, close); i = close + 1 }
+          else { into.append(c); i += 1 }
+        } else if (c == '*') {
+          i += 1 // emphasis marker
+        } else {
+          into.append(c); i += 1
+        }
+      }
+    }
+
+    h.split("\n", -1).foreach { raw =>
+      val t = raw.trim
+      if (t.startsWith("```") || t.startsWith("~~~")) {
+        if (!inFence) nCode += 1
+        inFence = !inFence
+      } else if (!inFence) {
+        if (t.matches("-{3,}|\\*{3,}|_{3,}")) () // thematic break
+        else if (t.startsWith("#")) {
+          var lvl = 0
+          while (lvl < t.length && t.charAt(lvl) == '#') lvl += 1
+          if (lvl <= 6 && lvl < t.length && t.charAt(lvl) == ' ') {
+            nHeadings += 1
+            val body = t.substring(lvl + 1)
+            val sb = new java.lang.StringBuilder
+            inline(body, sb)
+            if (lvl == 1 && title.length == 0) title.append(sb)
+            text.append(sb).append('\n')
+          } else { inline(t, text); text.append('\n') }
+        } else {
+          // strip blockquote markers, then one list marker
+          var body = t
+          while (body.startsWith("> ") || body == ">")
+            body = if (body == ">") "" else body.substring(2)
+          body = body.replaceFirst("^([-*+]|\\d{1,9}\\.) ", "")
+          inline(body, text)
+          text.append('\n')
+        }
+      }
+    }
+
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(collapse(title)),
+      UTF8String.fromString(collapse(text)),
+      nHeadings, nLinks, nImages, nCode))
+  }
+}
+
+/** One-pass LaTeX → (title, text, structure counts) as a codegen'd
+  * Catalyst expression — the science-corpus front door staying inside
+  * WholeStageCodegen like [[HtmlExtract]]. */
+case class LatexExtract(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"latex_extract expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = MarkupKernels.LatexOutputType
+  override def prettyName: String = "latex_extract"
+  override def nullSafeEval(input: Any): Any =
+    MarkupKernels.latexInto(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.MarkupKernels.latexInto($s);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One-pass Markdown → (title, text, structure counts), same
+  * discipline. */
+case class MarkdownExtract(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"markdown_extract expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = MarkupKernels.MarkdownOutputType
+  override def prettyName: String = "markdown_extract"
+  override def nullSafeEval(input: Any): Any =
+    MarkupKernels.markdownInto(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.MarkupKernels.markdownInto($s);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.MarkupKernels
+
+/** LaTeX/Markdown extraction semantics: structural stripping edges a
+  * regex approach would get wrong, plus the keepSet composition. */
+class MarkupKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def latex(s: String): (String, String, Int, Int, Int, Int) = {
+    val r = MarkupKernels.latexExtract(
+      Seq((0L, s)).toDF("doc_id", "tex")).collect()(0)
+    (r.getString(1), r.getString(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))
+  }
+
+  private def md(s: String): (String, String, Int, Int, Int, Int) = {
+    val r = MarkupKernels.markdownExtract(
+      Seq((0L, s)).toDF("doc_id", "md")).collect()(0)
+    (r.getString(1), r.getString(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))
+  }
+
+  test("latex: escaped \\% is literal; % comments drop to end of line") {
+    val (_, t, _, _, _, _) = latex("50\\% off % but this is a comment\nnext line")
+    assert(t == "50% off next line")
+  }
+
+  test("latex: nested markup inside kept arguments is processed, not leaked") {
+    val (_, t, s, _, _, _) = latex("\\section{a \\emph{deep} title}\nbody")
+    assert(t == "a deep title body" && s == 1)
+  }
+
+  test("latex: math forms all skip and count — $, $$, \\[, \\(, environments") {
+    val (_, t, _, envs, m, _) =
+      latex("a $x$ b $$y$$ c \\[z\\] d \\(w\\) e\n" +
+        "\\begin{align}\nq &= 1\n\\end{align}\nf")
+    assert(t == "a b c d e f")
+    assert(m == 5 && envs == 1)
+  }
+
+  test("latex: a math environment containing $ inside exits only at its \\end") {
+    val (_, t, _, _, m, _) =
+      latex("pre \\begin{equation} a $ b \\end{equation} post")
+    // ONE math region: the env skip swallows the inner $ structurally
+    assert(t == "pre post" && m == 1)
+  }
+
+  test("latex: drop-arg commands consume [opt]{args}; cites counted") {
+    val (_, t, _, _, _, c) =
+      latex("see \\cite[p.~3]{k1} and \\includegraphics[width=2cm]{fig.png} done")
+    assert(t == "see and done" && c == 1)
+  }
+
+  test("latex: title captured, not in body; ~ and \\\\ become spaces") {
+    val (ti, t, _, _, _, _) = latex("\\title{My \\emph{Fine} Paper}\nA~B\\\\C")
+    assert(ti == "My Fine Paper")
+    assert(t == "A B C")
+  }
+
+  test("markdown: fence bodies are skipped even when they contain markdown") {
+    val (_, t, h, l, _, cb) =
+      md("# T\n```\n# not a heading\n[not](a-link)\n```\nafter")
+    assert(t == "T after" && h == 1 && l == 0 && cb == 1)
+  }
+
+  test("markdown: image vs link; inline code keeps content; emphasis shed") {
+    val (_, t, _, l, im, _) =
+      md("![alt](i.png) then [*text*](u) and `a*b`")
+    assert(t == "then text and a*b")
+    assert(l == 1 && im == 1)
+  }
+
+  test("markdown: blockquote and list prefixes strip; rules drop; unclosed forms literal") {
+    val (_, t, _, _, _, _) =
+      md("> > nested quote\n1. numbered\n---\n[no-url] stays `tick")
+    assert(t == "nested quote numbered [no-url] stays `tick")
+  }
+
+  test("markdown: first H1 is the title; later headings are not") {
+    val (ti, t, h, _, _, _) = md("## sub first\n# real title\n# second h1")
+    assert(ti == "real title" && h == 3)
+    assert(t == "sub first real title second h1")
+  }
+
+  test("extracted LaTeX and Markdown text composes with Corpus.keepSet") {
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    val tex = MarkupKernels.latexExtract(MarkupKernels.latexDocs(docs))
+      .select(col("doc_id"), col("text"))
+    val keptTex = graft.operators.Corpus.keepSet(tex)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptTex.nonEmpty && keptTex.forall(_ < 50))
+    val mdd = MarkupKernels.markdownExtract(MarkupKernels.markdownDocs(docs))
+      .select(col("doc_id"), col("text"))
+    val keptMd = graft.operators.Corpus.keepSet(mdd)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptMd.nonEmpty && keptMd.forall(_ < 50))
+  }
+}
