@@ -563,6 +563,16 @@ object SparkEntry {
     "t_html_extract" -> ((s, dir) =>
       graft.functions.TextAnalysis.extractHtml(
         graft.functions.TextAnalysis.htmlDocs(Tables.documents(s, dir)))),
+    // HTML structured metadata: og:* + meta description by per-row
+    // regex, JSON-LD via non-greedy block lift + native JSON paths
+    "t_html_meta" -> ((s, dir) =>
+      graft.functions.TextAnalysis.extractHtmlMeta(
+        graft.functions.TextAnalysis.htmlMetaDocs(Tables.documents(s, dir)))),
+    // <table> → per-cell rows: three chained block-split + posexplode
+    // stages (table → tr → th/td), tags stripped from cell text
+    "t_html_tables" -> ((s, dir) =>
+      graft.functions.TextAnalysis.extractHtmlTables(
+        graft.functions.TextAnalysis.htmlTableDocs(Tables.documents(s, dir)))),
     // LaTeX extraction (the arXiv/science slice): fused state machine
     // dropping comments/preamble/math/cites, keeping section text,
     // capturing \title — structure counts ride along
@@ -4165,6 +4175,37 @@ object SparkEntry {
         |       CAST(3 AS INT) AS n_boiler_blocks,
         |       CAST(7 AS INT) AS n_links
         |FROM documents""".stripMargin,
+    // HTML metadata: every field arithmetic in doc_id
+    "t_html_meta" ->
+      """SELECT doc_id,
+        |       'Doc ' || CAST(doc_id AS VARCHAR) || ' og' AS og_title,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'article' ELSE 'website' END AS og_type,
+        |       'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.com/doc/' ||
+        |       CAST(doc_id % 97 AS VARCHAR) AS og_url,
+        |       'summary ' || CAST(doc_id % 13 AS VARCHAR) || ' of doc ' ||
+        |       CAST(doc_id % 97 AS VARCHAR) AS meta_description,
+        |       'Article' AS ld_type,
+        |       'entry ' || CAST(doc_id % 7 AS VARCHAR) AS ld_headline,
+        |       CAST('2026-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+        |            AS DATE) AS ld_published
+        |FROM documents""".stripMargin,
+    // tables: (1 + id%2) tables × (header + 2 body rows) × (2 + id%3)
+    // columns, every cell closed-form
+    "t_html_tables" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS nt, 2 + doc_id % 3 AS nc
+        |           FROM documents),
+        |t AS (SELECT doc_id, nc, unnest(generate_series(0, nt - 1)) AS tbl FROM d),
+        |r AS (SELECT doc_id, nc, tbl, unnest(generate_series(0, 2)) AS rw FROM t),
+        |c AS (SELECT doc_id, tbl, rw, unnest(generate_series(0, nc - 1)) AS cl FROM r)
+        |SELECT doc_id, CAST(tbl AS INT) AS table_idx, CAST(rw AS INT) AS row_idx,
+        |       CAST(cl AS INT) AS col_idx, rw = 0 AS is_header,
+        |       CASE WHEN rw = 0
+        |         THEN 'h' || CAST(tbl AS VARCHAR) || ' ' || CAST(cl AS VARCHAR) ||
+        |              ' ' || CAST(doc_id % 7 AS VARCHAR)
+        |         ELSE 'v' || CAST(tbl AS VARCHAR) || ' ' || CAST(rw - 1 AS VARCHAR) ||
+        |              ' ' || CAST(cl AS VARCHAR) || ' ' ||
+        |              CAST((doc_id + (rw - 1) * 3 + cl) % 11 AS VARCHAR) END AS cell
+        |FROM c""".stripMargin,
     // LaTeX extraction: every output byte is arithmetic in (doc_id,
     // text) — sections keep their argument text, comments/preamble/
     // math/cites drop, \% survives as a literal percent, ~ is a space

@@ -1273,4 +1273,107 @@ object TextAnalysis {
       col("x.n_boiler_blocks").as("n_boiler_blocks"),
       col("x.n_links").as("n_links"))
   }
+
+  /** Deterministic structured-metadata corpus: a head carrying the
+    * OpenGraph triple (og:title/og:type/og:url — og:type rotates
+    * article/website on id % 2), a meta description, and a JSON-LD
+    * script block (schema.org Article with headline + datePublished)
+    * — the metadata a real crawl curation joins on. All closed-form
+    * in doc_id. */
+  def htmlMetaDocs(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(x: String) = lit(x)
+    val ogType = when(id % 2 === 0, "article").otherwise("website")
+    val html = concat(
+      s("<!DOCTYPE html>\n<html><head>\n<title>doc "), id, s("</title>\n"),
+      s("<meta charset=\"utf-8\">\n"),
+      s("<meta property=\"og:title\" content=\"Doc "), id, s(" og\">\n"),
+      s("<meta property=\"og:type\" content=\""), ogType, s("\">\n"),
+      s("<meta property=\"og:url\" content=\"https://site"), id % 50,
+      s(".com/doc/"), id % 97, s("\">\n"),
+      s("<meta name=\"description\" content=\"summary "), id % 13,
+      s(" of doc "), id % 97, s("\">\n"),
+      s("<script type=\"application/ld+json\">{\"@context\":\"https://schema.org\","),
+      s("\"@type\":\"Article\",\"headline\":\"entry "), id % 7,
+      s("\",\"datePublished\":\"2026-01-"),
+      lpad((lit(1) + id % 28).cast("string"), 2, "0"),
+      s("\"}</script>\n</head>\n<body><p>"), col("text"), s("</p></body></html>"))
+    documents.select(col("doc_id"), html.as("html"))
+  }
+
+  /** OpenGraph / meta / JSON-LD extraction — the second pass over a
+    * crawled page after main-content extraction: og:* properties and
+    * the meta description by per-row regex (a meta tag is one
+    * self-contained void element — no state machine needed), the
+    * JSON-LD payload lifted with a non-greedy script-block regex and
+    * fielded with native JSON paths. Pure codegen; map-only at any
+    * scale. Absent fields surface as empty strings/null dates, never
+    * as dropped rows. */
+  def extractHtmlMeta(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val h = col(htmlCol)
+    def meta(attr: String, key: String) = regexp_extract(h,
+      s"""<meta[^>]*$attr="$key"[^>]*content="([^"]*)"""", 1)
+    val ld = regexp_extract(h,
+      "(?s)<script type=\"application/ld\\+json\">(.*?)</script>", 1)
+    pages.select(col("doc_id"),
+      meta("property", "og:title").as("og_title"),
+      meta("property", "og:type").as("og_type"),
+      meta("property", "og:url").as("og_url"),
+      meta("name", "description").as("meta_description"),
+      get_json_object(ld, "$['@type']").as("ld_type"),
+      get_json_object(ld, "$['headline']").as("ld_headline"),
+      to_date(get_json_object(ld, "$['datePublished']")).as("ld_published"))
+  }
+
+  /** Deterministic table corpus: 1 + id%2 tables per page, each a
+    * header row (th) + two body rows (td) of 2 + id%3 columns; every
+    * cell closed-form in (doc_id, table, row, col). */
+  def htmlTableDocs(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(x: String) = lit(x)
+    val nc = lit(2) + id % 3
+    def tableOf(t: Column): Column = {
+      val header = concat(s("<tr>"), array_join(
+        transform(sequence(lit(0), nc - 1), c =>
+          concat(s("<th>h"), t, s(" "), c, s(" "), id % 7, s("</th>"))), ""),
+        s("</tr>"))
+      val body = array_join(transform(sequence(lit(0), lit(1)), r =>
+        concat(s("<tr>"), array_join(
+          transform(sequence(lit(0), nc - 1), c =>
+            concat(s("<td>v"), t, s(" "), r, s(" "), c, s(" "),
+              (id + r * 3 + c) % 11, s("</td>"))), ""),
+          s("</tr>"))), "")
+      concat(s("<table id=\"t"), t, s("\">"), header, body, s("</table>"))
+    }
+    val html = concat(
+      s("<html><body><h1>tables "), id, s("</h1>\n"),
+      array_join(transform(sequence(lit(0), id % 2), tableOf(_)), "\n"),
+      s("\n</body></html>"))
+    documents.select(col("doc_id"), html.as("html"))
+  }
+
+  /** `<table>` → one row per cell: (doc_id, table_idx, row_idx,
+    * col_idx, is_header, cell) — what a crawl curation actually joins
+    * on when tables carry the data. Three chained non-greedy
+    * block-split + posexplode stages (table → tr → th/td), tags
+    * stripped from the cell text; the same per-row generate pattern
+    * as the sitemap walk — no shuffle, no UDF, output rows bounded by
+    * the page's own cell count. */
+  def extractHtmlTables(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val tables = pages.select(col("doc_id"),
+      posexplode(regexp_extract_all(col(htmlCol),
+        lit("(?s)<table[^>]*>(.*?)</table>"), lit(1))).as(Seq("table_idx", "tbl")))
+    val rows = tables.select(col("doc_id"), col("table_idx"),
+      posexplode(regexp_extract_all(col("tbl"),
+        lit("(?s)<tr[^>]*>(.*?)</tr>"), lit(1))).as(Seq("row_idx", "tr")))
+    rows.select(col("doc_id"),
+        col("table_idx").cast("int").as("table_idx"),
+        col("row_idx").cast("int").as("row_idx"),
+        posexplode(regexp_extract_all(col("tr"),
+          lit("(?s)<t[dh][^>]*>.*?</t[dh]>"), lit(0))).as(Seq("col_idx", "raw")))
+      .select(col("doc_id"), col("table_idx"), col("row_idx"),
+        col("col_idx").cast("int").as("col_idx"),
+        col("raw").startsWith("<th").as("is_header"),
+        trim(regexp_replace(col("raw"), "<[^>]*>", "")).as("cell"))
+  }
 }

@@ -593,6 +593,41 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     assert(t4 == "padded title" && all4 == "only the body paragraph counts here")
   }
 
+  test("extractHtmlMeta: absent fields surface as empty/null, never dropped rows") {
+    import spark.implicits._
+    val got = TextAnalysis.extractHtmlMeta(Seq(
+      (1L, "<html><head><meta property=\"og:title\" content=\"only og\">" +
+        "</head><body></body></html>"),
+      (2L, "<html><head><meta name=\"description\" content=\"only desc\">" +
+        "<script type=\"application/ld+json\">{\"@type\":\"NewsArticle\"," +
+        "\"headline\":\"hl\"}</script></head></html>"),
+      (3L, "<html><body>nothing structured</body></html>")
+    ).toDF("doc_id", "html")).collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 3)
+    assert(got(1L).getString(1) == "only og" && got(1L).getString(4) == "")
+    assert(got(1L).isNullAt(5), "no JSON-LD block -> null type")
+    assert(got(2L).getString(1) == "" && got(2L).getString(4) == "only desc")
+    assert(got(2L).getString(5) == "NewsArticle" && got(2L).getString(6) == "hl")
+    assert(got(2L).isNullAt(7), "no datePublished -> null date")
+    assert(got(3L).getString(1) == "" && got(3L).isNullAt(5))
+  }
+
+  test("extractHtmlTables: markup inside cells strips; pages without tables emit no rows") {
+    import spark.implicits._
+    val got = TextAnalysis.extractHtmlTables(Seq(
+      (1L, "<html><table class=\"z\"><tr><th>A <b>bold</b></th><td> pad </td></tr>" +
+        "</table><p>after</p><table><tr><td>t2</td></tr></table></html>"),
+      (2L, "<html><p>no tables at all</p></html>")
+    ).toDF("doc_id", "html")).collect()
+    assert(got.forall(_.getLong(0) == 1L), "tableless page emits nothing")
+    val cells = got.map(r => (r.getInt(1), r.getInt(2), r.getInt(3)) ->
+      ((r.getBoolean(4), r.getString(5)))).toMap
+    assert(cells((0, 0, 0)) == ((true, "A bold")), "inline markup stripped, th flagged")
+    assert(cells((0, 0, 1)) == ((false, "pad")), "whitespace trimmed, td flagged")
+    assert(cells((1, 0, 0)) == ((false, "t2")), "second table indexed")
+    assert(cells.size == 3)
+  }
+
   test("extractHtml output composes with Corpus.keepSet as the curation front door") {
     val pages = TextAnalysis.htmlDocs(Tables.documents(spark, sf0001).limit(50))
     val ext = TextAnalysis.extractHtml(pages)
