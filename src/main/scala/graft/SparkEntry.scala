@@ -659,6 +659,11 @@ object SparkEntry {
       Crawl.fetchSchedule(urls,
         Crawl.robotsMeta(Crawl.robotsDocs(Tables.documents(s, dir)), "graftbot"))
     }),
+    // the crawl capstone: WARC walk → charset repair → HTML kernel →
+    // robots gate → paragraph dedup → keepSet, each stage the
+    // verified operator verbatim, composed as ONE dataflow
+    "c_crawl_build" -> ((s, dir) =>
+      Crawl.crawlBuild(Tables.documents(s, dir))),
     // code-corpus front door: language routing by extension →
     // shebang → modeline precedence (the github-linguist strategy)
     "c_route_source" -> ((s, dir) =>
@@ -4387,6 +4392,8 @@ object SparkEntry {
         |            AS DATE) AS lastmod,
         |       CAST(1 + (h + j) % 9 AS INT) AS priority_tenths
         |FROM u""".stripMargin,
+    // crawl capstone: verified fragments composed verbatim
+    "c_crawl_build" -> crawlBuildOracle,
     // code routing: the fixture's 8 arms map closed-form to
     // (language, route) — an independent arithmetic reimplementation,
     // no regex replay needed
@@ -6024,8 +6031,10 @@ object SparkEntry {
 
   /** keepSet's gate+exact-keeper SQL (sig/f CTEs + final select),
     * shared by t_keep_set and t_keep_set_neardup. */
-  private lazy val keepSetCtes: String =
-    """sig AS (
+  /** keepSet CTEs over an arbitrary (doc_id, text) source — the
+    * crawl capstone reuses the machinery verbatim on composed text. */
+  private def keepSetCtesFrom(src: String): String =
+    s"""sig AS (
       |  SELECT doc_id, md5(text) AS fp,
       |         CASE WHEN s_en = t AND t > 0 THEN 'en'
       |              WHEN s_fr = t AND t > 0 THEN 'fr'
@@ -6055,9 +6064,11 @@ object SparkEntry {
       |                              for i in generate_series(0, len(w) - 3)])) AS td,
       |           len([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
       |                for i in generate_series(0, len(w) - 3)]) AS tt
-      |    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))),
+      |    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM $src))),
       |f AS (SELECT * FROM sig
       |      WHERE lang_pred = 'en' AND quality >= 0.6 AND dup_trigram_frac <= 0.05)""".stripMargin
+
+  private lazy val keepSetCtes: String = keepSetCtesFrom("documents")
 
   private lazy val keepSetSelect: String =
     """SELECT doc_id, lang_pred, quality, dup_trigram_frac FROM (
@@ -6121,8 +6132,11 @@ object SparkEntry {
   /** Shared by c_paragraph_dedup (batch) and s_stream_paragraph_dedup
     * (keeper-state changelog): same segmentation, keeper order and
     * ordered reassembly. */
-  private lazy val paragraphDedupOracle: String =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** Paragraph-dedup CTE chain (toks → ks → seg → rk → agg) over an
+    * arbitrary (doc_id, text) source — shared by the standalone
+    * oracle and the crawl capstone's composition. */
+  private def paragraphSegCtes(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
         |ks AS (SELECT doc_id, t,
         |              unnest(generate_series(0, CAST(ceil(len(t) / 10.0) AS INT) - 1)) AS k
         |       FROM toks),
@@ -6135,13 +6149,39 @@ object SparkEntry {
         |       FROM seg),
         |agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup,
         |               COUNT(*) AS n_kept
-        |        FROM rk WHERE rk = 1 GROUP BY doc_id),
+        |        FROM rk WHERE rk = 1 GROUP BY doc_id)""".stripMargin
+
+  private lazy val paragraphDedupOracle: String =
+    s"""WITH ${paragraphSegCtes("documents")},
         |tot AS (SELECT doc_id, COUNT(*) AS n FROM seg GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(agg.text_dedup, '') AS text_dedup,
         |       CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
         |       CAST(tot.n - coalesce(agg.n_kept, 0) AS BIGINT) AS n_dropped
         |FROM documents d JOIN tot ON d.doc_id = tot.doc_id
         |LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
+
+  /** The crawl capstone oracle — the verified fragments composed
+    * verbatim: the t_html_extract main_text closed form (text
+    * carrying the charset marker), the t_robots_gate decision for the
+    * graftbot * groups (h%4==0 hosts disallow /articles/ except the
+    * longer Allow /articles/7; everything else allows), the paragraph
+    * dedup chain over the gated set, then the keepSet machinery over
+    * the dedup'd text. */
+  private lazy val crawlBuildOracle: String =
+    s"""WITH ext AS (
+        |  SELECT doc_id,
+        |         'main heading ' || CAST(doc_id AS VARCHAR) || ' of document ' ||
+        |         CAST(doc_id % 97 AS VARCHAR) || ' ' || text ||
+        |         ' café — “naïve ±1 entities: A&B <x> "y" HI tail ' ||
+        |         CAST(doc_id % 13 AS VARCHAR) AS text
+        |  FROM documents),
+        |gated AS (SELECT doc_id, text FROM ext
+        |          WHERE NOT ((doc_id % 50) % 4 = 0
+        |                     AND substr(CAST(doc_id % 97 AS VARCHAR), 1, 1) <> '7')),
+        |${paragraphSegCtes("gated")},
+        |src AS (SELECT doc_id, text_dedup AS text FROM agg WHERE n_kept > 0),
+        |${keepSetCtesFrom("src")}
+        |$keepSetSelect""".stripMargin
 
   private lazy val keepSetNearDupOracle: String =
     s"""WITH RECURSIVE $keepSetCtes,

@@ -172,10 +172,14 @@ object Crawl {
       r => when(r.getField("has_wild"),
              regexp_like(col("path"), r.getField("rule_regex")))
            .otherwise(col("path").startsWith(r.getField("rule_path")))))
-    joined.select(col("doc_id"), col("domain"), col("path"), winner.as("w"))
-      .select(col("doc_id"), col("domain"), col("path"),
-        coalesce(col("w.is_allow"), lit(true)).as("allowed"),
-        coalesce(col("w.rule_path"), lit("")).as("rule"))
+    // every input column passes through, so a pipeline can gate a
+    // frame carrying its payload columns without a corpus-sized
+    // join-back (the crawlBuild capstone rides this)
+    val passThrough = urls.columns.map(col).toSeq
+    joined.select(passThrough :+ winner.as("w"): _*)
+      .select(passThrough :+
+        coalesce(col("w.is_allow"), lit(true)).as("allowed") :+
+        coalesce(col("w.rule_path"), lit("")).as("rule"): _*)
   }
 
   /** Deterministic sitemap corpus — one sitemaps.org urlset per base
@@ -315,5 +319,35 @@ object Crawl {
       .select(col("doc_id"), col("domain"), col("path"))
     val rules = robotsRules(robotsDocs(documents), userAgent)
     robotsGate(urls, rules)
+  }
+
+  /** The crawl capstone — the whole front door as ONE dataflow, each
+    * stage the already-verified operator verbatim:
+    * WARC walk + HTTP split ([[graft.sources.Warc.parseWarcRaw]]) →
+    * charset detect/repair on the body BYTES ([[graft.sources
+    * .Charset.fixEncoding]]) → fused HTML extraction
+    * ([[graft.functions.HtmlKernels]]) → RFC 9309 robots gate
+    * (broadcast per-host rules; the gate passes the text through, no
+    * corpus join-back) → cross-corpus paragraph dedup
+    * ([[Corpus.paragraphDedup]]) → the language/quality/repetition/
+    * exact-dedup keep set ([[Corpus.keepSet]]).
+    *
+    * Scale shape: one byte-seam scan (walk+charset), one codegen
+    * kernel pass, one broadcast, then exactly the dedup/keepSet
+    * exchanges those operators already justify — nothing is added by
+    * the composition itself. */
+  def crawlBuild(documents: DataFrame, userAgent: String = "graftbot"): DataFrame = {
+    val pages = graft.sources.Warc.crawlExtract(
+      graft.sources.Warc.crawlDocs(documents))
+    val urls = pages.select(col("doc_id"),
+      regexp_extract(col("target_uri"), "^https?://([^/]+)", 1).as("domain"),
+      regexp_extract(col("target_uri"), "^https?://[^/]+(/.*)$", 1).as("path"),
+      col("main_text"))
+    val gated = robotsGate(urls, robotsRules(robotsDocs(documents), userAgent))
+      .filter(col("allowed"))
+    val dedup = Corpus.paragraphDedup(
+      gated.select(col("doc_id"), col("main_text").as("text")))
+    Corpus.keepSet(dedup.filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("text_dedup").as("text")))
   }
 }

@@ -144,21 +144,32 @@ object Warc {
     out.result()
   }
 
-  /** One parsed response per document: (targetUri, httpStatus,
-    * htmlBody, nRecords). Rides [[walkRecords]], skips non-response
-    * records, splits the response's HTTP block. Throws additionally
-    * on: no response record, multiple response records, malformed
-    * HTTP status/headers. */
+  /** [[parseWarcRaw]] with the body decoded as UTF-8 — the classic
+    * WARC front door where the transfer layer promises the charset. */
   private[graft] def parseWarc(id: Long, payload: Array[Byte],
                                maxInflatedBytes: Long = Inflate.MaxInflatedBytes)
       : (String, Int, String, Int) = {
+    val (uri, status, body, n) = parseWarcRaw(id, payload, maxInflatedBytes)
+    (uri, status, new String(body, java.nio.charset.StandardCharsets.UTF_8), n)
+  }
+
+  /** One parsed response per document: (targetUri, httpStatus,
+    * bodyBytes, nRecords) — the body stays BYTES so a charset-aware
+    * pipeline ([[crawlExtract]]) can detect/repair the encoding
+    * before any String exists. Rides [[walkRecords]], skips
+    * non-response records, splits the response's HTTP block. Throws
+    * additionally on: no response record, multiple response records,
+    * malformed HTTP status/headers. */
+  private[graft] def parseWarcRaw(id: Long, payload: Array[Byte],
+                                  maxInflatedBytes: Long = Inflate.MaxInflatedBytes)
+      : (String, Int, Array[Byte], Int) = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"doc $id: $msg")
     def intHeader(v: String, what: String): Int =
       try v.toInt
       catch { case _: NumberFormatException => fail(s"non-numeric $what '$v'") }
     val records = walkRecords(id, payload, maxInflatedBytes)
-    var resp: Option[(String, Int, String)] = None
+    var resp: Option[(String, Int, Array[Byte])] = None
     records.foreach { case (headers, block) =>
       if (headers.get("warc-type").contains("response")) {
         if (resp.nonEmpty) fail("multiple response records in one payload")
@@ -197,7 +208,7 @@ object Warc {
           case Some(other) => fail(s"unsupported Content-Encoding '$other'")
           case None => bodyRaw
         }
-        resp = Some((uri, status, new String(body, java.nio.charset.StandardCharsets.UTF_8)))
+        resp = Some((uri, status, body))
       }
     }
     val (uri, status, body) = resp.getOrElse(fail("no response record"))
@@ -225,6 +236,81 @@ object Warc {
       graft.functions.HtmlKernels.htmlExtract(col("html")).as("x"))
     staged.select(col("doc_id"), col("target_uri"), col("http_status"),
       col("n_records"), col("x.title").as("title"),
+      col("x.main_text").as("main_text"))
+  }
+
+  /** Deterministic capstone corpus for [[crawlExtract]] /
+    * [[graft.operators.Crawl.crawlBuild]]: the
+    * [[graft.functions.TextAnalysis.htmlDocs]] page (text extended
+    * with the non-ASCII charset marker so every encoding arm is
+    * DETECTABLE) behind the full transport stack — per doc_id % 4 the
+    * body encodes as UTF-8 / Windows-1252 / double-encoded mojibake /
+    * UTF-16LE+BOM, ids % 3 == 0 gzip the HTTP entity, odd ids ship as
+    * warc.gz. The target URI lands on the [[graft.operators.Crawl
+    * .robotsDocs]] hosts (`site<id%50>.com/articles/<id%97>`) so the
+    * robots gate downstream has real rules to apply. */
+  def crawlDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val marked = documents.select(col("doc_id"),
+      org.apache.spark.sql.functions.concat(col("text"),
+        org.apache.spark.sql.functions.lit(Charset.Marker)).as("text"))
+    graft.functions.TextAnalysis.htmlDocs(marked)
+      .select(col("doc_id"), col("html")).as[(Long, String)]
+      .mapPartitions { it =>
+        // Charset objects are not Serializable — resolve in the task
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+        it.map { case (id, html) =>
+        val uri = s"https://site${id % 50}.com/articles/${id % 97}"
+        val encoded: Array[Byte] = (id % 4) match {
+          case 0 => html.getBytes(utf8)
+          case 1 => html.getBytes(cp1252)
+          case 2 => new String(html.getBytes(utf8), cp1252).getBytes(utf8)
+          case _ => Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+            html.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+        }
+        val (bodyBytes, encHdr) =
+          if (id % 3 == 0) (gzipMember(encoded), "Content-Encoding: gzip\r\n")
+          else (encoded, "")
+        val reqBlock = s"GET /articles/${id % 97} HTTP/1.1\r\nHost: site${id % 50}.com\r\n\r\n"
+          .getBytes("US-ASCII")
+        val respBlock = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          encHdr + s"Content-Length: ${bodyBytes.length}\r\n\r\n").getBytes("US-ASCII") ++
+          bodyBytes
+        val recs = Seq(
+          typedRecord(id, "request", uri, "application/http", reqBlock),
+          typedRecord(id, "response", uri, "application/http", respBlock))
+        val payload =
+          if (id % 2 == 0) recs.reduce(_ ++ _)
+          else recs.map(gzipMember).reduce(_ ++ _)
+        (id, payload)
+      } }.toDF("doc_id", "payload")
+  }
+
+  /** WARC walk + charset detection/repair + HTML extraction, all in
+    * ONE task per document: the record walk and HTTP split hand the
+    * body over as BYTES, [[Charset.fixEncoding]] labels/repairs the
+    * encoding, and only then does the HTML kernel see a String —
+    * the order a real crawl pipeline must use (a UTF-8 assumption
+    * before charset detection destroys the cp1252/UTF-16 arms).
+    * Emits (doc_id, target_uri, http_status, encoding, title,
+    * main_text); payload bytes never leave the task. */
+  def crawlExtract(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    val limit = Inflate.limitOf(spark)
+    val walked = bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (uri, status, body, _) = parseWarcRaw(id, bytes, limit)
+        val (encoding, html) = Charset.fixEncoding(body)
+        (id, uri, status, encoding, html)
+      }).toDF("doc_id", "target_uri", "http_status", "encoding", "html")
+    val staged = walked.select(col("doc_id"), col("target_uri"),
+      col("http_status"), col("encoding"),
+      graft.functions.HtmlKernels.htmlExtract(col("html")).as("x"))
+    staged.select(col("doc_id"), col("target_uri"), col("http_status"),
+      col("encoding"), col("x.title").as("title"),
       col("x.main_text").as("main_text"))
   }
 

@@ -145,6 +145,54 @@ class CrawlSpec extends SparkSpec {
     assert(evil.nonEmpty && evil.forall(_.getInt(2) == 0))
   }
 
+  test("crawlExtract: every charset arm is detected and repaired before the HTML kernel") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val out = graft.sources.Warc.crawlExtract(
+      graft.sources.Warc.crawlDocs(docs)).collect()
+    assert(out.length == 40)
+    // the extraction must equal extractHtml over the marker-extended
+    // pages directly — transport + charset are semantics-free
+    val marked = docs.select(col("doc_id"),
+      concat(col("text"), lit(graft.sources.Charset.Marker)).as("text"))
+    val direct = graft.functions.TextAnalysis.extractHtml(
+        graft.functions.TextAnalysis.htmlDocs(marked))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == s"https://site${id % 50}.com/articles/${id % 97}")
+      val expEnc = Seq("utf-8", "windows-1252", "utf-8-mojibake", "utf-16le")((id % 4).toInt)
+      assert(r.getString(3) == expEnc, s"doc $id encoding")
+      assert(r.getString(5) == direct(id), s"doc $id extraction diverges")
+    }
+  }
+
+  test("crawlBuild equals the four verified stages composed by hand") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 120)
+    val got = Crawl.crawlBuild(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // hand composition from the same building blocks
+    val pages = graft.sources.Warc.crawlExtract(graft.sources.Warc.crawlDocs(docs))
+    val allowedIds = pages.select(col("doc_id"),
+        regexp_extract(col("target_uri"), "^https?://([^/]+)", 1).as("domain"),
+        regexp_extract(col("target_uri"), "^https?://[^/]+(/.*)$", 1).as("path"))
+      .join(broadcast(Crawl.robotsDocs(docs)), col("domain") === col("robots_host"))
+      .collect() // tiny: gate replayed by the fixture rule arms
+      .filter { r =>
+        val h = r.getLong(0) % 50
+        val p = r.getLong(0) % 97
+        !(h % 4 == 0 && !p.toString.startsWith("7"))
+      }.map(_.getLong(0)).toSet
+    val gatedPages = pages.filter(col("doc_id").isin(allowedIds.toSeq: _*))
+      .select(col("doc_id"), col("main_text").as("text"))
+    val dedup = graft.operators.Corpus.paragraphDedup(gatedPages)
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("text_dedup").as("text"))
+    val expected = graft.operators.Corpus.keepSet(dedup).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < 120, "the gates must actually drop documents")
+  }
+
   test("fetchSchedule: position × delay, per host") {
     val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 100)
     val urls = graft.operators.Corpus
