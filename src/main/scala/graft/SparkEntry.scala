@@ -664,6 +664,12 @@ object SparkEntry {
     // verified operator verbatim, composed as ONE dataflow
     "c_crawl_build" -> ((s, dir) =>
       Crawl.crawlBuild(Tables.documents(s, dir))),
+    // MKV/WebM (EBML) container walk: header DocType, Info scale ×
+    // duration, per-TrackEntry codec/dimensions/audio params,
+    // unknown elements skipped by declared size
+    "m_mkv_tracks" -> ((s, dir) =>
+      graft.sources.Ebml.mkvTracks(
+        graft.sources.Ebml.mkvDocs(Tables.documents(s, dir)))),
     // code-corpus front door: language routing by extension →
     // shebang → modeline precedence (the github-linguist strategy)
     "c_route_source" -> ((s, dir) =>
@@ -4394,6 +4400,30 @@ object SparkEntry {
         |FROM u""".stripMargin,
     // crawl capstone: verified fragments composed verbatim
     "c_crawl_build" -> crawlBuildOracle,
+    // MKV tracks: every field arithmetic in (doc_id, track index k);
+    // k=0 is the video track, odd ids add an audio track at k=1
+    "m_mkv_tracks" ->
+      """WITH t AS (SELECT doc_id, unnest(generate_series(0, doc_id % 2)) AS k
+        |           FROM documents)
+        |SELECT doc_id, 'webm' AS doc_type,
+        |       CAST(1000 + doc_id % 977 AS BIGINT) AS duration_ms,
+        |       CAST(k AS INT) AS track_idx,
+        |       CAST(k + 1 AS BIGINT) AS track_number,
+        |       CAST(k + 1 AS INT) AS track_type,
+        |       CASE WHEN k = 0
+        |         THEN CASE WHEN doc_id % 3 = 0 THEN 'V_VP9' ELSE 'V_VP8' END
+        |         ELSE CASE WHEN doc_id % 5 < 2 THEN 'A_OPUS' ELSE 'A_VORBIS' END
+        |       END AS codec_id,
+        |       CAST(CASE WHEN k = 0 THEN 320 + 16 * (doc_id % 28) ELSE 0 END
+        |            AS BIGINT) AS width,
+        |       CAST(CASE WHEN k = 0 THEN 240 + 16 * (doc_id % 13) ELSE 0 END
+        |            AS BIGINT) AS height,
+        |       CAST(CASE WHEN k = 1
+        |              THEN CASE WHEN doc_id % 5 < 2 THEN 48000 ELSE 44100 END
+        |              ELSE 0 END AS BIGINT) AS sampling_hz,
+        |       CAST(CASE WHEN k = 1 THEN 1 + (doc_id % 3) % 2 ELSE 0 END
+        |            AS BIGINT) AS channels
+        |FROM t""".stripMargin,
     // code routing: the fixture's 8 arms map closed-form to
     // (language, route) — an independent arithmetic reimplementation,
     // no regex replay needed

@@ -1,0 +1,291 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** MKV/WebM container walk — EBML (RFC 8794), the one mainstream
+  * media container format besides ISO-BMFF: video corpora ship WebM.
+  * An EBML document is a tree of elements, each `(element ID, VINT
+  * size, payload)`; the ID's own first byte carries its length in
+  * leading bits, the size is a VINT whose leading-zero count gives
+  * its width. The walk here covers the track-metadata path every
+  * media-ingest pipeline needs before any frame decode: EBML header
+  * (DocType), Segment → Info (TimestampScale, Duration) and
+  * Segment → Tracks → TrackEntry (number, type, codec, video
+  * dimensions / audio sampling+channels), skipping unknown elements
+  * by their declared size — the defined EBML forward-compatibility
+  * rule.
+  *
+  * Same seam discipline as the other container walks
+  * ([[Archives]], [[Warc]]): per-row byte work in `mapPartitions`,
+  * payload bytes never shuffle, only (doc_id, track metadata) rows
+  * leave the task — map-only at 100 TB.
+  *
+  * Reference behavior: RFC 8794 (EBML) + the Matroska element
+  * registry (matroska.org/technical/elements): Segment 0x18538067,
+  * Info 0x1549A966, TimestampScale 0x2AD7B1, Duration 0x4489,
+  * Tracks 0x1654AE6B, TrackEntry 0xAE, TrackNumber 0xD7, TrackType
+  * 0x83, CodecID 0x86, Video 0xE0 (PixelWidth 0xB0, PixelHeight
+  * 0xBA), Audio 0xE1 (SamplingFrequency 0xB5, Channels 0x9F).
+  */
+object Ebml {
+
+  // ---- writer helpers (fixture) ----
+
+  /** VINT-encode a size: minimal width, leading length-marker bit. */
+  private def vint(n: Long): Array[Byte] = {
+    require(n >= 0, s"negative size $n")
+    var width = 1
+    // a width-w VINT carries 7*w usable bits (the all-ones value is
+    // reserved for "unknown size" — stay strictly below it)
+    while (width <= 8 && n >= (1L << (7 * width)) - 1) width += 1
+    val out = new Array[Byte](width)
+    var v = n | (1L << (7 * width)) // the marker bit
+    var i = width - 1
+    while (i >= 0) { out(i) = (v & 0xFF).toByte; v >>>= 8; i -= 1 }
+    out
+  }
+
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  private def elem(id: Array[Byte], payload: Array[Byte]): Array[Byte] =
+    id ++ vint(payload.length.toLong) ++ payload
+
+  /** Minimal big-endian unsigned integer payload. */
+  private def uintPayload(n: Long): Array[Byte] = {
+    var width = 1
+    while (width < 8 && (n >>> (8 * width)) != 0) width += 1
+    val out = new Array[Byte](width)
+    var i = width - 1
+    var v = n
+    while (i >= 0) { out(i) = (v & 0xFF).toByte; v >>>= 8; i -= 1 }
+    out
+  }
+
+  private def floatPayload(d: Double): Array[Byte] = {
+    val bits = java.lang.Double.doubleToLongBits(d)
+    (0 until 8).map(k => ((bits >>> (8 * (7 - k))) & 0xFF).toByte).toArray
+  }
+
+  private val IdEbml = bytes(0x1A, 0x45, 0xDF, 0xA3)
+  private val IdDocType = bytes(0x42, 0x82)
+  private val IdSegment = bytes(0x18, 0x53, 0x80, 0x67)
+  private val IdInfo = bytes(0x15, 0x49, 0xA9, 0x66)
+  private val IdTimestampScale = bytes(0x2A, 0xD7, 0xB1)
+  private val IdDuration = bytes(0x44, 0x89)
+  private val IdTracks = bytes(0x16, 0x54, 0xAE, 0x6B)
+  private val IdTrackEntry = bytes(0xAE)
+  private val IdTrackNumber = bytes(0xD7)
+  private val IdTrackType = bytes(0x83)
+  private val IdCodec = bytes(0x86)
+  private val IdVideo = bytes(0xE0)
+  private val IdPixelWidth = bytes(0xB0)
+  private val IdPixelHeight = bytes(0xBA)
+  private val IdAudio = bytes(0xE1)
+  private val IdSampling = bytes(0xB5)
+  private val IdChannels = bytes(0x9F)
+  private val IdVoid = bytes(0xEC)
+
+  /** Deterministic WebM corpus: EBML header (DocType `webm`), Segment
+    * with Info (TimestampScale 1000000, Duration = 1000 + id%977 ms,
+    * integer-valued so the float round-trips exactly) and Tracks —
+    * one video track (VP9 when id%3==0 else VP8, dimensions
+    * closed-form) plus, for odd ids, an audio track (Opus@48000 when
+    * id%5<2 else Vorbis@44100, channels 1 + (id%3)%2·1). A Void
+    * element sits between Info and Tracks — the walker must skip
+    * unknown/filler elements by declared size. */
+  def mkvDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val header = elem(IdEbml,
+          elem(IdDocType, "webm".getBytes("US-ASCII")))
+        val info = elem(IdInfo,
+          elem(IdTimestampScale, uintPayload(1000000L)) ++
+            elem(IdDuration, floatPayload((1000 + id % 977).toDouble)))
+        val video = elem(IdTrackEntry,
+          elem(IdTrackNumber, uintPayload(1L)) ++
+            elem(IdTrackType, uintPayload(1L)) ++
+            elem(IdCodec, (if (id % 3 == 0) "V_VP9" else "V_VP8").getBytes("US-ASCII")) ++
+            elem(IdVideo,
+              elem(IdPixelWidth, uintPayload(320L + 16 * (id % 28))) ++
+                elem(IdPixelHeight, uintPayload(240L + 16 * (id % 13)))))
+        val audio =
+          if (id % 2 == 1)
+            elem(IdTrackEntry,
+              elem(IdTrackNumber, uintPayload(2L)) ++
+                elem(IdTrackType, uintPayload(2L)) ++
+                elem(IdCodec,
+                  (if (id % 5 < 2) "A_OPUS" else "A_VORBIS").getBytes("US-ASCII")) ++
+                elem(IdAudio,
+                  elem(IdSampling,
+                    floatPayload(if (id % 5 < 2) 48000.0 else 44100.0)) ++
+                    elem(IdChannels, uintPayload(1L + (id % 3) % 2))))
+          else Array.emptyByteArray
+        val voidFiller = elem(IdVoid, new Array[Byte]((id % 5).toInt + 1))
+        val segment = elem(IdSegment,
+          info ++ voidFiller ++ elem(IdTracks, video ++ audio))
+        (id, header ++ segment)
+      }).toDF("doc_id", "payload")
+  }
+
+  // ---- parser ----
+
+  private final case class El(id: Long, payloadOff: Int, payloadLen: Int, next: Int)
+
+  /** One element at `off`: ID (width from the first byte's leading
+    * ones, VALUE including the marker — how the registry lists IDs),
+    * VINT size, payload bounds. Fails on truncation/garbage. */
+  private def readElement(b: Array[Byte], off: Int,
+                          fail: String => Nothing): El = {
+    if (off >= b.length) fail(s"element expected at $off past end")
+    val first = b(off) & 0xFF
+    if (first == 0) fail(s"invalid element ID at $off")
+    val idWidth = Integer.numberOfLeadingZeros(first) - 24 + 1
+    if (idWidth > 4 || off + idWidth > b.length) fail(s"bad element ID width at $off")
+    var id = 0L
+    var i = 0
+    while (i < idWidth) { id = (id << 8) | (b(off + i) & 0xFF); i += 1 }
+    val so = off + idWidth
+    if (so >= b.length) fail(s"missing size VINT at $so")
+    val sfirst = b(so) & 0xFF
+    if (sfirst == 0) fail(s"invalid size VINT at $so")
+    val sWidth = Integer.numberOfLeadingZeros(sfirst) - 24 + 1
+    if (sWidth > 8 || so + sWidth > b.length) fail(s"bad size VINT width at $so")
+    var size = (sfirst & (0xFF >>> sWidth)).toLong
+    i = 1
+    while (i < sWidth) { size = (size << 8) | (b(so + i) & 0xFF); i += 1 }
+    val po = so + sWidth
+    if (size < 0 || po + size > b.length) fail(s"element at $off overruns payload")
+    El(id, po, size.toInt, po + size.toInt)
+  }
+
+  private def uintAt(b: Array[Byte], e: El): Long = {
+    var v = 0L
+    var i = 0
+    while (i < e.payloadLen) { v = (v << 8) | (b(e.payloadOff + i) & 0xFF); i += 1 }
+    v
+  }
+
+  private def floatAt(b: Array[Byte], e: El, fail: String => Nothing): Double =
+    e.payloadLen match {
+      case 4 =>
+        var v = 0
+        var i = 0
+        while (i < 4) { v = (v << 8) | (b(e.payloadOff + i) & 0xFF); i += 1 }
+        java.lang.Float.intBitsToFloat(v).toDouble
+      case 8 =>
+        var v = 0L
+        var i = 0
+        while (i < 8) { v = (v << 8) | (b(e.payloadOff + i) & 0xFF); i += 1 }
+        java.lang.Double.longBitsToDouble(v)
+      case other => fail(s"float element of width $other at ${e.payloadOff}")
+    }
+
+  private[graft] final case class MkvTrack(trackNumber: Long, trackType: Int,
+                                           codec: String, width: Long, height: Long,
+                                           samplingHz: Long, channels: Long)
+  private[graft] final case class MkvDoc(docType: String, durationMs: Long,
+                                         tracks: Seq[MkvTrack])
+
+  /** Walk the two-level tree: EBML header → DocType; Segment → Info
+    * (scale, duration) + Tracks → TrackEntry fields. Unknown elements
+    * at every level are SKIPPED by declared size. Throws
+    * IllegalArgumentException on malformation: missing/short header,
+    * truncated element, missing Segment/Tracks. */
+  private[graft] def parseMkv(id: Long, b: Array[Byte]): MkvDoc = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    val head = readElement(b, 0, fail)
+    if (head.id != 0x1A45DFA3L) fail(f"first element is 0x${head.id}%X, not the EBML header")
+    var docType = "matroska" // the EBML-defined default
+    var p = head.payloadOff
+    while (p < head.next) {
+      val e = readElement(b, p, fail)
+      if (e.id == 0x4282L)
+        docType = new String(b, e.payloadOff, e.payloadLen, "US-ASCII")
+      p = e.next
+    }
+    val seg = readElement(b, head.next, fail)
+    if (seg.id != 0x18538067L) fail("no Segment element after the EBML header")
+    var scale = 1000000L // Matroska default
+    var duration = 0.0
+    val tracks = Seq.newBuilder[MkvTrack]
+    var sawTracks = false
+    p = seg.payloadOff
+    while (p < seg.next) {
+      val e = readElement(b, p, fail)
+      if (e.id == 0x1549A966L) { // Info
+        var q = e.payloadOff
+        while (q < e.next) {
+          val f = readElement(b, q, fail)
+          if (f.id == 0x2AD7B1L) scale = uintAt(b, f)
+          else if (f.id == 0x4489L) duration = floatAt(b, f, fail)
+          q = f.next
+        }
+      } else if (e.id == 0x1654AE6BL) { // Tracks
+        sawTracks = true
+        var q = e.payloadOff
+        while (q < e.next) {
+          val t = readElement(b, q, fail)
+          if (t.id == 0xAEL) { // TrackEntry
+            var num = 0L; var typ = 0; var codec = ""
+            var w = 0L; var hgt = 0L; var hz = 0L; var ch = 0L
+            var r = t.payloadOff
+            while (r < t.next) {
+              val f = readElement(b, r, fail)
+              f.id match {
+                case 0xD7L => num = uintAt(b, f)
+                case 0x83L => typ = uintAt(b, f).toInt
+                case 0x86L => codec = new String(b, f.payloadOff, f.payloadLen, "US-ASCII")
+                case 0xE0L => // Video
+                  var v = f.payloadOff
+                  while (v < f.next) {
+                    val g = readElement(b, v, fail)
+                    if (g.id == 0xB0L) w = uintAt(b, g)
+                    else if (g.id == 0xBAL) hgt = uintAt(b, g)
+                    v = g.next
+                  }
+                case 0xE1L => // Audio
+                  var v = f.payloadOff
+                  while (v < f.next) {
+                    val g = readElement(b, v, fail)
+                    if (g.id == 0xB5L) hz = math.round(floatAt(b, g, fail))
+                    else if (g.id == 0x9FL) ch = uintAt(b, g)
+                    v = g.next
+                  }
+                case _ => () // unknown: skip by size
+              }
+              r = f.next
+            }
+            tracks += MkvTrack(num, typ, codec, w, hgt, hz, ch)
+          }
+          q = t.next
+        }
+      } // else: unknown/Void — skip by size
+      p = e.next
+    }
+    if (!sawTracks) fail("Segment carries no Tracks element")
+    MkvDoc(docType, math.round(duration * scale / 1e6), tracks.result())
+  }
+
+  /** MKV/WebM → one row per track: (doc_id, doc_type, duration_ms,
+    * track_idx, track_number, track_type, codec_id, width, height,
+    * sampling_hz, channels) — absent dimensions stay 0 (video rows
+    * have no audio fields and vice versa), map-only. */
+  def mkvTracks(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val d = parseMkv(id, bytes)
+        d.tracks.zipWithIndex.map { case (t, k) =>
+          (id, d.docType, d.durationMs, k, t.trackNumber, t.trackType,
+            t.codec, t.width, t.height, t.samplingHz, t.channels)
+        }
+      }).toDF("doc_id", "doc_type", "duration_ms", "track_idx",
+        "track_number", "track_type", "codec_id", "width", "height",
+        "sampling_hz", "channels")
+  }
+}

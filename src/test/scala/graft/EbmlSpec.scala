@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Ebml
+
+/** EBML/Matroska walk semantics: VINT framing, unknown-element skip,
+  * defaults, float widths, and loud failure on malformation. */
+class EbmlSpec extends SparkSpec {
+
+  test("mkvTracks: fixture fields replay closed-form, Void filler skipped") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val rows = Ebml.mkvTracks(Ebml.mkvDocs(docs)).collect()
+    assert(rows.length == (0L until 40L).map(id => 1 + id % 2).sum)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val k = r.getInt(3)
+      assert(r.getString(1) == "webm")
+      assert(r.getLong(2) == 1000 + id % 977, s"doc $id duration")
+      assert(r.getLong(4) == k + 1 && r.getInt(5) == k + 1)
+      if (k == 0) {
+        assert(r.getString(6) == (if (id % 3 == 0) "V_VP9" else "V_VP8"))
+        assert(r.getLong(7) == 320 + 16 * (id % 28))
+        assert(r.getLong(8) == 240 + 16 * (id % 13))
+        assert(r.getLong(9) == 0 && r.getLong(10) == 0)
+      } else {
+        assert(r.getString(6) == (if (id % 5 < 2) "A_OPUS" else "A_VORBIS"))
+        assert(r.getLong(9) == (if (id % 5 < 2) 48000L else 44100L))
+        assert(r.getLong(10) == 1 + (id % 3) % 2)
+        assert(r.getLong(7) == 0 && r.getLong(8) == 0)
+      }
+    }
+  }
+
+  test("parseMkv: malformations fail loudly; truncations cut every element") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 2)
+    val full = Ebml.mkvDocs(docs).filter(col("doc_id") === 1)
+      .collect()(0).getAs[Array[Byte]](1)
+    assert(Ebml.parseMkv(1L, full).tracks.length == 2)
+    // not EBML at all
+    intercept[IllegalArgumentException](
+      Ebml.parseMkv(1L, "RIFFjunk".getBytes("US-ASCII")))
+    // header only, Segment gone
+    intercept[IllegalArgumentException](Ebml.parseMkv(1L, full.take(14)))
+    // truncation points throughout the tree: declared sizes overrun
+    (1 to 8).map(k => full.length * k / 9).filter(p => p > 0 && p < full.length)
+      .foreach { p =>
+        intercept[IllegalArgumentException](Ebml.parseMkv(1L, full.take(p)))
+      }
+  }
+
+  test("parseMkv: DocType defaults to matroska; 4-byte floats accepted") {
+    // hand-build: EBML header with NO DocType, Segment with Info
+    // (4-byte float Duration) and an empty-video Tracks/TrackEntry
+    def el(id: Array[Byte], p: Array[Byte]): Array[Byte] =
+      id ++ Array((0x80 | p.length).toByte) ++ p
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val f4 = {
+      val bits = java.lang.Float.floatToIntBits(2000f)
+      (0 until 4).map(i => ((bits >>> (8 * (3 - i))) & 0xFF).toByte).toArray
+    }
+    val info = el(b(0x15, 0x49, 0xA9, 0x66), el(b(0x44, 0x89), f4))
+    val entry = el(b(0xAE), el(b(0xD7), b(0x07)) ++ el(b(0x83), b(0x01)))
+    val tracks = el(b(0x16, 0x54, 0xAE, 0x6B), entry)
+    val doc = el(b(0x1A, 0x45, 0xDF, 0xA3), Array.emptyByteArray) ++
+      el(b(0x18, 0x53, 0x80, 0x67), info ++ tracks)
+    val d = Ebml.parseMkv(9L, doc)
+    assert(d.docType == "matroska", "EBML default DocType")
+    assert(d.durationMs == 2000L, "4-byte float × default scale")
+    assert(d.tracks == Seq(Ebml.MkvTrack(7, 1, "", 0, 0, 0, 0)))
+  }
+}
