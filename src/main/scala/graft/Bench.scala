@@ -112,6 +112,8 @@ object Bench {
     val warmJits = scala.collection.mutable.LinkedHashMap[String, Long]()
     val warmBatches = scala.collection.mutable.LinkedHashMap[String, Long]()
     val warmTriggerMs = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val cpuMsMap = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val warmCpuMs = scala.collection.mutable.LinkedHashMap[String, Long]()
 
     // child JVMs get this JVM's exact flags (heap, --add-opens) and
     // classpath — they run the same forked-run environment sbt gave us
@@ -156,6 +158,8 @@ object Bench {
           case Array("XJ", n, v) => warmJits(n) = v.toLong
           case Array("XB", n, v) => warmBatches(n) = v.toLong
           case Array("XR", n, v) => warmTriggerMs(n) = v.toLong
+          case Array("P", n, v) => cpuMsMap(n) = v.toLong
+          case Array("XP", n, v) => warmCpuMs(n) = v.toLong
           case Array("E", n, m) => errors(n) = m
           case _ => ()
         }
@@ -181,7 +185,7 @@ object Bench {
     // guaranteed to fit the window whole. build.sbt routes forked-run
     // stdout past the sbt logger so no "[info] " prefix rides the line.
     val fullLine =
-      s"""{"full":true,"value":$total,"unit":"sec","queries":$qs,"warm":${jmap(warm)},"subtotals":$subs,"errors":$es,"compiles":${jmapL(compiles)},"gc_ms":${jmapL(gcs)},"jit_ms":${jmapL(jits)},"batches":${jmapL(batches)},"trigger_ms":${jmapL(triggerMs)},"warm_compiles":${jmapL(warmCompiles)},"warm_gc_ms":${jmapL(warmGcs)},"warm_jit_ms":${jmapL(warmJits)},"warm_batches":${jmapL(warmBatches)},"warm_trigger_ms":${jmapL(warmTriggerMs)},"sf":"$sfDir","threads":$cpus,"jvms":${families.size}}"""
+      s"""{"full":true,"value":$total,"unit":"sec","queries":$qs,"warm":${jmap(warm)},"subtotals":$subs,"errors":$es,"compiles":${jmapL(compiles)},"gc_ms":${jmapL(gcs)},"jit_ms":${jmapL(jits)},"batches":${jmapL(batches)},"trigger_ms":${jmapL(triggerMs)},"warm_compiles":${jmapL(warmCompiles)},"warm_gc_ms":${jmapL(warmGcs)},"warm_jit_ms":${jmapL(warmJits)},"warm_batches":${jmapL(warmBatches)},"warm_trigger_ms":${jmapL(warmTriggerMs)},"cpu_ms":${jmapL(cpuMsMap)},"warm_cpu_ms":${jmapL(warmCpuMs)},"sf":"$sfDir","threads":$cpus,"jvms":${families.size}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
@@ -291,6 +295,17 @@ object Bench {
     def jitMs: Long = Option(ManagementFactory.getCompilationMXBean)
       .filter(_.isCompilationTimeMonitoringSupported).map(_.getTotalCompilationTime)
       .getOrElse(0L)
+    // whole-process CPU time: the channel that decomposes a wall-time
+    // swing from the artifact alone — wall grew with CPU ~flat means
+    // the host descheduled us (contention); wall grew WITH CPU means
+    // the query really did more work. Queries run sequentially in this
+    // child, so the per-query delta is attributable.
+    def cpuMs: Long = ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val ns = os.getProcessCpuTime
+        if (ns < 0) 0L else ns / 1000000L
+      case _ => 0L
+    }
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -312,6 +327,8 @@ object Bench {
     val warmJits = scala.collection.mutable.LinkedHashMap[String, Long]()
     val warmBatches = scala.collection.mutable.LinkedHashMap[String, Long]()
     val warmTriggerMs = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val cpuMsMap = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val warmCpuMs = scala.collection.mutable.LinkedHashMap[String, Long]()
     def isolate(): Unit = {
       // isolate queries: drop cached data, then force a GC so the
       // context cleaner releases the previous query's broadcast and
@@ -323,7 +340,7 @@ object Bench {
     import graft.streaming.StreamRunner.{replayStats, resetReplayStats}
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.forall(_.contains(name))) {
-        val (c0, g0, j0) = (compileCount, gcMs, jitMs)
+        val (c0, g0, j0, p0) = (compileCount, gcMs, jitMs, cpuMs)
         resetReplayStats()
         val t0 = System.nanoTime()
         try {
@@ -332,6 +349,7 @@ object Bench {
           compiles(name) = compileCount - c0
           gcs(name) = gcMs - g0
           jits(name) = jitMs - j0
+          cpuMsMap(name) = cpuMs - p0
           val (b, tr) = replayStats
           if (b > 0) { batches(name) = b; triggerMs(name) = tr }
         } catch {
@@ -362,7 +380,7 @@ object Bench {
       // has always claimed to be).
       try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
       isolate()
-      val (c1, g1, j1) = (compileCount, gcMs, jitMs)
+      val (c1, g1, j1, p1) = (compileCount, gcMs, jitMs, cpuMs)
       resetReplayStats()
       val t1 = System.nanoTime()
       try {
@@ -371,6 +389,7 @@ object Bench {
         warmCompiles(name) = compileCount - c1
         warmGcs(name) = gcMs - g1
         warmJits(name) = jitMs - j1
+        warmCpuMs(name) = cpuMs - p1
         val (b, tr) = replayStats
         if (b > 0) { warmBatches(name) = b; warmTriggerMs(name) = tr }
       } catch {
@@ -396,6 +415,8 @@ object Bench {
     warmJits.foreach { case (n, v) => sb.append(s"XJ $n $v\n") }
     warmBatches.foreach { case (n, v) => sb.append(s"XB $n $v\n") }
     warmTriggerMs.foreach { case (n, v) => sb.append(s"XR $n $v\n") }
+    cpuMsMap.foreach { case (n, v) => sb.append(s"P $n $v\n") }
+    warmCpuMs.foreach { case (n, v) => sb.append(s"XP $n $v\n") }
     errors.foreach { case (n, m) =>
       sb.append(s"E $n ${m.replace('\n', ' ').replace('\r', ' ')}\n") }
     val w = new java.io.PrintWriter(fragPath, "UTF-8")
