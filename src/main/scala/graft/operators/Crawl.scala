@@ -345,8 +345,17 @@ object Crawl {
       col("main_text"))
     val gated = robotsGate(urls, robotsRules(robotsDocs(documents), userAgent))
       .filter(col("allowed"))
-    val dedup = Corpus.paragraphDedup(
-      gated.select(col("doc_id"), col("main_text").as("text")))
+    // MATERIALIZE the extracted+gated corpus at the stage boundary:
+    // paragraphDedup legitimately consumes its input twice (the
+    // keeper aggregate and the all-segments-dropped resurrection
+    // join), and without a checkpoint both branches would re-execute
+    // the entire front door — WARC decode, charset repair, the HTML
+    // kernel — doubling the most expensive stage (plan-audited). A
+    // real 100 TB pipeline writes the extracted text between the
+    // decode and dedup stages for exactly this reason.
+    val gatedText = gated.select(col("doc_id"), col("main_text").as("text"))
+      .localCheckpoint()
+    val dedup = Corpus.paragraphDedup(gatedText)
     Corpus.keepSet(dedup.filter(col("n_kept") > 0)
       .select(col("doc_id"), col("text_dedup").as("text")))
   }

@@ -190,6 +190,65 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"extraction is per-row work, no shuffle:\n$p")
   }
 
+  test("latex/markdown extraction: one kernel evaluation per row, shuffle-free") {
+    val pl = plan(graft.functions.MarkupKernels.latexExtract(
+      graft.functions.MarkupKernels.latexDocs(Tables.documents(spark, dir))))
+    assert(count(pl, "latex_extract") == 1,
+      s"latex_extract must evaluate exactly once per row:\n$pl")
+    assert(!pl.contains("Exchange"), s"LaTeX extraction is per-row work:\n$pl")
+    val pm = plan(graft.functions.MarkupKernels.markdownExtract(
+      graft.functions.MarkupKernels.markdownDocs(Tables.documents(spark, dir))))
+    assert(count(pm, "markdown_extract") == 1,
+      s"markdown_extract must evaluate exactly once per row:\n$pm")
+    assert(!pm.contains("Exchange"), s"Markdown extraction is per-row work:\n$pm")
+  }
+
+  test("htmlMeta / htmlTables / mkvTracks / wet / wat: per-row walks, no shuffle") {
+    val docs = Tables.documents(spark, dir)
+    Seq(
+      graft.functions.TextAnalysis.extractHtmlMeta(
+        graft.functions.TextAnalysis.htmlMetaDocs(docs)),
+      graft.functions.TextAnalysis.extractHtmlTables(
+        graft.functions.TextAnalysis.htmlTableDocs(docs)),
+      graft.sources.Ebml.mkvTracks(graft.sources.Ebml.mkvDocs(docs)),
+      graft.sources.Warc.wetExtract(graft.sources.Warc.wetDocs(docs)),
+      graft.sources.Warc.watExtract(graft.sources.Warc.watDocs(docs))
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"per-row walk must not shuffle:\n$p")
+    }
+  }
+
+  test("codeCorpus: routing/license/secrets and the fused keep set stay map-only") {
+    val files = graft.operators.CodeCorpus.codeDocs(Tables.documents(spark, dir))
+    Seq(graft.operators.CodeCorpus.routeSourceFiles(files),
+      graft.operators.CodeCorpus.licenseDetect(files),
+      graft.operators.CodeCorpus.secretScrub(files),
+      graft.operators.CodeCorpus.codeKeepSet(files)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"code-corpus gate must not shuffle:\n$p")
+    }
+  }
+
+  test("crawlBuild: front door executes ONCE; dedup/keepSet own the exchanges") {
+    val p = plan(graft.operators.Crawl.crawlBuild(Tables.documents(spark, dir)))
+    // the extracted+gated corpus is checkpointed at the stage
+    // boundary, so paragraphDedup's two consumers (keeper aggregate +
+    // resurrection join) read the materialization — the WARC decode /
+    // charset repair / HTML kernel must appear ZERO times in the plan
+    // (they ran at checkpoint time, exactly once)
+    assert(count(p, "html_extract") == 0,
+      s"front door must be materialized once at the checkpoint, not inlined:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"the stage-boundary checkpoint is missing:\n$p")
+    // exchange budget above the checkpoint: paragraphDedup justifies
+    // 2 corpus exchanges (hash window + doc reassembly) and the
+    // resurrection join ≤2 more; keepSet 1 (fingerprint window). A
+    // regression past that reads as a reintroduced corpus shuffle.
+    assert(count(p, "Exchange") <= 6,
+      s"crawlBuild exchange budget exceeded:\n$p")
+  }
+
   test("urlFeatures: shuffle-free per-row canonicalization") {
     val p = plan(Corpus.urlFeatures(Corpus.urlDocs(Tables.documents(spark, dir))))
     assert(!p.contains("Exchange"), s"URL parse is per-row map work:\n$p")
