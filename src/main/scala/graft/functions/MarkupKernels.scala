@@ -320,6 +320,12 @@ object MarkupKernels {
 
   // ---- Markdown state machine ----
 
+  // precompiled: String.matches/replaceFirst would recompile these
+  // per LINE inside the per-row kernel — a hot-path allocation at
+  // corpus scale
+  private val ThematicBreak = java.util.regex.Pattern.compile("-{3,}|\\*{3,}|_{3,}")
+  private val ListMarker = java.util.regex.Pattern.compile("^([-*+]|\\d{1,9}\\.) ")
+
   /** Called from generated code (static forwarder). */
   def markdownInto(s: UTF8String): InternalRow = {
     val h = s.toString
@@ -371,7 +377,7 @@ object MarkupKernels {
         if (!inFence) nCode += 1
         inFence = !inFence
       } else if (!inFence) {
-        if (t.matches("-{3,}|\\*{3,}|_{3,}")) () // thematic break
+        if (ThematicBreak.matcher(t).matches()) () // thematic break
         else if (t.startsWith("#")) {
           var lvl = 0
           while (lvl < t.length && t.charAt(lvl) == '#') lvl += 1
@@ -388,7 +394,7 @@ object MarkupKernels {
           var body = t
           while (body.startsWith("> ") || body == ">")
             body = if (body == ">") "" else body.substring(2)
-          body = body.replaceFirst("^([-*+]|\\d{1,9}\\.) ", "")
+          body = ListMarker.matcher(body).replaceFirst("")
           inline(body, text)
           text.append('\n')
         }

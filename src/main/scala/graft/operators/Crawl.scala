@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   * Semantics implemented (RFC 9309 §2.2): rules are grouped under
   * consecutive User-agent lines; a crawler obeys the group naming it
   * EXACTLY if one exists, else the `*` groups; the matching rule is
-  * the LONGEST-PREFIX match over Allow+Disallow, ties broken in
-  * favor of Allow; no matching rule means allowed.
+  * the LONGEST match (by rule-path octets) over Allow+Disallow, ties
+  * broken in favor of Allow; no matching rule means allowed. §2.2.3
+  * special characters are honored: `*` in a rule path matches any
+  * character sequence and a trailing `$` anchors at the path's end
+  * (non-trailing `$` is literal, matching the published Google REP
+  * parser); plain rules stay on the codegen prefix fast path.
   *
   * Scale shape: the rules frame is per-host metadata — thousands of
   * rows against billions of URLs — so the gate is one broadcast
@@ -88,7 +92,12 @@ object Crawl {
       .select(col("robots_host"), col("directive").as("rule_type"),
         v.as("rule_path"), length(v).as("rule_len"),
         (v.contains("*") || anchored).as("has_wild"),
-        translated.as("rule_regex"))
+        translated.as("rule_regex"),
+        // the literal prefix before the first '*': a necessary match
+        // condition the gate tests FIRST, so the (per-row-compiled,
+        // column-pattern) regex only evaluates on candidate paths —
+        // most URLs fail the cheap codegen startsWith instead
+        regexp_extract(core, "^([^*]*)", 1).as("lit_prefix"))
   }
 
   /** robots.txt lines → (robots_host, line_no, directive, value, grp):
@@ -162,7 +171,8 @@ object Crawl {
     val perHost = rules.groupBy(col("robots_host"))
       .agg(collect_list(struct(col("rule_len"),
         (col("rule_type") === "allow").as("is_allow"),
-        col("rule_path"), col("has_wild"), col("rule_regex"))).as("rules"))
+        col("rule_path"), col("has_wild"), col("rule_regex"),
+        col("lit_prefix"))).as("rules"))
     val joined = urls.join(broadcast(perHost),
       urls("domain") === perHost("robots_host"), "left")
     // struct max = longest rule_len, Allow over Disallow on ties.
@@ -170,7 +180,8 @@ object Crawl {
     // real files) fall to the RFC 9309 §2.2.3 regex translation.
     val winner = array_max(filter(col("rules"),
       r => when(r.getField("has_wild"),
-             regexp_like(col("path"), r.getField("rule_regex")))
+             col("path").startsWith(r.getField("lit_prefix")) &&
+               regexp_like(col("path"), r.getField("rule_regex")))
            .otherwise(col("path").startsWith(r.getField("rule_path")))))
     // every input column passes through, so a pipeline can gate a
     // frame carrying its payload columns without a corpus-sized
