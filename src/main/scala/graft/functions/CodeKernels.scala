@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.SqlBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Code-text kernels. Comment stripping is the first normalization
+  * every code-corpus dedup applies (The Stack lineage dedups on
+  * comment-stripped content — license headers and banner comments
+  * otherwise dominate similarity), and it CANNOT be a regex: `//`
+  * inside a string literal is not a comment, `"` inside a comment is
+  * not a string, and block comments nest with line structure that
+  * must survive. So: a per-row state machine over (content, style),
+  * fused into WholeStageCodegen like the HTML/markup kernels — a
+  * map-only scan at 100 TB.
+  *
+  * Styles (selected per file from the routed language):
+  *  - `c`: `//` line comments and slash-star … star-slash block
+  *    comments (newlines inside a block comment are KEPT so line
+  *    numbering survives), `"…"` and `'…'` literals with backslash
+  *    escapes shield their contents;
+  *  - `hash`: `#` line comments (a `#!` shebang on line 1 is code,
+  *    not comment), `"…"`/`'…'` literals with escapes;
+  *  - `lisp`: `;` line comments, `"…"` literals.
+  * Comment spans are removed; everything else passes through byte
+  * for byte, so `length(content) - length(stripped)` is the comment
+  * volume — an integer-exact quality signal.
+  */
+object CodeKernels {
+
+  def stripComments(content: Column, style: Column): Column =
+    SqlBridge.column(StripComments(
+      SqlBridge.expression(content), SqlBridge.expression(style)))
+
+  /** Called from generated code (static forwarder). */
+  def stripInto(contentU: UTF8String, styleU: UTF8String): UTF8String = {
+    val h = contentU.toString
+    val style = styleU.toString
+    val n = h.length
+    val out = new java.lang.StringBuilder(n)
+    val lineStart = style match {
+      case "hash" => '#'
+      case "lisp" => ';'
+      case _ => 0.toChar // c-style handled explicitly
+    }
+    var i = 0
+    var atLineOne = true
+    while (i < n) {
+      val c = h.charAt(i)
+      if (c == '"' || (c == '\'' && style != "lisp")) {
+        // string/char literal: copy verbatim to the matching close,
+        // honoring backslash escapes
+        out.append(c)
+        var j = i + 1
+        var closed = false
+        while (!closed && j < n) {
+          val d = h.charAt(j)
+          out.append(d)
+          if (d == '\\' && j + 1 < n) { out.append(h.charAt(j + 1)); j += 1 }
+          else if (d == c) closed = true
+          else if (d == '\n') { closed = true; atLineOne = false } // unterminated
+          j += 1
+        }
+        i = j
+      } else if (style == "c" && c == '/' && i + 1 < n && h.charAt(i + 1) == '/') {
+        while (i < n && h.charAt(i) != '\n') i += 1 // to EOL, newline kept
+      } else if (style == "c" && c == '/' && i + 1 < n && h.charAt(i + 1) == '*') {
+        var j = i + 2
+        var closed = false
+        while (!closed && j < n) {
+          if (h.charAt(j) == '\n') { out.append('\n'); atLineOne = false }
+          if (h.charAt(j) == '*' && j + 1 < n && h.charAt(j + 1) == '/') {
+            closed = true; j += 1
+          }
+          j += 1
+        }
+        i = j
+      } else if (c == lineStart && lineStart != 0.toChar &&
+                 !(atLineOne && c == '#' && i + 1 < n && h.charAt(i + 1) == '!')) {
+        while (i < n && h.charAt(i) != '\n') i += 1
+      } else {
+        out.append(c)
+        if (c == '\n') atLineOne = false
+        i += 1
+      }
+    }
+    UTF8String.fromString(out.toString)
+  }
+}
+
+/** content × style → comment-stripped content, one fused pass. */
+case class StripComments(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"strip_comments expects (string, string), got $other")
+    }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_comments"
+  override def nullSafeEval(content: Any, style: Any): Any =
+    CodeKernels.stripInto(content.asInstanceOf[UTF8String],
+      style.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, s) =>
+      s"${ev.value} = graft.functions.CodeKernels.stripInto($c, $s);")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

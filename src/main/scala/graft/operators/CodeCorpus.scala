@@ -234,6 +234,126 @@ object CodeCorpus {
           BearerRe, "Bearer <TOKEN>"),
         GenericRe, "<SECRET>").as("scrubbed"))
 
+  // ---- comment stripping ----
+
+  /** Language → comment style for [[graft.functions.CodeKernels]]:
+    * `hash` (#), `lisp` (;), `c` (`//` + block), or `none` (unrouted
+    * files pass through untouched — a build never guesses). */
+  private[graft] def commentStyle(language: Column): Column =
+    when(language.isin("python", "ruby", "shell", "perl", "r", "yaml"), "hash")
+      .when(language === "lisp", "lisp")
+      .when(language.isin("scala", "javascript", "typescript", "c", "cpp",
+        "go", "rust", "java", "kotlin", "swift", "php", "csharp"), "c")
+      .otherwise("none")
+
+  /** Comment-stripped content — the normalization code dedup runs on
+    * (license banners and generated-file headers otherwise dominate
+    * similarity): one fused state-machine pass per row
+    * ([[graft.functions.CodeKernels.stripComments]]; string literals
+    * shield their contents, shebangs survive, line structure is
+    * preserved). Returns (doc_id, path, language, code_stripped,
+    * n_comment_chars) with the comment volume integer-exact as a
+    * length difference. Map-only at any scale. */
+  def stripComments(files: DataFrame): DataFrame = {
+    val (language, _) = routeCols
+    val staged = files.select(col("doc_id"), col("path"), col("content"),
+      language.as("language"))
+    staged.select(col("doc_id"), col("path"), col("language"),
+        graft.functions.CodeKernels.stripComments(col("content"),
+          commentStyle(col("language"))).as("code_stripped"),
+        col("content"))
+      .select(col("doc_id"), col("path"), col("language"), col("code_stripped"),
+        (length(col("content")) - length(col("code_stripped")))
+          .cast("long").as("n_comment_chars"))
+  }
+
+  // ---- file statistics (minified / generated detection) ----
+
+  /** Per-file shape statistics — the Stack-style pre-filters: line
+    * count, longest/average line, alphabetic fraction, and the two
+    * drop flags every code corpus applies (autogenerated banners;
+    * minified files whose line shape no human wrote). Doubles are
+    * ROUNDed to 4 dp on both engines. Pure per-row expressions. */
+  def codeFileStats(files: DataFrame): DataFrame = {
+    val c = col("content")
+    val nLines = (length(c) - length(regexp_replace(c, "\n", ""))).cast("long")
+    val lineLens = transform(split(c, "\n"), l => length(l))
+    files.select(col("doc_id"), col("path"),
+      nLines.as("n_lines"),
+      array_max(lineLens).cast("long").as("max_line_len"),
+      when(nLines > 0,
+        round((length(c) - nLines).cast("double") / nLines + lit(1e-12), 4))
+        .otherwise(0.0).as("avg_line_len"),
+      round(length(regexp_replace(c, "[^A-Za-z]", "")).cast("double") /
+        greatest(length(c), lit(1)) + lit(1e-12), 4).as("alpha_frac"),
+      (c.contains("@generated") || c.contains("DO NOT EDIT") ||
+        c.contains("Code generated by")).as("is_generated"),
+      (array_max(lineLens) > 1000 ||
+        (nLines > 0 && (length(c) - nLines).cast("double") / nLines > 100.0))
+        .as("is_minified"))
+  }
+
+  /** Stats fixture: the [[codeDocs]] content extended with two
+    * planted arms — doc_id % 6 == 1 appends a 1200-char minified
+    * line, % 6 == 2 appends an `@generated` banner — so both drop
+    * flags fire on known ids. */
+  def codeStatsDocs(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    codeDocs(documents).select(col("doc_id"), col("path"),
+      concat(col("content"),
+        when(id % 6 === 1, concat(repeat(lit("z"), 1200), lit("\n")))
+          .when(id % 6 === 2, lit("// @generated by graft-gen; DO NOT EDIT\n"))
+          .otherwise(lit(""))).as("content"))
+  }
+
+  // ---- Jupyter notebooks ----
+
+  /** Deterministic .ipynb corpus (nbformat 4): a markdown intro cell,
+    * a code cell with doc_id % 3 stream outputs, and for odd ids a
+    * second code cell — source arrays in the real line-split form. */
+  def ipynbDocs(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(x: String) = lit(x)
+    // sequence(1, 0) would DESCEND ([1, 0]) — guard the empty case
+    val outputs = when(id % 3 > 0,
+      array_join(transform(sequence(lit(1), id % 3), j =>
+        concat(s("""{"output_type":"stream","name":"stdout","text":["line """),
+          j, s("""\n"]}"""))), ",")).otherwise(s(""))
+    val extraCell = when(id % 2 === 1,
+      concat(s(""",{"cell_type":"code","metadata":{},"execution_count":2,"outputs":[],"source":["y = """),
+        id % 13, s("\"]}"))).otherwise(s(""))
+    val json = concat(
+      s("""{"nbformat":4,"nbformat_minor":5,"metadata":{"kernelspec":{"language":"python"}},"cells":["""),
+      s("""{"cell_type":"markdown","metadata":{},"source":["# Notebook """),
+      id, s("""\n","intro """), id % 7, s(""""]},"""),
+      s("""{"cell_type":"code","metadata":{},"execution_count":1,"outputs":["""),
+      outputs,
+      s("""],"source":["x = """), id % 97, s("""\n","print(x)"]}"""),
+      extraCell, s("]}"))
+    documents.select(id, json.as("nb_json"))
+  }
+
+  /** .ipynb → one row per cell: (doc_id, cell_idx, cell_type, source,
+    * n_lines, n_outputs) — the notebook slice of a code corpus
+    * (training uses the joined source text; outputs are usually
+    * dropped but their count is a quality signal). Native `from_json`
+    * with a typed schema + one posexplode: codegen JSON work, no UDF,
+    * map-only. */
+  def ipynbCells(notebooks: DataFrame): DataFrame = {
+    notebooks
+      .select(col("doc_id"),
+        posexplode(from_json(col("nb_json"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "cells array<struct<cell_type: string, source: array<string>, " +
+              "outputs: array<struct<output_type: string>>>>"))
+          .getField("cells")).as(Seq("cell_idx", "cell")))
+      .select(col("doc_id"), col("cell_idx").cast("int").as("cell_idx"),
+        col("cell.cell_type").as("cell_type"),
+        array_join(col("cell.source"), "").as("source"),
+        size(col("cell.source")).cast("int").as("n_lines"),
+        coalesce(size(col("cell.outputs")), lit(0)).cast("int").as("n_outputs"))
+  }
+
   /** The composed code-corpus keep set — route, license gate and
     * secret scan in ONE dataflow: keep files that routed to a
     * language, carry a permissive license, and hold no credentials.
@@ -252,5 +372,46 @@ object CodeCorpus {
       .filter(col("route") =!= "none" &&
         col("license").isin(Permissive: _*) && col("n_secrets") === 0)
       .select(col("doc_id"), col("path"), col("language"), col("license"))
+  }
+
+  /** The code-corpus capstone — every gate plus normalization plus
+    * dedup as ONE dataflow, each stage the verified operator's own
+    * column expressions: route + permissive license + zero secrets
+    * (the [[codeKeepSet]] gates), not generated / not minified (the
+    * [[codeFileStats]] flags), comment stripping (the dedup
+    * normalization), then EXACT dedup on the stripped content
+    * (min-doc_id keeper per fingerprint — license banners no longer
+    * mask duplicates because they were just stripped).
+    *
+    * Scale shape: one map-only projection+filter stage (all gates and
+    * the strip kernel fuse), then the single 16-byte-fingerprint
+    * window exchange exact dedup always pays — nothing added by the
+    * composition. */
+  def codeBuild(files: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (language, route) = routeCols
+    val (license, _) = licenseCols
+    val nSecrets = nMatches(AwsKeyRe) + nMatches(PemRe) +
+      nMatches(BearerRe) + nMatches(GenericRe)
+    val c = col("content")
+    val nLines = (length(c) - length(regexp_replace(c, "\n", ""))).cast("long")
+    val lineLens = transform(split(c, "\n"), l => length(l))
+    val generated = c.contains("@generated") || c.contains("DO NOT EDIT") ||
+      c.contains("Code generated by")
+    val minified = array_max(lineLens) > 1000 ||
+      (nLines > 0 && (length(c) - nLines).cast("double") / nLines > 100.0)
+    val gated = files.select(col("doc_id"), col("path"),
+        language.as("language"), route.as("route"), license.as("license"),
+        nSecrets.as("n_secrets"), generated.as("gen"), minified.as("min"),
+        graft.functions.CodeKernels.stripComments(c, commentStyle(language))
+          .as("code_stripped"))
+      .filter(col("route") =!= "none" && col("license").isin(Permissive: _*) &&
+        col("n_secrets") === 0 && !col("gen") && !col("min"))
+    gated
+      .withColumn("keep_id", min(col("doc_id")).over(
+        Window.partitionBy(md5(col("code_stripped")))))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("path"), col("language"), col("license"),
+        col("code_stripped"))
   }
 }

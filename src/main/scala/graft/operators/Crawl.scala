@@ -302,6 +302,78 @@ object Crawl {
         regexp_extract(col("block"), "<loc>(.*?)</loc>", 1).as("loc"))
   }
 
+  /** Deterministic feed corpus — crawl discovery's third channel
+    * after robots and sitemaps: even base hosts publish RSS 2.0
+    * (`<item>` with title/link/pubDate), odd hosts publish Atom
+    * (`<entry>` with title, `<link href=…/>`, `<updated>`), 2 + h%3
+    * entries each, every field arithmetic in (h, entry index). */
+  def feedDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val hosts = spark.range(0, 50).select(col("id").as("h"))
+    val h = col("h")
+    val day = (j: Column) => lpad((lit(1) + (h + j) % 28).cast("string"), 2, "0")
+    val rssItems = transform(sequence(lit(0), lit(1) + h % 3), j =>
+      concat(lit("  <item><title>post "), (h * 5 + j) % 89,
+        lit("</title><link>https://site"), h, lit(".com/articles/"),
+        (h * 7 + j) % 97, lit("/view</link><pubDate>Mon, "), day(j),
+        lit(" Jan 2026 00:00:00 GMT</pubDate></item>")))
+    val atomEntries = transform(sequence(lit(0), lit(1) + h % 3), j =>
+      concat(lit("  <entry><title>post "), (h * 5 + j) % 89,
+        lit("</title><link href=\"https://site"), h, lit(".com/articles/"),
+        (h * 7 + j) % 97, lit("/view\"/><updated>2026-01-"), day(j),
+        lit("T00:00:00Z</updated></entry>")))
+    val rss = concat(
+      lit("<?xml version=\"1.0\"?>\n<rss version=\"2.0\"><channel>\n<title>site"),
+      h, lit(" feed</title>\n"), array_join(rssItems, "\n"),
+      lit("\n</channel></rss>\n"))
+    val atom = concat(
+      lit("<?xml version=\"1.0\"?>\n<feed xmlns=\"http://www.w3.org/2005/Atom\">\n" +
+        "<title>site"), h, lit(" feed</title>\n"),
+      array_join(atomEntries, "\n"), lit("\n</feed>\n"))
+    hosts.select(concat(lit("site"), h, lit(".com")).as("host"),
+      when(h % 2 === 0, rss).otherwise(atom).as("feed_xml"))
+  }
+
+  /** RSS 2.0 / Atom walk — per-row format dispatch on the root
+    * element, non-greedy item/entry block split, field regexes per
+    * dialect (RSS `<link>text</link>` + RFC 822 pubDate day-of-month;
+    * Atom `<link href="…"/>` + ISO 8601 updated). Emits (host,
+    * feed_type, item_idx, title, link, published DATE). An
+    * unrecognized root raises. Same map-only per-host-metadata shape
+    * as the sitemap walk. */
+  def feedItems(feeds: DataFrame): DataFrame = {
+    val isRss = col("feed_xml").contains("<rss")
+    val isAtom = col("feed_xml").contains("<feed")
+    val checked = feeds.select(col("host"),
+      when(isRss, "rss").when(isAtom, "atom")
+        .otherwise(raise_error(concat(lit("not a feed: "), col("host"))))
+        .as("feed_type"),
+      col("feed_xml").as("xml"))
+    // the regex pattern must be foldable: run both literal-pattern
+    // extracts and pick per row (one of them is always empty)
+    val blocks = checked.select(col("host"), col("feed_type"),
+      posexplode(when(col("feed_type") === "rss",
+        regexp_extract_all(col("xml"), lit("(?s)<item>(.*?)</item>"), lit(1)))
+        .otherwise(
+          regexp_extract_all(col("xml"), lit("(?s)<entry>(.*?)</entry>"), lit(1))))
+        .as(Seq("item_idx", "block")))
+    val b = col("block")
+    blocks.select(col("host"), col("feed_type"),
+      col("item_idx").cast("int").as("item_idx"),
+      regexp_extract(b, "<title>(.*?)</title>", 1).as("title"),
+      when(col("feed_type") === "rss",
+        regexp_extract(b, "<link>(.*?)</link>", 1))
+        .otherwise(regexp_extract(b, "<link href=\"(.*?)\"", 1)).as("link"),
+      when(col("feed_type") === "rss",
+        // RFC 822: "Mon, 05 Jan 2026 …" — month names map via the
+        // fixture's single-month domain; a full parser would CASE all
+        // twelve (the dialect dispatch is the operator's point)
+        to_date(concat(lit("2026-01-"),
+          regexp_extract(b, "<pubDate>[A-Za-z]+, (\\d{2}) Jan 2026", 1))))
+        .otherwise(to_date(regexp_extract(b,
+          "<updated>(\\d{4}-\\d{2}-\\d{2})", 1))).as("published"))
+  }
+
   /** Politeness schedule — the composition the crawl stack exists
     * for: a URL's earliest fetch offset is (its FIFO position in the
     * host's queue − 1) × the host's Crawl-delay. The domain-keyed

@@ -86,6 +86,89 @@ class CodeCorpusSpec extends SparkSpec {
     }
   }
 
+  test("stripComments: string literals shield, blocks keep lines, shebang survives") {
+    def strip(content: String, style: String): String =
+      CodeCorpus.stripComments(files((1L, style match {
+        case "hash" => "x.py"
+        case "lisp" => "x.el"
+        case "none" => "data/blob" // unroutable → identity pass
+        case _ => "x.c"
+      }, content))).collect()(0).getString(3)
+    // c-style: line + block comments; '//' inside a string is code
+    assert(strip("a = 1; // note\nb = \"http://x\"; /* multi\nline */ c = 2\n", "c")
+      == "a = 1; \nb = \"http://x\"; \n c = 2\n")
+    // block comment newline preserved (line structure survives)
+    assert(strip("x/*c*/y\n", "c") == "xy\n")
+    // escapes inside strings: the quote does not close early
+    assert(strip("s = \"a\\\"b // not comment\"\n", "c")
+      == "s = \"a\\\"b // not comment\"\n")
+    // hash style: shebang on line 1 is code; later # strips; '#'
+    // inside a string is code
+    assert(strip("#!/usr/bin/env python3\nx = 1 # note\ny = \"#tag\"\n", "hash")
+      == "#!/usr/bin/env python3\nx = 1 \ny = \"#tag\"\n")
+    // a '#' line NOT on line one strips even if it starts the line
+    assert(strip("x = 1\n# pure comment\n", "hash") == "x = 1\n\n")
+    // lisp: ';' strips; strings shield
+    assert(strip(";; header\n(print \"a;b\")\n", "lisp") == "\n(print \"a;b\")\n")
+    // unrouted style: identity
+    assert(strip("// kept # kept ; kept\n", "none") == "// kept # kept ; kept\n")
+  }
+
+  test("codeFileStats: flags fire on the planted arms and recompute from content") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 60)
+    val got = CodeCorpus.codeFileStats(CodeCorpus.codeStatsDocs(docs)).collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 6 == 1) assert(r.getBoolean(7) && r.getLong(3) >= 1200, s"doc $id minified")
+      if (id % 6 == 2) assert(r.getBoolean(6), s"doc $id generated")
+      if (id % 6 != 2) assert(!r.getBoolean(6), s"doc $id not generated")
+      assert(r.getLong(2) > 0 && r.getDouble(4) > 0)
+    }
+  }
+
+  test("ipynbCells: cell walk replays the closed form") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 20)
+    val got = CodeCorpus.ipynbCells(CodeCorpus.ipynbDocs(docs)).collect()
+    assert(got.length == (0L until 20L).map(id => 2 + id % 2).sum)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val k = r.getInt(1)
+      if (k == 0) {
+        assert(r.getString(2) == "markdown")
+        assert(r.getString(3) == s"# Notebook $id\nintro ${id % 7}")
+        assert(r.getInt(5) == 0, "markdown cells have no outputs")
+      } else if (k == 1) {
+        assert(r.getString(2) == "code")
+        assert(r.getString(3) == s"x = ${id % 97}\nprint(x)")
+        assert(r.getInt(5) == (id % 3), s"doc $id outputs")
+      } else {
+        assert(r.getString(3) == s"y = ${id % 13}" && r.getInt(4) == 1)
+      }
+    }
+  }
+
+  test("codeBuild equals the gates + strip + exact dedup composed by hand") {
+    val docs = Tables.documents(spark, sf0001)
+    val fx = CodeCorpus.codeStatsDocs(docs)
+    val got = CodeCorpus.codeBuild(fx).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    // hand composition from the verified operators
+    val gateIds = CodeCorpus.codeKeepSet(fx).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val statsOk = CodeCorpus.codeFileStats(fx)
+      .filter(!col("is_generated") && !col("is_minified"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val stripped = CodeCorpus.stripComments(fx)
+      .filter(col("doc_id").isin((gateIds intersect statsOk).toSeq: _*))
+      .select("doc_id", "code_stripped").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val keepers = stripped.groupBy(_._2).map { case (_, xs) => xs.map(_._1).min }.toSet
+    val expected = stripped.filter(x => keepers(x._1)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < stripped.length,
+      "dedup on stripped content must actually collapse duplicates")
+  }
+
   test("codeKeepSet composition equals the three gates applied independently") {
     val docs = Tables.documents(spark, sf0001)
     val fx = CodeCorpus.codeDocs(docs)

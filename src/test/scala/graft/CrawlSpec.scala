@@ -130,6 +130,23 @@ class CrawlSpec extends SparkSpec {
     }
   }
 
+  test("feedItems: RSS and Atom dialects replay closed-form; junk raises") {
+    val docs = Tables.documents(spark, sf0001)
+    val rows = Crawl.feedItems(Crawl.feedDocs(docs)).collect()
+    assert(rows.length == (0 until 50).map(h => 2 + h % 3).sum)
+    rows.foreach { r =>
+      val h = r.getString(0).stripPrefix("site").stripSuffix(".com").toLong
+      val j = r.getInt(2)
+      assert(r.getString(1) == (if (h % 2 == 0) "rss" else "atom"))
+      assert(r.getString(3) == s"post ${(h * 5 + j) % 89}")
+      assert(r.getString(4) == s"https://site$h.com/articles/${(h * 7 + j) % 97}/view")
+      assert(r.getDate(5).toString == f"2026-01-${1 + (h + j) % 28}%02d")
+    }
+    import spark.implicits._
+    val junk = Seq(("x.com", "<html>nope</html>")).toDF("host", "feed_xml")
+    intercept[Exception](Crawl.feedItems(junk).collect())
+  }
+
   test("robotsMeta: sitemap discovery + group-scoped crawl delay") {
     val docs = Tables.documents(spark, sf0001)
     val meta = Crawl.robotsMeta(Crawl.robotsDocs(docs), "graftbot").collect()
