@@ -707,6 +707,21 @@ object SparkEntry {
     // per-dialect field extraction
     "t_feed_items" -> ((s, dir) =>
       Crawl.feedItems(Crawl.feedDocs(Tables.documents(s, dir)))),
+    // SFT structural contract: optional system, strictly alternating
+    // user/assistant, ends on assistant, no empty turns — HOFs over
+    // the typed message array
+    "c_sft_validate" -> ((s, dir) =>
+      Sft.sftValidate(Sft.sftDocs(Tables.documents(s, dir)))),
+    // chat-template render of the VALID set — the text the tokenizer
+    // actually sees
+    "c_sft_render" -> ((s, dir) =>
+      Sft.sftRender(Sft.sftDocs(Tables.documents(s, dir)))),
+    // preference pairs: lengths + the degenerate-pair flags
+    "c_dpo_stats" -> ((s, dir) =>
+      Sft.dpoStats(Sft.dpoDocs(Tables.documents(s, dir)))),
+    // the dataset-card bias row (length bias teaches verbosity)
+    "c_dpo_bias" -> ((s, dir) =>
+      Sft.dpoBiasProfile(Sft.dpoDocs(Tables.documents(s, dir)))),
     // trained quality classifier: integer-exact batch perceptron on
     // 512 hashed bag-of-words buckets, 3 epochs, broadcast weight
     // vector — the fastText-classifier move, bitwise-reproducible
@@ -4573,6 +4588,78 @@ object SparkEntry {
         |  SELECT *, MIN(doc_id) OVER (PARTITION BY md5(code_stripped)) AS keep_id
         |  FROM f)
         |WHERE doc_id = keep_id""".stripMargin,
+    // SFT validation: the arms decide every flag closed-form
+    "c_sft_validate" ->
+      """SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END + 2 +
+        |            CASE WHEN doc_id % 7 = 5 THEN 1 ELSE 0 END +
+        |            CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 0 END AS INT) AS n_turns,
+        |       TRUE AS starts_ok,
+        |       doc_id % 7 <> 5 AS alternates_ok,
+        |       TRUE AS ends_assistant,
+        |       doc_id % 11 <> 3 AS no_empty,
+        |       (doc_id % 7 <> 5 AND doc_id % 11 <> 3) AS valid
+        |FROM documents""".stripMargin,
+    // SFT render: the template output rebuilt byte for byte over the
+    // valid set
+    "c_sft_render" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0
+        |           THEN '<|system|>system prompt ' || CAST(doc_id % 5 AS VARCHAR) || chr(10)
+        |           ELSE '' END ||
+        |         '<|user|>q ' || CAST(doc_id % 97 AS VARCHAR) || ' about ' ||
+        |         CAST(doc_id % 13 AS VARCHAR) || chr(10) ||
+        |         '<|assistant|>a ' || CAST(doc_id % 89 AS VARCHAR) ||
+        |         CASE WHEN doc_id % 2 = 1
+        |           THEN chr(10) || '<|user|>follow ' || CAST(doc_id % 19 AS VARCHAR) ||
+        |                chr(10) || '<|assistant|>r ' || CAST(doc_id % 23 AS VARCHAR)
+        |           ELSE '' END || chr(10) || '<|eot|>' AS rendered
+        |  FROM documents
+        |  WHERE doc_id % 7 <> 5 AND doc_id % 11 <> 3)
+        |SELECT doc_id, rendered,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END + 2 +
+        |            CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 0 END AS INT) AS n_turns,
+        |       CAST(length(rendered) AS BIGINT) AS n_chars
+        |FROM r""".stripMargin,
+    // DPO pairs: strings rebuilt, stats recomputed with SQL string ops
+    "c_dpo_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id, 'q ' || CAST(doc_id % 97 AS VARCHAR) AS prompt,
+        |         'good answer ' || CAST(doc_id % 89 AS VARCHAR) ||
+        |         repeat(' more', CAST(doc_id % 5 AS INT)) AS chosen
+        |  FROM documents),
+        |q AS (SELECT doc_id, prompt, chosen,
+        |             CASE WHEN doc_id % 13 = 4 THEN chosen
+        |                  ELSE 'bad ' || CAST(doc_id % 61 AS VARCHAR) ||
+        |                       repeat(' pad', CAST(doc_id % 7 AS INT)) END AS rejected
+        |      FROM p)
+        |SELECT doc_id, prompt,
+        |       CAST(length(chosen) AS BIGINT) AS len_chosen,
+        |       CAST(length(rejected) AS BIGINT) AS len_rejected,
+        |       length(chosen) > length(rejected) AS chosen_longer,
+        |       chosen = rejected AS identical
+        |FROM q""".stripMargin,
+    // the bias profile row
+    "c_dpo_bias" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         'good answer ' || CAST(doc_id % 89 AS VARCHAR) ||
+        |         repeat(' more', CAST(doc_id % 5 AS INT)) AS chosen
+        |  FROM documents),
+        |q AS (SELECT doc_id, chosen,
+        |             CASE WHEN doc_id % 13 = 4 THEN chosen
+        |                  ELSE 'bad ' || CAST(doc_id % 61 AS VARCHAR) ||
+        |                       repeat(' pad', CAST(doc_id % 7 AS INT)) END AS rejected
+        |      FROM p)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(CASE WHEN chosen = rejected THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_identical,
+        |       ROUND(AVG(CASE WHEN length(chosen) > length(rejected)
+        |                      THEN 1.0 ELSE 0.0 END) + 1e-12, 4) AS frac_chosen_longer,
+        |       ROUND(AVG(CASE WHEN chosen = rejected THEN 1.0 ELSE 0.0 END) + 1e-12, 4)
+        |         AS frac_identical
+        |FROM q""".stripMargin,
     // feeds: both dialects arithmetic in (h, entry index)
     "t_feed_items" ->
       """WITH h AS (SELECT i AS h FROM range(0, 50) t(i)),

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Instruction-tuning data operators — the post-training slice of the
+  * pipeline: supervised-fine-tuning conversations must be validated
+  * (role structure is a hard contract the trainer's loss masking
+  * relies on) and rendered through a chat template before
+  * tokenization; preference (DPO/RLHF) pairs must be checked for the
+  * degenerate cases that silently poison a reward signal (identical
+  * chosen/rejected, and the documented length bias — preference data
+  * whose "chosen" is just LONGER teaches verbosity, so the bias
+  * fraction is the first dataset-card number reviewers ask for).
+  *
+  * All parsing is native typed `from_json` + HOFs over the message
+  * array (forall/transform/zip_with) — per-row codegen JSON work, no
+  * UDF, map-only at any scale; the one aggregate (the bias profile)
+  * is a partial-aggregated scalar row.
+  */
+object Sft {
+
+  // ---- fixtures ----
+
+  /** Deterministic conversation corpus: an optional system turn
+    * (id%3==0), a user turn, a PLANTED double-user violation
+    * (id%7==5), an assistant turn (EMPTY content when id%11==3 — the
+    * other violation), and for odd ids a second user/assistant round.
+    * Every byte arithmetic in doc_id. */
+  def sftDocs(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(x: String) = lit(x)
+    def msg(role: String, content: Column): Column =
+      concat(s(s"""{"role":"$role","content":""""), content, s("\"}"))
+    val parts = array(
+      when(id % 3 === 0, msg("system", concat(s("system prompt "), id % 5))),
+      msg("user", concat(s("q "), id % 97, s(" about "), id % 13)),
+      when(id % 7 === 5, msg("user", concat(s("again "), id % 17))),
+      msg("assistant",
+        when(id % 11 === 3, s("")).otherwise(concat(s("a "), id % 89))),
+      when(id % 2 === 1, msg("user", concat(s("follow "), id % 19))),
+      when(id % 2 === 1, msg("assistant", concat(s("r "), id % 23))))
+    documents.select(id,
+      concat(s("""{"messages":["""),
+        array_join(filter(parts, p => p.isNotNull), ","),
+        s("]}")).as("conv_json"))
+  }
+
+  /** Deterministic preference-pair corpus: chosen/rejected answers
+    * whose lengths vary with independent rotations, an IDENTICAL-pair
+    * arm (id%13==4 — rejected equals chosen), and a rejected-longer
+    * arm so the bias fraction is non-trivial. */
+  def dpoDocs(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(x: String) = lit(x)
+    val chosen = concat(s("good answer "), id % 89,
+      expr("repeat(' more', CAST(doc_id % 5 AS INT))"))
+    val rejected = when(id % 13 === 4, chosen)
+      .otherwise(concat(s("bad "), id % 61,
+        expr("repeat(' pad', CAST(doc_id % 7 AS INT))")))
+    documents.select(id,
+      concat(s("""{"prompt":"q """), id % 97,
+        s("""","chosen":""""), chosen,
+        s("""","rejected":""""), rejected, s("\"}")).as("pair_json"))
+  }
+
+  // ---- SFT validation ----
+
+  private val ConvSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "messages array<struct<role: string, content: string>>")
+
+  /** Per-conversation structural contract: (doc_id, n_turns,
+    * starts_ok, alternates_ok, ends_assistant, no_empty, valid).
+    * The contract is the standard chat one: an optional leading
+    * system turn, then strictly alternating user/assistant starting
+    * at user, ending on assistant, no empty contents. HOFs over the
+    * typed message array — one map-only pass. */
+  def sftValidate(convs: DataFrame): DataFrame = {
+    val msgs = from_json(col("conv_json"), ConvSchema).getField("messages")
+    val roles = transform(msgs, m => m.getField("role"))
+    val first = element_at(roles, 1)
+    val body = when(first === "system", slice(roles, lit(2), size(roles) - 1))
+      .otherwise(roles)
+    val alternates = forall(
+      zip_with(body, sequence(lit(0), size(body) - 1), (r, i) =>
+        r === when(i % 2 === 0, "user").otherwise("assistant")),
+      x => x)
+    val staged = convs.select(col("doc_id"), msgs.as("msgs"),
+      size(msgs).cast("int").as("n_turns"),
+      first.isin("system", "user").as("starts_ok"),
+      (size(body) > 0 && alternates).as("alternates_ok"),
+      (element_at(roles, -1) === "assistant").as("ends_assistant"),
+      forall(msgs, m => length(m.getField("content")) > 0).as("no_empty"))
+    staged.select(col("doc_id"), col("n_turns"), col("starts_ok"),
+      col("alternates_ok"), col("ends_assistant"), col("no_empty"),
+      (col("starts_ok") && col("alternates_ok") && col("ends_assistant") &&
+        col("no_empty")).as("valid"))
+  }
+
+  /** Chat-template rendering for VALID conversations: each turn
+    * becomes `<|role|>content`, newline-joined, closed with
+    * `<|eot|>` — the text the tokenizer actually sees. Invalid
+    * conversations are DROPPED (the validation flags say why), so the
+    * output is exactly the trainable set. Returns (doc_id, rendered,
+    * n_turns, n_chars). */
+  def sftRender(convs: DataFrame): DataFrame = {
+    val msgs = from_json(col("conv_json"), ConvSchema).getField("messages")
+    val rendered = concat(array_join(transform(msgs, m =>
+      concat(lit("<|"), m.getField("role"), lit("|>"), m.getField("content"))),
+      "\n"), lit("\n<|eot|>"))
+    convs.join(sftValidate(convs).filter(col("valid")).select("doc_id"), "doc_id")
+      .select(col("doc_id"), rendered.as("rendered"),
+        size(msgs).cast("int").as("n_turns"),
+        length(rendered).cast("long").as("n_chars"))
+  }
+
+  // ---- preference pairs ----
+
+  /** Per-pair facts: lengths, the chosen-longer indicator, and the
+    * identical-pair degeneracy. Pure JSON-path work. */
+  def dpoStats(pairs: DataFrame): DataFrame = {
+    val prompt = get_json_object(col("pair_json"), "$.prompt")
+    val chosen = get_json_object(col("pair_json"), "$.chosen")
+    val rejected = get_json_object(col("pair_json"), "$.rejected")
+    pairs.select(col("doc_id"), prompt.as("prompt"),
+      length(chosen).cast("long").as("len_chosen"),
+      length(rejected).cast("long").as("len_rejected"),
+      (length(chosen) > length(rejected)).as("chosen_longer"),
+      (chosen === rejected).as("identical"))
+  }
+
+  /** The dataset-card bias row: (n_pairs, n_identical,
+    * frac_chosen_longer, frac_identical) — the numbers a preference
+    * set is accepted or rejected on. One partial-aggregated scalar. */
+  def dpoBiasProfile(pairs: DataFrame): DataFrame = {
+    val s = dpoStats(pairs)
+    s.agg(count(lit(1)).as("n_pairs"),
+      sum(when(col("identical"), 1L).otherwise(0L)).as("n_identical"),
+      round(avg(when(col("chosen_longer"), 1.0).otherwise(0.0)) + lit(1e-12), 4)
+        .as("frac_chosen_longer"),
+      round(avg(when(col("identical"), 1.0).otherwise(0.0)) + lit(1e-12), 4)
+        .as("frac_identical"))
+  }
+}

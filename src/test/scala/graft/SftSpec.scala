@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sft
+
+/** SFT/preference-data semantics: the chat structural contract, the
+  * render's drop-invalid discipline, and the bias-profile facts. */
+class SftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def validate(json: String) = {
+    val r = Sft.sftValidate(Seq((0L, json)).toDF("doc_id", "conv_json")).collect()(0)
+    (r.getInt(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+      r.getBoolean(5), r.getBoolean(6))
+  }
+
+  test("sftValidate: contract edges") {
+    // canonical: system + user + assistant
+    assert(validate("""{"messages":[{"role":"system","content":"s"},
+      {"role":"user","content":"u"},{"role":"assistant","content":"a"}]}""")
+      == ((3, true, true, true, true, true)))
+    // starts at assistant: starts_ok holds only for system|user
+    val r1 = validate("""{"messages":[{"role":"assistant","content":"a"}]}""")
+    assert(!r1._2 && !r1._6)
+    // ends on user: ends_assistant false
+    val r2 = validate("""{"messages":[{"role":"user","content":"u"}]}""")
+    assert(r2._2 && !r2._4 && !r2._6)
+    // assistant before user in the body: alternation broken
+    val r3 = validate("""{"messages":[{"role":"user","content":"u"},
+      {"role":"assistant","content":"a"},{"role":"assistant","content":"b"}]}""")
+    assert(!r3._3 && !r3._6)
+    // empty content anywhere: no_empty false
+    val r4 = validate("""{"messages":[{"role":"user","content":""},
+      {"role":"assistant","content":"a"}]}""")
+    assert(!r4._5 && !r4._6)
+  }
+
+  test("fixture arms: violations land exactly where planted; render drops them") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 100)
+    val v = Sft.sftValidate(Sft.sftDocs(docs)).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    v.foreach { case (id, valid) =>
+      assert(valid == (id % 7 != 5 && id % 11 != 3), s"doc $id")
+    }
+    val rendered = Sft.sftRender(Sft.sftDocs(docs)).collect()
+    assert(rendered.map(_.getLong(0)).toSet == v.filter(_._2).keySet)
+    rendered.foreach { r =>
+      val id = r.getLong(0)
+      val s = r.getString(1)
+      assert(s.contains(s"<|user|>q ${id % 97} about ${id % 13}"))
+      assert(s.endsWith("\n<|eot|>"))
+      assert(s.contains("<|system|>") == (id % 3 == 0))
+      assert(r.getLong(3) == s.length.toLong)
+    }
+  }
+
+  test("dpoStats/dpoBiasProfile: identical arm flagged; bias fraction consistent") {
+    val docs = Tables.documents(spark, sf0001)
+    val stats = Sft.dpoStats(Sft.dpoDocs(docs)).collect()
+    stats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(5) == (id % 13 == 4), s"doc $id identical flag")
+      if (id % 13 == 4) assert(r.getLong(2) == r.getLong(3))
+    }
+    val bias = Sft.dpoBiasProfile(Sft.dpoDocs(docs)).collect()(0)
+    assert(bias.getLong(0) == stats.length)
+    assert(bias.getLong(1) == stats.count(_.getBoolean(5)))
+    val frac = stats.count(_.getBoolean(4)).toDouble / stats.length
+    assert(math.abs(bias.getDouble(2) - frac) < 1e-3)
+    // both flag classes occur — the fixture makes the profile non-trivial
+    assert(bias.getLong(1) > 0 && bias.getDouble(2) > 0 && bias.getDouble(2) < 1)
+  }
+}
