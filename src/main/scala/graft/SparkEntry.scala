@@ -670,6 +670,10 @@ object SparkEntry {
     "m_mkv_tracks" -> ((s, dir) =>
       graft.sources.Ebml.mkvTracks(
         graft.sources.Ebml.mkvDocs(Tables.documents(s, dir)))),
+    // SRT/WebVTT subtitle walk: per-dialect timestamp parse back to
+    // integer milliseconds, cue text reassembled
+    "m_subtitle_cues" -> ((s, dir) =>
+      Multimodal.subtitleCues(Multimodal.subtitleDocs(Tables.documents(s, dir)))),
     // code-corpus front door: language routing by extension →
     // shebang → modeline precedence (the github-linguist strategy)
     "c_route_source" -> ((s, dir) =>
@@ -4588,6 +4592,19 @@ object SparkEntry {
         |  SELECT *, MIN(doc_id) OVER (PARTITION BY md5(code_stripped)) AS keep_id
         |  FROM f)
         |WHERE doc_id = keep_id""".stripMargin,
+    // subtitles: times and text arithmetic in (doc_id, cue index)
+    "m_subtitle_cues" ->
+      """WITH c AS (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS j
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS format,
+        |       CAST(j AS INT) AS cue_idx,
+        |       CAST(j * 5000 + doc_id % 997 AS BIGINT) AS start_ms,
+        |       CAST(j * 5000 + doc_id % 997 + 2000 + (doc_id % 7) * 100 AS BIGINT)
+        |         AS end_ms,
+        |       'cue ' || CAST(j AS VARCHAR) || ' of ' || CAST(doc_id % 89 AS VARCHAR) ||
+        |       ' second line ' || CAST(doc_id % 13 AS VARCHAR) AS text
+        |FROM c""".stripMargin,
     // SFT validation: the arms decide every flag closed-form
     "c_sft_validate" ->
       """SELECT doc_id,

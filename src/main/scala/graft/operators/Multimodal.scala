@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators: image/audio/video payloads as opaque
@@ -4885,5 +4885,79 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) =>
         parseMp3(id, bytes).getOrElse(throw new IllegalArgumentException(
           s"doc $id: not a well-formed CBR MP3")) })
+  }
+
+  // ---- subtitles (SRT / WebVTT) ----
+
+  /** `HH:MM:SS<sep>mmm` from a millisecond column — the writer side
+    * of the subtitle fixtures (the parser inverts it). */
+  private def tsOf(ms: Column, sep: String): Column =
+    concat(lpad((ms / 3600000L).cast("long").cast("string"), 2, "0"), lit(":"),
+      lpad(((ms / 60000L) % 60).cast("long").cast("string"), 2, "0"), lit(":"),
+      lpad(((ms / 1000L) % 60).cast("long").cast("string"), 2, "0"), lit(sep),
+      lpad((ms % 1000L).cast("string"), 3, "0"))
+
+  /** Deterministic subtitle corpus — the text/media alignment layer a
+    * video corpus trains captions from: even ids SRT (numbered cues,
+    * comma millis), odd ids WebVTT (`WEBVTT` header, dot millis);
+    * 1 + id%3 cues whose start/end times and two text lines are
+    * arithmetic in (doc_id, cue index). */
+  def subtitleDocs(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def cue(j: Column): (Column, Column) = {
+      val start = j * 5000L + id % 997
+      val end = start + 2000L + (id % 7) * 100L
+      (start, end)
+    }
+    val srtCue = (j: Column) => {
+      val (s0, e0) = cue(j)
+      concat((j + 1).cast("string"), lit("\n"),
+        tsOf(s0, ","), lit(" --> "), tsOf(e0, ","), lit("\n"),
+        lit("cue "), j, lit(" of "), id % 89, lit("\nsecond line "), id % 13)
+    }
+    val vttCue = (j: Column) => {
+      val (s0, e0) = cue(j)
+      concat(tsOf(s0, "."), lit(" --> "), tsOf(e0, "."), lit("\n"),
+        lit("cue "), j, lit(" of "), id % 89, lit("\nsecond line "), id % 13)
+    }
+    val srt = array_join(transform(sequence(lit(0), id % 3), srtCue(_)), "\n\n")
+    val vtt = concat(lit("WEBVTT\n\n"),
+      array_join(transform(sequence(lit(0), id % 3), vttCue(_)), "\n\n"))
+    documents.select(id,
+      when(id % 2 === 0, srt).otherwise(vtt).as("subtitle_text"))
+  }
+
+  /** SRT/WebVTT → one row per cue: (doc_id, format, cue_idx,
+    * start_ms, end_ms, text) — blank-line block split, per-dialect
+    * timestamp regex (comma vs dot millis), cue text lines joined
+    * with a space, times decomposed back to integer milliseconds.
+    * Pure per-row split/regex codegen, no UDF; a payload that is
+    * neither dialect raises. */
+  def subtitleCues(subs: DataFrame): DataFrame = {
+    val raw = col("subtitle_text")
+    val isVtt = raw.startsWith("WEBVTT")
+    val fmt = when(isVtt, "vtt")
+      .when(raw.rlike("^\\d+\\n\\d{2}:\\d{2}:\\d{2},"), "srt")
+      .otherwise(raise_error(concat(lit("not a subtitle payload: doc "), col("doc_id"))))
+    val body = when(isVtt, regexp_replace(raw, "^WEBVTT\\n+", "")).otherwise(raw)
+    val blocks = subs.select(col("doc_id"), fmt.as("format"),
+      posexplode(split(body, "\n\n")).as(Seq("cue_idx", "block")))
+      .filter(trim(col("block")) =!= "")
+    val tsRe = "(\\d{2}):(\\d{2}):(\\d{2})[.,](\\d{3}) --> (\\d{2}):(\\d{2}):(\\d{2})[.,](\\d{3})"
+    def ms(h: Int): Column =
+      regexp_extract(col("block"), tsRe, h).cast("long")
+    val startMs = ms(1) * 3600000L + ms(2) * 60000L + ms(3) * 1000L + ms(4)
+    val endMs = ms(5) * 3600000L + ms(6) * 60000L + ms(7) * 1000L + ms(8)
+    // text = every line after the timestamp line (SRT also carries a
+    // leading cue-number line, dropped by position, not by content)
+    val lines = split(col("block"), "\n")
+    val tsAt = when(col("format") === "srt", 1).otherwise(0)
+    blocks.select(col("doc_id"), col("format"),
+      col("cue_idx").cast("int").as("cue_idx"),
+      startMs.as("start_ms"), endMs.as("end_ms"),
+      // a blank line TERMINATES a cue, so empties inside a block are
+      // only trailing-newline artifacts — drop them before the join
+      array_join(filter(slice(lines, tsAt + 2, size(lines)), l => l =!= ""), " ")
+        .as("text"))
   }
 }

@@ -1597,4 +1597,27 @@ class MultimodalSpec extends SparkSpec {
     // repeat runs actually compress
     assert(Multimodal.packBits(Array.fill(300)(7.toByte)).length <= 6)
   }
+
+  test("subtitleCues: both dialects round-trip ms arithmetic; junk raises") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 30)
+    val rows = Multimodal.subtitleCues(Multimodal.subtitleDocs(docs)).collect()
+    assert(rows.length == (0L until 30L).map(id => 1 + id % 3).sum)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val j = r.getInt(2)
+      assert(r.getString(1) == (if (id % 2 == 0) "srt" else "vtt"))
+      assert(r.getLong(3) == j * 5000L + id % 997)
+      assert(r.getLong(4) == r.getLong(3) + 2000 + (id % 7) * 100)
+      assert(r.getString(5) == s"cue $j of ${id % 89} second line ${id % 13}")
+    }
+    // an hour-crossing timestamp decomposes exactly
+    val oneCue = Seq((1L, "1\n01:02:03,456 --> 01:02:05,000\nhello\n"))
+      .toDF("doc_id", "subtitle_text")
+    val c = Multimodal.subtitleCues(oneCue).collect()(0)
+    assert(c.getLong(3) == 3723456L && c.getLong(4) == 3725000L && c.getString(5) == "hello")
+    val junk = Seq((2L, "not subtitles at all")).toDF("doc_id", "subtitle_text")
+    intercept[Exception](Multimodal.subtitleCues(junk).collect())
+  }
 }
