@@ -603,6 +603,10 @@ object SparkEntry {
     // add/retract on keeper replacement; changelog-final == batch
     "s_stream_paragraph_dedup" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayParagraphDedup(s, Tables.documents(s, dir))),
+    // streaming DPO bias: one global row of additive counters as the
+    // pairs arrive; changelog-final equals the batch profile
+    "s_stream_dpo_bias" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayDpoBias(s, Tables.documents(s, dir))),
     // streaming crawl frontier: URLs canonicalized with the batch
     // expression chain, per-HOST FIFO queue positions from one Long
     // of transformWithState state per domain
@@ -4657,26 +4661,9 @@ object SparkEntry {
         |       length(chosen) > length(rejected) AS chosen_longer,
         |       chosen = rejected AS identical
         |FROM q""".stripMargin,
-    // the bias profile row
-    "c_dpo_bias" ->
-      """WITH p AS (
-        |  SELECT doc_id,
-        |         'good answer ' || CAST(doc_id % 89 AS VARCHAR) ||
-        |         repeat(' more', CAST(doc_id % 5 AS INT)) AS chosen
-        |  FROM documents),
-        |q AS (SELECT doc_id, chosen,
-        |             CASE WHEN doc_id % 13 = 4 THEN chosen
-        |                  ELSE 'bad ' || CAST(doc_id % 61 AS VARCHAR) ||
-        |                       repeat(' pad', CAST(doc_id % 7 AS INT)) END AS rejected
-        |      FROM p)
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-        |       CAST(SUM(CASE WHEN chosen = rejected THEN 1 ELSE 0 END) AS BIGINT)
-        |         AS n_identical,
-        |       ROUND(AVG(CASE WHEN length(chosen) > length(rejected)
-        |                      THEN 1.0 ELSE 0.0 END) + 1e-12, 4) AS frac_chosen_longer,
-        |       ROUND(AVG(CASE WHEN chosen = rejected THEN 1.0 ELSE 0.0 END) + 1e-12, 4)
-        |         AS frac_identical
-        |FROM q""".stripMargin,
+    // the bias profile row (batch and its streaming twin share it)
+    "c_dpo_bias" -> dpoBiasOracle,
+    "s_stream_dpo_bias" -> dpoBiasOracle,
     // feeds: both dialects arithmetic in (h, entry index)
     "t_feed_items" ->
       """WITH h AS (SELECT i AS h FROM range(0, 50) t(i)),
@@ -6320,6 +6307,28 @@ object SparkEntry {
       |WHERE doc_id = keep_id""".stripMargin
 
   private lazy val keepSetOracle: String = s"WITH $keepSetCtes\n$keepSetSelect"
+
+  /** DPO bias profile — shared by c_dpo_bias and its streaming twin
+    * (additive counters: changelog-final equals batch exactly). */
+  private lazy val dpoBiasOracle: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         'good answer ' || CAST(doc_id % 89 AS VARCHAR) ||
+      |         repeat(' more', CAST(doc_id % 5 AS INT)) AS chosen
+      |  FROM documents),
+      |q AS (SELECT doc_id, chosen,
+      |             CASE WHEN doc_id % 13 = 4 THEN chosen
+      |                  ELSE 'bad ' || CAST(doc_id % 61 AS VARCHAR) ||
+      |                       repeat(' pad', CAST(doc_id % 7 AS INT)) END AS rejected
+      |      FROM p)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |       CAST(SUM(CASE WHEN chosen = rejected THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_identical,
+      |       ROUND(AVG(CASE WHEN length(chosen) > length(rejected)
+      |                      THEN 1.0 ELSE 0.0 END) + 1e-12, 4) AS frac_chosen_longer,
+      |       ROUND(AVG(CASE WHEN chosen = rejected THEN 1.0 ELSE 0.0 END) + 1e-12, 4)
+      |         AS frac_identical
+      |FROM q""".stripMargin
 
   /** Shared fragments of the code-corpus fixture ([[graft.operators
     * .CodeCorpus.codeDocs]]) replayed arithmetically in DuckDB. */

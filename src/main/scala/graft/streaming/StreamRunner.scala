@@ -1560,6 +1560,57 @@ object StreamRunner {
     * [[Transport]] exactly-once pattern: a retried micro-batch
     * replaces its previous partial output instead of doubling it.
     * Returns the full changelog with a `batch_id` column. */
+  /** [[replayUpdate]] over the DOCUMENTS topic instead of events —
+    * same batch-addressed changelog sink, same counters. */
+  private def replayDocsUpdate(spark: SparkSession, documents: DataFrame,
+                               topology: DataFrame => DataFrame): DataFrame = {
+    val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
+    val srcDir = docStagedDir(spark, documents)
+    val src = replaySession(spark, rocksDb = false).readStream
+      .schema(Encoders.product[StagedDoc].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    val outDir = work.resolve("out")
+    val q = topology(src).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(outDir.resolve(s"b$batchId").toString)
+        ()
+      }
+      .option("checkpointLocation", work.resolve("cp").toString)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q)
+    spark.read.parquet(s"$outDir/b*")
+  }
+
+  /** Streaming DPO bias profile — the dataset-card row maintained AS
+    * THE PAIRS ARRIVE: a windowless GLOBAL update-mode aggregation
+    * whose state is ONE row of three additive counters (pair count,
+    * identical count, chosen-longer count) no matter how long the
+    * stream runs. Counts are additive and order-insensitive, so the
+    * changelog's LAST emission is exactly the batch profile and the
+    * derived fractions hash-match the [[graft.operators.Sft
+    * .dpoBiasProfile]] oracle — streamed == batch, the family
+    * invariant. */
+  def replayDpoBias(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val log = replayDocsUpdate(spark, documents, (src: DataFrame) => {
+      val pairs = graft.operators.Sft.dpoDocs(
+        src.select(col("docId").as("doc_id")))
+      graft.operators.Sft.dpoStats(pairs)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("identical"), 1L).otherwise(0L)).as("n_identical"),
+          sum(when(col("chosen_longer"), 1L).otherwise(0L)).as("n_longer"))
+    })
+    log.orderBy(col("batch_id").desc).limit(1)
+      .select(col("n_pairs"), col("n_identical"),
+        round(col("n_longer").cast("double") / col("n_pairs") + lit(1e-12), 4)
+          .as("frac_chosen_longer"),
+        round(col("n_identical").cast("double") / col("n_pairs") + lit(1e-12), 4)
+          .as("frac_identical"))
+  }
+
   private def replayUpdate(spark: SparkSession, events: DataFrame,
                            topology: DataFrame => DataFrame): DataFrame = {
     val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")

@@ -70,4 +70,12 @@ class SftSpec extends SparkSpec {
     // both flag classes occur — the fixture makes the profile non-trivial
     assert(bias.getLong(1) > 0 && bias.getDouble(2) > 0 && bias.getDouble(2) < 1)
   }
+
+  test("streaming DPO bias: changelog-final equals the batch profile exactly") {
+    val docs = Tables.documents(spark, sf0001)
+    val batch = Sft.dpoBiasProfile(Sft.dpoDocs(docs)).collect()(0)
+    val streamed = graft.streaming.StreamRunner.replayDpoBias(spark, docs).collect()
+    assert(streamed.length == 1)
+    assert(streamed(0).toSeq == batch.toSeq, "streamed == batch")
+  }
 }
