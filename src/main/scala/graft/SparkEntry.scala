@@ -678,6 +678,11 @@ object SparkEntry {
     // integer milliseconds, cue text reassembled
     "m_subtitle_cues" -> ((s, dir) =>
       Multimodal.subtitleCues(Multimodal.subtitleDocs(Tables.documents(s, dir)))),
+    // the unified document front door: magic-byte + ZIP-subtype +
+    // text-heuristic routing, then each format's OWN extractor
+    "m_extract_any" -> ((s, dir) =>
+      graft.sources.DocRouter.extractAny(
+        graft.sources.DocRouter.anyDocs(Tables.documents(s, dir)))),
     // code-corpus front door: language routing by extension →
     // shebang → modeline precedence (the github-linguist strategy)
     "c_route_source" -> ((s, dir) =>
@@ -4596,6 +4601,67 @@ object SparkEntry {
         |  SELECT *, MIN(doc_id) OVER (PARTITION BY md5(code_stripped)) AS keep_id
         |  FROM f)
         |WHERE doc_id = keep_id""".stripMargin,
+    // unified router: each arm's text is that format's own verified
+    // closed form, filtered to its doc_id % 6 slice
+    "m_extract_any" ->
+      """WITH pdfp AS (SELECT doc_id, text, CAST(1 + doc_id % 3 AS INT) AS np
+        |              FROM documents WHERE doc_id % 6 = 0),
+        |pdfg AS (SELECT doc_id, np, text,
+        |                unnest(generate_series(0, np - 1)) AS i FROM pdfp),
+        |pdfpg AS (SELECT doc_id, i,
+        |    'page ' || CAST(i AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) ||
+        |    ': ' || substring(text, 1 + 30 * CAST(i AS INT), 20) ||
+        |    substring(text, 11 + 30 * CAST(i AS INT), 10) ||
+        |    ' (p' || CAST(i AS VARCHAR) || ')tail ' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    ' hx' || CAST(doc_id % 3 AS VARCHAR) ||
+        |    CASE WHEN i = 0 AND doc_id % 4 = 0 THEN ' rev2' ELSE '' END AS ptxt
+        |    FROM pdfg),
+        |pdf AS (SELECT doc_id, 'pdf' AS format,
+        |               string_agg(ptxt, chr(10) ORDER BY i) AS text
+        |        FROM pdfpg GROUP BY doc_id),
+        |dxp AS (SELECT doc_id, text, CAST(1 + doc_id % 3 AS INT) AS np
+        |        FROM documents WHERE doc_id % 6 = 1),
+        |dxg AS (SELECT doc_id, np, text,
+        |               unnest(generate_series(0, np - 1)) AS i FROM dxp),
+        |dxpg AS (SELECT doc_id, i,
+        |    'para ' || CAST(i AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) ||
+        |    ': ' || substring(text, 1 + 40 * CAST(i AS INT), 25) ||
+        |    ' & tail ' || CAST(doc_id % 5 AS VARCHAR) AS ptxt
+        |    FROM dxg),
+        |docx AS (SELECT doc_id, 'docx' AS format,
+        |                string_agg(ptxt, chr(10) ORDER BY i) AS text
+        |         FROM dxpg GROUP BY doc_id),
+        |epub AS (SELECT doc_id, 'epub' AS format,
+        |                CASE WHEN nc = 1 THEN mt ELSE mt || chr(10) || mt END AS text
+        |         FROM (SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS nc,
+        |                      'main heading ' || CAST(doc_id AS VARCHAR) ||
+        |                      ' of document ' || CAST(doc_id % 97 AS VARCHAR) || ' ' ||
+        |                      text || ' entities: A&B <x> "y" HI tail ' ||
+        |                      CAST(doc_id % 13 AS VARCHAR) AS mt
+        |               FROM documents WHERE doc_id % 6 = 2)),
+        |html AS (SELECT doc_id, 'html' AS format,
+        |                'main heading ' || CAST(doc_id AS VARCHAR) ||
+        |                ' of document ' || CAST(doc_id % 97 AS VARCHAR) || ' ' ||
+        |                text || ' entities: A&B <x> "y" HI tail ' ||
+        |                CAST(doc_id % 13 AS VARCHAR) AS text
+        |         FROM documents WHERE doc_id % 6 = 3),
+        |ltx AS (SELECT doc_id, 'latex' AS format,
+        |               'Intro ' || CAST(doc_id % 7 AS VARCHAR) || ' This is doc ' ||
+        |               CAST(doc_id % 97 AS VARCHAR) || ' body: ' || text ||
+        |               ' 100% real. Math inline and display end. See and here now.'
+        |                 AS text
+        |        FROM documents WHERE doc_id % 6 = 4),
+        |md AS (SELECT doc_id, 'markdown' AS format,
+        |              'Doc ' || CAST(doc_id AS VARCHAR) || ' Title Intro emphasis and ' ||
+        |              'strong words. item ' || CAST(doc_id % 5 AS VARCHAR) ||
+        |              ' second item quote line ' || CAST(doc_id % 7 AS VARCHAR) ||
+        |              ' A link ' || CAST(doc_id % 11 AS VARCHAR) ||
+        |              ' and here. Inline code' || CAST(doc_id % 9 AS VARCHAR) ||
+        |              ' end. ' || text AS text
+        |       FROM documents WHERE doc_id % 6 = 5)
+        |SELECT * FROM pdf UNION ALL SELECT * FROM docx UNION ALL
+        |SELECT * FROM epub UNION ALL SELECT * FROM html UNION ALL
+        |SELECT * FROM ltx UNION ALL SELECT * FROM md""".stripMargin,
     // subtitles: times and text arithmetic in (doc_id, cue index)
     "m_subtitle_cues" ->
       """WITH c AS (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS j

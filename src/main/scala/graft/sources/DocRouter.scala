@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The unified document front door — ONE call from mixed raw payloads
+  * to extracted text. A real ingest bucket holds PDFs next to EPUBs
+  * next to saved HTML next to Markdown; the router classifies each
+  * payload (magic bytes for the binary containers, ZIP subtype by
+  * package-defining member, charset-aware decode + content heuristics
+  * for the text dialects) and hands it to the FORMAT'S OWN verified
+  * extractor — this file adds routing, never a second parser.
+  *
+  * Scale shape: one classifying byte scan (map-only, checkpointed at
+  * the stage boundary because SIX per-format branches consume it —
+  * the crawlBuild discipline), then a union of the per-format
+  * extractor plans, each itself map-only. Text payloads decode ONCE
+  * in the router (the [[Charset.fixEncoding]] repair) and carry the
+  * string; only binary payloads travel to their branch.
+  */
+object DocRouter {
+
+  /** Mixed-format fixture: doc_id % 6 rotates REAL payloads across
+    * pdf / docx / epub / html / latex / markdown — each arm the
+    * respective family's own fixture generator verbatim, so every
+    * routed output has an already-verified closed form. */
+  def anyDocs(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def enc(c: Column) = encode(c, "UTF-8")
+    val pdf = Pdf.pdfDocs(documents.filter(id % 6 === 0))
+      .select(col("doc_id"), col("payload"))
+    val docx = Archives.docxDocs(documents.filter(id % 6 === 1))
+      .select(col("doc_id"), col("payload"))
+    val epub = Archives.epubDocs(documents.filter(id % 6 === 2))
+      .select(col("doc_id"), col("payload"))
+    val html = graft.functions.TextAnalysis.htmlDocs(documents.filter(id % 6 === 3))
+      .select(col("doc_id"), enc(col("html")).as("payload"))
+    val tex = graft.functions.MarkupKernels.latexDocs(documents.filter(id % 6 === 4))
+      .select(col("doc_id"), enc(col("tex")).as("payload"))
+    val md = graft.functions.MarkupKernels.markdownDocs(documents.filter(id % 6 === 5))
+      .select(col("doc_id"), enc(col("md")).as("payload"))
+    pdf.unionByName(docx).unionByName(epub)
+      .unionByName(html).unionByName(tex).unionByName(md)
+  }
+
+  private def indexOf(b: Array[Byte], needle: Array[Byte]): Int = {
+    var i = 0
+    while (i + needle.length <= b.length) {
+      var k = 0
+      while (k < needle.length && b(i + k) == needle(k)) k += 1
+      if (k == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** (format, decoded text or null). Binary formats classify on
+    * bytes alone; ZIP subtypes on the package-defining member name
+    * (OCF's `mimetype` content / OPC's `word/document.xml`); anything
+    * else is text — charset-repaired ONCE here, then content
+    * heuristics pick the dialect. A ZIP that is neither EPUB nor DOCX
+    * fails loudly: a generic archive is [[Archives.zipEntries]]' job,
+    * not a document. */
+  private[graft] def sniffRoute(id: Long, b: Array[Byte]): (String, String) = {
+    def has(s: String): Boolean = indexOf(b, s.getBytes("US-ASCII")) >= 0
+    if (b.length >= 4 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F')
+      ("pdf", null)
+    else if (b.length >= 4 && b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4) {
+      if (has("mimetypeapplication/epub+zip")) ("epub", null)
+      else if (has("word/document.xml")) ("docx", null)
+      else throw new IllegalArgumentException(
+        s"doc $id: ZIP payload is neither EPUB nor DOCX — not a document")
+    } else {
+      val (_, text) = Charset.fixEncoding(b)
+      if (text.contains("<html") || text.contains("<!DOCTYPE html")) ("html", text)
+      else if (text.contains("\\documentclass") || text.contains("\\begin{document}"))
+        ("latex", text)
+      else ("markdown", text)
+    }
+  }
+
+  /** Mixed payloads → (doc_id, format, text): route, then each
+    * format's verified extractor on its slice. */
+  def extractAny(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    val routed = bin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val (fmt, text) = sniffRoute(id, b)
+        (id, fmt, if (text == null) b else null, text)
+      }).toDF("doc_id", "format", "payload", "decoded")
+      // six consumers below — materialize the classifying scan once
+      .localCheckpoint()
+    def binBranch(fmt: String, extract: DataFrame => DataFrame): DataFrame =
+      extract(routed.filter(col("format") === fmt)
+          .select(col("doc_id"), col("payload")))
+        .select(col("doc_id"), lit(fmt).as("format"), col("text"))
+    def textBranch(fmt: String, inCol: String,
+                   extract: DataFrame => DataFrame, outCol: String): DataFrame =
+      extract(routed.filter(col("format") === fmt)
+          .select(col("doc_id"), col("decoded").as(inCol)))
+        .select(col("doc_id"), lit(fmt).as("format"), col(outCol).as("text"))
+    binBranch("pdf", Pdf.pdfText)
+      .unionByName(binBranch("docx", Archives.docxText))
+      .unionByName(binBranch("epub", Archives.epubText))
+      .unionByName(textBranch("html", "html",
+        df => graft.functions.TextAnalysis.extractHtml(df), "main_text"))
+      .unionByName(textBranch("latex", "tex",
+        graft.functions.MarkupKernels.latexExtract, "text"))
+      .unionByName(textBranch("markdown", "md",
+        graft.functions.MarkupKernels.markdownExtract, "text"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Archives, DocRouter}
+
+/** Unified front-door routing: every arm lands on its format, the
+  * extraction equals the format's own extractor, and non-document
+  * containers fail loudly. */
+class DocRouterSpec extends SparkSpec {
+
+  test("extractAny: all six arms route and extract; equals the per-format extractors") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 60)
+    val out = DocRouter.extractAny(DocRouter.anyDocs(docs)).collect()
+    assert(out.length == 60)
+    val fmts = Seq("pdf", "docx", "epub", "html", "latex", "markdown")
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == fmts((id % 6).toInt), s"doc $id routed to ${r.getString(1)}")
+      assert(r.getString(2).nonEmpty)
+    }
+    // spot-equality against a directly-invoked extractor (epub arm)
+    val direct = Archives.epubText(Archives.epubDocs(docs.filter(col("doc_id") % 6 === 2)))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filter(_.getString(1) == "epub").foreach { r =>
+      assert(r.getString(2) == direct(r.getLong(0)))
+    }
+  }
+
+  test("a generic ZIP is not a document: the router fails loudly") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 2)
+    val zip = Archives.zipDocs(docs) // plain archive, neither EPUB nor DOCX
+    intercept[Exception](DocRouter.extractAny(zip).collect())
+  }
+
+  test("charset-damaged text payloads still route (the decode-once repair)") {
+    import spark.implicits._
+    // a Markdown payload shipped as UTF-16LE with BOM: fixEncoding
+    // inside the router must repair it before the heuristics run
+    val md = "# T\nplain *body* text"
+    val payload = Array[Byte](0xFF.toByte, 0xFE.toByte) ++ md.getBytes("UTF-16LE")
+    val out = DocRouter.extractAny(Seq((7L, payload)).toDF("doc_id", "payload")).collect()
+    assert(out.length == 1 && out(0).getString(1) == "markdown")
+    assert(out(0).getString(2) == "T plain body text")
+  }
+}
