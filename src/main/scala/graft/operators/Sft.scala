@@ -69,14 +69,11 @@ object Sft {
   private val ConvSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "messages array<struct<role: string, content: string>>")
 
-  /** Per-conversation structural contract: (doc_id, n_turns,
-    * starts_ok, alternates_ok, ends_assistant, no_empty, valid).
-    * The contract is the standard chat one: an optional leading
-    * system turn, then strictly alternating user/assistant starting
-    * at user, ending on assistant, no empty contents. HOFs over the
-    * typed message array — one map-only pass. */
-  def sftValidate(convs: DataFrame): DataFrame = {
-    val msgs = from_json(col("conv_json"), ConvSchema).getField("messages")
+  /** The four contract flags over a parsed message array — shared at
+    * the COLUMN level by [[sftValidate]] and [[sftRender]] (the
+    * render filters on validity with zero join-back, the codeKeepSet
+    * discipline). */
+  private def contractCols(msgs: Column): (Column, Column, Column, Column) = {
     val roles = transform(msgs, m => m.getField("role"))
     val first = element_at(roles, 1)
     val body = when(first === "system", slice(roles, lit(2), size(roles) - 1))
@@ -85,12 +82,27 @@ object Sft {
       zip_with(body, sequence(lit(0), size(body) - 1), (r, i) =>
         r === when(i % 2 === 0, "user").otherwise("assistant")),
       x => x)
-    val staged = convs.select(col("doc_id"), msgs.as("msgs"),
+    (first.isin("system", "user"),
+      size(body) > 0 && alternates,
+      element_at(roles, -1) === "assistant",
+      forall(msgs, m => length(m.getField("content")) > 0))
+  }
+
+  /** Per-conversation structural contract: (doc_id, n_turns,
+    * starts_ok, alternates_ok, ends_assistant, no_empty, valid).
+    * The contract is the standard chat one: an optional leading
+    * system turn, then strictly alternating user/assistant starting
+    * at user, ending on assistant, no empty contents. HOFs over the
+    * typed message array — one map-only pass. */
+  def sftValidate(convs: DataFrame): DataFrame = {
+    val msgs = from_json(col("conv_json"), ConvSchema).getField("messages")
+    val (startsOk, alternatesOk, endsAssistant, noEmpty) = contractCols(msgs)
+    val staged = convs.select(col("doc_id"),
       size(msgs).cast("int").as("n_turns"),
-      first.isin("system", "user").as("starts_ok"),
-      (size(body) > 0 && alternates).as("alternates_ok"),
-      (element_at(roles, -1) === "assistant").as("ends_assistant"),
-      forall(msgs, m => length(m.getField("content")) > 0).as("no_empty"))
+      startsOk.as("starts_ok"),
+      alternatesOk.as("alternates_ok"),
+      endsAssistant.as("ends_assistant"),
+      noEmpty.as("no_empty"))
     staged.select(col("doc_id"), col("n_turns"), col("starts_ok"),
       col("alternates_ok"), col("ends_assistant"), col("no_empty"),
       (col("starts_ok") && col("alternates_ok") && col("ends_assistant") &&
@@ -101,17 +113,22 @@ object Sft {
     * becomes `<|role|>content`, newline-joined, closed with
     * `<|eot|>` — the text the tokenizer actually sees. Invalid
     * conversations are DROPPED (the validation flags say why), so the
-    * output is exactly the trainable set. Returns (doc_id, rendered,
-    * n_turns, n_chars). */
+    * output is exactly the trainable set. The validity gate composes
+    * at the column level — one map-only projection+filter stage, no
+    * corpus join-back. Returns (doc_id, rendered, n_turns,
+    * n_chars). */
   def sftRender(convs: DataFrame): DataFrame = {
     val msgs = from_json(col("conv_json"), ConvSchema).getField("messages")
+    val (startsOk, alternatesOk, endsAssistant, noEmpty) = contractCols(msgs)
     val rendered = concat(array_join(transform(msgs, m =>
       concat(lit("<|"), m.getField("role"), lit("|>"), m.getField("content"))),
       "\n"), lit("\n<|eot|>"))
-    convs.join(sftValidate(convs).filter(col("valid")).select("doc_id"), "doc_id")
-      .select(col("doc_id"), rendered.as("rendered"),
+    convs.select(col("doc_id"), rendered.as("rendered"),
         size(msgs).cast("int").as("n_turns"),
-        length(rendered).cast("long").as("n_chars"))
+        (startsOk && alternatesOk && endsAssistant && noEmpty).as("valid"))
+      .filter(col("valid"))
+      .select(col("doc_id"), col("rendered"), col("n_turns"),
+        length(col("rendered")).cast("long").as("n_chars"))
   }
 
   // ---- preference pairs ----

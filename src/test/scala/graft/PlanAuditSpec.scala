@@ -249,6 +249,24 @@ class PlanAuditSpec extends SparkSpec {
       s"crawlBuild exchange budget exceeded:\n$p")
   }
 
+  test("sft/dpo/subtitles/feeds: per-row JSON+HOF work, no shuffle") {
+    val docs = Tables.documents(spark, dir)
+    Seq(
+      graft.operators.Sft.sftValidate(graft.operators.Sft.sftDocs(docs)),
+      graft.operators.Sft.sftRender(graft.operators.Sft.sftDocs(docs)),
+      graft.operators.Sft.dpoStats(graft.operators.Sft.dpoDocs(docs)),
+      Multimodal.subtitleCues(Multimodal.subtitleDocs(docs)),
+      graft.operators.Crawl.feedItems(graft.operators.Crawl.feedDocs(docs))
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"per-row operator must not shuffle:\n$p")
+    }
+    // the bias profile is ONE partial-aggregated scalar row
+    val pb = plan(graft.operators.Sft.dpoBiasProfile(graft.operators.Sft.dpoDocs(docs)))
+    assert(pb.contains("partial_count") || pb.contains("partial_sum"),
+      s"bias profile must partial-aggregate map-side:\n$pb")
+  }
+
   test("urlFeatures: shuffle-free per-row canonicalization") {
     val p = plan(Corpus.urlFeatures(Corpus.urlDocs(Tables.documents(spark, dir))))
     assert(!p.contains("Exchange"), s"URL parse is per-row map work:\n$p")
