@@ -340,13 +340,18 @@ object CodeCorpus {
     * with a typed schema + one posexplode: codegen JSON work, no UDF,
     * map-only. */
   def ipynbCells(notebooks: DataFrame): DataFrame = {
+    val parsed = from_json(col("nb_json"),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "cells array<struct<cell_type: string, source: array<string>, " +
+          "outputs: array<struct<output_type: string>>>>"))
+    // from_json yields null on malformed JSON, and posexplode(null)
+    // would DROP the row — a corrupt notebook must fail loudly, not
+    // pass as zero cells
+    val cells = when(parsed.isNull || parsed.getField("cells").isNull,
+        raise_error(concat(lit("not a notebook: doc "), col("doc_id"))))
+      .otherwise(parsed.getField("cells"))
     notebooks
-      .select(col("doc_id"),
-        posexplode(from_json(col("nb_json"),
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "cells array<struct<cell_type: string, source: array<string>, " +
-              "outputs: array<struct<output_type: string>>>>"))
-          .getField("cells")).as(Seq("cell_idx", "cell")))
+      .select(col("doc_id"), posexplode(cells).as(Seq("cell_idx", "cell")))
       .select(col("doc_id"), col("cell_idx").cast("int").as("cell_idx"),
         col("cell.cell_type").as("cell_type"),
         array_join(col("cell.source"), "").as("source"),

@@ -147,6 +147,14 @@ class CodeCorpusSpec extends SparkSpec {
     }
   }
 
+  test("ipynbCells: malformed JSON fails loudly, never as zero cells") {
+    import spark.implicits._
+    intercept[Exception](CodeCorpus.ipynbCells(
+      Seq((1L, "not json at all")).toDF("doc_id", "nb_json")).collect())
+    intercept[Exception](CodeCorpus.ipynbCells(
+      Seq((2L, """{"nbformat":4}""")).toDF("doc_id", "nb_json")).collect())
+  }
+
   test("codeBuild equals the gates + strip + exact dedup composed by hand") {
     val docs = Tables.documents(spark, sf0001)
     val fx = CodeCorpus.codeStatsDocs(docs)
