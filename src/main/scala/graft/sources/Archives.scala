@@ -359,6 +359,7 @@ object Archives {
     else if (ascii(0, "RIFF") && ascii(8, "WEBP")) ("webp", "image/webp")
     else if (ascii(0, "RIFF") && ascii(8, "AVI ")) ("avi", "video/x-msvideo")
     else if (ascii(4, "ftyp")) ("mp4", "video/mp4")
+    else if (at(0, 0x1A, 0x45, 0xDF, 0xA3)) ("webm", "video/webm") // EBML header
     else if (ascii(0, "fLaC")) ("flac", "audio/flac")
     else if (ascii(0, "ID3") || (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xE0) == 0xE0))
       ("mp3", "audio/mpeg")

@@ -101,6 +101,9 @@ class ArchivesSpec extends SparkSpec {
     assert(Archives.sniff(zipBytes)._1 == "zip")
     val tarBytes = Archives.tarDocs(docs.limit(1)).collect()(0).getAs[Array[Byte]](1)
     assert(Archives.sniff(tarBytes)._1 == "tar")
+    val mkvBytes = graft.sources.Ebml.mkvDocs(docs.limit(1))
+      .collect()(0).getAs[Array[Byte]](1)
+    assert(Archives.sniff(mkvBytes) == (("webm", "video/webm")))
   }
 
   test("epubText: ZIP walk composes with the HTML kernel; OCF contract enforced") {
