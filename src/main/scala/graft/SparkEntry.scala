@@ -607,6 +607,11 @@ object SparkEntry {
     // pairs arrive; changelog-final equals the batch profile
     "s_stream_dpo_bias" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayDpoBias(s, Tables.documents(s, dir))),
+    // the crawl front door on a STREAM, operators unchanged: WARC
+    // walk + charset repair + HTML kernel per row, robots gate as a
+    // stream-static broadcast — appended rows equal the batch gate
+    "s_stream_crawl_extract" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayCrawlExtract(s, Tables.documents(s, dir))),
     // streaming crawl frontier: URLs canonicalized with the batch
     // expression chain, per-HOST FIFO queue positions from one Long
     // of transformWithState state per domain
@@ -4448,6 +4453,21 @@ object SparkEntry {
         |FROM u""".stripMargin,
     // crawl capstone: verified fragments composed verbatim
     "c_crawl_build" -> crawlBuildOracle,
+    // streaming front door: the gated extraction closed form — same
+    // text arithmetic as c_crawl_build's ext/gated stages
+    "s_stream_crawl_extract" ->
+      """SELECT doc_id,
+        |       'site' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS domain,
+        |       '/articles/' || CAST(doc_id % 97 AS VARCHAR) AS path,
+        |       CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
+        |         WHEN 2 THEN 'utf-8-mojibake' ELSE 'utf-16le' END AS encoding,
+        |       'main heading ' || CAST(doc_id AS VARCHAR) || ' of document ' ||
+        |       CAST(doc_id % 97 AS VARCHAR) || ' ' || text ||
+        |       ' café — “naïve ±1 entities: A&B <x> "y" HI tail ' ||
+        |       CAST(doc_id % 13 AS VARCHAR) AS main_text
+        |FROM documents
+        |WHERE NOT ((doc_id % 50) % 4 = 0
+        |           AND substr(CAST(doc_id % 97 AS VARCHAR), 1, 1) <> '7')""".stripMargin,
     // MKV tracks: every field arithmetic in (doc_id, track index k);
     // k=0 is the video track, odd ids add an audio track at k=1
     "m_mkv_tracks" ->

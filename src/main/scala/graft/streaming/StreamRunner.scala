@@ -2618,6 +2618,47 @@ object StreamRunner {
     *
     * Scale shape: one Long per distinct host; URL text rides the
     * stream but never enters state. */
+  /** The crawl front door RUNNING ON A STREAM, unchanged: the same
+    * WARC-payload walk + charset repair + fused HTML kernel
+    * ([[graft.sources.Warc.crawlExtract]] — stateless per-row seam
+    * and codegen work, so it applies to a streaming Dataset verbatim)
+    * and the same RFC 9309 gate as a STREAM-STATIC broadcast join
+    * (the rules frame is batch metadata; the stream side never
+    * shuffles). No state, no watermark — append mode; the output rows
+    * equal the batch pipeline's gated extraction exactly, which is
+    * the point: the front door's operators don't know whether they
+    * are batch or stream. */
+  def replayCrawlExtract(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
+    val srcDir = docStagedDir(spark, documents)
+    val session = replaySession(spark, rocksDb = false)
+    val src = session.readStream
+      .schema(Encoders.product[StagedDoc].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    val pages = graft.sources.Warc.crawlExtract(
+      graft.sources.Warc.crawlDocs(
+        src.select(col("docId").as("doc_id"), col("text"))))
+    val urls = pages.select(col("doc_id"),
+      regexp_extract(col("target_uri"), "^https?://([^/]+)", 1).as("domain"),
+      regexp_extract(col("target_uri"), "^https?://[^/]+(/.*)$", 1).as("path"),
+      col("encoding"), col("main_text"))
+    val rules = graft.operators.Crawl.robotsRules(
+      graft.operators.Crawl.robotsDocs(documents), "graftbot")
+    val gated = graft.operators.Crawl.robotsGate(urls, rules)
+      .filter(col("allowed"))
+      .select(col("doc_id"), col("domain"), col("path"),
+        col("encoding"), col("main_text"))
+    val q = gated.writeStream.format("parquet")
+      .option("path", work.resolve("out").toString)
+      .option("checkpointLocation", work.resolve("cp").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q)
+    spark.read.parquet(work.resolve("out").toString)
+  }
+
   def replayCrawlFrontier(spark: SparkSession, documents: DataFrame): DataFrame = {
     val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
     val srcDir = docStagedDir(spark, documents)

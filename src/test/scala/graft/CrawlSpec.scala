@@ -210,6 +210,24 @@ class CrawlSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < 120, "the gates must actually drop documents")
   }
 
+  test("streaming crawl extract: streamed rows equal the batch gate exactly") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 60)
+    val streamed = graft.streaming.StreamRunner.replayCrawlExtract(spark, docs)
+      .collect().map(_.toSeq).toSet
+    val pages = graft.sources.Warc.crawlExtract(graft.sources.Warc.crawlDocs(docs))
+    val urls = pages.select(col("doc_id"),
+      regexp_extract(col("target_uri"), "^https?://([^/]+)", 1).as("domain"),
+      regexp_extract(col("target_uri"), "^https?://[^/]+(/.*)$", 1).as("path"),
+      col("encoding"), col("main_text"))
+    val batch = Crawl.robotsGate(urls,
+        Crawl.robotsRules(Crawl.robotsDocs(docs), "graftbot"))
+      .filter(col("allowed"))
+      .select(col("doc_id"), col("domain"), col("path"),
+        col("encoding"), col("main_text"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("fetchSchedule: position × delay, per host") {
     val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 100)
     val urls = graft.operators.Corpus
