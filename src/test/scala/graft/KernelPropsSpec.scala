@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CodeCorpus
+import graft.functions.MarkupKernels
+
+/** Property-style checks for the round's kernels over seeded random
+  * corpora (one DataFrame pass per property, not one job per case):
+  * comment stripping is IDEMPOTENT per style, and skipped regions
+  * (markdown fences, latex math/comments) never leak content. */
+class KernelPropsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(0xC0FFEE)
+
+  /** Random code-ish snippets over an alphabet dense in the kernel's
+    * special characters. */
+  private def snippets(n: Int): Seq[String] = {
+    val alphabet = "ab \n\"'/\\*#;!x1{}"
+    Seq.fill(n)(Seq.fill(1 + rnd.nextInt(60))(
+      alphabet(rnd.nextInt(alphabet.length))).mkString)
+  }
+
+  test("stripComments is idempotent on every style") {
+    for (style <- Seq("c", "hash", "lisp")) {
+      val path = style match {
+        case "c" => "x.c"; case "hash" => "x.py"; case _ => "x.el"
+      }
+      val rows = snippets(400).zipWithIndex.map { case (s, i) => (i.toLong, path, s) }
+      val once = CodeCorpus.stripComments(rows.toDF("doc_id", "path", "content"))
+        .select(col("doc_id"), col("code_stripped")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val again = CodeCorpus.stripComments(
+          rows.map { case (id, p, _) => (id, p, once(id)) }
+            .toDF("doc_id", "path", "content"))
+        .select(col("doc_id"), col("code_stripped")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      once.foreach { case (id, s1) =>
+        assert(again(id) == s1,
+          s"style $style not idempotent for doc $id:\n${rows(id.toInt)._3}\n-> $s1\n-> ${again(id)}")
+      }
+    }
+  }
+
+  test("markdown: fenced content never leaks, whatever surrounds the fence") {
+    val rows = snippets(300).zipWithIndex.map { case (s, i) =>
+      // the fence body carries a sentinel plus random noise; the
+      // noise outside is random markdown-ish text
+      (i.toLong, s"$s\n```\nZZSENTINELZZ $s\n```\n$s")
+    }
+    val out = MarkupKernels.markdownExtract(rows.toDF("doc_id", "md")).collect()
+    out.foreach { r =>
+      assert(!r.getString(2).contains("ZZSENTINELZZ"),
+        s"fence leaked for doc ${r.getLong(0)}")
+      assert(r.getInt(6) >= 1, "the fence must be counted")
+    }
+  }
+
+  test("latex: math and comment content never leaks") {
+    val texAlphabet = "ab \nx1_^"
+    def noise() = Seq.fill(1 + rnd.nextInt(40))(
+      texAlphabet(rnd.nextInt(texAlphabet.length))).mkString
+    val rows = (0 until 300).map { i =>
+      (i.toLong,
+        s"${noise()} $$ZZMATHZZ ${noise()}$$ mid % ZZCOMMENTZZ ${noise()}\n" +
+          s"\\begin{equation}\nZZENVZZ ${noise()}\n\\end{equation}\n${noise()}")
+    }
+    val out = MarkupKernels.latexExtract(rows.toDF("doc_id", "tex")).collect()
+    out.foreach { r =>
+      val t = r.getString(2)
+      assert(!t.contains("ZZMATHZZ") && !t.contains("ZZCOMMENTZZ") &&
+        !t.contains("ZZENVZZ"), s"leak for doc ${r.getLong(0)}: $t")
+      assert(r.getInt(5) >= 2, "inline $ and the equation env both count as math")
+    }
+  }
+}
