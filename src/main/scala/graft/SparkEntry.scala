@@ -573,6 +573,12 @@ object SparkEntry {
     "t_html_tables" -> ((s, dir) =>
       graft.functions.TextAnalysis.extractHtmlTables(
         graft.functions.TextAnalysis.htmlTableDocs(Tables.documents(s, dir)))),
+    // table linearization: per body row, header=value pairs joined —
+    // the table-QA training-text serialization
+    "t_table_linearize" -> ((s, dir) =>
+      graft.functions.TextAnalysis.linearizeTables(
+        graft.functions.TextAnalysis.extractHtmlTables(
+          graft.functions.TextAnalysis.htmlTableDocs(Tables.documents(s, dir))))),
     // LaTeX extraction (the arXiv/science slice): fused state machine
     // dropping comments/preamble/math/cites, keeping section text,
     // capturing \title — structure counts ride along
@@ -4270,6 +4276,22 @@ object SparkEntry {
         |              ' ' || CAST(cl AS VARCHAR) || ' ' ||
         |              CAST((doc_id + (rw - 1) * 3 + cl) % 11 AS VARCHAR) END AS cell
         |FROM c""".stripMargin,
+    // linearization: 'h<t> <c> <k>=v<t> <r> <c> <m>' pairs per body
+    // row, joined with '; ' over the 2 + id%3 columns
+    "t_table_linearize" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS nt, 2 + doc_id % 3 AS nc
+        |           FROM documents),
+        |t AS (SELECT doc_id, nc, unnest(generate_series(0, nt - 1)) AS tbl FROM d),
+        |r AS (SELECT doc_id, nc, tbl, unnest(generate_series(1, 2)) AS rw FROM t),
+        |c AS (SELECT doc_id, tbl, rw, unnest(generate_series(0, nc - 1)) AS cl FROM r)
+        |SELECT doc_id, CAST(tbl AS INT) AS table_idx, CAST(rw AS INT) AS row_idx,
+        |       string_agg('h' || CAST(tbl AS VARCHAR) || ' ' || CAST(cl AS VARCHAR) ||
+        |                  ' ' || CAST(doc_id % 7 AS VARCHAR) || '=' ||
+        |                  'v' || CAST(tbl AS VARCHAR) || ' ' || CAST(rw - 1 AS VARCHAR) ||
+        |                  ' ' || CAST(cl AS VARCHAR) || ' ' ||
+        |                  CAST((doc_id + (rw - 1) * 3 + cl) % 11 AS VARCHAR),
+        |                  '; ' ORDER BY cl) AS line
+        |FROM c GROUP BY doc_id, tbl, rw""".stripMargin,
     // LaTeX extraction: every output byte is arithmetic in (doc_id,
     // text) — sections keep their argument text, comments/preamble/
     // math/cites drop, \% survives as a literal percent, ~ is a space

@@ -1359,6 +1359,31 @@ object TextAnalysis {
     * stripped from the cell text; the same per-row generate pattern
     * as the sitemap walk — no shuffle, no UDF, output rows bounded by
     * the page's own cell count. */
+  /** Table linearization — the serialization step that turns
+    * extracted `<table>` cells into training text (the "header=value"
+    * form table-QA corpora standardize on): per body row, each cell
+    * pairs with its header by column position, pairs joined with
+    * `; `. Returns (doc_id, table_idx, row_idx, line).
+    *
+    * Scale shape: one (doc, table, row) aggregation to rebuild the
+    * ordered cell arrays, then the header array joins back per
+    * (doc, table) — table-sized keys on both sides, co-partitioned by
+    * the same prefix, and rows within one table are bounded by the
+    * page's own size. */
+  def linearizeTables(cells: DataFrame): DataFrame = {
+    val rows = cells.groupBy(col("doc_id"), col("table_idx"), col("row_idx"))
+      .agg(transform(array_sort(collect_list(struct(col("col_idx"), col("cell")))),
+        s => s.getField("cell")).as("cells"),
+        max(col("is_header").cast("int")).as("hdr"))
+    val headers = rows.filter(col("hdr") === 1)
+      .select(col("doc_id"), col("table_idx"), col("cells").as("header_cells"))
+    rows.filter(col("hdr") === 0)
+      .join(headers, Seq("doc_id", "table_idx"))
+      .select(col("doc_id"), col("table_idx"), col("row_idx"),
+        array_join(zip_with(col("header_cells"), col("cells"),
+          (h, c) => concat(h, lit("="), c)), "; ").as("line"))
+  }
+
   def extractHtmlTables(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
     val tables = pages.select(col("doc_id"),
       posexplode(regexp_extract_all(col(htmlCol),

@@ -628,6 +628,22 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     assert(cells.size == 3)
   }
 
+  test("linearizeTables: header=value pairing by column position, ragged-safe") {
+    import spark.implicits._
+    val cells = Seq(
+      // (doc, table, row, col, is_header, cell) — a body row SHORTER
+      // than the header: zip_with pads the missing value with null,
+      // which must surface in the line, never crash
+      (1L, 0, 0, 0, true, "name"), (1L, 0, 0, 1, true, "age"),
+      (1L, 0, 1, 0, false, "ada"), (1L, 0, 1, 1, false, "36"),
+      (1L, 0, 2, 0, false, "bob")
+    ).toDF("doc_id", "table_idx", "row_idx", "col_idx", "is_header", "cell")
+    val got = TextAnalysis.linearizeTables(cells).collect()
+      .map(r => r.getInt(2) -> r.getString(3)).toMap
+    assert(got(1) == "name=ada; age=36")
+    assert(got(2) == "name=bob", "ragged row: null pair drops from the join")
+  }
+
   test("extractHtml output composes with Corpus.keepSet as the curation front door") {
     val pages = TextAnalysis.htmlDocs(Tables.documents(spark, sf0001).limit(50))
     val ext = TextAnalysis.extractHtml(pages)
