@@ -553,6 +553,12 @@ object SparkEntry {
       graft.functions.TextAnalysis.knLogProb(Tables.documents(s, dir))),
     "t_pii_scrub" -> ((s, dir) =>
       graft.functions.TextAnalysis.piiScrub(Tables.documents(s, dir))),
+    // k-anonymity suppression over the customer quasi-identifiers
+    // (nation × market segment, k=10): one window shuffle, no
+    // join-back — groups under k publish '*'
+    "t_k_anon" -> ((s, dir) =>
+      graft.operators.Relational.kAnonymize(Tables.customer(s, dir),
+        "c_custkey", Seq("c_nationkey", "c_mktsegment"), 10)),
     "t_normalize" -> ((s, dir) =>
       graft.functions.TextAnalysis.normalize(Tables.documents(s, dir))),
     // HTML main-content extraction: fused per-row state machine over
@@ -579,6 +585,17 @@ object SparkEntry {
       graft.functions.TextAnalysis.linearizeTables(
         graft.functions.TextAnalysis.extractHtmlTables(
           graft.functions.TextAnalysis.htmlTableDocs(Tables.documents(s, dir))))),
+    // CSV dialect sniffing: per-line delimiter consistency outside
+    // quoted regions (clevercsv's integer core); fixture rotates
+    // , / ; / TAB and plants a quoted cell with an embedded delimiter
+    "t_csv_sniff" -> ((s, dir) =>
+      graft.sources.Csv.sniffCsv(
+        graft.sources.Csv.csvDocs(Tables.documents(s, dir)))),
+    // RFC 4180 parse under the SNIFFED dialect: one row per cell,
+    // quoted fields with "" escapes and embedded delimiters intact
+    "t_csv_cells" -> ((s, dir) =>
+      graft.sources.Csv.csvCells(
+        graft.sources.Csv.csvDocs(Tables.documents(s, dir)))),
     // LaTeX extraction (the arXiv/science slice): fused state machine
     // dropping comments/preamble/math/cites, keeping section text,
     // capturing \title — structure counts ride along
@@ -601,6 +618,19 @@ object SparkEntry {
     // the URL-dedup key; fixture closed-form in doc_id
     "t_url_parse" -> ((s, dir) =>
       Corpus.urlFeatures(Corpus.urlDocs(Tables.documents(s, dir)))),
+    // outlink extraction + RFC 3986 resolution: one state-machine pass
+    // per page (comment/script decoys must not extract), hrefs
+    // resolved against the page URL — absolute/protocol-relative/
+    // root-relative/path-relative (incl. ../ removal, unquoted attr),
+    // fragment-only and mailto: resolve to null
+    "t_extract_links" -> ((s, dir) =>
+      graft.operators.Crawl.extractLinks(
+        graft.operators.Crawl.linkDocs(Tables.documents(s, dir)))),
+    // crawl prioritization: outlinks → directed host graph → PageRank
+    // over hosts (the Common Crawl host-ranking move), 9-dp rounding +
+    // exact-decimal sums so the oracle replays every iteration
+    "c_crawl_rank" -> ((s, dir) =>
+      graft.operators.Crawl.crawlRank(Tables.documents(s, dir))),
     // paragraph-level dedup (the CCNet move): repeated 10-word
     // segments dropped corpus-wide, survivors reassembled in order
     "c_paragraph_dedup" -> ((s, dir) =>
@@ -746,6 +776,11 @@ object SparkEntry {
     // the dataset-card bias row (length bias teaches verbosity)
     "c_dpo_bias" -> ((s, dir) =>
       Sft.dpoBiasProfile(Sft.dpoDocs(Tables.documents(s, dir)))),
+    // Bradley–Terry ratings from pairwise model comparisons (Hunter's
+    // MM iteration, 9-dp + exact-decimal discipline): the reward-data
+    // ranking move; per-round cost is |models|²-bounded
+    "c_bt_ratings" -> ((s, dir) =>
+      Sft.btRatings(Sft.matchDocs(Tables.documents(s, dir)))),
     // trained quality classifier: integer-exact batch perceptron on
     // 512 hashed bag-of-words buckets, 3 epochs, broadcast weight
     // vector — the fastText-classifier move, bitwise-reproducible
@@ -4222,6 +4257,19 @@ object SparkEntry {
         |         '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
         |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
+    // k-anonymity: the window count replayed, groups under k suppress
+    "t_k_anon" ->
+      """WITH g AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |                  COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment)
+        |                    AS group_n
+        |           FROM customer)
+        |SELECT c_custkey,
+        |       CASE WHEN group_n < 10 THEN '*'
+        |            ELSE CAST(c_nationkey AS VARCHAR) END AS c_nationkey_qi,
+        |       CASE WHEN group_n < 10 THEN '*'
+        |            ELSE c_mktsegment END AS c_mktsegment_qi,
+        |       group_n, group_n < 10 AS suppressed
+        |FROM g""".stripMargin,
     // HTML extraction: the fixture's boilerplate fragments are
     // closed-form in doc_id (nav/aside/footer link-dense or short →
     // boilerplate; h1 + the document text + the entity paragraph pass
@@ -4292,6 +4340,38 @@ object SparkEntry {
         |                  CAST((doc_id + (rw - 1) * 3 + cl) % 11 AS VARCHAR),
         |                  '; ' ORDER BY cl) AS line
         |FROM c GROUP BY doc_id, tbl, rw""".stripMargin,
+    // CSV sniff: the rotating dialect recovered exactly; 3×3 grid,
+    // every payload carries quotes
+    "t_csv_sniff" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN ','
+        |            WHEN doc_id % 3 = 1 THEN ';' ELSE chr(9) END AS delimiter,
+        |       CAST(3 AS INT) AS n_cols, CAST(3 AS INT) AS n_rows,
+        |       TRUE AS quoted
+        |FROM documents""".stripMargin,
+    // CSV cells: 9 arms per doc; the quoted cell keeps its embedded
+    // delimiter and the "" escape collapses to one quote
+    "t_csv_cells" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN ','
+        |         WHEN doc_id % 3 = 1 THEN ';' ELSE chr(9) END AS dl
+        |  FROM documents)
+        |SELECT doc_id, CAST(0 AS INT) AS row_idx, CAST(0 AS INT) AS col_idx,
+        |       'name' AS cell, TRUE AS is_header FROM d
+        |UNION ALL SELECT doc_id, CAST(0 AS INT), CAST(1 AS INT), 'value', TRUE FROM d
+        |UNION ALL SELECT doc_id, CAST(0 AS INT), CAST(2 AS INT), 'tag', TRUE FROM d
+        |UNION ALL SELECT doc_id, CAST(1 AS INT), CAST(0 AS INT),
+        |       'a' || dl || ' "q" ' || CAST(doc_id % 7 AS VARCHAR), FALSE FROM d
+        |UNION ALL SELECT doc_id, CAST(1 AS INT), CAST(1 AS INT),
+        |       CAST(100 + doc_id % 50 AS VARCHAR), FALSE FROM d
+        |UNION ALL SELECT doc_id, CAST(1 AS INT), CAST(2 AS INT),
+        |       't' || CAST(doc_id % 5 AS VARCHAR), FALSE FROM d
+        |UNION ALL SELECT doc_id, CAST(2 AS INT), CAST(0 AS INT),
+        |       'plain ' || CAST(doc_id % 11 AS VARCHAR), FALSE FROM d
+        |UNION ALL SELECT doc_id, CAST(2 AS INT), CAST(1 AS INT),
+        |       CAST(200 + doc_id % 30 AS VARCHAR), FALSE FROM d
+        |UNION ALL SELECT doc_id, CAST(2 AS INT), CAST(2 AS INT),
+        |       't' || CAST(doc_id % 4 AS VARCHAR), FALSE FROM d""".stripMargin,
     // LaTeX extraction: every output byte is arithmetic in (doc_id,
     // text) — sections keep their argument text, comments/preamble/
     // math/cites drop, \% survives as a literal percent, ~ is a space
@@ -4771,6 +4851,7 @@ object SparkEntry {
         |FROM q""".stripMargin,
     // the bias profile row (batch and its streaming twin share it)
     "c_dpo_bias" -> dpoBiasOracle,
+    "c_bt_ratings" -> btRatingsOracle,
     "s_stream_dpo_bias" -> dpoBiasOracle,
     // feeds: both dialects arithmetic in (h, entry index)
     "t_feed_items" ->
@@ -4885,6 +4966,57 @@ object SparkEntry {
         |       port_norm || path || '?' || qc AS url_norm,
         |       doc_id % 2 = 0 AS is_secure
         |FROM p""".stripMargin,
+    // outlinks: 7 arms per doc (comment/script decoys must NOT
+    // appear), resolution replayed as string arithmetic; fragment-only
+    // and mailto: arms resolve to NULL
+    "t_extract_links" ->
+      """WITH d AS (SELECT doc_id,
+        |    'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example/dir' ||
+        |    CAST(doc_id % 5 AS VARCHAR) || '/page.html' AS url,
+        |    'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS root,
+        |    'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example/dir' ||
+        |    CAST(doc_id % 5 AS VARCHAR) || '/' AS dir
+        |  FROM documents)
+        |SELECT doc_id, url, CAST(0 AS INT) AS seq,
+        |       'https://site' || CAST((3 * doc_id + 1) % 20 AS VARCHAR) ||
+        |       '.example/p' || CAST(doc_id % 7 AS VARCHAR) AS href,
+        |       'partner & co ' || CAST(doc_id % 7 AS VARCHAR) AS anchor,
+        |       'https://site' || CAST((3 * doc_id + 1) % 20 AS VARCHAR) ||
+        |       '.example/p' || CAST(doc_id % 7 AS VARCHAR) AS resolved
+        |FROM d
+        |UNION ALL
+        |SELECT doc_id, url, CAST(1 AS INT),
+        |       '//site' || CAST((5 * doc_id + 2) % 20 AS VARCHAR) || '.example/mirror',
+        |       'mirror',
+        |       'https://site' || CAST((5 * doc_id + 2) % 20 AS VARCHAR) || '.example/mirror'
+        |FROM d
+        |UNION ALL
+        |SELECT doc_id, url, CAST(2 AS INT),
+        |       '/top' || CAST(doc_id % 3 AS VARCHAR) || '?x=1&y=2',
+        |       'top ' || CAST(doc_id % 3 AS VARCHAR),
+        |       root || '/top' || CAST(doc_id % 3 AS VARCHAR) || '?x=1&y=2'
+        |FROM d
+        |UNION ALL
+        |SELECT doc_id, url, CAST(3 AS INT),
+        |       'sub/rel' || CAST(doc_id % 4 AS VARCHAR) || '.html',
+        |       'rel ' || CAST(doc_id % 4 AS VARCHAR),
+        |       dir || 'sub/rel' || CAST(doc_id % 4 AS VARCHAR) || '.html'
+        |FROM d
+        |UNION ALL
+        |SELECT doc_id, url, CAST(4 AS INT),
+        |       '../up' || CAST(doc_id % 6 AS VARCHAR) || '.html', 'up',
+        |       root || '/up' || CAST(doc_id % 6 AS VARCHAR) || '.html'
+        |FROM d
+        |UNION ALL
+        |SELECT doc_id, url, CAST(5 AS INT),
+        |       '#sec' || CAST(doc_id % 2 AS VARCHAR), 'frag', CAST(NULL AS VARCHAR)
+        |FROM d
+        |UNION ALL
+        |SELECT doc_id, url, CAST(6 AS INT),
+        |       'mailto:ed@site' || CAST(doc_id % 5 AS VARCHAR) || '.example', 'mail',
+        |       CAST(NULL AS VARCHAR)
+        |FROM d""".stripMargin,
+    "c_crawl_rank" -> crawlRankOracle,
     "t_normalize" ->
       """SELECT doc_id,
         |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
@@ -7068,6 +7200,81 @@ object SparkEntry {
        |          FROM seeds, ns),
        |$iterCtes
        |SELECT node, pr FROM p$Iters""".stripMargin
+  }
+
+  /** The Bradley–Terry MM recurrence in DuckDB — [[graft.operators
+    * .Sft.btRatings]] exactly: the arena fixture rebuilt
+    * arithmetically, wins and symmetric pair counts, then per MM
+    * iteration a (9-dp per-pair term, exact-decimal sum, 9-dp rating)
+    * CTE pair, closed with the normalization scalar. */
+  private lazy val btRatingsOracle: String = {
+    val iters = 3
+    val iterCtes = (1 to iters).map { k =>
+      s"""t$k AS (SELECT n.i,
+         |        CAST(SUM(CAST(ROUND(CAST(n.cnt AS DOUBLE) / (pi.p + pj.p) + 1e-12, 9)
+         |                      AS DECIMAL(18,9))) AS DOUBLE) AS d
+         |        FROM n JOIN p${k - 1} pi ON n.i = pi.model
+         |               JOIN p${k - 1} pj ON n.j = pj.model
+         |        GROUP BY n.i),
+         |p$k AS (SELECT t.i AS model,
+         |        ROUND(COALESCE(CAST(w.wins AS DOUBLE), CAST(0.0 AS DOUBLE)) / t.d
+         |              + 1e-12, 9) AS p
+         |        FROM t$k t LEFT JOIN w ON t.i = w.model)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH m AS (SELECT doc_id,
+       |    'm' || CAST(doc_id % 8 AS VARCHAR) AS a,
+       |    'm' || CAST((3 * doc_id + 1) % 8 AS VARCHAR) AS b,
+       |    CASE WHEN (7 * doc_id + 3) % ((doc_id % 8) + ((3 * doc_id + 1) % 8) + 2)
+       |              <= doc_id % 8
+       |         THEN 'm' || CAST(doc_id % 8 AS VARCHAR)
+       |         ELSE 'm' || CAST((3 * doc_id + 1) % 8 AS VARCHAR) END AS winner
+       |  FROM documents),
+       |w AS (SELECT winner AS model, COUNT(*) AS wins FROM m GROUP BY 1),
+       |e0 AS (SELECT a AS i, b AS j FROM m UNION ALL SELECT b, a FROM m),
+       |n AS (SELECT i, j, COUNT(*) AS cnt FROM e0 GROUP BY 1, 2),
+       |p0 AS (SELECT DISTINCT i AS model, ROUND(CAST(1.0 AS DOUBLE) + 1e-12, 9) AS p
+       |       FROM n),
+       |$iterCtes,
+       |s AS (SELECT CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE) AS s FROM p$iters)
+       |SELECT model, ROUND(p / s.s + 1e-12, 9) AS rating FROM p$iters, s""".stripMargin
+  }
+
+  /** The crawl host-rank recurrence in DuckDB — [[graft.operators
+    * .Crawl.crawlRank]] exactly: the two cross-host link arms of the
+    * fixture rebuilt arithmetically, directed out-weight shares, then
+    * per power iteration an (exact-decimal contribution sum, 9-dp
+    * rank) CTE pair; the node set survives every round via the LEFT
+    * JOIN (no-in-link hosts keep their teleport base). */
+  private lazy val crawlRankOracle: String = {
+    import graft.operators.Graph.{Damping, Iters}
+    val iterCtes = (1 to Iters).map { i =>
+      s"""c$i AS (SELECT sh.dst AS host,
+         |        CAST(SUM(CAST(ROUND(p.pr * sh.share * CAST($Damping AS DOUBLE) + 1e-12, 9)
+         |                      AS DECIMAL(18,9))) AS DOUBLE) AS s
+         |        FROM sh JOIN p${i - 1} p ON sh.src = p.host GROUP BY sh.dst),
+         |p$i AS (SELECT nd.host,
+         |        ROUND((CAST(1.0 AS DOUBLE) - CAST($Damping AS DOUBLE)) / nn.n
+         |              + COALESCE(c.s, CAST(0.0 AS DOUBLE)) + 1e-12, 9) AS pr
+         |        FROM nd LEFT JOIN c$i c ON nd.host = c.host, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS src,
+       |         'site' || CAST((3 * doc_id + 1) % 20 AS VARCHAR) || '.example' AS dst
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example',
+       |         'site' || CAST((5 * doc_id + 2) % 20 AS VARCHAR) || '.example'
+       |  FROM documents),
+       |ed AS (SELECT src, dst, COUNT(*) AS w FROM e0 WHERE src <> dst GROUP BY 1, 2),
+       |sh AS (SELECT src, dst,
+       |       CAST(w AS DOUBLE) / CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE) AS share
+       |       FROM ed),
+       |nd AS (SELECT DISTINCT src AS host FROM ed UNION SELECT DISTINCT dst FROM ed),
+       |nn AS (SELECT COUNT(*) AS n FROM nd),
+       |p0 AS (SELECT host, ROUND(CAST(1.0 AS DOUBLE) / nn.n + 1e-12, 9) AS pr
+       |       FROM nd, nn),
+       |$iterCtes
+       |SELECT host, pr FROM p$Iters""".stripMargin
   }
 
   private lazy val pagerankOracle: String = {

@@ -90,6 +90,12 @@ object HtmlKernels {
     * unknown/malformed/oversized entity decodes to a literal '&' with
     * advance 1 (the rest of the run stays literal text). Numeric
     * entities accept decimal and 0x-hex forms up to U+10FFFF. */
+  /** [[decodeEntity]] for the sibling link kernel — same named subset
+    * and numeric forms, so href values and anchor text decode exactly
+    * like body text. */
+  private[functions] def decodeEntityAt(h: String, i: Int): (String, Int) =
+    decodeEntity(h, i)
+
   private def decodeEntity(h: String, i: Int): (String, Int) = {
     val lim = math.min(h.length, i + 12)
     var semi = -1

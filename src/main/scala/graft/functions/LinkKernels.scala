@@ -1,0 +1,382 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.SqlBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Outlink extraction + URL resolution — the half of the crawl front
+  * door that closes the loop: the frontier discovers URLs FROM crawled
+  * pages (the reference crawl pipelines — Common Crawl, Nutch lineage
+  * — extract `<a href>` targets, resolve them against the page URL,
+  * and feed the host graph that prioritizes what to fetch next).
+  *
+  * Two kernels, both fused per-row codegen expressions so the whole
+  * link pass stays inside WholeStageCodegen next to
+  * [[HtmlKernels.htmlExtract]]:
+  *
+  *  - [[LinkKernels.htmlLinks]]: one state-machine pass over raw HTML
+  *    emitting `array<struct<href, anchor>>` in document order.
+  *    Comments and script/style payloads are skipped STRUCTURALLY
+  *    (a commented-out `<a href>` or one inside a JS string literal
+  *    is not a link — the same discipline as the extraction kernel);
+  *    entities decode in both the href value and the anchor text;
+  *    anchor text is whitespace-collapsed.
+  *  - [[LinkKernels.resolveUrl]]: RFC 3986 §5.2 reference resolution
+  *    against the page URL — absolute http(s) kept, other schemes
+  *    (mailto:, javascript:, tel:, data:) dropped as null,
+  *    protocol-relative (`//host/p`) adopt the base scheme,
+  *    root-relative and relative paths merge with the base path with
+  *    full dot-segment removal, fragments dropped. Null means "not a
+  *    fetchable crawl target", which downstream frontier code filters.
+  *
+  * Scale shape: both are map-only per-row work — no shuffle, no UDF;
+  * at 100 TB the link pass rides the same single scan over the raw
+  * crawl column as main-content extraction, and only the (href,
+  * anchor) pairs — not the page bytes — flow into the explode that
+  * feeds the host graph. */
+object LinkKernels {
+
+  val LinkType: StructType = StructType(Seq(
+    StructField("href", StringType, nullable = false),
+    StructField("anchor", StringType, nullable = false)))
+  val OutputType: ArrayType = ArrayType(LinkType, containsNull = false)
+
+  /** `array<struct<href, anchor>>` of anchors with an href attribute,
+    * document order, comments/script/style structurally skipped. */
+  def htmlLinks(html: Column): Column =
+    SqlBridge.column(HtmlLinks(SqlBridge.expression(html)))
+
+  /** Resolved absolute URL (or null for non-fetchable targets) of
+    * `href` against the page URL `base`. */
+  def resolveUrl(base: Column, href: Column): Column =
+    SqlBridge.column(UrlResolve(SqlBridge.expression(base),
+      SqlBridge.expression(href)))
+
+  // ---- link extraction ----
+
+  private def collapse(sb: java.lang.StringBuilder): String = {
+    val out = new java.lang.StringBuilder(sb.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < sb.length) {
+      val c = sb.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == 0xA0.toChar || c == '\f') {
+        if (out.length > 0) pendingSpace = true
+      } else {
+        if (pendingSpace) { out.append(' '); pendingSpace = false }
+        out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  /** Decode HTML entities in an attribute value (href="a&amp;b"). The
+    * same named subset + numeric forms as the extraction kernel;
+    * malformed entities stay literal. */
+  private def decodeAll(v: String): String = {
+    if (v.indexOf('&') < 0) return v
+    val out = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '&') {
+        val (dec, adv) = HtmlKernels.decodeEntityAt(v, i)
+        out.append(dec); i += adv
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  private def indexOfIgnoreCase(h: String, needle: String, from: Int): Int = {
+    val n = h.length; val m = needle.length
+    var i = math.max(from, 0)
+    while (i + m <= n) {
+      var k = 0
+      while (k < m && Character.toLowerCase(h.charAt(i + k)) == needle.charAt(k)) k += 1
+      if (k == m) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Scan the attribute list of a tag whose name ends at `attrsFrom`
+    * and whose '>' is at `end` (exclusive); return the decoded href
+    * value or null. Quoted and unquoted attribute values both parse;
+    * attribute names match case-insensitively. */
+  private def findHref(h: String, attrsFrom: Int, end: Int): String = {
+    var j = attrsFrom
+    while (j < end) {
+      // skip whitespace and stray '/'
+      while (j < end && (Character.isWhitespace(h.charAt(j)) || h.charAt(j) == '/')) j += 1
+      if (j >= end) return null
+      val nameStart = j
+      while (j < end && h.charAt(j) != '=' && !Character.isWhitespace(h.charAt(j)) &&
+             h.charAt(j) != '/' && h.charAt(j) != '>') j += 1
+      val name = h.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+      while (j < end && Character.isWhitespace(h.charAt(j))) j += 1
+      var value: String = null
+      if (j < end && h.charAt(j) == '=') {
+        j += 1
+        while (j < end && Character.isWhitespace(h.charAt(j))) j += 1
+        if (j < end) {
+          val q = h.charAt(j)
+          if (q == '"' || q == '\'') {
+            val close = h.indexOf(q, j + 1)
+            val stop = if (close < 0 || close > end) end else close
+            value = h.substring(j + 1, stop)
+            j = if (close < 0 || close > end) end else close + 1
+          } else {
+            val vs = j
+            while (j < end && !Character.isWhitespace(h.charAt(j)) && h.charAt(j) != '>') j += 1
+            value = h.substring(vs, j)
+          }
+        }
+      }
+      if (name == "href" && value != null) return decodeAll(value)
+      if (name.isEmpty) j += 1 // defensive: never stall on malformed attr soup
+    }
+    null
+  }
+
+  /** The full link pass. Called from generated code. */
+  def linksInto(s: UTF8String): ArrayData = {
+    val h = s.toString
+    val n = h.length
+    val out = new java.util.ArrayList[AnyRef]()
+    var href: String = null
+    val anchor = new java.lang.StringBuilder
+
+    def flush(): Unit = {
+      if (href != null) {
+        out.add(new GenericInternalRow(Array[Any](
+          UTF8String.fromString(href),
+          UTF8String.fromString(collapse(anchor)))))
+      }
+      href = null
+      anchor.setLength(0)
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = h.charAt(i)
+      if (c == '<') {
+        if (h.startsWith("<!--", i)) {
+          val end = h.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && (h.charAt(i + 1) == '!' || h.charAt(i + 1) == '?')) {
+          val end = h.indexOf('>', i + 1)
+          i = if (end < 0) n else end + 1
+        } else if (i + 1 < n &&
+                   (Character.isLetter(h.charAt(i + 1)) || h.charAt(i + 1) == '/')) {
+          val closing = h.charAt(i + 1) == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && Character.isLetterOrDigit(h.charAt(j))) j += 1
+          val name = h.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+          val attrsFrom = j
+          var quote: Char = 0
+          var end = -1
+          while (end < 0 && j < n) {
+            val cj = h.charAt(j)
+            if (quote != 0) { if (cj == quote) quote = 0 }
+            else if (cj == '"' || cj == '\'') quote = cj
+            else if (cj == '>') end = j
+            j += 1
+          }
+          val tagEnd = if (end < 0) n else end
+          i = if (end < 0) n else end + 1
+          if (!closing && (name == "script" || name == "style")) {
+            val close = indexOfIgnoreCase(h, "</" + name, i)
+            if (close < 0) i = n
+            else {
+              val gt = h.indexOf('>', close)
+              i = if (gt < 0) n else gt + 1
+            }
+          } else if (name == "a") {
+            if (closing) flush()
+            else {
+              flush() // a new <a> implicitly closes a dangling one
+              href = findHref(h, attrsFrom, tagEnd)
+            }
+          }
+        } else {
+          if (href != null) anchor.append(c)
+          i += 1
+        }
+      } else if (c == '&') {
+        val (dec, adv) = HtmlKernels.decodeEntityAt(h, i)
+        if (href != null) anchor.append(dec)
+        i += adv
+      } else {
+        if (href != null) anchor.append(c)
+        i += 1
+      }
+    }
+    flush()
+    new GenericArrayData(out.toArray)
+  }
+
+  // ---- URL resolution (RFC 3986 §5.2, http(s) crawl profile) ----
+
+  /** RFC 3986 §5.2.4 remove_dot_segments. */
+  private def removeDotSegments(path: String): String = {
+    val out = new java.util.ArrayList[String]()
+    var absolute = path.startsWith("/")
+    var rest = path
+    while (rest.nonEmpty) {
+      if (rest.startsWith("../")) rest = rest.substring(3)
+      else if (rest.startsWith("./")) rest = rest.substring(2)
+      else if (rest.startsWith("/./")) rest = "/" + rest.substring(3)
+      else if (rest == "/.") rest = "/"
+      else if (rest.startsWith("/../")) {
+        rest = "/" + rest.substring(4)
+        if (!out.isEmpty) out.remove(out.size - 1)
+      } else if (rest == "/..") {
+        rest = "/"
+        if (!out.isEmpty) out.remove(out.size - 1)
+      } else if (rest == "." || rest == "..") rest = ""
+      else {
+        val from = if (rest.startsWith("/")) 1 else 0
+        val slash = rest.indexOf('/', from)
+        val seg = if (slash < 0) rest else rest.substring(0, slash)
+        out.add(seg)
+        rest = if (slash < 0) "" else rest.substring(slash)
+      }
+    }
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < out.size) {
+      val seg = out.get(i)
+      if (!seg.startsWith("/") && (absolute || i > 0)) sb.append('/')
+      sb.append(seg)
+      i += 1
+    }
+    if (sb.length == 0 && absolute) "/" else sb.toString
+  }
+
+  private def schemeOf(u: String): String = {
+    var i = 0
+    while (i < u.length) {
+      val c = u.charAt(i)
+      if (c == ':') return if (i == 0) null else u.substring(0, i).toLowerCase(java.util.Locale.ROOT)
+      val ok = if (i == 0) Character.isLetter(c)
+               else Character.isLetterOrDigit(c) || c == '+' || c == '-' || c == '.'
+      if (!ok) return null
+      i += 1
+    }
+    null
+  }
+
+  /** scheme://authority of an absolute http(s) URL, and the path
+    * start index; null if the base is not absolute http(s). */
+  private def splitBase(base: String): (String, String) = {
+    val scheme = schemeOf(base)
+    if (scheme != "http" && scheme != "https") return null
+    val authStart = scheme.length + 3
+    if (base.length < authStart || !base.startsWith("://", scheme.length)) return null
+    var j = authStart
+    while (j < base.length && base.charAt(j) != '/' && base.charAt(j) != '?' &&
+           base.charAt(j) != '#') j += 1
+    val root = base.substring(0, j)
+    var k = j
+    while (k < base.length && base.charAt(k) != '?' && base.charAt(k) != '#') k += 1
+    val path = if (j == k) "/" else base.substring(j, k)
+    (root, path)
+  }
+
+  /** The resolution pass; null = not a fetchable http(s) target. */
+  def resolve(baseS: UTF8String, hrefS: UTF8String): UTF8String = {
+    val base = baseS.toString
+    val raw = hrefS.toString.trim
+    if (raw.isEmpty || raw.startsWith("#")) return null
+    // strip the fragment: a crawl target is fragment-free
+    val frag = raw.indexOf('#')
+    val href = if (frag < 0) raw else raw.substring(0, frag)
+    if (href.isEmpty) return null
+    val hrefScheme = schemeOf(href)
+    if (hrefScheme != null) {
+      return if (hrefScheme == "http" || hrefScheme == "https")
+        UTF8String.fromString(href)
+      else null
+    }
+    val split = splitBase(base)
+    if (split == null) return null
+    val (root, basePath) = split
+    val scheme = root.substring(0, root.indexOf(':'))
+    if (href.startsWith("//")) return UTF8String.fromString(scheme + ":" + href)
+    if (href.startsWith("/")) {
+      val q = href.indexOf('?')
+      val (p, qs) = if (q < 0) (href, "") else (href.substring(0, q), href.substring(q))
+      return UTF8String.fromString(root + removeDotSegments(p) + qs)
+    }
+    // relative: merge with the base directory (RFC 3986 §5.2.3)
+    val q = href.indexOf('?')
+    val (p, qs) = if (q < 0) (href, "") else (href.substring(0, q), href.substring(q))
+    // query-only reference ("?q=2"): the base path carries over whole
+    if (p.isEmpty) return UTF8String.fromString(root + basePath + qs)
+    val dir = basePath.substring(0, basePath.lastIndexOf('/') + 1)
+    UTF8String.fromString(root + removeDotSegments(dir + p) + qs)
+  }
+}
+
+/** One-pass HTML → outlink array. See [[LinkKernels]]. */
+case class HtmlLinks(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"html_links expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LinkKernels.OutputType
+  override def prettyName: String = "html_links"
+
+  override def nullSafeEval(input: Any): Any =
+    LinkKernels.linksInto(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |${ev.value} = graft.functions.LinkKernels.linksInto($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** (base, href) → resolved absolute http(s) URL or null. See
+  * [[LinkKernels]]. */
+case class UrlResolve(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"url_resolve expects (string, string), got (${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "url_resolve"
+
+  override def nullSafeEval(base: Any, href: Any): Any =
+    LinkKernels.resolve(base.asInstanceOf[UTF8String], href.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (b, h) => {
+      s"""
+         |${ev.value} = graft.functions.LinkKernels.resolve($b, $h);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}

@@ -442,4 +442,125 @@ object Crawl {
     Corpus.keepSet(dedup.filter(col("n_kept") > 0)
       .select(col("doc_id"), col("text_dedup").as("text")))
   }
+
+  // ---- outlink extraction and the host graph ----
+
+  /** Deterministic outlink corpus — one page per document, every link
+    * arm closed-form in doc_id so the oracle replays extraction AND
+    * resolution as string arithmetic. The arms exercise each
+    * resolution class: absolute http(s) (cross-host, gcd(3,20)=1 so
+    * every host receives), protocol-relative (`//host/p` adopts the
+    * base scheme), root-relative with a query whose `&amp;` must
+    * entity-decode, path-relative against the base directory (one
+    * quoted, one UNQUOTED with `../` dot-segment removal), and the
+    * non-fetchable classes (fragment-only, mailto:) that resolve to
+    * null. The comment and script decoys pin the structural skip:
+    * they contain `<a href>` markup that must NOT extract. */
+  def linkDocs(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(x: String) = lit(x)
+    val url = concat(s("https://site"), id % 20, s(".example/dir"), id % 5,
+      s("/page.html"))
+    val html = concat(
+      s("<html><head><title>links "), id, s("</title>\n"),
+      s("<script>var decoy = '<a href=\"/fake\">f</a>';</script>\n"),
+      s("</head>\n<body>\n<p>intro "), id % 11, s("</p>\n"),
+      s("<a href=\"https://site"), (id * 3 + 1) % 20, s(".example/p"), id % 7,
+      s("\">partner &amp; co "), id % 7, s("</a>\n"),
+      s("<a href=\"//site"), (id * 5 + 2) % 20, s(".example/mirror\">mirror</a>\n"),
+      s("<a href=\"/top"), id % 3, s("?x=1&amp;y=2\">top "), id % 3, s("</a>\n"),
+      s("<a href=\"sub/rel"), id % 4, s(".html\">rel "), id % 4, s("</a>\n"),
+      s("<a href=../up"), id % 6, s(".html>up</a>\n"),
+      s("<a href=\"#sec"), id % 2, s("\">frag</a>\n"),
+      s("<a href=\"mailto:ed@site"), id % 5, s(".example\">mail</a>\n"),
+      s("<!-- <a href=\"/ghost\">ghost</a> -->\n"),
+      s("</body></html>"))
+    documents.select(col("doc_id"), url.as("url"), html.as("html"))
+  }
+
+  /** Outlinks of each page: (doc_id, url, seq, href, anchor,
+    * resolved) — one row per extracted anchor in document order,
+    * `resolved` the absolute crawl target or null for non-fetchable
+    * hrefs ([[graft.functions.LinkKernels]]). The link array is
+    * staged through a projection barrier so the kernel runs once per
+    * page (the keepSignals discipline), then posexplode fans out to
+    * link rows. Map-only at any scale: the page bytes never pass the
+    * explode — only (href, anchor) pairs do. */
+  def extractLinks(pages: DataFrame, urlCol: String = "url",
+                   htmlCol: String = "html"): DataFrame = {
+    import graft.functions.LinkKernels
+    val staged = pages.select(col("doc_id"), col(urlCol).as("url"),
+      LinkKernels.htmlLinks(col(htmlCol)).as("links"))
+    staged.select(col("doc_id"), col("url"),
+        posexplode(col("links")).as(Seq("seq", "l")))
+      .select(col("doc_id"), col("url"), col("seq"),
+        col("l.href").as("href"), col("l.anchor").as("anchor"),
+        LinkKernels.resolveUrl(col("url"), col("l.href")).as("resolved"))
+  }
+
+  /** Host-level link graph from extracted outlinks: directed
+    * (src_host, dst_host, w) edges, hosts lowercased via native
+    * parse_url, self-loops dropped (intra-host navigation is not a
+    * ranking signal), w = link count. The one shuffle is the edge
+    * group-by — cardinality |hosts|², in practice millions of rows
+    * from billions of links. */
+  def hostGraph(links: DataFrame): DataFrame =
+    links.filter(col("resolved").isNotNull)
+      .select(lower(expr("parse_url(url, 'HOST')")).as("src_host"),
+        lower(expr("parse_url(resolved, 'HOST')")).as("dst_host"))
+      .filter(col("src_host") =!= col("dst_host"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("w"))
+
+  /** PageRank over the DIRECTED host graph — the crawl-prioritization
+    * move (Common Crawl publishes exactly this: host-level centrality
+    * ranks which frontier hosts deserve fetch budget). Same numeric
+    * discipline as [[Graph.pageRank]] (9-dp rounding + exact-decimal
+    * contribution sums per round, so the oracle replays every
+    * iteration), with two directed-graph differences: the node set is
+    * src ∪ dst and survives every round via a right join (a host with
+    * no in-links keeps its teleport base instead of vanishing), and
+    * mass flowing out of dangling hosts (in-links only) is dropped —
+    * the standard uncorrected formulation, documented rather than
+    * hidden.
+    *
+    * Scale shape: the rank vector is one (host, double) row per host —
+    * broadcast inside [[Graph.BroadcastNodeLimit]] so each round is a
+    * map-side join + ONE partial-aggregated shuffle of per-dst
+    * contributions; past the gate the hint drops and both sides
+    * shuffle, semantics unchanged. */
+  def hostRank(edges: DataFrame,
+               nodeBroadcastLimit: Long = Graph.BroadcastNodeLimit): DataFrame = {
+    val outW = edges.groupBy(col("src_host")).agg(sum(col("w")).as("wtot"))
+    val shares = edges.join(outW, "src_host")
+      .select(col("src_host").as("src"), col("dst_host").as("dst"),
+        (col("w").cast("double") / col("wtot").cast("double")).as("share"))
+      .localCheckpoint()
+    val nodes = shares.select(col("src").as("host"))
+      .union(shares.select(col("dst").as("host")))
+      .distinct().localCheckpoint()
+    val n = nodes.count()
+    def gated(df: DataFrame): DataFrame =
+      if (n <= nodeBroadcastLimit) broadcast(df) else df
+    val base = (1.0 - Graph.Damping) / n
+    var pr = nodes.withColumn("pr", round(lit(1.0 / n) + lit(1e-12), 9))
+    for (_ <- 0 until Graph.Iters) {
+      val contribs = shares.join(gated(pr), col("src") === col("host"))
+        .select(col("dst"),
+          round(col("pr") * col("share") * lit(Graph.Damping) + lit(1e-12), 9)
+            .cast("decimal(18,9)").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("s"))
+      pr = contribs.join(nodes, col("dst") === col("host"), "right")
+        .select(col("host"),
+          round(lit(base) + coalesce(col("s").cast("double"), lit(0.0))
+            + lit(1e-12), 9).as("pr"))
+    }
+    pr
+  }
+
+  /** End-to-end crawl ranking: [[linkDocs]] pages → [[extractLinks]]
+    * → [[hostGraph]] → [[hostRank]]. */
+  def crawlRank(documents: DataFrame): DataFrame =
+    hostRank(hostGraph(extractLinks(linkDocs(documents))))
 }

@@ -1162,4 +1162,34 @@ object Relational {
         round((col("sum_p").cast("double") / col("n_orders")) + lit(1e-9), 4)
           .as("avg_total"))
   }
+
+  /** K-ANONYMITY suppression (Sweeney 2002, the public formulation) —
+    * the privacy gate a dataset release applies on its
+    * quasi-identifier columns: a row's QI tuple is published only if
+    * at least `k` rows share it; rows in smaller groups have every QI
+    * generalized to `*` (full suppression, the base rung of the
+    * generalization ladder). Emits (id, <qi>_qi…, group_n,
+    * suppressed) — the flag and the group size stay visible so the
+    * release can report its own re-identification bound.
+    *
+    * Scale shape: a WINDOW count partitioned by the QI tuple — ONE
+    * shuffle of (id, QI) and no join-back at all, so the plan is
+    * independent of the QI domain's cardinality (a group-by +
+    * broadcast join-back would gamble on the aggregated side fitting
+    * in broadcast room; high-cardinality QIs like zip×birthdate
+    * wouldn't). */
+  def kAnonymize(df: DataFrame, idCol: String, qiCols: Seq[String],
+                 k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(qiCols.map(col): _*)
+    val staged = df.select((idCol +: qiCols).map(col): _*)
+      .withColumn("group_n", count(lit(1)).over(w))
+    val suppressed = col("group_n") < k
+    staged.select(
+      col(idCol) +:
+      qiCols.map(c => when(suppressed, lit("*"))
+        .otherwise(col(c).cast("string")).as(c + "_qi")) :+
+      col("group_n") :+
+      suppressed.as("suppressed"): _*)
+  }
 }

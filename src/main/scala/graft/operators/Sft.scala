@@ -158,4 +158,75 @@ object Sft {
       round(avg(when(col("identical"), 1.0).otherwise(0.0)) + lit(1e-12), 4)
         .as("frac_identical"))
   }
+
+  // ---- pairwise-preference ratings (Bradley–Terry) ----
+
+  /** Deterministic model-arena corpus: one pairwise comparison per
+    * document between two of 8 models. model_a = m(id%8), model_b =
+    * m((3·id+1)%8) (never equal: their difference 2·id+1 is odd), and
+    * the winner rule is skill-correlated — a wins iff
+    * (7·id+3) mod (sa+sb+2) ≤ sa, so higher-index models win more and
+    * the fitted ratings have real ordering to recover. All closed-form
+    * in doc_id. */
+  def matchDocs(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val sa = id % 8
+    val sb = (id * 3 + 1) % 8
+    val aWins = (id * 7 + 3) % (sa + sb + 2) <= sa
+    documents.select(id,
+      concat(lit("m"), sa).as("model_a"),
+      concat(lit("m"), sb).as("model_b"),
+      when(aWins, concat(lit("m"), sa))
+        .otherwise(concat(lit("m"), sb)).as("winner"))
+  }
+
+  /** BRADLEY–TERRY ratings from pairwise outcomes — the reward-data
+    * move of RLHF curation (arena-style model comparison, answer
+    * ranking for preference pairs): fit one strength per model such
+    * that P(i beats j) = p_i/(p_i+p_j), by Hunter's MM iteration
+    * (public formulation, "MM algorithms for generalized
+    * Bradley–Terry models", Ann. Statist. 2004):
+    * p_i ← W_i / Σ_j n_ij/(p_i+p_j), from p⁰ = 1.
+    *
+    * Numeric discipline = the [[Graph.pageRank]] one: every per-pair
+    * term rounds to 9 dp and sums as DECIMAL(18,9) (order-free), every
+    * rating rounds to 9 dp, so the DuckDB oracle replays each
+    * iteration exactly. The final pass normalizes to a distribution
+    * (ratings sum to 1) via one broadcast scalar.
+    *
+    * Scale shape: matches are the big frame (billions of comparisons);
+    * models are small by nature (an arena has thousands of entrants at
+    * most). W and n_ij aggregate match-side with partial aggregation —
+    * the only full-data shuffles, cardinality |models| and |models|²
+    * — and each MM round then joins the BROADCAST rating vector onto
+    * the pair-count frame: per-iteration cost is |models|²-bounded,
+    * independent of match count. */
+  def btRatings(matches: DataFrame, iters: Int = 3): DataFrame = {
+    val wins = matches.groupBy(col("winner").as("wm"))
+      .agg(count(lit(1)).as("wins"))
+    val e0 = matches.select(col("model_a").as("i"), col("model_b").as("j"))
+    val pairs = e0.union(e0.select(col("j").as("i"), col("i").as("j")))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    var p = pairs.select(col("i").as("model")).distinct()
+      .withColumn("p", round(lit(1.0) + lit(1e-12), 9))
+    for (_ <- 0 until iters) {
+      val pi = broadcast(p.select(col("model").as("mi"), col("p").as("pi")))
+      val pj = broadcast(p.select(col("model").as("mj"), col("p").as("pj")))
+      val d = pairs.join(pi, col("i") === col("mi"))
+        .join(pj, col("j") === col("mj"))
+        .select(col("i"),
+          round(col("cnt").cast("double") / (col("pi") + col("pj")) + lit(1e-12), 9)
+            .cast("decimal(18,9)").as("term"))
+        .groupBy(col("i")).agg(sum(col("term")).as("d"))
+      p = d.join(wins, col("i") === col("wm"), "left")
+        .select(col("i").as("model"),
+          round(coalesce(col("wins").cast("double"), lit(0.0))
+            / col("d").cast("double") + lit(1e-12), 9).as("p"))
+    }
+    val total = p.agg(sum(col("p").cast("decimal(18,9)")).as("s"))
+    p.crossJoin(broadcast(total))
+      .select(col("model"),
+        round(col("p") / col("s").cast("double") + lit(1e-12), 9).as("rating"))
+  }
 }

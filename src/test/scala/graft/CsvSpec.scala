@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Csv
+
+/** CSV dialect sniffing (per-line delimiter consistency outside
+  * quotes) and the RFC 4180 parse state machine. */
+class CsvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sniff(payload: String): (String, Int, Int, Boolean) = {
+    val r = Seq(payload).toDF("csv")
+      .select(Csv.sniffDialect(col("csv")).as("x"))
+      .select(col("x.delimiter"), col("x.n_cols"), col("x.n_rows"), col("x.quoted"))
+      .collect().head
+    (r.getString(0), r.getInt(1), r.getInt(2), r.getBoolean(3))
+  }
+
+  private def cells(payload: String, d: String): Seq[Seq[String]] = {
+    Seq(payload).toDF("csv")
+      .select(Csv.csvRows(col("csv"), lit(d)).as("rows"))
+      .as[Seq[Seq[String]]].collect().head
+  }
+
+  test("parse: quoted fields, \"\" escapes, embedded delimiters, CRLF") {
+    assert(cells("a,b\n1,2\r\n", ",") == Seq(Seq("a", "b"), Seq("1", "2")))
+    assert(cells("\"x,y\",\"he said \"\"hi\"\"\"\ntail,2", ",") ==
+      Seq(Seq("x,y", "he said \"hi\""), Seq("tail", "2")))
+    // quoted field containing a newline spans rows
+    assert(cells("\"line1\nline2\",b\n", ",") == Seq(Seq("line1\nline2", "b")))
+    // bare quote mid-cell is literal
+    assert(cells("5\" nail,2\n", ",") == Seq(Seq("5\" nail", "2")))
+    // no trailing newline: the final row still lands
+    assert(cells("a;b", ";") == Seq(Seq("a", "b")))
+    // empty cells survive
+    assert(cells(",,\n", ",") == Seq(Seq("", "", "")))
+  }
+
+  test("sniff: consistency beats raw count; quoted delimiters don't vote") {
+    assert(sniff("a,b,c\n1,2,3\n")._1 == ",")
+    assert(sniff("a;b;c\n1;2;3\n")._1 == ";")
+    assert(sniff("a\tb\n1\t2\n")._1 == "\t")
+    assert(sniff("a|b|c\n1|2|3\n")._1 == "|")
+    // the semicolons are consistent (2 per line); the commas are not
+    assert(sniff("x;y,z;w\n1;2;3\na;b,,;c\n")._1 == ";")
+    // a quoted comma must not make ',' win over the true ';'
+    val (d, nc, nr, q) = sniff("\"a,a\";b\n\"c,c\";d\n")
+    assert(d == ";" && nc == 2 && nr == 2 && q)
+  }
+
+  test("csvDocs → sniffCsv/csvCells match the closed form") {
+    val docs = Csv.csvDocs(Tables.documents(spark, sf0001).filter(col("doc_id") < 30))
+    val sniffed = Csv.sniffCsv(docs).collect()
+    assert(sniffed.length == 30)
+    sniffed.foreach { r =>
+      val id = r.getLong(0)
+      val expect = (id % 3) match { case 0 => ","; case 1 => ";"; case _ => "\t" }
+      assert(r.getString(1) == expect, s"doc $id delimiter")
+      assert(r.getInt(2) == 3 && r.getInt(3) == 3 && r.getBoolean(4))
+    }
+    val got = Csv.csvCells(docs).collect()
+      .map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getString(3))).toMap
+    assert(got.size == 30 * 9)
+    for (id <- 0L until 30L) {
+      val d = (id % 3) match { case 0 => ","; case 1 => ";"; case _ => "\t" }
+      assert(got((id, 0, 0)) == "name" && got((id, 0, 1)) == "value" &&
+        got((id, 0, 2)) == "tag")
+      assert(got((id, 1, 0)) == s"""a$d "q" ${id % 7}""")
+      assert(got((id, 1, 1)) == s"${100 + id % 50}")
+      assert(got((id, 2, 0)) == s"plain ${id % 11}")
+    }
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.LinkKernels
+import graft.operators.Crawl
+
+/** Outlink extraction (structural comment/script skip, entity decode,
+  * quoted/unquoted attributes) and RFC 3986 reference resolution, plus
+  * the host-rank invariants. */
+class LinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def links(html: String): Seq[(String, String)] = {
+    Seq(html).toDF("html")
+      .select(posexplode(LinkKernels.htmlLinks(col("html"))).as(Seq("i", "l")))
+      .select(col("l.href"), col("l.anchor"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+  }
+
+  private def resolve(base: String, href: String): Option[String] = {
+    Seq((base, href)).toDF("base", "href")
+      .select(LinkKernels.resolveUrl(col("base"), col("href")).as("r"))
+      .collect().head match {
+        case r if r.isNullAt(0) => None
+        case r => Some(r.getString(0))
+      }
+  }
+
+  test("htmlLinks: extraction order, decoys, entities, unquoted attrs") {
+    val html =
+      """<html><head><title>t</title>
+        |<script>var s = '<a href="/fake">f</a>';</script></head><body>
+        |<!-- <a href="/ghost">g</a> -->
+        |<a href="/a?x=1&amp;y=2">first &amp; main</a>
+        |<a href=/bare>bare  link</a>
+        |<a class="x" href='/sq'>single</a>
+        |<a name="no-href">anchor only</a>
+        |<a href="/dangling">dangling then <a href="/next">next</a>
+        |</body></html>""".stripMargin
+    assert(links(html) == Seq(
+      ("/a?x=1&y=2", "first & main"),
+      ("/bare", "bare link"),
+      ("/sq", "single"),
+      ("/dangling", "dangling then"),
+      ("/next", "next")))
+  }
+
+  test("htmlLinks: raw-text and comment payloads never extract") {
+    assert(links("""<style>a { content: '<a href="/s">x</a>' }</style>""").isEmpty)
+    assert(links("""<script><a href="/s">x</a></script>""").isEmpty)
+    assert(links("""<!-- <a href="/s">x</a> -->""").isEmpty)
+  }
+
+  test("resolveUrl: the RFC 3986 arms") {
+    val base = "https://h.example/dir/sub/page.html?old=1#oldfrag"
+    assert(resolve(base, "https://o.example/x") == Some("https://o.example/x"))
+    assert(resolve(base, "HTTP://UP.example/x") == Some("HTTP://UP.example/x"))
+    assert(resolve(base, "//cdn.example/y") == Some("https://cdn.example/y"))
+    assert(resolve(base, "/rooted?a=b") == Some("https://h.example/rooted?a=b"))
+    assert(resolve(base, "peer.html") == Some("https://h.example/dir/sub/peer.html"))
+    assert(resolve(base, "./same.html") == Some("https://h.example/dir/sub/same.html"))
+    assert(resolve(base, "../up.html") == Some("https://h.example/dir/up.html"))
+    assert(resolve(base, "../../../over.html") == Some("https://h.example/over.html"))
+    assert(resolve(base, "?q=2") == Some("https://h.example/dir/sub/page.html?q=2"))
+    assert(resolve(base, "x.html#frag") == Some("https://h.example/dir/sub/x.html"))
+    assert(resolve(base, "  /spaced  ") == Some("https://h.example/spaced"))
+    // non-fetchable classes
+    assert(resolve(base, "#frag").isEmpty)
+    assert(resolve(base, "").isEmpty)
+    assert(resolve(base, "mailto:a@b.example").isEmpty)
+    assert(resolve(base, "javascript:void(0)").isEmpty)
+    assert(resolve(base, "tel:+123").isEmpty)
+    assert(resolve(base, "data:text/plain,x").isEmpty)
+    // base without a path: the root is the directory
+    assert(resolve("https://h.example", "a.html") == Some("https://h.example/a.html"))
+    // dot segments cannot climb past the root
+    assert(resolve("https://h.example/p", "/../../x") == Some("https://h.example/x"))
+    // a non-http(s) base resolves nothing relative
+    assert(resolve("ftp://h.example/p", "a.html").isEmpty)
+  }
+
+  test("extractLinks over linkDocs matches the closed form") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val got = Crawl.extractLinks(Crawl.linkDocs(docs))
+      .collect().map(r => ((r.getLong(0), r.getInt(2)),
+        (r.getString(3), r.getString(4), if (r.isNullAt(5)) null else r.getString(5))))
+      .toMap
+    assert(got.size == 40 * 7)
+    for (id <- 0L until 40L) {
+      val root = s"https://site${id % 20}.example"
+      assert(got((id, 0)) == ((s"https://site${(id * 3 + 1) % 20}.example/p${id % 7}",
+        s"partner & co ${id % 7}",
+        s"https://site${(id * 3 + 1) % 20}.example/p${id % 7}")))
+      assert(got((id, 1)) == ((s"//site${(id * 5 + 2) % 20}.example/mirror", "mirror",
+        s"https://site${(id * 5 + 2) % 20}.example/mirror")))
+      assert(got((id, 2)) == ((s"/top${id % 3}?x=1&y=2", s"top ${id % 3}",
+        s"$root/top${id % 3}?x=1&y=2")))
+      assert(got((id, 3)) == ((s"sub/rel${id % 4}.html", s"rel ${id % 4}",
+        s"$root/dir${id % 5}/sub/rel${id % 4}.html")))
+      assert(got((id, 4)) == ((s"../up${id % 6}.html", "up",
+        s"$root/up${id % 6}.html")))
+      assert(got((id, 5)) == ((s"#sec${id % 2}", "frag", null)))
+      assert(got((id, 6)) == ((s"mailto:ed@site${id % 5}.example", "mail", null)))
+    }
+  }
+
+  test("hostRank: ranks sum to ~1 on a closed graph, no-in-link hosts keep base") {
+    // a.example -> b.example -> c.example -> a.example (closed 3-cycle)
+    // plus d.example -> a.example (d has no in-links: keeps base mass)
+    val edges = Seq(
+      ("a.example", "b.example", 2L),
+      ("b.example", "c.example", 1L),
+      ("c.example", "a.example", 1L),
+      ("d.example", "a.example", 3L)).toDF("src_host", "dst_host", "w")
+    val pr = Crawl.hostRank(edges).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet == Set("a.example", "b.example", "c.example", "d.example"))
+    // d never receives: exactly the teleport base each round
+    assert(math.abs(pr("d.example") - 0.15 / 4) < 1e-6)
+    // every edge lands on a live node, so total mass stays ~1
+    assert(math.abs(pr.values.sum - 1.0) < 1e-3)
+    // the no-in-link host ranks strictly last: it only ever holds base
+    assert(Seq("a", "b", "c").forall(h => pr(s"$h.example") > pr("d.example")))
+    // hand-computed iteration 3 for the cycle's head (base 0.0375 +
+    // 0.85·(c₂ + d₂·0.85) with c₂ = 0.25, d₂ = 0.0375, 9-dp rounding)
+    assert(math.abs(pr("a.example") - 0.281875) < 1e-8)
+  }
+}

@@ -85,4 +85,23 @@ class RelationalSpec extends SparkSpec {
       .collect()(0)
     assert(rf.getString(6) == "A" && rf.getString(7) == "R")
   }
+
+  test("kAnonymize: groups under k suppress every QI, others publish") {
+    import spark.implicits._
+    // QI (city, age): (a,30) has 3 rows, (b,40) has 1
+    val df = Seq((1L, "a", 30), (2L, "a", 30), (3L, "a", 30), (4L, "b", 40))
+      .toDF("id", "city", "age")
+    val out = Relational.kAnonymize(df, "id", Seq("city", "age"), 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == (("a", "30", 3L, false)))
+    assert(out(2L) == (("a", "30", 3L, false)))
+    assert(out(4L) == (("*", "*", 1L, true)))
+    // the k-anonymity guarantee itself: every published QI tuple
+    // appears at least k times among published rows
+    val published = out.values.filter(!_._4).map(v => (v._1, v._2)).toSeq
+    published.distinct.foreach { qi =>
+      assert(published.count(_ == qi) >= 2)
+    }
+  }
 }

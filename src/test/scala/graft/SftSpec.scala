@@ -78,4 +78,29 @@ class SftSpec extends SparkSpec {
     assert(streamed.length == 1)
     assert(streamed(0).toSeq == batch.toSeq, "streamed == batch")
   }
+
+  test("btRatings: the two-model hand case converges to the 3:1 odds") {
+    // x beats y in 3 of 4 matches: BT says p_x = 3·p_y, so the
+    // normalized ratings are 0.75 / 0.25 (the MM step lands there in
+    // one iteration from the flat start and stays).
+    val matches = Seq(
+      ("x", "y", "x"), ("x", "y", "x"), ("y", "x", "x"), ("y", "x", "y"))
+      .toDF("model_a", "model_b", "winner")
+    val r = Sft.btRatings(matches).collect()
+      .map(row => row.getString(0) -> row.getDouble(1)).toMap
+    assert(math.abs(r("x") - 0.75) < 1e-9)
+    assert(math.abs(r("y") - 0.25) < 1e-9)
+  }
+
+  test("btRatings over matchDocs: a distribution that recovers the skill order") {
+    val docs = Tables.documents(spark, sf0001)
+    val r = Sft.btRatings(Sft.matchDocs(docs)).collect()
+      .map(row => row.getString(0) -> row.getDouble(1)).toMap
+    assert(r.keySet == (0 until 8).map(i => s"m$i").toSet)
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, s"sum=${r.values.sum}")
+    assert(r.values.forall(_ > 0))
+    // the winner rule favors higher indices: the top model must
+    // outrank the bottom one decisively
+    assert(r("m7") > r("m0"))
+  }
 }
