@@ -653,6 +653,11 @@ object SparkEntry {
     // of transformWithState state per domain
     "s_stream_crawl_frontier" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayCrawlFrontier(s, Tables.documents(s, dir))),
+    // streaming host graph: batch link kernels unchanged on the
+    // stream, one Long of state per distinct host edge; changelog
+    // final equals the batch hostGraph aggregate
+    "s_stream_host_graph" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayHostGraph(s, Tables.documents(s, dir))),
     // REAL WARC walk, the crawl front door end to end: member-wise
     // gunzip (odd ids are warc.gz, one member per record), record walk
     // by Content-Length, request records skipped, the response's HTTP
@@ -4502,6 +4507,19 @@ object SparkEntry {
         |       CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id DESC)
         |            AS BIGINT) AS seq
         |FROM u""".stripMargin,
+    // streaming host graph: the two cross-host link arms aggregated —
+    // identical to the batch hostGraph inside c_crawl_rank
+    "s_stream_host_graph" ->
+      """WITH e0 AS (
+        |  SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS src,
+        |         'site' || CAST((3 * doc_id + 1) % 20 AS VARCHAR) || '.example' AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example',
+        |         'site' || CAST((5 * doc_id + 2) % 20 AS VARCHAR) || '.example'
+        |  FROM documents)
+        |SELECT src AS src_host, dst AS dst_host, COUNT(*) AS w
+        |FROM e0 WHERE src <> dst GROUP BY 1, 2""".stripMargin,
     // sitemap index: child k of host h holds its even/odd url
     // positions; url_idx within child = j // 2
     "t_sitemap_index" ->

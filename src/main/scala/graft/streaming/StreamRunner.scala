@@ -700,6 +700,37 @@ private[streaming] class CrawlFrontierProcessor
   }
 }
 
+/** Streaming host-edge plumbing: one resolved cross-host link in,
+  * the edge's running weight out. */
+private[streaming] case class EdgeIn(key: String, src: String, dst: String)
+private[streaming] case class EdgeCount(src_host: String, dst_host: String, w: Long)
+
+/** Per-host-edge link counter for the streaming host graph: one Long
+  * of state per DISTINCT (src_host, dst_host) pair — the same
+  * |hosts|²-bounded footprint as the batch aggregate — emitting the
+  * edge's running weight once per micro-batch it appears in. The
+  * changelog's LAST (= max) weight per edge equals the batch
+  * [[graft.operators.Crawl.hostGraph]] count exactly. */
+private[streaming] class HostEdgeProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, EdgeIn, EdgeCount] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var cnt: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[EdgeIn],
+                               timers: TimerValues): Iterator[EdgeCount] = {
+    var c = if (cnt.exists) cnt.get() else 0L
+    var src: String = null
+    var dst: String = null
+    rows.foreach { r => c += 1; src = r.src; dst = r.dst }
+    cnt.update(c)
+    if (src == null) Iterator.empty
+    else Iterator.single(EdgeCount(src, dst, c))
+  }
+}
+
 /** Streaming LSH plumbing: one (bucket key, doc) row in — bucket =
   * band ordinal packed with the band's 32-bit minhash signature —
   * candidate pairs out as docs land in an occupied bucket. */
@@ -2686,6 +2717,55 @@ object StreamRunner {
     awaitAndRecord(q)
     spark.read.parquet(work.resolve("out").toString)
       .select(col("doc_id"), col("domain"), col("seq"))
+  }
+
+  /** STREAMING HOST GRAPH — pages arrive as a stream, outlinks extract
+    * and resolve with literally the batch kernels
+    * ([[graft.operators.Crawl.linkDocs]] → [[graft.operators.Crawl
+    * .extractLinks]] — stateless codegen, unchanged on a streaming
+    * frame), collapse to cross-host edges with the batch expressions,
+    * and ONE transformWithState keyed by the edge maintains each
+    * (src_host, dst_host) pair's link count ([[HostEdgeProcessor]]).
+    * The changelog's final (max) weight per edge equals
+    * [[graft.operators.Crawl.hostGraph]] exactly — the incremental
+    * form of the frontier-ranking input, so host centrality can
+    * re-rank as the crawl discovers links.
+    *
+    * Scale shape: one Long per distinct host pair (the batch
+    * aggregate's own cardinality); link text never enters state. */
+  def replayHostGraph(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
+    val srcDir = docStagedDir(spark, documents)
+    val session = replaySession(spark, rocksDb = true)
+    val src = session.readStream
+      .schema(Encoders.product[StagedDoc].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    import session.implicits._
+    val links = graft.operators.Crawl.extractLinks(
+      graft.operators.Crawl.linkDocs(src.select(col("docId").as("doc_id"))))
+    val events = links.filter(col("resolved").isNotNull)
+      .select(lower(expr("parse_url(url, 'HOST')")).as("src"),
+        lower(expr("parse_url(resolved, 'HOST')")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(concat(col("src"), lit("\t"), col("dst")).as("key"),
+        col("src"), col("dst"))
+      .as[EdgeIn]
+      .groupByKey(_.key)
+      .transformWithState(new HostEdgeProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    val q = events.writeStream.format("parquet")
+      .option("path", work.resolve("out").toString)
+      .option("checkpointLocation", work.resolve("cp").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q)
+    // changelog-final: the last (= max) running weight per edge
+    spark.read.parquet(work.resolve("out").toString)
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(max(col("w")).as("w"))
   }
 }
 

@@ -104,6 +104,17 @@ class LinksSpec extends SparkSpec {
     }
   }
 
+  test("streaming host graph: changelog-final equals the batch aggregate") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 60)
+    val batch = graft.operators.Crawl.hostGraph(
+        graft.operators.Crawl.extractLinks(graft.operators.Crawl.linkDocs(docs)))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val streamed = graft.streaming.StreamRunner.replayHostGraph(spark, docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, "streamed == batch")
+    assert(batch.nonEmpty)
+  }
+
   test("hostRank: ranks sum to ~1 on a closed graph, no-in-link hosts keep base") {
     // a.example -> b.example -> c.example -> a.example (closed 3-cycle)
     // plus d.example -> a.example (d has no in-links: keeps base mass)
