@@ -491,8 +491,13 @@ object Crawl {
     import graft.functions.LinkKernels
     val staged = pages.select(col("doc_id"), col(urlCol).as("url"),
       LinkKernels.htmlLinks(col(htmlCol)).as("links"))
+    // OUTER explode + null drop, not plain posexplode: the non-outer
+    // form gets an inferred `size(links) > 0` pre-filter that would
+    // re-evaluate the kernel per row (plan-audited); the outer form
+    // runs it exactly once inside the Generate
     staged.select(col("doc_id"), col("url"),
-        posexplode(col("links")).as(Seq("seq", "l")))
+        posexplode_outer(col("links")).as(Seq("seq", "l")))
+      .filter(col("seq").isNotNull)
       .select(col("doc_id"), col("url"), col("seq"),
         col("l.href").as("href"), col("l.anchor").as("anchor"),
         LinkKernels.resolveUrl(col("url"), col("l.href")).as("resolved"))
@@ -551,7 +556,9 @@ object Crawl {
             .cast("decimal(18,9)").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("s"))
-      pr = contribs.join(nodes, col("dst") === col("host"), "right")
+      // contribs is node-bounded too — broadcast it into the right
+      // join under the same gate (BuildLeft on a right outer join)
+      pr = gated(contribs).join(nodes, col("dst") === col("host"), "right")
         .select(col("host"),
           round(lit(base) + coalesce(col("s").cast("double"), lit(0.0))
             + lit(1e-12), 9).as("pr"))

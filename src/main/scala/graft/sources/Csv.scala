@@ -200,7 +200,12 @@ object Csv {
     val staged = docs.select(col("doc_id"),
       csvRows(col(payloadCol), sniffDialect(col(payloadCol)).getField("delimiter"))
         .as("rows"))
-    staged.select(col("doc_id"), posexplode(col("rows")).as(Seq("row_idx", "cells")))
+    // outer explode + null drop so the fused sniff+parse kernel runs
+    // once per row instead of re-evaluating in an inferred size filter
+    // (the extractLinks discipline); the inner explode is over an
+    // attribute, where the inferred filter is cheap
+    staged.select(col("doc_id"), posexplode_outer(col("rows")).as(Seq("row_idx", "cells")))
+      .filter(col("row_idx").isNotNull)
       .select(col("doc_id"), col("row_idx"),
         posexplode(col("cells")).as(Seq("col_idx", "cell")))
       .select(col("doc_id"), col("row_idx"), col("col_idx"), col("cell"),

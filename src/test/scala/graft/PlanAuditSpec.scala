@@ -1236,6 +1236,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pSm.contains("Exchange"), s"sitemap walk shuffled:\n$pSm")
   }
 
+  test("link extraction is exchange-free; CSV kernels run once per row") {
+    val docs = Tables.documents(spark, dir)
+    // outlinks: kernel + posexplode + resolve, all map-side
+    val pL = plan(Crawl.extractLinks(Crawl.linkDocs(docs)))
+    assert(!pL.contains("Exchange"), s"link extraction shuffled:\n$pL")
+    // the kernel must be staged through the projection barrier so it
+    // evaluates once per page, not once per output column
+    assert(count(pL, "html_links") <= 1, s"link kernel re-evaluated:\n$pL")
+    // CSV: sniff + parse fused per row, then cell explode — no shuffle
+    val pC = plan(graft.sources.Csv.csvCells(graft.sources.Csv.csvDocs(docs)))
+    assert(!pC.contains("Exchange"), s"CSV cell explode shuffled:\n$pC")
+  }
+
+  test("hostRank: the rank vector broadcasts each round; edges never re-shuffle") {
+    val docs = Tables.documents(spark, dir)
+    val p = plan(Crawl.crawlRank(docs))
+    // the final iteration's contribution join must be broadcast (the
+    // vector is |hosts|-sized); a sort-merge join would shuffle the
+    // share frame every round
+    assert(p.contains("BroadcastHashJoin"), s"rank vector not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"iteration degraded to SMJ:\n$p")
+  }
+
+  test("kAnonymize: one window shuffle, no join-back") {
+    val p = plan(Relational.kAnonymize(Tables.customer(spark, dir),
+      "c_custkey", Seq("c_nationkey", "c_mktsegment"), 10))
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"k-anonymity must cost exactly one shuffle:\n$p")
+    assert(!p.contains("Join"), s"a join-back crept in:\n$p")
+    // pruning: the untouched wide columns never leave the scan
+    assert(!p.contains("c_comment") && !p.contains("c_address"),
+      s"column pruning lost:\n$p")
+  }
+
+  test("btRatings: per-round joins broadcast the rating vector") {
+    val matches = Sft.matchDocs(Tables.documents(spark, dir))
+    val p = plan(Sft.btRatings(matches))
+    assert(p.contains("BroadcastHashJoin"), s"rating vector not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected cartesian:\n$p")
+  }
+
   test("trainQualityPerceptron: weights ride the closure, not a join; aggs stay partial") {
     val docs = Tables.documents(spark, dir).limit(60)
     val p = plan(Corpus.trainQualityPerceptron(docs, epochs = 1))
