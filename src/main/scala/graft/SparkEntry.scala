@@ -571,6 +571,17 @@ object SparkEntry {
         graft.functions.TextAnalysis.htmlDocs(Tables.documents(s, dir)))),
     // HTML structured metadata: og:* + meta description by per-row
     // regex, JSON-LD via non-greedy block lift + native JSON paths
+    // page-level crawl directives: robots meta flags (noindex/
+    // nofollow/noai) + the rel=canonical target — the compliance
+    // channel robots.txt doesn't carry
+    "t_meta_robots" -> ((s, dir) =>
+      graft.functions.TextAnalysis.extractCrawlDirectives(
+        graft.functions.TextAnalysis.htmlMetaDocs(Tables.documents(s, dir)))),
+    // canonical-URL dedup: pages naming the same rel=canonical target
+    // keep one keeper (min doc_id) — one window shuffle, no join-back
+    "c_canonical_dedup" -> ((s, dir) =>
+      graft.functions.TextAnalysis.canonicalDedup(
+        graft.functions.TextAnalysis.htmlMetaDocs(Tables.documents(s, dir)))),
     "t_html_meta" -> ((s, dir) =>
       graft.functions.TextAnalysis.extractHtmlMeta(
         graft.functions.TextAnalysis.htmlMetaDocs(Tables.documents(s, dir)))),
@@ -4298,6 +4309,32 @@ object SparkEntry {
         |       CAST(3 AS INT) AS n_boiler_blocks,
         |       CAST(7 AS INT) AS n_links
         |FROM documents""".stripMargin,
+    // robots meta: the id%4 rotation replayed, flags by token
+    "t_meta_robots" ->
+      """WITH r AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'index, follow'
+        |         WHEN doc_id % 4 = 1 THEN 'noindex'
+        |         WHEN doc_id % 4 = 2 THEN 'nofollow, noai'
+        |         ELSE 'noindex, nofollow' END AS robots_meta
+        |  FROM documents)
+        |SELECT doc_id, robots_meta,
+        |       doc_id % 4 = 1 OR doc_id % 4 = 3 AS noindex,
+        |       doc_id % 4 = 2 OR doc_id % 4 = 3 AS nofollow,
+        |       doc_id % 4 = 2 AS noai,
+        |       'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/doc/' ||
+        |       CAST(doc_id % 13 AS VARCHAR) AS canonical
+        |FROM r""".stripMargin,
+    // canonical dedup: window min/count per declared target
+    "c_canonical_dedup" ->
+      """WITH c AS (SELECT doc_id,
+        |    'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/doc/' ||
+        |    CAST(doc_id % 13 AS VARCHAR) AS canonical
+        |  FROM documents)
+        |SELECT doc_id, canonical,
+        |       MIN(doc_id) OVER (PARTITION BY canonical) AS keeper_id,
+        |       COUNT(*) OVER (PARTITION BY canonical) AS group_n,
+        |       doc_id = MIN(doc_id) OVER (PARTITION BY canonical) AS is_keeper
+        |FROM c""".stripMargin,
     // HTML metadata: every field arithmetic in doc_id
     "t_html_meta" ->
       """SELECT doc_id,

@@ -1293,6 +1293,14 @@ object TextAnalysis {
       s(".com/doc/"), id % 97, s("\">\n"),
       s("<meta name=\"description\" content=\"summary "), id % 13,
       s(" of doc "), id % 97, s("\">\n"),
+      // robots directives rotate on id % 4; canonical collapses the
+      // id space onto 7×13 targets so canonical-dedup has real groups
+      s("<meta name=\"robots\" content=\""),
+      when(id % 4 === 0, "index, follow").when(id % 4 === 1, "noindex")
+        .when(id % 4 === 2, "nofollow, noai").otherwise("noindex, nofollow"),
+      s("\">\n"),
+      s("<link rel=\"canonical\" href=\"https://site"), id % 7,
+      s(".com/doc/"), id % 13, s("\">\n"),
       s("<script type=\"application/ld+json\">{\"@context\":\"https://schema.org\","),
       s("\"@type\":\"Article\",\"headline\":\"entry "), id % 7,
       s("\",\"datePublished\":\"2026-01-"),
@@ -1323,6 +1331,52 @@ object TextAnalysis {
       get_json_object(ld, "$['@type']").as("ld_type"),
       get_json_object(ld, "$['headline']").as("ld_headline"),
       to_date(get_json_object(ld, "$['datePublished']")).as("ld_published"))
+  }
+
+  /** Crawl directives a compliant corpus MUST honor beyond robots.txt:
+    * the page-level robots meta tag (RFC 9309's sibling channel —
+    * noindex/nofollow plus the emerging noai opt-out) and the
+    * rel=canonical link that names which URL owns the content. Pure
+    * per-row regex over the head (meta/link are void elements — no
+    * state machine needed); map-only at any scale. Flags match
+    * word-boundary tokens inside the comma-separated content value. */
+  def extractCrawlDirectives(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val h = col(htmlCol)
+    val robots = regexp_extract(h,
+      """<meta[^>]*name="robots"[^>]*content="([^"]*)"""", 1)
+    val canonical = regexp_extract(h,
+      """<link[^>]*rel="canonical"[^>]*href="([^"]*)"""", 1)
+    def flag(tok: String) = robots.rlike(s"(^|[, ])$tok($$|[, ])")
+    pages.select(col("doc_id"),
+      robots.as("robots_meta"),
+      flag("noindex").as("noindex"),
+      flag("nofollow").as("nofollow"),
+      flag("noai").as("noai"),
+      canonical.as("canonical"))
+  }
+
+  /** CANONICAL-URL dedup — the crawl-side dedup that runs BEFORE any
+    * text comparison: pages declaring the same rel=canonical target
+    * are the same resource by the site's own statement; keep the
+    * smallest doc_id per target (the deterministic-keeper rule every
+    * dedup family here uses). One window min over the canonical key —
+    * a single |pages|-row shuffle, no join-back, same plan class as
+    * [[graft.operators.Relational.kAnonymize]]. Pages with no
+    * canonical declaration keep themselves. */
+  def canonicalDedup(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = extractCrawlDirectives(pages, htmlCol)
+      .select(col("doc_id"), col("canonical"))
+    val key = when(col("canonical") === "",
+      concat(lit("self:"), col("doc_id"))).otherwise(col("canonical"))
+    val staged = d.select(col("doc_id"), col("canonical"), key.as("k"))
+    val w = Window.partitionBy(col("k"))
+    staged
+      .select(col("doc_id"), col("canonical"),
+        min(col("doc_id")).over(w).as("keeper_id"),
+        count(lit(1)).over(w).as("group_n"))
+      .select(col("doc_id"), col("canonical"), col("keeper_id"),
+        col("group_n"), (col("doc_id") === col("keeper_id")).as("is_keeper"))
   }
 
   /** Deterministic table corpus: 1 + id%2 tables per page, each a

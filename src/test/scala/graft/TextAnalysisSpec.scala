@@ -655,4 +655,29 @@ class TextAnalysisSpec extends SparkSpec with BeforeAndAfterAll {
     val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids.nonEmpty && ids.forall(_ < 50))
   }
+
+  test("crawl directives: token-boundary flags; canonical-less pages keep themselves") {
+    import spark.implicits._
+    val pages = Seq(
+      // 'index, follow' must NOT read as noindex/nofollow
+      (1L, """<head><meta name="robots" content="index, follow">
+             |<link rel="canonical" href="https://a.com/x"></head>""".stripMargin),
+      (2L, """<head><meta name="robots" content="noindex, nofollow, noai">
+             |<link rel="canonical" href="https://a.com/x"></head>""".stripMargin),
+      // no robots meta, no canonical at all
+      (3L, "<head><title>bare</title></head>")
+    ).toDF("doc_id", "html")
+    val d = TextAnalysis.extractCrawlDirectives(pages).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getString(5)))).toMap
+    assert(d(1L) == ((false, false, false, "https://a.com/x")))
+    assert(d(2L) == ((true, true, true, "https://a.com/x")))
+    assert(d(3L) == ((false, false, false, "")))
+    val k = TextAnalysis.canonicalDedup(pages).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // docs 1 and 2 share the canonical target: 1 keeps, 2 drops
+    assert(k(1L) == ((1L, 2L, true)) && k(2L) == ((1L, 2L, false)))
+    // doc 3 declares nothing: it is its own group of one
+    assert(k(3L) == ((3L, 1L, true)))
+  }
 }
