@@ -1241,6 +1241,12 @@ object SparkEntry {
     "m_docx_text" -> ((s, dir) =>
       graft.sources.Archives.docxText(
         graft.sources.Archives.docxDocs(Tables.documents(s, dir)))),
+    // RTF (legacy Word): fused control-word state machine — destination
+    // groups skipped structurally, \'hh and \uN? escapes decoded,
+    // \par breaks counted
+    "m_rtf_text" -> ((s, dir) =>
+      graft.sources.Rtf.extractRtf(
+        graft.sources.Rtf.rtfDocs(Tables.documents(s, dir)))),
     // every 2nd REAL video frame sliced from the movi index and
     // fingerprinted; the oracle rebuilds each sampled frame's bytes
     "m_avi_frames" -> ((s, dir) =>
@@ -3711,6 +3717,16 @@ object SparkEntry {
         |SELECT doc_id, np AS n_paragraphs,
         |       string_agg(ptxt, chr(10) ORDER BY i) AS text
         |FROM pg GROUP BY doc_id, np""".stripMargin,
+    // RTF: the escapes land decoded (é twice via different channels),
+    // tables/info/generator leave no bytes, three \par breaks
+    "m_rtf_text" ->
+      """SELECT doc_id,
+        |       'Heading ' || CAST(doc_id AS VARCHAR) || ' of doc ' ||
+        |       CAST(doc_id % 97 AS VARCHAR) || ' Body text ' || text ||
+        |       ': café résumé tail ' || CAST(doc_id % 13 AS VARCHAR) ||
+        |       ' bold ' || CAST(doc_id % 5 AS VARCHAR) || ' plain' AS text,
+        |       CAST(3 AS INT) AS n_pars
+        |FROM documents""".stripMargin,
     // MP3: CBR frame-length recurrence — table lookups + integer sums
     "m_decode_mp3" ->
       """WITH p AS (SELECT doc_id,

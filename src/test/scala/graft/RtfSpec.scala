@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Rtf
+
+/** RTF control-word state machine: destination skips, escapes, \uc
+  * fallback discipline, loud rejection. */
+class RtfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(rtf: String): (String, Int) = {
+    val r = Seq((1L, rtf)).toDF("doc_id", "rtf")
+    val row = Rtf.extractRtf(r).collect().head
+    (row.getString(1), row.getInt(2))
+  }
+
+  test("fixture walk: tables/info/generator leave no bytes, escapes decode") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 20)
+    val out = Rtf.extractRtf(Rtf.rtfDocs(docs)).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val t = r.getString(1)
+      assert(t.startsWith("Heading "), t.take(40))
+      assert(t.contains("café résumé"), "both escape channels must decode to é")
+      assert(!t.contains("Times New Roman") && !t.contains("generator"),
+        "destination groups leaked text")
+      assert(r.getInt(2) == 3)
+    }
+  }
+
+  test("uc0 swallows nothing; negative \\u wraps mod 65536") {
+    // the space after \u233 is the control word's own delimiter
+    assert(extract("{\\rtf1 \\uc0\\u233 x}")._1 == "éx")
+    // -1234 + 65536 = 64302 = U+FB2E
+    assert(extract("{\\rtf1 \\uc1\\u-1234?y}")._1 == "אַy")
+  }
+
+  test("ignorable destinations skip nested groups; braces escape") {
+    assert(extract("{\\rtf1 a{\\*\\weird {\\deep x}}b}")._1 == "ab")
+    assert(extract("{\\rtf1 \\{lit\\} \\\\back}")._1 == "{lit} \\back")
+  }
+
+  test("non-RTF payloads reject loudly") {
+    val e = intercept[Throwable] { extract("PK not rtf") }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("rtf header")),
+      s"unexpected failure chain: ${messages(e).mkString(" | ")}")
+  }
+}
