@@ -646,6 +646,11 @@ object SparkEntry {
     // segments dropped corpus-wide, survivors reassembled in order
     "c_paragraph_dedup" -> ((s, dir) =>
       Corpus.paragraphDedup(Tables.documents(s, dir))),
+    // site-level boilerplate: lines on >= half of a HOST's pages are
+    // chrome and drop everywhere (the CCNet/RefinedWeb per-domain
+    // line dedup); page-unique lines survive in order
+    "c_site_boilerplate" -> ((s, dir) =>
+      Corpus.siteBoilerplate(Corpus.siteDocs(Tables.documents(s, dir)))),
     // streaming paragraph dedup: per-segment-hash keeper state with
     // add/retract on keeper replacement; changelog-final == batch
     "s_stream_paragraph_dedup" -> ((s, dir) =>
@@ -4468,6 +4473,41 @@ object SparkEntry {
     // paragraph dedup: same 10-word segmentation, same (doc, seg)
     // keeper order, ordered string_agg reassembly
     "c_paragraph_dedup" -> paragraphDedupOracle,
+    // site boilerplate: the five fixture arms rebuilt, frequencies
+    // recomputed host-wide (not hard-coded, so any SF replays), the
+    // >= 0.5 threshold on the exact dyadic boundary
+    "c_site_boilerplate" ->
+      """WITH p AS (SELECT doc_id, doc_id % 10 AS h, doc_id // 10 AS k
+        |           FROM documents),
+        |l AS (
+        |  SELECT doc_id, h, 0 AS li,
+        |         'home about products site ' || CAST(h AS VARCHAR) AS line FROM p
+        |  UNION ALL
+        |  SELECT doc_id, h, 1, 'subscribe banner ' || CAST(h AS VARCHAR)
+        |  FROM p WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, h, 2, 'promo of site ' || CAST(h AS VARCHAR)
+        |  FROM p WHERE k % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, h, 3, 'article ' || CAST(doc_id AS VARCHAR) ||
+        |         ' body ' || CAST(doc_id % 89 AS VARCHAR) FROM p
+        |  UNION ALL
+        |  SELECT doc_id, h, 4, 'copyright site ' || CAST(h AS VARCHAR) ||
+        |         ' all rights' FROM p),
+        |hp AS (SELECT h, COUNT(*) AS n_pages FROM p GROUP BY h),
+        |lf AS (SELECT h, line, COUNT(DISTINCT doc_id) AS n_docs FROM l GROUP BY 1, 2),
+        |f AS (SELECT l.doc_id, l.h, l.li, l.line,
+        |             CAST(lf.n_docs AS DOUBLE) / CAST(hp.n_pages AS DOUBLE) >= 0.5
+        |               AS boiler
+        |      FROM l JOIN lf ON l.h = lf.h AND l.line = lf.line
+        |             JOIN hp ON l.h = hp.h)
+        |SELECT doc_id, 'site' || CAST(h AS VARCHAR) || '.com' AS host,
+        |       COALESCE(string_agg(CASE WHEN NOT boiler THEN line END,
+        |                           chr(10) ORDER BY li), '') AS text_clean,
+        |       COUNT(*) AS n_lines,
+        |       CAST(SUM(CASE WHEN boiler THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM f GROUP BY doc_id, h""".stripMargin,
     // streaming paragraph dedup: same segmentation, same keeper rule,
     // same reassembly — identical final table
     "s_stream_paragraph_dedup" -> paragraphDedupOracle,

@@ -1306,6 +1306,68 @@ object Corpus {
     * co-locate); reassembly is one doc-keyed aggregation whose
     * collect_list is bounded by the document's own segment count.
     * Exactly two exchanges at any corpus size. */
+  /** Deterministic multi-page-site corpus for [[siteBoilerplate]]:
+    * 10 hosts, each page carrying a host-wide nav line (on every page
+    * of the host), a "subscribe" banner on every second page
+    * (⌈n/2⌉/n ≥ 0.5 at any SF — exactly the threshold), a promo line
+    * on every fifth page (0.2 — safely under), one unique article
+    * line, and a host-wide copyright footer. k = doc_id div 10 varies
+    * WITHIN a host (doc_id % 2 would not: pages of host h all share
+    * h's parity). */
+  def siteDocs(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val h = id % 10
+    val k = (id / lit(10)).cast("long")
+    val lines = array(
+      concat(lit("home about products site "), h),
+      when(k % 2 === 0, concat(lit("subscribe banner "), h)),
+      when(k % 5 === 0, concat(lit("promo of site "), h)),
+      concat(lit("article "), id, lit(" body "), id % 89),
+      concat(lit("copyright site "), h, lit(" all rights")))
+    documents.select(id,
+      concat(lit("site"), h, lit(".com")).as("host"),
+      array_join(filter(lines, l => l.isNotNull), "\n").as("text"))
+  }
+
+  /** SITE-LEVEL BOILERPLATE REMOVAL — the per-domain line dedup of the
+    * CCNet/RefinedWeb recipes: a line appearing on ≥ `minFrac` of a
+    * HOST's pages is navigation/footer chrome by definition (content
+    * doesn't repeat across a site), so it drops from every page;
+    * page-unique and rare lines survive in order. This is the
+    * host-scoped sibling of [[paragraphDedup]] (which is corpus-global
+    * and keeps ONE copy; chrome deserves zero copies).
+    *
+    * Scale shape: lines explode once; the frequency aggregate and its
+    * join-back both key on (host, line) — two exchanges of (host,
+    * line-hash-sized) rows; the per-host page count is host-bounded
+    * metadata and broadcasts. Reassembly is one doc-keyed aggregation
+    * bounded by the page's own line count. The 0.5 default sits on a
+    * dyadic boundary so the threshold compare is float-exact. */
+  def siteBoilerplate(pages: DataFrame, minFrac: Double = 0.5): DataFrame = {
+    require(minFrac > 0.0 && minFrac <= 1.0,
+      s"minFrac must be in (0, 1], got $minFrac")
+    val lines = pages.select(col("doc_id"), col("host"),
+      posexplode(split(col("text"), "\n")).as(Seq("line_idx", "line")))
+    val hostPages = pages.groupBy(col("host"))
+      .agg(countDistinct(col("doc_id")).as("n_pages"))
+    val lineFreq = lines.groupBy(col("host"), col("line"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val flagged = lines.join(lineFreq, Seq("host", "line"))
+      .join(broadcast(hostPages), Seq("host"))
+      .withColumn("boiler",
+        col("n_docs").cast("double") / col("n_pages").cast("double")
+          >= lit(minFrac))
+    flagged.groupBy(col("doc_id"), col("host"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(!col("boiler"), struct(col("line_idx"), col("line"))))),
+          s => s.getField("line")), "\n").as("text_clean"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("doc_id"), col("host"), col("text_clean"), col("n_lines"),
+        (col("n_lines") - col("n_dropped")).as("n_kept"), col("n_dropped"))
+  }
+
   def paragraphDedup(documents: DataFrame, segWords: Int = 10): DataFrame = {
     require(segWords >= 1 && segWords <= 10000,
       s"segWords must be in [1, 10000], got $segWords")

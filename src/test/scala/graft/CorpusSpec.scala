@@ -710,4 +710,25 @@ class CorpusSpec extends SparkSpec {
     val b = direct.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
     assert(a == b, "signals over decoded text diverge from plaintext leg")
   }
+
+  test("siteBoilerplate: host-scoped threshold; other hosts' chrome is untouched") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "a.com", "nav a\nstory one\nfoot a"),
+      (2L, "a.com", "nav a\nstory two\nfoot a"),
+      (3L, "a.com", "story three\nfoot a"),
+      // b.com's single page: every line is on 100% of b's pages —
+      // all chrome by the rule — but a.com's lines must not count here
+      (4L, "b.com", "nav a\nstory four")
+    ).toDF("doc_id", "host", "text")
+    val out = Corpus.siteBoilerplate(pages).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    // 'nav a' on 2/3 of a.com ≥ 0.5 → dropped; 'foot a' on 3/3 → dropped
+    assert(out(1L) == (("story one", 3L, 1L)))
+    assert(out(2L) == (("story two", 3L, 1L)))
+    assert(out(3L) == (("story three", 2L, 1L)))
+    // on b.com every line is 1/1 → everything drops (single-page hosts
+    // are degenerate by the rule; callers gate on n_pages if needed)
+    assert(out(4L) == (("", 2L, 0L)))
+  }
 }
