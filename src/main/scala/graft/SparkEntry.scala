@@ -642,6 +642,10 @@ object SparkEntry {
     // exact-decimal sums so the oracle replays every iteration
     "c_crawl_rank" -> ((s, dir) =>
       graft.operators.Crawl.crawlRank(Tables.documents(s, dir))),
+    // the discovery-loop capstone: extracted links → host centrality →
+    // frontier rows ordered (host_rank, per-host FIFO queue_pos)
+    "c_frontier_build" -> ((s, dir) =>
+      graft.operators.Crawl.frontierBuild(Tables.documents(s, dir))),
     // paragraph-level dedup (the CCNet move): repeated 10-word
     // segments dropped corpus-wide, survivors reassembled in order
     "c_paragraph_dedup" -> ((s, dir) =>
@@ -5128,6 +5132,7 @@ object SparkEntry {
         |       CAST(NULL AS VARCHAR)
         |FROM d""".stripMargin,
     "c_crawl_rank" -> crawlRankOracle,
+    "c_frontier_build" -> frontierBuildOracle,
     "t_normalize" ->
       """SELECT doc_id,
         |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
@@ -7356,7 +7361,11 @@ object SparkEntry {
     * per power iteration an (exact-decimal contribution sum, 9-dp
     * rank) CTE pair; the node set survives every round via the LEFT
     * JOIN (no-in-link hosts keep their teleport base). */
-  private lazy val crawlRankOracle: String = {
+  /** Shared CTE block: the fixture's cross-host edges → directed
+    * shares → [[graft.operators.Graph.Iters]] power iterations; ends
+    * with p<Iters> = (host, pr). Reused by c_crawl_rank and the
+    * frontier capstone. */
+  private lazy val crawlRankCtes: String = {
     import graft.operators.Graph.{Damping, Iters}
     val iterCtes = (1 to Iters).map { i =>
       s"""c$i AS (SELECT sh.dst AS host,
@@ -7368,7 +7377,7 @@ object SparkEntry {
          |              + COALESCE(c.s, CAST(0.0 AS DOUBLE)) + 1e-12, 9) AS pr
          |        FROM nd LEFT JOIN c$i c ON nd.host = c.host, nn)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (
+    s"""e0 AS (
        |  SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS src,
        |         'site' || CAST((3 * doc_id + 1) % 20 AS VARCHAR) || '.example' AS dst
        |  FROM documents
@@ -7384,8 +7393,52 @@ object SparkEntry {
        |nn AS (SELECT COUNT(*) AS n FROM nd),
        |p0 AS (SELECT host, ROUND(CAST(1.0 AS DOUBLE) / nn.n + 1e-12, 9) AS pr
        |       FROM nd, nn),
-       |$iterCtes
-       |SELECT host, pr FROM p$Iters""".stripMargin
+       |$iterCtes""".stripMargin
+  }
+
+  private lazy val crawlRankOracle: String =
+    s"""WITH $crawlRankCtes
+       |SELECT host, pr FROM p${graft.operators.Graph.Iters}""".stripMargin
+
+  /** The frontier capstone in DuckDB: host ranks over the pagerank
+    * CTEs, the five resolved-URL arms deduped, per-host FIFO by URL
+    * order. */
+  private lazy val frontierBuildOracle: String = {
+    import graft.operators.Graph.Iters
+    s"""WITH $crawlRankCtes,
+       |hr AS (SELECT host, pr,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, host) AS BIGINT) AS host_rank
+       |       FROM p$Iters),
+       |f AS (
+       |  SELECT 'site' || CAST((3 * doc_id + 1) % 20 AS VARCHAR) || '.example' AS host,
+       |         'https://site' || CAST((3 * doc_id + 1) % 20 AS VARCHAR) ||
+       |         '.example/p' || CAST(doc_id % 7 AS VARCHAR) AS url
+       |  FROM documents
+       |  UNION
+       |  SELECT 'site' || CAST((5 * doc_id + 2) % 20 AS VARCHAR) || '.example',
+       |         'https://site' || CAST((5 * doc_id + 2) % 20 AS VARCHAR) ||
+       |         '.example/mirror'
+       |  FROM documents
+       |  UNION
+       |  SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example',
+       |         'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example/top' ||
+       |         CAST(doc_id % 3 AS VARCHAR) || '?x=1&y=2'
+       |  FROM documents
+       |  UNION
+       |  SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example',
+       |         'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example/dir' ||
+       |         CAST(doc_id % 5 AS VARCHAR) || '/sub/rel' ||
+       |         CAST(doc_id % 4 AS VARCHAR) || '.html'
+       |  FROM documents
+       |  UNION
+       |  SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example',
+       |         'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example/up' ||
+       |         CAST(doc_id % 6 AS VARCHAR) || '.html'
+       |  FROM documents)
+       |SELECT f.url, f.host, hr.pr, hr.host_rank,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY f.host ORDER BY f.url)
+       |            AS BIGINT) AS queue_pos
+       |FROM f LEFT JOIN hr ON f.host = hr.host""".stripMargin
   }
 
   private lazy val pagerankOracle: String = {

@@ -570,4 +570,38 @@ object Crawl {
     * → [[hostGraph]] → [[hostRank]]. */
   def crawlRank(documents: DataFrame): DataFrame =
     hostRank(hostGraph(extractLinks(linkDocs(documents))))
+
+  /** The DISCOVERY-LOOP capstone — what a crawler fetches next, as one
+    * dataflow over the already-verified blocks: outlinks extract and
+    * resolve ([[extractLinks]]), the host graph ranks hosts
+    * ([[hostRank]] — the Common Crawl centrality-budget move), and
+    * every distinct resolved URL becomes a frontier row carrying its
+    * host's priority rank plus its FIFO position in that host's
+    * politeness queue. Downstream consumption order is (host_rank,
+    * queue_pos) — highest-centrality hosts first, FIFO within a host.
+    *
+    * Scale shape: the frontier dedup is one URL-keyed exchange (the
+    * natural shuffle a frontier store pays anyway); per-host FIFO is a
+    * window over the same partitioning; host ranks are a
+    * |hosts|-bounded frame — its ordering window is single-partition
+    * by design (20 rows here, millions at web scale — still one
+    * executor's work) and it joins back as a broadcast. Hosts outside
+    * the link graph (no cross-host edges) keep null rank: the caller
+    * decides whether unranked hosts crawl first or last. */
+  def frontierBuild(documents: DataFrame): DataFrame = {
+    val links = extractLinks(linkDocs(documents)).localCheckpoint()
+    val rank = hostRank(hostGraph(links))
+    val hostOrder = rank.select(col("host"), col("pr"),
+      row_number().over(Window.orderBy(col("pr").desc, col("host")))
+        .cast("long").as("host_rank"))
+    val frontier = links.filter(col("resolved").isNotNull)
+      .select(lower(expr("parse_url(resolved, 'HOST')")).as("host"),
+        col("resolved").as("url"))
+      .distinct()
+    val w = Window.partitionBy(col("host")).orderBy(col("url"))
+    frontier.withColumn("queue_pos", row_number().over(w).cast("long"))
+      .join(broadcast(hostOrder), Seq("host"), "left")
+      .select(col("url"), col("host"), col("pr"), col("host_rank"),
+        col("queue_pos"))
+  }
 }

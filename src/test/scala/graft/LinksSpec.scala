@@ -115,6 +115,25 @@ class LinksSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("frontierBuild: host ranks are a bijection; per-host FIFO is contiguous") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 100)
+    val f = graft.operators.Crawl.frontierBuild(docs).collect()
+    assert(f.nonEmpty)
+    // every host carries exactly one rank, ranks are 1..|hosts|
+    val ranks = f.map(r => r.getString(1) -> r.getLong(3)).distinct
+    assert(ranks.map(_._1).distinct.length == ranks.length)
+    assert(ranks.map(_._2).sorted.toSeq == (1L to ranks.length).toSeq)
+    // queue positions are 1..n per host, FIFO by url order
+    f.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_.getLong(4))
+      assert(byPos.map(_.getLong(4)).toSeq == (1L to rows.length).toSeq)
+      assert(byPos.map(_.getString(0)).toSeq == rows.map(_.getString(0)).sorted.toSeq)
+    }
+    // higher-pr hosts get smaller ranks
+    val byRank = f.map(r => (r.getLong(3), r.getDouble(2))).distinct.sortBy(_._1)
+    assert(byRank.sliding(2).forall(p => p.length < 2 || p(0)._2 >= p(1)._2))
+  }
+
   test("hostRank: ranks sum to ~1 on a closed graph, no-in-link hosts keep base") {
     // a.example -> b.example -> c.example -> a.example (closed 3-cycle)
     // plus d.example -> a.example (d has no in-links: keeps base mass)
