@@ -567,9 +567,11 @@ object Crawl {
   }
 
   /** End-to-end crawl ranking: [[linkDocs]] pages → [[extractLinks]]
-    * → [[hostGraph]] → [[hostRank]]. */
-  def crawlRank(documents: DataFrame): DataFrame =
-    hostRank(hostGraph(extractLinks(linkDocs(documents))))
+    * → [[hostGraph]] → [[hostRank]]. `nodeBroadcastLimit` passes
+    * through so ScaleBench can force the >gate shuffle-join route. */
+  def crawlRank(documents: DataFrame,
+                nodeBroadcastLimit: Long = Graph.BroadcastNodeLimit): DataFrame =
+    hostRank(hostGraph(extractLinks(linkDocs(documents))), nodeBroadcastLimit)
 
   /** The DISCOVERY-LOOP capstone — what a crawler fetches next, as one
     * dataflow over the already-verified blocks: outlinks extract and

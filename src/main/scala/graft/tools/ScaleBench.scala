@@ -26,7 +26,66 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.ScaleBench"
   */
 object ScaleBench {
+
+  /** The forced-path ops by name — the parent forks one CHILD JVM per
+    * entry (the graded bench's per-family isolation, applied per op):
+    * a forced route timed after another op's forced route in the same
+    * JVM inherits its codegen/GC debt — measured 46–55 s isolated vs
+    * 69–107 s in-suite for q_ktruss at identical row parity — so
+    * in-JVM sequencing was attributing residue to the route. */
+  private val OpNames = Seq("q_kcore", "q_ktruss", "q_components",
+    "q_communities", "q_bfs_depth", "q_sssp", "c_crawl_rank")
+
   def main(args: Array[String]): Unit = {
+    sys.env.get("SPARK_GRAFT_SCALE_CHILD_OUT") match {
+      case Some(out) => childMain(out)
+      case None => parentMain()
+    }
+  }
+
+  /** Fork one fresh JVM per op, merge their JSON fragments. */
+  private def parentMain(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(8, Runtime.getRuntime.availableProcessors()).toString)
+    val onlyOps = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filterNot(_.startsWith("-agentlib"))
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val rows = OpNames.filter(n => onlyOps.forall(_.contains(n))).flatMap { op =>
+      val frag = java.io.File.createTempFile(s"scale_$op", ".frag")
+      frag.deleteOnExit()
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", cp, "graft.tools.ScaleBench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_SCALE_ONLY", op)
+      pb.environment().put("SPARK_GRAFT_SCALE_CHILD_OUT", frag.getAbsolutePath)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      sys.env.get("SPARK_GRAFT_KCORE_SWEEPS").foreach(
+        pb.environment().put("SPARK_GRAFT_KCORE_SWEEPS", _))
+      sys.env.get("SPARK_GRAFT_SCALE_REPEAT").foreach(
+        pb.environment().put("SPARK_GRAFT_SCALE_REPEAT", _))
+      pb.inheritIO()
+      val proc = pb.start()
+      val finished = proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) { proc.destroyForcibly(); Nil }
+      else if (proc.exitValue() != 0) Nil
+      else {
+        val src = scala.io.Source.fromFile(frag, "UTF-8")
+        try src.getLines().toList finally src.close()
+      }
+    }
+    val out = rows.mkString(s"""{"sf":"$sfDir","threads":$cpus,"ops":{""", ",", "}}")
+    val w = new java.io.PrintWriter(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale_paths.json"), "UTF-8")
+    try w.println(out) finally w.close()
+    println(out)
+  }
+
+  private def childMain(fragPath: String): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(8, Runtime.getRuntime.availableProcessors()).toString)
@@ -41,34 +100,48 @@ object ScaleBench {
 
     import graft.Tables
     import graft.operators.Graph
-    def li = Tables.lineitem(spark, sfDir)
 
     // barrier-count experiment knob for the kcore forced path: more
     // chained H applications per materialized round = fewer barriers,
     // same fixpoint (H is monotone; convergence checked per round)
     val kcoreSweeps = sys.env.getOrElse("SPARK_GRAFT_KCORE_SWEEPS", "2").toInt
 
-    // (query name, gated route, forced-distributed route)
-    val ops: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
-      ("q_kcore",
-        () => Graph.coreNumbers(li),
-        () => Graph.coreNumbersWithStats(li, forceDistributed = true,
-          sweepsPerRound = kcoreSweeps)._1),
-      ("q_ktruss",
-        () => Graph.trussNumbers(li),
-        () => Graph.trussNumbers(li, forceDistributed = true)),
-      ("q_components",
-        () => Graph.components(li),
-        () => Graph.components(li, forceDistributed = true)),
-      ("q_communities",
-        () => Graph.communities(li),
-        () => Graph.communities(li, forceDistributed = true)),
-      ("q_bfs_depth",
-        () => Graph.bfsDepth(li),
-        () => Graph.bfsDepth(li, forceDistributed = true)),
-      ("q_sssp",
-        () => Graph.shortestPaths(li),
-        () => Graph.shortestPaths(li, forceDistributed = true)))
+    // (query name, gated route, forced-distributed route), against the
+    // tables under `dir` — built twice: once at sf0.001 for the
+    // untimed code-warmup, once at the bench SF for the measurement
+    def ops(dir: String): Seq[(String, () => DataFrame, () => DataFrame)] = {
+      def li = Tables.lineitem(spark, dir)
+      Seq(
+        ("q_kcore",
+          () => Graph.coreNumbers(li),
+          () => Graph.coreNumbersWithStats(li, forceDistributed = true,
+            sweepsPerRound = kcoreSweeps)._1),
+        ("q_ktruss",
+          () => Graph.trussNumbers(li),
+          () => Graph.trussNumbers(li, forceDistributed = true)),
+        ("q_components",
+          () => Graph.components(li),
+          () => Graph.components(li, forceDistributed = true)),
+        ("q_communities",
+          () => Graph.communities(li),
+          () => Graph.communities(li, forceDistributed = true)),
+        ("q_bfs_depth",
+          () => Graph.bfsDepth(li),
+          () => Graph.bfsDepth(li, forceDistributed = true)),
+        ("q_sssp",
+          () => Graph.shortestPaths(li),
+          () => Graph.shortestPaths(li, forceDistributed = true)),
+        // the host-rank iteration: past BroadcastNodeLimit the rank
+        // vector stops broadcasting and each round's joins shuffle both
+        // sides — force that route by zeroing the gate
+        ("c_crawl_rank",
+          () => graft.operators.Crawl.crawlRank(Tables.documents(spark, dir)),
+          () => graft.operators.Crawl.crawlRank(Tables.documents(spark, dir),
+            nodeBroadcastLimit = 0L)))
+    }
+
+    require(ops(sfDir).map(_._1) == OpNames,
+      "OpNames (the parent's fork list) is out of sync with ops")
 
     def timed(f: () => DataFrame): (Double, Long) = {
       spark.catalog.clearCache()
@@ -85,7 +158,13 @@ object ScaleBench {
     // forced/fast ratio over 5x)
     val onlyOps = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
     val repeat = sys.env.contains("SPARK_GRAFT_SCALE_REPEAT")
-    val rows = ops.filter(o => onlyOps.forall(_.contains(o._1)))
+    // untimed code-warmup at sf0.001 (the Bench child discipline):
+    // each fresh JVM pays HotSpot/codegen JIT on tiny data so the
+    // timed pass below measures the route, not compilation
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    ops(warmDir).filter(o => onlyOps.forall(_.contains(o._1)))
+      .foreach { case (_, fast, forced) => fast().count(); forced().count() }
+    val rows = ops(sfDir).filter(o => onlyOps.forall(_.contains(o._1)))
       .map { case (name, fast, forced) =>
       // fast first, then forced: any shared edge-build caching helps the
       // route measured SECOND, so a slow forced number is never an
@@ -107,11 +186,8 @@ object ScaleBench {
       line
     }
 
-    val out = rows.mkString(s"""{"sf":"$sfDir","threads":$cpus,"ops":{""", ",", "}}")
-    val w = new java.io.PrintWriter(
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale_paths.json"), "UTF-8")
-    try w.println(out) finally w.close()
-    println(out)
+    val w = new java.io.PrintWriter(fragPath, "UTF-8")
+    try rows.foreach(w.println) finally w.close()
     spark.stop()
   }
 }
