@@ -740,6 +740,12 @@ object SparkEntry {
     "m_mkv_tracks" -> ((s, dir) =>
       graft.sources.Ebml.mkvTracks(
         graft.sources.Ebml.mkvDocs(Tables.documents(s, dir)))),
+    // WebM Cluster/SimpleBlock walk: per-frame timestamps (cluster
+    // Timestamp + signed relative, scaled to ms), keyframe flags,
+    // frame sizes — frame bytes never leave the walk
+    "m_mkv_blocks" -> ((s, dir) =>
+      graft.sources.Ebml.mkvBlocks(
+        graft.sources.Ebml.mkvDocs(Tables.documents(s, dir)))),
     // SRT/WebVTT subtitle walk: per-dialect timestamp parse back to
     // integer milliseconds, cue text reassembled
     "m_subtitle_cues" -> ((s, dir) =>
@@ -4709,6 +4715,25 @@ object SparkEntry {
         |       CAST(CASE WHEN k = 1 THEN 1 + (doc_id % 3) % 2 ELSE 0 END
         |            AS BIGINT) AS channels
         |FROM t""".stripMargin,
+    // WebM blocks: 2 clusters × (3 video + odd-id 2 audio) frames,
+    // ts = cluster base + relative, all arithmetic
+    "m_mkv_blocks" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |c AS (SELECT doc_id, unnest(generate_series(0, 1)) AS ci FROM d),
+        |v AS (SELECT doc_id, ci, unnest(generate_series(0, 2)) AS j FROM c),
+        |a AS (SELECT doc_id, ci, unnest(generate_series(0, 1)) AS j FROM c
+        |      WHERE doc_id % 2 = 1)
+        |SELECT doc_id, CAST(ci AS INT) AS cluster_idx, CAST(j AS INT) AS block_idx,
+        |       CAST(1 AS BIGINT) AS track_number,
+        |       CAST(ci * 400 + doc_id % 50 + j * 40 + doc_id % 7 AS BIGINT) AS ts_ms,
+        |       j = 0 AS keyframe,
+        |       CAST(doc_id % 13 + 1 AS INT) AS frame_bytes
+        |FROM v
+        |UNION ALL
+        |SELECT doc_id, CAST(ci AS INT), CAST(3 + j AS INT), CAST(2 AS BIGINT),
+        |       CAST(ci * 400 + doc_id % 50 + j * 20 + doc_id % 5 AS BIGINT),
+        |       TRUE, CAST(doc_id % 3 + 1 AS INT)
+        |FROM a""".stripMargin,
     // code routing: the fixture's 8 arms map closed-form to
     // (language, route) — an independent arithmetic reimplementation,
     // no regex replay needed

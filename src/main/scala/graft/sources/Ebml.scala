@@ -85,6 +85,17 @@ object Ebml {
   private val IdSampling = bytes(0xB5)
   private val IdChannels = bytes(0x9F)
   private val IdVoid = bytes(0xEC)
+  private val IdCluster = bytes(0x1F, 0x43, 0xB6, 0x75)
+  private val IdClusterTs = bytes(0xE7)
+  private val IdSimpleBlock = bytes(0xA3)
+
+  /** One SimpleBlock: track VINT, signed int16 relative timestamp,
+    * flags (0x80 = keyframe), then `frameLen` frame bytes. */
+  private def simpleBlock(track: Long, rel: Int, key: Boolean,
+                          frameLen: Int): Array[Byte] =
+    elem(IdSimpleBlock, vint(track) ++ Array[Byte](
+      ((rel >> 8) & 0xFF).toByte, (rel & 0xFF).toByte,
+      (if (key) 0x80 else 0x00).toByte) ++ new Array[Byte](frameLen))
 
   /** Deterministic WebM corpus: EBML header (DocType `webm`), Segment
     * with Info (TimestampScale 1000000, Duration = 1000 + id%977 ms,
@@ -124,8 +135,24 @@ object Ebml {
                     elem(IdChannels, uintPayload(1L + (id % 3) % 2))))
           else Array.emptyByteArray
         val voidFiller = elem(IdVoid, new Array[Byte]((id % 5).toInt + 1))
+        // two clusters of SimpleBlocks: 3 video frames each (first is
+        // the keyframe) plus, on odd ids, 2 audio frames — timestamps
+        // and frame sizes all closed-form in (id, cluster, block)
+        val clusters = (0 until 2).map { c =>
+          val base = c * 400L + id % 50
+          val vids = (0 until 3).map(j =>
+            simpleBlock(1L, (j * 40 + id % 7).toInt, j == 0,
+              (id % 13 + 1).toInt)).reduce(_ ++ _)
+          val auds =
+            if (id % 2 == 1)
+              (0 until 2).map(j =>
+                simpleBlock(2L, (j * 20 + id % 5).toInt, key = true,
+                  (id % 3 + 1).toInt)).reduce(_ ++ _)
+            else Array.emptyByteArray
+          elem(IdCluster, elem(IdClusterTs, uintPayload(base)) ++ vids ++ auds)
+        }.reduce(_ ++ _)
         val segment = elem(IdSegment,
-          info ++ voidFiller ++ elem(IdTracks, video ++ audio))
+          info ++ voidFiller ++ elem(IdTracks, video ++ audio) ++ clusters)
         (id, header ++ segment)
       }).toDF("doc_id", "payload")
   }
@@ -268,6 +295,89 @@ object Ebml {
     }
     if (!sawTracks) fail("Segment carries no Tracks element")
     MkvDoc(docType, math.round(duration * scale / 1e6), tracks.result())
+  }
+
+  private[graft] final case class MkvBlock(clusterIdx: Int, blockIdx: Int,
+                                           track: Long, tsMs: Long,
+                                           keyframe: Boolean, frameBytes: Int)
+
+  /** Walk the Segment's Clusters: each SimpleBlock yields (cluster,
+    * block-in-cluster, track VINT, cluster-Timestamp + signed-int16
+    * relative timestamp — converted to ms via the Info
+    * TimestampScale — keyframe flag, frame byte count). Frame BYTES
+    * are never copied — only their length leaves the walk, the
+    * m_mp4_samples discipline. Unknown elements skip by declared
+    * size; malformed block framing fails loudly. */
+  private[graft] def parseMkvBlocks(id: Long, b: Array[Byte]): Seq[MkvBlock] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    val head = readElement(b, 0, fail)
+    if (head.id != 0x1A45DFA3L) fail(f"first element is 0x${head.id}%X, not the EBML header")
+    val seg = readElement(b, head.next, fail)
+    if (seg.id != 0x18538067L) fail("no Segment element after the EBML header")
+    var scale = 1000000L
+    val raw = Seq.newBuilder[(Int, Int, Long, Long, Boolean, Int)]
+    var ci = -1
+    var p = seg.payloadOff
+    while (p < seg.next) {
+      val e = readElement(b, p, fail)
+      if (e.id == 0x1549A966L) { // Info: TimestampScale
+        var q = e.payloadOff
+        while (q < e.next) {
+          val f = readElement(b, q, fail)
+          if (f.id == 0x2AD7B1L) scale = uintAt(b, f)
+          q = f.next
+        }
+      } else if (e.id == 0x1F43B675L) { // Cluster
+        ci += 1
+        var clusterTs = 0L
+        var bi = 0
+        var q = e.payloadOff
+        while (q < e.next) {
+          val f = readElement(b, q, fail)
+          if (f.id == 0xE7L) clusterTs = uintAt(b, f)
+          else if (f.id == 0xA3L) { // SimpleBlock
+            var r = f.payloadOff
+            if (r >= f.next) fail(s"empty SimpleBlock at $r")
+            val first = b(r) & 0xFF
+            if (first == 0) fail(s"invalid block track VINT at $r")
+            val tw = Integer.numberOfLeadingZeros(first) - 24 + 1
+            if (tw > 8 || r + tw > f.next) fail(s"block track VINT overruns at $r")
+            var track = (first & (0xFF >>> tw)).toLong
+            var i = 1
+            while (i < tw) { track = (track << 8) | (b(r + i) & 0xFF); i += 1 }
+            r += tw
+            if (r + 3 > f.next) fail(s"SimpleBlock too short for timestamp+flags at $r")
+            val rel = (((b(r) & 0xFF) << 8) | (b(r + 1) & 0xFF)).toShort.toInt
+            val flags = b(r + 2) & 0xFF
+            raw += ((ci, bi, track, clusterTs + rel, (flags & 0x80) != 0,
+              f.next - (r + 3)))
+            bi += 1
+          }
+          q = f.next
+        }
+      }
+      p = e.next
+    }
+    raw.result().map { case (c, bIdx, t, ticks, k, fb) =>
+      MkvBlock(c, bIdx, t, Math.multiplyExact(ticks, scale) / 1000000L, k, fb)
+    }
+  }
+
+  /** WebM frame walk → one row per SimpleBlock: (doc_id, cluster_idx,
+    * block_idx, track_number, ts_ms, keyframe, frame_bytes) — the
+    * frame-sampling input for WebM video, completing the AVI/MP4/WebM
+    * container trio. Map-only; frame bytes never leave the walk. */
+  def mkvBlocks(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseMkvBlocks(id, bytes).map(blk =>
+          (id, blk.clusterIdx, blk.blockIdx, blk.track, blk.tsMs,
+            blk.keyframe, blk.frameBytes))
+      }).toDF("doc_id", "cluster_idx", "block_idx", "track_number",
+        "ts_ms", "keyframe", "frame_bytes")
   }
 
   /** MKV/WebM → one row per track: (doc_id, doc_type, duration_ms,

@@ -31,6 +31,53 @@ class EbmlSpec extends SparkSpec {
     }
   }
 
+  test("mkvBlocks: fixture frames replay closed-form; tracks walk unchanged") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 30)
+    val rows = Ebml.mkvBlocks(Ebml.mkvDocs(docs)).collect()
+    assert(rows.length == (0L until 30L).map(id => 2 * (3 + 2 * (id % 2))).sum)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val ci = r.getInt(1)
+      val bi = r.getInt(2)
+      val base = ci * 400L + id % 50
+      if (bi < 3) {
+        assert(r.getLong(3) == 1L)
+        assert(r.getLong(4) == base + bi * 40 + id % 7, s"doc $id c$ci b$bi ts")
+        assert(r.getBoolean(5) == (bi == 0))
+        assert(r.getInt(6) == (id % 13 + 1).toInt)
+      } else {
+        assert(r.getLong(3) == 2L && id % 2 == 1)
+        assert(r.getLong(4) == base + (bi - 3) * 20 + id % 5)
+        assert(r.getBoolean(5))
+        assert(r.getInt(6) == (id % 3 + 1).toInt)
+      }
+    }
+  }
+
+  test("SimpleBlock: negative relative timestamps resolve against the cluster base") {
+    // hand-built: DocType webm; one cluster ts=100; one block on track
+    // 1, rel=-30 (0xFFE2), keyframe, 2 frame bytes → ts_ms = 70
+    val payload = Array(
+      0x1A, 0x45, 0xDF, 0xA3, 0x87,
+      0x42, 0x82, 0x84, 0x77, 0x65, 0x62, 0x6D,
+      0x18, 0x53, 0x80, 0x67, 0x90,
+      0x1F, 0x43, 0xB6, 0x75, 0x8B,
+      0xE7, 0x81, 0x64,
+      0xA3, 0x86, 0x81, 0xFF, 0xE2, 0x80, 0x00, 0x00).map(_.toByte)
+    assert(Ebml.parseMkvBlocks(7L, payload) ==
+      Seq(Ebml.MkvBlock(0, 0, 1L, 70L, keyframe = true, 2)))
+    // a block whose declared size stops before the flags byte fails loudly
+    val bad = Array(
+      0x1A, 0x45, 0xDF, 0xA3, 0x87,
+      0x42, 0x82, 0x84, 0x77, 0x65, 0x62, 0x6D,
+      0x18, 0x53, 0x80, 0x67, 0x8C,
+      0x1F, 0x43, 0xB6, 0x75, 0x87,
+      0xE7, 0x81, 0x64,
+      0xA3, 0x82, 0x81, 0xFF).map(_.toByte)
+    val e = intercept[IllegalArgumentException](Ebml.parseMkvBlocks(7L, bad))
+    assert(e.getMessage.contains("too short"), e.getMessage)
+  }
+
   test("parseMkv: malformations fail loudly; truncations cut every element") {
     val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 2)
     val full = Ebml.mkvDocs(docs).filter(col("doc_id") === 1)
