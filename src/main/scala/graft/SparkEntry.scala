@@ -559,6 +559,11 @@ object SparkEntry {
     "t_k_anon" -> ((s, dir) =>
       graft.operators.Relational.kAnonymize(Tables.customer(s, dir),
         "c_custkey", Seq("c_nationkey", "c_mktsegment"), 10)),
+    // streaming k-anonymity: suppressed renderings retract and
+    // republish when their group crosses k; state per group is
+    // bounded by k-1 ids + a count
+    "s_stream_k_anon" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayKAnon(s, Tables.customer(s, dir))),
     "t_normalize" -> ((s, dir) =>
       graft.functions.TextAnalysis.normalize(Tables.documents(s, dir))),
     // HTML main-content extraction: fused per-row state machine over
@@ -4305,18 +4310,9 @@ object SparkEntry {
         |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
     // k-anonymity: the window count replayed, groups under k suppress
-    "t_k_anon" ->
-      """WITH g AS (SELECT c_custkey, c_nationkey, c_mktsegment,
-        |                  COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment)
-        |                    AS group_n
-        |           FROM customer)
-        |SELECT c_custkey,
-        |       CASE WHEN group_n < 10 THEN '*'
-        |            ELSE CAST(c_nationkey AS VARCHAR) END AS c_nationkey_qi,
-        |       CASE WHEN group_n < 10 THEN '*'
-        |            ELSE c_mktsegment END AS c_mktsegment_qi,
-        |       group_n, group_n < 10 AS suppressed
-        |FROM g""".stripMargin,
+    "t_k_anon" -> kAnonOracle,
+    // streaming k-anonymity: changelog-final equals the same batch table
+    "s_stream_k_anon" -> kAnonOracle,
     // HTML extraction: the fixture's boilerplate fragments are
     // closed-form in doc_id (nav/aside/footer link-dense or short →
     // boilerplate; h1 + the document text + the entity paragraph pass
@@ -4867,7 +4863,7 @@ object SparkEntry {
     // closed form, filtered to its doc_id % 6 slice
     "m_extract_any" ->
       """WITH pdfp AS (SELECT doc_id, text, CAST(1 + doc_id % 3 AS INT) AS np
-        |              FROM documents WHERE doc_id % 6 = 0),
+        |              FROM documents WHERE doc_id % 7 = 0),
         |pdfg AS (SELECT doc_id, np, text,
         |                unnest(generate_series(0, np - 1)) AS i FROM pdfp),
         |pdfpg AS (SELECT doc_id, i,
@@ -4882,7 +4878,7 @@ object SparkEntry {
         |               string_agg(ptxt, chr(10) ORDER BY i) AS text
         |        FROM pdfpg GROUP BY doc_id),
         |dxp AS (SELECT doc_id, text, CAST(1 + doc_id % 3 AS INT) AS np
-        |        FROM documents WHERE doc_id % 6 = 1),
+        |        FROM documents WHERE doc_id % 7 = 1),
         |dxg AS (SELECT doc_id, np, text,
         |               unnest(generate_series(0, np - 1)) AS i FROM dxp),
         |dxpg AS (SELECT doc_id, i,
@@ -4900,19 +4896,19 @@ object SparkEntry {
         |                      ' of document ' || CAST(doc_id % 97 AS VARCHAR) || ' ' ||
         |                      text || ' entities: A&B <x> "y" HI tail ' ||
         |                      CAST(doc_id % 13 AS VARCHAR) AS mt
-        |               FROM documents WHERE doc_id % 6 = 2)),
+        |               FROM documents WHERE doc_id % 7 = 2)),
         |html AS (SELECT doc_id, 'html' AS format,
         |                'main heading ' || CAST(doc_id AS VARCHAR) ||
         |                ' of document ' || CAST(doc_id % 97 AS VARCHAR) || ' ' ||
         |                text || ' entities: A&B <x> "y" HI tail ' ||
         |                CAST(doc_id % 13 AS VARCHAR) AS text
-        |         FROM documents WHERE doc_id % 6 = 3),
+        |         FROM documents WHERE doc_id % 7 = 3),
         |ltx AS (SELECT doc_id, 'latex' AS format,
         |               'Intro ' || CAST(doc_id % 7 AS VARCHAR) || ' This is doc ' ||
         |               CAST(doc_id % 97 AS VARCHAR) || ' body: ' || text ||
         |               ' 100% real. Math inline and display end. See and here now.'
         |                 AS text
-        |        FROM documents WHERE doc_id % 6 = 4),
+        |        FROM documents WHERE doc_id % 7 = 4),
         |md AS (SELECT doc_id, 'markdown' AS format,
         |              'Doc ' || CAST(doc_id AS VARCHAR) || ' Title Intro emphasis and ' ||
         |              'strong words. item ' || CAST(doc_id % 5 AS VARCHAR) ||
@@ -4920,10 +4916,17 @@ object SparkEntry {
         |              ' A link ' || CAST(doc_id % 11 AS VARCHAR) ||
         |              ' and here. Inline code' || CAST(doc_id % 9 AS VARCHAR) ||
         |              ' end. ' || text AS text
-        |       FROM documents WHERE doc_id % 6 = 5)
+        |       FROM documents WHERE doc_id % 7 = 5),
+        |rtf AS (SELECT doc_id, 'rtf' AS format,
+        |              'Heading ' || CAST(doc_id AS VARCHAR) || ' of doc ' ||
+        |              CAST(doc_id % 97 AS VARCHAR) || ' Body text ' || text ||
+        |              ': café résumé tail ' || CAST(doc_id % 13 AS VARCHAR) ||
+        |              ' bold ' || CAST(doc_id % 5 AS VARCHAR) || ' plain' AS text
+        |        FROM documents WHERE doc_id % 7 = 6)
         |SELECT * FROM pdf UNION ALL SELECT * FROM docx UNION ALL
         |SELECT * FROM epub UNION ALL SELECT * FROM html UNION ALL
-        |SELECT * FROM ltx UNION ALL SELECT * FROM md""".stripMargin,
+        |SELECT * FROM ltx UNION ALL SELECT * FROM md UNION ALL
+        |SELECT * FROM rtf""".stripMargin,
     // subtitles: times and text arithmetic in (doc_id, cue index)
     "m_subtitle_cues" ->
       """WITH c AS (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS j
@@ -7342,6 +7345,22 @@ object SparkEntry {
        |$iterCtes
        |SELECT node, pr FROM p$Iters""".stripMargin
   }
+
+  /** k-anonymity over the customer quasi-identifiers — shared by the
+    * batch window formulation and the streaming changelog fold (the
+    * streamed-equals-batch contract). */
+  private lazy val kAnonOracle: String =
+    """WITH g AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+      |                  COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment)
+      |                    AS group_n
+      |           FROM customer)
+      |SELECT c_custkey,
+      |       CASE WHEN group_n < 10 THEN '*'
+      |            ELSE CAST(c_nationkey AS VARCHAR) END AS c_nationkey_qi,
+      |       CASE WHEN group_n < 10 THEN '*'
+      |            ELSE c_mktsegment END AS c_mktsegment_qi,
+      |       group_n, group_n < 10 AS suppressed
+      |FROM g""".stripMargin
 
   /** The Bradley–Terry MM recurrence in DuckDB — [[graft.operators
     * .Sft.btRatings]] exactly: the arena fixture rebuilt

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * extractor — this file adds routing, never a second parser.
   *
   * Scale shape: one classifying byte scan (map-only, checkpointed at
-  * the stage boundary because SIX per-format branches consume it —
+  * the stage boundary because SEVEN per-format branches consume it —
   * the crawlBuild discipline), then a union of the per-format
   * extractor plans, each itself map-only. Text payloads decode ONCE
   * in the router (the [[Charset.fixEncoding]] repair) and carry the
@@ -20,27 +20,29 @@ import org.apache.spark.sql.functions._
   */
 object DocRouter {
 
-  /** Mixed-format fixture: doc_id % 6 rotates REAL payloads across
-    * pdf / docx / epub / html / latex / markdown — each arm the
+  /** Mixed-format fixture: doc_id % 7 rotates REAL payloads across
+    * pdf / docx / epub / html / latex / markdown / rtf — each arm the
     * respective family's own fixture generator verbatim, so every
     * routed output has an already-verified closed form. */
   def anyDocs(documents: DataFrame): DataFrame = {
     val id = col("doc_id")
     def enc(c: Column) = encode(c, "UTF-8")
-    val pdf = Pdf.pdfDocs(documents.filter(id % 6 === 0))
+    val pdf = Pdf.pdfDocs(documents.filter(id % 7 === 0))
       .select(col("doc_id"), col("payload"))
-    val docx = Archives.docxDocs(documents.filter(id % 6 === 1))
+    val docx = Archives.docxDocs(documents.filter(id % 7 === 1))
       .select(col("doc_id"), col("payload"))
-    val epub = Archives.epubDocs(documents.filter(id % 6 === 2))
+    val epub = Archives.epubDocs(documents.filter(id % 7 === 2))
       .select(col("doc_id"), col("payload"))
-    val html = graft.functions.TextAnalysis.htmlDocs(documents.filter(id % 6 === 3))
+    val html = graft.functions.TextAnalysis.htmlDocs(documents.filter(id % 7 === 3))
       .select(col("doc_id"), enc(col("html")).as("payload"))
-    val tex = graft.functions.MarkupKernels.latexDocs(documents.filter(id % 6 === 4))
+    val tex = graft.functions.MarkupKernels.latexDocs(documents.filter(id % 7 === 4))
       .select(col("doc_id"), enc(col("tex")).as("payload"))
-    val md = graft.functions.MarkupKernels.markdownDocs(documents.filter(id % 6 === 5))
+    val md = graft.functions.MarkupKernels.markdownDocs(documents.filter(id % 7 === 5))
       .select(col("doc_id"), enc(col("md")).as("payload"))
+    val rtf = Rtf.rtfDocs(documents.filter(id % 7 === 6))
+      .select(col("doc_id"), enc(col("rtf")).as("payload"))
     pdf.unionByName(docx).unionByName(epub)
-      .unionByName(html).unionByName(tex).unionByName(md)
+      .unionByName(html).unionByName(tex).unionByName(md).unionByName(rtf)
   }
 
   private def indexOf(b: Array[Byte], needle: Array[Byte]): Int = {
@@ -72,7 +74,8 @@ object DocRouter {
         s"doc $id: ZIP payload is neither EPUB nor DOCX — not a document")
     } else {
       val (_, text) = Charset.fixEncoding(b)
-      if (text.contains("<html") || text.contains("<!DOCTYPE html")) ("html", text)
+      if (text.startsWith("{\\rtf")) ("rtf", text)
+      else if (text.contains("<html") || text.contains("<!DOCTYPE html")) ("html", text)
       else if (text.contains("\\documentclass") || text.contains("\\begin{document}"))
         ("latex", text)
       else ("markdown", text)
@@ -90,7 +93,7 @@ object DocRouter {
         val (fmt, text) = sniffRoute(id, b)
         (id, fmt, if (text == null) b else null, text)
       }).toDF("doc_id", "format", "payload", "decoded")
-      // six consumers below — materialize the classifying scan once
+      // seven consumers below — materialize the classifying scan once
       .localCheckpoint()
     def binBranch(fmt: String, extract: DataFrame => DataFrame): DataFrame =
       extract(routed.filter(col("format") === fmt)
@@ -110,5 +113,6 @@ object DocRouter {
         graft.functions.MarkupKernels.latexExtract, "text"))
       .unionByName(textBranch("markdown", "md",
         graft.functions.MarkupKernels.markdownExtract, "text"))
+      .unionByName(textBranch("rtf", "rtf", df => Rtf.extractRtf(df), "text"))
   }
 }

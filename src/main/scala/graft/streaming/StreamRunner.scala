@@ -26,6 +26,13 @@ private[streaming] case class StagedEvent(kind: String, a: Long, b: Long, v: Dou
   * just in specs. */
 private[streaming] case class StagedDoc(docId: Long, text: String, pid: Int, seq: Long)
 
+/** One staged customer-replay record: the quasi-identifier columns the
+  * k-anonymity topic streams, plus the chunk id and in-chunk rank —
+  * staged by DESCENDING custkey so threshold-crossing retractions are
+  * exercised on real data. */
+private[streaming] case class StagedCust(custkey: Long, nat: Long, seg: String,
+                                         pid: Int, seq: Long)
+
 /** Streaming KMV-sketch plumbing: one key row in, a snapshot row out,
   * per-side state = the bottom-k distinct keys by (h60 hex prefix,
   * key) — the [[graft.operators.Sketch.kmvEstimates]] selection rule,
@@ -728,6 +735,64 @@ private[streaming] class HostEdgeProcessor
     cnt.update(c)
     if (src == null) Iterator.empty
     else Iterator.single(EdgeCount(src, dst, c))
+  }
+}
+
+/** Streaming k-anonymity plumbing: one quasi-identifier-keyed row in,
+  * changelog events out — `sup_add`/`sup_retract` (the row rendered
+  * suppressed), `pub` (rendered with real QIs; groups only grow, so a
+  * published row never retracts), `grp` (the key's running size). */
+private[streaming] case class KAnonIn(key: String, custkey: Long,
+                                      nat: Long, seg: String)
+private[streaming] case class KAnonEvent(kind: String, custkey: Long,
+                                         nat: Long, seg: String, n: Long)
+
+/** Per-QI-group state for streaming k-anonymity. A group BELOW k holds
+  * its member ids (≤ k−1 of them — the bound is the threshold itself);
+  * the batch that lifts it to ≥ k RETRACTS every suppressed rendering
+  * and republishes the whole group with real QIs, then drops the
+  * member list — past the threshold only the count remains, so state
+  * per group is bounded by k ids however hot the group. Same-batch
+  * members process in custkey order for deterministic event order. */
+private[streaming] class KAnonProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, KAnonIn, KAnonEvent] {
+  import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var cnt: ValueState[Long] = _
+  @transient private var members: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+    members = getHandle.getListState[Long]("members", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[KAnonIn],
+                               timers: TimerValues): Iterator[KAnonEvent] = {
+    val batch = rows.toArray.sortBy(_.custkey)
+    if (batch.isEmpty) return Iterator.empty
+    val nat = batch.head.nat
+    val seg = batch.head.seg
+    val old = if (cnt.exists) cnt.get() else 0L
+    val now = old + batch.length
+    cnt.update(now)
+    val out = scala.collection.mutable.ArrayBuffer.empty[KAnonEvent]
+    if (old >= k) {
+      batch.foreach(r => out += KAnonEvent("pub", r.custkey, nat, seg, 0L))
+    } else if (now >= k) {
+      val stored = members.get().toArray
+      stored.foreach { id =>
+        out += KAnonEvent("sup_retract", id, nat, seg, 0L)
+        out += KAnonEvent("pub", id, nat, seg, 0L)
+      }
+      batch.foreach(r => out += KAnonEvent("pub", r.custkey, nat, seg, 0L))
+      members.clear()
+    } else {
+      batch.foreach { r =>
+        members.appendValue(r.custkey)
+        out += KAnonEvent("sup_add", r.custkey, nat, seg, 0L)
+      }
+    }
+    out += KAnonEvent("grp", -1L, nat, seg, now)
+    out.iterator
   }
 }
 
@@ -2766,6 +2831,101 @@ object StreamRunner {
     spark.read.parquet(work.resolve("out").toString)
       .groupBy(col("src_host"), col("dst_host"))
       .agg(max(col("w")).as("w"))
+  }
+
+  /** One staged customer-replay record for the k-anonymity topic. */
+  private val custStagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), Path]()
+
+  private def custStagedDir(spark: SparkSession, customer: DataFrame): Path =
+    custStagedDirs.computeIfAbsent((spark, customer.semanticHash()), _ => {
+      import spark.implicits._
+      val dir = Files.createTempDirectory(s"graft_custstage_${runId.incrementAndGet()}_")
+        .resolve("src")
+      customer.select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+        .localCheckpoint()
+        // DESCENDING custkey, the docStagedDir discipline: early
+        // arrivals are the ones a later batch must retract around
+        .repartitionByRange(ReplayChunks, col("c_custkey").desc)
+        .sortWithinPartitions(col("c_custkey").desc)
+        .withColumn("pid", spark_partition_id())
+        .select(col("c_custkey").cast("long").as("custkey"),
+          col("c_nationkey").cast("long").as("nat"),
+          col("c_mktsegment").as("seg"), col("pid"), lit(0L).as("seq"))
+        .as[StagedCust]
+        .mapPartitions { it =>
+          var rank = 0L
+          it.map { c => rank += 1; c.copy(seq = c.pid.toLong * ChunkSpan + rank) }
+        }
+        .write.mode("overwrite").parquet(dir.toString)
+      val listing = Files.list(dir)
+      val parts =
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(listing.iterator()).asScala
+          .filter(p => !p.getFileName.toString.startsWith("_"))
+          .toSeq.sortBy(_.getFileName.toString)
+        finally listing.close()
+      val base = System.currentTimeMillis() - 86400000L
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(base + i * 10000L))
+      }
+      Files.deleteIfExists(dir.resolve("_SUCCESS"))
+      dir
+    })
+
+  /** STREAMING K-ANONYMITY — the incremental form of
+    * [[graft.operators.Relational.kAnonymize]], and the retraction
+    * showcase of the family: customer rows arrive as a stream keyed by
+    * their quasi-identifier tuple; while a group sits below k every
+    * member publishes SUPPRESSED, and the batch that lifts it to ≥ k
+    * retracts every suppressed rendering and republishes the whole
+    * group with real QIs ([[KAnonProcessor]] — groups only grow, so a
+    * published row never retracts and the member list is dropped at
+    * the threshold: state per group is bounded by k−1 ids + one
+    * count). The changelog fold (suppressed balance, published adds,
+    * max group snapshot) equals the batch kAnonymize table exactly —
+    * same oracle as t_k_anon. */
+  def replayKAnon(spark: SparkSession, customer: DataFrame, k: Int = 10): DataFrame = {
+    val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
+    val srcDir = custStagedDir(spark, customer)
+    val session = replaySession(spark, rocksDb = true)
+    val src = session.readStream
+      .schema(Encoders.product[StagedCust].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    import session.implicits._
+    val events = src
+      .select(concat(col("nat"), lit("|"), col("seg")).as("key"),
+        col("custkey"), col("nat"), col("seg"))
+      .as[KAnonIn]
+      .groupByKey(_.key)
+      .transformWithState(new KAnonProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    val q = events.writeStream.format("parquet")
+      .option("path", work.resolve("out").toString)
+      .option("checkpointLocation", work.resolve("cp").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q)
+    val log = spark.read.parquet(work.resolve("out").toString)
+    val grp = log.filter(col("kind") === "grp")
+      .groupBy(col("nat"), col("seg")).agg(max(col("n")).as("group_n"))
+    val sup = log.filter(col("kind").startsWith("sup"))
+      .groupBy(col("custkey"), col("nat"), col("seg"))
+      .agg(sum(when(col("kind") === "sup_add", 1).otherwise(-1)).as("bal"))
+      .filter(col("bal") > 0)
+      .select(col("custkey"), col("nat"), col("seg"), lit(true).as("suppressed"))
+    val pub = log.filter(col("kind") === "pub")
+      .select(col("custkey"), col("nat"), col("seg"), lit(false).as("suppressed"))
+    sup.unionByName(pub)
+      .join(broadcast(grp), Seq("nat", "seg"))
+      .select(col("custkey").as("c_custkey"),
+        when(col("suppressed"), lit("*"))
+          .otherwise(col("nat").cast("string")).as("c_nationkey_qi"),
+        when(col("suppressed"), lit("*"))
+          .otherwise(col("seg")).as("c_mktsegment_qi"),
+        col("group_n"), col("suppressed"))
   }
 }
 

@@ -8,22 +8,29 @@ import graft.sources.{Archives, DocRouter}
   * containers fail loudly. */
 class DocRouterSpec extends SparkSpec {
 
-  test("extractAny: all six arms route and extract; equals the per-format extractors") {
-    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 60)
+  test("extractAny: all seven arms route and extract; equals the per-format extractors") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 70)
     val out = DocRouter.extractAny(DocRouter.anyDocs(docs)).collect()
-    assert(out.length == 60)
-    val fmts = Seq("pdf", "docx", "epub", "html", "latex", "markdown")
+    assert(out.length == 70)
+    val fmts = Seq("pdf", "docx", "epub", "html", "latex", "markdown", "rtf")
     out.foreach { r =>
       val id = r.getLong(0)
-      assert(r.getString(1) == fmts((id % 6).toInt), s"doc $id routed to ${r.getString(1)}")
+      assert(r.getString(1) == fmts((id % 7).toInt), s"doc $id routed to ${r.getString(1)}")
       assert(r.getString(2).nonEmpty)
     }
-    // spot-equality against a directly-invoked extractor (epub arm)
-    val direct = Archives.epubText(Archives.epubDocs(docs.filter(col("doc_id") % 6 === 2)))
+    // spot-equality against directly-invoked extractors (epub, rtf arms)
+    val direct = Archives.epubText(Archives.epubDocs(docs.filter(col("doc_id") % 7 === 2)))
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     out.filter(_.getString(1) == "epub").foreach { r =>
       assert(r.getString(2) == direct(r.getLong(0)))
+    }
+    val directRtf = graft.sources.Rtf.extractRtf(
+        graft.sources.Rtf.rtfDocs(docs.filter(col("doc_id") % 7 === 6)))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filter(_.getString(1) == "rtf").foreach { r =>
+      assert(r.getString(2) == directRtf(r.getLong(0)))
     }
   }
 
