@@ -377,6 +377,11 @@ object SparkEntry {
       graft.functions.TextAnalysis.rakeKeyphrases(Tables.documents(s, dir))),
     // ---- training-data pipeline: similarity search over embeddings ----
     "a_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
+    // margin-based bitext mining (the CCMatrix move): ratio margin
+    // cos/((avgNN(x)+avgNN(y))/2) kills hubness; best target per
+    // source — brute-force matrix is the guarded oracle leg
+    "a_margin_mining" -> ((s, dir) =>
+      Similarity.marginMining(Tables.embeddings(s, dir))),
     // radius retrieval: every neighbor with cos >= 0.35 of the query
     // set — a shuffle-free corpus scan (the recall-guaranteed mode)
     "a_range_search" -> ((s, dir) => Similarity.rangeSearch(Tables.embeddings(s, dir))),
@@ -2943,6 +2948,37 @@ object SparkEntry {
         |SELECT query_id, vec_id, cos, rk FROM (
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rk
         |  FROM s) WHERE rk <= 5""".stripMargin,
+    // margin mining: all-pairs rounded cosines, k-NN means as exact
+    // decimal sums over the actually-present neighbors, ratio margin,
+    // best target per source
+    "a_margin_mining" ->
+      s"""WITH $normCte,
+        |s AS (SELECT vec_id AS src_id, v AS sv, nrm AS snrm FROM n WHERE vec_id % 2 = 1),
+        |t AS (SELECT vec_id AS tgt_id, v AS tv, nrm AS tnrm FROM n WHERE vec_id % 2 = 0),
+        |p AS (SELECT s.src_id, t.tgt_id,
+        |             ROUND(list_dot_product(sv, tv) / (snrm * tnrm) + 1e-12, 6) AS cos
+        |      FROM s, t),
+        |ks AS (SELECT src_id,
+        |       ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        |             + 1e-12, 6) AS a_src
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+        |                                          ORDER BY cos DESC, tgt_id) AS rk
+        |             FROM p)
+        |       WHERE rk <= 4 GROUP BY src_id),
+        |kt AS (SELECT tgt_id,
+        |       ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        |             + 1e-12, 6) AS a_tgt
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id
+        |                                          ORDER BY cos DESC, src_id) AS rk
+        |             FROM p)
+        |       WHERE rk <= 4 GROUP BY tgt_id),
+        |m AS (SELECT p.src_id, p.tgt_id, p.cos,
+        |             ROUND(p.cos / ((ks.a_src + kt.a_tgt) / 2) + 1e-12, 6) AS margin
+        |      FROM p JOIN ks USING (src_id) JOIN kt USING (tgt_id))
+        |SELECT src_id, tgt_id, cos, margin FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+        |                               ORDER BY margin DESC, tgt_id) AS rk FROM m)
+        |WHERE rk = 1""".stripMargin,
     // Matryoshka truncation recall: full-dim and per-width top-5
     // rankings from the same rounded-cosine rule, hits counted
     "a_matryoshka_recall" -> matryoshkaOracle,

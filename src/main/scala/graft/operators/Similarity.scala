@@ -206,6 +206,64 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019's ratio
+    * margin, the CCMatrix/LASER alignment move — public formulation):
+    * candidate translation pairs between the two embedding sides
+    * score by cos(x,y) / ((avgNN(x) + avgNN(y)) / 2), where avgNN(s)
+    * is the mean cosine of s's k nearest neighbors ON THE OTHER side
+    * — the normalization that defeats hubness (a vector globally
+    * close to everything inflates its own denominator and stops
+    * winning every pair, where raw cosine mining drowns in hubs).
+    * Sides here: odd vec_ids mine against even (the fixture's two
+    * "languages"). Output: each source's best target by margin (ties
+    * to the smaller target id), with cos and margin 6-dp rounded and
+    * the k-NN means averaged over the neighbors actually present.
+    *
+    * Numeric discipline: cosines round to 6 dp, the k-NN mean sums
+    * them as DECIMAL(18,6) (order-free) before one double division,
+    * the margin rounds to 6 dp — the oracle replays every step.
+    *
+    * Scale shape: the all-pairs cosine matrix is the ORACLE BASELINE
+    * leg ([[ScaleGuard]]-bounded, like [[cosinePairs]]); at corpus
+    * scale the candidate set comes from the ANN family ([[ivfTopK]] /
+    * [[annPairs]] buckets) and the margin re-scores candidates only —
+    * the published pipeline's own structure (mine with FAISS, score
+    * with the margin). The matrix materializes once
+    * (localCheckpoint) because three consumers read it: both k-NN
+    * sides and the final scoring join. */
+  def marginMining(embeddings: DataFrame, k: Int = 4,
+                   maxRows: Long = ScaleGuard.DefaultMaxRows): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    ScaleGuard("marginMining", embeddings, maxRows,
+      scalePath = "ivfTopK/annPairs candidates + margin re-score")
+    val e = normalized(embeddings)
+    val src = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("src_id"), col("v").as("sv"), col("nrm").as("snrm"))
+    val tgt = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("tgt_id"), col("v").as("tv"), col("nrm").as("tnrm"))
+    val pairs = src.crossJoin(tgt)
+      .select(col("src_id"), col("tgt_id"),
+        cosRounded(dot(col("sv"), col("tv")), col("snrm") * col("tnrm")).as("cos"))
+      .localCheckpoint()
+    def knnMean(idCol: String, orderTie: String, out: String): DataFrame =
+      pairs.withColumn("rk", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("cos").desc, col(orderTie))))
+        .filter(col("rk") <= k)
+        .groupBy(col(idCol))
+        .agg(round(sum(col("cos").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)) + lit(1e-12), 6).as(out))
+    val aSrc = knnMean("src_id", "tgt_id", "a_src")
+    val aTgt = knnMean("tgt_id", "src_id", "a_tgt")
+    pairs.join(aSrc, "src_id").join(aTgt, "tgt_id")
+      .select(col("src_id"), col("tgt_id"), col("cos"),
+        round(col("cos") / ((col("a_src") + col("a_tgt")) / 2) + lit(1e-12), 6)
+          .as("margin"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src_id")).orderBy(col("margin").desc, col("tgt_id"))))
+      .filter(col("rk") === 1)
+      .select(col("src_id"), col("tgt_id"), col("cos"), col("margin"))
+  }
+
   // --- signed-random-projection LSH (the approximate scale path) ---
 
   val AnnBits = 32

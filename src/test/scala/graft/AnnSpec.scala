@@ -729,4 +729,42 @@ class AnnSpec extends SparkSpec {
     // the eval measures nothing on this corpus
     assert(out.filter(_._2 == 8).exists(_._3 < 5L), "8-dim ranking identical to full?")
   }
+
+  test("marginMining: one best target per source; margin replays from the cosines") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 60)
+    val out = Similarity.marginMining(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+    val srcIds = out.map(_._1)
+    assert(srcIds.distinct.length == srcIds.length && srcIds.forall(_ % 2 == 1))
+    assert(out.forall(_._2._1 % 2 == 0))
+    // independent recomputation: cosines → k-NN means → ratio margin,
+    // same rounding at every step
+    def r6(x: Double) = math.round((x + 1e-12) * 1e6) / 1e6
+    val vecs = e.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var sa = 0.0; var sb = 0.0
+      for (i <- a.indices) { s += a(i) * b(i); sa += a(i) * a(i); sb += b(i) * b(i) }
+      r6(s / (math.sqrt(sa) * math.sqrt(sb)))
+    }
+    val src = vecs.keys.filter(_ % 2 == 1).toSeq.sorted
+    val tgt = vecs.keys.filter(_ % 2 == 0).toSeq.sorted
+    val c = (for (s <- src; t <- tgt) yield (s, t) -> cos(vecs(s), vecs(t))).toMap
+    def knn(id: Long, over: Seq[Long], key: Long => (Long, Long)) = {
+      val top = over.map(o => (c(key(o)), o)).sortBy(p => (-p._1, p._2)).take(4)
+      // the operator's decimal-sum of 6-dp values is exact: summing
+      // the rounded doubles here can drift a half-ulp, so re-round
+      r6(top.map(_._1).sum / top.length)
+    }
+    val aS = src.map(s => s -> knn(s, tgt, t => (s, t))).toMap
+    val aT = tgt.map(t => t -> knn(t, src, s => (s, t))).toMap
+    out.foreach { case (s, (t, cosGot, marginGot)) =>
+      assert(cosGot == c((s, t)), s"cos mismatch at ($s,$t)")
+      val expect = tgt.map(o => (r6(c((s, o)) / ((aS(s) + aT(o)) / 2)), o))
+        .sortBy(p => (-p._1, p._2)).head
+      assert(t == expect._2 && marginGot == expect._1,
+        s"src $s: got ($t,$marginGot) want $expect")
+    }
+  }
 }
