@@ -647,6 +647,12 @@ object SparkEntry {
     "t_extract_links" -> ((s, dir) =>
       graft.operators.Crawl.extractLinks(
         graft.operators.Crawl.linkDocs(Tables.documents(s, dir)))),
+    // URL-structure bitext alignment (the WikiMatrix precursor):
+    // /en/x pairs with every other language edition of the same
+    // (host, residual path) — one equi-join on the alignment key
+    "t_url_align" -> ((s, dir) =>
+      graft.operators.Crawl.urlAlign(
+        graft.operators.Crawl.langUrlDocs(Tables.documents(s, dir)))),
     // crawl prioritization: outlinks → directed host graph → PageRank
     // over hosts (the Common Crawl host-ranking move), 9-dp rounding +
     // exact-decimal sums so the oracle replays every iteration
@@ -5197,6 +5203,19 @@ object SparkEntry {
         |FROM d""".stripMargin,
     "c_crawl_rank" -> crawlRankOracle,
     "c_frontier_build" -> frontierBuildOracle,
+    // URL alignment: the join key is (host, residual path) — i.e. the
+    // base's (mod 10, mod 25, mod 7) triple, NOT the base itself, so
+    // same-key bases 350 apart pair too (load-bearing past 1400 docs)
+    "t_url_align" ->
+      """WITH p AS (SELECT doc_id, doc_id // 4 AS b, doc_id % 4 AS l FROM documents)
+        |SELECT s.doc_id AS src_doc, t.doc_id AS tgt_doc,
+        |       CASE t.l WHEN 1 THEN 'fr' WHEN 2 THEN 'de' ELSE 'es' END AS tgt_lang,
+        |       'site' || CAST(s.b % 10 AS VARCHAR) || '.example' AS host,
+        |       '/art' || CAST(s.b % 25 AS VARCHAR) || '/page' ||
+        |       CAST(s.b % 7 AS VARCHAR) || '.html' AS article_path
+        |FROM p s JOIN p t
+        |  ON s.b % 10 = t.b % 10 AND s.b % 25 = t.b % 25 AND s.b % 7 = t.b % 7
+        | AND s.l = 0 AND t.l <> 0""".stripMargin,
     "t_normalize" ->
       """SELECT doc_id,
         |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),

@@ -573,6 +573,59 @@ object Crawl {
                 nodeBroadcastLimit: Long = Graph.BroadcastNodeLimit): DataFrame =
     hostRank(hostGraph(extractLinks(linkDocs(documents))), nodeBroadcastLimit)
 
+  /** Deterministic multilingual-site corpus for [[urlAlign]]: four
+    * consecutive doc_ids form one article in four language editions —
+    * base = id div 4 picks the host (site<base%10>) and article
+    * (art<base%25>), id % 4 picks the language path segment
+    * (en/fr/de/es) — the `/en/x` ↔ `/fr/x` URL convention real
+    * multilingual sites follow. */
+  def langUrlDocs(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val base = (id / lit(4)).cast("long")
+    val lang = when(id % 4 === 0, "en").when(id % 4 === 1, "fr")
+      .when(id % 4 === 2, "de").otherwise("es")
+    val url = concat(lit("https://site"), base % 10, lit(".example/"), lang,
+      lit("/art"), base % 25, lit("/page"), base % 7, lit(".html"))
+    documents.select(id, url.as("url"))
+  }
+
+  /** URL-STRUCTURE BITEXT ALIGNMENT — the WikiMatrix/ParaCrawl
+    * precursor to embedding mining: multilingual sites publish
+    * translations under language path prefixes (`/en/x` ↔ `/fr/x`),
+    * so candidate translation PAIRS fall out of the URL alone. Parse
+    * each URL natively (host, first path segment as the language when
+    * it sits in the ISO-639 whitelist, residual path), then pair the
+    * pivot language's pages with every other edition of the same
+    * (host, residual path). Pages whose first segment is NOT a
+    * language (no `/en/`-style prefix) have no edition key and drop.
+    *
+    * Scale shape: one native-expression parse (map-only), then ONE
+    * equi-join keyed by (host, residual path) — both sides shuffle
+    * once on the alignment key; no broadcast gamble (the pivot side
+    * is corpus-sized). The margin-mining scorer
+    * ([[Similarity.marginMining]]) re-scores these candidates at the
+    * embedding level — URL alignment proposes, the margin disposes. */
+  def urlAlign(pages: DataFrame, pivot: String = "en",
+               langs: Seq[String] = Seq("en", "fr", "de", "es", "it", "pt")): DataFrame = {
+    val host = lower(expr("parse_url(url, 'HOST')"))
+    val path = expr("parse_url(url, 'PATH')")
+    val seg = regexp_extract(path, "^/([^/]+)/", 1)
+    val parsed = pages.select(col("doc_id"), host.as("host"), col("url"),
+        seg.as("lang"),
+        expr("substring(parse_url(url, 'PATH'), length(regexp_extract(parse_url(url, 'PATH'), '^/[^/]+', 0)) + 1)")
+          .as("rest"))
+      .filter(col("lang").isin(langs: _*))
+    val src = parsed.filter(col("lang") === pivot)
+      .select(col("host"), col("rest"), col("doc_id").as("src_doc"),
+        col("url").as("src_url"))
+    val tgt = parsed.filter(col("lang") =!= pivot)
+      .select(col("host"), col("rest"), col("doc_id").as("tgt_doc"),
+        col("lang").as("tgt_lang"), col("url").as("tgt_url"))
+    src.join(tgt, Seq("host", "rest"))
+      .select(col("src_doc"), col("tgt_doc"), col("tgt_lang"),
+        col("host"), col("rest").as("article_path"))
+  }
+
   /** The DISCOVERY-LOOP capstone — what a crawler fetches next, as one
     * dataflow over the already-verified blocks: outlinks extract and
     * resolve ([[extractLinks]]), the host graph ranks hosts

@@ -115,6 +115,24 @@ class LinksSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("urlAlign: editions pair by (host, residual path); non-language prefixes drop") {
+    val pages = Seq(
+      (1L, "https://a.example/en/story/x.html"),
+      (2L, "https://a.example/fr/story/x.html"),
+      (3L, "https://a.example/de/story/x.html"),
+      // same path, DIFFERENT host: must not pair with a.example
+      (4L, "https://b.example/fr/story/x.html"),
+      // no language prefix: drops entirely
+      (5L, "https://a.example/blog/x.html"),
+      // pivot with no co-editions: no pairs
+      (6L, "https://a.example/en/alone.html")).toDF("doc_id", "url")
+    val got = graft.operators.Crawl.urlAlign(pages).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 2L, "fr"), (1L, 3L, "de")))
+    // path "/en/alone.html" has residual "/alone.html": doc 6 pairs
+    // with nothing, and doc 5's "blog" prefix is not a language
+  }
+
   test("frontierBuild: host ranks are a bijection; per-host FIFO is contiguous") {
     val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 100)
     val f = graft.operators.Crawl.frontierBuild(docs).collect()
