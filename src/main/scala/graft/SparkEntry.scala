@@ -382,6 +382,11 @@ object SparkEntry {
     // source — brute-force matrix is the guarded oracle leg
     "a_margin_mining" -> ((s, dir) =>
       Similarity.marginMining(Tables.embeddings(s, dir))),
+    // the bitext capstone: URL-aligned candidates re-scored by the
+    // candidate-graph ratio margin — everything candidate-cardinality,
+    // no brute-force matrix anywhere
+    "a_bitext_build" -> ((s, dir) =>
+      Similarity.bitextBuild(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     // radius retrieval: every neighbor with cos >= 0.35 of the query
     // set — a shuffle-free corpus scan (the recall-guaranteed mode)
     "a_range_search" -> ((s, dir) => Similarity.rangeSearch(Tables.embeddings(s, dir))),
@@ -2985,6 +2990,37 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
         |                               ORDER BY margin DESC, tgt_id) AS rk FROM m)
         |WHERE rk = 1""".stripMargin,
+    // bitext capstone: the t_url_align candidate CTE composed with
+    // per-candidate cosines and candidate-graph margin normalizers
+    "a_bitext_build" ->
+      s"""WITH $normCte,
+        |p0 AS (SELECT doc_id, doc_id // 4 AS b, doc_id % 4 AS l FROM documents),
+        |cand AS (SELECT s.doc_id AS src_doc, t.doc_id AS tgt_doc,
+        |                CASE t.l WHEN 1 THEN 'fr' WHEN 2 THEN 'de' ELSE 'es' END
+        |                  AS tgt_lang
+        |         FROM p0 s JOIN p0 t
+        |           ON s.b % 10 = t.b % 10 AND s.b % 25 = t.b % 25
+        |          AND s.b % 7 = t.b % 7 AND s.l = 0 AND t.l <> 0),
+        |c AS (SELECT cand.src_doc, cand.tgt_doc, cand.tgt_lang,
+        |             ROUND(list_dot_product(ns.v, nt.v) / (ns.nrm * nt.nrm)
+        |                   + 1e-12, 6) AS cos
+        |      FROM cand JOIN n ns ON cand.src_doc = ns.vec_id
+        |                JOIN n nt ON cand.tgt_doc = nt.vec_id),
+        |ks AS (SELECT src_doc,
+        |       ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        |             + 1e-12, 6) AS a_src
+        |       FROM c GROUP BY 1),
+        |kt AS (SELECT tgt_doc,
+        |       ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        |             + 1e-12, 6) AS a_tgt
+        |       FROM c GROUP BY 1),
+        |m AS (SELECT c.src_doc, c.tgt_doc, c.tgt_lang, c.cos,
+        |             ROUND(c.cos / ((ks.a_src + kt.a_tgt) / 2) + 1e-12, 6) AS margin
+        |      FROM c JOIN ks USING (src_doc) JOIN kt USING (tgt_doc))
+        |SELECT src_doc, tgt_doc, tgt_lang, cos, margin FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_doc
+        |                               ORDER BY margin DESC, tgt_doc) AS rk FROM m)
+        |WHERE rk = 1 AND margin >= 1.0""".stripMargin,
     // Matryoshka truncation recall: full-dim and per-width top-5
     // rankings from the same rounded-cosine rule, hits counted
     "a_matryoshka_recall" -> matryoshkaOracle,

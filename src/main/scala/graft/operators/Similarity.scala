@@ -264,6 +264,52 @@ object Similarity {
       .select(col("src_id"), col("tgt_id"), col("cos"), col("margin"))
   }
 
+  /** The BITEXT CAPSTONE — candidate generation and margin scoring
+    * composed, each the already-verified block: URL-structure
+    * alignment ([[graft.operators.Crawl.urlAlign]]) proposes edition
+    * pairs, and the ratio margin re-scores them AT THE CANDIDATE
+    * GRAPH level — each node's normalizer is the mean cosine over its
+    * OWN candidates (the restriction that makes mining linear: no
+    * brute-force matrix anywhere, unlike [[marginMining]]'s guarded
+    * oracle leg). Keeps each source's best target by margin, gated at
+    * `minMargin` (the published pipelines threshold ~1.06; 1.0 = keep
+    * anything above its own neighborhood average).
+    *
+    * Scale shape: candidates come from one alignment equi-join; the
+    * embedding joins key on doc id (one shuffle per side); the
+    * normalizer means aggregate the candidate set itself. Everything
+    * is candidate-cardinality work — corpus vectors never cross an
+    * exchange unpaired. The scored frame materializes once
+    * (localCheckpoint): three consumers. */
+  def bitextBuild(documents: DataFrame, embeddings: DataFrame,
+                  minMargin: Double = 1.0): DataFrame = {
+    val cand = graft.operators.Crawl.urlAlign(
+        graft.operators.Crawl.langUrlDocs(documents))
+      .select(col("src_doc"), col("tgt_doc"), col("tgt_lang"))
+    val e = normalized(embeddings)
+    val s = e.select(col("vec_id").as("src_doc"), col("v").as("sv"),
+      col("nrm").as("snrm"))
+    val t = e.select(col("vec_id").as("tgt_doc"), col("v").as("tv"),
+      col("nrm").as("tnrm"))
+    val c = cand.join(s, "src_doc").join(t, "tgt_doc")
+      .select(col("src_doc"), col("tgt_doc"), col("tgt_lang"),
+        cosRounded(dot(col("sv"), col("tv")), col("snrm") * col("tnrm")).as("cos"))
+      .localCheckpoint()
+    def mean(id: String, out: String): DataFrame = c.groupBy(col(id))
+      .agg(round(sum(col("cos").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)) + lit(1e-12), 6).as(out))
+    c.join(mean("src_doc", "a_src"), "src_doc")
+      .join(mean("tgt_doc", "a_tgt"), "tgt_doc")
+      .select(col("src_doc"), col("tgt_doc"), col("tgt_lang"), col("cos"),
+        round(col("cos") / ((col("a_src") + col("a_tgt")) / 2) + lit(1e-12), 6)
+          .as("margin"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src_doc")).orderBy(col("margin").desc, col("tgt_doc"))))
+      .filter(col("rk") === 1 && col("margin") >= minMargin)
+      .select(col("src_doc"), col("tgt_doc"), col("tgt_lang"), col("cos"),
+        col("margin"))
+  }
+
   // --- signed-random-projection LSH (the approximate scale path) ---
 
   val AnnBits = 32

@@ -1278,6 +1278,13 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected cartesian:\n$p")
   }
 
+  test("bitextBuild: candidate-cardinality only — no cartesian, no all-pairs matrix") {
+    val p = plan(graft.operators.Similarity.bitextBuild(
+      Tables.documents(spark, dir), Tables.embeddings(spark, dir)))
+    assert(!p.contains("CartesianProduct"),
+      s"the capstone must never build the all-pairs matrix:\n$p")
+  }
+
   test("trainQualityPerceptron: weights ride the closure, not a join; aggs stay partial") {
     val docs = Tables.documents(spark, dir).limit(60)
     val p = plan(Corpus.trainQualityPerceptron(docs, epochs = 1))
