@@ -706,6 +706,12 @@ object SparkEntry {
     "t_warc_extract" -> ((s, dir) =>
       graft.sources.Warc.warcExtract(
         graft.sources.Warc.warcDocs(Tables.documents(s, dir)))),
+    // the same record walk behind the Zstandard transport modern
+    // Common Crawl ships: frame-per-record / whole-file frames,
+    // skippable dictionary frames skipped, the cap inside the loop
+    "t_warc_zst" -> ((s, dir) =>
+      graft.sources.Warc.warcExtract(
+        graft.sources.Warc.warcZstDocs(Tables.documents(s, dir)))),
     // WET sibling: warcinfo skipped, the conversion record's block IS
     // the extracted text — no HTTP split, no HTML kernel
     "t_wet_extract" -> ((s, dir) =>
@@ -3740,20 +3746,21 @@ object SparkEntry {
         |       '/doc_' || CAST(doc_id % 97 AS VARCHAR) || '.txt',
         |       CAST(6 AS BIGINT),
         |       'long ' || CAST(doc_id % 7 AS VARCHAR) FROM documents""".stripMargin,
-    // format sniffer: the fixture rotates 13 published signatures on
-    // doc_id % 13; the oracle is the rotation itself
+    // format sniffer: the fixture rotates 14 published signatures on
+    // doc_id % 14; the oracle is the rotation itself
     "m_sniff_format" ->
       """SELECT doc_id,
-        |  CASE doc_id % 13 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+        |  CASE doc_id % 14 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
         |    WHEN 3 THEN 'bmp' WHEN 4 THEN 'tiff' WHEN 5 THEN 'tiff' WHEN 6 THEN 'zip'
         |    WHEN 7 THEN 'gzip' WHEN 8 THEN 'pdf' WHEN 9 THEN 'wav' WHEN 10 THEN 'webp'
-        |    WHEN 11 THEN 'mp4' ELSE 'text' END AS format,
-        |  CASE doc_id % 13 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |    WHEN 11 THEN 'mp4' WHEN 12 THEN 'zstd' ELSE 'text' END AS format,
+        |  CASE doc_id % 14 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
         |    WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/bmp' WHEN 4 THEN 'image/tiff'
         |    WHEN 5 THEN 'image/tiff' WHEN 6 THEN 'application/zip'
         |    WHEN 7 THEN 'application/gzip' WHEN 8 THEN 'application/pdf'
         |    WHEN 9 THEN 'audio/wav' WHEN 10 THEN 'image/webp'
-        |    WHEN 11 THEN 'video/mp4' ELSE 'text/plain' END AS mime
+        |    WHEN 11 THEN 'video/mp4' WHEN 12 THEN 'application/zstd'
+        |    ELSE 'text/plain' END AS mime
         |FROM documents""".stripMargin,
     // PDF extraction: page i shows "page i of doc <id>: " + two text
     // slices + the escaped-paren and octal-escape legs; pages joined
@@ -4599,6 +4606,20 @@ object SparkEntry {
     // extracted title/main_text equal the t_html_extract closed form
     // (the response body IS the htmlDocs page)
     "t_warc_extract" ->
+      """SELECT doc_id,
+        |       'https://crawl.site' || CAST(doc_id % 50 AS VARCHAR) || '.com/doc/' ||
+        |       CAST(doc_id % 97 AS VARCHAR) AS target_uri,
+        |       CAST(200 AS INT) AS http_status,
+        |       CAST(2 AS INT) AS n_records,
+        |       'doc ' || CAST(doc_id AS VARCHAR) || ' title' AS title,
+        |       'main heading ' || CAST(doc_id AS VARCHAR) || ' of document ' ||
+        |       CAST(doc_id % 97 AS VARCHAR) || ' ' || text ||
+        |       ' entities: A&B <x> "y" HI tail ' || CAST(doc_id % 13 AS VARCHAR)
+        |         AS main_text
+        |FROM documents""".stripMargin,
+    // .warc.zst: same record closed form as t_warc_extract — only the
+    // outer transport differs (zstd frames instead of gzip members)
+    "t_warc_zst" ->
       """SELECT doc_id,
         |       'https://crawl.site' || CAST(doc_id % 50 AS VARCHAR) || '.com/doc/' ||
         |       CAST(doc_id % 97 AS VARCHAR) AS target_uri,

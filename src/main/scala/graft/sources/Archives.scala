@@ -303,11 +303,12 @@ object Archives {
   }
 
   /** Deterministic mixed-format corpus for the sniffer — one payload
-    * per document whose format rotates over 13 published signatures
-    * (doc_id % 13): PNG, JPEG/JFIF, GIF89a, BMP, TIFF-LE, TIFF-BE,
-    * ZIP, gzip, PDF, RIFF/WAVE, RIFF/WEBP, ISO-BMFF ftyp, and plain
-    * UTF-8 text (no magic — the fallthrough arm). Tails carry
-    * id-dependent junk so the sniffer cannot cheat on length. */
+    * per document whose format rotates over 14 published signatures
+    * (doc_id % 14): PNG, JPEG/JFIF, GIF89a, BMP, TIFF-LE, TIFF-BE,
+    * ZIP, gzip, PDF, RIFF/WAVE, RIFF/WEBP, ISO-BMFF ftyp, Zstandard
+    * (RFC 8878), and plain UTF-8 text (no magic — the fallthrough
+    * arm). Tails carry id-dependent junk so the sniffer cannot cheat
+    * on length. */
   def sniffDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -315,7 +316,7 @@ object Archives {
       .mapPartitions(_.map { case (id, text) =>
         val tail = Array.tabulate(8)(k => ((id * 31 + 7 * k) % 256).toByte)
         def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
-        val payload: Array[Byte] = (id % 13) match {
+        val payload: Array[Byte] = (id % 14) match {
           case 0 => bytes(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++ tail
           case 1 => bytes(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10) ++ ("JFIF" + "\u0000").getBytes("US-ASCII") ++ tail
           case 2 => "GIF89a".getBytes("US-ASCII") ++ tail
@@ -328,6 +329,7 @@ object Archives {
           case 9 => "RIFF".getBytes("US-ASCII") ++ bytes(0x24, 0, 0, 0) ++ "WAVE".getBytes("US-ASCII") ++ tail
           case 10 => "RIFF".getBytes("US-ASCII") ++ bytes(0x14, 0, 0, 0) ++ "WEBP".getBytes("US-ASCII") ++ tail
           case 11 => bytes(0, 0, 0, 0x18) ++ "ftypisom".getBytes("US-ASCII") ++ tail
+          case 12 => bytes(0x28, 0xB5, 0x2F, 0xFD) ++ tail
           case _ => text.getBytes("UTF-8")
         }
         (id, payload)
@@ -354,6 +356,9 @@ object Archives {
     else if (at(0, 0x50, 0x4B, 0x03, 0x04) || at(0, 0x50, 0x4B, 0x05, 0x06) ||
              at(0, 0x50, 0x4B, 0x07, 0x08)) ("zip", "application/zip")
     else if (at(0, 0x1F, 0x8B)) ("gzip", "application/gzip")
+    else if (at(0, 0x28, 0xB5, 0x2F, 0xFD)) ("zstd", "application/zstd") // RFC 8878
+    else if (b.length >= 4 && (b(0) & 0xF0) == 0x50 && at(1, 0x2A, 0x4D, 0x18))
+      ("zstd", "application/zstd") // skippable frame 0x184D2A5?, LE
     else if (ascii(0, "%PDF-")) ("pdf", "application/pdf")
     else if (ascii(0, "RIFF") && ascii(8, "WAVE")) ("wav", "audio/wav")
     else if (ascii(0, "RIFF") && ascii(8, "WEBP")) ("webp", "image/webp")

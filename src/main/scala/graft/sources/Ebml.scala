@@ -360,7 +360,11 @@ object Ebml {
       p = e.next
     }
     raw.result().map { case (c, bIdx, t, ticks, k, fb) =>
-      MkvBlock(c, bIdx, t, Math.multiplyExact(ticks, scale) / 1000000L, k, fb)
+      // floorDiv, not /: cluster ts + negative relative ts can yield
+      // negative ticks; truncating division would round toward zero and
+      // land 1 ms late versus the natural floor-to-ms semantics.
+      MkvBlock(c, bIdx, t,
+        Math.floorDiv(Math.multiplyExact(ticks, scale), 1000000L), k, fb)
     }
   }
 

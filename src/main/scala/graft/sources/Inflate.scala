@@ -88,6 +88,36 @@ object Inflate {
     acc.toByteArray
   }
 
+  /** Zstandard decode (zstd-jni ships with Spark) with the same in-loop
+    * ceiling — modern Common Crawl distributions ship `.warc.zst`, and
+    * RFC 8878 frames are exactly as bomb-prone as deflate (a 2 KB frame
+    * expands to 64 MiB of zeros). Concatenated frames decode
+    * sequentially and skippable frames (magic 0x184D2A5?, how warc.zst
+    * carries its dictionary) are skipped — both verified against
+    * zstd-jni 1.5.7. Truncated or garbage input throws ZstdIOException,
+    * surfaced as `corrupt $what: …` like the gzip path. */
+  def unzstdCapped(payload: Array[Byte], limit: Long, what: String,
+                   fail: String => Nothing): Array[Byte] = {
+    val in = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val acc = new java.io.ByteArrayOutputStream(8192)
+    val chunk = new Array[Byte](8192)
+    var total = 0L
+    try {
+      var n = in.read(chunk)
+      while (n >= 0) {
+        total += n
+        if (total > limit)
+          fail(s"$what inflates past the $limit-byte ceiling (zstd bomb?)")
+        acc.write(chunk, 0, n)
+        n = in.read(chunk)
+      }
+    } catch {
+      case e: java.io.IOException => fail(s"corrupt $what: ${e.getMessage}")
+    } finally in.close()
+    acc.toByteArray
+  }
+
   /** The effective ceiling for a DataFrame-level decode: the session's
     * `spark.graft.maxInflatedBytes` if set, else the default. Read at
     * PLAN time on the driver and closed over into the task. */

@@ -81,7 +81,12 @@ object Rtf {
     var depth = 0
     // depth at which a skipped destination group started; 0 = not skipping
     var skipAbove = 0
+    // \ucN is GROUP-SCOPED (RTF 1.9.1 §"Unicode RTF"): the value in force
+    // when '{' opened must be restored at the matching '}' — Word emits
+    // \uc at varying depths, so a global var would swallow or leak \u
+    // fallback characters after a group closes.
     var ucSkip = 1
+    val ucStack = new java.util.ArrayDeque[Integer]()
     // fallback characters still to swallow after a \uN
     var pendingUc = 0
     var prevWasBrace = false // the token before was '{' (destination position)
@@ -99,13 +104,16 @@ object Rtf {
       val c = h.charAt(i)
       c match {
         case '{' =>
-          depth += 1; prevWasBrace = true; i += 1
+          depth += 1; ucStack.push(ucSkip); prevWasBrace = true; i += 1
         case '}' =>
           depth -= 1
+          if (!ucStack.isEmpty) ucSkip = ucStack.pop()
           if (skipAbove > 0 && depth < skipAbove) skipAbove = 0
           prevWasBrace = false; i += 1
         case '\\' =>
-          if (i + 1 >= n) { i = n }
+          if (i + 1 >= n)
+            throw new IllegalArgumentException(
+              "RTF payload ends with a bare backslash (truncated escape)")
           else {
             val c1 = h.charAt(i + 1)
             if (c1 == '\\' || c1 == '{' || c1 == '}') { emit(c1); prevWasBrace = false; i += 2 }
@@ -120,7 +128,9 @@ object Rtf {
                 val dec = new String(Array(b.toByte), Cp1252)
                 emit(if (dec.isEmpty) '\uFFFD' else dec.charAt(0))
                 i += 4
-              } else i = n
+              } else
+                throw new IllegalArgumentException(
+                  "RTF \\'hh escape cut off by end of payload")
               prevWasBrace = false
             } else if (c1 == '*' && prevWasBrace) {
               // {\* ...}: ignorable destination — skip the whole group

@@ -45,30 +45,10 @@ object Warc {
     graft.functions.TextAnalysis.htmlDocs(documents)
       .select(col("doc_id"), col("html")).as[(Long, String)]
       .mapPartitions(_.map { case (id, html) =>
-        val uri = s"https://crawl.site${id % 50}.com/doc/${id % 97}"
-        def record(typ: String, block: Array[Byte]): Array[Byte] = {
-          val hdr = new StringBuilder
-          hdr.append("WARC/1.0\r\n")
-          hdr.append(s"WARC-Type: $typ\r\n")
-          hdr.append(s"WARC-Record-ID: <urn:graft:$id:$typ>\r\n")
-          hdr.append(s"WARC-Target-URI: $uri\r\n")
-          hdr.append("WARC-Date: 2026-01-01T00:00:00Z\r\n")
-          hdr.append(s"Content-Length: ${block.length}\r\n")
-          hdr.append("\r\n")
-          hdr.toString.getBytes("US-ASCII") ++ block ++ "\r\n\r\n".getBytes("US-ASCII")
-        }
-        val reqBlock = s"GET /doc/${id % 97} HTTP/1.1\r\nHost: crawl.site${id % 50}.com\r\n\r\n"
-          .getBytes("US-ASCII")
         // ids % 3 == 0 ship the HTTP body Content-Encoding: gzip —
         // the form crawled servers actually answer with; the walker
         // must read the header and inflate the entity
-        val plainBody = html.getBytes("US-ASCII")
-        val (bodyBytes, encHdr) =
-          if (id % 3 == 0) (gzipMember(plainBody), "Content-Encoding: gzip\r\n")
-          else (plainBody, "")
-        val respBlock = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
-          encHdr + s"Content-Length: ${bodyBytes.length}\r\n\r\n").getBytes("US-ASCII") ++ bodyBytes
-        val recs = Seq(record("request", reqBlock), record("response", respBlock))
+        val recs = warcRecordPair(id, html)
         val payload =
           if (id % 2 == 0) recs.reduce(_ ++ _)
           else recs.map(gzipMember).reduce(_ ++ _) // one member per record (warc.gz)
@@ -81,6 +61,74 @@ object Warc {
     val gz = new java.util.zip.GZIPOutputStream(buf)
     gz.write(raw); gz.close()
     buf.toByteArray
+  }
+
+  private def zstdFrame(raw: Array[Byte]): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(raw)
+
+  /** An RFC 8878 skippable frame (magic 0x184D2A50, little-endian) —
+    * how `.warc.zst` carries its shared dictionary; readers must skip
+    * it, never surface its bytes as record data. */
+  private def zstdSkippableFrame(content: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + content.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(0x184D2A50)
+    b.putInt(content.length)
+    b.put(content)
+    b.array()
+  }
+
+  /** Deterministic `.warc.zst` corpus — the SAME two-record closed form
+    * as [[warcDocs]] (so the extraction oracle is shared), behind the
+    * Zstandard transport modern Common Crawl distributions ship:
+    * even doc_ids compress one frame per record, concatenated (the
+    * seekable `.warc.zst` layout); odd doc_ids compress the whole file
+    * as one frame; ids % 3 == 0 additionally lead with a skippable
+    * frame standing in for the format's dictionary slot (and those ids
+    * also gzip the HTTP entity, so zstd-record × gzip-entity stacking
+    * is exercised). */
+  def warcZstDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    graft.functions.TextAnalysis.htmlDocs(documents)
+      .select(col("doc_id"), col("html")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, html) =>
+        val recs = warcRecordPair(id, html)
+        val frames =
+          if (id % 2 == 0) recs.map(zstdFrame).reduce(_ ++ _)
+          else zstdFrame(recs.reduce(_ ++ _))
+        val payload =
+          if (id % 3 == 0)
+            zstdSkippableFrame(s"graft-dict-$id".getBytes("US-ASCII")) ++ frames
+          else frames
+        (id, payload)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** The shared request+response record pair [[warcDocs]] and
+    * [[warcZstDocs]] wrap — one closed form, two transports. */
+  private def warcRecordPair(id: Long, html: String): Seq[Array[Byte]] = {
+    val uri = s"https://crawl.site${id % 50}.com/doc/${id % 97}"
+    def record(typ: String, block: Array[Byte]): Array[Byte] = {
+      val hdr = new StringBuilder
+      hdr.append("WARC/1.0\r\n")
+      hdr.append(s"WARC-Type: $typ\r\n")
+      hdr.append(s"WARC-Record-ID: <urn:graft:$id:$typ>\r\n")
+      hdr.append(s"WARC-Target-URI: $uri\r\n")
+      hdr.append("WARC-Date: 2026-01-01T00:00:00Z\r\n")
+      hdr.append(s"Content-Length: ${block.length}\r\n")
+      hdr.append("\r\n")
+      hdr.toString.getBytes("US-ASCII") ++ block ++ "\r\n\r\n".getBytes("US-ASCII")
+    }
+    val reqBlock = s"GET /doc/${id % 97} HTTP/1.1\r\nHost: crawl.site${id % 50}.com\r\n\r\n"
+      .getBytes("US-ASCII")
+    val plainBody = html.getBytes("US-ASCII")
+    val (bodyBytes, encHdr) =
+      if (id % 3 == 0) (gzipMember(plainBody), "Content-Encoding: gzip\r\n")
+      else (plainBody, "")
+    val respBlock = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      encHdr + s"Content-Length: ${bodyBytes.length}\r\n\r\n").getBytes("US-ASCII") ++ bodyBytes
+    Seq(record("request", reqBlock), record("response", respBlock))
   }
 
   /** The shared framing walk every WARC-family reader (raw WARC, WET,
@@ -96,11 +144,23 @@ object Warc {
       : Vector[(Map[String, String], Array[Byte])] = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"doc $id: $msg")
+    def lead(sig: Int*): Boolean =
+      payload.length >= sig.length &&
+        sig.indices.forall(k => (payload(k) & 0xFF) == sig(k))
     val b =
-      if (payload.length >= 2 && (payload(0) & 0xFF) == 0x1F && (payload(1) & 0xFF) == 0x8B)
+      if (lead(0x1F, 0x8B))
         // multi-member gunzip with per-member CRC checks (JDK
         // contract), capped so a deflate bomb fails inside the loop
         Inflate.gunzipCapped(payload, maxInflatedBytes, "warc.gz", fail)
+      else if (lead(0x28, 0xB5, 0x2F, 0xFD) ||
+               (payload.length >= 4 && (payload(0) & 0xF0) == 0x50 &&
+                 (payload(1) & 0xFF) == 0x2A && (payload(2) & 0xFF) == 0x4D &&
+                 (payload(3) & 0xFF) == 0x18))
+        // .warc.zst: RFC 8878 frame magic, OR a leading skippable
+        // frame (magic 0x184D2A5?, little-endian — the dictionary
+        // slot); concatenated frames decode sequentially, skippable
+        // frames drop, the ceiling trips inside the read loop
+        Inflate.unzstdCapped(payload, maxInflatedBytes, "warc.zst", fail)
       else payload
     var off = 0
     val out = Vector.newBuilder[(Map[String, String], Array[Byte])]

@@ -71,11 +71,19 @@ object ScaleBench {
       pb.inheritIO()
       val proc = pb.start()
       val finished = proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
-      if (!finished) { proc.destroyForcibly(); Nil }
-      else if (proc.exitValue() != 0) Nil
+      // A failed child must leave an explicit error stub, never vanish:
+      // a partial merged artifact that silently omits an op is
+      // indistinguishable from a complete one (round-14 advice).
+      if (!finished) {
+        proc.destroyForcibly()
+        List(s""""$op":{"error":"timeout after 30m"}""")
+      } else if (proc.exitValue() != 0)
+        List(s""""$op":{"error":"child exited ${proc.exitValue()}"}""")
       else {
         val src = scala.io.Source.fromFile(frag, "UTF-8")
-        try src.getLines().toList finally src.close()
+        val lines = try src.getLines().toList finally src.close()
+        if (lines.isEmpty) List(s""""$op":{"error":"child wrote no fragment"}""")
+        else lines
       }
     }
     val out = rows.mkString(s"""{"sf":"$sfDir","threads":$cpus,"ops":{""", ",", "}}")

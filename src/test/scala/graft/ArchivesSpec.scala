@@ -83,16 +83,18 @@ class ArchivesSpec extends SparkSpec {
     assert(ex2.getMessage.contains("checksum") || ex2.getMessage.contains("overruns"))
   }
 
-  test("sniffFormat: all 13 fixture arms route to their format") {
-    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 52)
+  test("sniffFormat: all 14 fixture arms route to their format") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 56)
     val got = Archives.sniffFormat(Archives.sniffDocs(docs)).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
     val expect = Seq("png", "jpeg", "gif", "bmp", "tiff", "tiff", "zip",
-      "gzip", "pdf", "wav", "webp", "mp4", "text")
+      "gzip", "pdf", "wav", "webp", "mp4", "zstd", "text")
     got.foreach { case (id, (fmt, mime)) =>
-      assert(fmt == expect((id % 13).toInt), s"doc $id sniffed $fmt")
+      assert(fmt == expect((id % 14).toInt), s"doc $id sniffed $fmt")
       assert(mime.nonEmpty && mime.contains("/"))
     }
+    // a zstd skippable frame (the .warc.zst dictionary slot) is zstd too
+    assert(Archives.sniff(Array[Byte](0x5E, 0x2A, 0x4D, 0x18, 0, 0, 0, 0))._1 == "zstd")
     // an unknown binary payload (invalid UTF-8, no signature) is
     // 'unknown', not text
     assert(Archives.sniff(Array[Byte](0x01, 0xFE.toByte, 0xFF.toByte, 0x00))._1 == "unknown")

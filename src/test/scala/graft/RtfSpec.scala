@@ -40,6 +40,19 @@ class RtfSpec extends SparkSpec {
     assert(extract("{\\rtf1 \\{lit\\} \\\\back}")._1 == "{lit} \\back")
   }
 
+  test("\\uc is group-scoped: the value restores at '}' (RTF 1.9.1)") {
+    // inside the group \uc0 is in force (no fallback swallowed); after
+    // '}' the outer \uc1 must be back, so \u233's '?' fallback drops
+    assert(extract("{\\rtf1 \\uc1 a{\\uc0\\u233 }\\u234?b}")._1 == "aéêb")
+    // nested two deep: each '}' pops one level
+    assert(extract("{\\rtf1 \\uc2{\\uc0{\\uc1\\u233?x}\\u234 y}\\u235??z}")._1 == "éxêyëz")
+  }
+
+  test("truncated escapes reject loudly (bare backslash, cut \\'hh)") {
+    intercept[Throwable] { extract("{\\rtf1 text\\") }
+    intercept[Throwable] { extract("{\\rtf1 text\\'4") }
+  }
+
   test("non-RTF payloads reject loudly") {
     val e = intercept[Throwable] { extract("PK not rtf") }
     def messages(t: Throwable): Seq[String] =

@@ -128,6 +128,33 @@ class TruncationFuzzSpec extends SparkSpec {
     assert(e2.getMessage.contains("ceiling"), e2.getMessage)
   }
 
+  test("warc.zst: truncations break the zstd frames or record framing") {
+    ids.foreach { id =>
+      val full = payloadOf(Warc.warcZstDocs(docs), id)
+      assert(Warc.parseWarc(id, full)._2 == 200) // sanity: intact parses
+      points(full.length, full.length - 1).foreach { p =>
+        intercept[Exception](Warc.parseWarc(id, full.take(p)))
+      }
+    }
+  }
+
+  test("zstd bomb: a warc.zst record expanding past maxInflatedBytes fails at the ceiling") {
+    // 8 MiB of zeros compresses to ~KB of zstd; under a 4 KiB ceiling
+    // the read loop must trip long before materializing the expansion
+    val bomb = com.github.luben.zstd.Zstd.compress(new Array[Byte](8 << 20))
+    assert(bomb.length < 16384, s"fixture sanity: bomb is ${bomb.length} bytes")
+    val e = intercept[IllegalArgumentException](
+      Warc.parseWarc(99L, bomb, maxInflatedBytes = 4096))
+    assert(e.getMessage.contains("ceiling"), e.getMessage)
+  }
+
+  test("zstd garbage: frame magic followed by junk fails loudly, not empty") {
+    val junk = Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte) ++
+      Array.tabulate(32)(k => (k * 37 + 5).toByte)
+    val e = intercept[IllegalArgumentException](Warc.parseWarc(99L, junk))
+    assert(e.getMessage.contains("corrupt"), e.getMessage)
+  }
+
   test("pdf bomb: a FlateDecode stream inflating past maxInflatedBytes fails") {
     // doc 2: even (FlateDecode'd content stream) but NOT ≡ 0 mod 4 —
     // the incremental-update arm would replace the deflated object

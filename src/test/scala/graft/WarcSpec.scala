@@ -41,6 +41,29 @@ class WarcSpec extends SparkSpec {
     assert(!plain4.contains("Content-Encoding"), "doc 4 entity plain")
   }
 
+  test("warcZstDocs: frame-per-record, whole-file, and skippable-frame arms all extract identically") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 30)
+    val viaZst = Warc.warcExtract(Warc.warcZstDocs(docs)).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val viaGz = Warc.warcExtract(Warc.warcDocs(docs)).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(viaZst.size == 30)
+    viaZst.foreach { case (id, row) =>
+      assert(row == viaGz(id), s"doc $id: zst transport diverges from gz")
+    }
+    // transport shapes: ids%3==0 lead with the skippable frame
+    // (0x184D2A50 LE), the rest with the RFC 8878 frame magic
+    Warc.warcZstDocs(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).foreach { case (id, b) =>
+        if (id % 3 == 0)
+          assert((b(0) & 0xFF) == 0x50 && (b(1) & 0xFF) == 0x2A &&
+            (b(2) & 0xFF) == 0x4D && (b(3) & 0xFF) == 0x18, s"doc $id skippable lead")
+        else
+          assert((b(0) & 0xFF) == 0x28 && (b(1) & 0xFF) == 0xB5 &&
+            (b(2) & 0xFF) == 0x2F && (b(3) & 0xFF) == 0xFD, s"doc $id frame magic")
+      }
+  }
+
   test("parseWarc rejects malformed records loudly") {
     val plain = Warc.warcDocs(Seq(2L).toDF("doc_id")
         .join(Tables.documents(spark, sf0001), "doc_id"))
