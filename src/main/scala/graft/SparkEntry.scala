@@ -1289,6 +1289,13 @@ object SparkEntry {
     "m_rtf_text" -> ((s, dir) =>
       graft.sources.Rtf.extractRtf(
         graft.sources.Rtf.rtfDocs(Tables.documents(s, dir)))),
+    // spreadsheet front door (the office trio's third leg): OPC walk,
+    // workbook sheet order via r:id rels, sharedStrings indirection,
+    // inline strings, numeric cells, and SPARSE rows whose col_idx
+    // comes from the A1-style refs, not position
+    "m_xlsx_cells" -> ((s, dir) =>
+      graft.sources.Archives.xlsxCells(
+        graft.sources.Archives.xlsxDocs(Tables.documents(s, dir)))),
     // every 2nd REAL video frame sliced from the movi index and
     // fingerprinted; the oracle rebuilds each sampled frame's bytes
     "m_avi_frames" -> ((s, dir) =>
@@ -3832,6 +3839,41 @@ object SparkEntry {
         |       ' bold ' || CAST(doc_id % 5 AS VARCHAR) || ' plain' AS text,
         |       CAST(3 AS INT) AS n_pars
         |FROM documents""".stripMargin,
+    // XLSX: the full cell table is arithmetic in doc_id — 1 + id%2
+    // sheets, a 3-column header row of shared strings, 2 + id%3 data
+    // rows where column A alternates shared/inline on (id+k)%2,
+    // column B is numeric and ABSENT on id%5==0 row 0 (the sparse
+    // arm), column C shared
+    "m_xlsx_cells" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |sh AS (SELECT doc_id, unnest(generate_series(0, doc_id % 2)) AS s FROM d),
+        |dr AS (SELECT doc_id, s, unnest(generate_series(0, 1 + doc_id % 3)) AS k FROM sh),
+        |hdr AS (SELECT doc_id, s, unnest(generate_series(0, 2)) AS c FROM sh),
+        |cells AS (
+        |  SELECT doc_id, s, CAST(0 AS INT) AS row_idx, CAST(c AS INT) AS col_idx,
+        |         's' AS cell_type,
+        |         CASE c WHEN 0 THEN 'hdr_a' WHEN 1 THEN 'hdr_b' ELSE 'hdr_c' END AS cell
+        |  FROM hdr
+        |  UNION ALL
+        |  SELECT doc_id, s, CAST(k + 1 AS INT), CAST(0 AS INT),
+        |         CASE WHEN (doc_id + k) % 2 = 0 THEN 's' ELSE 'inlineStr' END,
+        |         CASE WHEN (doc_id + k) % 2 = 0
+        |              THEN 'cell ' || CAST(doc_id % 7 AS VARCHAR) || ' & co'
+        |              ELSE 'inline ' || CAST(k AS VARCHAR) || ' of ' ||
+        |                   CAST(doc_id % 11 AS VARCHAR) || ' <ok>' END
+        |  FROM dr
+        |  UNION ALL
+        |  SELECT doc_id, s, CAST(k + 1 AS INT), CAST(1 AS INT), 'n',
+        |         CAST((doc_id * 3 + k * 7 + s) % 101 AS VARCHAR)
+        |  FROM dr WHERE NOT (doc_id % 5 = 0 AND k = 0)
+        |  UNION ALL
+        |  SELECT doc_id, s, CAST(k + 1 AS INT), CAST(2 AS INT), 's',
+        |         'txt ' || CAST(doc_id % 13 AS VARCHAR)
+        |  FROM dr)
+        |SELECT doc_id, CAST(s AS INT) AS sheet_idx,
+        |       'S' || CAST(s AS VARCHAR) AS sheet_name,
+        |       row_idx, col_idx, cell_type, cell
+        |FROM cells""".stripMargin,
     // MP3: CBR frame-length recurrence — table lookups + integer sums
     "m_decode_mp3" ->
       """WITH p AS (SELECT doc_id,

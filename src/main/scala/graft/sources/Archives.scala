@@ -608,4 +608,223 @@ object Archives {
       lit("&amp;"), lit("&"))
     walked.select(col("doc_id"), size(paras).as("n_paragraphs"), decoded.as("text"))
   }
+
+  // ---- XLSX (SpreadsheetML) — the third leg of the office trio ----
+
+  private def xmlUnescape(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&amp;", "&")
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** `A`→0, `B`→1, …, `AA`→26: the base-26 bijective column letters of
+    * an A1-style cell reference. */
+  private[graft] def colRefIndex(ref: String, fail: String => Nothing): Int = {
+    var i = 0
+    var v = 0
+    while (i < ref.length && ref.charAt(i) >= 'A' && ref.charAt(i) <= 'Z') {
+      v = v * 26 + (ref.charAt(i) - 'A' + 1)
+      i += 1
+    }
+    if (i == 0) fail(s"cell ref '$ref' has no column letters")
+    v - 1
+  }
+
+  /** Deterministic XLSX corpus — per document a REAL OPC package
+    * (XLSX is a ZIP per ECMA-376): `[Content_Types].xml` with the
+    * spreadsheetml Override, `_rels/.rels`, `xl/workbook.xml` naming
+    * 1 + id%2 sheets in order, `xl/_rels/workbook.xml.rels` resolving
+    * their r:ids, `xl/sharedStrings.xml` with 5 `<si>` entries, and
+    * per sheet a `<sheetData>` of 1 header row + 2 + id%3 data rows
+    * exercising every cell flavor a reader must handle:
+    *  - column A alternates SHARED strings (`t="s"`, an index into
+    *    sharedStrings) and INLINE strings (`t="inlineStr"`,
+    *    `<is><t>…`), on (id + k) % 2;
+    *  - column B is numeric (no `t`, raw `<v>`), except on
+    *    ids % 5 == 0 row 0 where the cell is ABSENT — a sparse row,
+    *    so col_idx must come from the `r="B3"` ref, not position;
+    *  - column C is always shared.
+    * Every value is arithmetic in doc_id, so the oracle replays the
+    * full cell table. */
+  def xlsxDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val nSheets = (1 + id % 2).toInt
+        val nData = (2 + id % 3).toInt
+        val shared = Seq("hdr_a", "hdr_b", "hdr_c",
+          s"cell ${id % 7} & co", s"txt ${id % 13}")
+        val sst =
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          s"""<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${shared.length}" uniqueCount="${shared.length}">""" +
+          shared.map(s => s"<si><t>${xmlEscape(s)}</t></si>").mkString + "</sst>"
+        def sheetXml(s: Int): String = {
+          val rows = new StringBuilder
+          rows.append("""<row r="1"><c r="A1" t="s"><v>0</v></c>""" +
+            """<c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>""")
+          var k = 0
+          while (k < nData) {
+            val r = k + 2
+            val a =
+              if ((id + k) % 2 == 0) s"""<c r="A$r" t="s"><v>3</v></c>"""
+              else s"""<c r="A$r" t="inlineStr"><is><t>inline $k of ${id % 11} &lt;ok&gt;</t></is></c>"""
+            val bV = (id * 3 + k * 7 + s) % 101
+            val b = if (id % 5 == 0 && k == 0) ""
+                    else s"""<c r="B$r"><v>$bV</v></c>"""
+            val c = s"""<c r="C$r" t="s"><v>4</v></c>"""
+            rows.append(s"""<row r="$r">$a$b$c</row>""")
+            k += 1
+          }
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+          s"<sheetData>$rows</sheetData></worksheet>"
+        }
+        val workbook =
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
+          (0 until nSheets).map(s =>
+            s"""<sheet name="S$s" sheetId="${s + 1}" r:id="rId${s + 1}"/>""").mkString +
+          "</sheets></workbook>"
+        val wbRels =
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          (0 until nSheets).map(s =>
+            s"""<Relationship Id="rId${s + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${s + 1}.xml"/>""").mkString +
+          s"""<Relationship Id="rId${nSheets + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>""" +
+          "</Relationships>"
+        val contentTypes =
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+          """<Default Extension="xml" ContentType="application/xml"/>""" +
+          """<Override PartName="/xl/workbook.xml" ContentType=""" +
+          """"application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/></Types>"""
+        val rels =
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>"""
+        val buf = new java.io.ByteArrayOutputStream()
+        val zos = new java.util.zip.ZipOutputStream(buf)
+        (Seq("[Content_Types].xml" -> contentTypes, "_rels/.rels" -> rels,
+          "xl/workbook.xml" -> workbook, "xl/_rels/workbook.xml.rels" -> wbRels,
+          "xl/sharedStrings.xml" -> sst) ++
+          (0 until nSheets).map(s => s"xl/worksheets/sheet${s + 1}.xml" -> sheetXml(s)))
+          .foreach { case (name, content) =>
+            val e = new java.util.zip.ZipEntry(name)
+            e.setTime(FixedTime)
+            zos.putNextEntry(e); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+          }
+        zos.close()
+        (id, buf.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  private val SheetRe = """(?s)<sheet [^>]*?name="([^"]*)"[^>]*?r:id="([^"]*)"[^>]*/>""".r
+  private val RelRe = """(?s)<Relationship [^>]*?Id="([^"]*)"[^>]*?Target="([^"]*)"[^>]*/>""".r
+  private val SiRe = """(?s)<si>(.*?)</si>""".r
+  private val TRe = """(?s)<t[^>]*>(.*?)</t>""".r
+  private val RowRe = """(?s)<row ([^>]*)>(.*?)</row>""".r
+  private val CellRe = """(?s)<c ([^>]*?)(?:/>|>(.*?)</c>)""".r
+  private val VRe = """(?s)<v>(.*?)</v>""".r
+  private def attr(attrs: String, name: String): Option[String] = {
+    val m = s"""$name="([^"]*)"""".r.findFirstMatchIn(attrs)
+    m.map(_.group(1))
+  }
+
+  /** One parsed workbook: (sheetIdx, sheetName, rowIdx, colIdx,
+    * cellType, value) per cell, sheets in workbook order, rows/cols
+    * 0-based from the `r=` refs (NOT position — sparse rows and
+    * skipped columns keep their true coordinates). Shared-string
+    * cells resolve through xl/sharedStrings.xml; inline strings read
+    * their `<is><t>` runs; numbers surface the raw `<v>` text
+    * (SpreadsheetML stores them as decimal text — re-parsing would
+    * invent precision). Throws on: missing/wrong content type,
+    * unresolvable r:id, shared index out of range, unknown cell
+    * type. */
+  private[graft] def parseXlsx(id: Long, bytes: Array[Byte])
+      : Seq[(Int, String, Int, Int, String, String)] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    val entries = parseZip(id, bytes)
+    def entry(name: String): String =
+      entries.find(_._2 == name).getOrElse(fail(s"missing $name"))._5
+    val ct = entry("[Content_Types].xml")
+    if (!ct.contains("spreadsheetml.sheet.main+xml"))
+      fail("no spreadsheetml content type")
+    val workbook = entry("xl/workbook.xml")
+    val rels = RelRe.findAllMatchIn(entry("xl/_rels/workbook.xml.rels"))
+      .map(m => m.group(1) -> m.group(2)).toMap
+    val shared: IndexedSeq[String] =
+      entries.find(_._2 == "xl/sharedStrings.xml") match {
+        case Some(e) => SiRe.findAllMatchIn(e._5)
+          .map(si => TRe.findAllMatchIn(si.group(1)).map(_.group(1)).mkString)
+          .map(xmlUnescape).toIndexedSeq
+        case None => IndexedSeq.empty
+      }
+    SheetRe.findAllMatchIn(workbook).zipWithIndex.flatMap { case (sm, sIdx) =>
+      val name = xmlUnescape(sm.group(1))
+      val target = rels.getOrElse(sm.group(2), fail(s"unresolvable r:id ${sm.group(2)}"))
+      val path = if (target.startsWith("/")) target.drop(1) else "xl/" + target
+      val sheet = entry(path)
+      RowRe.findAllMatchIn(sheet).flatMap { rm =>
+        val rowIdx = attr(rm.group(1), "r").map(_.toInt - 1)
+          .getOrElse(fail("row lacks an r attribute"))
+        var nextCol = 0
+        CellRe.findAllMatchIn(rm.group(2)).map { cm =>
+          val attrs = cm.group(1)
+          val body = Option(cm.group(2)).getOrElse("")
+          val colIdx = attr(attrs, "r") match {
+            case Some(ref) => colRefIndex(ref, fail)
+            case None => nextCol // writers may omit r; cells then pack left
+          }
+          nextCol = colIdx + 1
+          val (typ, value) = attr(attrs, "t").getOrElse("n") match {
+            case "s" =>
+              val k = VRe.findFirstMatchIn(body)
+                .getOrElse(fail(s"shared cell without <v> in row ${rowIdx + 1}"))
+                .group(1).trim.toInt
+              if (k < 0 || k >= shared.length)
+                fail(s"shared string index $k out of range (${shared.length})")
+              ("s", shared(k))
+            case "inlineStr" =>
+              ("inlineStr", xmlUnescape(
+                TRe.findAllMatchIn(body).map(_.group(1)).mkString))
+            case "n" =>
+              ("n", VRe.findFirstMatchIn(body)
+                .getOrElse(fail(s"numeric cell without <v> in row ${rowIdx + 1}"))
+                .group(1).trim)
+            case "str" => // formula string result: <v> holds the text
+              ("str", xmlUnescape(VRe.findFirstMatchIn(body)
+                .getOrElse(fail(s"str cell without <v> in row ${rowIdx + 1}"))
+                .group(1)))
+            case "b" =>
+              ("b", VRe.findFirstMatchIn(body)
+                .getOrElse(fail(s"bool cell without <v> in row ${rowIdx + 1}"))
+                .group(1).trim)
+            case other => fail(s"unsupported cell type '$other'")
+          }
+          (sIdx, name, rowIdx, colIdx, typ, value)
+        }
+      }
+    }.toSeq
+  }
+
+  /** XLSX → one row per cell: (doc_id, sheet_idx, sheet_name, row_idx,
+    * col_idx, cell_type, cell) — the spreadsheet leg of the office
+    * trio, coordinates from the A1 refs so sparse rows keep their true
+    * columns. Map-only in the batched seam; the adapter shape
+    * (sheet_idx as table_idx, row 0 the header) feeds
+    * [[graft.functions.TextAnalysis.linearizeTables]] directly. */
+  def xlsxCells(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseXlsx(id, bytes).map { case (s, nm, r, c, t, v) =>
+          (id, s, nm, r, c, t, v)
+        }
+      }).toDF("doc_id", "sheet_idx", "sheet_name", "row_idx", "col_idx",
+        "cell_type", "cell")
+  }
 }

@@ -108,6 +108,83 @@ class ArchivesSpec extends SparkSpec {
     assert(Archives.sniff(mkvBytes) == (("webm", "video/webm")))
   }
 
+  test("xlsxCells: shared/inline/numeric cells, sheet order, sparse-row coordinates") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val out = Archives.xlsxCells(Archives.xlsxDocs(docs)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(3), r.getInt(4)) ->
+        ((r.getString(2), r.getString(5), r.getString(6)))).toMap
+    (0L until 40L).foreach { id =>
+      val nSheets = (1 + id % 2).toInt
+      val nData = (2 + id % 3).toInt
+      (0 until nSheets).foreach { s =>
+        // header row: three shared strings
+        assert(out((id, s, 0, 0)) == ((s"S$s", "s", "hdr_a")))
+        assert(out((id, s, 0, 2)) == ((s"S$s", "s", "hdr_c")))
+        (0 until nData).foreach { k =>
+          val (_, tA, vA) = out((id, s, k + 1, 0))
+          if ((id + k) % 2 == 0) assert((tA, vA) == (("s", s"cell ${id % 7} & co")))
+          else assert((tA, vA) == (("inlineStr", s"inline $k of ${id % 11} <ok>")))
+          if (id % 5 == 0 && k == 0)
+            assert(!out.contains((id, s, 1, 1)), s"doc $id sparse cell must be absent")
+          else
+            assert(out((id, s, k + 1, 1))._3 == ((id * 3 + k * 7 + s) % 101).toString)
+          assert(out((id, s, k + 1, 2))._3 == s"txt ${id % 13}")
+        }
+      }
+    }
+  }
+
+  test("xlsxCells feeds linearizeTables: header=value lines per dense data row") {
+    import org.apache.spark.sql.functions.{col => c}
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") === 1L)
+    val cells = Archives.xlsxCells(Archives.xlsxDocs(docs))
+      .select(c("doc_id"), c("sheet_idx").as("table_idx"), c("row_idx"),
+        c("col_idx"), (c("row_idx") === 0).as("is_header"), c("cell"))
+    val lines = graft.functions.TextAnalysis.linearizeTables(cells).collect()
+      .map(r => (r.getInt(1), r.getInt(2)) -> r.getString(3)).toMap
+    // doc 1: 2 sheets × 3 data rows, all dense (1 % 5 != 0)
+    assert(lines.size == 6)
+    assert(lines((0, 1)) == "hdr_a=inline 0 of 1 <ok>; hdr_b=3; hdr_c=txt 1")
+    assert(lines((1, 2)) == "hdr_a=cell 1 & co; hdr_b=11; hdr_c=txt 1")
+  }
+
+  test("parseXlsx rejects malformations loudly") {
+    import spark.implicits._
+    val good = Archives.xlsxDocs(Seq(2L).toDF("doc_id"))
+      .collect()(0).getAs[Array[Byte]](1)
+    assert(Archives.parseXlsx(2L, good).nonEmpty)
+    def rezip(f: (String, String) => String): Array[Byte] = {
+      val entries = Archives.parseZip(2L, good)
+      val buf = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(buf)
+      entries.foreach { case (_, name, _, _, text) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(name))
+        zos.write(f(name, text).getBytes("UTF-8")); zos.closeEntry()
+      }
+      zos.close(); buf.toByteArray
+    }
+    // shared-string index past the table
+    val badIdx = rezip((n, t) =>
+      if (n.startsWith("xl/worksheets/")) t.replace("<v>4</v>", "<v>99</v>") else t)
+    val e1 = intercept[IllegalArgumentException](Archives.parseXlsx(2L, badIdx))
+    assert(e1.getMessage.contains("out of range"), e1.getMessage)
+    // wrong content type
+    val badCt = rezip((n, t) =>
+      if (n == "[Content_Types].xml") t.replace("spreadsheetml.sheet.main", "x") else t)
+    val e2 = intercept[IllegalArgumentException](Archives.parseXlsx(2L, badCt))
+    assert(e2.getMessage.contains("content type"), e2.getMessage)
+    // dangling r:id
+    val badRel = rezip((n, t) =>
+      if (n == "xl/_rels/workbook.xml.rels") t.replace("\"rId1\"", "\"rIdX\"") else t)
+    val e3 = intercept[IllegalArgumentException](Archives.parseXlsx(2L, badRel))
+    assert(e3.getMessage.contains("r:id"), e3.getMessage)
+    // column-letter cells without refs pack left; bad refs fail
+    val e4 = intercept[IllegalArgumentException](
+      Archives.colRefIndex("7", m => throw new IllegalArgumentException(m)))
+    assert(e4.getMessage.contains("column letters"))
+    assert(Archives.colRefIndex("AA7", m => throw new IllegalArgumentException(m)) == 26)
+  }
+
   test("epubText: ZIP walk composes with the HTML kernel; OCF contract enforced") {
     val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 20)
     val got = Archives.epubText(Archives.epubDocs(docs)).collect()
