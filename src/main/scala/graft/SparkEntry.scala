@@ -1228,6 +1228,11 @@ object SparkEntry {
       Multimodal.decodeWebpMeta(Multimodal.webpDocs(Tables.documents(s, dir))).toDF()),
     // REAL MPEG-1 Layer III frame walk: ID3v2 syncsafe skip, per-frame
     // sync/bitrate/rate validation, spec frame-length advance
+    // per-frame MPEG-audio walk over a VBR fixture: each frame's own
+    // bitrate drives the stride, offsets are the running sum — a walk
+    // assuming one frame length mis-strides on frame 1
+    "m_mp3_frames" -> ((s, dir) =>
+      Multimodal.mp3Frames(Multimodal.mp3VbrDocs(Tables.documents(s, dir)))),
     "m_decode_mp3" -> ((s, dir) =>
       Multimodal.decodeMp3Meta(Multimodal.mp3Docs(Tables.documents(s, dir))).toDF()),
     // REAL FLAC metadata-block walk: last-flag/24-bit length chain +
@@ -3874,6 +3879,27 @@ object SparkEntry {
         |       'S' || CAST(s AS VARCHAR) AS sheet_name,
         |       row_idx, col_idx, cell_type, cell
         |FROM cells""".stripMargin,
+    // VBR frame walk: frame k's bitrate index is 1 + (id + 5k) % 14,
+    // its length the spec recurrence, its offset the ID3 size plus the
+    // running sum of prior frame lengths (window sum)
+    "m_mp3_frames" ->
+      """WITH p AS (SELECT doc_id,
+        |    ([44100,48000,32000])[CAST(1 + doc_id % 3 AS INT)] AS rate,
+        |    CASE WHEN doc_id % 2 = 0 THEN 20 + doc_id % 20 ELSE 0 END AS id3,
+        |    CAST(3 + doc_id % 8 AS INT) AS nf FROM documents),
+        |f AS (SELECT doc_id, rate, id3, unnest(generate_series(0, nf - 1)) AS k FROM p),
+        |g AS (SELECT doc_id, rate, id3, k,
+        |    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(1 + (doc_id + 5*k) % 14 AS INT)] AS kbps,
+        |    CAST((doc_id + k) % 2 AS INT) AS pad FROM f),
+        |h AS (SELECT doc_id, rate, id3, k, kbps, pad,
+        |    144000 * kbps // rate + pad AS len FROM g)
+        |SELECT doc_id, CAST(k AS INT) AS frame_idx,
+        |       CAST(id3 + COALESCE(SUM(len) OVER (PARTITION BY doc_id ORDER BY k
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+        |       CAST(kbps AS INT) AS bitrate_kbps, CAST(rate AS INT) AS sample_rate,
+        |       pad AS padded, CAST(len AS INT) AS frame_bytes,
+        |       CAST(k * 1152 * 1000 // rate AS BIGINT) AS ts_ms
+        |FROM h""".stripMargin,
     // MP3: CBR frame-length recurrence — table lookups + integer sums
     "m_decode_mp3" ->
       """WITH p AS (SELECT doc_id,

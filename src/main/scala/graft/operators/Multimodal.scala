@@ -4887,6 +4887,110 @@ object Multimodal {
           s"doc $id: not a well-formed CBR MP3")) })
   }
 
+  /** Deterministic VBR MP3 corpus — same framing as [[mp3Docs]] (ID3v2
+    * on even ids, MPEG-1 Layer III, rate index id % 3, padding bit
+    * (id + f) % 2) but the BITRATE varies per frame
+    * (index 1 + (id + 5f) % 14), the stream shape a real VBR encode
+    * has — so a frame walk that assumes one frame length for the whole
+    * stream mis-strides immediately. Every frame's offset/length is
+    * closed-form in (doc_id, f) for the oracle. */
+  def mp3VbrDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val sIdx = (id % 3).toInt
+        val nFrames = (3 + id % 8).toInt
+        val out = new java.io.ByteArrayOutputStream()
+        if (id % 2 == 0) {
+          val tagLen = (10 + id % 20).toInt
+          out.write('I'); out.write('D'); out.write('3')
+          out.write(3); out.write(0); out.write(0)
+          out.write((tagLen >> 21) & 0x7F); out.write((tagLen >> 14) & 0x7F)
+          out.write((tagLen >> 7) & 0x7F); out.write(tagLen & 0x7F)
+          var k = 0
+          while (k < tagLen) { out.write(((id + 3L * k) % 256).toInt); k += 1 }
+        }
+        var f = 0
+        while (f < nFrames) {
+          val bIdx = (1 + (id + 5 * f) % 14).toInt
+          val pad = ((id + f) % 2).toInt
+          val len = 144000 * Mp3Bitrates(bIdx) / Mp3Rates(sIdx) + pad
+          out.write(0xFF); out.write(0xFB)
+          out.write((bIdx << 4) | (sIdx << 2) | (pad << 1))
+          out.write(0x00)
+          var k = 4
+          while (k < len) { out.write(((id * 17 + 7L * k + f) % 256).toInt); k += 1 }
+          f += 1
+        }
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** REAL per-frame MP3 walk (the [[parseMp4Samples]] mold): skip the
+    * ID3v2 tag, then one row per frame — byte offset, that frame's own
+    * bitrate (VBR legal: bitrate may change per frame; the SAMPLE RATE
+    * may not — MPEG-1 streams keep one), padding bit, frame length by
+    * the spec recurrence, and the frame's start timestamp
+    * f · 1152 · 1000 div rate. Unlike [[parseMp3]] (the CBR summary
+    * pass) this THROWS on malformation — bad sync, reserved indexes, a
+    * mid-stream rate change, a truncated trailing frame — because a
+    * per-frame consumer (frame sampling, stream slicing) must never
+    * see silently-partial walks. */
+  private[graft] def parseMp3Frames(id: Long, b: Array[Byte])
+      : Seq[(Int, Long, Int, Int, Int, Int, Long)] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    def u8(i: Int): Int = b(i) & 0xFF
+    var off = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+      off = 10 + size
+      if (off > b.length) fail(s"ID3v2 tag (${off} bytes) overruns payload")
+    }
+    if (off >= b.length) fail("no audio frames after the ID3 tag")
+    val out = Seq.newBuilder[(Int, Long, Int, Int, Int, Int, Long)]
+    var f = 0
+    var rate = -1
+    while (off < b.length) {
+      if (off + 4 > b.length) fail(s"frame $f header truncated at $off")
+      if (u8(off) != 0xFF || (u8(off + 1) & 0xFE) != 0xFA)
+        fail(f"frame $f: bad sync/version/layer at $off (${u8(off)}%02x ${u8(off + 1)}%02x)")
+      val b2 = u8(off + 2)
+      val bIdx = (b2 >> 4) & 0xF
+      val sIdx = (b2 >> 2) & 0x3
+      val pad = (b2 >> 1) & 0x1
+      if (bIdx == 0 || bIdx == 15) fail(s"frame $f: free-format/invalid bitrate index $bIdx")
+      if (sIdx == 3) fail(s"frame $f: reserved sample-rate index")
+      val fr = Mp3Rates(sIdx)
+      if (rate < 0) rate = fr
+      else if (rate != fr) fail(s"frame $f: sample rate changed mid-stream ($rate -> $fr)")
+      val kbps = Mp3Bitrates(bIdx)
+      val len = 144000 * kbps / fr + pad
+      if (off + len > b.length) fail(s"frame $f (${len} bytes at $off) overruns payload")
+      out += ((f, off.toLong, kbps, fr, pad, len, f.toLong * 1152L * 1000L / fr))
+      off += len
+      f += 1
+    }
+    out.result()
+  }
+
+  /** MP3 → one row per frame: (doc_id, frame_idx, offset,
+    * bitrate_kbps, sample_rate, padded, frame_bytes, ts_ms) — the
+    * frame-sampling index for MPEG audio, CBR and VBR alike. Map-only
+    * in the batched seam; frame payloads never leave the task. */
+  def mp3Frames(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseMp3Frames(id, bytes).map { case (f, o, kbps, fr, pad, len, ts) =>
+          (id, f, o, kbps, fr, pad, len, ts)
+        }
+      }).toDF("doc_id", "frame_idx", "offset", "bitrate_kbps",
+        "sample_rate", "padded", "frame_bytes", "ts_ms")
+  }
+
   // ---- subtitles (SRT / WebVTT) ----
 
   /** `HH:MM:SS<sep>mmm` from a millisecond column — the writer side

@@ -1366,6 +1366,38 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMp3(7L, f1 ++ f2).isEmpty, "mid-stream bitrate change")
   }
 
+  test("parseMp3Frames: VBR strides per-frame; offsets chain exactly; malformations throw") {
+    val goods = Multimodal.mp3VbrDocs(Seq(0L, 1L).toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val rates = Array(44100, 48000, 32000)
+    goods.foreach { case (id, good) =>
+      val frames = Multimodal.parseMp3Frames(id, good)
+      assert(frames.length == (3 + id % 8).toInt)
+      var expOff = if (id % 2 == 0) 20L + id % 20 else 0L
+      frames.foreach { case (f, off, kbps, fr, pad, len, ts) =>
+        assert(off == expOff, s"doc $id frame $f offset")
+        assert(kbps == bitrates((1 + (id + 5 * f) % 14).toInt), "per-frame bitrate")
+        assert(fr == rates((id % 3).toInt) && pad == ((id + f) % 2).toInt)
+        assert(len == 144000 * kbps / fr + pad)
+        assert(ts == f.toLong * 1152 * 1000 / fr)
+        expOff += len
+      }
+      assert(expOff == good.length, "frames tile the payload exactly")
+      // a per-frame walk must throw, not silently truncate
+      intercept[IllegalArgumentException](Multimodal.parseMp3Frames(id, good.dropRight(1)))
+      val badSync = good.clone()
+      badSync(frames(1)._2.toInt) = 0x00
+      intercept[IllegalArgumentException](Multimodal.parseMp3Frames(id, badSync))
+    }
+    // garbage: not MP3 at all
+    intercept[IllegalArgumentException](
+      Multimodal.parseMp3Frames(9L, "certainly not mpeg audio".getBytes("US-ASCII")))
+    // ID3 size overrunning the payload
+    val lyingId3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0x7F, 0x7F, 0x7F, 0x7F, 1, 2)
+    intercept[IllegalArgumentException](Multimodal.parseMp3Frames(9L, lyingId3))
+  }
+
   test("parseMp4 walks a hand-built box tree incl. largesize, size-0, v1 mvhd; corruption is None") {
     val out = new java.io.ByteArrayOutputStream()
     def be32(x: Long): Unit = { out.write(((x >> 24) & 0xFF).toInt); out.write(((x >> 16) & 0xFF).toInt)
