@@ -1228,6 +1228,13 @@ object SparkEntry {
       Multimodal.decodeWebpMeta(Multimodal.webpDocs(Tables.documents(s, dir))).toDF()),
     // REAL MPEG-1 Layer III frame walk: ID3v2 syncsafe skip, per-frame
     // sync/bitrate/rate validation, spec frame-length advance
+    // VP8 codec-bitstream cross-check inside WebM: keyframe blocks'
+    // RFC 6386 uncompressed headers parsed (start code, 14-bit dims +
+    // 2-bit upscales, partition size), container flag vs frame tag
+    // agreement enforced
+    "m_webm_keyframes" -> ((s, dir) =>
+      graft.sources.Ebml.webmKeyframes(
+        graft.sources.Ebml.webmVp8Docs(Tables.documents(s, dir)))),
     // per-frame MPEG-audio walk over a VBR fixture: each frame's own
     // bitrate drives the stride, offsets are the running sum — a walk
     // assuming one frame length mis-strides on frame 1
@@ -3879,6 +3886,20 @@ object SparkEntry {
         |       'S' || CAST(s AS VARCHAR) AS sheet_name,
         |       row_idx, col_idx, cell_type, cell
         |FROM cells""".stripMargin,
+    // VP8 keyframes: one per cluster (block 0), every header field
+    // arithmetic in doc_id; ts = cluster base + relative
+    "m_webm_keyframes" ->
+      """WITH c AS (SELECT doc_id, unnest(generate_series(0, 1)) AS ci FROM documents)
+        |SELECT doc_id, CAST(ci AS INT) AS cluster_idx, CAST(0 AS INT) AS block_idx,
+        |       CAST(ci * 400 + doc_id % 50 + doc_id % 7 AS BIGINT) AS ts_ms,
+        |       CAST(320 + 16 * (doc_id % 28) AS INT) AS width,
+        |       CAST(doc_id % 4 AS INT) AS w_scale,
+        |       CAST(240 + 16 * (doc_id % 13) AS INT) AS height,
+        |       CAST(doc_id % 3 AS INT) AS h_scale,
+        |       CAST(1 + doc_id % 100 AS INT) AS part_size,
+        |       CAST(doc_id % 4 AS INT) AS version,
+        |       CAST(1 AS INT) AS show_frame
+        |FROM c""".stripMargin,
     // VBR frame walk: frame k's bitrate index is 1 + (id + 5k) % 14,
     // its length the spec recurrence, its offset the ID3 size plus the
     // running sum of prior frame lengths (window sum)

@@ -309,6 +309,23 @@ object Ebml {
     * m_mp4_samples discipline. Unknown elements skip by declared
     * size; malformed block framing fails loudly. */
   private[graft] def parseMkvBlocks(id: Long, b: Array[Byte]): Seq[MkvBlock] = {
+    val (scale, raw) = walkBlocks(id, b)
+    raw.map { case (c, bIdx, t, ticks, k, _, fb) =>
+      // floorDiv, not /: cluster ts + negative relative ts can yield
+      // negative ticks; truncating division would round toward zero and
+      // land 1 ms late versus the natural floor-to-ms semantics.
+      MkvBlock(c, bIdx, t,
+        Math.floorDiv(Math.multiplyExact(ticks, scale), 1000000L), k, fb)
+    }
+  }
+
+  /** The shared Cluster/SimpleBlock walk: (TimestampScale, one tuple
+    * per block: cluster idx, block idx, track VINT, raw ticks,
+    * keyframe flag, frame payload OFFSET into `b`, frame length).
+    * Offsets let codec-header parsers ([[parseWebmKeyframes]]) read
+    * the frame's first bytes without the walk ever copying frames. */
+  private def walkBlocks(id: Long, b: Array[Byte])
+      : (Long, Seq[(Int, Int, Long, Long, Boolean, Int, Int)]) = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"doc $id: $msg")
     val head = readElement(b, 0, fail)
@@ -316,7 +333,7 @@ object Ebml {
     val seg = readElement(b, head.next, fail)
     if (seg.id != 0x18538067L) fail("no Segment element after the EBML header")
     var scale = 1000000L
-    val raw = Seq.newBuilder[(Int, Int, Long, Long, Boolean, Int)]
+    val raw = Seq.newBuilder[(Int, Int, Long, Long, Boolean, Int, Int)]
     var ci = -1
     var p = seg.payloadOff
     while (p < seg.next) {
@@ -351,7 +368,7 @@ object Ebml {
             val rel = (((b(r) & 0xFF) << 8) | (b(r + 1) & 0xFF)).toShort.toInt
             val flags = b(r + 2) & 0xFF
             raw += ((ci, bi, track, clusterTs + rel, (flags & 0x80) != 0,
-              f.next - (r + 3)))
+              r + 3, f.next - (r + 3)))
             bi += 1
           }
           q = f.next
@@ -359,13 +376,7 @@ object Ebml {
       }
       p = e.next
     }
-    raw.result().map { case (c, bIdx, t, ticks, k, fb) =>
-      // floorDiv, not /: cluster ts + negative relative ts can yield
-      // negative ticks; truncating division would round toward zero and
-      // land 1 ms late versus the natural floor-to-ms semantics.
-      MkvBlock(c, bIdx, t,
-        Math.floorDiv(Math.multiplyExact(ticks, scale), 1000000L), k, fb)
-    }
+    (scale, raw.result())
   }
 
   /** WebM frame walk → one row per SimpleBlock: (doc_id, cluster_idx,
@@ -382,6 +393,124 @@ object Ebml {
             blk.keyframe, blk.frameBytes))
       }).toDF("doc_id", "cluster_idx", "block_idx", "track_number",
         "ts_ms", "keyframe", "frame_bytes")
+  }
+
+  /** One VP8 keyframe's 10-byte uncompressed header (RFC 6386 §9.1) —
+    * byte-specified like BMP: a 3-byte little-endian frame tag
+    * (bit 0 frame type, bits 1–3 version, bit 4 show_frame,
+    * bits 5–23 first-partition size), the 9D 01 2A start code, then
+    * two LE uint16s packing 14-bit width/height with 2-bit upscales. */
+  private def vp8KeyframeHeader(version: Int, show: Int, partSize: Int,
+                                width: Int, wScale: Int,
+                                height: Int, hScale: Int): Array[Byte] = {
+    val tag = (version << 1) | (show << 4) | (partSize << 5) // frame_type bit 0 = 0
+    val w16 = width | (wScale << 14)
+    val h16 = height | (hScale << 14)
+    Array[Byte](
+      (tag & 0xFF).toByte, ((tag >> 8) & 0xFF).toByte, ((tag >> 16) & 0xFF).toByte,
+      0x9D.toByte, 0x01, 0x2A,
+      (w16 & 0xFF).toByte, ((w16 >> 8) & 0xFF).toByte,
+      (h16 & 0xFF).toByte, ((h16 >> 8) & 0xFF).toByte)
+  }
+
+  /** Deterministic VP8-in-WebM corpus: one V_VP8 video track, two
+    * clusters of 3 frames whose FIRST frame is a keyframe carrying a
+    * REAL RFC 6386 uncompressed header (dims matching the TrackEntry,
+    * scales/partition-size/version closed-form in doc_id) and whose
+    * interframes carry a frame tag with the inter bit set — so a
+    * reader trusting the SimpleBlock keyframe FLAG instead of the
+    * codec bitstream would mis-parse the interframes. */
+  def webmVp8Docs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val header = elem(IdEbml, elem(IdDocType, "webm".getBytes("US-ASCII")))
+        val info = elem(IdInfo,
+          elem(IdTimestampScale, uintPayload(1000000L)) ++
+            elem(IdDuration, floatPayload((1000 + id % 977).toDouble)))
+        val w = 320 + 16 * (id % 28).toInt
+        val h = 240 + 16 * (id % 13).toInt
+        val video = elem(IdTrackEntry,
+          elem(IdTrackNumber, uintPayload(1L)) ++
+            elem(IdTrackType, uintPayload(1L)) ++
+            elem(IdCodec, "V_VP8".getBytes("US-ASCII")) ++
+            elem(IdVideo,
+              elem(IdPixelWidth, uintPayload(w.toLong)) ++
+                elem(IdPixelHeight, uintPayload(h.toLong))))
+        def keyframe: Array[Byte] =
+          vp8KeyframeHeader((id % 4).toInt, 1, (1 + id % 100).toInt,
+            w, (id % 4).toInt, h, (id % 3).toInt) ++
+            new Array[Byte]((id % 13).toInt)
+        def interframe(j: Int): Array[Byte] =
+          // inter frame tag: bit 0 set; the rest deterministic filler
+          Array[Byte]((1 | ((id % 8) << 1)).toInt.toByte, 7, 0) ++
+            new Array[Byte]((id % 7 + j).toInt)
+        val clusters = (0 until 2).map { c =>
+          val base = c * 400L + id % 50
+          val frames = (0 until 3).map { j =>
+            val payload = if (j == 0) keyframe else interframe(j)
+            elem(IdSimpleBlock, vint(1L) ++ Array[Byte](
+              (((j * 40 + id % 7).toInt >> 8) & 0xFF).toByte,
+              ((j * 40 + id % 7) & 0xFF).toByte,
+              (if (j == 0) 0x80 else 0x00).toByte) ++ payload)
+          }.reduce(_ ++ _)
+          elem(IdCluster, elem(IdClusterTs, uintPayload(base)) ++ frames)
+        }.reduce(_ ++ _)
+        val segment = elem(IdSegment, info ++ elem(IdTracks, video) ++ clusters)
+        (id, header ++ segment)
+      }).toDF("doc_id", "payload")
+  }
+
+  private[graft] final case class Vp8Keyframe(clusterIdx: Int, blockIdx: Int,
+    tsMs: Long, width: Int, wScale: Int, height: Int, hScale: Int,
+    partSize: Int, version: Int, showFrame: Int)
+
+  /** Walk the clusters and parse the VP8 uncompressed header of every
+    * keyframe-flagged block on a V_VP8 track. The frame tag's own
+    * frame-type bit must AGREE with the container's keyframe flag —
+    * disagreement fails loudly (a container lying about keyframes
+    * breaks frame sampling). Frames never copy; only header fields
+    * leave the walk. */
+  private[graft] def parseWebmKeyframes(id: Long, b: Array[Byte]): Seq[Vp8Keyframe] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    val vp8Tracks = parseMkv(id, b).tracks
+      .filter(t => t.codec == "V_VP8" && t.trackType == 1).map(_.trackNumber).toSet
+    val (scale, raw) = walkBlocks(id, b)
+    raw.filter { case (_, _, track, _, key, _, _) => key && vp8Tracks.contains(track) }
+      .map { case (ci, bi, _, ticks, _, off, len) =>
+        if (len < 10) fail(s"VP8 keyframe at cluster $ci block $bi is $len bytes (<10)")
+        def u8(i: Int): Int = b(off + i) & 0xFF
+        val tag = u8(0) | (u8(1) << 8) | (u8(2) << 16)
+        if ((tag & 1) != 0)
+          fail(s"container keyframe flag set but VP8 frame tag says interframe (cluster $ci block $bi)")
+        if (u8(3) != 0x9D || u8(4) != 0x01 || u8(5) != 0x2A)
+          fail(f"bad VP8 start code ${u8(3)}%02x ${u8(4)}%02x ${u8(5)}%02x at cluster $ci block $bi")
+        val w16 = u8(6) | (u8(7) << 8)
+        val h16 = u8(8) | (u8(9) << 8)
+        Vp8Keyframe(ci, bi,
+          Math.floorDiv(Math.multiplyExact(ticks, scale), 1000000L),
+          w16 & 0x3FFF, w16 >> 14, h16 & 0x3FFF, h16 >> 14,
+          tag >>> 5, (tag >> 1) & 7, (tag >> 4) & 1)
+      }
+  }
+
+  /** WebM → one row per VP8 keyframe: (doc_id, cluster_idx, block_idx,
+    * ts_ms, width, w_scale, height, h_scale, part_size, version,
+    * show_frame) — the codec-bitstream cross-check of the container's
+    * keyframe flags, and the dimensions a frame sampler actually
+    * decodes at. Map-only in the batched seam. */
+  def webmKeyframes(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseWebmKeyframes(id, bytes).map(k =>
+          (id, k.clusterIdx, k.blockIdx, k.tsMs, k.width, k.wScale,
+            k.height, k.hScale, k.partSize, k.version, k.showFrame))
+      }).toDF("doc_id", "cluster_idx", "block_idx", "ts_ms", "width",
+        "w_scale", "height", "h_scale", "part_size", "version", "show_frame")
   }
 
   /** MKV/WebM → one row per track: (doc_id, doc_type, duration_ms,

@@ -54,6 +54,44 @@ class EbmlSpec extends SparkSpec {
     }
   }
 
+  test("webmKeyframes: VP8 headers replay; tag/flag disagreement and bad start codes throw") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 30)
+    val rows = Ebml.webmKeyframes(Ebml.webmVp8Docs(docs)).collect()
+    assert(rows.length == 60) // 2 keyframes per doc (one per cluster)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(2) == 0, "keyframe is block 0")
+      assert(r.getLong(3) == r.getInt(1) * 400L + id % 50 + id % 7)
+      assert(r.getInt(4) == 320 + 16 * (id % 28) && r.getInt(6) == 240 + 16 * (id % 13))
+      assert(r.getInt(5) == (id % 4).toInt && r.getInt(7) == (id % 3).toInt)
+      assert(r.getInt(8) == (1 + id % 100).toInt && r.getInt(9) == (id % 4).toInt)
+      assert(r.getInt(10) == 1)
+    }
+    val good = Ebml.webmVp8Docs(Seq(2L).toDF("doc_id")).collect()(0).getAs[Array[Byte]](1)
+    val kf = Ebml.parseWebmKeyframes(2L, good)
+    assert(kf.length == 2)
+    // find the first keyframe payload: flip the frame-type bit → the
+    // container flag now lies, and the walk must say so
+    def payloadStart(b: Array[Byte], needle: Array[Byte]): Int = {
+      var i = 0
+      while (i + needle.length <= b.length &&
+        !needle.indices.forall(k => b(i + k) == needle(k))) i += 1
+      i
+    }
+    val sc = payloadStart(good, Array(0x9D.toByte, 0x01, 0x2A))
+    val lying = good.clone(); lying(sc - 3) = (lying(sc - 3) | 1).toByte
+    val e1 = intercept[IllegalArgumentException](Ebml.parseWebmKeyframes(2L, lying))
+    assert(e1.getMessage.contains("interframe"), e1.getMessage)
+    val badSc = good.clone(); badSc(sc) = 0x00
+    val e2 = intercept[IllegalArgumentException](Ebml.parseWebmKeyframes(2L, badSc))
+    assert(e2.getMessage.contains("start code"), e2.getMessage)
+    // mkvDocs' zero-filled VP8 keyframe frames (1-13 bytes) must NOT
+    // silently parse: too short for the 10-byte header
+    val zeroFrames = Ebml.mkvDocs(Seq(1L).toDF("doc_id")).collect()(0).getAs[Array[Byte]](1)
+    intercept[IllegalArgumentException](Ebml.parseWebmKeyframes(1L, zeroFrames))
+  }
+
   test("SimpleBlock: negative relative timestamps resolve against the cluster base") {
     // hand-built: DocType webm; one cluster ts=100; one block on track
     // 1, rel=-30 (0xFFE2), keyframe, 2 frame bytes → ts_ms = 70
