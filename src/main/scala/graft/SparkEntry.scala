@@ -712,6 +712,17 @@ object SparkEntry {
     "t_warc_zst" -> ((s, dir) =>
       graft.sources.Warc.warcExtract(
         graft.sources.Warc.warcZstDocs(Tables.documents(s, dir)))),
+    // the record census a real CC segment needs: 3xx responses with
+    // their Location edges (path-absolute forms resolved against the
+    // record URI), revisit dedup notes, request records kept at status 0
+    "t_warc_redirects" -> ((s, dir) =>
+      graft.sources.Warc.warcRecords(
+        graft.sources.Warc.warcRedirectDocs(Tables.documents(s, dir)))),
+    // redirect chains composed per payload: chain heads (3xx nobody
+    // points at) followed Location -> capture to the final 200
+    "t_warc_chains" -> ((s, dir) =>
+      graft.sources.Warc.warcRedirectChains(
+        graft.sources.Warc.warcRedirectDocs(Tables.documents(s, dir)))),
     // WET sibling: warcinfo skipped, the conversion record's block IS
     // the extracted text — no HTTP split, no HTML kernel
     "t_wet_extract" -> ((s, dir) =>
@@ -4705,6 +4716,39 @@ object SparkEntry {
         |       CAST(doc_id % 97 AS VARCHAR) || ' ' || text ||
         |       ' entities: A&B <x> "y" HI tail ' || CAST(doc_id % 13 AS VARCHAR)
         |         AS main_text
+        |FROM documents""".stripMargin,
+    // redirect/revisit census: five records, every field arithmetic
+    "t_warc_redirects" ->
+      """WITH d AS (SELECT doc_id,
+        |  'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS host,
+        |  CAST(doc_id % 97 AS VARCHAR) AS p FROM documents)
+        |SELECT doc_id, CAST(0 AS INT) AS record_idx, 'request' AS warc_type,
+        |       host || '/old/' || p AS target_uri, CAST(0 AS INT) AS http_status,
+        |       '' AS location, '' AS refers_to, '' AS payload_digest FROM d
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INT), 'response', host || '/old/' || p,
+        |       CAST(301 AS INT), host || '/mid/' || p, '', '' FROM d
+        |UNION ALL
+        |SELECT doc_id, CAST(2 AS INT), 'response', host || '/mid/' || p,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN 302 ELSE 301 END AS INT),
+        |       host || '/new/' || p, '', '' FROM d
+        |UNION ALL
+        |SELECT doc_id, CAST(3 AS INT), 'response', host || '/new/' || p,
+        |       CAST(200 AS INT), '', '', '' FROM d
+        |UNION ALL
+        |SELECT doc_id, CAST(4 AS INT), 'revisit',
+        |       host || '/dup/' || CAST(doc_id % 5 AS VARCHAR), CAST(0 AS INT),
+        |       '', host || '/new/' || p,
+        |       'sha1:GRAFT' || CAST(doc_id % 997 AS VARCHAR)
+        |FROM d WHERE doc_id % 2 = 0""".stripMargin,
+    // every doc's chain: /old -> /mid -> /new, two hops to the 200
+    "t_warc_chains" ->
+      """SELECT doc_id,
+        |  'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.com/old/' ||
+        |    CAST(doc_id % 97 AS VARCHAR) AS start_uri,
+        |  'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.com/new/' ||
+        |    CAST(doc_id % 97 AS VARCHAR) AS final_uri,
+        |  CAST(2 AS INT) AS n_hops, CAST(200 AS INT) AS final_status
         |FROM documents""".stripMargin,
     // .warc.zst: same record closed form as t_warc_extract — only the
     // outer transport differs (zstd frames instead of gzip members)

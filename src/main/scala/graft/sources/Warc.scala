@@ -513,4 +513,188 @@ object Warc {
       get_json_object(col("wat_json"),
         s"$http['HTML-Metadata']['Links'][0]['url']").as("first_link"))
   }
+
+  // ---- redirect chains + revisit records ----
+  // A real Common Crawl segment is full of records the simple
+  // one-response walk never sees: 3xx responses whose Location header
+  // is the crawl's edge to the next fetch, and `revisit` records — the
+  // crawler's own dedup notes ("same payload digest as an earlier
+  // capture of <refers-to>"). Both feed canonical-URL dedup: the chain
+  // start resolves to its final 200 URL, and revisits map duplicates
+  // onto their first capture.
+
+  /** RFC 3986-lite reference resolution for a Location header: an
+    * absolute URL passes through; a path-absolute reference ('/x')
+    * resolves against the record URI's scheme+authority; anything else
+    * fails loudly (the fixture never emits the relative-path/query
+    * forms, and guessing them silently would corrupt chain edges). */
+  private[graft] def resolveLocation(base: String, loc: String,
+                                     fail: String => Nothing): String =
+    if (loc.startsWith("http://") || loc.startsWith("https://")) loc
+    else if (loc.startsWith("/")) {
+      val schemeEnd = base.indexOf("://")
+      if (schemeEnd < 0) fail(s"record URI '$base' is not absolute")
+      val authEnd = base.indexOf('/', schemeEnd + 3)
+      (if (authEnd < 0) base else base.substring(0, authEnd)) + loc
+    } else fail(s"unsupported Location form '$loc'")
+
+  /** Deterministic redirect/revisit corpus — per document a 5-record
+    * WARC stream: a 301 at `/old/<id%97>` whose Location is
+    * path-absolute (resolution against the record URI is
+    * load-bearing), a 301/302 (ids%3==0) hop at `/mid/…` with an
+    * absolute Location, the final 200 at `/new/…` with an HTML body,
+    * a request record (skipped), and on even ids a `revisit` record
+    * pointing its WARC-Refers-To-Target-URI at the final URL with a
+    * closed-form payload digest. Odd ids ship as warc.gz. */
+  def warcRedirectDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val host = s"https://site${id % 50}.com"
+        val oldU = s"$host/old/${id % 97}"
+        val midU = s"$host/mid/${id % 97}"
+        val newU = s"$host/new/${id % 97}"
+        def resp(uri: String, status: Int, statusText: String,
+                 extra: String, body: Array[Byte]): Array[Byte] = {
+          val http = (s"HTTP/1.1 $status $statusText\r\n" + extra +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+          typedRecord(id, "response", uri, "application/http; msgtype=response", http)
+        }
+        val htmlBody = s"<html><body><p>landed ${id % 97}</p></body></html>"
+          .getBytes("US-ASCII")
+        val midStatus = if (id % 3 == 0) 302 else 301
+        val reqBlock = s"GET /old/${id % 97} HTTP/1.1\r\nHost: site${id % 50}.com\r\n\r\n"
+          .getBytes("US-ASCII")
+        val revisit =
+          if (id % 2 == 0) {
+            val block = Array.emptyByteArray
+            (s"WARC/1.0\r\nWARC-Type: revisit\r\n" +
+              s"WARC-Record-ID: <urn:graft:$id:revisit>\r\n" +
+              s"WARC-Target-URI: $host/dup/${id % 5}\r\n" +
+              s"WARC-Refers-To-Target-URI: $newU\r\n" +
+              s"WARC-Payload-Digest: sha1:GRAFT${id % 997}\r\n" +
+              s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+              s"Content-Length: ${block.length}\r\n\r\n").getBytes("US-ASCII") ++
+              block ++ "\r\n\r\n".getBytes("US-ASCII")
+          } else Array.emptyByteArray
+        val recs = Seq(
+          typedRecord(id, "request", oldU, "application/http; msgtype=request", reqBlock),
+          resp(oldU, 301, "Moved Permanently", s"Location: /mid/${id % 97}\r\n", Array.emptyByteArray),
+          resp(midU, midStatus, "Found", s"Location: $newU\r\n", Array.emptyByteArray),
+          resp(newU, 200, "OK", "Content-Type: text/html\r\n", htmlBody)) ++
+          (if (id % 2 == 0) Seq(revisit) else Nil)
+        val payload =
+          if (id % 2 == 0) recs.reduce(_ ++ _)
+          else recs.map(gzipMember).reduce(_ ++ _)
+        (id, payload)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** Every record the chain walk cares about: (recordIdx, warcType,
+    * targetUri, httpStatus, resolvedLocation, refersTo, payloadDigest)
+    * — status/location from response records' HTTP blocks (Location
+    * resolved absolute against the record URI), refers-to/digest from
+    * revisit headers; request records surface with status 0 so the
+    * record census stays complete. */
+  private[graft] def parseWarcRecords(id: Long, payload: Array[Byte],
+                                      maxInflatedBytes: Long = Inflate.MaxInflatedBytes)
+      : Vector[(Int, String, String, Int, String, String, String)] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    walkRecords(id, payload, maxInflatedBytes).zipWithIndex.map {
+      case ((headers, block), idx) =>
+        val typ = headers.getOrElse("warc-type", fail(s"record $idx lacks WARC-Type"))
+        val uri = headers.getOrElse("warc-target-uri", "")
+        typ match {
+          case "response" =>
+            var hEnd = -1
+            var i = 0
+            while (hEnd < 0 && i + 3 < block.length) {
+              if (block(i) == '\r' && block(i + 1) == '\n' &&
+                  block(i + 2) == '\r' && block(i + 3) == '\n') hEnd = i
+              i += 1
+            }
+            if (hEnd < 0) fail(s"record $idx HTTP block lacks a header terminator")
+            val headLines = new String(block, 0, hEnd, "US-ASCII").split("\r\n")
+            val statusParts = headLines(0).split(" ", 3)
+            if (statusParts.length < 2 || !statusParts(0).startsWith("HTTP/"))
+              fail(s"record $idx: malformed HTTP status line")
+            val status = try statusParts(1).toInt catch {
+              case _: NumberFormatException =>
+                fail(s"record $idx: non-numeric HTTP status '${statusParts(1)}'")
+            }
+            val httpHeaders = headLines.drop(1).flatMap { l =>
+              val c = l.indexOf(':')
+              if (c < 0) None
+              else Some(l.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT) ->
+                l.substring(c + 1).trim)
+            }.toMap
+            val loc =
+              if (status >= 300 && status < 400)
+                resolveLocation(uri, httpHeaders.getOrElse("location",
+                  fail(s"record $idx: $status response without Location")), fail)
+              else ""
+            (idx, typ, uri, status, loc, "", "")
+          case "revisit" =>
+            (idx, typ, uri, 0,
+              "", headers.getOrElse("warc-refers-to-target-uri", ""),
+              headers.getOrElse("warc-payload-digest", ""))
+          case other => (idx, other, uri, 0, "", "", "")
+        }
+    }
+  }
+
+  /** WARC → one row per record: (doc_id, record_idx, warc_type,
+    * target_uri, http_status, location, refers_to, payload_digest) —
+    * the full record census incl. 3xx Location edges and revisit
+    * dedup notes. Map-only in the batched seam. */
+  def warcRecords(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    val limit = Inflate.limitOf(spark)
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseWarcRecords(id, bytes, limit).map { case (i, t, u, s, l, rt, d) =>
+          (id, i, t, u, s, l, rt, d)
+        }
+      }).toDF("doc_id", "record_idx", "warc_type", "target_uri",
+        "http_status", "location", "refers_to", "payload_digest")
+  }
+
+  /** Redirect chains composed within each payload: starting from every
+    * 3xx record that no OTHER record's Location points at (the chain
+    * heads), follow Location → target-URI edges to the final non-3xx
+    * capture. Emits (doc_id, start_uri, final_uri, n_hops,
+    * final_status). Fails loudly on loops and on chains that dangle
+    * past the payload's own records — a crawl-scale composer would
+    * join chains across payloads on (uri) instead; per-payload is the
+    * map-only seam (chains in one capture session live in one file). */
+  def warcRedirectChains(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    val limit = Inflate.limitOf(spark)
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        def fail(msg: String): Nothing =
+          throw new IllegalArgumentException(s"doc $id: $msg")
+        val resp = parseWarcRecords(id, bytes, limit).filter(_._2 == "response")
+        val byUri = resp.map(r => r._3 -> r).toMap
+        val pointedAt = resp.collect { case r if r._5.nonEmpty => r._5 }.toSet
+        resp.filter(r => r._4 >= 300 && r._4 < 400 && !pointedAt.contains(r._3))
+          .map { head =>
+            var cur = head
+            var hops = 0
+            val seen = scala.collection.mutable.Set.empty[String]
+            while (cur._4 >= 300 && cur._4 < 400) {
+              if (!seen.add(cur._3)) fail(s"redirect loop through ${cur._3}")
+              if (hops > 16) fail(s"redirect chain from ${head._3} exceeds 16 hops")
+              cur = byUri.getOrElse(cur._5,
+                fail(s"redirect chain dangles at ${cur._5} (no capture)"))
+              hops += 1
+            }
+            (id, head._3, cur._3, hops, cur._4)
+          }
+      }).toDF("doc_id", "start_uri", "final_uri", "n_hops", "final_status")
+  }
 }

@@ -64,6 +64,56 @@ class WarcSpec extends SparkSpec {
       }
   }
 
+  test("redirect chains: resolution, loop and dangle rejection, revisit fields") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 12)
+    val recs = Warc.warcRecords(Warc.warcRedirectDocs(docs)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getString(3), r.getInt(4), r.getString(5),
+          r.getString(6), r.getString(7)))).toMap
+    (0L until 12L).foreach { id =>
+      val host = s"https://site${id % 50}.com"
+      // the path-absolute Location resolved against the record URI
+      assert(recs((id, 1))._4 == s"$host/mid/${id % 97}", "relative Location resolved")
+      assert(recs((id, 2))._3 == (if (id % 3 == 0) 302 else 301))
+      if (id % 2 == 0) {
+        val (t, _, _, _, rt, dg) = recs((id, 4))
+        assert(t == "revisit" && rt == s"$host/new/${id % 97}" &&
+          dg == s"sha1:GRAFT${id % 997}")
+      } else assert(!recs.contains((id, 4)))
+    }
+    // a chain that leads INTO a loop (A -> B -> C -> B) must fail, not
+    // spin or emit (a headless pure loop emits nothing by construction:
+    // every member is pointed at, so no record qualifies as a head)
+    def respRec(uri: String, status: Int, loc: String): Array[Byte] = {
+      val http = (s"HTTP/1.1 $status X\r\nLocation: $loc\r\nContent-Length: 0\r\n\r\n")
+        .getBytes("US-ASCII")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("US-ASCII") ++
+        http ++ "\r\n\r\n".getBytes("US-ASCII")
+    }
+    import spark.implicits._
+    val loop = respRec("https://x.com/a", 301, "https://x.com/b") ++
+      respRec("https://x.com/b", 301, "https://x.com/c") ++
+      respRec("https://x.com/c", 301, "https://x.com/b")
+    val e1 = intercept[Exception](
+      Warc.warcRedirectChains(Seq((1L, loop)).toDF("doc_id", "payload")).collect())
+    assert(e1.getMessage.contains("loop") ||
+      Option(e1.getCause).exists(_.getMessage.contains("loop")))
+    // a dangling chain (Location never captured) must fail too
+    val dangle = respRec("https://x.com/a", 301, "https://x.com/gone")
+    val e2 = intercept[Exception](
+      Warc.warcRedirectChains(Seq((1L, dangle)).toDF("doc_id", "payload")).collect())
+    assert(e2.getMessage.contains("dangles") ||
+      Option(e2.getCause).exists(_.getMessage.contains("dangles")))
+    // composition into canonical-URL dedup: chains key duplicates by
+    // final_uri — docs sharing (id%50, id%97) collapse together
+    val chains = Warc.warcRedirectChains(Warc.warcRedirectDocs(docs))
+    val canon = chains.groupBy(col("final_uri"))
+      .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("keeper"))
+      .collect()
+    assert(canon.length == 12 && canon.forall(_.getLong(1) < 12))
+  }
+
   test("parseWarc rejects malformed records loudly") {
     val plain = Warc.warcDocs(Seq(2L).toDF("doc_id")
         .join(Tables.documents(spark, sf0001), "doc_id"))
