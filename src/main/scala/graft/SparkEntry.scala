@@ -860,6 +860,14 @@ object SparkEntry {
     // from data the weights never saw
     "c_classifier_eval" -> ((s, dir) =>
       Corpus.classifierEval(Tables.documents(s, dir))),
+    // TRAINED language-id: multiclass integer-exact perceptron over
+    // hashed char 3-grams (Kesler's construction), trained on the
+    // hashSplit train partition of the language-marked corpus, scored
+    // everywhere — the per-split confusion is the held-out table the
+    // heuristic t_langid_confusion gets compared against
+    "c_langid_trained" -> ((s, dir) =>
+      Corpus.langIdTrained(
+        graft.functions.TextAnalysis.langMarkedDocs(Tables.documents(s, dir)))),
     // adaptive per-source quality cut: histogram-quantile threshold
     // CCNet-shaped LM perplexity gate: drop the lowest-probability
     // 30% of documents under the corpus's own bigram LM
@@ -5319,6 +5327,70 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_correct
         |FROM lab GROUP BY 1, 2""".stripMargin,
+    // trained language-id: TWO full epochs of the multiclass
+    // integer-exact perceptron replayed in SQL — epoch 1 from W=0
+    // (every doc predicts the first class 'de', so every non-de train
+    // doc updates), epoch 2 scored under w1 with the (score DESC,
+    // class ASC) argmax, then the whole corpus scored under w2 and
+    // bucketed by hashSplit
+    "c_langid_trained" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    lower(array_to_string(list_transform(
+        |      generate_series(0, 19 + doc_id % 30),
+        |      j -> (CASE lang
+        |        WHEN 'de' THEN ['der','und','die','das','über','schön','straße']
+        |        WHEN 'en' THEN ['the','and','of','with','through','knight','which']
+        |        WHEN 'es' THEN ['el','los','niños','señora','nación','está','también']
+        |        WHEN 'fr' THEN ['le','la','les','été','français','même','déjà']
+        |        ELSE ['的','了','是','在','中文','汉字','我们'] END
+        |      )[CAST((doc_id + 3*j) % 7 AS INT) + 1]), ' ')) AS t,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |         AS UBIGINT) % 100 AS bkt
+        |  FROM documents),
+        |pos AS (SELECT doc_id, lang, bkt, t,
+        |          unnest(generate_series(1, length(t) - 2)) AS i FROM base),
+        |cnt AS (SELECT doc_id, lang, bkt,
+        |          CAST(CAST('0x' || substring(md5(substring(t, CAST(i AS INT), 3)), 1, 8)
+        |               AS UBIGINT) % 256 AS BIGINT) AS b,
+        |          COUNT(*) AS c
+        |        FROM pos GROUP BY 1, 2, 3, 4),
+        |trn AS (SELECT * FROM cnt WHERE bkt < 90),
+        |w1 AS (SELECT cls, b, SUM(d) AS w FROM (
+        |         SELECT lang AS cls, b, SUM(c) AS d FROM trn WHERE lang <> 'de' GROUP BY 1, 2
+        |         UNION ALL
+        |         SELECT 'de', b, -SUM(c) FROM trn WHERE lang <> 'de' GROUP BY b
+        |       ) u GROUP BY 1, 2),
+        |cl AS (SELECT unnest(['de','en','es','fr','zh']) AS cls),
+        |s2 AS (SELECT t.doc_id, t.lang, c2.cls, COALESCE(SUM(t.c * w1.w), 0) AS s
+        |       FROM trn t CROSS JOIN cl c2
+        |       LEFT JOIN w1 ON w1.b = t.b AND w1.cls = c2.cls
+        |       GROUP BY 1, 2, 3),
+        |p2 AS (SELECT doc_id, lang, cls AS pred FROM (
+        |         SELECT doc_id, lang, cls,
+        |                row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cls ASC) AS rn
+        |         FROM s2) WHERE rn = 1),
+        |m2 AS (SELECT * FROM p2 WHERE pred <> lang),
+        |w2 AS (SELECT cls, b, SUM(d) AS w FROM (
+        |         SELECT cls, b, w AS d FROM w1
+        |         UNION ALL
+        |         SELECT m.lang, t.b, SUM(t.c) FROM trn t JOIN m2 m USING (doc_id) GROUP BY 1, 2
+        |         UNION ALL
+        |         SELECT m.pred, t.b, -SUM(t.c) FROM trn t JOIN m2 m USING (doc_id) GROUP BY 1, 2
+        |       ) u GROUP BY 1, 2),
+        |sf AS (SELECT t.doc_id, c2.cls, COALESCE(SUM(t.c * w2.w), 0) AS s
+        |       FROM cnt t CROSS JOIN cl c2
+        |       LEFT JOIN w2 ON w2.b = t.b AND w2.cls = c2.cls
+        |       GROUP BY 1, 2),
+        |pf AS (SELECT doc_id, cls AS lang_pred FROM (
+        |         SELECT doc_id, cls,
+        |                row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cls ASC) AS rn
+        |         FROM sf) WHERE rn = 1)
+        |SELECT CASE WHEN b2.bkt < 90 THEN 'train'
+        |            WHEN b2.bkt < 95 THEN 'val' ELSE 'test' END AS split,
+        |       b2.lang, pf.lang_pred, COUNT(*) AS n
+        |FROM base b2 JOIN pf USING (doc_id)
+        |GROUP BY 1, 2, 3""".stripMargin,
     // URL canonicalization: every derived field replayed as string
     // arithmetic from the closed-form fixture (host lowercased,
     // www-stripped domain, default ports dropped, utm params removed

@@ -1289,6 +1289,112 @@ object Corpus {
         sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
   }
 
+  /** The five corpus languages in TIE ORDER: argmax breaks integer
+    * score ties toward the earliest class, mirroring the heuristic
+    * langId's first-match-wins CASE chain. */
+  private val LangClasses = Seq("de", "en", "es", "fr", "zh")
+
+  /** Per-(doc, bucket) hashed char-3-gram counts — the trained
+    * language-id's only view of the text (the fastText lid.176 / CCNet
+    * feature family). Lowercased, every position's 3-gram hashed with
+    * the repo's md5-prefix trick so DuckDB replays the bucketing
+    * byte-for-byte. One explode + partial-aggregating groupBy. */
+  private def charGramCounts(documents: DataFrame, buckets: Int): DataFrame = {
+    val t = lower(col("text"))
+    documents.filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(t) - 2),
+          i => t.substr(i, lit(3)))).as("g"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % buckets).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+  }
+
+  /** One per-class decimal(38,0) score sum under the broadcast weight
+    * matrix (each class a literal array riding the closure). */
+  private def langScoreCols(w: Map[String, Array[Long]]): Seq[org.apache.spark.sql.Column] =
+    LangClasses.map { cls =>
+      sum(col("c").cast("decimal(38,0)") *
+        element_at(lit(w(cls)), col("b").cast("int") + 1)).as(s"s_$cls")
+    }
+
+  /** argmax over the five score columns, ties toward the earliest
+    * class (exactly `row_number() OVER (ORDER BY s DESC, cls ASC)`). */
+  private def langArgmax: org.apache.spark.sql.Column = {
+    val top = greatest(LangClasses.map(c => col(s"s_$c")): _*)
+    LangClasses.tail.foldLeft(
+      when(col(s"s_${LangClasses.head}") === top, LangClasses.head)) {
+      (acc, cls) => acc.when(col(s"s_$cls") === top, cls)
+    }
+  }
+
+  /** TRAINED language-id — the multiclass extension of the
+    * integer-exact batch perceptron over hashed char 3-grams, the
+    * architecture class real pipelines gate languages with (CCNet /
+    * fastText lid.176 use multinomial models on char n-grams; this is
+    * the same feature space under the repo's bitwise-reproducible
+    * integer learner). Kesler's construction: one weight vector per
+    * class; each epoch scores every training doc against all classes
+    * map-side, and every misclassified doc adds its counts to its
+    * label's vector and subtracts them from the winner's. Weight state
+    * is `|classes| × buckets` longs on the driver — the bounded-model
+    * class the binary perceptron already established. Trains on the
+    * [[hashSplit]] train partition ONLY, scores everything, returns
+    * the per-split confusion (split, lang, lang_pred, n) — the
+    * held-out generalization table, directly comparable with the
+    * heuristic's [[graft.functions.TextAnalysis.langIdConfusion]].
+    *
+    * At 100 TB: epochs × (one gram-count shuffle reused from cache +
+    * one per-doc aggregation + one buckets-key update aggregation);
+    * the weight matrix broadcasts in the closure, never joins. */
+  def langIdTrained(documents: DataFrame, buckets: Int = 256,
+                    epochs: Int = 2): DataFrame = {
+    require(buckets >= 1 && buckets <= 65536,
+      s"bucket count must be in [1, 65536], got $buckets")
+    require(epochs >= 1 && epochs <= 16, s"epochs must be in [1, 16], got $epochs")
+    val labels = documents.select(col("doc_id"), col("lang"))
+    val split = hashSplit(documents).select(col("doc_id"), col("split"))
+    val cnt = charGramCounts(documents, buckets)
+    val train = cnt.join(split.filter(col("split") === "train"), "doc_id")
+      .join(labels, "doc_id")
+      .select(col("doc_id"), col("lang"), col("b"), col("c"))
+      .persist()
+    val w = LangClasses.map(_ -> Array.fill(buckets)(0L)).toMap
+    try {
+      var t = 0
+      while (t < epochs) {
+        // epoch 0 scores under W = 0: every class ties at 0 and argmax
+        // falls to the first class — the full non-first-class corpus
+        // drives the first update (the multiclass analogue of the
+        // binary trainer's zero-start epoch)
+        val cols = langScoreCols(w)
+        val scored = train.groupBy(col("doc_id"), col("lang"))
+          .agg(cols.head, cols.tail: _*)
+        val mis = scored.select(col("doc_id"), col("lang"), langArgmax.as("pred"))
+          .filter(col("pred") =!= col("lang"))
+        val joined = train.join(mis.select(col("doc_id"), col("pred")), "doc_id")
+        val deltas = joined
+          .select(col("lang").as("cls"), col("b"), col("c").cast("decimal(38,0)").as("d"))
+          .union(joined.select(col("pred").as("cls"), col("b"),
+            (-col("c")).cast("decimal(38,0)").as("d")))
+          .groupBy(col("cls"), col("b")).agg(sum(col("d")).as("dw"))
+          .collect() // ≤ |classes| × buckets rows — driver-bounded by construction
+        deltas.foreach { r =>
+          val arr = w(r.getString(0))
+          val b = r.getLong(1).toInt
+          arr(b) = Math.addExact(arr(b), r.getDecimal(2).toBigInteger.longValueExact())
+        }
+        t += 1
+      }
+    } finally train.unpersist()
+    val cols = langScoreCols(w)
+    val scoredAll = cnt.groupBy(col("doc_id")).agg(cols.head, cols.tail: _*)
+      .select(col("doc_id"), langArgmax.as("lang_pred"))
+    split.join(labels, "doc_id").join(scoredAll, Seq("doc_id"))
+      .groupBy(col("split"), col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** PARAGRAPH-LEVEL dedup — the CCNet move: drop every repeated
     * paragraph ACROSS the corpus (boilerplate repeats millions of
     * times; deduping at document granularity never touches it), keep

@@ -52,6 +52,36 @@ class PerceptronSpec extends SparkSpec {
     assert(out.keys.exists(_._1 != "train"), "hash split produced no held-out docs")
   }
 
+  test("langIdTrained: perfect held-out accuracy on the in-language fixture; beats the raw-text heuristic") {
+    val docs = Tables.documents(spark, sf0001)
+    val marked = graft.functions.TextAnalysis.langMarkedDocs(docs)
+    val conf = Corpus.langIdTrained(marked).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    val total = conf.values.sum
+    assert(total == docs.count(), "every document lands in the confusion table")
+    val correct = conf.collect { case ((_, l, p), n) if l == p => n }.sum
+    assert(correct == total, s"trained lid must be perfect on the separable fixture: $correct/$total")
+    // held-out rows exist (the discipline, not just train accuracy)
+    assert(conf.keys.exists(_._1 == "test") && conf.keys.exists(_._1 == "val"))
+    // the heuristic on the RAW corpus text mislabels broadly (its
+    // markers barely appear); the trained model's fixture accuracy is
+    // the upgrade the keep-signals path would consume
+    val heur = graft.functions.TextAnalysis.langIdConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val heurCorrect = heur.collect { case ((l, p), n) if l == p => n }.sum
+    assert(heurCorrect < total, "heuristic is imperfect on raw text (sanity)")
+  }
+
+  test("langIdTrained: partitioning-invariant (integer-exact multiclass updates)") {
+    val docs = graft.functions.TextAnalysis.langMarkedDocs(
+      Tables.documents(spark, sf0001).filter(col("doc_id") < 150))
+    val a = Corpus.langIdTrained(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toSet
+    val b = Corpus.langIdTrained(docs.repartition(7)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toSet
+    assert(a == b, "multiclass training must not depend on partitioning")
+  }
+
   test("trainQualityPerceptron: one epoch yields the class-difference weights") {
     // w0 = 0 misclassifies every doc, so w1[b] = sum over all docs of
     // y * count(doc, b); a doc's epoch-1 score is its count vector
