@@ -41,6 +41,12 @@ import org.apache.spark.sql.SparkSession
   *  - warm_*: the same five counters for the warm pass, so a
   *    warm>cold row is attributable from the artifact alone (r11's
   *    graded run had exactly one, with no counters to explain it)
+  *  - loadavg / warm_loadavg: max of the host's 1-min /proc/loadavg
+  *    sampled before and after each measurement — the HOST-side
+  *    channel cpu_ms can't provide (r14 what's-wrong #2: a
+  *    single-thread Δcpu ≈ Δwall row is ambiguous between contention
+  *    and work; load far above this child's thread count at that
+  *    moment names the contention without a manual A/B)
   *
   * Each child also runs an UNTIMED code-warmup of its own queries at
   * the smallest SF before measuring (disable via
@@ -114,6 +120,8 @@ object Bench {
     val warmTriggerMs = scala.collection.mutable.LinkedHashMap[String, Long]()
     val cpuMsMap = scala.collection.mutable.LinkedHashMap[String, Long]()
     val warmCpuMs = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val loadMap = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val warmLoad = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     // child JVMs get this JVM's exact flags (heap, --add-opens) and
     // classpath — they run the same forked-run environment sbt gave us
@@ -160,6 +168,8 @@ object Bench {
           case Array("XR", n, v) => warmTriggerMs(n) = v.toLong
           case Array("P", n, v) => cpuMsMap(n) = v.toLong
           case Array("XP", n, v) => warmCpuMs(n) = v.toLong
+          case Array("L", n, v) => loadMap(n) = v.toDouble
+          case Array("XL", n, v) => warmLoad(n) = v.toDouble
           case Array("E", n, m) => errors(n) = m
           case _ => ()
         }
@@ -185,7 +195,7 @@ object Bench {
     // guaranteed to fit the window whole. build.sbt routes forked-run
     // stdout past the sbt logger so no "[info] " prefix rides the line.
     val fullLine =
-      s"""{"full":true,"value":$total,"unit":"sec","queries":$qs,"warm":${jmap(warm)},"subtotals":$subs,"errors":$es,"compiles":${jmapL(compiles)},"gc_ms":${jmapL(gcs)},"jit_ms":${jmapL(jits)},"batches":${jmapL(batches)},"trigger_ms":${jmapL(triggerMs)},"warm_compiles":${jmapL(warmCompiles)},"warm_gc_ms":${jmapL(warmGcs)},"warm_jit_ms":${jmapL(warmJits)},"warm_batches":${jmapL(warmBatches)},"warm_trigger_ms":${jmapL(warmTriggerMs)},"cpu_ms":${jmapL(cpuMsMap)},"warm_cpu_ms":${jmapL(warmCpuMs)},"sf":"$sfDir","threads":$cpus,"jvms":${families.size}}"""
+      s"""{"full":true,"value":$total,"unit":"sec","queries":$qs,"warm":${jmap(warm)},"subtotals":$subs,"errors":$es,"compiles":${jmapL(compiles)},"gc_ms":${jmapL(gcs)},"jit_ms":${jmapL(jits)},"batches":${jmapL(batches)},"trigger_ms":${jmapL(triggerMs)},"warm_compiles":${jmapL(warmCompiles)},"warm_gc_ms":${jmapL(warmGcs)},"warm_jit_ms":${jmapL(warmJits)},"warm_batches":${jmapL(warmBatches)},"warm_trigger_ms":${jmapL(warmTriggerMs)},"cpu_ms":${jmapL(cpuMsMap)},"warm_cpu_ms":${jmapL(warmCpuMs)},"loadavg":${jmap(loadMap)},"warm_loadavg":${jmap(warmLoad)},"sf":"$sfDir","threads":$cpus,"jvms":${families.size}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
@@ -306,6 +316,17 @@ object Bench {
         if (ns < 0) 0L else ns / 1000000L
       case _ => 0L
     }
+    // host-load channel (r14 what's-wrong #2): the 1-min /proc/loadavg
+    // sampled around each measurement — the counter that is
+    // HOST-specific where cpu_ms is process-specific, so an ambiguous
+    // single-thread warm>cold row self-attributes from the artifact:
+    // load >> this child's thread count at that moment = external
+    // contention; load ≈ thread count with cpu_ms grown = real work.
+    def loadAvg: Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.getLines().next().split(" ")(0).toDouble finally src.close()
+      } catch { case _: Throwable => -1.0 }
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -329,6 +350,8 @@ object Bench {
     val warmTriggerMs = scala.collection.mutable.LinkedHashMap[String, Long]()
     val cpuMsMap = scala.collection.mutable.LinkedHashMap[String, Long]()
     val warmCpuMs = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val loadMap = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val warmLoad = scala.collection.mutable.LinkedHashMap[String, Double]()
     def isolate(): Unit = {
       // isolate queries: drop cached data, then force a GC so the
       // context cleaner releases the previous query's broadcast and
@@ -340,7 +363,7 @@ object Bench {
     import graft.streaming.StreamRunner.{replayStats, resetReplayStats}
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.forall(_.contains(name))) {
-        val (c0, g0, j0, p0) = (compileCount, gcMs, jitMs, cpuMs)
+        val (c0, g0, j0, p0, l0) = (compileCount, gcMs, jitMs, cpuMs, loadAvg)
         resetReplayStats()
         val t0 = System.nanoTime()
         try {
@@ -350,6 +373,7 @@ object Bench {
           gcs(name) = gcMs - g0
           jits(name) = jitMs - j0
           cpuMsMap(name) = cpuMs - p0
+          loadMap(name) = math.max(l0, loadAvg)
           val (b, tr) = replayStats
           if (b > 0) { batches(name) = b; triggerMs(name) = tr }
         } catch {
@@ -380,7 +404,7 @@ object Bench {
       // has always claimed to be).
       try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
       isolate()
-      val (c1, g1, j1, p1) = (compileCount, gcMs, jitMs, cpuMs)
+      val (c1, g1, j1, p1, l1) = (compileCount, gcMs, jitMs, cpuMs, loadAvg)
       resetReplayStats()
       val t1 = System.nanoTime()
       try {
@@ -390,6 +414,7 @@ object Bench {
         warmGcs(name) = gcMs - g1
         warmJits(name) = jitMs - j1
         warmCpuMs(name) = cpuMs - p1
+        warmLoad(name) = math.max(l1, loadAvg)
         val (b, tr) = replayStats
         if (b > 0) { warmBatches(name) = b; warmTriggerMs(name) = tr }
       } catch {
@@ -417,6 +442,8 @@ object Bench {
     warmTriggerMs.foreach { case (n, v) => sb.append(s"XR $n $v\n") }
     cpuMsMap.foreach { case (n, v) => sb.append(s"P $n $v\n") }
     warmCpuMs.foreach { case (n, v) => sb.append(s"XP $n $v\n") }
+    loadMap.foreach { case (n, v) => sb.append(f"L $n $v%1.2f\n") }
+    warmLoad.foreach { case (n, v) => sb.append(f"XL $n $v%1.2f\n") }
     errors.foreach { case (n, m) =>
       sb.append(s"E $n ${m.replace('\n', ' ').replace('\r', ' ')}\n") }
     val w = new java.io.PrintWriter(fragPath, "UTF-8")

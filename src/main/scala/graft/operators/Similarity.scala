@@ -230,7 +230,10 @@ object Similarity {
     * the published pipeline's own structure (mine with FAISS, score
     * with the margin). The matrix materializes once
     * (localCheckpoint) because three consumers read it: both k-NN
-    * sides and the final scoring join. */
+    * sides and the final scoring join. Note the checkpoint is
+    * |src|×|tgt| rows of STORAGE, not just compute — the ScaleGuard
+    * row ceiling bounds the disk footprint too (guarded oracle leg;
+    * the production path never materializes pairs). */
   def marginMining(embeddings: DataFrame, k: Int = 4,
                    maxRows: Long = ScaleGuard.DefaultMaxRows): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

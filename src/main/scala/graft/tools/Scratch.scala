@@ -16,20 +16,28 @@ object Scratch {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_PROBE_N", "5").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = org.apache.spark.sql.SparkSession.builder()
+    val builder = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.codegen.cache.maxEntries", "8000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B knob for re-execution anomalies: SPARK_GRAFT_PROBE_AQE=false
+    sys.env.get("SPARK_GRAFT_PROBE_AQE").foreach(v =>
+      builder.config("spark.sql.adaptive.enabled", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import java.lang.management.ManagementFactory
     import scala.jdk.CollectionConverters._
     def gcMs = ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     def jitMs = ManagementFactory.getCompilationMXBean.getTotalCompilationTime
     def compiles = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    def cpuMs = ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val ns = os.getProcessCpuTime; if (ns < 0) 0L else ns / 1000000L
+      case _ => 0L
+    }
     val fn = graft.SparkEntry.queries(name)
     // optional pre-run list: execute these once first (same JVM) to
     // reproduce accumulation effects — e.g. a stream replay probed
@@ -48,13 +56,13 @@ object Scratch {
     (1 to nRuns).foreach { i =>
       spark.catalog.clearCache(); System.gc()
       graft.streaming.StreamRunner.resetReplayStats()
-      val (j0, g0, c0) = (jitMs, gcMs, compiles)
+      val (j0, g0, c0, p0) = (jitMs, gcMs, compiles, cpuMs)
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       val (rb, rt) = graft.streaming.StreamRunner.replayStats
       val streamBit = if (rb > 0) s" batches=$rb trigger_ms=$rt" else ""
-      println(f"PROBE $name run$i $dt%1.2fs jit=${jitMs - j0}ms gc=${gcMs - g0}ms compiles=${compiles - c0}$streamBit")
+      println(f"PROBE $name run$i $dt%1.2fs cpu=${cpuMs - p0}ms jit=${jitMs - j0}ms gc=${gcMs - g0}ms compiles=${compiles - c0}$streamBit")
       if (sleepS > 0 && i < nRuns) {
         val js = jitMs
         Thread.sleep(sleepS * 1000L)
