@@ -712,6 +712,12 @@ object SparkEntry {
     "t_warc_zst" -> ((s, dir) =>
       graft.sources.Warc.warcExtract(
         graft.sources.Warc.warcZstDocs(Tables.documents(s, dir)))),
+    // mailbox front door: RFC 5322 headers (folded To unfolded),
+    // RFC 2047 subjects (B and Q forms), multipart walk with
+    // quoted-printable and base64 transfer decodes, attachments counted
+    "t_eml_extract" -> ((s, dir) =>
+      graft.sources.Mime.emlExtract(
+        graft.sources.Mime.emlDocs(Tables.documents(s, dir)))),
     // the record census a real CC segment needs: 3xx responses with
     // their Location edges (path-absolute forms resolved against the
     // record URI), revisit dedup notes, request records kept at status 0
@@ -4724,6 +4730,37 @@ object SparkEntry {
         |       CAST(doc_id % 97 AS VARCHAR) || ' ' || text ||
         |       ' entities: A&B <x> "y" HI tail ' || CAST(doc_id % 13 AS VARCHAR)
         |         AS main_text
+        |FROM documents""".stripMargin,
+    // EML: every decoded field arithmetic — subjects decode both
+    // RFC 2047 forms back to the same string, QP/base64 parts decode
+    // to their closed forms, the folded To unfolds with its WSP
+    "t_eml_extract" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 1
+        |       THEN 'résumé ' || CAST(doc_id AS VARCHAR) || ' no ' || CAST(doc_id % 13 AS VARCHAR)
+        |       ELSE 'report ' || CAST(doc_id AS VARCHAR) || ' part ' || CAST(doc_id % 13 AS VARCHAR)
+        |  END AS subject,
+        |  'sender' || CAST(doc_id % 23 AS VARCHAR) || '@mail.site' ||
+        |    CAST(doc_id % 50 AS VARCHAR) || '.com' AS from_addr,
+        |  'rcpt' || CAST(doc_id % 17 AS VARCHAR) || '@example.org, someone' ||
+        |    CAST(doc_id % 7 AS VARCHAR) || '@example.org' AS to_addr,
+        |  'Mon, 01 Jan 2026 00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') ||
+        |    ' +0000' AS date,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN 1
+        |            WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS INT) AS n_parts,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN 0
+        |            WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_attachments,
+        |  CASE WHEN doc_id % 5 = 4
+        |       THEN 'plain mail ' || CAST(doc_id AS VARCHAR) || ': ' || text || chr(10)
+        |       ELSE 'greeting ' || CAST(doc_id % 7 AS VARCHAR) || ',' || chr(10) ||
+        |            'body of doc ' || CAST(doc_id AS VARCHAR) || ': café résumé line ' ||
+        |            CAST(doc_id % 13 AS VARCHAR) || chr(10) || '-- ' || chr(10) ||
+        |            'sig ' || CAST(doc_id % 5 AS VARCHAR)
+        |  END AS text_plain,
+        |  CASE WHEN doc_id % 5 = 4 THEN ''
+        |       ELSE '<html><body><p>html part of doc ' || CAST(doc_id AS VARCHAR) ||
+        |            ' value ' || CAST(doc_id % 11 AS VARCHAR) || '</p></body></html>'
+        |  END AS html
         |FROM documents""".stripMargin,
     // redirect/revisit census: five records, every field arithmetic
     "t_warc_redirects" ->

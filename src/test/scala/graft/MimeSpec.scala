@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Mime
+
+/** EML/MIME walk semantics: header unfolding, RFC 2047 subject
+  * decode (B and Q), multipart boundary discipline, QP/base64
+  * transfer decodes, loud failure on malformation. */
+class MimeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val boom: String => Nothing = m => throw new IllegalArgumentException(m)
+
+  test("fixture walk: all arms replay their closed forms") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 30)
+    val out = Mime.emlExtract(Mime.emlDocs(docs)).collect()
+    assert(out.length == 30)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val subj = r.getString(1)
+      if (id % 2 == 1) assert(subj == s"résumé $id no ${id % 13}", s"doc $id subject")
+      else assert(subj == s"report $id part ${id % 13}")
+      assert(r.getString(3) ==
+        s"rcpt${id % 17}@example.org, someone${id % 7}@example.org", "folded To unfolds")
+      if (id % 5 == 4) {
+        assert(r.getInt(5) == 1 && r.getInt(6) == 0 && r.getString(8).isEmpty)
+        assert(r.getString(7).startsWith(s"plain mail $id: "))
+      } else {
+        assert(r.getInt(5) == (if (id % 3 == 0) 3 else 2))
+        assert(r.getInt(6) == (if (id % 3 == 0) 1 else 0))
+        assert(r.getString(7).contains("café résumé"), "QP part decodes accents")
+        assert(r.getString(8).contains(s"html part of doc $id"), "base64 part decodes")
+      }
+    }
+  }
+
+  test("decodeQp: escapes, soft breaks, bad hex and truncation throw") {
+    assert(new String(Mime.decodeQp("caf=C3=A9 x=\r\ny", boom), "UTF-8") == "café xy")
+    intercept[IllegalArgumentException](Mime.decodeQp("bad =ZZ here", boom))
+    intercept[IllegalArgumentException](Mime.decodeQp("cut =4", boom))
+  }
+
+  test("decodeEncodedWords: B and Q forms, unknown charset rejected") {
+    assert(Mime.decodeEncodedWords("=?UTF-8?B?csOpc3Vtw6k=?=", boom) == "résumé")
+    assert(Mime.decodeEncodedWords("=?UTF-8?Q?a_b=C3=A9?=", boom) == "a bé")
+    assert(Mime.decodeEncodedWords("=?ISO-8859-1?Q?caf=E9?=", boom) == "café")
+    intercept[IllegalArgumentException](
+      Mime.decodeEncodedWords("=?KOI8-R?B?0NLJ18XU?=", boom))
+  }
+
+  test("parseEml rejects malformation loudly") {
+    def eml(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    // no header terminator
+    intercept[IllegalArgumentException](
+      Mime.parseEml(1L, eml("From: a@b\r\nSubject: x\r\n")))
+    // multipart without the closing boundary
+    val open = "From: a@b\r\nContent-Type: multipart/mixed; boundary=\"bb\"\r\n\r\n" +
+      "--bb\r\nContent-Type: text/plain\r\n\r\nhi\r\n"
+    val e = intercept[IllegalArgumentException](Mime.parseEml(1L, eml(open)))
+    assert(e.getMessage.contains("closing boundary"), e.getMessage)
+    // nested multipart is a loud one-level contract
+    val nested = "From: a@b\r\nContent-Type: multipart/mixed; boundary=\"bb\"\r\n\r\n" +
+      "--bb\r\nContent-Type: multipart/alternative; boundary=\"cc\"\r\n\r\nx\r\n--bb--\r\n"
+    intercept[IllegalArgumentException](Mime.parseEml(1L, eml(nested)))
+    // corrupt base64 part
+    val badB64 = "From: a@b\r\nContent-Type: text/plain\r\n" +
+      "Content-Transfer-Encoding: base64\r\n\r\n!!notbase64!!\r\n"
+    intercept[IllegalArgumentException](Mime.parseEml(1L, eml(badB64)))
+    // unsupported CTE
+    val badCte = "From: a@b\r\nContent-Type: text/plain\r\n" +
+      "Content-Transfer-Encoding: uuencode\r\n\r\nx\r\n"
+    intercept[IllegalArgumentException](Mime.parseEml(1L, eml(badCte)))
+  }
+}
