@@ -1326,6 +1326,11 @@ object SparkEntry {
     "m_rtf_text" -> ((s, dir) =>
       graft.sources.Rtf.extractRtf(
         graft.sources.Rtf.rtfDocs(Tables.documents(s, dir)))),
+    // presentation front door: OPC walk, deck order via the sldIdLst
+    // r:ids (file names lie on odd ids), a:p/a:t run extraction
+    "m_pptx_text" -> ((s, dir) =>
+      graft.sources.Archives.pptxText(
+        graft.sources.Archives.pptxDocs(Tables.documents(s, dir)))),
     // spreadsheet front door (the office trio's third leg): OPC walk,
     // workbook sheet order via r:id rels, sharedStrings indirection,
     // inline strings, numeric cells, and SPARSE rows whose col_idx
@@ -3876,6 +3881,19 @@ object SparkEntry {
         |       ' bold ' || CAST(doc_id % 5 AS VARCHAR) || ' plain' AS text,
         |       CAST(3 AS INT) AS n_pars
         |FROM documents""".stripMargin,
+    // PPTX: slide_idx is DECK position (odd ids reverse the list), so
+    // the file slide at that position is ns-1-i; two paragraphs whose
+    // runs and entity decode replay as string arithmetic
+    "m_pptx_text" ->
+      """WITH p AS (SELECT doc_id, text, CAST(1 + doc_id % 3 AS INT) AS ns FROM documents),
+        |g AS (SELECT doc_id, text, ns, unnest(generate_series(0, ns - 1)) AS i FROM p),
+        |s AS (SELECT doc_id, i, text,
+        |        CASE WHEN doc_id % 2 = 1 THEN ns - 1 - i ELSE i END AS sl FROM g)
+        |SELECT doc_id, CAST(i AS INT) AS slide_idx, CAST(2 AS INT) AS n_paragraphs,
+        |       'slide ' || CAST(sl AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) ||
+        |       chr(10) || 'bullet ' || CAST(doc_id % 7 AS VARCHAR) || ' & ' ||
+        |       substring(text, 1 + 30 * CAST(sl AS INT), 20) AS text
+        |FROM s""".stripMargin,
     // XLSX: the full cell table is arithmetic in doc_id — 1 + id%2
     // sheets, a 3-column header row of shared strings, 2 + id%3 data
     // rows where column A alternates shared/inline on (id+k)%2,

@@ -609,6 +609,108 @@ object Archives {
     walked.select(col("doc_id"), size(paras).as("n_paragraphs"), decoded.as("text"))
   }
 
+  // ---- PPTX (PresentationML) ----
+
+  /** Deterministic PPTX corpus — per document a REAL OPC package:
+    * `[Content_Types].xml` with the presentationml Override,
+    * `_rels/.rels`, `ppt/presentation.xml` whose `<p:sldIdLst>` names
+    * 1 + id%3 slides in order (REVERSED relative to file names on odd
+    * ids, like the EPUB spine — a reader sorting by name is caught),
+    * `ppt/_rels/presentation.xml.rels` resolving the r:ids, and per
+    * slide two `<a:p>` paragraphs of `<a:t>` runs (one split across
+    * runs, one with an entity). */
+  def pptxDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val nSlides = (1 + id % 3).toInt
+        def slideXml(s: Int): String = {
+          val slice = xmlEscape(text.slice(30 * s, 30 * s + 20))
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">""" +
+          "<p:cSld><p:spTree>" +
+          s"<p:sp><p:txBody><a:p><a:r><a:t>slide $s of doc </a:t></a:r>" +
+          s"<a:r><a:t>$id</a:t></a:r></a:p>" +
+          s"<a:p><a:r><a:t>bullet ${id % 7} &amp; $slice</a:t></a:r></a:p>" +
+          "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+        }
+        // odd ids reverse the sldIdLst relative to file names
+        val order = if (id % 2 == 1) (0 until nSlides).reverse else 0 until nSlides
+        val presentation =
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<p:presentation xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><p:sldIdLst>""" +
+          order.map(s => s"""<p:sldId id="${256 + s}" r:id="rId${s + 2}"/>""").mkString +
+          "</p:sldIdLst></p:presentation>"
+        val presRels =
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          (0 until nSlides).map(s =>
+            s"""<Relationship Id="rId${s + 2}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/slide" Target="slides/slide${s + 1}.xml"/>""").mkString +
+          "</Relationships>"
+        val contentTypes =
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+          """<Default Extension="xml" ContentType="application/xml"/>""" +
+          """<Override PartName="/ppt/presentation.xml" ContentType=""" +
+          """"application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/></Types>"""
+        val rels =
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="ppt/presentation.xml"/></Relationships>"""
+        val buf = new java.io.ByteArrayOutputStream()
+        val zos = new java.util.zip.ZipOutputStream(buf)
+        (Seq("[Content_Types].xml" -> contentTypes, "_rels/.rels" -> rels,
+          "ppt/presentation.xml" -> presentation,
+          "ppt/_rels/presentation.xml.rels" -> presRels) ++
+          (0 until nSlides).map(s => s"ppt/slides/slide${s + 1}.xml" -> slideXml(s)))
+          .foreach { case (name, content) =>
+            val e = new java.util.zip.ZipEntry(name)
+            e.setTime(FixedTime)
+            zos.putNextEntry(e); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+          }
+        zos.close()
+        (id, buf.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  private val SldIdRe = """(?s)<p:sldId [^>]*?r:id="([^"]*)"[^>]*/>""".r
+  private val APRe = """(?s)<a:p>(.*?)</a:p>""".r
+  private val ATRe = """(?s)<a:t[^>]*>(.*?)</a:t>""".r
+
+  /** PPTX → one row per slide in DECK order (the sldIdLst, not file
+    * names): (doc_id, slide_idx, n_paragraphs, text) — `<a:t>` runs
+    * concatenated per `<a:p>`, paragraphs joined by newline, entities
+    * decoded. OPC content-type verified; dangling slide r:ids throw.
+    * Map-only in the batched seam like its office siblings. */
+  def pptxText(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        def fail(msg: String): Nothing =
+          throw new IllegalArgumentException(s"doc $id: $msg")
+        val entries = parseZip(id, bytes)
+        def entry(name: String): String =
+          entries.find(_._2 == name).getOrElse(fail(s"missing $name"))._5
+        val ct = entry("[Content_Types].xml")
+        if (!ct.contains("presentationml.presentation.main+xml"))
+          fail("no presentationml content type")
+        val rels = RelRe.findAllMatchIn(entry("ppt/_rels/presentation.xml.rels"))
+          .map(m => m.group(1) -> m.group(2)).toMap
+        SldIdRe.findAllMatchIn(entry("ppt/presentation.xml")).zipWithIndex
+          .map { case (m, idx) =>
+            val target = rels.getOrElse(m.group(1),
+              fail(s"unresolvable slide r:id ${m.group(1)}"))
+            val path = if (target.startsWith("/")) target.drop(1) else "ppt/" + target
+            val slide = entry(path)
+            val paras = APRe.findAllMatchIn(slide).map(p =>
+              ATRe.findAllMatchIn(p.group(1)).map(_.group(1)).mkString).toSeq
+            (id, idx, paras.length, xmlUnescape(paras.mkString("\n")))
+          }
+      }).toDF("doc_id", "slide_idx", "n_paragraphs", "text")
+  }
+
   // ---- XLSX (SpreadsheetML) — the third leg of the office trio ----
 
   private def xmlUnescape(s: String): String =

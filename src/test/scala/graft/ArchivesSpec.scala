@@ -108,6 +108,44 @@ class ArchivesSpec extends SparkSpec {
     assert(Archives.sniff(mkvBytes) == (("webm", "video/webm")))
   }
 
+  test("pptxText: deck order beats file names on odd ids; OPC contract enforced") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 20)
+    val out = Archives.pptxText(Archives.pptxDocs(docs)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getString(3)))).toMap
+    (0L until 20L).foreach { id =>
+      val ns = (1 + id % 3).toInt
+      (0 until ns).foreach { i =>
+        val sl = if (id % 2 == 1) ns - 1 - i else i
+        val (np, text) = out((id, i))
+        assert(np == 2)
+        assert(text.startsWith(s"slide $sl of doc $id\nbullet ${id % 7} & "),
+          s"doc $id deck pos $i: ${text.take(40)}")
+      }
+    }
+    // content-type and dangling r:id failures are loud
+    val good = Archives.pptxDocs(Seq((2L, "some deck text body here"))
+      .toDF("doc_id", "text")).collect()(0).getAs[Array[Byte]](1)
+    val entries = Archives.parseZip(2L, good)
+    def rezip(f: (String, String) => String): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(buf)
+      entries.foreach { case (_, name, _, _, text) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(name))
+        zos.write(f(name, text).getBytes("UTF-8")); zos.closeEntry()
+      }
+      zos.close(); buf.toByteArray
+    }
+    val badCt = rezip((n, t) =>
+      if (n == "[Content_Types].xml") t.replace("presentationml.presentation.main", "x") else t)
+    intercept[Exception](Archives.pptxText(
+      Seq((2L, badCt)).toDF("doc_id", "payload")).collect())
+    val badRel = rezip((n, t) =>
+      if (n == "ppt/_rels/presentation.xml.rels") t.replace("\"rId2\"", "\"rIdX\"") else t)
+    intercept[Exception](Archives.pptxText(
+      Seq((2L, badRel)).toDF("doc_id", "payload")).collect())
+  }
+
   test("xlsxCells: shared/inline/numeric cells, sheet order, sparse-row coordinates") {
     val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
     val out = Archives.xlsxCells(Archives.xlsxDocs(docs)).collect()
