@@ -1260,6 +1260,10 @@ object SparkEntry {
     "m_webm_keyframes" -> ((s, dir) =>
       graft.sources.Ebml.webmKeyframes(
         graft.sources.Ebml.webmVp8Docs(Tables.documents(s, dir)))),
+    // ID3v2 text frames: v2.3 plain vs v2.4 syncsafe sizes, all four
+    // text encodings (BOM-dispatched UTF-16 included)
+    "m_id3_tags" -> ((s, dir) =>
+      Multimodal.id3Tags(Multimodal.mp3TaggedDocs(Tables.documents(s, dir)))),
     // per-frame MPEG-audio walk over a VBR fixture: each frame's own
     // bitrate drives the stride, offsets are the running sum — a walk
     // assuming one frame length mis-strides on frame 1
@@ -3943,6 +3947,18 @@ object SparkEntry {
         |       CAST(doc_id % 4 AS INT) AS version,
         |       CAST(1 AS INT) AS show_frame
         |FROM c""".stripMargin,
+    // ID3: four frames per doc, values arithmetic; the encodings all
+    // decode back to the same strings so the oracle is encoding-free
+    "m_id3_tags" ->
+      """SELECT doc_id, 'TIT2' AS frame_id,
+        |       'café track ' || CAST(doc_id % 89 AS VARCHAR) AS value FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'TPE1', 'artist ' || CAST(doc_id % 23 AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'TALB', 'album ' || CAST(doc_id % 7 AS VARCHAR) ||
+        |       ' vol ' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'TRCK', CAST(1 + doc_id % 12 AS VARCHAR) FROM documents""".stripMargin,
     // VBR frame walk: frame k's bitrate index is 1 + (id + 5k) % 14,
     // its length the spec recurrence, its offset the ID3 size plus the
     // running sum of prior frame lengths (window sum)

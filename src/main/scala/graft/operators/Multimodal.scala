@@ -4991,6 +4991,127 @@ object Multimodal {
         "sample_rate", "padded", "frame_bytes", "ts_ms")
   }
 
+  /** Deterministic ID3v2-tagged MP3 corpus — real text frames, all
+    * four published text encodings and both tag versions:
+    *  - ids % 4 == 0: v2.3, encoding 0 (ISO-8859-1);
+    *  - ids % 4 == 1: v2.3, encoding 1 (UTF-16 LE with BOM);
+    *  - ids % 4 == 2: v2.3, encoding 1 (UTF-16 BE with BOM — the BOM,
+    *    not a convention, decides byte order);
+    *  - ids % 4 == 3: v2.4, encoding 3 (UTF-8) with SYNCSAFE frame
+    *    sizes (the v2.3/v2.4 size-field difference is the classic
+    *    ID3 reader bug).
+    * Frames: TIT2/TPE1/TALB/TRCK, values closed-form (the title
+    * carries an accent so single-byte shortcuts fail). One CBR audio
+    * frame follows the tag so payloads are genuine MP3 files. */
+  def mp3TaggedDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val v4 = id % 4 == 3
+        def encodeText(s: String): Array[Byte] = (id % 4) match {
+          case 0 => Array(0.toByte) ++ s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          case 1 => Array(1.toByte, 0xFF.toByte, 0xFE.toByte) ++
+            s.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+          case 2 => Array(1.toByte, 0xFE.toByte, 0xFF.toByte) ++
+            s.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+          case _ => Array(3.toByte) ++ s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        def frame(fid: String, value: String): Array[Byte] = {
+          val content = encodeText(value)
+          val n = content.length
+          val size =
+            if (v4) Array(((n >> 21) & 0x7F).toByte, ((n >> 14) & 0x7F).toByte,
+              ((n >> 7) & 0x7F).toByte, (n & 0x7F).toByte)
+            else Array(((n >> 24) & 0xFF).toByte, ((n >> 16) & 0xFF).toByte,
+              ((n >> 8) & 0xFF).toByte, (n & 0xFF).toByte)
+          fid.getBytes("US-ASCII") ++ size ++ Array[Byte](0, 0) ++ content
+        }
+        val frames = frame("TIT2", s"café track ${id % 89}") ++
+          frame("TPE1", s"artist ${id % 23}") ++
+          frame("TALB", s"album ${id % 7} vol ${id % 5}") ++
+          frame("TRCK", s"${1 + id % 12}")
+        val tagLen = frames.length
+        val out = new java.io.ByteArrayOutputStream()
+        out.write('I'); out.write('D'); out.write('3')
+        out.write(if (v4) 4 else 3); out.write(0); out.write(0)
+        out.write((tagLen >> 21) & 0x7F); out.write((tagLen >> 14) & 0x7F)
+        out.write((tagLen >> 7) & 0x7F); out.write(tagLen & 0x7F)
+        out.write(frames, 0, frames.length)
+        // one genuine CBR frame (128 kbps @ 44100, index 9/0) after the tag
+        val len = 144000 * 128 / 44100
+        out.write(0xFF); out.write(0xFB); out.write(0x90); out.write(0x00)
+        var k = 4
+        while (k < len) { out.write(((id * 11 + 3L * k) % 256).toInt); k += 1 }
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** REAL ID3v2 frame walk (v2.3 and v2.4): syncsafe tag size, frame
+    * headers (4-byte id, size — PLAIN 32-bit in v2.3, SYNCSAFE in
+    * v2.4 — 2 flag bytes), text frames decoded per their encoding
+    * byte: 0 ISO-8859-1, 1 UTF-16 with the BOM deciding byte order,
+    * 2 UTF-16BE, 3 UTF-8; trailing NULs stripped; padding (a zero
+    * byte where a frame id should be) ends the walk. Truncated or
+    * overrunning frames and unknown encodings throw. */
+  private[graft] def parseId3Frames(id: Long, b: Array[Byte]): Seq[(String, String)] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    def u8(i: Int): Int = b(i) & 0xFF
+    if (b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3')
+      fail("no ID3v2 tag")
+    val major = u8(3)
+    if (major != 3 && major != 4) fail(s"unsupported ID3v2.$major")
+    val tagEnd = 10 + ((u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9))
+    if (tagEnd > b.length) fail(s"ID3v2 tag ($tagEnd bytes) overruns payload")
+    val out = Seq.newBuilder[(String, String)]
+    var p = 10
+    var done = false
+    while (!done && p + 10 <= tagEnd) {
+      if (u8(p) == 0) done = true // padding
+      else {
+        val fid = new String(b, p, 4, "US-ASCII")
+        if (!fid.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')))
+          fail(s"garbage frame id '$fid' at $p")
+        val n =
+          if (major == 4) (u8(p + 4) << 21) | (u8(p + 5) << 14) | (u8(p + 6) << 7) | u8(p + 7)
+          else (u8(p + 4) << 24) | (u8(p + 5) << 16) | (u8(p + 6) << 8) | u8(p + 7)
+        if (n < 0 || p + 10 + n > tagEnd) fail(s"frame $fid ($n bytes) overruns the tag")
+        if (fid.startsWith("T") && n >= 1) {
+          val enc = u8(p + 10)
+          val body = java.util.Arrays.copyOfRange(b, p + 11, p + 10 + n)
+          val text = enc match {
+            case 0 => new String(body, java.nio.charset.StandardCharsets.ISO_8859_1)
+            case 1 =>
+              if (body.length < 2) fail(s"$fid UTF-16 text without a BOM")
+              else if ((body(0) & 0xFF) == 0xFF && (body(1) & 0xFF) == 0xFE)
+                new String(body, 2, body.length - 2, java.nio.charset.StandardCharsets.UTF_16LE)
+              else if ((body(0) & 0xFF) == 0xFE && (body(1) & 0xFF) == 0xFF)
+                new String(body, 2, body.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+              else fail(s"$fid UTF-16 text with an invalid BOM")
+            case 2 => new String(body, java.nio.charset.StandardCharsets.UTF_16BE)
+            case 3 => new String(body, java.nio.charset.StandardCharsets.UTF_8)
+            case other => fail(s"$fid has unknown text encoding $other")
+          }
+          out += ((fid, text.replaceAll("\u0000+$", "")))
+        }
+        p += 10 + n
+      }
+    }
+    out.result()
+  }
+
+  /** MP3 → one row per ID3v2 text frame: (doc_id, frame_id, value) —
+    * the metadata channel of the audio front door. Map-only. */
+  def id3Tags(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseId3Frames(id, bytes).map { case (fid, v) => (id, fid, v) }
+      }).toDF("doc_id", "frame_id", "value")
+  }
+
   // ---- subtitles (SRT / WebVTT) ----
 
   /** `HH:MM:SS<sep>mmm` from a millisecond column — the writer side

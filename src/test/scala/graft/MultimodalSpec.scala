@@ -1398,6 +1398,31 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.parseMp3Frames(9L, lyingId3))
   }
 
+  test("parseId3Frames: both versions, all encodings, loud overrun/garbage") {
+    val goods = Multimodal.mp3TaggedDocs(Seq(0L, 1L, 2L, 3L).toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    goods.foreach { case (id, b) =>
+      val tags = Multimodal.parseId3Frames(id, b).toMap
+      assert(tags("TIT2") == s"café track ${id % 89}", s"doc $id (${id % 4} arm)")
+      assert(tags("TPE1") == s"artist ${id % 23}")
+      assert(tags("TALB") == s"album ${id % 7} vol ${id % 5}")
+      assert(tags("TRCK") == s"${1 + id % 12}")
+      // the tagged payload is still a decodable CBR MP3
+      assert(Multimodal.parseMp3(id, b).isDefined, "audio after the tag decodes")
+      // a frame size tampered past the tag must throw (v2.3 plain arm)
+      if (id % 4 == 0) {
+        val bad = b.clone(); bad(14) = 0x7F.toByte // TIT2 size high byte
+        intercept[IllegalArgumentException](Multimodal.parseId3Frames(id, bad))
+      }
+    }
+    // v2.3 vs v2.4 size fields actually differ on the wire for big frames:
+    // a reader applying the wrong rule overruns — here garbage ids throw
+    intercept[IllegalArgumentException](
+      Multimodal.parseId3Frames(9L, "ID3".getBytes("US-ASCII") ++ Array[Byte](5, 0, 0, 0, 0, 0, 0)))
+    intercept[IllegalArgumentException](
+      Multimodal.parseId3Frames(9L, "no tag here at all".getBytes("US-ASCII")))
+  }
+
   test("parseMp4 walks a hand-built box tree incl. largesize, size-0, v1 mvhd; corruption is None") {
     val out = new java.io.ByteArrayOutputStream()
     def be32(x: Long): Unit = { out.write(((x >> 24) & 0xFF).toInt); out.write(((x >> 16) & 0xFF).toInt)
