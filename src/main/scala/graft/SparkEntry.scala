@@ -5174,7 +5174,7 @@ object SparkEntry {
     // closed form, filtered to its doc_id % 6 slice
     "m_extract_any" ->
       """WITH pdfp AS (SELECT doc_id, text, CAST(1 + doc_id % 3 AS INT) AS np
-        |              FROM documents WHERE doc_id % 7 = 0),
+        |              FROM documents WHERE doc_id % 10 = 0),
         |pdfg AS (SELECT doc_id, np, text,
         |                unnest(generate_series(0, np - 1)) AS i FROM pdfp),
         |pdfpg AS (SELECT doc_id, i,
@@ -5189,7 +5189,7 @@ object SparkEntry {
         |               string_agg(ptxt, chr(10) ORDER BY i) AS text
         |        FROM pdfpg GROUP BY doc_id),
         |dxp AS (SELECT doc_id, text, CAST(1 + doc_id % 3 AS INT) AS np
-        |        FROM documents WHERE doc_id % 7 = 1),
+        |        FROM documents WHERE doc_id % 10 = 1),
         |dxg AS (SELECT doc_id, np, text,
         |               unnest(generate_series(0, np - 1)) AS i FROM dxp),
         |dxpg AS (SELECT doc_id, i,
@@ -5207,19 +5207,19 @@ object SparkEntry {
         |                      ' of document ' || CAST(doc_id % 97 AS VARCHAR) || ' ' ||
         |                      text || ' entities: A&B <x> "y" HI tail ' ||
         |                      CAST(doc_id % 13 AS VARCHAR) AS mt
-        |               FROM documents WHERE doc_id % 7 = 2)),
+        |               FROM documents WHERE doc_id % 10 = 2)),
         |html AS (SELECT doc_id, 'html' AS format,
         |                'main heading ' || CAST(doc_id AS VARCHAR) ||
         |                ' of document ' || CAST(doc_id % 97 AS VARCHAR) || ' ' ||
         |                text || ' entities: A&B <x> "y" HI tail ' ||
         |                CAST(doc_id % 13 AS VARCHAR) AS text
-        |         FROM documents WHERE doc_id % 7 = 3),
+        |         FROM documents WHERE doc_id % 10 = 3),
         |ltx AS (SELECT doc_id, 'latex' AS format,
         |               'Intro ' || CAST(doc_id % 7 AS VARCHAR) || ' This is doc ' ||
         |               CAST(doc_id % 97 AS VARCHAR) || ' body: ' || text ||
         |               ' 100% real. Math inline and display end. See and here now.'
         |                 AS text
-        |        FROM documents WHERE doc_id % 7 = 4),
+        |        FROM documents WHERE doc_id % 10 = 4),
         |md AS (SELECT doc_id, 'markdown' AS format,
         |              'Doc ' || CAST(doc_id AS VARCHAR) || ' Title Intro emphasis and ' ||
         |              'strong words. item ' || CAST(doc_id % 5 AS VARCHAR) ||
@@ -5227,17 +5227,46 @@ object SparkEntry {
         |              ' A link ' || CAST(doc_id % 11 AS VARCHAR) ||
         |              ' and here. Inline code' || CAST(doc_id % 9 AS VARCHAR) ||
         |              ' end. ' || text AS text
-        |       FROM documents WHERE doc_id % 7 = 5),
+        |       FROM documents WHERE doc_id % 10 = 5),
         |rtf AS (SELECT doc_id, 'rtf' AS format,
         |              'Heading ' || CAST(doc_id AS VARCHAR) || ' of doc ' ||
         |              CAST(doc_id % 97 AS VARCHAR) || ' Body text ' || text ||
         |              ': café résumé tail ' || CAST(doc_id % 13 AS VARCHAR) ||
         |              ' bold ' || CAST(doc_id % 5 AS VARCHAR) || ' plain' AS text
-        |        FROM documents WHERE doc_id % 7 = 6)
+        |        FROM documents WHERE doc_id % 10 = 6),
+        |ppp AS (SELECT doc_id, text, CAST(1 + doc_id % 3 AS INT) AS ns
+        |        FROM documents WHERE doc_id % 10 = 7),
+        |ppg AS (SELECT doc_id, text, ns, unnest(generate_series(0, ns - 1)) AS i FROM ppp),
+        |pps AS (SELECT doc_id, i, ns - 1 - i AS sl, text FROM ppg), -- ids % 10 = 7 are odd: deck reversed
+        |ppt AS (SELECT doc_id, i,
+        |    'slide ' || CAST(sl AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) ||
+        |    chr(10) || 'bullet ' || CAST(doc_id % 7 AS VARCHAR) || ' & ' ||
+        |    substring(text, 1 + 30 * CAST(sl AS INT), 20) AS stxt FROM pps),
+        |pptx AS (SELECT doc_id, 'pptx' AS format,
+        |                string_agg(stxt, chr(10) || chr(10) ORDER BY i) AS text
+        |         FROM ppt GROUP BY doc_id),
+        |xlp AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS nk
+        |        FROM documents WHERE doc_id % 10 = 8), -- even: 1 sheet; %5=3: dense
+        |xlg AS (SELECT doc_id, unnest(generate_series(0, nk - 1)) AS k FROM xlp),
+        |xll AS (SELECT doc_id, k,
+        |    'hdr_a=' || CASE WHEN (doc_id + k) % 2 = 0
+        |                     THEN 'cell ' || CAST(doc_id % 7 AS VARCHAR) || ' & co'
+        |                     ELSE 'inline ' || CAST(k AS VARCHAR) || ' of ' ||
+        |                          CAST(doc_id % 11 AS VARCHAR) || ' <ok>' END ||
+        |    '; hdr_b=' || CAST((doc_id * 3 + k * 7) % 101 AS VARCHAR) ||
+        |    '; hdr_c=txt ' || CAST(doc_id % 13 AS VARCHAR) AS line FROM xlg),
+        |xlsx AS (SELECT doc_id, 'xlsx' AS format,
+        |                string_agg(line, chr(10) ORDER BY k) AS text
+        |         FROM xll GROUP BY doc_id),
+        |eml AS (SELECT doc_id, 'eml' AS format, -- ids % 10 = 9 have id % 5 = 4: singlepart
+        |               'plain mail ' || CAST(doc_id AS VARCHAR) || ': ' || text || chr(10) AS text
+        |        FROM documents WHERE doc_id % 10 = 9)
         |SELECT * FROM pdf UNION ALL SELECT * FROM docx UNION ALL
         |SELECT * FROM epub UNION ALL SELECT * FROM html UNION ALL
         |SELECT * FROM ltx UNION ALL SELECT * FROM md UNION ALL
-        |SELECT * FROM rtf""".stripMargin,
+        |SELECT * FROM rtf UNION ALL
+        |SELECT * FROM pptx UNION ALL SELECT * FROM xlsx UNION ALL
+        |SELECT * FROM eml""".stripMargin,
     // subtitles: times and text arithmetic in (doc_id, cue index)
     "m_subtitle_cues" ->
       """WITH c AS (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS j

@@ -20,29 +20,37 @@ import org.apache.spark.sql.functions._
   */
 object DocRouter {
 
-  /** Mixed-format fixture: doc_id % 7 rotates REAL payloads across
-    * pdf / docx / epub / html / latex / markdown / rtf — each arm the
-    * respective family's own fixture generator verbatim, so every
-    * routed output has an already-verified closed form. */
+  /** Mixed-format fixture: doc_id % 10 rotates REAL payloads across
+    * pdf / docx / epub / html / latex / markdown / rtf / pptx / xlsx /
+    * eml — each arm the respective family's own fixture generator
+    * verbatim, so every routed output has an already-verified closed
+    * form. */
   def anyDocs(documents: DataFrame): DataFrame = {
     val id = col("doc_id")
     def enc(c: Column) = encode(c, "UTF-8")
-    val pdf = Pdf.pdfDocs(documents.filter(id % 7 === 0))
+    val pdf = Pdf.pdfDocs(documents.filter(id % 10 === 0))
       .select(col("doc_id"), col("payload"))
-    val docx = Archives.docxDocs(documents.filter(id % 7 === 1))
+    val docx = Archives.docxDocs(documents.filter(id % 10 === 1))
       .select(col("doc_id"), col("payload"))
-    val epub = Archives.epubDocs(documents.filter(id % 7 === 2))
+    val epub = Archives.epubDocs(documents.filter(id % 10 === 2))
       .select(col("doc_id"), col("payload"))
-    val html = graft.functions.TextAnalysis.htmlDocs(documents.filter(id % 7 === 3))
+    val html = graft.functions.TextAnalysis.htmlDocs(documents.filter(id % 10 === 3))
       .select(col("doc_id"), enc(col("html")).as("payload"))
-    val tex = graft.functions.MarkupKernels.latexDocs(documents.filter(id % 7 === 4))
+    val tex = graft.functions.MarkupKernels.latexDocs(documents.filter(id % 10 === 4))
       .select(col("doc_id"), enc(col("tex")).as("payload"))
-    val md = graft.functions.MarkupKernels.markdownDocs(documents.filter(id % 7 === 5))
+    val md = graft.functions.MarkupKernels.markdownDocs(documents.filter(id % 10 === 5))
       .select(col("doc_id"), enc(col("md")).as("payload"))
-    val rtf = Rtf.rtfDocs(documents.filter(id % 7 === 6))
+    val rtf = Rtf.rtfDocs(documents.filter(id % 10 === 6))
       .select(col("doc_id"), enc(col("rtf")).as("payload"))
+    val pptx = Archives.pptxDocs(documents.filter(id % 10 === 7))
+      .select(col("doc_id"), col("payload"))
+    val xlsx = Archives.xlsxDocs(documents.filter(id % 10 === 8))
+      .select(col("doc_id"), col("payload"))
+    val eml = Mime.emlDocs(documents.filter(id % 10 === 9))
+      .select(col("doc_id"), col("payload"))
     pdf.unionByName(docx).unionByName(epub)
       .unionByName(html).unionByName(tex).unionByName(md).unionByName(rtf)
+      .unionByName(pptx).unionByName(xlsx).unionByName(eml)
   }
 
   private def indexOf(b: Array[Byte], needle: Array[Byte]): Int = {
@@ -65,14 +73,26 @@ object DocRouter {
     * not a document. */
   private[graft] def sniffRoute(id: Long, b: Array[Byte]): (String, String) = {
     def has(s: String): Boolean = indexOf(b, s.getBytes("US-ASCII")) >= 0
+    def leads(s: String): Boolean = {
+      val n = s.getBytes("US-ASCII")
+      b.length >= n.length && n.indices.forall(k => b(k) == n(k))
+    }
     if (b.length >= 4 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F')
       ("pdf", null)
     else if (b.length >= 4 && b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4) {
       if (has("mimetypeapplication/epub+zip")) ("epub", null)
       else if (has("word/document.xml")) ("docx", null)
+      else if (has("ppt/presentation.xml")) ("pptx", null)
+      else if (has("xl/workbook.xml")) ("xlsx", null)
       else throw new IllegalArgumentException(
-        s"doc $id: ZIP payload is neither EPUB nor DOCX — not a document")
-    } else {
+        s"doc $id: ZIP payload is no known document package — not a document")
+    } else if (leads("From: ") || leads("Received: ") || leads("Return-Path: ") ||
+               has("\r\nMIME-Version: 1.0\r\n"))
+      // RFC 5322 transfer form is ASCII by construction (QP/base64
+      // carry the payload) — route the BYTES, the part decoders own
+      // the charsets
+      ("eml", null)
+    else {
       val (_, text) = Charset.fixEncoding(b)
       if (text.startsWith("{\\rtf")) ("rtf", text)
       else if (text.contains("<html") || text.contains("<!DOCTYPE html")) ("html", text)
@@ -93,7 +113,7 @@ object DocRouter {
         val (fmt, text) = sniffRoute(id, b)
         (id, fmt, if (text == null) b else null, text)
       }).toDF("doc_id", "format", "payload", "decoded")
-      // seven consumers below — materialize the classifying scan once
+      // ten consumers below — materialize the classifying scan once
       .localCheckpoint()
     def binBranch(fmt: String, extract: DataFrame => DataFrame): DataFrame =
       extract(routed.filter(col("format") === fmt)
@@ -114,5 +134,27 @@ object DocRouter {
       .unionByName(textBranch("markdown", "md",
         graft.functions.MarkupKernels.markdownExtract, "text"))
       .unionByName(textBranch("rtf", "rtf", df => Rtf.extractRtf(df), "text"))
+      // pptx: slides in deck order joined by a blank line
+      .unionByName(binBranch("pptx", df =>
+        Archives.pptxText(df)
+          .groupBy(col("doc_id"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("slide_idx"), col("text")))),
+            s => s.getField("text")), "\n\n").as("text"))))
+      // xlsx: cells linearized to header=value training lines (the
+      // documented consumer), joined in (sheet, row) order
+      .unionByName(binBranch("xlsx", df => {
+        val lines = graft.functions.TextAnalysis.linearizeTables(
+          Archives.xlsxCells(df).select(col("doc_id"),
+            col("sheet_idx").as("table_idx"), col("row_idx"), col("col_idx"),
+            (col("row_idx") === 0).as("is_header"), col("cell")))
+        lines.groupBy(col("doc_id"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("table_idx"), col("row_idx"), col("line")))),
+            s => s.getField("line")), "\n").as("text"))
+      }))
+      // eml: the first text/plain part is the document text
+      .unionByName(binBranch("eml", df =>
+        Mime.emlExtract(df).select(col("doc_id"), col("text_plain").as("text"))))
   }
 }

@@ -8,29 +8,37 @@ import graft.sources.{Archives, DocRouter}
   * containers fail loudly. */
 class DocRouterSpec extends SparkSpec {
 
-  test("extractAny: all seven arms route and extract; equals the per-format extractors") {
-    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 70)
+  test("extractAny: all ten arms route and extract; equals the per-format extractors") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 100)
     val out = DocRouter.extractAny(DocRouter.anyDocs(docs)).collect()
-    assert(out.length == 70)
-    val fmts = Seq("pdf", "docx", "epub", "html", "latex", "markdown", "rtf")
+    assert(out.length == 100)
+    val fmts = Seq("pdf", "docx", "epub", "html", "latex", "markdown", "rtf",
+      "pptx", "xlsx", "eml")
     out.foreach { r =>
       val id = r.getLong(0)
-      assert(r.getString(1) == fmts((id % 7).toInt), s"doc $id routed to ${r.getString(1)}")
+      assert(r.getString(1) == fmts((id % 10).toInt), s"doc $id routed to ${r.getString(1)}")
       assert(r.getString(2).nonEmpty)
     }
-    // spot-equality against directly-invoked extractors (epub, rtf arms)
-    val direct = Archives.epubText(Archives.epubDocs(docs.filter(col("doc_id") % 7 === 2)))
+    // spot-equality against directly-invoked extractors (epub, rtf, eml arms)
+    val direct = Archives.epubText(Archives.epubDocs(docs.filter(col("doc_id") % 10 === 2)))
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     out.filter(_.getString(1) == "epub").foreach { r =>
       assert(r.getString(2) == direct(r.getLong(0)))
     }
     val directRtf = graft.sources.Rtf.extractRtf(
-        graft.sources.Rtf.rtfDocs(docs.filter(col("doc_id") % 7 === 6)))
+        graft.sources.Rtf.rtfDocs(docs.filter(col("doc_id") % 10 === 6)))
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     out.filter(_.getString(1) == "rtf").foreach { r =>
       assert(r.getString(2) == directRtf(r.getLong(0)))
+    }
+    val directEml = graft.sources.Mime.emlExtract(
+        graft.sources.Mime.emlDocs(docs.filter(col("doc_id") % 10 === 9)))
+      .select(col("doc_id"), col("text_plain")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filter(_.getString(1) == "eml").foreach { r =>
+      assert(r.getString(2) == directEml(r.getLong(0)))
     }
   }
 
