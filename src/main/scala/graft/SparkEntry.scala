@@ -718,6 +718,11 @@ object SparkEntry {
     "t_eml_extract" -> ((s, dir) =>
       graft.sources.Mime.emlExtract(
         graft.sources.Mime.emlDocs(Tables.documents(s, dir)))),
+    // mbox: RFC 4155 From-separator split (quoted >From lines never
+    // split), each message through the same EML walk
+    "t_mbox_extract" -> ((s, dir) =>
+      graft.sources.Mime.mboxExtract(
+        graft.sources.Mime.mboxDocs(Tables.documents(s, dir)))),
     // the record census a real CC segment needs: 3xx responses with
     // their Location edges (path-absolute forms resolved against the
     // record URI), revisit dedup notes, request records kept at status 0
@@ -4796,6 +4801,38 @@ object SparkEntry {
         |            ' value ' || CAST(doc_id % 11 AS VARCHAR) || '</p></body></html>'
         |  END AS html
         |FROM documents""".stripMargin,
+    // mbox: message m is the EML closed form at mid = id*7 + m
+    "t_mbox_extract" ->
+      """WITH g AS (SELECT doc_id, text,
+        |             unnest(generate_series(0, doc_id % 4)) AS m FROM documents),
+        |x AS (SELECT doc_id, CAST(m AS INT) AS msg_idx, doc_id * 7 + m AS mid, text FROM g)
+        |SELECT doc_id, msg_idx,
+        |  CASE WHEN mid % 2 = 1
+        |       THEN 'résumé ' || CAST(mid AS VARCHAR) || ' no ' || CAST(mid % 13 AS VARCHAR)
+        |       ELSE 'report ' || CAST(mid AS VARCHAR) || ' part ' || CAST(mid % 13 AS VARCHAR)
+        |  END AS subject,
+        |  'sender' || CAST(mid % 23 AS VARCHAR) || '@mail.site' ||
+        |    CAST(mid % 50 AS VARCHAR) || '.com' AS from_addr,
+        |  'rcpt' || CAST(mid % 17 AS VARCHAR) || '@example.org, someone' ||
+        |    CAST(mid % 7 AS VARCHAR) || '@example.org' AS to_addr,
+        |  'Mon, 01 Jan 2026 00:00:' || lpad(CAST(mid % 60 AS VARCHAR), 2, '0') ||
+        |    ' +0000' AS date,
+        |  CAST(CASE WHEN mid % 5 = 4 THEN 1
+        |            WHEN mid % 3 = 0 THEN 3 ELSE 2 END AS INT) AS n_parts,
+        |  CAST(CASE WHEN mid % 5 = 4 THEN 0
+        |            WHEN mid % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_attachments,
+        |  CASE WHEN mid % 5 = 4
+        |       THEN 'plain mail ' || CAST(mid AS VARCHAR) || ': ' || text || chr(10)
+        |       ELSE 'greeting ' || CAST(mid % 7 AS VARCHAR) || ',' || chr(10) ||
+        |            'body of doc ' || CAST(mid AS VARCHAR) || ': café résumé line ' ||
+        |            CAST(mid % 13 AS VARCHAR) || chr(10) || '-- ' || chr(10) ||
+        |            'sig ' || CAST(mid % 5 AS VARCHAR)
+        |  END AS text_plain,
+        |  CASE WHEN mid % 5 = 4 THEN ''
+        |       ELSE '<html><body><p>html part of doc ' || CAST(mid AS VARCHAR) ||
+        |            ' value ' || CAST(mid % 11 AS VARCHAR) || '</p></body></html>'
+        |  END AS html
+        |FROM x""".stripMargin,
     // redirect/revisit census: five records, every field arithmetic
     "t_warc_redirects" ->
       """WITH d AS (SELECT doc_id,

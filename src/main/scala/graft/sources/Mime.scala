@@ -217,59 +217,126 @@ object Mime {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, emlBytes(id, text)) })
+      .toDF("doc_id", "payload")
+  }
+
+  // ---- mbox (RFC 4155) — many messages per file ----
+
+  /** Deterministic mbox corpus: 1 + id % 4 messages concatenated, each
+    * preceded by the RFC 4155 `From ` separator line; message m reuses
+    * the [[emlDocs]] closed form at synthetic id' = id * 7 + m (so
+    * every message field stays arithmetic and all the transfer arms
+    * rotate within one box). Body lines that START with "From " are
+    * `>From `-quoted by the writer, as real MUAs do — the reader must
+    * unquote. */
+  def mboxDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val utf8 = java.nio.charset.StandardCharsets.UTF_8
-        val subjPlain = s"report $id part ${id % 13}"
-        val subjAccent = s"résumé $id no ${id % 13}"
-        val subject = (id % 4) match {
-          case 1 => "=?UTF-8?Q?" + encodeQp(subjAccent.getBytes(utf8))
-            .replace("=\r\n", "") + "?="
-          case 3 => "=?UTF-8?B?" +
-            java.util.Base64.getEncoder.encodeToString(subjAccent.getBytes(utf8)) + "?="
-          case _ => subjPlain
+        val n = (1 + id % 4).toInt
+        val msgs = (0 until n).map { m =>
+          val mid = id * 7 + m
+          // re-derive the message exactly as emlDocs does, at mid
+          emlBytes(mid, text)
         }
-        val from = s"sender${id % 23}@mail.site${id % 50}.com"
-        val toFolded = s"rcpt${id % 17}@example.org,\r\n someone${id % 7}@example.org"
-        val date = f"Mon, 01 Jan 2026 00:00:${id % 60}%02d +0000"
-        val common = s"From: $from\r\nTo: $toFolded\r\nDate: $date\r\n" +
-          s"Subject: $subject\r\nMIME-Version: 1.0\r\n"
-        val eml: String =
-          if (id % 5 == 4) {
-            common +
-              "Content-Type: text/plain; charset=utf-8\r\n" +
-              "Content-Transfer-Encoding: 7bit\r\n\r\n" +
-              s"plain mail $id: $text\r\n"
-          } else {
-            val boundary = s"----=_graft_$id"
-            val plain = s"greeting ${id % 7},\r\nbody of doc $id: café résumé " +
-              s"line ${id % 13}\r\n-- \r\nsig ${id % 5}"
-            val html = s"<html><body><p>html part of doc $id value ${id % 11}" +
-              "</p></body></html>"
-            val attach =
-              if (id % 3 == 0) {
-                val bytes = Array.tabulate((8 + id % 9).toInt)(k => ((id + 5L * k) % 256).toByte)
-                s"--$boundary\r\n" +
-                  "Content-Type: application/octet-stream\r\n" +
-                  s"""Content-Disposition: attachment; filename="data${id % 9}.bin"\r\n""" +
-                  "Content-Transfer-Encoding: base64\r\n\r\n" +
-                  java.util.Base64.getEncoder.encodeToString(bytes) + "\r\n"
-              } else ""
-            common +
-              s"""Content-Type: multipart/alternative; boundary="$boundary"\r\n\r\n""" +
-              "preamble to be ignored\r\n" +
-              s"--$boundary\r\n" +
-              "Content-Type: text/plain; charset=utf-8\r\n" +
-              "Content-Transfer-Encoding: quoted-printable\r\n\r\n" +
-              encodeQp(plain.getBytes(utf8)) + "\r\n" +
-              s"--$boundary\r\n" +
-              "Content-Type: text/html; charset=utf-8\r\n" +
-              "Content-Transfer-Encoding: base64\r\n\r\n" +
-              java.util.Base64.getMimeEncoder.encodeToString(html.getBytes(utf8)) + "\r\n" +
-              attach +
-              s"--$boundary--\r\n"
-          }
-        (id, eml.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        val buf = new java.io.ByteArrayOutputStream()
+        msgs.zipWithIndex.foreach { case (msg, m) =>
+          val sep = s"From graft${(id + m) % 13}@mbox Mon Jan  1 00:00:0${m % 10} 2026\r\n"
+          buf.write(sep.getBytes("US-ASCII"))
+          // From-quote body lines (the writer side of the RFC 4155 rule)
+          val quoted = new String(msg, java.nio.charset.StandardCharsets.ISO_8859_1)
+            .replaceAll("(?m)^From ", ">From ")
+          buf.write(quoted.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+          buf.write("\r\n".getBytes("US-ASCII"))
+        }
+        (id, buf.toByteArray)
       }).toDF("doc_id", "payload")
+    }
+
+  /** One message's raw bytes — [[emlDocs]]' per-row body factored out
+    * so [[mboxDocs]] can reuse the exact closed form at derived ids. */
+  private def emlBytes(id: Long, text: String): Array[Byte] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val subjPlain = s"report $id part ${id % 13}"
+    val subjAccent = s"résumé $id no ${id % 13}"
+    val subject = (id % 4) match {
+      case 1 => "=?UTF-8?Q?" + encodeQp(subjAccent.getBytes(utf8))
+        .replace("=\r\n", "") + "?="
+      case 3 => "=?UTF-8?B?" +
+        java.util.Base64.getEncoder.encodeToString(subjAccent.getBytes(utf8)) + "?="
+      case _ => subjPlain
+    }
+    val from = s"sender${id % 23}@mail.site${id % 50}.com"
+    val toFolded = s"rcpt${id % 17}@example.org,\r\n someone${id % 7}@example.org"
+    val date = f"Mon, 01 Jan 2026 00:00:${id % 60}%02d +0000"
+    val common = s"From: $from\r\nTo: $toFolded\r\nDate: $date\r\n" +
+      s"Subject: $subject\r\nMIME-Version: 1.0\r\n"
+    val eml: String =
+      if (id % 5 == 4) {
+        common +
+          "Content-Type: text/plain; charset=utf-8\r\n" +
+          "Content-Transfer-Encoding: 7bit\r\n\r\n" +
+          s"plain mail $id: $text\r\n"
+      } else {
+        val boundary = s"----=_graft_$id"
+        val plain = s"greeting ${id % 7},\r\nbody of doc $id: café résumé " +
+          s"line ${id % 13}\r\n-- \r\nsig ${id % 5}"
+        val html = s"<html><body><p>html part of doc $id value ${id % 11}" +
+          "</p></body></html>"
+        val attach =
+          if (id % 3 == 0) {
+            val bytes = Array.tabulate((8 + id % 9).toInt)(k => ((id + 5L * k) % 256).toByte)
+            s"--$boundary\r\n" +
+              "Content-Type: application/octet-stream\r\n" +
+              s"""Content-Disposition: attachment; filename="data${id % 9}.bin"\r\n""" +
+              "Content-Transfer-Encoding: base64\r\n\r\n" +
+              java.util.Base64.getEncoder.encodeToString(bytes) + "\r\n"
+          } else ""
+        common +
+          s"""Content-Type: multipart/alternative; boundary="$boundary"\r\n\r\n""" +
+          "preamble to be ignored\r\n" +
+          s"--$boundary\r\n" +
+          "Content-Type: text/plain; charset=utf-8\r\n" +
+          "Content-Transfer-Encoding: quoted-printable\r\n\r\n" +
+          encodeQp(plain.getBytes(utf8)) + "\r\n" +
+          s"--$boundary\r\n" +
+          "Content-Type: text/html; charset=utf-8\r\n" +
+          "Content-Transfer-Encoding: base64\r\n\r\n" +
+          java.util.Base64.getMimeEncoder.encodeToString(html.getBytes(utf8)) + "\r\n" +
+          attach +
+          s"--$boundary--\r\n"
+      }
+    eml.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** mbox → one row per message: (doc_id, msg_idx, subject, from_addr,
+    * to_addr, date, n_parts, n_attachments, text_plain, html). The box
+    * splits on `From ` separator LINES only (a quoted `>From ` in a
+    * body never splits), each message unquotes its body and rides
+    * [[parseEml]]. A payload not starting with a separator fails. */
+  def mboxExtract(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        def fail(msg: String): Nothing =
+          throw new IllegalArgumentException(s"doc $id: $msg")
+        val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+        if (!raw.startsWith("From ")) fail("mbox does not start with a From separator")
+        val msgs = raw.split("(?m)^From [^\r\n]*\r\n").drop(1)
+        if (msgs.isEmpty) fail("mbox with no messages")
+        msgs.zipWithIndex.map { case (quoted, m) =>
+          val unquoted = quoted.replaceAll("(?m)^>From ", "From ")
+            .stripSuffix("\r\n") // the CRLF the writer adds before the next separator
+          val d = parseEml(id,
+            unquoted.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+          (id, m, d.subject, d.from, d.to, d.date, d.nParts, d.nAttachments,
+            d.textPlain, d.html)
+        }
+      }).toDF("doc_id", "msg_idx", "subject", "from_addr", "to_addr", "date",
+        "n_parts", "n_attachments", "text_plain", "html")
   }
 
   /** EML → (doc_id, subject, from_addr, to_addr, date, n_parts,

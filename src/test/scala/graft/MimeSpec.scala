@@ -48,6 +48,31 @@ class MimeSpec extends SparkSpec {
       Mime.decodeEncodedWords("=?KOI8-R?B?0NLJ18XU?=", boom))
   }
 
+  test("mbox: From-separator split, >From unquoting, loud non-mbox rejection") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 12)
+    val out = Mime.mboxExtract(Mime.mboxDocs(docs)).collect()
+    assert(out.length == (0L until 12L).map(id => 1 + id % 4).sum)
+    out.foreach { r =>
+      val mid = r.getLong(0) * 7 + r.getInt(1)
+      assert(r.getString(3) == s"sender${mid % 23}@mail.site${mid % 50}.com",
+        s"box ${r.getLong(0)} msg ${r.getInt(1)}")
+    }
+    // a body line starting "From " must NOT split the box: build one by
+    // hand around a singlepart message whose body carries such a line
+    val body = "From here on plain\r\nsecond line"
+    val msg = "From: a@b\r\nContent-Type: text/plain; charset=utf-8\r\n" +
+      "Content-Transfer-Encoding: 7bit\r\n\r\n" + body
+    val quoted = msg.replaceAll("(?m)^From ", ">From ")
+    val box = ("From x@y Mon Jan  1 00:00:00 2026\r\n" + quoted + "\r\n")
+      .getBytes("ISO-8859-1")
+    val rows = Mime.mboxExtract(Seq((5L, box)).toDF("doc_id", "payload")).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(8) == "From here on plain\nsecond line",
+      "quoted From line unquotes, box does not split")
+    intercept[Exception](Mime.mboxExtract(
+      Seq((5L, "not an mbox".getBytes("US-ASCII"))).toDF("doc_id", "payload")).collect())
+  }
+
   test("parseEml rejects malformation loudly") {
     def eml(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
     // no header terminator
