@@ -5373,7 +5373,8 @@ object SparkEntry {
     "c_dpo_bias" -> dpoBiasOracle,
     "c_bt_ratings" -> btRatingsOracle,
     "s_stream_dpo_bias" -> dpoBiasOracle,
-    // feeds: both dialects arithmetic in (h, entry index)
+    // feeds: both dialects arithmetic in (h, entry index); month
+    // rotates (h + 2j) % 12 so the RFC 822 month table is exercised
     "t_feed_items" ->
       """WITH h AS (SELECT i AS h FROM range(0, 50) t(i)),
         |u AS (SELECT h, unnest(generate_series(0, 1 + h % 3)) AS j FROM h)
@@ -5383,7 +5384,8 @@ object SparkEntry {
         |       'post ' || CAST((h * 5 + j) % 89 AS VARCHAR) AS title,
         |       'https://site' || CAST(h AS VARCHAR) || '.com/articles/' ||
         |       CAST((h * 7 + j) % 97 AS VARCHAR) || '/view' AS link,
-        |       CAST('2026-01-' || lpad(CAST(1 + (h + j) % 28 AS VARCHAR), 2, '0')
+        |       CAST('2026-' || lpad(CAST(1 + (h + j * 2) % 12 AS VARCHAR), 2, '0') ||
+        |            '-' || lpad(CAST(1 + (h + j) % 28 AS VARCHAR), 2, '0')
         |            AS DATE) AS published
         |FROM u""".stripMargin,
     // batch perceptron, 3 unrolled integer-exact epochs: w1 is the

@@ -302,25 +302,39 @@ object Crawl {
         regexp_extract(col("block"), "<loc>(.*?)</loc>", 1).as("loc"))
   }
 
+  /** The twelve RFC 822 month names in wire order — shared by the
+    * fixture writer and [[feedItems]]' parser. */
+  private val Rfc822Months = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
   /** Deterministic feed corpus — crawl discovery's third channel
     * after robots and sitemaps: even base hosts publish RSS 2.0
     * (`<item>` with title/link/pubDate), odd hosts publish Atom
     * (`<entry>` with title, `<link href=…/>`, `<updated>`), 2 + h%3
-    * entries each, every field arithmetic in (h, entry index). */
+    * entries each, every field arithmetic in (h, entry index). The
+    * month ROTATES over all twelve names ((h + 2j) % 12) so the
+    * RFC 822 parser's full month table is load-bearing, not just
+    * January. */
   def feedDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     val hosts = spark.range(0, 50).select(col("id").as("h"))
     val h = col("h")
     val day = (j: Column) => lpad((lit(1) + (h + j) % 28).cast("string"), 2, "0")
+    val monIdx = (j: Column) => (h + j * 2) % 12
+    val monName = (j: Column) =>
+      element_at(lit(Rfc822Months.toArray), monIdx(j).cast("int") + 1)
+    val monNum = (j: Column) => lpad((monIdx(j) + 1).cast("string"), 2, "0")
     val rssItems = transform(sequence(lit(0), lit(1) + h % 3), j =>
       concat(lit("  <item><title>post "), (h * 5 + j) % 89,
         lit("</title><link>https://site"), h, lit(".com/articles/"),
         (h * 7 + j) % 97, lit("/view</link><pubDate>Mon, "), day(j),
-        lit(" Jan 2026 00:00:00 GMT</pubDate></item>")))
+        lit(" "), monName(j),
+        lit(" 2026 00:00:00 GMT</pubDate></item>")))
     val atomEntries = transform(sequence(lit(0), lit(1) + h % 3), j =>
       concat(lit("  <entry><title>post "), (h * 5 + j) % 89,
         lit("</title><link href=\"https://site"), h, lit(".com/articles/"),
-        (h * 7 + j) % 97, lit("/view\"/><updated>2026-01-"), day(j),
+        (h * 7 + j) % 97, lit("/view\"/><updated>2026-"), monNum(j),
+        lit("-"), day(j),
         lit("T00:00:00Z</updated></entry>")))
     val rss = concat(
       lit("<?xml version=\"1.0\"?>\n<rss version=\"2.0\"><channel>\n<title>site"),
@@ -364,12 +378,20 @@ object Crawl {
       when(col("feed_type") === "rss",
         regexp_extract(b, "<link>(.*?)</link>", 1))
         .otherwise(regexp_extract(b, "<link href=\"(.*?)\"", 1)).as("link"),
-      when(col("feed_type") === "rss",
-        // RFC 822: "Mon, 05 Jan 2026 …" — month names map via the
-        // fixture's single-month domain; a full parser would CASE all
-        // twelve (the dialect dispatch is the operator's point)
-        to_date(concat(lit("2026-01-"),
-          regexp_extract(b, "<pubDate>[A-Za-z]+, (\\d{2}) Jan 2026", 1))))
+      when(col("feed_type") === "rss", {
+        // RFC 822: "Mon, 05 Mar 2026 …" — the full twelve-name month
+        // table, wire name → number, then an ISO re-assembly (a name
+        // the table doesn't know yields NULL month → to_date NULL,
+        // the per-row dialect-parse failure mode)
+        val mName = regexp_extract(b, "<pubDate>[A-Za-z]+, \\d{2} ([A-Za-z]{3}) \\d{4}", 1)
+        val mNum = Rfc822Months.zipWithIndex.foldLeft(lit(null).cast("string")) {
+          case (acc, (nm, i)) => when(mName === nm, f"${i + 1}%02d").otherwise(acc)
+        }
+        to_date(concat(
+          regexp_extract(b, "<pubDate>[A-Za-z]+, \\d{2} [A-Za-z]{3} (\\d{4})", 1),
+          lit("-"), mNum, lit("-"),
+          regexp_extract(b, "<pubDate>[A-Za-z]+, (\\d{2})", 1)))
+      })
         .otherwise(to_date(regexp_extract(b,
           "<updated>(\\d{4}-\\d{2}-\\d{2})", 1))).as("published"))
   }

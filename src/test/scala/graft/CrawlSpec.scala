@@ -140,7 +140,9 @@ class CrawlSpec extends SparkSpec {
       assert(r.getString(1) == (if (h % 2 == 0) "rss" else "atom"))
       assert(r.getString(3) == s"post ${(h * 5 + j) % 89}")
       assert(r.getString(4) == s"https://site$h.com/articles/${(h * 7 + j) % 97}/view")
-      assert(r.getDate(5).toString == f"2026-01-${1 + (h + j) % 28}%02d")
+      // month rotates through the full RFC 822 table ((h + 2j) % 12)
+      assert(r.getDate(5).toString ==
+        f"2026-${1 + (h + j * 2) % 12}%02d-${1 + (h + j) % 28}%02d")
     }
     import spark.implicits._
     val junk = Seq(("x.com", "<html>nope</html>")).toDF("host", "feed_xml")
