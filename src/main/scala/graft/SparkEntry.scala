@@ -1301,6 +1301,11 @@ object SparkEntry {
     "m_tar_entries" -> ((s, dir) =>
       graft.sources.Archives.tarEntries(
         graft.sources.Archives.tarDocs(Tables.documents(s, dir)))),
+    // compressed tarballs: gzip / zstd decompress by magic (capped)
+    // before the same ustar walk — entry closed form unchanged
+    "m_tgz_entries" -> ((s, dir) =>
+      graft.sources.Archives.tarEntries(
+        graft.sources.Archives.tgzDocs(Tables.documents(s, dir)))),
     // magic-byte format router (the libmagic move): 13 published
     // signatures incl. RIFF form-type and offset-4 ftyp dispatch,
     // strict-UTF-8 text fallthrough
@@ -3788,6 +3793,24 @@ object SparkEntry {
     // tar walk: three ustar members per doc — the third's path runs
     // past 100 bytes and rides the POSIX prefix field
     "m_tar_entries" ->
+      """SELECT doc_id, CAST(0 AS INT) AS entry_idx,
+        |       'docs/doc_' || CAST(doc_id % 97 AS VARCHAR) || '.txt' AS name,
+        |       CAST(length(text) AS BIGINT) AS n_bytes, text FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INT),
+        |       'docs/meta_' || CAST(doc_id % 13 AS VARCHAR) || '.txt',
+        |       CAST(9 + length(CAST(doc_id % 13 AS VARCHAR)) AS BIGINT),
+        |       'tar meta ' || CAST(doc_id % 13 AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(2 AS INT),
+        |       'archive/section-' || CAST(doc_id % 7 AS VARCHAR) ||
+        |       '/a-very-long-collection-directory-name-used-for-prefix-field-testing' ||
+        |       '/shard-' || CAST(doc_id % 13 AS VARCHAR) ||
+        |       '/doc_' || CAST(doc_id % 97 AS VARCHAR) || '.txt',
+        |       CAST(6 AS BIGINT),
+        |       'long ' || CAST(doc_id % 7 AS VARCHAR) FROM documents""".stripMargin,
+    // compressed tarballs decode to the identical entry table
+    "m_tgz_entries" ->
       """SELECT doc_id, CAST(0 AS INT) AS entry_idx,
         |       'docs/doc_' || CAST(doc_id % 97 AS VARCHAR) || '.txt' AS name,
         |       CAST(length(text) AS BIGINT) AS n_bytes, text FROM documents

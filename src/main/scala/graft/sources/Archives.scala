@@ -296,10 +296,48 @@ object Archives {
   def tarEntries(bin: DataFrame): DataFrame = {
     val spark = bin.sparkSession
     import spark.implicits._
+    val limit = Inflate.limitOf(spark)
     bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        parseTar(id, bytes).map { case (idx, name, n, text) => (id, idx, name, n, text) }
+        parseTar(id, decompressIfNeeded(id, bytes, limit))
+          .map { case (idx, name, n, text) => (id, idx, name, n, text) }
       }).toDF("doc_id", "entry_idx", "name", "n_bytes", "text")
+  }
+
+  /** Compressed-tarball transparency: `.tar.gz` / `.tar.zst` payloads
+    * (how dataset drops actually ship) decompress by magic — capped,
+    * bombs fail inside the loop — before the ustar walk; plain tar
+    * passes through. */
+  private def decompressIfNeeded(id: Long, b: Array[Byte], limit: Long): Array[Byte] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    if (b.length >= 2 && (b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B)
+      Inflate.gunzipCapped(b, limit, "tar.gz", fail)
+    else if (b.length >= 4 && (b(0) & 0xFF) == 0x28 && (b(1) & 0xFF) == 0xB5 &&
+             (b(2) & 0xFF) == 0x2F && (b(3) & 0xFF) == 0xFD)
+      Inflate.unzstdCapped(b, limit, "tar.zst", fail)
+    else b
+  }
+
+  /** [[tarDocs]] behind the wire compression dataset drops use:
+    * ids % 3 == 0 gzip the whole tarball, ids % 3 == 1 zstd it,
+    * the rest ship plain — same entry closed form as the tar oracle. */
+  def tgzDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    tarDocs(documents).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, tar) =>
+        val payload = (id % 3) match {
+          case 0 =>
+            val buf = new java.io.ByteArrayOutputStream()
+            val gz = new java.util.zip.GZIPOutputStream(buf)
+            gz.write(tar); gz.close()
+            buf.toByteArray
+          case 1 => com.github.luben.zstd.Zstd.compress(tar)
+          case _ => tar
+        }
+        (id, payload)
+      }).toDF("doc_id", "payload")
   }
 
   /** Deterministic mixed-format corpus for the sniffer — one payload

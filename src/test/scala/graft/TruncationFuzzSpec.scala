@@ -138,6 +138,24 @@ class TruncationFuzzSpec extends SparkSpec {
     }
   }
 
+  test("tar.gz / tar.zst: compressed tarballs walk; bombs fail at the ceiling") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 9)
+    val rows = Archives.tarEntries(Archives.tgzDocs(docs)).collect()
+    assert(rows.length == 27, "3 entries per doc across all three transports")
+    // a zstd tar bomb under a tiny session ceiling trips in the loop
+    val bomb = com.github.luben.zstd.Zstd.compress(new Array[Byte](4 << 20))
+    spark.conf.set(graft.sources.Inflate.ConfKey, "4096")
+    try {
+      import spark.implicits._
+      val e = intercept[Exception](Archives.tarEntries(
+        Seq((7L, bomb)).toDF("doc_id", "payload")).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("ceiling")), msgs(e).mkString(" | "))
+    } finally spark.conf.unset(graft.sources.Inflate.ConfKey)
+  }
+
   test("zstd bomb: a warc.zst record expanding past maxInflatedBytes fails at the ceiling") {
     // 8 MiB of zeros compresses to ~KB of zstd; under a 4 KiB ceiling
     // the read loop must trip long before materializing the expansion
