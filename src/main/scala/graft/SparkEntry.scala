@@ -330,6 +330,11 @@ object SparkEntry {
     // lang-id confusion matrix: the heuristic scored against labels
     "t_langid_confusion" -> ((s, dir) =>
       graft.functions.TextAnalysis.langIdConfusion(Tables.documents(s, dir))),
+    // script-vs-label consistency (the CCNet gate): per-class char
+    // counts by regex deletion, Latin/Han argmax, agreement flag
+    "t_script_profile" -> ((s, dir) =>
+      graft.functions.TextAnalysis.scriptProfile(
+        graft.functions.TextAnalysis.langMarkedDocs(Tables.documents(s, dir)))),
     // the published Gopher quality rules, one boolean column per rule
     "t_gopher_filter" -> ((s, dir) =>
       graft.functions.TextAnalysis.gopherFilter(Tables.documents(s, dir))),
@@ -2519,6 +2524,31 @@ object SparkEntry {
         |FROM m""".stripMargin,
     // confusion matrix: the lang-id CTE joined to labels, row rates
     // from exact integer counts
+    // script profile: counts are regex-deletion deltas over the
+    // regenerated in-language text (same CTE as c_langid_trained)
+    "t_script_profile" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    array_to_string(list_transform(
+        |      generate_series(0, 19 + doc_id % 30),
+        |      j -> (CASE lang
+        |        WHEN 'de' THEN ['der','und','die','das','über','schön','straße']
+        |        WHEN 'en' THEN ['the','and','of','with','through','knight','which']
+        |        WHEN 'es' THEN ['el','los','niños','señora','nación','está','también']
+        |        WHEN 'fr' THEN ['le','la','les','été','français','même','déjà']
+        |        ELSE ['的','了','是','在','中文','汉字','我们'] END
+        |      )[CAST((doc_id + 3*j) % 7 AS INT) + 1]), ' ') AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |  CAST(length(t) - length(regexp_replace(t, '[A-Za-zÀ-ÖØ-öø-ÿ]', '', 'g')) AS BIGINT) AS n_latin,
+        |  CAST(length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g')) AS BIGINT) AS n_han,
+        |  CAST(length(t) - length(regexp_replace(t, ' ', '', 'g')) AS BIGINT) AS n_space,
+        |  CAST(length(t) AS BIGINT) AS n FROM base)
+        |SELECT doc_id, lang, n_latin, n_han, n_space,
+        |       n - n_latin - n_han - n_space AS n_other,
+        |       CASE WHEN n_han > n_latin THEN 'han' ELSE 'latin' END AS script,
+        |       (lang = 'zh') = (n_han > n_latin) AS script_match
+        |FROM c""".stripMargin,
     "t_langid_confusion" ->
       """WITH scored AS (
         |  SELECT doc_id, lang,

@@ -961,6 +961,30 @@ object TextAnalysis {
     documents.select(col("doc_id"), col("lang"), text.as("text"))
   }
 
+  /** Unicode-script profile — the consistency gate real lid pipelines
+    * (CCNet) apply next to the classifier: a doc whose predicted
+    * language disagrees with its dominant SCRIPT is a mislabel or
+    * mixed-content page. Counts are chars-removed-by-class regex
+    * deletions (Latin incl. the Latin-1 supplement, CJK Unified
+    * Ideographs, spaces, remainder), pure per-row codegen, engine-
+    * identical integers; `script` is the Latin/Han argmax and
+    * `script_match` flags agreement with the label. */
+  def scriptProfile(documents: DataFrame): DataFrame = {
+    val t = col("text")
+    def cnt(pattern: String): Column =
+      (length(t) - length(regexp_replace(t, pattern, ""))).cast("long")
+    val nLatin = cnt("[A-Za-zÀ-ÖØ-öø-ÿ]")
+    val nHan = cnt("[一-鿿]")
+    val nSpace = cnt(" ")
+    documents.select(col("doc_id"), col("lang"),
+        nLatin.as("n_latin"), nHan.as("n_han"), nSpace.as("n_space"),
+        (length(t).cast("long") - nLatin - nHan - nSpace).as("n_other"))
+      .withColumn("script",
+        when(col("n_han") > col("n_latin"), "han").otherwise("latin"))
+      .withColumn("script_match",
+        (col("lang") === "zh") === (col("script") === "han"))
+  }
+
   /** KEYWORD-IN-CONTEXT concordance — the corpus-inspection operator
     * behind every "show me how this term is actually used" audit
     * (sense-checking a blocklist term, reviewing PII hits, vetting
