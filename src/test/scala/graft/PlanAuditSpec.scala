@@ -1285,6 +1285,39 @@ class PlanAuditSpec extends SparkSpec {
       s"the capstone must never build the all-pairs matrix:\n$p")
   }
 
+  test("round-15 decode seams stay map-only: no Exchange in any parser scan") {
+    // every new container walk is one mapPartitions scan — an Exchange
+    // appearing here would mean payload BYTES started shuffling, the
+    // exact failure mode the batched-seam design exists to prevent
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 20)
+    Seq[(String, DataFrame)](
+      "xlsxCells" -> graft.sources.Archives.xlsxCells(graft.sources.Archives.xlsxDocs(docs)),
+      "pptxText" -> graft.sources.Archives.pptxText(graft.sources.Archives.pptxDocs(docs)),
+      "mp3Frames" -> Multimodal.mp3Frames(Multimodal.mp3VbrDocs(docs)),
+      "id3Tags" -> Multimodal.id3Tags(Multimodal.mp3TaggedDocs(docs)),
+      "webmKeyframes" -> graft.sources.Ebml.webmKeyframes(graft.sources.Ebml.webmVp8Docs(docs)),
+      "warcZst" -> graft.sources.Warc.warcExtract(graft.sources.Warc.warcZstDocs(docs)),
+      "warcRecords" -> graft.sources.Warc.warcRecords(graft.sources.Warc.warcRedirectDocs(docs)),
+      "emlExtract" -> graft.sources.Mime.emlExtract(graft.sources.Mime.emlDocs(docs)),
+      "mboxExtract" -> graft.sources.Mime.mboxExtract(graft.sources.Mime.mboxDocs(docs)),
+      "tgzEntries" -> graft.sources.Archives.tarEntries(graft.sources.Archives.tgzDocs(docs)),
+      "scriptProfile" -> graft.functions.TextAnalysis.scriptProfile(
+        graft.functions.TextAnalysis.langMarkedDocs(docs))
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"$name shuffles payloads:\n$p")
+    }
+  }
+
+  test("langIdTrained scoring: the weight matrix rides the closure; counts aggregate partially") {
+    val docs = graft.functions.TextAnalysis.langMarkedDocs(
+      Tables.documents(spark, dir).limit(60))
+    val p = plan(Corpus.langIdTrained(docs, epochs = 1))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"gram counting lost its partial agg:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept into scoring:\n$p")
+  }
+
   test("trainQualityPerceptron: weights ride the closure, not a join; aggs stay partial") {
     val docs = Tables.documents(spark, dir).limit(60)
     val p = plan(Corpus.trainQualityPerceptron(docs, epochs = 1))
