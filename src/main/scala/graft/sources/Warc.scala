@@ -36,9 +36,10 @@ object Warc {
     * gzip — how crawled servers actually answer), so the walker
     * exercises record-level and entity-level compression
     * independently AND stacked (id ≡ 3 mod 6: gzip entity inside a
-    * gzip record). All headers are closed-form in doc_id; the HTML is
-    * all-ASCII, so Content-Length arithmetic is exact on both
-    * engines. */
+    * gzip record); ids % 5 == 1 additionally ship the entity with
+    * Transfer-Encoding: chunked (id 6 stacks chunked over gzip). All
+    * headers are closed-form in doc_id; the HTML is all-ASCII, so
+    * Content-Length arithmetic is exact on both engines. */
   def warcDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -123,12 +124,82 @@ object Warc {
     val reqBlock = s"GET /doc/${id % 97} HTTP/1.1\r\nHost: crawl.site${id % 50}.com\r\n\r\n"
       .getBytes("US-ASCII")
     val plainBody = html.getBytes("US-ASCII")
-    val (bodyBytes, encHdr) =
+    val (entity, encHdr) =
       if (id % 3 == 0) (gzipMember(plainBody), "Content-Encoding: gzip\r\n")
       else (plainBody, "")
+    // ids % 5 == 1 ship Transfer-Encoding: chunked (how dynamic pages
+    // actually answer; per RFC 7230 §3.3.1 chunking applies AFTER
+    // content coding, and a chunked message carries no Content-Length)
+    // — id 6 ≡ 1 (mod 5) and ≡ 0 (mod 3) stacks chunked over gzip
+    val (bodyBytes, framingHdr) =
+      if (id % 5 == 1) (chunkEncode(entity, 100 + (id % 97).toInt),
+        "Transfer-Encoding: chunked\r\n")
+      else (entity, s"Content-Length: ${entity.length}\r\n")
     val respBlock = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
-      encHdr + s"Content-Length: ${bodyBytes.length}\r\n\r\n").getBytes("US-ASCII") ++ bodyBytes
+      encHdr + framingHdr + "\r\n").getBytes("US-ASCII") ++ bodyBytes
     Seq(record("request", reqBlock), record("response", respBlock))
+  }
+
+  /** RFC 7230 chunked framing: hex-size line (the FIRST chunk carries
+    * a `;graft=1` extension the reader must ignore), data, CRLF,
+    * repeated; then the `0` chunk and the terminating blank line. */
+  private def chunkEncode(b: Array[Byte], chunkSize: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length + 64)
+    var off = 0
+    var first = true
+    while (off < b.length) {
+      val n = math.min(chunkSize, b.length - off)
+      val ext = if (first) ";graft=1" else ""
+      out.write(f"$n%x$ext\r\n".getBytes("US-ASCII"))
+      out.write(b, off, n)
+      out.write('\r'); out.write('\n')
+      off += n
+      first = false
+    }
+    out.write("0\r\n\r\n".getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
+  /** RFC 7230 §4.1 chunked decode: hex sizes (extensions after `;`
+    * ignored), exact CRLF framing, the 0 chunk required, trailer
+    * section (lines before the final blank line) skipped. Truncation
+    * and garbage sizes fail loudly. */
+  private[graft] def dechunk(b: Array[Byte], fail: String => Nothing): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var p = 0
+    def line(): String = {
+      var i = p
+      while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
+      if (i + 1 >= b.length) fail("chunked body: unterminated size line")
+      val s = new String(b, p, i - p, "US-ASCII")
+      p = i + 2
+      s
+    }
+    var done = false
+    while (!done) {
+      val sizeLine = line()
+      val hex = sizeLine.takeWhile(_ != ';').trim
+      val n = try Integer.parseInt(hex, 16) catch {
+        case _: NumberFormatException => fail(s"chunked body: bad chunk size '$hex'")
+      }
+      if (n < 0) fail(s"chunked body: negative chunk size $n")
+      if (n == 0) done = true
+      else {
+        if (p + n + 2 > b.length) fail("chunked body: chunk overruns entity")
+        out.write(b, p, n)
+        p += n
+        if (b(p) != '\r' || b(p + 1) != '\n') fail("chunked body: missing chunk CRLF")
+        p += 2
+      }
+    }
+    // trailer section: zero or more header lines, then a blank line
+    var trailerDone = false
+    while (!trailerDone) {
+      if (p + 2 > b.length) fail("chunked body: missing final CRLF")
+      if (b(p) == '\r' && b(p + 1) == '\n') { p += 2; trailerDone = true }
+      else line() // a trailer header — skipped
+    }
+    out.toByteArray
   }
 
   /** The shared framing walk every WARC-family reader (raw WARC, WET,
@@ -257,10 +328,19 @@ object Warc {
           else Some(l.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT) ->
             l.substring(c + 1).trim)
         }.toMap
-        val bodyRaw = java.util.Arrays.copyOfRange(block, hEnd + 4, block.length)
-        httpHeaders.get("content-length").foreach { cl =>
-          if (intHeader(cl, "HTTP Content-Length") != bodyRaw.length)
-            fail(s"HTTP Content-Length $cl != entity length ${bodyRaw.length}")
+        val bodyWire = java.util.Arrays.copyOfRange(block, hEnd + 4, block.length)
+        // transfer coding first (RFC 7230: chunking wraps the content
+        // coding on the wire, so it unwraps first); a chunked message
+        // carries no Content-Length, so the CL check is framing-gated
+        val bodyRaw = httpHeaders.get("transfer-encoding") match {
+          case Some(te) if te.equalsIgnoreCase("chunked") => dechunk(bodyWire, fail)
+          case Some(other) => fail(s"unsupported Transfer-Encoding '$other'")
+          case None =>
+            httpHeaders.get("content-length").foreach { cl =>
+              if (intHeader(cl, "HTTP Content-Length") != bodyWire.length)
+                fail(s"HTTP Content-Length $cl != entity length ${bodyWire.length}")
+            }
+            bodyWire
         }
         val body = httpHeaders.get("content-encoding") match {
           case Some("gzip") =>

@@ -39,6 +39,27 @@ class WarcSpec extends SparkSpec {
     assert(plain6.contains("Content-Encoding: gzip"), "doc 6 entity gzip'd")
     val plain4 = new String(payloads(4L), "ISO-8859-1")
     assert(!plain4.contains("Content-Encoding"), "doc 4 entity plain")
+    // ids % 5 == 1 ship chunked (doc 6 stacks chunked OVER gzip); a
+    // chunked message carries no Content-Length in its HTTP block
+    assert(plain6.contains("Transfer-Encoding: chunked"), "doc 6 chunked")
+    assert(plain6.contains(";graft=1"), "first chunk carries an extension")
+    val plain16 = new String(payloads(16L), "ISO-8859-1")
+    assert(plain16.contains("Transfer-Encoding: chunked") &&
+      !plain16.contains("Content-Encoding"), "doc 16 chunked, plain entity")
+  }
+
+  test("dechunk rejects malformed chunked bodies loudly") {
+    def boom(m: String): Nothing = throw new IllegalArgumentException(m)
+    def by(s: String) = s.getBytes("ISO-8859-1")
+    assert(new String(Warc.dechunk(by("3;x=y\r\nabc\r\n2\r\nde\r\n0\r\n\r\n"), boom),
+      "US-ASCII") == "abcde")
+    // trailer headers skip
+    assert(new String(Warc.dechunk(by("1\r\nz\r\n0\r\nX-T: 1\r\n\r\n"), boom),
+      "US-ASCII") == "z")
+    intercept[IllegalArgumentException](Warc.dechunk(by("ZZ\r\nabc\r\n0\r\n\r\n"), boom))
+    intercept[IllegalArgumentException](Warc.dechunk(by("5\r\nab"), boom))
+    intercept[IllegalArgumentException](Warc.dechunk(by("3\r\nabcXX0\r\n\r\n"), boom))
+    intercept[IllegalArgumentException](Warc.dechunk(by("1\r\nz\r\n0\r\n"), boom))
   }
 
   test("warcZstDocs: frame-per-record, whole-file, and skippable-frame arms all extract identically") {
