@@ -3838,7 +3838,13 @@ object SparkEntry {
         |       '/shard-' || CAST(doc_id % 13 AS VARCHAR) ||
         |       '/doc_' || CAST(doc_id % 97 AS VARCHAR) || '.txt',
         |       CAST(6 AS BIGINT),
-        |       'long ' || CAST(doc_id % 7 AS VARCHAR) FROM documents""".stripMargin,
+        |       'long ' || CAST(doc_id % 7 AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(3 AS INT),
+        |       'päx/ünicode-' || CAST(doc_id % 11 AS VARCHAR) ||
+        |       '/data_' || CAST(doc_id % 97 AS VARCHAR) || '.txt',
+        |       CAST(9 + length(CAST(doc_id % 11 AS VARCHAR)) AS BIGINT),
+        |       'pax data ' || CAST(doc_id % 11 AS VARCHAR) FROM documents""".stripMargin,
     // compressed tarballs decode to the identical entry table
     "m_tgz_entries" ->
       """SELECT doc_id, CAST(0 AS INT) AS entry_idx,
@@ -3856,7 +3862,13 @@ object SparkEntry {
         |       '/shard-' || CAST(doc_id % 13 AS VARCHAR) ||
         |       '/doc_' || CAST(doc_id % 97 AS VARCHAR) || '.txt',
         |       CAST(6 AS BIGINT),
-        |       'long ' || CAST(doc_id % 7 AS VARCHAR) FROM documents""".stripMargin,
+        |       'long ' || CAST(doc_id % 7 AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(3 AS INT),
+        |       'päx/ünicode-' || CAST(doc_id % 11 AS VARCHAR) ||
+        |       '/data_' || CAST(doc_id % 97 AS VARCHAR) || '.txt',
+        |       CAST(9 + length(CAST(doc_id % 11 AS VARCHAR)) AS BIGINT),
+        |       'pax data ' || CAST(doc_id % 11 AS VARCHAR) FROM documents""".stripMargin,
     // format sniffer: the fixture rotates 14 published signatures on
     // doc_id % 14; the oracle is the rotation itself
     "m_sniff_format" ->

@@ -181,7 +181,8 @@ object Archives {
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val out = new java.io.ByteArrayOutputStream()
-        def member(name: String, content: Array[Byte]): Unit = {
+        def member(name: String, content: Array[Byte],
+                   typeflag: Char = '0'): Unit = {
           val h = new Array[Byte](512)
           def put(off: Int, s: String): Unit = {
             val bs = s.getBytes("US-ASCII")
@@ -204,7 +205,7 @@ object Archives {
           put(116, "0000000")                     // gid
           put(124, f"${content.length}%011o")     // size, octal
           put(136, "00000000000")                 // mtime
-          h(156) = '0'                                  // typeflag: regular
+          h(156) = typeflag.toByte                      // '0' file / 'x' pax
           put(257, "ustar")                       // magic
           put(263, "00")                                // version
           // checksum: header summed with the checksum field as spaces
@@ -226,19 +227,66 @@ object Archives {
           "a-very-long-collection-directory-name-used-for-prefix-field-testing/" +
           s"shard-${id % 13}/doc_${id % 97}.txt",
           s"long ${id % 7}".getBytes("UTF-8"))
+        // PAX (POSIX.1-2001 'x') extended header: a UTF-8 path the
+        // ustar name field cannot carry — modern GNU/BSD tar's default
+        // for any non-ASCII name. The ustar header holds the mangled
+        // fallback; the reader must take the pax `path` record.
+        val paxPath = s"päx/ünicode-${id % 11}/data_${id % 97}.txt"
+        member(s"PaxHeaders.0/data_${id % 97}.txt",
+          paxRecord("path", paxPath) ++
+            paxRecord("graft.unknown", s"ignored ${id % 5}"), 'x')
+        member(s"pax/fallback-${id % 97}.txt",
+          s"pax data ${id % 11}".getBytes("UTF-8"))
         out.write(new Array[Byte](1024)) // end-of-archive: two zero blocks
         (id, out.toByteArray)
       }).toDF("doc_id", "payload")
   }
 
+  /** One pax record: `"<len> <key>=<value>\n"` where len counts the
+    * WHOLE record including its own digits — the fixed point solved by
+    * probing both candidate digit widths. */
+  private def paxRecord(key: String, value: String): Array[Byte] = {
+    val body = s" $key=$value\n".getBytes("UTF-8")
+    var len = body.length + 1 // at least one digit
+    while (len.toString.length + body.length != len) len += 1
+    (len.toString.getBytes("US-ASCII")) ++ body
+  }
+
   /** From-scratch ustar walk: 512-byte headers, octal size fields,
     * magic verification, and the POSIX checksum rule (sum of header
-    * bytes with the checksum field read as spaces). Stops at the
-    * end-of-archive zero block; throws on bad magic, checksum
-    * mismatch, or a member overrunning the stream. */
+    * bytes with the checksum field read as spaces). PAX
+    * (POSIX.1-2001) extended headers are honored: an 'x' entry's
+    * `path` record overrides the NEXT file's name (unknown keywords
+    * ignored per the spec), 'g' global headers are validated and
+    * skipped. Stops at the end-of-archive zero block; throws on bad
+    * magic, checksum mismatch, malformed pax records, or a member
+    * overrunning the stream. */
   private[graft] def parseTar(id: Long, b: Array[Byte]): Seq[(Int, String, Long, String)] = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"doc $id: $msg")
+    // pax record walk: "<len> <key>=<value>\n", len counts the record
+    def paxRecords(dataOff: Int, size: Int): Map[String, String] = {
+      val recs = Map.newBuilder[String, String]
+      var p = dataOff
+      val end = dataOff + size
+      while (p < end) {
+        var q = p
+        while (q < end && b(q) != ' ') q += 1
+        if (q >= end) fail(s"pax record at $p lacks a length field")
+        val len = try new String(b, p, q - p, "US-ASCII").toInt catch {
+          case _: NumberFormatException => fail(s"non-numeric pax record length at $p")
+        }
+        if (len <= 0 || p + len > end) fail(s"pax record length $len overruns at $p")
+        if (b(p + len - 1) != '\n') fail(s"pax record at $p lacks its newline")
+        val rec = new String(b, q + 1, p + len - 1 - (q + 1), "UTF-8")
+        val eq = rec.indexOf('=')
+        if (eq < 0) fail(s"pax record at $p lacks '='")
+        recs += rec.substring(0, eq) -> rec.substring(eq + 1)
+        p += len
+      }
+      recs.result()
+    }
+    var pendingPath: Option[String] = None
     val out = Seq.newBuilder[(Int, String, Long, String)]
     var off = 0
     var e = 0
@@ -276,13 +324,23 @@ object Archives {
         if (sum != stored) fail(s"tar checksum mismatch at $off: stored $stored computed $sum")
         // POSIX prefix field: leading directories of a >100-byte path
         val prefix = str(345, 155)
-        val name = if (prefix.isEmpty) str(0, 100) else prefix + "/" + str(0, 100)
+        val ustarName = if (prefix.isEmpty) str(0, 100) else prefix + "/" + str(0, 100)
         val size = octal(124, 12, "size")
         if (size < 0 || size > Int.MaxValue) fail(s"tar size $size out of range at $off")
         val dataOff = off + 512
-        if (dataOff + size > b.length) fail(s"member '$name' overruns archive")
-        val text = new String(b, dataOff, size.toInt, "UTF-8")
-        if (b(off + 156) == '0'.toByte || b(off + 156) == 0) {
+        if (dataOff + size > b.length) fail(s"member '$ustarName' overruns archive")
+        val typeflag = b(off + 156)
+        if (typeflag == 'x'.toByte) {
+          // per-file extended header: records apply to the NEXT entry
+          pendingPath = paxRecords(dataOff, size.toInt).get("path").orElse(pendingPath)
+        } else if (typeflag == 'g'.toByte) {
+          // global header: validated, but only per-file overrides are
+          // honored here (a corpus walk has no tar-wide defaults to set)
+          paxRecords(dataOff, size.toInt)
+        } else if (typeflag == '0'.toByte || typeflag == 0) {
+          val name = pendingPath.getOrElse(ustarName)
+          pendingPath = None
+          val text = new String(b, dataOff, size.toInt, "UTF-8")
           out += ((e, name, size, text)); e += 1
         }
         off = dataOff + ((size + 511) / 512 * 512).toInt

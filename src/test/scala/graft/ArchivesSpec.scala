@@ -48,7 +48,7 @@ class ArchivesSpec extends SparkSpec {
   test("tarEntries: ustar walk verifies checksums and octal sizes") {
     val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
     val rows = Archives.tarEntries(Archives.tarDocs(docs)).collect()
-    assert(rows.length == 120, "3 members per tarball")
+    assert(rows.length == 160, "4 members per tarball (pax header not emitted)")
     val text = docs.select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     rows.foreach { r =>
@@ -66,6 +66,11 @@ class ArchivesSpec extends SparkSpec {
             s"shard-${id % 13}/doc_${id % 97}.txt"
           assert(expect.length > 100, "fixture must exceed the name field")
           assert(name == expect && t == s"long ${id % 7}")
+        case 3 =>
+          // the PAX path record beats the mangled ustar fallback
+          assert(name == s"p\u00e4x/\u00fcnicode-${id % 11}/data_${id % 97}.txt",
+            s"pax path not honored: $name")
+          assert(t == s"pax data ${id % 11}")
       }
     }
     // a flipped header byte breaks the checksum

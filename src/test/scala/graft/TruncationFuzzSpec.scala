@@ -35,7 +35,7 @@ class TruncationFuzzSpec extends SparkSpec {
   test("tar: truncations inside the data region fail the checksum/size walk") {
     ids.foreach { id =>
       val full = payloadOf(Archives.tarDocs(docs), id)
-      assert(Archives.parseTar(id, full).length == 3)
+      assert(Archives.parseTar(id, full).length == 4)
       // points strictly before the two end-of-archive zero blocks — a
       // cut INSIDE the terminator is indistinguishable from a valid
       // end marker by design (tar has no global length field)
@@ -142,7 +142,7 @@ class TruncationFuzzSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 9)
     val rows = Archives.tarEntries(Archives.tgzDocs(docs)).collect()
-    assert(rows.length == 27, "3 entries per doc across all three transports")
+    assert(rows.length == 36, "4 entries per doc across all three transports")
     // a zstd tar bomb under a tiny session ceiling trips in the loop
     val bomb = com.github.luben.zstd.Zstd.compress(new Array[Byte](4 << 20))
     spark.conf.set(graft.sources.Inflate.ConfKey, "4096")
