@@ -330,6 +330,12 @@ object SparkEntry {
     // lang-id confusion matrix: the heuristic scored against labels
     "t_langid_confusion" -> ((s, dir) =>
       graft.functions.TextAnalysis.langIdConfusion(Tables.documents(s, dir))),
+    // markdownify (the FineWeb-class serialization): one fused kernel
+    // re-emitting headings/links/emphasis as markdown, text runs
+    // escaped so page text can't inject structure
+    "t_html_markdown" -> ((s, dir) =>
+      graft.functions.HtmlToMd.htmlMarkdown(
+        graft.functions.TextAnalysis.htmlDocs(Tables.documents(s, dir)))),
     // script-vs-label consistency (the CCNet gate): per-class char
     // counts by regex deletion, Latin/Han argmax, agreement flag
     "t_script_profile" -> ((s, dir) =>
@@ -2524,6 +2530,21 @@ object SparkEntry {
         |FROM m""".stripMargin,
     // confusion matrix: the lang-id CTE joined to labels, row rates
     // from exact integer counts
+    // markdownify: six blocks, blank-line separated — nav links, the
+    // # heading, both paragraphs (entities decoded), aside, footer
+    "t_html_markdown" ->
+      """SELECT doc_id,
+        |  '[home](/) [section ' || CAST(doc_id % 5 AS VARCHAR) || '](/s' ||
+        |    CAST(doc_id % 5 AS VARCHAR) || ') [contact](/c)' || chr(10) || chr(10) ||
+        |  '# main heading ' || CAST(doc_id AS VARCHAR) || ' of document ' ||
+        |    CAST(doc_id % 97 AS VARCHAR) || chr(10) || chr(10) ||
+        |  text || chr(10) || chr(10) ||
+        |  'entities: A&B <x> "y" HI tail ' || CAST(doc_id % 13 AS VARCHAR) ||
+        |    chr(10) || chr(10) ||
+        |  '[promo](/p) [offer](/q)' || chr(10) || chr(10) ||
+        |  '© 2026 corpus site [terms](/terms) [privacy](/privacy)' AS markdown,
+        |  CAST(6 AS INT) AS n_blocks, CAST(7 AS INT) AS n_links
+        |FROM documents""".stripMargin,
     // script profile: counts are regex-deletion deltas over the
     // regenerated in-language text (same CTE as c_langid_trained)
     "t_script_profile" ->

@@ -1,0 +1,289 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SqlBridge
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML → Markdown — the "markdownify" stage modern corpus recipes run
+  * (FineWeb-class pipelines serialize pages to markdown so structure —
+  * headings, lists, links, emphasis — survives into training text
+  * instead of flattening away). One fused per-row state machine in the
+  * [[HtmlKernels]] mold: comments / DOCTYPE / script / style / head
+  * skip structurally, entities decode through the shared table,
+  * block-level tags delimit paragraphs (blank-line separated), and
+  * inline structure re-emits as markdown:
+  *
+  *  - h1..h6 → `#`·level prefix;
+  *  - li → `- ` prefix (one block per item);
+  *  - blockquote → `> ` prefix;
+  *  - a → `[text](href)` (nested markup stays inside the text);
+  *  - strong/b → `**…**`, em/i → `*…*`, code → `` `…` ``;
+  *  - hr → `---`; br → a space (blocks are whitespace-collapsed);
+  *  - literal markdown metacharacters in TEXT runs escape
+  *    (`\ ` * _ [ ]`) so page text cannot inject structure.
+  *
+  * Map-only codegen work in the batched seam — no shuffle, no UDF. */
+object HtmlToMd {
+
+  val OutputType: StructType = StructType(Seq(
+    StructField("markdown", StringType, nullable = false),
+    StructField("n_blocks", IntegerType, nullable = false),
+    StructField("n_links", IntegerType, nullable = false)))
+
+  def htmlToMarkdown(html: Column): Column =
+    SqlBridge.column(HtmlToMarkdown(SqlBridge.expression(html)))
+
+  private val BlockTags: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("p", "div", "nav", "footer", "header", "aside", "h1", "h2",
+      "h3", "h4", "h5", "h6", "ul", "ol", "li", "table", "tr", "td",
+      "th", "section", "article", "main", "blockquote", "pre", "title",
+      "body", "html", "head", "form", "figure", "figcaption", "dl",
+      "dt", "dd", "hr").foreach(s.add)
+    s
+  }
+
+  private def collapse(sb: java.lang.StringBuilder): String = {
+    val out = new java.lang.StringBuilder(sb.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < sb.length) {
+      val c = sb.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == 0xA0.toChar) {
+        if (out.length > 0) pendingSpace = true
+      } else {
+        if (pendingSpace) { out.append(' '); pendingSpace = false }
+        out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  /** Attribute value by name from a tag's attribute span (quoted
+    * single/double or bare), "" if absent. */
+  private def attrValue(h: String, from: Int, to: Int, name: String): String = {
+    var i = from
+    while (i < to) {
+      // attribute name start
+      while (i < to && !Character.isLetter(h.charAt(i))) i += 1
+      val ns = i
+      while (i < to && (Character.isLetterOrDigit(h.charAt(i)) || h.charAt(i) == '-')) i += 1
+      val aname = h.substring(ns, i).toLowerCase(java.util.Locale.ROOT)
+      while (i < to && h.charAt(i) == ' ') i += 1
+      var v = ""
+      if (i < to && h.charAt(i) == '=') {
+        i += 1
+        while (i < to && h.charAt(i) == ' ') i += 1
+        if (i < to && (h.charAt(i) == '"' || h.charAt(i) == '\'')) {
+          val q = h.charAt(i)
+          val vs = i + 1
+          var ve = vs
+          while (ve < to && h.charAt(ve) != q) ve += 1
+          v = h.substring(vs, math.min(ve, to))
+          i = ve + 1
+        } else {
+          val vs = i
+          while (i < to && h.charAt(i) != ' ' && h.charAt(i) != '>') i += 1
+          v = h.substring(vs, i)
+        }
+      }
+      if (aname == name) return v
+      if (ns == i) i += 1 // no progress: step past punctuation
+    }
+    ""
+  }
+
+  private def indexOfIgnoreCase(h: String, needle: String, from: Int): Int = {
+    val n = h.length; val m = needle.length
+    var i = math.max(from, 0)
+    while (i + m <= n) {
+      var k = 0
+      while (k < m && Character.toLowerCase(h.charAt(i + k)) == needle.charAt(k)) k += 1
+      if (k == m) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** The conversion pass. Called from generated code. */
+  def convertInto(s: UTF8String): InternalRow = {
+    val h = s.toString
+    val n = h.length
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val curr = new java.lang.StringBuilder
+    val linkText = new java.lang.StringBuilder
+    var linkHref = ""
+    var aDepth = 0
+    var inHead = false
+    var heading = 0
+    var listItem = false
+    var quoteBlock = false
+    var nLinks = 0
+
+    def target: java.lang.StringBuilder = if (aDepth > 0) linkText else curr
+
+    def appendText(c: Char): Unit =
+      if (!inHead) {
+        // text cannot inject markdown structure
+        if (c == '\\' || c == '`' || c == '*' || c == '_' || c == '[' || c == ']')
+          target.append('\\')
+        target.append(c)
+      }
+
+    def appendDecoded(dec: String): Unit = {
+      var k = 0
+      while (k < dec.length) { appendText(dec.charAt(k)); k += 1 }
+    }
+
+    def flushBlock(): Unit = {
+      val text = collapse(curr)
+      curr.setLength(0)
+      if (text.nonEmpty) {
+        val prefix =
+          if (heading > 0) "#" * heading + " "
+          else if (listItem) "- "
+          else if (quoteBlock) "> "
+          else ""
+        blocks += prefix + text
+      }
+      heading = 0; listItem = false; quoteBlock = false
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = h.charAt(i)
+      if (c == '<') {
+        if (h.startsWith("<!--", i)) {
+          val end = h.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && (h.charAt(i + 1) == '!' || h.charAt(i + 1) == '?')) {
+          val end = h.indexOf('>', i + 1)
+          i = if (end < 0) n else end + 1
+        } else if (i + 1 < n &&
+                   (Character.isLetter(h.charAt(i + 1)) || h.charAt(i + 1) == '/')) {
+          val closing = h.charAt(i + 1) == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && Character.isLetterOrDigit(h.charAt(j))) j += 1
+          val name = h.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+          val attrStart = j
+          var quote: Char = 0
+          var end = -1
+          while (end < 0 && j < n) {
+            val cj = h.charAt(j)
+            if (quote != 0) { if (cj == quote) quote = 0 }
+            else if (cj == '"' || cj == '\'') quote = cj
+            else if (cj == '>') end = j
+            j += 1
+          }
+          val tagEnd = if (end < 0) n else end
+          i = if (end < 0) n else end + 1
+          if (!closing && (name == "script" || name == "style")) {
+            val close = indexOfIgnoreCase(h, "</" + name, i)
+            if (close < 0) i = n
+            else {
+              val gt = h.indexOf('>', close)
+              i = if (gt < 0) n else gt + 1
+            }
+            flushBlock()
+          } else {
+            name match {
+              case "head" => inHead = !closing
+              case "body" => inHead = false
+              case "a" =>
+                if (closing) {
+                  if (aDepth > 0) {
+                    aDepth -= 1
+                    if (aDepth == 0) {
+                      val t = collapse(linkText)
+                      linkText.setLength(0)
+                      curr.append('[').append(t).append("](").append(linkHref).append(')')
+                    }
+                  }
+                } else if (!inHead) {
+                  if (aDepth == 0) {
+                    linkHref = attrValue(h, attrStart, tagEnd, "href")
+                    linkText.setLength(0)
+                  }
+                  aDepth += 1; nLinks += 1
+                }
+              case "strong" | "b" => if (!inHead) target.append("**")
+              case "em" | "i" => if (!inHead) target.append('*')
+              case "code" => if (!inHead) target.append('`')
+              case "br" => if (!inHead && !closing) target.append(' ')
+              case "hr" => if (!inHead && !closing) { flushBlock(); blocks += "---" }
+              case _ => ()
+            }
+            if (BlockTags.contains(name) && name != "hr") {
+              flushBlock()
+              if (!closing) name match {
+                case "h1" => heading = 1
+                case "h2" => heading = 2
+                case "h3" => heading = 3
+                case "h4" => heading = 4
+                case "h5" => heading = 5
+                case "h6" => heading = 6
+                case "li" => listItem = true
+                case "blockquote" => quoteBlock = true
+                case _ => ()
+              }
+            }
+          }
+        } else {
+          appendText(c); i += 1
+        }
+      } else if (c == '&') {
+        val (dec, adv) = HtmlKernels.decodeEntityAt(h, i)
+        appendDecoded(dec)
+        i += adv
+      } else {
+        appendText(c); i += 1
+      }
+    }
+    flushBlock()
+
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(blocks.mkString("\n\n")),
+      blocks.length, nLinks))
+  }
+
+  /** (doc_id, markdown, n_blocks, n_links) from an HTML column. */
+  def htmlMarkdown(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val staged = pages.select(col("doc_id"), htmlToMarkdown(col(htmlCol)).as("x"))
+    staged.select(col("doc_id"), col("x.markdown").as("markdown"),
+      col("x.n_blocks").as("n_blocks"), col("x.n_links").as("n_links"))
+  }
+}
+
+/** HTML → (markdown, n_blocks, n_links). See [[HtmlToMd]]. */
+case class HtmlToMarkdown(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"html_to_markdown expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = HtmlToMd.OutputType
+  override def prettyName: String = "html_to_markdown"
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlToMd.convertInto(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |${ev.value} = graft.functions.HtmlToMd.convertInto($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

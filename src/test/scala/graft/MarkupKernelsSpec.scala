@@ -20,6 +20,42 @@ class MarkupKernelsSpec extends SparkSpec {
     (r.getString(1), r.getString(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))
   }
 
+  private def h2md(html: String): (String, Int, Int) = {
+    import spark.implicits._
+    val r = graft.functions.HtmlToMd.htmlMarkdown(
+      Seq((1L, html)).toDF("doc_id", "html")).collect().head
+    (r.getString(1), r.getInt(2), r.getInt(3))
+  }
+
+  test("html→md: headings, lists, blockquote, hr, emphasis, code") {
+    val (out, nb, _) = h2md(
+      "<html><body><h2>Title x</h2><ul><li>one</li><li>two <b>bold</b></li></ul>" +
+        "<blockquote>quoted line</blockquote><hr>" +
+        "<p>mix <em>it</em> and <code>f(1)</code> end</p></body></html>")
+    assert(out ==
+      "## Title x\n\n- one\n\n- two **bold**\n\n> quoted line\n\n---\n\n" +
+        "mix *it* and `f(1)` end", out)
+    assert(nb == 6)
+  }
+
+  test("html→md: links keep nested markup; text runs escape metacharacters") {
+    val (out, _, nl) = h2md(
+      "<p>see <a href=\"/x?a=1\">the <b>big</b> one</a> now</p>")
+    assert(out == "see [the **big** one](/x?a=1) now", out)
+    assert(nl == 1)
+    val (esc, _, _) = h2md("<p>lit *stars* and [brack] and back\\slash and under_score</p>")
+    assert(esc == "lit \\*stars\\* and \\[brack\\] and back\\\\slash and under\\_score", esc)
+  }
+
+  test("html→md: head/script/style/comments leave nothing; br is soft") {
+    val (out, nb, _) = h2md(
+      "<html><head><title>t</title><style>p{x:1}</style>" +
+        "<script>if(a<b){}</script></head><body>" +
+        "<!-- <p>ghost</p> --><p>a<br>b</p></body></html>")
+    assert(out == "a b", out)
+    assert(nb == 1)
+  }
+
   test("latex: escaped \\% is literal; % comments drop to end of line") {
     val (_, t, _, _, _, _) = latex("50\\% off % but this is a comment\nnext line")
     assert(t == "50% off next line")
