@@ -362,10 +362,10 @@ object Archives {
       }).toDF("doc_id", "entry_idx", "name", "n_bytes", "text")
   }
 
-  /** Compressed-tarball transparency: `.tar.gz` / `.tar.zst` payloads
-    * (how dataset drops actually ship) decompress by magic — capped,
-    * bombs fail inside the loop — before the ustar walk; plain tar
-    * passes through. */
+  /** Compressed-tarball transparency: `.tar.gz` / `.tar.zst` /
+    * `.tar.lz4` / `.tar.snappy` payloads (how dataset drops actually
+    * ship) decompress by magic — capped, bombs fail inside the loop —
+    * before the ustar walk; plain tar passes through. */
   private def decompressIfNeeded(id: Long, b: Array[Byte], limit: Long): Array[Byte] = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"doc $id: $msg")
@@ -374,24 +374,35 @@ object Archives {
     else if (b.length >= 4 && (b(0) & 0xFF) == 0x28 && (b(1) & 0xFF) == 0xB5 &&
              (b(2) & 0xFF) == 0x2F && (b(3) & 0xFF) == 0xFD)
       Inflate.unzstdCapped(b, limit, "tar.zst", fail)
+    else if (b.length >= 4 && (b(0) & 0xFF) == 0x04 && (b(1) & 0xFF) == 0x22 &&
+             (b(2) & 0xFF) == 0x4D && (b(3) & 0xFF) == 0x18)
+      Inflate.unlz4Capped(b, limit, "tar.lz4", fail)
+    else if (b.length >= 10 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0x06 &&
+             b(2) == 0 && b(3) == 0 && new String(b, 4, 6, "US-ASCII") == "sNaPpY")
+      Inflate.unsnappyCapped(b, limit, "tar.snappy", fail)
     else b
   }
 
-  /** [[tarDocs]] behind the wire compression dataset drops use:
-    * ids % 3 == 0 gzip the whole tarball, ids % 3 == 1 zstd it,
-    * the rest ship plain — same entry closed form as the tar oracle. */
+  /** [[tarDocs]] behind the wire compressions dataset drops use:
+    * ids % 5 rotate gzip / zstd / lz4-frame / snappy-framed / plain —
+    * same entry closed form as the tar oracle, so a transport that
+    * corrupts even one byte breaks the checksum-verified walk. */
   def tgzDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     tarDocs(documents).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, tar) =>
-        val payload = (id % 3) match {
-          case 0 =>
-            val buf = new java.io.ByteArrayOutputStream()
-            val gz = new java.util.zip.GZIPOutputStream(buf)
-            gz.write(tar); gz.close()
-            buf.toByteArray
+        def via(out: java.io.OutputStream => java.io.OutputStream): Array[Byte] = {
+          val buf = new java.io.ByteArrayOutputStream()
+          val o = out(buf)
+          o.write(tar); o.close()
+          buf.toByteArray
+        }
+        val payload = (id % 5) match {
+          case 0 => via(new java.util.zip.GZIPOutputStream(_))
           case 1 => com.github.luben.zstd.Zstd.compress(tar)
+          case 2 => via(new net.jpountz.lz4.LZ4FrameOutputStream(_))
+          case 3 => via(new org.xerial.snappy.SnappyFramedOutputStream(_))
           case _ => tar
         }
         (id, payload)
@@ -399,12 +410,12 @@ object Archives {
   }
 
   /** Deterministic mixed-format corpus for the sniffer — one payload
-    * per document whose format rotates over 14 published signatures
-    * (doc_id % 14): PNG, JPEG/JFIF, GIF89a, BMP, TIFF-LE, TIFF-BE,
-    * ZIP, gzip, PDF, RIFF/WAVE, RIFF/WEBP, ISO-BMFF ftyp, Zstandard
-    * (RFC 8878), and plain UTF-8 text (no magic — the fallthrough
-    * arm). Tails carry id-dependent junk so the sniffer cannot cheat
-    * on length. */
+    * per document whose format rotates over 16 arms (doc_id % 16):
+    * PNG, JPEG/JFIF, GIF89a, BMP, TIFF-LE, TIFF-BE, ZIP, gzip, PDF,
+    * RIFF/WAVE, RIFF/WEBP, ISO-BMFF ftyp, Zstandard (RFC 8878),
+    * LZ4 frame, Snappy framing-format, and plain UTF-8 text (no
+    * magic — the fallthrough arm). Tails carry id-dependent junk so
+    * the sniffer cannot cheat on length. */
   def sniffDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -412,7 +423,7 @@ object Archives {
       .mapPartitions(_.map { case (id, text) =>
         val tail = Array.tabulate(8)(k => ((id * 31 + 7 * k) % 256).toByte)
         def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
-        val payload: Array[Byte] = (id % 14) match {
+        val payload: Array[Byte] = (id % 16) match {
           case 0 => bytes(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++ tail
           case 1 => bytes(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10) ++ ("JFIF" + "\u0000").getBytes("US-ASCII") ++ tail
           case 2 => "GIF89a".getBytes("US-ASCII") ++ tail
@@ -426,6 +437,8 @@ object Archives {
           case 10 => "RIFF".getBytes("US-ASCII") ++ bytes(0x14, 0, 0, 0) ++ "WEBP".getBytes("US-ASCII") ++ tail
           case 11 => bytes(0, 0, 0, 0x18) ++ "ftypisom".getBytes("US-ASCII") ++ tail
           case 12 => bytes(0x28, 0xB5, 0x2F, 0xFD) ++ tail
+          case 13 => bytes(0x04, 0x22, 0x4D, 0x18) ++ tail
+          case 14 => bytes(0xFF, 0x06, 0x00, 0x00) ++ "sNaPpY".getBytes("US-ASCII") ++ tail
           case _ => text.getBytes("UTF-8")
         }
         (id, payload)
@@ -455,6 +468,9 @@ object Archives {
     else if (at(0, 0x28, 0xB5, 0x2F, 0xFD)) ("zstd", "application/zstd") // RFC 8878
     else if (b.length >= 4 && (b(0) & 0xF0) == 0x50 && at(1, 0x2A, 0x4D, 0x18))
       ("zstd", "application/zstd") // skippable frame 0x184D2A5?, LE
+    else if (at(0, 0x04, 0x22, 0x4D, 0x18)) ("lz4", "application/x-lz4") // frame magic 0x184D2204, LE
+    else if (at(0, 0xFF, 0x06, 0x00, 0x00) && ascii(4, "sNaPpY"))
+      ("snappy", "application/x-snappy-framed") // framing-format stream identifier
     else if (ascii(0, "%PDF-")) ("pdf", "application/pdf")
     else if (ascii(0, "RIFF") && ascii(8, "WAVE")) ("wav", "audio/wav")
     else if (ascii(0, "RIFF") && ascii(8, "WEBP")) ("webp", "image/webp")
@@ -462,8 +478,18 @@ object Archives {
     else if (ascii(4, "ftyp")) ("mp4", "video/mp4")
     else if (at(0, 0x1A, 0x45, 0xDF, 0xA3)) ("webm", "video/webm") // EBML header
     else if (ascii(0, "fLaC")) ("flac", "audio/flac")
+    else if (ascii(0, "OggS")) ("ogg", "audio/ogg")
+    // ADTS before MPEG audio: both live under the 0xFFF sync, but
+    // ADTS is the layer-bits-00 case MPEG audio reserves
+    else if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xF6) == 0xF0)
+      ("aac", "audio/aac")
     else if (ascii(0, "ID3") || (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xE0) == 0xE0))
       ("mp3", "audio/mpeg")
+    else if (at(0, 0x00, 0x00, 0x01, 0x00) && b.length >= 6) ("ico", "image/x-icon")
+    // MPEG-TS: whole 188-byte packets with sync bytes on strides
+    else if (b.length >= 376 && b.length % 188 == 0 && (b(0) & 0xFF) == 0x47 &&
+             (b(188) & 0xFF) == 0x47)
+      ("mpegts", "video/mp2t")
     else if (ascii(0, "BM")) ("bmp", "image/bmp")
     else if (ascii(257, "ustar")) ("tar", "application/x-tar")
     else {

@@ -118,6 +118,78 @@ object Inflate {
     acc.toByteArray
   }
 
+  /** LZ4 frame-format decode (lz4-java ships with Spark) with the same
+    * in-loop ceiling — `.lz4` dataset drops use the frame format
+    * (magic 0x184D2204, LE on the wire: `04 22 4D 18`), and LZ4's
+    * ~255× max ratio makes a kilobyte frame expand to a quarter
+    * megabyte per block, so the cap must live inside the read loop.
+    * Concatenated frames decode sequentially (lz4-java walks them).
+    * Truncated or garbage input throws IOException, surfaced as
+    * `corrupt $what: …` like the gzip path. */
+  def unlz4Capped(payload: Array[Byte], limit: Long, what: String,
+                  fail: String => Nothing): Array[Byte] = {
+    val acc = new java.io.ByteArrayOutputStream(8192)
+    val chunk = new Array[Byte](8192)
+    var total = 0L
+    try {
+      val in = new net.jpountz.lz4.LZ4FrameInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        var n = in.read(chunk)
+        while (n >= 0) {
+          total += n
+          if (total > limit)
+            fail(s"$what inflates past the $limit-byte ceiling (lz4 bomb?)")
+          acc.write(chunk, 0, n)
+          n = in.read(chunk)
+        }
+      } finally in.close()
+    } catch {
+      // the ceiling failure (our own IllegalArgumentException) passes
+      // through; lz4-java reports corruption variously as IOException,
+      // LZ4Exception, or bare RuntimeException (unsupported FLG
+      // version bits) — all surface as `corrupt $what`
+      case e: IllegalArgumentException => throw e
+      case e: java.io.IOException => fail(s"corrupt $what: ${e.getMessage}")
+      case e: RuntimeException => fail(s"corrupt $what: ${e.getMessage}")
+    }
+    acc.toByteArray
+  }
+
+  /** Snappy framing-format decode (snappy-java ships with Spark) with
+    * the same in-loop ceiling — Hadoop-era corpus drops ship
+    * `.snappy` in the framing format (stream identifier chunk
+    * `FF 06 00 00 sNaPpY`). The per-chunk CRC-32C masks are verified
+    * by the reader; corrupt or truncated input throws IOException,
+    * surfaced as `corrupt $what: …`. */
+  def unsnappyCapped(payload: Array[Byte], limit: Long, what: String,
+                     fail: String => Nothing): Array[Byte] = {
+    val acc = new java.io.ByteArrayOutputStream(8192)
+    val chunk = new Array[Byte](8192)
+    var total = 0L
+    try {
+      val in = new org.xerial.snappy.SnappyFramedInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        var n = in.read(chunk)
+        while (n >= 0) {
+          total += n
+          if (total > limit)
+            fail(s"$what inflates past the $limit-byte ceiling (snappy bomb?)")
+          acc.write(chunk, 0, n)
+          n = in.read(chunk)
+        }
+      } finally in.close()
+    } catch {
+      // ceiling failures pass through; snappy-java reports corruption
+      // as IOException or (for undecodable chunks) SnappyError
+      case e: IllegalArgumentException => throw e
+      case e: java.io.IOException => fail(s"corrupt $what: ${e.getMessage}")
+      case e: org.xerial.snappy.SnappyError => fail(s"corrupt $what: ${e.getMessage}")
+    }
+    acc.toByteArray
+  }
+
   /** The effective ceiling for a DataFrame-level decode: the session's
     * `spark.graft.maxInflatedBytes` if set, else the default. Read at
     * PLAN time on the driver and closed over into the task. */

@@ -1,0 +1,280 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Ogg container walk — RFC 3533, the audio container the crawl
+  * actually contains besides raw MPEG audio: podcast feeds and
+  * Wikimedia ship `.ogg`/`.opus` (Vorbis and Opus bitstreams). An
+  * Ogg physical stream is a sequence of pages, each
+  * `"OggS" version flags granule(LE64) serial(LE32) seq(LE32)
+  * crc(LE32) n_segs segment-table body`; packets are sliced into
+  * 255-byte lacing values (a value of 255 means "continues", the
+  * terminating value is < 255), and the CRC-32 is the forward
+  * (unreflected) 0x04C11DB7 polynomial with zero init and zero
+  * final XOR, computed with the CRC field itself zeroed.
+  *
+  * The codec-identification path every audio-ingest pipeline needs
+  * before any sample decode is the first packet of the logical
+  * stream (the BOS page): `"OpusHead"` (RFC 7845 §5.1 — channel
+  * count, pre-skip, input sample rate) or `0x01 "vorbis"` (Vorbis I
+  * §4.2.2 — channels, rate, framing bit). Durations come from the
+  * final page's granule position: Opus granules count 48 kHz
+  * samples and INCLUDE pre-skip (RFC 7845 §4), Vorbis granules
+  * count PCM samples at the stream rate.
+  *
+  * Same seam discipline as the other container walks ([[Archives]],
+  * [[Ebml]], [[Warc]]): per-row byte work in `mapPartitions`,
+  * payload bytes never shuffle, only (doc_id, page/stream metadata)
+  * rows leave the task — map-only at 100 TB.
+  */
+object Ogg {
+
+  // ---- Ogg CRC-32 (forward 0x04C11DB7, init 0, no final XOR) ----
+
+  private val CrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i << 24
+      var k = 0
+      while (k < 8) {
+        r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04C11DB7 else r << 1
+        k += 1
+      }
+      t(i) = r
+      i += 1
+    }
+    t
+  }
+
+  private[graft] def oggCrc(b: Array[Byte], off: Int, len: Int): Int = {
+    var crc = 0
+    var i = off
+    val end = off + len
+    while (i < end) {
+      crc = (crc << 8) ^ CrcTable(((crc >>> 24) ^ (b(i) & 0xFF)) & 0xFF)
+      i += 1
+    }
+    crc
+  }
+
+  // ---- writer helpers (fixture) ----
+
+  private def le16(x: Int) = Array[Byte]((x & 0xFF).toByte, ((x >> 8) & 0xFF).toByte)
+  private def le32(x: Int) = Array[Byte]((x & 0xFF).toByte, ((x >> 8) & 0xFF).toByte,
+    ((x >> 16) & 0xFF).toByte, ((x >> 24) & 0xFF).toByte)
+  private def le64(x: Long) = Array.tabulate(8)(k => ((x >>> (8 * k)) & 0xFF).toByte)
+
+  /** One Ogg page holding whole packets (no continuation in the
+    * fixture): real lacing (255-runs + terminator), real CRC. */
+  private def page(flags: Int, granule: Long, serial: Int, seq: Int,
+                   packets: Seq[Array[Byte]]): Array[Byte] = {
+    val lacing = packets.flatMap { p =>
+      Seq.fill(p.length / 255)(255.toByte) :+ (p.length % 255).toByte
+    }
+    require(lacing.length <= 255, s"fixture page needs ${lacing.length} lacing values")
+    val body = packets.flatten.toArray
+    val out = new Array[Byte](27 + lacing.length + body.length)
+    "OggS".getBytes("US-ASCII").copyToArray(out, 0)
+    out(4) = 0 // version
+    out(5) = flags.toByte
+    le64(granule).copyToArray(out, 6)
+    le32(serial).copyToArray(out, 14)
+    le32(seq).copyToArray(out, 18)
+    // CRC at 22..25 stays zero for the computation
+    out(26) = lacing.length.toByte
+    lacing.toArray.copyToArray(out, 27)
+    body.copyToArray(out, 27 + lacing.length)
+    le32(oggCrc(out, 0, out.length)).copyToArray(out, 22)
+    out
+  }
+
+  /** Deterministic Ogg corpus — one logical stream per document,
+    * codec on doc_id % 2 (even → Opus, odd → Vorbis), all fields
+    * closed-form so both the page walk and the codec headers are
+    * arithmetic-checkable:
+    *  - BOS page: the codec identification header (`"OpusHead"` v1
+    *    with pre-skip 312 + id%100 and input rate 48000, or
+    *    `0x01"vorbis"` v0 with rate 8000·(1 + id%3));
+    *  - page 1: the comment header (Opus: one `"OpusTags"` packet;
+    *    Vorbis: comment AND setup packets share the page — two
+    *    lacing terminators, the multi-packet case a sliced reader
+    *    gets wrong);
+    *  - 2 + id%5 audio pages, one packet of 20 + (id+11p)%400 bytes
+    *    each (crossing 255 so lacing runs appear), granules
+    *    pre_skip + 960(p+1) (Opus, 20 ms @ 48 kHz) or 1024(p+1)
+    *    (Vorbis); the last page carries EOS.
+    * Channels = 1 + (id%4)//2 on both arms. */
+  def oggDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val serial = (id % 100000).toInt + 7
+        val ch = 1 + ((id % 4) / 2).toInt
+        val nAudio = (2 + id % 5).toInt
+        val opus = id % 2 == 0
+        val preSkip = if (opus) (312 + id % 100).toInt else 0
+        val idPacket: Array[Byte] =
+          if (opus)
+            "OpusHead".getBytes("US-ASCII") ++ Array[Byte](1, ch.toByte) ++
+              le16(preSkip) ++ le32(48000) ++ le16(0) :+ 0.toByte
+          else
+            (0x01.toByte +: "vorbis".getBytes("US-ASCII")) ++ le32(0) ++
+              Array[Byte](ch.toByte) ++ le32(8000 * (1 + id % 3).toInt) ++
+              le32(0) ++ le32(0) ++ le32(0) ++ Array[Byte](0xB8.toByte, 0x01)
+        val commentPackets: Seq[Array[Byte]] =
+          if (opus)
+            Seq("OpusTags".getBytes("US-ASCII") ++ le32(5) ++
+              "graft".getBytes("US-ASCII") ++ le32(0))
+          else Seq(
+            (0x03.toByte +: "vorbis".getBytes("US-ASCII")) ++ le32(5) ++
+              "graft".getBytes("US-ASCII") ++ le32(0) :+ 0x01.toByte,
+            (0x05.toByte +: "vorbis".getBytes("US-ASCII")) ++
+              Array.tabulate((1 + id % 7).toInt)(k => ((id * 5 + k) % 256).toByte))
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(page(0x02, 0L, serial, 0, Seq(idPacket)))
+        out.write(page(0x00, 0L, serial, 1, commentPackets))
+        var p = 0
+        while (p < nAudio) {
+          val sz = 20 + ((id + 11 * p) % 400).toInt
+          val pkt = Array.tabulate(sz)(k => ((id * 13 + 31L * p + k) % 256).toByte)
+          val granule =
+            if (opus) preSkip + 960L * (p + 1) else 1024L * (p + 1)
+          val flags = if (p == nAudio - 1) 0x04 else 0x00
+          out.write(page(flags, granule, serial, 2 + p, Seq(pkt)))
+          p += 1
+        }
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  // ---- the walk ----
+
+  /** One parsed page: index, header flags, granule position, serial,
+    * segment count, packets COMPLETED on this page (lacing
+    * terminators), body bytes. */
+  private[graft] def parseOggPages(id: Long, b: Array[Byte])
+      : Seq[(Int, Int, Long, Int, Int, Int, Int)] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    def u8(i: Int): Int = b(i) & 0xFF
+    def le32At(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le64At(i: Int): Long =
+      (0 until 8).foldLeft(0L)((acc, k) => acc | ((b(i + k) & 0xFFL) << (8 * k)))
+    val out = Seq.newBuilder[(Int, Int, Long, Int, Int, Int, Int)]
+    var off = 0
+    var idx = 0
+    var expectSeq = -1
+    var serial0 = 0
+    while (off < b.length) {
+      if (off + 27 > b.length) fail(s"page $idx header truncated at $off")
+      if (!(b(off) == 'O' && b(off + 1) == 'g' && b(off + 2) == 'g' && b(off + 3) == 'S'))
+        fail(s"page $idx: bad capture pattern at $off")
+      if (u8(off + 4) != 0) fail(s"page $idx: unknown Ogg version ${u8(off + 4)}")
+      val flags = u8(off + 5)
+      val granule = le64At(off + 6)
+      val serial = le32At(off + 14)
+      val seq = le32At(off + 18)
+      val crcStored = le32At(off + 22)
+      val nSegs = u8(off + 26)
+      if (off + 27 + nSegs > b.length) fail(s"page $idx: segment table truncated")
+      var body = 0
+      var pkts = 0
+      var s = 0
+      while (s < nSegs) {
+        val lace = u8(off + 27 + s)
+        body += lace
+        if (lace < 255) pkts += 1
+        s += 1
+      }
+      val total = 27 + nSegs + body
+      if (off + total > b.length) fail(s"page $idx: body overruns payload")
+      // CRC is computed with its own field zeroed — splice, not copy
+      val crcField = Array(b(off + 22), b(off + 23), b(off + 24), b(off + 25))
+      b(off + 22) = 0; b(off + 23) = 0; b(off + 24) = 0; b(off + 25) = 0
+      val crcCalc = oggCrc(b, off, total)
+      b(off + 22) = crcField(0); b(off + 23) = crcField(1)
+      b(off + 24) = crcField(2); b(off + 25) = crcField(3)
+      if (crcCalc != crcStored)
+        fail(f"page $idx: CRC mismatch (stored $crcStored%08x, computed $crcCalc%08x)")
+      if (idx == 0) {
+        if ((flags & 0x02) == 0) fail("first page is not BOS")
+        serial0 = serial
+      } else if (serial != serial0)
+        fail(s"page $idx: serial $serial != stream serial $serial0 (interleave unsupported here)")
+      if (expectSeq >= 0 && seq != expectSeq)
+        fail(s"page $idx: sequence $seq, expected $expectSeq (lost page)")
+      expectSeq = seq + 1
+      out += ((idx, flags, granule, serial, nSegs, pkts, body))
+      off += total
+      idx += 1
+    }
+    if (idx == 0) fail("no Ogg pages")
+    out.result()
+  }
+
+  /** Codec-identification summary from the BOS packet + final
+    * granule: (codec, channels, sample_rate, pre_skip, n_pages,
+    * duration_ms). Opus durations subtract pre-skip per RFC 7845 §4
+    * and always tick at 48 kHz; Vorbis at the stream rate. */
+  private[graft] def parseOggMeta(id: Long, b: Array[Byte])
+      : (String, Int, Int, Int, Int, Long) = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    val pages = parseOggPages(id, b)
+    def u8(i: Int): Int = b(i) & 0xFF
+    // BOS body starts after page 0's segment table
+    val nSegs0 = u8(26)
+    val p0 = 27 + nSegs0
+    def ascii(i: Int, s: String): Boolean =
+      b.length >= i + s.length && s.indices.forall(k => b(i + k) == s.charAt(k).toByte)
+    val lastGranule = pages.last._3
+    val (codec, ch, rate, preSkip) =
+      if (ascii(p0, "OpusHead")) {
+        if (u8(p0 + 8) != 1) fail(s"OpusHead version ${u8(p0 + 8)}")
+        val ch = u8(p0 + 9)
+        val skip = u8(p0 + 10) | (u8(p0 + 11) << 8)
+        val rate = u8(p0 + 12) | (u8(p0 + 13) << 8) | (u8(p0 + 14) << 16) | (u8(p0 + 15) << 24)
+        ("opus", ch, rate, skip)
+      } else if (u8(p0) == 0x01 && ascii(p0 + 1, "vorbis")) {
+        val ver = u8(p0 + 7) | (u8(p0 + 8) << 8) | (u8(p0 + 9) << 16) | (u8(p0 + 10) << 24)
+        if (ver != 0) fail(s"vorbis version $ver")
+        val ch = u8(p0 + 11)
+        val rate = u8(p0 + 12) | (u8(p0 + 13) << 8) | (u8(p0 + 14) << 16) | (u8(p0 + 15) << 24)
+        ("vorbis", ch, rate, 0)
+      } else fail("BOS packet is neither OpusHead nor a Vorbis identification header")
+    val durationMs =
+      if (codec == "opus") (lastGranule - preSkip) * 1000L / 48000L
+      else lastGranule * 1000L / rate
+    (codec, ch, rate, preSkip, pages.length, durationMs)
+  }
+
+  /** Ogg → one row per page: (doc_id, page_idx, flags, granule,
+    * n_segments, n_packets, body_bytes) — CRC-verified, map-only. */
+  def oggPages(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseOggPages(id, bytes).map { case (idx, flags, granule, _, nSegs, pkts, body) =>
+          (id, idx, flags, granule, nSegs, pkts, body)
+        }
+      }).toDF("doc_id", "page_idx", "flags", "granule",
+        "n_segments", "n_packets", "body_bytes")
+  }
+
+  /** Ogg → (doc_id, codec, channels, sample_rate, pre_skip, n_pages,
+    * duration_ms): the codec-identification scan. Map-only. */
+  def oggMeta(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (codec, ch, rate, skip, np, dur) = parseOggMeta(id, bytes)
+        (id, codec, ch, rate, skip, np, dur)
+      }).toDF("doc_id", "codec", "channels", "sample_rate",
+        "pre_skip", "n_pages", "duration_ms")
+  }
+}

@@ -88,14 +88,14 @@ class ArchivesSpec extends SparkSpec {
     assert(ex2.getMessage.contains("checksum") || ex2.getMessage.contains("overruns"))
   }
 
-  test("sniffFormat: all 14 fixture arms route to their format") {
-    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 56)
+  test("sniffFormat: all 16 fixture arms route to their format") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 64)
     val got = Archives.sniffFormat(Archives.sniffDocs(docs)).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
     val expect = Seq("png", "jpeg", "gif", "bmp", "tiff", "tiff", "zip",
-      "gzip", "pdf", "wav", "webp", "mp4", "zstd", "text")
+      "gzip", "pdf", "wav", "webp", "mp4", "zstd", "lz4", "snappy", "text")
     got.foreach { case (id, (fmt, mime)) =>
-      assert(fmt == expect((id % 14).toInt), s"doc $id sniffed $fmt")
+      assert(fmt == expect((id % 16).toInt), s"doc $id sniffed $fmt")
       assert(mime.nonEmpty && mime.contains("/"))
     }
     // a zstd skippable frame (the .warc.zst dictionary slot) is zstd too

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Ogg
+
+/** Ogg page-walk semantics: capture pattern, lacing, the forward
+  * CRC-32, codec-identification headers, and loud failure on
+  * malformation. */
+class OggSpec extends SparkSpec {
+
+  test("oggPages: fixture pages replay closed-form; lacing crosses 255") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val rows = Ogg.oggPages(Ogg.oggDocs(docs)).collect()
+    assert(rows.length == (0L until 40L).map(id => 4 + id % 5).sum)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val idx = r.getInt(1)
+      val na = (2 + id % 5).toInt
+      val opus = id % 2 == 0
+      idx match {
+        case 0 =>
+          assert(r.getInt(2) == 2, s"doc $id BOS flag")
+          assert(r.getLong(3) == 0L)
+          assert(r.getInt(4) == 1 && r.getInt(5) == 1)
+          assert(r.getInt(6) == (if (opus) 19 else 30), s"doc $id id-header size")
+        case 1 =>
+          assert(r.getInt(2) == 0)
+          // Vorbis carries comment AND setup packets on one page
+          assert(r.getInt(4) == (if (opus) 1 else 2))
+          assert(r.getInt(5) == (if (opus) 1 else 2))
+          assert(r.getInt(6) == (if (opus) 21 else 29 + (id % 7).toInt))
+        case _ =>
+          val p = idx - 2
+          assert(r.getInt(2) == (if (p == na - 1) 4 else 0), s"doc $id page $idx EOS")
+          val expGranule =
+            if (opus) 312 + id % 100 + 960L * (p + 1) else 1024L * (p + 1)
+          assert(r.getLong(3) == expGranule, s"doc $id page $idx granule")
+          val sz = 20 + ((id + 11 * p) % 400).toInt
+          assert(r.getInt(4) == sz / 255 + 1, s"doc $id page $idx lacing")
+          assert(r.getInt(5) == 1)
+          assert(r.getInt(6) == sz)
+      }
+    }
+    // the >255-byte-packet leg is actually exercised
+    assert(rows.exists(_.getInt(4) == 2), "no page needed a 255-lacing run")
+  }
+
+  test("oggMeta: OpusHead and Vorbis id headers decode; durations per codec clock") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val rows = Ogg.oggMeta(Ogg.oggDocs(docs)).collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val na = (2 + id % 5).toInt
+      if (id % 2 == 0) {
+        assert(r.getString(1) == "opus")
+        assert(r.getInt(3) == 48000)
+        assert(r.getInt(4) == (312 + id % 100).toInt, s"doc $id pre-skip")
+        // pre-skip subtracted: exactly 20 ms per audio page
+        assert(r.getLong(6) == na * 20L, s"doc $id duration")
+      } else {
+        val rate = 8000 * (1 + id % 3).toInt
+        assert(r.getString(1) == "vorbis")
+        assert(r.getInt(3) == rate)
+        assert(r.getInt(4) == 0)
+        assert(r.getLong(6) == na * 1024L * 1000L / rate, s"doc $id duration")
+      }
+      assert(r.getInt(2) == 1 + ((id % 4) / 2).toInt, s"doc $id channels")
+      assert(r.getInt(5) == 2 + na)
+    }
+  }
+
+  test("parseOggPages rejects corruption: CRC, capture, truncation, lost pages") {
+    import spark.implicits._
+    val good = Ogg.oggDocs(Seq(5L).toDF("doc_id")).collect()(0).getAs[Array[Byte]](1)
+    assert(Ogg.parseOggPages(5L, good).nonEmpty) // sanity: intact parses
+    // one flipped body byte must break the page CRC
+    val flipped = good.clone()
+    flipped(flipped.length - 1) = (flipped(flipped.length - 1) ^ 0x40).toByte
+    val e1 = intercept[IllegalArgumentException](Ogg.parseOggPages(5L, flipped))
+    assert(e1.getMessage.contains("CRC"), e1.getMessage)
+    // a broken capture pattern on page 1 fails by name
+    val bad = good.clone()
+    val p1 = {
+      // page 0 length = 27 + nSegs + body
+      val nSegs = good(26) & 0xFF
+      27 + nSegs + (0 until nSegs).map(k => good(27 + k) & 0xFF).sum
+    }
+    bad(p1) = 'X'.toByte
+    val e2 = intercept[IllegalArgumentException](Ogg.parseOggPages(5L, bad))
+    assert(e2.getMessage.contains("capture"), e2.getMessage)
+    // truncation anywhere inside a page throws
+    Seq(10, p1 + 5, good.length - 3).foreach { cut =>
+      intercept[IllegalArgumentException](Ogg.parseOggPages(5L, good.take(cut)))
+    }
+    // dropping a whole page breaks sequence continuity (CRCs still valid)
+    val secondPageLen = {
+      val nSegs = good(p1 + 26) & 0xFF
+      27 + nSegs + (0 until nSegs).map(k => good(p1 + 27 + k) & 0xFF).sum
+    }
+    val dropped = good.take(p1) ++ good.drop(p1 + secondPageLen)
+    val e3 = intercept[IllegalArgumentException](Ogg.parseOggPages(5L, dropped))
+    assert(e3.getMessage.contains("sequence") || e3.getMessage.contains("expected"),
+      e3.getMessage)
+    // a BOS packet that is neither codec fails by name
+    val alien = good.clone()
+    alien(27 + (good(26) & 0xFF)) = 'Z'.toByte
+    // fix page 0's CRC so only the codec dispatch can object
+    java.util.Arrays.fill(alien, 22, 26, 0.toByte)
+    val n0 = alien(26) & 0xFF
+    val body0 = (0 until n0).map(k => alien(27 + k) & 0xFF).sum
+    val crc = Ogg.oggCrc(alien, 0, 27 + n0 + body0)
+    alien(22) = (crc & 0xFF).toByte; alien(23) = ((crc >> 8) & 0xFF).toByte
+    alien(24) = ((crc >> 16) & 0xFF).toByte; alien(25) = ((crc >> 24) & 0xFF).toByte
+    val e4 = intercept[IllegalArgumentException](Ogg.parseOggMeta(5L, alien))
+    assert(e4.getMessage.contains("neither"), e4.getMessage)
+  }
+}

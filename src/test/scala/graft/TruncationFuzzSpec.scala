@@ -138,11 +138,11 @@ class TruncationFuzzSpec extends SparkSpec {
     }
   }
 
-  test("tar.gz / tar.zst: compressed tarballs walk; bombs fail at the ceiling") {
+  test("tar.gz/zst/lz4/snappy: compressed tarballs walk; bombs fail at the ceiling") {
     import org.apache.spark.sql.functions.col
-    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 9)
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 10)
     val rows = Archives.tarEntries(Archives.tgzDocs(docs)).collect()
-    assert(rows.length == 36, "4 entries per doc across all three transports")
+    assert(rows.length == 40, "4 entries per doc across all five transports")
     // a zstd tar bomb under a tiny session ceiling trips in the loop
     val bomb = com.github.luben.zstd.Zstd.compress(new Array[Byte](4 << 20))
     spark.conf.set(graft.sources.Inflate.ConfKey, "4096")
@@ -171,6 +171,48 @@ class TruncationFuzzSpec extends SparkSpec {
       Array.tabulate(32)(k => (k * 37 + 5).toByte)
     val e = intercept[IllegalArgumentException](Warc.parseWarc(99L, junk))
     assert(e.getMessage.contains("corrupt"), e.getMessage)
+  }
+
+  test("lz4/snappy bombs fail at the ceiling; magic-plus-junk fails loudly") {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+    def via(out: java.io.OutputStream => java.io.OutputStream): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val o = out(buf); o.write(new Array[Byte](8 << 20)); o.close()
+      buf.toByteArray
+    }
+    // 8 MiB of zeros shrinks to ~KB either way; a 4 KiB ceiling must
+    // trip inside the read loop, never after materialization
+    val lz4Bomb = via(new net.jpountz.lz4.LZ4FrameOutputStream(_))
+    assert(lz4Bomb.length < (64 << 10), s"fixture sanity: ${lz4Bomb.length} bytes")
+    val e1 = intercept[IllegalArgumentException](
+      graft.sources.Inflate.unlz4Capped(lz4Bomb, 4096, "lz4 fixture", fail))
+    assert(e1.getMessage.contains("ceiling"), e1.getMessage)
+    val snapBomb = via(new org.xerial.snappy.SnappyFramedOutputStream(_))
+    val e2 = intercept[IllegalArgumentException](
+      graft.sources.Inflate.unsnappyCapped(snapBomb, 4096, "snappy fixture", fail))
+    assert(e2.getMessage.contains("ceiling"), e2.getMessage)
+    // intact payloads under a generous ceiling round-trip to the zeros
+    assert(graft.sources.Inflate.unlz4Capped(lz4Bomb, 16 << 20, "lz4", fail)
+      .length == (8 << 20))
+    assert(graft.sources.Inflate.unsnappyCapped(snapBomb, 16 << 20, "snappy", fail)
+      .length == (8 << 20))
+    // garbage after each magic fails loudly, not as empty output
+    val lz4Junk = Array[Byte](0x04, 0x22, 0x4D, 0x18) ++
+      Array.tabulate(32)(k => (k * 41 + 3).toByte)
+    val e3 = intercept[IllegalArgumentException](
+      graft.sources.Inflate.unlz4Capped(lz4Junk, 4096, "lz4 junk", fail))
+    assert(e3.getMessage.contains("corrupt"), e3.getMessage)
+    val snapJunk = Array[Byte](0xFF.toByte, 0x06, 0x00, 0x00) ++
+      "sNaPpY".getBytes("US-ASCII") ++ Array.tabulate(32)(k => (k * 43 + 9).toByte)
+    val e4 = intercept[IllegalArgumentException](
+      graft.sources.Inflate.unsnappyCapped(snapJunk, 4096, "snappy junk", fail))
+    assert(e4.getMessage.contains("corrupt"), e4.getMessage)
+    // truncation 3 bytes shy of the end cuts the end mark / final
+    // chunk mid-structure on both transports — must throw, not EOF
+    intercept[IllegalArgumentException](
+      graft.sources.Inflate.unlz4Capped(lz4Bomb.take(lz4Bomb.length - 3), 16 << 20, "lz4", fail))
+    intercept[IllegalArgumentException](
+      graft.sources.Inflate.unsnappyCapped(snapBomb.take(snapBomb.length - 3), 16 << 20, "snappy", fail))
   }
 
   test("pdf bomb: a FlateDecode stream inflating past maxInflatedBytes fails") {
