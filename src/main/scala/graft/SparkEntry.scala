@@ -1287,6 +1287,38 @@ object SparkEntry {
       Multimodal.mp3Frames(Multimodal.mp3VbrDocs(Tables.documents(s, dir)))),
     "m_decode_mp3" -> ((s, dir) =>
       Multimodal.decodeMp3Meta(Multimodal.mp3Docs(Tables.documents(s, dir))).toDF()),
+    // ISO 13818-7 ADTS walk (the AAC sibling of m_mp3_frames — HLS
+    // audio segments): syncword stride by the 13-bit frame_length,
+    // rate/channels pinned across the stream, 1024-sample clock
+    "m_adts_frames" -> ((s, dir) =>
+      Multimodal.adtsFrames(Multimodal.adtsDocs(Tables.documents(s, dir)))),
+    // ICO directory walk: ICONDIR contract, zero-means-256 dims,
+    // entry offset/size bounds — the favicon format every crawl hits
+    "m_ico_entries" -> ((s, dir) =>
+      Multimodal.icoEntries(Multimodal.icoDocs(Tables.documents(s, dir)))),
+    // ISO 13818-1 transport stream: 188-byte stride walk with per-PID
+    // continuity counters; per-PID packet/unit/byte accounting
+    "m_ts_packets" -> ((s, dir) =>
+      graft.sources.MpegTs.tsPackets(graft.sources.MpegTs.tsDocs(Tables.documents(s, dir)))),
+    // PSI chain: PAT → PMT located by the PAT mapping, both sections
+    // CRC-32/MPEG-2-verified; one row per elementary stream
+    "m_ts_programs" -> ((s, dir) =>
+      graft.sources.MpegTs.tsPrograms(graft.sources.MpegTs.tsDocs(Tables.documents(s, dir)))),
+    // PES reassembly across PUSI boundaries: start codes, declared
+    // lengths vs gathered bytes, marker-bit-framed 33-bit PTS on the
+    // 90 kHz clock
+    "m_ts_pes" -> ((s, dir) =>
+      graft.sources.MpegTs.tsPes(graft.sources.MpegTs.tsDocs(Tables.documents(s, dir)))),
+    // RFC 3533 page walk: capture pattern, lacing runs (packets over
+    // 255 bytes), forward-CRC32 verification with the field zeroed,
+    // sequence continuity — one row per page
+    "m_ogg_pages" -> ((s, dir) =>
+      graft.sources.Ogg.oggPages(graft.sources.Ogg.oggDocs(Tables.documents(s, dir)))),
+    // codec identification off the BOS packet: OpusHead (RFC 7845 —
+    // pre-skip subtracted from the 48 kHz granule clock) vs the
+    // 0x01"vorbis" identification header (stream-rate granules)
+    "m_ogg_meta" -> ((s, dir) =>
+      graft.sources.Ogg.oggMeta(graft.sources.Ogg.oggDocs(Tables.documents(s, dir)))),
     // REAL FLAC metadata-block walk: last-flag/24-bit length chain +
     // bit-packed STREAMINFO (20-bit rate, 36-bit total samples)
     "m_decode_flac" -> ((s, dir) =>
@@ -1312,12 +1344,13 @@ object SparkEntry {
     "m_tar_entries" -> ((s, dir) =>
       graft.sources.Archives.tarEntries(
         graft.sources.Archives.tarDocs(Tables.documents(s, dir)))),
-    // compressed tarballs: gzip / zstd decompress by magic (capped)
-    // before the same ustar walk — entry closed form unchanged
+    // compressed tarballs: gzip / zstd / lz4-frame / snappy-framed
+    // decompress by magic (capped) before the same ustar walk —
+    // entry closed form unchanged
     "m_tgz_entries" -> ((s, dir) =>
       graft.sources.Archives.tarEntries(
         graft.sources.Archives.tgzDocs(Tables.documents(s, dir)))),
-    // magic-byte format router (the libmagic move): 13 published
+    // magic-byte format router (the libmagic move): 15 published
     // signatures incl. RIFF form-type and offset-4 ftyp dispatch,
     // strict-UTF-8 text fallthrough
     "m_sniff_format" -> ((s, dir) =>
@@ -3890,20 +3923,24 @@ object SparkEntry {
         |       '/data_' || CAST(doc_id % 97 AS VARCHAR) || '.txt',
         |       CAST(9 + length(CAST(doc_id % 11 AS VARCHAR)) AS BIGINT),
         |       'pax data ' || CAST(doc_id % 11 AS VARCHAR) FROM documents""".stripMargin,
-    // format sniffer: the fixture rotates 14 published signatures on
-    // doc_id % 14; the oracle is the rotation itself
+    // format sniffer: the fixture rotates 16 payload arms (15
+    // published signatures + UTF-8 text) on doc_id % 16; the oracle
+    // is the rotation itself
     "m_sniff_format" ->
       """SELECT doc_id,
-        |  CASE doc_id % 14 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+        |  CASE doc_id % 16 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
         |    WHEN 3 THEN 'bmp' WHEN 4 THEN 'tiff' WHEN 5 THEN 'tiff' WHEN 6 THEN 'zip'
         |    WHEN 7 THEN 'gzip' WHEN 8 THEN 'pdf' WHEN 9 THEN 'wav' WHEN 10 THEN 'webp'
-        |    WHEN 11 THEN 'mp4' WHEN 12 THEN 'zstd' ELSE 'text' END AS format,
-        |  CASE doc_id % 14 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |    WHEN 11 THEN 'mp4' WHEN 12 THEN 'zstd' WHEN 13 THEN 'lz4'
+        |    WHEN 14 THEN 'snappy' ELSE 'text' END AS format,
+        |  CASE doc_id % 16 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
         |    WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/bmp' WHEN 4 THEN 'image/tiff'
         |    WHEN 5 THEN 'image/tiff' WHEN 6 THEN 'application/zip'
         |    WHEN 7 THEN 'application/gzip' WHEN 8 THEN 'application/pdf'
         |    WHEN 9 THEN 'audio/wav' WHEN 10 THEN 'image/webp'
         |    WHEN 11 THEN 'video/mp4' WHEN 12 THEN 'application/zstd'
+        |    WHEN 13 THEN 'application/x-lz4'
+        |    WHEN 14 THEN 'application/x-snappy-framed'
         |    ELSE 'text/plain' END AS mime
         |FROM documents""".stripMargin,
     // PDF extraction: page i shows "page i of doc <id>: " + two text
@@ -4085,6 +4122,137 @@ object SparkEntry {
         |       CAST(list_sum([144000 * kbps // rate + (doc_id + k) % 2
         |                      for k in generate_series(0, nf - 1)]) AS BIGINT) AS audio_bytes
         |FROM p""".stripMargin,
+    // ADTS: frame strides are 7-byte headers + closed-form payloads;
+    // offsets the running sum, timestamps the 1024-sample clock
+    "m_adts_frames" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(doc_id % 2 AS INT) AS profile,
+        |    ([48000,44100,32000,24000,22050])[CAST(1 + doc_id % 5 AS INT)] AS rate,
+        |    CAST(1 + doc_id % 2 AS INT) AS ch,
+        |    CAST(3 + doc_id % 6 AS INT) AS nf FROM documents),
+        |f AS (SELECT doc_id, profile, rate, ch, unnest(generate_series(0, nf - 1)) AS k FROM p),
+        |g AS (SELECT doc_id, profile, rate, ch, k,
+        |      10 + (doc_id + 7 * k) % 100 AS sz FROM f)
+        |SELECT doc_id, CAST(k AS INT) AS frame_idx,
+        |       CAST(COALESCE(SUM(sz + 7) OVER (PARTITION BY doc_id ORDER BY k
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+        |       profile, CAST(rate AS INT) AS sample_rate, ch AS channels,
+        |       CAST(sz AS INT) AS payload_bytes,
+        |       CAST(k * 1024 * 1000 // rate AS BIGINT) AS ts_ms
+        |FROM g""".stripMargin,
+    // ICO: dims arithmetic (zero-means-256 on id%7==0's last entry),
+    // offsets = directory size + running image-byte sum
+    "m_ico_entries" ->
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS n FROM documents),
+        |ee AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS ei FROM d),
+        |g AS (SELECT doc_id, n, ei,
+        |    CASE WHEN doc_id % 7 = 0 AND ei = n - 1 THEN 256 ELSE 16 + 8 * ei END AS dim,
+        |    40 + (doc_id + 5 * ei) % 80 AS sz FROM ee)
+        |SELECT doc_id, CAST(ei AS INT) AS entry_idx, CAST(dim AS INT) AS width,
+        |       CAST(dim AS INT) AS height, CAST(32 AS INT) AS bpp,
+        |       CAST(sz AS INT) AS image_bytes,
+        |       CAST(6 + 16 * n + COALESCE(SUM(sz) OVER (PARTITION BY doc_id ORDER BY ei
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS image_offset
+        |FROM g""".stripMargin,
+    // TS packets: PAT/PMT are one packet each; ES packet counts are
+    // the ceil(pes/184) recurrence summed per PID
+    "m_ts_packets" ->
+      """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS nv,
+        |                  CAST(1 + doc_id % 3 AS INT) AS na FROM documents)
+        |SELECT doc_id, CAST(0 AS INT) AS pid, CAST(1 AS INT) AS n_packets,
+        |       CAST(1 AS INT) AS n_units, CAST(17 AS BIGINT) AS payload_bytes
+        |FROM d
+        |UNION ALL
+        |SELECT doc_id, CAST(256 AS INT), CAST(1 AS INT), CAST(1 AS INT),
+        |       CAST(CASE WHEN doc_id % 2 = 1 THEN 27 ELSE 22 END AS BIGINT)
+        |FROM d
+        |UNION ALL
+        |SELECT doc_id, CAST(257 AS INT),
+        |       CAST(list_sum([(44 + (doc_id + 17 * p) % 300 + 183) // 184
+        |                      for p in generate_series(0, nv - 1)]) AS INT),
+        |       nv,
+        |       CAST(list_sum([44 + (doc_id + 17 * p) % 300
+        |                      for p in generate_series(0, nv - 1)]) AS BIGINT)
+        |FROM d
+        |UNION ALL
+        |SELECT doc_id, CAST(258 AS INT),
+        |       CAST(list_sum([(34 + (doc_id + 13 * q) % 200 + 183) // 184
+        |                      for q in generate_series(0, na - 1)]) AS INT),
+        |       na,
+        |       CAST(list_sum([34 + (doc_id + 13 * q) % 200
+        |                      for q in generate_series(0, na - 1)]) AS BIGINT)
+        |FROM d WHERE doc_id % 2 = 1""".stripMargin,
+    // TS programs: the PAT/PMT closed form — H.264 video always,
+    // AAC audio on odd ids
+    "m_ts_programs" ->
+      """SELECT doc_id, CAST(1 + doc_id % 7 AS INT) AS program_number,
+        |       CAST(256 AS INT) AS pmt_pid, CAST(257 AS INT) AS pcr_pid,
+        |       CAST(257 AS INT) AS stream_pid, CAST(27 AS INT) AS stream_type
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(1 + doc_id % 7 AS INT), CAST(256 AS INT),
+        |       CAST(257 AS INT), CAST(258 AS INT), CAST(15 AS INT)
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+    // TS PES: PTS arithmetic on the 90 kHz clock (NTSC 3003-tick
+    // video cadence, 1920-tick AAC cadence)
+    "m_ts_pes" ->
+      """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS nv,
+        |                  CAST(1 + doc_id % 3 AS INT) AS na,
+        |                  90 * (doc_id % 1000) AS base FROM documents),
+        |v AS (SELECT doc_id, base, unnest(generate_series(0, nv - 1)) AS p FROM d),
+        |a AS (SELECT doc_id, base, unnest(generate_series(0, na - 1)) AS q FROM d
+        |      WHERE doc_id % 2 = 1)
+        |SELECT doc_id, CAST(257 AS INT) AS pid, CAST(p AS INT) AS unit_idx,
+        |       CAST(224 AS INT) AS stream_id,
+        |       CAST(base + 3003 * (p + 1) AS BIGINT) AS pts,
+        |       CAST((base + 3003 * (p + 1)) // 90 AS BIGINT) AS ts_ms,
+        |       CAST(30 + (doc_id + 17 * p) % 300 AS INT) AS payload_bytes
+        |FROM v
+        |UNION ALL
+        |SELECT doc_id, CAST(258 AS INT), CAST(q AS INT), CAST(192 AS INT),
+        |       CAST(base + 1920 * (q + 1) AS BIGINT),
+        |       CAST((base + 1920 * (q + 1)) // 90 AS BIGINT),
+        |       CAST(20 + (doc_id + 13 * q) % 200 AS INT)
+        |FROM a""".stripMargin,
+    // Ogg pages: two header pages then 2+id%5 audio pages; lacing
+    // count is the 255-run recurrence, granules the per-codec clock
+    "m_ogg_pages" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 5 AS na FROM documents),
+        |au AS (SELECT doc_id, na, unnest(generate_series(0, CAST(na AS INT) - 1)) AS p FROM d),
+        |aud AS (SELECT doc_id, na, p, 20 + (doc_id + 11 * p) % 400 AS sz FROM au)
+        |SELECT doc_id, CAST(0 AS INT) AS page_idx, CAST(2 AS INT) AS flags,
+        |       CAST(0 AS BIGINT) AS granule, CAST(1 AS INT) AS n_segments,
+        |       CAST(1 AS INT) AS n_packets,
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 19 ELSE 30 END AS INT) AS body_bytes
+        |FROM d
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INT), CAST(0 AS INT), CAST(0 AS BIGINT),
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT),
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT),
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 21 ELSE 29 + doc_id % 7 END AS INT)
+        |FROM d
+        |UNION ALL
+        |SELECT doc_id, CAST(2 + p AS INT),
+        |       CAST(CASE WHEN p = na - 1 THEN 4 ELSE 0 END AS INT),
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 312 + doc_id % 100 + 960 * (p + 1)
+        |            ELSE 1024 * (p + 1) END AS BIGINT),
+        |       CAST(sz // 255 + 1 AS INT), CAST(1 AS INT), CAST(sz AS INT)
+        |FROM aud""".stripMargin,
+    // Ogg codec identification: all fields closed-form; Opus
+    // durations subtract pre-skip on the 48 kHz clock, Vorbis rides
+    // the stream rate
+    "m_ogg_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+        |  CAST(1 + (doc_id % 4) // 2 AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 48000
+        |       ELSE 8000 * (1 + doc_id % 3) END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 312 + doc_id % 100 ELSE 0 END AS INT) AS pre_skip,
+        |  CAST(4 + doc_id % 5 AS INT) AS n_pages,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN (2 + doc_id % 5) * 20
+        |       ELSE (2 + doc_id % 5) * 1024 * 1000 // (8000 * (1 + doc_id % 3))
+        |       END AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
     "m_decode_mp4" ->
       """WITH p AS (SELECT doc_id,
         |                  CAST(1 + doc_id % 3 AS INT) AS n_tracks,

@@ -5112,6 +5112,197 @@ object Multimodal {
       }).toDF("doc_id", "frame_id", "value")
   }
 
+  // ---- ADTS (AAC) ----
+
+  /** ISO 13818-7 sampling-frequency-index table (the 4-bit field). */
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** Deterministic ADTS corpus — 3 + id%6 AAC frames per document,
+    * protection_absent = 1 (7-byte headers), profile rotating
+    * Main/LC (the published 2-bit field is profile − 1), sampling
+    * frequency index 3 + id%5 (48 kHz … 22.05 kHz), channel
+    * configuration 1 + id%2, per-frame payloads of 10 + (id+7f)%100
+    * bytes — so the 13-bit frame_length field and the 1024-sample
+    * frame clock are both closed-form. */
+  def adtsDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val nFrames = (3 + id % 6).toInt
+        val profile = (id % 2).toInt // 0 = Main, 1 = LC
+        val sfi = (3 + id % 5).toInt
+        val ch = (1 + id % 2).toInt
+        val out = new java.io.ByteArrayOutputStream()
+        var f = 0
+        while (f < nFrames) {
+          val sz = (10 + (id + 7 * f) % 100).toInt
+          val flen = 7 + sz
+          out.write(0xFF)
+          out.write(0xF1) // MPEG-4, layer 00, protection_absent
+          out.write((profile << 6) | (sfi << 2) | (ch >> 2))
+          out.write(((ch & 0x3) << 6) | ((flen >> 11) & 0x3))
+          out.write((flen >> 3) & 0xFF)
+          out.write(((flen & 0x7) << 5) | 0x1F) // fullness high bits all-ones (VBR)
+          out.write(0xFC) // fullness low bits, 0 extra raw blocks
+          var k = 0
+          while (k < sz) { out.write(((id * 19 + 11L * f + k) % 256).toInt); k += 1 }
+          f += 1
+        }
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** REAL ADTS frame walk (the [[parseMp3Frames]] mold for AAC — what
+    * HLS audio segments and podcast `.aac` drops contain): syncword +
+    * layer check per frame, 13-bit frame_length stride, sample rate
+    * from the index table and pinned across the stream, 1024-sample
+    * frame clock for timestamps. THROWS on malformation — bad sync, a
+    * reserved rate index, mid-stream rate/channel change, a frame
+    * overrunning the payload — per-frame consumers must never see
+    * silently-partial walks. */
+  private[graft] def parseAdtsFrames(id: Long, b: Array[Byte])
+      : Seq[(Int, Long, Int, Int, Int, Int, Long)] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    def u8(i: Int): Int = b(i) & 0xFF
+    if (b.length == 0) fail("empty ADTS payload")
+    val out = Seq.newBuilder[(Int, Long, Int, Int, Int, Int, Long)]
+    var off = 0
+    var f = 0
+    var rate = -1
+    var chans = -1
+    while (off < b.length) {
+      if (off + 7 > b.length) fail(s"frame $f header truncated at $off")
+      if (u8(off) != 0xFF || (u8(off + 1) & 0xF6) != 0xF0)
+        fail(f"frame $f: bad syncword/layer at $off (${u8(off)}%02x ${u8(off + 1)}%02x)")
+      val protectionAbsent = u8(off + 1) & 1
+      val profile = (u8(off + 2) >> 6) & 0x3
+      val sfi = (u8(off + 2) >> 2) & 0xF
+      if (sfi >= AdtsRates.length) fail(s"frame $f: reserved sampling index $sfi")
+      val fr = AdtsRates(sfi)
+      val ch = ((u8(off + 2) & 0x1) << 2) | ((u8(off + 3) >> 6) & 0x3)
+      val flen = ((u8(off + 3) & 0x3) << 11) | (u8(off + 4) << 3) | ((u8(off + 5) >> 5) & 0x7)
+      val hdr = if (protectionAbsent == 1) 7 else 9
+      if (flen < hdr) fail(s"frame $f: frame_length $flen shorter than its header")
+      if (rate < 0) { rate = fr; chans = ch }
+      else if (rate != fr) fail(s"frame $f: sample rate changed mid-stream ($rate -> $fr)")
+      else if (chans != ch) fail(s"frame $f: channel config changed mid-stream ($chans -> $ch)")
+      if (off + flen > b.length) fail(s"frame $f ($flen bytes at $off) overruns payload")
+      out += ((f, off.toLong, profile, fr, ch, flen - hdr,
+        f.toLong * 1024L * 1000L / fr))
+      off += flen
+      f += 1
+    }
+    out.result()
+  }
+
+  /** ADTS → one row per AAC frame: (doc_id, frame_idx, offset,
+    * profile, sample_rate, channels, payload_bytes, ts_ms). Map-only
+    * in the batched seam; frame payloads never leave the task. */
+  def adtsFrames(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseAdtsFrames(id, bytes).map { case (f, o, prof, fr, ch, sz, ts) =>
+          (id, f, o, prof, fr, ch, sz, ts)
+        }
+      }).toDF("doc_id", "frame_idx", "offset", "profile", "sample_rate",
+        "channels", "payload_bytes", "ts_ms")
+  }
+
+  // ---- ICO ----
+
+  /** Deterministic ICO corpus — a real ICONDIR (reserved 0, type 1)
+    * with 1 + id%3 entries; entry e declares a (16 + 8e)-pixel
+    * square image (width/height bytes are 0 FOR 256 per the format —
+    * entry sizes stay below so the zero-is-256 rule is exercised by
+    * [[parseIco]] only on id%7==0, whose LAST entry is 256×256),
+    * 32 bpp, and a BMP-flavored payload of 40 + (id+5e)%80 bytes at
+    * the computed running offset. */
+  def icoDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (1 + id % 3).toInt
+        val dims = Array.tabulate(n) { e =>
+          if (id % 7 == 0 && e == n - 1) 256 else 16 + 8 * e
+        }
+        val sizes = Array.tabulate(n)(e => (40 + (id + 5 * e) % 80).toInt)
+        val out = new java.io.ByteArrayOutputStream()
+        def le16(x: Int): Unit = { out.write(x & 0xFF); out.write((x >> 8) & 0xFF) }
+        def le32(x: Int): Unit = { le16(x & 0xFFFF); le16((x >> 16) & 0xFFFF) }
+        le16(0); le16(1); le16(n)
+        var offAcc = 6 + 16 * n
+        var e = 0
+        while (e < n) {
+          val d = if (dims(e) == 256) 0 else dims(e)
+          out.write(d); out.write(d) // width, height (0 = 256)
+          out.write(0); out.write(0) // palette count, reserved
+          le16(1); le16(32) // planes, bpp
+          le32(sizes(e)); le32(offAcc)
+          offAcc += sizes(e)
+          e += 1
+        }
+        e = 0
+        while (e < n) {
+          var k = 0
+          while (k < sizes(e)) { out.write(((id * 23 + 13L * e + k) % 256).toInt); k += 1 }
+          e += 1
+        }
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** REAL ICO directory walk: ICONDIR validated (reserved must be 0,
+    * type must be 1), per-entry dims with the zero-means-256 rule,
+    * declared offsets/sizes bounds-checked against the payload and
+    * against EACH OTHER (entries must not claim bytes past the end).
+    * One row per entry: (doc_id, entry_idx, width, height, bpp,
+    * image_bytes, image_offset). */
+  private[graft] def parseIco(id: Long, b: Array[Byte])
+      : Seq[(Int, Int, Int, Int, Int, Int)] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    def u8(i: Int): Int = b(i) & 0xFF
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = le16(i) | (le16(i + 2) << 16)
+    if (b.length < 6) fail("ICO header truncated")
+    if (le16(0) != 0) fail(s"ICONDIR reserved field is ${le16(0)}, not 0")
+    if (le16(2) != 1) fail(s"ICONDIR type ${le16(2)} is not ICO")
+    val n = le16(4)
+    if (n == 0) fail("ICO with zero images")
+    if (6 + 16 * n > b.length) fail(s"ICONDIR declares $n entries past the payload")
+    (0 until n).map { e =>
+      val p = 6 + 16 * e
+      val w = if (u8(p) == 0) 256 else u8(p)
+      val h = if (u8(p + 1) == 0) 256 else u8(p + 1)
+      val bpp = le16(p + 6)
+      val sz = le32(p + 8)
+      val off = le32(p + 12)
+      if (sz < 0 || off < 0 || off + sz > b.length)
+        fail(s"entry $e: image [$off, ${off.toLong + sz}) overruns the ${b.length}-byte payload")
+      (e, w, h, bpp, sz, off)
+    }
+  }
+
+  /** ICO → (doc_id, entry_idx, width, height, bpp, image_bytes,
+    * image_offset). Map-only. */
+  def icoEntries(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseIco(id, bytes).map { case (e, w, h, bpp, sz, off) =>
+          (id, e, w, h, bpp, sz, off)
+        }
+      }).toDF("doc_id", "entry_idx", "width", "height", "bpp",
+        "image_bytes", "image_offset")
+  }
+
   // ---- subtitles (SRT / WebVTT) ----
 
   /** `HH:MM:SS<sep>mmm` from a millisecond column — the writer side

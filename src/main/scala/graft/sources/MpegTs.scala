@@ -1,0 +1,360 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** MPEG transport stream walk — ISO/IEC 13818-1, the container of
+  * broadcast captures and HLS segments (`.ts` media in every m3u8
+  * playlist): fixed 188-byte packets, each
+  * `0x47 sync | TEI PUSI priority PID(13) | scrambling AFC CC(4)`,
+  * with an optional adaptation field (stuffing lives there — a
+  * partial payload is padded with an AF full of 0xFF, never with
+  * trailing payload bytes). Program metadata rides PSI sections:
+  * PAT (PID 0) maps program numbers to PMT PIDs, the PMT lists
+  * elementary streams (stream_type + PID); both end in the
+  * CRC-32/MPEG-2 (forward 0x04C11DB7, init all-ones, no final XOR).
+  * Elementary-stream payloads are PES packets
+  * (`00 00 01 stream_id len flags` + a 5-byte 33-bit PTS whose
+  * marker bits a byte-blind reader silently corrupts), started on a
+  * PUSI packet and continued across packets under one continuity
+  * counter.
+  *
+  * The walk covers the metadata path every video-ingest pipeline
+  * needs before any codec decode: packet accounting per PID,
+  * program/stream tables, and PES timestamps (the 90 kHz clock).
+  * Same seam discipline as [[Ebml]]/[[Ogg]]/[[Archives]]: per-row
+  * byte work in `mapPartitions`, payloads never shuffle, only
+  * metadata rows leave the task — map-only at 100 TB.
+  */
+object MpegTs {
+
+  private val PmtPid = 0x100
+  private val VideoPid = 0x101
+  private val AudioPid = 0x102
+
+  // ---- CRC-32/MPEG-2 (forward 0x04C11DB7, init 0xFFFFFFFF) ----
+
+  private[graft] def mpegCrc(b: Array[Byte], off: Int, len: Int): Int = {
+    var crc = 0xFFFFFFFF
+    var i = off
+    val end = off + len
+    while (i < end) {
+      crc ^= (b(i) & 0xFF) << 24
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04C11DB7 else crc << 1
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  // ---- writer helpers (fixture) ----
+
+  /** One 188-byte packet: `payload` becomes the packet body, padded
+    * to 184 with an adaptation field of 0xFF stuffing (the spec's
+    * only legal padding for PES payloads). */
+  private def packet(pid: Int, pusi: Boolean, cc: Int,
+                     payload: Array[Byte]): Array[Byte] = {
+    require(payload.length <= 184, s"payload ${payload.length} > 184")
+    val out = new Array[Byte](188)
+    out(0) = 0x47
+    out(1) = (((if (pusi) 1 else 0) << 6) | ((pid >> 8) & 0x1F)).toByte
+    out(2) = (pid & 0xFF).toByte
+    val pad = 184 - payload.length
+    val afc = if (pad > 0) 0x3 else 0x1 // adaptation+payload vs payload-only
+    out(3) = ((afc << 4) | (cc & 0xF)).toByte
+    var p = 4
+    if (pad == 1) { out(p) = 0; p += 1 } // AF with length 0: one pad byte
+    else if (pad > 1) {
+      out(p) = (pad - 1).toByte // AF length excludes its own byte
+      out(p + 1) = 0 // no flags
+      java.util.Arrays.fill(out, p + 2, p + pad, 0xFF.toByte)
+      p += pad
+    }
+    payload.copyToArray(out, p)
+    out
+  }
+
+  /** A PSI section wrapped for one packet: pointer_field 0, table
+    * header, body, CRC-32/MPEG-2. */
+  private def psi(tableId: Int, tableIdExt: Int, body: Array[Byte]): Array[Byte] = {
+    val secLen = body.length + 5 + 4 // ext+version+secnum bytes + CRC
+    val sec = new Array[Byte](3 + secLen)
+    sec(0) = tableId.toByte
+    sec(1) = (0xB0 | ((secLen >> 8) & 0xF)).toByte // syntax=1, reserved
+    sec(2) = (secLen & 0xFF).toByte
+    sec(3) = ((tableIdExt >> 8) & 0xFF).toByte
+    sec(4) = (tableIdExt & 0xFF).toByte
+    sec(5) = 0xC1.toByte // reserved, version 0, current_next 1
+    sec(6) = 0; sec(7) = 0 // section_number, last_section_number
+    body.copyToArray(sec, 8)
+    val crc = mpegCrc(sec, 0, sec.length - 4)
+    sec(sec.length - 4) = ((crc >> 24) & 0xFF).toByte
+    sec(sec.length - 3) = ((crc >> 16) & 0xFF).toByte
+    sec(sec.length - 2) = ((crc >> 8) & 0xFF).toByte
+    sec(sec.length - 1) = (crc & 0xFF).toByte
+    0.toByte +: sec // pointer_field
+  }
+
+  /** PES header + payload: stream_id, 16-bit length, PTS-only flags,
+    * the 33-bit PTS in its marker-bit framing. */
+  private def pes(streamId: Int, pts: Long, payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](14 + payload.length)
+    out(0) = 0; out(1) = 0; out(2) = 1
+    out(3) = streamId.toByte
+    val plen = 8 + payload.length // after the length field: flags+hdr+PTS+payload
+    out(4) = ((plen >> 8) & 0xFF).toByte
+    out(5) = (plen & 0xFF).toByte
+    out(6) = 0x80.toByte // '10' + no scrambling/priority
+    out(7) = 0x80.toByte // PTS only
+    out(8) = 5 // PES_header_data_length
+    out(9) = (0x20 | (((pts >> 30) & 0x7).toInt << 1) | 1).toByte
+    out(10) = ((pts >> 22) & 0xFF).toByte
+    out(11) = ((((pts >> 15) & 0x7F).toInt << 1) | 1).toByte
+    out(12) = ((pts >> 7) & 0xFF).toByte
+    out(13) = ((((pts & 0x7F).toInt) << 1) | 1).toByte
+    payload.copyToArray(out, 14)
+    out
+  }
+
+  /** Deterministic TS corpus — one single-program stream per
+    * document, all fields closed-form:
+    *  - PAT (PID 0): program 1 + id%7 → PMT PID 0x100;
+    *  - PMT: PCR = video PID 0x101 (stream_type 0x1B, H.264), plus
+    *    on odd ids an AAC stream (PID 0x102, stream_type 0x0F);
+    *  - 2 + id%4 video PES of 30 + (id+17p)%300 payload bytes at
+    *    PTS 3003(p+1) + 90·(id%1000) (the NTSC frame cadence), and
+    *    on odd ids 1 + id%3 audio PES of 20 + (id+13p)%200 bytes at
+    *    PTS 1920(p+1) + 90·(id%1000);
+    *  - every PES starts on a PUSI packet, spills across packets
+    *    under its PID's continuity counter, and the final partial
+    *    packet is stuffed with an adaptation field. */
+  def tsDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val out = new java.io.ByteArrayOutputStream()
+        val cc = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
+        def emit(pid: Int, data: Array[Byte]): Unit = {
+          var off = 0
+          var first = true
+          while (off < data.length) {
+            val n = math.min(184, data.length - off)
+            out.write(packet(pid, first, cc(pid), java.util.Arrays.copyOfRange(data, off, off + n)))
+            cc(pid) += 1
+            first = false
+            off += n
+          }
+        }
+        val program = (1 + id % 7).toInt
+        val hasAudio = id % 2 == 1
+        // PAT: one program → PMT PID
+        emit(0, psi(0x00, 1, Array[Byte](
+          ((program >> 8) & 0xFF).toByte, (program & 0xFF).toByte,
+          (0xE0 | ((PmtPid >> 8) & 0x1F)).toByte, (PmtPid & 0xFF).toByte)))
+        // PMT: PCR PID + stream loop (no descriptors)
+        val streams =
+          Seq((0x1B, VideoPid)) ++ (if (hasAudio) Seq((0x0F, AudioPid)) else Nil)
+        emit(PmtPid, psi(0x02, program,
+          Array[Byte](
+            (0xE0 | ((VideoPid >> 8) & 0x1F)).toByte, (VideoPid & 0xFF).toByte,
+            0xF0.toByte, 0x00) ++
+          streams.flatMap { case (st, pid) => Array[Byte](st.toByte,
+            (0xE0 | ((pid >> 8) & 0x1F)).toByte, (pid & 0xFF).toByte,
+            0xF0.toByte, 0x00) }))
+        val base = 90L * (id % 1000)
+        val nv = (2 + id % 4).toInt
+        var p = 0
+        while (p < nv) {
+          val sz = (30 + (id + 17 * p) % 300).toInt
+          emit(VideoPid, pes(0xE0, base + 3003L * (p + 1),
+            Array.tabulate(sz)(k => ((id * 7 + 29L * p + k) % 256).toByte)))
+          p += 1
+        }
+        if (hasAudio) {
+          val na = (1 + id % 3).toInt
+          var q = 0
+          while (q < na) {
+            val sz = (20 + (id + 13 * q) % 200).toInt
+            emit(AudioPid, pes(0xC0, base + 1920L * (q + 1),
+              Array.tabulate(sz)(k => ((id * 11 + 31L * q + k) % 256).toByte)))
+            q += 1
+          }
+        }
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  // ---- the walk ----
+
+  private final case class Pkt(pid: Int, pusi: Boolean, cc: Int,
+                               payloadOff: Int, payloadLen: Int)
+
+  /** The 188-byte stride walk: sync verified on every packet,
+    * continuity counters verified per PID (AF-only packets do not
+    * advance CC — none exist in the fixture, but the rule is
+    * checked), adaptation-field length bounds enforced. */
+  private def walkPackets(id: Long, b: Array[Byte]): Seq[Pkt] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    if (b.length == 0 || b.length % 188 != 0)
+      fail(s"payload is ${b.length} bytes — not a whole number of 188-byte packets")
+    val out = Seq.newBuilder[Pkt]
+    val lastCc = scala.collection.mutable.Map.empty[Int, Int]
+    var off = 0
+    var idx = 0
+    while (off < b.length) {
+      if ((b(off) & 0xFF) != 0x47) fail(f"packet $idx: bad sync byte ${b(off) & 0xFF}%02x")
+      val pid = ((b(off + 1) & 0x1F) << 8) | (b(off + 2) & 0xFF)
+      val pusi = (b(off + 1) & 0x40) != 0
+      val afc = (b(off + 3) >> 4) & 0x3
+      val cc = b(off + 3) & 0xF
+      if (afc == 0) fail(s"packet $idx: reserved adaptation_field_control 00")
+      var p = off + 4
+      if (afc >= 2) { // adaptation field present
+        val afLen = b(p) & 0xFF
+        if (p + 1 + afLen > off + 188) fail(s"packet $idx: adaptation field overruns packet")
+        p += 1 + afLen
+      }
+      if (afc == 2) {
+        // adaptation-only: no payload, CC must NOT advance
+        lastCc.get(pid).foreach(prev =>
+          if (cc != prev) fail(s"packet $idx: CC advanced on an AF-only packet"))
+      } else {
+        lastCc.get(pid).foreach(prev =>
+          if (cc != ((prev + 1) & 0xF))
+            fail(s"packet $idx: PID $pid continuity $prev -> $cc (lost packet)"))
+        lastCc(pid) = cc
+        out += Pkt(pid, pusi, cc, p, off + 188 - p)
+      }
+      off += 188
+      idx += 1
+    }
+    out.result()
+  }
+
+  /** TS → per-PID accounting: (doc_id, pid, n_packets, n_units,
+    * payload_bytes) where n_units counts PUSI starts. Map-only. */
+  def tsPackets(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        walkPackets(id, bytes)
+          .groupBy(_.pid).toSeq.map { case (pid, ps) =>
+            (id, pid, ps.length, ps.count(_.pusi), ps.map(_.payloadLen.toLong).sum)
+          }
+      }).toDF("doc_id", "pid", "n_packets", "n_units", "payload_bytes")
+  }
+
+  /** PSI walk: PAT → PMT chain, CRC-32/MPEG-2 verified on both,
+    * PMT located BY THE PAT's mapping (a reader that assumes PID
+    * 0x100 breaks on remuxed streams). One row per elementary
+    * stream: (doc_id, program_number, pmt_pid, pcr_pid, stream_pid,
+    * stream_type). */
+  def tsPrograms(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        def fail(msg: String): Nothing =
+          throw new IllegalArgumentException(s"doc $id: $msg")
+        val pkts = walkPackets(id, b)
+        def section(pid: Int, expectTable: Int): (Int, Array[Byte]) = {
+          val start = pkts.find(p => p.pid == pid && p.pusi)
+            .getOrElse(fail(f"no PUSI packet on PID 0x$pid%x"))
+          val ptr = b(start.payloadOff) & 0xFF
+          val s0 = start.payloadOff + 1 + ptr
+          val tableId = b(s0) & 0xFF
+          if (tableId != expectTable)
+            fail(f"PID 0x$pid%x carries table 0x$tableId%02x, expected 0x$expectTable%02x")
+          val secLen = ((b(s0 + 1) & 0xF) << 8) | (b(s0 + 2) & 0xFF)
+          val total = 3 + secLen
+          if (s0 + total > start.payloadOff + start.payloadLen)
+            fail(f"PID 0x$pid%x: section spans packets (unsupported in fixture walk)")
+          val sec = java.util.Arrays.copyOfRange(b, s0, s0 + total)
+          val stored = ((sec(total - 4) & 0xFF) << 24) | ((sec(total - 3) & 0xFF) << 16) |
+            ((sec(total - 2) & 0xFF) << 8) | (sec(total - 1) & 0xFF)
+          val calc = mpegCrc(sec, 0, total - 4)
+          if (stored != calc)
+            fail(f"PID 0x$pid%x: section CRC mismatch (stored $stored%08x, computed $calc%08x)")
+          val ext = ((sec(3) & 0xFF) << 8) | (sec(4) & 0xFF)
+          (ext, sec)
+        }
+        val (_, pat) = section(0, 0x00)
+        // PAT loop: rows of program_number + PMT PID until the CRC
+        val programs = (8 until pat.length - 4 by 4).map { i =>
+          val prog = ((pat(i) & 0xFF) << 8) | (pat(i + 1) & 0xFF)
+          val pmtPid = ((pat(i + 2) & 0x1F) << 8) | (pat(i + 3) & 0xFF)
+          (prog, pmtPid)
+        }
+        programs.flatMap { case (prog, pmtPid) =>
+          val (pmtProg, pmt) = section(pmtPid, 0x02)
+          if (pmtProg != prog)
+            fail(s"PMT on PID $pmtPid names program $pmtProg, PAT says $prog")
+          val pcrPid = ((pmt(8) & 0x1F) << 8) | (pmt(9) & 0xFF)
+          val progInfoLen = ((pmt(10) & 0xF) << 8) | (pmt(11) & 0xFF)
+          var i = 12 + progInfoLen
+          val rows = Seq.newBuilder[(Long, Int, Int, Int, Int, Int)]
+          while (i < pmt.length - 4) {
+            val st = pmt(i) & 0xFF
+            val esPid = ((pmt(i + 1) & 0x1F) << 8) | (pmt(i + 2) & 0xFF)
+            val esInfoLen = ((pmt(i + 3) & 0xF) << 8) | (pmt(i + 4) & 0xFF)
+            rows += ((id, prog, pmtPid, pcrPid, esPid, st))
+            i += 5 + esInfoLen
+          }
+          rows.result()
+        }
+      }).toDF("doc_id", "program_number", "pmt_pid", "pcr_pid",
+        "stream_pid", "stream_type")
+  }
+
+  /** PES reassembly: units start at PUSI packets and run to the next
+    * PUSI on the same PID; start code + marker-bit PTS framing
+    * verified, declared PES length checked against the bytes
+    * actually gathered. One row per unit: (doc_id, pid, unit_idx,
+    * stream_id, pts, ts_ms, payload_bytes). */
+  def tsPes(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        def fail(msg: String): Nothing =
+          throw new IllegalArgumentException(s"doc $id: $msg")
+        val pkts = walkPackets(id, b).filter(p => p.pid != 0 && p.pid != PmtPid)
+        val byPid = pkts.groupBy(_.pid).toSeq.sortBy(_._1)
+        byPid.flatMap { case (pid, ps) =>
+          // split the packet run at PUSI boundaries
+          if (!ps.head.pusi) fail(s"PID $pid starts mid-unit (no leading PUSI)")
+          val units = Seq.newBuilder[Array[Byte]]
+          var acc = new java.io.ByteArrayOutputStream()
+          ps.foreach { p =>
+            if (p.pusi && acc.size() > 0) { units += acc.toByteArray; acc = new java.io.ByteArrayOutputStream() }
+            acc.write(b, p.payloadOff, p.payloadLen)
+          }
+          if (acc.size() > 0) units += acc.toByteArray
+          units.result().zipWithIndex.map { case (u, k) =>
+            if (u.length < 14 || u(0) != 0 || u(1) != 0 || u(2) != 1)
+              fail(s"PID $pid unit $k: bad PES start code")
+            val sid = u(3) & 0xFF
+            val declared = ((u(4) & 0xFF) << 8) | (u(5) & 0xFF)
+            if (declared != u.length - 6)
+              fail(s"PID $pid unit $k: PES length $declared != ${u.length - 6} gathered")
+            if ((u(7) & 0x80) == 0) fail(s"PID $pid unit $k: no PTS")
+            if ((u(9) & 0xF0) != 0x20 || (u(9) & 1) != 1 || (u(11) & 1) != 1 || (u(13) & 1) != 1)
+              fail(s"PID $pid unit $k: PTS marker bits corrupt")
+            val pts = (((u(9) >> 1) & 0x7).toLong << 30) |
+              ((u(10) & 0xFF).toLong << 22) |
+              (((u(11) >> 1) & 0x7F).toLong << 15) |
+              ((u(12) & 0xFF).toLong << 7) |
+              ((u(13) >> 1) & 0x7F).toLong
+            (id, pid, k, sid, pts, pts / 90L, u.length - 14)
+          }
+        }
+      }).toDF("doc_id", "pid", "unit_idx", "stream_id", "pts", "ts_ms",
+        "payload_bytes")
+  }
+}

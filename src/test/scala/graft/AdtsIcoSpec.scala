@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.sources.Archives
+
+/** ADTS frame-walk and ICO directory-walk semantics, plus their
+  * sniffer signatures. */
+class AdtsIcoSpec extends SparkSpec {
+
+  test("adtsFrames: strides, offsets, and the 1024-sample clock replay closed-form") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val rows = Multimodal.adtsFrames(Multimodal.adtsDocs(docs)).collect()
+    assert(rows.length == (0L until 40L).map(id => 3 + id % 6).sum)
+    val rates = Array(48000, 44100, 32000, 24000, 22050)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val k = r.getInt(1)
+      val rate = rates((id % 5).toInt)
+      val expOff = (0 until k).map(g => 17L + (id + 7 * g) % 100).sum
+      assert(r.getLong(2) == expOff, s"doc $id frame $k offset")
+      assert(r.getInt(3) == (id % 2).toInt)
+      assert(r.getInt(4) == rate)
+      assert(r.getInt(5) == (1 + id % 2).toInt)
+      assert(r.getInt(6) == (10 + (id + 7 * k) % 100).toInt)
+      assert(r.getLong(7) == k.toLong * 1024L * 1000L / rate, s"doc $id frame $k ts")
+    }
+  }
+
+  test("parseAdtsFrames rejects malformation loudly") {
+    import spark.implicits._
+    val good = Multimodal.adtsDocs(Seq(3L).toDF("doc_id")).collect()(0).getAs[Array[Byte]](1)
+    assert(Multimodal.parseAdtsFrames(3L, good).nonEmpty)
+    // truncating the last frame's payload overruns
+    intercept[IllegalArgumentException](
+      Multimodal.parseAdtsFrames(3L, good.take(good.length - 1)))
+    // breaking frame 0's sync fails by name
+    val badSync = good.clone(); badSync(0) = 0x7F
+    val e1 = intercept[IllegalArgumentException](Multimodal.parseAdtsFrames(3L, badSync))
+    assert(e1.getMessage.contains("sync"), e1.getMessage)
+    // a reserved sampling index fails by name (index 14)
+    val badSfi = good.clone()
+    badSfi(2) = ((badSfi(2) & 0xC3) | (14 << 2)).toByte
+    val e2 = intercept[IllegalArgumentException](Multimodal.parseAdtsFrames(3L, badSfi))
+    assert(e2.getMessage.contains("sampling") || e2.getMessage.contains("reserved"),
+      e2.getMessage)
+    // a mid-stream rate change fails by name: patch frame 1's sfi
+    val flen0 = 17 + ((3L + 0) % 100).toInt
+    val badRate = good.clone()
+    badRate(flen0 + 2) = ((badRate(flen0 + 2) & 0xC3) | (7 << 2)).toByte
+    val e3 = intercept[IllegalArgumentException](Multimodal.parseAdtsFrames(3L, badRate))
+    assert(e3.getMessage.contains("changed"), e3.getMessage)
+  }
+
+  test("icoEntries: dims (zero-means-256), sizes, offsets replay closed-form") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 42)
+    val rows = Multimodal.icoEntries(Multimodal.icoDocs(docs)).collect()
+    assert(rows.length == (0L until 42L).map(id => 1 + id % 3).sum)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val e = r.getInt(1)
+      val n = (1 + id % 3).toInt
+      val dim = if (id % 7 == 0 && e == n - 1) 256 else 16 + 8 * e
+      assert(r.getInt(2) == dim && r.getInt(3) == dim, s"doc $id entry $e dims")
+      assert(r.getInt(4) == 32)
+      assert(r.getInt(5) == (40 + (id + 5 * e) % 80).toInt)
+      val expOff = 6 + 16 * n + (0 until e).map(g => 40 + ((id + 5 * g) % 80).toInt).sum
+      assert(r.getInt(6) == expOff, s"doc $id entry $e offset")
+    }
+    // the zero-byte-means-256 rule is actually exercised
+    assert(rows.exists(_.getInt(2) == 256), "no 256-pixel entry in the fixture")
+  }
+
+  test("parseIco rejects malformation loudly") {
+    import spark.implicits._
+    val good = Multimodal.icoDocs(Seq(5L).toDF("doc_id")).collect()(0).getAs[Array[Byte]](1)
+    assert(Multimodal.parseIco(5L, good).nonEmpty)
+    // a nonzero reserved field fails by name
+    val badRes = good.clone(); badRes(0) = 1
+    val e1 = intercept[IllegalArgumentException](Multimodal.parseIco(5L, badRes))
+    assert(e1.getMessage.contains("reserved"), e1.getMessage)
+    // type 2 (CUR) is not ICO here
+    val badType = good.clone(); badType(2) = 2
+    val e2 = intercept[IllegalArgumentException](Multimodal.parseIco(5L, badType))
+    assert(e2.getMessage.contains("type"), e2.getMessage)
+    // an entry whose image bytes are cut off overruns
+    val e3 = intercept[IllegalArgumentException](
+      Multimodal.parseIco(5L, good.take(good.length - 1)))
+    assert(e3.getMessage.contains("overruns"), e3.getMessage)
+  }
+
+  test("sniffer: aac/ico/mpegts/ogg/lz4/snappy signatures dispatch correctly") {
+    import spark.implicits._
+    val adts = Multimodal.adtsDocs(Seq(1L).toDF("doc_id")).collect()(0).getAs[Array[Byte]](1)
+    assert(Archives.sniff(adts) == (("aac", "audio/aac")))
+    // MPEG audio (layer III) still routes to mp3, not aac
+    val mp3 = Multimodal.mp3VbrDocs(Seq(1L).toDF("doc_id")).collect()(0).getAs[Array[Byte]](1)
+    assert(Archives.sniff(mp3)._1 == "mp3")
+    val ico = Multimodal.icoDocs(Seq(0L).toDF("doc_id")).collect()(0).getAs[Array[Byte]](1)
+    assert(Archives.sniff(ico) == (("ico", "image/x-icon")))
+    val ts = graft.sources.MpegTs.tsDocs(Seq(0L).toDF("doc_id")).collect()(0).getAs[Array[Byte]](1)
+    assert(Archives.sniff(ts) == (("mpegts", "video/mp2t")))
+    val ogg = graft.sources.Ogg.oggDocs(Seq(0L).toDF("doc_id")).collect()(0).getAs[Array[Byte]](1)
+    assert(Archives.sniff(ogg) == (("ogg", "audio/ogg")))
+    assert(Archives.sniff(Array[Byte](0x04, 0x22, 0x4D, 0x18, 9, 9))._1 == "lz4")
+    assert(Archives.sniff((Array[Byte](0xFF.toByte, 0x06, 0, 0) ++
+      "sNaPpY".getBytes("US-ASCII")))._1 == "snappy")
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.MpegTs
+
+/** MPEG-TS walk semantics: 188-byte stride, continuity counters,
+  * PSI CRC, PAT→PMT chaining, PES reassembly + PTS marker framing,
+  * and loud failure on malformation. */
+class MpegTsSpec extends SparkSpec {
+
+  test("tsPrograms: PAT→PMT chain replays closed-form, CRCs verified") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val rows = MpegTs.tsPrograms(MpegTs.tsDocs(docs)).collect()
+    assert(rows.length == (0L until 40L).map(id => 1 + id % 2).sum)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (1 + id % 7).toInt, s"doc $id program")
+      assert(r.getInt(2) == 0x100 && r.getInt(3) == 0x101)
+      if (r.getInt(4) == 0x101) assert(r.getInt(5) == 0x1B, s"doc $id video type")
+      else {
+        assert(r.getInt(4) == 0x102 && r.getInt(5) == 0x0F, s"doc $id audio row")
+        assert(id % 2 == 1, s"doc $id has audio but is even")
+      }
+    }
+  }
+
+  test("tsPes: units reassemble across packets; PTS decodes through the marker bits") {
+    // ids up to 160 so some PES exceed one packet (44 + (id+17p)%300 > 184)
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 160)
+    val rows = MpegTs.tsPes(MpegTs.tsDocs(docs)).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val k = r.getInt(2)
+      val base = 90L * (id % 1000)
+      if (r.getInt(1) == 0x101) {
+        assert(r.getInt(3) == 0xE0)
+        assert(r.getLong(4) == base + 3003L * (k + 1), s"doc $id video pts $k")
+        assert(r.getInt(6) == (30 + (id + 17 * k) % 300).toInt)
+      } else {
+        assert(r.getInt(1) == 0x102 && r.getInt(3) == 0xC0)
+        assert(r.getLong(4) == base + 1920L * (k + 1), s"doc $id audio pts $k")
+        assert(r.getInt(6) == (20 + (id + 13 * k) % 200).toInt)
+      }
+      assert(r.getLong(5) == r.getLong(4) / 90L)
+    }
+    // multi-packet units exist (a PES over 184 bytes must span packets)
+    val perPid = MpegTs.tsPackets(MpegTs.tsDocs(docs)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val nUnits = rows.groupBy(r => (r.getLong(0), r.getInt(1))).view.mapValues(_.length)
+    assert(nUnits.exists { case (key, units) => perPid(key) > units },
+      "no PID ever used more packets than units — the spill path is untested")
+  }
+
+  test("tsPackets: per-PID accounting matches the packetization recurrence") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 30)
+    val rows = MpegTs.tsPackets(MpegTs.tsDocs(docs)).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      r.getInt(1) match {
+        case 0 =>
+          assert(r.getInt(2) == 1 && r.getInt(3) == 1 && r.getLong(4) == 17L)
+        case 0x100 =>
+          assert(r.getLong(4) == (if (id % 2 == 1) 27L else 22L), s"doc $id PMT bytes")
+        case 0x101 =>
+          val nv = (2 + id % 4).toInt
+          val sizes = (0 until nv).map(p => 44 + ((id + 17 * p) % 300).toInt)
+          assert(r.getInt(2) == sizes.map(s => (s + 183) / 184).sum, s"doc $id video pkts")
+          assert(r.getInt(3) == nv)
+          assert(r.getLong(4) == sizes.map(_.toLong).sum)
+        case 0x102 =>
+          assert(id % 2 == 1)
+          val na = (1 + id % 3).toInt
+          assert(r.getInt(3) == na)
+        case other => fail(s"unexpected PID $other")
+      }
+    }
+  }
+
+  test("walk rejects corruption: sync, stride, continuity, PSI CRC, PES framing") {
+    import spark.implicits._
+    val good = MpegTs.tsDocs(Seq(7L).toDF("doc_id")).collect()(0).getAs[Array[Byte]](1)
+    assert(MpegTs.tsPes(Seq((7L, good)).toDF("doc_id", "payload")).collect().nonEmpty)
+    def expectFail(b: Array[Byte], want: String): Unit = {
+      val e = intercept[org.apache.spark.SparkException](
+        MpegTs.tsPrograms(Seq((7L, b)).toDF("doc_id", "payload")).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(want)), s"wanted '$want' in ${msgs(e).mkString(" | ")}")
+    }
+    // ragged tail
+    expectFail(good.take(good.length - 1), "188-byte")
+    // bad sync on packet 1
+    val badSync = good.clone(); badSync(188) = 0x48
+    expectFail(badSync, "sync")
+    // dropped packet: cut packet 3 wholesale → continuity breaks
+    // (packet 3 is inside the video PES run for doc 7)
+    val dropped = good.take(3 * 188) ++ good.drop(4 * 188)
+    expectFail(dropped, "continuity")
+    // flipped byte inside the PAT section (behind packet 0's
+    // adaptation-field stuffing) → CRC mismatch
+    val badCrc = good.clone()
+    val patStart = {
+      val afc0 = (good(3) >> 4) & 0x3
+      if (afc0 >= 2) 5 + (good(4) & 0xFF) else 4
+    }
+    badCrc(patStart + 4) = (badCrc(patStart + 4) ^ 0x01).toByte
+    expectFail(badCrc, "CRC")
+    // PES with a corrupted PTS marker bit fails by name
+    val vPusi = {
+      // find the first PUSI packet on PID 0x101
+      var off = 0; var found = -1
+      while (off < good.length && found < 0) {
+        val pid = ((good(off + 1) & 0x1F) << 8) | (good(off + 2) & 0xFF)
+        if (pid == 0x101 && (good(off + 1) & 0x40) != 0) found = off
+        off += 188
+      }
+      found
+    }
+    assert(vPusi >= 0)
+    val badPts = good.clone()
+    // payload starts at 4 (full 184-byte first packet, no AF) or after
+    // the AF; locate the PES start code then break marker byte 9
+    val afc = (badPts(vPusi + 3) >> 4) & 0x3
+    val pStart = if (afc >= 2) vPusi + 5 + (badPts(vPusi + 4) & 0xFF) else vPusi + 4
+    badPts(pStart + 9) = (badPts(pStart + 9) & 0xFE).toByte // clear a marker bit
+    val e = intercept[org.apache.spark.SparkException](
+      MpegTs.tsPes(Seq((7L, badPts)).toDF("doc_id", "payload")).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("marker")), msgs(e).mkString(" | "))
+  }
+}
