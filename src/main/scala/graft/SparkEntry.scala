@@ -1309,6 +1309,23 @@ object SparkEntry {
     // 90 kHz clock
     "m_ts_pes" -> ((s, dir) =>
       graft.sources.MpegTs.tsPes(graft.sources.MpegTs.tsDocs(Tables.documents(s, dir)))),
+    // RFC 8216 media playlists: EXTINF decimal durations to exact ms,
+    // media-sequence numbering, ENDLIST vod flag
+    "t_hls_segments" -> ((s, dir) =>
+      graft.sources.Hls.hlsSegments(
+        graft.sources.Hls.hlsDocs(Tables.documents(s, dir))
+          .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0))),
+    // RFC 8216 master playlists: quote-aware attribute-list scan —
+    // the CODECS value keeps its inner comma
+    "t_hls_variants" -> ((s, dir) =>
+      graft.sources.Hls.hlsVariants(
+        graft.sources.Hls.hlsDocs(Tables.documents(s, dir))
+          .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1))),
+    // TFRecord walk: LE64 lengths, BOTH masked CRC-32Cs verified per
+    // record (the Castagnoli polynomial + the published rotation)
+    "m_tfrecord_entries" -> ((s, dir) =>
+      graft.sources.TfRecord.tfrecordEntries(
+        graft.sources.TfRecord.tfrecordDocs(Tables.documents(s, dir)))),
     // RFC 3533 page walk: capture pattern, lacing runs (packets over
     // 255 bytes), forward-CRC32 verification with the field zeroed,
     // sequence continuity — one row per page
@@ -4122,6 +4139,43 @@ object SparkEntry {
         |       CAST(list_sum([144000 * kbps // rate + (doc_id + k) % 2
         |                      for k in generate_series(0, nf - 1)]) AS BIGINT) AS audio_bytes
         |FROM p""".stripMargin,
+    // HLS media playlists (even ids): closed-form segment table
+    "t_hls_segments" ->
+      """WITH d AS (SELECT doc_id, CAST(3 + doc_id % 5 AS INT) AS n
+        |           FROM documents WHERE doc_id % 2 = 0),
+        |s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS k FROM d)
+        |SELECT doc_id, CAST(k AS INT) AS seg_idx,
+        |       'seg_' || CAST(doc_id AS VARCHAR) || '_' || CAST(k AS VARCHAR) || '.ts' AS uri,
+        |       CAST(2000 + 500 * ((doc_id + 3 * k) % 5) AS BIGINT) AS duration_ms,
+        |       CAST(doc_id % 50 + k AS BIGINT) AS media_seq,
+        |       doc_id % 3 <> 0 AS vod
+        |FROM s""".stripMargin,
+    // HLS master playlists (odd ids): bandwidth/resolution ladder,
+    // the quoted CODECS surviving intact
+    "t_hls_variants" ->
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS nv
+        |           FROM documents WHERE doc_id % 2 = 1),
+        |vv AS (SELECT doc_id, unnest(generate_series(0, nv - 1)) AS v FROM d)
+        |SELECT doc_id, CAST(v AS INT) AS variant_idx,
+        |       CAST(400000 * (v + 1) + 1000 * (doc_id % 97) AS BIGINT) AS bandwidth,
+        |       CAST(320 + 160 * v AS INT) AS width,
+        |       CAST(180 + 90 * v AS INT) AS height,
+        |       'avc1.64001f,mp4a.40.2' AS codecs,
+        |       'variant_' || CAST(doc_id AS VARCHAR) || '_' || CAST(v AS VARCHAR) || '.m3u8' AS uri
+        |FROM vv""".stripMargin,
+    // TFRecord: offsets are the 16-byte-framing running sum; byte_sum
+    // replays the payload arithmetic
+    "m_tfrecord_entries" ->
+      """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 6 AS INT) AS n FROM documents),
+        |r AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS k FROM d),
+        |g AS (SELECT doc_id, k, 5 + (doc_id + 9 * k) % 200 AS sz FROM r)
+        |SELECT doc_id, CAST(k AS INT) AS rec_idx,
+        |       CAST(COALESCE(SUM(sz + 16) OVER (PARTITION BY doc_id ORDER BY k
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+        |       CAST(sz AS BIGINT) AS n_bytes,
+        |       CAST(list_sum([(doc_id * 3 + 7 * k + j) % 256
+        |                      for j in generate_series(0, CAST(sz AS INT) - 1)]) AS BIGINT) AS byte_sum
+        |FROM g""".stripMargin,
     // ADTS: frame strides are 7-byte headers + closed-form payloads;
     // offsets the running sum, timestamps the 1024-sample clock
     "m_adts_frames" ->

@@ -1,0 +1,170 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** HLS playlist walk — RFC 8216, the index format in front of every
+  * `.ts`/`.m4s` media segment on the web (and therefore the crawl's
+  * entry point into [[MpegTs]]): `#EXTM3U` header, then either a
+  * MEDIA playlist (`#EXTINF:<duration>,` + segment URI lines, with
+  * `#EXT-X-MEDIA-SEQUENCE` numbering and `#EXT-X-ENDLIST` closing
+  * VOD) or a MASTER playlist (`#EXT-X-STREAM-INF:<attr-list>` +
+  * variant URI lines, the attribute list carrying BANDWIDTH /
+  * RESOLUTION / quoted CODECS whose commas a naive `split(",")`
+  * corrupts).
+  *
+  * Durations are parsed to exact milliseconds (decimal-string walk,
+  * no float round-trip), attribute lists with a quote-aware scanner.
+  * Pure per-row text work in `mapPartitions` — map-only at 100 TB.
+  */
+object Hls {
+
+  /** Deterministic playlist corpus — ids % 2 == 0 are MEDIA
+    * playlists (3 + id%5 segments of 2000 + 500·((id+3k)%5) ms,
+    * media-sequence base id%50, `#EXT-X-ENDLIST` on id%3 != 0), ids
+    * % 2 == 1 are MASTER playlists (1 + id%3 variants, bandwidth
+    * 400000·(v+1) + 1000·(id%97), resolution (320+160v)×(180+90v),
+    * a quoted CODECS attribute CONTAINING A COMMA so attribute
+    * splitting is actually tested). */
+  def hlsDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val sb = new StringBuilder("#EXTM3U\n#EXT-X-VERSION:3\n")
+        if (id % 2 == 0) {
+          val n = (3 + id % 5).toInt
+          val durs = Array.tabulate(n)(k => 2000 + 500 * ((id + 3 * k) % 5).toInt)
+          sb ++= s"#EXT-X-TARGETDURATION:${(durs.max + 999) / 1000}\n"
+          sb ++= s"#EXT-X-MEDIA-SEQUENCE:${id % 50}\n"
+          var k = 0
+          while (k < n) {
+            sb ++= s"#EXTINF:${durs(k) / 1000}.${"%03d".format(durs(k) % 1000)},\n"
+            sb ++= s"seg_${id}_$k.ts\n"
+            k += 1
+          }
+          if (id % 3 != 0) sb ++= "#EXT-X-ENDLIST\n"
+        } else {
+          val nv = (1 + id % 3).toInt
+          var v = 0
+          while (v < nv) {
+            val bw = 400000 * (v + 1) + 1000 * (id % 97).toInt
+            sb ++= s"""#EXT-X-STREAM-INF:BANDWIDTH=$bw,RESOLUTION=${320 + 160 * v}x${180 + 90 * v},CODECS="avc1.64001f,mp4a.40.2"\n"""
+            sb ++= s"variant_${id}_$v.m3u8\n"
+            v += 1
+          }
+        }
+        (id, sb.toString)
+      }).toDF("doc_id", "playlist")
+  }
+
+  /** Attribute-list scan: `KEY=value` pairs split on commas OUTSIDE
+    * double quotes (RFC 8216 §4.2 — CODECS carries commas inside its
+    * quotes). */
+  private[graft] def parseAttrs(id: Long, s: String): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    var start = 0
+    var inQuote = false
+    def emit(part: String): Unit = if (part.nonEmpty) {
+      val eq = part.indexOf('=')
+      if (eq < 0) throw new IllegalArgumentException(
+        s"doc $id: attribute '$part' has no '='")
+      out += part.substring(0, eq) -> part.substring(eq + 1).stripPrefix("\"").stripSuffix("\"")
+    }
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => inQuote = !inQuote
+        case ',' if !inQuote => emit(s.substring(start, i)); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (inQuote) throw new IllegalArgumentException(s"doc $id: unterminated quote in attribute list")
+    emit(s.substring(start))
+    out.result()
+  }
+
+  /** `<int>.<frac>` seconds → exact milliseconds (frac right-padded /
+    * truncated to 3 digits; no float round-trip). */
+  private def durationMs(id: Long, s: String): Long = {
+    val dot = s.indexOf('.')
+    val whole = if (dot < 0) s else s.substring(0, dot)
+    val frac = if (dot < 0) "" else s.substring(dot + 1)
+    if (whole.isEmpty || !whole.forall(_.isDigit) || !frac.forall(_.isDigit))
+      throw new IllegalArgumentException(s"doc $id: bad EXTINF duration '$s'")
+    whole.toLong * 1000L + frac.padTo(3, '0').take(3).toLong
+  }
+
+  /** MEDIA playlists → one row per segment: (doc_id, seg_idx, uri,
+    * duration_ms, media_seq, vod). Master playlists produce no rows
+    * here; a media playlist with EXTINF but no following URI, or
+    * segments in a playlist with no `#EXTM3U` head, fails loudly. */
+  def hlsSegments(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("playlist")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        def fail(msg: String): Nothing =
+          throw new IllegalArgumentException(s"doc $id: $msg")
+        val lines = text.split("\n", -1).iterator.map(_.trim).filter(_.nonEmpty).toArray
+        if (lines.isEmpty || lines(0) != "#EXTM3U") fail("playlist does not start with #EXTM3U")
+        val vod = lines.contains("#EXT-X-ENDLIST")
+        val seqBase = lines.find(_.startsWith("#EXT-X-MEDIA-SEQUENCE:"))
+          .map(_.stripPrefix("#EXT-X-MEDIA-SEQUENCE:").toLong).getOrElse(0L)
+        val out = Seq.newBuilder[(Long, Int, String, Long, Long, Boolean)]
+        var k = 0
+        var i = 0
+        while (i < lines.length) {
+          val l = lines(i)
+          if (l.startsWith("#EXTINF:")) {
+            val spec = l.stripPrefix("#EXTINF:")
+            val comma = spec.indexOf(',')
+            val dur = durationMs(id, if (comma < 0) spec else spec.substring(0, comma))
+            if (i + 1 >= lines.length || lines(i + 1).startsWith("#"))
+              fail(s"EXTINF at line $i has no segment URI")
+            out += ((id, k, lines(i + 1), dur, seqBase + k, vod))
+            k += 1
+            i += 2
+          } else i += 1
+        }
+        out.result()
+      }).toDF("doc_id", "seg_idx", "uri", "duration_ms", "media_seq", "vod")
+  }
+
+  /** MASTER playlists → one row per variant: (doc_id, variant_idx,
+    * bandwidth, width, height, codecs, uri). The CODECS value keeps
+    * its inner comma — the quote-aware scan is load-bearing. */
+  def hlsVariants(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("playlist")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        def fail(msg: String): Nothing =
+          throw new IllegalArgumentException(s"doc $id: $msg")
+        val lines = text.split("\n", -1).iterator.map(_.trim).filter(_.nonEmpty).toArray
+        if (lines.isEmpty || lines(0) != "#EXTM3U") fail("playlist does not start with #EXTM3U")
+        val out = Seq.newBuilder[(Long, Int, Long, Int, Int, String, String)]
+        var v = 0
+        var i = 0
+        while (i < lines.length) {
+          val l = lines(i)
+          if (l.startsWith("#EXT-X-STREAM-INF:")) {
+            val attrs = parseAttrs(id, l.stripPrefix("#EXT-X-STREAM-INF:"))
+            val bw = attrs.getOrElse("BANDWIDTH", fail(s"variant $v: no BANDWIDTH")).toLong
+            val res = attrs.getOrElse("RESOLUTION", "0x0")
+            val x = res.indexOf('x')
+            if (x <= 0) fail(s"variant $v: bad RESOLUTION '$res'")
+            val (w, h) = (res.substring(0, x).toInt, res.substring(x + 1).toInt)
+            if (i + 1 >= lines.length || lines(i + 1).startsWith("#"))
+              fail(s"STREAM-INF at line $i has no variant URI")
+            out += ((id, v, bw, w, h, attrs.getOrElse("CODECS", ""), lines(i + 1)))
+            v += 1
+            i += 2
+          } else i += 1
+        }
+        out.result()
+      }).toDF("doc_id", "variant_idx", "bandwidth", "width", "height",
+        "codecs", "uri")
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Hls, TfRecord}
+
+/** HLS playlist walk and TFRecord (masked CRC-32C) walk semantics. */
+class HlsTfRecordSpec extends SparkSpec {
+
+  test("hlsSegments: durations to exact ms, media-sequence base, vod flag") {
+    val docs = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 40 && col("doc_id") % 2 === 0)
+    val rows = Hls.hlsSegments(Hls.hlsDocs(docs)).collect()
+    assert(rows.length == (0L until 40L by 2).map(id => 3 + id % 5).sum)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val k = r.getInt(1)
+      assert(r.getString(2) == s"seg_${id}_$k.ts")
+      assert(r.getLong(3) == 2000 + 500 * ((id + 3 * k) % 5), s"doc $id seg $k dur")
+      assert(r.getLong(4) == id % 50 + k)
+      assert(r.getBoolean(5) == (id % 3 != 0), s"doc $id vod")
+    }
+  }
+
+  test("hlsVariants: the quoted CODECS comma survives the attribute scan") {
+    val docs = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 40 && col("doc_id") % 2 === 1)
+    val rows = Hls.hlsVariants(Hls.hlsDocs(docs)).collect()
+    assert(rows.length == (1L until 40L by 2).map(id => 1 + id % 3).sum)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getInt(1)
+      assert(r.getLong(2) == 400000L * (v + 1) + 1000 * (id % 97))
+      assert(r.getInt(3) == 320 + 160 * v && r.getInt(4) == 180 + 90 * v)
+      assert(r.getString(5) == "avc1.64001f,mp4a.40.2", "CODECS comma corrupted")
+      assert(r.getString(6) == s"variant_${id}_$v.m3u8")
+    }
+  }
+
+  test("hls walks fail loudly on malformation") {
+    import spark.implicits._
+    def segs(s: String) =
+      Hls.hlsSegments(Seq((1L, s)).toDF("doc_id", "playlist")).collect()
+    def variants(s: String) =
+      Hls.hlsVariants(Seq((1L, s)).toDF("doc_id", "playlist")).collect()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // no #EXTM3U head
+    val e1 = intercept[Exception](segs("#EXTINF:2.0,\nseg.ts\n"))
+    assert(msgs(e1).exists(_.contains("EXTM3U")))
+    // EXTINF with no URI line
+    val e2 = intercept[Exception](segs("#EXTM3U\n#EXTINF:2.0,\n#EXT-X-ENDLIST\n"))
+    assert(msgs(e2).exists(_.contains("no segment URI")))
+    // non-numeric duration
+    val e3 = intercept[Exception](segs("#EXTM3U\n#EXTINF:abc,\nseg.ts\n"))
+    assert(msgs(e3).exists(_.contains("duration")))
+    // unterminated quote in the attribute list
+    val e4 = intercept[Exception](variants(
+      "#EXTM3U\n#EXT-X-STREAM-INF:BANDWIDTH=1,CODECS=\"oops\nv.m3u8\n"))
+    assert(msgs(e4).exists(_.contains("quote")))
+    // STREAM-INF missing BANDWIDTH
+    val e5 = intercept[Exception](variants(
+      "#EXTM3U\n#EXT-X-STREAM-INF:RESOLUTION=640x360\nv.m3u8\n"))
+    assert(msgs(e5).exists(_.contains("BANDWIDTH")))
+  }
+
+  test("tfrecordEntries: offsets/sums replay; CRC-32C masking is the published one") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val rows = TfRecord.tfrecordEntries(TfRecord.tfrecordDocs(docs)).collect()
+    assert(rows.length == (0L until 40L).map(id => 2 + id % 6).sum)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val k = r.getInt(1)
+      val expOff = (0 until k).map(g => 16L + 5 + (id + 9 * g) % 200).sum
+      assert(r.getLong(2) == expOff, s"doc $id rec $k offset")
+      val sz = (5 + (id + 9 * k) % 200).toInt
+      assert(r.getLong(3) == sz)
+      assert(r.getLong(4) == (0 until sz).map(j => (id * 3 + 7 * k + j) % 256).sum)
+    }
+    // the CRC-32C of "123456789" is the published check value, and the
+    // mask rotation matches tensorflow's crc32c.h
+    val check = "123456789".getBytes("US-ASCII")
+    assert(TfRecord.crc32c(check, 0, 9) == 0xE3069283.toInt)
+    assert(TfRecord.mask(0) == 0xA282EAD8.toInt)
+  }
+
+  test("tfrecord walk rejects corruption loudly") {
+    import spark.implicits._
+    val good = TfRecord.tfrecordDocs(Seq(3L).toDF("doc_id")).collect()(0).getAs[Array[Byte]](1)
+    def run(b: Array[Byte]) =
+      TfRecord.tfrecordEntries(Seq((3L, b)).toDF("doc_id", "payload")).collect()
+    assert(run(good).nonEmpty)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // flip a payload byte → data CRC mismatch
+    val badData = good.clone(); badData(14) = (badData(14) ^ 0x01).toByte
+    assert(msgs(intercept[Exception](run(badData))).exists(_.contains("data CRC")))
+    // flip a length byte → length CRC mismatch
+    val badLen = good.clone(); badLen(0) = (badLen(0) ^ 0x01).toByte
+    assert(msgs(intercept[Exception](run(badLen))).exists(_.contains("length CRC")))
+    // truncate the final data CRC → overrun
+    assert(msgs(intercept[Exception](run(good.take(good.length - 2))))
+      .exists(m => m.contains("overrun") || m.contains("truncated")))
+  }
+}
