@@ -1356,6 +1356,11 @@ object SparkEntry {
     "m_zip_entries" -> ((s, dir) =>
       graft.sources.Archives.zipEntries(
         graft.sources.Archives.zipDocs(Tables.documents(s, dir)))),
+    // ZIP64: sentinel fields chained through the 0x0001 extra and the
+    // EOCD64 locator — how >4 GiB drops actually frame their directory
+    "m_zip64_entries" -> ((s, dir) =>
+      graft.sources.Archives.zipEntries(
+        graft.sources.Archives.zip64Docs(Tables.documents(s, dir)))),
     // POSIX ustar walk: 512-byte headers, octal sizes, the
     // spaces-for-checksum sum rule, end-of-archive zero blocks
     "m_tar_entries" -> ((s, dir) =>
@@ -3891,6 +3896,20 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, CAST(2 AS INT), 'meta/info.txt', 'store',
         |       CAST(length(info) AS BIGINT), info FROM m""".stripMargin,
+    // ZIP64: the sentinel/extra/locator chain is framing-only — the
+    // entry surface is the plain closed form
+    "m_zip64_entries" ->
+      """WITH m AS (SELECT doc_id, text,
+        |                  'zip64 meta ' || CAST(doc_id % 13 AS VARCHAR) AS info
+        |           FROM documents)
+        |SELECT doc_id, CAST(0 AS INT) AS entry_idx,
+        |       'big/doc_' || CAST(doc_id % 97 AS VARCHAR) || '.txt' AS name,
+        |       'store' AS method, CAST(length(text) AS BIGINT) AS n_bytes,
+        |       text FROM m
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INT),
+        |       'big/meta_' || CAST(doc_id % 13 AS VARCHAR) || '.txt',
+        |       'deflate', CAST(length(info) AS BIGINT), info FROM m""".stripMargin,
     // tar walk: three ustar members per doc — the third's path runs
     // past 100 bytes and rides the POSIX prefix field
     "m_tar_entries" ->

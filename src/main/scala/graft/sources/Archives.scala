@@ -65,6 +65,92 @@ object Archives {
       }).toDF("doc_id", "payload")
   }
 
+  /** Deterministic ZIP64 corpus — the same logical archives real
+    * `zip -fz` output produces for >4 GiB drops, hand-built small so
+    * every ZIP64 structure is exercised without the terabytes:
+    *  - entry 0 `big/doc_<id%97>.txt` (STORED, the document text):
+    *    32-bit size fields hold the 0xFFFFFFFF sentinel, real sizes
+    *    live in the 0x0001 extended-information extra field (local
+    *    AND central);
+    *  - entry 1 `big/meta_<id%13>.txt` (DEFLATED, closed-form text):
+    *    sizes are plain, but the CD's local-header OFFSET carries the
+    *    sentinel with the real offset in its extra field;
+    *  - EOCD holds 0xFFFF/0xFFFFFFFF sentinels throughout, so the
+    *    walk MUST chain through the ZIP64 EOCD locator (PK\x06\x07)
+    *    to the ZIP64 EOCD record (PK\x06\x06) for counts + CD offset.
+    * A reader without the sentinel→extra→locator chain fails on
+    * every document here. */
+  def zip64Docs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val out = new java.io.ByteArrayOutputStream()
+        def w16(x: Int): Unit = { out.write(x & 0xFF); out.write((x >> 8) & 0xFF) }
+        def w32(x: Long): Unit = { w16((x & 0xFFFF).toInt); w16(((x >> 16) & 0xFFFF).toInt) }
+        def w64(x: Long): Unit = { w32(x & 0xFFFFFFFFL); w32((x >>> 32) & 0xFFFFFFFFL) }
+        def crcOf(d: Array[Byte]): Long = {
+          val c = new java.util.zip.CRC32(); c.update(d); c.getValue
+        }
+        val data0 = text.getBytes("UTF-8")
+        val name0 = s"big/doc_${id % 97}.txt".getBytes("UTF-8")
+        val data1 = s"zip64 meta ${id % 13}".getBytes("UTF-8")
+        val name1 = s"big/meta_${id % 13}.txt".getBytes("UTF-8")
+        val defl = {
+          val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          d.setInput(data1); d.finish()
+          val buf = new Array[Byte](data1.length + 64)
+          val n = d.deflate(buf); d.end()
+          java.util.Arrays.copyOf(buf, n)
+        }
+        // local 0: STORED, zip64 sizes in the extra field
+        val local0 = out.size()
+        out.write('P'); out.write('K'); out.write(3); out.write(4)
+        w16(45); w16(0); w16(0); w32(0) // version 4.5, flags, method, time
+        w32(crcOf(data0)); w32(0xFFFFFFFFL); w32(0xFFFFFFFFL)
+        w16(name0.length); w16(20)
+        out.write(name0)
+        w16(0x0001); w16(16); w64(data0.length.toLong); w64(data0.length.toLong)
+        out.write(data0)
+        // local 1: DEFLATED, plain fields
+        val local1 = out.size()
+        out.write('P'); out.write('K'); out.write(3); out.write(4)
+        w16(45); w16(0); w16(8); w32(0)
+        w32(crcOf(data1)); w32(defl.length.toLong); w32(data1.length.toLong)
+        w16(name1.length); w16(0)
+        out.write(name1)
+        out.write(defl)
+        // central directory
+        val cdOff = out.size()
+        out.write('P'); out.write('K'); out.write(1); out.write(2)
+        w16(45); w16(45); w16(0); w16(0); w32(0)
+        w32(crcOf(data0)); w32(0xFFFFFFFFL); w32(0xFFFFFFFFL)
+        w16(name0.length); w16(20); w16(0); w16(0); w16(0); w32(0)
+        w32(local0.toLong)
+        out.write(name0)
+        w16(0x0001); w16(16); w64(data0.length.toLong); w64(data0.length.toLong)
+        out.write('P'); out.write('K'); out.write(1); out.write(2)
+        w16(45); w16(45); w16(0); w16(8); w32(0)
+        w32(crcOf(data1)); w32(defl.length.toLong); w32(data1.length.toLong)
+        w16(name1.length); w16(12); w16(0); w16(0); w16(0); w32(0)
+        w32(0xFFFFFFFFL) // local offset sentinel
+        out.write(name1)
+        w16(0x0001); w16(8); w64(local1.toLong)
+        val cdLen = out.size() - cdOff
+        // ZIP64 EOCD record + locator + sentinel EOCD
+        val eocd64 = out.size()
+        out.write('P'); out.write('K'); out.write(6); out.write(6)
+        w64(44); w16(45); w16(45); w32(0); w32(0)
+        w64(2); w64(2); w64(cdLen.toLong); w64(cdOff.toLong)
+        out.write('P'); out.write('K'); out.write(6); out.write(7)
+        w32(0); w64(eocd64.toLong); w32(1)
+        out.write('P'); out.write('K'); out.write(5); out.write(6)
+        w16(0); w16(0); w16(0xFFFF); w16(0xFFFF)
+        w32(0xFFFFFFFFL); w32(0xFFFFFFFFL); w16(0)
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
   /** From-scratch ZIP central-directory walk (the way real readers
     * work — the CD, not the local-header chain, is authoritative
     * because DEFLATED entries written streamingly carry their sizes
@@ -103,10 +189,35 @@ object Archives {
       i -= 1
     }
     if (eocd < 0) fail("no end-of-central-directory record")
-    val nEntries = u16(eocd + 10)
-    if (nEntries != u16(eocd + 8)) fail("multi-disk archives unsupported")
-    val cdOff = u32(eocd + 16).toInt
-    if (cdOff < 0 || cdOff > eocd) fail("central directory offset out of range")
+    def u64(i: Int): Long = u32(i) | (u32(i + 4) << 32)
+    val (nEntries, cdOff) = {
+      val n16 = u16(eocd + 10)
+      if (n16 != u16(eocd + 8)) fail("multi-disk archives unsupported")
+      val off32 = u32(eocd + 16)
+      if (n16 == 0xFFFF || off32 == 0xFFFFFFFFL) {
+        // ZIP64: the locator sits immediately before the EOCD and
+        // names the ZIP64 EOCD record's offset
+        val loc = eocd - 20
+        if (loc < 0 || b(loc) != 'P' || b(loc + 1) != 'K' || b(loc + 2) != 6 || b(loc + 3) != 7)
+          fail("EOCD carries ZIP64 sentinels but no ZIP64 EOCD locator precedes it")
+        if (u32(loc + 4) != 0 || u32(loc + 16) != 1)
+          fail("multi-disk ZIP64 archives unsupported")
+        val e64 = u64(loc + 8)
+        if (e64 < 0 || e64 > loc - 56) fail("ZIP64 EOCD offset out of range")
+        val z = e64.toInt
+        if (b(z) != 'P' || b(z + 1) != 'K' || b(z + 2) != 6 || b(z + 3) != 6)
+          fail("ZIP64 EOCD locator points at no PK\\x06\\x06 record")
+        val n = u64(z + 24)
+        if (n != u64(z + 32)) fail("multi-disk ZIP64 archives unsupported")
+        if (n < 0 || n > Int.MaxValue) fail(s"ZIP64 entry count $n out of range")
+        val off = u64(z + 48)
+        if (off < 0 || off > z) fail("ZIP64 central directory offset out of range")
+        (n.toInt, off.toInt)
+      } else {
+        if (off32 < 0 || off32 > eocd) fail("central directory offset out of range")
+        (n16, off32.toInt)
+      }
+    }
     val out = Seq.newBuilder[(Int, String, String, Long, String)]
     var p = cdOff
     var e = 0
@@ -115,12 +226,51 @@ object Archives {
         fail(s"bad central header at $p")
       val method = u16(p + 10)
       val crcDecl = u32(p + 16)
-      val compLen = u32(p + 20).toInt
-      val uncompLen = u32(p + 24).toInt
+      val comp32 = u32(p + 20)
+      val uncomp32 = u32(p + 24)
       val nameLen = u16(p + 28)
       val extraLen = u16(p + 30)
       val commentLen = u16(p + 32)
-      val localOff = u32(p + 42).toInt
+      val local32 = u32(p + 42)
+      // ZIP64 sentinels: each 0xFFFFFFFF field reads its 8-byte value
+      // from the 0x0001 extra block, in the APPNOTE field order
+      // (uncompressed, compressed, local offset)
+      val (compLen, uncompLen, localOff) = {
+        val needU = uncomp32 == 0xFFFFFFFFL
+        val needC = comp32 == 0xFFFFFFFFL
+        val needO = local32 == 0xFFFFFFFFL
+        if (!needU && !needC && !needO) (comp32.toInt, uncomp32.toInt, local32.toInt)
+        else {
+          var x = p + 46 + nameLen
+          val xEnd = x + extraLen
+          var found: Option[(Long, Long, Long)] = None
+          while (found.isEmpty && x + 4 <= xEnd) {
+            val fid = u16(x)
+            val flen = u16(x + 2)
+            if (x + 4 + flen > xEnd) fail(s"extra field at $x overruns its region")
+            if (fid == 0x0001) {
+              var q = x + 4
+              def take(need: Boolean, orig: Long): Long =
+                if (!need) orig
+                else {
+                  if (q + 8 > x + 4 + flen) fail(s"ZIP64 extra at $x too short for its sentinels")
+                  val v = u64(q); q += 8; v
+                }
+              val uu = take(needU, uncomp32)
+              val cc = take(needC, comp32)
+              val oo = take(needO, local32)
+              found = Some((cc, uu, oo))
+            }
+            x += 4 + flen
+          }
+          val (cc, uu, oo) = found.getOrElse(
+            fail(s"central header at $p carries ZIP64 sentinels but no 0x0001 extra"))
+          if (cc < 0 || cc > Int.MaxValue || uu < 0 || uu > Int.MaxValue ||
+              oo < 0 || oo > Int.MaxValue)
+            fail(s"central header at $p declares sizes/offset past 2 GiB")
+          (cc.toInt, uu.toInt, oo.toInt)
+        }
+      }
       if (compLen < 0 || uncompLen < 0 || localOff < 0)
         fail(s"central header at $p declares sizes/offset past 2 GiB")
       if (p + 46 + nameLen > b.length) fail(s"entry name at $p overruns archive")

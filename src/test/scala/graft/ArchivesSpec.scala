@@ -88,6 +88,50 @@ class ArchivesSpec extends SparkSpec {
     assert(ex2.getMessage.contains("checksum") || ex2.getMessage.contains("overruns"))
   }
 
+  test("zip64: sentinel fields resolve through the extra/locator chain") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 20)
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Archives.zipEntries(Archives.zip64Docs(docs)).collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (r.getInt(1) == 0) {
+        assert(r.getString(2) == s"big/doc_${id % 97}.txt")
+        assert(r.getString(3) == "store")
+        assert(r.getString(5) == texts(id), s"doc $id zip64-sized member text")
+      } else {
+        assert(r.getString(2) == s"big/meta_${id % 13}.txt")
+        assert(r.getString(3) == "deflate")
+        assert(r.getString(5) == s"zip64 meta ${id % 13}", s"doc $id offset-sentinel member")
+      }
+    }
+    // chain malformations fail by name, never as empty output
+    val good = Archives.zip64Docs(docs.filter(col("doc_id") === 3))
+      .collect()(0).getAs[Array[Byte]](1)
+    assert(Archives.parseZip(3L, good).length == 2)
+    // cut the locator out: EOCD sentinels now dangle
+    val noLoc = good.clone()
+    noLoc(good.length - 22 - 20) = 'X'.toByte
+    val e1 = intercept[IllegalArgumentException](Archives.parseZip(3L, noLoc))
+    assert(e1.getMessage.contains("locator"), e1.getMessage)
+    // corrupt the ZIP64 EOCD signature the locator points at
+    val badZ = good.clone()
+    val locOff = good.length - 42
+    val z64 = (0 until 8).foldLeft(0L)((a, k) => a | ((good(locOff + 8 + k) & 0xFFL) << (8 * k)))
+    badZ(z64.toInt + 3) = 5
+    val e2 = intercept[IllegalArgumentException](Archives.parseZip(3L, badZ))
+    assert(e2.getMessage.contains("PK\\x06\\x06"), e2.getMessage)
+    // strip the 0x0001 extra id from the first CD entry: sentinel dangles
+    val cdOff = (0 until 8).foldLeft(0L)((a, k) => a | ((good(z64.toInt + 48 + k) & 0xFFL) << (8 * k))).toInt
+    val nameLen = (good(cdOff + 28) & 0xFF) | ((good(cdOff + 29) & 0xFF) << 8)
+    val noExtra = good.clone()
+    noExtra(cdOff + 46 + nameLen) = 0x77
+    val e3 = intercept[IllegalArgumentException](Archives.parseZip(3L, noExtra))
+    assert(e3.getMessage.contains("0x0001"), e3.getMessage)
+  }
+
   test("sniffFormat: all 16 fixture arms route to their format") {
     val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 64)
     val got = Archives.sniffFormat(Archives.sniffDocs(docs)).collect()

@@ -1302,7 +1302,16 @@ class PlanAuditSpec extends SparkSpec {
       "mboxExtract" -> graft.sources.Mime.mboxExtract(graft.sources.Mime.mboxDocs(docs)),
       "tgzEntries" -> graft.sources.Archives.tarEntries(graft.sources.Archives.tgzDocs(docs)),
       "scriptProfile" -> graft.functions.TextAnalysis.scriptProfile(
-        graft.functions.TextAnalysis.langMarkedDocs(docs))
+        graft.functions.TextAnalysis.langMarkedDocs(docs)),
+      "oggPages" -> graft.sources.Ogg.oggPages(graft.sources.Ogg.oggDocs(docs)),
+      "oggMeta" -> graft.sources.Ogg.oggMeta(graft.sources.Ogg.oggDocs(docs)),
+      "tsPes" -> graft.sources.MpegTs.tsPes(graft.sources.MpegTs.tsDocs(docs)),
+      "tsPrograms" -> graft.sources.MpegTs.tsPrograms(graft.sources.MpegTs.tsDocs(docs)),
+      "adtsFrames" -> Multimodal.adtsFrames(Multimodal.adtsDocs(docs)),
+      "icoEntries" -> Multimodal.icoEntries(Multimodal.icoDocs(docs)),
+      "hlsSegments" -> graft.sources.Hls.hlsSegments(graft.sources.Hls.hlsDocs(docs)),
+      "tfrecordEntries" -> graft.sources.TfRecord.tfrecordEntries(
+        graft.sources.TfRecord.tfrecordDocs(docs))
     ).foreach { case (name, df) =>
       val p = plan(df)
       assert(!p.contains("Exchange"), s"$name shuffles payloads:\n$p")
