@@ -1326,6 +1326,12 @@ object SparkEntry {
     "m_tfrecord_entries" -> ((s, dir) =>
       graft.sources.TfRecord.tfrecordEntries(
         graft.sources.TfRecord.tfrecordDocs(Tables.documents(s, dir)))),
+    // tf.train.Example inside TFRecord frames: hand-walked protobuf
+    // wire format (varint tags, nested map entries, the oneof lists,
+    // packed numerics) — the training-data loader's schema-blind scan
+    "m_tfexample" -> ((s, dir) =>
+      graft.sources.TfRecord.tfExamples(
+        graft.sources.TfRecord.tfExampleDocs(Tables.documents(s, dir)))),
     // RFC 3533 page walk: capture pattern, lacing runs (packets over
     // 255 bytes), forward-CRC32 verification with the field zeroed,
     // sequence continuity — one row per page
@@ -4195,6 +4201,26 @@ object SparkEntry {
         |       CAST(list_sum([(doc_id * 3 + 7 * k + j) % 256
         |                      for j in generate_series(0, CAST(sz AS INT) - 1)]) AS BIGINT) AS byte_sum
         |FROM g""".stripMargin,
+    // tf.train.Example: three features per record, each aggregate
+    // integral by construction (whole-valued floats included)
+    "m_tfexample" ->
+      """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS nr FROM documents),
+        |r AS (SELECT doc_id, unnest(generate_series(0, nr - 1)) AS rec FROM d)
+        |SELECT doc_id, CAST(rec AS INT) AS rec_idx, 'tokens' AS feature,
+        |       'int64' AS kind, CAST(3 + (doc_id + rec) % 5 AS INT) AS n_values,
+        |       CAST(list_sum([(doc_id + 7 * rec + j) % 1000
+        |         for j in generate_series(0, CAST(3 + (doc_id + rec) % 5 AS INT) - 1)])
+        |         AS BIGINT) AS value_sum
+        |FROM r
+        |UNION ALL
+        |SELECT doc_id, CAST(rec AS INT), 'text', 'bytes', CAST(1 AS INT),
+        |       CAST(5 + (doc_id + rec) % 20 AS BIGINT) FROM r
+        |UNION ALL
+        |SELECT doc_id, CAST(rec AS INT), 'weight', 'float',
+        |       CAST(1 + (doc_id + rec) % 3 AS INT),
+        |       CAST(list_sum([j + doc_id % 10
+        |         for j in generate_series(0, CAST(1 + (doc_id + rec) % 3 AS INT) - 1)])
+        |         AS BIGINT) FROM r""".stripMargin,
     // ADTS: frame strides are 7-byte headers + closed-form payloads;
     // offsets the running sum, timestamps the 1024-sample clock
     "m_adts_frames" ->

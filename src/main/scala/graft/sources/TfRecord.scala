@@ -87,6 +87,37 @@ object TfRecord {
 
   // ---- the walk ----
 
+  /** The CRC-verified record frames of one TFRecord stream:
+    * (record offset, payload offset, payload length). Shared by the
+    * accounting walk and the tf.train.Example decode. */
+  private def frames(id: Long, b: Array[Byte]): Seq[(Long, Int, Int)] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    def le32At(i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+      ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+    val out = Seq.newBuilder[(Long, Int, Int)]
+    var off = 0
+    var k = 0
+    while (off < b.length) {
+      if (off + 12 > b.length) fail(s"record $k: length header truncated at $off")
+      var len = 0L
+      var j = 7
+      while (j >= 0) { len = (len << 8) | (b(off + j) & 0xFFL); j -= 1 }
+      if (mask(crc32c(b, off, 8)) != le32At(off + 8))
+        fail(s"record $k: length CRC mismatch at $off")
+      if (len < 0 || off + 12 + len + 4 > b.length)
+        fail(s"record $k: declared $len bytes overrun the payload")
+      val dataOff = off + 12
+      if (mask(crc32c(b, dataOff, len.toInt)) != le32At(dataOff + len.toInt))
+        fail(s"record $k: data CRC mismatch")
+      out += ((off.toLong, dataOff, len.toInt))
+      off = dataOff + len.toInt + 4
+      k += 1
+    }
+    if (k == 0) fail("no TFRecord records")
+    out.result()
+  }
+
   /** TFRecord → one row per record: (doc_id, rec_idx, offset,
     * n_bytes, byte_sum) with both masked CRC-32Cs verified;
     * byte_sum is the payload's unsigned byte total (the cheap
@@ -96,35 +127,226 @@ object TfRecord {
     import spark.implicits._
     bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) =>
-        def fail(msg: String): Nothing =
-          throw new IllegalArgumentException(s"doc $id: $msg")
-        def le32At(i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
-          ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
-        val out = Seq.newBuilder[(Long, Int, Long, Long, Long)]
-        var off = 0
-        var k = 0
-        while (off < b.length) {
-          if (off + 12 > b.length) fail(s"record $k: length header truncated at $off")
-          var len = 0L
-          var j = 7
-          while (j >= 0) { len = (len << 8) | (b(off + j) & 0xFFL); j -= 1 }
-          if (mask(crc32c(b, off, 8)) != le32At(off + 8))
-            fail(s"record $k: length CRC mismatch at $off")
-          if (len < 0 || off + 12 + len + 4 > b.length)
-            fail(s"record $k: declared $len bytes overrun the payload")
-          val dataOff = off + 12
-          if (mask(crc32c(b, dataOff, len.toInt)) != le32At(dataOff + len.toInt))
-            fail(s"record $k: data CRC mismatch")
+        frames(id, b).zipWithIndex.map { case ((off, dataOff, len), k) =>
           var sum = 0L
           var i = dataOff
-          val end = dataOff + len.toInt
+          val end = dataOff + len
           while (i < end) { sum += b(i) & 0xFF; i += 1 }
-          out += ((id, k, off.toLong, len, sum))
-          off = end + 4
-          k += 1
+          (id, k, off, len.toLong, sum)
         }
-        if (k == 0) fail("no TFRecord records")
-        out.result()
       }).toDF("doc_id", "rec_idx", "offset", "n_bytes", "byte_sum")
+  }
+
+  // ---- tf.train.Example (protobuf wire format, hand-walked) ----
+
+  /** Minimal protobuf varint/tag reader over one record payload. */
+  private final class ProtoReader(id: Long, b: Array[Byte], start: Int, end: Int) {
+    var pos: Int = start
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    def hasMore: Boolean = pos < end
+    def varint(): Long = {
+      var shift = 0
+      var v = 0L
+      var more = true
+      while (more) {
+        if (pos >= end) fail(s"varint truncated at $pos")
+        if (shift >= 64) fail(s"varint over 10 bytes at $pos")
+        val x = b(pos) & 0xFF
+        v |= (x & 0x7FL) << shift
+        more = (x & 0x80) != 0
+        shift += 7
+        pos += 1
+      }
+      v
+    }
+    /** (field number, wire type). */
+    def tag(): (Int, Int) = {
+      val t = varint()
+      ((t >>> 3).toInt, (t & 0x7).toInt)
+    }
+    /** LEN payload bounds: (start, end); advances past it. */
+    def lenField(): (Int, Int) = {
+      val n = varint()
+      if (n < 0 || pos + n > end) fail(s"length-delimited field of $n bytes overruns at $pos")
+      val s = pos
+      pos += n.toInt
+      (s, s + n.toInt)
+    }
+  }
+
+  /** Deterministic tf.train.Example corpus — 2 + id%4 records per
+    * document, each a REAL wire-format Example
+    * (`Example.features.feature` map entries, the nested
+    * BytesList/FloatList/Int64List shapes, packed numeric lists):
+    *  - `tokens`: Int64List of 3 + (id+rec)%5 varints
+    *    (id + 7·rec + j) % 1000;
+    *  - `text`: BytesList with one (5 + (id+rec)%20)-byte string;
+    *  - `weight`: FloatList (packed 4-byte LE) of 1 + (id+rec)%3
+    *    whole-valued floats j + id%10 — integral so sums replay
+    *    exactly.
+    * Framed by [[tfrecordDocs]]' writer rules (real masked CRCs). */
+  def tfExampleDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        def varintBytes(v: Long): Array[Byte] = {
+          val buf = new java.io.ByteArrayOutputStream()
+          var x = v
+          do {
+            val b7 = (x & 0x7F).toInt
+            x >>>= 7
+            buf.write(if (x != 0) b7 | 0x80 else b7)
+          } while (x != 0)
+          buf.toByteArray
+        }
+        def len(fieldNum: Int, payload: Array[Byte]): Array[Byte] =
+          varintBytes((fieldNum << 3) | 2) ++ varintBytes(payload.length.toLong) ++ payload
+        def feature(name: String, kindField: Int, list: Array[Byte]): Array[Byte] =
+          // map entry: key (field 1, LEN) + value Feature (field 2, LEN
+          // holding the oneof list at kindField)
+          len(1, len(1, name.getBytes("UTF-8")) ++ len(2, len(kindField, list)))
+        val n = (2 + id % 4).toInt
+        val out = new java.io.ByteArrayOutputStream()
+        def le32(x: Int): Unit = {
+          out.write(x & 0xFF); out.write((x >> 8) & 0xFF)
+          out.write((x >> 16) & 0xFF); out.write((x >> 24) & 0xFF)
+        }
+        var rec = 0
+        while (rec < n) {
+          val nTok = (3 + (id + rec) % 5).toInt
+          val tokens = (0 until nTok).toArray
+            .flatMap(j => varintBytes((id + 7 * rec + j) % 1000)) // packed Int64List
+          val txtLen = (5 + (id + rec) % 20).toInt
+          val txt = Array.tabulate(txtLen)(j => ('a' + ((id + rec + j) % 26)).toByte)
+          val nW = (1 + (id + rec) % 3).toInt
+          val weights = new Array[Byte](4 * nW) // packed FloatList
+          var j = 0
+          while (j < nW) {
+            val bits = java.lang.Float.floatToIntBits((j + id % 10).toFloat)
+            weights(4 * j) = (bits & 0xFF).toByte
+            weights(4 * j + 1) = ((bits >> 8) & 0xFF).toByte
+            weights(4 * j + 2) = ((bits >> 16) & 0xFF).toByte
+            weights(4 * j + 3) = ((bits >> 24) & 0xFF).toByte
+            j += 1
+          }
+          // Example { features = 1 { feature map = 1 } }; Feature oneof:
+          // bytes_list = 1, float_list = 2, int64_list = 3; each list's
+          // value field is 1 (BytesList per-value LEN, the numeric
+          // lists packed)
+          val features =
+            feature("tokens", 3, len(1, tokens)) ++
+            feature("text", 1, len(1, txt)) ++
+            feature("weight", 2, len(1, weights))
+          val payload = len(1, features)
+          val lenBytes = Array.tabulate(8)(j => ((payload.length.toLong >>> (8 * j)) & 0xFF).toByte)
+          out.write(lenBytes)
+          le32(mask(crc32c(lenBytes, 0, 8)))
+          out.write(payload)
+          le32(mask(crc32c(payload, 0, payload.length)))
+          rec += 1
+        }
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** tf.train.Example decode over CRC-verified TFRecord frames — the
+    * schema-blind feature scan a data-loader audit needs: one row per
+    * (record, feature) with the list kind, its arity, and an exact
+    * integral aggregate (int64 sum / total byte length / whole-float
+    * sum). Unknown fields are skipped by wire type (the protobuf
+    * forward-compat rule); malformed wire data fails loudly. */
+  def tfExamples(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        def fail(msg: String): Nothing =
+          throw new IllegalArgumentException(s"doc $id: $msg")
+        frames(id, b).zipWithIndex.flatMap { case ((_, dataOff, dataLen), rec) =>
+          val ex = new ProtoReader(id, b, dataOff, dataOff + dataLen)
+          val rows = Seq.newBuilder[(Long, Int, String, String, Int, Long)]
+          while (ex.hasMore) {
+            val (f, wt) = ex.tag()
+            if (f == 1 && wt == 2) {
+              val (fs, fe) = ex.lenField() // Features
+              val feats = new ProtoReader(id, b, fs, fe)
+              while (feats.hasMore) {
+                val (mf, mwt) = feats.tag()
+                if (mf != 1 || mwt != 2) fail(s"record $rec: unexpected Features field $mf/$mwt")
+                val (es, ee) = feats.lenField() // map entry
+                val entry = new ProtoReader(id, b, es, ee)
+                var name: String = null
+                var kind: String = null
+                var nVals = 0
+                var agg = 0L
+                while (entry.hasMore) {
+                  val (ef, ewt) = entry.tag()
+                  if (ef == 1 && ewt == 2) {
+                    val (ks, ke) = entry.lenField()
+                    name = new String(b, ks, ke - ks, "UTF-8")
+                  } else if (ef == 2 && ewt == 2) {
+                    val (vs, ve) = entry.lenField() // Feature
+                    val feat = new ProtoReader(id, b, vs, ve)
+                    val (kf, kwt) = feat.tag()
+                    if (kwt != 2) fail(s"record $rec: Feature oneof wire type $kwt")
+                    val (ls, le) = feat.lenField() // the list message
+                    val list = new ProtoReader(id, b, ls, le)
+                    kf match {
+                      case 1 => // BytesList: repeated LEN values
+                        kind = "bytes"
+                        while (list.hasMore) {
+                          val (lf, lwt) = list.tag()
+                          if (lf != 1 || lwt != 2) fail(s"record $rec: BytesList field $lf/$lwt")
+                          val (bs, be) = list.lenField()
+                          nVals += 1
+                          agg += be - bs
+                        }
+                      case 2 => // FloatList: packed 4-byte LE floats
+                        kind = "float"
+                        val (lf, lwt) = list.tag()
+                        if (lf != 1 || lwt != 2) fail(s"record $rec: FloatList field $lf/$lwt")
+                        val (ps, pe) = list.lenField()
+                        if ((pe - ps) % 4 != 0) fail(s"record $rec: packed floats not 4-aligned")
+                        var i = ps
+                        var sum = 0.0
+                        while (i < pe) {
+                          val bits = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+                            ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+                          sum += java.lang.Float.intBitsToFloat(bits)
+                          nVals += 1
+                          i += 4
+                        }
+                        if (sum != math.rint(sum))
+                          fail(s"record $rec: non-integral float sum $sum has no exact aggregate")
+                        agg = sum.toLong
+                      case 3 => // Int64List: packed varints
+                        kind = "int64"
+                        val (lf, lwt) = list.tag()
+                        if (lf != 1 || lwt != 2) fail(s"record $rec: Int64List field $lf/$lwt")
+                        val (ps, pe) = list.lenField()
+                        val vals = new ProtoReader(id, b, ps, pe)
+                        while (vals.hasMore) { agg += vals.varint(); nVals += 1 }
+                      case other => fail(s"record $rec: unknown Feature kind field $other")
+                    }
+                  } else fail(s"record $rec: unexpected map-entry field $ef/$ewt")
+                }
+                if (name == null || kind == null)
+                  fail(s"record $rec: feature entry missing key or value")
+                rows += ((id, rec, name, kind, nVals, agg))
+              }
+            } else {
+              // unknown Example field: skip by wire type
+              wt match {
+                case 0 => ex.varint()
+                case 2 => ex.lenField()
+                case other => fail(s"record $rec: unsupported wire type $other at top level")
+              }
+            }
+          }
+          rows.result()
+        }
+      }).toDF("doc_id", "rec_idx", "feature", "kind", "n_values", "value_sum")
   }
 }

@@ -1311,7 +1311,11 @@ class PlanAuditSpec extends SparkSpec {
       "icoEntries" -> Multimodal.icoEntries(Multimodal.icoDocs(docs)),
       "hlsSegments" -> graft.sources.Hls.hlsSegments(graft.sources.Hls.hlsDocs(docs)),
       "tfrecordEntries" -> graft.sources.TfRecord.tfrecordEntries(
-        graft.sources.TfRecord.tfrecordDocs(docs))
+        graft.sources.TfRecord.tfrecordDocs(docs)),
+      "tfExamples" -> graft.sources.TfRecord.tfExamples(
+        graft.sources.TfRecord.tfExampleDocs(docs)),
+      "zip64Entries" -> graft.sources.Archives.zipEntries(
+        graft.sources.Archives.zip64Docs(docs))
     ).foreach { case (name, df) =>
       val p = plan(df)
       assert(!p.contains("Exchange"), s"$name shuffles payloads:\n$p")
