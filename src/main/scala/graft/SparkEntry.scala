@@ -1332,6 +1332,15 @@ object SparkEntry {
     "m_tfexample" -> ((s, dir) =>
       graft.sources.TfRecord.tfExamples(
         graft.sources.TfRecord.tfExampleDocs(Tables.documents(s, dir)))),
+    // Avro object container: metadata map, per-block sync-marker
+    // verification, null/deflate codecs
+    "m_avro_meta" -> ((s, dir) =>
+      graft.sources.Avro.avroMeta(graft.sources.Avro.avroDocs(Tables.documents(s, dir)))),
+    // schema-DRIVEN record decode (field order and types from the
+    // embedded avro.schema JSON, not assumed): zigzag varints,
+    // length-framed strings, LE doubles
+    "m_avro_records" -> ((s, dir) =>
+      graft.sources.Avro.avroRecords(graft.sources.Avro.avroDocs(Tables.documents(s, dir)))),
     // RFC 3533 page walk: capture pattern, lacing runs (packets over
     // 255 bytes), forward-CRC32 verification with the field zeroed,
     // sequence continuity — one row per page
@@ -4221,6 +4230,38 @@ object SparkEntry {
         |       CAST(list_sum([j + doc_id % 10
         |         for j in generate_series(0, CAST(1 + (doc_id + rec) % 3 AS INT) - 1)])
         |         AS BIGINT) FROM r""".stripMargin,
+    // Avro container: codec rotates by parity; record counts are the
+    // per-block closed form summed
+    "m_avro_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'null' ELSE 'deflate' END AS codec,
+        |  CAST(5 AS INT) AS n_fields,
+        |  CAST(1 + doc_id % 3 AS INT) AS n_blocks,
+        |  CAST(list_sum([2 + (doc_id + blk) % 4
+        |    for blk in generate_series(0, CAST(doc_id % 3 AS INT))]) AS BIGINT) AS n_records
+        |FROM documents""".stripMargin,
+    // Avro records: every field value replays arithmetically (the
+    // whole-valued double prints integral)
+    "m_avro_records" ->
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS nb FROM documents),
+        |bl AS (SELECT doc_id, unnest(generate_series(0, nb - 1)) AS blk FROM d),
+        |re AS (SELECT doc_id, blk,
+        |       unnest(generate_series(0, CAST(2 + (doc_id + blk) % 4 AS INT) - 1)) AS j FROM bl)
+        |SELECT doc_id, CAST(blk AS INT) AS block_idx, CAST(j AS INT) AS rec_idx,
+        |       'id' AS field, CAST((doc_id + 31 * blk + j) % 100000 AS VARCHAR) AS value
+        |FROM re
+        |UNION ALL
+        |SELECT doc_id, CAST(blk AS INT), CAST(j AS INT), 'name',
+        |       'rec_' || CAST((doc_id + j) % 97 AS VARCHAR) FROM re
+        |UNION ALL
+        |SELECT doc_id, CAST(blk AS INT), CAST(j AS INT), 'score',
+        |       CAST((doc_id + blk + j) % 1000 AS VARCHAR) FROM re
+        |UNION ALL
+        |SELECT doc_id, CAST(blk AS INT), CAST(j AS INT), 'keep',
+        |       CASE WHEN (doc_id + j) % 2 = 0 THEN 'true' ELSE 'false' END FROM re
+        |UNION ALL
+        |SELECT doc_id, CAST(blk AS INT), CAST(j AS INT), 'weight',
+        |       CAST((doc_id + blk) % 50 AS VARCHAR) FROM re""".stripMargin,
     // ADTS: frame strides are 7-byte headers + closed-form payloads;
     // offsets the running sum, timestamps the 1024-sample clock
     "m_adts_frames" ->

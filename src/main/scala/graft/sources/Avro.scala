@@ -1,0 +1,287 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Avro object-container walk — the Avro 1.11 file format, the other
+  * self-describing interchange format data lakes actually exchange
+  * beside parquet: magic `Obj\x01`, a file-metadata map (Avro map
+  * encoding: zigzag-varint block counts, negative counts carrying a
+  * byte size) holding `avro.schema` (JSON) and `avro.codec`, a
+  * 16-byte sync marker, then data blocks of
+  * `record-count | byte-size | serialized records | sync marker` —
+  * every block's trailing marker must equal the header's, the
+  * corruption tripwire the format is designed around.
+  *
+  * The record decoder is schema-DRIVEN over the flat subset that
+  * covers interchange reality (a record of
+  * long/int/string/boolean/double fields, schema parsed from the
+  * embedded JSON — not assumed), with the `deflate` codec inflated
+  * under [[Inflate]]'s capped loop and `null` passed through.
+  * Zigzag varints, length-framed strings, LE doubles — all
+  * hand-walked. Fails loudly on bad magic, a foreign sync marker,
+  * counts that overrun, or trailing bytes in a block.
+  *
+  * Same seam discipline as the other container walks: per-row byte
+  * work in `mapPartitions`, payloads never shuffle — map-only at
+  * 100 TB.
+  */
+object Avro {
+
+  // ---- writer helpers (fixture) ----
+
+  private def zigzag(v: Long): Array[Byte] = {
+    var x = (v << 1) ^ (v >> 63)
+    val out = new java.io.ByteArrayOutputStream()
+    do {
+      val b = (x & 0x7F).toInt
+      x >>>= 7
+      out.write(if (x != 0) b | 0x80 else b)
+    } while (x != 0)
+    out.toByteArray
+  }
+
+  private def avroString(s: String): Array[Byte] = {
+    val b = s.getBytes("UTF-8")
+    zigzag(b.length.toLong) ++ b
+  }
+
+  /** Deterministic Avro corpus — one container per document:
+    * schema = a flat record (id long, name string, score int,
+    * keep boolean, weight double), codec `null` on even ids and
+    * `deflate` on odd (block payloads REALLY deflated), 1 + id%3
+    * data blocks of 2 + (id+blk)%4 records each, sync markers
+    * closed-form in doc_id. Field values are arithmetic; doubles are
+    * whole-valued so they print exactly. */
+  def avroDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val schema =
+          """{"type":"record","name":"doc","fields":[""" +
+            """{"name":"id","type":"long"},""" +
+            """{"name":"name","type":"string"},""" +
+            """{"name":"score","type":"int"},""" +
+            """{"name":"keep","type":"boolean"},""" +
+            """{"name":"weight","type":"double"}]}"""
+        val codec = if (id % 2 == 0) "null" else "deflate"
+        val sync = Array.tabulate(16)(k => ((id * 7 + k) % 256).toByte)
+        val out = new java.io.ByteArrayOutputStream()
+        out.write('O'); out.write('b'); out.write('j'); out.write(1)
+        // metadata map: one block of 2 entries, then the 0 terminator
+        out.write(zigzag(2L))
+        out.write(avroString("avro.schema")); out.write(avroString(schema))
+        out.write(avroString("avro.codec")); out.write(avroString(codec))
+        out.write(zigzag(0L))
+        out.write(sync)
+        val nBlocks = (1 + id % 3).toInt
+        var blk = 0
+        while (blk < nBlocks) {
+          val nRec = (2 + (id + blk) % 4).toInt
+          val body = new java.io.ByteArrayOutputStream()
+          var j = 0
+          while (j < nRec) {
+            body.write(zigzag((id + 31 * blk + j) % 100000))
+            body.write(avroString(s"rec_${(id + j) % 97}"))
+            body.write(zigzag((id + blk + j) % 1000))
+            body.write(if ((id + j) % 2 == 0) 1 else 0)
+            val bits = java.lang.Double.doubleToLongBits(((id + blk) % 50).toDouble)
+            (0 until 8).foreach(k => body.write(((bits >>> (8 * k)) & 0xFF).toInt))
+            j += 1
+          }
+          val raw = body.toByteArray
+          val wire =
+            if (codec == "null") raw
+            else {
+              val d = new java.util.zip.Deflater(
+                java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+              d.setInput(raw); d.finish()
+              val buf = new Array[Byte](raw.length + 64)
+              val n = d.deflate(buf); d.end()
+              java.util.Arrays.copyOf(buf, n)
+            }
+          out.write(zigzag(nRec.toLong))
+          out.write(zigzag(wire.length.toLong))
+          out.write(wire)
+          out.write(sync)
+          blk += 1
+        }
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  // ---- the walk ----
+
+  private final class Reader(id: Long, b: Array[Byte], var pos: Int, val end: Int) {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    def hasMore: Boolean = pos < end
+    def zigzagLong(): Long = {
+      var shift = 0
+      var v = 0L
+      var more = true
+      while (more) {
+        if (pos >= end) fail(s"varint truncated at $pos")
+        if (shift >= 64) fail(s"varint over 10 bytes at $pos")
+        val x = b(pos) & 0xFF
+        v |= (x & 0x7FL) << shift
+        more = (x & 0x80) != 0
+        shift += 7
+        pos += 1
+      }
+      (v >>> 1) ^ -(v & 1)
+    }
+    def str(): String = {
+      val n = zigzagLong()
+      if (n < 0 || pos + n > end) fail(s"string of $n bytes overruns at $pos")
+      val s = new String(b, pos, n.toInt, "UTF-8")
+      pos += n.toInt
+      s
+    }
+    def byte(): Int = {
+      if (pos >= end) fail(s"byte read past end at $pos")
+      val v = b(pos) & 0xFF
+      pos += 1
+      v
+    }
+    def slice(n: Int): Int = {
+      if (n < 0 || pos + n > end) fail(s"$n-byte region overruns at $pos")
+      val s = pos
+      pos += n
+      s
+    }
+  }
+
+  /** Parsed header: (schema JSON, codec, field (name, type) list in
+    * schema order, sync marker, position after the header). */
+  private def header(id: Long, b: Array[Byte])
+      : (String, String, Seq[(String, String)], Int) = {
+    val r = new Reader(id, b, 0, b.length)
+    if (b.length < 4 || b(0) != 'O' || b(1) != 'b' || b(2) != 'j' || b(3) != 1)
+      r.fail("not an Avro object container (bad magic)")
+    r.pos = 4
+    var schema: String = null
+    var codec = "null" // the spec default when avro.codec is absent
+    var count = r.zigzagLong()
+    while (count != 0) {
+      val n = if (count < 0) { r.zigzagLong(); -count } else count // negative: size-carrying block
+      var i = 0L
+      while (i < n) {
+        val k = r.str()
+        val v = r.str()
+        if (k == "avro.schema") schema = v
+        else if (k == "avro.codec") codec = v
+        i += 1
+      }
+      count = r.zigzagLong()
+    }
+    if (schema == null) r.fail("container missing avro.schema")
+    // flat-record schema subset: pull the ordered (name, type) pairs.
+    // The JSON is machine-written by every Avro library — the regex
+    // walk is over ITS shape; nested/union types fail loudly below.
+    val fieldRe = """\{"name":"([^"]+)","type":"([^"]+)"\}""".r
+    val fields = fieldRe.findAllMatchIn(schema).map(m => (m.group(1), m.group(2))).toSeq
+    if (fields.isEmpty) r.fail("schema has no flat primitive fields (unsupported shape)")
+    fields.foreach { case (f, t) =>
+      if (!Set("long", "int", "string", "boolean", "double").contains(t))
+        r.fail(s"field '$f' has unsupported type '$t' (flat primitive subset)")
+    }
+    (schema, codec, fields, r.pos)
+  }
+
+  /** Container summary: (doc_id, codec, n_fields, n_blocks,
+    * n_records) — sync markers verified on every block. */
+  def avroMeta(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val (_, codec, fields, afterHeader) = header(id, b)
+        if (afterHeader + 16 > b.length)
+          throw new IllegalArgumentException(s"doc $id: header sync marker truncated")
+        val sync = java.util.Arrays.copyOfRange(b, afterHeader, afterHeader + 16)
+        val r = new Reader(id, b, afterHeader + 16, b.length)
+        var nBlocks = 0
+        var nRecords = 0L
+        while (r.hasMore) {
+          val nRec = r.zigzagLong()
+          val nBytes = r.zigzagLong()
+          if (nRec < 0 || nBytes < 0) r.fail(s"negative block header in block $nBlocks")
+          r.slice(nBytes.toInt)
+          val s = r.slice(16)
+          if (!java.util.Arrays.equals(
+              java.util.Arrays.copyOfRange(b, s, s + 16), sync))
+            r.fail(s"block $nBlocks carries a foreign sync marker")
+          nBlocks += 1
+          nRecords += nRec
+        }
+        (id, codec, fields.length, nBlocks, nRecords)
+      }).toDF("doc_id", "codec", "n_fields", "n_blocks", "n_records")
+  }
+
+  /** Schema-driven record decode → one row per (record, field):
+    * (doc_id, block_idx, rec_idx, field, value) with values rendered
+    * as exact strings (booleans true/false, doubles via the integral
+    * shortcut when whole). A block whose records do not consume its
+    * bytes exactly fails loudly. */
+  def avroRecords(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        val (_, codec, fields, afterHeader) = header(id, b)
+        if (afterHeader + 16 > b.length)
+          throw new IllegalArgumentException(s"doc $id: header sync marker truncated")
+        val sync = java.util.Arrays.copyOfRange(b, afterHeader, afterHeader + 16)
+        val r = new Reader(id, b, afterHeader + 16, b.length)
+        val limit = Inflate.MaxInflatedBytes
+        val rows = Seq.newBuilder[(Long, Int, Int, String, String)]
+        var blk = 0
+        while (r.hasMore) {
+          val nRec = r.zigzagLong()
+          val nBytes = r.zigzagLong()
+          if (nRec < 0 || nBytes < 0) r.fail(s"negative block header in block $blk")
+          val ws = r.slice(nBytes.toInt)
+          val s = r.slice(16)
+          if (!java.util.Arrays.equals(
+              java.util.Arrays.copyOfRange(b, s, s + 16), sync))
+            r.fail(s"block $blk carries a foreign sync marker")
+          val body: Array[Byte] = codec match {
+            case "null" => java.util.Arrays.copyOfRange(b, ws, ws + nBytes.toInt)
+            case "deflate" => Inflate.inflateCapped(b, ws, nBytes.toInt, nowrap = true,
+              limit, s"avro block $blk", r.fail)
+            case other => r.fail(s"unsupported avro.codec '$other'")
+          }
+          val br = new Reader(id, body, 0, body.length)
+          var j = 0L
+          while (j < nRec) {
+            fields.foreach { case (name, tpe) =>
+              val v = tpe match {
+                case "long" | "int" => br.zigzagLong().toString
+                case "string" => br.str()
+                case "boolean" => br.byte() match {
+                  case 0 => "false"
+                  case 1 => "true"
+                  case x => br.fail(s"boolean byte $x in record $j")
+                }
+                case "double" =>
+                  val p = br.slice(8)
+                  val bits = (0 until 8).foldLeft(0L)((a, k) =>
+                    a | ((body(p + k) & 0xFFL) << (8 * k)))
+                  val d = java.lang.Double.longBitsToDouble(bits)
+                  if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+                  else d.toString
+                case other => br.fail(s"unsupported type '$other'")
+              }
+              rows += ((id, blk, j.toInt, name, v))
+            }
+            j += 1
+          }
+          if (br.hasMore) r.fail(s"block $blk has ${body.length - br.pos} undecoded trailing bytes")
+          blk += 1
+        }
+        rows.result()
+      }).toDF("doc_id", "block_idx", "rec_idx", "field", "value")
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Avro
+
+/** Avro object-container walk semantics: metadata map, sync markers,
+  * codecs, and the schema-driven flat-record decode. */
+class AvroSpec extends SparkSpec {
+
+  test("avroMeta: codec/blocks/records replay; sync markers verified") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val rows = Avro.avroMeta(Avro.avroDocs(docs)).collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == (if (id % 2 == 0) "null" else "deflate"))
+      assert(r.getInt(2) == 5)
+      val nb = (1 + id % 3).toInt
+      assert(r.getInt(3) == nb)
+      assert(r.getLong(4) == (0 until nb).map(blk => 2 + (id + blk) % 4).sum)
+    }
+  }
+
+  test("avroRecords: schema-driven decode of all five primitive types, both codecs") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 30)
+    val rows = Avro.avroRecords(Avro.avroDocs(docs)).collect()
+    val byKey = rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)) ->
+      r.getString(4)).toMap
+    assert(rows.length == byKey.size, "duplicate (doc, block, rec, field) rows")
+    (0L until 30L).foreach { id =>
+      val nb = (1 + id % 3).toInt
+      (0 until nb).foreach { blk =>
+        val nr = (2 + (id + blk) % 4).toInt
+        (0 until nr).foreach { j =>
+          assert(byKey((id, blk, j, "id")) == ((id + 31 * blk + j) % 100000).toString)
+          assert(byKey((id, blk, j, "name")) == s"rec_${(id + j) % 97}")
+          assert(byKey((id, blk, j, "score")) == ((id + blk + j) % 1000).toString)
+          assert(byKey((id, blk, j, "keep")) == (if ((id + j) % 2 == 0) "true" else "false"))
+          assert(byKey((id, blk, j, "weight")) == ((id + blk) % 50).toString)
+        }
+      }
+    }
+  }
+
+  test("avro walk rejects corruption loudly") {
+    import spark.implicits._
+    def metaOf(b: Array[Byte]) =
+      Avro.avroMeta(Seq((3L, b)).toDF("doc_id", "payload")).collect()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val good = Avro.avroDocs(Seq(3L).toDF("doc_id")).collect()(0).getAs[Array[Byte]](1)
+    assert(metaOf(good).nonEmpty)
+    // bad magic
+    val badMagic = good.clone(); badMagic(3) = 2
+    assert(msgs(intercept[Exception](metaOf(badMagic))).exists(_.contains("magic")))
+    // flip a byte inside the LAST sync marker: foreign marker by name
+    val badSync = good.clone()
+    badSync(badSync.length - 5) = (badSync(badSync.length - 5) ^ 0x40).toByte
+    assert(msgs(intercept[Exception](metaOf(badSync))).exists(_.contains("sync")))
+    // truncation inside the final block body
+    assert(msgs(intercept[Exception](metaOf(good.take(good.length - 20))))
+      .exists(m => m.contains("overruns") || m.contains("truncated")))
+    // records: a deflate stream with a flipped byte is corrupt (doc 3
+    // is the deflate arm) — the capped inflate names it
+    val badBody = good.clone()
+    // the first block body starts after header+sync+2 varints; flip a
+    // byte ~8 past the block's start region (inside the deflate data)
+    val hdrEnd = {
+      // find "avro.codec" then skip: cheap scan for the 16-byte sync
+      // is fragile; instead locate by parsing: header ends where the
+      // metadata map's 0 terminator sits + 16. The fixture's map is
+      // fixed-shape, so find the codec value then the single 0x00.
+      val s = new String(good, "ISO-8859-1")
+      s.indexOf("deflate") + "deflate".length + 1 + 16
+    }
+    badBody(hdrEnd + 4) = (badBody(hdrEnd + 4) ^ 0x55).toByte
+    val e = intercept[Exception](
+      Avro.avroRecords(Seq((3L, badBody)).toDF("doc_id", "payload")).collect())
+    assert(msgs(e).exists(m => m.contains("corrupt") || m.contains("sync") ||
+      m.contains("overruns") || m.contains("trailing") || m.contains("varint") ||
+      m.contains("boolean")), msgs(e).mkString(" | "))
+  }
+}

@@ -1315,7 +1315,8 @@ class PlanAuditSpec extends SparkSpec {
       "tfExamples" -> graft.sources.TfRecord.tfExamples(
         graft.sources.TfRecord.tfExampleDocs(docs)),
       "zip64Entries" -> graft.sources.Archives.zipEntries(
-        graft.sources.Archives.zip64Docs(docs))
+        graft.sources.Archives.zip64Docs(docs)),
+      "avroRecords" -> graft.sources.Avro.avroRecords(graft.sources.Avro.avroDocs(docs))
     ).foreach { case (name, df) =>
       val p = plan(df)
       assert(!p.contains("Exchange"), s"$name shuffles payloads:\n$p")
