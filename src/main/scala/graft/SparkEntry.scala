@@ -700,6 +700,11 @@ object SparkEntry {
     // stream-static broadcast — appended rows equal the batch gate
     "s_stream_crawl_extract" -> ((s, dir) =>
       graft.streaming.StreamRunner.replayCrawlExtract(s, Tables.documents(s, dir))),
+    // the training-shard decode on a STREAM: TFRecord frames +
+    // tf.train.Example wire walk per micro-batch, stateless —
+    // appended rows equal the batch decode
+    "s_stream_tfexample" -> ((s, dir) =>
+      graft.streaming.StreamRunner.replayTfExamples(s, Tables.documents(s, dir))),
     // streaming crawl frontier: URLs canonicalized with the batch
     // expression chain, per-HOST FIFO queue positions from one Long
     // of transformWithState state per domain
@@ -1332,6 +1337,11 @@ object SparkEntry {
     "m_tfexample" -> ((s, dir) =>
       graft.sources.TfRecord.tfExamples(
         graft.sources.TfRecord.tfExampleDocs(Tables.documents(s, dir)))),
+    // sfnt table directory: search-field derivation, tag ordering,
+    // per-table big-endian-u32 checksums (head adj-zeroed), and the
+    // 0xB1B0AFBA whole-font adjustment chain
+    "m_font_tables" -> ((s, dir) =>
+      graft.sources.Sfnt.fontTables(graft.sources.Sfnt.fontDocs(Tables.documents(s, dir)))),
     // Avro object container: metadata map, per-block sync-marker
     // verification, null/deflate codecs
     "m_avro_meta" -> ((s, dir) =>
@@ -4212,24 +4222,22 @@ object SparkEntry {
         |FROM g""".stripMargin,
     // tf.train.Example: three features per record, each aggregate
     // integral by construction (whole-valued floats included)
-    "m_tfexample" ->
-      """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS nr FROM documents),
-        |r AS (SELECT doc_id, unnest(generate_series(0, nr - 1)) AS rec FROM d)
-        |SELECT doc_id, CAST(rec AS INT) AS rec_idx, 'tokens' AS feature,
-        |       'int64' AS kind, CAST(3 + (doc_id + rec) % 5 AS INT) AS n_values,
-        |       CAST(list_sum([(doc_id + 7 * rec + j) % 1000
-        |         for j in generate_series(0, CAST(3 + (doc_id + rec) % 5 AS INT) - 1)])
-        |         AS BIGINT) AS value_sum
-        |FROM r
+    "m_tfexample" -> tfExampleOracle,
+    // the same decode on a stream: stateless, append == batch
+    "s_stream_tfexample" -> tfExampleOracle,
+    // sfnt: offsets are the 4-byte-padded running layout; checksums
+    // are framing-only (verified in the walk, not surfaced)
+    "m_font_tables" ->
+      """WITH d AS (SELECT doc_id, 12 + doc_id % 40 AS lc, 20 + doc_id % 60 AS ln,
+        |                  CAST(1000 + doc_id % 1048 AS INT) AS upem FROM documents)
+        |SELECT doc_id, 'cmap' AS tag, CAST(60 AS INT) AS offset,
+        |       CAST(lc AS INT) AS length, upem AS units_per_em FROM d
         |UNION ALL
-        |SELECT doc_id, CAST(rec AS INT), 'text', 'bytes', CAST(1 AS INT),
-        |       CAST(5 + (doc_id + rec) % 20 AS BIGINT) FROM r
+        |SELECT doc_id, 'head', CAST(60 + (lc + 3) // 4 * 4 AS INT),
+        |       CAST(54 AS INT), upem FROM d
         |UNION ALL
-        |SELECT doc_id, CAST(rec AS INT), 'weight', 'float',
-        |       CAST(1 + (doc_id + rec) % 3 AS INT),
-        |       CAST(list_sum([j + doc_id % 10
-        |         for j in generate_series(0, CAST(1 + (doc_id + rec) % 3 AS INT) - 1)])
-        |         AS BIGINT) FROM r""".stripMargin,
+        |SELECT doc_id, 'name', CAST(60 + (lc + 3) // 4 * 4 + 56 AS INT),
+        |       CAST(ln AS INT), upem FROM d""".stripMargin,
     // Avro container: codec rotates by parity; record counts are the
     // per-block closed form summed
     "m_avro_meta" ->
@@ -7708,6 +7716,27 @@ object SparkEntry {
     * longer Allow /articles/7; everything else allows), the paragraph
     * dedup chain over the gated set, then the keepSet machinery over
     * the dedup'd text. */
+  /** Shared by m_tfexample and s_stream_tfexample: the decode is
+    * stateless, so the streaming append equals the batch rows. */
+  private lazy val tfExampleOracle: String =
+    """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS nr FROM documents),
+      |r AS (SELECT doc_id, unnest(generate_series(0, nr - 1)) AS rec FROM d)
+      |SELECT doc_id, CAST(rec AS INT) AS rec_idx, 'tokens' AS feature,
+      |       'int64' AS kind, CAST(3 + (doc_id + rec) % 5 AS INT) AS n_values,
+      |       CAST(list_sum([(doc_id + 7 * rec + j) % 1000
+      |         for j in generate_series(0, CAST(3 + (doc_id + rec) % 5 AS INT) - 1)])
+      |         AS BIGINT) AS value_sum
+      |FROM r
+      |UNION ALL
+      |SELECT doc_id, CAST(rec AS INT), 'text', 'bytes', CAST(1 AS INT),
+      |       CAST(5 + (doc_id + rec) % 20 AS BIGINT) FROM r
+      |UNION ALL
+      |SELECT doc_id, CAST(rec AS INT), 'weight', 'float',
+      |       CAST(1 + (doc_id + rec) % 3 AS INT),
+      |       CAST(list_sum([j + doc_id % 10
+      |         for j in generate_series(0, CAST(1 + (doc_id + rec) % 3 AS INT) - 1)])
+      |         AS BIGINT) FROM r""".stripMargin
+
   private lazy val crawlBuildOracle: String =
     s"""WITH ext AS (
         |  SELECT doc_id,

@@ -1,0 +1,180 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** sfnt (TrueType/OpenType) table-directory walk — fonts are a
+  * standing fraction of any web crawl (every `@font-face` URL), and
+  * the sfnt wrapper is byte-specified arithmetic end to end: an
+  * offset table `sfntVersion u32 | numTables u16 | searchRange u16 |
+  * entrySelector u16 | rangeShift u16` whose three search fields are
+  * DERIVED from numTables (searchRange = 2^⌊log2 n⌋·16 etc. — a
+  * wrong derivation marks a corrupt or hostile font), then 16-byte
+  * table records `(tag, checkSum, offset, length)` sorted by tag,
+  * each table padded to 4 bytes and checksummed as the sum of
+  * big-endian u32s. The `head` table carries the font-level
+  * integrity chain: its own directory checksum is computed with
+  * checkSumAdjustment zeroed, and the stored adjustment must equal
+  * 0xB1B0AFBA minus the whole-font sum — both rules verified here,
+  * both rules the walk would silently get wrong with a naive sum.
+  *
+  * Map-only in the batched seam; font bytes never leave the task.
+  */
+object Sfnt {
+
+  private val HeadMagic = 0x5F0F3CF5
+  private val ChecksumTarget = 0xB1B0AFBA
+
+  /** Big-endian-u32 sum over the padded region (the sfnt checksum). */
+  private[graft] def tableChecksum(b: Array[Byte], off: Int, len: Int): Int = {
+    var sum = 0
+    var i = off
+    val end = off + ((len + 3) & ~3)
+    while (i < end) {
+      val u = ((if (i < b.length) b(i) & 0xFF else 0) << 24) |
+        ((if (i + 1 < b.length) b(i + 1) & 0xFF else 0) << 16) |
+        ((if (i + 2 < b.length) b(i + 2) & 0xFF else 0) << 8) |
+        (if (i + 3 < b.length) b(i + 3) & 0xFF else 0)
+      sum += u
+      i += 4
+    }
+    sum
+  }
+
+  /** Deterministic sfnt corpus — three tables in sorted tag order
+    * (`cmap` filler of 12 + id%40 bytes, `head` with unitsPerEm
+    * 1000 + id%1048, `name` filler of 20 + id%60 bytes), real
+    * per-table checksums, the head adjustment computed per spec so
+    * the whole-font chain verifies. */
+  def fontDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        def pad4(n: Int) = (n + 3) & ~3
+        val cmap = Array.tabulate((12 + id % 40).toInt)(k => ((id * 3 + k) % 256).toByte)
+        val name = Array.tabulate((20 + id % 60).toInt)(k => ((id * 5 + 2 * k) % 256).toByte)
+        val upem = (1000 + id % 1048).toInt
+        val head = new Array[Byte](54)
+        def be32(a: Array[Byte], i: Int, v: Int): Unit = {
+          a(i) = ((v >> 24) & 0xFF).toByte; a(i + 1) = ((v >> 16) & 0xFF).toByte
+          a(i + 2) = ((v >> 8) & 0xFF).toByte; a(i + 3) = (v & 0xFF).toByte
+        }
+        def be16(a: Array[Byte], i: Int, v: Int): Unit = {
+          a(i) = ((v >> 8) & 0xFF).toByte; a(i + 1) = (v & 0xFF).toByte
+        }
+        be32(head, 0, 0x00010000) // version
+        be32(head, 4, 0x00010000) // fontRevision
+        // checkSumAdjustment at 8 stays 0 until the whole font exists
+        be32(head, 12, HeadMagic)
+        be16(head, 16, 0x000B) // flags
+        be16(head, 18, upem)
+        be16(head, 50, 0) // indexToLocFormat
+        be16(head, 52, 0) // glyphDataFormat
+        val tables = Seq(("cmap", cmap), ("head", head), ("name", name))
+        val n = tables.length
+        val dirLen = 12 + 16 * n
+        val offsets = tables.scanLeft(dirLen) { case (o, (_, t)) => o + pad4(t.length) }
+        val total = offsets.last
+        val font = new Array[Byte](total)
+        be32(font, 0, 0x00010000)
+        be16(font, 4, n)
+        val log2n = 31 - Integer.numberOfLeadingZeros(n)
+        val searchRange = (1 << log2n) * 16
+        be16(font, 6, searchRange)
+        be16(font, 8, log2n)
+        be16(font, 10, n * 16 - searchRange)
+        tables.zipWithIndex.foreach { case ((tag, t), i) =>
+          val rec = 12 + 16 * i
+          tag.getBytes("US-ASCII").copyToArray(font, rec)
+          t.copyToArray(font, offsets(i))
+          be32(font, rec + 4, tableChecksum(font, offsets(i), t.length))
+          be32(font, rec + 8, offsets(i))
+          be32(font, rec + 12, t.length)
+        }
+        // head adjustment: target minus the whole-font sum (adj still 0)
+        val adjustment = ChecksumTarget - tableChecksum(font, 0, font.length)
+        be32(font, offsets(1) + 8, adjustment)
+        (id, font)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** The walk: (doc_id, tag, offset, length, units_per_em) per
+    * table — search-field derivation, tag ordering, per-table
+    * checksums (head adj-zeroed), and the font-level adjustment all
+    * verified; any failure is loud. */
+  def fontTables(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        def fail(msg: String): Nothing =
+          throw new IllegalArgumentException(s"doc $id: $msg")
+        def u16(i: Int): Int = {
+          if (i + 2 > b.length) fail(s"u16 at $i past end")
+          ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+        }
+        def u32(i: Int): Int = {
+          if (i + 4 > b.length) fail(s"u32 at $i past end")
+          (u16(i) << 16) | u16(i + 2)
+        }
+        val version = u32(0)
+        if (version != 0x00010000 && version != 0x4F54544F)
+          fail(f"not an sfnt font (version 0x$version%08x)")
+        val n = u16(4)
+        if (n == 0) fail("font with no tables")
+        val log2n = 31 - Integer.numberOfLeadingZeros(n)
+        val expSearch = (1 << log2n) * 16
+        if (u16(6) != expSearch || u16(8) != log2n || u16(10) != n * 16 - expSearch)
+          fail(s"search fields do not derive from numTables=$n " +
+            s"(${u16(6)}/${u16(8)}/${u16(10)} vs $expSearch/$log2n/${n * 16 - expSearch})")
+        if (12 + 16 * n > b.length) fail("table directory overruns font")
+        var headOff = -1
+        var headLen = -1
+        var prevTag: String = null
+        val recs = (0 until n).map { i =>
+          val rec = 12 + 16 * i
+          val tag = new String(b, rec, 4, "US-ASCII")
+          if (prevTag != null && tag <= prevTag)
+            fail(s"table records out of tag order ('$prevTag' then '$tag')")
+          prevTag = tag
+          val stored = u32(rec + 4)
+          val off = u32(rec + 8)
+          val len = u32(rec + 12)
+          if (off < 0 || len < 0 || off + len > b.length)
+            fail(s"table '$tag' [$off, ${off.toLong + len}) overruns the font")
+          if (tag == "head") {
+            if (len < 54) fail(s"head table is $len bytes")
+            if (u32(off + 12) != HeadMagic)
+              fail(f"head magic 0x${u32(off + 12)}%08x")
+            headOff = off
+            headLen = len
+            // checksum rule: computed with the adjustment zeroed
+            val save = Array(b(off + 8), b(off + 9), b(off + 10), b(off + 11))
+            b(off + 8) = 0; b(off + 9) = 0; b(off + 10) = 0; b(off + 11) = 0
+            val calc = tableChecksum(b, off, len)
+            b(off + 8) = save(0); b(off + 9) = save(1)
+            b(off + 10) = save(2); b(off + 11) = save(3)
+            if (calc != stored)
+              fail(f"head checksum mismatch (stored $stored%08x, computed $calc%08x)")
+          } else {
+            val calc = tableChecksum(b, off, len)
+            if (calc != stored)
+              fail(f"table '$tag' checksum mismatch (stored $stored%08x, computed $calc%08x)")
+          }
+          (tag, off, len)
+        }
+        if (headOff < 0) fail("font has no head table")
+        val adj = u32(headOff + 8)
+        val save = Array(b(headOff + 8), b(headOff + 9), b(headOff + 10), b(headOff + 11))
+        b(headOff + 8) = 0; b(headOff + 9) = 0; b(headOff + 10) = 0; b(headOff + 11) = 0
+        val whole = tableChecksum(b, 0, b.length)
+        b(headOff + 8) = save(0); b(headOff + 9) = save(1)
+        b(headOff + 10) = save(2); b(headOff + 11) = save(3)
+        if (adj != ChecksumTarget - whole)
+          fail(f"checkSumAdjustment $adj%08x != 0xB1B0AFBA - font sum $whole%08x")
+        val upem = u16(headOff + 18)
+        recs.map { case (tag, off, len) => (id, tag, off, len, upem) }
+      }).toDF("doc_id", "tag", "offset", "length", "units_per_em")
+  }
+}

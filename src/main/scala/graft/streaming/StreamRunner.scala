@@ -2755,6 +2755,32 @@ object StreamRunner {
     spark.read.parquet(work.resolve("out").toString)
   }
 
+  /** The TFRecord/tf.train.Example decode seam on a STREAM — shard
+    * files arriving as they land, the wire-format walk unchanged per
+    * micro-batch, no state: appended rows equal the batch decode.
+    * The ingest telemetry pass a training-data loader runs while
+    * shards are still being written. */
+  def replayTfExamples(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
+    val srcDir = docStagedDir(spark, documents)
+    val session = replaySession(spark, rocksDb = false)
+    val src = session.readStream
+      .schema(Encoders.product[StagedDoc].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    val rows = graft.sources.TfRecord.tfExamples(
+      graft.sources.TfRecord.tfExampleDocs(
+        src.select(col("docId").as("doc_id"))))
+    val q = rows.writeStream.format("parquet")
+      .option("path", work.resolve("out").toString)
+      .option("checkpointLocation", work.resolve("cp").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q)
+    spark.read.parquet(work.resolve("out").toString)
+  }
+
   def replayCrawlFrontier(spark: SparkSession, documents: DataFrame): DataFrame = {
     val work = Files.createTempDirectory(s"graft_replay_${runId.incrementAndGet()}_")
     val srcDir = docStagedDir(spark, documents)

@@ -1316,7 +1316,8 @@ class PlanAuditSpec extends SparkSpec {
         graft.sources.TfRecord.tfExampleDocs(docs)),
       "zip64Entries" -> graft.sources.Archives.zipEntries(
         graft.sources.Archives.zip64Docs(docs)),
-      "avroRecords" -> graft.sources.Avro.avroRecords(graft.sources.Avro.avroDocs(docs))
+      "avroRecords" -> graft.sources.Avro.avroRecords(graft.sources.Avro.avroDocs(docs)),
+      "fontTables" -> graft.sources.Sfnt.fontTables(graft.sources.Sfnt.fontDocs(docs))
     ).foreach { case (name, df) =>
       val p = plan(df)
       assert(!p.contains("Exchange"), s"$name shuffles payloads:\n$p")

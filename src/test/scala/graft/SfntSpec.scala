@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Sfnt
+
+/** sfnt table-directory walk: layout, search-field derivation, and
+  * the two-level checksum chain. */
+class SfntSpec extends SparkSpec {
+
+  test("fontTables: layout and unitsPerEm replay; both checksum rules verified") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val rows = Sfnt.fontTables(Sfnt.fontDocs(docs)).collect()
+    assert(rows.length == 120)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val lc = (12 + id % 40).toInt
+      val headOff = 60 + (lc + 3) / 4 * 4
+      r.getString(1) match {
+        case "cmap" => assert(r.getInt(2) == 60 && r.getInt(3) == lc)
+        case "head" => assert(r.getInt(2) == headOff && r.getInt(3) == 54)
+        case "name" =>
+          assert(r.getInt(2) == headOff + 56 && r.getInt(3) == (20 + id % 60).toInt)
+        case other => fail(s"unexpected table $other")
+      }
+      assert(r.getInt(4) == (1000 + id % 1048).toInt, s"doc $id upem")
+    }
+  }
+
+  test("fontTables rejects corruption: version, search fields, checksums, adjustment") {
+    import spark.implicits._
+    val good = Sfnt.fontDocs(Seq(7L).toDF("doc_id")).collect()(0).getAs[Array[Byte]](1)
+    def run(b: Array[Byte]) =
+      Sfnt.fontTables(Seq((7L, b)).toDF("doc_id", "payload")).collect()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(run(good).length == 3)
+    // bad sfnt version
+    val badVer = good.clone(); badVer(0) = 1
+    assert(msgs(intercept[Exception](run(badVer))).exists(_.contains("version")))
+    // searchRange not derived from numTables
+    val badSearch = good.clone(); badSearch(7) = (badSearch(7) ^ 0x10).toByte
+    assert(msgs(intercept[Exception](run(badSearch))).exists(_.contains("derive")))
+    // a flipped byte inside cmap breaks that table's checksum
+    val badSum = good.clone(); badSum(61) = (badSum(61) ^ 0x20).toByte
+    assert(msgs(intercept[Exception](run(badSum))).exists(_.contains("checksum")))
+    // a flipped byte inside the head ADJUSTMENT breaks only the
+    // whole-font chain (the head table checksum is adj-zeroed)
+    val lc = (12 + 7 % 40).toInt
+    val headOff = 60 + (lc + 3) / 4 * 4
+    val badAdj = good.clone(); badAdj(headOff + 9) = (badAdj(headOff + 9) ^ 0x01).toByte
+    assert(msgs(intercept[Exception](run(badAdj))).exists(_.contains("checkSumAdjustment")))
+    // unsorted table records fail by name: swap cmap/head tags
+    val unsorted = good.clone()
+    // write 'zzzz' over the first record's tag
+    "zzzz".getBytes("US-ASCII").copyToArray(unsorted, 12)
+    assert(msgs(intercept[Exception](run(unsorted))).exists(_.contains("order")))
+  }
+}
