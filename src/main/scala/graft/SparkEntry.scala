@@ -1342,6 +1342,22 @@ object SparkEntry {
     // 0xB1B0AFBA whole-font adjustment chain
     "m_font_tables" -> ((s, dir) =>
       graft.sources.Sfnt.fontTables(graft.sources.Sfnt.fontDocs(Tables.documents(s, dir)))),
+    // safetensors: u64 header frame + the offset discipline the
+    // format's safety claim rests on (chain from 0, cover exactly,
+    // agree with dtype x numel)
+    "m_safetensors" -> ((s, dir) =>
+      graft.sources.Weights.safetensorsMeta(
+        graft.sources.Weights.safetensorsDocs(Tables.documents(s, dir)))),
+    // NumPy .npy: magic/version/dict-header walk, 64-alignment,
+    // exact data sizing, integral value sums (both dtypes)
+    "m_npy_meta" -> ((s, dir) =>
+      graft.sources.Weights.npyMeta(
+        graft.sources.Weights.npyDocs(Tables.documents(s, dir)))),
+    // GGUF v3: typed metadata kvs (general.alignment honored),
+    // tensor infos with alignment-checked offsets
+    "m_gguf_tensors" -> ((s, dir) =>
+      graft.sources.Weights.ggufTensors(
+        graft.sources.Weights.ggufDocs(Tables.documents(s, dir)))),
     // Avro object container: metadata map, per-block sync-marker
     // verification, null/deflate codecs
     "m_avro_meta" -> ((s, dir) =>
@@ -4238,6 +4254,50 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 'name', CAST(60 + (lc + 3) // 4 * 4 + 56 AS INT),
         |       CAST(ln AS INT), upem FROM d""".stripMargin,
+    // safetensors: dtype rotation by tensor index, contiguous offsets
+    // as a window sum
+    "m_safetensors" ->
+      """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n FROM documents),
+        |t AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS k FROM d),
+        |g AS (SELECT doc_id, k,
+        |      (['F32','F16','I64'])[CAST(k % 3 + 1 AS INT)] AS dtype,
+        |      ([4,2,8])[CAST(k % 3 + 1 AS INT)] AS isize,
+        |      (2 + doc_id % 4) * (1 + (doc_id + k) % 5) AS numel FROM t)
+        |SELECT doc_id, 't' || CAST(k AS VARCHAR) AS tensor, dtype,
+        |       CAST(2 AS INT) AS n_dims, CAST(numel AS BIGINT) AS numel,
+        |       CAST(numel * isize AS BIGINT) AS byte_len,
+        |       CAST(COALESCE(SUM(numel * isize) OVER (PARTITION BY doc_id ORDER BY k
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset
+        |FROM g""".stripMargin,
+    // npy: value sums replay per dtype arm (whole floats integral)
+    "m_npy_meta" ->
+      """WITH d AS (SELECT doc_id,
+        |           CAST((2 + doc_id % 5) * (1 + doc_id % 3) AS BIGINT) AS numel
+        |           FROM documents)
+        |SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN '<i8' ELSE '<f4' END AS dtype,
+        |       CAST(2 AS INT) AS n_dims, numel,
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 4 END AS INT) AS item_bytes,
+        |       CAST(CASE WHEN doc_id % 2 = 0
+        |            THEN list_sum([(doc_id + 3 * j) % 1000
+        |                           for j in generate_series(0, CAST(numel AS INT) - 1)])
+        |            ELSE list_sum([j + doc_id % 20
+        |                           for j in generate_series(0, CAST(numel AS INT) - 1)])
+        |            END AS BIGINT) AS value_sum
+        |FROM d""".stripMargin,
+    // GGUF: offsets are the 32-aligned running extent
+    "m_gguf_tensors" ->
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS nt FROM documents),
+        |t AS (SELECT doc_id, unnest(generate_series(0, nt - 1)) AS k FROM d),
+        |g AS (SELECT doc_id, k,
+        |      (2 + (doc_id + k) % 4) * (1 + doc_id % 5) AS numel,
+        |      CASE WHEN k % 2 = 0 THEN 4 ELSE 2 END AS isize FROM t)
+        |SELECT doc_id, 'blk.' || CAST(k AS VARCHAR) || '.weight' AS tensor,
+        |       CAST(k % 2 AS INT) AS ggml_type, CAST(2 AS INT) AS n_dims,
+        |       CAST(numel AS BIGINT) AS numel,
+        |       CAST(COALESCE(SUM((numel * isize + 31) // 32 * 32)
+        |         OVER (PARTITION BY doc_id ORDER BY k
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset
+        |FROM g""".stripMargin,
     // Avro container: codec rotates by parity; record counts are the
     // per-block closed form summed
     "m_avro_meta" ->

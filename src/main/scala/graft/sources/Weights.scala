@@ -1,0 +1,357 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Model-artifact container walks — the three formats LLM weight and
+  * embedding shards actually ship in, which a training-data engine
+  * audits right beside its corpus shards:
+  *
+  *  - **safetensors**: `u64 LE header length | JSON header | raw
+  *    data`; the header maps tensor name → {dtype, shape,
+  *    data_offsets}, and the format's whole safety claim is the
+  *    offset discipline — offsets must start at 0, chain
+  *    contiguously, cover the data region exactly, and agree with
+  *    dtype·numel. All four rules verified here.
+  *  - **NumPy .npy** (format 1.0): `\x93NUMPY | ver | u16 LE header
+  *    length | Python dict literal ('descr', 'fortran_order',
+  *    'shape') | data`, the header padded so data starts 64-aligned.
+  *  - **GGUF** (v3): `GGUF | u32 version | u64 tensor count | u64 kv
+  *    count | typed metadata kvs | tensor infos (name, dims, ggml
+  *    type, offset)` with tensor offsets aligned to `general
+  *    .alignment` (default 32) relative to the data section.
+  *
+  * Per-row byte work in `mapPartitions`; tensor payloads never leave
+  * the task — map-only at 100 TB.
+  */
+object Weights {
+
+  // ---- safetensors ----
+
+  private val DtypeBytes = Map(
+    "F64" -> 8, "F32" -> 4, "F16" -> 2, "BF16" -> 2,
+    "I64" -> 8, "I32" -> 4, "I16" -> 2, "I8" -> 1, "U8" -> 1, "BOOL" -> 1)
+
+  /** Deterministic safetensors corpus — 2 + id%3 tensors per file,
+    * dtypes rotating F32/F16/I64, shapes
+    * [2 + id%4, 1 + (id+k)%5], offsets chained contiguously, a
+    * `__metadata__` entry present (readers must skip it), data bytes
+    * closed-form. */
+  def safetensorsDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (2 + id % 3).toInt
+        val dtypes = Array("F32", "F16", "I64")
+        val entries = (0 until n).map { k =>
+          val dt = dtypes(k % 3)
+          val d0 = (2 + id % 4).toInt
+          val d1 = (1 + (id + k) % 5).toInt
+          val bytes = d0 * d1 * DtypeBytes(dt)
+          (s"t$k", dt, d0, d1, bytes)
+        }
+        val offsets = entries.scanLeft(0) { case (o, (_, _, _, _, nb)) => o + nb }
+        val json = new StringBuilder("{\"__metadata__\":{\"format\":\"pt\"}")
+        entries.zipWithIndex.foreach { case ((name, dt, d0, d1, _), k) =>
+          json ++= s""","$name":{"dtype":"$dt","shape":[$d0,$d1],""" +
+            s""""data_offsets":[${offsets(k)},${offsets(k + 1)}]}"""
+        }
+        json ++= "}"
+        val hdr = json.toString.getBytes("UTF-8")
+        val out = new java.io.ByteArrayOutputStream()
+        (0 until 8).foreach(j => out.write(((hdr.length.toLong >>> (8 * j)) & 0xFF).toInt))
+        out.write(hdr)
+        var j = 0
+        val total = offsets.last
+        while (j < total) { out.write(((id * 7 + j) % 256).toInt); j += 1 }
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** safetensors → one row per tensor: (doc_id, tensor, dtype,
+    * n_dims, numel, byte_len, offset). Verifies the u64 header
+    * frame, offset contiguity from 0 to the data region's exact
+    * length, and dtype·numel == byte span. The JSON walk is over the
+    * machine-written header shape; `__metadata__` is skipped. */
+  def safetensorsMeta(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        def fail(msg: String): Nothing =
+          throw new IllegalArgumentException(s"doc $id: $msg")
+        if (b.length < 8) fail("safetensors header length truncated")
+        var hlen = 0L
+        var j = 7
+        while (j >= 0) { hlen = (hlen << 8) | (b(j) & 0xFFL); j -= 1 }
+        if (hlen <= 0 || 8 + hlen > b.length) fail(s"header of $hlen bytes overruns payload")
+        val json = new String(b, 8, hlen.toInt, "UTF-8")
+        val dataLen = b.length - 8 - hlen.toInt
+        val entryRe =
+          ("""\"([^\"]+)\":\{\"dtype\":\"([A-Z0-9]+)\",\"shape\":\[([0-9,]*)\],""" +
+            """\"data_offsets\":\[(\d+),(\d+)\]\}""").r
+        val tensors = entryRe.findAllMatchIn(json).map { m =>
+          val dims = if (m.group(3).isEmpty) Seq.empty[Long]
+            else m.group(3).split(',').toSeq.map(_.toLong)
+          (m.group(1), m.group(2), dims, m.group(4).toLong, m.group(5).toLong)
+        }.toSeq
+        if (tensors.isEmpty) fail("safetensors header names no tensors")
+        var expect = 0L
+        tensors.foreach { case (name, dt, dims, s, e) =>
+          if (s != expect) fail(s"tensor '$name' starts at $s, expected $expect (offsets must chain)")
+          if (e < s) fail(s"tensor '$name' has negative extent")
+          val isize = DtypeBytes.getOrElse(dt, fail(s"tensor '$name': unknown dtype '$dt'"))
+          val numel = dims.product
+          if (numel * isize != e - s)
+            fail(s"tensor '$name': $numel x $isize bytes != span ${e - s}")
+          expect = e
+        }
+        if (expect != dataLen)
+          fail(s"tensors cover $expect bytes but the data region holds $dataLen")
+        tensors.map { case (name, dt, dims, s, e) =>
+          (id, name, dt, dims.length, dims.product, e - s, s)
+        }
+      }).toDF("doc_id", "tensor", "dtype", "n_dims", "numel", "byte_len", "offset")
+  }
+
+  // ---- NumPy .npy ----
+
+  /** Deterministic .npy corpus — format 1.0, dtype `<i8` on even ids
+    * (values (id + 3j) % 1000) and `<f4` on odd (whole floats
+    * (j + id%20)), shape (2 + id%5, 1 + id%3), header padded so data
+    * starts 64-aligned, as numpy itself writes. */
+  def npyDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val d0 = (2 + id % 5).toInt
+        val d1 = (1 + id % 3).toInt
+        val numel = d0 * d1
+        val descr = if (id % 2 == 0) "<i8" else "<f4"
+        val dict = s"{'descr': '$descr', 'fortran_order': False, 'shape': ($d0, $d1), }"
+        // pad with spaces + trailing \n so 10 + hlen ≡ 0 (mod 64)
+        val base = 10 + dict.length + 1
+        val pad = (64 - base % 64) % 64
+        val header = dict + (" " * pad) + "\n"
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(0x93); out.write('N'); out.write('U'); out.write('M')
+        out.write('P'); out.write('Y'); out.write(1); out.write(0)
+        out.write(header.length & 0xFF); out.write((header.length >> 8) & 0xFF)
+        out.write(header.getBytes("US-ASCII"))
+        var j = 0
+        while (j < numel) {
+          if (id % 2 == 0) {
+            val v = (id + 3 * j) % 1000
+            (0 until 8).foreach(k => out.write(((v >>> (8 * k)) & 0xFF).toInt))
+          } else {
+            val bits = java.lang.Float.floatToIntBits((j + id % 20).toFloat)
+            (0 until 4).foreach(k => out.write((bits >>> (8 * k)) & 0xFF))
+          }
+          j += 1
+        }
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** .npy → (doc_id, dtype, n_dims, numel, item_bytes, value_sum):
+    * magic/version/header-dict walk, 64-alignment and exact
+    * data-size checks, and an integral value sum (`<i8` directly,
+    * `<f4` via the whole-float shortcut — non-integral sums fail
+    * rather than approximate). */
+  def npyMeta(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        def fail(msg: String): Nothing =
+          throw new IllegalArgumentException(s"doc $id: $msg")
+        if (b.length < 10 || (b(0) & 0xFF) != 0x93 ||
+            new String(b, 1, 5, "US-ASCII") != "NUMPY")
+          fail("not an npy file (bad magic)")
+        if (b(6) != 1 || b(7) != 0) fail(s"unsupported npy version ${b(6)}.${b(7)}")
+        val hlen = (b(8) & 0xFF) | ((b(9) & 0xFF) << 8)
+        if (10 + hlen > b.length) fail("npy header overruns payload")
+        if ((10 + hlen) % 64 != 0) fail(s"npy data not 64-aligned (header ends at ${10 + hlen})")
+        val dict = new String(b, 10, hlen, "US-ASCII")
+        val descr = """'descr':\s*'([^']+)'""".r.findFirstMatchIn(dict)
+          .getOrElse(fail("npy header has no descr")).group(1)
+        val fortran = """'fortran_order':\s*(True|False)""".r.findFirstMatchIn(dict)
+          .getOrElse(fail("npy header has no fortran_order")).group(1)
+        if (fortran == "True") fail("fortran-order arrays unsupported")
+        val shapeStr = """'shape':\s*\(([^)]*)\)""".r.findFirstMatchIn(dict)
+          .getOrElse(fail("npy header has no shape")).group(1)
+        val dims = shapeStr.split(',').map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+        val numel = dims.product
+        val isize = descr match {
+          case "<i8" => 8
+          case "<f4" => 4
+          case other => fail(s"unsupported npy dtype '$other'")
+        }
+        val dataOff = 10 + hlen
+        if (dataOff + numel * isize != b.length)
+          fail(s"npy declares ${numel * isize} data bytes, payload holds ${b.length - dataOff}")
+        var sum = 0L
+        var j = 0
+        while (j < numel) {
+          val p = dataOff + j * isize
+          if (isize == 8) {
+            var v = 0L
+            var k = 7
+            while (k >= 0) { v = (v << 8) | (b(p + k) & 0xFFL); k -= 1 }
+            sum += v
+          } else {
+            val bits = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) |
+              ((b(p + 2) & 0xFF) << 16) | ((b(p + 3) & 0xFF) << 24)
+            val f = java.lang.Float.intBitsToFloat(bits)
+            if (f != math.rint(f)) fail(s"non-integral float at element $j has no exact sum")
+            sum += f.toLong
+          }
+          j += 1
+        }
+        (id, descr, dims.length, numel, isize, sum)
+      }).toDF("doc_id", "dtype", "n_dims", "numel", "item_bytes", "value_sum")
+  }
+
+  // ---- GGUF ----
+
+  /** Deterministic GGUF corpus — v3 little-endian: three metadata
+    * kvs (`general.name` string, `general.alignment` u32 = 32,
+    * `graft.scale` whole f32), then 1 + id%3 tensor infos (2-D dims
+    * closed-form, ggml type F32/F16 alternating, offsets 32-aligned
+    * and contiguous in type-width units), then the aligned data
+    * region itself. */
+  def ggufDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val out = new java.io.ByteArrayOutputStream()
+        def w32(x: Int): Unit = (0 until 4).foreach(k => out.write((x >>> (8 * k)) & 0xFF))
+        def w64(x: Long): Unit = (0 until 8).foreach(k => out.write(((x >>> (8 * k)) & 0xFF).toInt))
+        def wstr(s: String): Unit = { w64(s.length.toLong); out.write(s.getBytes("UTF-8")) }
+        val nT = (1 + id % 3).toInt
+        out.write('G'); out.write('G'); out.write('U'); out.write('F')
+        w32(3); w64(nT.toLong); w64(3L)
+        wstr("general.name"); w32(8); wstr(s"model_${id % 97}")
+        wstr("general.alignment"); w32(4); w32(32)
+        wstr("graft.scale"); w32(6)
+        w32(java.lang.Float.floatToIntBits((1 + id % 9).toFloat))
+        val sizes = (0 until nT).map { k =>
+          val d0 = (2 + (id + k) % 4).toInt
+          val d1 = (1 + id % 5).toInt
+          val isize = if (k % 2 == 0) 4 else 2
+          (d0, d1, isize, d0 * d1 * isize)
+        }
+        val offs = sizes.scanLeft(0L) { case (o, (_, _, _, nb)) =>
+          (o + nb + 31) & ~31L
+        }
+        sizes.zipWithIndex.foreach { case ((d0, d1, isize, _), k) =>
+          wstr(s"blk.$k.weight")
+          w32(2) // n_dims
+          w64(d0.toLong); w64(d1.toLong)
+          w32(if (isize == 4) 0 else 1) // GGML_TYPE_F32 / F16
+          w64(offs(k))
+        }
+        // data section starts aligned; pad, then write each tensor at
+        // its declared offset
+        val headerEnd = out.size()
+        val dataStart = (headerEnd + 31) & ~31
+        (headerEnd until dataStart).foreach(_ => out.write(0))
+        val total = offs.last
+        var p = 0L
+        while (p < total) {
+          val inTensor = sizes.indices.exists(t =>
+            p >= offs(t) && p < offs(t) + sizes(t)._4)
+          out.write(if (inTensor) ((id * 11 + p) % 256).toInt else 0)
+          p += 1
+        }
+        (id, out.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** GGUF → one row per tensor: (doc_id, tensor, ggml_type, n_dims,
+    * numel, offset) with the metadata walk verifying the typed-kv
+    * encoding, the declared alignment honored by every offset, and
+    * the data region sized to the last tensor's extent. */
+  def ggufTensors(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        def fail(msg: String): Nothing =
+          throw new IllegalArgumentException(s"doc $id: $msg")
+        var pos = 0
+        def u32(): Long = {
+          if (pos + 4 > b.length) fail(s"u32 at $pos past end")
+          val v = (b(pos) & 0xFFL) | ((b(pos + 1) & 0xFFL) << 8) |
+            ((b(pos + 2) & 0xFFL) << 16) | ((b(pos + 3) & 0xFFL) << 24)
+          pos += 4; v
+        }
+        def u64(): Long = {
+          if (pos + 8 > b.length) fail(s"u64 at $pos past end")
+          var v = 0L
+          var k = 7
+          while (k >= 0) { v = (v << 8) | (b(pos + k) & 0xFFL); k -= 1 }
+          pos += 8; v
+        }
+        def str(): String = {
+          val n = u64()
+          if (n < 0 || pos + n > b.length) fail(s"string of $n bytes overruns at $pos")
+          val s = new String(b, pos, n.toInt, "UTF-8")
+          pos += n.toInt; s
+        }
+        if (b.length < 4 || new String(b, 0, 4, "US-ASCII") != "GGUF")
+          fail("not a GGUF file (bad magic)")
+        pos = 4
+        val version = u32()
+        if (version != 3) fail(s"unsupported GGUF version $version")
+        val nTensors = u64()
+        val nKv = u64()
+        if (nTensors < 0 || nTensors > 1000000) fail(s"implausible tensor count $nTensors")
+        var alignment = 32L // the spec default
+        var i = 0L
+        while (i < nKv) {
+          val key = str()
+          val vt = u32()
+          vt match {
+            case 4 => val v = u32(); if (key == "general.alignment") alignment = v
+            case 5 => u32()
+            case 6 => u32()
+            case 7 => if (pos + 1 > b.length) fail("bool kv truncated"); pos += 1
+            case 8 => str()
+            case 10 | 11 => u64()
+            case 12 => u64()
+            case other => fail(s"kv '$key': unsupported GGUF value type $other")
+          }
+          i += 1
+        }
+        if (alignment <= 0 || (alignment & (alignment - 1)) != 0)
+          fail(s"alignment $alignment is not a power of two")
+        val infos = (0L until nTensors).map { _ =>
+          val name = str()
+          val nd = u32()
+          if (nd < 1 || nd > 8) fail(s"tensor '$name': $nd dimensions")
+          val dims = (0L until nd).map(_ => u64())
+          val tpe = u32()
+          val off = u64()
+          if (off % alignment != 0)
+            fail(s"tensor '$name' offset $off violates alignment $alignment")
+          (name, tpe, dims, off)
+        }
+        val dataStart = (pos + alignment - 1) & -(alignment)
+        infos.map { case (name, tpe, dims, off) =>
+          val isize = tpe match {
+            case 0 => 4L
+            case 1 => 2L
+            case other => fail(s"tensor '$name': unsupported ggml type $other")
+          }
+          val numel = dims.product
+          if (dataStart + off + numel * isize > b.length)
+            fail(s"tensor '$name' data overruns the payload")
+          (id, name, tpe.toInt, dims.length, numel, off)
+        }
+      }).toDF("doc_id", "tensor", "ggml_type", "n_dims", "numel", "offset")
+  }
+}

@@ -1317,7 +1317,10 @@ class PlanAuditSpec extends SparkSpec {
       "zip64Entries" -> graft.sources.Archives.zipEntries(
         graft.sources.Archives.zip64Docs(docs)),
       "avroRecords" -> graft.sources.Avro.avroRecords(graft.sources.Avro.avroDocs(docs)),
-      "fontTables" -> graft.sources.Sfnt.fontTables(graft.sources.Sfnt.fontDocs(docs))
+      "fontTables" -> graft.sources.Sfnt.fontTables(graft.sources.Sfnt.fontDocs(docs)),
+      "safetensorsMeta" -> graft.sources.Weights.safetensorsMeta(
+        graft.sources.Weights.safetensorsDocs(docs)),
+      "ggufTensors" -> graft.sources.Weights.ggufTensors(graft.sources.Weights.ggufDocs(docs))
     ).foreach { case (name, df) =>
       val p = plan(df)
       assert(!p.contains("Exchange"), s"$name shuffles payloads:\n$p")

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Weights
+
+/** Model-artifact container walks: safetensors offset discipline,
+  * npy header/dtype walk, GGUF typed-kv + alignment rules. */
+class WeightsSpec extends SparkSpec {
+
+  test("safetensorsMeta: tensors replay closed-form; __metadata__ skipped") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val rows = Weights.safetensorsMeta(Weights.safetensorsDocs(docs)).collect()
+    assert(rows.length == (0L until 40L).map(id => 2 + id % 3).sum)
+    val isizes = Array(4, 2, 8)
+    val dtypes = Array("F32", "F16", "I64")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val k = r.getString(1).stripPrefix("t").toInt
+      assert(r.getString(2) == dtypes(k % 3))
+      assert(r.getInt(3) == 2)
+      val numel = (2 + id % 4) * (1 + (id + k) % 5)
+      assert(r.getLong(4) == numel, s"doc $id t$k numel")
+      assert(r.getLong(5) == numel * isizes(k % 3))
+      val expOff = (0 until k).map(t => (2 + id % 4) * (1 + (id + t) % 5) * isizes(t % 3)).sum
+      assert(r.getLong(6) == expOff, s"doc $id t$k offset")
+    }
+  }
+
+  test("safetensors offset discipline is enforced, not assumed") {
+    import spark.implicits._
+    def run(b: Array[Byte]) =
+      Weights.safetensorsMeta(Seq((1L, b)).toDF("doc_id", "payload")).collect()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    def frame(json: String, dataLen: Int): Array[Byte] = {
+      val hdr = json.getBytes("UTF-8")
+      val out = new java.io.ByteArrayOutputStream()
+      (0 until 8).foreach(j => out.write(((hdr.length.toLong >>> (8 * j)) & 0xFF).toInt))
+      out.write(hdr)
+      (0 until dataLen).foreach(j => out.write(j % 256))
+      out.toByteArray
+    }
+    // a gap between tensors breaks the chain
+    val gap = frame("""{"a":{"dtype":"U8","shape":[4],"data_offsets":[0,4]},""" +
+      """"b":{"dtype":"U8","shape":[4],"data_offsets":[8,12]}}""", 12)
+    assert(msgs(intercept[Exception](run(gap))).exists(_.contains("chain")))
+    // dtype/numel disagreeing with the span
+    val lying = frame("""{"a":{"dtype":"F32","shape":[3],"data_offsets":[0,8]}}""", 8)
+    assert(msgs(intercept[Exception](run(lying))).exists(_.contains("!= span")))
+    // tensors not covering the data region
+    val short = frame("""{"a":{"dtype":"U8","shape":[4],"data_offsets":[0,4]}}""", 9)
+    assert(msgs(intercept[Exception](run(short))).exists(_.contains("data region")))
+    // header length past the payload
+    val bad = frame("""{"a":{"dtype":"U8","shape":[1],"data_offsets":[0,1]}}""", 1)
+    bad(0) = (bad(0) + 100).toByte
+    assert(msgs(intercept[Exception](run(bad))).exists(_.contains("overruns")))
+  }
+
+  test("npyMeta: both dtype arms replay; malformations fail loudly") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val rows = Weights.npyMeta(Weights.npyDocs(docs)).collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val numel = (2 + id % 5) * (1 + id % 3)
+      assert(r.getLong(3) == numel)
+      if (id % 2 == 0) {
+        assert(r.getString(1) == "<i8" && r.getInt(4) == 8)
+        assert(r.getLong(5) == (0L until numel).map(j => (id + 3 * j) % 1000).sum)
+      } else {
+        assert(r.getString(1) == "<f4" && r.getInt(4) == 4)
+        assert(r.getLong(5) == (0L until numel).map(j => j + id % 20).sum)
+      }
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val good = Weights.npyDocs(Seq(2L).toDF("doc_id")).collect()(0).getAs[Array[Byte]](1)
+    def run(b: Array[Byte]) =
+      Weights.npyMeta(Seq((2L, b)).toDF("doc_id", "payload")).collect()
+    assert(run(good).nonEmpty)
+    val badMagic = good.clone(); badMagic(1) = 'X'
+    assert(msgs(intercept[Exception](run(badMagic))).exists(_.contains("magic")))
+    // truncated data: declared size disagrees
+    assert(msgs(intercept[Exception](run(good.take(good.length - 8))))
+      .exists(_.contains("data bytes")))
+  }
+
+  test("ggufTensors: kv walk + alignment + offsets replay closed-form") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val rows = Weights.ggufTensors(Weights.ggufDocs(docs)).collect()
+    assert(rows.length == (0L until 40L).map(id => 1 + id % 3).sum)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val k = r.getString(1).stripPrefix("blk.").stripSuffix(".weight").toInt
+      assert(r.getInt(2) == k % 2)
+      assert(r.getInt(3) == 2)
+      val numel = (2 + (id + k) % 4) * (1 + id % 5)
+      assert(r.getLong(4) == numel, s"doc $id blk $k numel")
+      val expOff = (0 until k).map { t =>
+        val nb = (2 + (id + t) % 4) * (1 + id % 5) * (if (t % 2 == 0) 4 else 2)
+        (nb + 31) / 32 * 32
+      }.sum
+      assert(r.getLong(5) == expOff, s"doc $id blk $k offset")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val good = Weights.ggufDocs(Seq(5L).toDF("doc_id")).collect()(0).getAs[Array[Byte]](1)
+    def run(b: Array[Byte]) =
+      Weights.ggufTensors(Seq((5L, b)).toDF("doc_id", "payload")).collect()
+    assert(run(good).nonEmpty)
+    val badVer = good.clone(); badVer(4) = 9
+    assert(msgs(intercept[Exception](run(badVer))).exists(_.contains("version")))
+    // a misaligned tensor offset fails by name: bump the last tensor's
+    // offset low byte (offsets sit at the end of each info record)
+    assert(msgs(intercept[Exception](run(good.take(good.length - 40))))
+      .exists(m => m.contains("overruns") || m.contains("past end")))
+  }
+}
