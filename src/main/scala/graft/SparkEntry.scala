@@ -1342,6 +1342,11 @@ object SparkEntry {
     // 0xB1B0AFBA whole-font adjustment chain
     "m_font_tables" -> ((s, dir) =>
       graft.sources.Sfnt.fontTables(graft.sources.Sfnt.fontDocs(Tables.documents(s, dir)))),
+    // WOFF wrapper: directory-driven per-table zlib inflate (capped,
+    // exact origLength), origChecksums under the sfnt rules,
+    // totalSfntSize re-derived
+    "m_woff_tables" -> ((s, dir) =>
+      graft.sources.Sfnt.woffTables(graft.sources.Sfnt.woffDocs(Tables.documents(s, dir)))),
     // safetensors: u64 header frame + the offset discipline the
     // format's safety claim rests on (chain from 0, cover exactly,
     // agree with dtype x numel)
@@ -4254,6 +4259,17 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 'name', CAST(60 + (lc + 3) // 4 * 4 + 56 AS INT),
         |       CAST(ln AS INT), upem FROM d""".stripMargin,
+    // WOFF: the compressed/stored split is closed-form (head and the
+    // repeated-byte name always win, the entropy cmap never does)
+    "m_woff_tables" ->
+      """WITH d AS (SELECT doc_id, 12 + doc_id % 40 AS lc, 20 + doc_id % 60 AS ln,
+        |                  CAST(1000 + doc_id % 1048 AS INT) AS upem FROM documents)
+        |SELECT doc_id, 'cmap' AS tag, CAST(lc AS INT) AS orig_len,
+        |       FALSE AS compressed, upem AS units_per_em FROM d
+        |UNION ALL
+        |SELECT doc_id, 'head', CAST(54 AS INT), TRUE, upem FROM d
+        |UNION ALL
+        |SELECT doc_id, 'name', CAST(ln AS INT), TRUE, upem FROM d""".stripMargin,
     // safetensors: dtype rotation by tensor index, contiguous offsets
     // as a window sum
     "m_safetensors" ->

@@ -50,53 +50,60 @@ object Sfnt {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        def pad4(n: Int) = (n + 3) & ~3
-        val cmap = Array.tabulate((12 + id % 40).toInt)(k => ((id * 3 + k) % 256).toByte)
-        val name = Array.tabulate((20 + id % 60).toInt)(k => ((id * 5 + 2 * k) % 256).toByte)
-        val upem = (1000 + id % 1048).toInt
-        val head = new Array[Byte](54)
-        def be32(a: Array[Byte], i: Int, v: Int): Unit = {
-          a(i) = ((v >> 24) & 0xFF).toByte; a(i + 1) = ((v >> 16) & 0xFF).toByte
-          a(i + 2) = ((v >> 8) & 0xFF).toByte; a(i + 3) = (v & 0xFF).toByte
-        }
-        def be16(a: Array[Byte], i: Int, v: Int): Unit = {
-          a(i) = ((v >> 8) & 0xFF).toByte; a(i + 1) = (v & 0xFF).toByte
-        }
-        be32(head, 0, 0x00010000) // version
-        be32(head, 4, 0x00010000) // fontRevision
-        // checkSumAdjustment at 8 stays 0 until the whole font exists
-        be32(head, 12, HeadMagic)
-        be16(head, 16, 0x000B) // flags
-        be16(head, 18, upem)
-        be16(head, 50, 0) // indexToLocFormat
-        be16(head, 52, 0) // glyphDataFormat
-        val tables = Seq(("cmap", cmap), ("head", head), ("name", name))
-        val n = tables.length
-        val dirLen = 12 + 16 * n
-        val offsets = tables.scanLeft(dirLen) { case (o, (_, t)) => o + pad4(t.length) }
-        val total = offsets.last
-        val font = new Array[Byte](total)
-        be32(font, 0, 0x00010000)
-        be16(font, 4, n)
-        val log2n = 31 - Integer.numberOfLeadingZeros(n)
-        val searchRange = (1 << log2n) * 16
-        be16(font, 6, searchRange)
-        be16(font, 8, log2n)
-        be16(font, 10, n * 16 - searchRange)
-        tables.zipWithIndex.foreach { case ((tag, t), i) =>
-          val rec = 12 + 16 * i
-          tag.getBytes("US-ASCII").copyToArray(font, rec)
-          t.copyToArray(font, offsets(i))
-          be32(font, rec + 4, tableChecksum(font, offsets(i), t.length))
-          be32(font, rec + 8, offsets(i))
-          be32(font, rec + 12, t.length)
-        }
-        // head adjustment: target minus the whole-font sum (adj still 0)
-        val adjustment = ChecksumTarget - tableChecksum(font, 0, font.length)
-        be32(font, offsets(1) + 8, adjustment)
-        (id, font)
-      }).toDF("doc_id", "payload")
+      .mapPartitions(_.map(id => (id, buildFont(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** The closed-form three-table font for doc `id` (shared by the
+    * raw-sfnt fixture and the WOFF wrapper fixture). */
+  private[graft] def buildFont(id: Long): Array[Byte] = {
+    def pad4(n: Int) = (n + 3) & ~3
+    val cmap = Array.tabulate((12 + id % 40).toInt)(k => ((id * 3 + k) % 256).toByte)
+    // a repeated byte: deterministically zlib-compressible, so the
+    // WOFF wrapper fixture's compressed/stored split is closed-form
+    val name = Array.fill((20 + id % 60).toInt)(((id * 5) % 256).toByte)
+    val upem = (1000 + id % 1048).toInt
+    val head = new Array[Byte](54)
+    def be32(a: Array[Byte], i: Int, v: Int): Unit = {
+      a(i) = ((v >> 24) & 0xFF).toByte; a(i + 1) = ((v >> 16) & 0xFF).toByte
+      a(i + 2) = ((v >> 8) & 0xFF).toByte; a(i + 3) = (v & 0xFF).toByte
+    }
+    def be16(a: Array[Byte], i: Int, v: Int): Unit = {
+      a(i) = ((v >> 8) & 0xFF).toByte; a(i + 1) = (v & 0xFF).toByte
+    }
+    be32(head, 0, 0x00010000) // version
+    be32(head, 4, 0x00010000) // fontRevision
+    // checkSumAdjustment at 8 stays 0 until the whole font exists
+    be32(head, 12, HeadMagic)
+    be16(head, 16, 0x000B) // flags
+    be16(head, 18, upem)
+    be16(head, 50, 0) // indexToLocFormat
+    be16(head, 52, 0) // glyphDataFormat
+    val tables = Seq(("cmap", cmap), ("head", head), ("name", name))
+    val n = tables.length
+    val dirLen = 12 + 16 * n
+    val offsets = tables.scanLeft(dirLen) { case (o, (_, t)) => o + pad4(t.length) }
+    val total = offsets.last
+    val font = new Array[Byte](total)
+    be32(font, 0, 0x00010000)
+    be16(font, 4, n)
+    val log2n = 31 - Integer.numberOfLeadingZeros(n)
+    val searchRange = (1 << log2n) * 16
+    be16(font, 6, searchRange)
+    be16(font, 8, log2n)
+    be16(font, 10, n * 16 - searchRange)
+    tables.zipWithIndex.foreach { case ((tag, t), i) =>
+      val rec = 12 + 16 * i
+      tag.getBytes("US-ASCII").copyToArray(font, rec)
+      t.copyToArray(font, offsets(i))
+      be32(font, rec + 4, tableChecksum(font, offsets(i), t.length))
+      be32(font, rec + 8, offsets(i))
+      be32(font, rec + 12, t.length)
+    }
+    // head adjustment: target minus the whole-font sum (adj still 0)
+    val adjustment = ChecksumTarget - tableChecksum(font, 0, font.length)
+    be32(font, offsets(1) + 8, adjustment)
+    font
   }
 
   /** The walk: (doc_id, tag, offset, length, units_per_em) per
@@ -176,5 +183,142 @@ object Sfnt {
         val upem = u16(headOff + 18)
         recs.map { case (tag, off, len) => (id, tag, off, len, upem) }
       }).toDF("doc_id", "tag", "offset", "length", "units_per_em")
+  }
+
+  // ---- WOFF (the wrapper fonts are actually served in) ----
+
+  /** Deterministic WOFF corpus — each document's [[buildFont]] sfnt
+    * wrapped per the W3C WOFF 1.0 spec: `wOFF` signature, flavor =
+    * the wrapped sfnt version, whole-file length, totalSfntSize =
+    * the reconstructed font's size, then 20-byte directory entries
+    * `(tag, offset, compLength, origLength, origChecksum)` with each
+    * table zlib-compressed WHEN THAT WINS (spec rule: compLength <
+    * origLength means compressed, equal means stored) — `head` and
+    * the repeated-byte `name` always compress, the entropy-filler
+    * `cmap` never does, so the split is closed-form. */
+  def woffDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val font = buildFont(id)
+        def u16(i: Int): Int = ((font(i) & 0xFF) << 8) | (font(i + 1) & 0xFF)
+        def u32(i: Int): Int = (u16(i) << 16) | u16(i + 2)
+        val n = u16(4)
+        val tables = (0 until n).map { i =>
+          val rec = 12 + 16 * i
+          val tag = new String(font, rec, 4, "US-ASCII")
+          val off = u32(rec + 8)
+          val len = u32(rec + 12)
+          val orig = java.util.Arrays.copyOfRange(font, off, off + len)
+          val defl = {
+            val d = new java.util.zip.Deflater()
+            d.setInput(orig); d.finish()
+            val buf = new Array[Byte](orig.length + 64)
+            val m = d.deflate(buf); d.end()
+            java.util.Arrays.copyOf(buf, m)
+          }
+          val wire = if (defl.length < orig.length) defl else orig
+          (tag, u32(rec + 4), orig.length, wire)
+        }
+        val dirLen = 44 + 20 * n
+        val offsets = tables.scanLeft(dirLen) { case (o, (_, _, _, w)) =>
+          o + ((w.length + 3) & ~3)
+        }
+        val out = new Array[Byte](offsets.last)
+        def w16(i: Int, v: Int): Unit = {
+          out(i) = ((v >> 8) & 0xFF).toByte; out(i + 1) = (v & 0xFF).toByte
+        }
+        def w32(i: Int, v: Int): Unit = { w16(i, v >>> 16); w16(i + 2, v & 0xFFFF) }
+        "wOFF".getBytes("US-ASCII").copyToArray(out, 0)
+        w32(4, 0x00010000) // flavor
+        w32(8, out.length)
+        w16(12, n)
+        w16(14, 0) // reserved
+        w32(16, font.length) // totalSfntSize
+        w16(20, 1); w16(22, 0) // major/minor
+        // meta/priv blocks absent: offsets and lengths zero
+        tables.zipWithIndex.foreach { case ((tag, checksum, origLen, wire), i) =>
+          val rec = 44 + 20 * i
+          tag.getBytes("US-ASCII").copyToArray(out, rec)
+          w32(rec + 4, offsets(i))
+          w32(rec + 8, wire.length)
+          w32(rec + 12, origLen)
+          w32(rec + 16, checksum)
+          wire.copyToArray(out, offsets(i))
+        }
+        (id, out)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** WOFF walk: signature/reserved/length checks, totalSfntSize
+    * re-derived from the directory's origLengths, each compressed
+    * table inflated under the capped loop to EXACTLY origLength, and
+    * every origChecksum verified with the sfnt rules (head
+    * adj-zeroed). One row per table: (doc_id, tag, orig_len,
+    * compressed, units_per_em). */
+  def woffTables(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        def fail(msg: String): Nothing =
+          throw new IllegalArgumentException(s"doc $id: $msg")
+        def u16(i: Int): Int = {
+          if (i + 2 > b.length) fail(s"u16 at $i past end")
+          ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+        }
+        def u32(i: Int): Int = {
+          if (i + 4 > b.length) fail(s"u32 at $i past end")
+          (u16(i) << 16) | u16(i + 2)
+        }
+        if (b.length < 44 || !(b(0) == 'w' && b(1) == 'O' && b(2) == 'F' && b(3) == 'F'))
+          fail("not a WOFF file (bad signature)")
+        if (u16(14) != 0) fail(s"WOFF reserved field is ${u16(14)}, not 0")
+        if (u32(8) != b.length)
+          fail(s"WOFF declares ${u32(8)} bytes, payload holds ${b.length}")
+        val n = u16(12)
+        if (n == 0) fail("WOFF with no tables")
+        if (44 + 20 * n > b.length) fail("WOFF directory overruns file")
+        def pad4(x: Int) = (x + 3) & ~3
+        val entries = (0 until n).map { i =>
+          val rec = 44 + 20 * i
+          val tag = new String(b, rec, 4, "US-ASCII")
+          val off = u32(rec + 4)
+          val comp = u32(rec + 8)
+          val orig = u32(rec + 12)
+          val checksum = u32(rec + 16)
+          if (comp > orig) fail(s"table '$tag': compLength $comp > origLength $orig")
+          if (off < 0 || comp < 0 || off + comp > b.length)
+            fail(s"table '$tag' data overruns file")
+          (tag, off, comp, orig, checksum)
+        }
+        val declaredSfnt = u32(16)
+        val rebuiltSfnt = 12 + 16 * n + entries.map(e => pad4(e._4)).sum
+        if (declaredSfnt != rebuiltSfnt)
+          fail(s"totalSfntSize $declaredSfnt != $rebuiltSfnt rebuilt from origLengths")
+        var upem = -1
+        val rows = entries.map { case (tag, off, comp, orig, stored) =>
+          val table: Array[Byte] =
+            if (comp == orig) java.util.Arrays.copyOfRange(b, off, off + orig)
+            else Inflate.inflateCapped(b, off, comp, nowrap = false,
+              limit = orig.toLong, what = s"WOFF table '$tag'", fail)
+          if (table.length != orig)
+            fail(s"table '$tag' inflated to ${table.length} bytes, directory says $orig")
+          val calc =
+            if (tag == "head") {
+              if (orig < 54) fail(s"head table is $orig bytes")
+              upem = ((table(18) & 0xFF) << 8) | (table(19) & 0xFF)
+              val clone = table.clone()
+              clone(8) = 0; clone(9) = 0; clone(10) = 0; clone(11) = 0
+              tableChecksum(clone, 0, orig)
+            } else tableChecksum(table, 0, orig)
+          if (calc != stored)
+            fail(f"table '$tag' origChecksum mismatch (stored $stored%08x, computed $calc%08x)")
+          (tag, orig, comp < orig)
+        }
+        if (upem < 0) fail("WOFF wraps no head table")
+        rows.map { case (tag, orig, compressed) => (id, tag, orig, compressed, upem) }
+      }).toDF("doc_id", "tag", "orig_len", "compressed", "units_per_em")
   }
 }

@@ -1320,7 +1320,8 @@ class PlanAuditSpec extends SparkSpec {
       "fontTables" -> graft.sources.Sfnt.fontTables(graft.sources.Sfnt.fontDocs(docs)),
       "safetensorsMeta" -> graft.sources.Weights.safetensorsMeta(
         graft.sources.Weights.safetensorsDocs(docs)),
-      "ggufTensors" -> graft.sources.Weights.ggufTensors(graft.sources.Weights.ggufDocs(docs))
+      "ggufTensors" -> graft.sources.Weights.ggufTensors(graft.sources.Weights.ggufDocs(docs)),
+      "woffTables" -> graft.sources.Sfnt.woffTables(graft.sources.Sfnt.woffDocs(docs))
     ).foreach { case (name, df) =>
       val p = plan(df)
       assert(!p.contains("Exchange"), s"$name shuffles payloads:\n$p")

@@ -26,6 +26,54 @@ class SfntSpec extends SparkSpec {
     }
   }
 
+  test("woffTables: wrapper round-trips the sfnt; compressed/stored split closed-form") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val rows = Sfnt.woffTables(Sfnt.woffDocs(docs)).collect()
+    assert(rows.length == 120)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      r.getString(1) match {
+        case "cmap" =>
+          assert(r.getInt(2) == (12 + id % 40).toInt && !r.getBoolean(3),
+            s"doc $id cmap should stay stored")
+        case "head" => assert(r.getInt(2) == 54 && r.getBoolean(3))
+        case "name" =>
+          assert(r.getInt(2) == (20 + id % 60).toInt && r.getBoolean(3))
+        case other => fail(s"unexpected table $other")
+      }
+      assert(r.getInt(4) == (1000 + id % 1048).toInt)
+    }
+  }
+
+  test("woffTables rejects corruption: signature, sizes, checksum through the inflate") {
+    import spark.implicits._
+    val good = Sfnt.woffDocs(Seq(9L).toDF("doc_id")).collect()(0).getAs[Array[Byte]](1)
+    def run(b: Array[Byte]) =
+      Sfnt.woffTables(Seq((9L, b)).toDF("doc_id", "payload")).collect()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(run(good).length == 3)
+    val badSig = good.clone(); badSig(0) = 'W'
+    assert(msgs(intercept[Exception](run(badSig))).exists(_.contains("signature")))
+    // wrong whole-file length
+    val badLen = good.clone(); badLen(11) = (badLen(11) ^ 0x01).toByte
+    assert(msgs(intercept[Exception](run(badLen))).exists(_.contains("declares")))
+    // totalSfntSize not derivable from the directory
+    val badSfnt = good.clone(); badSfnt(19) = (badSfnt(19) ^ 0x04).toByte
+    assert(msgs(intercept[Exception](run(badSfnt))).exists(_.contains("totalSfntSize")))
+    // a flipped byte inside the stored cmap table breaks its origChecksum
+    val cmapOff = {
+      def u32(b: Array[Byte], i: Int) = ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+        ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+      u32(good, 44 + 4) // first directory entry is cmap
+    }
+    val badSum = good.clone(); badSum(cmapOff + 2) = (badSum(cmapOff + 2) ^ 0x10).toByte
+    assert(msgs(intercept[Exception](run(badSum))).exists(_.contains("origChecksum")))
+    // truncation inside a compressed table corrupts the zlib stream
+    assert(msgs(intercept[Exception](run(good.take(good.length - 3))))
+      .exists(m => m.contains("declares") || m.contains("overruns") || m.contains("corrupt")))
+  }
+
   test("fontTables rejects corruption: version, search fields, checksums, adjustment") {
     import spark.implicits._
     val good = Sfnt.fontDocs(Seq(7L).toDF("doc_id")).collect()(0).getAs[Array[Byte]](1)
