@@ -1342,6 +1342,12 @@ object SparkEntry {
     // 0xB1B0AFBA whole-font adjustment chain
     "m_font_tables" -> ((s, dir) =>
       graft.sources.Sfnt.fontTables(graft.sources.Sfnt.fontDocs(Tables.documents(s, dir)))),
+    // BEP-3 canonical bencode parse (sorted keys, no leading zeros)
+    // + the torrent cross-checks (length XOR files, pieces % 20,
+    // piece count vs ceil(total/pieceLen))
+    "t_torrent_meta" -> ((s, dir) =>
+      graft.sources.Bencode.torrentMeta(
+        graft.sources.Bencode.torrentDocs(Tables.documents(s, dir)))),
     // WOFF wrapper: directory-driven per-table zlib inflate (capped,
     // exact origLength), origChecksums under the sfnt rules,
     // totalSfntSize re-derived
@@ -4259,6 +4265,20 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 'name', CAST(60 + (lc + 3) // 4 * 4 + 56 AS INT),
         |       CAST(ln AS INT), upem FROM d""".stripMargin,
+    // torrent: sizes/pieces arithmetic per file-mode arm
+    "t_torrent_meta" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(16384 * CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS BIGINT) AS pl,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE CAST(1 + doc_id % 4 AS INT) END AS nf,
+        |  CASE WHEN doc_id % 2 = 0 THEN 50000 + (doc_id * 131) % 400000
+        |       ELSE list_sum([10000 + (doc_id * 131 + 977 * k) % 90000
+        |                      for k in generate_series(0, CAST(doc_id % 4 AS INT))])
+        |       END AS total
+        |  FROM documents)
+        |SELECT doc_id, 'corpus_' || CAST(doc_id % 97 AS VARCHAR) AS name,
+        |       CAST(nf AS INT) AS n_files, CAST(total AS BIGINT) AS total_bytes,
+        |       pl AS piece_len, CAST((total + pl - 1) // pl AS INT) AS n_pieces
+        |FROM d""".stripMargin,
     // WOFF: the compressed/stored split is closed-form (head and the
     // repeated-byte name always win, the entropy cmap never does)
     "m_woff_tables" ->

@@ -1,0 +1,203 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Bencode / .torrent walk — BEP-3, the metadata format BitTorrent
+  * distributions ship in (and web crawls contain in volume): four
+  * productions (`i<int>e`, `<len>:<bytes>`, `l…e`, `d…e`) with two
+  * rules a lazy parser skips and a canonical one must enforce —
+  * dictionary keys are byte-sorted, and integers admit no leading
+  * zeros (and no `-0`). Both are load-bearing: the info-dict's
+  * SHA-1 identity (the infohash) is defined over the canonical
+  * encoding, so accepting a non-canonical form means accepting a
+  * forgeable identity.
+  *
+  * The torrent surface extracted is what an index audit needs:
+  * name, single- vs multi-file mode, total payload bytes, piece
+  * size, and the piece count cross-checked against `pieces` (whose
+  * length must be a multiple of 20 — one SHA-1 per piece).
+  * Per-row byte work in `mapPartitions`; map-only at 100 TB.
+  */
+object Bencode {
+
+  // ---- writer helpers (fixture) ----
+
+  private def bInt(v: Long): Array[Byte] = s"i${v}e".getBytes("US-ASCII")
+  private def bStr(s: Array[Byte]): Array[Byte] =
+    s"${s.length}:".getBytes("US-ASCII") ++ s
+  private def bStr(s: String): Array[Byte] = bStr(s.getBytes("UTF-8"))
+
+  /** Deterministic torrent corpus — even ids single-file (`length` in
+    * the info dict), odd ids multi-file (1 + id%4 `files` entries
+    * with nested path lists); piece length 16384·2^(id%3), file
+    * sizes closed-form, `pieces` exactly ceil(total/pieceLen)·20
+    * bytes. Keys emitted in canonical byte order. */
+  def torrentDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val pieceLen = 16384L << (id % 3)
+        val multi = id % 2 == 1
+        val sizes: Seq[Long] =
+          if (multi) (0 until (1 + id % 4).toInt).map(k => 10000L + (id * 131 + 977 * k) % 90000)
+          else Seq(50000L + (id * 131) % 400000)
+        val total = sizes.sum
+        val nPieces = ((total + pieceLen - 1) / pieceLen).toInt
+        val pieces = Array.tabulate(nPieces * 20)(k => ((id * 37 + k) % 256).toByte)
+        val name = s"corpus_${id % 97}"
+        val infoEntries: Seq[Array[Byte]] =
+          if (multi)
+            Seq(bStr("files") ++ ("l".getBytes("US-ASCII") ++
+                sizes.zipWithIndex.flatMap { case (sz, k) =>
+                  "d".getBytes("US-ASCII") ++
+                    bStr("length") ++ bInt(sz) ++
+                    bStr("path") ++ ("l".getBytes("US-ASCII") ++
+                      bStr(s"dir_${k % 3}") ++ bStr(s"part_$k.bin") ++
+                      "e".getBytes("US-ASCII")) ++
+                    "e".getBytes("US-ASCII")
+                } ++ "e".getBytes("US-ASCII")),
+              bStr("name") ++ bStr(name),
+              bStr("piece length") ++ bInt(pieceLen),
+              bStr("pieces") ++ bStr(pieces))
+          else
+            Seq(bStr("length") ++ bInt(total),
+              bStr("name") ++ bStr(name),
+              bStr("piece length") ++ bInt(pieceLen),
+              bStr("pieces") ++ bStr(pieces))
+        val top =
+          "d".getBytes("US-ASCII") ++
+            bStr("announce") ++ bStr(s"https://tracker${id % 7}.example/announce") ++
+            bStr("info") ++ ("d".getBytes("US-ASCII") ++
+              infoEntries.flatten.toArray ++ "e".getBytes("US-ASCII")) ++
+            "e".getBytes("US-ASCII")
+        (id, top)
+      }).toDF("doc_id", "payload")
+  }
+
+  // ---- the parser ----
+
+  sealed private trait BVal
+  private final case class BInt(v: Long) extends BVal
+  private final case class BBytes(v: Array[Byte]) extends BVal
+  private final case class BList(v: Seq[BVal]) extends BVal
+  private final case class BDict(v: Seq[(String, BVal)]) extends BVal
+
+  private def parse(id: Long, b: Array[Byte]): BVal = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"doc $id: $msg")
+    var pos = 0
+    def value(): BVal = {
+      if (pos >= b.length) fail(s"truncated bencode at $pos")
+      b(pos) match {
+        case 'i' =>
+          pos += 1
+          val s = pos
+          while (pos < b.length && b(pos) != 'e') pos += 1
+          if (pos >= b.length) fail("unterminated integer")
+          val txt = new String(b, s, pos - s, "US-ASCII")
+          pos += 1
+          if (txt.isEmpty || txt == "-") fail("empty integer")
+          // canonical form: no leading zeros, no -0
+          if (txt != "0" && (txt.startsWith("0") || txt.startsWith("-0")))
+            fail(s"non-canonical integer '$txt'")
+          BInt(txt.toLong)
+        case 'l' =>
+          pos += 1
+          val items = Seq.newBuilder[BVal]
+          while (pos < b.length && b(pos) != 'e') items += value()
+          if (pos >= b.length) fail("unterminated list")
+          pos += 1
+          BList(items.result())
+        case 'd' =>
+          pos += 1
+          val items = Seq.newBuilder[(String, BVal)]
+          var prev: String = null
+          while (pos < b.length && b(pos) != 'e') {
+            val k = value() match {
+              case BBytes(kb) => new String(kb, "UTF-8")
+              case _ => fail("dictionary key is not a string")
+            }
+            // canonical rule: keys strictly ascending in byte order
+            if (prev != null && k <= prev)
+              fail(s"dictionary keys out of order ('$prev' then '$k')")
+            prev = k
+            items += k -> value()
+          }
+          if (pos >= b.length) fail("unterminated dictionary")
+          pos += 1
+          BDict(items.result())
+        case c if c >= '0' && c <= '9' =>
+          val s = pos
+          while (pos < b.length && b(pos) != ':') pos += 1
+          if (pos >= b.length) fail("unterminated string length")
+          val lenTxt = new String(b, s, pos - s, "US-ASCII")
+          if (lenTxt.length > 1 && lenTxt.startsWith("0"))
+            fail(s"non-canonical string length '$lenTxt'")
+          val n = lenTxt.toLong
+          pos += 1
+          if (n < 0 || pos + n > b.length) fail(s"string of $n bytes overruns at $pos")
+          val v = java.util.Arrays.copyOfRange(b, pos, pos + n.toInt)
+          pos += n.toInt
+          BBytes(v)
+        case other => fail(f"unexpected bencode byte 0x$other%02x at $pos")
+      }
+    }
+    val v = value()
+    if (pos != b.length) fail(s"${b.length - pos} trailing bytes after the root value")
+    v
+  }
+
+  /** .torrent → (doc_id, name, n_files, total_bytes, piece_len,
+    * n_pieces): the canonical-form parse (sorted keys, no leading
+    * zeros) plus the torrent cross-checks — exactly one of
+    * `length`/`files`, `pieces` a multiple of 20, and the piece
+    * count agreeing with ceil(total/pieceLen). */
+  def torrentMeta(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        def fail(msg: String): Nothing =
+          throw new IllegalArgumentException(s"doc $id: $msg")
+        val root = parse(id, b) match {
+          case d: BDict => d
+          case _ => fail("torrent root is not a dictionary")
+        }
+        val info = root.v.collectFirst { case ("info", d: BDict) => d }
+          .getOrElse(fail("torrent has no info dictionary"))
+        def get(k: String): Option[BVal] = info.v.collectFirst { case (`k`, v) => v }
+        val name = get("name") match {
+          case Some(BBytes(v)) => new String(v, "UTF-8")
+          case _ => fail("info.name missing or not a string")
+        }
+        val pieceLen = get("piece length") match {
+          case Some(BInt(v)) if v > 0 => v
+          case _ => fail("info.'piece length' missing or not positive")
+        }
+        val pieces = get("pieces") match {
+          case Some(BBytes(v)) => v
+          case _ => fail("info.pieces missing")
+        }
+        if (pieces.length % 20 != 0)
+          fail(s"info.pieces is ${pieces.length} bytes — not a whole number of SHA-1s")
+        val (nFiles, total) = (get("length"), get("files")) match {
+          case (Some(BInt(sz)), None) => (1, sz)
+          case (None, Some(BList(files))) =>
+            val sizes = files.map {
+              case d: BDict => d.v.collectFirst { case ("length", BInt(v)) => v }
+                .getOrElse(fail("a files entry has no length"))
+              case _ => fail("a files entry is not a dictionary")
+            }
+            (sizes.length, sizes.sum)
+          case (Some(_), Some(_)) => fail("info has BOTH length and files")
+          case _ => fail("info has neither length nor files")
+        }
+        val nPieces = pieces.length / 20
+        if (nPieces != (total + pieceLen - 1) / pieceLen)
+          fail(s"$nPieces piece hashes for $total bytes at piece length $pieceLen")
+        (id, name, nFiles, total, pieceLen, nPieces)
+      }).toDF("doc_id", "name", "n_files", "total_bytes", "piece_len", "n_pieces")
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Bencode
+
+/** Canonical bencode parse + torrent cross-checks. */
+class BencodeSpec extends SparkSpec {
+
+  test("torrentMeta: both file modes replay closed-form") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 40)
+    val rows = Bencode.torrentMeta(Bencode.torrentDocs(docs)).collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == s"corpus_${id % 97}")
+      val pl = 16384L << (id % 3)
+      assert(r.getLong(4) == pl)
+      val total =
+        if (id % 2 == 0) 50000L + (id * 131) % 400000
+        else (0 until (1 + id % 4).toInt).map(k => 10000L + (id * 131 + 977 * k) % 90000).sum
+      assert(r.getInt(2) == (if (id % 2 == 0) 1 else (1 + id % 4).toInt))
+      assert(r.getLong(3) == total, s"doc $id total")
+      assert(r.getInt(5) == ((total + pl - 1) / pl).toInt)
+    }
+  }
+
+  test("canonical-form rules are enforced: key order, leading zeros, framing") {
+    import spark.implicits._
+    def run(b: Array[Byte]) =
+      Bencode.torrentMeta(Seq((1L, b)).toDF("doc_id", "payload")).collect()
+    def bytes(s: String) = s.getBytes("US-ASCII")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val good = Bencode.torrentDocs(Seq(1L).toDF("doc_id")).collect()(0).getAs[Array[Byte]](1)
+    assert(run(good).nonEmpty)
+    // out-of-order dictionary keys (info before announce)
+    val unsorted = bytes("d4:infod6:lengthi5e4:name1:x12:piece lengthi16384e6:pieces20:") ++
+      new Array[Byte](20) ++ bytes("e8:announce1:te")
+    assert(msgs(intercept[Exception](run(unsorted))).exists(_.contains("order")))
+    // a leading-zero integer is non-canonical
+    val leadZero = bytes("d8:announce1:t4:infod6:lengthi0005e4:name1:x12:piece lengthi16384e6:pieces20:") ++
+      new Array[Byte](20) ++ bytes("ee")
+    assert(msgs(intercept[Exception](run(leadZero))).exists(_.contains("canonical")))
+    // trailing bytes after the root value
+    assert(msgs(intercept[Exception](run(good ++ bytes("x"))))
+      .exists(_.contains("trailing")))
+    // truncation anywhere inside throws
+    Seq(3, good.length / 2, good.length - 1).foreach { cut =>
+      intercept[Exception](run(good.take(cut)))
+    }
+    // piece-count disagreement: a valid parse that lies about pieces
+    val lying = bytes("d8:announce1:t4:infod6:lengthi40000e4:name1:x12:piece lengthi16384e6:pieces20:") ++
+      new Array[Byte](20) ++ bytes("ee")
+    assert(msgs(intercept[Exception](run(lying))).exists(_.contains("piece")))
+    // both length and files present
+    val both = bytes("d4:infod5:filesle6:lengthi5e4:name1:x12:piece lengthi16384e6:pieces0:ee")
+    assert(msgs(intercept[Exception](run(both))).exists(m =>
+      m.contains("BOTH") || m.contains("order")))
+  }
+}

@@ -1321,7 +1321,9 @@ class PlanAuditSpec extends SparkSpec {
       "safetensorsMeta" -> graft.sources.Weights.safetensorsMeta(
         graft.sources.Weights.safetensorsDocs(docs)),
       "ggufTensors" -> graft.sources.Weights.ggufTensors(graft.sources.Weights.ggufDocs(docs)),
-      "woffTables" -> graft.sources.Sfnt.woffTables(graft.sources.Sfnt.woffDocs(docs))
+      "woffTables" -> graft.sources.Sfnt.woffTables(graft.sources.Sfnt.woffDocs(docs)),
+      "torrentMeta" -> graft.sources.Bencode.torrentMeta(
+        graft.sources.Bencode.torrentDocs(docs))
     ).foreach { case (name, df) =>
       val p = plan(df)
       assert(!p.contains("Exchange"), s"$name shuffles payloads:\n$p")
