@@ -53,16 +53,23 @@ object Scratch {
     // background C2 queue, it shows up as jit burned DURING the sleep
     // and the next run's in-run jit drops
     val sleepS = sys.env.getOrElse("SPARK_GRAFT_PROBE_SLEEP", "0").toInt
+    // optional per-run SF-dir cycle (comma list, reused round-robin):
+    // separates data-size-dependent plan/codegen churn from literal
+    // churn — e.g. DIRS=sf0.001,sf0.1 shows whether the sf0.1 cold run
+    // recompiles despite a same-plan warmup at sf0.001
+    val dirs = sys.env.get("SPARK_GRAFT_PROBE_DIRS")
+      .map(_.split(",").toSeq).getOrElse(Seq(sfDir))
     (1 to nRuns).foreach { i =>
+      val dir = dirs((i - 1) % dirs.size)
       spark.catalog.clearCache(); System.gc()
       graft.streaming.StreamRunner.resetReplayStats()
       val (j0, g0, c0, p0) = (jitMs, gcMs, compiles, cpuMs)
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      fn(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       val (rb, rt) = graft.streaming.StreamRunner.replayStats
       val streamBit = if (rb > 0) s" batches=$rb trigger_ms=$rt" else ""
-      println(f"PROBE $name run$i $dt%1.2fs cpu=${cpuMs - p0}ms jit=${jitMs - j0}ms gc=${gcMs - g0}ms compiles=${compiles - c0}$streamBit")
+      println(f"PROBE $name run$i dir=$dir $dt%1.2fs cpu=${cpuMs - p0}ms jit=${jitMs - j0}ms gc=${gcMs - g0}ms compiles=${compiles - c0}$streamBit")
       if (sleepS > 0 && i < nRuns) {
         val js = jitMs
         Thread.sleep(sleepS * 1000L)
