@@ -1193,13 +1193,17 @@ object Corpus {
   }
 
   /** The training loop: `epochs` batch-perceptron updates over the
-    * given count frame; returns the integer weight vector. */
+    * given count frame; returns the integer weight vector. The caller
+    * persists AND materializes `cnt` first (see trainQualityPerceptron
+    * / classifierEval): the count frame also feeds the caller's final
+    * scoring pass, and materializing it eagerly keeps the planner from
+    * burying the whole tokenize+hash pipeline inside a single-threaded
+    * broadcast build (its post-agg size estimate undercuts the doc_id
+    * scans). */
   private def perceptronWeights(cnt: DataFrame, buckets: Int, epochs: Int): Array[Long] = {
-    cnt.persist()
     val w = Array.fill(buckets)(0L)
-    try {
-      var t = 0
-      while (t < epochs) {
+    var t = 0
+    while (t < epochs) {
         // epoch 0 scores under w = 0: every doc has y·score = 0 ≤ 0,
         // so the first update is the full class-difference vector
         val scores = cnt
@@ -1219,9 +1223,8 @@ object Corpus {
             val dw = r.getDecimal(1).toBigInteger.longValueExact()
             w(b) = Math.addExact(w(b), dw)
           }
-        t += 1
-      }
-    } finally cnt.unpersist()
+      t += 1
+    }
     w
   }
 
@@ -1254,7 +1257,11 @@ object Corpus {
     require(buckets >= 1 && buckets <= 65536,
       s"bucket count must be in [1, 65536], got $buckets")
     require(epochs >= 1 && epochs <= 16, s"epochs must be in [1, 16], got $epochs")
-    val cnt = perceptronCounts(documents, targetLang, buckets)
+    // persisted + materialized ONCE: feeds every epoch AND the final
+    // scoring (which previously recomputed the whole tokenize+md5
+    // pipeline after the trainer's unpersist)
+    val cnt = perceptronCounts(documents, targetLang, buckets).persist()
+    cnt.count()
     val w = perceptronWeights(cnt, buckets, epochs)
     documents.select(col("doc_id"), (col("lang") === targetLang).as("label"))
       .join(perceptronScores(cnt, w), Seq("doc_id"), "left")
@@ -1276,10 +1283,18 @@ object Corpus {
       s"bucket count must be in [1, 65536], got $buckets")
     require(epochs >= 1 && epochs <= 16, s"epochs must be in [1, 16], got $epochs")
     val split = hashSplit(documents)
-    val w = perceptronWeights(
-      perceptronCounts(split.filter(col("split") === "train"), targetLang, buckets),
-      buckets, epochs)
-    val scored = perceptronScores(perceptronCounts(documents, targetLang, buckets), w)
+    // ONE tokenize+hash pass over the corpus, persisted + materialized:
+    // the train-partition counts are a doc_id filter of the all-docs
+    // counts (per-doc counting is independent, so filter-then-count ==
+    // count-then-filter), and the final scoring reads the same cache
+    // instead of re-tokenizing everything
+    val cntAll = perceptronCounts(documents, targetLang, buckets).persist()
+    val trainCnt = cntAll.join(
+      split.filter(col("split") === "train").select(col("doc_id")), "doc_id")
+      .persist()
+    trainCnt.count() // materializes both caches (trainCnt scans through cntAll)
+    val w = perceptronWeights(trainCnt, buckets, epochs)
+    val scored = perceptronScores(cntAll, w)
     split.select(col("doc_id"), col("split"), (col("lang") === targetLang).as("label"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("split"), col("label"),
@@ -1298,16 +1313,32 @@ object Corpus {
     * language-id's only view of the text (the fastText lid.176 / CCNet
     * feature family). Lowercased, every position's 3-gram hashed with
     * the repo's md5-prefix trick so DuckDB replays the bucketing
-    * byte-for-byte. One explode + partial-aggregating groupBy. */
+    * byte-for-byte.
+    *
+    * Two-level aggregation, md5 AFTER the first exchange: positions
+    * collapse to (doc, gram) counts first — md5 then runs once per
+    * DISTINCT gram per doc instead of once per position (≥7× fewer
+    * digests on any natural-language corpus), and it runs on the
+    * post-shuffle side, so a single-split input file (the bench's
+    * one-rowgroup parquet, where the whole scan+explode map phase is
+    * one task) no longer serializes the digest work. Bucket counts are
+    * sums of gram counts — bit-identical to hashing every position. */
   private def charGramCounts(documents: DataFrame, buckets: Int): DataFrame = {
-    val t = lower(col("text"))
+    // explode over positions + substr instead of a transform() lambda:
+    // higher-order functions are CodegenFallback (interpreted per
+    // element, materializing the full gram array per doc); the
+    // position explode keeps the whole gram stream inside one
+    // whole-stage-codegen pipeline
     documents.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - 2)).as("i"))
+      .select(col("doc_id"), col("t").substr(col("i"), lit(3)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cg"))
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), length(t) - 2),
-          i => t.substr(i, lit(3)))).as("g"))
-      .select(col("doc_id"),
-        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % buckets).as("b"))
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % buckets).as("b"),
+        col("cg"))
+      .groupBy(col("doc_id"), col("b")).agg(sum(col("cg")).as("c"))
   }
 
   /** One per-class decimal(38,0) score sum under the broadcast weight
@@ -1354,7 +1385,20 @@ object Corpus {
     require(epochs >= 1 && epochs <= 16, s"epochs must be in [1, 16], got $epochs")
     val labels = documents.select(col("doc_id"), col("lang"))
     val split = hashSplit(documents).select(col("doc_id"), col("split"))
-    val cnt = charGramCounts(documents, buckets)
+    // Persist AND materialize the gram-count frame once, in parallel:
+    // it feeds both the train build and the final all-docs scoring.
+    // Left lazy, the planner's post-agg size estimate undercuts the
+    // doc_id scans, so the whole explode+md5 pipeline was planned as
+    // the BUILD SIDE of the train join's broadcast exchange and ran
+    // single-threaded in the broadcast thread — twice (two 3 s
+    // one-task stages at sf0.1/32 threads), plus a third full
+    // recompute at final scoring. Cached stats are exact, so the
+    // planner broadcasts the doc_id side instead, and the final
+    // scoring reads the cache. (Per-doc bucket rows, ≤ buckets/doc —
+    // the signature-frame scale the repo's caching convention allows;
+    // Bench/Verify clearCache between queries.)
+    val cnt = charGramCounts(documents, buckets).persist()
+    cnt.count()
     val train = cnt.join(split.filter(col("split") === "train"), "doc_id")
       .join(labels, "doc_id")
       .select(col("doc_id"), col("lang"), col("b"), col("c"))

@@ -38,6 +38,23 @@ object Scratch {
         val ns = os.getProcessCpuTime; if (ns < 0) 0L else ns / 1000000L
       case _ => 0L
     }
+    // optional per-stage attribution (SPARK_GRAFT_PROBE_STAGES=1):
+    // records executor run/CPU time per completed stage with the
+    // first line of the stage's call site — names WHERE a high-CPU
+    // query burns it (job-count floor vs one hot stage)
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    if (sys.env.contains("SPARK_GRAFT_PROBE_STAGES")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = e.stageInfo
+          val m = i.taskMetrics
+          stageLog.add(f"STAGE ${i.stageId}%4d tasks=${i.numTasks}%3d " +
+            f"run=${m.executorRunTime}%6dms cpu=${m.executorCpuTime / 1000000}%6dms " +
+            f"${i.name.linesIterator.next().take(90)}")
+        }
+      })
+    }
     val fn = graft.SparkEntry.queries(name)
     // optional pre-run list: execute these once first (same JVM) to
     // reproduce accumulation effects — e.g. a stream replay probed
@@ -70,6 +87,11 @@ object Scratch {
       val (rb, rt) = graft.streaming.StreamRunner.replayStats
       val streamBit = if (rb > 0) s" batches=$rb trigger_ms=$rt" else ""
       println(f"PROBE $name run$i dir=$dir $dt%1.2fs cpu=${cpuMs - p0}ms jit=${jitMs - j0}ms gc=${gcMs - g0}ms compiles=${compiles - c0}$streamBit")
+      if (!stageLog.isEmpty) {
+        val it = stageLog.iterator()
+        while (it.hasNext) println(it.next())
+        stageLog.clear()
+      }
       if (sleepS > 0 && i < nRuns) {
         val js = jitMs
         Thread.sleep(sleepS * 1000L)
