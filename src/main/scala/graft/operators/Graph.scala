@@ -276,7 +276,20 @@ object Graph {
   private[graft] def basketItems(lineitem: DataFrame, maxBasket: Int): DataFrame = {
     require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
     import org.apache.spark.sql.expressions.Window
-    lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    // ONE exchange instead of two: hash-partitioning on o alone
+    // satisfies the distinct's ClusteredDistribution(o, p) AND the
+    // window's ClusteredDistribution(o), so the (o,p) dedup runs as a
+    // single complete aggregate and the basket-size window adds only a
+    // local sort — the guard's "shares the distinct's partitioning"
+    // promise, now with the shared exchange keyed the way BOTH
+    // consumers need. (Trade: the exchange carries raw (o,p) rows
+    // instead of map-side-deduped ones — TPC-H baskets repeat a part
+    // within an order rarely, so the byte delta is ~nil at any scale;
+    // the removed second shuffle + AQE stage barrier is paid by every
+    // graph-family query.)
+    lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .repartition(col("o"))
+      .distinct()
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("o"))))
       .filter(col("bsz") <= maxBasket).drop("bsz")
       .localCheckpoint()

@@ -55,6 +55,26 @@ object Scratch {
         }
       })
     }
+    // optional executed-plan dump (SPARK_GRAFT_PROBE_PLANS=<min_ms>):
+    // prints the executed physical plan of every SQL execution slower
+    // than min_ms — catches the MID-LOOP plans (localCheckpoint /
+    // collect rounds inside iterative operators) the final explain
+    // never shows
+    sys.env.get("SPARK_GRAFT_PROBE_PLANS").foreach { minMs =>
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          if (durationNs / 1000000 >= minMs.toLong) {
+            println(s"=== EXEC $funcName ${durationNs / 1000000}ms ===")
+            println(qe.executedPlan.toString.linesIterator.take(60).mkString("\n"))
+          }
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    }
     val fn = graft.SparkEntry.queries(name)
     // optional pre-run list: execute these once first (same JVM) to
     // reproduce accumulation effects — e.g. a stream replay probed
