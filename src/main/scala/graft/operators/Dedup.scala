@@ -57,9 +57,14 @@ object Dedup {
     shingleArrayOf(split(text, " "), n, distinct)
 
   /** Per-doc distinct shingle ARRAYS with the token staging applied:
-    * (doc_id, sh) for docs of at least n words. */
+    * (doc_id, sh) for docs of at least n words. Spread first: the
+    * shingle explode is the scan-fused hot loop of every consumer, and
+    * a single-rowgroup input would run it on one task (Tables.spread
+    * no-ops on an already-parallel input). */
   private[graft] def shingleDocs(documents: DataFrame, n: Int): DataFrame =
-    documents.select(col("doc_id"), split(col("text"), " ").as("w0"))
+    graft.Tables.spread(
+        documents.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("w0"))
       .select(col("doc_id"), shingleArrayOf(col("w0"), n).as("sh"))
       .filter(size(col("sh")) > 0)
 

@@ -242,14 +242,18 @@ object Sketch {
   def kmvOverlap(df: DataFrame, keyCol: String, sideCol: String,
                  sideA: String, sideB: String, k: Int = 256): DataFrame = {
     require(sideA != sideB, "sides must differ")
+    // no distinct: kmvEstimates' per-key flag aggregation absorbs
+    // duplicates map-side, so the extra (side, key) exchange would
+    // only re-shuffle rows the partial aggregate already collapses
     val keys = df.filter(col(sideCol).isin(sideA, sideB))
       .select(col(sideCol).as("side"), col(keyCol).cast("string").as("key"))
-      .distinct()
     kmvEstimates(keys, sideA, sideB, k)
   }
 
-  /** The estimate arithmetic over a DISTINCT (side, key) frame. By the
-    * bottom-k closure this yields IDENTICAL output whether `keys` is
+  /** The estimate arithmetic over a (side, key) frame — duplicates are
+    * absorbed by the per-key flag aggregation, so callers need not pay
+    * a distinct exchange first. By the bottom-k closure this yields
+    * IDENTICAL output whether `keys` is
     * the full key sets or just their bottom-k sketches: a side sample
     * smaller than k is the complete set (exact path, strict <); a full
     * sample's k-th hash is the true U_k; the union's bottom-k over
@@ -259,14 +263,39 @@ object Sketch {
     * membership flags survive sampling too. The streaming replay rides
     * exactly this: its RocksDB state holds the per-side bottom-k, and
     * feeding the final snapshots through this function equals the
-    * batch answer over the whole stream. */
+    * batch answer over the whole stream.
+    *
+    * Plan shape (guide §2.3 aggregate-early / §2.4 share-one-exchange):
+    * ONE partial-aggregating groupBy(key) evaluates the caller's key
+    * pipeline exactly once and yields the union key dictionary with
+    * per-side membership flags; the dictionary is localCheckpointed
+    * (it is the data that crossed the exchange anyway), and the side
+    * sketches, side counts, union sketch and membership counts are all
+    * rank-limited windows / partial-aggregated scalars over it — the
+    * previous shape re-derived the key pipeline up to five times
+    * (side window, side counts, union distinct, two membership joins)
+    * and its warm re-execution measurably lost exchange reuse. */
   private[graft] def kmvEstimates(keys: DataFrame, sideA: String, sideB: String,
                                   k: Int): DataFrame = {
     require(k >= 2, s"need k >= 2, got $k")
     import org.apache.spark.sql.expressions.Window
-    val hashed = keys.withColumn("h", h60(col("key")))
+    // union key dictionary with membership flags (1 / null, the shape
+    // the previous left joins produced), hashed once
+    val perKey = keys.groupBy(col("key")).agg(
+        max(when(col("side") === sideA, 1)).as("in_a"),
+        max(when(col("side") === sideB, 1)).as("in_b"))
+      .withColumn("h", h60(col("key")))
+      .localCheckpoint()
+    // the two requested sides' (side, key, h) rows, re-expanded from
+    // the flags (sides other than A/B never reach the output: the old
+    // per-side frames were filtered to A/B before use)
+    val sideRows = perKey.select(col("key"), col("h"),
+        explode(array(
+          when(col("in_a") === 1, lit(sideA)),
+          when(col("in_b") === 1, lit(sideB)))).as("side"))
+      .filter(col("side").isNotNull)
     val bySide = Window.partitionBy(col("side"))
-    val sideSketch = hashed
+    val sideSketch = sideRows
       .withColumn("rn", row_number().over(bySide.orderBy(col("h"), col("key"))))
       .filter(col("rn") <= k)
     // per-side stats: exact distinct count + the k-th smallest hash
@@ -275,26 +304,19 @@ object Sketch {
     // sees only the sample), so m == k takes the estimator on both
     // the batch and streaming paths — sample-invariance over boundary
     // exactness
-    val sideStats = hashed.groupBy(col("side")).agg(count(lit(1)).as("m"))
+    val sideStats = sideRows.groupBy(col("side")).agg(count(lit(1)).as("m"))
       .join(sideSketch.groupBy(col("side")).agg(max(col("h")).as("hk")), "side")
       .withColumn("est", when(col("m") < k, col("m").cast("double"))
         .otherwise(round(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) / col("hk")
           + lit(1e-12), 4)))
-    // union sketch: bottom-k of the distinct union (= merged sketches
-    // by the bottom-k closure); membership flags via left semi-ish joins
-    val uKeys = keys.select(col("key")).distinct()
-      .withColumn("h", h60(col("key")))
-    val uSketch = uKeys
+    // union sketch: bottom-k of the key dictionary (= merged sketches
+    // by the bottom-k closure); membership flags ride the dictionary
+    val uSketch = perKey
       .withColumn("rn", row_number().over(
         Window.partitionBy(lit(1)).orderBy(col("h"), col("key"))))
       .filter(col("rn") <= k)
-    val flagged = uSketch
-      .join(keys.filter(col("side") === sideA).select(col("key"), lit(1).as("in_a")),
-        Seq("key"), "left")
-      .join(keys.filter(col("side") === sideB).select(col("key"), lit(1).as("in_b")),
-        Seq("key"), "left")
-    val uStats = uKeys.agg(count(lit(1)).as("mu"))
-      .crossJoin(broadcast(flagged.agg(
+    val uStats = perKey.agg(count(lit(1)).as("mu"))
+      .crossJoin(broadcast(uSketch.agg(
         max(col("h")).as("hku"), count(lit(1)).as("ks"),
         sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L)).as("both"))))
       .withColumn("est_union", when(col("mu") < k, col("mu").cast("double"))
@@ -326,22 +348,24 @@ object Sketch {
     require(sideA != sideB, "sides must differ")
     require(k >= 2, s"need k >= 2, got $k")
     import org.apache.spark.sql.expressions.Window
+    // same single-pass dictionary shape as kmvEstimates: one
+    // partial-aggregating groupBy(key) evaluates the key pipeline once
+    // and carries the membership flags the difference estimators need —
+    // the previous shape re-derived it four times (two distincts + two
+    // membership joins)
     val keys = df.filter(col(sideCol).isin(sideA, sideB))
       .select(col(sideCol).as("side"), col(keyCol).cast("string").as("key"))
-      .distinct()
-    val uKeys = keys.select(col("key")).distinct()
+    val perKey = keys.groupBy(col("key")).agg(
+        max(when(col("side") === sideA, 1)).as("in_a"),
+        max(when(col("side") === sideB, 1)).as("in_b"))
       .withColumn("h", h60(col("key")))
-    val uSketch = uKeys
+      .localCheckpoint()
+    val uSketch = perKey
       .withColumn("rn", row_number().over(
         Window.partitionBy(lit(1)).orderBy(col("h"), col("key"))))
       .filter(col("rn") <= k)
-    val flagged = uSketch
-      .join(keys.filter(col("side") === sideA).select(col("key"), lit(1).as("in_a")),
-        Seq("key"), "left")
-      .join(keys.filter(col("side") === sideB).select(col("key"), lit(1).as("in_b")),
-        Seq("key"), "left")
-    val uStats = uKeys.agg(count(lit(1)).as("mu"))
-      .crossJoin(broadcast(flagged.agg(
+    val uStats = perKey.agg(count(lit(1)).as("mu"))
+      .crossJoin(broadcast(uSketch.agg(
         max(col("h")).as("hku"), count(lit(1)).as("ks"),
         sum(when(col("in_a") === 1 && col("in_b").isNull, 1L).otherwise(0L)).as("na_only"),
         sum(when(col("in_b") === 1 && col("in_a").isNull, 1L).otherwise(0L)).as("nb_only"))))
