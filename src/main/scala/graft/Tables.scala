@@ -38,7 +38,25 @@ object Tables {
     * carries no unused payload (guide §2.3). */
   def spread(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    // The partition-count probe below materializes the plan's RDD,
+    // which physically plans the subtree at operator-CONSTRUCTION time
+    // and, for an AQE-wrapped input containing exchanges, would
+    // eagerly EXECUTE every upstream query stage just to read a count
+    // (ADVICE r15). Gate it to pure scan+project/filter chains — the
+    // only inputs whose file-split count it is meant to read; an
+    // input that already contains an exchange/aggregate/join is
+    // already fanned to the session parallelism by that exchange, so
+    // spreading it would be a no-op anyway.
+    import org.apache.spark.sql.catalyst.plans.logical
+    def scanOnly(p: logical.LogicalPlan): Boolean = p match {
+      case logical.Project(_, c) => scanOnly(c)
+      case logical.Filter(_, c) => scanOnly(c)
+      case logical.SubqueryAlias(_, c) => scanOnly(c)
+      case l if l.children.isEmpty => true
+      case _ => false
+    }
+    if (!scanOnly(df.queryExecution.analyzed)) df
+    else if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target, key)
   }
 

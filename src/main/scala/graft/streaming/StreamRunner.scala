@@ -1023,15 +1023,27 @@ object StreamRunner {
     }.sum)
   }
 
-  /** Chunks = micro-batches in the replay: 2 proves incremental
-    * cross-batch state handling (state crosses a real batch boundary;
-    * FkJoinStreamSpec exercises many-batch interleavings separately)
-    * while keeping per-batch fixed overhead (~1 s of micro-batch
-    * planning + RocksDB commit per batch, measured and
-    * partition-count-independent) off the measurement's critical
-    * path. At production scale chunks map to source files/offset
-    * ranges and their count is workload-driven, not a constant. */
-  val ReplayChunks = 2
+  /** Chunks = data micro-batches in the replay. 1 since round 16: the
+    * per-batch fixed floor (micro-batch planning + offset-log fsync +
+    * one state-store commit PER state partition) dominated the whole
+    * stream family's wall time at replay scale — the r15 driver bench
+    * measured 82 batches / 66.7 s inside triggers across the 37
+    * replays, i.e. ~0.8 s of floor per batch against kilobyte chunks.
+    * Every replay's OUTPUT is chunk-count-invariant by construction:
+    * processors fold rows in global `seq` order within a batch (the
+    * same total order the chunked pickup produced across batches), the
+    * per-batch snapshot emissions (versions / upTo / running totals)
+    * are collapsed by their callers' changelog-final folds (max
+    * version / last batch / balance), and the sentinel punctuation
+    * chunks still arrive as their own two batches for the watermarked
+    * topologies — so state handling still crosses real batch
+    * boundaries there, and FkJoinStreamSpec / StreamRecoverySpec
+    * exercise many-batch interleavings and restarts on every topology
+    * class. The full DuckDB oracle was re-run against this value
+    * (OPTIMIZATION_r16.md) — bit-identical results. At production
+    * scale chunks map to source files/offset ranges and their count is
+    * workload-driven, not a constant. */
+  val ReplayChunks = 1
 
   /** seq = pid * ChunkSpan + rank keeps chunk-major ordering with room
     * for 2^40 events per chunk; density is not required, only

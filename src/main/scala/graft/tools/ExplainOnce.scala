@@ -7,8 +7,11 @@ import org.apache.spark.sql.SparkSession
 object ExplainOnce {
   def main(args: Array[String]): Unit = {
     val Array(name, dir) = args
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    // default 4 kept for old dumps; set SPARK_GRAFT_CPUS=32 to dump
+    // plans under the bench's parallelism (spread/broadcast gates)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
