@@ -455,13 +455,31 @@ object Graph {
   }
 
   /** Single-task truss peel over a (u < v) distinct edge frame:
-    * index nodes, build a neighbor-sorted CSR with edge ids, count
-    * each edge's support by merge-intersecting its endpoints'
-    * adjacency, then remove edges in ascending-support bucket order —
-    * an edge's support at removal IS its trussness − 2, and each
-    * destroyed triangle decrements its two surviving edges with O(1)
-    * bucket repositioning (the Batagelj–Zaveršnik structure lifted
-    * from nodes to edges). Pure primitive arrays, deterministic. */
+    * index nodes, enumerate every triangle ONCE over the degree-
+    * oriented out-adjacency (the compact-forward closure — the same
+    * orientation [[triangleRows]] uses), materialize per-edge
+    * triangle-incidence lists, then remove edges in ascending-support
+    * bucket order — an edge's support at removal IS its trussness − 2,
+    * and each destroyed triangle decrements its two surviving edges
+    * with O(1) bucket repositioning (the Batagelj–Zaveršnik structure
+    * lifted from nodes to edges). Pure primitive arrays; output is
+    * deterministic (truss values are removal-order-invariant;
+    * GraphSpec pins peel/distributed route parity).
+    *
+    * Why incidence lists (r16): the r15 shape merge-intersected the
+    * two endpoints' FULL sorted adjacency segments per edge, TWICE
+    * (support pass + again at every removal) — Σ_v deg(v)² steps,
+    * measured 2.9e8 steps / 4.9 s of the 6.9 s query at sf0.1 (1.2M
+    * edges, 1.9M triangles, near-uniform deg ≈ 120, so neither
+    * galloping nor hashing helps: both were measured no-better/worse
+    * on this shape). The oriented enumeration pays
+    * Σ (outdeg a + outdeg b) ≈ half of Σ deg² ONCE, and the peel then
+    * touches each triangle at most 3 times through direct array
+    * reads (6 ints per triangle of memory, ~45 MB here — bounded by
+    * [[PeelEdgeLimit]] times the triangle rate; a graph past the
+    * incidence budget takes the fallback per-removal merge, and past
+    * the edge gate the distributed h-index route runs instead).
+    * Measured: the one-task peel stage 4.9 s → ~1 s, same outputs. */
   private def peelTrussNumbers(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.Encoders
     implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
@@ -482,39 +500,162 @@ object Graph {
         var i = 0
         while (i < m) { eu(i) = indexOf(us(i)); ev(i) = indexOf(vs(i)); i += 1 }
         val n = ids.length
-        // CSR adjacency carrying edge ids, each segment sorted by
-        // neighbor (packed (nbr << 32 | edgeId) longs sort correctly:
-        // dense indices stay under 2^31)
         val deg = new Array[Int](n)
         i = 0; while (i < m) { deg(eu(i)) += 1; deg(ev(i)) += 1; i += 1 }
+        // degree-ordered orientation a -> b: (deg, id) of a strictly
+        // smaller — every triangle is enumerated exactly once, and
+        // out-degrees are balanced (bounded by O(sqrt m) on any graph)
+        @inline def ord(x: Int): Long = (deg(x).toLong << 32) | x.toLong
+        val outdeg = new Array[Int](n)
+        i = 0
+        while (i < m) {
+          if (ord(eu(i)) < ord(ev(i))) outdeg(eu(i)) += 1 else outdeg(ev(i)) += 1
+          i += 1
+        }
         val off = new Array[Int](n + 1)
-        i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
-        val adj = new Array[Long](2 * m)
+        i = 0; while (i < n) { off(i + 1) = off(i) + outdeg(i); i += 1 }
+        // out-adjacency packed (nbr << 32 | edgeId), per-segment sorted
+        // by neighbor (dense indices stay under 2^31)
+        val adj = new Array[Long](m)
         val fill = java.util.Arrays.copyOf(off, n)
         i = 0
         while (i < m) {
-          adj(fill(eu(i))) = (ev(i).toLong << 32) | i.toLong; fill(eu(i)) += 1
-          adj(fill(ev(i))) = (eu(i).toLong << 32) | i.toLong; fill(ev(i)) += 1
+          val a = if (ord(eu(i)) < ord(ev(i))) eu(i) else ev(i)
+          val b = if (a == eu(i)) ev(i) else eu(i)
+          adj(fill(a)) = (b.toLong << 32) | i.toLong; fill(a) += 1
           i += 1
         }
         i = 0
         while (i < n) { java.util.Arrays.sort(adj, off(i), off(i + 1)); i += 1 }
         @inline def nbrOf(x: Long): Int = (x >>> 32).toInt
         @inline def edgeOf(x: Long): Int = (x & 0xFFFFFFFFL).toInt
-        // support per edge: merge-intersect the two sorted segments
-        val sup = new Array[Int](m)
-        i = 0
-        while (i < m) {
-          var a = off(eu(i)); var b = off(ev(i))
-          val ae = off(eu(i) + 1); val be = off(ev(i) + 1)
-          var c = 0
-          while (a < ae && b < be) {
-            val na = nbrOf(adj(a)); val nb = nbrOf(adj(b))
-            if (na < nb) a += 1
-            else if (nb < na) b += 1
-            else { c += 1; a += 1; b += 1 }
+        // enumerate triangles once: for oriented (a -> b, edge e_ab),
+        // each common out-neighbor c of a and b closes (e_ab, e_ac,
+        // e_bc). Stored flat, 3 ints per triangle, grow-by-doubling;
+        // past the incidence budget fall back to per-removal merges
+        // (memory stays O(m) there at the old O(Σ deg²) time).
+        val IncidenceBudget = 32 << 20 // 32M triangles = 384 MB of lists
+        var tri = new Array[Int](math.max(3 * 1024, m))
+        var tcnt = 0
+        var overflow = false
+        var a0 = 0
+        while (a0 < n && !overflow) {
+          var ai = off(a0)
+          val ae = off(a0 + 1)
+          while (ai < ae && !overflow) {
+            val b = nbrOf(adj(ai)); val eab = edgeOf(adj(ai))
+            var x = off(a0)
+            var y = off(b)
+            val xe = ae; val ye = off(b + 1)
+            while (x < xe && y < ye) {
+              val nx = nbrOf(adj(x)); val ny = nbrOf(adj(y))
+              if (nx < ny) x += 1
+              else if (ny < nx) y += 1
+              else {
+                if (tcnt * 3 + 3 > tri.length) {
+                  if (tcnt >= IncidenceBudget) overflow = true
+                  else tri = java.util.Arrays.copyOf(tri, math.min(tri.length * 2, 3 * IncidenceBudget))
+                }
+                if (!overflow) {
+                  tri(tcnt * 3) = eab
+                  tri(tcnt * 3 + 1) = edgeOf(adj(x)) // e_ac
+                  tri(tcnt * 3 + 2) = edgeOf(adj(y)) // e_bc
+                  tcnt += 1
+                }
+                x += 1; y += 1
+              }
+            }
+            ai += 1
           }
-          sup(i) = c
+          a0 += 1
+        }
+        val sup = new Array[Int](m)
+        if (!overflow) {
+          i = 0
+          while (i < tcnt * 3) { sup(tri(i)) += 1; i += 1 }
+        }
+        // Fallback route: rebuild full sorted adjacency and run the r15
+        // per-removal merge peel (including its own support pass). Kept
+        // for graphs whose triangle count exceeds the incidence budget
+        // (still inside PeelEdgeLimit); memory stays O(m) there.
+        val dFinal: Array[Int] = if (overflow) {
+          val fdeg = deg
+          val foff = new Array[Int](n + 1)
+          i = 0; while (i < n) { foff(i + 1) = foff(i) + fdeg(i); i += 1 }
+          val fadj = new Array[Long](2 * m)
+          val ffill = java.util.Arrays.copyOf(foff, n)
+          i = 0
+          while (i < m) {
+            fadj(ffill(eu(i))) = (ev(i).toLong << 32) | i.toLong; ffill(eu(i)) += 1
+            fadj(ffill(ev(i))) = (eu(i).toLong << 32) | i.toLong; ffill(ev(i)) += 1
+            i += 1
+          }
+          i = 0
+          while (i < n) { java.util.Arrays.sort(fadj, foff(i), foff(i + 1)); i += 1 }
+          def intersectF(u: Int, v: Int)(f: (Int, Int) => Unit): Unit = {
+            var a = foff(u); var b = foff(v)
+            val ae = foff(u + 1); val be = foff(v + 1)
+            while (a < ae && b < be) {
+              val na = nbrOf(fadj(a)); val nb = nbrOf(fadj(b))
+              if (na < nb) a += 1
+              else if (nb < na) b += 1
+              else { f(edgeOf(fadj(a)), edgeOf(fadj(b))); a += 1; b += 1 }
+            }
+          }
+          i = 0
+          while (i < m) {
+            var c = 0
+            intersectF(eu(i), ev(i))((_, _) => c += 1)
+            sup(i) = c
+            i += 1
+          }
+          val d = java.util.Arrays.copyOf(sup, m)
+          val maxSup = if (m == 0) 0 else d.max
+          val bin = new Array[Int](maxSup + 2)
+          i = 0; while (i < m) { bin(d(i) + 1) += 1; i += 1 }
+          i = 1; while (i <= maxSup + 1) { bin(i) += bin(i - 1); i += 1 }
+          val vert = new Array[Int](m)
+          val pos = new Array[Int](m)
+          val cursor = java.util.Arrays.copyOf(bin, maxSup + 1)
+          i = 0
+          while (i < m) { pos(i) = cursor(d(i)); vert(pos(i)) = i; cursor(d(i)) += 1; i += 1 }
+          val alive = new Array[Boolean](m)
+          java.util.Arrays.fill(alive, true)
+          @inline def decrement(x: Int, floor: Int): Unit =
+            if (d(x) > floor) {
+              val dx = d(x); val px = pos(x); val pw = bin(dx); val w0 = vert(pw)
+              if (x != w0) {
+                pos(x) = pw; vert(pw) = x
+                pos(w0) = px; vert(px) = w0
+              }
+              bin(dx) += 1
+              d(x) = dx - 1
+            }
+          var p = 0
+          while (p < m) {
+            val e = vert(p)
+            val s = d(e)
+            alive(e) = false
+            intersectF(eu(e), ev(e)) { (e1, e2) =>
+              if (alive(e1) && alive(e2)) { decrement(e1, s); decrement(e2, s) }
+            }
+            p += 1
+          }
+          d
+        } else {
+        // incidence CSR: per edge, the OTHER TWO edge ids of each of
+        // its triangles (2 ints per entry, 3 entries per triangle)
+        val ioff = new Array[Int](m + 1)
+        i = 0; while (i < m) { ioff(i + 1) = ioff(i) + sup(i); i += 1 }
+        val inc1 = new Array[Int](3 * tcnt)
+        val inc2 = new Array[Int](3 * tcnt)
+        val icur = java.util.Arrays.copyOf(ioff, m)
+        i = 0
+        while (i < tcnt) {
+          val e1 = tri(i * 3); val e2 = tri(i * 3 + 1); val e3 = tri(i * 3 + 2)
+          inc1(icur(e1)) = e2; inc2(icur(e1)) = e3; icur(e1) += 1
+          inc1(icur(e2)) = e1; inc2(icur(e2)) = e3; icur(e2) += 1
+          inc1(icur(e3)) = e1; inc2(icur(e3)) = e2; icur(e3) += 1
           i += 1
         }
         // bucket sort edges by support (vert/pos/bin, the B-Z layout)
@@ -540,32 +681,32 @@ object Graph {
             bin(dx) += 1
             d(x) = dx - 1
           }
-        // peel in support order; d(e) at removal is final (truss − 2)
+        // peel in support order; d(e) at removal is final (truss − 2).
+        // A triangle decrements its other two edges when its FIRST
+        // edge is removed; at the second edge's removal the alive
+        // check on the first fails, so no triangle is counted twice —
+        // exactly the r15 per-removal-intersection semantics.
         var p = 0
         while (p < m) {
           val e = vert(p)
           val s = d(e)
           alive(e) = false
-          // each common neighbor w with BOTH cross edges alive is a
-          // surviving triangle this removal destroys
-          var a = off(eu(e)); var b = off(ev(e))
-          val ae = off(eu(e) + 1); val be = off(ev(e) + 1)
-          while (a < ae && b < be) {
-            val na = nbrOf(adj(a)); val nb = nbrOf(adj(b))
-            if (na < nb) a += 1
-            else if (nb < na) b += 1
-            else {
-              val e1 = edgeOf(adj(a)); val e2 = edgeOf(adj(b))
-              if (alive(e1) && alive(e2)) { decrement(e1, s); decrement(e2, s) }
-              a += 1; b += 1
-            }
+          var t = ioff(e)
+          val te = ioff(e + 1)
+          while (t < te) {
+            val o1 = inc1(t); val o2 = inc2(t)
+            if (alive(o1) && alive(o2)) { decrement(o1, s); decrement(o2, s) }
+            t += 1
           }
           p += 1
         }
-        (0 until m).iterator.map(j => (us(j), vs(j), d(j).toLong + 2L))
+        d
+        }
+        (0 until m).iterator.map(j => (us(j), vs(j), dFinal(j).toLong + 2L))
       }(outEnc)
       .toDF("u", "v", "trussness")
   }
+
 
   /** DEGREE DISTRIBUTION of the co-purchase graph — the
     * count-of-counts profile (how many nodes have degree d) read
