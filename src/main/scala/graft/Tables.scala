@@ -55,7 +55,12 @@ object Tables {
       case l if l.children.isEmpty => true
       case _ => false
     }
-    if (!scanOnly(df.queryExecution.analyzed)) df
+    // Streaming frames (the replay topologies feed fixture builders a
+    // readStream source) can neither probe .rdd nor want a repartition
+    // injected mid-topology — their parallelism is the replay's state
+    // partitioning. Pass them through untouched.
+    if (df.isStreaming) df
+    else if (!scanOnly(df.queryExecution.analyzed)) df
     else if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target, key)
   }

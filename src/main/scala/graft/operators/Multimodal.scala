@@ -50,7 +50,8 @@ object Multimodal {
       .when(pmod(col("doc_id"), lit(4)) === 1, concat(lit(Magic("jpeg")), body))
       .when(pmod(col("doc_id"), lit(4)) === 2, concat(lit(Magic("gif")), body))
       .otherwise(body)
-    documents.select(col("doc_id"), payload.as("payload"))
+    graft.Tables.spread(documents.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), payload.as("payload"))
   }
 
   /** Per-payload metadata: size, md5, sniffed format — pure codegen
@@ -730,7 +731,7 @@ object Multimodal {
   def pngPixelDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val w = (1 + id % 24).toInt; val h = (1 + id % 16).toInt
         val ct = Array(0, 2, 4, 6)((id % 4).toInt)
@@ -918,7 +919,7 @@ object Multimodal {
   def pngInterlacedDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val w = (1 + id % 21).toInt; val h = (1 + id % 13).toInt
         val ct = Array(0, 2, 4, 6)((id % 4).toInt)
@@ -1327,7 +1328,7 @@ object Multimodal {
   def jpegDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val w = (1 + id % 31).toInt; val h = (1 + id % 17).toInt
         val img = new java.awt.image.BufferedImage(w, h,
@@ -1476,7 +1477,7 @@ object Multimodal {
   def jpegPixelDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val w = (8 * (1 + id % 4)).toInt; val h = (8 * (1 + id % 3)).toInt
         val img = new java.awt.image.BufferedImage(w, h,
@@ -1539,7 +1540,7 @@ object Multimodal {
                                    progressive: Boolean): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val (r, g, bl) = JpegColorPalette((id % 16).toInt)
         val w = (8 + id % 25).toInt; val h = (8 + id % 19).toInt
@@ -2841,7 +2842,7 @@ object Multimodal {
   def gifAnimDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val w = (2 + id % 9).toInt; val h = (1 + id % 7).toInt
         val nf = (1 + id % 5).toInt
@@ -3208,7 +3209,7 @@ object Multimodal {
   def mp4Docs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val nTracks = (1 + id % 3).toInt
         val timescale = (600 + 100 * (id % 5)).toInt
@@ -3582,7 +3583,7 @@ object Multimodal {
   def tiffDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val w = (2 + id % 11).toInt; val h = (1 + id % 6).toInt
         val le = id % 2 == 0
@@ -3622,7 +3623,7 @@ object Multimodal {
   def tiffLzwDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val w = (3 + id % 10).toInt; val h = (1 + id % 7).toInt
         val le = id % 2 == 0
@@ -3966,7 +3967,7 @@ object Multimodal {
   def pnmDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val w = (2 + id % 9).toInt; val h = (1 + id % 5).toInt
         val gray = id % 2 == 0
@@ -4074,7 +4075,7 @@ object Multimodal {
   def webpDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val w = (16 + id % 300).toInt
         val h = (16 + id % 200).toInt
@@ -4235,7 +4236,7 @@ object Multimodal {
   def exifDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val le = id % 2 == 0
         val make = s"MAKE${id % 5}"
@@ -4404,7 +4405,7 @@ object Multimodal {
   def flacDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val rate = FlacRates((id % 7).toInt)
         val channels = (1 + id % 2).toInt
@@ -4536,7 +4537,7 @@ object Multimodal {
   def flacPcmDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val rate = FlacRates((id % 7).toInt)
         val channels = (1 + id % 2).toInt
@@ -4792,7 +4793,7 @@ object Multimodal {
   def mp3Docs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val bIdx = (1 + id % 14).toInt
         val sIdx = (id % 3).toInt
@@ -4897,7 +4898,7 @@ object Multimodal {
   def mp3VbrDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val sIdx = (id % 3).toInt
         val nFrames = (3 + id % 8).toInt
@@ -5006,7 +5007,7 @@ object Multimodal {
   def mp3TaggedDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val v4 = id % 4 == 3
         def encodeText(s: String): Array[Byte] = (id % 4) match {
@@ -5128,7 +5129,7 @@ object Multimodal {
   def adtsDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val nFrames = (3 + id % 6).toInt
         val profile = (id % 2).toInt // 0 = Main, 1 = LC
@@ -5225,7 +5226,7 @@ object Multimodal {
   def icoDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val n = (1 + id % 3).toInt
         val dims = Array.tabulate(n) { e =>
@@ -5339,8 +5340,8 @@ object Multimodal {
     val srt = array_join(transform(sequence(lit(0), id % 3), srtCue(_)), "\n\n")
     val vtt = concat(lit("WEBVTT\n\n"),
       array_join(transform(sequence(lit(0), id % 3), vttCue(_)), "\n\n"))
-    documents.select(id,
-      when(id % 2 === 0, srt).otherwise(vtt).as("subtitle_text"))
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id"))
+      .select(id, when(id % 2 === 0, srt).otherwise(vtt).as("subtitle_text"))
   }
 
   /** SRT/WebVTT → one row per cue: (doc_id, format, cue_idx,

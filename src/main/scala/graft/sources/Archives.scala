@@ -35,7 +35,7 @@ object Archives {
   def zipDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.Tables.spread(documents.select(col("doc_id"), col("text")), col("doc_id")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val buf = new java.io.ByteArrayOutputStream()
         val zos = new java.util.zip.ZipOutputStream(buf)
@@ -83,7 +83,7 @@ object Archives {
   def zip64Docs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.Tables.spread(documents.select(col("doc_id"), col("text")), col("doc_id")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val out = new java.io.ByteArrayOutputStream()
         def w16(x: Int): Unit = { out.write(x & 0xFF); out.write((x >> 8) & 0xFF) }
@@ -328,7 +328,7 @@ object Archives {
   def tarDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.Tables.spread(documents.select(col("doc_id"), col("text")), col("doc_id")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val out = new java.io.ByteArrayOutputStream()
         def member(name: String, content: Array[Byte],
@@ -569,7 +569,7 @@ object Archives {
   def sniffDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.Tables.spread(documents.select(col("doc_id"), col("text")), col("doc_id")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val tail = Array.tabulate(8)(k => ((id * 31 + 7 * k) % 256).toByte)
         def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
@@ -809,7 +809,7 @@ object Archives {
   def docxDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.Tables.spread(documents.select(col("doc_id"), col("text")), col("doc_id")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         def xmlEsc(s: String): String =
           s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -894,7 +894,7 @@ object Archives {
   def pptxDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.Tables.spread(documents.select(col("doc_id"), col("text")), col("doc_id")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val nSlides = (1 + id % 3).toInt
         def slideXml(s: Int): String = {
@@ -1024,7 +1024,7 @@ object Archives {
   def xlsxDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val nSheets = (1 + id % 2).toInt
         val nData = (2 + id % 3).toInt

@@ -56,7 +56,7 @@ object Avro {
   def avroDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val schema =
           """{"type":"record","name":"doc","fields":[""" +

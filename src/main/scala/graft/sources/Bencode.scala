@@ -36,7 +36,7 @@ object Bencode {
   def torrentDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val pieceLen = 16384L << (id % 3)
         val multi = id % 2 == 1

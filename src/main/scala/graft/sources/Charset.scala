@@ -37,7 +37,7 @@ object Charset {
   def charsetDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.Tables.spread(documents.select(col("doc_id"), col("text")), col("doc_id")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val s = text + Marker
         val payload: Array[Byte] = (id % 4) match {

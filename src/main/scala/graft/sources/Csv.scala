@@ -177,7 +177,8 @@ object Csv {
       s("\"a"), d, s(" \"\"q\"\" "), id % 7, s("\""), d, lit(100) + id % 50, d,
       s("t"), id % 5, s("\n"),
       s("plain "), id % 11, d, lit(200) + id % 30, d, s("t"), id % 4, s("\r\n"))
-    documents.select(col("doc_id"), d.as("true_delim"), payload.as("csv"))
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id"))
+      .select(col("doc_id"), d.as("true_delim"), payload.as("csv"))
   }
 
   /** Sniffed dialect per document: (doc_id, delimiter, n_cols, n_rows,

@@ -28,25 +28,33 @@ object DocRouter {
   def anyDocs(documents: DataFrame): DataFrame = {
     val id = col("doc_id")
     def enc(c: Column) = encode(c, "UTF-8")
-    val pdf = Pdf.pdfDocs(documents.filter(id % 10 === 0))
+    // Spread ONCE, then filter per branch: the ten branches share the
+    // identical repartition subtree (ReuseExchange ships one shuffle)
+    // and the per-format builders' own spread no-ops on the exchange-
+    // bearing input — spreading inside each filtered branch instead
+    // produced 10 separate exchanges and a ~320-partition union whose
+    // downstream stages ran thousands of scheduling-floor tasks.
+    val docs = graft.Tables.spread(
+      documents.select(col("doc_id"), col("text")), col("doc_id"))
+    val pdf = Pdf.pdfDocs(docs.filter(id % 10 === 0))
       .select(col("doc_id"), col("payload"))
-    val docx = Archives.docxDocs(documents.filter(id % 10 === 1))
+    val docx = Archives.docxDocs(docs.filter(id % 10 === 1))
       .select(col("doc_id"), col("payload"))
-    val epub = Archives.epubDocs(documents.filter(id % 10 === 2))
+    val epub = Archives.epubDocs(docs.filter(id % 10 === 2))
       .select(col("doc_id"), col("payload"))
-    val html = graft.functions.TextAnalysis.htmlDocs(documents.filter(id % 10 === 3))
+    val html = graft.functions.TextAnalysis.htmlDocs(docs.filter(id % 10 === 3))
       .select(col("doc_id"), enc(col("html")).as("payload"))
-    val tex = graft.functions.MarkupKernels.latexDocs(documents.filter(id % 10 === 4))
+    val tex = graft.functions.MarkupKernels.latexDocs(docs.filter(id % 10 === 4))
       .select(col("doc_id"), enc(col("tex")).as("payload"))
-    val md = graft.functions.MarkupKernels.markdownDocs(documents.filter(id % 10 === 5))
+    val md = graft.functions.MarkupKernels.markdownDocs(docs.filter(id % 10 === 5))
       .select(col("doc_id"), enc(col("md")).as("payload"))
-    val rtf = Rtf.rtfDocs(documents.filter(id % 10 === 6))
+    val rtf = Rtf.rtfDocs(docs.filter(id % 10 === 6))
       .select(col("doc_id"), enc(col("rtf")).as("payload"))
-    val pptx = Archives.pptxDocs(documents.filter(id % 10 === 7))
+    val pptx = Archives.pptxDocs(docs.filter(id % 10 === 7))
       .select(col("doc_id"), col("payload"))
-    val xlsx = Archives.xlsxDocs(documents.filter(id % 10 === 8))
+    val xlsx = Archives.xlsxDocs(docs.filter(id % 10 === 8))
       .select(col("doc_id"), col("payload"))
-    val eml = Mime.emlDocs(documents.filter(id % 10 === 9))
+    val eml = Mime.emlDocs(docs.filter(id % 10 === 9))
       .select(col("doc_id"), col("payload"))
     pdf.unionByName(docx).unionByName(epub)
       .unionByName(html).unionByName(tex).unionByName(md).unionByName(rtf)
@@ -113,7 +121,13 @@ object DocRouter {
         val (fmt, text) = sniffRoute(id, b)
         (id, fmt, if (text == null) b else null, text)
       }).toDF("doc_id", "format", "payload", "decoded")
-      // ten consumers below — materialize the classifying scan once
+      // ten consumers below — materialize the classifying scan once.
+      // Coalesce (narrow) to the session parallelism first: `bin` is a
+      // ten-branch fixture union whose partition count multiplies by
+      // branch count, and the ten consumers below multiply it again —
+      // an unbounded checkpoint here measured 2562 scheduling-floor
+      // tasks in ONE downstream stage at 32 cores.
+      .coalesce(spark.sparkContext.defaultParallelism)
       .localCheckpoint()
     def binBranch(fmt: String, extract: DataFrame => DataFrame): DataFrame =
       extract(routed.filter(col("format") === fmt)

@@ -108,7 +108,7 @@ object Ebml {
   def mkvDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val header = elem(IdEbml,
           elem(IdDocType, "webm".getBytes("US-ASCII")))
@@ -423,7 +423,7 @@ object Ebml {
   def webmVp8Docs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val header = elem(IdEbml, elem(IdDocType, "webm".getBytes("US-ASCII")))
         val info = elem(IdInfo,

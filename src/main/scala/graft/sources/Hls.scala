@@ -29,7 +29,7 @@ object Hls {
   def hlsDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val sb = new StringBuilder("#EXTM3U\n#EXT-X-VERSION:3\n")
         if (id % 2 == 0) {

@@ -216,7 +216,7 @@ object Mime {
   def emlDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.Tables.spread(documents.select(col("doc_id"), col("text")), col("doc_id")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) => (id, emlBytes(id, text)) })
       .toDF("doc_id", "payload")
   }
@@ -233,7 +233,7 @@ object Mime {
   def mboxDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.Tables.spread(documents.select(col("doc_id"), col("text")), col("doc_id")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val n = (1 + id % 4).toInt
         val msgs = (0 until n).map { m =>

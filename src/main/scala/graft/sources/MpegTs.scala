@@ -134,7 +134,7 @@ object MpegTs {
   def tsDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val out = new java.io.ByteArrayOutputStream()
         val cc = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)

@@ -109,7 +109,7 @@ object Ogg {
   def oggDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val serial = (id % 100000).toInt + 7
         val ch = 1 + ((id % 4) / 2).toInt

@@ -38,7 +38,7 @@ object Pdf {
   def pdfDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.Tables.spread(documents.select(col("doc_id"), col("text")), col("doc_id")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val np = (1 + id % 3).toInt
         val nObjs = 2 + 2 * np

@@ -208,7 +208,8 @@ object Rtf {
       s("Body text "), col("text"), s(": caf\\'e9 r\\u233?sum\\u233? tail "),
       id % 13, s("\\par\n"),
       s("\\b bold "), id % 5, s(" \\b0 plain\\par\n}"))
-    documents.select(col("doc_id"), payload.as("rtf"))
+    graft.Tables.spread(documents.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), payload.as("rtf"))
   }
 
   /** (doc_id, text, n_pars) from an RTF payload column. */

@@ -49,7 +49,7 @@ object Sfnt {
   def fontDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map(id => (id, buildFont(id))))
       .toDF("doc_id", "payload")
   }
@@ -199,7 +199,7 @@ object Sfnt {
   def woffDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val font = buildFont(id)
         def u16(i: Int): Int = ((font(i) & 0xFF) << 8) | (font(i + 1) & 0xFF)

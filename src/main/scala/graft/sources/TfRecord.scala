@@ -62,7 +62,7 @@ object TfRecord {
   def tfrecordDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val n = (2 + id % 6).toInt
         val out = new java.io.ByteArrayOutputStream()
@@ -189,7 +189,7 @@ object TfRecord {
   def tfExampleDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         def varintBytes(v: Long): Array[Byte] = {
           val buf = new java.io.ByteArrayOutputStream()

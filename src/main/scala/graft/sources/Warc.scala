@@ -392,9 +392,11 @@ object Warc {
   def crawlDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val marked = documents.select(col("doc_id"),
-      org.apache.spark.sql.functions.concat(col("text"),
-        org.apache.spark.sql.functions.lit(Charset.Marker)).as("text"))
+    val marked = graft.Tables.spread(
+      documents.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.concat(col("text"),
+          org.apache.spark.sql.functions.lit(Charset.Marker)).as("text"))
     graft.functions.TextAnalysis.htmlDocs(marked)
       .select(col("doc_id"), col("html")).as[(Long, String)]
       .mapPartitions { it =>
@@ -490,7 +492,7 @@ object Warc {
   def wetDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.Tables.spread(documents.select(col("doc_id"), col("text")), col("doc_id")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val uri = s"https://crawl.site${id % 50}.com/doc/${id % 97}"
         val block = s"doc $id extracted: $text".getBytes("UTF-8")
@@ -537,7 +539,7 @@ object Warc {
   def watDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val uri = s"https://crawl.site${id % 50}.com/doc/${id % 97}"
         val status = if (id % 4 == 2) 301 else 200
@@ -629,7 +631,7 @@ object Warc {
   def warcRedirectDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val host = s"https://site${id % 50}.com"
         val oldU = s"$host/old/${id % 97}"

@@ -40,7 +40,7 @@ object Weights {
   def safetensorsDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val n = (2 + id % 3).toInt
         val dtypes = Array("F32", "F16", "I64")
@@ -124,7 +124,7 @@ object Weights {
   def npyDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val d0 = (2 + id % 5).toInt
         val d1 = (1 + id % 3).toInt
@@ -225,7 +225,7 @@ object Weights {
   def ggufDocs(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    graft.Tables.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val out = new java.io.ByteArrayOutputStream()
         def w32(x: Int): Unit = (0 until 4).foreach(k => out.write((x >>> (8 * k)) & 0xFF))

@@ -37,6 +37,16 @@ class PlanAuditSpec extends SparkSpec {
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
 
+  /** Plan text with the input-layout spread exchange removed:
+    * Tables.spread's single-rowgroup guard (r16) injects one
+    * `Exchange hashpartitioning(doc_id, N), REPARTITION_BY_NUM`
+    * directly over the fixture scan so the fused decode parallelizes.
+    * That is an input-LAYOUT repartition, not a data-dependent
+    * shuffle; the map-only audits below ignore exactly that origin
+    * (any other Exchange still fails them). */
+  private def sansSpread(p: String): String =
+    p.linesIterator.filterNot(_.contains("REPARTITION_BY_NUM")).mkString("\n")
+
   private lazy val dir = sf0001
 
   test("scanFilterProject: predicate and projection reach the parquet scan") {
@@ -215,7 +225,7 @@ class PlanAuditSpec extends SparkSpec {
       graft.sources.Warc.watExtract(graft.sources.Warc.watDocs(docs))
     ).foreach { df =>
       val p = plan(df)
-      assert(!p.contains("Exchange"), s"per-row walk must not shuffle:\n$p")
+      assert(!sansSpread(p).contains("Exchange"), s"per-row walk must not shuffle:\n$p")
     }
   }
 
@@ -259,7 +269,7 @@ class PlanAuditSpec extends SparkSpec {
       graft.operators.Crawl.feedItems(graft.operators.Crawl.feedDocs(docs))
     ).foreach { df =>
       val p = plan(df)
-      assert(!p.contains("Exchange"), s"per-row operator must not shuffle:\n$p")
+      assert(!sansSpread(p).contains("Exchange"), s"per-row operator must not shuffle:\n$p")
     }
     // the bias profile is ONE partial-aggregated scalar row
     val pb = plan(graft.operators.Sft.dpoBiasProfile(graft.operators.Sft.dpoDocs(docs)))
@@ -1224,13 +1234,13 @@ class PlanAuditSpec extends SparkSpec {
     val docs = Tables.documents(spark, dir)
     // EPUB: ZIP walk + per-chapter kernel in a transform HOF
     val pEpub = plan(graft.sources.Archives.epubText(graft.sources.Archives.epubDocs(docs)))
-    assert(!pEpub.contains("Exchange"), s"EPUB extraction shuffled:\n$pEpub")
+    assert(!sansSpread(pEpub).contains("Exchange"), s"EPUB extraction shuffled:\n$pEpub")
     // DOCX: OPC walk + w:t regex runs
     val pDocx = plan(graft.sources.Archives.docxText(graft.sources.Archives.docxDocs(docs)))
-    assert(!pDocx.contains("Exchange"), s"DOCX extraction shuffled:\n$pDocx")
+    assert(!sansSpread(pDocx).contains("Exchange"), s"DOCX extraction shuffled:\n$pDocx")
     // charset repair: detect + fix per row
     val pCs = plan(graft.sources.Charset.fixedText(graft.sources.Charset.charsetDocs(docs)))
-    assert(!pCs.contains("Exchange"), s"charset repair shuffled:\n$pCs")
+    assert(!sansSpread(pCs).contains("Exchange"), s"charset repair shuffled:\n$pCs")
     // sitemap walk: regex split + generate
     val pSm = plan(Crawl.sitemapUrls(Crawl.sitemapDocs(docs)))
     assert(!pSm.contains("Exchange"), s"sitemap walk shuffled:\n$pSm")
@@ -1240,13 +1250,13 @@ class PlanAuditSpec extends SparkSpec {
     val docs = Tables.documents(spark, dir)
     // outlinks: kernel + posexplode + resolve, all map-side
     val pL = plan(Crawl.extractLinks(Crawl.linkDocs(docs)))
-    assert(!pL.contains("Exchange"), s"link extraction shuffled:\n$pL")
+    assert(!sansSpread(pL).contains("Exchange"), s"link extraction shuffled:\n$pL")
     // the kernel must be staged through the projection barrier so it
     // evaluates once per page, not once per output column
     assert(count(pL, "html_links") <= 1, s"link kernel re-evaluated:\n$pL")
     // CSV: sniff + parse fused per row, then cell explode — no shuffle
     val pC = plan(graft.sources.Csv.csvCells(graft.sources.Csv.csvDocs(docs)))
-    assert(!pC.contains("Exchange"), s"CSV cell explode shuffled:\n$pC")
+    assert(!sansSpread(pC).contains("Exchange"), s"CSV cell explode shuffled:\n$pC")
   }
 
   test("hostRank: the rank vector broadcasts each round; edges never re-shuffle") {
@@ -1326,7 +1336,7 @@ class PlanAuditSpec extends SparkSpec {
         graft.sources.Bencode.torrentDocs(docs))
     ).foreach { case (name, df) =>
       val p = plan(df)
-      assert(!p.contains("Exchange"), s"$name shuffles payloads:\n$p")
+      assert(!sansSpread(p).contains("Exchange"), s"$name shuffles payloads:\n$p")
     }
   }
 
